@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.dnf.{Literal, Op}
+import graft.io.{Ops, Reader, Writer}
+import graft.io.Writer.WriteOpts
+import graft.meta.DatasetMetadata
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.store.Storage
+
+/** End-to-end smoke drive over the public API against the real testdata —
+  * `sbt "runMain graft.Smoke [sfDir]"`. Exercises the full dataset
+  * lifecycle plus the training-data operators, printing observable results
+  * and physical-plan excerpts. */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("plateauspark-smoke")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = java.nio.file.Files.createTempDirectory("plateau-smoke").toString
+    val store = Storage(spark, base)
+    println(s"== store base: $base, sfDir: $sfDir")
+
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    println("== lineitem schema: " + li.schema.simpleString)
+
+    // 1. store partitioned + indexed
+    val meta = Writer.store(spark, store, "li", li,
+      WriteOpts(partitionOn = Seq("l_returnflag"),
+        secondaryIndices = Seq("l_linestatus"), sortBy = Seq("l_shipdate")))
+    println(s"== stored: ${meta.partitions.size} partitions, indices=${meta.indices.keySet}")
+
+    // 2. three-level pruned read
+    val preds = Seq(Seq(
+      Literal("l_returnflag", Op.Eq, "R"),
+      Literal("l_linestatus", Op.In, Seq("F")),
+      Literal("l_quantity", Op.Lt, 25.0)))
+    val pruned = Reader.readTable(spark, store, "li",
+      columns = Some(Seq("l_orderkey", "l_quantity", "l_returnflag")),
+      predicates = Some(preds))
+    println(s"== pruned read rows: ${pruned.count()}")
+    pruned.explain("formatted")
+
+    // 3. update: append + delete scope
+    val extra = li.limit(0) // schema-compatible empty append
+    Writer.update(spark, store, "li", Some(extra))
+    val afterDel = Writer.update(spark, store, "li", None,
+      deleteScope = Seq(Map("l_returnflag" -> "A")))
+    println(s"== after delete A: partitions=${afterDel.partitions.size}, " +
+      s"flags=${Reader.readTable(spark, store, "li").select("l_returnflag").distinct().collect().map(_.getString(0)).mkString(",")}")
+
+    // 4. gc + hash + footer stats
+    println(s"== gc removed: ${Ops.garbageCollect(spark, store, "li").size} keys")
+    println(s"== dataset hash: ${Ops.hashDataset(spark, store, "li").head.getDecimal(0)}")
+    Ops.collectDatasetMetadata(spark, store, "li").show(5, false)
+
+    // 5. error probes: type mismatch, overwrite refusal, bad projection
+    def expectFail(tag: String)(f: => Any): Unit =
+      try { f; println(s"!! $tag DID NOT FAIL") }
+      catch { case e: Exception => println(s"== $tag correctly failed: ${e.getMessage.linesIterator.next().take(100)}") }
+    expectFail("type-mismatch") {
+      Reader.readTable(spark, store, "li",
+        predicates = Some(Seq(Seq(Literal("l_quantity", Op.Eq, "oops"))))).count()
+    }
+    expectFail("overwrite-refusal") { Writer.store(spark, store, "li", li) }
+    expectFail("bad-projection") {
+      Reader.readTable(spark, store, "li", columns = Some(Seq("nope")))
+    }
+
+    // 6. events (nanos timestamps) + documents + embeddings
+    try {
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      println("== events schema: " + ev.schema.simpleString)
+      ev.select(min("ts"), max("ts")).show(false)
+    } catch { case e: Throwable => println("!! events read failed: " + e.getMessage.take(200)) }
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.select(col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("pred"),
+        TextAnalysis.tokenCount(col("text")).as("toks"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      .groupBy("lang", "pred").count().orderBy("lang", "pred").show(30, false)
+
+    val nd = Dedup.minhashNearDups(docs, "text", "doc_id", threshold = 0.3)
+    println(s"== minhash near-dup pairs @0.3: ${nd.count()}")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.where(col("vec_id") === 0).select("embedding")
+      .head.getSeq[Float](0).map(_.toDouble)
+    Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, 5).show(false)
+    println("== smoke OK")
+    spark.stop()
+  }
+}

@@ -1,0 +1,236 @@
+package graft.dnf
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's predicate language: DNF — outer Seq is OR, inner Seq is
+  * AND, literals are (column, op, value).
+  *
+  * Semantics re-derived from plateau `serialization/_generic.py:433-569`
+  * (`filter_array_like`) and `serialization/_generic.py:166-219`
+  * (`check_predicates`); null behavior deliberately matches the reference's
+  * numpy semantics rather than SQL:
+  *
+  *   - `==` with null value is an IS NULL check (`_generic.py:488-493`)
+  *   - `!=` KEEPS null rows (`_generic.py:494-504`); `!= null` is IS NOT NULL
+  *   - `is distinct from` = null-safe inequality (`_generic.py:505-510`)
+  *   - ordered comparisons never match nulls; null value rejected
+  *   - `in` with null in the list also matches null rows (`_generic.py:519-558`)
+  *   - `not in` is the complement of `in`: null in list => null rows
+  *     excluded; no null in list => null rows PASS (numpy `~isin`)
+  */
+sealed abstract class Op(val sym: String)
+object Op {
+  case object Eq extends Op("==")
+  case object Ne extends Op("!=")
+  case object IsDistinctFrom extends Op("is distinct from")
+  case object Lt extends Op("<")
+  case object Le extends Op("<=")
+  case object Gt extends Op(">")
+  case object Ge extends Op(">=")
+  case object In extends Op("in")
+  case object NotIn extends Op("not in")
+
+  val all: Seq[Op] = Seq(Eq, Ne, IsDistinctFrom, Lt, Le, Gt, Ge, In, NotIn)
+  def fromString(s: String): Op = all.find(_.sym == s).getOrElse {
+    throw new IllegalArgumentException(
+      s"Unknown operator '$s' (must be one of ${all.map(_.sym).mkString(", ")})")
+  }
+}
+
+/** One literal `(column, op, value)`. `value` may be: Long/Int/Double/Float/
+  * String/Boolean/java.sql.Date/java.sql.Timestamp/Array[Byte]/null, or a
+  * Seq of those for In/NotIn.
+  */
+final case class Literal(column: String, op: Op, value: Any)
+
+object Predicates {
+  type Conjunction = Seq[Literal]
+  /** DNF: OR of ANDs. */
+  type Predicates = Seq[Conjunction]
+
+  def apply(conjunctions: Seq[Literal]*): Predicates = conjunctions
+
+  /** Columns referenced anywhere in the DNF (reference:
+    * `serialization/_generic.py:246-258` `columns_in_predicates`). */
+  def columns(preds: Predicates): Set[String] =
+    preds.flatten.map(_.column).toSet
+
+  /** Restrict each conjunction to literals over `cols`, dropping emptied
+    * conjunctions (reference `filter_predicates_by_column`,
+    * `serialization/_generic.py:222-243`). */
+  def filterByColumn(preds: Predicates, cols: Set[String]): Predicates =
+    preds.map(_.filter(l => cols(l.column))).filter(_.nonEmpty)
+
+  /** Structural validation (reference `check_predicates`,
+    * `serialization/_generic.py:166-219`): non-empty outer and inner lists;
+    * list-valued only for in/not in; scalar for everything else; null value
+    * only with ==, !=, is distinct from. */
+  def check(preds: Predicates): Unit = {
+    require(preds.nonEmpty, "Empty predicate list (DNF outer list) is invalid")
+    preds.zipWithIndex.foreach { case (conj, i) =>
+      require(conj.nonEmpty, s"Conjunction $i is empty")
+      conj.foreach { case Literal(col, op, value) =>
+        require(col != null && col.nonEmpty, "Predicate column must be non-empty")
+        op match {
+          case Op.In | Op.NotIn =>
+            require(value.isInstanceOf[Seq[_]] || value.isInstanceOf[Array[_]],
+              s"Operator '${op.sym}' on '$col' requires a list value")
+          case _ =>
+            require(!value.isInstanceOf[Seq[_]] && !value.isInstanceOf[Array[_]],
+              s"Operator '${op.sym}' on '$col' requires a scalar value")
+            if (value == null)
+              require(op == Op.Eq || op == Op.Ne || op == Op.IsDistinctFrom,
+                s"Null value is only allowed with ==, !=, is distinct from (got '${op.sym}' on '$col')")
+        }
+      }
+    }
+  }
+
+  private def listValues(value: Any): Seq[Any] = value match {
+    case s: Seq[_]   => s
+    case a: Array[_] => a.toSeq
+    case other =>
+      throw new IllegalArgumentException(s"Expected a list value, got $other")
+  }
+
+  /** Strict predicate-value vs column-dtype compatibility, mirroring
+    * `_ensure_type_stability` (`serialization/_generic.py:364-430`): a
+    * mismatch raises instead of silently casting. Numeric widening within
+    * int family and within float family is allowed (plateau normalizes all
+    * ints to int64 / floats to float64); int literals against float columns
+    * are allowed (numpy would coerce losslessly); everything else must match
+    * the column family exactly. */
+  private[graft] def checkTypeStability(col: String, dt: DataType, v: Any): Unit = {
+    if (v == null) return
+    def fail(): Nothing = throw new IllegalArgumentException(
+      s"Predicate value $v (${v.getClass.getSimpleName}) is incompatible with column '$col' of type ${dt.simpleString}")
+    dt match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType =>
+        v match {
+          case _: Byte | _: Short | _: Int | _: Long => ()
+          case _ => fail()
+        }
+      case _: FloatType | _: DoubleType =>
+        v match {
+          case _: Float | _: Double | _: Byte | _: Short | _: Int | _: Long => ()
+          case _ => fail()
+        }
+      case _: StringType => if (!v.isInstanceOf[String]) fail()
+      case _: BooleanType => if (!v.isInstanceOf[Boolean]) fail()
+      case _: BinaryType =>
+        v match {
+          case b: Array[Byte] =>
+            // reference rejects null-terminated binary values
+            // (`serialization/_generic.py:209-218`)
+            if (b.nonEmpty && b.last == 0) throw new IllegalArgumentException(
+              s"Null-terminated binary predicate value on '$col' is not allowed")
+          case _ => fail()
+        }
+      case _: DateType =>
+        v match {
+          case _: java.sql.Date | _: java.time.LocalDate => ()
+          case _: String => () // parsed like the reference parses "2020-01-01"
+          case _ => fail()
+        }
+      case _: TimestampType | _: TimestampNTZType =>
+        v match {
+          case _: java.sql.Timestamp | _: java.time.Instant |
+               _: java.time.LocalDateTime | _: java.sql.Date |
+               _: java.time.LocalDate => ()
+          case _: String => ()
+          case _ => fail()
+        }
+      case _: NullType => () // handled as conjunction-false at compile
+      case _ => ()
+    }
+  }
+
+  /** Compile a literal's value to a Spark literal of the column's type
+    * (reference value normalization `serialization/_parquet.py:424-513`). */
+  private def toLit(dt: DataType, v: Any): Column = dt match {
+    case _: DateType => v match {
+      case s: String => to_date(lit(s))
+      case other     => lit(other)
+    }
+    case _: TimestampNTZType => v match {
+      // parquet timestamps without a timezone annotation surface as NTZ in
+      // Spark 4; literals must be NTZ-typed too or the comparison fails
+      case s: String => to_timestamp_ntz(lit(s))
+      case t: java.sql.Timestamp => lit(t.toLocalDateTime)
+      case t: java.time.Instant => lit(java.time.LocalDateTime.ofInstant(t, java.time.ZoneOffset.UTC))
+      case d: java.sql.Date => lit(d.toLocalDate.atStartOfDay())
+      case d: java.time.LocalDate => lit(d.atStartOfDay())
+      case other => lit(other)
+    }
+    case _: TimestampType => v match {
+      case s: String => to_timestamp(lit(s))
+      case d: java.sql.Date => lit(new java.sql.Timestamp(d.getTime))
+      case d: java.time.LocalDate => lit(java.sql.Timestamp.valueOf(d.atStartOfDay()))
+      case other => lit(other)
+    }
+    case _ => lit(v)
+  }
+
+  /** Compile ONE literal to a Column with reference semantics. */
+  private[graft] def literalToColumn(l: Literal, schema: StructType): Column = {
+    val field = schema.find(_.name == l.column).getOrElse {
+      throw new IllegalArgumentException(
+        s"Predicate column '${l.column}' not in schema ${schema.fieldNames.mkString("[", ", ", "]")}")
+    }
+    val dt = field.dataType
+    // A comparison against a null-typed column can never be true
+    // (reference short-circuit `serialization/_parquet.py:440-443`).
+    if (dt.isInstanceOf[NullType]) return lit(false)
+    val c = col(l.column)
+    l.op match {
+      case Op.In | Op.NotIn =>
+        val vs = listValues(l.value)
+        vs.filter(_ != null).foreach(checkTypeStability(l.column, dt, _))
+        val hasNull = vs.contains(null)
+        val nonNull = vs.filter(_ != null).map(toLit(dt, _))
+        val inNonNull =
+          if (nonNull.isEmpty) lit(false) else c.isInCollection(nonNull)
+        l.op match {
+          case Op.In =>
+            if (hasNull) inNonNull || c.isNull
+            else inNonNull && c.isNotNull // isin on null yields null; make it false
+          case _ => // NotIn: complement of In (numpy ~isin)
+            if (hasNull) !inNonNull && c.isNotNull
+            else !inNonNull || c.isNull
+        }
+      case Op.Eq =>
+        if (l.value == null) c.isNull
+        else { checkTypeStability(l.column, dt, l.value); c === toLit(dt, l.value) }
+      case Op.Ne =>
+        if (l.value == null) c.isNotNull
+        else {
+          checkTypeStability(l.column, dt, l.value)
+          (c =!= toLit(dt, l.value)) || c.isNull // reference keeps null rows
+        }
+      case Op.IsDistinctFrom =>
+        if (l.value == null) c.isNotNull
+        else { checkTypeStability(l.column, dt, l.value); !(c <=> toLit(dt, l.value)) }
+      case ord =>
+        checkTypeStability(l.column, dt, l.value)
+        val v = toLit(dt, l.value)
+        ord match {
+          case Op.Lt => c < v
+          case Op.Le => c <= v
+          case Op.Gt => c > v
+          case Op.Ge => c >= v
+          case other => throw new IllegalStateException(other.sym)
+        }
+    }
+  }
+
+  /** Compile the whole DNF to a single Column tree
+    * (reference `filter_df_from_predicates`, `serialization/_generic.py:279-319`). */
+  def toColumn(preds: Predicates, schema: StructType): Column = {
+    check(preds)
+    preds
+      .map(conj => conj.map(literalToColumn(_, schema)).reduce(_ && _))
+      .reduce(_ || _)
+  }
+}

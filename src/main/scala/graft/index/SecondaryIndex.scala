@@ -1,0 +1,100 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dnf.{Literal, Op, Predicates}
+import graft.meta.DatasetMetadata
+import graft.store.Storage
+
+/** Parquet-backed inverted index `{value -> [partition labels]}` — the
+  * Spark rebuild of the reference's `ExplicitSecondaryIndex`
+  * (`core/index.py:567-754`). One Parquet file per index generation with
+  * schema `(<col> , partitions: array<string>)`; persisted at
+  * `<uuid>/indices/<col>/<ts>.by-dataset-index.parquet`
+  * (`core/naming.py:20`).
+  *
+  * Index files are tiny relative to data (distinct values x label lists), so
+  * every query-side use broadcasts or collects them; at 100 TB data scale the
+  * index stays MB-sized and pruning happens before any data I/O.
+  */
+object SecondaryIndex {
+  val ValueCol = "value"
+  val LabelsCol = "partitions"
+
+  def indexKey(uuid: String, col: String, ts: String): String =
+    s"$uuid/indices/$col/$ts${DatasetMetadata.IndexSuffix}"
+
+  /** Build the inverted index from labeled data: distinct non-null values per
+    * label, then labels collected per value (reference `build_indices`
+    * `io_components/metapartition.py:1005-1045` + global `merge_indices`
+    * `core/index.py:760-791` — the groupBy subsumes the tree-merge). Input
+    * must carry a `__label` column naming the partition of each row. */
+  def build(labeled: DataFrame, col: String): DataFrame =
+    labeled
+      .select(org.apache.spark.sql.functions.col(col).as(ValueCol), org.apache.spark.sql.functions.col("__label"))
+      .where(org.apache.spark.sql.functions.col(ValueCol).isNotNull)
+      .distinct()
+      .groupBy(ValueCol)
+      .agg(sort_array(collect_set("__label")).as(LabelsCol))
+
+  def store(spark: SparkSession, storage: Storage, uuid: String, col: String,
+            index: DataFrame, ts: String): String = {
+    val key = indexKey(uuid, col, ts)
+    index.coalesce(1).write.mode("overwrite").parquet(s"${storage.base}/$key")
+    // normalize to the single-file key the header references
+    val files = storage.listKeys(key).filter(_.endsWith(".parquet"))
+    require(files.nonEmpty, s"Index write produced no parquet file under $key")
+    key
+  }
+
+  def load(spark: SparkSession, storage: Storage, indexFileKey: String): DataFrame =
+    spark.read.parquet(s"${storage.base}/$indexFileKey")
+
+  /** Distinct indexed values (reference `observed_values`,
+    * `core/index.py:137-147`). */
+  def observedValues(index: DataFrame): DataFrame = index.select(ValueCol)
+
+  /** Evaluate one predicate literal against the index and return the
+    * surviving label set (reference `eval_operator` `core/index.py:213-250`
+    * via `filter_array_like`). Null semantics follow the DNF compiler. */
+  def evalLiteral(index: DataFrame, lit: Literal): Set[String] = {
+    val schema = index.schema
+    val renamed = Literal(ValueCol, lit.op, lit.value)
+    val cond: Column = Predicates.literalToColumn(renamed, schema)
+    index
+      .where(cond)
+      .select(explode(col(LabelsCol)).as("l"))
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .toSet
+  }
+
+  /** Merge an existing index with a delta built from newly appended
+    * partitions (reference `IndexBase.update`, `core/index.py:280-325`). */
+  def merge(existing: DataFrame, delta: DataFrame): DataFrame =
+    existing
+      .unionByName(delta)
+      .select(col(ValueCol), explode(col(LabelsCol)).as("l"))
+      .groupBy(ValueCol)
+      .agg(sort_array(collect_set("l")).as(LabelsCol))
+
+  /** Drop labels from the index, removing emptied values (reference
+    * `remove_partitions`, `core/index.py:327-360`). */
+  def removePartitions(index: DataFrame, labels: Set[String]): DataFrame = {
+    val arr = array(labels.toSeq.map(org.apache.spark.sql.functions.lit): _*)
+    index
+      .withColumn(LabelsCol, array_except(col(LabelsCol), arr))
+      .where(size(col(LabelsCol)) > 0)
+  }
+
+  /** Drop values from the index (reference `remove_values`,
+    * `core/index.py:362-403`). */
+  def removeValues(index: DataFrame, values: Seq[Any]): DataFrame =
+    index.where(!col(ValueCol).isInCollection(values.map(org.apache.spark.sql.functions.lit)))
+
+  /** Exploded (label, value) view (reference `as_flat_series` with
+    * `partitions_as_index`, `core/index.py:428-531`). */
+  def asFlat(index: DataFrame): DataFrame =
+    index.select(explode(col(LabelsCol)).as("label"), col(ValueCol))
+}

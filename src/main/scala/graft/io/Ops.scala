@@ -1,0 +1,125 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.dnf.{Literal, Op}
+import graft.index.SecondaryIndex
+import graft.meta.DatasetMetadata
+import graft.store.Storage
+
+/** Dataset lifecycle operations: delete, garbage-collect, delete-scope
+  * resolution, content hashing, footer-stats collection
+  * (SURVEY.md §2.2 W6/W9/W10, §2.6 A4/A5).
+  */
+object Ops {
+
+  /** Reference `delete_dataset` (`io/eager.py:63-93`): indices first, then
+    * data files, then schema, header LAST — the dataset stays readable until
+    * it is fully gone. */
+  def deleteDataset(storage: Storage, uuid: String): Unit = {
+    if (!DatasetMetadata.exists(storage, uuid)) { storage.delete(uuid); return }
+    storage.delete(s"$uuid/indices")
+    storage.delete(s"$uuid/table")
+    storage.delete(uuid)
+    storage.delete(DatasetMetadata.headerKey(uuid))
+  }
+
+  /** Reference `garbage_collect_dataset` (`io/eager.py:744-769`,
+    * `io_components/gc.py:8-52`): delete keys under the dataset prefix that
+    * the header no longer references (stale index generations, orphaned
+    * parquet from failed/uncommitted writes). Driver-side listing; the
+    * delete fan-out is distributed for large file sets. */
+  def garbageCollect(spark: SparkSession, storage: Storage, uuid: String): Seq[String] = {
+    val meta = DatasetMetadata.load(storage, uuid)
+    val referenced: Set[String] =
+      meta.partitions.map(meta.fileKey).toSet ++
+      meta.indices.values.flatMap(k => storage.listKeys(k) :+ k).toSet +
+      meta.schemaKey
+    val all = storage.listKeys(uuid)
+    val orphans = all.filterNot { k =>
+      referenced(k) || k.endsWith("_SUCCESS") ||
+        referenced.exists(r => k.startsWith(r + "/"))
+    }
+    if (orphans.size > 64) {
+      val base = storage.base
+      spark.sparkContext.parallelize(orphans, math.min(32, orphans.size))
+        .foreachPartition { it =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          val st = new Storage(base, conf)
+          it.foreach(st.delete)
+        }
+    } else orphans.foreach(storage.delete)
+    orphans.sorted
+  }
+
+  /** Reference delete-scope resolution (`io_components/update.py:12-42`,
+    * `core/dataset.py:324-354`): each `{col: value}` map is a conjunction
+    * over partition-key and/or secondary-index columns; the union of their
+    * matching partition labels is removed at commit. */
+  def resolveDeleteScope(spark: SparkSession, storage: Storage, uuid: String,
+                         meta0: Option[DatasetMetadata], schema: StructType,
+                         scope: Seq[Map[String, Any]]): Set[String] = {
+    val meta = meta0.getOrElse(DatasetMetadata.load(storage, uuid))
+    if (scope.isEmpty) return Set.empty
+    val preds: graft.dnf.Predicates.Predicates =
+      scope.map(_.toSeq.map { case (c, v) => Literal(c, Op.Eq, v) })
+    preds.flatten.foreach { l =>
+      require(meta.partitionKeys.contains(l.column) || meta.indices.contains(l.column),
+        s"delete_scope column '${l.column}' is neither a partition key nor an indexed column")
+    }
+    Reader.pruneLabels(spark, storage, meta, schema, Some(preds)).toSet
+  }
+
+  /** Reference `hash_dataset` (`io/dask/dataframe.py:619-697`): one content
+    * hash per group (or one for the whole dataset). Uses `xxhash64` — the
+    * reference explicitly does NOT guarantee hash-value stability across
+    * implementations (`io/dask/dataframe.py:641-643`), only that equal
+    * content hashes equal. Sum is the order-independent combiner. */
+  def hashDataset(spark: SparkSession, storage: Storage, uuid: String,
+                  subset: Seq[String] = Nil,
+                  groupKey: Seq[String] = Nil): DataFrame = {
+    val df = Reader.readTable(spark, storage, uuid)
+    val cols = if (subset.nonEmpty) subset else df.columns.toSeq
+    // sum as decimal(38,0): order-independent combiner that cannot hit
+    // Spark 4's ANSI long-overflow even at 10^18 rows
+    val h = sum(xxhash64(struct(cols.sorted.map(col): _*)).cast("decimal(38,0)")).as("hash")
+    if (groupKey.nonEmpty) df.groupBy(groupKey.map(col): _*).agg(h)
+    else df.agg(h)
+  }
+
+  /** Reference `collect_dataset_metadata` (`io/dask/dataframe.py:535-616`):
+    * per-file Parquet footer statistics as a DataFrame. Footers are read in
+    * a distributed pass over the file list — never loading data pages. */
+  def collectDatasetMetadata(spark: SparkSession, storage: Storage,
+                             uuid: String, frac: Double = 1.0): DataFrame = {
+    val meta = DatasetMetadata.load(storage, uuid)
+    val n = math.max(1, math.ceil(meta.partitions.size * frac).toInt)
+    val labels = meta.partitions.take(n)
+    val base = storage.base
+    val prefix = meta.tablePrefix
+    val rows = spark.sparkContext
+      .parallelize(labels, math.max(1, math.min(32, labels.size)))
+      .map { label =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val p = new org.apache.hadoop.fs.Path(s"$base/$prefix/$label")
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val fm = reader.getFooter.getBlocks
+          val rowCount = reader.getRecordCount
+          var compressed = 0L; var uncompressed = 0L
+          fm.forEach { b =>
+            compressed += b.getCompressedSize; uncompressed += b.getTotalByteSize
+          }
+          Row(label, rowCount, fm.size().toLong, compressed, uncompressed)
+        } finally reader.close()
+      }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("partition_label", StringType),
+      StructField("row_count", LongType),
+      StructField("num_row_groups", LongType),
+      StructField("serialized_size", LongType),
+      StructField("uncompressed_size", LongType))))
+  }
+}

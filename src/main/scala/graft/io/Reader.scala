@@ -1,0 +1,139 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.dnf.{Literal, Predicates}
+import graft.dnf.Predicates.{Conjunction, Predicates => Preds}
+import graft.index.SecondaryIndex
+import graft.meta.DatasetMetadata
+import graft.store.Storage
+
+/** Read side: header -> three-level pruning (partition values -> secondary
+  * indices -> Parquet row-group stats) -> one Catalyst plan.
+  *
+  * Re-derives the reference's scan planner
+  * `dispatch_metapartitions_from_factory` (`io_components/read.py:33-106`)
+  * and per-partition load (`io_components/metapartition.py:588-722`), but
+  * collapses steps 4-5 of the lifecycle (SURVEY.md §3.1) into a single
+  * `spark.read.schema(s).parquet(files:_*).filter(dnf).select(cols)` —
+  * row-group pruning and partition-column reconstruction are native.
+  *
+  * Scale design: pruning happens entirely against driver-side metadata and
+  * MB-sized index files BEFORE any data I/O is planned, so a 100 TB dataset
+  * with selective predicates only ever schedules tasks for surviving files.
+  */
+object Reader {
+
+  /** Labels surviving predicate pruning, per the reference's planner:
+    * per conjunction, intersect the label sets allowed by its partition-key
+    * literals and its secondary-index literals; union across conjunctions
+    * (reference `core/dataset.py:356-491` + `io_components/read.py:49-64`). */
+  def pruneLabels(spark: SparkSession, storage: Storage, meta: DatasetMetadata,
+                  schema: StructType, predicates: Option[Preds]): Seq[String] = {
+    val all = meta.partitions
+    val preds = predicates.getOrElse(return all)
+    Predicates.check(preds)
+    val keySet = meta.partitionKeys.toSet
+    val idxSet = meta.indices.keySet
+
+    // Evaluate all partition-key conjunction parts in ONE tiny local job on a
+    // (label x key values) frame, reusing the exact DNF compiler (the
+    // reference evaluates key predicates on a one-row frame per partition,
+    // `io_components/metapartition.py:538-586`).
+    val keyParts: Seq[Conjunction] =
+      preds.map(_.filter(l => keySet(l.column)))
+    val needKeyEval = keyParts.exists(_.nonEmpty) && meta.partitionKeys.nonEmpty
+    val keySurvivors: Seq[Set[String]] = if (!needKeyEval) {
+      preds.map(_ => all.toSet)
+    } else {
+      val strSchema = StructType(StructField("__label", StringType) +:
+        meta.partitionKeys.map(k => StructField(k, StringType)))
+      val rows = all.map(l => Row.fromSeq(l +: meta.partitionValues(l)))
+      val typed = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), strSchema)
+        .select(col("__label") +: meta.partitionKeys.map { k =>
+          col(k).cast(schema(k).dataType).as(k)
+        }: _*)
+      val evalSchema = StructType(StructField("__label", StringType) +:
+        meta.partitionKeys.map(k => schema(k)))
+      val conds: Seq[Column] = keyParts.map { part =>
+        if (part.isEmpty) lit(true)
+        else part.map(Predicates.literalToColumn(_, evalSchema)).reduce(_ && _)
+      }
+      val res = typed.select(col("__label") +:
+        conds.zipWithIndex.map { case (c, i) => c.as(s"c$i") }: _*).collect()
+      preds.indices.map { i =>
+        res.filter(r => !r.isNullAt(i + 1) && r.getBoolean(i + 1))
+          .map(_.getString(0)).toSet
+      }
+    }
+
+    // Secondary-index literals: evaluate each against its (cached) index.
+    val idxCache = scala.collection.mutable.Map.empty[String, DataFrame]
+    def index(colName: String): DataFrame = idxCache.getOrElseUpdate(colName,
+      SecondaryIndex.load(spark, storage, meta.indices(colName)).cache())
+    val survivors: Set[String] = preds.zipWithIndex.flatMap { case (conj, i) =>
+      val idxLits = conj.filter(l => idxSet(l.column) && !keySet(l.column))
+      val idxAllowed: Set[String] = idxLits.foldLeft(all.toSet) { (acc, l) =>
+        acc.intersect(SecondaryIndex.evalLiteral(index(l.column), l))
+      }
+      keySurvivors(i).intersect(idxAllowed)
+    }.toSet
+    idxCache.values.foreach(_.unpersist(false))
+    all.filter(survivors)
+  }
+
+  /** Reference `read_table` (`io/eager.py:211-292`): the whole dataset (or
+    * its pruned subset) as ONE DataFrame; empty results keep the schema. */
+  def readTable(spark: SparkSession, storage: Storage, uuid: String,
+                columns: Option[Seq[String]] = None,
+                predicates: Option[Preds] = None): DataFrame = {
+    val meta = DatasetMetadata.load(storage, uuid)
+    val schema = DatasetMetadata.loadSchema(storage, uuid)
+    val labels = pruneLabels(spark, storage, meta, schema, predicates)
+    val projected: Seq[String] = columns match {
+      case Some(cols) =>
+        val known = schema.fieldNames.toSet
+        val missing = cols.filterNot(known)
+        require(missing.isEmpty, s"Columns not in dataset '$uuid': ${missing.mkString(", ")}")
+        cols
+      case None => schema.fieldNames.toSeq
+    }
+    val base = s"${storage.base}/${meta.tablePrefix}"
+    val df =
+      if (labels.isEmpty) {
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      } else {
+        spark.read
+          .option("basePath", base)
+          .schema(schema)
+          .parquet(labels.map(l => s"$base/$l"): _*)
+      }
+    val filtered = predicates match {
+      case Some(p) => df.filter(Predicates.toColumn(p, schema))
+      case None    => df
+    }
+    filtered.select(projected.map(col): _*)
+  }
+
+  /** Reference `read_dataset_as_dataframes` (`io/eager.py:96-208`): the
+    * per-partition view — same plan plus the originating label, so callers
+    * can regroup by physical partition. */
+  def readWithLabels(spark: SparkSession, storage: Storage, uuid: String,
+                     predicates: Option[Preds] = None): DataFrame = {
+    val meta = DatasetMetadata.load(storage, uuid)
+    val base = s"${storage.base}/${meta.tablePrefix}/"
+    readTable(spark, storage, uuid, None, predicates)
+      .withColumn("__label",
+        regexp_replace(input_file_name(), lit("^.*?/" + meta.tablePrefix + "/"), lit("")))
+  }
+
+  /** Reference `dispatch_by` (`io_components/read.py:66-95`): co-locate all
+    * rows sharing the dispatch columns' values into the same task. */
+  def readDispatchBy(spark: SparkSession, storage: Storage, uuid: String,
+                     dispatchBy: Seq[String],
+                     predicates: Option[Preds] = None): DataFrame =
+    readTable(spark, storage, uuid, None, predicates)
+      .repartition(dispatchBy.map(col): _*)
+}

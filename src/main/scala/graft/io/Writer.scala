@@ -1,0 +1,244 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.index.SecondaryIndex
+import graft.meta.{DatasetMetadata, SchemaNorm}
+import graft.store.Storage
+
+/** Write side: normalize schema -> (sort) -> hive `partitionBy` write ->
+  * index jobs -> header committed LAST (the atomic visibility point).
+  *
+  * Re-derives `store_dataframes_as_dataset` (`io/eager.py:449-491`),
+  * `write_partition` (`io_components/write.py:38-79`) and the commit
+  * `store_dataset_from_partitions` (`io_components/write.py:148-233`).
+  * Spark's FileFormatWriter replaces the reference's per-partition
+  * serialize loop; the bucketed-shuffle pipeline (`io/dask/_shuffle.py:41-153`)
+  * collapses to one `repartition(keys :+ pmod(xxhash64(bucketBy), n))`.
+  */
+object Writer {
+
+  /** Options mirroring the reference write surface (SURVEY.md §2.2/§2.4). */
+  final case class WriteOpts(
+      partitionOn: Seq[String] = Nil,
+      secondaryIndices: Seq[String] = Nil,
+      sortBy: Seq[String] = Nil,          // O1 sort_partitions_by
+      numBuckets: Int = 0,                // X3/X7: >0 enables bucketed shuffle
+      bucketBy: Seq[String] = Nil,        // X4: hash-bucket columns
+      repartitionRatio: Int = 0,          // X6: pre-shuffle coalesce divisor
+      overwrite: Boolean = false,
+      metadata: Map[String, String] = Map.empty)
+
+  val LabelCol = "__label"
+
+  /** Normalize + order the frame to the dataset schema; reject null
+    * partition-key values (reference raises,
+    * `io_components/metapartition.py:1195-1200`, vs Spark's silent
+    * `__HIVE_DEFAULT_PARTITION__`). Requires >=1 payload column
+    * (`io_components/metapartition.py:1060-1066`). */
+  private def prepare(df: DataFrame, partitionOn: Seq[String]): DataFrame = {
+    val schema = SchemaNorm.normalize(df.schema, partitionOn)
+    require(schema.length > partitionOn.length,
+      "partition_on must leave at least one payload column")
+    val casted = df.select(schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    if (partitionOn.nonEmpty) {
+      val anyNull = partitionOn.map(col(_).isNull).reduce(_ || _)
+      require(casted.filter(anyNull).isEmpty,
+        s"Original dataframe size does not match new dataframe size: null values in partition keys ${partitionOn.mkString(", ")}")
+    }
+    casted
+  }
+
+  /** Arrange the physical layout before FileFormatWriter: bucketed shuffle
+    * (one file per partition-value x bucket) or plain repartition by keys,
+    * then in-file ordering for disjoint row-group ranges. */
+  private def layout(df: DataFrame, o: WriteOpts): DataFrame = {
+    val keyCols = o.partitionOn.map(col)
+    val pre = if (o.repartitionRatio > 0) {
+      val n = math.max(1, math.ceil(
+        df.rdd.getNumPartitions.toDouble / o.repartitionRatio).toInt)
+      df.coalesce(n)
+    } else df
+    val shuffled =
+      if (o.numBuckets > 0) {
+        val hashCols = if (o.bucketBy.nonEmpty) o.bucketBy.map(col) else
+          pre.columns.filterNot(o.partitionOn.contains).map(col).toSeq
+        val bucket = pmod(xxhash64(hashCols: _*), lit(o.numBuckets))
+        pre.repartition(keyCols :+ bucket: _*)
+      } else if (o.partitionOn.nonEmpty) {
+        pre.repartition(keyCols: _*)
+      } else pre
+    if (o.sortBy.nonEmpty)
+      shuffled.sortWithinPartitions((o.partitionOn ++ o.sortBy).map(col): _*)
+    else shuffled
+  }
+
+  private[io] def listDataFiles(storage: Storage, uuid: String): Seq[String] =
+    storage.listKeys(s"$uuid/table")
+      .filter(k => k.endsWith(".parquet"))
+      .map(_.stripPrefix(s"$uuid/table/"))
+      .sorted
+
+  /** Read written files back with their labels, for index building. The
+    * label is derived from `input_file_name`, i.e. one distributed pass —
+    * no driver loop over files. */
+  private[io] def labeledData(spark: SparkSession, storage: Storage,
+                              uuid: String, schema: StructType,
+                              labels: Seq[String]): DataFrame = {
+    val base = s"${storage.base}/$uuid/table"
+    spark.read.option("basePath", base).schema(schema)
+      .parquet(labels.map(l => s"$base/$l"): _*)
+      .withColumn(LabelCol,
+        url_decode(regexp_replace(input_file_name(), lit(s"^.*?/$uuid/table/"), lit(""))))
+  }
+
+  private def buildAndStoreIndices(spark: SparkSession, storage: Storage,
+                                   uuid: String, schema: StructType,
+                                   labels: Seq[String], cols: Seq[String],
+                                   ts: String): Map[String, String] = {
+    if (cols.isEmpty || labels.isEmpty)
+      return cols.map(c => c -> SecondaryIndex.store(spark, storage, uuid, c,
+        emptyIndex(spark, schema, c), ts)).toMap
+    val labeled = labeledData(spark, storage, uuid, schema, labels)
+    cols.map { c =>
+      require(schema.fieldNames.contains(c), s"Index column '$c' not in schema")
+      val idx = SecondaryIndex.build(labeled, c)
+      c -> SecondaryIndex.store(spark, storage, uuid, c, idx, ts)
+    }.toMap
+  }
+
+  private def emptyIndex(spark: SparkSession, schema: StructType, c: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
+      StructField(SecondaryIndex.ValueCol, schema(c).dataType),
+      StructField(SecondaryIndex.LabelsCol, ArrayType(StringType)))))
+  }
+
+  private def nextTs(): String =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HHmmss.SSS")
+      .format(java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)) +
+      "-" + java.util.UUID.randomUUID().toString.take(8)
+
+  /** Create a dataset (reference `store_dataframes_as_dataset`,
+    * `io/eager.py:449-491`). Refuses to overwrite unless asked. */
+  def store(spark: SparkSession, storage: Storage, uuid: String, df: DataFrame,
+            opts: WriteOpts = WriteOpts()): DatasetMetadata = {
+    if (DatasetMetadata.exists(storage, uuid)) {
+      require(opts.overwrite, s"Dataset '$uuid' already exists and overwrite is not permitted")
+      Ops.deleteDataset(storage, uuid)
+    } else {
+      // clean any orphaned files from a previous failed write
+      storage.delete(uuid)
+    }
+    val prepared = prepare(df, opts.partitionOn)
+    val schema = prepared.schema
+    layout(prepared, opts).write
+      .mode("errorifexists")
+      .partitionBy(opts.partitionOn: _*)
+      .parquet(s"${storage.base}/$uuid/table")
+    val labels = listDataFiles(storage, uuid)
+    val indices = buildAndStoreIndices(spark, storage, uuid, schema, labels,
+      opts.secondaryIndices, nextTs())
+    DatasetMetadata.writeSchema(storage, uuid, schema)
+    val meta = DatasetMetadata(uuid, labels, opts.partitionOn, indices, opts.metadata)
+    storage.writeString(meta.headerKey, meta.toJson) // atomic visibility point
+    meta
+  }
+
+  /** Two-phase step 1 (reference `write_single_partition`,
+    * `io/eager.py:555-626`): write data files under the final keys with NO
+    * header update; returns the new labels for a later `commitDataset`. */
+  def writeSinglePartition(spark: SparkSession, storage: Storage, uuid: String,
+                           df: DataFrame, opts: WriteOpts = WriteOpts()): Seq[String] = {
+    val existingSchema =
+      if (storage.exists(s"$uuid/table/${DatasetMetadata.SchemaFileName}"))
+        Some(DatasetMetadata.loadSchema(storage, uuid))
+      else None
+    val prepared = prepare(df, opts.partitionOn)
+    existingSchema.foreach(s => SchemaNorm.validateCompatible(s, prepared.schema))
+    val before = listDataFiles(storage, uuid).toSet
+    layout(prepared, opts).write
+      .mode("append")
+      .partitionBy(opts.partitionOn: _*)
+      .parquet(s"${storage.base}/$uuid/table")
+    if (existingSchema.isEmpty)
+      DatasetMetadata.writeSchema(storage, uuid, prepared.schema)
+    listDataFiles(storage, uuid).filterNot(before).sorted
+  }
+
+  /** Two-phase step 2 / the COMMIT (reference `commit_dataset`
+    * `io/eager.py:295-420` + `store_dataset_from_partitions`
+    * `io_components/write.py:148-233`): merge new partitions into the
+    * header, resolve delete scope, rebuild affected indices, write header
+    * once. Rejects duplicate partition labels
+    * (`io_components/write.py:196-207`). */
+  def commitDataset(spark: SparkSession, storage: Storage, uuid: String,
+                    newLabels: Seq[String],
+                    deleteScope: Seq[Map[String, Any]] = Nil,
+                    metadata: Map[String, String] = Map.empty,
+                    partitionOn: Seq[String] = Nil,
+                    secondaryIndices: Seq[String] = Nil): DatasetMetadata = {
+    val schema = DatasetMetadata.loadSchema(storage, uuid)
+    val (oldMeta, oldLabels) =
+      if (DatasetMetadata.exists(storage, uuid)) {
+        val m = DatasetMetadata.load(storage, uuid)
+        (Some(m), m.partitions)
+      } else (None, Nil)
+    val keys = oldMeta.map(_.partitionKeys).getOrElse(partitionOn)
+    val dup = newLabels.toSet.intersect(oldLabels.toSet)
+    require(dup.isEmpty, s"Duplicate partition labels in commit: ${dup.mkString(", ")}")
+
+    val deleted: Set[String] = if (deleteScope.isEmpty) Set.empty else
+      Ops.resolveDeleteScope(spark, storage, uuid, oldMeta, schema, deleteScope)
+    val labels = (oldLabels.filterNot(deleted) ++ newLabels).sorted
+    val indexCols =
+      (oldMeta.map(_.indices.keySet.toSeq).getOrElse(Nil) ++ secondaryIndices).distinct
+    val ts = nextTs()
+    val indices: Map[String, String] = indexCols.map { c =>
+      val delta =
+        if (newLabels.nonEmpty)
+          SecondaryIndex.build(labeledData(spark, storage, uuid, schema, newLabels), c)
+        else emptyIndex(spark, schema, c)
+      val merged = oldMeta.flatMap(m => m.indices.get(c)) match {
+        case Some(oldKey) =>
+          val old0 = SecondaryIndex.load(spark, storage, oldKey)
+          val old = if (deleted.nonEmpty) SecondaryIndex.removePartitions(old0, deleted) else old0
+          SecondaryIndex.merge(old, delta)
+        case None =>
+          if (oldLabels.nonEmpty) {
+            val full = (oldLabels.filterNot(deleted) ++ newLabels).sorted
+            SecondaryIndex.build(labeledData(spark, storage, uuid, schema, full), c)
+          } else delta
+      }
+      c -> SecondaryIndex.store(spark, storage, uuid, c, merged, ts)
+    }.toMap
+    val mergedMeta = oldMeta.map(_.metadata).getOrElse(Map.empty) ++ metadata
+    val meta = DatasetMetadata(uuid, labels, keys, indices, mergedMeta)
+    storage.writeString(meta.headerKey, meta.toJson) // atomic visibility point
+    meta
+  }
+
+  /** Reference `update_dataset_from_dataframes` (`io/eager.py:629-704`):
+    * append new partitions and/or delete a scope in one atomic header swap;
+    * existing partition content is never mutated
+    * (`io_components/update.py:1-5`). */
+  def update(spark: SparkSession, storage: Storage, uuid: String,
+             df: Option[DataFrame],
+             deleteScope: Seq[Map[String, Any]] = Nil,
+             opts: WriteOpts = WriteOpts()): DatasetMetadata = {
+    require(DatasetMetadata.exists(storage, uuid),
+      s"Cannot update non-existent dataset '$uuid'")
+    val existing = DatasetMetadata.load(storage, uuid)
+    require(opts.partitionOn.isEmpty || opts.partitionOn == existing.partitionKeys,
+      s"Incompatible partition keys: dataset has ${existing.partitionKeys}, update requested ${opts.partitionOn}")
+    val newLabels = df match {
+      case Some(d) =>
+        writeSinglePartition(spark, storage, uuid, d,
+          opts.copy(partitionOn = existing.partitionKeys))
+      case None => Nil
+    }
+    commitDataset(spark, storage, uuid, newLabels, deleteScope, opts.metadata,
+      existing.partitionKeys, opts.secondaryIndices)
+  }
+}

@@ -1,0 +1,117 @@
+package graft.meta
+
+import scala.jdk.CollectionConverters._
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.spark.sql.types.{DataType, StructType}
+import graft.store.Storage
+
+/** The dataset header — the single JSON document whose write is the atomic
+  * visibility point of every mutation. Re-derives the reference's
+  * `DatasetMetadataBase` (`core/dataset.py:63-131`, `to_dict`
+  * `core/dataset.py:193-220`) and key naming (`core/naming.py:30-34`).
+  *
+  * Layout on storage (SURVEY.md §1.1, `docs/spec/storage_layout.rst`):
+  * {{{
+  *   <uuid>.by-dataset-metadata.json              header (THIS, written last)
+  *   <uuid>/table/_common_metadata.json           normalized schema (DataType.json)
+  *   <uuid>/table/<k1=v1/...>/part-*.parquet      data files (one per partition label)
+  *   <uuid>/indices/<col>/<ts>.by-dataset-index.parquet   secondary indices
+  * }}}
+  *
+  * A partition label is the file path relative to `<uuid>/table/` — it both
+  * names the partition and locates its single Parquet file (reference:
+  * one file per partition, `core/partition.py:8-52`).
+  */
+final case class DatasetMetadata(
+    uuid: String,
+    partitions: Seq[String],              // labels, sorted
+    partitionKeys: Seq[String],           // hive-encoded primary index columns
+    indices: Map[String, String],         // secondary index col -> index file key
+    metadata: Map[String, String],        // user metadata
+    metadataVersion: Int = DatasetMetadata.MetadataVersion) {
+
+  def headerKey: String = DatasetMetadata.headerKey(uuid)
+  def tablePrefix: String = s"$uuid/table"
+  def schemaKey: String = s"$uuid/table/${DatasetMetadata.SchemaFileName}"
+  def fileKey(label: String): String = s"$tablePrefix/$label"
+
+  /** Hive-encoded partition-key values for one label, decoded to strings.
+    * e.g. "p=1/l=a%20b/part-0.parquet" -> Seq("1", "a b"). */
+  def partitionValues(label: String): Seq[String] = {
+    val segs = label.split("/").dropRight(1)
+    partitionKeys.zip(segs).map { case (k, seg) =>
+      require(seg.startsWith(k + "="), s"Label '$label' missing key '$k'")
+      DatasetMetadata.urlDecode(seg.drop(k.length + 1))
+    }
+  }
+
+  def toJson: String = {
+    val m = DatasetMetadata.mapper
+    val root = m.createObjectNode()
+    root.put("dataset_uuid", uuid)
+    root.put("metadata_version", metadataVersion)
+    val parts = root.putObject("partitions")
+    partitions.sorted.foreach { label =>
+      parts.putObject(label).putObject("files").put("table", fileKey(label))
+    }
+    val keys = root.putArray("partition_keys")
+    partitionKeys.foreach(keys.add)
+    val idx = root.putObject("indices")
+    indices.toSeq.sortBy(_._1).foreach { case (k, v) => idx.put(k, v) }
+    val md = root.putObject("metadata")
+    metadata.toSeq.sortBy(_._1).foreach { case (k, v) => md.put(k, v) }
+    m.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+}
+
+object DatasetMetadata {
+  val MetadataVersion = 4
+  val HeaderSuffix = ".by-dataset-metadata.json"
+  val SchemaFileName = "_common_metadata.json"
+  val IndexSuffix = ".by-dataset-index.parquet"
+
+  private[graft] val mapper = new ObjectMapper()
+
+  def headerKey(uuid: String): String = s"$uuid$HeaderSuffix"
+
+  def fromJson(json: String): DatasetMetadata = {
+    val root = mapper.readTree(json)
+    def strSeq(n: JsonNode): Seq[String] =
+      if (n == null) Nil else n.elements().asScala.map(_.asText()).toSeq
+    def strMap(n: JsonNode): Map[String, String] =
+      if (n == null) Map.empty
+      else n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    val parts = Option(root.get("partitions"))
+      .map(_.fieldNames().asScala.toSeq.sorted)
+      .getOrElse(Nil)
+    DatasetMetadata(
+      uuid = root.get("dataset_uuid").asText(),
+      partitions = parts,
+      partitionKeys = strSeq(root.get("partition_keys")),
+      indices = strMap(root.get("indices")),
+      metadata = strMap(root.get("metadata")),
+      metadataVersion = root.get("metadata_version").asInt())
+  }
+
+  def exists(store: Storage, uuid: String): Boolean = store.exists(headerKey(uuid))
+
+  /** Reference `DatasetMetadata.load_from_store` (`core/dataset.py:531-574`),
+    * JSON flavor only (msgpack+zstd intentionally dropped, SURVEY.md W11). */
+  def load(store: Storage, uuid: String): DatasetMetadata = {
+    require(exists(store, uuid), s"Dataset '$uuid' does not exist in ${store.base}")
+    fromJson(store.readString(headerKey(uuid)))
+  }
+
+  def loadSchema(store: Storage, uuid: String): StructType =
+    DataType.fromJson(store.readString(s"$uuid/table/$SchemaFileName"))
+      .asInstanceOf[StructType]
+
+  def writeSchema(store: Storage, uuid: String, schema: StructType): Unit =
+    store.writeString(s"$uuid/table/$SchemaFileName", schema.json)
+
+  /** Percent-decoding of hive partition values (reference
+    * `core/urlencode.py:26-51`; Spark uses the same escaping on write). */
+  def urlDecode(s: String): String =
+    java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
+}

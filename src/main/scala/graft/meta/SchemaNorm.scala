@@ -1,0 +1,78 @@
+package graft.meta
+
+import org.apache.spark.sql.types._
+
+/** Schema normalization + strict compatibility validation, re-deriving the
+  * reference's "type classes" rules (`core/common_metadata.py:309-376`
+  * `normalize_type`, `:629-709` `validate_compatible`,
+  * `:176-243` `normalize_column_order`; spec `docs/spec/type_system.rst`).
+  *
+  * Rules (Spark mapping per SURVEY.md §1.2):
+  *   - all signed/unsigned ints -> LongType (no unsigned in Spark; uint64
+  *     values > 2^63-1 are out of scope, documented hazard)
+  *   - all floats -> DoubleType
+  *   - list<T> -> ArrayType(normalize(T)) recursively
+  *   - strings unified -> StringType; no categoricals in Spark
+  *   - column order: partition keys first (in key order), then payload
+  *     columns alphabetically
+  *   - all-null (NullType) columns are exempt from compatibility comparison
+  *     (`core/common_metadata.py:516-557`)
+  */
+object SchemaNorm {
+
+  def normalizeType(dt: DataType): DataType = dt match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType => LongType
+    case _: FloatType | _: DoubleType                              => DoubleType
+    case ArrayType(t, containsNull) => ArrayType(normalizeType(t), containsNull)
+    case StructType(fields) =>
+      StructType(fields.map(f => f.copy(dataType = normalizeType(f.dataType))))
+    case MapType(k, v, n) => MapType(normalizeType(k), normalizeType(v), n)
+    case other => other
+  }
+
+  /** Normalize types and column order (partition keys first, payload
+    * alphabetical) — reference `normalize_column_order`
+    * (`core/common_metadata.py:176-243`). */
+  def normalize(schema: StructType, partitionKeys: Seq[String] = Nil): StructType = {
+    val byName = schema.fields.map(f => f.name -> f).toMap
+    partitionKeys.foreach { k =>
+      require(byName.contains(k), s"Partition key '$k' not in schema")
+    }
+    val keyFields = partitionKeys.map(byName)
+    val payload = schema.fields
+      .filterNot(f => partitionKeys.contains(f.name))
+      .sortBy(_.name)
+    StructType((keyFields ++ payload).map(f =>
+      f.copy(dataType = normalizeType(f.dataType))))
+  }
+
+  /** Strict validation that `other` is compatible with `ref` — same column
+    * set, same normalized types — with NullType columns exempted on either
+    * side (empty-partition rule). Throws IllegalArgumentException with a
+    * diff-style message on mismatch (reference `validate_compatible`,
+    * `core/common_metadata.py:629-709`). */
+  def validateCompatible(ref: StructType, other: StructType): Unit = {
+    val a = normalize(ref)
+    val b = normalize(other)
+    val aNames = a.fieldNames.toSet
+    val bNames = b.fieldNames.toSet
+    if (aNames != bNames) {
+      val missing = aNames -- bNames
+      val extra = bNames -- aNames
+      throw new IllegalArgumentException(
+        s"Schema violation: column sets differ. Missing: ${missing.toSeq.sorted
+          .mkString(", ")}; unexpected: ${extra.toSeq.sorted.mkString(", ")}")
+    }
+    val bByName = b.fields.map(f => f.name -> f).toMap
+    val diffs = a.fields.flatMap { fa =>
+      val fb = bByName(fa.name)
+      val exempt = fa.dataType.isInstanceOf[NullType] || fb.dataType.isInstanceOf[NullType]
+      if (!exempt && fa.dataType != fb.dataType)
+        Some(s"  ${fa.name}: ${fa.dataType.simpleString} != ${fb.dataType.simpleString}")
+      else None
+    }
+    if (diffs.nonEmpty)
+      throw new IllegalArgumentException(
+        "Schema violation: incompatible column types\n" + diffs.mkString("\n"))
+  }
+}

@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (beyond-reference
+  * scope, BASELINE.json north-star): exact, MinHash+LSH, SimHash, n-gram
+  * Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design notes (100 TB):
+  *   - exact dedup is one hash-shuffle on the dedup key; keys are hashed
+  *     (`xxhash64`) so wide text never shuffles twice.
+  *   - MinHash/LSH shuffles only (band_hash -> doc_id) pairs, never text;
+  *     candidate verification joins back on pruned ids.
+  *   - all-pairs work only ever happens WITHIN an LSH band bucket —
+  *     the quadratic blowup is bounded by bucket size, and skewed buckets
+  *     can be salted or capped upstream.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the row with the minimum `idCol` per duplicate group.
+    * Deterministic (unlike dropDuplicates' arbitrary winner). */
+  def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact duplicate groups by content hash — O(n) shuffle of (hash, id)
+    * only. Returns (content_hash, ids, n_dups). */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(xxhash64(col(textCol)).as("content_hash"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"),
+           count(lit(1)).as("n_dups"))
+
+  /** Word shingles: lower-cased, whitespace-tokenized, n-token windows,
+    * distinct. Pure column expressions. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    val count = size(toks) - (n - 1)
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(count - 1, lit(0))),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
+        s => length(s) > 0))
+  }
+
+  /** k MinHash values over the shingle set: h_j = min_s murmur3(s, seed_j).
+    * One row per doc, signature as array<int>. */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    array((0 until k).map { j =>
+      array_min(transform(shingleCol, s => hash(s, lit(j))))
+    }: _*)
+
+  /** LSH band hashes: split the k-length signature into `bands` bands and
+    * hash each band (band id mixed in). */
+  def bandHashes(sig: Column, k: Int, bands: Int): Column = {
+    val r = k / bands
+    array((0 until bands).map { b =>
+      hash(lit(b), concat_ws(",", transform(slice(sig, b * r + 1, r), _.cast("string"))))
+    }: _*)
+  }
+
+  /** MinHash+LSH near-duplicate candidate pairs with exact-Jaccard
+    * verification. Returns (id_a, id_b, jaccard) with id_a < id_b and
+    * jaccard >= threshold. */
+  def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
+                      numHashes: Int = 32, bands: Int = 8, shingleN: Int = 3,
+                      threshold: Double = 0.5): DataFrame = {
+    val withSig = df
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .withColumn("band", explode(bandHashes(col("sig"), numHashes, bands)))
+    val candidates = withSig.select(col("band"), col("id"))
+      .join(withSig.select(col("band"), col("id").as("id2")), "band")
+      .where(col("id") < col("id2"))
+      .select(col("id").as("id_a"), col("id2").as("id_b"))
+      .distinct()
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    verifyJaccard(candidates, sh, threshold)
+  }
+
+  private def verifyJaccard(pairs: DataFrame, sh: DataFrame,
+                            threshold: Double): DataFrame =
+    pairs
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", round(
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** Exact n-gram Jaccard similarity for ALL pairs sharing at least one
+    * shingle (inverted-index join — never a full cross product). Returns
+    * (id_a, id_b, jaccard >= threshold). Oracle-expressible in SQL. */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        shingleN: Int, threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    val inv = sh.select(col("id"), explode(col("sh")).as("s"))
+    val common = inv.join(inv.withColumnRenamed("id", "id2"), "s")
+      .where(col("id") < col("id2"))
+      .groupBy(col("id").as("id_a"), col("id2").as("id_b"))
+      .agg(count(lit(1)).cast("double").as("inter"))
+    common
+      .join(sh.select(col("id").as("id_a"), size(col("sh")).as("n_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), size(col("sh")).as("n_b")), "id_b")
+      .withColumn("jaccard",
+        round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over tokens: bit i of the hash is the sign of
+    * sum_t (+1 if bit i of murmur3(t) else -1). */
+  def simhash(text: Column): Column = {
+    val toks = array_distinct(split(trim(lower(text)), "\\s+"))
+    val hashes = transform(toks, t => hash(t).cast("long"))
+    // 32 sign-vote bits; bit index is a Scala constant so the shifts stay
+    // simple codegen'd integer ops
+    val bits = (0 until 32).map { i =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Near-dup pairs by embedding cosine within LSH (random hyperplane)
+    * buckets: docs whose sign-pattern over `planes` deterministic
+    * pseudo-random hyperplanes matches land in one bucket; exact cosine
+    * verifies. Avoids the all-pairs cross join at scale. */
+  def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
+                        planes: Int = 8, threshold: Double = 0.95): DataFrame = {
+    val dim = 64
+    // deterministic pseudo-random hyperplane component for (plane p, dim i)
+    def comp(p: Int, i: Column): Column =
+      (pmod(hash(lit(p), i), lit(1000)).cast("double") - 499.5) / 500.0
+    val sigBit = (p: Int) => {
+      val dot = aggregate(
+        zip_with(col(vecCol).cast("array<double>"),
+          transform(sequence(lit(0), lit(dim - 1)), i => comp(p, i)),
+          (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1)).otherwise(lit(0))
+    }
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", concat_ws("", (0 until planes).map(sigBit): _*))
+    val pairs = bucketed.select(col("bucket"), col("id"))
+      .join(bucketed.select(col("bucket"), col("id").as("id2")), "bucket")
+      .where(col("id") < col("id2"))
+      .select(col("id").as("id_a"), col("id2").as("id_b"))
+    val vecs = bucketed.select(col("id"), col("v"))
+    pairs
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+      .withColumn("cosine", round(Similarity.cosine(col("v_a"), col("v_b")), 6))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing for training-data
+  * pipelines (beyond-reference scope).
+  *
+  * Payloads are opaque `binary` columns travelling next to a typed metadata
+  * struct; decode / feature-extraction runs per-partition over Tungsten
+  * binary rows. The actual codec step is STUBBED with a deterministic fake
+  * (no image/audio libraries in this environment) — the Spark-side contract
+  * (schema, batching, partitioning) is real and tested, and swapping the
+  * stub for a JNI/library decoder changes nothing upstream.
+  */
+object Multimodal {
+
+  /** media metadata struct carried beside every binary payload. */
+  val MetaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType),   // "image" | "audio" | "video"
+    StructField("format", StringType),       // "png", "wav", ...
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  /** Wrap a text column as a fake binary payload + metadata struct — the
+    * deterministic stand-in for real media ingestion. */
+  def asMedia(df: DataFrame, textCol: String, mediaType: String): DataFrame =
+    df.withColumn("payload", encode(col(textCol), "UTF-8"))
+      .withColumn("media_meta", struct(
+        lit(mediaType).as("media_type"),
+        lit("raw").as("format"),
+        (length(col(textCol)) % 1024).cast("int").as("width"),
+        (length(col(textCol)) % 768).cast("int").as("height"),
+        (length(col(textCol)).cast("long") * 10L).as("duration_ms")))
+
+  /** STUB decode: a real implementation would invoke an image codec here
+    * (per partition, reusing a native decoder instance). The deterministic
+    * fake derives "pixels" from the payload bytes so tests can assert the
+    * full pipeline shape. */
+  def decodeImageStub(payload: Array[Byte]): Array[Float] = {
+    if (payload == null) return Array.empty
+    val out = new Array[Float](8)
+    var i = 0
+    while (i < payload.length) {
+      out(i % 8) += (payload(i) & 0xff) / 255.0f
+      i += 1
+    }
+    out
+  }
+
+  /** Feature-extract: binary payload -> fixed-size float feature vector.
+    * Runs as a typed map over partitions (one decoder per partition at
+    * scale); schema contract is (id, features array<float>). */
+  def extractFeatures(df: DataFrame, idCol: String,
+                      payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    val rows = df.select(col(idCol).cast("long"), col(payloadCol)).rdd
+      .mapPartitions { it =>
+        // per-partition decoder init would go here
+        it.map { r =>
+          val feats = decodeImageStub(r.getAs[Array[Byte]](1))
+          Row(r.getLong(0), feats.toSeq)
+        }
+      }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("features", ArrayType(FloatType)))))
+  }
+
+  /** Frame-sample stub: pick every `stride`-th byte offset as a "frame"
+    * marker — the Spark-side shape of video frame sampling (explode to one
+    * row per sampled frame). Pure column expressions. */
+  def sampleFrames(df: DataFrame, payloadCol: String, stride: Int): DataFrame =
+    df.withColumn("frame_offset",
+        explode(sequence(lit(0), greatest(octet_length(col(payloadCol)) - 1, lit(0)),
+          lit(stride))))
+
+  /** Payload size + metadata summary — the kind of scan-only audit that must
+    * never decode at 100 TB (projection keeps payload bytes out of the
+    * shuffle entirely). */
+  def mediaStats(df: DataFrame): DataFrame =
+    df.groupBy(col("media_meta.media_type").as("media_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(octet_length(col("payload"))).as("total_bytes"),
+        round(avg(octet_length(col("payload"))), 6).as("avg_bytes"))
+}

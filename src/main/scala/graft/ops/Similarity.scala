@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`), for
+  * training-data pipelines (beyond-reference scope).
+  *
+  * Scale design: brute-force scoring is one embarrassingly-parallel map over
+  * the corpus (fine for a single query / small probe set at any corpus
+  * size); the LSH-bucketed variant prunes the corpus BEFORE scoring so a
+  * top-k over 100 TB touches only matching buckets. All math is codegen'd
+  * higher-order column functions — no UDFs, no driver collect of vectors.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product — deterministic summation order, so results
+    * are bit-stable across runs and engines. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"), _ * _),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Score every corpus row against one query vector. Returns
+    * (idCol, cosine) — full scan, no limit (callers add top-k). */
+  def bruteForceScores(corpus: DataFrame, vecCol: String, idCol: String,
+                       query: Seq[Double]): DataFrame = {
+    val q = array(query.map(lit): _*)
+    corpus.select(col(idCol),
+      round(cosine(col(vecCol), q), 6).as("cosine"))
+  }
+
+  /** Brute-force top-k neighbors of one query vector, deterministic
+    * tie-break on id. The sort is a single reduce-side top-k (Spark
+    * TakeOrderedAndProject), not a full sort. */
+  def bruteForceTopK(corpus: DataFrame, vecCol: String, idCol: String,
+                     query: Seq[Double], k: Int): DataFrame =
+    bruteForceScores(corpus, vecCol, idCol, query)
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+
+  /** Random-hyperplane LSH bucket signature (same scheme as
+    * [[Dedup.embeddingNearDups]]): `planes` sign bits from deterministic
+    * pseudo-random hyperplanes. */
+  def lshBucket(vec: Column, planes: Int, dim: Int): Column = {
+    def comp(p: Int, i: Column): Column =
+      (pmod(hash(lit(p), i), lit(1000)).cast("double") - 499.5) / 500.0
+    val bits = (0 until planes).map { p =>
+      val d = aggregate(
+        zip_with(vec.cast("array<double>"),
+          transform(sequence(lit(0), lit(dim - 1)), i => comp(p, i)), _ * _),
+        lit(0.0), (acc, x) => acc + x)
+      when(d >= 0, lit(1)).otherwise(lit(0))
+    }
+    concat_ws("", bits: _*)
+  }
+
+  /** LSH-pruned approximate top-k: score only corpus rows whose bucket
+    * matches the query's bucket (the 100-TB scale path; recall traded for a
+    * 2^planes-fold scan reduction). */
+  def lshTopK(corpus: DataFrame, vecCol: String, idCol: String,
+              query: Seq[Double], k: Int, planes: Int = 4): DataFrame = {
+    val dim = query.size
+    val q = array(query.map(lit): _*)
+    val qBucket = lshBucket(q, planes, dim)
+    corpus
+      .withColumn("__bucket", lshBucket(col(vecCol), planes, dim))
+      .where(col("__bucket") === qBucket)
+      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** IVF-style coarse quantization: assign each vector to the nearest of
+    * `centroids`; probe-time search scans only the closest partitions.
+    * Centroid list is broadcast as literals (small by construction). */
+  def ivfAssign(corpus: DataFrame, vecCol: String,
+                centroids: Seq[Seq[Double]]): DataFrame = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(col(vecCol), array(c.map(lit): _*)).as("sim"),
+        lit(i).as("centroid"))
+    }
+    corpus.withColumn("__centroid",
+      sort_array(array(scored: _*), asc = false).getItem(0).getField("centroid"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (beyond-reference scope, BASELINE.json north-star). All are pure column
+  * expressions (codegen'd, no UDFs) so they stay inside whole-stage codegen
+  * and scale linearly over 100 TB of documents.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish subword count: words + digits + punctuation runs. */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Count of occurrences of a literal substring (identical semantics in
+    * DuckDB for oracle checks: (len(s) - len(replace(s, sub, ''))) / len(sub)). */
+  def substringCount(text: Column, sub: String): Column =
+    ((length(text) - length(replace(text, lit(sub), lit("")))) / sub.length).cast("long")
+
+  /** Punctuation ratio over an explicit ASCII punctuation class (kept
+    * regex-engine-portable). */
+  def punctRatio(text: Column): Column = {
+    val punct = length(text) - length(regexp_replace(text, "[.,!?;:'\"()\\-]", ""))
+    punct.cast("double") / greatest(length(text), lit(1)).cast("double")
+  }
+
+  /** Stopword ratio from a small fixed English stopword list. */
+  val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    val stops = filter(toks, t => t.isInCollection(Stopwords.map(lit)))
+    size(stops).cast("double") / greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Composite quality score in [0,1]: length band + moderate punctuation +
+    * stopword presence. Deterministic, oracle-expressible. */
+  def qualityScore(text: Column): Column = {
+    val n = length(text).cast("double")
+    val lengthScore = least(n / lit(200.0), lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    round((lengthScore + punctScore + stopScore) / 3.0, 6)
+  }
+
+  /** N-gram-heuristic language ID over a tiny per-language marker list —
+    * the classic stopword-profile approach, argmax over marker hit counts
+    * with a deterministic tie-break by language code. */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " of "),
+    "es" -> Seq(" el ", " la ", " que "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "fr" -> Seq(" le ", " la ", " et "),
+    "zh" -> Seq(" de ", " shi ", " bu "))
+
+  def langScore(text: Column, lang: String): Column =
+    LangMarkers(lang).map(m => substringCount(lower(text), m)).reduce(_ + _)
+
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val scored = LangMarkers.keys.toSeq.sorted.map { l =>
+      struct(langScore(padded, l).as("score"), lit(l).as("lang"))
+    }
+    // max over (score, lang) structs: highest score, then LAST lang code —
+    // deterministic; mirror with a window/order in oracle SQL
+    sort_array(array(scored: _*), asc = false).getItem(0).getField("lang")
+  }
+
+  /** 64-bit rolling (polynomial) document fingerprint over characters:
+    * hash = sum_i c_i * 31^(n-1-i) mod 2^64 — expressed with `aggregate`
+    * over the character array, fully codegen'd. */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      split(text, ""),
+      lit(0L),
+      (acc, ch) => acc * lit(31L) + coalesce(ascii(ch).cast("long"), lit(0L)))
+}

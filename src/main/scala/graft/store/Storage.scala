@@ -1,0 +1,59 @@
+package graft.store
+
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Thin Hadoop-FS wrapper — the Spark-native stand-in for the reference's
+  * `minimalkv.KeyValueStore` (`core/utils.py:56-100`). Everything is
+  * path-addressed; executors open their own FileSystem from the task-side
+  * Hadoop configuration, so nothing here needs to be serialized.
+  */
+final class Storage(val base: String, conf: Configuration) extends Serializable {
+  @transient private lazy val fs: FileSystem = new Path(base).getFileSystem(conf)
+
+  def path(key: String): Path = new Path(base, key)
+
+  def exists(key: String): Boolean = fs.exists(path(key))
+
+  def readString(key: String): String = {
+    val in = fs.open(path(key))
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** Single-shot create; the header-last commit protocol relies on this
+    * being the final action of a write (SURVEY.md §7.4 atomicity note). */
+  def writeString(key: String, content: String): Unit = {
+    val p = path(key)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def delete(key: String): Boolean = fs.delete(path(key), true)
+
+  /** Recursive listing of file keys (relative to base) under a prefix. */
+  def listKeys(prefix: String): Seq[String] = {
+    val p = path(prefix)
+    if (!fs.exists(p)) return Nil
+    val it = fs.listFiles(p, true)
+    val baseUri = fs.makeQualified(new Path(base)).toString.stripSuffix("/")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      val full = st.getPath.toString
+      buf += full.stripPrefix(baseUri + "/")
+    }
+    buf.toSeq
+  }
+
+  def fileSize(key: String): Long = fs.getFileStatus(path(key)).getLen
+}
+
+object Storage {
+  def apply(spark: SparkSession, base: String): Storage =
+    new Storage(base, spark.sparkContext.hadoopConfiguration)
+}

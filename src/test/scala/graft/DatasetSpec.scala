@@ -1,0 +1,234 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dnf.{Literal, Op}
+import graft.index.SecondaryIndex
+import graft.io.{Ops, Reader, Writer}
+import graft.io.Writer.WriteOpts
+import graft.meta.DatasetMetadata
+import graft.store.Storage
+
+/** End-to-end dataset-layer conformance — the Spark equivalent of the
+  * reference's shared backend suites (`plateau/io/testing/{read,update,
+  * write,index,delete,gc}.py`). */
+class DatasetSpec extends SparkSpec {
+  import scala.language.implicitConversions
+
+  private lazy val store = Storage(spark, tmpDir("plateau-ds"))
+
+  private def sampleDf = {
+    import spark.implicits._
+    Seq(
+      (1L, "a", "x", 10.0), (2L, "a", "y", 20.0), (3L, "b", "x", 30.0),
+      (4L, "b", "y", 40.0), (5L, "c", "x", 50.0), (6L, "c", "y", 60.0)
+    ).toDF("id", "p", "s", "v")
+  }
+
+  test("store + read_table roundtrip preserves data, schema normalized") {
+    val meta = Writer.store(spark, store, "rt", sampleDf,
+      WriteOpts(partitionOn = Seq("p")))
+    assert(meta.partitions.nonEmpty)
+    assert(meta.partitions.forall(_.startsWith("p=")))
+    val back = Reader.readTable(spark, store, "rt")
+    // partition keys first, payload alphabetical
+    assert(back.columns.toSeq === Seq("p", "id", "s", "v"))
+    assert(back.count() === 6)
+    assert(back.select(sum("id")).head.getLong(0) === 21L)
+  }
+
+  test("overwrite refused unless requested") {
+    intercept[IllegalArgumentException] {
+      Writer.store(spark, store, "rt", sampleDf, WriteOpts(partitionOn = Seq("p")))
+    }
+    Writer.store(spark, store, "rt", sampleDf,
+      WriteOpts(partitionOn = Seq("p"), overwrite = true))
+    assert(Reader.readTable(spark, store, "rt").count() === 6)
+  }
+
+  test("null partition-key values are rejected") {
+    import spark.implicits._
+    val bad = Seq((1L, null: String, 1.0), (2L, "a", 2.0)).toDF("id", "p", "v")
+    intercept[IllegalArgumentException] {
+      Writer.store(spark, store, "nulls", bad, WriteOpts(partitionOn = Seq("p")))
+    }
+  }
+
+  test("partition_on must leave a payload column") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("id", "p")
+    intercept[IllegalArgumentException] {
+      Writer.store(spark, store, "nopayload", df, WriteOpts(partitionOn = Seq("id", "p")))
+    }
+  }
+
+  test("partition pruning: only matching hive dirs are read") {
+    Writer.store(spark, store, "prune", sampleDf,
+      WriteOpts(partitionOn = Seq("p"), overwrite = true))
+    val meta = DatasetMetadata.load(store, "prune")
+    val schema = DatasetMetadata.loadSchema(store, "prune")
+    val labels = Reader.pruneLabels(spark, store, meta, schema,
+      Some(Seq(Seq(Literal("p", Op.Eq, "a")))))
+    assert(labels.nonEmpty && labels.forall(_.startsWith("p=a/")))
+    val df = Reader.readTable(spark, store, "prune",
+      predicates = Some(Seq(Seq(Literal("p", Op.Eq, "a")))))
+    assert(df.select("id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+  }
+
+  test("secondary-index pruning + predicates + projection") {
+    Writer.store(spark, store, "idx", sampleDf,
+      WriteOpts(partitionOn = Seq("p"), secondaryIndices = Seq("s"), overwrite = true))
+    val meta = DatasetMetadata.load(store, "idx")
+    assert(meta.indices.keySet === Set("s"))
+    val schema = DatasetMetadata.loadSchema(store, "idx")
+    val labels = Reader.pruneLabels(spark, store, meta, schema,
+      Some(Seq(Seq(Literal("s", Op.Eq, "x"), Literal("p", Op.In, Seq("a", "b"))))))
+    assert(labels.size < meta.partitions.size)
+    val out = Reader.readTable(spark, store, "idx",
+      columns = Some(Seq("id", "v")),
+      predicates = Some(Seq(Seq(Literal("s", Op.Eq, "x"), Literal("p", Op.In, Seq("a", "b"))))))
+    assert(out.columns.toSeq === Seq("id", "v"))
+    assert(out.collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+  }
+
+  test("empty result keeps schema; unknown projection column raises") {
+    val out = Reader.readTable(spark, store, "idx",
+      predicates = Some(Seq(Seq(Literal("p", Op.Eq, "zzz")))))
+    assert(out.count() === 0)
+    assert(out.columns.toSeq === Seq("p", "id", "s", "v"))
+    intercept[IllegalArgumentException] {
+      Reader.readTable(spark, store, "idx", columns = Some(Seq("nope")))
+    }
+  }
+
+  test("update appends partitions and maintains indices incrementally") {
+    import spark.implicits._
+    Writer.store(spark, store, "upd", sampleDf,
+      WriteOpts(partitionOn = Seq("p"), secondaryIndices = Seq("s"), overwrite = true))
+    val before = DatasetMetadata.load(store, "upd")
+    val extra = Seq((7L, "d", "z", 70.0)).toDF("id", "p", "s", "v")
+    val after = Writer.update(spark, store, "upd", Some(extra))
+    assert(after.partitions.size === before.partitions.size + 1)
+    val idx = SecondaryIndex.load(spark, store, after.indices("s"))
+    val zLabels = SecondaryIndex.evalLiteral(idx, Literal("value", Op.Eq, "z"))
+    assert(zLabels.size === 1 && zLabels.head.startsWith("p=d/"))
+    assert(Reader.readTable(spark, store, "upd").count() === 7)
+  }
+
+  test("schema violation on update is rejected") {
+    import spark.implicits._
+    val wrong = Seq((8L, "e", 1.0)).toDF("id", "p", "v") // missing column s
+    intercept[IllegalArgumentException] {
+      Writer.update(spark, store, "upd", Some(wrong))
+    }
+  }
+
+  test("delete_scope removes partitions atomically; content preserved elsewhere") {
+    val after = Writer.update(spark, store, "upd", None,
+      deleteScope = Seq(Map("p" -> "a")))
+    assert(after.partitions.forall(!_.startsWith("p=a/")))
+    val back = Reader.readTable(spark, store, "upd")
+    assert(back.select("p").distinct().collect().map(_.getString(0)).toSet ===
+      Set("b", "c", "d"))
+    // index no longer references deleted labels
+    val idx = SecondaryIndex.load(spark, store, after.indices("s"))
+    val all = SecondaryIndex.asFlat(idx).select("label")
+      .collect().map(_.getString(0)).toSet
+    assert(all.forall(!_.startsWith("p=a/")))
+  }
+
+  test("delete_scope on non-key non-indexed column is rejected") {
+    intercept[IllegalArgumentException] {
+      Writer.update(spark, store, "upd", None, deleteScope = Seq(Map("v" -> 10.0)))
+    }
+  }
+
+  test("two-phase write: invisible before commit, visible after") {
+    import spark.implicits._
+    val n0 = Reader.readTable(spark, store, "upd").count()
+    val newLabels = Writer.writeSinglePartition(spark, store, "upd",
+      Seq((9L, "e", "w", 90.0)).toDF("id", "p", "s", "v"),
+      WriteOpts(partitionOn = Seq("p")))
+    assert(newLabels.size === 1)
+    assert(Reader.readTable(spark, store, "upd").count() === n0) // not yet visible
+    Writer.commitDataset(spark, store, "upd", newLabels)
+    assert(Reader.readTable(spark, store, "upd").count() === n0 + 1)
+  }
+
+  test("duplicate partition labels abort commit") {
+    val meta = DatasetMetadata.load(store, "upd")
+    intercept[IllegalArgumentException] {
+      Writer.commitDataset(spark, store, "upd", Seq(meta.partitions.head))
+    }
+  }
+
+  test("garbage collection removes stale index generations and orphans, keeps live data") {
+    val before = Reader.readTable(spark, store, "upd").count()
+    val orphans = Ops.garbageCollect(spark, store, "upd")
+    assert(orphans.nonEmpty) // old index generations + deleted p=a files
+    assert(Reader.readTable(spark, store, "upd").count() === before)
+    assert(Ops.garbageCollect(spark, store, "upd").isEmpty) // idempotent
+  }
+
+  test("delete_dataset removes everything, header last") {
+    Writer.store(spark, store, "gone", sampleDf, WriteOpts(partitionOn = Seq("p")))
+    Ops.deleteDataset(store, "gone")
+    assert(!DatasetMetadata.exists(store, "gone"))
+    assert(store.listKeys("gone").isEmpty)
+  }
+
+  test("bucketed write bounds files per partition value") {
+    Writer.store(spark, store, "bucketed", sampleDf,
+      WriteOpts(partitionOn = Seq("p"), numBuckets = 2, bucketBy = Seq("id"),
+        overwrite = true))
+    val meta = DatasetMetadata.load(store, "bucketed")
+    val perValue = meta.partitions.groupBy(_.split("/")(0)).values.map(_.size)
+    assert(perValue.forall(_ <= 2))
+    assert(Reader.readTable(spark, store, "bucketed").count() === 6)
+  }
+
+  test("sort_partitions_by produces sorted files") {
+    Writer.store(spark, store, "sorted", sampleDf,
+      WriteOpts(partitionOn = Seq("p"), sortBy = Seq("v"), overwrite = true))
+    val back = Reader.readTable(spark, store, "sorted")
+    assert(back.count() === 6)
+  }
+
+  test("dispatch_by co-locates rows of equal key values") {
+    val df = Reader.readDispatchBy(spark, store, "rt", Seq("p"))
+    val parts = df.withColumn("pid", spark_partition_id())
+      .groupBy("p").agg(countDistinct("pid").as("n"))
+      .collect()
+    assert(parts.forall(_.getLong(1) === 1L))
+  }
+
+  test("hash_dataset: equal content equal hashes, per-group grouping works") {
+    val h1 = Ops.hashDataset(spark, store, "rt").head.getDecimal(0)
+    val h2 = Ops.hashDataset(spark, store, "rt").head.getDecimal(0)
+    assert(h1 === h2)
+    val grouped = Ops.hashDataset(spark, store, "rt", groupKey = Seq("p"))
+    assert(grouped.count() === 3)
+  }
+
+  test("collect_dataset_metadata reports footer stats") {
+    val stats = Ops.collectDatasetMetadata(spark, store, "rt")
+    val rows = stats.collect()
+    assert(rows.length === DatasetMetadata.load(store, "rt").partitions.size)
+    assert(rows.map(_.getLong(1)).sum === 6L)
+    assert(rows.forall(_.getLong(2) >= 1L))
+  }
+
+  test("index algebra: merge / removePartitions / removeValues / observed") {
+    import spark.implicits._
+    val idx = Seq(("x", Seq("l1", "l2")), ("y", Seq("l2"))).toDF("value", "partitions")
+    val delta = Seq(("x", Seq("l3")), ("z", Seq("l3"))).toDF("value", "partitions")
+    val merged = SecondaryIndex.merge(idx, delta)
+    val m = merged.collect().map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+    assert(m === Map("x" -> Set("l1", "l2", "l3"), "y" -> Set("l2"), "z" -> Set("l3")))
+    val removed = SecondaryIndex.removePartitions(merged, Set("l2"))
+    val rm = removed.collect().map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+    assert(rm === Map("x" -> Set("l1", "l3"), "z" -> Set("l3")))
+    assert(SecondaryIndex.removeValues(merged, Seq("x")).count() === 2)
+    assert(SecondaryIndex.observedValues(merged).collect().map(_.getString(0)).toSet ===
+      Set("x", "y", "z"))
+  }
+}

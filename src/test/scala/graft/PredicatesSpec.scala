@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.dnf.{Literal, Op, Predicates}
+
+/** DNF compiler semantics — ports the behavior matrix of the reference's
+  * `tests/serialization/test_filter.py` (null handling per operator). */
+class PredicatesSpec extends SparkSpec {
+
+  private lazy val df = {
+    val schema = StructType(Seq(
+      StructField("i", LongType), StructField("s", StringType),
+      StructField("b", BooleanType), StructField("nul", NullType)))
+    val rows = Seq(
+      Row(1L, "a", true, null),
+      Row(2L, "b", false, null),
+      Row(null, null, null, null),
+      Row(4L, "d", true, null))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+  }
+
+  private def ids(preds: Predicates.Predicates): Set[Any] =
+    df.filter(Predicates.toColumn(preds, df.schema))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getLong(0)).toSet
+
+  test("== matches equal, never null rows") {
+    assert(ids(Seq(Seq(Literal("i", Op.Eq, 2L)))) === Set(2L))
+  }
+  test("== null is IS NULL") {
+    assert(ids(Seq(Seq(Literal("i", Op.Eq, null)))) === Set(null))
+  }
+  test("!= keeps null rows (reference numpy semantics)") {
+    assert(ids(Seq(Seq(Literal("i", Op.Ne, 2L)))) === Set(1L, null, 4L))
+    assert(ids(Seq(Seq(Literal("s", Op.Ne, "a")))) === Set(2L, null, 4L))
+  }
+  test("!= null is IS NOT NULL") {
+    assert(ids(Seq(Seq(Literal("i", Op.Ne, null)))) === Set(1L, 2L, 4L))
+  }
+  test("is distinct from = null-safe inequality") {
+    assert(ids(Seq(Seq(Literal("i", Op.IsDistinctFrom, 2L)))) === Set(1L, null, 4L))
+    assert(ids(Seq(Seq(Literal("i", Op.IsDistinctFrom, null)))) === Set(1L, 2L, 4L))
+  }
+  test("ordered comparisons never match nulls") {
+    assert(ids(Seq(Seq(Literal("i", Op.Ge, 2L)))) === Set(2L, 4L))
+    assert(ids(Seq(Seq(Literal("i", Op.Lt, 4L)))) === Set(1L, 2L))
+  }
+  test("ordered comparison with null value is rejected") {
+    intercept[IllegalArgumentException] {
+      Predicates.check(Seq(Seq(Literal("i", Op.Lt, null))))
+    }
+  }
+  test("in: plain membership, null rows excluded without null in list") {
+    assert(ids(Seq(Seq(Literal("i", Op.In, Seq(1L, 4L, 99L))))) === Set(1L, 4L))
+  }
+  test("in with null in list also matches null rows") {
+    assert(ids(Seq(Seq(Literal("i", Op.In, Seq(1L, null))))) === Set(1L, null))
+  }
+  test("not in without null in list KEEPS null rows (numpy ~isin)") {
+    assert(ids(Seq(Seq(Literal("i", Op.NotIn, Seq(1L, 2L))))) === Set(4L, null))
+  }
+  test("not in with null in list excludes null rows") {
+    assert(ids(Seq(Seq(Literal("i", Op.NotIn, Seq(1L, null))))) === Set(2L, 4L))
+  }
+  test("empty in-list matches nothing; not-in everything incl. nulls") {
+    assert(ids(Seq(Seq(Literal("i", Op.In, Seq.empty[Any])))) === Set())
+    assert(ids(Seq(Seq(Literal("i", Op.NotIn, Seq.empty[Any])))) === Set(1L, 2L, null, 4L))
+  }
+  test("DNF: OR of ANDs") {
+    val preds = Seq(
+      Seq(Literal("i", Op.Ge, 4L)),
+      Seq(Literal("s", Op.Eq, "a"), Literal("b", Op.Eq, true)))
+    assert(ids(preds) === Set(1L, 4L))
+  }
+  test("null-typed column conjunction is always false") {
+    assert(ids(Seq(Seq(Literal("nul", Op.Eq, null)))) === Set())
+  }
+  test("type mismatch raises instead of casting") {
+    intercept[IllegalArgumentException] { ids(Seq(Seq(Literal("i", Op.Eq, "x")))) }
+    intercept[IllegalArgumentException] { ids(Seq(Seq(Literal("s", Op.Eq, 1L)))) }
+    intercept[IllegalArgumentException] { ids(Seq(Seq(Literal("b", Op.Eq, "true")))) }
+  }
+  test("unknown column raises") {
+    intercept[IllegalArgumentException] { ids(Seq(Seq(Literal("zz", Op.Eq, 1L)))) }
+  }
+  test("validation: empty conjunction / scalar-list mixups rejected") {
+    intercept[IllegalArgumentException] { Predicates.check(Seq(Seq())) }
+    intercept[IllegalArgumentException] { Predicates.check(Seq()) }
+    intercept[IllegalArgumentException] {
+      Predicates.check(Seq(Seq(Literal("i", Op.In, 1L))))
+    }
+    intercept[IllegalArgumentException] {
+      Predicates.check(Seq(Seq(Literal("i", Op.Eq, Seq(1L)))))
+    }
+  }
+  test("predicate introspection helpers") {
+    val preds = Seq(Seq(Literal("i", Op.Eq, 1L), Literal("s", Op.Eq, "a")),
+      Seq(Literal("b", Op.Eq, true)))
+    assert(Predicates.columns(preds) === Set("i", "s", "b"))
+    assert(Predicates.filterByColumn(preds, Set("i")) ===
+      Seq(Seq(Literal("i", Op.Eq, 1L))))
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.meta.SchemaNorm
+
+class SchemaNormSpec extends AnyFunSuite {
+
+  test("ints normalize to long, floats to double, arrays recursively") {
+    val s = StructType(Seq(
+      StructField("a", IntegerType), StructField("b", ShortType),
+      StructField("c", FloatType), StructField("d", ArrayType(IntegerType)),
+      StructField("e", StringType)))
+    val n = SchemaNorm.normalize(s)
+    assert(n("a").dataType === LongType)
+    assert(n("b").dataType === LongType)
+    assert(n("c").dataType === DoubleType)
+    assert(n("d").dataType === ArrayType(LongType))
+    assert(n("e").dataType === StringType)
+  }
+
+  test("column order: partition keys first, payload alphabetical") {
+    val s = StructType(Seq("z", "m", "a", "p").map(StructField(_, LongType)))
+    assert(SchemaNorm.normalize(s, Seq("p")).fieldNames.toSeq === Seq("p", "a", "m", "z"))
+    assert(SchemaNorm.normalize(s).fieldNames.toSeq === Seq("a", "m", "p", "z"))
+  }
+
+  test("missing partition key raises") {
+    val s = StructType(Seq(StructField("a", LongType)))
+    intercept[IllegalArgumentException] { SchemaNorm.normalize(s, Seq("nope")) }
+  }
+
+  test("compatible: same normalized types accepted, diffs rejected with names") {
+    val a = StructType(Seq(StructField("x", IntegerType), StructField("y", StringType)))
+    val b = StructType(Seq(StructField("y", StringType), StructField("x", LongType)))
+    SchemaNorm.validateCompatible(a, b) // int vs long normalize equal
+    val c = StructType(Seq(StructField("x", StringType), StructField("y", StringType)))
+    val e = intercept[IllegalArgumentException] { SchemaNorm.validateCompatible(a, c) }
+    assert(e.getMessage.contains("x"))
+  }
+
+  test("column-set mismatch rejected") {
+    val a = StructType(Seq(StructField("x", LongType)))
+    val b = StructType(Seq(StructField("x", LongType), StructField("z", LongType)))
+    val e = intercept[IllegalArgumentException] { SchemaNorm.validateCompatible(a, b) }
+    assert(e.getMessage.contains("z"))
+  }
+
+  test("all-null (NullType) columns exempt from comparison") {
+    val a = StructType(Seq(StructField("x", LongType), StructField("y", NullType)))
+    val b = StructType(Seq(StructField("x", LongType), StructField("y", StringType)))
+    SchemaNorm.validateCompatible(a, b)
+    SchemaNorm.validateCompatible(b, a)
+  }
+
+  test("property: normalization is idempotent and self-compatible (seeded random schemas)") {
+    val rnd = new scala.util.Random(42)
+    val types: Seq[DataType] = Seq(IntegerType, LongType, FloatType, DoubleType,
+      StringType, BooleanType, DateType, ArrayType(IntegerType), ArrayType(StringType))
+    (1 to 200).foreach { _ =>
+      val n = 1 + rnd.nextInt(8)
+      val fields = (0 until n).map(i =>
+        StructField(s"c${rnd.nextInt(20)}_$i", types(rnd.nextInt(types.size))))
+      val s = StructType(fields)
+      val n1 = SchemaNorm.normalize(s)
+      assert(SchemaNorm.normalize(n1) === n1)
+      SchemaNorm.validateCompatible(s, n1)
+    }
+  }
+}
