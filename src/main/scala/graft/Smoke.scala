@@ -21,6 +21,7 @@ object Smoke {
       .appName("plateauspark-smoke")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -94,6 +95,7 @@ object Smoke {
     val q = emb.where(col("vec_id") === 0).select("embedding")
       .head.getSeq[Float](0).map(_.toDouble)
     Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, 5).show(false)
+    println(s"== SparkEntry.entry rows: ${SparkEntry.entry(spark).count()}")
     println("== smoke OK")
     spark.stop()
   }

@@ -1,13 +1,610 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import scala.collection.concurrent.TrieMap
+import scala.collection.immutable.ListMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.dnf.{Literal, Op, Predicates}
+import graft.io.{Ops, Reader, Writer}
+import graft.io.Writer.WriteOpts
+import graft.index.SecondaryIndex
+import graft.meta.DatasetMetadata
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.store.Storage
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * One `queries` entry per implemented operator family from SURVEY.md §2
+  * plus the training-data operators; `oracleSql` mirrors each in DuckDB SQL
+  * with the REFERENCE's semantics (e.g. `!=` keeps nulls). Column names are
+  * aligned on both sides (driver sorts columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ---------------------------------------------------------------- helpers
+
+  private def rd(s: SparkSession, dir: String, t: String): DataFrame =
+    s.read.parquet(s"$dir/$t.parquet")
+
+  private val built = TrieMap.empty[String, Boolean]
+  private def tmpBase(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_ds_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  /** Build a shared temp dataset once per JVM per scale-factor dir. */
+  private def ensure(s: SparkSession, dir: String, uuid: String)
+                    (mk: Storage => Unit): Storage = synchronized {
+    val store = Storage(s, tmpBase(dir))
+    val key = s"${tmpBase(dir)}/$uuid"
+    if (!built.contains(key)) { mk(store); built.put(key, true) }
+    store
+  }
+
+  /** lineitem partitioned by l_returnflag, secondary index on l_linestatus,
+    * sorted by l_shipdate — the SURVEY §7.2 flagship layout. */
+  private def liDs(s: SparkSession, dir: String): Storage =
+    ensure(s, dir, "li") { st =>
+      Writer.store(s, st, "li", rd(s, dir, "lineitem"),
+        WriteOpts(partitionOn = Seq("l_returnflag"),
+          secondaryIndices = Seq("l_linestatus"),
+          sortBy = Seq("l_shipdate"), overwrite = true))
+    }
+
+  private def ordDs(s: SparkSession, dir: String): Storage =
+    ensure(s, dir, "ord") { st =>
+      Writer.store(s, st, "ord", rd(s, dir, "orders"),
+        WriteOpts(partitionOn = Seq("o_orderstatus"),
+          secondaryIndices = Seq("o_orderpriority"), overwrite = true))
+    }
+
+  private def docDs(s: SparkSession, dir: String): Storage =
+    ensure(s, dir, "doc") { st =>
+      Writer.store(s, st, "doc", rd(s, dir, "documents"),
+        WriteOpts(partitionOn = Seq("source"),
+          secondaryIndices = Seq("lang"), overwrite = true))
+    }
+
+  // ------------------------------------------------------------- flagship
+
+  /** Flagship query on sf=0.001 (driver smoke-checks rows>0): the full
+    * three-level pruning pipeline — hive partition values, secondary index,
+    * parquet row-group stats — over a dataset written by our Writer. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val st = liDs(spark, dir)
+    Reader.readTable(spark, st, "li",
+      columns = Some(Seq("l_orderkey", "l_quantity", "l_returnflag", "l_linestatus")),
+      predicates = Some(Seq(Seq(
+        Literal("l_returnflag", Op.Eq, "R"),
+        Literal("l_linestatus", Op.In, Seq("F")),
+        Literal("l_quantity", Op.Lt, 25.0)))))
+  }
+
+  // ------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+
+    // --- S1/P12: scan with projection + parquet pushdown
+    "s1_scan_project" -> ((s, dir) =>
+      rd(s, dir, "lineitem")
+        .where(col("l_quantity") < 10)
+        .select("l_orderkey", "l_linenumber", "l_quantity")),
+
+    // --- S2/S3: CSV serializer roundtrip (';' separator, gzip)
+    "s2_csv_roundtrip" -> ((s, dir) => {
+      val path = s"${tmpBase(dir)}/csv_li"
+      rd(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        .write.mode("overwrite").option("sep", ";").option("header", "true")
+        .option("compression", "gzip").csv(path)
+      s.read.option("sep", ";").option("header", "true")
+        .schema("l_orderkey long, l_linenumber long, l_returnflag string, l_quantity double")
+        .csv(path)
+    }),
+
+    // --- P2: != keeps nulls (reference numpy semantics)
+    "p2_ne" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      docs.where(Predicates.toColumn(Seq(Seq(Literal("lang", Op.Ne, "en"))), docs.schema))
+        .select("doc_id", "lang")
+    }),
+
+    // --- P3: is distinct from
+    "p3_distinct_from" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      docs.where(Predicates.toColumn(
+        Seq(Seq(Literal("source", Op.IsDistinctFrom, "src0"))), docs.schema))
+        .select("doc_id", "source")
+    }),
+
+    // --- P4: ordered comparison on timestamps (NTZ literals)
+    "p4_range_ts" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem")
+      li.where(Predicates.toColumn(Seq(Seq(
+          Literal("l_shipdate", Op.Ge, "2000-01-01"),
+          Literal("l_shipdate", Op.Lt, "2001-01-01"))), li.schema))
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+    }),
+
+    // --- P5: in
+    "p5_in" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem")
+      li.where(Predicates.toColumn(
+          Seq(Seq(Literal("l_returnflag", Op.In, Seq("R", "A")))), li.schema))
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+    }),
+
+    // --- P6: not in (null rows kept when no null in list)
+    "p6_not_in" -> ((s, dir) => {
+      val o = rd(s, dir, "orders")
+      o.where(Predicates.toColumn(
+          Seq(Seq(Literal("o_orderpriority", Op.NotIn, Seq("1-URGENT", "2-HIGH")))),
+          o.schema))
+        .select("o_orderkey", "o_orderpriority")
+    }),
+
+    // --- P9: DNF — OR of ANDs in one Column tree
+    "p9_dnf" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem")
+      li.where(Predicates.toColumn(Seq(
+          Seq(Literal("l_quantity", Op.Lt, 5.0)),
+          Seq(Literal("l_quantity", Op.Ge, 45.0), Literal("l_returnflag", Op.Eq, "R"))),
+          li.schema))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    }),
+
+    // --- P11: filter_query escape hatch (SQL expression string)
+    "p11_filter_query" -> ((s, dir) =>
+      rd(s, dir, "lineitem")
+        .filter("l_discount > 0.05 and l_tax < 0.05")
+        .select("l_orderkey", "l_linenumber", "l_discount", "l_tax")),
+
+    // --- W2/S8: store partitioned+indexed dataset, read_table full roundtrip
+    "w2_roundtrip" -> ((s, dir) =>
+      Reader.readTable(s, liDs(s, dir), "li")),
+
+    // --- X1 + S6: partition-value pruning + payload predicate + projection
+    "x1_partition_prune" -> ((s, dir) =>
+      Reader.readTable(s, liDs(s, dir), "li",
+        columns = Some(Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")),
+        predicates = Some(Seq(Seq(
+          Literal("l_returnflag", Op.Eq, "R"),
+          Literal("l_quantity", Op.Lt, 25.0)))))),
+
+    // --- S6: secondary-index pruning
+    "s6_index_prune" -> ((s, dir) =>
+      Reader.readTable(s, ordDs(s, dir), "ord",
+        predicates = Some(Seq(Seq(
+          Literal("o_orderstatus", Op.Eq, "O"),
+          Literal("o_orderpriority", Op.In, Seq("1-URGENT", "5-LOW"))))))),
+
+    // --- W5: append update (two stores merged into one dataset)
+    "w5_update_append" -> ((s, dir) => {
+      val st = ensure(s, dir, "ord_upd") { st =>
+        val o = rd(s, dir, "orders")
+        Writer.store(s, st, "ord_upd", o.where(expr("o_orderkey % 2 = 0")),
+          WriteOpts(partitionOn = Seq("o_orderstatus"), overwrite = true))
+        Writer.update(s, st, "ord_upd", Some(o.where(expr("o_orderkey % 2 = 1"))))
+      }
+      Reader.readTable(s, st, "ord_upd")
+    }),
+
+    // --- W5/W6: delete_scope removes partitions atomically
+    "w5_delete_scope" -> ((s, dir) => {
+      val st = ensure(s, dir, "ord_del") { st =>
+        Writer.store(s, st, "ord_del", rd(s, dir, "orders"),
+          WriteOpts(partitionOn = Seq("o_orderstatus"), overwrite = true))
+        Writer.update(s, st, "ord_del", None, deleteScope = Seq(Map("o_orderstatus" -> "P")))
+      }
+      Reader.readTable(s, st, "ord_del")
+    }),
+
+    // --- X3/X4/X7: bucketed shuffled write, full roundtrip
+    "x3_bucketed_roundtrip" -> ((s, dir) => {
+      val st = ensure(s, dir, "li_bkt") { st =>
+        Writer.store(s, st, "li_bkt", rd(s, dir, "lineitem"),
+          WriteOpts(partitionOn = Seq("l_returnflag"), numBuckets = 4,
+            bucketBy = Seq("l_orderkey"), overwrite = true))
+      }
+      Reader.readTable(s, st, "li_bkt")
+    }),
+
+    // --- X2: dispatch_by co-grouping (aggregated per dispatch group)
+    "x2_dispatch_by" -> ((s, dir) =>
+      Reader.readDispatchBy(s, liDs(s, dir), "li", Seq("l_returnflag"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))),
+
+    // --- A1/A6: secondary index observed values
+    "a6_index_observed" -> ((s, dir) => {
+      val st = docDs(s, dir)
+      val meta = DatasetMetadata.load(st, "doc")
+      SecondaryIndex.observedValues(
+        SecondaryIndex.load(s, st, meta.indices("lang")))
+    }),
+
+    // --- A2/A7: index as (value, #partitions) matrix
+    "a7_index_stats" -> ((s, dir) => {
+      val st = docDs(s, dir)
+      val meta = DatasetMetadata.load(st, "doc")
+      SecondaryIndex.load(s, st, meta.indices("lang"))
+        .select(col("value"), size(col("partitions")).cast("long").as("n_partitions"))
+    }),
+
+    // --- S11/A5: parquet footer stats
+    "s11_footer_stats" -> ((s, dir) => {
+      val st = docDs(s, dir)
+      Ops.collectDatasetMetadata(s, st, "doc")
+        .agg(count(lit(1)).as("n_partitions"), sum("row_count").as("n_rows"))
+    }),
+
+    // --- general aggregation (TPC-H Q1 shape; benchmark headline)
+    "q1_agg" -> ((s, dir) =>
+      rd(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))),
+
+    // --- join pipeline (TPC-H Q3 shape; benchmark headline)
+    "q3_join" -> ((s, dir) => {
+      val c = rd(s, dir, "customer"); val o = rd(s, dir, "orders")
+      val l = rd(s, dir, "lineitem")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy("c_mktsegment")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    // --- broadcast join small dim (benchmark headline)
+    "q5_broadcast_join" -> ((s, dir) => {
+      val sup = rd(s, dir, "supplier"); val l = rd(s, dir, "lineitem")
+      l.join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+        .groupBy("s_name")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+    }),
+
+    // --- O6: multi-way dim join
+    "o6_join_multi" -> ((s, dir) => {
+      val c = rd(s, dir, "customer"); val n = rd(s, dir, "nation")
+      val r = rd(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_customers"), round(sum("c_acctbal"), 2).as("sum_bal"))
+    }),
+
+    // --- O3: drop_sorted_duplicates_keep_last
+    "o3_dedup_keep_last" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      rd(s, dir, "orders")
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select("o_custkey", "o_orderkey")
+    }),
+
+    // --- O5: aggregate_to_lists
+    "o5_collect_list" -> ((s, dir) =>
+      rd(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list("l_linenumber")).as("lines"))),
+
+    // --- O4: union of same-schema frames
+    "o4_union" -> ((s, dir) => {
+      val p = rd(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+      p.where(col("p_size") < 10).unionByName(p.where(col("p_size") >= 40))
+    }),
+
+    // --- O7: per-partition apply (df.transform)
+    // gross is deliberately UN-rounded: a product of two doubles is a single
+    // IEEE op, bit-identical across engines, while round-to-2 lands on .xx5
+    // boundaries where Spark (BigDecimal HALF_UP) and DuckDB (float mult)
+    // disagree
+    "o7_transform" -> ((s, dir) =>
+      rd(s, dir, "lineitem")
+        .transform(df => df.withColumn("gross",
+          col("l_extendedprice") * (lit(1) + col("l_tax"))))
+        .select("l_orderkey", "l_linenumber", "gross")),
+
+    // --- window functions over events (ts read as long nanos)
+    "w_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      rd(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("running_value",
+          round(sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+        .select("event_id", "user_id", "rn", "running_value")
+    }),
+
+    // --- gap-based sessionization (streaming-shape analytics in batch)
+    "w_sessionize" -> ((s, dir) => {
+      val byTs = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      rd(s, dir, "events")
+        .withColumn("prev", lag("ts", 1).over(byTs))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("ts") - col("prev") > 600L * 1000 * 1000 * 1000, 1L)
+            .otherwise(0L))
+        .withColumn("session_id",
+          sum("new_s").over(byTs.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("session_value"))
+    }),
+
+    // --- dedup: exact (deterministic winner per group)
+    "d_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(rd(s, dir, "documents"), Seq("lang", "source"), "doc_id")),
+
+    // --- dedup: exact n-gram jaccard pairs (inverted-index join)
+    "d_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(rd(s, dir, "documents"), "text", "doc_id",
+        shingleN = 3, threshold = 0.3)),
+
+    // --- text analysis: counters + ratios (all exact arithmetic)
+    "t_text_stats" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+      d.select(col("doc_id"),
+        TextAnalysis.charCount(col("text")).cast("long").as("n_chars2"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.subwordCount(col("text")).cast("long").as("n_subwords"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"))
+    }),
+
+    // --- text analysis: language-ID heuristic (argmax of marker counts)
+    "t_lang_id" -> ((s, dir) =>
+      rd(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    // --- text analysis: positional token fingerprint
+    "t_fingerprint" -> ((s, dir) => {
+      val toks = split(trim(lower(col("text"))), "\\s+")
+      rd(s, dir, "documents").select(col("doc_id"),
+        aggregate(
+          zip_with(toks, sequence(lit(1), size(toks)),
+            (t, i) => i.cast("long") * ascii(t).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("fp"))
+    }),
+
+    // --- similarity: brute-force cosine scores vs one query vector
+    "v_knn_scores" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).map(_.toDouble).toSeq
+      Similarity.bruteForceScores(emb, "embedding", "vec_id", q)
+    }),
+
+    // --- similarity: top-k with deterministic tie-break
+    "v_knn_topk" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).map(_.toDouble).toSeq
+      Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, 20)
+    }),
+
+    // --- multimodal: payload stats without decoding
+    "m_media_stats" -> ((s, dir) =>
+      Multimodal.mediaStats(Multimodal.asMedia(rd(s, dir, "documents"), "text", "image"))),
+
+    // ---- non-SQL-expressible operators (driver records rows-only checks) --
+
+    // A4: dataset content hash (hash values are engine-specific by design)
+    "a4_hash_dataset" -> ((s, dir) =>
+      Ops.hashDataset(s, liDs(s, dir), "li", groupKey = Seq("l_returnflag"))),
+
+    // MinHash LSH near-dup candidates (approximate by construction)
+    "d_minhash_neardups" -> ((s, dir) =>
+      Dedup.minhashNearDups(rd(s, dir, "documents"), "text", "doc_id",
+        numHashes = 32, bands = 8, shingleN = 3, threshold = 0.3)),
+
+    // SimHash signatures (murmur3-based, engine-specific values)
+    "d_simhash" -> ((s, dir) =>
+      rd(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))),
+
+    // embedding near-dup pairs via random-hyperplane LSH buckets
+    "d_embedding_neardups" -> ((s, dir) =>
+      Dedup.embeddingNearDups(rd(s, dir, "embeddings"), "embedding", "vec_id",
+        planes = 6, threshold = 0.2)),
+
+    // LSH-bucketed approximate top-k (recall traded for scan reduction)
+    "v_knn_lsh" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).map(_.toDouble).toSeq
+      Similarity.lshTopK(emb, "embedding", "vec_id", q, 20, planes = 4)
+    }),
+
+    // multimodal feature extraction through the stubbed decoder
+    "m_features" -> ((s, dir) => {
+      val media = Multimodal.asMedia(rd(s, dir, "documents"), "text", "image")
+      Multimodal.extractFeatures(media, "doc_id")
+    })
+  )
+
+  // ------------------------------------------------------------- oracles
+
+  /** DuckDB-dialect mirrors, honoring reference semantics. Division results
+    * and roundtripped values are exact; multi-term double aggregations are
+    * rounded on BOTH sides. */
+  def oracleSql: Map[String, String] = {
+    val langCase = {
+      // mirror TextAnalysis.langId: argmax over marker-substring counts with
+      // tie-break to the greatest language code
+      def score(l: String): String = TextAnalysis.LangMarkers(l).map { m =>
+        val p = "(' ' || lower(text) || ' ')"
+        s"CAST((length($p) - length(replace($p, '$m', ''))) / ${m.length} AS BIGINT)"
+      }.mkString(" + ")
+      val scores = TextAnalysis.LangMarkers.keys.toSeq.sorted
+        .map(l => s"${score(l)} AS s_$l").mkString(", ")
+      val gmax = "greatest(s_de, s_en, s_es, s_fr, s_zh)"
+      s"""SELECT doc_id, CASE
+            WHEN s_zh = $gmax THEN 'zh' WHEN s_fr = $gmax THEN 'fr'
+            WHEN s_es = $gmax THEN 'es' WHEN s_en = $gmax THEN 'en'
+            ELSE 'de' END AS lang_pred
+          FROM (SELECT doc_id, $scores FROM documents)"""
+    }
+    ListMap(
+      "s1_scan_project" ->
+        "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity < 10",
+      "s2_csv_roundtrip" ->
+        "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_returnflag, l_quantity FROM lineitem",
+      "p2_ne" ->
+        "SELECT doc_id, lang FROM documents WHERE lang != 'en' OR lang IS NULL",
+      "p3_distinct_from" ->
+        "SELECT doc_id, source FROM documents WHERE source IS DISTINCT FROM 'src0'",
+      "p4_range_ts" ->
+        "SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_shipdate < TIMESTAMP '2001-01-01'",
+      "p5_in" ->
+        "SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem WHERE l_returnflag IN ('R', 'A')",
+      "p6_not_in" ->
+        "SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH') OR o_orderpriority IS NULL",
+      "p9_dnf" ->
+        "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem WHERE l_quantity < 5 OR (l_quantity >= 45 AND l_returnflag = 'R')",
+      "p11_filter_query" ->
+        "SELECT l_orderkey, l_linenumber, l_discount, l_tax FROM lineitem WHERE l_discount > 0.05 AND l_tax < 0.05",
+      "w2_roundtrip" ->
+        "SELECT l_returnflag, l_discount, l_extendedprice, l_linenumber::BIGINT AS l_linenumber, l_linestatus, l_orderkey, l_partkey, l_quantity, l_shipdate, l_suppkey, l_tax FROM lineitem",
+      "x1_partition_prune" ->
+        "SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber, l_quantity, l_returnflag FROM lineitem WHERE l_returnflag = 'R' AND l_quantity < 25",
+      "s6_index_prune" ->
+        "SELECT o_orderstatus, o_custkey, o_orderdate, o_orderkey, o_orderpriority, o_totalprice FROM orders WHERE o_orderstatus = 'O' AND o_orderpriority IN ('1-URGENT', '5-LOW')",
+      "w5_update_append" ->
+        "SELECT o_orderstatus, o_custkey, o_orderdate, o_orderkey, o_orderpriority, o_totalprice FROM orders",
+      "w5_delete_scope" ->
+        "SELECT o_orderstatus, o_custkey, o_orderdate, o_orderkey, o_orderpriority, o_totalprice FROM orders WHERE o_orderstatus <> 'P'",
+      "x3_bucketed_roundtrip" ->
+        "SELECT l_returnflag, l_discount, l_extendedprice, l_linenumber::BIGINT AS l_linenumber, l_linestatus, l_orderkey, l_partkey, l_quantity, l_shipdate, l_suppkey, l_tax FROM lineitem",
+      "x2_dispatch_by" ->
+        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag",
+      "a6_index_observed" ->
+        "SELECT DISTINCT lang AS value FROM documents WHERE lang IS NOT NULL",
+      "a7_index_stats" ->
+        "SELECT lang AS value, CAST(count(DISTINCT source) AS BIGINT) AS n_partitions FROM documents WHERE lang IS NOT NULL GROUP BY lang",
+      "s11_footer_stats" ->
+        "SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_partitions, CAST(count(*) AS BIGINT) AS n_rows FROM documents",
+      "q1_agg" ->
+        """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             round(avg(l_quantity), 4) AS avg_qty, count(*) AS count_order
+           FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+      "q3_join" ->
+        """SELECT c_mktsegment, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             count(*) AS n
+           FROM customer JOIN orders ON c_custkey = o_custkey
+             JOIN lineitem ON o_orderkey = l_orderkey
+           GROUP BY c_mktsegment""",
+      "q5_broadcast_join" ->
+        """SELECT s_name, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+           FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY s_name""",
+      "o6_join_multi" ->
+        """SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_bal
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+           GROUP BY r_name""",
+      "o3_dedup_keep_last" ->
+        """SELECT o_custkey, o_orderkey FROM (
+             SELECT o_custkey, o_orderkey,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             FROM orders) t WHERE rn = 1""",
+      "o5_collect_list" ->
+        "SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines FROM lineitem GROUP BY l_orderkey",
+      "o4_union" ->
+        """SELECT p_partkey, p_brand, p_size FROM part WHERE p_size < 10
+           UNION ALL
+           SELECT p_partkey, p_brand, p_size FROM part WHERE p_size >= 40""",
+      "o7_transform" ->
+        "SELECT l_orderkey, l_linenumber, l_extendedprice * (1 + l_tax) AS gross FROM lineitem",
+      "w_window_running" ->
+        """SELECT event_id, user_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+             round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+           FROM events""",
+      "w_sessionize" ->
+        """WITH g AS (
+             SELECT user_id, ts, event_id, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             FROM events),
+           f AS (
+             SELECT user_id, value,
+               CASE WHEN prev IS NULL OR epoch_ns(ts) - epoch_ns(prev) > 600000000000
+                 THEN 1 ELSE 0 END AS new_s, ts, event_id
+             FROM g),
+           sess AS (
+             SELECT user_id, value,
+               CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             FROM f)
+           SELECT user_id, session_id, count(*) AS n_events,
+             round(sum(value), 2) AS session_value
+           FROM sess GROUP BY user_id, session_id""",
+      "d_dedup_exact" ->
+        """SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars FROM documents d
+           JOIN (SELECT lang, source, min(doc_id) AS m FROM documents GROUP BY lang, source) g
+             ON d.lang = g.lang AND d.source = g.source AND d.doc_id = g.m""",
+      "d_ngram_jaccard" ->
+        """WITH sh AS (
+             SELECT doc_id AS id, list_distinct(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+             FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents)
+             WHERE len(t) >= 3),
+           inv AS (SELECT id, unnest(s) AS sg FROM sh),
+           common AS (
+             SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS DOUBLE) AS inter
+             FROM inv a JOIN inv b ON a.sg = b.sg AND a.id < b.id GROUP BY a.id, b.id)
+           SELECT c.id_a, c.id_b,
+             c.inter / (len(sa.s) + len(sb.s) - c.inter) AS jaccard
+           FROM common c JOIN sh sa ON sa.id = c.id_a JOIN sh sb ON sb.id = c.id_b
+           WHERE c.inter / (len(sa.s) + len(sb.s) - c.inter) >= 0.3""",
+      "t_text_stats" ->
+        """SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars2,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subwords,
+             CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\-]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS punct_ratio,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE)
+               / greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1) AS stop_ratio
+           FROM documents""",
+      "t_lang_id" -> langCase,
+      "t_fingerprint" ->
+        """SELECT doc_id, CAST(list_sum(list_transform(
+             string_split_regex(trim(lower(text)), '\s+'),
+             (x, i) -> i * ascii(x))) AS BIGINT) AS fp
+           FROM documents""",
+      "v_knn_scores" ->
+        """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+             FROM embeddings WHERE vec_id = 0),
+           e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings)
+           SELECT vec_id, round(
+             list_sum(list_transform(range(1, 65), i -> v[i] * qv[i])) /
+             (sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))) *
+              sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))), 6) AS cosine
+           FROM e, q""",
+      "v_knn_topk" ->
+        """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+             FROM embeddings WHERE vec_id = 0),
+           e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+           scored AS (
+             SELECT vec_id, round(
+               list_sum(list_transform(range(1, 65), i -> v[i] * qv[i])) /
+               (sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))) *
+                sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))), 6) AS cosine
+             FROM e, q)
+           SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 20""",
+      "m_media_stats" ->
+        """SELECT 'image' AS media_type, count(*) AS n,
+             CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+             round(avg(strlen(text)), 6) AS avg_bytes
+           FROM documents"""
+    )
+  }
 }

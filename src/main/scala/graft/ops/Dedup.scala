@@ -100,7 +100,12 @@ object Dedup {
     * (id_a, id_b, jaccard >= threshold). Oracle-expressible in SQL. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleN: Int, threshold: Double): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    // docs shorter than n tokens have no n-gram shingles; jaccard is left
+    // UN-rounded — all inputs are exact ints so the single IEEE division is
+    // bit-identical across engines (oracle-matchable)
+    val sh = df
+      .where(size(split(trim(lower(col(textCol))), "\\s+")) >= shingleN)
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
     val inv = sh.select(col("id"), explode(col("sh")).as("s"))
     val common = inv.join(inv.withColumnRenamed("id", "id2"), "s")
       .where(col("id") < col("id2"))
@@ -110,7 +115,7 @@ object Dedup {
       .join(sh.select(col("id").as("id_a"), size(col("sh")).as("n_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), size(col("sh")).as("n_b")), "id_b")
       .withColumn("jaccard",
-        round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 6))
+        col("inter") / (col("n_a") + col("n_b") - col("inter")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -142,7 +147,7 @@ object Dedup {
       (pmod(hash(lit(p), i), lit(1000)).cast("double") - 499.5) / 500.0
     val sigBit = (p: Int) => {
       val dot = aggregate(
-        zip_with(col(vecCol).cast("array<double>"),
+        zip_with(col("v").cast("array<double>"),
           transform(sequence(lit(0), lit(dim - 1)), i => comp(p, i)),
           (a, b) => a * b),
         lit(0.0), (acc, x) => acc + x)
