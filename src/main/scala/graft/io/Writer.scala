@@ -41,13 +41,17 @@ object Writer {
     val schema = SchemaNorm.normalize(df.schema, partitionOn)
     require(schema.length > partitionOn.length,
       "partition_on must leave at least one payload column")
-    val casted = df.select(schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
-    if (partitionOn.nonEmpty) {
-      val anyNull = partitionOn.map(col(_).isNull).reduce(_ || _)
-      require(casted.filter(anyNull).isEmpty,
-        s"Original dataframe size does not match new dataframe size: null values in partition keys ${partitionOn.mkString(", ")}")
-    }
-    casted
+    // The null-partition-key check is FUSED into the write projection via
+    // raise_error instead of a separate filter().isEmpty pre-pass — at
+    // 100 TB an eager check would cost one full extra scan of the input.
+    df.select(schema.map { f =>
+      val c = col(f.name).cast(f.dataType)
+      if (partitionOn.contains(f.name))
+        when(c.isNotNull, c).otherwise(raise_error(lit(
+          s"Original dataframe size does not match new dataframe size: " +
+            s"null value in partition key '${f.name}'"))).as(f.name)
+      else c.as(f.name)
+    }: _*)
   }
 
   /** Arrange the physical layout before FileFormatWriter: bucketed shuffle

@@ -70,17 +70,24 @@ object Dedup {
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       numHashes: Int = 32, bands: Int = 8, shingleN: Int = 3,
                       threshold: Double = 0.5): DataFrame = {
-    val withSig = df
+    // shingle sets are reused by signature computation AND exact
+    // verification, and the band table sits on both sides of the candidate
+    // self-join — cache both or Spark recomputes the regex/hash pipeline
+    // once per reuse (the dominant cost; only (id, band) pairs ever shuffle)
+    val sh = df
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
       .where(size(col("sh")) > 0)
+      .cache()
+    val bandTable = sh
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .withColumn("band", explode(bandHashes(col("sig"), numHashes, bands)))
-    val candidates = withSig.select(col("band"), col("id"))
-      .join(withSig.select(col("band"), col("id").as("id2")), "band")
+      .select(col("band"), col("id"))
+      .cache()
+    val candidates = bandTable
+      .join(bandTable.withColumnRenamed("id", "id2"), "band")
       .where(col("id") < col("id2"))
       .select(col("id").as("id_a"), col("id2").as("id_b"))
       .distinct()
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
     verifyJaccard(candidates, sh, threshold)
   }
 
@@ -106,6 +113,7 @@ object Dedup {
     val sh = df
       .where(size(split(trim(lower(col(textCol))), "\\s+")) >= shingleN)
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+      .cache() // reused by the inverted index and both size joins
     val inv = sh.select(col("id"), explode(col("sh")).as("s"))
     val common = inv.join(inv.withColumnRenamed("id", "id2"), "s")
       .where(col("id") < col("id2"))

@@ -45,12 +45,15 @@ class DatasetSpec extends SparkSpec {
     assert(Reader.readTable(spark, store, "rt").count() === 6)
   }
 
-  test("null partition-key values are rejected") {
+  test("null partition-key values are rejected (raise_error fused into the write)") {
     import spark.implicits._
     val bad = Seq((1L, null: String, 1.0), (2L, "a", 2.0)).toDF("id", "p", "v")
-    intercept[IllegalArgumentException] {
+    val e = intercept[Exception] {
       Writer.store(spark, store, "nulls", bad, WriteOpts(partitionOn = Seq("p")))
     }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("null value in partition key")))
   }
 
   test("partition_on must leave a payload column") {
