@@ -101,6 +101,31 @@ object SparkEntry {
         .csv(path)
     }),
 
+    // --- S2/S3 at the dataset layer: csv.gz-serialized dataset roundtrip
+    "s2_csv_dataset" -> ((s, dir) => {
+      val st = ensure(s, dir, "part_csv") { st =>
+        Writer.store(s, st, "part_csv", rd(s, dir, "part"),
+          WriteOpts(partitionOn = Seq("p_brand"), format = "csv.gz",
+            overwrite = true))
+      }
+      Reader.readTable(s, st, "part_csv")
+    }),
+
+    // --- W8/S5: empty header + uncommitted two-phase writes, dynamic read
+    "w8_dynamic_read" -> ((s, dir) => {
+      val st = ensure(s, dir, "sup_dyn") { st =>
+        val sup = rd(s, dir, "supplier")
+        Writer.createEmptyDatasetHeader(st, "sup_dyn", sup.schema,
+          Seq("s_nationkey"), overwrite = true)
+        Writer.writeSinglePartition(s, st, "sup_dyn",
+          sup.where(expr("s_suppkey % 2 = 0")), WriteOpts(partitionOn = Seq("s_nationkey")))
+        Writer.writeSinglePartition(s, st, "sup_dyn",
+          sup.where(expr("s_suppkey % 2 = 1")), WriteOpts(partitionOn = Seq("s_nationkey")))
+      }
+      // no commit ever ran: the dynamic header reconstructs partitions
+      Reader.readTable(s, st, "sup_dyn")
+    }),
+
     // --- P2: != keeps nulls (reference numpy semantics)
     "p2_ne" -> ((s, dir) => {
       val docs = rd(s, dir, "documents")
@@ -451,6 +476,10 @@ object SparkEntry {
         "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity < 10",
       "s2_csv_roundtrip" ->
         "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_returnflag, l_quantity FROM lineitem",
+      "s2_csv_dataset" ->
+        "SELECT p_brand, p_name, p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS p_size, p_type FROM part",
+      "w8_dynamic_read" ->
+        "SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, s_acctbal, s_name, s_suppkey FROM supplier",
       "p2_ne" ->
         "SELECT doc_id, lang FROM documents WHERE lang != 'en' OR lang IS NULL",
       "p3_distinct_from" ->

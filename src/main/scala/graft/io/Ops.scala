@@ -71,6 +71,46 @@ object Ops {
     Reader.pruneLabels(spark, storage, meta, schema, Some(preds)).toSet
   }
 
+  /** Reference `combine_metadata` (`io_components/utils.py:24-102`):
+    * recursive merge of user-metadata documents. Nested objects merge by
+    * key; arrays concatenate (order preserved, duplicates dropped); equal
+    * scalars collapse; CONFLICTING scalars are dropped from the result (the
+    * reference's `InvalidObject` sentinel). Driver-side plain code — the
+    * documents are tiny. */
+  def combineMetadata(nodes: Seq[com.fasterxml.jackson.databind.JsonNode]):
+      com.fasterxml.jackson.databind.JsonNode = {
+    import com.fasterxml.jackson.databind.JsonNode
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+    import scala.jdk.CollectionConverters._
+    val mapper = DatasetMetadata.mapper
+    val Invalid: JsonNode = mapper.createObjectNode().put("__invalid__", true)
+    def merge(a: JsonNode, b: JsonNode): JsonNode = (a, b) match {
+      case (ao: ObjectNode, bo: ObjectNode) =>
+        val out = mapper.createObjectNode()
+        (ao.properties().asScala.map(_.getKey) ++
+         bo.properties().asScala.map(_.getKey)).toSeq.distinct.foreach { k =>
+          val m = (Option(ao.get(k)), Option(bo.get(k))) match {
+            case (Some(x), Some(y)) => merge(x, y)
+            case (Some(x), None)    => x
+            case (None, Some(y))    => y
+            case _                  => Invalid
+          }
+          if (m ne Invalid) out.set[JsonNode](k, m)
+        }
+        out
+      case (aa: ArrayNode, ba: ArrayNode) =>
+        val out = mapper.createArrayNode()
+        val seen = scala.collection.mutable.LinkedHashSet.empty[JsonNode]
+        (aa.elements().asScala ++ ba.elements().asScala).foreach(seen.add)
+        seen.foreach(out.add)
+        out
+      case (x, y) if x == y => x
+      case _                => Invalid
+    }
+    nodes.reduceOption(merge).filter(_ ne Invalid)
+      .getOrElse(mapper.createObjectNode())
+  }
+
   /** Reference `hash_dataset` (`io/dask/dataframe.py:619-697`): one content
     * hash per group (or one for the whole dataset). Uses `xxhash64` — the
     * reference explicitly does NOT guarantee hash-value stability across

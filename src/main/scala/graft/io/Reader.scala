@@ -105,10 +105,12 @@ object Reader {
       if (labels.isEmpty) {
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       } else {
-        spark.read
-          .option("basePath", base)
-          .schema(schema)
-          .parquet(labels.map(l => s"$base/$l"): _*)
+        // S3 suffix dispatch: mixed-format label sets read per group, unioned
+        labels.groupBy(Serializer.formatOf).toSeq.sortBy(_._1)
+          .map { case (fmt, ls) =>
+            Serializer.read(spark, schema, base, ls.map(l => s"$base/$l"), fmt)
+          }
+          .reduce(_ unionByName _)
       }
     val filtered = predicates match {
       case Some(p) => df.filter(Predicates.toColumn(p, schema))

@@ -1,0 +1,55 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+import graft.meta.DatasetMetadata
+
+/** Per-format read/write dispatch — the Spark rebuild of the reference's
+  * serializer registry (`serialization/_generic.py:53-129`, registration
+  * `serialization/__init__.py:17-19`): `.parquet` / `.csv` / `.csv.gz`
+  * chosen by file suffix on read and by the dataset `format` on write.
+  *
+  * CSV follows the reference's `CsvSerializer` surface
+  * (`serialization/_csv.py:33-85`): `;` separator, header row, UTF-8,
+  * optional gzip. CSV has no row-group statistics, so there is no pushdown
+  * pruning (same as the reference, which filters CSV in memory) — the DNF
+  * predicate still applies in the same Catalyst `filter`, and hive
+  * partition-value pruning still works because it happens on paths.
+  */
+object Serializer {
+  val Formats: Set[String] = Set("parquet", "csv", "csv.gz")
+
+  def formatOf(label: String): String =
+    if (label.endsWith(".parquet")) "parquet"
+    else if (label.endsWith(".csv.gz")) "csv.gz"
+    else if (label.endsWith(".csv")) "csv"
+    else sys.error(s"No serializer registered for file '$label'")
+
+  /** One scan over an explicit (pruned) file list with hive partition-value
+    * reconstruction via `basePath`. Mixed-format datasets are read per
+    * format group by the callers and unioned. */
+  def read(spark: SparkSession, schema: StructType, base: String,
+           paths: Seq[String], format: String): DataFrame = {
+    require(Formats(format), s"No serializer registered for format '$format'")
+    val r = spark.read.option("basePath", base).schema(schema)
+    format match {
+      case "parquet" => r.parquet(paths: _*)
+      case _         => r.option("sep", ";").option("header", "true").csv(paths: _*)
+    }
+  }
+
+  /** Format-specific write of an already-arranged (repartitioned/sorted)
+    * frame; Spark's FileFormatWriter replaces the reference's per-partition
+    * serialize loop. */
+  def write(df: DataFrame, path: String, format: String, mode: String,
+            partitionOn: Seq[String]): Unit = {
+    require(Formats(format), s"No serializer registered for format '$format'")
+    val w = df.write.mode(mode).partitionBy(partitionOn: _*)
+    format match {
+      case "parquet" => w.parquet(path)
+      case "csv"     => w.option("sep", ";").option("header", "true").csv(path)
+      case "csv.gz"  => w.option("sep", ";").option("header", "true")
+                         .option("compression", "gzip").csv(path)
+    }
+  }
+}

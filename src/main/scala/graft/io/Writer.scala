@@ -28,7 +28,8 @@ object Writer {
       bucketBy: Seq[String] = Nil,        // X4: hash-bucket columns
       repartitionRatio: Int = 0,          // X6: pre-shuffle coalesce divisor
       overwrite: Boolean = false,
-      metadata: Map[String, String] = Map.empty)
+      metadata: Map[String, String] = Map.empty,
+      format: String = "parquet")         // S2/S3: parquet | csv | csv.gz
 
   val LabelCol = "__label"
 
@@ -79,20 +80,21 @@ object Writer {
   }
 
   private[io] def listDataFiles(storage: Storage, uuid: String): Seq[String] =
-    storage.listKeys(s"$uuid/table")
-      .filter(k => k.endsWith(".parquet"))
-      .map(_.stripPrefix(s"$uuid/table/"))
-      .sorted
+    DatasetMetadata.listDataFiles(storage, uuid)
 
   /** Read written files back with their labels, for index building. The
     * label is derived from `input_file_name`, i.e. one distributed pass —
-    * no driver loop over files. */
+    * no driver loop over files. Mixed-suffix label sets are read per format
+    * group and unioned (S3 suffix dispatch). */
   private[io] def labeledData(spark: SparkSession, storage: Storage,
                               uuid: String, schema: StructType,
                               labels: Seq[String]): DataFrame = {
     val base = s"${storage.base}/$uuid/table"
-    spark.read.option("basePath", base).schema(schema)
-      .parquet(labels.map(l => s"$base/$l"): _*)
+    labels.groupBy(Serializer.formatOf).toSeq.sortBy(_._1)
+      .map { case (fmt, ls) =>
+        Serializer.read(spark, schema, base, ls.map(l => s"$base/$l"), fmt)
+      }
+      .reduce(_ unionByName _)
       .withColumn(LabelCol,
         url_decode(regexp_replace(input_file_name(), lit(s"^.*?/$uuid/table/"), lit(""))))
   }
@@ -137,16 +139,36 @@ object Writer {
     }
     val prepared = prepare(df, opts.partitionOn)
     val schema = prepared.schema
-    layout(prepared, opts).write
-      .mode("errorifexists")
-      .partitionBy(opts.partitionOn: _*)
-      .parquet(s"${storage.base}/$uuid/table")
+    Serializer.write(layout(prepared, opts), s"${storage.base}/$uuid/table",
+      opts.format, "errorifexists", opts.partitionOn)
     val labels = listDataFiles(storage, uuid)
     val indices = buildAndStoreIndices(spark, storage, uuid, schema, labels,
       opts.secondaryIndices, nextTs())
     DatasetMetadata.writeSchema(storage, uuid, schema)
-    val meta = DatasetMetadata(uuid, labels, opts.partitionOn, indices, opts.metadata)
+    val meta = DatasetMetadata(uuid, labels, opts.partitionOn, indices,
+      opts.metadata, format = opts.format)
     storage.writeString(meta.headerKey, meta.toJson) // atomic visibility point
+    meta
+  }
+
+  /** Reference `create_empty_dataset_header` (`io/eager.py:494-552`): commit
+    * schema + header only, with `explicit_partitions=False` — every load
+    * reconstructs the partition set from a store listing, so concurrent
+    * `writeSinglePartition` output is readable before any commit. */
+  def createEmptyDatasetHeader(storage: Storage, uuid: String,
+                               schema: StructType,
+                               partitionOn: Seq[String] = Nil,
+                               format: String = "parquet",
+                               overwrite: Boolean = false): DatasetMetadata = {
+    if (DatasetMetadata.exists(storage, uuid)) {
+      require(overwrite, s"Dataset '$uuid' already exists and overwrite is not permitted")
+      Ops.deleteDataset(storage, uuid)
+    }
+    val norm = SchemaNorm.normalize(schema, partitionOn)
+    DatasetMetadata.writeSchema(storage, uuid, norm)
+    val meta = DatasetMetadata(uuid, Nil, partitionOn, Map.empty, Map.empty,
+      explicitPartitions = false, format = format)
+    storage.writeString(meta.headerKey, meta.toJson)
     meta
   }
 
@@ -161,11 +183,13 @@ object Writer {
       else None
     val prepared = prepare(df, opts.partitionOn)
     existingSchema.foreach(s => SchemaNorm.validateCompatible(s, prepared.schema))
+    val fmt =
+      if (DatasetMetadata.exists(storage, uuid))
+        DatasetMetadata.load(storage, uuid).format
+      else opts.format
     val before = listDataFiles(storage, uuid).toSet
-    layout(prepared, opts).write
-      .mode("append")
-      .partitionBy(opts.partitionOn: _*)
-      .parquet(s"${storage.base}/$uuid/table")
+    Serializer.write(layout(prepared, opts), s"${storage.base}/$uuid/table",
+      fmt, "append", opts.partitionOn)
     if (existingSchema.isEmpty)
       DatasetMetadata.writeSchema(storage, uuid, prepared.schema)
     listDataFiles(storage, uuid).filterNot(before).sorted
@@ -187,7 +211,10 @@ object Writer {
     val (oldMeta, oldLabels) =
       if (DatasetMetadata.exists(storage, uuid)) {
         val m = DatasetMetadata.load(storage, uuid)
-        (Some(m), m.partitions)
+        // A dynamic header (explicit_partitions=False) owns no committed
+        // partitions — its listing already shows the uncommitted files being
+        // committed right now, which must not read as duplicates.
+        (Some(m), if (m.explicitPartitions) m.partitions else Nil)
       } else (None, Nil)
     val keys = oldMeta.map(_.partitionKeys).getOrElse(partitionOn)
     val dup = newLabels.toSet.intersect(oldLabels.toSet)
@@ -218,7 +245,9 @@ object Writer {
       c -> SecondaryIndex.store(spark, storage, uuid, c, merged, ts)
     }.toMap
     val mergedMeta = oldMeta.map(_.metadata).getOrElse(Map.empty) ++ metadata
-    val meta = DatasetMetadata(uuid, labels, keys, indices, mergedMeta)
+    val fmt = oldMeta.map(_.format).getOrElse(
+      newLabels.headOption.map(Serializer.formatOf).getOrElse("parquet"))
+    val meta = DatasetMetadata(uuid, labels, keys, indices, mergedMeta, format = fmt)
     storage.writeString(meta.headerKey, meta.toJson) // atomic visibility point
     meta
   }

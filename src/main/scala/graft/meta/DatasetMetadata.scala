@@ -29,7 +29,13 @@ final case class DatasetMetadata(
     partitionKeys: Seq[String],           // hive-encoded primary index columns
     indices: Map[String, String],         // secondary index col -> index file key
     metadata: Map[String, String],        // user metadata
-    metadataVersion: Int = DatasetMetadata.MetadataVersion) {
+    metadataVersion: Int = DatasetMetadata.MetadataVersion,
+    // Reference "dynamic datasets" (`core/dataset.py:596-619`): a header
+    // WITHOUT a `partitions` key means the partition set is reconstructed
+    // from a store listing on every load — used by
+    // `create_empty_dataset_header` + concurrent uncommitted writers.
+    explicitPartitions: Boolean = true,
+    format: String = "parquet") {         // data-file serializer (S2/S3)
 
   def headerKey: String = DatasetMetadata.headerKey(uuid)
   def tablePrefix: String = s"$uuid/table"
@@ -51,9 +57,12 @@ final case class DatasetMetadata(
     val root = m.createObjectNode()
     root.put("dataset_uuid", uuid)
     root.put("metadata_version", metadataVersion)
-    val parts = root.putObject("partitions")
-    partitions.sorted.foreach { label =>
-      parts.putObject(label).putObject("files").put("table", fileKey(label))
+    root.put("format", format)
+    if (explicitPartitions) {
+      val parts = root.putObject("partitions")
+      partitions.sorted.foreach { label =>
+        parts.putObject(label).putObject("files").put("table", fileKey(label))
+      }
     }
     val keys = root.putArray("partition_keys")
     partitionKeys.foreach(keys.add)
@@ -82,25 +91,42 @@ object DatasetMetadata {
     def strMap(n: JsonNode): Map[String, String] =
       if (n == null) Map.empty
       else n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
-    val parts = Option(root.get("partitions"))
-      .map(_.fieldNames().asScala.toSeq.sorted)
-      .getOrElse(Nil)
+    val partsNode = Option(root.get("partitions"))
     DatasetMetadata(
       uuid = root.get("dataset_uuid").asText(),
-      partitions = parts,
+      partitions = partsNode.map(_.fieldNames().asScala.toSeq.sorted).getOrElse(Nil),
       partitionKeys = strSeq(root.get("partition_keys")),
       indices = strMap(root.get("indices")),
       metadata = strMap(root.get("metadata")),
-      metadataVersion = root.get("metadata_version").asInt())
+      metadataVersion = root.get("metadata_version").asInt(),
+      explicitPartitions = partsNode.isDefined,
+      format = Option(root.get("format")).map(_.asText()).getOrElse("parquet"))
   }
 
   def exists(store: Storage, uuid: String): Boolean = store.exists(headerKey(uuid))
 
+  /** Data-file suffixes the serializer registry understands (S2/S3). */
+  val DataFileSuffixes: Seq[String] = Seq(".parquet", ".csv.gz", ".csv")
+  def isDataFile(key: String): Boolean = DataFileSuffixes.exists(key.endsWith)
+
+  /** List the data files of a dataset as partition labels (paths relative to
+    * `<uuid>/table/`). */
+  def listDataFiles(store: Storage, uuid: String): Seq[String] =
+    store.listKeys(s"$uuid/table")
+      .filter(isDataFile)
+      .map(_.stripPrefix(s"$uuid/table/"))
+      .sorted
+
   /** Reference `DatasetMetadata.load_from_store` (`core/dataset.py:531-574`),
-    * JSON flavor only (msgpack+zstd intentionally dropped, SURVEY.md W11). */
+    * JSON flavor only (msgpack+zstd intentionally dropped, SURVEY.md W11).
+    * A header without a `partitions` key is a *dynamic* dataset
+    * (`core/dataset.py:596-619`): its partition set is reconstructed from a
+    * store listing, so uncommitted `writeSinglePartition` output is visible. */
   def load(store: Storage, uuid: String): DatasetMetadata = {
     require(exists(store, uuid), s"Dataset '$uuid' does not exist in ${store.base}")
-    fromJson(store.readString(headerKey(uuid)))
+    val m = fromJson(store.readString(headerKey(uuid)))
+    if (m.explicitPartitions) m
+    else m.copy(partitions = listDataFiles(store, uuid))
   }
 
   def loadSchema(store: Storage, uuid: String): StructType =

@@ -220,6 +220,67 @@ class DatasetSpec extends SparkSpec {
     assert(rows.forall(_.getLong(2) >= 1L))
   }
 
+  test("W8/S5: empty header -> dynamic reads see uncommitted writes; commit makes explicit") {
+    import spark.implicits._
+    Writer.createEmptyDatasetHeader(store, "dyn", sampleDf.schema, Seq("p"))
+    val m0 = DatasetMetadata.load(store, "dyn")
+    assert(!m0.explicitPartitions && m0.partitions.isEmpty)
+    assert(Reader.readTable(spark, store, "dyn").count() === 0)
+    val newLabels = Writer.writeSinglePartition(spark, store, "dyn",
+      sampleDf.where($"id" <= 4), WriteOpts(partitionOn = Seq("p")))
+    // dynamic dataset: visible WITHOUT a commit (store listing reconstructs)
+    assert(Reader.readTable(spark, store, "dyn").count() === 4)
+    // partition-key pruning still works on the reconstructed labels
+    assert(Reader.readTable(spark, store, "dyn",
+      predicates = Some(Seq(Seq(Literal("p", Op.Eq, "a"))))).count() === 2)
+    val m1 = Writer.commitDataset(spark, store, "dyn", newLabels, partitionOn = Seq("p"))
+    assert(m1.explicitPartitions && m1.partitions === newLabels.sorted)
+    assert(Reader.readTable(spark, store, "dyn").count() === 4)
+  }
+
+  test("S2/S3: csv.gz dataset roundtrip with pruning and secondary index") {
+    val meta = Writer.store(spark, store, "csvds", sampleDf,
+      WriteOpts(partitionOn = Seq("p"), secondaryIndices = Seq("s"),
+        format = "csv.gz"))
+    assert(meta.format === "csv.gz")
+    assert(meta.partitions.forall(_.endsWith(".csv.gz")))
+    val back = Reader.readTable(spark, store, "csvds")
+    assert(back.count() === 6)
+    assert(back.schema("id").dataType.typeName === "long")
+    assert(back.schema("v").dataType.typeName === "double")
+    // three-level surface minus row-group stats: key pruning + index pruning
+    val pruned = Reader.readTable(spark, store, "csvds",
+      columns = Some(Seq("id", "v")),
+      predicates = Some(Seq(Seq(
+        Literal("p", Op.Eq, "b"), Literal("s", Op.Eq, "x")))))
+    assert(pruned.collect().map(_.getLong(0)).toSet === Set(3L))
+    // update/append keeps the dataset's format
+    Writer.update(spark, store, "csvds",
+      Some(sampleDf.withColumn("id", col("id") + 10)))
+    val m2 = DatasetMetadata.load(store, "csvds")
+    assert(m2.partitions.size === 6 && m2.partitions.forall(_.endsWith(".csv.gz")))
+    assert(Reader.readTable(spark, store, "csvds").count() === 12)
+  }
+
+  test("O9: combine_metadata recursive merge semantics") {
+    val m = DatasetMetadata.mapper
+    def j(s: String) = m.readTree(s)
+    // equal scalars collapse; conflicting scalars dropped; nested merge;
+    // arrays concatenated with order-preserving dedup
+    val out = Ops.combineMetadata(Seq(
+      j("""{"a": 1, "b": {"x": 1, "y": [1, 2]}, "c": "same"}"""),
+      j("""{"a": 2, "b": {"x": 1, "y": [2, 3], "z": 9}, "c": "same", "d": 4}""")))
+    assert(!out.has("a"))                           // conflict -> dropped
+    assert(out.get("c").asText === "same")          // equal -> kept
+    assert(out.get("d").asInt === 4)                // one-sided -> kept
+    assert(out.get("b").get("x").asInt === 1)
+    assert(out.get("b").get("z").asInt === 9)
+    val ys = out.get("b").get("y")
+    assert((0 until ys.size).map(ys.get(_).asInt) === Seq(1, 2, 3))
+    // conflict at the ROOT yields an empty document, not an error
+    assert(Ops.combineMetadata(Seq(j("1"), j("2"))).isObject)
+  }
+
   test("index algebra: merge / removePartitions / removeValues / observed") {
     import spark.implicits._
     val idx = Seq(("x", Seq("l1", "l2")), ("y", Seq("l2"))).toDF("value", "partitions")
