@@ -138,4 +138,60 @@ object Reader {
                      predicates: Option[Preds] = None): DataFrame =
     readTable(spark, storage, uuid, None, predicates)
       .repartition(dispatchBy.map(col): _*)
+
+  /** Reference iterator backend (`io/iter.py:37-163`): one pruned
+    * single-partition DataFrame at a time, lazily — the "streams partitions
+    * through a generator" shape for drivers that post-process per partition.
+    * Each element plans ONE file read; predicates/projection apply as in
+    * `readTable`. */
+  def readPartitionsIterator(spark: SparkSession, storage: Storage,
+                             uuid: String,
+                             columns: Option[Seq[String]] = None,
+                             predicates: Option[Preds] = None):
+      Iterator[(String, DataFrame)] = {
+    val meta = DatasetMetadata.load(storage, uuid)
+    val schema = DatasetMetadata.loadSchema(storage, uuid)
+    val labels = pruneLabels(spark, storage, meta, schema, predicates)
+    val base = s"${storage.base}/${meta.tablePrefix}"
+    labels.iterator.map { label =>
+      val df = Serializer.read(spark, schema, base,
+        Seq(s"$base/$label"), Serializer.formatOf(label))
+      val filtered = predicates match {
+        case Some(p) => df.filter(Predicates.toColumn(p, schema))
+        case None    => df
+      }
+      val projected = columns.map(cs => filtered.select(cs.map(col): _*))
+        .getOrElse(filtered.select(schema.fieldNames.map(col).toSeq: _*))
+      label -> projected
+    }
+  }
+
+  /** Reference `get_indices_as_dataframe` (`core/dataset.py:356-491`): the
+    * (partition label x indexed columns) matrix — per-column exploded index
+    * frames joined on label. Partition-key columns come from the hive paths;
+    * secondary-index columns from their index files. Index frames are tiny:
+    * every join side is broadcast. */
+  def indicesAsDataFrame(spark: SparkSession, storage: Storage, uuid: String,
+                         columns: Seq[String] = Nil): DataFrame = {
+    val meta = DatasetMetadata.load(storage, uuid)
+    val schema = DatasetMetadata.loadSchema(storage, uuid)
+    val cols = if (columns.nonEmpty) columns
+               else (meta.partitionKeys ++ meta.indices.keySet.toSeq.sorted).distinct
+    val frames: Seq[DataFrame] = cols.map { c =>
+      if (meta.partitionKeys.contains(c)) {
+        val i = meta.partitionKeys.indexOf(c)
+        val rows = meta.partitions.map(l => Row(l, meta.partitionValues(l)(i)))
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1),
+            StructType(Seq(StructField("label", StringType), StructField(c, StringType))))
+          .select(col("label"), col(c).cast(schema(c).dataType).as(c))
+      } else {
+        require(meta.indices.contains(c),
+          s"Column '$c' is neither a partition key nor an indexed column of '$uuid'")
+        SecondaryIndex.asFlat(SecondaryIndex.load(spark, storage, meta.indices(c)))
+          .select(col("label"), col(SecondaryIndex.ValueCol).as(c))
+      }
+    }
+    frames.reduce((a, b) => a.join(broadcast(b), "label"))
+  }
 }

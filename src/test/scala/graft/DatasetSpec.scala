@@ -281,6 +281,47 @@ class DatasetSpec extends SparkSpec {
     assert(Ops.combineMetadata(Seq(j("1"), j("2"))).isObject)
   }
 
+  test("S7: partition iterator yields one pruned frame per partition") {
+    Writer.store(spark, store, "iter", sampleDf,
+      WriteOpts(partitionOn = Seq("p"), secondaryIndices = Seq("s")))
+    val all = Reader.readPartitionsIterator(spark, store, "iter").toSeq
+    assert(all.size === 3) // one per p value
+    assert(all.map(_._2.count()).sum === 6)
+    // pruning applies before iteration: only p=a survives
+    val pruned = Reader.readPartitionsIterator(spark, store, "iter",
+      columns = Some(Seq("id", "v")),
+      predicates = Some(Seq(Seq(Literal("p", Op.Eq, "a"))))).toSeq
+    assert(pruned.size === 1)
+    assert(pruned.head._2.columns.toSeq === Seq("id", "v"))
+    assert(pruned.head._2.count() === 2)
+  }
+
+  test("A7: indices as (label x columns) matrix") {
+    Writer.store(spark, store, "idxm", sampleDf,
+      WriteOpts(partitionOn = Seq("p"), secondaryIndices = Seq("s")))
+    val m = Reader.indicesAsDataFrame(spark, store, "idxm")
+    assert(m.columns.toSeq === Seq("label", "p", "s"))
+    // every (label, p, s) combination present: 3 partitions x 2 s-values
+    assert(m.count() === 6)
+    val forA = m.where(col("p") === "a").select("s").collect().map(_.getString(0)).toSet
+    assert(forA === Set("x", "y"))
+    intercept[IllegalArgumentException] {
+      Reader.indicesAsDataFrame(spark, store, "idxm", Seq("v"))
+    }
+  }
+
+  test("plan quality: predicates reach the parquet scan as PushedFilters + PartitionFilters") {
+    Writer.store(spark, store, "plan", sampleDf, WriteOpts(partitionOn = Seq("p")))
+    val df = Reader.readTable(spark, store, "plan",
+      columns = Some(Seq("id", "v")),
+      predicates = Some(Seq(Seq(
+        Literal("p", Op.Eq, "a"), Literal("v", Op.Lt, 25.0)))))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(v), LessThan(v,25.0)]"), plan)
+    // payload projection is pruned to the requested + predicate columns
+    assert(plan.contains("ReadSchema: struct<id:bigint,v:double>"), plan)
+  }
+
   test("index algebra: merge / removePartitions / removeValues / observed") {
     import spark.implicits._
     val idx = Seq(("x", Seq("l1", "l2")), ("y", Seq("l2"))).toDF("value", "partitions")
