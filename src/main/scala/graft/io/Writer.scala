@@ -37,9 +37,20 @@ object Writer {
     * partition-key values (reference raises,
     * `io_components/metapartition.py:1195-1200`, vs Spark's silent
     * `__HIVE_DEFAULT_PARTITION__`). Requires >=1 payload column
-    * (`io_components/metapartition.py:1060-1066`). */
-  private def prepare(df: DataFrame, partitionOn: Seq[String]): DataFrame = {
-    val schema = SchemaNorm.normalize(df.schema, partitionOn)
+    * (`io_components/metapartition.py:1060-1066`).
+    *
+    * With `target` set (appends), the frame is CAST to the stored dataset
+    * schema — this is what makes the all-null-column exemption
+    * (`core/common_metadata.py:516-557`) work end-to-end: an incoming
+    * NullType column lands as all-null values of the stored type. On first
+    * writes, NullType columns persist as all-null STRING (Parquet cannot
+    * store Spark's NullType; the reference keeps arrow `null` — documented
+    * deviation with identical read-back values). */
+  private def prepare(df: DataFrame, partitionOn: Seq[String],
+                      target: Option[StructType] = None): DataFrame = {
+    val schema0 = target.getOrElse(SchemaNorm.normalize(df.schema, partitionOn))
+    val schema = StructType(schema0.map(f =>
+      if (f.dataType.isInstanceOf[NullType]) f.copy(dataType = StringType) else f))
     require(schema.length > partitionOn.length,
       "partition_on must leave at least one payload column")
     // The null-partition-key check is FUSED into the write projection via
@@ -181,8 +192,9 @@ object Writer {
       if (storage.exists(s"$uuid/table/${DatasetMetadata.SchemaFileName}"))
         Some(DatasetMetadata.loadSchema(storage, uuid))
       else None
-    val prepared = prepare(df, opts.partitionOn)
-    existingSchema.foreach(s => SchemaNorm.validateCompatible(s, prepared.schema))
+    existingSchema.foreach(s =>
+      SchemaNorm.validateCompatible(s, SchemaNorm.normalize(df.schema, opts.partitionOn)))
+    val prepared = prepare(df, opts.partitionOn, existingSchema)
     val fmt =
       if (DatasetMetadata.exists(storage, uuid))
         DatasetMetadata.load(storage, uuid).format

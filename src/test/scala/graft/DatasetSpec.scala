@@ -322,6 +322,54 @@ class DatasetSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<id:bigint,v:double>"), plan)
   }
 
+  test("all-types fixture roundtrip: bool/binary/date/ts/string/arrays/all-null") {
+    import spark.implicits._
+    val df = Seq((
+        true, Array[Byte](1, -1, 0), java.sql.Date.valueOf("2020-01-01"),
+        1.5f, 7, "héllo", java.sql.Timestamp.valueOf("2020-01-01 12:34:56.789"),
+        Seq(1, 2, 3), Seq(1.5f, 2.5f), Seq("a", "b"), "p1"))
+      .toDF("b_bool", "by_bytes", "d_date", "f_float", "i_int", "s_string",
+        "t_ts", "a_int", "a_float", "a_string", "p")
+      .withColumn("n_null", lit(null))
+    Writer.store(spark, store, "alltypes", df, WriteOpts(partitionOn = Seq("p")))
+    val back = Reader.readTable(spark, store, "alltypes")
+    val types = back.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    // normalization: ints -> bigint, floats -> double, recursively; NullType
+    // columns persist as all-null string
+    assert(types === Map(
+      "p" -> "string", "a_float" -> "array<double>", "a_int" -> "array<bigint>",
+      "a_string" -> "array<string>", "b_bool" -> "boolean", "by_bytes" -> "binary",
+      "d_date" -> "date", "f_float" -> "double", "i_int" -> "bigint",
+      "n_null" -> "string", "s_string" -> "string", "t_ts" -> "timestamp"))
+    val r = back.head
+    assert(r.getAs[Boolean]("b_bool") === true)
+    assert(r.getAs[Array[Byte]]("by_bytes").toSeq === Seq[Byte](1, -1, 0))
+    assert(r.getAs[java.sql.Date]("d_date").toString === "2020-01-01")
+    assert(r.getAs[Double]("f_float") === 1.5)
+    assert(r.getAs[Long]("i_int") === 7L)
+    assert(r.getAs[String]("s_string") === "héllo")
+    assert(r.getAs[java.sql.Timestamp]("t_ts").toString === "2020-01-01 12:34:56.789")
+    assert(r.getAs[Seq[Long]]("a_int") === Seq(1L, 2L, 3L))
+    assert(r.getAs[Seq[Double]]("a_float") === Seq(1.5, 2.5))
+    assert(r.getAs[Seq[String]]("a_string") === Seq("a", "b"))
+    assert(r.isNullAt(r.fieldIndex("n_null")))
+  }
+
+  test("all-null column exemption end-to-end: NullType append casts to stored type") {
+    import spark.implicits._
+    Writer.store(spark, store, "nullex", sampleDf, WriteOpts(partitionOn = Seq("p")))
+    // incoming frame: v is ALL NULL (NullType after lit(null)) — the
+    // reference's empty-partition rule says this is compatible
+    val incoming = Seq((7L, "d", "z")).toDF("id", "p", "s")
+      .withColumn("v", lit(null))
+    Writer.update(spark, store, "nullex", Some(incoming))
+    val back = Reader.readTable(spark, store, "nullex")
+    assert(back.count() === 7)
+    assert(back.schema("v").dataType.typeName === "double")
+    val appended = back.where(col("id") === 7L).head
+    assert(appended.isNullAt(appended.fieldIndex("v")))
+  }
+
   test("index algebra: merge / removePartitions / removeValues / observed") {
     import spark.implicits._
     val idx = Seq(("x", Seq("l1", "l2")), ("y", Seq("l2"))).toDF("value", "partitions")
