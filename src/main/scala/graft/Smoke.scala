@@ -75,7 +75,25 @@ object Smoke {
       Reader.readTable(spark, store, "li", columns = Some(Seq("nope")))
     }
 
-    // 6. events (nanos timestamps) + documents + embeddings
+    // 6. dynamic dataset (empty header, uncommitted writes visible)
+    val sup = spark.read.parquet(s"$sfDir/supplier.parquet")
+    Writer.createEmptyDatasetHeader(store, "dyn", sup.schema, Seq("s_nationkey"))
+    Writer.writeSinglePartition(spark, store, "dyn", sup,
+      WriteOpts(partitionOn = Seq("s_nationkey")))
+    println(s"== dynamic read (no commit): ${Reader.readTable(spark, store, "dyn").count()} rows")
+
+    // 7. csv.gz-serialized dataset roundtrip
+    val nat = spark.read.parquet(s"$sfDir/nation.parquet")
+    Writer.store(spark, store, "natcsv", nat,
+      WriteOpts(partitionOn = Seq("n_regionkey"), format = "csv.gz"))
+    println(s"== csv.gz dataset read: ${Reader.readTable(spark, store, "natcsv").count()} rows")
+
+    // 8. per-partition iterator + index matrix
+    val it = Reader.readPartitionsIterator(spark, store, "natcsv").take(2).toSeq
+    println(s"== iterator first 2 partitions: ${it.map(p => p._1 + "->" + p._2.count()).mkString(", ")}")
+    println(s"== indices matrix rows: ${Reader.indicesAsDataFrame(spark, store, "li").count()}")
+
+    // 9. events (nanos timestamps) + documents + embeddings
     try {
       val ev = spark.read.parquet(s"$sfDir/events.parquet")
       println("== events schema: " + ev.schema.simpleString)
