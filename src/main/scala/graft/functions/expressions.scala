@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the near-duplicate pipeline hot path.
+  *
+  * The composable-HOF versions (`transform`/`zip_with`/`slice`) evaluate one
+  * interpreted lambda call per array element — measured ~30µs per shingle on
+  * the documents table, dominating every near-dup operator. These expressions
+  * do the same work in one tight loop per ROW and stay inside whole-stage
+  * codegen (`doGenCode` emits a single call on a referenced object), so the
+  * surrounding plan keeps its codegen spans.
+  */
+object expressions {
+  /** Wrap a custom expression as a user-facing Column (Spark 4 column API). */
+  private[graft] def asColumn(e: Expression): Column = ColumnBridge.column(e)
+  private[graft] def exprOf(c: Column): Expression = ColumnBridge.expression(c)
+}
+
+/** Distinct n-token word shingles of a lower-cased, space-trimmed,
+  * whitespace-split text. Exactly mirrors
+  * `array_distinct(zip_with-window(split(trim(lower(text)), "\\s+")))`:
+  * only FULL n-token windows are produced (docs with < n tokens yield an
+  * empty array), first-occurrence order is preserved. */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  def compute(s: UTF8String): ArrayData = {
+    // the same operators Spark's lower/trim/split functions delegate to
+    val toks = s.toLowerCase.trim.toString.split("\\s+", -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingler", this, classOf[WordShingles].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** k-value MinHash signature over a shingle array: sig[j] = min over
+  * shingles s of murmur3(s, seed = j) — bit-identical to
+  * `array((0 until k).map(j => array_min(transform(sh, s => hash(s, lit(j))))))`
+  * but hashing each shingle's bytes in one loop per row instead of k
+  * interpreted passes over the array. */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1, s"signature length must be >= 1, got $k")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  def compute(arr: ArrayData): ArrayData = {
+    val mins = new Array[Int](k)
+    java.util.Arrays.fill(mins, Integer.MAX_VALUE)
+    val len = arr.numElements()
+    var i = 0
+    while (i < len) {
+      val s = arr.getUTF8String(i)
+      val base = s.getBaseObject
+      val off = s.getBaseOffset
+      val nb = s.numBytes()
+      var j = 0
+      while (j < k) {
+        val h = Murmur3_x86_32.hashUnsafeBytes(base, off, nb, j)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhasher", this, classOf[MinHashSignature].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}

@@ -36,24 +36,22 @@ object Dedup {
       .agg(sort_array(collect_list(col(idCol))).as("ids"),
            count(lit(1)).as("n_dups"))
 
-  /** Word shingles: lower-cased, whitespace-tokenized, n-token windows,
-    * distinct. Pure column expressions. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(trim(lower(text)), "\\s+")
-    val count = size(toks) - (n - 1)
-    array_distinct(
-      filter(
-        transform(sequence(lit(0), greatest(count - 1, lit(0))),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
-        s => length(s) > 0))
-  }
+  /** Word shingles: lower-cased, whitespace-tokenized, FULL n-token windows,
+    * distinct (docs with < n tokens yield an empty set). A custom codegen'd
+    * Catalyst expression ([[graft.functions.WordShingles]]): the HOF
+    * composition (`transform`/`zip_with`/`slice`) paid one interpreted
+    * lambda call per array element and dominated every near-dup operator. */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.expressions.asColumn(
+      graft.functions.WordShingles(graft.functions.expressions.exprOf(text), n))
 
   /** k MinHash values over the shingle set: h_j = min_s murmur3(s, seed_j).
-    * One row per doc, signature as array<int>. */
+    * One row per doc, signature as array<int>. Custom codegen'd expression,
+    * bit-identical to `array_min(transform(sh, s => hash(s, lit(j))))` per j
+    * but one tight loop per row ([[graft.functions.MinHashSignature]]). */
   def minhashSignature(shingleCol: Column, k: Int): Column =
-    array((0 until k).map { j =>
-      array_min(transform(shingleCol, s => hash(s, lit(j))))
-    }: _*)
+    graft.functions.expressions.asColumn(
+      graft.functions.MinHashSignature(graft.functions.expressions.exprOf(shingleCol), k))
 
   /** LSH band hashes: split the k-length signature into `bands` bands and
     * hash each band (band id mixed in). */

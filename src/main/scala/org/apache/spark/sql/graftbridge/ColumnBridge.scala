@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column <-> Expression bridge for custom Catalyst expressions.
+  *
+  * Spark 4's public Column API wraps ColumnNode, and the converters
+  * (`ExpressionUtils.column/expression`) are `private[sql]` — this object
+  * lives under the sql package solely to re-export them to graft. The same
+  * pattern every Spark extension library uses to register non-SQL-visible
+  * expressions.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
