@@ -90,12 +90,14 @@ case class MinHashSignature(child: Expression, k: Int)
     var i = 0
     while (i < len) {
       val s = arr.getUTF8String(i)
-      val base = s.getBaseObject
-      val off = s.getBaseOffset
-      val nb = s.numBytes()
+      // hash(s, lit(j)) folds children over Spark's default seed 42:
+      // hashInt(j, hashUnsafeBytes(s, 42)) — one byte-hash per shingle, then
+      // k 4-byte mixes
+      val hs = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+        s.numBytes(), 42)
       var j = 0
       while (j < k) {
-        val h = Murmur3_x86_32.hashUnsafeBytes(base, off, nb, j)
+        val h = Murmur3_x86_32.hashInt(j, hs)
         if (h < mins(j)) mins(j) = h
         j += 1
       }

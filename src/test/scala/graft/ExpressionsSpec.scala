@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+/** Semantic-parity checks for the custom codegen'd Catalyst expressions
+  * against the composable-HOF formulations they replaced (the HOF versions
+  * are the executable spec; the oracle-checked `d_ngram_jaccard` query
+  * guards the same semantics end-to-end). */
+class ExpressionsSpec extends SparkSpec {
+
+  private def hofShingles(text: org.apache.spark.sql.Column, n: Int) = {
+    val toks = split(trim(lower(text)), "\\s+")
+    val joined = (1 until n).foldLeft(toks) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k + 1), greatest(size(toks) - k, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    array_distinct(array_compact(joined))
+  }
+
+  private def hofSignature(sh: org.apache.spark.sql.Column, k: Int) =
+    array((0 until k).map { j =>
+      array_min(transform(sh, s => hash(s, lit(j))))
+    }: _*)
+
+  private val rng = new scala.util.Random(42)
+  private def randomText(): String = {
+    val words = Seq("the", "a", "fox", "dog", "Über", "naïve", "x1", "42",
+      "", "Lorem", "ipsum", "HELLO", "wörld", "тест", "中文", "a-b", "c,d")
+    val seps = Seq(" ", "  ", "\t", "\n", " \t ")
+    val n = rng.nextInt(12)
+    (0 until n).map(_ => words(rng.nextInt(words.size)))
+      .mkString(seps(rng.nextInt(seps.size))) +
+      (if (rng.nextBoolean()) "  " else "")
+  }
+
+  test("WordShingles matches the HOF composition on randomized texts (n=2,3,4)") {
+    import spark.implicits._
+    val texts = (0 until 300).map(_ => randomText()) ++ Seq(
+      "", "   ", "\t\t", "one", "one two", "one two three",
+      "a a a a a", "x   y z w") // NBSP is NOT \s — stays inside a token
+    val df = texts.toDF("text").cache()
+    for (n <- Seq(2, 3, 4)) {
+      val got = df.select(Dedup.shingles(col("text"), n).as("s")).collect()
+        .map(_.getSeq[String](0))
+      val want = df.select(hofShingles(col("text"), n).as("s")).collect()
+        .map(_.getSeq[String](0))
+      assert(got.toSeq === want.toSeq, s"n=$n")
+    }
+  }
+
+  test("MinHashSignature matches per-seed murmur3 array_min exactly") {
+    import spark.implicits._
+    val df = (0 until 100).map(_ => randomText()).toDF("text")
+      .select(Dedup.shingles(col("text"), 2).as("sh"))
+      .where(size(col("sh")) > 0)
+      .cache()
+    val got = df.select(Dedup.minhashSignature(col("sh"), 16).as("sig"))
+      .collect().map(_.getSeq[Int](0))
+    val want = df.select(hofSignature(col("sh"), 16).as("sig"))
+      .collect().map(_.getSeq[Int](0))
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("custom expressions survive codegen and interpreted paths") {
+    import spark.implicits._
+    val df = Seq("the quick brown fox jumps").toDF("text")
+    val viaCodegen = df.select(Dedup.shingles(col("text"), 3)).head.getSeq[String](0)
+    assert(viaCodegen === Seq("the quick brown", "quick brown fox", "brown fox jumps"))
+    // empty + sub-n inputs
+    assert(df.select(Dedup.shingles(lit(""), 3)).head.getSeq[String](0).isEmpty)
+    assert(df.select(Dedup.shingles(lit("one two"), 3)).head.getSeq[String](0).isEmpty)
+    // null text -> null array (UnaryExpression null propagation)
+    assert(df.select(Dedup.shingles(lit(null).cast("string"), 3)).head.isNullAt(0))
+  }
+}
