@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.hash.Murmur3_x86_32
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -115,5 +115,98 @@ case class MinHashSignature(child: Expression, k: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** Sequential-fold dot product over two numeric arrays — bit-identical to
+  * `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)` (same left-to-right IEEE
+  * summation order, so oracle comparisons stay exact), including its null
+  * semantics: length mismatch or a null element yields null. Accepts
+  * array<float> or array<double> on either side without a cast pass. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  @transient private lazy val leftFloat =
+    left.dataType == ArrayType(FloatType, false) || left.dataType == ArrayType(FloatType, true)
+  @transient private lazy val rightFloat =
+    right.dataType == ArrayType(FloatType, false) || right.dataType == ArrayType(FloatType, true)
+
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dotter", this, classOf[DotProduct].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double r = $ref.compute($a, $b);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DotProduct = copy(left = newLeft, right = newRight)
+}
+
+/** 32-bit-vote SimHash over the distinct whitespace tokens of a lower-cased,
+  * space-trimmed text. Bit i of the result is set iff
+  * sum over tokens of (+1 if bit i of murmur3(token) else -1) is positive —
+  * the one-loop form of 32 `aggregate` passes over a `transform`-hashed
+  * token array. */
+case class SimHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash"
+
+  def compute(s: UTF8String): Long = {
+    val toks = s.toLowerCase.trim.toString.split("\\s+", -1)
+    val seen = new java.util.HashSet[String](toks.length * 2)
+    val votes = new Array[Int](32)
+    var t = 0
+    while (t < toks.length) {
+      if (seen.add(toks(t))) {
+        val u = UTF8String.fromString(toks(t))
+        val h = Murmur3_x86_32.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset,
+          u.numBytes(), 42)
+        var i = 0
+        while (i < 32) {
+          votes(i) += (if (((h >>> i) & 1) == 1) 1 else -1)
+          i += 1
+        }
+      }
+      t += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 32) {
+      if (votes(i) > 0) out |= 1L << i
+      i += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhasher", this, classOf[SimHash].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash =
     copy(child = newChild)
 }

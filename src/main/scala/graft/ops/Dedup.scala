@@ -126,20 +126,13 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash over tokens: bit i of the hash is the sign of
-    * sum_t (+1 if bit i of murmur3(t) else -1). */
-  def simhash(text: Column): Column = {
-    val toks = array_distinct(split(trim(lower(text)), "\\s+"))
-    val hashes = transform(toks, t => hash(t).cast("long"))
-    // 32 sign-vote bits; bit index is a Scala constant so the shifts stay
-    // simple codegen'd integer ops
-    val bits = (0 until 32).map { i =>
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  /** SimHash over distinct tokens: bit i of the hash is the sign of
+    * sum_t (+1 if bit i of murmur3(t) else -1). Custom codegen'd expression
+    * ([[graft.functions.SimHash]]) — the one-loop form of 32 `aggregate`
+    * passes over a `transform`-hashed token array. */
+  def simhash(text: Column): Column =
+    graft.functions.expressions.asColumn(
+      graft.functions.SimHash(graft.functions.expressions.exprOf(text)))
 
   /** Near-dup pairs by embedding cosine within LSH (random hyperplane)
     * buckets: docs whose sign-pattern over `planes` deterministic
@@ -152,11 +145,8 @@ object Dedup {
     def comp(p: Int, i: Column): Column =
       (pmod(hash(lit(p), i), lit(1000)).cast("double") - 499.5) / 500.0
     val sigBit = (p: Int) => {
-      val dot = aggregate(
-        zip_with(col("v").cast("array<double>"),
-          transform(sequence(lit(0), lit(dim - 1)), i => comp(p, i)),
-          (a, b) => a * b),
-        lit(0.0), (acc, x) => acc + x)
+      val dot = Similarity.dot(col("v"),
+        transform(sequence(lit(0), lit(dim - 1)), i => comp(p, i)))
       when(dot >= 0, lit(1)).otherwise(lit(0))
     }
     val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"))

@@ -14,11 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product — deterministic summation order, so results
-    * are bit-stable across runs and engines. */
+  /** Sequential-fold dot product — deterministic left-to-right summation
+    * order, so results are bit-stable across runs and engines (DuckDB's
+    * list_sum folds the same way). Custom codegen'd expression
+    * ([[graft.functions.DotProduct]]) accepting float or double arrays —
+    * the `aggregate(zip_with(...))` form paid one interpreted lambda call
+    * per dimension. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"), _ * _),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.expressions.asColumn(graft.functions.DotProduct(
+      graft.functions.expressions.exprOf(a),
+      graft.functions.expressions.exprOf(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -50,10 +55,7 @@ object Similarity {
     def comp(p: Int, i: Column): Column =
       (pmod(hash(lit(p), i), lit(1000)).cast("double") - 499.5) / 500.0
     val bits = (0 until planes).map { p =>
-      val d = aggregate(
-        zip_with(vec.cast("array<double>"),
-          transform(sequence(lit(0), lit(dim - 1)), i => comp(p, i)), _ * _),
-        lit(0.0), (acc, x) => acc + x)
+      val d = dot(vec, transform(sequence(lit(0), lit(dim - 1)), i => comp(p, i)))
       when(d >= 0, lit(1)).otherwise(lit(0))
     }
     concat_ws("", bits: _*)

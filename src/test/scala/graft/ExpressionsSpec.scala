@@ -62,6 +62,44 @@ class ExpressionsSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("SimHash matches the 32-aggregate-pass HOF composition") {
+    import spark.implicits._
+    def hofSimhash(text: org.apache.spark.sql.Column) = {
+      val toks = array_distinct(split(trim(lower(text)), "\\s+"))
+      val hashes = transform(toks, t => hash(t).cast("long"))
+      val bits = (0 until 32).map { i =>
+        val vote = aggregate(hashes, lit(0L),
+          (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        when(vote > 0, lit(1L << i)).otherwise(lit(0L))
+      }
+      bits.reduce((a, b) => a.bitwiseOR(b))
+    }
+    val df = ((0 until 200).map(_ => randomText()) ++ Seq("", " ", "one"))
+      .toDF("text").cache()
+    val got = df.select(graft.ops.Dedup.simhash(col("text"))).collect().map(_.getLong(0))
+    val want = df.select(hofSimhash(col("text"))).collect().map(_.getLong(0))
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("DotProduct matches aggregate(zip_with) bit-exactly incl. float inputs") {
+    import spark.implicits._
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"), _ * _),
+        lit(0.0), (acc, x) => acc + x)
+    val vecs = (0 until 100).map(_ =>
+      ((0 until 64).map(_ => rng.nextFloat() * 2 - 1).toArray,
+       (0 until 64).map(_ => rng.nextDouble() * 2 - 1).toArray))
+    val df = vecs.toDF("a", "b").cache()
+    val got = df.select(graft.ops.Similarity.dot(col("a"), col("b"))).collect()
+      .map(_.getDouble(0))
+    val want = df.select(hofDot(col("a"), col("b"))).collect().map(_.getDouble(0))
+    // bit-exact equality, not approximate: summation order must be identical
+    assert(got.toSeq === want.toSeq)
+    // length mismatch -> null, like zip_with's null padding through the sum
+    val mm = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
+    assert(mm.select(graft.ops.Similarity.dot(col("a"), col("b"))).head.isNullAt(0))
+  }
+
   test("custom expressions survive codegen and interpreted paths") {
     import spark.implicits._
     val df = Seq("the quick brown fox jumps").toDF("text")
