@@ -22,6 +22,24 @@ object expressions {
   /** Wrap a custom expression as a user-facing Column (Spark 4 column API). */
   private[graft] def asColumn(e: Expression): Column = ColumnBridge.column(e)
   private[graft] def exprOf(c: Column): Expression = ColumnBridge.expression(c)
+
+  private def intArg(e: Expression, fn: String): Int = {
+    require(e.foldable, s"$fn: size argument must be a literal")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+
+  /** Register all graft expressions as SQL temp functions on a session:
+    * `word_shingles(text, n)`, `minhash_signature(arr, k)`,
+    * `dot_product(a, b)`, `simhash(text)`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    ColumnBridge.registerFunction(spark, "word_shingles",
+      es => WordShingles(es.head, intArg(es(1), "word_shingles")))
+    ColumnBridge.registerFunction(spark, "minhash_signature",
+      es => MinHashSignature(es.head, intArg(es(1), "minhash_signature")))
+    ColumnBridge.registerFunction(spark, "dot_product",
+      es => DotProduct(es.head, es(1)))
+    ColumnBridge.registerFunction(spark, "simhash", es => SimHash(es.head))
+  }
 }
 
 /** Distinct n-token word shingles of a lower-cased, space-trimmed,

@@ -100,6 +100,19 @@ class ExpressionsSpec extends SparkSpec {
     assert(mm.select(graft.ops.Similarity.dot(col("a"), col("b"))).head.isNullAt(0))
   }
 
+  test("expressions are usable from SQL after registration") {
+    graft.ops.Dedup // touch
+    graft.functions.expressions.register(spark)
+    val r = spark.sql(
+      """SELECT word_shingles('A b  c d', 2) AS sh,
+                simhash('a b c') AS sim,
+                dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
+                minhash_signature(array('x', 'y'), 4) AS sig""").head
+    assert(r.getSeq[String](0) === Seq("a b", "b c", "c d"))
+    assert(r.getDouble(2) === 11.0)
+    assert(r.getSeq[Int](3).size === 4)
+  }
+
   test("custom expressions survive codegen and interpreted paths") {
     import spark.implicits._
     val df = Seq("the quick brown fox jumps").toDF("text")
