@@ -126,6 +126,24 @@ object SparkEntry {
       Reader.readTable(s, st, "sup_dyn")
     }),
 
+    // --- streaming ingestion (beyond-reference): micro-batches land through
+    // the same atomic header-swap commit as batch appends
+    "st_stream_ingest" -> ((s, dir) => {
+      val st = ensure(s, dir, "cust_stream") { st =>
+        // a stale dataset from a previous JVM would turn batch 0 into an
+        // append; streaming ingest must start from a clean slate
+        Ops.deleteDataset(st, "cust_stream")
+        val cust = rd(s, dir, "customer")
+        val q = graft.streaming.Streaming.writeStreamAppend(
+          s.readStream.schema(cust.schema)
+            .option("pathGlobFilter", "customer.parquet").parquet(dir),
+          st, "cust_stream",
+          WriteOpts(partitionOn = Seq("c_mktsegment"), overwrite = true))
+        q.awaitTermination(300000)
+      }
+      Reader.readTable(s, st, "cust_stream")
+    }),
+
     // --- P2: != keeps nulls (reference numpy semantics)
     "p2_ne" -> ((s, dir) => {
       val docs = rd(s, dir, "documents")
@@ -480,6 +498,8 @@ object SparkEntry {
         "SELECT p_brand, p_name, p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS p_size, p_type FROM part",
       "w8_dynamic_read" ->
         "SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, s_acctbal, s_name, s_suppkey FROM supplier",
+      "st_stream_ingest" ->
+        "SELECT c_mktsegment, c_acctbal, c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey FROM customer",
       "p2_ne" ->
         "SELECT doc_id, lang FROM documents WHERE lang != 'en' OR lang IS NULL",
       "p3_distinct_from" ->

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+import graft.io.{Writer}
+import graft.io.Writer.WriteOpts
+import graft.meta.DatasetMetadata
+import graft.store.Storage
+
+/** Structured Streaming over the dataset layer — a beyond-reference
+  * extension (the reference is batch-only, SURVEY.md §2.10; its closest
+  * notions are the iterator backend and two-phase commit).
+  *
+  * Read side: a dataset's hive-layout table directory IS a valid streaming
+  * file source, so `readStream` needs no custom Source. Write side:
+  * `foreachBatch` funnels every micro-batch through [[Writer.update]], i.e.
+  * each batch lands with the SAME atomic header-swap commit protocol as a
+  * batch append — a crash between batches never leaves a half-visible
+  * dataset, and batch data files are GC-able orphans until their commit.
+  */
+object Streaming {
+
+  /** Incremental read of a dataset as new partition files land
+    * (`maxFilesPerTrigger` bounds per-batch work). The dataset schema is
+    * applied exactly as in batch reads. */
+  def readStream(spark: SparkSession, storage: Storage, uuid: String,
+                 maxFilesPerTrigger: Int = 1000): DataFrame = {
+    val schema = DatasetMetadata.loadSchema(storage, uuid)
+    val meta = DatasetMetadata.load(storage, uuid)
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(s"${storage.base}/${meta.tablePrefix}")
+  }
+
+  /** Stream into a dataset: one atomic commit per micro-batch. Returns the
+    * started query; callers own trigger/checkpoint configuration via
+    * `configure` (defaults: availableNow, temp checkpoint). */
+  def writeStreamAppend(stream: DataFrame, storage: Storage, uuid: String,
+                        opts: WriteOpts = WriteOpts(),
+                        configure: DataStreamWriter[Row] => DataStreamWriter[Row] =
+                          _.trigger(Trigger.AvailableNow())): StreamingQuery = {
+    val writer = stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          if (DatasetMetadata.exists(storage, uuid))
+            Writer.update(batch.sparkSession, storage, uuid, Some(batch), Nil, opts)
+          else
+            Writer.store(batch.sparkSession, storage, uuid, batch, opts)
+          ()
+        }
+    }
+    configure(writer).start()
+  }
+}
