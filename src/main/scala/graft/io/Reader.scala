@@ -3,7 +3,7 @@ package graft.io
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.dnf.{Literal, Predicates}
+import graft.dnf.{Literal, Op, Predicates}
 import graft.dnf.Predicates.{Conjunction, Predicates => Preds}
 import graft.index.SecondaryIndex
 import graft.meta.DatasetMetadata
@@ -164,6 +164,60 @@ object Reader {
         .getOrElse(filtered.select(schema.fieldNames.map(col).toSeq: _*))
       label -> projected
     }
+  }
+
+  /** Catalyst-integrated read (the SURVEY §4 "deluxe variant"): the returned
+    * DataFrame is backed by a custom `FileIndex`, so secondary-index and
+    * partition-value pruning happen at SCAN PLANNING time — `.filter`s
+    * composed long after this call still shrink the file list, which
+    * `readTable`'s pre-planned pruning cannot do. */
+  def readTableIndexed(spark: SparkSession, storage: Storage, uuid: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    import org.apache.spark.sql.catalyst.expressions.{Expression => CExpr, Literal => CatalystLit, _}
+    import org.apache.spark.sql.graftbridge.{GraftFileIndex, GraftRelation}
+    val meta = DatasetMetadata.load(storage, uuid)
+    val schema = DatasetMetadata.loadSchema(storage, uuid)
+    val partSchema = StructType(meta.partitionKeys.map(k => schema(k)))
+    val dataSchema = StructType(schema.filterNot(f => meta.partitionKeys.contains(f.name)))
+    val idxCols = meta.indices.keySet -- meta.partitionKeys.toSet
+
+    def toScala(l: org.apache.spark.sql.catalyst.expressions.Literal): Any =
+      CatalystTypeConverters.convertToScala(l.value, l.dataType)
+    // conservative conjunct translation: only shapes we understand prune
+    def asLiteral(e: CExpr): Option[Literal] = e match {
+      case EqualTo(a: AttributeReference, l: CatalystLit) if idxCols(a.name) =>
+        Some(Literal(a.name, Op.Eq, toScala(l)))
+      case EqualTo(l: CatalystLit, a: AttributeReference) if idxCols(a.name) =>
+        Some(Literal(a.name, Op.Eq, toScala(l)))
+      case In(a: AttributeReference, vs) if idxCols(a.name) && vs.forall(_.isInstanceOf[CatalystLit]) =>
+        Some(Literal(a.name, Op.In, vs.map(v => toScala(v.asInstanceOf[CatalystLit]))))
+      case InSet(a: AttributeReference, vs) if idxCols(a.name) =>
+        Some(Literal(a.name, Op.In,
+          vs.toSeq.map(v => CatalystTypeConverters.convertToScala(v, a.dataType))))
+      case GreaterThan(a: AttributeReference, l: CatalystLit) if idxCols(a.name) =>
+        Some(Literal(a.name, Op.Gt, toScala(l)))
+      case GreaterThanOrEqual(a: AttributeReference, l: CatalystLit) if idxCols(a.name) =>
+        Some(Literal(a.name, Op.Ge, toScala(l)))
+      case LessThan(a: AttributeReference, l: CatalystLit) if idxCols(a.name) =>
+        Some(Literal(a.name, Op.Lt, toScala(l)))
+      case LessThanOrEqual(a: AttributeReference, l: CatalystLit) if idxCols(a.name) =>
+        Some(Literal(a.name, Op.Le, toScala(l)))
+      case _ => None
+    }
+    val pruner: Seq[CExpr] => Option[Set[String]] = { dataFilters =>
+      val sets = dataFilters.flatMap(asLiteral).map { lit =>
+        SecondaryIndex.evalLiteral(
+          SecondaryIndex.load(spark, storage, meta.indices(lit.column)), lit)
+      }
+      if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+    }
+    val idx = new GraftFileIndex(spark,
+      new org.apache.hadoop.fs.Path(s"${storage.base}/${meta.tablePrefix}"),
+      meta.partitions,
+      meta.partitions.map(l => l -> meta.partitionValues(l)).toMap,
+      partSchema, pruner)
+    GraftRelation.table(spark, idx, partSchema, dataSchema, meta.format)
+      .select(schema.fieldNames.map(col).toSeq: _*)
   }
 
   /** Reference `get_indices_as_dataframe` (`core/dataset.py:356-491`): the

@@ -1,0 +1,97 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Cast, Expression, Literal, Predicate}
+import org.apache.spark.sql.classic
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.csv.CSVFileFormat
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A Catalyst `FileIndex` over a graft dataset — the "deluxe variant" of
+  * secondary-index pruning (SURVEY.md §4): instead of pruning before plan
+  * construction, the header's label list and the inverted indices take part
+  * in SCAN PLANNING, so `filter`s composed arbitrarily late (long after the
+  * DataFrame was created) still shrink the file list.
+  *
+  *  - `partitionFilters` are evaluated against the header's decoded
+  *    partition values (no directory listing at planning time; one upfront
+  *    status fetch per file at construction).
+  *  - `dataFilters` go to `indexPrune`, which consults the dataset's
+  *    secondary indices and returns the allowed label set (None = cannot
+  *    prune). Conservative by construction: only conjuncts it understands
+  *    restrict the set.
+  *
+  * At 100 TB the label list and indices are MB-sized driver state while the
+  * pruning they deliver removes whole task waves before scheduling.
+  */
+final class GraftFileIndex(
+    spark: SparkSession,
+    base: Path,
+    labels: Seq[String],
+    values: Map[String, Seq[String]],
+    override val partitionSchema: StructType,
+    indexPrune: Seq[Expression] => Option[Set[String]]) extends FileIndex {
+
+  private val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val statuses: Map[String, FileStatus] =
+    labels.map(l => l -> fs.getFileStatus(new Path(base, l))).toMap
+
+  /** #files produced by the most recent `listFiles` — test observability. */
+  @volatile var lastListedFileCount: Int = -1
+
+  override def rootPaths: Seq[Path] = Seq(base)
+
+  private lazy val partRows: Map[String, InternalRow] = labels.map { l =>
+    val vs = values(l).zip(partitionSchema.fields).map { case (s, f) =>
+      Cast(Literal(UTF8String.fromString(s), StringType), f.dataType,
+        Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
+    }
+    l -> InternalRow.fromSeq(vs)
+  }.toMap
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val byIndex: Set[String] = indexPrune(dataFilters).getOrElse(labels.toSet)
+    val keep0 = labels.filter(byIndex)
+    val keep =
+      if (partitionFilters.isEmpty || partitionSchema.isEmpty) keep0
+      else {
+        val bound = Predicate.createInterpreted(
+          partitionFilters.reduce(And).transform {
+            case a: AttributeReference =>
+              val i = partitionSchema.indexWhere(_.name == a.name)
+              require(i >= 0, s"partition filter on unknown column ${a.name}")
+              BoundReference(i, partitionSchema(i).dataType, nullable = true)
+          })
+        keep0.filter(l => bound.eval(partRows(l)))
+      }
+    lastListedFileCount = keep.size
+    keep.map(l => PartitionDirectory(
+      partRows.getOrElse(l, InternalRow.empty), Array(statuses(l))))
+  }
+
+  override def inputFiles: Array[String] =
+    labels.map(l => new Path(base, l).toString).toArray
+  override def refresh(): Unit = ()
+  override def sizeInBytes: Long = statuses.values.map(_.getLen).sum
+}
+
+object GraftRelation {
+  /** Build a DataFrame over a custom FileIndex (HadoopFsRelation +
+    * LogicalRelation are `private[sql]`-adjacent internals). */
+  def table(spark0: SparkSession, index: FileIndex,
+            partitionSchema: StructType, dataSchema: StructType,
+            format: String): DataFrame = {
+    val spark = spark0.asInstanceOf[classic.SparkSession]
+    val (fmt, opts) = format match {
+      case "parquet" => (new ParquetFileFormat, Map.empty[String, String])
+      case _ => (new CSVFileFormat, Map("sep" -> ";", "header" -> "true"))
+    }
+    val rel = HadoopFsRelation(index, partitionSchema, dataSchema, None, fmt, opts)(spark)
+    classic.Dataset.ofRows(spark, LogicalRelation(rel, isStreaming = false))
+  }
+}

@@ -74,7 +74,7 @@ class DatasetSpec extends SparkSpec {
     assert(labels.nonEmpty && labels.forall(_.startsWith("p=a/")))
     val df = Reader.readTable(spark, store, "prune",
       predicates = Some(Seq(Seq(Literal("p", Op.Eq, "a")))))
-    assert(df.select("id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    assert(df.select("id").collect().map(_.getAs[Long]("id")).toSet === Set(1L, 2L))
   }
 
   test("secondary-index pruning + predicates + projection") {
@@ -368,6 +368,50 @@ class DatasetSpec extends SparkSpec {
     assert(back.schema("v").dataType.typeName === "double")
     val appended = back.where(col("id") === 7L).head
     assert(appended.isNullAt(appended.fieldIndex("v")))
+  }
+
+  test("Catalyst FileIndex: late-composed filters prune via secondary index") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // one file per p; s correlates with p so the index CAN prune files
+    val df0 = Seq(
+      (1L, "a", "x", 10.0), (2L, "a", "x", 20.0),
+      (3L, "b", "y", 30.0), (4L, "b", "y", 40.0),
+      (5L, "c", "z", 50.0), (6L, "c", "x", 60.0)
+    ).toDF("id", "p", "s", "v")
+    Writer.store(spark, store, "fidx", df0,
+      WriteOpts(partitionOn = Seq("p"), secondaryIndices = Seq("s")))
+
+    def fileIndexOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: FileSourceScanExec =>
+          f.relation.location.asInstanceOf[org.apache.spark.sql.graftbridge.GraftFileIndex]
+      }.get
+
+    val base = Reader.readTableIndexed(spark, store, "fidx")
+    assert(base.count() === 6)
+    assert(fileIndexOf(base).lastListedFileCount === 3)
+
+    // data filter on the INDEXED column, composed after the read: only the
+    // labels whose index entry contains "x" are scanned (p=a and p=c)
+    val byIndex = base.where(col("s") === "x")
+    assert(byIndex.collect().map(_.getAs[Long]("id")).toSet === Set(1L, 2L, 6L))
+    assert(fileIndexOf(byIndex).lastListedFileCount === 2)
+
+    // partition filter prunes through Catalyst's PartitionFilters path
+    val byKey = base.where(col("p") === "b" && col("v") > 30.0)
+    assert(byKey.collect().map(_.getAs[Long]("id")).toSeq === Seq(4L))
+    assert(fileIndexOf(byKey).lastListedFileCount === 1)
+
+    // combined: index AND key pruning intersect
+    val both = base.where(col("p").isin("a", "b") && col("s") === "x")
+    assert(both.collect().map(_.getAs[Long]("id")).toSet === Set(1L, 2L))
+    assert(fileIndexOf(both).lastListedFileCount === 1)
+
+    // non-indexed data filters must not prune (conservative fallback)
+    val noPrune = base.where(col("v") >= 50.0)
+    assert(noPrune.count() === 2)
+    assert(fileIndexOf(noPrune).lastListedFileCount === 3)
   }
 
   test("index algebra: merge / removePartitions / removeValues / observed") {
