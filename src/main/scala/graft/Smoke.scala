@@ -93,6 +93,13 @@ object Smoke {
     println(s"== iterator first 2 partitions: ${it.map(p => p._1 + "->" + p._2.count()).mkString(", ")}")
     println(s"== indices matrix rows: ${Reader.indicesAsDataFrame(spark, store, "li").count()}")
 
+    // 8b. Catalyst FileIndex: late filters prune through the secondary index
+    val lateFiltered = Reader.readTableIndexed(spark, store, "li")
+      .where(col("l_linestatus") === "F" && col("l_quantity") < 10)
+    println(s"== readTableIndexed late-filtered rows: ${lateFiltered.count()}")
+    println(s"== profile:")
+    Ops.profile(li, Seq("l_orderkey", "l_returnflag")).show(false)
+
     // 9. events (nanos timestamps) + documents + embeddings
     try {
       val ev = spark.read.parquet(s"$sfDir/events.parquet")

@@ -431,6 +431,10 @@ object SparkEntry {
     "m_media_stats" -> ((s, dir) =>
       Multimodal.mediaStats(Multimodal.asMedia(rd(s, dir, "documents"), "text", "image"))),
 
+    // --- dataset profiling: per-column audit in one aggregation pass
+    "a_profile" -> ((s, dir) =>
+      Ops.profile(rd(s, dir, "documents"), Seq("doc_id", "lang", "n_chars"))),
+
     // ---- non-SQL-expressible operators (driver records rows-only checks) --
 
     // A4: dataset content hash (hash values are engine-specific by design)
@@ -622,6 +626,17 @@ object SparkEntry {
                / greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1) AS stop_ratio
            FROM documents""",
       "t_lang_id" -> langCase,
+      "a_profile" ->
+        """SELECT 'doc_id' AS "column", count(doc_id) AS n_nonnull,
+             count(DISTINCT doc_id) AS n_distinct,
+             CAST(min(doc_id) AS VARCHAR) AS vmin, CAST(max(doc_id) AS VARCHAR) AS vmax
+           FROM documents
+           UNION ALL
+           SELECT 'lang', count(lang), count(DISTINCT lang),
+             CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR) FROM documents
+           UNION ALL
+           SELECT 'n_chars', count(n_chars), count(DISTINCT n_chars),
+             CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents""",
       "t_fingerprint" ->
         """SELECT doc_id, CAST(list_sum(list_transform(
              string_split_regex(trim(lower(text)), '\s+'),

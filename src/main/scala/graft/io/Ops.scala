@@ -128,6 +128,30 @@ object Ops {
     else df.agg(h)
   }
 
+  /** Per-column dataset profile (beyond-reference; the audit every
+    * training-data pipeline runs before a 100 TB job): non-null count,
+    * distinct count, min/max as strings — ONE aggregation pass over the
+    * data, exploded to long format (column, n_nonnull, n_distinct, vmin,
+    * vmax). `exact=false` switches distinct counting to HLL
+    * (`approx_count_distinct`), the only sane mode at full scale. */
+  def profile(df: DataFrame, columns: Seq[String] = Nil,
+              exact: Boolean = true): DataFrame = {
+    val cols = if (columns.nonEmpty) columns else df.columns.toSeq
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__n_$c"),
+        (if (exact) count_distinct(col(c)) else approx_count_distinct(col(c))).as(s"__d_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val pairs = cols.map { c =>
+      struct(lit(c).as("column"), col(s"__n_$c").as("n_nonnull"),
+        col(s"__d_$c").as("n_distinct"), col(s"__min_$c").as("vmin"),
+        col(s"__max_$c").as("vmax"))
+    }
+    one.select(explode(array(pairs: _*)).as("p")).select("p.*")
+  }
+
   /** Reference `collect_dataset_metadata` (`io/dask/dataframe.py:535-616`):
     * per-file Parquet footer statistics as a DataFrame. Footers are read in
     * a distributed pass over the file list — never loading data pages. */
