@@ -446,6 +446,13 @@ object SparkEntry {
       Dedup.minhashNearDups(rd(s, dir, "documents"), "text", "doc_id",
         numHashes = 32, bands = 8, shingleN = 3, threshold = 0.3)),
 
+    // near-dup clusters: pairs -> connected components -> (id, cluster_id)
+    "d_dedup_clusters" -> ((s, dir) =>
+      Dedup.nearDupClusters(
+        Dedup.minhashNearDups(rd(s, dir, "documents"), "text", "doc_id",
+          numHashes = 32, bands = 8, shingleN = 3, threshold = 0.3)
+          .select("id_a", "id_b"))),
+
     // SimHash signatures (murmur3-based, engine-specific values)
     "d_simhash" -> ((s, dir) =>
       rd(s, dir, "documents")

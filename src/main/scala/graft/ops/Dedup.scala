@@ -134,6 +134,44 @@ object Dedup {
     graft.functions.expressions.asColumn(
       graft.functions.SimHash(graft.functions.expressions.exprOf(text)))
 
+  /** Collapse near-dup pairs into clusters: every member gets the minimum id
+    * of its connected component, via iterative min-label propagation —
+    * O(component diameter) rounds, each one hash-shuffle join on ids (never
+    * materializing components on the driver). Near-dup components are
+    * short chains in practice, so convergence is fast; `maxIters` bounds
+    * pathological inputs. Returns (id, cluster_id). */
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("nid")).agg(min("cluster_id").as("nmin"))
+      // localCheckpoint cuts the growing lineage each round
+      val updated = labels.join(neighborMin, labels("id") === col("nid"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint()
+      converged = updated.join(labels.withColumnRenamed("cluster_id", "old"), "id")
+        .where(col("cluster_id") =!= col("old")).isEmpty
+      labels.unpersist(false)
+      labels = updated
+      i += 1
+    }
+    labels
+  }
+
+  /** Keep one representative per near-dup cluster: drops every row whose id
+    * belongs to a cluster but is not its minimum-id representative. */
+  def dedupByClusters(df: DataFrame, idCol: String, clusters: DataFrame): DataFrame =
+    df.join(
+      clusters.where(col("id") =!= col("cluster_id")).select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Near-dup pairs by embedding cosine within LSH (random hyperplane)
     * buckets: docs whose sign-pattern over `planes` deterministic
     * pseudo-random hyperplanes matches land in one bucket; exact cosine

@@ -414,6 +414,32 @@ class DatasetSpec extends SparkSpec {
     assert(fileIndexOf(noPrune).lastListedFileCount === 3)
   }
 
+  test("special characters in partition values roundtrip and prune (url-encoding)") {
+    import spark.implicits._
+    val tricky = Seq((1L, "a b", 1.0), (2L, "c/d", 2.0), (3L, "e=f%g", 3.0),
+      (4L, "h:i", 4.0))
+      .toDF("id", "p", "v")
+    Writer.store(spark, store, "urlenc", tricky, WriteOpts(partitionOn = Seq("p")))
+    val meta = DatasetMetadata.load(store, "urlenc")
+    // decoded values recovered from the hive-escaped paths
+    assert(meta.partitions.map(meta.partitionValues(_).head).toSet ===
+      Set("a b", "c/d", "e=f%g", "h:i"))
+    val back = Reader.readTable(spark, store, "urlenc")
+    assert(back.select("p").collect().map(_.getString(0)).toSet ===
+      Set("a b", "c/d", "e=f%g", "h:i"))
+    // key pruning works on a value that needs escaping
+    val pruned = Reader.readTable(spark, store, "urlenc",
+      predicates = Some(Seq(Seq(Literal("p", Op.Eq, "c/d")))))
+    assert(pruned.collect().map(_.getAs[Long]("id")).toSeq === Seq(2L))
+  }
+
+  test("P12: empty projection returns row-count-preserving empty frame") {
+    Writer.store(spark, store, "emptyproj", sampleDf, WriteOpts(partitionOn = Seq("p")))
+    val out = Reader.readTable(spark, store, "emptyproj", columns = Some(Nil))
+    assert(out.columns.isEmpty)
+    assert(out.count() === 6)
+  }
+
   test("index algebra: merge / removePartitions / removeValues / observed") {
     import spark.implicits._
     val idx = Seq(("x", Seq("l1", "l2")), ("y", Seq("l2"))).toDF("value", "partitions")

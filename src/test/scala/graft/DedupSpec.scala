@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+/** Dedup-operator semantics beyond what the oracle queries pin down. */
+class DedupSpec extends SparkSpec {
+
+  test("nearDupClusters: min-label propagation finds connected components") {
+    import spark.implicits._
+    // components: {1,2,3,4} (chain), {10,11}, {20,21,22} (star on 21)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (21L, 20L), (21L, 22L)).toDF("id_a", "id_b")
+    val clusters = Dedup.nearDupClusters(pairs)
+    val m = clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("dedupByClusters keeps exactly one representative per cluster") {
+    import spark.implicits._
+    val docs = (1L to 25L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupByClusters(docs, "doc_id", Dedup.nearDupClusters(pairs))
+    val ids = kept.collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(2L) && !ids.contains(3L) && !ids.contains(11L))
+    assert(ids.contains(1L) && ids.contains(10L))
+    assert(ids.size === 25 - 3)
+  }
+
+  test("exactGroups finds identical texts regardless of id") {
+    import spark.implicits._
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val g = Dedup.exactGroups(docs, "text", "doc_id")
+      .where(col("n_dups") > 1).collect()
+    assert(g.length === 1)
+    assert(g.head.getSeq[Long](1) === Seq(1L, 2L))
+  }
+
+  test("end-to-end: minhash pairs -> clusters -> dedup keeps distinct docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "an entirely different document about spark datasets and parquet files"),
+      (4L, "completely unrelated content warbling on about benchmarks etc etc")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(docs, "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b")
+    val kept = Dedup.dedupByClusters(docs, "doc_id",
+      Dedup.nearDupClusters(pairs))
+    val ids = kept.collect().map(_.getLong(0)).toSet
+    assert(ids.contains(3L) && ids.contains(4L))
+    assert(ids.contains(1L) && !ids.contains(2L)) // 1-2 near-dups; min id kept
+  }
+}
