@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.dnf.{Literal, Op, Predicates}
+
+/** Property test for the DNF->Column compiler: 150 random DNF trees over a
+  * null-riddled frame, each checked against an INDEPENDENT in-memory
+  * evaluator implementing the reference's numpy null semantics
+  * (`serialization/_generic.py:433-569`). The per-op unit tests pin each
+  * rule; this pins their composition. */
+class PredicatesPropertySpec extends SparkSpec {
+
+  private val rng = new scala.util.Random(20260812)
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("i", LongType, nullable = true),
+    StructField("d", DoubleType, nullable = true),
+    StructField("s", StringType, nullable = true),
+    StructField("b", BooleanType, nullable = true)))
+
+  private def maybe[A](v: A): Any = if (rng.nextInt(4) == 0) null else v
+  private val rows: Seq[Row] = (0 until 60).map { id =>
+    Row(id.toLong, maybe(rng.nextInt(6).toLong),
+      maybe(rng.nextInt(5) + 0.5), maybe("abc" (rng.nextInt(3)).toString),
+      maybe(rng.nextBoolean()))
+  }
+
+  private lazy val df = spark.createDataFrame(
+    spark.sparkContext.parallelize(rows, 2), schema).cache()
+
+  private def randomScalar(c: String): Any = c match {
+    case "i" => rng.nextInt(6).toLong
+    case "d" => rng.nextInt(5) + 0.5
+    case "s" => "abc" (rng.nextInt(3)).toString
+    case "b" => rng.nextBoolean()
+  }
+
+  private def randomLiteral(): Literal = {
+    val c = Seq("i", "d", "s", "b")(rng.nextInt(4))
+    val op = Op.all(rng.nextInt(Op.all.size))
+    op match {
+      case Op.In | Op.NotIn =>
+        val n = rng.nextInt(4)
+        val vs: Seq[Any] = (0 until n).map(_ => randomScalar(c)) ++
+          (if (rng.nextInt(3) == 0) Seq(null) else Nil)
+        Literal(c, op, vs)
+      case Op.Eq | Op.Ne | Op.IsDistinctFrom =>
+        Literal(c, op, if (rng.nextInt(5) == 0) null else randomScalar(c))
+      case ord => Literal(c, ord, randomScalar(c))
+    }
+  }
+
+  // independent reference evaluator (numpy semantics)
+  private def cmp(v: Any, w: Any): Int = (v, w) match {
+    case (a: Long, b: Long)       => a.compareTo(b)
+    case (a: Double, b: Double)   => a.compareTo(b)
+    case (a: String, b: String)   => a.compareTo(b)
+    case (a: Boolean, b: Boolean) => a.compareTo(b)
+    case _ => sys.error(s"cmp $v $w")
+  }
+  private def evalLit(l: Literal, v: Any): Boolean = l.op match {
+    case Op.Eq => if (l.value == null) v == null else v != null && v == l.value
+    case Op.Ne => if (l.value == null) v != null else v == null || v != l.value
+    case Op.IsDistinctFrom =>
+      if (l.value == null) v != null else !(v != null && v == l.value)
+    case Op.Lt => v != null && cmp(v, l.value) < 0
+    case Op.Le => v != null && cmp(v, l.value) <= 0
+    case Op.Gt => v != null && cmp(v, l.value) > 0
+    case Op.Ge => v != null && cmp(v, l.value) >= 0
+    case Op.In =>
+      val vs = l.value.asInstanceOf[Seq[Any]]
+      if (vs.contains(null)) v == null || vs.filter(_ != null).contains(v)
+      else v != null && vs.contains(v)
+    case Op.NotIn =>
+      val vs = l.value.asInstanceOf[Seq[Any]]
+      if (vs.contains(null)) v != null && !vs.filter(_ != null).contains(v)
+      else v == null || !vs.contains(v)
+  }
+  private def evalDnf(preds: Predicates.Predicates, r: Row): Boolean =
+    preds.exists(_.forall { l =>
+      evalLit(l, r.get(schema.fieldIndex(l.column)))
+    })
+
+  test("150 random DNF trees: compiled Column equals independent evaluator") {
+    for (trial <- 0 until 150) {
+      val preds: Predicates.Predicates =
+        (0 until 1 + rng.nextInt(3)).map(_ => (0 until 1 + rng.nextInt(3)).map(_ => randomLiteral()))
+      val got = df.filter(Predicates.toColumn(preds, schema))
+        .select("id").collect().map(_.getLong(0)).toSet
+      val want = rows.filter(evalDnf(preds, _)).map(_.getLong(0)).toSet
+      assert(got === want, s"trial $trial preds=$preds")
+    }
+  }
+}
