@@ -59,7 +59,7 @@ object Smoke {
 
     // 4. gc + hash + footer stats
     println(s"== gc removed: ${Ops.garbageCollect(spark, store, "li").size} keys")
-    println(s"== dataset hash: ${Ops.hashDataset(spark, store, "li").head.getDecimal(0)}")
+    println(s"== dataset hash: ${Ops.hashDataset(spark, store, "li").head().getDecimal(0)}")
     Ops.collectDatasetMetadata(spark, store, "li").show(5, false)
 
     // 5. error probes: type mismatch, overwrite refusal, bad projection
@@ -118,7 +118,7 @@ object Smoke {
     println(s"== minhash near-dup pairs @0.3: ${nd.count()}")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = emb.where(col("vec_id") === 0).select("embedding")
-      .head.getSeq[Float](0).map(_.toDouble)
+      .head().getSeq[Float](0).map(_.toDouble)
     Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, 5).show(false)
     println(s"== SparkEntry.entry rows: ${SparkEntry.entry(spark).count()}")
     println("== smoke OK")

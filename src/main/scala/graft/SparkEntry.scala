@@ -415,7 +415,7 @@ object SparkEntry {
     "v_knn_scores" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
       val q = emb.where(col("vec_id") === 0).select("embedding")
-        .head.getSeq[Float](0).map(_.toDouble).toSeq
+        .head().getSeq[Float](0).map(_.toDouble).toSeq
       Similarity.bruteForceScores(emb, "embedding", "vec_id", q)
     }),
 
@@ -423,7 +423,7 @@ object SparkEntry {
     "v_knn_topk" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
       val q = emb.where(col("vec_id") === 0).select("embedding")
-        .head.getSeq[Float](0).map(_.toDouble).toSeq
+        .head().getSeq[Float](0).map(_.toDouble).toSeq
       Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, 20)
     }),
 
@@ -467,7 +467,7 @@ object SparkEntry {
     "v_knn_lsh" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
       val q = emb.where(col("vec_id") === 0).select("embedding")
-        .head.getSeq[Float](0).map(_.toDouble).toSeq
+        .head().getSeq[Float](0).map(_.toDouble).toSeq
       Similarity.lshTopK(emb, "embedding", "vec_id", q, 20, planes = 4)
     }),
 
