@@ -440,6 +440,35 @@ class DatasetSpec extends SparkSpec {
     assert(out.count() === 6)
   }
 
+  test("update can add a NEW secondary index, built over the whole dataset") {
+    import spark.implicits._
+    Writer.store(spark, store, "newidx", sampleDf, WriteOpts(partitionOn = Seq("p")))
+    val extra = Seq((7L, "d", "z", 70.0)).toDF("id", "p", "s", "v")
+    val after = Writer.update(spark, store, "newidx", Some(extra),
+      opts = WriteOpts(secondaryIndices = Seq("s")))
+    assert(after.indices.keySet === Set("s"))
+    // the new index covers OLD partitions too, not just the appended one
+    val idx = SecondaryIndex.load(spark, store, after.indices("s"))
+    val xLabels = SecondaryIndex.evalLiteral(idx, Literal("value", Op.Eq, "x"))
+    assert(xLabels.size === 3 && xLabels.forall(l => l.startsWith("p=a/") ||
+      l.startsWith("p=b/") || l.startsWith("p=c/")))
+    // and pruning through it works immediately
+    val out = Reader.readTable(spark, store, "newidx",
+      predicates = Some(Seq(Seq(Literal("s", Op.Eq, "z")))))
+    assert(out.collect().map(_.getAs[Long]("id")).toSeq === Seq(7L))
+  }
+
+  test("Catalyst FileIndex works over csv-format datasets") {
+    import spark.implicits._
+    Writer.store(spark, store, "fidxcsv", sampleDf,
+      WriteOpts(partitionOn = Seq("p"), secondaryIndices = Seq("s"), format = "csv"))
+    val df = Reader.readTableIndexed(spark, store, "fidxcsv")
+    assert(df.count() === 6)
+    assert(df.schema("v").dataType.typeName === "double")
+    val filtered = df.where(col("p") === "a")
+    assert(filtered.collect().map(_.getAs[Long]("id")).toSet === Set(1L, 2L))
+  }
+
   test("index algebra: merge / removePartitions / removeValues / observed") {
     import spark.implicits._
     val idx = Seq(("x", Seq("l1", "l2")), ("y", Seq("l2"))).toDF("value", "partitions")
