@@ -433,6 +433,27 @@ class DatasetSpec extends SparkSpec {
     assert(pruned.collect().map(_.getAs[Long]("id")).toSeq === Seq(2L))
   }
 
+  test("secondary-index labels stay consistent with escaped partition paths") {
+    import spark.implicits._
+    // partition values requiring hive escaping AND a secondary index: the
+    // labels stored in the index file must match the header's label set or
+    // index pruning silently returns nothing
+    val tricky = Seq((1L, "a b", "x", 1.0), (2L, "c/d", "y", 2.0),
+      (3L, "e%f", "x", 3.0)).toDF("id", "p", "s", "v")
+    Writer.store(spark, store, "urlidx", tricky,
+      WriteOpts(partitionOn = Seq("p"), secondaryIndices = Seq("s")))
+    val meta = DatasetMetadata.load(store, "urlidx")
+    val idx = SecondaryIndex.load(spark, store, meta.indices("s"))
+    val indexLabels = SecondaryIndex.asFlat(idx).select("label")
+      .collect().map(_.getString(0)).toSet
+    assert(indexLabels.subsetOf(meta.partitions.toSet),
+      s"index labels $indexLabels not in header labels ${meta.partitions}")
+    // and the full pruned read path returns the right rows
+    val out = Reader.readTable(spark, store, "urlidx",
+      predicates = Some(Seq(Seq(Literal("s", Op.Eq, "x")))))
+    assert(out.collect().map(_.getAs[Long]("id")).toSet === Set(1L, 3L))
+  }
+
   test("P12: empty projection returns row-count-preserving empty frame") {
     Writer.store(spark, store, "emptyproj", sampleDf, WriteOpts(partitionOn = Seq("p")))
     val out = Reader.readTable(spark, store, "emptyproj", columns = Some(Nil))
