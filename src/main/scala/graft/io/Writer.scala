@@ -195,9 +195,12 @@ object Writer {
     existingSchema.foreach(s =>
       SchemaNorm.validateCompatible(s, SchemaNorm.normalize(df.schema, opts.partitionOn)))
     val prepared = prepare(df, opts.partitionOn, existingSchema)
+    // header parse only — a full load() would also LIST the table dir for
+    // dynamic datasets, a wasted object-store listing per two-phase write
     val fmt =
       if (DatasetMetadata.exists(storage, uuid))
-        DatasetMetadata.load(storage, uuid).format
+        DatasetMetadata.fromJson(
+          storage.readString(DatasetMetadata.headerKey(uuid))).format
       else opts.format
     val before = listDataFiles(storage, uuid).toSet
     Serializer.write(layout(prepared, opts), s"${storage.base}/$uuid/table",

@@ -490,6 +490,33 @@ class DatasetSpec extends SparkSpec {
     assert(filtered.collect().map(_.getAs[Long]("id")).toSet === Set(1L, 2L))
   }
 
+  test("user metadata merges across commits; header records it") {
+    Writer.store(spark, store, "md", sampleDf,
+      WriteOpts(partitionOn = Seq("p"), metadata = Map("owner" -> "team-a", "v" -> "1")))
+    val after = Writer.update(spark, store, "md", None,
+      opts = WriteOpts(metadata = Map("v" -> "2", "note" -> "updated")))
+    assert(after.metadata === Map("owner" -> "team-a", "v" -> "2", "note" -> "updated"))
+    // roundtrips through the persisted header
+    assert(DatasetMetadata.load(store, "md").metadata === after.metadata)
+  }
+
+  test("W7: two concurrent uncommitted writers, one commit lands both") {
+    import spark.implicits._
+    Writer.store(spark, store, "conc", sampleDf, WriteOpts(partitionOn = Seq("p")))
+    val n0 = Reader.readTable(spark, store, "conc").count()
+    val w1 = Writer.writeSinglePartition(spark, store, "conc",
+      Seq((100L, "w1", "x", 1.0)).toDF("id", "p", "s", "v"),
+      WriteOpts(partitionOn = Seq("p")))
+    val w2 = Writer.writeSinglePartition(spark, store, "conc",
+      Seq((200L, "w2", "y", 2.0)).toDF("id", "p", "s", "v"),
+      WriteOpts(partitionOn = Seq("p")))
+    assert(Reader.readTable(spark, store, "conc").count() === n0) // neither visible
+    Writer.commitDataset(spark, store, "conc", w1 ++ w2)
+    val ids = Reader.readTable(spark, store, "conc")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(100L) && ids.contains(200L))
+  }
+
   test("index algebra: merge / removePartitions / removeValues / observed") {
     import spark.implicits._
     val idx = Seq(("x", Seq("l1", "l2")), ("y", Seq("l2"))).toDF("value", "partitions")
