@@ -73,12 +73,16 @@ object TextAnalysis {
     sort_array(array(scored: _*), asc = false).getItem(0).getField("lang")
   }
 
-  /** 64-bit rolling (polynomial) document fingerprint over characters:
-    * hash = sum_i c_i * 31^(n-1-i) mod 2^64 — expressed with `aggregate`
-    * over the character array, fully codegen'd. */
-  def fingerprint(text: Column): Column =
+  /** Rolling (polynomial) document fingerprint over characters:
+    * hash = sum_i c_i * 31^(n-1-i) mod 2^53 — expressed with `aggregate`
+    * over the character array. The modulus keeps every intermediate product
+    * below 2^58: Spark 4 runs ANSI mode, where unbounded `acc * 31` THROWS
+    * on long overflow for any text beyond ~13 chars. */
+  def fingerprint(text: Column): Column = {
+    val m = lit(1L << 53)
     aggregate(
       split(text, ""),
       lit(0L),
-      (acc, ch) => acc * lit(31L) + coalesce(ascii(ch).cast("long"), lit(0L)))
+      (acc, ch) => pmod(acc * lit(31L) + coalesce(ascii(ch).cast("long"), lit(0L)), m))
+  }
 }

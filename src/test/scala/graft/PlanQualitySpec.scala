@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Multimodal, TextAnalysis}
+
+/** Physical-plan assertions over the contract queries: the plans must stay
+  * the plans we designed (broadcast on small dims, pushdown to the scan),
+  * not whatever happens to pass. */
+class PlanQualitySpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q5: small dimension is broadcast, not shuffled") {
+    val plan = SparkEntry.queries("q5_broadcast_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("s1: filter is pushed to the parquet scan; projection pruned") {
+    val plan = SparkEntry.queries("s1_scan_project")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,10.0)]"),
+      plan.take(2000))
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"),
+      plan.take(2000))
+  }
+
+  test("q1: aggregation is partial (map-side combine) before the exchange") {
+    val plan = SparkEntry.queries("q1_agg")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // partial_ aggregate below the shuffle, final above it
+    assert(plan.contains("partial_sum") || plan.contains("partial sum"), plan.take(2000))
+  }
+
+  test("fingerprint survives ANSI mode on real-length documents") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val fps = docs.select(TextAnalysis.fingerprint(col("text")).as("fp"))
+    // would throw ArithmeticException (long overflow) without the modulus
+    assert(fps.where(col("fp") >= 0).count() === docs.count())
+  }
+
+  test("multimodal sampleFrames explodes one row per stride offset") {
+    import spark.implicits._
+    val media = Multimodal.asMedia(
+      Seq((1L, "0123456789")).toDF("doc_id", "text"), "text", "video")
+    val frames = Multimodal.sampleFrames(media, "payload", stride = 4)
+    assert(frames.select(col("frame_offset").cast("long")).collect()
+      .map(_.getLong(0)).toSeq === Seq(0L, 4L, 8L))
+  }
+}
