@@ -401,6 +401,11 @@ object SparkEntry {
       rd(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
 
+    // --- text analysis: composite quality score
+    "t_quality" -> ((s, dir) =>
+      rd(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))),
+
     // --- text analysis: positional token fingerprint
     "t_fingerprint" -> ((s, dir) => {
       val toks = split(trim(lower(col("text"))), "\\s+")
@@ -633,6 +638,16 @@ object SparkEntry {
                / greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1) AS stop_ratio
            FROM documents""",
       "t_lang_id" -> langCase,
+      "t_quality" -> {
+        // mirror TextAnalysis.qualityScore term by term (same IEEE op order)
+        val punct = """CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\-]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)"""
+        val stop = """CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE) / greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1)"""
+        s"""SELECT doc_id, round((
+              least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+              + (1.0 - least(($punct) * 5.0, 1.0))
+              + least(($stop) * 4.0, 1.0)) / 3.0, 6) AS quality
+            FROM documents"""
+      },
       "a_profile" ->
         """SELECT 'doc_id' AS "column", count(doc_id) AS n_nonnull,
              count(DISTINCT doc_id) AS n_distinct,

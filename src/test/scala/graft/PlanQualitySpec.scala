@@ -39,6 +39,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(fps.where(col("fp") >= 0).count() === docs.count())
   }
 
+  test("ivfAssign puts each vector in its nearest centroid partition") {
+    import spark.implicits._
+    val vecs = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0)),
+      (3L, Array(0.9, 0.1)), (4L, Array(0.1, 0.9))).toDF("id", "v")
+    val assigned = graft.ops.Similarity.ivfAssign(vecs, "v",
+      Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)))
+    val m = assigned.select(col("id"), col("__centroid").cast("int"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(m === Map(1L -> 0, 2L -> 1, 3L -> 0, 4L -> 1))
+  }
+
   test("multimodal sampleFrames explodes one row per stride offset") {
     import spark.implicits._
     val media = Multimodal.asMedia(
