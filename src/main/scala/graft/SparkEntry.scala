@@ -376,6 +376,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("session_value"))
     }),
 
+    // --- semi-structured: JSON property extraction + aggregate
+    "w_json_props" -> ((s, dir) =>
+      rd(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))),
+
     // --- dedup: exact (deterministic winner per group)
     "d_dedup_exact" -> ((s, dir) =>
       Dedup.exact(rd(s, dir, "documents"), Seq("lang", "source"), "doc_id")),
@@ -608,6 +615,11 @@ object SparkEntry {
            SELECT user_id, session_id, count(*) AS n_events,
              round(sum(value), 2) AS session_value
            FROM sess GROUP BY user_id, session_id""",
+      "w_json_props" ->
+        """SELECT event_type,
+             sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS sum_k,
+             count(*) AS n
+           FROM events GROUP BY event_type""",
       "d_dedup_exact" ->
         """SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars FROM documents d
            JOIN (SELECT lang, source, min(doc_id) AS m FROM documents GROUP BY lang, source) g
