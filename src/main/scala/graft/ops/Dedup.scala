@@ -100,30 +100,65 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
-  /** Exact n-gram Jaccard similarity for ALL pairs sharing at least one
-    * shingle (inverted-index join — never a full cross product). Returns
-    * (id_a, id_b, jaccard >= threshold). Oracle-expressible in SQL. */
+  /** Exact n-gram Jaccard similarity: every pair with jaccard >= threshold,
+    * no approximation. Two exact candidate-generation strategies, chosen by
+    * threshold (both verified identical by the DuckDB oracle):
+    *
+    *   - LOW thresholds: plain inverted-index count-join — one (id,s)
+    *     self-join aggregated to intersection counts; compact rows, two
+    *     shuffles, no array shipping.
+    *   - HIGH thresholds (>= 0.6 by default): PREFIX FILTERING (the PPJoin
+    *     lemma) — order shingles globally by document frequency (rarest
+    *     first); Jaccard(a,b) >= t implies a shared shingle within the first
+    *     |x| - ceil(t*|x|) + 1 under that order, so only those short
+    *     prefixes enter the join and hot shingles generate no candidates.
+    *     At t=0.8 the prefix is ~20% of the set → ~25x fewer candidate
+    *     pairs; at t=0.3 it is ~70% and the extra shuffles cost more than
+    *     they save (measured), hence the adaptive switch. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                        shingleN: Int, threshold: Double): DataFrame = {
-    // docs shorter than n tokens have no n-gram shingles; jaccard is left
-    // UN-rounded — all inputs are exact ints so the single IEEE division is
-    // bit-identical across engines (oracle-matchable)
+                        shingleN: Int, threshold: Double,
+                        prefixFilter: Option[Boolean] = None): DataFrame = {
     val sh = df
       .where(size(split(trim(lower(col(textCol))), "\\s+")) >= shingleN)
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
-      .cache() // reused by the inverted index and both size joins
-    val inv = sh.select(col("id"), explode(col("sh")).as("s"))
-    val common = inv.join(inv.withColumnRenamed("id", "id2"), "s")
-      .where(col("id") < col("id2"))
-      .groupBy(col("id").as("id_a"), col("id2").as("id_b"))
-      .agg(count(lit(1)).cast("double").as("inter"))
-    common
-      .join(sh.select(col("id").as("id_a"), size(col("sh")).as("n_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), size(col("sh")).as("n_b")), "id_b")
-      .withColumn("jaccard",
-        col("inter") / (col("n_a") + col("n_b") - col("inter")))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .cache() // reused by the inverted index and the size/verify joins
+    val usePrefix = prefixFilter.getOrElse(threshold >= 0.6)
+    if (!usePrefix) {
+      val inv = sh.select(col("id"), explode(col("sh")).as("s"))
+      val common = inv.join(inv.withColumnRenamed("id", "id2"), "s")
+        .where(col("id") < col("id2"))
+        .groupBy(col("id").as("id_a"), col("id2").as("id_b"))
+        .agg(count(lit(1)).cast("double").as("inter"))
+      common
+        .join(sh.select(col("id").as("id_a"), size(col("sh")).as("n_a")), "id_a")
+        .join(sh.select(col("id").as("id_b"), size(col("sh")).as("n_b")), "id_b")
+        .withColumn("jaccard",
+          col("inter") / (col("n_a") + col("n_b") - col("inter")))
+        .where(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    } else {
+      val inv = sh.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+      val freq = inv.groupBy("s").agg(count(lit(1)).as("df"))
+      val prefix = inv.join(freq, "s")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("id").orderBy(col("df"), col("s"))))
+        .where(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+        .select(col("id"), col("s"))
+      val candidates = prefix
+        .join(prefix.withColumnRenamed("id", "id2"), "s")
+        .where(col("id") < col("id2"))
+        .select(col("id").as("id_a"), col("id2").as("id_b"))
+        .distinct()
+      // un-rounded, like the count path — both paths must return identical rows
+      candidates
+        .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+        .withColumn("jaccard",
+          col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+        .where(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }
   }
 
   /** SimHash over distinct tokens: bit i of the hash is the sign of

@@ -28,6 +28,19 @@ class DedupSpec extends SparkSpec {
     assert(ids.size === 25 - 3)
   }
 
+  test("ngram jaccard: prefix-filter and count-join strategies return identical pairs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (t <- Seq(0.3, 0.7)) {
+      def run(prefix: Boolean) =
+        graft.ops.Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, t, Some(prefix))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val a = run(false)
+      val b = run(true)
+      assert(a === b, s"threshold $t: count=${a.size} prefix=${b.size}")
+      assert(a.nonEmpty || t > 0.5) // sanity: low threshold finds pairs
+    }
+  }
+
   test("exactGroups finds identical texts regardless of id") {
     import spark.implicits._
     val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
