@@ -517,6 +517,48 @@ class DatasetSpec extends SparkSpec {
     assert(ids.contains(100L) && ids.contains(200L))
   }
 
+  test("multi-column partition keys: two-level hive layout, pruning on either key") {
+    import spark.implicits._
+    Writer.store(spark, store, "multikey", sampleDf,
+      WriteOpts(partitionOn = Seq("p", "s")))
+    val meta = DatasetMetadata.load(store, "multikey")
+    assert(meta.partitionKeys === Seq("p", "s"))
+    assert(meta.partitions.forall(l => l.startsWith("p=") && l.contains("/s=")))
+    assert(meta.partitions.map(meta.partitionValues(_)).toSet ===
+      Set(Seq("a", "x"), Seq("a", "y"), Seq("b", "x"), Seq("b", "y"),
+        Seq("c", "x"), Seq("c", "y")))
+    // prune on the SECOND key only
+    val bySecond = Reader.readTable(spark, store, "multikey",
+      predicates = Some(Seq(Seq(Literal("s", Op.Eq, "y")))))
+    assert(bySecond.collect().map(_.getAs[Long]("id")).toSet === Set(2L, 4L, 6L))
+    // and on both
+    val byBoth = Reader.readTable(spark, store, "multikey",
+      predicates = Some(Seq(Seq(Literal("p", Op.Eq, "b"), Literal("s", Op.Eq, "x")))))
+    assert(byBoth.collect().map(_.getAs[Long]("id")).toSeq === Seq(3L))
+    // column order: both keys first
+    assert(Reader.readTable(spark, store, "multikey").columns.toSeq ===
+      Seq("p", "s", "id", "v"))
+  }
+
+  test("X6: repartition_ratio coalesces the write") {
+    val wide = sampleDf.repartition(6)
+    Writer.store(spark, store, "ratio", wide,
+      WriteOpts(repartitionRatio = 3))
+    val meta = DatasetMetadata.load(store, "ratio")
+    assert(meta.partitions.size <= 2) // 6 partitions / ratio 3
+    assert(Reader.readTable(spark, store, "ratio").count() === 6)
+  }
+
+  test("S7: readWithLabels attaches the originating partition label") {
+    Writer.store(spark, store, "labeled", sampleDf, WriteOpts(partitionOn = Seq("p")))
+    val out = Reader.readWithLabels(spark, store, "labeled")
+    val byLabel = out.groupBy("__label").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.size === 3)
+    assert(byLabel.values.forall(_ === 2L))
+    assert(byLabel.keys.forall(_.startsWith("p=")))
+  }
+
   test("index algebra: merge / removePartitions / removeValues / observed") {
     import spark.implicits._
     val idx = Seq(("x", Seq("l1", "l2")), ("y", Seq("l2"))).toDF("value", "partitions")

@@ -39,6 +39,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(fps.where(col("fp") >= 0).count() === docs.count())
   }
 
+  test("lshTopK retrieves the query vector itself at rank 1") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toSeq
+    val top = graft.ops.Similarity.lshTopK(emb, "embedding", "vec_id", q, 5, planes = 4)
+      .collect()
+    assert(top.head.getLong(0) === 0L)        // self is its own nearest neighbor
+    assert(top.head.getDouble(1) === 1.0)     // cosine(q, q) rounds to 1
+  }
+
   test("ivfAssign puts each vector in its nearest centroid partition") {
     import spark.implicits._
     val vecs = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0)),
