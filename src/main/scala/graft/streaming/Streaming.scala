@@ -1,12 +1,61 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
-import org.apache.spark.sql.Row
 import graft.io.{Writer}
 import graft.io.Writer.WriteOpts
 import graft.meta.DatasetMetadata
 import graft.store.Storage
+
+/** Stateful gap-based sessionization over a user/ts/value event stream —
+  * the `flatMapGroupsWithState` shape of the batch `w_sessionize` contract
+  * query. Sessions CLOSE when a later event arrives more than `gapNanos`
+  * after the previous one (or the state times out); the open tail session
+  * rides in group state across micro-batches.
+  */
+object Sessionize {
+  case class EventIn(user_id: Long, ts: Long, value: Double)
+  case class Session(user_id: Long, session_start: Long, n_events: Long,
+                     session_value: Double)
+  case class OpenSession(start: Long, lastTs: Long, n: Long, sum: Double)
+
+  import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+  /** Works on both a streaming and a batch Dataset (state is per-batch in
+    * batch mode). Emits CLOSED sessions only — the open tail stays in
+    * state awaiting more events. */
+  def stateful(events: DataFrame, gapNanos: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("ts").cast("long"),
+        col("value").cast("double"))
+      .as[EventIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[EventIn], state: GroupState[OpenSession]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts, e.value))
+          var open = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+          sorted.foreach { e =>
+            open match {
+              case Some(o) if e.ts - o.lastTs <= gapNanos =>
+                open = Some(o.copy(lastTs = e.ts, n = o.n + 1, sum = o.sum + e.value))
+              case Some(o) =>
+                closed += Session(uid, o.start, o.n, o.sum)
+                open = Some(OpenSession(e.ts, e.ts, 1, e.value))
+              case None =>
+                open = Some(OpenSession(e.ts, e.ts, 1, e.value))
+            }
+          }
+          open.foreach(state.update)
+          closed.iterator
+      }
+      .toDF()
+  }
+}
 
 /** Structured Streaming over the dataset layer — a beyond-reference
   * extension (the reference is batch-only, SURVEY.md §2.10; its closest

@@ -36,6 +36,35 @@ class StreamingSpec extends SparkSpec {
     assert(meta.indices.keySet === Set("p"))
   }
 
+  test("stateful sessionization carries the open session across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Double)]
+    val sessions = graft.streaming.Sessionize.stateful(
+      in.toDF().toDF("user_id", "ts", "value"), gapNanos = 100L)
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("sess_out").start()
+    // batch 0: user 1 opens a session (2 events, within gap)
+    in.addData((1L, 0L, 1.0), (1L, 50L, 2.0))
+    q.processAllAvailable()
+    assert(spark.table("sess_out").count() === 0) // still open, nothing closed
+    // batch 1: event far beyond the gap closes the first session
+    in.addData((1L, 1000L, 5.0))
+    q.processAllAvailable()
+    val closed = spark.table("sess_out").as[graft.streaming.Sessionize.Session].collect()
+    assert(closed.length === 1)
+    assert(closed.head === graft.streaming.Sessionize.Session(1L, 0L, 2L, 3.0))
+    // batch 2: another gap closes the second session (opened in batch 1)
+    in.addData((1L, 5000L, 7.0))
+    q.processAllAvailable()
+    val all = spark.table("sess_out").as[graft.streaming.Sessionize.Session]
+      .collect().sortBy(_.session_start)
+    assert(all.map(s => (s.session_start, s.n_events, s.session_value)).toSeq ===
+      Seq((0L, 2L, 3.0), (1000L, 1L, 5.0)))
+    q.stop()
+  }
+
   test("readStream over a dataset sees its partitions incrementally") {
     import spark.implicits._
     Writer.store(spark, store, "feed",
