@@ -454,6 +454,17 @@ class DatasetSpec extends SparkSpec {
     assert(out.collect().map(_.getAs[Long]("id")).toSet === Set(1L, 3L))
   }
 
+  test("projection to partition keys ONLY never touches payload columns") {
+    Writer.store(spark, store, "keyproj", sampleDf, WriteOpts(partitionOn = Seq("p")))
+    val out = Reader.readTable(spark, store, "keyproj", columns = Some(Seq("p")))
+    assert(out.columns.toSeq === Seq("p"))
+    assert(out.collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("a", "a", "b", "b", "c", "c"))
+    // payload columns are absent from the scan schema
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<>"), plan.take(1500))
+  }
+
   test("P12: empty projection returns row-count-preserving empty frame") {
     Writer.store(spark, store, "emptyproj", sampleDf, WriteOpts(partitionOn = Seq("p")))
     val out = Reader.readTable(spark, store, "emptyproj", columns = Some(Nil))
