@@ -85,10 +85,17 @@ object Reader {
   }
 
   /** Reference `read_table` (`io/eager.py:211-292`): the whole dataset (or
-    * its pruned subset) as ONE DataFrame; empty results keep the schema. */
+    * its pruned subset) as ONE DataFrame; empty results keep the schema.
+    * `filterQuery` is the raw SQL-expression escape hatch (reference
+    * `filter_query`, `serialization/_generic.py:110-163`) — mutually
+    * exclusive with `predicates`, and never prunes files (it is opaque to
+    * the planner, exactly like the reference). */
   def readTable(spark: SparkSession, storage: Storage, uuid: String,
                 columns: Option[Seq[String]] = None,
-                predicates: Option[Preds] = None): DataFrame = {
+                predicates: Option[Preds] = None,
+                filterQuery: Option[String] = None): DataFrame = {
+    require(predicates.isEmpty || filterQuery.isEmpty,
+      "predicates and filterQuery are mutually exclusive")
     val meta = DatasetMetadata.load(storage, uuid)
     val schema = DatasetMetadata.loadSchema(storage, uuid)
     val labels = pruneLabels(spark, storage, meta, schema, predicates)
@@ -112,9 +119,10 @@ object Reader {
           }
           .reduce(_ unionByName _)
       }
-    val filtered = predicates match {
-      case Some(p) => df.filter(Predicates.toColumn(p, schema))
-      case None    => df
+    val filtered = (predicates, filterQuery) match {
+      case (Some(p), _) => df.filter(Predicates.toColumn(p, schema))
+      case (_, Some(q)) => df.filter(expr(q))
+      case _            => df
     }
     filtered.select(projected.map(col): _*)
   }

@@ -465,6 +465,38 @@ class DatasetSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<>"), plan.take(1500))
   }
 
+  test("P11: filter_query escape hatch at the dataset layer") {
+    Writer.store(spark, store, "fq", sampleDf, WriteOpts(partitionOn = Seq("p")))
+    val out = Reader.readTable(spark, store, "fq",
+      filterQuery = Some("v > 25.0 and s = 'x'"))
+    assert(out.collect().map(_.getAs[Long]("id")).toSet === Set(3L, 5L))
+    intercept[IllegalArgumentException] {
+      Reader.readTable(spark, store, "fq",
+        predicates = Some(Seq(Seq(Literal("p", Op.Eq, "a")))),
+        filterQuery = Some("v > 0"))
+    }
+  }
+
+  test("secondary index on a numeric column: typed values, range pruning") {
+    import spark.implicits._
+    // one file per p; v correlates with p so index pruning is observable
+    val df0 = Seq((1L, "a", 10L), (2L, "a", 11L), (3L, "b", 20L),
+      (4L, "b", 21L), (5L, "c", 30L)).toDF("id", "p", "k")
+    Writer.store(spark, store, "numidx", df0,
+      WriteOpts(partitionOn = Seq("p"), secondaryIndices = Seq("k")))
+    val meta = DatasetMetadata.load(store, "numidx")
+    val idx = SecondaryIndex.load(spark, store, meta.indices("k"))
+    assert(idx.schema("value").dataType.typeName === "long")
+    // range predicate over the numeric index prunes to p=b and p=c
+    val schema = DatasetMetadata.loadSchema(store, "numidx")
+    val labels = Reader.pruneLabels(spark, store, meta, schema,
+      Some(Seq(Seq(Literal("k", Op.Ge, 20L)))))
+    assert(labels.size === 2 && labels.forall(l => l.startsWith("p=b/") || l.startsWith("p=c/")))
+    val out = Reader.readTable(spark, store, "numidx",
+      predicates = Some(Seq(Seq(Literal("k", Op.Ge, 20L), Literal("k", Op.Lt, 30L)))))
+    assert(out.collect().map(_.getAs[Long]("id")).toSet === Set(3L, 4L))
+  }
+
   test("P12: empty projection returns row-count-preserving empty frame") {
     Writer.store(spark, store, "emptyproj", sampleDf, WriteOpts(partitionOn = Seq("p")))
     val out = Reader.readTable(spark, store, "emptyproj", columns = Some(Nil))

@@ -39,6 +39,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(fps.where(col("fp") >= 0).count() === docs.count())
   }
 
+  test("x2: groupBy after dispatch_by reuses the repartition exchange") {
+    val plan = SparkEntry.queries("x2_dispatch_by")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the dispatch repartition hash-partitions on the same key the groupBy
+    // needs, so exactly ONE shuffle must appear in the plan
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"$exchanges exchanges:\n${plan.take(2500)}")
+  }
+
   test("lshTopK retrieves the query vector itself at rank 1") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val q = emb.where(col("vec_id") === 0).select("embedding")
