@@ -443,6 +443,15 @@ object SparkEntry {
     "m_media_stats" -> ((s, dir) =>
       Multimodal.mediaStats(Multimodal.asMedia(rd(s, dir, "documents"), "text", "image"))),
 
+    // --- skew-mitigated join: salted replication, result identical to plain
+    "u_salted_join" -> ((s, dir) => {
+      val cust = rd(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      graft.ops.Skew.saltedJoin(rd(s, dir, "orders"), cust, Seq("o_custkey"), 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+    }),
+
     // --- dataset profiling: per-column audit in one aggregation pass
     "a_profile" -> ((s, dir) =>
       Ops.profile(rd(s, dir, "documents"), Seq("doc_id", "lang", "n_chars"))),
@@ -457,6 +466,11 @@ object SparkEntry {
     "d_minhash_neardups" -> ((s, dir) =>
       Dedup.minhashNearDups(rd(s, dir, "documents"), "text", "doc_id",
         numHashes = 32, bands = 8, shingleN = 3, threshold = 0.3)),
+
+    // deterministic hash-based curation sampling (hash not SQL-expressible)
+    "u_sample_k_per_group" -> ((s, dir) =>
+      graft.ops.Sampling.exactKPerGroup(rd(s, dir, "documents"),
+        Seq("lang"), "doc_id", 10)),
 
     // near-dup clusters: pairs -> connected components -> (id, cluster_id)
     "d_dedup_clusters" -> ((s, dir) =>
@@ -615,6 +629,10 @@ object SparkEntry {
            SELECT user_id, session_id, count(*) AS n_events,
              round(sum(value), 2) AS session_value
            FROM sess GROUP BY user_id, session_id""",
+      "u_salted_join" ->
+        """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY c_mktsegment""",
       "w_json_props" ->
         """SELECT event_type,
              sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS sum_k,

@@ -69,6 +69,21 @@ object Multimodal {
       StructField("features", ArrayType(FloatType)))))
   }
 
+  /** Resize stub: a real implementation would decode, scale, and re-encode
+    * per partition; the deterministic fake rewrites the metadata dimensions
+    * and truncates the payload proportionally, so tests can assert the
+    * pipeline shape (payload column stays binary, metadata stays typed). */
+  def resizeStub(df: DataFrame, width: Int, height: Int,
+                 payloadCol: String = "payload"): DataFrame =
+    df.withColumn(payloadCol,
+        expr(s"substring($payloadCol, 1, greatest(int(octet_length($payloadCol) / 4), 1))"))
+      .withColumn("media_meta", struct(
+        col("media_meta.media_type").as("media_type"),
+        col("media_meta.format").as("format"),
+        lit(width).as("width"),
+        lit(height).as("height"),
+        col("media_meta.duration_ms").as("duration_ms")))
+
   /** Frame-sample stub: pick every `stride`-th byte offset as a "frame"
     * marker — the Spark-side shape of video frame sampling (explode to one
     * row per sampled frame). Pure column expressions. */

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data curation (beyond-reference
+  * scope). All variants key off a HASH of a stable id — not `rand()` — so a
+  * sample is reproducible across runs, re-partitioning, and retries, and
+  * membership can be recomputed later (critical for train/test splits that
+  * must never leak across pipeline re-runs at 100 TB).
+  */
+object Sampling {
+
+  private def bucket(idCol: Column, salt: String, buckets: Int = 1000000): Column =
+    pmod(xxhash64(idCol, lit(salt)), lit(buckets))
+
+  /** Keep ~`fraction` of rows, chosen by id hash — same ids survive every
+    * run. One narrow filter, no shuffle. */
+  def deterministicSample(df: DataFrame, idCol: String, fraction: Double,
+                          salt: String = "graft"): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction $fraction out of [0,1]")
+    df.where(bucket(col(idCol), salt) < (fraction * 1000000).toLong)
+  }
+
+  /** Disjoint deterministic train/test split: (train, test). A row's side is
+    * a pure function of (id, salt) — re-running the pipeline can never leak
+    * test rows into train. */
+  def trainTestSplit(df: DataFrame, idCol: String, testFraction: Double,
+                     salt: String = "graft"): (DataFrame, DataFrame) = {
+    val b = bucket(col(idCol), salt)
+    val cut = (testFraction * 1000000).toLong
+    (df.where(b >= cut), df.where(b < cut))
+  }
+
+  /** Exactly `k` rows per group, deterministic: rank by id hash within the
+    * group. One shuffle on the group key. */
+  def exactKPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
+                     k: Int, salt: String = "graft"): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(bucket(col(idCol), salt), col(idCol))
+    df.withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= k)
+      .drop("__rank")
+  }
+}
+
+/** Skew mitigation helpers. */
+object Skew {
+
+  /** Join a skew-prone large frame against a small one by replicating the
+    * small side `saltFactor` times: hot keys spread over `saltFactor` tasks
+    * instead of melting one executor. Results identical to a plain inner
+    * join; use when a handful of keys dominate and broadcast is too big.
+    * (AQE's skew-join handles sort-merge skew automatically; this is the
+    * explicit tool for when AQE cannot, e.g. aggregations downstream.) */
+  def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
+                 saltFactor: Int): DataFrame = {
+    require(saltFactor > 0, "saltFactor must be positive")
+    val salted = large.withColumn("__salt",
+      (rand() * saltFactor).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, keys :+ "__salt").drop("__salt")
+  }
+}

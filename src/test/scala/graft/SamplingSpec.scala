@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Multimodal, Sampling, Skew}
+
+class SamplingSpec extends SparkSpec {
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.01/documents.parquet").cache()
+
+  test("deterministicSample: stable membership across runs and repartitioning") {
+    val a = Sampling.deterministicSample(docs, "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.deterministicSample(docs.repartition(7), "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    val n = docs.count().toDouble
+    assert(math.abs(a.size / n - 0.3) < 0.08) // ~4 sigma at n=500
+  }
+
+  test("trainTestSplit: disjoint, exhaustive, reproducible") {
+    val (train, test) = Sampling.trainTestSplit(docs, "doc_id", 0.2)
+    val tr = train.select("doc_id").collect().map(_.getLong(0)).toSet
+    val te = test.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tr.intersect(te).isEmpty)
+    assert((tr ++ te).size.toLong === docs.count())
+    val (_, test2) = Sampling.trainTestSplit(docs, "doc_id", 0.2)
+    assert(test2.select("doc_id").collect().map(_.getLong(0)).toSet === te)
+  }
+
+  test("exactKPerGroup returns exactly k (or group size) rows per group") {
+    val sampled = Sampling.exactKPerGroup(docs, Seq("lang"), "doc_id", 5)
+    val sizes = sampled.groupBy("lang").count().collect()
+      .map(r => Option(r.getString(0)).getOrElse("null") -> r.getLong(1)).toMap
+    assert(sizes.values.forall(_ <= 5))
+    val groupSizes = docs.groupBy("lang").count().collect()
+      .map(r => Option(r.getString(0)).getOrElse("null") -> r.getLong(1)).toMap
+    groupSizes.foreach { case (g, n) =>
+      assert(sizes(g) === math.min(5L, n), s"group $g")
+    }
+    // deterministic: same rows both times
+    val again = Sampling.exactKPerGroup(docs, Seq("lang"), "doc_id", 5)
+    assert(again.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      sampled.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("saltedJoin equals the plain join") {
+    val orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    val customer = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val plain = orders.join(customer, Seq("o_custkey"))
+      .groupBy("c_mktsegment").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedJoin(orders, customer, Seq("o_custkey"), saltFactor = 8)
+      .groupBy("c_mktsegment").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted === plain)
+  }
+
+  test("resizeStub rewrites dimensions, keeps payload binary") {
+    import spark.implicits._
+    val media = Multimodal.asMedia(
+      Seq((1L, "a" * 100)).toDF("doc_id", "text"), "text", "image")
+    val resized = Multimodal.resizeStub(media, 64, 48)
+    val r = resized.head()
+    val meta = r.getStruct(r.fieldIndex("media_meta"))
+    assert(meta.getAs[Int]("width") === 64 && meta.getAs[Int]("height") === 48)
+    assert(resized.schema("payload").dataType.typeName === "binary")
+    assert(r.getAs[Array[Byte]]("payload").length === 25)
+  }
+}
