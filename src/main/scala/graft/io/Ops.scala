@@ -71,6 +71,39 @@ object Ops {
     Reader.pruneLabels(spark, storage, meta, schema, Some(preds)).toSet
   }
 
+  /** Copy a dataset between stores (reference `copy_keys`,
+    * `utils/store.py:176-201`, lifted to whole-dataset granularity): data
+    * files, index files, and schema copy first — distributed over executors
+    * for large datasets — and the header is written LAST, so the target
+    * dataset becomes visible only when complete. */
+  def copyDataset(spark: SparkSession, src: Storage, tgt: Storage,
+                  uuid: String, overwrite: Boolean = false): DatasetMetadata = {
+    val meta = DatasetMetadata.load(src, uuid)
+    if (DatasetMetadata.exists(tgt, uuid)) {
+      require(overwrite, s"Dataset '$uuid' already exists in target and overwrite is not permitted")
+      deleteDataset(tgt, uuid)
+    }
+    // index generations are parquet DIRECTORIES — expand to contained files
+    val indexKeys = meta.indices.values.toSeq.flatMap { k =>
+      val inside = src.listKeys(k)
+      if (inside.isEmpty) Seq(k) else inside
+    }
+    val keys: Seq[String] =
+      meta.partitions.map(meta.fileKey) ++ indexKeys :+ meta.schemaKey
+    val (sb, tb) = (src.base, tgt.base)
+    if (keys.size > 64) {
+      spark.sparkContext.parallelize(keys, math.min(32, keys.size))
+        .foreachPartition { it =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          val s = new Storage(sb, conf)
+          val t = new Storage(tb, conf)
+          it.foreach(k => s.copyKeyTo(k, t))
+        }
+    } else keys.foreach(k => src.copyKeyTo(k, tgt))
+    tgt.writeString(meta.headerKey, src.readString(meta.headerKey)) // LAST
+    meta
+  }
+
   /** Reference `combine_metadata` (`io_components/utils.py:24-102`):
     * recursive merge of user-metadata documents. Nested objects merge by
     * key; arrays concatenate (order preserved, duplicates dropped); equal

@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
   * Hadoop configuration, so nothing here needs to be serialized.
   */
 final class Storage(val base: String, conf: Configuration) extends Serializable {
-  @transient private lazy val fs: FileSystem = new Path(base).getFileSystem(conf)
+  @transient private[store] lazy val fs: FileSystem = new Path(base).getFileSystem(conf)
 
   def path(key: String): Path = new Path(base, key)
 
@@ -51,6 +51,23 @@ final class Storage(val base: String, conf: Configuration) extends Serializable 
   }
 
   def fileSize(key: String): Long = fs.getFileStatus(path(key)).getLen
+
+  /** Byte-stream copy of one key into another store (reference `copy_keys`,
+    * `utils/store.py:176-201` — its Azure fast-path becomes the FS layer's
+    * concern here). */
+  def copyKeyTo(key: String, target: Storage): Unit = {
+    val in = fs.open(path(key))
+    try {
+      val tp = target.path(key)
+      target.fs.mkdirs(tp.getParent)
+      val out = target.fs.create(tp, true)
+      try {
+        val buf = new Array[Byte](1 << 20)
+        var n = in.read(buf)
+        while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+      } finally out.close()
+    } finally in.close()
+  }
 }
 
 object Storage {

@@ -602,6 +602,26 @@ class DatasetSpec extends SparkSpec {
     assert(byLabel.keys.forall(_.startsWith("p=")))
   }
 
+  test("copyDataset replicates data+indices to a second store, header last") {
+    Writer.store(spark, store, "cp", sampleDf,
+      WriteOpts(partitionOn = Seq("p"), secondaryIndices = Seq("s")))
+    val tgt = Storage(spark, tmpDir("plateau-copy"))
+    Ops.copyDataset(spark, store, tgt, "cp")
+    val back = Reader.readTable(spark, tgt, "cp")
+    assert(back.count() === 6)
+    assert(back.select(sum("id")).head().getLong(0) === 21L)
+    // index pruning works in the TARGET store
+    val pruned = Reader.readTable(spark, tgt, "cp",
+      predicates = Some(Seq(Seq(Literal("s", Op.Eq, "x")))))
+    assert(pruned.collect().map(_.getAs[Long]("id")).toSet === Set(1L, 3L, 5L))
+    // target is complete: GC finds nothing to remove
+    assert(Ops.garbageCollect(spark, tgt, "cp").isEmpty)
+    // overwrite refusal
+    intercept[IllegalArgumentException] {
+      Ops.copyDataset(spark, store, tgt, "cp")
+    }
+  }
+
   test("index algebra: merge / removePartitions / removeValues / observed") {
     import spark.implicits._
     val idx = Seq(("x", Seq("l1", "l2")), ("y", Seq("l2"))).toDF("value", "partitions")
