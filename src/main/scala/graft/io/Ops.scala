@@ -71,6 +71,14 @@ object Ops {
     Reader.pruneLabels(spark, storage, meta, schema, Some(preds)).toSet
   }
 
+  /** Reference `build_dataset_indices` (`io/eager.py` export): add secondary
+    * indices to an EXISTING dataset over its full content, in one atomic
+    * header swap — sugar over an empty update. */
+  def buildDatasetIndices(spark: SparkSession, storage: Storage, uuid: String,
+                          columns: Seq[String]): DatasetMetadata =
+    Writer.update(spark, storage, uuid, None,
+      opts = Writer.WriteOpts(secondaryIndices = columns))
+
   /** Copy a dataset between stores (reference `copy_keys`,
     * `utils/store.py:176-201`, lifted to whole-dataset granularity): data
     * files, index files, and schema copy first — distributed over executors

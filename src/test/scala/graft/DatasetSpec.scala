@@ -622,6 +622,15 @@ class DatasetSpec extends SparkSpec {
     }
   }
 
+  test("A1: buildDatasetIndices adds indices to an existing dataset atomically") {
+    Writer.store(spark, store, "bdi", sampleDf, WriteOpts(partitionOn = Seq("p")))
+    val meta = Ops.buildDatasetIndices(spark, store, "bdi", Seq("s", "v"))
+    assert(meta.indices.keySet === Set("s", "v"))
+    val out = Reader.readTable(spark, store, "bdi",
+      predicates = Some(Seq(Seq(Literal("v", Op.Ge, 50.0)))))
+    assert(out.collect().map(_.getAs[Long]("id")).toSet === Set(5L, 6L))
+  }
+
   test("index algebra: merge / removePartitions / removeValues / observed") {
     import spark.implicits._
     val idx = Seq(("x", Seq("l1", "l2")), ("y", Seq("l2"))).toDF("value", "partitions")
