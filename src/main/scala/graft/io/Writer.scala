@@ -162,6 +162,18 @@ object Writer {
     meta
   }
 
+  /** Reference `store_dataframes_as_dataset` takes a LIST of frames
+    * (`io/eager.py:449-491`); with hive layout the partition separation
+    * comes from `partition_on` values, so the list is a union. Schemas must
+    * be compatible (validated pairwise before the union). */
+  def storeMany(spark: SparkSession, storage: Storage, uuid: String,
+                dfs: Seq[DataFrame], opts: WriteOpts = WriteOpts()): DatasetMetadata = {
+    require(dfs.nonEmpty, "storeMany requires at least one DataFrame")
+    dfs.tail.foreach(d => SchemaNorm.validateCompatible(
+      SchemaNorm.normalize(dfs.head.schema), SchemaNorm.normalize(d.schema)))
+    store(spark, storage, uuid, dfs.reduce(_ unionByName _), opts)
+  }
+
   /** Reference `create_empty_dataset_header` (`io/eager.py:494-552`): commit
     * schema + header only, with `explicit_partitions=False` — every load
     * reconstructs the partition set from a store listing, so concurrent

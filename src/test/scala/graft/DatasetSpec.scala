@@ -631,6 +631,19 @@ class DatasetSpec extends SparkSpec {
     assert(out.collect().map(_.getAs[Long]("id")).toSet === Set(5L, 6L))
   }
 
+  test("storeMany unions compatible frames; rejects incompatible ones") {
+    import spark.implicits._
+    val half1 = sampleDf.where($"id" <= 3)
+    val half2 = sampleDf.where($"id" > 3)
+    Writer.storeMany(spark, store, "many", Seq(half1, half2),
+      WriteOpts(partitionOn = Seq("p")))
+    assert(Reader.readTable(spark, store, "many").count() === 6)
+    val wrong = Seq((9L, "x", 1.0)).toDF("id", "p", "v") // missing s
+    intercept[IllegalArgumentException] {
+      Writer.storeMany(spark, store, "many2", Seq(half1, wrong))
+    }
+  }
+
   test("index algebra: merge / removePartitions / removeValues / observed") {
     import spark.implicits._
     val idx = Seq(("x", Seq("l1", "l2")), ("y", Seq("l2"))).toDF("value", "partitions")
