@@ -73,12 +73,18 @@ object Predicates {
       require(conj.nonEmpty, s"Conjunction $i is empty")
       conj.foreach { case Literal(col, op, value) =>
         require(col != null && col.nonEmpty, "Predicate column must be non-empty")
+        // Array[Byte] is a SCALAR here (a binary-column value), not a list
+        def isList(v: Any): Boolean = v match {
+          case _: Array[Byte] => false
+          case _: Seq[_] | _: Array[_] => true
+          case _ => false
+        }
         op match {
           case Op.In | Op.NotIn =>
-            require(value.isInstanceOf[Seq[_]] || value.isInstanceOf[Array[_]],
+            require(isList(value),
               s"Operator '${op.sym}' on '$col' requires a list value")
           case _ =>
-            require(!value.isInstanceOf[Seq[_]] && !value.isInstanceOf[Array[_]],
+            require(!isList(value),
               s"Operator '${op.sym}' on '$col' requires a scalar value")
             if (value == null)
               require(op == Op.Eq || op == Op.Ne || op == Op.IsDistinctFrom,

@@ -42,13 +42,10 @@ object Ops {
         referenced.exists(r => k.startsWith(r + "/"))
     }
     if (orphans.size > 64) {
-      val base = storage.base
+      // Storage serializes its Hadoop conf, so executors keep the session's
+      // spark.hadoop.* credentials/endpoints
       spark.sparkContext.parallelize(orphans, math.min(32, orphans.size))
-        .foreachPartition { it =>
-          val conf = new org.apache.hadoop.conf.Configuration()
-          val st = new Storage(base, conf)
-          it.foreach(st.delete)
-        }
+        .foreachPartition { it => it.foreach(storage.delete) }
     } else orphans.foreach(storage.delete)
     orphans.sorted
   }
@@ -62,6 +59,9 @@ object Ops {
                          scope: Seq[Map[String, Any]]): Set[String] = {
     val meta = meta0.getOrElse(DatasetMetadata.load(storage, uuid))
     if (scope.isEmpty) return Set.empty
+    // reference: an EMPTY scope dict matches every partition
+    // (`core/dataset.py:324-354` query() with no kwargs returns all labels)
+    if (scope.exists(_.isEmpty)) return meta.partitions.toSet
     val preds: graft.dnf.Predicates.Predicates =
       scope.map(_.toSeq.map { case (c, v) => Literal(c, Op.Eq, v) })
     preds.flatten.foreach { l =>
@@ -98,15 +98,9 @@ object Ops {
     }
     val keys: Seq[String] =
       meta.partitions.map(meta.fileKey) ++ indexKeys :+ meta.schemaKey
-    val (sb, tb) = (src.base, tgt.base)
     if (keys.size > 64) {
       spark.sparkContext.parallelize(keys, math.min(32, keys.size))
-        .foreachPartition { it =>
-          val conf = new org.apache.hadoop.conf.Configuration()
-          val s = new Storage(sb, conf)
-          val t = new Storage(tb, conf)
-          it.foreach(k => s.copyKeyTo(k, t))
-        }
+        .foreachPartition { it => it.foreach(k => src.copyKeyTo(k, tgt)) }
     } else keys.foreach(k => src.copyKeyTo(k, tgt))
     tgt.writeString(meta.headerKey, src.readString(meta.headerKey)) // LAST
     meta
@@ -206,9 +200,8 @@ object Ops {
     val rows = spark.sparkContext
       .parallelize(labels, math.max(1, math.min(32, labels.size)))
       .map { label =>
-        val conf = new org.apache.hadoop.conf.Configuration()
         val p = new org.apache.hadoop.fs.Path(s"$base/$prefix/$label")
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, storage.hadoopConf)
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try {
           val fm = reader.getFooter.getBlocks

@@ -131,13 +131,9 @@ object Reader {
     * per-partition view — same plan plus the originating label, so callers
     * can regroup by physical partition. */
   def readWithLabels(spark: SparkSession, storage: Storage, uuid: String,
-                     predicates: Option[Preds] = None): DataFrame = {
-    val meta = DatasetMetadata.load(storage, uuid)
-    val base = s"${storage.base}/${meta.tablePrefix}/"
+                     predicates: Option[Preds] = None): DataFrame =
     readTable(spark, storage, uuid, None, predicates)
-      .withColumn("__label",
-        regexp_replace(input_file_name(), lit("^.*?/" + meta.tablePrefix + "/"), lit("")))
-  }
+      .withColumn("__label", Writer.decodeFileLabel(uuid))
 
   /** Reference `dispatch_by` (`io_components/read.py:66-95`): co-locate all
     * rows sharing the dispatch columns' values into the same task. */
@@ -212,10 +208,16 @@ object Reader {
         Some(Literal(a.name, Op.Le, toScala(l)))
       case _ => None
     }
+    // per-FileIndex caches: listFiles runs once per planning pass, and a
+    // repeatedly re-planned DataFrame must not re-read index parquet from
+    // the store each time
+    val litCache = scala.collection.concurrent.TrieMap.empty[Literal, Set[String]]
+    val idxCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
     val pruner: Seq[CExpr] => Option[Set[String]] = { dataFilters =>
-      val sets = dataFilters.flatMap(asLiteral).map { lit =>
-        SecondaryIndex.evalLiteral(
-          SecondaryIndex.load(spark, storage, meta.indices(lit.column)), lit)
+      val sets = dataFilters.flatMap(asLiteral).map { l =>
+        litCache.getOrElseUpdate(l, SecondaryIndex.evalLiteral(
+          idxCache.getOrElseUpdate(l.column,
+            SecondaryIndex.load(spark, storage, meta.indices(l.column)).cache()), l))
       }
       if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
     }

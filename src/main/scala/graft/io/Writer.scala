@@ -106,9 +106,16 @@ object Writer {
         Serializer.read(spark, schema, base, ls.map(l => s"$base/$l"), fmt)
       }
       .reduce(_ unionByName _)
-      .withColumn(LabelCol,
-        url_decode(regexp_replace(input_file_name(), lit(s"^.*?/$uuid/table/"), lit(""))))
+      .withColumn(LabelCol, Writer.decodeFileLabel(uuid))
   }
+
+  /** `input_file_name()` returns the URI-encoded path; decode it back to the
+    * on-disk (= header) label. A literal '+' must survive (URLDecoder would
+    * turn it into a space — the same guard as `DatasetMetadata.urlDecode`). */
+  private[io] def decodeFileLabel(uuid: String): org.apache.spark.sql.Column =
+    url_decode(regexp_replace(
+      regexp_replace(input_file_name(), lit(s"^.*?/$uuid/table/"), lit("")),
+      lit("\\+"), lit("%2B")))
 
   private def buildAndStoreIndices(spark: SparkSession, storage: Storage,
                                    uuid: String, schema: StructType,
@@ -197,7 +204,14 @@ object Writer {
 
   /** Two-phase step 1 (reference `write_single_partition`,
     * `io/eager.py:555-626`): write data files under the final keys with NO
-    * header update; returns the new labels for a later `commitDataset`. */
+    * header update; returns the new labels for a later `commitDataset`.
+    *
+    * LIMITATION: the new labels are identified by a before/after store
+    * listing, so two writeSinglePartition calls racing on the SAME dataset
+    * can claim each other's files; serialize calls per dataset (concurrent
+    * writers to DIFFERENT partition-value ranges should stage through
+    * separate datasets or commit through a single coordinator, which is also
+    * the reference's deployment guidance for its two-phase protocol). */
   def writeSinglePartition(spark: SparkSession, storage: Storage, uuid: String,
                            df: DataFrame, opts: WriteOpts = WriteOpts()): Seq[String] = {
     val existingSchema =

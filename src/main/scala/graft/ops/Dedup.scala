@@ -213,13 +213,15 @@ object Dedup {
     * verifies. Avoids the all-pairs cross join at scale. */
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
                         planes: Int = 8, threshold: Double = 0.95): DataFrame = {
-    val dim = 64
-    // deterministic pseudo-random hyperplane component for (plane p, dim i)
+    // deterministic pseudo-random hyperplane component for (plane p, dim i);
+    // the hyperplane length follows each row's own vector length — a
+    // hardcoded dim would null the dot product for any other dimensionality
+    // and collapse every row into ONE bucket (full O(n^2) cross join)
     def comp(p: Int, i: Column): Column =
       (pmod(hash(lit(p), i), lit(1000)).cast("double") - 499.5) / 500.0
     val sigBit = (p: Int) => {
       val dot = Similarity.dot(col("v"),
-        transform(sequence(lit(0), lit(dim - 1)), i => comp(p, i)))
+        transform(sequence(lit(0), size(col("v")) - 1), i => comp(p, i)))
       when(dot >= 0, lit(1)).otherwise(lit(0))
     }
     val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"))

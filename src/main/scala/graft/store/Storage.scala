@@ -10,8 +10,25 @@ import org.apache.spark.sql.SparkSession
   * path-addressed; executors open their own FileSystem from the task-side
   * Hadoop configuration, so nothing here needs to be serialized.
   */
-final class Storage(val base: String, conf: Configuration) extends Serializable {
+final class Storage(val base: String, @transient private var conf: Configuration)
+    extends Serializable {
   @transient private[store] lazy val fs: FileSystem = new Path(base).getFileSystem(conf)
+
+  /** The (session-derived) Hadoop configuration — restored on executors by
+    * the custom serialization below, so closures capturing a Storage keep
+    * credentials/endpoint settings (`spark.hadoop.*`) instead of a blank
+    * default Configuration. */
+  private[graft] def hadoopConf: Configuration = conf
+
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new Configuration(false)
+    conf.readFields(in)
+  }
 
   def path(key: String): Path = new Path(base, key)
 

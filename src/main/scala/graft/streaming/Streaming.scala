@@ -83,23 +83,38 @@ object Streaming {
       .parquet(s"${storage.base}/${meta.tablePrefix}")
   }
 
-  /** Stream into a dataset: one atomic commit per micro-batch. Returns the
+  private[graft] val LastBatchKey = "graft.streaming.lastBatchId"
+
+  /** One micro-batch through the atomic commit. The committed batchId rides
+    * in the dataset's user metadata, so a batch RE-DELIVERED after a crash
+    * between our commit and the streaming engine's own commit log is
+    * detected and skipped — exactly-once despite foreachBatch's
+    * at-least-once contract. */
+  private[graft] def ingestBatch(storage: Storage, uuid: String,
+                                     opts: WriteOpts)
+                                    (batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val stamped = opts.copy(metadata =
+      opts.metadata + (LastBatchKey -> batchId.toString))
+    if (DatasetMetadata.exists(storage, uuid)) {
+      val meta = DatasetMetadata.load(storage, uuid)
+      if (meta.metadata.get(LastBatchKey).exists(_.toLong >= batchId)) return
+      Writer.update(batch.sparkSession, storage, uuid, Some(batch), Nil, stamped)
+    } else {
+      Writer.store(batch.sparkSession, storage, uuid, batch, stamped)
+    }
+    ()
+  }
+
+  /** Stream into a dataset: one atomic commit per micro-batch (replays
+    * skipped via the batchId stamp, see [[ingestBatch]]). Returns the
     * started query; callers own trigger/checkpoint configuration via
     * `configure` (defaults: availableNow, temp checkpoint). */
   def writeStreamAppend(stream: DataFrame, storage: Storage, uuid: String,
                         opts: WriteOpts = WriteOpts(),
                         configure: DataStreamWriter[Row] => DataStreamWriter[Row] =
                           _.trigger(Trigger.AvailableNow())): StreamingQuery = {
-    val writer = stream.writeStream.foreachBatch {
-      (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          if (DatasetMetadata.exists(storage, uuid))
-            Writer.update(batch.sparkSession, storage, uuid, Some(batch), Nil, opts)
-          else
-            Writer.store(batch.sparkSession, storage, uuid, batch, opts)
-          ()
-        }
-    }
+    val writer = stream.writeStream.foreachBatch(ingestBatch(storage, uuid, opts) _)
     configure(writer).start()
   }
 }

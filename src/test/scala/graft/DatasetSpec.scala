@@ -439,7 +439,7 @@ class DatasetSpec extends SparkSpec {
     // labels stored in the index file must match the header's label set or
     // index pruning silently returns nothing
     val tricky = Seq((1L, "a b", "x", 1.0), (2L, "c/d", "y", 2.0),
-      (3L, "e%f", "x", 3.0)).toDF("id", "p", "s", "v")
+      (3L, "e%f", "x", 3.0), (4L, "g+h", "y", 4.0)).toDF("id", "p", "s", "v")
     Writer.store(spark, store, "urlidx", tricky,
       WriteOpts(partitionOn = Seq("p"), secondaryIndices = Seq("s")))
     val meta = DatasetMetadata.load(store, "urlidx")
@@ -448,10 +448,41 @@ class DatasetSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(indexLabels.subsetOf(meta.partitions.toSet),
       s"index labels $indexLabels not in header labels ${meta.partitions}")
-    // and the full pruned read path returns the right rows
+    // and the full pruned read path returns the right rows — including the
+    // '+' value, which URLDecoder would corrupt to a space without the guard
     val out = Reader.readTable(spark, store, "urlidx",
       predicates = Some(Seq(Seq(Literal("s", Op.Eq, "x")))))
     assert(out.collect().map(_.getAs[Long]("id")).toSet === Set(1L, 3L))
+    val plusOut = Reader.readTable(spark, store, "urlidx",
+      predicates = Some(Seq(Seq(Literal("s", Op.Eq, "y")))))
+    assert(plusOut.collect().map(_.getAs[Long]("id")).toSet === Set(2L, 4L))
+    // readWithLabels labels must match the header labels verbatim
+    val withLabels = Reader.readWithLabels(spark, store, "urlidx")
+    val labelSet = withLabels.select("__label").collect().map(_.getString(0)).toSet
+    assert(labelSet === meta.partitions.toSet)
+  }
+
+  test("binary-column predicates: Array[Byte] is a scalar value") {
+    import spark.implicits._
+    val df = Seq((1L, "a", Array[Byte](1, 2)), (2L, "b", Array[Byte](3, 4)))
+      .toDF("id", "p", "payload")
+    Writer.store(spark, store, "binpred", df, WriteOpts(partitionOn = Seq("p")))
+    val out = Reader.readTable(spark, store, "binpred",
+      predicates = Some(Seq(Seq(Literal("payload", Op.Eq, Array[Byte](3, 4))))))
+    assert(out.collect().map(_.getAs[Long]("id")).toSeq === Seq(2L))
+    // reference rule: null-terminated binary values are rejected
+    intercept[IllegalArgumentException] {
+      Reader.readTable(spark, store, "binpred",
+        predicates = Some(Seq(Seq(Literal("payload", Op.Eq, Array[Byte](1, 0)))))).count()
+    }
+  }
+
+  test("W6: EMPTY delete-scope dict removes every partition") {
+    Writer.store(spark, store, "delall", sampleDf, WriteOpts(partitionOn = Seq("p")))
+    val after = Writer.update(spark, store, "delall", None,
+      deleteScope = Seq(Map.empty))
+    assert(after.partitions.isEmpty)
+    assert(Reader.readTable(spark, store, "delall").count() === 0)
   }
 
   test("projection to partition keys ONLY never touches payload columns") {

@@ -41,6 +41,18 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("embeddingNearDups follows the data's dimensionality (not a hardcoded 64)") {
+    import spark.implicits._
+    val v = (0 until 8).map(i => 0.1 * (i + 1)).toArray
+    val w = (0 until 8).map(i => -0.1 * (i + 1)).toArray
+    val df = Seq((1L, v), (2L, v), (3L, w)).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(df, "embedding", "vec_id",
+      planes = 4, threshold = 0.99).collect()
+    // identical vectors share a bucket and verify at cosine 1; the opposite
+    // vector is in the complementary bucket
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+  }
+
   test("exactGroups finds identical texts regardless of id") {
     import spark.implicits._
     val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))

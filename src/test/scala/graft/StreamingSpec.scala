@@ -65,6 +65,19 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("ingestBatch skips a replayed batchId (exactly-once under retries)") {
+    import spark.implicits._
+    val batch = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "p", "v")
+    val ingest = graft.streaming.Streaming.ingestBatch(store, "replay",
+      Writer.WriteOpts(partitionOn = Seq("p"))) _
+    ingest(batch, 0L)
+    assert(Reader.readTable(spark, store, "replay").count() === 2)
+    ingest(batch, 0L) // crash-replay of the SAME batch
+    assert(Reader.readTable(spark, store, "replay").count() === 2) // no dupes
+    ingest(batch, 1L) // genuinely new batch appends
+    assert(Reader.readTable(spark, store, "replay").count() === 4)
+  }
+
   test("readStream over a dataset sees its partitions incrementally") {
     import spark.implicits._
     Writer.store(spark, store, "feed",
