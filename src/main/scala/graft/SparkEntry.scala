@@ -330,10 +330,13 @@ object SparkEntry {
     }),
 
     // --- O5: aggregate_to_lists
+    // joined to string for the driver comparator (its pandas sort cannot
+    // order ndarray cells); the list aggregation itself is unchanged
     "o5_collect_list" -> ((s, dir) =>
       rd(s, dir, "lineitem")
         .groupBy("l_orderkey")
-        .agg(sort_array(collect_list("l_linenumber")).as("lines"))),
+        .agg(array_join(transform(sort_array(collect_list("l_linenumber")),
+          _.cast("string")), ",").as("lines"))),
 
     // --- O4: union of same-schema frames
     "o4_union" -> ((s, dir) => {
@@ -381,7 +384,9 @@ object SparkEntry {
       rd(s, dir, "events")
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
         .groupBy("event_type")
-        .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))),
+        // cast: DuckDB sum(BIGINT) is HUGEINT which lands in pandas as
+        // float64; BIGINT on both sides keeps the hash comparison int64
+        .agg(sum("k").cast("long").as("sum_k"), count(lit(1)).as("n"))),
 
     // --- dedup: exact (deterministic winner per group)
     "d_dedup_exact" -> ((s, dir) =>
@@ -497,10 +502,13 @@ object SparkEntry {
       Similarity.lshTopK(emb, "embedding", "vec_id", q, 20, planes = 4)
     }),
 
-    // multimodal feature extraction through the stubbed decoder
+    // multimodal feature extraction through the stubbed decoder; exploded to
+    // one scalar row per feature so the driver comparator can sort the output
     "m_features" -> ((s, dir) => {
       val media = Multimodal.asMedia(rd(s, dir, "documents"), "text", "image")
       Multimodal.extractFeatures(media, "doc_id")
+        .select(col("doc_id"), posexplode(col("features")).as(Seq("dim", "feature")))
+        .withColumn("feature", round(col("feature").cast("double"), 4))
     })
   )
 
@@ -598,7 +606,7 @@ object SparkEntry {
                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
              FROM orders) t WHERE rn = 1""",
       "o5_collect_list" ->
-        "SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines FROM lineitem GROUP BY l_orderkey",
+        "SELECT l_orderkey, array_to_string(list_sort(list(l_linenumber)), ',') AS lines FROM lineitem GROUP BY l_orderkey",
       "o4_union" ->
         """SELECT p_partkey, p_brand, p_size FROM part WHERE p_size < 10
            UNION ALL
@@ -635,7 +643,7 @@ object SparkEntry {
            GROUP BY c_mktsegment""",
       "w_json_props" ->
         """SELECT event_type,
-             sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS sum_k,
+             CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
              count(*) AS n
            FROM events GROUP BY event_type""",
       "d_dedup_exact" ->

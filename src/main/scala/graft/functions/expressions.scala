@@ -145,6 +145,9 @@ case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
+  // null on length mismatch / null element, even for non-nullable children —
+  // without this, codegen never declares ev.isNull and janino rejects the body
+  override def nullable: Boolean = true
 
   @transient private lazy val leftFloat =
     left.dataType == ArrayType(FloatType, false) || left.dataType == ArrayType(FloatType, true)
@@ -171,9 +174,12 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("dotter", this, classOf[DotProduct].getName)
+    // freshName: a predicate like cosine(a,b) >= t expands to three DotProducts
+    // in one codegen scope — a fixed local name fails janino compilation
+    val r = ctx.freshName("dotResult")
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      java.lang.Double r = $ref.compute($a, $b);
-      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+      java.lang.Double $r = $ref.compute($a, $b);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
     """)
   }
 

@@ -113,6 +113,30 @@ class ExpressionsSpec extends SparkSpec {
     assert(r.getSeq[Int](3).size === 4)
   }
 
+  test("cosine predicate (three DotProducts in one scope) compiles under codegen") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.BindReferences
+    import org.apache.spark.sql.catalyst.expressions.codegen.GeneratePredicate
+    import org.apache.spark.sql.execution.FilterExec
+    // spark.range, not Seq.toDF: ConvertToLocalRelation would fold a filter
+    // over a LocalRelation at optimization time and leave no FilterExec
+    val df = spark.range(50).select(col("id"),
+      transform(sequence(lit(0), lit(7)), i => sin(col("id") + i + 1)).as("v"))
+    val q = array((0 until 8).map(i => lit(math.sin(i + 1.0))): _*)
+    val filtered = df.where(graft.ops.Similarity.cosine(col("v"), q) >= 0.5)
+    val filter = filtered.queryExecution.executedPlan.collectFirst {
+      case f: FilterExec if f.condition.exists(_.isInstanceOf[graft.functions.DotProduct]) => f
+    }
+    assert(filter.isDefined, "expected a FilterExec containing DotProduct")
+    // GeneratePredicate.generate throws on janino failure (the runtime path
+    // would silently fall back to interpreted mode) — this is the regression
+    // guard for the fixed-local-name codegen bug
+    val f = filter.get
+    val bound = BindReferences.bindReference(f.condition, f.child.output)
+    GeneratePredicate.generate(bound)
+    assert(filtered.count() >= 0)
+  }
+
   test("custom expressions survive codegen and interpreted paths") {
     import spark.implicits._
     val df = Seq("the quick brown fox jumps").toDF("text")
