@@ -175,28 +175,43 @@ object Dedup {
     * materializing components on the driver). Near-dup components are
     * short chains in practice, so convergence is fast; `maxIters` bounds
     * pathological inputs. Returns (id, cluster_id). */
-  def nearDupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 20,
+                      numPartitions: Int = 16): DataFrame = {
+    // fixed small width for the iterative stages: the label table shrinks
+    // every round, and per-task overhead dominates tiny iterations — callers
+    // at larger scale raise numPartitions (AQE cannot re-plan inside the
+    // driver-side loop as cheaply as one explicit width)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().cache()
+      .distinct()
+      .repartition(numPartitions, col("dst"))
+      .cache()
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id")).cache()
+      .withColumn("cluster_id", col("id")).localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("nid")).agg(min("cluster_id").as("nmin"))
-      // localCheckpoint cuts the growing lineage each round
+      // one materializing job per round: the change flag is computed inline
+      // and localCheckpoint cuts the growing lineage, so the convergence
+      // probe is a scan of the checkpointed blocks, not a second join
       val updated = labels.join(neighborMin, labels("id") === col("nid"), "left")
         .select(col("id"),
-          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"),
+          coalesce(col("nmin") < col("cluster_id"), lit(false)).as("__changed"))
         .localCheckpoint()
-      converged = updated.join(labels.withColumnRenamed("cluster_id", "old"), "id")
-        .where(col("cluster_id") =!= col("old")).isEmpty
-      labels.unpersist(false)
-      labels = updated
+      converged = updated.where(col("__changed")).isEmpty
+      labels = updated.select("id", "cluster_id")
       i += 1
     }
+    // silently-unconverged labels would make dedupByClusters drop the WRONG
+    // rows downstream — fail loudly instead (raise maxIters for graphs whose
+    // component diameter genuinely exceeds it)
+    if (!converged) throw new IllegalStateException(
+      s"nearDupClusters did not converge within maxIters=$maxIters rounds; " +
+        "labels would be incorrect for components with larger diameter")
+    edges.unpersist(false)
     labels
   }
 
