@@ -73,6 +73,22 @@ object Predicates {
       require(conj.nonEmpty, s"Conjunction $i is empty")
       conj.foreach { case Literal(col, op, value) =>
         require(col != null && col.nonEmpty, "Predicate column must be non-empty")
+        // A null byte ANYWHERE in a bytes value — scalar or inside a list,
+        // against any column — is rejected at check time (reference
+        // `check_predicates`, `serialization/_generic.py:190-198` +
+        // `_check_contains_null`, `serialization/_util.py:4-12`)
+        def containsNullByte(v: Any): Boolean = v match {
+          case b: Array[Byte] => b.contains(0: Byte)
+          case _ => false
+        }
+        val bytesWithNull = value match {
+          case s: Seq[_]                        => s.exists(containsNullByte)
+          case _: Array[Byte]                   => containsNullByte(value)
+          case a: Array[_]                      => a.exists(containsNullByte)
+          case other                            => containsNullByte(other)
+        }
+        if (bytesWithNull) throw new IllegalArgumentException(
+          s"Binary predicate value containing a null byte on '$col' is not supported")
         // Array[Byte] is a SCALAR here (a binary-column value), not a list
         def isList(v: Any): Boolean = v match {
           case _: Array[Byte] => false
@@ -127,11 +143,7 @@ object Predicates {
       case _: BooleanType => if (!v.isInstanceOf[Boolean]) fail()
       case _: BinaryType =>
         v match {
-          case b: Array[Byte] =>
-            // reference rejects null-terminated binary values
-            // (`serialization/_generic.py:209-218`)
-            if (b.nonEmpty && b.last == 0) throw new IllegalArgumentException(
-              s"Null-terminated binary predicate value on '$col' is not allowed")
+          case _: Array[Byte] => () // null-byte rejection happens in check()
           case _ => fail()
         }
       case _: DateType =>
@@ -193,6 +205,10 @@ object Predicates {
     l.op match {
       case Op.In | Op.NotIn =>
         val vs = listValues(l.value)
+        // An EMPTY list short-circuits to an all-false mask for BOTH in and
+        // not-in (reference `filter_array_like`,
+        // `serialization/_generic.py:477-481`: `np.zeros` before op dispatch)
+        if (vs.isEmpty) return lit(false)
         vs.filter(_ != null).foreach(checkTypeStability(l.column, dt, _))
         val hasNull = vs.contains(null)
         val nonNull = vs.filter(_ != null).map(toLit(dt, _))

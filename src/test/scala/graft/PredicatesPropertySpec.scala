@@ -71,11 +71,15 @@ class PredicatesPropertySpec extends SparkSpec {
     case Op.Ge => v != null && cmp(v, l.value) >= 0
     case Op.In =>
       val vs = l.value.asInstanceOf[Seq[Any]]
-      if (vs.contains(null)) v == null || vs.filter(_ != null).contains(v)
+      // empty list short-circuits to all-false for BOTH in and not-in
+      // (reference filter_array_like, serialization/_generic.py:477-481)
+      if (vs.isEmpty) false
+      else if (vs.contains(null)) v == null || vs.filter(_ != null).contains(v)
       else v != null && vs.contains(v)
     case Op.NotIn =>
       val vs = l.value.asInstanceOf[Seq[Any]]
-      if (vs.contains(null)) v != null && !vs.filter(_ != null).contains(v)
+      if (vs.isEmpty) false
+      else if (vs.contains(null)) v != null && !vs.filter(_ != null).contains(v)
       else v == null || !vs.contains(v)
   }
   private def evalDnf(preds: Predicates.Predicates, r: Row): Boolean =

@@ -62,9 +62,21 @@ class PredicatesSpec extends SparkSpec {
   test("not in with null in list excludes null rows") {
     assert(ids(Seq(Seq(Literal("i", Op.NotIn, Seq(1L, null))))) === Set(2L, 4L))
   }
-  test("empty in-list matches nothing; not-in everything incl. nulls") {
+  test("empty list matches nothing for BOTH in and not-in") {
+    // reference filter_array_like short-circuits ANY empty list value to an
+    // all-false mask before op dispatch (serialization/_generic.py:477-481)
     assert(ids(Seq(Seq(Literal("i", Op.In, Seq.empty[Any])))) === Set())
-    assert(ids(Seq(Seq(Literal("i", Op.NotIn, Seq.empty[Any])))) === Set(1L, 2L, null, 4L))
+    assert(ids(Seq(Seq(Literal("i", Op.NotIn, Seq.empty[Any])))) === Set())
+  }
+  test("bytes value with a null byte anywhere is rejected, scalar or in-list") {
+    intercept[IllegalArgumentException] {
+      Predicates.check(Seq(Seq(Literal("s", Op.Eq, Array[Byte](1, 0, 2)))))
+    }
+    intercept[IllegalArgumentException] {
+      Predicates.check(Seq(Seq(Literal("s", Op.In, Seq(Array[Byte](65), Array[Byte](0, 66))))))
+    }
+    // no null byte => fine at check level
+    Predicates.check(Seq(Seq(Literal("s", Op.Eq, Array[Byte](1, 2)))))
   }
   test("DNF: OR of ANDs") {
     val preds = Seq(
