@@ -117,7 +117,8 @@ object Dedup {
     *     they save (measured), hence the adaptive switch. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleN: Int, threshold: Double,
-                        prefixFilter: Option[Boolean] = None): DataFrame = {
+                        prefixFilter: Option[Boolean] = None,
+                        dfCap: Int = 1000): DataFrame = {
     val sh = df
       .where(size(split(trim(lower(col(textCol))), "\\s+")) >= shingleN)
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
@@ -125,17 +126,41 @@ object Dedup {
     val usePrefix = prefixFilter.getOrElse(threshold >= 0.6)
     if (!usePrefix) {
       val inv = sh.select(col("id"), explode(col("sh")).as("s"))
-      val common = inv.join(inv.withColumnRenamed("id", "id2"), "s")
-        .where(col("id") < col("id2"))
-        .groupBy(col("id").as("id_a"), col("id2").as("id_b"))
-        .agg(count(lit(1)).cast("double").as("inter"))
-      common
-        .join(sh.select(col("id").as("id_a"), size(col("sh")).as("n_a")), "id_a")
-        .join(sh.select(col("id").as("id_b"), size(col("sh")).as("n_b")), "id_b")
-        .withColumn("jaccard",
-          col("inter") / (col("n_a") + col("n_b") - col("inter")))
-        .where(col("jaccard") >= threshold)
-        .select(col("id_a"), col("id_b"), col("jaccard"))
+      val freq = inv.groupBy("s").agg(count(lit(1)).as("df")).cache()
+      val maxDf = freq.agg(max("df")).first() match {
+        case r if r.isNullAt(0) => 0L
+        case r                  => r.getLong(0)
+      }
+      if (maxDf <= dfCap) {
+        // no hot shingles: the plain inverted-index count-join is exact and
+        // never ships shingle arrays
+        val common = inv.join(inv.withColumnRenamed("id", "id2"), "s")
+          .where(col("id") < col("id2"))
+          .groupBy(col("id").as("id_a"), col("id2").as("id_b"))
+          .agg(count(lit(1)).cast("double").as("inter"))
+        common
+          .join(sh.select(col("id").as("id_a"), size(col("sh")).as("n_a")), "id_a")
+          .join(sh.select(col("id").as("id_b"), size(col("sh")).as("n_b")), "id_b")
+          .withColumn("jaccard",
+            col("inter") / (col("n_a") + col("n_b") - col("inter")))
+          .where(col("jaccard") >= threshold)
+          .select(col("id_a"), col("id_b"), col("jaccard"))
+      } else {
+        // CD-filter: a shingle with document frequency f generates
+        // C(f,2) candidate pairs, so ONE stop-shingle ("of the and") would
+        // make the self-join O(n^2) at scale. Candidates come from the
+        // capped generator below; intersection counts over a pruned
+        // inverted index are partial, so jaccard is verified on the full
+        // shingle arrays (exact; the candidate set is bounded).
+        ngramCandidatesCapped(sh, freq, threshold, dfCap)
+          .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+          .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+          .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+          .withColumn("jaccard",
+            col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+          .where(col("jaccard") >= threshold)
+          .select(col("id_a"), col("id_b"), col("jaccard"))
+      }
     } else {
       val inv = sh.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
       val freq = inv.groupBy("s").agg(count(lit(1)).as("df"))
@@ -159,6 +184,40 @@ object Dedup {
         .where(col("jaccard") >= threshold)
         .select(col("id_a"), col("id_b"), col("jaccard"))
     }
+  }
+
+  /** Exact candidate generation under a document-frequency cap. Two sources,
+    * whose union provably covers every pair with jaccard >= threshold:
+    *
+    *   1. COLD pairs — docs sharing a shingle with df <= dfCap; each such
+    *      shingle contributes at most C(dfCap, 2) pairs, so the self-join
+    *      is bounded no matter how skewed the corpus.
+    *   2. HOT-PREFIX pairs — a qualifying pair whose shared shingles are ALL
+    *      hot is still caught: by the PPJoin prefix lemma the two docs share
+    *      a shingle inside both df-ordered prefixes (rarest first, length
+    *      |x| - ceil(t*|x|) + 1); that shared shingle is hot by assumption,
+    *      so joining only (prefix ∩ hot) shingles finds the pair. Hot
+    *      shingles sort LAST, so they enter a prefix only when a doc has
+    *      almost no cold shingles — in realistic corpora this side is tiny.
+    */
+  private[graft] def ngramCandidatesCapped(sh: DataFrame, freq: DataFrame,
+                                           threshold: Double, dfCap: Int): DataFrame = {
+    val inv = sh.select(col("id"), explode(col("sh")).as("s"))
+    val cold = inv.join(freq.where(col("df") <= dfCap).select("s"), "s")
+    val coldPairs = cold.join(cold.withColumnRenamed("id", "id2"), "s")
+      .where(col("id") < col("id2"))
+      .select(col("id").as("id_a"), col("id2").as("id_b"))
+    val invN = sh.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+    val prefix = invN.join(freq, "s")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("s"))))
+      .where(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+    val hotPrefix = prefix.join(freq.where(col("df") > dfCap).select("s"), "s")
+      .select(col("id"), col("s"))
+    val hotPairs = hotPrefix.join(hotPrefix.withColumnRenamed("id", "id2"), "s")
+      .where(col("id") < col("id2"))
+      .select(col("id").as("id_a"), col("id2").as("id_b"))
+    coldPairs.unionByName(hotPairs).distinct()
   }
 
   /** SimHash over distinct tokens: bit i of the hash is the sign of
@@ -222,33 +281,45 @@ object Dedup {
       clusters.where(col("id") =!= col("cluster_id")).select(col("id").as(idCol)),
       Seq(idCol), "left_anti")
 
-  /** Near-dup pairs by embedding cosine within LSH (random hyperplane)
-    * buckets: docs whose sign-pattern over `planes` deterministic
-    * pseudo-random hyperplanes matches land in one bucket; exact cosine
-    * verifies. Avoids the all-pairs cross join at scale. */
+  /** Near-dup pairs by embedding cosine within banded multi-table LSH
+    * (random hyperplane) buckets: each of `tables` independent hyperplane
+    * sets gives every doc a `planes`-bit sign bucket; candidate pairs are
+    * the union of within-bucket pairs across tables; exact cosine verifies.
+    *
+    * The multi-table scheme is what makes this quadratic-safe at scale:
+    * `planes` can be LARGE (2^planes fine-grained buckets, so within-bucket
+    * all-pairs work stays small) because a near-pair split apart by one
+    * table's hyperplanes is still caught by another table — same
+    * recall/bucket-size trade the MinHash operator's bands make. A single
+    * table would force few planes (e.g. 6 -> 64 buckets -> O(n^2/64) pairs). */
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
-                        planes: Int = 8, threshold: Double = 0.95): DataFrame = {
-    // deterministic pseudo-random hyperplane component for (plane p, dim i);
-    // the hyperplane length follows each row's own vector length — a
-    // hardcoded dim would null the dot product for any other dimensionality
-    // and collapse every row into ONE bucket (full O(n^2) cross join)
-    def comp(p: Int, i: Column): Column =
-      (pmod(hash(lit(p), i), lit(1000)).cast("double") - 499.5) / 500.0
-    val sigBit = (p: Int) => {
+                        planes: Int = 8, threshold: Double = 0.95,
+                        tables: Int = 4): DataFrame = {
+    // deterministic pseudo-random hyperplane component for (table t,
+    // plane p, dim i); the hyperplane length follows each row's own vector
+    // length — a hardcoded dim would null the dot product for any other
+    // dimensionality and collapse every row into ONE bucket (O(n^2))
+    def comp(t: Int, p: Int, i: Column): Column =
+      (pmod(hash(lit(t * 1024 + p), i), lit(1000)).cast("double") - 499.5) / 500.0
+    val sig = (t: Int) => concat_ws("", lit(s"$t:") +: (0 until planes).map { p =>
       val dot = Similarity.dot(col("v"),
-        transform(sequence(lit(0), size(col("v")) - 1), i => comp(p, i)))
+        transform(sequence(lit(0), size(col("v")) - 1), i => comp(t, p, i)))
       when(dot >= 0, lit(1)).otherwise(lit(0))
-    }
-    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", concat_ws("", (0 until planes).map(sigBit): _*))
-    val pairs = bucketed.select(col("bucket"), col("id"))
-      .join(bucketed.select(col("bucket"), col("id").as("id2")), "bucket")
+    }: _*)
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // (bucket, id) only — signatures sit on both sides of the self-join and
+    // are the dominant compute, so cache the narrow table, never the vectors
+    val bucketTable = base
+      .select(explode(array((0 until tables).map(sig): _*)).as("bucket"), col("id"))
+      .cache()
+    val pairs = bucketTable
+      .join(bucketTable.withColumnRenamed("id", "id2"), "bucket")
       .where(col("id") < col("id2"))
       .select(col("id").as("id_a"), col("id2").as("id_b"))
-    val vecs = bucketed.select(col("id"), col("v"))
+      .distinct() // the same pair can surface from several tables
     pairs
-      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
-      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
       .withColumn("cosine", round(Similarity.cosine(col("v_a"), col("v_b")), 6))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))

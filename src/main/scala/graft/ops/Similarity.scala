@@ -50,10 +50,11 @@ object Similarity {
 
   /** Random-hyperplane LSH bucket signature (same scheme as
     * [[Dedup.embeddingNearDups]]): `planes` sign bits from deterministic
-    * pseudo-random hyperplanes. */
-  def lshBucket(vec: Column, planes: Int, dim: Int): Column = {
+    * pseudo-random hyperplanes; `table` selects an independent hyperplane
+    * set (table 0 = the original single-table seeds). */
+  def lshBucket(vec: Column, planes: Int, dim: Int, table: Int = 0): Column = {
     def comp(p: Int, i: Column): Column =
-      (pmod(hash(lit(p), i), lit(1000)).cast("double") - 499.5) / 500.0
+      (pmod(hash(lit(table * 1024 + p), i), lit(1000)).cast("double") - 499.5) / 500.0
     val bits = (0 until planes).map { p =>
       val d = dot(vec, transform(sequence(lit(0), lit(dim - 1)), i => comp(p, i)))
       when(d >= 0, lit(1)).otherwise(lit(0))
@@ -61,17 +62,22 @@ object Similarity {
     concat_ws("", bits: _*)
   }
 
-  /** LSH-pruned approximate top-k: score only corpus rows whose bucket
-    * matches the query's bucket (the 100-TB scale path; recall traded for a
-    * 2^planes-fold scan reduction). */
+  /** LSH-pruned approximate top-k: score only corpus rows landing in the
+    * query's bucket in ANY of `tables` independent hyperplane tables (the
+    * 100-TB scale path; recall traded for a ~2^planes/tables-fold scan
+    * reduction). More tables => higher recall at the same bucket
+    * granularity — the multi-table analogue of MinHash bands. The per-table
+    * match is a scan-side filter (no explode, no shuffle). */
   def lshTopK(corpus: DataFrame, vecCol: String, idCol: String,
-              query: Seq[Double], k: Int, planes: Int = 4): DataFrame = {
+              query: Seq[Double], k: Int, planes: Int = 4,
+              tables: Int = 1): DataFrame = {
     val dim = query.size
     val q = array(query.map(lit): _*)
-    val qBucket = lshBucket(q, planes, dim)
+    val matchesAny = (0 until tables)
+      .map(t => lshBucket(col(vecCol), planes, dim, t) === lshBucket(q, planes, dim, t))
+      .reduce(_ || _)
     corpus
-      .withColumn("__bucket", lshBucket(col(vecCol), planes, dim))
-      .where(col("__bucket") === qBucket)
+      .where(matchesAny)
       .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)

@@ -41,6 +41,40 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("df cap bounds candidates under a ubiquitous shingle without changing results") {
+    import spark.implicits._
+    // 40 docs, every one contains the stop-token "the" plus 9 unique tokens;
+    // true answer at t=0.3 is NO pairs (shared jaccard = 1/19). The uncapped
+    // inverted-index self-join would generate C(40,2) = 780 candidates off
+    // the hot shingle alone; the capped generator must produce ~none: "the"
+    // is hot (df=40 > cap=5) and sorts LAST in the df-order, so each doc's
+    // PPJoin prefix (8 of 10 shingles) fills with cold uniques first.
+    val docs = (1 to 40).map { i =>
+      (i.toLong, "the " + (1 to 9).map(j => s"tok${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id").as("id"),
+      Dedup.shingles(col("text"), 1).as("sh")).cache()
+    val inv = sh.select(col("id"), explode(col("sh")).as("s"))
+    val freq = inv.groupBy("s").agg(count(lit(1)).as("df"))
+    val capped = Dedup.ngramCandidatesCapped(sh, freq, 0.3, dfCap = 5).count()
+    assert(capped === 0L, s"capped generator produced $capped candidates")
+    // the public operator returns the same (empty) result with the cap hot
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 1, 0.3,
+      Some(false), dfCap = 5)
+    assert(pairs.count() === 0L)
+    // and on a corpus with REAL near-dups plus the hot shingle, capped and
+    // uncapped agree pair-for-pair (exactness under the cap)
+    val mixed = docs.unionByName(Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota the"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa the"))
+      .toDF("doc_id", "text"))
+    def run(cap: Int) =
+      Dedup.ngramJaccardPairs(mixed, "text", "doc_id", 1, 0.3, Some(false), dfCap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run(5) === run(Int.MaxValue))
+    assert(run(5).map(p => (p._1, p._2)) === Set((100L, 101L)))
+  }
+
   test("embeddingNearDups follows the data's dimensionality (not a hardcoded 64)") {
     import spark.implicits._
     val v = (0 until 8).map(i => 0.1 * (i + 1)).toArray
