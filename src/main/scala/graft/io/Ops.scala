@@ -146,6 +146,35 @@ object Ops {
       .getOrElse(mapper.createObjectNode())
   }
 
+  /** [[combineMetadata]] lifted to the header's `Map[String, String]` user
+    * metadata: values that parse as JSON documents merge recursively (nested
+    * objects by key, arrays concatenated), equal scalars collapse, and
+    * CONFLICTING scalars drop their key — the reference's commit-time
+    * `metadata_merger` (`io/eager.py:303` -> `combine_metadata`,
+    * `io_components/utils.py:24-102`), not last-wins. */
+  def combineUserMetadata(old: Map[String, String],
+                          nw: Map[String, String]): Map[String, String] = {
+    import com.fasterxml.jackson.databind.JsonNode
+    import com.fasterxml.jackson.databind.node.TextNode
+    import scala.jdk.CollectionConverters._
+    val mapper = DatasetMetadata.mapper
+    def parse(s: String): JsonNode =
+      try {
+        val n = mapper.readTree(s)
+        if (n == null) TextNode.valueOf(s) else n
+      } catch { case _: Exception => TextNode.valueOf(s) }
+    def toObj(m: Map[String, String]) = {
+      val o = mapper.createObjectNode()
+      m.foreach { case (k, v) => o.set[JsonNode](k, parse(v)) }
+      o
+    }
+    val merged = combineMetadata(Seq(toObj(old), toObj(nw)))
+    merged.properties().asScala.map { e =>
+      val v = e.getValue
+      e.getKey -> (if (v.isTextual) v.asText() else v.toString)
+    }.toMap
+  }
+
   /** Reference `hash_dataset` (`io/dask/dataframe.py:619-697`): one content
     * hash per group (or one for the whole dataset). Uses `xxhash64` — the
     * reference explicitly does NOT guarantee hash-value stability across
@@ -193,6 +222,12 @@ object Ops {
   def collectDatasetMetadata(spark: SparkSession, storage: Storage,
                              uuid: String, frac: Double = 1.0): DataFrame = {
     val meta = DatasetMetadata.load(storage, uuid)
+    // footer statistics are a PARQUET notion; csv/csv.gz partitions have no
+    // row groups to report (the reference's collect_dataset_metadata is
+    // parquet-only too) — fail with a clear message instead of a footer
+    // parse error deep inside the executor
+    require(meta.format == "parquet",
+      s"collectDatasetMetadata requires a parquet dataset; '$uuid' has format '${meta.format}'")
     val n = math.max(1, math.ceil(meta.partitions.size * frac).toInt)
     val labels = meta.partitions.take(n)
     val base = storage.base

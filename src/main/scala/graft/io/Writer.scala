@@ -124,12 +124,21 @@ object Writer {
     if (cols.isEmpty || labels.isEmpty)
       return cols.map(c => c -> SecondaryIndex.store(spark, storage, uuid, c,
         emptyIndex(spark, schema, c), ts)).toMap
+    cols.foreach(c => require(schema.fieldNames.contains(c),
+      s"Index column '$c' not in schema"))
+    // ONE scan of the freshly written data regardless of index count: project
+    // to just the indexed columns + label and cache; each per-column build is
+    // then an aggregation over the cached narrow table, not a re-read (k
+    // indices used to cost k full reads of the dataset)
     val labeled = labeledData(spark, storage, uuid, schema, labels)
-    cols.map { c =>
-      require(schema.fieldNames.contains(c), s"Index column '$c' not in schema")
-      val idx = SecondaryIndex.build(labeled, c)
-      c -> SecondaryIndex.store(spark, storage, uuid, c, idx, ts)
-    }.toMap
+      .select((cols :+ LabelCol).distinct.map(org.apache.spark.sql.functions.col): _*)
+      .persist()
+    try {
+      cols.map { c =>
+        val idx = SecondaryIndex.build(labeled, c)
+        c -> SecondaryIndex.store(spark, storage, uuid, c, idx, ts)
+      }.toMap
+    } finally labeled.unpersist(false)
   }
 
   private def emptyIndex(spark: SparkSession, schema: StructType, c: String): DataFrame = {
@@ -285,7 +294,10 @@ object Writer {
       }
       c -> SecondaryIndex.store(spark, storage, uuid, c, merged, ts)
     }.toMap
-    val mergedMeta = oldMeta.map(_.metadata).getOrElse(Map.empty) ++ metadata
+    // commit-time metadata_merger semantics, not last-wins ++ (reference
+    // io/eager.py:303 + io_components/utils.py:24-102)
+    val mergedMeta = Ops.combineUserMetadata(
+      oldMeta.map(_.metadata).getOrElse(Map.empty), metadata)
     val fmt = oldMeta.map(_.format).getOrElse(
       newLabels.headOption.map(Serializer.formatOf).getOrElse("parquet"))
     val meta = DatasetMetadata(uuid, labels, keys, indices, mergedMeta, format = fmt)

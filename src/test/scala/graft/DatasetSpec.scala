@@ -564,12 +564,24 @@ class DatasetSpec extends SparkSpec {
     assert(filtered.collect().map(_.getAs[Long]("id")).toSet === Set(1L, 2L))
   }
 
-  test("user metadata merges across commits; header records it") {
+  test("user metadata merges across commits with metadata_merger semantics") {
+    // reference commit merges via combine_metadata (io/eager.py:303 +
+    // io_components/utils.py:24-102): disjoint keys union, nested documents
+    // merge recursively, arrays concatenate, equal scalars collapse, and
+    // CONFLICTING scalars drop their key — NOT last-wins
     Writer.store(spark, store, "md", sampleDf,
-      WriteOpts(partitionOn = Seq("p"), metadata = Map("owner" -> "team-a", "v" -> "1")))
+      WriteOpts(partitionOn = Seq("p"), metadata = Map(
+        "owner" -> "team-a", "v" -> "1",
+        "doc" -> """{"a":{"x":1},"tags":["t1"]}""")))
     val after = Writer.update(spark, store, "md", None,
-      opts = WriteOpts(metadata = Map("v" -> "2", "note" -> "updated")))
-    assert(after.metadata === Map("owner" -> "team-a", "v" -> "2", "note" -> "updated"))
+      opts = WriteOpts(metadata = Map(
+        "owner" -> "team-a", "v" -> "2", "note" -> "updated",
+        "doc" -> """{"a":{"y":2},"tags":["t2"]}""")))
+    assert(after.metadata === Map(
+      "owner" -> "team-a",                         // equal scalar collapses
+      "note" -> "updated",                         // one-sided key unions
+      "doc" -> """{"a":{"x":1,"y":2},"tags":["t1","t2"]}""")) // nested merge
+    assert(!after.metadata.contains("v"))          // conflicting scalar drops
     // roundtrips through the persisted header
     assert(DatasetMetadata.load(store, "md").metadata === after.metadata)
   }
@@ -672,6 +684,52 @@ class DatasetSpec extends SparkSpec {
     val wrong = Seq((9L, "x", 1.0)).toDF("id", "p", "v") // missing s
     intercept[IllegalArgumentException] {
       Writer.storeMany(spark, store, "many2", Seq(half1, wrong))
+    }
+  }
+
+  test("multi-index store scans the data once, not once per index column") {
+    import spark.implicits._
+    val df = (1L to 2000L).map(i => (i, s"p${i % 3}", s"s${i % 7}", i.toDouble))
+      .toDF("id", "p", "s", "v")
+    def bytesReadDuring(f: => Unit): Long = {
+      val stats = org.apache.hadoop.fs.FileSystem.getAllStatistics
+      import scala.jdk.CollectionConverters._
+      def now() = stats.asScala.filter(_.getScheme == "file").map(_.getBytesRead).sum
+      val before = now(); f; now() - before
+    }
+    val one = bytesReadDuring {
+      Writer.store(spark, store, "scan1", df,
+        WriteOpts(partitionOn = Seq("p"), secondaryIndices = Seq("s"), overwrite = true))
+    }
+    val three = bytesReadDuring {
+      Writer.store(spark, store, "scan3", df,
+        WriteOpts(partitionOn = Seq("p"),
+          secondaryIndices = Seq("s", "id", "v"), overwrite = true))
+    }
+    // the cached single-scan build keeps 3 indices well under 2x the 1-index
+    // bytes; the old per-column re-read was ~3x
+    assert(three < one * 2, s"3-index store read $three bytes vs $one for 1 index")
+  }
+
+  test("S8+: indexOn read is globally sorted through a range exchange") {
+    import spark.implicits._
+    val df = (1L to 500L).reverse.map(i => (i, s"p${i % 2}", i.toDouble))
+      .toDF("id", "p", "v")
+    Writer.store(spark, store, "idxon", df,
+      WriteOpts(partitionOn = Seq("p"), overwrite = true))
+    val back = Reader.readTable(spark, store, "idxon", indexOn = Some("id"))
+    // collect preserves partition order, so range partitions + in-partition
+    // sort must yield one globally ascending sequence
+    val ids = back.select("id").collect().map(_.getLong(0)).toSeq
+    assert(ids === ids.sorted)
+    assert(ids.size === 500)
+    // and the plan is a RANGE exchange (the divisions equivalent), not a sort
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("rangepartitioning"), plan.take(600))
+    // projection must include the index column
+    intercept[IllegalArgumentException] {
+      Reader.readTable(spark, store, "idxon", columns = Some(Seq("v")),
+        indexOn = Some("id"))
     }
   }
 
