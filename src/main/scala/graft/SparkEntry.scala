@@ -205,6 +205,13 @@ object SparkEntry {
     "w2_roundtrip" -> ((s, dir) =>
       Reader.readTable(s, liDs(s, dir), "li")),
 
+    // --- S8+: dask_index_on equivalent — globally range-sorted read
+    // (reference io/dask/dataframe.py:145-151,167-168)
+    "s8_index_on" -> ((s, dir) =>
+      Reader.readTable(s, ordDs(s, dir), "ord",
+        columns = Some(Seq("o_orderkey", "o_totalprice", "o_orderstatus")),
+        indexOn = Some("o_orderkey"))),
+
     // --- X1 + S6: partition-value pruning + payload predicate + projection
     "x1_partition_prune" -> ((s, dir) =>
       Reader.readTable(s, liDs(s, dir), "li",
@@ -561,6 +568,8 @@ object SparkEntry {
         "SELECT l_orderkey, l_linenumber, l_discount, l_tax FROM lineitem WHERE l_discount > 0.05 AND l_tax < 0.05",
       "w2_roundtrip" ->
         "SELECT l_returnflag, l_discount, l_extendedprice, l_linenumber::BIGINT AS l_linenumber, l_linestatus, l_orderkey, l_partkey, l_quantity, l_shipdate, l_suppkey, l_tax FROM lineitem",
+      "s8_index_on" ->
+        "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders",
       "x1_partition_prune" ->
         "SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber, l_quantity, l_returnflag FROM lineitem WHERE l_returnflag = 'R' AND l_quantity < 25",
       "s6_index_prune" ->

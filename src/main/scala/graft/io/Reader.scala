@@ -93,7 +93,8 @@ object Reader {
   def readTable(spark: SparkSession, storage: Storage, uuid: String,
                 columns: Option[Seq[String]] = None,
                 predicates: Option[Preds] = None,
-                filterQuery: Option[String] = None): DataFrame = {
+                filterQuery: Option[String] = None,
+                indexOn: Option[String] = None): DataFrame = {
     require(predicates.isEmpty || filterQuery.isEmpty,
       "predicates and filterQuery are mutually exclusive")
     val meta = DatasetMetadata.load(storage, uuid)
@@ -124,7 +125,19 @@ object Reader {
       case (_, Some(q)) => df.filter(expr(q))
       case _            => df
     }
-    filtered.select(projected.map(col): _*)
+    val selected = filtered.select(projected.map(col): _*)
+    // `dask_index_on` equivalent (reference `io/dask/dataframe.py:145-151,
+    // 167-168`: sorted index + divisions from the secondary index). The
+    // Spark shape is a RANGE exchange + within-partition sort: globally
+    // ordered output whose range bounds come from sampling — the planner's
+    // version of the reference's observed-values divisions.
+    indexOn match {
+      case Some(c) =>
+        require(projected.contains(c),
+          s"indexOn column '$c' not in the projected columns of dataset '$uuid'")
+        selected.repartitionByRange(col(c)).sortWithinPartitions(col(c))
+      case None => selected
+    }
   }
 
   /** Reference `read_dataset_as_dataframes` (`io/eager.py:96-208`): the
@@ -210,14 +223,20 @@ object Reader {
     }
     // per-FileIndex caches: listFiles runs once per planning pass, and a
     // repeatedly re-planned DataFrame must not re-read index parquet from
-    // the store each time
+    // the store each time. Indices are MB-sized by design, so each is
+    // collected ONCE into a driver-local (LocalRelation) frame — unlike
+    // `.cache()`d frames these hold no executor blocks, so nothing leaks
+    // for the session lifetime and eval keeps the DNF compiler's semantics.
     val litCache = scala.collection.concurrent.TrieMap.empty[Literal, Set[String]]
     val idxCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    def localIndex(c: String): DataFrame = idxCache.getOrElseUpdate(c, {
+      val remote = SecondaryIndex.load(spark, storage, meta.indices(c))
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(remote.collect().toSeq.asJava, remote.schema)
+    })
     val pruner: Seq[CExpr] => Option[Set[String]] = { dataFilters =>
       val sets = dataFilters.flatMap(asLiteral).map { l =>
-        litCache.getOrElseUpdate(l, SecondaryIndex.evalLiteral(
-          idxCache.getOrElseUpdate(l.column,
-            SecondaryIndex.load(spark, storage, meta.indices(l.column)).cache()), l))
+        litCache.getOrElseUpdate(l, SecondaryIndex.evalLiteral(localIndex(l.column), l))
       }
       if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
     }

@@ -57,8 +57,12 @@ object Skew {
   def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
                  saltFactor: Int): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
+    // DETERMINISTIC per-row salt (hash of the whole row), never rand():
+    // under partial stage retry a lost shuffle partition is recomputed, and
+    // non-deterministic shuffle keys would re-deal rows into different salt
+    // buckets — duplicating some rows and losing others
     val salted = large.withColumn("__salt",
-      (rand() * saltFactor).cast("int"))
+      pmod(xxhash64(large.columns.map(col): _*), lit(saltFactor)).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, keys :+ "__salt").drop("__salt")

@@ -77,10 +77,18 @@ object Streaming {
                  maxFilesPerTrigger: Int = 1000): DataFrame = {
     val schema = DatasetMetadata.loadSchema(storage, uuid)
     val meta = DatasetMetadata.load(storage, uuid)
-    spark.readStream
+    val r = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(s"${storage.base}/${meta.tablePrefix}")
+    val path = s"${storage.base}/${meta.tablePrefix}"
+    // dispatch on the dataset's format, not a hardcoded parquet source
+    meta.format match {
+      case "parquet" => r.parquet(path)
+      case "csv"     => r.option("sep", ";").option("header", "true").csv(path)
+      case "csv.gz"  => r.option("sep", ";").option("header", "true")
+                         .option("pathGlobFilter", "*.csv.gz").csv(path)
+      case other     => sys.error(s"No streaming source for format '$other'")
+    }
   }
 
   private[graft] val LastBatchKey = "graft.streaming.lastBatchId"

@@ -37,8 +37,26 @@ final class GraftFileIndex(
     indexPrune: Seq[Expression] => Option[Set[String]]) extends FileIndex {
 
   private val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-  private val statuses: Map[String, FileStatus] =
-    labels.map(l => l -> fs.getFileStatus(new Path(base, l))).toMap
+  /** File statuses fetched lazily (construction does no I/O) and BATCHED:
+    * one `listStatus` per parent directory instead of one `getFileStatus`
+    * per file — at 100k files on an object store the per-file RPC pattern
+    * is minutes of driver time before planning can start. */
+  private lazy val statuses: Map[String, FileStatus] = {
+    val qualified: Map[Path, String] =
+      labels.map(l => fs.makeQualified(new Path(base, l)) -> l).toMap
+    val out = Map.newBuilder[String, FileStatus]
+    qualified.keysIterator.map(_.getParent).toSet[Path].foreach { d =>
+      fs.listStatus(d).foreach { st =>
+        qualified.get(st.getPath).foreach(l => out += l -> st)
+      }
+    }
+    val m = out.result()
+    val missing = labels.filterNot(m.contains)
+    require(missing.isEmpty,
+      s"Dataset files missing on storage: ${missing.take(5).mkString(", ")}" +
+        (if (missing.size > 5) s" (+${missing.size - 5} more)" else ""))
+    m
+  }
 
   /** #files produced by the most recent `listFiles` — test observability. */
   @volatile var lastListedFileCount: Int = -1
