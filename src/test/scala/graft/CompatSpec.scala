@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.io.Serializer
+
+/** Golden-corpus compatibility: the reference guarantees reading Parquet
+  * written by every supported pyarrow release (reference
+  * `tests/serialization/test_arrow_compat.py:53-64`, corpus at
+  * `reference-data/arrow-compat` — one .parquet per release, each a row of every commonly used
+  * dtype, `plateau/core/testing.py:21-67`). This spec proves the same claim
+  * for the Spark read path: every corpus file decodes through
+  * [[Serializer.read]] with correct values.
+  */
+class CompatSpec extends SparkSpec {
+
+  private val corpusDir = "/root/reference/reference-data/arrow-compat"
+
+  private def corpusFiles: Seq[java.io.File] = {
+    val d = new java.io.File(corpusDir)
+    assume(d.isDirectory, s"corpus not present at $corpusDir")
+    d.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName).toSeq
+  }
+
+  test("every pyarrow-written corpus file reads through Serializer.read with correct values") {
+    val files = corpusFiles
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val path = f.getAbsolutePath
+      // schema from the file's own footer, then through the dataset read path
+      val schema = spark.read.parquet(path).schema
+      val df = Serializer.read(spark, schema, corpusDir, Seq(path), "parquet")
+      val rows = df.collect()
+      assert(rows.length === 1, s"${f.getName}: expected 1 row, got ${rows.length}")
+      val r: Row = rows.head
+      def v(c: String): Any = r.get(r.fieldIndex(c))
+      // scalar values (uint64 surfaces as decimal(20,0), uint32 as long,
+      // uint8/16 as wider signed ints — Spark's standard unsigned mapping)
+      assert(v("bool") === true, f.getName)
+      assert(v("int8") === 1.toByte && v("int16") === 1.toShort, f.getName)
+      assert(v("int32") === 1 && v("int64") === 1L, f.getName)
+      assert(String.valueOf(v("uint8")).toInt === 1, f.getName)
+      assert(String.valueOf(v("uint16")).toInt === 1, f.getName)
+      assert(String.valueOf(v("uint32")).toLong === 1L, f.getName)
+      assert(new java.math.BigDecimal(String.valueOf(v("uint64"))).longValueExact() === 1L, f.getName)
+      assert(v("float32") === 1.0f && v("float64") === 1.0d, f.getName)
+      assert(v("unicode") === "Ö", f.getName)
+      assert(v("null") == null, f.getName)
+      assert(v("date").toString === "2018-01-01", f.getName)
+      assert(v("datetime64").toString.startsWith("2018-01-01"), f.getName)
+      assert(v("byte").asInstanceOf[Array[Byte]].length === 16, f.getName) // a UUID
+      // nested arrays
+      assert(r.getSeq[Any](r.fieldIndex("array_int64")) === Seq(1L), f.getName)
+      assert(r.getSeq[Any](r.fieldIndex("array_float64")) === Seq(1.0d), f.getName)
+      assert(r.getSeq[Any](r.fieldIndex("array_unicode")) === Seq("Ö"), f.getName)
+      assert(String.valueOf(r.getSeq[Any](r.fieldIndex("array_uint64")).head).takeWhile(_.isDigit) === "1", f.getName)
+    }
+  }
+
+  test("corpus covers every pyarrow release line the reference supports") {
+    // the reference's KNOWN_ARROW_VERSIONS (test_arrow_compat.py:11-34)
+    val majors = corpusFiles.map(_.getName.stripSuffix(".parquet").split("\\.").head.toInt)
+    assert(corpusFiles.size >= 22, s"corpus unexpectedly small: ${corpusFiles.size} files")
+    assert(majors.min <= 4 && majors.max >= 23)
+  }
+}
