@@ -39,6 +39,9 @@ object expressions {
     ColumnBridge.registerFunction(spark, "dot_product",
       es => DotProduct(es.head, es(1)))
     ColumnBridge.registerFunction(spark, "simhash", es => SimHash(es.head))
+    ColumnBridge.registerFunction(spark, "hyperplane_buckets",
+      es => HyperplaneBuckets(es.head, intArg(es(1), "hyperplane_buckets"),
+        intArg(es(2), "hyperplane_buckets")))
   }
 }
 
@@ -185,6 +188,70 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): DotProduct = copy(left = newLeft, right = newRight)
+}
+
+/** All `tables` random-hyperplane LSH bucket signatures of a numeric vector
+  * in ONE pass: element t is "t:" followed by `planes` sign bits, where bit p
+  * is the sign of the dot product with the deterministic pseudo-random
+  * hyperplane for (table t, plane p) — bit-identical to the HOF form
+  * `concat_ws("", lit("t:") +: bits)` with
+  * `comp = (pmod(hash(lit(t*1024+p), i), 1000) - 499.5) / 500` over
+  * `transform(sequence(0, size-1), ...)`, but planes*tables interpreted
+  * array passes become one tight loop per row. Accepts array<float> or
+  * array<double>; a null element nulls that plane's dot (bit 0), matching
+  * `when(dot >= 0, 1).otherwise(0)` on a null dot. */
+case class HyperplaneBuckets(child: Expression, planes: Int, tables: Int)
+    extends UnaryExpression {
+  require(planes >= 1 && tables >= 1, s"planes/tables must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "hyperplane_buckets"
+
+  @transient private lazy val childFloat =
+    child.dataType == ArrayType(FloatType, false) || child.dataType == ArrayType(FloatType, true)
+
+  def compute(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Any](tables)
+    var t = 0
+    while (t < tables) {
+      val sb = new java.lang.StringBuilder(planes + 8)
+      sb.append(t).append(':')
+      var p = 0
+      while (p < planes) {
+        // hash(lit(seed), i) folds children over Spark's default seed 42
+        val seedHash = Murmur3_x86_32.hashInt(t * 1024 + p, 42)
+        var acc = 0.0
+        var sawNull = false
+        var i = 0
+        while (i < n && !sawNull) {
+          if (v.isNullAt(i)) sawNull = true
+          else {
+            val h = Murmur3_x86_32.hashInt(i, seedHash)
+            val comp = ((((h % 1000) + 1000) % 1000) - 499.5) / 500.0
+            val x = if (childFloat) v.getFloat(i).toDouble else v.getDouble(i)
+            acc += x * comp
+            i += 1
+          }
+        }
+        sb.append(if (!sawNull && acc >= 0) '1' else '0')
+        p += 1
+      }
+      out(t) = UTF8String.fromString(sb.toString)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bucketer", this, classOf[HyperplaneBuckets].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
+    copy(child = newChild)
 }
 
 /** 32-bit-vote SimHash over the distinct whitespace tokens of a lower-cased,

@@ -295,22 +295,14 @@ object Dedup {
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
                         planes: Int = 8, threshold: Double = 0.95,
                         tables: Int = 4): DataFrame = {
-    // deterministic pseudo-random hyperplane component for (table t,
-    // plane p, dim i); the hyperplane length follows each row's own vector
-    // length — a hardcoded dim would null the dot product for any other
-    // dimensionality and collapse every row into ONE bucket (O(n^2))
-    def comp(t: Int, p: Int, i: Column): Column =
-      (pmod(hash(lit(t * 1024 + p), i), lit(1000)).cast("double") - 499.5) / 500.0
-    val sig = (t: Int) => concat_ws("", lit(s"$t:") +: (0 until planes).map { p =>
-      val dot = Similarity.dot(col("v"),
-        transform(sequence(lit(0), size(col("v")) - 1), i => comp(t, p, i)))
-      when(dot >= 0, lit(1)).otherwise(lit(0))
-    }: _*)
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    // (bucket, id) only — signatures sit on both sides of the self-join and
-    // are the dominant compute, so cache the narrow table, never the vectors
+    // one codegen'd pass computes every table's signature (hyperplane length
+    // follows each row's own vector length — a hardcoded dim would zero the
+    // dot products and collapse rows into one bucket). (bucket, id) only —
+    // the narrow table is cached, never the vectors.
     val bucketTable = base
-      .select(explode(array((0 until tables).map(sig): _*)).as("bucket"), col("id"))
+      .select(explode(Similarity.lshBuckets(col("v"), planes, tables)).as("bucket"),
+        col("id"))
       .cache()
     val pairs = bucketTable
       .join(bucketTable.withColumnRenamed("id", "id2"), "bucket")

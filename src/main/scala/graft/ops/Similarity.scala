@@ -48,36 +48,29 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
 
-  /** Random-hyperplane LSH bucket signature (same scheme as
-    * [[Dedup.embeddingNearDups]]): `planes` sign bits from deterministic
-    * pseudo-random hyperplanes; `table` selects an independent hyperplane
-    * set (table 0 = the original single-table seeds). */
-  def lshBucket(vec: Column, planes: Int, dim: Int, table: Int = 0): Column = {
-    def comp(p: Int, i: Column): Column =
-      (pmod(hash(lit(table * 1024 + p), i), lit(1000)).cast("double") - 499.5) / 500.0
-    val bits = (0 until planes).map { p =>
-      val d = dot(vec, transform(sequence(lit(0), lit(dim - 1)), i => comp(p, i)))
-      when(d >= 0, lit(1)).otherwise(lit(0))
-    }
-    concat_ws("", bits: _*)
-  }
+  /** All random-hyperplane LSH bucket signatures of a vector — one string
+    * per independent hyperplane table, "t:" + `planes` sign bits. A custom
+    * codegen'd expression ([[graft.functions.HyperplaneBuckets]]): the HOF
+    * form paid planes*tables interpreted `transform`/`sequence` passes per
+    * row. Table 0 reproduces the original single-table seeds. */
+  def lshBuckets(vec: Column, planes: Int, tables: Int = 1): Column =
+    graft.functions.expressions.asColumn(graft.functions.HyperplaneBuckets(
+      graft.functions.expressions.exprOf(vec), planes, tables))
 
   /** LSH-pruned approximate top-k: score only corpus rows landing in the
     * query's bucket in ANY of `tables` independent hyperplane tables (the
     * 100-TB scale path; recall traded for a ~2^planes/tables-fold scan
     * reduction). More tables => higher recall at the same bucket
     * granularity — the multi-table analogue of MinHash bands. The per-table
-    * match is a scan-side filter (no explode, no shuffle). */
+    * match is a scan-side `arrays_overlap` filter (no explode, no shuffle);
+    * the query-side buckets constant-fold to a literal. */
   def lshTopK(corpus: DataFrame, vecCol: String, idCol: String,
               query: Seq[Double], k: Int, planes: Int = 4,
               tables: Int = 1): DataFrame = {
-    val dim = query.size
     val q = array(query.map(lit): _*)
-    val matchesAny = (0 until tables)
-      .map(t => lshBucket(col(vecCol), planes, dim, t) === lshBucket(q, planes, dim, t))
-      .reduce(_ || _)
     corpus
-      .where(matchesAny)
+      .where(arrays_overlap(lshBuckets(col(vecCol), planes, tables),
+        lshBuckets(q, planes, tables)))
       .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)

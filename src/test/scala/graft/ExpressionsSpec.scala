@@ -100,6 +100,29 @@ class ExpressionsSpec extends SparkSpec {
     assert(mm.select(graft.ops.Similarity.dot(col("a"), col("b"))).head.isNullAt(0))
   }
 
+  test("HyperplaneBuckets matches the HOF composition bit-for-bit") {
+    import spark.implicits._
+    val planes = 6; val tables = 3
+    // the HOF form HyperplaneBuckets replaces (same seeds, same fold order)
+    def hofSig(t: Int) = concat_ws("", lit(s"$t:") +: (0 until planes).map { p =>
+      val d = graft.ops.Similarity.dot(col("v"),
+        transform(sequence(lit(0), size(col("v")) - 1),
+          i => (pmod(hash(lit(t * 1024 + p), i), lit(1000)).cast("double") - 499.5) / 500.0))
+      when(d >= 0, lit(1)).otherwise(lit(0))
+    }: _*)
+    val vecs = (0 until 50).map(_ => (0 until 24).map(_ => rng.nextDouble() * 2 - 1).toArray)
+      .toDF("v").cache()
+    val got = vecs.select(graft.ops.Similarity.lshBuckets(col("v"), planes, tables))
+      .collect().map(_.getSeq[String](0))
+    val want = vecs.select(array((0 until tables).map(hofSig): _*))
+      .collect().map(_.getSeq[String](0))
+    assert(got.toSeq === want.toSeq)
+    // float input path
+    val fv = Seq((0 until 16).map(_ => rng.nextFloat()).toArray).toDF("v")
+    assert(fv.select(graft.ops.Similarity.lshBuckets(col("v"), 4, 2))
+      .head.getSeq[String](0).forall(_.matches("[01]:[01]{4}")))
+  }
+
   test("expressions are usable from SQL after registration") {
     graft.ops.Dedup // touch
     graft.functions.expressions.register(spark)
