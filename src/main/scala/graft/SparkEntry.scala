@@ -465,8 +465,11 @@ object SparkEntry {
     }),
 
     // --- dataset profiling: per-column audit in one aggregation pass
+    // (exact distinct counts here because the DuckDB oracle is exact; the
+    // operator's default is HLL, the right mode at scale)
     "a_profile" -> ((s, dir) =>
-      Ops.profile(rd(s, dir, "documents"), Seq("doc_id", "lang", "n_chars"))),
+      Ops.profile(rd(s, dir, "documents"), Seq("doc_id", "lang", "n_chars"),
+        exact = true)),
 
     // ---- non-SQL-expressible operators (driver records rows-only checks) --
 

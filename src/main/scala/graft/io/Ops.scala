@@ -196,10 +196,12 @@ object Ops {
     * training-data pipeline runs before a 100 TB job): non-null count,
     * distinct count, min/max as strings — ONE aggregation pass over the
     * data, exploded to long format (column, n_nonnull, n_distinct, vmin,
-    * vmax). `exact=false` switches distinct counting to HLL
-    * (`approx_count_distinct`), the only sane mode at full scale. */
+    * vmax). Distinct counting defaults to HLL (`approx_count_distinct`) —
+    * the only sane default at 100 TB, where per-column exact
+    * `count_distinct` means one full-width shuffle per profiled column;
+    * `exact=true` opts small/verification jobs into exact counts. */
   def profile(df: DataFrame, columns: Seq[String] = Nil,
-              exact: Boolean = true): DataFrame = {
+              exact: Boolean = false): DataFrame = {
     val cols = if (columns.nonEmpty) columns else df.columns.toSeq
     val aggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"__n_$c"),

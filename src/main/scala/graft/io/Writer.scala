@@ -76,14 +76,19 @@ object Writer {
         df.rdd.getNumPartitions.toDouble / o.repartitionRatio).toInt)
       df.coalesce(n)
     } else df
+    // EXPLICIT width: an AQE-coalesced layout exchange would merge small
+    // partition-value groups into one task and serialize the file writers —
+    // the output is one file per (value [x bucket]) either way, so size-based
+    // coalescing buys nothing here and costs all write parallelism
+    val width = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val shuffled =
       if (o.numBuckets > 0) {
         val hashCols = if (o.bucketBy.nonEmpty) o.bucketBy.map(col) else
           pre.columns.filterNot(o.partitionOn.contains).map(col).toSeq
         val bucket = pmod(xxhash64(hashCols: _*), lit(o.numBuckets))
-        pre.repartition(keyCols :+ bucket: _*)
+        pre.repartition(width, keyCols :+ bucket: _*)
       } else if (o.partitionOn.nonEmpty) {
-        pre.repartition(keyCols: _*)
+        pre.repartition(width, keyCols: _*)
       } else pre
     if (o.sortBy.nonEmpty)
       shuffled.sortWithinPartitions((o.partitionOn ++ o.sortBy).map(col): _*)
