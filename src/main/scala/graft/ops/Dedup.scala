@@ -64,10 +64,19 @@ object Dedup {
 
   /** MinHash+LSH near-duplicate candidate pairs with exact-Jaccard
     * verification. Returns (id_a, id_b, jaccard) with id_a < id_b and
-    * jaccard >= threshold. */
+    * jaccard >= threshold.
+    *
+    * `maxBucketSize` (0 = uncapped) drops band buckets holding more than
+    * that many docs from candidate generation: a bucket of B docs yields
+    * C(B,2) pairs, so one mass-duplicate signature (B=1M) is ~5e11
+    * candidates — the one remaining skew hazard of the banded scheme. A
+    * bucket that big means (near-)identical texts, which [[exact]] /
+    * [[exactGroups]] should collapse upstream of MinHash; the cap is an
+    * EXPLICIT recall trade for bounded work, not a silent default. */
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       numHashes: Int = 32, bands: Int = 8, shingleN: Int = 3,
-                      threshold: Double = 0.5): DataFrame = {
+                      threshold: Double = 0.5,
+                      maxBucketSize: Int = 0): DataFrame = {
     // shingle sets are reused by signature computation AND exact
     // verification, and the band table sits on both sides of the candidate
     // self-join — cache both or Spark recomputes the regex/hash pipeline
@@ -76,18 +85,30 @@ object Dedup {
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
       .where(size(col("sh")) > 0)
       .cache()
-    val bandTable = sh
+    val bandTable0 = sh
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .withColumn("band", explode(bandHashes(col("sig"), numHashes, bands)))
       .select(col("band"), col("id"))
       .cache()
-    val candidates = bandTable
-      .join(bandTable.withColumnRenamed("id", "id2"), "band")
-      .where(col("id") < col("id2"))
-      .select(col("id").as("id_a"), col("id2").as("id_b"))
-      .distinct()
-    verifyJaccard(candidates, sh, threshold)
+    val bandTable =
+      if (maxBucketSize <= 0) bandTable0
+      else bandTable0.join(
+        bandTable0.groupBy("band").agg(count(lit(1)).as("__bc"))
+          .where(col("__bc") <= maxBucketSize).select("band"),
+        "band")
+    verifyJaccard(selfJoinPairs(bandTable, "band").distinct(), sh, threshold)
   }
+
+  /** Self-join `t` on `key` into (id_a < id_b) candidate pairs, via ALIASES
+    * rather than a renamed right side: identical (canonically equal) child
+    * plans let Spark reuse the join-side shuffle as a runtime
+    * ReusedExchange — the inverted index / band table shuffles ONCE, not
+    * twice. A `withColumnRenamed` right side defeats the reuse (measured:
+    * 0 vs 1 ReusedExchange on the same query). */
+  private def selfJoinPairs(t: DataFrame, key: String): DataFrame =
+    t.as("l").join(t.as("r"), col(s"l.$key") === col(s"r.$key"))
+      .where(col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
 
   private def verifyJaccard(pairs: DataFrame, sh: DataFrame,
                             threshold: Double): DataFrame =
@@ -125,6 +146,11 @@ object Dedup {
       .cache() // reused by the inverted index and the size/verify joins
     val usePrefix = prefixFilter.getOrElse(threshold >= 0.6)
     if (!usePrefix) {
+      // inv stays LAZY (explode off the cached sh is cheap): forcing a
+      // repartition+cache here locks in an exchange and a materialization
+      // that AQE's broadcast choice makes redundant below the SMJ threshold
+      // (measured 2x slower at bench scale); above it, the aliased
+      // self-join's canonically-equal children let the shuffle be reused
       val inv = sh.select(col("id"), explode(col("sh")).as("s"))
       val freq = inv.groupBy("s").agg(count(lit(1)).as("df")).cache()
       val maxDf = freq.agg(max("df")).first() match {
@@ -134,9 +160,8 @@ object Dedup {
       if (maxDf <= dfCap) {
         // no hot shingles: the plain inverted-index count-join is exact and
         // never ships shingle arrays
-        val common = inv.join(inv.withColumnRenamed("id", "id2"), "s")
-          .where(col("id") < col("id2"))
-          .groupBy(col("id").as("id_a"), col("id2").as("id_b"))
+        val common = selfJoinPairs(inv, "s")
+          .groupBy("id_a", "id_b")
           .agg(count(lit(1)).cast("double").as("inter"))
         common
           .join(sh.select(col("id").as("id_a"), size(col("sh")).as("n_a")), "id_a")
@@ -152,7 +177,7 @@ object Dedup {
         // capped generator below; intersection counts over a pruned
         // inverted index are partial, so jaccard is verified on the full
         // shingle arrays (exact; the candidate set is bounded).
-        ngramCandidatesCapped(sh, freq, threshold, dfCap)
+        ngramCandidatesCapped(sh, inv, freq, threshold, dfCap)
           .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
           .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
           .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
@@ -169,11 +194,7 @@ object Dedup {
           Window.partitionBy("id").orderBy(col("df"), col("s"))))
         .where(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
         .select(col("id"), col("s"))
-      val candidates = prefix
-        .join(prefix.withColumnRenamed("id", "id2"), "s")
-        .where(col("id") < col("id2"))
-        .select(col("id").as("id_a"), col("id2").as("id_b"))
-        .distinct()
+      val candidates = selfJoinPairs(prefix, "s").distinct()
       // un-rounded, like the count path — both paths must return identical rows
       candidates
         .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -200,13 +221,11 @@ object Dedup {
     *      shingles sort LAST, so they enter a prefix only when a doc has
     *      almost no cold shingles — in realistic corpora this side is tiny.
     */
-  private[graft] def ngramCandidatesCapped(sh: DataFrame, freq: DataFrame,
+  private[graft] def ngramCandidatesCapped(sh: DataFrame, inv: DataFrame,
+                                           freq: DataFrame,
                                            threshold: Double, dfCap: Int): DataFrame = {
-    val inv = sh.select(col("id"), explode(col("sh")).as("s"))
     val cold = inv.join(freq.where(col("df") <= dfCap).select("s"), "s")
-    val coldPairs = cold.join(cold.withColumnRenamed("id", "id2"), "s")
-      .where(col("id") < col("id2"))
-      .select(col("id").as("id_a"), col("id2").as("id_b"))
+    val coldPairs = selfJoinPairs(cold, "s")
     val invN = sh.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
     val prefix = invN.join(freq, "s")
       .withColumn("rn", row_number().over(
@@ -214,10 +233,7 @@ object Dedup {
       .where(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
     val hotPrefix = prefix.join(freq.where(col("df") > dfCap).select("s"), "s")
       .select(col("id"), col("s"))
-    val hotPairs = hotPrefix.join(hotPrefix.withColumnRenamed("id", "id2"), "s")
-      .where(col("id") < col("id2"))
-      .select(col("id").as("id_a"), col("id2").as("id_b"))
-    coldPairs.unionByName(hotPairs).distinct()
+    coldPairs.unionByName(selfJoinPairs(hotPrefix, "s")).distinct()
   }
 
   /** SimHash over distinct tokens: bit i of the hash is the sign of
@@ -304,11 +320,8 @@ object Dedup {
       .select(explode(Similarity.lshBuckets(col("v"), planes, tables)).as("bucket"),
         col("id"))
       .cache()
-    val pairs = bucketTable
-      .join(bucketTable.withColumnRenamed("id", "id2"), "bucket")
-      .where(col("id") < col("id2"))
-      .select(col("id").as("id_a"), col("id2").as("id_b"))
-      .distinct() // the same pair can surface from several tables
+    // distinct: the same pair can surface from several tables
+    val pairs = selfJoinPairs(bucketTable, "bucket").distinct()
     pairs
       .join(base.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
       .join(base.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")

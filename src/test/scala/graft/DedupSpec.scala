@@ -56,7 +56,7 @@ class DedupSpec extends SparkSpec {
       Dedup.shingles(col("text"), 1).as("sh")).cache()
     val inv = sh.select(col("id"), explode(col("sh")).as("s"))
     val freq = inv.groupBy("s").agg(count(lit(1)).as("df"))
-    val capped = Dedup.ngramCandidatesCapped(sh, freq, 0.3, dfCap = 5).count()
+    val capped = Dedup.ngramCandidatesCapped(sh, inv, freq, 0.3, dfCap = 5).count()
     assert(capped === 0L, s"capped generator produced $capped candidates")
     // the public operator returns the same (empty) result with the cap hot
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 1, 0.3,
@@ -73,6 +73,24 @@ class DedupSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(run(5) === run(Int.MaxValue))
     assert(run(5).map(p => (p._1, p._2)) === Set((100L, 101L)))
+  }
+
+  test("minhash maxBucketSize drops mass-duplicate buckets, keeps normal pairs") {
+    import spark.implicits._
+    // 30 identical docs (every band bucket holds all 30) + one near-dup pair
+    val clones = (1L to 30L).map(i =>
+      (i, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod"))
+    val pair = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (101L, "the quick brown fox jumps over the lazy dog again and again today"))
+    val docs = (clones ++ pair).toDF("doc_id", "text")
+    val capped = Dedup.minhashNearDups(docs, "text", "doc_id", threshold = 0.5,
+      maxBucketSize = 10).select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the clone cluster's C(30,2) pairs are capped away; the small bucket survives
+    assert(capped === Set((100L, 101L)))
+    val uncapped = Dedup.minhashNearDups(docs, "text", "doc_id", threshold = 0.5)
+      .count()
+    assert(uncapped === 30L * 29 / 2 + 1)
   }
 
   test("embeddingNearDups follows the data's dimensionality (not a hardcoded 64)") {

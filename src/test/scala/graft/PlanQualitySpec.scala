@@ -69,6 +69,32 @@ class PlanQualitySpec extends SparkSpec {
     assert(m === Map(1L -> 0, 2L -> 1, 3L -> 0, 4L -> 1))
   }
 
+  test("aliased self-join reuses the inverted-index shuffle under sort-merge") {
+    // the dedup candidate generators self-join via ALIASES (Dedup.
+    // selfJoinPairs), keeping both children canonically equal so the at-
+    // scale sort-merge join materializes the inverted-index shuffle ONCE.
+    // A withColumnRenamed right side silently loses the reuse — this guards
+    // the pattern on the uncached SMJ shape (cached children have their own
+    // stages and never reuse, which is why the operators keep inv lazy).
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val inv = docs.select(col("doc_id").as("id"),
+        explode(graft.ops.Dedup.shingles(col("text"), 3)).as("s"))
+      val pairs = inv.as("l").join(inv.as("r"), $"l.s" === $"r.s")
+        .where($"l.id" < $"r.id")
+        .select($"l.id".as("id_a"), $"r.id".as("id_b"))
+      assert(pairs.collect().length > 0) // executes THIS plan
+      val plan = pairs.queryExecution.executedPlan.toString
+      val stageIds = "ShuffleQueryStage (\\d+)".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(plan.contains("ReusedExchange") ||
+        stageIds.distinct.size < stageIds.size, plan.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("multimodal sampleFrames explodes one row per stride offset") {
     import spark.implicits._
     val media = Multimodal.asMedia(
