@@ -372,6 +372,18 @@ object SparkEntry {
         .select("event_id", "user_id", "rn", "running_value")
     }),
 
+    // --- watermarked windowed aggregation (streaming shape, run in batch;
+    // integer cents + string window bounds keep the oracle comparison exact)
+    "w_windowed_agg" -> ((s, dir) => {
+      val ev = rd(s, dir, "events")
+        .select(timestamp_micros(expr("ts div 1000")).as("tts"), col("event_type"),
+          floor(col("value") * 100).cast("long").as("v_c"))
+      graft.streaming.Streaming.windowedAgg(ev, "tts", "v_c", "1 hour",
+        keys = Seq("event_type"))
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), col("total"))
+    }),
+
     // --- gap-based sessionization (streaming-shape analytics in batch)
     "w_sessionize" -> ((s, dir) => {
       val byTs = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -631,6 +643,10 @@ object SparkEntry {
              round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
            FROM events""",
+      "w_windowed_agg" ->
+        """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+             event_type, count(*) AS n, CAST(sum(FLOOR(value * 100)) AS BIGINT) AS total
+           FROM events GROUP BY 1, 2""",
       "w_sessionize" ->
         """WITH g AS (
              SELECT user_id, ts, event_id, value,

@@ -114,6 +114,30 @@ object Streaming {
     ()
   }
 
+  /** Watermarked tumbling/sliding-window aggregation over an event stream —
+    * the standard Structured Streaming shape for time-bucketed metrics at
+    * scale: the watermark bounds state (buckets older than `watermark` are
+    * finalized and dropped), the windowed groupBy shuffles only
+    * (window, key) partial aggregates, and late events within the watermark
+    * still land in their bucket. `tsCol` must be a timestamp column;
+    * `slide` empty = tumbling. Returns
+    * (window_start, window_end, [keys...], n, total). */
+  def windowedAgg(events: DataFrame, tsCol: String, valueCol: String,
+                  window: String, slide: String = "",
+                  watermark: String = "10 minutes",
+                  keys: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions.{window => windowFn, count, sum, lit, col}
+    val w = if (slide.nonEmpty) windowFn(col(tsCol), window, slide)
+            else windowFn(col(tsCol), window)
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(w +: keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
+      .select(Seq(col("window.start").as("window_start"),
+        col("window.end").as("window_end")) ++ keys.map(col) ++
+        Seq(col("n"), col("total")): _*)
+  }
+
   /** Stream into a dataset: one atomic commit per micro-batch (replays
     * skipped via the batchId stamp, see [[ingestBatch]]). Returns the
     * started query; callers own trigger/checkpoint configuration via

@@ -93,6 +93,36 @@ class StreamingSpec extends SparkSpec {
     assert(agg === Map("x" -> 1L, "y" -> 1L))
   }
 
+  test("windowedAgg finalizes watermarked windows across micro-batches") {
+    import spark.implicits._
+    val in = tmpDir("wagg-in")
+    def write(rows: Seq[(String, String, Double)]): Unit =
+      rows.toDF("ts_s", "k", "v")
+        .select(to_timestamp(col("ts_s")).as("ts"), col("k"), col("v"))
+        .coalesce(1).write.mode("append").parquet(in)
+    write(Seq(("2024-01-01 10:00:10", "a", 1.0),
+      ("2024-01-01 10:00:40", "a", 2.0), ("2024-01-01 10:00:50", "b", 3.0)))
+    Thread.sleep(1100) // distinct mtime => separate micro-batch
+    // 10:30 advances the 10-minute watermark past the 10:00 window's end,
+    // finalizing it; the 10:30 window itself stays open (append mode)
+    write(Seq(("2024-01-01 10:30:00", "a", 9.0)))
+    val stream = spark.readStream
+      .schema("ts timestamp, k string, v double")
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val agg = Streaming.windowedAgg(stream, "ts", "v", "1 minute",
+      watermark = "10 minutes", keys = Seq("k"))
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("wagg").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val out = spark.table("wagg").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("window_start").toString,
+        r.getAs[String]("k"), r.getAs[Long]("n"), r.getAs[Double]("total")))
+      .toSet
+    assert(out === Set(
+      ("2024-01-01 10:00:00.0", "a", 2L, 3.0),
+      ("2024-01-01 10:00:00.0", "b", 1L, 3.0)))
+  }
+
   test("readStream dispatches on the dataset format (csv.gz source)") {
     import spark.implicits._
     Writer.store(spark, store, "feed_csv",
