@@ -159,13 +159,16 @@ object Dedup {
       }
       if (maxDf <= dfCap) {
         // no hot shingles: the plain inverted-index count-join is exact and
-        // never ships shingle arrays
-        val common = selfJoinPairs(inv, "s")
-          .groupBy("id_a", "id_b")
+        // never ships shingle arrays. Set sizes ride THROUGH the self-join
+        // as extra grouping keys (functionally dependent on the ids), so no
+        // separate size-lookup joins are needed afterwards.
+        val invN = sh.select(col("id"), size(col("sh")).as("n"),
+          explode(col("sh")).as("s"))
+        invN.as("l").join(invN.as("r"), col("l.s") === col("r.s"))
+          .where(col("l.id") < col("r.id"))
+          .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"),
+            col("l.n").as("n_a"), col("r.n").as("n_b"))
           .agg(count(lit(1)).cast("double").as("inter"))
-        common
-          .join(sh.select(col("id").as("id_a"), size(col("sh")).as("n_a")), "id_a")
-          .join(sh.select(col("id").as("id_b"), size(col("sh")).as("n_b")), "id_b")
           .withColumn("jaccard",
             col("inter") / (col("n_a") + col("n_b") - col("inter")))
           .where(col("jaccard") >= threshold)
