@@ -447,6 +447,10 @@ object SparkEntry {
           lit(0L), (acc, x) => acc + x).as("fp"))
     }),
 
+    // --- text analysis: corpus vocabulary (top-k tokens)
+    "t_top_tokens" -> ((s, dir) =>
+      TextAnalysis.topTokens(rd(s, dir, "documents"), "text", 50)),
+
     // --- similarity: brute-force cosine scores vs one query vector
     "v_knn_scores" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
@@ -522,6 +526,15 @@ object SparkEntry {
       val q = emb.where(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).map(_.toDouble).toSeq
       Similarity.lshTopK(emb, "embedding", "vec_id", q, 20, planes = 4)
+    }),
+
+    // IVF: k-means-trained coarse quantizer, nprobe-list probe-time search
+    "v_ivf_topk" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toSeq
+      val cents = Similarity.kmeansCentroids(emb, "embedding", k = 8, iters = 3)
+      Similarity.ivfTopK(emb, "embedding", "vec_id", q, 20, cents, nprobe = 2)
     }),
 
     // multimodal feature extraction through the stubbed decoder; exploded to
@@ -704,6 +717,12 @@ object SparkEntry {
                / greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1) AS stop_ratio
            FROM documents""",
       "t_lang_id" -> langCase,
+      "t_top_tokens" ->
+        """SELECT token, count(*) AS n FROM (
+             SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+             FROM documents)
+           WHERE len(token) > 0
+           GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""",
       "t_quality" -> {
         // mirror TextAnalysis.qualityScore term by term (same IEEE op order)
         val punct = """CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\-]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)"""

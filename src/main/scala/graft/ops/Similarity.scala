@@ -88,4 +88,65 @@ object Similarity {
     corpus.withColumn("__centroid",
       sort_array(array(scored: _*), asc = false).getItem(0).getField("centroid"))
   }
+
+  /** Lloyd's k-means over the embedding column — trains the IVF coarse
+    * quantizer. Each iteration is ONE distributed aggregation: assign via
+    * [[ivfAssign]] (centroids as broadcast literals), then per-(centroid,
+    * dimension) sums through posexplode; only the k x dim means ever reach
+    * the driver. Deterministic: hash-ordered init, fixed iteration count,
+    * empty clusters keep their previous centroid. At 100 TB train on a
+    * [[Sampling.deterministicSample]] of the corpus — the quantizer needs
+    * a representative sample, not every row. */
+  def kmeansCentroids(corpus: DataFrame, vecCol: String, k: Int,
+                      iters: Int = 10): Seq[Seq[Double]] = {
+    require(k >= 1 && iters >= 1)
+    val vecs = corpus.select(col(vecCol).as("v")).where(col("v").isNotNull)
+      .cache() // read once, iterated `iters` times
+    var centroids: Seq[Seq[Double]] = vecs
+      .withColumn("__h", xxhash64(concat_ws(",", col("v").cast("array<string>"))))
+      .orderBy(col("__h")).limit(k)
+      .collect().map(_.getSeq[Any](0).map(_.toString.toDouble).toSeq).toSeq
+    for (_ <- 0 until iters) {
+      val stats = ivfAssign(vecs, "v", centroids)
+        .select(col("__centroid"), posexplode(col("v")))
+        .groupBy(col("__centroid"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byC = stats.groupBy(_.getAs[Int]("__centroid"))
+      centroids = centroids.zipWithIndex.map { case (old, i) =>
+        byC.get(i) match {
+          case Some(rows) =>
+            rows.sortBy(_.getAs[Int]("pos"))
+              .map(r => r.getAs[Double]("s") / r.getAs[Long]("n")).toSeq
+          case None => old // empty cluster keeps its centroid
+        }
+      }
+    }
+    vecs.unpersist(false)
+    centroids
+  }
+
+  /** IVF probe-time search: rank centroids against the query on the driver,
+    * scan only the `nprobe` closest inverted lists, brute-force within.
+    * With the corpus stored partitioned on its assignment column the filter
+    * becomes partition pruning and untouched lists are never read. */
+  def ivfTopK(corpus: DataFrame, vecCol: String, idCol: String,
+              query: Seq[Double], k: Int, centroids: Seq[Seq[Double]],
+              nprobe: Int = 1): DataFrame = {
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val probes = centroids.zipWithIndex
+      .sortBy { case (c, i) => (-cos(c, query), i) }
+      .take(math.max(1, nprobe)).map(_._2)
+    val q = array(query.map(lit): _*)
+    ivfAssign(corpus, vecCol, centroids)
+      .where(col("__centroid").isin(probes: _*))
+      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -73,6 +73,17 @@ object TextAnalysis {
     sort_array(array(scored: _*), asc = false).getItem(0).getField("lang")
   }
 
+  /** Corpus vocabulary: the `k` most frequent lower-cased whitespace tokens
+    * with deterministic (count desc, token asc) tie-break. One explode +
+    * one partial-then-final aggregation; the top-k is a
+    * TakeOrderedAndProject, never a full sort. */
+  def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+
   /** Rolling (polynomial) document fingerprint over characters:
     * hash = sum_i c_i * 31^(n-1-i) mod 2^53 — expressed with `aggregate`
     * over the character array. The modulus keeps every intermediate product

@@ -58,6 +58,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(top.head.getDouble(1) === 1.0)     // cosine(q, q) rounds to 1
   }
 
+  test("kmeans centroids separate two obvious clusters; ivfTopK probes the right list") {
+    import spark.implicits._
+    // two tight clusters around (1,0) and (0,1)
+    val vecs = ((1 to 20).map(i => (i.toLong, Array(1.0 + 0.01 * i, 0.01 * i))) ++
+      (21 to 40).map(i => (i.toLong, Array(0.01 * i, 1.0 + 0.01 * i)))).toDF("id", "v")
+    val cents = graft.ops.Similarity.kmeansCentroids(vecs, "v", k = 2, iters = 5)
+    assert(cents.size === 2)
+    // one centroid per cluster: their directions differ strongly
+    val dirs = cents.map(c => c.head / math.sqrt(c.map(x => x * x).sum))
+    assert(math.abs(dirs.head - dirs(1)) > 0.5, cents.toString)
+    // probing 1 list with a (1,0)-ish query returns only cluster-1 members
+    val top = graft.ops.Similarity.ivfTopK(vecs, "v", "id",
+      Seq(1.0, 0.0), k = 5, cents, nprobe = 1)
+      .collect().map(_.getLong(0))
+    assert(top.length === 5)
+    assert(top.forall(_ <= 20L), top.toSeq.toString)
+  }
+
   test("ivfAssign puts each vector in its nearest centroid partition") {
     import spark.implicits._
     val vecs = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0)),
