@@ -143,7 +143,12 @@ object Predicates {
       case _: BooleanType => if (!v.isInstanceOf[Boolean]) fail()
       case _: BinaryType =>
         v match {
-          case _: Array[Byte] => () // null-byte rejection happens in check()
+          case b: Array[Byte] =>
+            // also rejected in check(); re-checked here because compile
+            // entry points (evalLiteral, toColumn, the FileIndex pruner)
+            // can be reached without a prior check() call
+            if (b.contains(0: Byte)) throw new IllegalArgumentException(
+              s"Binary predicate value containing a null byte on '$col' is not supported")
           case _ => fail()
         }
       case _: DateType =>

@@ -209,6 +209,18 @@ case class HyperplaneBuckets(child: Expression, planes: Int, tables: Int)
   @transient private lazy val childFloat =
     child.dataType == ArrayType(FloatType, false) || child.dataType == ArrayType(FloatType, true)
 
+  // reject non-float/double arrays at ANALYSIS time: compute() reads raw
+  // array slots, so an array<int> child would yield garbage buckets (or a
+  // ClassCastException) instead of a type error
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float> or array<double>, got ${other.simpleString}")
+    }
+
   def compute(v: ArrayData): ArrayData = {
     val n = v.numElements()
     val out = new Array[Any](tables)

@@ -152,26 +152,39 @@ object Ops {
     * CONFLICTING scalars drop their key — the reference's commit-time
     * `metadata_merger` (`io/eager.py:303` -> `combine_metadata`,
     * `io_components/utils.py:24-102`), not last-wins. */
+  /** Keys with this prefix are ENGINE state (e.g. the streaming batch-id
+    * stamp), not user metadata: they take the incoming value verbatim
+    * instead of the conflict-drop merge — dropping them would break the
+    * invariants they carry (a replayed micro-batch must still see the
+    * last committed batch id). */
+  val SystemMetaPrefix = "graft."
+
   def combineUserMetadata(old: Map[String, String],
                           nw: Map[String, String]): Map[String, String] = {
-    import com.fasterxml.jackson.databind.JsonNode
-    import com.fasterxml.jackson.databind.node.TextNode
-    import scala.jdk.CollectionConverters._
-    val mapper = DatasetMetadata.mapper
-    def parse(s: String): JsonNode =
+    def parseContainer(s: String): Option[com.fasterxml.jackson.databind.JsonNode] =
       try {
-        val n = mapper.readTree(s)
-        if (n == null) TextNode.valueOf(s) else n
-      } catch { case _: Exception => TextNode.valueOf(s) }
-    def toObj(m: Map[String, String]) = {
-      val o = mapper.createObjectNode()
-      m.foreach { case (k, v) => o.set[JsonNode](k, parse(v)) }
-      o
-    }
-    val merged = combineMetadata(Seq(toObj(old), toObj(nw)))
-    merged.properties().asScala.map { e =>
-      val v = e.getValue
-      e.getKey -> (if (v.isTextual) v.asText() else v.toString)
+        val n = DatasetMetadata.mapper.readTree(s)
+        if (n != null && (n.isObject || n.isArray)) Some(n) else None
+      } catch { case _: Exception => None }
+    (old.keySet ++ nw.keySet).iterator.flatMap { k =>
+      (old.get(k), nw.get(k)) match {
+        // one-sided keys and equal values pass through VERBATIM — no JSON
+        // round-trip that would rewrite "1.50" to "1.5" on an untouched value
+        case (Some(a), None)                => Some(k -> a)
+        case (None, Some(b))                => Some(k -> b)
+        case (Some(a), Some(b)) if a == b   => Some(k -> a)
+        case (Some(_), Some(b)) if k.startsWith(SystemMetaPrefix) => Some(k -> b)
+        case (Some(a), Some(b)) =>
+          // differing values: JSON documents merge recursively (nested
+          // objects by key, arrays concatenated); conflicting scalars drop
+          // the key — the reference's InvalidObject semantics
+          (parseContainer(a), parseContainer(b)) match {
+            case (Some(x), Some(y)) if x.isObject == y.isObject =>
+              Some(k -> combineMetadata(Seq(x, y)).toString)
+            case _ => None // scalar conflict or object-vs-array: drop the key
+          }
+        case (None, None) => None
+      }
     }.toMap
   }
 

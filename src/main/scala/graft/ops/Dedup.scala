@@ -268,29 +268,30 @@ object Dedup {
       .withColumn("cluster_id", col("id")).localCheckpoint()
     var converged = false
     var i = 0
-    while (!converged && i < maxIters) {
-      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src").as("nid")).agg(min("cluster_id").as("nmin"))
-      // one materializing job per round: the change flag is computed inline
-      // and localCheckpoint cuts the growing lineage, so the convergence
-      // probe is a scan of the checkpointed blocks, not a second join
-      val updated = labels.join(neighborMin, labels("id") === col("nid"), "left")
-        .select(col("id"),
-          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"),
-          coalesce(col("nmin") < col("cluster_id"), lit(false)).as("__changed"))
-        .localCheckpoint()
-      converged = updated.where(col("__changed")).isEmpty
-      labels = updated.select("id", "cluster_id")
-      i += 1
-    }
-    // silently-unconverged labels would make dedupByClusters drop the WRONG
-    // rows downstream — fail loudly instead (raise maxIters for graphs whose
-    // component diameter genuinely exceeds it)
-    if (!converged) throw new IllegalStateException(
-      s"nearDupClusters did not converge within maxIters=$maxIters rounds; " +
-        "labels would be incorrect for components with larger diameter")
-    edges.unpersist(false)
-    labels
+    try {
+      while (!converged && i < maxIters) {
+        val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+          .groupBy(col("src").as("nid")).agg(min("cluster_id").as("nmin"))
+        // one materializing job per round: the change flag is computed inline
+        // and localCheckpoint cuts the growing lineage, so the convergence
+        // probe is a scan of the checkpointed blocks, not a second join
+        val updated = labels.join(neighborMin, labels("id") === col("nid"), "left")
+          .select(col("id"),
+            least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"),
+            coalesce(col("nmin") < col("cluster_id"), lit(false)).as("__changed"))
+          .localCheckpoint()
+        converged = updated.where(col("__changed")).isEmpty
+        labels = updated.select("id", "cluster_id")
+        i += 1
+      }
+      // silently-unconverged labels would make dedupByClusters drop the WRONG
+      // rows downstream — fail loudly instead (raise maxIters for graphs whose
+      // component diameter genuinely exceeds it)
+      if (!converged) throw new IllegalStateException(
+        s"nearDupClusters did not converge within maxIters=$maxIters rounds; " +
+          "labels would be incorrect for components with larger diameter")
+      labels
+    } finally edges.unpersist(false) // also on the non-convergence throw path
   }
 
   /** Keep one representative per near-dup cluster: drops every row whose id

@@ -102,7 +102,10 @@ object Similarity {
     require(k >= 1 && iters >= 1)
     val vecs = corpus.select(col(vecCol).as("v")).where(col("v").isNotNull)
       .cache() // read once, iterated `iters` times
-    var centroids: Seq[Seq[Double]] = vecs
+    // distinct BEFORE the hash-ordered init: identical vectors share one
+    // hash and would otherwise fill all k seeds with the same point on a
+    // mass-duplicated corpus, collapsing the quantizer
+    var centroids: Seq[Seq[Double]] = vecs.distinct()
       .withColumn("__h", xxhash64(concat_ws(",", col("v").cast("array<string>"))))
       .orderBy(col("__h")).limit(k)
       .collect().map(_.getSeq[Any](0).map(_.toString.toDouble).toSeq).toSeq

@@ -584,6 +584,13 @@ class DatasetSpec extends SparkSpec {
     assert(!after.metadata.contains("v"))          // conflicting scalar drops
     // roundtrips through the persisted header
     assert(DatasetMetadata.load(store, "md").metadata === after.metadata)
+    // untouched values survive VERBATIM — no JSON round-trip that would
+    // rewrite "1.50" to "1.5" on keys no one changed
+    Writer.store(spark, store, "md2", sampleDf,
+      WriteOpts(partitionOn = Seq("p"), metadata = Map("v" -> "1.50", "b" -> "true ")))
+    val after2 = Writer.update(spark, store, "md2", None,
+      opts = WriteOpts(metadata = Map("note" -> "x")))
+    assert(after2.metadata === Map("v" -> "1.50", "b" -> "true ", "note" -> "x"))
   }
 
   test("W7: two concurrent uncommitted writers, one commit lands both") {

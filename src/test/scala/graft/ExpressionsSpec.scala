@@ -121,6 +121,12 @@ class ExpressionsSpec extends SparkSpec {
     val fv = Seq((0 until 16).map(_ => rng.nextFloat()).toArray).toDF("v")
     assert(fv.select(graft.ops.Similarity.lshBuckets(col("v"), 4, 2))
       .head.getSeq[String](0).forall(_.matches("[01]:[01]{4}")))
+    // non-float/double arrays are rejected at analysis time, not read as
+    // garbage through the raw array slots
+    val iv = Seq(Array(1, 2, 3)).toDF("v")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      iv.select(graft.ops.Similarity.lshBuckets(col("v"), 4, 1)).collect()
+    }
   }
 
   test("expressions are usable from SQL after registration") {

@@ -76,6 +76,16 @@ class StreamingSpec extends SparkSpec {
     assert(Reader.readTable(spark, store, "replay").count() === 2) // no dupes
     ingest(batch, 1L) // genuinely new batch appends
     assert(Reader.readTable(spark, store, "replay").count() === 4)
+    // CRITICAL: replay of a batch AFTER a commit-time metadata merge — the
+    // batch-id stamp is engine metadata and must survive the merge verbatim
+    // (a conflict-drop would silently re-ingest every redelivered batch)
+    ingest(batch, 1L)
+    assert(Reader.readTable(spark, store, "replay").count() === 4)
+    assert(DatasetMetadata.load(store, "replay").metadata
+      .get(graft.streaming.Streaming.LastBatchKey).contains("1"))
+    ingest(batch, 2L)
+    ingest(batch, 2L)
+    assert(Reader.readTable(spark, store, "replay").count() === 6)
   }
 
   test("readStream over a dataset sees its partitions incrementally") {
