@@ -150,13 +150,20 @@ object Dedup {
       // repartition+cache here locks in an exchange and a materialization
       // that AQE's broadcast choice makes redundant below the SMJ threshold
       // (measured 2x slower at bench scale); above it, the aliased
-      // self-join's canonically-equal children let the shuffle be reused
+      // self-join's canonically-equal children let the shuffle be reused.
+      // NOTE: unless dfCap is disabled, choosing the path runs an eager
+      // document-frequency probe job at CONSTRUCTION time (and the sh/freq
+      // caches live until the session ends — per-call caches, LRU-evicted);
+      // callers who know their corpus has no hot shingles pass
+      // dfCap = Int.MaxValue to keep construction fully lazy.
       val inv = sh.select(col("id"), explode(col("sh")).as("s"))
-      val freq = inv.groupBy("s").agg(count(lit(1)).as("df")).cache()
-      val maxDf = freq.agg(max("df")).first() match {
-        case r if r.isNullAt(0) => 0L
-        case r                  => r.getLong(0)
-      }
+      lazy val freq = inv.groupBy("s").agg(count(lit(1)).as("df")).cache()
+      val maxDf =
+        if (dfCap == Int.MaxValue) 0L
+        else freq.agg(max("df")).first() match {
+          case r if r.isNullAt(0) => 0L
+          case r                  => r.getLong(0)
+        }
       if (maxDf <= dfCap) {
         // no hot shingles: the plain inverted-index count-join is exact and
         // never ships shingle arrays. Set sizes ride THROUGH the self-join
