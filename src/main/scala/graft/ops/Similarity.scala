@@ -152,4 +152,44 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Materialize the IVF inverted lists as a graft dataset PARTITIONED on
+    * the centroid assignment — the 100-TB probe path: [[ivfTopKIndexed]]
+    * then prunes to `nprobe` hive partitions at the metadata level and the
+    * untouched lists are never read (vs [[ivfTopK]], which re-assigns the
+    * whole corpus per query). */
+  def ivfIndex(spark: org.apache.spark.sql.SparkSession,
+               storage: graft.store.Storage, uuid: String,
+               corpus: DataFrame, vecCol: String, idCol: String,
+               centroids: Seq[Seq[Double]]): graft.meta.DatasetMetadata =
+    graft.io.Writer.store(spark, storage, uuid,
+      ivfAssign(corpus, vecCol, centroids)
+        .select(col("__centroid").as("centroid"), col(idCol), col(vecCol)),
+      graft.io.Writer.WriteOpts(partitionOn = Seq("centroid"), overwrite = true))
+
+  /** Probe-time search over an [[ivfIndex]] dataset: centroid ranking on
+    * the driver, then a predicate-pruned read of only the `nprobe` closest
+    * inverted lists. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                     storage: graft.store.Storage, uuid: String,
+                     vecCol: String, idCol: String,
+                     query: Seq[Double], k: Int, centroids: Seq[Seq[Double]],
+                     nprobe: Int = 1): DataFrame = {
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val probes = centroids.zipWithIndex
+      .sortBy { case (c, i) => (-cos(c, query), i) }
+      .take(math.max(1, nprobe)).map(_._2)
+    val q = array(query.map(lit): _*)
+    graft.io.Reader.readTable(spark, storage, uuid,
+        predicates = Some(Seq(Seq(
+          graft.dnf.Literal("centroid", graft.dnf.Op.In, probes)))))
+      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

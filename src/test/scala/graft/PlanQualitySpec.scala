@@ -76,6 +76,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(top.forall(_ <= 20L), top.toSeq.toString)
   }
 
+  test("ivfTopKIndexed reads only the probed inverted lists (metadata pruning)") {
+    import spark.implicits._
+    val vecs = ((1 to 20).map(i => (i.toLong, Array(1.0 + 0.01 * i, 0.01 * i))) ++
+      (21 to 40).map(i => (i.toLong, Array(0.01 * i, 1.0 + 0.01 * i)))).toDF("id", "v")
+    val cents = graft.ops.Similarity.kmeansCentroids(vecs, "v", k = 2, iters = 5)
+    val store = graft.store.Storage(spark, tmpDir("ivf-index"))
+    graft.ops.Similarity.ivfIndex(spark, store, "emb_ivf", vecs, "v", "id", cents)
+    val top = graft.ops.Similarity.ivfTopKIndexed(spark, store, "emb_ivf",
+      "v", "id", Seq(1.0, 0.0), k = 5, cents, nprobe = 1)
+    // pruned BEFORE the scan: only the probed list's file is in the plan
+    assert(top.inputFiles.length === 1, top.inputFiles.toSeq.toString)
+    val ids = top.collect().map(_.getLong(0))
+    assert(ids.length === 5 && ids.forall(_ <= 20L), ids.toSeq.toString)
+  }
+
   test("ivfAssign puts each vector in its nearest centroid partition") {
     import spark.implicits._
     val vecs = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0)),
