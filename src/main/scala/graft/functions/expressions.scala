@@ -56,6 +56,12 @@ case class WordShingles(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${child.dataType.simpleString}")
+
   def compute(s: UTF8String): ArrayData = {
     // the same operators Spark's lower/trim/split functions delegate to
     val toks = s.toLowerCase.trim.toString.split("\\s+", -1)
@@ -103,6 +109,15 @@ case class MinHashSignature(child: Expression, k: Int)
   require(k >= 1, s"signature length must be >= 1, got $k")
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "minhash_signature"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got ${other.simpleString}")
+    }
 
   def compute(arr: ArrayData): ArrayData = {
     val mins = new Array[Int](k)
@@ -156,6 +171,20 @@ case class DotProduct(left: Expression, right: Expression)
     left.dataType == ArrayType(FloatType, false) || left.dataType == ArrayType(FloatType, true)
   @transient private lazy val rightFloat =
     right.dataType == ArrayType(FloatType, false) || right.dataType == ArrayType(FloatType, true)
+
+  // compute() reads raw float/double array slots — any other element type
+  // must be an analysis error, not garbage values or a ClassCastException
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>/array<double> operands, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
 
   def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
@@ -274,6 +303,12 @@ case class HyperplaneBuckets(child: Expression, planes: Int, tables: Int)
 case class SimHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${child.dataType.simpleString}")
 
   def compute(s: UTF8String): Long = {
     val toks = s.toLowerCase.trim.toString.split("\\s+", -1)
