@@ -146,12 +146,6 @@ object Ops {
       .getOrElse(mapper.createObjectNode())
   }
 
-  /** [[combineMetadata]] lifted to the header's `Map[String, String]` user
-    * metadata: values that parse as JSON documents merge recursively (nested
-    * objects by key, arrays concatenated), equal scalars collapse, and
-    * CONFLICTING scalars drop their key — the reference's commit-time
-    * `metadata_merger` (`io/eager.py:303` -> `combine_metadata`,
-    * `io_components/utils.py:24-102`), not last-wins. */
   /** Keys with this prefix are ENGINE state (e.g. the streaming batch-id
     * stamp), not user metadata: they take the incoming value verbatim
     * instead of the conflict-drop merge — dropping them would break the
@@ -159,13 +153,17 @@ object Ops {
     * last committed batch id). */
   val SystemMetaPrefix = "graft."
 
+  /** [[combineMetadata]] lifted to the header's `Map[String, String]` user
+    * metadata: values that parse as JSON documents merge recursively (nested
+    * objects by key, arrays concatenated), equal scalars collapse, and
+    * CONFLICTING scalars drop their key — the reference's commit-time
+    * `metadata_merger` (`io/eager.py:303` -> `combine_metadata`,
+    * `io_components/utils.py:24-102`), not last-wins. */
   def combineUserMetadata(old: Map[String, String],
                           nw: Map[String, String]): Map[String, String] = {
-    def parseContainer(s: String): Option[com.fasterxml.jackson.databind.JsonNode] =
-      try {
-        val n = DatasetMetadata.mapper.readTree(s)
-        if (n != null && (n.isObject || n.isArray)) Some(n) else None
-      } catch { case _: Exception => None }
+    def parse(s: String): Option[com.fasterxml.jackson.databind.JsonNode] =
+      try Option(DatasetMetadata.mapper.readTree(s))
+      catch { case _: Exception => None }
     (old.keySet ++ nw.keySet).iterator.flatMap { k =>
       (old.get(k), nw.get(k)) match {
         // one-sided keys and equal values pass through VERBATIM — no JSON
@@ -175,13 +173,17 @@ object Ops {
         case (Some(a), Some(b)) if a == b   => Some(k -> a)
         case (Some(_), Some(b)) if k.startsWith(SystemMetaPrefix) => Some(k -> b)
         case (Some(a), Some(b)) =>
-          // differing values: JSON documents merge recursively (nested
-          // objects by key, arrays concatenated); conflicting scalars drop
-          // the key — the reference's InvalidObject semantics
-          (parseContainer(a), parseContainer(b)) match {
-            case (Some(x), Some(y)) if x.isObject == y.isObject =>
+          // textually different: compare/merge PARSED values, like the
+          // reference. JSON-equal scalars ("1.50" vs "1.5") collapse (old
+          // spelling kept — stable); container documents merge recursively
+          // (nested objects by key, arrays concatenated); genuine scalar
+          // conflicts and object-vs-array drop the key (InvalidObject)
+          (parse(a), parse(b)) match {
+            case (Some(x), Some(y)) if x == y => Some(k -> a)
+            case (Some(x), Some(y))
+                if (x.isObject && y.isObject) || (x.isArray && y.isArray) =>
               Some(k -> combineMetadata(Seq(x, y)).toString)
-            case _ => None // scalar conflict or object-vs-array: drop the key
+            case _ => None
           }
         case (None, None) => None
       }

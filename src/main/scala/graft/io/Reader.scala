@@ -235,8 +235,14 @@ object Reader {
       spark.createDataFrame(remote.collect().toSeq.asJava, remote.schema)
     })
     val pruner: Seq[CExpr] => Option[Set[String]] = { dataFilters =>
-      val sets = dataFilters.flatMap(asLiteral).map { l =>
-        litCache.getOrElseUpdate(l, SecondaryIndex.evalLiteral(localIndex(l.column), l))
+      val sets = dataFilters.flatMap(asLiteral).flatMap { l =>
+        // BEST-EFFORT by contract: a literal the strict DNF compiler rejects
+        // (e.g. a binary value with a null byte — a perfectly legal Spark
+        // filter) must mean "cannot prune on this conjunct", never a
+        // planning-time crash of an otherwise-valid query
+        try Some(litCache.getOrElseUpdate(l,
+          SecondaryIndex.evalLiteral(localIndex(l.column), l)))
+        catch { case _: IllegalArgumentException => None }
       }
       if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
     }

@@ -102,31 +102,59 @@ object Similarity {
     require(k >= 1 && iters >= 1)
     val vecs = corpus.select(col(vecCol).as("v")).where(col("v").isNotNull)
       .cache() // read once, iterated `iters` times
-    // distinct BEFORE the hash-ordered init: identical vectors share one
-    // hash and would otherwise fill all k seeds with the same point on a
-    // mass-duplicated corpus, collapsing the quantizer
-    var centroids: Seq[Seq[Double]] = vecs.distinct()
-      .withColumn("__h", xxhash64(concat_ws(",", col("v").cast("array<string>"))))
-      .orderBy(col("__h")).limit(k)
-      .collect().map(_.getSeq[Any](0).map(_.toString.toDouble).toSeq).toSeq
-    for (_ <- 0 until iters) {
-      val stats = ivfAssign(vecs, "v", centroids)
-        .select(col("__centroid"), posexplode(col("v")))
-        .groupBy(col("__centroid"), col("pos"))
-        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
-        .collect()
-      val byC = stats.groupBy(_.getAs[Int]("__centroid"))
-      centroids = centroids.zipWithIndex.map { case (old, i) =>
-        byC.get(i) match {
-          case Some(rows) =>
-            rows.sortBy(_.getAs[Int]("pos"))
-              .map(r => r.getAs[Double]("s") / r.getAs[Long]("n")).toSeq
-          case None => old // empty cluster keeps its centroid
+    try {
+      // distinct BEFORE the hash-ordered init: identical vectors share one
+      // hash and would otherwise fill all k seeds with the same point on a
+      // mass-duplicated corpus, collapsing the quantizer
+      var centroids: Seq[Seq[Double]] = vecs.distinct()
+        .withColumn("__h", xxhash64(concat_ws(",", col("v").cast("array<string>"))))
+        .orderBy(col("__h")).limit(k)
+        .collect().map(_.getSeq[Any](0).map(_.toString.toDouble).toSeq).toSeq
+      for (_ <- 0 until iters) {
+        val stats = ivfAssign(vecs, "v", centroids)
+          .select(col("__centroid"), posexplode(col("v")))
+          .groupBy(col("__centroid"), col("pos"))
+          .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+          .collect()
+        val byC = stats.groupBy(_.getAs[Int]("__centroid"))
+        centroids = centroids.zipWithIndex.map { case (old, i) =>
+          byC.get(i) match {
+            case Some(rows) =>
+              rows.sortBy(_.getAs[Int]("pos"))
+                .map(r => r.getAs[Double]("s") / r.getAs[Long]("n")).toSeq
+            case None => old // empty cluster keeps its centroid
+          }
         }
       }
+      centroids
+    } finally vecs.unpersist(false) // also released if an iteration throws
+  }
+
+  /** Driver-side probe ranking, shared by [[ivfTopK]] and
+    * [[ivfTopKIndexed]] so it can never drift from itself — and with the
+    * SAME tie-break as [[ivfAssign]] (equal similarity prefers the HIGHER
+    * centroid index, matching sort_array desc on (sim, centroid)): a
+    * mismatched tie-break would make nprobe=1 scan a list the tied vectors
+    * were never assigned to. */
+  private def rankProbes(centroids: Seq[Seq[Double]], query: Seq[Double],
+                         nprobe: Int): Seq[Int] = {
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
     }
-    vecs.unpersist(false)
-    centroids
+    centroids.zipWithIndex
+      .sortBy { case (c, i) => (-cos(c, query), -i) }
+      .take(math.max(1, nprobe)).map(_._2)
+  }
+
+  private def scoreAndTake(df: DataFrame, vecCol: String, idCol: String,
+                           query: Seq[Double], k: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    df.select(col(idCol), round(cosine(col(vecCol), q), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
   }
 
   /** IVF probe-time search: rank centroids against the query on the driver,
@@ -136,21 +164,10 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, vecCol: String, idCol: String,
               query: Seq[Double], k: Int, centroids: Seq[Seq[Double]],
               nprobe: Int = 1): DataFrame = {
-    def cos(a: Seq[Double], b: Seq[Double]): Double = {
-      val dot = a.zip(b).map { case (x, y) => x * y }.sum
-      val na = math.sqrt(a.map(x => x * x).sum)
-      val nb = math.sqrt(b.map(x => x * x).sum)
-      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
-    }
-    val probes = centroids.zipWithIndex
-      .sortBy { case (c, i) => (-cos(c, query), i) }
-      .take(math.max(1, nprobe)).map(_._2)
-    val q = array(query.map(lit): _*)
-    ivfAssign(corpus, vecCol, centroids)
-      .where(col("__centroid").isin(probes: _*))
-      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cosine"))
-      .orderBy(col("cosine").desc, col(idCol).asc)
-      .limit(k)
+    val probes = rankProbes(centroids, query, nprobe)
+    scoreAndTake(
+      ivfAssign(corpus, vecCol, centroids).where(col("__centroid").isin(probes: _*)),
+      vecCol, idCol, query, k)
   }
 
   /** Materialize the IVF inverted lists as a graft dataset PARTITIONED on
@@ -161,11 +178,14 @@ object Similarity {
   def ivfIndex(spark: org.apache.spark.sql.SparkSession,
                storage: graft.store.Storage, uuid: String,
                corpus: DataFrame, vecCol: String, idCol: String,
-               centroids: Seq[Seq[Double]]): graft.meta.DatasetMetadata =
+               centroids: Seq[Seq[Double]],
+               overwrite: Boolean = false): graft.meta.DatasetMetadata =
     graft.io.Writer.store(spark, storage, uuid,
       ivfAssign(corpus, vecCol, centroids)
         .select(col("__centroid").as("centroid"), col(idCol), col(vecCol)),
-      graft.io.Writer.WriteOpts(partitionOn = Seq("centroid"), overwrite = true))
+      // overwrite stays OPT-IN like every other write path — a uuid
+      // collision with an existing dataset must not silently delete it
+      graft.io.Writer.WriteOpts(partitionOn = Seq("centroid"), overwrite = overwrite))
 
   /** Probe-time search over an [[ivfIndex]] dataset: centroid ranking on
     * the driver, then a predicate-pruned read of only the `nprobe` closest
@@ -175,21 +195,11 @@ object Similarity {
                      vecCol: String, idCol: String,
                      query: Seq[Double], k: Int, centroids: Seq[Seq[Double]],
                      nprobe: Int = 1): DataFrame = {
-    def cos(a: Seq[Double], b: Seq[Double]): Double = {
-      val dot = a.zip(b).map { case (x, y) => x * y }.sum
-      val na = math.sqrt(a.map(x => x * x).sum)
-      val nb = math.sqrt(b.map(x => x * x).sum)
-      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
-    }
-    val probes = centroids.zipWithIndex
-      .sortBy { case (c, i) => (-cos(c, query), i) }
-      .take(math.max(1, nprobe)).map(_._2)
-    val q = array(query.map(lit): _*)
-    graft.io.Reader.readTable(spark, storage, uuid,
+    val probes = rankProbes(centroids, query, nprobe)
+    scoreAndTake(
+      graft.io.Reader.readTable(spark, storage, uuid,
         predicates = Some(Seq(Seq(
-          graft.dnf.Literal("centroid", graft.dnf.Op.In, probes)))))
-      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cosine"))
-      .orderBy(col("cosine").desc, col(idCol).asc)
-      .limit(k)
+          graft.dnf.Literal("centroid", graft.dnf.Op.In, probes))))),
+      vecCol, idCol, query, k)
   }
 }
