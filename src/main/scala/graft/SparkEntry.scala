@@ -510,6 +510,14 @@ object SparkEntry {
           numHashes = 32, bands = 8, shingleN = 3, threshold = 0.3)
           .select("id_a", "id_b"))),
 
+    // full curation pipeline: exact dedup -> quality/lang gates -> minhash
+    // near-dup removal -> deterministic sample (composite; rows-only)
+    "d_curate" -> ((s, dir) =>
+      graft.ops.Curate.curate(rd(s, dir, "documents"), "text", "doc_id",
+        graft.ops.Curate.CurateConfig(minQuality = 0.2, nearDupThreshold = 0.5,
+          sampleFraction = 0.9))
+        .select(col("doc_id"), round(col("__quality"), 6).as("quality"), col("__lang"))),
+
     // SimHash signatures (murmur3-based, engine-specific values)
     "d_simhash" -> ((s, dir) =>
       rd(s, dir, "documents")

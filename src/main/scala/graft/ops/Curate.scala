@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus curation — the canonical composition of this
+  * library's building blocks, in the order a 100-TB pipeline wants them
+  * (cheapest filters first, so each stage shrinks the next stage's input):
+  *
+  *   1. EXACT dedup by content hash (one shuffle) — removes byte-identical
+  *      spam before any per-pair work exists.
+  *   2. Quality + language gates — pure codegen'd column expressions, no
+  *      shuffle at all.
+  *   3. MinHash+LSH near-dup removal — candidate pairs only within band
+  *      buckets, collapsed to connected components, minimum id kept.
+  *   4. Deterministic hash sampling — reproducible across retries,
+  *      repartitioning, and reruns.
+  *
+  * Returns the surviving rows of `df` with `__quality` / `__lang` audit
+  * columns attached. Compose with [[graft.io.Writer.store]] to land the
+  * result as a partitioned dataset.
+  */
+object Curate {
+
+  final case class CurateConfig(
+      minQuality: Double = 0.0,          // 0 = no quality gate
+      langs: Set[String] = Set.empty,    // empty = all languages
+      nearDupThreshold: Double = 0.0,    // 0 = skip near-dup stage
+      minhashBands: Int = 8,
+      minhashHashes: Int = 32,
+      shingleN: Int = 3,
+      maxBucketSize: Int = 0,            // see Dedup.minhashNearDups
+      sampleFraction: Double = 1.0,      // deterministic hash sample
+      sampleSalt: String = "graft")
+
+  def curate(df: DataFrame, textCol: String, idCol: String,
+             cfg: CurateConfig = CurateConfig()): DataFrame = {
+    // 1. exact dedup: deterministic winner (minimum id) per content hash
+    val exact = Dedup.exact(df, Seq(textCol), idCol)
+
+    // 2. quality + language gates (no shuffle; scans stay codegen'd)
+    val audited = exact
+      .withColumn("__quality", TextAnalysis.qualityScore(col(textCol)))
+      .withColumn("__lang", TextAnalysis.langId(col(textCol)))
+    val gated0 = if (cfg.minQuality > 0)
+      audited.where(col("__quality") >= cfg.minQuality) else audited
+    val gated = if (cfg.langs.nonEmpty)
+      gated0.where(col("__lang").isin(cfg.langs.toSeq: _*)) else gated0
+
+    // 3. near-dup removal (optional): pairs -> components -> keep min id
+    val deduped = if (cfg.nearDupThreshold > 0) {
+      val pairs = Dedup.minhashNearDups(gated, textCol, idCol,
+        numHashes = cfg.minhashHashes, bands = cfg.minhashBands,
+        shingleN = cfg.shingleN, threshold = cfg.nearDupThreshold,
+        maxBucketSize = cfg.maxBucketSize).select("id_a", "id_b")
+      Dedup.dedupByClusters(gated, idCol, Dedup.nearDupClusters(pairs))
+    } else gated
+
+    // 4. reproducible sampling
+    if (cfg.sampleFraction < 1.0)
+      Sampling.deterministicSample(deduped, idCol, cfg.sampleFraction, cfg.sampleSalt)
+    else deduped
+  }
+}

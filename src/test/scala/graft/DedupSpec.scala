@@ -115,6 +115,26 @@ class DedupSpec extends SparkSpec {
     assert(g.head.getSeq[Long](1) === Seq(1L, 2L))
   }
 
+  test("Curate.curate chains exact dedup, gates, near-dup removal, sampling") {
+    import spark.implicits._
+    import graft.ops.Curate
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy dog again and again today"), // near-dup of 1
+      (4L, "an entirely different document about spark datasets and parquet files"),
+      (5L, "!!!")                                                          // junk: fails quality gate
+    ).toDF("doc_id", "text")
+    val out = Curate.curate(docs, "text", "doc_id",
+      Curate.CurateConfig(minQuality = 0.2, nearDupThreshold = 0.5))
+    val ids = out.collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 4L), ids.toString) // 2 exact-dropped, 3 near-dropped, 5 gated
+    assert(out.columns.contains("__quality") && out.columns.contains("__lang"))
+    // defaults: no gates, no near-dup stage, no sampling => exact dedup only
+    val plain = Curate.curate(docs, "text", "doc_id")
+    assert(plain.collect().map(_.getLong(0)).toSet === Set(1L, 3L, 4L, 5L))
+  }
+
   test("end-to-end: minhash pairs -> clusters -> dedup keeps distinct docs") {
     import spark.implicits._
     val docs = Seq(
