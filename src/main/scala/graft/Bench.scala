@@ -19,8 +19,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: first-query costs (codegen compiler, parquet reader
-    // init, shuffle service) should not be attributed to whichever query
-    // happens to run first
+    // init, shuffle service, OS page cache for each input file) should not
+    // be attributed to whichever query happens to read an input first —
+    // pre-touch EVERY parquet input once, then one small shuffle
+    new java.io.File(sfDir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+      .foreach(f => spark.read.parquet(f.getPath).count())
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
     val errors = scala.collection.mutable.ListBuffer[String]()

@@ -29,7 +29,8 @@ object Writer {
       repartitionRatio: Int = 0,          // X6: pre-shuffle coalesce divisor
       overwrite: Boolean = false,
       metadata: Map[String, String] = Map.empty,
-      format: String = "parquet")         // S2/S3: parquet | csv | csv.gz
+      format: String = "parquet",         // S2/S3: parquet | csv | csv.gz
+      writeWidth: Int = 0)                // 0 = derive (see layout())
 
   val LabelCol = "__label"
 
@@ -79,8 +80,18 @@ object Writer {
     // EXPLICIT width: an AQE-coalesced layout exchange would merge small
     // partition-value groups into one task and serialize the file writers —
     // the output is one file per (value [x bucket]) either way, so size-based
-    // coalescing buys nothing here and costs all write parallelism
-    val width = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // coalescing buys nothing here and costs all write parallelism. The width
+    // is CAPPED at the cluster's parallelism: raw spark.sql.shuffle.partitions
+    // (default 200) as an explicit width would fan tiny datasets into hundreds
+    // of near-empty write tasks that AQE is not allowed to coalesce away —
+    // there are never more usefully-concurrent file writers than cores.
+    // Streaming/micro-batch callers pass a small writeWidth instead (AQE is
+    // off in streaming, and per-batch data is bounded by the trigger).
+    val width =
+      if (o.writeWidth > 0) o.writeWidth
+      else math.max(1, math.min(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+        df.sparkSession.sparkContext.defaultParallelism))
     val shuffled =
       if (o.numBuckets > 0) {
         val hashCols = if (o.bucketBy.nonEmpty) o.bucketBy.map(col) else
@@ -217,15 +228,17 @@ object Writer {
   }
 
   /** Two-phase step 1 (reference `write_single_partition`,
-    * `io/eager.py:555-626`): write data files under the final keys with NO
-    * header update; returns the new labels for a later `commitDataset`.
+    * `io/eager.py:555-626`): write data files with NO header update; returns
+    * the new labels for a later `commitDataset`.
     *
-    * LIMITATION: the new labels are identified by a before/after store
-    * listing, so two writeSinglePartition calls racing on the SAME dataset
-    * can claim each other's files; serialize calls per dataset (concurrent
-    * writers to DIFFERENT partition-value ranges should stage through
-    * separate datasets or commit through a single coordinator, which is also
-    * the reference's deployment guidance for its two-phase protocol). */
+    * The batch is STAGED under a per-write unique prefix
+    * (`<uuid>/.staging/<writeId>/`) and its files then moved into
+    * `<uuid>/table/` — so identifying the new labels costs one listing of
+    * the staging dir (O(files in THIS write)), not two listings of the whole
+    * table dir (O(total dataset files), quadratic over a long-lived stream),
+    * and two-phase writers racing on the SAME dataset can never claim each
+    * other's files (each owns its staging prefix; Spark's per-job file UUIDs
+    * keep the moved names collision-free). */
   def writeSinglePartition(spark: SparkSession, storage: Storage, uuid: String,
                            df: DataFrame, opts: WriteOpts = WriteOpts()): Seq[String] = {
     val existingSchema =
@@ -242,12 +255,20 @@ object Writer {
         DatasetMetadata.fromJson(
           storage.readString(DatasetMetadata.headerKey(uuid))).format
       else opts.format
-    val before = listDataFiles(storage, uuid).toSet
-    Serializer.write(layout(prepared, opts), s"${storage.base}/$uuid/table",
-      fmt, "append", opts.partitionOn)
-    if (existingSchema.isEmpty)
-      DatasetMetadata.writeSchema(storage, uuid, prepared.schema)
-    listDataFiles(storage, uuid).filterNot(before).sorted
+    val stagingKey = s"$uuid/.staging/${java.util.UUID.randomUUID().toString.take(12)}"
+    try {
+      Serializer.write(layout(prepared, opts), s"${storage.base}/$stagingKey",
+        fmt, "errorifexists", opts.partitionOn)
+      val staged = storage.listKeys(stagingKey)
+        .filter(DatasetMetadata.isDataFile)
+        .map(_.stripPrefix(s"$stagingKey/"))
+        .sorted
+      staged.foreach(rel =>
+        storage.rename(s"$stagingKey/$rel", s"$uuid/table/$rel"))
+      if (existingSchema.isEmpty)
+        DatasetMetadata.writeSchema(storage, uuid, prepared.schema)
+      staged
+    } finally storage.delete(stagingKey) // _SUCCESS + empty dirs (or all, on failure)
   }
 
   /** Two-phase step 2 / the COMMIT (reference `commit_dataset`

@@ -77,19 +77,20 @@ object Dedup {
                       numHashes: Int = 32, bands: Int = 8, shingleN: Int = 3,
                       threshold: Double = 0.5,
                       maxBucketSize: Int = 0): DataFrame = {
-    // shingle sets are reused by signature computation AND exact
-    // verification, and the band table sits on both sides of the candidate
-    // self-join — cache both or Spark recomputes the regex/hash pipeline
-    // once per reuse (the dominant cost; only (id, band) pairs ever shuffle)
+    // NOTHING is .cache()d here (or in any dedup operator): operator-lifetime
+    // caches leaked block-manager storage until session end (r2), and at
+    // 100 TB a cached shingle-array frame cannot fit anyway. Reuse comes from
+    // the PLAN instead — the band table sits on both sides of the candidate
+    // self-join as canonically-equal children (one shuffle, ReusedExchange),
+    // and the two verify-join sides share the hash(id) exchange the same way;
+    // only (id, band) pairs ever shuffle, never text.
     val sh = df
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
       .where(size(col("sh")) > 0)
-      .cache()
     val bandTable0 = sh
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .withColumn("band", explode(bandHashes(col("sig"), numHashes, bands)))
       .select(col("band"), col("id"))
-      .cache()
     val bandTable =
       if (maxBucketSize <= 0) bandTable0
       else bandTable0.join(
@@ -140,61 +141,79 @@ object Dedup {
                         shingleN: Int, threshold: Double,
                         prefixFilter: Option[Boolean] = None,
                         dfCap: Int = 1000): DataFrame = {
+    // fully LAZY — no caches (operator-lifetime caches leaked block-manager
+    // storage for the whole session, r2) and NO construction-time jobs (the
+    // r2 exact max(df) probe cost a full explode+aggregate pass before any
+    // real work). The df-capped generator is exact and bounded whether or
+    // not hot shingles exist, so it is simply always used; shared subtrees
+    // (the inverted index, the frequency aggregate) are recomputed from the
+    // plan, where AQE's ReusedExchange covers the shuffle-heavy pieces.
     val sh = df
       .where(size(split(trim(lower(col(textCol))), "\\s+")) >= shingleN)
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
-      .cache() // reused by the inverted index and the size/verify joins
+    def verify(candidates: DataFrame): DataFrame = candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    // count-join over an inverted index carrying set sizes THROUGH the join
+    // as extra grouping keys (functionally dependent on the ids): compact
+    // rows, map-side partial aggregation, jaccard filtered BEFORE any
+    // shingle array is ever shipped.
+    def countJoin(invN: DataFrame): DataFrame =
+      invN.as("l").join(invN.as("r"), col("l.s") === col("r.s"))
+        .where(col("l.id") < col("r.id"))
+        .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"),
+          col("l.n").as("n_a"), col("r.n").as("n_b"))
+        .agg(count(lit(1)).cast("double").as("inter"))
     val usePrefix = prefixFilter.getOrElse(threshold >= 0.6)
     if (!usePrefix) {
-      // inv stays LAZY (explode off the cached sh is cheap): forcing a
-      // repartition+cache here locks in an exchange and a materialization
-      // that AQE's broadcast choice makes redundant below the SMJ threshold
-      // (measured 2x slower at bench scale); above it, the aliased
-      // self-join's canonically-equal children let the shuffle be reused.
-      // NOTE: unless dfCap is disabled, choosing the path runs an eager
-      // document-frequency probe job at CONSTRUCTION time (and the sh/freq
-      // caches live until the session ends — per-call caches, LRU-evicted);
-      // callers who know their corpus has no hot shingles pass
-      // dfCap = Int.MaxValue to keep construction fully lazy.
-      val inv = sh.select(col("id"), explode(col("sh")).as("s"))
-      lazy val freq = inv.groupBy("s").agg(count(lit(1)).as("df")).cache()
-      val maxDf =
-        if (dfCap == Int.MaxValue) 0L
-        else freq.agg(max("df")).first() match {
-          case r if r.isNullAt(0) => 0L
-          case r                  => r.getLong(0)
-        }
-      if (maxDf <= dfCap) {
-        // no hot shingles: the plain inverted-index count-join is exact and
-        // never ships shingle arrays. Set sizes ride THROUGH the self-join
-        // as extra grouping keys (functionally dependent on the ids), so no
-        // separate size-lookup joins are needed afterwards.
-        val invN = sh.select(col("id"), size(col("sh")).as("n"),
-          explode(col("sh")).as("s"))
-        invN.as("l").join(invN.as("r"), col("l.s") === col("r.s"))
-          .where(col("l.id") < col("r.id"))
-          .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"),
-            col("l.n").as("n_a"), col("r.n").as("n_b"))
-          .agg(count(lit(1)).cast("double").as("inter"))
+      val invN = sh.select(col("id"), size(col("sh")).as("n"),
+        explode(col("sh")).as("s"))
+      if (dfCap == Int.MaxValue) {
+        // cap disabled by the caller (corpus known hot-shingle-free)
+        countJoin(invN)
           .withColumn("jaccard",
             col("inter") / (col("n_a") + col("n_b") - col("inter")))
           .where(col("jaccard") >= threshold)
           .select(col("id_a"), col("id_b"), col("jaccard"))
       } else {
-        // CD-filter: a shingle with document frequency f generates
+        // CD-filter hybrid: a shingle with document frequency f generates
         // C(f,2) candidate pairs, so ONE stop-shingle ("of the and") would
-        // make the self-join O(n^2) at scale. Candidates come from the
-        // capped generator below; intersection counts over a pruned
-        // inverted index are partial, so jaccard is verified on the full
-        // shingle arrays (exact; the candidate set is bounded).
-        ngramCandidatesCapped(sh, inv, freq, threshold, dfCap)
-          .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-          .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-          .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+        // make the self-join O(n^2) at scale. The count-join therefore runs
+        // over COLD (df <= dfCap) shingles only — its intersection counts
+        // are EXACT for any pair where at least one doc touches no hot
+        // shingle (such a pair cannot share a hot shingle). Only pairs whose
+        // BOTH docs touch hot shingles fall back to array verification:
+        // those surfaced by the cold join, plus pairs sharing ONLY hot
+        // shingles, which the hot-prefix generator provably covers. On a
+        // corpus with no hot shingles every hot side is empty and this plan
+        // degenerates to the plain count-join.
+        val inv = sh.select(col("id"), explode(col("sh")).as("s"))
+        val freq = inv.groupBy("s").agg(count(lit(1)).as("df"))
+        val hot = freq.where(col("df") > dfCap).select("s")
+        val hotDocs = inv.join(hot, "s").select("id").distinct()
+        val counted = countJoin(
+          invN.join(freq.where(col("df") <= dfCap).select("s"), "s"))
+          .join(hotDocs.select(col("id").as("id_a"), lit(true).as("__ha")),
+            Seq("id_a"), "left")
+          .join(hotDocs.select(col("id").as("id_b"), lit(true).as("__hb")),
+            Seq("id_b"), "left")
+        val fromCounts = counted
+          .where(col("__ha").isNull || col("__hb").isNull)
           .withColumn("jaccard",
-            col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+            col("inter") / (col("n_a") + col("n_b") - col("inter")))
           .where(col("jaccard") >= threshold)
           .select(col("id_a"), col("id_b"), col("jaccard"))
+        val verifySet = counted
+          .where(col("__ha").isNotNull && col("__hb").isNotNull)
+          .select(col("id_a"), col("id_b"))
+          .unionByName(hotPrefixCandidates(sh, inv, freq, threshold, dfCap))
+          .distinct()
+        fromCounts.unionByName(verify(verifySet))
       }
     } else {
       val inv = sh.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
@@ -204,16 +223,8 @@ object Dedup {
           Window.partitionBy("id").orderBy(col("df"), col("s"))))
         .where(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
         .select(col("id"), col("s"))
-      val candidates = selfJoinPairs(prefix, "s").distinct()
-      // un-rounded, like the count path — both paths must return identical rows
-      candidates
-        .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-        .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-        .withColumn("jaccard",
-          col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
-        .where(col("jaccard") >= threshold)
-        .select(col("id_a"), col("id_b"), col("jaccard"))
+      // un-rounded in verify, like the count path — identical rows either way
+      verify(selfJoinPairs(prefix, "s").distinct())
     }
   }
 
@@ -231,19 +242,40 @@ object Dedup {
     *      shingles sort LAST, so they enter a prefix only when a doc has
     *      almost no cold shingles — in realistic corpora this side is tiny.
     */
+  /** Pairs whose shared shingles could be ALL hot (invisible to a cold-only
+    * join): by the PPJoin prefix lemma a qualifying pair shares a shingle
+    * inside both df-ordered prefixes; if that shingle is hot, it survives
+    * the (prefix ∩ hot) join. The prefix window runs ONLY over docs that
+    * contain at least one hot shingle — a doc with no hot shingles cannot
+    * contribute, and per-doc prefix ranks don't depend on which OTHER docs
+    * are present — so on a healthy corpus (no hot shingles) this whole side
+    * is empty and costs no full-corpus sort. */
+  private def hotPrefixCandidates(sh: DataFrame, inv: DataFrame,
+                                  freq: DataFrame,
+                                  threshold: Double, dfCap: Int): DataFrame = {
+    val hot = freq.where(col("df") > dfCap).select("s")
+    val hotDocs = inv.join(hot, "s").select("id").distinct()
+    val invHot = sh.join(hotDocs, "id")
+      .select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+    val prefix = invHot.join(freq, "s")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("s"))))
+      .where(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+    selfJoinPairs(prefix.join(hot, "s").select(col("id"), col("s")), "s")
+  }
+
+  /** Exact candidate generation under a document-frequency cap: cold pairs
+    * (docs sharing a df <= dfCap shingle — bounded at C(dfCap,2) per
+    * shingle) ∪ [[hotPrefixCandidates]]. The union provably covers every
+    * pair with jaccard >= threshold. ([[ngramJaccardPairs]] itself uses the
+    * sharper count-join hybrid; this generator is the standalone form.) */
   private[graft] def ngramCandidatesCapped(sh: DataFrame, inv: DataFrame,
                                            freq: DataFrame,
                                            threshold: Double, dfCap: Int): DataFrame = {
     val cold = inv.join(freq.where(col("df") <= dfCap).select("s"), "s")
-    val coldPairs = selfJoinPairs(cold, "s")
-    val invN = sh.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
-    val prefix = invN.join(freq, "s")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("id").orderBy(col("df"), col("s"))))
-      .where(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-    val hotPrefix = prefix.join(freq.where(col("df") > dfCap).select("s"), "s")
-      .select(col("id"), col("s"))
-    coldPairs.unionByName(selfJoinPairs(hotPrefix, "s")).distinct()
+    selfJoinPairs(cold, "s")
+      .unionByName(hotPrefixCandidates(sh, inv, freq, threshold, dfCap))
+      .distinct()
   }
 
   /** SimHash over distinct tokens: bit i of the hash is the sign of
@@ -325,12 +357,12 @@ object Dedup {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     // one codegen'd pass computes every table's signature (hyperplane length
     // follows each row's own vector length — a hardcoded dim would zero the
-    // dot products and collapse rows into one bucket). (bucket, id) only —
-    // the narrow table is cached, never the vectors.
+    // dot products and collapse rows into one bucket). (bucket, id) only
+    // ever shuffles — uncached: the self-join's canonically-equal sides
+    // share one exchange, and nothing leaks block-manager storage.
     val bucketTable = base
       .select(explode(Similarity.lshBuckets(col("v"), planes, tables)).as("bucket"),
         col("id"))
-      .cache()
     // distinct: the same pair can surface from several tables
     val pairs = selfJoinPairs(bucketTable, "bucket").distinct()
     pairs

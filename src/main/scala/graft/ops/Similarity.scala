@@ -94,14 +94,31 @@ object Similarity {
     * [[ivfAssign]] (centroids as broadcast literals), then per-(centroid,
     * dimension) sums through posexplode; only the k x dim means ever reach
     * the driver. Deterministic: hash-ordered init, fixed iteration count,
-    * empty clusters keep their previous centroid. At 100 TB train on a
-    * [[Sampling.deterministicSample]] of the corpus — the quantizer needs
-    * a representative sample, not every row. */
+    * empty clusters keep their previous centroid.
+    *
+    * Trains on a DETERMINISTIC HASH SAMPLE of at most ~`trainCap` vectors
+    * by default — a coarse quantizer needs a representative sample, not
+    * every row, and at 100 TB a full-corpus distinct/shuffle in the init
+    * (or `iters` full-corpus passes) is the dominant cost of building an
+    * IVF index. Membership is a pure function of the vector's content hash,
+    * so the trained centroids are reproducible across runs and retries.
+    * `trainCap <= 0` opts into full-corpus training. */
   def kmeansCentroids(corpus: DataFrame, vecCol: String, k: Int,
-                      iters: Int = 10): Seq[Seq[Double]] = {
+                      iters: Int = 10, trainCap: Int = 100000): Seq[Seq[Double]] = {
     require(k >= 1 && iters >= 1)
-    val vecs = corpus.select(col(vecCol).as("v")).where(col("v").isNotNull)
-      .cache() // read once, iterated `iters` times
+    val all = corpus.select(col(vecCol).as("v")).where(col("v").isNotNull)
+    val sampled =
+      if (trainCap <= 0) all
+      else {
+        val n = all.count() // shuffle-free aggregate; kmeans is eager anyway
+        if (n <= trainCap) all
+        else all.where(pmod(
+          xxhash64(concat_ws(",", col("v").cast("array<string>")), lit("graft.kmeans")),
+          lit(1000000L)) < math.max(1L, (trainCap.toDouble / n * 1e6).toLong))
+      }
+    // the cached training set is BOUNDED (~trainCap rows) and unpersisted in
+    // the finally below — unlike a full-corpus cache, safe at any scale
+    val vecs = sampled.cache()
     try {
       // distinct BEFORE the hash-ordered init: identical vectors share one
       // hash and would otherwise fill all k seeds with the same point on a

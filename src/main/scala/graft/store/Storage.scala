@@ -69,6 +69,16 @@ final class Storage(val base: String, @transient private var conf: Configuration
 
   def fileSize(key: String): Long = fs.getFileStatus(path(key)).getLen
 
+  /** Move one key to another within this store (the commit step of a staged
+    * write). Hadoop `rename` is atomic-per-file on HDFS/local; object-store
+    * implementations fall back to copy+delete, which is still O(one file). */
+  def rename(srcKey: String, dstKey: String): Unit = {
+    val dst = path(dstKey)
+    fs.mkdirs(dst.getParent)
+    if (!fs.rename(path(srcKey), dst))
+      sys.error(s"rename failed: $srcKey -> $dstKey")
+  }
+
   /** Byte-stream copy of one key into another store (reference `copy_keys`,
     * `utils/store.py:176-201` — its Azure fast-path becomes the FS layer's
     * concern here). */

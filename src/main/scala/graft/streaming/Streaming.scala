@@ -101,15 +101,26 @@ object Streaming {
   private[graft] def ingestBatch(storage: Storage, uuid: String,
                                      opts: WriteOpts)
                                     (batch: DataFrame, batchId: Long): Unit = {
-    if (batch.isEmpty) return
-    val stamped = opts.copy(metadata =
-      opts.metadata + (LastBatchKey -> batchId.toString))
+    // Per-batch work must be O(batch), not O(dataset): AQE is OFF inside
+    // streaming micro-batches, so the write shuffle gets a SMALL fixed width
+    // (per-batch volume is bounded by the trigger; Writer's derived batch
+    // width would be the full core count, ~4x too many tasks for a typical
+    // micro-batch). An empty batch flows through unchanged — it writes no
+    // files and its commit just advances the batch-id stamp, which is
+    // cheaper than probing every batch for emptiness with an extra job.
+    val spark = batch.sparkSession
+    val width =
+      if (opts.writeWidth > 0) opts.writeWidth
+      else math.max(1, math.min(8, spark.sparkContext.defaultParallelism))
+    val stamped = opts.copy(
+      metadata = opts.metadata + (LastBatchKey -> batchId.toString),
+      writeWidth = width)
     if (DatasetMetadata.exists(storage, uuid)) {
       val meta = DatasetMetadata.load(storage, uuid)
       if (meta.metadata.get(LastBatchKey).exists(_.toLong >= batchId)) return
-      Writer.update(batch.sparkSession, storage, uuid, Some(batch), Nil, stamped)
+      Writer.update(spark, storage, uuid, Some(batch), Nil, stamped)
     } else {
-      Writer.store(batch.sparkSession, storage, uuid, batch, stamped)
+      Writer.store(spark, storage, uuid, batch, stamped)
     }
     ()
   }
