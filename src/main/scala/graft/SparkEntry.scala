@@ -783,7 +783,19 @@ object SparkEntry {
         """SELECT 'image' AS media_type, count(*) AS n,
              CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
              round(avg(strlen(text)), 6) AS avg_bytes
-           FROM documents"""
+           FROM documents""",
+      // the decode stub is deterministic by construction (exact integer
+      // byte-sums per dim % 8, one float32 division) precisely so this
+      // mirror can hash-match; documents are ASCII so ord(char) == byte
+      "m_features" ->
+        """WITH sums AS (
+             SELECT doc_id, CAST((i - 1) % 8 AS INT) AS dim,
+                    sum(ord(substr(text, CAST(i AS INT), 1))) AS s
+             FROM documents, unnest(range(1, strlen(text) + 1)) AS t(i)
+             GROUP BY 1, 2)
+           SELECT doc_id, dim,
+             round(CAST(CAST(s AS REAL) / CAST(255 AS REAL) AS DOUBLE), 4) AS feature
+           FROM sums"""
     )
   }
 }

@@ -166,6 +166,11 @@ case class DotProduct(left: Expression, right: Expression)
   // null on length mismatch / null element, even for non-nullable children —
   // without this, codegen never declares ev.isNull and janino rejects the body
   override def nullable: Boolean = true
+  // Expression defaults foldable to FALSE, which blocks ConstantFolding on
+  // dot products of literal arrays — so norm(query) and per-centroid norms
+  // inside cosine() were recomputed for EVERY corpus row (k*dim multiplies
+  // per row in ivfAssign). Folding them collapses each to one literal.
+  override def foldable: Boolean = left.foldable && right.foldable
 
   @transient private lazy val leftFloat =
     left.dataType == ArrayType(FloatType, false) || left.dataType == ArrayType(FloatType, true)

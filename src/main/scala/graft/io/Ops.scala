@@ -18,11 +18,13 @@ object Ops {
     * data files, then schema, header LAST — the dataset stays readable until
     * it is fully gone. */
   def deleteDataset(storage: Storage, uuid: String): Unit = {
-    if (!DatasetMetadata.exists(storage, uuid)) { storage.delete(uuid); return }
-    storage.delete(s"$uuid/indices")
-    storage.delete(s"$uuid/table")
-    storage.delete(uuid)
-    storage.delete(DatasetMetadata.headerKey(uuid))
+    try {
+      if (!DatasetMetadata.exists(storage, uuid)) { storage.delete(uuid); return }
+      storage.delete(s"$uuid/indices")
+      storage.delete(s"$uuid/table")
+      storage.delete(uuid)
+      storage.delete(DatasetMetadata.headerKey(uuid))
+    } finally graft.meta.DatasetFactory.bump(storage, uuid)
   }
 
   /** Reference `garbage_collect_dataset` (`io/eager.py:744-769`,
@@ -73,11 +75,16 @@ object Ops {
 
   /** Reference `build_dataset_indices` (`io/eager.py` export): add secondary
     * indices to an EXISTING dataset over its full content, in one atomic
-    * header swap — sugar over an empty update. */
+    * header swap. This is the ONLY path that may introduce a new index —
+    * `update` rejects indices the dataset doesn't already have
+    * (`_ensure_compatible_indices`), so this goes straight to the commit. */
   def buildDatasetIndices(spark: SparkSession, storage: Storage, uuid: String,
-                          columns: Seq[String]): DatasetMetadata =
-    Writer.update(spark, storage, uuid, None,
-      opts = Writer.WriteOpts(secondaryIndices = columns))
+                          columns: Seq[String]): DatasetMetadata = {
+    require(DatasetMetadata.exists(storage, uuid),
+      s"Cannot build indices on non-existent dataset '$uuid'")
+    Writer.commitDataset(spark, storage, uuid, Nil, Nil, Map.empty,
+      Nil, columns)
+  }
 
   /** Copy a dataset between stores (reference `copy_keys`,
     * `utils/store.py:176-201`, lifted to whole-dataset granularity): data
@@ -103,6 +110,7 @@ object Ops {
         .foreachPartition { it => it.foreach(k => src.copyKeyTo(k, tgt)) }
     } else keys.foreach(k => src.copyKeyTo(k, tgt))
     tgt.writeString(meta.headerKey, src.readString(meta.headerKey)) // LAST
+    graft.meta.DatasetFactory.bump(tgt, uuid)
     meta
   }
 
@@ -246,7 +254,16 @@ object Ops {
     require(meta.format == "parquet",
       s"collectDatasetMetadata requires a parquet dataset; '$uuid' has format '${meta.format}'")
     val n = math.max(1, math.ceil(meta.partitions.size * frac).toInt)
-    val labels = meta.partitions.take(n)
+    // deterministic HASH sample of labels, never the first n: partition
+    // listings are sorted, so a prefix sample of a date-partitioned dataset
+    // would only ever profile the oldest partitions. The reference samples
+    // randomly (`io/dask/dataframe.py:553-571`); hashing keeps that
+    // unbiasedness while staying reproducible across runs.
+    val labels =
+      if (n >= meta.partitions.size) meta.partitions
+      else meta.partitions
+        .sortBy(l => scala.util.hashing.MurmurHash3.stringHash(l))
+        .take(n)
     val base = storage.base
     val prefix = meta.tablePrefix
     val rows = spark.sparkContext

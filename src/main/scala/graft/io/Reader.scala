@@ -94,11 +94,21 @@ object Reader {
                 columns: Option[Seq[String]] = None,
                 predicates: Option[Preds] = None,
                 filterQuery: Option[String] = None,
-                indexOn: Option[String] = None): DataFrame = {
+                indexOn: Option[String] = None): DataFrame =
+    readTableWith(spark, storage, uuid, DatasetMetadata.load(storage, uuid),
+      DatasetMetadata.loadSchema(storage, uuid), columns, predicates,
+      filterQuery, indexOn)
+
+  /** [[readTable]] with the metadata already in hand — the entry point for
+    * [[graft.meta.DatasetFactory]]'s cached header/schema pair. */
+  private[graft] def readTableWith(spark: SparkSession, storage: Storage,
+                uuid: String, meta: DatasetMetadata, schema: StructType,
+                columns: Option[Seq[String]],
+                predicates: Option[Preds],
+                filterQuery: Option[String],
+                indexOn: Option[String]): DataFrame = {
     require(predicates.isEmpty || filterQuery.isEmpty,
       "predicates and filterQuery are mutually exclusive")
-    val meta = DatasetMetadata.load(storage, uuid)
-    val schema = DatasetMetadata.loadSchema(storage, uuid)
     val labels = pruneLabels(spark, storage, meta, schema, predicates)
     val projected: Seq[String] = columns match {
       case Some(cols) =>

@@ -191,6 +191,7 @@ object Writer {
     val meta = DatasetMetadata(uuid, labels, opts.partitionOn, indices,
       opts.metadata, format = opts.format)
     storage.writeString(meta.headerKey, meta.toJson) // atomic visibility point
+    graft.meta.DatasetFactory.bump(storage, uuid)
     meta
   }
 
@@ -224,6 +225,7 @@ object Writer {
     val meta = DatasetMetadata(uuid, Nil, partitionOn, Map.empty, Map.empty,
       explicitPartitions = false, format = format)
     storage.writeString(meta.headerKey, meta.toJson)
+    graft.meta.DatasetFactory.bump(storage, uuid)
     meta
   }
 
@@ -328,13 +330,18 @@ object Writer {
       newLabels.headOption.map(Serializer.formatOf).getOrElse("parquet"))
     val meta = DatasetMetadata(uuid, labels, keys, indices, mergedMeta, format = fmt)
     storage.writeString(meta.headerKey, meta.toJson) // atomic visibility point
+    graft.meta.DatasetFactory.bump(storage, uuid)
     meta
   }
 
   /** Reference `update_dataset_from_dataframes` (`io/eager.py:629-704`):
     * append new partitions and/or delete a scope in one atomic header swap;
     * existing partition content is never mutated
-    * (`io_components/update.py:1-5`). */
+    * (`io_components/update.py:1-5`). Indices named in an update must
+    * already exist on the dataset (`_ensure_compatible_indices`,
+    * `io_components/utils.py:105-122`) — omitted indices are maintained
+    * regardless; ADDING an index goes through
+    * [[Ops.buildDatasetIndices]], never through update. */
   def update(spark: SparkSession, storage: Storage, uuid: String,
              df: Option[DataFrame],
              deleteScope: Seq[Map[String, Any]] = Nil,
@@ -344,6 +351,10 @@ object Writer {
     val existing = DatasetMetadata.load(storage, uuid)
     require(opts.partitionOn.isEmpty || opts.partitionOn == existing.partitionKeys,
       s"Incompatible partition keys: dataset has ${existing.partitionKeys}, update requested ${opts.partitionOn}")
+    require(opts.secondaryIndices.toSet.subsetOf(existing.indices.keySet),
+      s"Incorrect indices provided for dataset.\n" +
+        s"Expected: ${existing.indices.keySet.toSeq.sorted.mkString(", ")}\n" +
+        s"But got: ${opts.secondaryIndices.mkString(", ")}")
     val newLabels = df match {
       case Some(d) =>
         writeSinglePartition(spark, storage, uuid, d,

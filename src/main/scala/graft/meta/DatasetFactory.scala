@@ -1,0 +1,85 @@
+package graft.meta
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+import graft.dnf.Predicates.{Predicates => Preds}
+import graft.store.Storage
+
+/** Driver-side metadata/schema cache around one dataset — the reference's
+  * `DatasetFactory` (`core/factory.py:60-146`): the header and the schema
+  * file are read from storage ONCE per factory (2-3 avoidable RPCs per query
+  * against an object store at interactive rates), and every read entry point
+  * can run off the cached pair.
+  *
+  * Invalidation: every commit path ([[graft.io.Writer]] store/commit/update,
+  * [[graft.io.Ops.deleteDataset]]) bumps a process-wide version for the
+  * (store, uuid) pair, so a factory never serves metadata staler than the
+  * last commit made through THIS process — one in-memory comparison per
+  * access, no storage round-trip. Commits from other processes are invisible
+  * until [[invalidate]] (exactly the reference's contract, where a factory
+  * caches for its lifetime and pipelines pass the factory around).
+  *
+  * Dynamic datasets (`explicit_partitions=false`) cache the header and
+  * schema but re-list their partition set on every [[meta]] access — the
+  * whole point of a dynamic dataset is that uncommitted files are visible,
+  * which a cached listing would defeat.
+  */
+final class DatasetFactory(val spark: SparkSession, val storage: Storage,
+                           val uuid: String) {
+  @volatile private var cached: Option[(DatasetMetadata, StructType, Long)] = None
+
+  private def key = (storage.base, uuid)
+
+  private def load(): (DatasetMetadata, StructType) = {
+    val v = DatasetFactory.version(key)
+    cached match {
+      case Some((m, s, ver)) if ver == v => (m, s)
+      case _ =>
+        val m = DatasetMetadata.fromJson(
+          storage.readString(DatasetMetadata.headerKey(uuid)))
+        val s = DatasetMetadata.loadSchema(storage, uuid)
+        cached = Some((m, s, v))
+        (m, s)
+    }
+  }
+
+  /** Header metadata; partition listing refreshed per call for dynamic
+    * datasets (see class doc). */
+  def meta: DatasetMetadata = {
+    val m = load()._1
+    if (m.explicitPartitions) m
+    else m.copy(partitions = DatasetMetadata.listDataFiles(storage, uuid))
+  }
+
+  def schema: StructType = load()._2
+
+  /** Drop the cached pair (e.g. after an out-of-process commit). */
+  def invalidate(): Unit = cached = None
+
+  /** `read_table` off the cached metadata — same contract as
+    * [[graft.io.Reader.readTable]] minus the two metadata reads. */
+  def readTable(columns: Option[Seq[String]] = None,
+                predicates: Option[Preds] = None,
+                filterQuery: Option[String] = None,
+                indexOn: Option[String] = None): DataFrame =
+    graft.io.Reader.readTableWith(spark, storage, uuid, meta, schema,
+      columns, predicates, filterQuery, indexOn)
+}
+
+object DatasetFactory {
+  private val versions =
+    scala.collection.concurrent.TrieMap.empty[(String, String),
+      java.util.concurrent.atomic.AtomicLong]
+
+  private def counter(k: (String, String)) =
+    versions.getOrElseUpdate(k, new java.util.concurrent.atomic.AtomicLong)
+
+  private[graft] def version(k: (String, String)): Long = counter(k).get()
+
+  /** Called by every commit/delete path after the header write — factories
+    * for this (store, uuid) re-read on their next access. */
+  private[graft] def bump(storage: Storage, uuid: String): Unit = {
+    counter((storage.base, uuid)).incrementAndGet()
+    ()
+  }
+}

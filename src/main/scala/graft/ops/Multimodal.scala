@@ -38,16 +38,19 @@ object Multimodal {
   /** STUB decode: a real implementation would invoke an image codec here
     * (per partition, reusing a native decoder instance). The deterministic
     * fake derives "pixels" from the payload bytes so tests can assert the
-    * full pipeline shape. */
+    * full pipeline shape — and so an external SQL oracle can reproduce it
+    * bit-for-bit: bytes are summed per dimension in EXACT integer
+    * arithmetic with a single float32 division at the end (a sequential
+    * float32 accumulation would be engine-order-dependent). */
   def decodeImageStub(payload: Array[Byte]): Array[Float] = {
     if (payload == null) return Array.empty
-    val out = new Array[Float](8)
+    val sums = new Array[Long](8)
     var i = 0
     while (i < payload.length) {
-      out(i % 8) += (payload(i) & 0xff) / 255.0f
+      sums(i % 8) += (payload(i) & 0xff)
       i += 1
     }
-    out
+    sums.map(s => s.toFloat / 255.0f)
   }
 
   /** Feature-extract: binary payload -> fixed-size float feature vector.

@@ -10,7 +10,8 @@ import org.apache.spark.sql.SparkSession
   * path-addressed; executors open their own FileSystem from the task-side
   * Hadoop configuration, so nothing here needs to be serialized.
   */
-final class Storage(val base: String, @transient private var conf: Configuration)
+// not final: tests instrument per-key read/list counts via a subclass
+class Storage(val base: String, @transient private var conf: Configuration)
     extends Serializable {
   @transient private[store] lazy val fs: FileSystem = new Path(base).getFileSystem(conf)
 

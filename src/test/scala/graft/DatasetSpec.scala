@@ -220,6 +220,22 @@ class DatasetSpec extends SparkSpec {
     assert(rows.forall(_.getLong(2) >= 1L))
   }
 
+  test("collect_dataset_metadata frac samples labels by hash, not listing prefix") {
+    import spark.implicits._
+    val df = (1 to 40).map(i => (i.toLong, i % 10)).toDF("id", "g")
+    Writer.store(spark, store, "fracds", df, WriteOpts(partitionOn = Seq("g")))
+    val all = DatasetMetadata.load(store, "fracds").partitions
+    def sample() = Ops.collectDatasetMetadata(spark, store, "fracds", frac = 0.3)
+      .collect().map(_.getString(0)).toSeq
+    val s = sample()
+    assert(s.length === math.ceil(all.size * 0.3).toInt)
+    // deterministic across calls, but NOT the sorted-listing prefix (a
+    // prefix would profile only the oldest partitions of a dated dataset)
+    assert(s === sample())
+    assert(s.sorted !== all.take(s.length),
+      s"frac sample is the listing prefix: $s")
+  }
+
   test("W8/S5: empty header -> dynamic reads see uncommitted writes; commit makes explicit") {
     import spark.implicits._
     Writer.createEmptyDatasetHeader(store, "dyn", sampleDf.schema, Seq("p"))
@@ -539,8 +555,15 @@ class DatasetSpec extends SparkSpec {
     import spark.implicits._
     Writer.store(spark, store, "newidx", sampleDf, WriteOpts(partitionOn = Seq("p")))
     val extra = Seq((7L, "d", "z", 70.0)).toDF("id", "p", "s", "v")
-    val after = Writer.update(spark, store, "newidx", Some(extra),
-      opts = WriteOpts(secondaryIndices = Seq("s")))
+    // reference `_ensure_compatible_indices`: UPDATE may not introduce an
+    // index the dataset doesn't have — build_dataset_indices is the path
+    val ex = intercept[IllegalArgumentException] {
+      Writer.update(spark, store, "newidx", Some(extra),
+        opts = WriteOpts(secondaryIndices = Seq("s")))
+    }
+    assert(ex.getMessage.contains("Incorrect indices provided"))
+    Writer.update(spark, store, "newidx", Some(extra))
+    val after = Ops.buildDatasetIndices(spark, store, "newidx", Seq("s"))
     assert(after.indices.keySet === Set("s"))
     // the new index covers OLD partitions too, not just the appended one
     val idx = SecondaryIndex.load(spark, store, after.indices("s"))
@@ -738,6 +761,102 @@ class DatasetSpec extends SparkSpec {
       Reader.readTable(spark, store, "idxon", columns = Some(Seq("v")),
         indexOn = Some("id"))
     }
+  }
+
+  test("update maintains omitted indices; a subset is accepted (reference update suite)") {
+    import spark.implicits._
+    // reference test_update_secondary_indices_subset: the index is kept
+    // fresh whether the update names it, names a subset, or omits it
+    val df1 = (0 until 10).map(i => (i.toLong, 1)).toDF("a", "indexed")
+    Writer.store(spark, store, "idxsub", df1,
+      WriteOpts(secondaryIndices = Seq("indexed")))
+    Writer.update(spark, store, "idxsub",
+      Some((0 until 10).map(i => (i.toLong, 2)).toDF("a", "indexed")))
+    val m = DatasetMetadata.load(store, "idxsub")
+    val obs = SecondaryIndex.observedValues(
+      SecondaryIndex.load(spark, store, m.indices("indexed")))
+      .collect().map(_.getLong(0)).sorted
+    assert(obs.toSeq === Seq(1L, 2L))
+    // naming the existing index explicitly is fine too
+    Writer.update(spark, store, "idxsub",
+      Some(Seq((20L, 3)).toDF("a", "indexed")),
+      opts = WriteOpts(secondaryIndices = Seq("indexed")))
+    // naming a non-existent one raises (test_update_raises_incompatible_inidces)
+    val ex = intercept[IllegalArgumentException] {
+      Writer.update(spark, store, "idxsub", Some(Seq((21L, 4)).toDF("a", "indexed")),
+        opts = WriteOpts(secondaryIndices = Seq("a")))
+    }
+    assert(ex.getMessage.contains("Incorrect indices provided"))
+  }
+
+  test("garbage collection is idempotent and spares uncommitted two-phase output") {
+    import spark.implicits._
+    // reference gc suite: idempotence on a clean dataset...
+    Writer.store(spark, store, "gc2p", sampleDf,
+      WriteOpts(partitionOn = Seq("p"), secondaryIndices = Seq("s")))
+    assert(Ops.garbageCollect(spark, store, "gc2p").isEmpty)
+    // ...untracked trash in table/ and indices/ is removed (_test_gc)
+    store.writeString("gc2p/table/p=a/trash.parquet", "trash")
+    store.writeString("gc2p/indices/s/trash.parquet", "trash")
+    val removed = Ops.garbageCollect(spark, store, "gc2p")
+    assert(removed.toSet === Set("gc2p/table/p=a/trash.parquet",
+      "gc2p/indices/s/trash.parquet"))
+    // a DYNAMIC dataset's uncommitted two-phase files are NOT garbage: its
+    // partition set is reconstructed from the listing, so a GC racing a
+    // two-phase writer never claims the staged-but-uncommitted batch
+    Writer.createEmptyDatasetHeader(store, "gc2dyn", sampleDf.schema, Seq("p"))
+    val staged = Writer.writeSinglePartition(spark, store, "gc2dyn",
+      sampleDf.where($"id" <= 2), WriteOpts(partitionOn = Seq("p")))
+    assert(Ops.garbageCollect(spark, store, "gc2dyn").isEmpty)
+    val committed = Writer.commitDataset(spark, store, "gc2dyn", staged)
+    assert(committed.partitions === staged.sorted)
+    assert(Reader.readTable(spark, store, "gc2dyn").count() === 2)
+  }
+
+  test("update on a csv.gz dataset appends in the dataset's own format") {
+    import spark.implicits._
+    Writer.store(spark, store, "upcsv", sampleDf,
+      WriteOpts(partitionOn = Seq("p"), format = "csv.gz"))
+    val after = Writer.update(spark, store, "upcsv",
+      Some(Seq((9L, "d", "q", 9.5)).toDF("id", "p", "s", "v")))
+    // the appended partition is csv.gz like the rest — suffix dispatch reads
+    // the whole dataset as one frame
+    assert(after.partitions.forall(_.endsWith(".csv.gz")), after.partitions.toString)
+    val back = Reader.readTable(spark, store, "upcsv")
+    assert(back.count() === 7)
+    assert(back.where($"p" === "d").select("v").head().getDouble(0) === 9.5)
+  }
+
+  test("DatasetFactory reads the header once across N readTable calls, sees commits") {
+    import spark.implicits._
+    // instrumented store: count header reads (reference DatasetFactory
+    // contract, core/factory.py:78-146 — metadata cached per factory)
+    val counts = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    val ins = new Storage(tmpDir("plateau-factory"),
+        spark.sparkContext.hadoopConfiguration) {
+      override def readString(key: String): String = {
+        counts.synchronized { counts(key) += 1 }
+        super.readString(key)
+      }
+    }
+    val df = (1 to 30).map(i => (i.toLong, s"r$i", i % 3)).toDF("id", "v", "g")
+    Writer.store(spark, ins, "fds", df, WriteOpts(partitionOn = Seq("g")))
+    val headerKey = DatasetMetadata.headerKey("fds")
+    counts.synchronized(counts.clear())
+    val f = new graft.meta.DatasetFactory(spark, ins, "fds")
+    (1 to 5).foreach(_ => assert(f.readTable().count() === 30))
+    assert(counts.synchronized(counts(headerKey)) === 1,
+      s"expected 1 header read over 5 readTable calls, got ${counts(headerKey)}")
+    // a commit through this process is visible on the NEXT access
+    Writer.update(spark, ins, "fds", Some(Seq((31L, "r31", 0)).toDF("id", "v", "g")))
+    assert(f.readTable().count() === 31)
+    // an out-of-band header change is invisible until invalidate()
+    assert(f.meta.metadata.get("k").isEmpty)
+    ins.writeString(headerKey, DatasetMetadata.fromJson(ins.readString(headerKey))
+      .copy(metadata = Map("k" -> "v")).toJson)
+    assert(f.meta.metadata.get("k").isEmpty)
+    f.invalidate()
+    assert(f.meta.metadata.get("k") === Some("v"))
   }
 
   test("index algebra: merge / removePartitions / removeValues / observed") {

@@ -6,6 +6,22 @@ import graft.ops.Dedup
 /** Dedup-operator semantics beyond what the oracle queries pin down. */
 class DedupSpec extends SparkSpec {
 
+  test("dedup operators leak no cached blocks after materialization") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    spark.sharedState.cacheManager.clearCache()
+    Dedup.minhashNearDups(docs, "text", "doc_id").count()
+    Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.3).count()
+    Dedup.embeddingNearDups(emb, "embedding", "vec_id").count()
+    Dedup.nearDupClusters(Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")).count()
+    graft.ops.Similarity.kmeansCentroids(emb, "embedding", k = 4, iters = 2)
+    // operator-lifetime caches leaked block-manager storage until session
+    // end in r2; every operator must now leave the cache manager empty
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "an operator left a cached DataFrame registered after materialization")
+  }
+
   test("nearDupClusters: min-label propagation finds connected components") {
     import spark.implicits._
     // components: {1,2,3,4} (chain), {10,11}, {20,21,22} (star on 21)

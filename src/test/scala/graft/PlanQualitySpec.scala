@@ -76,6 +76,33 @@ class PlanQualitySpec extends SparkSpec {
     assert(top.forall(_ <= 20L), top.toSeq.toString)
   }
 
+  test("kmeans trains on a bounded deterministic sample above trainCap") {
+    import spark.implicits._
+    val vecs = ((1 to 20).map(i => (i.toLong, Array(1.0 + 0.01 * i, 0.01 * i))) ++
+      (21 to 40).map(i => (i.toLong, Array(0.01 * i, 1.0 + 0.01 * i)))).toDF("id", "v")
+    // trainCap below the corpus size: init + every iteration run over the
+    // hash sample, not the full corpus — and the hash sample is a pure
+    // function of vector content, so the result is bit-reproducible
+    val a = graft.ops.Similarity.kmeansCentroids(vecs, "v", k = 2, iters = 5,
+      trainCap = 10)
+    val b = graft.ops.Similarity.kmeansCentroids(vecs, "v", k = 2, iters = 5,
+      trainCap = 10)
+    assert(a === b)
+    assert(a.size === 2 && a.forall(_.size === 2))
+  }
+
+  test("dot products of literal arrays constant-fold (norms precomputed once)") {
+    // cosine(v, <query literal>) contains dot(q, q): without foldable=true on
+    // DotProduct, norm(q) was recomputed for EVERY corpus row
+    val c = graft.ops.Similarity.dot(
+      array(lit(1.0), lit(2.0)), array(lit(1.0), lit(2.0)))
+    val df = spark.range(1).select(c.as("d"))
+    val folded = df.queryExecution.optimizedPlan.expressions.forall(
+      _.collectFirst { case e: graft.functions.DotProduct => e }.isEmpty)
+    assert(folded, df.queryExecution.optimizedPlan.toString)
+    assert(df.head().getDouble(0) === 5.0)
+  }
+
   test("ivfTopKIndexed reads only the probed inverted lists (metadata pruning)") {
     import spark.implicits._
     val vecs = ((1 to 20).map(i => (i.toLong, Array(1.0 + 0.01 * i, 0.01 * i))) ++
