@@ -34,7 +34,11 @@ object Similarity {
     * (idCol, cosine) — full scan, no limit (callers add top-k). */
   def bruteForceScores(corpus: DataFrame, vecCol: String, idCol: String,
                        query: Seq[Double]): DataFrame = {
-    val q = array(query.map(lit): _*)
+    // one ARRAY literal (codegen reference object), not 64 inline scalar
+    // literals: the generated source stays identical across different query
+    // vectors / centroid iterations, so janino's compile cache hits instead
+    // of recompiling per plan (the dominant cost of iterative k-means)
+    val q = lit(query.toArray)
     corpus.select(col(idCol),
       round(cosine(col(vecCol), q), 6).as("cosine"))
   }
@@ -67,7 +71,7 @@ object Similarity {
   def lshTopK(corpus: DataFrame, vecCol: String, idCol: String,
               query: Seq[Double], k: Int, planes: Int = 4,
               tables: Int = 1): DataFrame = {
-    val q = array(query.map(lit): _*)
+    val q = lit(query.toArray)
     corpus
       .where(arrays_overlap(lshBuckets(col(vecCol), planes, tables),
         lshBuckets(q, planes, tables)))
@@ -82,7 +86,8 @@ object Similarity {
   def ivfAssign(corpus: DataFrame, vecCol: String,
                 centroids: Seq[Seq[Double]]): DataFrame = {
     val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(cosine(col(vecCol), array(c.map(lit): _*)).as("sim"),
+      // array literal as ONE reference object — see bruteForceScores
+      struct(cosine(col(vecCol), lit(c.toArray)).as("sim"),
         lit(i).as("centroid"))
     }
     corpus.withColumn("__centroid",
@@ -168,7 +173,7 @@ object Similarity {
 
   private def scoreAndTake(df: DataFrame, vecCol: String, idCol: String,
                            query: Seq[Double], k: Int): DataFrame = {
-    val q = array(query.map(lit): _*)
+    val q = lit(query.toArray)
     df.select(col(idCol), round(cosine(col(vecCol), q), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)

@@ -36,6 +36,34 @@ class StreamingSpec extends SparkSpec {
     assert(meta.indices.keySet === Set("p"))
   }
 
+  test("per-batch work lists O(batch) keys, independent of dataset size") {
+    import spark.implicits._
+    // instrumented store: count every listing by prefix. The staged
+    // two-phase write must list only its own .staging prefix per batch —
+    // never the whole table dir (which grows with every batch and made
+    // long-lived streams quadratic in total file count).
+    val listed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val ins = new Storage(tmpDir("stream-lists"),
+        spark.sparkContext.hadoopConfiguration) {
+      override def listKeys(prefix: String): Seq[String] = {
+        listed.synchronized { listed += prefix }
+        super.listKeys(prefix)
+      }
+    }
+    val df = (1L to 10L).map(i => (i, i * 1.0)).toDF("id", "v")
+    Writer.store(spark, ins, "obatch", df) // batch 0 baseline via store()
+    listed.synchronized(listed.clear())
+    (1 to 3).foreach { b =>
+      Streaming.ingestBatch(ins, "obatch", WriteOpts())(
+        Seq((100L + b, b * 1.0)).toDF("id", "v"), b.toLong)
+    }
+    val tableListings = listed.synchronized(
+      listed.filter(p => p == "obatch/table" || p.startsWith("obatch/table/")).toList)
+    assert(tableListings.isEmpty,
+      s"micro-batches listed the full table dir: $tableListings")
+    assert(Reader.readTable(spark, ins, "obatch").count() === 13)
+  }
+
   test("stateful sessionization carries the open session across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
