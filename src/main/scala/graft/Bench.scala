@@ -21,10 +21,12 @@ object Bench {
     // untimed warmup: first-query costs (codegen compiler, parquet reader
     // init, shuffle service, OS page cache for each input file) should not
     // be attributed to whichever query happens to read an input first —
-    // pre-touch EVERY parquet input once, then one small shuffle
-    new java.io.File(sfDir).listFiles()
+    // pre-touch EVERY parquet input once, reading ALL columns (a bare
+    // count() prunes to an empty schema and leaves data pages cold), then
+    // one small shuffle
+    Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.endsWith(".parquet"))
-      .foreach(f => spark.read.parquet(f.getPath).count())
+      .foreach(f => spark.read.parquet(f.getPath).foreach(_ => ()))
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
     val errors = scala.collection.mutable.ListBuffer[String]()

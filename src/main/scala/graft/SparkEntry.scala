@@ -787,15 +787,21 @@ object SparkEntry {
       // the decode stub is deterministic by construction (exact integer
       // byte-sums per dim % 8, one float32 division) precisely so this
       // mirror can hash-match; documents are ASCII so ord(char) == byte
+      // the dims scaffold guarantees all 8 dims per doc even for texts
+      // shorter than 8 chars (the stub always emits a fixed 8-float array)
       "m_features" ->
         """WITH sums AS (
              SELECT doc_id, CAST((i - 1) % 8 AS INT) AS dim,
                     sum(ord(substr(text, CAST(i AS INT), 1))) AS s
              FROM documents, unnest(range(1, strlen(text) + 1)) AS t(i)
-             GROUP BY 1, 2)
+             GROUP BY 1, 2),
+           dims AS (
+             SELECT doc_id, CAST(d AS INT) AS dim
+             FROM documents, unnest(range(8)) AS t(d)
+             WHERE text IS NOT NULL)
            SELECT doc_id, dim,
-             round(CAST(CAST(s AS REAL) / CAST(255 AS REAL) AS DOUBLE), 4) AS feature
-           FROM sums"""
+             round(CAST(CAST(coalesce(s, 0) AS REAL) / CAST(255 AS REAL) AS DOUBLE), 4) AS feature
+           FROM dims LEFT JOIN sums USING (doc_id, dim)"""
     )
   }
 }

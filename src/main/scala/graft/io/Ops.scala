@@ -31,16 +31,28 @@ object Ops {
     * `io_components/gc.py:8-52`): delete keys under the dataset prefix that
     * the header no longer references (stale index generations, orphaned
     * parquet from failed/uncommitted writes). Driver-side listing; the
-    * delete fan-out is distributed for large file sets. */
-  def garbageCollect(spark: SparkSession, storage: Storage, uuid: String): Seq[String] = {
+    * delete fan-out is distributed for large file sets.
+    *
+    * `.staging/` keys younger than `stagingTtlMs` are spared: they belong to
+    * a two-phase write that may still be IN FLIGHT (between its Spark write
+    * job and its rename-into-table step) — deleting them mid-write would
+    * destroy the batch. Staging dirs older than the TTL are abandoned
+    * writes and are collected normally. */
+  def garbageCollect(spark: SparkSession, storage: Storage, uuid: String,
+                     stagingTtlMs: Long = 24L * 3600 * 1000): Seq[String] = {
     val meta = DatasetMetadata.load(storage, uuid)
     val referenced: Set[String] =
       meta.partitions.map(meta.fileKey).toSet ++
       meta.indices.values.flatMap(k => storage.listKeys(k) :+ k).toSet +
       meta.schemaKey
     val all = storage.listKeys(uuid)
+    val now = System.currentTimeMillis()
+    def inFlightStaging(k: String): Boolean =
+      k.startsWith(s"$uuid/.staging/") &&
+        (try now - storage.modifiedAt(k) < stagingTtlMs
+         catch { case _: java.io.FileNotFoundException => true }) // being moved right now
     val orphans = all.filterNot { k =>
-      referenced(k) || k.endsWith("_SUCCESS") ||
+      referenced(k) || k.endsWith("_SUCCESS") || inFlightStaging(k) ||
         referenced.exists(r => k.startsWith(r + "/"))
     }
     if (orphans.size > 64) {
@@ -77,13 +89,20 @@ object Ops {
     * indices to an EXISTING dataset over its full content, in one atomic
     * header swap. This is the ONLY path that may introduce a new index —
     * `update` rejects indices the dataset doesn't already have
-    * (`_ensure_compatible_indices`), so this goes straight to the commit. */
+    * (`_ensure_compatible_indices`), so this goes straight to the commit.
+    *
+    * On a DYNAMIC dataset (explicit_partitions=false) the current listing is
+    * adopted as the committed partition set — the commit sees a dynamic
+    * header as owning zero partitions, so passing Nil would write an
+    * explicit header with no partitions and index nothing. */
   def buildDatasetIndices(spark: SparkSession, storage: Storage, uuid: String,
                           columns: Seq[String]): DatasetMetadata = {
     require(DatasetMetadata.exists(storage, uuid),
       s"Cannot build indices on non-existent dataset '$uuid'")
-    Writer.commitDataset(spark, storage, uuid, Nil, Nil, Map.empty,
-      Nil, columns)
+    val meta = DatasetMetadata.load(storage, uuid)
+    val adopt = if (meta.explicitPartitions) Nil else meta.partitions
+    Writer.commitDataset(spark, storage, uuid, adopt, Nil, Map.empty,
+      meta.partitionKeys, columns)
   }
 
   /** Copy a dataset between stores (reference `copy_keys`,

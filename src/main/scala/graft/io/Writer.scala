@@ -258,19 +258,40 @@ object Writer {
           storage.readString(DatasetMetadata.headerKey(uuid))).format
       else opts.format
     val stagingKey = s"$uuid/.staging/${java.util.UUID.randomUUID().toString.take(12)}"
+    val staged =
+      try {
+        Serializer.write(layout(prepared, opts), s"${storage.base}/$stagingKey",
+          fmt, "errorifexists", opts.partitionOn)
+        storage.listKeys(stagingKey)
+          .filter(DatasetMetadata.isDataFile)
+          .map(_.stripPrefix(s"$stagingKey/"))
+          .sorted
+      } catch { case e: Throwable =>
+        storage.delete(stagingKey) // a failed Spark write left only junk
+        throw e
+      }
+    // Move into the table ALL-OR-NOTHING as far as single-file renames allow:
+    // a failure mid-loop rolls the already-moved files back into staging (so
+    // a dynamic dataset never keeps a half-visible batch) and LEAVES the
+    // staging dir in place — the caller can retry; GC collects it after the
+    // abandoned-write TTL.
+    val moved = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
-      Serializer.write(layout(prepared, opts), s"${storage.base}/$stagingKey",
-        fmt, "errorifexists", opts.partitionOn)
-      val staged = storage.listKeys(stagingKey)
-        .filter(DatasetMetadata.isDataFile)
-        .map(_.stripPrefix(s"$stagingKey/"))
-        .sorted
-      staged.foreach(rel =>
-        storage.rename(s"$stagingKey/$rel", s"$uuid/table/$rel"))
-      if (existingSchema.isEmpty)
-        DatasetMetadata.writeSchema(storage, uuid, prepared.schema)
-      staged
-    } finally storage.delete(stagingKey) // _SUCCESS + empty dirs (or all, on failure)
+      staged.foreach { rel =>
+        storage.rename(s"$stagingKey/$rel", s"$uuid/table/$rel")
+        moved += rel
+      }
+    } catch { case e: Throwable =>
+      moved.foreach { rel =>
+        try storage.rename(s"$uuid/table/$rel", s"$stagingKey/$rel")
+        catch { case _: Exception => () } // best effort; staging keeps the rest
+      }
+      throw e
+    }
+    if (existingSchema.isEmpty)
+      DatasetMetadata.writeSchema(storage, uuid, prepared.schema)
+    storage.delete(stagingKey) // success: only _SUCCESS + empty dirs remain
+    staged
   }
 
   /** Two-phase step 2 / the COMMIT (reference `commit_dataset`

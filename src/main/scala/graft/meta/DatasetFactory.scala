@@ -35,6 +35,8 @@ final class DatasetFactory(val spark: SparkSession, val storage: Storage,
     cached match {
       case Some((m, s, ver)) if ver == v => (m, s)
       case _ =>
+        require(DatasetMetadata.exists(storage, uuid),
+          s"Dataset '$uuid' does not exist in ${storage.base}")
         val m = DatasetMetadata.fromJson(
           storage.readString(DatasetMetadata.headerKey(uuid)))
         val s = DatasetMetadata.loadSchema(storage, uuid)

@@ -97,7 +97,8 @@ object Dedup {
         bandTable0.groupBy("band").agg(count(lit(1)).as("__bc"))
           .where(col("__bc") <= maxBucketSize).select("band"),
         "band")
-    verifyJaccard(selfJoinPairs(bandTable, "band").distinct(), sh, threshold)
+    verifyJaccard(selfJoinPairs(bandTable, "band").distinct(), sh, threshold,
+      roundTo = 6)
   }
 
   /** Self-join `t` on `key` into (id_a < id_b) candidate pairs, via ALIASES
@@ -111,16 +112,20 @@ object Dedup {
       .where(col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
 
+  /** Exact jaccard over the full shingle arrays for a (bounded) candidate
+    * set. `roundTo < 0` keeps the raw double (the n-gram operator's count
+    * path is un-rounded and both paths must return identical rows). */
   private def verifyJaccard(pairs: DataFrame, sh: DataFrame,
-                            threshold: Double): DataFrame =
+                            threshold: Double, roundTo: Int = -1): DataFrame = {
+    val raw = col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter"))
     pairs
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("jaccard", round(
-        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+      .withColumn("jaccard", if (roundTo >= 0) round(raw, roundTo) else raw)
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
 
   /** Exact n-gram Jaccard similarity: every pair with jaccard >= threshold,
     * no approximation. Two exact candidate-generation strategies, chosen by
@@ -151,14 +156,6 @@ object Dedup {
     val sh = df
       .where(size(split(trim(lower(col(textCol))), "\\s+")) >= shingleN)
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
-    def verify(candidates: DataFrame): DataFrame = candidates
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("jaccard",
-        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
     // count-join over an inverted index carrying set sizes THROUGH the join
     // as extra grouping keys (functionally dependent on the ids): compact
     // rows, map-side partial aggregation, jaccard filtered BEFORE any
@@ -194,6 +191,9 @@ object Dedup {
         // degenerates to the plain count-join.
         val inv = sh.select(col("id"), explode(col("sh")).as("s"))
         val freq = inv.groupBy("s").agg(count(lit(1)).as("df"))
+        // hot/hotDocs are built ONCE here and passed into the hot-prefix
+        // generator: a re-derivation there would have to stay textually
+        // identical for exchange reuse to dedup the plans
         val hot = freq.where(col("df") > dfCap).select("s")
         val hotDocs = inv.join(hot, "s").select("id").distinct()
         val counted = countJoin(
@@ -211,9 +211,9 @@ object Dedup {
         val verifySet = counted
           .where(col("__ha").isNotNull && col("__hb").isNotNull)
           .select(col("id_a"), col("id_b"))
-          .unionByName(hotPrefixCandidates(sh, inv, freq, threshold, dfCap))
+          .unionByName(hotPrefixCandidates(sh, freq, hot, hotDocs, threshold))
           .distinct()
-        fromCounts.unionByName(verify(verifySet))
+        fromCounts.unionByName(verifyJaccard(verifySet, sh, threshold))
       }
     } else {
       val inv = sh.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
@@ -224,7 +224,7 @@ object Dedup {
         .where(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
         .select(col("id"), col("s"))
       // un-rounded in verify, like the count path — identical rows either way
-      verify(selfJoinPairs(prefix, "s").distinct())
+      verifyJaccard(selfJoinPairs(prefix, "s").distinct(), sh, threshold)
     }
   }
 
@@ -250,11 +250,9 @@ object Dedup {
     * contribute, and per-doc prefix ranks don't depend on which OTHER docs
     * are present — so on a healthy corpus (no hot shingles) this whole side
     * is empty and costs no full-corpus sort. */
-  private def hotPrefixCandidates(sh: DataFrame, inv: DataFrame,
-                                  freq: DataFrame,
-                                  threshold: Double, dfCap: Int): DataFrame = {
-    val hot = freq.where(col("df") > dfCap).select("s")
-    val hotDocs = inv.join(hot, "s").select("id").distinct()
+  private def hotPrefixCandidates(sh: DataFrame, freq: DataFrame,
+                                  hot: DataFrame, hotDocs: DataFrame,
+                                  threshold: Double): DataFrame = {
     val invHot = sh.join(hotDocs, "id")
       .select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
     val prefix = invHot.join(freq, "s")
@@ -272,9 +270,11 @@ object Dedup {
   private[graft] def ngramCandidatesCapped(sh: DataFrame, inv: DataFrame,
                                            freq: DataFrame,
                                            threshold: Double, dfCap: Int): DataFrame = {
+    val hot = freq.where(col("df") > dfCap).select("s")
+    val hotDocs = inv.join(hot, "s").select("id").distinct()
     val cold = inv.join(freq.where(col("df") <= dfCap).select("s"), "s")
     selfJoinPairs(cold, "s")
-      .unionByName(hotPrefixCandidates(sh, inv, freq, threshold, dfCap))
+      .unionByName(hotPrefixCandidates(sh, freq, hot, hotDocs, threshold))
       .distinct()
   }
 

@@ -70,6 +70,8 @@ class Storage(val base: String, @transient private var conf: Configuration)
 
   def fileSize(key: String): Long = fs.getFileStatus(path(key)).getLen
 
+  def modifiedAt(key: String): Long = fs.getFileStatus(path(key)).getModificationTime
+
   /** Move one key to another within this store (the commit step of a staged
     * write). Hadoop `rename` is atomic-per-file on HDFS/local; object-store
     * implementations fall back to copy+delete, which is still O(one file). */

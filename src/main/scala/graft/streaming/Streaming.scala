@@ -105,9 +105,12 @@ object Streaming {
     // streaming micro-batches, so the write shuffle gets a SMALL fixed width
     // (per-batch volume is bounded by the trigger; Writer's derived batch
     // width would be the full core count, ~4x too many tasks for a typical
-    // micro-batch). An empty batch flows through unchanged — it writes no
-    // files and its commit just advances the batch-id stamp, which is
-    // cheaper than probing every batch for emptiness with an extra job.
+    // micro-batch). Empty batches ARE probed and skipped — the probe is one
+    // limit-1 scan of the batch, while letting an empty batch through would
+    // append a footer-only parquet file per trigger on non-partitioned
+    // datasets (FileFormatWriter's partition-0 writer eagerly creates its
+    // file), growing the partition list without bound on an idle stream.
+    if (batch.isEmpty) return
     val spark = batch.sparkSession
     val width =
       if (opts.writeWidth > 0) opts.writeWidth
