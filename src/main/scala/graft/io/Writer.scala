@@ -164,6 +164,17 @@ object Writer {
       StructField(SecondaryIndex.LabelsCol, ArrayType(StringType)))))
   }
 
+  /** Partition keys are already queryable through partition pruning — a
+    * secondary index over one is redundant and the reference REJECTS it
+    * (`io_components/write.py` "Cannot create secondary index on partition
+    * columns"). */
+  private def checkIndexColumns(secondaryIndices: Seq[String],
+                                partitionOn: Seq[String]): Unit = {
+    val bad = secondaryIndices.toSet.intersect(partitionOn.toSet)
+    require(bad.isEmpty,
+      s"Cannot create secondary index on partition columns: ${bad.mkString(", ")}")
+  }
+
   private def nextTs(): String =
     java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HHmmss.SSS")
       .format(java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)) +
@@ -173,6 +184,7 @@ object Writer {
     * `io/eager.py:449-491`). Refuses to overwrite unless asked. */
   def store(spark: SparkSession, storage: Storage, uuid: String, df: DataFrame,
             opts: WriteOpts = WriteOpts()): DatasetMetadata = {
+    checkIndexColumns(opts.secondaryIndices, opts.partitionOn)
     if (DatasetMetadata.exists(storage, uuid)) {
       require(opts.overwrite, s"Dataset '$uuid' already exists and overwrite is not permitted")
       Ops.deleteDataset(storage, uuid)
@@ -316,6 +328,7 @@ object Writer {
         (Some(m), if (m.explicitPartitions) m.partitions else Nil)
       } else (None, Nil)
     val keys = oldMeta.map(_.partitionKeys).getOrElse(partitionOn)
+    checkIndexColumns(secondaryIndices, keys)
     val dup = newLabels.toSet.intersect(oldLabels.toSet)
     require(dup.isEmpty, s"Duplicate partition labels in commit: ${dup.mkString(", ")}")
 

@@ -763,6 +763,46 @@ class DatasetSpec extends SparkSpec {
     }
   }
 
+  test("storing an EMPTY DataFrame succeeds and records the schema (reference write suite)") {
+    import spark.implicits._
+    // test_store_dataframes_as_dataset_empty_dataframe: an empty frame is a
+    // valid dataset — the schema is committed and reads return 0 typed rows
+    val empty = Seq.empty[(Long, String, Double)].toDF("id", "s", "v")
+    Writer.store(spark, store, "emptyds", empty)
+    val back = Reader.readTable(spark, store, "emptyds")
+    assert(back.count() === 0)
+    assert(back.schema.fieldNames.toSet === Set("id", "s", "v"))
+    // test_store_empty_dataframes_partition_on: empty + partitioned works
+    // too, and overwrite with a DIFFERENT schema replaces the schema
+    val empty2 = Seq.empty[(Long, String, Double)].toDF("x", "y", "v")
+    Writer.store(spark, store, "emptyp", empty2, WriteOpts(partitionOn = Seq("x")))
+    assert(Reader.readTable(spark, store, "emptyp").schema.fieldNames.toSet ===
+      Set("x", "y", "v"))
+    val empty3 = Seq.empty[(Long, String, Double, Long)].toDF("x", "y", "v", "z")
+    Writer.store(spark, store, "emptyp", empty3,
+      WriteOpts(partitionOn = Seq("x"), overwrite = true))
+    assert(Reader.readTable(spark, store, "emptyp").schema.fieldNames.toSet ===
+      Set("x", "y", "v", "z"))
+  }
+
+  test("secondary index on a partition column is rejected (reference write suite)") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 1.0)).toDF("id", "p", "v")
+    // test_secondary_index_on_partition_column: partition keys are already
+    // queryable via partition pruning; the reference raises at store time
+    val ex = intercept[IllegalArgumentException] {
+      Writer.store(spark, store, "idxonkey", df,
+        WriteOpts(partitionOn = Seq("p"), secondaryIndices = Seq("p")))
+    }
+    assert(ex.getMessage.contains("Cannot create secondary index on partition columns"))
+    // and through the commit path (update / build_dataset_indices) too
+    Writer.store(spark, store, "idxonkey", df, WriteOpts(partitionOn = Seq("p")))
+    val ex2 = intercept[IllegalArgumentException] {
+      Ops.buildDatasetIndices(spark, store, "idxonkey", Seq("p"))
+    }
+    assert(ex2.getMessage.contains("Cannot create secondary index on partition columns"))
+  }
+
   test("update maintains omitted indices; a subset is accepted (reference update suite)") {
     import spark.implicits._
     // reference test_update_secondary_indices_subset: the index is kept

@@ -25,7 +25,7 @@ class StreamingSpec extends SparkSpec {
           val in = tmpDir("stream-in")
           src.repartition(4).write.mode("overwrite").parquet(in); in
         },
-      store, "ingest", WriteOpts(partitionOn = Seq("p"), secondaryIndices = Seq("p")))
+      store, "ingest", WriteOpts(partitionOn = Seq("p"), secondaryIndices = Seq("id")))
     q.awaitTermination(120000)
     val meta = DatasetMetadata.load(store, "ingest")
     assert(meta.partitionKeys === Seq("p"))
@@ -33,7 +33,7 @@ class StreamingSpec extends SparkSpec {
     assert(back.count() === 100)
     assert(back.agg(sum("id")).head.getLong(0) === 5050L)
     // every micro-batch appended under the same schema; index maintained
-    assert(meta.indices.keySet === Set("p"))
+    assert(meta.indices.keySet === Set("id"))
   }
 
   test("per-batch work lists O(batch) keys, independent of dataset size") {
