@@ -899,6 +899,60 @@ class DatasetSpec extends SparkSpec {
     assert(f.meta.metadata.get("k") === Some("v"))
   }
 
+  test("dispatch_by multi-column co-locates every key combo into one task") {
+    import spark.implicits._
+    // reference test_read_dataset_as_dataframes_dispatch_by_multi_col: each
+    // dispatched group holds exactly one (k1, k2) combination. The Spark
+    // shape: every combination lives in exactly one partition (several
+    // combos may share a task — hash co-location, same as a dask shuffle).
+    Writer.store(spark, store, "multidispatch", sampleDf,
+      WriteOpts(partitionOn = Seq("p")))
+    for (dispatchBy <- Seq(Seq("p", "s"), Seq("s", "p"), Seq("id", "s"))) {
+      val d = Reader.readDispatchBy(spark, store, "multidispatch", dispatchBy)
+        .withColumn("__pid", spark_partition_id())
+      val spread = d.groupBy(dispatchBy.map(col): _*)
+        .agg(countDistinct(col("__pid")).as("n_tasks"))
+        .agg(max("n_tasks")).head.getLong(0)
+      assert(spread === 1L, s"dispatch_by $dispatchBy split a combo across tasks")
+    }
+  }
+
+  test("dispatch_by composes with predicate pruning (reference read suite)") {
+    import spark.implicits._
+    // reference test_read_dispatch_by_with_predicates: predicates restrict
+    // which groups exist at all; dispatch co-location still holds
+    val d = Reader.readDispatchBy(spark, store, "multidispatch", Seq("p"),
+      predicates = Some(Seq(Seq(Literal("p", Op.Eq, "a")))))
+    assert(d.select("p").distinct().collect().map(_.getString(0)).toSeq === Seq("a"))
+    assert(d.count() === 2)
+    val d2 = Reader.readDispatchBy(spark, store, "multidispatch", Seq("s"),
+      predicates = Some(Seq(Seq(Literal("id", Op.Gt, 4L)))))
+    assert(d2.collect().map(_.getAs[Long]("id")).toSet === Set(5L, 6L))
+  }
+
+  test("delete of a missing dataset is a no-op; other datasets unaffected") {
+    // reference test_delete_missing_dataset
+    Ops.deleteDataset(store, "never-existed")
+    assert(!DatasetMetadata.exists(store, "never-existed"))
+    assert(Reader.readTable(spark, store, "multidispatch").count() === 6)
+  }
+
+  test("adding an index keeps existing indices (reference index suite)") {
+    import spark.implicits._
+    // reference test_add_column_to_existing_index
+    Writer.store(spark, store, "addidx", sampleDf,
+      WriteOpts(partitionOn = Seq("p"), secondaryIndices = Seq("s")))
+    val after = Ops.buildDatasetIndices(spark, store, "addidx", Seq("id"))
+    assert(after.indices.keySet === Set("s", "id"))
+    // both prune: old index still live
+    val viaOld = Reader.readTable(spark, store, "addidx",
+      predicates = Some(Seq(Seq(Literal("s", Op.Eq, "x")))))
+    assert(viaOld.count() === 3)
+    val viaNew = Reader.readTable(spark, store, "addidx",
+      predicates = Some(Seq(Seq(Literal("id", Op.Eq, 4L)))))
+    assert(viaNew.collect().map(_.getAs[String]("s")).toSeq === Seq("y"))
+  }
+
   test("index algebra: merge / removePartitions / removeValues / observed") {
     import spark.implicits._
     val idx = Seq(("x", Seq("l1", "l2")), ("y", Seq("l2"))).toDF("value", "partitions")
