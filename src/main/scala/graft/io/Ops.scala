@@ -33,11 +33,19 @@ object Ops {
     * parquet from failed/uncommitted writes). Driver-side listing; the
     * delete fan-out is distributed for large file sets.
     *
-    * `.staging/` keys younger than `stagingTtlMs` are spared: they belong to
-    * a two-phase write that may still be IN FLIGHT (between its Spark write
-    * job and its rename-into-table step) — deleting them mid-write would
+    * `.staging/` WRITES younger than `stagingTtlMs` are spared wholesale
+    * (one mtime probe per staged write, not per file): they belong to a
+    * two-phase write that may still be IN FLIGHT between its Spark write
+    * job and its rename-into-table step — deleting them mid-write would
     * destroy the batch. Staging dirs older than the TTL are abandoned
-    * writes and are collected normally. */
+    * writes and are collected completely, `_SUCCESS` marker included.
+    *
+    * Already-RENAMED but not-yet-committed files of an EXPLICIT dataset are
+    * orphans here, exactly as in the reference (`gc.py` removes any
+    * untracked table file immediately): do not garbage-collect while a
+    * two-phase protocol on an explicit dataset is between its phases —
+    * dynamic datasets (the two-phase staging pattern) are safe, since their
+    * listing-reconstructed partition set references the uncommitted files. */
   def garbageCollect(spark: SparkSession, storage: Storage, uuid: String,
                      stagingTtlMs: Long = 24L * 3600 * 1000): Seq[String] = {
     val meta = DatasetMetadata.load(storage, uuid)
@@ -47,12 +55,20 @@ object Ops {
       meta.schemaKey
     val all = storage.listKeys(uuid)
     val now = System.currentTimeMillis()
-    def inFlightStaging(k: String): Boolean =
-      k.startsWith(s"$uuid/.staging/") &&
-        (try now - storage.modifiedAt(k) < stagingTtlMs
-         catch { case _: java.io.FileNotFoundException => true }) // being moved right now
+    val stagingPrefix = s"$uuid/.staging/"
+    def writeIdOf(k: String): String =
+      k.substring(0, k.indexOf('/', stagingPrefix.length).max(stagingPrefix.length))
+    val inFlightWrites: Set[String] = all.filter(_.startsWith(stagingPrefix))
+      .groupBy(writeIdOf)
+      .collect { case (writeId, keys) if keys.exists(k =>
+        try now - storage.modifiedAt(k) < stagingTtlMs
+        catch { case _: java.io.FileNotFoundException => true } // being moved right now
+      ) => writeId }
+      .toSet
     val orphans = all.filterNot { k =>
-      referenced(k) || k.endsWith("_SUCCESS") || inFlightStaging(k) ||
+      referenced(k) ||
+        (if (k.startsWith(stagingPrefix)) inFlightWrites(writeIdOf(k))
+         else k.endsWith("_SUCCESS")) ||
         referenced.exists(r => k.startsWith(r + "/"))
     }
     if (orphans.size > 64) {
@@ -102,7 +118,7 @@ object Ops {
     val meta = DatasetMetadata.load(storage, uuid)
     val adopt = if (meta.explicitPartitions) Nil else meta.partitions
     Writer.commitDataset(spark, storage, uuid, adopt, Nil, Map.empty,
-      meta.partitionKeys, columns)
+      meta.partitionKeys, columns, preloadedMeta = Some(meta))
   }
 
   /** Copy a dataset between stores (reference `copy_keys`,

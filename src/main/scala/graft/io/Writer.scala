@@ -279,7 +279,10 @@ object Writer {
           .map(_.stripPrefix(s"$stagingKey/"))
           .sorted
       } catch { case e: Throwable =>
-        storage.delete(stagingKey) // a failed Spark write left only junk
+        // best-effort cleanup of the junk a failed Spark write left behind —
+        // it must never mask the original failure (the store being
+        // unreachable fails the delete too)
+        try storage.delete(stagingKey) catch { case _: Exception => () }
         throw e
       }
     // Move into the table ALL-OR-NOTHING as far as single-file renames allow:
@@ -317,18 +320,29 @@ object Writer {
                     deleteScope: Seq[Map[String, Any]] = Nil,
                     metadata: Map[String, String] = Map.empty,
                     partitionOn: Seq[String] = Nil,
-                    secondaryIndices: Seq[String] = Nil): DatasetMetadata = {
+                    secondaryIndices: Seq[String] = Nil,
+                    // callers that already hold the loaded metadata pass it
+                    // through — a dynamic dataset's load() is a full table
+                    // listing, wasteful (and racy) to repeat inside the commit
+                    preloadedMeta: Option[DatasetMetadata] = None): DatasetMetadata = {
     val schema = DatasetMetadata.loadSchema(storage, uuid)
     val (oldMeta, oldLabels) =
-      if (DatasetMetadata.exists(storage, uuid)) {
-        val m = DatasetMetadata.load(storage, uuid)
+      preloadedMeta.orElse(
+        if (DatasetMetadata.exists(storage, uuid))
+          Some(DatasetMetadata.load(storage, uuid))
+        else None) match {
         // A dynamic header (explicit_partitions=False) owns no committed
         // partitions — its listing already shows the uncommitted files being
         // committed right now, which must not read as duplicates.
-        (Some(m), if (m.explicitPartitions) m.partitions else Nil)
-      } else (None, Nil)
+        case Some(m) => (Some(m), if (m.explicitPartitions) m.partitions else Nil)
+        case None    => (None, Nil)
+      }
     val keys = oldMeta.map(_.partitionKeys).getOrElse(partitionOn)
-    checkIndexColumns(secondaryIndices, keys)
+    // only NEW indices are checked: a dataset that already carries a
+    // partition-column index (written before the rule existed) must keep
+    // committing — maintaining an existing index is not creating one
+    checkIndexColumns(
+      secondaryIndices.filterNot(c => oldMeta.exists(_.indices.contains(c))), keys)
     val dup = newLabels.toSet.intersect(oldLabels.toSet)
     require(dup.isEmpty, s"Duplicate partition labels in commit: ${dup.mkString(", ")}")
 
@@ -395,7 +409,13 @@ object Writer {
           opts.copy(partitionOn = existing.partitionKeys))
       case None => Nil
     }
+    // the PRE-write snapshot is deliberate: on a dynamic dataset a re-listing
+    // inside the commit would include the rows just appended above, and a
+    // delete scope matching their partition values would claim them — the
+    // reference's delete scope applies to the dataset as it was before the
+    // update (`io_components/update.py:12-42`)
     commitDataset(spark, storage, uuid, newLabels, deleteScope, opts.metadata,
-      existing.partitionKeys, opts.secondaryIndices)
+      existing.partitionKeys, opts.secondaryIndices,
+      preloadedMeta = Some(existing))
   }
 }

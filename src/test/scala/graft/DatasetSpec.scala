@@ -921,20 +921,23 @@ class DatasetSpec extends SparkSpec {
     import spark.implicits._
     // reference test_read_dispatch_by_with_predicates: predicates restrict
     // which groups exist at all; dispatch co-location still holds
-    val d = Reader.readDispatchBy(spark, store, "multidispatch", Seq("p"),
+    Writer.store(spark, store, "dispatchpred", sampleDf,
+      WriteOpts(partitionOn = Seq("p")))
+    val d = Reader.readDispatchBy(spark, store, "dispatchpred", Seq("p"),
       predicates = Some(Seq(Seq(Literal("p", Op.Eq, "a")))))
     assert(d.select("p").distinct().collect().map(_.getString(0)).toSeq === Seq("a"))
     assert(d.count() === 2)
-    val d2 = Reader.readDispatchBy(spark, store, "multidispatch", Seq("s"),
+    val d2 = Reader.readDispatchBy(spark, store, "dispatchpred", Seq("s"),
       predicates = Some(Seq(Seq(Literal("id", Op.Gt, 4L)))))
     assert(d2.collect().map(_.getAs[Long]("id")).toSet === Set(5L, 6L))
   }
 
   test("delete of a missing dataset is a no-op; other datasets unaffected") {
     // reference test_delete_missing_dataset
+    Writer.store(spark, store, "deletebystander", sampleDf)
     Ops.deleteDataset(store, "never-existed")
     assert(!DatasetMetadata.exists(store, "never-existed"))
-    assert(Reader.readTable(spark, store, "multidispatch").count() === 6)
+    assert(Reader.readTable(spark, store, "deletebystander").count() === 6)
   }
 
   test("adding an index keeps existing indices (reference index suite)") {
