@@ -899,6 +899,28 @@ class DatasetSpec extends SparkSpec {
     assert(f.meta.metadata.get("k") === Some("v"))
   }
 
+  test("two-phase writers racing on the SAME dataset claim disjoint file sets") {
+    import spark.implicits._
+    // the staged-write protocol's headline guarantee: each writer lists only
+    // its own .staging prefix, so truly concurrent writeSinglePartition
+    // calls can never claim each other's files (the pre-staging protocol
+    // diffed before/after listings of the shared table dir and could)
+    Writer.createEmptyDatasetHeader(store, "race2p", sampleDf.schema, Seq("p"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(Writer.writeSinglePartition(spark, store, "race2p",
+      sampleDf.where($"id" <= 3), WriteOpts(partitionOn = Seq("p"))))
+    val fb = Future(Writer.writeSinglePartition(spark, store, "race2p",
+      sampleDf.where($"id" > 3), WriteOpts(partitionOn = Seq("p"))))
+    val (la, lb) = (Await.result(fa, 120.seconds), Await.result(fb, 120.seconds))
+    assert(la.nonEmpty && lb.nonEmpty)
+    assert(la.toSet.intersect(lb.toSet).isEmpty, s"writers claimed shared files: $la / $lb")
+    val committed = Writer.commitDataset(spark, store, "race2p", (la ++ lb).sorted)
+    assert(committed.partitions === (la ++ lb).sorted)
+    assert(Reader.readTable(spark, store, "race2p").count() === 6)
+  }
+
   test("dispatch_by multi-column co-locates every key combo into one task") {
     import spark.implicits._
     // reference test_read_dataset_as_dataframes_dispatch_by_multi_col: each

@@ -91,6 +91,42 @@ class DedupSpec extends SparkSpec {
     assert(run(5).map(p => (p._1, p._2)) === Set((100L, 101L)))
   }
 
+  test("ngram hybrid matches brute force on randomized skewed corpora") {
+    import spark.implicits._
+    // the df-capped hybrid (cold count-join + both-hot array verify +
+    // hot-prefix side) is the trickiest plan in the library — check it
+    // against an independent driver-side brute force on corpora DESIGNED to
+    // exercise every branch: hot shingles shared corpus-wide, docs that are
+    // all-hot, mixed, and cold-only. Seeded => reproducible.
+    val rnd = new scala.util.Random(42)
+    val hotToks = Seq("the", "of")
+    val docs = (0 until 60).map { i =>
+      val base = (0 until (3 + rnd.nextInt(5))).map(_ => s"tok${rnd.nextInt(30)}")
+      val withHot = i % 3 match {
+        case 0 => base ++ hotToks                  // mixed
+        case 1 => hotToks ++ hotToks               // all-hot after distinct
+        case 2 => base                             // cold only
+      }
+      (i.toLong, withHot.mkString(" "))
+    }.toDF("doc_id", "text")
+    def tokens(t: String): Set[String] =
+      t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSet
+    val local = docs.collect().map(r => r.getLong(0) -> tokens(r.getString(1)))
+    for (threshold <- Seq(0.2, 0.45)) {
+      val expected = (for {
+        (ia, sa) <- local; (ib, sb) <- local if ia < ib && sa.nonEmpty && sb.nonEmpty
+        inter = sa.intersect(sb).size.toDouble
+        j = inter / (sa.size + sb.size - inter) if j >= threshold
+      } yield (ia, ib)).toSet
+      // dfCap = 5 makes the two corpus-wide tokens hot (df ~ 40 and 20)
+      val got = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 1, threshold,
+        Some(false), dfCap = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected,
+        s"t=$threshold missing=${expected -- got} extra=${got -- expected}")
+    }
+  }
+
   test("minhash maxBucketSize drops mass-duplicate buckets, keeps normal pairs") {
     import spark.implicits._
     // 30 identical docs (every band bucket holds all 30) + one near-dup pair
