@@ -451,6 +451,16 @@ object SparkEntry {
     "t_top_tokens" -> ((s, dir) =>
       TextAnalysis.topTokens(rd(s, dir, "documents"), "text", 50)),
 
+    // --- text analysis: PII redaction (synthetic PII appended per doc —
+    // the corpus itself is clean, so the scrub must fire on every row)
+    "t_redact" -> ((s, dir) =>
+      rd(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.redactPii(concat(
+          col("text"), lit(" reach user"), col("doc_id").cast("string"),
+          lit("@mail.example.com via 10.0.0."),
+          (col("doc_id") % 256).cast("string"),
+          lit(" or call 555-123-4567."))).as("redacted"))),
+
     // --- similarity: brute-force cosine scores vs one query vector
     "v_knn_scores" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
@@ -783,6 +793,18 @@ object SparkEntry {
         """SELECT 'image' AS media_type, count(*) AS n,
              CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
              round(avg(strlen(text)), 6) AS avg_bytes
+           FROM documents""",
+      // patterns are regex-engine-portable (identical under Java regex and
+      // RE2); DuckDB needs the explicit 'g' flag Spark applies by default
+      "t_redact" ->
+        s"""SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(
+               text || ' reach user' || CAST(doc_id AS VARCHAR) ||
+                 '@mail.example.com via 10.0.0.' ||
+                 CAST(doc_id % 256 AS VARCHAR) || ' or call 555-123-4567.',
+               '${graft.ops.TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
+               '${graft.ops.TextAnalysis.Ipv4Pattern}', '<IP>', 'g'),
+               '${graft.ops.TextAnalysis.PhonePattern}', '<PHONE>', 'g') AS redacted
            FROM documents""",
       // the decode stub is deterministic by construction (exact integer
       // byte-sums per dim % 8, one float32 division) precisely so this

@@ -14,6 +14,23 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     size(split(trim(text), "\\s+"))
 
+  /** PII redaction — the scrubbing pass every training-data pipeline runs
+    * before near-dup/quality stages. Conservative, regex-engine-portable
+    * patterns (identical under Java regex and RE2, so an external SQL
+    * oracle reproduces them verbatim): emails, international-ish phone
+    * numbers, and IPv4 addresses → fixed placeholder tokens. One codegen'd
+    * regexp_replace chain, no UDFs — linear over 100 TB. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  val PhonePattern = "\\+?[0-9]{1,3}[-. ]?\\(?[0-9]{2,4}\\)?[-. ]?[0-9]{3,4}[-. ]?[0-9]{3,4}"
+  val Ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+
   /** BPE-ish subword count: words + digits + punctuation runs. */
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))

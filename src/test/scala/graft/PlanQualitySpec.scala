@@ -76,6 +76,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(top.forall(_ <= 20L), top.toSeq.toString)
   }
 
+  test("redactPii scrubs emails, IPv4s, and phone numbers; clean text unchanged") {
+    import spark.implicits._
+    val rows = Seq(
+      "mail me at jane.doe+spam@sub.example.org today",
+      "server at 192.168.001.004 is down",
+      "call +1-555-867-5309 or (020) 7946-0958",
+      "a perfectly clean sentence with numbers like 3 or 42")
+      .toDF("text")
+      .select(TextAnalysis.redactPii(col("text")).as("r"))
+      .collect().map(_.getString(0))
+    assert(rows(0) === "mail me at <EMAIL> today")
+    assert(rows(1) === "server at <IP> is down")
+    assert(rows(2).contains("<PHONE>") && !rows(2).exists(_.isDigit), rows(2))
+    assert(rows(3) === "a perfectly clean sentence with numbers like 3 or 42")
+  }
+
   test("kmeans trains on a bounded deterministic sample above trainCap") {
     import spark.implicits._
     val vecs = ((1 to 20).map(i => (i.toLong, Array(1.0 + 0.01 * i, 0.01 * i))) ++
