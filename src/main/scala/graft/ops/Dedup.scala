@@ -198,48 +198,43 @@ object Dedup {
         // shingles a real corpus has.)
         val inv = sh.select(col("id"), explode(col("sh")).as("s"))
         val freq = inv.groupBy("s").agg(count(lit(1)).as("df"))
-        // hot/hotDocs are built ONCE here and passed into the hot-prefix
-        // generator: a re-derivation there would have to stay textually
-        // identical for exchange reuse to dedup the plans
+        // hot/docHot are built ONCE here and shared — hotDocs IS docHot's
+        // key set, so the hot-prefix generator reuses the same subtree
         val hot = freq.where(col("df") > dfCap).select("s")
-        val hotDocs = inv.join(hot, "s").select("id").distinct()
         val docHot = inv.join(hot, "s").groupBy("id")
           .agg(sort_array(collect_set(xxhash64(col("s")))).as("hs"))
+        val hotDocs = docHot.select("id")
         val noHot = array().cast("array<bigint>")
-        val invNH = invN
-          .join(freq.where(col("df") <= dfCap).select("s"), "s")
-          .join(docHot, Seq("id"), "left")
-          .withColumn("hs", coalesce(col("hs"), noHot))
-        val counted = invNH.as("l").join(invNH.as("r"), col("l.s") === col("r.s"))
-          .where(col("l.id") < col("r.id"))
-          .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"),
-            col("l.n").as("n_a"), col("r.n").as("n_b"),
-            col("l.hs").as("hs_a"), col("r.hs").as("hs_b"))
-          .agg(count(lit(1)).cast("double").as("inter_cold"))
-          .withColumn("inter", col("inter_cold") +
-            size(array_intersect(col("hs_a"), col("hs_b"))).cast("double"))
-        val fromCounts = counted
+        // fingerprints are joined onto the AGGREGATED pair table (one row
+        // per pair), never carried through the exploded inverted index —
+        // a doc with many hot shingles would otherwise ship its array once
+        // per (id, shingle) row of the join shuffle
+        val counted = countJoin(
+            invN.join(freq.where(col("df") <= dfCap).select("s"), "s"))
+          .withColumnRenamed("inter", "inter_cold")
+        def withHotOverlap(pairs: DataFrame, base: Column): DataFrame = pairs
+          .join(docHot.select(col("id").as("id_a"), col("hs").as("hs_a")),
+            Seq("id_a"), "left")
+          .join(docHot.select(col("id").as("id_b"), col("hs").as("hs_b")),
+            Seq("id_b"), "left")
+          .withColumn("inter", base + size(array_intersect(
+            coalesce(col("hs_a"), noHot), coalesce(col("hs_b"), noHot))).cast("double"))
           .withColumn("jaccard",
             col("inter") / (col("n_a") + col("n_b") - col("inter")))
           .where(col("jaccard") >= threshold)
           .select(col("id_a"), col("id_b"), col("jaccard"))
+        val fromCounts = withHotOverlap(counted, col("inter_cold"))
         // hot-ONLY pairs: hot-prefix candidates minus pairs the cold join
         // already counted exactly; their intersection is pure hot overlap
         val sizes = sh.select(col("id"), size(col("sh")).as("n"))
-        val hotOnly = hotPrefixCandidates(sh, freq, hot, hotDocs, threshold)
-          .distinct()
-          .join(counted.select(col("id_a"), col("id_b")),
-            Seq("id_a", "id_b"), "left_anti")
-          .join(docHot.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
-          .join(docHot.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
-          .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
-          .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
-          .withColumn("inter",
-            size(array_intersect(col("hs_a"), col("hs_b"))).cast("double"))
-          .withColumn("jaccard",
-            col("inter") / (col("n_a") + col("n_b") - col("inter")))
-          .where(col("jaccard") >= threshold)
-          .select(col("id_a"), col("id_b"), col("jaccard"))
+        val hotOnly = withHotOverlap(
+          hotPrefixCandidates(sh, freq, hot, hotDocs, threshold)
+            .distinct()
+            .join(counted.select(col("id_a"), col("id_b")),
+              Seq("id_a", "id_b"), "left_anti")
+            .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+            .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b"),
+          lit(0.0))
         fromCounts.unionByName(hotOnly)
       }
     } else {

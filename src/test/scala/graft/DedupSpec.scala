@@ -93,8 +93,9 @@ class DedupSpec extends SparkSpec {
 
   test("ngram hybrid matches brute force on randomized skewed corpora") {
     import spark.implicits._
-    // the df-capped hybrid (cold count-join + both-hot array verify +
-    // hot-prefix side) is the trickiest plan in the library — check it
+    // the df-capped hybrid (cold count-join + per-doc hot-shingle
+    // fingerprints + hot-prefix side) is the trickiest plan in the
+    // library — check it
     // against an independent driver-side brute force on corpora DESIGNED to
     // exercise every branch: hot shingles shared corpus-wide, docs that are
     // all-hot, mixed, and cold-only. Seeded => reproducible.
