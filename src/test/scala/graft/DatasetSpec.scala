@@ -978,6 +978,34 @@ class DatasetSpec extends SparkSpec {
     assert(viaNew.collect().map(_.getAs[String]("s")).toSeq === Seq("y"))
   }
 
+  test("indices build correctly over a dataset containing an empty partition write") {
+    import spark.implicits._
+    // reference test_empty_partitions: an empty write contributes no files;
+    // a later build_dataset_indices indexes only real content
+    Writer.createEmptyDatasetHeader(store, "emptypart", sampleDf.schema, Seq("p"))
+    val l1 = Writer.writeSinglePartition(spark, store, "emptypart",
+      sampleDf.where(lit(false)), WriteOpts(partitionOn = Seq("p")))
+    assert(l1.isEmpty)
+    val l2 = Writer.writeSinglePartition(spark, store, "emptypart",
+      sampleDf.where($"id" === 1), WriteOpts(partitionOn = Seq("p")))
+    Writer.commitDataset(spark, store, "emptypart", l1 ++ l2)
+    val after = Ops.buildDatasetIndices(spark, store, "emptypart", Seq("s"))
+    val idx = SecondaryIndex.load(spark, store, after.indices("s"))
+    assert(SecondaryIndex.observedValues(idx).collect().map(_.getString(0)).toSeq
+      === Seq("x"))
+  }
+
+  test("no-match predicates + empty projection give a 0-row 0-column frame") {
+    import spark.implicits._
+    // reference test_empty_predicate_pushdown_empty_col_projection
+    Writer.store(spark, store, "emptypush", sampleDf, WriteOpts(partitionOn = Seq("p")))
+    val out = Reader.readTable(spark, store, "emptypush",
+      columns = Some(Nil),
+      predicates = Some(Seq(Seq(Literal("id", Op.Eq, 12345678L)))))
+    assert(out.columns.isEmpty)
+    assert(out.count() === 0)
+  }
+
   test("index algebra: merge / removePartitions / removeValues / observed") {
     import spark.implicits._
     val idx = Seq(("x", Seq("l1", "l2")), ("y", Seq("l2"))).toDF("value", "partitions")
