@@ -181,12 +181,12 @@ object Dedup {
         // CD-filter hybrid: a shingle with document frequency f generates
         // C(f,2) candidate pairs, so ONE stop-shingle ("of the and") would
         // make the self-join O(n^2) at scale. The count-join therefore runs
-        // over COLD (df <= dfCap) shingles only, and each doc carries a
+        // over COLD (df <= dfCap) shingles only, and each doc gets a
         // compact FINGERPRINT of its hot shingles (sorted 64-bit hashes —
         // few by construction, only shingles with df > dfCap qualify)
-        // through the join as an extra grouping key. Exact intersection =
-        // cold count + hot-fingerprint overlap, so jaccard is computed
-        // inside the aggregation with NO shingle arrays shipped — even on a
+        // joined onto the aggregated pair table. Exact intersection =
+        // cold count + hot-fingerprint overlap, so jaccard needs NO
+        // shingle arrays shipped through any shuffle — even on a
         // stop-shingle-saturated corpus where every doc is "hot" (the
         // realistic web-text case; a verify-on-arrays fallback measured
         // ~7x slower there). Pairs sharing ONLY hot shingles never meet in
