@@ -2,16 +2,24 @@ package graft.index
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 import graft.dnf.{Literal, Op, Predicates}
 import graft.meta.DatasetMetadata
 import graft.store.Storage
 
 /** Parquet-backed inverted index `{value -> [partition labels]}` — the
   * Spark rebuild of the reference's `ExplicitSecondaryIndex`
-  * (`core/index.py:567-754`). One Parquet file per index generation with
-  * schema `(<col> , partitions: array<string>)`; persisted at
-  * `<uuid>/indices/<col>/<ts>.by-dataset-index.parquet`
+  * (`core/index.py:567-754`). One Parquet file per index generation,
+  * persisted at `<uuid>/indices/<col>/<ts>.by-dataset-index.parquet`
   * (`core/naming.py:20`).
+  *
+  * ON DISK the file is reference-conformant (`core/index.py:34` +
+  * `_index_dct_to_table`, `core/index.py:872-928`): two columns
+  * `(<column name>, partition: list<string>)` whose labels are HEADER
+  * labels (no format suffix). IN MEMORY every frame this object hands out
+  * is normalized to `(value, partitions)` — load also accepts the legacy
+  * graft shape, and [[loadFor]] resolves labels back to internal
+  * (suffixed) ones via the dataset header.
   *
   * Index files are tiny relative to data (distinct values x label lists), so
   * every query-side use broadcasts or collects them; at 100 TB data scale the
@@ -20,6 +28,8 @@ import graft.store.Storage
 object SecondaryIndex {
   val ValueCol = "value"
   val LabelsCol = "partitions"
+  /** The reference's on-disk labels column (`core/index.py:34`). */
+  val RefLabelsCol = "partition"
 
   def indexKey(uuid: String, col: String, ts: String): String =
     s"$uuid/indices/$col/$ts${DatasetMetadata.IndexSuffix}"
@@ -40,15 +50,66 @@ object SecondaryIndex {
   def store(spark: SparkSession, storage: Storage, uuid: String, col: String,
             index: DataFrame, ts: String): String = {
     val key = indexKey(uuid, col, ts)
-    index.coalesce(1).write.mode("overwrite").parquet(s"${storage.base}/$key")
+    // reference on-disk shape: labels lose their format suffix and the
+    // columns are named (<col>, partition) — `core/index.py:697` writes
+    // exactly this table
+    val suffixPattern = DatasetMetadata.DataFileSuffixes
+      .map(java.util.regex.Pattern.quote).mkString("(", "|", ")$")
+    val refShaped = index.select(
+      org.apache.spark.sql.functions.col(ValueCol).as(col),
+      transform(org.apache.spark.sql.functions.col(LabelsCol),
+        l => regexp_replace(l, lit(suffixPattern), lit(""))).as(RefLabelsCol))
+    refShaped.coalesce(1).write.mode("overwrite").parquet(s"${storage.base}/$key")
     // normalize to the single-file key the header references
     val files = storage.listKeys(key).filter(_.endsWith(".parquet"))
     require(files.nonEmpty, s"Index write produced no parquet file under $key")
     key
   }
 
-  def load(spark: SparkSession, storage: Storage, indexFileKey: String): DataFrame =
-    spark.read.parquet(s"${storage.base}/$indexFileKey")
+  /** Load an index parquet, normalizing either on-disk shape — the
+    * reference's `(<col>, partition)` or legacy graft's
+    * `(value, partitions)` — to the internal `(value, partitions)`. Labels
+    * are returned as stored; see [[loadFor]] for header-label resolution. */
+  def load(spark: SparkSession, storage: Storage, indexFileKey: String): DataFrame = {
+    val raw = spark.read.parquet(s"${storage.base}/$indexFileKey")
+    val names = raw.schema.fieldNames
+    if (names.contains(LabelsCol)) raw
+    else {
+      require(names.contains(RefLabelsCol) && names.length == 2,
+        s"Unrecognized index schema ${names.mkString("(", ", ", ")")} in $indexFileKey")
+      val valueName = names.filter(_ != RefLabelsCol).head
+      raw.select(col(valueName).as(ValueCol), col(RefLabelsCol).as(LabelsCol))
+    }
+  }
+
+  /** Load the index of `column` for a dataset — external parquet or embedded
+    * header dict (`core/dataset.py:200-207`) — with labels resolved to the
+    * dataset's INTERNAL labels, so eval results intersect directly with
+    * `meta.partitions`. */
+  def loadFor(spark: SparkSession, storage: Storage, meta: DatasetMetadata,
+              column: String, schema: StructType): DataFrame = {
+    val stored: DataFrame = meta.indices.get(column) match {
+      case Some(key) => load(spark, storage, key)
+      case None =>
+        val entries = meta.embeddedIndices.getOrElse(column, throw
+          new IllegalArgumentException(s"No index for column '$column' on '${meta.uuid}'"))
+        import org.apache.spark.sql.Row
+        val rows = entries.map { case (v, ls) => Row(v, ls) }
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField(ValueCol,
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField(LabelsCol,
+                org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.StringType)))))
+          .select(col(ValueCol).cast(schema(column).dataType).as(ValueCol),
+            col(LabelsCol))
+    }
+    val resolver = typedLit(meta.resolveLabel)
+    stored.withColumn(LabelsCol,
+      transform(col(LabelsCol), l => coalesce(element_at(resolver, l), l)))
+  }
 
   /** Distinct indexed values (reference `observed_values`,
     * `core/index.py:137-147`). */

@@ -1,0 +1,180 @@
+package graft.interop
+
+import java.io.ByteArrayOutputStream
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+
+/** Minimal MessagePack codec (public spec, https://msgpack.org/) covering the
+  * value set plateau headers use: maps, arrays, strings, ints, floats, bools,
+  * nil and bin. The reference serializes headers as
+  * `zstd(msgpack(dict))` (`core/_zmsgpack.py:10-19`); decode is the interop
+  * path, encode exists so tests can produce reference-shaped headers and so
+  * [[graft.meta.DatasetMetadata]] can write the msgpack flavor on request.
+  *
+  * Decoded values map to: Map[String, Any] (insertion-ordered), Seq[Any],
+  * String, Long, Double, Boolean, Array[Byte], null.
+  * Encoding picks the smallest representation, matching msgpack-python's
+  * `packb` output byte-for-byte for this value set.
+  */
+object Msgpack {
+
+  // ---------------------------------------------------------------- decode
+
+  def unpack(bytes: Array[Byte]): Any = {
+    val buf = ByteBuffer.wrap(bytes)
+    val v = read(buf)
+    require(!buf.hasRemaining, s"Trailing ${buf.remaining()} bytes after msgpack value")
+    v
+  }
+
+  private def read(b: ByteBuffer): Any = {
+    val t = b.get() & 0xff
+    t match {
+      case x if x <= 0x7f => x.toLong                       // positive fixint
+      case x if x >= 0xe0 => (x - 0x100).toLong             // negative fixint
+      case x if (x & 0xf0) == 0x80 => readMap(b, x & 0x0f)  // fixmap
+      case x if (x & 0xf0) == 0x90 => readArr(b, x & 0x0f)  // fixarray
+      case x if (x & 0xe0) == 0xa0 => readStr(b, x & 0x1f)  // fixstr
+      case 0xc0 => null
+      case 0xc2 => false
+      case 0xc3 => true
+      case 0xc4 => readBin(b, b.get() & 0xff)               // bin8
+      case 0xc5 => readBin(b, b.getShort() & 0xffff)        // bin16
+      case 0xc6 => readBin(b, b.getInt())                   // bin32
+      case 0xca => b.getFloat().toDouble                    // float32
+      case 0xcb => b.getDouble()                            // float64
+      case 0xcc => (b.get() & 0xff).toLong                  // uint8
+      case 0xcd => (b.getShort() & 0xffff).toLong           // uint16
+      case 0xce => b.getInt() & 0xffffffffL                 // uint32
+      case 0xcf =>                                          // uint64
+        val v = b.getLong()
+        require(v >= 0, s"uint64 value $v overflows Long")
+        v
+      case 0xd0 => b.get().toLong                           // int8
+      case 0xd1 => b.getShort().toLong                      // int16
+      case 0xd2 => b.getInt().toLong                        // int32
+      case 0xd3 => b.getLong()                              // int64
+      case 0xd9 => readStr(b, b.get() & 0xff)               // str8
+      case 0xda => readStr(b, b.getShort() & 0xffff)        // str16
+      case 0xdb => readStr(b, b.getInt())                   // str32
+      case 0xdc => readArr(b, b.getShort() & 0xffff)        // array16
+      case 0xdd => readArr(b, b.getInt())                   // array32
+      case 0xde => readMap(b, b.getShort() & 0xffff)        // map16
+      case 0xdf => readMap(b, b.getInt())                   // map32
+      case other =>
+        throw new IllegalArgumentException(
+          f"Unsupported msgpack type byte 0x$other%02x (ext types not used by plateau headers)")
+    }
+  }
+
+  private def readStr(b: ByteBuffer, n: Int): String = {
+    val a = new Array[Byte](n); b.get(a); new String(a, StandardCharsets.UTF_8)
+  }
+  private def readBin(b: ByteBuffer, n: Int): Array[Byte] = {
+    val a = new Array[Byte](n); b.get(a); a
+  }
+  private def readArr(b: ByteBuffer, n: Int): Seq[Any] =
+    Seq.fill(n)(read(b))
+  private def readMap(b: ByteBuffer, n: Int): Map[String, Any] = {
+    val m = scala.collection.immutable.VectorMap.newBuilder[String, Any]
+    var i = 0
+    while (i < n) {
+      val k = read(b) match {
+        case s: String => s
+        case other => throw new IllegalArgumentException(
+          s"Non-string msgpack map key $other not supported")
+      }
+      m += k -> read(b)
+      i += 1
+    }
+    m.result()
+  }
+
+  // ---------------------------------------------------------------- encode
+
+  def pack(v: Any): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    write(out, v)
+    out.toByteArray
+  }
+
+  private def write(o: ByteArrayOutputStream, v: Any): Unit = v match {
+    case null => o.write(0xc0)
+    case b: Boolean => o.write(if (b) 0xc3 else 0xc2)
+    case i: Int => writeLong(o, i.toLong)
+    case l: Long => writeLong(o, l)
+    case d: Double =>
+      o.write(0xcb); o.write(ByteBuffer.allocate(8).putDouble(d).array())
+    case f: Float =>
+      o.write(0xcb); o.write(ByteBuffer.allocate(8).putDouble(f.toDouble).array())
+    case s: String =>
+      val b = s.getBytes(StandardCharsets.UTF_8)
+      if (b.length < 32) o.write(0xa0 | b.length)
+      else if (b.length < 256) { o.write(0xd9); o.write(b.length) }
+      else if (b.length < 65536) { o.write(0xda); writeU16(o, b.length) }
+      else { o.write(0xdb); writeU32(o, b.length) }
+      o.write(b)
+    case b: Array[Byte] =>
+      if (b.length < 256) { o.write(0xc4); o.write(b.length) }
+      else if (b.length < 65536) { o.write(0xc5); writeU16(o, b.length) }
+      else { o.write(0xc6); writeU32(o, b.length) }
+      o.write(b)
+    case m: collection.Map[_, _] =>
+      val n = m.size
+      if (n < 16) o.write(0x80 | n)
+      else if (n < 65536) { o.write(0xde); writeU16(o, n) }
+      else { o.write(0xdf); writeU32(o, n) }
+      m.foreach { case (k, value) => write(o, k); write(o, value) }
+    case s: Iterable[_] =>
+      val vs = s.toSeq
+      if (vs.length < 16) o.write(0x90 | vs.length)
+      else if (vs.length < 65536) { o.write(0xdc); writeU16(o, vs.length) }
+      else { o.write(0xdd); writeU32(o, vs.length) }
+      vs.foreach(write(o, _))
+    case other =>
+      throw new IllegalArgumentException(s"Cannot msgpack-encode ${other.getClass}: $other")
+  }
+
+  private def writeLong(o: ByteArrayOutputStream, l: Long): Unit = {
+    if (l >= 0) {
+      if (l < 0x80) o.write(l.toInt)
+      else if (l < 0x100) { o.write(0xcc); o.write(l.toInt) }
+      else if (l < 0x10000) { o.write(0xcd); writeU16(o, l.toInt) }
+      else if (l < 0x100000000L) { o.write(0xce); writeU32(o, l.toInt) }
+      else { o.write(0xcf); o.write(ByteBuffer.allocate(8).putLong(l).array()) }
+    } else {
+      if (l >= -32) o.write((l & 0xff).toInt)
+      else if (l >= Byte.MinValue) { o.write(0xd0); o.write(l.toInt) }
+      else if (l >= Short.MinValue) { o.write(0xd1); writeU16(o, l.toInt) }
+      else if (l >= Int.MinValue) { o.write(0xd2); writeU32(o, l.toInt) }
+      else { o.write(0xd3); o.write(ByteBuffer.allocate(8).putLong(l).array()) }
+    }
+  }
+  private def writeU16(o: ByteArrayOutputStream, n: Int): Unit = {
+    o.write((n >> 8) & 0xff); o.write(n & 0xff)
+  }
+  private def writeU32(o: ByteArrayOutputStream, n: Int): Unit = {
+    o.write((n >> 24) & 0xff); o.write((n >> 16) & 0xff)
+    o.write((n >> 8) & 0xff); o.write(n & 0xff)
+  }
+
+  // ------------------------------------------------------------- zstd wrap
+
+  /** `unpackb(zstd.decompress(bytes))` (`core/_zmsgpack.py:17-19`); zstd via
+    * the zstd-jni Spark already ships. */
+  def unpackZstd(bytes: Array[Byte]): Any =
+    unpack(com.github.luben.zstd.Zstd.decompress(
+      bytes, decompressedSize(bytes)))
+
+  /** `zstd.compress(packb(obj))` with content size in the frame header
+    * (`core/_zmsgpack.py:10-14`). */
+  def packZstd(v: Any): Array[Byte] =
+    com.github.luben.zstd.Zstd.compress(pack(v))
+
+  private def decompressedSize(bytes: Array[Byte]): Int = {
+    val n = com.github.luben.zstd.Zstd.getFrameContentSize(bytes)
+    // reference always writes the content size; guard anyway for foreign frames
+    require(n >= 0 && n <= Int.MaxValue, s"zstd frame without valid content size: $n")
+    n.toInt
+  }
+}

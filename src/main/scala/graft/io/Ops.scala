@@ -23,6 +23,7 @@ object Ops {
       storage.delete(s"$uuid/indices")
       storage.delete(s"$uuid/table")
       storage.delete(uuid)
+      storage.delete(DatasetMetadata.msgpackHeaderKey(uuid))
       storage.delete(DatasetMetadata.headerKey(uuid))
     } finally graft.meta.DatasetFactory.bump(storage, uuid)
   }
@@ -52,7 +53,8 @@ object Ops {
     val referenced: Set[String] =
       meta.partitions.map(meta.fileKey).toSet ++
       meta.indices.values.flatMap(k => storage.listKeys(k) :+ k).toSet +
-      meta.schemaKey
+      meta.schemaKey +
+      s"${meta.tablePrefix}/${DatasetMetadata.CommonMetadataFile}"
     val all = storage.listKeys(uuid)
     val now = System.currentTimeMillis()
     val stagingPrefix = s"$uuid/.staging/"
@@ -95,7 +97,7 @@ object Ops {
     val preds: graft.dnf.Predicates.Predicates =
       scope.map(_.toSeq.map { case (c, v) => Literal(c, Op.Eq, v) })
     preds.flatten.foreach { l =>
-      require(meta.partitionKeys.contains(l.column) || meta.indices.contains(l.column),
+      require(meta.partitionKeys.contains(l.column) || meta.indexColumns.contains(l.column),
         s"delete_scope column '${l.column}' is neither a partition key nor an indexed column")
     }
     Reader.pruneLabels(spark, storage, meta, schema, Some(preds)).toSet

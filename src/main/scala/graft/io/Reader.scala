@@ -35,7 +35,7 @@ object Reader {
     val preds = predicates.getOrElse(return all)
     Predicates.check(preds)
     val keySet = meta.partitionKeys.toSet
-    val idxSet = meta.indices.keySet
+    val idxSet = meta.indexColumns
 
     // Evaluate all partition-key conjunction parts in ONE tiny local job on a
     // (label x key values) frame, reusing the exact DNF compiler (the
@@ -72,7 +72,7 @@ object Reader {
     // Secondary-index literals: evaluate each against its (cached) index.
     val idxCache = scala.collection.mutable.Map.empty[String, DataFrame]
     def index(colName: String): DataFrame = idxCache.getOrElseUpdate(colName,
-      SecondaryIndex.load(spark, storage, meta.indices(colName)).cache())
+      SecondaryIndex.loadFor(spark, storage, meta, colName, schema).cache())
     val survivors: Set[String] = preds.zipWithIndex.flatMap { case (conj, i) =>
       val idxLits = conj.filter(l => idxSet(l.column) && !keySet(l.column))
       val idxAllowed: Set[String] = idxLits.foldLeft(all.toSet) { (acc, l) =>
@@ -94,10 +94,12 @@ object Reader {
                 columns: Option[Seq[String]] = None,
                 predicates: Option[Preds] = None,
                 filterQuery: Option[String] = None,
-                indexOn: Option[String] = None): DataFrame =
-    readTableWith(spark, storage, uuid, DatasetMetadata.load(storage, uuid),
-      DatasetMetadata.loadSchema(storage, uuid), columns, predicates,
-      filterQuery, indexOn)
+                indexOn: Option[String] = None): DataFrame = {
+    val meta = DatasetMetadata.load(storage, uuid)
+    readTableWith(spark, storage, uuid, meta,
+      DatasetMetadata.loadSchema(storage, uuid, meta.tableName), columns,
+      predicates, filterQuery, indexOn)
+  }
 
   /** [[readTable]] with the metadata already in hand — the entry point for
     * [[graft.meta.DatasetFactory]]'s cached header/schema pair. */
@@ -154,9 +156,11 @@ object Reader {
     * per-partition view — same plan plus the originating label, so callers
     * can regroup by physical partition. */
   def readWithLabels(spark: SparkSession, storage: Storage, uuid: String,
-                     predicates: Option[Preds] = None): DataFrame =
+                     predicates: Option[Preds] = None): DataFrame = {
+    val meta = DatasetMetadata.load(storage, uuid)
     readTable(spark, storage, uuid, None, predicates)
-      .withColumn("__label", Writer.decodeFileLabel(uuid))
+      .withColumn("__label", Writer.decodeFileLabel(meta.tablePrefix))
+  }
 
   /** Reference `dispatch_by` (`io_components/read.py:66-95`): co-locate all
     * rows sharing the dispatch columns' values into the same task. */
@@ -177,7 +181,7 @@ object Reader {
                              predicates: Option[Preds] = None):
       Iterator[(String, DataFrame)] = {
     val meta = DatasetMetadata.load(storage, uuid)
-    val schema = DatasetMetadata.loadSchema(storage, uuid)
+    val schema = DatasetMetadata.loadSchema(storage, uuid, meta.tableName)
     val labels = pruneLabels(spark, storage, meta, schema, predicates)
     val base = s"${storage.base}/${meta.tablePrefix}"
     labels.iterator.map { label =>
@@ -203,10 +207,10 @@ object Reader {
     import org.apache.spark.sql.catalyst.expressions.{Expression => CExpr, Literal => CatalystLit, _}
     import org.apache.spark.sql.graftbridge.{GraftFileIndex, GraftRelation}
     val meta = DatasetMetadata.load(storage, uuid)
-    val schema = DatasetMetadata.loadSchema(storage, uuid)
+    val schema = DatasetMetadata.loadSchema(storage, uuid, meta.tableName)
     val partSchema = StructType(meta.partitionKeys.map(k => schema(k)))
     val dataSchema = StructType(schema.filterNot(f => meta.partitionKeys.contains(f.name)))
-    val idxCols = meta.indices.keySet -- meta.partitionKeys.toSet
+    val idxCols = meta.indexColumns -- meta.partitionKeys.toSet
 
     def toScala(l: org.apache.spark.sql.catalyst.expressions.Literal): Any =
       CatalystTypeConverters.convertToScala(l.value, l.dataType)
@@ -240,7 +244,7 @@ object Reader {
     val litCache = scala.collection.concurrent.TrieMap.empty[Literal, Set[String]]
     val idxCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
     def localIndex(c: String): DataFrame = idxCache.getOrElseUpdate(c, {
-      val remote = SecondaryIndex.load(spark, storage, meta.indices(c))
+      val remote = SecondaryIndex.loadFor(spark, storage, meta, c, schema)
       import scala.jdk.CollectionConverters._
       spark.createDataFrame(remote.collect().toSeq.asJava, remote.schema)
     })
@@ -273,9 +277,9 @@ object Reader {
   def indicesAsDataFrame(spark: SparkSession, storage: Storage, uuid: String,
                          columns: Seq[String] = Nil): DataFrame = {
     val meta = DatasetMetadata.load(storage, uuid)
-    val schema = DatasetMetadata.loadSchema(storage, uuid)
+    val schema = DatasetMetadata.loadSchema(storage, uuid, meta.tableName)
     val cols = if (columns.nonEmpty) columns
-               else (meta.partitionKeys ++ meta.indices.keySet.toSeq.sorted).distinct
+               else (meta.partitionKeys ++ meta.indexColumns.toSeq.sorted).distinct
     val frames: Seq[DataFrame] = cols.map { c =>
       if (meta.partitionKeys.contains(c)) {
         val i = meta.partitionKeys.indexOf(c)
@@ -285,9 +289,9 @@ object Reader {
             StructType(Seq(StructField("label", StringType), StructField(c, StringType))))
           .select(col("label"), col(c).cast(schema(c).dataType).as(c))
       } else {
-        require(meta.indices.contains(c),
+        require(meta.indexColumns.contains(c),
           s"Column '$c' is neither a partition key nor an indexed column of '$uuid'")
-        SecondaryIndex.asFlat(SecondaryIndex.load(spark, storage, meta.indices(c)))
+        SecondaryIndex.asFlat(SecondaryIndex.loadFor(spark, storage, meta, c, schema))
           .select(col("label"), col(SecondaryIndex.ValueCol).as(c))
       }
     }

@@ -122,15 +122,15 @@ object Writer {
         Serializer.read(spark, schema, base, ls.map(l => s"$base/$l"), fmt)
       }
       .reduce(_ unionByName _)
-      .withColumn(LabelCol, Writer.decodeFileLabel(uuid))
+      .withColumn(LabelCol, Writer.decodeFileLabel(s"$uuid/table"))
   }
 
   /** `input_file_name()` returns the URI-encoded path; decode it back to the
-    * on-disk (= header) label. A literal '+' must survive (URLDecoder would
+    * on-disk (= internal) label. A literal '+' must survive (URLDecoder would
     * turn it into a space — the same guard as `DatasetMetadata.urlDecode`). */
-  private[io] def decodeFileLabel(uuid: String): org.apache.spark.sql.Column =
+  private[io] def decodeFileLabel(tablePrefix: String): org.apache.spark.sql.Column =
     url_decode(regexp_replace(
-      regexp_replace(input_file_name(), lit(s"^.*?/$uuid/table/"), lit("")),
+      regexp_replace(input_file_name(), lit(s"^.*?/$tablePrefix/"), lit("")),
       lit("\\+"), lit("%2B")))
 
   private def buildAndStoreIndices(spark: SparkSession, storage: Storage,
@@ -342,7 +342,7 @@ object Writer {
     // partition-column index (written before the rule existed) must keep
     // committing — maintaining an existing index is not creating one
     checkIndexColumns(
-      secondaryIndices.filterNot(c => oldMeta.exists(_.indices.contains(c))), keys)
+      secondaryIndices.filterNot(c => oldMeta.exists(_.indexColumns.contains(c))), keys)
     val dup = newLabels.toSet.intersect(oldLabels.toSet)
     require(dup.isEmpty, s"Duplicate partition labels in commit: ${dup.mkString(", ")}")
 
@@ -350,16 +350,22 @@ object Writer {
       Ops.resolveDeleteScope(spark, storage, uuid, oldMeta, schema, deleteScope)
     val labels = (oldLabels.filterNot(deleted) ++ newLabels).sorted
     val indexCols =
-      (oldMeta.map(_.indices.keySet.toSeq).getOrElse(Nil) ++ secondaryIndices).distinct
+      (oldMeta.map(_.indexColumns.toSeq.sorted).getOrElse(Nil) ++ secondaryIndices).distinct
     val ts = nextTs()
+    // embedded header indices (reference `index_dct`) are maintained too —
+    // a commit upgrades them to external index files, which the reference
+    // accepts interchangeably (`core/index.py:from_v2`)
     val indices: Map[String, String] = indexCols.map { c =>
       val delta =
         if (newLabels.nonEmpty)
           SecondaryIndex.build(labeledData(spark, storage, uuid, schema, newLabels), c)
         else emptyIndex(spark, schema, c)
-      val merged = oldMeta.flatMap(m => m.indices.get(c)) match {
-        case Some(oldKey) =>
-          val old0 = SecondaryIndex.load(spark, storage, oldKey)
+      val merged = oldMeta.filter(_.indexColumns.contains(c)) match {
+        case Some(m) =>
+          // loadFor resolves stored header labels to INTERNAL labels, so the
+          // merge with the internally-labeled delta and the removal of the
+          // internally-labeled delete scope stay in one vocabulary
+          val old0 = SecondaryIndex.loadFor(spark, storage, m, c, schema)
           val old = if (deleted.nonEmpty) SecondaryIndex.removePartitions(old0, deleted) else old0
           SecondaryIndex.merge(old, delta)
         case None =>
@@ -399,9 +405,9 @@ object Writer {
     val existing = DatasetMetadata.load(storage, uuid)
     require(opts.partitionOn.isEmpty || opts.partitionOn == existing.partitionKeys,
       s"Incompatible partition keys: dataset has ${existing.partitionKeys}, update requested ${opts.partitionOn}")
-    require(opts.secondaryIndices.toSet.subsetOf(existing.indices.keySet),
+    require(opts.secondaryIndices.toSet.subsetOf(existing.indexColumns),
       s"Incorrect indices provided for dataset.\n" +
-        s"Expected: ${existing.indices.keySet.toSeq.sorted.mkString(", ")}\n" +
+        s"Expected: ${existing.indexColumns.toSeq.sorted.mkString(", ")}\n" +
         s"But got: ${opts.secondaryIndices.mkString(", ")}")
     val newLabels = df match {
       case Some(d) =>

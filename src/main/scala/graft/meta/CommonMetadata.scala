@@ -1,0 +1,60 @@
+package graft.meta
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter}
+import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
+import org.apache.spark.sql.execution.datasources.parquet.{
+  ParquetToSparkSchemaConverter, SparkToParquetSchemaConverter}
+import org.apache.spark.sql.types.StructType
+import graft.store.Storage
+
+/** The reference's `_common_metadata` schema file: "an empty parquet file
+  * fully specifying the schema of the table"
+  * (`docs/spec/format_specification.rst:132-135`; write
+  * `core/common_metadata.py:406-431` `_schema2bytes` = `pq.write_metadata`,
+  * read `core/common_metadata.py:383-404`). Footer-only — zero row groups —
+  * so both directions are metadata-sized I/O regardless of dataset size.
+  */
+object CommonMetadata {
+
+  /** Parquet footer -> Spark schema, using Spark's own converter so type
+    * mapping (int64/double/string/timestamp[us|ntz]/date32/binary/lists)
+    * matches what a data-file read would infer. */
+  def read(store: Storage, key: String): StructType = {
+    require(store.exists(key),
+      s"Dataset schema not found: neither ${DatasetMetadata.SchemaFileName} nor $key exists")
+    val in = HadoopInputFile.fromPath(store.path(key), store.hadoopConf)
+    val reader = ParquetFileReader.open(in)
+    try {
+      val msg = reader.getFooter.getFileMetaData.getSchema
+      // explicit flags (Spark's session defaults): the Configuration-based
+      // constructor requires a SQL-populated conf, which a bare Hadoop conf
+      // is not. inferTimestampNTZ keeps pandas timestamp[us] (no tz) as NTZ.
+      new ParquetToSparkSchemaConverter(
+        /* assumeBinaryIsString */ true, /* assumeInt96IsTimestamp */ true,
+        /* caseSensitive */ false, /* inferTimestampNTZ */ true,
+        /* nanosAsLong */ false, /* useFieldId */ false,
+        /* ignoreVariantAnnotation */ false,
+        /* respectUnknownTypeAnnotation */ false).convert(msg)
+    } finally reader.close()
+  }
+
+  /** Spark schema -> footer-only parquet file (the moral twin of pyarrow's
+    * `pq.write_metadata`). Overwrites like every schema commit. */
+  def write(store: Storage, key: String, schema: StructType): Unit = {
+    val conf = new Configuration(store.hadoopConf)
+    // TIMESTAMP_MICROS mirrors the reference's `coerce_timestamps="us"`
+    // (`core/common_metadata.py:431`)
+    val msg = new SparkToParquetSchemaConverter(
+      /* writeLegacyParquetFormat */ false,
+      org.apache.spark.sql.internal.SQLConf.ParquetOutputTimestampType.TIMESTAMP_MICROS,
+      /* useFieldId */ false, /* annotateVariantLogicalType */ false
+    ).convert(schema)
+    val out = HadoopOutputFile.fromPath(store.path(key), conf)
+    val writer = new ParquetFileWriter(out, msg, ParquetFileWriter.Mode.OVERWRITE,
+      128L * 1024 * 1024 /* row-group size; irrelevant, zero row groups */ ,
+      0 /* max padding */ )
+    writer.start()
+    writer.end(new java.util.HashMap[String, String]())
+  }
+}

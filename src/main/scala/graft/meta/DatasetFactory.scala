@@ -35,11 +35,11 @@ final class DatasetFactory(val spark: SparkSession, val storage: Storage,
     cached match {
       case Some((m, s, ver)) if ver == v => (m, s)
       case _ =>
-        require(DatasetMetadata.exists(storage, uuid),
-          s"Dataset '$uuid' does not exist in ${storage.base}")
-        val m = DatasetMetadata.fromJson(
-          storage.readString(DatasetMetadata.headerKey(uuid)))
-        val s = DatasetMetadata.loadSchema(storage, uuid)
+        // DatasetMetadata.load handles the msgpack.zstd header fallback and
+        // defers dynamic-partition listing to meta below
+        val loaded = DatasetMetadata.load(storage, uuid)
+        val m = if (loaded.explicitPartitions) loaded else loaded.copy(partitions = Nil)
+        val s = DatasetMetadata.loadSchema(storage, uuid, m.tableName)
         cached = Some((m, s, v))
         (m, s)
     }
@@ -50,7 +50,7 @@ final class DatasetFactory(val spark: SparkSession, val storage: Storage,
   def meta: DatasetMetadata = {
     val m = load()._1
     if (m.explicitPartitions) m
-    else m.copy(partitions = DatasetMetadata.listDataFiles(storage, uuid))
+    else m.copy(partitions = DatasetMetadata.listDataFiles(storage, uuid, m.tableName))
   }
 
   def schema: StructType = load()._2

@@ -2,32 +2,40 @@ package graft.meta
 
 import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
-import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.spark.sql.types.{DataType, StructType}
+import graft.interop.Msgpack
 import graft.store.Storage
 
-/** The dataset header — the single JSON document whose write is the atomic
-  * visibility point of every mutation. Re-derives the reference's
-  * `DatasetMetadataBase` (`core/dataset.py:63-131`, `to_dict`
-  * `core/dataset.py:193-220`) and key naming (`core/naming.py:30-34`).
+/** The dataset header — the single JSON (or zstd-compressed msgpack)
+  * document whose write is the atomic visibility point of every mutation.
+  * Re-derives the reference's `DatasetMetadataBase` (`core/dataset.py:63-131`,
+  * `to_dict` `core/dataset.py:193-220`) and key naming (`core/naming.py:30-34`),
+  * and is FORMAT-CONFORMANT with `docs/spec/format_specification.rst`:
   *
-  * Layout on storage (SURVEY.md §1.1, `docs/spec/storage_layout.rst`):
   * {{{
   *   <uuid>.by-dataset-metadata.json              header (THIS, written last)
-  *   <uuid>/table/_common_metadata.json           normalized schema (DataType.json)
-  *   <uuid>/table/<k1=v1/...>/part-*.parquet      data files (one per partition label)
+  *   <uuid>.by-dataset-metadata.msgpack.zstd      msgpack flavor (read fallback)
+  *   <uuid>/<table>/_common_metadata              empty-parquet schema file
+  *   <uuid>/<table>/_common_metadata.json         Spark DataType.json fast path (graft extension)
+  *   <uuid>/<table>/<k1=v1/...>/part-*.parquet    data files (one per partition)
   *   <uuid>/indices/<col>/<ts>.by-dataset-index.parquet   secondary indices
   * }}}
   *
-  * A partition label is the file path relative to `<uuid>/table/` — it both
-  * names the partition and locates its single Parquet file (reference:
-  * one file per partition, `core/partition.py:8-52`).
+  * Two label vocabularies exist:
+  *  - HEADER labels (what the reference calls the partition identifier):
+  *    the file path relative to `<uuid>/<table>/` WITHOUT the format suffix,
+  *    e.g. `k=v/part-0`. These appear as `partitions` keys and inside index
+  *    partition lists.
+  *  - INTERNAL labels (used throughout graft): the same path WITH the
+  *    suffix, e.g. `k=v/part-0.parquet` — each both names the partition and
+  *    locates its single data file. The mapping is recovered on load from
+  *    the header's `files` map (`core/partition.py:8-52`).
   */
 final case class DatasetMetadata(
     uuid: String,
-    partitions: Seq[String],              // labels, sorted
+    partitions: Seq[String],              // INTERNAL labels (with suffix), sorted
     partitionKeys: Seq[String],           // hive-encoded primary index columns
-    indices: Map[String, String],         // secondary index col -> index file key
+    indices: Map[String, String],         // external secondary index col -> index file key
     metadata: Map[String, String],        // user metadata
     metadataVersion: Int = DatasetMetadata.MetadataVersion,
     // Reference "dynamic datasets" (`core/dataset.py:596-619`): a header
@@ -35,12 +43,29 @@ final case class DatasetMetadata(
     // from a store listing on every load — used by
     // `create_empty_dataset_header` + concurrent uncommitted writers.
     explicitPartitions: Boolean = true,
-    format: String = "parquet") {         // data-file serializer (S2/S3)
+    format: String = "parquet",           // data-file serializer (S2/S3)
+    // Reference embedded indices (`ExplicitSecondaryIndex` with inline
+    // `index_dct`, `core/dataset.py:200-207`): value -> header labels.
+    // Values arrive as strings; they are cast to the column dtype at eval.
+    embeddedIndices: Map[String, Seq[(String, Seq[String])]] = Map.empty,
+    tableName: String = DatasetMetadata.SingleTable) {
 
   def headerKey: String = DatasetMetadata.headerKey(uuid)
-  def tablePrefix: String = s"$uuid/table"
-  def schemaKey: String = s"$uuid/table/${DatasetMetadata.SchemaFileName}"
+  def tablePrefix: String = s"$uuid/$tableName"
+  def schemaKey: String = s"$tablePrefix/${DatasetMetadata.SchemaFileName}"
   def fileKey(label: String): String = s"$tablePrefix/$label"
+
+  /** All indexed columns, external or embedded. */
+  def indexColumns: Set[String] = indices.keySet ++ embeddedIndices.keySet
+
+  /** INTERNAL label -> header label (reference partition identifier). */
+  def headerLabel(label: String): String = DatasetMetadata.stripDataSuffix(label)
+
+  /** Header label (as stored in reference indices) -> internal label.
+    * Accepts internal labels unchanged, so indices written by older graft
+    * rounds (suffixed labels) keep resolving. */
+  lazy val resolveLabel: Map[String, String] =
+    (partitions.map(l => headerLabel(l) -> l) ++ partitions.map(l => l -> l)).toMap
 
   /** Hive-encoded partition-key values for one label, decoded to strings.
     * e.g. "p=1/l=a%20b/part-0.parquet" -> Seq("1", "a b"). */
@@ -52,89 +77,221 @@ final case class DatasetMetadata(
     }
   }
 
-  def toJson: String = {
-    val m = DatasetMetadata.mapper
-    val root = m.createObjectNode()
-    root.put("dataset_uuid", uuid)
-    root.put("metadata_version", metadataVersion)
-    root.put("format", format)
-    if (explicitPartitions) {
-      val parts = root.putObject("partitions")
-      partitions.sorted.foreach { label =>
-        parts.putObject(label).putObject("files").put("table", fileKey(label))
+  /** The header as an ordered dict matching the reference's `to_dict`
+    * (`core/dataset.py:193-220`): version, uuid, then indices / metadata /
+    * partitions / partition_keys, each omitted when empty like the
+    * reference. `format` is a graft extension key (the reference's
+    * `from_dict` ignores unknown keys, `core/dataset.py:652-681`). */
+  def toDict: Map[String, Any] = {
+    val b = scala.collection.immutable.VectorMap.newBuilder[String, Any]
+    b += DatasetMetadata.MetadataVersionKey -> metadataVersion
+    b += DatasetMetadata.UuidKey -> uuid
+    if (indices.nonEmpty || embeddedIndices.nonEmpty) {
+      val ext: Seq[(String, Any)] = indices.toSeq.map { case (c, k) => c -> (k: Any) }
+      val emb: Seq[(String, Any)] = embeddedIndices.toSeq.map { case (c, vs) =>
+        c -> scala.collection.immutable.VectorMap.from[String, Any](
+          vs.map { case (v, ls) => v -> (ls: Any) })
       }
+      b += "indices" -> scala.collection.immutable.VectorMap.from[String, Any](
+        (ext ++ emb).sortBy(_._1))
     }
-    val keys = root.putArray("partition_keys")
-    partitionKeys.foreach(keys.add)
-    val idx = root.putObject("indices")
-    indices.toSeq.sortBy(_._1).foreach { case (k, v) => idx.put(k, v) }
-    val md = root.putObject("metadata")
-    metadata.toSeq.sortBy(_._1).foreach { case (k, v) => md.put(k, v) }
-    m.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+    if (metadata.nonEmpty)
+      b += "metadata" -> scala.collection.immutable.VectorMap.from[String, Any](
+        metadata.toSeq.sortBy(_._1).map { case (k, v) => k -> (v: Any) })
+    if (explicitPartitions)
+      b += "partitions" -> scala.collection.immutable.VectorMap.from[String, Any](
+        partitions.sorted.map { label =>
+          headerLabel(label) -> scala.collection.immutable.VectorMap[String, Any](
+            "files" -> scala.collection.immutable.VectorMap[String, Any](
+              tableName -> fileKey(label)))
+        })
+    b += "partition_keys" -> partitionKeys
+    if (format != "parquet") b += "format" -> format
+    b.result()
   }
+
+  def toJson: String =
+    DatasetMetadata.mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsString(DatasetMetadata.toJackson(toDict))
+
+  /** The `.msgpack.zstd` header flavor (`core/dataset.py:225-226`). */
+  def toMsgpackZstd: Array[Byte] = Msgpack.packZstd(toDict)
 }
 
 object DatasetMetadata {
   val MetadataVersion = 4
+  val SingleTable = "table"                       // `core/naming.py:4`
+  val MetadataVersionKey = "dataset_metadata_version" // `core/naming.py:22`
+  val UuidKey = "dataset_uuid"
   val HeaderSuffix = ".by-dataset-metadata.json"
-  val SchemaFileName = "_common_metadata.json"
+  val MsgpackHeaderSuffix = ".by-dataset-metadata.msgpack.zstd"
+  val SchemaFileName = "_common_metadata.json"    // graft fast path
+  val CommonMetadataFile = "_common_metadata"     // reference empty-parquet schema
   val IndexSuffix = ".by-dataset-index.parquet"
 
   private[graft] val mapper = new ObjectMapper()
 
   def headerKey(uuid: String): String = s"$uuid$HeaderSuffix"
+  def msgpackHeaderKey(uuid: String): String = s"$uuid$MsgpackHeaderSuffix"
 
-  def fromJson(json: String): DatasetMetadata = {
-    val root = mapper.readTree(json)
-    def strSeq(n: JsonNode): Seq[String] =
-      if (n == null) Nil else n.elements().asScala.map(_.asText()).toSeq
-    def strMap(n: JsonNode): Map[String, String] =
-      if (n == null) Map.empty
-      else n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
-    val partsNode = Option(root.get("partitions"))
-    DatasetMetadata(
-      uuid = root.get("dataset_uuid").asText(),
-      partitions = partsNode.map(_.fieldNames().asScala.toSeq.sorted).getOrElse(Nil),
-      partitionKeys = strSeq(root.get("partition_keys")),
-      indices = strMap(root.get("indices")),
-      metadata = strMap(root.get("metadata")),
-      metadataVersion = root.get("metadata_version").asInt(),
-      explicitPartitions = partsNode.isDefined,
-      format = Option(root.get("format")).map(_.asText()).getOrElse("parquet"))
+  private[meta] def toJackson(v: Any): JsonNode = v match {
+    case null => mapper.nullNode()
+    case m: collection.Map[_, _] =>
+      val o = mapper.createObjectNode()
+      m.foreach { case (k, value) => o.set[JsonNode](k.toString, toJackson(value)) }
+      o
+    case s: Iterable[_] =>
+      val a = mapper.createArrayNode()
+      s.foreach(x => a.add(toJackson(x)))
+      a
+    case s: String => mapper.getNodeFactory.textNode(s)
+    case i: Int => mapper.getNodeFactory.numberNode(i)
+    case l: Long => mapper.getNodeFactory.numberNode(l)
+    case d: Double => mapper.getNodeFactory.numberNode(d)
+    case b: Boolean => mapper.getNodeFactory.booleanNode(b)
+    case other => mapper.getNodeFactory.textNode(other.toString)
   }
 
-  def exists(store: Storage, uuid: String): Boolean = store.exists(headerKey(uuid))
+  private def fromJackson(n: JsonNode): Any = {
+    if (n.isNull) null
+    else if (n.isObject) {
+      val b = scala.collection.immutable.VectorMap.newBuilder[String, Any]
+      n.properties().asScala.foreach(e => b += e.getKey -> fromJackson(e.getValue))
+      b.result()
+    }
+    else if (n.isArray) n.elements().asScala.map(fromJackson).toSeq
+    else if (n.isTextual) n.asText()
+    else if (n.isIntegralNumber) n.asLong()
+    else if (n.isFloatingPointNumber) n.asDouble()
+    else if (n.isBoolean) n.asBoolean()
+    else n.asText()
+  }
+
+  def fromJson(json: String): DatasetMetadata =
+    fromDict(fromJackson(mapper.readTree(json)).asInstanceOf[Map[String, Any]])
+
+  /** Parse a header dict — the shared decode path for both the JSON and the
+    * msgpack flavors (reference `from_buffer`/`load_from_dict`,
+    * `core/dataset.py:575-652`). Accepts both the reference shape
+    * (suffix-less labels + `files` map, `dataset_metadata_version`) and
+    * graft's pre-interop shape (suffixed labels, `metadata_version`). */
+  def fromDict(root: Map[String, Any]): DatasetMetadata = {
+    def str(v: Any): String = v.asInstanceOf[String]
+    val uuid = str(root(UuidKey))
+    val version = root.get(MetadataVersionKey).orElse(root.get("metadata_version"))
+      .map(_.asInstanceOf[Number].intValue)
+      .getOrElse(throw new IllegalArgumentException(
+        s"Header for '$uuid' missing $MetadataVersionKey"))
+    val partsNode = root.get("partitions").map(_.asInstanceOf[Map[String, Any]])
+
+    // Internal labels + table name from the files map; legacy graft headers
+    // keyed partitions by the suffixed path itself, so fall back to the key.
+    var tableName = SingleTable
+    val partitions: Seq[String] = partsNode.map(_.toSeq.map { case (label, pv) =>
+      val files = pv.asInstanceOf[Map[String, Any]]
+        .get("files").map(_.asInstanceOf[Map[String, Any]]).getOrElse(Map.empty)
+      files.headOption match {
+        case Some((table, fileKey)) =>
+          tableName = table
+          val prefix = s"$uuid/$table/"
+          val k = str(fileKey)
+          require(k.startsWith(prefix),
+            s"Partition file key '$k' does not start with '$prefix'")
+          k.stripPrefix(prefix)
+        case None => label // legacy/sparse header: key IS the relative path
+      }
+    }.sorted).getOrElse(Nil)
+
+    val (external, embedded) =
+      root.get("indices").map(_.asInstanceOf[Map[String, Any]]).getOrElse(Map.empty)
+        .foldLeft((Map.empty[String, String], Map.empty[String, Seq[(String, Seq[String])]])) {
+          case ((ext, emb), (c, k: String)) => (ext + (c -> k), emb)
+          case ((ext, emb), (c, d: collection.Map[_, _])) =>
+            val entries = d.toSeq.map { case (v, ls) =>
+              v.toString -> ls.asInstanceOf[Seq[Any]].map(str)
+            }
+            (ext, emb + (c -> entries))
+          case (_, (c, other)) => throw new IllegalArgumentException(
+            s"Unsupported index entry for '$c': $other")
+        }
+
+    val format = root.get("format").map(str).getOrElse {
+      // infer from file suffixes so real plateau csv datasets read correctly
+      partitions.headOption.flatMap(l =>
+        DataFileSuffixes.find(l.endsWith).map(_.stripPrefix("."))).getOrElse("parquet")
+    }
+
+    DatasetMetadata(
+      uuid = uuid,
+      partitions = partitions,
+      partitionKeys = root.get("partition_keys")
+        .map(_.asInstanceOf[Seq[Any]].map(str)).getOrElse(Nil),
+      indices = external,
+      metadata = root.get("metadata")
+        .map(_.asInstanceOf[Map[String, Any]].map { case (k, v) => k -> String.valueOf(v) })
+        .getOrElse(Map.empty),
+      metadataVersion = version,
+      explicitPartitions = partsNode.isDefined,
+      format = format,
+      embeddedIndices = embedded,
+      tableName = tableName)
+  }
+
+  def exists(store: Storage, uuid: String): Boolean =
+    store.exists(headerKey(uuid)) || store.exists(msgpackHeaderKey(uuid))
 
   /** Data-file suffixes the serializer registry understands (S2/S3). */
   val DataFileSuffixes: Seq[String] = Seq(".parquet", ".csv.gz", ".csv")
   def isDataFile(key: String): Boolean = DataFileSuffixes.exists(key.endsWith)
+  def stripDataSuffix(label: String): String =
+    DataFileSuffixes.find(label.endsWith).map(s => label.dropRight(s.length))
+      .getOrElse(label)
 
   /** List the data files of a dataset as partition labels (paths relative to
-    * `<uuid>/table/`). */
-  def listDataFiles(store: Storage, uuid: String): Seq[String] =
-    store.listKeys(s"$uuid/table")
+    * the table prefix). */
+  def listDataFiles(store: Storage, uuid: String, table: String = SingleTable): Seq[String] =
+    store.listKeys(s"$uuid/$table")
       .filter(isDataFile)
-      .map(_.stripPrefix(s"$uuid/table/"))
+      .map(_.stripPrefix(s"$uuid/$table/"))
       .sorted
 
-  /** Reference `DatasetMetadata.load_from_store` (`core/dataset.py:531-574`),
-    * JSON flavor only (msgpack+zstd intentionally dropped, SURVEY.md W11).
+  /** Reference `DatasetMetadata.load_from_store` (`core/dataset.py:531-574`):
+    * try the JSON header, fall back to the `.msgpack.zstd` flavor.
     * A header without a `partitions` key is a *dynamic* dataset
     * (`core/dataset.py:596-619`): its partition set is reconstructed from a
     * store listing, so uncommitted `writeSinglePartition` output is visible. */
   def load(store: Storage, uuid: String): DatasetMetadata = {
-    require(exists(store, uuid), s"Dataset '$uuid' does not exist in ${store.base}")
-    val m = fromJson(store.readString(headerKey(uuid)))
+    val m =
+      if (store.exists(headerKey(uuid))) fromJson(store.readString(headerKey(uuid)))
+      else if (store.exists(msgpackHeaderKey(uuid)))
+        fromDict(Msgpack.unpackZstd(store.readBytes(msgpackHeaderKey(uuid)))
+          .asInstanceOf[Map[String, Any]])
+      else throw new IllegalArgumentException(
+        s"Dataset '$uuid' does not exist in ${store.base} " +
+        s"(tried ${headerKey(uuid)} and ${msgpackHeaderKey(uuid)})")
     if (m.explicitPartitions) m
-    else m.copy(partitions = listDataFiles(store, uuid))
+    else m.copy(partitions = listDataFiles(store, uuid, m.tableName))
   }
 
-  def loadSchema(store: Storage, uuid: String): StructType =
-    DataType.fromJson(store.readString(s"$uuid/table/$SchemaFileName"))
-      .asInstanceOf[StructType]
+  /** Schema read: graft's `DataType.json` fast path, falling back to the
+    * reference's `_common_metadata` empty-parquet footer
+    * (`core/common_metadata.py:383-404`). */
+  def loadSchema(store: Storage, uuid: String, table: String = SingleTable): StructType = {
+    val jsonKey = s"$uuid/$table/$SchemaFileName"
+    if (store.exists(jsonKey))
+      DataType.fromJson(store.readString(jsonKey)).asInstanceOf[StructType]
+    else
+      CommonMetadata.read(store, s"$uuid/$table/$CommonMetadataFile")
+  }
 
-  def writeSchema(store: Storage, uuid: String, schema: StructType): Unit =
-    store.writeString(s"$uuid/table/$SchemaFileName", schema.json)
+  /** Schema write: both flavors — the reference-conformant empty-parquet
+    * `_common_metadata` (`core/common_metadata.py:406-431`) and the JSON
+    * fast path that preserves exact Spark types. */
+  def writeSchema(store: Storage, uuid: String, schema: StructType,
+                  table: String = SingleTable): Unit = {
+    store.writeString(s"$uuid/$table/$SchemaFileName", schema.json)
+    CommonMetadata.write(store, s"$uuid/$table/$CommonMetadataFile", schema)
+  }
 
   /** Percent-decoding of hive partition values (reference
     * `core/urlencode.py:26-51`; Spark uses the same escaping on write). */

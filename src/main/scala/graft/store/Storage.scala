@@ -35,19 +35,25 @@ class Storage(val base: String, @transient private var conf: Configuration)
 
   def exists(key: String): Boolean = fs.exists(path(key))
 
-  def readString(key: String): String = {
+  def readString(key: String): String =
+    new String(readBytes(key), StandardCharsets.UTF_8)
+
+  def readBytes(key: String): Array[Byte] = {
     val in = fs.open(path(key))
-    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    try in.readAllBytes()
     finally in.close()
   }
 
   /** Single-shot create; the header-last commit protocol relies on this
     * being the final action of a write (SURVEY.md §7.4 atomicity note). */
-  def writeString(key: String, content: String): Unit = {
+  def writeString(key: String, content: String): Unit =
+    writeBytes(key, content.getBytes(StandardCharsets.UTF_8))
+
+  def writeBytes(key: String, content: Array[Byte]): Unit = {
     val p = path(key)
     fs.mkdirs(p.getParent)
     val out = fs.create(p, true)
-    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    try out.write(content)
     finally out.close()
   }
 

@@ -75,8 +75,8 @@ object Streaming {
     * applied exactly as in batch reads. */
   def readStream(spark: SparkSession, storage: Storage, uuid: String,
                  maxFilesPerTrigger: Int = 1000): DataFrame = {
-    val schema = DatasetMetadata.loadSchema(storage, uuid)
     val meta = DatasetMetadata.load(storage, uuid)
+    val schema = DatasetMetadata.loadSchema(storage, uuid, meta.tableName)
     val r = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

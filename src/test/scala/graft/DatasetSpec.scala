@@ -459,7 +459,18 @@ class DatasetSpec extends SparkSpec {
     Writer.store(spark, store, "urlidx", tricky,
       WriteOpts(partitionOn = Seq("p"), secondaryIndices = Seq("s")))
     val meta = DatasetMetadata.load(store, "urlidx")
-    val idx = SecondaryIndex.load(spark, store, meta.indices("s"))
+    val schema = DatasetMetadata.loadSchema(store, "urlidx")
+    // ON DISK the index is reference-conformant: (<col>, partition) with
+    // suffix-less header labels (core/index.py:34 + _index_dct_to_table)
+    val rawSchema = spark.read.parquet(s"${store.base}/${meta.indices("s")}").schema
+    assert(rawSchema.fieldNames.toSeq === Seq("s", "partition"))
+    val storedLabels = SecondaryIndex.asFlat(
+        SecondaryIndex.load(spark, store, meta.indices("s")))
+      .select("label").collect().map(_.getString(0)).toSet
+    assert(storedLabels === meta.partitions.map(meta.headerLabel).toSet,
+      s"stored index labels $storedLabels != header labels")
+    // loadFor resolves them back to INTERNAL labels
+    val idx = SecondaryIndex.loadFor(spark, store, meta, "s", schema)
     val indexLabels = SecondaryIndex.asFlat(idx).select("label")
       .collect().map(_.getString(0)).toSet
     assert(indexLabels.subsetOf(meta.partitions.toSet),
