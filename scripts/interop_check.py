@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""Validate a graft-written dataset with the REFERENCE library's read logic,
+re-implemented on pyarrow + json (the reference itself is not installable in
+this sandbox). Mirrors:
+
+  - core/dataset.py load_from_store / load_from_dict: header keys,
+    partitions -> files map, table detection
+  - core/common_metadata.py read_schema_metadata: _common_metadata footer
+  - core/index.py _parquet_bytes_to_dict: index parquet (<col>, partition)
+  - io_components read: hive key reconstruction from the file path
+    (core/urlencode.py decode_key)
+
+Usage: interop_check.py <storeDir> <uuid>
+Run after: sbt "runMain graft.InteropDump <storeDir>"
+"""
+import json
+import sys
+import urllib.parse
+
+import pyarrow.parquet as pq
+
+
+def fail(msg):
+    print(f"!! {msg}")
+    sys.exit(1)
+
+
+def main(base, uuid):
+    # --- header (load_from_store, json flavor)
+    with open(f"{base}/{uuid}.by-dataset-metadata.json") as f:
+        dct = json.load(f)
+    assert dct["dataset_metadata_version"] == 4, dct
+    assert dct["dataset_uuid"] == uuid
+    partitions = dct["partitions"]
+    tables = list(list(partitions.values())[0]["files"])
+    assert tables == ["table"], tables
+    for label, part in partitions.items():
+        key = part["files"]["table"]
+        assert key == f"{uuid}/table/{label}.parquet", (label, key)
+    print(f"== header ok: {len(partitions)} partitions, "
+          f"partition_keys={dct['partition_keys']}")
+
+    # --- schema (read_schema_metadata)
+    schema = pq.read_schema(f"{base}/{uuid}/table/_common_metadata")
+    print(f"== _common_metadata ok: {schema.names}")
+
+    # --- secondary index (_parquet_bytes_to_dict)
+    index_dct = {}
+    for col, index_key in dct.get("indices", {}).items():
+        t = pq.read_table(f"{base}/{index_key}")
+        assert t.column_names == [col, "partition"], t.column_names
+        index_dct[col] = {
+            v: sorted(ls) for v, ls in
+            zip(t.column(col).to_pylist(), t.column("partition").to_pylist())
+        }
+        for ls in index_dct[col].values():
+            for l in ls:
+                assert l in partitions, f"index label {l} not in header"
+        print(f"== index '{col}' ok: {sorted(index_dct[col])}")
+
+    # --- data read with hive reconstruction (decode_key + restore_dataframe)
+    pkeys = dct["partition_keys"]
+    rows = []
+    for label, part in sorted(partitions.items()):
+        key = part["files"]["table"]
+        t = pq.read_table(f"{base}/{key}")
+        comps = key.split("/")[2:-1]
+        hive = {}
+        for comp in comps:
+            k, _, v = comp.partition("=")
+            hive[urllib.parse.unquote(k)] = urllib.parse.unquote(v)
+        assert set(hive) == set(pkeys), (hive, pkeys)
+        for k in pkeys:
+            assert k not in t.column_names, \
+                f"partition column '{k}' must not be in the payload"
+        for rec in t.to_pylist():
+            rec.update(hive)
+            rows.append(rec)
+    print(f"== data ok: {len(rows)} rows")
+
+    # --- cross-check: index-pruned read equals full-scan filter
+    for col, dcts in index_dct.items():
+        for value, labels in dcts.items():
+            via_index = {r["id"] for label in labels
+                         for r in rows_in(base, uuid, partitions, label, pkeys)
+                         if r[col] == value}
+            via_scan = {r["id"] for r in rows if r[col] == value}
+            assert via_index == via_scan, (col, value, via_index, via_scan)
+    print("== index-pruned reads match full-scan filters")
+    print("== interop check PASSED")
+
+
+def rows_in(base, uuid, partitions, label, pkeys):
+    key = partitions[label]["files"]["table"]
+    t = pq.read_table(f"{base}/{key}")
+    hive = {}
+    for comp in key.split("/")[2:-1]:
+        k, _, v = comp.partition("=")
+        hive[urllib.parse.unquote(k)] = urllib.parse.unquote(v)
+    for rec in t.to_pylist():
+        rec.update(hive)
+        yield rec
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])

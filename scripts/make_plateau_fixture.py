@@ -1,0 +1,134 @@
+#!/usr/bin/env python3
+"""Generate a reference-conformant plateau dataset fixture for CompatSpec.
+
+Mirrors the reference library's write path byte-for-byte where it matters:
+  - header dict shape: plateau core/dataset.py to_dict (dataset_metadata_version,
+    suffix-less partition labels, files map, external + embedded indices)
+  - _common_metadata: pq.write_metadata of the full schema incl. partition
+    columns (core/common_metadata.py _schema2bytes, version=2.4,
+    coerce_timestamps="us")
+  - data files: pq.write_table(version="2.4", coerce_timestamps="us",
+    compression="SNAPPY") with the partition column dropped from the payload
+    and hive-encoded into the path (serialization/_parquet.py store)
+  - index parquet: columns (<column>, partition: list<string>) holding
+    suffix-less header labels (core/index.py _index_dct_to_table)
+
+The point of generating this with pyarrow (not with graft itself) is that the
+conformance test reads files produced by a DIFFERENT writer implementation.
+
+Run once; outputs are committed under src/test/resources/plateau-fixture/.
+"""
+import json
+import os
+import shutil
+import urllib.parse
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+OUT = os.path.join(os.path.dirname(__file__), "..",
+                   "src", "test", "resources", "plateau-fixture")
+UUID = "pfix"
+TABLE = "table"
+PARQUET_VERSION = "2.4"
+
+
+def quote(v):  # plateau core/urlencode.py quote (percent-encode, no safe chars)
+    return urllib.parse.quote(str(v), safe="")
+
+
+def write_table(path, table):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(table, path, version=PARQUET_VERSION,
+                   compression="SNAPPY", coerce_timestamps="us")
+
+
+def main():
+    shutil.rmtree(OUT, ignore_errors=True)
+    os.makedirs(OUT, exist_ok=True)
+
+    ts = pa.timestamp("us")
+    full_schema = pa.schema([
+        ("id", pa.int64()),
+        ("val", pa.float64()),
+        ("name", pa.string()),
+        ("ts", ts),
+        ("cat", pa.string()),
+        ("cat2", pa.string()),
+        ("loc", pa.string()),   # partition column, stored in schema only
+    ])
+    payload_schema = pa.schema([f for f in full_schema if f.name != "loc"])
+
+    def t(us):
+        return us * 1000000
+
+    # partition "L A" exercises percent-escaping in the hive path
+    parts = {
+        "loc=L%20A/part-0": {
+            "id": [1, 2], "val": [1.5, 2.5], "name": ["ada", "bob"],
+            "ts": [t(1), t(2)], "cat": ["red", "blue"], "cat2": ["x", "x"],
+        },
+        "loc=B/part-0": {
+            "id": [3, 4], "val": [3.5, None], "name": ["cyd", None],
+            "ts": [t(3), None], "cat": ["red", "green"], "cat2": ["y", "x"],
+        },
+        "loc=B/part-1": {
+            "id": [5], "val": [5.5], "name": ["eve"],
+            "ts": [t(5)], "cat": ["blue"], "cat2": ["y"],
+        },
+    }
+    for label, cols in parts.items():
+        arrays = [pa.array(cols[f.name], type=f.type) for f in payload_schema]
+        write_table(os.path.join(OUT, UUID, TABLE, label + ".parquet"),
+                    pa.Table.from_arrays(arrays, schema=payload_schema))
+
+    # _common_metadata: footer-only parquet with the FULL schema
+    cm = os.path.join(OUT, UUID, TABLE, "_common_metadata")
+    pq.write_metadata(full_schema, cm, version=PARQUET_VERSION,
+                      coerce_timestamps="us")
+
+    # external index on cat: (cat, partition: list<string>), header labels
+    index_dct = {}
+    for label, cols in parts.items():
+        for c in cols["cat"]:
+            index_dct.setdefault(c, set()).add(label)
+    keys = sorted(index_dct)
+    index_table = pa.Table.from_arrays(
+        [pa.array(keys, type=pa.string()),
+         pa.array([sorted(index_dct[k]) for k in keys],
+                  type=pa.list_(pa.string()))],
+        names=["cat", "partition"])
+    index_key = (f"{UUID}/indices/cat/"
+                 + quote("2024-01-01T00:00:00.000000")
+                 + ".by-dataset-index.parquet")
+    write_table(os.path.join(OUT, index_key), index_table)
+
+    # header: reference to_dict shape; cat2 is an EMBEDDED index dict
+    emb = {}
+    for label, cols in parts.items():
+        for c in cols["cat2"]:
+            emb.setdefault(c, set()).add(label)
+    header = {
+        "dataset_metadata_version": 4,
+        "dataset_uuid": UUID,
+        "indices": {
+            "cat": index_key,
+            "cat2": {k: sorted(v) for k, v in sorted(emb.items())},
+        },
+        "metadata": {"creation_time": "2024-01-01T00:00:00.000000"},
+        "partitions": {
+            label: {"files": {TABLE: f"{UUID}/{TABLE}/{label}.parquet"}}
+            for label in sorted(parts)
+        },
+        "partition_keys": ["loc"],
+    }
+    with open(os.path.join(OUT, f"{UUID}.by-dataset-metadata.json"), "w") as f:
+        json.dump(header, f, indent=2, sort_keys=False)
+
+    n = sum(len(c["id"]) for c in parts.values())
+    print(f"fixture written to {OUT}: {n} rows, 3 partitions, "
+          f"external index 'cat', embedded index 'cat2'")
+
+
+if __name__ == "__main__":
+    main()

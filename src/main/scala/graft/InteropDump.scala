@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.io.Writer
+import graft.io.Writer.WriteOpts
+import graft.store.Storage
+
+/** Writes a small partitioned + indexed dataset to `args(0)` so
+  * `scripts/interop_check.py` (a pyarrow/json re-implementation of the
+  * reference's read path) can validate the on-disk layout from the other
+  * side. Companion to PlateauCompatSpec, which proves the read direction.
+  */
+object InteropDump {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 1, "usage: InteropDump <outDir>")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-interop-dump")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    val st = Storage(spark, args(0))
+    val df = Seq(
+      (1L, 1.5, "ada", "red", "L A"),
+      (2L, 2.5, "bob", "blue", "L A"),
+      (3L, 3.5, "cyd", "red", "B"),
+      (4L, 4.5, "dee", "green", "B"))
+      .toDF("id", "val", "name", "cat", "loc")
+    Writer.store(spark, st, "gds", df,
+      WriteOpts(partitionOn = Seq("loc"), secondaryIndices = Seq("cat")))
+    println(s"== wrote gds to ${args(0)}")
+    spark.stop()
+  }
+}
