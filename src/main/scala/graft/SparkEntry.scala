@@ -64,6 +64,18 @@ object SparkEntry {
           secondaryIndices = Seq("lang"), overwrite = true))
     }
 
+  /** documents sorted by doc_id in 256 KiB row groups: each file's groups
+    * carry disjoint doc_id stats, so a selective range predicate prunes at
+    * the row-group level (reference `chunk_size`,
+    * `serialization/_parquet.py:362-379` + `efficient_querying.rst:90-102`). */
+  private def chunkedDocDs(s: SparkSession, dir: String): Storage =
+    ensure(s, dir, "chunkdoc") { st =>
+      Writer.store(s, st, "chunkdoc",
+        rd(s, dir, "documents").select("doc_id", "lang", "text"),
+        WriteOpts(sortBy = Seq("doc_id"), chunkSize = Some(256L * 1024),
+          overwrite = true))
+    }
+
   // ------------------------------------------------------------- flagship
 
   /** Flagship query on sf=0.001 (driver smoke-checks rows>0): the full
@@ -204,6 +216,14 @@ object SparkEntry {
     // --- W2/S8: store partitioned+indexed dataset, read_table full roundtrip
     "w2_roundtrip" -> ((s, dir) =>
       Reader.readTable(s, liDs(s, dir), "li")),
+
+    // --- W1+O1: chunk_size row groups + sorted write -> row-group pruning
+    // on a selective range predicate (reference efficient_querying story)
+    "w_chunked_prune" -> ((s, dir) =>
+      Reader.readTable(s, chunkedDocDs(s, dir), "chunkdoc",
+        columns = Some(Seq("doc_id", "lang")),
+        predicates = Some(Seq(Seq(
+          Literal("doc_id", Op.Ge, 100L), Literal("doc_id", Op.Le, 200L)))))),
 
     // --- S8+: dask_index_on equivalent — globally range-sorted read
     // (reference io/dask/dataframe.py:145-151,167-168)
@@ -616,6 +636,8 @@ object SparkEntry {
         "SELECT l_returnflag, l_discount, l_extendedprice, l_linenumber::BIGINT AS l_linenumber, l_linestatus, l_orderkey, l_partkey, l_quantity, l_shipdate, l_suppkey, l_tax FROM lineitem",
       "s8_index_on" ->
         "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders",
+      "w_chunked_prune" ->
+        "SELECT doc_id, lang FROM documents WHERE doc_id BETWEEN 100 AND 200",
       "x1_partition_prune" ->
         "SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber, l_quantity, l_returnflag FROM lineitem WHERE l_returnflag = 'R' AND l_quantity < 25",
       "s6_index_prune" ->

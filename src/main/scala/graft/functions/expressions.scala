@@ -42,6 +42,8 @@ object expressions {
     ColumnBridge.registerFunction(spark, "hyperplane_buckets",
       es => HyperplaneBuckets(es.head, intArg(es(1), "hyperplane_buckets"),
         intArg(es(2), "hyperplane_buckets")))
+    ColumnBridge.registerFunction(spark, "byte_dim_sums",
+      es => ByteDimSums(es.head, intArg(es(1), "byte_dim_sums")))
   }
 }
 
@@ -351,5 +353,49 @@ case class SimHash(child: Expression) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHash =
+    copy(child = newChild)
+}
+
+/** Stub image-feature extraction: per-dimension EXACT integer byte sums with
+  * one float32 division at the end (see
+  * [[graft.ops.Multimodal.decodeImageStub]] for why the arithmetic must be
+  * order-independent). As a codegen'd expression the multimodal feature
+  * path stays columnar inside whole-stage codegen instead of dropping to an
+  * RDD `mapPartitions`; a REAL decoder (image/audio libs) would instead use
+  * the `mapPartitions` escape hatch to hold one decoder instance per task.
+  */
+case class ByteDimSums(child: Expression, dims: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "byte_dim_sums"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.BinaryType ||
+        child.dataType == NullType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${child.dataType.simpleString}")
+
+  def compute(payload: Array[Byte]): ArrayData = {
+    val sums = new Array[Long](dims)
+    var i = 0
+    while (i < payload.length) {
+      sums(i % dims) += (payload(i) & 0xff)
+      i += 1
+    }
+    val out = new Array[Any](dims)
+    i = 0
+    while (i < dims) { out(i) = sums(i).toFloat / 255.0f; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("byteDimSums", this, classOf[ByteDimSums].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ByteDimSums =
     copy(child = newChild)
 }

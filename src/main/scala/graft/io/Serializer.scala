@@ -40,11 +40,28 @@ object Serializer {
 
   /** Format-specific write of an already-arranged (repartitioned/sorted)
     * frame; Spark's FileFormatWriter replaces the reference's per-partition
-    * serialize loop. */
+    * serialize loop.
+    *
+    * `chunkSize` is the reference `ParquetSerializer(chunk_size=...)` knob
+    * (`serialization/_parquet.py:362-379`) re-expressed in Spark's unit:
+    * BYTES per Parquet row group (`parquet.block.size`) instead of rows —
+    * parquet-mr flushes row groups by size. Paired with a sorted write it
+    * yields multiple row groups with disjoint min/max ranges, the
+    * `docs/spec/efficient_querying.rst:90-102` pruning story. */
   def write(df: DataFrame, path: String, format: String, mode: String,
-            partitionOn: Seq[String]): Unit = {
+            partitionOn: Seq[String], chunkSize: Option[Long] = None): Unit = {
     require(Formats(format), s"No serializer registered for format '$format'")
-    val w = df.write.mode(mode).partitionBy(partitionOn: _*)
+    val w0 = df.write.mode(mode).partitionBy(partitionOn: _*)
+    val w = chunkSize match {
+      case Some(n) =>
+        require(n > 0, s"chunkSize must be positive, got $n")
+        require(format == "parquet", "chunkSize only applies to parquet datasets")
+        // page size must not exceed the row-group size or tiny groups hold
+        // one over-sized page
+        w0.option("parquet.block.size", n.toString)
+          .option("parquet.page.size", math.min(n, 1L << 20).toString)
+      case None => w0
+    }
     format match {
       case "parquet" => w.parquet(path)
       case "csv"     => w.option("sep", ";").option("header", "true").csv(path)

@@ -30,7 +30,8 @@ object Writer {
       overwrite: Boolean = false,
       metadata: Map[String, String] = Map.empty,
       format: String = "parquet",         // S2/S3: parquet | csv | csv.gz
-      writeWidth: Int = 0)                // 0 = derive (see layout())
+      writeWidth: Int = 0,                // 0 = derive (see layout())
+      chunkSize: Option[Long] = None)     // bytes per parquet row group
 
   val LabelCol = "__label"
 
@@ -195,7 +196,7 @@ object Writer {
     val prepared = prepare(df, opts.partitionOn)
     val schema = prepared.schema
     Serializer.write(layout(prepared, opts), s"${storage.base}/$uuid/table",
-      opts.format, "errorifexists", opts.partitionOn)
+      opts.format, "errorifexists", opts.partitionOn, opts.chunkSize)
     val labels = listDataFiles(storage, uuid)
     val indices = buildAndStoreIndices(spark, storage, uuid, schema, labels,
       opts.secondaryIndices, nextTs())
@@ -273,7 +274,7 @@ object Writer {
     val staged =
       try {
         Serializer.write(layout(prepared, opts), s"${storage.base}/$stagingKey",
-          fmt, "errorifexists", opts.partitionOn)
+          fmt, "errorifexists", opts.partitionOn, opts.chunkSize)
         storage.listKeys(stagingKey)
           .filter(DatasetMetadata.isDataFile)
           .map(_.stripPrefix(s"$stagingKey/"))

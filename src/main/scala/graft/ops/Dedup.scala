@@ -315,15 +315,22 @@ object Dedup {
     * short chains in practice, so convergence is fast; `maxIters` bounds
     * pathological inputs. Returns (id, cluster_id). */
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 20,
-                      numPartitions: Int = 16): DataFrame = {
-    // fixed small width for the iterative stages: the label table shrinks
-    // every round, and per-task overhead dominates tiny iterations — callers
-    // at larger scale raise numPartitions (AQE cannot re-plan inside the
-    // driver-side loop as cheaply as one explicit width)
+                      numPartitions: Int = 0): DataFrame = {
+    // explicit width for the iterative stages: the label table shrinks
+    // every round, and per-task overhead dominates tiny iterations (AQE
+    // cannot re-plan inside the driver-side loop as cheaply as one explicit
+    // width). Default derives from the cluster's parallelism so a large
+    // deployment is not bottlenecked on a hard-coded 16; callers override
+    // for pathological edge distributions.
+    val width =
+      if (numPartitions > 0) numPartitions
+      else math.max(1, math.min(
+        pairs.sparkSession.sparkContext.defaultParallelism,
+        pairs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt))
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .repartition(numPartitions, col("dst"))
+      .repartition(width, col("dst"))
       .cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id")).localCheckpoint()

@@ -54,23 +54,19 @@ object Multimodal {
   }
 
   /** Feature-extract: binary payload -> fixed-size float feature vector.
-    * Runs as a typed map over partitions (one decoder per partition at
-    * scale); schema contract is (id, features array<float>). */
+    * The stub runs as a codegen'd column expression
+    * ([[graft.functions.ByteDimSums]], same arithmetic as
+    * [[decodeImageStub]]) so the path stays columnar inside whole-stage
+    * codegen. A REAL decoder (image/audio libraries, one instance per task)
+    * would drop to `df.rdd.mapPartitions` instead — that escape hatch is
+    * the documented pattern, not this stub's mechanics. Schema contract is
+    * (id, features array<float>). */
   def extractFeatures(df: DataFrame, idCol: String,
-                      payloadCol: String = "payload"): DataFrame = {
-    val spark = df.sparkSession
-    val rows = df.select(col(idCol).cast("long"), col(payloadCol)).rdd
-      .mapPartitions { it =>
-        // per-partition decoder init would go here
-        it.map { r =>
-          val feats = decodeImageStub(r.getAs[Array[Byte]](1))
-          Row(r.getLong(0), feats.toSeq)
-        }
-      }
-    spark.createDataFrame(rows, StructType(Seq(
-      StructField(idCol, LongType),
-      StructField("features", ArrayType(FloatType)))))
-  }
+                      payloadCol: String = "payload"): DataFrame =
+    df.select(col(idCol).cast("long").as(idCol),
+      graft.functions.expressions.asColumn(graft.functions.ByteDimSums(
+        graft.functions.expressions.exprOf(col(payloadCol)), 8))
+        .as("features"))
 
   /** Resize stub: a real implementation would decode, scale, and re-encode
     * per partition; the deterministic fake rewrites the metadata dimensions

@@ -179,4 +179,67 @@ class PlanQualitySpec extends SparkSpec {
     assert(frames.select(col("frame_offset").cast("long")).collect()
       .map(_.getLong(0)).toSeq === Seq(0L, 4L, 8L))
   }
+
+  test("extractFeatures stays columnar: no RDD scan, values match the stub") {
+    val media = Multimodal.asMedia(
+      spark.read.parquet(s"$dir/documents.parquet").limit(50), "text", "image")
+    val feats = Multimodal.extractFeatures(media, "doc_id")
+    val plan = feats.queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"), plan.take(2000))
+    // "*(n)" marks a whole-stage-codegen stage; the feature projection must
+    // sit inside one
+    assert("\\*\\(\\d+\\) Project .*byte_dim_sums".r.findFirstIn(plan).isDefined,
+      plan.take(2000))
+    // codegen'd expression values match the driver-side stub exactly
+    val got = feats.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val expected = media.select(col("doc_id"), col("payload")).collect().map { r =>
+      r.getLong(0) -> Multimodal.decodeImageStub(r.getAs[Array[Byte]](1)).toSeq
+    }.toMap
+    assert(got === expected)
+  }
+
+  test("sorted chunked write yields multiple disjoint row groups that prune") {
+    import graft.io.{Reader, Writer}
+    import graft.io.Writer.WriteOpts
+    import graft.store.Storage
+    import graft.dnf.{Literal, Op}
+    val st = Storage(spark, tmpDir("chunked"))
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // one task -> one file; 64 KiB row groups over ~1 MB of sorted data
+    Writer.store(spark, st, "chunked", docs,
+      WriteOpts(sortBy = Seq("doc_id"), writeWidth = 1,
+        chunkSize = Some(64L * 1024)))
+    val meta = graft.meta.DatasetMetadata.load(st, "chunked")
+    assert(meta.partitions.length === 1)
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      st.path(meta.fileKey(meta.partitions.head)), st.hadoopConf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val (nGroups, ranges) =
+      try {
+        import scala.jdk.CollectionConverters._
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val idIdx = reader.getFooter.getFileMetaData.getSchema
+          .getFieldIndex("doc_id")
+        (blocks.size, blocks.map { b =>
+          val s = b.getColumns.get(idIdx).getStatistics
+          (s.genericGetMin.asInstanceOf[Long], s.genericGetMax.asInstanceOf[Long])
+        })
+      } finally reader.close()
+    assert(nGroups > 1, s"expected multiple row groups, got $nGroups")
+    // the sort makes the per-group id ranges DISJOINT, so a selective range
+    // predicate statistically prunes all but one group
+    ranges.sliding(2).foreach { case Seq((_, aMax), (bMin, _)) =>
+      assert(aMax < bMin, s"overlapping row-group ranges: $ranges")
+    }
+    val lo = ranges.head._2 + 1 // inside the second group only
+    val out = Reader.readTable(spark, st, "chunked",
+      predicates = Some(Seq(Seq(
+        Literal("doc_id", Op.Ge, lo), Literal("doc_id", Op.Le, lo)))))
+    assert(out.count() === 1)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(doc_id"),
+      plan.take(2000))
+  }
 }
