@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity}
+
+/** Recall bounds for the approximate operators the DuckDB oracle cannot
+  * check (randomized/LSH paths are `no_oracle` in the driver contract
+  * forever). Each is pinned against the matching EXACT operator on
+  * deterministic inputs, so a future change that silently costs recall
+  * fails loudly here instead of shipping.
+  *
+  * Bounds are set ~5-10 points below the measured value at these settings —
+  * tight enough to catch a band/table/probe regression, loose enough to
+  * survive hash-seed-stable reorderings.
+  */
+class RecallSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash recall >= 0.9 vs exact n-gram jaccard at t=0.5 (seeded corpus)") {
+    import spark.implicits._
+    // seeded synthetic near-dup corpus: base docs + mutations across the
+    // 0.4-1.0 jaccard range (drop/replace a controlled share of tokens)
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 400).map(i => s"tok$i")
+    def doc(): Seq[String] = Seq.fill(60)(vocab(rnd.nextInt(vocab.length)))
+    val rows = (0 until 60).flatMap { b =>
+      val base = doc()
+      val mutations = (1 to 3).map { m =>
+        // token keep-rate p => trigram jaccard ~ p^3/(2-p^3):
+        // 0.95->~0.75, 0.90->~0.57, 0.85->~0.44 — a spread straddling t=0.5
+        val keep = 1.0 - 0.05 * m
+        base.map(t => if (rnd.nextDouble() < keep) t
+                      else vocab(rnd.nextInt(vocab.length)))
+      }
+      (base +: mutations).zipWithIndex.map { case (toks, i) =>
+        (b * 10L + i, toks.mkString(" "))
+      }
+    }
+    val docs = rows.toDF("id", "text")
+    val exact = pairSet(Dedup.ngramJaccardPairs(docs, "text", "id",
+      shingleN = 3, threshold = 0.5))
+    assert(exact.size > 50, s"corpus too easy: ${exact.size} exact pairs")
+    // 16 bands of 2 hashes: candidate probability at j=0.5 is
+    // 1-(1-j^2)^16 ~ 0.99, so >=0.9 recall is the DESIGN, not luck
+    val approx = pairSet(Dedup.minhashNearDups(docs, "text", "id",
+      numHashes = 32, bands = 16, shingleN = 3, threshold = 0.5))
+    // exact verification inside minhashNearDups makes precision 1.0
+    assert(approx.subsetOf(exact), s"false positives: ${approx -- exact}")
+    val recall = approx.size.toDouble / exact.size
+    info(f"minhash recall: $recall%.3f (${approx.size}/${exact.size})")
+    assert(recall >= 0.9, f"minhash recall $recall%.3f < 0.9")
+  }
+
+  /** Seeded clustered corpus: 50 anchors x 10 jittered unit vectors. The
+    * true neighbors of any member are its cluster siblings — the workload
+    * ANN recall guarantees are about. (The sf testdata embeddings are
+    * near-uniform random, where "top-k" is noise and bucket pruning recall
+    * measures nothing — measured 0.70-0.75 there vs brute force.) */
+  private lazy val clustered: org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def unit(v: Array[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n).toSeq
+    }
+    (0 until 50).flatMap { a =>
+      val anchor = Array.fill(16)(rnd.nextGaussian())
+      (0 until 10).map(j =>
+        (a * 100L + j, unit(anchor.map(_ + 0.10 * rnd.nextGaussian()))))
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def meanRecall(queryIds: Seq[Long], k: Int)
+                        (approxOf: Seq[Double] => org.apache.spark.sql.DataFrame
+                          => org.apache.spark.sql.DataFrame): Double = {
+    val qs = clustered.where(col("vec_id").isin(queryIds: _*))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val recalls = queryIds.map { id =>
+      val q = qs(id)
+      val exact = Similarity.bruteForceTopK(clustered, "embedding", "vec_id", q, k)
+        .collect().map(_.getLong(0)).toSet
+      val approx = approxOf(q)(clustered).collect().map(_.getLong(0)).toSet
+      (approx intersect exact).size.toDouble / exact.size
+    }
+    recalls.sum / recalls.size
+  }
+
+  test("lshTopK recall >= 0.9 vs brute force on clustered vectors (k=8, 8 tables)") {
+    val recall = meanRecall(Seq(0L, 507L, 1203L, 2505L, 4909L), 8)(q => c =>
+      Similarity.lshTopK(c, "embedding", "vec_id", q, 8, planes = 4, tables = 8))
+    info(f"lshTopK mean recall: $recall%.3f")
+    assert(recall >= 0.9, f"lshTopK recall $recall%.3f < 0.9")
+  }
+
+  test("ivfTopK recall >= 0.95 at nprobe=4 of 16 lists on clustered vectors (k=8)") {
+    val centroids = Similarity.kmeansCentroids(clustered, "embedding", k = 16, iters = 5)
+    val recall = meanRecall(Seq(0L, 507L, 1203L, 2505L, 4909L), 8)(q => c =>
+      Similarity.ivfTopK(c, "embedding", "vec_id", q, 8, centroids, nprobe = 4))
+    info(f"ivfTopK mean recall: $recall%.3f")
+    assert(recall >= 0.95, f"ivfTopK recall $recall%.3f < 0.95")
+  }
+
+  test("embeddingNearDups recall >= 0.8 vs brute-force cosine pairs at t=0.95") {
+    import spark.implicits._
+    // seeded clustered vectors: 40 anchors, 3 jittered copies each => the
+    // true pair set is dense and known via brute force
+    val rnd = new scala.util.Random(7)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val rows = (0 until 40).flatMap { a =>
+      val anchor = Array.fill(16)(rnd.nextGaussian())
+      (0 until 4).map { j =>
+        val eps = if (j == 0) 0.0 else 0.15
+        val v = unit(anchor.map(x => x + eps * rnd.nextGaussian()))
+        (a * 10L + j, v.toSeq)
+      }
+    }
+    val df = rows.toDF("id", "vec")
+    val exact = {
+      val l = df.select(col("id").as("id_a"), col("vec").as("va"))
+      val r = df.select(col("id").as("id_b"), col("vec").as("vb"))
+      pairSet(l.crossJoin(r).where(col("id_a") < col("id_b"))
+        .where(aggregate(zip_with(col("va"), col("vb"), _ * _),
+          lit(0.0), _ + _) >= 0.95))
+    }
+    assert(exact.size > 40, s"corpus too easy: ${exact.size} exact pairs")
+    val approx = pairSet(
+      Dedup.embeddingNearDups(df, "vec", "id", threshold = 0.95))
+    assert(approx.subsetOf(exact), s"false positives: ${approx -- exact}")
+    val recall = approx.size.toDouble / exact.size
+    info(f"embeddingNearDups recall: $recall%.3f (${approx.size}/${exact.size})")
+    assert(recall >= 0.8, f"embeddingNearDups recall $recall%.3f < 0.8")
+  }
+}
