@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Synthesize a larger scale tier from /root/testdata/sf0.1 for local
+scale-stress benchmarking (the driver's generator is not available).
+
+Method: N deterministic shifted copies of each FACT table; dimension tables
+stay fixed (fact/dim ratio grows, like real scale-up).
+
+  - lineitem/orders: keys shifted by copy*maxKey so joins stay consistent
+  - documents: every token gets a per-copy suffix — within-copy jaccard
+    structure is EXACTLY the original's, cross-copy jaccard is 0, so
+    near-dup pair counts scale LINEARLY with copies (no mass-dup blowup)
+  - embeddings: per-copy deterministic sign flips on a sliding dim window —
+    within-copy geometry preserved, cross-copy cosine far below thresholds
+  - events: event_id/user_id/ts shifted per copy — sessionization and
+    window structure replicate exactly
+
+Usage: make_sf_scale.py <outDir> <copies>   (copies=10 => ~sf1)
+"""
+import os
+import shutil
+import sys
+
+import duckdb
+
+
+def main(out, copies):
+    src = "/root/testdata/sf0.1"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+
+    def gen(table, sql_for_copy):
+        parts = " UNION ALL ".join(sql_for_copy(i) for i in range(copies))
+        con.sql(f"COPY ({parts}) TO '{out}/{table}.parquet' (FORMAT parquet)")
+        n = con.sql(f"SELECT count(*) FROM '{out}/{table}.parquet'").fetchone()[0]
+        print(f"{table}: {n} rows")
+
+    # dimensions: byte-copy
+    for t in ["region", "nation", "customer", "supplier", "part"]:
+        shutil.copy(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
+        print(f"{t}: copied")
+
+    mo = con.sql(f"SELECT max(o_orderkey)+1 FROM '{src}/orders.parquet'").fetchone()[0]
+    gen("orders", lambda i:
+        f"SELECT o_orderkey + {i * mo} AS o_orderkey, o_custkey, o_orderstatus, "
+        f"o_totalprice, o_orderdate, o_orderpriority "
+        f"FROM '{src}/orders.parquet'")
+    gen("lineitem", lambda i:
+        f"SELECT l_orderkey + {i * mo} AS l_orderkey, l_partkey, l_suppkey, "
+        f"l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, "
+        f"l_returnflag, l_linestatus, l_shipdate "
+        f"FROM '{src}/lineitem.parquet'")
+
+    md = con.sql(f"SELECT max(doc_id)+1 FROM '{src}/documents.parquet'").fetchone()[0]
+    gen("documents", lambda i:
+        f"SELECT doc_id + {i * md} AS doc_id, "
+        f"list_aggregate(list_transform(string_split_regex(text, '\\s+'), "
+        f"x -> x || '_c{i}'), 'string_agg', ' ') AS text, "
+        f"lang, source, "
+        f"strlen(list_aggregate(list_transform(string_split_regex(text, '\\s+'), "
+        f"x -> x || '_c{i}'), 'string_agg', ' '))::BIGINT AS n_chars "
+        f"FROM '{src}/documents.parquet'")
+
+    mv = con.sql(f"SELECT max(vec_id)+1 FROM '{src}/embeddings.parquet'").fetchone()[0]
+    gen("embeddings", lambda i:
+        f"SELECT vec_id + {i * mv} AS vec_id, "
+        f"list_transform(embedding, (x, d) -> "
+        f"CASE WHEN (d + {i}) % 7 < {min(i, 6)} THEN -x ELSE x END)::FLOAT[] AS embedding, "
+        f"label "
+        f"FROM '{src}/embeddings.parquet'")
+
+    # events via pyarrow: duckdb's parquet writer downcasts TIMESTAMP_NS to
+    # us, but Spark reads this table through nanosAsLong — the physical type
+    # must stay timestamp[ns]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{src}/events.parquet")
+    me = pa.compute.max(t.column("event_id")).as_py() + 1
+    mu = pa.compute.max(t.column("user_id")).as_py() + 1
+    span_ns = (pa.compute.max(t.column("ts")).value
+               - pa.compute.min(t.column("ts")).value) + 86_400_000_000_000
+    copies_t = []
+    for i in range(copies):
+        copies_t.append(pa.Table.from_arrays([
+            pa.compute.add(t.column("event_id"), i * me),
+            pa.array(pa.compute.add(t.column("ts").cast(pa.int64()),
+                                    i * span_ns).to_pylist(),
+                     type=pa.timestamp("ns")),
+            pa.compute.add(t.column("user_id"), i * mu),
+            t.column("event_type"), t.column("value"), t.column("props"),
+        ], names=t.column_names))
+    pq.write_table(pa.concat_tables(copies_t), f"{out}/events.parquet")
+    print(f"events: {sum(len(c) for c in copies_t)} rows")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], int(sys.argv[2]))

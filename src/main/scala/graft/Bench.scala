@@ -48,7 +48,23 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line)
+    // BENCH_LOCAL.json keeps ONE section per scale tier (the sf1 scale-stress
+    // runs live next to the default sf0.1 numbers); the driver consumes the
+    // stdout line below, not this file
+    val path = java.nio.file.Paths.get("BENCH_LOCAL.json")
+    val existing: Map[String, String] =
+      if (java.nio.file.Files.exists(path)) {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(path))
+        if (root.has("metric")) Map(root.get("sf").asText() -> root.toString)
+        else {
+          import scala.jdk.CollectionConverters._
+          root.properties().asScala.map(e => e.getKey -> e.getValue.toString).toMap
+        }
+      } else Map.empty
+    val merged = (existing + (sfDir -> line)).toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"$k\": $v" }.mkString("{\n", ",\n", "\n}")
+    java.nio.file.Files.writeString(path, merged)
     spark.stop()
     // guaranteed-last stdout line, after spark.stop()'s own logging
     println(line)

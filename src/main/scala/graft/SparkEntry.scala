@@ -553,10 +553,11 @@ object SparkEntry {
       rd(s, dir, "documents")
         .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))),
 
-    // embedding near-dup pairs via random-hyperplane LSH buckets
+    // embedding near-dup pairs via random-hyperplane LSH buckets;
+    // planes auto-derived from corpus size (the quadratic-safe scale path)
     "d_embedding_neardups" -> ((s, dir) =>
       Dedup.embeddingNearDups(rd(s, dir, "embeddings"), "embedding", "vec_id",
-        planes = 6, threshold = 0.2)),
+        threshold = 0.2)),
 
     // LSH-bucketed approximate top-k (recall traded for scan reduction)
     "v_knn_lsh" -> ((s, dir) => {

@@ -381,16 +381,29 @@ object Dedup {
     * recall/bucket-size trade the MinHash operator's bands make. A single
     * table would force few planes (e.g. 6 -> 64 buckets -> O(n^2/64) pairs). */
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
-                        planes: Int = 8, threshold: Double = 0.95,
+                        planes: Int = 0, threshold: Double = 0.95,
                         tables: Int = 4): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // planes=0 derives the bucket granularity from the corpus size so
+    // within-bucket all-pairs work stays ~constant per row: candidate pairs
+    // scale as n^2/2^planes, so planes must grow with log2(n) or a 10x
+    // corpus costs 100x (measured 27.6x wall on the 10x bench tier with
+    // planes pinned at 6). One count() job is the price of quadratic
+    // safety; callers that know their corpus pass planes explicitly.
+    val effPlanes =
+      if (planes > 0) planes
+      else {
+        val n = math.max(base.count(), 1L)
+        math.min(24, math.max(8,
+          math.ceil(math.log(n / 32.0) / math.log(2)).toInt))
+      }
     // one codegen'd pass computes every table's signature (hyperplane length
     // follows each row's own vector length — a hardcoded dim would zero the
     // dot products and collapse rows into one bucket). (bucket, id) only
     // ever shuffles — uncached: the self-join's canonically-equal sides
     // share one exchange, and nothing leaks block-manager storage.
     val bucketTable = base
-      .select(explode(Similarity.lshBuckets(col("v"), planes, tables)).as("bucket"),
+      .select(explode(Similarity.lshBuckets(col("v"), effPlanes, tables)).as("bucket"),
         col("id"))
     // distinct: the same pair can surface from several tables
     val pairs = selfJoinPairs(bucketTable, "bucket").distinct()
