@@ -10,7 +10,7 @@ import graft.io.{Ops, Reader, Writer}
 import graft.io.Writer.WriteOpts
 import graft.index.SecondaryIndex
 import graft.meta.DatasetMetadata
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{AsofJoin, Chunking, Contamination, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.store.Storage
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -517,6 +517,66 @@ object SparkEntry {
       Ops.profile(rd(s, dir, "documents"), Seq("doc_id", "lang", "n_chars"),
         exact = true)),
 
+    // --- as-of join: purchase events matched to the user's most recent
+    // prior view (union-tag + running window — linear, not a range join)
+    "j_asof_join" -> ((s, dir) => {
+      val ev = rd(s, dir, "events")
+      val p = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val v = ev.where(col("event_type") === "view")
+        .select("user_id", "ts", "event_id", "value")
+      AsofJoin.backward(p, v, Seq("user_id"), "ts", "ts",
+          Seq("event_id", "value"), "view_")
+        .select(col("event_id"), col("user_id"),
+          col("view_event_id"), col("view_value"))
+    }),
+
+    // --- chunking: overlapping 32-token windows, stride 24 (model-ready
+    // sequence shaping; narrow posexplode, no shuffle)
+    "t_chunks" -> ((s, dir) =>
+      Chunking.tokenChunks(rd(s, dir, "documents"), "text", "doc_id",
+        window = 32, stride = 24)),
+
+    // --- decontamination scan: docs sharing any 5-gram with the benchmark
+    // slice (source 'src0'); benchmark gram set broadcast, corpus unshuffled
+    "t_contamination" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      Contamination.sharedGrams(
+        docs.where(col("source") =!= "src0"),
+        docs.where(col("source") === "src0"),
+        "text", "doc_id", n = 5)
+    }),
+
+    // --- Gopher-style repetition quality signals
+    "t_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(rd(s, dir, "documents"), "text", "doc_id")),
+
+    // --- stratified deterministic sample via engine-portable md5 keys:
+    // downweight 'en' to 0.5, keep other languages at 0.25 (mixture shaping)
+    "u_stratified_sample" -> ((s, dir) =>
+      graft.ops.Sampling.stratifiedSample(rd(s, dir, "documents"), "doc_id",
+          "lang", Map("en" -> 0.5), defaultRate = 0.25, salt = "graft:")
+        .select("doc_id", "lang", "source")),
+
+    // --- rollup aggregation (subtotal + grand-total levels in one pass)
+    "q_rollup" -> ((s, dir) =>
+      rd(s, dir, "lineitem").rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("n"))),
+
+    // --- exact interpolated percentiles per group
+    "q_percentile" -> ((s, dir) =>
+      rd(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"))),
+
+    // --- pivot (linestatus columns per returnflag)
+    "q_pivot" -> ((s, dir) =>
+      rd(s, dir, "lineitem").groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum("l_quantity"), 2))),
+
     // ---- non-SQL-expressible operators (driver records rows-only checks) --
 
     // A4: dataset content hash (hash values are engine-specific by design)
@@ -785,6 +845,74 @@ object SparkEntry {
            UNION ALL
            SELECT 'n_chars', count(n_chars), count(DISTINCT n_chars),
              CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents""",
+      "j_asof_join" ->
+        """WITH p AS (SELECT event_id, user_id, ts FROM events
+             WHERE event_type = 'purchase'),
+           v AS (SELECT user_id, ts, event_id, value FROM events
+             WHERE event_type = 'view')
+           SELECT p.event_id, p.user_id, v.event_id AS view_event_id,
+             v.value AS view_value
+           FROM p ASOF LEFT JOIN v
+             ON p.user_id = v.user_id AND p.ts >= v.ts""",
+      "t_chunks" ->
+        """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+             FROM documents),
+           c AS (SELECT doc_id, t,
+               unnest(range(CAST(ceil(len(t) / 24.0) AS BIGINT))) AS chunk_idx
+             FROM d WHERE len(t) > 0)
+           SELECT doc_id, chunk_idx,
+             array_to_string(t[CAST(chunk_idx*24+1 AS BIGINT) :
+               CAST(least(chunk_idx*24+32, len(t)) AS BIGINT)], ' ') AS chunk_text,
+             CAST(least(chunk_idx*24+32, len(t)) - chunk_idx*24 AS BIGINT)
+               AS n_chunk_tokens
+           FROM c""",
+      "t_contamination" ->
+        """WITH sh AS (
+             SELECT doc_id, source, list_distinct(list_transform(range(1, len(t) - 3),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS s
+             FROM (SELECT doc_id, source,
+                     string_split_regex(trim(lower(text)), '\s+') AS t
+                   FROM documents)
+             WHERE len(t) >= 5),
+           bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE source = 'src0'),
+           corp AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE source != 'src0')
+           SELECT doc_id, count(*) AS n_shared_grams
+           FROM corp JOIN bench USING (g)
+           GROUP BY doc_id HAVING count(*) >= 1""",
+      "t_repetition" ->
+        """WITH d AS (SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+           bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+             FROM d, unnest(range(1, len(t))) AS u(i)),
+           bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+           bf AS (SELECT doc_id,
+               round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+                 AS top_bigram_frac
+             FROM bc GROUP BY 1)
+           SELECT d.doc_id,
+             round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE)
+               / greatest(len(t), 1), 6) AS dup_token_ratio,
+             coalesce(bf.top_bigram_frac, 0.0) AS top_bigram_frac
+           FROM d LEFT JOIN bf USING (doc_id)""",
+      "u_stratified_sample" ->
+        """SELECT doc_id, lang, source FROM documents
+           WHERE substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+             CASE WHEN lang = 'en' THEN '80000000' ELSE '40000000' END""",
+      "q_rollup" ->
+        """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+             count(*) AS n
+           FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+      "q_percentile" ->
+        """SELECT l_returnflag,
+             round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+             round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+             round(quantile_cont(l_quantity, 0.9), 6) AS p90
+           FROM lineitem GROUP BY l_returnflag""",
+      "q_pivot" ->
+        """SELECT l_returnflag,
+             round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F",
+             round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O"
+           FROM lineitem GROUP BY l_returnflag""",
       "t_fingerprint" ->
         """SELECT doc_id, CAST(list_sum(list_transform(
              string_split_regex(trim(lower(text)), '\s+'),

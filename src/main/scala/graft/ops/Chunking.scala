@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document chunking for training-data preparation (beyond-reference scope):
+  * split each document into overlapping token windows — the step that turns
+  * a curated corpus into model-ready sequences.
+  *
+  * Pure column expressions (HOFs over the token array) — the chunk table is
+  * produced by one narrow projection + posexplode, no shuffle at all; at
+  * 100 TB it pipelines straight from the scan into the sink.
+  */
+object Chunking {
+
+  /** Overlapping token windows: chunk `i` covers tokens
+    * `[i*stride, i*stride + window)` (0-based), for `i` in
+    * `0 until ceil(nTokens / stride)` — every token appears in at least one
+    * chunk and the final chunk may be shorter than `window`. Documents with
+    * no tokens yield no rows.
+    *
+    * Returns the id column plus (chunk_idx, chunk_text, n_chunk_tokens).
+    */
+  def tokenChunks(df: DataFrame, textCol: String, idCol: String,
+                  window: Int, stride: Int): DataFrame = {
+    require(window > 0, s"window must be positive (got $window)")
+    require(stride > 0 && stride <= window,
+      s"stride must be in [1, window] (got stride=$stride window=$window)")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val n = size(toks)
+    // sequence(0, k-1) is invalid for k = 0 (it would count DOWN); empty
+    // docs get an empty index array instead and explode to nothing
+    val nChunks = ceil(n.cast("double") / stride).cast("int")
+    val idxs = when(n > 0, sequence(lit(0), nChunks - 1))
+      .otherwise(array().cast("array<int>"))
+    df.select(col(idCol), toks.as("__toks"), posexplode(idxs).as(Seq("chunk_idx", "__i")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(col("__toks"), col("__i") * stride + 1, lit(window)))
+          .as("chunk_text"),
+        size(slice(col("__toks"), col("__i") * stride + 1, lit(window))).cast("long")
+          .as("n_chunk_tokens"))
+  }
+
+  /** Character-window chunks (byte-budget shaping for tokenizer-free
+    * pipelines): same overlap contract over characters. */
+  def charChunks(df: DataFrame, textCol: String, idCol: String,
+                 window: Int, stride: Int): DataFrame = {
+    require(window > 0, s"window must be positive (got $window)")
+    require(stride > 0 && stride <= window,
+      s"stride must be in [1, window] (got stride=$stride window=$window)")
+    val n = length(col(textCol))
+    val nChunks = ceil(n.cast("double") / stride).cast("int")
+    val idxs = when(n > 0, sequence(lit(0), nChunks - 1))
+      .otherwise(array().cast("array<int>"))
+    df.select(col(idCol), col(textCol).as("__text"),
+        posexplode(idxs).as(Seq("chunk_idx", "__i")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("__text").substr(col("__i") * stride + 1, lit(window))
+          .as("chunk_text"))
+  }
+}

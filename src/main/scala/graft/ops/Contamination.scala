@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark-contamination detection (beyond-reference scope): find training
+  * documents that share verbatim n-grams with an evaluation/benchmark
+  * corpus — the decontamination pass every serious pretraining pipeline
+  * runs (GPT-3 App. C / PaLM style: 8-13 token n-gram collision).
+  *
+  * Scale design: the benchmark side is small (thousands to low millions of
+  * grams) while the corpus is the 100 TB side — so the benchmark gram set is
+  * `broadcast()` and the corpus side never shuffles AT ALL: one scan,
+  * explode to grams, broadcast-hash semi-join, partial-agg count per doc.
+  * The corpus text bytes stay on their input partitions start to finish.
+  */
+object Contamination {
+
+  /** Per-document count of DISTINCT n-gram shingles shared with the
+    * benchmark corpus; only docs with `>= minOverlap` shared grams are
+    * returned, as (idCol, n_shared_grams).
+    *
+    * Shingles are the same construction the dedup operators use
+    * ([[Dedup.shingles]]: lower-cased, whitespace-tokenized, full n-token
+    * windows, distinct-per-doc) so dedup and decontamination stay
+    * consistent with each other.
+    */
+  def sharedGrams(corpus: DataFrame, benchmark: DataFrame,
+                  textCol: String, idCol: String,
+                  n: Int, minOverlap: Long = 1L): DataFrame = {
+    require(n > 0, s"n-gram order must be positive (got $n)")
+    require(minOverlap >= 1, s"minOverlap must be >= 1 (got $minOverlap)")
+    val benchGrams = benchmark
+      .select(explode(Dedup.shingles(col(textCol), n)).as("s"))
+      .distinct()
+    val corpusGrams = corpus
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("s"))
+    corpusGrams
+      .join(broadcast(benchGrams), "s")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .where(col("n_shared_grams") >= minOverlap)
+  }
+
+  /** Drop contaminated documents: rows whose shared-gram count reaches
+    * `minOverlap` are removed (left_anti against [[sharedGrams]]). */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    textCol: String, idCol: String,
+                    n: Int, minOverlap: Long = 1L): DataFrame =
+    corpus.join(
+      sharedGrams(corpus, benchmark, textCol, idCol, n, minOverlap)
+        .select(idCol),
+      Seq(idCol), "left_anti")
+}

@@ -33,6 +33,39 @@ object Sampling {
     (df.where(b >= cut), df.where(b < cut))
   }
 
+  /** Engine-PORTABLE deterministic keep-predicate: true iff the first 8 hex
+    * chars of `md5(salt || id)` fall below `floor(fraction * 2^32)` (fixed-
+    * width lowercase hex compares correctly as a string). md5 exists with
+    * identical output in every engine (Spark, DuckDB, Trino, Postgres…), so
+    * sample MEMBERSHIP can be recomputed and audited outside Spark — the
+    * xxhash64 variants above are cheaper but Spark-specific. */
+  def portableKeep(idCol: Column, fraction: Double, salt: String = "graft"): Column = {
+    require(fraction >= 0 && fraction <= 1, s"fraction $fraction out of [0,1]")
+    if (fraction >= 1.0) lit(true)
+    else substring(md5(concat(lit(salt), idCol.cast("string"))), 1, 8) <
+      lit(f"${(fraction * 4294967296L).toLong}%08x")
+  }
+
+  /** Portable deterministic sample at one global rate. Narrow filter. */
+  def portableSample(df: DataFrame, idCol: String, fraction: Double,
+                     salt: String = "graft"): DataFrame =
+    df.where(portableKeep(col(idCol), fraction, salt))
+
+  /** Stratified deterministic sample: a per-stratum rate (e.g. downsample
+    * over-represented languages, keep the rest), mixture weighting for
+    * training-data composition. A row whose stratum is absent from `rates`
+    * (including null strata) keeps `defaultRate`. One narrow filter, no
+    * shuffle, engine-portable membership. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       rates: Map[String, Double], defaultRate: Double,
+                       salt: String = "graft"): DataFrame = {
+    val keep = rates.foldLeft(
+      when(lit(false), lit(false))) { case (acc, (stratum, rate)) =>
+        acc.when(col(strataCol) === stratum, portableKeep(col(idCol), rate, salt))
+      }.otherwise(portableKeep(col(idCol), defaultRate, salt))
+    df.where(keep)
+  }
+
   /** Exactly `k` rows per group, deterministic: rank by id hash within the
     * group. One shuffle on the group key. */
   def exactKPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,

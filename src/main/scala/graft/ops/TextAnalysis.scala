@@ -101,6 +101,39 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** Gopher-style repetition signals per document (Rae et al. 2021 §A1.1
+    * quality heuristics): the fraction of repeated tokens and the share of
+    * the most frequent bigram — high values flag boilerplate / degenerate
+    * text that dedup alone misses.
+    *
+    * Returns (idCol, dup_token_ratio, top_bigram_frac), both rounded to 6
+    * places. The bigram mode is computed by explode + two partial-agg
+    * shuffles of compact (id, gram) rows rather than a per-row
+    * nested-HOF pass: the HOF form is O(distinct x n) PER DOCUMENT, which
+    * melts on the long documents a web corpus always contains, while the
+    * aggregation form stays linear and map-side-combines. */
+  def repetitionSignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    // bigrams WITH multiplicity: zip tokens with their successors; the
+    // zip_with pad slot (null) marks the final token and is filtered out
+    val bigrams = filter(
+      zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)),
+      x => x.isNotNull)
+    val perDoc = df.select(col(idCol),
+      round(lit(1.0) -
+        size(array_distinct(toks)).cast("double") /
+          greatest(size(toks), lit(1)).cast("double"), 6).as("dup_token_ratio"))
+    val bigramFrac = df
+      .select(col(idCol), explode(bigrams).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(round(max(col("c")).cast("double") / sum(col("c")).cast("double"), 6)
+        .as("top_bigram_frac"))
+    perDoc.join(bigramFrac, Seq(idCol), "left")
+      .withColumn("top_bigram_frac", coalesce(col("top_bigram_frac"), lit(0.0)))
+  }
+
   /** Rolling (polynomial) document fingerprint over characters:
     * hash = sum_i c_i * 31^(n-1-i) mod 2^53 — expressed with `aggregate`
     * over the character array. The modulus keeps every intermediate product

@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{AsofJoin, Chunking, Contamination, Sampling, TextAnalysis}
+
+/** Round-4 pipeline operators: as-of join, chunking, contamination,
+  * repetition signals, portable sampling. Value-level assertions against
+  * hand-computed expectations on tiny frames, plus invariants on the
+  * synthetic corpus.
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+  // ------------------------------------------------------------ as-of join
+
+  private def trades = Seq(
+    ("k1", 10L, 1L), ("k1", 20L, 2L), ("k1", 30L, 3L),
+    ("k2", 15L, 4L), ("k3", 5L, 5L)
+  ).toDF("key", "t", "trade_id")
+
+  private def quotes = Seq(
+    ("k1", 5L, 1.0), ("k1", 10L, 2.0), ("k1", 25L, 3.0),
+    ("k2", 99L, 4.0)
+  ).toDF("key", "t", "px")
+
+  test("asof backward: greatest right time <= left time, ties match, no-match nulls") {
+    val out = AsofJoin.backward(trades, quotes, Seq("key"), "t", "t",
+        Seq("px"), "q_")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(out(("k1", 10L)) === Some(2.0)) // tie on t=10 counts as a match
+    assert(out(("k1", 20L)) === Some(2.0)) // latest at-or-before 20 is t=10
+    assert(out(("k1", 30L)) === Some(3.0)) // t=25 quote
+    assert(out(("k2", 15L)) === None)      // only a LATER quote exists
+    assert(out(("k3", 5L)) === None)       // key has no right rows at all
+  }
+
+  test("asof backward keeps every left row exactly once") {
+    val out = AsofJoin.backward(trades, quotes, Seq("key"), "t", "t", Seq("px"))
+    assert(out.count() === trades.count())
+    assert(out.select("trade_id").distinct().count() === trades.count())
+  }
+
+  test("asof forward: smallest right time >= left time") {
+    val out = AsofJoin.forward(trades, quotes, Seq("key"), "t", "t",
+        Seq("px"), "q_")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(out(("k1", 10L)) === Some(2.0)) // tie matches forward too
+    assert(out(("k1", 20L)) === Some(3.0)) // next quote at t=25
+    assert(out(("k1", 30L)) === None)      // nothing after 30
+    assert(out(("k2", 15L)) === Some(4.0)) // the later quote now matches
+  }
+
+  test("asof surfaces multiple right columns from the SAME matched row") {
+    val q2 = Seq(("k1", 10L, 2.0, "b10"), ("k1", 25L, 3.0, "b25"))
+      .toDF("key", "t", "px", "book")
+    val out = AsofJoin.backward(trades, q2, Seq("key"), "t", "t",
+        Seq("px", "book"))
+      .where($"trade_id" === 3L).collect().head
+    // both payload fields must come from the t=25 row — a per-column
+    // last() would be allowed to mix rows
+    assert(out.getAs[Double]("asof_px") === 3.0)
+    assert(out.getAs[String]("asof_book") === "b25")
+  }
+
+  // ------------------------------------------------------------- chunking
+
+  test("tokenChunks covers every token with the stride/window contract") {
+    val df = Seq((1L, (1 to 80).map(i => s"w$i").mkString(" "))).toDF("id", "text")
+    val chunks = Chunking.tokenChunks(df, "text", "id", window = 32, stride = 24)
+      .orderBy("chunk_idx").collect()
+    // ceil(80/24) = 4 chunks at offsets 0, 24, 48, 72
+    assert(chunks.length === 4)
+    assert(chunks.map(_.getAs[Long]("n_chunk_tokens")).toSeq === Seq(32L, 32L, 32L, 8L))
+    assert(chunks.head.getAs[String]("chunk_text").startsWith("w1 w2 "))
+    assert(chunks(1).getAs[String]("chunk_text").startsWith("w25 "))
+    assert(chunks(3).getAs[String]("chunk_text") === (73 to 80).map(i => s"w$i").mkString(" "))
+  }
+
+  test("tokenChunks: short doc yields one chunk; empty-token doc yields one empty chunk") {
+    val df = Seq((1L, "a b c"), (2L, "")).toDF("id", "text")
+    val out = Chunking.tokenChunks(df, "text", "id", 32, 24).collect()
+      .map(r => (r.getLong(0), r.getAs[String]("chunk_text"))).toMap
+    assert(out(1L) === "a b c")
+    assert(out(2L) === "") // split("") -> [""]: one empty token, like the oracle
+  }
+
+  test("charChunks windows characters with overlap") {
+    val df = Seq((1L, "abcdefghij")).toDF("id", "text")
+    val out = Chunking.charChunks(df, "text", "id", window = 4, stride = 3)
+      .orderBy("chunk_idx").collect().map(_.getAs[String]("chunk_text")).toSeq
+    assert(out === Seq("abcd", "defg", "ghij", "j"))
+  }
+
+  test("tokenChunks rejects stride > window (tokens would be dropped)") {
+    val df = Seq((1L, "a b")).toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      Chunking.tokenChunks(df, "text", "id", window = 8, stride = 9)
+    }
+  }
+
+  // -------------------------------------------------------- contamination
+
+  test("sharedGrams finds verbatim n-gram collisions and counts distinct grams") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "text")
+    val corpus = Seq(
+      (1L, "a sentence containing the quick brown fox jumps verbatim"),
+      (2L, "entirely different words live here nothing shared at all"),
+      (3L, "quick brown fox jumps over and over and over again")
+    ).toDF("id", "text")
+    val out = Contamination.sharedGrams(corpus, bench, "text", "id", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 shares exactly "the quick brown fox jumps"; doc 3 shares
+    // "quick brown fox jumps over"; doc 2 is clean
+    assert(out === Map(1L -> 1L, 3L -> 1L))
+  }
+
+  test("decontaminate drops exactly the contaminated docs") {
+    val bench = Seq((100L, "one two three four five six")).toDF("id", "text")
+    val corpus = Seq(
+      (1L, "zzz one two three four five yyy"),
+      (2L, "clean document with no overlap whatsoever here")
+    ).toDF("id", "text")
+    val kept = Contamination.decontaminate(corpus, bench, "text", "id", n = 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L))
+  }
+
+  test("contamination plan broadcasts the benchmark side") {
+    val docs01 = docs
+    val plan = Contamination.sharedGrams(
+      docs01.where($"source" =!= "src0"), docs01.where($"source" === "src0"),
+      "text", "doc_id", n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  // ---------------------------------------------------- repetition signals
+
+  test("repetitionSignals: hand-computed ratios") {
+    val df = Seq(
+      (1L, "a a a a"),        // 1 distinct of 4 tokens; bigram "a a" x3
+      (2L, "w x y z"),        // all distinct; 3 distinct bigrams
+      (3L, "solo")            // one token, no bigrams
+    ).toDF("id", "text")
+    val out = TextAnalysis.repetitionSignals(df, "text", "id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Double]("dup_token_ratio"), r.getAs[Double]("top_bigram_frac"))).toMap
+    assert(out(1L) === ((0.75, 1.0)))
+    assert(out(2L) === ((0.0, 0.333333)))
+    assert(out(3L) === ((0.0, 0.0)))
+  }
+
+  // ------------------------------------------------------ portable sample
+
+  test("portableSample: stable membership, portable rate, md5 semantics") {
+    val a = Sampling.portableSample(docs, "doc_id", 0.5, "graft:")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.portableSample(docs.repartition(13), "doc_id", 0.5, "graft:")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    val n = docs.count().toDouble
+    assert(math.abs(a.size / n - 0.5) < 0.1)
+    // spot-check the md5 contract against the JVM's own digest — the same
+    // check any external engine would run
+    val keep0 = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest("graft:0".getBytes("UTF-8"))
+      val hex = d.take(4).map(b => f"${b & 0xff}%02x").mkString
+      hex < "80000000"
+    }
+    assert(a.contains(0L) === keep0)
+  }
+
+  test("stratifiedSample applies per-stratum rates") {
+    val out = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 1.0), defaultRate = 0.0)
+    val langs = out.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs === Set("en"))
+    assert(out.count() === docs.where($"lang" === "en").count())
+  }
+
+  test("portableSample at fraction 1.0 keeps everything, 0.0 keeps nothing") {
+    assert(Sampling.portableSample(docs, "doc_id", 1.0).count() === docs.count())
+    assert(Sampling.portableSample(docs, "doc_id", 0.0).count() === 0L)
+  }
+}
