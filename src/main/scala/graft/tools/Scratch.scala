@@ -1,0 +1,98 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+// temporary profiling harness — not part of the library surface
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.foreach(_ => ()) // warm cache
+    // corpus stats
+    val sh = docs.select(col("doc_id"),
+      graft.ops.Dedup.shingles(col("text"), 3).as("sh"))
+    val inv = sh.select(explode(col("sh")).as("s"))
+    val freq = inv.groupBy("s").agg(count(lit(1)).as("df"))
+    println("== corpus: docs=" + docs.count())
+    freq.selectExpr("count(*) as n_shingles", "max(df) as max_df",
+      "sum(case when df > 1000 then 1 else 0 end) as hot1000",
+      "sum(case when df > 200 then 1 else 0 end) as hot200",
+      "sum(case when df > 50 then 1 else 0 end) as hot50",
+      "sum(case when df <= 1000 then df*(df-1)/2 else 0 end) as coldpairs1000",
+      "sum(case when df <= 200 then df*(df-1)/2 else 0 end) as coldpairs200",
+      "sum(case when df <= 50 then df*(df-1)/2 else 0 end) as coldpairs50")
+      .show(false)
+    val variant = sys.env.getOrElse("SCRATCH_VARIANT", "all")
+    def time(tag: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+      if (variant != "all" && variant != tag.split(" ").head) return
+      for (i <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val n = mk.count()
+        println(f"== $tag%-22s run$i pairs=$n%6d time=${(System.nanoTime()-t0)/1e9}%.2f s")
+      }
+    }
+    time("hybrid dfCap=1000")(graft.ops.Dedup.ngramJaccardPairs(
+      docs, "text", "doc_id", 3, 0.3, dfCap = 1000))
+    time("plain count-join")(graft.ops.Dedup.ngramJaccardPairs(
+      docs, "text", "doc_id", 3, 0.3, dfCap = Int.MaxValue))
+    sys.env.get("SCRATCH_ADVISORY").foreach { v =>
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", v)
+      println(s"== advisory=$v")
+    }
+    if (variant == "stages") {
+      val sh2 = docs
+        .where(size(split(trim(lower(col("text"))), "\\s+")) >= 3)
+        .select(col("doc_id").as("id"),
+          graft.ops.Dedup.shingles(col("text"), 3).as("sh"))
+      val invN = sh2.select(col("id"), size(col("sh")).as("n"),
+        explode(col("sh")).as("s0"))
+        .select(col("id"), col("n"), xxhash64(col("s0")).as("s"))
+      def t(tag: String)(thunk: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = thunk
+        println(f"== stage $tag%-18s n=$n%10d time=${(System.nanoTime()-t0)/1e9}%.2f s")
+      }
+      t("explode+hash")(invN.count())
+      t("freq")(invN.groupBy("s").agg(count(lit(1)).as("df")).count())
+      val joined = invN.as("l").join(invN.as("r"), col("l.s") === col("r.s"))
+        .where(col("l.id") < col("r.id"))
+      t("self-join")(joined.count())
+      val counted = joined
+        .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"),
+          col("l.n").as("n_a"), col("r.n").as("n_b"))
+        .agg(count(lit(1)).cast("double").as("inter"))
+      t("join+agg")(counted.count())
+      t("join+agg2")(counted.count())
+    }
+    // hashed-key variant: shuffle 8-byte shingle hashes, not strings
+    time("hashed count-join") {
+      val sh2 = docs
+        .where(size(split(trim(lower(col("text"))), "\\s+")) >= 3)
+        .select(col("doc_id").as("id"),
+          graft.ops.Dedup.shingles(col("text"), 3).as("sh"))
+      val invN = sh2.select(col("id"), size(col("sh")).as("n"),
+        explode(col("sh")).as("s0"))
+        .select(col("id"), col("n"), xxhash64(col("s0")).as("s"))
+      val counted = invN.as("l").join(invN.as("r"), col("l.s") === col("r.s"))
+        .where(col("l.id") < col("r.id"))
+        .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"),
+          col("l.n").as("n_a"), col("r.n").as("n_b"))
+        .agg(count(lit(1)).cast("double").as("inter"))
+      counted
+        .withColumn("jaccard",
+          col("inter") / (col("n_a") + col("n_b") - col("inter")))
+        .where(col("jaccard") >= 0.3)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }
+    spark.stop()
+  }
+}
