@@ -242,4 +242,34 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(doc_id"),
       plan.take(2000))
   }
+
+  test("asof join shuffles ONCE (union-tag plan, no range join)") {
+    val plan = SparkEntry.queries("j_asof_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // one hash exchange on the key for the window; no join operator at all
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected exactly 1 shuffle, got $exchanges:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(3000))
+  }
+
+  test("chunking is shuffle-free (scan -> explode -> project)") {
+    val plan = SparkEntry.queries("t_chunks")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(3000))
+    assert(plan.contains("Generate"), plan.take(3000)) // the posexplode
+  }
+
+  test("stratified sample is a narrow filter (no shuffle, no join)") {
+    val plan = SparkEntry.queries("u_stratified_sample")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan.take(3000))
+  }
+
+  test("rollup aggregates partially before its exchange (expand below combine)") {
+    val plan = SparkEntry.queries("q_rollup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), plan.take(2000))
+    assert(plan.contains("partial_sum") || plan.contains("partial sum"), plan.take(2000))
+  }
 }
