@@ -39,10 +39,20 @@ object AsofJoin {
     val leftCols = left.columns.toSeq
     val payloadType = org.apache.spark.sql.types.StructType(
       right.select(rightCols.map(col): _*).schema.fields)
+    // JOIN null semantics, not window semantics: a right row with a null
+    // key or null time can never match (equality/inequality with null is
+    // never true), so it is dropped BEFORE the union — otherwise the window
+    // would happily group null keys together and a null right time would
+    // sort nulls-first into every left row's visible range. Left rows with
+    // null keys/times are kept (left join) and get a null payload: their
+    // partition then contains no right rows / the nulls-first sort region
+    // contains no payloads.
+    val matchableRight = right.where(
+      (keys.map(col(_).isNotNull) :+ col(rightTime).isNotNull).reduce(_ && _))
     // side 0 (right) sorts BEFORE side 1 (left) at equal timestamps, so a
     // right row at exactly leftTime is visible to that left row (the `<=`
     // in the contract)
-    val rightSide = right.select(
+    val rightSide = matchableRight.select(
       keys.map(col) ++ Seq(
         col(rightTime).as("__t"), lit(0).as("__side"),
         struct(rightCols.map(col): _*).as("__rp"),
@@ -73,7 +83,10 @@ object AsofJoin {
     val leftCols = left.columns.toSeq
     val payloadType = org.apache.spark.sql.types.StructType(
       right.select(rightCols.map(col): _*).schema.fields)
-    val rightSide = right.select(
+    // join null semantics — see backward()
+    val matchableRight = right.where(
+      (keys.map(col(_).isNotNull) :+ col(rightTime).isNotNull).reduce(_ && _))
+    val rightSide = matchableRight.select(
       keys.map(col) ++ Seq(
         col(rightTime).as("__t"), lit(0).as("__side"),
         struct(rightCols.map(col): _*).as("__rp"),
@@ -85,9 +98,11 @@ object AsofJoin {
         lit(null).cast(payloadType).as("__rp"),
         struct(leftCols.map(col): _*).as("__lp")): _*)
     // descending time: the "latest right seen so far" becomes the EARLIEST
-    // right at-or-after the left row; right still sorts first at equal t
+    // right at-or-after the left row; right still sorts first at equal t.
+    // desc_nulls_first keeps a null-time LEFT row ahead of every right row
+    // (desc default is nulls LAST, which would hand it the earliest match)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").desc, col("__side"))
+      .orderBy(col("__t").desc_nulls_first, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rightSide.unionByName(leftSide)
       .withColumn("__match", last(col("__rp"), ignoreNulls = true).over(w))

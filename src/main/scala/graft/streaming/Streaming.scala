@@ -152,6 +152,26 @@ object Streaming {
         Seq(col("n"), col("total")): _*)
   }
 
+  /** Streaming exact dedup — the stream-side counterpart of
+    * [[graft.ops.Dedup.exact]]: drop rows whose dedup key was already seen,
+    * with the watermark BOUNDING the key state (keys older than the
+    * watermark are forgotten, so state is O(keys-per-watermark-window), not
+    * O(stream lifetime) — the only formulation that survives an unbounded
+    * stream). A duplicate arriving after its original's watermark expiry is
+    * re-admitted: at 100 TB/day the state bound is the correctness trade,
+    * and an exact batch dedup pass downstream catches stragglers.
+    *
+    * `tsCol` must be a timestamp column (the watermark clock). Works on a
+    * batch frame too, where it degrades to plain dropDuplicates. */
+  def dedupExact(stream: DataFrame, keyCols: Seq[String], tsCol: String,
+                 watermark: String = "10 minutes"): DataFrame = {
+    require(keyCols.nonEmpty, "dedupExact requires at least one key column")
+    if (stream.isStreaming)
+      stream.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark(keyCols)
+    else stream.dropDuplicates(keyCols)
+  }
+
   /** Stream into a dataset: one atomic commit per micro-batch (replays
     * skipped via the batchId stamp, see [[ingestBatch]]). Returns the
     * started query; callers own trigger/checkpoint configuration via

@@ -68,6 +68,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.getAs[String]("asof_book") === "b25")
   }
 
+  test("asof treats nulls with JOIN semantics: null keys/times never match") {
+    val l = Seq(
+      (Some("k1"), Some(20L), 1L),
+      (None: Option[String], Some(20L), 2L), // null key
+      (Some("k1"), None: Option[Long], 3L)   // null time
+    ).toDF("key", "t", "lid")
+    val r = Seq(
+      (Some("k1"), Some(10L), 1.0),
+      (None: Option[String], Some(5L), 2.0), // null key: must never match
+      (Some("k1"), None: Option[Long], 3.0)  // null time: must never match
+    ).toDF("key", "t", "px")
+    def matches(out: org.apache.spark.sql.DataFrame) = {
+      assert(out.count() === 3) // left join keeps all left rows
+      out.collect().map(row => row.getAs[Long]("lid") ->
+        Option(row.get(row.fieldIndex("asof_px")))).toMap
+    }
+    val b = matches(AsofJoin.backward(l, r, Seq("key"), "t", "t", Seq("px")))
+    assert(b(1L) === Some(1.0) && b(2L) === None && b(3L) === None)
+    val f = matches(AsofJoin.forward(
+      l.withColumn("t", $"t" - 15L), r, Seq("key"), "t", "t", Seq("px")))
+    assert(f(1L) === Some(1.0) && f(2L) === None && f(3L) === None)
+  }
+
   // ------------------------------------------------------------- chunking
 
   test("tokenChunks covers every token with the stride/window contract") {

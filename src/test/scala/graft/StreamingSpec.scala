@@ -161,6 +161,34 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 10:00:00.0", "b", 1L, 3.0)))
   }
 
+  test("dedupExact drops in-watermark duplicates across micro-batches") {
+    import spark.implicits._
+    val in = tmpDir("sdedup-in")
+    def write(rows: Seq[(String, Long)]): Unit =
+      rows.toDF("ts_s", "k")
+        .select(to_timestamp(col("ts_s")).as("ts"), col("k"))
+        .coalesce(1).write.mode("append").parquet(in)
+    // batch 1: k=1 twice (in-batch dup) + k=2
+    write(Seq(("2024-01-01 10:00:10", 1L), ("2024-01-01 10:00:20", 1L),
+      ("2024-01-01 10:00:30", 2L)))
+    Thread.sleep(1100) // distinct mtime => separate micro-batch
+    // batch 2: k=1 again within the watermark (dropped), k=3 new
+    write(Seq(("2024-01-01 10:05:00", 1L), ("2024-01-01 10:05:10", 3L)))
+    val stream = spark.readStream
+      .schema("ts timestamp, k bigint")
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val dd = Streaming.dedupExact(stream, Seq("k"), "ts", "10 minutes")
+    val q = dd.writeStream.outputMode("append").format("memory")
+      .queryName("sdedup").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val keys = spark.table("sdedup").collect().map(_.getAs[Long]("k")).toSeq
+    assert(keys.sorted === Seq(1L, 2L, 3L), s"got $keys")
+    // batch-mode degradation: plain dropDuplicates
+    val batchDf = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v")
+      .withColumn("ts", current_timestamp())
+    assert(Streaming.dedupExact(batchDf, Seq("k"), "ts").count() === 2L)
+  }
+
   test("readStream dispatches on the dataset format (csv.gz source)") {
     import spark.implicits._
     Writer.store(spark, store, "feed_csv",
