@@ -551,6 +551,14 @@ object SparkEntry {
     "t_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(rd(s, dir, "documents"), "text", "doc_id")),
 
+    // --- TF-IDF keyword extraction (smooth idf, top-5 per doc)
+    "t_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopK(rd(s, dir, "documents"), "text", "doc_id", 5)),
+
+    // --- unigram LM quality score (mean token log-prob under the corpus)
+    "t_unigram_logprob" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(rd(s, dir, "documents"), "text", "doc_id")),
+
     // --- stratified deterministic sample via engine-portable md5 keys:
     // downweight 'en' to 0.5, keep other languages at 0.25 (mixture shaping)
     "u_stratified_sample" -> ((s, dir) =>
@@ -894,6 +902,37 @@ object SparkEntry {
                / greatest(len(t), 1), 6) AS dup_token_ratio,
              coalesce(bf.top_bigram_frac, 0.0) AS top_bigram_frac
            FROM d LEFT JOIN bf USING (doc_id)""",
+      "t_tfidf" ->
+        """WITH tk AS (
+             SELECT doc_id, token FROM (
+               SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+               FROM documents)
+             WHERE len(token) > 0),
+           tf AS (SELECT doc_id, token, count(*) AS c FROM tk GROUP BY 1, 2),
+           dn AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY 1),
+           idf AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+           nd AS (SELECT count(*) AS nd FROM documents),
+           scored AS (
+             SELECT tf.doc_id, tf.token,
+               round((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+                 (ln((nd + 1.0) / (CAST(df AS DOUBLE) + 1.0)) + 1.0), 6) AS tfidf
+             FROM tf JOIN dn USING (doc_id) JOIN idf USING (token), nd)
+           SELECT doc_id, token, tfidf, rank FROM (
+             SELECT doc_id, token, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf DESC, token ASC) AS rank
+             FROM scored) t WHERE rank <= 5""",
+      "t_unigram_logprob" ->
+        """WITH tk AS (
+             SELECT doc_id, token FROM (
+               SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+               FROM documents)
+             WHERE len(token) > 0),
+           counts AS (SELECT token, count(*) AS tc FROM tk GROUP BY 1),
+           tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM tk)
+           SELECT doc_id, count(*) AS n_tokens,
+             round(avg(ln(CAST(tc AS DOUBLE) / total)), 6) AS avg_logp
+           FROM tk JOIN counts USING (token), tot GROUP BY doc_id""",
       "u_stratified_sample" ->
         """SELECT doc_id, lang, source FROM documents
            WHERE substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8) <

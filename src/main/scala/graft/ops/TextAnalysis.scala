@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines
@@ -132,6 +133,56 @@ object TextAnalysis {
         .as("top_bigram_frac"))
     perDoc.join(bigramFrac, Seq(idCol), "left")
       .withColumn("top_bigram_frac", coalesce(col("top_bigram_frac"), lit(0.0)))
+  }
+
+  /** TF-IDF keyword extraction: the `k` highest-scoring tokens per document,
+    * smooth-idf variant (scikit-learn convention):
+    * `tfidf = (c/n) * (ln((N+1)/(df+1)) + 1)`.
+    *
+    * Scale shape: one explode, (id, token) partial-agg for term frequency,
+    * token-level document-frequency aggregate joined back (AQE broadcasts
+    * the idf table while the vocabulary is small; at web-corpus vocabulary
+    * sizes it degrades to a hash join on the token — never a collect), and
+    * the per-doc top-k is a window over the already-aggregated (doc, token)
+    * rows. Deterministic tie-break (score desc, token asc). */
+  def tfidfTopK(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
+      .where(length(col("token")) > 0)
+    val tf = toks.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val docN = toks.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val idf = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = df.count().toDouble
+    val scored = tf.join(docN, Seq(idCol)).join(idf, Seq("token"))
+      .withColumn("tfidf", round(
+        (col("c").cast("double") / col("n").cast("double")) *
+          (log((lit(nDocs) + 1.0) / (col("df").cast("double") + 1.0)) + 1.0), 6))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("token").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("token"), col("tfidf"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Unigram log-probability scoring — the simplified CCNet/KenLM-style
+    * quality signal: score each document by the mean log-probability of its
+    * tokens under the corpus's own unigram distribution. Low scores flag
+    * gibberish / OOV-heavy text; anomalously HIGH scores flag boilerplate.
+    *
+    * `p(t) = count(t) / total_tokens` over the whole corpus; returns
+    * (idCol, n_tokens, avg_logp). Same aggregation shape as tf-idf: explode,
+    * token counts, join back, per-doc mean — every stage partial-aggregates. */
+  def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
+      .where(length(col("token")) > 0)
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("tc"))
+    val total = toks.count().toDouble
+    toks.join(counts, Seq("token"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("tc").cast("double") / total)), 6).as("avg_logp"))
   }
 
   /** Rolling (polynomial) document fingerprint over characters:

@@ -180,6 +180,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(3L) === ((0.0, 0.0)))
   }
 
+  test("tfidfTopK: hand-computed smooth-idf scores and deterministic ranks") {
+    val df = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry")
+    ).toDF("id", "text")
+    val out = TextAnalysis.tfidfTopK(df, "text", "id", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    // N=3; apple: df=1, doc1 c=2/n=3 -> (2/3)*(ln(4/2)+1)
+    val apple = BigDecimal((2.0 / 3.0) * (math.log(4.0 / 2.0) + 1.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out((1L, "apple"))._1 === apple)
+    assert(out((1L, "apple"))._2 === 1L) // rarer+more frequent outranks banana
+    assert(out((1L, "banana"))._2 === 2L)
+    // doc3 has a single distinct token -> exactly one row survives topK
+    assert(out.keys.count(_._1 == 3L) === 1)
+  }
+
+  test("unigramLogProb: uniform corpus gives ln(1/V) per token") {
+    val df = Seq((1L, "a b"), (2L, "c d")).toDF("id", "text")
+    // every token unique: p = 1/4, avg_logp = ln(0.25) for both docs
+    val expect = BigDecimal(math.log(0.25))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = TextAnalysis.unigramLogProb(df, "text", "id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) === ((2L, expect)))
+    assert(out(2L) === ((2L, expect)))
+  }
+
   // ------------------------------------------------------ portable sample
 
   test("portableSample: stable membership, portable rate, md5 semantics") {
