@@ -44,19 +44,25 @@ def main(base, uuid):
     schema = pq.read_schema(f"{base}/{uuid}/table/_common_metadata")
     print(f"== _common_metadata ok: {schema.names}")
 
-    # --- secondary index (_parquet_bytes_to_dict)
+    # --- secondary index: external file keys (_parquet_bytes_to_dict) or
+    # the reference's EMBEDDED index_dct (a value->labels dict in the header)
     index_dct = {}
-    for col, index_key in dct.get("indices", {}).items():
-        t = pq.read_table(f"{base}/{index_key}")
-        assert t.column_names == [col, "partition"], t.column_names
-        index_dct[col] = {
-            v: sorted(ls) for v, ls in
-            zip(t.column(col).to_pylist(), t.column("partition").to_pylist())
-        }
+    for col, index_val in dct.get("indices", {}).items():
+        if isinstance(index_val, dict):
+            index_dct[col] = {v: sorted(ls) for v, ls in index_val.items()}
+            kind = "embedded"
+        else:
+            t = pq.read_table(f"{base}/{index_val}")
+            assert t.column_names == [col, "partition"], t.column_names
+            index_dct[col] = {
+                v: sorted(ls) for v, ls in
+                zip(t.column(col).to_pylist(), t.column("partition").to_pylist())
+            }
+            kind = "external"
         for ls in index_dct[col].values():
             for l in ls:
                 assert l in partitions, f"index label {l} not in header"
-        print(f"== index '{col}' ok: {sorted(index_dct[col])}")
+        print(f"== index '{col}' ok ({kind}): {sorted(index_dct[col])}")
 
     # --- data read with hive reconstruction (decode_key + restore_dataframe)
     pkeys = dct["partition_keys"]

@@ -864,7 +864,7 @@ object SparkEntry {
              ON p.user_id = v.user_id AND p.ts >= v.ts""",
       "t_chunks" ->
         """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-             FROM documents),
+             FROM documents WHERE len(trim(text)) > 0),
            c AS (SELECT doc_id, t,
                unnest(range(CAST(ceil(len(t) / 24.0) AS BIGINT))) AS chunk_idx
              FROM d WHERE len(t) > 0)
@@ -911,7 +911,7 @@ object SparkEntry {
            tf AS (SELECT doc_id, token, count(*) AS c FROM tk GROUP BY 1, 2),
            dn AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY 1),
            idf AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-           nd AS (SELECT count(*) AS nd FROM documents),
+           nd AS (SELECT count(*) AS nd FROM dn),
            scored AS (
              SELECT tf.doc_id, tf.token,
                round((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *

@@ -20,8 +20,13 @@ object Ops {
   def deleteDataset(storage: Storage, uuid: String): Unit = {
     try {
       if (!DatasetMetadata.exists(storage, uuid)) { storage.delete(uuid); return }
+      // honor the header's table name so the data-before-header delete order
+      // holds for reference datasets whose table is not named `table`
+      val table =
+        try DatasetMetadata.loadHeaderOnly(storage, uuid).tableName
+        catch { case _: Exception => DatasetMetadata.SingleTable }
       storage.delete(s"$uuid/indices")
-      storage.delete(s"$uuid/table")
+      storage.delete(s"$uuid/$table")
       storage.delete(uuid)
       storage.delete(DatasetMetadata.msgpackHeaderKey(uuid))
       storage.delete(DatasetMetadata.headerKey(uuid))
@@ -140,13 +145,26 @@ object Ops {
       val inside = src.listKeys(k)
       if (inside.isEmpty) Seq(k) else inside
     }
+    // schema flavors by EXISTENCE: a graft dataset has both the JSON fast
+    // path and the reference `_common_metadata` footer; a reference dataset
+    // may have only the footer — copy whatever is there, fail on neither
+    val schemaKeys = Seq(meta.schemaKey,
+      s"${meta.tablePrefix}/${DatasetMetadata.CommonMetadataFile}")
+      .filter(src.exists)
     val keys: Seq[String] =
-      meta.partitions.map(meta.fileKey) ++ indexKeys :+ meta.schemaKey
+      meta.partitions.map(meta.fileKey) ++ indexKeys ++ schemaKeys
     if (keys.size > 64) {
       spark.sparkContext.parallelize(keys, math.min(32, keys.size))
         .foreachPartition { it => it.foreach(k => src.copyKeyTo(k, tgt)) }
     } else keys.foreach(k => src.copyKeyTo(k, tgt))
-    tgt.writeString(meta.headerKey, src.readString(meta.headerKey)) // LAST
+    // headers VERBATIM and LAST, each flavor the source has (re-serializing
+    // from `meta` would freeze a dynamic dataset's listing into explicit
+    // partitions); JSON last = graft's visibility point
+    if (src.exists(DatasetMetadata.msgpackHeaderKey(uuid)))
+      tgt.writeBytes(DatasetMetadata.msgpackHeaderKey(uuid),
+        src.readBytes(DatasetMetadata.msgpackHeaderKey(uuid)))
+    if (src.exists(meta.headerKey))
+      tgt.writeString(meta.headerKey, src.readString(meta.headerKey))
     graft.meta.DatasetFactory.bump(tgt, uuid)
     meta
   }

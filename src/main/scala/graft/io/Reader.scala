@@ -157,8 +157,13 @@ object Reader {
     * can regroup by physical partition. */
   def readWithLabels(spark: SparkSession, storage: Storage, uuid: String,
                      predicates: Option[Preds] = None): DataFrame = {
+    // one metadata load threaded through readTableWith — calling readTable
+    // here would load the header twice (and LIST the table dir twice for a
+    // dynamic dataset)
     val meta = DatasetMetadata.load(storage, uuid)
-    readTable(spark, storage, uuid, None, predicates)
+    readTableWith(spark, storage, uuid, meta,
+        DatasetMetadata.loadSchema(storage, uuid, meta.tableName),
+        None, predicates, None, None)
       .withColumn("__label", Writer.decodeFileLabel(meta.tablePrefix))
   }
 

@@ -116,14 +116,15 @@ object Writer {
     * group and unioned (S3 suffix dispatch). */
   private[io] def labeledData(spark: SparkSession, storage: Storage,
                               uuid: String, schema: StructType,
-                              labels: Seq[String]): DataFrame = {
-    val base = s"${storage.base}/$uuid/table"
+                              labels: Seq[String],
+                              table: String = DatasetMetadata.SingleTable): DataFrame = {
+    val base = s"${storage.base}/$uuid/$table"
     labels.groupBy(Serializer.formatOf).toSeq.sortBy(_._1)
       .map { case (fmt, ls) =>
         Serializer.read(spark, schema, base, ls.map(l => s"$base/$l"), fmt)
       }
       .reduce(_ unionByName _)
-      .withColumn(LabelCol, Writer.decodeFileLabel(s"$uuid/table"))
+      .withColumn(LabelCol, Writer.decodeFileLabel(s"$uuid/$table"))
   }
 
   /** `input_file_name()` returns the URI-encoded path; decode it back to the
@@ -256,20 +257,24 @@ object Writer {
     * keep the moved names collision-free). */
   def writeSinglePartition(spark: SparkSession, storage: Storage, uuid: String,
                            df: DataFrame, opts: WriteOpts = WriteOpts()): Seq[String] = {
+    // header parse only — a full load() would also LIST the table dir for
+    // dynamic datasets, a wasted object-store listing per two-phase write.
+    // loadHeaderOnly handles BOTH header flavors (a reference-written
+    // msgpack-only dataset must be appendable too) and yields the dataset's
+    // actual table name rather than assuming `table`
+    val hdr =
+      if (DatasetMetadata.exists(storage, uuid))
+        Some(DatasetMetadata.loadHeaderOnly(storage, uuid))
+      else None
+    val table = hdr.map(_.tableName).getOrElse(DatasetMetadata.SingleTable)
     val existingSchema =
-      if (storage.exists(s"$uuid/table/${DatasetMetadata.SchemaFileName}"))
-        Some(DatasetMetadata.loadSchema(storage, uuid))
+      if (DatasetMetadata.schemaExists(storage, uuid, table))
+        Some(DatasetMetadata.loadSchema(storage, uuid, table))
       else None
     existingSchema.foreach(s =>
       SchemaNorm.validateCompatible(s, SchemaNorm.normalize(df.schema, opts.partitionOn)))
     val prepared = prepare(df, opts.partitionOn, existingSchema)
-    // header parse only — a full load() would also LIST the table dir for
-    // dynamic datasets, a wasted object-store listing per two-phase write
-    val fmt =
-      if (DatasetMetadata.exists(storage, uuid))
-        DatasetMetadata.fromJson(
-          storage.readString(DatasetMetadata.headerKey(uuid))).format
-      else opts.format
+    val fmt = hdr.map(_.format).getOrElse(opts.format)
     val stagingKey = s"$uuid/.staging/${java.util.UUID.randomUUID().toString.take(12)}"
     val staged =
       try {
@@ -294,18 +299,18 @@ object Writer {
     val moved = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
       staged.foreach { rel =>
-        storage.rename(s"$stagingKey/$rel", s"$uuid/table/$rel")
+        storage.rename(s"$stagingKey/$rel", s"$uuid/$table/$rel")
         moved += rel
       }
     } catch { case e: Throwable =>
       moved.foreach { rel =>
-        try storage.rename(s"$uuid/table/$rel", s"$stagingKey/$rel")
+        try storage.rename(s"$uuid/$table/$rel", s"$stagingKey/$rel")
         catch { case _: Exception => () } // best effort; staging keeps the rest
       }
       throw e
     }
     if (existingSchema.isEmpty)
-      DatasetMetadata.writeSchema(storage, uuid, prepared.schema)
+      DatasetMetadata.writeSchema(storage, uuid, prepared.schema, table)
     storage.delete(stagingKey) // success: only _SUCCESS + empty dirs remain
     staged
   }
@@ -326,7 +331,6 @@ object Writer {
                     // through — a dynamic dataset's load() is a full table
                     // listing, wasteful (and racy) to repeat inside the commit
                     preloadedMeta: Option[DatasetMetadata] = None): DatasetMetadata = {
-    val schema = DatasetMetadata.loadSchema(storage, uuid)
     val (oldMeta, oldLabels) =
       preloadedMeta.orElse(
         if (DatasetMetadata.exists(storage, uuid))
@@ -338,6 +342,11 @@ object Writer {
         case Some(m) => (Some(m), if (m.explicitPartitions) m.partitions else Nil)
         case None    => (None, Nil)
       }
+    // honor the dataset's actual table name end to end: reading index
+    // deltas, rebuilding indices, and the committed header must all point
+    // at the same prefix the existing data lives under
+    val table = oldMeta.map(_.tableName).getOrElse(DatasetMetadata.SingleTable)
+    val schema = DatasetMetadata.loadSchema(storage, uuid, table)
     val keys = oldMeta.map(_.partitionKeys).getOrElse(partitionOn)
     // only NEW indices are checked: a dataset that already carries a
     // partition-column index (written before the rule existed) must keep
@@ -359,7 +368,8 @@ object Writer {
     val indices: Map[String, String] = indexCols.map { c =>
       val delta =
         if (newLabels.nonEmpty)
-          SecondaryIndex.build(labeledData(spark, storage, uuid, schema, newLabels), c)
+          SecondaryIndex.build(
+            labeledData(spark, storage, uuid, schema, newLabels, table), c)
         else emptyIndex(spark, schema, c)
       val merged = oldMeta.filter(_.indexColumns.contains(c)) match {
         case Some(m) =>
@@ -372,7 +382,8 @@ object Writer {
         case None =>
           if (oldLabels.nonEmpty) {
             val full = (oldLabels.filterNot(deleted) ++ newLabels).sorted
-            SecondaryIndex.build(labeledData(spark, storage, uuid, schema, full), c)
+            SecondaryIndex.build(
+              labeledData(spark, storage, uuid, schema, full, table), c)
           } else delta
       }
       c -> SecondaryIndex.store(spark, storage, uuid, c, merged, ts)
@@ -383,7 +394,17 @@ object Writer {
       oldMeta.map(_.metadata).getOrElse(Map.empty), metadata)
     val fmt = oldMeta.map(_.format).getOrElse(
       newLabels.headOption.map(Serializer.formatOf).getOrElse("parquet"))
-    val meta = DatasetMetadata(uuid, labels, keys, indices, mergedMeta, format = fmt)
+    val meta = DatasetMetadata(uuid, labels, keys, indices, mergedMeta,
+      format = fmt, tableName = table)
+    // a dataset that carries the reference's msgpack header flavor gets it
+    // REWRITTEN in the same commit — leaving the old one in place would keep
+    // a stale divergent header that resurrects deleted partitions for any
+    // msgpack-reading consumer. msgpack first, JSON last: the JSON write
+    // stays the atomic visibility point for graft readers, and a crash
+    // between the two leaves the msgpack flavor (what reference readers see)
+    // already consistent with the data files
+    if (storage.exists(DatasetMetadata.msgpackHeaderKey(uuid)))
+      storage.writeBytes(DatasetMetadata.msgpackHeaderKey(uuid), meta.toMsgpackZstd)
     storage.writeString(meta.headerKey, meta.toJson) // atomic visibility point
     graft.meta.DatasetFactory.bump(storage, uuid)
     meta

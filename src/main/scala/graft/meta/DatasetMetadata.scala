@@ -261,17 +261,28 @@ object DatasetMetadata {
     * (`core/dataset.py:596-619`): its partition set is reconstructed from a
     * store listing, so uncommitted `writeSinglePartition` output is visible. */
   def load(store: Storage, uuid: String): DatasetMetadata = {
-    val m =
-      if (store.exists(headerKey(uuid))) fromJson(store.readString(headerKey(uuid)))
-      else if (store.exists(msgpackHeaderKey(uuid)))
-        fromDict(Msgpack.unpackZstd(store.readBytes(msgpackHeaderKey(uuid)))
-          .asInstanceOf[Map[String, Any]])
-      else throw new IllegalArgumentException(
-        s"Dataset '$uuid' does not exist in ${store.base} " +
-        s"(tried ${headerKey(uuid)} and ${msgpackHeaderKey(uuid)})")
+    val m = loadHeaderOnly(store, uuid)
     if (m.explicitPartitions) m
     else m.copy(partitions = listDataFiles(store, uuid, m.tableName))
   }
+
+  /** Header parse ONLY — either flavor, no dynamic-partition listing. For
+    * callers that need format/tableName/keys without paying a table listing
+    * on dynamic datasets (two-phase writers, format probes). */
+  def loadHeaderOnly(store: Storage, uuid: String): DatasetMetadata =
+    if (store.exists(headerKey(uuid))) fromJson(store.readString(headerKey(uuid)))
+    else if (store.exists(msgpackHeaderKey(uuid)))
+      fromDict(Msgpack.unpackZstd(store.readBytes(msgpackHeaderKey(uuid)))
+        .asInstanceOf[Map[String, Any]])
+    else throw new IllegalArgumentException(
+      s"Dataset '$uuid' does not exist in ${store.base} " +
+      s"(tried ${headerKey(uuid)} and ${msgpackHeaderKey(uuid)})")
+
+  /** True iff a schema is readable for the table — graft's JSON fast path
+    * or the reference `_common_metadata` parquet footer. */
+  def schemaExists(store: Storage, uuid: String, table: String = SingleTable): Boolean =
+    store.exists(s"$uuid/$table/$SchemaFileName") ||
+      store.exists(s"$uuid/$table/$CommonMetadataFile")
 
   /** Schema read: graft's `DataType.json` fast path, falling back to the
     * reference's `_common_metadata` empty-parquet footer

@@ -17,7 +17,9 @@ object Chunking {
     * `[i*stride, i*stride + window)` (0-based), for `i` in
     * `0 until ceil(nTokens / stride)` — every token appears in at least one
     * chunk and the final chunk may be shorter than `window`. Documents with
-    * no tokens yield no rows.
+    * no tokens (null, empty, or whitespace-only text) yield NO rows — an
+    * empty string would otherwise "tokenize" to one empty token under
+    * split semantics and emit a phantom empty chunk.
     *
     * Returns the id column plus (chunk_idx, chunk_text, n_chunk_tokens).
     */
@@ -27,7 +29,8 @@ object Chunking {
     require(stride > 0 && stride <= window,
       s"stride must be in [1, window] (got stride=$stride window=$window)")
     val toks = split(trim(col(textCol)), "\\s+")
-    val n = size(toks)
+    // tokenless guard: split("") yields [""], not [] — require real content
+    val n = when(length(trim(col(textCol))) > 0, size(toks)).otherwise(lit(0))
     // sequence(0, k-1) is invalid for k = 0 (it would count DOWN); empty
     // docs get an empty index array instead and explode to nothing
     val nChunks = ceil(n.cast("double") / stride).cast("int")
@@ -42,7 +45,8 @@ object Chunking {
   }
 
   /** Character-window chunks (byte-budget shaping for tokenizer-free
-    * pipelines): same overlap contract over characters. */
+    * pipelines): same overlap contract over characters; empty/null text
+    * yields no rows (length 0 => no chunk indices). */
   def charChunks(df: DataFrame, textCol: String, idCol: String,
                  window: Int, stride: Int): DataFrame = {
     require(window > 0, s"window must be positive (got $window)")

@@ -64,8 +64,13 @@ object Multimodal {
   def extractFeatures(df: DataFrame, idCol: String,
                       payloadCol: String = "payload"): DataFrame =
     df.select(col(idCol).cast("long").as(idCol),
-      graft.functions.expressions.asColumn(graft.functions.ByteDimSums(
-        graft.functions.expressions.exprOf(col(payloadCol)), 8))
+      // null payload -> EMPTY features, matching decodeImageStub's guard:
+      // the codegen expression null-propagates (UnaryExpression), so the
+      // coalesce keeps the declared non-null array contract for consumers
+      coalesce(
+        graft.functions.expressions.asColumn(graft.functions.ByteDimSums(
+          graft.functions.expressions.exprOf(col(payloadCol)), 8)),
+        array().cast("array<float>"))
         .as("features"))
 
   /** Resize stub: a real implementation would decode, scale, and re-encode

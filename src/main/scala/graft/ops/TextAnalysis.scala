@@ -137,7 +137,8 @@ object TextAnalysis {
 
   /** TF-IDF keyword extraction: the `k` highest-scoring tokens per document,
     * smooth-idf variant (scikit-learn convention):
-    * `tfidf = (c/n) * (ln((N+1)/(df+1)) + 1)`.
+    * `tfidf = (c/n) * (ln((N+1)/(df+1)) + 1)`, with `N` = the number of
+    * documents holding at least one token.
     *
     * Scale shape: one explode, (id, token) partial-agg for term frequency,
     * token-level document-frequency aggregate joined back (AQE broadcasts
@@ -153,11 +154,15 @@ object TextAnalysis {
       .agg(count(lit(1)).as("c"))
     val docN = toks.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val idf = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val nDocs = df.count().toDouble
+    // N = docs with >= 1 token, derived INSIDE the plan (a broadcast
+    // single-row cross join) — an eager df.count() here would be a separate
+    // full pass over the corpus before any real work
+    val nDocs = docN.agg(count(lit(1)).cast("double").as("__nd"))
     val scored = tf.join(docN, Seq(idCol)).join(idf, Seq("token"))
+      .crossJoin(broadcast(nDocs))
       .withColumn("tfidf", round(
         (col("c").cast("double") / col("n").cast("double")) *
-          (log((lit(nDocs) + 1.0) / (col("df").cast("double") + 1.0)) + 1.0), 6))
+          (log((col("__nd") + 1.0) / (col("df").cast("double") + 1.0)) + 1.0), 6))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("tfidf").desc, col("token").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -178,11 +183,14 @@ object TextAnalysis {
       explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
       .where(length(col("token")) > 0)
     val counts = toks.groupBy("token").agg(count(lit(1)).as("tc"))
-    val total = toks.count().toDouble
+    // total tokens derived from the counts aggregate inside the plan (one
+    // broadcast row), not an eager full-corpus count() pass
+    val total = counts.agg(sum(col("tc")).cast("double").as("__total"))
     toks.join(counts, Seq("token"))
+      .crossJoin(broadcast(total))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
-        round(avg(log(col("tc").cast("double") / total)), 6).as("avg_logp"))
+        round(avg(log(col("tc").cast("double") / col("__total"))), 6).as("avg_logp"))
   }
 
   /** Rolling (polynomial) document fingerprint over characters:

@@ -73,6 +73,27 @@ object Scratch {
       t("join+agg")(counted.count())
       t("join+agg2")(counted.count())
     }
+    // slim agg: group by (id_a,id_b) only, broadcast doc sizes after
+    time("slim-agg count-join") {
+      val sh2 = docs
+        .where(size(split(trim(lower(col("text"))), "\\s+")) >= 3)
+        .select(col("doc_id").as("id"),
+          graft.ops.Dedup.shingles(col("text"), 3).as("sh"))
+      val invS = sh2.select(col("id"), explode(col("sh")).as("s0"))
+        .select(col("id"), xxhash64(col("s0")).as("s"))
+      val counted = invS.as("l").join(invS.as("r"), col("l.s") === col("r.s"))
+        .where(col("l.id") < col("r.id"))
+        .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
+        .agg(count(lit(1)).cast("double").as("inter"))
+      val sizes = sh2.select(col("id"), size(col("sh")).as("n"))
+      counted
+        .join(broadcast(sizes.select(col("id").as("id_a"), col("n").as("n_a"))), "id_a")
+        .join(broadcast(sizes.select(col("id").as("id_b"), col("n").as("n_b"))), "id_b")
+        .withColumn("jaccard",
+          col("inter") / (col("n_a") + col("n_b") - col("inter")))
+        .where(col("jaccard") >= 0.3)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }
     // hashed-key variant: shuffle 8-byte shingle hashes, not strings
     time("hashed count-join") {
       val sh2 = docs

@@ -105,12 +105,12 @@ class PipelineOpsSpec extends SparkSpec {
     assert(chunks(3).getAs[String]("chunk_text") === (73 to 80).map(i => s"w$i").mkString(" "))
   }
 
-  test("tokenChunks: short doc yields one chunk; empty-token doc yields one empty chunk") {
-    val df = Seq((1L, "a b c"), (2L, "")).toDF("id", "text")
+  test("tokenChunks: short doc yields one chunk; tokenless docs yield NO rows") {
+    val df = Seq((1L, Some("a b c")), (2L, Some("")), (3L, Some("   ")),
+      (4L, None: Option[String])).toDF("id", "text")
     val out = Chunking.tokenChunks(df, "text", "id", 32, 24).collect()
-      .map(r => (r.getLong(0), r.getAs[String]("chunk_text"))).toMap
-    assert(out(1L) === "a b c")
-    assert(out(2L) === "") // split("") -> [""]: one empty token, like the oracle
+      .map(r => (r.getLong(0), r.getAs[String]("chunk_text")))
+    assert(out.toSeq === Seq((1L, "a b c")))
   }
 
   test("charChunks windows characters with overlap") {
