@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{AsofJoin, Chunking, Contamination, Sampling, TextAnalysis}
+import graft.ops.{AsofJoin, Chunking, Contamination, Dedup, Sampling, TextAnalysis}
 
 /** Round-4 pipeline operators: as-of join, chunking, contamination,
   * repetition signals, portable sampling. Value-level assertions against
@@ -242,5 +242,34 @@ class PipelineOpsSpec extends SparkSpec {
   test("portableSample at fraction 1.0 keeps everything, 0.0 keeps nothing") {
     assert(Sampling.portableSample(docs, "doc_id", 1.0).count() === docs.count())
     assert(Sampling.portableSample(docs, "doc_id", 0.0).count() === 0L)
+  }
+
+  // ------------------------------------------------- pathological inputs
+
+  test("text/dedup operators survive a degenerate 100k-token document") {
+    // one enormous repetitive doc (the boilerplate worst case), one long
+    // digit/punct run (regex-backtracking bait), one normal doc
+    val big = ("lorem ipsum dolor sit amet " * 20000).trim       // 100k tokens
+    val digits = ("1234567890-" * 5000) + "+1 555 123 4567"      // 55k chars
+    val df = Seq((1L, big), (2L, digits), (3L, "a normal short document"))
+      .toDF("doc_id", "text")
+    // each must complete (no ANSI overflow / OOM / catastrophic regex), and
+    // spot-checked values must be sane
+    val rep = TextAnalysis.repetitionSignals(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rep(1L) > 0.19 && rep(1L) < 0.21) // 5 distinct bigram kinds, top ~1/5
+    val stats = df.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.fingerprint(col("text")).as("fp"),
+      TextAnalysis.qualityScore(col("text")).as("q")).collect()
+    assert(stats.find(_.getLong(0) == 1L).get.getAs[Int]("n") === 100000)
+    assert(TextAnalysis.redactPii(col("text")) != null) // construction ok
+    assert(df.select(TextAnalysis.redactPii(col("text")).as("r"))
+      .where(col("r").contains("<PHONE>")).count() >= 1)
+    val chunks = Chunking.tokenChunks(df.where(col("doc_id") === 1L),
+      "text", "doc_id", 2048, 2048)
+    assert(chunks.count() === math.ceil(100000.0 / 2048).toLong)
+    // shingle-based dedup on the giant doc: bounded, returns (no pairs here)
+    assert(Dedup.ngramJaccardPairs(df, "text", "doc_id", 3, 0.8).count() === 0L)
   }
 }
