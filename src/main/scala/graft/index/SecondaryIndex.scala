@@ -59,10 +59,19 @@ object SecondaryIndex {
       org.apache.spark.sql.functions.col(ValueCol).as(col),
       transform(org.apache.spark.sql.functions.col(LabelsCol),
         l => regexp_replace(l, lit(suffixPattern), lit(""))).as(RefLabelsCol))
-    refShaped.coalesce(1).write.mode("overwrite").parquet(s"${storage.base}/$key")
-    // normalize to the single-file key the header references
-    val files = storage.listKeys(key).filter(_.endsWith(".parquet"))
-    require(files.nonEmpty, s"Index write produced no parquet file under $key")
+    // write to a temp dir, then rename the single part file onto the exact
+    // key: the header references a single-FILE key (reference
+    // `core/index.py:697` stores one parquet blob), and an object-store
+    // reader doing get(key) finds nothing if the key is a directory of
+    // part-files
+    val tmp = s"$key.__tmp"
+    refShaped.coalesce(1).write.mode("overwrite").parquet(s"${storage.base}/$tmp")
+    val files = storage.listKeys(tmp).filter(_.endsWith(".parquet"))
+    require(files.size == 1,
+      s"Index write produced ${files.size} parquet files under $tmp (expected 1)")
+    storage.delete(key)
+    storage.rename(files.head, key)
+    storage.delete(tmp)
     key
   }
 

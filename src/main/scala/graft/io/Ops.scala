@@ -115,9 +115,9 @@ object Ops {
     * (`_ensure_compatible_indices`), so this goes straight to the commit.
     *
     * On a DYNAMIC dataset (explicit_partitions=false) the current listing is
-    * adopted as the committed partition set — the commit sees a dynamic
-    * header as owning zero partitions, so passing Nil would write an
-    * explicit header with no partitions and index nothing. */
+    * adopted as the committed partition set (passed explicitly so the index
+    * build sees the full label set as its delta; the commit itself also
+    * adopts a dynamic listing into any explicit header it writes). */
   def buildDatasetIndices(spark: SparkSession, storage: Storage, uuid: String,
                           columns: Seq[String]): DatasetMetadata = {
     require(DatasetMetadata.exists(storage, uuid),
@@ -282,16 +282,19 @@ object Ops {
               exact: Boolean = false): DataFrame = {
     val cols = if (columns.nonEmpty) columns else df.columns.toSeq
     val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"__n_$c"),
-        (if (exact) count_distinct(col(c)) else approx_count_distinct(col(c))).as(s"__d_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
+      val in = col(s"`$c`") // quoted: `a.b` is a column name, not a struct path
+      Seq(count(in).as(s"__n_$c"),
+        (if (exact) count_distinct(in) else approx_count_distinct(in)).as(s"__d_$c"),
+        min(in).cast("string").as(s"__min_$c"),
+        max(in).cast("string").as(s"__max_$c"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val pairs = cols.map { c =>
-      struct(lit(c).as("column"), col(s"__n_$c").as("n_nonnull"),
-        col(s"__d_$c").as("n_distinct"), col(s"__min_$c").as("vmin"),
-        col(s"__max_$c").as("vmax"))
+      // backticks: a profiled column named `a.b` must not parse as a
+      // nested-field access in the aggregate-alias round-trip
+      struct(lit(c).as("column"), col(s"`__n_$c`").as("n_nonnull"),
+        col(s"`__d_$c`").as("n_distinct"), col(s"`__min_$c`").as("vmin"),
+        col(s"`__max_$c`").as("vmax"))
     }
     one.select(explode(array(pairs: _*)).as("p")).select("p.*")
   }

@@ -131,8 +131,12 @@ object Writer {
     * on-disk (= internal) label. A literal '+' must survive (URLDecoder would
     * turn it into a space — the same guard as `DatasetMetadata.urlDecode`). */
   private[io] def decodeFileLabel(tablePrefix: String): org.apache.spark.sql.Column =
+    // Pattern.quote: uuids may contain regex metacharacters ('+' is legal in
+    // reference uuids) — interpolated raw they would corrupt or crash the
+    // prefix-strip pattern
     url_decode(regexp_replace(
-      regexp_replace(input_file_name(), lit(s"^.*?/$tablePrefix/"), lit("")),
+      regexp_replace(input_file_name(),
+        lit("^.*?/" + java.util.regex.Pattern.quote(tablePrefix) + "/"), lit("")),
       lit("\\+"), lit("%2B")))
 
   private def buildAndStoreIndices(spark: SparkSession, storage: Storage,
@@ -267,6 +271,12 @@ object Writer {
         Some(DatasetMetadata.loadHeaderOnly(storage, uuid))
       else None
     val table = hdr.map(_.tableName).getOrElse(DatasetMetadata.SingleTable)
+    // a two-phase write with different partition columns would land files in
+    // the wrong hive layout and corrupt every later read — fail now, exactly
+    // as update() does for the one-phase path
+    hdr.foreach(h => require(opts.partitionOn == h.partitionKeys,
+      s"Incompatible partition keys: dataset has ${h.partitionKeys}, " +
+        s"write requested ${opts.partitionOn}"))
     val existingSchema =
       if (DatasetMetadata.schemaExists(storage, uuid, table))
         Some(DatasetMetadata.loadSchema(storage, uuid, table))
@@ -336,10 +346,17 @@ object Writer {
         if (DatasetMetadata.exists(storage, uuid))
           Some(DatasetMetadata.load(storage, uuid))
         else None) match {
-        // A dynamic header (explicit_partitions=False) owns no committed
-        // partitions — its listing already shows the uncommitted files being
-        // committed right now, which must not read as duplicates.
-        case Some(m) => (Some(m), if (m.explicitPartitions) m.partitions else Nil)
+        // A dynamic header (explicit_partitions=False) ADOPTS its current
+        // listing: those files are live data (readable right now through the
+        // listing-reconstructed partition set) and must survive into the
+        // explicit header this commit writes — dropping them would both lose
+        // them from reads and hand them to GC as unreferenced orphans. The
+        // labels being committed right now may already appear in the listing
+        // (renamed by writeSinglePartition) and must not read as duplicates,
+        // hence the filterNot.
+        case Some(m) => (Some(m),
+          if (m.explicitPartitions) m.partitions
+          else m.partitions.filterNot(newLabels.toSet))
         case None    => (None, Nil)
       }
     // honor the dataset's actual table name end to end: reading index
@@ -355,6 +372,11 @@ object Writer {
       secondaryIndices.filterNot(c => oldMeta.exists(_.indexColumns.contains(c))), keys)
     val dup = newLabels.toSet.intersect(oldLabels.toSet)
     require(dup.isEmpty, s"Duplicate partition labels in commit: ${dup.mkString(", ")}")
+    // the reference also rejects a label duplicated WITHIN one commit
+    // (`io_components/write.py:196-207`) — it would list the same file twice
+    // in the header and double its rows on every read
+    require(newLabels.distinct.size == newLabels.size,
+      s"Duplicate labels within commit: ${newLabels.diff(newLabels.distinct).distinct.mkString(", ")}")
 
     val deleted: Set[String] = if (deleteScope.isEmpty) Set.empty else
       Ops.resolveDeleteScope(spark, storage, uuid, oldMeta, schema, deleteScope)

@@ -97,7 +97,17 @@ final case class DatasetMetadata(
     }
     if (metadata.nonEmpty)
       b += "metadata" -> scala.collection.immutable.VectorMap.from[String, Any](
-        metadata.toSeq.sortBy(_._1).map { case (k, v) => k -> (v: Any) })
+        metadata.toSeq.sortBy(_._1).map { case (k, v) =>
+          // values holding JSON documents (the combineUserMetadata
+          // convention) are embedded as real nested structures, the shape
+          // the reference writes — scalars stay verbatim strings
+          val parsed =
+            try Option(DatasetMetadata.mapper.readTree(v))
+              .filter(n => n.isObject || n.isArray)
+              .map(DatasetMetadata.fromJackson)
+            catch { case _: Exception => None }
+          k -> parsed.getOrElse(v: Any)
+        })
     if (explicitPartitions)
       b += "partitions" -> scala.collection.immutable.VectorMap.from[String, Any](
         partitions.sorted.map { label =>
@@ -228,7 +238,14 @@ object DatasetMetadata {
         .map(_.asInstanceOf[Seq[Any]].map(str)).getOrElse(Nil),
       indices = external,
       metadata = root.get("metadata")
-        .map(_.asInstanceOf[Map[String, Any]].map { case (k, v) => k -> String.valueOf(v) })
+        .map(_.asInstanceOf[Map[String, Any]].map { case (k, v) => v match {
+          // nested metadata documents (the reference nests freely) become
+          // canonical JSON text — String.valueOf would write Scala
+          // Map.toString garbage into the next committed header
+          case m: Map[_, _] => k -> mapper.writeValueAsString(toJackson(m))
+          case s: Seq[_]    => k -> mapper.writeValueAsString(toJackson(s))
+          case other        => k -> String.valueOf(other)
+        }})
         .getOrElse(Map.empty),
       metadataVersion = version,
       explicitPartitions = partsNode.isDefined,

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dnf.{Literal, Op}
+import graft.io.{Ops, Reader, Writer}
+import graft.io.Writer.WriteOpts
+import graft.meta.DatasetMetadata
+import graft.store.Storage
+
+/** Regressions from the round-4 lifecycle review: dynamic-dataset adoption
+  * at commit, regex-safe uuids, single-file index keys, nested metadata
+  * round-trips, and commit-input validation.
+  */
+class LifecycleHardeningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshStore(): Storage = Storage(spark, tmpDir("lifecycle"))
+
+  test("update on a DYNAMIC dataset adopts previously-visible partitions") {
+    val st = freshStore()
+    val schema = Seq((1L, "a")).toDF("id", "v").schema
+    Writer.createEmptyDatasetHeader(st, "dyn", schema)
+    // two-phase write WITHOUT commit: visible through the dynamic listing
+    Writer.writeSinglePartition(spark, st, "dyn", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    assert(Reader.readTable(spark, st, "dyn").count() === 2)
+    // one-phase update commits an EXPLICIT header — the pre-existing files
+    // must survive into it, not become GC-able orphans
+    Writer.update(spark, st, "dyn", Some(Seq((3L, "c")).toDF("id", "v")))
+    val meta = DatasetMetadata.load(st, "dyn")
+    assert(meta.explicitPartitions)
+    assert(Reader.readTable(spark, st, "dyn").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L, 3L))
+    val removed = Ops.garbageCollect(spark, st, "dyn")
+    assert(removed.forall(k => !DatasetMetadata.isDataFile(k)),
+      s"GC claimed live data: $removed")
+    assert(Reader.readTable(spark, st, "dyn").count() === 3)
+  }
+
+  test("direct commitDataset on a dynamic dataset adopts the rest of the listing") {
+    val st = freshStore()
+    val schema = Seq((1L, "a")).toDF("id", "v").schema
+    Writer.createEmptyDatasetHeader(st, "dyn2", schema)
+    Writer.writeSinglePartition(spark, st, "dyn2", Seq((1L, "a")).toDF("id", "v"))
+    val newer = Writer.writeSinglePartition(spark, st, "dyn2",
+      Seq((2L, "b")).toDF("id", "v"))
+    // commit names only the second batch; the first (already in the
+    // listing) must be adopted, not dropped
+    Writer.commitDataset(spark, st, "dyn2", newer)
+    assert(Reader.readTable(spark, st, "dyn2").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L))
+  }
+
+  test("uuids with regex metacharacters survive store, index and pruned read") {
+    val st = freshStore()
+    val uuid = "logs+2026(v1)"
+    val df = Seq((1L, "x", "p1"), (2L, "y", "p2"), (3L, "x", "p1"))
+      .toDF("id", "cat", "p")
+    Writer.store(spark, st, uuid, df,
+      WriteOpts(partitionOn = Seq("p"), secondaryIndices = Seq("cat")))
+    val rows = Reader.readTable(spark, st, uuid,
+      predicates = Some(Seq(Seq(Literal("cat", Op.Eq, "x"))))).collect()
+    assert(rows.map(_.getAs[Long]("id")).toSet === Set(1L, 3L))
+    // the index must hold REAL labels (a broken regex strip leaves full URIs)
+    val meta = DatasetMetadata.load(st, uuid)
+    val idx = graft.index.SecondaryIndex.loadFor(spark, st, meta, "cat",
+      DatasetMetadata.loadSchema(st, uuid))
+    val labels = idx.select(explode(col("partitions")).as("l"))
+      .collect().map(_.getString(0))
+    assert(labels.nonEmpty && labels.forall(meta.partitions.contains))
+  }
+
+  test("index keys are single parquet FILES, not part-file directories") {
+    val st = freshStore()
+    Writer.store(spark, st, "idxfile",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "cat"),
+      WriteOpts(secondaryIndices = Seq("cat")))
+    val meta = DatasetMetadata.load(st, "idxfile")
+    val key = meta.indices("cat")
+    val p = st.path(key)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.getFileStatus(p).isFile, s"index key $key is not a single file")
+    // and still loads + prunes
+    val labels = Reader.pruneLabels(spark, st, meta,
+      DatasetMetadata.loadSchema(st, "idxfile"),
+      Some(Seq(Seq(Literal("cat", Op.Eq, "a")))))
+    assert(labels.length === 1)
+  }
+
+  test("nested metadata from a reference header round-trips as JSON, not toString garbage") {
+    val st = freshStore()
+    Writer.store(spark, st, "meta1", Seq((1L, "a")).toDF("id", "v"),
+      WriteOpts(metadata = Map("params" -> """{"lr": 0.1, "layers": [1, 2]}""")))
+    val m0 = DatasetMetadata.load(st, "meta1")
+    // write-back embeds the document as real nesting in BOTH flavors
+    st.writeBytes(DatasetMetadata.msgpackHeaderKey("meta1"), m0.toMsgpackZstd)
+    st.delete(DatasetMetadata.headerKey("meta1"))
+    graft.meta.DatasetFactory.bump(st, "meta1")
+    val viaMsgpack = DatasetMetadata.load(st, "meta1")
+    val parsed = DatasetMetadata.mapper.readTree(viaMsgpack.metadata("params"))
+    assert(parsed.isObject && parsed.get("lr").asDouble() === 0.1)
+    assert(parsed.get("layers").isArray)
+    // a later update must commit intact nested metadata, not Map.toString
+    Writer.store(spark, st, "meta1b", Seq((1L, "a")).toDF("id", "v"))
+    val hdr = m0.toJson
+    assert(hdr.contains("\"lr\""), hdr)
+    assert(!hdr.contains("Map("), hdr)
+  }
+
+  test("commit rejects a label duplicated within one commit") {
+    val st = freshStore()
+    val schema = Seq((1L, "a")).toDF("id", "v").schema
+    Writer.createEmptyDatasetHeader(st, "dup", schema)
+    val labels = Writer.writeSinglePartition(spark, st, "dup",
+      Seq((1L, "a")).toDF("id", "v"))
+    intercept[IllegalArgumentException] {
+      Writer.commitDataset(spark, st, "dup", labels ++ labels)
+    }
+  }
+
+  test("two-phase write rejects mismatched partition columns") {
+    val st = freshStore()
+    val df = Seq((1L, "a", "p1")).toDF("id", "v", "p")
+    Writer.store(spark, st, "pkeys", df, WriteOpts(partitionOn = Seq("p")))
+    intercept[IllegalArgumentException] {
+      Writer.writeSinglePartition(spark, st, "pkeys", df) // partitionOn=Nil
+    }
+  }
+
+  test("profile handles column names containing dots") {
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "a.b")
+    val out = Ops.profile(df, Seq("a.b"), exact = true).collect()
+    assert(out.length === 1 && out.head.getAs[Long]("n_distinct") === 2L)
+  }
+}
