@@ -863,8 +863,11 @@ object SparkEntry {
            FROM p ASOF LEFT JOIN v
              ON p.user_id = v.user_id AND p.ts >= v.ts""",
       "t_chunks" ->
-        """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-             FROM documents WHERE len(trim(text)) > 0),
+        """WITH d AS (
+             SELECT doc_id,
+               string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+             FROM documents
+             WHERE len(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0),
            c AS (SELECT doc_id, t,
                unnest(range(CAST(ceil(len(t) / 24.0) AS BIGINT))) AS chunk_idx
              FROM d WHERE len(t) > 0)

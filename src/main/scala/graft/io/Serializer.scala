@@ -19,6 +19,11 @@ import graft.meta.DatasetMetadata
 object Serializer {
   val Formats: Set[String] = Set("parquet", "csv", "csv.gz")
 
+  /** The reference CSV dialect (`serialization/_csv.py:33-85`) — ONE
+    * definition shared by batch read, batch write, and the streaming
+    * source, so the dialect cannot drift between paths. */
+  val CsvOptions: Map[String, String] = Map("sep" -> ";", "header" -> "true")
+
   def formatOf(label: String): String =
     if (label.endsWith(".parquet")) "parquet"
     else if (label.endsWith(".csv.gz")) "csv.gz"
@@ -34,7 +39,7 @@ object Serializer {
     val r = spark.read.option("basePath", base).schema(schema)
     format match {
       case "parquet" => r.parquet(paths: _*)
-      case _         => r.option("sep", ";").option("header", "true").csv(paths: _*)
+      case _         => r.options(CsvOptions).csv(paths: _*)
     }
   }
 
@@ -64,8 +69,8 @@ object Serializer {
     }
     format match {
       case "parquet" => w.parquet(path)
-      case "csv"     => w.option("sep", ";").option("header", "true").csv(path)
-      case "csv.gz"  => w.option("sep", ";").option("header", "true")
+      case "csv"     => w.options(CsvOptions).csv(path)
+      case "csv.gz"  => w.options(CsvOptions)
                          .option("compression", "gzip").csv(path)
     }
   }

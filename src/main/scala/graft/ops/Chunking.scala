@@ -28,9 +28,13 @@ object Chunking {
     require(window > 0, s"window must be positive (got $window)")
     require(stride > 0 && stride <= window,
       s"stride must be in [1, window] (got stride=$stride window=$window)")
-    val toks = split(trim(col(textCol)), "\\s+")
+    // REGEX trim: `trim` strips ASCII spaces only, while tokenization
+    // splits on \s+ — a tab/newline-edged doc would otherwise gain phantom
+    // empty tokens (and a tab-only doc would dodge the tokenless guard)
+    val clean = regexp_replace(col(textCol), "^\\s+|\\s+$", "")
+    val toks = split(clean, "\\s+")
     // tokenless guard: split("") yields [""], not [] — require real content
-    val n = when(length(trim(col(textCol))) > 0, size(toks)).otherwise(lit(0))
+    val n = when(length(clean) > 0, size(toks)).otherwise(lit(0))
     // sequence(0, k-1) is invalid for k = 0 (it would count DOWN); empty
     // docs get an empty index array instead and explode to nothing
     val nChunks = ceil(n.cast("double") / stride).cast("int")

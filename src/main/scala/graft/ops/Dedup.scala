@@ -56,6 +56,11 @@ object Dedup {
   /** LSH band hashes: split the k-length signature into `bands` bands and
     * hash each band (band id mixed in). */
   def bandHashes(sig: Column, k: Int, bands: Int): Column = {
+    // bands > k would give r = 0 => EVERY doc hashes into one bucket per
+    // band (C(n,2) candidates); k % bands != 0 silently drops trailing
+    // signature values — both are config errors, not recall trades
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"bands=$bands must divide numHashes=$k")
     val r = k / bands
     array((0 until bands).map { b =>
       hash(lit(b), concat_ws(",", transform(slice(sig, b * r + 1, r), _.cast("string"))))
@@ -405,7 +410,13 @@ object Dedup {
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
                         planes: Int = 0, threshold: Double = 0.95,
                         tables: Int = 4): DataFrame = {
+    // zero/empty vectors are excluded UP FRONT: they cannot be cosine
+    // near-dups of anything (similarity defined 0), yet they all share the
+    // identical all-'1' hyperplane signature in every table — m such rows
+    // (failed/padded encodes are common) would generate C(m,2) candidate
+    // pairs before verification filtered every one of them out
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .where(size(col("v")) > 0 && exists(col("v"), x => x =!= 0.0))
     // planes=0 derives the bucket granularity from the corpus size so
     // within-bucket all-pairs work stays ~constant per row: candidate pairs
     // scale as n^2/2^planes, so planes must grow with log2(n) or a 10x

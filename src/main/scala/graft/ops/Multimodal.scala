@@ -63,7 +63,9 @@ object Multimodal {
     * (id, features array<float>). */
   def extractFeatures(df: DataFrame, idCol: String,
                       payloadCol: String = "payload"): DataFrame =
-    df.select(col(idCol).cast("long").as(idCol),
+    // the id passes through UNCAST: forcing long would silently null
+    // string/uuid ids and orphan every feature row from its document
+    df.select(col(idCol),
       // null payload -> EMPTY features, matching decodeImageStub's guard:
       // the codegen expression null-propagates (UnaryExpression), so the
       // coalesce keeps the declared non-null array contract for consumers
@@ -91,10 +93,15 @@ object Multimodal {
   /** Frame-sample stub: pick every `stride`-th byte offset as a "frame"
     * marker — the Spark-side shape of video frame sampling (explode to one
     * row per sampled frame). Pure column expressions. */
-  def sampleFrames(df: DataFrame, payloadCol: String, stride: Int): DataFrame =
+  def sampleFrames(df: DataFrame, payloadCol: String, stride: Int): DataFrame = {
+    require(stride > 0, s"stride must be positive (got $stride)")
+    // empty/null payloads yield NO frames: the former greatest(len-1, 0)
+    // clamp emitted a phantom frame at offset 0 of a payload with no bytes
     df.withColumn("frame_offset",
-        explode(sequence(lit(0), greatest(octet_length(col(payloadCol)) - 1, lit(0)),
-          lit(stride))))
+      explode(when(octet_length(col(payloadCol)) > 0,
+        sequence(lit(0), octet_length(col(payloadCol)) - 1, lit(stride)))
+        .otherwise(array().cast("array<int>"))))
+  }
 
   /** Payload size + metadata summary — the kind of scan-only audit that must
     * never decode at 100 TB (projection keeps payload bytes out of the

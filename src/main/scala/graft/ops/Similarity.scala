@@ -27,8 +27,16 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity with ZERO-NORM vectors scored 0.0, not NaN: a
+    * failed/padded embedding is all zeros, and `0/0 = NaN` sorts GREATER
+    * than every number in Spark — an unguarded cosine makes a zero vector
+    * the #1 neighbor of every query and passes every `>= threshold`
+    * near-dup filter. Zero similarity ranks them last instead. */
+  def cosine(a: Column, b: Column): Column = {
+    val na = norm(a)
+    val nb = norm(b)
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
+  }
 
   /** Score every corpus row against one query vector. Returns
     * (idCol, cosine) — full scan, no limit (callers add top-k). */
@@ -117,9 +125,14 @@ object Similarity {
       else {
         val n = all.count() // shuffle-free aggregate; kmeans is eager anyway
         if (n <= trainCap) all
+        // 1e9 buckets: at 1e6 the threshold FLOORS to bucket granularity —
+        // for n >> trainCap*1e6 the rate rounds to a whole bucket and the
+        // sample overshoots the cap ~10x; ceil at 1e9 bounds the overshoot
+        // to one part in a billion of n
         else all.where(pmod(
           xxhash64(concat_ws(",", col("v").cast("array<string>")), lit("graft.kmeans")),
-          lit(1000000L)) < math.max(1L, (trainCap.toDouble / n * 1e6).toLong))
+          lit(1000000000L)) <
+            math.max(1L, math.ceil(trainCap.toDouble / n * 1e9).toLong))
       }
     // the cached training set is BOUNDED (~trainCap rows) and unpersisted in
     // the finally below — unlike a full-corpus cache, safe at any scale

@@ -23,35 +23,57 @@ object Sessionize {
   import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
   /** Works on both a streaming and a batch Dataset (state is per-batch in
-    * batch mode). Emits CLOSED sessions only — the open tail stays in
-    * state awaiting more events. */
-  def stateful(events: DataFrame, gapNanos: Long): DataFrame = {
+    * batch mode). Emits CLOSED sessions; the open tail rides in group state
+    * awaiting more events. `idleTimeoutMs > 0` arms a processing-time
+    * timeout that EMITS the tail session and frees its state once the user
+    * goes quiet — on an unbounded stream the default (disabled) mode loses
+    * each user's final session and retains state for every user_id ever
+    * seen, so long-running deployments should arm it (comfortably above
+    * the event-time gap, and pair it with a NONZERO trigger interval: a
+    * 0 ms trigger + armed timeouts busy-loops empty batches). Left opt-in
+    * because AvailableNow/one-shot jobs want the open tail KEPT for the
+    * next run, not flushed at an arbitrary processing-time cutoff. */
+  def stateful(events: DataFrame, gapNanos: Long,
+               idleTimeoutMs: Long = 0L): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
+    val streaming = events.isStreaming
+    val useTimeout = streaming && idleTimeoutMs > 0
     events
       .select(col("user_id").cast("long"), col("ts").cast("long"),
         col("value").cast("double"))
       .as[EventIn]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append,
+        if (useTimeout) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[EventIn], state: GroupState[OpenSession]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ts, e.value))
-          var open = state.getOption
-          val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
-          sorted.foreach { e =>
-            open match {
-              case Some(o) if e.ts - o.lastTs <= gapNanos =>
-                open = Some(o.copy(lastTs = e.ts, n = o.n + 1, sum = o.sum + e.value))
-              case Some(o) =>
-                closed += Session(uid, o.start, o.n, o.sum)
-                open = Some(OpenSession(e.ts, e.ts, 1, e.value))
-              case None =>
-                open = Some(OpenSession(e.ts, e.ts, 1, e.value))
+          if (state.hasTimedOut) {
+            val o = state.get
+            state.remove()
+            Iterator.single(Session(uid, o.start, o.n, o.sum))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts, e.value))
+            var open = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+            sorted.foreach { e =>
+              open match {
+                case Some(o) if e.ts - o.lastTs <= gapNanos =>
+                  open = Some(o.copy(lastTs = e.ts, n = o.n + 1, sum = o.sum + e.value))
+                case Some(o) =>
+                  closed += Session(uid, o.start, o.n, o.sum)
+                  open = Some(OpenSession(e.ts, e.ts, 1, e.value))
+                case None =>
+                  open = Some(OpenSession(e.ts, e.ts, 1, e.value))
+              }
             }
+            open.foreach { o =>
+              state.update(o)
+              if (useTimeout) state.setTimeoutDuration(idleTimeoutMs)
+            }
+            closed.iterator
           }
-          open.foreach(state.update)
-          closed.iterator
       }
       .toDF()
   }
@@ -81,25 +103,38 @@ object Streaming {
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
     val path = s"${storage.base}/${meta.tablePrefix}"
-    // dispatch on the dataset's format, not a hardcoded parquet source
+    // dispatch on the dataset's format, not a hardcoded parquet source;
+    // CSV dialect shared with the batch paths via Serializer.CsvOptions
     meta.format match {
       case "parquet" => r.parquet(path)
-      case "csv"     => r.option("sep", ";").option("header", "true").csv(path)
-      case "csv.gz"  => r.option("sep", ";").option("header", "true")
+      case "csv"     => r.options(graft.io.Serializer.CsvOptions).csv(path)
+      case "csv.gz"  => r.options(graft.io.Serializer.CsvOptions)
                          .option("pathGlobFilter", "*.csv.gz").csv(path)
       case other     => sys.error(s"No streaming source for format '$other'")
     }
   }
 
   private[graft] val LastBatchKey = "graft.streaming.lastBatchId"
+  private[graft] val RunTokenKey = "graft.streaming.runToken"
 
   /** One micro-batch through the atomic commit. The committed batchId rides
     * in the dataset's user metadata, so a batch RE-DELIVERED after a crash
     * between our commit and the streaming engine's own commit log is
     * detected and skipped — exactly-once despite foreachBatch's
-    * at-least-once contract. */
+    * at-least-once contract.
+    *
+    * `runToken` SCOPES the replay guard to one query run: Spark batchIds
+    * restart from 0 whenever the checkpoint is fresh (the default TEMP
+    * checkpoint gives a fresh one on every invocation), so an unscoped
+    * `storedId >= batchId` guard would silently swallow the first batches
+    * of every rerun as "replays". With a token, a mismatched token means a
+    * NEW run and the batch always commits; a matched token dedups retries
+    * within the run. Callers that pin a PERSISTENT checkpoint (batchIds
+    * monotonic across restarts) pass `runToken = None` to keep the
+    * cross-restart exactly-once guard. */
   private[graft] def ingestBatch(storage: Storage, uuid: String,
-                                     opts: WriteOpts)
+                                     opts: WriteOpts,
+                                     runToken: Option[String] = None)
                                     (batch: DataFrame, batchId: Long): Unit = {
     // Per-batch work must be O(batch), not O(dataset): AQE is OFF inside
     // streaming micro-batches, so the write shuffle gets a SMALL fixed width
@@ -115,12 +150,15 @@ object Streaming {
     val width =
       if (opts.writeWidth > 0) opts.writeWidth
       else math.max(1, math.min(8, spark.sparkContext.defaultParallelism))
-    val stamped = opts.copy(
-      metadata = opts.metadata + (LastBatchKey -> batchId.toString),
-      writeWidth = width)
+    val stamp: Map[String, String] =
+      Map(LastBatchKey -> batchId.toString) ++
+        runToken.map(RunTokenKey -> _)
+    val stamped = opts.copy(metadata = opts.metadata ++ stamp, writeWidth = width)
     if (DatasetMetadata.exists(storage, uuid)) {
       val meta = DatasetMetadata.load(storage, uuid)
-      if (meta.metadata.get(LastBatchKey).exists(_.toLong >= batchId)) return
+      val sameRun = runToken.forall(t => meta.metadata.get(RunTokenKey).contains(t))
+      if (sameRun && meta.metadata.get(LastBatchKey).exists(_.toLong >= batchId))
+        return
       Writer.update(spark, storage, uuid, Some(batch), Nil, stamped)
     } else {
       Writer.store(spark, storage, uuid, batch, stamped)
@@ -174,13 +212,25 @@ object Streaming {
 
   /** Stream into a dataset: one atomic commit per micro-batch (replays
     * skipped via the batchId stamp, see [[ingestBatch]]). Returns the
-    * started query; callers own trigger/checkpoint configuration via
-    * `configure` (defaults: availableNow, temp checkpoint). */
+    * started query; callers own trigger configuration via `configure`
+    * (default: availableNow).
+    *
+    * `checkpoint = None` (default) uses Spark's TEMP checkpoint: batchIds
+    * restart per run, so the replay guard is scoped to this run via a
+    * fresh token — reruns append instead of being swallowed as replays.
+    * `checkpoint = Some(path)` pins a persistent checkpoint: batchIds are
+    * monotonic across restarts, and the guard spans them (exactly-once
+    * through driver crash + restart). */
   def writeStreamAppend(stream: DataFrame, storage: Storage, uuid: String,
                         opts: WriteOpts = WriteOpts(),
+                        checkpoint: Option[String] = None,
                         configure: DataStreamWriter[Row] => DataStreamWriter[Row] =
                           _.trigger(Trigger.AvailableNow())): StreamingQuery = {
-    val writer = stream.writeStream.foreachBatch(ingestBatch(storage, uuid, opts) _)
+    val token =
+      if (checkpoint.isEmpty) Some(java.util.UUID.randomUUID().toString) else None
+    val writer0 = stream.writeStream
+      .foreachBatch(ingestBatch(storage, uuid, opts, token) _)
+    val writer = checkpoint.fold(writer0)(p => writer0.option("checkpointLocation", p))
     configure(writer).start()
   }
 }

@@ -244,6 +244,64 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Sampling.portableSample(docs, "doc_id", 0.0).count() === 0L)
   }
 
+  test("zero-norm embeddings score cosine 0, never NaN-win a top-k or near-dup pass") {
+    import graft.ops.Similarity
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 0.0f)) // failed/padded encode
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(emb, "embedding", "vec_id", Seq(1.0, 0.0), 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(top.head._1 === 0L)            // the true match ranks first
+    assert(top.last._1 === 2L && top.last._2 === 0.0) // zero vector LAST at 0.0
+    val pairs = graft.ops.Dedup.embeddingNearDups(emb, "embedding", "vec_id",
+      planes = 4, threshold = 0.5)
+    assert(!pairs.collect().exists(r => r.getLong(0) == 2L || r.getLong(1) == 2L))
+  }
+
+  test("minhash band config errors are rejected, not silent recall changes") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] { // bands > k: one bucket for all docs
+      Dedup.minhashNearDups(df, "text", "doc_id", numHashes = 4, bands = 8).count()
+    }
+    intercept[IllegalArgumentException] { // k % bands != 0: dropped hashes
+      Dedup.minhashNearDups(df, "text", "doc_id", numHashes = 20, bands = 8).count()
+    }
+  }
+
+  test("tokenChunks treats tab/newline whitespace like spaces") {
+    val df = Seq((1L, "\ta b\n"), (2L, "\t\n")).toDF("id", "text")
+    val out = Chunking.tokenChunks(df, "text", "id", 32, 24).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("chunk_text") === "a b")
+    assert(out.head.getAs[Long]("n_chunk_tokens") === 2L)
+  }
+
+  test("sampleFrames emits no phantom frame for empty or null payloads") {
+    import graft.ops.Multimodal
+    val df = Seq(
+      (1L, Some(Array[Byte](1, 2, 3, 4, 5))),
+      (2L, Some(Array.empty[Byte])),
+      (3L, None: Option[Array[Byte]])
+    ).toDF("id", "payload")
+    val out = Multimodal.sampleFrames(df, "payload", 2)
+      .select("id", "frame_offset").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(out.toSet === Set((1L, 0), (1L, 2), (1L, 4)))
+    intercept[IllegalArgumentException] {
+      Multimodal.sampleFrames(df, "payload", 0)
+    }
+  }
+
+  test("extractFeatures keeps non-numeric ids intact") {
+    import graft.ops.Multimodal
+    val df = Seq(("doc-a", Array[Byte](10)), ("doc-b", Array[Byte](20)))
+      .toDF("uid", "payload")
+    val out = Multimodal.extractFeatures(df, "uid").collect()
+      .map(r => r.getString(0)).toSet
+    assert(out === Set("doc-a", "doc-b"))
+  }
+
   // ------------------------------------------------- pathological inputs
 
   test("text/dedup operators survive a degenerate 100k-token document") {

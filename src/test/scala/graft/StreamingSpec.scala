@@ -93,6 +93,33 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("armed idle timeout flushes the open tail session and frees state") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Double)]
+    val sessions = graft.streaming.Sessionize.stateful(
+      in.toDF().toDF("user_id", "ts", "value"), gapNanos = 100L,
+      idleTimeoutMs = 500L)
+    // NONZERO trigger: armed timeouts + 0ms trigger busy-loop empty batches
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("sess_timeout").trigger(Trigger.ProcessingTime("250 milliseconds"))
+      .start()
+    try {
+      in.addData((9L, 0L, 4.0), (9L, 50L, 5.0))
+      // the user goes quiet; the timeout must flush their open session
+      val deadline = System.currentTimeMillis() + 60000
+      var flushed = Seq.empty[graft.streaming.Sessionize.Session]
+      while (flushed.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+        flushed = spark.table("sess_timeout")
+          .as[graft.streaming.Sessionize.Session].collect().toSeq
+      }
+      assert(flushed === Seq(graft.streaming.Sessionize.Session(9L, 0L, 2L, 9.0)))
+    } finally q.stop()
+  }
+
   test("ingestBatch skips a replayed batchId (exactly-once under retries)") {
     import spark.implicits._
     val batch = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "p", "v")
@@ -114,6 +141,26 @@ class StreamingSpec extends SparkSpec {
     ingest(batch, 2L)
     ingest(batch, 2L)
     assert(Reader.readTable(spark, store, "replay").count() === 6)
+  }
+
+  test("a new run (fresh temp checkpoint) appends even though batchIds restart at 0") {
+    import spark.implicits._
+    val b1 = Seq((1L, "a", 1.0)).toDF("id", "p", "v")
+    val b2 = Seq((2L, "b", 2.0)).toDF("id", "p", "v")
+    // run 1 commits batches 0..1
+    val run1 = graft.streaming.Streaming.ingestBatch(store, "rerun",
+      Writer.WriteOpts(partitionOn = Seq("p")), runToken = Some("run-1")) _
+    run1(b1, 0L); run1(b2, 1L)
+    assert(Reader.readTable(spark, store, "rerun").count() === 2)
+    // a retry WITHIN run 1 is still deduped
+    run1(b2, 1L)
+    assert(Reader.readTable(spark, store, "rerun").count() === 2)
+    // run 2: fresh checkpoint, batchIds restart at 0 — MUST append, the
+    // unscoped guard would swallow these as "replays"
+    val run2 = graft.streaming.Streaming.ingestBatch(store, "rerun",
+      Writer.WriteOpts(partitionOn = Seq("p")), runToken = Some("run-2")) _
+    run2(Seq((3L, "c", 3.0)).toDF("id", "p", "v"), 0L)
+    assert(Reader.readTable(spark, store, "rerun").count() === 3)
   }
 
   test("readStream over a dataset sees its partitions incrementally") {
