@@ -29,11 +29,35 @@ object Bench {
       .foreach(f => spark.read.parquet(f.getPath).foreach(_ => ()))
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
+    // fixture-backed queries share per-JVM temp DATASETS (SparkEntry.ensure):
+    // on a fresh tmpdir the first query to touch each fixture would be billed
+    // its entire build (a full partitioned+indexed store, a streaming
+    // ingest) — setup cost, not query cost, and attributed nondeterministically.
+    // Build every fixture here, untimed, by running its queries once.
+    val fixtureQueries = Seq(
+      "w2_roundtrip", "x1_partition_prune",               // liDs
+      "s6_index_prune",                                   // ordDs
+      "a6_index_observed", "a7_index_stats", "s11_footer_stats", // docDs
+      "w_chunked_prune",                                  // chunkedDocDs
+      "s2_csv_dataset",                                   // part_csv
+      "w8_dynamic_read",                                  // sup_dyn
+      "st_stream_ingest",                                 // cust_stream
+      "w5_update_append", "w5_delete_scope",              // ord_upd / ord_del
+      "x3_bucketed_roundtrip",                            // li_bkt
+      "s8_index_on", "x2_dispatch_by", "a4_hash_dataset")
+    fixtureQueries.foreach { name =>
+      try SparkEntry.queries(name)(spark, sfDir).foreach(_ => ())
+      catch { case _: Throwable => () } // the timed run reports the failure
+    }
     val errors = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        // toRdd.count(): materialize the query's ACTUAL output rows.
+        // df.count() plans a count(*) aggregate instead, letting the scan
+        // prune every projected column — a scan-shaped query would be timed
+        // as a near-empty-schema pass
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
         catch { case e: Throwable =>
           // a crashing query must NOT score as a fast timing
           System.err.println(s"[bench] $name FAILED: $e")

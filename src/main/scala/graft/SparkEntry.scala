@@ -1,6 +1,5 @@
 package graft
 
-import scala.collection.concurrent.TrieMap
 import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -27,7 +26,10 @@ object SparkEntry {
   private def rd(s: SparkSession, dir: String, t: String): DataFrame =
     s.read.parquet(s"$dir/$t.parquet")
 
-  private val built = TrieMap.empty[String, Boolean]
+  // guarded by the `synchronized` in ensure() (which must BLOCK concurrent
+  // callers until a build completes, not merely claim the key) — a plain
+  // set states that contract; a concurrent map would suggest lock-free use
+  private val built = scala.collection.mutable.HashSet.empty[String]
   private def tmpBase(dir: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_ds_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
 
@@ -36,7 +38,7 @@ object SparkEntry {
                     (mk: Storage => Unit): Storage = synchronized {
     val store = Storage(s, tmpBase(dir))
     val key = s"${tmpBase(dir)}/$uuid"
-    if (!built.contains(key)) { mk(store); built.put(key, true) }
+    if (!built.contains(key)) { mk(store); built.add(key) }
     store
   }
 
@@ -151,7 +153,12 @@ object SparkEntry {
             .option("pathGlobFilter", "customer.parquet").parquet(dir),
           st, "cust_stream",
           WriteOpts(partitionOn = Seq("c_mktsegment"), overwrite = true))
-        q.awaitTermination(300000)
+        // a false return means the ingest is STILL RUNNING — reading now
+        // would compare a partial table against the oracle; fail loudly
+        if (!q.awaitTermination(300000)) {
+          q.stop()
+          sys.error("cust_stream ingest did not finish within 300s")
+        }
       }
       Reader.readTable(s, st, "cust_stream")
     }),

@@ -67,15 +67,26 @@ object Msgpack {
     }
   }
 
-  private def readStr(b: ByteBuffer, n: Int): String = {
+  // 32-bit length fields arrive via getInt(): a corrupt/hostile header can
+  // carry a NEGATIVE count, which Seq.fill silently treats as zero —
+  // decoding would continue misaligned and could return a structurally
+  // valid but WRONG header (e.g. an empty partition list)
+  private def checkLen(n: Int, what: String): Int = {
+    require(n >= 0, s"Negative msgpack $what length $n (corrupt header)")
+    n
+  }
+  private def readStr(b: ByteBuffer, n0: Int): String = {
+    val n = checkLen(n0, "str")
     val a = new Array[Byte](n); b.get(a); new String(a, StandardCharsets.UTF_8)
   }
-  private def readBin(b: ByteBuffer, n: Int): Array[Byte] = {
+  private def readBin(b: ByteBuffer, n0: Int): Array[Byte] = {
+    val n = checkLen(n0, "bin")
     val a = new Array[Byte](n); b.get(a); a
   }
   private def readArr(b: ByteBuffer, n: Int): Seq[Any] =
-    Seq.fill(n)(read(b))
-  private def readMap(b: ByteBuffer, n: Int): Map[String, Any] = {
+    Seq.fill(checkLen(n, "array"))(read(b))
+  private def readMap(b: ByteBuffer, n0: Int): Map[String, Any] = {
+    val n = checkLen(n0, "map")
     val m = scala.collection.immutable.VectorMap.newBuilder[String, Any]
     var i = 0
     while (i < n) {

@@ -44,17 +44,38 @@ class Storage(val base: String, @transient private var conf: Configuration)
     finally in.close()
   }
 
-  /** Single-shot create; the header-last commit protocol relies on this
-    * being the final action of a write (SURVEY.md §7.4 atomicity note). */
+  /** Atomic small-object write — the header-last commit protocol's
+    * visibility point. On filesystems with atomic rename (local, HDFS) a
+    * plain create+write+close is NOT atomic: a concurrent reader can open
+    * the header mid-write and parse truncated JSON. There the content is
+    * staged to a sibling temp key and renamed over the destination
+    * (FileContext rename with OVERWRITE — atomic on those filesystems). On
+    * object stores (s3a/gs/abfs…) a single PUT is already atomic and
+    * rename is a non-atomic copy+delete, so the direct write is BOTH
+    * correct and cheaper — the scheme picks the mechanism. */
   def writeString(key: String, content: String): Unit =
     writeBytes(key, content.getBytes(StandardCharsets.UTF_8))
+
+  private def atomicRenameScheme: Boolean = {
+    val s = Option(path("x").toUri.getScheme).getOrElse("file")
+    s == "file" || s == "hdfs" || s == "viewfs"
+  }
 
   def writeBytes(key: String, content: Array[Byte]): Unit = {
     val p = path(key)
     fs.mkdirs(p.getParent)
-    val out = fs.create(p, true)
-    try out.write(content)
-    finally out.close()
+    if (atomicRenameScheme) {
+      val tmp = new Path(p.getParent, s".${p.getName}.__wtmp_${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, true)
+      try out.write(content)
+      finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } else {
+      val out = fs.create(p, true)
+      try out.write(content)
+      finally out.close()
+    }
   }
 
   def delete(key: String): Boolean = fs.delete(path(key), true)

@@ -46,7 +46,13 @@ final class GraftFileIndex(
       labels.map(l => fs.makeQualified(new Path(base, l)) -> l).toMap
     val out = Map.newBuilder[String, FileStatus]
     qualified.keysIterator.map(_.getParent).toSet[Path].foreach { d =>
-      fs.listStatus(d).foreach { st =>
+      // a deleted partition DIRECTORY surfaces as "no files in this dir" so
+      // the missing-labels require below names the lost labels instead of a
+      // raw FileNotFoundException naming only the directory
+      val listed =
+        try fs.listStatus(d)
+        catch { case _: java.io.FileNotFoundException => Array.empty[FileStatus] }
+      listed.foreach { st =>
         qualified.get(st.getPath).foreach(l => out += l -> st)
       }
     }
@@ -88,8 +94,9 @@ final class GraftFileIndex(
         keep0.filter(l => bound.eval(partRows(l)))
       }
     lastListedFileCount = keep.size
-    keep.map(l => PartitionDirectory(
-      partRows.getOrElse(l, InternalRow.empty), Array(statuses(l))))
+    // partRows is keyed by the same label list `keep` filters — a miss is a
+    // broken invariant and must fail loudly, not scan with null partitions
+    keep.map(l => PartitionDirectory(partRows(l), Array(statuses(l))))
   }
 
   override def inputFiles: Array[String] =
@@ -105,9 +112,13 @@ object GraftRelation {
             partitionSchema: StructType, dataSchema: StructType,
             format: String): DataFrame = {
     val spark = spark0.asInstanceOf[classic.SparkSession]
+    require(graft.io.Serializer.Formats(format),
+      s"No serializer registered for format '$format'")
     val (fmt, opts) = format match {
       case "parquet" => (new ParquetFileFormat, Map.empty[String, String])
-      case _ => (new CSVFileFormat, Map("sep" -> ";", "header" -> "true"))
+      // ONE shared CSV dialect — a drifted copy here would parse datasets
+      // written by Serializer with different options
+      case _ => (new CSVFileFormat, graft.io.Serializer.CsvOptions)
     }
     val rel = HadoopFsRelation(index, partitionSchema, dataSchema, None, fmt, opts)(spark)
     classic.Dataset.ofRows(spark, LogicalRelation(rel, isStreaming = false))
