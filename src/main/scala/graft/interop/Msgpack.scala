@@ -90,10 +90,17 @@ object Msgpack {
     val m = scala.collection.immutable.VectorMap.newBuilder[String, Any]
     var i = 0
     while (i < n) {
+      // scalar keys are STRINGIFIED, not rejected: a reference embedded
+      // index on an int64/float column packs its values as msgpack ints —
+      // the JSON header flavor stringifies them the same way (JSON object
+      // keys are strings) and index eval re-casts to the column dtype
       val k = read(b) match {
         case s: String => s
+        case l: Long => l.toString
+        case d: Double => d.toString
+        case bl: Boolean => bl.toString
         case other => throw new IllegalArgumentException(
-          s"Non-string msgpack map key $other not supported")
+          s"Unsupported msgpack map key $other (container keys not used by plateau headers)")
       }
       m += k -> read(b)
       i += 1

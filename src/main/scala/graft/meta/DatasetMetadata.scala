@@ -108,13 +108,20 @@ final case class DatasetMetadata(
             catch { case _: Exception => None }
           k -> parsed.getOrElse(v: Any)
         })
-    if (explicitPartitions)
-      b += "partitions" -> scala.collection.immutable.VectorMap.from[String, Any](
-        partitions.sorted.map { label =>
-          headerLabel(label) -> scala.collection.immutable.VectorMap[String, Any](
-            "files" -> scala.collection.immutable.VectorMap[String, Any](
-              tableName -> fileKey(label)))
-        })
+    if (explicitPartitions) {
+      val entries = partitions.sorted.map { label =>
+        headerLabel(label) -> scala.collection.immutable.VectorMap[String, Any](
+          "files" -> scala.collection.immutable.VectorMap[String, Any](
+            tableName -> fileKey(label)))
+      }
+      // header labels are suffix-STRIPPED: two internal labels differing
+      // only in data suffix would silently collapse to one map entry and
+      // drop a partition from the committed header — fail loudly instead
+      val dups = entries.map(_._1).diff(entries.map(_._1).distinct).distinct
+      require(dups.isEmpty,
+        s"Partition labels collide after suffix strip: ${dups.take(3).mkString(", ")}")
+      b += "partitions" -> scala.collection.immutable.VectorMap.from[String, Any](entries)
+    }
     b += "partition_keys" -> partitionKeys
     if (format != "parquet") b += "format" -> format
     b.result()

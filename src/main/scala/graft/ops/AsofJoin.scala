@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
   * natively (beyond-reference scope; the reference has no temporal joins
   * either, but any events/metrics pipeline at 100 TB needs one).
   *
-  * Semantics match DuckDB/pandas `merge_asof` backward mode: every left row
-  * is matched to the single right row with the GREATEST `rightTime <=
-  * leftTime` within the same equality keys (ties on time count as a match),
-  * or nulls when no right row precedes it.
+  * Semantics match DuckDB/pandas `merge_asof`: BACKWARD matches every left
+  * row to the single right row with the greatest `rightTime <= leftTime`
+  * within the same equality keys; FORWARD to the smallest
+  * `rightTime >= leftTime`. Ties on time count as a match; left rows with
+  * no qualifying right row keep nulls (left join). Nulls follow JOIN
+  * semantics: a right row with a null key or time never matches; a left
+  * row with a null key or time is kept with a null payload.
   *
   * Plan shape, not a range join: the naive formulation
   * (`l JOIN r ON l.k = r.k AND r.t <= l.t` + max-per-left) is O(|L|x|R|)
@@ -24,7 +27,7 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
-  /** Backward as-of join.
+  /** Backward as-of join: greatest `rightTime <= leftTime` per key.
     *
     * @param rightCols right-side columns to surface on matches (each becomes
     *                  `prefix + name`); right rows should be unique per
@@ -33,76 +36,57 @@ object AsofJoin {
     */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String,
-               rightCols: Seq[String], prefix: String = "asof_"): DataFrame = {
-    require(keys.nonEmpty, "as-of join requires at least one equality key")
-    require(rightCols.nonEmpty, "rightCols must name at least one column")
-    val leftCols = left.columns.toSeq
-    val payloadType = org.apache.spark.sql.types.StructType(
-      right.select(rightCols.map(col): _*).schema.fields)
-    // JOIN null semantics, not window semantics: a right row with a null
-    // key or null time can never match (equality/inequality with null is
-    // never true), so it is dropped BEFORE the union — otherwise the window
-    // would happily group null keys together and a null right time would
-    // sort nulls-first into every left row's visible range. Left rows with
-    // null keys/times are kept (left join) and get a null payload: their
-    // partition then contains no right rows / the nulls-first sort region
-    // contains no payloads.
-    val matchableRight = right.where(
-      (keys.map(col(_).isNotNull) :+ col(rightTime).isNotNull).reduce(_ && _))
-    // side 0 (right) sorts BEFORE side 1 (left) at equal timestamps, so a
-    // right row at exactly leftTime is visible to that left row (the `<=`
-    // in the contract)
-    val rightSide = matchableRight.select(
-      keys.map(col) ++ Seq(
-        col(rightTime).as("__t"), lit(0).as("__side"),
-        struct(rightCols.map(col): _*).as("__rp"),
-        lit(null).cast(org.apache.spark.sql.types.StructType(
-          left.schema.fields)).as("__lp")): _*)
-    val leftSide = left.select(
-      keys.map(col) ++ Seq(
-        col(leftTime).as("__t"), lit(1).as("__side"),
-        lit(null).cast(payloadType).as("__rp"),
-        struct(leftCols.map(col): _*).as("__lp")): _*)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    rightSide.unionByName(leftSide)
-      .withColumn("__match", last(col("__rp"), ignoreNulls = true).over(w))
-      .where(col("__side") === 1)
-      .select(leftCols.map(c => col("__lp").getField(c).as(c)) ++
-        rightCols.map(c => col("__match").getField(c).as(prefix + c)): _*)
-  }
+               rightCols: Seq[String], prefix: String = "asof_"): DataFrame =
+    // ascending time; right (side 0) sorts before left at equal timestamps,
+    // so a right row at exactly leftTime is visible (the `<=` contract).
+    // Nulls-first is the asc default: a null-time left row sorts ahead of
+    // every right row and sees no payload
+    asof(left, right, keys, leftTime, rightTime, rightCols, prefix,
+      t => Seq(t.asc_nulls_first))
 
   /** Forward as-of join: smallest `rightTime >= leftTime` per key. Same
     * linear union-tag plan with the sort order reversed. */
   def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
               leftTime: String, rightTime: String,
-              rightCols: Seq[String], prefix: String = "asof_"): DataFrame = {
+              rightCols: Seq[String], prefix: String = "asof_"): DataFrame =
+    // descending time: the "latest right seen so far" becomes the EARLIEST
+    // right at-or-after the left row; right still sorts first at equal t.
+    // desc_nulls_first keeps a null-time LEFT row ahead of every right row
+    // (desc default is nulls LAST, which would hand it the earliest match)
+    asof(left, right, keys, leftTime, rightTime, rightCols, prefix,
+      t => Seq(t.desc_nulls_first))
+
+  private def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTime: String, rightTime: String,
+                   rightCols: Seq[String], prefix: String,
+                   timeOrder: Column => Seq[Column]): DataFrame = {
     require(keys.nonEmpty, "as-of join requires at least one equality key")
     require(rightCols.nonEmpty, "rightCols must name at least one column")
     val leftCols = left.columns.toSeq
     val payloadType = org.apache.spark.sql.types.StructType(
       right.select(rightCols.map(col): _*).schema.fields)
-    // join null semantics — see backward()
+    val leftRowType = org.apache.spark.sql.types.StructType(left.schema.fields)
+    // JOIN null semantics, not window semantics: a right row with a null
+    // key or null time can never match (equality/inequality with null is
+    // never true), so it is dropped BEFORE the union — otherwise the window
+    // would happily group null keys together. Left rows with null
+    // keys/times are kept (left join) and get a null payload: their
+    // partition then contains no right rows / the nulls-first sort region
+    // contains no payloads.
     val matchableRight = right.where(
       (keys.map(col(_).isNotNull) :+ col(rightTime).isNotNull).reduce(_ && _))
     val rightSide = matchableRight.select(
       keys.map(col) ++ Seq(
         col(rightTime).as("__t"), lit(0).as("__side"),
         struct(rightCols.map(col): _*).as("__rp"),
-        lit(null).cast(org.apache.spark.sql.types.StructType(
-          left.schema.fields)).as("__lp")): _*)
+        lit(null).cast(leftRowType).as("__lp")): _*)
     val leftSide = left.select(
       keys.map(col) ++ Seq(
         col(leftTime).as("__t"), lit(1).as("__side"),
         lit(null).cast(payloadType).as("__rp"),
         struct(leftCols.map(col): _*).as("__lp")): _*)
-    // descending time: the "latest right seen so far" becomes the EARLIEST
-    // right at-or-after the left row; right still sorts first at equal t.
-    // desc_nulls_first keeps a null-time LEFT row ahead of every right row
-    // (desc default is nulls LAST, which would hand it the earliest match)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").desc_nulls_first, col("__side"))
+      .orderBy(timeOrder(col("__t")) :+ col("__side"): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rightSide.unionByName(leftSide)
       .withColumn("__match", last(col("__rp"), ignoreNulls = true).over(w))

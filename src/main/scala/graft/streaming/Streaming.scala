@@ -150,13 +150,17 @@ object Streaming {
     val width =
       if (opts.writeWidth > 0) opts.writeWidth
       else math.max(1, math.min(8, spark.sparkContext.defaultParallelism))
+    // the persistent mode stamps an EMPTY token: a stored batchId binds a
+    // later batch only when both were written in the same mode/run — a
+    // None-mode query must not trust ids bumped by an earlier token-scoped
+    // (temp-checkpoint) run whose numbering restarted from 0, and vice versa
+    val myToken = runToken.getOrElse("")
     val stamp: Map[String, String] =
-      Map(LastBatchKey -> batchId.toString) ++
-        runToken.map(RunTokenKey -> _)
+      Map(LastBatchKey -> batchId.toString, RunTokenKey -> myToken)
     val stamped = opts.copy(metadata = opts.metadata ++ stamp, writeWidth = width)
     if (DatasetMetadata.exists(storage, uuid)) {
       val meta = DatasetMetadata.load(storage, uuid)
-      val sameRun = runToken.forall(t => meta.metadata.get(RunTokenKey).contains(t))
+      val sameRun = meta.metadata.getOrElse(RunTokenKey, "") == myToken
       if (sameRun && meta.metadata.get(LastBatchKey).exists(_.toLong >= batchId))
         return
       Writer.update(spark, storage, uuid, Some(batch), Nil, stamped)
@@ -220,7 +224,13 @@ object Streaming {
     * fresh token — reruns append instead of being swallowed as replays.
     * `checkpoint = Some(path)` pins a persistent checkpoint: batchIds are
     * monotonic across restarts, and the guard spans them (exactly-once
-    * through driver crash + restart). */
+    * through driver crash + restart).
+    *
+    * IMPORTANT: pass persistent checkpoints through THIS parameter, never
+    * via `configure(_.option("checkpointLocation", …))` — the writer cannot
+    * see options set there, so it would mint a per-run token and a
+    * crash-redelivered batch from the persistent checkpoint would commit
+    * twice. */
   def writeStreamAppend(stream: DataFrame, storage: Storage, uuid: String,
                         opts: WriteOpts = WriteOpts(),
                         checkpoint: Option[String] = None,

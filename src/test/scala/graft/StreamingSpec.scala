@@ -163,6 +163,24 @@ class StreamingSpec extends SparkSpec {
     assert(Reader.readTable(spark, store, "rerun").count() === 3)
   }
 
+  test("switching a token-scoped run to persistent mode never swallows batch 0") {
+    import spark.implicits._
+    val b = Seq((1L, "a", 1.0)).toDF("id", "p", "v")
+    // exploratory temp-checkpoint run (token-scoped) commits batches 0..1
+    val temp = graft.streaming.Streaming.ingestBatch(store, "modes",
+      Writer.WriteOpts(partitionOn = Seq("p")), runToken = Some("tmp-run")) _
+    temp(b, 0L); temp(Seq((2L, "b", 2.0)).toDF("id", "p", "v"), 1L)
+    // productionized persistent-checkpoint run (no token) restarts at 0 —
+    // a guard trusting the token-run's batchId stamp would drop this batch
+    val persist = graft.streaming.Streaming.ingestBatch(store, "modes",
+      Writer.WriteOpts(partitionOn = Seq("p")), runToken = None) _
+    persist(Seq((3L, "c", 3.0)).toDF("id", "p", "v"), 0L)
+    assert(Reader.readTable(spark, store, "modes").count() === 3)
+    // and within the persistent mode, replays still dedupe
+    persist(Seq((3L, "c", 3.0)).toDF("id", "p", "v"), 0L)
+    assert(Reader.readTable(spark, store, "modes").count() === 3)
+  }
+
   test("readStream over a dataset sees its partitions incrementally") {
     import spark.implicits._
     Writer.store(spark, store, "feed",
