@@ -61,4 +61,34 @@ object Curate {
       Sampling.deterministicSample(deduped, idCol, cfg.sampleFraction, cfg.sampleSalt)
     else deduped
   }
+
+  /** The streaming face of the same pipeline, for corpora that arrive as a
+    * stream: quality/language gates and deterministic sampling are
+    * stateless column work (identical to batch); exact dedup becomes
+    * watermark-bounded [[graft.streaming.Streaming.dedupExact]] on the
+    * content hash. Near-dup removal is deliberately ABSENT — LSH banding
+    * needs corpus-global band buckets, which no bounded-state stream can
+    * provide; run [[curate]]'s stage 3 as a periodic batch compaction over
+    * the landed dataset instead (the lambda shape every production
+    * pipeline uses).
+    *
+    * `tsCol` is the watermark clock column of the stream. */
+  def curateStream(stream: DataFrame, textCol: String, idCol: String,
+                   tsCol: String, watermark: String = "10 minutes",
+                   cfg: CurateConfig = CurateConfig()): DataFrame = {
+    val audited = stream
+      .withColumn("__content_hash", xxhash64(col(textCol)))
+      .withColumn("__quality", TextAnalysis.qualityScore(col(textCol)))
+      .withColumn("__lang", TextAnalysis.langId(col(textCol)))
+    val gated0 = if (cfg.minQuality > 0)
+      audited.where(col("__quality") >= cfg.minQuality) else audited
+    val gated = if (cfg.langs.nonEmpty)
+      gated0.where(col("__lang").isin(cfg.langs.toSeq: _*)) else gated0
+    val deduped = graft.streaming.Streaming.dedupExact(
+      gated, Seq("__content_hash"), tsCol, watermark)
+      .drop("__content_hash")
+    if (cfg.sampleFraction < 1.0)
+      Sampling.deterministicSample(deduped, idCol, cfg.sampleFraction, cfg.sampleSalt)
+    else deduped
+  }
 }

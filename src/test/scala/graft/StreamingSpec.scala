@@ -254,6 +254,30 @@ class StreamingSpec extends SparkSpec {
     assert(Streaming.dedupExact(batchDf, Seq("k"), "ts").count() === 2L)
   }
 
+  test("curateStream gates quality and drops in-watermark duplicate content") {
+    import spark.implicits._
+    val in = tmpDir("scurate-in")
+    def write(rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "text", "ts_s")
+        .select(col("doc_id"), col("text"), to_timestamp(col("ts_s")).as("ts"))
+        .coalesce(1).write.mode("append").parquet(in)
+    val good = "the quick brown fox jumps over the lazy dog and runs on in a field of green grass for a while"
+    write(Seq((1L, good, "2024-01-01 10:00:00"),
+      (2L, good, "2024-01-01 10:00:10"),            // duplicate content
+      (3L, "!!!", "2024-01-01 10:00:20")))          // fails the quality gate
+    val stream = spark.readStream
+      .schema("doc_id bigint, text string, ts timestamp")
+      .parquet(in)
+    val out = graft.ops.Curate.curateStream(stream, "text", "doc_id", "ts",
+      cfg = graft.ops.Curate.CurateConfig(minQuality = 0.3))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("scurate").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val ids = spark.table("scurate").select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids === Seq(1L)) // dup and low-quality rows gone, audit cols attached
+    assert(spark.table("scurate").columns.contains("__quality"))
+  }
+
   test("readStream dispatches on the dataset format (csv.gz source)") {
     import spark.implicits._
     Writer.store(spark, store, "feed_csv",
