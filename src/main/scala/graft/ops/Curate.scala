@@ -33,19 +33,32 @@ object Curate {
       sampleFraction: Double = 1.0,      // deterministic hash sample
       sampleSalt: String = "graft")
 
+  /** Stage 2 shared by both faces: audit columns + quality/language gates
+    * (stateless codegen'd column work, no shuffle). ONE definition so the
+    * streaming pipeline provably gates exactly like batch. */
+  private def gates(df: DataFrame, textCol: String, cfg: CurateConfig): DataFrame = {
+    val audited = df
+      .withColumn("__quality", TextAnalysis.qualityScore(col(textCol)))
+      .withColumn("__lang", TextAnalysis.langId(col(textCol)))
+    val gated0 = if (cfg.minQuality > 0)
+      audited.where(col("__quality") >= cfg.minQuality) else audited
+    if (cfg.langs.nonEmpty)
+      gated0.where(col("__lang").isin(cfg.langs.toSeq: _*)) else gated0
+  }
+
+  /** Stage 4 shared by both faces. */
+  private def sample(df: DataFrame, idCol: String, cfg: CurateConfig): DataFrame =
+    if (cfg.sampleFraction < 1.0)
+      Sampling.deterministicSample(df, idCol, cfg.sampleFraction, cfg.sampleSalt)
+    else df
+
   def curate(df: DataFrame, textCol: String, idCol: String,
              cfg: CurateConfig = CurateConfig()): DataFrame = {
     // 1. exact dedup: deterministic winner (minimum id) per content hash
     val exact = Dedup.exact(df, Seq(textCol), idCol)
 
-    // 2. quality + language gates (no shuffle; scans stay codegen'd)
-    val audited = exact
-      .withColumn("__quality", TextAnalysis.qualityScore(col(textCol)))
-      .withColumn("__lang", TextAnalysis.langId(col(textCol)))
-    val gated0 = if (cfg.minQuality > 0)
-      audited.where(col("__quality") >= cfg.minQuality) else audited
-    val gated = if (cfg.langs.nonEmpty)
-      gated0.where(col("__lang").isin(cfg.langs.toSeq: _*)) else gated0
+    // 2. quality + language gates
+    val gated = gates(exact, textCol, cfg)
 
     // 3. near-dup removal (optional): pairs -> components -> keep min id
     val deduped = if (cfg.nearDupThreshold > 0) {
@@ -57,38 +70,43 @@ object Curate {
     } else gated
 
     // 4. reproducible sampling
-    if (cfg.sampleFraction < 1.0)
-      Sampling.deterministicSample(deduped, idCol, cfg.sampleFraction, cfg.sampleSalt)
-    else deduped
+    sample(deduped, idCol, cfg)
   }
 
   /** The streaming face of the same pipeline, for corpora that arrive as a
-    * stream: quality/language gates and deterministic sampling are
-    * stateless column work (identical to batch); exact dedup becomes
+    * stream: quality/language gates and deterministic sampling are the SAME
+    * stateless stages as batch (shared helpers); exact dedup becomes
     * watermark-bounded [[graft.streaming.Streaming.dedupExact]] on the
-    * content hash. Near-dup removal is deliberately ABSENT — LSH banding
+    * content hash. Two divergences from batch, both inherent to bounded
+    * state and stated here because they are invisible at the API:
+    *
+    *   - the survivor of a duplicate group is the FIRST ARRIVAL, not the
+    *     minimum id (a stream cannot wait for a later smaller id) — across
+    *     reruns that regroup batches differently, a different member may
+    *     survive and downstream id-hash sampling sees different ids;
+    *   - dedup keys on xxhash64(text), not full text (state holds 8 bytes
+    *     per doc, not the document): two DISTINCT texts colliding in 64
+    *     bits lose one row, ~n^2/2^65 expected — the same trade the batch
+    *     near-dup fingerprints document.
+    *
+    * Near-dup removal (stage 3) is deliberately UNSUPPORTED — LSH banding
     * needs corpus-global band buckets, which no bounded-state stream can
-    * provide; run [[curate]]'s stage 3 as a periodic batch compaction over
-    * the landed dataset instead (the lambda shape every production
-    * pipeline uses).
+    * provide; a config requesting it FAILS rather than silently skipping.
+    * Run [[curate]]'s stage 3 as a periodic batch compaction over the
+    * landed dataset (the lambda shape every production pipeline uses).
     *
     * `tsCol` is the watermark clock column of the stream. */
   def curateStream(stream: DataFrame, textCol: String, idCol: String,
                    tsCol: String, watermark: String = "10 minutes",
                    cfg: CurateConfig = CurateConfig()): DataFrame = {
-    val audited = stream
-      .withColumn("__content_hash", xxhash64(col(textCol)))
-      .withColumn("__quality", TextAnalysis.qualityScore(col(textCol)))
-      .withColumn("__lang", TextAnalysis.langId(col(textCol)))
-    val gated0 = if (cfg.minQuality > 0)
-      audited.where(col("__quality") >= cfg.minQuality) else audited
-    val gated = if (cfg.langs.nonEmpty)
-      gated0.where(col("__lang").isin(cfg.langs.toSeq: _*)) else gated0
+    require(cfg.nearDupThreshold == 0,
+      "near-dup removal is unsupported in streaming (corpus-global LSH buckets); " +
+        "set nearDupThreshold=0 and run batch curate() as periodic compaction")
+    val hashed = stream.withColumn("__content_hash", xxhash64(col(textCol)))
+    val gated = gates(hashed, textCol, cfg)
     val deduped = graft.streaming.Streaming.dedupExact(
       gated, Seq("__content_hash"), tsCol, watermark)
       .drop("__content_hash")
-    if (cfg.sampleFraction < 1.0)
-      Sampling.deterministicSample(deduped, idCol, cfg.sampleFraction, cfg.sampleSalt)
-    else deduped
+    sample(deduped, idCol, cfg)
   }
 }

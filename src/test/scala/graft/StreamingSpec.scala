@@ -274,8 +274,15 @@ class StreamingSpec extends SparkSpec {
       .queryName("scurate").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
     val ids = spark.table("scurate").select("doc_id").collect().map(_.getLong(0)).toSeq
-    assert(ids === Seq(1L)) // dup and low-quality rows gone, audit cols attached
-    assert(spark.table("scurate").columns.contains("__quality"))
+    assert(ids === Seq(1L)) // dup and low-quality rows gone
+    val cols = spark.table("scurate").columns.toSet
+    assert(cols.contains("__quality") && cols.contains("__lang")) // audit cols
+    assert(!cols.contains("__content_hash")) // working column must not leak
+    // a config asking for streaming near-dup removal fails loudly
+    intercept[IllegalArgumentException] {
+      graft.ops.Curate.curateStream(stream, "text", "doc_id", "ts",
+        cfg = graft.ops.Curate.CurateConfig(nearDupThreshold = 0.5))
+    }
   }
 
   test("readStream dispatches on the dataset format (csv.gz source)") {
