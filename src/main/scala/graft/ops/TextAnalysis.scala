@@ -126,7 +126,11 @@ object TextAnalysis {
         size(array_distinct(toks)).cast("double") /
           greatest(size(toks), lit(1)).cast("double"), 6).as("dup_token_ratio"))
     val bigramFrac = df
-      .select(col(idCol), explode(bigrams).as("g"))
+      // bigrams shuffle as xxhash64 longs, not strings (the n-gram join's
+      // measured trade): counts are identical unless two DISTINCT bigrams
+      // of one doc collide in 64 bits (~distinct^2/2^65 per doc)
+      .select(col(idCol), explode(bigrams).as("g0"))
+      .select(col(idCol), xxhash64(col("g0")).as("g"))
       .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
       .groupBy(col(idCol))
       .agg(round(max(col("c")).cast("double") / sum(col("c")).cast("double"), 6)
