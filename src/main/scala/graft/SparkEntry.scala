@@ -538,6 +538,26 @@ object SparkEntry {
           col("view_event_id"), col("view_value"))
     }),
 
+    // --- forward as-of: each purchase matched to the user's NEXT view
+    "j_asof_forward" -> ((s, dir) => {
+      val ev = rd(s, dir, "events")
+      val p = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val v = ev.where(col("event_type") === "view")
+        .select("user_id", "ts", "event_id", "value")
+      AsofJoin.forward(p, v, Seq("user_id"), "ts", "ts",
+          Seq("event_id", "value"), "view_")
+        .select(col("event_id"), col("user_id"),
+          col("view_event_id"), col("view_value"))
+    }),
+
+    // --- portable deterministic train/test split: the test side, md5-keyed
+    // so membership is auditable by any engine (leak-proof across reruns)
+    "u_portable_split" -> ((s, dir) =>
+      rd(s, dir, "documents")
+        .where(graft.ops.Sampling.portableKeep(col("doc_id"), 0.2, "split:"))
+        .select("doc_id", "lang")),
+
     // --- chunking: overlapping 32-token windows, stride 24 (model-ready
     // sequence shaping; narrow posexplode, no shuffle)
     "t_chunks" -> ((s, dir) =>
@@ -869,6 +889,18 @@ object SparkEntry {
              v.value AS view_value
            FROM p ASOF LEFT JOIN v
              ON p.user_id = v.user_id AND p.ts >= v.ts""",
+      "j_asof_forward" ->
+        """WITH p AS (SELECT event_id, user_id, ts FROM events
+             WHERE event_type = 'purchase'),
+           v AS (SELECT user_id, ts, event_id, value FROM events
+             WHERE event_type = 'view')
+           SELECT p.event_id, p.user_id, v.event_id AS view_event_id,
+             v.value AS view_value
+           FROM p ASOF LEFT JOIN v
+             ON p.user_id = v.user_id AND p.ts <= v.ts""",
+      "u_portable_split" ->
+        """SELECT doc_id, lang FROM documents
+           WHERE substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < '33333333'""",
       "t_chunks" ->
         """WITH d AS (
              SELECT doc_id,
