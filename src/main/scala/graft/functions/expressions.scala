@@ -25,12 +25,21 @@ object expressions {
 
   private def intArg(e: Expression, fn: String): Int = {
     require(e.foldable, s"$fn: size argument must be a literal")
-    e.eval().asInstanceOf[Number].intValue()
+    // surface readable analysis errors for NULL / non-numeric literals
+    // instead of raw NPE/ClassCastException with no function context
+    e.eval() match {
+      case n: Number => n.intValue()
+      case null => throw new IllegalArgumentException(
+        s"$fn: size argument must not be NULL")
+      case other => throw new IllegalArgumentException(
+        s"$fn: size argument must be an integer literal, got $other")
+    }
   }
 
   /** Register all graft expressions as SQL temp functions on a session:
     * `word_shingles(text, n)`, `minhash_signature(arr, k)`,
-    * `dot_product(a, b)`, `simhash(text)`. */
+    * `dot_product(a, b)`, `simhash(text)`, `hyperplane_buckets(v, planes,
+    * tables)`, `byte_dim_sums(payload, dims)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     ColumnBridge.registerFunction(spark, "word_shingles",
       es => WordShingles(es.head, intArg(es(1), "word_shingles")))
@@ -104,8 +113,12 @@ case class WordShingles(child: Expression, n: Int)
 /** k-value MinHash signature over a shingle array: sig[j] = min over
   * shingles s of murmur3(s, seed = j) — bit-identical to
   * `array((0 until k).map(j => array_min(transform(sh, s => hash(s, lit(j))))))`
-  * but hashing each shingle's bytes in one loop per row instead of k
-  * interpreted passes over the array. */
+  * for non-empty, non-null-element arrays, but hashing each shingle's bytes
+  * in one loop per row instead of k interpreted passes over the array.
+  * Stated divergences from the HOF form: an EMPTY array yields
+  * `[Int.MaxValue, …]` (a sentinel signature; callers filter empty docs —
+  * the HOF would yield nulls), and null ELEMENTS are skipped (the HOF
+  * hashes them to the seed). */
 case class MinHashSignature(child: Expression, k: Int)
     extends UnaryExpression {
   require(k >= 1, s"signature length must be >= 1, got $k")
@@ -127,17 +140,22 @@ case class MinHashSignature(child: Expression, k: Int)
     val len = arr.numElements()
     var i = 0
     while (i < len) {
-      val s = arr.getUTF8String(i)
-      // hash(s, lit(j)) folds children over Spark's default seed 42:
-      // hashInt(j, hashUnsafeBytes(s, 42)) — one byte-hash per shingle, then
-      // k 4-byte mixes
-      val hs = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
-        s.numBytes(), 42)
-      var j = 0
-      while (j < k) {
-        val h = Murmur3_x86_32.hashInt(j, hs)
-        if (h < mins(j)) mins(j) = h
-        j += 1
+      // null elements are SKIPPED (a null shingle is not a shingle) —
+      // stated divergence from the HOF form, which would hash null to the
+      // seed; WordShingles never emits nulls, this guards direct SQL calls
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        // hash(s, lit(j)) folds children over Spark's default seed 42:
+        // hashInt(j, hashUnsafeBytes(s, 42)) — one byte-hash per shingle,
+        // then k 4-byte mixes
+        val hs = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+          s.numBytes(), 42)
+        var j = 0
+        while (j < k) {
+          val h = Murmur3_x86_32.hashInt(j, hs)
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
       }
       i += 1
     }
@@ -235,12 +253,20 @@ case class DotProduct(left: Expression, right: Expression)
   * `transform(sequence(0, size-1), ...)`, but planes*tables interpreted
   * array passes become one tight loop per row. Accepts array<float> or
   * array<double>; a null element nulls that plane's dot (bit 0), matching
-  * `when(dot >= 0, 1).otherwise(0)` on a null dot. */
+  * `when(dot >= 0, 1).otherwise(0)` on a null dot. A NaN dot (NaN vector
+  * component) emits bit '0' under Java comparison semantics — stated
+  * divergence from the HOF form, where Spark orders NaN above every number
+  * ('1'); NaN vectors cannot produce near-dup pairs either way because
+  * [[graft.ops.Similarity.cosine]] scores undefined similarities 0. */
 case class HyperplaneBuckets(child: Expression, planes: Int, tables: Int)
     extends UnaryExpression {
   require(planes >= 1 && tables >= 1, s"planes/tables must be >= 1")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "hyperplane_buckets"
+  // without this, ConstantFolding cannot collapse the QUERY-side bucket
+  // signature in lshTopK's arrays_overlap filter and it would be recomputed
+  // for every corpus row (same pitfall DotProduct documents)
+  override def foldable: Boolean = child.foldable
 
   @transient private lazy val childFloat =
     child.dataType == ArrayType(FloatType, false) || child.dataType == ArrayType(FloatType, true)
@@ -257,8 +283,37 @@ case class HyperplaneBuckets(child: Expression, planes: Int, tables: Int)
           s"$prettyName requires array<float> or array<double>, got ${other.simpleString}")
     }
 
+  /** Hyperplane components depend only on (table, plane, element index),
+    * never on the row — computing them per row spent tables*planes*dim
+    * Murmur3 hashes + divisions on every corpus vector of the scan path.
+    * Cached per expression instance, grown to the largest vector length
+    * seen; the AtomicReference publishes the immutable grown array safely
+    * across the executor threads sharing this (broadcast) instance. */
+  @transient private lazy val componentCache =
+    new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]](
+      Array.fill(tables * planes)(Array.emptyDoubleArray))
+
+  private def components(dim: Int): Array[Array[Double]] = {
+    val cur = componentCache.get()
+    if (cur(0).length >= dim) cur
+    else {
+      val grown = Array.tabulate(tables * planes) { tp =>
+        // hash(lit(seed), i) folds children over Spark's default seed 42
+        val seedHash = Murmur3_x86_32.hashInt((tp / planes) * 1024 + tp % planes, 42)
+        Array.tabulate(dim) { i =>
+          val h = Murmur3_x86_32.hashInt(i, seedHash)
+          ((((h % 1000) + 1000) % 1000) - 499.5) / 500.0
+        }
+      }
+      // lost race just wastes one rebuild; values are deterministic
+      componentCache.compareAndSet(cur, grown)
+      grown
+    }
+  }
+
   def compute(v: ArrayData): ArrayData = {
     val n = v.numElements()
+    val comps = components(n)
     val out = new Array[Any](tables)
     var t = 0
     while (t < tables) {
@@ -266,18 +321,15 @@ case class HyperplaneBuckets(child: Expression, planes: Int, tables: Int)
       sb.append(t).append(':')
       var p = 0
       while (p < planes) {
-        // hash(lit(seed), i) folds children over Spark's default seed 42
-        val seedHash = Murmur3_x86_32.hashInt(t * 1024 + p, 42)
+        val comp = comps(t * planes + p)
         var acc = 0.0
         var sawNull = false
         var i = 0
         while (i < n && !sawNull) {
           if (v.isNullAt(i)) sawNull = true
           else {
-            val h = Murmur3_x86_32.hashInt(i, seedHash)
-            val comp = ((((h % 1000) + 1000) % 1000) - 499.5) / 500.0
             val x = if (childFloat) v.getFloat(i).toDouble else v.getDouble(i)
-            acc += x * comp
+            acc += x * comp(i)
             i += 1
           }
         }
@@ -365,6 +417,7 @@ case class SimHash(child: Expression) extends UnaryExpression {
   * the `mapPartitions` escape hatch to hold one decoder instance per task.
   */
 case class ByteDimSums(child: Expression, dims: Int) extends UnaryExpression {
+  require(dims >= 1, s"dims must be >= 1, got $dims") // 0 would divide-by-zero per row
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
   override def prettyName: String = "byte_dim_sums"
 

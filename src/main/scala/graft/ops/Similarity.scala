@@ -27,15 +27,17 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity with ZERO-NORM vectors scored 0.0, not NaN: a
-    * failed/padded embedding is all zeros, and `0/0 = NaN` sorts GREATER
-    * than every number in Spark — an unguarded cosine makes a zero vector
-    * the #1 neighbor of every query and passes every `>= threshold`
-    * near-dup filter. Zero similarity ranks them last instead. */
+  /** Cosine similarity with UNDEFINED results scored 0.0, not NaN: a
+    * failed/padded embedding is all zeros (0/0 = NaN) and a corrupted one
+    * carries NaN components — and Spark orders NaN GREATER than every
+    * number, so an unguarded cosine makes such vectors the #1 neighbor of
+    * every query and passes every `>= threshold` near-dup filter. Zero
+    * similarity ranks them last instead. */
   def cosine(a: Column, b: Column): Column = {
     val na = norm(a)
     val nb = norm(b)
-    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
+    when(na === 0.0 || nb === 0.0, lit(0.0))
+      .otherwise(nanvl(dot(a, b) / (na * nb), lit(0.0)))
   }
 
   /** Score every corpus row against one query vector. Returns

@@ -119,6 +119,38 @@ class PlanQualitySpec extends SparkSpec {
     assert(df.head().getDouble(0) === 5.0)
   }
 
+  test("query-side hyperplane buckets constant-fold; zero/NaN cosines score 0") {
+    // lshTopK's arrays_overlap filter compares against the QUERY's bucket
+    // signature — without foldable=true it was recomputed per corpus row
+    val c = graft.ops.Similarity.lshBuckets(array(lit(1.0), lit(2.0)), 4, 2)
+    val df = spark.range(1).select(c.as("b"))
+    val folded = df.queryExecution.optimizedPlan.expressions.forall(
+      _.collectFirst { case e: graft.functions.HyperplaneBuckets => e }.isEmpty)
+    assert(folded, df.queryExecution.optimizedPlan.toString)
+    assert(df.head().getSeq[String](0).length === 2)
+    // NaN-component and zero vectors both score cosine 0.0 (never NaN,
+    // which Spark orders above every number)
+    val sims = spark.range(1).select(
+      graft.ops.Similarity.cosine(
+        array(lit(Double.NaN), lit(1.0)), array(lit(1.0), lit(1.0))).as("nan"),
+      graft.ops.Similarity.cosine(
+        array(lit(0.0), lit(0.0)), array(lit(1.0), lit(1.0))).as("zero"))
+      .head()
+    assert(sims.getDouble(0) === 0.0 && sims.getDouble(1) === 0.0)
+  }
+
+  test("minhash_signature skips null shingle elements instead of crashing") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq(Some("a b c"), None, Some("d e f")))).toDF("sh")
+    graft.functions.expressions.register(spark)
+    val withNull = df.selectExpr("minhash_signature(sh, 8) AS sig")
+      .head().getSeq[Int](0)
+    val without = Seq(Tuple1(Seq("a b c", "d e f"))).toDF("sh")
+      .selectExpr("minhash_signature(sh, 8) AS sig")
+      .head().getSeq[Int](0)
+    assert(withNull === without)
+  }
+
   test("ivfTopKIndexed reads only the probed inverted lists (metadata pruning)") {
     import spark.implicits._
     val vecs = ((1 to 20).map(i => (i.toLong, Array(1.0 + 0.01 * i, 0.01 * i))) ++
