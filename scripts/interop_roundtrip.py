@@ -1,0 +1,201 @@
+#!/usr/bin/env python3
+"""Execute the ACTUAL reference library (plateau at /root/reference) against
+graft, in both directions:
+
+  fixture   — regenerate src/test/resources/plateau-fixture by running the
+              real `store_dataframes_as_dataset` (io/eager.py:449-491) +
+              `DatasetMetadataBuilder` (core/dataset.py:847-1040), replacing
+              the earlier pyarrow mirror (scripts/make_plateau_fixture.py).
+              Also writes `pfixmp`, a dataset whose header is stored in the
+              msgpack.zstd flavor (io_components/write.py:224-231), so
+              graft's Msgpack decoder is tested against independently
+              produced bytes.
+
+  readback <storeDir> — read graft-written datasets (from
+              `sbt "runMain graft.InteropDump <storeDir>"`) through the real
+              `read_table` (io/eager.py:211-292) with predicates, column
+              projection, index queries and the msgpack header fallback
+              (core/dataset.py:531-574), asserting concrete values.
+
+The reference package's missing third-party deps (minimalkv, simplejson,
+urlquote, toolz, msgpack, zstandard) are provided as thin public-API shims in
+scripts/plateau_shims/ — the plateau code itself runs unmodified.
+"""
+import sys
+import os
+import shutil
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.join(HERE, "plateau_shims"))
+sys.path.insert(0, "/root/reference")
+
+import pandas as pd  # noqa: E402
+from minimalkv import KeyValueStore  # noqa: E402
+from plateau.io.eager import (  # noqa: E402
+    store_dataframes_as_dataset, read_table)
+from plateau.core.dataset import (  # noqa: E402
+    DatasetMetadata, DatasetMetadataBuilder)
+from plateau.core.index import ExplicitSecondaryIndex  # noqa: E402
+
+FIXTURE = os.path.join(HERE, "..", "src", "test", "resources",
+                       "plateau-fixture")
+
+
+def ts(sec):
+    return pd.Timestamp(sec, unit="s")
+
+
+def fixture_frames():
+    """Same logical content as the previous mirror fixture: 5 rows over
+    partitions L A (2 rows) and B (2 files), with nulls and a timestamp."""
+    df1 = pd.DataFrame({
+        "id": pd.array([1, 2, 3, 4], dtype="int64"),
+        "val": [1.5, 2.5, 3.5, None],
+        "name": ["ada", "bob", "cyd", None],
+        "ts": [ts(1), ts(2), ts(3), pd.NaT],
+        "cat": ["red", "blue", "red", "green"],
+        "cat2": ["x", "x", "y", "x"],
+        "loc": ["L A", "L A", "B", "B"],
+    })
+    df2 = pd.DataFrame({
+        "id": pd.array([5], dtype="int64"),
+        "val": [5.5],
+        "name": ["eve"],
+        "ts": [ts(5)],
+        "cat": ["blue"],
+        "cat2": ["y"],
+        "loc": ["B"],
+    })
+    return [df1, df2]
+
+
+def make_fixture():
+    shutil.rmtree(FIXTURE, ignore_errors=True)
+    store = KeyValueStore(FIXTURE)
+
+    # --- pfix: JSON header, external index on cat, then an EMBEDDED cat2
+    # index attached through the real DatasetMetadataBuilder path.
+    store_dataframes_as_dataset(
+        store=store, dataset_uuid="pfix", dfs=fixture_frames(),
+        partition_on=["loc"], secondary_indices=["cat"],
+        metadata_storage_format="json")
+    full = read_table("pfix", store)
+    dm = DatasetMetadata.load_from_store("pfix", store)
+    builder = DatasetMetadataBuilder.from_dataset(dm)
+    cat2_dct = {
+        v: sorted(sub["__label"].unique())
+        for v, sub in full.assign(
+            __label=lambda d: _labels_for(dm, d)).groupby("cat2")
+    }
+    builder.add_embedded_index(
+        "cat2", ExplicitSecondaryIndex(column="cat2", index_dct=cat2_dct))
+    key, blob = builder.to_json()
+    store.put(key, blob)
+
+    # --- pfixmp: msgpack.zstd header flavor, external index
+    store_dataframes_as_dataset(
+        store=store, dataset_uuid="pfixmp", dfs=fixture_frames(),
+        partition_on=["loc"], secondary_indices=["cat"],
+        metadata_storage_format="msgpack")
+
+    # prove the real library reads back everything it just wrote
+    for uuid in ("pfix", "pfixmp"):
+        out = read_table(uuid, store, predicates=[[("cat", "==", "red")]])
+        assert sorted(out["id"]) == [1, 3], (uuid, out)
+    n = len(read_table("pfix", store))
+    print(f"fixture regenerated with the REAL plateau library at {FIXTURE}: "
+          f"pfix + pfixmp, {n} rows each")
+
+
+def _labels_for(dm, frame):
+    """Map each row to its partition label via the partition values."""
+    by_loc = {}
+    for label in dm.partitions:
+        loc = label.split("/")[0].split("=", 1)[1]
+        by_loc.setdefault(_unquote(loc), []).append(label)
+    # rows 3/4 live in the first B file, row 5 in the second (input order)
+    out = []
+    b_seen = 0
+    for _, row in frame.iterrows():
+        labels = by_loc[row["loc"]]
+        if len(labels) == 1:
+            out.append(labels[0])
+        else:
+            # two B files: ids 3,4 -> first df's label, id 5 -> second's
+            out.append(labels[0] if row["id"] in (3, 4) else labels[1])
+            b_seen += 1
+    return out
+
+
+def _unquote(v):
+    import urllib.parse
+    return urllib.parse.unquote(v)
+
+
+def check(cond, msg):
+    if not cond:
+        print(f"!! FAIL: {msg}")
+        sys.exit(1)
+    print(f"== ok: {msg}")
+
+
+def readback(base):
+    store = KeyValueStore(base)
+
+    # --- full read with partition-value reconstruction
+    out = read_table("gds", store).sort_values("id").reset_index(drop=True)
+    check(list(out["id"]) == [1, 2, 3, 4], "all 4 rows via real read_table")
+    check(list(out["loc"]) == ["L A", "L A", "B", "B"],
+          "hive partition values (incl. escaped space) reconstructed")
+    check(out["val"].isna()[3] and out["name"].isna()[3],
+          "nulls round-trip")
+    check(list(out["ts"].dropna().astype("int64") // 10**6) == [1000, 2000, 3000],
+          "timestamps round-trip at us precision")
+
+    # --- secondary-index predicate through the real planner
+    red = read_table("gds", store, predicates=[[("cat", "==", "red")]])
+    check(sorted(red["id"]) == [1, 3], "secondary-index predicate cat==red")
+
+    # --- partition-key predicate
+    b = read_table("gds", store, predicates=[[("loc", "==", "B")]])
+    check(sorted(b["id"]) == [3, 4], "partition-key predicate loc==B")
+
+    # --- conjunction across key + payload, and column projection
+    conj = read_table("gds", store,
+                      predicates=[[("loc", "==", "L A"), ("id", ">", 1)]],
+                      columns=["id", "cat"])
+    check(sorted(conj["id"]) == [2] and list(conj.columns) == ["id", "cat"],
+          "conjunction + projection")
+
+    # --- DNF (OR of conjunctions) and `in`
+    dnf = read_table("gds", store,
+                     predicates=[[("cat", "==", "green")],
+                                 [("id", "in", [1, 2])]])
+    check(sorted(dnf["id"]) == [1, 2, 4], "DNF OR + in-predicate")
+
+    # --- the real index object loads and queries graft's index parquet
+    dm = DatasetMetadata.load_from_store("gds", store, load_all_indices=True)
+    idx = dm.indices["cat"]
+    check(set(idx.observed_values()) == {"red", "blue", "green"},
+          "real ExplicitSecondaryIndex loads graft index file")
+    red_labels = set(idx.query("red"))
+    check(red_labels and all(l in dm.partitions for l in red_labels),
+          "index query returns live partition labels")
+
+    # --- msgpack-only header dataset via the real fallback path
+    outmp = read_table("gdsmp", store).sort_values("id")
+    check(list(outmp["id"]) == [1, 2, 3, 4],
+          "msgpack.zstd-only header read via real fallback")
+    schema_cols = list(dm.schema.names)
+    check("loc" in schema_cols,
+          f"_common_metadata carries partition column: {schema_cols}")
+    print("== readback PASSED: the real plateau library reads graft output")
+
+
+if __name__ == "__main__":
+    if sys.argv[1] == "fixture":
+        make_fixture()
+    elif sys.argv[1] == "readback":
+        readback(sys.argv[2])
+    else:
+        raise SystemExit("usage: interop_roundtrip.py fixture | readback <dir>")

@@ -1,0 +1,98 @@
+"""Filesystem-backed stand-in for the `minimalkv` package (public API:
+https://github.com/data-engineering-collective/minimalkv), implementing only
+the KeyValueStore surface the reference library's eager path calls:
+get/put/delete/open/keys/iter_keys/iter_prefixes + get_store_from_url for
+`hfs://<dir>` URLs. Exists so the ACTUAL plateau code at /root/reference can
+execute in this sandbox (zero egress, package not installed); it carries no
+plateau logic of its own.
+"""
+import os
+from urllib.parse import urlparse, unquote
+
+
+class KeyValueStore:
+    """Local-directory store; keys are slash-separated relative paths."""
+
+    def __init__(self, root):
+        self.root = os.path.abspath(root)
+        os.makedirs(self.root, exist_ok=True)
+
+    def _path(self, key):
+        if key is None or key == "" or key.startswith("/") or ".." in key.split("/"):
+            raise ValueError(f"invalid key: {key!r}")
+        return os.path.join(self.root, *key.split("/"))
+
+    # --- read
+    def get(self, key):
+        try:
+            with open(self._path(key), "rb") as f:
+                return f.read()
+        except FileNotFoundError:
+            raise KeyError(key) from None
+
+    def open(self, key):
+        try:
+            return open(self._path(key), "rb")
+        except FileNotFoundError:
+            raise KeyError(key) from None
+
+    # --- write
+    def put(self, key, data):
+        if not isinstance(data, bytes):
+            raise OSError(f"put expects bytes, got {type(data)}")
+        p = self._path(key)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(data)
+        return key
+
+    def delete(self, key):
+        try:
+            os.remove(self._path(key))
+        except FileNotFoundError:
+            pass  # minimalkv.delete is idempotent
+
+    # --- listing
+    def iter_keys(self, prefix=""):
+        for dirpath, _dirnames, filenames in os.walk(self.root):
+            rel = os.path.relpath(dirpath, self.root)
+            base = "" if rel == "." else rel.replace(os.sep, "/") + "/"
+            for name in filenames:
+                key = base + name
+                if key.startswith(prefix):
+                    yield key
+
+    def keys(self, prefix=""):
+        return list(self.iter_keys(prefix))
+
+    def iter_prefixes(self, delimiter, prefix=""):
+        seen = set()
+        for key in self.iter_keys(prefix):
+            rest = key[len(prefix):]
+            if delimiter in rest:
+                p = prefix + rest.split(delimiter, 1)[0] + delimiter
+            else:
+                p = key
+            if p not in seen:
+                seen.add(p)
+                yield p
+
+    def __contains__(self, key):
+        return os.path.isfile(self._path(key))
+
+    # stores must pickle (plateau lazy_store pickle-tests them)
+    def __getstate__(self):
+        return {"root": self.root}
+
+    def __setstate__(self, state):
+        self.root = state["root"]
+
+
+def get_store_from_url(url):
+    """Support `hfs://<abs-dir>` / `file://<abs-dir>` / a bare path."""
+    if "://" not in url:
+        return KeyValueStore(url)
+    parsed = urlparse(url)
+    if parsed.scheme not in ("hfs", "file"):
+        raise ValueError(f"only hfs:// and file:// URLs supported, got {url}")
+    return KeyValueStore(unquote(parsed.netloc + parsed.path))

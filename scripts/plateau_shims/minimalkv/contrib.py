@@ -1,0 +1,6 @@
+"""minimalkv.contrib stand-in: the extended key charset regex (public
+minimalkv contract: printable ASCII keys, no control characters)."""
+import re
+
+VALID_KEY_REGEXP_EXTENDED = r"[^\x00-\x1F\x7F]+"
+VALID_KEY_RE_EXTENDED = re.compile("^" + VALID_KEY_REGEXP_EXTENDED + "$")

@@ -1,0 +1,206 @@
+"""Pure-python msgpack stand-in implementing the subset of the public
+msgpack spec (https://github.com/msgpack/msgpack/blob/master/spec.md) that
+plateau headers use: nil/bool/int/float64/str/bin/array/map. Mirrors
+msgpack-python defaults: packb uses use_bin_type=True minimal encodings;
+unpackb(raw=False) decodes str as UTF-8.
+"""
+import struct
+
+
+def packb(obj, **_kwargs):
+    out = bytearray()
+    _pack(obj, out)
+    return bytes(out)
+
+
+def _pack(obj, out):
+    if obj is None:
+        out.append(0xC0)
+    elif obj is True:
+        out.append(0xC3)
+    elif obj is False:
+        out.append(0xC2)
+    elif isinstance(obj, int):
+        _pack_int(obj, out)
+    elif isinstance(obj, float):
+        out.append(0xCB)
+        out += struct.pack(">d", obj)
+    elif isinstance(obj, str):
+        raw = obj.encode("utf-8")
+        n = len(raw)
+        if n <= 31:
+            out.append(0xA0 | n)
+        elif n <= 0xFF:
+            out += bytes((0xD9, n))
+        elif n <= 0xFFFF:
+            out.append(0xDA)
+            out += struct.pack(">H", n)
+        else:
+            out.append(0xDB)
+            out += struct.pack(">I", n)
+        out += raw
+    elif isinstance(obj, (bytes, bytearray)):
+        n = len(obj)
+        if n <= 0xFF:
+            out += bytes((0xC4, n))
+        elif n <= 0xFFFF:
+            out.append(0xC5)
+            out += struct.pack(">H", n)
+        else:
+            out.append(0xC6)
+            out += struct.pack(">I", n)
+        out += bytes(obj)
+    elif isinstance(obj, (list, tuple)):
+        n = len(obj)
+        if n <= 15:
+            out.append(0x90 | n)
+        elif n <= 0xFFFF:
+            out.append(0xDC)
+            out += struct.pack(">H", n)
+        else:
+            out.append(0xDD)
+            out += struct.pack(">I", n)
+        for item in obj:
+            _pack(item, out)
+    elif isinstance(obj, dict):
+        n = len(obj)
+        if n <= 15:
+            out.append(0x80 | n)
+        elif n <= 0xFFFF:
+            out.append(0xDE)
+            out += struct.pack(">H", n)
+        else:
+            out.append(0xDF)
+            out += struct.pack(">I", n)
+        for k, v in obj.items():
+            _pack(k, out)
+            _pack(v, out)
+    else:
+        raise TypeError(f"cannot msgpack {type(obj)}")
+
+
+def _pack_int(v, out):
+    if 0 <= v <= 0x7F:
+        out.append(v)
+    elif -32 <= v < 0:
+        out.append(v & 0xFF)
+    elif 0 <= v <= 0xFF:
+        out += bytes((0xCC, v))
+    elif 0 <= v <= 0xFFFF:
+        out.append(0xCD)
+        out += struct.pack(">H", v)
+    elif 0 <= v <= 0xFFFFFFFF:
+        out.append(0xCE)
+        out += struct.pack(">I", v)
+    elif 0 <= v <= 0xFFFFFFFFFFFFFFFF:
+        out.append(0xCF)
+        out += struct.pack(">Q", v)
+    elif -0x80 <= v < 0:
+        out.append(0xD0)
+        out += struct.pack(">b", v)
+    elif -0x8000 <= v < 0:
+        out.append(0xD1)
+        out += struct.pack(">h", v)
+    elif -0x80000000 <= v < 0:
+        out.append(0xD2)
+        out += struct.pack(">i", v)
+    elif -0x8000000000000000 <= v < 0:
+        out.append(0xD3)
+        out += struct.pack(">q", v)
+    else:
+        raise OverflowError(f"int out of msgpack range: {v}")
+
+
+def unpackb(data, raw=False, **_kwargs):
+    obj, pos = _unpack(memoryview(data), 0, raw)
+    if pos != len(data):
+        raise ValueError(f"trailing bytes after msgpack value at {pos}")
+    return obj
+
+
+def _unpack(buf, pos, raw):
+    b = buf[pos]
+    pos += 1
+    if b <= 0x7F:
+        return b, pos
+    if b >= 0xE0:
+        return b - 0x100, pos
+    if 0x80 <= b <= 0x8F:
+        return _unpack_map(buf, pos, b & 0x0F, raw)
+    if 0x90 <= b <= 0x9F:
+        return _unpack_array(buf, pos, b & 0x0F, raw)
+    if 0xA0 <= b <= 0xBF:
+        return _take_str(buf, pos, b & 0x1F, raw)
+    if b == 0xC0:
+        return None, pos
+    if b == 0xC2:
+        return False, pos
+    if b == 0xC3:
+        return True, pos
+    if b == 0xC4:
+        return _take_bin(buf, pos + 1, buf[pos])
+    if b == 0xC5:
+        return _take_bin(buf, pos + 2, struct.unpack_from(">H", buf, pos)[0])
+    if b == 0xC6:
+        return _take_bin(buf, pos + 4, struct.unpack_from(">I", buf, pos)[0])
+    if b == 0xCA:
+        return struct.unpack_from(">f", buf, pos)[0], pos + 4
+    if b == 0xCB:
+        return struct.unpack_from(">d", buf, pos)[0], pos + 8
+    if b == 0xCC:
+        return buf[pos], pos + 1
+    if b == 0xCD:
+        return struct.unpack_from(">H", buf, pos)[0], pos + 2
+    if b == 0xCE:
+        return struct.unpack_from(">I", buf, pos)[0], pos + 4
+    if b == 0xCF:
+        return struct.unpack_from(">Q", buf, pos)[0], pos + 8
+    if b == 0xD0:
+        return struct.unpack_from(">b", buf, pos)[0], pos + 1
+    if b == 0xD1:
+        return struct.unpack_from(">h", buf, pos)[0], pos + 2
+    if b == 0xD2:
+        return struct.unpack_from(">i", buf, pos)[0], pos + 4
+    if b == 0xD3:
+        return struct.unpack_from(">q", buf, pos)[0], pos + 8
+    if b == 0xD9:
+        return _take_str(buf, pos + 1, buf[pos], raw)
+    if b == 0xDA:
+        return _take_str(buf, pos + 2, struct.unpack_from(">H", buf, pos)[0], raw)
+    if b == 0xDB:
+        return _take_str(buf, pos + 4, struct.unpack_from(">I", buf, pos)[0], raw)
+    if b == 0xDC:
+        return _unpack_array(buf, pos + 2, struct.unpack_from(">H", buf, pos)[0], raw)
+    if b == 0xDD:
+        return _unpack_array(buf, pos + 4, struct.unpack_from(">I", buf, pos)[0], raw)
+    if b == 0xDE:
+        return _unpack_map(buf, pos + 2, struct.unpack_from(">H", buf, pos)[0], raw)
+    if b == 0xDF:
+        return _unpack_map(buf, pos + 4, struct.unpack_from(">I", buf, pos)[0], raw)
+    raise ValueError(f"unsupported msgpack byte 0x{b:02x}")
+
+
+def _take_str(buf, pos, n, raw):
+    data = bytes(buf[pos:pos + n])
+    return (data if raw else data.decode("utf-8")), pos + n
+
+
+def _take_bin(buf, pos, n):
+    return bytes(buf[pos:pos + n]), pos + n
+
+
+def _unpack_array(buf, pos, n, raw):
+    items = []
+    for _ in range(n):
+        obj, pos = _unpack(buf, pos, raw)
+        items.append(obj)
+    return items, pos
+
+
+def _unpack_map(buf, pos, n, raw):
+    dct = {}
+    for _ in range(n):
+        k, pos = _unpack(buf, pos, raw)
+        v, pos = _unpack(buf, pos, raw)
+        dct[k] = v
+    return dct, pos

@@ -1,0 +1,3 @@
+"""simplejson stand-in delegating to stdlib json (API-compatible subset:
+the reference only calls dumps/loads with sort_keys)."""
+from json import dumps, loads, dump, load, JSONDecodeError  # noqa: F401

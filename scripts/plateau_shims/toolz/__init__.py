@@ -1,0 +1,2 @@
+from . import itertoolz  # noqa: F401
+from .itertoolz import partition_all  # noqa: F401

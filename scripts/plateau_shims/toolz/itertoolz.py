@@ -1,0 +1,13 @@
+"""toolz.itertoolz stand-in: the one function the reference imports."""
+
+
+def partition_all(n, seq):
+    """Yield tuples of up to n consecutive items from seq."""
+    batch = []
+    for item in seq:
+        batch.append(item)
+        if len(batch) == n:
+            yield tuple(batch)
+            batch = []
+    if batch:
+        yield tuple(batch)

@@ -1,0 +1,22 @@
+"""urlquote stand-in over urllib.parse. The real package's
+PYTHON_3_7_QUOTING reproduces python 3.7 urllib.parse.quote defaults
+(alnum + `_.-~/` safe); quote/unquote return bytes."""
+import urllib.parse
+
+from .quoting import PYTHON_3_7_QUOTING
+
+
+def quote(value, quoting=PYTHON_3_7_QUOTING):
+    if isinstance(value, bytes):
+        raw = value
+    elif isinstance(value, str):
+        raw = value.encode("utf-8")
+    else:
+        raw = str(value).encode("utf-8")
+    return urllib.parse.quote(raw, safe="/").encode("ascii")
+
+
+def unquote(value):
+    if isinstance(value, bytes):
+        value = value.decode("utf-8")
+    return urllib.parse.unquote(value).encode("utf-8")

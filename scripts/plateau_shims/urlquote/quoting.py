@@ -1,0 +1,2 @@
+"""Quoting-level sentinel; only identity matters to callers."""
+PYTHON_3_7_QUOTING = "python-3.7"

@@ -1,0 +1,30 @@
+"""zstandard stand-in over the `zstd` CLI (present in this sandbox).
+Compression goes through a temp file so the frame carries the content size,
+matching python-zstandard's write_content_size=True default."""
+import os
+import subprocess
+import tempfile
+
+
+class ZstdCompressor:
+    def __init__(self, level=3, write_content_size=True):
+        self.level = level
+
+    def compress(self, data):
+        with tempfile.NamedTemporaryFile(delete=False) as f:
+            f.write(data)
+            path = f.name
+        try:
+            out = subprocess.run(
+                ["zstd", "-q", f"-{self.level}", "-c", path],
+                check=True, capture_output=True).stdout
+        finally:
+            os.unlink(path)
+        return out
+
+
+class ZstdDecompressor:
+    def decompress(self, data, max_output_size=0):
+        return subprocess.run(
+            ["zstd", "-d", "-q", "-c"],
+            input=data, check=True, capture_output=True).stdout

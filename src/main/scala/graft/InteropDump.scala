@@ -1,14 +1,24 @@
 package graft
 
+import java.time.LocalDateTime
 import org.apache.spark.sql.SparkSession
 import graft.io.Writer
 import graft.io.Writer.WriteOpts
+import graft.meta.DatasetMetadata
 import graft.store.Storage
 
-/** Writes a small partitioned + indexed dataset to `args(0)` so
-  * `scripts/interop_check.py` (a pyarrow/json re-implementation of the
-  * reference's read path) can validate the on-disk layout from the other
-  * side. Companion to PlateauCompatSpec, which proves the read direction.
+/** Writes graft datasets to `args(0)` for the cross-implementation proof:
+  * `scripts/interop_roundtrip.py readback <dir>` then reads them back with
+  * the ACTUAL reference library (plateau `read_table`, `io/eager.py:211-292`)
+  * and asserts values, predicates, projection, index queries and the
+  * msgpack.zstd header fallback. Companion to PlateauCompatSpec, which
+  * proves the opposite direction (graft reading real-plateau output).
+  *
+  *   - `gds`: JSON header, hive partitioning on `loc` (with an escaped
+  *     space), secondary index on `cat`, nulls and a NTZ timestamp column.
+  *   - `gdsmp`: same data but ONLY the msgpack.zstd header flavor, so the
+  *     reference's fallback loader (`core/dataset.py:531-574`) is the one
+  *     decoding graft's msgpack bytes.
   */
 object InteropDump {
   def main(args: Array[String]): Unit = {
@@ -22,15 +32,22 @@ object InteropDump {
       .getOrCreate()
     import spark.implicits._
     val st = Storage(spark, args(0))
+    def t(sec: Int): LocalDateTime = LocalDateTime.ofEpochSecond(sec, 0, java.time.ZoneOffset.UTC)
     val df = Seq(
-      (1L, 1.5, "ada", "red", "L A"),
-      (2L, 2.5, "bob", "blue", "L A"),
-      (3L, 3.5, "cyd", "red", "B"),
-      (4L, 4.5, "dee", "green", "B"))
-      .toDF("id", "val", "name", "cat", "loc")
-    Writer.store(spark, st, "gds", df,
-      WriteOpts(partitionOn = Seq("loc"), secondaryIndices = Seq("cat")))
-    println(s"== wrote gds to ${args(0)}")
+      (1L, Option(1.5), Option("ada"), Option(t(1)), "red", "L A"),
+      (2L, Option(2.5), Option("bob"), Option(t(2)), "blue", "L A"),
+      (3L, Option(3.5), Option("cyd"), Option(t(3)), "red", "B"),
+      (4L, Option.empty[Double], Option.empty[String], Option.empty[LocalDateTime], "green", "B"))
+      .toDF("id", "val", "name", "ts", "cat", "loc")
+    val opts = WriteOpts(partitionOn = Seq("loc"), secondaryIndices = Seq("cat"))
+    Writer.store(spark, st, "gds", df, opts)
+    Writer.store(spark, st, "gdsmp", df, opts)
+    // degrade gdsmp to a msgpack-only header, as the reference's
+    // metadata_storage_format="msgpack" writer leaves it
+    val meta = DatasetMetadata.load(st, "gdsmp")
+    st.writeBytes(DatasetMetadata.msgpackHeaderKey("gdsmp"), meta.toMsgpackZstd)
+    st.delete(DatasetMetadata.headerKey("gdsmp"))
+    println(s"== wrote gds + gdsmp to ${args(0)}")
     spark.stop()
   }
 }

@@ -5,7 +5,7 @@ import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter}
 import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
 import org.apache.spark.sql.execution.datasources.parquet.{
   ParquetToSparkSchemaConverter, SparkToParquetSchemaConverter}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 import graft.store.Storage
 
 /** The reference's `_common_metadata` schema file: "an empty parquet file
@@ -55,6 +55,69 @@ object CommonMetadata {
       128L * 1024 * 1024 /* row-group size; irrelevant, zero row groups */ ,
       0 /* max padding */ )
     writer.start()
-    writer.end(new java.util.HashMap[String, String]())
+    val kv = new java.util.HashMap[String, String]()
+    // pandas consumers (the reference's empty_dataframe_from_schema,
+    // core/common_metadata.py:795-820) require the `pandas` schema blob;
+    // shape follows Arrow's documented pandas-metadata convention
+    kv.put("pandas", pandasMetadata(schema))
+    writer.end(kv)
+  }
+
+  /** The Arrow `pandas` schema-metadata JSON for a Spark schema, matching
+    * what pyarrow embeds for a pandas frame with a default RangeIndex. The
+    * (pandas_type, numpy_type) pairs mirror pyarrow 16 / pandas 2.2 output,
+    * the stack the reference runs on. */
+  private[graft] def pandasMetadata(schema: StructType): String = {
+    val mapper = DatasetMetadata.mapper
+    val root = mapper.createObjectNode()
+    val idx = root.putArray("index_columns").addObject()
+    idx.put("kind", "range").putNull("name")
+    idx.put("start", 0).put("step", 1).put("stop", 0)
+    val colIdx = root.putArray("column_indexes").addObject()
+    colIdx.putNull("field_name")
+    colIdx.putObject("metadata").put("encoding", "UTF-8")
+    colIdx.putNull("name")
+    colIdx.put("numpy_type", "object").put("pandas_type", "unicode")
+    val cols = root.putArray("columns")
+    schema.fields.foreach { f =>
+      val (pandasType, numpyType) = pandasTypes(f.dataType)
+      val c = cols.addObject()
+      c.put("field_name", f.name)
+      c.putNull("metadata")
+      c.put("name", f.name)
+      c.put("numpy_type", numpyType).put("pandas_type", pandasType)
+    }
+    root.putObject("creator").put("library", "graft").put("version", "0.1")
+    // declared dialect of the metadata above, not a provenance claim
+    root.put("pandas_version", "2.2.2")
+    mapper.writeValueAsString(root)
+  }
+
+  private def pandasTypes(dt: DataType): (String, String) = dt match {
+    case ByteType | ShortType | IntegerType | LongType => ("int64", "int64")
+    case FloatType | DoubleType => ("float64", "float64")
+    case StringType => ("object", "str")
+    case BooleanType => ("bool", "bool")
+    case TimestampType | TimestampNTZType => ("datetime", "datetime64[ns]")
+    case DateType => ("date", "object")
+    case BinaryType => ("bytes", "object")
+    case ArrayType(elem, _) => (s"list[${arrowName(elem)}]", "object")
+    case other => ("object", "object") // struct/map: opaque to pandas
+  }
+
+  private def arrowName(dt: DataType): String = dt match {
+    case ByteType => "int8"
+    case ShortType => "int16"
+    case IntegerType => "int32"
+    case LongType => "int64"
+    case FloatType => "float"
+    case DoubleType => "double"
+    case StringType => "string"
+    case BooleanType => "bool"
+    case BinaryType => "binary"
+    case DateType => "date32[day]"
+    case TimestampType | TimestampNTZType => "timestamp[us]"
+    case ArrayType(e, _) => s"list[${arrowName(e)}]"
+    case other => other.simpleString
   }
 }
