@@ -678,6 +678,14 @@ object SparkEntry {
       Multimodal.extractFeatures(media, "doc_id")
         .select(col("doc_id"), posexplode(col("features")).as(Seq("dim", "feature")))
         .withColumn("feature", round(col("feature").cast("double"), 4))
+    }),
+
+    // --- REAL image decode: deterministic PNGs generated per doc id, pushed
+    // through the JDK PNG encoder AND decoder; the oracle reproduces the
+    // stats arithmetically, so a match proves the codec round trip happened
+    "m_decode" -> ((s, dir) => {
+      val pngs = Multimodal.syntheticPng(rd(s, dir, "documents").select("doc_id"), "doc_id")
+      Multimodal.decodeImages(pngs, "doc_id")
     })
   )
 
@@ -1055,7 +1063,16 @@ object SparkEntry {
              WHERE text IS NOT NULL)
            SELECT doc_id, dim,
              round(CAST(CAST(coalesce(s, 0) AS REAL) / CAST(255 AS REAL) AS DOUBLE), 4) AS feature
-           FROM dims LEFT JOIN sums USING (doc_id, dim)"""
+           FROM dims LEFT JOIN sums USING (doc_id, dim)""",
+      // closed-form stats of the solid-gray synthetic PNGs: a hash match
+      // proves the JDK codec round trip (encode + REAL decode) ran
+      "m_decode" ->
+        """SELECT doc_id,
+             CAST(1 + doc_id % 7 AS INT) AS width,
+             CAST(1 + doc_id % 5 AS INT) AS height,
+             CAST(3 AS INT) AS channels,
+             CAST(doc_id % 256 AS DOUBLE) AS mean_px
+           FROM documents"""
     )
   }
 }

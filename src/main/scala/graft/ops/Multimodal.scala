@@ -1,5 +1,9 @@
 package graft.ops
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -9,10 +13,11 @@ import org.apache.spark.sql.types._
   *
   * Payloads are opaque `binary` columns travelling next to a typed metadata
   * struct; decode / feature-extraction runs per-partition over Tungsten
-  * binary rows. The actual codec step is STUBBED with a deterministic fake
-  * (no image/audio libraries in this environment) — the Spark-side contract
-  * (schema, batching, partitioning) is real and tested, and swapping the
-  * stub for a JNI/library decoder changes nothing upstream.
+  * binary rows. IMAGE decode is REAL (PNG/JPEG through the JDK's
+  * `javax.imageio`, [[decodeImages]]); audio/video codecs are stubbed with
+  * a deterministic fake (no such libraries in this environment) — their
+  * Spark-side contract (schema, batching, partitioning) is real and tested,
+  * and swapping the stub for a JNI/library decoder changes nothing upstream.
   */
 object Multimodal {
 
@@ -101,6 +106,88 @@ object Multimodal {
       explode(when(octet_length(col(payloadCol)) > 0,
         sequence(lit(0), octet_length(col(payloadCol)) - 1, lit(stride)))
         .otherwise(array().cast("array<int>"))))
+  }
+
+  /** REAL image decode for PNG/JPEG via the JDK's `javax.imageio` — zero
+    * extra dependencies, so "no media libs in this environment" stops at
+    * video/audio. This is the documented per-partition escape hatch
+    * (object codecs can't be column expressions) used for real: payload
+    * bytes are decoded inside the task and never shuffled; only the
+    * metadata-sized stats row leaves. Rows whose payload fails to decode
+    * yield null stats instead of failing the job — corrupt media is routine
+    * at 100 TB and must not kill a scan.
+    *
+    * Output: (<idCol>, width, height, channels, mean_px) where mean_px is
+    * the mean over every band of every pixel, computed in exact integer
+    * arithmetic with one final division (engine-order-independent, so an
+    * oracle can reproduce it). */
+  def decodeImages(df: DataFrame, idCol: String,
+                   payloadCol: String = "payload"): DataFrame = {
+    val in = df.select(col(idCol), col(payloadCol))
+    val outSchema = StructType(in.schema.fields(0) +: Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("mean_px", DoubleType)))
+    val rows = in.rdd.mapPartitions { iter =>
+      iter.map { r =>
+        val img =
+          try {
+            val bytes = r.getAs[Array[Byte]](1)
+            if (bytes == null) null
+            else ImageIO.read(new ByteArrayInputStream(bytes))
+          } catch { case _: java.io.IOException => null }
+        if (img == null) Row(r.get(0), null, null, null, null)
+        else {
+          val raster = img.getRaster
+          val w = img.getWidth
+          val h = img.getHeight
+          val bands = raster.getNumBands
+          val buf = new Array[Int](w * bands)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            raster.getPixels(0, y, w, 1, buf)
+            var i = 0
+            while (i < w * bands) { sum += buf(i); i += 1 }
+            y += 1
+          }
+          Row(r.get(0), w, h, bands,
+            sum.toDouble / (w.toLong * h * bands))
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rows, outSchema)
+  }
+
+  /** Deterministic PNG fixture generator: one solid-gray `w x h` RGB image
+    * per row, with dimensions and gray level closed-form in a long id
+    * (`w = 1 + id % 7`, `h = 1 + id % 5`, `gray = id % 256`). Encoding runs
+    * per partition through the JDK PNG writer; because the decode stats of
+    * such an image are pure arithmetic in the id, a SQL oracle can verify
+    * that [[decodeImages]] REALLY decodes (the only path from id to a
+    * matching mean_px goes through the PNG codec round trip). */
+  def syntheticPng(df: DataFrame, idCol: String): DataFrame = {
+    val in = df.select(col(idCol).cast(LongType).as(idCol))
+    val outSchema = StructType(in.schema.fields(0) +:
+      Seq(StructField("payload", BinaryType)))
+    val rows = in.rdd.mapPartitions { iter =>
+      iter.map { r =>
+        val id = r.getLong(0)
+        val w = (1 + Math.floorMod(id, 7L)).toInt
+        val h = (1 + Math.floorMod(id, 5L)).toInt
+        val gray = Math.floorMod(id, 256L).toInt
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+        val raster = img.getRaster
+        val line = Array.fill(w * 3)(gray)
+        var y = 0
+        while (y < h) { raster.setPixels(0, y, w, 1, line); y += 1 }
+        val out = new ByteArrayOutputStream()
+        ImageIO.write(img, "png", out)
+        Row(id, out.toByteArray)
+      }
+    }
+    df.sparkSession.createDataFrame(rows, outSchema)
   }
 
   /** Payload size + metadata summary — the kind of scan-only audit that must

@@ -293,6 +293,41 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("decodeImages REALLY decodes PNGs (ImageIO) and nulls out corrupt payloads") {
+    import graft.ops.Multimodal
+    // ids chosen to vary width (1+id%7), height (1+id%5) and gray (id%256)
+    val ids = Seq(0L, 3L, 13L, 255L, 300L).toDF("doc_id")
+    val pngs = Multimodal.syntheticPng(ids, "doc_id")
+    // sanity: payloads really are PNG files (magic bytes)
+    val magic = pngs.collect().map(_.getAs[Array[Byte]]("payload").take(4).toSeq)
+    assert(magic.forall(_ === Seq[Byte](0x89.toByte, 'P', 'N', 'G')))
+    val out = Multimodal.decodeImages(pngs, "doc_id").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4)))).toMap
+    for (id <- Seq(0L, 3L, 13L, 255L, 300L)) {
+      val (w, h, c, mean) = out(id)
+      assert(w === 1 + (id % 7).toInt, s"width of $id")
+      assert(h === 1 + (id % 5).toInt, s"height of $id")
+      assert(c === 3)
+      assert(mean === (id % 256).toDouble, s"mean of $id")
+    }
+    // a JPEG also decodes (second ImageIO codec path)
+    val img = new java.awt.image.BufferedImage(4, 2, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val jout = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jout)
+    val mixed = Seq(
+      (1L, jout.toByteArray),                        // valid jpeg (black)
+      (2L, Array[Byte](1, 2, 3)),                    // corrupt
+      (3L, null.asInstanceOf[Array[Byte]]))          // missing
+      .toDF("doc_id", "payload")
+    val rows = Multimodal.decodeImages(mixed, "doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getInt(1) === 4 && rows(1L).getInt(2) === 2)
+    assert(rows(1L).getDouble(4) === 0.0)
+    assert(rows(2L).isNullAt(1) && rows(2L).isNullAt(4))
+    assert(rows(3L).isNullAt(1) && rows(3L).isNullAt(4))
+  }
+
   test("extractFeatures keeps non-numeric ids intact") {
     import graft.ops.Multimodal
     val df = Seq(("doc-a", Array[Byte](10)), ("doc-b", Array[Byte](20)))
