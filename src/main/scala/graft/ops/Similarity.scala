@@ -62,6 +62,26 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
 
+  /** Annotate an approximate top-k result with its recall against the exact
+    * top-k of the SAME corpus/query, and fail the query loudly if recall
+    * drops below `minRecall` — turning a silent quality regression into a
+    * hard error in the correctness harness. Both inputs are k-row frames,
+    * so the semi-join and the broadcast of the 1-row recall scalar are
+    * metadata-sized regardless of corpus scale. */
+  def withRecallGuard(approx: DataFrame, exact: DataFrame, idCol: String,
+                      k: Int, minRecall: Double = 0.9): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    val hits = approx.join(exact.select(col(idCol)), Seq(idCol), "left_semi")
+      .agg(round(count(lit(1)).cast("double") / k, 6).as("__recall"))
+    approx.crossJoin(broadcast(hits))
+      .withColumn("recall_vs_brute_force",
+        when(col("__recall") >= minRecall, col("__recall"))
+          .otherwise(raise_error(concat(
+            lit(s"ANN recall regression: recall "), col("__recall").cast("string"),
+            lit(s" < $minRecall against brute force")))))
+      .drop("__recall")
+  }
+
   /** All random-hyperplane LSH bucket signatures of a vector — one string
     * per independent hyperplane table, "t:" + `planes` sign bits. A custom
     * codegen'd expression ([[graft.functions.HyperplaneBuckets]]): the HOF

@@ -105,6 +105,22 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.95, f"ivfTopK recall $recall%.3f < 0.95")
   }
 
+  test("withRecallGuard annotates rows at full recall and throws on regression") {
+    import spark.implicits._
+    val exact = Seq(1L, 2L, 3L, 4L).toDF("vec_id")
+    // perfect approximate result -> recall 1.0 on every row
+    val ok = Similarity.withRecallGuard(exact, exact, "vec_id", k = 4).collect()
+    assert(ok.length === 4)
+    assert(ok.forall(_.getAs[Double]("recall_vs_brute_force") === 1.0))
+    // disjoint result -> recall 0.0 -> the query itself must fail loudly
+    val miss = Seq(7L, 8L, 9L, 10L).toDF("vec_id")
+    val ex = intercept[Exception] {
+      Similarity.withRecallGuard(miss, exact, "vec_id", k = 4).collect()
+    }
+    assert(ex.getMessage.contains("ANN recall regression"),
+      s"unexpected error: ${ex.getMessage}")
+  }
+
   test("embeddingNearDups recall >= 0.8 vs brute-force cosine pairs at t=0.95") {
     import spark.implicits._
     // seeded clustered vectors: 40 anchors, 3 jittered copies each => the
