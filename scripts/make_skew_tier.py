@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Adversarial MASS-DUPLICATE tier for the near-dup family.
+
+make_sf_scale.py deliberately avoids duplicate blowup (cross-copy jaccard 0);
+this generator does the opposite: ~30% of all rows collapse onto 5 template
+texts with tiny per-row variations (7 variants each), so LSH band buckets
+hold thousands of documents and the uncapped candidate-pair mass goes
+quadratic — the exact hazard `maxBucketSize` exists for. The remaining 70%
+keep the per-copy token-suffix scheme (normal near-dup structure preserved).
+
+Usage: make_skew_tier.py <outDir> [copies=10]   (copies=10 => 50k docs)
+"""
+import os
+import shutil
+import sys
+
+import duckdb
+
+TEMPLATES = [
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the rain taps gently on the glass pane",
+    "breaking news from the market today as shares rallied strongly on "
+    "upbeat earnings and investors cheered the surprise guidance upgrade",
+    "in a galaxy far away the small freighter drifted between asteroid "
+    "fields while its tired crew argued about the last ration of coffee",
+    "to bake the perfect loaf combine flour water salt and yeast then "
+    "fold the dough every thirty minutes until it passes the window test",
+    "the committee met on tuesday to review the quarterly budget and "
+    "approved the proposal to expand the community library reading room",
+]
+
+
+def main(out, copies):
+    src = "/root/testdata/sf0.1"
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    tmpl_case = "CASE CAST(doc_id % 5 AS INT) " + " ".join(
+        f"WHEN {i} THEN '{t}'" for i, t in enumerate(TEMPLATES)) + " END"
+    parts = " UNION ALL ".join(
+        f"""SELECT doc_id + {i} * 100000 AS doc_id,
+              CASE WHEN doc_id % 10 < 3
+                   THEN {tmpl_case} || ' variant' || CAST(doc_id % 7 AS VARCHAR)
+                   ELSE regexp_replace(text, '(\\S+)', '\\1_c{i}', 'g')
+              END AS text,
+              lang, source
+            FROM '{src}/documents.parquet'"""
+        for i in range(copies))
+    con.sql(f"COPY ({parts}) TO '{out}/documents.parquet' (FORMAT parquet)")
+    n, dup = con.sql(
+        f"""SELECT count(*), sum(CASE WHEN doc_id % 100000 % 10 < 3
+              THEN 1 ELSE 0 END) FROM '{out}/documents.parquet'""").fetchone()
+    print(f"skew tier: {n} docs, {dup} ({100*dup/n:.0f}%) mass-duplicates "
+          f"over {len(TEMPLATES) * 7} distinct texts -> {out}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else 10)

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.ops.Dedup
+
+/** Mass-duplicate skew stress for the near-dup family, run against the
+  * adversarial tier from `scripts/make_skew_tier.py` (~30% of docs collapsed
+  * onto 35 near-identical texts). Demonstrates the documented scale
+  * discipline end to end:
+  *
+  *   1. [[Dedup.bandBucketStats]] measures the quadratic hazard WITHOUT
+  *      materializing pairs (the pre-flight query you run at 100 TB);
+  *   2. [[Dedup.exactGroups]] collapses identical texts in one linear
+  *      shuffle (the documented upstream step for mass duplicates);
+  *   3. [[Dedup.minhashNearDups]] with `maxBucketSize` completes in bounded
+  *      work on the raw hostile input.
+  *
+  * Prints one JSON line for BENCH_LOCAL.json's skew-tier section.
+  */
+object SkewBench {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/tmp/skewtier"
+    val cap = 256
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-skew-bench")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.foreach(_ => ()) // untimed page-cache warm, as in Bench
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val (stats, tStats) = timed {
+      Dedup.bandBucketStats(docs, "text", "doc_id", maxBucketSize = cap).head()
+    }
+    val (nGroups, tExact) = timed {
+      Dedup.exactGroups(docs, "text", "doc_id")
+        .where(org.apache.spark.sql.functions.col("n_dups") > 1).count()
+    }
+    val (nPairs, tNearDup) = timed {
+      Dedup.minhashNearDups(docs, "text", "doc_id",
+        threshold = 0.5, maxBucketSize = cap).count()
+    }
+    println(
+      s"""{"tier":"$dir","docs":${docs.count()},"cap":$cap,""" +
+      s""""n_buckets":${stats.getAs[Long]("n_buckets")},""" +
+      s""""max_bucket":${stats.getAs[Long]("max_bucket")},""" +
+      s""""buckets_over_cap":${stats.getAs[Long]("buckets_over_cap")},""" +
+      s""""uncapped_candidates":${stats.getAs[Long]("uncapped_candidates")},""" +
+      s""""capped_candidates":${stats.getAs[Long]("capped_candidates")},""" +
+      s""""exact_dup_groups":$nGroups,"neardup_pairs":$nPairs,""" +
+      s""""stats_sec":${f"$tStats%.3f"},"exact_sec":${f"$tExact%.3f"},""" +
+      s""""neardup_sec":${f"$tNearDup%.3f"}}""")
+    spark.stop()
+  }
+}

@@ -92,10 +92,7 @@ object Dedup {
     val sh = df
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
       .where(size(col("sh")) > 0)
-    val bandTable0 = sh
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .withColumn("band", explode(bandHashes(col("sig"), numHashes, bands)))
-      .select(col("band"), col("id"))
+    val bandTable0 = bandTableOf(sh, numHashes, bands)
     val bandTable =
       if (maxBucketSize <= 0) bandTable0
       else bandTable0.join(
@@ -104,6 +101,40 @@ object Dedup {
         "band")
     verifyJaccard(selfJoinPairs(bandTable, "band").distinct(), sh, threshold,
       roundTo = 6)
+  }
+
+  /** The (band, id) LSH table of a shingled frame — shared by
+    * [[minhashNearDups]] and [[bandBucketStats]] so the diagnostic measures
+    * EXACTLY the buckets the operator would join on. */
+  private def bandTableOf(sh: DataFrame, numHashes: Int, bands: Int): DataFrame =
+    sh.withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .withColumn("band", explode(bandHashes(col("sig"), numHashes, bands)))
+      .select(col("band"), col("id"))
+
+  /** Skew diagnostics for tuning `maxBucketSize` BEFORE running the pair
+    * join: bucket-size distribution and the candidate-pair mass
+    * `sum C(B,2)` with and without the cap — pure aggregates over the band
+    * table, so the quadratic pair set is never materialized (this is the
+    * query you run on 100 TB to decide whether the pair join is safe).
+    * One row: (n_buckets, max_bucket, buckets_over_cap,
+    * uncapped_candidates, capped_candidates). */
+  def bandBucketStats(df: DataFrame, textCol: String, idCol: String,
+                      numHashes: Int = 32, bands: Int = 8, shingleN: Int = 3,
+                      maxBucketSize: Int = 0): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+      .where(size(col("sh")) > 0)
+    val pairsOf = (b: Column) => (b * (b - lit(1L)) / 2).cast("long")
+    bandTableOf(sh, numHashes, bands)
+      .groupBy("band").agg(count(lit(1)).as("b"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        max(col("b")).as("max_bucket"),
+        sum(when(col("b") > maxBucketSize && lit(maxBucketSize) > 0, 1L)
+          .otherwise(0L)).as("buckets_over_cap"),
+        sum(pairsOf(col("b"))).as("uncapped_candidates"),
+        sum(when(lit(maxBucketSize) > 0 && col("b") > maxBucketSize, 0L)
+          .otherwise(pairsOf(col("b")))).as("capped_candidates"))
   }
 
   /** Self-join `t` on `key` into (id_a < id_b) candidate pairs, via ALIASES

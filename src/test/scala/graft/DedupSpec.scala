@@ -146,6 +146,29 @@ class DedupSpec extends SparkSpec {
     assert(uncapped === 30L * 29 / 2 + 1)
   }
 
+  test("bandBucketStats measures candidate mass without materializing pairs") {
+    import spark.implicits._
+    // same corpus as the cap test: one 30-doc clone cluster + one near pair
+    val clones = (1L to 30L).map(i =>
+      (i, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod"))
+    val pair = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (101L, "the quick brown fox jumps over the lazy dog again and again today"))
+    val docs = (clones ++ pair).toDF("doc_id", "text")
+    val s = Dedup.bandBucketStats(docs, "text", "doc_id", maxBucketSize = 10).head()
+    // 8 bands x one 30-doc bucket each = the whole quadratic hazard;
+    // the stats must count every C(30,2) pair the cap would skip
+    assert(s.getAs[Long]("max_bucket") === 30L)
+    assert(s.getAs[Long]("buckets_over_cap") === 8L)
+    assert(s.getAs[Long]("uncapped_candidates") >= 8L * (30L * 29 / 2))
+    assert(s.getAs[Long]("capped_candidates") ===
+      s.getAs[Long]("uncapped_candidates") - 8L * (30L * 29 / 2))
+    // uncapped config reports no dropped buckets and the full mass
+    val u = Dedup.bandBucketStats(docs, "text", "doc_id").head()
+    assert(u.getAs[Long]("buckets_over_cap") === 0L)
+    assert(u.getAs[Long]("capped_candidates") === u.getAs[Long]("uncapped_candidates"))
+  }
+
   test("embeddingNearDups follows the data's dimensionality (not a hardcoded 64)") {
     import spark.implicits._
     val v = (0 until 8).map(i => 0.1 * (i + 1)).toArray
