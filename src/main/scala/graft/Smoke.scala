@@ -116,6 +116,17 @@ object Smoke {
 
     val nd = Dedup.minhashNearDups(docs, "text", "doc_id", threshold = 0.3)
     println(s"== minhash near-dup pairs @0.3: ${nd.count()}")
+
+    // 10. streaming contract's batch half: land docs as a dataset, compact
+    // near-dups in one atomic header swap
+    graft.io.Writer.store(spark, store, "docsland",
+      docs.select("doc_id", "text", "lang"),
+      Writer.WriteOpts(partitionOn = Seq("lang")))
+    val compacted = graft.ops.Curate.compactNearDups(spark, store, "docsland",
+      "text", "doc_id",
+      graft.ops.Curate.CurateConfig(nearDupThreshold = 0.3, maxBucketSize = 256))
+    println(s"== compacted docsland: ${Reader.readTable(spark, store, "docsland").count()} " +
+      s"rows survive (${compacted.partitions.length} partitions)")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = emb.where(col("vec_id") === 0).select("embedding")
       .head().getSeq[Float](0).map(_.toDouble)

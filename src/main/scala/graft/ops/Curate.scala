@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-corpus curation — the canonical composition of this
@@ -108,5 +108,39 @@ object Curate {
       gated, Seq("__content_hash"), tsCol, watermark)
       .drop("__content_hash")
     sample(deduped, idCol, cfg)
+  }
+
+  /** The promised batch half of the streaming contract: periodic NEAR-DUP
+    * COMPACTION of a landed (e.g. stream-ingested) dataset —
+    * [[curateStream]] refuses streaming near-dup because LSH banding needs
+    * corpus-global buckets, and points here.
+    *
+    * Reads the dataset, finds near-dup clusters (MinHash+LSH, capped-bucket
+    * safe), keeps the minimum id per cluster, and REPLACES the dataset's
+    * partition set in ONE atomic header swap: survivors are written as new
+    * partition files first, then the commit drops every pre-compaction
+    * partition and adds the new ones together (reference update semantics,
+    * `io_components/update.py:20-54` — a reader sees the old corpus or the
+    * compacted one, never a mix; old files are left for [[graft.io.Ops
+    * .garbageCollect]]). Partitioning and secondary indices are preserved.
+    */
+  def compactNearDups(spark: SparkSession, storage: graft.store.Storage,
+                      uuid: String, textCol: String, idCol: String,
+                      cfg: CurateConfig = CurateConfig(nearDupThreshold = 0.5))
+      : graft.meta.DatasetMetadata = {
+    require(cfg.nearDupThreshold > 0,
+      s"compaction is near-dup removal; nearDupThreshold must be > 0")
+    val meta = graft.meta.DatasetMetadata.load(storage, uuid)
+    val df = graft.io.Reader.readTable(spark, storage, uuid)
+    val pairs = Dedup.minhashNearDups(df, textCol, idCol,
+      numHashes = cfg.minhashHashes, bands = cfg.minhashBands,
+      shingleN = cfg.shingleN, threshold = cfg.nearDupThreshold,
+      maxBucketSize = cfg.maxBucketSize).select("id_a", "id_b")
+    val survivors = Dedup.dedupByClusters(df, idCol, Dedup.nearDupClusters(pairs))
+    graft.io.Writer.update(spark, storage, uuid, Some(survivors),
+      // empty scope dict = every PRE-update partition: the atomic replace
+      deleteScope = Seq(Map.empty),
+      opts = graft.io.Writer.WriteOpts(
+        secondaryIndices = meta.indexColumns.toSeq.sorted))
   }
 }

@@ -36,6 +36,43 @@ class StreamingSpec extends SparkSpec {
     assert(meta.indices.keySet === Set("id"))
   }
 
+  test("compactNearDups rewrites a stream-ingested dataset in one atomic swap") {
+    import spark.implicits._
+    // ingest a corpus with planted near-dups via the streaming path
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again", "a"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today", "a"),
+      (3L, "an entirely different document about baking sourdough bread loaves", "b"),
+      (4L, "completely unrelated text describing a rainy tuesday market day", "b"))
+    val src = texts.toDF("doc_id", "text", "p")
+    val q = Streaming.writeStreamAppend(
+      spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet {
+          val in = tmpDir("compact-in")
+          src.repartition(2).write.mode("overwrite").parquet(in); in
+        },
+      store, "compact", WriteOpts(partitionOn = Seq("p"), secondaryIndices = Seq("doc_id")))
+    q.awaitTermination(120000)
+    val before = DatasetMetadata.load(store, "compact")
+    assert(Reader.readTable(spark, store, "compact").count() === 4)
+
+    val meta = graft.ops.Curate.compactNearDups(spark, store, "compact",
+      "text", "doc_id")
+    // the near-dup pair collapsed to its minimum id; singletons survive
+    val back = Reader.readTable(spark, store, "compact")
+    assert(back.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 3L, 4L))
+    // the swap REPLACED the partition set (no pre-compaction label survives)
+    assert(meta.partitions.toSet.intersect(before.partitions.toSet) === Set.empty)
+    // partitioning + index contract preserved through the rewrite
+    assert(meta.partitionKeys === Seq("p"))
+    assert(meta.indexColumns === Set("doc_id"))
+    assert(back.where(col("p") === "b").count() === 2)
+    // old files remain until GC, then disappear; data unaffected
+    graft.io.Ops.garbageCollect(spark, store, "compact")
+    assert(Reader.readTable(spark, store, "compact").count() === 3)
+  }
+
   test("per-batch work lists O(batch) keys, independent of dataset size") {
     import spark.implicits._
     // instrumented store: count every listing by prefix. The staged
