@@ -32,21 +32,13 @@ object Bench {
     // fixture-backed queries share per-JVM temp DATASETS (SparkEntry.ensure):
     // on a fresh tmpdir the first query to touch each fixture would be billed
     // its entire build (a full partitioned+indexed store, a streaming
-    // ingest) — setup cost, not query cost, and attributed nondeterministically.
-    // Build every fixture here, untimed, by running its queries once.
-    val fixtureQueries = Seq(
-      "w2_roundtrip", "x1_partition_prune",               // liDs
-      "s6_index_prune",                                   // ordDs
-      "a6_index_observed", "a7_index_stats", "s11_footer_stats", // docDs
-      "w_chunked_prune",                                  // chunkedDocDs
-      "s2_csv_dataset",                                   // part_csv
-      "w8_dynamic_read",                                  // sup_dyn
-      "st_stream_ingest",                                 // cust_stream
-      "w5_update_append", "w5_delete_scope",              // ord_upd / ord_del
-      "x3_bucketed_roundtrip",                            // li_bkt
-      "s8_index_on", "x2_dispatch_by", "a4_hash_dataset")
-    fixtureQueries.foreach { name =>
-      try SparkEntry.queries(name)(spark, sfDir).foreach(_ => ())
+    // ingest) — setup cost, not query cost, and attributed
+    // nondeterministically. Warm by running EVERY query once untimed (no
+    // hand-maintained fixture list to drift out of date when a new
+    // fixture-backed query lands); this also evens out codegen/JIT warmth
+    // across queries instead of gifting it to whichever ran first.
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).queryExecution.toRdd.count()
       catch { case _: Throwable => () } // the timed run reports the failure
     }
     val errors = scala.collection.mutable.ListBuffer[String]()

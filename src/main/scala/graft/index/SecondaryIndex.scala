@@ -69,7 +69,13 @@ object SecondaryIndex {
     val files = storage.listKeys(tmp).filter(_.endsWith(".parquet"))
     require(files.size == 1,
       s"Index write produced ${files.size} parquet files under $tmp (expected 1)")
-    storage.delete(key)
+    // index keys are timestamp-unique per commit, so the destination must
+    // not exist; asserting that (instead of delete-then-rename) removes the
+    // crash window where a key an already-written header references could
+    // vanish between the delete and the rename
+    require(!storage.exists(key),
+      s"Index key '$key' already exists — index keys are minted once per " +
+        "commit and never overwritten (delete the stale key explicitly first)")
     storage.rename(files.head, key)
     storage.delete(tmp)
     key

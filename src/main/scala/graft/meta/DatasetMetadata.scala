@@ -95,19 +95,28 @@ final case class DatasetMetadata(
       b += "indices" -> scala.collection.immutable.VectorMap.from[String, Any](
         (ext ++ emb).sortBy(_._1))
     }
-    if (metadata.nonEmpty)
+    if (metadata.nonEmpty) {
+      // values holding JSON documents (the combineUserMetadata convention)
+      // are embedded as real nested structures, the shape the reference
+      // writes — scalars stay verbatim strings. The promotion is a
+      // DOCUMENTED convention, not a silent heuristic: callers whose value
+      // is a literal string that happens to parse (e.g. "[1,2]") opt out
+      // per key via [[DatasetMetadata.VerbatimKeysKey]]
+      val verbatim = metadata.get(DatasetMetadata.VerbatimKeysKey)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty[String])
       b += "metadata" -> scala.collection.immutable.VectorMap.from[String, Any](
         metadata.toSeq.sortBy(_._1).map { case (k, v) =>
-          // values holding JSON documents (the combineUserMetadata
-          // convention) are embedded as real nested structures, the shape
-          // the reference writes — scalars stay verbatim strings
           val parsed =
-            try Option(DatasetMetadata.mapper.readTree(v))
-              .filter(n => n.isObject || n.isArray)
-              .map(DatasetMetadata.fromJackson)
-            catch { case _: Exception => None }
+            if (verbatim(k)) None
+            else
+              try Option(DatasetMetadata.mapper.readTree(v))
+                .filter(n => n.isObject || n.isArray)
+                .map(DatasetMetadata.fromJackson)
+              catch { case _: Exception => None }
           k -> parsed.getOrElse(v: Any)
         })
+    }
     if (explicitPartitions) {
       val entries = partitions.sorted.map { label =>
         headerLabel(label) -> scala.collection.immutable.VectorMap[String, Any](
@@ -142,6 +151,12 @@ object DatasetMetadata {
   val UuidKey = "dataset_uuid"
   val HeaderSuffix = ".by-dataset-metadata.json"
   val MsgpackHeaderSuffix = ".by-dataset-metadata.msgpack.zstd"
+
+  /** User-metadata key holding a comma-separated list of metadata KEYS whose
+    * values must stay verbatim strings in the committed header, opting out
+    * of the JSON-document embedding convention (see `toDict`) for literal
+    * strings that happen to parse as JSON (e.g. "[1,2]"). */
+  val VerbatimKeysKey = "graft.verbatim-keys"
   val SchemaFileName = "_common_metadata.json"    // graft fast path
   val CommonMetadataFile = "_common_metadata"     // reference empty-parquet schema
   val IndexSuffix = ".by-dataset-index.parquet"

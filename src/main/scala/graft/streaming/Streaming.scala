@@ -227,10 +227,10 @@ object Streaming {
     * through driver crash + restart).
     *
     * IMPORTANT: pass persistent checkpoints through THIS parameter, never
-    * via `configure(_.option("checkpointLocation", …))` — the writer cannot
-    * see options set there, so it would mint a per-run token and a
-    * crash-redelivered batch from the persistent checkpoint would commit
-    * twice. */
+    * via `configure(_.option("checkpointLocation", …))` — with a per-run
+    * replay token, a crash-redelivered batch from a persistent checkpoint
+    * would commit twice. This is ENFORCED: a checkpointLocation smuggled
+    * through `configure` is detected after configuration and rejected. */
   def writeStreamAppend(stream: DataFrame, storage: Storage, uuid: String,
                         opts: WriteOpts = WriteOpts(),
                         checkpoint: Option[String] = None,
@@ -241,6 +241,31 @@ object Streaming {
     val writer0 = stream.writeStream
       .foreachBatch(ingestBatch(storage, uuid, opts, token) _)
     val writer = checkpoint.fold(writer0)(p => writer0.option("checkpointLocation", p))
-    configure(writer).start()
+    val configured = configure(writer)
+    if (checkpoint.isEmpty && writerOptions(configured).keys
+        .exists(_.equalsIgnoreCase("checkpointLocation")))
+      throw new IllegalArgumentException(
+        "persistent checkpoints must be passed via writeStreamAppend's " +
+          "`checkpoint` parameter, not configure(_.option(\"checkpointLocation\", …)): " +
+          "with a per-run replay token, a crash-redelivered batch from that " +
+          "checkpoint would commit twice")
+    configured.start()
   }
+
+  /** The configured options of a DataStreamWriter, for the checkpoint
+    * smuggling guard above. Reads the writer's option map reflectively
+    * (there is no public getter); if the internal shape ever changes, the
+    * guard degrades to the documented warning instead of breaking starts. */
+  private def writerOptions(w: DataStreamWriter[Row]): Map[String, String] =
+    try {
+      w.getClass.getDeclaredFields.collectFirst {
+        case f if f.getName.toLowerCase.contains("extraoptions") =>
+          f.setAccessible(true)
+          f.get(w) match {
+            case m: scala.collection.Map[_, _] =>
+              m.map { case (k, v) => String.valueOf(k) -> String.valueOf(v) }.toMap
+            case _ => Map.empty[String, String]
+          }
+      }.getOrElse(Map.empty)
+    } catch { case _: Throwable => Map.empty }
 }

@@ -627,6 +627,23 @@ class DatasetSpec extends SparkSpec {
     assert(after2.metadata === Map("v" -> "1.50", "b" -> "true ", "note" -> "x"))
   }
 
+  test("graft.verbatim-keys opts a literal string out of JSON-doc embedding") {
+    Writer.store(spark, store, "mdv", sampleDf,
+      WriteOpts(partitionOn = Seq("p"), metadata = Map(
+        "arr" -> "[1,2]",                          // literal string, marked
+        "doc" -> """{"a":1}""",                    // convention: embeds
+        DatasetMetadata.VerbatimKeysKey -> "arr")))
+    val hdr = store.readString(DatasetMetadata.headerKey("mdv"))
+    val meta = DatasetMetadata.mapper.readTree(hdr).get("metadata")
+    assert(meta.get("arr").isTextual, s"arr must stay a string: ${meta.get("arr")}")
+    assert(meta.get("arr").asText() === "[1,2]")
+    assert(meta.get("doc").isObject, s"doc must embed: ${meta.get("doc")}")
+    // both round-trip to the in-memory string map
+    val loaded = DatasetMetadata.load(store, "mdv").metadata
+    assert(loaded("arr") === "[1,2]")
+    assert(loaded("doc") === """{"a":1}""")
+  }
+
   test("W7: two concurrent uncommitted writers, one commit lands both") {
     import spark.implicits._
     Writer.store(spark, store, "conc", sampleDf, WriteOpts(partitionOn = Seq("p")))

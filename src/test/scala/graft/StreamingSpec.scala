@@ -36,6 +36,25 @@ class StreamingSpec extends SparkSpec {
     assert(meta.indices.keySet === Set("id"))
   }
 
+  test("writeStreamAppend rejects a checkpoint smuggled through configure") {
+    import spark.implicits._
+    val src = Seq((1L, "a")).toDF("id", "p")
+    val in = tmpDir("smuggle-in")
+    src.write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema(src.schema).parquet(in)
+    val ex = intercept[IllegalArgumentException] {
+      Streaming.writeStreamAppend(stream, store, "smuggle", WriteOpts(),
+        configure = _.option("checkpointLocation", tmpDir("smuggle-ckpt"))
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+    }
+    assert(ex.getMessage.contains("checkpoint"))
+    // the dedicated parameter remains the supported path
+    val q = Streaming.writeStreamAppend(stream, store, "smuggle", WriteOpts(),
+      checkpoint = Some(tmpDir("smuggle-ok-ckpt")))
+    q.awaitTermination(120000)
+    assert(Reader.readTable(spark, store, "smuggle").count() === 1)
+  }
+
   test("compactNearDups rewrites a stream-ingested dataset in one atomic swap") {
     import spark.implicits._
     // ingest a corpus with planted near-dups via the streaming path
