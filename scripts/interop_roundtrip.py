@@ -32,7 +32,7 @@ sys.path.insert(0, "/root/reference")
 import pandas as pd  # noqa: E402
 from minimalkv import KeyValueStore  # noqa: E402
 from plateau.io.eager import (  # noqa: E402
-    store_dataframes_as_dataset, read_table)
+    store_dataframes_as_dataset, read_table, update_dataset_from_dataframes)
 from plateau.core.dataset import (  # noqa: E402
     DatasetMetadata, DatasetMetadataBuilder)
 from plateau.core.index import ExplicitSecondaryIndex  # noqa: E402
@@ -82,10 +82,12 @@ def make_fixture():
     full = read_table("pfix", store)
     dm = DatasetMetadata.load_from_store("pfix", store)
     builder = DatasetMetadataBuilder.from_dataset(dm)
+    # ground-truth id -> partition label, read from the files the real
+    # library just wrote (never inferred from write order)
+    id_label = _id_to_label(store, dm)
     cat2_dct = {
-        v: sorted(sub["__label"].unique())
-        for v, sub in full.assign(
-            __label=lambda d: _labels_for(dm, d)).groupby("cat2")
+        v: sorted({id_label[i] for i in sub["id"]})
+        for v, sub in full.groupby("cat2")
     }
     builder.add_embedded_index(
         "cat2", ExplicitSecondaryIndex(column="cat2", index_dct=cat2_dct))
@@ -107,29 +109,16 @@ def make_fixture():
           f"pfix + pfixmp, {n} rows each")
 
 
-def _labels_for(dm, frame):
-    """Map each row to its partition label via the partition values."""
-    by_loc = {}
-    for label in dm.partitions:
-        loc = label.split("/")[0].split("=", 1)[1]
-        by_loc.setdefault(_unquote(loc), []).append(label)
-    # rows 3/4 live in the first B file, row 5 in the second (input order)
-    out = []
-    b_seen = 0
-    for _, row in frame.iterrows():
-        labels = by_loc[row["loc"]]
-        if len(labels) == 1:
-            out.append(labels[0])
-        else:
-            # two B files: ids 3,4 -> first df's label, id 5 -> second's
-            out.append(labels[0] if row["id"] in (3, 4) else labels[1])
-            b_seen += 1
+def _id_to_label(store, dm):
+    """Read every committed partition file back and map id -> label."""
+    import io
+    import pyarrow.parquet as pq
+    out = {}
+    for label, part in dm.partitions.items():
+        table = pq.read_table(io.BytesIO(store.get(part.files["table"])))
+        for i in table.column("id").to_pylist():
+            out[i] = label
     return out
-
-
-def _unquote(v):
-    import urllib.parse
-    return urllib.parse.unquote(v)
 
 
 def check(cond, msg):
@@ -189,6 +178,23 @@ def readback(base):
     schema_cols = list(dm.schema.names)
     check("loc" in schema_cols,
           f"_common_metadata carries partition column: {schema_cols}")
+
+    # --- the real library APPENDS to the graft dataset: this runs
+    # validate_compatible against graft's _common_metadata (incl. the
+    # pandas schema blob) — a mismatched blob would raise here
+    extra = pd.DataFrame({
+        "id": pd.array([5], dtype="int64"), "val": [5.5], "name": ["eve"],
+        "ts": [pd.Timestamp(5, unit="s")], "cat": ["blue"], "loc": ["C"]})
+    update_dataset_from_dataframes([extra], store=store, dataset_uuid="gds",
+                                   partition_on=["loc"],
+                                   secondary_indices=["cat"])
+    after = read_table("gds", store).sort_values("id")
+    check(list(after["id"]) == [1, 2, 3, 4, 5],
+          "real update_dataset_from_dataframes appends to graft dataset "
+          "(validate_compatible accepted graft's schema metadata)")
+    check(read_table("gds", store,
+                     predicates=[[("loc", "==", "C")]])["id"].tolist() == [5],
+          "appended partition readable via partition-key predicate")
     print("== readback PASSED: the real plateau library reads graft output")
 
 

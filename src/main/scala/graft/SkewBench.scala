@@ -55,8 +55,11 @@ object SkewBench {
       s""""uncapped_candidates":${stats.getAs[Long]("uncapped_candidates")},""" +
       s""""capped_candidates":${stats.getAs[Long]("capped_candidates")},""" +
       s""""exact_dup_groups":$nGroups,"neardup_pairs":$nPairs,""" +
-      s""""stats_sec":${f"$tStats%.3f"},"exact_sec":${f"$tExact%.3f"},""" +
-      s""""neardup_sec":${f"$tNearDup%.3f"}}""")
+      // Double.toString is locale-independent ('.'), unlike the f
+      // interpolator which follows the default locale (de_DE => ',')
+      s""""stats_sec":${(tStats * 1000).round / 1000.0},""" +
+      s""""exact_sec":${(tExact * 1000).round / 1000.0},""" +
+      s""""neardup_sec":${(tNearDup * 1000).round / 1000.0}}""")
     spark.stop()
   }
 }

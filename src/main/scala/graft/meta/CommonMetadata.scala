@@ -40,16 +40,27 @@ object CommonMetadata {
   }
 
   /** Spark schema -> footer-only parquet file (the moral twin of pyarrow's
-    * `pq.write_metadata`). Overwrites like every schema commit. */
+    * `pq.write_metadata`). Overwrites like every schema commit.
+    *
+    * Two pieces exist purely so the REFERENCE's `validate_compatible`
+    * (`core/common_metadata.py:629-709`) accepts appends to graft-written
+    * datasets — both found by executing the real library against our output:
+    * every field is forced NULLABLE (plateau schemas come from pandas, where
+    * everything is nullable; a REQUIRED int64 here diffs as `not null`), and
+    * an `ARROW:schema` IPC blob records the plateau-NORMALIZED arrow types
+    * (`large_string` for strings — `normalize_type`,
+    * `core/common_metadata.py:350-374`), which the parquet physical types
+    * alone cannot express. */
   def write(store: Storage, key: String, schema: StructType): Unit = {
     val conf = new Configuration(store.hadoopConf)
+    val nullable = StructType(schema.fields.map(_.copy(nullable = true)))
     // TIMESTAMP_MICROS mirrors the reference's `coerce_timestamps="us"`
     // (`core/common_metadata.py:431`)
     val msg = new SparkToParquetSchemaConverter(
       /* writeLegacyParquetFormat */ false,
       org.apache.spark.sql.internal.SQLConf.ParquetOutputTimestampType.TIMESTAMP_MICROS,
       /* useFieldId */ false, /* annotateVariantLogicalType */ false
-    ).convert(schema)
+    ).convert(nullable)
     val out = HadoopOutputFile.fromPath(store.path(key), conf)
     val writer = new ParquetFileWriter(out, msg, ParquetFileWriter.Mode.OVERWRITE,
       128L * 1024 * 1024 /* row-group size; irrelevant, zero row groups */ ,
@@ -59,9 +70,84 @@ object CommonMetadata {
     // pandas consumers (the reference's empty_dataframe_from_schema,
     // core/common_metadata.py:795-820) require the `pandas` schema blob;
     // shape follows Arrow's documented pandas-metadata convention
-    kv.put("pandas", pandasMetadata(schema))
+    val pandas = pandasMetadata(nullable)
+    kv.put("pandas", pandas)
+    // the pandas blob must ALSO live inside the serialized arrow schema:
+    // pyarrow's read path replaces the footer key-value metadata with the
+    // metadata carried by ARROW:schema
+    arrowSchemaB64(nullable, Map("pandas" -> pandas))
+      .foreach(kv.put("ARROW:schema", _))
     writer.end(kv)
   }
+
+  import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
+  import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, TimeUnit}
+
+  private def arrowType(dt: DataType): Option[ArrowType] = dt match {
+    // plateau normalize_type: all signed ints -> int64, floats -> float64,
+    // pandas str -> large_string (core/common_metadata.py:309-376)
+    case ByteType | ShortType | IntegerType | LongType =>
+      Some(new ArrowType.Int(64, true))
+    case FloatType | DoubleType =>
+      Some(new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE))
+    case StringType => Some(new ArrowType.LargeUtf8())
+    case BooleanType => Some(ArrowType.Bool.INSTANCE)
+    case BinaryType => Some(new ArrowType.Binary())
+    case DateType => Some(new ArrowType.Date(DateUnit.DAY))
+    case TimestampNTZType => Some(new ArrowType.Timestamp(TimeUnit.MICROSECOND, null))
+    case TimestampType => Some(new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC"))
+    case _ => None
+  }
+
+  private def arrowField(name: String, dt: DataType): Option[Field] = dt match {
+    case ArrayType(elem, _) =>
+      arrowField("item", elem).map(child =>
+        new Field(name, FieldType.nullable(new ArrowType.List()),
+          java.util.List.of(child)))
+    case other => arrowType(other).map(t =>
+      new Field(name, FieldType.nullable(t), java.util.List.of[Field]()))
+  }
+
+  private def serializeArrow(fields: Seq[Field],
+                             metadata: Map[String, String]): String = {
+    val meta = new java.util.HashMap[String, String]()
+    metadata.foreach { case (k, v) => meta.put(k, v) }
+    val arrowSchema = new ArrowSchema(java.util.List.of(fields: _*), meta)
+    val bytes = new java.io.ByteArrayOutputStream()
+    org.apache.arrow.vector.ipc.message.MessageSerializer.serialize(
+      new org.apache.arrow.vector.ipc.WriteChannel(
+        java.nio.channels.Channels.newChannel(bytes)), arrowSchema)
+    java.util.Base64.getEncoder.encodeToString(bytes.toByteArray)
+  }
+
+  /** The base64 `ARROW:schema` IPC message pyarrow embeds in parquet
+    * footers, carrying the plateau-normalized arrow types. None when the
+    * schema holds a type with no plateau meaning (struct/map) — the footer
+    * then degrades to parquet-level types, as before. */
+  private[graft] def arrowSchemaB64(schema: StructType,
+                                    metadata: Map[String, String]): Option[String] = {
+    val fields = schema.fields.map(f => arrowField(f.name, f.dataType))
+    if (fields.exists(_.isEmpty)) None
+    else Some(serializeArrow(fields.flatten.toSeq, metadata))
+  }
+
+  /** ARROW:schema for a secondary-index parquet, mirroring the reference's
+    * `_index_dct_to_table` output exactly (`core/index.py:647-697`): the
+    * value column in plateau-normalized form (large_string for strings) and
+    * `partition: list<item: string>` with a PLAIN string item. Without
+    * this, the reference's index `update` rejects graft index files with
+    * "Expected `string` but got `large_string`" on dtype comparison. */
+  private[graft] def indexArrowSchemaB64(valueName: String,
+                                         valueType: DataType): Option[String] =
+    arrowType(valueType).map { vt =>
+      val partition = new Field("partition",
+        FieldType.nullable(new ArrowType.List()),
+        java.util.List.of(new Field("item",
+          FieldType.nullable(new ArrowType.Utf8()), java.util.List.of[Field]())))
+      serializeArrow(Seq(
+        new Field(valueName, FieldType.nullable(vt), java.util.List.of[Field]()),
+        partition), Map.empty)
+    }
 
   /** The Arrow `pandas` schema-metadata JSON for a Spark schema, matching
     * what pyarrow embeds for a pandas frame with a default RangeIndex. The

@@ -336,11 +336,15 @@ object DatasetMetadata {
 
   /** Schema write: both flavors — the reference-conformant empty-parquet
     * `_common_metadata` (`core/common_metadata.py:406-431`) and the JSON
-    * fast path that preserves exact Spark types. */
+    * fast path that preserves exact Spark types. Both persist ALL-NULLABLE
+    * fields (plateau schemas come from pandas, where everything is
+    * nullable; the reference's `validate_compatible` diffs a REQUIRED
+    * field as `not null`) — keeping the two flavors equal. */
   def writeSchema(store: Storage, uuid: String, schema: StructType,
                   table: String = SingleTable): Unit = {
-    store.writeString(s"$uuid/$table/$SchemaFileName", schema.json)
-    CommonMetadata.write(store, s"$uuid/$table/$CommonMetadataFile", schema)
+    val nullable = StructType(schema.fields.map(_.copy(nullable = true)))
+    store.writeString(s"$uuid/$table/$SchemaFileName", nullable.json)
+    CommonMetadata.write(store, s"$uuid/$table/$CommonMetadataFile", nullable)
   }
 
   /** Percent-decoding of hive partition values (reference

@@ -136,11 +136,19 @@ object Curate {
       numHashes = cfg.minhashHashes, bands = cfg.minhashBands,
       shingleN = cfg.shingleN, threshold = cfg.nearDupThreshold,
       maxBucketSize = cfg.maxBucketSize).select("id_a", "id_b")
-    val survivors = Dedup.dedupByClusters(df, idCol, Dedup.nearDupClusters(pairs))
-    graft.io.Writer.update(spark, storage, uuid, Some(survivors),
-      // empty scope dict = every PRE-update partition: the atomic replace
-      deleteScope = Seq(Map.empty),
-      opts = graft.io.Writer.WriteOpts(
-        secondaryIndices = meta.indexColumns.toSeq.sorted))
+      // bounded persist (id pairs only, proportional to dup mass — never
+      // corpus-sized): the no-op probe below must not re-run the LSH join
+      .persist()
+    try {
+      // nothing to collapse => NO rewrite: compacting an already-clean
+      // corpus must not pay full write amplification + GC debt for a no-op
+      if (pairs.isEmpty) return meta
+      val survivors = Dedup.dedupByClusters(df, idCol, Dedup.nearDupClusters(pairs))
+      graft.io.Writer.update(spark, storage, uuid, Some(survivors),
+        // empty scope dict = every PRE-update partition: the atomic replace
+        deleteScope = Seq(Map.empty),
+        opts = graft.io.Writer.WriteOpts(
+          secondaryIndices = meta.indexColumns.toSeq.sorted))
+    } finally pairs.unpersist()
   }
 }

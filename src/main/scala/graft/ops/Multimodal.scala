@@ -136,7 +136,12 @@ object Multimodal {
             val bytes = r.getAs[Array[Byte]](1)
             if (bytes == null) null
             else ImageIO.read(new ByteArrayInputStream(bytes))
-          } catch { case _: java.io.IOException => null }
+          } catch {
+            // NonFatal, not just IOException: JDK readers throw
+            // RuntimeExceptions on malformed headers (BMP "not
+            // implemented", GIF ArrayIndexOutOfBounds on truncation)
+            case scala.util.control.NonFatal(_) => null
+          }
         if (img == null) Row(r.get(0), null, null, null, null)
         else {
           val raster = img.getRaster

