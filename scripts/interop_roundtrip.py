@@ -32,7 +32,8 @@ sys.path.insert(0, "/root/reference")
 import pandas as pd  # noqa: E402
 from minimalkv import KeyValueStore  # noqa: E402
 from plateau.io.eager import (  # noqa: E402
-    store_dataframes_as_dataset, read_table, update_dataset_from_dataframes)
+    store_dataframes_as_dataset, read_table, update_dataset_from_dataframes,
+    garbage_collect_dataset)
 from plateau.core.dataset import (  # noqa: E402
     DatasetMetadata, DatasetMetadataBuilder)
 from plateau.core.index import ExplicitSecondaryIndex  # noqa: E402
@@ -195,6 +196,23 @@ def readback(base):
     check(read_table("gds", store,
                      predicates=[[("loc", "==", "C")]])["id"].tolist() == [5],
           "appended partition readable via partition-key predicate")
+
+    # --- the real library DELETES a scope and GARBAGE-COLLECTS the graft
+    # dataset; graft then re-reads the plateau-mutated store (step 3 of
+    # interop_roundtrip: `sbt "runMain graft.InteropDump <dir> verify"`)
+    update_dataset_from_dataframes([], store=store, dataset_uuid="gds",
+                                   partition_on=["loc"],
+                                   secondary_indices=["cat"],
+                                   delete_scope=[{"loc": "C"}])
+    after_del = read_table("gds", store)
+    check(sorted(after_del["id"]) == [1, 2, 3, 4],
+          "real delete_scope removed the appended partition")
+    keys_before = len(store.keys("gds/"))
+    garbage_collect_dataset("gds", store)
+    check(len(store.keys("gds/")) < keys_before,
+          "real garbage_collect_dataset removed the orphaned files")
+    check(sorted(read_table("gds", store)["id"]) == [1, 2, 3, 4],
+          "data intact after real GC")
     print("== readback PASSED: the real plateau library reads graft output")
 
 

@@ -22,7 +22,8 @@ import graft.store.Storage
   */
 object InteropDump {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 1, "usage: InteropDump <outDir>")
+    require(args.length >= 1, "usage: InteropDump <outDir> [verify]")
+    if (args.length >= 2 && args(1) == "verify") { verify(args(0)); return }
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-interop-dump")
@@ -48,6 +49,36 @@ object InteropDump {
     st.writeBytes(DatasetMetadata.msgpackHeaderKey("gdsmp"), meta.toMsgpackZstd)
     st.delete(DatasetMetadata.headerKey("gdsmp"))
     println(s"== wrote gds + gdsmp to ${args(0)}")
+    spark.stop()
+  }
+
+  /** Step 3 of the round trip: after the REAL reference library has
+    * appended, delete-scoped and garbage-collected `gds` (readback mode of
+    * `scripts/interop_roundtrip.py`), graft re-reads the plateau-mutated
+    * store — its header was rewritten by the reference's own to_json, its
+    * index by the reference's index writer. */
+  def verify(base: String): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-interop-verify")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val st = Storage(spark, base)
+    val meta = DatasetMetadata.load(st, "gds")
+    require(meta.partitionKeys == Seq("loc"), s"partition keys: ${meta.partitionKeys}")
+    val rows = graft.io.Reader.readTable(spark, st, "gds").collect()
+    val ids = rows.map(_.getAs[Long]("id")).sorted.toSeq
+    require(ids == Seq(1L, 2L, 3L, 4L),
+      s"expected ids 1-4 after the reference's delete_scope + GC, got $ids")
+    // the reference rewrote the index during ITS update; graft still prunes on it
+    val red = graft.io.Reader.readTable(spark, st, "gds",
+      predicates = Some(Seq(Seq(graft.dnf.Literal("cat", graft.dnf.Op.Eq, "red")))))
+      .collect().map(_.getAs[Long]("id")).toSet
+    require(red == Set(1L, 3L), s"cat==red through the reference-written index: $red")
+    println("== verify OK: graft reads the dataset after the reference " +
+      "library appended, delete-scoped and garbage-collected it")
     spark.stop()
   }
 }

@@ -13,7 +13,14 @@ import org.apache.spark.sql.SparkSession
 // not final: tests instrument per-key read/list counts via a subclass
 class Storage(val base: String, @transient private var conf: Configuration)
     extends Serializable {
-  @transient private[store] lazy val fs: FileSystem = new Path(base).getFileSystem(conf)
+  @transient private[store] lazy val fs: FileSystem = {
+    val f = new Path(base).getFileSystem(conf)
+    // local-FS CRC sidecars don't exist on object stores and go stale the
+    // moment ANOTHER writer (e.g. the reference library sharing the store)
+    // rewrites a key out of band; parquet carries its own page checksums
+    f.setVerifyChecksum(false)
+    f
+  }
 
   /** The (session-derived) Hadoop configuration — restored on executors by
     * the custom serialization below, so closures capturing a Storage keep
