@@ -197,6 +197,12 @@ def readback(base):
                      predicates=[[("loc", "==", "C")]])["id"].tolist() == [5],
           "appended partition readable via partition-key predicate")
 
+    # --- CSV dataset through the real suffix registry (CsvSerializer,
+    # serialization/_csv.py: ';' separator, header row)
+    csv = read_table("gdscsv", store).sort_values("id")
+    check(list(csv["id"]) == [1, 2, 3, 4] and list(csv["loc"])[:2] == ["L A", "L A"],
+          "real CsvSerializer reads graft csv dataset (suffix registry)")
+
     # --- the real library DELETES a scope and GARBAGE-COLLECTS the graft
     # dataset; graft then re-reads the plateau-mutated store (step 3 of
     # interop_roundtrip: `sbt "runMain graft.InteropDump <dir> verify"`)

@@ -5,6 +5,11 @@ import os
 import subprocess
 import tempfile
 
+# pandas probes this when enumerating optional compression backends and
+# needs a PEP 440-parseable value; 0.23.0 is the real package's API level
+# this shim mimics (compress/decompress over the zstd CLI)
+__version__ = "0.23.0"
+
 
 class ZstdCompressor:
     def __init__(self, level=3, write_content_size=True):
@@ -28,3 +33,10 @@ class ZstdDecompressor:
         return subprocess.run(
             ["zstd", "-d", "-q", "-c"],
             input=data, check=True, capture_output=True).stdout
+
+    def stream_reader(self, source):
+        """File-like over decompressed bytes (pandas probes this to learn
+        the reader class; BytesIO already context-manages)."""
+        import io
+        data = source.read() if hasattr(source, "read") else bytes(source)
+        return io.BytesIO(self.decompress(data) if data else b"")

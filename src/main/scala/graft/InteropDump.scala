@@ -43,6 +43,9 @@ object InteropDump {
     val opts = WriteOpts(partitionOn = Seq("loc"), secondaryIndices = Seq("cat"))
     Writer.store(spark, st, "gds", df, opts)
     Writer.store(spark, st, "gdsmp", df, opts)
+    // CSV flavor: the reference picks its CsvSerializer off the .csv suffix
+    Writer.store(spark, st, "gdscsv", df.drop("ts"),
+      WriteOpts(partitionOn = Seq("loc"), format = "csv"))
     // degrade gdsmp to a msgpack-only header, as the reference's
     // metadata_storage_format="msgpack" writer leaves it
     val meta = DatasetMetadata.load(st, "gdsmp")
