@@ -48,6 +48,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(exchanges === 1, s"$exchanges exchanges:\n${plan.take(2500)}")
   }
 
+  test("v_knn_lsh: recall guard broadcasts the 1-row recall; centers broadcast too") {
+    val plan = SparkEntry.queries("v_knn_lsh")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the recall scalar crosses as a broadcast nested-loop of ONE row, and
+    // the 25-row clustered-centers join is a broadcast hash join — the
+    // guard must not introduce any shuffled join
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2500))
+  }
+
   test("lshTopK retrieves the query vector itself at rank 1") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val q = emb.where(col("vec_id") === 0).select("embedding")
