@@ -647,8 +647,9 @@ object SparkEntry {
         numHashes = 32, bands = 8, shingleN = 3, threshold = 0.3)),
 
     // deterministic hash-based curation sampling (hash not SQL-expressible)
+    // portable variant so DuckDB reproduces the exact member set (md5 rank)
     "u_sample_k_per_group" -> ((s, dir) =>
-      graft.ops.Sampling.exactKPerGroup(rd(s, dir, "documents"),
+      graft.ops.Sampling.portableKPerGroup(rd(s, dir, "documents"),
         Seq("lang"), "doc_id", 10)),
 
     // near-dup clusters: pairs -> connected components -> (id, cluster_id)
@@ -1023,6 +1024,14 @@ object SparkEntry {
         """SELECT doc_id, lang, source FROM documents
            WHERE substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8) <
              CASE WHEN lang = 'en' THEN '80000000' ELSE '40000000' END""",
+      // portable k-per-group: md5 rank reproduces the exact member set
+      "u_sample_k_per_group" ->
+        """SELECT doc_id, text, lang, source, n_chars FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY lang
+               ORDER BY substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8),
+                        doc_id) AS rnk
+             FROM documents) WHERE rnk <= 10""",
       "q_rollup" ->
         """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
              count(*) AS n

@@ -76,6 +76,20 @@ object Sampling {
       .where(col("__rank") <= k)
       .drop("__rank")
   }
+
+  /** [[exactKPerGroup]] with ENGINE-PORTABLE ranking (md5 of salt+id, like
+    * [[portableKeep]]): any system with md5 reproduces the exact member
+    * set, so the selection is auditable outside Spark. Same single shuffle;
+    * md5 costs more than xxhash64 — prefer [[exactKPerGroup]] when
+    * portability doesn't matter. */
+  def portableKPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
+                        k: Int, salt: String = "graft"): DataFrame = {
+    val key = substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 8)
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(key, col(idCol))
+    df.withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= k)
+      .drop("__rank")
+  }
 }
 
 /** Skew mitigation helpers. */
