@@ -597,6 +597,39 @@ object SparkEntry {
         "text", "doc_id", n = 5)
     }),
 
+    // --- fuzzy decontamination, exact face: cross-corpus n-gram Jaccard
+    // (reference = doc_id % 17 == 0 slice, broadcast-indexed; corpus =
+    // the rest, never shuffles text)
+    "t_cross_jaccard" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      Contamination.crossJaccardPairs(
+        docs.where(col("doc_id") % 17 =!= 0),
+        docs.where(col("doc_id") % 17 === 0),
+        "text", "doc_id", shingleN = 3, threshold = 0.3)
+    }),
+
+    // --- fuzzy decontamination: corpus rows surviving the jaccard gate
+    "t_decontam_fuzzy" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      Contamination.decontaminateFuzzy(
+        docs.where(col("doc_id") % 17 =!= 0),
+        docs.where(col("doc_id") % 17 === 0),
+        "text", "doc_id", shingleN = 3, threshold = 0.3)
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
+    // --- fuzzy decontamination, scale face: banded minhash cross-join
+    // (approximate candidates, exact-jaccard verified; rows-only — the
+    // hash family is Spark's murmur3, not SQL-portable)
+    "d_cross_minhash" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      Contamination.crossMinhashNearDups(
+        docs.where(col("doc_id") % 17 =!= 0),
+        docs.where(col("doc_id") % 17 === 0),
+        "text", "doc_id", numHashes = 32, bands = 8, shingleN = 3,
+        threshold = 0.5)
+    }),
+
     // --- Gopher-style repetition quality signals
     "t_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(rd(s, dir, "documents"), "text", "doc_id")),
@@ -748,6 +781,24 @@ object SparkEntry {
             ELSE 'de' END AS lang_pred
           FROM (SELECT doc_id, $scores FROM documents)"""
     }
+    // shared CTE chain for the cross-corpus jaccard pair (corpus = doc_id %
+    // 17 != 0, reference = the % 17 == 0 slice); `jac` has (id_a, id_b, j)
+    val crossJaccardCte =
+      """sh AS (
+           SELECT doc_id AS id, list_distinct(list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+           FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents)
+           WHERE len(t) >= 3),
+         inv AS (SELECT id, unnest(s) AS sg FROM sh),
+         common AS (
+           SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS DOUBLE) AS inter
+           FROM inv a JOIN inv b ON a.sg = b.sg
+           WHERE a.id % 17 != 0 AND b.id % 17 = 0
+           GROUP BY a.id, b.id),
+         jac AS (
+           SELECT c.id_a, c.id_b,
+             c.inter / (len(sa.s) + len(sb.s) - c.inter) AS j
+           FROM common c JOIN sh sa ON sa.id = c.id_a JOIN sh sb ON sb.id = c.id_b)"""
     ListMap(
       "s1_scan_project" ->
         "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity < 10",
@@ -974,6 +1025,15 @@ object SparkEntry {
            SELECT doc_id, count(*) AS n_shared_grams
            FROM corp JOIN bench USING (g)
            GROUP BY doc_id HAVING count(*) >= 1""",
+      // cross-corpus exact jaccard (reference slice = doc_id % 17 == 0)
+      "t_cross_jaccard" ->
+        s"""WITH $crossJaccardCte
+           SELECT id_a, id_b, round(j, 6) AS jaccard FROM jac WHERE j >= 0.3""",
+      "t_decontam_fuzzy" ->
+        s"""WITH $crossJaccardCte
+           SELECT doc_id, n_chars FROM documents
+           WHERE doc_id % 17 != 0
+             AND doc_id NOT IN (SELECT id_a FROM jac WHERE j >= 0.3)""",
       "t_repetition" ->
         """WITH d AS (SELECT doc_id,
                string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),

@@ -51,4 +51,95 @@ object Contamination {
       sharedGrams(corpus, benchmark, textCol, idCol, n, minOverlap)
         .select(idCol),
       Seq(idCol), "left_anti")
+
+  /** Cross-corpus EXACT n-gram Jaccard: every (corpus, reference) pair with
+    * jaccard >= threshold — fuzzy decontamination's exact face (the verbatim
+    * [[sharedGrams]] collision misses paraphrased/lightly-edited benchmark
+    * leakage; a set-similarity threshold catches it).
+    *
+    * Scale design: the reference (benchmark) side is the small one, so its
+    * inverted index is `broadcast()` and the 100 TB corpus side NEVER
+    * shuffles text — one scan, explode to grams, xxhash64 the gram (8-byte
+    * join keys, strings never leave their input partitions), broadcast-hash
+    * join, then ONE shuffle of compact (id_a, id_b, n_a, n_b) count rows
+    * with map-side partial aggregation. Set `broadcastReference = false`
+    * when the reference is itself large (e.g. dedup train against a full
+    * held-out split) — both sides then shuffle on the gram hash.
+    *
+    * Returns (id_a = corpus id, id_b = reference id, jaccard), thresholded
+    * on the raw double and rounded to 6 places for engine-portable output
+    * (same contract as the self-join operator's verify path). */
+  def crossJaccardPairs(corpus: DataFrame, reference: DataFrame,
+                        textCol: String, idCol: String,
+                        shingleN: Int, threshold: Double,
+                        broadcastReference: Boolean = true): DataFrame = {
+    require(threshold > 0.0, s"threshold must be > 0 (got $threshold)")
+    val invOf = (df: DataFrame, as: String, n: String) => df
+      .select(col(idCol).as(as), Dedup.shingles(col(textCol), shingleN).as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col(as), size(col("sh")).as(n), explode(col("sh")).as("s0"))
+      .select(col(as), col(n), xxhash64(col("s0")).as("s"))
+    val invC = invOf(corpus, "id_a", "n_a")
+    val invR0 = invOf(reference, "id_b", "n_b")
+    val invR = if (broadcastReference) broadcast(invR0) else invR0
+    val raw = col("inter") / (col("n_a") + col("n_b") - col("inter"))
+    invC.join(invR, "s")
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).cast("double").as("inter"))
+      .where(raw >= threshold)
+      .select(col("id_a"), col("id_b"), round(raw, 6).as("jaccard"))
+  }
+
+  /** Cross-corpus MinHash+LSH near-dup pairs — the scale path of
+    * [[crossJaccardPairs]] for a reference too big to broadcast-index:
+    * both sides build the SAME banded signature table
+    * ([[Dedup.bandTableOf]] — identical hash family, so a corpus doc and
+    * its reference near-dup land in the same buckets), candidates are the
+    * per-band corpus x reference bucket products, and every candidate is
+    * verified with exact Jaccard before it is returned. Only (band, id)
+    * pairs shuffle; text never does.
+    *
+    * `maxBucketSize` (0 = uncapped) drops bands whose COMBINED bucket
+    * population (corpus + reference docs) exceeds the cap — same explicit
+    * recall-for-bounded-work trade, same tuning pre-flight
+    * ([[Dedup.bandBucketStats]] on the unioned corpus), as the self-join
+    * operator. */
+  def crossMinhashNearDups(corpus: DataFrame, reference: DataFrame,
+                           textCol: String, idCol: String,
+                           numHashes: Int = 32, bands: Int = 8,
+                           shingleN: Int = 3, threshold: Double = 0.5,
+                           maxBucketSize: Int = 0): DataFrame = {
+    val shOf = (df: DataFrame) => df
+      .select(col(idCol).as("id"), Dedup.shingles(col(textCol), shingleN).as("sh"))
+      .where(size(col("sh")) > 0)
+    val shC = shOf(corpus)
+    val shR = shOf(reference)
+    val bandC = Dedup.bandTableOf(shC, numHashes, bands)
+    val bandR = Dedup.bandTableOf(shR, numHashes, bands)
+    val candidates0 = bandC.as("l")
+      .join(bandR.as("r"), col("l.band") === col("r.band"))
+    val candidates =
+      if (maxBucketSize <= 0) candidates0
+      else candidates0.join(
+        bandC.select(col("band")).union(bandR.select(col("band")))
+          .groupBy("band").agg(count(lit(1)).as("__bc"))
+          .where(col("__bc") <= maxBucketSize)
+          .select(col("band").as("__okband")),
+        col("l.band") === col("__okband"))
+    Dedup.verifyJaccardCross(
+      candidates.select(col("l.id").as("id_a"), col("r.id").as("id_b")).distinct(),
+      shC, shR, threshold, roundTo = 6)
+  }
+
+  /** Fuzzy decontamination: drop corpus docs whose n-gram Jaccard to ANY
+    * reference doc reaches `threshold` (left_anti against
+    * [[crossJaccardPairs]]). Exact — use [[crossMinhashNearDups]]'s pair
+    * set instead when the reference side is too large to broadcast. */
+  def decontaminateFuzzy(corpus: DataFrame, reference: DataFrame,
+                         textCol: String, idCol: String,
+                         shingleN: Int, threshold: Double): DataFrame =
+    corpus.join(
+      crossJaccardPairs(corpus, reference, textCol, idCol, shingleN, threshold)
+        .select(col("id_a").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
 }

@@ -106,7 +106,7 @@ object Dedup {
   /** The (band, id) LSH table of a shingled frame — shared by
     * [[minhashNearDups]] and [[bandBucketStats]] so the diagnostic measures
     * EXACTLY the buckets the operator would join on. */
-  private def bandTableOf(sh: DataFrame, numHashes: Int, bands: Int): DataFrame =
+  private[ops] def bandTableOf(sh: DataFrame, numHashes: Int, bands: Int): DataFrame =
     sh.withColumn("sig", minhashSignature(col("sh"), numHashes))
       .withColumn("band", explode(bandHashes(col("sig"), numHashes, bands)))
       .select(col("band"), col("id"))
@@ -152,11 +152,20 @@ object Dedup {
     * set. `roundTo < 0` keeps the raw double (the n-gram operator's count
     * path is un-rounded and both paths must return identical rows). */
   private def verifyJaccard(pairs: DataFrame, sh: DataFrame,
-                            threshold: Double, roundTo: Int = -1): DataFrame = {
+                            threshold: Double, roundTo: Int = -1): DataFrame =
+    verifyJaccardCross(pairs, sh, sh, threshold, roundTo)
+
+  /** [[verifyJaccard]] with DISTINCT frames per pair side — the id_a side
+    * and id_b side come from different corpora (cross-corpus near-dup,
+    * [[Contamination.crossMinhashNearDups]]); the self-join face passes the
+    * same frame twice. */
+  private[ops] def verifyJaccardCross(pairs: DataFrame, shA: DataFrame,
+                                      shB: DataFrame, threshold: Double,
+                                      roundTo: Int = -1): DataFrame = {
     val raw = col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter"))
     pairs
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(shA.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shB.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard", if (roundTo >= 0) round(raw, roundTo) else raw)
       .where(col("jaccard") >= threshold)

@@ -227,4 +227,93 @@ class DedupSpec extends SparkSpec {
     assert(ids.contains(3L) && ids.contains(4L))
     assert(ids.contains(1L) && !ids.contains(2L)) // 1-2 near-dups; min id kept
   }
+
+  // --- cross-corpus near-dup (fuzzy decontamination) ---
+
+  private def crossFixture = {
+    import spark.implicits._
+    // corpus: 1-2 near-dup a reference doc, 3 a verbatim copy, 4-5 clean
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog in the morning light"),
+      (2L, "the quick brown fox jumps over the lazy dog in the evening light"),
+      (3L, "benchmark question what is the capital of france paris obviously"),
+      (4L, "an entirely different document about spark datasets and parquet files"),
+      (5L, "completely unrelated content warbling on about benchmarks etc etc")
+    ).toDF("doc_id", "text")
+    val reference = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog in the morning light"),
+      (102L, "benchmark question what is the capital of france paris obviously")
+    ).toDF("doc_id", "text")
+    (corpus, reference)
+  }
+
+  test("crossJaccardPairs matches a brute-force cross jaccard") {
+    import graft.ops.Contamination
+    val (corpus, reference) = crossFixture
+    // brute force over the same shingle construction
+    val shOf = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val shC = shOf(corpus); val shR = shOf(reference)
+    val expected = (for {
+      (a, sa) <- shC.toSeq; (b, sb) <- shR.toSeq
+      inter = (sa & sb).size.toDouble
+      j = inter / (sa.size + sb.size - inter) if j >= 0.3
+    } yield (a, b, BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)).toSet
+    val got = Contamination
+      .crossJaccardPairs(corpus, reference, "text", "doc_id", 3, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected)
+    assert(got.map(p => (p._1, p._2)).intersect(
+      Set((1L, 101L), (3L, 102L))).size === 2)
+    // shuffled side carries no text: only hashed 8-byte gram keys join
+    val plan = Contamination
+      .crossJaccardPairs(corpus, reference, "text", "doc_id", 3, 0.3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("xxhash64"), "gram keys must be hashed before the join")
+  }
+
+  test("crossMinhashNearDups verifies candidates and finds the high-jaccard cross pairs") {
+    import graft.ops.Contamination
+    val (corpus, reference) = crossFixture
+    val exact = Contamination
+      .crossJaccardPairs(corpus, reference, "text", "doc_id", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val approx = Contamination
+      .crossMinhashNearDups(corpus, reference, "text", "doc_id",
+        numHashes = 32, bands = 8, shingleN = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // every approx pair is exact-verified, so approx is a subset; the
+    // verbatim copy (jaccard 1.0) can never be missed by banding
+    assert(approx.subsetOf(exact), s"unverified pair leaked: ${approx -- exact}")
+    assert(approx.exists(p => p._1 === 3L && p._2 === 102L && p._3 === 1.0))
+  }
+
+  test("crossMinhashNearDups maxBucketSize drops over-cap bands, never verified pairs' exactness") {
+    import spark.implicits._
+    import graft.ops.Contamination
+    // mass-duplicate text on both sides: every band bucket holds all docs
+    val corpus = (1L to 40L).map(i => (i, "same mass duplicated text here over and over"))
+      .toDF("doc_id", "text")
+    val reference = (101L to 110L).map(i => (i, "same mass duplicated text here over and over"))
+      .toDF("doc_id", "text")
+    val capped = Contamination.crossMinhashNearDups(corpus, reference,
+      "text", "doc_id", threshold = 0.5, maxBucketSize = 10)
+    assert(capped.count() === 0L) // all buckets hold 50 > 10 docs -> dropped
+    val uncapped = Contamination.crossMinhashNearDups(corpus, reference,
+      "text", "doc_id", threshold = 0.5)
+    assert(uncapped.count() === 40L * 10L)
+  }
+
+  test("decontaminateFuzzy removes exactly the contaminated corpus docs") {
+    import graft.ops.Contamination
+    val (corpus, reference) = crossFixture
+    val surviving = Contamination
+      .decontaminateFuzzy(corpus, reference, "text", "doc_id", 3, 0.3)
+      .collect().map(_.getLong(0)).toSet
+    // 1 near-dups ref 101, 2 is one token away from it (j ~ 0.54), 3 is a
+    // verbatim ref copy -> all three gated; 4-5 share no grams and survive
+    assert(surviving === Set(4L, 5L), s"got $surviving")
+  }
 }
