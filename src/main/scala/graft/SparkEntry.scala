@@ -685,6 +685,21 @@ object SparkEntry {
       graft.ops.Sampling.portableKPerGroup(rd(s, dir, "documents"),
         Seq("lang"), "doc_id", 10)),
 
+    // token-budget mixture sampling: per-lang acceptance rates derived
+    // in-plan from broadcast group totals; md5-portable membership
+    "u_token_budget" -> ((s, dir) =>
+      graft.ops.Sampling.tokenBudgetSample(
+        rd(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        "lang", "n_chars", "doc_id",
+        Map("en" -> 0.4, "de" -> 0.5, "fr" -> 0.1), budget = 60000L)),
+
+    // sequence packing: deterministic md5 order, sharded running sum,
+    // cut every 4096 weight units
+    "u_pack_sequences" -> ((s, dir) =>
+      graft.ops.Chunking.packSequences(
+        rd(s, dir, "documents").select("doc_id", "n_chars"),
+        "n_chars", "doc_id", seqLen = 4096L, numShards = 8)),
+
     // near-dup clusters: pairs -> connected components -> (id, cluster_id)
     "d_dedup_clusters" -> ((s, dir) =>
       Dedup.nearDupClusters(
@@ -1092,6 +1107,40 @@ object SparkEntry {
                ORDER BY substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8),
                         doc_id) AS rnk
              FROM documents) WHERE rnk <= 10""",
+      // token-budget mixture: rate_g = min(1, share_g*budget/tot_g); the
+      // md5 threshold is computed from the rate exactly as the Spark plan
+      // does (floor to unsigned-32 hex), so membership matches bit-for-bit
+      "u_token_budget" ->
+        """WITH tot AS (SELECT lang, sum(n_chars) AS t FROM documents GROUP BY lang),
+           r AS (SELECT lang, least(CAST(1.0 AS DOUBLE), (share * CAST(60000 AS DOUBLE)) / t) AS rate
+                 FROM (SELECT lang, t,
+                         CASE lang WHEN 'en' THEN CAST(0.4 AS DOUBLE)
+                                   WHEN 'de' THEN CAST(0.5 AS DOUBLE)
+                                   WHEN 'fr' THEN CAST(0.1 AS DOUBLE) END AS share
+                       FROM tot)
+                 WHERE share IS NOT NULL)
+           SELECT d.doc_id, d.lang, d.n_chars
+           FROM documents d JOIN r USING (lang)
+           WHERE r.rate >= 1.0 OR
+             substr(md5('graft' || CAST(d.doc_id AS VARCHAR)), 1, 8) <
+               printf('%08x', CAST(floor(r.rate * 4294967296) AS BIGINT))""",
+      // sequence packing: md5-ordered concat-and-cut per md5-derived shard
+      "u_pack_sequences" ->
+        """WITH x AS (
+             SELECT doc_id, n_chars,
+               md5('graft' || CAST(doc_id AS VARCHAR)) AS h,
+               CAST(concat('0x', substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 8 AS shard
+             FROM documents),
+           y AS (
+             SELECT doc_id, n_chars, shard,
+               COALESCE(sum(n_chars) OVER (PARTITION BY shard ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+             FROM x)
+           SELECT doc_id, n_chars, shard,
+             CAST(floor(cb / CAST(4096 AS DOUBLE)) AS BIGINT) AS seq_idx,
+             CAST(cb % 4096 AS BIGINT) AS offset_in_seq
+           FROM y""",
       "q_rollup" ->
         """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
              count(*) AS n

@@ -48,6 +48,45 @@ object Chunking {
           .as("n_chunk_tokens"))
   }
 
+  /** Sequence packing: assign each row (a document or a chunk) a position
+    * in a fixed-token-budget training sequence — concatenate rows in a
+    * deterministic, ENGINE-PORTABLE order (md5 of salt+id) and cut every
+    * `seqLen` weight units. Returns the input plus
+    * (shard, seq_idx, offset_in_seq): row r of shard s starts at offset
+    * `offset_in_seq` of sequence `seq_idx` (a row may straddle a cut — the
+    * usual concat-and-cut training layout, where the consumer splits at
+    * sequence boundaries).
+    *
+    * Scale design: a single GLOBAL running sum would serialize into one
+    * task, so packing is sharded — `numShards` independent streams (shard =
+    * md5-derived, so membership and order are reproducible in any engine),
+    * ONE shuffle, then a streaming running-sum window per shard (no
+    * buffering: running aggregates evaluate incrementally). Set `numShards`
+    * to cluster parallelism; the only waste is one partial tail sequence
+    * per shard. */
+  def packSequences(df: DataFrame, weightCol: String, idCol: String,
+                    seqLen: Long, numShards: Int,
+                    salt: String = "graft"): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive (got $seqLen)")
+    require(numShards > 0, s"numShards must be positive (got $numShards)")
+    val h = md5(concat(lit(salt), col(idCol).cast("string")))
+    // first 8 hex chars parsed as an unsigned int: portable shard key
+    // (DuckDB: CAST('0x'||substr AS BIGINT); Spark: conv(_, 16, 10))
+    val shard = pmod(conv(substring(h, 1, 8), 16, 10).cast("long"),
+      lit(numShards.toLong))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__shard")).orderBy(col("__h"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("__h", h)
+      .withColumn("__shard", shard)
+      .withColumn("__before",
+        coalesce(sum(col(weightCol)).over(w), lit(0L)))
+      .select(df.columns.map(col) ++ Seq(
+        col("__shard").as("shard"),
+        floor(col("__before") / lit(seqLen.toDouble)).cast("long").as("seq_idx"),
+        (col("__before") % lit(seqLen)).cast("long").as("offset_in_seq")): _*)
+  }
+
   /** Character-window chunks (byte-budget shaping for tokenizer-free
     * pipelines): same overlap contract over characters; empty/null text
     * yields no rows (length 0 => no chunk indices). */

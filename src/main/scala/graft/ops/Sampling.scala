@@ -77,6 +77,50 @@ object Sampling {
       .drop("__rank")
   }
 
+  /** Token-budget mixture sampling (domain reweighting): downsample each
+    * group (language, source, domain…) so its share of the OUTPUT weight
+    * mass approaches `targetShares(group) * budget` — the composition step
+    * that turns "what the crawl contains" into "what the training mix
+    * should contain". Per-group acceptance rate:
+    *
+    *   rate_g = min(1, targetShares(g) * budget / totalWeight_g)
+    *
+    * (a group with less mass than its target keeps everything — this
+    * operator never upsamples). Membership is [[portableKeep]]-portable
+    * (md5), so the exact sampled set is auditable outside Spark.
+    *
+    * Scale design: group totals are ONE partial-aggregated shuffle of
+    * (group, sum) pairs, broadcast back onto the scan — the corpus itself
+    * never shuffles, and the rate arithmetic is all in-plan (no
+    * construction-time driver job). Groups absent from `targetShares`
+    * (and null groups) are DROPPED — the budget is an exhaustive spec of
+    * the output mix. */
+  def tokenBudgetSample(df: DataFrame, groupCol: String, weightCol: String,
+                        idCol: String, targetShares: Map[String, Double],
+                        budget: Long, salt: String = "graft"): DataFrame = {
+    require(targetShares.nonEmpty, "targetShares must name at least one group")
+    require(targetShares.values.forall(s => s >= 0 && s <= 1),
+      s"target shares must be in [0,1]: $targetShares")
+    require(budget > 0, s"budget must be positive (got $budget)")
+    val totals = df.groupBy(col(groupCol))
+      .agg(sum(col(weightCol)).as("__tot"))
+    val share = element_at(typedLit(targetShares), col(groupCol))
+    val rate = least(lit(1.0), share * lit(budget.toDouble) / col("__tot"))
+    // same fixed-width-hex comparison as portableKeep, but with the
+    // threshold computed IN-PLAN from the broadcast group total (rate is a
+    // column, not a literal); rate >= 1 short-circuits because its 9-hex-char
+    // threshold would compare lexicographically BELOW 8-char hashes
+    // share is NULL for unlisted groups, but least(1.0, NULL) is 1.0 (both
+    // Spark and DuckDB least IGNORE nulls) — an unguarded rate would
+    // silently keep every unlisted group instead of dropping it
+    val keep = share.isNotNull && (rate >= 1.0 ||
+      substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 8) <
+        format_string("%08x", floor(rate * lit(4294967296L)).cast("long")))
+    df.join(broadcast(totals), groupCol)
+      .where(keep)
+      .select(df.columns.map(col): _*) // original schema, original order
+  }
+
   /** [[exactKPerGroup]] with ENGINE-PORTABLE ranking (md5 of salt+id, like
     * [[portableKeep]]): any system with md5 reproduces the exact member
     * set, so the selection is auditable outside Spark. Same single shuffle;

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Multimodal, Sampling, Skew}
+import graft.ops.{Chunking, Multimodal, Sampling, Skew}
 
 class SamplingSpec extends SparkSpec {
 
@@ -55,6 +55,65 @@ class SamplingSpec extends SparkSpec {
       .groupBy("c_mktsegment").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(salted === plain)
+  }
+
+  test("tokenBudgetSample: keep-all below target, downsample above, drop unlisted") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // groups: big (100 rows x 100 tokens = 10000), small (10 x 100 = 1000),
+    // unlisted (never sampled)
+    val df = ((1L to 100L).map(i => (i, "big", 100L)) ++
+      (201L to 210L).map(i => (i, "small", 100L)) ++
+      (301L to 310L).map(i => (i, "unlisted", 100L)))
+      .toDF("id", "grp", "w")
+    val out = Sampling.tokenBudgetSample(df, "grp", "w", "id",
+      Map("big" -> 0.5, "small" -> 0.5), budget = 4000L)
+    val byGrp = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // small: target 2000 > available 1000 -> rate 1, ALL 10 rows kept
+    assert(byGrp.getOrElse("small", 0L) === 10L)
+    // big: target 2000 of 10000 -> rate 0.2; hash sampling is ~binomial
+    val bigKept = byGrp.getOrElse("big", 0L)
+    assert(bigKept > 5L && bigKept < 40L, s"big kept $bigKept of 100 at rate 0.2")
+    assert(!byGrp.contains("unlisted"))
+    // deterministic: same member set on rerun
+    val again = Sampling.tokenBudgetSample(df.repartition(7), "grp", "w", "id",
+      Map("big" -> 0.5, "small" -> 0.5), budget = 4000L)
+    assert(out.select("id").collect().map(_.getLong(0)).toSet ===
+      again.select("id").collect().map(_.getLong(0)).toSet)
+    // schema preserved
+    assert(out.columns.toSeq === Seq("id", "grp", "w"))
+    // the totals side is broadcast: corpus never shuffles for the join
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "group totals must broadcast")
+  }
+
+  test("packSequences: offsets tile each shard's stream exactly") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, 10L + i % 7)).toDF("id", "w")
+    val out = Chunking.packSequences(df, "w", "id", seqLen = 64L, numShards = 4)
+      .collect()
+    assert(out.length === 200)
+    // reconstruct each shard's stream: sorted by (seq_idx, offset) the
+    // cumulative weights must be contiguous (offset = prev cum sum % 64)
+    out.groupBy(_.getAs[Long]("shard")).foreach { case (shard, rows) =>
+      val ordered = rows.sortBy(r =>
+        (r.getAs[Long]("seq_idx"), r.getAs[Long]("offset_in_seq"),
+          r.getAs[Long]("id")))
+      var cum = 0L
+      ordered.foreach { r =>
+        assert(r.getAs[Long]("seq_idx") === cum / 64,
+          s"shard $shard id ${r.getAs[Long]("id")}")
+        assert(r.getAs[Long]("offset_in_seq") === cum % 64)
+        cum += r.getAs[Long]("w")
+      }
+    }
+    // deterministic under repartition
+    val again = Chunking.packSequences(df.repartition(5), "w", "id", 64L, 4)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("shard"),
+        r.getAs[Long]("seq_idx"), r.getAs[Long]("offset_in_seq"))).toSet
+    assert(again === out.map(r => (r.getAs[Long]("id"), r.getAs[Long]("shard"),
+      r.getAs[Long]("seq_idx"), r.getAs[Long]("offset_in_seq"))).toSet)
   }
 
   test("resizeStub rewrites dimensions, keeps payload binary") {
