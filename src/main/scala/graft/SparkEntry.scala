@@ -630,6 +630,24 @@ object SparkEntry {
         threshold = 0.5)
     }),
 
+    // --- paragraph dedup (C4/Dolma): paragraphs = non-overlapping 20-token
+    // chunks; keep the globally-first occurrence of each, reassemble docs
+    "t_para_dedup" -> ((s, dir) => {
+      val paras = graft.ops.Chunking.tokenChunks(
+        rd(s, dir, "documents"), "text", "doc_id", window = 20, stride = 20)
+      Dedup.reassembleParagraphs(
+        Dedup.dedupParagraphs(paras, "doc_id", "chunk_idx", "chunk_text"),
+        "doc_id", "chunk_idx", "chunk_text")
+    }),
+
+    // --- boilerplate removal: drop paragraphs seen in > 3 distinct docs
+    "t_boilerplate" -> ((s, dir) => {
+      val paras = graft.ops.Chunking.tokenChunks(
+        rd(s, dir, "documents"), "text", "doc_id", window = 20, stride = 20)
+      Dedup.dropBoilerplate(paras, "doc_id", "chunk_text", maxDocFreq = 3)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_paras_kept"))
+    }),
+
     // --- Gopher-style repetition quality signals
     "t_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(rd(s, dir, "documents"), "text", "doc_id")),
@@ -796,6 +814,22 @@ object SparkEntry {
             ELSE 'de' END AS lang_pred
           FROM (SELECT doc_id, $scores FROM documents)"""
     }
+    // shared CTE: documents split into non-overlapping 20-token "paragraph"
+    // chunks (mirrors Chunking.tokenChunks window=20 stride=20);
+    // `p` has (doc_id, chunk_idx, para)
+    val paraCte =
+      """d AS (
+           SELECT doc_id,
+             string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+           FROM documents
+           WHERE len(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0),
+         c AS (SELECT doc_id, t,
+             unnest(range(CAST(ceil(len(t) / 20.0) AS BIGINT))) AS chunk_idx
+           FROM d WHERE len(t) > 0),
+         p AS (SELECT doc_id, chunk_idx,
+             array_to_string(t[CAST(chunk_idx*20+1 AS BIGINT) :
+               CAST(least(chunk_idx*20+20, len(t)) AS BIGINT)], ' ') AS para
+           FROM c)"""
     // shared CTE chain for the cross-corpus jaccard pair (corpus = doc_id %
     // 17 != 0, reference = the % 17 == 0 slice); `jac` has (id_a, id_b, j)
     val crossJaccardCte =
@@ -1027,6 +1061,25 @@ object SparkEntry {
              CAST(least(chunk_idx*24+32, len(t)) - chunk_idx*24 AS BIGINT)
                AS n_chunk_tokens
            FROM c""",
+      // paragraph dedup over 20/20 token chunks: keep the globally-first
+      // occurrence of each distinct paragraph, reassemble in position order
+      "t_para_dedup" ->
+        s"""WITH $paraCte,
+           k AS (SELECT doc_id, chunk_idx, para,
+                   row_number() OVER (PARTITION BY para
+                     ORDER BY doc_id, chunk_idx) AS rn
+                 FROM p)
+           SELECT doc_id,
+             string_agg(para, chr(10) ORDER BY chunk_idx) AS text_clean,
+             count(*) AS n_paras
+           FROM k WHERE rn = 1 GROUP BY doc_id""",
+      "t_boilerplate" ->
+        s"""WITH $paraCte,
+           hot AS (SELECT para FROM p GROUP BY para
+                   HAVING count(DISTINCT doc_id) > 3)
+           SELECT doc_id, count(*) AS n_paras_kept
+           FROM p WHERE para NOT IN (SELECT para FROM hot)
+           GROUP BY doc_id""",
       "t_contamination" ->
         """WITH sh AS (
              SELECT doc_id, source, list_distinct(list_transform(range(1, len(t) - 3),

@@ -487,4 +487,54 @@ object Dedup {
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  // --- paragraph-level dedup (C4 / Dolma style): the unit of duplication
+  // is a line/paragraph WITHIN a document, removed across the whole corpus.
+  // Input is an exploded paragraph frame (docId, pos, para) — produce it by
+  // splitting on newlines, or with [[Chunking.tokenChunks]] for
+  // tokenizer-defined units; these operators don't impose a splitter.
+
+  /** Keep exactly ONE occurrence of each distinct paragraph corpus-wide —
+    * the globally first under (docId, pos) order, so the survivor set is
+    * deterministic and engine-portable. One shuffle keyed on the paragraph
+    * text (the row must move to its group anyway; no way to ship less than
+    * the paragraph we might keep). */
+  def dedupParagraphs(paras: DataFrame, docIdCol: String, posCol: String,
+                      paraCol: String): DataFrame = {
+    val w = Window.partitionBy(col(paraCol))
+      .orderBy(col(docIdCol), col(posCol))
+    paras.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Drop EVERY occurrence of paragraphs appearing in more than
+    * `maxDocFreq` distinct documents (navigation chrome, license headers,
+    * cookie banners — boilerplate repeats across many documents; real
+    * content doesn't). Frequency is aggregated over xxhash64(paragraph) so
+    * the counting shuffle moves 8-byte keys, not text; occurrences are
+    * removed by a left_anti join on the same hash. */
+  def dropBoilerplate(paras: DataFrame, docIdCol: String, paraCol: String,
+                      maxDocFreq: Long): DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1 (got $maxDocFreq)")
+    val hot = paras
+      .groupBy(xxhash64(col(paraCol)).as("__ph"))
+      .agg(countDistinct(col(docIdCol)).as("__df"))
+      .where(col("__df") > maxDocFreq)
+      .select("__ph")
+    paras.join(hot, xxhash64(col(paraCol)) === col("__ph"), "left_anti")
+  }
+
+  /** Reassemble surviving paragraphs into documents: (docId, text_clean,
+    * n_paras), paragraphs re-joined by `sep` in `posCol` order. Documents
+    * whose every paragraph was removed yield NO row (there is nothing left
+    * to emit). One shuffle on docId. */
+  def reassembleParagraphs(paras: DataFrame, docIdCol: String, posCol: String,
+                           paraCol: String, sep: String = "\n"): DataFrame =
+    paras.groupBy(col(docIdCol))
+      .agg(
+        concat_ws(sep,
+          transform(array_sort(collect_list(struct(col(posCol), col(paraCol)))),
+            x => x.getField(paraCol))).as("text_clean"),
+        count(lit(1)).as("n_paras"))
 }

@@ -228,6 +228,40 @@ class DedupSpec extends SparkSpec {
     assert(ids.contains(1L) && !ids.contains(2L)) // 1-2 near-dups; min id kept
   }
 
+  test("paragraph dedup: first occurrence survives, boilerplate dropped everywhere, docs reassemble in order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.posexplode
+    // "footer" is boilerplate (4 docs); "shared para" duplicated in 2
+    val docs = Seq(
+      (1L, "intro one\nshared para\nfooter"),
+      (2L, "intro two\nshared para\nfooter"),
+      (3L, "intro three\nfooter"),
+      (4L, "intro four\nfooter"),
+      (5L, "unique only")
+    ).toDF("doc_id", "text")
+    val paras = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "para")))
+    val deduped = Dedup.dedupParagraphs(paras, "doc_id", "pos", "para")
+    val kept = deduped.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    // shared para kept only at its first site (doc 1), footer only at doc 1
+    assert(kept.count(_._3 == "shared para") === 1)
+    assert(kept.contains((1L, 1, "shared para")) && kept.contains((1L, 2, "footer")))
+    assert(kept.count(_._3 == "footer") === 1)
+    // reassembly preserves position order, drops empty docs
+    val rebuilt = Dedup.reassembleParagraphs(deduped, "doc_id", "pos", "para")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rebuilt(1L) === "intro one\nshared para\nfooter")
+    assert(rebuilt(2L) === "intro two")
+    assert(rebuilt(5L) === "unique only")
+    // boilerplate removal: footer (4 docs > 3) vanishes everywhere,
+    // shared para (2 docs) survives at both sites
+    val noBp = Dedup.dropBoilerplate(paras, "doc_id", "para", maxDocFreq = 3)
+      .collect().map(_.getString(2)).toSeq
+    assert(!noBp.contains("footer"))
+    assert(noBp.count(_ == "shared para") === 2)
+  }
+
   // --- cross-corpus near-dup (fuzzy decontamination) ---
 
   private def crossFixture = {
