@@ -512,8 +512,11 @@ object Dedup {
     * `maxDocFreq` distinct documents (navigation chrome, license headers,
     * cookie banners — boilerplate repeats across many documents; real
     * content doesn't). Frequency is aggregated over xxhash64(paragraph) so
-    * the counting shuffle moves 8-byte keys, not text; occurrences are
-    * removed by a left_anti join on the same hash. */
+    * the counting shuffle moves 8-byte keys, not text; the over-cap set —
+    * hash-only rows, small by the same "real content doesn't repeat"
+    * premise (~8 MB per million entries even degenerately) — is BROADCAST
+    * into the left_anti join, so the corpus side never shuffles for the
+    * removal. */
   def dropBoilerplate(paras: DataFrame, docIdCol: String, paraCol: String,
                       maxDocFreq: Long): DataFrame = {
     require(maxDocFreq >= 1, s"maxDocFreq must be >= 1 (got $maxDocFreq)")
@@ -522,7 +525,7 @@ object Dedup {
       .agg(countDistinct(col(docIdCol)).as("__df"))
       .where(col("__df") > maxDocFreq)
       .select("__ph")
-    paras.join(hot, xxhash64(col(paraCol)) === col("__ph"), "left_anti")
+    paras.join(broadcast(hot), xxhash64(col(paraCol)) === col("__ph"), "left_anti")
   }
 
   /** Reassemble surviving paragraphs into documents: (docId, text_clean,
