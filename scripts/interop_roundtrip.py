@@ -219,6 +219,19 @@ def readback(base):
           "real garbage_collect_dataset removed the orphaned files")
     check(sorted(read_table("gds", store)["id"]) == [1, 2, 3, 4],
           "data intact after real GC")
+
+    # --- leave a DURABLE MARK only this mutation step produces: a kept
+    # loc=D partition. The graft-side `InteropDump verify` asserts id 6 /
+    # loc=D, so verify CANNOT pass against a pristine dump where the
+    # readback step was skipped (pristine gds is exactly ids 1-4 with no D)
+    mark = pd.DataFrame({
+        "id": pd.array([6], dtype="int64"), "val": [6.5], "name": ["mark"],
+        "ts": [pd.Timestamp(6, unit="s")], "cat": ["red"], "loc": ["D"]})
+    update_dataset_from_dataframes([mark], store=store, dataset_uuid="gds",
+                                   partition_on=["loc"],
+                                   secondary_indices=["cat"])
+    check(sorted(read_table("gds", store)["id"]) == [1, 2, 3, 4, 6],
+          "durable plateau-written mark partition (loc=D) appended")
     print("== readback PASSED: the real plateau library reads graft output")
 
 

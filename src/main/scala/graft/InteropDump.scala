@@ -73,13 +73,22 @@ object InteropDump {
     require(meta.partitionKeys == Seq("loc"), s"partition keys: ${meta.partitionKeys}")
     val rows = graft.io.Reader.readTable(spark, st, "gds").collect()
     val ids = rows.map(_.getAs[Long]("id")).sorted.toSeq
-    require(ids == Seq(1L, 2L, 3L, 4L),
-      s"expected ids 1-4 after the reference's delete_scope + GC, got $ids")
-    // the reference rewrote the index during ITS update; graft still prunes on it
+    // id 6 / loc=D exists ONLY if the reference library's mutation step ran
+    // (readback appends it as its durable mark) — a pristine dump is ids
+    // 1-4, so this verify cannot false-pass when readback was skipped
+    require(ids == Seq(1L, 2L, 3L, 4L, 6L),
+      s"expected ids 1-4 + the reference-written mark id 6, got $ids")
+    // the reference rewrote the index during ITS update; graft still prunes
+    // on it (id 6 is cat=red, written by the reference's index writer)
     val red = graft.io.Reader.readTable(spark, st, "gds",
       predicates = Some(Seq(Seq(graft.dnf.Literal("cat", graft.dnf.Op.Eq, "red")))))
       .collect().map(_.getAs[Long]("id")).toSet
-    require(red == Set(1L, 3L), s"cat==red through the reference-written index: $red")
+    require(red == Set(1L, 3L, 6L), s"cat==red through the reference-written index: $red")
+    // partition pruning through the plateau-written partition label
+    val d = graft.io.Reader.readTable(spark, st, "gds",
+      predicates = Some(Seq(Seq(graft.dnf.Literal("loc", graft.dnf.Op.Eq, "D")))))
+      .collect().map(_.getAs[Long]("id")).toSeq
+    require(d == Seq(6L), s"loc==D prunes to the plateau-appended partition: $d")
     println("== verify OK: graft reads the dataset after the reference " +
       "library appended, delete-scoped and garbage-collected it")
     spark.stop()

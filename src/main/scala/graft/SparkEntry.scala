@@ -1165,7 +1165,8 @@ object SparkEntry {
       // does (floor to unsigned-32 hex), so membership matches bit-for-bit
       "u_token_budget" ->
         """WITH tot AS (SELECT lang, sum(n_chars) AS t FROM documents GROUP BY lang),
-           r AS (SELECT lang, least(CAST(1.0 AS DOUBLE), (share * CAST(60000 AS DOUBLE)) / t) AS rate
+           r AS (SELECT lang, least(CAST(1.0 AS DOUBLE),
+                   greatest(CAST(0.0 AS DOUBLE), (share * CAST(60000 AS DOUBLE)) / t)) AS rate
                  FROM (SELECT lang, t,
                          CASE lang WHEN 'en' THEN CAST(0.4 AS DOUBLE)
                                    WHEN 'de' THEN CAST(0.5 AS DOUBLE)

@@ -114,18 +114,24 @@ object Contamination {
       .where(size(col("sh")) > 0)
     val shC = shOf(corpus)
     val shR = shOf(reference)
-    val bandC = Dedup.bandTableOf(shC, numHashes, bands)
-    val bandR = Dedup.bandTableOf(shR, numHashes, bands)
-    val candidates0 = bandC.as("l")
-      .join(bandR.as("r"), col("l.band") === col("r.band"))
-    val candidates =
-      if (maxBucketSize <= 0) candidates0
-      else candidates0.join(
-        bandC.select(col("band")).union(bandR.select(col("band")))
+    val bandC0 = Dedup.bandTableOf(shC, numHashes, bands)
+    val bandR0 = Dedup.bandTableOf(shR, numHashes, bands)
+    // the cap must prune BOTH band tables BEFORE the cross-join (as
+    // minhashNearDups prunes before selfJoinPairs): capping the join's
+    // OUTPUT would still stream the full |C_b| x |R_b| quadratic candidate
+    // set through the join before discarding it — the exact blowup the cap
+    // exists to prevent
+    val (bandC, bandR) =
+      if (maxBucketSize <= 0) (bandC0, bandR0)
+      else {
+        val ok = bandC0.select(col("band")).union(bandR0.select(col("band")))
           .groupBy("band").agg(count(lit(1)).as("__bc"))
           .where(col("__bc") <= maxBucketSize)
-          .select(col("band").as("__okband")),
-        col("l.band") === col("__okband"))
+          .select("band")
+        (bandC0.join(ok, "band"), bandR0.join(ok, "band"))
+      }
+    val candidates = bandC.as("l")
+      .join(bandR.as("r"), col("l.band") === col("r.band"))
     Dedup.verifyJaccardCross(
       candidates.select(col("l.id").as("id_a"), col("r.id").as("id_b")).distinct(),
       shC, shR, threshold, roundTo = 6)

@@ -498,13 +498,18 @@ object Dedup {
     * the globally first under (docId, pos) order, so the survivor set is
     * deterministic and engine-portable. One shuffle keyed on the paragraph
     * text (the row must move to its group anyway; no way to ship less than
-    * the paragraph we might keep). */
+    * the paragraph we might keep).
+    *
+    * EMPTY (and null) paragraphs are exempt — under the documented
+    * newline-split usage a blank line is document STRUCTURE, not content;
+    * deduping it corpus-wide would collapse every paragraph break onto one
+    * surviving document. */
   def dedupParagraphs(paras: DataFrame, docIdCol: String, posCol: String,
                       paraCol: String): DataFrame = {
     val w = Window.partitionBy(col(paraCol))
       .orderBy(col(docIdCol), col(posCol))
     paras.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
+      .where(length(coalesce(col(paraCol), lit(""))) === 0 || col("__rn") === 1)
       .drop("__rn")
   }
 
@@ -521,6 +526,9 @@ object Dedup {
                       maxDocFreq: Long): DataFrame = {
     require(maxDocFreq >= 1, s"maxDocFreq must be >= 1 (got $maxDocFreq)")
     val hot = paras
+      // empty paragraphs (blank lines) are structure, not boilerplate —
+      // excluding them from the hot set keeps them everywhere
+      .where(length(col(paraCol)) > 0)
       .groupBy(xxhash64(col(paraCol)).as("__ph"))
       .agg(countDistinct(col(docIdCol)).as("__df"))
       .where(col("__df") > maxDocFreq)

@@ -39,10 +39,18 @@ object Sampling {
     * identical output in every engine (Spark, DuckDB, Trino, Postgres…), so
     * sample MEMBERSHIP can be recomputed and audited outside Spark — the
     * xxhash64 variants above are cheaper but Spark-specific. */
+  /** First 8 hex chars of `md5(salt || id)` — THE engine-portable
+    * rank/membership key every portable variant keys off. One definition:
+    * the cross-engine bit-for-bit contract (lowercase hex, 8-char width,
+    * salt prepended un-delimited) must not be able to drift between
+    * operators. */
+  private[ops] def portableHashKey(idCol: Column, salt: String): Column =
+    substring(md5(concat(lit(salt), idCol.cast("string"))), 1, 8)
+
   def portableKeep(idCol: Column, fraction: Double, salt: String = "graft"): Column = {
     require(fraction >= 0 && fraction <= 1, s"fraction $fraction out of [0,1]")
     if (fraction >= 1.0) lit(true)
-    else substring(md5(concat(lit(salt), idCol.cast("string"))), 1, 8) <
+    else portableHashKey(idCol, salt) <
       lit(f"${(fraction * 4294967296L).toLong}%08x")
   }
 
@@ -69,9 +77,14 @@ object Sampling {
   /** Exactly `k` rows per group, deterministic: rank by id hash within the
     * group. One shuffle on the group key. */
   def exactKPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
-                     k: Int, salt: String = "graft"): DataFrame = {
-    val w = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy(bucket(col(idCol), salt), col(idCol))
+                     k: Int, salt: String = "graft"): DataFrame =
+    kPerGroupBy(df, groupCols, bucket(col(idCol), salt), idCol, k)
+
+  /** Shared rank-and-keep body: rank within each group by (`key`, id),
+    * keep the first `k`. */
+  private def kPerGroupBy(df: DataFrame, groupCols: Seq[String], key: Column,
+                          idCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(key, col(idCol))
     df.withColumn("__rank", row_number().over(w))
       .where(col("__rank") <= k)
       .drop("__rank")
@@ -105,7 +118,12 @@ object Sampling {
     val totals = df.groupBy(col(groupCol))
       .agg(sum(col(weightCol)).as("__tot"))
     val share = element_at(typedLit(targetShares), col(groupCol))
-    val rate = least(lit(1.0), share * lit(budget.toDouble) / col("__tot"))
+    // clamp BELOW as well as above: a degenerate negative group total (e.g.
+    // a -1 "unknown" sentinel in weightCol) would give a negative rate whose
+    // %08x renders as 16 hex chars — every 8-char hash sorts below it and
+    // the group floods the sample instead of contributing nothing
+    val rate = least(lit(1.0),
+      greatest(lit(0.0), share * lit(budget.toDouble) / col("__tot")))
     // same fixed-width-hex comparison as portableKeep, but with the
     // threshold computed IN-PLAN from the broadcast group total (rate is a
     // column, not a literal); rate >= 1 short-circuits because its 9-hex-char
@@ -114,7 +132,7 @@ object Sampling {
     // Spark and DuckDB least IGNORE nulls) — an unguarded rate would
     // silently keep every unlisted group instead of dropping it
     val keep = share.isNotNull && (rate >= 1.0 ||
-      substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 8) <
+      portableHashKey(col(idCol), salt) <
         format_string("%08x", floor(rate * lit(4294967296L)).cast("long")))
     df.join(broadcast(totals), groupCol)
       .where(keep)
@@ -127,13 +145,8 @@ object Sampling {
     * md5 costs more than xxhash64 — prefer [[exactKPerGroup]] when
     * portability doesn't matter. */
   def portableKPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
-                        k: Int, salt: String = "graft"): DataFrame = {
-    val key = substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 8)
-    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(key, col(idCol))
-    df.withColumn("__rank", row_number().over(w))
-      .where(col("__rank") <= k)
-      .drop("__rank")
-  }
+                        k: Int, salt: String = "graft"): DataFrame =
+    kPerGroupBy(df, groupCols, portableHashKey(col(idCol), salt), idCol, k)
 }
 
 /** Skew mitigation helpers. */

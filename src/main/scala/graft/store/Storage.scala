@@ -14,10 +14,14 @@ import org.apache.spark.sql.SparkSession
 class Storage(val base: String, @transient private var conf: Configuration)
     extends Serializable {
   @transient private[store] lazy val fs: FileSystem = {
-    val f = new Path(base).getFileSystem(conf)
     // local-FS CRC sidecars don't exist on object stores and go stale the
     // moment ANOTHER writer (e.g. the reference library sharing the store)
-    // rewrites a key out of band; parquet carries its own page checksums
+    // rewrites a key out of band; parquet carries its own page checksums.
+    // newInstance (not getFileSystem): the opt-out must be scoped to THIS
+    // store's private instance — getFileSystem returns the process-wide
+    // cached singleton, and flipping verification off there would silently
+    // disable CRC checking for every other local-FS read in the JVM
+    val f = FileSystem.newInstance(new Path(base).toUri, conf)
     f.setVerifyChecksum(false)
     f
   }

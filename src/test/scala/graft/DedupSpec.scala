@@ -235,8 +235,8 @@ class DedupSpec extends SparkSpec {
     val docs = Seq(
       (1L, "intro one\nshared para\nfooter"),
       (2L, "intro two\nshared para\nfooter"),
-      (3L, "intro three\nfooter"),
-      (4L, "intro four\nfooter"),
+      (3L, "intro three\n\nfooter"),
+      (4L, "intro four\n\nfooter"),
       (5L, "unique only")
     ).toDF("doc_id", "text")
     val paras = docs.select(col("doc_id"),
@@ -248,18 +248,23 @@ class DedupSpec extends SparkSpec {
     assert(kept.count(_._3 == "shared para") === 1)
     assert(kept.contains((1L, 1, "shared para")) && kept.contains((1L, 2, "footer")))
     assert(kept.count(_._3 == "footer") === 1)
+    // blank lines are STRUCTURE, exempt from dedup: docs 3 and 4 both keep
+    // their empty paragraph even though it is "duplicated" corpus-wide
+    assert(kept.count(_._3 == "") === 2)
     // reassembly preserves position order, drops empty docs
     val rebuilt = Dedup.reassembleParagraphs(deduped, "doc_id", "pos", "para")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(rebuilt(1L) === "intro one\nshared para\nfooter")
     assert(rebuilt(2L) === "intro two")
+    assert(rebuilt(3L) === "intro three\n")
     assert(rebuilt(5L) === "unique only")
     // boilerplate removal: footer (4 docs > 3) vanishes everywhere,
-    // shared para (2 docs) survives at both sites
+    // shared para (2 docs) survives, blank lines (4 docs) are exempt
     val noBp = Dedup.dropBoilerplate(paras, "doc_id", "para", maxDocFreq = 3)
       .collect().map(_.getString(2)).toSeq
     assert(!noBp.contains("footer"))
     assert(noBp.count(_ == "shared para") === 2)
+    assert(noBp.count(_ == "") === 2)
   }
 
   // --- cross-corpus near-dup (fuzzy decontamination) ---
