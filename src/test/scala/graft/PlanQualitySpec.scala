@@ -315,4 +315,42 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("Expand"), plan.take(2000))
     assert(plan.contains("partial_sum") || plan.contains("partial sum"), plan.take(2000))
   }
+
+  test("t_cross_jaccard: reference inverted index broadcasts; corpus joins on hashed grams") {
+    val plan = SparkEntry.queries("t_cross_jaccard")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the reference side must reach the corpus as a broadcast — the 100 TB
+    // corpus side never shuffles its gram strings for the candidate join
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(plan.contains("xxhash64"), plan.take(3000))
+    // counts partial-aggregate map-side before the one pair shuffle
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      plan.take(3000))
+  }
+
+  test("u_token_budget: group totals broadcast back; partial-agg below their exchange") {
+    val plan = SparkEntry.queries("u_token_budget")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(plan.contains("partial_sum") || plan.contains("partial sum"),
+      plan.take(3000))
+  }
+
+  test("u_pack_sequences: exactly one exchange (the shard shuffle), a running window, no global sort") {
+    val df = SparkEntry.queries("u_pack_sequences")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected ONE shard exchange, plan:\n${plan.take(3000)}")
+    assert(plan.contains("Window"), plan.take(3000))
+    // a rangepartitioning exchange would mean a global sort snuck in
+    assert(!plan.contains("rangepartitioning"), plan.take(3000))
+  }
+
+  test("t_boilerplate: hot-set anti-join is broadcast, not shuffled") {
+    val plan = SparkEntry.queries("t_boilerplate")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(3000))
+  }
 }
