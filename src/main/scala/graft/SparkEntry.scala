@@ -686,6 +686,21 @@ object SparkEntry {
         .pivot("l_linestatus", Seq("F", "O"))
         .agg(round(sum("l_quantity"), 2))),
 
+    // --- substring-level duplication profile (Lee et al. 2022): per doc,
+    // how many of its distinct 5-token windows repeat anywhere in the corpus
+    "d_dup_windows" -> ((s, dir) =>
+      Dedup.duplicateWindowStats(rd(s, dir, "documents"), "text", "doc_id",
+          n = 5)
+        .withColumnRenamed("id", "doc_id")),
+
+    // --- deterministic portable global shuffle + sharding (training order:
+    // md5-keyed permutation any engine reproduces row for row)
+    "u_shuffle_shards" -> ((s, dir) =>
+      graft.ops.Sampling.shuffleShards(
+          rd(s, dir, "documents").select("doc_id"), "doc_id",
+          hexChars = 2, salt = "shuf:")
+        .select("doc_id", "shard", "pos")),
+
     // ---- non-SQL-expressible operators (driver records rows-only checks) --
 
     // A4: dataset content hash (hash values are engine-specific by design)
@@ -743,6 +758,20 @@ object SparkEntry {
     "d_embedding_neardups" -> ((s, dir) =>
       Dedup.embeddingNearDups(rd(s, dir, "embeddings"), "embedding", "vec_id",
         threshold = 0.2)),
+
+    // SemDeDup: within-k-means-cluster semantic near-dup drops over the
+    // clustered embedding derivation, guarded in-plan against the exact
+    // (numClusters=1, all-pairs) face — recall < 0.9 fails the query.
+    // Rows-only: the quantizer's hash-sampled k-means isn't SQL-portable.
+    "d_semdedup" -> ((s, dir) => {
+      val emb = clusteredEmbeddings(s, dir)
+      Similarity.withSetRecallGuard(
+        Dedup.semDedupDrops(emb, "embedding", "vec_id", threshold = 0.85,
+          numClusters = 16),
+        Dedup.semDedupDrops(emb, "embedding", "vec_id", threshold = 0.85,
+          numClusters = 1),
+        "id", minRecall = 0.9)
+    }),
 
     // LSH-bucketed approximate top-k (recall traded for scan reduction).
     // Both ANN queries run on clusteredEmbeddings and carry an in-query
@@ -1210,6 +1239,34 @@ object SparkEntry {
              round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F",
              round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O"
            FROM lineitem GROUP BY l_returnflag""",
+      // substring duplication profile: distinct 5-token windows per doc,
+      // corpus doc-frequency >= 2 marks a window duplicated (same
+      // tokenization as d_ngram_jaccard; docs under 5 tokens emit no row)
+      "d_dup_windows" ->
+        """WITH sh AS (
+             SELECT doc_id AS id, list_distinct(list_transform(range(1, len(t) - 3),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS s
+             FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents)
+             WHERE len(t) >= 5),
+           inv AS (SELECT id, unnest(s) AS g FROM sh),
+           freq AS (SELECT g, count(*) AS df FROM inv GROUP BY g)
+           SELECT i.id AS doc_id,
+             count(*) AS total_windows,
+             CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows,
+             round(CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*), 6) AS dup_fraction
+           FROM inv i JOIN freq f ON i.g = f.g
+           GROUP BY i.id""",
+      // portable global shuffle: shard = 2-hex md5 prefix, pos = rank by
+      // (full md5 key, id) within shard — bit-for-bit the Spark permutation
+      "u_shuffle_shards" ->
+        """WITH t AS (SELECT doc_id,
+               substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 8) AS k
+             FROM documents)
+           SELECT doc_id, substr(k, 1, 2) AS shard,
+             CAST(row_number() OVER (PARTITION BY substr(k, 1, 2)
+               ORDER BY k, doc_id) AS BIGINT) AS pos
+           FROM t""",
       "t_fingerprint" ->
         """SELECT doc_id, CAST(list_sum(list_transform(
              string_split_regex(trim(lower(text)), '\s+'),

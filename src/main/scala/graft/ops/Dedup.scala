@@ -488,6 +488,81 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): semantic near-duplicates
+    * are pruned WITHIN k-means clusters of the embedding space, never
+    * across — the quadratic all-pairs cosine work is confined to one
+    * cluster at a time. Returns the DROP set: (id, cluster, max_cosine)
+    * for every row that has a same-cluster neighbor with a SMALLER id and
+    * cosine >= `threshold` (keep-min-id, so the survivor set is
+    * deterministic). Every emitted drop is verified by an exact cosine —
+    * the clustering only limits which pairs are examined (precision is
+    * exact; recall is the knob `numClusters` trades).
+    *
+    * `numClusters = 1` short-circuits the quantizer and examines ALL pairs
+    * — the exact face, used by the correctness harness as the recall
+    * denominator ([[Similarity.withSetRecallGuard]]).
+    *
+    * Scale shape: one shuffle of (id, vec) on the cluster key co-locates
+    * each cluster; within-cluster pairs are bounded by cluster size, so
+    * `numClusters` must grow with the corpus exactly like IVF list count
+    * (the paper runs 50k clusters for LAION-scale). Centroids come from
+    * [[Similarity.kmeansCentroids]] — trained on a bounded deterministic
+    * sample, broadcast as literals. */
+  def semDedupDrops(df: DataFrame, vecCol: String, idCol: String,
+                    threshold: Double, numClusters: Int,
+                    iters: Int = 3): DataFrame = {
+    require(numClusters >= 1, s"numClusters must be >= 1 (got $numClusters)")
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val assigned =
+      if (numClusters == 1) base.withColumn("cluster", lit(0))
+      else {
+        val cents = Similarity.kmeansCentroids(base, "v", numClusters, iters)
+        Similarity.ivfAssign(base, "v", cents)
+          .withColumnRenamed("__centroid", "cluster")
+      }
+    // aliased self-join (not a renamed copy) — canonically-equal children
+    // share the one cluster-key exchange as a ReusedExchange
+    assigned.as("l").join(assigned.as("r"),
+        col("l.cluster") === col("r.cluster") && col("l.id") < col("r.id"))
+      .select(col("r.id").as("id"), col("r.cluster").as("cluster"),
+        round(Similarity.cosine(col("l.v"), col("r.v")), 6).as("cosine"))
+      .where(col("cosine") >= threshold)
+      .groupBy(col("id"), col("cluster"))
+      .agg(max(col("cosine")).as("max_cosine"))
+  }
+
+  /** Substring-level duplication profile ("Deduplicating Training Data
+    * Makes Language Models Better", Lee et al. 2022: duplication lives in
+    * SPANS, not whole documents): for every document with at least `n`
+    * tokens, how many of its distinct `n`-token windows also occur in some
+    * OTHER document (or more than once — corpus frequency >= 2 either way).
+    * Returns (id, total_windows, dup_windows, dup_fraction); feed the
+    * fraction to a curation gate the way exact/minhash feed whole-doc
+    * removal.
+    *
+    * Scale shape: windows are hashed (`xxhash64`) the moment they are
+    * exploded, so the frequency aggregate and the annotate join shuffle
+    * 8-byte keys only — text never travels. The frequency side partial-
+    * aggregates map-side, and both join sides hash-partition on the window
+    * hash, so the inverted index is built ONCE (ReusedExchange) — the same
+    * inverted-index discipline as [[ngramJaccardPairs]], minus the
+    * quadratic pair join (per-document counting needs no pairs at all). */
+  def duplicateWindowStats(df: DataFrame, textCol: String, idCol: String,
+                           n: Int = 13): DataFrame = {
+    require(n >= 1, s"window length must be >= 1 (got $n)")
+    val grams = df
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("gh"))
+    val freq = grams.groupBy("gh").agg(count(lit(1)).as("__df"))
+    grams.join(freq, "gh")
+      .groupBy("id")
+      .agg(count(lit(1)).as("total_windows"),
+        sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("dup_windows"))
+      .withColumn("dup_fraction",
+        round(col("dup_windows").cast("double") / col("total_windows"), 6))
+  }
+
   // --- paragraph-level dedup (C4 / Dolma style): the unit of duplication
   // is a line/paragraph WITHIN a document, removed across the whole corpus.
   // Input is an exploded paragraph frame (docId, pos, para) — produce it by

@@ -139,6 +139,35 @@ object Sampling {
       .select(df.columns.map(col): _*) // original schema, original order
   }
 
+  /** Deterministic, engine-portable GLOBAL shuffle + sharding — the
+    * training-order operator: epoch order must be pseudo-random yet exactly
+    * reproducible (resume a crashed run mid-epoch, audit which shard a
+    * sample landed in, regenerate order on any engine). Every row gets
+    *
+    *   shard = first `hexChars` hex chars of md5(salt || id)   (16^hexChars shards)
+    *   pos   = row_number within its shard, ordered by (full md5 key, id)
+    *
+    * so (shard asc, pos asc) is a global pseudorandom permutation that is a
+    * pure function of (id, salt) — no rand(), no engine-specific hash.
+    * Varying `salt` per epoch re-deals the permutation.
+    *
+    * Scale shape: ONE hash shuffle on the shard prefix, then per-shard
+    * sorts running in parallel — no global sort, no single-partition
+    * window. Rows within a shard must be co-located to be numbered; that
+    * is the inherent minimum data movement of any exact global permutation.
+    * Size `hexChars` so a shard fits an executor (2 hex chars = 256 shards;
+    * 4 = 65k). */
+  def shuffleShards(df: DataFrame, idCol: String, hexChars: Int = 2,
+                    salt: String = "graft"): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 8,
+      s"hexChars must be in [1,8] (got $hexChars)")
+    val w = Window.partitionBy(col("shard")).orderBy(col("__k"), col(idCol))
+    df.withColumn("__k", portableHashKey(col(idCol), salt))
+      .withColumn("shard", substring(col("__k"), 1, hexChars))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__k")
+  }
+
   /** [[exactKPerGroup]] with ENGINE-PORTABLE ranking (md5 of salt+id, like
     * [[portableKeep]]): any system with md5 reproduces the exact member
     * set, so the selection is auditable outside Spark. Same single shuffle;

@@ -86,6 +86,32 @@ object Similarity {
       .withColumnRenamed("__recall", "recall_vs_brute_force")
   }
 
+  /** [[withRecallGuard]] for SET-valued results (drop sets, candidate
+    * sets) where the exact set's size is data-dependent rather than a
+    * fixed k: recall = |approx ∩ exact| / |exact|, guarded to >= `minRecall`
+    * with a loud in-plan failure. An EMPTY exact set makes the contract
+    * vacuous (recall 1.0) — there was nothing to find. Both counts are
+    * 1-row aggregates; the guarded scalar broadcasts, so the guard costs
+    * nothing at corpus scale beyond computing `exact` itself. */
+  def withSetRecallGuard(approx: DataFrame, exact: DataFrame, idCol: String,
+                         minRecall: Double = 0.9): DataFrame = {
+    val inter = approx.select(col(idCol))
+      .join(exact.select(col(idCol)), Seq(idCol), "left_semi")
+      .agg(count(lit(1)).as("__i"))
+    val denom = exact.agg(count(lit(1)).as("__d"))
+    val guarded = inter.crossJoin(denom)
+      .select(
+        when(col("__d") === 0, lit(1.0))
+          .otherwise(round(col("__i").cast("double") / col("__d"), 6)).as("__recall0"))
+      .select(
+        when(col("__recall0") >= minRecall, col("__recall0"))
+          .otherwise(raise_error(concat(
+            lit("set recall regression: recall "), col("__recall0").cast("string"),
+            lit(s" < $minRecall against the exact set")))).as("__recall"))
+    approx.crossJoin(broadcast(guarded))
+      .withColumnRenamed("__recall", "recall_vs_exact")
+  }
+
   /** All random-hyperplane LSH bucket signatures of a vector — one string
     * per independent hyperplane table, "t:" + `planes` sign bits. A custom
     * codegen'd expression ([[graft.functions.HyperplaneBuckets]]): the HOF

@@ -355,4 +355,70 @@ class DedupSpec extends SparkSpec {
     // verbatim ref copy -> all three gated; 4-5 share no grams and survive
     assert(surviving === Set(4L, 5L), s"got $surviving")
   }
+
+  test("duplicateWindowStats counts repeated windows, skips short docs") {
+    import spark.implicits._
+    // docs 1 and 2 share the 3-token span "x y z" embedded in different
+    // contexts; doc 3 is all-unique; doc 4 is too short for any window
+    val docs = Seq(
+      (1L, "a b x y z c d"),       // windows: abx bxy xyz yzc zcd
+      (2L, "e f x y z g h"),       // windows: efx fxy xyz yzg zgh
+      (3L, "p q r s t"),           // windows: pqr qrs rst
+      (4L, "u v")                  // no 3-token window
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateWindowStats(docs, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L) === ((5L, 1L, 0.2)))
+    assert(out(2L) === ((5L, 1L, 0.2)))
+    assert(out(3L) === ((3L, 0L, 0.0)))
+  }
+
+  test("duplicateWindowStats: within-doc repetition alone is NOT duplication") {
+    import spark.implicits._
+    // "x y z" appears twice inside doc 1 but nowhere else; windows are
+    // per-doc DISTINCT, so its corpus frequency is 1 -> not duplicated
+    val docs = Seq(
+      (1L, "x y z q x y z"),
+      (2L, "m n o p")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateWindowStats(docs, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) === 0L && out(2L) === 0L)
+  }
+
+  test("semDedup: numClusters=1 face implements keep-min-id over exact cosine") {
+    import spark.implicits._
+    // two tight groups along axes + one orphan; threshold .9 pairs up each
+    // group, never across
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.999f, 0.04f, 0.0f)),   // near-dup of 1
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.03f, 0.999f, 0.0f)),   // near-dup of 3
+      (5L, Array(0.6f, 0.6f, 0.52f))      // no neighbor above .9
+    ).toDF("vec_id", "embedding")
+    val drops = Dedup.semDedupDrops(vecs, "embedding", "vec_id",
+      threshold = 0.9, numClusters = 1)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(drops === Set(2L, 4L), s"got $drops")
+  }
+
+  test("semDedup clustered face: drops are a verified subset of the exact face") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Dedup.semDedupDrops(emb, "embedding", "vec_id",
+      threshold = 0.2, numClusters = 1)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Dedup.semDedupDrops(emb, "embedding", "vec_id",
+      threshold = 0.2, numClusters = 4)
+      .collect().map(_.getLong(0)).toSet
+    // precision is exact by construction (every drop re-verified by cosine)
+    assert(approx.subsetOf(exact),
+      s"clustered drops not a subset: ${approx.diff(exact)}")
+    // and the clustering must actually find most of them on this corpus
+    if (exact.nonEmpty)
+      assert(approx.size.toDouble / exact.size >= 0.5,
+        s"recall ${approx.size}/${exact.size} collapsed")
+  }
 }

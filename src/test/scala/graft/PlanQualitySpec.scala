@@ -347,6 +347,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("rangepartitioning"), plan.take(3000))
   }
 
+  test("d_dup_windows: windows hashed before any exchange, frequency partial-aggregated") {
+    val plan = SparkEntry.queries("d_dup_windows")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the window text must be reduced to xxhash64 at the scan side — gram
+    // strings never shuffle — and the doc-frequency aggregate must combine
+    // map-side before its one exchange
+    assert(plan.contains("xxhash64"), plan.take(3000))
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      plan.take(3000))
+    assert(!plan.contains("rangepartitioning"), plan.take(3000))
+  }
+
+  test("u_shuffle_shards: one shard exchange + per-shard window, no global sort") {
+    val df = SparkEntry.queries("u_shuffle_shards")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected ONE shard exchange, plan:\n${plan.take(3000)}")
+    assert(plan.contains("Window"), plan.take(3000))
+    assert(!plan.contains("rangepartitioning"), plan.take(3000))
+  }
+
   test("t_boilerplate: hot-set anti-join is broadcast, not shuffled") {
     val plan = SparkEntry.queries("t_boilerplate")(spark, dir)
       .queryExecution.executedPlan.toString

@@ -116,6 +116,36 @@ class SamplingSpec extends SparkSpec {
       r.getAs[Long]("seq_idx"), r.getAs[Long]("offset_in_seq"))).toSet)
   }
 
+  test("shuffleShards: a deterministic permutation, dense per shard") {
+    import spark.implicits._
+    val df = (1L to 500L).toDF("id")
+    val out = Sampling.shuffleShards(df, "id", hexChars = 1, salt = "e0:")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("shard"),
+        r.getAs[Long]("pos")))
+    assert(out.length === 500)
+    // every row lands somewhere; shard is a single hex char
+    assert(out.map(_._1).toSet === (1L to 500L).toSet)
+    assert(out.forall(r => r._2.length == 1 && "0123456789abcdef".contains(r._2)))
+    // positions are dense 1..size within each shard (a permutation, no gaps)
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq,
+        s"shard $shard positions not dense")
+    }
+    // pure function of (id, salt): identical under physical re-dealing
+    val again = Sampling.shuffleShards(df.repartition(7), "id", 1, "e0:")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("shard"),
+        r.getAs[Long]("pos"))).toSet
+    assert(again === out.toSet)
+    // a different salt re-deals the order (epochs differ)
+    val epoch2 = Sampling.shuffleShards(df, "id", 1, "e1:")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("shard"),
+        r.getAs[Long]("pos"))).toSet
+    assert(epoch2 !== out.toSet)
+    // and the global order (shard, pos) is not the identity order
+    val globalOrder = out.sortBy(r => (r._2, r._3)).map(_._1).toSeq
+    assert(globalOrder !== (1L to 500L).toSeq)
+  }
+
   test("resizeStub rewrites dimensions, keeps payload binary") {
     import spark.implicits._
     val media = Multimodal.asMedia(
