@@ -1258,10 +1258,11 @@ object SparkEntry {
            FROM inv i JOIN freq f ON i.g = f.g
            GROUP BY i.id""",
       // portable global shuffle: shard = 2-hex md5 prefix, pos = rank by
-      // (full md5 key, id) within shard — bit-for-bit the Spark permutation
+      // (FULL 32-hex md5 digest, id) within shard — bit-for-bit the Spark
+      // permutation
       "u_shuffle_shards" ->
         """WITH t AS (SELECT doc_id,
-               substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 8) AS k
+               md5('shuf:' || CAST(doc_id AS VARCHAR)) AS k
              FROM documents)
            SELECT doc_id, substr(k, 1, 2) AS shard,
              CAST(row_number() OVER (PARTITION BY substr(k, 1, 2)

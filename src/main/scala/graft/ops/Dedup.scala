@@ -541,21 +541,24 @@ object Dedup {
     * fraction to a curation gate the way exact/minhash feed whole-doc
     * removal.
     *
-    * Scale shape: windows are hashed (`xxhash64`) the moment they are
-    * exploded, so the frequency aggregate and the annotate join shuffle
-    * 8-byte keys only — text never travels. The frequency side partial-
-    * aggregates map-side, and both join sides hash-partition on the window
-    * hash, so the inverted index is built ONCE (ReusedExchange) — the same
-    * inverted-index discipline as [[ngramJaccardPairs]], minus the
-    * quadratic pair join (per-document counting needs no pairs at all). */
+    * Scale shape: ONE scan — windows are hashed (`xxhash64`) the moment
+    * they are exploded, so nothing heavier than (8-byte hash, id) pairs
+    * ever shuffles and the text is read once. The corpus frequency of each
+    * window is a whole-partition window count over the hash (one exchange
+    * + a sort of longs), then the per-document aggregate is a second
+    * exchange on id. A freq-table self-join would re-scan and re-shingle
+    * the whole corpus for its second side (measured: two independent
+    * explode subtrees, no exchange reuse) — at 100 TB the scan+shingle IS
+    * the dominant cost, so it must happen once. A `collect_list(id)` per
+    * hash would avoid the sort but unbounds memory on a mass-duplicated
+    * window; the window count stays O(1) per row under any skew. */
   def duplicateWindowStats(df: DataFrame, textCol: String, idCol: String,
                            n: Int = 13): DataFrame = {
     require(n >= 1, s"window length must be >= 1 (got $n)")
-    val grams = df
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("g"))
+    val w = Window.partitionBy(col("gh"))
+    df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("g"))
       .select(col("id"), xxhash64(col("g")).as("gh"))
-    val freq = grams.groupBy("gh").agg(count(lit(1)).as("__df"))
-    grams.join(freq, "gh")
+      .withColumn("__df", count(lit(1)).over(w))
       .groupBy("id")
       .agg(count(lit(1)).as("total_windows"),
         sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("dup_windows"))

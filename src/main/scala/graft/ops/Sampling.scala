@@ -161,8 +161,17 @@ object Sampling {
                     salt: String = "graft"): DataFrame = {
     require(hexChars >= 1 && hexChars <= 8,
       s"hexChars must be in [1,8] (got $hexChars)")
+    // refuse, never silently overwrite: packSequences also emits a `shard`
+    // column — composing the two would corrupt the earlier assignment
+    require(!df.columns.contains("shard") && !df.columns.contains("pos"),
+      "input already has a 'shard' or 'pos' column; rename it before shuffleShards")
+    // the FULL 32-hex digest orders rows (same key packSequences sorts by):
+    // the 8-hex prefix has only 32 bits of entropy, so at billions of rows
+    // colliding prefixes would leave deterministic ascending-id runs in
+    // every epoch — and break bit-compatibility with engines implementing
+    // the documented full-digest contract
     val w = Window.partitionBy(col("shard")).orderBy(col("__k"), col(idCol))
-    df.withColumn("__k", portableHashKey(col(idCol), salt))
+    df.withColumn("__k", md5(concat(lit(salt), col(idCol).cast("string"))))
       .withColumn("shard", substring(col("__k"), 1, hexChars))
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("__k")

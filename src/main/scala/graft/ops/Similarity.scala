@@ -71,46 +71,64 @@ object Similarity {
   def withRecallGuard(approx: DataFrame, exact: DataFrame, idCol: String,
                       k: Int, minRecall: Double = 0.9): DataFrame = {
     require(k > 0, s"k must be positive (got $k)")
-    // the assertion lives INSIDE the 1-row aggregate, not on the approx
-    // rows: an EMPTY approximate result (recall 0, the worst regression)
-    // would otherwise evaluate the guard on zero rows and pass silently —
-    // the broadcast side is materialized even when the join output is empty
-    val hits = approx.join(exact.select(col(idCol)), Seq(idCol), "left_semi")
-      .agg(round(count(lit(1)).cast("double") / k, 6).as("__recall0"))
+    approx.crossJoin(broadcast(guardedRecall(approx, exact, idCol, minRecall,
+        fixedDenom = Some(k), errorPrefix = "ANN recall regression",
+        errorSuffix = "against brute force")))
+      .withColumnRenamed("__recall", "recall_vs_brute_force")
+  }
+
+  /** The one definition of the guarded-recall scalar both guard operators
+    * share (the recall contract must not be able to drift between them):
+    * recall = |distinct(approx ids) ∩ distinct(exact ids)| / denom, where
+    * denom is a fixed k ([[withRecallGuard]]) or |distinct(exact ids)|
+    * ([[withSetRecallGuard]]; 0 exact ids => vacuously 1.0). DISTINCT on
+    * both id projections: a multi-row-per-id approx frame (exploded pairs,
+    * multi-probe assignments) would otherwise count each id once per row
+    * and inflate recall — even past 1.0 — hiding a real collapse.
+    *
+    * The assertion lives INSIDE the 1-row aggregate, not on the approx
+    * rows: an EMPTY approximate result (recall 0, the worst regression)
+    * would otherwise evaluate the guard on zero rows and pass silently —
+    * the broadcast side is materialized even when the join output is
+    * empty. */
+  private def guardedRecall(approx: DataFrame, exact: DataFrame,
+                            idCol: String, minRecall: Double,
+                            fixedDenom: Option[Int], errorPrefix: String,
+                            errorSuffix: String): DataFrame = {
+    val exactIds = exact.select(col(idCol)).distinct()
+    val inter = approx.select(col(idCol)).distinct()
+      .join(exactIds, Seq(idCol), "left_semi")
+      .agg(count(lit(1)).as("__i"))
+    val withDenom = fixedDenom match {
+      case Some(k) => inter.withColumn("__d", lit(k.toLong))
+      case None => inter.crossJoin(exactIds.agg(count(lit(1)).as("__d")))
+    }
+    withDenom
+      .select(
+        when(col("__d") === 0, lit(1.0))
+          .otherwise(round(col("__i").cast("double") / col("__d"), 6))
+          .as("__recall0"))
       .select(
         when(col("__recall0") >= minRecall, col("__recall0"))
           .otherwise(raise_error(concat(
-            lit(s"ANN recall regression: recall "), col("__recall0").cast("string"),
-            lit(s" < $minRecall against brute force")))).as("__recall"))
-    approx.crossJoin(broadcast(hits))
-      .withColumnRenamed("__recall", "recall_vs_brute_force")
+            lit(s"$errorPrefix: recall "), col("__recall0").cast("string"),
+            lit(s" < $minRecall $errorSuffix")))).as("__recall"))
   }
 
   /** [[withRecallGuard]] for SET-valued results (drop sets, candidate
     * sets) where the exact set's size is data-dependent rather than a
-    * fixed k: recall = |approx ∩ exact| / |exact|, guarded to >= `minRecall`
-    * with a loud in-plan failure. An EMPTY exact set makes the contract
-    * vacuous (recall 1.0) — there was nothing to find. Both counts are
-    * 1-row aggregates; the guarded scalar broadcasts, so the guard costs
-    * nothing at corpus scale beyond computing `exact` itself. */
+    * fixed k: recall = |distinct approx ids ∩ exact ids| / |exact ids|,
+    * guarded to >= `minRecall` with a loud in-plan failure. An EMPTY exact
+    * set makes the contract vacuous (recall 1.0) — there was nothing to
+    * find. Both counts are 1-row aggregates; the guarded scalar
+    * broadcasts, so the guard costs nothing at corpus scale beyond
+    * computing `exact` itself. */
   def withSetRecallGuard(approx: DataFrame, exact: DataFrame, idCol: String,
-                         minRecall: Double = 0.9): DataFrame = {
-    val inter = approx.select(col(idCol))
-      .join(exact.select(col(idCol)), Seq(idCol), "left_semi")
-      .agg(count(lit(1)).as("__i"))
-    val denom = exact.agg(count(lit(1)).as("__d"))
-    val guarded = inter.crossJoin(denom)
-      .select(
-        when(col("__d") === 0, lit(1.0))
-          .otherwise(round(col("__i").cast("double") / col("__d"), 6)).as("__recall0"))
-      .select(
-        when(col("__recall0") >= minRecall, col("__recall0"))
-          .otherwise(raise_error(concat(
-            lit("set recall regression: recall "), col("__recall0").cast("string"),
-            lit(s" < $minRecall against the exact set")))).as("__recall"))
-    approx.crossJoin(broadcast(guarded))
+                         minRecall: Double = 0.9): DataFrame =
+    approx.crossJoin(broadcast(guardedRecall(approx, exact, idCol, minRecall,
+        fixedDenom = None, errorPrefix = "set recall regression",
+        errorSuffix = "against the exact set")))
       .withColumnRenamed("__recall", "recall_vs_exact")
-  }
 
   /** All random-hyperplane LSH bucket signatures of a vector — one string
     * per independent hyperplane table, "t:" + `planes` sign bits. A custom

@@ -347,13 +347,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("rangepartitioning"), plan.take(3000))
   }
 
-  test("d_dup_windows: windows hashed before any exchange, frequency partial-aggregated") {
+  test("d_dup_windows: ONE scan, windows hashed before any exchange") {
     val plan = SparkEntry.queries("d_dup_windows")(spark, dir)
       .queryExecution.executedPlan.toString
-    // the window text must be reduced to xxhash64 at the scan side — gram
-    // strings never shuffle — and the doc-frequency aggregate must combine
-    // map-side before its one exchange
+    // the corpus is scanned and shingled exactly once — the freq-join form
+    // paid the scan+explode twice (the dominant cost at scale)
+    assert("FileScan parquet".r.findAllIn(plan).length === 1, plan.take(3000))
+    // windows reduce to xxhash64 at the scan side (gram strings never
+    // shuffle); corpus frequency is a window count over the hash; the
+    // per-doc aggregate still combines map-side before its exchange
     assert(plan.contains("xxhash64"), plan.take(3000))
+    assert(plan.contains("Window"), plan.take(3000))
     assert(plan.contains("partial_count") || plan.contains("partial count"),
       plan.take(3000))
     assert(!plan.contains("rangepartitioning"), plan.take(3000))

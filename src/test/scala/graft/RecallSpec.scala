@@ -121,6 +121,27 @@ class RecallSpec extends SparkSpec {
       s"unexpected error: ${ex.getMessage}")
   }
 
+  test("withSetRecallGuard: duplicate approx ids cannot inflate recall past the truth") {
+    import spark.implicits._
+    val exact = (1L to 10L).toDF("id")
+    // 4 of 10 ids covered, but each repeated 3x — a row-counting guard
+    // would see 12 hits / 10 and report recall 1.2; the distinct contract
+    // must see 0.4 and throw
+    val dup = Seq(1L, 1L, 1L, 2L, 2L, 2L, 3L, 3L, 3L, 4L, 4L, 4L).toDF("id")
+    val ex = intercept[Exception] {
+      Similarity.withSetRecallGuard(dup, exact, "id", minRecall = 0.9).collect()
+    }
+    assert(ex.getMessage.contains("0.4"), s"unexpected error: ${ex.getMessage}")
+    // full coverage with duplicates passes at exactly 1.0, never above
+    val full = ((1L to 10L) ++ (1L to 10L)).toDF("id")
+    val ok = Similarity.withSetRecallGuard(full, exact, "id").collect()
+    assert(ok.forall(_.getAs[Double]("recall_vs_exact") === 1.0))
+    // empty exact set: vacuous contract, recall 1.0, no throw
+    val vac = Similarity.withSetRecallGuard(full, exact.where(col("id") > 99),
+      "id").collect()
+    assert(vac.forall(_.getAs[Double]("recall_vs_exact") === 1.0))
+  }
+
   test("embeddingNearDups recall >= 0.8 vs brute-force cosine pairs at t=0.95") {
     import spark.implicits._
     // seeded clustered vectors: 40 anchors, 3 jittered copies each => the

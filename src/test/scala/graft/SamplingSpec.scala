@@ -146,6 +146,18 @@ class SamplingSpec extends SparkSpec {
     assert(globalOrder !== (1L to 500L).toSeq)
   }
 
+  test("shuffleShards refuses inputs that already carry shard/pos columns") {
+    import spark.implicits._
+    val df = (1L to 50L).map(i => (i, 10L)).toDF("id", "w")
+    val packed = Chunking.packSequences(df, "w", "id", seqLen = 64L, numShards = 2)
+    // packSequences emits `shard` — silently overwriting it would corrupt
+    // the packing assignment downstream
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.shuffleShards(packed, "id")
+    }
+    assert(ex.getMessage.contains("shard"))
+  }
+
   test("resizeStub rewrites dimensions, keeps payload binary") {
     import spark.implicits._
     val media = Multimodal.asMedia(
