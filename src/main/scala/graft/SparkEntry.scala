@@ -89,6 +89,16 @@ object SparkEntry {
           secondaryIndices = Seq("lang"), overwrite = true))
     }
 
+  /** Persistent MinHash signature index over the landed slice of the
+    * documents corpus (everything but source 'src0') — the incremental-
+    * ingestion fixture [[Dedup.dedupAgainstIndex]] probes. */
+  private def mhIdxDs(s: SparkSession, dir: String): Storage =
+    ensure(s, dir, "mhidx") { st =>
+      Dedup.minhashIndex(s, st, "mhidx",
+        rd(s, dir, "documents").where(col("source") =!= "src0"),
+        "text", "doc_id", numBuckets = 32, overwrite = true)
+    }
+
   /** documents sorted by doc_id in 256 KiB row groups: each file's groups
     * carry disjoint doc_id stats, so a selective range predicate prunes at
     * the row-group level (reference `chunk_size`,
@@ -732,6 +742,16 @@ object SparkEntry {
       graft.ops.Chunking.packSequences(
         rd(s, dir, "documents").select("doc_id", "n_chars"),
         "n_chars", "doc_id", seqLen = 4096L, numShards = 8)),
+
+    // incremental dedup: the 'src0' slice arrives as a new batch and is
+    // probed against the persisted signature index of everything landed
+    // before it (bucket-pruned read, signature-estimated jaccard)
+    "d_index_dedup" -> ((s, dir) => {
+      val st = mhIdxDs(s, dir)
+      Dedup.dedupAgainstIndex(s, st, "mhidx",
+        rd(s, dir, "documents").where(col("source") === "src0"),
+        "text", "doc_id", threshold = 0.5)
+    }),
 
     // near-dup clusters: pairs -> connected components -> (id, cluster_id)
     "d_dedup_clusters" -> ((s, dir) =>

@@ -488,6 +488,107 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  // --- incremental dedup against a PERSISTED signature index: the
+  // production shape of continuous ingestion — the corpus is signatured
+  // ONCE and landed as a graft dataset; each incoming batch probes it
+  // without touching corpus text again.
+
+  /** Build the persistent MinHash index of a corpus: one row per
+    * (band hash, doc) with the doc's full signature, partitioned on
+    * `bucket = pmod(band, numBuckets)` so a probing batch prunes to the
+    * hive partitions its own band hashes land in. All signature
+    * parameters are recorded in the dataset's user metadata and re-read
+    * at probe time — build and probe can never silently disagree on the
+    * hash family. Index size is bands × (8B band + 4·numHashes B sig)
+    * per doc (~1 KB/doc at the defaults) — .001× a 1 MB document corpus.
+    *
+    * Citing the reference's index machinery for the dataset mechanics
+    * (secondary-index build `io_components/write.py`), but the signature
+    * index is a training-pipeline addition, not a reference feature. */
+  def minhashIndex(spark: org.apache.spark.sql.SparkSession,
+                   storage: graft.store.Storage, uuid: String,
+                   df: DataFrame, textCol: String, idCol: String,
+                   numHashes: Int = 32, bands: Int = 8, shingleN: Int = 3,
+                   numBuckets: Int = 64,
+                   overwrite: Boolean = false): graft.meta.DatasetMetadata = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1 (got $numBuckets)")
+    val sh = df
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+      .where(size(col("sh")) > 0)
+    val table = sh
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .withColumn("band", explode(bandHashes(col("sig"), numHashes, bands)))
+      .select(pmod(col("band"), lit(numBuckets)).as("bucket"),
+        col("band"), col("id"), col("sig"))
+    graft.io.Writer.store(spark, storage, uuid, table,
+      graft.io.Writer.WriteOpts(partitionOn = Seq("bucket"),
+        overwrite = overwrite,
+        metadata = Map(
+          "graft.minhash.numHashes" -> numHashes.toString,
+          "graft.minhash.bands" -> bands.toString,
+          "graft.minhash.shingleN" -> shingleN.toString,
+          "graft.minhash.numBuckets" -> numBuckets.toString)))
+  }
+
+  /** Probe a [[minhashIndex]] dataset with an incoming batch: returns
+    * (id, matched_id, est_jaccard) for every batch/corpus pair sharing an
+    * LSH band whose SIGNATURE-estimated Jaccard (fraction of equal
+    * minhash components — the standard estimator when corpus text is not
+    * re-read) reaches `threshold`. Signature parameters come from the
+    * index's own metadata.
+    *
+    * Scale shape: the batch is signatured once; the index read prunes to
+    * the hive buckets the batch's bands actually hash into (a ≤numBuckets
+    * IN-predicate — for a small batch most of the corpus index is never
+    * read); the join key is the 8-byte band hash; corpus TEXT is never
+    * touched. est_jaccard is an estimate with sd ≈ sqrt(j(1-j)/k) — pair
+    * it with a verification read of just the matched ids when exactness
+    * matters. */
+  def dedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                        storage: graft.store.Storage, uuid: String,
+                        batch: DataFrame, textCol: String, idCol: String,
+                        threshold: Double = 0.5): DataFrame = {
+    val meta = graft.meta.DatasetMetadata.load(storage, uuid)
+    def param(k: String): Int = meta.metadata.getOrElse(s"graft.minhash.$k",
+      throw new IllegalArgumentException(
+        s"dataset '$uuid' is not a minhash index (missing graft.minhash.$k)")).toInt
+    val (numHashes, bands, shingleN, numBuckets) =
+      (param("numHashes"), param("bands"), param("shingleN"), param("numBuckets"))
+    val bt = batch
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .withColumn("band", explode(bandHashes(col("sig"), numHashes, bands)))
+      .select(col("band"), col("id"), col("sig"))
+    // the batch's bucket set — driver-side but bounded by numBuckets
+    val buckets = bt.select(pmod(col("band"), lit(numBuckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val idx = graft.io.Reader.readTable(spark, storage, uuid,
+      predicates = Some(Seq(Seq(
+        graft.dnf.Literal("bucket", graft.dnf.Op.In, buckets)))))
+    val matching = zip_with(col("q.sig"), col("c.sig"),
+      (a, b) => when(a === b, 1).otherwise(0))
+    bt.as("q").join(idx.as("c"), col("q.band") === col("c.band"))
+      .select(col("q.id").as("id"), col("c.id").as("matched_id"),
+        round(aggregate(matching, lit(0), (acc, x) => acc + x)
+          .cast("double") / numHashes, 6).as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+      // the same pair surfaces once per shared band; est is identical
+      .groupBy(col("id"), col("matched_id"))
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
+  }
+
+  /** The keep side of [[dedupAgainstIndex]]: batch rows with NO indexed
+    * near-duplicate — the genuinely new documents to land. */
+  def filterAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                         storage: graft.store.Storage, uuid: String,
+                         batch: DataFrame, textCol: String, idCol: String,
+                         threshold: Double = 0.5): DataFrame =
+    batch.join(
+      dedupAgainstIndex(spark, storage, uuid, batch, textCol, idCol, threshold)
+        .select(col("id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): semantic near-duplicates
     * are pruned WITHIN k-means clusters of the embedding space, never

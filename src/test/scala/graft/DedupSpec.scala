@@ -388,6 +388,50 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) === 0L && out(2L) === 0L)
   }
 
+  test("minhashIndex + dedupAgainstIndex: incremental batch dedup against a landed corpus") {
+    import spark.implicits._
+    val store = graft.store.Storage(spark, tmpDir("mh-index"))
+    val corpus = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog near the old river bank today"),
+      (102L, "an entirely different document about baking sourdough bread loaves at home"),
+      (103L, "completely unrelated text describing a rainy tuesday market in the town square")
+    ).toDF("doc_id", "text")
+    val meta = Dedup.minhashIndex(spark, store, "mhidx", corpus, "text", "doc_id",
+      numHashes = 32, bands = 8, shingleN = 3, numBuckets = 16)
+    // one hive partition per touched bucket; params recorded in the header
+    assert(meta.partitionKeys === Seq("bucket"))
+    assert(meta.metadata("graft.minhash.numHashes") === "32")
+
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the old river bank tonight"), // near-copy of 101
+      (2L, "an entirely different document about baking sourdough bread loaves at home"),  // exact copy of 102
+      (3L, "brand new content that shares nothing with anything landed before now")        // novel
+    ).toDF("doc_id", "text")
+    val matches = Dedup.dedupAgainstIndex(spark, store, "mhidx", batch,
+      "text", "doc_id", threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(matches.contains(1L -> 101L), s"near-copy unmatched: $matches")
+    assert(matches.contains(2L -> 102L), s"exact copy unmatched: $matches")
+    assert(!matches.exists(_._1 == 3L), s"novel doc matched: $matches")
+    // exact copy estimates jaccard 1.0 (identical signatures)
+    val est = Dedup.dedupAgainstIndex(spark, store, "mhidx", batch,
+      "text", "doc_id", threshold = 0.5)
+      .where(col("id") === 2L).head().getAs[Double]("est_jaccard")
+    assert(est === 1.0)
+    // the keep face returns exactly the novel rows
+    val kept = Dedup.filterAgainstIndex(spark, store, "mhidx", batch,
+      "text", "doc_id", threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(3L))
+    // probing a non-index dataset fails loudly, not with garbage matches
+    graft.io.Writer.store(spark, store, "plain", corpus,
+      graft.io.Writer.WriteOpts())
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstIndex(spark, store, "plain", batch, "text", "doc_id")
+    }
+    assert(ex.getMessage.contains("not a minhash index"))
+  }
+
   test("semDedup: numClusters=1 face implements keep-min-id over exact cosine") {
     import spark.implicits._
     // two tight groups along axes + one orphan; threshold .9 pairs up each
