@@ -670,6 +670,27 @@ object SparkEntry {
     "t_unigram_logprob" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(rd(s, dir, "documents"), "text", "doc_id")),
 
+    // --- learned quality classifier (CCNet / GPT-3 style): Naive-Bayes
+    // token log-odds trained from a language-labeled seed in ONE
+    // aggregation pass; the model and the corpus scores both oracle-check
+    // exactly (closed-form training — no gradient loop to diverge)
+    "t_nb_model" -> ((s, dir) =>
+      graft.ops.QualityModel.nbTrain(
+        rd(s, dir, "documents").withColumn("label",
+          (col("lang") === "en").cast("int")),
+        "text", "label", minCount = 2)),
+    "t_nb_score" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      graft.ops.QualityModel.nbScore(docs, "text", "doc_id",
+        graft.ops.QualityModel.nbTrain(
+          docs.withColumn("label", (col("lang") === "en").cast("int")),
+          "text", "label", minCount = 2))
+    }),
+
+    // --- Zipf frequency-of-frequency spectrum of the corpus vocabulary
+    "t_vocab_spectrum" -> ((s, dir) =>
+      TextAnalysis.vocabSpectrum(rd(s, dir, "documents"), "text")),
+
     // --- stratified deterministic sample via engine-portable md5 keys:
     // downweight 'en' to 0.5, keep other languages at 0.25 (mixture shaping)
     "u_stratified_sample" -> ((s, dir) =>
@@ -783,15 +804,13 @@ object SparkEntry {
     // clustered embedding derivation, guarded in-plan against the exact
     // (numClusters=1, all-pairs) face — recall < 0.9 fails the query.
     // Rows-only: the quantizer's hash-sampled k-means isn't SQL-portable.
-    "d_semdedup" -> ((s, dir) => {
-      val emb = clusteredEmbeddings(s, dir)
-      Similarity.withSetRecallGuard(
-        Dedup.semDedupDrops(emb, "embedding", "vec_id", threshold = 0.85,
-          numClusters = 16),
-        Dedup.semDedupDrops(emb, "embedding", "vec_id", threshold = 0.85,
-          numClusters = 1),
-        "id", minRecall = 0.9)
-    }),
+    // The audited variant bounds the guard's exact all-pairs face at a
+    // ~2k-row hash sample: at sf0.1 (2000 vectors) the audit IS the full
+    // corpus; at any larger tier the guard stays O(auditCap^2) instead of
+    // O(n^2) — the only form an exact audit can take at corpus scale.
+    "d_semdedup" -> ((s, dir) =>
+      Dedup.semDedupDropsAudited(clusteredEmbeddings(s, dir), "embedding",
+        "vec_id", threshold = 0.85, numClusters = 16, auditCap = 2048)),
 
     // LSH-bucketed approximate top-k (recall traded for scan reduction).
     // Both ANN queries run on clusteredEmbeddings and carry an in-query
@@ -847,6 +866,31 @@ object SparkEntry {
     * and roundtripped values are exact; multi-term double aggregations are
     * rounded on BOTH sides. */
   def oracleSql: Map[String, String] = {
+    // shared CTE chain for the NB quality-classifier queries: seed label,
+    // token counts per class (minCount=2 df-cut), class totals and vocab
+    // size over the POST-cut vocabulary, smoothed log-odds (alpha=0.5) —
+    // the exact arithmetic of QualityModel.nbTrain
+    val QualityModelCtes =
+      """WITH tk AS (
+           SELECT y, token FROM (
+             SELECT CASE WHEN lang IS NULL THEN NULL
+                         WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+             FROM documents)
+           WHERE len(token) > 0 AND y IS NOT NULL),
+         counts AS (
+           SELECT token,
+             CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0
+           FROM tk GROUP BY token
+           HAVING count(*) >= 2),
+         tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS n1,
+                        CAST(sum(c0) AS DOUBLE) AS n0,
+                        CAST(count(*) AS DOUBLE) AS v FROM counts),
+         model AS (
+           SELECT token, round(ln((c1 + 0.5) / (n1 + 0.5 * v)) -
+                               ln((c0 + 0.5) / (n0 + 0.5 * v)), 6) AS log_odds
+           FROM counts, tot)"""
     val langCase = {
       // mirror TextAnalysis.langId: argmax over marker-substring counts with
       // tie-break to the greatest language code
@@ -1197,6 +1241,38 @@ object SparkEntry {
            SELECT doc_id, count(*) AS n_tokens,
              round(avg(ln(CAST(tc AS DOUBLE) / total)), 6) AS avg_logp
            FROM tk JOIN counts USING (token), tot GROUP BY doc_id""",
+      // NB classifier: the y CASE mirrors Spark's null semantics exactly
+      // ((lang === 'en').cast(int) is NULL for a NULL lang, and nbTrain
+      // drops null-label rows)
+      "t_nb_model" ->
+        (QualityModelCtes + "\n           SELECT token, log_odds FROM model"),
+      "t_nb_score" ->
+        (QualityModelCtes + """,
+           dtk AS (
+             SELECT doc_id, token FROM (
+               SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+               FROM documents)
+             WHERE len(token) > 0)
+           SELECT doc_id, n_tokens, nb_logodds,
+             round(nb_logodds / n_tokens, 6) AS nb_logodds_mean
+           FROM (
+             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               round(sum(coalesce(log_odds, 0)), 6) AS nb_logodds
+             FROM dtk LEFT JOIN model USING (token)
+             GROUP BY doc_id)"""),
+      // binary digit length, not floor(log2()) through doubles: ln(8)/ln(2)
+      // can land below 3.0 and engines would disagree at powers of two
+      "t_vocab_spectrum" ->
+        """WITH counts AS (
+             SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+               SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+               FROM documents)
+             WHERE len(token) > 0 GROUP BY token)
+           SELECT CAST(length(printf('%b', n)) - 1 AS BIGINT) AS freq_bucket,
+             CAST(1::BIGINT << (length(printf('%b', n)) - 1) AS BIGINT) AS bucket_min,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(n) AS BIGINT) AS n_occurrences
+           FROM counts GROUP BY 1, 2""",
       "u_stratified_sample" ->
         """SELECT doc_id, lang, source FROM documents
            WHERE substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8) <

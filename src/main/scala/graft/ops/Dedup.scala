@@ -604,16 +604,32 @@ object Dedup {
     * — the exact face, used by the correctness harness as the recall
     * denominator ([[Similarity.withSetRecallGuard]]).
     *
-    * Scale shape: one shuffle of (id, vec) on the cluster key co-locates
-    * each cluster; within-cluster pairs are bounded by cluster size, so
+    * Scale shape: within-cluster pairs are bounded by cluster size, so
     * `numClusters` must grow with the corpus exactly like IVF list count
     * (the paper runs 50k clusters for LAION-scale). Centroids come from
     * [[Similarity.kmeansCentroids]] — trained on a bounded deterministic
-    * sample, broadcast as literals. */
+    * sample, broadcast as literals.
+    *
+    * Pair generation is BLOCK-DECOMPOSED: each row is salted into one of
+    * `blocks` sub-blocks by id hash, the left side replicates to block
+    * pairs `(b, b..blocks-1)` and the right to `(0..b, b)`, and the join
+    * keys on (cluster, blockA, blockB) — every unordered pair meets in
+    * exactly one of the `blocks*(blocks+1)/2` groups per cluster. A plain
+    * cluster-key self-join puts a whole cluster's quadratic work on ONE
+    * shuffle partition — fatal for the numClusters=1 exact face (a single
+    * constant key serializes ALL pairs; measured 19 s -> ~2 s at sf0.1)
+    * and for any skewed mega-cluster. Cost: each row shuffles blocks+1
+    * times instead of once (and the two replicated sides no longer share
+    * an exchange) — vectors are small relative to the quadratic pair work
+    * this spreads across the cluster. `blocks = 1` recovers the plain
+    * join. Same-block groups see each pair in both orders; the drop is
+    * keyed to the LARGER id and aggregated by max, so duplicates are
+    * absorbed. */
   def semDedupDrops(df: DataFrame, vecCol: String, idCol: String,
                     threshold: Double, numClusters: Int,
-                    iters: Int = 3): DataFrame = {
+                    iters: Int = 3, blocks: Int = 8): DataFrame = {
     require(numClusters >= 1, s"numClusters must be >= 1 (got $numClusters)")
+    require(blocks >= 1, s"blocks must be >= 1 (got $blocks)")
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     val assigned =
       if (numClusters == 1) base.withColumn("cluster", lit(0))
@@ -622,15 +638,63 @@ object Dedup {
         Similarity.ivfAssign(base, "v", cents)
           .withColumnRenamed("__centroid", "cluster")
       }
-    // aliased self-join (not a renamed copy) — canonically-equal children
-    // share the one cluster-key exchange as a ReusedExchange
-    assigned.as("l").join(assigned.as("r"),
-        col("l.cluster") === col("r.cluster") && col("l.id") < col("r.id"))
-      .select(col("r.id").as("id"), col("r.cluster").as("cluster"),
-        round(Similarity.cosine(col("l.v"), col("r.v")), 6).as("cosine"))
+    val blocked = assigned.withColumn("b",
+      pmod(xxhash64(col("id")), lit(blocks)).cast("int"))
+    // explicit-width repartition (REPARTITION_BY_NUM), not a plain join
+    // shuffle: the join's INPUT is vector-sized but its OUTPUT is the
+    // quadratic pair set, so AQE's byte-based coalescing (which only sees
+    // the input) would collapse the pair generation to one task — measured
+    // 5 s -> 0.6 s at sf0.1 for the exact face. By-num exchanges are
+    // exempt from coalescing and already satisfy the join's required
+    // distribution, so no second exchange is added.
+    val width = df.sparkSession.sparkContext.defaultParallelism
+    val left = blocked.select(col("cluster"), col("b").as("ba"),
+      explode(sequence(col("b"), lit(blocks - 1))).as("bb"),
+      col("id").as("lid"), col("v").as("lv"))
+      .repartition(width, col("cluster"), col("ba"), col("bb"))
+    val right = blocked.select(col("cluster"),
+      explode(sequence(lit(0), col("b"))).as("ba"), col("b").as("bb"),
+      col("id").as("rid"), col("v").as("rv"))
+      .repartition(width, col("cluster"), col("ba"), col("bb"))
+    left.join(right, Seq("cluster", "ba", "bb"))
+      .where(col("lid") =!= col("rid"))
+      .select(greatest(col("lid"), col("rid")).as("id"), col("cluster"),
+        round(Similarity.cosine(col("lv"), col("rv")), 6).as("cosine"))
       .where(col("cosine") >= threshold)
       .groupBy(col("id"), col("cluster"))
       .agg(max(col("cosine")).as("max_cosine"))
+  }
+
+  /** [[semDedupDrops]] with its in-plan recall audit bounded at any
+    * corpus size: the full-corpus approximate drop set is annotated with
+    * recall measured by running BOTH faces — clustered and exact
+    * all-pairs — on the same deterministic hash sample of at most
+    * ~`auditCap` vectors. The unsampled exact face is O(n^2); it exists
+    * to verify, and at 100 TB a bounded-sample statistical estimate is
+    * the only form that verification can take. Sampling dilutes pair
+    * density (an unordered pair survives at the sample rate squared) —
+    * size `auditCap` so the exact set stays populated; an empty exact
+    * set makes the guard vacuous (recall 1.0), per
+    * [[Similarity.withSetRecallGuard]]. At or below `auditCap` rows the
+    * audit IS the full corpus and the guard is exact. */
+  def semDedupDropsAudited(df: DataFrame, vecCol: String, idCol: String,
+                           threshold: Double, numClusters: Int,
+                           iters: Int = 3, blocks: Int = 8,
+                           auditCap: Int = 2048,
+                           minRecall: Double = 0.9): DataFrame = {
+    require(auditCap >= 2, s"auditCap must be >= 2 (got $auditCap)")
+    val n = df.count() // metadata-sized aggregate, same as kmeans' own cap
+    val audit =
+      if (n <= auditCap) df
+      // 1e9 buckets — same overshoot bound as the kmeans training sample
+      else df.where(pmod(xxhash64(col(idCol), lit("graft.semdedup.audit")),
+        lit(1000000000L)) <
+          math.max(1L, math.ceil(auditCap.toDouble / n * 1e9).toLong))
+    Similarity.withAuditedSetRecallGuard(
+      semDedupDrops(df, vecCol, idCol, threshold, numClusters, iters, blocks),
+      semDedupDrops(audit, vecCol, idCol, threshold, numClusters, iters, blocks),
+      semDedupDrops(audit, vecCol, idCol, threshold, 1, iters, blocks),
+      "id", minRecall)
   }
 
   /** Substring-level duplication profile ("Deduplicating Training Data

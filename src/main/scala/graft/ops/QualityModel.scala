@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Learned quality filtering — the classifier face of the curation stack.
+  *
+  * Every large pretraining pipeline pairs the heuristic gates
+  * ([[TextAnalysis.qualityScore]], repetition signals) with a LEARNED
+  * filter trained on a labeled seed: CCNet scores every paragraph with a
+  * Wikipedia-trained LM, GPT-3/LLaMA train a linear classifier over
+  * hashed token features with curated pages as positives and raw
+  * CommonCrawl as negatives, then keep documents above a score
+  * threshold. This object is that operator, Spark-first: training is a
+  * single aggregation pass over the exploded seed (multinomial Naive
+  * Bayes in closed form — no gradient loop, no driver-side ML, bit-exact
+  * deterministic), and scoring joins the corpus against the bounded,
+  * broadcast weights table. Both faces are plain relational algebra, so
+  * an external SQL engine reproduces them exactly (the correctness
+  * harness oracles both the learned model and the corpus scores).
+  *
+  * Scale shape: the seed explode partial-aggregates on token before its
+  * one (token)-keyed shuffle; class totals and vocabulary size are a
+  * single broadcast row derived from the weights aggregate INSIDE the
+  * plan (no eager count pass). Scoring never moves the corpus: tokens
+  * broadcast-join the weights (bounded by `minCount` — raise it at scale
+  * to cap the model exactly like a document-frequency cut) and re-
+  * aggregate per document, one (id)-keyed shuffle of partial sums. */
+object QualityModel {
+
+  private def toks(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Train multinomial Naive-Bayes token log-odds from a labeled seed:
+    *
+    *   log_odds(t) = ln((c1(t)+a)/(N1+aV)) - ln((c0(t)+a)/(N0+aV))
+    *
+    * with Laplace smoothing `alpha`, where c_i(t) is t's occurrence count
+    * under label i, N_i the class token total and V the vocabulary size —
+    * both computed over the POST-`minCount` vocabulary, so the model is
+    * self-consistent over exactly the tokens it ships. `labelCol` must be
+    * 0/1-castable; rows with a null label are ignored. Returns
+    * (token, log_odds) rounded to 6 places for engine portability.
+    *
+    * `minCount` is the scale knob: it bounds the weights table the same
+    * way a document-frequency cut bounds a vocabulary, keeping the model
+    * broadcastable no matter how big the seed corpus is. */
+  def nbTrain(seed: DataFrame, textCol: String, labelCol: String,
+              minCount: Int = 1, alpha: Double = 0.5): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1 (got $minCount)")
+    require(alpha > 0, s"alpha must be > 0 (got $alpha)")
+    val y = col(labelCol).cast("int")
+    val counts = seed.where(y.isNotNull)
+      .select(y.as("__y"), explode(toks(col(textCol))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy("token")
+      .agg(sum(when(col("__y") === 1, 1L).otherwise(0L)).as("__c1"),
+        sum(when(col("__y") === 0, 1L).otherwise(0L)).as("__c0"))
+      .where(col("__c1") + col("__c0") >= minCount)
+    val totals = counts.agg(sum(col("__c1")).cast("double").as("__n1"),
+      sum(col("__c0")).cast("double").as("__n0"),
+      count(lit(1)).cast("double").as("__v"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("token"), round(
+        log((col("__c1") + lit(alpha)) / (col("__n1") + lit(alpha) * col("__v"))) -
+        log((col("__c0") + lit(alpha)) / (col("__n0") + lit(alpha) * col("__v"))),
+        6).as("log_odds"))
+  }
+
+  /** Score every document with the summed token log-odds of a
+    * [[nbTrain]] model: returns (idCol, n_tokens, nb_logodds,
+    * nb_logodds_mean). Out-of-vocabulary tokens contribute 0 (the
+    * class-neutral prior), so a `minCount`-bounded model degrades
+    * gracefully instead of failing on unseen text. `nb_logodds_mean` is
+    * the length-normalized score — the thresholding knob (CCNet
+    * normalizes the same way: a long document must be consistently
+    * quality-shaped, not merely long). Documents with no tokens are
+    * absent from the output (they have no evidence either way — gate
+    * them on length, not on a fabricated neutral score). */
+  def nbScore(df: DataFrame, textCol: String, idCol: String,
+              model: DataFrame): DataFrame =
+    df.select(col(idCol), explode(toks(col(textCol))).as("token"))
+      .where(length(col("token")) > 0)
+      .join(broadcast(model), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(coalesce(col("log_odds"), lit(0.0))), 6).as("nb_logodds"))
+      // the mean divides the ROUNDED sum: an unrounded sum differs across
+      // engines in its last bits (summation order), and round(sum/n, 6)
+      // amplifies that to a visible 1e-6 disagreement at .5 boundaries
+      .withColumn("nb_logodds_mean",
+        round(col("nb_logodds") / col("n_tokens"), 6))
+}

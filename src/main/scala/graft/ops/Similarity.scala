@@ -130,6 +130,20 @@ object Similarity {
         errorSuffix = "against the exact set")))
       .withColumnRenamed("__recall", "recall_vs_exact")
 
+  /** [[withSetRecallGuard]] with the recall measured on a SEPARATE
+    * (bounded) audit frame pair: `output` rows are annotated with the
+    * recall of `approxAudit` vs `exactAudit`, failing loudly the same
+    * way. The exact face of a set contract is inherently all-pairs, so at
+    * corpus scale the only runnable audit is a bounded sample — both
+    * faces computed on the SAME sampled frame, like against like. */
+  def withAuditedSetRecallGuard(output: DataFrame, approxAudit: DataFrame,
+                                exactAudit: DataFrame, idCol: String,
+                                minRecall: Double = 0.9): DataFrame =
+    output.crossJoin(broadcast(guardedRecall(approxAudit, exactAudit, idCol,
+        minRecall, fixedDenom = None, errorPrefix = "set recall regression",
+        errorSuffix = "against the exact set (bounded audit sample)")))
+      .withColumnRenamed("__recall", "recall_vs_exact")
+
   /** All random-hyperplane LSH bucket signatures of a vector — one string
     * per independent hyperplane table, "t:" + `planes` sign bits. A custom
     * codegen'd expression ([[graft.functions.HyperplaneBuckets]]): the HOF
@@ -194,15 +208,26 @@ object Similarity {
       if (trainCap <= 0) all
       else {
         val n = all.count() // shuffle-free aggregate; kmeans is eager anyway
-        if (n <= trainCap) all
-        // 1e9 buckets: at 1e6 the threshold FLOORS to bucket granularity —
-        // for n >> trainCap*1e6 the rate rounds to a whole bucket and the
-        // sample overshoots the cap ~10x; ceil at 1e9 bounds the overshoot
-        // to one part in a billion of n
-        else all.where(pmod(
-          xxhash64(concat_ws(",", col("v").cast("array<string>")), lit("graft.kmeans")),
-          lit(1000000000L)) <
-            math.max(1L, math.ceil(trainCap.toDouble / n * 1e9).toLong))
+        val picked =
+          if (n <= trainCap) all
+          // 1e9 buckets: at 1e6 the threshold FLOORS to bucket granularity —
+          // for n >> trainCap*1e6 the rate rounds to a whole bucket and the
+          // sample overshoots the cap ~10x; ceil at 1e9 bounds the overshoot
+          // to one part in a billion of n
+          else all.where(pmod(
+            xxhash64(concat_ws(",", col("v").cast("array<string>")), lit("graft.kmeans")),
+            lit(1000000000L)) <
+              math.max(1L, math.ceil(trainCap.toDouble / n * 1e9).toLong))
+        // the sample is row-count-BOUNDED, so right-size its partitioning
+        // to it: every Lloyd iteration is a full job over this cached frame,
+        // and a tiny sample spread over the cluster default pays per-task
+        // scheduling for near-empty tasks each iteration (measured: the
+        // fixed cost of training on 2k rows, not the math). ~8k rows per
+        // task keeps even dim-4096 partitions near 100 MB.
+        val parts = math.max(1L, math.min(
+          corpus.sparkSession.sparkContext.defaultParallelism.toLong,
+          math.min(n, trainCap.toLong) / 8192L + 1L)).toInt
+        picked.coalesce(parts)
       }
     // the cached training set is BOUNDED (~trainCap rows) and unpersisted in
     // the finally below — unlike a full-corpus cache, safe at any scale

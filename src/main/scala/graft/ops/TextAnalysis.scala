@@ -102,6 +102,30 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** Zipf profile: the frequency-of-frequency spectrum of the corpus
+    * vocabulary. Every token type is bucketed by floor(log2(corpus
+    * frequency)); per bucket the output is (freq_bucket, bucket_min =
+    * 2^bucket, n_types, n_occurrences). A natural-text corpus shows the
+    * Zipf signature (types collapsing geometrically as the bucket
+    * rises); machine-generated or mass-duplicated text bends the curve —
+    * this is the one-glance diagnostic for both.
+    *
+    * Scale: explode partial-aggregates on token before one (token)-keyed
+    * shuffle; the second aggregate is over at most ~64 bucket rows. The
+    * bucket is the count's binary digit length minus one — NOT
+    * floor(log2(n)) through doubles, where ln(8)/ln(2) can land just
+    * below 3.0 and engines disagree at every power of two. */
+  def vocabSpectrum(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .select((length(bin(col("n"))) - 1).cast("long").as("freq_bucket"), col("n"))
+      .groupBy("freq_bucket")
+      .agg(count(lit(1)).as("n_types"), sum(col("n")).as("n_occurrences"))
+      .withColumn("bucket_min", expr("shiftleft(1L, cast(freq_bucket as int))"))
+      .select(col("freq_bucket"), col("bucket_min"), col("n_types"),
+        col("n_occurrences"))
+
   /** Gopher-style repetition signals per document (Rae et al. 2021 §A1.1
     * quality heuristics): the fraction of repeated tokens and the share of
     * the most frequent bigram — high values flag boilerplate / degenerate

@@ -449,6 +449,35 @@ class DedupSpec extends SparkSpec {
     assert(drops === Set(2L, 4L), s"got $drops")
   }
 
+  test("semDedupDropsAudited: full drop set + recall column; audit bounded below corpus size") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val full = Dedup.semDedupDrops(emb, "embedding", "vec_id",
+      threshold = 0.2, numClusters = 4)
+      .collect().map(_.getLong(0)).toSet
+    // audit == corpus (cap above n): output matches the plain drops and the
+    // guard is the exact full-corpus recall
+    val audited = Dedup.semDedupDropsAudited(emb, "embedding", "vec_id",
+      threshold = 0.2, numClusters = 4, auditCap = 1000000)
+    assert(audited.columns.contains("recall_vs_exact"))
+    assert(audited.collect().map(_.getLong(0)).toSet === full)
+    // bounded audit (cap << n): same full drop set; the recall column is
+    // the SAMPLE estimate (diluted pairs => lower than full-corpus recall —
+    // 0.79 measured here, which correctly FAILS a 0.9 guard; loosen the
+    // bound to test the mechanics, and pin that the strict guard fires)
+    val bounded = Dedup.semDedupDropsAudited(emb, "embedding", "vec_id",
+      threshold = 0.2, numClusters = 4, auditCap = 100, minRecall = 0.5)
+    val rows = bounded.collect()
+    assert(rows.map(_.getLong(0)).toSet === full)
+    val recall = rows.head.getAs[Double]("recall_vs_exact")
+    assert(recall >= 0.5 && recall <= 1.0, s"recall $recall")
+    val ex = intercept[Exception] {
+      Dedup.semDedupDropsAudited(emb, "embedding", "vec_id",
+        threshold = 0.2, numClusters = 4, auditCap = 100, minRecall = 0.95)
+        .collect()
+    }
+    assert(ex.getMessage.contains("set recall regression"), ex.getMessage)
+  }
+
   test("semDedup clustered face: drops are a verified subset of the exact face") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Dedup.semDedupDrops(emb, "embedding", "vec_id",

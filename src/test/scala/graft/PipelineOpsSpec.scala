@@ -365,4 +365,55 @@ class PipelineOpsSpec extends SparkSpec {
     // shingle-based dedup on the giant doc: bounded, returns (no pairs here)
     assert(Dedup.ngramJaccardPairs(df, "text", "doc_id", 3, 0.8).count() === 0L)
   }
+
+  // ------------------------------------- learned quality classifier (NB)
+
+  test("nbTrain: hand-computed smoothed log-odds on a two-token seed") {
+    // seed: "good good" labeled 1, "bad" labeled 0
+    // c1(good)=2 c0(good)=0, c1(bad)=0 c0(bad)=1; N1=2 N0=1 V=2 alpha=.5
+    // log_odds(good) = ln(2.5/3) - ln(0.5/2) = 1.203973
+    // log_odds(bad)  = ln(0.5/3) - ln(1.5/2) = -1.504077
+    val seed = Seq(("good good", 1), ("bad", 0), ("ignored tokens", null))
+      .map { case (t, l) => (t, l.asInstanceOf[Integer]) }
+      .toDF("text", "label")
+    val m = graft.ops.QualityModel.nbTrain(seed, "text", "label")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m === Map("good" -> 1.203973, "bad" -> -1.504077), s"got $m")
+  }
+
+  test("nbScore: OOV scores 0, empty docs absent, mean is length-normalized") {
+    val seed = Seq(("good good", 1), ("bad", 0)).toDF("text", "label")
+    val model = graft.ops.QualityModel.nbTrain(seed, "text", "label")
+    val docs = Seq((1L, "good bad unknown"), (2L, "   "), (3L, "good"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.QualityModel.nbScore(docs, "text", "doc_id", model)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // 1.203973 - 1.504077 + 0 = -0.300104 over 3 tokens
+    assert(out(1L) === ((3L, -0.300104, -0.100035)), s"got ${out(1L)}")
+    assert(!out.contains(2L)) // no tokens -> no evidence -> absent
+    assert(out(3L) === ((1L, 1.203973, 1.203973)))
+  }
+
+  test("nbTrain minCount bounds the vocabulary (df-style cut)") {
+    val seed = Seq(("rare common common", 1), ("common", 0)).toDF("text", "label")
+    val m = graft.ops.QualityModel.nbTrain(seed, "text", "label", minCount = 2)
+      .collect().map(_.getString(0)).toSet
+    assert(m === Set("common"), s"got $m")
+  }
+
+  // --------------------------------------------- vocabulary Zipf spectrum
+
+  test("vocabSpectrum: exact power-of-two bucketing, types and occurrences") {
+    // a:1, b:2, c:3, d:9 -> buckets 0:{a}, 1:{b,c}, 3:{d}
+    val df = Seq("a b c d", "b c d", "c d d d", "d d d d").toDF("text")
+    val rows = TextAnalysis.vocabSpectrum(df, "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows === Map(
+      0L -> ((1L, 1L, 1L)),   // bucket_min 1: token a, 1 occurrence
+      1L -> ((2L, 2L, 5L)),   // bucket_min 2: b(2)+c(3) = 5 occurrences
+      3L -> ((8L, 1L, 9L))),  // bucket_min 8: d with 9 occurrences
+      s"got $rows")
+  }
 }

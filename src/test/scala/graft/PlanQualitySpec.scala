@@ -378,4 +378,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       plan.take(3000))
   }
+
+  test("t_nb_score: the model broadcasts onto the corpus tokens; the corpus never shuffles pre-score") {
+    val plan = SparkEntry.queries("t_nb_score")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // scoring joins token->log_odds via broadcast (the model is bounded by
+    // minCount); the only corpus-keyed exchange is the per-doc re-aggregate,
+    // which partial-aggregates map-side first
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      plan.take(3000))
+    assert(!plan.contains("rangepartitioning"), plan.take(3000))
+  }
+
+  test("semDedup pair join: block-decomposed width survives AQE (no single-partition pair stage)") {
+    // the pair-generating exchanges must be REPARTITION_BY_NUM (exempt from
+    // AQE byte-based coalescing): the join's input is vector-sized but its
+    // output is quadratic, so coalescing by input bytes would serialize all
+    // pair work onto one task
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val df = graft.ops.Dedup.semDedupDrops(emb, "embedding", "vec_id",
+      threshold = 0.85, numClusters = 1)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("REPARTITION_BY_NUM".r.findAllIn(plan).length === 2,
+      plan.take(3000))
+  }
 }
