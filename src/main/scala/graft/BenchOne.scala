@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Run and time ONE contract query: `runMain graft.BenchOne <query> [sfDir]
+  * [reps]`. The single-query face of [[Bench]] (same session config, same
+  * untimed first pass for codegen/page-cache warmth, same
+  * `toRdd.count()` materialization) — for iterating on one operator
+  * without paying the whole suite, and for checking a query at a
+  * non-default tier. */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: BenchOne <query> [sfDir] [reps]")
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 2
+    val fn = SparkEntry.queries.getOrElse(name,
+      sys.error(s"unknown query '$name'; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (i <- 0 until math.max(1, reps)) {
+      val t0 = System.nanoTime()
+      val rows = fn(spark, sfDir).queryExecution.toRdd.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"BENCHONE $name run$i $sec%.2f s rows=$rows ($sfDir)")
+    }
+    spark.stop()
+  }
+}

@@ -629,15 +629,31 @@ object Dedup {
                     threshold: Double, numClusters: Int,
                     iters: Int = 3, blocks: Int = 8): DataFrame = {
     require(numClusters >= 1, s"numClusters must be >= 1 (got $numClusters)")
-    require(blocks >= 1, s"blocks must be >= 1 (got $blocks)")
+    val cents =
+      if (numClusters == 1) None
+      else Some(Similarity.kmeansCentroids(
+        df.select(col(idCol).as("id"), col(vecCol).as("v")), "v",
+        numClusters, iters))
+    semPairDrops(semAssign(df, vecCol, idCol, cents), threshold, blocks)
+  }
+
+  /** Cluster assignment for the SemDeDup faces: `None` centroids is the
+    * exact face (everything in cluster 0). */
+  private def semAssign(df: DataFrame, vecCol: String, idCol: String,
+                        centroids: Option[Seq[Seq[Double]]]): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val assigned =
-      if (numClusters == 1) base.withColumn("cluster", lit(0))
-      else {
-        val cents = Similarity.kmeansCentroids(base, "v", numClusters, iters)
-        Similarity.ivfAssign(base, "v", cents)
-          .withColumnRenamed("__centroid", "cluster")
-      }
+    centroids match {
+      case None => base.withColumn("cluster", lit(0))
+      case Some(cents) => Similarity.ivfAssign(base, "v", cents)
+        .withColumnRenamed("__centroid", "cluster")
+    }
+  }
+
+  /** Within-cluster pair scan + drop aggregation over an `(id, v,
+    * cluster)` frame — the shared back half of both SemDeDup faces. */
+  private def semPairDrops(assigned: DataFrame, threshold: Double,
+                           blocks: Int): DataFrame = {
+    require(blocks >= 1, s"blocks must be >= 1 (got $blocks)")
     val blocked = assigned.withColumn("b",
       pmod(xxhash64(col("id")), lit(blocks)).cast("int"))
     // explicit-width repartition (REPARTITION_BY_NUM), not a plain join
@@ -647,7 +663,7 @@ object Dedup {
     // 5 s -> 0.6 s at sf0.1 for the exact face. By-num exchanges are
     // exempt from coalescing and already satisfy the join's required
     // distribution, so no second exchange is added.
-    val width = df.sparkSession.sparkContext.defaultParallelism
+    val width = assigned.sparkSession.sparkContext.defaultParallelism
     val left = blocked.select(col("cluster"), col("b").as("ba"),
       explode(sequence(col("b"), lit(blocks - 1))).as("bb"),
       col("id").as("lid"), col("v").as("lv"))
@@ -676,13 +692,31 @@ object Dedup {
     * size `auditCap` so the exact set stays populated; an empty exact
     * set makes the guard vacuous (recall 1.0), per
     * [[Similarity.withSetRecallGuard]]. At or below `auditCap` rows the
-    * audit IS the full corpus and the guard is exact. */
+    * audit IS the full corpus and the guard is exact.
+    *
+    * The audit's clustered face reuses the quantizer TRAINED ON THE FULL
+    * CORPUS — the guard must measure the clustering that produced the
+    * output it annotates (a sample-retrained quantizer could score well
+    * while the shipped clustering is degenerate, or vice versa), and the
+    * one training pass is shared by both faces. The estimate is still
+    * CONSERVATIVE: recall is per-id (an id is recalled if ANY of its
+    * similar smaller-id partners shares its cluster), and sampling
+    * leaves each id fewer partners, so fewer chances — a sampled audit
+    * can only understate full-corpus recall, never mask a regression. */
   def semDedupDropsAudited(df: DataFrame, vecCol: String, idCol: String,
                            threshold: Double, numClusters: Int,
                            iters: Int = 3, blocks: Int = 8,
                            auditCap: Int = 2048,
                            minRecall: Double = 0.9): DataFrame = {
+    require(numClusters >= 1, s"numClusters must be >= 1 (got $numClusters)")
     require(auditCap >= 2, s"auditCap must be >= 2 (got $auditCap)")
+    val cents =
+      if (numClusters == 1) None
+      else Some(Similarity.kmeansCentroids(
+        df.select(col(idCol).as("id"), col(vecCol).as("v")), "v",
+        numClusters, iters))
+    val full = semPairDrops(semAssign(df, vecCol, idCol, cents),
+      threshold, blocks)
     val n = df.count() // metadata-sized aggregate, same as kmeans' own cap
     val audit =
       if (n <= auditCap) df
@@ -690,10 +724,15 @@ object Dedup {
       else df.where(pmod(xxhash64(col(idCol), lit("graft.semdedup.audit")),
         lit(1000000000L)) <
           math.max(1L, math.ceil(auditCap.toDouble / n * 1e9).toLong))
-    Similarity.withAuditedSetRecallGuard(
-      semDedupDrops(df, vecCol, idCol, threshold, numClusters, iters, blocks),
-      semDedupDrops(audit, vecCol, idCol, threshold, numClusters, iters, blocks),
-      semDedupDrops(audit, vecCol, idCol, threshold, 1, iters, blocks),
+    // audit == corpus: the approximate audit face IS the output frame (one
+    // clustered pair scan, not two); otherwise both audit faces run on the
+    // same bounded sample with the corpus-trained centroids
+    val approxAudit =
+      if (n <= auditCap) full
+      else semPairDrops(semAssign(audit, vecCol, idCol, cents),
+        threshold, blocks)
+    Similarity.withAuditedSetRecallGuard(full, approxAudit,
+      semPairDrops(semAssign(audit, vecCol, idCol, None), threshold, blocks),
       "id", minRecall)
   }
 

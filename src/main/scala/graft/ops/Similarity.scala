@@ -223,11 +223,15 @@ object Similarity {
         // and a tiny sample spread over the cluster default pays per-task
         // scheduling for near-empty tasks each iteration (measured: the
         // fixed cost of training on 2k rows, not the math). ~8k rows per
-        // task keeps even dim-4096 partitions near 100 MB.
+        // task keeps even dim-4096 partitions near 100 MB. repartition, NOT
+        // coalesce: coalesce propagates through the filter to the SCAN, so
+        // the one-time sampling pass over the full corpus would run at
+        // `parts`-way parallelism — the exchange here moves only the
+        // sampled rows, and the corpus scan keeps its full width.
         val parts = math.max(1L, math.min(
           corpus.sparkSession.sparkContext.defaultParallelism.toLong,
           math.min(n, trainCap.toLong) / 8192L + 1L)).toInt
-        picked.coalesce(parts)
+        picked.repartition(parts)
       }
     // the cached training set is BOUNDED (~trainCap rows) and unpersisted in
     // the finally below — unlike a full-corpus cache, safe at any scale
