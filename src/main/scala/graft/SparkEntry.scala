@@ -724,6 +724,14 @@ object SparkEntry {
           n = 5)
         .withColumnRenamed("id", "doc_id")),
 
+    // --- span-level dedup ACTION face (Lee et al. 2022): cut every
+    // non-first occurrence of a duplicated 5-token window, keep-first
+    // globally, reassemble surviving tokens
+    "d_span_dedup" -> ((s, dir) =>
+      Dedup.removeDuplicateSpans(rd(s, dir, "documents"), "text", "doc_id",
+          n = 5)
+        .withColumnRenamed("id", "doc_id")),
+
     // --- deterministic portable global shuffle + sharding (training order:
     // md5-keyed permutation any engine reproduces row for row)
     "u_shuffle_shards" -> ((s, dir) =>
@@ -1353,6 +1361,49 @@ object SparkEntry {
                / count(*), 6) AS dup_fraction
            FROM inv i JOIN freq f ON i.g = f.g
            GROUP BY i.id""",
+      // span dedup: windows ranked keep-first on the raw gram (Spark ranks
+      // the xxhash64 of the same gram — identical absent collisions);
+      // coverage via the same union-tag running max as the Spark plan
+      "d_span_dedup" ->
+        """WITH base AS (
+             SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS t
+             FROM documents),
+           toks AS (
+             SELECT id, u.pos, u.token FROM (
+               SELECT id, unnest(list_transform(t,
+                 (x, i) -> {'pos': i - 1, 'token': x})) AS u
+               FROM base)),
+           wins AS (
+             SELECT id, u.wpos, u.g FROM (
+               SELECT id, unnest(list_transform(range(1, len(t) - 3),
+                 i -> {'wpos': i - 1, 'g': array_to_string(t[i : i + 4], ' ')})) AS u
+               FROM base WHERE len(t) >= 5)),
+           dups AS (
+             SELECT id, wpos FROM (
+               SELECT id, wpos, row_number() OVER (
+                 PARTITION BY g ORDER BY id, wpos) AS rnk
+               FROM wins) WHERE rnk >= 2),
+           tagged AS (
+             SELECT id, pos, token, CAST(NULL AS BIGINT) AS dstart FROM toks
+             UNION ALL
+             SELECT id, wpos AS pos, NULL AS token, CAST(wpos AS BIGINT) AS dstart
+             FROM dups),
+           m AS (
+             SELECT id, pos, token,
+               max(dstart) OVER (PARTITION BY id
+                 ORDER BY pos ASC, dstart ASC NULLS LAST
+                 ROWS UNBOUNDED PRECEDING) AS lastd
+             FROM tagged),
+           surv AS (
+             SELECT id, pos, token,
+               (lastd IS NOT NULL AND lastd + 5 > pos) AS cut
+             FROM m WHERE token IS NOT NULL)
+           SELECT id AS doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             coalesce(string_agg(CASE WHEN NOT cut THEN token END, ' '
+               ORDER BY pos), '') AS text_clean
+           FROM surv GROUP BY id""",
       // portable global shuffle: shard = 2-hex md5 prefix, pos = rank by
       // (FULL 32-hex md5 digest, id) within shard — bit-for-bit the Spark
       // permutation

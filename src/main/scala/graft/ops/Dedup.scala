@@ -736,6 +736,68 @@ object Dedup {
       "id", minRecall)
   }
 
+  /** The ACTION face of [[duplicateWindowStats]]: remove duplicated
+    * `n`-token spans from every document, keeping the globally FIRST
+    * occurrence of each span (rank 1 under (docId, wpos) — deterministic
+    * and engine-portable, the span-level analogue of
+    * [[dedupParagraphs]]'s keep-first). Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better") remove duplicated
+    * spans rather than whole documents because that is where web-corpus
+    * duplication actually lives. A token is cut when ANY non-first
+    * duplicated window covers it; overlapping windows merge naturally.
+    * Returns (id, n_tokens, n_removed, text_clean) with `text_clean` the
+    * surviving tokens joined by single spaces (tokenization is
+    * lower-cased whitespace splitting, matching the shingle family — the
+    * output is a normalized text, documented, not a byte-preserving
+    * splice).
+    *
+    * Scale shape: windows are xxhash64'd the moment they are built, so
+    * occurrence ranking shuffles (8-byte hash, id, wpos) — never gram
+    * strings. Coverage is NOT a token-x-window range join (quadratic per
+    * doc): duplicate window STARTS union-tag into the token stream and a
+    * running max over (id, pos) marks covered tokens — the same
+    * one-shuffle linear pattern as [[AsofJoin]]. The final reassembly
+    * groups on id, the partitioning the window pass already established. */
+  def removeDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
+                           n: Int = 13): DataFrame = {
+    require(n >= 1, s"span length must be >= 1 (got $n)")
+    val base = df.select(col(idCol).as("id"),
+      split(trim(lower(col(textCol))), "\\s+").as("t"))
+    val toks = base.select(col("id"),
+      posexplode(col("t")).as(Seq("pos", "token")))
+    val wins = base.where(size(col("t")) >= n)
+      .select(col("id"), posexplode(expr(
+        s"transform(sequence(0, size(t) - $n), i -> xxhash64(concat_ws(' ', slice(t, i + 1, $n))))"))
+        .as(Seq("wpos", "gh")))
+    val dups = wins
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("gh")).orderBy(col("id"), col("wpos"))))
+      .where(col("rnk") >= 2).select(col("id"), col("wpos"))
+    // union-tag: duplicate span starts interleave with tokens; at equal pos
+    // the start row sorts FIRST (nulls last on dstart) so a span starting
+    // at pos covers the token at pos
+    val tagged = toks
+      .withColumn("dstart", lit(null).cast("long"))
+      .unionByName(dups.select(col("id"), col("wpos").as("pos"),
+        lit(null).cast("string").as("token"),
+        col("wpos").cast("long").as("dstart")))
+    val runw = Window.partitionBy(col("id"))
+      .orderBy(col("pos").asc, col("dstart").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = tagged
+      .withColumn("lastd", max(col("dstart")).over(runw))
+      .where(col("token").isNotNull)
+      .withColumn("cut",
+        col("lastd").isNotNull && col("lastd") + n > col("pos"))
+    marked.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cut"), 1L).otherwise(0L)).as("n_removed"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(!col("cut"),
+            struct(col("pos"), col("token"))))),
+          x => x.getField("token"))).as("text_clean"))
+  }
+
   /** Substring-level duplication profile ("Deduplicating Training Data
     * Makes Language Models Better", Lee et al. 2022: duplication lives in
     * SPANS, not whole documents): for every document with at least `n`

@@ -449,6 +449,28 @@ class DedupSpec extends SparkSpec {
     assert(drops === Set(2L, 4L), s"got $drops")
   }
 
+  test("removeDuplicateSpans: keep-first, overlap merge, short docs untouched") {
+    import spark.implicits._
+    // doc 1 owns the first occurrence of "x y z" (kept); doc 2 repeats it
+    // twice (both cut, overlapping windows merge); doc 3 is shorter than n
+    val df = Seq(
+      (1L, "a x y z b"),
+      (2L, "x y z x y z c"),
+      (3L, "x y")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(df, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((5L, 0L, "a x y z b")), s"got ${out(1L)}")
+    // doc 2 windows (n=3): [x y z][y z x][z x y][x y z][y z c]; dup windows
+    // vs doc 1's "x y z" start at 0 and 3, plus the internal repeats at
+    // 1,2 rank>=2? window "y z x" and "z x y" occur once each (rank 1,
+    // kept) — cuts come from starts 0 and 3, covering pos 0..2 and 3..5;
+    // pos 6 ("c") survives
+    assert(out(2L) === ((7L, 6L, "c")), s"got ${out(2L)}")
+    assert(out(3L) === ((2L, 0L, "x y")), s"got ${out(3L)}")
+  }
+
   test("semDedupDropsAudited: full drop set + recall column; audit bounded below corpus size") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val full = Dedup.semDedupDrops(emb, "embedding", "vec_id",

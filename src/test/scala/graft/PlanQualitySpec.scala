@@ -391,6 +391,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("rangepartitioning"), plan.take(3000))
   }
 
+  test("d_span_dedup: coverage is union-tag + running max, never a token-x-window range join") {
+    val plan = SparkEntry.queries("d_span_dedup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("Window"), plan.take(3000))
+    // window hashes computed scan-side: gram strings never shuffle
+    assert(plan.contains("xxhash64"), plan.take(3000))
+  }
+
   test("semDedup pair join: block-decomposed width survives AQE (no single-partition pair stage)") {
     // the pair-generating exchanges must be REPARTITION_BY_NUM (exempt from
     // AQE byte-based coalescing): the join's input is vector-sized but its
