@@ -691,6 +691,16 @@ object SparkEntry {
     "t_vocab_spectrum" -> ((s, dir) =>
       TextAnalysis.vocabSpectrum(rd(s, dir, "documents"), "text")),
 
+    // --- HTML/markup strip (synthetic markup wrapped per doc — the corpus
+    // itself is clean, so the strip must fire on every row; the &amp;amp;
+    // probe checks single-level entity decode)
+    "t_strip_html" -> ((s, dir) =>
+      rd(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.stripMarkup(concat(
+          lit("<p class=\"x\">"), col("text"),
+          lit("</p> &amp;amp; <a href='y'>link &lt;here&gt;</a>")))
+          .as("clean"))),
+
     // --- stratified deterministic sample via engine-portable md5 keys:
     // downweight 'en' to 0.5, keep other languages at 0.25 (mixture shaping)
     "u_stratified_sample" -> ((s, dir) =>
@@ -1268,6 +1278,19 @@ object SparkEntry {
                round(sum(coalesce(log_odds, 0)), 6) AS nb_logodds
              FROM dtk LEFT JOIN model USING (token)
              GROUP BY doc_id)"""),
+      // markup strip mirrored step for step: tags -> entities in the same
+      // order (&amp; last) -> whitespace collapse -> trim
+      "t_strip_html" ->
+        """SELECT doc_id, trim(regexp_replace(
+             replace(replace(replace(replace(replace(replace(
+               regexp_replace(
+                 '<p class="x">' || text ||
+                 '</p> &amp;amp; <a href=''y''>link &lt;here&gt;</a>',
+                 '<[^>]*>', ' ', 'g'),
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', ''''), '&apos;', ''''), '&amp;', '&'),
+             '\s+', ' ', 'g')) AS clean
+           FROM documents""",
       // binary digit length, not floor(log2()) through doubles: ln(8)/ln(2)
       // can land below 3.0 and engines would disagree at powers of two
       "t_vocab_spectrum" ->

@@ -31,7 +31,14 @@ object Curate {
       shingleN: Int = 3,
       maxBucketSize: Int = 0,            // see Dedup.minhashNearDups
       sampleFraction: Double = 1.0,      // deterministic hash sample
-      sampleSalt: String = "graft")
+      sampleSalt: String = "graft",
+      // learned-classifier gate (optional, batch-only): a
+      // QualityModel.nbTrain weights frame; rows whose mean token
+      // log-odds falls below minNbScore are dropped. Documents with NO
+      // tokens are dropped too — a learned gate has no evidence for them
+      // (gate empty docs on length upstream if they should survive).
+      nbModel: Option[DataFrame] = None,
+      minNbScore: Double = 0.0)
 
   /** Stage 2 shared by both faces: audit columns + quality/language gates
     * (stateless codegen'd column work, no shuffle). ONE definition so the
@@ -58,7 +65,22 @@ object Curate {
     val exact = Dedup.exact(df, Seq(textCol), idCol)
 
     // 2. quality + language gates
-    val gated = gates(exact, textCol, cfg)
+    val gated0 = gates(exact, textCol, cfg)
+
+    // 2b. learned-classifier gate (optional): mean NB log-odds under a
+    // broadcast model ([[QualityModel.nbScore]]) — placed AFTER the free
+    // codegen gates (they shrink its input) and BEFORE near-dup (it
+    // shrinks the only quadratic-surface stage). Batch-only: scoring
+    // aggregates per document, which a stream cannot do pre-sink.
+    val gated = cfg.nbModel match {
+      case Some(model) =>
+        val scores = QualityModel.nbScore(gated0, textCol, idCol, model)
+          .select(col(idCol), col("nb_logodds_mean").as("__nb_score"))
+        gated0.join(scores, Seq(idCol), "left")
+          .where(coalesce(col("__nb_score"), lit(Double.MinValue)) >=
+            cfg.minNbScore)
+      case None => gated0
+    }
 
     // 3. near-dup removal (optional): pairs -> components -> keep min id
     val deduped = if (cfg.nearDupThreshold > 0) {
@@ -102,6 +124,9 @@ object Curate {
     require(cfg.nearDupThreshold == 0,
       "near-dup removal is unsupported in streaming (corpus-global LSH buckets); " +
         "set nearDupThreshold=0 and run batch curate() as periodic compaction")
+    require(cfg.nbModel.isEmpty,
+      "the learned-classifier gate is unsupported in streaming (per-document " +
+        "score aggregation pre-sink); score at rest via batch curate()")
     val hashed = stream.withColumn("__content_hash", xxhash64(col(textCol)))
     val gated = gates(hashed, textCol, cfg)
     val deduped = graft.streaming.Streaming.dedupExact(

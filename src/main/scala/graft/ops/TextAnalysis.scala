@@ -50,6 +50,24 @@ object TextAnalysis {
     punct.cast("double") / greatest(length(text), lit(1)).cast("double")
   }
 
+  /** HTML/markup strip — the cleaning stage every web-corpus pipeline
+    * runs before quality/dedup: remove tags, decode the predefined XML
+    * entities (&amp; LAST, so double-escaped text un-escapes one level,
+    * the standard order), collapse whitespace runs, trim. Like
+    * [[redactPii]]: conservative, regex-engine-portable patterns (Java ==
+    * RE2 here), one codegen'd replace chain, linear at 100 TB. Not an
+    * HTML parser — script/style BODIES survive as text, which is the
+    * honest scope of a regex strip (a parser belongs in a mapPartitions
+    * stage with a real DOM library). */
+  def stripMarkup(text: Column): Column = {
+    val noTags = regexp_replace(text, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&"
+    ).foldLeft(noTags) { case (c, (k, v)) => regexp_replace(c, k, v) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Stopword ratio from a small fixed English stopword list. */
   val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is", "it")
   def stopwordRatio(text: Column): Column = {

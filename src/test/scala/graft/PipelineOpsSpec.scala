@@ -402,6 +402,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(m === Set("common"), s"got $m")
   }
 
+  test("stripMarkup: tags out, one entity level decoded, whitespace collapsed") {
+    val df = Seq(
+      "<div id=\"a\">Hello <b>world</b></div>",
+      "a &amp;amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;",
+      "   already clean   text  "
+    ).toDF("text")
+    val out = df.select(TextAnalysis.stripMarkup(col("text")).as("c"))
+      .collect().map(_.getString(0))
+    assert(out(0) === "Hello world")
+    // &amp;amp; un-escapes ONE level (to &amp;), not recursively to &
+    assert(out(1) === "a &amp; b <tag> \"q\" 's'")
+    assert(out(2) === "already clean text")
+  }
+
+  test("curate: learned NB gate drops low-scoring docs; streaming face refuses the model") {
+    val seed = Seq(("good clean prose text", 1), ("spam spam junk spam", 0))
+      .toDF("text", "label")
+    val model = graft.ops.QualityModel.nbTrain(seed, "text", "label")
+    val corpus = Seq(
+      (1L, "good clean prose"),
+      (2L, "spam junk spam"),
+      (3L, "")                      // no tokens -> no evidence -> dropped
+    ).toDF("doc_id", "text")
+    val cfg = graft.ops.Curate.CurateConfig(
+      nbModel = Some(model), minNbScore = 0.0)
+    val kept = graft.ops.Curate.curate(corpus, "text", "doc_id", cfg)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L), s"got $kept")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Curate.curateStream(corpus, "text", "doc_id", "ts", cfg = cfg)
+    }
+    assert(ex.getMessage.contains("learned-classifier gate"), ex.getMessage)
+  }
+
   // --------------------------------------------- vocabulary Zipf spectrum
 
   test("vocabSpectrum: exact power-of-two bucketing, types and occurrences") {
