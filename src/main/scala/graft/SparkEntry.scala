@@ -875,6 +875,17 @@ object SparkEntry {
     "m_decode" -> ((s, dir) => {
       val pngs = Multimodal.syntheticPng(rd(s, dir, "documents").select("doc_id"), "doc_id")
       Multimodal.decodeImages(pngs, "doc_id")
+    }),
+
+    // --- REAL resize: synthetic PNG -> decode -> nearest-neighbor resample
+    // -> PNG re-encode -> decode again; the oracle knows the closed-form
+    // answer (solid images resize to themselves at the new dims), so a hash
+    // match proves BOTH codec passes and the resample executed
+    "m_resize" -> ((s, dir) => {
+      val pngs = Multimodal.syntheticPng(rd(s, dir, "documents").select("doc_id"), "doc_id")
+      Multimodal.decodeImages(
+        Multimodal.resizeImages(pngs, "doc_id", width = 4, height = 3),
+        "doc_id")
     })
   )
 
@@ -1506,6 +1517,16 @@ object SparkEntry {
         """SELECT doc_id,
              CAST(1 + doc_id % 7 AS INT) AS width,
              CAST(1 + doc_id % 5 AS INT) AS height,
+             CAST(3 AS INT) AS channels,
+             CAST(doc_id % 256 AS DOUBLE) AS mean_px
+           FROM documents""",
+      // solid-gray images are resize-invariant: after the 4x3 nearest-
+      // neighbor resample the mean is STILL the id gray — but only if the
+      // decode -> resample -> re-encode -> decode chain really ran
+      "m_resize" ->
+        """SELECT doc_id,
+             CAST(4 AS INT) AS width,
+             CAST(3 AS INT) AS height,
              CAST(3 AS INT) AS channels,
              CAST(doc_id % 256 AS DOUBLE) AS mean_px
            FROM documents"""

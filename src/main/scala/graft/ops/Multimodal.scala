@@ -80,10 +80,12 @@ object Multimodal {
         array().cast("array<float>"))
         .as("features"))
 
-  /** Resize stub: a real implementation would decode, scale, and re-encode
-    * per partition; the deterministic fake rewrites the metadata dimensions
-    * and truncates the payload proportionally, so tests can assert the
-    * pipeline shape (payload column stays binary, metadata stays typed). */
+  /** Resize stub — superseded for images by the REAL [[resizeImages]]
+    * (JDK codecs); still the pipeline-shape stand-in for video frames,
+    * where no codec is assumed in this environment: the deterministic fake
+    * rewrites the metadata dimensions and truncates the payload
+    * proportionally, so tests can assert the pipeline shape (payload
+    * column stays binary, metadata stays typed). */
   def resizeStub(df: DataFrame, width: Int, height: Int,
                  payloadCol: String = "payload"): DataFrame =
     df.withColumn(payloadCol,
@@ -159,6 +161,65 @@ object Multimodal {
           }
           Row(r.get(0), w, h, bands,
             sum.toDouble / (w.toLong * h * bands))
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rows, outSchema)
+  }
+
+  /** REAL image resize for PNG/JPEG, zero extra dependencies: JDK decode,
+    * manual NEAREST-NEIGHBOR resample (`src[floor(x*wIn/wOut),
+    * floor(y*hIn/hOut)]` in exact integer arithmetic — `Graphics2D`
+    * scaling is renderer/JDK-dependent, this is bit-deterministic
+    * everywhere), JDK PNG re-encode. Per-partition like [[decodeImages]]:
+    * payload bytes never shuffle, corrupt media yields a null payload
+    * instead of killing the scan. Grayscale sources replicate their band;
+    * alpha is dropped (output is always 3-band PNG). Returns
+    * (<idCol>, payload) — join back on the id for the remaining columns. */
+  def resizeImages(df: DataFrame, idCol: String, width: Int, height: Int,
+                   payloadCol: String = "payload"): DataFrame = {
+    require(width > 0 && height > 0,
+      s"target dimensions must be positive (got ${width}x$height)")
+    val in = df.select(col(idCol), col(payloadCol))
+    val outSchema = StructType(in.schema.fields(0) +:
+      Seq(StructField("payload", BinaryType)))
+    val rows = in.rdd.mapPartitions { iter =>
+      iter.map { r =>
+        val img =
+          try {
+            val bytes = r.getAs[Array[Byte]](1)
+            if (bytes == null) null
+            else ImageIO.read(new ByteArrayInputStream(bytes))
+          } catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) Row(r.get(0), null)
+        else {
+          val wIn = img.getWidth
+          val hIn = img.getHeight
+          val src = img.getRaster
+          val bands = src.getNumBands
+          val out = new BufferedImage(width, height,
+            BufferedImage.TYPE_3BYTE_BGR)
+          val dst = out.getRaster
+          val px = new Array[Int](bands)
+          val rgb = new Array[Int](3)
+          var y = 0
+          while (y < height) {
+            val sy = (y.toLong * hIn / height).toInt
+            var x = 0
+            while (x < width) {
+              val sx = (x.toLong * wIn / width).toInt
+              src.getPixel(sx, sy, px)
+              rgb(0) = px(0)
+              rgb(1) = px(if (bands > 1) 1 else 0)
+              rgb(2) = px(if (bands > 2) 2 else 0)
+              dst.setPixel(x, y, rgb)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(out, "png", bos)
+          Row(r.get(0), bos.toByteArray)
         }
       }
     }

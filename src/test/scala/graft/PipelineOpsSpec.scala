@@ -328,6 +328,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows(3L).isNullAt(1) && rows(3L).isNullAt(4))
   }
 
+  test("resizeImages: exact nearest-neighbor semantics, corrupt payloads null out") {
+    import graft.ops.Multimodal
+    // 2x1 source: left pixel black, right pixel white — resized 4x1 the NN
+    // map is x->floor(x*2/4) = [0,0,1,1], so mean = (0+0+255+255)/4 = 127.5
+    val img = new java.awt.image.BufferedImage(2, 1, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    img.getRaster.setPixels(0, 0, 2, 1, Array(0, 0, 0, 255, 255, 255))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val df = Seq((1L, bos.toByteArray), (2L, Array[Byte](9, 9)))
+      .toDF("doc_id", "payload")
+    val resized = Multimodal.resizeImages(df, "doc_id", width = 4, height = 1)
+    val out = Multimodal.decodeImages(resized, "doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) === 4 && out(1L).getInt(2) === 1)
+    assert(out(1L).getDouble(4) === 127.5, s"mean ${out(1L).getDouble(4)}")
+    assert(out(2L).isNullAt(1)) // corrupt in -> null payload -> null decode
+    // upscale of a grayscale source replicates the band to 3 channels
+    val gray = new java.awt.image.BufferedImage(1, 1, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    gray.getRaster.setPixels(0, 0, 1, 1, Array(77))
+    val gos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(gray, "png", gos)
+    val gdf = Seq((9L, gos.toByteArray)).toDF("doc_id", "payload")
+    val gout = Multimodal.decodeImages(
+      Multimodal.resizeImages(gdf, "doc_id", 3, 2), "doc_id").head()
+    assert(gout.getInt(3) === 3 && gout.getDouble(4) === 77.0)
+  }
+
   test("extractFeatures keeps non-numeric ids intact") {
     import graft.ops.Multimodal
     val df = Seq(("doc-a", Array[Byte](10)), ("doc-b", Array[Byte](20)))
