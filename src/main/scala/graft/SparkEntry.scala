@@ -1300,7 +1300,7 @@ object SparkEntry {
                  '<[^>]*>', ' ', 'g'),
                '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
                '&#39;', ''''), '&apos;', ''''), '&amp;', '&'),
-             '\s+', ' ', 'g')) AS clean
+             '[ \t\n\x0B\f\r]+', ' ', 'g')) AS clean
            FROM documents""",
       // binary digit length, not floor(log2()) through doubles: ln(8)/ln(2)
       // can land below 3.0 and engines would disagree at powers of two
@@ -1400,7 +1400,7 @@ object SparkEntry {
       // coverage via the same union-tag running max as the Spark plan
       "d_span_dedup" ->
         """WITH base AS (
-             SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS t
+             SELECT doc_id AS id, string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS t
              FROM documents),
            toks AS (
              SELECT id, u.pos, u.token FROM (

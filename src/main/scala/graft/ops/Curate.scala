@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
   *      repartitioning, and reruns.
   *
   * Returns the surviving rows of `df` with `__quality` / `__lang` audit
-  * columns attached. Compose with [[graft.io.Writer.store]] to land the
-  * result as a partitioned dataset.
+  * columns attached (plus `__nb_score` when a learned model is
+  * configured — the mean NB log-odds each survivor was admitted on).
+  * Compose with [[graft.io.Writer.store]] to land the result as a
+  * partitioned dataset.
   */
 object Curate {
 

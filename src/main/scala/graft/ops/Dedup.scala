@@ -753,16 +753,24 @@ object Dedup {
     *
     * Scale shape: windows are xxhash64'd the moment they are built, so
     * occurrence ranking shuffles (8-byte hash, id, wpos) — never gram
-    * strings. Coverage is NOT a token-x-window range join (quadratic per
-    * doc): duplicate window STARTS union-tag into the token stream and a
+    * strings. The keep-first winner per window is a whole-partition MIN
+    * window over struct(id, wpos) — O(1) per row like
+    * [[duplicateWindowStats]]'s count window, no per-key ranking sort; a
+    * mass-duplicated window still funnels its occurrences through one
+    * task (inherent to any per-key global decision — the same placement
+    * the profiling face has), but the per-row work stays constant.
+    * Coverage is NOT a token-x-window range join (quadratic per doc):
+    * duplicate window STARTS union-tag into the token stream and a
     * running max over (id, pos) marks covered tokens — the same
     * one-shuffle linear pattern as [[AsofJoin]]. The final reassembly
-    * groups on id, the partitioning the window pass already established. */
+    * groups on id, the partitioning the window pass already established.
+    * NULL text is treated as empty (the row SURVIVES with empty
+    * `text_clean` — an action face must never silently delete rows). */
   def removeDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
                            n: Int = 13): DataFrame = {
     require(n >= 1, s"span length must be >= 1 (got $n)")
     val base = df.select(col(idCol).as("id"),
-      split(trim(lower(col(textCol))), "\\s+").as("t"))
+      split(trim(lower(coalesce(col(textCol), lit("")))), "\\s+").as("t"))
     val toks = base.select(col("id"),
       posexplode(col("t")).as(Seq("pos", "token")))
     val wins = base.where(size(col("t")) >= n)
@@ -770,9 +778,11 @@ object Dedup {
         s"transform(sequence(0, size(t) - $n), i -> xxhash64(concat_ws(' ', slice(t, i + 1, $n))))"))
         .as(Seq("wpos", "gh")))
     val dups = wins
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("gh")).orderBy(col("id"), col("wpos"))))
-      .where(col("rnk") >= 2).select(col("id"), col("wpos"))
+      .withColumn("__first", min(struct(col("id"), col("wpos"))).over(
+        Window.partitionBy(col("gh"))))
+      .where(!(col("id") === col("__first.id") &&
+        col("wpos") === col("__first.wpos")))
+      .select(col("id"), col("wpos"))
     // union-tag: duplicate span starts interleave with tokens; at equal pos
     // the start row sorts FIRST (nulls last on dstart) so a span starting
     // at pos covers the token at pos

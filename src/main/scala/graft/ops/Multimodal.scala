@@ -146,7 +146,12 @@ object Multimodal {
           }
         if (img == null) Row(r.get(0), null, null, null, null)
         else {
-          val raster = img.getRaster
+          // palette-indexed sources store palette INDICES in their raster;
+          // stats over indices are meaningless — expand through the color
+          // model first (1:1 blit, no resampling). Other types keep their
+          // native bands (gray stays 1-band, mean is over stored samples).
+          val expanded = expandPalette(img)
+          val raster = expanded.getRaster
           val w = img.getWidth
           val h = img.getHeight
           val bands = raster.getNumBands
@@ -173,9 +178,12 @@ object Multimodal {
     * scaling is renderer/JDK-dependent, this is bit-deterministic
     * everywhere), JDK PNG re-encode. Per-partition like [[decodeImages]]:
     * payload bytes never shuffle, corrupt media yields a null payload
-    * instead of killing the scan. Grayscale sources replicate their band;
-    * alpha is dropped (output is always 3-band PNG). Returns
-    * (<idCol>, payload) — join back on the id for the remaining columns. */
+    * instead of killing the scan. Band handling is ColorModel-aware and
+    * SAMPLE-preserving: palettes expand to true color, grayscale
+    * replicates its stored sample (deliberately NOT `getRGB`, which
+    * gamma-converts linear gray), alpha is dropped, 16-bit narrows to 8.
+    * Output is always 3-band PNG. Returns (<idCol>, payload) — join back
+    * on the id for the remaining columns. */
   def resizeImages(df: DataFrame, idCol: String, width: Int, height: Int,
                    payloadCol: String = "payload"): DataFrame = {
     require(width > 0 && height > 0,
@@ -193,14 +201,24 @@ object Multimodal {
           } catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) Row(r.get(0), null)
         else {
-          val wIn = img.getWidth
-          val hIn = img.getHeight
-          val src = img.getRaster
-          val bands = src.getNumBands
+          // SAMPLE-preserving band mapping, not getRGB: getRGB routes
+          // TYPE_BYTE_GRAY through a linear-gray -> sRGB gamma conversion
+          // (77 becomes 149). Instead: palettes expand via the color
+          // model (indices are not colors), alpha bands are excluded by
+          // numColorComponents (a gray+alpha raster is [gray, alpha] —
+          // naive band reads leak alpha into green), and 16-bit samples
+          // shift down to 8.
+          val srcImg = expandPalette(img)
+          val wIn = srcImg.getWidth
+          val hIn = srcImg.getHeight
+          val src = srcImg.getRaster
+          val cm = srcImg.getColorModel
+          val ncc = cm.getNumColorComponents
+          val shift = math.max(0, cm.getComponentSize(0) - 8)
+          val px = new Array[Int](src.getNumBands)
           val out = new BufferedImage(width, height,
             BufferedImage.TYPE_3BYTE_BGR)
           val dst = out.getRaster
-          val px = new Array[Int](bands)
           val rgb = new Array[Int](3)
           var y = 0
           while (y < height) {
@@ -209,9 +227,9 @@ object Multimodal {
             while (x < width) {
               val sx = (x.toLong * wIn / width).toInt
               src.getPixel(sx, sy, px)
-              rgb(0) = px(0)
-              rgb(1) = px(if (bands > 1) 1 else 0)
-              rgb(2) = px(if (bands > 2) 2 else 0)
+              rgb(0) = px(0) >> shift
+              rgb(1) = px(if (ncc > 1) 1 else 0) >> shift
+              rgb(2) = px(if (ncc > 2) 2 else 0) >> shift
               dst.setPixel(x, y, rgb)
               x += 1
             }
@@ -225,6 +243,18 @@ object Multimodal {
     }
     df.sparkSession.createDataFrame(rows, outSchema)
   }
+
+  /** Palette-indexed images store palette INDICES in their raster —
+    * expand to true color via a 1:1 blit (no resampling, sRGB-to-sRGB so
+    * no gamma shift); every other type passes through untouched. */
+  private def expandPalette(img: BufferedImage): BufferedImage =
+    if (img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]) {
+      val e = new BufferedImage(img.getWidth, img.getHeight,
+        BufferedImage.TYPE_3BYTE_BGR)
+      val g = e.getGraphics
+      try g.drawImage(img, 0, 0, null) finally g.dispose()
+      e
+    } else img
 
   /** Deterministic PNG fixture generator: one solid-gray `w x h` RGB image
     * per row, with dimensions and gray level closed-form in a long id

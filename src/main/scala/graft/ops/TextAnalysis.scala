@@ -54,18 +54,22 @@ object TextAnalysis {
     * runs before quality/dedup: remove tags, decode the predefined XML
     * entities (&amp; LAST, so double-escaped text un-escapes one level,
     * the standard order), collapse whitespace runs, trim. Like
-    * [[redactPii]]: conservative, regex-engine-portable patterns (Java ==
-    * RE2 here), one codegen'd replace chain, linear at 100 TB. Not an
-    * HTML parser — script/style BODIES survive as text, which is the
-    * honest scope of a regex strip (a parser belongs in a mapPartitions
-    * stage with a real DOM library). */
+    * [[redactPii]]: conservative, engine-portable patterns, one codegen'd
+    * replace chain, linear at 100 TB. The whitespace class is EXPLICIT
+    * (space, tab, LF, VT, FF, CR) rather than `\s`, whose definition
+    * differs between regex engines — Java's `\s` includes vertical tab,
+    * RE2's does not, so `\s+` is exactly the kind of silent cross-engine
+    * divergence an oracle-checked operator must not contain. Not an HTML
+    * parser — script/style BODIES survive as text, which is the honest
+    * scope of a regex strip (a parser belongs in a mapPartitions stage
+    * with a real DOM library). */
   def stripMarkup(text: Column): Column = {
     val noTags = regexp_replace(text, "<[^>]*>", " ")
     val decoded = Seq(
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&"
     ).foldLeft(noTags) { case (c, (k, v)) => regexp_replace(c, k, v) }
-    trim(regexp_replace(decoded, "\\s+", " "))
+    trim(regexp_replace(decoded, "[ \\t\\n\\x0B\\f\\r]+", " "))
   }
 
   /** Stopword ratio from a small fixed English stopword list. */

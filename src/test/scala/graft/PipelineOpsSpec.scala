@@ -353,6 +353,20 @@ class PipelineOpsSpec extends SparkSpec {
     val gout = Multimodal.decodeImages(
       Multimodal.resizeImages(gdf, "doc_id", 3, 2), "doc_id").head()
     assert(gout.getInt(3) === 3 && gout.getDouble(4) === 77.0)
+    // palette-indexed source: raster holds INDICES; the resample must
+    // expand to true color, not replicate index values as intensity
+    val pal = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    for (x <- 0 until 2; y <- 0 until 2) pal.setRGB(x, y, 0xFFFFFF)
+    val pos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(pal, "png", pos)
+    val pdf = Seq((11L, pos.toByteArray)).toDF("doc_id", "payload")
+    val pout = Multimodal.decodeImages(
+      Multimodal.resizeImages(pdf, "doc_id", 4, 4), "doc_id").head()
+    assert(pout.getDouble(4) === 255.0, s"palette mean ${pout.getDouble(4)}")
+    // and decodeImages itself also expands palettes for its stats
+    val dout = Multimodal.decodeImages(pdf, "doc_id").head()
+    assert(dout.getDouble(4) === 255.0, s"decode mean ${dout.getDouble(4)}")
   }
 
   test("extractFeatures keeps non-numeric ids intact") {
