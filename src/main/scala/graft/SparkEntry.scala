@@ -670,6 +670,11 @@ object SparkEntry {
     "t_unigram_logprob" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(rd(s, dir, "documents"), "text", "doc_id")),
 
+    // --- bigram-LM quality score (mean transition log-prob; the
+    // SQL-expressible analogue of external-LM perplexity filtering)
+    "t_bigram_logprob" -> ((s, dir) =>
+      TextAnalysis.bigramLogProb(rd(s, dir, "documents"), "text", "doc_id")),
+
     // --- learned quality classifier (CCNet / GPT-3 style): Naive-Bayes
     // token log-odds trained from a language-labeled seed in ONE
     // aggregation pass; the model and the corpus scores both oracle-check
@@ -1270,6 +1275,25 @@ object SparkEntry {
            SELECT doc_id, count(*) AS n_tokens,
              round(avg(ln(CAST(tc AS DOUBLE) / total)), 6) AS avg_logp
            FROM tk JOIN counts USING (token), tot GROUP BY doc_id""",
+      // bigram LM: predecessor totals and vocabulary derived from the
+      // bigram counts, add-0.5 smoothing — the exact nbTrain-style
+      // closed-form arithmetic of TextAnalysis.bigramLogProb
+      "t_bigram_logprob" ->
+        """WITH big AS (
+             SELECT doc_id, u.w1, u.w2 FROM (
+               SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                 i -> {'w1': t[i], 'w2': t[i + 1]})) AS u
+               FROM (SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\s+') AS t
+                     FROM documents))
+             WHERE len(u.w1) > 0 AND len(u.w2) > 0),
+           counts AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+           pred AS (SELECT w1, sum(c12) AS c1 FROM counts GROUP BY 1),
+           v AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS vv FROM counts)
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(avg(ln((c12 + 0.5) / (c1 + 0.5 * vv))), 6) AS avg_bigram_logp
+           FROM big JOIN counts USING (w1, w2) JOIN pred USING (w1), v
+           GROUP BY doc_id""",
       // NB classifier: the y CASE mirrors Spark's null semantics exactly
       // ((lang === 'en').cast(int) is NULL for a NULL lang, and nbTrain
       // drops null-label rows)

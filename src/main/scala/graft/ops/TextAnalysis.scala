@@ -124,6 +124,47 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** Bigram-LM quality score: mean log P(w_i | w_{i-1}) per document
+    * under the corpus's own add-alpha-smoothed bigram model — the
+    * SQL-expressible analogue of the external-LM perplexity filters
+    * (CCNet scores against a Wikipedia 5-gram KenLM; here the corpus IS
+    * the model, so degenerate/machine-generated text scores low against
+    * the corpus's own transition statistics with no model file shipped).
+    * P(w2|w1) = (c(w1 w2) + a) / (c(w1 ·) + a·V), where c(w1 ·) is w1's
+    * PREDECESSOR count (derived from the bigram counts, so the model is
+    * self-consistent) and V the distinct-successor vocabulary. Returns
+    * (idCol, n_bigrams, avg_bigram_logp); documents with fewer than two
+    * tokens have no transitions and are absent — gate them on length.
+    *
+    * Scale shape: bigrams explode once and partial-aggregate before the
+    * (w1, w2)-keyed count shuffle; predecessor totals and V derive from
+    * the count aggregate inside the plan (V is a 1-row broadcast, like
+    * [[unigramLogProb]]'s total). The scoring join is corpus-bigrams
+    * against bigram-counts — both shuffle on the same (w1, w2) key, so
+    * the exchange is shared, then one (id)-keyed re-aggregate. */
+  def bigramLogProb(df: DataFrame, textCol: String, idCol: String,
+                    alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha must be > 0 (got $alpha)")
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val pairs = filter(
+      zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2"))),
+      x => x.getField("w2").isNotNull && length(x.getField("w1")) > 0 &&
+        length(x.getField("w2")) > 0)
+    val big = df.select(col(idCol), explode(pairs).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val counts = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val pred = counts.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val vocab = counts.agg(countDistinct(col("w2")).cast("double").as("__v"))
+    big.join(counts, Seq("w1", "w2"))
+      .join(pred, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("c12") + lit(alpha)) /
+          (col("c1") + lit(alpha) * col("__v")))), 6).as("avg_bigram_logp"))
+  }
+
   /** Zipf profile: the frequency-of-frequency spectrum of the corpus
     * vocabulary. Every token type is bucketed by floor(log2(corpus
     * frequency)); per bucket the output is (freq_bucket, bucket_min =

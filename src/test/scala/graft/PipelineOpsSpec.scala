@@ -477,6 +477,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("learned-classifier gate"), ex.getMessage)
   }
 
+  test("bigramLogProb: hand-computed smoothed transition probs; short docs absent") {
+    // corpus: "a b a b" and "a b"; bigrams: (a,b)x3, (b,a)x1
+    // pred: c(a·)=3, c(b·)=1; V = |{a,b}| = 2; alpha=.5
+    // P(b|a)=(3+.5)/(3+1)=.875  P(a|b)=(1+.5)/(1+1)=.75
+    val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "solo")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val pAB = math.log(3.5 / 4.0)
+    val pBA = math.log(1.5 / 2.0)
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    assert(out(1L) === ((3L, r6((2 * pAB + pBA) / 3))), s"got ${out(1L)}")
+    assert(out(2L) === ((1L, r6(pAB))), s"got ${out(2L)}")
+    assert(!out.contains(3L)) // one token -> no transitions -> absent
+  }
+
   // --------------------------------------------- vocabulary Zipf spectrum
 
   test("vocabSpectrum: exact power-of-two bucketing, types and occurrences") {
