@@ -898,7 +898,11 @@ object SparkEntry {
 
   /** DuckDB-dialect mirrors, honoring reference semantics. Division results
     * and roundtripped values are exact; multi-term double aggregations are
-    * rounded on BOTH sides. */
+    * rounded on BOTH sides. Tokenization in every mirror uses the EXPLICIT
+    * whitespace class `[ \t\n\x0B\f\r]+` — exactly Java's `\s`, which all
+    * Spark-side tokenizers (split("\\s+"), the codegen'd WordShingles/
+    * SimHash) share — because DuckDB's RE2 `\s` excludes vertical tab and
+    * would silently diverge on any document containing one. */
   def oracleSql: Map[String, String] = {
     // shared CTE chain for the NB quality-classifier queries: seed label,
     // token counts per class (minCount=2 df-cut), class totals and vocab
@@ -909,7 +913,7 @@ object SparkEntry {
            SELECT y, token FROM (
              SELECT CASE WHEN lang IS NULL THEN NULL
                          WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-               unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+               unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS token
              FROM documents)
            WHERE len(token) > 0 AND y IS NOT NULL),
          counts AS (
@@ -947,7 +951,7 @@ object SparkEntry {
     val paraCte =
       """d AS (
            SELECT doc_id,
-             string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+             string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '[ \t\n\x0B\f\r]+') AS t
            FROM documents
            WHERE len(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0),
          c AS (SELECT doc_id, t,
@@ -963,7 +967,7 @@ object SparkEntry {
       """sh AS (
            SELECT doc_id AS id, list_distinct(list_transform(range(1, len(t) - 1),
              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-           FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents)
+           FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS t FROM documents)
            WHERE len(t) >= 3),
          inv AS (SELECT id, unnest(s) AS sg FROM sh),
          common AS (
@@ -1103,7 +1107,7 @@ object SparkEntry {
         """WITH sh AS (
              SELECT doc_id AS id, list_distinct(list_transform(range(1, len(t) - 1),
                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-             FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents)
+             FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS t FROM documents)
              WHERE len(t) >= 3),
            inv AS (SELECT id, unnest(s) AS sg FROM sh),
            common AS (
@@ -1116,25 +1120,25 @@ object SparkEntry {
       "t_text_stats" ->
         """SELECT doc_id,
              CAST(length(text) AS BIGINT) AS n_chars2,
-             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens,
              CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subwords,
              CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\-]', '', 'g')) AS DOUBLE)
                / greatest(length(text), 1) AS punct_ratio,
-             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+'),
                x -> x IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE)
-               / greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1) AS stop_ratio
+               / greatest(len(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')), 1) AS stop_ratio
            FROM documents""",
       "t_lang_id" -> langCase,
       "t_top_tokens" ->
         """SELECT token, count(*) AS n FROM (
-             SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+             SELECT unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS token
              FROM documents)
            WHERE len(token) > 0
            GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""",
       "t_quality" -> {
         // mirror TextAnalysis.qualityScore term by term (same IEEE op order)
         val punct = """CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\-]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)"""
-        val stop = """CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE) / greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1)"""
+        val stop = """CAST(len(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+'), x -> x IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE) / greatest(len(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')), 1)"""
         s"""SELECT doc_id, round((
               least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
               + (1.0 - least(($punct) * 5.0, 1.0))
@@ -1176,7 +1180,7 @@ object SparkEntry {
       "t_chunks" ->
         """WITH d AS (
              SELECT doc_id,
-               string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+               string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '[ \t\n\x0B\f\r]+') AS t
              FROM documents
              WHERE len(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0),
            c AS (SELECT doc_id, t,
@@ -1212,7 +1216,7 @@ object SparkEntry {
              SELECT doc_id, source, list_distinct(list_transform(range(1, len(t) - 3),
                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS s
              FROM (SELECT doc_id, source,
-                     string_split_regex(trim(lower(text)), '\s+') AS t
+                     string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS t
                    FROM documents)
              WHERE len(t) >= 5),
            bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE source = 'src0'),
@@ -1231,7 +1235,7 @@ object SparkEntry {
              AND doc_id NOT IN (SELECT id_a FROM jac WHERE j >= 0.3)""",
       "t_repetition" ->
         """WITH d AS (SELECT doc_id,
-               string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+               string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS t FROM documents),
            bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
              FROM d, unnest(range(1, len(t))) AS u(i)),
            bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
@@ -1247,7 +1251,7 @@ object SparkEntry {
       "t_tfidf" ->
         """WITH tk AS (
              SELECT doc_id, token FROM (
-               SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+               SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS token
                FROM documents)
              WHERE len(token) > 0),
            tf AS (SELECT doc_id, token, count(*) AS c FROM tk GROUP BY 1, 2),
@@ -1267,7 +1271,7 @@ object SparkEntry {
       "t_unigram_logprob" ->
         """WITH tk AS (
              SELECT doc_id, token FROM (
-               SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+               SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS token
                FROM documents)
              WHERE len(token) > 0),
            counts AS (SELECT token, count(*) AS tc FROM tk GROUP BY 1),
@@ -1284,16 +1288,19 @@ object SparkEntry {
                SELECT doc_id, unnest(list_transform(range(1, len(t)),
                  i -> {'w1': t[i], 'w2': t[i + 1]})) AS u
                FROM (SELECT doc_id,
-                       string_split_regex(trim(lower(text)), '\s+') AS t
+                       string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS t
                      FROM documents))
              WHERE len(u.w1) > 0 AND len(u.w2) > 0),
            counts AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
            pred AS (SELECT w1, sum(c12) AS c1 FROM counts GROUP BY 1),
            v AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS vv FROM counts)
-           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-             round(avg(ln((c12 + 0.5) / (c1 + 0.5 * vv))), 6) AS avg_bigram_logp
-           FROM big JOIN counts USING (w1, w2) JOIN pred USING (w1), v
-           GROUP BY doc_id""",
+           SELECT doc_id, n_bigrams,
+             s / n_bigrams AS avg_bigram_logp
+           FROM (
+             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(sum(ln((c12 + 0.5) / (c1 + 0.5 * vv))), 6) AS s
+             FROM big JOIN counts USING (w1, w2) JOIN pred USING (w1), v
+             GROUP BY doc_id)""",
       // NB classifier: the y CASE mirrors Spark's null semantics exactly
       // ((lang === 'en').cast(int) is NULL for a NULL lang, and nbTrain
       // drops null-label rows)
@@ -1303,11 +1310,11 @@ object SparkEntry {
         (QualityModelCtes + """,
            dtk AS (
              SELECT doc_id, token FROM (
-               SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+               SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS token
                FROM documents)
              WHERE len(token) > 0)
            SELECT doc_id, n_tokens, nb_logodds,
-             round(nb_logodds / n_tokens, 6) AS nb_logodds_mean
+             nb_logodds / n_tokens AS nb_logodds_mean
            FROM (
              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
                round(sum(coalesce(log_odds, 0)), 6) AS nb_logodds
@@ -1331,7 +1338,7 @@ object SparkEntry {
       "t_vocab_spectrum" ->
         """WITH counts AS (
              SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
-               SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+               SELECT unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS token
                FROM documents)
              WHERE len(token) > 0 GROUP BY token)
            SELECT CAST(length(printf('%b', n)) - 1 AS BIGINT) AS freq_bucket,
@@ -1408,7 +1415,7 @@ object SparkEntry {
         """WITH sh AS (
              SELECT doc_id AS id, list_distinct(list_transform(range(1, len(t) - 3),
                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS s
-             FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents)
+             FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS t FROM documents)
              WHERE len(t) >= 5),
            inv AS (SELECT id, unnest(s) AS g FROM sh),
            freq AS (SELECT g, count(*) AS df FROM inv GROUP BY g)
@@ -1424,7 +1431,7 @@ object SparkEntry {
       // coverage via the same union-tag running max as the Spark plan
       "d_span_dedup" ->
         """WITH base AS (
-             SELECT doc_id AS id, string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS t
+             SELECT doc_id AS id, string_split_regex(trim(lower(coalesce(text, ''))), '[ \t\n\x0B\f\r]+') AS t
              FROM documents),
            toks AS (
              SELECT id, u.pos, u.token FROM (
@@ -1475,7 +1482,7 @@ object SparkEntry {
            FROM t""",
       "t_fingerprint" ->
         """SELECT doc_id, CAST(list_sum(list_transform(
-             string_split_regex(trim(lower(text)), '\s+'),
+             string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+'),
              (x, i) -> i * ascii(x))) AS BIGINT) AS fp
            FROM documents""",
       "v_knn_scores" ->

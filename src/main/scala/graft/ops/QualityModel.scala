@@ -84,9 +84,11 @@ object QualityModel {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
         round(sum(coalesce(col("log_odds"), lit(0.0))), 6).as("nb_logodds"))
-      // the mean divides the ROUNDED sum: an unrounded sum differs across
-      // engines in its last bits (summation order), and round(sum/n, 6)
-      // amplifies that to a visible 1e-6 disagreement at .5 boundaries
-      .withColumn("nb_logodds_mean",
-        round(col("nb_logodds") / col("n_tokens"), 6))
+      // the mean divides the ROUNDED sum and is NOT itself rounded: the
+      // operands are cross-engine identical, so the IEEE quotient is
+      // bit-identical — while round(q, 6) is engine-DEPENDENT at exact .5
+      // boundaries (Spark rounds the exact binary value via BigDecimal
+      // HALF_UP; DuckDB's x*1e6 path can land a hair below — measured
+      // 0.003994 vs 0.003993 at sf0.1)
+      .withColumn("nb_logodds_mean", col("nb_logodds") / col("n_tokens"))
 }

@@ -136,12 +136,13 @@ object TextAnalysis {
     * (idCol, n_bigrams, avg_bigram_logp); documents with fewer than two
     * tokens have no transitions and are absent — gate them on length.
     *
-    * Scale shape: bigrams explode once and partial-aggregate before the
-    * (w1, w2)-keyed count shuffle; predecessor totals and V derive from
-    * the count aggregate inside the plan (V is a 1-row broadcast, like
-    * [[unigramLogProb]]'s total). The scoring join is corpus-bigrams
-    * against bigram-counts — both shuffle on the same (w1, w2) key, so
-    * the exchange is shared, then one (id)-keyed re-aggregate. */
+    * Scale shape: the corpus is tokenized and exploded twice — once into
+    * the count aggregation (partial-aggregated before its (w1, w2)
+    * shuffle) and once as the raw scoring side of the join (the same
+    * two-pass shape as [[unigramLogProb]]; the subplans differ, so the
+    * exchanges cannot be reused). Predecessor totals and V derive from
+    * the count aggregate inside the plan (V is a 1-row broadcast). After
+    * the count join, one (id)-keyed re-aggregate. */
   def bigramLogProb(df: DataFrame, textCol: String, idCol: String,
                     alpha: Double = 0.5): DataFrame = {
     require(alpha > 0, s"alpha must be > 0 (got $alpha)")
@@ -161,8 +162,15 @@ object TextAnalysis {
       .crossJoin(broadcast(vocab))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(log((col("c12") + lit(alpha)) /
-          (col("c1") + lit(alpha) * col("__v")))), 6).as("avg_bigram_logp"))
+        // ROUNDED sum, UNROUNDED mean (cf. QualityModel.nbScore): the sum
+        // must round because summation order differs across engines, and
+        // the mean must NOT because rounding a quotient is itself
+        // engine-dependent at .5 boundaries — dividing two identical
+        // values is bit-deterministic
+        round(sum(log((col("c12") + lit(alpha)) /
+          (col("c1") + lit(alpha) * col("__v")))), 6).as("__s"))
+      .withColumn("avg_bigram_logp", col("__s") / col("n_bigrams"))
+      .drop("__s")
   }
 
   /** Zipf profile: the frequency-of-frequency spectrum of the corpus

@@ -430,8 +430,9 @@ class PipelineOpsSpec extends SparkSpec {
     val out = graft.ops.QualityModel.nbScore(docs, "text", "doc_id", model)
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
-    // 1.203973 - 1.504077 + 0 = -0.300104 over 3 tokens
-    assert(out(1L) === ((3L, -0.300104, -0.100035)), s"got ${out(1L)}")
+    // 1.203973 - 1.504077 + 0 = -0.300104 over 3 tokens; the mean is the
+    // UNROUNDED quotient of the rounded sum
+    assert(out(1L) === ((3L, -0.300104, -0.300104 / 3)), s"got ${out(1L)}")
     assert(!out.contains(2L)) // no tokens -> no evidence -> absent
     assert(out(3L) === ((1L, 1.203973, 1.203973)))
   }
@@ -486,9 +487,9 @@ class PipelineOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     val pAB = math.log(3.5 / 4.0)
     val pBA = math.log(1.5 / 2.0)
-    def r6(x: Double) = math.round(x * 1e6) / 1e6
-    assert(out(1L) === ((3L, r6((2 * pAB + pBA) / 3))), s"got ${out(1L)}")
-    assert(out(2L) === ((1L, r6(pAB))), s"got ${out(2L)}")
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) === ((3L, r6(2 * pAB + pBA) / 3)), s"got ${out(1L)}")
+    assert(out(2L) === ((1L, r6(pAB) / 1)), s"got ${out(2L)}")
     assert(!out.contains(3L)) // one token -> no transitions -> absent
   }
 
