@@ -40,7 +40,20 @@ object Curate {
       // tokens are dropped too — a learned gate has no evidence for them
       // (gate empty docs on length upstream if they should survive).
       nbModel: Option[DataFrame] = None,
-      minNbScore: Double = 0.0)
+      minNbScore: Double = 0.0,
+      // strip HTML/markup from the text BEFORE any gate or dedup sees it
+      // ([[TextAnalysis.stripMarkup]]): web corpora must be judged and
+      // deduplicated on their content, not their boilerplate tags. The
+      // text column is REWRITTEN in the output. Stateless, so the
+      // streaming face shares it.
+      cleanMarkup: Boolean = false)
+
+  /** Stage 0 shared by both faces: optional markup strip, rewriting the
+    * text column in place (stateless, no shuffle). */
+  private def clean(df: DataFrame, textCol: String, cfg: CurateConfig): DataFrame =
+    if (cfg.cleanMarkup)
+      df.withColumn(textCol, TextAnalysis.stripMarkup(col(textCol)))
+    else df
 
   /** Stage 2 shared by both faces: audit columns + quality/language gates
     * (stateless codegen'd column work, no shuffle). ONE definition so the
@@ -63,8 +76,12 @@ object Curate {
 
   def curate(df: DataFrame, textCol: String, idCol: String,
              cfg: CurateConfig = CurateConfig()): DataFrame = {
+    // 0. optional markup strip — dedup and gates must judge content, not
+    // tags (two docs differing only in markup ARE duplicates)
+    val cleaned = clean(df, textCol, cfg)
+
     // 1. exact dedup: deterministic winner (minimum id) per content hash
-    val exact = Dedup.exact(df, Seq(textCol), idCol)
+    val exact = Dedup.exact(cleaned, Seq(textCol), idCol)
 
     // 2. quality + language gates
     val gated0 = gates(exact, textCol, cfg)
@@ -129,7 +146,8 @@ object Curate {
     require(cfg.nbModel.isEmpty,
       "the learned-classifier gate is unsupported in streaming (per-document " +
         "score aggregation pre-sink); score at rest via batch curate()")
-    val hashed = stream.withColumn("__content_hash", xxhash64(col(textCol)))
+    val hashed = clean(stream, textCol, cfg)
+      .withColumn("__content_hash", xxhash64(col(textCol)))
     val gated = gates(hashed, textCol, cfg)
     val deduped = graft.streaming.Streaming.dedupExact(
       gated, Seq("__content_hash"), tsCol, watermark)

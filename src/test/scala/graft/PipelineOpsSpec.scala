@@ -458,6 +458,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(2) === "already clean text")
   }
 
+  test("curate: cleanMarkup dedups on content, not tags") {
+    // same content under different markup IS a duplicate once cleaned;
+    // min-id survivor keeps the cleaned text
+    val corpus = Seq(
+      (1L, "<p>hello world</p>"),
+      (2L, "hello <b>world</b>"),
+      (3L, "different content")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Curate.curate(corpus, "text", "doc_id",
+        graft.ops.Curate.CurateConfig(cleanMarkup = true))
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "hello world", 3L -> "different content"),
+      s"got $out")
+  }
+
   test("curate: learned NB gate drops low-scoring docs; streaming face refuses the model") {
     val seed = Seq(("good clean prose text", 1), ("spam spam junk spam", 0))
       .toDF("text", "label")
