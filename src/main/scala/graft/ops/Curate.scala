@@ -41,6 +41,13 @@ object Curate {
       // (gate empty docs on length upstream if they should survive).
       nbModel: Option[DataFrame] = None,
       minNbScore: Double = 0.0,
+      // FROZEN learned gate (works in BOTH faces): a
+      // [[QualityModel.freeze]]d weights map, scored per row with a
+      // stateless fold ([[QualityModel.nbScoreColumn]]) — the
+      // train-batch / score-stream shape every production pipeline uses.
+      // Same threshold (minNbScore) and same no-tokens-drop contract as
+      // the frame-based gate; mutually exclusive with nbModel.
+      nbModelFrozen: Option[Map[String, Double]] = None,
       // strip HTML/markup from the text BEFORE any gate or dedup sees it
       // ([[TextAnalysis.stripMarkup]]): web corpora must be judged and
       // deduplicated on their content, not their boilerplate tags. The
@@ -56,16 +63,28 @@ object Curate {
     else df
 
   /** Stage 2 shared by both faces: audit columns + quality/language gates
-    * (stateless codegen'd column work, no shuffle). ONE definition so the
-    * streaming pipeline provably gates exactly like batch. */
+    * (stateless codegen'd column work, no shuffle), plus the FROZEN
+    * learned gate when configured (also stateless — a per-row fold over
+    * a model-map literal). ONE definition so the streaming pipeline
+    * provably gates exactly like batch. */
   private def gates(df: DataFrame, textCol: String, cfg: CurateConfig): DataFrame = {
+    require(cfg.nbModel.isEmpty || cfg.nbModelFrozen.isEmpty,
+      "configure nbModel (frame join) or nbModelFrozen (per-row fold), not both")
     val audited = df
       .withColumn("__quality", TextAnalysis.qualityScore(col(textCol)))
       .withColumn("__lang", TextAnalysis.langId(col(textCol)))
     val gated0 = if (cfg.minQuality > 0)
       audited.where(col("__quality") >= cfg.minQuality) else audited
-    if (cfg.langs.nonEmpty)
+    val gated1 = if (cfg.langs.nonEmpty)
       gated0.where(col("__lang").isin(cfg.langs.toSeq: _*)) else gated0
+    cfg.nbModelFrozen match {
+      case Some(m) =>
+        gated1.withColumn("__nb_score",
+            QualityModel.nbScoreColumn(m, col(textCol)))
+          .where(coalesce(col("__nb_score"), lit(Double.MinValue)) >=
+            cfg.minNbScore)
+      case None => gated1
+    }
   }
 
   /** Stage 4 shared by both faces. */
@@ -144,8 +163,9 @@ object Curate {
       "near-dup removal is unsupported in streaming (corpus-global LSH buckets); " +
         "set nearDupThreshold=0 and run batch curate() as periodic compaction")
     require(cfg.nbModel.isEmpty,
-      "the learned-classifier gate is unsupported in streaming (per-document " +
-        "score aggregation pre-sink); score at rest via batch curate()")
+      "the frame-based learned gate is unsupported in streaming (its score " +
+        "join aggregates pre-sink); freeze the model instead: " +
+        "nbModelFrozen = Some(QualityModel.freeze(model)) scores per row")
     val hashed = clean(stream, textCol, cfg)
       .withColumn("__content_hash", xxhash64(col(textCol)))
     val gated = gates(hashed, textCol, cfg)

@@ -458,6 +458,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(2) === "already clean text")
   }
 
+  test("nbScoreColumn: per-row fold equals the frame-based nbScore mean") {
+    val seed = Seq(("good clean prose text", 1), ("spam spam junk spam", 0))
+      .toDF("text", "label")
+    val model = graft.ops.QualityModel.nbTrain(seed, "text", "label")
+    val frozen = graft.ops.QualityModel.freeze(model)
+    val corpus = Seq((1L, "good spam unknown"), (2L, "   "), (3L, "prose"))
+      .toDF("doc_id", "text")
+    val frameMeans = graft.ops.QualityModel
+      .nbScore(corpus, "text", "doc_id", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val colMeans = corpus.select(col("doc_id"),
+        graft.ops.QualityModel.nbScoreColumn(frozen, col("text")).as("m"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(colMeans(1L) === Some(frameMeans(1L)))
+    assert(colMeans(3L) === Some(frameMeans(3L)))
+    assert(colMeans(2L) === None)       // no tokens -> null, frame omits
+    assert(!frameMeans.contains(2L))
+    // the frozen gate drops the spam doc in BOTH curate faces
+    val cfg = graft.ops.Curate.CurateConfig(
+      nbModelFrozen = Some(frozen), minNbScore = 0.0)
+    val spamCorpus = Seq((1L, "good clean prose"), (2L, "spam junk spam"))
+      .toDF("doc_id", "text")
+    val kept = graft.ops.Curate.curate(spamCorpus, "text", "doc_id", cfg)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L), s"got $kept")
+    // both-model config is rejected
+    intercept[IllegalArgumentException] {
+      graft.ops.Curate.curate(spamCorpus, "text", "doc_id",
+        cfg.copy(nbModel = Some(model))).collect()
+    }
+  }
+
   test("curate: cleanMarkup dedups on content, not tags") {
     // same content under different markup IS a duplicate once cleaned;
     // min-id survivor keeps the cleaned text

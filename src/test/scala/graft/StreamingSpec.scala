@@ -339,6 +339,25 @@ class StreamingSpec extends SparkSpec {
       graft.ops.Curate.curateStream(stream, "text", "doc_id", "ts",
         cfg = graft.ops.Curate.CurateConfig(nearDupThreshold = 0.5))
     }
+    // the FROZEN learned gate runs in the stream (train batch, score
+    // stream): doc 3's "!!!" is out-of-vocabulary (score 0.0), so a
+    // strictly positive threshold gates it while the seed-positive text
+    // scores well above; the duplicate then falls to watermark dedup
+    val seed = Seq((good, 1), ("spam spam junk spam", 0)).toDF("text", "label")
+    val frozen = graft.ops.QualityModel.freeze(
+      graft.ops.QualityModel.nbTrain(seed, "text", "label"))
+    val out2 = graft.ops.Curate.curateStream(
+      spark.readStream.schema("doc_id bigint, text string, ts timestamp")
+        .parquet(in),
+      "text", "doc_id", "ts",
+      cfg = graft.ops.Curate.CurateConfig(
+        nbModelFrozen = Some(frozen), minNbScore = 0.001))
+    val q2 = out2.writeStream.outputMode("append").format("memory")
+      .queryName("scurate_nb").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    val ids2 = spark.table("scurate_nb").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids2 === Set(1L), s"got $ids2") // dup deduped, OOV doc gated out
   }
 
   test("readStream dispatches on the dataset format (csv.gz source)") {
