@@ -452,3 +452,67 @@ case class ByteDimSums(child: Expression, dims: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): ByteDimSums =
     copy(child = newChild)
 }
+
+/** Mean NB log-odds of a document under a FROZEN weights map — the
+  * codegen'd form of scoring a row against a trained
+  * [[graft.ops.QualityModel]] (tokenize with the same lower/trim/
+  * whitespace-split operators as [[WordShingles]], add each token's
+  * weight with an O(1) hash lookup, OOV = 0, round the sum to 6 places
+  * exactly as Spark's `round`, divide by the token count; NULL for a
+  * token-less document). The map-literal `element_at` form is a LINEAR
+  * scan of the whole vocabulary per token and pays one interpreted
+  * lambda call per array element — this is one tight loop per row. */
+case class NbMeanLogOdds(child: Expression, model: Map[String, Double])
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "nb_mean_log_odds"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType || child.dataType == NullType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${child.dataType.simpleString}")
+
+  @transient private lazy val table: java.util.HashMap[String, java.lang.Double] = {
+    val t = new java.util.HashMap[String, java.lang.Double](model.size * 2)
+    model.foreach { case (k, v) => t.put(k, java.lang.Double.valueOf(v)) }
+    t
+  }
+
+  def compute(s: UTF8String): java.lang.Double = {
+    val toks = s.toLowerCase.trim.toString.split("\\s+", -1)
+    var n = 0
+    var sum = 0.0
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.nonEmpty) {
+        n += 1
+        val w = table.get(t)
+        if (w != null) sum += w.doubleValue()
+      }
+      i += 1
+    }
+    if (n == 0) null
+    // java BigDecimal.valueOf + HALF_UP: bit-equal to Spark's round(x, 6)
+    else java.lang.Double.valueOf(
+      java.math.BigDecimal.valueOf(sum)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() / n)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nbScorer", this, classOf[NbMeanLogOdds].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Double ${ev.value}_r = $ref.compute($c);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NbMeanLogOdds =
+    copy(child = newChild)
+}

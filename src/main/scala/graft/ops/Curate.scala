@@ -42,11 +42,14 @@ object Curate {
       nbModel: Option[DataFrame] = None,
       minNbScore: Double = 0.0,
       // FROZEN learned gate (works in BOTH faces): a
-      // [[QualityModel.freeze]]d weights map, scored per row with a
-      // stateless fold ([[QualityModel.nbScoreColumn]]) — the
+      // [[QualityModel.freeze]]d weights map, scored per row by a
+      // codegen'd expression ([[QualityModel.nbScoreColumn]]) — the
       // train-batch / score-stream shape every production pipeline uses.
       // Same threshold (minNbScore) and same no-tokens-drop contract as
-      // the frame-based gate; mutually exclusive with nbModel.
+      // the frame-based gate, with one stated divergence: this face
+      // scores each ROW on its own tokens, while the frame face pools
+      // tokens per id — on a corpus with duplicate ids the two can admit
+      // differently. Mutually exclusive with nbModel.
       nbModelFrozen: Option[Map[String, Double]] = None,
       // strip HTML/markup from the text BEFORE any gate or dedup sees it
       // ([[TextAnalysis.stripMarkup]]): web corpora must be judged and

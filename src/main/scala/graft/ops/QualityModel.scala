@@ -76,31 +76,6 @@ object QualityModel {
     * quality-shaped, not merely long). Documents with no tokens are
     * absent from the output (they have no evidence either way — gate
     * them on length, not on a fabricated neutral score). */
-  /** Collect a [[nbTrain]] weights frame into a driver-side map — the
-    * FROZEN form of the model, for per-row scoring where a join is
-    * impossible (streams) or wasteful (a handful of rows). Bounded by
-    * construction: the model is `minCount`-cut, the same bound that made
-    * it broadcastable. */
-  def freeze(model: DataFrame): Map[String, Double] =
-    model.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-
-  /** Per-ROW mean NB log-odds under a frozen model — [[nbScore]] as a
-    * single stateless column expression (map literal + one fold over the
-    * row's own tokens), so it composes into STREAMING queries where the
-    * join+re-aggregate face cannot run pre-sink. NULL when the document
-    * has no tokens (no evidence — same contract as [[nbScore]] omitting
-    * the row). Produces exactly [[nbScore]]'s `nb_logodds_mean`: the fold
-    * adds the same rounded weights left to right in token order, and the
-    * final division is plain IEEE. */
-  def nbScoreColumn(model: Map[String, Double], text: Column): Column = {
-    val m = typedLit(model)
-    val toks = filter(split(trim(lower(text)), "\\s+"),
-      t => length(t) > 0)
-    val s = aggregate(toks, lit(0.0),
-      (acc, t) => acc + coalesce(element_at(m, t), lit(0.0)))
-    when(size(toks) > 0, round(s, 6) / size(toks))
-  }
-
   def nbScore(df: DataFrame, textCol: String, idCol: String,
               model: DataFrame): DataFrame =
     df.select(col(idCol), explode(toks(col(textCol))).as("token"))
@@ -116,4 +91,28 @@ object QualityModel {
       // HALF_UP; DuckDB's x*1e6 path can land a hair below — measured
       // 0.003994 vs 0.003993 at sf0.1)
       .withColumn("nb_logodds_mean", col("nb_logodds") / col("n_tokens"))
+
+  /** Collect a [[nbTrain]] weights frame into a driver-side map — the
+    * FROZEN form of the model, for per-row scoring where a join is
+    * impossible (streams) or wasteful (a handful of rows). Bounded by
+    * construction: the model is `minCount`-cut, the same bound that made
+    * it broadcastable. */
+  def freeze(model: DataFrame): Map[String, Double] =
+    model.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  /** Per-ROW mean NB log-odds under a frozen model — [[nbScore]]'s
+    * `nb_logodds_mean` as ONE stateless codegen'd column expression
+    * ([[graft.functions.NbMeanLogOdds]]: tight loop, O(1) hash lookup
+    * per token), so it composes into STREAMING queries where the
+    * join+re-aggregate face cannot run pre-sink. NULL when the document
+    * has no tokens (no evidence — the frame face omits such rows).
+    * Matches [[nbScore]] exactly when a document's exploded tokens
+    * aggregate in encounter order (the normal case — a spill-induced
+    * reorder could flip the rounded sum's last digit; each row here is
+    * deterministic left-to-right). Scores each ROW independently: on a
+    * corpus with duplicate ids the frame face pools all the id's tokens
+    * into one decision, this face decides per row. */
+  def nbScoreColumn(model: Map[String, Double], text: Column): Column =
+    graft.functions.expressions.asColumn(graft.functions.NbMeanLogOdds(
+      graft.functions.expressions.exprOf(text), model))
 }

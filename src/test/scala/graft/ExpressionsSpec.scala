@@ -177,4 +177,29 @@ class ExpressionsSpec extends SparkSpec {
     // null text -> null array (UnaryExpression null propagation)
     assert(df.select(Dedup.shingles(lit(null).cast("string"), 3)).head.isNullAt(0))
   }
+
+  test("NbMeanLogOdds matches the HOF map-literal fold on randomized texts") {
+    import spark.implicits._
+    val model = Map("the" -> 0.5, "fox" -> -1.25, "dog" -> 2.0,
+      "über" -> 0.75, "42" -> -0.125)
+    def hofMean(text: org.apache.spark.sql.Column) = {
+      val m = typedLit(model)
+      val toks = filter(split(trim(lower(text)), "\\s+"), t => length(t) > 0)
+      val s = aggregate(toks, lit(0.0),
+        (acc, t) => acc + coalesce(element_at(m, t), lit(0.0)))
+      when(size(toks) > 0, round(s, 6) / size(toks))
+    }
+    val texts = (0 until 200).map(_ => randomText()) ++
+      Seq("", "   ", "the fox DOG", "unknown words only")
+    val df = texts.toDF("text").cache()
+    val got = df.select(graft.ops.QualityModel
+      .nbScoreColumn(model, col("text")).as("m")).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    val want = df.select(hofMean(col("text")).as("m")).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got.toSeq === want.toSeq)
+    // null text -> null score
+    assert(df.select(graft.ops.QualityModel
+      .nbScoreColumn(model, lit(null).cast("string"))).head.isNullAt(0))
+  }
 }

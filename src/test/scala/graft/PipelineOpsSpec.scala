@@ -524,7 +524,7 @@ class PipelineOpsSpec extends SparkSpec {
     val ex = intercept[IllegalArgumentException] {
       graft.ops.Curate.curateStream(corpus, "text", "doc_id", "ts", cfg = cfg)
     }
-    assert(ex.getMessage.contains("learned-classifier gate"), ex.getMessage)
+    assert(ex.getMessage.contains("frame-based learned gate"), ex.getMessage)
   }
 
   test("bigramLogProb: hand-computed smoothed transition probs; short docs absent") {
