@@ -571,6 +571,22 @@ object SparkEntry {
           col("view_event_id"), col("view_value"))
     }),
 
+    // --- backward as-of WITH tolerance (merge_asof's knob): a view older
+    // than 6h before the purchase no longer qualifies — the match nulls
+    // out, it does NOT fall back to an even older view
+    "j_asof_tolerance" -> ((s, dir) => {
+      val ev = rd(s, dir, "events")
+      val p = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val v = ev.where(col("event_type") === "view")
+        .select("user_id", "ts", "event_id", "value")
+      AsofJoin.backward(p, v, Seq("user_id"), "ts", "ts",
+          Seq("event_id", "value"), "view_",
+          tolerance = Some(lit(6L * 3600 * 1000 * 1000 * 1000)))
+        .select(col("event_id"), col("user_id"),
+          col("view_event_id"), col("view_value"))
+    }),
+
     // --- forward as-of: each purchase matched to the user's NEXT view
     "j_asof_forward" -> ((s, dir) => {
       val ev = rd(s, dir, "events")
@@ -674,6 +690,12 @@ object SparkEntry {
     // SQL-expressible analogue of external-LM perplexity filtering)
     "t_bigram_logprob" -> ((s, dir) =>
       TextAnalysis.bigramLogProb(rd(s, dir, "documents"), "text", "doc_id")),
+
+    // --- sentence-boundary chunking (the third chunking face: semantic
+    // units packed to a 200-char budget, sentences never split)
+    "t_sentence_chunks" -> ((s, dir) =>
+      graft.ops.Chunking.sentenceChunks(rd(s, dir, "documents"), "text",
+        "doc_id", budgetChars = 200)),
 
     // --- learned quality classifier (CCNet / GPT-3 style): Naive-Bayes
     // token log-odds trained from a language-labeled seed in ONE
@@ -1165,6 +1187,21 @@ object SparkEntry {
              v.value AS view_value
            FROM p ASOF LEFT JOIN v
              ON p.user_id = v.user_id AND p.ts >= v.ts""",
+      // tolerance face: ASOF JOIN finds the greatest view <= purchase, the
+      // CASE nulls it when it is farther than 6h (ns) — merge_asof
+      // semantics (no fallback to an older in-range row)
+      "j_asof_tolerance" ->
+        """WITH p AS (SELECT event_id, user_id, ts FROM events
+             WHERE event_type = 'purchase'),
+           v AS (SELECT user_id, ts, event_id, value FROM events
+             WHERE event_type = 'view')
+           SELECT p.event_id, p.user_id,
+             CASE WHEN p.ts - v.ts <= INTERVAL 6 HOUR THEN v.event_id END
+               AS view_event_id,
+             CASE WHEN p.ts - v.ts <= INTERVAL 6 HOUR THEN v.value END
+               AS view_value
+           FROM p ASOF LEFT JOIN v
+             ON p.user_id = v.user_id AND p.ts >= v.ts""",
       "j_asof_forward" ->
         """WITH p AS (SELECT event_id, user_id, ts FROM events
              WHERE event_type = 'purchase'),
@@ -1301,6 +1338,29 @@ object SparkEntry {
                round(sum(ln((c12 + 0.5) / (c1 + 0.5 * vv))), 6) AS s
              FROM big JOIN counts USING (w1, w2) JOIN pred USING (w1), v
              GROUP BY doc_id)""",
+      // sentence chunking: sentinel-marked boundaries (RE2 has no
+      // lookbehind), running char budget, floor(before/budget) coordinates
+      "t_sentence_chunks" ->
+        """WITH sents AS (
+             SELECT doc_id, u.i - 1 AS sent_idx, u.s AS sentence FROM (
+               SELECT doc_id, unnest(list_transform(
+                 string_split(regexp_replace(text,
+                   '([.!?])[ \t\n\x0B\f\r]+', '\1' || chr(1), 'g'), chr(1)),
+                 (x, i) -> {'i': i, 's': x})) AS u
+               FROM documents)
+             WHERE len(u.s) > 0),
+           cum AS (
+             SELECT doc_id, sent_idx, sentence,
+               coalesce(sum(length(sentence) + 1) OVER (
+                 PARTITION BY doc_id ORDER BY sent_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS brf
+             FROM sents)
+           SELECT doc_id,
+             CAST(floor(brf / CAST(200 AS DOUBLE)) AS BIGINT) AS chunk_idx,
+             string_agg(sentence, ' ' ORDER BY sent_idx) AS chunk_text,
+             CAST(count(*) AS BIGINT) AS n_sentences,
+             CAST(sum(length(sentence)) AS BIGINT) AS n_chars
+           FROM cum GROUP BY doc_id, chunk_idx""",
       // NB classifier: the y CASE mirrors Spark's null semantics exactly
       // ((lang === 'en').cast(int) is NULL for a NULL lang, and nbTrain
       // drops null-label rows)

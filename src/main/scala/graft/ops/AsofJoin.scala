@@ -33,38 +33,54 @@ object AsofJoin {
     *                  `prefix + name`); right rows should be unique per
     *                  (keys, rightTime) or the latest-by-sort-order payload
     *                  wins arbitrarily among equal timestamps.
+    * @param tolerance pandas merge_asof's knob: a match farther than this
+    *                  from the left time (leftTime - matchedRightTime for
+    *                  backward) is nulled out, NOT replaced by an older
+    *                  in-range row — exactly merge_asof semantics. Express
+    *                  it in the time column's own arithmetic (a numeric
+    *                  literal for epoch/nano longs, an INTERVAL literal
+    *                  for timestamps). The plan is unchanged: the filter
+    *                  is a stateless projection over the one-shuffle
+    *                  union-tag match.
     */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String,
-               rightCols: Seq[String], prefix: String = "asof_"): DataFrame =
+               rightCols: Seq[String], prefix: String = "asof_",
+               tolerance: Option[Column] = None): DataFrame =
     // ascending time; right (side 0) sorts before left at equal timestamps,
     // so a right row at exactly leftTime is visible (the `<=` contract).
     // Nulls-first is the asc default: a null-time left row sorts ahead of
     // every right row and sees no payload
     asof(left, right, keys, leftTime, rightTime, rightCols, prefix,
-      t => Seq(t.asc_nulls_first))
+      t => Seq(t.asc_nulls_first), tolerance, (lt, rt) => lt - rt)
 
   /** Forward as-of join: smallest `rightTime >= leftTime` per key. Same
     * linear union-tag plan with the sort order reversed. */
   def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
               leftTime: String, rightTime: String,
-              rightCols: Seq[String], prefix: String = "asof_"): DataFrame =
+              rightCols: Seq[String], prefix: String = "asof_",
+              tolerance: Option[Column] = None): DataFrame =
     // descending time: the "latest right seen so far" becomes the EARLIEST
     // right at-or-after the left row; right still sorts first at equal t.
     // desc_nulls_first keeps a null-time LEFT row ahead of every right row
     // (desc default is nulls LAST, which would hand it the earliest match)
     asof(left, right, keys, leftTime, rightTime, rightCols, prefix,
-      t => Seq(t.desc_nulls_first))
+      t => Seq(t.desc_nulls_first), tolerance, (lt, rt) => rt - lt)
 
   private def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
                    leftTime: String, rightTime: String,
                    rightCols: Seq[String], prefix: String,
-                   timeOrder: Column => Seq[Column]): DataFrame = {
+                   timeOrder: Column => Seq[Column],
+                   tolerance: Option[Column],
+                   distance: (Column, Column) => Column): DataFrame = {
     require(keys.nonEmpty, "as-of join requires at least one equality key")
     require(rightCols.nonEmpty, "rightCols must name at least one column")
+    require(!rightCols.contains("__rt"), "rightCols must not use the reserved name __rt")
     val leftCols = left.columns.toSeq
+    // the matched right TIME rides inside the payload struct so tolerance
+    // can measure the match distance after the window pass
     val payloadType = org.apache.spark.sql.types.StructType(
-      right.select(rightCols.map(col): _*).schema.fields)
+      right.select(rightCols.map(col) :+ col(rightTime).as("__rt"): _*).schema.fields)
     val leftRowType = org.apache.spark.sql.types.StructType(left.schema.fields)
     // JOIN null semantics, not window semantics: a right row with a null
     // key or null time can never match (equality/inequality with null is
@@ -78,7 +94,7 @@ object AsofJoin {
     val rightSide = matchableRight.select(
       keys.map(col) ++ Seq(
         col(rightTime).as("__t"), lit(0).as("__side"),
-        struct(rightCols.map(col): _*).as("__rp"),
+        struct(rightCols.map(col) :+ col(rightTime).as("__rt"): _*).as("__rp"),
         lit(null).cast(leftRowType).as("__lp")): _*)
     val leftSide = left.select(
       keys.map(col) ++ Seq(
@@ -88,10 +104,19 @@ object AsofJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(timeOrder(col("__t")) :+ col("__side"): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inRange = tolerance match {
+      case Some(tol) =>
+        distance(col("__t"), col("__match").getField("__rt")) <= tol
+      case None => lit(true)
+    }
     rightSide.unionByName(leftSide)
       .withColumn("__match", last(col("__rp"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
+      // out-of-tolerance match: payload nulls out (merge_asof does NOT
+      // fall back to an older in-range row); a null match leaves inRange
+      // null, and when(null, x) is null — same result either way
       .select(leftCols.map(c => col("__lp").getField(c).as(c)) ++
-        rightCols.map(c => col("__match").getField(c).as(prefix + c)): _*)
+        rightCols.map(c =>
+          when(inRange, col("__match").getField(c)).as(prefix + c)): _*)
   }
 }

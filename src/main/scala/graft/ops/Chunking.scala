@@ -105,4 +105,46 @@ object Chunking {
         col("__text").substr(col("__i") * stride + 1, lit(window))
           .as("chunk_text"))
   }
+
+  /** Sentence-boundary chunking — the third chunking face: token and char
+    * windows cut mid-sentence, but retrieval/eval pipelines want semantic
+    * units. A sentence ends at `[.!?]+` followed by whitespace (a
+    * portable approximation; no abbreviation dictionary). Consecutive
+    * sentences pack into chunks by cumulative character budget with the
+    * SAME `floor(before / budget)` coordinates as
+    * [[packSequences]] — sentences are never split, a
+    * sentence longer than the budget forms its own chunk, and a chunk may
+    * overrun by the sentence that crosses the boundary (the documented
+    * concat-and-cut trade). Returns (idCol, chunk_idx, chunk_text,
+    * n_sentences, n_chars); documents with no sentences yield no rows
+    * (like [[tokenChunks]]).
+    *
+    * The boundary is marked by a backreference REPLACEMENT and a sentinel
+    * split, not a lookbehind — RE2 engines (the SQL oracle) have no
+    * lookbehind, and this formulation is identical under both. Scale:
+    * the sentinel pass is stateless scan work; the running length and
+    * the chunk grouping share ONE (id)-keyed shuffle. */
+  def sentenceChunks(df: DataFrame, textCol: String, idCol: String,
+                     budgetChars: Int): DataFrame = {
+    require(budgetChars >= 1, s"budgetChars must be >= 1 (got $budgetChars)")
+    val marked = regexp_replace(col(textCol), "([.!?])\\s+", "$1\u0001")
+    val sents = df.select(col(idCol),
+        posexplode(split(marked, "\u0001")).as(Seq("sent_idx", "sentence")))
+      .where(length(col("sentence")) > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("sent_idx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    sents
+      .withColumn("__before",
+        coalesce(sum(length(col("sentence")) + 1).over(w), lit(0L)))
+      .withColumn("chunk_idx",
+        floor(col("__before") / lit(budgetChars)))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("sent_idx"), col("sentence")))),
+          x => x.getField("sentence"))).as("chunk_text"),
+        count(lit(1)).as("n_sentences"),
+        sum(length(col("sentence")).cast("long")).as("n_chars"))
+  }
 }

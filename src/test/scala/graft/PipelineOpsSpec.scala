@@ -39,6 +39,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(("k3", 5L)) === None)       // key has no right rows at all
   }
 
+  test("asof tolerance: out-of-range match nulls, never falls back to older rows") {
+    val out = AsofJoin.backward(trades, quotes, Seq("key"), "t", "t",
+        Seq("px"), "q_", tolerance = Some(lit(5L)))
+      .collect().map(r => r.getLong(2) ->
+        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(out(1L) === Some(2.0))  // t=10 vs quote t=10: distance 0
+    assert(out(2L) === None)       // t=20 vs quote t=10: distance 10 > 5 —
+                                   // and NOT the t=5 quote either
+    assert(out(3L) === Some(3.0))  // t=30 vs quote t=25: distance 5 == tol
+    assert(out(5L) === None)       // still no right rows at all
+    // forward face: trade t=20 matches quote t=25 at distance 5
+    val f = AsofJoin.forward(trades, quotes, Seq("key"), "t", "t",
+        Seq("px"), "q_", tolerance = Some(lit(4L)))
+      .collect().map(r => r.getLong(2) ->
+        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(f(2L) === None)         // distance 5 > 4
+    assert(f(1L) === Some(2.0))    // exact tie, distance 0
+  }
+
   test("asof backward keeps every left row exactly once") {
     val out = AsofJoin.backward(trades, quotes, Seq("key"), "t", "t", Seq("px"))
     assert(out.count() === trades.count())
@@ -118,6 +137,22 @@ class PipelineOpsSpec extends SparkSpec {
     val out = Chunking.charChunks(df, "text", "id", window = 4, stride = 3)
       .orderBy("chunk_idx").collect().map(_.getAs[String]("chunk_text")).toSeq
     assert(out === Seq("abcd", "defg", "ghij", "j"))
+  }
+
+  test("sentenceChunks: budget coordinates, sentences never split, empty docs absent") {
+    val df = Seq(
+      (1L, "One two. Three four! Five? Six seven."),
+      (2L, "")
+    ).toDF("doc_id", "text")
+    // sentences (lens): "One two."(8) "Three four!"(11) "Five?"(5)
+    // "Six seven."(10); before = 0, 9, 21, 27; floor(before/12) = 0,0,1,2
+    val out = Chunking.sentenceChunks(df, "text", "doc_id", budgetChars = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out === Map(
+      (1L, 0L) -> (("One two. Three four!", 2L, 19L)),
+      (1L, 1L) -> (("Five?", 1L, 5L)),
+      (1L, 2L) -> (("Six seven.", 1L, 10L))), s"got $out")
   }
 
   test("tokenChunks rejects stride > window (tokens would be dropped)") {
