@@ -1196,10 +1196,10 @@ object SparkEntry {
            v AS (SELECT user_id, ts, event_id, value FROM events
              WHERE event_type = 'view')
            SELECT p.event_id, p.user_id,
-             CASE WHEN p.ts - v.ts <= INTERVAL 6 HOUR THEN v.event_id END
-               AS view_event_id,
-             CASE WHEN p.ts - v.ts <= INTERVAL 6 HOUR THEN v.value END
-               AS view_value
+             CASE WHEN epoch_ns(p.ts) - epoch_ns(v.ts) <= 21600000000000
+               THEN v.event_id END AS view_event_id,
+             CASE WHEN epoch_ns(p.ts) - epoch_ns(v.ts) <= 21600000000000
+               THEN v.value END AS view_value
            FROM p ASOF LEFT JOIN v
              ON p.user_id = v.user_id AND p.ts >= v.ts""",
       "j_asof_forward" ->
@@ -1344,11 +1344,11 @@ object SparkEntry {
         """WITH sents AS (
              SELECT doc_id, u.i - 1 AS sent_idx, u.s AS sentence FROM (
                SELECT doc_id, unnest(list_transform(
-                 string_split(regexp_replace(text,
+                 string_split(regexp_replace(replace(text, chr(1), ''),
                    '([.!?])[ \t\n\x0B\f\r]+', '\1' || chr(1), 'g'), chr(1)),
                  (x, i) -> {'i': i, 's': x})) AS u
                FROM documents)
-             WHERE len(u.s) > 0),
+             WHERE len(trim(u.s)) > 0),
            cum AS (
              SELECT doc_id, sent_idx, sentence,
                coalesce(sum(length(sentence) + 1) OVER (

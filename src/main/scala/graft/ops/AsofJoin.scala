@@ -75,12 +75,18 @@ object AsofJoin {
                    distance: (Column, Column) => Column): DataFrame = {
     require(keys.nonEmpty, "as-of join requires at least one equality key")
     require(rightCols.nonEmpty, "rightCols must name at least one column")
-    require(!rightCols.contains("__rt"), "rightCols must not use the reserved name __rt")
+    require(tolerance.isEmpty || !rightCols.contains("__rt"),
+      "rightCols must not use the reserved name __rt when tolerance is set")
     val leftCols = left.columns.toSeq
-    // the matched right TIME rides inside the payload struct so tolerance
-    // can measure the match distance after the window pass
+    // with tolerance, the matched right TIME rides inside the payload
+    // struct so the match distance is measurable after the window pass;
+    // without it the duplicate copy would be pure extra shuffle bytes
+    val payloadCols = tolerance match {
+      case Some(_) => rightCols.map(col) :+ col(rightTime).as("__rt")
+      case None => rightCols.map(col)
+    }
     val payloadType = org.apache.spark.sql.types.StructType(
-      right.select(rightCols.map(col) :+ col(rightTime).as("__rt"): _*).schema.fields)
+      right.select(payloadCols: _*).schema.fields)
     val leftRowType = org.apache.spark.sql.types.StructType(left.schema.fields)
     // JOIN null semantics, not window semantics: a right row with a null
     // key or null time can never match (equality/inequality with null is
@@ -94,7 +100,7 @@ object AsofJoin {
     val rightSide = matchableRight.select(
       keys.map(col) ++ Seq(
         col(rightTime).as("__t"), lit(0).as("__side"),
-        struct(rightCols.map(col) :+ col(rightTime).as("__rt"): _*).as("__rp"),
+        struct(payloadCols: _*).as("__rp"),
         lit(null).cast(leftRowType).as("__lp")): _*)
     val leftSide = left.select(
       keys.map(col) ++ Seq(

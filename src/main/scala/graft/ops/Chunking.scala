@@ -127,10 +127,16 @@ object Chunking {
   def sentenceChunks(df: DataFrame, textCol: String, idCol: String,
                      budgetChars: Int): DataFrame = {
     require(budgetChars >= 1, s"budgetChars must be >= 1 (got $budgetChars)")
-    val marked = regexp_replace(col(textCol), "([.!?])\\s+", "$1\u0001")
+    // pre-existing U+0001 is stripped first (the sentinel is RESERVED —
+    // a stray C0 control char in scraped text must not become a phantom
+    // boundary); whitespace-only "sentences" are dropped like tokenChunks
+    // drops whitespace-only docs
+    val marked = regexp_replace(
+      regexp_replace(col(textCol), "\u0001", ""),
+      "([.!?])\\s+", "$1\u0001")
     val sents = df.select(col(idCol),
         posexplode(split(marked, "\u0001")).as(Seq("sent_idx", "sentence")))
-      .where(length(col("sentence")) > 0)
+      .where(length(trim(col("sentence"))) > 0)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("sent_idx"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)

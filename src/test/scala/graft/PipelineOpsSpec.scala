@@ -153,6 +153,12 @@ class PipelineOpsSpec extends SparkSpec {
       (1L, 0L) -> (("One two. Three four!", 2L, 19L)),
       (1L, 1L) -> (("Five?", 1L, 5L)),
       (1L, 2L) -> (("Six seven.", 1L, 10L))), s"got $out")
+    // whitespace-only docs yield NO phantom chunk; a stray U+0001 in the
+    // input is stripped, never a boundary
+    val edge = Seq((3L, "   "), (4L, "A\u0001B. C d.")).toDF("doc_id", "text")
+    val eout = Chunking.sentenceChunks(edge, "text", "doc_id", 200)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(eout === Map(4L -> "AB. C d."), s"got $eout")
   }
 
   test("tokenChunks rejects stride > window (tokens would be dropped)") {
