@@ -769,6 +769,17 @@ object SparkEntry {
           n = 5)
         .withColumnRenamed("id", "doc_id")),
 
+    // --- SURGICAL decontamination: cut only the benchmark-overlapping
+    // spans (src0 plays the benchmark), not the whole document
+    "t_redact_contam" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      Dedup.redactContaminatedSpans(
+          docs.where(col("source") =!= "src0"),
+          docs.where(col("source") === "src0"),
+          "text", "doc_id", n = 5)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // --- deterministic portable global shuffle + sharding (training order:
     // md5-keyed permutation any engine reproduces row for row)
     "u_shuffle_shards" -> ((s, dir) =>
@@ -1529,6 +1540,52 @@ object SparkEntry {
              coalesce(string_agg(CASE WHEN NOT cut THEN token END, ' '
                ORDER BY pos), '') AS text_clean
            FROM surv GROUP BY id""",
+      // surgical decontamination: same coverage machinery, flags from a
+      // benchmark (src0) window set instead of keep-first ranking
+      "t_redact_contam" ->
+        """WITH base AS (
+             SELECT doc_id AS id, string_split_regex(trim(lower(coalesce(text, ''))), '[ \t\n\x0B\f\r]+') AS t
+             FROM documents WHERE source <> 'src0'),
+           toks AS (
+             SELECT id, u.pos, u.token FROM (
+               SELECT id, unnest(list_transform(t,
+                 (x, i) -> {'pos': i - 1, 'token': x})) AS u
+               FROM base)),
+           wins AS (
+             SELECT id, u.wpos, u.g FROM (
+               SELECT id, unnest(list_transform(range(1, len(t) - 3),
+                 i -> {'wpos': i - 1, 'g': array_to_string(t[i : i + 4], ' ')})) AS u
+               FROM base WHERE len(t) >= 5)),
+           bwins AS (
+             SELECT DISTINCT u.g AS g FROM (
+               SELECT unnest(list_transform(range(1, len(t) - 3),
+                 i -> {'wpos': i - 1, 'g': array_to_string(t[i : i + 4], ' ')})) AS u
+               FROM (SELECT string_split_regex(trim(lower(coalesce(text, ''))), '[ \t\n\x0B\f\r]+') AS t
+                     FROM documents WHERE source = 'src0')
+               WHERE len(t) >= 5)),
+           flags AS (
+             SELECT id, wpos FROM wins WHERE g IN (SELECT g FROM bwins)),
+           tagged AS (
+             SELECT id, pos, token, CAST(NULL AS BIGINT) AS dstart FROM toks
+             UNION ALL
+             SELECT id, wpos AS pos, NULL AS token, CAST(wpos AS BIGINT) AS dstart
+             FROM flags),
+           m AS (
+             SELECT id, pos, token,
+               max(dstart) OVER (PARTITION BY id
+                 ORDER BY pos ASC, dstart ASC NULLS LAST
+                 ROWS UNBOUNDED PRECEDING) AS lastd
+             FROM tagged),
+           surv2 AS (
+             SELECT id, pos, token,
+               (lastd IS NOT NULL AND lastd + 5 > pos) AS cut
+             FROM m WHERE token IS NOT NULL)
+           SELECT id AS doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             coalesce(string_agg(CASE WHEN NOT cut THEN token END, ' '
+               ORDER BY pos), '') AS text_clean
+           FROM surv2 GROUP BY id""",
       // portable global shuffle: shard = 2-hex md5 prefix, pos = rank by
       // (FULL 32-hex md5 digest, id) within shard — bit-for-bit the Spark
       // permutation

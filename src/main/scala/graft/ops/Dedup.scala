@@ -769,6 +769,21 @@ object Dedup {
   def removeDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
                            n: Int = 13): DataFrame = {
     require(n >= 1, s"span length must be >= 1 (got $n)")
+    val (toks, wins) = spanFrames(df, textCol, idCol, n)
+    val dups = wins
+      .withColumn("__first", min(struct(col("id"), col("wpos"))).over(
+        Window.partitionBy(col("gh"))))
+      .where(!(col("id") === col("__first.id") &&
+        col("wpos") === col("__first.wpos")))
+      .select(col("id"), col("wpos"))
+    cutSpans(toks, dups, n)
+  }
+
+  /** Tokenized frames shared by the span-cutting operators:
+    * `(id, pos, token)` and `(id, wpos, gh)` — windows xxhash64'd at the
+    * scan, NULL text treated as empty. */
+  private def spanFrames(df: DataFrame, textCol: String, idCol: String,
+                         n: Int): (DataFrame, DataFrame) = {
     val base = df.select(col(idCol).as("id"),
       split(trim(lower(coalesce(col(textCol), lit("")))), "\\s+").as("t"))
     val toks = base.select(col("id"),
@@ -777,18 +792,21 @@ object Dedup {
       .select(col("id"), posexplode(expr(
         s"transform(sequence(0, size(t) - $n), i -> xxhash64(concat_ws(' ', slice(t, i + 1, $n))))"))
         .as(Seq("wpos", "gh")))
-    val dups = wins
-      .withColumn("__first", min(struct(col("id"), col("wpos"))).over(
-        Window.partitionBy(col("gh"))))
-      .where(!(col("id") === col("__first.id") &&
-        col("wpos") === col("__first.wpos")))
-      .select(col("id"), col("wpos"))
-    // union-tag: duplicate span starts interleave with tokens; at equal pos
+    (toks, wins)
+  }
+
+  /** Shared back half of the span-cutting operators: mark every token
+    * covered by a flagged `n`-window start in `cuts` (id, wpos) via the
+    * union-tag running max (one linear shuffle, never a token-x-window
+    * range join), then reassemble survivors. Returns
+    * (id, n_tokens, n_removed, text_clean). */
+  private def cutSpans(toks: DataFrame, cuts: DataFrame, n: Int): DataFrame = {
+    // union-tag: flagged span starts interleave with tokens; at equal pos
     // the start row sorts FIRST (nulls last on dstart) so a span starting
     // at pos covers the token at pos
     val tagged = toks
       .withColumn("dstart", lit(null).cast("long"))
-      .unionByName(dups.select(col("id"), col("wpos").as("pos"),
+      .unionByName(cuts.select(col("id"), col("wpos").as("pos"),
         lit(null).cast("string").as("token"),
         col("wpos").cast("long").as("dstart")))
     val runw = Window.partitionBy(col("id"))
@@ -806,6 +824,32 @@ object Dedup {
           array_sort(collect_list(when(!col("cut"),
             struct(col("pos"), col("token"))))),
           x => x.getField("token"))).as("text_clean"))
+  }
+
+  /** SURGICAL decontamination: cut only the benchmark-overlapping spans
+    * from each document instead of dropping the whole document
+    * ([[graft.ops.Contamination.decontaminate]]'s whole-doc face wastes
+    * an entire long document over one quoted benchmark sentence). Every
+    * corpus `n`-token window whose hash appears in the benchmark's
+    * window set is flagged, coverage merges overlaps, survivors
+    * reassemble — the same linear union-tag machinery as
+    * [[removeDuplicateSpans]]. Returns (id, n_tokens, n_removed,
+    * text_clean).
+    *
+    * Scale shape: the benchmark side reduces to a distinct-hash set and
+    * BROADCASTS (benchmarks are small by definition — same contract as
+    * the whole-doc face); the corpus never shuffles for the matching,
+    * only (id, wpos) flags enter the coverage pass. */
+  def redactContaminatedSpans(corpus: DataFrame, bench: DataFrame,
+                              textCol: String, idCol: String,
+                              n: Int = 13): DataFrame = {
+    require(n >= 1, s"span length must be >= 1 (got $n)")
+    val (toks, wins) = spanFrames(corpus, textCol, idCol, n)
+    val benchGrams = spanFrames(bench, textCol, idCol, n)._2
+      .select(col("gh")).distinct()
+    val flagged = wins.join(broadcast(benchGrams), Seq("gh"), "left_semi")
+      .select(col("id"), col("wpos"))
+    cutSpans(toks, flagged, n)
   }
 
   /** Substring-level duplication profile ("Deduplicating Training Data

@@ -471,6 +471,23 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) === ((2L, 0L, "x y")), s"got ${out(3L)}")
   }
 
+  test("redactContaminatedSpans: only benchmark-overlapping spans cut") {
+    import spark.implicits._
+    val bench = Seq((100L, "one two three four five")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "x one two three four five y"),
+      (2L, "totally clean document here now")
+    ).toDF("doc_id", "text")
+    val out = Dedup.redactContaminatedSpans(corpus, bench, "text", "doc_id",
+        n = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1's window at pos 1 matches the benchmark verbatim: positions
+    // 1..5 cut, the flanks survive
+    assert(out(1L) === ((7L, 5L, "x y")), s"got ${out(1L)}")
+    assert(out(2L) === ((5L, 0L, "totally clean document here now")))
+  }
+
   test("semDedupDropsAudited: full drop set + recall column; audit bounded below corpus size") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val full = Dedup.semDedupDrops(emb, "embedding", "vec_id",
