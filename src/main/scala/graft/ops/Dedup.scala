@@ -838,15 +838,24 @@ object Dedup {
     *
     * Scale shape: the benchmark side reduces to a distinct-hash set and
     * BROADCASTS (benchmarks are small by definition — same contract as
-    * the whole-doc face); the corpus never shuffles for the matching,
-    * only (id, wpos) flags enter the coverage pass. */
+    * the whole-doc face; only `textCol` is read from `bench`); the
+    * corpus never shuffles for the matching, only (id, wpos) flags enter
+    * the coverage pass. CPU note: positional windowing is an interpreted
+    * HOF pass per corpus window ([[graft.functions.WordShingles]] cannot
+    * serve here — it returns the distinct SET, and cutting needs
+    * positions), so the scan side pays the lambda-per-window cost the
+    * set-based operators avoided; a positional codegen variant is the
+    * known follow-up if this face becomes hot. */
   def redactContaminatedSpans(corpus: DataFrame, bench: DataFrame,
                               textCol: String, idCol: String,
                               n: Int = 13): DataFrame = {
     require(n >= 1, s"span length must be >= 1 (got $n)")
     val (toks, wins) = spanFrames(corpus, textCol, idCol, n)
-    val benchGrams = spanFrames(bench, textCol, idCol, n)._2
-      .select(col("gh")).distinct()
+    // the bench id is never consumed (only the gram hashes are), so no id
+    // column is required of the benchmark frame
+    val benchGrams = spanFrames(
+      bench.select(lit(0L).as("__bid"), col(textCol)), textCol, "__bid", n)
+      ._2.select(col("gh")).distinct()
     val flagged = wins.join(broadcast(benchGrams), Seq("gh"), "left_semi")
       .select(col("id"), col("wpos"))
     cutSpans(toks, flagged, n)

@@ -486,6 +486,11 @@ class DedupSpec extends SparkSpec {
     // 1..5 cut, the flanks survive
     assert(out(1L) === ((7L, 5L, "x y")), s"got ${out(1L)}")
     assert(out(2L) === ((5L, 0L, "totally clean document here now")))
+    // the benchmark frame needs only the text column (its ids are unused)
+    val out2 = Dedup.redactContaminatedSpans(corpus, bench.select("text"),
+        "text", "doc_id", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out2(1L) === "x y")
   }
 
   test("semDedupDropsAudited: full drop set + recall column; audit bounded below corpus size") {
