@@ -1241,7 +1241,12 @@ object SparkEntry {
                AS n_chunk_tokens
            FROM c""",
       // paragraph dedup over 20/20 token chunks: keep the globally-first
-      // occurrence of each distinct paragraph, reassemble in position order
+      // occurrence of each distinct paragraph, reassemble in position order.
+      // Both mirrors carry the Scala operators' EMPTY-paragraph exemption
+      // (dedupParagraphs keeps all empties; dropBoilerplate excludes them
+      // from the hot set) — tokenChunks-derived paragraphs are never empty,
+      // so today the clauses are inert, but they keep the mirrors faithful
+      // if the paragraph source ever changes to newline splitting.
       "t_para_dedup" ->
         s"""WITH $paraCte,
            k AS (SELECT doc_id, chunk_idx, para,
@@ -1251,10 +1256,10 @@ object SparkEntry {
            SELECT doc_id,
              string_agg(para, chr(10) ORDER BY chunk_idx) AS text_clean,
              count(*) AS n_paras
-           FROM k WHERE rn = 1 GROUP BY doc_id""",
+           FROM k WHERE rn = 1 OR len(para) = 0 GROUP BY doc_id""",
       "t_boilerplate" ->
         s"""WITH $paraCte,
-           hot AS (SELECT para FROM p GROUP BY para
+           hot AS (SELECT para FROM p WHERE len(para) > 0 GROUP BY para
                    HAVING count(DISTINCT doc_id) > 3)
            SELECT doc_id, count(*) AS n_paras_kept
            FROM p WHERE para NOT IN (SELECT para FROM hot)

@@ -76,28 +76,36 @@ object SecondaryIndex {
     require(!storage.exists(key),
       s"Index key '$key' already exists — index keys are minted once per " +
         "commit and never overwritten (delete the stale key explicitly first)")
-    // copy row groups onto the final key with the reference's ARROW:schema
-    // in the footer (value column as large_string etc.) so the REAL
-    // library's index `update` dtype check accepts graft index files;
-    // appendFile copies pages without decode, so this is I/O-bound like the
-    // rename it replaces
+    // copy row groups — with the reference's ARROW:schema in the footer
+    // (value column as large_string etc.) so the REAL library's index
+    // `update` dtype check accepts graft index files — onto a SECOND tmp
+    // key, then rename into place. Stamping directly onto the final key
+    // would leave a partial parquet file there on a crash between start()
+    // and end(), and the no-overwrite assertion above would then fail every
+    // retry of the same commit permanently. The tmp key is ours alone (no
+    // header references it), so a stale one from a prior crash is safe to
+    // clear. appendFile copies pages without decode, so this stays
+    // I/O-bound like the rename it feeds.
     val valueType = index.schema(ValueCol).dataType
     graft.meta.CommonMetadata.indexArrowSchemaB64(col, valueType) match {
       case Some(arrowB64) =>
+        val stampTmp = s"$key.__stamp"
+        if (storage.exists(stampTmp)) storage.delete(stampTmp)
         val inFile = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(storage.path(files.head), storage.hadoopConf)
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(inFile)
         val msg = try reader.getFooter.getFileMetaData.getSchema finally reader.close()
         val writer = new org.apache.parquet.hadoop.ParquetFileWriter(
           org.apache.parquet.hadoop.util.HadoopOutputFile
-            .fromPath(storage.path(key), storage.hadoopConf),
-          msg, org.apache.parquet.hadoop.ParquetFileWriter.Mode.CREATE,
+            .fromPath(storage.path(stampTmp), storage.hadoopConf),
+          msg, org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE,
           128L * 1024 * 1024, 0)
         writer.start()
         writer.appendFile(inFile)
         val kv = new java.util.HashMap[String, String]()
         kv.put("ARROW:schema", arrowB64)
         writer.end(kv)
+        storage.rename(stampTmp, key)
       case None => // exotic value type: plain rename, parquet-level types
         storage.rename(files.head, key)
     }

@@ -124,7 +124,11 @@ object Dedup {
     val sh = df
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
       .where(size(col("sh")) > 0)
-    val pairsOf = (b: Column) => (b * (b - lit(1L)) / 2).cast("long")
+    // b*(b-1) is always even, so >>1 is EXACT long division. Column '/'
+    // is IEEE double division, which silently loses integer exactness
+    // above 2^53 — precisely the mass-duplicate regime (B ≳ 1.3e8 docs in
+    // one bucket) this pre-flight exists to diagnose.
+    val pairsOf = (b: Column) => shiftright(b * (b - lit(1L)), 1)
     bandTableOf(sh, numHashes, bands)
       .groupBy("band").agg(count(lit(1)).as("b"))
       .agg(
@@ -913,11 +917,18 @@ object Dedup {
     * surviving document. */
   def dedupParagraphs(paras: DataFrame, docIdCol: String, posCol: String,
                       paraCol: String): DataFrame = {
+    // exempt empties BEFORE the window, not after: blank lines are
+    // ubiquitous structure, and routing them all through the '' window
+    // partition would sort the corpus's entire blank-line mass in a single
+    // task — the exact skew hotspot the exemption's own rationale predicts
+    val isStructural = length(coalesce(col(paraCol), lit(""))) === 0
     val w = Window.partitionBy(col(paraCol))
       .orderBy(col(docIdCol), col(posCol))
-    paras.withColumn("__rn", row_number().over(w))
-      .where(length(coalesce(col(paraCol), lit(""))) === 0 || col("__rn") === 1)
+    paras.where(!isStructural)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
       .drop("__rn")
+      .unionByName(paras.where(isStructural))
   }
 
   /** Drop EVERY occurrence of paragraphs appearing in more than

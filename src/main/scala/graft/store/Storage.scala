@@ -13,18 +13,8 @@ import org.apache.spark.sql.SparkSession
 // not final: tests instrument per-key read/list counts via a subclass
 class Storage(val base: String, @transient private var conf: Configuration)
     extends Serializable {
-  @transient private[store] lazy val fs: FileSystem = {
-    // local-FS CRC sidecars don't exist on object stores and go stale the
-    // moment ANOTHER writer (e.g. the reference library sharing the store)
-    // rewrites a key out of band; parquet carries its own page checksums.
-    // newInstance (not getFileSystem): the opt-out must be scoped to THIS
-    // store's private instance — getFileSystem returns the process-wide
-    // cached singleton, and flipping verification off there would silently
-    // disable CRC checking for every other local-FS read in the JVM
-    val f = FileSystem.newInstance(new Path(base).toUri, conf)
-    f.setVerifyChecksum(false)
-    f
-  }
+  @transient private[store] lazy val fs: FileSystem =
+    Storage.unverifiedFs(new Path(base).toUri, conf)
 
   /** The (session-derived) Hadoop configuration — restored on executors by
     * the custom serialization below, so closures capturing a Storage keep
@@ -141,4 +131,32 @@ class Storage(val base: String, @transient private var conf: Configuration)
 object Storage {
   def apply(spark: SparkSession, base: String): Storage =
     new Storage(base, spark.sparkContext.hadoopConfiguration)
+
+  // One unverified-checksum FileSystem per filesystem URI for the JVM
+  // lifetime. Storage is Serializable and deserialized once per task
+  // closure on executors, so a per-INSTANCE FileSystem.newInstance would
+  // materialize a fresh FS (connection pools, threads, statistics entries)
+  // per task and leak them all. getFileSystem is unusable here: the
+  // checksum opt-out must not flip the process-wide cached singleton —
+  // local-FS CRC sidecars don't exist on object stores and go stale the
+  // moment ANOTHER writer (e.g. the reference library sharing the store)
+  // rewrites a key out of band, but every OTHER local-FS read in the JVM
+  // should keep verifying. So: our own cache, keyed like Hadoop's
+  // (scheme + authority), closed on JVM shutdown.
+  private val fsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, FileSystem]()
+  private[store] def unverifiedFs(uri: java.net.URI,
+                                  conf: Configuration): FileSystem =
+    fsCache.computeIfAbsent(
+      s"${Option(uri.getScheme).getOrElse("file")}://${Option(uri.getAuthority).getOrElse("")}",
+      _ => {
+        val f = FileSystem.newInstance(uri, conf)
+        f.setVerifyChecksum(false)
+        f
+      })
+  sys.addShutdownHook {
+    fsCache.values.forEach { f =>
+      try f.close() catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
 }
