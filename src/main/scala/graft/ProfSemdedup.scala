@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity}
+
+// temporary profiling scratch — delete before commit
+object ProfSemdedup {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"PROF $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val centers = emb.where(col("vec_id") < 25)
+      .select(col("vec_id").as("__g"), col("embedding").as("__center"))
+    def clustered = emb.withColumn("__g", col("vec_id") % 25)
+      .join(broadcast(centers), "__g")
+      .select(col("vec_id"),
+        zip_with(col("__center"), col("embedding"),
+          (c, x) => c * lit(0.9) + x * lit(0.3)).as("embedding"))
+    for (rep <- 0 until 3) {
+      println(s"=== rep $rep ===")
+      time("clusteredEmbeddings.count")(clustered.queryExecution.toRdd.count())
+      val cents = time("kmeans") {
+        Similarity.kmeansCentroids(
+          clustered.select(col("vec_id").as("id"), col("embedding").as("v")),
+          "v", 16, 3)
+      }
+      if (rep == 2) {
+        val sizes = Similarity.ivfAssign(
+            clustered.select(col("vec_id").as("id"), col("embedding").as("v")),
+            "v", cents)
+          .groupBy("__centroid").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+        println(s"CLUSTERSIZES ${sizes.mkString(" ")}")
+        println(s"CLUSTERPAIRS sum_n2=${sizes.map(s => s._2 * s._2).sum}")
+      }
+      time("full pair scan (k=16)") {
+        Dedup.semDedupDrops(clustered, "embedding", "vec_id", 0.85, 16)
+          .queryExecution.toRdd.count()
+      }
+      time("exact pair scan (k=1)") {
+        Dedup.semDedupDrops(clustered, "embedding", "vec_id", 0.85, 1)
+          .queryExecution.toRdd.count()
+      }
+      if (rep == 2) {
+        for ((label, k) <- Seq(("exact", 1), ("clustered", 16))) {
+          val qe = Dedup.semDedupDrops(clustered, "embedding", "vec_id", 0.85, k)
+            .queryExecution
+          qe.toRdd.count()
+          import org.apache.spark.sql.execution.SparkPlan
+          import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+          def walk(p: SparkPlan, depth: Int): Unit = {
+            val m = p.metrics
+              .filter { case (k2, _) =>
+                k2.contains("Time") || k2.contains("numOutputRows") }
+              .map { case (k2, v) => s"$k2=${v.value}" }.mkString(" ")
+            println(s"PLANNODE[$label] ${"  " * depth}${p.nodeName} :: $m")
+            p match {
+              case a: AdaptiveSparkPlanExec => walk(a.executedPlan, depth + 1)
+              case q: QueryStageExec => walk(q.plan, depth + 1)
+              case _ => p.children.foreach(walk(_, depth + 1))
+            }
+          }
+          walk(qe.executedPlan, 0)
+        }
+      }
+      time("audited full query") {
+        Dedup.semDedupDropsAudited(clustered, "embedding", "vec_id", 0.85, 16,
+          auditCap = 2048).queryExecution.toRdd.count()
+      }
+    }
+    spark.stop()
+  }
+}

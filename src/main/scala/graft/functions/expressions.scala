@@ -516,3 +516,205 @@ case class NbMeanLogOdds(child: Expression, model: Map[String, Double])
   override protected def withNewChildInternal(newChild: Expression): NbMeanLogOdds =
     copy(child = newChild)
 }
+
+/** The SemDeDup pair scan over one (cluster, block-pair) group: members
+  * arrive as `array<struct<b:int, id, v:array<float|double>, nv:double>>`
+  * (block, id, vector, precomputed norm) and the result is
+  * `array<struct<id, cosine>>` — for every group member that has a
+  * DIFFERENT-id partner with rounded cosine >= `threshold`, the max such
+  * cosine, keyed by the pair's LARGER id (the keep-min-id drop contract).
+  * Same-block groups (gx == gy) scan all unordered member pairs; mixed
+  * groups scan only cross-block pairs, so each unordered pair of the
+  * cluster is examined in EXACTLY one group.
+  *
+  * Exists because a self-join materializes two vector payloads per
+  * CANDIDATE pair through exchange/join machinery — measured 4-140 µs per
+  * candidate at sf0.1 depending on which join strategy AQE picked, with
+  * the pair scan >95% of the operator's cost. This loop reads each
+  * member's vector once into a local array and pays one dot product per
+  * candidate. Null ids, null vectors, null norms and length-mismatched
+  * vectors produce no pairs — identical to the column form, where any
+  * null propagates to a null cosine and fails the threshold filter.
+  *
+  * Cosine semantics are bit-identical to [[graft.ops.Similarity.cosine]]
+  * with per-row norms: zero norm => 0.0, NaN => 0.0, and the rounding is
+  * java BigDecimal HALF_UP at scale 6 — Spark's `round(x, 6)` (infinities
+  * pass through unrounded, as in Spark's Round). A pair is emitted when
+  * the ROUNDED cosine clears `threshold`, matching the column filter's
+  * order of operations; candidates more than 1e-6 below the threshold
+  * skip the BigDecimal entirely (rounding moves a value by at most 5e-7).
+  *
+  * Interpreted-only (CodegenFallback-style eval through a reference-object
+  * call): evaluation is per GROUP, not per row — a few hundred calls per
+  * stage — so codegen'ing the dispatch would save nothing; the hot loop is
+  * already compiled Scala. */
+case class PairMaxCosine(rows: Expression, gxe: Expression, gye: Expression,
+                         threshold: Double) extends Expression {
+  override def children: Seq[Expression] = Seq(rows, gxe, gye)
+  override def nullable: Boolean = false
+  override def prettyName: String = "pair_max_cosine"
+
+  @transient private lazy val memberType: StructType =
+    rows.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+  @transient private lazy val idType: DataType = memberType(1).dataType
+  @transient private lazy val vecFloat: Boolean =
+    memberType(2).dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val ordering: Ordering[Any] =
+    org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(idType)
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", idType), StructField("cosine", DoubleType))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val shapeOk = rows.dataType match {
+      case ArrayType(st: StructType, _) if st.length == 4 =>
+        st(0).dataType == IntegerType &&
+          org.apache.spark.sql.catalyst.expressions.RowOrdering
+            .isOrderable(st(1).dataType) &&
+          (st(2).dataType match {
+            case ArrayType(FloatType | DoubleType, _) => true
+            case _ => false
+          }) && st(3).dataType == DoubleType
+      case _ => false
+    }
+    if (shapeOk && gxe.dataType == IntegerType && gye.dataType == IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<struct<int, orderable-id, array<float|double>, " +
+        s"double>>, int, int), got ${rows.dataType.simpleString}, " +
+        s"${gxe.dataType.simpleString}, ${gye.dataType.simpleString}")
+  }
+
+  private def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (vecFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (vecFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  def compute(rowsArr: ArrayData, gx: Int, gy: Int): ArrayData = {
+    val n = rowsArr.numElements()
+    val bs = new Array[Int](n)
+    val ids = new Array[Any](n)
+    val vs = new Array[ArrayData](n)
+    val ns = new Array[Double](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!rowsArr.isNullAt(i)) {
+        val s = rowsArr.getStruct(i, 4)
+        if (!s.isNullAt(0) && !s.isNullAt(1) && !s.isNullAt(2) &&
+            !s.isNullAt(3)) {
+          bs(m) = s.getInt(0)
+          ids(m) = s.get(1, idType)
+          vs(m) = s.getArray(2)
+          ns(m) = s.getDouble(3)
+          m += 1
+        }
+      }
+      i += 1
+    }
+    val acc = new java.util.HashMap[Any, java.lang.Double]()
+    def consider(a: Int, b: Int): Unit = {
+      val cmp = ordering.compare(ids(a), ids(b))
+      if (cmp == 0) return // the lid =!= rid contract: equal ids never pair
+      val d = dot(vs(a), vs(b))
+      if (d == null) return
+      val na = ns(a)
+      val nb = ns(b)
+      var cos = 0.0
+      if (na != 0.0 && nb != 0.0) {
+        val r = d.doubleValue() / (na * nb)
+        cos = if (java.lang.Double.isNaN(r)) 0.0 else r
+      }
+      if (cos < threshold - 1e-6) return // cannot round up across the gap
+      val rounded =
+        if (java.lang.Double.isInfinite(cos)) cos
+        else java.math.BigDecimal.valueOf(cos)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      if (rounded >= threshold) {
+        val winner = if (cmp > 0) ids(a) else ids(b)
+        val prev = acc.get(winner)
+        if (prev == null || rounded > prev.doubleValue())
+          acc.put(winner, java.lang.Double.valueOf(rounded))
+      }
+    }
+    if (gx == gy) {
+      var a = 0
+      while (a < m) {
+        var b = a + 1
+        while (b < m) { consider(a, b); b += 1 }
+        a += 1
+      }
+    } else {
+      var a = 0
+      while (a < m) {
+        if (bs(a) == gx) {
+          var b = 0
+          while (b < m) {
+            if (bs(b) == gy) consider(a, b)
+            b += 1
+          }
+        }
+        a += 1
+      }
+    }
+    val out = new Array[Any](acc.size())
+    val it = acc.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey, e.getValue.doubleValue()))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val arr = rows.eval(input)
+    val gxv = gxe.eval(input)
+    val gyv = gye.eval(input)
+    if (arr == null || gxv == null || gyv == null)
+      new GenericArrayData(Array.empty[Any])
+    else compute(arr.asInstanceOf[ArrayData], gxv.asInstanceOf[Int],
+      gyv.asInstanceOf[Int])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("pairScan", this, classOf[PairMaxCosine].getName)
+    val rowsEv = rows.genCode(ctx)
+    val gxEv = gxe.genCode(ctx)
+    val gyEv = gye.genCode(ctx)
+    val empty = ctx.addReferenceObj("emptyArr",
+      new GenericArrayData(Array.empty[Any]),
+      classOf[GenericArrayData].getName)
+    ev.copy(
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral,
+      code = code"""
+      ${rowsEv.code}
+      ${gxEv.code}
+      ${gyEv.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (${rowsEv.isNull} || ${gxEv.isNull} || ${gyEv.isNull}) {
+        ${ev.value} = $empty;
+      } else {
+        ${ev.value} = $ref.compute(${rowsEv.value}, ${gxEv.value}, ${gyEv.value});
+      }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): PairMaxCosine =
+    copy(rows = newChildren(0), gxe = newChildren(1), gye = newChildren(2))
+}

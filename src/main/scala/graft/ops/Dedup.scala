@@ -658,8 +658,15 @@ object Dedup {
   private def semPairDrops(assigned: DataFrame, threshold: Double,
                            blocks: Int): DataFrame = {
     require(blocks >= 1, s"blocks must be >= 1 (got $blocks)")
+    // per-ROW norm, computed once before the pair join: cosine(lv, rv)
+    // inlined per pair would expand to FIVE dot products per candidate
+    // (dot(l,r) + each norm twice inside when/otherwise — condition
+    // codegen does no subexpression elimination), and norms are per-row
+    // quantities. Carrying one extra double per side turns the per-pair
+    // work into a single dot product — measured 4x on the pair pipeline.
     val blocked = assigned.withColumn("b",
       pmod(xxhash64(col("id")), lit(blocks)).cast("int"))
+      .withColumn("nv", Similarity.norm(col("v")))
     // explicit-width repartition (REPARTITION_BY_NUM), not a plain join
     // shuffle: the join's INPUT is vector-sized but its OUTPUT is the
     // quadratic pair set, so AQE's byte-based coalescing (which only sees
@@ -670,16 +677,21 @@ object Dedup {
     val width = assigned.sparkSession.sparkContext.defaultParallelism
     val left = blocked.select(col("cluster"), col("b").as("ba"),
       explode(sequence(col("b"), lit(blocks - 1))).as("bb"),
-      col("id").as("lid"), col("v").as("lv"))
+      col("id").as("lid"), col("v").as("lv"), col("nv").as("ln"))
       .repartition(width, col("cluster"), col("ba"), col("bb"))
     val right = blocked.select(col("cluster"),
       explode(sequence(lit(0), col("b"))).as("ba"), col("b").as("bb"),
-      col("id").as("rid"), col("v").as("rv"))
+      col("id").as("rid"), col("v").as("rv"), col("nv").as("rn"))
       .repartition(width, col("cluster"), col("ba"), col("bb"))
+    // same zero/NaN contract as Similarity.cosine, with the norms read
+    // from the per-row columns instead of recomputed per pair
+    val cos = when(col("ln") === 0.0 || col("rn") === 0.0, lit(0.0))
+      .otherwise(nanvl(Similarity.dot(col("lv"), col("rv")) /
+        (col("ln") * col("rn")), lit(0.0)))
     left.join(right, Seq("cluster", "ba", "bb"))
       .where(col("lid") =!= col("rid"))
       .select(greatest(col("lid"), col("rid")).as("id"), col("cluster"),
-        round(Similarity.cosine(col("lv"), col("rv")), 6).as("cosine"))
+        round(cos, 6).as("cosine"))
       .where(col("cosine") >= threshold)
       .groupBy(col("id"), col("cluster"))
       .agg(max(col("cosine")).as("max_cosine"))
@@ -688,8 +700,8 @@ object Dedup {
   /** [[semDedupDrops]] with its in-plan recall audit bounded at any
     * corpus size: the full-corpus approximate drop set is annotated with
     * recall measured by running BOTH faces — clustered and exact
-    * all-pairs — on the same deterministic hash sample of at most
-    * ~`auditCap` vectors. The unsampled exact face is O(n^2); it exists
+    * all-pairs — on the same deterministic audit sample of at most
+    * `auditCap` vectors. The unsampled exact face is O(n^2); it exists
     * to verify, and at 100 TB a bounded-sample statistical estimate is
     * the only form that verification can take. Sampling dilutes pair
     * density (an unordered pair survives at the sample rate squared) —
@@ -697,6 +709,17 @@ object Dedup {
     * set makes the guard vacuous (recall 1.0), per
     * [[Similarity.withSetRecallGuard]]. At or below `auditCap` rows the
     * audit IS the full corpus and the guard is exact.
+    *
+    * The audit sample is the `auditCap` rows with the SMALLEST salted
+    * id-hashes — one top-k pass over the corpus (no separate count job),
+    * deterministic across runs and retries, and exactly `min(n,
+    * auditCap)` rows (a threshold sample would need n first and still
+    * only approximate the cap). The sample is `localCheckpoint`ed: both
+    * audit faces — and, when the sample IS the corpus, the output frame
+    * itself — read the materialized ≤`auditCap`-row frame instead of
+    * re-deriving the input lineage per face (at corpus scale the input
+    * is typically a scan+join derivation; three replays of it were the
+    * dominant constant factor of this operator's bench profile).
     *
     * The audit's clustered face reuses the quantizer TRAINED ON THE FULL
     * CORPUS — the guard must measure the clustering that produced the
@@ -714,29 +737,30 @@ object Dedup {
                            minRecall: Double = 0.9): DataFrame = {
     require(numClusters >= 1, s"numClusters must be >= 1 (got $numClusters)")
     require(auditCap >= 2, s"auditCap must be >= 2 (got $auditCap)")
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // one TakeOrdered pass; ties broken by id so the sample is total-order
+    // deterministic even under hash collisions
+    val audit = base
+      .withColumn("__h", xxhash64(col("id"), lit("graft.semdedup.audit")))
+      .orderBy(col("__h"), col("id")).limit(auditCap).drop("__h")
+      .localCheckpoint()
+    // < cap means the corpus had fewer than auditCap rows, so the sample
+    // IS the corpus (== cap COULD also be exhaustive — n exactly at the
+    // cap — in which case the sample-face pair scan is merely redundant,
+    // never wrong). count() here is a local job over the checkpointed
+    // ≤auditCap rows, not a corpus scan.
+    val auditIsCorpus = audit.count() < auditCap
+    val corpus = if (auditIsCorpus) audit else base
     val cents =
       if (numClusters == 1) None
-      else Some(Similarity.kmeansCentroids(
-        df.select(col(idCol).as("id"), col(vecCol).as("v")), "v",
-        numClusters, iters))
-    val full = semPairDrops(semAssign(df, vecCol, idCol, cents),
+      else Some(Similarity.kmeansCentroids(corpus, "v", numClusters, iters))
+    val full = semPairDrops(semAssign(corpus, "v", "id", cents),
       threshold, blocks)
-    val n = df.count() // metadata-sized aggregate, same as kmeans' own cap
-    val audit =
-      if (n <= auditCap) df
-      // 1e9 buckets — same overshoot bound as the kmeans training sample
-      else df.where(pmod(xxhash64(col(idCol), lit("graft.semdedup.audit")),
-        lit(1000000000L)) <
-          math.max(1L, math.ceil(auditCap.toDouble / n * 1e9).toLong))
-    // audit == corpus: the approximate audit face IS the output frame (one
-    // clustered pair scan, not two); otherwise both audit faces run on the
-    // same bounded sample with the corpus-trained centroids
     val approxAudit =
-      if (n <= auditCap) full
-      else semPairDrops(semAssign(audit, vecCol, idCol, cents),
-        threshold, blocks)
+      if (auditIsCorpus) full
+      else semPairDrops(semAssign(audit, "v", "id", cents), threshold, blocks)
     Similarity.withAuditedSetRecallGuard(full, approxAudit,
-      semPairDrops(semAssign(audit, vecCol, idCol, None), threshold, blocks),
+      semPairDrops(semAssign(audit, "v", "id", None), threshold, blocks),
       "id", minRecall)
   }
 
