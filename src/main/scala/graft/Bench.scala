@@ -6,10 +6,17 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      // do NOT pin spark.sql.shuffle.partitions to the core count: AQE
-      // coalesces post-shuffle partitions by size instead (parallelismFirst
-      //=false), so small shuffles collapse to a handful of tasks while big
-      // ones keep the full width — the same setting that is right at 100 TB
+      // pin the shuffle width to the core count: AQE still coalesces small
+      // post-shuffle READS by size (parallelismFirst=false), but the WRITE
+      // side of every exchange materializes `shuffle.partitions` bucket
+      // files per map task regardless of AQE — at the 200 default the
+      // bypass-merge writer's file churn (200 opens/closes x tasks x
+      // exchanges) measured as SECONDS per stage on this box while 13k-row
+      // aggregation outputs were being written. At cluster scale the same
+      // knob is sized to the cluster, not left at a default 6x the
+      // parallelism.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS); surface as long nanos

@@ -4,18 +4,40 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.ops.{Dedup, Similarity}
 
-// temporary profiling scratch — delete before commit
+// temporary profiling scratch — delete before round end
 object ProfSemdedup {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
       .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    @volatile var listen = false
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          if (listen) {
+            val si = sc.stageInfo
+            val dur = for {
+              s <- si.submissionTime; e <- si.completionTime
+            } yield e - s
+            val tm = si.taskMetrics
+            println(f"STAGE ${si.stageId}%4d ${dur.getOrElse(-1L)}%6d ms " +
+              f"tasks=${si.numTasks}%4d run=${tm.executorRunTime}%5d " +
+              f"cpu=${tm.executorCpuTime / 1000000}%5d " +
+              f"deser=${tm.executorDeserializeTime}%4d " +
+              f"gc=${tm.jvmGCTime}%4d " +
+              f"sr=${tm.shuffleReadMetrics.totalBytesRead}%9d " +
+              f"sw=${tm.shuffleWriteMetrics.bytesWritten}%9d " +
+              si.name.takeWhile(_ != '\n').take(60))
+          }
+      })
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
       println(f"PROF $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
@@ -30,32 +52,29 @@ object ProfSemdedup {
           (c, x) => c * lit(0.9) + x * lit(0.3)).as("embedding"))
     for (rep <- 0 until 3) {
       println(s"=== rep $rep ===")
-      time("clusteredEmbeddings.count")(clustered.queryExecution.toRdd.count())
-      val cents = time("kmeans") {
-        Similarity.kmeansCentroids(
-          clustered.select(col("vec_id").as("id"), col("embedding").as("v")),
-          "v", 16, 3)
+      val audit = time("audit checkpoint") {
+        val a = clustered
+          .select(col("vec_id").as("id"), col("embedding").as("v"))
+          .withColumn("__h", xxhash64(col("id"), lit("graft.semdedup.audit")))
+          .orderBy(col("__h"), col("id")).limit(2048).drop("__h")
+          .localCheckpoint()
+        a.count()
+        a
       }
-      if (rep == 2) {
-        val sizes = Similarity.ivfAssign(
-            clustered.select(col("vec_id").as("id"), col("embedding").as("v")),
-            "v", cents)
-          .groupBy("__centroid").count().collect()
-          .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-        println(s"CLUSTERSIZES ${sizes.mkString(" ")}")
-        println(s"CLUSTERPAIRS sum_n2=${sizes.map(s => s._2 * s._2).sum}")
+      val cents = time("kmeans on audit") {
+        Similarity.kmeansCentroids(audit, "v", 16, 3)
       }
-      time("full pair scan (k=16)") {
-        Dedup.semDedupDrops(clustered, "embedding", "vec_id", 0.85, 16)
+      time("semDedupDrops(k=16) on audit incl kmeans retrain") {
+        Dedup.semDedupDrops(audit, "v", "id", 0.85, 16)
           .queryExecution.toRdd.count()
       }
-      time("exact pair scan (k=1)") {
-        Dedup.semDedupDrops(clustered, "embedding", "vec_id", 0.85, 1)
+      time("exact pair scan (k=1) on audit") {
+        Dedup.semDedupDrops(audit, "v", "id", 0.85, 1)
           .queryExecution.toRdd.count()
       }
       if (rep == 2) {
         for ((label, k) <- Seq(("exact", 1), ("clustered", 16))) {
-          val qe = Dedup.semDedupDrops(clustered, "embedding", "vec_id", 0.85, k)
+          val qe = Dedup.semDedupDrops(audit, "v", "id", 0.85, k)
             .queryExecution
           qe.toRdd.count()
           import org.apache.spark.sql.execution.SparkPlan
@@ -63,7 +82,8 @@ object ProfSemdedup {
           def walk(p: SparkPlan, depth: Int): Unit = {
             val m = p.metrics
               .filter { case (k2, _) =>
-                k2.contains("Time") || k2.contains("numOutputRows") }
+                k2.contains("Time") || k2.contains("numOutputRows") ||
+                  k2.contains("numPartitions") }
               .map { case (k2, v) => s"$k2=${v.value}" }.mkString(" ")
             println(s"PLANNODE[$label] ${"  " * depth}${p.nodeName} :: $m")
             p match {
@@ -75,10 +95,13 @@ object ProfSemdedup {
           walk(qe.executedPlan, 0)
         }
       }
+      if (rep == 2) listen = true
       time("audited full query") {
         Dedup.semDedupDropsAudited(clustered, "embedding", "vec_id", 0.85, 16,
           auditCap = 2048).queryExecution.toRdd.count()
       }
+      listen = false
+      println(s"PROFNOTE cents=${cents.size}")
     }
     spark.stop()
   }

@@ -1,7 +1,7 @@
 package graft
 
 import scala.collection.immutable.ListMap
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.dnf.{Literal, Op, Predicates}
@@ -25,6 +25,19 @@ object SparkEntry {
 
   private def rd(s: SparkSession, dir: String, t: String): DataFrame =
     s.read.parquet(s"$dir/$t.parquet")
+
+  /** `events.ts` as epoch NANOS (long), whatever the parquet shipped: the
+    * testdata has carried it both as TIMESTAMP(NANOS) — which surfaces as
+    * LongType nanos under `nanosAsLong` — and as TIMESTAMP(MICROS), which
+    * surfaces as timestamp_ntz. Queries doing ts ARITHMETIC normalize
+    * through this (ordering-only uses are representation-agnostic). The
+    * ntz->timestamp cast is wall-clock identity under the session's pinned
+    * UTC zone. */
+  private def tsNanos(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType => col(c)
+      case _ => unix_micros(col(c).cast("timestamp")) * lit(1000L)
+    }
 
   /** Deterministic clustered derivation of the embeddings table for the ANN
     * contract queries: each vector is pulled toward the embedding of
@@ -435,8 +448,10 @@ object SparkEntry {
     // --- watermarked windowed aggregation (streaming shape, run in batch;
     // integer cents + string window bounds keep the oracle comparison exact)
     "w_windowed_agg" -> ((s, dir) => {
-      val ev = rd(s, dir, "events")
-        .select(timestamp_micros(expr("ts div 1000")).as("tts"), col("event_type"),
+      val ev0 = rd(s, dir, "events")
+      val ev = ev0
+        .select(timestamp_micros((tsNanos(ev0, "ts") / 1000L).cast("long")).as("tts"),
+          col("event_type"),
           floor(col("value") * 100).cast("long").as("v_c"))
       graft.streaming.Streaming.windowedAgg(ev, "tts", "v_c", "1 hour",
         keys = Seq("event_type"))
@@ -447,7 +462,8 @@ object SparkEntry {
     // --- gap-based sessionization (streaming-shape analytics in batch)
     "w_sessionize" -> ((s, dir) => {
       val byTs = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      rd(s, dir, "events")
+      val ev = rd(s, dir, "events")
+      ev.withColumn("ts", tsNanos(ev, "ts"))
         .withColumn("prev", lag("ts", 1).over(byTs))
         .withColumn("new_s",
           when(col("prev").isNull || col("ts") - col("prev") > 600L * 1000 * 1000 * 1000, 1L)
@@ -575,7 +591,9 @@ object SparkEntry {
     // than 6h before the purchase no longer qualifies — the match nulls
     // out, it does NOT fall back to an even older view
     "j_asof_tolerance" -> ((s, dir) => {
-      val ev = rd(s, dir, "events")
+      val ev0 = rd(s, dir, "events")
+      // tolerance is NANOS arithmetic on ts — normalize the representation
+      val ev = ev0.withColumn("ts", tsNanos(ev0, "ts"))
       val p = ev.where(col("event_type") === "purchase")
         .select("event_id", "user_id", "ts")
       val v = ev.where(col("event_type") === "view")

@@ -638,7 +638,8 @@ object Dedup {
       else Some(Similarity.kmeansCentroids(
         df.select(col(idCol).as("id"), col(vecCol).as("v")), "v",
         numClusters, iters))
-    semPairDrops(semAssign(df, vecCol, idCol, cents), threshold, blocks)
+    semPairDrops(semAssign(df, vecCol, idCol, cents), threshold, blocks,
+      clusterIsConstant = cents.isEmpty)
   }
 
   /** Cluster assignment for the SemDeDup faces: `None` centroids is the
@@ -654,47 +655,70 @@ object Dedup {
   }
 
   /** Within-cluster pair scan + drop aggregation over an `(id, v,
-    * cluster)` frame — the shared back half of both SemDeDup faces. */
+    * cluster)` frame — the shared back half of both SemDeDup faces.
+    *
+    * Each row lands in `blocks` of the cluster's `blocks*(blocks+1)/2`
+    * block-pair groups — `(b, gy)` for `gy >= b` and `(gx, b)` for
+    * `gx < b` — so every unordered pair of the cluster meets in EXACTLY
+    * one group. The group's members are collected and scanned by
+    * [[graft.functions.PairMaxCosine]], a compiled local loop that pays
+    * one dot product per candidate (per-row norms ride along as one
+    * extra double). The previous form — a self-join producing the
+    * candidate pairs as ROWS — was measured at 4–140 µs per candidate
+    * depending on which join strategy AQE picked, because every
+    * candidate materialized two vector payloads through exchange/join
+    * machinery; the loop reads each member vector once. Memory contract
+    * unchanged from the join form: a group holds ~2/blocks of its
+    * cluster's vectors (the join's hash side held the same), so `blocks`
+    * is the knob that sizes per-task state for mega-clusters.
+    *
+    * The explicit-width repartition (REPARTITION_BY_NUM) exists because
+    * the group INPUT is vector-sized but the scan COST is quadratic in
+    * members — AQE's byte-based coalescing (which only sees input bytes)
+    * would serialize the pair scans onto one task; by-num exchanges are
+    * exempt and already satisfy the aggregation's required distribution,
+    * so no second exchange is added. */
   private def semPairDrops(assigned: DataFrame, threshold: Double,
-                           blocks: Int): DataFrame = {
+                           blocks: Int, clusterIsConstant: Boolean = false): DataFrame = {
     require(blocks >= 1, s"blocks must be >= 1 (got $blocks)")
-    // per-ROW norm, computed once before the pair join: cosine(lv, rv)
-    // inlined per pair would expand to FIVE dot products per candidate
-    // (dot(l,r) + each norm twice inside when/otherwise — condition
-    // codegen does no subexpression elimination), and norms are per-row
-    // quantities. Carrying one extra double per side turns the per-pair
-    // work into a single dot product — measured 4x on the pair pipeline.
     val blocked = assigned.withColumn("b",
       pmod(xxhash64(col("id")), lit(blocks)).cast("int"))
       .withColumn("nv", Similarity.norm(col("v")))
-    // explicit-width repartition (REPARTITION_BY_NUM), not a plain join
-    // shuffle: the join's INPUT is vector-sized but its OUTPUT is the
-    // quadratic pair set, so AQE's byte-based coalescing (which only sees
-    // the input) would collapse the pair generation to one task — measured
-    // 5 s -> 0.6 s at sf0.1 for the exact face. By-num exchanges are
-    // exempt from coalescing and already satisfy the join's required
-    // distribution, so no second exchange is added.
     val width = assigned.sparkSession.sparkContext.defaultParallelism
-    val left = blocked.select(col("cluster"), col("b").as("ba"),
-      explode(sequence(col("b"), lit(blocks - 1))).as("bb"),
-      col("id").as("lid"), col("v").as("lv"), col("nv").as("ln"))
-      .repartition(width, col("cluster"), col("ba"), col("bb"))
-    val right = blocked.select(col("cluster"),
-      explode(sequence(lit(0), col("b"))).as("ba"), col("b").as("bb"),
-      col("id").as("rid"), col("v").as("rv"), col("nv").as("rn"))
-      .repartition(width, col("cluster"), col("ba"), col("bb"))
-    // same zero/NaN contract as Similarity.cosine, with the norms read
-    // from the per-row columns instead of recomputed per pair
-    val cos = when(col("ln") === 0.0 || col("rn") === 0.0, lit(0.0))
-      .otherwise(nanvl(Similarity.dot(col("lv"), col("rv")) /
-        (col("ln") * col("rn")), lit(0.0)))
-    left.join(right, Seq("cluster", "ba", "bb"))
-      .where(col("lid") =!= col("rid"))
-      .select(greatest(col("lid"), col("rid")).as("id"), col("cluster"),
-        round(cos, 6).as("cosine"))
-      .where(col("cosine") >= threshold)
-      .groupBy(col("id"), col("cluster"))
-      .agg(max(col("cosine")).as("max_cosine"))
+    // group keys: (b, gy) for gy in b..blocks-1, then (gx, b) for
+    // gx in 0..b-1 — slice(.., 1, b) takes the strictly-lower prefix of
+    // sequence(0, b) without sequence(0, -1)'s descending-range surprise
+    val upper = transform(sequence(col("b"), lit(blocks - 1)),
+      gy => struct(col("b").as("gx"), gy.as("gy")))
+    val lower = slice(transform(sequence(lit(0), col("b")),
+      gx => struct(gx.as("gx"), col("b").as("gy"))), lit(1), col("b"))
+    // the exact face's cluster is lit(0): constant folding strips it from
+    // the aggregation's required distribution, so a partitioning that
+    // includes it no longer satisfies EnsureRequirements and Spark inserts
+    // a second exchange whose AQE read coalesces the (input-small,
+    // compute-quadratic) pair-scan stage onto ONE task — the exact trap
+    // the explicit repartition exists to defeat. Partition on the keys the
+    // optimizer will actually require.
+    val partKeys =
+      if (clusterIsConstant) Seq(col("gx"), col("gy"))
+      else Seq(col("cluster"), col("gx"), col("gy"))
+    val members = blocked.select(col("cluster"),
+        explode(concat(upper, lower)).as("g"),
+        struct(col("b"), col("id"), col("v"), col("nv")).as("m"))
+      .select(col("cluster"), col("g.gx").as("gx"), col("g.gy").as("gy"),
+        col("m"))
+      .repartition(width, partKeys: _*)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val pairScan = ColumnBridge.column(graft.functions.PairMaxCosine(
+      ColumnBridge.expression(col("ms")),
+      ColumnBridge.expression(col("gx")),
+      ColumnBridge.expression(col("gy")), threshold))
+    members.groupBy(col("cluster"), col("gx"), col("gy"))
+      .agg(collect_list(col("m")).as("ms"))
+      .select(col("cluster"), explode(pairScan).as("p"))
+      // an id can be dropped by several of the blocks groups it sits in
+      .groupBy(col("p.id").as("id"), col("cluster"))
+      .agg(max(col("p.cosine")).as("max_cosine"))
   }
 
   /** [[semDedupDrops]] with its in-plan recall audit bounded at any
@@ -755,12 +779,14 @@ object Dedup {
       if (numClusters == 1) None
       else Some(Similarity.kmeansCentroids(corpus, "v", numClusters, iters))
     val full = semPairDrops(semAssign(corpus, "v", "id", cents),
-      threshold, blocks)
+      threshold, blocks, clusterIsConstant = cents.isEmpty)
     val approxAudit =
       if (auditIsCorpus) full
-      else semPairDrops(semAssign(audit, "v", "id", cents), threshold, blocks)
+      else semPairDrops(semAssign(audit, "v", "id", cents), threshold, blocks,
+        clusterIsConstant = cents.isEmpty)
     Similarity.withAuditedSetRecallGuard(full, approxAudit,
-      semPairDrops(semAssign(audit, "v", "id", None), threshold, blocks),
+      semPairDrops(semAssign(audit, "v", "id", None), threshold, blocks,
+        clusterIsConstant = true),
       "id", minRecall)
   }
 

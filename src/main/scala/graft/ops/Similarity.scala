@@ -187,81 +187,125 @@ object Similarity {
   }
 
   /** Lloyd's k-means over the embedding column — trains the IVF coarse
-    * quantizer. Each iteration is ONE distributed aggregation: assign via
-    * [[ivfAssign]] (centroids as broadcast literals), then per-(centroid,
-    * dimension) sums through posexplode; only the k x dim means ever reach
-    * the driver. Deterministic: hash-ordered init, fixed iteration count,
-    * empty clusters keep their previous centroid.
+    * quantizer. ONE distributed pass (the sampling scan + collect of at
+    * most ~`trainCap` vectors); the Lloyd iterations run driver-side over
+    * the collected sample. A coarse quantizer needs a representative
+    * sample, not every row — FAISS and every IVF implementation train
+    * in-memory on exactly such a bounded sample — and the previous
+    * job-per-iteration form paid a full scheduler wave (init + `iters`
+    * distributed aggregations) for math that takes milliseconds locally:
+    * measured, training dominated every kmeans consumer's runtime at
+    * small scale while doing no work the sample's size justified.
     *
-    * Trains on a DETERMINISTIC HASH SAMPLE of at most ~`trainCap` vectors
-    * by default — a coarse quantizer needs a representative sample, not
-    * every row, and at 100 TB a full-corpus distinct/shuffle in the init
-    * (or `iters` full-corpus passes) is the dominant cost of building an
-    * IVF index. Membership is a pure function of the vector's content hash,
-    * so the trained centroids are reproducible across runs and retries.
-    * `trainCap <= 0` opts into full-corpus training. */
+    * Memory contract: `trainCap` now bounds DRIVER memory —
+    * `trainCap * dim * 8` bytes (100k x dim-128 ≈ 100 MB); lower it for
+    * very wide embeddings. The sampling scan stays distributed and only
+    * sampled rows are collected. Membership is a pure function of the
+    * vector's content hash, so the trained centroids are reproducible
+    * across runs and retries; the local loop is deterministic too —
+    * assignment parallelizes (order-independent argmax), accumulation is
+    * sequential in sample-hash order. `trainCap <= 0` trains on the FULL
+    * corpus, which with this form means collecting it — only sane for
+    * corpora known to be tiny.
+    *
+    * Semantics mirror the distributed form it replaced: murmur3-ordered
+    * distinct init (identical vectors share one seed slot, so a
+    * mass-duplicated corpus cannot collapse the quantizer), assignment by
+    * [[cosine]] contract (zero-norm/NaN score 0.0) with ties preferring
+    * the HIGHER centroid index (matching [[ivfAssign]]'s sort_array
+    * tie-break), empty clusters keep their previous centroid. */
   def kmeansCentroids(corpus: DataFrame, vecCol: String, k: Int,
                       iters: Int = 10, trainCap: Int = 100000): Seq[Seq[Double]] = {
     require(k >= 1 && iters >= 1)
     val all = corpus.select(col(vecCol).as("v")).where(col("v").isNotNull)
-    val sampled =
+    val picked =
       if (trainCap <= 0) all
       else {
         val n = all.count() // shuffle-free aggregate; kmeans is eager anyway
-        val picked =
-          if (n <= trainCap) all
-          // 1e9 buckets: at 1e6 the threshold FLOORS to bucket granularity —
-          // for n >> trainCap*1e6 the rate rounds to a whole bucket and the
-          // sample overshoots the cap ~10x; ceil at 1e9 bounds the overshoot
-          // to one part in a billion of n
-          else all.where(pmod(
-            xxhash64(concat_ws(",", col("v").cast("array<string>")), lit("graft.kmeans")),
-            lit(1000000000L)) <
-              math.max(1L, math.ceil(trainCap.toDouble / n * 1e9).toLong))
-        // the sample is row-count-BOUNDED, so right-size its partitioning
-        // to it: every Lloyd iteration is a full job over this cached frame,
-        // and a tiny sample spread over the cluster default pays per-task
-        // scheduling for near-empty tasks each iteration (measured: the
-        // fixed cost of training on 2k rows, not the math). ~8k rows per
-        // task keeps even dim-4096 partitions near 100 MB. repartition, NOT
-        // coalesce: coalesce propagates through the filter to the SCAN, so
-        // the one-time sampling pass over the full corpus would run at
-        // `parts`-way parallelism — the exchange here moves only the
-        // sampled rows, and the corpus scan keeps its full width.
-        val parts = math.max(1L, math.min(
-          corpus.sparkSession.sparkContext.defaultParallelism.toLong,
-          math.min(n, trainCap.toLong) / 8192L + 1L)).toInt
-        picked.repartition(parts)
+        if (n <= trainCap) all
+        // 1e9 buckets: at 1e6 the threshold FLOORS to bucket granularity —
+        // for n >> trainCap*1e6 the rate rounds to a whole bucket and the
+        // sample overshoots the cap ~10x; ceil at 1e9 bounds the overshoot
+        // to one part in a billion of n
+        else all.where(pmod(
+          xxhash64(concat_ws(",", col("v").cast("array<string>")), lit("graft.kmeans")),
+          lit(1000000000L)) <
+            math.max(1L, math.ceil(trainCap.toDouble / n * 1e9).toLong))
       }
-    // the cached training set is BOUNDED (~trainCap rows) and unpersisted in
-    // the finally below — unlike a full-corpus cache, safe at any scale
-    val vecs = sampled.cache()
-    try {
-      // distinct BEFORE the hash-ordered init: identical vectors share one
-      // hash and would otherwise fill all k seeds with the same point on a
-      // mass-duplicated corpus, collapsing the quantizer
-      var centroids: Seq[Seq[Double]] = vecs.distinct()
-        .withColumn("__h", xxhash64(concat_ws(",", col("v").cast("array<string>"))))
-        .orderBy(col("__h")).limit(k)
-        .collect().map(_.getSeq[Any](0).map(_.toString.toDouble).toSeq).toSeq
-      for (_ <- 0 until iters) {
-        val stats = ivfAssign(vecs, "v", centroids)
-          .select(col("__centroid"), posexplode(col("v")))
-          .groupBy(col("__centroid"), col("pos"))
-          .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
-          .collect()
-        val byC = stats.groupBy(_.getAs[Int]("__centroid"))
-        centroids = centroids.zipWithIndex.map { case (old, i) =>
-          byC.get(i) match {
-            case Some(rows) =>
-              rows.sortBy(_.getAs[Int]("pos"))
-                .map(r => r.getAs[Double]("s") / r.getAs[Long]("n")).toSeq
-            case None => old // empty cluster keeps its centroid
-          }
+    val sample: Array[Array[Double]] = picked.collect().map { r =>
+      val s = r.getSeq[Any](0)
+      val a = new Array[Double](s.length)
+      var i = 0
+      s.foreach { x =>
+        a(i) = x match {
+          case d: Double => d
+          case f: Float => f.toDouble
+          case o => o.toString.toDouble
         }
+        i += 1
       }
-      centroids
-    } finally vecs.unpersist(false) // also released if an iteration throws
+      a
+    }
+    if (sample.isEmpty) return Seq.empty
+    // deterministic order regardless of collect's partition arrival order:
+    // content-hash (murmur3 over the string form), content as tie-break
+    val keyed = sample.map(v => (v.mkString(","), v))
+      .sortBy { case (s, _) =>
+        (scala.util.hashing.MurmurHash3.stringHash(s), s)
+      }
+    // distinct init: identical vectors fill ONE seed slot
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val init = keyed.collect { case (s, v) if seen.add(s) => v }.take(k)
+    var centroids: Array[Array[Double]] = init.map(_.clone())
+    val ordered = keyed.map(_._2)
+    val nRows = ordered.length
+    // local cosine with the cosine()/ivfAssign contract: undefined => 0.0
+    def sim(v: Array[Double], c: Array[Double]): Double = {
+      if (v.length != c.length) return 0.0
+      var dot = 0.0; var nv = 0.0; var nc = 0.0; var i = 0
+      while (i < v.length) {
+        dot += v(i) * c(i); nv += v(i) * v(i); nc += c(i) * c(i); i += 1
+      }
+      if (nv == 0.0 || nc == 0.0) 0.0
+      else {
+        val r = dot / (math.sqrt(nv) * math.sqrt(nc))
+        if (java.lang.Double.isNaN(r)) 0.0 else r
+      }
+    }
+    val assign = new Array[Int](nRows)
+    for (_ <- 0 until iters) {
+      val cs = centroids // stable reference for the parallel lambda
+      // assignment is per-row independent — parallel; >= prefers the
+      // higher index on ties, matching ivfAssign
+      java.util.stream.IntStream.range(0, nRows).parallel().forEach { r =>
+        var best = Double.NegativeInfinity; var bi = 0; var c = 0
+        while (c < cs.length) {
+          val s = sim(ordered(r), cs(c))
+          if (s >= best) { best = s; bi = c }
+          c += 1
+        }
+        assign(r) = bi
+      }
+      // accumulation is SEQUENTIAL in the deterministic sample order —
+      // bit-reproducible sums (a parallel reduction would not be)
+      val sums = centroids.map(c => new Array[Double](c.length))
+      val counts = new Array[Long](centroids.length)
+      var r = 0
+      while (r < nRows) {
+        val c = assign(r); val v = ordered(r)
+        if (v.length == sums(c).length) {
+          var i = 0
+          while (i < v.length) { sums(c)(i) += v(i); i += 1 }
+          counts(c) += 1
+        }
+        r += 1
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old // empty cluster keeps its centroid
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    centroids.map(_.toSeq).toSeq
   }
 
   /** Driver-side probe ranking, shared by [[ivfTopK]] and

@@ -449,6 +449,68 @@ class DedupSpec extends SparkSpec {
     assert(drops === Set(2L, 4L), s"got $drops")
   }
 
+  test("semDedup pair scan: parity with a naive all-pairs reference (random corpus, nulls, zero vectors)") {
+    import spark.implicits._
+    // randomized but seeded: the exact face must equal an O(n^2) in-memory
+    // reference bit-for-bit — cosine contract (zero-norm/NaN => 0.0),
+    // HALF_UP rounding at scale 6 BEFORE the threshold filter, drops keyed
+    // by the larger id, max over partners, null/mismatched vectors inert
+    val rnd = new scala.util.Random(20260813L)
+    val dim = 8
+    val base = (1 to 40).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian()))
+    }
+    val dups = (1 to 15).map { j =>
+      val (srcId, v) = base(rnd.nextInt(base.size))
+      // jitter: high-cosine neighbor of an existing vector
+      (100L + j, v.map(x => x + rnd.nextGaussian() * 0.02))
+    }
+    val weird = Seq(
+      (200L, Array.fill(dim)(0.0)),            // zero norm => cosine 0.0
+      (201L, Array.fill(dim)(0.0)),            // zero-zero pair => 0.0
+      (202L, null.asInstanceOf[Array[Double]]),// null vector: inert
+      (203L, Array(1.0, 2.0))                  // length mismatch: inert
+    )
+    val rows = base ++ dups ++ weird
+    val df = rows.toDF("vec_id", "embedding")
+    val threshold = 0.995
+    def naive(): Map[Long, Double] = {
+      val usable = rows.filter(_._2 != null)
+      val acc = scala.collection.mutable.Map.empty[Long, Double]
+      for {
+        (ia, va) <- usable; (ib, vb) <- usable
+        if ia < ib && va.length == vb.length
+      } {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        for (k <- va.indices) {
+          dot += va(k) * vb(k); na += va(k) * va(k); nb += vb(k) * vb(k)
+        }
+        val cos =
+          if (na == 0.0 || nb == 0.0) 0.0
+          else {
+            val r = dot / (math.sqrt(na) * math.sqrt(nb))
+            if (r.isNaN) 0.0 else r
+          }
+        val rounded = java.math.BigDecimal.valueOf(cos)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        if (rounded >= threshold && rounded > acc.getOrElse(ib, -1.0))
+          acc(ib) = rounded
+      }
+      acc.toMap
+    }
+    val expected = naive()
+    assert(expected.nonEmpty, "seeded corpus produced no near-dup pairs")
+    // blocks=8 (default), 3 (uneven group decomposition), 1 (single group)
+    for (blocks <- Seq(8, 3, 1)) {
+      val got = Dedup.semDedupDrops(df, "embedding", "vec_id",
+          threshold = threshold, numClusters = 1, blocks = blocks)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(got === expected, s"blocks=$blocks diff: " +
+        s"missing=${expected.keySet.diff(got.keySet)} " +
+        s"extra=${got.keySet.diff(expected.keySet)}")
+    }
+  }
+
   test("removeDuplicateSpans: keep-first, overlap merge, short docs untouched") {
     import spark.implicits._
     // doc 1 owns the first occurrence of "x y z" (kept); doc 2 repeats it

@@ -401,16 +401,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("xxhash64"), plan.take(3000))
   }
 
-  test("semDedup pair join: block-decomposed width survives AQE (no single-partition pair stage)") {
-    // the pair-generating exchanges must be REPARTITION_BY_NUM (exempt from
-    // AQE byte-based coalescing): the join's input is vector-sized but its
-    // output is quadratic, so coalescing by input bytes would serialize all
-    // pair work onto one task
+  test("semDedup pair scan: block-decomposed width survives AQE (no single-partition pair stage)") {
+    // the member exchange feeding the pair scan must be REPARTITION_BY_NUM
+    // (exempt from AQE byte-based coalescing): the groups' input is
+    // vector-sized but the scan cost is quadratic in members, so coalescing
+    // by input bytes would serialize all pair work onto one task. And it
+    // must be the ONLY exchange below the pair scan: the exact face's
+    // constant cluster column used to defeat EnsureRequirements (constant
+    // folding strips it from the agg's required distribution) and insert a
+    // second, coalescable exchange between the partial and final
+    // collect_list — exactly the single-task trap.
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val df = graft.ops.Dedup.semDedupDrops(emb, "embedding", "vec_id",
       threshold = 0.85, numClusters = 1)
+    df.queryExecution.toRdd.count() // let AQE finalize the shape
     val plan = df.queryExecution.executedPlan.toString
-    assert("REPARTITION_BY_NUM".r.findAllIn(plan).length === 2,
+    assert("REPARTITION_BY_NUM".r.findAllIn(plan).length === 1,
       plan.take(3000))
+    // two exchanges total: the by-num member repartition + the (cheap,
+    // drop-row-sized) exchange of the final max aggregation
+    assert("Exchange".r.findAllIn(plan).length === 2, plan.take(3000))
   }
 }
