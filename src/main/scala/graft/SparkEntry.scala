@@ -942,6 +942,15 @@ object SparkEntry {
       Multimodal.decodeImages(
         Multimodal.resizeImages(pngs, "doc_id", width = 4, height = 3),
         "doc_id")
+    }),
+
+    // --- REAL audio decode: deterministic 16-bit PCM WAVs generated per doc
+    // id, pushed through the JDK WAV encoder AND decoder; the oracle
+    // recomputes the RMS arithmetically from the id, so a hash match proves
+    // the codec round trip happened
+    "m_audio" -> ((s, dir) => {
+      val wavs = Multimodal.syntheticWav(rd(s, dir, "documents").select("doc_id"), "doc_id")
+      Multimodal.decodeAudio(wavs, "doc_id")
     })
   )
 
@@ -1700,7 +1709,30 @@ object SparkEntry {
              CAST(3 AS INT) AS height,
              CAST(3 AS INT) AS channels,
              CAST(doc_id % 256 AS DOUBLE) AS mean_px
-           FROM documents"""
+           FROM documents""",
+      // closed-form RMS of the synthetic PCM clips: squares summed in exact
+      // integer arithmetic, ONE double division + sqrt (both correctly
+      // rounded IEEE) — a hash match proves the JDK WAV round trip ran
+      "m_audio" ->
+        """WITH p AS (
+             SELECT doc_id,
+               CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+               CAST(8 + doc_id % 32 AS BIGINT) AS frames
+             FROM documents),
+           s AS (
+             SELECT doc_id, ch, frames,
+               list_sum(flatten(list_transform(range(0, frames), i ->
+                 list_transform(range(0, ch), c ->
+                   ((doc_id*31 + i*17 + c*7) % 65536 - 32768)
+                   * ((doc_id*31 + i*17 + c*7) % 65536 - 32768))))) AS ssum
+             FROM p)
+           SELECT doc_id,
+             CAST(8000 AS INT) AS sample_rate,
+             CAST(ch AS INT) AS channels,
+             frames AS n_frames,
+             CAST(frames * 1000 // 8000 AS BIGINT) AS duration_ms,
+             sqrt(CAST(ssum AS DOUBLE) / (frames * ch)) AS rms
+           FROM s"""
     )
   }
 }

@@ -3,6 +3,7 @@ package graft.ops
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
@@ -14,10 +15,12 @@ import org.apache.spark.sql.types._
   * Payloads are opaque `binary` columns travelling next to a typed metadata
   * struct; decode / feature-extraction runs per-partition over Tungsten
   * binary rows. IMAGE decode is REAL (PNG/JPEG through the JDK's
-  * `javax.imageio`, [[decodeImages]]); audio/video codecs are stubbed with
-  * a deterministic fake (no such libraries in this environment) — their
-  * Spark-side contract (schema, batching, partitioning) is real and tested,
-  * and swapping the stub for a JNI/library decoder changes nothing upstream.
+  * `javax.imageio`, [[decodeImages]]); AUDIO decode is REAL (WAV/AIFF/AU
+  * through the JDK's `javax.sound.sampled`, [[decodeAudio]]); video codecs
+  * are stubbed with a deterministic fake (no such library in this
+  * environment) — the video stub's Spark-side contract (schema, batching,
+  * partitioning) is real and tested, and swapping it for a JNI/library
+  * decoder changes nothing upstream.
   */
 object Multimodal {
 
@@ -280,6 +283,117 @@ object Multimodal {
         while (y < h) { raster.setPixels(0, y, w, 1, line); y += 1 }
         val out = new ByteArrayOutputStream()
         ImageIO.write(img, "png", out)
+        Row(id, out.toByteArray)
+      }
+    }
+    df.sparkSession.createDataFrame(rows, outSchema)
+  }
+
+  /** REAL audio decode for WAV (and the other JDK-supported containers:
+    * AIFF, AU) via `javax.sound.sampled` — zero extra dependencies, the
+    * audio sibling of [[decodeImages]]. Per-partition: payload bytes are
+    * decoded inside the task and never shuffled; only the metadata-sized
+    * stats row leaves. Non-16-bit or compressed encodings (u-law/a-law,
+    * 8/24-bit PCM) are normalized to signed 16-bit PCM through the JDK's
+    * own converter before the sample loop. Rows whose payload fails to
+    * decode yield null stats instead of failing the job — corrupt media is
+    * routine at 100 TB and must not kill a scan.
+    *
+    * Output: (<idCol>, sample_rate, channels, n_frames, duration_ms, rms)
+    * where rms = sqrt(sum(sample^2) / n_samples) over the interleaved
+    * 16-bit samples — the squares accumulate in exact long arithmetic with
+    * ONE final division and sqrt (both correctly-rounded IEEE ops), so an
+    * external oracle can reproduce it bit-for-bit. */
+  def decodeAudio(df: DataFrame, idCol: String,
+                  payloadCol: String = "payload"): DataFrame = {
+    val in = df.select(col(idCol), col(payloadCol))
+    val outSchema = StructType(in.schema.fields(0) +: Seq(
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("n_frames", LongType),
+      StructField("duration_ms", LongType),
+      StructField("rms", DoubleType)))
+    val rows = in.rdd.mapPartitions { iter =>
+      iter.map { r =>
+        try {
+          val bytes = r.getAs[Array[Byte]](1)
+          if (bytes == null) Row(r.get(0), null, null, null, null, null)
+          else {
+            val ais0 = AudioSystem.getAudioInputStream(
+              new ByteArrayInputStream(bytes))
+            try {
+              val f0 = ais0.getFormat
+              val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+                f0.getSampleRate, 16, f0.getChannels, f0.getChannels * 2,
+                f0.getSampleRate, false)
+              val ais =
+                if (f0.matches(target)) ais0
+                else AudioSystem.getAudioInputStream(target, ais0)
+              val data = ais.readAllBytes()
+              val n = data.length / 2
+              var ssum = 0L
+              var i = 0
+              while (i < n) {
+                // little-endian signed 16-bit: high byte sign-extends
+                val s = (data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xff)
+                ssum += s.toLong * s
+                i += 1
+              }
+              val rate = math.round(f0.getSampleRate)
+              val ch = f0.getChannels
+              val frames = n.toLong / ch
+              Row(r.get(0), rate, ch, frames, frames * 1000L / rate,
+                if (n == 0) 0.0 else math.sqrt(ssum.toDouble / n))
+            } finally ais0.close()
+          }
+        } catch {
+          // NonFatal: UnsupportedAudioFileException on junk bytes, EOF /
+          // ArrayIndexOutOfBounds on truncated containers
+          case scala.util.control.NonFatal(_) =>
+            Row(r.get(0), null, null, null, null, null)
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rows, outSchema)
+  }
+
+  /** Deterministic WAV fixture generator, the audio sibling of
+    * [[syntheticPng]]: one short 16-bit PCM clip per row with every
+    * parameter closed-form in a long id — rate 8000 Hz, `channels = 1 +
+    * id % 2`, `frames = 8 + id % 32`, interleaved sample
+    * `s(i, c) = ((id*31 + i*17 + c*7) mod 65536) - 32768`. Encoding runs
+    * per partition through the JDK WAV writer; because the RMS of such a
+    * clip is pure arithmetic in the id, a SQL oracle can verify that
+    * [[decodeAudio]] REALLY decodes (the only path from id to a matching
+    * rms goes through the WAV codec round trip). */
+  def syntheticWav(df: DataFrame, idCol: String): DataFrame = {
+    val in = df.select(col(idCol).cast(LongType).as(idCol))
+    val outSchema = StructType(in.schema.fields(0) +:
+      Seq(StructField("payload", BinaryType)))
+    val rows = in.rdd.mapPartitions { iter =>
+      iter.map { r =>
+        val id = r.getLong(0)
+        val rate = 8000
+        val ch = (1 + Math.floorMod(id, 2L)).toInt
+        val frames = (8 + Math.floorMod(id, 32L)).toInt
+        val pcm = new Array[Byte](frames * ch * 2)
+        var i = 0
+        while (i < frames) {
+          var c = 0
+          while (c < ch) {
+            val s = (Math.floorMod(id * 31 + i * 17 + c * 7, 65536L) - 32768L).toInt
+            val off = (i * ch + c) * 2
+            pcm(off) = (s & 0xff).toByte
+            pcm(off + 1) = ((s >> 8) & 0xff).toByte
+            c += 1
+          }
+          i += 1
+        }
+        val fmt = new AudioFormat(rate.toFloat, 16, ch, true, false)
+        val ais = new AudioInputStream(
+          new ByteArrayInputStream(pcm), fmt, frames.toLong)
+        val out = new ByteArrayOutputStream()
+        AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
         Row(id, out.toByteArray)
       }
     }

@@ -369,6 +369,56 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows(3L).isNullAt(1) && rows(3L).isNullAt(4))
   }
 
+  test("decodeAudio REALLY decodes WAVs (javax.sound) and nulls out corrupt payloads") {
+    import graft.ops.Multimodal
+    // ids chosen to vary channels (1+id%2) and frames (8+id%32)
+    val ids = Seq(0L, 1L, 7L, 40L, 333L).toDF("doc_id")
+    val wavs = Multimodal.syntheticWav(ids, "doc_id")
+    // sanity: payloads really are RIFF/WAVE containers
+    val magic = wavs.collect().map(_.getAs[Array[Byte]]("payload").take(4).toSeq)
+    assert(magic.forall(_ === "RIFF".getBytes.toSeq))
+    val out = Multimodal.decodeAudio(wavs, "doc_id").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    for (id <- Seq(0L, 1L, 7L, 40L, 333L)) {
+      val (rate, ch, frames, durMs, rms) = out(id)
+      val expCh = (1 + id % 2).toInt
+      val expFrames = 8 + id % 32
+      assert(rate === 8000, s"rate of $id")
+      assert(ch === expCh, s"channels of $id")
+      assert(frames === expFrames, s"frames of $id")
+      assert(durMs === expFrames * 1000 / 8000, s"duration of $id")
+      // closed-form RMS over the generator's samples
+      var ssum = 0L
+      for (i <- 0L until expFrames; c <- 0 until expCh) {
+        val s = Math.floorMod(id * 31 + i * 17 + c * 7, 65536L) - 32768L
+        ssum += s * s
+      }
+      assert(rms === math.sqrt(ssum.toDouble / (expFrames * expCh)),
+        s"rms of $id")
+    }
+    // a non-16-bit encoding converts through the JDK (8-bit unsigned PCM)
+    val pcm8 = Array.tabulate[Byte](16)(i => (128 + 4 * i).toByte)
+    val fmt8 = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm8), fmt8, 16L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val mixed = Seq(
+      (1L, bos.toByteArray),                  // valid 8-bit wav
+      (2L, Array[Byte](1, 2, 3)),             // corrupt
+      (3L, null.asInstanceOf[Array[Byte]]))   // missing
+      .toDF("doc_id", "payload")
+    val rows = Multimodal.decodeAudio(mixed, "doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getInt(1) === 8000 && rows(1L).getInt(2) === 1)
+    assert(rows(1L).getLong(3) === 16L)
+    assert(!rows(1L).isNullAt(5) && rows(1L).getDouble(5) > 0.0)
+    assert(rows(2L).isNullAt(1) && rows(2L).isNullAt(5))
+    assert(rows(3L).isNullAt(1) && rows(3L).isNullAt(5))
+  }
+
   test("resizeImages: exact nearest-neighbor semantics, corrupt payloads null out") {
     import graft.ops.Multimodal
     // 2x1 source: left pixel black, right pixel white — resized 4x1 the NN
