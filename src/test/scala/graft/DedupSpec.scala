@@ -555,6 +555,76 @@ class DedupSpec extends SparkSpec {
     assert(out2(1L) === "x y")
   }
 
+  test("span machinery property: removeDuplicateSpans/redactContaminatedSpans match a naive per-doc reference") {
+    import spark.implicits._
+    // the union-tag running-max coverage trick is subtle (equal-pos
+    // ordering, overlap merge, keep-globally-first, empty/null docs) — pin
+    // it against an independent O(n^2)-per-doc reference over random
+    // small-vocab corpora where window collisions are ubiquitous
+    val rng = new scala.util.Random(20260813L)
+    val vocab = Array("a", "b", "c", "d", "e", "f")
+    def randDoc(): String = rng.nextInt(6) match {
+      case 0 => ""                                  // empty
+      case 1 => "   "                               // whitespace-only
+      case _ => Seq.fill(1 + rng.nextInt(24))(
+        vocab(rng.nextInt(vocab.length))).mkString(" ")
+    }
+    def tokens(text: String): Array[String] =
+      (if (text == null) "" else text).trim.toLowerCase.split("\\s+")
+    def windows(toks: Array[String], n: Int): Seq[(Int, String)] =
+      if (toks.length < n) Seq.empty
+      else (0 to toks.length - n).map(w => w -> toks.slice(w, w + n).mkString(" "))
+    // shared naive back half: cut tokens covered by flagged window starts
+    def applyCuts(docs: Seq[(Long, String)], flagged: Map[Long, Seq[Int]],
+                  n: Int): Map[Long, (Long, Long, String)] =
+      docs.map { case (id, text) =>
+        val toks = tokens(text)
+        val cut = new Array[Boolean](toks.length)
+        for (w <- flagged.getOrElse(id, Seq.empty); k <- w until math.min(w + n, toks.length))
+          cut(k) = true
+        val kept = toks.indices.filterNot(cut).map(toks)
+        id -> ((toks.length.toLong, cut.count(identity).toLong, kept.mkString(" ")))
+      }.toMap
+    for (round <- 0 until 5) {
+      val n = Seq(1, 2, 3, 5)(round % 4)
+      val docs: Seq[(Long, String)] =
+        (1L to 18L).map(id => id -> randDoc()) :+
+          (99L -> null.asInstanceOf[String])
+      val bench = Seq.fill(3)(randDoc()).filter(_.trim.nonEmpty)
+      val df = docs.toDF("doc_id", "text")
+      // ---- removeDuplicateSpans: keep the globally-first occurrence
+      val occ = docs.flatMap { case (id, text) =>
+        windows(tokens(text), n).map { case (w, s) => (s, id, w) }
+      }.groupBy(_._1)
+      val dupFlags = occ.values.toSeq.flatMap { os =>
+        val sorted = os.map(o => (o._2, o._3)).sorted
+        sorted.drop(1) // all but the (id, wpos)-minimal occurrence
+      }.groupBy(_._1).map { case (id, ws) => id -> ws.map(_._2) }
+      val expDedup = applyCuts(docs, dupFlags, n)
+      val gotDedup = Dedup.removeDuplicateSpans(df, "text", "doc_id", n)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(gotDedup === expDedup, s"round=$round n=$n (dedup face)")
+      // ---- redactContaminatedSpans: cut corpus windows present in bench
+      val benchSet = bench.flatMap(t => windows(tokens(t), n).map(_._2)).toSet
+      val contFlags = docs.map { case (id, text) =>
+        id -> windows(tokens(text), n).collect {
+          case (w, s) if benchSet(s) => w
+        }
+      }.filter(_._2.nonEmpty).toMap
+      val expRedact = applyCuts(docs, contFlags, n)
+      val benchDf = bench.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      if (bench.nonEmpty) {
+        val gotRedact = Dedup.redactContaminatedSpans(df, benchDf, "text",
+            "doc_id", n)
+          .collect().map(r => r.getLong(0) ->
+            ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+        assert(gotRedact === expRedact, s"round=$round n=$n (redact face)")
+      }
+    }
+  }
+
   test("semDedupDropsAudited: full drop set + recall column; audit bounded below corpus size") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val full = Dedup.semDedupDrops(emb, "embedding", "vec_id",
