@@ -903,6 +903,15 @@ object SparkEntry {
         "vec_id", 20)
     }),
 
+    // --- isotropy pre-flight: the loud diagnosis behind the v_knn_lsh
+    // comment — run on the RAW embeddings, it reports structured=false
+    // (top-k cosine ~= the Gaussian extreme-value expectation, i.e. pure
+    // chance), exactly why the ANN contract queries use the clustered
+    // derivation. Rows-only: the verdict hinges on a driver-side
+    // content-hash sample no SQL engine reproduces.
+    "v_locality" -> ((s, dir) =>
+      Similarity.localityCheck(rd(s, dir, "embeddings"), "embedding")),
+
     // IVF: k-means-trained coarse quantizer, nprobe-list probe-time search
     "v_ivf_topk" -> ((s, dir) => {
       val emb = clusteredEmbeddings(s, dir)

@@ -175,4 +175,27 @@ class RecallSpec extends SparkSpec {
     info(f"embeddingNearDups recall: $recall%.3f (${approx.size}/${exact.size})")
     assert(recall >= 0.8, f"embeddingNearDups recall $recall%.3f < 0.8")
   }
+
+  test("localityCheck: raw embeddings diagnosed isotropic, clustered derivation structured") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val raw = Similarity.localityCheck(emb, "embedding").head()
+    info(s"raw: $raw")
+    assert(!raw.getAs[Boolean]("structured"),
+      s"raw embeddings should read as isotropic: $raw")
+    // the clustered derivation the ANN contract queries run on
+    val centers = emb.where(col("vec_id") < 25)
+      .select(col("vec_id").as("__g"), col("embedding").as("__center"))
+    val clustered = emb.withColumn("__g", col("vec_id") % 25)
+      .join(broadcast(centers), "__g")
+      .select(col("vec_id"),
+        zip_with(col("__center"), col("embedding"),
+          (c, x) => c * lit(0.9) + x * lit(0.3)).as("embedding"))
+    val cl = Similarity.localityCheck(clustered, "embedding").head()
+    info(s"clustered: $cl")
+    assert(cl.getAs[Boolean]("structured"),
+      s"clustered derivation should read as structured: $cl")
+    assert(cl.getAs[Double]("locality_ratio") >
+      2 * raw.getAs[Double]("locality_ratio"),
+      s"regimes not separated: raw=$raw clustered=$cl")
+  }
 }
