@@ -235,10 +235,72 @@ def readback(base):
     print("== readback PASSED: the real plateau library reads graft output")
 
 
+def ddf_write(base):
+    """Execute the reference's DISTRIBUTED write backend for real:
+    `update_dataset_from_ddf(..., shuffle=True, num_buckets=2)`
+    (io/dask/dataframe.py:444-533, shuffle machinery io/dask/_shuffle.py:
+    41-198) over the eager dask shim — bucketing, payload packing,
+    MetaPartition construction, write_partition, index building and the
+    reduction commit are all plateau code; the shim only orchestrates
+    (see plateau_shims/dask/__init__.py). Writes dataset `pyddf` into the
+    graft store dir; graft then reads it back in
+    `sbt "runMain graft.InteropDump <dir> ddfverify"`."""
+    import numpy as np
+    import dask.dataframe as dd
+    from plateau.io.dask.dataframe import update_dataset_from_ddf
+
+    store_factory = lambda: KeyValueStore(base)  # noqa: E731
+    # 24 rows over 2 hive partitions, 3 input partitions; bucket_by id so
+    # each (loc, bucket) pair gets its own physical file
+    df = pd.DataFrame({
+        "id": pd.array(range(24), dtype="int64"),
+        "val": [i * 0.5 for i in range(24)],
+        "cat": [["red", "blue", "green"][i % 3] for i in range(24)],
+        "loc": [["L A", "B"][i % 2] for i in range(24)],
+    })
+    ddf = dd.from_pandas(df, npartitions=3)
+    task = update_dataset_from_ddf(
+        ddf, store=store_factory, dataset_uuid="pyddf",
+        partition_on=["loc"], secondary_indices=["cat"],
+        shuffle=True, num_buckets=2, bucket_by=["id"],
+        sort_partitions_by="id")
+    dm = task.compute()
+    check(dm.uuid == "pyddf", "ddf update committed a dataset")
+    # layout: one file per (partition_on value, hash bucket)
+    files = [k for k in KeyValueStore(base).keys("pyddf/")
+             if k.endswith(".parquet") and "indices" not in k]
+    by_part = {}
+    for k in files:
+        part = [seg for seg in k.split("/") if seg.startswith("loc=")]
+        by_part.setdefault(part[0], []).append(k)
+    check(sorted(by_part) == ["loc=B", "loc=L%20A"],
+          f"hive dirs from the ddf path: {sorted(by_part)}")
+    check(all(len(v) == 2 for v in by_part.values()),
+          f"num_buckets=2 -> 2 files per partition: "
+          f"{ {k: len(v) for k, v in by_part.items()} }")
+    # the real reader agrees before graft does
+    out = read_table("pyddf", KeyValueStore(base)).sort_values("id")
+    check(list(out["id"]) == list(range(24)) and
+          sorted(out["loc"].unique()) == ["B", "L A"],
+          "real read_table round-trips the ddf-shuffled dataset")
+    # sort_partitions_by: rows inside each file are id-ordered
+    import pyarrow.parquet as pq
+    import io as _io
+    for k in files:
+        ids = pq.read_table(
+            _io.BytesIO(KeyValueStore(base).get(k))).column("id").to_pylist()
+        check(ids == sorted(ids), f"file {k} sorted by id")
+    print("== ddf_write PASSED: real update_dataset_from_ddf "
+          "(shuffle=True, num_buckets=2) wrote a graft-readable store")
+
+
 if __name__ == "__main__":
     if sys.argv[1] == "fixture":
         make_fixture()
     elif sys.argv[1] == "readback":
         readback(sys.argv[2])
+    elif sys.argv[1] == "ddf":
+        ddf_write(sys.argv[2])
     else:
-        raise SystemExit("usage: interop_roundtrip.py fixture | readback <dir>")
+        raise SystemExit(
+            "usage: interop_roundtrip.py fixture | readback <dir> | ddf <dir>")

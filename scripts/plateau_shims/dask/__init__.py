@@ -1,0 +1,50 @@
+"""EAGER stand-in for the `dask` package surface plateau's ddf write path
+touches (public API: https://docs.dask.org) — exists so the ACTUAL
+`plateau.io.dask.dataframe.update_dataset_from_ddf` code at /root/reference
+can execute in this sandbox (zero egress, dask not installed).
+
+Scope and fidelity: this shim provides the ORCHESTRATION surface only —
+partitioned frames as eager lists of pandas DataFrames, map_partitions /
+groupby-apply / reduction executed immediately, the way dask's synchronous
+scheduler would. Everything that determines the DATASET LAYOUT under test
+(hash bucketing, payload packing, MetaPartition construction,
+write_partition, index building, the commit) is the reference library's own
+code running unmodified. The shim carries no plateau logic.
+"""
+
+
+class _NullCtx:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+class _Config:
+    """`dask.config.set(...)` used as a context manager; settings are
+    scheduler hints irrelevant to an eager shim."""
+
+    def set(self, *args, **kwargs):
+        return _NullCtx()
+
+    def get(self, key, default=None):
+        return default
+
+
+config = _Config()
+
+
+def compute(*values, **kwargs):
+    """Materialize shim-lazy values (anything with .compute())."""
+    return tuple(
+        v.compute() if hasattr(v, "compute") else v for v in values
+    )
+
+
+def delayed(obj=None, **kwargs):
+    """Identity: eager execution has no deferral. Works both as
+    `delayed(fn)` and `@delayed(pure=True)` decorator usage."""
+    if obj is not None and callable(obj):
+        return obj
+    return lambda fn: fn

@@ -1,0 +1,132 @@
+"""EAGER `dask.dataframe` shim — the partitioned-frame surface
+`plateau.io.dask.dataframe` + `io/dask/_shuffle.py` call on the WRITE path:
+
+  DataFrame: npartitions, _meta, map_partitions, groupby(by).apply,
+             shuffle(on), repartition
+  Series:    reduction(chunk, aggregate, ...) -> Scalar (.compute())
+  from_pandas, from_map (read path: not implemented)
+
+Semantics mirror dask's synchronous scheduler: a frame is a list of pandas
+partitions; `groupby(by).apply(f)` moves each whole group to `f` exactly
+once (that IS dask's shuffle contract — here realized by concatenating and
+grouping eagerly); `Series.reduction` applies `chunk` per partition and
+`aggregate` over the combined result. All data transformation inside `f`
+is the caller's (i.e. plateau's) code.
+"""
+import pandas as pd
+
+
+class Scalar:
+    """Lazy terminal value: plateau returns the commit as an unevaluated
+    reduction; the caller triggers it with .compute() (or dask.compute)."""
+
+    def __init__(self, thunk):
+        self._thunk = thunk
+
+    def compute(self, **kwargs):
+        return self._thunk()
+
+
+class Series:
+    """Partitioned object series (one python object per element)."""
+
+    def __init__(self, items):
+        self._items = list(items)
+
+    @property
+    def npartitions(self):
+        return max(1, len(self._items))
+
+    def reduction(self, chunk, aggregate, split_every=None, token=None,
+                  meta=None, chunk_kwargs=None, aggregate_kwargs=None,
+                  **kwargs):
+        chunked = [chunk(x, **(chunk_kwargs or {})) for x in self._items]
+        return Scalar(
+            lambda: aggregate(pd.Series(chunked, dtype="object"),
+                              **(aggregate_kwargs or {})))
+
+
+class _GroupBy:
+    def __init__(self, frame, by):
+        self._frame = frame
+        self._by = list(by) if isinstance(by, (list, tuple)) else [by]
+
+    def apply(self, func, *args, **kwargs):
+        kwargs.pop("meta", None)
+        whole = pd.concat(self._frame._parts, ignore_index=False) \
+            if self._frame._parts else self._frame._meta
+        items = []
+        if len(whole):
+            # each GROUP reaches func exactly once and whole — dask's
+            # shuffle guarantee; group columns stay present, as in dask
+            for _key, gdf in whole.groupby(
+                    self._by, sort=False, observed=True, dropna=False):
+                items.append(func(gdf, *args, **kwargs))
+        return Series(items)
+
+
+class DataFrame:
+    def __init__(self, parts, meta=None):
+        parts = [p for p in parts]
+        if not parts and meta is None:
+            raise ValueError("empty DataFrame needs meta")
+        self._parts = parts
+        self.__meta = meta if meta is not None else parts[0].head(0)
+
+    # dask exposes _meta as the zero-row schema frame; hand out copies so
+    # caller-side meta mutation (io/dask/_shuffle.py assigns the bucket
+    # column onto it) cannot corrupt ours
+    @property
+    def _meta(self):
+        return self.__meta.copy()
+
+    @property
+    def npartitions(self):
+        return max(1, len(self._parts))
+
+    @property
+    def columns(self):
+        return self.__meta.columns
+
+    def map_partitions(self, func, *args, **kwargs):
+        kwargs.pop("meta", None)
+        kwargs.pop("token", None)
+        results = [func(p, *args, **kwargs) for p in self._parts]
+        if results and all(isinstance(r, pd.DataFrame) for r in results):
+            return DataFrame(results)
+        return Series(results)
+
+    def groupby(self, by=None, **kwargs):
+        return _GroupBy(self, by)
+
+    def shuffle(self, on=None, **kwargs):
+        # pandas>=3 branch of the reference; group-partitioned re-chunk
+        gb = _GroupBy(self, on)
+        whole = pd.concat(self._parts, ignore_index=False) \
+            if self._parts else self.__meta
+        parts = [g for _k, g in whole.groupby(
+            gb._by, sort=False, observed=True, dropna=False)] or [self.__meta]
+        return DataFrame(parts, meta=self.__meta)
+
+    def repartition(self, npartitions=None, **kwargs):
+        whole = pd.concat(self._parts, ignore_index=True) \
+            if self._parts else self.__meta
+        n = max(1, int(npartitions or 1))
+        size = max(1, -(-len(whole) // n))
+        parts = [whole.iloc[i:i + size] for i in range(0, max(1, len(whole)), size)]
+        return DataFrame(parts, meta=self.__meta)
+
+
+def from_pandas(obj, npartitions=1, **kwargs):
+    if isinstance(obj, pd.Series):
+        return Series(obj.tolist())
+    n = max(1, int(npartitions))
+    size = max(1, -(-len(obj) // n))
+    parts = [obj.iloc[i:i + size] for i in range(0, max(1, len(obj)), size)] \
+        if len(obj) else [obj]
+    return DataFrame(parts, meta=obj.head(0))
+
+
+def from_map(*args, **kwargs):
+    raise NotImplementedError(
+        "shim covers the ddf WRITE path; reads go through graft")

@@ -1,0 +1,14 @@
+"""`dask.dataframe.io.utils.DataFrameIOFunction` shim: the protocol class
+plateau's read-side `ReadPlateauPartition` subclasses at import time."""
+
+
+class DataFrameIOFunction:
+    def __init__(self, *args, **kwargs):
+        pass
+
+    @property
+    def columns(self):
+        raise NotImplementedError
+
+    def project_columns(self, columns):
+        raise NotImplementedError

@@ -1,0 +1,9 @@
+"""`dask.sizeof.sizeof` shim: plateau registers byte-size estimators for its
+classes at import (io/dask/_sizeof.py); an eager single-process shim never
+consults them, but the dispatch registry must exist."""
+from functools import singledispatch
+
+
+@singledispatch
+def sizeof(obj):
+    return 64

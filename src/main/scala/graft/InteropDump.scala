@@ -22,8 +22,9 @@ import graft.store.Storage
   */
 object InteropDump {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 1, "usage: InteropDump <outDir> [verify]")
+    require(args.length >= 1, "usage: InteropDump <outDir> [verify|ddfverify]")
     if (args.length >= 2 && args(1) == "verify") { verify(args(0)); return }
+    if (args.length >= 2 && args(1) == "ddfverify") { ddfVerify(args(0)); return }
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-interop-dump")
@@ -91,6 +92,54 @@ object InteropDump {
     require(d == Seq(6L), s"loc==D prunes to the plateau-appended partition: $d")
     println("== verify OK: graft reads the dataset after the reference " +
       "library appended, delete-scoped and garbage-collected it")
+    spark.stop()
+  }
+
+  /** Step 3 of the DISTRIBUTED-backend round trip: graft reads `pyddf`,
+    * the dataset the REAL `update_dataset_from_ddf(shuffle=True,
+    * num_buckets=2, bucket_by=id, sort_partitions_by=id)` wrote
+    * (`scripts/interop_roundtrip.py ddf <dir>` — reference
+    * `io/dask/dataframe.py:444-533`, `io/dask/_shuffle.py:41-198`). */
+  def ddfVerify(base: String): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-interop-ddf-verify")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val st = Storage(spark, base)
+    val meta = DatasetMetadata.load(st, "pyddf")
+    require(meta.partitionKeys == Seq("loc"), s"partition keys: ${meta.partitionKeys}")
+    // num_buckets=2: every hive partition holds exactly TWO files — the
+    // bucketed layout only the ddf shuffle path produces
+    val filesPerPart = meta.partitions
+      .groupBy(k => k.split("/").find(_.startsWith("loc=")).getOrElse("?"))
+      .map { case (p, ks) => p -> ks.size }
+    require(filesPerPart == Map("loc=B" -> 2, "loc=L%20A" -> 2),
+      s"expected 2 bucket files per partition: $filesPerPart")
+    val rows = graft.io.Reader.readTable(spark, st, "pyddf").collect()
+    require(rows.length == 24, s"expected 24 rows, got ${rows.length}")
+    val ids = rows.map(_.getAs[Long]("id")).sorted.toSeq
+    require(ids == (0L until 24L), s"ids: $ids")
+    // hive partition values (incl. the escaped space) reconstructed
+    val locs = rows.map(r => r.getAs[Long]("id") -> r.getAs[String]("loc")).toMap
+    require((0 until 24).forall(i =>
+        locs(i.toLong) == (if (i % 2 == 0) "L A" else "B")),
+      s"loc values: ${locs.toSeq.sortBy(_._1).take(6)}")
+    // graft prunes on the secondary index the ddf path's reduction built
+    val red = graft.io.Reader.readTable(spark, st, "pyddf",
+      predicates = Some(Seq(Seq(graft.dnf.Literal("cat", graft.dnf.Op.Eq, "red")))))
+      .collect().map(_.getAs[Long]("id")).toSet
+    require(red == (0 until 24 by 3).map(_.toLong).toSet,
+      s"cat==red through the ddf-built index: $red")
+    // partition-key pruning over the bucketed layout
+    val b = graft.io.Reader.readTable(spark, st, "pyddf",
+      predicates = Some(Seq(Seq(graft.dnf.Literal("loc", graft.dnf.Op.Eq, "B")))))
+      .collect().map(_.getAs[Long]("id")).toSeq.sorted
+    require(b == (1L until 24L by 2), s"loc==B: $b")
+    println("== ddfverify OK: graft reads the dataset the reference's " +
+      "distributed (ddf shuffle/bucketing) backend wrote")
     spark.stop()
   }
 }
