@@ -586,26 +586,11 @@ case class PairMaxCosine(rows: Expression, gxe: Expression, gye: Expression,
         s"${gxe.dataType.simpleString}, ${gye.dataType.simpleString}")
   }
 
-  private def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
-    val n = a.numElements()
-    if (b.numElements() != n) return null
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = if (vecFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (vecFloat) b.getFloat(i).toDouble else b.getDouble(i)
-      acc += x * y
-      i += 1
-    }
-    java.lang.Double.valueOf(acc)
-  }
-
   def compute(rowsArr: ArrayData, gx: Int, gy: Int): ArrayData = {
     val n = rowsArr.numElements()
     val bs = new Array[Int](n)
     val ids = new Array[Any](n)
-    val vs = new Array[ArrayData](n)
+    val vs = new Array[Array[Double]](n)
     val ns = new Array[Double](n)
     var m = 0
     var i = 0
@@ -614,39 +599,67 @@ case class PairMaxCosine(rows: Expression, gxe: Expression, gye: Expression,
         val s = rowsArr.getStruct(i, 4)
         if (!s.isNullAt(0) && !s.isNullAt(1) && !s.isNullAt(2) &&
             !s.isNullAt(3)) {
-          bs(m) = s.getInt(0)
-          ids(m) = s.get(1, idType)
-          vs(m) = s.getArray(2)
-          ns(m) = s.getDouble(3)
-          m += 1
+          // extract the vector to a primitive array ONCE per member: the
+          // pair loop visits each vector ~group-size times, and per-element
+          // ArrayData virtual calls were the measured bulk of the sf10 scan.
+          // A null ELEMENT drops the member here — equivalent to the column
+          // form, where the same vector's norm (field 3, computed from it)
+          // is already null and fails the struct null check above.
+          val arr = s.getArray(2)
+          val len = arr.numElements()
+          val v = new Array[Double](len)
+          var j = 0
+          var ok = true
+          while (ok && j < len) {
+            if (arr.isNullAt(j)) ok = false
+            else {
+              v(j) = if (vecFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
+              j += 1
+            }
+          }
+          if (ok) {
+            bs(m) = s.getInt(0)
+            ids(m) = s.get(1, idType)
+            vs(m) = v
+            ns(m) = s.getDouble(3)
+            m += 1
+          }
         }
       }
       i += 1
     }
-    val acc = new java.util.HashMap[Any, java.lang.Double]()
+    // per-member ROUNDED max, primitive-indexed: on a mass-near-duplicate
+    // cluster most candidates pass the threshold, and a HashMap put plus a
+    // BigDecimal rounding per passing pair dominated the sf10 scan. The
+    // rounding moves a value by at most 5e-7, so a candidate with
+    // cos + 1e-6 <= best cannot round above the held (already rounded)
+    // best and skips the BigDecimal entirely.
+    val best = new Array[Double](m)
+    java.util.Arrays.fill(best, Double.NegativeInfinity)
     def consider(a: Int, b: Int): Unit = {
       val cmp = ordering.compare(ids(a), ids(b))
       if (cmp == 0) return // the lid =!= rid contract: equal ids never pair
-      val d = dot(vs(a), vs(b))
-      if (d == null) return
+      val va = vs(a)
+      val vb = vs(b)
+      if (va.length != vb.length) return // mismatched dims: null dot upstream
+      var d = 0.0
+      var t = 0
+      while (t < va.length) { d += va(t) * vb(t); t += 1 }
       val na = ns(a)
       val nb = ns(b)
       var cos = 0.0
       if (na != 0.0 && nb != 0.0) {
-        val r = d.doubleValue() / (na * nb)
+        val r = d / (na * nb)
         cos = if (java.lang.Double.isNaN(r)) 0.0 else r
       }
       if (cos < threshold - 1e-6) return // cannot round up across the gap
+      val w = if (cmp > 0) a else b
+      if (cos + 1e-6 <= best(w)) return // cannot round above the held best
       val rounded =
         if (java.lang.Double.isInfinite(cos)) cos
         else java.math.BigDecimal.valueOf(cos)
           .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-      if (rounded >= threshold) {
-        val winner = if (cmp > 0) ids(a) else ids(b)
-        val prev = acc.get(winner)
-        if (prev == null || rounded > prev.doubleValue())
-          acc.put(winner, java.lang.Double.valueOf(rounded))
-      }
+      if (rounded >= threshold && rounded > best(w)) best(w) = rounded
     }
     if (gx == gy) {
       var a = 0
@@ -668,14 +681,22 @@ case class PairMaxCosine(rows: Expression, gxe: Expression, gye: Expression,
         a += 1
       }
     }
-    val out = new Array[Any](acc.size())
-    val it = acc.entrySet().iterator()
+    var hits = 0
+    var w = 0
+    while (w < m) {
+      if (best(w) != Double.NegativeInfinity) hits += 1
+      w += 1
+    }
+    val out = new Array[Any](hits)
     var j = 0
-    while (it.hasNext) {
-      val e = it.next()
-      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-        Array[Any](e.getKey, e.getValue.doubleValue()))
-      j += 1
+    w = 0
+    while (w < m) {
+      if (best(w) != Double.NegativeInfinity) {
+        out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](ids(w), best(w)))
+        j += 1
+      }
+      w += 1
     }
     new GenericArrayData(out)
   }
