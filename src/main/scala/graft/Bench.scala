@@ -15,8 +15,7 @@ object Bench {
       // aggregation outputs were being written. At cluster scale the same
       // knob is sized to the cluster, not left at a default 6x the
       // parallelism.
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS); surface as long nanos

@@ -449,8 +449,11 @@ object SparkEntry {
     // integer cents + string window bounds keep the oracle comparison exact)
     "w_windowed_agg" -> ((s, dir) => {
       val ev0 = rd(s, dir, "events")
-      val ev = ev0
-        .select(timestamp_micros((tsNanos(ev0, "ts") / 1000L).cast("long")).as("tts"),
+      // `div`, not `/`: Column `/` is DOUBLE division, and epoch nanos
+      // (~1.7e18) exceed double's 2^53 mantissa — the truncated cast could
+      // land an hour-boundary event in the previous window
+      val ev = ev0.withColumn("__tsn", tsNanos(ev0, "ts"))
+        .select(timestamp_micros(expr("__tsn div 1000")).as("tts"),
           col("event_type"),
           floor(col("value") * 100).cast("long").as("v_c"))
       graft.streaming.Streaming.windowedAgg(ev, "tts", "v_c", "1 hour",

@@ -212,12 +212,18 @@ object Similarity {
     * corpus, which with this form means collecting it — only sane for
     * corpora known to be tiny.
     *
-    * Semantics mirror the distributed form it replaced: murmur3-ordered
+    * Semantics mirror the distributed form it replaced: hash-ordered
     * distinct init (identical vectors share one seed slot, so a
     * mass-duplicated corpus cannot collapse the quantizer), assignment by
     * [[cosine]] contract (zero-norm/NaN score 0.0) with ties preferring
     * the HIGHER centroid index (matching [[ivfAssign]]'s sort_array
-    * tie-break), empty clusters keep their previous centroid. */
+    * tie-break), empty clusters keep their previous centroid. One honest
+    * delta: the seed ORDER hashes murmur3 over the canonical local string
+    * form, not xxhash64 over Spark's array<string> cast — deterministic
+    * across runs and JVMs, but not bit-identical to the order the
+    * pre-driver-side implementation produced, so trained centroids (and
+    * anything derived, e.g. semDedup drop sets) may differ from snapshots
+    * taken before this change. */
   def kmeansCentroids(corpus: DataFrame, vecCol: String, k: Int,
                       iters: Int = 10, trainCap: Int = 100000): Seq[Seq[Double]] = {
     require(k >= 1 && iters >= 1)
@@ -236,27 +242,19 @@ object Similarity {
           lit(1000000000L)) <
             math.max(1L, math.ceil(trainCap.toDouble / n * 1e9).toLong))
       }
-    val sample: Array[Array[Double]] = picked.collect().map { r =>
-      val s = r.getSeq[Any](0)
-      val a = new Array[Double](s.length)
-      var i = 0
-      s.foreach { x =>
-        a(i) = x match {
-          case d: Double => d
-          case f: Float => f.toDouble
-          case o => o.toString.toDouble
-        }
-        i += 1
-      }
-      a
-    }
+    val sample: Array[Array[Double]] = picked.collect().map(rowVecToDoubles)
     if (sample.isEmpty) return Seq.empty
     // deterministic order regardless of collect's partition arrival order:
-    // content-hash (murmur3 over the string form), content as tie-break
-    val keyed = sample.map(v => (v.mkString(","), v))
-      .sortBy { case (s, _) =>
-        (scala.util.hashing.MurmurHash3.stringHash(s), s)
-      }
+    // content-hash (murmur3 over the canonical string form), content as
+    // tie-break. Canonical: -0.0 renders as 0.0 so the sign-of-zero
+    // variants of one vector share a single seed slot (DataFrame.distinct,
+    // which this replaced, also treated them as equal). NaN is its own
+    // canonical "NaN" rendering already.
+    val keyed = sample.map { v =>
+      (v.map(x => if (x == 0.0) 0.0 else x).mkString(","), v)
+    }.sortBy { case (s, _) =>
+      (scala.util.hashing.MurmurHash3.stringHash(s), s)
+    }
     // distinct init: identical vectors fill ONE seed slot
     val seen = scala.collection.mutable.HashSet.empty[String]
     val init = keyed.collect { case (s, v) if seen.add(s) => v }.take(k)
@@ -312,6 +310,24 @@ object Similarity {
     centroids.map(_.toSeq).toSeq
   }
 
+  /** Row(array<numeric>) -> Array[Double], shared by the driver-side
+    * kmeans trainer and its [[localityCheck]] pre-flight so the numeric
+    * coercion cannot drift between them. */
+  private def rowVecToDoubles(r: org.apache.spark.sql.Row): Array[Double] = {
+    val s = r.getSeq[Any](0)
+    val a = new Array[Double](s.length)
+    var i = 0
+    s.foreach { x =>
+      a(i) = x match {
+        case d: Double => d
+        case f: Float => f.toDouble
+        case o => o.toString.toDouble
+      }
+      i += 1
+    }
+    a
+  }
+
   /** Isotropy pre-flight for the ANN family: measures whether an embedding
     * column HAS locality-sensitive structure before LSH/IVF is pointed at
     * it. Discovered the hard way on the raw testdata embeddings (median
@@ -348,16 +364,16 @@ object Similarity {
       .withColumn("__h", xxhash64(
         concat_ws(",", col("v").cast("array<string>")), lit("graft.locality")))
       .orderBy(col("__h")).limit(sampleCap).drop("__h")
-      .collect().map { r =>
-        r.getSeq[Any](0).map {
-          case d: Double => d
-          case f: Float => f.toDouble
-          case o => o.toString.toDouble
-        }.toArray
-      }
+      .collect().map(rowVecToDoubles)
+    // the diagnostic is about directions in ONE space: score the MODAL
+    // dimensionality only (a stray short/long vector would otherwise read
+    // past array ends or silently truncate every dot product)
+    val dim =
+      if (sampled.isEmpty) 0
+      else sampled.groupBy(_.length).maxBy { case (d, vs) => (vs.length, d) }._1
     // unit-normalize; zero-norm/NaN vectors carry no direction — drop them
     // from the diagnostic (they are the cosine()==0.0 rows downstream)
-    val unit = sampled.flatMap { v =>
+    val unit = sampled.filter(_.length == dim).flatMap { v =>
       var s = 0.0; var i = 0
       while (i < v.length) { s += v(i) * v(i); i += 1 }
       val n = math.sqrt(s)
@@ -366,25 +382,31 @@ object Similarity {
     }
     val n = unit.length
     require(n >= math.max(4, k + 1),
-      s"only $n usable vectors sampled; need at least ${math.max(4, k + 1)}")
-    val dim = unit.head.length
+      s"only $n usable vectors sampled (modal dim $dim); " +
+        s"need at least ${math.max(4, k + 1)}")
+    // triangular pass: each unordered pair's cosine computed ONCE, mirrored
+    // into both rows' neighbor lists
     val all = new Array[Double](n * (n - 1) / 2)
-    val topkMeans = new Array[Double](n)
+    val rows = Array.ofDim[Double](n, n - 1)
     var p = 0
     var i = 0
     while (i < n) {
-      val row = new Array[Double](n - 1)
-      var j = 0; var m = 0
+      var j = i + 1
       while (j < n) {
-        if (j != i) {
-          var d = 0.0; var t = 0
-          val a = unit(i); val b = unit(j)
-          while (t < dim) { d += a(t) * b(t); t += 1 }
-          row(m) = d; m += 1
-          if (j > i) { all(p) = d; p += 1 }
-        }
+        var d = 0.0; var t = 0
+        val a = unit(i); val b = unit(j)
+        while (t < dim) { d += a(t) * b(t); t += 1 }
+        all(p) = d; p += 1
+        rows(i)(j - 1) = d  // row i: neighbors j>i land at j-1
+        rows(j)(i) = d      // row j: neighbors i<j land at i
         j += 1
       }
+      i += 1
+    }
+    val topkMeans = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      val row = rows(i)
       java.util.Arrays.sort(row)
       var s = 0.0; var q = 0
       while (q < k) { s += row(n - 2 - q); q += 1 }

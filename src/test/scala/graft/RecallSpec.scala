@@ -197,5 +197,17 @@ class RecallSpec extends SparkSpec {
     assert(cl.getAs[Double]("locality_ratio") >
       2 * raw.getAs[Double]("locality_ratio"),
       s"regimes not separated: raw=$raw clustered=$cl")
+    // malformed rows (stray short vector, zero vector, null) must not crash
+    // or sway the verdict: the diagnostic scores the modal dimensionality
+    import spark.implicits._
+    val weird = Seq(
+      (100001L, Array(1.0, 2.0)),
+      (100002L, Array.fill(64)(0.0)),
+      (100003L, null.asInstanceOf[Array[Double]])).toDF("vec_id", "embedding")
+    val cl2 = Similarity.localityCheck(
+      clustered.select(col("vec_id"), col("embedding").cast("array<double>"))
+        .unionByName(weird), "embedding").head()
+    assert(cl2.getAs[Boolean]("structured"), s"verdict flipped: $cl2")
+    assert(cl2.getAs[Int]("dim") === 64, s"modal dim: $cl2")
   }
 }
