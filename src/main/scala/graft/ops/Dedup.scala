@@ -642,6 +642,29 @@ object Dedup {
       clusterIsConstant = cents.isEmpty)
   }
 
+  /** [[semDedupDrops]] with `numClusters` SIZED FROM THE CORPUS instead of
+    * hand-picked: `numClusters = ceil(n / targetClusterSize)` (floored at
+    * 2), so within-cluster pair work — which grows as `n^2 / numClusters`
+    * — stays `O(n * targetClusterSize)` at ANY corpus size. This is the
+    * knob the sf10 tier measurement points at: a fixed `numClusters=16`
+    * run across a 100x scale-up multiplied candidate pairs 100x; sizing k
+    * with n is exactly how the SemDeDup paper reaches LAION scale (50k
+    * clusters). Costs one count() over the corpus — the same metadata-
+    * sized aggregate the kmeans sampler performs anyway.
+    *
+    * `targetClusterSize` also bounds per-task group memory:
+    * ~`2 * targetClusterSize / blocks` vectors per pair-scan group. */
+  def semDedupDropsSized(df: DataFrame, vecCol: String, idCol: String,
+                         threshold: Double, targetClusterSize: Int = 4096,
+                         iters: Int = 3, blocks: Int = 8): DataFrame = {
+    require(targetClusterSize >= 1,
+      s"targetClusterSize must be >= 1 (got $targetClusterSize)")
+    val n = df.count()
+    val k = math.max(2L, (n + targetClusterSize - 1) / targetClusterSize)
+    require(k <= Int.MaxValue, s"computed numClusters $k overflows Int")
+    semDedupDrops(df, vecCol, idCol, threshold, k.toInt, iters, blocks)
+  }
+
   /** Cluster assignment for the SemDeDup faces: `None` centroids is the
     * exact face (everything in cluster 0). */
   private def semAssign(df: DataFrame, vecCol: String, idCol: String,

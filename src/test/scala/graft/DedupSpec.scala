@@ -654,6 +654,21 @@ class DedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("set recall regression"), ex.getMessage)
   }
 
+  test("semDedupDropsSized: numClusters derived from corpus size / targetClusterSize") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // 500 vectors / target 100 => k = 5 clusters
+    val drops = Dedup.semDedupDropsSized(emb, "embedding", "vec_id",
+      threshold = 0.2, targetClusterSize = 100)
+    val rows = drops.collect()
+    assert(rows.nonEmpty)
+    val clusters = rows.map(_.getAs[Int]("cluster")).toSet
+    assert(clusters.max < 5 && clusters.min >= 0, s"clusters: $clusters")
+    // precision stays exact by construction: subset of the all-pairs face
+    val exact = Dedup.semDedupDrops(emb, "embedding", "vec_id",
+      threshold = 0.2, numClusters = 1).collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet.subsetOf(exact))
+  }
+
   test("semDedup clustered face: drops are a verified subset of the exact face") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Dedup.semDedupDrops(emb, "embedding", "vec_id",
