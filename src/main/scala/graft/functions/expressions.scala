@@ -739,3 +739,135 @@ case class PairMaxCosine(rows: Expression, gxe: Expression, gye: Expression,
       newChildren: IndexedSeq[Expression]): PairMaxCosine =
     copy(rows = newChildren(0), gxe = newChildren(1), gye = newChildren(2))
 }
+
+/** Argmax-cosine coarse-quantizer assignment: which of `centroids` is this
+  * vector nearest to? Replaces the `sort_array(array(struct(cosine, i)))
+  * .getItem(0)` column form, which allocated and SORTED a k-struct array
+  * per row to take a maximum — O(k log k) with per-row garbage on the
+  * one expression every IVF/semDedup assignment evaluates for every
+  * corpus row (measured as the dominant cost of assignment at k in the
+  * hundreds). This is a flat O(k·dim) loop over centroid arrays held
+  * once as a reference object, with centroid norms precomputed.
+  *
+  * Semantics are BIT-EQUAL to the struct-sort form it replaces:
+  * per-centroid similarity follows [[graft.ops.Similarity.cosine]]
+  * (zero-norm => 0.0, NaN => 0.0); an UNDEFINED similarity (null vector,
+  * null element, dimension mismatch — a null `sim` in the old struct)
+  * ranks below every defined value INCLUDING real -Infinity, exactly as
+  * null struct fields sort in descending order; ties prefer the HIGHER
+  * centroid index (struct ordering fell through to the descending
+  * `centroid` field). Subtlety inherited from SQL three-valued logic and
+  * pinned by the parity test: a ZERO-NORM CENTROID defines sim 0.0 for
+  * EVERY vector — even null/mismatched ones — because
+  * `null OR (nc = 0.0)` is true in the cosine guard; likewise a defined
+  * zero-norm VECTOR scores 0.0 against mismatched-dimension centroids.
+  * All-undefined rows yield k-1. Never null. */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+  require(centroids.nonEmpty, "centroids must be non-empty")
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+  override def prettyName: String = "nearest_centroid"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) | NullType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float|double>, got ${other.simpleString}")
+    }
+
+  @transient private lazy val vecFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val centroidNorms: Array[Double] =
+    centroids.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
+    }
+
+  def compute(arr: ArrayData): Int = {
+    val k = centroids.length
+    // extract once; null element => the whole vector is undefined (every
+    // per-centroid dot in the old form nulled out)
+    var v: Array[Double] = null
+    if (arr != null) {
+      val len = arr.numElements()
+      val tmp = new Array[Double](len)
+      var i = 0
+      var ok = true
+      while (ok && i < len) {
+        if (arr.isNullAt(i)) ok = false
+        else {
+          tmp(i) = if (vecFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+          i += 1
+        }
+      }
+      if (ok) v = tmp
+    }
+    var nv = 0.0
+    if (v != null) {
+      var i = 0
+      while (i < v.length) { nv += v(i) * v(i); i += 1 }
+      nv = math.sqrt(nv)
+    }
+    var bestDefined = false
+    var best = Double.NegativeInfinity
+    var bi = 0
+    var c = 0
+    while (c < k) {
+      val cent = centroids(c)
+      val nc = centroidNorms(c)
+      // mirrors when(nv === 0.0 || nc === 0.0, 0.0).otherwise(nanvl(...)):
+      // nc == 0 (or a DEFINED nv == 0) forces the `when` branch true even
+      // when the other side of the OR is null, so sim is a defined 0.0
+      var defined = false
+      var sim = 0.0
+      if (nc == 0.0) {
+        defined = true
+      } else if (v != null) {
+        if (nv == 0.0) {
+          defined = true
+        } else if (v.length == cent.length) {
+          var d = 0.0
+          var t = 0
+          while (t < cent.length) { d += v(t) * cent(t); t += 1 }
+          val r = d / (nv * nc)
+          sim = if (java.lang.Double.isNaN(r)) 0.0 else r
+          defined = true
+        }
+      }
+      if (defined) {
+        // defined beats undefined; otherwise >= prefers the higher index
+        if (!bestDefined || sim >= best) { bestDefined = true; best = sim; bi = c }
+      } else if (!bestDefined) {
+        bi = c // undefined tie: highest index so far wins
+      }
+      c += 1
+    }
+    bi
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    compute(child.eval(input).asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("nearestCentroid", this,
+      classOf[NearestCentroid].getName)
+    val childEv = child.genCode(ctx)
+    ev.copy(
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral,
+      code = code"""
+      ${childEv.code}
+      int ${ev.value} = $ref.compute(
+        ${childEv.isNull} ? null : ${childEv.value});
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}

@@ -178,17 +178,19 @@ object Similarity {
 
   /** IVF-style coarse quantization: assign each vector to the nearest of
     * `centroids`; probe-time search scans only the closest partitions.
-    * Centroid list is broadcast as literals (small by construction). */
+    * Centroids ride as ONE reference object inside the codegen'd
+    * [[graft.functions.NearestCentroid]] argmax — the previous
+    * `sort_array(array(struct(cosine, i)))` column form allocated and
+    * sorted a k-struct array per corpus row (the dominant cost of
+    * assignment once k reaches the hundreds); semantics are unchanged,
+    * including the undefined-similarity and tie-break ordering (pinned by
+    * the ExpressionsSpec parity test against the old form). */
   def ivfAssign(corpus: DataFrame, vecCol: String,
-                centroids: Seq[Seq[Double]]): DataFrame = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      // array literal as ONE reference object — see bruteForceScores
-      struct(cosine(col(vecCol), lit(c.toArray)).as("sim"),
-        lit(i).as("centroid"))
-    }
+                centroids: Seq[Seq[Double]]): DataFrame =
     corpus.withColumn("__centroid",
-      sort_array(array(scored: _*), asc = false).getItem(0).getField("centroid"))
-  }
+      graft.functions.expressions.asColumn(graft.functions.NearestCentroid(
+        graft.functions.expressions.exprOf(col(vecCol)),
+        centroids.map(_.toArray).toArray)))
 
   /** Lloyd's k-means over the embedding column — trains the IVF coarse
     * quantizer. ONE distributed pass (the sampling scan + collect of at

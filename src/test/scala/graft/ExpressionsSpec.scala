@@ -202,4 +202,42 @@ class ExpressionsSpec extends SparkSpec {
     assert(df.select(graft.ops.QualityModel
       .nbScoreColumn(model, lit(null).cast("string"))).head.isNullAt(0))
   }
+
+  test("NearestCentroid parity with the struct-sort column form it replaced") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(20260814L)
+    val dim = 6
+    val centroids: Seq[Seq[Double]] =
+      (0 until 7).map(_ => Seq.fill(dim)(rnd.nextGaussian())) ++
+        Seq(Seq.fill(dim)(0.0)) :+              // zero centroid: sim 0.0
+        (0 until 7).map(_ => Seq.fill(dim)(rnd.nextGaussian())).head // dup dir
+    val rows: Seq[(Long, Array[Double])] =
+      (1L to 60L).map(i => i -> Array.fill(dim)(rnd.nextGaussian())) ++ Seq(
+        (100L, Array.fill(dim)(0.0)),                  // zero vector
+        (101L, null.asInstanceOf[Array[Double]]),      // null vector
+        (102L, Array(1.0, 2.0)),                       // dim mismatch
+        (103L, centroids(2).toArray))                  // exact centroid hit
+    val df = rows.toDF("id", "v").cache()
+    // the exact column form ivfAssign used before the argmax expression
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(Similarity.cosine(col("v"), lit(c.toArray)).as("sim"),
+        lit(i).as("centroid"))
+    }
+    val want = df.select(col("id"),
+        sort_array(array(scored: _*), asc = false)
+          .getItem(0).getField("centroid").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = Similarity.ivfAssign(df, "v", centroids)
+      .select(col("id"), col("__centroid"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === want)
+    // null/mismatched vectors land on the ZERO centroid (index 7): its
+    // sim is a DEFINED 0.0 through SQL's `null OR true = true`, which
+    // outranks every null sim — the three-valued-logic subtlety the
+    // first version of the argmax missed and this parity test caught
+    assert(got(101L) === 7)
+    assert(got(102L) === 7)
+    assert(got(103L) === 2)
+  }
 }
