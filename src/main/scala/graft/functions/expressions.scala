@@ -762,9 +762,15 @@ case class PairMaxCosine(rows: Expression, gxe: Expression, gye: Expression,
   * `null OR (nc = 0.0)` is true in the cosine guard; likewise a defined
   * zero-norm VECTOR scores 0.0 against mismatched-dimension centroids.
   * All-undefined rows yield k-1. Never null. */
-case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+case class NearestCentroid(child: Expression, centroidSeq: Seq[Seq[Double]])
     extends UnaryExpression {
-  require(centroids.nonEmpty, "centroids must be non-empty")
+  require(centroidSeq.nonEmpty, "centroids must be non-empty")
+  // Seq field => structural case-class equality, so two NearestCentroid
+  // instances built from the same centroid values are semanticEquals and
+  // Catalyst CSE / plan-reuse can deduplicate them; the hot loop still
+  // runs over primitive arrays materialized once per (deserialized) task
+  @transient private lazy val centroids: Array[Array[Double]] =
+    centroidSeq.map(_.toArray).toArray
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = false
   override def prettyName: String = "nearest_centroid"

@@ -635,22 +635,30 @@ object Dedup {
     require(numClusters >= 1, s"numClusters must be >= 1 (got $numClusters)")
     val cents =
       if (numClusters == 1) None
+      // an empty/all-null-vector corpus trains ZERO centroids: fall back
+      // to the exact face (no pairs anyway) instead of handing the
+      // assignment expression an empty centroid list
       else Some(Similarity.kmeansCentroids(
         df.select(col(idCol).as("id"), col(vecCol).as("v")), "v",
-        numClusters, iters))
+        numClusters, iters)).filter(_.nonEmpty)
     semPairDrops(semAssign(df, vecCol, idCol, cents), threshold, blocks,
       clusterIsConstant = cents.isEmpty)
   }
 
   /** [[semDedupDrops]] with `numClusters` SIZED FROM THE CORPUS instead of
-    * hand-picked: `numClusters = ceil(n / targetClusterSize)` (floored at
-    * 2), so within-cluster pair work — which grows as `n^2 / numClusters`
-    * — stays `O(n * targetClusterSize)` at ANY corpus size. This is the
+    * hand-picked: `numClusters = ceil(n / targetClusterSize)`, so
+    * within-cluster pair work — which grows as `n^2 / numClusters` —
+    * stays `O(n * targetClusterSize)` at ANY corpus size. This is the
     * knob the sf10 tier measurement points at: a fixed `numClusters=16`
     * run across a 100x scale-up multiplied candidate pairs 100x; sizing k
     * with n is exactly how the SemDeDup paper reaches LAION scale (50k
-    * clusters). Costs one count() over the corpus — the same metadata-
-    * sized aggregate the kmeans sampler performs anyway.
+    * clusters). A corpus at or below `targetClusterSize` takes the EXACT
+    * `numClusters = 1` all-pairs face — its n^2 pairs already fit the
+    * O(n * target) budget this contract allows, so nothing is traded for
+    * approximation (and empty corpora short-circuit there too instead of
+    * reaching the quantizer). Costs one count() over the corpus, shared
+    * with the kmeans sampler via its `knownCount` hook — the lineage is
+    * scanned once for sizing, once for sampling.
     *
     * `targetClusterSize` also bounds per-task group memory:
     * ~`2 * targetClusterSize / blocks` vectors per pair-scan group. */
@@ -660,9 +668,15 @@ object Dedup {
     require(targetClusterSize >= 1,
       s"targetClusterSize must be >= 1 (got $targetClusterSize)")
     val n = df.count()
-    val k = math.max(2L, (n + targetClusterSize - 1) / targetClusterSize)
+    val k = (n + targetClusterSize - 1) / targetClusterSize
     require(k <= Int.MaxValue, s"computed numClusters $k overflows Int")
-    semDedupDrops(df, vecCol, idCol, threshold, k.toInt, iters, blocks)
+    val cents =
+      if (k <= 1) None
+      else Some(Similarity.kmeansCentroids(
+        df.select(col(idCol).as("id"), col(vecCol).as("v")), "v",
+        k.toInt, iters, knownCount = Some(n))).filter(_.nonEmpty)
+    semPairDrops(semAssign(df, vecCol, idCol, cents), threshold, blocks,
+      clusterIsConstant = cents.isEmpty)
   }
 
   /** Cluster assignment for the SemDeDup faces: `None` centroids is the
@@ -800,7 +814,9 @@ object Dedup {
     val corpus = if (auditIsCorpus) audit else base
     val cents =
       if (numClusters == 1) None
+      // same empty-corpus fallback as semDedupDrops
       else Some(Similarity.kmeansCentroids(corpus, "v", numClusters, iters))
+        .filter(_.nonEmpty)
     val full = semPairDrops(semAssign(corpus, "v", "id", cents),
       threshold, blocks, clusterIsConstant = cents.isEmpty)
     val approxAudit =

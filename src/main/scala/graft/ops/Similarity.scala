@@ -189,8 +189,7 @@ object Similarity {
                 centroids: Seq[Seq[Double]]): DataFrame =
     corpus.withColumn("__centroid",
       graft.functions.expressions.asColumn(graft.functions.NearestCentroid(
-        graft.functions.expressions.exprOf(col(vecCol)),
-        centroids.map(_.toArray).toArray)))
+        graft.functions.expressions.exprOf(col(vecCol)), centroids)))
 
   /** Lloyd's k-means over the embedding column — trains the IVF coarse
     * quantizer. ONE distributed pass (the sampling scan + collect of at
@@ -227,13 +226,18 @@ object Similarity {
     * anything derived, e.g. semDedup drop sets) may differ from snapshots
     * taken before this change. */
   def kmeansCentroids(corpus: DataFrame, vecCol: String, k: Int,
-                      iters: Int = 10, trainCap: Int = 100000): Seq[Seq[Double]] = {
+                      iters: Int = 10, trainCap: Int = 100000,
+                      knownCount: Option[Long] = None): Seq[Seq[Double]] = {
     require(k >= 1 && iters >= 1)
     val all = corpus.select(col(vecCol).as("v")).where(col("v").isNotNull)
     val picked =
       if (trainCap <= 0) all
       else {
-        val n = all.count() // shuffle-free aggregate; kmeans is eager anyway
+        // knownCount lets a caller that already counted the corpus skip
+        // this scan. An OVER-count (e.g. it counted rows incl. null
+        // vectors) only lowers the sampling rate — the sample shrinks,
+        // never overshoots the cap.
+        val n = knownCount.getOrElse(all.count())
         if (n <= trainCap) all
         // 1e9 buckets: at 1e6 the threshold FLOORS to bucket granularity —
         // for n >> trainCap*1e6 the rate rounds to a whole bucket and the
@@ -254,8 +258,12 @@ object Similarity {
     // canonical "NaN" rendering already.
     val keyed = sample.map { v =>
       (v.map(x => if (x == 0.0) 0.0 else x).mkString(","), v)
-    }.sortBy { case (s, _) =>
-      (scala.util.hashing.MurmurHash3.stringHash(s), s)
+    }.sortBy { case (s, v) =>
+      // raw string as FINAL tie-break: vectors differing only in zero
+      // signs share one canonical key (one seed slot), and without it the
+      // stable sort would preserve collect()'s nondeterministic partition
+      // arrival order — which bit-pattern seeds the slot must not vary
+      (scala.util.hashing.MurmurHash3.stringHash(s), s, v.mkString(","))
     }
     // distinct init: identical vectors fill ONE seed slot
     val seen = scala.collection.mutable.HashSet.empty[String]

@@ -667,6 +667,19 @@ class DedupSpec extends SparkSpec {
     val exact = Dedup.semDedupDrops(emb, "embedding", "vec_id",
       threshold = 0.2, numClusters = 1).collect().map(_.getLong(0)).toSet
     assert(rows.map(_.getLong(0)).toSet.subsetOf(exact))
+    // a corpus at or below the target takes the EXACT k=1 face — its n^2
+    // pairs fit the O(n*target) budget, so nothing is traded away
+    val sizedExact = Dedup.semDedupDropsSized(emb, "embedding", "vec_id",
+      threshold = 0.2, targetClusterSize = 4096)
+      .collect().map(_.getLong(0)).toSet
+    assert(sizedExact === exact)
+    // empty corpus: empty drops on every face, not a quantizer error
+    import spark.implicits._
+    val none = Seq.empty[(Long, Array[Double])].toDF("vec_id", "embedding")
+    assert(Dedup.semDedupDrops(none, "embedding", "vec_id", 0.5, 4)
+      .count() === 0)
+    assert(Dedup.semDedupDropsSized(none, "embedding", "vec_id", 0.5)
+      .count() === 0)
   }
 
   test("semDedup clustered face: drops are a verified subset of the exact face") {

@@ -208,10 +208,11 @@ class ExpressionsSpec extends SparkSpec {
     import graft.ops.Similarity
     val rnd = new scala.util.Random(20260814L)
     val dim = 6
+    val base7: Seq[Seq[Double]] =
+      (0 until 7).map(_ => Seq.fill(dim)(rnd.nextGaussian()))
     val centroids: Seq[Seq[Double]] =
-      (0 until 7).map(_ => Seq.fill(dim)(rnd.nextGaussian())) ++
-        Seq(Seq.fill(dim)(0.0)) :+              // zero centroid: sim 0.0
-        (0 until 7).map(_ => Seq.fill(dim)(rnd.nextGaussian())).head // dup dir
+      base7 ++ Seq(Seq.fill(dim)(0.0)) :+ // index 7: zero centroid, sim 0.0
+        base7(2) // index 8: EXACT duplicate of index 2 — pins the tie-break
     val rows: Seq[(Long, Array[Double])] =
       (1L to 60L).map(i => i -> Array.fill(dim)(rnd.nextGaussian())) ++ Seq(
         (100L, Array.fill(dim)(0.0)),                  // zero vector
@@ -238,6 +239,9 @@ class ExpressionsSpec extends SparkSpec {
     // first version of the argmax missed and this parity test caught
     assert(got(101L) === 7)
     assert(got(102L) === 7)
-    assert(got(103L) === 2)
+    // row 103 IS centroid 2, duplicated at index 8: the exactly-equal
+    // defined sims must break toward the HIGHER index, like the
+    // descending struct sort
+    assert(got(103L) === 8)
   }
 }
