@@ -9,7 +9,7 @@ import graft.io.{Ops, Reader, Writer}
 import graft.io.Writer.WriteOpts
 import graft.index.SecondaryIndex
 import graft.meta.DatasetMetadata
-import graft.ops.{AsofJoin, Chunking, Contamination, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{AsofJoin, Chunking, Contamination, Dedup, Multimodal, Similarity, TextAnalysis, WebText}
 import graft.store.Storage
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -124,6 +124,32 @@ object SparkEntry {
           overwrite = true))
     }
 
+  /** Deterministic URL synthesis for the web-provenance queries: every
+    * component is closed-form in doc_id, exercising scheme case folding,
+    * userinfo stripping, mixed-case hosts, multi-label public suffixes,
+    * default vs explicit ports, empty paths, utm_* tracking params, and
+    * fragments. The oracle rebuilds the SAME urls (and their expected
+    * parse) arithmetically — see t_url_parse. */
+  private def synthUrls(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    def idm(k: Int): Column = col("doc_id") % k
+    d.select(col("doc_id"), col("text"),
+      concat(
+        when(idm(2) === 0, "http").otherwise("HTTPS"), lit("://"),
+        when(idm(11) === 0, "user:pw@").otherwise(""),
+        lit("WWW."), col("source"),
+        when(idm(4) === 0, ".Example.com")
+          .when(idm(4) === 1, ".example.co.uk")
+          .when(idm(4) === 2, ".example.org.au")
+          .otherwise(".example.io"),
+        when(idm(5) === 0, ":443").when(idm(5) === 1, ":8080").otherwise(""),
+        when(idm(6) === 0, "").otherwise(concat(lit("/p/"), idm(7).cast("string"))),
+        when(idm(3) === 0, concat(lit("?utm_source=news&q="), idm(5).cast("string")))
+          .when(idm(3) === 1, concat(lit("?id="), idm(9).cast("string"), lit("&utm_medium=rss")))
+          .otherwise(""),
+        when(idm(4) === 0, "#sec").otherwise("")).as("url"))
+  }
+
   // ------------------------------------------------------------- flagship
 
   /** Flagship query on sf=0.001 (driver smoke-checks rows>0): the full
@@ -207,6 +233,39 @@ object SparkEntry {
         }
       }
       Reader.readTable(s, st, "cust_stream")
+    }),
+
+    // --- streaming ingestion DEDUP (beyond-reference): each micro-batch
+    // probes the persisted MinHash index, drops near-dups of landed content,
+    // collapses within-batch near-dups, appends survivor signatures, and
+    // commits atomically. Stream = the src0 slice + 50 changed-id copies of
+    // already-indexed src1 docs; the copies must all drop (signature match
+    // est=1.0), the src0 slice lands minus its own near-dup classes.
+    // Rows-only by design (minhash est-jaccard is not SQL-expressible);
+    // exactness pinned by StreamingSpec's cross-batch + replay tests.
+    "st_stream_dedup" -> ((s, dir) => {
+      val st = ensure(s, dir, "sdd_stream") { st =>
+        Ops.deleteDataset(st, "sdd_corpus")
+        Dedup.minhashIndex(s, st, "sdd_idx",
+          rd(s, dir, "documents").where(col("source") =!= "src0"),
+          "text", "doc_id", numBuckets = 32, overwrite = true)
+        val src0 = rd(s, dir, "documents").where(col("source") === "src0")
+          .select("doc_id", "text")
+        val copies = rd(s, dir, "documents").where(col("source") === "src1")
+          .orderBy("doc_id").limit(50)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        val inDir = s"${tmpBase(dir)}/sdd_in"
+        src0.unionByName(copies).coalesce(1)
+          .write.mode("overwrite").parquet(inDir)
+        val q = graft.streaming.Streaming.writeStreamDedup(
+          s.readStream.schema("doc_id bigint, text string").parquet(inDir),
+          st, "sdd_corpus", "sdd_idx", "text", "doc_id", threshold = 0.5)
+        if (!q.awaitTermination(300000)) {
+          q.stop()
+          sys.error("st_stream_dedup ingest did not finish within 300s")
+        }
+      }
+      Reader.readTable(s, st, "sdd_corpus").select("doc_id")
     }),
 
     // --- P2: != keeps nulls (reference numpy semantics)
@@ -963,6 +1022,61 @@ object SparkEntry {
     "m_audio" -> ((s, dir) => {
       val wavs = Multimodal.syntheticWav(rd(s, dir, "documents").select("doc_id"), "doc_id")
       Multimodal.decodeAudio(wavs, "doc_id")
+    }),
+
+    // --- REAL video CONTAINER probe: deterministic ISO-BMFF (MP4) files
+    // generated per doc id — the id also steers the container layout (v0/v1
+    // mvhd, largesize/to-EOF mdat, moov-after-mdat, free-box padding), so
+    // the byte-level box parser's hard paths all execute; the oracle
+    // reproduces the probe output arithmetically from the id. Frame DECODE
+    // stays stubbed (no JDK video codec) — this is the decode-free metadata
+    // pass a curation pipeline filters on first anyway
+    "m_video" -> ((s, dir) => {
+      val mp4s = Multimodal.syntheticMp4(rd(s, dir, "documents").select("doc_id"), "doc_id")
+      Multimodal.probeVideo(mp4s, "doc_id")
+    }),
+
+    // --- web provenance: URL parse + canonicalization. URLs are
+    // synthesized closed-form from doc_id (scheme case, userinfo, mixed-
+    // case hosts, multi-label public suffixes, default/explicit ports,
+    // empty paths, utm_* tracking params, fragments — every branch of the
+    // machinery); the oracle computes each component ARITHMETICALLY from
+    // the same id, never regexing, so a hash match proves the RE2-safe
+    // extraction chain equals the closed-form construction
+    "t_url_parse" -> ((s, dir) => {
+      val u = synthUrls(s, dir)
+      u.select(col("doc_id"), col("url"),
+        WebText.urlScheme(col("url")).as("scheme"),
+        WebText.urlHost(col("url")).as("host"),
+        WebText.urlPort(col("url")).as("port"),
+        WebText.urlDomain(col("url")).as("domain"),
+        WebText.urlPath(col("url")).as("path"),
+        WebText.urlQuery(col("url")).as("qstring"),
+        WebText.urlFragment(col("url")).as("fragment"),
+        WebText.normalizeUrl(col("url")).as("norm_url"))
+    }),
+
+    // --- web provenance: registered-domain rollup behind a broadcast
+    // blocklist gate (the domain-level audit every web pipeline runs)
+    "t_url_domains" -> ((s, dir) => {
+      import s.implicits._
+      val u = synthUrls(s, dir)
+      val blocked = Seq("example.io").toDF("domain")
+      WebText.domainCounts(
+        WebText.dropBlockedDomains(u, "url", blocked), "url", "text")
+    }),
+
+    // --- web provenance: URL-level dedup through canonicalization — utm
+    // params and fragments collapse, so variants of the same page dedup to
+    // the min doc_id (the cheapest dedup stage, upstream of content hashes)
+    "t_url_dedup" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+      val u = d.select(col("doc_id"), concat(
+        lit("https://"), col("source"), lit(".example.com/p/"),
+        (col("doc_id") % 7).cast("string"),
+        when(col("doc_id") % 2 === 0, "?utm_source=feed").otherwise(""),
+        when(col("doc_id") % 3 === 0, "#top").otherwise("")).as("url"))
+      WebText.dedupByUrl(u, "url", "doc_id").select("doc_id")
     })
   )
 
@@ -1744,7 +1858,81 @@ object SparkEntry {
              frames AS n_frames,
              CAST(frames * 1000 // 8000 AS BIGINT) AS duration_ms,
              sqrt(CAST(ssum AS DOUBLE) / (frames * ch)) AS rms
-           FROM s"""
+           FROM s""",
+      // closed-form probe of the synthetic MP4 containers: duration_ms =
+      // mvhd duration * 1000 / timescale = (1 + id%30) seconds exactly;
+      // a hash match proves the byte-level BMFF write -> parse round trip
+      // (incl. v1 mvhd, largesize/to-EOF mdat, moov-after-mdat) ran
+      "m_video" ->
+        """SELECT doc_id,
+             CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INT) AS n_tracks,
+             CAST((1 + doc_id % 30) * 1000 AS BIGINT) AS duration_ms,
+             CAST(16 * (1 + doc_id % 20) AS INT) AS width,
+             CAST(16 * (1 + doc_id % 12) AS INT) AS height,
+             'avc1' AS video_codec,
+             CASE WHEN doc_id % 3 = 0 THEN 'mp4a' ELSE NULL END AS audio_codec
+           FROM documents""",
+      // closed-form expected parse of the synthesized URLs: the oracle
+      // never runs a regex — every component is rebuilt arithmetically
+      // from doc_id, so a match proves the RE2 extraction chain
+      "t_url_parse" ->
+        """WITH u AS (
+             SELECT doc_id,
+               CASE WHEN doc_id%2=0 THEN 'http' ELSE 'HTTPS' END AS scheme_raw,
+               CASE WHEN doc_id%11=0 THEN 'user:pw@' ELSE '' END AS userinfo,
+               'WWW.' || source ||
+                 CASE CAST(doc_id%4 AS INT) WHEN 0 THEN '.Example.com'
+                   WHEN 1 THEN '.example.co.uk' WHEN 2 THEN '.example.org.au'
+                   ELSE '.example.io' END AS host_raw,
+               CASE WHEN doc_id%5=0 THEN ':443'
+                 WHEN doc_id%5=1 THEN ':8080' ELSE '' END AS port_raw,
+               CASE WHEN doc_id%6=0 THEN ''
+                 ELSE '/p/' || CAST(doc_id%7 AS VARCHAR) END AS path_raw,
+               CASE WHEN doc_id%3=0 THEN '?utm_source=news&q=' || CAST(doc_id%5 AS VARCHAR)
+                 WHEN doc_id%3=1 THEN '?id=' || CAST(doc_id%9 AS VARCHAR) || '&utm_medium=rss'
+                 ELSE '' END AS query_raw,
+               CASE WHEN doc_id%4=0 THEN '#sec' ELSE '' END AS frag_raw,
+               CASE WHEN doc_id%3=0 THEN '?q=' || CAST(doc_id%5 AS VARCHAR)
+                 WHEN doc_id%3=1 THEN '?id=' || CAST(doc_id%9 AS VARCHAR)
+                 ELSE '' END AS query_norm
+             FROM documents)
+           SELECT doc_id,
+             scheme_raw || '://' || userinfo || host_raw || port_raw
+               || path_raw || query_raw || frag_raw AS url,
+             lower(scheme_raw) AS scheme,
+             lower(host_raw) AS host,
+             CASE WHEN port_raw='' THEN '' ELSE substr(port_raw, 2) END AS port,
+             CASE CAST(doc_id%4 AS INT) WHEN 0 THEN 'example.com'
+               WHEN 1 THEN 'example.co.uk' WHEN 2 THEN 'example.org.au'
+               ELSE 'example.io' END AS domain,
+             path_raw AS path,
+             CASE WHEN query_raw='' THEN '' ELSE substr(query_raw, 2) END AS qstring,
+             CASE WHEN frag_raw='' THEN '' ELSE substr(frag_raw, 2) END AS fragment,
+             lower(scheme_raw) || '://' || lower(host_raw) ||
+               CASE WHEN port_raw='' THEN ''
+                 WHEN lower(scheme_raw)='https' AND port_raw=':443' THEN ''
+                 WHEN lower(scheme_raw)='http' AND port_raw=':80' THEN ''
+                 ELSE port_raw END ||
+               CASE WHEN path_raw='' THEN '/' ELSE path_raw END ||
+               query_norm AS norm_url
+           FROM u""",
+      // registered-domain rollup behind the blocklist (example.io dropped)
+      "t_url_domains" ->
+        """SELECT
+             CASE CAST(doc_id%4 AS INT) WHEN 0 THEN 'example.com'
+               WHEN 1 THEN 'example.co.uk' ELSE 'example.org.au' END AS domain,
+             COUNT(*) AS n_docs,
+             SUM(length(text)) AS total_chars
+           FROM documents WHERE doc_id%4 <> 3
+           GROUP BY 1""",
+      // canonicalization-driven URL dedup: utm params and fragments
+      // collapse, so the survivor is the min doc_id per (source, doc_id%7)
+      "t_url_dedup" ->
+        """SELECT doc_id FROM (
+             SELECT doc_id, row_number() OVER (
+               PARTITION BY source, doc_id%7 ORDER BY doc_id) AS rn
+             FROM documents)
+           WHERE rn = 1"""
     )
   }
 }

@@ -552,12 +552,8 @@ object Dedup {
                         storage: graft.store.Storage, uuid: String,
                         batch: DataFrame, textCol: String, idCol: String,
                         threshold: Double = 0.5): DataFrame = {
-    val meta = graft.meta.DatasetMetadata.load(storage, uuid)
-    def param(k: String): Int = meta.metadata.getOrElse(s"graft.minhash.$k",
-      throw new IllegalArgumentException(
-        s"dataset '$uuid' is not a minhash index (missing graft.minhash.$k)")).toInt
     val (numHashes, bands, shingleN, numBuckets) =
-      (param("numHashes"), param("bands"), param("shingleN"), param("numBuckets"))
+      minhashIndexParams(storage, uuid)
     val bt = batch
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
       .where(size(col("sh")) > 0)
@@ -573,6 +569,11 @@ object Dedup {
     val matching = zip_with(col("q.sig"), col("c.sig"),
       (a, b) => when(a === b, 1).otherwise(0))
     bt.as("q").join(idx.as("c"), col("q.band") === col("c.band"))
+      // a doc is never a duplicate of ITSELF: the id-equality exclusion
+      // (null-safe) makes re-probing content whose own signatures are
+      // already indexed a no-op — the property the streaming ingest's
+      // crash-replay idempotency rests on (see Streaming.writeStreamDedup)
+      .where(!(col("q.id") <=> col("c.id")))
       .select(col("q.id").as("id"), col("c.id").as("matched_id"),
         round(aggregate(matching, lit(0), (acc, x) => acc + x)
           .cast("double") / numHashes, 6).as("est_jaccard"))
@@ -580,6 +581,43 @@ object Dedup {
       // the same pair surfaces once per shared band; est is identical
       .groupBy(col("id"), col("matched_id"))
       .agg(max(col("est_jaccard")).as("est_jaccard"))
+  }
+
+  /** The signature-family parameters pinned in a [[minhashIndex]] dataset's
+    * header metadata: (numHashes, bands, shingleN, numBuckets). Build,
+    * probe, and append all read THIS — the hash family can never silently
+    * drift between them. */
+  private[graft] def minhashIndexParams(storage: graft.store.Storage,
+                                        uuid: String): (Int, Int, Int, Int) = {
+    val meta = graft.meta.DatasetMetadata.load(storage, uuid)
+    def param(k: String): Int = meta.metadata.getOrElse(s"graft.minhash.$k",
+      throw new IllegalArgumentException(
+        s"dataset '$uuid' is not a minhash index (missing graft.minhash.$k)")).toInt
+    (param("numHashes"), param("bands"), param("shingleN"), param("numBuckets"))
+  }
+
+  /** Append the signatures of newly landed documents to an existing
+    * [[minhashIndex]] dataset — the incremental half of the index contract:
+    * the corpus's signatures land ONCE at build, and every later ingest
+    * appends only its own batch's rows (bucket-partitioned like the build,
+    * so probe pruning keeps working). Signature parameters come from the
+    * index's own metadata — an append can never use a different hash
+    * family than the build. */
+  def minhashIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                         storage: graft.store.Storage, uuid: String,
+                         df: DataFrame, textCol: String,
+                         idCol: String): graft.meta.DatasetMetadata = {
+    val (numHashes, bands, shingleN, numBuckets) =
+      minhashIndexParams(storage, uuid)
+    val table = df
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .withColumn("band", explode(bandHashes(col("sig"), numHashes, bands)))
+      .select(pmod(col("band"), lit(numBuckets)).as("bucket"),
+        col("band"), col("id"), col("sig"))
+    graft.io.Writer.update(spark, storage, uuid, Some(table), Nil,
+      graft.io.Writer.WriteOpts(partitionOn = Seq("bucket")))
   }
 
   /** The keep side of [[dedupAgainstIndex]]: batch rows with NO indexed

@@ -400,6 +400,258 @@ object Multimodal {
     df.sparkSession.createDataFrame(rows, outSchema)
   }
 
+  // ------------------------------------------------------------------ video
+
+  /** REAL video CONTAINER probe for MP4/MOV (ISO base media file format,
+    * ISO/IEC 14496-12) — a byte-level box parser, zero extra dependencies.
+    * The JDK ships no video CODEC, so frame decode stays stubbed
+    * ([[resizeStub]]/[[sampleFrames]] are the pipeline-shape stand-ins),
+    * but everything a curation pipeline filters on BEFORE decoding —
+    * duration, track count, presentation size, codec fourcc — lives in the
+    * `moov` box tree and is parsed here for real: nested box walking,
+    * 32/64-bit (`largesize`) and to-end-of-file (size 0) box sizes, v0/v1
+    * `mvhd`/`tkhd` time widths, 16.16 fixed-point dimensions, and
+    * moov-after-mdat layouts (non-faststart files) are all handled.
+    *
+    * Per-partition like [[decodeImages]]: payload bytes never shuffle, only
+    * the metadata-sized probe row leaves; corrupt or non-BMFF payloads
+    * yield null stats instead of failing the job.
+    *
+    * Output: (<idCol>, n_tracks, duration_ms, width, height, video_codec,
+    * audio_codec) — duration from `mvhd` (movie timescale), width/height
+    * from the video track's `tkhd` (16.16 fixed -> int), codecs from the
+    * first `stsd` sample-entry fourcc of each track kind. */
+  def probeVideo(df: DataFrame, idCol: String,
+                 payloadCol: String = "payload"): DataFrame = {
+    val in = df.select(col(idCol), col(payloadCol))
+    val outSchema = StructType(in.schema.fields(0) +: Seq(
+      StructField("n_tracks", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("video_codec", StringType),
+      StructField("audio_codec", StringType)))
+    val rows = in.rdd.mapPartitions { iter =>
+      iter.map { r =>
+        try {
+          val bytes = r.getAs[Array[Byte]](1)
+          val probed = if (bytes == null) null else probeBmff(bytes)
+          if (probed == null) Row(r.get(0), null, null, null, null, null, null)
+          else Row(r.get(0), probed._1, probed._2, probed._3, probed._4,
+            probed._5, probed._6)
+        } catch {
+          // NonFatal: truncated boxes, absurd sizes, junk bytes — corrupt
+          // media is routine at 100 TB and must not kill a scan
+          case scala.util.control.NonFatal(_) =>
+            Row(r.get(0), null, null, null, null, null, null)
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rows, outSchema)
+  }
+
+  private def be16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+
+  /** Walk the BMFF boxes in `b[start, end)`: (fourcc, payloadStart,
+    * boxEnd) per box. Handles `largesize` (size==1 -> 64-bit size after the
+    * fourcc) and size==0 (box extends to `end`; legal only for the last
+    * top-level box). Throws on malformed sizes — callers surface that as a
+    * null probe row. */
+  private def bmffBoxes(b: Array[Byte], start: Int,
+                        end: Int): List[(String, Int, Int)] = {
+    val out = scala.collection.mutable.ListBuffer.empty[(String, Int, Int)]
+    var off = start
+    while (off + 8 <= end) {
+      val size32 = be32(b, off)
+      val typ = new String(b, off + 4, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+      var hdr = 8L
+      val size =
+        if (size32 == 1L) {
+          require(off + 16 <= end, "truncated largesize box")
+          hdr = 16L; be64(b, off + 8)
+        } else if (size32 == 0L) (end - off).toLong
+        else size32
+      require(size >= hdr && off + size <= end, s"bad box size $size at $off")
+      out += ((typ, off + hdr.toInt, off + size.toInt))
+      off += size.toInt
+    }
+    out.toList
+  }
+
+  /** Parse one BMFF payload -> (n_tracks, duration_ms, width, height,
+    * video_codec, audio_codec), or null when no `moov` is present. */
+  private def probeBmff(b: Array[Byte])
+      : (Integer, java.lang.Long, Integer, Integer, String, String) = {
+    val top = bmffBoxes(b, 0, b.length)
+    val moovOpt = top.find(_._1 == "moov")
+    if (moovOpt.isEmpty) return null
+    val moov = moovOpt.get
+    val kids = bmffBoxes(b, moov._2, moov._3)
+    // mvhd: movie timescale + duration (v1 widens the times to 64-bit)
+    var durationMs: java.lang.Long = null
+    kids.find(_._1 == "mvhd").foreach { case (_, s, _) =>
+      val v = b(s) & 0xff
+      val (ts, dur) =
+        if (v == 1) (be32(b, s + 20), be64(b, s + 24))
+        else (be32(b, s + 12), be32(b, s + 16))
+      if (ts > 0) durationMs = java.lang.Long.valueOf(dur * 1000L / ts)
+    }
+    var nTracks = 0
+    var vw: Integer = null; var vh: Integer = null
+    var vCodec: String = null; var aCodec: String = null
+    kids.filter(_._1 == "trak").foreach { case (_, ts0, te0) =>
+      nTracks += 1
+      val tkids = bmffBoxes(b, ts0, te0)
+      // tkhd: presentation size as 16.16 fixed point, after the v0/v1
+      // variable-width time fields + layer/volume/matrix block
+      val dims = tkids.find(_._1 == "tkhd").map { case (_, s, _) =>
+        val off = if ((b(s) & 0xff) == 1) s + 88 else s + 76
+        ((be32(b, off) >> 16).toInt, (be32(b, off + 4) >> 16).toInt)
+      }
+      // mdia -> hdlr (track kind) and mdia -> minf -> stbl -> stsd
+      // (first sample-entry fourcc = codec)
+      tkids.find(_._1 == "mdia").foreach { case (_, ms, me) =>
+        val mkids = bmffBoxes(b, ms, me)
+        val handler = mkids.find(_._1 == "hdlr").map { case (_, s, _) =>
+          new String(b, s + 8, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+        }
+        val codec = for {
+          minf <- mkids.find(_._1 == "minf")
+          stbl <- bmffBoxes(b, minf._2, minf._3).find(_._1 == "stbl")
+          stsd <- bmffBoxes(b, stbl._2, stbl._3).find(_._1 == "stsd")
+          if be32(b, stsd._2 + 4) > 0 // entry_count
+        } yield new String(b, stsd._2 + 12, 4,
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        handler match {
+          case Some("vide") =>
+            vCodec = codec.orNull
+            dims.foreach { case (w, h) => vw = w; vh = h }
+          case Some("soun") => aCodec = codec.orNull
+          case _ => ()
+        }
+      }
+    }
+    (nTracks, durationMs, vw, vh, vCodec, aCodec)
+  }
+
+  /** Deterministic MP4 fixture generator, the video sibling of
+    * [[syntheticPng]]/[[syntheticWav]]: one minimal ISO-BMFF file per row
+    * with every probe-visible parameter closed-form in a long id —
+    * `duration = 1 + id % 30` seconds (movie timescale 600), video track
+    * `16*(1+id%20) x 16*(1+id%12)` with an `avc1` sample entry, plus an
+    * `mp4a` audio track when `id % 3 == 0`. The id also steers the LAYOUT
+    * so the parser's hard paths all execute across a corpus: v1 `mvhd`
+    * (64-bit times) on odd ids, a `free` padding box of `id % 16` bytes,
+    * `mdat` BEFORE `moov` (non-faststart) when `id % 7 == 0`, and an
+    * `mdat` sized via 64-bit `largesize` (`id % 5 == 0`) or size 0 =
+    * to-end-of-file (`id % 5 == 1`). A SQL oracle reproduces the probe
+    * output arithmetically from the id, so a hash match proves the
+    * byte-level BMFF write -> parse round trip really ran. */
+  def syntheticMp4(df: DataFrame, idCol: String): DataFrame = {
+    val in = df.select(col(idCol).cast(LongType).as(idCol))
+    val outSchema = StructType(in.schema.fields(0) +:
+      Seq(StructField("payload", BinaryType)))
+    val rows = in.rdd.mapPartitions { iter =>
+      iter.map { r =>
+        val id = r.getLong(0)
+        Row(id, buildMp4(id))
+      }
+    }
+    df.sparkSession.createDataFrame(rows, outSchema)
+  }
+
+  private def u16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def u32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def u64(v: Long): Array[Byte] = u32(v >>> 32) ++ u32(v & 0xffffffffL)
+  private def fourcc(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+  private def mkBox(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    u32(8L + body.length) ++ fourcc(typ) ++ body
+  }
+  // identity transform matrix shared by mvhd/tkhd
+  private val BmffMatrix: Array[Byte] =
+    u32(0x00010000L) ++ u32(0) ++ u32(0) ++
+      u32(0) ++ u32(0x00010000L) ++ u32(0) ++
+      u32(0) ++ u32(0) ++ u32(0x40000000L)
+
+  private def buildMp4(id: Long): Array[Byte] = {
+    val durS = 1 + Math.floorMod(id, 30L)
+    val w = (16 * (1 + Math.floorMod(id, 20L))).toInt
+    val h = (16 * (1 + Math.floorMod(id, 12L))).toInt
+    val hasAudio = Math.floorMod(id, 3L) == 0L
+    val mvhdV1 = Math.floorMod(id, 2L) == 1L
+
+    val ftyp = mkBox("ftyp", fourcc("isom"), u32(512), fourcc("isom"), fourcc("mp41"))
+    val free = mkBox("free", new Array[Byte](Math.floorMod(id, 16L).toInt))
+
+    val mvhd = mkBox("mvhd",
+      (if (mvhdV1) u32(0x01000000L) ++ u64(0) ++ u64(0) ++ u32(600) ++ u64(600L * durS)
+       else u32(0) ++ u32(0) ++ u32(0) ++ u32(600) ++ u32(600L * durS)),
+      u32(0x00010000L), u16(0x0100), u16(0), u64(0), BmffMatrix,
+      new Array[Byte](24), u32(if (hasAudio) 3 else 2))
+
+    def tkhd(trackId: Int, tw: Int, th: Int, dur: Long): Array[Byte] =
+      mkBox("tkhd", u32(7), // v0, flags: enabled | in-movie | in-preview
+        u32(0), u32(0), u32(trackId.toLong), u32(0), u32(dur),
+        u64(0), u16(0), u16(0), u16(0), u16(0), BmffMatrix,
+        u32(tw.toLong << 16), u32(th.toLong << 16))
+    def mdhd(timescale: Long, dur: Long): Array[Byte] =
+      mkBox("mdhd", u32(0), u32(0), u32(0), u32(timescale), u32(dur),
+        u16(0x55c4), u16(0)) // language "und"
+    def hdlr(kind: String, name: String): Array[Byte] =
+      mkBox("hdlr", u32(0), u32(0), fourcc(kind), new Array[Byte](12),
+        name.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) :+ 0.toByte)
+
+    // VisualSampleEntry (86 bytes): dimensions repeat here as plain u16
+    val avc1 = u32(86) ++ fourcc("avc1") ++ new Array[Byte](6) ++ u16(1) ++
+      u16(0) ++ u16(0) ++ new Array[Byte](12) ++ u16(w) ++ u16(h) ++
+      u32(0x00480000L) ++ u32(0x00480000L) ++ u32(0) ++ u16(1) ++
+      new Array[Byte](32) ++ u16(24) ++ u16(0xffff)
+    // AudioSampleEntry (36 bytes): stereo 16-bit at 48 kHz (16.16 rate)
+    val mp4a = u32(36) ++ fourcc("mp4a") ++ new Array[Byte](6) ++ u16(1) ++
+      u64(0) ++ u16(2) ++ u16(16) ++ u16(0) ++ u16(0) ++ u32(48000L << 16)
+
+    def stbl(entry: Array[Byte]): Array[Byte] =
+      mkBox("stbl", mkBox("stsd", u32(0), u32(1), entry))
+    val vTrak = mkBox("trak", tkhd(1, w, h, 600L * durS),
+      mkBox("mdia", mdhd(30000, 30000L * durS), hdlr("vide", "VideoHandler"),
+        mkBox("minf", stbl(avc1))))
+    val aTrak = mkBox("trak", tkhd(2, 0, 0, 600L * durS),
+      mkBox("mdia", mdhd(48000, 48000L * durS), hdlr("soun", "SoundHandler"),
+        mkBox("minf", stbl(mp4a))))
+
+    val moov =
+      if (hasAudio) mkBox("moov", mvhd, vTrak, aTrak)
+      else mkBox("moov", mvhd, vTrak)
+
+    val mdatBody = Array.fill(Math.floorMod(id, 9L).toInt)((id & 0xff).toByte)
+    if (Math.floorMod(id, 7L) == 0L) {
+      // non-faststart layout: mdat precedes moov, so mdat needs an explicit
+      // size and the parser must not stop scanning at the first data box
+      val mdat = u32(8L + mdatBody.length) ++ fourcc("mdat") ++ mdatBody
+      ftyp ++ free ++ mdat ++ moov
+    } else {
+      val mdat = Math.floorMod(id, 5L) match {
+        case 0L => // 64-bit largesize path
+          u32(1) ++ fourcc("mdat") ++ u64(16L + mdatBody.length) ++ mdatBody
+        case 1L => // size 0: box extends to end of file (last box only)
+          u32(0) ++ fourcc("mdat") ++ mdatBody
+        case _ => u32(8L + mdatBody.length) ++ fourcc("mdat") ++ mdatBody
+      }
+      ftyp ++ free ++ moov ++ mdat
+    }
+  }
+
   /** Payload size + metadata summary — the kind of scan-only audit that must
     * never decode at 100 TB (projection keeps payload bytes out of the
     * shuffle entirely). */

@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL / web-provenance operators for web-corpus curation
+  * (beyond-reference scope — the provenance half of a C4/RefinedWeb-style
+  * pipeline: parse the source URL, canonicalize it, roll up and gate by
+  * registered domain).
+  *
+  * Everything here is pure codegen'd column expressions (`regexp_extract`
+  * over RE2-compatible patterns — no lookbehind, no backreferences — so a
+  * DuckDB oracle reproduces the semantics bit-for-bit and the expressions
+  * stay inside whole-stage codegen at 100 TB). Aggregations are plain
+  * partial-agg `groupBy`s; the blocklist gate is a broadcast anti-join.
+  */
+object WebText {
+
+  // components per RFC 3986's regex appendix, specialized to
+  // scheme://authority URLs (the only kind a web corpus carries):
+  // scheme '://' authority path ['?' query] ['#' fragment]
+  private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+  private val AuthRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+  private val PathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+  private val QueryRe = "\\?([^#]*)"
+  private val FragmentRe = "#(.*)$"
+
+  /** Lowercased scheme ('' for a non-URL string — regexp_extract's
+    * no-match convention, kept so malformed rows flow through filters
+    * instead of nulling out). */
+  def urlScheme(url: Column): Column = lower(regexp_extract(url, SchemeRe, 1))
+
+  /** Lowercased host: the authority minus userinfo and port. */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(regexp_extract(url, AuthRe, 1),
+      "^(?:[^@]*@)?([^:]*)", 1))
+
+  /** Explicit port as a string ('' when the URL carries none). */
+  def urlPort(url: Column): Column =
+    regexp_extract(regexp_extract(url, AuthRe, 1), ":([0-9]+)$", 1)
+
+  /** Path component, verbatim ('' when absent). */
+  def urlPath(url: Column): Column = regexp_extract(url, PathRe, 1)
+
+  /** Raw query string without the '?' ('' when absent). */
+  def urlQuery(url: Column): Column = regexp_extract(url, QueryRe, 1)
+
+  /** Fragment without the '#' ('' when absent). */
+  def urlFragment(url: Column): Column = regexp_extract(url, FragmentRe, 1)
+
+  /** Multi-label public suffixes recognized by [[registeredDomain]]. A
+    * deliberate, pinned SUBSET of the Mozilla public-suffix list (the full
+    * list is a data file this environment doesn't ship and a moving
+    * target no oracle could pin); the common two-label ccTLD suffixes
+    * cover the bulk of real-world traffic, and the set is a public val so
+    * deployments can check whether a domain they care about needs the
+    * full PSL instead. */
+  val TwoLabelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "or.jp", "ne.jp",
+    "com.au", "net.au", "org.au", "co.nz", "co.in", "com.br", "com.cn",
+    "com.mx", "co.za", "com.sg", "com.tr")
+
+  /** Registered (pay-level) domain of a HOST column: the last two labels,
+    * or the last three when the last two form a recognized multi-label
+    * public suffix ([[TwoLabelSuffixes]]). A bare or single-label host
+    * passes through unchanged. */
+  def registeredDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val lastTwo = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    val lastThree = concat_ws(".",
+      element_at(labels, -3), element_at(labels, -2), element_at(labels, -1))
+    when(n <= 1, host)
+      .when(n >= 3 && lastTwo.isin(TwoLabelSuffixes: _*), lastThree)
+      .otherwise(lastTwo)
+  }
+
+  /** Registered domain straight from a URL column. */
+  def urlDomain(url: Column): Column = registeredDomain(urlHost(url))
+
+  /** Canonical URL for dedup keys and provenance rollups:
+    * scheme and host lowercase, userinfo dropped, default ports stripped
+    * (http:80 / https:443), empty path -> '/', tracking parameters
+    * (`utm_*`) removed from the query, fragment dropped. The transform is
+    * idempotent and engine-portable (RE2 patterns, ordered '&' rejoin). */
+  def normalizeUrl(url: Column): Column = {
+    val scheme = urlScheme(url)
+    val host = urlHost(url)
+    val port = urlPort(url)
+    val keepPort = port =!= "" &&
+      !((scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"))
+    val path = when(urlPath(url) === "", "/").otherwise(urlPath(url))
+    // drop utm_* params, keep the remainder in original order
+    val kept = filter(split(urlQuery(url), "&"),
+      p => !(p.rlike("^utm_") || p === ""))
+    val query = when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+      .otherwise("")
+    concat(scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(""), path, query)
+  }
+
+  /** One row per registered domain with document and byte mass — the
+    * rollup a domain-level quality/robots audit starts from. One
+    * partial-agg shuffle on the (tiny) domain key. */
+  def domainCounts(df: DataFrame, urlCol: String,
+                   textCol: String): DataFrame =
+    df.groupBy(urlDomain(col(urlCol)).as("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col(textCol)).cast("long")).as("total_chars"))
+
+  /** Drop every document whose registered domain appears in `blocked`
+    * (one column named `domain`) — the blocklist gate. The blocklist side
+    * broadcasts: even a million-domain blocklist is MBs, while the corpus
+    * side must never shuffle for a gate. */
+  def dropBlockedDomains(df: DataFrame, urlCol: String,
+                         blocked: DataFrame): DataFrame =
+    df.join(broadcast(blocked.select(col("domain"))),
+      urlDomain(col(urlCol)) === col("domain"), "left_anti")
+
+  /** Keep the FIRST document (min of `idCol`) per normalized URL — exact
+    * URL-level dedup, the cheapest dedup stage of a web pipeline (runs
+    * before any content hashing). One hash shuffle on the canonical URL. */
+  def dedupByUrl(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(normalizeUrl(col(urlCol)))
+      .orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+}

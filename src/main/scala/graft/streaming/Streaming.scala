@@ -258,6 +258,102 @@ object Streaming {
     configured.start()
   }
 
+  /** Streaming INGESTION DEDUP against a persisted MinHash index
+    * ([[graft.ops.Dedup.minhashIndex]]) — the stream half of the
+    * incremental-ingestion contract: each micro-batch (1) probes the index
+    * with a bucket-pruned read and drops rows near-duplicating ALREADY
+    * LANDED content, (2) collapses near-duplicates WITHIN the batch
+    * (keep-min-id over the LSH pair graph — index probing only sees prior
+    * batches), (3) appends the survivors' signatures to the index, and
+    * (4) lands the survivors in `corpusUuid` through the same atomic
+    * replay-guarded commit as [[writeStreamAppend]]. Later batches dedup
+    * against everything earlier batches landed — cross-batch, not just
+    * cross-corpus — while corpus TEXT is never re-read (the index carries
+    * the signatures).
+    *
+    * Crash-safety, in write order: the INDEX append runs first, the corpus
+    * commit second. A batch re-delivered after a crash between the two
+    * re-probes an index that already holds its own signatures — harmless,
+    * because [[graft.ops.Dedup.dedupAgainstIndex]] excludes self-id
+    * matches, so the replay computes the SAME survivor set and the corpus
+    * still commits exactly once (the batchId stamp dedups the fully
+    * committed case). The only crash artifact is a duplicate signature row
+    * set in the index (pairs are grouped, so probes are unaffected).
+    * Landing the corpus FIRST would instead lose the batch's signatures on
+    * a crash — and silently re-admit its duplicates forever after.
+    *
+    * The survivor frame is MATERIALIZED (eager `localCheckpoint`) before
+    * the index append: recomputing it lazily after the append would probe
+    * an index containing the batch's own signatures, and a plain
+    * `.persist()` can silently recompute through eviction. Thresholds and
+    * hash-family parameters come from the index's own metadata.
+    *
+    * Scale shape per batch: O(batch) signature work + a bucket-pruned
+    * index read bounded by the batch's band set; the within-batch pair
+    * join is LSH-bounded exactly like [[graft.ops.Dedup.minhashNearDups]]
+    * (`maxBucketSize` caps hostile batches). */
+  def writeStreamDedup(stream: DataFrame, storage: Storage,
+                       corpusUuid: String, indexUuid: String,
+                       textCol: String, idCol: String,
+                       threshold: Double = 0.5,
+                       maxBucketSize: Int = 0,
+                       opts: WriteOpts = WriteOpts(),
+                       checkpoint: Option[String] = None,
+                       configure: DataStreamWriter[Row] => DataStreamWriter[Row] =
+                         _.trigger(Trigger.AvailableNow())): StreamingQuery = {
+    import graft.ops.Dedup
+    val token =
+      if (checkpoint.isEmpty) Some(java.util.UUID.randomUUID().toString) else None
+    val myToken = token.getOrElse("")
+    def batchFn(batch: DataFrame, batchId: Long): Unit = {
+      if (batch.isEmpty) return
+      val spark = batch.sparkSession
+      // fully-committed replay (crash AFTER the corpus commit): skip both
+      // writes — same guard as ingestBatch, hoisted so the index append is
+      // covered too
+      val replayed = DatasetMetadata.exists(storage, corpusUuid) && {
+        val m = DatasetMetadata.load(storage, corpusUuid)
+        m.metadata.getOrElse(RunTokenKey, "") == myToken &&
+          m.metadata.get(LastBatchKey).exists(_.toLong >= batchId)
+      }
+      if (replayed) return
+      val (numHashes, bands, shingleN, _) =
+        Dedup.minhashIndexParams(storage, indexUuid)
+      // 1. drop near-dups of already-landed content (bucket-pruned probe)
+      val fresh = Dedup.filterAgainstIndex(spark, storage, indexUuid,
+        batch, textCol, idCol, threshold)
+      // 2. collapse near-dups WITHIN the batch, same hash family
+      val pairs = Dedup.minhashNearDups(fresh, textCol, idCol,
+        numHashes = numHashes, bands = bands, shingleN = shingleN,
+        threshold = threshold, maxBucketSize = maxBucketSize)
+        .select("id_a", "id_b")
+      // eager localCheckpoint: see scaladoc (checkpoint blocks are freed
+      // with the RDD by the context cleaner once the batch completes)
+      val survivors = Dedup
+        .dedupByClusters(fresh, idCol, Dedup.nearDupClusters(pairs))
+        .localCheckpoint(true)
+      if (!survivors.isEmpty) {
+        // 3. index first, 4. corpus second (see crash-safety note)
+        Dedup.minhashIndexAppend(spark, storage, indexUuid,
+          survivors, textCol, idCol)
+        ingestBatch(storage, corpusUuid, opts, token)(survivors, batchId)
+      }
+    }
+    val writer0 = stream.writeStream.foreachBatch(batchFn _)
+    val writer = checkpoint.fold(writer0)(p => writer0.option("checkpointLocation", p))
+    val configured = configure(writer)
+    val smuggled = writerOptions(configured).collectFirst {
+      case (k, v) if k.equalsIgnoreCase("checkpointLocation") => v
+    }
+    if (smuggled.exists(v => !checkpoint.contains(v)))
+      throw new IllegalArgumentException(
+        "persistent checkpoints must be passed via writeStreamDedup's " +
+          "`checkpoint` parameter, not configure(_.option(\"checkpointLocation\", …)): " +
+          "with a per-run replay token, a crash-redelivered batch from that " +
+          "checkpoint would commit twice")
+    configured.start()
+  }
+
   /** The configured options of a DataStreamWriter, for the checkpoint
     * smuggling guard above. Reads the writer's option map reflectively
     * (there is no public getter); if the internal shape ever changes, the

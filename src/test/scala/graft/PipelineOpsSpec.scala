@@ -419,6 +419,47 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows(3L).isNullAt(1) && rows(3L).isNullAt(5))
   }
 
+  test("probeVideo REALLY parses ISO-BMFF boxes and nulls out corrupt payloads") {
+    import graft.ops.Multimodal
+    // ids chosen to hit every layout path: 0 = audio track + moov-after-mdat,
+    // 1 = v1 mvhd + to-EOF mdat, 6 = audio + to-EOF, 7 = v1 + moov-after-mdat,
+    // 10 = largesize mdat, 33 = v1 + audio + plain mdat, 300 = audio + largesize
+    val ids = Seq(0L, 1L, 6L, 7L, 10L, 33L, 300L)
+    val mp4s = Multimodal.syntheticMp4(ids.toDF("doc_id"), "doc_id")
+    // sanity: payloads really lead with an ftyp box
+    val magic = mp4s.collect().map(_.getAs[Array[Byte]]("payload").slice(4, 8).toSeq)
+    assert(magic.forall(_ === "ftyp".getBytes.toSeq))
+    val out = Multimodal.probeVideo(mp4s, "doc_id").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getInt(3), r.getInt(4),
+          r.getString(5), if (r.isNullAt(6)) null else r.getString(6)))).toMap
+    for (id <- ids) {
+      val (n, durMs, w, h, vc, ac) = out(id)
+      val hasAudio = id % 3 == 0
+      assert(n === (if (hasAudio) 2 else 1), s"tracks of $id")
+      assert(durMs === (1 + id % 30) * 1000, s"duration of $id")
+      assert(w === 16 * (1 + id % 20).toInt, s"width of $id")
+      assert(h === 16 * (1 + id % 12).toInt, s"height of $id")
+      assert(vc === "avc1", s"video codec of $id")
+      assert(ac === (if (hasAudio) "mp4a" else null), s"audio codec of $id")
+    }
+    // corrupt, truncated-mid-box, moov-less, and missing payloads all null
+    // out instead of failing the scan
+    val whole = mp4s.where(col("doc_id") === 10L)
+      .collect()(0).getAs[Array[Byte]]("payload")
+    val mixed = Seq(
+      (1L, Array[Byte](1, 2, 3)),                     // junk bytes
+      (2L, whole.take(whole.length / 2)),             // truncated mid-box
+      (3L, whole.take(24)),                           // ftyp only, no moov
+      (4L, null.asInstanceOf[Array[Byte]]))           // missing
+      .toDF("doc_id", "payload")
+    val rows = Multimodal.probeVideo(mixed, "doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(1L, 2L, 3L, 4L))
+      assert(rows(id).isNullAt(1) && rows(id).isNullAt(2) &&
+        rows(id).isNullAt(5), s"nulls for $id")
+  }
+
   test("resizeImages: exact nearest-neighbor semantics, corrupt payloads null out") {
     import graft.ops.Multimodal
     // 2x1 source: left pixel black, right pixel white — resized 4x1 the NN

@@ -360,6 +360,93 @@ class StreamingSpec extends SparkSpec {
     assert(ids2 === Set(1L), s"got $ids2") // dup deduped, OOV doc gated out
   }
 
+  test("writeStreamDedup lands only novel docs; later batches dedup against earlier ones") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    // landed corpus -> persisted signature index
+    val corpus = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+      (2L, "kilo lima mike november oscar papa quebec romeo sierra tango"),
+      (3L, "uniform victor whiskey xray yankee zulu gamma beta epsilon theta"))
+      .toDF("doc_id", "text")
+    Dedup.minhashIndex(spark, store, "sdd_idx", corpus, "text", "doc_id",
+      numBuckets = 8, overwrite = true)
+    graft.io.Ops.deleteDataset(store, "sdd_corpus")
+
+    // batch A: 11 duplicates landed doc 1 (cross-corpus), 13 near-dups 12
+    // (within-batch, keep-min-id), 12/14 are novel
+    val inA = tmpDir("sdd-in-a")
+    Seq(
+      (11L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+      (12L, "painting wooden boats requires patience sanding primer and varnish layers"),
+      (13L, "painting wooden boats requires patience sanding primer and varnish layers please"),
+      (14L, "quantum chemistry lectures cover orbitals spin and molecular bonding daily"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(inA)
+    val q1 = Streaming.writeStreamDedup(
+      spark.readStream.schema("doc_id bigint, text string").parquet(inA),
+      store, "sdd_corpus", "sdd_idx", "text", "doc_id", threshold = 0.5)
+    q1.awaitTermination(120000)
+    val afterA = Reader.readTable(spark, store, "sdd_corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(afterA === Set(12L, 14L), s"batch A landed $afterA")
+
+    // batch B (separate run + dir): 21 duplicates doc 12 — which only
+    // exists because batch A LANDED it, so a drop proves the index append
+    val inB = tmpDir("sdd-in-b")
+    Seq(
+      (21L, "painting wooden boats requires patience sanding primer and varnish layers"),
+      (22L, "gardening in early spring means compost mulch seedlings and patience"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(inB)
+    val q2 = Streaming.writeStreamDedup(
+      spark.readStream.schema("doc_id bigint, text string").parquet(inB),
+      store, "sdd_corpus", "sdd_idx", "text", "doc_id", threshold = 0.5)
+    q2.awaitTermination(120000)
+    val afterB = Reader.readTable(spark, store, "sdd_corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(afterB === Set(12L, 14L, 22L), s"batch B landed $afterB")
+
+    // the index also carries batch B's survivors: a changed-id copy of 22
+    // probes to an exact-signature match
+    val probe = Dedup.dedupAgainstIndex(spark, store, "sdd_idx",
+      Seq((99L, "gardening in early spring means compost mulch seedlings and patience"))
+        .toDF("doc_id", "text"), "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(probe.toSeq === Seq((99L, 22L, 1.0)), s"probe got ${probe.toSeq}")
+  }
+
+  test("writeStreamDedup replay after a crash between index append and corpus commit") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    Dedup.minhashIndex(spark, store, "sdr_idx",
+      Seq((1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"))
+        .toDF("doc_id", "text"),
+      "text", "doc_id", numBuckets = 8, overwrite = true)
+    graft.io.Ops.deleteDataset(store, "sdr_corpus")
+    val novel = Seq(
+      (5L, "woodworking joints include dovetail mortise tenon and finger joints"))
+      .toDF("doc_id", "text")
+    // simulate the crash: the batch's signatures were appended but the
+    // corpus commit never ran
+    Dedup.minhashIndexAppend(spark, store, "sdr_idx", novel, "text", "doc_id")
+    // the replay re-probes an index that already holds doc 5's signatures;
+    // the self-id exclusion must keep it novel, not swallow it
+    val in = tmpDir("sdr-in")
+    novel.coalesce(1).write.mode("overwrite").parquet(in)
+    val q = Streaming.writeStreamDedup(
+      spark.readStream.schema("doc_id bigint, text string").parquet(in),
+      store, "sdr_corpus", "sdr_idx", "text", "doc_id", threshold = 0.5)
+    q.awaitTermination(120000)
+    val landed = Reader.readTable(spark, store, "sdr_corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(landed === Set(5L), s"replayed batch landed $landed")
+    // but a changed-id copy of the same text still drops
+    val dup = Seq(
+      (6L, "woodworking joints include dovetail mortise tenon and finger joints"))
+      .toDF("doc_id", "text")
+    assert(Dedup.filterAgainstIndex(spark, store, "sdr_idx", dup,
+      "text", "doc_id").count() === 0)
+  }
+
   test("readStream dispatches on the dataset format (csv.gz source)") {
     import spark.implicits._
     Writer.store(spark, store, "feed_csv",
