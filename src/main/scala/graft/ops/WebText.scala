@@ -82,7 +82,9 @@ object WebText {
     * scheme and host lowercase, userinfo dropped, default ports stripped
     * (http:80 / https:443), empty path -> '/', tracking parameters
     * (`utm_*`) removed from the query, fragment dropped. The transform is
-    * idempotent and engine-portable (RE2 patterns, ordered '&' rejoin). */
+    * idempotent and engine-portable (RE2 patterns, ordered '&' rejoin).
+    * A string with no scheme://authority shape passes through VERBATIM —
+    * distinct garbage must stay distinct when this feeds a dedup key. */
   def normalizeUrl(url: Column): Column = {
     val scheme = urlScheme(url)
     val host = urlHost(url)
@@ -96,8 +98,9 @@ object WebText {
       p => !(p.rlike("^utm_") || p === ""))
     val query = when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
       .otherwise("")
-    concat(scheme, lit("://"), host,
-      when(keepPort, concat(lit(":"), port)).otherwise(""), path, query)
+    when(scheme === "", url).otherwise(
+      concat(scheme, lit("://"), host,
+        when(keepPort, concat(lit(":"), port)).otherwise(""), path, query))
   }
 
   /** One row per registered domain with document and byte mass — the

@@ -419,6 +419,73 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows(3L).isNullAt(1) && rows(3L).isNullAt(5))
   }
 
+  test("WebText components: edge cases and normalization") {
+    import spark.implicits._
+    import graft.ops.WebText
+    val cases = Seq(
+      // url, scheme, host, port, domain, path, query, fragment, normalized
+      ("HTTPS://User:pw@WWW.News.Example.CO.UK:443/a/b?utm_source=x&q=1#frag",
+        "https", "www.news.example.co.uk", "443", "example.co.uk", "/a/b",
+        "utm_source=x&q=1", "frag", "https://www.news.example.co.uk/a/b?q=1"),
+      ("http://example.com:80?utm_a=1&utm_b=2",
+        "http", "example.com", "80", "example.com", "",
+        "utm_a=1&utm_b=2", "", "http://example.com/"),
+      ("http://localhost:8080/x",
+        "http", "localhost", "8080", "localhost", "/x", "", "",
+        "http://localhost:8080/x"),
+      ("ftp://files.example.org/pub",
+        "ftp", "files.example.org", "", "example.org", "/pub", "", "",
+        "ftp://files.example.org/pub"),
+      ("not a url at all", "", "", "", "", "", "", "", "not a url at all"))
+    val df = cases.map(_._1).toDF("url")
+    val out = df.select(col("url"),
+      WebText.urlScheme(col("url")).as("s"), WebText.urlHost(col("url")).as("h"),
+      WebText.urlPort(col("url")).as("pt"), WebText.urlDomain(col("url")).as("d"),
+      WebText.urlPath(col("url")).as("p"), WebText.urlQuery(col("url")).as("q"),
+      WebText.urlFragment(col("url")).as("f"),
+      WebText.normalizeUrl(col("url")).as("n"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    for ((url, s, h, pt, d, p, q, f, n) <- cases) {
+      val r = out(url)
+      assert(r.getString(1) === s, s"scheme of $url")
+      assert(r.getString(2) === h, s"host of $url")
+      assert(r.getString(3) === pt, s"port of $url")
+      assert(r.getString(4) === d, s"domain of $url")
+      assert(r.getString(5) === p, s"path of $url")
+      assert(r.getString(6) === q, s"query of $url")
+      assert(r.getString(7) === f, s"fragment of $url")
+      assert(r.getString(8) === n, s"normalized of $url")
+    }
+    // null propagates, never throws
+    val nr = Seq(Option.empty[String]).toDF("url")
+      .select(WebText.normalizeUrl(col("url"))).collect()(0)
+    assert(nr.isNullAt(0))
+  }
+
+  test("normalizeUrl is idempotent over randomized URLs (property)") {
+    import spark.implicits._
+    import graft.ops.WebText
+    val rng = new scala.util.Random(20260814L)
+    def pick[A](xs: Seq[A]): A = xs(rng.nextInt(xs.length))
+    val urls = (0 until 300).map { _ =>
+      val scheme = pick(Seq("http", "HTTP", "https", "HTTPS", "ftp"))
+      val user = pick(Seq("", "alice@", "a:b@"))
+      val host = pick(Seq("Example.COM", "sub.example.co.uk", "x.example.io",
+        "localhost", "a.b.c.example.com.au"))
+      val port = pick(Seq("", ":80", ":443", ":8080"))
+      val path = pick(Seq("", "/", "/x", "/x/y.html", "//double"))
+      val query = pick(Seq("", "?a=1", "?utm_s=2", "?utm_s=2&a=1&utm_t=3", "?"))
+      val frag = pick(Seq("", "#f", "#a b"))
+      s"$scheme://$user$host$port$path$query$frag"
+    }
+    val two = urls.toDF("url")
+      .select(WebText.normalizeUrl(col("url")).as("n1"),
+        WebText.normalizeUrl(WebText.normalizeUrl(col("url"))).as("n2"))
+      .collect()
+    two.foreach(r => assert(r.getString(0) === r.getString(1),
+      s"not idempotent: ${r.getString(0)} -> ${r.getString(1)}"))
+  }
+
   test("probeVideo REALLY parses ISO-BMFF boxes and nulls out corrupt payloads") {
     import graft.ops.Multimodal
     // ids chosen to hit every layout path: 0 = audio track + moov-after-mdat,

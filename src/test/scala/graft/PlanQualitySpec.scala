@@ -16,6 +16,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
 
+  test("t_url_domains: blocklist gate is a broadcast anti-join, never a shuffle") {
+    val plan = SparkEntry.queries("t_url_domains")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the corpus side must not shuffle for the gate; the rollup itself
+    // partial-aggregates before its exchange
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(2500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2500))
+    assert(plan.contains("HashAggregate"), plan.take(2500))
+  }
+
   test("s1: filter is pushed to the parquet scan; projection pruned") {
     val plan = SparkEntry.queries("s1_scan_project")(spark, dir)
       .queryExecution.executedPlan.toString
