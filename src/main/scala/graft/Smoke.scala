@@ -131,6 +131,38 @@ object Smoke {
     val q = emb.where(col("vec_id") === 0).select("embedding")
       .head().getSeq[Float](0).map(_.toDouble)
     Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, 5).show(false)
+
+    // 11. round-6 additions: jsonl dataset, MP4 container probe, URL ops,
+    // streaming index dedup
+    Writer.store(spark, store, "docs_jsonl",
+      docs.select("doc_id", "text", "lang"),
+      WriteOpts(partitionOn = Seq("lang"), format = "json.gz"))
+    println(s"== jsonl dataset read: ${Reader.readTable(spark, store, "docs_jsonl").count()} rows")
+    val probed = graft.ops.Multimodal.probeVideo(
+      graft.ops.Multimodal.syntheticMp4(docs.select("doc_id").limit(5), "doc_id"),
+      "doc_id")
+    println(s"== mp4 probe: ${probed.collect().map(r => s"${r.get(0)}:${r.get(3)}x${r.get(4)}@${r.get(2)}ms").mkString(", ")}")
+    val urls = docs.limit(20).select(col("doc_id"),
+      concat(lit("HTTPS://WWW."), col("lang"), lit(".example.co.uk:443/d/"),
+        col("doc_id").cast("string"), lit("?utm_s=1&v=2#f")).as("url"))
+    println(s"== url normalize sample: " + urls
+      .select(graft.ops.WebText.normalizeUrl(col("url"))).head().getString(0))
+    println(s"== url domains: " + graft.ops.WebText.domainCounts(urls, "url", "url")
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", "))
+    Dedup.minhashIndex(spark, store, "smoke_idx",
+      docs.where(col("doc_id") % 2 === 0), "text", "doc_id", numBuckets = 8,
+      overwrite = true)
+    Ops.deleteDataset(store, "smoke_sd")
+    val inDir = s"$base/smoke_sd_in"
+    docs.where(col("doc_id") % 2 === 1).select("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(inDir)
+    val sq = graft.streaming.Streaming.writeStreamDedup(
+      spark.readStream.schema("doc_id bigint, text string").parquet(inDir),
+      store, "smoke_sd", "smoke_idx", "text", "doc_id", threshold = 0.5)
+    sq.awaitTermination(120000)
+    println(s"== stream-dedup landed: ${Reader.readTable(spark, store, "smoke_sd").count()} " +
+      s"of ${docs.where(col("doc_id") % 2 === 1).count()} odd docs (evens indexed)")
+
     println(s"== SparkEntry.entry rows: ${SparkEntry.entry(spark).count()}")
     println("== smoke OK")
     spark.stop()

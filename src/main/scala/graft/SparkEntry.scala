@@ -197,6 +197,17 @@ object SparkEntry {
       Reader.readTable(s, st, "part_csv")
     }),
 
+    // --- S2/S3+ (beyond-reference): line-delimited JSON dataset roundtrip
+    // — the wire format training corpora actually ship as (jsonl)
+    "w_jsonl_dataset" -> ((s, dir) => {
+      val st = ensure(s, dir, "sup_jsonl") { st =>
+        Writer.store(s, st, "sup_jsonl", rd(s, dir, "supplier"),
+          WriteOpts(partitionOn = Seq("s_nationkey"), format = "json.gz",
+            overwrite = true))
+      }
+      Reader.readTable(s, st, "sup_jsonl")
+    }),
+
     // --- W8/S5: empty header + uncommitted two-phase writes, dynamic read
     "w8_dynamic_read" -> ((s, dir) => {
       val st = ensure(s, dir, "sup_dyn") { st =>
@@ -1173,6 +1184,8 @@ object SparkEntry {
       "s2_csv_dataset" ->
         "SELECT p_brand, p_name, p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS p_size, p_type FROM part",
       "w8_dynamic_read" ->
+        "SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, s_acctbal, s_name, s_suppkey FROM supplier",
+      "w_jsonl_dataset" ->
         "SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, s_acctbal, s_name, s_suppkey FROM supplier",
       "st_stream_ingest" ->
         "SELECT c_mktsegment, c_acctbal, c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey FROM customer",

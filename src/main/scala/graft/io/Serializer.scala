@@ -15,9 +15,16 @@ import graft.meta.DatasetMetadata
   * pruning (same as the reference, which filters CSV in memory) — the DNF
   * predicate still applies in the same Catalyst `filter`, and hive
   * partition-value pruning still works because it happens on paths.
+  *
+  * `json` / `json.gz` (beyond-reference) is LINE-DELIMITED JSON — the wire
+  * format most training corpora actually ship as (jsonl). Spark's json
+  * source is line-delimited by default and its writer emits `.json[.gz]`
+  * suffixes; reads ALSO accept `.jsonl[.gz]`-suffixed files produced by
+  * other tools. Like CSV there are no file statistics, so pruning is
+  * partition-value only and the DNF filter applies in-plan.
   */
 object Serializer {
-  val Formats: Set[String] = Set("parquet", "csv", "csv.gz")
+  val Formats: Set[String] = Set("parquet", "csv", "csv.gz", "json", "json.gz")
 
   /** The reference CSV dialect (`serialization/_csv.py:33-85`) — ONE
     * definition shared by batch read, batch write, and the streaming
@@ -28,6 +35,8 @@ object Serializer {
     if (label.endsWith(".parquet")) "parquet"
     else if (label.endsWith(".csv.gz")) "csv.gz"
     else if (label.endsWith(".csv")) "csv"
+    else if (label.endsWith(".json.gz") || label.endsWith(".jsonl.gz")) "json.gz"
+    else if (label.endsWith(".json") || label.endsWith(".jsonl")) "json"
     else sys.error(s"No serializer registered for file '$label'")
 
   /** One scan over an explicit (pruned) file list with hive partition-value
@@ -38,8 +47,9 @@ object Serializer {
     require(Formats(format), s"No serializer registered for format '$format'")
     val r = spark.read.option("basePath", base).schema(schema)
     format match {
-      case "parquet" => r.parquet(paths: _*)
-      case _         => r.options(CsvOptions).csv(paths: _*)
+      case "parquet"            => r.parquet(paths: _*)
+      case "json" | "json.gz"   => r.json(paths: _*)
+      case _                    => r.options(CsvOptions).csv(paths: _*)
     }
   }
 
@@ -72,6 +82,8 @@ object Serializer {
       case "csv"     => w.options(CsvOptions).csv(path)
       case "csv.gz"  => w.options(CsvOptions)
                          .option("compression", "gzip").csv(path)
+      case "json"    => w.json(path)
+      case "json.gz" => w.option("compression", "gzip").json(path)
     }
   }
 }

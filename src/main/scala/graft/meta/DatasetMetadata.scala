@@ -248,9 +248,12 @@ object DatasetMetadata {
         }
 
     val format = root.get("format").map(str).getOrElse {
-      // infer from file suffixes so real plateau csv datasets read correctly
-      partitions.headOption.flatMap(l =>
-        DataFileSuffixes.find(l.endsWith).map(_.stripPrefix("."))).getOrElse("parquet")
+      // infer from file suffixes so real plateau csv datasets read correctly;
+      // through formatOf so alias suffixes normalize (.jsonl -> json)
+      partitions.headOption
+        .flatMap(l => DataFileSuffixes.find(l.endsWith)
+          .map(_ => graft.io.Serializer.formatOf(l)))
+        .getOrElse("parquet")
     }
 
     DatasetMetadata(
@@ -280,8 +283,16 @@ object DatasetMetadata {
     store.exists(headerKey(uuid)) || store.exists(msgpackHeaderKey(uuid))
 
   /** Data-file suffixes the serializer registry understands (S2/S3). */
-  val DataFileSuffixes: Seq[String] = Seq(".parquet", ".csv.gz", ".csv")
-  def isDataFile(key: String): Boolean = DataFileSuffixes.exists(key.endsWith)
+  val DataFileSuffixes: Seq[String] = Seq(".parquet", ".csv.gz", ".csv",
+    ".jsonl.gz", ".json.gz", ".jsonl", ".json")
+  def isDataFile(key: String): Boolean = {
+    // hadoop convention: '_'/'.'-prefixed basenames are metadata, never
+    // data — without this, `_common_metadata.json` (the graft schema fast
+    // path) would list as a PARTITION of a dynamic json-format dataset
+    val base = key.substring(key.lastIndexOf('/') + 1)
+    !base.startsWith("_") && !base.startsWith(".") &&
+      DataFileSuffixes.exists(base.endsWith)
+  }
   def stripDataSuffix(label: String): String =
     DataFileSuffixes.find(label.endsWith).map(s => label.dropRight(s.length))
       .getOrElse(label)

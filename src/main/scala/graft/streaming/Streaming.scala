@@ -110,6 +110,8 @@ object Streaming {
       case "csv"     => r.options(graft.io.Serializer.CsvOptions).csv(path)
       case "csv.gz"  => r.options(graft.io.Serializer.CsvOptions)
                          .option("pathGlobFilter", "*.csv.gz").csv(path)
+      case "json"    => r.json(path)
+      case "json.gz" => r.option("pathGlobFilter", "*.json.gz").json(path)
       case other     => sys.error(s"No streaming source for format '$other'")
     }
   }

@@ -116,6 +116,9 @@ object GraftRelation {
       s"No serializer registered for format '$format'")
     val (fmt, opts) = format match {
       case "parquet" => (new ParquetFileFormat, Map.empty[String, String])
+      case "json" | "json.gz" =>
+        (new org.apache.spark.sql.execution.datasources.json.JsonFileFormat,
+          Map.empty[String, String])
       // ONE shared CSV dialect — a drifted copy here would parse datasets
       // written by Serializer with different options
       case _ => (new CSVFileFormat, graft.io.Serializer.CsvOptions)

@@ -278,6 +278,43 @@ class DatasetSpec extends SparkSpec {
     assert(Reader.readTable(spark, store, "csvds").count() === 12)
   }
 
+  test("S2/S3+: jsonl (json.gz) dataset roundtrip; .jsonl alias suffix reads") {
+    val meta = Writer.store(spark, store, "jsonds", sampleDf,
+      WriteOpts(partitionOn = Seq("p"), secondaryIndices = Seq("s"),
+        format = "json.gz"))
+    assert(meta.format === "json.gz")
+    assert(meta.partitions.forall(_.endsWith(".json.gz")))
+    val back = Reader.readTable(spark, store, "jsonds")
+    assert(back.count() === 6)
+    // explicit schema applies — JSON's native types don't leak through
+    assert(back.schema("id").dataType.typeName === "long")
+    assert(back.schema("v").dataType.typeName === "double")
+    assert(back.agg(sum("v")).head.getDouble(0) ===
+      sampleDf.agg(sum("v")).head.getDouble(0))
+    val pruned = Reader.readTable(spark, store, "jsonds",
+      columns = Some(Seq("id", "v")),
+      predicates = Some(Seq(Seq(
+        Literal("p", Op.Eq, "b"), Literal("s", Op.Eq, "x")))))
+    assert(pruned.collect().map(_.getLong(0)).toSet === Set(3L))
+    // update/append keeps the dataset's format
+    Writer.update(spark, store, "jsonds",
+      Some(sampleDf.withColumn("id", col("id") + 10)))
+    assert(Reader.readTable(spark, store, "jsonds").count() === 12)
+    // a .jsonl-suffixed file written by another tool reads through the
+    // same registry (alias suffix -> json serializer)
+    assert(graft.io.Serializer.formatOf("part-0.jsonl") === "json")
+    assert(graft.io.Serializer.formatOf("part-0.jsonl.gz") === "json.gz")
+    val dir = tmpDir("jsonl-alias")
+    val f = new java.io.File(dir, "rows.jsonl")
+    java.nio.file.Files.writeString(f.toPath,
+      "{\"id\": 1, \"t\": \"a\"}\n{\"id\": 2, \"t\": \"b\"}\n")
+    val alias = graft.io.Serializer.read(spark,
+      org.apache.spark.sql.types.StructType.fromDDL("id bigint, t string"),
+      dir, Seq(f.getAbsolutePath), graft.io.Serializer.formatOf(f.getName))
+    assert(alias.collect().map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((1L, "a"), (2L, "b")))
+  }
+
   test("O9: combine_metadata recursive merge semantics") {
     val m = DatasetMetadata.mapper
     def j(s: String) = m.readTree(s)

@@ -461,4 +461,19 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(agg === Map("x" -> 4L, "y" -> 2L))
   }
+
+  test("readStream dispatches on the dataset format (json.gz source)") {
+    import spark.implicits._
+    Writer.store(spark, store, "feed_json",
+      Seq((1L, "x", 1.0), (2L, "y", 2.0), (3L, "x", 3.0)).toDF("id", "p", "v"),
+      WriteOpts(partitionOn = Seq("p"), format = "json.gz"))
+    val q = Streaming.readStream(spark, store, "feed_json")
+      .groupBy("p").agg(sum("id").as("s"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("feed_json_agg").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val agg = spark.table("feed_json_agg").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(agg === Map("x" -> 4L, "y" -> 2L))
+  }
 }
