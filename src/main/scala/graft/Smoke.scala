@@ -159,7 +159,10 @@ object Smoke {
     val sq = graft.streaming.Streaming.writeStreamDedup(
       spark.readStream.schema("doc_id bigint, text string").parquet(inDir),
       store, "smoke_sd", "smoke_idx", "text", "doc_id", threshold = 0.5)
-    sq.awaitTermination(120000)
+    if (!sq.awaitTermination(120000)) {
+      sq.stop()
+      sys.error("!! stream-dedup did not finish within 120s")
+    }
     println(s"== stream-dedup landed: ${Reader.readTable(spark, store, "smoke_sd").count()} " +
       s"of ${docs.where(col("doc_id") % 2 === 1).count()} odd docs (evens indexed)")
 

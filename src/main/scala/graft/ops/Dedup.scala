@@ -551,9 +551,19 @@ object Dedup {
   def dedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                         storage: graft.store.Storage, uuid: String,
                         batch: DataFrame, textCol: String, idCol: String,
-                        threshold: Double = 0.5): DataFrame = {
-    val (numHashes, bands, shingleN, numBuckets) =
-      minhashIndexParams(storage, uuid)
+                        threshold: Double = 0.5): DataFrame =
+    dedupAgainstIndexWith(spark, storage, uuid, batch, textCol, idCol,
+      threshold, minhashIndexParams(storage, uuid))
+
+  /** [[dedupAgainstIndex]] with the signature params already loaded — the
+    * per-micro-batch path (Streaming.writeStreamDedup) loads the index
+    * metadata once and threads it through probe and append. */
+  private[graft] def dedupAgainstIndexWith(
+      spark: org.apache.spark.sql.SparkSession,
+      storage: graft.store.Storage, uuid: String,
+      batch: DataFrame, textCol: String, idCol: String,
+      threshold: Double, params: (Int, Int, Int, Int)): DataFrame = {
+    val (numHashes, bands, shingleN, numBuckets) = params
     val bt = batch
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
       .where(size(col("sh")) > 0)
@@ -606,9 +616,18 @@ object Dedup {
   def minhashIndexAppend(spark: org.apache.spark.sql.SparkSession,
                          storage: graft.store.Storage, uuid: String,
                          df: DataFrame, textCol: String,
-                         idCol: String): graft.meta.DatasetMetadata = {
-    val (numHashes, bands, shingleN, numBuckets) =
-      minhashIndexParams(storage, uuid)
+                         idCol: String): graft.meta.DatasetMetadata =
+    minhashIndexAppendWith(spark, storage, uuid, df, textCol, idCol,
+      minhashIndexParams(storage, uuid))
+
+  /** [[minhashIndexAppend]] with pre-loaded signature params (see
+    * [[dedupAgainstIndexWith]]). */
+  private[graft] def minhashIndexAppendWith(
+      spark: org.apache.spark.sql.SparkSession,
+      storage: graft.store.Storage, uuid: String,
+      df: DataFrame, textCol: String, idCol: String,
+      params: (Int, Int, Int, Int)): graft.meta.DatasetMetadata = {
+    val (numHashes, bands, shingleN, numBuckets) = params
     val table = df
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
       .where(size(col("sh")) > 0)
@@ -626,8 +645,19 @@ object Dedup {
                          storage: graft.store.Storage, uuid: String,
                          batch: DataFrame, textCol: String, idCol: String,
                          threshold: Double = 0.5): DataFrame =
+    filterAgainstIndexWith(spark, storage, uuid, batch, textCol, idCol,
+      threshold, minhashIndexParams(storage, uuid))
+
+  /** [[filterAgainstIndex]] with pre-loaded signature params (see
+    * [[dedupAgainstIndexWith]]). */
+  private[graft] def filterAgainstIndexWith(
+      spark: org.apache.spark.sql.SparkSession,
+      storage: graft.store.Storage, uuid: String,
+      batch: DataFrame, textCol: String, idCol: String,
+      threshold: Double, params: (Int, Int, Int, Int)): DataFrame =
     batch.join(
-      dedupAgainstIndex(spark, storage, uuid, batch, textCol, idCol, threshold)
+      dedupAgainstIndexWith(spark, storage, uuid, batch, textCol, idCol,
+        threshold, params)
         .select(col("id").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 

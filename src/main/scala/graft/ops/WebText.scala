@@ -22,7 +22,9 @@ object WebText {
   private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
   private val AuthRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
   private val PathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
-  private val QueryRe = "\\?([^#]*)"
+  // the query starts at the first '?' BEFORE any '#': a '?' inside the
+  // fragment (SPA routes like /page#sec?x=1) is fragment content, not query
+  private val QueryRe = "^[^#?]*\\?([^#]*)"
   private val FragmentRe = "#(.*)$"
 
   /** Lowercased scheme ('' for a non-URL string — regexp_extract's
@@ -115,11 +117,15 @@ object WebText {
   /** Drop every document whose registered domain appears in `blocked`
     * (one column named `domain`) — the blocklist gate. The blocklist side
     * broadcasts: even a million-domain blocklist is MBs, while the corpus
-    * side must never shuffle for a gate. */
+    * side must never shuffle for a gate. The blocklist column is renamed
+    * internally so a corpus that itself carries a `domain` column (this
+    * module's own rollup output shape) can't make the join ambiguous. */
   def dropBlockedDomains(df: DataFrame, urlCol: String,
-                         blocked: DataFrame): DataFrame =
-    df.join(broadcast(blocked.select(col("domain"))),
-      urlDomain(col(urlCol)) === col("domain"), "left_anti")
+                         blocked: DataFrame): DataFrame = {
+    val b = blocked.select(col("domain").as("__blocked_domain"))
+    df.join(broadcast(b),
+      urlDomain(col(urlCol)) === col("__blocked_domain"), "left_anti")
+  }
 
   /** Keep the FIRST document (min of `idCol`) per normalized URL — exact
     * URL-level dedup, the cheapest dedup stage of a web pipeline (runs

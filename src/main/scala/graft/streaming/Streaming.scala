@@ -111,7 +111,8 @@ object Streaming {
       case "csv.gz"  => r.options(graft.io.Serializer.CsvOptions)
                          .option("pathGlobFilter", "*.csv.gz").csv(path)
       case "json"    => r.json(path)
-      case "json.gz" => r.option("pathGlobFilter", "*.json.gz").json(path)
+      case "json.gz" => // the registry also accepts .jsonl.gz alias files
+        r.option("pathGlobFilter", "{*.json.gz,*.jsonl.gz}").json(path)
       case other     => sys.error(s"No streaming source for format '$other'")
     }
   }
@@ -237,11 +238,23 @@ object Streaming {
                         opts: WriteOpts = WriteOpts(),
                         checkpoint: Option[String] = None,
                         configure: DataStreamWriter[Row] => DataStreamWriter[Row] =
-                          _.trigger(Trigger.AvailableNow())): StreamingQuery = {
+                          _.trigger(Trigger.AvailableNow())): StreamingQuery =
+    startGuarded("writeStreamAppend", stream, checkpoint, configure)(
+      token => ingestBatch(storage, uuid, opts, token))
+
+  /** Shared start plumbing for the foreachBatch sinks: mints the per-run
+    * replay token (temp-checkpoint mode only), applies the `checkpoint`
+    * parameter, and ENFORCES that no checkpointLocation is smuggled
+    * through `configure` — with a per-run token, a crash-redelivered batch
+    * from a smuggled persistent checkpoint would commit twice. One
+    * definition so the token/guard semantics cannot drift between sinks. */
+  private def startGuarded(
+      sink: String, stream: DataFrame, checkpoint: Option[String],
+      configure: DataStreamWriter[Row] => DataStreamWriter[Row])(
+      batchFn: Option[String] => (DataFrame, Long) => Unit): StreamingQuery = {
     val token =
       if (checkpoint.isEmpty) Some(java.util.UUID.randomUUID().toString) else None
-    val writer0 = stream.writeStream
-      .foreachBatch(ingestBatch(storage, uuid, opts, token) _)
+    val writer0 = stream.writeStream.foreachBatch(batchFn(token))
     val writer = checkpoint.fold(writer0)(p => writer0.option("checkpointLocation", p))
     val configured = configure(writer)
     // reject a smuggled location BOTH when no checkpoint parameter was
@@ -253,7 +266,7 @@ object Streaming {
     }
     if (smuggled.exists(v => !checkpoint.contains(v)))
       throw new IllegalArgumentException(
-        "persistent checkpoints must be passed via writeStreamAppend's " +
+        s"persistent checkpoints must be passed via $sink's " +
           "`checkpoint` parameter, not configure(_.option(\"checkpointLocation\", …)): " +
           "with a per-run replay token, a crash-redelivered batch from that " +
           "checkpoint would commit twice")
@@ -284,11 +297,25 @@ object Streaming {
     * Landing the corpus FIRST would instead lose the batch's signatures on
     * a crash — and silently re-admit its duplicates forever after.
     *
-    * The survivor frame is MATERIALIZED (eager `localCheckpoint`) before
-    * the index append: recomputing it lazily after the append would probe
-    * an index containing the batch's own signatures, and a plain
-    * `.persist()` can silently recompute through eviction. Thresholds and
-    * hash-family parameters come from the index's own metadata.
+    * The PROBED frame is MATERIALIZED (eager `localCheckpoint`) before the
+    * index append: recomputing its lineage after the append would probe an
+    * index containing the batch's own signatures, and a plain `.persist()`
+    * can silently recompute through eviction. Every later stage (pair
+    * join, clustering, survivor anti-join, both writes) derives from the
+    * checkpointed frame, so the signature+probe join runs ONCE per batch.
+    * Thresholds and hash-family parameters come from the index's own
+    * metadata, loaded once per batch and threaded through probe and
+    * append.
+    *
+    * Cross-RUN semantics match [[writeStreamAppend]]: with the default
+    * TEMP checkpoint, re-running the query over the same input is a NEW
+    * run and re-lands it (the self-id exclusion admits same-id resubmits
+    * — dropping them instead would permanently swallow a batch whose
+    * first run crashed between index append and corpus commit, which a
+    * fresh-token restart cannot distinguish from a completed run). Any
+    * ingest that must survive driver restarts passes `checkpoint`: the
+    * engine then never redelivers completed batches across restarts, and
+    * the in-flight crash window is covered by the replay path above.
     *
     * Scale shape per batch: O(batch) signature work + a bucket-pruned
     * index read bounded by the batch's band set; the within-batch pair
@@ -304,12 +331,10 @@ object Streaming {
                        configure: DataStreamWriter[Row] => DataStreamWriter[Row] =
                          _.trigger(Trigger.AvailableNow())): StreamingQuery = {
     import graft.ops.Dedup
-    val token =
-      if (checkpoint.isEmpty) Some(java.util.UUID.randomUUID().toString) else None
-    val myToken = token.getOrElse("")
-    def batchFn(batch: DataFrame, batchId: Long): Unit = {
+    def batchFn(token: Option[String])(batch: DataFrame, batchId: Long): Unit = {
       if (batch.isEmpty) return
       val spark = batch.sparkSession
+      val myToken = token.getOrElse("")
       // fully-committed replay (crash AFTER the corpus commit): skip both
       // writes — same guard as ingestBatch, hoisted so the index append is
       // covered too
@@ -319,41 +344,31 @@ object Streaming {
           m.metadata.get(LastBatchKey).exists(_.toLong >= batchId)
       }
       if (replayed) return
-      val (numHashes, bands, shingleN, _) =
-        Dedup.minhashIndexParams(storage, indexUuid)
-      // 1. drop near-dups of already-landed content (bucket-pruned probe)
-      val fresh = Dedup.filterAgainstIndex(spark, storage, indexUuid,
-        batch, textCol, idCol, threshold)
+      val params = Dedup.minhashIndexParams(storage, indexUuid)
+      val (numHashes, bands, shingleN, _) = params
+      // 1. drop near-dups of already-landed content (bucket-pruned probe);
+      // eager localCheckpoint: see scaladoc (checkpoint blocks are freed
+      // with the RDD by the context cleaner once the batch completes)
+      val fresh = Dedup.filterAgainstIndexWith(spark, storage, indexUuid,
+        batch, textCol, idCol, threshold, params).localCheckpoint(true)
       // 2. collapse near-dups WITHIN the batch, same hash family
       val pairs = Dedup.minhashNearDups(fresh, textCol, idCol,
         numHashes = numHashes, bands = bands, shingleN = shingleN,
         threshold = threshold, maxBucketSize = maxBucketSize)
         .select("id_a", "id_b")
-      // eager localCheckpoint: see scaladoc (checkpoint blocks are freed
-      // with the RDD by the context cleaner once the batch completes)
+      // survivors materialize too: three consumers (emptiness probe, index
+      // append, corpus commit) must not re-run the pair join + clustering
       val survivors = Dedup
         .dedupByClusters(fresh, idCol, Dedup.nearDupClusters(pairs))
         .localCheckpoint(true)
       if (!survivors.isEmpty) {
         // 3. index first, 4. corpus second (see crash-safety note)
-        Dedup.minhashIndexAppend(spark, storage, indexUuid,
-          survivors, textCol, idCol)
+        Dedup.minhashIndexAppendWith(spark, storage, indexUuid,
+          survivors, textCol, idCol, params)
         ingestBatch(storage, corpusUuid, opts, token)(survivors, batchId)
       }
     }
-    val writer0 = stream.writeStream.foreachBatch(batchFn _)
-    val writer = checkpoint.fold(writer0)(p => writer0.option("checkpointLocation", p))
-    val configured = configure(writer)
-    val smuggled = writerOptions(configured).collectFirst {
-      case (k, v) if k.equalsIgnoreCase("checkpointLocation") => v
-    }
-    if (smuggled.exists(v => !checkpoint.contains(v)))
-      throw new IllegalArgumentException(
-        "persistent checkpoints must be passed via writeStreamDedup's " +
-          "`checkpoint` parameter, not configure(_.option(\"checkpointLocation\", …)): " +
-          "with a per-run replay token, a crash-redelivered batch from that " +
-          "checkpoint would commit twice")
-    configured.start()
+    startGuarded("writeStreamDedup", stream, checkpoint, configure)(batchFn)
   }
 
   /** The configured options of a DataStreamWriter, for the checkpoint

@@ -436,6 +436,12 @@ class PipelineOpsSpec extends SparkSpec {
       ("ftp://files.example.org/pub",
         "ftp", "files.example.org", "", "example.org", "/pub", "", "",
         "ftp://files.example.org/pub"),
+      // a '?' inside the fragment is fragment content, NOT a query (SPA
+      // routes): the query stays empty and normalization must not
+      // fabricate one from the fragment
+      ("https://example.com/page#sec?x=1",
+        "https", "example.com", "", "example.com", "/page",
+        "", "sec?x=1", "https://example.com/page"),
       ("not a url at all", "", "", "", "", "", "", "", "not a url at all"))
     val df = cases.map(_._1).toDF("url")
     val out = df.select(col("url"),
@@ -460,6 +466,16 @@ class PipelineOpsSpec extends SparkSpec {
     val nr = Seq(Option.empty[String]).toDF("url")
       .select(WebText.normalizeUrl(col("url"))).collect()(0)
     assert(nr.isNullAt(0))
+    // the blocklist gate stays unambiguous when the corpus itself carries
+    // a 'domain' column (this module's own rollup output shape)
+    val corpus = Seq(
+      (1L, "https://a.example.io/x", "stale"),
+      (2L, "https://b.example.org/y", "stale"))
+      .toDF("doc_id", "url", "domain")
+    val blocked = Seq("example.io").toDF("domain")
+    val kept = WebText.dropBlockedDomains(corpus, "url", blocked)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L))
   }
 
   test("normalizeUrl is idempotent over randomized URLs (property)") {
@@ -475,7 +491,7 @@ class PipelineOpsSpec extends SparkSpec {
       val port = pick(Seq("", ":80", ":443", ":8080"))
       val path = pick(Seq("", "/", "/x", "/x/y.html", "//double"))
       val query = pick(Seq("", "?a=1", "?utm_s=2", "?utm_s=2&a=1&utm_t=3", "?"))
-      val frag = pick(Seq("", "#f", "#a b"))
+      val frag = pick(Seq("", "#f", "#a b", "#sec?x=1"))
       s"$scheme://$user$host$port$path$query$frag"
     }
     val two = urls.toDF("url")
