@@ -9,7 +9,7 @@ import graft.io.{Ops, Reader, Writer}
 import graft.io.Writer.WriteOpts
 import graft.index.SecondaryIndex
 import graft.meta.DatasetMetadata
-import graft.ops.{AsofJoin, Chunking, Contamination, Dedup, Multimodal, Similarity, TextAnalysis, WebText}
+import graft.ops.{AsofJoin, Chunking, Contamination, Dedup, Multimodal, SeenSet, Similarity, TextAnalysis, WebText}
 import graft.store.Storage
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -596,6 +596,21 @@ object SparkEntry {
           lit(0L), (acc, x) => acc + x).as("fp"))
     }),
 
+    // --- text analysis: Gopher quality rule set (Rae et al. 2021 App. A1.1)
+    "t_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherSignals(rd(s, dir, "documents"), "text", "doc_id")),
+
+    // --- text analysis: C4 line/page filters (Raffel et al. 2020 §2.2) over
+    // a line-structured derivation of the corpus (the raw documents carry no
+    // newlines: every 5th token boundary becomes ".\n", a pure function of
+    // the testdata — same derivation discipline as clusteredEmbeddings)
+    "t_c4_filters" -> ((s, dir) => {
+      val page = regexp_replace(col("text"), "(([^ ]+ ){4}[^ ]+) ", "$1.\n")
+      TextAnalysis.c4LineFilter(
+        rd(s, dir, "documents").select(col("doc_id"), page.as("text")),
+        "text", "doc_id")
+    }),
+
     // --- text analysis: corpus vocabulary (top-k tokens)
     "t_top_tokens" -> ((s, dir) =>
       TextAnalysis.topTokens(rd(s, dir, "documents"), "text", 50)),
@@ -919,6 +934,17 @@ object SparkEntry {
       Dedup.dedupAgainstIndex(s, st, "mhidx",
         rd(s, dir, "documents").where(col("source") === "src0"),
         "text", "doc_id", threshold = 0.5)
+    }),
+
+    // bloom-gated seen-set membership: which src0 docs are textually NEW
+    // relative to the rest of the corpus — exact anti-join semantics, but
+    // the seen side is never shuffled (bloom pre-filter + broadcast confirm)
+    "d_bloom_unseen" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      SeenSet.filterUnseen(
+        docs.where(col("source") === "src0"),
+        docs.where(col("source") =!= "src0"),
+        "text", expectedItems = 1L << 16)
     }),
 
     // near-dup clusters: pairs -> connected components -> (id, cluster_id)
@@ -1298,6 +1324,12 @@ object SparkEntry {
              CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
              count(*) AS n
            FROM events GROUP BY event_type""",
+      "d_bloom_unseen" ->
+        """SELECT b.doc_id, b.text, b.lang, b.source, b.n_chars
+           FROM documents b
+           WHERE b.source = 'src0' AND NOT EXISTS (
+             SELECT 1 FROM documents s
+             WHERE s.source <> 'src0' AND s.text = b.text)""",
       "d_dedup_exact" ->
         """SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars FROM documents d
            JOIN (SELECT lang, source, min(doc_id) AS m FROM documents GROUP BY lang, source) g
@@ -1334,6 +1366,56 @@ object SparkEntry {
              FROM documents)
            WHERE len(token) > 0
            GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""",
+      "t_gopher_rules" -> {
+        // mirror gopherSignals term by term; every denominator and round
+        // matches the Scala IEEE op order
+        val toks = """string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')"""
+        val toksLower = """string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')"""
+        val wsGone = """regexp_replace(text, '[ \t\n\x0B\f\r]+', '', 'g')"""
+        val nWordsD = s"CAST(greatest(len($toks), 1) AS DOUBLE)"
+        val lines = "string_split(text, chr(10))"
+        val nLinesD = s"CAST(greatest(len($lines), 1) AS DOUBLE)"
+        val subCount = (sub: String, n: Int) =>
+          s"CAST((length(text) - length(replace(text, '$sub', ''))) / $n AS BIGINT)"
+        s"""SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+              ellipsis_frac, alpha_frac, stop_hits,
+              (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+               AND symbol_ratio < 0.1 AND bullet_frac < 0.9 AND ellipsis_frac < 0.3
+               AND alpha_frac > 0.8 AND stop_hits >= 2) AS keep
+            FROM (SELECT doc_id,
+              CAST(len($toks) AS BIGINT) AS n_words,
+              round(CAST(length($wsGone) AS DOUBLE) / $nWordsD, 6) AS mean_word_len,
+              round(CAST(${subCount("#", 1)} + ${subCount("...", 3)} + ${subCount("…", 1)} AS DOUBLE) / $nWordsD, 6) AS symbol_ratio,
+              round(CAST(len(list_filter($lines, l -> regexp_matches(l, '^[ ]*[-*•]'))) AS DOUBLE) / $nLinesD, 6) AS bullet_frac,
+              round(CAST(len(list_filter($lines, l -> regexp_matches(l, '(\\.\\.\\.|…)[ \\r]*${"$"}'))) AS DOUBLE) / $nLinesD, 6) AS ellipsis_frac,
+              round(CAST(len(list_filter($toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / $nWordsD, 6) AS alpha_frac,
+              CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                s -> list_contains($toksLower, s))) AS BIGINT) AS stop_hits
+              FROM documents)"""
+      },
+      "t_c4_filters" -> {
+        val ws = """'[ \t\n\x0B\f\r]+'"""
+        val countOf = (c: String) =>
+          s"(length(clean) - length(replace(clean, '$c', '')))"
+        s"""SELECT doc_id, n_lines, n_kept, n_sentences, text_clean,
+              (n_sentences >= 3 AND NOT contains(text_clean, '{')
+               AND NOT contains(lower(text_clean), 'lorem ipsum')) AS page_keep
+            FROM (SELECT doc_id,
+              CAST(len(lines) AS BIGINT) AS n_lines,
+              CAST(len(kept) AS BIGINT) AS n_kept,
+              CAST(${countOf(".")} + ${countOf("!")} + ${countOf("?")} AS BIGINT) AS n_sentences,
+              clean AS text_clean
+            FROM (SELECT doc_id, lines, kept, array_to_string(kept, chr(10)) AS clean
+              FROM (SELECT doc_id,
+                string_split(text, chr(10)) AS lines,
+                list_filter(string_split(text, chr(10)), l ->
+                  regexp_matches(l, '[.!?"][ \\r]*${"$"}')
+                  AND len(string_split_regex(trim(l), $ws)) >= 5
+                  AND NOT contains(lower(l), 'javascript')) AS kept
+              FROM (SELECT doc_id,
+                regexp_replace(text, '(([^ ]+ ){4}[^ ]+) ', '\\1.' || chr(10), 'g') AS text
+                FROM documents)))) """
+      },
       "t_quality" -> {
         // mirror TextAnalysis.qualityScore term by term (same IEEE op order)
         val punct = """CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\-]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)"""

@@ -877,3 +877,46 @@ case class NearestCentroid(child: Expression, centroidSeq: Seq[Seq[Double]])
   override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
     copy(child = newChild)
 }
+
+/** Bloom-filter membership probe over a PRE-HASHED key (`xxhash64` long),
+  * carried as the serialized bytes of a driver-built
+  * `org.apache.spark.util.sketch.BloomFilter` (the same sketch
+  * `DataFrameStatFunctions.bloomFilter` produces). The filter rides the
+  * expression tree as a reference object — one deserialization per
+  * task-JVM via the transient lazy, then each probe is a handful of
+  * Murmur3 taps on a local bit array, inside whole-stage codegen. This is
+  * the map-side pre-filter for [[graft.ops.SeenSet]]: the membership SET
+  * never ships anywhere (only its fixed-size bits do), which is what makes
+  * "have we seen this key" answerable against a 100 TB seen-set.
+  *
+  * `filter` is an ArraySeq so two probes against identical bits are
+  * structurally equal (plan canonicalization / subexpression reuse — same
+  * reasoning as [[NearestCentroid]]'s Seq field). */
+case class BloomMightContain(child: Expression,
+    filter: scala.collection.immutable.ArraySeq[Byte])
+  extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType || child.dataType == NullType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a long (pre-hashed key), got ${child.dataType.simpleString}")
+
+  @transient private lazy val bloom: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(filter.unsafeArray.asInstanceOf[Array[Byte]]))
+
+  def compute(h: Long): Boolean = bloom.mightContainLong(h)
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomProbe", this, classOf[BloomMightContain].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}

@@ -1,0 +1,78 @@
+package graft.ops
+
+import scala.collection.immutable.ArraySeq
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{expressions, BloomMightContain}
+
+/** Massive-seen-set membership: "which of these keys have we NEVER seen
+  * before" when the seen side is the 100 TB corpus and the query side is an
+  * incremental batch (URL frontier dedup, incremental-ingestion exact dedup,
+  * benchmark decontamination against a frozen index).
+  *
+  * The scale contract is the whole point: the seen-set is only ever
+  * SCANNED, map-side, twice — once to build a fixed-size bloom filter
+  * (driver-merged bits, MBs for billions of keys at 1% fpp) and once to
+  * exact-confirm the bloom-positives against a BROADCAST candidate set.
+  * No shuffle of the seen side exists in the plan; everything that moves is
+  * bounded by the BATCH (batch x (dup-rate + fpp) keys). The result is
+  * EXACT anti-join semantics — the bloom can only over-approximate the
+  * candidate set, and the raw-key confirm pass removes both hash and bloom
+  * false positives — so the operator is oracle-checkable as a plain
+  * `NOT EXISTS` even though a sketch sits in the fast path.
+  *
+  * Reference analogue: plateau answers "is this partition/row already
+  * stored" by reading secondary indices (`core/index.py`); this is the
+  * row-level, corpus-scale generalization a training-data pipeline needs.
+  */
+object SeenSet {
+
+  /** Serialized bloom filter over `xxhash64(keyCol)` of `seen`. One
+    * map-side scan + a driver bit-merge; `expectedItems`/`fpp` size the
+    * bits (n=1e9, fpp=0.01 ≈ 1.2 GB — still one broadcast, not a shuffle).
+    * Callers at unknown scale should take `expectedItems` from footer
+    * statistics ([[graft.io.Ops.footerStats]]) rather than guessing. */
+  def buildBloom(seen: DataFrame, keyCol: String,
+                 expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
+    // hand-rolled treeAggregate rather than stat.bloomFilter: identical
+    // distributed shape, but an EMPTY seen-set yields an empty filter
+    // instead of the internal null Spark returns for zero rows
+    val bloom = seen.select(xxhash64(col(keyCol)).as("__h"))
+      .rdd.treeAggregate(
+        org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp))(
+        (bf, row) => { bf.putLong(row.getLong(0)); bf },
+        (a, b) => { a.mergeInPlace(b); a })
+    val out = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(out)
+    out.toByteArray
+  }
+
+  /** Codegen'd probe of a serialized bloom against `xxhash64(key)`. NULL
+    * keys probe as the hash seed's constant (xxhash64(NULL) is non-null),
+    * never as SQL NULL — [[filterUnseen]]'s raw-key confirm join restores
+    * NOT-EXISTS null semantics (a null key matches nothing, so it is
+    * always "unseen"). */
+  def mightContain(filterBytes: Array[Byte], key: Column): Column =
+    expressions.asColumn(BloomMightContain(
+      expressions.exprOf(xxhash64(key)), ArraySeq.unsafeWrapArray(filterBytes)))
+
+  /** Rows of `batch` whose `keyCol` does NOT occur in `seen` — exact
+    * anti-join semantics at seen-set scale. Designed for batch << seen:
+    * the confirm pass broadcasts the batch's bloom-positive DISTINCT keys,
+    * so its size is bounded by the batch, never the corpus. The final
+    * anti-join matches on the RAW key (not the hash), so 64-bit hash
+    * collisions cannot drop a genuinely-new row. */
+  def filterUnseen(batch: DataFrame, seen: DataFrame, keyCol: String,
+                   expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bloomBytes = buildBloom(seen, keyCol, expectedItems, fpp)
+    // map-side pre-filter: definitely-new rows never enter any join
+    val candidates = batch.where(mightContain(bloomBytes, col(keyCol)))
+    val candKeys = candidates.select(col(keyCol)).distinct()
+    // map-side scan of seen; output bounded by the candidate set
+    val confirmed = seen.select(col(keyCol))
+      .join(broadcast(candKeys), Seq(keyCol), "left_semi")
+      .distinct()
+    batch.join(broadcast(confirmed), Seq(keyCol), "left_anti")
+  }
+}

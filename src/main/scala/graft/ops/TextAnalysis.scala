@@ -292,6 +292,113 @@ object TextAnalysis {
         round(avg(log(col("tc").cast("double") / col("__total"))), 6).as("avg_logp"))
   }
 
+  // ------------------------------------------------------- published rule sets
+
+  /** The explicit whitespace class used by every oracle-checked tokenizer
+    * here (see [[stripMarkup]] for why `\s` itself is not portable). */
+  private val Ws = "[ \\t\\n\\x0B\\f\\r]+"
+
+  /** Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", App. A1.1) — the
+    * document-level heuristics most large-corpus pipelines start from.
+    * Returns one row per document with every signal the rule set reads plus
+    * the composite `keep` verdict, so a pipeline can both FILTER (keep) and
+    * AUDIT (why was this dropped). All signals are pure codegen'd column
+    * expressions over engine-portable regex classes — linear over 100 TB,
+    * no UDFs, and byte-for-byte reproducible by an external SQL engine.
+    *
+    * Signals and published thresholds:
+    *  - `n_words` in [minWords, maxWords] (paper: 50..100,000)
+    *  - `mean_word_len` in [3, 10]
+    *  - `symbol_ratio` (#, ... and Unicode ellipsis per word) < 0.1
+    *  - `bullet_frac` (lines starting with a bullet) < 0.9
+    *  - `ellipsis_frac` (lines ending with an ellipsis) < 0.3
+    *  - `alpha_frac` (words containing a letter) > 0.8
+    *  - `stop_hits` (distinct members of the paper's 8-stopword list
+    *    present) >= 2
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherSignals(df: DataFrame, textCol: String, idCol: String,
+                    minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val text = col(textCol)
+    val toks = split(trim(text), Ws)
+    val nWords = size(toks).cast("long")
+    val nWordsD = greatest(nWords, lit(1L)).cast("double")
+    // total word characters = chars left after deleting ALL whitespace
+    val wordChars = length(regexp_replace(text, Ws, ""))
+    val meanWordLen = round(wordChars.cast("double") / nWordsD, 6)
+    val symbols = substringCount(text, "#") + substringCount(text, "...") +
+      substringCount(text, "…")
+    val symbolRatio = round(symbols.cast("double") / nWordsD, 6)
+    val lines = split(text, "\n")
+    val nLinesD = greatest(size(lines), lit(1)).cast("double")
+    val bulletLines = size(filter(lines, l => l.rlike("^[ ]*[-*•]")))
+    // trailing class admits \r so CRLF text matches identically under Java
+    // regex ($ matches BEFORE a final \r) and RE2 ($ = end of text only)
+    val ellipsisLines = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)[ \\r]*$")))
+    val bulletFrac = round(bulletLines.cast("double") / nLinesD, 6)
+    val ellipsisFrac = round(ellipsisLines.cast("double") / nLinesD, 6)
+    val alphaWords = size(filter(toks, t => t.rlike("[A-Za-z]")))
+    val alphaFrac = round(alphaWords.cast("double") / nWordsD, 6)
+    val stopHits = size(array_intersect(
+      array_distinct(split(trim(lower(text)), Ws)),
+      array(GopherStopwords.map(lit): _*))).cast("long")
+    df.select(
+      col(idCol),
+      nWords.as("n_words"),
+      meanWordLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"),
+      bulletFrac.as("bullet_frac"),
+      ellipsisFrac.as("ellipsis_frac"),
+      alphaFrac.as("alpha_frac"),
+      stopHits.as("stop_hits"))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+        col("mean_word_len").between(3.0, 10.0) &&
+        col("symbol_ratio") < 0.1 &&
+        col("bullet_frac") < 0.9 &&
+        col("ellipsis_frac") < 0.3 &&
+        col("alpha_frac") > 0.8 &&
+        col("stop_hits") >= 2L)
+  }
+
+  /** C4-style cleaning (Raffel et al. 2020, §2.2 "Colossal Clean Crawled
+    * Corpus"): LINE-level retention (terminal punctuation + a minimum word
+    * count + no "javascript") composed with PAGE-level drops (fewer than 3
+    * sentences surviving, "lorem ipsum", or a curly brace — template/code
+    * markers). Returns (id, n_lines, n_kept, n_sentences, page_keep,
+    * text_clean) where `text_clean` is the surviving lines re-joined — the
+    * transformation a pipeline actually applies, not just a verdict.
+    * Same shape discipline as [[gopherSignals]]: pure portable column
+    * expressions, linear at 100 TB. */
+  def c4LineFilter(df: DataFrame, textCol: String, idCol: String,
+                   minLineWords: Int = 5): DataFrame = {
+    val text = col(textCol)
+    val lines = split(text, "\n")
+    // [ \r]* tail: see gopherSignals — keeps $ semantics engine-portable
+    val keepLine = (l: Column) =>
+      l.rlike("[.!?\"][ \\r]*$") &&
+      size(split(trim(l), Ws)) >= minLineWords &&
+      !lower(l).contains("javascript")
+    val kept = filter(lines, keepLine)
+    val clean = array_join(kept, "\n")
+    // sentence count over the SURVIVING text: terminal punctuation marks
+    val sentences = (substringCount(clean, ".") + substringCount(clean, "!") +
+      substringCount(clean, "?")).cast("long")
+    df.select(
+      col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      sentences.as("n_sentences"),
+      clean.as("text_clean"))
+      .withColumn("page_keep",
+        col("n_sentences") >= 3L &&
+        !col("text_clean").contains("{") &&
+        !lower(col("text_clean")).contains("lorem ipsum"))
+  }
+
   /** Rolling (polynomial) document fingerprint over characters:
     * hash = sum_i c_i * 31^(n-1-i) mod 2^53 — expressed with `aggregate`
     * over the character array. The modulus keeps every intermediate product

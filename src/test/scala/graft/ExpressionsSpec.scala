@@ -244,4 +244,32 @@ class ExpressionsSpec extends SparkSpec {
     // descending struct sort
     assert(got(103L) === 8)
   }
+
+  test("BloomMightContain: codegen/interpreted parity, no false negatives, null propagation") {
+    import spark.implicits._
+    import graft.ops.SeenSet
+    val members = (0 until 500).map(i => s"member-$i")
+    val bloom = SeenSet.buildBloom(members.toDF("k"), "k", expectedItems = 500)
+    val probes = (members ++ (0 until 500).map(i => s"absent-$i")).toDF("k")
+    // codegen path (wholestage on) vs interpreted eval of the same expression
+    val viaPlan = probes.select(col("k"),
+      SeenSet.mightContain(bloom, col("k")).as("hit")).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    val refBloom = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloom))
+    members.foreach { m => assert(viaPlan(m), s"false negative on $m") }
+    // parity with a driver-side probe of the same sketch for every key
+    val hasher = probes.select(col("k"), xxhash64(col("k")).as("h")).collect()
+    hasher.foreach { r =>
+      assert(viaPlan(r.getString(0)) === refBloom.mightContainLong(r.getLong(1)))
+    }
+    // fp rate sanity at the configured 1%: absent keys mostly rejected
+    val fps = (0 until 500).count(i => viaPlan(s"absent-$i"))
+    assert(fps < 25, s"implausible false-positive count $fps/500")
+    // null key: xxhash64(NULL) is the non-null seed constant, so the probe
+    // yields a BOOLEAN (never SQL NULL) — filterUnseen's raw-key confirm
+    // join is what restores NOT-EXISTS null semantics downstream
+    assert(!probes.limit(1).select(
+      SeenSet.mightContain(bloom, lit(null).cast("string"))).head.isNullAt(0))
+  }
 }

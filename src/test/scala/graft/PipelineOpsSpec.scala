@@ -771,4 +771,103 @@ class PipelineOpsSpec extends SparkSpec {
       3L -> ((8L, 1L, 9L))),  // bucket_min 8: d with 9 occurrences
       s"got $rows")
   }
+
+  // -------------------------------------------- published rule sets (r6)
+
+  test("gopherSignals: every signal hand-computed on a crafted doc") {
+    val text = "the be to of words here extra tail\n- bullet one\n- bullet two\nnormal line...\n12 34 56"
+    val out = TextAnalysis.gopherSignals(
+        Seq((1L, text)).toDF("id", "text"), "text", "id",
+        minWords = 5, maxWords = 100)
+      .collect().head
+    val m = out.schema.fieldNames.zip(out.toSeq).toMap
+    assert(m("n_words") === 19L)           // 8 + 3 + 3 + 2 + 3 tokens (bullets split too)
+    assert(m("stop_hits") === 4L)          // the, be, to, of
+    assert(m("bullet_frac") === 0.4)       // 2 of 5 lines
+    assert(m("ellipsis_frac") === 0.2)     // 1 of 5 lines
+    // 14 alpha words of 19 (two '-' bullets, '12', '34', '56' fail [A-Za-z])
+    assert(math.abs(m("alpha_frac").asInstanceOf[Double] - 14.0 / 19.0) < 1e-6)
+    assert(m("symbol_ratio") === 0.052632) // the one '...' over 19 words
+    assert(m("keep") === false)            // alpha_frac 0.737 < 0.8 fails the rule
+  }
+
+  test("gopherSignals: empty and null text never crash; keep is false/null") {
+    val out = TextAnalysis.gopherSignals(
+        Seq((1L, ""), (2L, "   ")).toDF("id", "text")
+          .unionByName(Seq((3L, Option.empty[String])).toDF("id", "text")),
+        "text", "id")
+      .orderBy("id").collect()
+    assert(out(0).getAs[Boolean]("keep") === false) // n_words=1 ('' token) < 50
+    assert(out(1).getAs[Boolean]("keep") === false)
+    assert(out(2).isNullAt(out(2).fieldIndex("keep")))
+  }
+
+  test("gopherSignals: published thresholds gate each rule independently") {
+    // one doc per violated rule, one clean doc
+    val clean = ("the be to of and that have with " + Seq.tabulate(50)(i => s"word$i").mkString(" "))
+    val symbols = clean + " " + Seq.fill(12)("#").mkString(" ")
+    val nonAlpha = clean.split(" ").take(20).mkString(" ") + " " + Seq.fill(40)("123").mkString(" ")
+    val out = TextAnalysis.gopherSignals(
+        Seq((1L, clean), (2L, symbols), (3L, nonAlpha), (4L, "too short"))
+          .toDF("id", "text"), "text", "id")
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    assert(out(1L) === true)
+    assert(out(2L) === false) // symbol_ratio 12/70 > 0.1
+    assert(out(3L) === false) // alpha_frac 20/60 < 0.8
+    assert(out(4L) === false) // n_words < 50
+  }
+
+  test("c4LineFilter: line retention, page verdicts, clean reassembly") {
+    val page = Seq(
+      (1L, "This line has enough words and ends well.\nshort line.\nno terminal punct here at all\nAnother long enough sentence right here! Ok.\ncall javascript now please stop here."),
+      (2L, "Only one good sentence lives right here.\nrest { junk"),
+      (3L, "lorem ipsum dolor sit amet and this keeps going fine.\nA second proper sentence sits right here now.\nA third proper sentence sits right here too.")
+    ).toDF("id", "text")
+    val out = TextAnalysis.c4LineFilter(page, "text", "id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: kept lines 1 and 4 (line 2 too short, 3 no punct, 5 javascript)
+    assert(out(1L).getAs[Long]("n_lines") === 5L)
+    assert(out(1L).getAs[Long]("n_kept") === 2L)
+    assert(out(1L).getAs[String]("text_clean") ===
+      "This line has enough words and ends well.\nAnother long enough sentence right here! Ok.")
+    assert(out(1L).getAs[Long]("n_sentences") === 3L) // . ! .
+    assert(out(1L).getAs[Boolean]("page_keep") === true)
+    // doc 2: one sentence -> dropped (and the brace line was never kept)
+    assert(out(2L).getAs[Long]("n_kept") === 1L)
+    assert(out(2L).getAs[Boolean]("page_keep") === false)
+    // doc 3: three sentences but lorem ipsum -> dropped
+    assert(out(3L).getAs[Long]("n_sentences") === 3L)
+    assert(out(3L).getAs[Boolean]("page_keep") === false)
+  }
+
+  // ------------------------------------------------ bloom seen-set (r6)
+
+  test("filterUnseen equals the exact anti-join, with dups and near-hash keys") {
+    import graft.ops.SeenSet
+    val seen = Seq(Some("a"), Some("b"), Some("c"), Some("c"),
+      Some("dup dup dup"), None).toDF("k")
+    val batch = Seq((Some("a"), 1), (Some("x"), 2), (Some("b"), 3),
+      (Some("y"), 4), (Some("dup dup dup"), 5), (None, 6)).toDF("k", "v")
+    val out = SeenSet.filterUnseen(batch, seen, "k", expectedItems = 64)
+      .collect().map(r => (Option(r.getString(0)), r.getInt(1))).toSet
+    // NOT-EXISTS semantics: a NULL key matches nothing, so row 6 survives
+    // even though the seen side also contains a NULL
+    assert(out === Set((Some("x"), 2), (Some("y"), 4), (None, 6)))
+  }
+
+  test("filterUnseen: empty seen keeps everything, empty batch stays empty") {
+    import graft.ops.SeenSet
+    val seen = Seq.empty[String].toDF("k")
+    val batch = Seq(("a", 1)).toDF("k", "v")
+    assert(SeenSet.filterUnseen(batch, seen, "k", 16).count() === 1L)
+    assert(SeenSet.filterUnseen(batch.limit(0), docs.limit(0)
+      .select(col("text").as("k")), "k", 16).count() === 0L)
+  }
+
+  test("bloom probe has no false negatives over the corpus") {
+    import graft.ops.SeenSet
+    val bloom = SeenSet.buildBloom(docs, "text", expectedItems = 1024)
+    val misses = docs.where(!SeenSet.mightContain(bloom, col("text"))).count()
+    assert(misses === 0L, "a bloom filter must never reject a true member")
+  }
 }

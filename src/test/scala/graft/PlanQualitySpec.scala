@@ -433,4 +433,16 @@ class PlanQualitySpec extends SparkSpec {
     // drop-row-sized) exchange of the final max aggregation
     assert("Exchange".r.findAllIn(plan).length === 2, plan.take(3000))
   }
+
+  test("d_bloom_unseen: the seen side never shuffles - every join broadcasts") {
+    val plan = SparkEntry.queries("d_bloom_unseen")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // bloom pre-filter + broadcast confirm + broadcast anti-join: the only
+    // allowed exchanges are broadcasts and the bounded candidate distinct
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(2500))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      plan.take(2500))
+    assert(plan.contains("bloom_might_contain"), plan.take(2500))
+  }
 }
