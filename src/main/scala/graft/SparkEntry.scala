@@ -208,6 +208,17 @@ object SparkEntry {
       Reader.readTable(s, st, "sup_jsonl")
     }),
 
+    // --- S2/S3+: ORC dataset roundtrip (second columnar format; stripe
+    // statistics give it the parquet pushdown story)
+    "w_orc_dataset" -> ((s, dir) => {
+      val st = ensure(s, dir, "part_orc") { st =>
+        Writer.store(s, st, "part_orc", rd(s, dir, "part"),
+          WriteOpts(partitionOn = Seq("p_brand"), format = "orc",
+            overwrite = true))
+      }
+      Reader.readTable(s, st, "part_orc")
+    }),
+
     // --- W8/S5: empty header + uncommitted two-phase writes, dynamic read
     "w8_dynamic_read" -> ((s, dir) => {
       val st = ensure(s, dir, "sup_dyn") { st =>
@@ -919,6 +930,12 @@ object SparkEntry {
         "lang", "n_chars", "doc_id",
         Map("en" -> 0.4, "de" -> 0.5, "fr" -> 0.1), budget = 60000L)),
 
+    // temperature-weighted mixture: group share ~ total^tau, rates in-plan
+    "u_temperature_mix" -> ((s, dir) =>
+      graft.ops.Sampling.temperatureSample(
+        rd(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        "lang", "n_chars", "doc_id", temperature = 0.5, budget = 50000L)),
+
     // sequence packing: deterministic md5 order, sharded running sum,
     // cut every 4096 weight units
     "u_pack_sequences" -> ((s, dir) =>
@@ -1213,6 +1230,8 @@ object SparkEntry {
         "SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, s_acctbal, s_name, s_suppkey FROM supplier",
       "w_jsonl_dataset" ->
         "SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, s_acctbal, s_name, s_suppkey FROM supplier",
+      "w_orc_dataset" ->
+        "SELECT p_brand, p_partkey, p_name, p_type, p_size, p_retailprice FROM part",
       "st_stream_ingest" ->
         "SELECT c_mktsegment, c_acctbal, c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey FROM customer",
       "p2_ne" ->
@@ -1695,6 +1714,20 @@ object SparkEntry {
                                    WHEN 'fr' THEN CAST(0.1 AS DOUBLE) END AS share
                        FROM tot)
                  WHERE share IS NOT NULL)
+           SELECT d.doc_id, d.lang, d.n_chars
+           FROM documents d JOIN r USING (lang)
+           WHERE r.rate >= 1.0 OR
+             substr(md5('graft' || CAST(d.doc_id AS VARCHAR)), 1, 8) <
+               printf('%08x', CAST(floor(r.rate * 4294967296) AS BIGINT))""",
+      // temperature mixture: share ~ t^0.5, capped rate, portable membership
+      "u_temperature_mix" ->
+        """WITH tot AS (SELECT lang, sum(n_chars) AS t FROM documents
+                        WHERE lang IS NOT NULL GROUP BY lang HAVING sum(n_chars) > 0),
+           z AS (SELECT sum(pow(CAST(t AS DOUBLE), 0.5)) AS z FROM tot),
+           r AS (SELECT lang, least(CAST(1.0 AS DOUBLE),
+                   greatest(CAST(0.0 AS DOUBLE),
+                     round(pow(CAST(t AS DOUBLE), 0.5) / z * CAST(50000 AS DOUBLE) / t, 9))) AS rate
+                 FROM tot, z)
            SELECT d.doc_id, d.lang, d.n_chars
            FROM documents d JOIN r USING (lang)
            WHERE r.rate >= 1.0 OR

@@ -22,9 +22,14 @@ import graft.meta.DatasetMetadata
   * suffixes; reads ALSO accept `.jsonl[.gz]`-suffixed files produced by
   * other tools. Like CSV there are no file statistics, so pruning is
   * partition-value only and the DNF filter applies in-plan.
+  *
+  * `orc` (beyond-reference) is the second columnar format: stripe-level
+  * min/max statistics give it the SAME pushdown story as parquet
+  * (`PushedFilters` reach the scan), so it is the right choice when an
+  * external ORC-native warehouse must read the dataset directly.
   */
 object Serializer {
-  val Formats: Set[String] = Set("parquet", "csv", "csv.gz", "json", "json.gz")
+  val Formats: Set[String] = Set("parquet", "csv", "csv.gz", "json", "json.gz", "orc")
 
   /** The reference CSV dialect (`serialization/_csv.py:33-85`) — ONE
     * definition shared by batch read, batch write, and the streaming
@@ -37,6 +42,7 @@ object Serializer {
     else if (label.endsWith(".csv")) "csv"
     else if (label.endsWith(".json.gz") || label.endsWith(".jsonl.gz")) "json.gz"
     else if (label.endsWith(".json") || label.endsWith(".jsonl")) "json"
+    else if (label.endsWith(".orc")) "orc"
     else sys.error(s"No serializer registered for file '$label'")
 
   /** One scan over an explicit (pruned) file list with hive partition-value
@@ -48,6 +54,7 @@ object Serializer {
     val r = spark.read.option("basePath", base).schema(schema)
     format match {
       case "parquet"            => r.parquet(paths: _*)
+      case "orc"                => r.orc(paths: _*)
       case "json" | "json.gz"   => r.json(paths: _*)
       case _                    => r.options(CsvOptions).csv(paths: _*)
     }
@@ -70,10 +77,12 @@ object Serializer {
     val w = chunkSize match {
       case Some(n) =>
         require(n > 0, s"chunkSize must be positive, got $n")
-        require(format == "parquet", "chunkSize only applies to parquet datasets")
+        require(format == "parquet" || format == "orc",
+          "chunkSize only applies to columnar (parquet/orc) datasets")
+        if (format == "orc") w0.option("orc.stripe.size", n.toString)
         // page size must not exceed the row-group size or tiny groups hold
         // one over-sized page
-        w0.option("parquet.block.size", n.toString)
+        else w0.option("parquet.block.size", n.toString)
           .option("parquet.page.size", math.min(n, 1L << 20).toString)
       case None => w0
     }
@@ -84,6 +93,7 @@ object Serializer {
                          .option("compression", "gzip").csv(path)
       case "json"    => w.json(path)
       case "json.gz" => w.option("compression", "gzip").json(path)
+      case "orc"     => w.orc(path)
     }
   }
 }

@@ -29,7 +29,7 @@ object Writer {
       repartitionRatio: Int = 0,          // X6: pre-shuffle coalesce divisor
       overwrite: Boolean = false,
       metadata: Map[String, String] = Map.empty,
-      format: String = "parquet",         // S2/S3: parquet | csv[.gz] | json[.gz]
+      format: String = "parquet",         // S2/S3: parquet | csv[.gz] | json[.gz] | orc
       writeWidth: Int = 0,                // 0 = derive (see layout())
       chunkSize: Option[Long] = None)     // bytes per parquet row group
 

@@ -284,7 +284,7 @@ object DatasetMetadata {
 
   /** Data-file suffixes the serializer registry understands (S2/S3). */
   val DataFileSuffixes: Seq[String] = Seq(".parquet", ".csv.gz", ".csv",
-    ".jsonl.gz", ".json.gz", ".jsonl", ".json")
+    ".jsonl.gz", ".json.gz", ".jsonl", ".json", ".orc")
   def isDataFile(key: String): Boolean = {
     // hadoop convention: '_'/'.'-prefixed basenames are metadata, never
     // data — without this, `_common_metadata.json` (the graft schema fast

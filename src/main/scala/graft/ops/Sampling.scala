@@ -139,6 +139,45 @@ object Sampling {
       .select(df.columns.map(col): _*) // original schema, original order
   }
 
+  /** Temperature-weighted mixture sampling — the multilingual-training
+    * rebalance (mBERT / XLM-R style): group g's share of the `budget` is
+    * proportional to `total_g^temperature`, so low-resource groups are
+    * up-WEIGHTED relative to their raw mass as temperature drops toward 0
+    * (t=1 reduces to proportional sampling, i.e. a plain global rate).
+    * Rates are derived IN-PLAN from the group totals like
+    * [[tokenBudgetSample]] (two metadata-sized aggregates broadcast back
+    * onto the scan; the corpus never shuffles), membership is the portable
+    * md5 contract, and a group's rate caps at 1.0 — never upsamples.
+    * NULL groups are dropped (the mixture is a spec over real groups).
+    *
+    * The rate is rounded to 9 decimals BEFORE the hash threshold: `pow`
+    * is the one piece of arithmetic here with no cross-engine
+    * correct-rounding guarantee (division/multiplication are exact IEEE),
+    * and an ulp of pow drift at the threshold would flip membership of a
+    * hash sitting exactly on the boundary. */
+  def temperatureSample(df: DataFrame, groupCol: String, weightCol: String,
+                        idCol: String, temperature: Double, budget: Long,
+                        salt: String = "graft"): DataFrame = {
+    require(temperature > 0 && temperature <= 1,
+      s"temperature must be in (0,1], got $temperature")
+    require(budget > 0, s"budget must be positive (got $budget)")
+    val totals = df.groupBy(col(groupCol))
+      .agg(sum(col(weightCol)).as("__tot"))
+      .where(col(groupCol).isNotNull && col("__tot") > 0)
+      .withColumn("__pow", pow(col("__tot").cast("double"), lit(temperature)))
+    val z = totals.agg(sum(col("__pow")).as("__z"))
+    val rates = totals.crossJoin(broadcast(z))
+      .withColumn("__rate", least(lit(1.0), greatest(lit(0.0),
+        round(col("__pow") / col("__z") * lit(budget.toDouble) / col("__tot"), 9))))
+      .select(col(groupCol), col("__rate"))
+    val keep = col("__rate") >= 1.0 ||
+      portableHashKey(col(idCol), salt) <
+        format_string("%08x", floor(col("__rate") * lit(4294967296L)).cast("long"))
+    df.join(broadcast(rates), groupCol)
+      .where(keep)
+      .select(df.columns.map(col): _*) // original schema, original order
+  }
+
   /** Deterministic, engine-portable GLOBAL shuffle + sharding — the
     * training-order operator: epoch order must be pseudo-random yet exactly
     * reproducible (resume a crashed run mid-epoch, audit which shard a

@@ -113,6 +113,7 @@ object Streaming {
       case "json"    => r.json(path)
       case "json.gz" => // the registry also accepts .jsonl.gz alias files
         r.option("pathGlobFilter", "{*.json.gz,*.jsonl.gz}").json(path)
+      case "orc"     => r.orc(path)
       case other     => sys.error(s"No streaming source for format '$other'")
     }
   }

@@ -119,6 +119,9 @@ object GraftRelation {
       case "json" | "json.gz" =>
         (new org.apache.spark.sql.execution.datasources.json.JsonFileFormat,
           Map.empty[String, String])
+      case "orc" =>
+        (new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat,
+          Map.empty[String, String])
       // ONE shared CSV dialect — a drifted copy here would parse datasets
       // written by Serializer with different options
       case _ => (new CSVFileFormat, graft.io.Serializer.CsvOptions)

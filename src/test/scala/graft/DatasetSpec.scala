@@ -315,6 +315,34 @@ class DatasetSpec extends SparkSpec {
       Set((1L, "a"), (2L, "b")))
   }
 
+  test("S2/S3+: orc dataset roundtrip; predicates push to the orc scan") {
+    val meta = Writer.store(spark, store, "orcds", sampleDf,
+      WriteOpts(partitionOn = Seq("p"), secondaryIndices = Seq("s"),
+        format = "orc", chunkSize = Some(1L << 20)))
+    assert(meta.format === "orc")
+    assert(meta.partitions.forall(_.endsWith(".orc")))
+    val back = Reader.readTable(spark, store, "orcds")
+    assert(back.count() === 6)
+    assert(back.schema("id").dataType.typeName === "long")
+    assert(back.agg(sum("v")).head.getDouble(0) ===
+      sampleDf.agg(sum("v")).head.getDouble(0))
+    val pruned = Reader.readTable(spark, store, "orcds",
+      columns = Some(Seq("id", "v")),
+      predicates = Some(Seq(Seq(
+        Literal("p", Op.Eq, "b"), Literal("s", Op.Eq, "x"),
+        Literal("id", Op.Gt, 1L)))))
+    assert(pruned.collect().map(_.getLong(0)).toSet === Set(3L))
+    // unlike csv/json, orc carries stripe statistics: the non-partition
+    // predicate must reach the scan as a pushed filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThan(id,1)") && plan.contains("EqualTo(s,x)")
+      && plan.contains("PushedFilters: ["), plan.take(2000))
+    // update/append keeps the dataset's format
+    Writer.update(spark, store, "orcds",
+      Some(sampleDf.withColumn("id", col("id") + 10)))
+    assert(Reader.readTable(spark, store, "orcds").count() === 12)
+  }
+
   test("O9: combine_metadata recursive merge semantics") {
     val m = DatasetMetadata.mapper
     def j(s: String) = m.readTree(s)

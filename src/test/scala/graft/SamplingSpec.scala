@@ -169,4 +169,44 @@ class SamplingSpec extends SparkSpec {
     assert(resized.schema("payload").dataType.typeName === "binary")
     assert(r.getAs[Array[Byte]]("payload").length === 25)
   }
+
+  test("temperatureSample: low-resource boost, rate cap, null-group drop, determinism") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // big: 1000 rows x 100 = 100000; small: 10 x 100 = 1000; null group
+    val df = ((1L to 1000L).map(i => (i, Option("big"), 100L)) ++
+      (2001L to 2010L).map(i => (i, Option("small"), 100L)) ++
+      Seq((3001L, Option.empty[String], 100L)))
+      .toDF("id", "grp", "w")
+    // tau=0.5: pow totals are 316.23 and 31.62 -> small's share is 1/11
+    // of the budget though it holds 1/101 of the mass (a 9x boost);
+    // its target 10000*0.0909=909 < 1000 available so rate stays < 1
+    val out = Sampling.temperatureSample(df, "grp", "w", "id",
+      temperature = 0.5, budget = 10000L)
+    val byGrp = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // big: rate = (316.23/347.85)*10000/100000 = 0.0909 -> ~91 of 1000
+    val bigKept = byGrp.getOrElse("big", 0L)
+    assert(bigKept > 50L && bigKept < 140L, s"big kept $bigKept at rate 0.091")
+    // null group rows are dropped
+    assert(!out.collect().map(_.getLong(0)).contains(3001L))
+    // tau closer to 0 boosts small further: with a budget beyond small's
+    // mass its rate caps at 1.0 -> every small row kept, never upsampled
+    val capped = Sampling.temperatureSample(df, "grp", "w", "id",
+      temperature = 0.5, budget = 50000L)
+    val cappedSmall = capped.where(col("grp") === "small").count()
+    assert(cappedSmall === 10L)
+    // deterministic under repartitioning
+    val again = Sampling.temperatureSample(df.repartition(7), "grp", "w", "id",
+      temperature = 0.5, budget = 10000L)
+    assert(out.select("id").collect().map(_.getLong(0)).toSet ===
+      again.select("id").collect().map(_.getLong(0)).toSet)
+    assert(out.columns.toSeq === Seq("id", "grp", "w"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "rates must broadcast")
+    // invalid temperature rejected
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureSample(df, "grp", "w", "id", 0.0, 100L)
+    }
+  }
 }
