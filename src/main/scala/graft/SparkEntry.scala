@@ -219,6 +219,19 @@ object SparkEntry {
       Reader.readTable(s, st, "part_orc")
     }),
 
+    // --- lifecycle: format CONVERSION (parquet dataset re-serialized as
+    // csv.gz under a new uuid; values, partitioning, indices carry over)
+    "w_convert_format" -> ((s, dir) => {
+      val st = ensure(s, dir, "cust_conv") { st =>
+        Writer.store(s, st, "cust_src", rd(s, dir, "customer"),
+          WriteOpts(partitionOn = Seq("c_mktsegment"),
+            secondaryIndices = Seq("c_nationkey"), overwrite = true))
+        Ops.convertDataset(s, st, "cust_src", "cust_conv", "csv.gz",
+          overwrite = true)
+      }
+      Reader.readTable(s, st, "cust_conv")
+    }),
+
     // --- W8/S5: empty header + uncommitted two-phase writes, dynamic read
     "w8_dynamic_read" -> ((s, dir) => {
       val st = ensure(s, dir, "sup_dyn") { st =>
@@ -621,6 +634,10 @@ object SparkEntry {
         rd(s, dir, "documents").select(col("doc_id"), page.as("text")),
         "text", "doc_id")
     }),
+
+    // --- text analysis: Unicode-script composition profile
+    "t_scripts" -> ((s, dir) =>
+      TextAnalysis.scriptProfile(rd(s, dir, "documents"), "text", "doc_id")),
 
     // --- text analysis: corpus vocabulary (top-k tokens)
     "t_top_tokens" -> ((s, dir) =>
@@ -1232,6 +1249,8 @@ object SparkEntry {
         "SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, s_acctbal, s_name, s_suppkey FROM supplier",
       "w_orc_dataset" ->
         "SELECT p_brand, p_partkey, p_name, p_type, p_size, p_retailprice FROM part",
+      "w_convert_format" ->
+        "SELECT c_mktsegment, c_custkey, c_name, c_nationkey, c_acctbal FROM customer",
       "st_stream_ingest" ->
         "SELECT c_mktsegment, c_acctbal, c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey FROM customer",
       "p2_ne" ->
@@ -1434,6 +1453,28 @@ object SparkEntry {
               FROM (SELECT doc_id,
                 regexp_replace(text, '(([^ ]+ ){4}[^ ]+) ', '\\1.' || chr(10), 'g') AS text
                 FROM documents)))) """
+      },
+      "t_scripts" -> {
+        // mirror scriptProfile: same literal-endpoint classes, same
+        // delete-and-measure counts, same (n, script) struct argmax
+        val wsGone = """length(regexp_replace(text, '[ \t\n\x0B\f\r]+', '', 'g'))"""
+        val ranges = graft.ops.TextAnalysis.ScriptRanges
+        val countCols = ranges.map { case (name, cls) =>
+          s"(length(text) - length(regexp_replace(text, '$cls', '', 'g'))) AS ${name}_n"
+        }.mkString(",\n              ")
+        val ratioCols = ranges.map { case (name, _) =>
+          s"round(CAST(${name}_n AS DOUBLE) / nonws, 6) AS ${name}_ratio"
+        }.mkString(",\n              ")
+        val structs = ranges.map { case (name, _) =>
+          s"struct_pack(n := ${name}_n, script := '$name')"
+        }.mkString(", ")
+        s"""SELECT doc_id, $ratioCols,
+              l[len(l)].script AS dominant_script
+            FROM (SELECT *, list_sort([$structs]) AS l
+              FROM (SELECT doc_id,
+                CAST(greatest($wsGone, 1) AS DOUBLE) AS nonws,
+                $countCols
+                FROM documents))"""
       },
       "t_quality" -> {
         // mirror TextAnalysis.qualityScore term by term (same IEEE op order)

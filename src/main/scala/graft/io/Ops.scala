@@ -128,6 +128,30 @@ object Ops {
       meta.partitionKeys, columns, preloadedMeta = Some(meta))
   }
 
+  /** Re-serialize a dataset into another registry format as a NEW dataset
+    * (beyond-reference lifecycle op pairing [[copyDataset]]: copy moves
+    * bytes verbatim, convert re-encodes them — e.g. export a parquet
+    * dataset as ORC for an ORC-native warehouse, or as json.gz for a
+    * text-pipeline consumer). Partition columns, secondary indices
+    * (rebuilt — index files reference the target's labels, not the
+    * source's), and user metadata carry over; [[Writer.store]]'s two-phase
+    * write keeps the target invisible until complete. Always
+    * dataset-to-dataset: in-place conversion would destroy the source on a
+    * mid-write failure, so a same-uuid call is refused. */
+  def convertDataset(spark: SparkSession, store: Storage, srcUuid: String,
+                     tgtUuid: String, format: String,
+                     overwrite: Boolean = false,
+                     chunkSize: Option[Long] = None): DatasetMetadata = {
+    require(srcUuid != tgtUuid,
+      s"convertDataset writes a NEW dataset; converting '$srcUuid' onto itself is refused")
+    val meta = DatasetMetadata.load(store, srcUuid)
+    Writer.store(spark, store, tgtUuid, Reader.readTable(spark, store, srcUuid),
+      Writer.WriteOpts(partitionOn = meta.partitionKeys,
+        secondaryIndices = meta.indices.keySet.toSeq.sorted,
+        metadata = meta.metadata, format = format,
+        overwrite = overwrite, chunkSize = chunkSize))
+  }
+
   /** Copy a dataset between stores (reference `copy_keys`,
     * `utils/store.py:176-201`, lifted to whole-dataset granularity): data
     * files, index files, and schema copy first — distributed over executors

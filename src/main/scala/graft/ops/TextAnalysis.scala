@@ -364,6 +364,44 @@ object TextAnalysis {
         col("stop_hits") >= 2L)
   }
 
+  /** Unicode-script composition profile — the pre-langid triage a
+    * multilingual corpus needs (langid's marker lists only discriminate
+    * WITHIN a script; a CJK or Cyrillic page must be routed before that).
+    * Per document: per-script character ratios over NON-whitespace chars
+    * (fixed BMP ranges — Latin, digits, Cyrillic, Greek, Arabic, CJK) plus
+    * the dominant script (count argmax, deterministic highest-name
+    * tie-break like [[langId]]). Counts are delete-and-measure
+    * (`length - length(regexp_replace(cls, ''))`) so the whole profile is
+    * a codegen'd replace chain — linear at 100 TB, portable to RE2-based
+    * SQL engines (ranges are literal-endpoint classes, valid in both
+    * engines; both `length`s count code points). */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "arabic" -> "[؀-ۿ]",
+    "cjk" -> "[一-鿿]",
+    "cyrillic" -> "[Ѐ-ӿ]",
+    "digit" -> "[0-9]",
+    "greek" -> "[Ͱ-Ͽ]",
+    "latin" -> "[A-Za-z]")
+
+  def scriptProfile(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val text = col(textCol)
+    val countOf = (cls: String) =>
+      length(text) - length(regexp_replace(text, cls, ""))
+    // NON-whitespace denominator: deleting all ws runs leaves exactly the
+    // non-ws characters
+    val nonWs = greatest(length(regexp_replace(text, Ws, "")), lit(1)).cast("double")
+    val counts = ScriptRanges.map { case (name, cls) => name -> countOf(cls) }
+    val dominant = sort_array(array(counts.map { case (name, c) =>
+      struct(c.as("n"), lit(name).as("script"))
+    }: _*), asc = false).getItem(0).getField("script")
+    df.select(
+      (col(idCol) +:
+        counts.map { case (name, c) =>
+          round(c.cast("double") / nonWs, 6).as(s"${name}_ratio")
+        }) :+
+      dominant.as("dominant_script"): _*)
+  }
+
   /** C4-style cleaning (Raffel et al. 2020, §2.2 "Colossal Clean Crawled
     * Corpus"): LINE-level retention (terminal punctuation + a minimum word
     * count + no "javascript") composed with PAGE-level drops (fewer than 3

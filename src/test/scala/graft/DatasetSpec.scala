@@ -1119,4 +1119,37 @@ class DatasetSpec extends SparkSpec {
     assert(SecondaryIndex.observedValues(merged).collect().map(_.getString(0)).toSet ===
       Set("x", "y", "z"))
   }
+
+  test("convertDataset: re-serialized copy keeps values/partitions/indices; source intact") {
+    Writer.store(spark, store, "convsrc", sampleDf,
+      WriteOpts(partitionOn = Seq("p"), secondaryIndices = Seq("s"),
+        metadata = Map("origin" -> "unit")))
+    val meta = Ops.convertDataset(spark, store, "convsrc", "convtgt", "csv.gz")
+    assert(meta.format === "csv.gz")
+    assert(meta.partitions.forall(_.endsWith(".csv.gz")))
+    assert(meta.partitionKeys === Seq("p"))
+    assert(meta.indices.keySet === Set("s"))
+    assert(meta.metadata.get("origin") === Some("unit"))
+    val back = Reader.readTable(spark, store, "convtgt")
+    assert(back.orderBy("id").collect()
+      .map(_.getAs[Long]("id")).toSeq === (1L to 6L))
+    // index pruning works against the REBUILT target index
+    val pruned = Reader.readTable(spark, store, "convtgt",
+      predicates = Some(Seq(Seq(Literal("s", Op.Eq, "x")))))
+    assert(pruned.collect().map(_.getAs[Long]("id")).toSet === Set(1L, 3L, 5L))
+    // source untouched and still parquet
+    assert(DatasetMetadata.load(store, "convsrc").format === "parquet")
+    assert(Reader.readTable(spark, store, "convsrc").count() === 6)
+    // in-place conversion refused; existing target needs overwrite
+    intercept[IllegalArgumentException] {
+      Ops.convertDataset(spark, store, "convsrc", "convsrc", "orc")
+    }
+    intercept[Exception] {
+      Ops.convertDataset(spark, store, "convsrc", "convtgt", "orc")
+    }
+    val orc = Ops.convertDataset(spark, store, "convsrc", "convtgt", "orc",
+      overwrite = true)
+    assert(orc.format === "orc")
+    assert(Reader.readTable(spark, store, "convtgt").count() === 6)
+  }
 }

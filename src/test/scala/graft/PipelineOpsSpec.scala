@@ -870,4 +870,25 @@ class PipelineOpsSpec extends SparkSpec {
     val misses = docs.where(!SeenSet.mightContain(bloom, col("text"))).count()
     assert(misses === 0L, "a bloom filter must never reject a true member")
   }
+
+  test("scriptProfile: per-script ratios and dominant script on mixed text") {
+    val out = TextAnalysis.scriptProfile(Seq(
+      (1L, "hello мир 漢字漢字"),          // 5 latin, 3 cyrillic, 4 cjk
+      (2L, "42 + 58"),                      // 4 digits, 1 other
+      (3L, "αβγ δε"),                       // 5 greek
+      (4L, "")
+    ).toDF("id", "text"), "text", "id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def ratio(id: Long, c: String) = out(id).getAs[Double](c)
+    assert(math.abs(ratio(1L, "latin_ratio") - 5.0 / 12.0) < 1e-6)
+    assert(math.abs(ratio(1L, "cyrillic_ratio") - 3.0 / 12.0) < 1e-6)
+    assert(math.abs(ratio(1L, "cjk_ratio") - 4.0 / 12.0) < 1e-6)
+    assert(out(1L).getAs[String]("dominant_script") === "latin")
+    assert(ratio(2L, "digit_ratio") === 0.8)
+    assert(out(2L).getAs[String]("dominant_script") === "digit")
+    assert(out(3L).getAs[String]("dominant_script") === "greek")
+    // empty text: all counts zero, tie-break picks the highest name
+    assert(out(4L).getAs[String]("dominant_script") === "latin")
+    assert(ratio(4L, "latin_ratio") === 0.0)
+  }
 }
