@@ -1418,14 +1418,14 @@ object SparkEntry {
         s"""SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
               ellipsis_frac, alpha_frac, stop_hits,
               (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
-               AND symbol_ratio < 0.1 AND bullet_frac < 0.9 AND ellipsis_frac < 0.3
-               AND alpha_frac > 0.8 AND stop_hits >= 2) AS keep
+               AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+               AND alpha_frac >= 0.8 AND stop_hits >= 2) AS keep
             FROM (SELECT doc_id,
               CAST(len($toks) AS BIGINT) AS n_words,
               round(CAST(length($wsGone) AS DOUBLE) / $nWordsD, 6) AS mean_word_len,
               round(CAST(${subCount("#", 1)} + ${subCount("...", 3)} + ${subCount("…", 1)} AS DOUBLE) / $nWordsD, 6) AS symbol_ratio,
               round(CAST(len(list_filter($lines, l -> regexp_matches(l, '^[ ]*[-*•]'))) AS DOUBLE) / $nLinesD, 6) AS bullet_frac,
-              round(CAST(len(list_filter($lines, l -> regexp_matches(l, '(\\.\\.\\.|…)[ \\r]*${"$"}'))) AS DOUBLE) / $nLinesD, 6) AS ellipsis_frac,
+              round(CAST(len(list_filter($lines, l -> regexp_matches(l, '(\\.\\.\\.|…)[ \\r\u0085\u2028\u2029]*${"$"}'))) AS DOUBLE) / $nLinesD, 6) AS ellipsis_frac,
               round(CAST(len(list_filter($toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / $nWordsD, 6) AS alpha_frac,
               CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
                 s -> list_contains($toksLower, s))) AS BIGINT) AS stop_hits
@@ -1436,18 +1436,18 @@ object SparkEntry {
         val countOf = (c: String) =>
           s"(length(clean) - length(replace(clean, '$c', '')))"
         s"""SELECT doc_id, n_lines, n_kept, n_sentences, text_clean,
-              (n_sentences >= 3 AND NOT contains(text_clean, '{')
-               AND NOT contains(lower(text_clean), 'lorem ipsum')) AS page_keep
-            FROM (SELECT doc_id,
+              (n_sentences >= 3 AND NOT contains(raw, '{')
+               AND NOT contains(lower(raw), 'lorem ipsum')) AS page_keep
+            FROM (SELECT doc_id, raw,
               CAST(len(lines) AS BIGINT) AS n_lines,
               CAST(len(kept) AS BIGINT) AS n_kept,
               CAST(${countOf(".")} + ${countOf("!")} + ${countOf("?")} AS BIGINT) AS n_sentences,
               clean AS text_clean
-            FROM (SELECT doc_id, lines, kept, array_to_string(kept, chr(10)) AS clean
-              FROM (SELECT doc_id,
+            FROM (SELECT doc_id, raw, lines, kept, array_to_string(kept, chr(10)) AS clean
+              FROM (SELECT doc_id, text AS raw,
                 string_split(text, chr(10)) AS lines,
                 list_filter(string_split(text, chr(10)), l ->
-                  regexp_matches(l, '[.!?"][ \\r]*${"$"}')
+                  regexp_matches(l, '[.!?"][ \\r\u0085\u2028\u2029]*${"$"}')
                   AND len(string_split_regex(trim(l), $ws)) >= 5
                   AND NOT contains(lower(l), 'javascript')) AS kept
               FROM (SELECT doc_id,

@@ -145,9 +145,13 @@ object Ops {
     require(srcUuid != tgtUuid,
       s"convertDataset writes a NEW dataset; converting '$srcUuid' onto itself is refused")
     val meta = DatasetMetadata.load(store, srcUuid)
+    // ALL indexed columns — external AND embedded (a reference-flavor
+    // dataset may carry only msgpack-embedded indices); partition keys are
+    // the primary index and never double as secondary indices
+    val idxCols = (meta.indexColumns -- meta.partitionKeys).toSeq.sorted
     Writer.store(spark, store, tgtUuid, Reader.readTable(spark, store, srcUuid),
       Writer.WriteOpts(partitionOn = meta.partitionKeys,
-        secondaryIndices = meta.indices.keySet.toSeq.sorted,
+        secondaryIndices = idxCols,
         metadata = meta.metadata, format = format,
         overwrite = overwrite, chunkSize = chunkSize))
   }

@@ -124,20 +124,25 @@ object Sampling {
     // the group floods the sample instead of contributing nothing
     val rate = least(lit(1.0),
       greatest(lit(0.0), share * lit(budget.toDouble) / col("__tot")))
-    // same fixed-width-hex comparison as portableKeep, but with the
-    // threshold computed IN-PLAN from the broadcast group total (rate is a
-    // column, not a literal); rate >= 1 short-circuits because its 9-hex-char
-    // threshold would compare lexicographically BELOW 8-char hashes
     // share is NULL for unlisted groups, but least(1.0, NULL) is 1.0 (both
     // Spark and DuckDB least IGNORE nulls) — an unguarded rate would
     // silently keep every unlisted group instead of dropping it
-    val keep = share.isNotNull && (rate >= 1.0 ||
-      portableHashKey(col(idCol), salt) <
-        format_string("%08x", floor(rate * lit(4294967296L)).cast("long")))
+    val keep = share.isNotNull && rateKeep(col(idCol), rate, salt)
     df.join(broadcast(totals), groupCol)
       .where(keep)
       .select(df.columns.map(col): _*) // original schema, original order
   }
+
+  /** In-plan portable membership against a rate COLUMN — the one shared
+    * encoding of the hash-threshold comparison ([[portableKeep]] is the
+    * literal-rate face). rate >= 1 short-circuits because its 9-hex-char
+    * threshold would compare lexicographically BELOW 8-char hashes; a
+    * negative rate must be clamped to 0 by the CALLER (its %08x would
+    * render 16 hex chars and flood the sample — see [[tokenBudgetSample]]).
+    * ONE definition so samplers cannot drift on the encoding. */
+  private def rateKeep(idCol: Column, rate: Column, salt: String): Column =
+    rate >= 1.0 || portableHashKey(idCol, salt) <
+      format_string("%08x", floor(rate * lit(4294967296L)).cast("long"))
 
   /** Temperature-weighted mixture sampling — the multilingual-training
     * rebalance (mBERT / XLM-R style): group g's share of the `budget` is
@@ -170,9 +175,7 @@ object Sampling {
       .withColumn("__rate", least(lit(1.0), greatest(lit(0.0),
         round(col("__pow") / col("__z") * lit(budget.toDouble) / col("__tot"), 9))))
       .select(col(groupCol), col("__rate"))
-    val keep = col("__rate") >= 1.0 ||
-      portableHashKey(col(idCol), salt) <
-        format_string("%08x", floor(col("__rate") * lit(4294967296L)).cast("long"))
+    val keep = rateKeep(col(idCol), col("__rate"), salt)
     df.join(broadcast(rates), groupCol)
       .where(keep)
       .select(df.columns.map(col): _*) // original schema, original order

@@ -35,14 +35,22 @@ object SeenSet {
     * statistics ([[graft.io.Ops.footerStats]]) rather than guessing. */
   def buildBloom(seen: DataFrame, keyCol: String,
                  expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
-    // hand-rolled treeAggregate rather than stat.bloomFilter: identical
-    // distributed shape, but an EMPTY seen-set yields an empty filter
-    // instead of the internal null Spark returns for zero rows
-    val bloom = seen.select(xxhash64(col(keyCol)).as("__h"))
-      .rdd.treeAggregate(
-        org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp))(
-        (bf, row) => { bf.putLong(row.getLong(0)); bf },
-        (a, b) => { a.mergeInPlace(b); a })
+    // hand-rolled rather than stat.bloomFilter, for two reasons: an EMPTY
+    // seen-set yields an empty filter instead of the internal null Spark
+    // returns for zero rows, and the zero-value filter is created INSIDE
+    // each partition — treeAggregate would capture the pre-sized (possibly
+    // GB-scale) empty bit array in the task closure and ship it to every
+    // task; here only POPULATED partials move, through a tree merge
+    val hashes = seen.select(xxhash64(col(keyCol)).as("__h")).rdd
+    val partials = hashes.mapPartitions { it =>
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+      it.foreach(r => bf.putLong(r.getLong(0)))
+      Iterator.single(bf)
+    }
+    val bloom =
+      if (hashes.getNumPartitions == 0)
+        org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+      else partials.treeReduce((a, b) => { a.mergeInPlace(b); a })
     val out = new java.io.ByteArrayOutputStream()
     bloom.writeTo(out)
     out.toByteArray

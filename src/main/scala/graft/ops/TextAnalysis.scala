@@ -307,13 +307,14 @@ object TextAnalysis {
     * expressions over engine-portable regex classes — linear over 100 TB,
     * no UDFs, and byte-for-byte reproducible by an external SQL engine.
     *
-    * Signals and published thresholds:
+    * Signals and published thresholds (the paper REMOVES strictly-beyond
+    * documents, so every keep comparison is inclusive of the boundary):
     *  - `n_words` in [minWords, maxWords] (paper: 50..100,000)
     *  - `mean_word_len` in [3, 10]
-    *  - `symbol_ratio` (#, ... and Unicode ellipsis per word) < 0.1
-    *  - `bullet_frac` (lines starting with a bullet) < 0.9
-    *  - `ellipsis_frac` (lines ending with an ellipsis) < 0.3
-    *  - `alpha_frac` (words containing a letter) > 0.8
+    *  - `symbol_ratio` (#, ... and Unicode ellipsis per word) <= 0.1
+    *  - `bullet_frac` (lines starting with a bullet) <= 0.9
+    *  - `ellipsis_frac` (lines ending with an ellipsis) <= 0.3
+    *  - `alpha_frac` (words containing a letter) >= 0.8
     *  - `stop_hits` (distinct members of the paper's 8-stopword list
     *    present) >= 2
     */
@@ -335,9 +336,12 @@ object TextAnalysis {
     val lines = split(text, "\n")
     val nLinesD = greatest(size(lines), lit(1)).cast("double")
     val bulletLines = size(filter(lines, l => l.rlike("^[ ]*[-*•]")))
-    // trailing class admits \r so CRLF text matches identically under Java
-    // regex ($ matches BEFORE a final \r) and RE2 ($ = end of text only)
-    val ellipsisLines = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)[ \\r]*$")))
+    // trailing class admits every JAVA line terminator that can survive a
+    // \n split (\r, NEL, LS, PS): Java's $ matches BEFORE a final one of
+    // these while RE2's $ is end-of-text only — consuming them in the
+    // class keeps the two engines' verdicts identical
+    val ellipsisLines = size(filter(lines,
+      l => l.rlike("(\\.\\.\\.|…)[ \\r\u0085\u2028\u2029]*$")))
     val bulletFrac = round(bulletLines.cast("double") / nLinesD, 6)
     val ellipsisFrac = round(ellipsisLines.cast("double") / nLinesD, 6)
     val alphaWords = size(filter(toks, t => t.rlike("[A-Za-z]")))
@@ -357,10 +361,10 @@ object TextAnalysis {
       .withColumn("keep",
         col("n_words").between(minWords, maxWords) &&
         col("mean_word_len").between(3.0, 10.0) &&
-        col("symbol_ratio") < 0.1 &&
-        col("bullet_frac") < 0.9 &&
-        col("ellipsis_frac") < 0.3 &&
-        col("alpha_frac") > 0.8 &&
+        col("symbol_ratio") <= 0.1 &&
+        col("bullet_frac") <= 0.9 &&
+        col("ellipsis_frac") <= 0.3 &&
+        col("alpha_frac") >= 0.8 &&
         col("stop_hits") >= 2L)
   }
 
@@ -405,9 +409,11 @@ object TextAnalysis {
   /** C4-style cleaning (Raffel et al. 2020, §2.2 "Colossal Clean Crawled
     * Corpus"): LINE-level retention (terminal punctuation + a minimum word
     * count + no "javascript") composed with PAGE-level drops (fewer than 3
-    * sentences surviving, "lorem ipsum", or a curly brace — template/code
-    * markers). Returns (id, n_lines, n_kept, n_sentences, page_keep,
-    * text_clean) where `text_clean` is the surviving lines re-joined — the
+    * sentences surviving; "lorem ipsum" or a curly brace anywhere on the
+    * RAW page — template/code markers apply to the page as crawled, so a
+    * brace whose line was individually filtered still condemns the page).
+    * Returns (id, n_lines, n_kept, n_sentences, page_keep, text_clean)
+    * where `text_clean` is the surviving lines re-joined — the
     * transformation a pipeline actually applies, not just a verdict.
     * Same shape discipline as [[gopherSignals]]: pure portable column
     * expressions, linear at 100 TB. */
@@ -415,9 +421,9 @@ object TextAnalysis {
                    minLineWords: Int = 5): DataFrame = {
     val text = col(textCol)
     val lines = split(text, "\n")
-    // [ \r]* tail: see gopherSignals — keeps $ semantics engine-portable
+    // trailing class: see gopherSignals — keeps $ semantics engine-portable
     val keepLine = (l: Column) =>
-      l.rlike("[.!?\"][ \\r]*$") &&
+      l.rlike("[.!?\"][ \\r\u0085\u2028\u2029]*$") &&
       size(split(trim(l), Ws)) >= minLineWords &&
       !lower(l).contains("javascript")
     val kept = filter(lines, keepLine)
@@ -430,11 +436,10 @@ object TextAnalysis {
       size(lines).cast("long").as("n_lines"),
       size(kept).cast("long").as("n_kept"),
       sentences.as("n_sentences"),
-      clean.as("text_clean"))
-      .withColumn("page_keep",
-        col("n_sentences") >= 3L &&
-        !col("text_clean").contains("{") &&
-        !lower(col("text_clean")).contains("lorem ipsum"))
+      clean.as("text_clean"),
+      (sentences >= 3L &&
+        !text.contains("{") &&
+        !lower(text).contains("lorem ipsum")).as("page_keep"))
   }
 
   /** Rolling (polynomial) document fingerprint over characters:

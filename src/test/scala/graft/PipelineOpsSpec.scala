@@ -832,12 +832,52 @@ class PipelineOpsSpec extends SparkSpec {
       "This line has enough words and ends well.\nAnother long enough sentence right here! Ok.")
     assert(out(1L).getAs[Long]("n_sentences") === 3L) // . ! .
     assert(out(1L).getAs[Boolean]("page_keep") === true)
-    // doc 2: one sentence -> dropped (and the brace line was never kept)
+    // doc 2: dropped twice over - raw page contains '{' AND only one
+    // sentence survives (C4's brace check reads the page as CRAWLED)
     assert(out(2L).getAs[Long]("n_kept") === 1L)
     assert(out(2L).getAs[Boolean]("page_keep") === false)
     // doc 3: three sentences but lorem ipsum -> dropped
     assert(out(3L).getAs[Long]("n_sentences") === 3L)
     assert(out(3L).getAs[Boolean]("page_keep") === false)
+  }
+
+  test("c4LineFilter: raw-page brace condemns even when its line was filtered") {
+    val page = Seq((1L,
+      "First proper sentence sits right here now.\n" +
+        "function foo() {\n" + // no terminal punct -> line dropped
+        "Second proper sentence sits right here now.\n" +
+        "Third proper sentence sits right here now too.")).toDF("id", "text")
+    val out = TextAnalysis.c4LineFilter(page, "text", "id").collect().head
+    assert(out.getAs[Long]("n_kept") === 3L)
+    assert(out.getAs[Long]("n_sentences") === 3L)
+    assert(!out.getAs[String]("text_clean").contains("{"))
+    // the brace line never reaches text_clean, but the PAGE is still code
+    assert(out.getAs[Boolean]("page_keep") === false)
+  }
+
+  test("published rules: inclusive boundaries and Java-only line terminators") {
+    // gopher: symbol_ratio exactly 0.1 and mean_word_len exactly 3.0 KEEP
+    // (the paper removes strictly-beyond documents)
+    val boundary = "the be to of and that have with word1 #"
+    val g = TextAnalysis.gopherSignals(
+        Seq((1L, boundary)).toDF("id", "text"), "text", "id",
+        minWords = 5, maxWords = 100)
+      .collect().head
+    assert(g.getAs[Double]("symbol_ratio") === 0.1)
+    assert(g.getAs[Double]("mean_word_len") === 3.0)
+    assert(g.getAs[Boolean]("keep") === true)
+    // a line ending in '.' + U+2028 (survives the \n split): Java's $
+    // would match before the terminator while RE2's would not — the
+    // trailing class consumes it so BOTH engines keep the line
+    val ls = "Proper sentence sits right here with words okay. "
+    val c = TextAnalysis.c4LineFilter(
+        Seq((1L, ls)).toDF("id", "text"), "text", "id")
+      .collect().head
+    assert(c.getAs[Long]("n_kept") === 1L)
+    val e = TextAnalysis.gopherSignals(
+        Seq((1L, "tail line ends so... ")).toDF("id", "text"),
+        "text", "id", 1, 100).collect().head
+    assert(e.getAs[Double]("ellipsis_frac") === 1.0)
   }
 
   // ------------------------------------------------ bloom seen-set (r6)
