@@ -303,6 +303,33 @@ object SparkEntry {
       Reader.readTable(s, st, "sdd_corpus").select("doc_id")
     }),
 
+    // exact sibling of st_stream_dedup: key-level NOT-EXISTS against a
+    // persisted bucket-partitioned seen index — fully oracle-expressible
+    "st_stream_unseen" -> ((s, dir) => {
+      val st = ensure(s, dir, "su_stream") { st =>
+        Ops.deleteDataset(st, "su_corpus")
+        graft.ops.SeenSet.seenIndex(s, st, "su_idx",
+          rd(s, dir, "documents").where(col("source") =!= "src0"),
+          "text", "doc_id", numBuckets = 32, overwrite = true)
+        val src0 = rd(s, dir, "documents").where(col("source") === "src0")
+          .select("doc_id", "text")
+        val copies = rd(s, dir, "documents").where(col("source") === "src1")
+          .orderBy("doc_id").limit(50)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        val inDir = s"${tmpBase(dir)}/su_in"
+        src0.unionByName(copies).coalesce(1)
+          .write.mode("overwrite").parquet(inDir)
+        val q = graft.streaming.Streaming.writeStreamUnseen(
+          s.readStream.schema("doc_id bigint, text string").parquet(inDir),
+          st, "su_corpus", "su_idx", "text", "doc_id")
+        if (!q.awaitTermination(300000)) {
+          q.stop()
+          sys.error("st_stream_unseen ingest did not finish within 300s")
+        }
+      }
+      Reader.readTable(s, st, "su_corpus").select("doc_id")
+    }),
+
     // --- P2: != keeps nulls (reference numpy semantics)
     "p2_ne" -> ((s, dir) => {
       val docs = rd(s, dir, "documents")
@@ -1362,6 +1389,19 @@ object SparkEntry {
              CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
              count(*) AS n
            FROM events GROUP BY event_type""",
+      "st_stream_unseen" ->
+        """WITH stream AS (
+             SELECT doc_id, text FROM documents WHERE source = 'src0'
+             UNION ALL
+             SELECT doc_id + 1000000 AS doc_id, text FROM (
+               SELECT doc_id, text FROM documents WHERE source = 'src1'
+               ORDER BY doc_id LIMIT 50))
+           SELECT s.doc_id FROM stream s
+           WHERE NOT EXISTS (
+               SELECT 1 FROM documents d
+               WHERE d.source <> 'src0' AND d.text = s.text)
+             AND s.doc_id = (
+               SELECT min(s2.doc_id) FROM stream s2 WHERE s2.text = s.text)""",
       "d_bloom_unseen" ->
         """SELECT b.doc_id, b.text, b.lang, b.source, b.n_chars
            FROM documents b

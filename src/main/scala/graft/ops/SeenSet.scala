@@ -65,6 +65,90 @@ object SeenSet {
     expressions.asColumn(BloomMightContain(
       expressions.exprOf(xxhash64(key)), ArraySeq.unsafeWrapArray(filterBytes)))
 
+  // ------------------------------------------------- persisted seen index
+
+  /** Build a PERSISTED exact-key seen-set index as a bucket-partitioned
+    * graft dataset of (bucket, key, id): the durable face of this module,
+    * for incremental ingestion where the seen-set outlives any one job.
+    * Keys land ONCE; later probes ([[filterUnseenIndexed]]) read only the
+    * hive buckets the batch's keys hash into — the same metadata-level
+    * pruning contract as [[Dedup.minhashIndex]], but with EXACT raw-key
+    * matching instead of signature estimation. `numBuckets` is pinned in
+    * the header so probe and append can never drift from the build. */
+  def seenIndex(spark: org.apache.spark.sql.SparkSession,
+                storage: graft.store.Storage, uuid: String,
+                df: DataFrame, keyCol: String, idCol: String,
+                numBuckets: Int = 64,
+                overwrite: Boolean = false): graft.meta.DatasetMetadata = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1 (got $numBuckets)")
+    graft.io.Writer.store(spark, storage, uuid,
+      seenRows(df, keyCol, idCol, numBuckets),
+      graft.io.Writer.WriteOpts(partitionOn = Seq("bucket"),
+        overwrite = overwrite,
+        metadata = Map("graft.seen.numBuckets" -> numBuckets.toString)))
+  }
+
+  /** Append newly landed keys to a [[seenIndex]] dataset (bucket layout
+    * from the index's own metadata). */
+  def seenIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                      storage: graft.store.Storage, uuid: String,
+                      df: DataFrame, keyCol: String,
+                      idCol: String): graft.meta.DatasetMetadata = {
+    val buckets = seenIndexBuckets(storage, uuid)
+    graft.io.Writer.update(spark, storage, uuid,
+      Some(seenRows(df, keyCol, idCol, buckets)))
+  }
+
+  private def seenRows(df: DataFrame, keyCol: String, idCol: String,
+                       numBuckets: Int): DataFrame =
+    df.select(pmod(xxhash64(col(keyCol)), lit(numBuckets)).cast("int").as("bucket"),
+      col(keyCol).as("key"), col(idCol).as("id"))
+
+  private[graft] def seenIndexBuckets(storage: graft.store.Storage,
+                                      uuid: String): Int =
+    graft.meta.DatasetMetadata.load(storage, uuid).metadata
+      .getOrElse("graft.seen.numBuckets", throw new IllegalArgumentException(
+        s"dataset '$uuid' is not a seen index (missing graft.seen.numBuckets)"))
+      .toInt
+
+  /** Rows of `batch` whose key does NOT occur in a persisted [[seenIndex]]
+    * — exact NOT-EXISTS semantics with a bucket-pruned read: only the hive
+    * buckets the batch's keys hash into are scanned (driver sees one
+    * bounded bucket list, ≤ numBuckets ints). An index entry whose `id`
+    * equals the batch row's own id is EXCLUDED from the match — re-probing
+    * content whose own keys already landed is a no-op, the property
+    * streaming crash-replay idempotency rests on (the same self-id
+    * exclusion as [[Dedup.dedupAgainstIndex]]). The per-key confirm is a
+    * countDistinct aggregate, so a mass-duplicated key (or a replayed
+    * duplicate append) still broadcasts as ONE row. */
+  def filterUnseenIndexed(spark: org.apache.spark.sql.SparkSession,
+                          storage: graft.store.Storage, uuid: String,
+                          batch: DataFrame, keyCol: String,
+                          idCol: String): DataFrame = {
+    val numBuckets = seenIndexBuckets(storage, uuid)
+    val batchKeys = batch.select(col(keyCol).as("key")).where(col("key").isNotNull)
+      .distinct()
+    // the batch's bucket set — driver-side but bounded by numBuckets
+    val buckets = batchKeys
+      .select(pmod(xxhash64(col("key")), lit(numBuckets)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    if (buckets.isEmpty) return batch
+    val idx = graft.io.Reader.readTable(spark, storage, uuid,
+      predicates = Some(Seq(Seq(
+        graft.dnf.Literal("bucket", graft.dnf.Op.In, buckets)))))
+    // per-key distinct-id profile of the matching index entries: tiny
+    // (bounded by the batch's key set), broadcast back onto the batch
+    val profile = idx.join(broadcast(batchKeys), Seq("key"), "left_semi")
+      .groupBy(col("key"))
+      .agg(count_distinct(col("id")).as("__n_ids"), min(col("id")).as("__min_id"))
+    batch.as("b")
+      .join(broadcast(profile.as("p")), col(s"b.$keyCol") === col("p.key"), "left")
+      .where(col("p.__n_ids").isNull ||                // key never seen
+        (col("p.__n_ids") === 1L &&                    // or the only entry
+          col("p.__min_id") === col(s"b.$idCol")))     //    is MYSELF (replay)
+      .select(batch.columns.map(c => col(s"b.$c")): _*)
+  }
+
   /** Rows of `batch` whose `keyCol` does NOT occur in `seen` — exact
     * anti-join semantics at seen-set scale. Designed for batch << seen:
     * the confirm pass broadcasts the batch's bloom-positive DISTINCT keys,

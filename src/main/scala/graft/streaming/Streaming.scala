@@ -372,6 +372,57 @@ object Streaming {
     startGuarded("writeStreamDedup", stream, checkpoint, configure)(batchFn)
   }
 
+  /** Streaming EXACT-key incremental ingestion — the exact sibling of
+    * [[writeStreamDedup]]'s near-dup contract: each micro-batch (1) drops
+    * within-batch exact duplicates (keep-lowest-id), (2) drops rows whose
+    * key already landed in ANY earlier batch via a bucket-pruned probe of
+    * the persisted [[graft.ops.SeenSet.seenIndex]] (raw-key NOT-EXISTS, no
+    * estimation), then (3) appends the survivors' keys to the index and
+    * (4) commits the survivors to the corpus — in THAT order, so a crash
+    * between (3) and (4) is healed on replay by the index probe's self-id
+    * exclusion (my own keys match only my own id → I survive the re-probe)
+    * and a crash after (4) by the run-token/batch-id guard shared with
+    * [[ingestBatch]]. The seen index must exist before the stream starts
+    * (build it with `SeenSet.seenIndex`, possibly over an empty frame).
+    *
+    * Scale shape per batch: O(batch) hashing + an index read pruned to the
+    * batch's bucket set; corpus text is never re-read. */
+  def writeStreamUnseen(stream: DataFrame, storage: Storage,
+                        corpusUuid: String, seenUuid: String,
+                        keyCol: String, idCol: String,
+                        opts: WriteOpts = WriteOpts(),
+                        checkpoint: Option[String] = None,
+                        configure: DataStreamWriter[Row] => DataStreamWriter[Row] =
+                          _.trigger(Trigger.AvailableNow())): StreamingQuery = {
+    import graft.ops.{Dedup, SeenSet}
+    def batchFn(token: Option[String])(batch: DataFrame, batchId: Long): Unit = {
+      if (batch.isEmpty) return
+      val spark = batch.sparkSession
+      val myToken = token.getOrElse("")
+      // fully-committed replay (crash AFTER the corpus commit): skip both
+      // writes — same guard as writeStreamDedup
+      val replayed = DatasetMetadata.exists(storage, corpusUuid) && {
+        val m = DatasetMetadata.load(storage, corpusUuid)
+        m.metadata.getOrElse(RunTokenKey, "") == myToken &&
+          m.metadata.get(LastBatchKey).exists(_.toLong >= batchId)
+      }
+      if (replayed) return
+      // 1. within-batch exact keep-first, 2. cross-batch indexed probe;
+      // localCheckpoint: survivors feed three consumers (emptiness probe,
+      // index append, corpus commit)
+      val survivors = SeenSet.filterUnseenIndexed(spark, storage, seenUuid,
+        Dedup.exact(batch, Seq(keyCol), idCol), keyCol, idCol)
+        .localCheckpoint(true)
+      if (!survivors.isEmpty) {
+        // 3. keys first, 4. corpus second (see crash-safety note)
+        SeenSet.seenIndexAppend(spark, storage, seenUuid,
+          survivors, keyCol, idCol)
+        ingestBatch(storage, corpusUuid, opts, token)(survivors, batchId)
+      }
+    }
+    startGuarded("writeStreamUnseen", stream, checkpoint, configure)(batchFn)
+  }
+
   /** The configured options of a DataStreamWriter, for the checkpoint
     * smuggling guard above. Reads the writer's option map reflectively
     * (there is no public getter); if the internal shape ever changes, the

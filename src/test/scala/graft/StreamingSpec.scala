@@ -476,4 +476,69 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(agg === Map("x" -> 4L, "y" -> 2L))
   }
+
+  test("writeStreamUnseen: exact cross-batch dedup, within-batch keep-first") {
+    import spark.implicits._
+    import graft.ops.SeenSet
+    SeenSet.seenIndex(spark, store, "su_idx",
+      Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text"),
+      "text", "doc_id", numBuckets = 8, overwrite = true)
+    graft.io.Ops.deleteDataset(store, "su_corpus")
+    // batch A: 11 duplicates landed 'alpha'; 12/13 duplicate each other
+    // within the batch (keep min id); 14 novel
+    val inA = tmpDir("su-in-a")
+    Seq((11L, "alpha"), (13L, "gamma"), (12L, "gamma"), (14L, "delta"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(inA)
+    val q1 = Streaming.writeStreamUnseen(
+      spark.readStream.schema("doc_id bigint, text string").parquet(inA),
+      store, "su_corpus", "su_idx", "text", "doc_id")
+    q1.awaitTermination(120000)
+    val afterA = Reader.readTable(spark, store, "su_corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(afterA === Set(12L, 14L), s"batch A landed $afterA")
+    // batch B: 21 duplicates 'gamma' which only exists because batch A
+    // landed it -> a drop proves the key append; 22 novel
+    val inB = tmpDir("su-in-b")
+    Seq((21L, "gamma"), (22L, "epsilon"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(inB)
+    val q2 = Streaming.writeStreamUnseen(
+      spark.readStream.schema("doc_id bigint, text string").parquet(inB),
+      store, "su_corpus", "su_idx", "text", "doc_id")
+    q2.awaitTermination(120000)
+    val afterB = Reader.readTable(spark, store, "su_corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(afterB === Set(12L, 14L, 22L), s"batch B landed $afterB")
+  }
+
+  test("writeStreamUnseen replay after a crash between key append and corpus commit") {
+    import spark.implicits._
+    import graft.ops.SeenSet
+    SeenSet.seenIndex(spark, store, "sur_idx",
+      Seq((1L, "alpha")).toDF("doc_id", "text"),
+      "text", "doc_id", numBuckets = 8, overwrite = true)
+    graft.io.Ops.deleteDataset(store, "sur_corpus")
+    val novel = Seq((5L, "woodwork")).toDF("doc_id", "text")
+    // simulate the crash: keys appended, corpus commit never ran
+    SeenSet.seenIndexAppend(spark, store, "sur_idx", novel, "text", "doc_id")
+    // replay re-probes an index already holding doc 5's key; the self-id
+    // exclusion must keep it novel, not swallow it
+    val in = tmpDir("sur-in")
+    novel.coalesce(1).write.mode("overwrite").parquet(in)
+    val q = Streaming.writeStreamUnseen(
+      spark.readStream.schema("doc_id bigint, text string").parquet(in),
+      store, "sur_corpus", "sur_idx", "text", "doc_id")
+    q.awaitTermination(120000)
+    val landed = Reader.readTable(spark, store, "sur_corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(landed === Set(5L), s"replayed batch landed $landed")
+    // a changed-id copy of the same key still drops
+    assert(SeenSet.filterUnseenIndexed(spark, store, "sur_idx",
+      Seq((6L, "woodwork")).toDF("doc_id", "text"), "text", "doc_id")
+      .count() === 0)
+    // and a DOUBLE replay (duplicate (key,id) rows in the index) still
+    // keeps the self row: the per-key profile counts DISTINCT ids
+    SeenSet.seenIndexAppend(spark, store, "sur_idx", novel, "text", "doc_id")
+    assert(SeenSet.filterUnseenIndexed(spark, store, "sur_idx",
+      novel, "text", "doc_id").count() === 1)
+  }
 }
