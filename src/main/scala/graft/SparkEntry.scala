@@ -974,6 +974,12 @@ object SparkEntry {
         "lang", "n_chars", "doc_id",
         Map("en" -> 0.4, "de" -> 0.5, "fr" -> 0.1), budget = 60000L)),
 
+    // quantile-band outlier trim: keep docs inside [p10, p90] of n_chars
+    "u_quantile_band" -> ((s, dir) =>
+      graft.ops.Sampling.quantileBand(
+        rd(s, dir, "documents").select("doc_id", "n_chars"),
+        "n_chars", 0.10, 0.90)),
+
     // temperature-weighted mixture: group share ~ total^tau, rates in-plan
     "u_temperature_mix" -> ((s, dir) =>
       graft.ops.Sampling.temperatureSample(
@@ -1800,6 +1806,13 @@ object SparkEntry {
            WHERE r.rate >= 1.0 OR
              substr(md5('graft' || CAST(d.doc_id AS VARCHAR)), 1, 8) <
                printf('%08x', CAST(floor(r.rate * 4294967296) AS BIGINT))""",
+      // quantile band: exact linear-interpolated cutoffs = quantile_cont
+      "u_quantile_band" ->
+        """WITH c AS (SELECT quantile_cont(n_chars, 0.10) AS ql,
+                             quantile_cont(n_chars, 0.90) AS qh
+                      FROM documents)
+           SELECT doc_id, n_chars FROM documents, c
+           WHERE n_chars >= ql AND n_chars <= qh""",
       // temperature mixture: share ~ t^0.5, capped rate, portable membership
       "u_temperature_mix" ->
         """WITH tot AS (SELECT lang, sum(n_chars) AS t FROM documents

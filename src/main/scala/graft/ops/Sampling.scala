@@ -181,6 +181,39 @@ object Sampling {
       .select(df.columns.map(col): _*) // original schema, original order
   }
 
+  /** Keep rows whose `valueCol` lies inside the [lo, hi] QUANTILE band of
+    * the corpus — the outlier-trim every quality pipeline applies (e.g.
+    * drop the shortest 5% and longest 5% of documents). Two faces, same
+    * band semantics:
+    *
+    *  - `exact = true`: cutoffs via Spark's exact `percentile` (linear
+    *    interpolation, identical to DuckDB `quantile_cont` / numpy) — the
+    *    oracle face. The exact aggregate buffers the column's values, so
+    *    reserve it for frames that fit an aggregation buffer.
+    *  - `exact = false`: `approx_percentile` with `accuracy` (t-digest,
+    *    bounded memory) — the 100 TB face. Same plan shape; cutoffs may
+    *    differ near ties and depend on partition merge order, so treat the
+    *    output as approximate (recall-style, not byte-stable).
+    *
+    * Either way the cutoffs are ONE broadcast row joined back onto the
+    * scan — the corpus never shuffles. NULL values never compare into the
+    * band and are dropped. */
+  def quantileBand(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+                   exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo <= hi,
+      s"need 0 <= lo <= hi <= 1, got [$lo, $hi]")
+    val cuts =
+      if (exact) df.agg(
+        expr(s"percentile($valueCol, $lo)").as("__lo"),
+        expr(s"percentile($valueCol, $hi)").as("__hi"))
+      else df.agg(
+        expr(s"approx_percentile($valueCol, $lo, $accuracy)").cast("double").as("__lo"),
+        expr(s"approx_percentile($valueCol, $hi, $accuracy)").cast("double").as("__hi"))
+    df.crossJoin(broadcast(cuts))
+      .where(col(valueCol) >= col("__lo") && col(valueCol) <= col("__hi"))
+      .select(df.columns.map(col): _*)
+  }
+
   /** Deterministic, engine-portable GLOBAL shuffle + sharding — the
     * training-order operator: epoch order must be pseudo-random yet exactly
     * reproducible (resume a crashed run mid-epoch, audit which shard a

@@ -209,4 +209,26 @@ class SamplingSpec extends SparkSpec {
       Sampling.temperatureSample(df, "grp", "w", "id", 0.0, 100L)
     }
   }
+
+  test("quantileBand: exact cutoffs, null drop, degenerate full band, approx sanity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = ((1 to 100).map(i => (i.toLong, Some(i.toLong))) :+
+      (101L, Option.empty[Long])).toDF("id", "v")
+    // [p10, p90] of 1..100: cutoffs 10.9 and 90.1 -> keep 11..90
+    val kept = Sampling.quantileBand(df, "v", 0.10, 0.90)
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === (11L to 90L))
+    // full band keeps every NON-NULL row; the null-valued row never compares in
+    assert(Sampling.quantileBand(df, "v", 0.0, 1.0).count() === 100L)
+    // approx face: same semantics within t-digest tolerance on this size
+    val approx = Sampling.quantileBand(df, "v", 0.10, 0.90, exact = false)
+      .collect().map(_.getLong(0)).sorted
+    assert(approx.length >= 75 && approx.length <= 85, s"approx kept ${approx.length}")
+    // schema preserved, cutoff columns dropped
+    assert(Sampling.quantileBand(df, "v", 0.1, 0.9).columns.toSeq === Seq("id", "v"))
+    intercept[IllegalArgumentException] {
+      Sampling.quantileBand(df, "v", 0.9, 0.1)
+    }
+  }
 }
