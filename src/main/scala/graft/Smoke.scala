@@ -166,6 +166,51 @@ object Smoke {
     println(s"== stream-dedup landed: ${Reader.readTable(spark, store, "smoke_sd").count()} " +
       s"of ${docs.where(col("doc_id") % 2 === 1).count()} odd docs (evens indexed)")
 
+    // 12. round-6c additions: published rule sets, bloom/indexed seen-set,
+    // ORC + format conversion, quantile band, temperature mixture, scripts
+    val gopher = graft.ops.TextAnalysis.gopherSignals(docs, "text", "doc_id")
+    println(s"== gopher rules: ${gopher.where(col("keep")).count()} of ${docs.count()} docs keep")
+    println(s"== c4 filters: " + graft.ops.TextAnalysis.c4LineFilter(
+      docs.select(col("doc_id"),
+        regexp_replace(col("text"), "(([^ ]+ ){4}[^ ]+) ", "$1.\n").as("text")),
+      "text", "doc_id").where(col("page_keep")).count() + " pages keep")
+    println(s"== script profile: " + graft.ops.TextAnalysis.scriptProfile(
+      docs.limit(50), "text", "doc_id")
+      .groupBy("dominant_script").count().collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", "))
+    val unseen = graft.ops.SeenSet.filterUnseen(
+      docs.where(col("source") === "src0"),
+      docs.where(col("source") =!= "src0"), "text", expectedItems = 1 << 16)
+    println(s"== bloom seen-set: ${unseen.count()} src0 docs textually new")
+    Writer.store(spark, store, "docs_orc", docs.select("doc_id", "text", "lang"),
+      WriteOpts(partitionOn = Seq("lang"), format = "orc", overwrite = true))
+    println(s"== orc dataset read: ${Reader.readTable(spark, store, "docs_orc").count()} rows")
+    Ops.convertDataset(spark, store, "docs_orc", "docs_csv", "csv.gz",
+      overwrite = true)
+    println(s"== converted orc->csv.gz: ${Reader.readTable(spark, store, "docs_csv").count()} rows")
+    println(s"== quantile band [p10,p90]: " +
+      graft.ops.Sampling.quantileBand(docs.select("doc_id", "n_chars"),
+        "n_chars", 0.1, 0.9).count() + " docs inside")
+    println(s"== temperature mix tau=0.5: " +
+      graft.ops.Sampling.temperatureSample(docs.select("doc_id", "lang", "n_chars"),
+        "lang", "n_chars", "doc_id", 0.5, 20000L).count() + " docs sampled")
+    graft.ops.SeenSet.seenIndex(spark, store, "smoke_su_idx",
+      docs.where(col("doc_id") % 2 === 0), "text", "doc_id",
+      numBuckets = 8, overwrite = true)
+    Ops.deleteDataset(store, "smoke_su")
+    val suIn = s"$base/smoke_su_in"
+    docs.where(col("doc_id") % 2 === 1).select("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(suIn)
+    val suq = graft.streaming.Streaming.writeStreamUnseen(
+      spark.readStream.schema("doc_id bigint, text string").parquet(suIn),
+      store, "smoke_su", "smoke_su_idx", "text", "doc_id")
+    if (!suq.awaitTermination(120000)) {
+      suq.stop()
+      sys.error("!! stream-unseen did not finish within 120s")
+    }
+    println(s"== stream-unseen landed: ${Reader.readTable(spark, store, "smoke_su").count()} " +
+      s"of ${docs.where(col("doc_id") % 2 === 1).count()} odd docs (evens' keys indexed)")
+
     println(s"== SparkEntry.entry rows: ${SparkEntry.entry(spark).count()}")
     println("== smoke OK")
     spark.stop()
