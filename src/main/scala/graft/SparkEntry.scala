@@ -680,6 +680,11 @@ object SparkEntry {
           (col("doc_id") % 256).cast("string"),
           lit(" or call 555-123-4567."))).as("redacted"))),
 
+    // --- similarity: anisotropy remediation (center + L2 normalize)
+    "v_center_norm" -> ((s, dir) =>
+      Similarity.centerNormalize(rd(s, dir, "embeddings"),
+        "embedding", "vec_id")),
+
     // --- similarity: brute-force cosine scores vs one query vector
     "v_knn_scores" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
@@ -1982,6 +1987,26 @@ object SparkEntry {
              string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+'),
              (x, i) -> i * ascii(x))) AS BIGINT) AS fp
            FROM documents""",
+      // center+normalize: exact scaled-integer mean (order-independent),
+      // row-local left-fold norm, round 6 — term-by-term mirror
+      "v_center_norm" ->
+        """WITH dims AS (
+             SELECT pos, round(CAST(sum(CAST(floor(CAST(e AS DOUBLE)*1000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000/count(*), 6) AS m
+             FROM (SELECT unnest(embedding) AS e, generate_subscripts(embedding, 1) AS pos
+                   FROM embeddings)
+             GROUP BY pos),
+           mv AS (SELECT list(m ORDER BY pos) AS means FROM dims),
+           c AS (SELECT vec_id,
+                   list_transform(list_zip(embedding, means),
+                     x -> CAST(x[1] AS DOUBLE) - x[2]) AS cent
+                 FROM embeddings, mv),
+           n AS (SELECT vec_id, cent,
+                   sqrt(list_reduce(list_transform(cent, x -> x*x), (a, b) -> a + b)) AS nrm
+                 FROM c)
+           SELECT vec_id,
+             list_transform(cent, x -> CASE WHEN nrm = 0.0 THEN 0.0
+                                            ELSE round(x / nrm, 6) END) AS embedding
+           FROM n""",
       "v_knn_scores" ->
         """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
              FROM embeddings WHERE vec_id = 0),

@@ -40,6 +40,58 @@ object Similarity {
       .otherwise(nanvl(dot(a, b) / (na * nb), lit(0.0)))
   }
 
+  /** Center (subtract the corpus mean vector) and L2-normalize embeddings
+    * — the standard anisotropy REMEDIATION paired with [[localityCheck]]'s
+    * diagnosis: raw encoder outputs cluster in a narrow cone (all pairwise
+    * cosines high), and removing the common mean direction restores the
+    * contrast ANN structures need. After normalization, cosine similarity
+    * IS the dot product.
+    *
+    * Determinism contract (this is an oracle-checked operator): the mean
+    * is computed from per-dimension EXACT scaled-integer sums —
+    * `floor(e*1e6 + 0.5)` per element, summed as decimals — because
+    * float/double addition is order-dependent and distributed aggregation
+    * order is not reproducible; the exact integer sum is. Each row's
+    * centering, norm fold (left-to-right), and final `round(x/norm, 6)`
+    * are row-local and deterministic. A zero-norm row (a vector equal to
+    * the mean) yields all zeros, consistent with [[cosine]]'s
+    * zero-vector policy.
+    *
+    * Scale shape: one posexplode + per-dim partial aggregation (shuffle
+    * rows = dims x partitions, not corpus size), the dim-length mean
+    * array broadcast back, then a row-local map. */
+  def centerNormalize(corpus: DataFrame, vecCol: String, idCol: String,
+                      center: Boolean = true): DataFrame = {
+    val emb = col(vecCol)
+    val centered: Column =
+      if (!center) transform(emb, e => e.cast("double"))
+      else {
+        val dims = corpus.select(posexplode(emb).as(Seq("pos", "e")))
+          .groupBy("pos")
+          .agg(round(
+            sum(floor(col("e").cast("double") * 1e6 + lit(0.5))
+              .cast("decimal(38,0)")).cast("double") / 1e6 / count(lit(1)),
+            6).as("m"))
+        val means = dims.agg(
+          transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            s => s.getField("m")).as("__means"))
+        // the crossJoin is a broadcast one-row annotation, not a plan smell
+        return corpus.crossJoin(broadcast(means))
+          .select(col(idCol), zip_with(emb, col("__means"),
+            (e, m) => e.cast("double") - m).as("__c"))
+          .select(col(idCol), normalized(col("__c")).as(vecCol))
+      }
+    corpus.select(col(idCol), normalized(centered).as(vecCol))
+  }
+
+  /** Row-local L2 normalization with the zero-norm -> zeros policy;
+    * left-to-right fold so an external engine reproduces it exactly. */
+  private def normalized(v: Column): Column = {
+    val nrm = sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
+    transform(v, x =>
+      when(nrm === 0.0, lit(0.0)).otherwise(round(x / nrm, 6)))
+  }
+
   /** Score every corpus row against one query vector. Returns
     * (idCol, cosine) — full scan, no limit (callers add top-k). */
   def bruteForceScores(corpus: DataFrame, vecCol: String, idCol: String,

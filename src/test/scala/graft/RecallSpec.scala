@@ -210,4 +210,42 @@ class RecallSpec extends SparkSpec {
     assert(cl2.getAs[Boolean]("structured"), s"verdict flipped: $cl2")
     assert(cl2.getAs[Int]("dim") === 64, s"modal dim: $cl2")
   }
+
+  test("centerNormalize: unit norms, zero mean, zero-vector policy, determinism") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(200)
+    val out = Similarity.centerNormalize(emb, "embedding", "vec_id").cache()
+    // every output norm is 1 (or 0 for a mean-equal vector)
+    val norms = out.select(
+      sqrt(aggregate(col("embedding"), lit(0.0), (a, x) => a + x * x)).as("n"))
+      .collect().map(_.getDouble(0))
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-4 || n === 0.0),
+      s"norm range ${norms.min}..${norms.max}")
+    // centering removes the common direction: the mean of the CENTERED
+    // (pre-normalization) vectors is ~0 per dimension; verify through the
+    // output's dimension means being far smaller than the raw cone's
+    val rawMeanAbs = emb.select(explode(col("embedding")).as("e"))
+      .agg(abs(avg(col("e")))).head.getDouble(0)
+    val outMeanAbs = out.select(explode(col("embedding")).as("e"))
+      .agg(abs(avg(col("e")))).head.getDouble(0)
+    assert(outMeanAbs < math.max(rawMeanAbs, 1e-3),
+      s"raw $rawMeanAbs vs centered $outMeanAbs")
+    // a vector equal to the corpus mean centers to zero -> all-zeros output
+    val two = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f)),
+      (3L, Array(2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val z = Similarity.centerNormalize(two, "embedding", "vec_id")
+      .where(col("vec_id") === 3L).head.getSeq[Double](1)
+    assert(z.forall(_ === 0.0), s"mean vector row got $z")
+    // deterministic across repartitioning (the exact-integer mean contract)
+    val again = Similarity.centerNormalize(emb.repartition(7), "embedding", "vec_id")
+    val a = out.orderBy("vec_id").collect().map(_.getSeq[Double](1))
+    val b = again.orderBy("vec_id").collect().map(_.getSeq[Double](1))
+    assert(a.zip(b).forall { case (x, y) => x === y }, "nondeterministic output")
+    // non-centering face: plain L2 normalize
+    val plain = Similarity.centerNormalize(two, "embedding", "vec_id",
+      center = false).where(col("vec_id") === 1L).head.getSeq[Double](1)
+    assert(math.abs(plain(0) - 1.0 / math.sqrt(5.0)) < 1e-6)
+  }
 }
