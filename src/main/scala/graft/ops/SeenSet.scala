@@ -166,5 +166,6 @@ object SeenSet {
       .join(broadcast(candKeys), Seq(keyCol), "left_semi")
       .distinct()
     batch.join(broadcast(confirmed), Seq(keyCol), "left_anti")
+      .select(batch.columns.map(col): _*) // original schema, original order
   }
 }

@@ -1,0 +1,151 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions.col
+import graft.ops.{Sampling, SeenSet}
+
+/** Randomized mirrors for the newest curation family: each operator is
+  * replayed against an INDEPENDENT in-memory reference implementing the
+  * documented contract — the same discipline [[PredicatesPropertySpec]]
+  * applies to the DNF compiler and DedupSpec's property test applies to the
+  * span machinery (reference model: plateau's hypothesis suites,
+  * `plateau/core/testing.py:70-160`). The example tests pin each edge; these
+  * pin the arithmetic across 40+ random corpora per operator, including the
+  * engine-portability claims (md5 membership, interpolated percentile).
+  */
+class SamplingPropertySpec extends SparkSpec {
+
+  private val rng = new scala.util.Random(20260814)
+
+  /** First 8 hex chars of md5(salt || id) — the documented portable
+    * membership key, recomputed OUTSIDE Spark. */
+  private def mdKey(salt: String, id: Long): String = {
+    val d = MessageDigest.getInstance("MD5")
+      .digest((salt + id.toString).getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString.substring(0, 8)
+  }
+
+  /** Spark Percentile.getPercentile mirrored exactly: position on the
+    * sorted values at p*(n-1), linear interpolation between floor/ceil. */
+  private def interpPercentile(sorted: IndexedSeq[Double], p: Double): Double = {
+    val pos = p * (sorted.length - 1)
+    val lo = math.floor(pos).toInt
+    val hi = math.ceil(pos).toInt
+    if (lo == hi) sorted(lo)
+    else (hi - pos) * sorted(lo) + (pos - lo) * sorted(hi)
+  }
+
+  test("quantileBand exact face: 40 random corpora match the interpolated-percentile reference") {
+    import spark.implicits._
+    for (trial <- 1 to 40) {
+      val n = 1 + rng.nextInt(120)
+      // integer-valued doubles with heavy ties so band boundaries land ON
+      // values; ~1/8 nulls, which must never compare into the band
+      val rows: Seq[(Long, Option[Double])] = (1L to n.toLong).map { id =>
+        (id, if (rng.nextInt(8) == 0) None
+             else Some(rng.nextInt(1 + n / 4).toDouble))
+      }
+      val a = rng.nextDouble(); val b = rng.nextDouble()
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      val df = spark.createDataset(rows).toDF("id", "v").repartition(3)
+      val got = Sampling.quantileBand(df, "v", lo, hi)
+        .collect().map(_.getLong(0)).toSet
+      val present = rows.collect { case (id, Some(v)) => (id, v) }
+      val expect =
+        if (present.isEmpty) Set.empty[Long]
+        else {
+          val sorted = present.map(_._2).sorted.toIndexedSeq
+          val (cl, ch) = (interpPercentile(sorted, lo), interpPercentile(sorted, hi))
+          present.collect { case (id, v) if v >= cl && v <= ch => id }.toSet
+        }
+      assert(got === expect, s"trial $trial: n=$n band=[$lo,$hi]")
+    }
+  }
+
+  test("filterUnseen: 40 random batch/seen splits match NOT-EXISTS, tiny blooms included") {
+    import spark.implicits._
+    for (trial <- 1 to 40) {
+      val alphabet = (0 until (1 + rng.nextInt(30))).map(i => s"k$i")
+      def somekeys(n: Int): Seq[Option[String]] = (0 until n).map { _ =>
+        if (rng.nextInt(10) == 0) None
+        else Some(alphabet(rng.nextInt(alphabet.size)))
+      }
+      val batch = somekeys(rng.nextInt(60)).zipWithIndex
+        .map { case (k, i) => (i.toLong, k) }
+      val seen = somekeys(rng.nextInt(60))
+      val batchDf = spark.createDataset(batch).toDF("id", "k").repartition(3)
+      val seenDf = spark.createDataset(seen.map(Tuple1(_))).toDF("k").repartition(2)
+      // expectedItems deliberately tiny on odd trials: a saturated bloom
+      // (fpp -> 1) must still yield EXACT results via the confirm pass
+      val items = if (trial % 2 == 1) 2L else 1000L
+      val out = SeenSet.filterUnseen(batchDf, seenDf, "k", expectedItems = items)
+      assert(out.columns.toSeq === Seq("id", "k"), "batch schema preserved")
+      val got = out.select("id").collect().map(_.getLong(0)).toSet
+      val seenKeys = seen.flatten.toSet
+      // NOT EXISTS: null batch keys match nothing, hence always "unseen"
+      val expect = batch.collect {
+        case (id, k) if k.isEmpty || !seenKeys.contains(k.get) => id
+      }.toSet
+      assert(got === expect, s"trial $trial (items=$items)")
+    }
+  }
+
+  test("temperatureSample: 30 random mixtures match the md5-threshold reference") {
+    import spark.implicits._
+    for (trial <- 1 to 30) {
+      val groups = (0 until (1 + rng.nextInt(5))).map(i => s"g$i")
+      val rows: Seq[(Long, Option[String], Long)] = (1L to (20 + rng.nextInt(150)).toLong)
+        .map { id =>
+          (id,
+           if (rng.nextInt(12) == 0) None
+           else Some(groups(rng.nextInt(groups.size))),
+           1L + rng.nextInt(500))
+        }
+      val t = 0.2 + rng.nextDouble() * 0.8
+      val budget = 1L + rng.nextInt(40000)
+      val salt = s"s$trial"
+      val df = spark.createDataset(rows).toDF("id", "grp", "w").repartition(4)
+      val got = Sampling.temperatureSample(df, "grp", "w", "id", t, budget, salt)
+        .collect().map(_.getLong(0)).toSet
+      // independent reference: totals, pow-shares, round-9 rates, md5 keys
+      val totals = rows.collect { case (_, Some(g), w) => (g, w) }
+        .groupBy(_._1).map { case (g, gs) => g -> gs.map(_._2).sum.toDouble }
+      val pw = totals.map { case (g, tot) => g -> math.pow(tot, t) }
+      val z = pw.values.sum
+      val rates = totals.map { case (g, tot) =>
+        val raw = pw(g) / z * budget.toDouble / tot
+        g -> math.min(1.0, math.max(0.0,
+          BigDecimal(raw).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+      val expect = rows.collect {
+        case (id, Some(g), _) if rates(g) >= 1.0 ||
+          mdKey(salt, id) < f"${(rates(g) * 4294967296L).toLong}%08x" => id
+      }.toSet
+      assert(got === expect, s"trial $trial: t=$t budget=$budget")
+    }
+  }
+
+  test("shuffleShards: permutation is the documented pure function of (id, salt)") {
+    import spark.implicits._
+    for (trial <- 1 to 10) {
+      val ids = rng.shuffle((1L to (1 + rng.nextInt(200)).toLong).toList)
+      val salt = s"epoch$trial"
+      val df = spark.createDataset(ids).toDF("id").repartition(5)
+      val got = Sampling.shuffleShards(df, "id", hexChars = 1, salt = salt)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      // reference: full-digest sort within md5-prefix shards, 1-based pos
+      val full = ids.map { id =>
+        val d = MessageDigest.getInstance("MD5")
+          .digest((salt + id.toString).getBytes("UTF-8"))
+        (id, d.map("%02x".format(_)).mkString)
+      }
+      val expect = full.groupBy(_._2.substring(0, 1)).flatMap { case (shard, in) =>
+        in.sortBy { case (id, k) => (k, id) }.zipWithIndex.map {
+          case ((id, _), i) => id -> (shard, (i + 1).toLong)
+        }
+      }
+      assert(got === expect, s"trial $trial")
+    }
+  }
+}
