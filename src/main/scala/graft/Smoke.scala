@@ -211,6 +211,17 @@ object Smoke {
     println(s"== stream-unseen landed: ${Reader.readTable(spark, store, "smoke_su").count()} " +
       s"of ${docs.where(col("doc_id") % 2 === 1).count()} odd docs (evens' keys indexed)")
 
+    val loc = Similarity.localityCheck(emb, "embedding", k = 5, sampleCap = 64)
+      .collect().head
+    println(f"== locality pre-flight: ratio=${loc.getAs[Double]("locality_ratio")}%.3f " +
+      s"structured=${loc.getAs[Boolean]("structured")}")
+    val centered = Similarity.centerNormalize(emb, "embedding", "vec_id")
+    println(s"== center+normalize: ${centered.count()} vectors, " +
+      f"max|1-norm|=${centered.select(
+        max(abs(lit(1.0) - sqrt(aggregate(
+          col("embedding"), lit(0.0), (a, x) => a + x * x)))))
+        .collect().head.getDouble(0)}%.1e")
+
     println(s"== SparkEntry.entry rows: ${SparkEntry.entry(spark).count()}")
     println("== smoke OK")
     spark.stop()

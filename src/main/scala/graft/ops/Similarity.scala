@@ -63,34 +63,41 @@ object Similarity {
   def centerNormalize(corpus: DataFrame, vecCol: String, idCol: String,
                       center: Boolean = true): DataFrame = {
     val emb = col(vecCol)
-    val centered: Column =
-      if (!center) transform(emb, e => e.cast("double"))
-      else {
-        val dims = corpus.select(posexplode(emb).as(Seq("pos", "e")))
-          .groupBy("pos")
-          .agg(round(
-            sum(floor(col("e").cast("double") * 1e6 + lit(0.5))
-              .cast("decimal(38,0)")).cast("double") / 1e6 / count(lit(1)),
-            6).as("m"))
-        val means = dims.agg(
-          transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-            s => s.getField("m")).as("__means"))
-        // the crossJoin is a broadcast one-row annotation, not a plan smell
-        return corpus.crossJoin(broadcast(means))
-          .select(col(idCol), zip_with(emb, col("__means"),
-            (e, m) => e.cast("double") - m).as("__c"))
-          .select(col(idCol), normalized(col("__c")).as(vecCol))
-      }
-    corpus.select(col(idCol), normalized(centered).as(vecCol))
+    if (!center)
+      return normalizedSelect(corpus, idCol, vecCol,
+        transform(emb, e => e.cast("double")))
+    val dims = corpus.select(posexplode(emb).as(Seq("pos", "e")))
+      .groupBy("pos")
+      .agg(round(
+        sum(floor(col("e").cast("double") * 1e6 + lit(0.5))
+          .cast("decimal(38,0)")).cast("double") / 1e6 / count(lit(1)),
+        6).as("m"))
+    val means = dims.agg(
+      transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("__means"))
+    // the crossJoin is a broadcast one-row annotation, not a plan smell
+    normalizedSelect(corpus.crossJoin(broadcast(means)), idCol, vecCol,
+      zip_with(emb, col("__means"), (e, m) => e.cast("double") - m))
   }
 
   /** Row-local L2 normalization with the zero-norm -> zeros policy;
-    * left-to-right fold so an external engine reproduces it exactly. */
-  private def normalized(v: Column): Column = {
-    val nrm = sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
-    transform(v, x =>
-      when(nrm === 0.0, lit(0.0)).otherwise(round(x / nrm, 6)))
-  }
+    * left-to-right fold so an external engine reproduces it exactly.
+    *
+    * The norm is STAGED as its own projection, never inlined into the
+    * rescale lambda: higher-order functions run interpreted, and an
+    * inlined norm re-evaluates its O(dim) fold per ELEMENT (twice — the
+    * zero guard and the division), an O(dim^2)-per-row trap measured at
+    * 7x the whole query's cost. Both the vector and its norm are
+    * multiply-referenced non-cheap aliases, which is exactly what stops
+    * CollapseProject from undoing the staging. */
+  private def normalizedSelect(df: DataFrame, idCol: String, vecCol: String,
+                               vec: Column): DataFrame =
+    df.select(col(idCol), vec.as("__v"))
+      .select(col(idCol), col("__v"),
+        sqrt(aggregate(col("__v"), lit(0.0), (a, x) => a + x * x)).as("__nrm"))
+      .select(col(idCol), transform(col("__v"), x =>
+        when(col("__nrm") === 0.0, lit(0.0))
+          .otherwise(round(x / col("__nrm"), 6))).as(vecCol))
 
   /** Score every corpus row against one query vector. Returns
     * (idCol, cosine) — full scan, no limit (callers add top-k). */

@@ -445,4 +445,29 @@ class PlanQualitySpec extends SparkSpec {
       plan.take(2500))
     assert(plan.contains("bloom_might_contain"), plan.take(2500))
   }
+
+  test("u_quantile_band: cutoffs are one broadcast row; the corpus never shuffles") {
+    val plan = SparkEntry.queries("u_quantile_band")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the single-row cutoff aggregate broadcasts back onto the scan (a
+    // nested-loop join against one row, not a key join); the banded corpus
+    // itself must never sort-merge or hash-exchange
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      plan.take(2500))
+  }
+
+  test("v_center_norm: one dims-sized exchange; the mean vector broadcasts back") {
+    val df = SparkEntry.queries("v_center_norm")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // per-dimension sums partial-aggregate below their exchange (shuffle
+    // rows = dims x partitions, not corpus size), collect_list gathers the
+    // dim means into ONE row, and that row broadcasts — the corpus rows
+    // themselves never move
+    assert(plan.contains("partial_sum") || plan.contains("partial sum"),
+      plan.take(2500))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      plan.take(2500))
+  }
 }
