@@ -112,6 +112,22 @@ object SparkEntry {
         "text", "doc_id", numBuckets = 32, overwrite = true)
     }
 
+  /** IVF inverted-list index over the embeddings corpus plus an APPENDED
+    * second batch (reversed vectors, ids shifted by 1e6) landed through
+    * [[Similarity.ivfIndexAppend]] with the header-pinned centroids — the
+    * incremental-ANN fixture [[Similarity.ivfTopKIndexed]] probes. */
+  private def ivfIdxDs(s: SparkSession, dir: String): Storage =
+    ensure(s, dir, "ivfidx") { st =>
+      val emb = rd(s, dir, "embeddings")
+      val cents = Similarity.kmeansCentroids(emb, "embedding", k = 8, iters = 3)
+      Similarity.ivfIndex(s, st, "ivfidx", emb, "embedding", "vec_id",
+        cents, overwrite = true)
+      Similarity.ivfIndexAppend(s, st, "ivfidx",
+        emb.select((col("vec_id") + 1000000L).as("vec_id"),
+          reverse(col("embedding")).as("embedding")),
+        "embedding", "vec_id")
+    }
+
   /** documents sorted by doc_id in 256 KiB row groups: each file's groups
     * carry disjoint doc_id stats, so a selective range predicate prunes at
     * the row-group level (reference `chunk_size`,
@@ -1084,6 +1100,22 @@ object SparkEntry {
       Similarity.localityCheck(rd(s, dir, "embeddings"), "embedding")),
 
     // IVF: k-means-trained coarse quantizer, nprobe-list probe-time search
+    // the PERSISTED IVF face end to end: build pins the centroids in the
+    // header, ivfIndexAppend lands a second batch (reversed vectors,
+    // shifted ids) assigned with those pinned centroids, and the probe
+    // loads them back. nprobe = numClusters scans every list, so the
+    // result is EXACTLY brute-force top-k over built+appended vectors —
+    // hash-checkable against a plain SQL oracle while still driving the
+    // whole index lifecycle (the nprobe<k pruning shape is pinned by
+    // PlanQualitySpec's one-file assertion instead)
+    "v_ivf_indexed" -> ((s, dir) => {
+      val st = ivfIdxDs(s, dir)
+      val q = rd(s, dir, "embeddings").where(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).map(_.toDouble).toSeq
+      Similarity.ivfTopKIndexed(s, st, "ivfidx", "embedding", "vec_id",
+        q, k = 20, nprobe = 8)
+    }),
+
     "v_ivf_topk" -> ((s, dir) => {
       val emb = clusteredEmbeddings(s, dir)
       val q = queryVec(emb)
@@ -2017,6 +2049,26 @@ object SparkEntry {
              (sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))) *
               sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))), 6) AS cosine
            FROM e, q""",
+      // with nprobe = numClusters the indexed probe scans every inverted
+      // list, so the oracle is plain brute-force cosine top-k over the
+      // built corpus plus the appended derivation (reversed vectors,
+      // ids shifted by 1e6) — the index lifecycle changes WHERE rows live,
+      // never WHAT the full scan returns
+      "v_ivf_indexed" ->
+        """WITH base AS (SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+           corpus AS (SELECT vec_id, v FROM base
+             UNION ALL
+             SELECT vec_id + 1000000, list_reverse(v) FROM base),
+           q AS (SELECT v AS qv FROM base WHERE vec_id = 0),
+           scored AS (
+             SELECT vec_id, round(
+               list_sum(list_transform(range(1, 65), i -> v[i] * qv[i])) /
+               (sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))) *
+                sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))), 6) AS cosine
+             FROM corpus, q)
+           SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 20""",
       "v_knn_topk" ->
         """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
              FROM embeddings WHERE vec_id = 0),

@@ -549,17 +549,60 @@ object Similarity {
         .select(col("__centroid").as("centroid"), col(idCol), col(vecCol)),
       // overwrite stays OPT-IN like every other write path — a uuid
       // collision with an existing dataset must not silently delete it
-      graft.io.Writer.WriteOpts(partitionOn = Seq("centroid"), overwrite = overwrite))
+      graft.io.Writer.WriteOpts(partitionOn = Seq("centroid"), overwrite = overwrite,
+        // centroids PINNED in the header like minhashIndex's hash family and
+        // seenIndex's bucket count: append and probe read THESE, so the
+        // assignment geometry can never silently drift from the build (a
+        // probe with different centroids would scan the wrong lists and
+        // miss true neighbors with no error). k x dim doubles — the same
+        // driver-bounded size kmeansCentroids already imposes.
+        metadata = Map("graft.ivf.centroids" -> encodeCentroids(centroids))))
+
+  /** Append new vectors to an [[ivfIndex]] dataset, assigned with the
+    * centroids PINNED at build time (from the index's own header) — the
+    * incremental-ingestion face, mirroring [[graft.ops.Dedup.minhashIndexAppend]]
+    * and [[graft.ops.SeenSet.seenIndexAppend]]. Appended lists stay
+    * probe-prunable; the centroids themselves are never retrained here
+    * (retrain + rebuild explicitly when drift in the vector distribution
+    * warrants it). */
+  def ivfIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                     storage: graft.store.Storage, uuid: String,
+                     corpus: DataFrame, vecCol: String,
+                     idCol: String): graft.meta.DatasetMetadata =
+    graft.io.Writer.update(spark, storage, uuid,
+      Some(ivfAssign(corpus, vecCol, ivfCentroids(storage, uuid))
+        .select(col("__centroid").as("centroid"), col(idCol), col(vecCol))))
+
+  /** The centroid set pinned in an [[ivfIndex]] dataset's header. Loud
+    * refusal for datasets that are not IVF indices. */
+  def ivfCentroids(storage: graft.store.Storage,
+                   uuid: String): Seq[Seq[Double]] =
+    decodeCentroids(graft.meta.DatasetMetadata.load(storage, uuid).metadata
+      .getOrElse("graft.ivf.centroids", throw new IllegalArgumentException(
+        s"dataset '$uuid' is not an IVF index (missing graft.ivf.centroids)")))
+
+  private def encodeCentroids(centroids: Seq[Seq[Double]]): String = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    mapper.writeValueAsString(centroids.map(_.toArray).toArray)
+  }
+
+  private def decodeCentroids(s: String): Seq[Seq[Double]] = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+    import scala.jdk.CollectionConverters._
+    root.elements().asScala.map(row =>
+      row.elements().asScala.map(_.asDouble()).toSeq).toSeq
+  }
 
   /** Probe-time search over an [[ivfIndex]] dataset: centroid ranking on
-    * the driver, then a predicate-pruned read of only the `nprobe` closest
-    * inverted lists. */
+    * the driver against the PINNED centroid set, then a predicate-pruned
+    * read of only the `nprobe` closest inverted lists. */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession,
                      storage: graft.store.Storage, uuid: String,
                      vecCol: String, idCol: String,
-                     query: Seq[Double], k: Int, centroids: Seq[Seq[Double]],
+                     query: Seq[Double], k: Int,
                      nprobe: Int = 1): DataFrame = {
-    val probes = rankProbes(centroids, query, nprobe)
+    val probes = rankProbes(ivfCentroids(storage, uuid), query, nprobe)
     scoreAndTake(
       graft.io.Reader.readTable(spark, storage, uuid,
         predicates = Some(Seq(Seq(

@@ -180,12 +180,28 @@ class PlanQualitySpec extends SparkSpec {
     val cents = graft.ops.Similarity.kmeansCentroids(vecs, "v", k = 2, iters = 5)
     val store = graft.store.Storage(spark, tmpDir("ivf-index"))
     graft.ops.Similarity.ivfIndex(spark, store, "emb_ivf", vecs, "v", "id", cents)
+    // the probe reads the centroids PINNED at build — no re-supply, no drift
     val top = graft.ops.Similarity.ivfTopKIndexed(spark, store, "emb_ivf",
-      "v", "id", Seq(1.0, 0.0), k = 5, cents, nprobe = 1)
+      "v", "id", Seq(1.0, 0.0), k = 5, nprobe = 1)
     // pruned BEFORE the scan: only the probed list's file is in the plan
     assert(top.inputFiles.length === 1, top.inputFiles.toSeq.toString)
     val ids = top.collect().map(_.getLong(0))
     assert(ids.length === 5 && ids.forall(_ <= 20L), ids.toSeq.toString)
+    // pinned set round-trips bit-exactly through the header
+    assert(graft.ops.Similarity.ivfCentroids(store, "emb_ivf") === cents)
+    // append assigns with the pinned centroids; the new vector lands in
+    // (and is found through) its nearest list, still one pruned file
+    graft.ops.Similarity.ivfIndexAppend(spark, store, "emb_ivf",
+      Seq((100L, Array(1.5, 0.0))).toDF("id", "v"), "v", "id")
+    val top2 = graft.ops.Similarity.ivfTopKIndexed(spark, store, "emb_ivf",
+      "v", "id", Seq(1.0, 0.0), k = 41, nprobe = 1)
+    assert(top2.collect().map(_.getLong(0)).contains(100L))
+    // a non-IVF dataset is refused loudly, not probed with garbage
+    graft.io.Writer.store(spark, store, "not_ivf",
+      Seq((1L, "x")).toDF("id", "s"), graft.io.Writer.WriteOpts())
+    intercept[IllegalArgumentException] {
+      graft.ops.Similarity.ivfCentroids(store, "not_ivf")
+    }
   }
 
   test("ivfAssign puts each vector in its nearest centroid partition") {
