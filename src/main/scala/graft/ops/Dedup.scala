@@ -649,17 +649,26 @@ object Dedup {
       threshold, minhashIndexParams(storage, uuid))
 
   /** [[filterAgainstIndex]] with pre-loaded signature params (see
-    * [[dedupAgainstIndexWith]]). */
+    * [[dedupAgainstIndexWith]]). `excludeMatchedIds`: index entries whose
+    * id appears in this frame do NOT count as matches — the streaming
+    * ingest passes its batch's own id set so a crash-replayed batch
+    * (whose survivors' signatures already landed) probes exactly like the
+    * original run did (see Streaming.writeStreamDedup). Batch ids are
+    * unique per row, so in normal operation prior batches' index entries
+    * are disjoint from the exclusion set and nothing changes. */
   private[graft] def filterAgainstIndexWith(
       spark: org.apache.spark.sql.SparkSession,
       storage: graft.store.Storage, uuid: String,
       batch: DataFrame, textCol: String, idCol: String,
-      threshold: Double, params: (Int, Int, Int, Int)): DataFrame =
-    batch.join(
-      dedupAgainstIndexWith(spark, storage, uuid, batch, textCol, idCol,
-        threshold, params)
-        .select(col("id").as(idCol)).distinct(),
+      threshold: Double, params: (Int, Int, Int, Int),
+      excludeMatchedIds: Option[DataFrame] = None): DataFrame = {
+    val matches = dedupAgainstIndexWith(spark, storage, uuid, batch,
+      textCol, idCol, threshold, params)
+    val external = excludeMatchedIds.fold(matches)(ex =>
+      matches.join(ex.toDF("matched_id"), Seq("matched_id"), "left_anti"))
+    batch.join(external.select(col("id").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
+  }
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): semantic near-duplicates

@@ -202,13 +202,18 @@ object Sampling {
                    exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
     require(lo >= 0 && hi <= 1 && lo <= hi,
       s"need 0 <= lo <= hi <= 1, got [$lo, $hi]")
+    // column expressions, never a spliced SQL string: a column name
+    // needing backticks (spaces, reserved words) must resolve like it
+    // does everywhere else in this file
     val cuts =
       if (exact) df.agg(
-        expr(s"percentile($valueCol, $lo)").as("__lo"),
-        expr(s"percentile($valueCol, $hi)").as("__hi"))
+        percentile(col(valueCol), lit(lo)).as("__lo"),
+        percentile(col(valueCol), lit(hi)).as("__hi"))
       else df.agg(
-        expr(s"approx_percentile($valueCol, $lo, $accuracy)").cast("double").as("__lo"),
-        expr(s"approx_percentile($valueCol, $hi, $accuracy)").cast("double").as("__hi"))
+        approx_percentile(col(valueCol), lit(lo), lit(accuracy))
+          .cast("double").as("__lo"),
+        approx_percentile(col(valueCol), lit(hi), lit(accuracy))
+          .cast("double").as("__hi"))
     df.crossJoin(broadcast(cuts))
       .where(col(valueCol) >= col("__lo") && col(valueCol) <= col("__hi"))
       .select(df.columns.map(col): _*)

@@ -101,8 +101,11 @@ object SeenSet {
 
   private def seenRows(df: DataFrame, keyCol: String, idCol: String,
                        numBuckets: Int): DataFrame =
-    df.select(pmod(xxhash64(col(keyCol)), lit(numBuckets)).cast("int").as("bucket"),
-      col(keyCol).as("key"), col(idCol).as("id"))
+    // a NULL key can never be "seen" (NOT EXISTS: null matches nothing),
+    // so indexing it would only accumulate unmatchable junk rows
+    df.where(col(keyCol).isNotNull)
+      .select(pmod(xxhash64(col(keyCol)), lit(numBuckets)).cast("int").as("bucket"),
+        col(keyCol).as("key"), col(idCol).as("id"))
 
   private[graft] def seenIndexBuckets(storage: graft.store.Storage,
                                       uuid: String): Int =

@@ -158,9 +158,14 @@ object Similarity {
     val inter = approx.select(col(idCol)).distinct()
       .join(exactIds, Seq(idCol), "left_semi")
       .agg(count(lit(1)).as("__i"))
+    val exactN = exactIds.agg(count(lit(1)).as("__ne"))
     val withDenom = fixedDenom match {
-      case Some(k) => inter.withColumn("__d", lit(k.toLong))
-      case None => inter.crossJoin(exactIds.agg(count(lit(1)).as("__d")))
+      // min(k, |exact|), never a bare k: on a corpus smaller than k the
+      // exact top-k has |corpus| rows, and dividing by k would hard-fail
+      // a bit-perfect approximate answer as a "recall regression"
+      case Some(k) => inter.crossJoin(exactN)
+        .withColumn("__d", least(lit(k.toLong), col("__ne"))).drop("__ne")
+      case None => inter.crossJoin(exactN.withColumnRenamed("__ne", "__d"))
     }
     withDenom
       .select(
@@ -227,12 +232,12 @@ object Similarity {
               query: Seq[Double], k: Int, planes: Int = 4,
               tables: Int = 1): DataFrame = {
     val q = lit(query.toArray)
-    corpus
-      .where(arrays_overlap(lshBuckets(col(vecCol), planes, tables),
-        lshBuckets(q, planes, tables)))
-      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cosine"))
-      .orderBy(col("cosine").desc, col(idCol).asc)
-      .limit(k)
+    // score/tie-break/limit via the ONE shared body (scoreAndTake): the
+    // ranking contract must not be able to drift between the ANN faces
+    scoreAndTake(
+      corpus.where(arrays_overlap(lshBuckets(col(vecCol), planes, tables),
+        lshBuckets(q, planes, tables))),
+      vecCol, idCol, query, k)
   }
 
   /** IVF-style coarse quantization: assign each vector to the nearest of
@@ -506,7 +511,12 @@ object Similarity {
       val dot = a.zip(b).map { case (x, y) => x * y }.sum
       val na = math.sqrt(a.map(x => x * x).sum)
       val nb = math.sqrt(b.map(x => x * x).sum)
-      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+      val r = if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+      // NaN -> 0.0, matching NearestCentroid's policy bit for bit: a
+      // NaN-tainted centroid otherwise sorts LAST here (Scala total
+      // ordering) while assignment scores it 0.0 — small-nprobe probes
+      // would never scan a list that vectors were genuinely assigned to
+      if (java.lang.Double.isNaN(r)) 0.0 else r
     }
     centroids.zipWithIndex
       .sortBy { case (c, i) => (-cos(c, query), -i) }

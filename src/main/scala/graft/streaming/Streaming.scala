@@ -57,10 +57,29 @@ object Sessionize {
             val sorted = it.toSeq.sortBy(e => (e.ts, e.value))
             var open = state.getOption
             val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+            // Cross-batch LATE events (ts <= lastTs — impossible within a
+            // batch, which is sorted): an interior event (>= start) joins
+            // the open session WITHOUT touching its bounds — every interior
+            // point is within gap of both neighbors, so the batch oracle
+            // merges it too; an event within gap BEFORE start extends the
+            // session backward; an event more than gap before start is
+            // emitted as its own closed session immediately (the batch
+            // oracle could merge it with even-earlier events, but bounded
+            // state cannot wait for arbitrarily-late history — the same
+            // documented trade as dedupExact's watermark). The unsigned
+            // forward check is the one that must never see a late event:
+            // a signed `e.ts - lastTs <= gap` would merge ANY late event
+            // and REGRESS lastTs, corrupting every later boundary.
             sorted.foreach { e =>
               open match {
-                case Some(o) if e.ts - o.lastTs <= gapNanos =>
+                case Some(o) if e.ts >= o.start && e.ts <= o.lastTs =>
+                  open = Some(o.copy(n = o.n + 1, sum = o.sum + e.value))
+                case Some(o) if e.ts > o.lastTs && e.ts - o.lastTs <= gapNanos =>
                   open = Some(o.copy(lastTs = e.ts, n = o.n + 1, sum = o.sum + e.value))
+                case Some(o) if e.ts < o.start && o.start - e.ts <= gapNanos =>
+                  open = Some(o.copy(start = e.ts, n = o.n + 1, sum = o.sum + e.value))
+                case Some(o) if e.ts < o.start =>
+                  closed += Session(uid, e.ts, 1, e.value)
                 case Some(o) =>
                   closed += Session(uid, o.start, o.n, o.sum)
                   open = Some(OpenSession(e.ts, e.ts, 1, e.value))
@@ -121,6 +140,18 @@ object Streaming {
   private[graft] val LastBatchKey = "graft.streaming.lastBatchId"
   private[graft] val RunTokenKey = "graft.streaming.runToken"
 
+  /** True iff `batchId` was already FULLY committed to `uuid` by THIS run
+    * (same token, stored id >= batchId) — the ONE spelling of the
+    * crash-after-commit replay check, shared by [[ingestBatch]] and both
+    * composite sinks so the token scoping can never drift between them. */
+  private[graft] def isReplay(storage: Storage, uuid: String,
+                              token: String, batchId: Long): Boolean =
+    DatasetMetadata.exists(storage, uuid) && {
+      val m = DatasetMetadata.load(storage, uuid)
+      m.metadata.getOrElse(RunTokenKey, "") == token &&
+        m.metadata.get(LastBatchKey).exists(_.toLong >= batchId)
+    }
+
   /** One micro-batch through the atomic commit. The committed batchId rides
     * in the dataset's user metadata, so a batch RE-DELIVERED after a crash
     * between our commit and the streaming engine's own commit log is
@@ -162,15 +193,11 @@ object Streaming {
     val stamp: Map[String, String] =
       Map(LastBatchKey -> batchId.toString, RunTokenKey -> myToken)
     val stamped = opts.copy(metadata = opts.metadata ++ stamp, writeWidth = width)
-    if (DatasetMetadata.exists(storage, uuid)) {
-      val meta = DatasetMetadata.load(storage, uuid)
-      val sameRun = meta.metadata.getOrElse(RunTokenKey, "") == myToken
-      if (sameRun && meta.metadata.get(LastBatchKey).exists(_.toLong >= batchId))
-        return
+    if (isReplay(storage, uuid, myToken, batchId)) return
+    if (DatasetMetadata.exists(storage, uuid))
       Writer.update(spark, storage, uuid, Some(batch), Nil, stamped)
-    } else {
+    else
       Writer.store(spark, storage, uuid, batch, stamped)
-    }
     ()
   }
 
@@ -262,7 +289,8 @@ object Streaming {
     // given (per-run token => double commits on crash redelivery) and when
     // configure overrides the parameter's path (the override would win,
     // leaving the replay guard stamped against the wrong batch numbering)
-    val smuggled = writerOptions(configured).collectFirst {
+    val opts = writerOptions(configured)
+    val smuggled = opts.collectFirst {
       case (k, v) if k.equalsIgnoreCase("checkpointLocation") => v
     }
     if (smuggled.exists(v => !checkpoint.contains(v)))
@@ -271,6 +299,23 @@ object Streaming {
           "`checkpoint` parameter, not configure(_.option(\"checkpointLocation\", …)): " +
           "with a per-run replay token, a crash-redelivered batch from that " +
           "checkpoint would commit twice")
+    // the SESSION-CONF spelling of the same smuggle: with
+    // spark.sql.streaming.checkpointLocation set AND a queryName, the
+    // engine derives a STABLE checkpoint dir (confDir/queryName) invisible
+    // to the writer's options — per-run token + stable checkpoint is the
+    // exact double-commit pairing the option guard above rejects. Without
+    // a queryName the engine appends a fresh random UUID per start, so
+    // batchIds restart with the token and the guard stays sound.
+    if (checkpoint.isEmpty &&
+        stream.sparkSession.conf.getOption(
+          "spark.sql.streaming.checkpointLocation").isDefined &&
+        opts.keys.exists(_.equalsIgnoreCase("queryName")))
+      throw new IllegalArgumentException(
+        s"session conf spark.sql.streaming.checkpointLocation + queryName " +
+          s"derives a persistent checkpoint: pass it via $sink's " +
+          "`checkpoint` parameter instead (a crash-redelivered batch from " +
+          "the derived checkpoint would commit twice under the per-run " +
+          "replay token)")
     configured.start()
   }
 
@@ -339,19 +384,27 @@ object Streaming {
       // fully-committed replay (crash AFTER the corpus commit): skip both
       // writes — same guard as ingestBatch, hoisted so the index append is
       // covered too
-      val replayed = DatasetMetadata.exists(storage, corpusUuid) && {
-        val m = DatasetMetadata.load(storage, corpusUuid)
-        m.metadata.getOrElse(RunTokenKey, "") == myToken &&
-          m.metadata.get(LastBatchKey).exists(_.toLong >= batchId)
-      }
-      if (replayed) return
+      if (isReplay(storage, corpusUuid, myToken, batchId)) return
       val params = Dedup.minhashIndexParams(storage, indexUuid)
       val (numHashes, bands, shingleN, _) = params
       // 1. drop near-dups of already-landed content (bucket-pruned probe);
       // eager localCheckpoint: see scaladoc (checkpoint blocks are freed
-      // with the RDD by the context cleaner once the batch completes)
+      // with the RDD by the context cleaner once the batch completes).
+      // Index matches to ids that are MEMBERS OF THIS BATCH are excluded
+      // wholesale (not just self-id): in normal operation the index holds
+      // only prior batches' ids, so the exclusion is a no-op — but after a
+      // crash between index append and corpus commit, the crashed
+      // attempt's entries ALL carry this batch's ids, and excluding them
+      // makes the replay probe see exactly what the original run saw.
+      // With self-id-only exclusion, a transitive cluster {a,b,c}
+      // (a~b, b~c, a!~c) diverged on replay: b matched indexed a and was
+      // dropped BEFORE the within-batch pair join, so c — connected only
+      // through b — survived alongside a, violating the same-survivor-set
+      // contract below.
       val fresh = Dedup.filterAgainstIndexWith(spark, storage, indexUuid,
-        batch, textCol, idCol, threshold, params).localCheckpoint(true)
+        batch, textCol, idCol, threshold, params,
+        excludeMatchedIds = Some(batch.select(col(idCol))))
+        .localCheckpoint(true)
       // 2. collapse near-dups WITHIN the batch, same hash family
       val pairs = Dedup.minhashNearDups(fresh, textCol, idCol,
         numHashes = numHashes, bands = bands, shingleN = shingleN,
@@ -401,17 +454,23 @@ object Streaming {
       val myToken = token.getOrElse("")
       // fully-committed replay (crash AFTER the corpus commit): skip both
       // writes — same guard as writeStreamDedup
-      val replayed = DatasetMetadata.exists(storage, corpusUuid) && {
-        val m = DatasetMetadata.load(storage, corpusUuid)
-        m.metadata.getOrElse(RunTokenKey, "") == myToken &&
-          m.metadata.get(LastBatchKey).exists(_.toLong >= batchId)
-      }
-      if (replayed) return
-      // 1. within-batch exact keep-first, 2. cross-batch indexed probe;
-      // localCheckpoint: survivors feed three consumers (emptiness probe,
-      // index append, corpus commit)
+      if (isReplay(storage, corpusUuid, myToken, batchId)) return
+      // 1. within-batch exact keep-first — NULL-keyed rows bypass it: the
+      // SeenSet contract is NOT EXISTS (a null key matches nothing, so
+      // every null-keyed row is unseen and lands), while Dedup.exact's
+      // window groups SQL nulls into one partition and would silently
+      // keep one per batch. Materialized (localCheckpoint) because the
+      // indexed probe consumes its batch in three separate jobs (bucket
+      // collect, key profile, final join) — un-checkpointed, each re-ran
+      // the dedup shuffle.
+      val deduped = Dedup.exact(batch.where(col(keyCol).isNotNull),
+          Seq(keyCol), idCol)
+        .unionByName(batch.where(col(keyCol).isNull))
+        .localCheckpoint(true)
+      // 2. cross-batch indexed probe; survivors feed three consumers
+      // (emptiness probe, index append, corpus commit)
       val survivors = SeenSet.filterUnseenIndexed(spark, storage, seenUuid,
-        Dedup.exact(batch, Seq(keyCol), idCol), keyCol, idCol)
+        deduped, keyCol, idCol)
         .localCheckpoint(true)
       if (!survivors.isEmpty) {
         // 3. keys first, 4. corpus second (see crash-safety note)

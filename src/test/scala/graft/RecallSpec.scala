@@ -248,4 +248,36 @@ class RecallSpec extends SparkSpec {
       center = false).where(col("vec_id") === 1L).head.getSeq[Double](1)
     assert(math.abs(plain(0) - 1.0 / math.sqrt(5.0)) < 1e-6)
   }
+
+  test("withRecallGuard: a corpus smaller than k is not a recall regression") {
+    import spark.implicits._
+    // 3 vectors, k=10: the exact top-k has 3 rows; a bit-perfect approx
+    // answer must score recall 1.0 (denominator min(k, |exact|)), not 0.3
+    val emb = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)),
+      (3L, Array(0.0, 1.0))).toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(emb, "embedding", "vec_id",
+      Seq(1.0, 0.0), 10)
+    val out = Similarity.withRecallGuard(exact, exact, "vec_id", k = 10)
+      .collect()
+    assert(out.length === 3)
+    assert(out.head.getAs[Double]("recall_vs_brute_force") === 1.0)
+  }
+
+  test("ivfTopK: a NaN-tainted centroid ranks 0.0 in probe order, matching assignment") {
+    import spark.implicits._
+    // all vectors anti-aligned with the only real centroid: assignment
+    // scores the NaN centroid 0.0 (NearestCentroid's policy), beating
+    // -1.0, so every vector lives in list 1 — probe ranking must agree
+    // (unguarded NaN sorted LAST under Scala's total ordering, so
+    // nprobe=1 scanned list 0 and returned nothing)
+    val emb = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.8, 0.1)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq(Seq(-1.0, 0.0), Seq(Double.NaN, Double.NaN))
+    val assigned = Similarity.ivfAssign(emb, "embedding", cents)
+      .select("__centroid").distinct().collect().map(_.getInt(0)).toSeq
+    assert(assigned === Seq(1))
+    val hits = Similarity.ivfTopK(emb, "embedding", "vec_id",
+      Seq(1.0, 0.0), k = 2, cents, nprobe = 1)
+    assert(hits.count() === 2L, "probe missed the list the vectors live in")
+  }
 }

@@ -230,5 +230,10 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sampling.quantileBand(df, "v", 0.9, 0.1)
     }
+    // column names needing backticks resolve like everywhere else (the
+    // cutoffs are column expressions, not a spliced SQL string)
+    val odd = df.withColumnRenamed("v", "doc length")
+    assert(Sampling.quantileBand(odd, "doc length", 0.10, 0.90)
+      .collect().map(_.getLong(0)).sorted.toSeq === (11L to 90L))
   }
 }

@@ -541,4 +541,125 @@ class StreamingSpec extends SparkSpec {
     assert(SeenSet.filterUnseenIndexed(spark, store, "sur_idx",
       novel, "text", "doc_id").count() === 1)
   }
+
+  test("stateful sessionization: cross-batch late events never regress boundaries") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Double)]
+    val sessions = graft.streaming.Sessionize.stateful(
+      in.toDF().toDF("user_id", "ts", "value"), gapNanos = 100L)
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("sess_late").start()
+    // user 1: open {0..100}; user 2: open {1000}; user 3: open {500}
+    in.addData((1L, 0L, 1.0), (1L, 100L, 1.0), (2L, 1000L, 1.0), (3L, 500L, 1.0))
+    q.processAllAvailable()
+    assert(spark.table("sess_late").count() === 0)
+    // user 1: INTERIOR late event (80) merges without touching lastTs, so
+    // 190 (within gap of 100) still merges — the signed-delta bug set
+    // lastTs back to 80 and split here. user 2: 950 extends BACKWARD
+    // (within gap of start). user 3: 100 is too late (gap before start)
+    // -> emitted immediately as its own closed session.
+    in.addData((1L, 80L, 1.0), (1L, 190L, 1.0), (2L, 950L, 2.0), (3L, 100L, 9.0))
+    q.processAllAvailable()
+    val mid = spark.table("sess_late").as[graft.streaming.Sessionize.Session]
+      .collect()
+    assert(mid.toSeq === Seq(graft.streaming.Sessionize.Session(3L, 100L, 1L, 9.0)),
+      mid.toSeq.toString)
+    // far-future events close the open tails with the MERGED stats
+    in.addData((1L, 10000L, 0.0), (2L, 10000L, 0.0))
+    q.processAllAvailable()
+    val closed = spark.table("sess_late").as[graft.streaming.Sessionize.Session]
+      .collect().filter(_.user_id <= 2L).sortBy(_.user_id)
+    assert(closed.toSeq === Seq(
+      graft.streaming.Sessionize.Session(1L, 0L, 4L, 4.0),
+      graft.streaming.Sessionize.Session(2L, 950L, 2L, 3.0)), closed.toSeq.toString)
+    q.stop()
+  }
+
+  test("writeStreamDedup replay reproduces the survivor set for TRANSITIVE clusters") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    // word-unigram shingles, r=2 banding so J~0.54 pairs surface reliably
+    Dedup.minhashIndex(spark, store, "sdt_idx",
+      Seq((90L, "completely unrelated seed material here")).toDF("doc_id", "text"),
+      "text", "doc_id", numHashes = 128, bands = 64, shingleN = 1,
+      numBuckets = 8, overwrite = true)
+    graft.io.Ops.deleteDataset(store, "sdt_corpus")
+    val a = (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")
+    val b = (2L, "w1 w2 w3 w4 w5 w6 w7 x1 x2 x3")
+    val c = (3L, "w1 w2 w3 w4 x1 x2 x3 z1 z2 z3")
+    val batch = Seq(a, b, c).toDF("doc_id", "text")
+    // premise: the pair graph is exactly a-b and b-c (J(a,b)=J(b,c)=7/13,
+    // J(a,c)=4/16 below threshold) — the transitive shape the replay
+    // contract is hardest for
+    val pairs = Dedup.minhashNearDups(batch, "text", "doc_id",
+      numHashes = 128, bands = 64, shingleN = 1, threshold = 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (2L, 3L)), s"premise broke: $pairs")
+    // simulate the crash: the ORIGINAL run's survivor set {a} appended its
+    // signatures, corpus commit never ran
+    Dedup.minhashIndexAppend(spark, store, "sdt_idx",
+      Seq(a).toDF("doc_id", "text"), "text", "doc_id")
+    // replay the FULL batch: with self-id-only exclusion, b matched
+    // indexed a and was dropped pre-clustering, so c (connected only
+    // through b) survived alongside a — landing {1, 3} instead of {1}
+    val in = tmpDir("sdt-in")
+    batch.coalesce(1).write.mode("overwrite").parquet(in)
+    val q = Streaming.writeStreamDedup(
+      spark.readStream.schema("doc_id bigint, text string").parquet(in),
+      store, "sdt_corpus", "sdt_idx", "text", "doc_id", threshold = 0.4)
+    q.awaitTermination(120000)
+    val landed = Reader.readTable(spark, store, "sdt_corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(landed === Set(1L), s"replayed transitive cluster landed $landed")
+  }
+
+  test("writeStreamUnseen: every null-keyed row lands; none pollutes the index") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.ops.SeenSet
+    SeenSet.seenIndex(spark, store, "sun_idx",
+      Seq((1L, "seeded")).toDF("doc_id", "text"),
+      "text", "doc_id", numBuckets = 8, overwrite = true)
+    graft.io.Ops.deleteDataset(store, "sun_corpus")
+    // two null-keyed rows (NOT EXISTS: null matches nothing, both land),
+    // a duplicated real key (keep-first), and an already-seen key (drops)
+    val in = tmpDir("sun-in")
+    Seq((10L, Option.empty[String]), (11L, Option.empty[String]),
+        (12L, Some("fresh")), (13L, Some("fresh")), (14L, Some("seeded")))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(in)
+    val q = Streaming.writeStreamUnseen(
+      spark.readStream.schema("doc_id bigint, text string").parquet(in),
+      store, "sun_corpus", "sun_idx", "text", "doc_id")
+    q.awaitTermination(120000)
+    val landed = Reader.readTable(spark, store, "sun_corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(landed === Set(10L, 11L, 12L), s"landed $landed")
+    // the index gained only the real surviving key — no null-key junk rows
+    val idx = Reader.readTable(spark, store, "sun_idx")
+    assert(idx.where(col("key").isNull).count() === 0L)
+    assert(idx.where(col("key") === "fresh").count() === 1L)
+  }
+
+  test("session-conf checkpoint + queryName is rejected in token mode") {
+    import spark.implicits._
+    val ckpt = tmpDir("conf-ckpt")
+    spark.conf.set("spark.sql.streaming.checkpointLocation", ckpt)
+    try {
+      val in = tmpDir("conf-in")
+      Seq((1L, "x")).toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(in)
+      graft.io.Ops.deleteDataset(store, "conf_corpus")
+      val ex = intercept[IllegalArgumentException] {
+        Streaming.writeStreamAppend(
+          spark.readStream.schema("doc_id bigint, text string").parquet(in),
+          store, "conf_corpus",
+          configure = _.queryName("conf_q")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      }
+      assert(ex.getMessage.contains("checkpointLocation"), ex.getMessage)
+    } finally spark.conf.unset("spark.sql.streaming.checkpointLocation")
+  }
 }
