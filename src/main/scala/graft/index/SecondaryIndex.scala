@@ -120,7 +120,11 @@ object SecondaryIndex {
   def load(spark: SparkSession, storage: Storage, indexFileKey: String): DataFrame = {
     val raw = spark.read.parquet(s"${storage.base}/$indexFileKey")
     val names = raw.schema.fieldNames
-    if (names.contains(LabelsCol)) raw
+    // legacy graft shape is BOTH (value, partitions) — keying on
+    // "partitions" alone misread a reference-shaped index over a column
+    // literally named "partitions" (on-disk ("partitions", "partition"))
+    // as legacy, and every read on it then failed at the transform
+    if (names.contains(ValueCol) && names.contains(LabelsCol)) raw
     else {
       require(names.contains(RefLabelsCol) && names.length == 2,
         s"Unrecognized index schema ${names.mkString("(", ", ", ")")} in $indexFileKey")
@@ -153,9 +157,37 @@ object SecondaryIndex {
           .select(col(ValueCol).cast(schema(column).dataType).as(ValueCol),
             col(LabelsCol))
     }
-    val resolver = typedLit(meta.resolveLabel)
-    stored.withColumn(LabelsCol,
-      transform(col(LabelsCol), l => coalesce(element_at(resolver, l), l)))
+    resolveLabels(spark, stored, meta.resolveLabel)
+  }
+
+  /** Stored-label -> internal-label resolution over the index frame. Two
+    * shapes by map size: a literal map with per-element `element_at` for
+    * the common small case (one narrow projection, no shuffle), and an
+    * explode + broadcast-join + regroup for large partition counts — at
+    * the 100k-partition design target the literal is a multi-MB constant
+    * serialized into every task and `element_at` over a literal map is a
+    * LINEAR scan per label, which turned commit-time index merges into
+    * |values| x 2|partitions| string comparisons. Label arrays are sets
+    * (build/merge collect_set); the regroup re-sorts, which the small
+    * face's in-place transform also preserves only when the map is
+    * order-preserving — no consumer orders on the array. */
+  private def resolveLabels(spark: SparkSession, stored: DataFrame,
+                            mapping: Map[String, String]): DataFrame = {
+    if (mapping.isEmpty) return stored
+    if (mapping.size <= 2048) {
+      val resolver = typedLit(mapping)
+      stored.withColumn(LabelsCol,
+        transform(col(LabelsCol), l => coalesce(element_at(resolver, l), l)))
+    } else {
+      import spark.implicits._
+      val m = mapping.toSeq.toDF("__from", "__to")
+      stored.select(col(ValueCol), explode(col(LabelsCol)).as("__l"))
+        .join(org.apache.spark.sql.functions.broadcast(m),
+          col("__l") === col("__from"), "left")
+        .groupBy(col(ValueCol))
+        .agg(sort_array(collect_set(coalesce(col("__to"), col("__l"))))
+          .as(LabelsCol))
+    }
   }
 
   /** Distinct indexed values (reference `observed_values`,

@@ -72,11 +72,29 @@ object Ops {
         catch { case _: java.io.FileNotFoundException => true } // being moved right now
       ) => writeId }
       .toSet
+    // an UNREFERENCED index GENERATION younger than the TTL may belong to
+    // an in-flight commit (commitDataset stores index files BEFORE the
+    // header swap) — deleting it would leave the freshly committed header
+    // pointing at nothing. Same mtime discipline as .staging/, and scoped
+    // to the commit's actual artifacts (generation files + store staging):
+    // arbitrary untracked trash under indices/ still collects immediately,
+    // matching the reference's gc suite.
+    val indicesPrefix = s"$uuid/indices/"
+    def inFlightIndexKey(k: String): Boolean =
+      (k.contains(DatasetMetadata.IndexSuffix) || k.contains(".__tmp") ||
+        k.contains(".__stamp")) &&
+        (try now - storage.modifiedAt(k) < stagingTtlMs
+         catch { case _: java.io.FileNotFoundException => true }) // being renamed
+    // only directory-valued referenced keys can have children (legacy index
+    // dirs); scanning every referenced key per orphan was O(files^2) driver
+    // work at the 100k-partition target
+    val refDirs = meta.indices.values.toSet
     val orphans = all.filterNot { k =>
       referenced(k) ||
         (if (k.startsWith(stagingPrefix)) inFlightWrites(writeIdOf(k))
+         else if (k.startsWith(indicesPrefix)) inFlightIndexKey(k)
          else k.endsWith("_SUCCESS")) ||
-        referenced.exists(r => k.startsWith(r + "/"))
+        refDirs.exists(r => k.startsWith(r + "/"))
     }
     if (orphans.size > 64) {
       // Storage serializes its Hadoop conf, so executors keep the session's
@@ -167,6 +185,11 @@ object Ops {
     if (DatasetMetadata.exists(tgt, uuid)) {
       require(overwrite, s"Dataset '$uuid' already exists in target and overwrite is not permitted")
       deleteDataset(tgt, uuid)
+    } else {
+      // clean orphans of a previously failed write at the target (same
+      // guard as Writer.store): a DYNAMIC dataset reconstructs partitions
+      // from the listing, so stale files would phantom into the copy
+      tgt.delete(uuid)
     }
     // index generations are parquet DIRECTORIES — expand to contained files
     val indexKeys = meta.indices.values.toSeq.flatMap { k =>

@@ -28,7 +28,18 @@ object Reader {
   /** Labels surviving predicate pruning, per the reference's planner:
     * per conjunction, intersect the label sets allowed by its partition-key
     * literals and its secondary-index literals; union across conjunctions
-    * (reference `core/dataset.py:356-491` + `io_components/read.py:49-64`). */
+    * (reference `core/dataset.py:356-491` + `io_components/read.py:49-64`).
+    *
+    * Null caveat, REFERENCE PARITY: secondary indices are built over
+    * non-null values on both sides (`metapartition.py:1028` `dropna`, our
+    * `SecondaryIndex.build` `isNotNull`), and the reference prunes through
+    * that null-less index for EVERY operator, `!=`/`in` included
+    * (`core/dataset.py:447`, `:469-476`). A partition whose only values
+    * for an indexed column are null therefore prunes away even under
+    * null-KEEPING operators — identically here and in the reference. Data
+    * filtering (the DNF compiler over scanned rows) keeps its documented
+    * null semantics; the divergence exists only at the pruning level, and
+    * only for all-null partitions of an indexed predicate column. */
   def pruneLabels(spark: SparkSession, storage: Storage, meta: DatasetMetadata,
                   schema: StructType, predicates: Option[Preds]): Seq[String] = {
     val all = meta.partitions
@@ -126,11 +137,7 @@ object Reader {
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       } else {
         // S3 suffix dispatch: mixed-format label sets read per group, unioned
-        labels.groupBy(Serializer.formatOf).toSeq.sortBy(_._1)
-          .map { case (fmt, ls) =>
-            Serializer.read(spark, schema, base, ls.map(l => s"$base/$l"), fmt)
-          }
-          .reduce(_ unionByName _)
+        Serializer.readMixed(spark, schema, base, labels)
       }
     val filtered = (predicates, filterQuery) match {
       case (Some(p), _) => df.filter(Predicates.toColumn(p, schema))
@@ -285,6 +292,13 @@ object Reader {
     val schema = DatasetMetadata.loadSchema(storage, uuid, meta.tableName)
     val cols = if (columns.nonEmpty) columns
                else (meta.partitionKeys ++ meta.indexColumns.toSeq.sorted).distinct
+    // no indexable columns: the reference returns a label-only frame
+    // (`core/dataset.py:394-395` `pd.DataFrame(index=dm.partitions)`), not
+    // an error — mirror it instead of crashing reduce on zero frames
+    if (cols.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(meta.partitions.map(Row(_)), 1),
+        StructType(Seq(StructField("label", StringType))))
     val frames: Seq[DataFrame] = cols.map { c =>
       if (meta.partitionKeys.contains(c)) {
         val i = meta.partitionKeys.indexOf(c)
@@ -300,6 +314,11 @@ object Reader {
           .select(col("label"), col(SecondaryIndex.ValueCol).as(c))
       }
     }
+    // INNER joins, matching the reference's merge exactly
+    // (`core/dataset.py:479-487` inner-merges the per-index frames): a
+    // partition absent from one index (all values null for that column —
+    // builds drop nulls on both sides, `metapartition.py:1028` dropna)
+    // drops out of the matrix there too
     frames.reduce((a, b) => a.join(broadcast(b), "label"))
   }
 }

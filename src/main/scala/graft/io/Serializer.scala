@@ -45,6 +45,19 @@ object Serializer {
     else if (label.endsWith(".orc")) "orc"
     else sys.error(s"No serializer registered for file '$label'")
 
+  /** Read a mixed-suffix label set: one [[read]] per format group, unioned
+    * — THE one spelling of suffix dispatch (S3), shared by Writer's index
+    * builds and Reader's table reads so the two paths cannot drift. */
+  def readMixed(spark: SparkSession, schema: StructType, base: String,
+                labels: Seq[String]): DataFrame = {
+    require(labels.nonEmpty, "readMixed requires at least one label")
+    labels.groupBy(formatOf).toSeq.sortBy(_._1)
+      .map { case (fmt, ls) =>
+        read(spark, schema, base, ls.map(l => s"$base/$l"), fmt)
+      }
+      .reduce(_ unionByName _)
+  }
+
   /** One scan over an explicit (pruned) file list with hive partition-value
     * reconstruction via `basePath`. Mixed-format datasets are read per
     * format group by the callers and unioned. */

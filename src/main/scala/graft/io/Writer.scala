@@ -119,11 +119,7 @@ object Writer {
                               labels: Seq[String],
                               table: String = DatasetMetadata.SingleTable): DataFrame = {
     val base = s"${storage.base}/$uuid/$table"
-    labels.groupBy(Serializer.formatOf).toSeq.sortBy(_._1)
-      .map { case (fmt, ls) =>
-        Serializer.read(spark, schema, base, ls.map(l => s"$base/$l"), fmt)
-      }
-      .reduce(_ unionByName _)
+    Serializer.readMixed(spark, schema, base, labels)
       .withColumn(LabelCol, Writer.decodeFileLabel(s"$uuid/$table"))
   }
 
@@ -404,8 +400,13 @@ object Writer {
         case None =>
           if (oldLabels.nonEmpty) {
             val full = (oldLabels.filterNot(deleted) ++ newLabels).sorted
-            SecondaryIndex.build(
-              labeledData(spark, storage, uuid, schema, full, table), c)
+            // a delete scope can empty the surviving label set — an empty
+            // read would crash readMixed's union, and the right index for
+            // zero partitions is the empty one
+            if (full.nonEmpty)
+              SecondaryIndex.build(
+                labeledData(spark, storage, uuid, schema, full, table), c)
+            else emptyIndex(spark, schema, c)
           } else delta
       }
       c -> SecondaryIndex.store(spark, storage, uuid, c, merged, ts)

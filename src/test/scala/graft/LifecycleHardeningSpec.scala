@@ -131,4 +131,83 @@ class LifecycleHardeningSpec extends SparkSpec {
     val out = Ops.profile(df, Seq("a.b"), exact = true).collect()
     assert(out.length === 1 && out.head.getAs[Long]("n_distinct") === 2L)
   }
+
+  test("adding an index in a commit that EMPTIES the dataset yields an empty index") {
+    val store = freshStore()
+    Writer.store(spark, store, "ei", Seq((1L, "a")).toDF("id", "c"), WriteOpts())
+    // empty scope dict matches every partition; "c" was never indexed, so
+    // the new-index branch reads the SURVIVING label set — which is empty
+    // (this crashed reduce on zero format groups before)
+    val meta = Writer.commitDataset(spark, store, "ei", Nil,
+      deleteScope = Seq(Map.empty[String, Any]), secondaryIndices = Seq("c"))
+    assert(meta.partitions.isEmpty)
+    assert(meta.indices.contains("c"))
+    assert(Reader.readTable(spark, store, "ei").count() === 0L)
+  }
+
+  test("indicesAsDataFrame on an unpartitioned, unindexed dataset is the label frame") {
+    val store = freshStore()
+    Writer.store(spark, store, "plainm", Seq((1L, "a")).toDF("id", "c"), WriteOpts())
+    // reference parity: pd.DataFrame(index=partitions), not an empty-reduce crash
+    val m = Reader.indicesAsDataFrame(spark, store, "plainm")
+    assert(m.columns.toSeq === Seq("label"))
+    assert(m.count() === 1L)
+  }
+
+  test("a reference-shaped index over a column literally named 'partitions' loads") {
+    val store = freshStore()
+    val idx = Seq(("x", Seq("p1.parquet"))).toDF("value", "partitions")
+    // on-disk shape is (partitions, partition) — name-keyed shape detection
+    // misread this as the legacy graft shape and every read then crashed
+    val key = graft.index.SecondaryIndex.store(spark, store, "pp",
+      "partitions", idx, "t0")
+    val loaded = graft.index.SecondaryIndex.load(spark, store, key)
+    assert(loaded.columns.toSet === Set("value", "partitions"))
+    assert(loaded.select("value").head.getString(0) === "x")
+    assert(loaded.select("partitions").head.getSeq[String](0) === Seq("p1"))
+  }
+
+  test("copyDataset cleans orphaned target files from a previously failed write") {
+    val src = freshStore(); val tgt = freshStore()
+    Writer.store(spark, src, "cd", Seq((1L, "a")).toDF("id", "c"), WriteOpts())
+    tgt.writeString("cd/table/zz-stale.parquet", "junk")
+    Ops.copyDataset(spark, src, tgt, "cd")
+    // the stale file would phantom into any dynamic listing of the copy
+    assert(!tgt.exists("cd/table/zz-stale.parquet"))
+    assert(Reader.readTable(spark, tgt, "cd").count() === 1L)
+  }
+
+  test("GC spares young unreferenced index generations, collects them past the TTL") {
+    val store = freshStore()
+    Writer.store(spark, store, "gi", Seq((1L, "a")).toDF("id", "c"),
+      WriteOpts(secondaryIndices = Seq("c")))
+    // simulate the NEXT index generation of an in-flight commit: stored
+    // (like commitDataset does) BEFORE its header swap, so unreferenced
+    val key = graft.index.SecondaryIndex.store(spark, store, "gi", "c",
+      Seq(("a", Seq("x.parquet"))).toDF("value", "partitions"), "zz999")
+    val spared = Ops.garbageCollect(spark, store, "gi")
+    assert(spared.forall(!_.contains("zz999")), spared.toString)
+    assert(store.exists(key))
+    // past the TTL it is an abandoned generation and collects
+    Ops.garbageCollect(spark, store, "gi", stagingTtlMs = 0L)
+    assert(!store.exists(key))
+    // the committed generation survives either way
+    assert(Reader.readTable(spark, store, "gi",
+      predicates = Some(Seq(Seq(Literal("c", Op.Eq, "a"))))).count() === 1L)
+  }
+
+  test("label resolution over large partition counts avoids the literal-map scan") {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val parts = (0 until 2500).map(i => f"p$i%04d.parquet")
+    val meta = DatasetMetadata("bigres", parts, Nil, Map.empty, Map.empty,
+      embeddedIndices = Map("c" -> Seq(("v", Seq("p0007", "p2499")))))
+    val idx = graft.index.SecondaryIndex.loadFor(spark, freshStore(), meta,
+      "c", StructType(Seq(StructField("c", StringType))))
+    val labels = idx.select(org.apache.spark.sql.functions.explode(
+      org.apache.spark.sql.functions.col("partitions"))).collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(labels === Seq("p0007.parquet", "p2499.parquet"))
+    // and the plan carries no multi-thousand-entry map literal
+    assert(!idx.queryExecution.optimizedPlan.toString.contains("p1234"))
+  }
 }
