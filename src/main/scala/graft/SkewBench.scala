@@ -52,8 +52,8 @@ object SkewBench {
       s""""n_buckets":${stats.getAs[Long]("n_buckets")},""" +
       s""""max_bucket":${stats.getAs[Long]("max_bucket")},""" +
       s""""buckets_over_cap":${stats.getAs[Long]("buckets_over_cap")},""" +
-      s""""uncapped_candidates":${stats.getAs[Long]("uncapped_candidates")},""" +
-      s""""capped_candidates":${stats.getAs[Long]("capped_candidates")},""" +
+      s""""uncapped_candidates":${stats.getAs[java.math.BigDecimal]("uncapped_candidates")},""" +
+      s""""capped_candidates":${stats.getAs[java.math.BigDecimal]("capped_candidates")},""" +
       s""""exact_dup_groups":$nGroups,"neardup_pairs":$nPairs,""" +
       // Double.toString is locale-independent ('.'), unlike the f
       // interpolator which follows the default locale (de_DE => ',')

@@ -655,7 +655,7 @@ object SparkEntry {
 
     // --- text analysis: positional token fingerprint
     "t_fingerprint" -> ((s, dir) => {
-      val toks = split(trim(lower(col("text"))), "\\s+")
+      val toks = TextAnalysis.wsTokens(lower(col("text")))
       rd(s, dir, "documents").select(col("doc_id"),
         aggregate(
           zip_with(toks, sequence(lit(1), size(toks)),
@@ -1240,7 +1240,7 @@ object SparkEntry {
            SELECT y, token FROM (
              SELECT CASE WHEN lang IS NULL THEN NULL
                          WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-               unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS token
+               unnest(string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+')) AS token
              FROM documents)
            WHERE len(token) > 0 AND y IS NOT NULL),
          counts AS (
@@ -1472,26 +1472,26 @@ object SparkEntry {
       "t_text_stats" ->
         """SELECT doc_id,
              CAST(length(text) AS BIGINT) AS n_chars2,
-             CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens,
+             CAST(len(string_split_regex(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens,
              CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subwords,
              CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\-]', '', 'g')) AS DOUBLE)
                / greatest(length(text), 1) AS punct_ratio,
-             CAST(len(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+'),
+             CAST(len(list_filter(string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+'),
                x -> x IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE)
-               / greatest(len(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')), 1) AS stop_ratio
+               / greatest(len(string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+')), 1) AS stop_ratio
            FROM documents""",
       "t_lang_id" -> langCase,
       "t_top_tokens" ->
         """SELECT token, count(*) AS n FROM (
-             SELECT unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS token
+             SELECT unnest(string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+')) AS token
              FROM documents)
            WHERE len(token) > 0
            GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""",
       "t_gopher_rules" -> {
         // mirror gopherSignals term by term; every denominator and round
         // matches the Scala IEEE op order
-        val toks = """string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')"""
-        val toksLower = """string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')"""
+        val toks = """string_split_regex(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+')"""
+        val toksLower = """string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+')"""
         val wsGone = """regexp_replace(text, '[ \t\n\x0B\f\r]+', '', 'g')"""
         val nWordsD = s"CAST(greatest(len($toks), 1) AS DOUBLE)"
         val lines = "string_split(text, chr(10))"
@@ -1516,6 +1516,9 @@ object SparkEntry {
       },
       "t_c4_filters" -> {
         val ws = """'[ \t\n\x0B\f\r]+'"""
+        // both-ends whitespace trim (raw string: the s-interpolated SQL
+        // below would otherwise choke on \x and $)
+        val wsTrim = """'^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$'"""
         val countOf = (c: String) =>
           s"(length(clean) - length(replace(clean, '$c', '')))"
         s"""SELECT doc_id, n_lines, n_kept, n_sentences, text_clean,
@@ -1531,7 +1534,7 @@ object SparkEntry {
                 string_split(text, chr(10)) AS lines,
                 list_filter(string_split(text, chr(10)), l ->
                   regexp_matches(l, '[.!?"][ \\r\u0085\u2028\u2029]*${"$"}')
-                  AND len(string_split_regex(trim(l), $ws)) >= 5
+                  AND len(string_split_regex(regexp_replace(l, $wsTrim, '', 'g'), $ws)) >= 5
                   AND NOT contains(lower(l), 'javascript')) AS kept
               FROM (SELECT doc_id,
                 regexp_replace(text, '(([^ ]+ ){4}[^ ]+) ', '\\1.' || chr(10), 'g') AS text
@@ -1562,7 +1565,7 @@ object SparkEntry {
       "t_quality" -> {
         // mirror TextAnalysis.qualityScore term by term (same IEEE op order)
         val punct = """CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\-]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)"""
-        val stop = """CAST(len(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+'), x -> x IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE) / greatest(len(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')), 1)"""
+        val stop = """CAST(len(list_filter(string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+'), x -> x IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE) / greatest(len(string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+')), 1)"""
         s"""SELECT doc_id, round((
               least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
               + (1.0 - least(($punct) * 5.0, 1.0))
@@ -1679,7 +1682,7 @@ object SparkEntry {
              AND doc_id NOT IN (SELECT id_a FROM jac WHERE j >= 0.3)""",
       "t_repetition" ->
         """WITH d AS (SELECT doc_id,
-               string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS t FROM documents),
+               string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+') AS t FROM documents),
            bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
              FROM d, unnest(range(1, len(t))) AS u(i)),
            bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
@@ -1695,7 +1698,7 @@ object SparkEntry {
       "t_tfidf" ->
         """WITH tk AS (
              SELECT doc_id, token FROM (
-               SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS token
+               SELECT doc_id, unnest(string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+')) AS token
                FROM documents)
              WHERE len(token) > 0),
            tf AS (SELECT doc_id, token, count(*) AS c FROM tk GROUP BY 1, 2),
@@ -1715,7 +1718,7 @@ object SparkEntry {
       "t_unigram_logprob" ->
         """WITH tk AS (
              SELECT doc_id, token FROM (
-               SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS token
+               SELECT doc_id, unnest(string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+')) AS token
                FROM documents)
              WHERE len(token) > 0),
            counts AS (SELECT token, count(*) AS tc FROM tk GROUP BY 1),
@@ -1732,7 +1735,7 @@ object SparkEntry {
                SELECT doc_id, unnest(list_transform(range(1, len(t)),
                  i -> {'w1': t[i], 'w2': t[i + 1]})) AS u
                FROM (SELECT doc_id,
-                       string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS t
+                       string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+') AS t
                      FROM documents))
              WHERE len(u.w1) > 0 AND len(u.w2) > 0),
            counts AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
@@ -1777,7 +1780,7 @@ object SparkEntry {
         (QualityModelCtes + """,
            dtk AS (
              SELECT doc_id, token FROM (
-               SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS token
+               SELECT doc_id, unnest(string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+')) AS token
                FROM documents)
              WHERE len(token) > 0)
            SELECT doc_id, n_tokens, nb_logodds,
@@ -1805,7 +1808,7 @@ object SparkEntry {
       "t_vocab_spectrum" ->
         """WITH counts AS (
              SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
-               SELECT unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS token
+               SELECT unnest(string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+')) AS token
                FROM documents)
              WHERE len(token) > 0 GROUP BY token)
            SELECT CAST(length(printf('%b', n)) - 1 AS BIGINT) AS freq_bucket,
@@ -1896,24 +1899,28 @@ object SparkEntry {
              round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F",
              round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O"
            FROM lineitem GROUP BY l_returnflag""",
-      // substring duplication profile: distinct 5-token windows per doc,
-      // corpus doc-frequency >= 2 marks a window duplicated (same
-      // tokenization as d_ngram_jaccard; docs under 5 tokens emit no row)
+      // substring duplication profile over POSITIONAL 5-token windows:
+      // total/dup keep the distinct-window cross-doc-frequency contract;
+      // self_dup_* count within-doc positional repeats (Gopher's
+      // duplicate-n-gram signal). Docs under 5 tokens emit no row.
       "d_dup_windows" ->
         """WITH sh AS (
-             SELECT doc_id AS id, list_distinct(list_transform(range(1, len(t) - 3),
-               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS s
+             SELECT doc_id AS id, list_transform(range(1, len(t) - 3),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]) AS s
              FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS t FROM documents)
              WHERE len(t) >= 5),
            inv AS (SELECT id, unnest(s) AS g FROM sh),
-           freq AS (SELECT g, count(*) AS df FROM inv GROUP BY g)
-           SELECT i.id AS doc_id,
+           pw AS (SELECT id, g, count(*) AS cnt FROM inv GROUP BY id, g),
+           freq AS (SELECT g, count(*) AS docs FROM pw GROUP BY g)
+           SELECT p.id AS doc_id,
              count(*) AS total_windows,
-             CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows,
-             round(CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
-               / count(*), 6) AS dup_fraction
-           FROM inv i JOIN freq f ON i.g = f.g
-           GROUP BY i.id""",
+             CAST(sum(CASE WHEN f.docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows,
+             round(CAST(sum(CASE WHEN f.docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*), 6) AS dup_fraction,
+             CAST(sum(p.cnt - 1) AS BIGINT) AS self_dup_windows,
+             round(CAST(sum(p.cnt - 1) AS DOUBLE) / sum(p.cnt), 6) AS self_dup_fraction
+           FROM pw p JOIN freq f ON p.g = f.g
+           GROUP BY p.id""",
       // span dedup: windows ranked keep-first on the raw gram (Spark ranks
       // the xxhash64 of the same gram — identical absent collisions);
       // coverage via the same union-tag running max as the Spark plan
@@ -2016,7 +2023,7 @@ object SparkEntry {
            FROM t""",
       "t_fingerprint" ->
         """SELECT doc_id, CAST(list_sum(list_transform(
-             string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+'),
+             string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+'),
              (x, i) -> i * ascii(x))) AS BIGINT) AS fp
            FROM documents""",
       // center+normalize: exact scaled-integer mean (order-independent),

@@ -30,11 +30,18 @@ object Dedup {
   }
 
   /** Exact duplicate groups by content hash — O(n) shuffle of (hash, id)
-    * only. Returns (content_hash, ids, n_dups). */
+    * only, never the text. Grouping keys on TWO independently-seeded
+    * 64-bit hashes: one bare xxhash64 collides distinct texts at
+    * ~n^2/2^65 (hundreds of silently merged "duplicate" groups at the
+    * 1e11-doc target — fatal for a keep-one-per-group pipeline), while
+    * the paired key pushes collisions to ~n^2/2^129, far below any
+    * physical corpus. Returns (content_hash, ids, n_dups). */
   def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.groupBy(xxhash64(col(textCol)).as("content_hash"))
+    df.groupBy(xxhash64(col(textCol)).as("content_hash"),
+               xxhash64(col(textCol), lit("graft.exact2")).as("__h2"))
       .agg(sort_array(collect_list(col(idCol))).as("ids"),
            count(lit(1)).as("n_dups"))
+      .drop("__h2")
 
   /** Word shingles: lower-cased, whitespace-tokenized, FULL n-token windows,
     * distinct (docs with < n tokens yield an empty set). A custom codegen'd
@@ -124,11 +131,16 @@ object Dedup {
     val sh = df
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
       .where(size(col("sh")) > 0)
-    // b*(b-1) is always even, so >>1 is EXACT long division. Column '/'
-    // is IEEE double division, which silently loses integer exactness
-    // above 2^53 — precisely the mass-duplicate regime (B ≳ 1.3e8 docs in
-    // one bucket) this pre-flight exists to diagnose.
-    val pairsOf = (b: Column) => shiftright(b * (b - lit(1L)), 1)
+    // exact integer pair mass in decimal: Column '/' on longs is IEEE
+    // double (loses exactness above 2^53), and long b*(b-1) overflows at
+    // B > ~3e9 bucket members — under ANSI mode that THROWS, killing the
+    // pre-flight in precisely the mass-duplicate regime it exists to
+    // diagnose. The decimal product/halving is exact to B ~ 1e16, far
+    // past any physical bucket (b*(b-1) is even, so /2 has no fraction).
+    val pairsOf = (b: Column) => {
+      val d = b.cast("decimal(38,0)")
+      (d * (d - lit(1)) / lit(2)).cast("decimal(38,0)")
+    }
     bandTableOf(sh, numHashes, bands)
       .groupBy("band").agg(count(lit(1)).as("b"))
       .agg(
@@ -516,14 +528,7 @@ object Dedup {
                    numBuckets: Int = 64,
                    overwrite: Boolean = false): graft.meta.DatasetMetadata = {
     require(numBuckets >= 1, s"numBuckets must be >= 1 (got $numBuckets)")
-    val sh = df
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
-      .where(size(col("sh")) > 0)
-    val table = sh
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .withColumn("band", explode(bandHashes(col("sig"), numHashes, bands)))
-      .select(pmod(col("band"), lit(numBuckets)).as("bucket"),
-        col("band"), col("id"), col("sig"))
+    val table = sigTable(df, textCol, idCol, numHashes, bands, shingleN, numBuckets)
     graft.io.Writer.store(spark, storage, uuid, table,
       graft.io.Writer.WriteOpts(partitionOn = Seq("bucket"),
         overwrite = overwrite,
@@ -564,14 +569,14 @@ object Dedup {
       batch: DataFrame, textCol: String, idCol: String,
       threshold: Double, params: (Int, Int, Int, Int)): DataFrame = {
     val (numHashes, bands, shingleN, numBuckets) = params
-    val bt = batch
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
-      .where(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .withColumn("band", explode(bandHashes(col("sig"), numHashes, bands)))
-      .select(col("band"), col("id"), col("sig"))
+    // MATERIALIZED (eager localCheckpoint): the bucket collect below and
+    // the probe join are separate jobs — un-checkpointed, each re-ran the
+    // shingle+MinHash lineage, doubling the dominant per-batch CPU and
+    // breaking the "the batch is signatured once" contract
+    val bt = sigTable(batch, textCol, idCol, numHashes, bands, shingleN,
+      numBuckets).localCheckpoint(true)
     // the batch's bucket set — driver-side but bounded by numBuckets
-    val buckets = bt.select(pmod(col("band"), lit(numBuckets)).as("b"))
+    val buckets = bt.select(col("bucket"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val idx = graft.io.Reader.readTable(spark, storage, uuid,
       predicates = Some(Seq(Seq(
@@ -628,16 +633,26 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       params: (Int, Int, Int, Int)): graft.meta.DatasetMetadata = {
     val (numHashes, bands, shingleN, numBuckets) = params
-    val table = df
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    val table = sigTable(df, textCol, idCol, numHashes, bands, shingleN,
+      numBuckets)
+    graft.io.Writer.update(spark, storage, uuid, Some(table), Nil,
+      graft.io.Writer.WriteOpts(partitionOn = Seq("bucket")))
+  }
+
+  /** The (bucket, band, id, sig) signature table of a corpus under one
+    * hash family — THE one construction shared by index build, probe, and
+    * append: the metadata pinning guards the PARAMETERS, this guards the
+    * expression shape (a drifted copy would silently break probe pruning
+    * or append partitioning with no compile-time signal). */
+  private def sigTable(df: DataFrame, textCol: String, idCol: String,
+                       numHashes: Int, bands: Int, shingleN: Int,
+                       numBuckets: Int): DataFrame =
+    df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
       .where(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .withColumn("band", explode(bandHashes(col("sig"), numHashes, bands)))
       .select(pmod(col("band"), lit(numBuckets)).as("bucket"),
         col("band"), col("id"), col("sig"))
-    graft.io.Writer.update(spark, storage, uuid, Some(table), Nil,
-      graft.io.Writer.WriteOpts(partitionOn = Seq("bucket")))
-  }
 
   /** The keep side of [[dedupAgainstIndex]]: batch rows with NO indexed
     * near-duplicate — the genuinely new documents to land. */
@@ -954,16 +969,33 @@ object Dedup {
     * scan, NULL text treated as empty. */
   private def spanFrames(df: DataFrame, textCol: String, idCol: String,
                          n: Int): (DataFrame, DataFrame) = {
-    val base = df.select(col(idCol).as("id"),
-      split(trim(lower(coalesce(col(textCol), lit("")))), "\\s+").as("t"))
+    val base = spanBase(df, textCol, idCol)
     val toks = base.select(col("id"),
       posexplode(col("t")).as(Seq("pos", "token")))
-    val wins = base.where(size(col("t")) >= n)
+    (toks, spanWindowsOf(base, n))
+  }
+
+  /** The span family's tokenization — trim-based split, where null/empty
+    * text yields [''] (ONE empty token), which is load-bearing: a
+    * token-less doc would vanish from the reassembly groupBy, and the
+    * contract is that null text SURVIVES span cutting. */
+  private def spanBase(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      split(trim(lower(coalesce(col(textCol), lit("")))), "\\s+").as("t"))
+
+  /** POSITIONAL (non-distinct) hashed n-windows of the span tokenization —
+    * shared by the action face ([[spanFrames]]) and the profile face
+    * ([[duplicateWindowStats]]) so the two can never disagree on what a
+    * window is. */
+  private def spanWindowsOf(base: DataFrame, n: Int): DataFrame =
+    base.where(size(col("t")) >= n)
       .select(col("id"), posexplode(expr(
         s"transform(sequence(0, size(t) - $n), i -> xxhash64(concat_ws(' ', slice(t, i + 1, $n))))"))
         .as(Seq("wpos", "gh")))
-    (toks, wins)
-  }
+
+  private def spanWindows(df: DataFrame, textCol: String, idCol: String,
+                          n: Int): DataFrame =
+    spanWindowsOf(spanBase(df, textCol, idCol), n)
 
   /** Shared back half of the span-cutting operators: mark every token
     * covered by a flagged `n`-window start in `cuts` (id, wpos) via the
@@ -1054,15 +1086,30 @@ object Dedup {
   def duplicateWindowStats(df: DataFrame, textCol: String, idCol: String,
                            n: Int = 13): DataFrame = {
     require(n >= 1, s"window length must be >= 1 (got $n)")
+    // POSITIONAL windows (the action face's frame), grouped per (doc,
+    // window): `total_windows`/`dup_windows` keep their distinct-window,
+    // cross-DOC-frequency contract, while the self_* columns profile
+    // WITHIN-doc repetition (Gopher's duplicate-n-gram signal) — without
+    // them, a document that is one sentence repeated 100 times, unique
+    // corpus-wide, profiled as 0.0 duplication even though
+    // [[removeDuplicateSpans]] would cut ~99% of it: the profile and
+    // action faces of the same operator must not tell different stories.
+    val perDocWin = spanWindows(df, textCol, idCol, n)
+      .groupBy("id", "gh").agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(col("gh"))
-    df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("g"))
-      .select(col("id"), xxhash64(col("g")).as("gh"))
-      .withColumn("__df", count(lit(1)).over(w))
+    perDocWin
+      .withColumn("__docs", count(lit(1)).over(w))
       .groupBy("id")
       .agg(count(lit(1)).as("total_windows"),
-        sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("dup_windows"))
+        sum(when(col("__docs") >= 2, 1L).otherwise(0L)).as("dup_windows"),
+        sum(col("cnt") - lit(1)).as("self_dup_windows"),
+        sum(col("cnt")).as("__pos_total"))
       .withColumn("dup_fraction",
         round(col("dup_windows").cast("double") / col("total_windows"), 6))
+      .withColumn("self_dup_fraction",
+        round(col("self_dup_windows").cast("double") / col("__pos_total"), 6))
+      .select(col("id"), col("total_windows"), col("dup_windows"),
+        col("dup_fraction"), col("self_dup_windows"), col("self_dup_fraction"))
   }
 
   // --- paragraph-level dedup (C4 / Dolma style): the unit of duplication

@@ -28,7 +28,8 @@ import org.apache.spark.sql.functions._
   * aggregate per document, one (id)-keyed shuffle of partial sums. */
 object QualityModel {
 
-  private def toks(text: Column): Column = split(trim(lower(text)), "\\s+")
+  private def toks(text: Column): Column =
+    TextAnalysis.wsTokens(lower(text)) // the one counting-family tokenizer
 
   /** Train multinomial Naive-Bayes token log-odds from a labeled seed:
     *

@@ -11,9 +11,25 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Whitespace tokens with REGEX trimming on both ends: Spark's `trim`
+    * strips only ' ', so a trailing \n or \r (every CRLF web page, every
+    * newline-terminated document) left a phantom '' token that inflated
+    * EVERY word count and deflated every per-word mean — flipping
+    * threshold verdicts (Gopher word bands, C4 min-line-words) right at
+    * their boundaries. All-whitespace/empty text tokenizes to an EMPTY
+    * array, not ['']. THE one tokenizer for the counting family; oracle
+    * mirrors spell the identical regexp_replace (with DuckDB's 'g' flag —
+    * its regexp_replace is first-match-only by default). Callers pass
+    * `lower(text)` when they need case folding. */
+  def wsTokens(text: Column): Column = {
+    val t = regexp_replace(text, "^\\s+|\\s+$", "")
+    when(length(t) === 0, array().cast("array<string>"))
+      .otherwise(split(t, "\\s+"))
+  }
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column =
-    size(split(trim(text), "\\s+"))
+    size(wsTokens(text))
 
   /** PII redaction — the scrubbing pass every training-data pipeline runs
     * before near-dup/quality stages. Conservative, regex-engine-portable
@@ -75,7 +91,7 @@ object TextAnalysis {
   /** Stopword ratio from a small fixed English stopword list. */
   val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is", "it")
   def stopwordRatio(text: Column): Column = {
-    val toks = split(trim(lower(text)), "\\s+")
+    val toks = wsTokens(lower(text))
     val stops = filter(toks, t => t.isInCollection(Stopwords.map(lit)))
     size(stops).cast("double") / greatest(size(toks), lit(1)).cast("double")
   }
@@ -100,13 +116,24 @@ object TextAnalysis {
     "fr" -> Seq(" le ", " la ", " et "),
     "zh" -> Seq(" de ", " shi ", " bu "))
 
+  /** Marker hits in an ALREADY padded+lowercased text — one counting body
+    * for [[langScore]] and [[langId]] so the two public faces can never
+    * disagree. Counting is replace-based and therefore NON-overlapping
+    * (" the the " scores 1 — the shared space is consumed): the
+    * documented contract, identical in the SQL oracle. */
+  private def markerHits(padded: Column, lang: String): Column =
+    LangMarkers(lang).map(m => substringCount(padded, m)).reduce(_ + _)
+
+  /** Space-padded so markers match at document BOUNDARIES too — without
+    * the pad, "The cat..." scored ' the ' zero times while [[langId]]
+    * (which always padded) scored 1, and the two faces disagreed. */
   def langScore(text: Column, lang: String): Column =
-    LangMarkers(lang).map(m => substringCount(lower(text), m)).reduce(_ + _)
+    markerHits(concat(lit(" "), lower(text), lit(" ")), lang)
 
   def langId(text: Column): Column = {
     val padded = concat(lit(" "), lower(text), lit(" "))
     val scored = LangMarkers.keys.toSeq.sorted.map { l =>
-      struct(langScore(padded, l).as("score"), lit(l).as("lang"))
+      struct(markerHits(padded, l).as("score"), lit(l).as("lang"))
     }
     // max over (score, lang) structs: highest score, then LAST lang code —
     // deterministic; mirror with a window/order in oracle SQL
@@ -118,7 +145,7 @@ object TextAnalysis {
     * one partial-then-final aggregation; the top-k is a
     * TakeOrderedAndProject, never a full sort. */
   def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
-    df.select(explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
+    df.select(explode(wsTokens(lower(col(textCol)))).as("token"))
       .where(length(col("token")) > 0)
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token").asc)
@@ -146,7 +173,7 @@ object TextAnalysis {
   def bigramLogProb(df: DataFrame, textCol: String, idCol: String,
                     alpha: Double = 0.5): DataFrame = {
     require(alpha > 0, s"alpha must be > 0 (got $alpha)")
-    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val toks = wsTokens(lower(col(textCol)))
     val pairs = filter(
       zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
         (a, b) => struct(a.as("w1"), b.as("w2"))),
@@ -187,7 +214,7 @@ object TextAnalysis {
     * floor(log2(n)) through doubles, where ln(8)/ln(2) can land just
     * below 3.0 and engines disagree at every power of two. */
   def vocabSpectrum(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
+    df.select(explode(wsTokens(lower(col(textCol)))).as("token"))
       .where(length(col("token")) > 0)
       .groupBy("token").agg(count(lit(1)).as("n"))
       .select((length(bin(col("n"))) - 1).cast("long").as("freq_bucket"), col("n"))
@@ -209,7 +236,7 @@ object TextAnalysis {
     * melts on the long documents a web corpus always contains, while the
     * aggregation form stays linear and map-side-combines. */
   def repetitionSignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val toks = wsTokens(lower(col(textCol)))
     // bigrams WITH multiplicity: zip tokens with their successors; the
     // zip_with pad slot (null) marks the final token and is filtered out
     val bigrams = filter(
@@ -247,7 +274,7 @@ object TextAnalysis {
     * rows. Deterministic tie-break (score desc, token asc). */
   def tfidfTopK(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
     val toks = df.select(col(idCol),
-      explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
+      explode(wsTokens(lower(col(textCol)))).as("token"))
       .where(length(col("token")) > 0)
     val tf = toks.groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("c"))
@@ -279,7 +306,7 @@ object TextAnalysis {
     * token counts, join back, per-doc mean — every stage partial-aggregates. */
   def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = df.select(col(idCol),
-      explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
+      explode(wsTokens(lower(col(textCol)))).as("token"))
       .where(length(col("token")) > 0)
     val counts = toks.groupBy("token").agg(count(lit(1)).as("tc"))
     // total tokens derived from the counts aggregate inside the plan (one
@@ -324,7 +351,7 @@ object TextAnalysis {
   def gopherSignals(df: DataFrame, textCol: String, idCol: String,
                     minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
     val text = col(textCol)
-    val toks = split(trim(text), Ws)
+    val toks = wsTokens(text)
     val nWords = size(toks).cast("long")
     val nWordsD = greatest(nWords, lit(1L)).cast("double")
     // total word characters = chars left after deleting ALL whitespace
@@ -347,7 +374,7 @@ object TextAnalysis {
     val alphaWords = size(filter(toks, t => t.rlike("[A-Za-z]")))
     val alphaFrac = round(alphaWords.cast("double") / nWordsD, 6)
     val stopHits = size(array_intersect(
-      array_distinct(split(trim(lower(text)), Ws)),
+      array_distinct(wsTokens(lower(text))),
       array(GopherStopwords.map(lit): _*))).cast("long")
     df.select(
       col(idCol),
@@ -424,7 +451,7 @@ object TextAnalysis {
     // trailing class: see gopherSignals — keeps $ semantics engine-portable
     val keepLine = (l: Column) =>
       l.rlike("[.!?\"][ \\r\u0085\u2028\u2029]*$") &&
-      size(split(trim(l), Ws)) >= minLineWords &&
+      size(wsTokens(l)) >= minLineWords &&
       !lower(l).contains("javascript")
     val kept = filter(lines, keepLine)
     val clean = array_join(kept, "\n")

@@ -158,15 +158,19 @@ class DedupSpec extends SparkSpec {
     val s = Dedup.bandBucketStats(docs, "text", "doc_id", maxBucketSize = 10).head()
     // 8 bands x one 30-doc bucket each = the whole quadratic hazard;
     // the stats must count every C(30,2) pair the cap would skip
+    // candidate masses are DECIMAL (a long b*(b-1) overflows at B > ~3e9,
+    // exactly the mass-dup regime the diagnostic targets)
+    def dec(r: org.apache.spark.sql.Row, c: String): Long =
+      r.getAs[java.math.BigDecimal](c).longValueExact()
     assert(s.getAs[Long]("max_bucket") === 30L)
     assert(s.getAs[Long]("buckets_over_cap") === 8L)
-    assert(s.getAs[Long]("uncapped_candidates") >= 8L * (30L * 29 / 2))
-    assert(s.getAs[Long]("capped_candidates") ===
-      s.getAs[Long]("uncapped_candidates") - 8L * (30L * 29 / 2))
+    assert(dec(s, "uncapped_candidates") >= 8L * (30L * 29 / 2))
+    assert(dec(s, "capped_candidates") ===
+      dec(s, "uncapped_candidates") - 8L * (30L * 29 / 2))
     // uncapped config reports no dropped buckets and the full mass
     val u = Dedup.bandBucketStats(docs, "text", "doc_id").head()
     assert(u.getAs[Long]("buckets_over_cap") === 0L)
-    assert(u.getAs[Long]("capped_candidates") === u.getAs[Long]("uncapped_candidates"))
+    assert(dec(u, "capped_candidates") === dec(u, "uncapped_candidates"))
   }
 
   test("embeddingNearDups follows the data's dimensionality (not a hardcoded 64)") {
@@ -375,17 +379,22 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) === ((3L, 0L, 0.0)))
   }
 
-  test("duplicateWindowStats: within-doc repetition alone is NOT duplication") {
+  test("duplicateWindowStats: within-doc repetition lands in self_dup, not dup") {
     import spark.implicits._
-    // "x y z" appears twice inside doc 1 but nowhere else; windows are
-    // per-doc DISTINCT, so its corpus frequency is 1 -> not duplicated
+    // "x y z" appears twice inside doc 1 but nowhere else; cross-doc
+    // dup_windows stays 0 (corpus doc-frequency 1) while the positional
+    // self_dup columns surface it — the signal removeDuplicateSpans acts
+    // on (it would cut the second occurrence)
     val docs = Seq(
       (1L, "x y z q x y z"),
       (2L, "m n o p")
     ).toDF("doc_id", "text")
     val out = Dedup.duplicateWindowStats(docs, "text", "doc_id", n = 3)
-      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
-    assert(out(1L) === 0L && out(2L) === 0L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(4), r.getDouble(5)))).toMap
+    // doc 1 positional windows: xyz yzq zqx qxy xyz -> one repeat of xyz
+    assert(out(1L) === ((0L, 1L, 0.2)))
+    assert(out(2L) === ((0L, 0L, 0.0)))
   }
 
   test("minhashIndex + dedupAgainstIndex: incremental batch dedup against a landed corpus") {

@@ -931,4 +931,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(4L).getAs[String]("dominant_script") === "latin")
     assert(ratio(4L, "latin_ratio") === 0.0)
   }
+
+  test("wsTokens: no phantom tokens at boundaries, empty text is zero tokens") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // Spark's trim() strips only spaces — a trailing \n/\r/\t minted a
+    // phantom '' token in every word count before the regex trim
+    val rows = Seq(
+      (1L, "four words right here\n"),   // newline-terminated document
+      (2L, "\tindented start"),          // tab-led
+      (3L, "crlf web line two\r"),       // CRLF remnant
+      (4L, ""),                          // empty
+      (5L, " \t\n ")                     // all-whitespace
+    ).toDF("id", "text")
+    val n = rows.select(col("id"),
+      TextAnalysis.tokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(n === Map(1L -> 4, 2L -> 2, 3L -> 4, 4L -> 0, 5L -> 0))
+    // verdicts at the boundary: a 5-word CRLF line passes C4's
+    // minLineWords=5 on its REAL word count, and a 4-word one fails
+    // the CRLF rides the 4-word line: its REAL count fails minLineWords=5
+    // (the phantom '' token used to pass it); the kept line reassembles raw
+    val page = Seq((1L, "This line has exactly five.\nOnly four words here.\r\n"))
+      .toDF("id", "text")
+    val kept = TextAnalysis.c4LineFilter(page, "text", "id")
+      .select("text_clean").head.getString(0)
+    assert(kept === "This line has exactly five.", kept)
+  }
 }
