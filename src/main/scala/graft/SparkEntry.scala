@@ -1674,12 +1674,12 @@ object SparkEntry {
       // cross-corpus exact jaccard (reference slice = doc_id % 17 == 0)
       "t_cross_jaccard" ->
         s"""WITH $crossJaccardCte
-           SELECT id_a, id_b, round(j, 6) AS jaccard FROM jac WHERE j >= 0.3""",
+           SELECT id_a, id_b, round(j, 6) AS jaccard FROM jac WHERE round(j, 6) >= 0.3""",
       "t_decontam_fuzzy" ->
         s"""WITH $crossJaccardCte
            SELECT doc_id, n_chars FROM documents
            WHERE doc_id % 17 != 0
-             AND doc_id NOT IN (SELECT id_a FROM jac WHERE j >= 0.3)""",
+             AND doc_id NOT IN (SELECT id_a FROM jac WHERE round(j, 6) >= 0.3)""",
       "t_repetition" ->
         """WITH d AS (SELECT doc_id,
                string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+') AS t FROM documents),

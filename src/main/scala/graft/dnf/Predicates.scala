@@ -172,15 +172,28 @@ object Predicates {
 
   /** Compile a literal's value to a Spark literal of the column's type
     * (reference value normalization `serialization/_parquet.py:424-513`). */
+  /** A temporal parse that RAISES on garbage instead of becoming a null
+    * literal: to_date/to_timestamp return null for unparseable strings in
+    * non-ANSI sessions, and `col === null` matches NOTHING — a typo'd
+    * date filter would read as "no matching data" where the reference
+    * raises a parse error. The guard is in-plan (raise_error fires on
+    * first evaluation), so valid literals compile to exactly what they
+    * did before. */
+  private def parsedOrRaise(parsed: Column, s: String, what: String,
+                            dt: String): Column =
+    coalesce(parsed,
+      raise_error(lit(s"Cannot parse $what literal '$s'")).cast(dt))
+
   private def toLit(dt: DataType, v: Any): Column = dt match {
     case _: DateType => v match {
-      case s: String => to_date(lit(s))
+      case s: String => parsedOrRaise(to_date(lit(s)), s, "date", "date")
       case other     => lit(other)
     }
     case _: TimestampNTZType => v match {
       // parquet timestamps without a timezone annotation surface as NTZ in
       // Spark 4; literals must be NTZ-typed too or the comparison fails
-      case s: String => to_timestamp_ntz(lit(s))
+      case s: String =>
+        parsedOrRaise(to_timestamp_ntz(lit(s)), s, "timestamp", "timestamp_ntz")
       case t: java.sql.Timestamp => lit(t.toLocalDateTime)
       case t: java.time.Instant => lit(java.time.LocalDateTime.ofInstant(t, java.time.ZoneOffset.UTC))
       case d: java.sql.Date => lit(d.toLocalDate.atStartOfDay())
@@ -188,7 +201,8 @@ object Predicates {
       case other => lit(other)
     }
     case _: TimestampType => v match {
-      case s: String => to_timestamp(lit(s))
+      case s: String =>
+        parsedOrRaise(to_timestamp(lit(s)), s, "timestamp", "timestamp")
       case d: java.sql.Date => lit(new java.sql.Timestamp(d.getTime))
       case d: java.time.LocalDate => lit(java.sql.Timestamp.valueOf(d.atStartOfDay()))
       case other => lit(other)

@@ -83,7 +83,11 @@ object Chunking {
         coalesce(sum(col(weightCol)).over(w), lit(0L)))
       .select(df.columns.map(col) ++ Seq(
         col("__shard").as("shard"),
-        floor(col("__before") / lit(seqLen.toDouble)).cast("long").as("seq_idx"),
+        // INTEGER division: the double form loses exactness past 2^53
+        // cumulative weight (petabyte-scale token sums), and seq_idx
+        // would then disagree with the exact long modulo beside it —
+        // assigning a row to sequence N with an offset belonging to N+1
+        expr(s"__before div $seqLen").as("seq_idx"),
         (col("__before") % lit(seqLen)).cast("long").as("offset_in_seq")): _*)
   }
 

@@ -86,7 +86,12 @@ object Contamination {
     invC.join(invR, "s")
       .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).cast("double").as("inter"))
-      .where(raw >= threshold)
+      // threshold the ROUNDED value, exactly like the approximate face's
+      // verify path (Dedup.verifyJaccardCross rounds to 6 before its
+      // comparison): thresholding raw here made the two faces disagree on
+      // boundary pairs (raw 0.4999996 rounds to 0.5), breaking the
+      // approx-subset-of-exact invariant DedupSpec pins
+      .where(round(raw, 6) >= threshold)
       .select(col("id_a"), col("id_b"), round(raw, 6).as("jaccard"))
   }
 
@@ -109,6 +114,12 @@ object Contamination {
                            numHashes: Int = 32, bands: Int = 8,
                            shingleN: Int = 3, threshold: Double = 0.5,
                            maxBucketSize: Int = 0): DataFrame = {
+    // same knob validation as the exact sibling: threshold = 0 would
+    // silently emit the full banded candidate cross product
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1] (got $threshold)")
+    require(numHashes >= 1 && bands >= 1 && numHashes % bands == 0,
+      s"bands must divide numHashes (got numHashes=$numHashes, bands=$bands)")
     val shOf = (df: DataFrame) => df
       .select(col(idCol).as("id"), Dedup.shingles(col(textCol), shingleN).as("sh"))
       .where(size(col("sh")) > 0)

@@ -72,7 +72,12 @@ object WebText {
     val lastTwo = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
     val lastThree = concat_ws(".",
       element_at(labels, -3), element_at(labels, -2), element_at(labels, -1))
-    when(n <= 1, host)
+    // null host -> null domain: every when() condition on a null host is
+    // null and fell through to otherwise(), where concat_ws over null
+    // element_at results yields '' — misattributing all null-URL docs to
+    // a phantom '' bucket (and a blocklist entry '' would drop them)
+    when(host.isNull, lit(null).cast("string"))
+      .when(n <= 1, host)
       .when(n >= 3 && lastTwo.isin(TwoLabelSuffixes: _*), lastThree)
       .otherwise(lastTwo)
   }
@@ -129,12 +134,16 @@ object WebText {
 
   /** Keep the FIRST document (min of `idCol`) per normalized URL — exact
     * URL-level dedup, the cheapest dedup stage of a web pipeline (runs
-    * before any content hashing). One hash shuffle on the canonical URL. */
+    * before any content hashing). One hash shuffle on the canonical URL.
+    * NULL urls are exempt and all survive: absent provenance is not a
+    * shared identity (the window would otherwise group every null key
+    * together and keep one doc of N), mirroring the garbage-URL promise
+    * that distinct non-identities stay distinct. Winner selection is
+    * [[graft.ops.Dedup.exact]]'s — one policy, not a second copy. */
   def dedupByUrl(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(normalizeUrl(col(urlCol)))
-      .orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1).drop("__rn")
+    val keyed = df.withColumn("__u", normalizeUrl(col(urlCol)))
+    graft.ops.Dedup.exact(keyed.where(col("__u").isNotNull), Seq("__u"), idCol)
+      .unionByName(keyed.where(col("__u").isNull))
+      .drop("__u")
   }
 }

@@ -70,7 +70,16 @@ final class GraftFileIndex(
   override def rootPaths: Seq[Path] = Seq(base)
 
   private lazy val partRows: Map[String, InternalRow] = labels.map { l =>
-    val vs = values(l).zip(partitionSchema.fields).map { case (s, f) =>
+    val decoded = values(l)
+    // zip would silently TRUNCATE on arity mismatch (a corrupted or
+    // hand-edited header): a short row then throws an opaque index error
+    // at planning — or extra values bind to the wrong partition columns
+    // and mis-prune files. Fail naming the broken label instead.
+    require(decoded.length == partitionSchema.length,
+      s"Label '$l' decodes ${decoded.length} partition value(s) but the " +
+        s"dataset has ${partitionSchema.length} partition column(s) " +
+        s"(${partitionSchema.fieldNames.mkString(", ")})")
+    val vs = decoded.zip(partitionSchema.fields).map { case (s, f) =>
       Cast(Literal(UTF8String.fromString(s), StringType), f.dataType,
         Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
     }

@@ -331,6 +331,16 @@ class DedupSpec extends SparkSpec {
     // verbatim copy (jaccard 1.0) can never be missed by banding
     assert(approx.subsetOf(exact), s"unverified pair leaked: ${approx -- exact}")
     assert(approx.exists(p => p._1 === 3L && p._2 === 102L && p._3 === 1.0))
+    // misconfigured knobs fail fast like the exact sibling — threshold 0
+    // would silently emit the full banded candidate cross product
+    intercept[IllegalArgumentException] {
+      Contamination.crossMinhashNearDups(corpus, reference, "text", "doc_id",
+        threshold = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Contamination.crossMinhashNearDups(corpus, reference, "text", "doc_id",
+        numHashes = 32, bands = 7)
+    }
   }
 
   test("crossMinhashNearDups maxBucketSize drops over-cap bands, never verified pairs' exactness") {

@@ -478,6 +478,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept === Set(2L))
   }
 
+  test("null URLs: every doc survives dedupByUrl; domain is null, not a '' bucket") {
+    import spark.implicits._
+    import graft.ops.WebText
+    val docs = Seq(
+      (1L, Some("https://example.com/a")),
+      (2L, Some("https://example.com/a")),   // dup of 1
+      (3L, Option.empty[String]),            // absent provenance
+      (4L, Option.empty[String])             // absent provenance
+    ).toDF("doc_id", "url")
+    // absent provenance is not a shared identity — the window would have
+    // grouped all null keys and kept one doc of N
+    val kept = WebText.dedupByUrl(docs, "url", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L, 4L))
+    // and a null URL rolls up as a NULL domain, never a phantom '' bucket
+    // (which a blocklist entry '' would silently drop)
+    val doms = docs.select(WebText.urlDomain(col("url")).as("d"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(doms.count(_.isEmpty) === 2, doms.toSeq.toString)
+    assert(!doms.flatten.contains(""))
+  }
+
   test("normalizeUrl is idempotent over randomized URLs (property)") {
     import spark.implicits._
     import graft.ops.WebText

@@ -105,6 +105,21 @@ class PredicatesSpec extends SparkSpec {
       Predicates.check(Seq(Seq(Literal("i", Op.Eq, Seq(1L)))))
     }
   }
+  test("unparseable temporal literals raise instead of matching nothing") {
+    import spark.implicits._
+    val dated = Seq(java.sql.Date.valueOf("2020-01-15")).toDF("d")
+    // a valid literal matches
+    assert(dated.filter(Predicates.toColumn(
+      Seq(Seq(Literal("d", Op.Eq, "2020-01-15"))), dated.schema)).count() === 1)
+    // a typo'd date must RAISE loudly (reference raises a parse error) —
+    // a silent null literal would read as "no matching data"
+    val ex = intercept[Exception] {
+      dated.filter(Predicates.toColumn(
+        Seq(Seq(Literal("d", Op.Eq, "2020-13-99"))), dated.schema)).collect()
+    }
+    assert(ex.getMessage.contains("2020-13-99"), ex.getMessage)
+  }
+
   test("predicate introspection helpers") {
     val preds = Seq(Seq(Literal("i", Op.Eq, 1L), Literal("s", Op.Eq, "a")),
       Seq(Literal("b", Op.Eq, true)))
