@@ -35,9 +35,13 @@ final class DatasetFactory(val spark: SparkSession, val storage: Storage,
     cached match {
       case Some((m, s, ver)) if ver == v => (m, s)
       case _ =>
-        // DatasetMetadata.load handles the msgpack.zstd header fallback and
-        // defers dynamic-partition listing to meta below
-        val loaded = DatasetMetadata.load(storage, uuid)
+        // loadHeaderOnly, NOT load: load() performs the full recursive
+        // table listing for dynamic datasets, whose result this cache
+        // immediately discards (partitions = Nil; `meta` below re-lists
+        // per call) — one wasted object-store LIST of the whole table dir
+        // on every cache fill, the exact hazard writeSinglePartition
+        // documents. For explicit datasets the two are identical.
+        val loaded = DatasetMetadata.loadHeaderOnly(storage, uuid)
         val m = if (loaded.explicitPartitions) loaded else loaded.copy(partitions = Nil)
         val s = DatasetMetadata.loadSchema(storage, uuid, m.tableName)
         cached = Some((m, s, v))

@@ -71,6 +71,14 @@ final case class DatasetMetadata(
     * e.g. "p=1/l=a%20b/part-0.parquet" -> Seq("1", "a b"). */
   def partitionValues(label: String): Seq[String] = {
     val segs = label.split("/").dropRight(1)
+    // zip would silently TRUNCATE a malformed label (a foreign file a
+    // dynamic listing picked up, a hand-edited header): too few segments
+    // later throws an opaque index error deep in pruning; too many would
+    // silently pass as a valid partition. Fail here, naming the label.
+    require(segs.length == partitionKeys.length,
+      s"Label '$label' has ${segs.length} directory segment(s) but the " +
+        s"dataset has ${partitionKeys.length} partition key(s) " +
+        s"(${partitionKeys.mkString(", ")})")
     partitionKeys.zip(segs).map { case (k, seg) =>
       require(seg.startsWith(k + "="), s"Label '$label' missing key '$k'")
       DatasetMetadata.urlDecode(seg.drop(k.length + 1))
@@ -92,6 +100,14 @@ final case class DatasetMetadata(
         c -> scala.collection.immutable.VectorMap.from[String, Any](
           vs.map { case (v, ls) => v -> (ls: Any) })
       }
+      // a column indexed BOTH externally and embedded would let VectorMap
+      // keep only the last entry — the external file reference silently
+      // vanishing from the committed header (orphaned index, changed
+      // pruning). Nothing should ever construct that; refuse if it does.
+      val overlap = indices.keySet.intersect(embeddedIndices.keySet)
+      require(overlap.isEmpty,
+        s"Column(s) ${overlap.mkString(", ")} carry both an external and " +
+          "an embedded index; the header can hold only one per column")
       b += "indices" -> scala.collection.immutable.VectorMap.from[String, Any](
         (ext ++ emb).sortBy(_._1))
     }
@@ -222,6 +238,14 @@ object DatasetMetadata {
     val partitions: Seq[String] = partsNode.map(_.toSeq.map { case (label, pv) =>
       val files = pv.asInstanceOf[Map[String, Any]]
         .get("files").map(_.asInstanceOf[Map[String, Any]]).getOrElse(Map.empty)
+      // multi-table partitions (legacy kartothek headers) are NOT silently
+      // narrowed to one table — headOption would hide part of the data
+      // with no error, and per-partition iteration order would pick the
+      // surviving table nondeterministically
+      require(files.size <= 1,
+        s"Partition '$label' carries ${files.size} tables " +
+          s"(${files.keys.mkString(", ")}); multi-table datasets are not " +
+          "supported — split them into one dataset per table")
       files.headOption match {
         case Some((table, fileKey)) =>
           tableName = table
@@ -269,6 +293,13 @@ object DatasetMetadata {
           // Map.toString garbage into the next committed header
           case m: Map[_, _] => k -> mapper.writeValueAsString(toJackson(m))
           case s: Seq[_]    => k -> mapper.writeValueAsString(toJackson(s))
+          // DOCUMENTED TRADE: graft user metadata is string-typed (the
+          // reference allows arbitrary scalars), so a reference numeric/
+          // boolean/null value normalizes to its text form here and stays
+          // text on the next graft rewrite — scalar strings deliberately
+          // are NOT re-promoted to typed JSON at commit (ADVICE r4: a
+          // user's "42" must stay a string), which makes the mapping
+          // one-way by design.
           case other        => k -> String.valueOf(other)
         }})
         .getOrElse(Map.empty),

@@ -23,10 +23,19 @@ object SchemaNorm {
   def normalizeType(dt: DataType): DataType = dt match {
     case _: ByteType | _: ShortType | _: IntegerType | _: LongType => LongType
     case _: FloatType | _: DoubleType                              => DoubleType
-    case ArrayType(t, containsNull) => ArrayType(normalizeType(t), containsNull)
+    // nested NULLABILITY flags normalize to the permissive form, like the
+    // top-level nullable=true convention: containsNull / struct-field
+    // nullable / valueContainsNull are physical hints, not schema
+    // identity — an append whose array column came from split() (never
+    // null elements) must not be rejected against a stored
+    // array<string> that allows them, with an 'array<string> !=
+    // array<string>' diff that simpleString cannot even display
+    case ArrayType(t, _) => ArrayType(normalizeType(t), containsNull = true)
     case StructType(fields) =>
-      StructType(fields.map(f => f.copy(dataType = normalizeType(f.dataType))))
-    case MapType(k, v, n) => MapType(normalizeType(k), normalizeType(v), n)
+      StructType(fields.map(f =>
+        f.copy(dataType = normalizeType(f.dataType), nullable = true)))
+    case MapType(k, v, _) =>
+      MapType(normalizeType(k), normalizeType(v), valueContainsNull = true)
     case other => other
   }
 

@@ -102,8 +102,16 @@ object Curate {
     // tags (two docs differing only in markup ARE duplicates)
     val cleaned = clean(df, textCol, cfg)
 
-    // 1. exact dedup: deterministic winner (minimum id) per content hash
-    val exact = Dedup.exact(cleaned, Seq(textCol), idCol)
+    // 1. exact dedup: deterministic winner (minimum id) per content hash —
+    // keyed on TWO independent 64-bit hashes (Dedup.exactGroups' collision
+    // bound), never the raw text: a text-keyed window shuffles and
+    // range-compares every multi-KB document as its own key, the exact
+    // "never shuffle text" violation the dedup family's design forbids
+    val exact = Dedup.exact(
+        cleaned.withColumn("__k1", xxhash64(col(textCol)))
+          .withColumn("__k2", xxhash64(col(textCol), lit("graft.exact2"))),
+        Seq("__k1", "__k2"), idCol)
+      .drop("__k1", "__k2")
 
     // 2. quality + language gates
     val gated0 = gates(exact, textCol, cfg)

@@ -145,10 +145,23 @@ object Storage {
   // (scheme + authority), closed on JVM shutdown.
   private val fsCache =
     new java.util.concurrent.ConcurrentHashMap[String, FileSystem]()
+  // the cache key carries a fingerprint of the filesystem-relevant conf
+  // (fs.* — credentials, endpoints, committers): keyed on scheme+authority
+  // alone, the FIRST Storage's conf would permanently win for that URI,
+  // and a second session targeting the same bucket with different
+  // credentials would silently use the first tenant's FileSystem
+  private[store] def confFingerprint(conf: Configuration): Int = {
+    import scala.jdk.CollectionConverters._
+    conf.iterator().asScala
+      .collect { case e if e.getKey.startsWith("fs.") =>
+        e.getKey + "=" + e.getValue }
+      .toSeq.sorted.hashCode()
+  }
   private[store] def unverifiedFs(uri: java.net.URI,
                                   conf: Configuration): FileSystem =
     fsCache.computeIfAbsent(
-      s"${Option(uri.getScheme).getOrElse("file")}://${Option(uri.getAuthority).getOrElse("")}",
+      s"${Option(uri.getScheme).getOrElse("file")}://" +
+        s"${Option(uri.getAuthority).getOrElse("")}#${confFingerprint(conf)}",
       _ => {
         val f = FileSystem.newInstance(uri, conf)
         f.setVerifyChecksum(false)

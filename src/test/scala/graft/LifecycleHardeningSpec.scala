@@ -196,6 +196,44 @@ class LifecycleHardeningSpec extends SparkSpec {
       predicates = Some(Seq(Seq(Literal("c", Op.Eq, "a"))))).count() === 1L)
   }
 
+  test("malformed labels and colliding index kinds fail loudly, naming the culprit") {
+    // a label whose directory segments mismatch the partition-key arity
+    // (a foreign file in a dynamic listing) must not silently truncate
+    val meta = DatasetMetadata("ml", Seq("p=1/part-0.parquet"), Seq("p"),
+      Map.empty, Map.empty)
+    assert(meta.partitionValues("p=1/part-0.parquet") === Seq("1"))
+    val e1 = intercept[IllegalArgumentException] {
+      meta.partitionValues("part-0.parquet")
+    }
+    assert(e1.getMessage.contains("part-0.parquet"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      meta.partitionValues("p=1/junk/part-0.parquet")
+    }
+    assert(e2.getMessage.contains("junk"), e2.getMessage)
+    // a column indexed both externally and embedded would silently lose
+    // one entry in the committed header's VectorMap merge
+    val both = DatasetMetadata("mx", Seq("part-0.parquet"), Nil,
+      indices = Map("c" -> "mx/indices/c/t.by-dataset-index.parquet"),
+      metadata = Map.empty,
+      embeddedIndices = Map("c" -> Seq(("v", Seq("part-0")))))
+    val e3 = intercept[IllegalArgumentException] { both.toJson }
+    assert(e3.getMessage.contains("external and an embedded"), e3.getMessage)
+  }
+
+  test("a multi-table reference header is refused, not silently narrowed") {
+    val dict: Map[String, Any] = Map(
+      "dataset_metadata_version" -> 4,
+      "dataset_uuid" -> "mt",
+      "partitions" -> Map(
+        "part0" -> Map("files" -> Map(
+          "table" -> "mt/table/part0.parquet",
+          "aux" -> "mt/aux/part0.parquet"))))
+    val e = intercept[IllegalArgumentException] {
+      DatasetMetadata.fromDict(dict)
+    }
+    assert(e.getMessage.contains("2 tables"), e.getMessage)
+  }
+
   test("label resolution over large partition counts avoids the literal-map scan") {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val parts = (0 until 2500).map(i => f"p$i%04d.parquet")

@@ -46,6 +46,24 @@ class SchemaNormSpec extends AnyFunSuite {
     assert(e.getMessage.contains("z"))
   }
 
+  test("nested nullability flags are not schema identity") {
+    // split()-built arrays carry containsNull=false; a stored JSON-sourced
+    // array<string> carries true — identical simpleStrings, and rejecting
+    // them produced an 'array<string> != array<string>' diff
+    val a = StructType(Seq(StructField("t", ArrayType(StringType, true))))
+    val b = StructType(Seq(StructField("t", ArrayType(StringType, false))))
+    SchemaNorm.validateCompatible(a, b)
+    SchemaNorm.validateCompatible(b, a)
+    val s1 = StructType(Seq(StructField("s",
+      StructType(Seq(StructField("i", IntegerType, nullable = false))))))
+    val s2 = StructType(Seq(StructField("s",
+      StructType(Seq(StructField("i", LongType, nullable = true))))))
+    SchemaNorm.validateCompatible(s1, s2)
+    val m1 = StructType(Seq(StructField("m", MapType(StringType, LongType, false))))
+    val m2 = StructType(Seq(StructField("m", MapType(StringType, IntegerType, true))))
+    SchemaNorm.validateCompatible(m1, m2)
+  }
+
   test("all-null (NullType) columns exempt from comparison") {
     val a = StructType(Seq(StructField("x", LongType), StructField("y", NullType)))
     val b = StructType(Seq(StructField("x", LongType), StructField("y", StringType)))
