@@ -126,6 +126,26 @@ class SamplingPropertySpec extends SparkSpec {
     }
   }
 
+  test("wsTokens: 200 whitespace-chaos strings match the Java-regex reference") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val pieces = Seq(" ", "\t", "\n", "\r", "", "\f", "a", "bb", "ccc",
+      "d.e", "-", "\r\n")
+    val rows: Seq[(Long, String)] = (1L to 200L).map { i =>
+      (i, (0 until rng.nextInt(12)).map(_ => pieces(rng.nextInt(pieces.size)))
+        .mkString)
+    }
+    val got = spark.createDataset(rows).toDF("id", "text")
+      .select(col("id"), graft.ops.TextAnalysis.wsTokens(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    // independent reference: Java regex trim + split, empty -> no tokens
+    val expect = rows.map { case (i, s) =>
+      val t = s.replaceAll("^\\s+|\\s+$", "")
+      i -> (if (t.isEmpty) Nil else t.split("\\s+").toList)
+    }.toMap
+    assert(got === expect)
+  }
+
   test("shuffleShards: permutation is the documented pure function of (id, salt)") {
     import spark.implicits._
     for (trial <- 1 to 10) {
