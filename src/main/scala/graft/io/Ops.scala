@@ -159,7 +159,8 @@ object Ops {
   def convertDataset(spark: SparkSession, store: Storage, srcUuid: String,
                      tgtUuid: String, format: String,
                      overwrite: Boolean = false,
-                     chunkSize: Option[Long] = None): DatasetMetadata = {
+                     chunkSize: Option[Long] = None,
+                     writeWidth: Int = 0): DatasetMetadata = {
     require(srcUuid != tgtUuid,
       s"convertDataset writes a NEW dataset; converting '$srcUuid' onto itself is refused")
     val meta = DatasetMetadata.load(store, srcUuid)
@@ -171,7 +172,30 @@ object Ops {
       Writer.WriteOpts(partitionOn = meta.partitionKeys,
         secondaryIndices = idxCols,
         metadata = meta.metadata, format = format,
-        overwrite = overwrite, chunkSize = chunkSize))
+        overwrite = overwrite, chunkSize = chunkSize,
+        writeWidth = writeWidth))
+  }
+
+  /** Compact a dataset's small files into a NEW dataset with a bounded
+    * file count — the lifecycle op a long-running [[graft.streaming.Streaming]]
+    * ingest needs: every micro-batch commit lands its own file(s), so an
+    * unattended stream accumulates thousands of tiny parquet files whose
+    * per-file open/footer cost eventually dominates reads. Same
+    * dataset-to-dataset contract as [[convertDataset]] (the source stays
+    * intact until the caller deletes it; in-place would destroy it on a
+    * mid-write failure), same format, partitioning/indices/metadata
+    * carried over. A PARTITIONED dataset rewrites to exactly one file per
+    * partition value (the layout shuffle co-locates each value);
+    * `targetFiles` bounds the file count of an UNPARTITIONED dataset.
+    * Content-level compaction (near-dup removal while rewriting) is
+    * [[graft.ops.Curate.compactNearDups]]; this face moves bytes only. */
+  def compactDataset(spark: SparkSession, store: Storage, srcUuid: String,
+                     tgtUuid: String, targetFiles: Int = 1,
+                     overwrite: Boolean = false): DatasetMetadata = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1 (got $targetFiles)")
+    val meta = DatasetMetadata.loadHeaderOnly(store, srcUuid)
+    convertDataset(spark, store, srcUuid, tgtUuid, meta.format,
+      overwrite = overwrite, writeWidth = targetFiles)
   }
 
   /** Copy a dataset between stores (reference `copy_keys`,

@@ -101,6 +101,13 @@ object Writer {
         pre.repartition(width, keyCols :+ bucket: _*)
       } else if (o.partitionOn.nonEmpty) {
         pre.repartition(width, keyCols: _*)
+      } else if (o.writeWidth > 0) {
+        // an EXPLICIT width must bind for unpartitioned datasets too
+        // (compactDataset's file-count contract) — via repartition, never
+        // coalesce: coalesce propagates UPSTREAM and would collapse the
+        // whole read to `width` tasks (the r5 sampling-filter trap),
+        // where the round-robin exchange keeps the scan wide
+        pre.repartition(o.writeWidth)
       } else pre
     if (o.sortBy.nonEmpty)
       shuffled.sortWithinPartitions((o.partitionOn ++ o.sortBy).map(col): _*)

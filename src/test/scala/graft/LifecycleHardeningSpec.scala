@@ -196,6 +196,31 @@ class LifecycleHardeningSpec extends SparkSpec {
       predicates = Some(Seq(Seq(Literal("c", Op.Eq, "a"))))).count() === 1L)
   }
 
+  test("compactDataset collapses streaming-accumulated small files, keeps rows + indices") {
+    val store = freshStore()
+    // three appends = three separate files, the shape a long-running
+    // micro-batch ingest accumulates
+    Writer.store(spark, store, "frag",
+      Seq((1L, "a", "x")).toDF("id", "s", "c"),
+      WriteOpts(secondaryIndices = Seq("s")))
+    Writer.update(spark, store, "frag", Some(Seq((2L, "b", "y")).toDF("id", "s", "c")))
+    Writer.update(spark, store, "frag", Some(Seq((3L, "a", "z")).toDF("id", "s", "c")))
+    assert(DatasetMetadata.load(store, "frag").partitions.size === 3)
+    val meta = Ops.compactDataset(spark, store, "frag", "fragc")
+    assert(meta.partitions.size === 1, meta.partitions.toString)
+    assert(Reader.readTable(spark, store, "fragc")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+    // the rebuilt index prunes on the compacted layout
+    assert(Reader.readTable(spark, store, "fragc",
+      predicates = Some(Seq(Seq(Literal("s", Op.Eq, "a")))))
+      .count() === 2L)
+    // source untouched; in-place refused
+    assert(Reader.readTable(spark, store, "frag").count() === 3L)
+    intercept[IllegalArgumentException] {
+      Ops.compactDataset(spark, store, "frag", "frag")
+    }
+  }
+
   test("malformed labels and colliding index kinds fail loudly, naming the culprit") {
     // a label whose directory segments mismatch the partition-key arity
     // (a foreign file in a dynamic listing) must not silently truncate
