@@ -4,25 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      // pin the shuffle width to the core count: AQE still coalesces small
-      // post-shuffle READS by size (parallelismFirst=false), but the WRITE
-      // side of every exchange materializes `shuffle.partitions` bucket
-      // files per map task regardless of AQE — at the 200 default the
-      // bypass-merge writer's file churn (200 opens/closes x tasks x
-      // exchanges) measured as SECONDS per stage on this box while 13k-row
-      // aggregation outputs were being written. At cluster scale the same
-      // knob is sized to the cluster, not left at a default 6x the
-      // parallelism.
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS); surface as long nanos
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Sessions.local(cpus, "plateauspark-bench")
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: first-query costs (codegen compiler, parquet reader
     // init, shuffle service, OS page cache for each input file) should not
@@ -70,27 +52,43 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
-    // BENCH_LOCAL.json keeps ONE section per scale tier (the sf1 scale-stress
-    // runs live next to the default sf0.1 numbers); the driver consumes the
-    // stdout line below, not this file
-    val path = java.nio.file.Paths.get("BENCH_LOCAL.json")
-    val existing: Map[String, String] =
-      if (java.nio.file.Files.exists(path)) {
-        val root = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(java.nio.file.Files.readString(path))
-        if (root.has("metric")) Map(root.get("sf").asText() -> root.toString)
-        else {
-          import scala.jdk.CollectionConverters._
-          root.properties().asScala.map(e => e.getKey -> e.getValue.toString).toMap
-        }
-      } else Map.empty
-    val merged = (existing + (sfDir -> line)).toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"$k\": $v" }.mkString("{\n", ",\n", "\n}")
-    java.nio.file.Files.writeString(path, merged)
     spark.stop()
-    // guaranteed-last stdout line, after spark.stop()'s own logging
+    // guaranteed-last stdout line, after spark.stop()'s own logging — and
+    // BEFORE the advisory file merge below: the driver consumes THIS line,
+    // and a corrupt local file must never eat a green run's result
     println(line)
     System.out.flush()
+    // BENCH_LOCAL.json keeps ONE section per scale tier (the sf1 scale-stress
+    // runs live next to the default sf0.1 numbers). Advisory only: a
+    // truncated file from a killed run (writeString is not atomic) or an
+    // old-format line must degrade to a fresh file, not kill the bench.
+    val path = java.nio.file.Paths.get("BENCH_LOCAL.json")
+    val existing: Map[String, String] =
+      try {
+        if (java.nio.file.Files.exists(path)) {
+          val root = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(java.nio.file.Files.readString(path))
+          if (root.has("metric"))
+            Map(Option(root.get("sf")).map(_.asText()).getOrElse(sfDir) -> root.toString)
+          else {
+            import scala.jdk.CollectionConverters._
+            root.properties().asScala.map(e => e.getKey -> e.getValue.toString).toMap
+          }
+        } else Map.empty
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          // start a fresh file rather than staying broken every run after
+          System.err.println(s"[bench] unreadable BENCH_LOCAL.json dropped: $e")
+          Map.empty
+      }
+    try {
+      val merged = (existing + (sfDir -> line)).toSeq.sortBy(_._1)
+        .map { case (k, v) => s"\"$k\": $v" }.mkString("{\n", ",\n", "\n}")
+      java.nio.file.Files.writeString(path, merged)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] BENCH_LOCAL.json merge skipped: $e")
+    }
     if (errors.nonEmpty) sys.exit(1)
   }
 }

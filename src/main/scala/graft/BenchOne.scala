@@ -3,11 +3,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Run and time ONE contract query: `runMain graft.BenchOne <query> [sfDir]
-  * [reps]`. The single-query face of [[Bench]] (same session config, same
-  * untimed first pass for codegen/page-cache warmth, same
-  * `toRdd.count()` materialization) — for iterating on one operator
-  * without paying the whole suite, and for checking a query at a
-  * non-default tier. */
+  * [reps]`. The single-query face of [[Bench]]: session config from the
+  * SAME shared factory ([[Sessions.local]] — cpus default 32 here, the
+  * scale-isolation box, vs Bench's driver-set width), same `toRdd.count()`
+  * materialization, and one UNTIMED warmup pass so run0 reports query
+  * time, not fixture builds / codegen / page-cache faults. For iterating
+  * on one operator without paying the whole suite, and for checking a
+  * query at a non-default tier. run0 is still typically slower than run1
+  * (JIT warmth); record warm reps. */
 object BenchOne {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: BenchOne <query> [sfDir] [reps]")
@@ -17,17 +20,12 @@ object BenchOne {
     val fn = SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query '$name'; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      // same width contract as Bench: write-side bucket-file count follows
-      // shuffle.partitions even under AQE — pin it to the core count
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Sessions.local(cpus, "plateauspark-benchone")
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: fixture-backed queries build their per-JVM dataset
+    // here, not inside run0's timing
+    try fn(spark, sfDir).queryExecution.toRdd.count()
+    catch { case _: Throwable => () } // the timed run reports the failure
     for (i <- 0 until math.max(1, reps)) {
       val t0 = System.nanoTime()
       val rows = fn(spark, sfDir).queryExecution.toRdd.count()

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The ONE local-session builder for the contract mains (Bench, BenchOne,
+  * Verify, Smoke). The config contract lived as four hand-copied builder
+  * blocks and had already drifted (BenchOne lost the committer-v2 setting
+  * its write-bearing timings depend on); a shared factory enforces the
+  * "same width contract as Bench" comments by construction.
+  *
+  * Width contract: shuffle.partitions pinned to the core count — the
+  * write side of every exchange materializes `shuffle.partitions` bucket
+  * files per map task regardless of AQE, and the 200 default measured as
+  * SECONDS of file churn per stage on small aggregation outputs. AQE
+  * still coalesces small post-shuffle READS by size
+  * (parallelismFirst=false). At cluster scale the same knob is sized to
+  * the cluster, not left at a default 6x the parallelism. */
+object Sessions {
+  def local(cpus: String, appName: String = "plateauspark"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS); surface as long nanos
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark
+  }
+}

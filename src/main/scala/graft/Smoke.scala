@@ -16,14 +16,7 @@ import graft.store.Storage
 object Smoke {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .appName("plateauspark-smoke")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Sessions.local("8", "plateauspark-smoke")
     spark.sparkContext.setLogLevel("ERROR")
     val base = java.nio.file.Files.createTempDirectory("plateau-smoke").toString
     val store = Storage(spark, base)
@@ -63,9 +56,15 @@ object Smoke {
     Ops.collectDatasetMetadata(spark, store, "li").show(5, false)
 
     // 5. error probes: type mismatch, overwrite refusal, bad projection
+    // null-message-safe: a probe failing with a bare NPE (null message)
+    // must print its '== correctly failed' line, not die in the reporter
+    def firstLine(e: Throwable): String = {
+      val m = Option(e.getMessage).getOrElse(e.toString)
+      m.linesIterator.nextOption().getOrElse(m).take(100)
+    }
     def expectFail(tag: String)(f: => Any): Unit =
       try { f; println(s"!! $tag DID NOT FAIL") }
-      catch { case e: Exception => println(s"== $tag correctly failed: ${e.getMessage.linesIterator.next().take(100)}") }
+      catch { case e: Exception => println(s"== $tag correctly failed: ${firstLine(e)}") }
     expectFail("type-mismatch") {
       Reader.readTable(spark, store, "li",
         predicates = Some(Seq(Seq(Literal("l_quantity", Op.Eq, "oops"))))).count()
@@ -105,7 +104,9 @@ object Smoke {
       val ev = spark.read.parquet(s"$sfDir/events.parquet")
       println("== events schema: " + ev.schema.simpleString)
       ev.select(min("ts"), max("ts")).show(false)
-    } catch { case e: Throwable => println("!! events read failed: " + e.getMessage.take(200)) }
+    } catch { case e: Throwable =>
+      println("!! events read failed: " +
+        Option(e.getMessage).getOrElse(e.toString).take(200)) }
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     docs.select(col("doc_id"), col("lang"),

@@ -1451,10 +1451,16 @@ object SparkEntry {
            WHERE b.source = 'src0' AND NOT EXISTS (
              SELECT 1 FROM documents s
              WHERE s.source <> 'src0' AND s.text = b.text)""",
+      // NULL-SAFE key equality: Dedup.exact's window groups null keys
+      // (a null-lang group keeps its min-id row), and a plain '=' join
+      // would silently exclude every null-key row the moment a tier
+      // gains null provenance — the divergence would read as a hash
+      // mismatch, not a named bug
       "d_dedup_exact" ->
         """SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars FROM documents d
            JOIN (SELECT lang, source, min(doc_id) AS m FROM documents GROUP BY lang, source) g
-             ON d.lang = g.lang AND d.source = g.source AND d.doc_id = g.m""",
+             ON d.lang IS NOT DISTINCT FROM g.lang
+             AND d.source IS NOT DISTINCT FROM g.source AND d.doc_id = g.m""",
       "d_ngram_jaccard" ->
         """WITH sh AS (
              SELECT doc_id AS id, list_distinct(list_transform(range(1, len(t) - 1),
