@@ -3,7 +3,7 @@ package graft
 import java.security.MessageDigest
 
 import org.apache.spark.sql.functions.col
-import graft.ops.{Sampling, SeenSet}
+import graft.ops.{AsofJoin, Sampling, SeenSet}
 
 /** Randomized mirrors for the newest curation family: each operator is
   * replayed against an INDEPENDENT in-memory reference implementing the
@@ -144,6 +144,53 @@ class SamplingPropertySpec extends SparkSpec {
       i -> (if (t.isEmpty) Nil else t.split("\\s+").toList)
     }.toMap
     assert(got === expect)
+  }
+
+  test("asof backward/forward: 30 random corpora match the per-row reference") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    for (trial <- 1 to 30) {
+      val keys = (0 until 1 + rng.nextInt(4)).map(i => s"k$i")
+      def mkKey: Option[String] =
+        if (rng.nextInt(10) == 0) None else Some(keys(rng.nextInt(keys.size)))
+      val left: Seq[(Long, Option[String], Option[Long])] =
+        (1L to (1 + rng.nextInt(40)).toLong).map { i =>
+          (i, mkKey,
+            if (rng.nextInt(12) == 0) None else Some(rng.nextInt(50).toLong))
+        }
+      // right rows UNIQUE per (key, t) — the tie-break among equal right
+      // timestamps is documented arbitrary, so the reference must not
+      // depend on it; plus a few never-matching null-key/time rows
+      val right: Seq[(Option[String], Option[Long], String)] =
+        rng.shuffle(for { k <- keys.toList; t <- 0 until 50 } yield (k, t.toLong))
+          .take(1 + rng.nextInt(60))
+          .zipWithIndex.map { case ((k, t), i) => (Some(k), Some(t), s"p$i") } ++
+          Seq((None, Some(7L), "never"), (Some(keys.head), None, "never"))
+      val lDf = spark.createDataset(left).toDF("id", "k", "t").repartition(3)
+      val rDf = spark.createDataset(right).toDF("k", "rt", "payload").repartition(2)
+      val tol = if (trial % 2 == 0) Some(5L) else None
+      def expect(fwd: Boolean): Map[Long, Option[String]] = left.map {
+        case (id, Some(k), Some(t)) =>
+          val cands = right.collect {
+            case (Some(`k`), Some(rt), p)
+              if (if (fwd) rt >= t else rt <= t) &&
+                 tol.forall(tv => (if (fwd) rt - t else t - rt) <= tv) => (rt, p)
+          }
+          id -> (if (cands.isEmpty) None
+                 else Some((if (fwd) cands.minBy(_._1) else cands.maxBy(_._1))._2))
+        case (id, _, _) => id -> None
+      }.toMap
+      val gotB = AsofJoin.backward(lDf, rDf, Seq("k"), "t", "rt",
+          Seq("payload"), tolerance = tol.map(lit(_)))
+        .select(col("id"), col("asof_payload"))
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(gotB === expect(fwd = false), s"trial $trial backward tol=$tol")
+      val gotF = AsofJoin.forward(lDf, rDf, Seq("k"), "t", "rt",
+          Seq("payload"), tolerance = tol.map(lit(_)))
+        .select(col("id"), col("asof_payload"))
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(gotF === expect(fwd = true), s"trial $trial forward tol=$tol")
+    }
   }
 
   test("shuffleShards: permutation is the documented pure function of (id, salt)") {
