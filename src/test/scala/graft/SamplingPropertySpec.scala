@@ -126,6 +126,35 @@ class SamplingPropertySpec extends SparkSpec {
     }
   }
 
+  test("tokenChunks: 30 random corpora tile exactly per the documented window math") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    for (trial <- 1 to 30) {
+      val window = 1 + rng.nextInt(6)
+      val stride = 1 + rng.nextInt(window)
+      val docs: Seq[(Long, String)] = (1L to (1 + rng.nextInt(25)).toLong).map { i =>
+        val toks = (0 until rng.nextInt(15)).map(_ => s"w${rng.nextInt(9)}")
+        val pad = Seq("", " ", "\t", "\n")(rng.nextInt(4))
+        (i, pad + toks.mkString(" ") + pad)
+      }
+      val got = graft.ops.Chunking.tokenChunks(
+          spark.createDataset(docs).toDF("id", "text").repartition(3),
+          "text", "id", window, stride)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getString(2), r.getLong(3)))).toMap
+      val expect = docs.flatMap { case (id, text) =>
+        val t = text.replaceAll("^\\s+|\\s+$", "")
+        val toks = if (t.isEmpty) Array.empty[String] else t.split("\\s+")
+        val nChunks = math.ceil(toks.length.toDouble / stride).toInt
+        (0 until nChunks).map { i =>
+          val c = toks.slice(i * stride, i * stride + window)
+          (id, i.toLong) -> ((c.mkString(" "), c.length.toLong))
+        }
+      }.toMap
+      assert(got === expect, s"trial $trial window=$window stride=$stride")
+    }
+  }
+
   test("wsTokens: 200 whitespace-chaos strings match the Java-regex reference") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
