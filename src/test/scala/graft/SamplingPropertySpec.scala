@@ -5,14 +5,19 @@ import java.security.MessageDigest
 import org.apache.spark.sql.functions.col
 import graft.ops.{AsofJoin, Sampling, SeenSet}
 
-/** Randomized mirrors for the newest curation family: each operator is
-  * replayed against an INDEPENDENT in-memory reference implementing the
-  * documented contract — the same discipline [[PredicatesPropertySpec]]
-  * applies to the DNF compiler and DedupSpec's property test applies to the
-  * span machinery (reference model: plateau's hypothesis suites,
-  * `plateau/core/testing.py:70-160`). The example tests pin each edge; these
-  * pin the arithmetic across 40+ random corpora per operator, including the
-  * engine-portability claims (md5 membership, interpolated percentile).
+/** Randomized mirrors for the curation surface: each operator is replayed
+  * against an INDEPENDENT in-memory reference implementing the documented
+  * contract — the same discipline [[PredicatesPropertySpec]] applies to
+  * the DNF compiler and DedupSpec's property test applies to the span
+  * machinery (reference model: plateau's hypothesis suites,
+  * `plateau/core/testing.py:70-160`). The example tests pin each edge;
+  * these pin the arithmetic across 30-200 random corpora per operator:
+  * quantile banding (interpolated percentile), seen-set NOT-EXISTS
+  * (saturated blooms included), temperature mixtures (round-9
+  * md5-threshold portability), global shuffle permutations (full-digest
+  * contract), the shared whitespace tokenizer, the as-of join family
+  * (both directions, tolerance, null keys/times, cross-side ties), and
+  * token chunking (window math, whitespace edges, partial final chunks).
   */
 class SamplingPropertySpec extends SparkSpec {
 
