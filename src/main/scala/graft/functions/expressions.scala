@@ -28,7 +28,15 @@ object expressions {
     // surface readable analysis errors for NULL / non-numeric literals
     // instead of raw NPE/ClassCastException with no function context
     e.eval() match {
-      case n: Number => n.intValue()
+      case n: Number =>
+        // Number.intValue TRUNCATES: 2.9D would silently run as n=2 and a
+        // long above Int.MaxValue would wrap — both must raise like any
+        // other bad literal
+        val l = n.longValue()
+        if (n.doubleValue() != l || l < Int.MinValue || l > Int.MaxValue)
+          throw new IllegalArgumentException(
+            s"$fn: size argument must be an integer literal, got $n")
+        l.toInt
       case null => throw new IllegalArgumentException(
         s"$fn: size argument must not be NULL")
       case other => throw new IllegalArgumentException(
@@ -36,23 +44,46 @@ object expressions {
     }
   }
 
+  private def arity(es: Seq[Expression], n: Int, fn: String): Seq[Expression] = {
+    if (es.length != n) throw new IllegalArgumentException(
+      s"$fn expects $n argument(s), got ${es.length}")
+    es
+  }
+
+  /** THE shared per-row tokenizer of the codegen'd text expressions —
+    * identical to the previous per-site
+    * `s.toLowerCase.trim.toString.split("\\s+", -1)`, but against ONE
+    * precompiled pattern: String.split has no fast path for a multi-char
+    * regex, so three expressions were re-running Pattern.compile on every
+    * row of the exact hot path this file exists to shave. */
+  private val WsPattern = java.util.regex.Pattern.compile("\\s+")
+  private[functions] def wsSplit(s: UTF8String): Array[String] =
+    WsPattern.split(s.toLowerCase.trim.toString, -1)
+
   /** Register all graft expressions as SQL temp functions on a session:
     * `word_shingles(text, n)`, `minhash_signature(arr, k)`,
     * `dot_product(a, b)`, `simhash(text)`, `hyperplane_buckets(v, planes,
     * tables)`, `byte_dim_sums(payload, dims)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    // arity-checked up front: a wrong-arity SQL call would otherwise die
+    // in a bare IndexOutOfBoundsException naming no function
     ColumnBridge.registerFunction(spark, "word_shingles",
-      es => WordShingles(es.head, intArg(es(1), "word_shingles")))
+      es => { arity(es, 2, "word_shingles")
+        WordShingles(es.head, intArg(es(1), "word_shingles")) })
     ColumnBridge.registerFunction(spark, "minhash_signature",
-      es => MinHashSignature(es.head, intArg(es(1), "minhash_signature")))
+      es => { arity(es, 2, "minhash_signature")
+        MinHashSignature(es.head, intArg(es(1), "minhash_signature")) })
     ColumnBridge.registerFunction(spark, "dot_product",
-      es => DotProduct(es.head, es(1)))
-    ColumnBridge.registerFunction(spark, "simhash", es => SimHash(es.head))
+      es => { arity(es, 2, "dot_product"); DotProduct(es.head, es(1)) })
+    ColumnBridge.registerFunction(spark, "simhash",
+      es => { arity(es, 1, "simhash"); SimHash(es.head) })
     ColumnBridge.registerFunction(spark, "hyperplane_buckets",
-      es => HyperplaneBuckets(es.head, intArg(es(1), "hyperplane_buckets"),
-        intArg(es(2), "hyperplane_buckets")))
+      es => { arity(es, 3, "hyperplane_buckets")
+        HyperplaneBuckets(es.head, intArg(es(1), "hyperplane_buckets"),
+          intArg(es(2), "hyperplane_buckets")) })
     ColumnBridge.registerFunction(spark, "byte_dim_sums",
-      es => ByteDimSums(es.head, intArg(es(1), "byte_dim_sums")))
+      es => { arity(es, 2, "byte_dim_sums")
+        ByteDimSums(es.head, intArg(es(1), "byte_dim_sums")) })
   }
 }
 
@@ -75,7 +106,7 @@ case class WordShingles(child: Expression, n: Int)
 
   def compute(s: UTF8String): ArrayData = {
     // the same operators Spark's lower/trim/split functions delegate to
-    val toks = s.toLowerCase.trim.toString.split("\\s+", -1)
+    val toks = expressions.wsSplit(s)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String](toks.length * 2)
     val sb = new java.lang.StringBuilder(64)
@@ -314,6 +345,21 @@ case class HyperplaneBuckets(child: Expression, planes: Int, tables: Int)
   def compute(v: ArrayData): ArrayData = {
     val n = v.numElements()
     val comps = components(n)
+    // ONE primitive extraction per row, not per (table, plane): the
+    // per-element ArrayData virtual calls were tables*planes*dim per row
+    // (~37k for 3x16x768) — the same measured hot-path fix PairMaxCosine
+    // and NearestCentroid carry. A null element anywhere zeroes every
+    // plane bit, exactly as the old scan-to-first-null inner loop did.
+    val vals = new Array[Double](n)
+    var sawNull = false
+    var i0 = 0
+    while (i0 < n && !sawNull) {
+      if (v.isNullAt(i0)) sawNull = true
+      else {
+        vals(i0) = if (childFloat) v.getFloat(i0).toDouble else v.getDouble(i0)
+        i0 += 1
+      }
+    }
     val out = new Array[Any](tables)
     var t = 0
     while (t < tables) {
@@ -323,16 +369,8 @@ case class HyperplaneBuckets(child: Expression, planes: Int, tables: Int)
       while (p < planes) {
         val comp = comps(t * planes + p)
         var acc = 0.0
-        var sawNull = false
         var i = 0
-        while (i < n && !sawNull) {
-          if (v.isNullAt(i)) sawNull = true
-          else {
-            val x = if (childFloat) v.getFloat(i).toDouble else v.getDouble(i)
-            acc += x * comp(i)
-            i += 1
-          }
-        }
+        if (!sawNull) while (i < n) { acc += vals(i) * comp(i); i += 1 }
         sb.append(if (!sawNull && acc >= 0) '1' else '0')
         p += 1
       }
@@ -370,7 +408,7 @@ case class SimHash(child: Expression) extends UnaryExpression {
       s"$prettyName requires string, got ${child.dataType.simpleString}")
 
   def compute(s: UTF8String): Long = {
-    val toks = s.toLowerCase.trim.toString.split("\\s+", -1)
+    val toks = expressions.wsSplit(s)
     val seen = new java.util.HashSet[String](toks.length * 2)
     val votes = new Array[Int](32)
     var t = 0
@@ -481,7 +519,7 @@ case class NbMeanLogOdds(child: Expression, model: Map[String, Double])
   }
 
   def compute(s: UTF8String): java.lang.Double = {
-    val toks = s.toLowerCase.trim.toString.split("\\s+", -1)
+    val toks = expressions.wsSplit(s)
     var n = 0
     var sum = 0.0
     var i = 0
@@ -907,6 +945,24 @@ case class BloomMightContain(child: Expression,
   @transient private lazy val bloom: org.apache.spark.util.sketch.BloomFilter =
     org.apache.spark.util.sketch.BloomFilter.readFrom(
       new java.io.ByteArrayInputStream(filter.unsafeArray.asInstanceOf[Array[Byte]]))
+
+  // structural equality via a 128-bit digest, never the raw bytes: the
+  // filter is MB-GB scale (n=1e9 @ 1% fpp ~ 1.2 GB), and Catalyst
+  // compares expression trees REPEATEDLY (optimizer fixed-point checks,
+  // canonicalization, semanticEquals) — the synthetic case-class
+  // equals/hashCode walking every byte per comparison stalls the driver
+  // for seconds per optimizer batch before any task launches. Computed
+  // once, lazily; MD5 collisions (~2^-64 at any plausible plan count)
+  // would merely dedupe two distinct filters in a plan cache.
+  @transient private lazy val filterDigest: (Int, Seq[Byte]) =
+    (filter.length, scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(filter.unsafeArray.asInstanceOf[Array[Byte]])))
+  override def equals(o: Any): Boolean = o match {
+    case b: BloomMightContain => child == b.child && filterDigest == b.filterDigest
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(child, filterDigest)
 
   def compute(h: Long): Boolean = bloom.mightContainLong(h)
 
