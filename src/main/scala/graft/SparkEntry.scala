@@ -696,10 +696,17 @@ object SparkEntry {
           (col("doc_id") % 256).cast("string"),
           lit(" or call 555-123-4567."))).as("redacted"))),
 
-    // --- similarity: anisotropy remediation (center + L2 normalize)
+    // --- similarity: anisotropy remediation (center + L2 normalize).
+    // The contract output is posexploded to SCALAR (vec_id, pos, value)
+    // rows: the driver's comparator sorts result columns with pandas,
+    // which cannot factorize array values — array-typed output columns
+    // are banned from contract queries (SURVEY §7.5). The operator
+    // itself still returns the array form.
     "v_center_norm" -> ((s, dir) =>
       Similarity.centerNormalize(rd(s, dir, "embeddings"),
-        "embedding", "vec_id")),
+        "embedding", "vec_id")
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "value")))),
 
     // --- similarity: brute-force cosine scores vs one query vector
     "v_knn_scores" -> ((s, dir) => {
@@ -2033,7 +2040,9 @@ object SparkEntry {
              (x, i) -> i * ascii(x))) AS BIGINT) AS fp
            FROM documents""",
       // center+normalize: exact scaled-integer mean (order-independent),
-      // row-local left-fold norm, round 6 — term-by-term mirror
+      // row-local left-fold norm, round 6 — term-by-term mirror.
+      // Final shape is scalar (vec_id, pos, value), 0-based pos, matching
+      // the posexploded Spark contract output (no array output columns).
       "v_center_norm" ->
         """WITH dims AS (
              SELECT pos, round(CAST(sum(CAST(floor(CAST(e AS DOUBLE)*1000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000/count(*), 6) AS m
@@ -2047,11 +2056,15 @@ object SparkEntry {
                  FROM embeddings, mv),
            n AS (SELECT vec_id, cent,
                    sqrt(list_reduce(list_transform(cent, x -> x*x), (a, b) -> a + b)) AS nrm
-                 FROM c)
+                 FROM c),
+           r AS (SELECT vec_id,
+                   list_transform(cent, x -> CASE WHEN nrm = 0.0 THEN 0.0
+                                                  ELSE round(x / nrm, 6) END) AS emb
+                 FROM n)
            SELECT vec_id,
-             list_transform(cent, x -> CASE WHEN nrm = 0.0 THEN 0.0
-                                            ELSE round(x / nrm, 6) END) AS embedding
-           FROM n""",
+             CAST(generate_subscripts(emb, 1) - 1 AS INT) AS pos,
+             unnest(emb) AS value
+           FROM r""",
       "v_knn_scores" ->
         """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
              FROM embeddings WHERE vec_id = 0),
@@ -2234,7 +2247,7 @@ object SparkEntry {
              CASE CAST(doc_id%4 AS INT) WHEN 0 THEN 'example.com'
                WHEN 1 THEN 'example.co.uk' ELSE 'example.org.au' END AS domain,
              COUNT(*) AS n_docs,
-             SUM(length(text)) AS total_chars
+             CAST(SUM(length(text)) AS BIGINT) AS total_chars
            FROM documents WHERE doc_id%4 <> 3
            GROUP BY 1""",
       // canonicalization-driven URL dedup: utm params and fragments
