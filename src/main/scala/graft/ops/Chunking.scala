@@ -30,17 +30,28 @@ object Chunking {
       s"stride must be in [1, window] (got stride=$stride window=$window)")
     // REGEX trim: `trim` strips ASCII spaces only, while tokenization
     // splits on \s+ — a tab/newline-edged doc would otherwise gain phantom
-    // empty tokens (and a tab-only doc would dodge the tokenless guard)
-    val clean = regexp_replace(col(textCol), "^\\s+|\\s+$", "")
-    val toks = split(clean, "\\s+")
-    // tokenless guard: split("") yields [""], not [] — require real content
-    val n = when(length(clean) > 0, size(toks)).otherwise(lit(0))
+    // empty tokens (and a tab-only doc would dodge the tokenless guard).
+    //
+    // The trim and split are STAGED as their own projections (each alias
+    // referenced more than once, which stops CollapseProject): inlined,
+    // the trim+split tree is duplicated into `n`, `nChunks` and twice into
+    // `idxs`, and the Generate's projection re-runs the full-document
+    // regex up to 5x per row — measured at ~2x the whole query.
+    val staged = df
+      .select(col(idCol),
+        regexp_replace(col(textCol), "^\\s+|\\s+$", "").as("__clean"))
+      .select(col(idCol), split(col("__clean"), "\\s+").as("__toks"),
+        (length(col("__clean")) > 0).as("__hasText"))
+      // tokenless guard: split("") yields [""], not [] — require content
+      .select(col(idCol), col("__toks"),
+        when(col("__hasText"), size(col("__toks"))).otherwise(lit(0)).as("__n"))
+    val n = col("__n")
     // sequence(0, k-1) is invalid for k = 0 (it would count DOWN); empty
     // docs get an empty index array instead and explode to nothing
     val nChunks = ceil(n.cast("double") / stride).cast("int")
     val idxs = when(n > 0, sequence(lit(0), nChunks - 1))
       .otherwise(array().cast("array<int>"))
-    df.select(col(idCol), toks.as("__toks"), posexplode(idxs).as(Seq("chunk_idx", "__i")))
+    staged.select(col(idCol), col("__toks"), posexplode(idxs).as(Seq("chunk_idx", "__i")))
       .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
         concat_ws(" ", slice(col("__toks"), col("__i") * stride + 1, lit(window)))
           .as("chunk_text"),
