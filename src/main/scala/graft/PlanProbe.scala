@@ -1,0 +1,37 @@
+package graft
+
+/** Dump the formatted physical plan of one contract query — before AND
+  * after execution (AQE replans at runtime, so the post-run plan is the
+  * one that actually executed, with its ReusedExchange/skew decisions):
+  * `runMain graft.PlanProbe <query> [sfDir]`. A dev tool for the
+  * "explain, then iterate" loop; counts scans/exchanges/reuses so a
+  * shared-subtree regression (a scan or shuffle suddenly recomputed) is
+  * one grep away.
+  */
+object PlanProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: PlanProbe <query> [sfDir]")
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val fn = SparkEntry.queries.getOrElse(name,
+      sys.error(s"unknown query '$name'"))
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+      "plateauspark-planprobe")
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = fn(spark, sfDir)
+    def stats(tag: String, plan: String): Unit = {
+      def n(p: String) = p.r.findAllIn(plan).length
+      println(s"PLANPROBE $name $tag scans=${n("Scan parquet|FileScan")} " +
+        s"exchanges=${n("Exchange (hash|range|single)")} " +
+        s"reused=${n("ReusedExchange")} " +
+        s"broadcasts=${n("BroadcastExchange")} " +
+        s"wscg=${n("WholeStageCodegen")}")
+    }
+    stats("static", df.queryExecution.executedPlan.toString)
+    df.queryExecution.toRdd.count()
+    val executed = df.queryExecution.executedPlan.toString
+    stats("adaptive", executed)
+    println(executed)
+    spark.stop()
+  }
+}

@@ -214,6 +214,13 @@ object Dedup {
     // not hot shingles exist, so it is simply always used; shared subtrees
     // (the inverted index, the frequency aggregate) are recomputed from the
     // plan, where AQE's ReusedExchange covers the shuffle-heavy pieces.
+    //
+    // Measured r7: lazy localCheckpoint brackets on sh/freq/counted (the
+    // multiply-consumed subtrees) read 4.0s vs 3.5s at sf0.1 and 22.0s vs
+    // 23.3s at the sf1 tier (BenchOne warm reps) — the materialization
+    // barriers serialize stages and defeat AQE pipelining for more than
+    // the recompute they save, so the lazy form stands. The r6 driver
+    // outlier (15.5s vs 4s committed) was thermal, not structural.
     val sh = df
       .where(size(split(trim(lower(col(textCol))), "\\s+")) >= shingleN)
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
