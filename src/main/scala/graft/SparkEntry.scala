@@ -984,9 +984,17 @@ object SparkEntry {
       Ops.hashDataset(s, liDs(s, dir), "li", groupKey = Seq("l_returnflag"))),
 
     // MinHash LSH near-dup candidates (approximate by construction)
-    "d_minhash_neardups" -> ((s, dir) =>
-      Dedup.minhashNearDups(rd(s, dir, "documents"), "text", "doc_id",
-        numHashes = 32, bands = 8, shingleN = 3, threshold = 0.3)),
+    // rows-only (randomized family), but recall-guarded IN-PLAN: the
+    // banded candidates are audited against exact n-gram Jaccard on a
+    // bounded sample, and recall < 0.9 fails the query loudly
+    "d_minhash_neardups" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      Dedup.withMinhashPairRecallGuard(
+        Dedup.minhashNearDups(docs, "text", "doc_id",
+          numHashes = 32, bands = 8, shingleN = 3, threshold = 0.3),
+        docs, "text", "doc_id",
+        numHashes = 32, bands = 8, shingleN = 3, threshold = 0.3)
+    }),
 
     // deterministic hash-based curation sampling (hash not SQL-expressible)
     // portable variant so DuckDB reproduces the exact member set (md5 rank)
@@ -1043,11 +1051,18 @@ object SparkEntry {
     }),
 
     // near-dup clusters: pairs -> connected components -> (id, cluster_id)
-    "d_dedup_clusters" -> ((s, dir) =>
-      Dedup.nearDupClusters(
-        Dedup.minhashNearDups(rd(s, dir, "documents"), "text", "doc_id",
-          numHashes = 32, bands = 8, shingleN = 3, threshold = 0.3)
-          .select("id_a", "id_b"))),
+    // clusters over the same banded scheme; the same audited pair-recall
+    // guard annotates the cluster output in-plan
+    "d_dedup_clusters" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      Dedup.withMinhashPairRecallGuard(
+        Dedup.nearDupClusters(
+          Dedup.minhashNearDups(docs, "text", "doc_id",
+            numHashes = 32, bands = 8, shingleN = 3, threshold = 0.3)
+            .select("id_a", "id_b")),
+        docs, "text", "doc_id",
+        numHashes = 32, bands = 8, shingleN = 3, threshold = 0.3)
+    }),
 
     // full curation pipeline: exact dedup -> quality/lang gates -> minhash
     // near-dup removal -> deterministic sample (composite; rows-only)

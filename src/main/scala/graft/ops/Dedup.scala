@@ -110,6 +110,48 @@ object Dedup {
       roundTo = 6)
   }
 
+  /** Annotate `output` with the audited PAIR recall of the banded-LSH
+    * candidate scheme against exact n-gram Jaccard, failing the query
+    * in-plan (raise_error) when recall drops below `minRecall` — the
+    * [[semDedupDropsAudited]] discipline applied to the MinHash family,
+    * so a silent recall collapse (a broken band hash, a bad signature
+    * permutation) becomes a hard error rather than a quietly-thinner
+    * pair set.
+    *
+    * Both audit faces — banded candidates and the exact
+    * [[ngramJaccardPairs]] face — run over the SAME deterministic
+    * `auditCap`-row sample (smallest salted id-hashes; at or below the
+    * cap the audit IS the corpus and the guard is exact), because the
+    * exact face is inherently join-quadratic in the duplicate mass and a
+    * bounded sample is the only form corpus-scale verification can take.
+    * Sampling dilutes pair density (an unordered pair survives at the
+    * sample rate squared) but measures like against like, and per-pair
+    * recall has no partner dilution — unlike the per-id semDedup guard
+    * this estimate is UNBIASED, not merely conservative. The sample is
+    * localCheckpoint'ed so the two faces read ≤auditCap materialized rows
+    * instead of replaying the input lineage each. `output` is any frame
+    * derived from the same scheme (the pair set itself, or its
+    * [[nearDupClusters]] closure) — the guard annotates, never filters. */
+  def withMinhashPairRecallGuard(output: DataFrame, df: DataFrame,
+                                 textCol: String, idCol: String,
+                                 numHashes: Int = 32, bands: Int = 8,
+                                 shingleN: Int = 3, threshold: Double = 0.5,
+                                 auditCap: Int = 2048,
+                                 minRecall: Double = 0.9): DataFrame = {
+    require(auditCap >= 2, s"auditCap must be >= 2 (got $auditCap)")
+    val audit = df.select(col(idCol), col(textCol))
+      .withColumn("__h", xxhash64(col(idCol), lit("graft.minhash.audit")))
+      .orderBy(col("__h"), col(idCol)).limit(auditCap).drop("__h")
+      .localCheckpoint()
+    def pairKeyed(pairs: DataFrame): DataFrame =
+      pairs.select(concat_ws(":", col("id_a"), col("id_b")).as("pair"))
+    Similarity.withAuditedSetRecallGuard(output,
+      pairKeyed(minhashNearDups(audit, textCol, idCol, numHashes, bands,
+        shingleN, threshold)),
+      pairKeyed(ngramJaccardPairs(audit, textCol, idCol, shingleN, threshold)),
+      "pair", minRecall)
+  }
+
   /** The (band, id) LSH table of a shingled frame — shared by
     * [[minhashNearDups]] and [[bandBucketStats]] so the diagnostic measures
     * EXACTLY the buckets the operator would join on. */

@@ -701,6 +701,28 @@ class DedupSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("withMinhashPairRecallGuard: annotates output with recall and fires on a collapse") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = Dedup.minhashNearDups(docs, "text", "doc_id",
+      numHashes = 32, bands = 8, shingleN = 3, threshold = 0.3)
+    // audit below the corpus size so the bounded-sample path is exercised
+    val guarded = Dedup.withMinhashPairRecallGuard(pairs, docs, "text",
+      "doc_id", numHashes = 32, bands = 8, shingleN = 3, threshold = 0.3,
+      auditCap = 200)
+    val rows = guarded.collect()
+    assert(rows.length === pairs.count())
+    val recalls = rows.map(_.getAs[Double]("recall_vs_exact")).distinct
+    assert(recalls.length === 1 && recalls.head >= 0.9)
+    // the raise path: an unreachable bar fails the query loudly in-plan
+    val ex = intercept[Exception] {
+      Dedup.withMinhashPairRecallGuard(pairs, docs, "text", "doc_id",
+        numHashes = 32, bands = 8, shingleN = 3, threshold = 0.3,
+        auditCap = 200, minRecall = 1.01).collect()
+    }
+    assert(ex.getMessage.contains("recall"))
+  }
+
   test("semDedup clustered face: drops are a verified subset of the exact face") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Dedup.semDedupDrops(emb, "embedding", "vec_id",
