@@ -64,9 +64,12 @@ object WebText {
 
   /** Registered (pay-level) domain of a HOST column: the last two labels,
     * or the last three when the last two form a recognized multi-label
-    * public suffix ([[TwoLabelSuffixes]]). A bare or single-label host
-    * passes through unchanged. */
-  def registeredDomain(host: Column): Column = {
+    * public suffix (`suffixes`, defaulting to the pinned
+    * [[TwoLabelSuffixes]] subset — a production deployment passes the
+    * full public-suffix list here instead of forking the operator). A
+    * bare or single-label host passes through unchanged. */
+  def registeredDomain(host: Column,
+                       suffixes: Seq[String] = TwoLabelSuffixes): Column = {
     val labels = split(host, "\\.")
     val n = size(labels)
     val lastTwo = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
@@ -78,7 +81,7 @@ object WebText {
     // a phantom '' bucket (and a blocklist entry '' would drop them)
     when(host.isNull, lit(null).cast("string"))
       .when(n <= 1, host)
-      .when(n >= 3 && lastTwo.isin(TwoLabelSuffixes: _*), lastThree)
+      .when(n >= 3 && lastTwo.isin(suffixes: _*), lastThree)
       .otherwise(lastTwo)
   }
 

@@ -132,6 +132,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, "a b c")))
   }
 
+  test("tokenChunks never emits an empty chunk_text (paragraph-mirror pin)") {
+    // the t_para_dedup/t_boilerplate DuckDB mirrors carry the empty-
+    // paragraph exemption clauses, which are inert exactly because
+    // tokenChunks-derived paragraphs are never empty — this pins that
+    // assumption against hostile whitespace/stride shapes
+    val df = Seq(
+      (1L, "a"), (2L, " \t\n "), (3L, ""), (4L, "x \n y\tz  "),
+      (5L, (1 to 41).map(_ => "t").mkString(" "))).toDF("id", "text")
+    val out = Chunking.tokenChunks(df, "text", "id", window = 20, stride = 20)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[String]("chunk_text").nonEmpty))
+    assert(out.forall(_.getAs[Long]("n_chunk_tokens") > 0L))
+  }
+
   test("charChunks windows characters with overlap") {
     val df = Seq((1L, "abcdefghij")).toDF("id", "text")
     val out = Chunking.charChunks(df, "text", "id", window = 4, stride = 3)
@@ -476,6 +491,25 @@ class PipelineOpsSpec extends SparkSpec {
     val kept = WebText.dropBlockedDomains(corpus, "url", blocked)
       .collect().map(_.getLong(0)).toSet
     assert(kept === Set(2L))
+  }
+
+  test("registeredDomain accepts a caller-supplied suffix set (full-PSL path)") {
+    import spark.implicits._
+    import graft.ops.WebText
+    val hosts = Seq("a.b.example.github.io", "www.example.co.uk",
+      "plain.example.com").toDF("host")
+    // a suffix OUTSIDE the pinned subset: github.io is in the real PSL
+    val out = hosts.select(col("host"),
+      WebText.registeredDomain(col("host"),
+        WebText.TwoLabelSuffixes :+ "github.io").as("d"),
+      WebText.registeredDomain(col("host")).as("d_default"))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    // with github.io recognized, the registered domain keeps three labels
+    assert(out("a.b.example.github.io") === ("example.github.io", "github.io"))
+    // entries from the pinned subset behave identically on both paths
+    assert(out("www.example.co.uk") === ("example.co.uk", "example.co.uk"))
+    assert(out("plain.example.com") === ("example.com", "example.com"))
   }
 
   test("null URLs: every doc survives dedupByUrl; domain is null, not a '' bucket") {
