@@ -2060,7 +2060,7 @@ object SparkEntry {
       // the posexploded Spark contract output (no array output columns).
       "v_center_norm" ->
         """WITH dims AS (
-             SELECT pos, round(CAST(sum(CAST(floor(CAST(e AS DOUBLE)*1000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000/count(*), 6) AS m
+             SELECT pos, round(CAST(sum(CAST(floor(CAST(e AS DOUBLE)*1000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000/count(e), 6) AS m
              FROM (SELECT unnest(embedding) AS e, generate_subscripts(embedding, 1) AS pos
                    FROM embeddings)
              GROUP BY pos),

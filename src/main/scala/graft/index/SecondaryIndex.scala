@@ -168,16 +168,18 @@ object SecondaryIndex {
     * serialized into every task and `element_at` over a literal map is a
     * LINEAR scan per label, which turned commit-time index merges into
     * |values| x 2|partitions| string comparisons. Label arrays are sets
-    * (build/merge collect_set); the regroup re-sorts, which the small
-    * face's in-place transform also preserves only when the map is
-    * order-preserving — no consumer orders on the array. */
-  private def resolveLabels(spark: SparkSession, stored: DataFrame,
-                            mapping: Map[String, String]): DataFrame = {
+    * (build/merge collect_set) and both faces return them SORTED: the
+    * regroup sorts via sort_array, and the small face re-sorts after the
+    * substitution — a mapping that breaks stored order would otherwise
+    * make the two faces disagree on array order for the same index. */
+  private[graft] def resolveLabels(spark: SparkSession, stored: DataFrame,
+                                   mapping: Map[String, String]): DataFrame = {
     if (mapping.isEmpty) return stored
     if (mapping.size <= 2048) {
       val resolver = typedLit(mapping)
       stored.withColumn(LabelsCol,
-        transform(col(LabelsCol), l => coalesce(element_at(resolver, l), l)))
+        sort_array(transform(col(LabelsCol),
+          l => coalesce(element_at(resolver, l), l))))
     } else {
       import spark.implicits._
       val m = mapping.toSeq.toDF("__from", "__to")

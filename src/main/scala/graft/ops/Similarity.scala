@@ -66,11 +66,15 @@ object Similarity {
     if (!center)
       return normalizedSelect(corpus, idCol, vecCol,
         transform(emb, e => e.cast("double")))
+    // denominator = count of NON-NULL elements at the position: the
+    // null-skipping sum over count(*) would bias the mean toward 0 for
+    // every vector carrying a null element (sum ignores them, a row
+    // count does not)
     val dims = corpus.select(posexplode(emb).as(Seq("pos", "e")))
       .groupBy("pos")
       .agg(round(
         sum(floor(col("e").cast("double") * 1e6 + lit(0.5))
-          .cast("decimal(38,0)")).cast("double") / 1e6 / count(lit(1)),
+          .cast("decimal(38,0)")).cast("double") / 1e6 / count(col("e")),
         6).as("m"))
     val means = dims.agg(
       transform(array_sort(collect_list(struct(col("pos"), col("m")))),

@@ -149,13 +149,19 @@ object Storage {
   // (fs.* — credentials, endpoints, committers): keyed on scheme+authority
   // alone, the FIRST Storage's conf would permanently win for that URI,
   // and a second session targeting the same bucket with different
-  // credentials would silently use the first tenant's FileSystem
-  private[store] def confFingerprint(conf: Configuration): Int = {
+  // credentials would silently use the first tenant's FileSystem. A full
+  // SHA-256 digest, not hashCode: a 32-bit collision between two tenants'
+  // confs would silently reuse the wrong credentials' FileSystem — the
+  // exact bug this key exists to prevent, just at lower probability.
+  private[store] def confFingerprint(conf: Configuration): String = {
     import scala.jdk.CollectionConverters._
-    conf.iterator().asScala
+    val joined = conf.iterator().asScala
       .collect { case e if e.getKey.startsWith("fs.") =>
         e.getKey + "=" + e.getValue }
-      .toSeq.sorted.hashCode()
+      .toSeq.sorted.mkString("\n")
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(joined.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.map("%02x".format(_)).mkString
   }
   private[store] def unverifiedFs(uri: java.net.URI,
                                   conf: Configuration): FileSystem =

@@ -57,29 +57,59 @@ object Sessionize {
             val sorted = it.toSeq.sortBy(e => (e.ts, e.value))
             var open = state.getOption
             val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
-            // Cross-batch LATE events (ts <= lastTs — impossible within a
-            // batch, which is sorted): an interior event (>= start) joins
-            // the open session WITHOUT touching its bounds — every interior
-            // point is within gap of both neighbors, so the batch oracle
-            // merges it too; an event within gap BEFORE start extends the
-            // session backward; an event more than gap before start is
-            // emitted as its own closed session immediately (the batch
-            // oracle could merge it with even-earlier events, but bounded
-            // state cannot wait for arbitrarily-late history — the same
-            // documented trade as dedupExact's watermark). The unsigned
-            // forward check is the one that must never see a late event:
-            // a signed `e.ts - lastTs <= gap` would merge ANY late event
-            // and REGRESS lastTs, corrupting every later boundary.
-            sorted.foreach { e =>
+            // Cross-batch LATE events (ts < open.start — impossible within
+            // a batch, which is sorted) are handled FIRST, in DESCENDING
+            // ts order: each event within gap of the evolving start
+            // extends the session backward, so an event bridged by a LATER
+            // pre-start event in the same batch merges too (ascending
+            // order closed it as a singleton although its bridge was
+            // in-memory in the same batch — r6 advice). The chain's start
+            // only walks DOWN, so once one event misses, every earlier one
+            // does; those orphans sessionize among THEMSELVES (ascending
+            // fold) and close immediately — the batch oracle could merge
+            // them with still-earlier history, but bounded state cannot
+            // wait for arbitrarily-late history (the same documented trade
+            // as dedupExact's watermark).
+            val rest = open match {
+              case Some(o0) =>
+                val (pre, rest0) = sorted.partition(_.ts < o0.start)
+                var o = o0
+                var i = pre.length - 1
+                while (i >= 0 && o.start - pre(i).ts <= gapNanos) {
+                  o = o.copy(start = pre(i).ts, n = o.n + 1,
+                    sum = o.sum + pre(i).value)
+                  i -= 1
+                }
+                open = Some(o)
+                var orphan: Option[OpenSession] = None
+                pre.take(i + 1).foreach { e =>
+                  orphan = orphan match {
+                    case Some(s) if e.ts - s.lastTs <= gapNanos =>
+                      Some(s.copy(lastTs = e.ts, n = s.n + 1,
+                        sum = s.sum + e.value))
+                    case Some(s) =>
+                      closed += Session(uid, s.start, s.n, s.sum)
+                      Some(OpenSession(e.ts, e.ts, 1, e.value))
+                    case None => Some(OpenSession(e.ts, e.ts, 1, e.value))
+                  }
+                }
+                orphan.foreach(s => closed += Session(uid, s.start, s.n, s.sum))
+                rest0
+              case None => sorted
+            }
+            // Forward pass over events at or after the session start: an
+            // interior event (<= lastTs) joins WITHOUT touching bounds —
+            // every interior point is within gap of both neighbors, so
+            // the batch oracle merges it too. The unsigned forward check
+            // is the one that must never see a late event: a signed
+            // `e.ts - lastTs <= gap` would merge ANY late event and
+            // REGRESS lastTs, corrupting every later boundary.
+            rest.foreach { e =>
               open match {
                 case Some(o) if e.ts >= o.start && e.ts <= o.lastTs =>
                   open = Some(o.copy(n = o.n + 1, sum = o.sum + e.value))
                 case Some(o) if e.ts > o.lastTs && e.ts - o.lastTs <= gapNanos =>
                   open = Some(o.copy(lastTs = e.ts, n = o.n + 1, sum = o.sum + e.value))
-                case Some(o) if e.ts < o.start && o.start - e.ts <= gapNanos =>
-                  open = Some(o.copy(start = e.ts, n = o.n + 1, sum = o.sum + e.value))
-                case Some(o) if e.ts < o.start =>
-                  closed += Session(uid, e.ts, 1, e.value)
                 case Some(o) =>
                   closed += Session(uid, o.start, o.n, o.sum)
                   open = Some(OpenSession(e.ts, e.ts, 1, e.value))

@@ -1120,6 +1120,24 @@ class DatasetSpec extends SparkSpec {
       Set("x", "y", "z"))
   }
 
+  test("resolveLabels: both faces return identically SORTED label arrays") {
+    import spark.implicits._
+    // the mapping breaks stored sort order: a->z9, c->a0 — the small-map
+    // in-place transform must re-sort to agree with the regrouping face
+    val stored = Seq(("v", Seq("a", "b", "c")), ("w", Seq("c"))).toDF("value", "partitions")
+    val small = Map("a" -> "z9", "c" -> "a0")
+    // >2048 entries forces the explode+join+regroup face; extra keys are
+    // absent from the stored labels so both faces see the same effective map
+    val large = small ++ (1 to 2100).map(i => s"__pad$i" -> s"__p$i")
+    def arrays(m: Map[String, String]) =
+      SecondaryIndex.resolveLabels(spark, stored, m)
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val s = arrays(small)
+    val l = arrays(large)
+    assert(s("v") === Seq("a0", "b", "z9"), s"small face unsorted: ${s("v")}")
+    assert(s === l, s"faces disagree: $s vs $l")
+  }
+
   test("convertDataset: re-serialized copy keeps values/partitions/indices; source intact") {
     Writer.store(spark, store, "convsrc", sampleDf,
       WriteOpts(partitionOn = Seq("p"), secondaryIndices = Seq("s"),

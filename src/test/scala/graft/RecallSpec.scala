@@ -249,6 +249,24 @@ class RecallSpec extends SparkSpec {
     assert(math.abs(plain(0) - 1.0 / math.sqrt(5.0)) < 1e-6)
   }
 
+  test("centerNormalize: null elements don't bias the dimension mean") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // dim 0: values 1 and 3 plus a NULL — mean must be 2 (non-null count),
+    // not 4/3 (row count); dim 1 is clean so the policy is isolated
+    val emb = Seq(
+      (1L, Array[java.lang.Float](1.0f, 0.0f)),
+      (2L, Array[java.lang.Float](3.0f, 0.0f)),
+      (3L, Array[java.lang.Float](null, 4.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.centerNormalize(emb, "embedding", "vec_id")
+    // vec 1 centers to (-1, -4/3): the dim-0 component must reflect the
+    // non-null mean of 2.0 exactly
+    val v1 = out.where(col("vec_id") === 1L).head.getSeq[Double](1)
+    val expected0 = -1.0 / math.sqrt(1.0 + (4.0 / 3.0) * (4.0 / 3.0))
+    assert(math.abs(v1(0) - expected0) < 1e-5,
+      s"dim-0 got ${v1(0)}, want $expected0 (null-biased mean?)")
+  }
+
   test("withRecallGuard: a corpus smaller than k is not a recall regression") {
     import spark.implicits._
     // 3 vectors, k=10: the exact top-k has 3 rows; a bit-perfect approx

@@ -566,14 +566,31 @@ class StreamingSpec extends SparkSpec {
       .collect()
     assert(mid.toSeq === Seq(graft.streaming.Sessionize.Session(3L, 100L, 1L, 9.0)),
       mid.toSeq.toString)
+    // user 4: open {500}; then a batch carrying BOTH 380 and 450 — 450
+    // bridges 380 into the session (descending back-extension; ascending
+    // order wrongly closed 380 as a singleton). user 5: open {500}; then
+    // {100, 150} — both beyond gap of start, but they chain with EACH
+    // OTHER, closing as ONE two-event session, not two singletons.
+    in.addData((4L, 500L, 1.0), (5L, 500L, 1.0))
+    q.processAllAvailable()
+    in.addData((4L, 380L, 2.0), (4L, 450L, 4.0), (5L, 100L, 2.0), (5L, 150L, 4.0))
+    q.processAllAvailable()
+    val lateClosed = spark.table("sess_late")
+      .as[graft.streaming.Sessionize.Session]
+      .collect().filter(_.user_id >= 4L)
+    assert(lateClosed.toSeq === Seq(
+      graft.streaming.Sessionize.Session(5L, 100L, 2L, 6.0)),
+      lateClosed.toSeq.toString)
     // far-future events close the open tails with the MERGED stats
-    in.addData((1L, 10000L, 0.0), (2L, 10000L, 0.0))
+    in.addData((1L, 10000L, 0.0), (2L, 10000L, 0.0), (4L, 10000L, 0.0))
     q.processAllAvailable()
     val closed = spark.table("sess_late").as[graft.streaming.Sessionize.Session]
-      .collect().filter(_.user_id <= 2L).sortBy(_.user_id)
+      .collect().filter(s => s.user_id <= 2L || (s.user_id == 4L && s.n_events > 1))
+      .sortBy(_.user_id)
     assert(closed.toSeq === Seq(
       graft.streaming.Sessionize.Session(1L, 0L, 4L, 4.0),
-      graft.streaming.Sessionize.Session(2L, 950L, 2L, 3.0)), closed.toSeq.toString)
+      graft.streaming.Sessionize.Session(2L, 950L, 2L, 3.0),
+      graft.streaming.Sessionize.Session(4L, 380L, 3L, 7.0)), closed.toSeq.toString)
     q.stop()
   }
 
