@@ -697,16 +697,15 @@ object SparkEntry {
           lit(" or call 555-123-4567."))).as("redacted"))),
 
     // --- similarity: anisotropy remediation (center + L2 normalize).
-    // The contract output is posexploded to SCALAR (vec_id, pos, value)
-    // rows: the driver's comparator sorts result columns with pandas,
-    // which cannot factorize array values — array-typed output columns
-    // are banned from contract queries (SURVEY §7.5). The operator
-    // itself still returns the array form.
+    // The contract uses the SCALAR (vec_id, pos, value) face: the
+    // driver's comparator sorts result columns with pandas, which cannot
+    // factorize array values — array-typed output columns are banned
+    // from contract queries (SURVEY §7.5). (Exploding the array face's
+    // output instead trips InferFiltersFromGenerate into re-evaluating
+    // the normalize chain per row — see the operator's scaladoc.)
     "v_center_norm" -> ((s, dir) =>
-      Similarity.centerNormalize(rd(s, dir, "embeddings"),
-        "embedding", "vec_id")
-        .select(col("vec_id"),
-          posexplode(col("embedding")).as(Seq("pos", "value")))),
+      Similarity.centerNormalizeExploded(rd(s, dir, "embeddings"),
+        "embedding", "vec_id")),
 
     // --- similarity: brute-force cosine scores vs one query vector
     "v_knn_scores" -> ((s, dir) => {

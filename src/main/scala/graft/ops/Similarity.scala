@@ -62,10 +62,41 @@ object Similarity {
     * array broadcast back, then a row-local map. */
   def centerNormalize(corpus: DataFrame, vecCol: String, idCol: String,
                       center: Boolean = true): DataFrame = {
+    val (df, vec) = centeredInput(corpus, vecCol, center)
+    normStaged(df, idCol, vec)
+      .select(col(idCol), transform(col("__v"), x =>
+        when(col("__nrm") === 0.0, lit(0.0))
+          .otherwise(round(x / col("__nrm"), 6))).as(vecCol))
+  }
+
+  /** The SCALAR face of [[centerNormalize]] — one (idCol, pos, value) row
+    * per vector element, 0-based pos, identical values. This face exists
+    * because exploding the ARRAY face's output is a planner trap:
+    * InferFiltersFromGenerate guards the generator input with
+    * `size(..) > 0 AND isnotnull(..)`, and predicate pushdown substitutes
+    * the whole normalize chain — inlined norm fold and all — into that
+    * filter, re-evaluating O(dim^2) work twice per row (measured 10x the
+    * query). Exploding the STAGED centered array instead leaves the
+    * inferred filter a single O(dim) centering pass, and the per-element
+    * rescale runs on the exploded scalar. */
+  def centerNormalizeExploded(corpus: DataFrame, vecCol: String,
+                              idCol: String,
+                              center: Boolean = true): DataFrame = {
+    val (df, vec) = centeredInput(corpus, vecCol, center)
+    normStaged(df, idCol, vec)
+      .select(col(idCol), col("__nrm"),
+        posexplode(col("__v")).as(Seq("pos", "__cv")))
+      .select(col(idCol), col("pos"),
+        when(col("__nrm") === 0.0, lit(0.0))
+          .otherwise(round(col("__cv") / col("__nrm"), 6)).as("value"))
+  }
+
+  /** The shared centering stage: the input frame (mean-annotated when
+    * centering) and the centered-vector expression over it. */
+  private def centeredInput(corpus: DataFrame, vecCol: String,
+                            center: Boolean): (DataFrame, Column) = {
     val emb = col(vecCol)
-    if (!center)
-      return normalizedSelect(corpus, idCol, vecCol,
-        transform(emb, e => e.cast("double")))
+    if (!center) return (corpus, transform(emb, e => e.cast("double")))
     // denominator = count of NON-NULL elements at the position: the
     // null-skipping sum over count(*) would bias the mean toward 0 for
     // every vector carrying a null element (sum ignores them, a row
@@ -80,12 +111,13 @@ object Similarity {
       transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m")).as("__means"))
     // the crossJoin is a broadcast one-row annotation, not a plan smell
-    normalizedSelect(corpus.crossJoin(broadcast(means)), idCol, vecCol,
+    (corpus.crossJoin(broadcast(means)),
       zip_with(emb, col("__means"), (e, m) => e.cast("double") - m))
   }
 
-  /** Row-local L2 normalization with the zero-norm -> zeros policy;
-    * left-to-right fold so an external engine reproduces it exactly.
+  /** The staged (idCol, __v, __nrm) frame both normalize faces rescale
+    * from — the L2 norm as a left-to-right fold so an external engine
+    * reproduces it exactly.
     *
     * The norm is STAGED as its own projection, never inlined into the
     * rescale lambda: higher-order functions run interpreted, and an
@@ -94,14 +126,11 @@ object Similarity {
     * 7x the whole query's cost. Both the vector and its norm are
     * multiply-referenced non-cheap aliases, which is exactly what stops
     * CollapseProject from undoing the staging. */
-  private def normalizedSelect(df: DataFrame, idCol: String, vecCol: String,
-                               vec: Column): DataFrame =
+  private def normStaged(df: DataFrame, idCol: String,
+                         vec: Column): DataFrame =
     df.select(col(idCol), vec.as("__v"))
       .select(col(idCol), col("__v"),
         sqrt(aggregate(col("__v"), lit(0.0), (a, x) => a + x * x)).as("__nrm"))
-      .select(col(idCol), transform(col("__v"), x =>
-        when(col("__nrm") === 0.0, lit(0.0))
-          .otherwise(round(x / col("__nrm"), 6))).as(vecCol))
 
   /** Score every corpus row against one query vector. Returns
     * (idCol, cosine) — full scan, no limit (callers add top-k). */

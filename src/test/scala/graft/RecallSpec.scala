@@ -249,6 +249,26 @@ class RecallSpec extends SparkSpec {
     assert(math.abs(plain(0) - 1.0 / math.sqrt(5.0)) < 1e-6)
   }
 
+  test("centerNormalizeExploded: bit-identical to exploding the array face") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(300)
+    val viaArray = Similarity.centerNormalize(emb, "embedding", "vec_id")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "value")))
+      .orderBy("vec_id", "pos").collect()
+    val scalarFace = Similarity.centerNormalizeExploded(emb, "embedding", "vec_id")
+      .orderBy("vec_id", "pos").collect()
+    assert(viaArray.length === scalarFace.length)
+    viaArray.zip(scalarFace).foreach { case (a, b) => assert(a === b) }
+    // the non-centering face agrees too
+    val p1 = Similarity.centerNormalize(emb, "embedding", "vec_id", center = false)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "value")))
+      .orderBy("vec_id", "pos").collect()
+    val p2 = Similarity.centerNormalizeExploded(emb, "embedding", "vec_id",
+      center = false).orderBy("vec_id", "pos").collect()
+    p1.zip(p2).foreach { case (a, b) => assert(a === b) }
+  }
+
   test("centerNormalize: null elements don't bias the dimension mean") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
