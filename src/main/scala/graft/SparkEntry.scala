@@ -874,6 +874,10 @@ object SparkEntry {
     "t_unigram_logprob" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(rd(s, dir, "documents"), "text", "doc_id")),
 
+    // --- Shannon entropy gates (char- and token-level, bits)
+    "t_entropy" -> ((s, dir) =>
+      TextAnalysis.entropySignals(rd(s, dir, "documents"), "text", "doc_id")),
+
     // --- bigram-LM quality score (mean transition log-prob; the
     // SQL-expressible analogue of external-LM perplexity filtering)
     "t_bigram_logprob" -> ((s, dir) =>
@@ -1753,6 +1757,32 @@ object SparkEntry {
            SELECT doc_id, count(*) AS n_tokens,
              round(avg(ln(CAST(tc AS DOUBLE) / total)), 6) AS avg_logp
            FROM tk JOIN counts USING (token), tot GROUP BY doc_id""",
+      // Shannon entropies via the ln-identity mirror:
+      // (ln n - sum(k ln k)/n)/ln 2 — natural logs on both engines so a
+      // correctly-rounded external log2 can't diverge from Spark's ln/ln
+      "t_entropy" ->
+        """WITH ch AS (
+             SELECT doc_id, unnest(string_split(text, '')) AS s
+             FROM documents),
+           cc AS (SELECT doc_id, s, CAST(count(*) AS DOUBLE) AS k
+                  FROM ch WHERE len(s) > 0 GROUP BY 1, 2),
+           ce AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_chars,
+                    round((ln(sum(k)) - sum(k*ln(k))/sum(k))/ln(2), 6)
+                      AS char_entropy
+                  FROM cc GROUP BY 1),
+           tk AS (
+             SELECT doc_id, unnest(string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+')) AS s
+             FROM documents),
+           tc AS (SELECT doc_id, s, CAST(count(*) AS DOUBLE) AS k
+                  FROM tk WHERE len(s) > 0 GROUP BY 1, 2),
+           te AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+                    round((ln(sum(k)) - sum(k*ln(k))/sum(k))/ln(2), 6)
+                      AS token_entropy
+                  FROM tc GROUP BY 1)
+           SELECT ce.doc_id, ce.n_chars, ce.char_entropy,
+             coalesce(te.n_tokens, 0) AS n_tokens,
+             coalesce(te.token_entropy, 0.0) AS token_entropy
+           FROM ce LEFT JOIN te ON ce.doc_id = te.doc_id""",
       // bigram LM: predecessor totals and vocabulary derived from the
       // bigram counts, add-0.5 smoothing — the exact nbTrain-style
       // closed-form arithmetic of TextAnalysis.bigramLogProb

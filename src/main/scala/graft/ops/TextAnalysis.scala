@@ -326,6 +326,51 @@ object TextAnalysis {
         round(avg(log(col("tc").cast("double") / col("__total"))), 6).as("avg_logp"))
   }
 
+  /** Per-document Shannon entropy over the character and token
+    * distributions — the standard gibberish/noise gate pretraining
+    * pipelines run beside the rule sets: binary junk and base64 blobs
+    * score HIGH char entropy, mass-repeated filler scores LOW token
+    * entropy, and natural text sits in a narrow band of both. Returns
+    * (idCol, n_chars, char_entropy, n_tokens, token_entropy), entropies
+    * in bits rounded to 6. A document with no characters (null/empty
+    * text) yields NO row — gate upstream, like [[bigramLogProb]]; a
+    * whitespace-only document has characters but no tokens and carries
+    * n_tokens = 0 / token_entropy = 0 (the empty distribution).
+    *
+    * Numerics contract: entropy is computed as
+    * `(ln(n) - sum(k*ln(k))/n) / ln(2)` — natural logs then one divide —
+    * because an external engine's `log2` may be correctly rounded where
+    * Spark's `LOG(2, x)` is `ln/ln`, and the identity keeps both sides
+    * on the same primitive. The k*ln(k) sum is rounded through the same
+    * 6-place convention as every aggregate here. Characters are UTF-16
+    * code units on the Spark side and codepoints in a SQL mirror —
+    * identical on BMP text, divergent only on surrogate pairs (emoji).
+    *
+    * Scale shape: two explode -> partial-agg passes (shuffles carry
+    * (id, symbol) PARTIALS, not the corpus), one (id)-keyed join of the
+    * two per-doc aggregates. */
+  def entropySignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    def entropyOf(sym: DataFrame, nCol: String, eCol: String): DataFrame =
+      sym.groupBy(col(idCol), col("__s")).agg(count(lit(1)).as("__k"))
+        .groupBy(col(idCol))
+        .agg(sum(col("__k")).as(nCol),
+          sum(col("__k").cast("double") * log(col("__k").cast("double")))
+            .as("__klnk"))
+        .select(col(idCol), col(nCol),
+          round((log(col(nCol).cast("double")) -
+            col("__klnk") / col(nCol).cast("double")) / log(lit(2.0)), 6)
+            .as(eCol))
+    val chars = df.select(col(idCol),
+      explode(split(col(textCol), "")).as("__s"))
+      .where(length(col("__s")) > 0)
+    val toks = df.select(col(idCol),
+      explode(wsTokens(lower(col(textCol)))).as("__s"))
+      .where(length(col("__s")) > 0)
+    entropyOf(chars, "n_chars", "char_entropy")
+      .join(entropyOf(toks, "n_tokens", "token_entropy"), Seq(idCol), "left")
+      .na.fill(0L, Seq("n_tokens")).na.fill(0.0, Seq("token_entropy"))
+  }
+
   // ------------------------------------------------------- published rule sets
 
   /** The explicit whitespace class used by every oracle-checked tokenizer

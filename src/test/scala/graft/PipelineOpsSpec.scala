@@ -680,6 +680,28 @@ class PipelineOpsSpec extends SparkSpec {
 
   // ------------------------------------- learned quality classifier (NB)
 
+  test("entropySignals: hand-computed bits, whitespace-only and uniform cases") {
+    import graft.ops.TextAnalysis
+    val df = Seq(
+      (1L, "aabb"),     // chars {a:2,b:2} -> 1 bit; tokens {aabb:1} -> 0
+      (2L, "ab ab"),    // chars {a:2,b:2,' ':1} ; tokens {ab:2} -> 0 bits
+      (3L, "x y"),      // tokens {x:1,y:1} -> 1 bit
+      (4L, "   "),      // whitespace-only: chars yes, tokens 0/0
+      (5L, "")          // empty: NO row
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.entropySignals(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(!out.contains(5L))
+    assert(out(1L) === ((4L, 1.0, 1L, 0.0)))
+    // doc 2 chars: n=5, {2,2,1}: log2(5) - (2ln2+2ln2)/5/ln2 = 1.521928
+    assert(out(2L)._1 === 5L)
+    assert(math.abs(out(2L)._2 - 1.521928) < 1e-6)
+    assert(out(2L)._3 === 2L && out(2L)._4 === 0.0)
+    assert(out(3L)._3 === 2L && math.abs(out(3L)._4 - 1.0) < 1e-9)
+    assert(out(4L) === ((3L, 0.0, 0L, 0.0)))
+  }
+
   test("nbTrain: hand-computed smoothed log-odds on a two-token seed") {
     // seed: "good good" labeled 1, "bad" labeled 0
     // c1(good)=2 c0(good)=0, c1(bad)=0 c0(bad)=1; N1=2 N0=1 V=2 alpha=.5
