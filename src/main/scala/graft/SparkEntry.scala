@@ -1115,6 +1115,19 @@ object SparkEntry {
         "vec_id", 20)
     }),
 
+    // PQ+ADC with exact re-ranking, on the RAW (isotropic) embeddings —
+    // unlike the bucket-pruning ANN faces above, the re-rank pipeline
+    // holds its recall contract even with no cluster structure (the ADC
+    // pass only needs the true top-k inside the top k*refine, a far
+    // weaker ask than bucket locality); guard at the same 0.9 bar.
+    // Rows-only: codebooks come from the driver-side sampled Lloyd.
+    "v_pq_topk" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toSeq
+      Similarity.pqTopK(emb, "embedding", "vec_id", q, 20)
+    }),
+
     // --- isotropy pre-flight: the loud diagnosis behind the v_knn_lsh
     // comment — run on the RAW embeddings, it reports structured=false
     // (top-k cosine ~= the Gaussian extreme-value expectation, i.e. pure

@@ -976,3 +976,104 @@ case class BloomMightContain(child: Expression,
   override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
     copy(child = newChild)
 }
+
+/** Product-quantization encoder: split the vector into `books.length`
+  * equal subspaces and emit, per subspace, the index of the L2-nearest
+  * codeword — the `array<int>` of codes an ADC scorer reads. One tight
+  * loop per row inside whole-stage codegen; the HOF form (a
+  * `transform` over `sequence(0, m-1)` with a nested argmin fold) pays
+  * m x ks interpreted lambda calls per row.
+  *
+  * Contract: codebooks must be rectangular (every subspace the same
+  * codeword count and width); a NULL vector, a vector with a null
+  * element, or a length not equal to m x dsub encodes to NULL (the
+  * reconstruction is undefined — callers filter or fill). Argmin ties
+  * prefer the LOWER codeword index (strict `<` on the running best), so
+  * codes are deterministic for any codebook. */
+case class PqCodes(child: Expression, books: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+  require(books.nonEmpty && books.forall(_.nonEmpty),
+    "codebooks must be non-empty")
+  require(books.forall(_.forall(_.length == books.head.head.length)) &&
+    books.forall(_.length == books.head.length),
+    "codebooks must be rectangular")
+  // Seq fields => structural equality, so identical-codebook instances are
+  // semanticEquals and CSE/plan-reuse can deduplicate them (same rationale
+  // as NearestCentroid)
+  @transient private lazy val flat: Array[Array[Array[Double]]] =
+    books.map(_.map(_.toArray).toArray).toArray
+  private def m: Int = books.length
+  @transient private lazy val dsub: Int = books.head.head.length
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_codes"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) | NullType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float|double>, got ${other.simpleString}")
+    }
+
+  @transient private lazy val vecFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  def compute(arr: ArrayData): GenericArrayData = {
+    if (arr == null || arr.numElements() != m * dsub) return null
+    val n = arr.numElements()
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      v(i) = if (vecFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val book = flat(j)
+      val off = j * dsub
+      var best = Double.PositiveInfinity
+      var bi = 0
+      var c = 0
+      while (c < book.length) {
+        val cw = book(c)
+        var d2 = 0.0
+        var t = 0
+        while (t < dsub) {
+          val d = v(off + t) - cw(t); d2 += d * d; t += 1
+        }
+        if (d2 < best) { best = d2; bi = c }
+        c += 1
+      }
+      codes(j) = bi
+      j += 1
+    }
+    new GenericArrayData(codes.map(Int.box))
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    compute(child.eval(input).asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("pqCodes", this, classOf[PqCodes].getName)
+    val childEv = child.genCode(ctx)
+    val tmp = ctx.freshName("pqOut")
+    ev.copy(code = code"""
+      ${childEv.code}
+      org.apache.spark.sql.catalyst.util.GenericArrayData $tmp = $ref.compute(
+        ${childEv.isNull} ? null : ${childEv.value});
+      boolean ${ev.isNull} = ($tmp == null);
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = $tmp;
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqCodes =
+    copy(child = newChild)
+}

@@ -272,4 +272,42 @@ class ExpressionsSpec extends SparkSpec {
     assert(!probes.limit(1).select(
       SeenSet.mightContain(bloom, lit(null).cast("string"))).head.isNullAt(0))
   }
+
+  test("PqCodes parity with a naive local L2 argmin; null/mismatch encode NULL") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    val m = 4; val dsub = 3; val ks = 5
+    val books: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
+      val base = (0 until ks - 1).map(_ => Seq.fill(dsub)(rnd.nextGaussian()))
+      // last codeword duplicates the first — pins the LOWER-index tie rule
+      base :+ base.head
+    }
+    val rows: Seq[(Long, Array[java.lang.Double])] =
+      (1L to 80L).map(i => i ->
+        Array.fill[java.lang.Double](m * dsub)(rnd.nextGaussian())) ++ Seq(
+        (100L, null.asInstanceOf[Array[java.lang.Double]]),
+        (101L, Array.fill[java.lang.Double](5)(1.0)), // wrong length
+        (102L, { val a = Array.fill[java.lang.Double](m * dsub)(1.0)
+                 a(3) = null; a }),                    // null element
+        // exact codeword hit in every subspace: argmin ties toward 0, so
+        // the duplicated (first==last) codeword must encode as index 0
+        (103L, books.flatMap(_.head).toArray.map(Double.box)))
+    val df = rows.toDF("id", "v")
+    val got = graft.ops.Similarity.pqEncode(df, "v", "id", books)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Int](1).toSeq)).toMap
+    assert(got(100L) === null && got(101L) === null && got(102L) === null)
+    assert(got(103L) === Seq.fill(m)(0))
+    // naive reference over the well-formed rows
+    rows.collect { case (id, v)
+        if v != null && v.length == m * dsub && !v.contains(null) =>
+      val want = (0 until m).map { j =>
+        val off = j * dsub
+        val d2s = books(j).map(cw =>
+          (0 until dsub).map(t => math.pow(v(off + t) - cw(t), 2)).sum)
+        d2s.indexOf(d2s.min) // indexOf = first minimum = lower-index ties
+      }
+      assert(got(id) === want, s"row $id")
+    }
+  }
 }

@@ -287,6 +287,34 @@ class RecallSpec extends SparkSpec {
       s"dim-0 got ${v1(0)}, want $expected0 (null-biased mean?)")
   }
 
+  test("pqTopK: recall contract on the raw corpus; codebooks rectangular and deterministic") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toSeq
+    // the in-plan guard IS the assertion: collect succeeds only at >= 0.9
+    val out = Similarity.pqTopK(emb, "embedding", "vec_id", q, 20).collect()
+    assert(out.length === 20)
+    assert(out.forall(_.getAs[Double]("recall_vs_brute_force") >= 0.9))
+    // codebooks: m x ks x dsub, reproducible across calls (hash-ordered
+    // sample + deterministic Lloyd)
+    val b1 = Similarity.pqCodebooks(emb, "embedding", m = 8, ks = 16)
+    val b2 = Similarity.pqCodebooks(emb, "embedding", m = 8, ks = 16)
+    assert(b1.length === 8 && b1.forall(_.length === 16) &&
+      b1.forall(_.forall(_.length === 8)))
+    assert(b1 === b2)
+    // indivisible subspacing is a config error, not silent truncation
+    intercept[IllegalArgumentException] {
+      Similarity.pqCodebooks(emb, "embedding", m = 7)
+    }
+    // an unreachable bar fails loudly in-plan (refine=1 on isotropic data)
+    val ex = intercept[Exception] {
+      Similarity.pqTopK(emb, "embedding", "vec_id", q, 20,
+        refine = 1, minRecall = 1.01).collect()
+    }
+    assert(ex.getMessage.contains("recall"))
+  }
+
   test("withRecallGuard: a corpus smaller than k is not a recall regression") {
     import spark.implicits._
     // 3 vectors, k=10: the exact top-k has 3 rows; a bit-perfect approx
