@@ -29,8 +29,27 @@ object Bench {
       try fn(spark, sfDir).queryExecution.toRdd.count()
       catch { case _: Throwable => () } // the timed run reports the failure
     }
+    // per-query executor task metrics (VERDICT-r7 #2: measure the in-suite
+    // outlier instead of attributing it): one listener, reset per query,
+    // bus drained before each snapshot so async task-end delivery cannot
+    // smear across queries
+    val metrics = new BenchMetrics
+    spark.sparkContext.addSparkListener(metrics)
+    // inter-query hygiene, applied OUTSIDE the timed window: clearCache
+    // drops any leaked cached frames, and an explicit GC lets the
+    // ContextCleaner reap unreferenced localCheckpoint RDD blocks from
+    // earlier queries — suite-accumulated block-manager state was the
+    // prime suspect for the in-suite inflation; with it cleaned AND
+    // per-query stored_rdd_b/gc_ms recorded, whatever remains is measured
+    def scrub(): Unit = {
+      spark.catalog.clearCache()
+      System.gc()
+    }
+    scrub() // the warmup pass accumulated state too
     val errors = scala.collection.mutable.ListBuffer[String]()
+    val taskMetrics = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
+      metrics.reset()
       val t0 = System.nanoTime()
       val ok =
         // toRdd.count(): materialize the query's ACTUAL output rows.
@@ -44,14 +63,20 @@ object Bench {
           errors += name
           false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+      taskMetrics += name -> metrics.snapshotJson(spark)
+      scrub()
+      name -> (if (ok) sec else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val tmJson = taskMetrics.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"taskMetrics":$tmJson,"sf":"$sfDir"}"""
     spark.stop()
     // guaranteed-last stdout line, after spark.stop()'s own logging — and
     // BEFORE the advisory file merge below: the driver consumes THIS line,

@@ -22,7 +22,9 @@ object PlanProbe {
     def stats(tag: String, plan: String): Unit = {
       def n(p: String) = p.r.findAllIn(plan).length
       println(s"PLANPROBE $name $tag scans=${n("Scan parquet|FileScan")} " +
-        s"exchanges=${n("Exchange (hash|range|single)")} " +
+        // explicit partitioning names: Spark prints "Exchange SinglePartition"
+        // (capital S) — a (hash|range|single) pattern silently missed it
+        s"exchanges=${n("Exchange (hashpartitioning|rangepartitioning|SinglePartition)")} " +
         s"reused=${n("ReusedExchange")} " +
         s"broadcasts=${n("BroadcastExchange")} " +
         s"wscg=${n("WholeStageCodegen")}")

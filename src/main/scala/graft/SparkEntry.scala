@@ -128,6 +128,21 @@ object SparkEntry {
         "embedding", "vec_id")
     }
 
+  /** Persisted PQ codes index over the embeddings corpus plus an APPENDED
+    * second batch (reversed vectors, ids shifted by 1e6) encoded with the
+    * header-pinned codebooks — the codes-only-probe fixture
+    * [[Similarity.pqTopKIndexed]] scans. */
+  private def pqIdxDs(s: SparkSession, dir: String): Storage =
+    ensure(s, dir, "pqidx") { st =>
+      val emb = rd(s, dir, "embeddings")
+      Similarity.pqIndex(s, st, "pqidx", emb, "embedding", "vec_id",
+        overwrite = true)
+      Similarity.pqIndexAppend(s, st, "pqidx",
+        emb.select((col("vec_id") + 1000000L).as("vec_id"),
+          reverse(col("embedding")).as("embedding")),
+        "embedding", "vec_id")
+    }
+
   /** documents sorted by doc_id in 256 KiB row groups: each file's groups
     * carry disjoint doc_id stats, so a selective range predicate prunes at
     * the row-group level (reference `chunk_size`,
@@ -1075,16 +1090,28 @@ object SparkEntry {
           sampleFraction = 0.9))
         .select(col("doc_id"), round(col("__quality"), 6).as("quality"), col("__lang"))),
 
-    // SimHash signatures (murmur3-based, engine-specific values)
-    "d_simhash" -> ((s, dir) =>
-      rd(s, dir, "documents")
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))),
+    // SimHash signatures (murmur3-based, engine-specific values, so
+    // rows-only) — but recall-guarded IN-PLAN: on a bounded sample, every
+    // exact high-jaccard pair must land within the Hamming bar or the
+    // query fails loudly (a broken bit-vote randomizes signatures and
+    // drives that recall to ~0)
+    "d_simhash" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      Dedup.withSimhashRecallGuard(
+        docs.select(col("doc_id"), Dedup.simhash(col("text")).as("simhash")),
+        docs, "text", "doc_id")
+    }),
 
     // embedding near-dup pairs via random-hyperplane LSH buckets;
-    // planes auto-derived from corpus size (the quadratic-safe scale path)
-    "d_embedding_neardups" -> ((s, dir) =>
-      Dedup.embeddingNearDups(rd(s, dir, "embeddings"), "embedding", "vec_id",
-        threshold = 0.2)),
+    // planes auto-derived from corpus size (the quadratic-safe scale
+    // path); recall-guarded IN-PLAN against the exact all-pairs cosine of
+    // a bounded sample, cut at the scheme's high-confidence threshold
+    "d_embedding_neardups" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      Dedup.withEmbeddingPairRecallGuard(
+        Dedup.embeddingNearDups(emb, "embedding", "vec_id", threshold = 0.2),
+        emb, "embedding", "vec_id", threshold = 0.2)
+    }),
 
     // SemDeDup: within-k-means-cluster semantic near-dup drops over the
     // clustered embedding derivation, guarded in-plan against the exact
@@ -1126,6 +1153,33 @@ object SparkEntry {
       val q = emb.where(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).map(_.toDouble).toSeq
       Similarity.pqTopK(emb, "embedding", "vec_id", q, 20)
+    }),
+
+    // the PERSISTED PQ face end to end: build trains+pins the codebooks in
+    // the header and lands (id, codes); pqIndexAppend encodes a second
+    // batch (reversed vectors, shifted ids) with those PINNED codebooks;
+    // the probe ADC-scans the codes dataset only (never the vector
+    // column) and exact-re-ranks the candidates. refine is sized so the
+    // ADC cut keeps EVERY row -> the result is exactly brute-force top-k
+    // over built+appended vectors, hash-checkable against a plain SQL
+    // oracle while still driving the whole lifecycle incl. the bounded
+    // in-plan audit (recall_vs_exact = 1.0 at exact-wide refine); the
+    // production refine<n pruning + codes-only-scan shape is pinned by
+    // PlanQualitySpec's schema assertion instead
+    "v_pq_indexed" -> ((s, dir) => {
+      val st = pqIdxDs(s, dir)
+      // project away the parquet's extra label column: the re-rank only
+      // needs (id, vector), and unionByName on the appended derivation
+      // requires matched schemas
+      val emb = rd(s, dir, "embeddings").select("vec_id", "embedding")
+      val corpus = emb.unionByName(
+        emb.select((col("vec_id") + 1000000L).as("vec_id"),
+          reverse(col("embedding")).as("embedding")))
+      val q = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toSeq
+      val n = corpus.count()
+      Similarity.pqTopKIndexed(s, st, "pqidx", corpus, "embedding",
+        "vec_id", q, k = 20, refine = math.max(1, math.ceil(n / 20.0).toInt))
     }),
 
     // --- isotropy pre-flight: the loud diagnosis behind the v_knn_lsh
@@ -2152,6 +2206,26 @@ object SparkEntry {
                 sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))), 6) AS cosine
              FROM corpus, q)
            SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 20""",
+      // exact-wide refine keeps every ADC candidate, so the oracle is the
+      // same brute-force top-k over built+appended vectors as the IVF
+      // lifecycle query; the bounded audit annotates a constant 1.0
+      // recall (the audit's approx face IS exact at that refine)
+      "v_pq_indexed" ->
+        """WITH base AS (SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+           corpus AS (SELECT vec_id, v FROM base
+             UNION ALL
+             SELECT vec_id + 1000000, list_reverse(v) FROM base),
+           q AS (SELECT v AS qv FROM base WHERE vec_id = 0),
+           scored AS (
+             SELECT vec_id, round(
+               list_sum(list_transform(range(1, 65), i -> v[i] * qv[i])) /
+               (sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))) *
+                sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))), 6) AS cosine
+             FROM corpus, q)
+           SELECT vec_id, cosine, 1.0 AS recall_vs_exact FROM scored
+           ORDER BY cosine DESC, vec_id ASC LIMIT 20""",
       "v_knn_topk" ->
         """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
              FROM embeddings WHERE vec_id = 0),

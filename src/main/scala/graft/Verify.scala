@@ -10,6 +10,13 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(',').toSet) else None
+    // a typo'd filter name must not produce a green-but-empty dump
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown quer${if (unknown.size == 1) "y" else "ies"} in filter: " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus, "plateauspark-verify")
     spark.sparkContext.setLogLevel("WARN")

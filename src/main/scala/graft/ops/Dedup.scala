@@ -128,28 +128,163 @@ object Dedup {
     * sample rate squared) but measures like against like, and per-pair
     * recall has no partner dilution — unlike the per-id semDedup guard
     * this estimate is UNBIASED, not merely conservative. The sample is
-    * localCheckpoint'ed so the two faces read ≤auditCap materialized rows
-    * instead of replaying the input lineage each. `output` is any frame
-    * derived from the same scheme (the pair set itself, or its
-    * [[nearDupClusters]] closure) — the guard annotates, never filters. */
+    * localCheckpoint'ed LAZILY (materializes on the guarded query's first
+    * action, preserving the family's no-construction-time-jobs contract)
+    * so the two faces read ≤auditCap materialized rows instead of
+    * replaying the input lineage each. `output` is any frame derived from
+    * the same scheme (the pair set itself, or its [[nearDupClusters]]
+    * closure) — the guard annotates, never filters.
+    *
+    * The guard measures SCHEME HEALTH, not the corpus's similarity
+    * profile: the exact audit face is cut at `auditThreshold`, which
+    * defaults to the banding S-curve's high-confidence point — the
+    * jaccard at which a pair collides in some band with probability 0.95,
+    * `(1 - 0.05^(1/bands))^(bands/numHashes)` (~0.75 at 32/8) — never
+    * below the caller's `threshold`. Auditing at the raw `threshold`
+    * would hard-fail a HEALTHY scheme on any corpus whose near-dup mass
+    * sits between `threshold` and the S-curve midpoint (at 32/8 a
+    * jaccard-0.3 pair has only ~6% band-collision probability — by
+    * design, that is what banding's similarity selectivity IS). Pass an
+    * explicit `auditThreshold` to tighten/loosen the contract; candidates
+    * are still generated and verified at `threshold`, so the audited set
+    * is a subset of what the guarded query reports. */
   def withMinhashPairRecallGuard(output: DataFrame, df: DataFrame,
                                  textCol: String, idCol: String,
                                  numHashes: Int = 32, bands: Int = 8,
                                  shingleN: Int = 3, threshold: Double = 0.5,
                                  auditCap: Int = 2048,
-                                 minRecall: Double = 0.9): DataFrame = {
+                                 minRecall: Double = 0.9,
+                                 auditThreshold: Double = -1.0): DataFrame = {
     require(auditCap >= 2, s"auditCap must be >= 2 (got $auditCap)")
+    val effAudit = math.max(threshold,
+      if (auditThreshold >= 0) auditThreshold
+      else bandingHighConfidenceThreshold(numHashes, bands))
     val audit = df.select(col(idCol), col(textCol))
       .withColumn("__h", xxhash64(col(idCol), lit("graft.minhash.audit")))
       .orderBy(col("__h"), col(idCol)).limit(auditCap).drop("__h")
-      .localCheckpoint()
+      .localCheckpoint(false)
     def pairKeyed(pairs: DataFrame): DataFrame =
       pairs.select(concat_ws(":", col("id_a"), col("id_b")).as("pair"))
     Similarity.withAuditedSetRecallGuard(output,
       pairKeyed(minhashNearDups(audit, textCol, idCol, numHashes, bands,
         shingleN, threshold)),
-      pairKeyed(ngramJaccardPairs(audit, textCol, idCol, shingleN, threshold)),
+      pairKeyed(ngramJaccardPairs(audit, textCol, idCol, shingleN, effAudit)),
       "pair", minRecall)
+  }
+
+  /** The jaccard at which the (numHashes, bands) banding scheme catches a
+    * pair with 0.95 probability — the similarity floor above which recall
+    * is a health signal rather than the scheme's own designed selectivity:
+    * P(collide) = 1 - (1 - s^r)^b with r = numHashes/bands, solved for
+    * P = 0.95. */
+  private[ops] def bandingHighConfidenceThreshold(numHashes: Int,
+                                                  bands: Int): Double = {
+    val r = numHashes.toDouble / bands
+    math.pow(1.0 - math.pow(0.05, 1.0 / bands), 1.0 / r)
+  }
+
+  /** The cosine at which the (planes, tables) random-hyperplane scheme
+    * catches a pair with 0.95 probability — the [[bandingHighConfidenceThreshold]]
+    * analogue for the embedding-LSH family: per-table collision
+    * probability for angle θ is (1 - θ/π)^planes, so solve
+    * 1 - (1 - (1-θ/π)^planes)^tables = 0.95 for θ and take its cosine
+    * (~0.97 at planes=8/tables=4 — hyperplane banding is SHARP; below it
+    * misses are the scheme's designed selectivity, not ill health). */
+  private[ops] def hyperplaneHighConfidenceThreshold(planes: Int,
+                                                     tables: Int): Double = {
+    val perTable = 1.0 - math.pow(0.05, 1.0 / tables)
+    val agree = math.pow(perTable, 1.0 / planes)
+    math.cos(math.Pi * (1.0 - agree))
+  }
+
+  /** Annotate `output` with the audited PAIR recall of the
+    * random-hyperplane candidate scheme against exact cosine, failing
+    * in-plan below `minRecall` — [[withMinhashPairRecallGuard]]'s
+    * discipline applied to [[embeddingNearDups]], so a broken hyperplane
+    * hash or signature table becomes a hard error rather than a
+    * quietly-thinner pair set.
+    *
+    * Both faces run over one deterministic `auditCap`-row sample (lazy
+    * localCheckpoint — no construction-time job): the banded face is
+    * [[embeddingNearDups]] at the caller's `threshold` with `auditPlanes`
+    * bucket bits (defaulted from auditCap by the operator's own
+    * planes-sizing rule — passing the production planes would both launch
+    * a count job and over-fragment a small sample); the exact face is the
+    * all-pairs cosine over the sample (a broadcast loop over ≤auditCap²
+    * row-local dot products — bounded at any corpus scale), cut at
+    * [[hyperplaneHighConfidenceThreshold]] (never below `threshold`) so
+    * the guard measures scheme health, not the scheme's designed
+    * similarity selectivity. */
+  def withEmbeddingPairRecallGuard(output: DataFrame, df: DataFrame,
+                                   vecCol: String, idCol: String,
+                                   threshold: Double,
+                                   tables: Int = 4, auditCap: Int = 1024,
+                                   auditPlanes: Int = 0,
+                                   auditThreshold: Double = -1.0,
+                                   minRecall: Double = 0.9): DataFrame = {
+    require(auditCap >= 2, s"auditCap must be >= 2 (got $auditCap)")
+    val planes = if (auditPlanes > 0) auditPlanes else sizedPlanes(auditCap)
+    val effAudit = math.max(threshold,
+      if (auditThreshold >= 0) auditThreshold
+      else hyperplaneHighConfidenceThreshold(planes, tables))
+    val audit = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("__h", xxhash64(col("id").cast("string"),
+        lit("graft.emb.audit")))
+      .orderBy(col("__h"), col("id")).limit(auditCap).drop("__h")
+      .localCheckpoint(false)
+    val exact = audit.select(col("id").as("id_a"), col("v").as("v_a"))
+      .crossJoin(audit.select(col("id").as("id_b"), col("v").as("v_b")))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(Similarity.cosine(col("v_a"), col("v_b")), 6))
+      .where(col("cosine") >= effAudit)
+      .select("id_a", "id_b")
+    val approx = embeddingNearDups(audit, "v", "id", planes, threshold, tables)
+      .select("id_a", "id_b")
+    def pairKeyed(pairs: DataFrame): DataFrame =
+      pairs.select(concat_ws(":", col("id_a"), col("id_b")).as("pair"))
+    Similarity.withAuditedSetRecallGuard(output, pairKeyed(approx),
+      pairKeyed(exact), "pair", minRecall)
+  }
+
+  /** Annotate `output` with the audited recall of SimHash's
+    * Hamming-proximity signal against exact n-gram Jaccard: over one
+    * deterministic `auditCap`-row sample, every exact pair with jaccard >=
+    * `jaccardFloor` must land within `maxHamming` signature bits with
+    * recall >= `minRecall`, or the query fails in-plan — a broken bit-vote
+    * (the failure mode that matters for an engine-specific signature the
+    * oracle cannot check) randomizes hashes and drives this recall to ~0.
+    *
+    * Calibration: SimHash bit-agreement probability is 1 - θ/π with cos θ
+    * the token-set cosine; jaccard 0.8 between equal-size sets is cosine
+    * ~0.89 => expected Hamming ~4.8/32, sd ~2.0, so (0.8, 12) holds with
+    * overwhelming per-pair probability on healthy signatures while a
+    * randomized signature puts pairs at Hamming ~16 ± 2.8 — cleanly
+    * separated. An empty exact set (no high-jaccard pairs in the sample)
+    * is vacuously healthy. */
+  def withSimhashRecallGuard(output: DataFrame, df: DataFrame,
+                             textCol: String, idCol: String,
+                             auditCap: Int = 2048, shingleN: Int = 3,
+                             jaccardFloor: Double = 0.8,
+                             maxHamming: Int = 12,
+                             minRecall: Double = 0.9): DataFrame = {
+    require(auditCap >= 2, s"auditCap must be >= 2 (got $auditCap)")
+    val audit = df.select(col(idCol), col(textCol))
+      .withColumn("__h", xxhash64(col(idCol), lit("graft.simhash.audit")))
+      .orderBy(col("__h"), col(idCol)).limit(auditCap).drop("__h")
+      .localCheckpoint(false)
+    val exact = ngramJaccardPairs(audit, textCol, idCol, shingleN, jaccardFloor)
+      .select("id_a", "id_b")
+    val sigs = audit.select(col(idCol).as("sid"),
+      simhash(col(textCol)).as("sig"))
+    val withinBar = exact
+      .join(sigs.select(col("sid").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("sid").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .where(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= maxHamming)
+      .select("id_a", "id_b")
+    def pairKeyed(pairs: DataFrame): DataFrame =
+      pairs.select(concat_ws(":", col("id_a"), col("id_b")).as("pair"))
+    Similarity.withAuditedSetRecallGuard(output, pairKeyed(withinBar),
+      pairKeyed(exact), "pair", minRecall)
   }
 
   /** The (band, id) LSH table of a shingled frame — shared by
@@ -512,6 +647,15 @@ object Dedup {
     * table's hyperplanes is still caught by another table — same
     * recall/bucket-size trade the MinHash operator's bands make. A single
     * table would force few planes (e.g. 6 -> 64 buckets -> O(n^2/64) pairs). */
+  /** The corpus-size-derived hyperplane count [[embeddingNearDups]] uses
+    * when `planes = 0`: candidate pairs scale as n²/2^planes, so planes
+    * grows with log2(n) to keep within-bucket all-pairs work ~constant
+    * per row. Shared with [[withEmbeddingPairRecallGuard]] so the audit
+    * sizes its sample's buckets by the same rule. */
+  private[ops] def sizedPlanes(n: Long): Int =
+    math.min(24, math.max(8,
+      math.ceil(math.log(math.max(n, 1L) / 32.0) / math.log(2)).toInt))
+
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
                         planes: Int = 0, threshold: Double = 0.95,
                         tables: Int = 4): DataFrame = {
@@ -530,11 +674,7 @@ object Dedup {
     // safety; callers that know their corpus pass planes explicitly.
     val effPlanes =
       if (planes > 0) planes
-      else {
-        val n = math.max(base.count(), 1L)
-        math.min(24, math.max(8,
-          math.ceil(math.log(n / 32.0) / math.log(2)).toInt))
-      }
+      else sizedPlanes(base.count())
     // one codegen'd pass computes every table's signature (hyperplane length
     // follows each row's own vector length — a hardcoded dim would zero the
     // dot products and collapse rows into one bucket). (bucket, id) only

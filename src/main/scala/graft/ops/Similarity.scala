@@ -78,7 +78,13 @@ object Similarity {
     * filter, re-evaluating O(dim^2) work twice per row (measured 10x the
     * query). Exploding the STAGED centered array instead leaves the
     * inferred filter a single O(dim) centering pass, and the per-element
-    * rescale runs on the exploded scalar. */
+    * rescale runs on the exploded scalar.
+    *
+    * Row-multiplicity delta vs the array face: a NULL or EMPTY vector
+    * explodes to ZERO rows here, while [[centerNormalize]] keeps one row
+    * (with a null/empty array) — callers swapping faces on corpora with
+    * undefined vectors lose those ids, by design (posexplode semantics;
+    * a scalar row has no position to carry for them). */
   def centerNormalizeExploded(corpus: DataFrame, vecCol: String,
                               idCol: String,
                               center: Boolean = true): DataFrame = {
@@ -717,7 +723,12 @@ object Similarity {
     require(m >= 1 && ks >= 1 && iters >= 1)
     val keyed = sampledKeyedVectors(corpus, vecCol, trainCap, None)
     if (keyed.isEmpty) return Seq.empty
-    val dim = keyed.head._2.length
+    // MODAL length, not the first sample vector's (the localityCheck
+    // idiom): if the hash-ordered head happened to be a length-mismatched
+    // stray, inferring dim from it would discard every well-formed vector
+    // below (training on strays) or trip the dim%m require spuriously
+    val dim = keyed.map(_._2).groupBy(_.length)
+      .maxBy { case (d, vs) => (vs.length, d) }._1
     require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
     val dsub = dim / m
     // length-mismatched strays (a corrupt row) would crash the slicing;
@@ -783,23 +794,159 @@ object Similarity {
         bruteForceTopK(corpus, vecCol, idCol, query, k).limit(0),
         bruteForceTopK(corpus, vecCol, idCol, query, k).limit(0),
         idCol, k, 0.0)
+    val approx = adcRerank(pqEncode(normed, vecCol, idCol, books), corpus,
+      vecCol, idCol, books, query, k, refine)
+    withRecallGuard(approx,
+      bruteForceTopK(corpus, vecCol, idCol, query, k), idCol, k, minRecall)
+  }
+
+  /** The shared ADC + exact-re-rank pipeline both PQ faces probe through
+    * (the ranking contract must not drift between the ad-hoc and indexed
+    * faces): every row in `codes` scored by m table lookups over its code
+    * array, the top `k * refine` ADC candidates (NULL codes — undefined
+    * vectors — sort last) re-scored with the EXACT cosine against the full
+    * vectors fetched from `corpus` by a candidate-bounded semi-join, final
+    * top-k from those. The ADC cut is a TakeOrdered (no full sort); the
+    * semi-join's right side is k*refine ids, so it broadcasts. */
+  private def adcRerank(codes: DataFrame, corpus: DataFrame, vecCol: String,
+                        idCol: String, books: Seq[Seq[Seq[Double]]],
+                        query: Seq[Double], k: Int, refine: Int): DataFrame = {
     val qn = {
       val n = math.sqrt(query.map(x => x * x).sum)
       if (n == 0.0) query.map(_ => 0.0) else query.map(_ / n)
     }
     val table = typedLit(pqAdcTable(books, qn))
-    val candidates = pqEncode(normed, vecCol, idCol, books)
+    val candidates = codes
       .select(col(idCol),
+        // cast: codes are array<int> from the encoder but come back as
+        // array<bigint> through the dataset header's schema round-trip,
+        // and element_at's ordinal must be INT either way
         aggregate(zip_with(col("codes"), table,
-          (c, row) => element_at(row, c + 1)), lit(0.0), (a, x) => a + x)
+          (c, row) => element_at(row, (c + 1).cast("int"))),
+          lit(0.0), (a, x) => a + x)
           .as("__adc"))
       .orderBy(col("__adc").desc_nulls_last, col(idCol).asc)
       .limit(k * refine)
       .select(col(idCol))
-    val approx = bruteForceScores(
-      corpus.join(candidates, Seq(idCol), "left_semi"), vecCol, idCol, query)
+    bruteForceScores(corpus.join(candidates, Seq(idCol), "left_semi"),
+      vecCol, idCol, query)
       .orderBy(col("cosine").desc, col(idCol).asc).limit(k)
-    withRecallGuard(approx,
-      bruteForceTopK(corpus, vecCol, idCol, query, k), idCol, k, minRecall)
+  }
+
+  /** Materialize the PQ CODES of a corpus as a graft dataset — the face
+    * that makes PQ pay at scale: train once, encode once, and every later
+    * [[pqTopKIndexed]] probe scans only the (id, codes) dataset (~m small
+    * ints per row — ~30x less IO than the full vector column at
+    * m=8/dim=64 float) instead of re-training codebooks and re-encoding
+    * the corpus per query, which is what the ad-hoc [[pqTopK]] does.
+    *
+    * Codebooks are PINNED in the dataset header (the [[ivfIndex]]
+    * centroid discipline / [[graft.ops.Dedup.minhashIndex]] param
+    * discipline): append and probe read THESE, so the code geometry can
+    * never silently drift from the build. That pinning is also what makes
+    * the capped training sample's corpus-size dependence harmless —
+    * [[pqCodebooks]]' sample varies with n, but appends NEVER retrain
+    * (retrain + rebuild explicitly on distribution drift), so codes
+    * encoded at build time stay valid forever. `trainCap` is recorded in
+    * the header for provenance. Codes are computed over the L2-NORMALIZED
+    * corpus ([[pqTopK]]'s contract — ADC inner products then rank like
+    * cosine); the caller's corpus itself is stored nowhere here. */
+  def pqIndex(spark: org.apache.spark.sql.SparkSession,
+              storage: graft.store.Storage, uuid: String,
+              corpus: DataFrame, vecCol: String, idCol: String,
+              m: Int = 8, ks: Int = 32, iters: Int = 10,
+              trainCap: Int = 100000,
+              overwrite: Boolean = false): graft.meta.DatasetMetadata = {
+    val normed = centerNormalize(corpus, vecCol, idCol, center = false)
+    val books = pqCodebooks(normed, vecCol, m, ks, iters, trainCap)
+    require(books.nonEmpty, "cannot build a PQ index over an empty corpus")
+    graft.io.Writer.store(spark, storage, uuid,
+      pqEncode(normed, vecCol, idCol, books),
+      graft.io.Writer.WriteOpts(overwrite = overwrite,
+        metadata = Map(
+          "graft.pq.codebooks" -> encodeBooks(books),
+          "graft.pq.idCol" -> idCol,
+          "graft.pq.trainCap" -> trainCap.toString)))
+  }
+
+  /** Append newly landed vectors to a [[pqIndex]] dataset, encoded with
+    * the codebooks PINNED at build time — the incremental-ingestion face
+    * (mirror of [[ivfIndexAppend]]). Never retrains: previously encoded
+    * codes stay valid by construction. A vector whose length does not
+    * match the pinned geometry encodes to NULL codes (the
+    * [[graft.functions.PqCodes]] contract) and sorts last at probe time. */
+  def pqIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                    storage: graft.store.Storage, uuid: String,
+                    corpus: DataFrame, vecCol: String,
+                    idCol: String): graft.meta.DatasetMetadata = {
+    val books = pqBooks(storage, uuid)
+    val normed = centerNormalize(corpus, vecCol, idCol, center = false)
+    graft.io.Writer.update(spark, storage, uuid,
+      Some(pqEncode(normed, vecCol, idCol, books)))
+  }
+
+  /** The codebooks pinned in a [[pqIndex]] dataset's header. Loud refusal
+    * for datasets that are not PQ indices — a probe with foreign codebooks
+    * would score garbage with no error. */
+  def pqBooks(storage: graft.store.Storage,
+              uuid: String): Seq[Seq[Seq[Double]]] =
+    decodeBooks(graft.meta.DatasetMetadata.load(storage, uuid).metadata
+      .getOrElse("graft.pq.codebooks", throw new IllegalArgumentException(
+        s"dataset '$uuid' is not a PQ index (missing graft.pq.codebooks)")))
+
+  private def encodeBooks(books: Seq[Seq[Seq[Double]]]): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    mapper.writeValueAsString(books.map(_.map(_.toArray).toArray).toArray)
+  }
+
+  private def decodeBooks(s: String): Seq[Seq[Seq[Double]]] = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+    import scala.jdk.CollectionConverters._
+    root.elements().asScala.map(book =>
+      book.elements().asScala.map(cw =>
+        cw.elements().asScala.map(_.asDouble()).toSeq).toSeq).toSeq
+  }
+
+  /** Probe-time PQ search over a [[pqIndex]] dataset: ADC-score the
+    * persisted CODES (the scan reads the codes dataset only — never the
+    * corpus's vector column), then exact-re-rank the top k*refine
+    * candidates against full vectors fetched from `corpus` by a bounded
+    * semi-join. `corpus` must be the same id-keyed frame the index was
+    * built+appended from (`idCol` names must match; ids absent from the
+    * index are unreachable, ids absent from `corpus` drop at re-rank).
+    *
+    * The recall contract here is a BOUNDED-SAMPLE audit, not [[pqTopK]]'s
+    * full brute-force shadow (which costs a full-vector exact scan —
+    * exactly what the index exists to avoid): when `auditCap > 0`, the
+    * same ADC+re-rank pipeline and an exact scan both run over one
+    * deterministic `auditCap`-row sample and the probe fails in-plan below
+    * `minRecall` (the [[graft.ops.Dedup.withMinhashPairRecallGuard]]
+    * discipline — O(auditCap) extra work at any corpus scale, plus two
+    * broadcast-semi-join passes). `auditCap <= 0` disables the audit for
+    * latency-critical probes. */
+  def pqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                    storage: graft.store.Storage, uuid: String,
+                    corpus: DataFrame, vecCol: String, idCol: String,
+                    query: Seq[Double], k: Int, refine: Int = 16,
+                    minRecall: Double = 0.9,
+                    auditCap: Int = 2048): DataFrame = {
+    require(k >= 1 && refine >= 1)
+    val books = pqBooks(storage, uuid)
+    val codes = graft.io.Reader.readTable(spark, storage, uuid)
+    val out = adcRerank(codes, corpus, vecCol, idCol, books, query, k, refine)
+    if (auditCap <= 0) out
+    else {
+      val sampleIds = corpus.select(col(idCol))
+        .withColumn("__h", xxhash64(col(idCol).cast("string"),
+          lit("graft.pq.audit")))
+        .orderBy(col("__h"), col(idCol)).limit(auditCap).drop("__h")
+        .localCheckpoint(false)
+      val sampleCorpus = corpus.join(sampleIds, Seq(idCol), "left_semi")
+      val sampleCodes = codes.join(sampleIds, Seq(idCol), "left_semi")
+      val approxAudit = adcRerank(sampleCodes, sampleCorpus, vecCol, idCol,
+        books, query, k, refine)
+      val exactAudit = bruteForceTopK(sampleCorpus, vecCol, idCol, query, k)
+      withAuditedSetRecallGuard(out, approxAudit, exactAudit, idCol, minRecall)
+    }
   }
 }

@@ -1,0 +1,16 @@
+package org.apache.spark.graftbridge
+
+import org.apache.spark.SparkContext
+
+/** `SparkContext.listenerBus` is `private[spark]`; the bench's per-query
+  * task-metric attribution needs to DRAIN it between queries (task-end
+  * events are delivered asynchronously, so without a drain the tail of one
+  * query's events would be counted against the next). Lives under the spark
+  * package solely to re-export that one call. */
+object ListenerBridge {
+  /** Block until all queued listener events are delivered; false on
+    * timeout (metrics may then under-count the just-finished query). */
+  def drain(sc: SparkContext, timeoutMillis: Long = 10000L): Boolean =
+    try { sc.listenerBus.waitUntilEmpty(timeoutMillis); true }
+    catch { case _: java.util.concurrent.TimeoutException => false }
+}

@@ -723,6 +723,44 @@ class DedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("recall"))
   }
 
+  test("withSimhashRecallGuard: healthy signatures pass; unreachable bar fires") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+    val guarded = Dedup.withSimhashRecallGuard(sigs, docs, "text", "doc_id",
+      auditCap = 200)
+    val rows = guarded.collect()
+    assert(rows.length === sigs.count())
+    val recalls = rows.map(_.getAs[Double]("recall_vs_exact")).distinct
+    assert(recalls.length === 1 && recalls.head >= 0.9)
+    // verified-to-fire: maxHamming = -1 makes every pair miss the bar, so
+    // recall is 0 against any non-empty exact set (the sf0.001 corpus has
+    // high-jaccard dup pairs — if it didn't, this would vacuously pass
+    // and the assertion on the message below would fail the test)
+    val ex = intercept[Exception] {
+      Dedup.withSimhashRecallGuard(sigs, docs, "text", "doc_id",
+        auditCap = 200, maxHamming = -1).collect()
+    }
+    assert(ex.getMessage.contains("recall"), ex.getMessage)
+  }
+
+  test("withEmbeddingPairRecallGuard: healthy scheme passes; unreachable bar fires") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pairs = Dedup.embeddingNearDups(emb, "embedding", "vec_id",
+      threshold = 0.2)
+    val guarded = Dedup.withEmbeddingPairRecallGuard(pairs, emb, "embedding",
+      "vec_id", threshold = 0.2, auditCap = 200)
+    val rows = guarded.collect()
+    assert(rows.length === pairs.count())
+    val recalls = rows.map(_.getAs[Double]("recall_vs_exact")).distinct
+    assert(recalls.length === 1 && recalls.head >= 0.9)
+    // the raise path: an unreachable bar fails the query loudly in-plan
+    val ex = intercept[Exception] {
+      Dedup.withEmbeddingPairRecallGuard(pairs, emb, "embedding", "vec_id",
+        threshold = 0.2, auditCap = 200, minRecall = 1.01).collect()
+    }
+    assert(ex.getMessage.contains("recall"), ex.getMessage)
+  }
+
   test("semDedup clustered face: drops are a verified subset of the exact face") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Dedup.semDedupDrops(emb, "embedding", "vec_id",

@@ -204,6 +204,63 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("pqTopKIndexed probes CODES only; append encodes with pinned codebooks") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    // two tight clusters around (1,0,1,0) and (0,1,0,1) — dim 4, m=2
+    val vecs = ((1 to 20).map(i =>
+      (i.toLong, Array(1.0 + 0.01 * i, 0.01 * i, 1.0, 0.01 * i))) ++
+      (21 to 40).map(i =>
+        (i.toLong, Array(0.01 * i, 1.0 + 0.01 * i, 0.01 * i, 1.0))))
+      .toDF("id", "v")
+    val store = graft.store.Storage(spark, tmpDir("pq-index"))
+    Similarity.pqIndex(spark, store, "emb_pq", vecs, "v", "id", m = 2, ks = 4)
+    // the codes dataset carries (id, codes) ONLY — the structural proof
+    // the probe's ADC scan can never read the vector column (it isn't
+    // there to read; ~m small ints per row is the whole scan)
+    val codes = graft.io.Reader.readTable(spark, store, "emb_pq")
+    assert(codes.schema.fieldNames.toSet === Set("id", "codes"), codes.schema)
+    // probe: with the corpus a local relation, the ONLY file scan in the
+    // plan is the codes dataset — pinned so a regression that re-reads
+    // vectors (or re-encodes the corpus) shows up as an extra scan
+    val top = Similarity.pqTopKIndexed(spark, store, "emb_pq", vecs, "v",
+      "id", Seq(1.0, 0.0, 1.0, 0.0), k = 5, refine = 2, auditCap = 0)
+    val plan = top.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size === 1, plan.take(3000))
+    assert(top.inputFiles.forall(_.contains("pq-index")),
+      top.inputFiles.toSeq.toString)
+    val ids = top.collect().map(_.getLong(0))
+    assert(ids.length === 5 && ids.forall(_ <= 20L), ids.toSeq.toString)
+    // pinned codebooks round-trip bit-exactly through the header, and
+    // append NEVER retrains: books identical before and after, so codes
+    // encoded at build stay valid by construction
+    val booksBefore = Similarity.pqBooks(store, "emb_pq")
+    assert(booksBefore.length === 2 && booksBefore.forall(_.length === 4))
+    Similarity.pqIndexAppend(spark, store, "emb_pq",
+      Seq((100L, Array(1.5, 0.0, 1.5, 0.0))).toDF("id", "v"), "v", "id")
+    assert(Similarity.pqBooks(store, "emb_pq") === booksBefore)
+    // the appended vector is reachable through its codes
+    val corpus2 = vecs.unionByName(
+      Seq((100L, Array(1.5, 0.0, 1.5, 0.0))).toDF("id", "v"))
+    val ids2 = Similarity.pqTopKIndexed(spark, store, "emb_pq", corpus2,
+      "v", "id", Seq(1.0, 0.0, 1.0, 0.0), k = 41, refine = 41, auditCap = 0)
+      .collect().map(_.getLong(0))
+    assert(ids2.contains(100L), ids2.toSeq.toString)
+    // the bounded audit guard fires loudly on an unreachable bar
+    val ex = intercept[Exception] {
+      Similarity.pqTopKIndexed(spark, store, "emb_pq", corpus2, "v", "id",
+        Seq(1.0, 0.0, 1.0, 0.0), k = 5, refine = 1, minRecall = 1.01,
+        auditCap = 64).collect()
+    }
+    assert(ex.getMessage.contains("recall"), ex.getMessage)
+    // a non-PQ dataset is refused loudly, not probed with garbage codes
+    graft.io.Writer.store(spark, store, "not_pq",
+      Seq((1L, "x")).toDF("id", "s"), graft.io.Writer.WriteOpts())
+    intercept[IllegalArgumentException] {
+      Similarity.pqBooks(store, "not_pq")
+    }
+  }
+
   test("ivfAssign puts each vector in its nearest centroid partition") {
     import spark.implicits._
     val vecs = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0)),
