@@ -67,9 +67,13 @@ object Sessionize {
             // only walks DOWN, so once one event misses, every earlier one
             // does; those orphans sessionize among THEMSELVES (ascending
             // fold) and close immediately — the batch oracle could merge
-            // them with still-earlier history, but bounded state cannot
-            // wait for arbitrarily-late history (the same documented trade
-            // as dedupExact's watermark).
+            // them with still-earlier history OR with a NEXT batch's
+            // orphans, but bounded state cannot wait for arbitrarily-late
+            // history (the same documented trade as dedupExact's
+            // watermark). What the trade emits for a two-batch orphan
+            // chain — two singletons where the oracle merges one session —
+            // is pinned by StreamingSpec "a two-batch orphan chain closes
+            // as singletons".
             val rest = open match {
               case Some(o0) =>
                 val (pre, rest0) = sorted.partition(_.ts < o0.start)

@@ -594,6 +594,48 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stateful sessionization: a two-batch orphan chain closes as singletons (bounded-state trade)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Double)]
+    val sessions = graft.streaming.Sessionize.stateful(
+      in.toDF().toDF("user_id", "ts", "value"), gapNanos = 100L)
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("sess_orphan").start()
+    def emitted(): Seq[graft.streaming.Sessionize.Session] =
+      spark.table("sess_orphan").as[graft.streaming.Sessionize.Session]
+        .collect().toSeq.sortBy(s => (s.user_id, s.session_start))
+    // open {1000}; a batch-2 orphan at 500 (beyond gap of start) closes
+    // immediately as a singleton — bounded state cannot hold it open for
+    // history that may never come
+    in.addData((6L, 1000L, 1.0))
+    q.processAllAvailable()
+    in.addData((6L, 500L, 2.0))
+    q.processAllAvailable()
+    assert(emitted() === Seq(
+      graft.streaming.Sessionize.Session(6L, 500L, 1L, 2.0)), emitted().toString)
+    // THE TRADE, pinned: a batch-3 event at 550 is within gap of the
+    // batch-2 orphan (50 <= 100) — the batch oracle merges {500, 550}
+    // into ONE two-event session, but 500's singleton already closed, so
+    // 550 closes as its OWN singleton. Within one batch the same pair
+    // chains (the user-5 case in the late-events test); across batches it
+    // does not — that asymmetry is the documented price of state bounded
+    // by the open tail only (Sessionize.stateful scaladoc).
+    in.addData((6L, 550L, 4.0))
+    q.processAllAvailable()
+    assert(emitted() === Seq(
+      graft.streaming.Sessionize.Session(6L, 500L, 1L, 2.0),
+      graft.streaming.Sessionize.Session(6L, 550L, 1L, 4.0)), emitted().toString)
+    // the open tail was never polluted by the orphan chain: a far-future
+    // event closes {1000} with its original stats
+    in.addData((6L, 10000L, 0.0))
+    q.processAllAvailable()
+    assert(emitted().last ===
+      graft.streaming.Sessionize.Session(6L, 1000L, 1L, 1.0), emitted().toString)
+    q.stop()
+  }
+
   test("writeStreamDedup replay reproduces the survivor set for TRANSITIVE clusters") {
     import spark.implicits._
     import graft.ops.Dedup
