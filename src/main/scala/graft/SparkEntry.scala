@@ -143,6 +143,21 @@ object SparkEntry {
         "embedding", "vec_id")
     }
 
+  /** IVF-PQ index (centroid-partitioned PQ codes) over embeddings plus an
+    * APPENDED second batch assigned+encoded with the header-pinned
+    * centroids/codebooks — [[Similarity.ivfPqTopKIndexed]] probes. */
+  private def ivfpqIdxDs(s: SparkSession, dir: String): Storage =
+    ensure(s, dir, "ivfpqidx") { st =>
+      val emb = rd(s, dir, "embeddings")
+      val cents = Similarity.kmeansCentroids(emb, "embedding", k = 8, iters = 3)
+      Similarity.ivfPqIndex(s, st, "ivfpqidx", emb, "embedding", "vec_id",
+        cents, overwrite = true)
+      Similarity.ivfPqIndexAppend(s, st, "ivfpqidx",
+        emb.select((col("vec_id") + 1000000L).as("vec_id"),
+          reverse(col("embedding")).as("embedding")),
+        "embedding", "vec_id")
+    }
+
   /** documents sorted by doc_id in 256 KiB row groups: each file's groups
     * carry disjoint doc_id stats, so a selective range predicate prunes at
     * the row-group level (reference `chunk_size`,
@@ -1052,9 +1067,15 @@ object SparkEntry {
     // before it (bucket-pruned read, signature-estimated jaccard)
     "d_index_dedup" -> ((s, dir) => {
       val st = mhIdxDs(s, dir)
-      Dedup.dedupAgainstIndex(s, st, "mhidx",
-        rd(s, dir, "documents").where(col("source") === "src0"),
-        "text", "doc_id", threshold = 0.5)
+      val batch = rd(s, dir, "documents").where(col("source") === "src0")
+      val landed = rd(s, dir, "documents").where(col("source") =!= "src0")
+      val matches = Dedup.dedupAgainstIndex(s, st, "mhidx",
+        batch, "text", "doc_id", threshold = 0.5)
+      // rows-only (signature estimates), but calibration-guarded IN-PLAN:
+      // sampled est_jaccard values must track the exact jaccard of the
+      // matched texts or the query fails loudly
+      Dedup.withEstJaccardAudit(matches, matches, batch, landed,
+        "text", "doc_id")
     }),
 
     // bloom-gated seen-set membership: which src0 docs are textually NEW
@@ -1180,6 +1201,26 @@ object SparkEntry {
       val n = corpus.count()
       Similarity.pqTopKIndexed(s, st, "pqidx", corpus, "embedding",
         "vec_id", q, k = 20, refine = math.max(1, math.ceil(n / 20.0).toInt))
+    }),
+
+    // IVF-PQ lifecycle: centroid-partitioned PQ codes, both parameter
+    // families pinned in the header; nprobe = numClusters + exact-wide
+    // refine makes the probe exactly brute force over built+appended
+    // vectors (hash-checkable) while driving partition-pruned codes reads
+    // and the bounded audit; the nprobe<k pruning + codes-only-scan shape
+    // is pinned by PlanQualitySpec
+    "v_ivfpq_indexed" -> ((s, dir) => {
+      val st = ivfpqIdxDs(s, dir)
+      val emb = rd(s, dir, "embeddings").select("vec_id", "embedding")
+      val corpus = emb.unionByName(
+        emb.select((col("vec_id") + 1000000L).as("vec_id"),
+          reverse(col("embedding")).as("embedding")))
+      val q = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toSeq
+      val n = corpus.count()
+      Similarity.ivfPqTopKIndexed(s, st, "ivfpqidx", corpus, "embedding",
+        "vec_id", q, k = 20, nprobe = 8,
+        refine = math.max(1, math.ceil(n / 20.0).toInt))
     }),
 
     // --- isotropy pre-flight: the loud diagnosis behind the v_knn_lsh
@@ -2211,6 +2252,24 @@ object SparkEntry {
       // lifecycle query; the bounded audit annotates a constant 1.0
       // recall (the audit's approx face IS exact at that refine)
       "v_pq_indexed" ->
+        """WITH base AS (SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+           corpus AS (SELECT vec_id, v FROM base
+             UNION ALL
+             SELECT vec_id + 1000000, list_reverse(v) FROM base),
+           q AS (SELECT v AS qv FROM base WHERE vec_id = 0),
+           scored AS (
+             SELECT vec_id, round(
+               list_sum(list_transform(range(1, 65), i -> v[i] * qv[i])) /
+               (sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))) *
+                sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))), 6) AS cosine
+             FROM corpus, q)
+           SELECT vec_id, cosine, 1.0 AS recall_vs_exact FROM scored
+           ORDER BY cosine DESC, vec_id ASC LIMIT 20""",
+      // same exact-wide argument as v_pq_indexed: with every list probed
+      // and every ADC candidate kept, the IVF-PQ probe IS brute force
+      "v_ivfpq_indexed" ->
         """WITH base AS (SELECT vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM embeddings),

@@ -843,6 +843,63 @@ object Dedup {
       .select(pmod(col("band"), lit(numBuckets)).as("bucket"),
         col("band"), col("id"), col("sig"))
 
+  /** Annotate `output` with an audited CALIBRATION check of
+    * [[dedupAgainstIndex]]'s signature estimator: on a bounded
+    * deterministic sample of the probe's matches, the EXACT n-gram
+    * jaccard (batch text vs matched corpus text) must sit within `tol`
+    * of `est_jaccard` for at least `minWithinTol` of the sampled pairs,
+    * or the query fails in-plan — a broken signature family (drifted
+    * hash seeds, wrong band reassembly) decorrelates the estimate from
+    * the real similarity and drives this fraction to ~0 while leaving the
+    * match COUNT plausible, which is exactly the failure a rows-only
+    * query cannot otherwise surface.
+    *
+    * `tol` defaults to four standard errors of the k-component estimator
+    * at its worst point, 4·sqrt(0.25/numHashes) (~0.35 at 32 hashes) —
+    * generous enough that the threshold-conditioned selection bias of
+    * "matches only" (est ≥ threshold while exact may sit just below)
+    * stays inside it on healthy signatures. `matches` is the probe
+    * output; `batch`/`corpus` supply the texts (the corpus side is only
+    * read for the ≤auditCap sampled ids — a broadcast-semi-join-bounded
+    * fetch, never a second corpus scan). */
+  def withEstJaccardAudit(output: DataFrame, matches: DataFrame,
+                          batch: DataFrame, corpus: DataFrame,
+                          textCol: String, idCol: String,
+                          shingleN: Int = 3, numHashes: Int = 32,
+                          auditCap: Int = 1024, tol: Double = -1.0,
+                          minWithinTol: Double = 0.9): DataFrame = {
+    require(auditCap >= 1, s"auditCap must be >= 1 (got $auditCap)")
+    val effTol = if (tol >= 0) tol else 4.0 * math.sqrt(0.25 / numHashes)
+    val sample = matches
+      .withColumn("__h", xxhash64(col("id").cast("string"),
+        col("matched_id").cast("string"), lit("graft.est.audit")))
+      .orderBy(col("__h"), col("id"), col("matched_id")).limit(auditCap)
+      .drop("__h").localCheckpoint(false)
+    def sh(df: DataFrame, side: String): DataFrame =
+      df.select(col(idCol).as(side), shingles(col(textCol), shingleN).as(s"sh_$side"))
+    val joined = sample
+      .join(sh(batch, "id"), "id")
+      .join(sh(corpus, "matched_id"), "matched_id")
+      .withColumn("__inter",
+        size(array_intersect(col("sh_id"), col("sh_matched_id"))).cast("double"))
+      .withColumn("__exact", col("__inter") /
+        (size(col("sh_id")) + size(col("sh_matched_id")) - col("__inter")))
+    val frac = joined.agg(
+      when(count(lit(1)) === 0, lit(1.0))
+        .otherwise(round(
+          sum(when(abs(col("est_jaccard") - col("__exact")) <= effTol, 1L)
+            .otherwise(0L)).cast("double") / count(lit(1)), 6)).as("__f0"))
+      .select(
+        when(col("__f0") >= minWithinTol, col("__f0"))
+          .otherwise(raise_error(concat(
+            lit("signature-estimator calibration regression: only "),
+            col("__f0").cast("string"),
+            lit(s" of sampled matches within ±$effTol of exact jaccard" +
+              s" (need >= $minWithinTol)"))))
+          .as("est_calibration"))
+    output.crossJoin(broadcast(frac))
+  }
+
   /** The keep side of [[dedupAgainstIndex]]: batch rows with NO indexed
     * near-duplicate — the genuinely new documents to land. */
   def filterAgainstIndex(spark: org.apache.spark.sql.SparkSession,

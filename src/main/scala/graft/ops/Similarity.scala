@@ -781,7 +781,16 @@ object Similarity {
     * clustered real embeddings need less); the in-plan
     * [[withRecallGuard]] against brute force fails the query loudly
     * below `minRecall`. Deterministic: ADC scores are row-local sums of
-    * driver-computed table entries, ties break on id at both cuts. */
+    * driver-computed table entries, ties break on id at both cuts.
+    *
+    * Measured limit (BENCH_LOCAL `pq_and_centernorm_sf1`): on ISOTROPIC
+    * vectors the refine width needed for a recall floor is a constant
+    * FRACTION of the corpus (~16% at both sf0.1 and the 10x tier, where
+    * refine=16 fails the guard at 0.35) — without cluster structure ADC
+    * cannot prune asymptotically, the [[localityCheck]]
+    * `structured=false` regime. This ad-hoc face also retrains codebooks
+    * and pays the full brute-force guard per call; the production path
+    * is [[pqIndex]]/[[pqTopKIndexed]] (encode once, bounded audit). */
   def pqTopK(corpus: DataFrame, vecCol: String, idCol: String,
              query: Seq[Double], k: Int, m: Int = 8, ks: Int = 32,
              refine: Int = 16, iters: Int = 10, trainCap: Int = 100000,
@@ -935,18 +944,125 @@ object Similarity {
     val codes = graft.io.Reader.readTable(spark, storage, uuid)
     val out = adcRerank(codes, corpus, vecCol, idCol, books, query, k, refine)
     if (auditCap <= 0) out
-    else {
-      val sampleIds = corpus.select(col(idCol))
-        .withColumn("__h", xxhash64(col(idCol).cast("string"),
-          lit("graft.pq.audit")))
-        .orderBy(col("__h"), col(idCol)).limit(auditCap).drop("__h")
-        .localCheckpoint(false)
-      val sampleCorpus = corpus.join(sampleIds, Seq(idCol), "left_semi")
-      val sampleCodes = codes.join(sampleIds, Seq(idCol), "left_semi")
-      val approxAudit = adcRerank(sampleCodes, sampleCorpus, vecCol, idCol,
-        books, query, k, refine)
-      val exactAudit = bruteForceTopK(sampleCorpus, vecCol, idCol, query, k)
-      withAuditedSetRecallGuard(out, approxAudit, exactAudit, idCol, minRecall)
-    }
+    else withCodesAudit(out, codes, corpus, vecCol, idCol, books, query, k,
+      refine, minRecall, auditCap)
+  }
+
+  /** The bounded-sample audit both code-probing faces share: the same
+    * ADC+re-rank pipeline and an exact scan run over one deterministic
+    * `auditCap`-row sample of `corpus`, and `out` fails in-plan below
+    * `minRecall`. O(auditCap) extra scoring at any corpus scale plus two
+    * broadcast-semi-join passes over corpus and codes. */
+  private def withCodesAudit(out: DataFrame, codes: DataFrame,
+                             corpus: DataFrame, vecCol: String, idCol: String,
+                             books: Seq[Seq[Seq[Double]]], query: Seq[Double],
+                             k: Int, refine: Int, minRecall: Double,
+                             auditCap: Int): DataFrame = {
+    val sampleIds = corpus.select(col(idCol))
+      .withColumn("__h", xxhash64(col(idCol).cast("string"),
+        lit("graft.pq.audit")))
+      .orderBy(col("__h"), col(idCol)).limit(auditCap).drop("__h")
+      .localCheckpoint(false)
+    val sampleCorpus = corpus.join(sampleIds, Seq(idCol), "left_semi")
+    val sampleCodes = codes.join(sampleIds, Seq(idCol), "left_semi")
+    val approxAudit = adcRerank(sampleCodes, sampleCorpus, vecCol, idCol,
+      books, query, k, refine)
+    val exactAudit = bruteForceTopK(sampleCorpus, vecCol, idCol, query, k)
+    withAuditedSetRecallGuard(out, approxAudit, exactAudit, idCol, minRecall)
+  }
+
+  // ---------------------------------------------------------------- IVF-PQ
+
+  /** IVF-PQ: coarse-quantized inverted lists storing PQ CODES — the
+    * composition that makes ANN tractable at the largest scales (the
+    * standard FAISS IVFPQ shape): a probe prunes to `nprobe` centroid
+    * partitions at the METADATA level (hive partition pruning, untouched
+    * lists never read) and within them scans ~m small ints per row
+    * instead of the vector, with an exact re-rank on the survivors.
+    *
+    * Both parameter families are PINNED in the header: the coarse
+    * centroids ([[ivfIndex]]'s discipline) and the PQ codebooks
+    * ([[pqIndex]]'s) — append and probe read these, so neither geometry
+    * can drift from the build. Codebooks are trained GLOBALLY on the
+    * L2-normalized corpus, not on per-list residuals (the FAISS
+    * refinement): residual encoding buys ADC precision at the cost of a
+    * per-list codebook dependency that breaks the simple
+    * append-with-pinned-books contract, and this pipeline re-ranks the
+    * k*refine survivors with EXACT cosine anyway, which absorbs
+    * quantization error at the candidate-width price the recall audit
+    * makes visible. */
+  def ivfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                 storage: graft.store.Storage, uuid: String,
+                 corpus: DataFrame, vecCol: String, idCol: String,
+                 centroids: Seq[Seq[Double]],
+                 m: Int = 8, ks: Int = 32, iters: Int = 10,
+                 trainCap: Int = 100000,
+                 overwrite: Boolean = false): graft.meta.DatasetMetadata = {
+    val normed = centerNormalize(corpus, vecCol, idCol, center = false)
+    val books = pqCodebooks(normed, vecCol, m, ks, iters, trainCap)
+    require(books.nonEmpty, "cannot build an IVF-PQ index over an empty corpus")
+    graft.io.Writer.store(spark, storage, uuid,
+      ivfPqRows(normed, vecCol, idCol, centroids, books),
+      graft.io.Writer.WriteOpts(partitionOn = Seq("centroid"),
+        overwrite = overwrite,
+        metadata = Map(
+          "graft.ivf.centroids" -> encodeCentroids(centroids),
+          "graft.pq.codebooks" -> encodeBooks(books),
+          "graft.pq.idCol" -> idCol,
+          "graft.pq.trainCap" -> trainCap.toString)))
+  }
+
+  /** The (centroid, id, codes) row shape shared by [[ivfPqIndex]] and
+    * [[ivfPqIndexAppend]] — assignment and encoding must not drift
+    * between build and append. */
+  private def ivfPqRows(normed: DataFrame, vecCol: String, idCol: String,
+                        centroids: Seq[Seq[Double]],
+                        books: Seq[Seq[Seq[Double]]]): DataFrame =
+    ivfAssign(normed, vecCol, centroids)
+      .select(col("__centroid").as("centroid"), col(idCol),
+        graft.functions.expressions.asColumn(graft.functions.PqCodes(
+          graft.functions.expressions.exprOf(col(vecCol)), books)).as("codes"))
+
+  /** Append new vectors to an [[ivfPqIndex]] dataset: assigned with the
+    * PINNED centroids, encoded with the PINNED codebooks — neither is
+    * ever retrained here, so existing lists and codes stay valid. */
+  def ivfPqIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                       storage: graft.store.Storage, uuid: String,
+                       corpus: DataFrame, vecCol: String,
+                       idCol: String): graft.meta.DatasetMetadata = {
+    val cents = ivfCentroids(storage, uuid)
+    val books = pqBooks(storage, uuid)
+    val normed = centerNormalize(corpus, vecCol, idCol, center = false)
+    graft.io.Writer.update(spark, storage, uuid,
+      Some(ivfPqRows(normed, vecCol, idCol, cents, books)),
+      Nil, graft.io.Writer.WriteOpts(partitionOn = Seq("centroid")))
+  }
+
+  /** Probe an [[ivfPqIndex]]: centroid ranking on the driver against the
+    * pinned set, a predicate-pruned read of the `nprobe` closest lists'
+    * CODES, ADC + exact re-rank (full vectors fetched from `corpus` for
+    * just the k*refine candidates). The recall audit (`auditCap > 0`)
+    * runs the SAME nprobe-pruned pipeline against an exact scan over a
+    * bounded sample — on a corpus without cluster structure a small
+    * nprobe fails it by DESIGN (that is coarse quantization's
+    * selectivity; see [[localityCheck]]), so treat a firing guard as a
+    * data diagnosis, not only a code one. */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                       storage: graft.store.Storage, uuid: String,
+                       corpus: DataFrame, vecCol: String, idCol: String,
+                       query: Seq[Double], k: Int, nprobe: Int = 1,
+                       refine: Int = 16, minRecall: Double = 0.9,
+                       auditCap: Int = 2048): DataFrame = {
+    require(k >= 1 && refine >= 1)
+    val books = pqBooks(storage, uuid)
+    val probes = rankProbes(ivfCentroids(storage, uuid), query, nprobe)
+    val codes = graft.io.Reader.readTable(spark, storage, uuid,
+      predicates = Some(Seq(Seq(
+        graft.dnf.Literal("centroid", graft.dnf.Op.In, probes)))))
+      .select(col(idCol), col("codes"))
+    val out = adcRerank(codes, corpus, vecCol, idCol, books, query, k, refine)
+    if (auditCap <= 0) out
+    else withCodesAudit(out, codes, corpus, vecCol, idCol, books, query, k,
+      refine, minRecall, auditCap)
   }
 }

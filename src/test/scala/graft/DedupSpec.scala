@@ -761,6 +761,34 @@ class DedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("recall"), ex.getMessage)
   }
 
+  test("withEstJaccardAudit: calibrated estimates pass; a decorrelated estimate fires") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val batch = docs.where(col("source") === "src0")
+    val landed = docs.where(col("source") =!= "src0")
+    val store = graft.store.Storage(spark, tmpDir("est-audit"))
+    Dedup.minhashIndex(spark, store, "ea_idx", landed, "text", "doc_id",
+      numBuckets = 8, overwrite = true)
+    val matches = Dedup.dedupAgainstIndex(spark, store, "ea_idx", batch,
+      "text", "doc_id", threshold = 0.5)
+    assert(matches.count() > 0, "fixture must produce matches to audit")
+    val guarded = Dedup.withEstJaccardAudit(matches, matches, batch, landed,
+      "text", "doc_id")
+    val rows = guarded.collect()
+    assert(rows.length === matches.count())
+    assert(rows.map(_.getAs[Double]("est_calibration")).distinct.head >= 0.9)
+    // verified-to-fire: corrupt the estimates (not the texts) — a
+    // decorrelated est_jaccard must fail calibration even though the
+    // match rows themselves look plausible
+    val corrupted = matches.withColumn("est_jaccard",
+      lit(1.0) - col("est_jaccard"))
+    val ex = intercept[Exception] {
+      Dedup.withEstJaccardAudit(corrupted, corrupted, batch, landed,
+        "text", "doc_id").collect()
+    }
+    assert(ex.getMessage.contains("calibration"), ex.getMessage)
+  }
+
   test("semDedup clustered face: drops are a verified subset of the exact face") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Dedup.semDedupDrops(emb, "embedding", "vec_id",

@@ -261,6 +261,54 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopKIndexed prunes to the probed list AND scans codes only") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    val vecs = ((1 to 20).map(i =>
+      (i.toLong, Array(1.0 + 0.01 * i, 0.01 * i, 1.0, 0.01 * i))) ++
+      (21 to 40).map(i =>
+        (i.toLong, Array(0.01 * i, 1.0 + 0.01 * i, 0.01 * i, 1.0))))
+      .toDF("id", "v")
+    val cents = Similarity.kmeansCentroids(vecs, "v", k = 2, iters = 5)
+    val store = graft.store.Storage(spark, tmpDir("ivfpq-index"))
+    Similarity.ivfPqIndex(spark, store, "emb_ivfpq", vecs, "v", "id", cents,
+      m = 2, ks = 4)
+    // the index rows carry (centroid, id, codes) — no vector column exists
+    // for a probe to read
+    val idx = graft.io.Reader.readTable(spark, store, "emb_ivfpq")
+    assert(idx.schema.fieldNames.toSet === Set("centroid", "id", "codes"),
+      idx.schema)
+    // nprobe=1 with a local-relation corpus: the ONLY file scan is the one
+    // probed list's file — metadata-level pruning plus the codes-only scan
+    val top = Similarity.ivfPqTopKIndexed(spark, store, "emb_ivfpq", vecs,
+      "v", "id", Seq(1.0, 0.0, 1.0, 0.0), k = 5, nprobe = 1, refine = 4,
+      auditCap = 0)
+    assert(top.inputFiles.length === 1, top.inputFiles.toSeq.toString)
+    val ids = top.collect().map(_.getLong(0))
+    assert(ids.length === 5 && ids.forall(_ <= 20L), ids.toSeq.toString)
+    // append assigns+encodes with BOTH pinned families; the new vector is
+    // reachable through its pruned list
+    val before = (Similarity.ivfCentroids(store, "emb_ivfpq"),
+      Similarity.pqBooks(store, "emb_ivfpq"))
+    Similarity.ivfPqIndexAppend(spark, store, "emb_ivfpq",
+      Seq((100L, Array(1.5, 0.0, 1.5, 0.0))).toDF("id", "v"), "v", "id")
+    assert((Similarity.ivfCentroids(store, "emb_ivfpq"),
+      Similarity.pqBooks(store, "emb_ivfpq")) === before)
+    val corpus2 = vecs.unionByName(
+      Seq((100L, Array(1.5, 0.0, 1.5, 0.0))).toDF("id", "v"))
+    val ids2 = Similarity.ivfPqTopKIndexed(spark, store, "emb_ivfpq",
+      corpus2, "v", "id", Seq(1.0, 0.0, 1.0, 0.0), k = 21, nprobe = 1,
+      refine = 21, auditCap = 0).collect().map(_.getLong(0))
+    assert(ids2.contains(100L), ids2.toSeq.toString)
+    // the nprobe-pruned audit fires on an unreachable bar
+    val ex = intercept[Exception] {
+      Similarity.ivfPqTopKIndexed(spark, store, "emb_ivfpq", corpus2, "v",
+        "id", Seq(1.0, 0.0, 1.0, 0.0), k = 5, nprobe = 1, refine = 1,
+        minRecall = 1.01, auditCap = 64).collect()
+    }
+    assert(ex.getMessage.contains("recall"), ex.getMessage)
+  }
+
   test("ivfAssign puts each vector in its nearest centroid partition") {
     import spark.implicits._
     val vecs = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0)),
