@@ -223,6 +223,34 @@ object Smoke {
           col("embedding"), lit(0.0), (a, x) => a + x * x)))))
         .collect().head.getDouble(0)}%.1e")
 
+    // round-8 additions: persisted PQ and IVF-PQ index lifecycles — build
+    // pins codebooks (+centroids), append encodes with the pinned
+    // families, probes scan codes only with an exact re-rank
+    val embP = emb.select("vec_id", "embedding")
+    Similarity.pqIndex(spark, store, "smoke_pq", embP, "embedding", "vec_id",
+      overwrite = true)
+    val pqTop = Similarity.pqTopKIndexed(spark, store, "smoke_pq", embP,
+      "embedding", "vec_id", q.toSeq, k = 5,
+      refine = math.max(1, (embP.count() / 5).toInt + 1), auditCap = 64)
+      .collect()
+    println(s"== pq indexed top-5: ${pqTop.map(_.getLong(0)).mkString(",")} " +
+      s"(audit recall ${pqTop.head.getAs[Double]("recall_vs_exact")})")
+    val smokeCents = Similarity.kmeansCentroids(embP, "embedding", k = 4, iters = 3)
+    Similarity.ivfPqIndex(spark, store, "smoke_ivfpq", embP, "embedding",
+      "vec_id", smokeCents, overwrite = true)
+    Similarity.ivfPqIndexAppend(spark, store, "smoke_ivfpq",
+      embP.select((col("vec_id") + 5000L).as("vec_id"),
+        reverse(col("embedding")).as("embedding")), "embedding", "vec_id")
+    val corpus2 = embP.unionByName(embP.select(
+      (col("vec_id") + 5000L).as("vec_id"),
+      reverse(col("embedding")).as("embedding")))
+    val ivfpqTop = Similarity.ivfPqTopKIndexed(spark, store, "smoke_ivfpq",
+      corpus2, "embedding", "vec_id", q.toSeq, k = 5, nprobe = 4,
+      refine = math.max(1, (corpus2.count() / 5).toInt + 1), auditCap = 64)
+      .collect()
+    println(s"== ivfpq indexed top-5 (built+appended): " +
+      s"${ivfpqTop.map(_.getLong(0)).mkString(",")}")
+
     println(s"== SparkEntry.entry rows: ${SparkEntry.entry(spark).count()}")
     println("== smoke OK")
     spark.stop()

@@ -177,7 +177,7 @@ object Dedup {
     * is a health signal rather than the scheme's own designed selectivity:
     * P(collide) = 1 - (1 - s^r)^b with r = numHashes/bands, solved for
     * P = 0.95. */
-  private[ops] def bandingHighConfidenceThreshold(numHashes: Int,
+  private[graft] def bandingHighConfidenceThreshold(numHashes: Int,
                                                   bands: Int): Double = {
     val r = numHashes.toDouble / bands
     math.pow(1.0 - math.pow(0.05, 1.0 / bands), 1.0 / r)
@@ -190,7 +190,7 @@ object Dedup {
     * 1 - (1 - (1-θ/π)^planes)^tables = 0.95 for θ and take its cosine
     * (~0.97 at planes=8/tables=4 — hyperplane banding is SHARP; below it
     * misses are the scheme's designed selectivity, not ill health). */
-  private[ops] def hyperplaneHighConfidenceThreshold(planes: Int,
+  private[graft] def hyperplaneHighConfidenceThreshold(planes: Int,
                                                      tables: Int): Double = {
     val perTable = 1.0 - math.pow(0.05, 1.0 / tables)
     val agree = math.pow(perTable, 1.0 / planes)

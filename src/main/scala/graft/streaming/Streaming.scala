@@ -459,6 +459,46 @@ object Streaming {
     startGuarded("writeStreamDedup", stream, checkpoint, configure)(batchFn)
   }
 
+  /** Streaming ANN ingestion — the vector sibling of [[writeStreamDedup]]
+    * and [[writeStreamUnseen]], completing the persisted-index symmetry
+    * (every index family has a streaming half): each micro-batch
+    * (1) appends the batch's (centroid, id, codes) rows to an existing
+    * [[graft.ops.Similarity.ivfPqIndex]] — assigned and encoded with the
+    * families PINNED at build, never retrained — then (2) commits the
+    * batch's vectors to `corpusUuid` through the same atomic
+    * replay-guarded commit as [[writeStreamAppend]]. Index FIRST: a probe
+    * may transiently see codes for vectors whose corpus rows are not yet
+    * committed (the exact re-rank's semi-join silently drops them), but
+    * never committed vectors missing from the index.
+    *
+    * Crash healing: a replay of a FULLY-committed batch is skipped by the
+    * run-token guard; a crash BETWEEN index append and corpus commit
+    * leaves the batch's codes in the index and its replay appends them
+    * AGAIN — duplicate (id, codes) rows cost candidate-slot width at
+    * probe time (the re-rank's semi-join collapses ids) and are removed
+    * by a rebuild, never correctness. Exact at-most-once for codes would
+    * need a full-index ID probe per batch, which centroid partitioning
+    * cannot prune (the minhash sibling probes by BAND, which IS
+    * bucket-pruned; ids here spread across every list) — the bounded
+    * crash window is the documented trade. */
+  def writeStreamVectorIndex(stream: DataFrame, storage: Storage,
+                             corpusUuid: String, indexUuid: String,
+                             vecCol: String, idCol: String,
+                             opts: WriteOpts = WriteOpts(),
+                             checkpoint: Option[String] = None,
+                             configure: DataStreamWriter[Row] => DataStreamWriter[Row] =
+                               _.trigger(Trigger.AvailableNow())): StreamingQuery = {
+    def batchFn(token: Option[String])(batch: DataFrame, batchId: Long): Unit = {
+      if (batch.isEmpty) return
+      val spark = batch.sparkSession
+      if (isReplay(storage, corpusUuid, token.getOrElse(""), batchId)) return
+      graft.ops.Similarity.ivfPqIndexAppend(spark, storage, indexUuid,
+        batch, vecCol, idCol)
+      ingestBatch(storage, corpusUuid, opts, token)(batch, batchId)
+    }
+    startGuarded("writeStreamVectorIndex", stream, checkpoint, configure)(batchFn)
+  }
+
   /** Streaming EXACT-key incremental ingestion — the exact sibling of
     * [[writeStreamDedup]]'s near-dup contract: each micro-batch (1) drops
     * within-batch exact duplicates (keep-lowest-id), (2) drops rows whose

@@ -761,6 +761,23 @@ class DedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("recall"), ex.getMessage)
   }
 
+  test("high-confidence audit thresholds match the banding S-curves") {
+    // minhash banding at 32/8 (r=4): solve 1-(1-s^4)^8 = 0.95 -> s ~ 0.7476
+    val mh = Dedup.bandingHighConfidenceThreshold(32, 8)
+    assert(math.abs(mh - 0.7476) < 0.001, mh.toString)
+    // hyperplane LSH at planes=8/tables=4: cos(pi(1-(1-0.05^(1/4))^(1/8)))
+    // ~ 0.9709 — hyperplane banding is SHARP, audits must sit high
+    val hp = Dedup.hyperplaneHighConfidenceThreshold(8, 4)
+    assert(math.abs(hp - 0.9709) < 0.001, hp.toString)
+    // monotone sanity: more bands/tables catch lower-similarity pairs
+    assert(Dedup.bandingHighConfidenceThreshold(32, 16) < mh)
+    assert(Dedup.hyperplaneHighConfidenceThreshold(8, 8) < hp)
+    // the audit cut never drops below the caller's own threshold: verified
+    // by construction in both guards (max(threshold, ...)), pinned here at
+    // the formula level so a regression cannot invert the S-curve
+    assert(mh > 0.0 && mh < 1.0 && hp > 0.0 && hp < 1.0)
+  }
+
   test("withEstJaccardAudit: calibrated estimates pass; a decorrelated estimate fires") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -636,6 +636,50 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("writeStreamVectorIndex: batches land in corpus AND codes index; probe finds them") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.Similarity
+    implicit val sc = spark.sqlContext
+    // seed corpus + IVF-PQ index (two obvious clusters, dim 4, m=2)
+    val seed = ((1 to 10).map(i =>
+      (i.toLong, Array(1.0 + 0.01 * i, 0.01 * i, 1.0, 0.01 * i))) ++
+      (11 to 20).map(i =>
+        (i.toLong, Array(0.01 * i, 1.0 + 0.01 * i, 0.01 * i, 1.0))))
+      .toDF("id", "v")
+    Writer.store(spark, store, "vec_corpus", seed, WriteOpts())
+    val cents = Similarity.kmeansCentroids(seed, "v", k = 2, iters = 5)
+    Similarity.ivfPqIndex(spark, store, "vec_idx", seed, "v", "id", cents,
+      m = 2, ks = 4, overwrite = true)
+    val booksBefore = Similarity.pqBooks(store, "vec_idx")
+    // stream two batches of new vectors
+    val in = MemoryStream[(Long, Array[Double])]
+    in.addData((100L, Array(1.5, 0.0, 1.5, 0.0)))
+    in.addData((101L, Array(0.0, 1.5, 0.0, 1.5)))
+    val q = Streaming.writeStreamVectorIndex(in.toDF().toDF("id", "v"),
+      store, "vec_corpus", "vec_idx", "v", "id",
+      configure = _.trigger(Trigger.AvailableNow()))
+    q.awaitTermination(120000)
+    // corpus has seed + streamed rows; index has codes for every one
+    val corpus = Reader.readTable(spark, store, "vec_corpus")
+    assert(corpus.count() === 22)
+    val idx = Reader.readTable(spark, store, "vec_idx")
+    assert(idx.count() === 22)
+    assert(idx.where(col("codes").isNull).count() === 0)
+    // streaming appends never retrained the pinned families
+    assert(Similarity.pqBooks(store, "vec_idx") === booksBefore)
+    assert(Similarity.ivfCentroids(store, "vec_idx") === cents)
+    // a pruned probe reaches each streamed vector through its own list
+    val near100 = Similarity.ivfPqTopKIndexed(spark, store, "vec_idx",
+      corpus, "v", "id", Seq(1.0, 0.0, 1.0, 0.0), k = 11, nprobe = 1,
+      refine = 11, auditCap = 0).collect().map(_.getLong(0))
+    assert(near100.contains(100L), near100.toSeq.toString)
+    val near101 = Similarity.ivfPqTopKIndexed(spark, store, "vec_idx",
+      corpus, "v", "id", Seq(0.0, 1.0, 0.0, 1.0), k = 11, nprobe = 1,
+      refine = 11, auditCap = 0).collect().map(_.getLong(0))
+    assert(near101.contains(101L), near101.toSeq.toString)
+  }
+
   test("writeStreamDedup replay reproduces the survivor set for TRANSITIVE clusters") {
     import spark.implicits._
     import graft.ops.Dedup
