@@ -363,7 +363,17 @@ object Similarity {
           lit(1000000000L)) <
             math.max(1L, math.ceil(trainCap.toDouble / n * 1e9).toLong))
       }
-    keyVectors(picked.collect().map(rowVecToDoubles))
+    // non-finite vectors are dropped from TRAINING: a NaN/Inf vector would
+    // otherwise seed its own centroid/codeword via the distinct init
+    // (burning a cluster on garbage) and poison every mean it joins —
+    // downstream, a NaN codeword turns ADC scores NaN, which Spark orders
+    // ABOVE every number in a desc sort, so garbage rows would crowd the
+    // candidate cut. Such vectors still ASSIGN fine at scoring time
+    // (cosine's undefined-=>-0.0 policy); they just don't shape geometry.
+    // (The count-based sampling rate sees them, which only lowers the
+    // rate — the same direction as the documented knownCount over-count.)
+    keyVectors(picked.collect().map(rowVecToDoubles)
+      .filter(v => v.forall(java.lang.Double.isFinite)))
   }
 
   /** Canonical deterministic ordering of a collected sample — regardless

@@ -315,6 +315,30 @@ class RecallSpec extends SparkSpec {
     assert(ex.getMessage.contains("recall"))
   }
 
+  test("non-finite vectors never seed trained geometry (centroids/codebooks stay finite)") {
+    import spark.implicits._
+    val vecs = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)),
+      (3L, Array(Double.NaN, 1.0)), (4L, Array(0.1, 0.9)),
+      (5L, Array(Double.PositiveInfinity, 0.0))).toDF("id", "v")
+    // the NaN/Inf rows would otherwise claim distinct-init seed slots
+    // (burning clusters on garbage) and poison every mean they join; a
+    // NaN codeword then turns ADC scores NaN, which desc-sorts ABOVE
+    // every number and crowds the candidate cut
+    val cents = Similarity.kmeansCentroids(vecs, "v", k = 2, iters = 3)
+    assert(cents.size === 2)
+    assert(cents.flatten.forall(java.lang.Double.isFinite), cents.toString)
+    val books = Similarity.pqCodebooks(vecs, "v", m = 1, ks = 2)
+    assert(books.flatten.flatten.forall(java.lang.Double.isFinite),
+      books.toString)
+    // the non-finite rows still score/assign (undefined => 0.0), they just
+    // don't shape geometry
+    val assigned = Similarity.ivfAssign(vecs, "v", cents)
+    assert(assigned.count() === 5)
+    // an all-garbage corpus trains NOTHING rather than garbage
+    val junk = Seq((1L, Array(Double.NaN, 1.0))).toDF("id", "v")
+    assert(Similarity.kmeansCentroids(junk, "v", k = 2).isEmpty)
+  }
+
   test("withRecallGuard: a corpus smaller than k is not a recall regression") {
     import spark.implicits._
     // 3 vectors, k=10: the exact top-k has 3 rows; a bit-perfect approx
