@@ -1198,6 +1198,8 @@ object SparkEntry {
           reverse(col("embedding")).as("embedding")))
       val q = emb.where(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).map(_.toDouble).toSeq
+      // construction-time count job, deliberate: exact-wide refine needs n
+      // (same accepted pattern as embeddingNearDups' planes sizing)
       val n = corpus.count()
       Similarity.pqTopKIndexed(s, st, "pqidx", corpus, "embedding",
         "vec_id", q, k = 20, refine = math.max(1, math.ceil(n / 20.0).toInt))
@@ -1217,6 +1219,7 @@ object SparkEntry {
           reverse(col("embedding")).as("embedding")))
       val q = emb.where(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).map(_.toDouble).toSeq
+      // construction-time count job, deliberate (exact-wide refine)
       val n = corpus.count()
       Similarity.ivfPqTopKIndexed(s, st, "ivfpqidx", corpus, "embedding",
         "vec_id", q, k = 20, nprobe = 8,
