@@ -1104,7 +1104,13 @@ object SparkEntry {
     }),
 
     // full curation pipeline: exact dedup -> quality/lang gates -> minhash
-    // near-dup removal -> deterministic sample (composite; rows-only)
+    // near-dup removal -> deterministic sample (composite; rows-only).
+    // Not separately guarded ON PURPOSE: its near-dup stage is the same
+    // (32, 8, 3) banded scheme over the same corpus that
+    // d_minhash_neardups / d_dedup_clusters audit in-plan at the same
+    // effective S-curve cut — a third copy of that audit would re-buy an
+    // already-purchased signal; the other stages are oracle-checked
+    // directly (d_dedup_exact, t_quality, t_lang_id, u_stratified_sample)
     "d_curate" -> ((s, dir) =>
       graft.ops.Curate.curate(rd(s, dir, "documents"), "text", "doc_id",
         graft.ops.Curate.CurateConfig(minQuality = 0.2, nearDupThreshold = 0.5,

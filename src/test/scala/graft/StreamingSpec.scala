@@ -680,6 +680,46 @@ class StreamingSpec extends SparkSpec {
     assert(near101.contains(101L), near101.toSeq.toString)
   }
 
+  test("writeStreamVectorIndex replay after a crash between codes append and corpus commit") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    val seed = ((1 to 10).map(i =>
+      (i.toLong, Array(1.0 + 0.01 * i, 0.01 * i))) ++
+      (11 to 20).map(i => (i.toLong, Array(0.01 * i, 1.0 + 0.01 * i))))
+      .toDF("id", "v")
+    graft.io.Ops.deleteDataset(store, "vcr_corpus")
+    Writer.store(spark, store, "vcr_corpus", seed, WriteOpts())
+    val cents = Similarity.kmeansCentroids(seed, "v", k = 2, iters = 5)
+    Similarity.ivfPqIndex(spark, store, "vcr_idx", seed, "v", "id", cents,
+      m = 2, ks = 4, overwrite = true)
+    val batch = Seq((100L, Array(1.5, 0.0))).toDF("id", "v")
+    // simulate the crash: the batch's codes were appended but the corpus
+    // commit never ran
+    Similarity.ivfPqIndexAppend(spark, store, "vcr_idx", batch, "v", "id")
+    // the replay appends the codes AGAIN — THE DOCUMENTED TRADE, pinned:
+    // duplicate (id, codes) rows in the index, never a duplicate or lost
+    // corpus row, and probe correctness survives (the re-rank's semi-join
+    // collapses duplicate candidate ids)
+    val in = tmpDir("vcr-in")
+    batch.coalesce(1).write.mode("overwrite").parquet(in)
+    val q = Streaming.writeStreamVectorIndex(
+      spark.readStream.schema("id bigint, v array<double>").parquet(in),
+      store, "vcr_corpus", "vcr_idx", "v", "id")
+    q.awaitTermination(120000)
+    val corpus = Reader.readTable(spark, store, "vcr_corpus")
+    assert(corpus.where(col("id") === 100L).count() === 1) // exactly once
+    val idx = Reader.readTable(spark, store, "vcr_idx")
+    val dupRows = idx.where(col("id") === 100L).collect()
+    assert(dupRows.length === 2, s"expected duplicated codes, got ${dupRows.length}")
+    assert(dupRows.map(_.getSeq[Long](dupRows.head.fieldIndex("codes"))).distinct.length === 1,
+      "duplicate rows must carry IDENTICAL codes (same pinned books)")
+    val top = Similarity.ivfPqTopKIndexed(spark, store, "vcr_idx", corpus,
+      "v", "id", Seq(1.0, 0.0), k = 11, nprobe = 1, refine = 22,
+      auditCap = 0).collect().map(_.getLong(0))
+    assert(top.contains(100L) && top.distinct.length === top.length,
+      top.toSeq.toString)
+  }
+
   test("writeStreamDedup replay reproduces the survivor set for TRANSITIVE clusters") {
     import spark.implicits._
     import graft.ops.Dedup
