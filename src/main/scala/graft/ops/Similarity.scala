@@ -829,13 +829,38 @@ object Similarity {
     * semi-join's right side is k*refine ids, so it broadcasts. */
   private def adcRerank(codes: DataFrame, corpus: DataFrame, vecCol: String,
                         idCol: String, books: Seq[Seq[Seq[Double]]],
-                        query: Seq[Double], k: Int, refine: Int): DataFrame = {
+                        query: Seq[Double], k: Int, refine: Int,
+                        eagerIdFetch: Boolean = false): DataFrame = {
+    val candidates = adcCandidates(codes, idCol, books, query, k, refine)
+    val fetched =
+      if (!eagerIdFetch) corpus.join(candidates, Seq(idCol), "left_semi")
+      else {
+        // TWO-PHASE fetch: run the ADC job now, collect the candidate ids
+        // (bounded at k*refine — driver-trivial at production widths), and
+        // push them into the corpus read as an In predicate. The lazy
+        // semi-join form scans the WHOLE corpus to fetch k*refine rows —
+        // at 100 TB that scan dominates the probe; an In filter reaches
+        // the parquet scan (PushedFilters), so an id-sorted/chunked corpus
+        // prunes to the few row groups actually holding candidates.
+        // The price is eagerness (a job at construction) and an id
+        // collect, which is why it is opt-in.
+        val ids = candidates.collect().map(_.get(0))
+        corpus.where(col(idCol).isin(ids: _*))
+      }
+    bruteForceScores(fetched, vecCol, idCol, query)
+      .orderBy(col("cosine").desc, col(idCol).asc).limit(k)
+  }
+
+  /** The ADC candidate-id frame (top k*refine by table-lookup score). */
+  private def adcCandidates(codes: DataFrame, idCol: String,
+                            books: Seq[Seq[Seq[Double]]], query: Seq[Double],
+                            k: Int, refine: Int): DataFrame = {
     val qn = {
       val n = math.sqrt(query.map(x => x * x).sum)
       if (n == 0.0) query.map(_ => 0.0) else query.map(_ / n)
     }
     val table = typedLit(pqAdcTable(books, qn))
-    val candidates = codes
+    codes
       .select(col(idCol),
         // cast: codes are array<int> from the encoder but come back as
         // array<bigint> through the dataset header's schema round-trip,
@@ -847,9 +872,6 @@ object Similarity {
       .orderBy(col("__adc").desc_nulls_last, col(idCol).asc)
       .limit(k * refine)
       .select(col(idCol))
-    bruteForceScores(corpus.join(candidates, Seq(idCol), "left_semi"),
-      vecCol, idCol, query)
-      .orderBy(col("cosine").desc, col(idCol).asc).limit(k)
   }
 
   /** Materialize the PQ CODES of a corpus as a graft dataset — the face
@@ -942,17 +964,27 @@ object Similarity {
     * `minRecall` (the [[graft.ops.Dedup.withMinhashPairRecallGuard]]
     * discipline — O(auditCap) extra work at any corpus scale, plus two
     * broadcast-semi-join passes). `auditCap <= 0` disables the audit for
-    * latency-critical probes. */
+    * latency-critical probes.
+    *
+    * `eagerIdFetch = true` replaces the re-rank's corpus semi-join (a
+    * FULL corpus scan to fetch k*refine rows) with a collected-id In
+    * predicate pushed into the corpus scan — on an id-sorted/chunked
+    * corpus the fetch prunes to the row groups actually holding
+    * candidates, the difference between O(corpus) and O(k*refine) re-rank
+    * IO at 100 TB. Opt-in because it runs the ADC job eagerly at
+    * construction. */
   def pqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
                     storage: graft.store.Storage, uuid: String,
                     corpus: DataFrame, vecCol: String, idCol: String,
                     query: Seq[Double], k: Int, refine: Int = 16,
                     minRecall: Double = 0.9,
-                    auditCap: Int = 2048): DataFrame = {
+                    auditCap: Int = 2048,
+                    eagerIdFetch: Boolean = false): DataFrame = {
     require(k >= 1 && refine >= 1)
     val books = pqBooks(storage, uuid)
     val codes = graft.io.Reader.readTable(spark, storage, uuid)
-    val out = adcRerank(codes, corpus, vecCol, idCol, books, query, k, refine)
+    val out = adcRerank(codes, corpus, vecCol, idCol, books, query, k,
+      refine, eagerIdFetch)
     if (auditCap <= 0) out
     else withCodesAudit(out, codes, corpus, vecCol, idCol, books, query, k,
       refine, minRecall, auditCap)
@@ -1062,7 +1094,8 @@ object Similarity {
                        corpus: DataFrame, vecCol: String, idCol: String,
                        query: Seq[Double], k: Int, nprobe: Int = 1,
                        refine: Int = 16, minRecall: Double = 0.9,
-                       auditCap: Int = 2048): DataFrame = {
+                       auditCap: Int = 2048,
+                       eagerIdFetch: Boolean = false): DataFrame = {
     require(k >= 1 && refine >= 1)
     val books = pqBooks(storage, uuid)
     val probes = rankProbes(ivfCentroids(storage, uuid), query, nprobe)
@@ -1070,7 +1103,8 @@ object Similarity {
       predicates = Some(Seq(Seq(
         graft.dnf.Literal("centroid", graft.dnf.Op.In, probes)))))
       .select(col(idCol), col("codes"))
-    val out = adcRerank(codes, corpus, vecCol, idCol, books, query, k, refine)
+    val out = adcRerank(codes, corpus, vecCol, idCol, books, query, k,
+      refine, eagerIdFetch)
     if (auditCap <= 0) out
     else withCodesAudit(out, codes, corpus, vecCol, idCol, books, query, k,
       refine, minRecall, auditCap)

@@ -309,6 +309,33 @@ class PlanQualitySpec extends SparkSpec {
     assert(ex.getMessage.contains("recall"), ex.getMessage)
   }
 
+  test("eagerIdFetch pushes the re-rank's candidate ids into the corpus scan") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    val vecs = ((1 to 40).map(i =>
+      (i.toLong, Array(1.0 + 0.01 * i, 0.01 * i, 1.0, 0.01 * i)))).toDF("id", "v")
+    // an id-SORTED corpus on disk: row-group stats make the pushed In
+    // predicate prunable (the 100-TB fetch path)
+    val corpusDir = tmpDir("pq-corpus")
+    vecs.orderBy("id").coalesce(1).write.mode("overwrite").parquet(corpusDir)
+    val corpus = spark.read.parquet(corpusDir)
+    val store = graft.store.Storage(spark, tmpDir("pq-eager"))
+    Similarity.pqIndex(spark, store, "eag_pq", corpus, "v", "id", m = 2, ks = 4)
+    val top = Similarity.pqTopKIndexed(spark, store, "eag_pq", corpus, "v",
+      "id", Seq(1.0, 0.0, 1.0, 0.0), k = 3, refine = 2, auditCap = 0,
+      eagerIdFetch = true)
+    // the corpus scan carries the In filter as a PushedFilter — the fetch
+    // reads candidate row groups, not the corpus
+    val corpusScan = top.queryExecution.executedPlan.toString
+      .linesIterator.filter(l => l.contains("PushedFilters") && l.contains("In(id"))
+    assert(corpusScan.nonEmpty,
+      top.queryExecution.executedPlan.toString.take(3000))
+    // and the result matches the lazy semi-join face exactly
+    val lazyTop = Similarity.pqTopKIndexed(spark, store, "eag_pq", corpus,
+      "v", "id", Seq(1.0, 0.0, 1.0, 0.0), k = 3, refine = 2, auditCap = 0)
+    assert(top.collect().toSeq === lazyTop.collect().toSeq)
+  }
+
   test("ivfAssign puts each vector in its nearest centroid partition") {
     import spark.implicits._
     val vecs = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0)),
