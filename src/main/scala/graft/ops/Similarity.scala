@@ -171,7 +171,11 @@ object Similarity {
     require(k > 0, s"k must be positive (got $k)")
     approx.crossJoin(broadcast(guardedRecall(approx, exact, idCol, minRecall,
         fixedDenom = Some(k), errorPrefix = "ANN recall regression",
-        errorSuffix = "against brute force")))
+        // the firing guard carries its own diagnosis pointer: the common
+        // non-bug cause is an isotropic corpus (no structure for ANN to
+        // exploit), which localityCheck confirms in one bounded scan
+        errorSuffix = "against brute force (widen refine/nprobe/tables, " +
+          "or run localityCheck — an isotropic corpus defeats any ANN)")))
       .withColumnRenamed("__recall", "recall_vs_brute_force")
   }
 

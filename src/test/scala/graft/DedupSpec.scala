@@ -761,6 +761,39 @@ class DedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("recall"), ex.getMessage)
   }
 
+  test("minhash guard does NOT fire on a healthy scheme over a mid-jaccard corpus") {
+    import spark.implicits._
+    // 60 pairs engineered at jaccard ~0.47 (16 common words, 8 unique per
+    // side): mid-S-curve for the 32/8 banding, where band collision
+    // probability is ~0.3 BY DESIGN — the scheme is healthy, it is just
+    // similarity-selective
+    val docs = (0 until 60).flatMap { p =>
+      val common = (0 until 16).map(i => s"c${p}_$i").mkString(" ")
+      val pre = (0 until 8).map(i => s"a${p}_$i").mkString(" ")
+      val suf = (0 until 8).map(i => s"b${p}_$i").mkString(" ")
+      Seq((2L * p, s"$pre $common"), (2L * p + 1, s"$common $suf"))
+    }.toDF("doc_id", "text")
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.3).collect()
+    assert(exact.length === 60, exact.length.toString)
+    assert(exact.forall(_.getAs[Double]("jaccard") < 0.6))
+    // the banded candidates catch only a minority of them — an audit cut
+    // at the RAW threshold would therefore hard-fail this healthy scheme
+    // (the pre-fix behavior the advisor flagged)
+    val found = Dedup.minhashNearDups(docs, "text", "doc_id",
+      numHashes = 32, bands = 8, shingleN = 3, threshold = 0.3).count()
+    assert(found < 54, s"expected a minority of 60, got $found")
+    // the guard audits ABOVE the S-curve's high-confidence point, so this
+    // corpus (no pairs >= ~0.75) passes vacuously instead of firing
+    val guarded = Dedup.withMinhashPairRecallGuard(
+      Dedup.minhashNearDups(docs, "text", "doc_id",
+        numHashes = 32, bands = 8, shingleN = 3, threshold = 0.3),
+      docs, "text", "doc_id",
+      numHashes = 32, bands = 8, shingleN = 3, threshold = 0.3)
+    val rows = guarded.collect()
+    assert(rows.length === found)
+    assert(rows.forall(_.getAs[Double]("recall_vs_exact") >= 0.9))
+  }
+
   test("high-confidence audit thresholds match the banding S-curves") {
     // minhash banding at 32/8 (r=4): solve 1-(1-s^4)^8 = 0.95 -> s ~ 0.7476
     val mh = Dedup.bandingHighConfidenceThreshold(32, 8)
