@@ -839,6 +839,13 @@ object Similarity {
     val fetched =
       if (!eagerIdFetch) corpus.join(candidates, Seq(idCol), "left_semi")
       else {
+        // the eager face inlines the candidate ids as an In literal — at
+        // exact-wide refine that is a plan with 10^5+ literals (slow to
+        // compile, nothing pruned); refuse loudly rather than degrade
+        require(k.toLong * refine <= 65536,
+          s"eagerIdFetch inlines k*refine candidate ids into the scan " +
+            s"predicate; $k*$refine is too wide — use the lazy semi-join " +
+            "face (eagerIdFetch = false) for exact-wide probes")
         // TWO-PHASE fetch: run the ADC job now, collect the candidate ids
         // (bounded at k*refine — driver-trivial at production widths), and
         // push them into the corpus read as an In predicate. The lazy
