@@ -1055,6 +1055,14 @@ object SparkEntry {
         rd(s, dir, "documents").select("doc_id", "lang", "n_chars"),
         "lang", "n_chars", "doc_id", temperature = 0.5, budget = 50000L)),
 
+    // deterministic mixture ORDER: stride/virtual-time scheduling key —
+    // reading by mix_order consumes src0 at 4x the rate of other sources
+    // regardless of their sizes; one count broadcast, no window/sort
+    "u_mixture_order" -> ((s, dir) =>
+      graft.ops.Sampling.mixtureOrder(
+        rd(s, dir, "documents").select("doc_id", "source"),
+        "source", "doc_id", Map("src0" -> 4.0))),
+
     // sequence packing: deterministic md5 order, sharded running sum,
     // cut every 4096 weight units
     "u_pack_sequences" -> ((s, dir) =>
@@ -2041,6 +2049,17 @@ object SparkEntry {
            WHERE r.rate >= 1.0 OR
              substr(md5('graft' || CAST(d.doc_id AS VARCHAR)), 1, 8) <
                printf('%08x', CAST(floor(r.rate * 4294967296) AS BIGINT))""",
+      // mixture order: portable md5 uniform scaled by n_source / weight
+      "u_mixture_order" ->
+        """WITH t AS (SELECT source AS src, count(*) AS n
+                      FROM documents GROUP BY source)
+           SELECT d.doc_id, d.source,
+             round(CAST(CAST(concat('0x',
+                 substr(md5('graft' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) AS DOUBLE) / 4294967296 * t.n /
+               (CASE WHEN d.source = 'src0' THEN 4.0 ELSE 1.0 END),
+               6) AS mix_order
+           FROM documents d JOIN t ON d.source = t.src""",
       // sequence packing: md5-ordered concat-and-cut per md5-derived shard
       "u_pack_sequences" ->
         """WITH x AS (

@@ -181,6 +181,51 @@ object Sampling {
       .select(df.columns.map(col): _*) // original schema, original order
   }
 
+  /** Deterministic MIXTURE-ORDER key over weighted sources — the training
+    * ORDER face of mixture sampling: reading rows in increasing
+    * `mix_order` consumes sources at rates proportional to their WEIGHTS
+    * (independent of source size), each source's rows internally in
+    * md5-shuffled order, until a source exhausts at n_s/w_s and the rest
+    * continue at their relative rates — virtual-time (stride) scheduling
+    * made deterministic and engine-portable. [[temperatureSample]] picks
+    * WHICH rows a mixture keeps; this operator says WHEN each row is
+    * consumed, which is what an interleaved training run actually needs.
+    *
+    * Construction: u = first-8-hex md5(salt||id) / 2^32 (the portable
+    * uniform the sampler family shares), mix_order = round(u * n_s / w_s,
+    * 6) — rows of source s at mix_order <= K number ~K*w_s, the rate
+    * contract. Scale shape: one count aggregate broadcast back plus
+    * row-local math — NO window, NO global rank, the corpus never
+    * shuffles; materializing the total order is the CONSUMER's choice
+    * (write with `sortBy(mix_order)` / range-partition on it), because a
+    * forced global sort is exactly what a 100 TB pipeline must leave to
+    * the writer. Sources missing from `weights` get `defaultWeight`;
+    * NULL sources keep their rows under the default (absent provenance
+    * is not a reason to drop data — the dedupByUrl precedent). */
+  def mixtureOrder(df: DataFrame, sourceCol: String, idCol: String,
+                   weights: Map[String, Double],
+                   defaultWeight: Double = 1.0,
+                   salt: String = "graft"): DataFrame = {
+    require(defaultWeight > 0, s"defaultWeight must be > 0 (got $defaultWeight)")
+    require(weights.values.forall(_ > 0),
+      s"every weight must be > 0 (got $weights)")
+    require(!df.columns.contains("mix_order"),
+      "input already has a 'mix_order' column; rename it before mixtureOrder")
+    val totals = df.groupBy(col(sourceCol).as("__src"))
+      .agg(count(lit(1)).as("__n"))
+    val u = conv(substring(
+        md5(concat(lit(salt), col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val w =
+      if (weights.isEmpty) lit(defaultWeight)
+      else coalesce(element_at(typedLit(weights), col(sourceCol)),
+        lit(defaultWeight))
+    // null-safe join: a NULL source row must meet its own count, not drop
+    df.join(broadcast(totals), col(sourceCol) <=> col("__src"))
+      .withColumn("mix_order", round(u * col("__n") / w, 6))
+      .drop("__src", "__n")
+  }
+
   /** Keep rows whose `valueCol` lies inside the [lo, hi] QUANTILE band of
     * the corpus — the outlier-trim every quality pipeline applies (e.g.
     * drop the shortest 5% and longest 5% of documents). Two faces, same

@@ -236,4 +236,33 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.quantileBand(odd, "doc length", 0.10, 0.90)
       .collect().map(_.getLong(0)).sorted.toSeq === (11L to 90L))
   }
+
+  test("mixtureOrder: prefix rates follow weights, small weighted sources exhaust, null sources keep") {
+    import spark.implicits._
+    val rows = (1 to 400).map(i => (i.toLong, "a")) ++
+      (401 to 800).map(i => (i.toLong, "b")) ++
+      (801 to 820).map(i => (i.toLong, "c")) ++
+      (821 to 830).map(i => (i.toLong, null: String))
+    val df = rows.toDF("id", "src")
+    val weights = Map("a" -> 3.0, "c" -> 5.0)
+    val out = Sampling.mixtureOrder(df, "src", "id", weights)
+    // nothing dropped — including the null-source rows (default weight)
+    assert(out.count() === 830)
+    // stride semantics in the top-300 prefix: per-source consumption is
+    // ~K * weight regardless of source SIZE (a is 3x b's rate at equal
+    // size), and a small heavily-weighted source exhausts entirely
+    val top = out.orderBy("mix_order").limit(300)
+      .groupBy("src").count().collect()
+      .map(r => Option(r.getString(0)).getOrElse("NULL") -> r.getLong(1)).toMap
+    assert(top("a") > 2.0 * top("b"), top.toString)
+    assert(top.getOrElse("c", 0L) === 20L, top.toString)
+    // deterministic: same key for the same (id, source, weights) always
+    val again = Sampling.mixtureOrder(df.repartition(7), "src", "id", weights)
+      .orderBy("id").collect()
+    assert(out.orderBy("id").collect() === again)
+    // composing twice is refused, never silently overwritten
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureOrder(out, "src", "id", weights)
+    }
+  }
 }
