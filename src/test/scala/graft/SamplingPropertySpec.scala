@@ -227,6 +227,40 @@ class SamplingPropertySpec extends SparkSpec {
     }
   }
 
+  test("mixtureOrder: 30 random mixtures match the stride-key reference") {
+    import spark.implicits._
+    for (trial <- 1 to 30) {
+      val sources = (0 until (1 + rng.nextInt(5))).map(i => s"s$i")
+      val rows: Seq[(Long, Option[String])] = (1L to (10 + rng.nextInt(150)).toLong)
+        .map { id =>
+          (id, if (rng.nextInt(10) == 0) None
+               else Some(sources(rng.nextInt(sources.size))))
+        }
+      // weights over a random SUBSET of sources (sometimes empty), so the
+      // defaultWeight branch and the map-miss branch both exercise; null
+      // sources always take the default
+      val weights = sources.filter(_ => rng.nextBoolean())
+        .map(s => s -> (0.25 + rng.nextDouble() * 8.0)).toMap
+      val defW = 0.25 + rng.nextDouble() * 4.0
+      val salt = s"mix$trial"
+      val df = spark.createDataset(rows).toDF("id", "src").repartition(4)
+      val got = Sampling.mixtureOrder(df, "src", "id", weights, defW, salt)
+        .select("id", "mix_order")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // independent reference: per-source counts (null its own group),
+      // u = first-8-hex of md5(salt||id) / 2^32, key = round(u*n/w, 6)
+      val counts = rows.groupBy(_._2).map { case (s, g) => s -> g.size.toLong }
+      val expect = rows.map { case (id, src) =>
+        val n = counts(src)
+        val w = src.flatMap(weights.get).getOrElse(defW)
+        val u = BigInt(mdKey(salt, id), 16).toDouble / 4294967296.0
+        id -> BigDecimal(u * n / w)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+      assert(got === expect, s"trial $trial: weights=$weights defW=$defW")
+    }
+  }
+
   test("shuffleShards: permutation is the documented pure function of (id, salt)") {
     import spark.implicits._
     for (trial <- 1 to 10) {
