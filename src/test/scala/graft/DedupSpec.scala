@@ -837,6 +837,13 @@ class DedupSpec extends SparkSpec {
         "text", "doc_id").collect()
     }
     assert(ex.getMessage.contains("calibration"), ex.getMessage)
+    // vacuous case: an empty match set has nothing to calibrate — the
+    // audit annotates 1.0 and must not divide by zero or fire
+    val none = matches.where(lit(false))
+    val vac = Dedup.withEstJaccardAudit(none, none, batch, landed,
+      "text", "doc_id")
+    assert(vac.count() === 0)
+    assert(vac.schema.fieldNames.contains("est_calibration"))
   }
 
   test("semDedup clustered face: drops are a verified subset of the exact face") {
