@@ -702,18 +702,46 @@ object Similarity {
 
   /** Probe-time search over an [[ivfIndex]] dataset: centroid ranking on
     * the driver against the PINNED centroid set, then a predicate-pruned
-    * read of only the `nprobe` closest inverted lists. */
+    * read of only the `nprobe` closest inverted lists.
+    *
+    * `auditCap > 0` opts into the bounded-sample recall audit the PQ
+    * probes carry ([[pqTopKIndexed]]'s discipline): the same nprobe-pruned
+    * probe and an exact all-lists scan both run over one deterministic
+    * `auditCap`-row sample of the index, and the probe fails in-plan below
+    * `minRecall`. Off by default — the IVF contract query keeps its guard
+    * in the query (hash-checkable output, no annotation column), and on a
+    * corpus without cluster structure a small nprobe fails the audit by
+    * DESIGN (coarse quantization's selectivity; see [[localityCheck]]).
+    * The audit's exact face costs one extra all-lists scan with bounded
+    * (O(auditCap)) scoring — the same declared price as the PQ audits. */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession,
                      storage: graft.store.Storage, uuid: String,
                      vecCol: String, idCol: String,
                      query: Seq[Double], k: Int,
-                     nprobe: Int = 1): DataFrame = {
+                     nprobe: Int = 1,
+                     auditCap: Int = 0,
+                     minRecall: Double = 0.9): DataFrame = {
     val probes = rankProbes(ivfCentroids(storage, uuid), query, nprobe)
-    scoreAndTake(
-      graft.io.Reader.readTable(spark, storage, uuid,
-        predicates = Some(Seq(Seq(
-          graft.dnf.Literal("centroid", graft.dnf.Op.In, probes))))),
-      vecCol, idCol, query, k)
+    val pruned = graft.io.Reader.readTable(spark, storage, uuid,
+      predicates = Some(Seq(Seq(
+        graft.dnf.Literal("centroid", graft.dnf.Op.In, probes)))))
+    val out = scoreAndTake(pruned, vecCol, idCol, query, k)
+    if (auditCap <= 0) out
+    else {
+      val full = graft.io.Reader.readTable(spark, storage, uuid)
+      val sampleIds = full.select(col(idCol))
+        .withColumn("__h", xxhash64(col(idCol).cast("string"),
+          lit("graft.ivf.audit")))
+        .orderBy(col("__h"), col(idCol)).limit(auditCap).drop("__h")
+        .localCheckpoint(false)
+      val approxAudit = scoreAndTake(
+        pruned.join(sampleIds, Seq(idCol), "left_semi"),
+        vecCol, idCol, query, k)
+      val exactAudit = bruteForceTopK(
+        full.join(sampleIds, Seq(idCol), "left_semi"),
+        vecCol, idCol, query, k)
+      withAuditedSetRecallGuard(out, approxAudit, exactAudit, idCol, minRecall)
+    }
   }
 
   // -------------------------------------------------- product quantization

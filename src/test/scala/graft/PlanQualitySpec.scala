@@ -202,6 +202,22 @@ class PlanQualitySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       graft.ops.Similarity.ivfCentroids(store, "not_ivf")
     }
+    // opt-in bounded audit (the PQ probes' discipline): at nprobe=all the
+    // probed pipeline IS exact over the sample, so the annotation is 1.0
+    val audited = graft.ops.Similarity.ivfTopKIndexed(spark, store,
+      "emb_ivf", "v", "id", Seq(1.0, 0.0), k = 5, nprobe = 2, auditCap = 64)
+    assert(audited.schema.fieldNames.contains("recall_vs_exact"))
+    assert(audited.collect().map(_.getAs[Double]("recall_vs_exact"))
+      .forall(_ === 1.0))
+    // default auditCap=0 keeps the hash-checkable schema (no annotation)
+    assert(!top.schema.fieldNames.contains("recall_vs_exact"))
+    // verified-to-fire: an unreachable bar fails loudly in-plan
+    val ex = intercept[Exception] {
+      graft.ops.Similarity.ivfTopKIndexed(spark, store, "emb_ivf",
+        "v", "id", Seq(1.0, 0.0), k = 5, nprobe = 1, auditCap = 64,
+        minRecall = 1.01).collect()
+    }
+    assert(ex.getMessage.contains("recall"), ex.getMessage)
   }
 
   test("pqTopKIndexed probes CODES only; append encodes with pinned codebooks") {
