@@ -913,6 +913,17 @@ object SparkEntry {
     "t_bigram_logprob" -> ((s, dir) =>
       TextAnalysis.bigramLogProb(rd(s, dir, "documents"), "text", "doc_id")),
 
+    // cross-corpus LM scoring (the CCNet shape): src0 docs scored under
+    // the bigram model trained on every OTHER source; unseen bigrams back
+    // off to the add-alpha floor instead of dropping
+    "t_bigram_cross" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      TextAnalysis.bigramLogProbAgainst(
+        docs.where(col("source") =!= "src0"),
+        docs.where(col("source") === "src0"),
+        "text", "doc_id")
+    }),
+
     // --- sentence-boundary chunking (the third chunking face: semantic
     // units packed to a 200-char budget, sentences never split)
     "t_sentence_chunks" -> ((s, dir) =>
@@ -1929,6 +1940,31 @@ object SparkEntry {
              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
                round(sum(ln((c12 + 0.5) / (c1 + 0.5 * vv))), 6) AS s
              FROM big JOIN counts USING (w1, w2) JOIN pred USING (w1), v
+             GROUP BY doc_id)""",
+      // cross-corpus LM: model from non-src0, src0 scored with left joins
+      // so unseen bigrams back off to the add-alpha floor
+      "t_bigram_cross" ->
+        """WITH big AS (
+             SELECT doc_id, source, u.w1, u.w2 FROM (
+               SELECT doc_id, source, unnest(list_transform(range(1, len(t)),
+                 i -> {'w1': t[i], 'w2': t[i + 1]})) AS u
+               FROM (SELECT doc_id, source,
+                       string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+') AS t
+                     FROM documents))
+             WHERE len(u.w1) > 0 AND len(u.w2) > 0),
+           counts AS (SELECT w1, w2, count(*) AS c12 FROM big
+                      WHERE source <> 'src0' GROUP BY 1, 2),
+           pred AS (SELECT w1, sum(c12) AS c1 FROM counts GROUP BY 1),
+           v AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS vv FROM counts)
+           SELECT doc_id, n_bigrams,
+             s / n_bigrams AS avg_bigram_logp
+           FROM (
+             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(sum(ln((coalesce(c12, 0) + 0.5) /
+                 (coalesce(c1, 0) + 0.5 * vv))), 6) AS s
+             FROM (SELECT * FROM big WHERE source = 'src0')
+               LEFT JOIN counts USING (w1, w2)
+               LEFT JOIN pred USING (w1), v
              GROUP BY doc_id)""",
       // sentence chunking: sentinel-marked boundaries (RE2 has no
       // lookbehind), running char budget, floor(before/budget) coordinates

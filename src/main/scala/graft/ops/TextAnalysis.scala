@@ -173,12 +173,6 @@ object TextAnalysis {
   def bigramLogProb(df: DataFrame, textCol: String, idCol: String,
                     alpha: Double = 0.5): DataFrame = {
     require(alpha > 0, s"alpha must be > 0 (got $alpha)")
-    val toks = wsTokens(lower(col(textCol)))
-    val pairs = filter(
-      zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
-        (a, b) => struct(a.as("w1"), b.as("w2"))),
-      x => x.getField("w2").isNotNull && length(x.getField("w1")) > 0 &&
-        length(x.getField("w2")) > 0)
     // Measured r7: pre-repartitioning `big` by (w1, w2) so the count
     // aggregate and the scoring join share ONE exchange (plus a window
     // for predecessor totals) read 3.4s vs 2.2s at sf0.1 — the forced
@@ -186,8 +180,7 @@ object TextAnalysis {
     // picks when the bigram vocabulary is small, so the two-pass shape
     // stands (the partial-agg shuffle ships distinct-bigram partials,
     // not the corpus).
-    val big = df.select(col(idCol), explode(pairs).as("p"))
-      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val big = bigramPairs(df, textCol, idCol)
     val counts = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val pred = counts.groupBy("w1").agg(sum(col("c12")).as("c1"))
     val vocab = counts.agg(countDistinct(col("w2")).cast("double").as("__v"))
@@ -203,6 +196,62 @@ object TextAnalysis {
         // values is bit-deterministic
         round(sum(log((col("c12") + lit(alpha)) /
           (col("c1") + lit(alpha) * col("__v")))), 6).as("__s"))
+      .withColumn("avg_bigram_logp", col("__s") / col("n_bigrams"))
+      .drop("__s")
+  }
+
+  /** The (idCol, w1, w2) adjacent-token pairs both bigram faces score —
+    * one shared extraction so the tokenizer and pair filter can never
+    * drift between the model and the scored side. */
+  private def bigramPairs(df: DataFrame, textCol: String,
+                          idCol: String): DataFrame = {
+    val toks = wsTokens(lower(col(textCol)))
+    val pairs = filter(
+      zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2"))),
+      x => x.getField("w2").isNotNull && length(x.getField("w1")) > 0 &&
+        length(x.getField("w2")) > 0)
+    df.select(col(idCol), explode(pairs).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+  }
+
+  /** Cross-corpus bigram-LM scoring — the actual CCNet/KenLM shape
+    * [[bigramLogProb]] approximates in one corpus: the model (bigram
+    * counts, predecessor totals, successor vocabulary V) is trained on
+    * `train` and every `score` document gets its mean log P(w_i|w_{i-1})
+    * under THAT model (score a web crawl against a curated reference and
+    * keep what reads like the reference). Bigrams unseen in the model
+    * back off to the add-alpha floor — (c12+a)/(c1+a·V), with c12/c1
+    * zero-filled — so out-of-domain text scores LOW rather than dropping
+    * rows (the left joins keep every scored transition; n_bigrams counts
+    * them all, exactly like the self face). Same output shape and
+    * determinism contract as [[bigramLogProb]]; `train := score` degrades
+    * to it value-for-value (every bigram then matches, the zero-fills
+    * never fire). An EMPTY train model is degenerate (V = 0 puts +Inf in
+    * every smoothed term) — gate upstream, as with every LM filter.
+    *
+    * Scale shape: the model side partial-aggregates to distinct-bigram
+    * partials before its one (w1, w2) shuffle and V is a 1-row broadcast
+    * (the [[bigramLogProb]] discipline); the scored corpus explodes once
+    * into the left joins and re-aggregates per id. */
+  def bigramLogProbAgainst(train: DataFrame, score: DataFrame,
+                           textCol: String, idCol: String,
+                           alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha must be > 0 (got $alpha)")
+    val counts = bigramPairs(train, textCol, idCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val pred = counts.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val vocab = counts.agg(countDistinct(col("w2")).cast("double").as("__v"))
+    bigramPairs(score, textCol, idCol)
+      .join(counts, Seq("w1", "w2"), "left")
+      .join(pred, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        // rounded sum, unrounded mean — the bigramLogProb contract
+        round(sum(log((coalesce(col("c12"), lit(0L)) + lit(alpha)) /
+          (coalesce(col("c1"), lit(0L)) + lit(alpha) * col("__v")))), 6)
+          .as("__s"))
       .withColumn("avg_bigram_logp", col("__s") / col("n_bigrams"))
       .drop("__s")
   }

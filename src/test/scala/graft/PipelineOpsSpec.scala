@@ -835,6 +835,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!out.contains(3L)) // one token -> no transitions -> absent
   }
 
+  test("bigramLogProbAgainst: self-train degrades to bigramLogProb; unseen bigrams back off") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // train := score gives the self face value-for-value (every scored
+    // bigram exists in its own model, so the zero-fills never fire)
+    val self = TextAnalysis.bigramLogProb(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val cross = TextAnalysis.bigramLogProbAgainst(docs, docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(cross === self)
+    // out-of-domain text: every bigram unseen -> each term is the
+    // add-alpha floor a/(a*V), scored LOW, never dropped
+    val train = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val score = Seq((10L, "x y x")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProbAgainst(train, score, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val floor = math.log(0.5 / (0.5 * 2)) // V = |{a, b}| = 2
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(10L) === ((2L, r6(2 * floor) / 2)), s"got ${out(10L)}")
+  }
+
   // --------------------------------------------- vocabulary Zipf spectrum
 
   test("vocabSpectrum: exact power-of-two bucketing, types and occurrences") {
