@@ -1785,7 +1785,8 @@ object SparkEntry {
              ON p.user_id = v.user_id AND p.ts <= v.ts""",
       "u_portable_split" ->
         """SELECT doc_id, lang FROM documents
-           WHERE substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < '33333333'""",
+           WHERE substr(md5('graft.keep:split:' || CAST(doc_id AS VARCHAR)), 1, 13) <
+             printf('%013x', CAST(floor(0.2 * 4503599627370496) AS BIGINT))""",
       "t_chunks" ->
         """WITH d AS (
              SELECT doc_id,
@@ -2036,14 +2037,16 @@ object SparkEntry {
            FROM counts GROUP BY 1, 2""",
       "u_stratified_sample" ->
         """SELECT doc_id, lang, source FROM documents
-           WHERE substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8) <
-             CASE WHEN lang = 'en' THEN '80000000' ELSE '40000000' END""",
+           WHERE substr(md5('graft.strat:graft:' || CAST(doc_id AS VARCHAR)), 1, 13) <
+             CASE WHEN lang = 'en'
+               THEN printf('%013x', CAST(floor(0.5 * 4503599627370496) AS BIGINT))
+               ELSE printf('%013x', CAST(floor(0.25 * 4503599627370496) AS BIGINT)) END""",
       // portable k-per-group: md5 rank reproduces the exact member set
       "u_sample_k_per_group" ->
         """SELECT doc_id, text, lang, source, n_chars FROM (
              SELECT *, row_number() OVER (
                PARTITION BY lang
-               ORDER BY substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8),
+               ORDER BY substr(md5('graft.kpg:graft' || CAST(doc_id AS VARCHAR)), 1, 13),
                         doc_id) AS rnk
              FROM documents) WHERE rnk <= 10""",
       // token-budget mixture: rate_g = min(1, share_g*budget/tot_g); the
@@ -2062,8 +2065,8 @@ object SparkEntry {
            SELECT d.doc_id, d.lang, d.n_chars
            FROM documents d JOIN r USING (lang)
            WHERE r.rate >= 1.0 OR
-             substr(md5('graft' || CAST(d.doc_id AS VARCHAR)), 1, 8) <
-               printf('%08x', CAST(floor(r.rate * 4294967296) AS BIGINT))""",
+             substr(md5('graft.budget:graft' || CAST(d.doc_id AS VARCHAR)), 1, 13) <
+               printf('%013x', CAST(floor(r.rate * 4503599627370496) AS BIGINT))""",
       // quantile band: exact linear-interpolated cutoffs = quantile_cont
       "u_quantile_band" ->
         """WITH c AS (SELECT quantile_cont(n_chars, 0.10) AS ql,
@@ -2083,25 +2086,27 @@ object SparkEntry {
            SELECT d.doc_id, d.lang, d.n_chars
            FROM documents d JOIN r USING (lang)
            WHERE r.rate >= 1.0 OR
-             substr(md5('graft' || CAST(d.doc_id AS VARCHAR)), 1, 8) <
-               printf('%08x', CAST(floor(r.rate * 4294967296) AS BIGINT))""",
-      // mixture order: portable md5 uniform scaled by n_source / weight
+             substr(md5('graft.temp:graft' || CAST(d.doc_id AS VARCHAR)), 1, 13) <
+               printf('%013x', CAST(floor(r.rate * 4503599627370496) AS BIGINT))""",
+      // mixture order: portable md5 uniform scaled by n_source / weight.
+      // NULL-SAFE join (IS NOT DISTINCT FROM) mirroring the Spark <=> —
+      // a null-source row keeps its own count, exactly like the operator
       "u_mixture_order" ->
         """WITH t AS (SELECT source AS src, count(*) AS n
                       FROM documents GROUP BY source)
            SELECT d.doc_id, d.source,
              round(CAST(CAST(concat('0x',
-                 substr(md5('graft' || CAST(d.doc_id AS VARCHAR)), 1, 8))
-               AS BIGINT) AS DOUBLE) / 4294967296 * t.n /
+                 substr(md5('graft.mix:graft' || CAST(d.doc_id AS VARCHAR)), 1, 13))
+               AS BIGINT) AS DOUBLE) / 4503599627370496 * t.n /
                (CASE WHEN d.source = 'src0' THEN 4.0 ELSE 1.0 END),
                6) AS mix_order
-           FROM documents d JOIN t ON d.source = t.src""",
+           FROM documents d JOIN t ON d.source IS NOT DISTINCT FROM t.src""",
       // sequence packing: md5-ordered concat-and-cut per md5-derived shard
       "u_pack_sequences" ->
         """WITH x AS (
              SELECT doc_id, n_chars,
-               md5('graft' || CAST(doc_id AS VARCHAR)) AS h,
-               CAST(concat('0x', substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8))
+               md5('graft.pack:graft' || CAST(doc_id AS VARCHAR)) AS h,
+               CAST(concat('0x', substr(md5('graft.pack:graft' || CAST(doc_id AS VARCHAR)), 1, 13))
                  AS BIGINT) % 8 AS shard
              FROM documents),
            y AS (
@@ -2244,7 +2249,7 @@ object SparkEntry {
       // permutation
       "u_shuffle_shards" ->
         """WITH t AS (SELECT doc_id,
-               md5('shuf:' || CAST(doc_id AS VARCHAR)) AS k
+               md5('graft.shuf:shuf:' || CAST(doc_id AS VARCHAR)) AS k
              FROM documents)
            SELECT doc_id, substr(k, 1, 2) AS shard,
              CAST(row_number() OVER (PARTITION BY substr(k, 1, 2)

@@ -61,7 +61,8 @@ object Chunking {
 
   /** Sequence packing: assign each row (a document or a chunk) a position
     * in a fixed-token-budget training sequence — concatenate rows in a
-    * deterministic, ENGINE-PORTABLE order (md5 of salt+id) and cut every
+    * deterministic, ENGINE-PORTABLE order (md5 under the `pack` salt
+    * domain — see [[Sampling]]'s composition contract) and cut every
     * `seqLen` weight units. Returns the input plus
     * (shard, seq_idx, offset_in_seq): row r of shard s starts at offset
     * `offset_in_seq` of sequence `seq_idx` (a row may straddle a cut — the
@@ -80,10 +81,11 @@ object Chunking {
                     salt: String = "graft"): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive (got $seqLen)")
     require(numShards > 0, s"numShards must be positive (got $numShards)")
-    val h = md5(concat(lit(salt), col(idCol).cast("string")))
-    // first 8 hex chars parsed as an unsigned int: portable shard key
-    // (DuckDB: CAST('0x'||substr AS BIGINT); Spark: conv(_, 16, 10))
-    val shard = pmod(conv(substring(h, 1, 8), 16, 10).cast("long"),
+    val h = md5(concat(lit(Sampling.PackDomain + salt),
+      col(idCol).cast("string")))
+    // first 13 hex chars parsed as an unsigned 52-bit int: portable shard
+    // key (DuckDB: CAST('0x'||substr AS BIGINT); Spark: conv(_, 16, 10))
+    val shard = pmod(conv(substring(h, 1, 13), 16, 10).cast("long"),
       lit(numShards.toLong))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__shard")).orderBy(col("__h"), col(idCol))

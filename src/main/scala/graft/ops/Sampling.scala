@@ -9,49 +9,86 @@ import org.apache.spark.sql.functions._
   * sample is reproducible across runs, re-partitioning, and retries, and
   * membership can be recomputed later (critical for train/test splits that
   * must never leak across pipeline re-runs at 100 TB).
+  *
+  * ==Composition contract (salt domains)==
+  * Every operator hashes under its own DOMAIN prefix
+  * (`md5(domain || salt || id)`), so DIFFERENT operators chained over the
+  * same ids draw INDEPENDENT uniforms even at the default salt: a
+  * [[stratifiedSample]] at rate r followed by [[mixtureOrder]] consumes
+  * sources at rates ∝ their weights, not ∝ w/r — the survivor set does not
+  * condition the downstream key. Re-applying the SAME operator with the
+  * same salt is idempotent BY DESIGN (the membership predicate is a pure
+  * function of (domain, salt, id)); pass a distinct `salt` per application
+  * when independent re-draws are wanted (e.g. `portableSample(_, 0.5,
+  * "pass2")` after a 0.5 pass keeps ~0.25).
   */
 object Sampling {
 
-  private def bucket(idCol: Column, salt: String, buckets: Int = 1000000): Column =
-    pmod(xxhash64(idCol, lit(salt)), lit(buckets))
+  /** Per-operator salt domains — the composition contract above. Fixed
+    * constants, part of the portable cross-engine spec (a DuckDB mirror
+    * writes the same literal prefix). */
+  private[graft] val KeepDomain   = "graft.keep:"
+  private[graft] val StratDomain  = "graft.strat:"
+  private[graft] val BudgetDomain = "graft.budget:"
+  private[graft] val TempDomain   = "graft.temp:"
+  private[graft] val MixDomain    = "graft.mix:"
+  private[graft] val KpgDomain    = "graft.kpg:"
+  private[graft] val ShufDomain   = "graft.shuf:"
+  private[graft] val PackDomain   = "graft.pack:"
+  private[graft] val DetDomain    = "graft.det:"
+  private[graft] val SplitDomain  = "graft.split:"
+
+  /** 2^52 — the portable uniform's denominator. 52 bits (13 hex chars)
+    * rather than 32: at 10^9+ rows a 32-bit key develops mass ties in
+    * rank keys and thresholds; 52 bits stay EXACT in an IEEE double (and
+    * in every engine's BIGINT→DOUBLE cast), so the cross-engine contract
+    * survives the cast that turns the key into a uniform. */
+  private[graft] val PortableOne = 4503599627370496L
+
+  private def bucket(idCol: Column, salt: String, domain: String,
+                     buckets: Int = 1000000): Column =
+    pmod(xxhash64(idCol, lit(domain + salt)), lit(buckets))
 
   /** Keep ~`fraction` of rows, chosen by id hash — same ids survive every
     * run. One narrow filter, no shuffle. */
   def deterministicSample(df: DataFrame, idCol: String, fraction: Double,
                           salt: String = "graft"): DataFrame = {
     require(fraction >= 0 && fraction <= 1, s"fraction $fraction out of [0,1]")
-    df.where(bucket(col(idCol), salt) < (fraction * 1000000).toLong)
+    df.where(bucket(col(idCol), salt, DetDomain) < (fraction * 1000000).toLong)
   }
 
   /** Disjoint deterministic train/test split: (train, test). A row's side is
     * a pure function of (id, salt) — re-running the pipeline can never leak
-    * test rows into train. */
+    * test rows into train. Hashes under its own domain, so a side is
+    * independent of any upstream [[deterministicSample]] survival. */
   def trainTestSplit(df: DataFrame, idCol: String, testFraction: Double,
                      salt: String = "graft"): (DataFrame, DataFrame) = {
-    val b = bucket(col(idCol), salt)
+    val b = bucket(col(idCol), salt, SplitDomain)
     val cut = (testFraction * 1000000).toLong
     (df.where(b >= cut), df.where(b < cut))
   }
 
-  /** Engine-PORTABLE deterministic keep-predicate: true iff the first 8 hex
-    * chars of `md5(salt || id)` fall below `floor(fraction * 2^32)` (fixed-
-    * width lowercase hex compares correctly as a string). md5 exists with
-    * identical output in every engine (Spark, DuckDB, Trino, Postgres…), so
-    * sample MEMBERSHIP can be recomputed and audited outside Spark — the
-    * xxhash64 variants above are cheaper but Spark-specific. */
-  /** First 8 hex chars of `md5(salt || id)` — THE engine-portable
-    * rank/membership key every portable variant keys off. One definition:
-    * the cross-engine bit-for-bit contract (lowercase hex, 8-char width,
-    * salt prepended un-delimited) must not be able to drift between
-    * operators. */
-  private[ops] def portableHashKey(idCol: Column, salt: String): Column =
-    substring(md5(concat(lit(salt), idCol.cast("string"))), 1, 8)
+  /** First 13 hex chars of `md5(domain || salt || id)` — THE engine-portable
+    * rank/membership key every portable variant keys off (fixed-width
+    * lowercase hex compares correctly as a string; 13 chars = 52 bits, see
+    * [[PortableOne]]). md5 exists with identical output in every engine
+    * (Spark, DuckDB, Trino, Postgres…), so sample MEMBERSHIP can be
+    * recomputed and audited outside Spark — the xxhash64 variants are
+    * cheaper but Spark-specific. One definition: the cross-engine
+    * bit-for-bit contract (lowercase hex, 13-char width, domain+salt
+    * prepended un-delimited) must not be able to drift between operators. */
+  private[graft] def portableHashKey(idCol: Column, salt: String,
+                                     domain: String): Column =
+    substring(md5(concat(lit(domain + salt), idCol.cast("string"))), 1, 13)
 
-  def portableKeep(idCol: Column, fraction: Double, salt: String = "graft"): Column = {
+  /** Engine-PORTABLE deterministic keep-predicate: true iff the 13-hex-char
+    * key falls below `floor(fraction * 2^52)` rendered `%013x`. */
+  def portableKeep(idCol: Column, fraction: Double,
+                   salt: String = "graft"): Column = {
     require(fraction >= 0 && fraction <= 1, s"fraction $fraction out of [0,1]")
     if (fraction >= 1.0) lit(true)
-    else portableHashKey(idCol, salt) <
-      lit(f"${(fraction * 4294967296L).toLong}%08x")
+    else portableHashKey(idCol, salt, KeepDomain) <
+      lit(f"${(fraction * PortableOne).toLong}%013x")
   }
 
   /** Portable deterministic sample at one global rate. Narrow filter. */
@@ -63,14 +100,21 @@ object Sampling {
     * over-represented languages, keep the rest), mixture weighting for
     * training-data composition. A row whose stratum is absent from `rates`
     * (including null strata) keeps `defaultRate`. One narrow filter, no
-    * shuffle, engine-portable membership. */
+    * shuffle, engine-portable membership under the `strat` domain — a
+    * downstream sampler/order operator draws fresh uniforms. */
   def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
                        rates: Map[String, Double], defaultRate: Double,
                        salt: String = "graft"): DataFrame = {
+    def keepAt(rate: Double): Column = {
+      require(rate >= 0 && rate <= 1, s"rate $rate out of [0,1]")
+      if (rate >= 1.0) lit(true)
+      else portableHashKey(col(idCol), salt, StratDomain) <
+        lit(f"${(rate * PortableOne).toLong}%013x")
+    }
     val keep = rates.foldLeft(
       when(lit(false), lit(false))) { case (acc, (stratum, rate)) =>
-        acc.when(col(strataCol) === stratum, portableKeep(col(idCol), rate, salt))
-      }.otherwise(portableKeep(col(idCol), defaultRate, salt))
+        acc.when(col(strataCol) === stratum, keepAt(rate))
+      }.otherwise(keepAt(defaultRate))
     df.where(keep)
   }
 
@@ -78,7 +122,7 @@ object Sampling {
     * group. One shuffle on the group key. */
   def exactKPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
                      k: Int, salt: String = "graft"): DataFrame =
-    kPerGroupBy(df, groupCols, bucket(col(idCol), salt), idCol, k)
+    kPerGroupBy(df, groupCols, bucket(col(idCol), salt, KpgDomain), idCol, k)
 
   /** Shared rank-and-keep body: rank within each group by (`key`, id),
     * keep the first `k`. */
@@ -100,7 +144,8 @@ object Sampling {
     *
     * (a group with less mass than its target keeps everything — this
     * operator never upsamples). Membership is [[portableKeep]]-portable
-    * (md5), so the exact sampled set is auditable outside Spark.
+    * (md5, `budget` domain), so the exact sampled set is auditable outside
+    * Spark.
     *
     * Scale design: group totals are ONE partial-aggregated shuffle of
     * (group, sum) pairs, broadcast back onto the scan — the corpus itself
@@ -120,14 +165,14 @@ object Sampling {
     val share = element_at(typedLit(targetShares), col(groupCol))
     // clamp BELOW as well as above: a degenerate negative group total (e.g.
     // a -1 "unknown" sentinel in weightCol) would give a negative rate whose
-    // %08x renders as 16 hex chars — every 8-char hash sorts below it and
+    // hex rendering is 16 chars — every 13-char hash sorts below it and
     // the group floods the sample instead of contributing nothing
     val rate = least(lit(1.0),
       greatest(lit(0.0), share * lit(budget.toDouble) / col("__tot")))
     // share is NULL for unlisted groups, but least(1.0, NULL) is 1.0 (both
     // Spark and DuckDB least IGNORE nulls) — an unguarded rate would
     // silently keep every unlisted group instead of dropping it
-    val keep = share.isNotNull && rateKeep(col(idCol), rate, salt)
+    val keep = share.isNotNull && rateKeep(col(idCol), rate, salt, BudgetDomain)
     df.join(broadcast(totals), groupCol)
       .where(keep)
       .select(df.columns.map(col): _*) // original schema, original order
@@ -135,14 +180,16 @@ object Sampling {
 
   /** In-plan portable membership against a rate COLUMN — the one shared
     * encoding of the hash-threshold comparison ([[portableKeep]] is the
-    * literal-rate face). rate >= 1 short-circuits because its 9-hex-char
-    * threshold would compare lexicographically BELOW 8-char hashes; a
-    * negative rate must be clamped to 0 by the CALLER (its %08x would
-    * render 16 hex chars and flood the sample — see [[tokenBudgetSample]]).
-    * ONE definition so samplers cannot drift on the encoding. */
-  private def rateKeep(idCol: Column, rate: Column, salt: String): Column =
-    rate >= 1.0 || portableHashKey(idCol, salt) <
-      format_string("%08x", floor(rate * lit(4294967296L)).cast("long"))
+    * literal-rate face). rate >= 1 short-circuits because its 14-hex-char
+    * threshold (2^52 = "10000000000000") would compare lexicographically
+    * BELOW 13-char hashes; a negative rate must be clamped to 0 by the
+    * CALLER (its %013x would render 16 hex chars and flood the sample —
+    * see [[tokenBudgetSample]]). ONE definition so samplers cannot drift
+    * on the encoding. */
+  private def rateKeep(idCol: Column, rate: Column, salt: String,
+                       domain: String): Column =
+    rate >= 1.0 || portableHashKey(idCol, salt, domain) <
+      format_string("%013x", floor(rate * lit(PortableOne)).cast("long"))
 
   /** Temperature-weighted mixture sampling — the multilingual-training
     * rebalance (mBERT / XLM-R style): group g's share of the `budget` is
@@ -152,8 +199,9 @@ object Sampling {
     * Rates are derived IN-PLAN from the group totals like
     * [[tokenBudgetSample]] (two metadata-sized aggregates broadcast back
     * onto the scan; the corpus never shuffles), membership is the portable
-    * md5 contract, and a group's rate caps at 1.0 — never upsamples.
-    * NULL groups are dropped (the mixture is a spec over real groups).
+    * md5 contract under the `temp` domain, and a group's rate caps at
+    * 1.0 — never upsamples. NULL groups are dropped (the mixture is a spec
+    * over real groups).
     *
     * The rate is rounded to 9 decimals BEFORE the hash threshold: `pow`
     * is the one piece of arithmetic here with no cross-engine
@@ -175,7 +223,7 @@ object Sampling {
       .withColumn("__rate", least(lit(1.0), greatest(lit(0.0),
         round(col("__pow") / col("__z") * lit(budget.toDouble) / col("__tot"), 9))))
       .select(col(groupCol), col("__rate"))
-    val keep = rateKeep(col(idCol), col("__rate"), salt)
+    val keep = rateKeep(col(idCol), col("__rate"), salt, TempDomain)
     df.join(broadcast(rates), groupCol)
       .where(keep)
       .select(df.columns.map(col): _*) // original schema, original order
@@ -191,9 +239,10 @@ object Sampling {
     * WHICH rows a mixture keeps; this operator says WHEN each row is
     * consumed, which is what an interleaved training run actually needs.
     *
-    * Construction: u = first-8-hex md5(salt||id) / 2^32 (the portable
-    * uniform the sampler family shares), mix_order = round(u * n_s / w_s,
-    * 6) — rows of source s at mix_order <= K number ~K*w_s, the rate
+    * Construction: u = first-13-hex md5(mix-domain||salt||id) / 2^52 (the
+    * portable uniform under this operator's OWN domain — an upstream
+    * sampler's survival never conditions it), mix_order = round(u * n_s /
+    * w_s, 6) — rows of source s at mix_order <= K number ~K*w_s, the rate
     * contract. Scale shape: one count aggregate broadcast back plus
     * row-local math — NO window, NO global rank, the corpus never
     * shuffles; materializing the total order is the CONSUMER's choice
@@ -213,9 +262,8 @@ object Sampling {
       "input already has a 'mix_order' column; rename it before mixtureOrder")
     val totals = df.groupBy(col(sourceCol).as("__src"))
       .agg(count(lit(1)).as("__n"))
-    val u = conv(substring(
-        md5(concat(lit(salt), col(idCol).cast("string"))), 1, 8), 16, 10)
-      .cast("double") / lit(4294967296.0)
+    val u = conv(portableHashKey(col(idCol), salt, MixDomain), 16, 10)
+      .cast("double") / lit(PortableOne.toDouble)
     val w =
       if (weights.isEmpty) lit(defaultWeight)
       else coalesce(element_at(typedLit(weights), col(sourceCol)),
@@ -269,7 +317,8 @@ object Sampling {
     * reproducible (resume a crashed run mid-epoch, audit which shard a
     * sample landed in, regenerate order on any engine). Every row gets
     *
-    *   shard = first `hexChars` hex chars of md5(salt || id)   (16^hexChars shards)
+    *   shard = first `hexChars` hex chars of md5(shuf-domain || salt || id)
+    *           (16^hexChars shards)
     *   pos   = row_number within its shard, ordered by (full md5 key, id)
     *
     * so (shard asc, pos asc) is a global pseudorandom permutation that is a
@@ -291,25 +340,27 @@ object Sampling {
     require(!df.columns.contains("shard") && !df.columns.contains("pos"),
       "input already has a 'shard' or 'pos' column; rename it before shuffleShards")
     // the FULL 32-hex digest orders rows (same key packSequences sorts by):
-    // the 8-hex prefix has only 32 bits of entropy, so at billions of rows
-    // colliding prefixes would leave deterministic ascending-id runs in
-    // every epoch — and break bit-compatibility with engines implementing
-    // the documented full-digest contract
+    // the 13-hex prefix has only 52 bits of entropy, so at extreme row
+    // counts colliding prefixes would leave deterministic ascending-id runs
+    // in every epoch — and break bit-compatibility with engines
+    // implementing the documented full-digest contract
     val w = Window.partitionBy(col("shard")).orderBy(col("__k"), col(idCol))
-    df.withColumn("__k", md5(concat(lit(salt), col(idCol).cast("string"))))
+    df.withColumn("__k",
+        md5(concat(lit(ShufDomain + salt), col(idCol).cast("string"))))
       .withColumn("shard", substring(col("__k"), 1, hexChars))
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("__k")
   }
 
-  /** [[exactKPerGroup]] with ENGINE-PORTABLE ranking (md5 of salt+id, like
-    * [[portableKeep]]): any system with md5 reproduces the exact member
-    * set, so the selection is auditable outside Spark. Same single shuffle;
-    * md5 costs more than xxhash64 — prefer [[exactKPerGroup]] when
-    * portability doesn't matter. */
+  /** [[exactKPerGroup]] with ENGINE-PORTABLE ranking (md5 under the `kpg`
+    * domain, like [[portableKeep]]): any system with md5 reproduces the
+    * exact member set, so the selection is auditable outside Spark. Same
+    * single shuffle; md5 costs more than xxhash64 — prefer
+    * [[exactKPerGroup]] when portability doesn't matter. */
   def portableKPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
                         k: Int, salt: String = "graft"): DataFrame =
-    kPerGroupBy(df, groupCols, portableHashKey(col(idCol), salt), idCol, k)
+    kPerGroupBy(df, groupCols,
+      portableHashKey(col(idCol), salt, KpgDomain), idCol, k)
 }
 
 /** Skew mitigation helpers. */

@@ -277,12 +277,13 @@ class PipelineOpsSpec extends SparkSpec {
     val n = docs.count().toDouble
     assert(math.abs(a.size / n - 0.5) < 0.1)
     // spot-check the md5 contract against the JVM's own digest — the same
-    // check any external engine would run
+    // check any external engine would run (keep domain, 13-hex key,
+    // threshold floor(0.5 * 2^52) as %013x)
     val keep0 = {
       val d = java.security.MessageDigest.getInstance("MD5")
-        .digest("graft:0".getBytes("UTF-8"))
-      val hex = d.take(4).map(b => f"${b & 0xff}%02x").mkString
-      hex < "80000000"
+        .digest("graft.keep:graft:0".getBytes("UTF-8"))
+      val hex = d.take(7).map(b => f"${b & 0xff}%02x").mkString.substring(0, 13)
+      hex < f"${(0.5 * 4503599627370496L).toLong}%013x"
     }
     assert(a.contains(0L) === keep0)
   }

@@ -23,12 +23,13 @@ class SamplingPropertySpec extends SparkSpec {
 
   private val rng = new scala.util.Random(20260814)
 
-  /** First 8 hex chars of md5(salt || id) — the documented portable
-    * membership key, recomputed OUTSIDE Spark. */
-  private def mdKey(salt: String, id: Long): String = {
+  /** First 13 hex chars of md5(domain || salt || id) — the documented
+    * portable membership key (52-bit, domain-separated per operator),
+    * recomputed OUTSIDE Spark. */
+  private def mdKey(domain: String, salt: String, id: Long): String = {
     val d = MessageDigest.getInstance("MD5")
-      .digest((salt + id.toString).getBytes("UTF-8"))
-    d.map("%02x".format(_)).mkString.substring(0, 8)
+      .digest((domain + salt + id.toString).getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString.substring(0, 13)
   }
 
   /** Spark Percentile.getPercentile mirrored exactly: position on the
@@ -125,7 +126,8 @@ class SamplingPropertySpec extends SparkSpec {
       }
       val expect = rows.collect {
         case (id, Some(g), _) if rates(g) >= 1.0 ||
-          mdKey(salt, id) < f"${(rates(g) * 4294967296L).toLong}%08x" => id
+          mdKey("graft.temp:", salt, id) <
+            f"${(rates(g) * 4503599627370496L).toLong}%013x" => id
       }.toSet
       assert(got === expect, s"trial $trial: t=$t budget=$budget")
     }
@@ -248,17 +250,66 @@ class SamplingPropertySpec extends SparkSpec {
         .select("id", "mix_order")
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       // independent reference: per-source counts (null its own group),
-      // u = first-8-hex of md5(salt||id) / 2^32, key = round(u*n/w, 6)
+      // u = first-13-hex of md5(mix-domain||salt||id) / 2^52,
+      // key = round(u*n/w, 6)
       val counts = rows.groupBy(_._2).map { case (s, g) => s -> g.size.toLong }
       val expect = rows.map { case (id, src) =>
         val n = counts(src)
         val w = src.flatMap(weights.get).getOrElse(defW)
-        val u = BigInt(mdKey(salt, id), 16).toDouble / 4294967296.0
+        val u = BigInt(mdKey("graft.mix:", salt, id), 16).toDouble /
+          4503599627370496.0
         id -> BigDecimal(u * n / w)
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       }.toMap
       assert(got === expect, s"trial $trial: weights=$weights defW=$defW")
     }
+  }
+
+  test("stratifiedSample → mixtureOrder composition: prefix consumption follows weights, not residual rates") {
+    import spark.implicits._
+    // sources A and B, 2000 rows each; stratified at rates 0.2 / 0.8,
+    // then mixtureOrder with EQUAL weights. Under the salt-domain
+    // contract the order key draws a FRESH uniform, so the top-K prefix
+    // consumes ~K rows from EACH survivor stream (the documented ∝ w_s
+    // contract). Under a shared salt A's survivors all have u < 0.2 and
+    // mix_order = u * n_A concentrates low — the prefix would be ~all-A
+    // (consumption ∝ w_s / r_s, the VERDICT-r8 composition trap).
+    val rows = (1 to 4000).map(i => (i.toLong, if (i % 2 == 0) "A" else "B"))
+    val df = spark.createDataset(rows).toDF("id", "src").repartition(5)
+    val sampled = Sampling.stratifiedSample(df, "id", "src",
+      Map("A" -> 0.2, "B" -> 0.8), defaultRate = 0.0)
+    val ordered = Sampling.mixtureOrder(sampled, "src", "id",
+      weights = Map.empty)
+    val k = 100.0
+    val prefix = ordered.where(col("mix_order") <= k)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // expected ~K per source (binomial, sd <= 10); 60..140 is > 4 sigma
+    // wide yet cleanly rejects the coupled behavior (~400 for A)
+    Seq("A", "B").foreach { s =>
+      val got = prefix.getOrElse(s, 0L)
+      assert(got > 60L && got < 140L,
+        s"prefix consumption of $s was $got, expected ~100: $prefix")
+    }
+    // and per-stratum survival itself is ~the declared rates (sanity
+    // that the upstream stage actually thinned A)
+    val surv = sampled.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(surv("A") > 300L && surv("A") < 500L, surv.toString)
+    assert(surv("B") > 1450L && surv("B") < 1750L, surv.toString)
+  }
+
+  test("portableSample re-applied with a distinct salt composes to the product rate") {
+    import spark.implicits._
+    // same operator twice: SAME salt is idempotent by design (pure
+    // function of (domain, salt, id)); a DISTINCT salt draws a fresh
+    // uniform and the composition thins to ~0.25
+    val df = spark.createDataset((1L to 4000L).toList).toDF("id")
+    val once = Sampling.portableSample(df, "id", 0.5, "pass1")
+    assert(Sampling.portableSample(once, "id", 0.5, "pass1").count() ===
+      once.count())
+    val twice = Sampling.portableSample(once, "id", 0.5, "pass2").count()
+    assert(twice > 800L && twice < 1200L, s"two-pass kept $twice of 4000")
   }
 
   test("shuffleShards: permutation is the documented pure function of (id, salt)") {
@@ -269,10 +320,11 @@ class SamplingPropertySpec extends SparkSpec {
       val df = spark.createDataset(ids).toDF("id").repartition(5)
       val got = Sampling.shuffleShards(df, "id", hexChars = 1, salt = salt)
         .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
-      // reference: full-digest sort within md5-prefix shards, 1-based pos
+      // reference: full-digest sort within md5-prefix shards, 1-based pos,
+      // digest under the shuf salt domain
       val full = ids.map { id =>
         val d = MessageDigest.getInstance("MD5")
-          .digest((salt + id.toString).getBytes("UTF-8"))
+          .digest(("graft.shuf:" + salt + id.toString).getBytes("UTF-8"))
         (id, d.map("%02x".format(_)).mkString)
       }
       val expect = full.groupBy(_._2.substring(0, 1)).flatMap { case (shard, in) =>
