@@ -1192,8 +1192,11 @@ object SparkEntry {
     // unlike the bucket-pruning ANN faces above, the re-rank pipeline
     // holds its recall contract even with no cluster structure (the ADC
     // pass only needs the true top-k inside the top k*refine, a far
-    // weaker ask than bucket locality); guard at the same 0.9 bar.
-    // Rows-only: codebooks come from the driver-side sampled Lloyd.
+    // weaker ask than bucket locality); guard at the same 0.9 bar via
+    // the BOUNDED-sample audit (the pqTopKIndexed discipline — never an
+    // O(corpus) exact shadow fused into the timed query; RecallSpec
+    // pins the full-shadow face). Rows-only: codebooks come from the
+    // driver-side sampled Lloyd.
     "v_pq_topk" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
       val q = emb.where(col("vec_id") === 0).select("embedding")

@@ -830,13 +830,24 @@ object Similarity {
     * FRACTION of the corpus (~16% at both sf0.1 and the 10x tier, where
     * refine=16 fails the guard at 0.35) — without cluster structure ADC
     * cannot prune asymptotically, the [[localityCheck]]
-    * `structured=false` regime. This ad-hoc face also retrains codebooks
-    * and pays the full brute-force guard per call; the production path
-    * is [[pqIndex]]/[[pqTopKIndexed]] (encode once, bounded audit). */
+    * `structured=false` regime. This ad-hoc face still retrains codebooks
+    * per call; the production path is [[pqIndex]]/[[pqTopKIndexed]]
+    * (encode once).
+    *
+    * The recall contract is the same BOUNDED-SAMPLE audit as
+    * [[pqTopKIndexed]] ([[withCodesAudit]]: ADC+re-rank vs exact over one
+    * deterministic `auditCap`-row sample, O(auditCap) extra scoring at any
+    * corpus scale) — NOT a full brute-force shadow, which would fuse an
+    * O(corpus) exact scan of the raw vectors into every probe.
+    * `auditCap <= 0` disables the audit; `fullShadowGuard = true` restores
+    * the exact full-corpus shadow ([[withRecallGuard]] against
+    * [[bruteForceTopK]]) as a TEST-ONLY assertion — never in a timed or
+    * production path. */
   def pqTopK(corpus: DataFrame, vecCol: String, idCol: String,
              query: Seq[Double], k: Int, m: Int = 8, ks: Int = 32,
              refine: Int = 16, iters: Int = 10, trainCap: Int = 100000,
-             minRecall: Double = 0.9): DataFrame = {
+             minRecall: Double = 0.9, auditCap: Int = 2048,
+             fullShadowGuard: Boolean = false): DataFrame = {
     require(k >= 1 && refine >= 1)
     val normed = centerNormalize(corpus, vecCol, idCol, center = false)
     val books = pqCodebooks(normed, vecCol, m, ks, iters, trainCap)
@@ -845,10 +856,15 @@ object Similarity {
         bruteForceTopK(corpus, vecCol, idCol, query, k).limit(0),
         bruteForceTopK(corpus, vecCol, idCol, query, k).limit(0),
         idCol, k, 0.0)
-    val approx = adcRerank(pqEncode(normed, vecCol, idCol, books), corpus,
-      vecCol, idCol, books, query, k, refine)
-    withRecallGuard(approx,
-      bruteForceTopK(corpus, vecCol, idCol, query, k), idCol, k, minRecall)
+    val codes = pqEncode(normed, vecCol, idCol, books)
+    val approx = adcRerank(codes, corpus, vecCol, idCol, books, query, k,
+      refine)
+    if (fullShadowGuard)
+      withRecallGuard(approx,
+        bruteForceTopK(corpus, vecCol, idCol, query, k), idCol, k, minRecall)
+    else if (auditCap <= 0) approx
+    else withCodesAudit(approx, codes, corpus, vecCol, idCol, books, query,
+      k, refine, minRecall, auditCap)
   }
 
   /** The shared ADC + exact-re-rank pipeline both PQ faces probe through

@@ -292,10 +292,22 @@ class RecallSpec extends SparkSpec {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.where(col("vec_id") === 0).select("embedding")
       .head().getSeq[Float](0).map(_.toDouble).toSeq
-    // the in-plan guard IS the assertion: collect succeeds only at >= 0.9
-    val out = Similarity.pqTopK(emb, "embedding", "vec_id", q, 20).collect()
+    // the FULL brute-force shadow face lives here and only here (the
+    // contract query carries the bounded audit instead — an O(corpus)
+    // exact scan must never fuse into a timed path): collect succeeds
+    // only at >= 0.9 against the complete exact top-k
+    val out = Similarity.pqTopK(emb, "embedding", "vec_id", q, 20,
+      fullShadowGuard = true).collect()
     assert(out.length === 20)
     assert(out.forall(_.getAs[Double]("recall_vs_brute_force") >= 0.9))
+    // the default (production) face carries the bounded-sample audit —
+    // same rows, recall_vs_exact column, no full shadow
+    val audited = Similarity.pqTopK(emb, "embedding", "vec_id", q, 20)
+      .collect()
+    assert(audited.length === 20)
+    assert(audited.map(_.getAs[Long]("vec_id")).toSet ===
+      out.map(_.getAs[Long]("vec_id")).toSet)
+    assert(audited.forall(_.getAs[Double]("recall_vs_exact") >= 0.9))
     // codebooks: m x ks x dsub, reproducible across calls (hash-ordered
     // sample + deterministic Lloyd)
     val b1 = Similarity.pqCodebooks(emb, "embedding", m = 8, ks = 16)
