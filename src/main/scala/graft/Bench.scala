@@ -32,7 +32,11 @@ object Bench {
     // per-query executor task metrics (VERDICT-r7 #2: measure the in-suite
     // outlier instead of attributing it): one listener, reset per query,
     // bus drained before each snapshot so async task-end delivery cannot
-    // smear across queries
+    // smear across queries. Drain BEFORE registering too: the warmup
+    // pass's task-end events deliver asynchronously, and a backlog still
+    // in the bus when the listener attaches would be counted against the
+    // first timed query
+    org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
     val metrics = new BenchMetrics
     spark.sparkContext.addSparkListener(metrics)
     // inter-query hygiene, applied OUTSIDE the timed window: clearCache

@@ -859,7 +859,10 @@ object Dedup {
     * generous enough that the threshold-conditioned selection bias of
     * "matches only" (est ≥ threshold while exact may sit just below)
     * stays inside it on healthy signatures. `matches` is the probe
-    * output; `batch`/`corpus` supply the texts (the corpus side is only
+    * output and MUST carry [[dedupAgainstIndex]]'s pair schema —
+    * `id` (batch side), `matched_id` (corpus side), `est_jaccard` —
+    * checked loudly up front, not left to a downstream unresolved-column
+    * error; `batch`/`corpus` supply the texts (the corpus side is only
     * read for the ≤auditCap sampled ids — a broadcast-semi-join-bounded
     * fetch, never a second corpus scan). */
   def withEstJaccardAudit(output: DataFrame, matches: DataFrame,
@@ -869,6 +872,12 @@ object Dedup {
                           auditCap: Int = 1024, tol: Double = -1.0,
                           minWithinTol: Double = 0.9): DataFrame = {
     require(auditCap >= 1, s"auditCap must be >= 1 (got $auditCap)")
+    val missing = Seq("id", "matched_id", "est_jaccard")
+      .filterNot(matches.columns.contains)
+    require(missing.isEmpty,
+      s"withEstJaccardAudit expects dedupAgainstIndex's pair schema " +
+        s"(id, matched_id, est_jaccard) in `matches`; missing: " +
+        s"${missing.mkString(", ")} (got ${matches.columns.mkString(", ")})")
     val effTol = if (tol >= 0) tol else 4.0 * math.sqrt(0.25 / numHashes)
     val sample = matches
       .withColumn("__h", xxhash64(col("id").cast("string"),

@@ -844,6 +844,15 @@ class DedupSpec extends SparkSpec {
       "text", "doc_id")
     assert(vac.count() === 0)
     assert(vac.schema.fieldNames.contains("est_calibration"))
+    // pair-schema contract: a frame missing the dedupAgainstIndex pair
+    // columns is refused loudly at construction, never left to surface
+    // as a downstream unresolved-column analysis error
+    val notPairs = matches.drop("matched_id")
+    val exSchema = intercept[IllegalArgumentException] {
+      Dedup.withEstJaccardAudit(notPairs, notPairs, batch, landed,
+        "text", "doc_id")
+    }
+    assert(exSchema.getMessage.contains("matched_id"), exSchema.getMessage)
   }
 
   test("semDedup clustered face: drops are a verified subset of the exact face") {
