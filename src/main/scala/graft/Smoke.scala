@@ -251,6 +251,24 @@ object Smoke {
     println(s"== ivfpq indexed top-5 (built+appended): " +
       s"${ivfpqTop.map(_.getLong(0)).mkString(",")}")
 
+    // raw-image near-dup: striped PNGs in seed-groups of 5 (same pattern,
+    // different resolutions), banded Hamming pairs + persisted index probe
+    val imgDocs = docs.select(col("doc_id"),
+      (col("doc_id") - pmod(col("doc_id"), lit(5L))).as("seed"),
+      lit(0L).as("jitter")).limit(50)
+    val imgPngs = graft.ops.Multimodal.syntheticStripePng(
+      imgDocs, "doc_id", "seed", "jitter")
+    val imgPairs = graft.ops.Dedup.imageNearDups(imgPngs, "doc_id",
+      maxHamming = 7).count()
+    graft.ops.Dedup.imageHashIndex(spark, store, "smoke_img", imgPngs,
+      "doc_id", overwrite = true)
+    val imgProbe = graft.ops.Dedup.imageDupsAgainstIndex(spark, store,
+      "smoke_img", graft.ops.Multimodal.syntheticStripePng(
+        imgDocs.limit(5).select((col("doc_id") + 9000L).as("doc_id"),
+          col("seed"), col("jitter")), "doc_id", "seed", "jitter"),
+      "doc_id").count()
+    println(s"== image near-dups: $imgPairs pairs, indexed probe hits: $imgProbe")
+
     println(s"== SparkEntry.entry rows: ${SparkEntry.entry(spark).count()}")
     println("== smoke OK")
     spark.stop()

@@ -1341,6 +1341,39 @@ object SparkEntry {
       Multimodal.probeVideo(mp4s, "doc_id")
     }),
 
+    // --- REAL perceptual image hashing: striped PNGs (8 stripes aligned
+    // with the 8x8 hash grid, grays closed-form in doc_id, rendered at
+    // id-varying resolutions) pushed through the JDK codec and the
+    // aHash/dHash grid; the oracle recomputes both hashes bit-for-bit
+    // from the id, so a match proves the decode->grid->bit pipeline ran —
+    // and that the hash is resolution-invariant (same id family, three
+    // widths x two heights)
+    "m_image_hash" -> ((s, dir) => {
+      val pngs = Multimodal.syntheticStripePng(
+        rd(s, dir, "documents").select("doc_id"), "doc_id")
+      Multimodal.imageHash(pngs, "doc_id")
+    }),
+
+    // --- raw-image near-dup dedup: groups of 5 consecutive ids share a
+    // stripe pattern (seed = id - id%5) rendered at id-varying
+    // RESOLUTIONS — distinct PNG payloads, identical perceptual content:
+    // planted near-duplicates the byte-level exact dedup cannot see.
+    // Hamming-banded candidates (exact for maxHamming < bands by
+    // pigeonhole — never all-pairs), verified bit_count distance.
+    // Rows-only (engine-specific signature), but the in-plan guard audits
+    // hash proximity against EXACT decoded-channel distance on a bounded
+    // sample and fails loudly below 0.9
+    "d_image_neardups" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+        .select(col("doc_id"),
+          (col("doc_id") - pmod(col("doc_id"), lit(5L))).as("seed"),
+          lit(0L).as("jitter"))
+      val pngs = Multimodal.syntheticStripePng(docs, "doc_id", "seed", "jitter")
+      Dedup.withImageHashRecallGuard(
+        Dedup.imageNearDups(pngs, "doc_id", maxHamming = 7),
+        pngs, "doc_id", maxHamming = 7)
+    }),
+
     // --- web provenance: URL parse + canonicalization. URLs are
     // synthesized closed-form from doc_id (scheme case, userinfo, mixed-
     // case hosts, multi-label public suffixes, default/explicit ports,
@@ -2459,6 +2492,37 @@ object SparkEntry {
              'avc1' AS video_codec,
              CASE WHEN doc_id % 3 = 0 THEN 'mp4a' ELSE NULL END AS audio_codec
            FROM documents""",
+      // closed-form aHash/dHash of the striped PNGs: stripes align with
+      // the 8x8 grid, so cell (gy, gx) decodes to exactly stripe gx's
+      // gray g_x = (id * M_x) % 256 at EVERY fixture resolution; aHash
+      // column bit fires iff 8*g_x > sum(g) (identical to the
+      // double-mean compare — S/8 is exact in a double), dHash iff
+      // g_{(x+1)%8} > g_x, each column filling bits x, x+8, ..., x+56 =
+      // 0x0101010101010101 * 2^x. The repunit product runs in HUGEINT
+      // and wraps to the signed BIGINT two's-complement Spark emits.
+      "m_image_hash" ->
+        """WITH g AS (
+             SELECT doc_id,
+               list_transform(range(0, 8), c ->
+                 CAST((doc_id * ([31,73,151,97,43,29,199,113])[c+1]) % 256 AS BIGINT)) AS gs
+             FROM documents),
+           b AS (
+             SELECT doc_id,
+               list_sum(list_transform(range(0, 8), c ->
+                 CASE WHEN gs[c+1] * 8 > list_sum(gs)
+                      THEN CAST(1 AS BIGINT) << c ELSE 0 END)) AS ba,
+               list_sum(list_transform(range(0, 8), c ->
+                 CASE WHEN gs[(c+1) % 8 + 1] > gs[c+1]
+                      THEN CAST(1 AS BIGINT) << c ELSE 0 END)) AS bd
+             FROM g)
+           SELECT doc_id,
+             CAST(CASE WHEN 72340172838076673::HUGEINT * ba >= 9223372036854775808::HUGEINT
+                  THEN 72340172838076673::HUGEINT * ba - 18446744073709551616::HUGEINT
+                  ELSE 72340172838076673::HUGEINT * ba END AS BIGINT) AS ahash,
+             CAST(CASE WHEN 72340172838076673::HUGEINT * bd >= 9223372036854775808::HUGEINT
+                  THEN 72340172838076673::HUGEINT * bd - 18446744073709551616::HUGEINT
+                  ELSE 72340172838076673::HUGEINT * bd END AS BIGINT) AS dhash
+           FROM b""",
       // closed-form expected parse of the synthesized URLs: the oracle
       // never runs a regex — every component is rebuilt arithmetically
       // from doc_id, so a match proves the RE2 extraction chain

@@ -828,6 +828,229 @@ object Dedup {
       graft.io.Writer.WriteOpts(partitionOn = Seq("bucket")))
   }
 
+  // --- raw-image near-dup dedup: perceptual hashes over the REAL decode
+  // (Multimodal.imageHash: aHash + dHash from one shared 8x8 luma grid),
+  // Hamming-banded candidate pairs, and the persisted band-partitioned
+  // index — the multimodal sibling of the MinHash text family, for
+  // LAION-style curation where no embedding model exists yet.
+
+  /** Fixed-width band decomposition of an (ahash, dhash) signature — the
+    * multi-index-hashing candidate key (Norouzi et al., "Fast Search in
+    * Hamming Space with Multi-Index Hashing"): the 128 concatenated bits
+    * split into `bands` disjoint substrings of width 128/bands, and two
+    * signatures within Hamming distance `r < bands` MUST agree on at
+    * least one substring (pigeonhole: r differing bits touch at most r
+    * bands) — so a band-equality join is EXACT for radius < bands, never
+    * a recall trade. The width is the collision dial: candidate collisions
+    * scale ~n²/2^width per band, so size bands DOWN (width up) as the
+    * corpus grows — 16 bands (8-bit substrings, radius <= 15) for small
+    * corpora, 8 (16-bit, radius <= 7) past ~10^5 rows, 4 (32-bit,
+    * radius <= 3) at 10^9+. Band key = (j << width) | substring —
+    * disjoint ranges per band index, one long. */
+  private def imageBands(a: Column, d: Column, bands: Int): Column = {
+    require(bands == 4 || bands == 8 || bands == 16,
+      s"bands must be 4, 8, or 16 (got $bands)")
+    val perHash = bands / 2
+    val width = 64 / perHash
+    val mask = lit((1L << width) - 1)
+    array((0 until bands).map { j =>
+      val h = if (j < perHash) a else d
+      shiftrightunsigned(h, width * (j % perHash)).bitwiseAND(mask)
+        .bitwiseOR(lit(j.toLong << width))
+    }: _*)
+  }
+
+  /** Near-duplicate image pairs by perceptual-hash Hamming distance:
+    * (id_a, id_b, hamming) for every pair of decodable images within
+    * `maxHamming` combined aHash+dHash bits. EXACT over the hashes —
+    * `maxHamming < bands` makes the banded candidate join provably
+    * complete (see [[imageBands]]); the only approximation is the
+    * perceptual hash itself, which [[withImageHashRecallGuard]] audits
+    * against decoded-channel distance on a bounded sample.
+    *
+    * Scale shape: one decode scan emits (id, 2 longs); candidates come
+    * from a band-equality self-join (never all-pairs), verified by two
+    * codegen'd bit_counts. `maxBucketSize > 0` drops bands shared by more
+    * rows than the cap (near-constant thumbnails — blank frames, logos —
+    * that would go quadratic) at a DOCUMENTED exactness cost: a pair
+    * whose every shared band is hot is missed; such rows are better
+    * routed to exact dedup first. */
+  def imageNearDups(df: DataFrame, idCol: String,
+                    payloadCol: String = "payload", maxHamming: Int = 7,
+                    bands: Int = 8, maxBucketSize: Int = 0): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"maxHamming must be in [0, bands) for exact banded coverage " +
+        s"(got maxHamming=$maxHamming, bands=$bands); raise bands for a " +
+        "larger radius")
+    val sigs = Multimodal.imageHash(df, idCol, payloadCol)
+      .where(col("ahash").isNotNull)
+      .select(col(idCol).as("id"), col("ahash"), col("dhash"))
+    val bt = sigs.select(col("id"),
+      explode(imageBands(col("ahash"), col("dhash"), bands)).as("band"))
+    val capped =
+      if (maxBucketSize <= 0) bt
+      else bt.join(
+        bt.groupBy("band").agg(count(lit(1)).as("__b"))
+          .where(col("__b") > maxBucketSize).select("band"),
+        Seq("band"), "left_anti")
+    val pairs = selfJoinPairs(capped, "band").distinct()
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("ahash").as("__aa"),
+        col("dhash").as("__da")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("ahash").as("__ab"),
+        col("dhash").as("__db")), "id_b")
+      .withColumn("hamming",
+        bit_count(col("__aa").bitwiseXOR(col("__ab"))) +
+          bit_count(col("__da").bitwiseXOR(col("__db"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Annotate `output` with the audited recall of the perceptual-hash
+    * Hamming signal against EXACT decoded-channel distance: over one
+    * deterministic `auditCap`-row sample, every pair whose 8x8 luma grids
+    * sit within mean-absolute-difference `epsFloor` (0..255 scale) must
+    * land within `maxHamming` combined signature bits with recall >=
+    * `minRecall`, or the query fails in-plan — broken bit packing or a
+    * drifted grid (the failure modes a rows-only query cannot surface)
+    * decorrelates hash proximity from pixel proximity and drives this
+    * recall to ~0, while the banded join's own completeness is structural
+    * ([[imageBands]]) and pinned by example tests. The audit decodes only
+    * the sampled rows; pair comparison is the bounded <= auditCap² loop
+    * every audit family uses. */
+  def withImageHashRecallGuard(output: DataFrame, df: DataFrame,
+                               idCol: String,
+                               payloadCol: String = "payload",
+                               auditCap: Int = 512, epsFloor: Double = 2.0,
+                               maxHamming: Int = 7,
+                               minRecall: Double = 0.9): DataFrame = {
+    require(auditCap >= 2, s"auditCap must be >= 2 (got $auditCap)")
+    val sample = df.select(col(idCol), col(payloadCol))
+      .withColumn("__h", xxhash64(col(idCol).cast("string"),
+        lit("graft.imagehash.audit")))
+      .orderBy(col("__h"), col(idCol)).limit(auditCap).drop("__h")
+      .localCheckpoint(false)
+    val sigs = Multimodal.imageSignature(sample, idCol, payloadCol)
+      .where(col("ahash").isNotNull)
+    val lhs = sigs.select(col(idCol).as("id_a"), col("ahash").as("__aa"),
+      col("dhash").as("__da"), col("grid").as("__ga"))
+    val rhs = sigs.select(col(idCol).as("id_b"), col("ahash").as("__ab"),
+      col("dhash").as("__db"), col("grid").as("__gb"))
+    val pairs = lhs.join(rhs, col("id_a") < col("id_b"))
+      .withColumn("__dist", aggregate(zip_with(col("__ga"), col("__gb"),
+        (x, y) => abs(x - y)), lit(0.0), (acc, x) => acc + x) / 64.0)
+      .where(col("__dist") <= epsFloor)
+    def pairKeyed(p: DataFrame): DataFrame =
+      p.select(concat_ws(":", col("id_a"), col("id_b")).as("pair"))
+    val close = pairs.where(
+      bit_count(col("__aa").bitwiseXOR(col("__ab"))) +
+        bit_count(col("__da").bitwiseXOR(col("__db"))) <= maxHamming)
+    Similarity.withAuditedSetRecallGuard(output, pairKeyed(close),
+      pairKeyed(pairs), "pair", minRecall)
+  }
+
+  /** The (bucket, band, id, ahash, dhash) signature table of an image
+    * corpus — shared by [[imageHashIndex]] build, probe, and append, the
+    * [[sigTable]] discipline for the image family. */
+  private def imageSigTable(df: DataFrame, idCol: String, payloadCol: String,
+                            bands: Int, numBuckets: Int): DataFrame =
+    Multimodal.imageHash(df, idCol, payloadCol)
+      .where(col("ahash").isNotNull)
+      .select(col(idCol).as("id"), col("ahash"), col("dhash"))
+      .withColumn("band",
+        explode(imageBands(col("ahash"), col("dhash"), bands)))
+      .select(pmod(col("band"), lit(numBuckets.toLong)).as("bucket"),
+        col("band"), col("id"), col("ahash"), col("dhash"))
+
+  /** Build the persistent perceptual-hash index of an image corpus — the
+    * [[minhashIndex]] discipline for raw images: one row per (band, image)
+    * with both 64-bit hashes, partitioned on `bucket = pmod(band,
+    * numBuckets)` so a probing batch prunes to the hive partitions its own
+    * bands land in; `bands`/`numBuckets` are pinned in the dataset's
+    * metadata so build, probe, and append can never silently disagree on
+    * the decomposition. Images are DECODED ONCE, at build/append — a probe
+    * never touches corpus payload bytes. */
+  def imageHashIndex(spark: org.apache.spark.sql.SparkSession,
+                     storage: graft.store.Storage, uuid: String,
+                     df: DataFrame, idCol: String,
+                     payloadCol: String = "payload", bands: Int = 8,
+                     numBuckets: Int = 64,
+                     overwrite: Boolean = false): graft.meta.DatasetMetadata = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1 (got $numBuckets)")
+    val table = imageSigTable(df, idCol, payloadCol, bands, numBuckets)
+    graft.io.Writer.store(spark, storage, uuid, table,
+      graft.io.Writer.WriteOpts(partitionOn = Seq("bucket"),
+        overwrite = overwrite,
+        metadata = Map(
+          "graft.imagehash.bands" -> bands.toString,
+          "graft.imagehash.numBuckets" -> numBuckets.toString)))
+  }
+
+  /** The band-family parameters pinned in an [[imageHashIndex]] dataset's
+    * header: (bands, numBuckets). Loud refusal for datasets that are not
+    * image-hash indices. */
+  private[graft] def imageHashIndexParams(storage: graft.store.Storage,
+                                          uuid: String): (Int, Int) = {
+    val meta = graft.meta.DatasetMetadata.load(storage, uuid)
+    def param(k: String): Int = meta.metadata.getOrElse(s"graft.imagehash.$k",
+      throw new IllegalArgumentException(
+        s"dataset '$uuid' is not an image-hash index (missing graft.imagehash.$k)")).toInt
+    (param("bands"), param("numBuckets"))
+  }
+
+  /** Probe an [[imageHashIndex]] dataset with a batch of images: returns
+    * (id, matched_id, hamming) for every batch/corpus pair within
+    * `maxHamming` combined signature bits — exact over the hashes for
+    * `maxHamming < bands` like [[imageNearDups]]. The batch is decoded
+    * and signatured once; the index read prunes to the buckets the
+    * batch's bands hash into (a <= numBuckets In-predicate); corpus
+    * payloads are never read. Self-pairs are excluded null-safely, so
+    * re-probing an already-indexed batch is a no-op (the crash-replay
+    * idempotency property the streaming ingest family rests on). */
+  def imageDupsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                            storage: graft.store.Storage, uuid: String,
+                            batch: DataFrame, idCol: String,
+                            payloadCol: String = "payload",
+                            maxHamming: Int = 7): DataFrame = {
+    val (bands, numBuckets) = imageHashIndexParams(storage, uuid)
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"maxHamming must be in [0, bands) for exact banded coverage " +
+        s"(index '$uuid' pins bands=$bands; got maxHamming=$maxHamming)")
+    // MATERIALIZED: the bucket collect and the probe join are separate
+    // jobs — un-checkpointed, each would re-decode the batch's images
+    val bt = imageSigTable(batch, idCol, payloadCol, bands, numBuckets)
+      .localCheckpoint(true)
+    val buckets = bt.select(col("bucket"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val idx = graft.io.Reader.readTable(spark, storage, uuid,
+      predicates = Some(Seq(Seq(
+        graft.dnf.Literal("bucket", graft.dnf.Op.In, buckets)))))
+    bt.as("q").join(idx.as("c"), col("q.band") === col("c.band"))
+      .where(!(col("q.id") <=> col("c.id")))
+      .select(col("q.id").as("id"), col("c.id").as("matched_id"),
+        (bit_count(col("q.ahash").bitwiseXOR(col("c.ahash"))) +
+          bit_count(col("q.dhash").bitwiseXOR(col("c.dhash"))))
+          .as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      // the same pair surfaces once per shared band; hamming is identical
+      .groupBy(col("id"), col("matched_id"))
+      .agg(min(col("hamming")).as("hamming"))
+  }
+
+  /** Append newly landed images' signatures to an existing
+    * [[imageHashIndex]] dataset — band family from the index's own pinned
+    * metadata, bucket-partitioned like the build so probe pruning keeps
+    * working. */
+  def imageHashIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                           storage: graft.store.Storage, uuid: String,
+                           df: DataFrame, idCol: String,
+                           payloadCol: String = "payload"): graft.meta.DatasetMetadata = {
+    val (bands, numBuckets) = imageHashIndexParams(storage, uuid)
+    graft.io.Writer.update(spark, storage, uuid,
+      Some(imageSigTable(df, idCol, payloadCol, bands, numBuckets)), Nil,
+      graft.io.Writer.WriteOpts(partitionOn = Seq("bucket")))
+  }
+
   /** The (bucket, band, id, sig) signature table of a corpus under one
     * hash family — THE one construction shared by index build, probe, and
     * append: the metadata pinning guards the PARAMETERS, this guards the

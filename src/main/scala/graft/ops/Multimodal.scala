@@ -289,6 +289,185 @@ object Multimodal {
     df.sparkSession.createDataFrame(rows, outSchema)
   }
 
+  /** Perceptual image hashes over the REAL JDK decode — the raw-image
+    * near-dup signature ([[graft.ops.Dedup.imageNearDups]] consumes it):
+    * (<idCol>, ahash, dhash), 64 bits each, from ONE shared 8x8 luma grid.
+    *
+    *  - grid cell (gy, gx) = mean luma over the image block
+    *    [gx*w/8, (gx+1)*w/8) x [gy*h/8, (gy+1)*h/8) (a cell never goes
+    *    empty: blocks widen to >= 1 pixel, so 1x1 images hash too). Luma
+    *    is the mean of the color samples (palette-expanded,
+    *    SAMPLE-preserving like [[resizeImages]]: no getRGB gamma trip,
+    *    alpha excluded, 16-bit narrowed to 8), normalized to [0, 255]
+    *    regardless of band count — a gray image and its RGB expansion
+    *    hash identically, and so do re-scales of the same picture (the
+    *    grid is resolution-independent).
+    *  - aHash bit (gy*8+gx) = cell > mean(all 64 cells).
+    *  - dHash bit (gy*8+gx) = cell(gy, (gx+1)%8) > cell(gy, gx) — the
+    *    WRAPAROUND variant of difference hash: the classic 9x8 grid would
+    *    need a second resample; one shared 8x8 grid plus the wrap column
+    *    keeps 64 bits and one decode pass. (Engine-specific signature,
+    *    like [[graft.ops.Dedup.simhash]]'s murmur3 — the choice is pinned
+    *    here and by the closed-form stripe-fixture oracle.)
+    *
+    * Per-partition like [[decodeImages]]: payload bytes never shuffle,
+    * only (id, 2 longs) leaves the scan; corrupt/null payloads yield null
+    * hashes instead of failing the job. */
+  def imageHash(df: DataFrame, idCol: String,
+                payloadCol: String = "payload"): DataFrame =
+    imageSignature(df, idCol, payloadCol).drop("grid")
+
+  /** [[imageHash]] plus the underlying 8x8 luma grid (64 doubles, row-major)
+    * — the decoded-channel evidence [[graft.ops.Dedup.withImageHashRecallGuard]]
+    * audits hash proximity against. */
+  private[graft] def imageSignature(df: DataFrame, idCol: String,
+                                    payloadCol: String = "payload"): DataFrame = {
+    val in = df.select(col(idCol), col(payloadCol))
+    val outSchema = StructType(in.schema.fields(0) +: Seq(
+      StructField("ahash", LongType),
+      StructField("dhash", LongType),
+      StructField("grid", ArrayType(DoubleType))))
+    val rows = in.rdd.mapPartitions { iter =>
+      iter.map { r =>
+        val img =
+          try {
+            val bytes = r.getAs[Array[Byte]](1)
+            if (bytes == null) null
+            else ImageIO.read(new ByteArrayInputStream(bytes))
+          } catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) Row(r.get(0), null, null, null)
+        else {
+          val srcImg = expandPalette(img)
+          val w = srcImg.getWidth
+          val h = srcImg.getHeight
+          val raster = srcImg.getRaster
+          val nBands = raster.getNumBands
+          val ncc = srcImg.getColorModel.getNumColorComponents
+          val shift = math.max(0, srcImg.getColorModel.getComponentSize(0) - 8)
+          val cellSum = new Array[Long](64)
+          val cellCnt = new Array[Long](64)
+          val buf = new Array[Int](w * nBands)
+          var y = 0
+          while (y < h) {
+            raster.getPixels(0, y, w, 1, buf)
+            // which grid rows contain image row y (one for h >= 8; for
+            // h < 8 blocks widen to >= 1 pixel and may share rows)
+            var gy = 0
+            while (gy < 8) {
+              val y0 = gy * h / 8
+              val y1 = math.min(h, math.max((gy + 1) * h / 8, y0 + 1))
+              if (y >= y0 && y < y1) {
+                var gx = 0
+                while (gx < 8) {
+                  val x0 = gx * w / 8
+                  val x1 = math.min(w, math.max((gx + 1) * w / 8, x0 + 1))
+                  var sum = 0L
+                  var x = x0
+                  while (x < x1) {
+                    var b = 0
+                    while (b < ncc) {
+                      sum += (buf(x * nBands + b) >> shift); b += 1
+                    }
+                    x += 1
+                  }
+                  val i = gy * 8 + gx
+                  cellSum(i) += sum
+                  cellCnt(i) += (x1 - x0).toLong
+                  gx += 1
+                }
+              }
+              gy += 1
+            }
+            y += 1
+          }
+          val grid = new Array[Double](64)
+          var i = 0
+          while (i < 64) {
+            grid(i) = cellSum(i).toDouble / (cellCnt(i) * ncc); i += 1
+          }
+          var mean = 0.0
+          i = 0
+          while (i < 64) { mean += grid(i); i += 1 }
+          mean /= 64.0
+          var ah = 0L
+          var dh = 0L
+          i = 0
+          while (i < 64) {
+            if (grid(i) > mean) ah |= (1L << i)
+            val gy = i / 8; val gx = i % 8
+            if (grid(gy * 8 + ((gx + 1) % 8)) > grid(i)) dh |= (1L << i)
+            i += 1
+          }
+          Row(r.get(0), ah, dh, grid.toSeq)
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rows, outSchema)
+  }
+
+  /** Deterministic STRIPED PNG fixture generator — the structured sibling
+    * of [[syntheticPng]] (whose solid images hash to all-zero bits): 8
+    * vertical stripes, stripe c gray `(seed * M_c) % 256` under the fixed
+    * per-stripe multipliers M = [31, 73, 151, 97, 43, 29, 199, 113] — plus
+    * `jitter` on stripe 0 — at `w = 8*(1 + id%3)`, `h = 8*(1 + id%2)`.
+    * Because stripes align with the 8x8 hash grid (w is a multiple of 8),
+    * cell (gy, gx) decodes to EXACTLY stripe gx's gray at every
+    * resolution, so aHash/dHash are closed-form in (seed, jitter) and a
+    * SQL oracle can verify that [[imageHash]] REALLY decodes — and that
+    * the hash is resolution-invariant, since ids sharing a seed render at
+    * different sizes (distinct PNG payloads, identical perceptual
+    * content: the planted near-duplicates). The multipliers are DISTINCT
+    * per stripe on purpose: a shared multiplier would make any two seeds
+    * differ by a uniform brightness shift, which a (correct) aHash/dHash
+    * is invariant to — every seed pair without gray wraparound would
+    * collide at Hamming 0 and the fixture's pair structure would go
+    * quadratic. */
+  def syntheticStripePng(df: DataFrame, idCol: String, seedCol: String,
+                         jitterCol: String): DataFrame = {
+    val in = df.select(col(idCol).cast(LongType).as(idCol),
+      col(seedCol).cast(LongType).as("__seed"),
+      col(jitterCol).cast(LongType).as("__jitter"))
+    val outSchema = StructType(in.schema.fields(0) +:
+      Seq(StructField("payload", BinaryType)))
+    val rows = in.rdd.mapPartitions { iter =>
+      iter.map { r =>
+        val id = r.getLong(0)
+        val seed = r.getLong(1)
+        val jitter = r.getLong(2)
+        val w = (8 * (1 + Math.floorMod(id, 3L))).toInt
+        val h = (8 * (1 + Math.floorMod(id, 2L))).toInt
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+        val raster = img.getRaster
+        val k = w / 8
+        val line = new Array[Int](w * 3)
+        val mult = Array(31L, 73L, 151L, 97L, 43L, 29L, 199L, 113L)
+        var c = 0
+        while (c < 8) {
+          val gray = Math.floorMod(seed * mult(c) +
+            (if (c == 0) jitter else 0L), 256L).toInt
+          var x = c * k
+          while (x < (c + 1) * k) {
+            line(x * 3) = gray; line(x * 3 + 1) = gray; line(x * 3 + 2) = gray
+            x += 1
+          }
+          c += 1
+        }
+        var y = 0
+        while (y < h) { raster.setPixels(0, y, w, 1, line); y += 1 }
+        val out = new ByteArrayOutputStream()
+        ImageIO.write(img, "png", out)
+        Row(id, out.toByteArray)
+      }
+    }
+    df.sparkSession.createDataFrame(rows, outSchema)
+  }
+
+  /** [[syntheticStripePng]] with stripes keyed directly by the id and no
+    * jitter — the plain oracle-fixture face. */
+  def syntheticStripePng(df: DataFrame, idCol: String): DataFrame =
+    syntheticStripePng(df.withColumn("__s", col(idCol))
+      .withColumn("__j", lit(0L)), idCol, "__s", "__j")
+
   /** REAL audio decode for WAV (and the other JDK-supported containers:
     * AIFF, AU) via `javax.sound.sampled` — zero extra dependencies, the
     * audio sibling of [[decodeImages]]. Per-partition: payload bytes are

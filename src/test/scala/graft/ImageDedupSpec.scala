@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal}
+
+/** The raw-image near-dup family: perceptual hashes over the REAL JDK
+  * decode (Multimodal.imageHash), Hamming-banded candidate pairs
+  * (exact-by-pigeonhole for maxHamming < bands), the decoded-channel
+  * recall guard, and the persisted band-partitioned index.
+  *
+  * Fixture physics used throughout: syntheticStripePng's stripes align
+  * with the 8x8 hash grid, so the luma grid decodes to exactly the stripe
+  * grays `(seed * M_c) % 256` at every rendered resolution — hashes are
+  * closed-form in the seed, and (seed 25, jitter 0 vs 4) flips EXACTLY
+  * dHash column 7 (g_7 - g_0 = 2, jitter crosses it; every other
+  * comparison's margin verified >= 40), i.e. Hamming exactly 8. */
+class ImageDedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def stripePngs(rows: Seq[(Long, Long, Long)]) =
+    Multimodal.syntheticStripePng(
+      rows.toDF("id", "seed", "jitter"), "id", "seed", "jitter")
+
+  test("imageHash: resolution-invariant, deterministic, null-safe on corrupt payloads") {
+    // ids 0..5 cover all (w, h) fixture variants; same seed everywhere
+    val pngs = stripePngs((0L to 5L).map(i => (i, 77L, 0L)))
+    val hashes = Multimodal.imageHash(pngs, "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hashes.length === 6)
+    // six DISTINCT payloads (different dims), ONE hash: the grid is
+    // resolution-independent on grid-aligned content
+    assert(hashes.map(h => (h._2, h._3)).distinct.length === 1)
+    val payloads = pngs.collect().map(_.getAs[Array[Byte]]("payload").toSeq)
+    assert(payloads.distinct.length === 6, // six distinct (w, h) combos
+      "fixture must render genuinely different files")
+    // a different seed is a different hash (stripes re-dealt)
+    val other = Multimodal.imageHash(stripePngs(Seq((9L, 78L, 0L))), "id")
+      .head()
+    assert((other.getLong(1), other.getLong(2)) !== hashes.head._2 -> hashes.head._3)
+    // corrupt payload -> null hashes, job survives (100 TB discipline)
+    val corrupt = Seq((1L, Array[Byte](1, 2, 3)),
+      (2L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload")
+    val nulls = Multimodal.imageHash(corrupt, "id").collect()
+    assert(nulls.forall(r => r.isNullAt(1) && r.isNullAt(2)))
+    // solid images (all stripes equal: seed 0) hash to all-zero bits
+    val solid = Multimodal.imageHash(stripePngs(Seq((3L, 0L, 0L))), "id").head()
+    assert(solid.getLong(1) === 0L && solid.getLong(2) === 0L)
+  }
+
+  test("imageNearDups: banded join equals brute-force Hamming <= r (exactness by pigeonhole)") {
+    // 60 images: 12 seed-groups of 5 (near-dups by resolution), seeds far
+    // apart so cross-group distances vary freely
+    val rows = (0L until 60L).map(i => (i, (i / 5L) * 997L + 13L, 0L))
+    val pngs = stripePngs(rows)
+    val out = Dedup.imageNearDups(pngs, "id", maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // independent reference: collect the signatures, all-pairs Hamming
+    val sigs = Multimodal.imageHash(pngs, "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = (for {
+      a <- sigs; b <- sigs if a._1 < b._1
+      ham = java.lang.Long.bitCount(a._2 ^ b._2) +
+        java.lang.Long.bitCount(a._3 ^ b._3)
+      if ham <= 7
+    } yield (a._1, b._1) -> ham).toMap
+    assert(out === expect)
+    // every in-group pair is found (identical grids at all resolutions)
+    assert((0 until 12).forall { g =>
+      val ids = (g * 5 until g * 5 + 5).map(_.toLong)
+      ids.combinations(2).forall(p => out.contains((p(0), p(1))))
+    })
+    // radius/bands contract is refused loudly when exactness would break
+    intercept[IllegalArgumentException] {
+      Dedup.imageNearDups(pngs, "id", maxHamming = 8, bands = 8)
+    }
+  }
+
+  test("imageNearDups: the verified crossing pair sits at Hamming exactly 8 — radius includes/excludes it") {
+    val pngs = stripePngs(Seq((1L, 25L, 0L), (2L, 25L, 4L)))
+    val sigs = Multimodal.imageHash(pngs, "id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ham = java.lang.Long.bitCount(sigs(1L)._1 ^ sigs(2L)._1) +
+      java.lang.Long.bitCount(sigs(1L)._2 ^ sigs(2L)._2)
+    assert(ham === 8, s"fixture crossing pair drifted: hamming $ham")
+    // default radius 7 excludes it; radius 15 over 16 bands finds it
+    assert(Dedup.imageNearDups(pngs, "id", maxHamming = 7).count() === 0L)
+    val found = Dedup.imageNearDups(pngs, "id", maxHamming = 15, bands = 16)
+      .collect()
+    assert(found.length === 1 && found.head.getInt(2) === 8)
+  }
+
+  test("imageNearDups: maxBucketSize drops hot bands (documented exactness trade)") {
+    // 20 byte-identical solid images: every band is a 20-row bucket
+    val pngs = stripePngs((0L until 20L).map(i => (i, 0L, 0L)))
+    assert(Dedup.imageNearDups(pngs, "id").count() === 190L) // C(20,2)
+    // cap below the group size: all bands are hot, pairs vanish (route
+    // such rows to exact dedup instead — the documented trade)
+    assert(Dedup.imageNearDups(pngs, "id", maxBucketSize = 10).count() === 0L)
+  }
+
+  test("withImageHashRecallGuard: healthy pass, verified-to-fire, vacuous empty sample") {
+    val groups = stripePngs((0L until 30L).map(i => (i, (i / 3L) * 991L, 0L)))
+    val healthy = Dedup.withImageHashRecallGuard(
+      Dedup.imageNearDups(groups, "id", maxHamming = 7), groups, "id",
+      maxHamming = 7)
+    val rows = healthy.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("recall_vs_exact") >= 0.9))
+    // verified-to-fire: the crossing pair is pixel-close (grid distance
+    // 4/64) but Hamming 8 — with the bar at 7 the guard must fail loudly
+    val crossing = stripePngs(Seq((1L, 25L, 0L), (2L, 25L, 4L)))
+    val ex = intercept[Exception] {
+      Dedup.withImageHashRecallGuard(
+        Dedup.imageNearDups(crossing, "id", maxHamming = 7),
+        crossing, "id", maxHamming = 7).collect()
+    }
+    assert(ex.getMessage.contains("recall"), ex.getMessage)
+    // vacuous: no pixel-close pairs in the sample -> 1.0, never a
+    // divide-by-zero or a spurious firing
+    val far = stripePngs(Seq((1L, 101L, 0L), (2L, 577L, 0L)))
+    val vac = Dedup.withImageHashRecallGuard(
+      Dedup.imageNearDups(far, "id", maxHamming = 7), far, "id",
+      maxHamming = 7).collect()
+    assert(vac.forall(_.getAs[Double]("recall_vs_exact") === 1.0))
+  }
+
+  test("imageHashIndex lifecycle: build, pruned probe, parity with in-corpus face, append, idempotent re-probe") {
+    val corpus = stripePngs((0L until 40L).map(i => (i, (i / 4L) * 769L + 7L, 0L)))
+    val store = graft.store.Storage(spark, tmpDir("img-idx"))
+    Dedup.imageHashIndex(spark, store, "img", corpus, "id",
+      numBuckets = 64, overwrite = true)
+    // a batch containing a near-dup of group 0 (same seed, new id/size)
+    // and a novel image
+    val batch = stripePngs(Seq((100L, 7L, 0L), (101L, 999983L, 0L)))
+    val matches = Dedup.imageDupsAgainstIndex(spark, store, "img", batch,
+      "id", maxHamming = 7)
+    val got = matches.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    // 100 matches every member of group 0 at hamming 0; 101 matches per
+    // the same rule the in-corpus face applies (parity check below)
+    assert((0L until 4L).forall(m => got.contains((100L, m, 0L))), got.toString)
+    // PARITY with the in-corpus face: probing the index equals running
+    // imageNearDups over corpus+batch and keeping the cross pairs
+    val combined = Dedup.imageNearDups(
+      corpus.unionByName(batch), "id", maxHamming = 7)
+    val cross = combined.collect().collect {
+      case r if r.getLong(0) < 100L && r.getLong(1) >= 100L =>
+        (r.getLong(1), r.getLong(0), r.getInt(2).toLong)
+      case r if r.getLong(0) >= 100L && r.getLong(1) < 100L =>
+        (r.getLong(0), r.getLong(1), r.getInt(2).toLong)
+    }.toSet
+    assert(got === cross)
+    // bucket pruning reaches the files: a 1-image probe (8 bands -> <= 8
+    // of the 64 buckets) touches only the hive partitions its bands hash
+    // into, never the whole index
+    val allFiles = graft.io.Reader.readTable(spark, store, "img")
+      .inputFiles.length
+    val oneProbe = Dedup.imageDupsAgainstIndex(spark, store, "img",
+      stripePngs(Seq((300L, 7L, 0L))), "id", maxHamming = 7)
+    val touched = oneProbe.inputFiles.length
+    assert(touched > 0 && touched < allFiles / 2,
+      s"probe read $touched of $allFiles index files — not pruned")
+    assert(oneProbe.collect().map(_.getLong(1)).toSet ===
+      (0L until 4L).toSet)
+    // append the batch; its images become findable
+    Dedup.imageHashIndexAppend(spark, store, "img", batch, "id")
+    val probe2 = Dedup.imageDupsAgainstIndex(spark, store, "img",
+      stripePngs(Seq((200L, 999983L, 0L))), "id", maxHamming = 7)
+    assert(probe2.collect().map(_.getLong(1)).toSet === Set(101L))
+    // idempotent re-probe: the batch's own (now indexed) signatures never
+    // match themselves — crash-replay lands on the same answer
+    val replay = Dedup.imageDupsAgainstIndex(spark, store, "img", batch,
+      "id", maxHamming = 7)
+    val replayGot = replay.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    assert(replayGot === got)
+    // a non-image dataset is refused loudly, not probed with garbage
+    graft.io.Writer.store(spark, store, "not_img",
+      Seq((1L, "x")).toDF("id", "s"), graft.io.Writer.WriteOpts())
+    intercept[IllegalArgumentException] {
+      Dedup.imageDupsAgainstIndex(spark, store, "not_img", batch, "id")
+    }
+  }
+}
