@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dev harness: substantiate pqTopKIndexed's `eagerIdFetch` row-group
+  * pruning claim on the corpus layout it was designed for — ID-SORTED with
+  * SMALL row groups (the point-fetch layout the reference prescribes,
+  * `docs/spec/efficient_querying.rst:90-102`). The prior reading
+  * (BENCH_LOCAL `pq_eager_fetch_sf10`) measured parity on an UNSORTED
+  * 200k-vector corpus where the scan is trivially cheap either way; this
+  * harness scales the corpus by `copies` shifted replicas, writes it
+  * range-partitioned + sorted on the id with ~512 KiB parquet row groups,
+  * raises the parquet In-pushdown threshold past k*refine so each
+  * candidate id reaches the row-group stats individually (the default
+  * threshold of 10 would collapse 320 ids into one min..max range
+  * spanning the whole corpus — nothing pruned), and times warm reps of
+  * the lazy semi-join face vs the eager In-pushdown face.
+  *
+  * Usage: runMain graft.EagerFetchBench [srcDir] [copies]
+  */
+object EagerFetchBench {
+  def main(args: Array[String]): Unit = {
+    val srcDir = if (args.nonEmpty) args(0) else "/tmp/sf10"
+    val copies = if (args.length > 1) args(1).toInt else 10
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+      "eager-fetch-bench")
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "1000")
+
+    val base = spark.read.parquet(s"$srcDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val n0 = base.count()
+    val big = (0 until copies).map(i =>
+        base.select((col("vec_id") + lit(i * n0)).as("vec_id"),
+          col("embedding")))
+      .reduce(_ unionByName _)
+    val dir = "/tmp/eager_corpus"
+    big.orderBy("vec_id").write.mode("overwrite")
+      .option("parquet.block.size", (512 * 1024).toString)
+      .parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    println(s"== corpus: ${corpus.count()} vectors, " +
+      s"${corpus.inputFiles.length} files (id-sorted, 512 KiB row groups)")
+
+    val store = graft.store.Storage(spark, "/tmp/eager_store")
+    graft.ops.Similarity.pqIndex(spark, store, "pq_eager", corpus,
+      "embedding", "vec_id", overwrite = true)
+    val q = corpus.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toSeq
+
+    def run(eager: Boolean): Double = {
+      val t0 = System.nanoTime()
+      graft.ops.Similarity.pqTopKIndexed(spark, store, "pq_eager", corpus,
+          "embedding", "vec_id", q, k = 20, refine = 16, auditCap = 0,
+          eagerIdFetch = eager)
+        .queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    run(eager = false); run(eager = true) // warm both plans once, untimed
+    val lazySecs = (1 to 3).map(_ => run(eager = false))
+    val eagerSecs = (1 to 3).map(_ => run(eager = true))
+    def fmt(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+    println(s"== lazy semi-join warm reps: ${fmt(lazySecs)}")
+    println(s"== eager In-pushdown warm reps: ${fmt(eagerSecs)}")
+    spark.stop()
+  }
+}

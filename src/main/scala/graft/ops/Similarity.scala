@@ -761,21 +761,58 @@ object Similarity {
     * per-subspace quantization error; m*log2(ks) is the bit budget. */
   def pqCodebooks(corpus: DataFrame, vecCol: String, m: Int = 8,
                   ks: Int = 32, iters: Int = 10,
-                  trainCap: Int = 100000): Seq[Seq[Seq[Double]]] = {
+                  trainCap: Int = 100000): Seq[Seq[Seq[Double]]] =
+    booksFromSample(sampledKeyedVectors(corpus, vecCol, trainCap, None)
+      .map(_._2), m, ks, iters)
+
+  /** [[pqCodebooks]] over the RAW corpus with the `center = false`
+    * normalize applied DRIVER-SIDE to the collected sample. The PQ faces
+    * train on normalized vectors, but collecting the sample THROUGH the
+    * [[centerNormalize]] plan pays the interpreted higher-order rescale
+    * per row TWICE (the sampler's count job and its collect) — measured
+    * ~0.7 ms/row, the dominant cost of every ad-hoc [[pqTopK]] call and
+    * of index-build training. The bounded sample (<= trainCap rows)
+    * normalizes locally in microseconds instead via the exact
+    * [[normalizeLocal]] mirror; at n > trainCap the sampling hash keys
+    * off the raw vector bytes rather than the normalized rendering, which
+    * picks a (still deterministic) different sample than the old path —
+    * training-sample choice, not a results contract. */
+  private def pqCodebooksFromRaw(corpus: DataFrame, vecCol: String, m: Int,
+                                 ks: Int, iters: Int,
+                                 trainCap: Int): Seq[Seq[Seq[Double]]] =
+    booksFromSample(sampledKeyedVectors(corpus, vecCol, trainCap, None)
+      .map(kv => normalizeLocal(kv._2)), m, ks, iters)
+
+  /** Driver-side mirror of the [[centerNormalize]] `center = false`
+    * arithmetic: left-to-right squared fold, sqrt, `round(x/nrm, 6)`
+    * half-up (java BigDecimal.valueOf, exactly Spark's Round on a
+    * double), zero-norm -> all zeros. */
+  private def normalizeLocal(v: Array[Double]): Array[Double] = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val nrm = math.sqrt(s)
+    if (nrm == 0.0) new Array[Double](v.length)
+    else v.map(x => java.math.BigDecimal.valueOf(x / nrm)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+  }
+
+  /** The subspace-Lloyd tail both codebook faces share. */
+  private def booksFromSample(sample: Array[Array[Double]], m: Int, ks: Int,
+                              iters: Int): Seq[Seq[Seq[Double]]] = {
     require(m >= 1 && ks >= 1 && iters >= 1)
-    val keyed = sampledKeyedVectors(corpus, vecCol, trainCap, None)
-    if (keyed.isEmpty) return Seq.empty
+    if (sample.isEmpty) return Seq.empty
     // MODAL length, not the first sample vector's (the localityCheck
     // idiom): if the hash-ordered head happened to be a length-mismatched
     // stray, inferring dim from it would discard every well-formed vector
     // below (training on strays) or trip the dim%m require spuriously
-    val dim = keyed.map(_._2).groupBy(_.length)
+    val dim = sample.groupBy(_.length)
       .maxBy { case (d, vs) => (vs.length, d) }._1
     require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
     val dsub = dim / m
     // length-mismatched strays (a corrupt row) would crash the slicing;
     // they cannot be encoded either, so they don't belong in training
-    val clean = keyed.map(_._2).filter(_.length == dim)
+    val clean = sample.filter(_.length == dim)
     (0 until m).map { j =>
       val sub = clean.map(_.slice(j * dsub, (j + 1) * dsub))
       localLloyd(keyVectors(sub), ks, iters, negL2Local)
@@ -850,7 +887,7 @@ object Similarity {
              fullShadowGuard: Boolean = false): DataFrame = {
     require(k >= 1 && refine >= 1)
     val normed = centerNormalize(corpus, vecCol, idCol, center = false)
-    val books = pqCodebooks(normed, vecCol, m, ks, iters, trainCap)
+    val books = pqCodebooksFromRaw(corpus, vecCol, m, ks, iters, trainCap)
     if (books.isEmpty)
       return withRecallGuard(
         bruteForceTopK(corpus, vecCol, idCol, query, k).limit(0),
@@ -954,7 +991,7 @@ object Similarity {
               trainCap: Int = 100000,
               overwrite: Boolean = false): graft.meta.DatasetMetadata = {
     val normed = centerNormalize(corpus, vecCol, idCol, center = false)
-    val books = pqCodebooks(normed, vecCol, m, ks, iters, trainCap)
+    val books = pqCodebooksFromRaw(corpus, vecCol, m, ks, iters, trainCap)
     require(books.nonEmpty, "cannot build a PQ index over an empty corpus")
     graft.io.Writer.store(spark, storage, uuid,
       pqEncode(normed, vecCol, idCol, books),
@@ -1096,7 +1133,7 @@ object Similarity {
                  trainCap: Int = 100000,
                  overwrite: Boolean = false): graft.meta.DatasetMetadata = {
     val normed = centerNormalize(corpus, vecCol, idCol, center = false)
-    val books = pqCodebooks(normed, vecCol, m, ks, iters, trainCap)
+    val books = pqCodebooksFromRaw(corpus, vecCol, m, ks, iters, trainCap)
     require(books.nonEmpty, "cannot build an IVF-PQ index over an empty corpus")
     graft.io.Writer.store(spark, storage, uuid,
       ivfPqRows(normed, vecCol, idCol, centroids, books),
