@@ -2494,7 +2494,8 @@ object SparkEntry {
            FROM documents""",
       // closed-form aHash/dHash of the striped PNGs: stripes align with
       // the 8x8 grid, so cell (gy, gx) decodes to exactly stripe gx's
-      // gray g_x = (id * M_x) % 256 at EVERY fixture resolution; aHash
+      // gray g_x = (id/D_x + id*M_x) % 256 at EVERY fixture resolution;
+      // aHash
       // column bit fires iff 8*g_x > sum(g) (identical to the
       // double-mean compare — S/8 is exact in a double), dHash iff
       // g_{(x+1)%8} > g_x, each column filling bits x, x+8, ..., x+56 =
@@ -2504,7 +2505,8 @@ object SparkEntry {
         """WITH g AS (
              SELECT doc_id,
                list_transform(range(0, 8), c ->
-                 CAST((doc_id * ([31,73,151,97,43,29,199,113])[c+1]) % 256 AS BIGINT)) AS gs
+                 CAST((doc_id // ([1,2,3,5,7,11,13,17])[c+1]
+                       + doc_id * ([31,73,151,97,43,29,199,113])[c+1]) % 256 AS BIGINT)) AS gs
              FROM documents),
            b AS (
              SELECT doc_id,

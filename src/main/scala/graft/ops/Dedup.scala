@@ -882,9 +882,14 @@ object Dedup {
       s"maxHamming must be in [0, bands) for exact banded coverage " +
         s"(got maxHamming=$maxHamming, bands=$bands); raise bands for a " +
         "larger radius")
+    // MATERIALIZED (eager localCheckpoint): the signature frame feeds the
+    // band table AND both pair-side hash joins — un-checkpointed, each
+    // reference re-runs the full decode lineage (4x the codec work, the
+    // dominant cost of the operator)
     val sigs = Multimodal.imageHash(df, idCol, payloadCol)
       .where(col("ahash").isNotNull)
       .select(col(idCol).as("id"), col("ahash"), col("dhash"))
+      .localCheckpoint(true)
     val bt = sigs.select(col("id"),
       explode(imageBands(col("ahash"), col("dhash"), bands)).as("band"))
     val capped =
@@ -930,8 +935,10 @@ object Dedup {
         lit("graft.imagehash.audit")))
       .orderBy(col("__h"), col(idCol)).limit(auditCap).drop("__h")
       .localCheckpoint(false)
+    // decode the sample ONCE: both pair sides read this frame
     val sigs = Multimodal.imageSignature(sample, idCol, payloadCol)
       .where(col("ahash").isNotNull)
+      .localCheckpoint(true)
     val lhs = sigs.select(col(idCol).as("id_a"), col("ahash").as("__aa"),
       col("dhash").as("__da"), col("grid").as("__ga"))
     val rhs = sigs.select(col(idCol).as("id_b"), col("ahash").as("__ab"),

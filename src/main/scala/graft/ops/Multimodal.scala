@@ -407,21 +407,26 @@ object Multimodal {
 
   /** Deterministic STRIPED PNG fixture generator — the structured sibling
     * of [[syntheticPng]] (whose solid images hash to all-zero bits): 8
-    * vertical stripes, stripe c gray `(seed * M_c) % 256` under the fixed
-    * per-stripe multipliers M = [31, 73, 151, 97, 43, 29, 199, 113] — plus
-    * `jitter` on stripe 0 — at `w = 8*(1 + id%3)`, `h = 8*(1 + id%2)`.
+    * vertical stripes, stripe c gray `(seed/D_c + seed*M_c) % 256` under
+    * the fixed per-stripe multipliers M = [31, 73, 151, 97, 43, 29, 199,
+    * 113] and divisors D = [1, 2, 3, 5, 7, 11, 13, 17] — plus `jitter` on
+    * stripe 0 — at `w = 8*(1 + id%3)`, `h = 8*(1 + id%2)`.
     * Because stripes align with the 8x8 hash grid (w is a multiple of 8),
     * cell (gy, gx) decodes to EXACTLY stripe gx's gray at every
     * resolution, so aHash/dHash are closed-form in (seed, jitter) and a
     * SQL oracle can verify that [[imageHash]] REALLY decodes — and that
     * the hash is resolution-invariant, since ids sharing a seed render at
     * different sizes (distinct PNG payloads, identical perceptual
-    * content: the planted near-duplicates). The multipliers are DISTINCT
-    * per stripe on purpose: a shared multiplier would make any two seeds
-    * differ by a uniform brightness shift, which a (correct) aHash/dHash
-    * is invariant to — every seed pair without gray wraparound would
-    * collide at Hamming 0 and the fixture's pair structure would go
-    * quadratic. */
+    * content: the planted near-duplicates). Two deliberate entropy
+    * defenses keep the pair structure LINEAR in the corpus: the
+    * multipliers are DISTINCT per stripe (a shared multiplier would make
+    * any two seeds differ by a uniform brightness shift, which a correct
+    * aHash/dHash is invariant to — every wrap-free seed pair would
+    * collide at Hamming 0), and the per-stripe DIVISOR term folds high
+    * seed bits in (pure `seed*M_c % 256` is a function of `seed % 256`
+    * alone, so beyond 256 seeds entire groups repeat the same pattern
+    * and pair mass goes quadratic — measured 235 distinct signatures
+    * over 1000 seeds; with the divisors, 755). */
   def syntheticStripePng(df: DataFrame, idCol: String, seedCol: String,
                          jitterCol: String): DataFrame = {
     val in = df.select(col(idCol).cast(LongType).as(idCol),
@@ -441,10 +446,11 @@ object Multimodal {
         val k = w / 8
         val line = new Array[Int](w * 3)
         val mult = Array(31L, 73L, 151L, 97L, 43L, 29L, 199L, 113L)
+        val divs = Array(1L, 2L, 3L, 5L, 7L, 11L, 13L, 17L)
         var c = 0
         while (c < 8) {
-          val gray = Math.floorMod(seed * mult(c) +
-            (if (c == 0) jitter else 0L), 256L).toInt
+          val gray = Math.floorMod(Math.floorDiv(seed, divs(c)) +
+            seed * mult(c) + (if (c == 0) jitter else 0L), 256L).toInt
           var x = c * k
           while (x < (c + 1) * k) {
             line(x * 3) = gray; line(x * 3 + 1) = gray; line(x * 3 + 2) = gray

@@ -10,10 +10,12 @@ import graft.ops.{Dedup, Multimodal}
   *
   * Fixture physics used throughout: syntheticStripePng's stripes align
   * with the 8x8 hash grid, so the luma grid decodes to exactly the stripe
-  * grays `(seed * M_c) % 256` at every rendered resolution — hashes are
-  * closed-form in the seed, and (seed 25, jitter 0 vs 4) flips EXACTLY
-  * dHash column 7 (g_7 - g_0 = 2, jitter crosses it; every other
-  * comparison's margin verified >= 40), i.e. Hamming exactly 8. */
+  * grays `(seed/D_c + seed*M_c) % 256` at every rendered resolution —
+  * hashes are closed-form in the seed, and (seed 60, jitter 0 vs 4)
+  * flips EXACTLY one aHash column (stripe 0 at gray 128 crosses the
+  * global mean when the jitter reaches 3; every other comparison holds),
+  * i.e. Hamming exactly 8 — verified against an independent arithmetic
+  * mirror of the fixture + hash pipeline. */
 class ImageDedupSpec extends SparkSpec {
 
   import spark.implicits._
@@ -77,7 +79,7 @@ class ImageDedupSpec extends SparkSpec {
   }
 
   test("imageNearDups: the verified crossing pair sits at Hamming exactly 8 — radius includes/excludes it") {
-    val pngs = stripePngs(Seq((1L, 25L, 0L), (2L, 25L, 4L)))
+    val pngs = stripePngs(Seq((1L, 60L, 0L), (2L, 60L, 4L)))
     val sigs = Multimodal.imageHash(pngs, "id").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     val ham = java.lang.Long.bitCount(sigs(1L)._1 ^ sigs(2L)._1) +
@@ -109,7 +111,7 @@ class ImageDedupSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("recall_vs_exact") >= 0.9))
     // verified-to-fire: the crossing pair is pixel-close (grid distance
     // 4/64) but Hamming 8 — with the bar at 7 the guard must fail loudly
-    val crossing = stripePngs(Seq((1L, 25L, 0L), (2L, 25L, 4L)))
+    val crossing = stripePngs(Seq((1L, 60L, 0L), (2L, 60L, 4L)))
     val ex = intercept[Exception] {
       Dedup.withImageHashRecallGuard(
         Dedup.imageNearDups(crossing, "id", maxHamming = 7),
