@@ -143,6 +143,10 @@ object Smoke {
       graft.ops.Multimodal.syntheticMp4(docs.select("doc_id").limit(5), "doc_id"),
       "doc_id")
     println(s"== mp4 probe: ${probed.collect().map(r => s"${r.get(0)}:${r.get(3)}x${r.get(4)}@${r.get(2)}ms").mkString(", ")}")
+    val mjpegFrames = graft.ops.Multimodal.decodeVideoFrames(
+      graft.ops.Multimodal.syntheticAvi(docs.select("doc_id").limit(5), "doc_id"),
+      "doc_id").count()
+    println(s"== mjpeg avi frames decoded: $mjpegFrames")
     val urls = docs.limit(20).select(col("doc_id"),
       concat(lit("HTTPS://WWW."), col("lang"), lit(".example.co.uk:443/d/"),
         col("doc_id").cast("string"), lit("?utm_s=1&v=2#f")).as("url"))

@@ -1341,6 +1341,21 @@ object SparkEntry {
       Multimodal.probeVideo(mp4s, "doc_id")
     }),
 
+    // --- REAL video FRAME decode (Motion-JPEG AVI — each frame a
+    // standalone JPEG the JDK can decode): deterministic AVIs with
+    // 1 + id%4 real JPEG frames per doc, parsed by the byte-level RIFF
+    // walker and decoded frame by frame; frame count and dimensions
+    // survive the JPEG round trip exactly and the oracle reproduces them
+    // from the id, proving the RIFF write -> walk -> JPEG decode chain
+    // ran (decoded GRAY is JPEG-quantized, pinned by spec tolerance, so
+    // mean_px stays out of the hash-checked projection)
+    "m_video_frames" -> ((s, dir) => {
+      val avis = Multimodal.syntheticAvi(
+        rd(s, dir, "documents").select("doc_id"), "doc_id")
+      Multimodal.decodeVideoFrames(avis, "doc_id")
+        .select("doc_id", "frame_idx", "width", "height")
+    }),
+
     // --- REAL perceptual image hashing: striped PNGs (8 stripes aligned
     // with the 8x8 hash grid, grays closed-form in doc_id, rendered at
     // id-varying resolutions) pushed through the JDK codec and the
@@ -2492,6 +2507,16 @@ object SparkEntry {
              'avc1' AS video_codec,
              CASE WHEN doc_id % 3 = 0 THEN 'mp4a' ELSE NULL END AS audio_codec
            FROM documents""",
+      // closed-form frame inventory of the Motion-JPEG AVIs: 1 + id%4
+      // frames at 16*(1+id%2) x 16 — counts and dims survive the JPEG
+      // round trip exactly, so a hash match proves the RIFF walk + JDK
+      // JPEG decode really ran per frame
+      "m_video_frames" ->
+        """SELECT doc_id, CAST(f AS INT) AS frame_idx,
+             CAST(16 * (1 + doc_id % 2) AS INT) AS width,
+             CAST(16 AS INT) AS height
+           FROM (SELECT doc_id, unnest(range(0, 1 + doc_id % 4)) AS f
+                 FROM documents)""",
       // closed-form aHash/dHash of the striped PNGs: stripes align with
       // the 8x8 grid, so cell (gy, gx) decodes to exactly stripe gx's
       // gray g_x = (id/D_x + id*M_x) % 256 at EVERY fixture resolution;

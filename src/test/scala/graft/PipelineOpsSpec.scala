@@ -600,6 +600,41 @@ class PipelineOpsSpec extends SparkSpec {
         rows(id).isNullAt(5), s"nulls for $id")
   }
 
+  test("decodeVideoFrames REALLY decodes Motion-JPEG AVI frames; non-AVI yields zero rows") {
+    import graft.ops.Multimodal
+    // ids cover 1..4 frames and both widths
+    val ids = Seq(0L, 1L, 2L, 3L, 5L)
+    val avis = Multimodal.syntheticAvi(ids.toDF("doc_id"), "doc_id")
+    val out = Multimodal.decodeVideoFrames(avis, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getInt(2), r.getInt(3), r.getDouble(4)))).toMap
+    // frame inventory is closed-form: 1 + id%4 frames at 16*(1+id%2) x 16
+    val expectKeys = ids.flatMap(id =>
+      (0 until (1 + (id % 4)).toInt).map(f => (id, f))).toSet
+    assert(out.keySet === expectKeys)
+    out.foreach { case ((id, f), (w, h, mean)) =>
+      assert(w === 16 * (1 + (id % 2)).toInt && h === 16, s"dims for ($id,$f)")
+      // the decoded gray is JPEG-DC-quantized: within a few levels of the
+      // encoded solid gray — and the match can only come from a REAL
+      // frame decode (the gray is per-FRAME, not in any header)
+      val gray = Math.floorMod(id * 37 + 29L * f, 256L).toDouble
+      assert(math.abs(mean - gray) <= 4.0, s"mean $mean vs gray $gray ($id,$f)")
+    }
+    // a BMFF payload, junk bytes, and a null payload all yield ZERO
+    // frames — never a crash (explode semantics over corrupt media)
+    val mp4 = Multimodal.syntheticMp4(Seq(9L).toDF("doc_id"), "doc_id")
+      .head().getAs[Array[Byte]]("payload")
+    val bad = Seq((1L, mp4), (2L, Array[Byte](1, 2, 3)),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("doc_id", "payload")
+    assert(Multimodal.decodeVideoFrames(bad, "doc_id").count() === 0L)
+    // a truncated AVI (cut mid-frame-chunk) decodes no frames rather
+    // than failing the job
+    val whole = Multimodal.syntheticAvi(Seq(3L).toDF("doc_id"), "doc_id")
+      .head().getAs[Array[Byte]]("payload")
+    val trunc = Seq((4L, whole.take(whole.length / 2))).toDF("doc_id", "payload")
+    Multimodal.decodeVideoFrames(trunc, "doc_id").count() // must not throw
+  }
+
   test("resizeImages: exact nearest-neighbor semantics, corrupt payloads null out") {
     import graft.ops.Multimodal
     // 2x1 source: left pixel black, right pixel white — resized 4x1 the NN
