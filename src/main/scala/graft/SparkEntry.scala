@@ -376,6 +376,49 @@ object SparkEntry {
       Reader.readTable(s, st, "su_corpus").select("doc_id")
     }),
 
+    // raw-image sibling of st_stream_dedup: the streaming ingest probes
+    // the persisted perceptual-hash index, drops images near-duplicating
+    // LANDED content (re-renders of landed stripe patterns at shifted
+    // ids and resolutions — different PNG bytes, same perceptual
+    // content, invisible to byte-level exact dedup), collapses
+    // within-batch duplicates keep-min-id, appends survivors'
+    // signatures, and lands survivors atomically. Rows-only
+    // (engine-specific signature); the crash-replay window is pinned by
+    // StreamingSpec's injection tests
+    "st_stream_image" -> ((s, dir) => {
+      val st = ensure(s, dir, "sim_stream") { st =>
+        Ops.deleteDataset(st, "sim_corpus")
+        val landed = rd(s, dir, "documents").where(col("source") =!= "src0")
+          .select(col("doc_id"),
+            (col("doc_id") - pmod(col("doc_id"), lit(5L))).as("seed"),
+            lit(0L).as("jitter"))
+        Dedup.imageHashIndex(s, st, "sim_idx",
+          Multimodal.syntheticStripePng(landed, "doc_id", "seed", "jitter"),
+          "doc_id", numBuckets = 32, overwrite = true)
+        val src0 = rd(s, dir, "documents").where(col("source") === "src0")
+        // re-renders of existing patterns (mostly drop against the index;
+        // all-src0 seed groups collapse within-batch to one survivor)
+        val rerenders = src0.select((col("doc_id") + 1000000L).as("doc_id"),
+          (col("doc_id") - pmod(col("doc_id"), lit(5L))).as("seed"),
+          lit(0L).as("jitter"))
+        // guaranteed-novel patterns (seed space disjoint from landed)
+        val novel = src0.select((col("doc_id") + 2000000L).as("doc_id"),
+          (col("doc_id") + 10000000L).as("seed"), lit(0L).as("jitter"))
+        val inDir = s"${tmpBase(dir)}/sim_in"
+        Multimodal.syntheticStripePng(rerenders.unionByName(novel),
+            "doc_id", "seed", "jitter")
+          .coalesce(1).write.mode("overwrite").parquet(inDir)
+        val q = graft.streaming.Streaming.writeStreamImageDedup(
+          s.readStream.schema("doc_id bigint, payload binary").parquet(inDir),
+          st, "sim_corpus", "sim_idx", "doc_id")
+        if (!q.awaitTermination(300000)) {
+          q.stop()
+          sys.error("st_stream_image ingest did not finish within 300s")
+        }
+      }
+      Reader.readTable(s, st, "sim_corpus").select("doc_id")
+    }),
+
     // --- P2: != keeps nulls (reference numpy semantics)
     "p2_ne" -> ((s, dir) => {
       val docs = rd(s, dir, "documents")
@@ -2517,39 +2560,53 @@ object SparkEntry {
              CAST(16 AS INT) AS height
            FROM (SELECT doc_id, unnest(range(0, 1 + doc_id % 4)) AS f
                  FROM documents)""",
-      // closed-form aHash/dHash of the striped PNGs: stripes align with
-      // the 8x8 grid, so cell (gy, gx) decodes to exactly stripe gx's
-      // gray g_x = (id/D_x + id*M_x) % 256 at EVERY fixture resolution;
-      // aHash
-      // column bit fires iff 8*g_x > sum(g) (identical to the
-      // double-mean compare — S/8 is exact in a double), dHash iff
-      // g_{(x+1)%8} > g_x, each column filling bits x, x+8, ..., x+56 =
-      // 0x0101010101010101 * 2^x. The repunit product runs in HUGEINT
-      // and wraps to the signed BIGINT two's-complement Spark emits.
+      // closed-form aHash/dHash of the two-half striped PNGs: stripes and
+      // the half boundary align with the 8x8 grid, so cell (gy, gx)
+      // decodes to exactly its half's stripe gray — top rows (gy < 4)
+      // gt_x = (id/D_x + id*M_x) % 256, bottom rows gb_x = (id/D_x +
+      // id*R_x) % 256 — at EVERY fixture resolution. An aHash bit fires
+      // iff 16*g > sum(gt)+sum(gb) (identical to the double-mean compare
+      // — S/16 is exact in a double), a dHash bit iff the half's
+      // neighbor stripe is brighter (wraparound column). Each half's
+      // column pattern fills 4 rows of bits: hash = Btop * 0x01010101 +
+      // Bbot * (0x01010101 << 32), computed in HUGEINT and wrapped to
+      // the signed BIGINT two's-complement Spark emits.
       "m_image_hash" ->
         """WITH g AS (
              SELECT doc_id,
                list_transform(range(0, 8), c ->
                  CAST((doc_id // ([1,2,3,5,7,11,13,17])[c+1]
-                       + doc_id * ([31,73,151,97,43,29,199,113])[c+1]) % 256 AS BIGINT)) AS gs
+                       + doc_id * ([31,73,151,97,43,29,199,113])[c+1]) % 256 AS BIGINT)) AS gt,
+               list_transform(range(0, 8), c ->
+                 CAST((doc_id // ([1,2,3,5,7,11,13,17])[c+1]
+                       + doc_id * ([59,17,239,181,101,137,223,83])[c+1]) % 256 AS BIGINT)) AS gb
              FROM documents),
            b AS (
              SELECT doc_id,
                list_sum(list_transform(range(0, 8), c ->
-                 CASE WHEN gs[c+1] * 8 > list_sum(gs)
-                      THEN CAST(1 AS BIGINT) << c ELSE 0 END)) AS ba,
+                 CASE WHEN gt[c+1] * 16 > list_sum(gt) + list_sum(gb)
+                      THEN CAST(1 AS BIGINT) << c ELSE 0 END)) AS bta,
                list_sum(list_transform(range(0, 8), c ->
-                 CASE WHEN gs[(c+1) % 8 + 1] > gs[c+1]
-                      THEN CAST(1 AS BIGINT) << c ELSE 0 END)) AS bd
-             FROM g)
+                 CASE WHEN gb[c+1] * 16 > list_sum(gt) + list_sum(gb)
+                      THEN CAST(1 AS BIGINT) << c ELSE 0 END)) AS bba,
+               list_sum(list_transform(range(0, 8), c ->
+                 CASE WHEN gt[(c+1) % 8 + 1] > gt[c+1]
+                      THEN CAST(1 AS BIGINT) << c ELSE 0 END)) AS btd,
+               list_sum(list_transform(range(0, 8), c ->
+                 CASE WHEN gb[(c+1) % 8 + 1] > gb[c+1]
+                      THEN CAST(1 AS BIGINT) << c ELSE 0 END)) AS bbd
+             FROM g),
+           w AS (
+             SELECT doc_id,
+               16843009::HUGEINT * bta + 72340172821233664::HUGEINT * bba AS va,
+               16843009::HUGEINT * btd + 72340172821233664::HUGEINT * bbd AS vd
+             FROM b)
            SELECT doc_id,
-             CAST(CASE WHEN 72340172838076673::HUGEINT * ba >= 9223372036854775808::HUGEINT
-                  THEN 72340172838076673::HUGEINT * ba - 18446744073709551616::HUGEINT
-                  ELSE 72340172838076673::HUGEINT * ba END AS BIGINT) AS ahash,
-             CAST(CASE WHEN 72340172838076673::HUGEINT * bd >= 9223372036854775808::HUGEINT
-                  THEN 72340172838076673::HUGEINT * bd - 18446744073709551616::HUGEINT
-                  ELSE 72340172838076673::HUGEINT * bd END AS BIGINT) AS dhash
-           FROM b""",
+             CAST(CASE WHEN va >= 9223372036854775808::HUGEINT
+                  THEN va - 18446744073709551616::HUGEINT ELSE va END AS BIGINT) AS ahash,
+             CAST(CASE WHEN vd >= 9223372036854775808::HUGEINT
+                  THEN vd - 18446744073709551616::HUGEINT ELSE vd END AS BIGINT) AS dhash
+           FROM w""",
       // closed-form expected parse of the synthesized URLs: the oracle
       // never runs a regex — every component is rebuilt arithmetically
       // from doc_id, so a match proves the RE2 extraction chain

@@ -1018,8 +1018,19 @@ object Dedup {
                             storage: graft.store.Storage, uuid: String,
                             batch: DataFrame, idCol: String,
                             payloadCol: String = "payload",
-                            maxHamming: Int = 7): DataFrame = {
-    val (bands, numBuckets) = imageHashIndexParams(storage, uuid)
+                            maxHamming: Int = 7): DataFrame =
+    imageDupsAgainstIndexWith(spark, storage, uuid, batch, idCol,
+      payloadCol, maxHamming, imageHashIndexParams(storage, uuid))
+
+  /** [[imageDupsAgainstIndex]] with the band-family params already loaded
+    * — the per-micro-batch path (Streaming.writeStreamImageDedup) loads
+    * the index metadata once and threads it through probe and append. */
+  private[graft] def imageDupsAgainstIndexWith(
+      spark: org.apache.spark.sql.SparkSession,
+      storage: graft.store.Storage, uuid: String,
+      batch: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int, params: (Int, Int)): DataFrame = {
+    val (bands, numBuckets) = params
     require(maxHamming >= 0 && maxHamming < bands,
       s"maxHamming must be in [0, bands) for exact banded coverage " +
         s"(index '$uuid' pins bands=$bands; got maxHamming=$maxHamming)")
@@ -1044,6 +1055,34 @@ object Dedup {
       .agg(min(col("hamming")).as("hamming"))
   }
 
+  /** The keep side of [[imageDupsAgainstIndex]]: batch images with NO
+    * indexed near-duplicate — the genuinely new pictures to land.
+    * `excludeMatchedIds` follows [[filterAgainstIndexWith]]'s contract:
+    * index entries whose id appears in the frame do not count as matches,
+    * which is what makes a crash-replayed batch (whose survivors'
+    * signatures already landed) probe exactly like the original run. */
+  def filterImagesAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                               storage: graft.store.Storage, uuid: String,
+                               batch: DataFrame, idCol: String,
+                               payloadCol: String = "payload",
+                               maxHamming: Int = 7): DataFrame =
+    filterImagesAgainstIndexWith(spark, storage, uuid, batch, idCol,
+      payloadCol, maxHamming, imageHashIndexParams(storage, uuid))
+
+  private[graft] def filterImagesAgainstIndexWith(
+      spark: org.apache.spark.sql.SparkSession,
+      storage: graft.store.Storage, uuid: String,
+      batch: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int, params: (Int, Int),
+      excludeMatchedIds: Option[DataFrame] = None): DataFrame = {
+    val matches = imageDupsAgainstIndexWith(spark, storage, uuid, batch,
+      idCol, payloadCol, maxHamming, params)
+    val external = excludeMatchedIds.fold(matches)(ex =>
+      matches.join(ex.toDF("matched_id"), Seq("matched_id"), "left_anti"))
+    batch.join(external.select(col("id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+  }
+
   /** Append newly landed images' signatures to an existing
     * [[imageHashIndex]] dataset — band family from the index's own pinned
     * metadata, bucket-partitioned like the build so probe pruning keeps
@@ -1051,8 +1090,18 @@ object Dedup {
   def imageHashIndexAppend(spark: org.apache.spark.sql.SparkSession,
                            storage: graft.store.Storage, uuid: String,
                            df: DataFrame, idCol: String,
-                           payloadCol: String = "payload"): graft.meta.DatasetMetadata = {
-    val (bands, numBuckets) = imageHashIndexParams(storage, uuid)
+                           payloadCol: String = "payload"): graft.meta.DatasetMetadata =
+    imageHashIndexAppendWith(spark, storage, uuid, df, idCol, payloadCol,
+      imageHashIndexParams(storage, uuid))
+
+  /** [[imageHashIndexAppend]] with pre-loaded band-family params (see
+    * [[imageDupsAgainstIndexWith]]). */
+  private[graft] def imageHashIndexAppendWith(
+      spark: org.apache.spark.sql.SparkSession,
+      storage: graft.store.Storage, uuid: String,
+      df: DataFrame, idCol: String, payloadCol: String,
+      params: (Int, Int)): graft.meta.DatasetMetadata = {
+    val (bands, numBuckets) = params
     graft.io.Writer.update(spark, storage, uuid,
       Some(imageSigTable(df, idCol, payloadCol, bands, numBuckets)), Nil,
       graft.io.Writer.WriteOpts(partitionOn = Seq("bucket")))

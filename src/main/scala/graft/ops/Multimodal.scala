@@ -407,26 +407,34 @@ object Multimodal {
 
   /** Deterministic STRIPED PNG fixture generator — the structured sibling
     * of [[syntheticPng]] (whose solid images hash to all-zero bits): 8
-    * vertical stripes, stripe c gray `(seed/D_c + seed*M_c) % 256` under
-    * the fixed per-stripe multipliers M = [31, 73, 151, 97, 43, 29, 199,
-    * 113] and divisors D = [1, 2, 3, 5, 7, 11, 13, 17] — plus `jitter` on
-    * stripe 0 — at `w = 8*(1 + id%3)`, `h = 8*(1 + id%2)`.
-    * Because stripes align with the 8x8 hash grid (w is a multiple of 8),
-    * cell (gy, gx) decodes to EXACTLY stripe gx's gray at every
+    * vertical stripes in TWO independently-patterned horizontal halves —
+    * top-half stripe c gray `(seed/D_c + seed*M_c) % 256` (plus `jitter`
+    * on stripe 0), bottom-half gray `(seed/D_c + seed*R_c) % 256`, under
+    * fixed per-stripe multipliers M = [31, 73, 151, 97, 43, 29, 199,
+    * 113], R = [59, 17, 239, 181, 101, 137, 223, 83] and divisors
+    * D = [1, 2, 3, 5, 7, 11, 13, 17] — at `w = 8*(1 + id%3)`,
+    * `h = 8*(1 + id%2)`. Because stripes and the half boundary align
+    * with the 8x8 hash grid (w and h/2 are multiples of 8 and 4), cell
+    * (gy, gx) decodes to EXACTLY its half's stripe gray at every
     * resolution, so aHash/dHash are closed-form in (seed, jitter) and a
-    * SQL oracle can verify that [[imageHash]] REALLY decodes — and that
-    * the hash is resolution-invariant, since ids sharing a seed render at
-    * different sizes (distinct PNG payloads, identical perceptual
-    * content: the planted near-duplicates). Two deliberate entropy
-    * defenses keep the pair structure LINEAR in the corpus: the
-    * multipliers are DISTINCT per stripe (a shared multiplier would make
-    * any two seeds differ by a uniform brightness shift, which a correct
-    * aHash/dHash is invariant to — every wrap-free seed pair would
-    * collide at Hamming 0), and the per-stripe DIVISOR term folds high
-    * seed bits in (pure `seed*M_c % 256` is a function of `seed % 256`
-    * alone, so beyond 256 seeds entire groups repeat the same pattern
-    * and pair mass goes quadratic — measured 235 distinct signatures
-    * over 1000 seeds; with the divisors, 755). */
+    * SQL oracle can verify that [[imageHash]] REALLY decodes — including
+    * the grid's y-dimension (a transposed or row-collapsed grid bug
+    * breaks the half split) — and that the hash is resolution-invariant,
+    * since ids sharing a seed render at different sizes (distinct PNG
+    * payloads, identical perceptual content: the planted
+    * near-duplicates).
+    *
+    * Three deliberate entropy defenses keep the pair structure LINEAR in
+    * the corpus: multipliers DISTINCT per stripe (a shared multiplier
+    * would make any two seeds differ by a uniform brightness shift,
+    * which a correct aHash/dHash is invariant to — every wrap-free seed
+    * pair would collide at Hamming 0); per-stripe DIVISOR terms folding
+    * high seed bits in (pure `seed*M_c % 256` is a function of
+    * `seed % 256` alone — beyond 256 seeds entire groups repeat and pair
+    * mass goes quadratic; measured 235 distinct signatures over 1000
+    * seeds without, 755 with); and the INDEPENDENT halves, which lift
+    * the column-constant signature ceiling from 16 to 32 effective bits
+    * (755 -> 1000/1000 distinct at sf0.1 scale, 9944/10000 at 10x). */
   def syntheticStripePng(df: DataFrame, idCol: String, seedCol: String,
                          jitterCol: String): DataFrame = {
     val in = df.select(col(idCol).cast(LongType).as(idCol),
@@ -444,22 +452,32 @@ object Multimodal {
         val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
         val raster = img.getRaster
         val k = w / 8
-        val line = new Array[Int](w * 3)
-        val mult = Array(31L, 73L, 151L, 97L, 43L, 29L, 199L, 113L)
+        val multT = Array(31L, 73L, 151L, 97L, 43L, 29L, 199L, 113L)
+        val multB = Array(59L, 17L, 239L, 181L, 101L, 137L, 223L, 83L)
         val divs = Array(1L, 2L, 3L, 5L, 7L, 11L, 13L, 17L)
-        var c = 0
-        while (c < 8) {
-          val gray = Math.floorMod(Math.floorDiv(seed, divs(c)) +
-            seed * mult(c) + (if (c == 0) jitter else 0L), 256L).toInt
-          var x = c * k
-          while (x < (c + 1) * k) {
-            line(x * 3) = gray; line(x * 3 + 1) = gray; line(x * 3 + 2) = gray
-            x += 1
+        def line(mult: Array[Long], withJitter: Boolean): Array[Int] = {
+          val l = new Array[Int](w * 3)
+          var c = 0
+          while (c < 8) {
+            val gray = Math.floorMod(Math.floorDiv(seed, divs(c)) +
+              seed * mult(c) +
+              (if (withJitter && c == 0) jitter else 0L), 256L).toInt
+            var x = c * k
+            while (x < (c + 1) * k) {
+              l(x * 3) = gray; l(x * 3 + 1) = gray; l(x * 3 + 2) = gray
+              x += 1
+            }
+            c += 1
           }
-          c += 1
+          l
         }
+        val top = line(multT, withJitter = true)
+        val bottom = line(multB, withJitter = false)
         var y = 0
-        while (y < h) { raster.setPixels(0, y, w, 1, line); y += 1 }
+        while (y < h) {
+          raster.setPixels(0, y, w, 1, if (y < h / 2) top else bottom)
+          y += 1
+        }
         val out = new ByteArrayOutputStream()
         ImageIO.write(img, "png", out)
         Row(id, out.toByteArray)

@@ -499,6 +499,68 @@ object Streaming {
     startGuarded("writeStreamVectorIndex", stream, checkpoint, configure)(batchFn)
   }
 
+  /** Streaming IMAGE near-dup ingestion against a persisted
+    * perceptual-hash index ([[graft.ops.Dedup.imageHashIndex]]) — the
+    * raw-image sibling of [[writeStreamDedup]], completing the
+    * per-modality symmetry (text, vectors, exact keys, images each have
+    * a streaming ingest over their persisted index). Each micro-batch
+    * (1) probes the index with a bucket-pruned read and drops images
+    * within `maxHamming` signature bits of ALREADY LANDED content,
+    * (2) collapses near-duplicates WITHIN the batch (keep-min-id over
+    * the banded Hamming pair graph), (3) appends the survivors'
+    * signatures, and (4) lands the survivors in `corpusUuid` through the
+    * atomic replay-guarded commit. Corpus image payloads are never
+    * re-read — the index carries the 128-bit signatures.
+    *
+    * Crash-safety follows [[writeStreamDedup]] verbatim: index append
+    * FIRST, corpus commit second; a replay after a crash between the two
+    * excludes index matches to this batch's own ids wholesale, so the
+    * probe sees exactly what the original run saw and the survivor set
+    * is identical. Band-family params come from the index's own pinned
+    * metadata, loaded once per batch. Per-batch cost: the batch decodes
+    * once per stage (probe signatures, within-batch pairs, survivor
+    * append) — O(batch) codec work, never O(corpus). */
+  def writeStreamImageDedup(stream: DataFrame, storage: Storage,
+                            corpusUuid: String, indexUuid: String,
+                            idCol: String, payloadCol: String = "payload",
+                            maxHamming: Int = 7,
+                            maxBucketSize: Int = 0,
+                            opts: WriteOpts = WriteOpts(),
+                            checkpoint: Option[String] = None,
+                            configure: DataStreamWriter[Row] => DataStreamWriter[Row] =
+                              _.trigger(Trigger.AvailableNow())): StreamingQuery = {
+    import graft.ops.Dedup
+    def batchFn(token: Option[String])(batch: DataFrame, batchId: Long): Unit = {
+      if (batch.isEmpty) return
+      val spark = batch.sparkSession
+      if (isReplay(storage, corpusUuid, token.getOrElse(""), batchId)) return
+      val params = Dedup.imageHashIndexParams(storage, indexUuid)
+      val (bands, _) = params
+      // 1. drop near-dups of landed content (bucket-pruned probe);
+      // batch-wide id exclusion for the crash-replay window, exactly the
+      // writeStreamDedup transitive-cluster argument
+      val fresh = Dedup.filterImagesAgainstIndexWith(spark, storage,
+        indexUuid, batch, idCol, payloadCol, maxHamming, params,
+        excludeMatchedIds = Some(batch.select(col(idCol))))
+        .localCheckpoint(true)
+      // 2. collapse near-dups WITHIN the batch, same band family
+      val pairs = Dedup.imageNearDups(fresh, idCol, payloadCol,
+        maxHamming = maxHamming, bands = bands,
+        maxBucketSize = maxBucketSize)
+        .select("id_a", "id_b")
+      val survivors = Dedup
+        .dedupByClusters(fresh, idCol, Dedup.nearDupClusters(pairs))
+        .localCheckpoint(true)
+      if (!survivors.isEmpty) {
+        // 3. index first, 4. corpus second (the writeStreamDedup order)
+        Dedup.imageHashIndexAppendWith(spark, storage, indexUuid,
+          survivors, idCol, payloadCol, params)
+        ingestBatch(storage, corpusUuid, opts, token)(survivors, batchId)
+      }
+    }
+    startGuarded("writeStreamImageDedup", stream, checkpoint, configure)(batchFn)
+  }
+
   /** Streaming EXACT-key incremental ingestion — the exact sibling of
     * [[writeStreamDedup]]'s near-dup contract: each micro-batch (1) drops
     * within-batch exact duplicates (keep-lowest-id), (2) drops rows whose

@@ -8,14 +8,14 @@ import graft.ops.{Dedup, Multimodal}
   * (exact-by-pigeonhole for maxHamming < bands), the decoded-channel
   * recall guard, and the persisted band-partitioned index.
   *
-  * Fixture physics used throughout: syntheticStripePng's stripes align
-  * with the 8x8 hash grid, so the luma grid decodes to exactly the stripe
-  * grays `(seed/D_c + seed*M_c) % 256` at every rendered resolution —
-  * hashes are closed-form in the seed, and (seed 60, jitter 0 vs 4)
-  * flips EXACTLY one aHash column (stripe 0 at gray 128 crosses the
-  * global mean when the jitter reaches 3; every other comparison holds),
-  * i.e. Hamming exactly 8 — verified against an independent arithmetic
-  * mirror of the fixture + hash pipeline. */
+  * Fixture physics used throughout: syntheticStripePng's two
+  * independently-patterned halves align with the 8x8 hash grid, so the
+  * luma grid decodes to exactly the per-half stripe grays at every
+  * rendered resolution — hashes are closed-form in the seed, and
+  * (seed 320, jitter 0 vs 4) flips EXACTLY 8 signature bits (two
+  * half-columns cross as the jitter shifts stripe 0 and the global
+  * mean; every other comparison holds) — verified against an
+  * independent arithmetic mirror of the fixture + hash pipeline. */
 class ImageDedupSpec extends SparkSpec {
 
   import spark.implicits._
@@ -79,7 +79,7 @@ class ImageDedupSpec extends SparkSpec {
   }
 
   test("imageNearDups: the verified crossing pair sits at Hamming exactly 8 — radius includes/excludes it") {
-    val pngs = stripePngs(Seq((1L, 60L, 0L), (2L, 60L, 4L)))
+    val pngs = stripePngs(Seq((1L, 320L, 0L), (2L, 320L, 4L)))
     val sigs = Multimodal.imageHash(pngs, "id").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     val ham = java.lang.Long.bitCount(sigs(1L)._1 ^ sigs(2L)._1) +
@@ -110,8 +110,9 @@ class ImageDedupSpec extends SparkSpec {
     assert(rows.nonEmpty)
     assert(rows.forall(_.getAs[Double]("recall_vs_exact") >= 0.9))
     // verified-to-fire: the crossing pair is pixel-close (grid distance
-    // 4/64) but Hamming 8 — with the bar at 7 the guard must fail loudly
-    val crossing = stripePngs(Seq((1L, 60L, 0L), (2L, 60L, 4L)))
+    // 4 gray levels over 4 of 64 cells = 0.25) but Hamming 8 — with the
+    // bar at 7 the guard must fail loudly
+    val crossing = stripePngs(Seq((1L, 320L, 0L), (2L, 320L, 4L)))
     val ex = intercept[Exception] {
       Dedup.withImageHashRecallGuard(
         Dedup.imageNearDups(crossing, "id", maxHamming = 7),

@@ -447,6 +447,84 @@ class StreamingSpec extends SparkSpec {
       "text", "doc_id").count() === 0)
   }
 
+  test("writeStreamImageDedup lands only novel images; later batches dedup against earlier ones") {
+    import spark.implicits._
+    import graft.ops.{Dedup, Multimodal}
+    // striped-PNG payloads keyed by seed: same seed = perceptual
+    // duplicate at a possibly different resolution (ids steer w/h); all
+    // cross-seed Hamming distances verified > 7 by the arithmetic mirror
+    def pngs(rows: Seq[(Long, Long)]) = Multimodal.syntheticStripePng(
+      rows.toDF("doc_id", "seed").withColumn("j", lit(0L)),
+      "doc_id", "seed", "j")
+    // landed corpus -> persisted perceptual-hash index
+    Dedup.imageHashIndex(spark, store, "sid_idx",
+      pngs(Seq((1L, 1000L), (2L, 2000L), (3L, 3000L))), "doc_id",
+      numBuckets = 8, overwrite = true)
+    graft.io.Ops.deleteDataset(store, "sid_corpus")
+
+    // batch A: 11 duplicates landed image 1 (cross-corpus), 13 duplicates
+    // 12 (within-batch, keep-min-id), 12/14 are novel
+    val inA = tmpDir("sid-in-a")
+    pngs(Seq((11L, 1000L), (12L, 7777L), (13L, 7777L), (14L, 8888L)))
+      .coalesce(1).write.mode("overwrite").parquet(inA)
+    val q1 = Streaming.writeStreamImageDedup(
+      spark.readStream.schema("doc_id bigint, payload binary").parquet(inA),
+      store, "sid_corpus", "sid_idx", "doc_id")
+    q1.awaitTermination(120000)
+    val afterA = Reader.readTable(spark, store, "sid_corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(afterA === Set(12L, 14L), s"batch A landed $afterA")
+
+    // batch B: 21 duplicates image 12 — which only exists because batch A
+    // LANDED it, so a drop proves the signature append
+    val inB = tmpDir("sid-in-b")
+    pngs(Seq((21L, 7777L), (22L, 9999L)))
+      .coalesce(1).write.mode("overwrite").parquet(inB)
+    val q2 = Streaming.writeStreamImageDedup(
+      spark.readStream.schema("doc_id bigint, payload binary").parquet(inB),
+      store, "sid_corpus", "sid_idx", "doc_id")
+    q2.awaitTermination(120000)
+    val afterB = Reader.readTable(spark, store, "sid_corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(afterB === Set(12L, 14L, 22L), s"batch B landed $afterB")
+
+    // the index carries batch B's survivors: a changed-id re-render of
+    // seed 9999 probes to a Hamming-0 match against 22
+    val probe = Dedup.imageDupsAgainstIndex(spark, store, "sid_idx",
+        pngs(Seq((99L, 9999L))), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(probe.toSeq === Seq((99L, 22L, 0)), s"probe got ${probe.toSeq}")
+  }
+
+  test("writeStreamImageDedup replay after a crash between index append and corpus commit") {
+    import spark.implicits._
+    import graft.ops.{Dedup, Multimodal}
+    def pngs(rows: Seq[(Long, Long)]) = Multimodal.syntheticStripePng(
+      rows.toDF("doc_id", "seed").withColumn("j", lit(0L)),
+      "doc_id", "seed", "j")
+    Dedup.imageHashIndex(spark, store, "sir_idx", pngs(Seq((1L, 1000L))),
+      "doc_id", numBuckets = 8, overwrite = true)
+    graft.io.Ops.deleteDataset(store, "sir_corpus")
+    val novel = pngs(Seq((5L, 4242L)))
+    // simulate the crash: the batch's signatures were appended but the
+    // corpus commit never ran
+    Dedup.imageHashIndexAppend(spark, store, "sir_idx", novel, "doc_id")
+    // the replay re-probes an index already holding image 5's signatures;
+    // the batch-id exclusion must keep it novel, not swallow it
+    val in = tmpDir("sir-in")
+    novel.coalesce(1).write.mode("overwrite").parquet(in)
+    val q = Streaming.writeStreamImageDedup(
+      spark.readStream.schema("doc_id bigint, payload binary").parquet(in),
+      store, "sir_corpus", "sir_idx", "doc_id")
+    q.awaitTermination(120000)
+    val landed = Reader.readTable(spark, store, "sir_corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(landed === Set(5L), s"replayed batch landed $landed")
+    // but a changed-id re-render of the same seed still drops
+    assert(Dedup.filterImagesAgainstIndex(spark, store, "sir_idx",
+      pngs(Seq((6L, 4242L))), "doc_id").count() === 0)
+  }
+
   test("readStream dispatches on the dataset format (csv.gz source)") {
     import spark.implicits._
     Writer.store(spark, store, "feed_csv",
