@@ -1399,6 +1399,37 @@ object SparkEntry {
         .select("doc_id", "frame_idx", "width", "height")
     }),
 
+    // --- REAL acoustic fingerprinting: the synthetic PCM clips pushed
+    // through the JDK WAV codec and the 64-window energy hash; the
+    // oracle recomputes both hashes bit-for-bit from the id (window
+    // energies are exact integer sums of closed-form sample squares), so
+    // a match proves the decode -> window -> bit pipeline ran
+    "m_audio_hash" -> ((s, dir) => {
+      val wavs = Multimodal.syntheticWav(
+        rd(s, dir, "documents").select("doc_id"), "doc_id")
+      Multimodal.audioHash(wavs, "doc_id")
+    }),
+
+    // --- raw-audio near-dup dedup: groups of 5 consecutive ids share a
+    // PCM clip (seed = id - id%5) shipped in ROTATING CONTAINERS
+    // (WAV/AIFF/AU — different bytes and endianness, same samples):
+    // planted perceptual duplicates a byte-exact dedup cannot see.
+    // Same banded-Hamming core as the image face (exact for
+    // maxHamming < bands); rows-only, with the in-plan guard auditing
+    // hash proximity against exact decoded energy-envelope distance
+    "d_audio_neardups" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+        .select(col("doc_id"),
+          (col("doc_id") - pmod(col("doc_id"), lit(5L))).as("seed"),
+          when(pmod(col("doc_id"), lit(3L)) === 0, "wav")
+            .when(pmod(col("doc_id"), lit(3L)) === 1, "aiff")
+            .otherwise("au").as("container"))
+      val clips = Multimodal.syntheticAudio(docs, "doc_id", "seed", "container")
+      Dedup.withAudioHashRecallGuard(
+        Dedup.audioNearDups(clips, "doc_id", maxHamming = 7),
+        clips, "doc_id", maxHamming = 7)
+    }),
+
     // --- REAL perceptual image hashing: striped PNGs (8 stripes aligned
     // with the 8x8 hash grid, grays closed-form in doc_id, rendered at
     // id-varying resolutions) pushed through the JDK codec and the
@@ -2550,6 +2581,58 @@ object SparkEntry {
              'avc1' AS video_codec,
              CASE WHEN doc_id % 3 = 0 THEN 'mp4a' ELSE NULL END AS audio_codec
            FROM documents""",
+      // closed-form acoustic fingerprint of the synthetic PCM clips: the
+      // 64 window energies are exact integer sums of closed-form sample
+      // squares (window w spans [w*n/64, max(w*n/64+1, (w+1)*n/64)) of
+      // the interleaved stream — the >= 1-sample widening for short
+      // clips); eHash bit w fires iff the NEXT window (wraparound) is
+      // more energetic, lHash iff 64*e_w > total. Bits assemble in two
+      // 32-bit halves and wrap to the signed BIGINT Spark emits.
+      "m_audio_hash" ->
+        """WITH p AS (
+             SELECT doc_id,
+               CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+               CAST(8 + doc_id % 32 AS BIGINT) AS frames
+             FROM documents),
+           s AS (
+             SELECT doc_id, ch * frames AS n,
+               flatten(list_transform(range(0, frames), i ->
+                 list_transform(range(0, ch), c ->
+                   CAST((doc_id*31 + i*17 + c*7) % 65536 - 32768 AS BIGINT)))) AS pcm
+             FROM p),
+           e AS (
+             SELECT doc_id, n,
+               list_transform(range(0, 64), w ->
+                 list_sum(list_transform(
+                   range(w*n//64, greatest(w*n//64 + 1, ((w+1)*n)//64)),
+                   x -> pcm[x+1] * pcm[x+1]))) AS en
+             FROM s),
+           b AS (
+             SELECT doc_id,
+               list_sum(list_transform(range(0, 32), w ->
+                 CASE WHEN en[(w+1) % 64 + 1] > en[w+1]
+                      THEN CAST(1 AS BIGINT) << w ELSE 0 END)) AS elo,
+               list_sum(list_transform(range(32, 64), w ->
+                 CASE WHEN en[(w+1) % 64 + 1] > en[w+1]
+                      THEN CAST(1 AS BIGINT) << (w - 32) ELSE 0 END)) AS ehi,
+               list_sum(list_transform(range(0, 32), w ->
+                 CASE WHEN 64 * en[w+1] > list_sum(en)
+                      THEN CAST(1 AS BIGINT) << w ELSE 0 END)) AS llo,
+               list_sum(list_transform(range(32, 64), w ->
+                 CASE WHEN 64 * en[w+1] > list_sum(en)
+                      THEN CAST(1 AS BIGINT) << (w - 32) ELSE 0 END)) AS lhi
+             FROM e),
+           v AS (
+             SELECT doc_id,
+               4294967296::HUGEINT * ehi + elo AS ve,
+               4294967296::HUGEINT * lhi + llo AS vl
+             FROM b)
+           SELECT doc_id,
+             CAST(CASE WHEN ve >= 9223372036854775808::HUGEINT
+                  THEN ve - 18446744073709551616::HUGEINT ELSE ve END AS BIGINT) AS ehash,
+             CAST(CASE WHEN vl >= 9223372036854775808::HUGEINT
+                  THEN vl - 18446744073709551616::HUGEINT ELSE vl END AS BIGINT) AS lhash
+           FROM v""",
       // closed-form frame inventory of the Motion-JPEG AVIs: 1 + id%4
       // frames at 16*(1+id%2) x 16 — counts and dims survive the JPEG
       // round trip exactly, so a hash match proves the RIFF walk + JDK

@@ -828,70 +828,61 @@ object Dedup {
       graft.io.Writer.WriteOpts(partitionOn = Seq("bucket")))
   }
 
-  // --- raw-image near-dup dedup: perceptual hashes over the REAL decode
-  // (Multimodal.imageHash: aHash + dHash from one shared 8x8 luma grid),
-  // Hamming-banded candidate pairs, and the persisted band-partitioned
-  // index — the multimodal sibling of the MinHash text family, for
-  // LAION-style curation where no embedding model exists yet.
+  // --- perceptual near-dup dedup for RAW MEDIA: 128-bit signatures over
+  // the real JDK decode (Multimodal.imageHash: aHash + dHash from one
+  // shared 8x8 luma grid; Multimodal.audioHash: energy-delta + energy-
+  // level over 64 PCM windows), Hamming-banded candidate pairs, and the
+  // persisted band-partitioned index — the multimodal siblings of the
+  // MinHash text family, for LAION-style curation where no embedding
+  // model exists yet. One generic core (band decomposition, pair join,
+  // bucket-partitioned index plumbing) shared by both modalities so the
+  // banding/probe/append expression shape cannot drift between them —
+  // the sigTable discipline.
 
-  /** Fixed-width band decomposition of an (ahash, dhash) signature — the
+  /** Fixed-width band decomposition of a two-longs signature — the
     * multi-index-hashing candidate key (Norouzi et al., "Fast Search in
     * Hamming Space with Multi-Index Hashing"): the 128 concatenated bits
     * split into `bands` disjoint substrings of width 128/bands, and two
     * signatures within Hamming distance `r < bands` MUST agree on at
     * least one substring (pigeonhole: r differing bits touch at most r
     * bands) — so a band-equality join is EXACT for radius < bands, never
-    * a recall trade. The width is the collision dial: candidate collisions
-    * scale ~n²/2^width per band, so size bands DOWN (width up) as the
-    * corpus grows — 16 bands (8-bit substrings, radius <= 15) for small
-    * corpora, 8 (16-bit, radius <= 7) past ~10^5 rows, 4 (32-bit,
-    * radius <= 3) at 10^9+. Band key = (j << width) | substring —
-    * disjoint ranges per band index, one long. */
-  private def imageBands(a: Column, d: Column, bands: Int): Column = {
+    * a recall trade. The width is the collision dial: candidate
+    * collisions scale ~n²/2^width per band, so size bands DOWN (width
+    * up) as the corpus grows — 16 bands (8-bit substrings, radius <= 15)
+    * for small corpora, 8 (16-bit, radius <= 7) past ~10^5 rows, 4
+    * (32-bit, radius <= 3) at 10^9+. Band key = (j << width) | substring
+    * — disjoint ranges per band index, one long. */
+  private def hammingBands(h1: Column, h2: Column, bands: Int): Column = {
     require(bands == 4 || bands == 8 || bands == 16,
       s"bands must be 4, 8, or 16 (got $bands)")
     val perHash = bands / 2
     val width = 64 / perHash
     val mask = lit((1L << width) - 1)
     array((0 until bands).map { j =>
-      val h = if (j < perHash) a else d
+      val h = if (j < perHash) h1 else h2
       shiftrightunsigned(h, width * (j % perHash)).bitwiseAND(mask)
         .bitwiseOR(lit(j.toLong << width))
     }: _*)
   }
 
-  /** Near-duplicate image pairs by perceptual-hash Hamming distance:
-    * (id_a, id_b, hamming) for every pair of decodable images within
-    * `maxHamming` combined aHash+dHash bits. EXACT over the hashes —
-    * `maxHamming < bands` makes the banded candidate join provably
-    * complete (see [[imageBands]]); the only approximation is the
-    * perceptual hash itself, which [[withImageHashRecallGuard]] audits
-    * against decoded-channel distance on a bounded sample.
-    *
-    * Scale shape: one decode scan emits (id, 2 longs); candidates come
+  /** The banded-Hamming pair core both media faces run on: `sigs` is a
+    * MATERIALIZED (id, h1, h2) frame (callers localCheckpoint it — the
+    * band table and both pair-side joins reference it, and an
+    * unmaterialized decode lineage would re-run 4x), candidates come
     * from a band-equality self-join (never all-pairs), verified by two
-    * codegen'd bit_counts. `maxBucketSize > 0` drops bands shared by more
-    * rows than the cap (near-constant thumbnails — blank frames, logos —
-    * that would go quadratic) at a DOCUMENTED exactness cost: a pair
-    * whose every shared band is hot is missed; such rows are better
-    * routed to exact dedup first. */
-  def imageNearDups(df: DataFrame, idCol: String,
-                    payloadCol: String = "payload", maxHamming: Int = 7,
-                    bands: Int = 8, maxBucketSize: Int = 0): DataFrame = {
+    * codegen'd bit_counts. `maxBucketSize > 0` drops bands shared by
+    * more rows than the cap (near-constant media — blank frames, logos,
+    * silence — that would go quadratic) at a DOCUMENTED exactness cost:
+    * a pair whose every shared band is hot is missed; such rows are
+    * better routed to exact dedup first. */
+  private def bandedHammingPairs(sigs: DataFrame, maxHamming: Int,
+                                 bands: Int, maxBucketSize: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < bands,
       s"maxHamming must be in [0, bands) for exact banded coverage " +
         s"(got maxHamming=$maxHamming, bands=$bands); raise bands for a " +
         "larger radius")
-    // MATERIALIZED (eager localCheckpoint): the signature frame feeds the
-    // band table AND both pair-side hash joins — un-checkpointed, each
-    // reference re-runs the full decode lineage (4x the codec work, the
-    // dominant cost of the operator)
-    val sigs = Multimodal.imageHash(df, idCol, payloadCol)
-      .where(col("ahash").isNotNull)
-      .select(col(idCol).as("id"), col("ahash"), col("dhash"))
-      .localCheckpoint(true)
     val bt = sigs.select(col("id"),
-      explode(imageBands(col("ahash"), col("dhash"), bands)).as("band"))
+      explode(hammingBands(col("h1"), col("h2"), bands)).as("band"))
     val capped =
       if (maxBucketSize <= 0) bt
       else bt.join(
@@ -900,29 +891,172 @@ object Dedup {
         Seq("band"), "left_anti")
     val pairs = selfJoinPairs(capped, "band").distinct()
     pairs
-      .join(sigs.select(col("id").as("id_a"), col("ahash").as("__aa"),
-        col("dhash").as("__da")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("ahash").as("__ab"),
-        col("dhash").as("__db")), "id_b")
+      .join(sigs.select(col("id").as("id_a"), col("h1").as("__1a"),
+        col("h2").as("__2a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("h1").as("__1b"),
+        col("h2").as("__2b")), "id_b")
       .withColumn("hamming",
-        bit_count(col("__aa").bitwiseXOR(col("__ab"))) +
-          bit_count(col("__da").bitwiseXOR(col("__db"))))
+        bit_count(col("__1a").bitwiseXOR(col("__1b"))) +
+          bit_count(col("__2a").bitwiseXOR(col("__2b"))))
       .where(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** The audited hash-vs-decoded-evidence recall core both media guards
+    * share: `sigs` carries (id, h1, h2, profile) for a bounded sample;
+    * every pair whose profiles sit within mean-absolute-difference
+    * `epsFloor` must land within `maxHamming` combined signature bits
+    * with recall >= `minRecall`, or the query fails in-plan — broken bit
+    * packing or a drifted evidence vector (the failure modes a rows-only
+    * query cannot surface) decorrelates hash proximity from decoded
+    * proximity and drives this recall to ~0, while the banded join's own
+    * completeness is structural ([[hammingBands]]) and pinned by example
+    * tests. Pair comparison is the bounded <= auditCap² loop every audit
+    * family uses. */
+  private def withHammingProfileGuard(output: DataFrame, sigs: DataFrame,
+                                      epsFloor: Double, maxHamming: Int,
+                                      minRecall: Double,
+                                      dist: (Column, Column) => Column): DataFrame = {
+    val lhs = sigs.select(col("id").as("id_a"), col("h1").as("__1a"),
+      col("h2").as("__2a"), col("profile").as("__ga"))
+    val rhs = sigs.select(col("id").as("id_b"), col("h1").as("__1b"),
+      col("h2").as("__2b"), col("profile").as("__gb"))
+    val pairs = lhs.join(rhs, col("id_a") < col("id_b"))
+      .withColumn("__dist", dist(col("__ga"), col("__gb")))
+      .where(col("__dist") <= epsFloor)
+    def pairKeyed(p: DataFrame): DataFrame =
+      p.select(concat_ws(":", col("id_a"), col("id_b")).as("pair"))
+    val close = pairs.where(
+      bit_count(col("__1a").bitwiseXOR(col("__1b"))) +
+        bit_count(col("__2a").bitwiseXOR(col("__2b"))) <= maxHamming)
+    Similarity.withAuditedSetRecallGuard(output, pairKeyed(close),
+      pairKeyed(pairs), "pair", minRecall)
+  }
+
+  /** The deterministic `auditCap`-row sample the media guards decode:
+    * smallest salted id-hashes, materialized so ranking and decode run
+    * once. */
+  private def auditSample(df: DataFrame, idCol: String, payloadCol: String,
+                          auditCap: Int, salt: String): DataFrame =
+    df.select(col(idCol), col(payloadCol))
+      .withColumn("__h", xxhash64(col(idCol).cast("string"), lit(salt)))
+      .orderBy(col("__h"), col(idCol)).limit(auditCap).drop("__h")
+      .localCheckpoint(false)
+
+  // ---- generic bucket-partitioned Hamming index plumbing (the
+  // minhashIndex discipline): (bucket, band, id, h1, h2) hive-partitioned
+  // on bucket = pmod(band, numBuckets), bands/numBuckets pinned in the
+  // dataset metadata under `prefix` so build, probe, and append can never
+  // silently disagree on the decomposition.
+
+  private def hashSigTable(sigs: DataFrame, bands: Int,
+                           numBuckets: Int): DataFrame =
+    sigs.withColumn("band",
+        explode(hammingBands(col("h1"), col("h2"), bands)))
+      .select(pmod(col("band"), lit(numBuckets.toLong)).as("bucket"),
+        col("band"), col("id"), col("h1"), col("h2"))
+
+  private def hashIndexStore(spark: org.apache.spark.sql.SparkSession,
+                             storage: graft.store.Storage, uuid: String,
+                             sigs: DataFrame, bands: Int, numBuckets: Int,
+                             overwrite: Boolean,
+                             prefix: String): graft.meta.DatasetMetadata = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1 (got $numBuckets)")
+    graft.io.Writer.store(spark, storage, uuid,
+      hashSigTable(sigs, bands, numBuckets),
+      graft.io.Writer.WriteOpts(partitionOn = Seq("bucket"),
+        overwrite = overwrite,
+        metadata = Map(
+          s"$prefix.bands" -> bands.toString,
+          s"$prefix.numBuckets" -> numBuckets.toString)))
+  }
+
+  private def hashIndexParams(storage: graft.store.Storage, uuid: String,
+                              prefix: String, kind: String): (Int, Int) = {
+    val meta = graft.meta.DatasetMetadata.load(storage, uuid)
+    def param(k: String): Int = meta.metadata.getOrElse(s"$prefix.$k",
+      throw new IllegalArgumentException(
+        s"dataset '$uuid' is not a $kind index (missing $prefix.$k)")).toInt
+    (param("bands"), param("numBuckets"))
+  }
+
+  /** Probe core: the batch's MATERIALIZED signature table against the
+    * persisted index — the read prunes to the buckets the batch's bands
+    * hash into (a <= numBuckets In-predicate); corpus payloads are never
+    * read. Self-pairs excluded null-safely, so re-probing an
+    * already-indexed batch is a no-op (the crash-replay idempotency the
+    * streaming ingests rest on). */
+  private def hashIndexProbe(spark: org.apache.spark.sql.SparkSession,
+                             storage: graft.store.Storage, uuid: String,
+                             sigs: DataFrame, maxHamming: Int, bands: Int,
+                             numBuckets: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"maxHamming must be in [0, bands) for exact banded coverage " +
+        s"(index '$uuid' pins bands=$bands; got maxHamming=$maxHamming)")
+    // MATERIALIZED: the bucket collect and the probe join are separate
+    // jobs — un-checkpointed, each would re-decode the batch's media
+    val bt = hashSigTable(sigs, bands, numBuckets).localCheckpoint(true)
+    val buckets = bt.select(col("bucket"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val idx = graft.io.Reader.readTable(spark, storage, uuid,
+      predicates = Some(Seq(Seq(
+        graft.dnf.Literal("bucket", graft.dnf.Op.In, buckets)))))
+    bt.as("q").join(idx.as("c"), col("q.band") === col("c.band"))
+      .where(!(col("q.id") <=> col("c.id")))
+      .select(col("q.id").as("id"), col("c.id").as("matched_id"),
+        (bit_count(col("q.h1").bitwiseXOR(col("c.h1"))) +
+          bit_count(col("q.h2").bitwiseXOR(col("c.h2"))))
+          .as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      // the same pair surfaces once per shared band; hamming is identical
+      .groupBy(col("id"), col("matched_id"))
+      .agg(min(col("hamming")).as("hamming"))
+  }
+
+  private def hashIndexFilter(batch: DataFrame, idCol: String,
+                              matches: DataFrame,
+                              excludeMatchedIds: Option[DataFrame]): DataFrame = {
+    val external = excludeMatchedIds.fold(matches)(ex =>
+      matches.join(ex.toDF("matched_id"), Seq("matched_id"), "left_anti"))
+    batch.join(external.select(col("id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+  }
+
+  // ---- IMAGE faces --------------------------------------------------
+
+  /** The (id, h1, h2) signature frame of an image corpus — decode runs
+    * once per construction; consumers materialize. */
+  private def imageSigs(df: DataFrame, idCol: String,
+                        payloadCol: String): DataFrame =
+    Multimodal.imageHash(df, idCol, payloadCol)
+      .where(col("ahash").isNotNull)
+      .select(col(idCol).as("id"), col("ahash").as("h1"),
+        col("dhash").as("h2"))
+
+  /** Near-duplicate image pairs by perceptual-hash Hamming distance:
+    * (id_a, id_b, hamming) for every pair of decodable images within
+    * `maxHamming` combined aHash+dHash bits. EXACT over the hashes —
+    * `maxHamming < bands` makes the banded candidate join provably
+    * complete (see [[hammingBands]]); the only approximation is the
+    * perceptual hash itself, which [[withImageHashRecallGuard]] audits
+    * against decoded-channel distance on a bounded sample. One decode
+    * scan emits (id, 2 longs); see [[bandedHammingPairs]] for the scale
+    * shape and the `maxBucketSize` trade. */
+  def imageNearDups(df: DataFrame, idCol: String,
+                    payloadCol: String = "payload", maxHamming: Int = 7,
+                    bands: Int = 8, maxBucketSize: Int = 0): DataFrame =
+    bandedHammingPairs(
+      imageSigs(df, idCol, payloadCol).localCheckpoint(true),
+      maxHamming, bands, maxBucketSize)
+
   /** Annotate `output` with the audited recall of the perceptual-hash
     * Hamming signal against EXACT decoded-channel distance: over one
-    * deterministic `auditCap`-row sample, every pair whose 8x8 luma grids
-    * sit within mean-absolute-difference `epsFloor` (0..255 scale) must
-    * land within `maxHamming` combined signature bits with recall >=
-    * `minRecall`, or the query fails in-plan — broken bit packing or a
-    * drifted grid (the failure modes a rows-only query cannot surface)
-    * decorrelates hash proximity from pixel proximity and drives this
-    * recall to ~0, while the banded join's own completeness is structural
-    * ([[imageBands]]) and pinned by example tests. The audit decodes only
-    * the sampled rows; pair comparison is the bounded <= auditCap² loop
-    * every audit family uses. */
+    * deterministic `auditCap`-row sample, every pair whose 8x8 luma
+    * grids sit within mean-absolute-difference `epsFloor` (0..255 scale)
+    * must land within `maxHamming` combined signature bits with recall
+    * >= `minRecall`, or the query fails in-plan (see
+    * [[withHammingProfileGuard]]). The audit decodes only the sampled
+    * rows. */
   def withImageHashRecallGuard(output: DataFrame, df: DataFrame,
                                idCol: String,
                                payloadCol: String = "payload",
@@ -930,90 +1064,49 @@ object Dedup {
                                maxHamming: Int = 7,
                                minRecall: Double = 0.9): DataFrame = {
     require(auditCap >= 2, s"auditCap must be >= 2 (got $auditCap)")
-    val sample = df.select(col(idCol), col(payloadCol))
-      .withColumn("__h", xxhash64(col(idCol).cast("string"),
-        lit("graft.imagehash.audit")))
-      .orderBy(col("__h"), col(idCol)).limit(auditCap).drop("__h")
-      .localCheckpoint(false)
+    val sample = auditSample(df, idCol, payloadCol, auditCap,
+      "graft.imagehash.audit")
     // decode the sample ONCE: both pair sides read this frame
     val sigs = Multimodal.imageSignature(sample, idCol, payloadCol)
       .where(col("ahash").isNotNull)
+      .select(col(idCol).as("id"), col("ahash").as("h1"),
+        col("dhash").as("h2"), col("grid").as("profile"))
       .localCheckpoint(true)
-    val lhs = sigs.select(col(idCol).as("id_a"), col("ahash").as("__aa"),
-      col("dhash").as("__da"), col("grid").as("__ga"))
-    val rhs = sigs.select(col(idCol).as("id_b"), col("ahash").as("__ab"),
-      col("dhash").as("__db"), col("grid").as("__gb"))
-    val pairs = lhs.join(rhs, col("id_a") < col("id_b"))
-      .withColumn("__dist", aggregate(zip_with(col("__ga"), col("__gb"),
-        (x, y) => abs(x - y)), lit(0.0), (acc, x) => acc + x) / 64.0)
-      .where(col("__dist") <= epsFloor)
-    def pairKeyed(p: DataFrame): DataFrame =
-      p.select(concat_ws(":", col("id_a"), col("id_b")).as("pair"))
-    val close = pairs.where(
-      bit_count(col("__aa").bitwiseXOR(col("__ab"))) +
-        bit_count(col("__da").bitwiseXOR(col("__db"))) <= maxHamming)
-    Similarity.withAuditedSetRecallGuard(output, pairKeyed(close),
-      pairKeyed(pairs), "pair", minRecall)
+    // absolute mean per-cell gray distance: the 0..255 luma scale is
+    // content-independent, so an absolute floor is meaningful
+    withHammingProfileGuard(output, sigs, epsFloor, maxHamming, minRecall,
+      (a, b) => aggregate(zip_with(a, b, (x, y) => abs(x - y)),
+        lit(0.0), (acc, x) => acc + x) / 64.0)
   }
 
-  /** The (bucket, band, id, ahash, dhash) signature table of an image
-    * corpus — shared by [[imageHashIndex]] build, probe, and append, the
-    * [[sigTable]] discipline for the image family. */
-  private def imageSigTable(df: DataFrame, idCol: String, payloadCol: String,
-                            bands: Int, numBuckets: Int): DataFrame =
-    Multimodal.imageHash(df, idCol, payloadCol)
-      .where(col("ahash").isNotNull)
-      .select(col(idCol).as("id"), col("ahash"), col("dhash"))
-      .withColumn("band",
-        explode(imageBands(col("ahash"), col("dhash"), bands)))
-      .select(pmod(col("band"), lit(numBuckets.toLong)).as("bucket"),
-        col("band"), col("id"), col("ahash"), col("dhash"))
-
   /** Build the persistent perceptual-hash index of an image corpus — the
-    * [[minhashIndex]] discipline for raw images: one row per (band, image)
-    * with both 64-bit hashes, partitioned on `bucket = pmod(band,
-    * numBuckets)` so a probing batch prunes to the hive partitions its own
-    * bands land in; `bands`/`numBuckets` are pinned in the dataset's
-    * metadata so build, probe, and append can never silently disagree on
-    * the decomposition. Images are DECODED ONCE, at build/append — a probe
-    * never touches corpus payload bytes. */
+    * [[minhashIndex]] discipline for raw images: one row per (band,
+    * image) with both 64-bit hashes, bucket-partitioned and
+    * metadata-pinned (see the generic plumbing above). Images are
+    * DECODED ONCE, at build/append — a probe never touches corpus
+    * payload bytes. */
   def imageHashIndex(spark: org.apache.spark.sql.SparkSession,
                      storage: graft.store.Storage, uuid: String,
                      df: DataFrame, idCol: String,
                      payloadCol: String = "payload", bands: Int = 8,
                      numBuckets: Int = 64,
-                     overwrite: Boolean = false): graft.meta.DatasetMetadata = {
-    require(numBuckets >= 1, s"numBuckets must be >= 1 (got $numBuckets)")
-    val table = imageSigTable(df, idCol, payloadCol, bands, numBuckets)
-    graft.io.Writer.store(spark, storage, uuid, table,
-      graft.io.Writer.WriteOpts(partitionOn = Seq("bucket"),
-        overwrite = overwrite,
-        metadata = Map(
-          "graft.imagehash.bands" -> bands.toString,
-          "graft.imagehash.numBuckets" -> numBuckets.toString)))
-  }
+                     overwrite: Boolean = false): graft.meta.DatasetMetadata =
+    hashIndexStore(spark, storage, uuid,
+      imageSigs(df, idCol, payloadCol), bands, numBuckets, overwrite,
+      "graft.imagehash")
 
   /** The band-family parameters pinned in an [[imageHashIndex]] dataset's
     * header: (bands, numBuckets). Loud refusal for datasets that are not
     * image-hash indices. */
   private[graft] def imageHashIndexParams(storage: graft.store.Storage,
-                                          uuid: String): (Int, Int) = {
-    val meta = graft.meta.DatasetMetadata.load(storage, uuid)
-    def param(k: String): Int = meta.metadata.getOrElse(s"graft.imagehash.$k",
-      throw new IllegalArgumentException(
-        s"dataset '$uuid' is not an image-hash index (missing graft.imagehash.$k)")).toInt
-    (param("bands"), param("numBuckets"))
-  }
+                                          uuid: String): (Int, Int) =
+    hashIndexParams(storage, uuid, "graft.imagehash", "image-hash")
 
   /** Probe an [[imageHashIndex]] dataset with a batch of images: returns
     * (id, matched_id, hamming) for every batch/corpus pair within
     * `maxHamming` combined signature bits — exact over the hashes for
     * `maxHamming < bands` like [[imageNearDups]]. The batch is decoded
-    * and signatured once; the index read prunes to the buckets the
-    * batch's bands hash into (a <= numBuckets In-predicate); corpus
-    * payloads are never read. Self-pairs are excluded null-safely, so
-    * re-probing an already-indexed batch is a no-op (the crash-replay
-    * idempotency property the streaming ingest family rests on). */
+    * and signatured once; see [[hashIndexProbe]]. */
   def imageDupsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                             storage: graft.store.Storage, uuid: String,
                             batch: DataFrame, idCol: String,
@@ -1029,31 +1122,9 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       storage: graft.store.Storage, uuid: String,
       batch: DataFrame, idCol: String, payloadCol: String,
-      maxHamming: Int, params: (Int, Int)): DataFrame = {
-    val (bands, numBuckets) = params
-    require(maxHamming >= 0 && maxHamming < bands,
-      s"maxHamming must be in [0, bands) for exact banded coverage " +
-        s"(index '$uuid' pins bands=$bands; got maxHamming=$maxHamming)")
-    // MATERIALIZED: the bucket collect and the probe join are separate
-    // jobs — un-checkpointed, each would re-decode the batch's images
-    val bt = imageSigTable(batch, idCol, payloadCol, bands, numBuckets)
-      .localCheckpoint(true)
-    val buckets = bt.select(col("bucket"))
-      .distinct().collect().map(_.getLong(0)).toSeq
-    val idx = graft.io.Reader.readTable(spark, storage, uuid,
-      predicates = Some(Seq(Seq(
-        graft.dnf.Literal("bucket", graft.dnf.Op.In, buckets)))))
-    bt.as("q").join(idx.as("c"), col("q.band") === col("c.band"))
-      .where(!(col("q.id") <=> col("c.id")))
-      .select(col("q.id").as("id"), col("c.id").as("matched_id"),
-        (bit_count(col("q.ahash").bitwiseXOR(col("c.ahash"))) +
-          bit_count(col("q.dhash").bitwiseXOR(col("c.dhash"))))
-          .as("hamming"))
-      .where(col("hamming") <= maxHamming)
-      // the same pair surfaces once per shared band; hamming is identical
-      .groupBy(col("id"), col("matched_id"))
-      .agg(min(col("hamming")).as("hamming"))
-  }
+      maxHamming: Int, params: (Int, Int)): DataFrame =
+    hashIndexProbe(spark, storage, uuid,
+      imageSigs(batch, idCol, payloadCol), maxHamming, params._1, params._2)
 
   /** The keep side of [[imageDupsAgainstIndex]]: batch images with NO
     * indexed near-duplicate — the genuinely new pictures to land.
@@ -1074,14 +1145,11 @@ object Dedup {
       storage: graft.store.Storage, uuid: String,
       batch: DataFrame, idCol: String, payloadCol: String,
       maxHamming: Int, params: (Int, Int),
-      excludeMatchedIds: Option[DataFrame] = None): DataFrame = {
-    val matches = imageDupsAgainstIndexWith(spark, storage, uuid, batch,
-      idCol, payloadCol, maxHamming, params)
-    val external = excludeMatchedIds.fold(matches)(ex =>
-      matches.join(ex.toDF("matched_id"), Seq("matched_id"), "left_anti"))
-    batch.join(external.select(col("id").as(idCol)).distinct(),
-      Seq(idCol), "left_anti")
-  }
+      excludeMatchedIds: Option[DataFrame] = None): DataFrame =
+    hashIndexFilter(batch, idCol,
+      imageDupsAgainstIndexWith(spark, storage, uuid, batch, idCol,
+        payloadCol, maxHamming, params),
+      excludeMatchedIds)
 
   /** Append newly landed images' signatures to an existing
     * [[imageHashIndex]] dataset — band family from the index's own pinned
@@ -1100,10 +1168,125 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       storage: graft.store.Storage, uuid: String,
       df: DataFrame, idCol: String, payloadCol: String,
-      params: (Int, Int)): graft.meta.DatasetMetadata = {
-    val (bands, numBuckets) = params
+      params: (Int, Int)): graft.meta.DatasetMetadata =
     graft.io.Writer.update(spark, storage, uuid,
-      Some(imageSigTable(df, idCol, payloadCol, bands, numBuckets)), Nil,
+      Some(hashSigTable(imageSigs(df, idCol, payloadCol),
+        params._1, params._2)), Nil,
+      graft.io.Writer.WriteOpts(partitionOn = Seq("bucket")))
+
+  // ---- AUDIO faces --------------------------------------------------
+
+  /** The (id, h1, h2) signature frame of an audio corpus
+    * ([[Multimodal.audioHash]]: energy-delta + energy-level over 64 PCM
+    * windows — exactly amplitude- and container-invariant). */
+  private def audioSigs(df: DataFrame, idCol: String,
+                        payloadCol: String): DataFrame =
+    Multimodal.audioHash(df, idCol, payloadCol)
+      .where(col("ehash").isNotNull)
+      .select(col(idCol).as("id"), col("ehash").as("h1"),
+        col("lhash").as("h2"))
+
+  /** Near-duplicate audio pairs by acoustic-fingerprint Hamming distance
+    * — the audio face of [[imageNearDups]], same banded core, same
+    * exactness-by-pigeonhole contract: (id_a, id_b, hamming) for every
+    * pair of decodable clips within `maxHamming` combined
+    * eHash+lHash bits. Re-encoded (WAV/AIFF/AU) and volume-scaled copies
+    * of a clip land at Hamming 0 — the duplicates a byte-exact dedup
+    * cannot see. */
+  def audioNearDups(df: DataFrame, idCol: String,
+                    payloadCol: String = "payload", maxHamming: Int = 7,
+                    bands: Int = 8, maxBucketSize: Int = 0): DataFrame =
+    bandedHammingPairs(
+      audioSigs(df, idCol, payloadCol).localCheckpoint(true),
+      maxHamming, bands, maxBucketSize)
+
+  /** The audio face of [[withImageHashRecallGuard]]: the decoded
+    * evidence is the normalized 64-window energy profile, compared by a
+    * FLATNESS-NORMALIZED relative distance — `sum|pa-pb| / (sum|pa-1/64|
+    * + sum|pb-1/64|)` — rather than an absolute floor: as clips lengthen
+    * every profile converges toward the flat 1/64 envelope (law of large
+    * numbers over more samples per window), so any absolute threshold
+    * that separates duplicates from unrelated SHORT clips measurably
+    * admits unrelated LONG ones. Genuine duplicates (re-encodes,
+    * exact-rescale copies) decode to identical profiles (distance 0);
+    * unrelated clips sit near 1+ regardless of length. Two perfectly
+    * flat clips compare at 0 — and their fingerprints genuinely carry no
+    * signal (every comparison sits on a tie), the silence/pure-tone case
+    * a near-dup pass should route to exact dedup. */
+  def withAudioHashRecallGuard(output: DataFrame, df: DataFrame,
+                               idCol: String,
+                               payloadCol: String = "payload",
+                               auditCap: Int = 512,
+                               epsFloor: Double = 0.1,
+                               maxHamming: Int = 7,
+                               minRecall: Double = 0.9): DataFrame = {
+    require(auditCap >= 2, s"auditCap must be >= 2 (got $auditCap)")
+    val sample = auditSample(df, idCol, payloadCol, auditCap,
+      "graft.audiohash.audit")
+    val sigs = Multimodal.audioSignature(sample, idCol, payloadCol)
+      .where(col("ehash").isNotNull)
+      .select(col(idCol).as("id"), col("ehash").as("h1"),
+        col("lhash").as("h2"), col("profile"))
+      .localCheckpoint(true)
+    def l1(v: Column, to: Column): Column =
+      aggregate(zip_with(v, to, (x, y) => abs(x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val flat = array_repeat(lit(1.0 / 64), 64)
+    withHammingProfileGuard(output, sigs, epsFloor, maxHamming, minRecall,
+      (a, b) => l1(a, b) / greatest(l1(a, flat) + l1(b, flat), lit(1e-12)))
+  }
+
+  /** Persistent acoustic-fingerprint index — [[imageHashIndex]] for
+    * audio: clips are DECODED ONCE at build/append; probes read
+    * signatures only. */
+  def audioHashIndex(spark: org.apache.spark.sql.SparkSession,
+                     storage: graft.store.Storage, uuid: String,
+                     df: DataFrame, idCol: String,
+                     payloadCol: String = "payload", bands: Int = 8,
+                     numBuckets: Int = 64,
+                     overwrite: Boolean = false): graft.meta.DatasetMetadata =
+    hashIndexStore(spark, storage, uuid,
+      audioSigs(df, idCol, payloadCol), bands, numBuckets, overwrite,
+      "graft.audiohash")
+
+  private[graft] def audioHashIndexParams(storage: graft.store.Storage,
+                                          uuid: String): (Int, Int) =
+    hashIndexParams(storage, uuid, "graft.audiohash", "audio-hash")
+
+  /** Probe an [[audioHashIndex]] dataset — the audio face of
+    * [[imageDupsAgainstIndex]]. */
+  def audioDupsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                            storage: graft.store.Storage, uuid: String,
+                            batch: DataFrame, idCol: String,
+                            payloadCol: String = "payload",
+                            maxHamming: Int = 7): DataFrame = {
+    val params = audioHashIndexParams(storage, uuid)
+    hashIndexProbe(spark, storage, uuid,
+      audioSigs(batch, idCol, payloadCol), maxHamming, params._1, params._2)
+  }
+
+  /** The keep side of [[audioDupsAgainstIndex]]: batch clips with NO
+    * indexed near-duplicate. */
+  def filterAudioAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                              storage: graft.store.Storage, uuid: String,
+                              batch: DataFrame, idCol: String,
+                              payloadCol: String = "payload",
+                              maxHamming: Int = 7): DataFrame =
+    hashIndexFilter(batch, idCol,
+      audioDupsAgainstIndex(spark, storage, uuid, batch, idCol,
+        payloadCol, maxHamming),
+      excludeMatchedIds = None)
+
+  /** Append newly landed clips' signatures to an existing
+    * [[audioHashIndex]] dataset. */
+  def audioHashIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                           storage: graft.store.Storage, uuid: String,
+                           df: DataFrame, idCol: String,
+                           payloadCol: String = "payload"): graft.meta.DatasetMetadata = {
+    val params = audioHashIndexParams(storage, uuid)
+    graft.io.Writer.update(spark, storage, uuid,
+      Some(hashSigTable(audioSigs(df, idCol, payloadCol),
+        params._1, params._2)), Nil,
       graft.io.Writer.WriteOpts(partitionOn = Seq("bucket")))
   }
 

@@ -560,6 +560,189 @@ object Multimodal {
     df.sparkSession.createDataFrame(rows, outSchema)
   }
 
+  /** Acoustic fingerprint over the REAL JDK decode — the audio sibling of
+    * [[imageHash]] ([[graft.ops.Dedup.audioNearDups]] consumes it):
+    * (<idCol>, ehash, lhash), 64 bits each, from one pass over the
+    * decoded 16-bit PCM stream partitioned into 64 equal windows
+    * (widening to >= 1 sample, the [[imageHash]] grid discipline):
+    *
+    *  - window energy e_w = sum of sample squares over the window, exact
+    *    long arithmetic (safe to ~2^57 total square mass — years of
+    *    16-bit audio).
+    *  - eHash bit w = e_{(w+1)%64} > e_w — the energy-DELTA (temporal
+    *    envelope) signal, the wraparound-column [[imageHash]] dHash
+    *    analogue.
+    *  - lHash bit w = 64*e_w > sum(e) — the energy-LEVEL signal, the
+    *    aHash analogue.
+    *
+    * Both compare energy RATIOS, so the fingerprint is exactly invariant
+    * to uniform amplitude scaling and to the container/endianness the
+    * clip shipped in (WAV vs AIFF vs AU decode to the same samples) —
+    * re-encoded and volume-normalized copies collide, which is the
+    * near-dup property. Per-partition like [[decodeAudio]]: payload
+    * bytes never shuffle; corrupt/empty payloads yield null hashes. */
+  def audioHash(df: DataFrame, idCol: String,
+                payloadCol: String = "payload"): DataFrame =
+    audioSignature(df, idCol, payloadCol).drop("profile")
+
+  /** [[audioHash]] plus the normalized 64-window energy profile
+    * (fractions of total energy) — the decoded-channel evidence
+    * [[graft.ops.Dedup.withAudioHashRecallGuard]] audits hash proximity
+    * against. */
+  private[graft] def audioSignature(df: DataFrame, idCol: String,
+                                    payloadCol: String = "payload"): DataFrame = {
+    val in = df.select(col(idCol), col(payloadCol))
+    val outSchema = StructType(in.schema.fields(0) +: Seq(
+      StructField("ehash", LongType),
+      StructField("lhash", LongType),
+      StructField("profile", ArrayType(DoubleType))))
+    val rows = in.rdd.mapPartitions { iter =>
+      iter.map { r =>
+        val pcm =
+          try {
+            val bytes = r.getAs[Array[Byte]](1)
+            if (bytes == null) null
+            else {
+              val ais0 = AudioSystem.getAudioInputStream(
+                new ByteArrayInputStream(bytes))
+              try {
+                val f0 = ais0.getFormat
+                val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+                  f0.getSampleRate, 16, f0.getChannels, f0.getChannels * 2,
+                  f0.getSampleRate, false)
+                val ais =
+                  if (f0.matches(target)) ais0
+                  else AudioSystem.getAudioInputStream(target, ais0)
+                ais.readAllBytes()
+              } finally ais0.close()
+            }
+          } catch { case scala.util.control.NonFatal(_) => null }
+        val n = if (pcm == null) 0 else pcm.length / 2
+        if (n == 0) Row(r.get(0), null, null, null)
+        else {
+          val e = new Array[Long](64)
+          var w = 0
+          while (w < 64) {
+            val x0 = w * n / 64
+            val x1 = math.min(n, math.max((w + 1) * n / 64, x0 + 1))
+            var sum = 0L
+            var i = x0
+            while (i < x1) {
+              val s = (pcm(2 * i + 1).toInt << 8) | (pcm(2 * i) & 0xff)
+              sum += s.toLong * s
+              i += 1
+            }
+            e(w) = sum
+            w += 1
+          }
+          var total = 0L
+          w = 0
+          while (w < 64) { total += e(w); w += 1 }
+          var eh = 0L
+          var lh = 0L
+          w = 0
+          while (w < 64) {
+            if (e((w + 1) % 64) > e(w)) eh |= (1L << w)
+            if (64L * e(w) > total) lh |= (1L << w)
+            w += 1
+          }
+          val profile = new Array[Double](64)
+          w = 0
+          while (w < 64) {
+            profile(w) = if (total == 0L) 0.0 else e(w).toDouble / total
+            w += 1
+          }
+          Row(r.get(0), eh, lh, profile.toSeq)
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rows, outSchema)
+  }
+
+  /** Deterministic multi-CONTAINER PCM fixture generator — the
+    * [[syntheticStripePng]] analogue for audio near-dup work: the CLIP is
+    * keyed by `seedCol` (rate 8000, `ch = 1 + seed%2`, `frames = 64 +
+    * seed%192` — long enough that every one of the 64 fingerprint
+    * windows holds distinct samples; the 8-39-frame [[syntheticWav]]
+    * clips leave most windows repeating one sample, and such
+    * information-poor fingerprints collide across unrelated seeds, as
+    * real acoustic fingerprints do on millisecond clips — sample
+    * `(seed*(31 + 2*(i*ch+c)) + i*2654435761 +
+    * c*40503) % 65536 - 32768` — a Knuth-multiplier hash per sample,
+    * NOISE rather than [[syntheticWav]]'s near-constant ramp (which
+    * collapses every clip's energy envelope into two monotone classes),
+    * with the seed entering through a PER-SAMPLE odd multiplier so two
+    * seeds never differ by a uniform sample offset — the audio edition
+    * of the stripe fixture's brightness-shift defense, without which
+    * unrelated fingerprints correlate en masse), the CONTAINER by
+    * `containerCol`
+    * ("wav" | "aiff" | "au" — the three JDK-writable formats, two of
+    * them big-endian). Rows sharing a seed across different containers
+    * carry byte-level DIFFERENT payloads that decode to the SAME
+    * samples — the planted perceptual duplicates a byte-exact dedup
+    * cannot see. */
+  def syntheticAudio(df: DataFrame, idCol: String, seedCol: String,
+                     containerCol: String): DataFrame = {
+    val in = df.select(col(idCol).cast(LongType).as(idCol),
+      col(seedCol).cast(LongType).as("__seed"),
+      col(containerCol).cast(StringType).as("__container"))
+    val outSchema = StructType(in.schema.fields(0) +:
+      Seq(StructField("payload", BinaryType)))
+    val rows = in.rdd.mapPartitions { iter =>
+      iter.map { r =>
+        Row(r.getLong(0), buildPcmContainer(r.getLong(1), r.getString(2)))
+      }
+    }
+    df.sparkSession.createDataFrame(rows, outSchema)
+  }
+
+  /** One synthetic clip (the [[syntheticWav]] closed form, seed-keyed) in
+    * the requested container. WAV ships little-endian samples; AIFF and
+    * AU big-endian — the decode-side normalization makes them sample-
+    * identical, which is the fixture's point. */
+  private def buildPcmContainer(seed: Long, container: String): Array[Byte] = {
+    val rate = 8000
+    val ch = (1 + Math.floorMod(seed, 2L)).toInt
+    val frames = (64 + Math.floorMod(seed, 192L)).toInt
+    val big = container match {
+      case "wav" => false
+      case "aiff" | "au" => true
+      case other => throw new IllegalArgumentException(
+        s"unknown audio container '$other' (want wav, aiff, or au)")
+    }
+    val pcm = new Array[Byte](frames * ch * 2)
+    var i = 0
+    while (i < frames) {
+      var c = 0
+      while (c < ch) {
+        val s = (Math.floorMod(
+          seed * (31L + 2L * (i.toLong * ch + c)) + i * 2654435761L +
+            c * 40503L, 65536L) - 32768L).toInt
+        val off = (i * ch + c) * 2
+        if (big) {
+          pcm(off) = ((s >> 8) & 0xff).toByte
+          pcm(off + 1) = (s & 0xff).toByte
+        } else {
+          pcm(off) = (s & 0xff).toByte
+          pcm(off + 1) = ((s >> 8) & 0xff).toByte
+        }
+        c += 1
+      }
+      i += 1
+    }
+    val fmt = new AudioFormat(rate.toFloat, 16, ch, true, big)
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val typ = container match {
+      case "wav" => AudioFileFormat.Type.WAVE
+      case "aiff" => AudioFileFormat.Type.AIFF
+      case _ => AudioFileFormat.Type.AU
+    }
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, typ, out)
+    out.toByteArray
+  }
+
   /** Deterministic WAV fixture generator, the audio sibling of
     * [[syntheticPng]]: one short 16-bit PCM clip per row with every
     * parameter closed-form in a long id — rate 8000 Hz, `channels = 1 +

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal}
+
+/** The raw-audio near-dup family: acoustic fingerprints over the REAL JDK
+  * decode (Multimodal.audioHash — energy-delta + energy-level over 64 PCM
+  * windows), the shared banded-Hamming core, the flatness-normalized
+  * recall guard, and the persisted band-partitioned index. Fixture:
+  * syntheticAudio clips keyed by seed, shipped in WAV/AIFF/AU containers
+  * — byte-different payloads decoding to identical samples. */
+class AudioDedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def clips(rows: Seq[(Long, Long, String)]) =
+    Multimodal.syntheticAudio(
+      rows.toDF("id", "seed", "container"), "id", "seed", "container")
+
+  test("audioHash: container/endianness-invariant, deterministic, null-safe on corrupt payloads") {
+    // one clip in all three containers: different bytes, same samples
+    val all = clips(Seq((1L, 4242L, "wav"), (2L, 4242L, "aiff"),
+      (3L, 4242L, "au")))
+    val payloads = all.collect().map(_.getAs[Array[Byte]]("payload").toSeq)
+    assert(payloads.distinct.length === 3,
+      "containers must produce genuinely different files")
+    val hs = Multimodal.audioHash(all, "id").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(hs.distinct.length === 1,
+      s"one clip, one fingerprint across containers: ${hs.toSeq}")
+    // a different seed is a different fingerprint
+    val other = Multimodal.audioHash(clips(Seq((9L, 4243L, "wav"))), "id")
+      .head()
+    assert((other.getLong(1), other.getLong(2)) !== hs.head)
+    // corrupt / null payloads -> null hashes, job survives
+    val corrupt = Seq((1L, Array[Byte](1, 2, 3)),
+      (2L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload")
+    val nulls = Multimodal.audioHash(corrupt, "id").collect()
+    assert(nulls.forall(r => r.isNullAt(1) && r.isNullAt(2)))
+  }
+
+  test("audioNearDups: banded join equals brute-force Hamming <= r; container variants pair at 0") {
+    // 40 clips: 8 seed-groups of 5, containers rotating within the group
+    val containers = Seq("wav", "aiff", "au")
+    val rows = (0L until 40L).map(i =>
+      (i, (i / 5L) * 131071L + 17L, containers((i % 3).toInt)))
+    val df = clips(rows)
+    val out = Dedup.audioNearDups(df, "id", maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // independent reference: collected signatures, all-pairs Hamming
+    val sigs = Multimodal.audioHash(df, "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = (for {
+      a <- sigs; b <- sigs if a._1 < b._1
+      ham = java.lang.Long.bitCount(a._2 ^ b._2) +
+        java.lang.Long.bitCount(a._3 ^ b._3)
+      if ham <= 7
+    } yield (a._1, b._1) -> ham).toMap
+    assert(out === expect)
+    // every in-group pair found at Hamming 0 despite container variety
+    assert((0 until 8).forall { g =>
+      val ids = (g * 5 until g * 5 + 5).map(_.toLong)
+      ids.combinations(2).forall(p => out((p(0), p(1))) === 0)
+    })
+    intercept[IllegalArgumentException] {
+      Dedup.audioNearDups(df, "id", maxHamming = 8, bands = 8)
+    }
+  }
+
+  test("withAudioHashRecallGuard: healthy pass, verified-to-fire, vacuous far sample") {
+    val groups = clips((0L until 24L).map(i =>
+      (i, (i / 3L) * 524287L + 3L, Seq("wav", "aiff", "au")((i % 3).toInt))))
+    val healthy = Dedup.withAudioHashRecallGuard(
+      Dedup.audioNearDups(groups, "id", maxHamming = 7), groups, "id",
+      maxHamming = 7)
+    val rows = healthy.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("recall_vs_exact") >= 0.9))
+    // verified-to-fire: an unreachable bar fails loudly in-plan
+    val ex = intercept[Exception] {
+      Dedup.withAudioHashRecallGuard(
+        Dedup.audioNearDups(groups, "id", maxHamming = 7), groups, "id",
+        maxHamming = 7, minRecall = 1.01).collect()
+    }
+    assert(ex.getMessage.contains("recall"), ex.getMessage)
+    // vacuous: no profile-close pairs -> 1.0, no spurious firing
+    val far = clips(Seq((1L, 11L, "wav"), (2L, 999983L, "wav")))
+    val vac = Dedup.withAudioHashRecallGuard(
+      Dedup.audioNearDups(far, "id", maxHamming = 7), far, "id",
+      maxHamming = 7).collect()
+    assert(vac.forall(_.getAs[Double]("recall_vs_exact") === 1.0))
+  }
+
+  test("audioHashIndex lifecycle: build, pruned probe, parity, append; cross-modality refusal") {
+    val corpus = clips((0L until 30L).map(i =>
+      (i, (i / 3L) * 262139L + 29L, Seq("wav", "aiff", "au")((i % 3).toInt))))
+    val store = graft.store.Storage(spark, tmpDir("aud-idx"))
+    Dedup.audioHashIndex(spark, store, "aud", corpus, "id",
+      numBuckets = 64, overwrite = true)
+    // batch: a re-encode of group 0's clip + a novel clip
+    val batch = clips(Seq((100L, 29L, "au"), (101L, 777777L, "wav")))
+    val matches = Dedup.audioDupsAgainstIndex(spark, store, "aud", batch, "id")
+    val got = matches.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    assert((0L until 3L).forall(m => got.contains((100L, m, 0L))), got.toString)
+    // parity with the in-corpus face (cross pairs only)
+    val combined = Dedup.audioNearDups(corpus.unionByName(batch), "id",
+      maxHamming = 7)
+    val cross = combined.collect().collect {
+      case r if r.getLong(0) < 100L && r.getLong(1) >= 100L =>
+        (r.getLong(1), r.getLong(0), r.getInt(2).toLong)
+      case r if r.getLong(0) >= 100L && r.getLong(1) < 100L =>
+        (r.getLong(0), r.getLong(1), r.getInt(2).toLong)
+    }.toSet
+    assert(got === cross)
+    // bucket pruning reaches the files (1-clip probe: <= 8 of 64 buckets)
+    val allFiles = graft.io.Reader.readTable(spark, store, "aud")
+      .inputFiles.length
+    val oneProbe = Dedup.audioDupsAgainstIndex(spark, store, "aud",
+      clips(Seq((300L, 29L, "wav"))), "id")
+    assert(oneProbe.inputFiles.length > 0 &&
+      oneProbe.inputFiles.length < allFiles / 2,
+      s"probe read ${oneProbe.inputFiles.length} of $allFiles files — not pruned")
+    // append: novel clip becomes findable; filter face drops a re-encode
+    Dedup.audioHashIndexAppend(spark, store, "aud", batch, "id")
+    val probe2 = Dedup.audioDupsAgainstIndex(spark, store, "aud",
+      clips(Seq((200L, 777777L, "aiff"))), "id")
+    assert(probe2.collect().map(_.getLong(1)).toSet === Set(101L))
+    assert(Dedup.filterAudioAgainstIndex(spark, store, "aud",
+      clips(Seq((201L, 777777L, "au"))), "id").count() === 0L)
+    // an IMAGE-hash index probed as an audio index is refused loudly —
+    // the per-modality metadata prefixes keep the families apart
+    val pngs = Multimodal.syntheticStripePng(
+      Seq((1L, 5L, 0L)).toDF("id", "seed", "jitter"), "id", "seed", "jitter")
+    Dedup.imageHashIndex(spark, store, "img_not_aud", pngs, "id",
+      overwrite = true)
+    intercept[IllegalArgumentException] {
+      Dedup.audioDupsAgainstIndex(spark, store, "img_not_aud", batch, "id")
+    }
+  }
+}
