@@ -272,6 +272,17 @@ object Smoke {
           col("seed"), col("jitter")), "doc_id", "seed", "jitter"),
       "doc_id").count()
     println(s"== image near-dups: $imgPairs pairs, indexed probe hits: $imgProbe")
+    // raw-audio near-dup: same clip in rotating WAV/AIFF/AU containers —
+    // byte-different payloads, Hamming-0 fingerprints
+    val audClips = graft.ops.Multimodal.syntheticAudio(
+      docs.select(col("doc_id"),
+        (col("doc_id") - pmod(col("doc_id"), lit(5L))).as("seed"),
+        when(pmod(col("doc_id"), lit(3L)) === 0, "wav")
+          .when(pmod(col("doc_id"), lit(3L)) === 1, "aiff")
+          .otherwise("au").as("container")).limit(50),
+      "doc_id", "seed", "container")
+    val audPairs = graft.ops.Dedup.audioNearDups(audClips, "doc_id").count()
+    println(s"== audio near-dups: $audPairs cross-container pairs")
 
     println(s"== SparkEntry.entry rows: ${SparkEntry.entry(spark).count()}")
     println("== smoke OK")
