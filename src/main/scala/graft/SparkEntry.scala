@@ -1399,6 +1399,23 @@ object SparkEntry {
         .select("doc_id", "frame_idx", "width", "height")
     }),
 
+    // --- raw-VIDEO near-dup dedup by shared perceptual-hash frames:
+    // groups of 5 consecutive ids share stripe-frame CONTENT (seed =
+    // id - id%5) but differ in frame COUNT (2 + id%3) — byte-different
+    // files whose common frame prefix decodes identically; the banded
+    // frame-hash join finds every pair sharing >= 2 frames at Hamming 0.
+    // Rows-only (JPEG-quantized stripe grays are deterministic but not
+    // closed-form); the frame-hash pipeline itself is oracle-pinned
+    // through m_image_hash (same grid-hash definition) + m_video_frames
+    // (same RIFF walk + JPEG decode)
+    "d_video_neardups" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+        .select(col("doc_id"),
+          (col("doc_id") - pmod(col("doc_id"), lit(5L))).as("seed"))
+      val avis = Multimodal.syntheticAvi(docs, "doc_id", "seed")
+      Dedup.videoNearDups(avis, "doc_id", minSharedFrames = 2)
+    }),
+
     // --- REAL acoustic fingerprinting: the synthetic PCM clips pushed
     // through the JDK WAV codec and the 64-window energy hash; the
     // oracle recomputes both hashes bit-for-bit from the id (window

@@ -1290,6 +1290,70 @@ object Dedup {
       graft.io.Writer.WriteOpts(partitionOn = Seq("bucket")))
   }
 
+  // ---- VIDEO face ---------------------------------------------------
+
+  /** Near-duplicate VIDEO pairs by shared perceptual-hash FRAMES — the
+    * video face of the media family, built on frame fingerprints
+    * ([[Multimodal.videoFrameHashes]], the exact grid-hash the image
+    * face uses — a still and a frame with the same pixels match):
+    * (id_a, id_b, shared_frames, min_hamming) for every pair of videos
+    * with at least `minSharedFrames` frame pairs within `maxHamming`
+    * signature bits. Clipped/extended/re-muxed copies of a video share
+    * their common frames at Hamming 0, which byte-level dedup cannot
+    * see.
+    *
+    * Scale shape: one decode scan emits (video, frame, 2 longs);
+    * candidates come from the SAME banded decomposition as the image
+    * face over frame signatures (exact per frame pair for
+    * `maxHamming < bands` — pigeonhole), so the only quadratic surface
+    * is frames sharing a band, capped by `maxBucketSize` exactly like
+    * [[imageNearDups]] (near-constant frames — black/blank — are the hot
+    * case; route them out first). `shared_frames` counts DISTINCT
+    * matched frame indexes of the `id_a` side. */
+  def videoNearDups(df: DataFrame, idCol: String,
+                    payloadCol: String = "payload",
+                    minSharedFrames: Int = 1, maxHamming: Int = 7,
+                    bands: Int = 8, maxBucketSize: Int = 0): DataFrame = {
+    require(minSharedFrames >= 1,
+      s"minSharedFrames must be >= 1 (got $minSharedFrames)")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"maxHamming must be in [0, bands) for exact banded coverage " +
+        s"(got maxHamming=$maxHamming, bands=$bands)")
+    val sigs = Multimodal.videoFrameHashes(df, idCol, payloadCol)
+      .select(col(idCol).as("vid"), col("frame_idx"),
+        col("ahash").as("h1"), col("dhash").as("h2"))
+      .localCheckpoint(true)
+    val bt = sigs.select(col("vid"), col("frame_idx"),
+      explode(hammingBands(col("h1"), col("h2"), bands)).as("band"))
+    val capped =
+      if (maxBucketSize <= 0) bt
+      else bt.join(
+        bt.groupBy("band").agg(count(lit(1)).as("__b"))
+          .where(col("__b") > maxBucketSize).select("band"),
+        Seq("band"), "left_anti")
+    // cross-VIDEO frame-pair candidates: same band, id_a < id_b — a
+    // video never matches itself, and each unordered video pair surfaces
+    // once
+    val cands = capped.as("l").join(capped.as("r"),
+        col("l.band") === col("r.band") && col("l.vid") < col("r.vid"))
+      .select(col("l.vid").as("id_a"), col("l.frame_idx").as("__fa"),
+        col("r.vid").as("id_b"), col("r.frame_idx").as("__fb"))
+      .distinct()
+    cands
+      .join(sigs.select(col("vid").as("id_a"), col("frame_idx").as("__fa"),
+        col("h1").as("__1a"), col("h2").as("__2a")), Seq("id_a", "__fa"))
+      .join(sigs.select(col("vid").as("id_b"), col("frame_idx").as("__fb"),
+        col("h1").as("__1b"), col("h2").as("__2b")), Seq("id_b", "__fb"))
+      .withColumn("__ham",
+        bit_count(col("__1a").bitwiseXOR(col("__1b"))) +
+          bit_count(col("__2a").bitwiseXOR(col("__2b"))))
+      .where(col("__ham") <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(countDistinct(col("__fa")).as("shared_frames"),
+        min(col("__ham")).as("min_hamming"))
+      .where(col("shared_frames") >= minSharedFrames)
+  }
+
   /** The (bucket, band, id, sig) signature table of a corpus under one
     * hash family — THE one construction shared by index build, probe, and
     * append: the metadata pinning guards the PARAMETERS, this guards the

@@ -247,6 +247,78 @@ object Multimodal {
     df.sparkSession.createDataFrame(rows, outSchema)
   }
 
+  /** The one definition of the decode-side 8x8-grid hash shared by the
+    * image face ([[imageSignature]]) and the video-frame face
+    * ([[videoFrameHashes]]): palette-expanded, sample-preserving luma
+    * grid (box means widening to >= 1 pixel), aHash bit = cell > grid
+    * mean, dHash bit = wraparound row neighbor brighter. Extracted so
+    * the two faces cannot drift — an image and a video frame with the
+    * same pixels carry the same signature. */
+  private def gridHashOf(img: BufferedImage): (Long, Long, Array[Double]) = {
+    val srcImg = expandPalette(img)
+    val w = srcImg.getWidth
+    val h = srcImg.getHeight
+    val raster = srcImg.getRaster
+    val nBands = raster.getNumBands
+    val ncc = srcImg.getColorModel.getNumColorComponents
+    val shift = math.max(0, srcImg.getColorModel.getComponentSize(0) - 8)
+    val cellSum = new Array[Long](64)
+    val cellCnt = new Array[Long](64)
+    val buf = new Array[Int](w * nBands)
+    var y = 0
+    while (y < h) {
+      raster.getPixels(0, y, w, 1, buf)
+      // which grid rows contain image row y (one for h >= 8; for
+      // h < 8 blocks widen to >= 1 pixel and may share rows)
+      var gy = 0
+      while (gy < 8) {
+        val y0 = gy * h / 8
+        val y1 = math.min(h, math.max((gy + 1) * h / 8, y0 + 1))
+        if (y >= y0 && y < y1) {
+          var gx = 0
+          while (gx < 8) {
+            val x0 = gx * w / 8
+            val x1 = math.min(w, math.max((gx + 1) * w / 8, x0 + 1))
+            var sum = 0L
+            var x = x0
+            while (x < x1) {
+              var b = 0
+              while (b < ncc) {
+                sum += (buf(x * nBands + b) >> shift); b += 1
+              }
+              x += 1
+            }
+            val i = gy * 8 + gx
+            cellSum(i) += sum
+            cellCnt(i) += (x1 - x0).toLong
+            gx += 1
+          }
+        }
+        gy += 1
+      }
+      y += 1
+    }
+    val grid = new Array[Double](64)
+    var i = 0
+    while (i < 64) {
+      grid(i) = cellSum(i).toDouble / (cellCnt(i) * ncc); i += 1
+    }
+    var mean = 0.0
+    i = 0
+    while (i < 64) { mean += grid(i); i += 1 }
+    mean /= 64.0
+    var ah = 0L
+    var dh = 0L
+    i = 0
+    while (i < 64) {
+      if (grid(i) > mean) ah |= (1L << i)
+      val gy = i / 8; val gx = i % 8
+      if (grid(gy * 8 + ((gx + 1) % 8)) > grid(i)) dh |= (1L << i)
+      i += 1
+    }
+    (ah, dh, grid)
+  }
+
   /** Palette-indexed images store palette INDICES in their raster —
     * expand to true color via a 1:1 blit (no resampling, sRGB-to-sRGB so
     * no gamma shift); every other type passes through untouched. */
@@ -337,67 +409,7 @@ object Multimodal {
           } catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) Row(r.get(0), null, null, null)
         else {
-          val srcImg = expandPalette(img)
-          val w = srcImg.getWidth
-          val h = srcImg.getHeight
-          val raster = srcImg.getRaster
-          val nBands = raster.getNumBands
-          val ncc = srcImg.getColorModel.getNumColorComponents
-          val shift = math.max(0, srcImg.getColorModel.getComponentSize(0) - 8)
-          val cellSum = new Array[Long](64)
-          val cellCnt = new Array[Long](64)
-          val buf = new Array[Int](w * nBands)
-          var y = 0
-          while (y < h) {
-            raster.getPixels(0, y, w, 1, buf)
-            // which grid rows contain image row y (one for h >= 8; for
-            // h < 8 blocks widen to >= 1 pixel and may share rows)
-            var gy = 0
-            while (gy < 8) {
-              val y0 = gy * h / 8
-              val y1 = math.min(h, math.max((gy + 1) * h / 8, y0 + 1))
-              if (y >= y0 && y < y1) {
-                var gx = 0
-                while (gx < 8) {
-                  val x0 = gx * w / 8
-                  val x1 = math.min(w, math.max((gx + 1) * w / 8, x0 + 1))
-                  var sum = 0L
-                  var x = x0
-                  while (x < x1) {
-                    var b = 0
-                    while (b < ncc) {
-                      sum += (buf(x * nBands + b) >> shift); b += 1
-                    }
-                    x += 1
-                  }
-                  val i = gy * 8 + gx
-                  cellSum(i) += sum
-                  cellCnt(i) += (x1 - x0).toLong
-                  gx += 1
-                }
-              }
-              gy += 1
-            }
-            y += 1
-          }
-          val grid = new Array[Double](64)
-          var i = 0
-          while (i < 64) {
-            grid(i) = cellSum(i).toDouble / (cellCnt(i) * ncc); i += 1
-          }
-          var mean = 0.0
-          i = 0
-          while (i < 64) { mean += grid(i); i += 1 }
-          mean /= 64.0
-          var ah = 0L
-          var dh = 0L
-          i = 0
-          while (i < 64) {
-            if (grid(i) > mean) ah |= (1L << i)
-            val gy = i / 8; val gx = i % 8
-            if (grid(gy * 8 + ((gx + 1) % 8)) > grid(i)) dh |= (1L << i)
-            i += 1
-          }
+          val (ah, dh, grid) = gridHashOf(img)
           Row(r.get(0), ah, dh, grid.toSeq)
         }
       }
@@ -1022,6 +1034,103 @@ object Multimodal {
     out.toList
   }
 
+  /** Per-frame perceptual hashes of Motion-JPEG AVI videos — the
+    * video-dedup signature source ([[graft.ops.Dedup.videoNearDups]]
+    * consumes it): one row (<idCol>, frame_idx, ahash, dhash) per
+    * decodable frame, through the SAME grid-hash definition as
+    * [[imageHash]] (an image and a video frame with identical pixels
+    * carry identical signatures — frame-vs-still matching works across
+    * the two families). Explode semantics over corrupt media like
+    * [[decodeVideoFrames]]; per-partition, payload bytes never
+    * shuffle. */
+  def videoFrameHashes(df: DataFrame, idCol: String,
+                       payloadCol: String = "payload"): DataFrame = {
+    val in = df.select(col(idCol), col(payloadCol))
+    val outSchema = StructType(in.schema.fields(0) +: Seq(
+      StructField("frame_idx", IntegerType),
+      StructField("ahash", LongType),
+      StructField("dhash", LongType)))
+    val rows = in.rdd.mapPartitions { iter =>
+      iter.flatMap { r =>
+        val frames =
+          try {
+            val bytes = r.getAs[Array[Byte]](1)
+            if (bytes == null) Nil else aviVideoChunks(bytes)
+          } catch { case scala.util.control.NonFatal(_) => Nil }
+        frames.zipWithIndex.flatMap { case (chunk, idx) =>
+          val img =
+            try ImageIO.read(new ByteArrayInputStream(chunk))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null) Nil
+          else {
+            val (ah, dh, _) = gridHashOf(img)
+            Seq(Row(r.get(0), idx, ah, dh))
+          }
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rows, outSchema)
+  }
+
+  /** Seed-keyed Motion-JPEG AVI fixture for video NEAR-DUP work: frame
+    * CONTENT is keyed by `seedCol` (8 vertical stripes, stripe c of
+    * frame f gray `(seed/D_c + seed*M_c + 53*f*(c+1)) % 256` — the
+    * [[syntheticStripePng]] entropy defenses, per-frame slopes so frames
+    * within a video differ non-uniformly), dimensions by the seed
+    * (`16*(1 + seed%2) x 16`), but frame COUNT by the ID
+    * (`2 + id % 3`): videos sharing a seed are byte-DIFFERENT files
+    * (different lengths) whose common frame prefix decodes to identical
+    * JPEG frames — planted near-duplicates for shared-frame matching.
+    * JPEG quantization perturbs the decoded stripes deterministically,
+    * so same-seed frames hash identically (same bytes) while the
+    * hash-vs-pattern arithmetic is NOT closed form — this fixture feeds
+    * rows-only queries; [[syntheticAvi]]'s solid-gray face remains the
+    * oracle fixture. */
+  def syntheticAvi(df: DataFrame, idCol: String,
+                   seedCol: String): DataFrame = {
+    val in = df.select(col(idCol).cast(LongType).as(idCol),
+      col(seedCol).cast(LongType).as("__seed"))
+    val outSchema = StructType(in.schema.fields(0) +:
+      Seq(StructField("payload", BinaryType)))
+    val rows = in.rdd.mapPartitions { iter =>
+      iter.map { r =>
+        Row(r.getLong(0), buildStripeAvi(r.getLong(0), r.getLong(1)))
+      }
+    }
+    df.sparkSession.createDataFrame(rows, outSchema)
+  }
+
+  private def buildStripeAvi(id: Long, seed: Long): Array[Byte] = {
+    val w = (16 * (1 + Math.floorMod(seed, 2L))).toInt
+    val h = 16
+    val nFrames = (2 + Math.floorMod(id, 3L)).toInt
+    val mult = Array(31L, 73L, 151L, 97L, 43L, 29L, 199L, 113L)
+    val divs = Array(1L, 2L, 3L, 5L, 7L, 11L, 13L, 17L)
+    val jpegs = (0 until nFrames).map { f =>
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+      val raster = img.getRaster
+      val k = w / 8
+      val line = new Array[Int](w * 3)
+      var c = 0
+      while (c < 8) {
+        val gray = Math.floorMod(Math.floorDiv(seed, divs(c)) +
+          seed * mult(c) + 53L * f * (c + 1), 256L).toInt
+        var x = c * k
+        while (x < (c + 1) * k) {
+          line(x * 3) = gray; line(x * 3 + 1) = gray; line(x * 3 + 2) = gray
+          x += 1
+        }
+        c += 1
+      }
+      var y = 0
+      while (y < h) { raster.setPixels(0, y, w, 1, line); y += 1 }
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    wrapAviFrames(w, h, jpegs)
+  }
+
   /** Deterministic Motion-JPEG AVI fixture generator — the frame-decode
     * sibling of [[syntheticMp4]] (whose container layout the BMFF prober
     * verifies): one minimal RIFF/AVI file per row holding
@@ -1076,6 +1185,15 @@ object Multimodal {
       ImageIO.write(img, "jpg", out)
       out.toByteArray
     }
+    wrapAviFrames(w, h, jpegs)
+  }
+
+  /** Wrap pre-encoded JPEG frames in a minimal RIFF/AVI container —
+    * shared by both fixture faces so the container layout cannot
+    * drift. */
+  private def wrapAviFrames(w: Int, h: Int,
+                            jpegs: Seq[Array[Byte]]): Array[Byte] = {
+    val nFrames = jpegs.length
     val avih = riffChunk("avih",
       l32(40000L) ++ l32(0L) ++ l32(0L) ++ l32(0L) ++ l32(nFrames.toLong) ++
         l32(0L) ++ l32(1L) ++ l32(jpegs.map(_.length).max.toLong) ++

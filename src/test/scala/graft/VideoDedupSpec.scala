@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal}
+
+/** The video near-dup face: per-frame perceptual hashes over the real
+  * MJPEG decode (Multimodal.videoFrameHashes — the image grid-hash
+  * definition) and shared-frame matching (Dedup.videoNearDups). Fixture:
+  * seed-keyed stripe-frame AVIs whose frame COUNT varies by id — videos
+  * in a seed group are byte-different files sharing a decoded frame
+  * prefix. */
+class VideoDedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def avis(rows: Seq[(Long, Long)]) =
+    Multimodal.syntheticAvi(rows.toDF("id", "seed"), "id", "seed")
+
+  test("videoFrameHashes: shared-prefix frames hash identically; corrupt payloads yield zero rows") {
+    // same seed, different frame counts: id 0 -> 2 frames, id 4 -> 3
+    val df = avis(Seq((0L, 7001L), (4L, 7001L)))
+    val payloads = df.collect().map(_.getAs[Array[Byte]]("payload").toSeq)
+    assert(payloads.distinct.length === 2, "different frame counts, different bytes")
+    val hs = Multimodal.videoFrameHashes(df, "id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val byVid = hs.keySet.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(byVid(0L) === 2 && byVid(4L) === 3)
+    // the shared prefix hashes identically across the two files
+    (0 until 2).foreach { f =>
+      assert(hs((0L, f)) === hs((4L, f)), s"frame $f")
+    }
+    // frames within one video differ (per-frame stripe slopes)
+    assert(hs((0L, 0)) !== hs((0L, 1)))
+    // junk/null payloads decode no frames, never crash
+    val bad = Seq((1L, Array[Byte](1, 2)), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+    assert(Multimodal.videoFrameHashes(bad, "id").count() === 0L)
+  }
+
+  test("videoNearDups: in-group pairs share their frame-prefix overlap at Hamming 0; the bar filters") {
+    // 3 seed groups of 5; nFrames = 2 + id%3
+    val rows = (0L until 15L).map(i => (i, (i / 5L) * 104729L + 11L))
+    val df = avis(rows)
+    val out = Dedup.videoNearDups(df, "id", minSharedFrames = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getInt(3)))).toMap
+    def frames(i: Long) = 2 + (i % 3)
+    val expect = (for {
+      g <- 0 until 3
+      p <- (g * 5 until g * 5 + 5).map(_.toLong).combinations(2)
+    } yield (p(0), p(1))).toSet
+    assert(out.keySet === expect, s"got ${out.keySet}")
+    out.foreach { case ((a, b), (shared, minHam)) =>
+      assert(shared === math.min(frames(a), frames(b)), s"pair ($a,$b)")
+      assert(minHam === 0, s"pair ($a,$b)")
+    }
+    // a higher bar keeps only pairs whose BOTH sides run >= 3 frames
+    val strict = Dedup.videoNearDups(df, "id", minSharedFrames = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict === expect.filter { case (a, b) =>
+      math.min(frames(a), frames(b)) >= 3 })
+    assert(strict.nonEmpty && strict.size < expect.size)
+    // loud refusal on a radius the banding cannot cover exactly
+    intercept[IllegalArgumentException] {
+      Dedup.videoNearDups(df, "id", maxHamming = 8, bands = 8)
+    }
+  }
+}
