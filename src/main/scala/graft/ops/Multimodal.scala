@@ -15,12 +15,17 @@ import org.apache.spark.sql.types._
   * Payloads are opaque `binary` columns travelling next to a typed metadata
   * struct; decode / feature-extraction runs per-partition over Tungsten
   * binary rows. IMAGE decode is REAL (PNG/JPEG through the JDK's
-  * `javax.imageio`, [[decodeImages]]); AUDIO decode is REAL (WAV/AIFF/AU
-  * through the JDK's `javax.sound.sampled`, [[decodeAudio]]); video codecs
-  * are stubbed with a deterministic fake (no such library in this
-  * environment) — the video stub's Spark-side contract (schema, batching,
-  * partitioning) is real and tested, and swapping it for a JNI/library
-  * decoder changes nothing upstream.
+  * `javax.imageio`, [[decodeImages]]), as are the perceptual hashes
+  * ([[imageHash]]); AUDIO decode is REAL (WAV/AIFF/AU through the JDK's
+  * `javax.sound.sampled`, [[decodeAudio]]), as is the acoustic fingerprint
+  * ([[audioHash]]); VIDEO container probing is REAL (byte-level ISO-BMFF,
+  * [[probeVideo]]) and so is Motion-JPEG FRAME decode
+  * ([[decodeVideoFrames]]/[[videoFrameHashes]] — each MJPEG frame is a
+  * standalone JPEG the JDK decodes). Only non-MJPEG video CODECS
+  * (H.264/VP9/AV1) remain stubbed with a deterministic fake (no such
+  * library in this environment) — that stub's Spark-side contract
+  * (schema, batching, partitioning) is real and tested, and swapping it
+  * for a JNI/library decoder changes nothing upstream.
   */
 object Multimodal {
 
