@@ -26,6 +26,15 @@ object SparkEntry {
   private def rd(s: SparkSession, dir: String, t: String): DataFrame =
     s.read.parquet(s"$dir/$t.parquet")
 
+  /** Spread a small fixture-INPUT frame across the cluster before a
+    * per-partition codec generator consumes it: the testdata parquet
+    * files are single-partition at these scale factors, and an
+    * unrepartitioned media fixture would encode+decode its whole corpus
+    * on ONE core — a fixture artifact, not an operator property (real
+    * media corpora arrive in many files). */
+  private def par(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
+
   /** `events.ts` as epoch NANOS (long), whatever the parquet shipped: the
     * testdata has carried it both as TIMESTAMP(NANOS) — which surfaces as
     * LongType nanos under `nanosAsLong` — and as TIMESTAMP(MICROS), which
@@ -1357,7 +1366,8 @@ object SparkEntry {
     // answer (solid images resize to themselves at the new dims), so a hash
     // match proves BOTH codec passes and the resample executed
     "m_resize" -> ((s, dir) => {
-      val pngs = Multimodal.syntheticPng(rd(s, dir, "documents").select("doc_id"), "doc_id")
+      val pngs = Multimodal.syntheticPng(
+        par(s, rd(s, dir, "documents").select("doc_id")), "doc_id")
       Multimodal.decodeImages(
         Multimodal.resizeImages(pngs, "doc_id", width = 4, height = 3),
         "doc_id")
@@ -1394,7 +1404,7 @@ object SparkEntry {
     // mean_px stays out of the hash-checked projection)
     "m_video_frames" -> ((s, dir) => {
       val avis = Multimodal.syntheticAvi(
-        rd(s, dir, "documents").select("doc_id"), "doc_id")
+        par(s, rd(s, dir, "documents").select("doc_id")), "doc_id")
       Multimodal.decodeVideoFrames(avis, "doc_id")
         .select("doc_id", "frame_idx", "width", "height")
     }),
@@ -1412,7 +1422,7 @@ object SparkEntry {
       val docs = rd(s, dir, "documents")
         .select(col("doc_id"),
           (col("doc_id") - pmod(col("doc_id"), lit(5L))).as("seed"))
-      val avis = Multimodal.syntheticAvi(docs, "doc_id", "seed")
+      val avis = Multimodal.syntheticAvi(par(s, docs), "doc_id", "seed")
       Dedup.videoNearDups(avis, "doc_id", minSharedFrames = 2)
     }),
 
@@ -1423,7 +1433,7 @@ object SparkEntry {
     // a match proves the decode -> window -> bit pipeline ran
     "m_audio_hash" -> ((s, dir) => {
       val wavs = Multimodal.syntheticWav(
-        rd(s, dir, "documents").select("doc_id"), "doc_id")
+        par(s, rd(s, dir, "documents").select("doc_id")), "doc_id")
       Multimodal.audioHash(wavs, "doc_id")
     }),
 
@@ -1441,7 +1451,8 @@ object SparkEntry {
           when(pmod(col("doc_id"), lit(3L)) === 0, "wav")
             .when(pmod(col("doc_id"), lit(3L)) === 1, "aiff")
             .otherwise("au").as("container"))
-      val clips = Multimodal.syntheticAudio(docs, "doc_id", "seed", "container")
+      val clips = Multimodal.syntheticAudio(par(s, docs), "doc_id", "seed",
+        "container")
       Dedup.withAudioHashRecallGuard(
         Dedup.audioNearDups(clips, "doc_id", maxHamming = 7),
         clips, "doc_id", maxHamming = 7)
@@ -1456,7 +1467,7 @@ object SparkEntry {
     // widths x two heights)
     "m_image_hash" -> ((s, dir) => {
       val pngs = Multimodal.syntheticStripePng(
-        rd(s, dir, "documents").select("doc_id"), "doc_id")
+        par(s, rd(s, dir, "documents").select("doc_id")), "doc_id")
       Multimodal.imageHash(pngs, "doc_id")
     }),
 
@@ -1474,7 +1485,8 @@ object SparkEntry {
         .select(col("doc_id"),
           (col("doc_id") - pmod(col("doc_id"), lit(5L))).as("seed"),
           lit(0L).as("jitter"))
-      val pngs = Multimodal.syntheticStripePng(docs, "doc_id", "seed", "jitter")
+      val pngs = Multimodal.syntheticStripePng(par(s, docs), "doc_id",
+        "seed", "jitter")
       Dedup.withImageHashRecallGuard(
         Dedup.imageNearDups(pngs, "doc_id", maxHamming = 7),
         pngs, "doc_id", maxHamming = 7)
