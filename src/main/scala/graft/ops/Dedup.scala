@@ -1223,17 +1223,25 @@ object Dedup {
     require(auditCap >= 2, s"auditCap must be >= 2 (got $auditCap)")
     val sample = auditSample(df, idCol, payloadCol, auditCap,
       "graft.audiohash.audit")
-    val sigs = Multimodal.audioSignature(sample, idCol, payloadCol)
-      .where(col("ehash").isNotNull)
-      .select(col(idCol).as("id"), col("ehash").as("h1"),
-        col("lhash").as("h2"), col("profile"))
-      .localCheckpoint(true)
     def l1(v: Column, to: Column): Column =
       aggregate(zip_with(v, to, (x, y) => abs(x - y)),
         lit(0.0), (acc, x) => acc + x)
     val flat = array_repeat(lit(1.0 / 64), 64)
+    // the per-row flatness term is STAGED as a 65th profile element
+    // before the pair loop: higher-order array functions run
+    // interpreted, and evaluating it inside the dist closure would fold
+    // it twice per PAIR instead of once per row — measured at 3x the
+    // whole guard's cost on a 512-row audit
+    val sigs = Multimodal.audioSignature(sample, idCol, payloadCol)
+      .where(col("ehash").isNotNull)
+      .select(col(idCol).as("id"), col("ehash").as("h1"),
+        col("lhash").as("h2"),
+        concat(col("profile"), array(l1(col("profile"), flat)))
+          .as("profile"))
+      .localCheckpoint(true)
     withHammingProfileGuard(output, sigs, epsFloor, maxHamming, minRecall,
-      (a, b) => l1(a, b) / greatest(l1(a, flat) + l1(b, flat), lit(1e-12)))
+      (a, b) => l1(slice(a, 1, 64), slice(b, 1, 64)) /
+        greatest(element_at(a, 65) + element_at(b, 65), lit(1e-12)))
   }
 
   /** Persistent acoustic-fingerprint index — [[imageHashIndex]] for
