@@ -934,14 +934,24 @@ object Dedup {
   }
 
   /** The deterministic `auditCap`-row sample the media guards decode:
-    * smallest salted id-hashes, materialized so ranking and decode run
-    * once. */
+    * smallest salted id-hashes. Ranking scans the ID column only; the
+    * sampled payloads are then fetched through an In predicate on the
+    * collected ids (the eagerIdFetch discipline), so the audit never
+    * materializes the corpus's payload bytes — at scale that is the
+    * difference between reading `auditCap` rows and dragging every
+    * payload byte through a top-k. Ids are assumed row-unique (the
+    * id-keyed corpus discipline every index face shares); materialized
+    * so ranking and decode run once. */
   private def auditSample(df: DataFrame, idCol: String, payloadCol: String,
-                          auditCap: Int, salt: String): DataFrame =
-    df.select(col(idCol), col(payloadCol))
+                          auditCap: Int, salt: String): DataFrame = {
+    val ids = df.select(col(idCol))
       .withColumn("__h", xxhash64(col(idCol).cast("string"), lit(salt)))
-      .orderBy(col("__h"), col(idCol)).limit(auditCap).drop("__h")
+      .orderBy(col("__h"), col(idCol)).limit(auditCap)
+      .select(col(idCol)).collect().map(_.get(0))
+    df.select(col(idCol), col(payloadCol))
+      .where(col(idCol).isin(ids: _*))
       .localCheckpoint(false)
+  }
 
   // ---- generic bucket-partitioned Hamming index plumbing (the
   // minhashIndex discipline): (bucket, band, id, h1, h2) hive-partitioned

@@ -92,6 +92,33 @@ class ImageDedupSpec extends SparkSpec {
     assert(found.length === 1 && found.head.getInt(2) === 8)
   }
 
+  test("imageNearDups composes with nearDupClusters/dedupByClusters: one representative per component") {
+    // the media faces emit the SAME (id_a, id_b, hamming) pair schema the
+    // text family's connected-components machinery consumes — pin the
+    // composition once for all three (image/audio/video share the core).
+    // 6 seed-groups of 5 resolution-variants; expected components from an
+    // independent union-find over brute-force signature distances.
+    val rows = (0L until 30L).map(i => (i, (i / 5L) * 997L + 13L, 0L))
+    val pngs = stripePngs(rows)
+    val sigs = Multimodal.imageHash(pngs, "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val parent = collection.mutable.Map(sigs.map(s => s._1 -> s._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    for {
+      a <- sigs; b <- sigs if a._1 < b._1
+      ham = java.lang.Long.bitCount(a._2 ^ b._2) +
+        java.lang.Long.bitCount(a._3 ^ b._3)
+      if ham <= 7
+    } parent(find(b._1)) = find(a._1)
+    val expectKept = sigs.map(_._1).groupBy(find).values.map(_.min).toSet
+    val clusters = Dedup.nearDupClusters(
+      Dedup.imageNearDups(pngs, "id", maxHamming = 7))
+    val kept = Dedup.dedupByClusters(pngs, "id", clusters)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === expectKept)
+  }
+
   test("imageNearDups: maxBucketSize drops hot bands (documented exactness trade)") {
     // 20 byte-identical solid images: every band is a 20-row bucket
     val pngs = stripePngs((0L until 20L).map(i => (i, 0L, 0L)))
