@@ -62,8 +62,9 @@ object expressions {
 
   /** Register all graft expressions as SQL temp functions on a session:
     * `word_shingles(text, n)`, `minhash_signature(arr, k)`,
-    * `dot_product(a, b)`, `simhash(text)`, `hyperplane_buckets(v, planes,
-    * tables)`, `byte_dim_sums(payload, dims)`. */
+    * `dot_product(a, b)`, `array_l1_distance(a, b, prefix)`,
+    * `simhash(text)`, `hyperplane_buckets(v, planes, tables)`,
+    * `byte_dim_sums(payload, dims)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     // arity-checked up front: a wrong-arity SQL call would otherwise die
     // in a bare IndexOutOfBoundsException naming no function
@@ -75,6 +76,9 @@ object expressions {
         MinHashSignature(es.head, intArg(es(1), "minhash_signature")) })
     ColumnBridge.registerFunction(spark, "dot_product",
       es => { arity(es, 2, "dot_product"); DotProduct(es.head, es(1)) })
+    ColumnBridge.registerFunction(spark, "array_l1_distance",
+      es => { arity(es, 3, "array_l1_distance")
+        ArrayL1Distance(es.head, es(1), intArg(es(2), "array_l1_distance")) })
     ColumnBridge.registerFunction(spark, "simhash",
       es => { arity(es, 1, "simhash"); SimHash(es.head) })
     ColumnBridge.registerFunction(spark, "hyperplane_buckets",
@@ -273,6 +277,81 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): DotProduct = copy(left = newLeft, right = newRight)
+}
+
+/** Sum of |a_i - b_i| over two numeric arrays — the media recall guards'
+  * profile distance. The HOF form (`aggregate(zip_with(abs))`, plus a
+  * `slice` per side when a staged tail element must be excluded) runs
+  * one interpreted lambda call per element per evaluation; the guards
+  * evaluate it once per AUDIT PAIR (<= auditCap² rows), which made the
+  * interpreter overhead the whole guard's cost. One tight loop per pair
+  * instead, codegen-spanning like [[DotProduct]].
+  *
+  * `prefix <= 0` compares full arrays (null on length mismatch, like
+  * zip_with's null padding through the sum); `prefix > 0` compares only
+  * the first `prefix` elements and nulls when either side is shorter —
+  * the audio guard stages a 65th flatness element the distance must not
+  * see. Null on any compared null element. */
+case class ArrayL1Distance(left: Expression, right: Expression, prefix: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "array_l1_distance"
+  // null on length mismatch / null element, even for non-nullable children —
+  // without this, codegen never declares ev.isNull and janino rejects the body
+  override def nullable: Boolean = true
+  override def foldable: Boolean = left.foldable && right.foldable
+
+  @transient private lazy val leftFloat =
+    left.dataType == ArrayType(FloatType, false) || left.dataType == ArrayType(FloatType, true)
+  @transient private lazy val rightFloat =
+    right.dataType == ArrayType(FloatType, false) || right.dataType == ArrayType(FloatType, true)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType | DoubleType, _) | NullType => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>/array<double> operands, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = if (prefix > 0) prefix else a.numElements()
+    if (prefix > 0) {
+      if (a.numElements() < n || b.numElements() < n) return null
+    } else if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += math.abs(x - y)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("l1dist", this, classOf[ArrayL1Distance].getName)
+    // freshName: guards compare the same pair columns under several
+    // distances in one codegen scope — a fixed local name fails janino
+    val r = ctx.freshName("l1Result")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double $r = $ref.compute($a, $b);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ArrayL1Distance =
+    copy(left = newLeft, right = newRight)
 }
 
 /** All `tables` random-hyperplane LSH bucket signatures of a numeric vector

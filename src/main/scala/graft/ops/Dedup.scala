@@ -933,6 +933,14 @@ object Dedup {
       pairKeyed(pairs), "pair", minRecall)
   }
 
+  /** The compiled profile L1 distance both media guards use
+    * ([[graft.functions.ArrayL1Distance]]): `prefix <= 0` compares full
+    * arrays, `prefix > 0` only the first `prefix` elements. */
+  private def profileL1(a: Column, b: Column, prefix: Int): Column =
+    graft.functions.expressions.asColumn(graft.functions.ArrayL1Distance(
+      graft.functions.expressions.exprOf(a),
+      graft.functions.expressions.exprOf(b), prefix))
+
   /** The deterministic `auditCap`-row sample the media guards decode:
     * smallest salted id-hashes. Ranking scans the ID column only; the
     * sampled payloads are then fetched through an In predicate on the
@@ -1083,10 +1091,11 @@ object Dedup {
         col("dhash").as("h2"), col("grid").as("profile"))
       .localCheckpoint(true)
     // absolute mean per-cell gray distance: the 0..255 luma scale is
-    // content-independent, so an absolute floor is meaningful
+    // content-independent, so an absolute floor is meaningful; compiled
+    // ([[graft.functions.ArrayL1Distance]]) — the pair loop evaluates it
+    // <= auditCap² times
     withHammingProfileGuard(output, sigs, epsFloor, maxHamming, minRecall,
-      (a, b) => aggregate(zip_with(a, b, (x, y) => abs(x - y)),
-        lit(0.0), (acc, x) => acc + x) / 64.0)
+      (a, b) => profileL1(a, b, -1) / 64.0)
   }
 
   /** Build the persistent perceptual-hash index of an image corpus — the
@@ -1233,24 +1242,23 @@ object Dedup {
     require(auditCap >= 2, s"auditCap must be >= 2 (got $auditCap)")
     val sample = auditSample(df, idCol, payloadCol, auditCap,
       "graft.audiohash.audit")
-    def l1(v: Column, to: Column): Column =
-      aggregate(zip_with(v, to, (x, y) => abs(x - y)),
-        lit(0.0), (acc, x) => acc + x)
     val flat = array_repeat(lit(1.0 / 64), 64)
     // the per-row flatness term is STAGED as a 65th profile element
-    // before the pair loop: higher-order array functions run
-    // interpreted, and evaluating it inside the dist closure would fold
-    // it twice per PAIR instead of once per row — measured at 3x the
-    // whole guard's cost on a 512-row audit
+    // before the pair loop: evaluating it inside the dist closure would
+    // fold it twice per PAIR instead of once per row — measured at 3x
+    // the whole guard's cost on a 512-row audit
     val sigs = Multimodal.audioSignature(sample, idCol, payloadCol)
       .where(col("ehash").isNotNull)
       .select(col(idCol).as("id"), col("ehash").as("h1"),
         col("lhash").as("h2"),
-        concat(col("profile"), array(l1(col("profile"), flat)))
+        concat(col("profile"), array(profileL1(col("profile"), flat, -1)))
           .as("profile"))
       .localCheckpoint(true)
+    // prefix 64 excludes the staged element without a slice per side —
+    // the compiled distance ([[graft.functions.ArrayL1Distance]]) runs
+    // <= auditCap² times in the pair loop
     withHammingProfileGuard(output, sigs, epsFloor, maxHamming, minRecall,
-      (a, b) => l1(slice(a, 1, 64), slice(b, 1, 64)) /
+      (a, b) => profileL1(a, b, 64) /
         greatest(element_at(a, 65) + element_at(b, 65), lit(1e-12)))
   }
 

@@ -100,6 +100,42 @@ class ExpressionsSpec extends SparkSpec {
     assert(mm.select(graft.ops.Similarity.dot(col("a"), col("b"))).head.isNullAt(0))
   }
 
+  test("ArrayL1Distance matches aggregate(zip_with(abs)) bit-exactly; prefix excludes staged tails") {
+    import spark.implicits._
+    def l1(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column, p: Int) =
+      graft.functions.expressions.asColumn(graft.functions.ArrayL1Distance(
+        graft.functions.expressions.exprOf(a),
+        graft.functions.expressions.exprOf(b), p))
+    def hofL1(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"),
+        (x, y) => abs(x - y)), lit(0.0), (acc, x) => acc + x)
+    val vecs = (0 until 100).map(_ =>
+      ((0 until 64).map(_ => rng.nextFloat() * 2 - 1).toArray,
+       (0 until 64).map(_ => rng.nextDouble() * 2 - 1).toArray))
+    val df = vecs.toDF("a", "b").cache()
+    // bit-exact vs the interpreted fold (same summation order), float+double
+    assert(df.select(l1(col("a"), col("b"), -1)).collect().map(_.getDouble(0)).toSeq ===
+      df.select(hofL1(col("a"), col("b"))).collect().map(_.getDouble(0)).toSeq)
+    // prefix: the staged tail element must not contribute
+    val staged = Seq((Array(1.0, 2.0, 99.0), Array(2.0, 4.0, -5.0)))
+      .toDF("a", "b")
+    assert(staged.select(l1(col("a"), col("b"), 2)).head.getDouble(0) === 3.0)
+    // prefix longer than either side -> null, not a partial sum
+    assert(staged.select(l1(col("a"), col("b"), 4)).head.isNullAt(0))
+    // full-length mode: length mismatch -> null, like zip_with's padding
+    val mm = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
+    assert(mm.select(l1(col("a"), col("b"), -1)).head.isNullAt(0))
+    // null element -> null
+    val ne = Seq((Array[java.lang.Double](1.0, null), Array[java.lang.Double](1.0, 2.0)))
+      .toDF("a", "b")
+    assert(ne.select(l1(col("a"), col("b"), -1)).head.isNullAt(0))
+    // non-numeric arrays are an analysis error, not garbage slot reads
+    val iv = Seq((Array(1, 2), Array(3, 4))).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      iv.select(l1(col("a"), col("b"), -1)).collect()
+    }
+  }
+
   test("HyperplaneBuckets matches the HOF composition bit-for-bit") {
     import spark.implicits._
     val planes = 6; val tables = 3
