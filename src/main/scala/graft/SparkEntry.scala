@@ -1423,7 +1423,9 @@ object SparkEntry {
         .select(col("doc_id"),
           (col("doc_id") - pmod(col("doc_id"), lit(5L))).as("seed"))
       val avis = Multimodal.syntheticAvi(par(s, docs), "doc_id", "seed")
-      Dedup.videoNearDups(avis, "doc_id", minSharedFrames = 2)
+      Dedup.withVideoHashRecallGuard(
+        Dedup.videoNearDups(avis, "doc_id", minSharedFrames = 2),
+        avis, "doc_id")
     }),
 
     // --- REAL acoustic fingerprinting: the synthetic PCM clips pushed

@@ -1380,6 +1380,38 @@ object Dedup {
       .where(col("shared_frames") >= minSharedFrames)
   }
 
+  /** The video face of [[withImageHashRecallGuard]], audited at FRAME
+    * granularity: [[videoNearDups]]'s pair evidence is frame-pair
+    * matches, so the hash-vs-decoded correlation is checked where the
+    * signal actually lives — every decoded frame of a bounded
+    * `auditCap`-VIDEO sample becomes one signature row keyed
+    * `<video>:<frame_idx>`, and every frame pair whose 8x8 luma grids
+    * sit within mean-absolute-difference `epsFloor` must land within
+    * `maxHamming` combined signature bits with recall >= `minRecall`,
+    * or the query fails in-plan. Frames of the same video pair too —
+    * adjacent-frame similarity is valid audit evidence under the same
+    * hash definition. `auditCap` counts VIDEOS (each contributes all its
+    * decodable frames), so it defaults lower than the single-signature
+    * guards'. */
+  def withVideoHashRecallGuard(output: DataFrame, df: DataFrame,
+                               idCol: String,
+                               payloadCol: String = "payload",
+                               auditCap: Int = 128, epsFloor: Double = 2.0,
+                               maxHamming: Int = 7,
+                               minRecall: Double = 0.9): DataFrame = {
+    require(auditCap >= 2, s"auditCap must be >= 2 (got $auditCap)")
+    val sample = auditSample(df, idCol, payloadCol, auditCap,
+      "graft.videohash.audit")
+    // decode the sample ONCE: both pair sides read this frame
+    val sigs = Multimodal.videoFrameSignature(sample, idCol, payloadCol)
+      .select(concat_ws(":", col(idCol), col("frame_idx")).as("id"),
+        col("ahash").as("h1"), col("dhash").as("h2"),
+        col("grid").as("profile"))
+      .localCheckpoint(true)
+    withHammingProfileGuard(output, sigs, epsFloor, maxHamming, minRecall,
+      (a, b) => profileL1(a, b, -1) / 64.0)
+  }
+
   /** The (bucket, band, id, sig) signature table of a corpus under one
     * hash family — THE one construction shared by index build, probe, and
     * append: the metadata pinning guards the PARAMETERS, this guards the

@@ -1049,12 +1049,27 @@ object Multimodal {
     * [[decodeVideoFrames]]; per-partition, payload bytes never
     * shuffle. */
   def videoFrameHashes(df: DataFrame, idCol: String,
-                       payloadCol: String = "payload"): DataFrame = {
+                       payloadCol: String = "payload"): DataFrame =
+    videoFrameSigRows(df, idCol, payloadCol, withGrid = false)
+
+  /** [[videoFrameHashes]] plus the decoded 8x8 luma grid per frame —
+    * the evidence column [[graft.ops.Dedup.withVideoHashRecallGuard]]
+    * audits hash proximity against (the [[imageSignature]] sibling at
+    * frame granularity). Not public: the grid is guard evidence, not a
+    * signature. */
+  private[graft] def videoFrameSignature(df: DataFrame, idCol: String,
+                                         payloadCol: String = "payload"): DataFrame =
+    videoFrameSigRows(df, idCol, payloadCol, withGrid = true)
+
+  private def videoFrameSigRows(df: DataFrame, idCol: String,
+                                payloadCol: String,
+                                withGrid: Boolean): DataFrame = {
     val in = df.select(col(idCol), col(payloadCol))
-    val outSchema = StructType(in.schema.fields(0) +: Seq(
+    val outSchema = StructType(in.schema.fields(0) +: (Seq(
       StructField("frame_idx", IntegerType),
       StructField("ahash", LongType),
-      StructField("dhash", LongType)))
+      StructField("dhash", LongType)) ++
+      (if (withGrid) Seq(StructField("grid", ArrayType(DoubleType))) else Nil)))
     val rows = in.rdd.mapPartitions { iter =>
       iter.flatMap { r =>
         val frames =
@@ -1068,8 +1083,9 @@ object Multimodal {
             catch { case scala.util.control.NonFatal(_) => null }
           if (img == null) Nil
           else {
-            val (ah, dh, _) = gridHashOf(img)
-            Seq(Row(r.get(0), idx, ah, dh))
+            val (ah, dh, grid) = gridHashOf(img)
+            if (withGrid) Seq(Row(r.get(0), idx, ah, dh, grid))
+            else Seq(Row(r.get(0), idx, ah, dh))
           }
         }
       }

@@ -66,4 +66,29 @@ class VideoDedupSpec extends SparkSpec {
       Dedup.videoNearDups(df, "id", maxHamming = 8, bands = 8)
     }
   }
+
+  test("withVideoHashRecallGuard: healthy pass at frame granularity, verified-to-fire, vacuous far sample") {
+    // 3 seed groups of 5: shared frame prefixes give plenty of
+    // grid-identical frame pairs (hamming 0) for the audit to catch
+    val rows = (0L until 15L).map(i => (i, (i / 5L) * 104729L + 11L))
+    val df = avis(rows)
+    val healthy = Dedup.withVideoHashRecallGuard(
+      Dedup.videoNearDups(df, "id", minSharedFrames = 2), df, "id")
+    val out = healthy.collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Double]("recall_vs_exact") >= 0.9))
+    // verified-to-fire: an unreachable bar fails loudly in-plan
+    val ex = intercept[Exception] {
+      Dedup.withVideoHashRecallGuard(
+        Dedup.videoNearDups(df, "id", minSharedFrames = 2), df, "id",
+        minRecall = 1.01).collect()
+    }
+    assert(ex.getMessage.contains("recall"), ex.getMessage)
+    // vacuous: two unrelated single-seed videos share no grid-close
+    // frames -> recall 1.0, no spurious firing
+    val far = avis(Seq((1L, 11L), (2L, 999983L)))
+    val vac = Dedup.withVideoHashRecallGuard(
+      Dedup.videoNearDups(far, "id"), far, "id").collect()
+    assert(vac.forall(_.getAs[Double]("recall_vs_exact") === 1.0))
+  }
 }
