@@ -1188,6 +1188,34 @@ object SparkEntry {
           sampleFraction = 0.9))
         .select(col("doc_id"), round(col("__quality"), 6).as("quality"), col("__lang"))),
 
+    // --- the media curation composite: exact byte dedup (dual 64-bit
+    // payload hashes — byte-identical planted copies die first), decode
+    // gate (one corrupt payload per 100 planted in-plan), perceptual
+    // near-dup removal over ONE decode pass's signatures (groups of 5
+    // resolution variants collapse to their min id), deterministic
+    // sample. Rows-only (engine-specific signatures); each stage's
+    // machinery is oracle-checked or guard-audited on its own face
+    // (m_image_hash, d_image_neardups, d_dedup_exact, u_portable_split)
+    "d_curate_media" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+        .select(col("doc_id"),
+          (col("doc_id") - pmod(col("doc_id"), lit(5L))).as("seed"),
+          lit(0L).as("jitter"))
+      val pngs = Multimodal.syntheticStripePng(par(s, docs), "doc_id",
+        "seed", "jitter")
+      // byte-identical copies re-keyed above the id space + in-plan
+      // corrupt payloads: the stage-1 and stage-2 prey
+      val withCopies = pngs
+        .unionByName(pngs.where(pmod(col("doc_id"), lit(7L)) === 0)
+          .withColumn("doc_id", col("doc_id") + 10000000L))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(100L)) === 99)
+          .select((col("doc_id") + 20000000L).as("doc_id"),
+            lit(Array[Byte](1, 2, 3)).as("payload")))
+      graft.ops.Curate.curateMedia(withCopies, "doc_id",
+        cfg = graft.ops.Curate.MediaCurateConfig(sampleFraction = 0.9))
+        .select(col("doc_id"), col("__ahash"), col("__dhash"))
+    }),
+
     // SimHash signatures (murmur3-based, engine-specific values, so
     // rows-only) — but recall-guarded IN-PLAN: on a bounded sample, every
     // exact high-jaccard pair must land within the Hamming bar or the

@@ -144,6 +144,97 @@ object Curate {
     sample(deduped, idCol, cfg)
   }
 
+  final case class MediaCurateConfig(
+      mediaType: String = "image",       // "image" | "audio" | "video"
+      requireDecodable: Boolean = true,  // drop payloads the codec rejects
+      nearDup: Boolean = true,           // perceptual near-dup removal
+      maxHamming: Int = 7,
+      bands: Int = 8,
+      maxBucketSize: Int = 0,            // see Dedup.bandedHammingPairs
+      minSharedFrames: Int = 2,          // video face only
+      sampleFraction: Double = 1.0,
+      sampleSalt: String = "graft")
+
+  /** [[curate]] for RAW-MEDIA corpora — the same cheapest-first staged
+    * shape over binary payloads:
+    *
+    *   1. EXACT byte dedup — dual independent 64-bit payload hashes, one
+    *      shuffle of 16-byte keys (payload bytes never shuffle); the
+    *      re-uploaded-file spam goes before any decode exists.
+    *   2. ONE decode pass builds the perceptual signatures; rows the
+    *      codec rejects drop here (`requireDecodable`) — corrupt media
+    *      is routine at 100 TB and must gate, not crash.
+    *   3. Perceptual near-dup removal over THOSE signatures (decode is
+    *      never repeated): banded-Hamming pairs -> connected components
+    *      -> minimum id kept. The video face matches on
+    *      >= `minSharedFrames` shared frames.
+    *   4. Deterministic hash sampling.
+    *
+    * Returns the surviving rows of `df` with the signatures each
+    * survivor was judged on attached (`__ahash`/`__dhash` for images,
+    * `__ehash`/`__lhash` for audio, decodable `__frames` for video;
+    * null when `requireDecodable = false` admits undecodable rows).
+    * Near-dup audit guards stay available a la carte
+    * ([[Dedup.withImageHashRecallGuard]] family) — composites compose
+    * guarded parts, they don't re-guard. */
+  def curateMedia(df: DataFrame, idCol: String,
+                  payloadCol: String = "payload",
+                  cfg: MediaCurateConfig = MediaCurateConfig()): DataFrame = {
+    // 1. exact byte dedup: deterministic winner (minimum id) per payload
+    val exact = Dedup.exact(
+        df.withColumn("__k1", xxhash64(col(payloadCol)))
+          .withColumn("__k2", xxhash64(col(payloadCol), lit("graft.exact2"))),
+        Seq("__k1", "__k2"), idCol)
+      .drop("__k1", "__k2")
+    def finish(deduped: DataFrame, audit: DataFrame): DataFrame =
+      sample(deduped.join(audit, Seq(idCol), "left"), idCol,
+        CurateConfig(sampleFraction = cfg.sampleFraction,
+          sampleSalt = cfg.sampleSalt))
+    cfg.mediaType match {
+      case "image" | "audio" =>
+        // 2. one decode pass serves the gate AND the pair stage;
+        // MATERIALIZED — the band table and both pair-join sides read it
+        val sigs = (if (cfg.mediaType == "image")
+            Dedup.imageSigs(exact, idCol, payloadCol)
+          else Dedup.audioSigs(exact, idCol, payloadCol))
+          .localCheckpoint(true)
+        val gated =
+          if (cfg.requireDecodable)
+            exact.join(sigs.select(col("id").as(idCol)), Seq(idCol), "left_semi")
+          else exact
+        // 3. pairs -> components -> keep min id
+        val deduped = if (cfg.nearDup)
+          Dedup.dedupByClusters(gated, idCol, Dedup.nearDupClusters(
+            Dedup.bandedHammingPairs(sigs, cfg.maxHamming, cfg.bands,
+              cfg.maxBucketSize).select("id_a", "id_b")))
+        else gated
+        val (n1, n2) = if (cfg.mediaType == "image") ("__ahash", "__dhash")
+          else ("__ehash", "__lhash")
+        finish(deduped, sigs.select(col("id").as(idCol),
+          col("h1").as(n1), col("h2").as(n2)))
+      case "video" =>
+        val sigs = Multimodal.videoFrameHashes(exact, idCol, payloadCol)
+          .select(col(idCol).as("vid"), col("frame_idx"),
+            col("ahash").as("h1"), col("dhash").as("h2"))
+          .localCheckpoint(true)
+        val gated =
+          if (cfg.requireDecodable)
+            exact.join(sigs.select(col("vid").as(idCol)).distinct(),
+              Seq(idCol), "left_semi")
+          else exact
+        val deduped = if (cfg.nearDup)
+          Dedup.dedupByClusters(gated, idCol, Dedup.nearDupClusters(
+            Dedup.videoNearDupsFromSigs(sigs, cfg.minSharedFrames,
+              cfg.maxHamming, cfg.bands, cfg.maxBucketSize)
+              .select("id_a", "id_b")))
+        else gated
+        finish(deduped, sigs.groupBy(col("vid").as(idCol))
+          .agg(count(lit(1)).cast("int").as("__frames")))
+      case other => throw new IllegalArgumentException(
+        s"unknown mediaType '$other' (want image, audio, or video)")
+    }
+  }
+
   /** The streaming face of the same pipeline, for corpora that arrive as a
     * stream: quality/language gates and deterministic sampling are the SAME
     * stateless stages as batch (shared helpers); exact dedup becomes

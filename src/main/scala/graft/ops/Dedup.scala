@@ -875,7 +875,7 @@ object Dedup {
     * silence — that would go quadratic) at a DOCUMENTED exactness cost:
     * a pair whose every shared band is hot is missed; such rows are
     * better routed to exact dedup first. */
-  private def bandedHammingPairs(sigs: DataFrame, maxHamming: Int,
+  private[ops] def bandedHammingPairs(sigs: DataFrame, maxHamming: Int,
                                  bands: Int, maxBucketSize: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < bands,
       s"maxHamming must be in [0, bands) for exact banded coverage " +
@@ -1044,7 +1044,7 @@ object Dedup {
 
   /** The (id, h1, h2) signature frame of an image corpus — decode runs
     * once per construction; consumers materialize. */
-  private def imageSigs(df: DataFrame, idCol: String,
+  private[ops] def imageSigs(df: DataFrame, idCol: String,
                         payloadCol: String): DataFrame =
     Multimodal.imageHash(df, idCol, payloadCol)
       .where(col("ahash").isNotNull)
@@ -1198,7 +1198,7 @@ object Dedup {
   /** The (id, h1, h2) signature frame of an audio corpus
     * ([[Multimodal.audioHash]]: energy-delta + energy-level over 64 PCM
     * windows — exactly amplitude- and container-invariant). */
-  private def audioSigs(df: DataFrame, idCol: String,
+  private[ops] def audioSigs(df: DataFrame, idCol: String,
                         payloadCol: String): DataFrame =
     Multimodal.audioHash(df, idCol, payloadCol)
       .where(col("ehash").isNotNull)
@@ -1339,16 +1339,27 @@ object Dedup {
   def videoNearDups(df: DataFrame, idCol: String,
                     payloadCol: String = "payload",
                     minSharedFrames: Int = 1, maxHamming: Int = 7,
-                    bands: Int = 8, maxBucketSize: Int = 0): DataFrame = {
+                    bands: Int = 8, maxBucketSize: Int = 0): DataFrame =
+    videoNearDupsFromSigs(
+      Multimodal.videoFrameHashes(df, idCol, payloadCol)
+        .select(col(idCol).as("vid"), col("frame_idx"),
+          col("ahash").as("h1"), col("dhash").as("h2"))
+        .localCheckpoint(true),
+      minSharedFrames, maxHamming, bands, maxBucketSize)
+
+  /** [[videoNearDups]] over a pre-built, MATERIALIZED (vid, frame_idx,
+    * h1, h2) frame-signature table — the decode-once face
+    * [[Curate.curateMedia]] composes (its gate and pair stages share one
+    * decode pass). */
+  private[ops] def videoNearDupsFromSigs(sigs: DataFrame,
+                                         minSharedFrames: Int,
+                                         maxHamming: Int, bands: Int,
+                                         maxBucketSize: Int): DataFrame = {
     require(minSharedFrames >= 1,
       s"minSharedFrames must be >= 1 (got $minSharedFrames)")
     require(maxHamming >= 0 && maxHamming < bands,
       s"maxHamming must be in [0, bands) for exact banded coverage " +
         s"(got maxHamming=$maxHamming, bands=$bands)")
-    val sigs = Multimodal.videoFrameHashes(df, idCol, payloadCol)
-      .select(col(idCol).as("vid"), col("frame_idx"),
-        col("ahash").as("h1"), col("dhash").as("h2"))
-      .localCheckpoint(true)
     val bt = sigs.select(col("vid"), col("frame_idx"),
       explode(hammingBands(col("h1"), col("h2"), bands)).as("band"))
     val capped =

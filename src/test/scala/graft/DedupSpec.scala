@@ -215,6 +215,46 @@ class DedupSpec extends SparkSpec {
     assert(plain.collect().map(_.getLong(0)).toSet === Set(1L, 3L, 4L, 5L))
   }
 
+  test("Curate.curateMedia: exact byte dedup, decodability gate, perceptual near-dup removal") {
+    import spark.implicits._
+    import graft.ops.{Curate, Multimodal}
+    // 2 seed groups of 3 resolution variants (perceptual near-dups,
+    // byte-distinct) + a corrupt payload
+    val pngs = Multimodal.syntheticStripePng(
+      (0L until 6L).map(i => (i, (i / 3L) * 991L + 5L, 0L))
+        .toDF("id", "seed", "jitter"), "id", "seed", "jitter")
+      .unionByName(Seq((50L, Array[Byte](9, 9, 9))).toDF("id", "payload"))
+    // byte-identical copies of every payload, re-keyed above the id space
+    val withCopies = pngs.unionByName(
+      pngs.withColumn("id", col("id") + 100L))
+    val out = Curate.curateMedia(withCopies, "id",
+      cfg = Curate.MediaCurateConfig()).collect()
+    // copies die in stage 1 (min id wins), 50 dies at the decode gate,
+    // each seed group collapses to its min id
+    assert(out.map(_.getLong(0)).toSet === Set(0L, 3L), out.mkString(","))
+    // survivors carry the signatures they were judged on
+    assert(out.forall(r => !r.isNullAt(r.fieldIndex("__ahash"))))
+    // requireDecodable=false admits the corrupt row with null signatures
+    val loose = Curate.curateMedia(withCopies, "id",
+      cfg = Curate.MediaCurateConfig(requireDecodable = false)).collect()
+    assert(loose.map(_.getLong(0)).toSet === Set(0L, 3L, 50L))
+    assert(loose.filter(_.getLong(0) == 50L)
+      .forall(_.isNullAt(loose.head.fieldIndex("__ahash"))))
+    // video face: 2 seed groups of 2 (shared frame prefixes)
+    val avis = Multimodal.syntheticAvi(
+      (0L until 4L).map(i => (i, (i / 2L) * 104729L + 11L)).toDF("id", "seed"),
+      "id", "seed")
+    val vout = Curate.curateMedia(avis, "id",
+      cfg = Curate.MediaCurateConfig(mediaType = "video")).collect()
+    assert(vout.map(_.getLong(0)).toSet === Set(0L, 2L), vout.mkString(","))
+    assert(vout.forall(r => r.getInt(r.fieldIndex("__frames")) >= 2))
+    // unknown modality refused loudly
+    intercept[IllegalArgumentException] {
+      Curate.curateMedia(avis, "id",
+        cfg = Curate.MediaCurateConfig(mediaType = "text"))
+    }
+  }
+
   test("end-to-end: minhash pairs -> clusters -> dedup keeps distinct docs") {
     import spark.implicits._
     val docs = Seq(
