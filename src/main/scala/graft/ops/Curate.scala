@@ -297,15 +297,50 @@ object Curate {
       : graft.meta.DatasetMetadata = {
     require(cfg.nearDupThreshold > 0,
       s"compaction is near-dup removal; nearDupThreshold must be > 0")
+    compactByPairs(spark, storage, uuid, idCol, df =>
+      Dedup.minhashNearDups(df, textCol, idCol,
+        numHashes = cfg.minhashHashes, bands = cfg.minhashBands,
+        shingleN = cfg.shingleN, threshold = cfg.nearDupThreshold,
+        maxBucketSize = cfg.maxBucketSize).select("id_a", "id_b"))
+  }
+
+  /** [[compactNearDups]] for RAW-MEDIA datasets: perceptual near-dup
+    * compaction of a landed (e.g. [[graft.streaming.Streaming
+    * .writeStreamImageDedup]]-ingested) corpus, with the same atomic
+    * one-header-swap replace semantics — the batch half of the media
+    * lambda shape (the streaming sink dedups each batch against the
+    * persisted hash index; corpus-wide components need this batch
+    * pass). */
+  def compactMediaNearDups(spark: SparkSession, storage: graft.store.Storage,
+                           uuid: String, idCol: String,
+                           payloadCol: String = "payload",
+                           cfg: MediaCurateConfig = MediaCurateConfig())
+      : graft.meta.DatasetMetadata = {
+    require(cfg.nearDup, "compaction is near-dup removal; set nearDup = true")
+    compactByPairs(spark, storage, uuid, idCol, df => (cfg.mediaType match {
+      case "image" => Dedup.imageNearDups(df, idCol, payloadCol,
+        cfg.maxHamming, cfg.bands, cfg.maxBucketSize)
+      case "audio" => Dedup.audioNearDups(df, idCol, payloadCol,
+        cfg.maxHamming, cfg.bands, cfg.maxBucketSize)
+      case "video" => Dedup.videoNearDups(df, idCol, payloadCol,
+        cfg.minSharedFrames, cfg.maxHamming, cfg.bands, cfg.maxBucketSize)
+      case other => throw new IllegalArgumentException(
+        s"unknown mediaType '$other' (want image, audio, or video)")
+    }).select("id_a", "id_b"))
+  }
+
+  /** The shared compaction core: near-dup pairs -> connected components
+    * -> min-id survivors -> ONE atomic partition-set replace. */
+  private def compactByPairs(spark: SparkSession,
+                             storage: graft.store.Storage, uuid: String,
+                             idCol: String,
+                             pairsOf: DataFrame => DataFrame)
+      : graft.meta.DatasetMetadata = {
     val meta = graft.meta.DatasetMetadata.load(storage, uuid)
     val df = graft.io.Reader.readTable(spark, storage, uuid)
-    val pairs = Dedup.minhashNearDups(df, textCol, idCol,
-      numHashes = cfg.minhashHashes, bands = cfg.minhashBands,
-      shingleN = cfg.shingleN, threshold = cfg.nearDupThreshold,
-      maxBucketSize = cfg.maxBucketSize).select("id_a", "id_b")
-      // bounded persist (id pairs only, proportional to dup mass — never
-      // corpus-sized): the no-op probe below must not re-run the LSH join
-      .persist()
+    // bounded persist (id pairs only, proportional to dup mass — never
+    // corpus-sized): the no-op probe below must not re-run the pair join
+    val pairs = pairsOf(df).persist()
     try {
       // nothing to collapse => NO rewrite: compacting an already-clean
       // corpus must not pay full write amplification + GC debt for a no-op

@@ -155,6 +155,35 @@ class ImageDedupSpec extends SparkSpec {
     assert(vac.forall(_.getAs[Double]("recall_vs_exact") === 1.0))
   }
 
+  test("compactMediaNearDups: perceptual compaction of a landed image dataset, atomic swap, clean no-op") {
+    import graft.io.{Reader, Writer}
+    // 2 seed groups of 3 resolution variants (perceptual near-dups) + a
+    // singleton
+    val corpus = stripePngs(
+      (0L until 6L).map(i => (i, (i / 3L) * 991L + 5L, 0L)) :+
+        ((9L, 424243L, 0L)))
+    val store = graft.store.Storage(spark, tmpDir("img-compact"))
+    Writer.store(spark, store, "imgs", corpus,
+      Writer.WriteOpts(secondaryIndices = Seq("id")))
+    val before = graft.meta.DatasetMetadata.load(store, "imgs")
+    val meta = graft.ops.Curate.compactMediaNearDups(spark, store, "imgs", "id")
+    val back = Reader.readTable(spark, store, "imgs")
+    assert(back.select("id").collect().map(_.getLong(0)).toSet ===
+      Set(0L, 3L, 9L))
+    // the swap REPLACED the partition set; the index contract survived
+    assert(meta.partitions.toSet.intersect(before.partitions.toSet) === Set.empty)
+    assert(meta.indexColumns === Set("id"))
+    // an already-clean corpus compacts as a METADATA no-op — no rewrite,
+    // no write amplification, no GC debt
+    val again = graft.ops.Curate.compactMediaNearDups(spark, store, "imgs", "id")
+    assert(again.partitions.toSet === meta.partitions.toSet)
+    // a disabled near-dup stage is refused loudly, not silently skipped
+    intercept[IllegalArgumentException] {
+      graft.ops.Curate.compactMediaNearDups(spark, store, "imgs", "id",
+        cfg = graft.ops.Curate.MediaCurateConfig(nearDup = false))
+    }
+  }
+
   test("imageHashIndex lifecycle: build, pruned probe, parity with in-corpus face, append, idempotent re-probe") {
     val corpus = stripePngs((0L until 40L).map(i => (i, (i / 4L) * 769L + 7L, 0L)))
     val store = graft.store.Storage(spark, tmpDir("img-idx"))
