@@ -118,6 +118,18 @@ object Smoke {
     val nd = Dedup.minhashNearDups(docs, "text", "doc_id", threshold = 0.3)
     println(s"== minhash near-dup pairs @0.3: ${nd.count()}")
 
+    // learned-subword tokenizer: train, then the encode->decode identity
+    // must hold corpus-wide (whitespace normalization)
+    val bpeMs = graft.ops.Bpe.train(docs, "text", numMerges = 64, batchSize = 32)
+    val bpeBad = docs.select(
+        graft.ops.Bpe.decode(graft.ops.Bpe.encode(col("text"), bpeMs)).as("dec"),
+        regexp_replace(col("text"), "^\\s+|\\s+$", "").as("t"))
+      .where(col("dec") =!= when(length(col("t")) === 0, lit(""))
+        .otherwise(array_join(split(col("t"), "\\s+"), " ")))
+      .count()
+    println(s"${if (bpeBad == 0) "==" else "!!"} bpe: ${bpeMs.size} merges, " +
+      s"roundtrip violations: $bpeBad")
+
     // 10. streaming contract's batch half: land docs as a dataset, compact
     // near-dups in one atomic header swap
     graft.io.Writer.store(spark, store, "docsland",

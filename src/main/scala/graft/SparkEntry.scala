@@ -78,6 +78,23 @@ object SparkEntry {
   private def tmpBase(dir: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_ds_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
 
+  // the `ensure` discipline for a DRIVER-side artifact: the BPE merge
+  // list both tokenizer queries share, trained once per JVM per scale dir
+  // (synchronized: a concurrent second training would be wasted work, not
+  // wrong — determinism makes retrains identical)
+  private val bpeTrained =
+    scala.collection.mutable.HashMap.empty[String, Seq[graft.ops.Bpe.Merge]]
+  private def bpeOf(s: SparkSession, dir: String): Seq[graft.ops.Bpe.Merge] =
+    synchronized {
+      // 64 merges, NOT more: the synthetic corpus has a small generator
+      // vocabulary, and a larger budget saturates it (every word fuses to
+      // one token, fertility degenerates to 1.0) — a partial vocabulary
+      // keeps the subword split observable in t_bpe_fertility
+      bpeTrained.getOrElseUpdate(dir,
+        graft.ops.Bpe.train(rd(s, dir, "documents"), "text",
+          numMerges = 64, batchSize = 32))
+    }
+
   /** Build a shared temp dataset once per JVM per scale-factor dir. */
   private def ensure(s: SparkSession, dir: String, uuid: String)
                     (mk: Storage => Unit): Storage = synchronized {
@@ -777,6 +794,40 @@ object SparkEntry {
           lit("@mail.example.com via 10.0.0."),
           (col("doc_id") % 256).cast("string"),
           lit(" or call 555-123-4567."))).as("redacted"))),
+
+    // --- text analysis: learned-subword (BPE) tokenizer, trained once
+    // per JVM per scale dir on the documents corpus (64 merges, batched
+    // 32/round — 2 vocabulary-sized shuffles after ONE corpus scan).
+    // The merge table is the product of iterative training — not SQL-
+    // expressible, so rows-only — but encode correctness is pinned
+    // EXACTLY by t_bpe_roundtrip below, and the list itself is
+    // deterministic (tie-break count desc, pair asc; BpeSpec proves
+    // batch-1 equality with a sequential reference implementation)
+    "t_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      bpeOf(s, dir).toDF("rank", "left", "right", "weight")
+    }),
+
+    // encode -> decode must equal whitespace normalization of the raw
+    // text: with structural word boundaries (no end-of-word marker
+    // symbol), the roundtrip is an EXACT hash-checked identity an
+    // external SQL engine computes from the raw column alone — the
+    // encode-path correctness oracle (a dropped/duplicated/corrupted
+    // subword anywhere breaks it)
+    "t_bpe_roundtrip" -> ((s, dir) =>
+      rd(s, dir, "documents").select(col("doc_id"),
+        graft.ops.Bpe.decode(
+          graft.ops.Bpe.encode(col("text"), bpeOf(s, dir))).as("rebuilt"))),
+
+    // tokenizer fertility (subwords per word) per document — the metric
+    // vocabularies are ranked by. n_subwords is merge-table-dependent
+    // (rows-only); n_words/n_chars are redundantly recomputed here so a
+    // miscounted tokenization surfaces as an internally inconsistent row
+    "t_bpe_fertility" -> ((s, dir) =>
+      graft.ops.Bpe.fertilityStats(
+          rd(s, dir, "documents").select("doc_id", "text"), "text",
+          bpeOf(s, dir))
+        .select("doc_id", "n_subwords", "n_words", "n_chars", "fertility")),
 
     // --- similarity: anisotropy remediation (center + L2 normalize).
     // The contract uses the SCALAR (vec_id, pos, value) face: the
@@ -2566,6 +2617,16 @@ object SparkEntry {
                '${graft.ops.TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
                '${graft.ops.TextAnalysis.Ipv4Pattern}', '<IP>', 'g'),
                '${graft.ops.TextAnalysis.PhonePattern}', '<PHONE>', 'g') AS redacted
+           FROM documents""",
+      // BPE roundtrip: decode(encode(text)) must equal plain whitespace
+      // normalization — trim both ends, collapse runs to one space (the
+      // wsTokens contract; '' splits to [''] here, joining back to '',
+      // matching the Spark side's empty-word-array -> '' decode)
+      "t_bpe_roundtrip" ->
+        """SELECT doc_id,
+             array_to_string(string_split_regex(
+               regexp_replace(text, '^\s+|\s+$', '', 'g'),
+               '[ \t\n\x0B\f\r]+'), ' ') AS rebuilt
            FROM documents""",
       // the decode stub is deterministic by construction (exact integer
       // byte-sums per dim % 8, one float32 division) precisely so this

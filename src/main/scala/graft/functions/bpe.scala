@@ -1,0 +1,335 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, NullType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compiled expressions for the byte-pair-encoding (BPE) tokenizer family
+  * ([[graft.ops.Bpe]]). Same discipline as the near-dup expressions: the
+  * HOF forms (`aggregate`/`transform` folds) pay one interpreted lambda
+  * call per SYMBOL — for a tokenizer that is one call per character of a
+  * 100 TB corpus — so each of these runs its whole per-row loop in
+  * compiled Scala and keeps the surrounding plan inside whole-stage
+  * codegen via a single referenced-object call.
+  *
+  * Symbols are Unicode CODE POINTS (surrogate pairs stay whole), so every
+  * symbol and every merge product is a valid string and concatenation of
+  * a word's symbols is exactly the word — the invariant the encode→decode
+  * roundtrip oracle rests on.
+  */
+object bpe {
+  /** Shared word splitter: the [[graft.ops.TextAnalysis.wsTokens]]
+    * contract in compiled form — regex-trim BOTH ends (Java's
+    * `String.trim` strips every control char <= U+0020, which the SQL
+    * mirrors do not), then split on runs of whitespace; empty/all-space
+    * text yields NO words, never a phantom ''. */
+  private[functions] val WsTrim = java.util.regex.Pattern.compile("^\\s+|\\s+$")
+  private[functions] val WsRun = java.util.regex.Pattern.compile("\\s+")
+  private[functions] def wsWords(s: String): Array[String] = {
+    val t = WsTrim.matcher(s).replaceAll("")
+    if (t.isEmpty) Array.empty else WsRun.split(t, -1)
+  }
+
+  private[functions] def codePoints(word: String): Array[String] = {
+    val out = new Array[String](word.codePointCount(0, word.length))
+    var i = 0
+    var idx = 0
+    while (i < word.length) {
+      val cc = Character.charCount(word.codePointAt(i))
+      out(idx) = word.substring(i, i + cc)
+      idx += 1
+      i += cc
+    }
+    out
+  }
+
+  private[functions] def isStringArray(t: DataType): Boolean = t match {
+    case ArrayType(StringType, _) | NullType => true
+    case _ => false
+  }
+}
+
+/** A word to its code-point symbol array — the starting state of BPE
+  * training. Input rows are word TYPES (post-aggregation), so this runs
+  * once per distinct word, not once per corpus token. */
+case class CodePointSymbols(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "code_point_symbols"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType || child.dataType == NullType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${child.dataType.simpleString}")
+
+  def compute(s: UTF8String): ArrayData = {
+    val syms = bpe.codePoints(s.toString)
+    val out = new Array[Any](syms.length)
+    var i = 0
+    while (i < syms.length) { out(i) = UTF8String.fromString(syms(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cpSyms", this, classOf[CodePointSymbols].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ($ref).compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CodePointSymbols =
+    copy(child = newChild)
+}
+
+/** Adjacent symbol pairs of one word's symbol array as
+  * `array<struct<l:string, r:string>>` — the per-iteration pair-count
+  * input of BPE training (exploded then weight-summed by (l, r)). A
+  * struct, not a delimiter-joined key: symbols are arbitrary text (a NUL
+  * character is a legal code point), so no join character is collision-
+  * free. */
+case class AdjacentSymbolPairs(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{StructField, StructType}
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("l", StringType, nullable = false),
+      StructField("r", StringType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "adjacent_symbol_pairs"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (bpe.isStringArray(child.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${child.dataType.simpleString}")
+
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](arr.getUTF8String(i), arr.getUTF8String(i + 1)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("adjPairs", this, classOf[AdjacentSymbolPairs].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ($ref).compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AdjacentSymbolPairs =
+    copy(child = newChild)
+}
+
+/** One BPE training iteration's merge application: rewrite a symbol array
+  * by a BATCH of merges in one left-to-right greedy pass. The batch is
+  * selected symbol-disjoint by [[graft.ops.Bpe.train]] (no symbol or
+  * product of one selected merge appears as an operand or product of
+  * another), which is exactly what makes the single fold order-
+  * independent and equal to applying the merges sequentially in any
+  * order. Merges are keyed left-symbol-first (a map of left -> small
+  * (right, product) array) so lookup needs no delimiter-joined pair key.
+  *
+  * Seq fields => structural case-class equality, so per-iteration plan
+  * reuse / CSE dedups identical instances (the [[NearestCentroid]]
+  * precedent); the hash table itself materializes lazily once per
+  * deserialized task. */
+case class BpeApplyMerges(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  require(merges.nonEmpty, "empty merge batch")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "bpe_apply_merges"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (bpe.isStringArray(child.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${child.dataType.simpleString}")
+
+  @transient private lazy val table: java.util.HashMap[UTF8String, Array[(UTF8String, UTF8String)]] = {
+    val t = new java.util.HashMap[UTF8String, Array[(UTF8String, UTF8String)]]()
+    merges.groupBy(_._1).foreach { case (l, ms) =>
+      t.put(UTF8String.fromString(l),
+        ms.map { case (_, r) =>
+          (UTF8String.fromString(r), UTF8String.fromString(l + r))
+        }.toArray)
+    }
+    t
+  }
+
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[UTF8String](n)
+    var top = 0
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      var merged = false
+      if (top > 0) {
+        val rights = table.get(out(top - 1))
+        if (rights != null) {
+          var j = 0
+          while (!merged && j < rights.length) {
+            if (rights(j)._1.equals(s)) {
+              out(top - 1) = rights(j)._2
+              merged = true
+            }
+            j += 1
+          }
+        }
+      }
+      if (!merged) { out(top) = s; top += 1 }
+      i += 1
+    }
+    val res = new Array[Any](top)
+    var k = 0
+    while (k < top) { res(k) = out(k); k += 1 }
+    new GenericArrayData(res)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeApply", this, classOf[BpeApplyMerges].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ($ref).compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeApplyMerges =
+    copy(child = newChild)
+}
+
+/** BPE encoding of a DOCUMENT under a trained rank-ordered merge list:
+  * `array<array<string>>`, one inner array of subword tokens per
+  * whitespace word ([[bpe.wsWords]], the wsTokens contract). Word
+  * boundaries are STRUCTURAL (the nesting), not an end-of-word marker
+  * symbol — markers collide with text that happens to contain them; the
+  * nesting makes decode (join inner with '', outer with ' ') exact for
+  * arbitrary input, which is what lets an external SQL oracle check the
+  * roundtrip against plain whitespace normalization.
+  *
+  * Per word: standard greedy BPE — repeatedly find the LOWEST-rank merge
+  * with an adjacent occurrence and apply it to all its occurrences left
+  * to right, until none applies. For words of the training corpus this
+  * reproduces the training-end segmentation (training applies batches in
+  * rank order and batch members are symbol-disjoint). Words are short, so
+  * the quadratic-ish scan per word is a compiled constant; the expression
+  * is map-side only — the merge list rides the serialized plan, never a
+  * shuffle. */
+case class BpeEncodeWords(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    ArrayType(StringType, containsNull = false), containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "bpe_encode_words"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType || child.dataType == NullType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${child.dataType.simpleString}")
+
+  // left symbol -> (right symbol, product, rank), rank-ascending per left
+  @transient private lazy val table: java.util.HashMap[String, Array[(String, String, Int)]] = {
+    val t = new java.util.HashMap[String, Array[(String, String, Int)]]()
+    merges.zipWithIndex.groupBy(_._1._1).foreach { case (l, ms) =>
+      t.put(l, ms.map { case ((_, r), rank) => (r, l + r, rank) }
+        .sortBy(_._3).toArray)
+    }
+    t
+  }
+
+  /** Greedy rank-ordered merge closure of one word. */
+  private[functions] def encodeWord(word: String): Array[String] = {
+    var syms = bpe.codePoints(word)
+    if (table.isEmpty) return syms
+    var done = syms.length < 2
+    while (!done) {
+      // lowest-rank applicable merge across current adjacent pairs
+      var bestRank = Int.MaxValue
+      var bestLeft: String = null
+      var bestRight: String = null
+      var bestProduct: String = null
+      var i = 0
+      while (i < syms.length - 1) {
+        val rights = table.get(syms(i))
+        if (rights != null) {
+          var j = 0
+          // per-left arrays are rank-ascending: stop at first beating match
+          while (j < rights.length && rights(j)._3 < bestRank) {
+            if (rights(j)._1 == syms(i + 1)) {
+              bestRank = rights(j)._3
+              bestLeft = syms(i)
+              bestRight = rights(j)._1
+              bestProduct = rights(j)._2
+              j = rights.length
+            } else j += 1
+          }
+        }
+        i += 1
+      }
+      if (bestProduct == null) done = true
+      else {
+        // apply ALL occurrences of the winning pair, left to right
+        val next = new Array[String](syms.length)
+        var top = 0
+        var k = 0
+        while (k < syms.length) {
+          if (k < syms.length - 1 && syms(k) == bestLeft &&
+              syms(k + 1) == bestRight) {
+            next(top) = bestProduct
+            top += 1
+            k += 2
+          } else {
+            next(top) = syms(k)
+            top += 1
+            k += 1
+          }
+        }
+        syms = java.util.Arrays.copyOf(next, top)
+        done = syms.length < 2
+      }
+    }
+    syms
+  }
+
+  def compute(s: UTF8String): ArrayData = {
+    val words = bpe.wsWords(s.toString)
+    val out = new Array[Any](words.length)
+    var i = 0
+    while (i < words.length) {
+      val toks = encodeWord(words(i))
+      val inner = new Array[Any](toks.length)
+      var j = 0
+      while (j < toks.length) { inner(j) = UTF8String.fromString(toks(j)); j += 1 }
+      out(i) = new GenericArrayData(inner)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEncode", this, classOf[BpeEncodeWords].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ($ref).compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeWords =
+    copy(child = newChild)
+}

@@ -1,0 +1,163 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{AdjacentSymbolPairs, BpeApplyMerges, BpeEncodeWords, CodePointSymbols}
+import graft.functions.expressions.{asColumn, exprOf}
+
+/** Distributed byte-pair-encoding (BPE) tokenizer training + encoding —
+  * the learned-subword step of an LLM data pipeline (beyond-reference
+  * scope, next to the whitespace/subword counting family in
+  * [[TextAnalysis]]).
+  *
+  * Scale shape of [[train]]: ONE corpus scan aggregates the text into a
+  * word-TYPE table (word, occurrence count) — Heaps'-law sublinear in
+  * corpus size, so every training iteration after the first scan touches
+  * vocabulary-sized data, never the corpus. Iterations then run
+  * `numMerges / batchSize` rounds, each: one explode + partial-agg shuffle
+  * of weighted adjacent-pair counts over word types, one BOUNDED top-k
+  * collect (<= 4*batch candidate rows, never corpus- or vocab-sized), and
+  * one map-side batch merge application ([[graft.functions.BpeApplyMerges]])
+  * with `localCheckpoint` cutting the growing lineage (the
+  * [[Dedup.nearDupClusters]] discipline). Batching is what makes the
+  * round count tractable at scale (classic sequential BPE is one
+  * iteration PER merge); each batch is selected symbol-disjoint — no
+  * operand or product of one selected merge equals an operand or product
+  * of another — which makes the batch order-independent and exactly equal
+  * to applying its merges sequentially (property-tested at batchSize=1
+  * against a local reference implementation). Candidates that conflict
+  * within a round simply wait for the next round's recount.
+  *
+  * No end-of-word marker symbol: word boundaries are structural (the
+  * pre-tokenizer is the one [[TextAnalysis.wsTokens]] contract, and
+  * [[encode]] nests subwords per word), so [[decode]] ([[encode]]'s exact
+  * inverse) is whitespace normalization — checkable by an external SQL
+  * oracle against the raw text for arbitrary input, marker collisions
+  * impossible.
+  */
+object Bpe {
+
+  /** One learned merge: at `rank`, symbol pair (`left`, `right`) fused
+    * into their concatenation, with the weighted adjacent-pair count that
+    * won the rank. */
+  case class Merge(rank: Int, left: String, right: String, weight: Long)
+
+  private def codePointSymbols(c: Column): Column = asColumn(CodePointSymbols(exprOf(c)))
+  private def adjacentPairs(c: Column): Column = asColumn(AdjacentSymbolPairs(exprOf(c)))
+  private def applyMerges(c: Column, ms: Seq[(String, String)]): Column =
+    asColumn(BpeApplyMerges(exprOf(c), ms))
+
+  /** Train `numMerges` BPE merges over `df`'s `textCol`. Deterministic:
+    * candidate ranks tie-break on (count desc, left asc, right asc), so
+    * two runs over the same data produce the same merge list. Case is
+    * NOT folded — pass `lower(text)` upstream for a case-folded
+    * vocabulary. Training stops early when no adjacent pair reaches
+    * `minPairWeight` (the classic count >= 2 cutoff: a merge seen once
+    * generalizes to nothing). */
+  def train(df: DataFrame, textCol: String, numMerges: Int = 1024,
+            batchSize: Int = 64, minPairWeight: Long = 2L): Seq[Merge] = {
+    require(numMerges > 0, s"numMerges must be > 0, got $numMerges")
+    require(batchSize > 0, s"batchSize must be > 0, got $batchSize")
+    require(minPairWeight >= 1L, s"minPairWeight must be >= 1, got $minPairWeight")
+    // the one corpus-sized pass: word-type table with occurrence weights
+    var table = df
+      .select(explode(TextAnalysis.wsTokens(col(textCol))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("weight"))
+      .select(codePointSymbols(col("w")).as("syms"), col("weight"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var done = false
+    while (!done && merges.size < numMerges) {
+      val want = math.min(batchSize, numMerges - merges.size)
+      val cap = math.max(want * 4, 64)
+      // bounded collect: top candidate pairs only — the driver never sees
+      // the vocabulary, only <= cap (count, pair) rows
+      val top = table
+        .select(explode(adjacentPairs(col("syms"))).as("p"), col("weight"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("weight").as("n"))
+        .where(col("n") >= minPairWeight)
+        .orderBy(col("n").desc, col("l").asc, col("r").asc)
+        .limit(cap)
+        .collect()
+      // greedy symbol-disjoint batch: reject a candidate whose operands or
+      // product intersect any already-selected operand or product — the
+      // invariant that makes one fold pass == sequential application
+      val used = scala.collection.mutable.HashSet.empty[String]
+      val selected = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var idx = 0
+      while (idx < top.length && selected.size < want) {
+        val l = top(idx).getString(0)
+        val r = top(idx).getString(1)
+        val n = top(idx).getLong(2)
+        val product = l + r
+        if (!used(l) && !used(r) && !used(product)) {
+          selected += ((l, r, n))
+          used += l; used += r; used += product
+        }
+        idx += 1
+      }
+      if (selected.isEmpty) done = true
+      else {
+        selected.foreach { case (l, r, n) =>
+          merges += Merge(merges.size, l, r, n)
+        }
+        table = table
+          .select(applyMerges(col("syms"),
+            selected.toSeq.map(t => (t._1, t._2))).as("syms"), col("weight"))
+          .localCheckpoint() // eager: cuts lineage; ContextCleaner reaps
+                             // the superseded round's blocks once dereferenced
+      }
+    }
+    merges.toSeq
+  }
+
+  /** [[train]] as a DataFrame of (rank, left, right, weight) — the
+    * landable/joinable face of the merge table. */
+  def trainDf(spark: SparkSession, df: DataFrame, textCol: String,
+              numMerges: Int = 1024, batchSize: Int = 64,
+              minPairWeight: Long = 2L): DataFrame = {
+    import spark.implicits._
+    train(df, textCol, numMerges, batchSize, minPairWeight)
+      .toDF("rank", "left", "right", "weight")
+  }
+
+  /** Encode a text column: `array<array<string>>`, one inner array of
+    * subword tokens per whitespace word. Map-side only — the merge list
+    * rides the serialized plan (a few KB for typical vocabularies), never
+    * a shuffle or a join. */
+  def encode(text: Column, merges: Seq[Merge]): Column =
+    asColumn(BpeEncodeWords(exprOf(text), merges.sortBy(_.rank)
+      .map(m => (m.left, m.right))))
+
+  /** Exact inverse of [[encode]]: join subwords with '', words with a
+    * single space — i.e. whitespace normalization of the original text
+    * (the roundtrip-oracle identity). */
+  def decode(encoded: Column): Column =
+    array_join(transform(encoded, w => array_join(w, "")), " ")
+
+  /** Flat subword token stream of a document. */
+  def tokens(text: Column, merges: Seq[Merge]): Column =
+    flatten(encode(text, merges))
+
+  /** Learned-subword token count (the trained counterpart of
+    * [[TextAnalysis.subwordCount]]'s fixed regex). */
+  def tokenCount(text: Column, merges: Seq[Merge]): Column =
+    size(tokens(text, merges))
+
+  /** Per-document tokenizer fertility: learned-subword count next to
+    * whitespace word count and char count, plus subwords-per-word — the
+    * metric tokenizer evaluations rank vocabularies by. */
+  def fertilityStats(df: DataFrame, textCol: String, merges: Seq[Merge])
+      : DataFrame = {
+    val toks = tokenCount(col(textCol), merges)
+    val words = TextAnalysis.tokenCount(col(textCol))
+    df.select(col("*"), toks.as("n_subwords"), words.as("n_words"),
+        length(col(textCol)).as("n_chars"))
+      .withColumn("fertility",
+        when(col("n_words") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_subwords").cast("double") / col("n_words"), 6)))
+  }
+}
