@@ -94,6 +94,15 @@ object SparkEntry {
         graft.ops.Bpe.train(rd(s, dir, "documents"), "text",
           numMerges = 64, batchSize = 32))
     }
+  // the id faces' base alphabet, collected once per JVM per scale dir from
+  // the same corpus the merges trained on (so unknowns are impossible by
+  // construction — the invariant t_bpe_ids pins)
+  private val bpeBases = scala.collection.mutable.HashMap.empty[String, Seq[String]]
+  private def bpeBaseOf(s: SparkSession, dir: String): Seq[String] =
+    synchronized {
+      bpeBases.getOrElseUpdate(dir,
+        graft.ops.Bpe.baseSymbols(rd(s, dir, "documents"), "text"))
+    }
 
   /** Build a shared temp dataset once per JVM per scale-factor dir. */
   private def ensure(s: SparkSession, dir: String, uuid: String)
@@ -828,6 +837,38 @@ object SparkEntry {
           rd(s, dir, "documents").select("doc_id", "text"), "text",
           bpeOf(s, dir))
         .select("doc_id", "n_subwords", "n_words", "n_chars", "fertility")),
+
+    // vocabulary-id encoding of the training corpus. Rows-only (ids are
+    // merge-table-dependent) but pinned by two in-plan invariants the row
+    // values expose directly: n_unk MUST be 0 on the corpus the base
+    // alphabet was collected from, and n_ids MUST equal the independently
+    // recomputed subword count of t_bpe_fertility's path (a fused
+    // encode+lookup that dropped or duplicated a token breaks the
+    // equality). first_id/last_id sample the stream so a constant-array
+    // regression can't hide behind matching counts
+    "t_bpe_ids" -> ((s, dir) => {
+      val m = bpeOf(s, dir); val b = bpeBaseOf(s, dir)
+      rd(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ops.Bpe.encodeIds(col("text"), m, b).as("ids"),
+          graft.ops.Bpe.tokenCount(col("text"), m).as("n_subwords"))
+        .select(col("doc_id"),
+          size(col("ids")).cast("long").as("n_ids"),
+          col("n_subwords").cast("long").as("n_subwords"),
+          size(filter(col("ids"), i => i === lit(-1L))).cast("long").as("n_unk"),
+          element_at(col("ids"), 1).as("first_id"),
+          element_at(col("ids"), -1).as("last_id"))
+    }),
+
+    // the terminal pipeline stage: learned-subword ids packed into
+    // fixed-length training sequences. A composite of exact-pinned parts
+    // (encode <- the t_bpe_roundtrip oracle; packSequences <- the
+    // u_pack_sequences oracle) — the d_curate discipline
+    "t_bpe_pack" -> ((s, dir) =>
+      graft.ops.Bpe.tokenizeAndPack(
+          rd(s, dir, "documents").select("doc_id", "text"), "text", "doc_id",
+          bpeOf(s, dir), bpeBaseOf(s, dir), seqLen = 512L, numShards = 8)
+        .select("doc_id", "n_tokens", "shard", "seq_idx", "offset_in_seq")),
 
     // --- similarity: anisotropy remediation (center + L2 normalize).
     // The contract uses the SCALAR (vec_id, pos, value) face: the

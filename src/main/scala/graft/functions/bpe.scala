@@ -49,6 +49,76 @@ object bpe {
     case ArrayType(StringType, _) | NullType => true
     case _ => false
   }
+
+  /** The greedy rank-ordered BPE encoder, shared by [[BpeEncodeWords]]
+    * (subword strings) and [[BpeTokenIds]] (vocabulary ids): per word,
+    * repeatedly apply the LOWEST-rank merge with an adjacent occurrence
+    * (all occurrences, left to right) until none applies. Words are short,
+    * so the quadratic-ish scan per word is a compiled constant. */
+  private[functions] final class GreedyEncoder(merges: Seq[(String, String)]) {
+    // left symbol -> (right symbol, product, rank), rank-ascending per left
+    private val table: java.util.HashMap[String, Array[(String, String, Int)]] = {
+      val t = new java.util.HashMap[String, Array[(String, String, Int)]]()
+      merges.zipWithIndex.groupBy(_._1._1).foreach { case (l, ms) =>
+        t.put(l, ms.map { case ((_, r), rank) => (r, l + r, rank) }
+          .sortBy(_._3).toArray)
+      }
+      t
+    }
+
+    def encodeWord(word: String): Array[String] = {
+      var syms = bpe.codePoints(word)
+      if (table.isEmpty) return syms
+      var done = syms.length < 2
+      while (!done) {
+        // lowest-rank applicable merge across current adjacent pairs
+        var bestRank = Int.MaxValue
+        var bestLeft: String = null
+        var bestRight: String = null
+        var bestProduct: String = null
+        var i = 0
+        while (i < syms.length - 1) {
+          val rights = table.get(syms(i))
+          if (rights != null) {
+            var j = 0
+            // per-left arrays are rank-ascending: stop at first beating match
+            while (j < rights.length && rights(j)._3 < bestRank) {
+              if (rights(j)._1 == syms(i + 1)) {
+                bestRank = rights(j)._3
+                bestLeft = syms(i)
+                bestRight = rights(j)._1
+                bestProduct = rights(j)._2
+                j = rights.length
+              } else j += 1
+            }
+          }
+          i += 1
+        }
+        if (bestProduct == null) done = true
+        else {
+          // apply ALL occurrences of the winning pair, left to right
+          val next = new Array[String](syms.length)
+          var top = 0
+          var k = 0
+          while (k < syms.length) {
+            if (k < syms.length - 1 && syms(k) == bestLeft &&
+                syms(k + 1) == bestRight) {
+              next(top) = bestProduct
+              top += 1
+              k += 2
+            } else {
+              next(top) = syms(k)
+              top += 1
+              k += 1
+            }
+          }
+          syms = java.util.Arrays.copyOf(next, top)
+          done = syms.length < 2
+        }
+      }
+      syms
+    }
+  }
 }
 
 /** A word to its code-point symbol array — the starting state of BPE
@@ -242,69 +312,11 @@ case class BpeEncodeWords(child: Expression, merges: Seq[(String, String)])
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires string, got ${child.dataType.simpleString}")
 
-  // left symbol -> (right symbol, product, rank), rank-ascending per left
-  @transient private lazy val table: java.util.HashMap[String, Array[(String, String, Int)]] = {
-    val t = new java.util.HashMap[String, Array[(String, String, Int)]]()
-    merges.zipWithIndex.groupBy(_._1._1).foreach { case (l, ms) =>
-      t.put(l, ms.map { case ((_, r), rank) => (r, l + r, rank) }
-        .sortBy(_._3).toArray)
-    }
-    t
-  }
+  @transient private lazy val enc = new bpe.GreedyEncoder(merges)
 
   /** Greedy rank-ordered merge closure of one word. */
-  private[functions] def encodeWord(word: String): Array[String] = {
-    var syms = bpe.codePoints(word)
-    if (table.isEmpty) return syms
-    var done = syms.length < 2
-    while (!done) {
-      // lowest-rank applicable merge across current adjacent pairs
-      var bestRank = Int.MaxValue
-      var bestLeft: String = null
-      var bestRight: String = null
-      var bestProduct: String = null
-      var i = 0
-      while (i < syms.length - 1) {
-        val rights = table.get(syms(i))
-        if (rights != null) {
-          var j = 0
-          // per-left arrays are rank-ascending: stop at first beating match
-          while (j < rights.length && rights(j)._3 < bestRank) {
-            if (rights(j)._1 == syms(i + 1)) {
-              bestRank = rights(j)._3
-              bestLeft = syms(i)
-              bestRight = rights(j)._1
-              bestProduct = rights(j)._2
-              j = rights.length
-            } else j += 1
-          }
-        }
-        i += 1
-      }
-      if (bestProduct == null) done = true
-      else {
-        // apply ALL occurrences of the winning pair, left to right
-        val next = new Array[String](syms.length)
-        var top = 0
-        var k = 0
-        while (k < syms.length) {
-          if (k < syms.length - 1 && syms(k) == bestLeft &&
-              syms(k + 1) == bestRight) {
-            next(top) = bestProduct
-            top += 1
-            k += 2
-          } else {
-            next(top) = syms(k)
-            top += 1
-            k += 1
-          }
-        }
-        syms = java.util.Arrays.copyOf(next, top)
-        done = syms.length < 2
-      }
-    }
-    syms
-  }
+  private[functions] def encodeWord(word: String): Array[String] =
+    enc.encodeWord(word)
 
   def compute(s: UTF8String): ArrayData = {
     val words = bpe.wsWords(s.toString)
@@ -332,4 +344,81 @@ case class BpeEncodeWords(child: Expression, merges: Seq[(String, String)])
 
   override protected def withNewChildInternal(newChild: Expression): BpeEncodeWords =
     copy(child = newChild)
+}
+
+/** BPE encoding of a document straight to VOCABULARY IDS: `array<long>`,
+  * the flat token-id stream a training pipeline feeds to sequence packing.
+  * Same greedy rank-ordered encoder as [[BpeEncodeWords]], fused with the
+  * subword -> id lookup in one compiled pass — one hash probe per emitted
+  * token, never a vocabulary-sized literal map scanned per lookup
+  * (Catalyst's `GetMapValue` on a map literal is a LINEAR key scan: O(|V|)
+  * per token is the difference between a tokenizer and a grep at corpus
+  * scale).
+  *
+  * Id space (deterministic, [[graft.ops.Bpe.vocab]]): base symbols sorted
+  * ascending get 0..B-1, merge products B+rank (first producing rank wins
+  * when two merges concatenate to the same string). A symbol outside the
+  * vocabulary — a code point unseen when the base set was collected —
+  * encodes as [[BpeTokenIds.UnkId]] (-1); on the training corpus itself
+  * unknowns are impossible by construction, which the `t_bpe_ids` contract
+  * query pins as an in-plan invariant. Map-side only: merges + base ride
+  * the serialized plan (the broadcast-weights discipline of
+  * [[graft.ops.QualityModel]] applies if a vocabulary ever outgrows that). */
+case class BpeTokenIds(child: Expression, merges: Seq[(String, String)],
+                       base: Seq[String])
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.LongType
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "bpe_token_ids"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType || child.dataType == NullType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${child.dataType.simpleString}")
+
+  @transient private lazy val enc = new bpe.GreedyEncoder(merges)
+  @transient private lazy val ids: java.util.HashMap[String, java.lang.Long] = {
+    val t = new java.util.HashMap[String, java.lang.Long]()
+    graft.ops.Bpe.vocabIds(base, merges).foreach { case (tok, id) =>
+      t.put(tok, java.lang.Long.valueOf(id))
+    }
+    t
+  }
+
+  def compute(s: UTF8String): ArrayData = {
+    val words = bpe.wsWords(s.toString)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](words.length * 2)
+    var i = 0
+    while (i < words.length) {
+      val toks = enc.encodeWord(words(i))
+      var j = 0
+      while (j < toks.length) {
+        val id = ids.get(toks(j))
+        out += (if (id == null) BpeTokenIds.UnkId else id.longValue())
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeIds", this, classOf[BpeTokenIds].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ($ref).compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenIds =
+    copy(child = newChild)
+}
+
+object BpeTokenIds {
+  /** Id of a subword outside the vocabulary (its symbol never seen when
+    * the base set was collected). */
+  val UnkId: Long = -1L
 }

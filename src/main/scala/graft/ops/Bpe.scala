@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{AdjacentSymbolPairs, BpeApplyMerges, BpeEncodeWords, CodePointSymbols}
+import graft.functions.{AdjacentSymbolPairs, BpeApplyMerges, BpeEncodeWords, BpeTokenIds, CodePointSymbols}
 import graft.functions.expressions.{asColumn, exprOf}
 
 /** Distributed byte-pair-encoding (BPE) tokenizer training + encoding —
@@ -146,6 +146,81 @@ object Bpe {
     * [[TextAnalysis.subwordCount]]'s fixed regex). */
   def tokenCount(text: Column, merges: Seq[Merge]): Column =
     size(tokens(text, merges))
+
+  /** Distinct single-code-point symbols of the corpus's whitespace words —
+    * the BASE alphabet of the id space. One scan, one distinct shuffle
+    * over code points (result bounded by Unicode itself: at most ~1.1M
+    * rows no matter the corpus size), sorted collect so the id assignment
+    * is deterministic and engine-independent. Collect on the same data
+    * [[train]] builds its word-type table from so [[encodeIds]] of the
+    * training corpus never sees an unknown. */
+  def baseSymbols(df: DataFrame, textCol: String): Seq[String] =
+    df.select(explode(TextAnalysis.wsTokens(col(textCol))).as("w"))
+      .where(length(col("w")) > 0)
+      .select(explode(codePointSymbols(col("w"))).as("s"))
+      .distinct()
+      .orderBy(col("s"))
+      .collect()
+      .map(_.getString(0)).toSeq
+
+  /** The deterministic vocabulary id assignment shared by every id face:
+    * base symbols sorted ascending get 0..B-1, merge products B+rank.
+    * Two merges CAN concatenate to the same product string (("ab","c")
+    * and ("a","bc") both yield "abc"); the encoder emits strings, so the
+    * string keeps ONE id — the first (lowest-rank) producer's. A product
+    * can never collide with a base symbol (products are >= 2 code
+    * points, base symbols exactly 1). */
+  def vocabIds(base: Seq[String], merges: Seq[(String, String)]): Seq[(String, Long)] = {
+    val sorted = base.sorted
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    sorted.zipWithIndex.foreach { case (s, i) => out.getOrElseUpdate(s, i.toLong) }
+    val b = sorted.size.toLong
+    merges.zipWithIndex.foreach { case ((l, r), rank) =>
+      out.getOrElseUpdate(l + r, b + rank)
+    }
+    out.toSeq
+  }
+
+  /** The vocabulary as a DataFrame of (id, token, kind) — the landable
+    * artifact a training run ships beside its packed sequences. `kind` is
+    * 'base' or 'merge'; duplicate product strings keep their first
+    * producer's id, so `token` is unique (the id sequence may have gaps
+    * where a later merge re-produced an existing string). */
+  def vocabDf(spark: SparkSession, base: Seq[String], merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    val b = base.size.toLong
+    vocabIds(base, merges.sortBy(_.rank).map(m => (m.left, m.right)))
+      .map { case (tok, id) => (id, tok, if (id < b) "base" else "merge") }
+      .toDF("id", "token", "kind")
+  }
+
+  /** Encode a text column straight to vocabulary ids: `array<long>`, the
+    * flat per-document token-id stream (word boundaries consumed — this is
+    * the packing/training face; use [[encode]] where subword text
+    * matters). Compiled single pass, one hash probe per token; unknown
+    * symbols (code points unseen in `base`) encode as -1
+    * ([[graft.functions.BpeTokenIds.UnkId]]). */
+  def encodeIds(text: Column, merges: Seq[Merge], base: Seq[String]): Column =
+    asColumn(BpeTokenIds(exprOf(text),
+      merges.sortBy(_.rank).map(m => (m.left, m.right)), base))
+
+  /** The terminal stage of the text side of a training-data pipeline:
+    * tokenize to learned-subword ids and assign every document its
+    * (shard, seq_idx, offset_in_seq) position in fixed-`seqLen` packed
+    * training sequences — [[encode]]'s compiled map-side pass composed
+    * with [[Chunking.packSequences]]'s one-shuffle sharded running sum.
+    * Tokenless documents (empty/whitespace text) are DROPPED — they carry
+    * zero weight, and a zero-weight row would silently share the offset of
+    * its successor. Output: (idCol, ids, n_tokens, shard, seq_idx,
+    * offset_in_seq). */
+  def tokenizeAndPack(df: DataFrame, textCol: String, idCol: String,
+                      merges: Seq[Merge], base: Seq[String], seqLen: Long,
+                      numShards: Int, salt: String = "graft"): DataFrame = {
+    val ids = df.select(col(idCol), encodeIds(col(textCol), merges, base).as("ids"))
+      .withColumn("n_tokens", size(col("ids")).cast("long"))
+      .where(col("n_tokens") > 0)
+    Chunking.packSequences(ids, "n_tokens", idCol, seqLen, numShards, salt)
+  }
 
   /** Per-document tokenizer fertility: learned-subword count next to
     * whitespace word count and char count, plus subwords-per-word — the
