@@ -1,0 +1,42 @@
+package graft
+
+/** Dev scaling probe for BPE training (`runMain graft.BpeBench <sfDir>
+  * [numMerges] [batchSize]`): times ONE cold `Bpe.train` (no per-JVM
+  * cache — the thing [[BenchOne]] cannot see, since the contract queries
+  * share the trained table via `SparkEntry`'s ensure cache) plus one
+  * encode+count pass over the corpus with the fresh merges. Run it fresh-
+  * JVM per tier to read the decade scaling: the corpus scan is the linear
+  * term; every iteration after it works on the word-TYPE table, which
+  * Heaps' law keeps sublinear in corpus size. */
+object BpeBench {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: BpeBench <sfDir> [numMerges] [batchSize]")
+    val sfDir = args(0)
+    val numMerges = if (args.length > 1) args(1).toInt else 64
+    val batchSize = if (args.length > 2) args(2).toInt else 32
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.local(cpus, "plateauspark-bpebench")
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // untimed: fault the corpus into the page cache so train's first scan
+    // times the scan, not the disk
+    val nDocs = docs.count()
+    // word-type table size — the quantity Heaps' law bounds, the reading
+    // that explains why train time flattens across decades
+    val nTypes = docs
+      .select(explode(graft.ops.TextAnalysis.wsTokens(col("text"))).as("w"))
+      .where(length(col("w")) > 0).select("w").distinct().count()
+    val t0 = System.nanoTime()
+    val ms = graft.ops.Bpe.train(docs, "text", numMerges, batchSize)
+    val trainSec = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val toks = docs.select(
+        sum(graft.ops.Bpe.tokenCount(col("text"), ms)).as("n"))
+      .head().getLong(0)
+    val encodeSec = (System.nanoTime() - t1) / 1e9
+    println(f"BPEBENCH $sfDir docs=$nDocs wordTypes=$nTypes merges=${ms.size} " +
+      f"train=$trainSec%.2f s encode=$encodeSec%.2f s tokens=$toks")
+    spark.stop()
+  }
+}

@@ -1225,6 +1225,24 @@ object SparkEntry {
         rd(s, dir, "documents").select("doc_id", "n_chars"),
         "n_chars", "doc_id", seqLen = 4096L, numShards = 8)),
 
+    // whole-document best-fit-decreasing bin packing — the fewer-
+    // truncations layout next to u_pack_sequences' concat-and-cut. Rows-
+    // only (BFD is stateful, not SQL-expressible); BinPack tests pin a
+    // local reference equality, and the stats face beside it carries the
+    // packing invariants in its row values (fill <= capacity on every
+    // non-overflow bin, overflow bins singletons)
+    "u_bin_pack" -> ((s, dir) =>
+      graft.ops.Chunking.packBinsBFD(
+        rd(s, dir, "documents").select("doc_id", "n_chars"),
+        "n_chars", "doc_id", capacity = 4096L, numShards = 8)),
+
+    "u_bin_pack_stats" -> ((s, dir) =>
+      graft.ops.Chunking.binStats(
+        graft.ops.Chunking.packBinsBFD(
+          rd(s, dir, "documents").select("doc_id", "n_chars"),
+          "n_chars", "doc_id", capacity = 4096L, numShards = 8),
+        capacity = 4096L)),
+
     // incremental dedup: the 'src0' slice arrives as a new batch and is
     // probed against the persisted signature index of everything landed
     // before it (bucket-pruned read, signature-estimated jaccard)

@@ -104,6 +104,121 @@ object Chunking {
         (col("__before") % lit(seqLen)).cast("long").as("offset_in_seq")): _*)
   }
 
+  /** Whole-document bin packing, best-fit-decreasing — the FEWER-TRUNCATIONS
+    * alternative to [[packSequences]]: concat-and-cut splits ~one document
+    * per sequence boundary, while BFD places each document WHOLE into the
+    * open bin with the least remaining capacity that still fits (new bin if
+    * none), so no document is ever cut and padding is what BFD makes it
+    * (≤ 11/9·OPT + 4 bins, the classic guarantee).
+    *
+    * Scale design: BFD is inherently stateful, so it runs per SHARD —
+    * membership and order derived from the same portable md5 key family as
+    * [[packSequences]] (own salt domain `graft.bin:`). ONE shuffle of a
+    * 3-column SKELETON (id, weight, hash) — never the payload; the caller
+    * joins the returned assignment back by id. Within a shard the skeleton
+    * is materialized and sorted weight-desc (tie-break hash then id-string,
+    * fully deterministic) and packed with a TreeMap best-fit in
+    * O(n log n); size `numShards` to cluster parallelism so a shard's
+    * skeleton (~tens of bytes/doc) fits an executor. The only cross-shard
+    * waste is each shard's partial tail bins.
+    *
+    * Rows with weight <= 0 are DROPPED (a tokenless doc occupies no bin);
+    * a row with weight > capacity gets a bin of its own flagged
+    * `overflow=true` — flagged, not truncated or failed, because the
+    * downstream truncation policy is the trainer's choice, not the
+    * packer's. Output: (idCol, weight, shard, bin_idx, pos_in_bin,
+    * overflow); bin_idx is dense per shard in bin-creation order. */
+  def packBinsBFD(df: DataFrame, weightCol: String, idCol: String,
+                  capacity: Long, numShards: Int,
+                  salt: String = "graft"): DataFrame = {
+    require(capacity > 0, s"capacity must be positive (got $capacity)")
+    require(numShards > 0, s"numShards must be positive (got $numShards)")
+    val spark = df.sparkSession
+    val h = md5(concat(lit(Sampling.BinDomain + salt),
+      col(idCol).cast("string")))
+    val idType = df.schema(idCol).dataType
+    val skel = df
+      .where(col(weightCol) > 0)
+      .select(col(idCol), col(weightCol).cast("long").as("__w"), h.as("__h"),
+        pmod(conv(substring(h, 1, 13), 16, 10).cast("long"),
+          lit(numShards.toLong)).as("__shard"),
+        col(idCol).cast("string").as("__ids"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(idCol, idType),
+      org.apache.spark.sql.types.StructField("weight",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("shard",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("bin_idx",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("pos_in_bin",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("overflow",
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+    import org.apache.spark.sql.{Encoders, Row}
+    skel.groupByKey(_.getLong(3))(Encoders.scalaLong)
+      .flatMapGroups { (shard: Long, it: Iterator[Row]) =>
+        // the shard's skeleton, weight-desc with a total deterministic order
+        val rows = it.toArray
+        java.util.Arrays.sort(rows, (a: Row, b: Row) => {
+          val c1 = java.lang.Long.compare(b.getLong(1), a.getLong(1))
+          if (c1 != 0) c1
+          else {
+            val c2 = a.getString(2).compareTo(b.getString(2))
+            if (c2 != 0) c2 else a.getString(4).compareTo(b.getString(4))
+          }
+        })
+        // remaining capacity -> open bin indices: ceilingEntry(w) IS best
+        // fit (smallest remaining that still fits); equal-remaining ties go
+        // to the LOWEST bin index (a sorted set, not insertion order — the
+        // contract a local reference can reproduce without replaying queue
+        // history)
+        val open = new java.util.TreeMap[Long, java.util.TreeSet[Long]]()
+        val fill = scala.collection.mutable.ArrayBuffer.empty[Long] // items per bin
+        var nBins = 0L
+        rows.iterator.map { r =>
+          val w = r.getLong(1)
+          val (bin, overflow) =
+            if (w > capacity) { // own, never-reopened bin
+              val b = nBins; nBins += 1; fill += 0L
+              (b, true)
+            } else {
+              val e = open.ceilingEntry(w)
+              val b =
+                if (e == null) { val nb = nBins; nBins += 1; fill += 0L; nb }
+                else {
+                  val q = e.getValue
+                  val nb = q.pollFirst()
+                  if (q.isEmpty) open.remove(e.getKey)
+                  nb
+                }
+              val rem = (if (e == null) capacity else e.getKey) - w
+              if (rem > 0) // a full bin can't fit any weight >= 1: drop it
+                open.computeIfAbsent(rem, _ => new java.util.TreeSet[Long]())
+                  .add(b)
+              (b, false)
+            }
+          val pos = fill(bin.toInt)
+          fill(bin.toInt) = pos + 1
+          Row(r.get(0), w, shard, bin, pos, overflow)
+        }
+      }(Encoders.row(outSchema))
+      .toDF()
+  }
+
+  /** Per-bin face of [[packBinsBFD]]'s assignment: (shard, bin_idx) ->
+    * n_items, fill, utilization, overflow — the packing-quality audit
+    * (every non-overflow fill <= capacity by construction; utilization is
+    * what BFD is chosen FOR). */
+  def binStats(assignment: DataFrame, capacity: Long): DataFrame = {
+    require(capacity > 0, s"capacity must be positive (got $capacity)")
+    assignment.groupBy("shard", "bin_idx")
+      .agg(count(lit(1)).as("n_items"), sum("weight").as("fill"),
+        max(col("overflow")).as("overflow"))
+      .withColumn("utilization",
+        round(col("fill").cast("double") / capacity, 6))
+  }
+
   /** Character-window chunks (byte-budget shaping for tokenizer-free
     * pipelines): same overlap contract over characters; empty/null text
     * yields no rows (length 0 => no chunk indices). */

@@ -35,6 +35,7 @@ object Sampling {
   private[graft] val KpgDomain    = "graft.kpg:"
   private[graft] val ShufDomain   = "graft.shuf:"
   private[graft] val PackDomain   = "graft.pack:"
+  private[graft] val BinDomain    = "graft.bin:"
   private[graft] val DetDomain    = "graft.det:"
   private[graft] val SplitDomain  = "graft.split:"
 

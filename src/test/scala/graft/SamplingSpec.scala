@@ -116,6 +116,105 @@ class SamplingSpec extends SparkSpec {
       r.getAs[Long]("seq_idx"), r.getAs[Long]("offset_in_seq"))).toSet)
   }
 
+  /** Local reference BFD with the same deterministic order/tie-breaks:
+    * ground truth for the single-shard equality test. */
+  private def referenceBFD(items: Seq[(String, Long)], capacity: Long)
+      : Map[String, (Long, Long, Boolean)] = {
+    // items pre-sorted by (weight desc, md5 hash asc, id asc) by the caller
+    val out = scala.collection.mutable.Map.empty[String, (Long, Long, Boolean)]
+    val rem = scala.collection.mutable.ArrayBuffer.empty[Long]  // per bin
+    val cnt = scala.collection.mutable.ArrayBuffer.empty[Long]
+    items.foreach { case (id, w) =>
+      if (w > capacity) {
+        rem += -1L; cnt += 1L  // closed overflow bin
+        out(id) = ((rem.size - 1).toLong, 0L, true)
+      } else {
+        // best fit: smallest remaining >= w; FIFO tie = lowest bin index
+        var best = -1
+        var i = 0
+        while (i < rem.size) {
+          if (rem(i) >= w && (best < 0 || rem(i) < rem(best))) best = i
+          i += 1
+        }
+        if (best < 0) { rem += capacity; cnt += 0L; best = rem.size - 1 }
+        out(id) = (best.toLong, cnt(best), false)
+        rem(best) -= w; cnt(best) += 1
+      }
+    }
+    out.toMap
+  }
+
+  test("packBinsBFD: single shard equals the local reference, bins dense, no overfill") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val items = (0 until 300).map(i => (s"d$i", 1L + rnd.nextInt(200).toLong))
+    val df = items.toDF("id", "w")
+    val got = Chunking.packBinsBFD(df, "w", "id", capacity = 128L, numShards = 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(3), r.getLong(4), r.getBoolean(5)), r.getLong(1))).toMap
+    // reference consumes the same deterministic order the op sorts into
+    def h(id: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest((graft.ops.Sampling.BinDomain + "graft" + id).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val ordered = items.sortBy { case (id, w) => (-w, h(id), id) }
+    val want = referenceBFD(ordered, 128L)
+    assert(got.size === items.size)
+    items.foreach { case (id, w) =>
+      assert(got(id)._2 === w)
+      assert(got(id)._1 === want(id), s"assignment of $id")
+    }
+    // no overfill, dense bins, dense positions
+    val stats = Chunking.binStats(
+      Chunking.packBinsBFD(df, "w", "id", 128L, 1), 128L).collect()
+    stats.foreach { r =>
+      if (!r.getBoolean(4)) assert(r.getLong(3) <= 128L, s"overfull bin $r")
+      else assert(r.getLong(2) === 1L, "overflow bins are singletons")
+    }
+    assert(stats.map(_.getLong(1)).sorted === (0L until stats.length.toLong).toArray)
+  }
+
+  test("packBinsBFD: multi-shard coverage, determinism, overflow flag, weight<=0 drop") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val items = (0 until 500).map(i => (s"x$i",
+      if (i % 97 == 0) 0L else if (i % 131 == 0) 1000L else 1L + rnd.nextInt(300).toLong))
+    val df = items.toDF("id", "w")
+    val packed = Chunking.packBinsBFD(df, "w", "id", capacity = 256L, numShards = 4)
+    val rows = packed.collect()
+    val kept = items.filter(_._2 > 0)
+    // exact coverage of positive-weight rows, each exactly once
+    assert(rows.map(_.getString(0)).sorted === kept.map(_._1).sorted.toArray)
+    // overflow iff weight > capacity; overflow bins are singletons
+    val byBin = rows.groupBy(r => (r.getLong(2), r.getLong(3)))
+    rows.foreach { r =>
+      assert(r.getBoolean(5) === (r.getLong(1) > 256L), r.toString)
+      if (r.getBoolean(5)) assert(byBin((r.getLong(2), r.getLong(3))).length === 1)
+    }
+    // no non-overflow bin overfull; positions dense within each bin
+    byBin.foreach { case ((_, _), members) =>
+      if (!members.head.getBoolean(5))
+        assert(members.map(_.getLong(1)).sum <= 256L)
+      assert(members.map(_.getLong(4)).sorted === (0L until members.length.toLong).toArray)
+    }
+    // bins can't beat the volume lower bound per shard
+    rows.groupBy(_.getLong(2)).foreach { case (_, ms) =>
+      val fitting = ms.filter(!_.getBoolean(5))
+      val nBins = fitting.map(_.getLong(3)).distinct.length.toLong
+      assert(nBins >= (fitting.map(_.getLong(1)).sum + 255L) / 256L)
+    }
+    // input partitioning must not change the assignment
+    val again = Chunking.packBinsBFD(df.repartition(7), "w", "id", 256L, 4)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    rows.foreach { r =>
+      assert(again(r.getString(0)) === ((r.getLong(2), r.getLong(3), r.getLong(4))))
+    }
+    // empty input: empty assignment with the full schema
+    val empty = Chunking.packBinsBFD(Seq.empty[(String, Long)].toDF("id", "w"),
+      "w", "id", 256L, 4)
+    assert(empty.columns === Array("id", "weight", "shard", "bin_idx", "pos_in_bin", "overflow"))
+    assert(empty.count() === 0L)
+  }
+
   test("shuffleShards: a deterministic permutation, dense per shard") {
     import spark.implicits._
     val df = (1L to 500L).toDF("id")
