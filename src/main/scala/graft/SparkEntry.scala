@@ -1218,6 +1218,17 @@ object SparkEntry {
         rd(s, dir, "documents").select("doc_id", "source"),
         "source", "doc_id", Map("src0" -> 4.0))),
 
+    // DSIR-style importance resampling: Gumbel top-k under a portable
+    // uniform, k=200 of the corpus weighted by ln(n_chars+1). Only the
+    // ROUNDED ranking key is emitted (the raw ln weight differs across
+    // libm implementations in the last ulp — the bigramLogProb contract)
+    "u_importance_resample" -> ((s, dir) =>
+      graft.ops.Sampling.importanceResample(
+          rd(s, dir, "documents").select(col("doc_id"),
+            log(col("n_chars").cast("double") + 1).as("logw")),
+          "logw", "doc_id", k = 200)
+        .select("doc_id", "gumbel_key")),
+
     // sequence packing: deterministic md5 order, sharded running sum,
     // cut every 4096 weight units
     "u_pack_sequences" -> ((s, dir) =>
@@ -2395,6 +2406,19 @@ object SparkEntry {
                (CASE WHEN d.source = 'src0' THEN 4.0 ELSE 1.0 END),
                6) AS mix_order
            FROM documents d JOIN t ON d.source IS NOT DISTINCT FROM t.src""",
+      // Gumbel top-k importance resample: same portable uniform, same
+      // Gumbel perturbation, same 6-decimal rounding and id tie-break —
+      // the selection is exactly reproducible outside Spark
+      "u_importance_resample" ->
+        """SELECT doc_id,
+             round(ln(CAST(n_chars AS DOUBLE) + 1) -
+               ln(-ln((CAST(concat('0x',
+                   substr(md5('graft.gum:graft' || CAST(doc_id AS VARCHAR)), 1, 13))
+                 AS BIGINT) + 0.5) / 4503599627370496.0)), 6) AS gumbel_key
+           FROM documents
+           WHERE doc_id IS NOT NULL
+           ORDER BY gumbel_key DESC, doc_id
+           LIMIT 200""",
       // sequence packing: md5-ordered concat-and-cut per md5-derived shard
       "u_pack_sequences" ->
         """WITH x AS (

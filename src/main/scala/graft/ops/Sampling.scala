@@ -36,6 +36,7 @@ object Sampling {
   private[graft] val ShufDomain   = "graft.shuf:"
   private[graft] val PackDomain   = "graft.pack:"
   private[graft] val BinDomain    = "graft.bin:"
+  private[graft] val GumDomain    = "graft.gum:"
   private[graft] val DetDomain    = "graft.det:"
   private[graft] val SplitDomain  = "graft.split:"
 
@@ -273,6 +274,47 @@ object Sampling {
     df.join(broadcast(totals), col(sourceCol) <=> col("__src"))
       .withColumn("mix_order", round(u * col("__n") / w, 6))
       .drop("__src", "__n")
+  }
+
+  /** Importance resampling (the DSIR shape, Xie et al. 2023: "Data
+    * Selection for Language Models via Importance Resampling"): draw `k`
+    * documents WITHOUT replacement with probability ∝ exp(logWeightCol)
+    * via the Gumbel top-k trick — rank by `logw + Gumbel(u)` where the
+    * Gumbel noise `-ln(-ln(u))` comes from the portable 52-bit uniform
+    * under its own salt domain (`graft.gum:` — composes independently
+    * with every upstream sampler, the [[Sampling]] composition contract).
+    * The caller supplies the log importance weight; the canonical DSIR
+    * weight is a cross-corpus LM ratio, e.g.
+    * `bigramLogProbAgainst(target) - bigramLogProbAgainst(raw)` from
+    * [[TextAnalysis]].
+    *
+    * Deterministic AND engine-portable: the ranking key is rounded to 6
+    * decimals (the [[TextAnalysis.bigramLogProb]] contract — ln differs
+    * across libm implementations past that) and ties break on id, so an
+    * external SQL engine reproduces the exact selection. Returns the
+    * input rows that win, plus `gumbel_key`, ordered key-desc.
+    *
+    * Scale: one narrow projection + global top-k (per-partition partial
+    * top-k, single merge of numPartitions*k skeletons —
+    * TakeOrderedAndProject, never a full sort/shuffle). `k` is a result
+    * size, so keep it driver-mergeable (10^6s, not 10^8s); for a FRACTION
+    * at corpus scale, cut at a [[quantileBand]]-style approximate
+    * threshold on the same key instead. Null ids and null log weights are
+    * dropped (no uniform / no weight to rank by). */
+  def importanceResample(df: DataFrame, logWeightCol: String, idCol: String,
+                         k: Int, salt: String = "graft"): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    require(!df.columns.contains("gumbel_key"),
+      "input already has a 'gumbel_key' column; rename it before importanceResample")
+    // +0.5 keeps u strictly inside (0,1) — u=0 would make the inner ln
+    // blow up — while staying exact in a double (52-bit numerator)
+    val u = (conv(portableHashKey(col(idCol), salt, GumDomain), 16, 10)
+      .cast("double") + lit(0.5)) / lit(PortableOne.toDouble)
+    df.where(col(idCol).isNotNull && col(logWeightCol).isNotNull)
+      .withColumn("gumbel_key",
+        round(col(logWeightCol) - log(-log(u)), 6))
+      .orderBy(col("gumbel_key").desc, col(idCol))
+      .limit(k)
   }
 
   /** Keep rows whose `valueCol` lies inside the [lo, hi] QUANTILE band of

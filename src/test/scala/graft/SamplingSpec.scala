@@ -215,6 +215,41 @@ class SamplingSpec extends SparkSpec {
     assert(empty.count() === 0L)
   }
 
+  test("importanceResample: exact Gumbel top-k membership, weight monotonicity, null drop") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val items = (0 until 400).map(i => (s"r$i", rnd.nextDouble() * 10 - 5)) ++
+      Seq((null.asInstanceOf[String], 99.0))
+    val df = items.toDF("id", "logw")
+    val got = Sampling.importanceResample(df, "logw", "id", k = 50)
+      .select("id", "gumbel_key").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    assert(got.length === 50)
+    assert(!got.map(_._1).contains(null)) // null id dropped despite huge weight
+    // local reference: same portable uniform -> Gumbel -> rounded key
+    def key(id: String, logw: Double): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest((graft.ops.Sampling.GumDomain + "graft" + id).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 13)
+      val u = (java.lang.Long.parseLong(h, 16) + 0.5) / 4503599627370496.0
+      BigDecimal(logw - math.log(-math.log(u)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = items.collect { case (id, w) if id != null => id -> key(id, w) }
+      .sortBy { case (id, k2) => (-k2, id) }.take(50)
+    assert(got.toSeq === want.toSeq)
+    // resampling is weight-responsive: shifting one row's logw way up
+    // pulls it in, way down pushes it out
+    val boosted = Sampling.importanceResample(
+      df.withColumn("logw", when(col("id") === "r7", lit(50.0)).otherwise(col("logw"))),
+      "logw", "id", 50).select("id").as[String].collect()
+    assert(boosted.contains("r7"))
+    val sunk = Sampling.importanceResample(
+      df.withColumn("logw", when(col("id") === boosted.head, lit(-1e6)).otherwise(col("logw"))),
+      "logw", "id", 50).select("id").as[String].collect()
+    assert(!sunk.contains(boosted.head))
+  }
+
   test("shuffleShards: a deterministic permutation, dense per shard") {
     import spark.implicits._
     val df = (1L to 500L).toDF("id")
