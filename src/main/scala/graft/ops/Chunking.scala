@@ -122,8 +122,11 @@ object Chunking {
     * skeleton (~tens of bytes/doc) fits an executor. The only cross-shard
     * waste is each shard's partial tail bins.
     *
-    * Rows with weight <= 0 are DROPPED (a tokenless doc occupies no bin);
-    * a row with weight > capacity gets a bin of its own flagged
+    * Rows with weight <= 0 are DROPPED (a tokenless doc occupies no bin),
+    * and so are rows with a NULL id — they have no portable hash (no
+    * shard, no deterministic order) and could never be joined back by id;
+    * silently NPE-ing inside the shard task would be the alternative.
+    * A row with weight > capacity gets a bin of its own flagged
     * `overflow=true` — flagged, not truncated or failed, because the
     * downstream truncation policy is the trainer's choice, not the
     * packer's. Output: (idCol, weight, shard, bin_idx, pos_in_bin,
@@ -138,7 +141,7 @@ object Chunking {
       col(idCol).cast("string")))
     val idType = df.schema(idCol).dataType
     val skel = df
-      .where(col(weightCol) > 0)
+      .where(col(weightCol) > 0 && col(idCol).isNotNull)
       .select(col(idCol), col(weightCol).cast("long").as("__w"), h.as("__h"),
         pmod(conv(substring(h, 1, 13), 16, 10).cast("long"),
           lit(numShards.toLong)).as("__shard"),

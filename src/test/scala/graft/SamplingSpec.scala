@@ -208,6 +208,10 @@ class SamplingSpec extends SparkSpec {
     rows.foreach { r =>
       assert(again(r.getString(0)) === ((r.getLong(2), r.getLong(3), r.getLong(4))))
     }
+    // null ids are dropped (no portable hash, no join-back), not NPE'd
+    val withNull = (items :+ (null.asInstanceOf[String], 42L)).toDF("id", "w")
+    assert(Chunking.packBinsBFD(withNull, "w", "id", 256L, 4).count() ===
+      kept.size.toLong)
     // empty input: empty assignment with the full schema
     val empty = Chunking.packBinsBFD(Seq.empty[(String, Long)].toDF("id", "w"),
       "w", "id", 256L, 4)
