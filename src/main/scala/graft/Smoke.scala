@@ -211,6 +211,17 @@ object Smoke {
     println(s"== temperature mix tau=0.5: " +
       graft.ops.Sampling.temperatureSample(docs.select("doc_id", "lang", "n_chars"),
         "lang", "n_chars", "doc_id", 0.5, 20000L).count() + " docs sampled")
+    // whole-doc BFD packing + DSIR resample: the two r10 curation closers
+    val binned = graft.ops.Chunking.binStats(
+      graft.ops.Chunking.packBinsBFD(docs.select("doc_id", "n_chars"),
+        "n_chars", "doc_id", capacity = 4096L, numShards = 4), 4096L)
+    val overfull = binned.where(!col("overflow") && col("fill") > 4096L).count()
+    println(s"${if (overfull == 0) "==" else "!!"} bfd bins: ${binned.count()}, " +
+      s"overfull non-overflow: $overfull")
+    println(s"== dsir top-50 by ln(n_chars+1): " +
+      graft.ops.Sampling.importanceResample(
+        docs.select(col("doc_id"), log(col("n_chars") + 1).as("logw")),
+        "logw", "doc_id", 50).count() + " docs")
     graft.ops.SeenSet.seenIndex(spark, store, "smoke_su_idx",
       docs.where(col("doc_id") % 2 === 0), "text", "doc_id",
       numBuckets = 8, overwrite = true)

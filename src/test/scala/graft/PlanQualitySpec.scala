@@ -36,6 +36,16 @@ class PlanQualitySpec extends SparkSpec {
       plan.take(2000))
   }
 
+  test("u_importance_resample: global top-k is TakeOrdered, never a full sort; scan prunes to 2 columns") {
+    val plan = SparkEntry.queries("u_importance_resample")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // per-partition partial top-k + single merge — a full Sort exchange on
+    // the corpus would serialize 100 TB through one ordering
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("Exchange rangepartitioning"), plan.take(2000))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,n_chars:"), plan.take(2000))
+  }
+
   test("q1: aggregation is partial (map-side combine) before the exchange") {
     val plan = SparkEntry.queries("q1_agg")(spark, dir)
       .queryExecution.executedPlan.toString
