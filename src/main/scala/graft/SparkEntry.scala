@@ -761,6 +761,17 @@ object SparkEntry {
       rd(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))),
 
+    // CCNet-style per-group bucketing: each language's docs labeled
+    // head/middle/tail by per-language quality-score terciles (the exact
+    // percentile face — cuts are one broadcast row per language, the
+    // corpus never shuffles)
+    "t_quality_buckets" -> ((s, dir) =>
+      graft.ops.Sampling.quantileBuckets(
+        rd(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextAnalysis.qualityScore(col("text")).as("quality")),
+        "quality", "lang")),
+
     // --- text analysis: positional token fingerprint
     "t_fingerprint" -> ((s, dir) => {
       val toks = TextAnalysis.wsTokens(lower(col("text")))
@@ -2043,6 +2054,29 @@ object SparkEntry {
               + (1.0 - least(($punct) * 5.0, 1.0))
               + least(($stop) * 4.0, 1.0)) / 3.0, 6) AS quality
             FROM documents"""
+      },
+      "t_quality_buckets" -> {
+        val punct = """CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\-]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)"""
+        val stop = """CAST(len(list_filter(string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+'), x -> x IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE) / greatest(len(string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+')), 1)"""
+        // same score mirror as t_quality; cuts via quantile_cont (linear
+        // interpolation, the Spark `percentile` contract); ties bucket DOWN
+        s"""WITH q AS (
+              SELECT doc_id, lang, round((
+                least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+                + (1.0 - least(($punct) * 5.0, 1.0))
+                + least(($stop) * 4.0, 1.0)) / 3.0, 6) AS quality
+              FROM documents),
+            c AS (
+              SELECT lang AS grp,
+                quantile_cont(quality, 0.3333333333333333) AS c0,
+                quantile_cont(quality, 0.6666666666666666) AS c1
+              FROM q GROUP BY lang)
+            SELECT q.doc_id, q.lang, q.quality,
+              CASE WHEN q.quality IS NULL THEN NULL
+                   WHEN q.quality <= c.c0 THEN 'tail'
+                   WHEN q.quality <= c.c1 THEN 'middle'
+                   ELSE 'head' END AS bucket
+            FROM q JOIN c ON q.lang IS NOT DISTINCT FROM c.grp"""
       },
       "a_profile" ->
         """SELECT 'doc_id' AS "column", count(doc_id) AS n_nonnull,

@@ -355,6 +355,58 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** Per-group quantile bucket labels — the CCNet move (Wenzek et al.
+    * 2020): split each language's documents into head/middle/tail by
+    * per-language perplexity terciles, then train mostly on the head.
+    * Score-agnostic: pass `avg_bigram_logp` from
+    * [[TextAnalysis.bigramLogProbAgainst]] for the CCNet composition
+    * (HIGHER logprob = LOWER perplexity = head), a quality score, a
+    * fertility — any per-row double.
+    *
+    * `cuts` are ascending quantiles splitting each group into
+    * `cuts.size + 1` buckets; `labels(i)` names the i-th bucket ASCENDING
+    * BY VALUE (default tail < middle < head at terciles). A row's bucket
+    * is the first cut its value is <= (ties go DOWN — the value AT the
+    * i-th cut is still bucket i, matching `quantileBand`'s inclusive
+    * band). Rows with a null value keep a NULL bucket (they have no rank;
+    * dropping is the caller's policy, not the labeler's); a null group is
+    * a group of its own (null-safe join, the [[mixtureOrder]] contract).
+    *
+    * Same two faces as [[quantileBand]]: `exact = true` uses `percentile`
+    * (linear interpolation, identical to DuckDB `quantile_cont` — the
+    * oracle face; buffers each GROUP's values, fine up to millions per
+    * group); `exact = false` uses t-digest `approx_percentile` — the
+    * 100 TB face. Either way the cutoffs are one GROUP-COUNT-sized
+    * broadcast joined back onto the scan: the corpus never shuffles. */
+  def quantileBuckets(df: DataFrame, valueCol: String, groupCol: String,
+                      cuts: Seq[Double] = Seq(1.0 / 3, 2.0 / 3),
+                      labels: Seq[String] = Seq("tail", "middle", "head"),
+                      bucketCol: String = "bucket",
+                      exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
+    require(cuts.nonEmpty && cuts == cuts.sorted && cuts.forall(q => q > 0 && q < 1),
+      s"cuts must be ascending quantiles strictly inside (0,1), got $cuts")
+    require(labels.size == cuts.size + 1,
+      s"need ${cuts.size + 1} labels for ${cuts.size} cuts, got ${labels.size}")
+    require(labels.distinct.size == labels.size, s"duplicate labels: $labels")
+    require(!df.columns.contains(bucketCol),
+      s"input already has a '$bucketCol' column; rename it before quantileBuckets")
+    val cutAggs = cuts.zipWithIndex.map { case (q, i) =>
+      (if (exact) percentile(col(valueCol), lit(q))
+       else approx_percentile(col(valueCol), lit(q), lit(accuracy))
+         .cast("double")).as(s"__c$i")
+    }
+    val grouped = df.groupBy(col(groupCol).as("__grp"))
+      .agg(cutAggs.head, cutAggs.tail: _*)
+    // first cut the value is <= wins, ascending — ties bucket DOWN
+    val bucket = cuts.indices.foldRight(
+        when(col(valueCol).isNotNull, lit(labels.last))) { (i, acc) =>
+      when(col(valueCol) <= col(s"__c$i"), lit(labels(i))).otherwise(acc)
+    }
+    df.join(broadcast(grouped), col(groupCol) <=> col("__grp"))
+      .withColumn(bucketCol, bucket)
+      .drop(("__grp" +: cuts.indices.map(i => s"__c$i")): _*)
+  }
+
   /** Deterministic, engine-portable GLOBAL shuffle + sharding — the
     * training-order operator: epoch order must be pseudo-random yet exactly
     * reproducible (resume a crashed run mid-epoch, audit which shard a

@@ -219,6 +219,46 @@ class SamplingSpec extends SparkSpec {
     assert(empty.count() === 0L)
   }
 
+  test("quantileBuckets: per-group terciles, tie-down, null value/group handling, approx face") {
+    import spark.implicits._
+    // group a: values 1..9 -> cuts at ~3.67/6.33: 1-3 tail, 4-6 middle, 7-9 head
+    // group b: constant 5 -> cuts collapse, everything <= c0 -> tail
+    // null group: a real group of its own; null value: null bucket
+    def jd(v: Double): java.lang.Double = java.lang.Double.valueOf(v)
+    val df = ((1 to 9).map(v => ("a", s"a$v", jd(v.toDouble))) ++
+      (1 to 4).map(v => ("b", s"b$v", jd(5.0))) ++
+      Seq(("c", "cnull", null.asInstanceOf[java.lang.Double]),
+          (null.asInstanceOf[String], "n1", jd(1.0)),
+          (null.asInstanceOf[String], "n2", jd(2.0)),
+          (null.asInstanceOf[String], "n3", jd(3.0))))
+      .toDF("grp", "id", "v")
+    val got = Sampling.quantileBuckets(df, "v", "grp")
+      .select("id", "bucket").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got.size === df.count())
+    (1 to 3).foreach(v => assert(got(s"a$v") === "tail", s"a$v"))
+    (4 to 6).foreach(v => assert(got(s"a$v") === "middle", s"a$v"))
+    (7 to 9).foreach(v => assert(got(s"a$v") === "head", s"a$v"))
+    (1 to 4).foreach(v => assert(got(s"b$v") === "tail", "collapsed cuts tie down"))
+    assert(got("cnull") === null)
+    assert(got("n1") === "tail" && got("n2") === "middle" && got("n3") === "head")
+    // custom cuts/labels and the approx face agree on well-separated data
+    val quart = Sampling.quantileBuckets(df.where(col("grp") === "a"), "v", "grp",
+      cuts = Seq(0.25, 0.5, 0.75), labels = Seq("q1", "q2", "q3", "q4"))
+      .select("id", "bucket").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(quart("a1") === "q1" && quart("a9") === "q4")
+    val approx = Sampling.quantileBuckets(df, "v", "grp", exact = false)
+      .select("id", "bucket").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(approx === got)
+    // guard rails
+    intercept[IllegalArgumentException] {
+      Sampling.quantileBuckets(df, "v", "grp", cuts = Seq(0.5), labels = Seq("x"))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.quantileBuckets(df.withColumnRenamed("id", "bucket"), "v", "grp")
+    }
+  }
+
   test("importanceResample: exact Gumbel top-k membership, weight monotonicity, null drop") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
