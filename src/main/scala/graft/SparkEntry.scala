@@ -1320,6 +1320,22 @@ object SparkEntry {
           sampleFraction = 0.9))
         .select(col("doc_id"), round(col("__quality"), 6).as("quality"), col("__lang"))),
 
+    // the one-call corpus -> packed-token-sequences pipeline: curate ->
+    // BPE train on survivors -> encode to ids -> whole-doc BFD packing.
+    // Rows-only (every stage oracle-checked or guarded on its own face:
+    // curate <- d_curate, encode <- t_bpe_roundtrip, packing <- the
+    // u_bin_pack reference-equality + invariants — the d_curate
+    // composite discipline)
+    "t_prepare_training" -> ((s, dir) => {
+      val (packed, _, _) = graft.ops.Curate.prepareTrainingData(
+        rd(s, dir, "documents"), "text", "doc_id",
+        graft.ops.Curate.CurateConfig(minQuality = 0.2, nearDupThreshold = 0.5,
+          sampleFraction = 0.9),
+        numMerges = 64, batchSize = 32, seqLen = 512L, numShards = 8)
+      packed.select("doc_id", "n_tokens", "shard", "bin_idx", "pos_in_bin",
+        "overflow")
+    }),
+
     // --- the media curation composite: exact byte dedup (dual 64-bit
     // payload hashes — byte-identical planted copies die first), decode
     // gate (one corrupt payload per 100 planted in-plan), perceptual

@@ -56,17 +56,39 @@ object Bpe {
     * `minPairWeight` (the classic count >= 2 cutoff: a merge seen once
     * generalizes to nothing). */
   def train(df: DataFrame, textCol: String, numMerges: Int = 1024,
-            batchSize: Int = 64, minPairWeight: Long = 2L): Seq[Merge] = {
+            batchSize: Int = 64, minPairWeight: Long = 2L): Seq[Merge] =
+    trainOnTypes(wordTypeTable(df, textCol), numMerges, batchSize, minPairWeight)
+
+  /** [[train]] + [[baseSymbols]] off ONE corpus scan: the base alphabet is
+    * derived from the word-TYPE table training starts from (the distinct
+    * code points of the types ARE the distinct code points of the corpus's
+    * words — occurrence weights don't change a distinct), so the id faces
+    * cost no second pass over the data. */
+  def trainWithAlphabet(df: DataFrame, textCol: String, numMerges: Int = 1024,
+                        batchSize: Int = 64, minPairWeight: Long = 2L)
+      : (Seq[Merge], Seq[String]) = {
+    val table = wordTypeTable(df, textCol)
+    val base = table
+      .select(explode(col("syms")).as("s")).distinct().orderBy(col("s"))
+      .collect().map(_.getString(0)).toSeq
+    (trainOnTypes(table, numMerges, batchSize, minPairWeight), base)
+  }
+
+  // the one corpus-sized pass: word-type table with occurrence weights,
+  // eagerly materialized (every training round and the alphabet read it)
+  private def wordTypeTable(df: DataFrame, textCol: String): DataFrame = df
+    .select(explode(TextAnalysis.wsTokens(col(textCol))).as("w"))
+    .where(length(col("w")) > 0)
+    .groupBy("w").agg(count(lit(1)).as("weight"))
+    .select(codePointSymbols(col("w")).as("syms"), col("weight"))
+    .localCheckpoint()
+
+  private def trainOnTypes(types: DataFrame, numMerges: Int, batchSize: Int,
+                           minPairWeight: Long): Seq[Merge] = {
     require(numMerges > 0, s"numMerges must be > 0, got $numMerges")
     require(batchSize > 0, s"batchSize must be > 0, got $batchSize")
     require(minPairWeight >= 1L, s"minPairWeight must be >= 1, got $minPairWeight")
-    // the one corpus-sized pass: word-type table with occurrence weights
-    var table = df
-      .select(explode(TextAnalysis.wsTokens(col(textCol))).as("w"))
-      .where(length(col("w")) > 0)
-      .groupBy("w").agg(count(lit(1)).as("weight"))
-      .select(codePointSymbols(col("w")).as("syms"), col("weight"))
-      .localCheckpoint()
+    var table = types
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var done = false
     while (!done && merges.size < numMerges) {

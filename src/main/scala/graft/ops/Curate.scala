@@ -329,6 +329,49 @@ object Curate {
     }).select("id_a", "id_b"))
   }
 
+  /** The WHOLE text side of a training-data pipeline in one call —
+    * [[curate]]'s curation, then the model-ready layout:
+    *
+    *   1. [[curate]]: markup strip -> exact dedup -> quality/lang gates ->
+    *      near-dup removal -> deterministic sample.
+    *   2. [[Bpe.trainWithAlphabet]] on the SURVIVORS (the tokenizer must
+    *      see the cleaned distribution, not the spam the gates removed) —
+    *      merges + base alphabet off one scan of the curated corpus.
+    *   3. [[Bpe.encodeIds]]: compiled map-side tokenization to vocabulary
+    *      ids; tokenless survivors drop (zero-weight rows pack nowhere).
+    *   4. [[Chunking.packBinsBFD]]: whole-document fewer-truncations
+    *      packing into `seqLen`-token bins.
+    *
+    * Returns (packed, merges, base): `packed` is (idCol, ids, n_tokens,
+    * shard, bin_idx, pos_in_bin, overflow) — the consumer materializes
+    * bin contents by grouping on (shard, bin_idx) ordered by pos_in_bin —
+    * and (merges, base) ARE the tokenizer: ship them beside the dataset
+    * ([[Bpe.vocabDf]] is the landable face) or every future decode guesses.
+    *
+    * The curated survivor set is localCheckpoint-materialized before the
+    * three passes over it (training scan, encode, packing skeleton) — at
+    * genuine 100 TB scale land the survivors as a dataset
+    * ([[graft.io.Writer.store]]) between stages 1 and 2 instead; this
+    * composite is the one-call shape, not the checkpoint-free one. */
+  def prepareTrainingData(df: DataFrame, textCol: String, idCol: String,
+                          cfg: CurateConfig = CurateConfig(),
+                          numMerges: Int = 1024, batchSize: Int = 64,
+                          seqLen: Long = 2048L, numShards: Int = 64)
+      : (DataFrame, Seq[Bpe.Merge], Seq[String]) = {
+    val curated = curate(df, textCol, idCol, cfg).localCheckpoint()
+    val (merges, base) = Bpe.trainWithAlphabet(curated, textCol,
+      numMerges, batchSize)
+    val ids = curated.select(col(idCol),
+        Bpe.encodeIds(col(textCol), merges, base).as("ids"))
+      .withColumn("n_tokens", size(col("ids")).cast("long"))
+      .where(col("n_tokens") > 0)
+    val assignment = Chunking.packBinsBFD(ids, "n_tokens", idCol,
+      seqLen, numShards)
+    (assignment.withColumnRenamed("weight", "n_tokens")
+       .join(ids.select(col(idCol), col("ids")), Seq(idCol)),
+      merges, base)
+  }
+
   /** The shared compaction core: near-dup pairs -> connected components
     * -> min-id survivors -> ONE atomic partition-set replace. */
   private def compactByPairs(spark: SparkSession,
