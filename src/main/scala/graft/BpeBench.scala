@@ -19,9 +19,10 @@ object BpeBench {
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    // untimed: fault the corpus into the page cache so train's first scan
-    // times the scan, not the disk
+    // untimed warm-up must actually READ the text pages: a bare count()
+    // prunes to zero columns and touches only row-group metadata
     val nDocs = docs.count()
+    docs.select(sum(length(col("text")))).head()
     // word-type table size — the quantity Heaps' law bounds, the reading
     // that explains why train time flattens across decades
     val nTypes = docs

@@ -867,8 +867,10 @@ object SparkEntry {
           size(col("ids")).cast("long").as("n_ids"),
           col("n_subwords").cast("long").as("n_subwords"),
           size(filter(col("ids"), i => i === lit(-1L))).cast("long").as("n_unk"),
-          element_at(col("ids"), 1).as("first_id"),
-          element_at(col("ids"), -1).as("last_id"))
+          // guarded: element_at on an EMPTY array (tokenless doc) throws
+          // under Spark 4's default ANSI mode instead of returning null
+          when(size(col("ids")) > 0, element_at(col("ids"), 1)).as("first_id"),
+          when(size(col("ids")) > 0, element_at(col("ids"), -1)).as("last_id"))
     }),
 
     // the terminal pipeline stage: learned-subword ids packed into
@@ -2754,11 +2756,12 @@ object SparkEntry {
       // BPE roundtrip: decode(encode(text)) must equal plain whitespace
       // normalization — trim both ends, collapse runs to one space (the
       // wsTokens contract; '' splits to [''] here, joining back to '',
-      // matching the Spark side's empty-word-array -> '' decode)
+      // matching the Spark side's empty-word-array -> '' decode).
+      // Explicit class, not \s: RE2's \s omits \x0B, Java's includes it
       "t_bpe_roundtrip" ->
         """SELECT doc_id,
              array_to_string(string_split_regex(
-               regexp_replace(text, '^\s+|\s+$', '', 'g'),
+               regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'),
                '[ \t\n\x0B\f\r]+'), ' ') AS rebuilt
            FROM documents""",
       // the decode stub is deterministic by construction (exact integer

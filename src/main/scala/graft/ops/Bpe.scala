@@ -49,8 +49,11 @@ object Bpe {
     asColumn(BpeApplyMerges(exprOf(c), ms))
 
   /** Train `numMerges` BPE merges over `df`'s `textCol`. Deterministic:
-    * candidate ranks tie-break on (count desc, left asc, right asc), so
-    * two runs over the same data produce the same merge list. Case is
+    * candidate ranks tie-break on (count desc, left asc, right asc) —
+    * string ascent in Spark's binary UTF-8 order (= code-point order),
+    * which differs from Java String order only when supplementary and
+    * U+E000..U+FFFF symbols tie at the same count — so two runs over the
+    * same data produce the same merge list. Case is
     * NOT folded — pass `lower(text)` upstream for a case-folded
     * vocabulary. Training stops early when no adjacent pair reaches
     * `minPairWeight` (the classic count >= 2 cutoff: a merge seen once
@@ -186,14 +189,20 @@ object Bpe {
       .map(_.getString(0)).toSeq
 
   /** The deterministic vocabulary id assignment shared by every id face:
-    * base symbols sorted ascending get 0..B-1, merge products B+rank.
-    * Two merges CAN concatenate to the same product string (("ab","c")
-    * and ("a","bc") both yield "abc"); the encoder emits strings, so the
-    * string keeps ONE id — the first (lowest-rank) producer's. A product
-    * can never collide with a base symbol (products are >= 2 code
-    * points, base symbols exactly 1). */
+    * base symbols sorted ascending BY CODE POINT get 0..B-1, merge
+    * products B+rank. Code-point order — NOT Java/Scala String order,
+    * which compares UTF-16 code units and puts supplementary characters
+    * (emoji) BEFORE U+E000..U+FFFF — because it is the order every other
+    * engine agrees on: it equals binary UTF-8 order, i.e. exactly what
+    * [[baseSymbols]]' Spark-side orderBy already produces. Two merges CAN
+    * concatenate to the same product string (("ab","c") and ("a","bc")
+    * both yield "abc"); the encoder emits strings, so the string keeps
+    * ONE id — the first (lowest-rank) producer's. A product can never
+    * collide with a base symbol (products are >= 2 code points, base
+    * symbols exactly 1). */
   def vocabIds(base: Seq[String], merges: Seq[(String, String)]): Seq[(String, Long)] = {
-    val sorted = base.sorted
+    // base symbols are single code points, so codePointAt(0) IS the sort key
+    val sorted = base.sortBy(s => s.codePointAt(0))
     val out = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     sorted.zipWithIndex.foreach { case (s, i) => out.getOrElseUpdate(s, i.toLong) }
     val b = sorted.size.toLong

@@ -122,7 +122,10 @@ object Chunking {
     * skeleton (~tens of bytes/doc) fits an executor. The only cross-shard
     * waste is each shard's partial tail bins.
     *
-    * Rows with weight <= 0 are DROPPED (a tokenless doc occupies no bin),
+    * Weights are integer token counts: a fractional weight column is
+    * floor-cast to long FIRST and every decision below (drop, overflow,
+    * fill) sees that integer. Rows with weight <= 0 are DROPPED (a
+    * tokenless doc occupies no bin),
     * and so are rows with a NULL id — they have no portable hash (no
     * shard, no deterministic order) and could never be joined back by id;
     * silently NPE-ing inside the shard task would be the alternative.
@@ -140,8 +143,11 @@ object Chunking {
     val h = md5(concat(lit(Sampling.BinDomain + salt),
       col(idCol).cast("string")))
     val idType = df.schema(idCol).dataType
+    // drop/overflow decisions and packing must see the SAME number: filter
+    // on the cast value, or weight 0.5 passes >0 then packs as 0, and
+    // capacity+0.5 truncates to exactly-full and dodges the overflow flag
     val skel = df
-      .where(col(weightCol) > 0 && col(idCol).isNotNull)
+      .where(col(weightCol).cast("long") > 0 && col(idCol).isNotNull)
       .select(col(idCol), col(weightCol).cast("long").as("__w"), h.as("__h"),
         pmod(conv(substring(h, 1, 13), 16, 10).cast("long"),
           lit(numShards.toLong)).as("__shard"),

@@ -349,10 +349,13 @@ object Curate {
     * ([[Bpe.vocabDf]] is the landable face) or every future decode guesses.
     *
     * The curated survivor set is localCheckpoint-materialized before the
-    * three passes over it (training scan, encode, packing skeleton) — at
-    * genuine 100 TB scale land the survivors as a dataset
-    * ([[graft.io.Writer.store]]) between stages 1 and 2 instead; this
-    * composite is the one-call shape, not the checkpoint-free one. */
+    * training scan re-reads it, and the tokenized id table is materialized
+    * once more before packing — the packing skeleton AND the final
+    * join-back both read it, and without the cut each would re-run the
+    * compiled per-word encode over the whole corpus. At genuine 100 TB
+    * scale land the survivors as a dataset ([[graft.io.Writer.store]])
+    * between stages 1 and 2 instead; this composite is the one-call
+    * shape, not the checkpoint-free one. */
   def prepareTrainingData(df: DataFrame, textCol: String, idCol: String,
                           cfg: CurateConfig = CurateConfig(),
                           numMerges: Int = 1024, batchSize: Int = 64,
@@ -365,6 +368,7 @@ object Curate {
         Bpe.encodeIds(col(textCol), merges, base).as("ids"))
       .withColumn("n_tokens", size(col("ids")).cast("long"))
       .where(col("n_tokens") > 0)
+      .localCheckpoint()
     val assignment = Chunking.packBinsBFD(ids, "n_tokens", idCol,
       seqLen, numShards)
     (assignment.withColumnRenamed("weight", "n_tokens")

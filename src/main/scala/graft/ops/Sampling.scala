@@ -383,8 +383,11 @@ object Sampling {
                       labels: Seq[String] = Seq("tail", "middle", "head"),
                       bucketCol: String = "bucket",
                       exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
-    require(cuts.nonEmpty && cuts == cuts.sorted && cuts.forall(q => q > 0 && q < 1),
-      s"cuts must be ascending quantiles strictly inside (0,1), got $cuts")
+    require(cuts.nonEmpty &&
+        cuts.sliding(2).forall(p => p.size < 2 || p(0) < p(1)) &&
+        cuts.forall(q => q > 0 && q < 1),
+      s"cuts must be STRICTLY ascending quantiles inside (0,1), got $cuts" +
+        " (a duplicate cut would make its label silently unreachable)")
     require(labels.size == cuts.size + 1,
       s"need ${cuts.size + 1} labels for ${cuts.size} cuts, got ${labels.size}")
     require(labels.distinct.size == labels.size, s"duplicate labels: $labels")
