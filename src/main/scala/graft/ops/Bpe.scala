@@ -225,6 +225,66 @@ object Bpe {
       .toDF("id", "token", "kind")
   }
 
+  /** Persist a trained tokenizer (merges + base alphabet) as a graft
+    * dataset — the persisted-index discipline ([[Dedup.minhashIndex]]):
+    * the artifact a training run ships beside its packed sequences, with
+    * counts pinned in the header metadata so a partial/foreign dataset
+    * fails loudly at [[loadTokenizer]] instead of silently mis-encoding.
+    * Rows carry a `kind` discriminator ('base' | 'merge'); merges keep
+    * their OPERANDS (left, right) — the concatenated product alone cannot
+    * be split back unambiguously ("abc" is ("ab","c") or ("a","bc")). */
+  def saveTokenizer(spark: SparkSession, storage: graft.store.Storage,
+                    uuid: String, merges: Seq[Merge], base: Seq[String],
+                    overwrite: Boolean = false): graft.meta.DatasetMetadata = {
+    import spark.implicits._
+    val baseRows = base.sortBy(s => s.codePointAt(0)).zipWithIndex.map {
+      case (s, i) => ("base", i, null.asInstanceOf[String],
+        null.asInstanceOf[String], null.asInstanceOf[java.lang.Long], s)
+    }
+    val mergeRows = merges.sortBy(_.rank).map { m =>
+      ("merge", m.rank, m.left, m.right,
+        java.lang.Long.valueOf(m.weight), m.left + m.right)
+    }
+    graft.io.Writer.store(spark, storage, uuid,
+      (baseRows ++ mergeRows)
+        .toDF("kind", "rank", "left", "right", "weight", "token"),
+      graft.io.Writer.WriteOpts(partitionOn = Seq("kind"),
+        overwrite = overwrite,
+        metadata = Map(
+          "graft.bpe.numMerges" -> merges.size.toString,
+          "graft.bpe.baseSize" -> base.size.toString)))
+  }
+
+  /** Load a [[saveTokenizer]] dataset back into (merges, base), validated
+    * against the pinned header counts. */
+  def loadTokenizer(spark: SparkSession, storage: graft.store.Storage,
+                    uuid: String): (Seq[Merge], Seq[String]) = {
+    val meta = graft.meta.DatasetMetadata.load(storage, uuid)
+    def pinned(k: String): Int = meta.metadata.getOrElse(s"graft.bpe.$k",
+      throw new IllegalArgumentException(
+        s"dataset '$uuid' is not a saved tokenizer (missing graft.bpe.$k)")).toInt
+    // pin check FIRST: a non-tokenizer dataset must fail on the header,
+    // not on a missing-column analysis error deep in the read
+    val (nMerges, nBase) = (pinned("numMerges"), pinned("baseSize"))
+    val rows = graft.io.Reader.readTable(spark, storage, uuid)
+      // explicit casts: integral widths are storage-normalization-dependent
+      .select(col("kind"), col("rank").cast("int").as("rank"),
+        col("left"), col("right"), col("weight").cast("long").as("weight"),
+        col("token"))
+      .collect()
+    val merges = rows.filter(_.getString(0) == "merge")
+      .map(r => Merge(r.getInt(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .sortBy(_.rank).toSeq
+    val base = rows.filter(_.getString(0) == "base")
+      .sortBy(_.getInt(1)).map(_.getString(5)).toSeq
+    require(merges.size == nMerges && base.size == nBase,
+      s"tokenizer '$uuid' is incomplete: header pins $nMerges merges" +
+        s"/$nBase base symbols, read ${merges.size}/${base.size}")
+    require(merges.map(_.rank) == merges.indices,
+      s"tokenizer '$uuid' has non-dense merge ranks — corrupt or hand-edited")
+    (merges, base)
+  }
+
   /** Encode a text column straight to vocabulary ids: `array<long>`, the
     * flat per-document token-id stream (word boundaries consumed — this is
     * the packing/training face; use [[encode]] where subword text
