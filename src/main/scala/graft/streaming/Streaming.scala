@@ -353,6 +353,37 @@ object Streaming {
     configured.start()
   }
 
+  /** Streaming TOKENIZED ingest: encode each micro-batch's text to
+    * vocabulary ids under a PERSISTED tokenizer
+    * ([[graft.ops.Bpe.saveTokenizer]]) and append (idCol, ids, n_tokens)
+    * to a dataset — the stream half of the tokenizer contract, the
+    * [[writeStreamVectorIndex]] pinned-family discipline applied to text:
+    * the tokenizer loads ONCE at query start from its header-pinned
+    * dataset, every batch encodes under those exact merges (ids stay
+    * valid forever by construction — a retrained tokenizer is a NEW
+    * dataset, never an in-place mutation), and the compiled expression
+    * rides the plan map-side, nothing per-batch but the append itself.
+    * Tokenless rows drop (the [[graft.ops.Bpe.tokenizeAndPack]] rule).
+    * Bin/sequence packing stays BATCH — like LSH banding it needs
+    * corpus-global state; pack the landed dataset with
+    * [[graft.ops.Chunking.packBinsBFD]] when training cuts a snapshot. */
+  def writeStreamTokenized(stream: DataFrame, storage: Storage,
+                           uuid: String, tokenizerUuid: String,
+                           textCol: String, idCol: String,
+                           opts: WriteOpts = WriteOpts(),
+                           checkpoint: Option[String] = None,
+                           configure: DataStreamWriter[Row] => DataStreamWriter[Row] =
+                             _.trigger(Trigger.AvailableNow())): StreamingQuery = {
+    val (merges, base) =
+      graft.ops.Bpe.loadTokenizer(stream.sparkSession, storage, tokenizerUuid)
+    val ids = stream.select(col(idCol),
+        graft.ops.Bpe.encodeIds(col(textCol), merges, base).as("ids"))
+      .withColumn("n_tokens",
+        org.apache.spark.sql.functions.size(col("ids")).cast("long"))
+      .where(col("n_tokens") > 0)
+    writeStreamAppend(ids, storage, uuid, opts, checkpoint, configure)
+  }
+
   /** Streaming INGESTION DEDUP against a persisted MinHash index
     * ([[graft.ops.Dedup.minhashIndex]]) — the stream half of the
     * incremental-ingestion contract: each micro-batch (1) probes the index

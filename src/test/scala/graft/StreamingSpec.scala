@@ -36,6 +36,37 @@ class StreamingSpec extends SparkSpec {
     assert(meta.indices.keySet === Set("id"))
   }
 
+  test("writeStreamTokenized: batches encode under the pinned tokenizer, tokenless rows drop") {
+    import spark.implicits._
+    val corpus = Seq("low low lower", "newest newest widest", "low widest")
+      .toDF("text")
+    val (ms, base) = graft.ops.Bpe.trainWithAlphabet(corpus, "text",
+      numMerges = 8, batchSize = 2)
+    graft.ops.Bpe.saveTokenizer(spark, store, "tok_stream", ms, base)
+    val src = Seq((1L, "low low lower"), (2L, ""), (3L, "   "),
+      (4L, "newest widest"), (5L, "low")).toDF("doc_id", "text")
+    val in = tmpDir("tok-stream-in")
+    src.repartition(2).write.mode("overwrite").parquet(in)
+    val q = Streaming.writeStreamTokenized(
+      spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in),
+      store, "tokenized", "tok_stream", "text", "doc_id")
+    q.awaitTermination(120000)
+    val back = Reader.readTable(spark, store, "tokenized").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[scala.collection.Seq[Long]]("ids"), r.getAs[Long]("n_tokens"))).toMap
+    assert(back.keySet === Set(1L, 4L, 5L)) // tokenless 2, 3 dropped
+    // batch-encode parity: the landed ids equal a direct batch encode
+    val want = src.where(col("doc_id").isin(1L, 4L, 5L))
+      .select(col("doc_id"), graft.ops.Bpe.encodeIds(col("text"), ms, base).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    back.foreach { case (id, (ids, n)) =>
+      assert(ids === want(id))
+      assert(n === ids.length.toLong)
+      assert(!ids.contains(-1L))
+    }
+  }
+
   test("writeStreamAppend rejects a checkpoint smuggled through configure") {
     import spark.implicits._
     val src = Seq((1L, "a")).toDF("id", "p")
