@@ -129,6 +129,18 @@ object Smoke {
       .count()
     println(s"${if (bpeBad == 0) "==" else "!!"} bpe: ${bpeMs.size} merges, " +
       s"roundtrip violations: $bpeBad")
+    // the second tokenizer family: unigram-LM, same roundtrip identity
+    val uniPs = graft.ops.Unigram.train(docs, "text", vocabSize = 96,
+      maxPieceLen = 6)
+    val uniBad = docs.select(
+        graft.ops.Unigram.decode(
+          graft.ops.Unigram.encode(col("text"), uniPs)).as("dec"),
+        regexp_replace(col("text"), "^\\s+|\\s+$", "").as("t"))
+      .where(col("dec") =!= when(length(col("t")) === 0, lit(""))
+        .otherwise(array_join(split(col("t"), "\\s+"), " ")))
+      .count()
+    println(s"${if (uniBad == 0) "==" else "!!"} unigram: ${uniPs.size} pieces, " +
+      s"roundtrip violations: $uniBad")
 
     // 10. streaming contract's batch half: land docs as a dataset, compact
     // near-dups in one atomic header swap

@@ -103,6 +103,16 @@ object SparkEntry {
       bpeBases.getOrElseUpdate(dir,
         graft.ops.Bpe.baseSymbols(rd(s, dir, "documents"), "text"))
     }
+  // the unigram family's trained piece table, same ensure discipline (a
+  // small vocab for the same generator-vocabulary reason as the 64 merges)
+  private val uniTrained =
+    scala.collection.mutable.HashMap.empty[String, Seq[graft.ops.Unigram.Piece]]
+  private def uniOf(s: SparkSession, dir: String): Seq[graft.ops.Unigram.Piece] =
+    synchronized {
+      uniTrained.getOrElseUpdate(dir,
+        graft.ops.Unigram.train(rd(s, dir, "documents"), "text",
+          vocabSize = 128, maxPieceLen = 6))
+    }
 
   /** Build a shared temp dataset once per JVM per scale-factor dir. */
   private def ensure(s: SparkSession, dir: String, uuid: String)
@@ -872,6 +882,24 @@ object SparkEntry {
           when(size(col("ids")) > 0, element_at(col("ids"), 1)).as("first_id"),
           when(size(col("ids")) > 0, element_at(col("ids"), -1)).as("last_id"))
     }),
+
+    // --- the SECOND learned-tokenizer family: unigram-LM (SentencePiece
+    // shape), hard-EM over the word-type table. The piece table is
+    // iterative (rows-only, deterministic — UnigramSpec pins repartition
+    // invariance); encode correctness is EXACTLY pinned by the roundtrip
+    // below, the same whitespace-normalization oracle as BPE
+    "t_unigram_train" -> ((s, dir) => {
+      import s.implicits._
+      uniOf(s, dir).map(p => (p.piece,
+          BigDecimal(p.logProb).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble))
+        .toDF("piece", "log_prob")
+    }),
+
+    "t_unigram_roundtrip" -> ((s, dir) =>
+      rd(s, dir, "documents").select(col("doc_id"),
+        graft.ops.Unigram.decode(
+          graft.ops.Unigram.encode(col("text"), uniOf(s, dir))).as("rebuilt"))),
 
     // the terminal pipeline stage: learned-subword ids packed into
     // fixed-length training sequences. A composite of exact-pinned parts
@@ -2752,6 +2780,14 @@ object SparkEntry {
                '${graft.ops.TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
                '${graft.ops.TextAnalysis.Ipv4Pattern}', '<IP>', 'g'),
                '${graft.ops.TextAnalysis.PhonePattern}', '<PHONE>', 'g') AS redacted
+           FROM documents""",
+      // unigram roundtrip: the same whitespace-normalization identity as
+      // the BPE family — structural word boundaries, no marker symbols
+      "t_unigram_roundtrip" ->
+        """SELECT doc_id,
+             array_to_string(string_split_regex(
+               regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'),
+               '[ \t\n\x0B\f\r]+'), ' ') AS rebuilt
            FROM documents""",
       // BPE roundtrip: decode(encode(text)) must equal plain whitespace
       // normalization — trim both ends, collapse runs to one space (the

@@ -1,0 +1,235 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, NullType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compiled expressions for the unigram-LM tokenizer family
+  * ([[graft.ops.Unigram]]) — the second subword family next to BPE, same
+  * discipline: the whole per-row dynamic program runs in compiled Scala
+  * behind one referenced-object call, the piece table rides the
+  * serialized plan, and the surrounding plan stays inside whole-stage
+  * codegen. */
+object unigram {
+
+  /** Shared Viterbi segmenter: per word, the maximum-log-probability
+    * segmentation into vocabulary pieces (longest-match-on-tie, then by
+    * construction unique — see below). A single code point ABSENT from
+    * the vocabulary segments as itself at [[UnkLogProb]]: out-of-alphabet
+    * text degrades to characters instead of failing, which is what keeps
+    * the encode->decode == whitespace-normalization roundtrip EXACT for
+    * arbitrary input (the oracle identity both tokenizer families pin).
+    *
+    * Determinism of ties: two segmentations of one word can score equal
+    * log-prob sums. The DP breaks ties at each position by PREFERRING THE
+    * LONGER incoming piece (and transitively the lexicographically
+    * smaller history — fixed scan order), so the chosen path is a pure
+    * function of the piece table, never of float summation order (scores
+    * accumulate left to right along each path, one order per path). */
+  private[functions] final class ViterbiSegmenter(
+      pieces: Seq[(String, Double)]) {
+    val UnkLogProb: Double = -1e9
+    private val table: java.util.HashMap[String, java.lang.Double] = {
+      val t = new java.util.HashMap[String, java.lang.Double]()
+      pieces.foreach { case (p, lp) => t.put(p, java.lang.Double.valueOf(lp)) }
+      t
+    }
+    private val maxLen: Int =
+      if (pieces.isEmpty) 1 else pieces.iterator.map(_._1.length).max.max(1)
+
+    /** Segment one word (non-empty) into pieces. */
+    def segment(word: String): Array[String] = {
+      val n = word.length
+      // DP over UTF-16 offsets, but pieces are built from code points so a
+      // split can never land inside a surrogate pair: candidate substrings
+      // advance by code points below
+      val best = new Array[Double](n + 1)
+      val from = new Array[Int](n + 1)      // start offset of winning piece
+      val pieceLen = new Array[Int](n + 1)  // its length, for tie-breaks
+      java.util.Arrays.fill(best, Double.NegativeInfinity)
+      best(0) = 0.0
+      var i = 0
+      while (i < n) {
+        if (best(i) != Double.NegativeInfinity) {
+          // walk forward code point by code point. The FIRST step is always
+          // considered even past maxLen in UTF-16 units — a single
+          // supplementary code point is 2 units, and the single-cp unk
+          // fallback must cover it or a word becomes unreachable and
+          // reconstruction walks uninitialized state
+          var j = i
+          var steps = 0
+          var more = true
+          while (more && j < n) {
+            j += Character.charCount(word.codePointAt(j))
+            steps += 1
+            if (steps == 1 || (j - i) <= maxLen) {
+              val sub = word.substring(i, j)
+              val lp = table.get(sub)
+              val score =
+                if (lp != null) best(i) + lp.doubleValue()
+                else if (steps == 1) best(i) + UnkLogProb // single-cp fallback
+                else Double.NegativeInfinity
+              if (score != Double.NegativeInfinity &&
+                  (score > best(j) ||
+                   (score == best(j) && (j - i) > pieceLen(j)))) {
+                best(j) = score
+                from(j) = i
+                pieceLen(j) = j - i
+              }
+            }
+            more = (j - i) < maxLen
+          }
+        }
+        i += Character.charCount(word.codePointAt(i))
+      }
+      // reconstruct right to left
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var pos = n
+      while (pos > 0) {
+        val s = from(pos)
+        out += word.substring(s, pos)
+        pos = s
+      }
+      val arr = new Array[String](out.length)
+      var k = out.length - 1
+      var w = 0
+      while (k >= 0) { arr(w) = out(k); w += 1; k -= 1 }
+      arr
+    }
+  }
+}
+
+/** Unigram-LM encoding of a DOCUMENT: `array<array<string>>`, one inner
+  * array of Viterbi pieces per whitespace word — the same structural word
+  * boundaries as [[BpeEncodeWords]], so decode (join inner with '', outer
+  * with ' ') is exactly whitespace normalization and the external SQL
+  * oracle checks the roundtrip on raw text alone. */
+case class UnigramEncodeWords(child: Expression, pieces: Seq[(String, Double)])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    ArrayType(StringType, containsNull = false), containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "unigram_encode_words"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType || child.dataType == NullType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${child.dataType.simpleString}")
+
+  @transient private lazy val seg = new unigram.ViterbiSegmenter(pieces)
+
+  def compute(s: UTF8String): ArrayData = {
+    val words = bpe.wsWords(s.toString)
+    val out = new Array[Any](words.length)
+    var i = 0
+    while (i < words.length) {
+      val toks = seg.segment(words(i))
+      val inner = new Array[Any](toks.length)
+      var j = 0
+      while (j < toks.length) { inner(j) = UTF8String.fromString(toks(j)); j += 1 }
+      out(i) = new GenericArrayData(inner)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("uniEncode", this, classOf[UnigramEncodeWords].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ($ref).compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramEncodeWords =
+    copy(child = newChild)
+}
+
+/** Viterbi pieces of one WORD TYPE (post-aggregation row) — the E-step
+  * input of unigram training: exploded and weight-summed per piece. */
+case class UnigramWordPieces(child: Expression, pieces: Seq[(String, Double)])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "unigram_word_pieces"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType || child.dataType == NullType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${child.dataType.simpleString}")
+
+  @transient private lazy val seg = new unigram.ViterbiSegmenter(pieces)
+
+  def compute(s: UTF8String): ArrayData = {
+    val word = s.toString
+    if (word.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val toks = seg.segment(word)
+    val out = new Array[Any](toks.length)
+    var i = 0
+    while (i < toks.length) { out(i) = UTF8String.fromString(toks(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("uniPieces", this, classOf[UnigramWordPieces].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ($ref).compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramWordPieces =
+    copy(child = newChild)
+}
+
+/** All substrings of a word up to `maxLen` CODE POINTS, as
+  * `array<string>` — the seed-vocabulary candidate generator (exploded and
+  * weight-summed over word TYPES, so it runs once per distinct word). */
+case class WordSubstrings(child: Expression, maxLen: Int)
+    extends UnaryExpression {
+  require(maxLen >= 1, s"maxLen must be >= 1 (got $maxLen)")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "word_substrings"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType || child.dataType == NullType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${child.dataType.simpleString}")
+
+  def compute(s: UTF8String): ArrayData = {
+    val word = s.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < word.length) {
+      var j = i
+      var steps = 0
+      while (j < word.length && steps < maxLen) {
+        j += Character.charCount(word.codePointAt(j))
+        steps += 1
+        out += UTF8String.fromString(word.substring(i, j))
+      }
+      i += Character.charCount(word.codePointAt(i))
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordSubs", this, classOf[WordSubstrings].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ($ref).compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordSubstrings =
+    copy(child = newChild)
+}

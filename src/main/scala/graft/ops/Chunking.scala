@@ -139,7 +139,6 @@ object Chunking {
                   salt: String = "graft"): DataFrame = {
     require(capacity > 0, s"capacity must be positive (got $capacity)")
     require(numShards > 0, s"numShards must be positive (got $numShards)")
-    val spark = df.sparkSession
     val h = md5(concat(lit(Sampling.BinDomain + salt),
       col(idCol).cast("string")))
     val idType = df.schema(idCol).dataType

@@ -1,0 +1,175 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{UnigramEncodeWords, UnigramWordPieces, WordSubstrings}
+import graft.functions.expressions.{asColumn, exprOf}
+
+/** Unigram-LM (SentencePiece-style) tokenizer — the second learned-subword
+  * family next to [[Bpe]], sharing its architecture end to end: ONE corpus
+  * scan to the Heaps'-bounded word-TYPE table, driver-held vocabulary
+  * bounded by construction, compiled map-side encode with the piece table
+  * riding the plan, structural word boundaries so decode == whitespace
+  * normalization EXACTLY (the shared roundtrip-oracle identity).
+  *
+  * Training is hard-EM (Viterbi counts, the standard practical variant):
+  * seed = the `seedSize` most frequent substrings (<= `maxPieceLen` code
+  * points) of the word types plus the full single-code-point alphabet;
+  * each round (1) E: re-segment every word TYPE under current piece
+  * log-probs — a vocabulary-sized weighted aggregate, never corpus-sized —
+  * (2) M: re-estimate log-probs from the weighted piece counts (integer
+  * arithmetic until one driver-side ln — deterministic), (3) prune the
+  * worst-scoring multi-cp pieces by (count desc, piece asc) until
+  * `vocabSize`, shrinking by `shrinkFactor` per round (dropping everything
+  * at once would starve the survivors of the counts the dropped pieces
+  * were absorbing). Single code points are NEVER pruned — they are the
+  * coverage floor that keeps every word segmentable; a code point absent
+  * from training entirely degrades to itself at a sentinel log-prob inside
+  * the segmenter, so the roundtrip stays exact on arbitrary input.
+  *
+  * Everything is deterministic: counts are sums of long weights, orderings
+  * always tie-break (count desc, piece asc), the Viterbi DP breaks score
+  * ties by longest-piece (scores accumulate along one path in one order,
+  * never across partitions). Two runs produce the same piece table. */
+object Unigram {
+
+  /** One vocabulary piece with its unigram log-probability. */
+  case class Piece(piece: String, logProb: Double)
+
+  private def wordPieces(c: Column, ps: Seq[(String, Double)]): Column =
+    asColumn(UnigramWordPieces(exprOf(c), ps))
+  private def substrings(c: Column, maxLen: Int): Column =
+    asColumn(WordSubstrings(exprOf(c), maxLen))
+
+  /** Train a unigram vocabulary of (about) `vocabSize` pieces. The result
+    * can exceed `vocabSize` only when the single-code-point alphabet alone
+    * does (CJK-scale alphabets) — singles are never pruned. */
+  def train(df: DataFrame, textCol: String, vocabSize: Int = 8192,
+            maxPieceLen: Int = 8, seedSize: Int = 0, emRounds: Int = 2,
+            shrinkFactor: Double = 0.75): Seq[Piece] = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1 (got $vocabSize)")
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1 (got $maxPieceLen)")
+    require(emRounds >= 1, s"emRounds must be >= 1 (got $emRounds)")
+    require(shrinkFactor > 0 && shrinkFactor < 1,
+      s"shrinkFactor must be in (0,1) (got $shrinkFactor)")
+    val seeds = if (seedSize > 0) seedSize else math.max(4 * vocabSize, 1024)
+    // the one corpus-sized pass (the Bpe.train discipline)
+    val types = df
+      .select(explode(TextAnalysis.wsTokens(col(textCol))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("weight"))
+      .localCheckpoint()
+
+    // seed candidates: weighted substring counts over word TYPES — top
+    // `seeds` by (count desc, piece asc), a BOUNDED collect
+    val seedRows = types
+      .select(explode(substrings(col("w"), maxPieceLen)).as("p"), col("weight"))
+      .groupBy("p").agg(sum("weight").as("n"))
+      .orderBy(col("n").desc, col("p").asc)
+      .limit(seeds)
+      .collect()
+    if (seedRows.isEmpty) return Seq.empty
+    // the full single-cp alphabet joins the seed unconditionally (a top-k
+    // of substrings can crowd out rare characters)
+    val singleRows = types
+      .select(explode(substrings(col("w"), 1)).as("p"), col("weight"))
+      .groupBy("p").agg(sum("weight").as("n"))
+      .collect()
+    val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    seedRows.foreach(r => counts.getOrElseUpdate(r.getString(0), r.getLong(1)))
+    singleRows.foreach(r => counts.getOrElseUpdate(r.getString(0), r.getLong(1)))
+
+    def isSingle(p: String): Boolean = p.codePointCount(0, p.length) == 1
+    def toPieces(cs: collection.Map[String, Long]): Seq[Piece] = {
+      val total = cs.valuesIterator.sum.toDouble
+      cs.toSeq.sortBy { case (p, n) => (-n, p) }
+        .map { case (p, n) => Piece(p, math.log(n / total)) }
+    }
+
+    var pieces = toPieces(counts)
+    var round = 0
+    val maxRounds = 64 // backstop; the shrink schedule converges long before
+    var done = false
+    while (!done && round < maxRounds) {
+      // E: Viterbi piece counts over word types under current log-probs
+      val observed = types
+        .select(explode(wordPieces(col("w"),
+          pieces.map(p => (p.piece, p.logProb)))).as("p"), col("weight"))
+        .groupBy("p").agg(sum("weight").as("n"))
+        .collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // M: singles keep an add-one floor (zero-count singles must survive
+      // as the coverage alphabet); unused multi-cp pieces drop to count 0
+      // and are pruned first
+      val updated = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      pieces.foreach { pc =>
+        val c = observed.getOrElse(pc.piece, 0L)
+        if (isSingle(pc.piece)) updated(pc.piece) = c + 1L
+        else if (c > 0) updated(pc.piece) = c
+      }
+      // prune multi-cp tail toward vocabSize, shrinkFactor per round
+      val singles = updated.keysIterator.count(isSingle)
+      val multis = updated.size - singles
+      val targetMultis = math.max(0, vocabSize - singles)
+      if (multis > targetMultis) {
+        val keep = math.max(targetMultis, (multis * shrinkFactor).toInt)
+        val kept = updated.toSeq.filter(kv => !isSingle(kv._1))
+          .sortBy { case (p, n) => (-n, p) }.take(keep).map(_._1).toSet
+        val pruned = updated.filter(kv => isSingle(kv._1) || kept(kv._1))
+        pieces = toPieces(pruned)
+        round += 1
+      } else {
+        // at size: run the remaining polish rounds, then stop
+        pieces = toPieces(updated)
+        round += 1
+        var polish = 1
+        while (polish < emRounds) {
+          val obs2 = types
+            .select(explode(wordPieces(col("w"),
+              pieces.map(p => (p.piece, p.logProb)))).as("p"), col("weight"))
+            .groupBy("p").agg(sum("weight").as("n"))
+            .collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          val up2 = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+          pieces.foreach { pc =>
+            val c = obs2.getOrElse(pc.piece, 0L)
+            if (isSingle(pc.piece)) up2(pc.piece) = c + 1L
+            else if (c > 0) up2(pc.piece) = c
+          }
+          pieces = toPieces(up2)
+          polish += 1
+        }
+        done = true
+      }
+    }
+    pieces
+  }
+
+  /** Encode a text column: `array<array<string>>`, one inner array of
+    * Viterbi pieces per whitespace word — map-side, the piece table rides
+    * the plan (the [[Bpe.encode]] contract). */
+  def encode(text: Column, pieces: Seq[Piece]): Column =
+    asColumn(UnigramEncodeWords(exprOf(text),
+      pieces.map(p => (p.piece, p.logProb))))
+
+  /** Exact inverse of [[encode]] — identical to [[Bpe.decode]]: join
+    * pieces with '', words with one space (whitespace normalization). */
+  def decode(encoded: Column): Column = Bpe.decode(encoded)
+
+  /** Flat piece stream of a document. */
+  def tokens(text: Column, pieces: Seq[Piece]): Column =
+    flatten(encode(text, pieces))
+
+  /** Learned-piece token count. */
+  def tokenCount(text: Column, pieces: Seq[Piece]): Column =
+    size(tokens(text, pieces))
+
+  /** The vocabulary as a DataFrame of (piece, log_prob, n_cps) — the
+    * landable/inspectable face. */
+  def piecesDf(spark: SparkSession, pieces: Seq[Piece]): DataFrame = {
+    import spark.implicits._
+    pieces.map(p => (p.piece, p.logProb, p.piece.codePointCount(0, p.piece.length)))
+      .toDF("piece", "log_prob", "n_cps")
+  }
+}

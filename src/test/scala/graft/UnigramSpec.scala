@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Unigram
+
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Brute-force reference: enumerate every segmentation of `word` into
+    * table pieces (unknown single code points allowed at the sentinel),
+    * pick max log-prob sum with the longest-LAST-piece tie-break applied
+    * recursively — the DP's tie rule. */
+  private def refSegment(word: String,
+                         table: Map[String, Double]): Seq[String] = {
+    val unk = -1e9
+    val cps = {
+      val b = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < word.length) {
+        val cc = Character.charCount(word.codePointAt(i))
+        b += word.substring(i, i + cc); i += cc
+      }
+      b.toVector
+    }
+    // all segmentations over code-point indices
+    def segs(from: Int): Seq[List[String]] =
+      if (from == cps.length) Seq(Nil)
+      else (from + 1 to cps.length).flatMap { to =>
+        val piece = cps.slice(from, to).mkString
+        val ok = table.contains(piece) || (to - from == 1)
+        if (ok) segs(to).map(piece :: _) else Seq.empty
+      }
+    def score(s: List[String]): Double =
+      s.map(p => table.getOrElse(p, unk)).sum
+    // DP tie rule: walking from the END, prefer the longer final piece
+    implicit val ord: Ordering[List[String]] = (a, b) => {
+      val byScore = java.lang.Double.compare(score(a), score(b))
+      if (byScore != 0) byScore
+      else {
+        // compare reversed piece lengths lexicographically (longer last
+        // piece wins; recurse toward the front)
+        val ra = a.reverse.map(_.length)
+        val rb = b.reverse.map(_.length)
+        Ordering.Implicits.seqOrdering[Seq, Int].compare(ra, rb)
+      }
+    }
+    segs(0).max
+  }
+
+  test("viterbi segmentation equals brute-force max-probability enumeration") {
+    val table = Map("ab" -> -1.0, "abc" -> -2.5, "c" -> -1.2, "a" -> -3.0,
+      "b" -> -3.0, "bc" -> -1.1, "abcd" -> -9.0, "d" -> -2.0)
+    val pieces = table.toSeq.map { case (p, lp) => Unigram.Piece(p, lp) }
+    for (w <- Seq("abc", "abcd", "abcabc", "dcba", "aaa", "abab", "a", "x", "xabc")) {
+      val got = Seq(w).toDF("text")
+        .select(Unigram.encode(col("text"), pieces).as("e"))
+        .head().getSeq[scala.collection.Seq[String]](0).head.toSeq
+      assert(got === refSegment(w, table), s"word '$w'")
+    }
+  }
+
+  test("train: deterministic, singles never pruned, vocab bounded, common words become one piece") {
+    val corpus = Seq("low low low low low", "lower lower lower",
+      "newest newest newest newest", "widest widest widest",
+      "the cat the mat the hat")
+    val df = corpus.toDF("text")
+    val ps = Unigram.train(df, "text", vocabSize = 24, maxPieceLen = 6)
+    val again = Unigram.train(df.repartition(5), "text", vocabSize = 24, maxPieceLen = 6)
+    assert(ps === again, "training must be deterministic")
+    val singles = corpus.flatMap(_.split(" ")).flatMap(_.toCharArray).map(_.toString).toSet
+    val table = ps.map(p => p.piece -> p.logProb).toMap
+    assert(singles.subsetOf(table.keySet), "alphabet survives pruning")
+    val nSingles = ps.count(p => p.piece.codePointCount(0, p.piece.length) == 1)
+    assert(ps.size <= math.max(24, nSingles))
+    // the dominant whole words should be high-probability pieces
+    assert(table.contains("low"))
+    assert(table.contains("the"))
+    // and encode segments them as single pieces
+    val enc = Seq("low the").toDF("text")
+      .select(Unigram.encode(col("text"), ps).as("e"))
+      .head().getSeq[scala.collection.Seq[String]](0)
+    assert(enc.map(_.toSeq) === Seq(Seq("low"), Seq("the")))
+  }
+
+  test("roundtrip: decode(encode(text)) == whitespace normalization on random + hostile input") {
+    val rnd = new scala.util.Random(5)
+    val alphabet = "abcde"
+    val corpus = (0 until 150).map { _ =>
+      (0 until (1 + rnd.nextInt(6))).map { _ =>
+        (0 until (1 + rnd.nextInt(7)))
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }.mkString(" ")
+    }
+    val df = corpus.toDF("text")
+    val ps = Unigram.train(df, "text", vocabSize = 40, maxPieceLen = 5)
+    assert(ps.nonEmpty)
+    val inputs = corpus ++ Seq("", "   \t\n ", "zzz 😀😀", "ab", "  xy\n\nzq  ")
+    val bad = inputs.toDF("text")
+      .select(col("text"), Unigram.decode(Unigram.encode(col("text"), ps)).as("dec"))
+      .collect()
+      .filterNot { r =>
+        val norm = r.getString(0).replaceAll("^\\s+|\\s+$", "") match {
+          case "" => ""
+          case t => t.split("\\s+").mkString(" ")
+        }
+        r.getString(1) == norm
+      }
+    assert(bad.isEmpty, bad.take(3).mkString("; "))
+  }
+
+  test("empty corpus trains empty; encode with empty pieces degrades to code points and still roundtrips") {
+    assert(Unigram.train(Seq.empty[String].toDF("text"), "text") === Seq.empty)
+    val enc = Seq("hey 😀a").toDF("text")
+      .select(Unigram.encode(col("text"), Seq.empty).as("e"))
+      .head().getSeq[scala.collection.Seq[String]](0)
+    assert(enc.map(_.toSeq) === Seq(Seq("h", "e", "y"), Seq("😀", "a")))
+  }
+
+  test("piecesDf face carries the table; fertility under unigram beats characters") {
+    val df = Seq("banana banana banana bandana").toDF("text")
+    val ps = Unigram.train(df, "text", vocabSize = 16, maxPieceLen = 6)
+    val pdf = Unigram.piecesDf(spark, ps).collect()
+    assert(pdf.length === ps.size)
+    assert(pdf.map(_.getString(0)).toSeq === ps.map(_.piece))
+    val toks = df.select(Unigram.tokenCount(col("text"), ps).as("n")).head().getInt(0)
+    val chars = df.head().getString(0).replaceAll(" ", "").length
+    assert(toks < chars, s"$toks pieces should compress $chars chars")
+  }
+}
