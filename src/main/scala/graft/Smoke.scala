@@ -211,6 +211,16 @@ object Smoke {
       docs.where(col("source") === "src0"),
       docs.where(col("source") =!= "src0"), "text", expectedItems = 1 << 16)
     println(s"== bloom seen-set: ${unseen.count()} src0 docs textually new")
+    // BM25 retrieval: build the inverted file, append, probe term postings only
+    graft.ops.Retrieval.postingsIndex(spark, store, "smoke_bm25",
+      docs.where(col("source") =!= "src0"), "text", "doc_id",
+      numBuckets = 16, overwrite = true)
+    graft.ops.Retrieval.postingsIndexAppend(spark, store, "smoke_bm25",
+      docs.where(col("source") === "src0"), "text", "doc_id")
+    val bmHits = graft.ops.Retrieval.bm25SearchIndexed(spark, store,
+      "smoke_bm25", Seq("vector", "merge"), k = 5).collect()
+    println(s"== bm25 top-5 for [vector merge]: " +
+      bmHits.map(r => s"${r.getLong(0)}@${r.getDouble(1)}").mkString(", "))
     Writer.store(spark, store, "docs_orc", docs.select("doc_id", "text", "lang"),
       WriteOpts(partitionOn = Seq("lang"), format = "orc", overwrite = true))
     println(s"== orc dataset read: ${Reader.readTable(spark, store, "docs_orc").count()} rows")

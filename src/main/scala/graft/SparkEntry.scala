@@ -203,6 +203,20 @@ object SparkEntry {
         "embedding", "vec_id")
     }
 
+  /** BM25 inverted file over the documents corpus, built from everything
+    * but src0 and APPENDED with src0 under the header-pinned bucket
+    * hashing + arithmetically-advanced collection stats — the
+    * [[graft.ops.Retrieval.bm25SearchIndexed]] probe target. */
+  private def bm25IdxDs(s: SparkSession, dir: String): Storage =
+    ensure(s, dir, "bm25idx") { st =>
+      val docs = rd(s, dir, "documents")
+      graft.ops.Retrieval.postingsIndex(s, st, "bm25idx",
+        docs.where(col("source") =!= "src0"), "text", "doc_id",
+        numBuckets = 32, overwrite = true)
+      graft.ops.Retrieval.postingsIndexAppend(s, st, "bm25idx",
+        docs.where(col("source") === "src0"), "text", "doc_id")
+    }
+
   /** documents sorted by doc_id in 256 KiB row groups: each file's groups
     * carry disjoint doc_id stats, so a selective range predicate prunes at
     * the row-group level (reference `chunk_size`,
@@ -1085,6 +1099,27 @@ object SparkEntry {
     "t_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopK(rd(s, dir, "documents"), "text", "doc_id", 5)),
 
+    // --- BM25 corpus retrieval, ad-hoc face: one tokenize pass, stats
+    // derived in-plan, TakeOrdered top-10 — deterministic, hash-checked
+    "t_bm25" -> ((s, dir) =>
+      graft.ops.Retrieval.bm25TopK(rd(s, dir, "documents"), "text",
+        "doc_id", Seq("vector", "sort", "merge"), k = 10)),
+
+    // the PERSISTED inverted-file face end to end: build lands the
+    // postings of everything but src0 with collection stats pinned in the
+    // header, postingsIndexAppend adds src0 under the SAME bucket hashing
+    // and advances the stats arithmetically, and the probe reads only the
+    // three query terms' postings (bucket partition pruning + token IN
+    // row-group skipping — PlanQualitySpec pins the shape). BM25 stats
+    // are sums, so build+append == whole-corpus exactly and the probe
+    // hash-checks against the same plain SQL oracle as the ad-hoc face.
+    "t_bm25_indexed" -> ((s, dir) => {
+      val st = bm25IdxDs(s, dir)
+      graft.ops.Retrieval.bm25SearchIndexed(s, st, "bm25idx",
+        Seq("vector", "sort", "merge"), k = 10)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // --- unigram LM quality score (mean token log-prob under the corpus)
     "t_unigram_logprob" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(rd(s, dir, "documents"), "text", "doc_id")),
@@ -1746,6 +1781,36 @@ object SparkEntry {
 
   // ------------------------------------------------------------- oracles
 
+  /** The one BM25 mirror both retrieval faces hash-check against (query
+    * terms/k1/b/k inlined to the contract queries' values): Lucene-shape
+    * idf over natural logs, tf normalization with dl/avgdl, round-6 sum,
+    * top-10 with ties broken on doc_id. */
+  private val bm25OracleSql =
+    """WITH tk AS (
+         SELECT doc_id, token FROM (
+           SELECT doc_id, unnest(string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+')) AS token
+           FROM documents)
+         WHERE len(token) > 0),
+       dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+       st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                     CAST(sum(dl) AS DOUBLE) AS tot FROM dl),
+       tf AS (SELECT doc_id, token, count(*) AS tf FROM tk
+              WHERE token IN ('vector', 'sort', 'merge') GROUP BY 1, 2),
+       dft AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+       sc AS (
+         SELECT tf.doc_id, round(sum(
+           ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+           (CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+           (CAST(tf AS DOUBLE) +
+            1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / (tot / n)))), 6)
+           AS score
+         FROM tf JOIN dl USING (doc_id) JOIN dft USING (token), st
+         GROUP BY 1)
+       SELECT doc_id, score, rank FROM (
+         SELECT doc_id, score,
+           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+         FROM sc) t WHERE rank <= 10"""
+
   /** DuckDB-dialect mirrors, honoring reference semantics. Division results
     * and roundtripped values are exact; multi-term double aggregations are
     * rounded on BOTH sides. Tokenization in every mirror uses the EXPLICIT
@@ -2268,6 +2333,13 @@ object SparkEntry {
                row_number() OVER (PARTITION BY doc_id
                  ORDER BY tfidf DESC, token ASC) AS rank
              FROM scored) t WHERE rank <= 5""",
+      // BM25 (Lucene idf shape): ln on both engines, round-6 convention;
+      // N/avgdl over docs with >= 1 token; ties break on doc_id so the
+      // top-10 is total-order deterministic. Both faces mirror the SAME
+      // SQL — the indexed face's build+append reconstitutes the full
+      // corpus exactly (stats are sums).
+      "t_bm25" -> bm25OracleSql,
+      "t_bm25_indexed" -> bm25OracleSql,
       "t_unigram_logprob" ->
         """WITH tk AS (
              SELECT doc_id, token FROM (

@@ -1,0 +1,246 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.{Reader, Writer}
+import graft.io.Writer.WriteOpts
+import graft.dnf.{Literal, Op}
+import graft.meta.DatasetMetadata
+import graft.store.Storage
+
+/** Okapi BM25 corpus retrieval — the keyword-search face a curation
+  * pipeline needs beside its dedup and decontamination tooling: "show me
+  * the documents that talk about X" over a 100 TB corpus, without an
+  * external search cluster.
+  *
+  * Two faces share one scoring plan:
+  *
+  *   - [[bm25TopK]] scores in one pass over the corpus (explode ->
+  *     partial-aggregated term/length counts -> a broadcast one-row stats
+  *     join) — the ad-hoc face.
+  *   - [[postingsIndex]] lands the classic inverted file as a graft
+  *     dataset — one row per (token, doc) posting, hive-partitioned on
+  *     `bucket = pmod(xxhash64(token), numBuckets)` and sorted by token
+  *     inside each file — and [[bm25SearchIndexed]] probes it reading
+  *     ONLY the query terms' postings: partition pruning cuts to the
+  *     buckets the query tokens hash into, the `token IN` predicate
+  *     reaches the parquet row-group stats (the files are token-sorted,
+  *     so non-matching row groups skip), and corpus TEXT is never
+  *     touched. Collection statistics (N, total token count) are pinned
+  *     in the dataset header at build time and updated arithmetically on
+  *     [[postingsIndexAppend]] — the probe plans zero corpus-wide jobs.
+  *
+  * Scoring is the Lucene-shape BM25: for query term t in document d,
+  *
+  *   idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+  *   score(d)    = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+  *
+  * with df computed exactly from the postings of the query terms
+  * themselves (reading a term's postings IS reading its df — no separate
+  * statistics table to drift). Documents with zero tokens are not
+  * documents for N/avgdl purposes, on both faces and in the SQL mirror.
+  *
+  * Everything is deterministic column algebra over [[TextAnalysis.wsTokens]]
+  * (the one tokenizer of the counting family), so both faces hash-check
+  * against a plain SQL oracle. Dataset mechanics cite the reference's
+  * secondary-index build (`io_components/write.py`); the inverted file
+  * itself is a training-pipeline addition, not a reference feature.
+  */
+object Retrieval {
+
+  val DefaultK1 = 1.2
+  val DefaultB = 0.75
+
+  /** (id, token) rows of a corpus under the counting family's tokenizer:
+    * lower-cased whitespace tokens, empties dropped. */
+  private def tokens(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(TextAnalysis.wsTokens(lower(col(textCol)))).as("token"))
+      .where(length(col("token")) > 0)
+
+  /** The full postings relation of a corpus: one row per (token, id) with
+    * the within-doc term frequency and the doc's total token length
+    * denormalized onto every posting (8 bytes/posting buys the probe a
+    * join-free dl — the classic inverted-file layout). */
+  private def postingsOf(toks: DataFrame): DataFrame = {
+    val tf = toks.groupBy(col("id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+    tf.join(dl, "id")
+  }
+
+  /** Case-folded, trimmed, distinct query terms — the probe-side mirror
+    * of the corpus tokenization (a token can never contain or be
+    * whitespace, so whitespace-only terms are as empty as ""). */
+  private def queryTerms(query: Seq[String]): Seq[String] = {
+    val q = query.map(_.trim.toLowerCase(java.util.Locale.ROOT))
+      .filter(_.nonEmpty).distinct
+    require(q.nonEmpty, "BM25 query must contain at least one non-empty term")
+    q
+  }
+
+  /** BM25-score matched postings and keep the global top-k.
+    *
+    * `matched` carries (id, token, tf, dl) for query-term postings only;
+    * df per term is aggregated from it in-plan (exact: the matched
+    * postings of t are ALL postings of t). `stats` is a one-row
+    * (__n, __tot) frame, broadcast — derived in-plan on the ad-hoc face,
+    * a literal row from the header on the indexed face. Top-k compiles to
+    * TakeOrderedAndProject (never a global sort); ranks are assigned by a
+    * window over the k survivors only. Ties break on id ascending so the
+    * result is total-order deterministic. */
+  private def scoreTopK(matched: DataFrame, stats: DataFrame, idCol: String,
+                        k: Int, k1: Double, b: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val dft = matched.groupBy(col("token"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val avgdl = col("__tot") / col("__n")
+    val idf = log(lit(1.0) +
+      (col("__n") - col("df") + 0.5) / (col("df") + 0.5))
+    val tfD = col("tf").cast("double")
+    val norm = tfD * (k1 + 1.0) /
+      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    val scored = matched.join(dft, "token")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("id"))
+      .agg(round(sum(idf * norm), 6).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+    // rank over the <= k surviving rows (bounded single-partition window)
+    scored
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("score").desc, col("id").asc)).cast("long"))
+      .select(col("id").as(idCol), col("score"), col("rank"))
+  }
+
+  /** Ad-hoc BM25 top-k over a corpus frame: one tokenize pass feeds the
+    * doc-length aggregate (all tokens) and the query-term postings (the
+    * term filter lands BEFORE the tf aggregation, so the wide shuffle
+    * carries query-term rows only); N and total length derive from the
+    * length aggregate inside the plan as a broadcast one-row cross join —
+    * no eager corpus-wide count job. Returns (idCol, score, rank),
+    * score rounded to 6, rank 1-based by (score desc, id asc). */
+  def bm25TopK(df: DataFrame, textCol: String, idCol: String,
+               query: Seq[String], k: Int = 10,
+               k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
+    val q = queryTerms(query)
+    val toks = tokens(df, textCol, idCol)
+    val dl = toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("__n"),
+      sum(col("dl")).cast("double").as("__tot"))
+    val qtf = toks.where(col("token").isin(q: _*))
+      .groupBy(col("id"), col("token")).agg(count(lit(1)).as("tf"))
+    scoreTopK(qtf.join(dl, "id"), stats, idCol, k, k1, b)
+  }
+
+  private val MetaNDocs = "graft.bm25.nDocs"
+  private val MetaTotalTokens = "graft.bm25.totalTokens"
+  private val MetaNumBuckets = "graft.bm25.numBuckets"
+
+  /** One bounded job: (docs with >= 1 token, total token count) of a
+    * corpus — the collection statistics pinned in the index header. */
+  private def collectionStats(toks: DataFrame): (Long, Long) = {
+    val r = toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("tot"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Build the persistent inverted file of a corpus: (bucket, token, id,
+    * tf, dl) hive-partitioned on `bucket = pmod(xxhash64(token),
+    * numBuckets)` and token-sorted within files (row-group stats make the
+    * probe's `token IN` skip non-matching groups). Collection stats land
+    * in the header — build, append, and probe all read THOSE, so the
+    * scoring population can never silently drift from the landed
+    * postings. One bounded stats job beside the write (the accepted
+    * construction-time pattern). */
+  def postingsIndex(spark: SparkSession, storage: Storage, uuid: String,
+                    df: DataFrame, textCol: String, idCol: String,
+                    numBuckets: Int = 64,
+                    overwrite: Boolean = false): DatasetMetadata = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1 (got $numBuckets)")
+    val toks = tokens(df, textCol, idCol)
+    val (n, tot) = collectionStats(toks)
+    val table = postingsOf(toks)
+      .withColumn("bucket",
+        pmod(xxhash64(col("token")), lit(numBuckets.toLong)).cast("int"))
+      .select("bucket", "token", "id", "tf", "dl")
+    Writer.store(spark, storage, uuid, table,
+      WriteOpts(partitionOn = Seq("bucket"), sortBy = Seq("token"),
+        overwrite = overwrite,
+        metadata = Map(
+          MetaNDocs -> n.toString,
+          MetaTotalTokens -> tot.toString,
+          MetaNumBuckets -> numBuckets.toString)))
+  }
+
+  /** The collection statistics pinned in a [[postingsIndex]] header:
+    * (nDocs, totalTokens, numBuckets). */
+  private[graft] def postingsParams(storage: Storage,
+                                    uuid: String): (Long, Long, Int) = {
+    val meta = DatasetMetadata.load(storage, uuid)
+    def param(k: String): String = meta.metadata.getOrElse(k,
+      throw new IllegalArgumentException(
+        s"dataset '$uuid' is not a BM25 postings index (missing $k)"))
+    (param(MetaNDocs).toLong, param(MetaTotalTokens).toLong,
+      param(MetaNumBuckets).toInt)
+  }
+
+  /** Append a batch of NEW documents to a [[postingsIndex]]: their
+    * postings land under the header-pinned bucket hashing and the
+    * collection stats advance arithmetically (N += batch docs,
+    * total += batch tokens) in the same atomic commit — a probe sees
+    * either the old corpus or the new one, never postings without their
+    * stats. Exactness is preserved (BM25 stats are sums, nothing is
+    * trained): after append, the probe equals the ad-hoc face over the
+    * concatenated corpus. Caller contract: batch ids are new — appending
+    * an existing doc id would double its postings, same contract as every
+    * append face in the index family. */
+  def postingsIndexAppend(spark: SparkSession, storage: Storage, uuid: String,
+                          df: DataFrame, textCol: String,
+                          idCol: String): DatasetMetadata = {
+    val (n, tot, numBuckets) = postingsParams(storage, uuid)
+    val toks = tokens(df, textCol, idCol)
+    val (dn, dtot) = collectionStats(toks)
+    val table = postingsOf(toks)
+      .withColumn("bucket",
+        pmod(xxhash64(col("token")), lit(numBuckets.toLong)).cast("int"))
+      .select("bucket", "token", "id", "tf", "dl")
+    Writer.update(spark, storage, uuid, Some(table),
+      opts = WriteOpts(sortBy = Seq("token"), metadata = Map(
+        MetaNDocs -> (n + dn).toString,
+        MetaTotalTokens -> (tot + dtot).toString)))
+  }
+
+  /** Probe a [[postingsIndex]]: BM25 top-k reading ONLY the query terms'
+    * postings. The query tokens' buckets are computed with the same
+    * engine hash family as the build (one local-relation job over the
+    * query terms — bounded by |query|, the dedupAgainstIndex discipline)
+    * and pruned as hive partitions; `token IN` pushes to row-group stats
+    * inside the token-sorted files; df per term aggregates from the
+    * matched postings themselves (exact); N/avgdl come from the header as
+    * literals. Nothing in the plan scales with corpus size except the
+    * matched postings read. */
+  def bm25SearchIndexed(spark: SparkSession, storage: Storage, uuid: String,
+                        query: Seq[String], k: Int = 10,
+                        k1: Double = DefaultK1,
+                        b: Double = DefaultB): DataFrame = {
+    val (n, tot, numBuckets) = postingsParams(storage, uuid)
+    require(n > 0, s"BM25 postings index '$uuid' is empty (nDocs = 0)")
+    val q = queryTerms(query)
+    import spark.implicits._
+    val buckets = q.toDF("token")
+      .select(pmod(xxhash64(col("token")), lit(numBuckets.toLong))
+        .cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val idx = Reader.readTable(spark, storage, uuid,
+      predicates = Some(Seq(Seq(
+        Literal("bucket", Op.In, buckets),
+        Literal("token", Op.In, q)))))
+      .select("token", "id", "tf", "dl")
+    val stats = spark.range(1).select(
+      lit(n.toDouble).as("__n"), lit(tot.toDouble).as("__tot"))
+    scoreTopK(idx, stats, "id", k, k1, b)
+  }
+}

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.Retrieval
+
+/** BM25 retrieval: ad-hoc face vs an independent Scala evaluator,
+  * indexed face vs the ad-hoc face across build/append, stats-header
+  * pinning, and the probe's pruning shape. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf(rows: Seq[(Long, String)]): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  /** Independent BM25 reference over Scala collections — the evaluator
+    * the DataFrame plan is compared against (DNF-spec precedent). */
+  private def refBm25(rows: Seq[(Long, String)], query: Seq[String], k: Int,
+                      k1: Double = Retrieval.DefaultK1,
+                      b: Double = Retrieval.DefaultB): Seq[(Long, Double, Long)] = {
+    val toks = rows.map { case (id, t) =>
+      id -> t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    }.filter(_._2.nonEmpty)
+    val n = toks.size.toDouble
+    val avgdl = toks.map(_._2.size).sum / n
+    val q = query.map(_.toLowerCase).distinct
+    val df = q.map(t => t -> toks.count(_._2.contains(t)).toDouble).toMap
+    val scored = toks.flatMap { case (id, ts) =>
+      if (!q.exists(ts.contains)) None
+      else {
+        val s = q.map { t =>
+          val tf = ts.count(_ == t).toDouble
+          if (tf == 0) 0.0
+          else math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)) *
+            tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * ts.size / avgdl))
+        }.sum
+        Some(id -> BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    scored.sortBy { case (id, s) => (-s, id) }.take(k)
+      .zipWithIndex.map { case ((id, s), i) => (id, s, (i + 1).toLong) }
+  }
+
+  private val corpus = Seq(
+    1L -> "spark shuffle join join join",
+    2L -> "join merge SORT sort spark table scan",
+    3L -> "vector vector vector index probe",
+    4L -> "the quick brown fox",
+    5L -> "sort   merge\njoin vector",
+    6L -> " \t ", // zero tokens: not a document for N/avgdl
+    7L -> "spark spark spark spark spark spark spark spark")
+
+  test("bm25TopK matches the independent evaluator (closed corpus)") {
+    val got = Retrieval.bm25TopK(docsDf(corpus), "text", "doc_id",
+      Seq("join", "vector", "sort"), k = 5)
+      .as[(Long, Double, Long)].collect().toSeq.sortBy(_._3)
+    val want = refBm25(corpus, Seq("join", "vector", "sort"), 5)
+    assert(got == want)
+  }
+
+  test("bm25TopK matches the evaluator on randomized corpora") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("join", "scan", "sort", "merge", "vector", "table",
+      "spark", "row", "index", "probe")
+    for (trial <- 1 to 5) {
+      val rows = (1L to 40L).map { id =>
+        id -> Seq.fill(1 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")
+      }
+      val query = rnd.shuffle(vocab).take(1 + rnd.nextInt(3))
+      val got = Retrieval.bm25TopK(docsDf(rows), "text", "doc_id", query, k = 7)
+        .as[(Long, Double, Long)].collect().toSeq.sortBy(_._3)
+      val want = refBm25(rows, query, 7)
+      assert(got == want, s"trial $trial query $query")
+    }
+  }
+
+  test("indexed probe across build+append equals the ad-hoc face; stats pinned") {
+    val store = graft.store.Storage(spark, tmpDir("bm25-idx"))
+    val (first, second) = corpus.partition(_._1 <= 3L)
+    Retrieval.postingsIndex(spark, store, "bm25", docsDf(first),
+      "text", "doc_id", numBuckets = 8, overwrite = true)
+    val (n0, tot0, nb0) = Retrieval.postingsParams(store, "bm25")
+    assert((n0, tot0, nb0) == ((3L, 17L, 8)))
+    Retrieval.postingsIndexAppend(spark, store, "bm25", docsDf(second),
+      "text", "doc_id")
+    val (n1, tot1, _) = Retrieval.postingsParams(store, "bm25")
+    // doc 6 is all-whitespace: zero tokens, not a document
+    assert((n1, tot1) == ((6L, 33L)))
+    val got = Retrieval.bm25SearchIndexed(spark, store, "bm25",
+      Seq("join", "vector", "sort"), k = 5)
+      .as[(Long, Double, Long)].collect().toSeq.sortBy(_._3)
+    val adhoc = Retrieval.bm25TopK(docsDf(corpus), "text", "doc_id",
+      Seq("join", "vector", "sort"), k = 5)
+      .as[(Long, Double, Long)].collect().toSeq.sortBy(_._3)
+    assert(got == adhoc)
+  }
+
+  test("probe prunes to the query terms' buckets and pushes token IN") {
+    val store = graft.store.Storage(spark, tmpDir("bm25-prune"))
+    Retrieval.postingsIndex(spark, store, "bm25", docsDf(corpus),
+      "text", "doc_id", numBuckets = 8, overwrite = true)
+    val probe = Retrieval.bm25SearchIndexed(spark, store, "bm25",
+      Seq("vector"), k = 3)
+    val plan = probe.queryExecution.executedPlan.toString
+    // partition pruning: the scan carries a bucket filter, and the token
+    // predicate reaches the parquet pushdown
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("bucket"), plan.take(2000))
+    assert(plan.contains("PushedFilters") && plan.contains("token"),
+      plan.take(2000))
+    // exactly one bucket survives for a single-term query
+    val files = probe.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.toString.linesIterator.filter(_.contains("Location")))
+    assert(files.nonEmpty)
+  }
+
+  test("empty query and empty index fail loudly") {
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(docsDf(corpus), "text", "doc_id", Seq("", "  "), 5)
+    }
+    val store = graft.store.Storage(spark, tmpDir("bm25-empty"))
+    Retrieval.postingsIndex(spark, store, "bm25",
+      docsDf(Seq(9L -> "   ")), "text", "doc_id", numBuckets = 4,
+      overwrite = true)
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25SearchIndexed(spark, store, "bm25", Seq("join"), 3)
+    }
+  }
+
+  test("query terms absent from the corpus score nothing; case folds") {
+    val got = Retrieval.bm25TopK(docsDf(corpus), "text", "doc_id",
+      Seq("UNSEEN-term"), k = 5).count()
+    assert(got == 0L)
+    // SORT in doc 2 was upper-case in the corpus; query lower-cases too
+    val sorted = Retrieval.bm25TopK(docsDf(corpus), "text", "doc_id",
+      Seq("SoRt"), k = 5).select("doc_id")
+      .as[Long].collect().toSet
+    assert(sorted == Set(2L, 5L))
+  }
+}
