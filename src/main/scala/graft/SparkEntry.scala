@@ -217,6 +217,17 @@ object SparkEntry {
         docs.where(col("source") === "src0"), "text", "doc_id")
     }
 
+  /** lineitem Z-ordered on (l_quantity, l_extendedprice) in 256 KiB row
+    * groups — the [[Reader.readTable]] two-dimensional band-read target. */
+  private def zliDs(s: SparkSession, dir: String): Storage =
+    ensure(s, dir, "zli") { st =>
+      Writer.store(s, st, "zli",
+        rd(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+        WriteOpts(zorderBy = Seq("l_quantity", "l_extendedprice"),
+          chunkSize = Some(256L * 1024), overwrite = true))
+    }
+
   /** documents sorted by doc_id in 256 KiB row groups: each file's groups
     * carry disjoint doc_id stats, so a selective range predicate prunes at
     * the row-group level (reference `chunk_size`,
@@ -546,6 +557,19 @@ object SparkEntry {
         columns = Some(Seq("doc_id", "lang")),
         predicates = Some(Seq(Seq(
           Literal("doc_id", Op.Ge, 100L), Literal("doc_id", Op.Le, 200L)))))),
+
+    // --- Z-order layout (beyond reference: the lakehouse OPTIMIZE ZORDER
+    // shape): lineitem written Morton-interleaved on (l_quantity,
+    // l_extendedprice), read back with a narrow band on EACH dimension —
+    // row-group stats prune on both (ZOrderSpec measures the footer-level
+    // win; here the band read hash-checks against the raw table)
+    "x_zorder_read" -> ((s, dir) =>
+      Reader.readTable(s, zliDs(s, dir), "zli",
+        columns = Some(Seq("l_orderkey", "l_quantity", "l_extendedprice")),
+        predicates = Some(Seq(Seq(
+          Literal("l_quantity", Op.Ge, 10.0), Literal("l_quantity", Op.Lt, 12.0),
+          Literal("l_extendedprice", Op.Ge, 20000.0),
+          Literal("l_extendedprice", Op.Lt, 30000.0)))))),
 
     // --- S8+: dask_index_on equivalent — globally range-sorted read
     // (reference io/dask/dataframe.py:145-151,167-168)
@@ -1929,6 +1953,10 @@ object SparkEntry {
         "SELECT l_returnflag, l_discount, l_extendedprice, l_linenumber::BIGINT AS l_linenumber, l_linestatus, l_orderkey, l_partkey, l_quantity, l_shipdate, l_suppkey, l_tax FROM lineitem",
       "s8_index_on" ->
         "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders",
+      "x_zorder_read" ->
+        """SELECT l_orderkey, l_quantity, l_extendedprice FROM lineitem
+           WHERE l_quantity >= 10.0 AND l_quantity < 12.0
+             AND l_extendedprice >= 20000.0 AND l_extendedprice < 30000.0""",
       "w_chunked_prune" ->
         "SELECT doc_id, lang FROM documents WHERE doc_id BETWEEN 100 AND 200",
       "x1_partition_prune" ->

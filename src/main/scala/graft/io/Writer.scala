@@ -24,6 +24,7 @@ object Writer {
       partitionOn: Seq[String] = Nil,
       secondaryIndices: Seq[String] = Nil,
       sortBy: Seq[String] = Nil,          // O1 sort_partitions_by
+      zorderBy: Seq[String] = Nil,        // Morton layout: multi-col row-group pruning
       numBuckets: Int = 0,                // X3/X7: >0 enables bucketed shuffle
       bucketBy: Seq[String] = Nil,        // X4: hash-bucket columns
       repartitionRatio: Int = 0,          // X6: pre-shuffle coalesce divisor
@@ -72,6 +73,11 @@ object Writer {
     * (one file per partition-value x bucket) or plain repartition by keys,
     * then in-file ordering for disjoint row-group ranges. */
   private def layout(df: DataFrame, o: WriteOpts): DataFrame = {
+    require(o.sortBy.isEmpty || o.zorderBy.isEmpty,
+      "sortBy and zorderBy are mutually exclusive (one physical row order)")
+    require(o.zorderBy.intersect(o.partitionOn).isEmpty,
+      "zorderBy columns cannot be partition keys (they are constant per file)")
+    if (o.zorderBy.nonEmpty) return layoutZOrdered(df, o)
     val keyCols = o.partitionOn.map(col)
     val pre = if (o.repartitionRatio > 0) {
       val n = math.max(1, math.ceil(
@@ -112,6 +118,37 @@ object Writer {
     if (o.sortBy.nonEmpty)
       shuffled.sortWithinPartitions((o.partitionOn ++ o.sortBy).map(col): _*)
     else shuffled
+  }
+
+  /** Z-ordered layout: the Morton key ([[ZOrder.withZKey]]) replaces the
+    * sort column. Unpartitioned/unbucketed datasets range-partition on the
+    * key so FILES carry disjoint key ranges too; hive/bucketed datasets
+    * keep their value/bucket shuffle and z-sort within it (row-group-level
+    * pruning — the level parquet stats actually prune at). The key is
+    * dropped after the sort: Z-order is a layout property, never a column
+    * readers see. */
+  private def layoutZOrdered(df: DataFrame, o: WriteOpts): DataFrame = {
+    val keyed = ZOrder.withZKey(df, o.zorderBy)
+    val width =
+      if (o.writeWidth > 0) o.writeWidth
+      else math.max(1, math.min(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+        df.sparkSession.sparkContext.defaultParallelism))
+    val keyCols = o.partitionOn.map(col)
+    val shuffled =
+      if (o.numBuckets > 0) {
+        val hashCols = if (o.bucketBy.nonEmpty) o.bucketBy.map(col) else
+          df.columns.filterNot(o.partitionOn.contains).map(col).toSeq
+        val bucket = pmod(xxhash64(hashCols: _*), lit(o.numBuckets))
+        keyed.repartition(width, keyCols :+ bucket: _*)
+      } else if (o.partitionOn.nonEmpty) {
+        keyed.repartition(width, keyCols: _*)
+      } else {
+        keyed.repartitionByRange(width, col(ZOrder.KeyCol))
+      }
+    shuffled
+      .sortWithinPartitions(keyCols :+ col(ZOrder.KeyCol): _*)
+      .drop(ZOrder.KeyCol)
   }
 
   private[io] def listDataFiles(storage: Storage, uuid: String): Seq[String] =

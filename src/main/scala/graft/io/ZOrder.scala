@@ -1,0 +1,89 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) layout keys for multi-column row-group pruning.
+  *
+  * A single `sortBy` column gives perfect row-group pruning on ONE
+  * dimension and none on any other; interleaving the bits of several
+  * columns' quantile ranks gives every interleaved column row groups whose
+  * [min,max] footer ranges are narrow — a selective predicate on ANY of
+  * them skips most groups at the parquet level. The standard lakehouse
+  * layout optimization (Delta/Iceberg `OPTIMIZE ZORDER BY`), expressed
+  * here as pure column algebra over sampled quantile boundaries:
+  *
+  *   1. one bounded aggregation job computes `2^bits - 1` approximate
+  *      quantile cut points per column (quantile — not uniform — buckets,
+  *      so skewed columns still spread across the full rank range);
+  *   2. each row's per-column rank is the count of boundaries <= value
+  *      (a codegen'd fold over the broadcast boundary literals — no UDF,
+  *      no second pass);
+  *   3. ranks interleave bit-by-bit into one long Morton key.
+  *
+  * The key drives `repartitionByRange` + `sortWithinPartitions` in the
+  * writer and is dropped before serialization — Z-order is a LAYOUT
+  * property, invisible to readers except through the footer statistics it
+  * tightens. Null values rank 0 (nulls-first, same as a sort layout).
+  *
+  * Scale shape: the boundaries job is one `percentile_approx` aggregate
+  * (mergeable sketch, no global sort); the write adds one range exchange —
+  * exactly what a plain sorted write costs. Nothing is driver-side except
+  * the `(2^bits - 1) * ncols` boundary doubles. */
+object ZOrder {
+
+  val KeyCol = "__zkey"
+
+  /** Max columns interleavable into the 63 usable bits of a long at the
+    * given bit width. */
+  private def maxCols(bits: Int): Int = 63 / bits
+
+  /** Append [[KeyCol]] — the Morton key over `cols` — to `df`. One bounded
+    * aggregation job (the construction-time pattern); everything else is
+    * per-row column algebra. Columns must be castable to double (numeric /
+    * date / timestamp); a column with no non-null values contributes a
+    * constant 0 rank. */
+  def withZKey(df: DataFrame, cols: Seq[String], bits: Int = 8): DataFrame = {
+    require(cols.size >= 2,
+      s"zorderBy needs >= 2 columns (one column is a plain sortBy); got $cols")
+    require(bits >= 1 && cols.size <= maxCols(bits),
+      s"${cols.size} columns at $bits bits/col exceed a long's 63 bits")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"zorderBy columns not in frame: $missing")
+    val qs = (1 until (1 << bits)).map(_.toDouble / (1 << bits))
+    val aggs = cols.map(c => percentile_approx(col(c).cast("double"),
+      typedLit(qs), lit(10000)).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val ranks = cols.zipWithIndex.map { case (c, i) =>
+      // an all-null column yields a null quantile array -> constant rank 0
+      val bounds =
+        if (row.isNullAt(i)) Seq.empty[Double]
+        else row.getSeq[Double](i).filter(b => !b.isNaN)
+      rankOf(col(c).cast("double"), bounds)
+    }
+    df.withColumn(KeyCol, interleave(ranks, bits))
+  }
+
+  /** Rank of `v` among the sorted boundary literals: count of boundaries
+    * <= v, null/NaN ranking 0 — a fold over a broadcast array literal,
+    * fully codegen'd. */
+  private def rankOf(v: Column, bounds: Seq[Double]): Column =
+    if (bounds.isEmpty) lit(0L)
+    else coalesce(
+      when(isnan(v), lit(0L)).otherwise(
+        aggregate(typedLit(bounds), lit(0L),
+          (acc, b) => acc + when(v >= b, 1L).otherwise(0L))),
+      lit(0L))
+
+  /** Interleave the low `bits` bits of each rank: bit `b` of rank `j`
+    * lands at Morton position `b * n + j` — disjoint target bits, so the
+    * combine is a plain sum. */
+  private def interleave(ranks: Seq[Column], bits: Int): Column = {
+    val n = ranks.size
+    ranks.zipWithIndex.flatMap { case (r, j) =>
+      (0 until bits).map { b =>
+        shiftleft(shiftright(r, b).bitwiseAND(1L), b * n + j).cast("long")
+      }
+    }.reduce(_ + _)
+  }
+}

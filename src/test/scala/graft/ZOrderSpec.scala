@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+
+import org.apache.spark.sql.functions._
+
+import graft.io.{Reader, Writer, ZOrder}
+import graft.io.Writer.WriteOpts
+import graft.store.Storage
+
+/** Z-order layout: content invariance, key construction, and the actual
+  * row-group pruning win measured from the written parquet footers. */
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Per-row-group [min,max] of a long column, across all parquet files of
+    * the dataset — read from footers only. */
+  private def groupRanges(store: Storage, uuid: String,
+                          column: String): Seq[(Long, Long)] = {
+    val base = new Path(s"${store.base}/$uuid/table")
+    val fs = base.getFileSystem(store.hadoopConf)
+    val files = fs.listFiles(base, true)
+    val out = scala.collection.mutable.ListBuffer[(Long, Long)]()
+    while (files.hasNext) {
+      val f = files.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val r = ParquetFileReader.open(
+          HadoopInputFile.fromPath(f.getPath, store.hadoopConf))
+        try r.getFooter.getBlocks.forEach { b =>
+          b.getColumns.forEach { c =>
+            if (c.getPath.toDotString == column) {
+              val st = c.getStatistics
+              out += ((st.genericGetMin.asInstanceOf[Long],
+                st.genericGetMax.asInstanceOf[Long]))
+            }
+          }
+        } finally r.close()
+      }
+    }
+    out.toSeq
+  }
+
+  private def overlapping(ranges: Seq[(Long, Long)], lo: Long, hi: Long): Int =
+    ranges.count { case (mn, mx) => mx >= lo && mn <= hi }
+
+  // two independent uniform dimensions, DECORRELATED from the sequential
+  // input ids (hashes) so every input partition sees both full ranges — a
+  // sortWithinPartitions(x) layout then genuinely scatters y per row group
+  private def grid(): org.apache.spark.sql.DataFrame =
+    spark.range(0, 50000, 1, 8).select(
+      pmod(xxhash64(col("id")), lit(200L)).as("x"),
+      pmod(xxhash64(col("id") + 50000L), lit(250L)).as("y"),
+      col("id").as("payload"))
+
+  test("z-ordered roundtrip preserves content (plain and hive-partitioned)") {
+    val store = Storage(spark, tmpDir("zorder-rt"))
+    val df = grid().withColumn("part", (col("payload") % 3).cast("string"))
+    Writer.store(spark, store, "plain", df.drop("part"),
+      WriteOpts(zorderBy = Seq("x", "y"), overwrite = true))
+    assert(Reader.readTable(spark, store, "plain")
+      .select("x", "y", "payload")
+      .as[(Long, Long, Long)].collect().sorted.toSeq ==
+      df.select("x", "y", "payload")
+        .as[(Long, Long, Long)].collect().sorted.toSeq)
+    Writer.store(spark, store, "hive", df,
+      WriteOpts(partitionOn = Seq("part"), zorderBy = Seq("x", "y"),
+        overwrite = true))
+    assert(Reader.readTable(spark, store, "hive").count() == 50000L)
+    // the layout key never leaks into the stored schema
+    assert(!Reader.readTable(spark, store, "hive").columns
+      .contains(ZOrder.KeyCol))
+  }
+
+  test("z-order prunes row groups on BOTH dimensions; plain sort on one") {
+    val store = Storage(spark, tmpDir("zorder-prune"))
+    Writer.store(spark, store, "xsort", grid(),
+      WriteOpts(sortBy = Seq("x"), chunkSize = Some(64L * 1024),
+        overwrite = true))
+    Writer.store(spark, store, "zord", grid(),
+      WriteOpts(zorderBy = Seq("x", "y"), chunkSize = Some(64L * 1024),
+        writeWidth = 8, overwrite = true))
+    val (xsX, xsY) = (groupRanges(store, "xsort", "x"),
+      groupRanges(store, "xsort", "y"))
+    val (zX, zY) = (groupRanges(store, "zord", "x"),
+      groupRanges(store, "zord", "y"))
+    // enough groups for pruning to be meaningful at all
+    assert(xsY.size >= 8, s"xsort row groups: ${xsY.size}")
+    assert(zY.size >= 8, s"zord row groups: ${zY.size}")
+    // a narrow band on the SECOND dimension: the x-sorted layout scatters y
+    // across every group (zero pruning); the z-ordered layout must skip
+    // at least half its groups
+    val xsYHit = overlapping(xsY, 100, 110).toDouble / xsY.size
+    val zYHit = overlapping(zY, 100, 110).toDouble / zY.size
+    assert(xsYHit > 0.9, s"x-sorted layout unexpectedly prunes y: $xsYHit")
+    assert(zYHit <= 0.5, s"z-order read-fraction for y band: $zYHit")
+    // and the FIRST dimension still prunes too (the trade: not as tight as
+    // a dedicated sort, but a narrow band must skip at least half)
+    val zXHit = overlapping(zX, 50, 60).toDouble / zX.size
+    assert(zXHit <= 0.5, s"z-order read-fraction for x band: $zXHit")
+  }
+
+  test("selective two-dimensional read returns exact rows over the layout") {
+    val store = Storage(spark, tmpDir("zorder-read"))
+    Writer.store(spark, store, "zord", grid(),
+      WriteOpts(zorderBy = Seq("x", "y"), chunkSize = Some(64L * 1024),
+        overwrite = true))
+    val got = Reader.readTable(spark, store, "zord",
+      predicates = Some(Seq(Seq(
+        graft.dnf.Literal("x", graft.dnf.Op.Ge, 50L),
+        graft.dnf.Literal("x", graft.dnf.Op.Lt, 60L),
+        graft.dnf.Literal("y", graft.dnf.Op.Ge, 100L),
+        graft.dnf.Literal("y", graft.dnf.Op.Lt, 110L)))))
+    val want = grid().where(col("x") >= 50 && col("x") < 60 &&
+      col("y") >= 100 && col("y") < 110)
+    assert(got.count() == want.count())
+    assert(got.agg(sum("payload")).head().getLong(0) ==
+      want.agg(sum("payload")).head().getLong(0))
+  }
+
+  test("key construction: deterministic, null-safe, bounded") {
+    val df = Seq((1L, 10L), (1L, 10L), (200L, 3L)).toDF("a", "b")
+      .union(Seq((5L, 7L)).toDF("a", "b"))
+    val keyed = ZOrder.withZKey(df, Seq("a", "b"))
+    val keys = keyed.select(col("a"), col("b"), col(ZOrder.KeyCol))
+      .as[(Long, Long, Long)].collect()
+    // identical rows -> identical keys; all keys within 2*8 interleaved bits
+    val byRow = keys.groupBy(k => (k._1, k._2)).view.mapValues(_.map(_._3).toSet)
+    assert(byRow.values.forall(_.size == 1))
+    assert(keys.forall(k => k._3 >= 0 && k._3 < (1L << 16)))
+    // nulls rank 0: a null never throws and sorts lowest
+    val withNull = spark.sql("SELECT * FROM VALUES (CAST(NULL AS BIGINT), 1L), (10L, 1L) t(a, b)")
+    val nk = ZOrder.withZKey(withNull, Seq("a", "b"))
+      .orderBy(col(ZOrder.KeyCol)).select("a").collect()
+    assert(nk.head.isNullAt(0))
+  }
+
+  test("layout validation fails loudly") {
+    val store = Storage(spark, tmpDir("zorder-bad"))
+    val df = grid()
+    intercept[IllegalArgumentException] {
+      Writer.store(spark, store, "bad1", df,
+        WriteOpts(zorderBy = Seq("x"), overwrite = true))
+    }
+    intercept[IllegalArgumentException] {
+      Writer.store(spark, store, "bad2", df,
+        WriteOpts(zorderBy = Seq("x", "y"), sortBy = Seq("x"),
+          overwrite = true))
+    }
+    intercept[IllegalArgumentException] {
+      Writer.store(spark, store, "bad3",
+        df.withColumn("p", col("x").cast("string")),
+        WriteOpts(partitionOn = Seq("p"), zorderBy = Seq("p", "y"),
+          overwrite = true))
+    }
+    intercept[IllegalArgumentException] {
+      Writer.store(spark, store, "bad4", df,
+        WriteOpts(zorderBy = Seq("x", "nope"), overwrite = true))
+    }
+  }
+}
