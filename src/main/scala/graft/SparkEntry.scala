@@ -1144,6 +1144,36 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // the STREAMING retrieval face, and the one streaming query that
+    // hash-checks EXACTLY: the index is built from src0 and every other
+    // source streams in via writeStreamPostings (3 micro-batches, each
+    // advancing the header stats in its atomic commit), after which the
+    // probe over built+streamed postings equals the ad-hoc face over the
+    // whole corpus — same oracle SQL as t_bm25
+    "st_stream_search" -> ((s, dir) => {
+      val st = ensure(s, dir, "sbm_stream") { st =>
+        val docs = rd(s, dir, "documents")
+        graft.ops.Retrieval.postingsIndex(s, st, "sbm_idx",
+          docs.where(col("source") === "src0"), "text", "doc_id",
+          numBuckets = 32, overwrite = true)
+        Ops.deleteDataset(st, "sbm_corpus")
+        val inDir = s"${tmpBase(dir)}/sbm_in"
+        docs.where(col("source") =!= "src0").select("doc_id", "text")
+          .repartition(3).write.mode("overwrite").parquet(inDir)
+        val q = graft.streaming.Streaming.writeStreamPostings(
+          s.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", "1").parquet(inDir),
+          st, "sbm_corpus", "sbm_idx", "text", "doc_id")
+        if (!q.awaitTermination(300000)) {
+          q.stop()
+          sys.error("st_stream_search ingest did not finish within 300s")
+        }
+      }
+      graft.ops.Retrieval.bm25SearchIndexed(s, st, "sbm_idx",
+        Seq("vector", "sort", "merge"), k = 10)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // --- unigram LM quality score (mean token log-prob under the corpus)
     "t_unigram_logprob" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(rd(s, dir, "documents"), "text", "doc_id")),
@@ -2368,6 +2398,7 @@ object SparkEntry {
       // corpus exactly (stats are sums).
       "t_bm25" -> bm25OracleSql,
       "t_bm25_indexed" -> bm25OracleSql,
+      "st_stream_search" -> bm25OracleSql,
       "t_unigram_logprob" ->
         """WITH tk AS (
              SELECT doc_id, token FROM (

@@ -198,8 +198,9 @@ object Retrieval {
     * an existing doc id would double its postings, same contract as every
     * append face in the index family. */
   def postingsIndexAppend(spark: SparkSession, storage: Storage, uuid: String,
-                          df: DataFrame, textCol: String,
-                          idCol: String): DatasetMetadata = {
+                          df: DataFrame, textCol: String, idCol: String,
+                          extraMetadata: Map[String, String] = Map.empty,
+                          writeWidth: Int = 0): DatasetMetadata = {
     val (n, tot, numBuckets) = postingsParams(storage, uuid)
     val toks = tokens(df, textCol, idCol)
     val (dn, dtot) = collectionStats(toks)
@@ -208,9 +209,10 @@ object Retrieval {
         pmod(xxhash64(col("token")), lit(numBuckets.toLong)).cast("int"))
       .select("bucket", "token", "id", "tf", "dl")
     Writer.update(spark, storage, uuid, Some(table),
-      opts = WriteOpts(sortBy = Seq("token"), metadata = Map(
-        MetaNDocs -> (n + dn).toString,
-        MetaTotalTokens -> (tot + dtot).toString)))
+      opts = WriteOpts(sortBy = Seq("token"), writeWidth = writeWidth,
+        metadata = Map(
+          MetaNDocs -> (n + dn).toString,
+          MetaTotalTokens -> (tot + dtot).toString) ++ extraMetadata))
   }
 
   /** Probe a [[postingsIndex]]: BM25 top-k reading ONLY the query terms'

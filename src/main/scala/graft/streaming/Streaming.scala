@@ -607,6 +607,63 @@ object Streaming {
     *
     * Scale shape per batch: O(batch) hashing + an index read pruned to the
     * batch's bucket set; corpus text is never re-read. */
+  /** Streaming SEARCHABLE ingestion — the retrieval sibling of
+    * [[writeStreamDedup]] / [[writeStreamVectorIndex]], keeping the
+    * per-modality symmetry (every persisted index family has a streaming
+    * half): each micro-batch (1) appends the batch docs' postings to an
+    * existing [[graft.ops.Retrieval.postingsIndex]] under the
+    * header-pinned bucket hashing, advancing the collection statistics
+    * arithmetically in the SAME atomic commit, then (2) lands the docs in
+    * `corpusUuid` through the replay-guarded commit. Index FIRST: a
+    * concurrent search may transiently score docs whose corpus rows are
+    * not yet committed, but committed docs are never invisible to search.
+    *
+    * Crash-safety differs from the vector sibling on purpose: duplicated
+    * postings would CORRUPT BM25 (tf rows double, df and the header stats
+    * over-count — a correctness break, not the vector index's
+    * probe-width cost), so the INDEX append carries the same
+    * token/batchId stamp as the corpus commit — a replay after a crash
+    * between the two sees the stamped index, skips the re-append, and
+    * only the corpus commit runs. Exactly-once on both sides of the
+    * write, under foreachBatch's at-least-once contract. */
+  def writeStreamPostings(stream: DataFrame, storage: Storage,
+                          corpusUuid: String, indexUuid: String,
+                          textCol: String, idCol: String,
+                          opts: WriteOpts = WriteOpts(),
+                          checkpoint: Option[String] = None,
+                          configure: DataStreamWriter[Row] => DataStreamWriter[Row] =
+                            _.trigger(Trigger.AvailableNow())): StreamingQuery =
+    startGuarded("writeStreamPostings", stream, checkpoint, configure)(
+      token => postingsBatch(storage, corpusUuid, indexUuid, textCol, idCol,
+        opts, token))
+
+  /** One [[writeStreamPostings]] micro-batch — separated so the
+    * crash-replay windows are directly testable (the [[ingestBatch]]
+    * precedent). */
+  private[graft] def postingsBatch(storage: Storage, corpusUuid: String,
+                                   indexUuid: String, textCol: String,
+                                   idCol: String, opts: WriteOpts,
+                                   runToken: Option[String] = None)
+                                  (batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val myToken = runToken.getOrElse("")
+    // fully-committed replay: both writes already happened
+    if (isReplay(storage, corpusUuid, myToken, batchId)) return
+    val width =
+      if (opts.writeWidth > 0) opts.writeWidth
+      else math.max(1, math.min(8, spark.sparkContext.defaultParallelism))
+    // stamp guard on the index itself (see scaladoc): only append the
+    // batch's postings if THIS batch hasn't already done so
+    if (!isReplay(storage, indexUuid, myToken, batchId))
+      graft.ops.Retrieval.postingsIndexAppend(spark, storage, indexUuid,
+        batch, textCol, idCol,
+        extraMetadata = Map(LastBatchKey -> batchId.toString,
+          RunTokenKey -> myToken),
+        writeWidth = width)
+    ingestBatch(storage, corpusUuid, opts, runToken)(batch, batchId)
+  }
+
   def writeStreamUnseen(stream: DataFrame, storage: Storage,
                         corpusUuid: String, seenUuid: String,
                         keyCol: String, idCol: String,

@@ -914,4 +914,76 @@ class StreamingSpec extends SparkSpec {
       assert(ex.getMessage.contains("checkpointLocation"), ex.getMessage)
     } finally spark.conf.unset("spark.sql.streaming.checkpointLocation")
   }
+
+  test("writeStreamPostings: multi-batch ingest equals the ad-hoc BM25 face") {
+    import spark.implicits._
+    import graft.ops.Retrieval
+    val seedDocs = Seq((1L, "spark join join"), (2L, "merge sort"))
+      .toDF("doc_id", "text")
+    val streamed = Seq((3L, "join vector"), (4L, "vector vector sort"),
+      (5L, "the quick fox"), (6L, "join spark merge"))
+      .toDF("doc_id", "text")
+    Retrieval.postingsIndex(spark, store, "sp_idx", seedDocs,
+      "text", "doc_id", numBuckets = 8, overwrite = true)
+    graft.io.Ops.deleteDataset(store, "sp_corpus")
+    val in = tmpDir("sp-in")
+    streamed.repartition(3).write.mode("overwrite").parquet(in)
+    val q = Streaming.writeStreamPostings(
+      spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1").parquet(in),
+      store, "sp_corpus", "sp_idx", "text", "doc_id")
+    q.awaitTermination(120000)
+    assert(Reader.readTable(spark, store, "sp_corpus").count() === 4)
+    // stats advanced batch by batch to the full corpus
+    val (n, tot, _) = Retrieval.postingsParams(store, "sp_idx")
+    assert((n, tot) === ((6L, 16L)))
+    // the probe over build+streamed postings equals the ad-hoc face over
+    // the concatenated corpus — value-exact
+    val got = Retrieval.bm25SearchIndexed(spark, store, "sp_idx",
+      Seq("join", "vector"), k = 6).as[(Long, Double, Long)].collect().toSeq
+    val want = Retrieval.bm25TopK(seedDocs.unionByName(streamed),
+      "text", "doc_id", Seq("join", "vector"), k = 6)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(got === want)
+  }
+
+  test("writeStreamPostings replay after a crash between index append and corpus commit") {
+    import spark.implicits._
+    import graft.ops.Retrieval
+    Retrieval.postingsIndex(spark, store, "spr_idx",
+      Seq((1L, "alpha beta")).toDF("doc_id", "text"),
+      "text", "doc_id", numBuckets = 8, overwrite = true)
+    graft.io.Ops.deleteDataset(store, "spr_corpus")
+    val batch = Seq((5L, "alpha gamma gamma")).toDF("doc_id", "text")
+    // simulate the crash: the original attempt appended the batch's
+    // postings WITH the stamp, then died before the corpus commit
+    Retrieval.postingsIndexAppend(spark, store, "spr_idx", batch,
+      "text", "doc_id",
+      extraMetadata = Map(Streaming.LastBatchKey -> "0",
+        Streaming.RunTokenKey -> "tokA"))
+    // replay of the same batch under the same run token: the stamped
+    // index skips the re-append; only the corpus commit runs
+    Streaming.postingsBatch(store, "spr_corpus", "spr_idx", "text",
+      "doc_id", WriteOpts(), Some("tokA"))(batch, 0L)
+    assert(Reader.readTable(spark, store, "spr_corpus")
+      .select("doc_id").as[Long].collect().toSet === Set(5L))
+    // postings counted ONCE: stats and tf rows are not doubled
+    val (n, tot, _) = Retrieval.postingsParams(store, "spr_idx")
+    assert((n, tot) === ((2L, 5L)), s"stats doubled: n=$n tot=$tot")
+    val gammaTf = Reader.readTable(spark, store, "spr_idx")
+      .where(col("token") === "gamma")
+    assert(gammaTf.count() === 1L)
+    assert(gammaTf.select("tf").as[Long].head() === 2L)
+    // a full replay (crash after corpus commit) is a no-op on both sides
+    Streaming.postingsBatch(store, "spr_corpus", "spr_idx", "text",
+      "doc_id", WriteOpts(), Some("tokA"))(batch, 0L)
+    assert(Reader.readTable(spark, store, "spr_corpus").count() === 1L)
+    assert(Retrieval.postingsParams(store, "spr_idx")._1 === 2L)
+    // a NEW batch under the same token appends normally
+    Streaming.postingsBatch(store, "spr_corpus", "spr_idx", "text",
+      "doc_id", WriteOpts(), Some("tokA"))(
+      Seq((9L, "beta")).toDF("doc_id", "text"), 1L)
+    assert(Retrieval.postingsParams(store, "spr_idx")._1 === 3L)
+    assert(Reader.readTable(spark, store, "spr_corpus").count() === 2L)
+  }
 }
