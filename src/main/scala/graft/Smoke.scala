@@ -221,6 +221,14 @@ object Smoke {
       "smoke_bm25", Seq("vector", "merge"), k = 5).collect()
     println(s"== bm25 top-5 for [vector merge]: " +
       bmHits.map(r => s"${r.getLong(0)}@${r.getDouble(1)}").mkString(", "))
+    // content clustering: unsupervised domain discovery under the baseline guard
+    val clAssign = graft.ops.Clustering.withClusterBaselineGuard(
+      graft.ops.Clustering.clusterDocuments(docs, "text", "doc_id", k = 4,
+        dims = 32, iters = 3),
+      graft.ops.Clustering.hashedTermWeights(docs, "text", "doc_id", 32))
+    println(s"== kmeans domains: " + clAssign.groupBy("cluster").count()
+      .orderBy("cluster").collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", "))
     Writer.store(spark, store, "docs_orc", docs.select("doc_id", "text", "lang"),
       WriteOpts(partitionOn = Seq("lang"), format = "orc", overwrite = true))
     println(s"== orc dataset read: ${Reader.readTable(spark, store, "docs_orc").count()} rows")

@@ -1174,6 +1174,31 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // --- content clustering, exact face: nearest-source-centroid
+    // attribution over the md5 hashed-TF space — relational cosine
+    // (weights x broadcast centroids on dim), argmax on the ROUNDED
+    // score with cluster-name tie-break, mirrored value-exactly in SQL
+    "t_cluster_assign" -> ((s, dir) =>
+      graft.ops.Clustering.assignByLabelCentroids(
+        rd(s, dir, "documents"), "text", "doc_id", "source", dims = 64)
+        .withColumnRenamed("id", "doc_id")),
+
+    // unsupervised domain discovery: spherical k-means over the same
+    // hashed-TF space (driver-side deterministic sampled trainer — the
+    // IVF coarse-quantizer discipline), full-corpus assignment in one
+    // distributed pass. Rows-only (centroids are engine-side), guarded
+    // in-plan: mean assigned cosine must beat the one-cluster global
+    // baseline or the query fails loudly
+    "d_cluster_kmeans" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val weights = graft.ops.Clustering.hashedTermWeights(
+        docs, "text", "doc_id", dims = 64)
+      graft.ops.Clustering.withClusterBaselineGuard(
+        graft.ops.Clustering.clusterDocuments(docs, "text", "doc_id",
+          k = 8, dims = 64, iters = 5),
+        weights, minLift = 0.0)
+    }),
+
     // --- unigram LM quality score (mean token log-prob under the corpus)
     "t_unigram_logprob" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(rd(s, dir, "documents"), "text", "doc_id")),
@@ -2399,6 +2424,40 @@ object SparkEntry {
       "t_bm25" -> bm25OracleSql,
       "t_bm25_indexed" -> bm25OracleSql,
       "st_stream_search" -> bm25OracleSql,
+      // nearest-source-centroid attribution: the md5 feature hash, the
+      // per-source mean centroids, and the cosine argmax all mirror
+      // relationally; null-source docs seed no centroid but still assign
+      "t_cluster_assign" ->
+        """WITH tk AS (
+             SELECT doc_id, token FROM (
+               SELECT doc_id, unnest(string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+')) AS token
+               FROM documents)
+             WHERE len(token) > 0),
+           bd AS (
+             SELECT doc_id,
+               CAST(concat('0x', substr(md5('graft.fh:' || token), 1, 8)) AS BIGINT) % 64 AS dim,
+               CAST(count(*) AS DOUBLE) AS wr
+             FROM tk GROUP BY 1, 2),
+           nrm AS (SELECT doc_id, sqrt(sum(wr * wr)) AS n FROM bd GROUP BY 1),
+           w AS (SELECT doc_id, dim, wr / n AS w
+                 FROM bd JOIN nrm USING (doc_id)),
+           lw AS (SELECT w.doc_id, d.source AS cluster, dim, w
+                  FROM w JOIN documents d USING (doc_id)
+                  WHERE d.source IS NOT NULL),
+           mem AS (SELECT cluster, count(DISTINCT doc_id) AS nd
+                   FROM lw GROUP BY 1),
+           cen AS (SELECT cluster, dim, sum(w) / any_value(nd) AS c
+                   FROM lw JOIN mem USING (cluster) GROUP BY cluster, dim),
+           cn AS (SELECT cluster, sqrt(sum(c * c)) AS cn FROM cen GROUP BY 1),
+           dot AS (SELECT w.doc_id, cen.cluster, sum(w.w * cen.c) AS dot
+                   FROM w JOIN cen USING (dim) GROUP BY 1, 2),
+           sc AS (SELECT doc_id, cluster, round(dot / cn, 6) AS score
+                  FROM dot JOIN cn USING (cluster))
+           SELECT doc_id, cluster, score FROM (
+             SELECT doc_id, cluster, score,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, cluster ASC) AS r
+             FROM sc) t WHERE r = 1""",
       "t_unigram_logprob" ->
         """WITH tk AS (
              SELECT doc_id, token FROM (

@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document clustering for domain discovery — the curation step between
+  * quality scoring and mixture design: group a corpus by CONTENT so
+  * mixtures, per-domain token budgets ([[Sampling.tokenBudgetSample]]) and
+  * cluster-level dedup ([[Dedup.semDedupDropsSized]]) can operate on
+  * discovered domains instead of whatever `source` labels shipped with the
+  * crawl.
+  *
+  * Representation is deliberately RELATIONAL, not array-valued: a document
+  * is its (id, dim, w) hashed-TF rows — dimension = an md5 feature hash of
+  * the token (engine-portable, the [[Sampling]] md5 discipline), weight =
+  * l2-normalized term count. Centroids are (cluster, dim, c) rows. Cosine
+  * scoring is then one broadcast join on `dim` + a per-(id, cluster) sum —
+  * no array columns, no UDFs, every stage partial-aggregates, and the
+  * whole assignment face mirrors into plain SQL (the oracle checks it
+  * value-exactly).
+  *
+  * Two centroid sources share the one assignment body:
+  *   - [[labelCentroids]]: per-label mean vectors of a LABELED slice — the
+  *     exact, SQL-expressible face (nearest-source attribution, label
+  *     propagation from a curated seed to an unlabeled crawl);
+  *   - [[clusterDocuments]]: spherical k-means centroids from the shared
+  *     driver-side sampled trainer ([[Similarity.kmeansCentroids]] — the
+  *     IVF coarse-quantizer discipline: deterministic hash-capped sample,
+  *     content-hash init). Unsupervised face, guarded in-plan by
+  *     [[withClusterBaselineGuard]] (assigned cosine must beat the
+  *     one-cluster global-centroid baseline).
+  *
+  * Scale shape: weights are ≤ `dim` rows per doc (one explode →
+  * partial-agg); centroids are k·dim rows, always broadcast; the scoring
+  * join never shuffles the corpus — the only wide exchange is the
+  * (id)-keyed dot-product aggregation. Nonnegative weights guarantee a
+  * doc's score against every centroid it shares no dimension with is 0,
+  * so absent join rows can never beat present ones in the argmax. */
+object Clustering {
+
+  private val FhDomain = "graft.fh:"
+
+  /** (id, dim, w) hashed-TF rows of a corpus, l2-normalized per document:
+    * `dim = md5-hash(token) mod dims`, `w = tf / ||tf||_2` after hash
+    * collisions merge. Documents with no tokens yield no rows (they
+    * belong to no content cluster — gate upstream, the
+    * [[TextAnalysis.bigramLogProb]] contract). */
+  def hashedTermWeights(df: DataFrame, textCol: String, idCol: String,
+                        dims: Int = 64): DataFrame = {
+    require(dims >= 2, s"dims must be >= 2 (got $dims)")
+    val toks = df.select(col(idCol).as("id"),
+      explode(TextAnalysis.wsTokens(lower(col(textCol)))).as("token"))
+      .where(length(col("token")) > 0)
+    val byDim = toks
+      .withColumn("dim", pmod(
+        conv(substring(md5(concat(lit(FhDomain), col("token"))), 1, 8), 16, 10)
+          .cast("long"), lit(dims.toLong)))
+      .groupBy(col("id"), col("dim"))
+      .agg(count(lit(1)).cast("double").as("__wr"))
+    val norms = byDim.groupBy(col("id"))
+      .agg(sqrt(sum(col("__wr") * col("__wr"))).as("__n"))
+    byDim.join(norms, "id")
+      .select(col("id"), col("dim"), (col("__wr") / col("__n")).as("w"))
+  }
+
+  /** Per-label mean centroids (cluster, dim, c) of a labeled corpus slice:
+    * `c = sum of member weight vectors / member count` (members = labeled
+    * docs with >= 1 token). Null labels are excluded — an unlabeled row
+    * can seed no centroid. */
+  def labelCentroids(df: DataFrame, textCol: String, idCol: String,
+                     labelCol: String, dims: Int = 64): DataFrame = {
+    val labeled = hashedTermWeights(df, textCol, idCol, dims)
+      .join(df.where(col(labelCol).isNotNull)
+        .select(col(idCol).as("id"), col(labelCol).cast("string").as("cluster")),
+        "id")
+    val members = labeled.select("id", "cluster").distinct()
+      .groupBy("cluster").agg(count(lit(1)).as("__nd"))
+    labeled.groupBy(col("cluster"), col("dim")).agg(sum(col("w")).as("__s"))
+      .join(members, "cluster")
+      .select(col("cluster"), col("dim"), (col("__s") / col("__nd")).as("c"))
+  }
+
+  /** Cosine-argmax assignment of weighted docs to centroid rows:
+    * (id, cluster, score), score = dot(w, c)/||c|| rounded to 6 (||w|| = 1
+    * by construction), winner by (rounded score desc, cluster asc) — the
+    * tie-break on the ROUNDED value keeps the argmax engine-portable.
+    * Centroids broadcast; the corpus is never reshuffled beyond the
+    * (id, cluster) dot-product aggregation. */
+  def assignToCentroids(weights: DataFrame, centroids: DataFrame): DataFrame = {
+    val cn = centroids.groupBy(col("cluster"))
+      .agg(sqrt(sum(col("c") * col("c"))).as("__cn"))
+    val scored = weights.join(broadcast(centroids), "dim")
+      .groupBy(col("id"), col("cluster"))
+      .agg(sum(col("w") * col("c")).as("__dot"))
+      .join(broadcast(cn), "cluster")
+      .select(col("id"), col("cluster"),
+        round(col("__dot") / col("__cn"), 6).as("score"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("score").desc, col("cluster").asc)
+    scored.withColumn("__r", row_number().over(w))
+      .where(col("__r") === 1).drop("__r")
+  }
+
+  /** Nearest-label-centroid attribution of a whole corpus against its own
+    * labeled structure — the exact face: which label's centroid does each
+    * document actually sit closest to? (Docs re-attributed AWAY from
+    * their shipped label are the mislabel/contamination candidates.) */
+  def assignByLabelCentroids(df: DataFrame, textCol: String, idCol: String,
+                             labelCol: String, dims: Int = 64): DataFrame =
+    assignToCentroids(hashedTermWeights(df, textCol, idCol, dims),
+      labelCentroids(df, textCol, idCol, labelCol, dims))
+
+  /** Unsupervised domain discovery: spherical k-means over the hashed-TF
+    * space. Centroids train on the shared driver-side deterministic
+    * sampled Lloyd ([[Similarity.kmeansCentroids]], cap `trainCap`); the
+    * full corpus assigns in one distributed pass through
+    * [[assignToCentroids]]. Returns (id, cluster, score) with clusters
+    * named `c0..c<k-1>` (trainer order — deterministic). */
+  def clusterDocuments(df: DataFrame, textCol: String, idCol: String,
+                       k: Int, dims: Int = 64, iters: Int = 5,
+                       trainCap: Int = 100000): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val weights = hashedTermWeights(df, textCol, idCol, dims)
+      .localCheckpoint(true) // trainer sample + assignment share one pass
+    val spark = df.sparkSession
+    val vecs = weights
+      .groupBy(col("id"))
+      .agg(map_from_entries(collect_list(
+        struct(col("dim").cast("int"), col("w")))).as("__m"))
+      .select(col("id"), transform(sequence(lit(0), lit(dims - 1)),
+        d => coalesce(element_at(col("__m"), d), lit(0.0))).as("vec"))
+    val cents = Similarity.kmeansCentroids(vecs, "vec", k, iters, trainCap)
+    require(cents.nonEmpty, "clusterDocuments: no trainable documents")
+    import spark.implicits._
+    val cdf = cents.zipWithIndex.flatMap { case (cv, ci) =>
+      cv.zipWithIndex.collect { case (v, d) if v != 0.0 =>
+        (f"c${ci}%03d", d.toLong, v)
+      }
+    }.toDF("cluster", "dim", "c")
+    assignToCentroids(weights, cdf)
+  }
+
+  /** In-plan quality guard for the unsupervised face: the mean assigned
+    * cosine must beat the one-cluster baseline (mean cosine to the GLOBAL
+    * centroid) by at least `minLift` — a broken trainer (collapsed
+    * centroids, garbage init) scores ~the baseline and fails loudly; a
+    * working k>=2 clustering separates content and clears it. Both means
+    * are one-row aggregates; the guarded scalar broadcasts onto the
+    * output as `lift_vs_global`. */
+  def withClusterBaselineGuard(assign: DataFrame, weights: DataFrame,
+                               minLift: Double = 0.0): DataFrame = {
+    val global = weights.groupBy(col("dim")).agg(sum(col("w")).as("c"))
+    val gn = global.agg(sqrt(sum(col("c") * col("c"))).as("__gn"))
+    val baseline = weights.join(broadcast(global), "dim")
+      .groupBy(col("id")).agg(sum(col("w") * col("c")).as("__dot"))
+      .crossJoin(broadcast(gn))
+      .agg(avg(col("__dot") / col("__gn")).as("__base"))
+    val lift = assign.agg(avg(col("score")).as("__assigned"))
+      .crossJoin(broadcast(baseline))
+      .select(round(col("__assigned") - col("__base"), 6).as("__lift0"))
+      .select(
+        when(col("__lift0") >= minLift, col("__lift0"))
+          .otherwise(raise_error(concat(
+            lit("cluster quality regression: assigned-cosine lift "),
+            col("__lift0").cast("string"),
+            lit(s" < $minLift over the one-cluster global baseline"))))
+          .as("lift_vs_global"))
+    assign.crossJoin(broadcast(lift))
+  }
+}

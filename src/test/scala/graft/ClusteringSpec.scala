@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Clustering
+
+/** Content clustering: hashed-TF representation, label-centroid
+  * attribution vs an independent evaluator, unsupervised k-means
+  * separation, and the in-plan baseline guard. */
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "spark join shuffle join", "a"),
+    (2L, "join spark shuffle", "a"),
+    (3L, "vector index probe vector", "b"),
+    (4L, "probe vector index", "b"),
+    (5L, "spark vector", "a"), // mixed content
+    (6L, "   ", "a")) // no tokens: no weights, no assignment
+  private def docs = corpus.toDF("doc_id", "text", "lab")
+
+  /** Independent evaluator: hashed-TF + label centroids + cosine argmax
+    * over Scala collections, mirroring the md5 feature hash. */
+  private def refAssign(rows: Seq[(Long, String, String)],
+                        dims: Int): Map[Long, (String, Double)] = {
+    def hashDim(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(("graft.fh:" + tok).getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % dims
+    }
+    val weights = rows.flatMap { case (id, text, _) =>
+      val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      if (toks.isEmpty) None
+      else {
+        val tf = toks.groupBy(hashDim).view.mapValues(_.size.toDouble).toMap
+        val n = math.sqrt(tf.values.map(v => v * v).sum)
+        Some(id -> tf.view.mapValues(_ / n).toMap)
+      }
+    }.toMap
+    val byLab = rows.filter(r => weights.contains(r._1)).groupBy(_._3)
+    val cents = byLab.map { case (lab, members) =>
+      val vs = members.map(m => weights(m._1))
+      lab -> vs.flatMap(_.toSeq).groupBy(_._1).view
+        .mapValues(_.map(_._2).sum / vs.size).toMap
+    }
+    weights.map { case (id, w) =>
+      val scored = cents.map { case (lab, c) =>
+        val cn = math.sqrt(c.values.map(v => v * v).sum)
+        val dot = w.map { case (d, v) => v * c.getOrElse(d, 0.0) }.sum
+        lab -> BigDecimal(dot / cn)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      id -> scored.toSeq.sortBy { case (lab, s) => (-s, lab) }.head
+    }
+  }
+
+  test("hashedTermWeights: unit norm, collision-merged, token-less docs drop") {
+    val w = Clustering.hashedTermWeights(docs, "text", "doc_id", dims = 16)
+    val norms = w.groupBy("id").agg(sum(col("w") * col("w")).as("n2"))
+      .as[(Long, Double)].collect().toMap
+    assert(norms.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    norms.values.foreach(n2 => assert(math.abs(n2 - 1.0) < 1e-9))
+    // dims bounded
+    assert(w.agg(max("dim")).head().getLong(0) < 16)
+    assert(w.agg(min("dim")).head().getLong(0) >= 0)
+  }
+
+  test("assignByLabelCentroids matches the independent evaluator") {
+    val got = Clustering.assignByLabelCentroids(docs, "text", "doc_id",
+      "lab", dims = 32)
+      .as[(Long, String, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == refAssign(corpus, 32))
+    // the two content groups attribute to their own labels
+    assert(got(1L)._1 == "a" && got(2L)._1 == "a")
+    assert(got(3L)._1 == "b" && got(4L)._1 == "b")
+  }
+
+  test("clusterDocuments separates two obvious content groups; guard clears") {
+    val two = (1L to 20L).map { i =>
+      if (i % 2 == 0) (i, "alpha beta gamma alpha") else (i, "delta epsilon zeta zeta")
+    }.toDF("doc_id", "text")
+    val weights = Clustering.hashedTermWeights(two, "text", "doc_id", 32)
+    val assign = Clustering.clusterDocuments(two, "text", "doc_id", k = 2,
+      dims = 32, iters = 5)
+    val guarded = Clustering.withClusterBaselineGuard(assign, weights,
+      minLift = 0.05)
+    val rows = guarded.as[(Long, String, Double, Double)].collect()
+    assert(rows.length == 20)
+    // one cluster per parity group, and they differ
+    val byParity = rows.groupBy(_._1 % 2).view.mapValues(_.map(_._2).toSet)
+    assert(byParity(0L).size == 1 && byParity(1L).size == 1)
+    assert(byParity(0L) != byParity(1L))
+    // perfectly-separated groups assign at cosine 1
+    rows.foreach(r => assert(r._3 > 0.999, r.toString))
+  }
+
+  test("baseline guard fires loudly on an unreachable lift bar") {
+    val two = (1L to 20L).map(i => (i, "alpha beta")).toDF("doc_id", "text")
+    val weights = Clustering.hashedTermWeights(two, "text", "doc_id", 32)
+    val assign = Clustering.clusterDocuments(two, "text", "doc_id", k = 2,
+      dims = 32)
+    val ex = intercept[Exception] {
+      Clustering.withClusterBaselineGuard(assign, weights, minLift = 0.5)
+        .collect()
+    }
+    assert(ex.getMessage != null &&
+      ex.getMessage.contains("cluster quality regression"),
+      s"unexpected: ${ex.getMessage}")
+  }
+
+  test("a doc sharing no dimension with a centroid never beats real overlap") {
+    // centroid rows for two clusters on disjoint dims; the doc overlaps
+    // only cluster y — x produces no join row, which must read as score 0
+    val weights = Seq((7L, 3L, 1.0)).toDF("id", "dim", "w")
+    val cents = Seq(("x", 9L, 1.0), ("y", 3L, 0.5), ("y", 4L, 0.5))
+      .toDF("cluster", "dim", "c")
+    val got = Clustering.assignToCentroids(weights, cents)
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got.map(g => (g._1, g._2)) == Seq((7L, "y")))
+  }
+}
