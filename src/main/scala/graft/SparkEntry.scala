@@ -1174,6 +1174,24 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // hybrid retrieval: reciprocal-rank fusion of the lexical BM25
+    // top-10 and the embedding cosine top-20 over the shared id space —
+    // rank-based, so the incomparable score scales never mix; both input
+    // rankings are already oracle-exact, so the fusion hash-checks too
+    "t_hybrid_rrf" -> ((s, dir) => {
+      val lexical = graft.ops.Retrieval.bm25TopK(rd(s, dir, "documents"),
+        "text", "doc_id", Seq("vector", "sort", "merge"), k = 10)
+      val emb = rd(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toSeq
+      val vector = Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, 20)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("cosine").desc, col("vec_id").asc)).cast("long"))
+        .withColumnRenamed("vec_id", "doc_id")
+      graft.ops.Retrieval.rrfFuse(Seq(lexical, vector), "doc_id", k = 10)
+    }),
+
     // --- content clustering, exact face: nearest-source-centroid
     // attribution over the md5 hashed-TF space — relational cosine
     // (weights x broadcast centroids on dim), argmax on the ROUNDED
@@ -2424,6 +2442,58 @@ object SparkEntry {
       "t_bm25" -> bm25OracleSql,
       "t_bm25_indexed" -> bm25OracleSql,
       "st_stream_search" -> bm25OracleSql,
+      // RRF hybrid: the t_bm25 chain and the v_knn_topk chain as CTEs,
+      // fused by 1/(60+rank) — all three rankings share the round-6 +
+      // id-tie-break contract, so the fusion is value-exact
+      "t_hybrid_rrf" ->
+        """WITH tk AS (
+             SELECT doc_id, token FROM (
+               SELECT doc_id, unnest(string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+')) AS token
+               FROM documents)
+             WHERE len(token) > 0),
+           dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+           st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                         CAST(sum(dl) AS DOUBLE) AS tot FROM dl),
+           tf AS (SELECT doc_id, token, count(*) AS tf FROM tk
+                  WHERE token IN ('vector', 'sort', 'merge') GROUP BY 1, 2),
+           dft AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+           sc AS (
+             SELECT tf.doc_id, round(sum(
+               ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+               (CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+               (CAST(tf AS DOUBLE) +
+                1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / (tot / n)))), 6)
+               AS score
+             FROM tf JOIN dl USING (doc_id) JOIN dft USING (token), st
+             GROUP BY 1),
+           bm AS (SELECT doc_id, rank FROM (
+             SELECT doc_id, score,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+             FROM sc) t WHERE rank <= 10),
+           q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+             FROM embeddings WHERE vec_id = 0),
+           e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+           knscored AS (
+             SELECT vec_id, round(
+               list_sum(list_transform(range(1, 65), i -> v[i] * qv[i])) /
+               (sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))) *
+                sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))), 6) AS cosine
+             FROM e, q),
+           kn AS (SELECT vec_id AS doc_id,
+               row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+             FROM (SELECT vec_id, cosine FROM knscored
+                   ORDER BY cosine DESC, vec_id ASC LIMIT 20) t2),
+           contrib AS (
+             SELECT doc_id, 1.0 / (60 + rank) AS c FROM bm
+             UNION ALL
+             SELECT doc_id, 1.0 / (60 + rank) AS c FROM kn),
+           agg AS (SELECT doc_id, round(sum(c), 6) AS rrf_score
+                   FROM contrib GROUP BY 1)
+           SELECT doc_id, rrf_score, rank FROM (
+             SELECT doc_id, rrf_score,
+               row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS rank
+             FROM agg) t3 WHERE rank <= 10""",
       // nearest-source-centroid attribution: the md5 feature hash, the
       // per-source mean centroids, and the cosine argmax all mirror
       // relationally; null-source docs seed no centroid but still assign

@@ -134,6 +134,41 @@ object Retrieval {
     scoreTopK(qtf.join(dl, "id"), stats, idCol, k, k1, b)
   }
 
+  /** Reciprocal-rank fusion of several rankings — the standard hybrid
+    * retrieval combiner (lexical BM25 + embedding ANN, or any mix of
+    * ranked lists): `rrf(id) = sum over rankings of 1 / (c + rank)`,
+    * absent ids contributing nothing. Rank-based rather than score-based
+    * on purpose — BM25 scores and cosines live on incomparable scales,
+    * and RRF needs no per-ranking normalization to fuse them.
+    *
+    * Each input must carry (`idCol`, `rank`) with rank 1-based (the shape
+    * every ranked face here emits). Inputs are top-k lists — bounded —
+    * so the union/aggregate is tiny regardless of corpus size; the fused
+    * result keeps the family's ranking contract (round-6 score, ties on
+    * id ascending, TakeOrdered top-k, rank over the k survivors).
+    * `c = 60` is the published default; larger c flattens the head. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, k: Int,
+              c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(c >= 0, s"c must be >= 0 (got $c)")
+    val contrib = rankings.map { r =>
+      val missing = Seq(idCol, "rank").filterNot(r.columns.contains)
+      require(missing.isEmpty,
+        s"ranking is missing required column(s): ${missing.mkString(", ")}")
+      r.select(col(idCol).as("id"),
+        (lit(1.0) / (lit(c.toDouble) + col("rank").cast("double"))).as("__c"))
+    }.reduce(_ unionByName _)
+    contrib.groupBy(col("id"))
+      .agg(round(sum(col("__c")), 6).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("id").asc)
+      .limit(k)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("rrf_score").desc, col("id").asc))
+        .cast("long"))
+      .select(col("id").as(idCol), col("rrf_score"), col("rank"))
+  }
+
   private val MetaNDocs = "graft.bm25.nDocs"
   private val MetaTotalTokens = "graft.bm25.totalTokens"
   private val MetaNumBuckets = "graft.bm25.numBuckets"

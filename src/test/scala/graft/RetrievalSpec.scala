@@ -129,6 +129,26 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("rrfFuse: fusion math, absent-id handling, validation") {
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rank")
+    val b = Seq((3L, 1L), (1L, 2L), (9L, 3L)).toDF("doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(a, b), "doc_id", k = 4, c = 60)
+      .as[(Long, Double, Long)].collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1: 1/61 + 1/62; doc 3: 1/63 + 1/61; doc 2: 1/62; doc 9: 1/63
+    val want = Seq(
+      1L -> r6(1.0 / 61 + 1.0 / 62), 3L -> r6(1.0 / 63 + 1.0 / 61),
+      2L -> r6(1.0 / 62), 9L -> r6(1.0 / 63))
+      .sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, s), i) => (id, s, (i + 1).toLong) }
+    assert(got == want)
+    // a ranking without the rank column fails loudly
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq(a.drop("rank")), "doc_id", k = 2)
+    }
+  }
+
   test("query terms absent from the corpus score nothing; case folds") {
     val got = Retrieval.bm25TopK(docsDf(corpus), "text", "doc_id",
       Seq("UNSEEN-term"), k = 5).count()
