@@ -160,7 +160,9 @@ object Ops {
                      tgtUuid: String, format: String,
                      overwrite: Boolean = false,
                      chunkSize: Option[Long] = None,
-                     writeWidth: Int = 0): DatasetMetadata = {
+                     writeWidth: Int = 0,
+                     sortBy: Seq[String] = Nil,
+                     zorderBy: Seq[String] = Nil): DatasetMetadata = {
     require(srcUuid != tgtUuid,
       s"convertDataset writes a NEW dataset; converting '$srcUuid' onto itself is refused")
     val meta = DatasetMetadata.load(store, srcUuid)
@@ -171,9 +173,33 @@ object Ops {
     Writer.store(spark, store, tgtUuid, Reader.readTable(spark, store, srcUuid),
       Writer.WriteOpts(partitionOn = meta.partitionKeys,
         secondaryIndices = idxCols,
+        sortBy = sortBy, zorderBy = zorderBy,
         metadata = meta.metadata, format = format,
         overwrite = overwrite, chunkSize = chunkSize,
         writeWidth = writeWidth))
+  }
+
+  /** Rewrite a landed dataset into a NEW one with a pruning-friendly
+    * physical layout — the lakehouse `OPTIMIZE ... ZORDER BY` lifecycle
+    * face of `WriteOpts(zorderBy)`/`sortBy`, for data whose layout was
+    * fixed by arrival order (a streaming ingest's append-ordered files
+    * carry no row-group pruning structure at all). Same
+    * dataset-to-dataset contract as [[convertDataset]]: source intact
+    * until the caller deletes it, format/partitioning/indices/metadata
+    * carried over, the header written last. Pair with `chunkSize` to
+    * re-chunk row groups while re-sorting. */
+  def optimizeDataset(spark: SparkSession, store: Storage, srcUuid: String,
+                      tgtUuid: String,
+                      zorderBy: Seq[String] = Nil,
+                      sortBy: Seq[String] = Nil,
+                      chunkSize: Option[Long] = None,
+                      overwrite: Boolean = false): DatasetMetadata = {
+    require(zorderBy.nonEmpty || sortBy.nonEmpty,
+      "optimizeDataset needs a target layout: pass zorderBy and/or sortBy")
+    val meta = DatasetMetadata.loadHeaderOnly(store, srcUuid)
+    convertDataset(spark, store, srcUuid, tgtUuid, meta.format,
+      overwrite = overwrite, chunkSize = chunkSize,
+      sortBy = sortBy, zorderBy = zorderBy)
   }
 
   /** Compact a dataset's small files into a NEW dataset with a bounded

@@ -136,6 +136,25 @@ class ZOrderSpec extends SparkSpec {
     assert(nk.head.isNullAt(0))
   }
 
+  test("optimizeDataset re-lays a landed dataset into the Morton order") {
+    val store = Storage(spark, tmpDir("zorder-opt"))
+    // arrival-ordered landing: no pruning structure on either dimension
+    Writer.store(spark, store, "landed", grid(),
+      WriteOpts(chunkSize = Some(64L * 1024), overwrite = true))
+    graft.io.Ops.optimizeDataset(spark, store, "landed", "opt",
+      zorderBy = Seq("x", "y"), chunkSize = Some(64L * 1024))
+    // content identical, source intact
+    assert(Reader.readTable(spark, store, "opt").count() === 50000L)
+    assert(Reader.readTable(spark, store, "landed").count() === 50000L)
+    val optY = groupRanges(store, "opt", "y")
+    assert(optY.size >= 8)
+    assert(overlapping(optY, 100, 110).toDouble / optY.size <= 0.5)
+    // layout-less optimize is refused
+    intercept[IllegalArgumentException] {
+      graft.io.Ops.optimizeDataset(spark, store, "landed", "opt2")
+    }
+  }
+
   test("layout validation fails loudly") {
     val store = Storage(spark, tmpDir("zorder-bad"))
     val df = grid()
