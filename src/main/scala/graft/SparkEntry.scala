@@ -1174,6 +1174,12 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // exact phrase search: positional intersection over the posexploded
+    // token stream — consecutive-token matches bag-of-words can't see
+    "t_phrase_count" -> ((s, dir) =>
+      graft.ops.Retrieval.phraseCounts(rd(s, dir, "documents"),
+        "text", "doc_id", Seq("table", "hash"))),
+
     // hybrid retrieval: reciprocal-rank fusion of the lexical BM25
     // top-10 and the embedding cosine top-20 over the shared id space —
     // rank-based, so the incomparable score scales never mix; both input
@@ -2442,6 +2448,22 @@ object SparkEntry {
       "t_bm25" -> bm25OracleSql,
       "t_bm25_indexed" -> bm25OracleSql,
       "st_stream_search" -> bm25OracleSql,
+      // phrase positions: the zipped unnest(range(len))/unnest(list)
+      // DuckDB idiom gives (doc_id, pos, token); the offset join mirrors
+      // the Spark positional intersection exactly
+      "t_phrase_count" ->
+        """WITH d AS (
+             SELECT doc_id,
+               string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+') AS t
+             FROM documents),
+           p AS (SELECT doc_id, unnest(range(len(t))) AS pos,
+                        unnest(t) AS token
+                 FROM d WHERE len(t) > 0),
+           m AS (
+             SELECT a.doc_id, a.pos FROM p a
+             JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+             WHERE a.token = 'table' AND b.token = 'hash')
+           SELECT doc_id, count(*) AS n_matches FROM m GROUP BY 1""",
       // RRF hybrid: the t_bm25 chain and the v_knn_topk chain as CTEs,
       // fused by 1/(60+rank) — all three rankings share the round-6 +
       // id-tie-break contract, so the fusion is value-exact

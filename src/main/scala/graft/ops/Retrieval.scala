@@ -134,6 +134,40 @@ object Retrieval {
     scoreTopK(qtf.join(dl, "id"), stats, idCol, k, k1, b)
   }
 
+  /** Exact phrase occurrence counts: (id, n_matches) for every document
+    * containing the tokens of `phrase` CONSECUTIVELY (under the counting
+    * family's tokenizer — case-folded whitespace tokens), the positional
+    * operator bag-of-words retrieval cannot express: "new york" as a
+    * phrase, benchmark sentences during decontamination, exact quoted
+    * spans. Zero-match documents emit no row.
+    *
+    * Relational positional intersection, no UDFs: one posexplode pass
+    * emits (id, pos, token); phrase term j keeps its positions shifted by
+    * -j; the j-way join on (id, shifted pos) survives exactly at phrase
+    * start positions. Every join is keyed (id, pos) over term-filtered
+    * postings — the corpus shuffles only the matched terms' position
+    * rows, and a duplicated term ("the the") works because each offset
+    * table is filtered from the same stream independently. */
+  def phraseCounts(df: DataFrame, textCol: String, idCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    val terms = phrase.map(_.trim.toLowerCase(java.util.Locale.ROOT))
+      .filter(_.nonEmpty)
+    require(terms.nonEmpty, "phrase must contain at least one non-empty term")
+    val toks = df.select(col(idCol).as("id"),
+        posexplode(TextAnalysis.wsTokens(lower(col(textCol)))))
+      .toDF("id", "pos", "token")
+    val anchors = toks.where(col("token") === terms.head)
+      .select(col("id"), col("pos"))
+    val matched = terms.zipWithIndex.drop(1)
+      .foldLeft(anchors) { case (acc, (t, j)) =>
+        acc.join(toks.where(col("token") === t)
+          .select(col("id"), (col("pos") - j).as("pos")), Seq("id", "pos"))
+      }
+    matched.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_matches"))
+      .select(col("id").as(idCol), col("n_matches"))
+  }
+
   /** Reciprocal-rank fusion of several rankings — the standard hybrid
     * retrieval combiner (lexical BM25 + embedding ANN, or any mix of
     * ranked lists): `rrf(id) = sum over rankings of 1 / (c + rank)`,

@@ -129,6 +129,27 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("phraseCounts: consecutive positions only, duplicate terms, case folds") {
+    val docs = Seq(
+      (1L, "big table hash join table hash"), // 2 matches
+      (2L, "table join hash"),                // terms present, not adjacent
+      (3L, "TABLE HASH"),                     // case folds -> 1
+      (4L, "the the the"),                    // duplicate-term phrase input
+      (5L, "hash table")).toDF("doc_id", "text") // reversed order: no match
+    val got = Retrieval.phraseCounts(docs, "text", "doc_id",
+      Seq("table", "hash")).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 3L -> 1L))
+    val rep = Retrieval.phraseCounts(docs, "text", "doc_id",
+      Seq("the", "the")).as[(Long, Long)].collect().toMap
+    assert(rep == Map(4L -> 2L)) // positions (0,1) and (1,2)
+    val single = Retrieval.phraseCounts(docs, "text", "doc_id", Seq("hash"))
+      .as[(Long, Long)].collect().toMap
+    assert(single == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 5L -> 1L))
+    intercept[IllegalArgumentException] {
+      Retrieval.phraseCounts(docs, "text", "doc_id", Seq(" "))
+    }
+  }
+
   test("rrfFuse: fusion math, absent-id handling, validation") {
     val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rank")
     val b = Seq((3L, 1L), (1L, 2L), (9L, 3L)).toDF("doc_id", "rank")
