@@ -1180,6 +1180,18 @@ object SparkEntry {
       graft.ops.Retrieval.phraseCounts(rd(s, dir, "documents"),
         "text", "doc_id", Seq("table", "hash"))),
 
+    // the same phrase against the LANDED positional inverted file: only
+    // the two terms' postings are read (bucket-pruned, token IN pushed),
+    // positions explode back into the shared intersection body, corpus
+    // text untouched — and the result still hash-checks against the
+    // plain-SQL mirror because build+append reconstitute the full corpus
+    "t_phrase_indexed" -> ((s, dir) => {
+      val st = bm25IdxDs(s, dir)
+      graft.ops.Retrieval.phraseSearchIndexed(s, st, "bm25idx",
+        Seq("table", "hash"))
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // hybrid retrieval: reciprocal-rank fusion of the lexical BM25
     // top-10 and the embedding cosine top-20 over the shared id space —
     // rank-based, so the incomparable score scales never mix; both input
@@ -2452,6 +2464,19 @@ object SparkEntry {
       // DuckDB idiom gives (doc_id, pos, token); the offset join mirrors
       // the Spark positional intersection exactly
       "t_phrase_count" ->
+        """WITH d AS (
+             SELECT doc_id,
+               string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+') AS t
+             FROM documents),
+           p AS (SELECT doc_id, unnest(range(len(t))) AS pos,
+                        unnest(t) AS token
+                 FROM d WHERE len(t) > 0),
+           m AS (
+             SELECT a.doc_id, a.pos FROM p a
+             JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+             WHERE a.token = 'table' AND b.token = 'hash')
+           SELECT doc_id, count(*) AS n_matches FROM m GROUP BY 1""",
+      "t_phrase_indexed" ->
         """WITH d AS (
              SELECT doc_id,
                string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+') AS t

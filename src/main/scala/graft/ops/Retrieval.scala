@@ -53,19 +53,27 @@ object Retrieval {
   val DefaultK1 = 1.2
   val DefaultB = 0.75
 
-  /** (id, token) rows of a corpus under the counting family's tokenizer:
-    * lower-cased whitespace tokens, empties dropped. */
+  /** (id, pos, token) rows of a corpus under the counting family's
+    * tokenizer: lower-cased whitespace tokens with their 0-based
+    * positions ([[TextAnalysis.wsTokens]] never yields empties, so pos IS
+    * the token index). */
   private def tokens(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(col(idCol).as("id"),
-      explode(TextAnalysis.wsTokens(lower(col(textCol)))).as("token"))
-      .where(length(col("token")) > 0)
+        posexplode(TextAnalysis.wsTokens(lower(col(textCol)))))
+      .toDF("id", "pos", "token")
 
-  /** The full postings relation of a corpus: one row per (token, id) with
-    * the within-doc term frequency and the doc's total token length
-    * denormalized onto every posting (8 bytes/posting buys the probe a
-    * join-free dl — the classic inverted-file layout). */
+  /** The full POSITIONAL postings relation of a corpus: one row per
+    * (token, id) with the within-doc term frequency, the doc's total
+    * token length denormalized onto every posting (8 bytes/posting buys
+    * the probe a join-free dl), and the sorted occurrence positions —
+    * the classic positional inverted-file layout (~4 B per occurrence
+    * buys phrase queries that never re-read corpus text). BM25 probes
+    * project `positions` away, so the frequency path never pays for it
+    * at scan time. */
   private def postingsOf(toks: DataFrame): DataFrame = {
-    val tf = toks.groupBy(col("id"), col("token")).agg(count(lit(1)).as("tf"))
+    val tf = toks.groupBy(col("id"), col("token"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
     val dl = toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
     tf.join(dl, "id")
   }
@@ -149,23 +157,56 @@ object Retrieval {
     * rows, and a duplicated term ("the the") works because each offset
     * table is filtered from the same stream independently. */
   def phraseCounts(df: DataFrame, textCol: String, idCol: String,
-                   phrase: Seq[String]): DataFrame = {
+                   phrase: Seq[String]): DataFrame =
+    phraseMatchCounts(tokens(df, textCol, idCol), phraseTerms(phrase))
+      .select(col("id").as(idCol), col("n_matches"))
+
+  /** Ordered, case-folded phrase terms — duplicates and order are the
+    * phrase, so unlike [[queryTerms]] nothing dedups; a whitespace-only
+    * term is refused rather than dropped (dropping it would silently turn
+    * a gap into adjacency). */
+  private def phraseTerms(phrase: Seq[String]): Seq[String] = {
+    require(phrase.nonEmpty, "phrase must contain at least one term")
     val terms = phrase.map(_.trim.toLowerCase(java.util.Locale.ROOT))
-      .filter(_.nonEmpty)
-    require(terms.nonEmpty, "phrase must contain at least one non-empty term")
-    val toks = df.select(col(idCol).as("id"),
-        posexplode(TextAnalysis.wsTokens(lower(col(textCol)))))
-      .toDF("id", "pos", "token")
-    val anchors = toks.where(col("token") === terms.head)
+    require(terms.forall(_.nonEmpty),
+      "phrase terms must be non-empty (a token can never be whitespace)")
+    terms
+  }
+
+  /** The shared positional-intersection body: `positional` carries
+    * (id, pos, token); term j's positions shift by -j and the fold joins
+    * on (id, pos), surviving exactly at phrase start positions. */
+  private def phraseMatchCounts(positional: DataFrame,
+                                terms: Seq[String]): DataFrame = {
+    val anchors = positional.where(col("token") === terms.head)
       .select(col("id"), col("pos"))
     val matched = terms.zipWithIndex.drop(1)
       .foldLeft(anchors) { case (acc, (t, j)) =>
-        acc.join(toks.where(col("token") === t)
+        acc.join(positional.where(col("token") === t)
           .select(col("id"), (col("pos") - j).as("pos")), Seq("id", "pos"))
       }
-    matched.groupBy(col("id"))
-      .agg(count(lit(1)).as("n_matches"))
-      .select(col("id").as(idCol), col("n_matches"))
+    matched.groupBy(col("id")).agg(count(lit(1)).as("n_matches"))
+  }
+
+  /** [[phraseCounts]] against a landed [[postingsIndex]] — exact phrase
+    * search that never re-reads corpus text: the phrase terms' postings
+    * read bucket-pruned with `token IN` pushdown and the `positions`
+    * column explodes back into the positional stream the shared join body
+    * consumes. Everything else in the index (every other term's postings,
+    * the tf/dl columns) stays unread. */
+  def phraseSearchIndexed(spark: SparkSession, storage: Storage,
+                          uuid: String, phrase: Seq[String]): DataFrame = {
+    val (_, _, numBuckets) = postingsParams(storage, uuid)
+    val terms = phraseTerms(phrase)
+    val distinct = terms.distinct
+    val idx = Reader.readTable(spark, storage, uuid,
+      columns = Some(Seq("token", "id", "positions")),
+      predicates = Some(Seq(Seq(
+        Literal("bucket", Op.In, bucketsOf(spark, distinct, numBuckets)),
+        Literal("token", Op.In, distinct)))))
+    val positional = idx.select(col("id"), col("token"),
+      explode(col("positions")).as("pos"))
+    phraseMatchCounts(positional, terms)
   }
 
   /** Reciprocal-rank fusion of several rankings — the standard hybrid
@@ -234,7 +275,7 @@ object Retrieval {
     val table = postingsOf(toks)
       .withColumn("bucket",
         pmod(xxhash64(col("token")), lit(numBuckets.toLong)).cast("int"))
-      .select("bucket", "token", "id", "tf", "dl")
+      .select("bucket", "token", "id", "tf", "dl", "positions")
     Writer.store(spark, storage, uuid, table,
       WriteOpts(partitionOn = Seq("bucket"), sortBy = Seq("token"),
         overwrite = overwrite,
@@ -242,6 +283,18 @@ object Retrieval {
           MetaNDocs -> n.toString,
           MetaTotalTokens -> tot.toString,
           MetaNumBuckets -> numBuckets.toString)))
+  }
+
+  /** The bucket set a term list hashes into, computed with the same
+    * engine hash family as the build — one local-relation job bounded by
+    * the term count (the dedupAgainstIndex discipline). */
+  private def bucketsOf(spark: SparkSession, terms: Seq[String],
+                        numBuckets: Int): Seq[Int] = {
+    import spark.implicits._
+    terms.toDF("token")
+      .select(pmod(xxhash64(col("token")), lit(numBuckets.toLong))
+        .cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
   }
 
   /** The collection statistics pinned in a [[postingsIndex]] header:
@@ -276,7 +329,7 @@ object Retrieval {
     val table = postingsOf(toks)
       .withColumn("bucket",
         pmod(xxhash64(col("token")), lit(numBuckets.toLong)).cast("int"))
-      .select("bucket", "token", "id", "tf", "dl")
+      .select("bucket", "token", "id", "tf", "dl", "positions")
     Writer.update(spark, storage, uuid, Some(table),
       opts = WriteOpts(sortBy = Seq("token"), writeWidth = writeWidth,
         metadata = Map(
@@ -300,16 +353,11 @@ object Retrieval {
     val (n, tot, numBuckets) = postingsParams(storage, uuid)
     require(n > 0, s"BM25 postings index '$uuid' is empty (nDocs = 0)")
     val q = queryTerms(query)
-    import spark.implicits._
-    val buckets = q.toDF("token")
-      .select(pmod(xxhash64(col("token")), lit(numBuckets.toLong))
-        .cast("int").as("bucket"))
-      .distinct().collect().map(_.getInt(0)).toSeq
     val idx = Reader.readTable(spark, storage, uuid,
+      columns = Some(Seq("token", "id", "tf", "dl")),
       predicates = Some(Seq(Seq(
-        Literal("bucket", Op.In, buckets),
+        Literal("bucket", Op.In, bucketsOf(spark, q, numBuckets)),
         Literal("token", Op.In, q)))))
-      .select("token", "id", "tf", "dl")
     val stats = spark.range(1).select(
       lit(n.toDouble).as("__n"), lit(tot.toDouble).as("__tot"))
     scoreTopK(idx, stats, "id", k, k1, b)

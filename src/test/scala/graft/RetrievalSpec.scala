@@ -150,6 +150,33 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("phraseSearchIndexed equals the ad-hoc face across build+append; BM25 probe skips positions") {
+    val store = graft.store.Storage(spark, tmpDir("bm25-pos"))
+    val (first, second) = corpus.partition(_._1 <= 3L)
+    Retrieval.postingsIndex(spark, store, "bm25", docsDf(first),
+      "text", "doc_id", numBuckets = 8, overwrite = true)
+    Retrieval.postingsIndexAppend(spark, store, "bm25", docsDf(second),
+      "text", "doc_id")
+    for (phrase <- Seq(Seq("join", "join"), Seq("sort", "merge", "join"),
+        Seq("spark"), Seq("merge", "sort"))) {
+      val got = Retrieval.phraseSearchIndexed(spark, store, "bm25", phrase)
+        .as[(Long, Long)].collect().toMap
+      val want = Retrieval.phraseCounts(docsDf(corpus), "text", "doc_id",
+        phrase).as[(Long, Long)].collect().toMap
+      assert(got == want, s"phrase $phrase: got $got want $want")
+    }
+    // the frequency probe's scan never reads the positions column
+    val bmPlan = Retrieval.bm25SearchIndexed(spark, store, "bm25",
+      Seq("join"), k = 3).queryExecution.executedPlan.toString
+    val scanLine = bmPlan.linesIterator.find(_.contains("ReadSchema"))
+    assert(scanLine.exists(!_.contains("positions")), scanLine.toString)
+    // the phrase probe's does
+    val phPlan = Retrieval.phraseSearchIndexed(spark, store, "bm25",
+      Seq("join", "spark")).queryExecution.executedPlan.toString
+    assert(phPlan.linesIterator.exists(l =>
+      l.contains("ReadSchema") && l.contains("positions")), "phrase scan")
+  }
+
   test("rrfFuse: fusion math, absent-id handling, validation") {
     val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rank")
     val b = Seq((3L, 1L), (1L, 2L), (9L, 3L)).toDF("doc_id", "rank")
