@@ -1192,6 +1192,12 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // snippet extraction: the densest width-8 query-term window per doc
+    // (hits desc, pos asc), sliced verbatim from the token stream
+    "t_snippets" -> ((s, dir) =>
+      graft.ops.Retrieval.snippets(rd(s, dir, "documents"),
+        "text", "doc_id", Seq("vector", "merge"), width = 8)),
+
     // hybrid retrieval: reciprocal-rank fusion of the lexical BM25
     // top-10 and the embedding cosine top-20 over the shared id space —
     // rank-based, so the incomparable score scales never mix; both input
@@ -2489,6 +2495,31 @@ object SparkEntry {
              JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
              WHERE a.token = 'table' AND b.token = 'hash')
            SELECT doc_id, count(*) AS n_matches FROM m GROUP BY 1""",
+      // densest-window snippets: hit positions self-join within the
+      // window range; the winning slice mirrors via DuckDB list slicing
+      "t_snippets" ->
+        """WITH d AS (
+             SELECT doc_id,
+               string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+') AS t
+             FROM documents),
+           p AS (SELECT doc_id, unnest(range(len(t))) AS pos,
+                        unnest(t) AS token
+                 FROM d WHERE len(t) > 0),
+           h AS (SELECT doc_id, pos FROM p
+                 WHERE token IN ('vector', 'merge')),
+           sc AS (SELECT a.doc_id, a.pos, count(*) AS n_hits
+                  FROM h a JOIN h b ON b.doc_id = a.doc_id
+                    AND b.pos >= a.pos AND b.pos < a.pos + 8
+                  GROUP BY 1, 2),
+           best AS (SELECT doc_id, pos, n_hits FROM (
+             SELECT doc_id, pos, n_hits,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY n_hits DESC, pos ASC) AS r
+             FROM sc) t WHERE r = 1)
+           SELECT b.doc_id, CAST(b.pos AS BIGINT) AS start_pos, b.n_hits,
+             array_to_string(d.t[CAST(b.pos + 1 AS BIGINT) :
+               CAST(b.pos + 8 AS BIGINT)], ' ') AS snippet
+           FROM best b JOIN d USING (doc_id)""",
       // RRF hybrid: the t_bm25 chain and the v_knn_topk chain as CTEs,
       // fused by 1/(60+rank) — all three rankings share the round-6 +
       // id-tie-break contract, so the fusion is value-exact

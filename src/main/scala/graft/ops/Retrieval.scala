@@ -209,6 +209,43 @@ object Retrieval {
     phraseMatchCounts(positional, terms)
   }
 
+  /** Best query-term snippet per document: the `width`-token window
+    * anchored at a query-term hit that covers the MOST query-term hits —
+    * the result-page excerpt, and the evidence window reviewers need when
+    * a retrieval or decontamination pass flags a document. Returns
+    * (idCol, start_pos, n_hits, snippet); documents without any hit emit
+    * no row.
+    *
+    * Relational and exact: hit positions self-join within the window
+    * range (per-doc work is hits², bounded by per-doc term frequency —
+    * never document length), the best anchor wins by (hits desc, pos asc)
+    * and the snippet slices out of the original token array. */
+  def snippets(df: DataFrame, textCol: String, idCol: String,
+               terms: Seq[String], width: Int = 10): DataFrame = {
+    require(width >= 1, s"width must be >= 1 (got $width)")
+    val q = queryTerms(terms)
+    val base = df.select(col(idCol).as("id"),
+      TextAnalysis.wsTokens(lower(col(textCol))).as("__toks"))
+    val hits = base
+      .select(col("id"), posexplode(col("__toks"))).toDF("id", "pos", "token")
+      .where(col("token").isin(q: _*))
+      .select(col("id"), col("pos"))
+    val scored = hits.as("a").join(hits.as("b"),
+        col("a.id") === col("b.id") &&
+          col("b.pos") >= col("a.pos") &&
+          col("b.pos") < col("a.pos") + width)
+      .groupBy(col("a.id").as("id"), col("a.pos").as("pos"))
+      .agg(count(lit(1)).as("n_hits"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("n_hits").desc, col("pos").asc)
+    scored.withColumn("__r", row_number().over(w)).where(col("__r") === 1)
+      .join(base, "id")
+      .select(col("id").as(idCol), col("pos").cast("long").as("start_pos"),
+        col("n_hits"),
+        array_join(slice(col("__toks"), col("pos") + 1, lit(width)), " ")
+          .as("snippet"))
+  }
+
   /** Reciprocal-rank fusion of several rankings — the standard hybrid
     * retrieval combiner (lexical BM25 + embedding ANN, or any mix of
     * ranked lists): `rrf(id) = sum over rankings of 1 / (c + rank)`,

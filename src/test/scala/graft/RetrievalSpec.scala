@@ -177,6 +177,24 @@ class RetrievalSpec extends SparkSpec {
       l.contains("ReadSchema") && l.contains("positions")), "phrase scan")
   }
 
+  test("snippets: densest window wins, earliest on ties, slices verbatim") {
+    val docs = Seq(
+      (1L, "a b join c join join d e f g h"), // window at pos 2 covers 3 hits
+      (2L, "join x x x x x x x x x join"),    // singles far apart: first wins
+      (3L, "nothing here")).toDF("doc_id", "text")
+    val got = Retrieval.snippets(docs, "text", "doc_id", Seq("join"),
+      width = 4).as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == ((2L, 3L, "join c join join")))
+    assert(got(2L) == ((0L, 1L, "join x x x")))
+    // window clipped at document end
+    val tail = Retrieval.snippets(
+      Seq((9L, "x y join")).toDF("doc_id", "text"), "text", "doc_id",
+      Seq("join"), width = 5).as[(Long, Long, Long, String)].head()
+    assert(tail == ((9L, 2L, 1L, "join")))
+  }
+
   test("rrfFuse: fusion math, absent-id handling, validation") {
     val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rank")
     val b = Seq((3L, 1L), (1L, 2L), (9L, 3L)).toDF("doc_id", "rank")
