@@ -1192,6 +1192,20 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // PageRank over a synthetic link graph derived closed-form from
+    // doc_ids (the synthUrls precedent): 13 hosts linking into 17, two
+    // dangling — iterative (src)-join/(dst)-agg rounds with the dangling
+    // mass redistributed in-plan; the oracle unrolls the same three
+    // iterations as CTEs
+    "w_pagerank" -> ((s, dir) => {
+      val edges = rd(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(
+          concat(lit("h"), (col("doc_id") % 13).cast("string")).as("src"),
+          concat(lit("h"), ((col("doc_id") * col("doc_id") + 1) % 17)
+            .cast("string")).as("dst"))
+      WebText.pageRank(edges, iters = 3)
+    }),
+
     // snippet extraction: the densest width-8 query-term window per doc
     // (hits desc, pos asc), sliced verbatim from the token stream
     "t_snippets" -> ((s, dir) =>
@@ -2495,6 +2509,48 @@ object SparkEntry {
              JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
              WHERE a.token = 'table' AND b.token = 'hash')
            SELECT doc_id, count(*) AS n_matches FROM m GROUP BY 1""",
+      // PageRank, three iterations unrolled as CTEs — same IEEE literal
+      // arithmetic ((1.0 - 0.85), never a pre-reduced 0.15, so both
+      // engines run the identical subtraction), dangling mass term each
+      // round, round-6 at the end only
+      "w_pagerank" ->
+        """WITH e AS (
+             SELECT DISTINCT 'h' || CAST(doc_id % 13 AS VARCHAR) AS src,
+               'h' || CAST((doc_id*doc_id + 1) % 17 AS VARCHAR) AS dst
+             FROM documents WHERE doc_id IS NOT NULL),
+           nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+           outd AS (SELECT src, CAST(count(*) AS DOUBLE) AS od
+                    FROM e GROUP BY 1),
+           r0 AS (SELECT node, 1.0 / n AS rank FROM nodes, nn),
+           c1 AS (SELECT e.dst AS node, sum(r0.rank / od.od) AS m FROM e
+                  JOIN r0 ON e.src = r0.node JOIN outd od ON e.src = od.src
+                  GROUP BY 1),
+           d1 AS (SELECT coalesce(sum(rank), 0) AS dm FROM r0
+                  WHERE r0.node NOT IN (SELECT src FROM e)),
+           r1 AS (SELECT nodes.node,
+                    (1.0 - 0.85) / nn.n + 0.85 * (coalesce(c1.m, 0) + d1.dm / nn.n) AS rank
+                  FROM nodes CROSS JOIN nn CROSS JOIN d1
+                  LEFT JOIN c1 ON nodes.node = c1.node),
+           c2 AS (SELECT e.dst AS node, sum(r1.rank / od.od) AS m FROM e
+                  JOIN r1 ON e.src = r1.node JOIN outd od ON e.src = od.src
+                  GROUP BY 1),
+           d2 AS (SELECT coalesce(sum(rank), 0) AS dm FROM r1
+                  WHERE r1.node NOT IN (SELECT src FROM e)),
+           r2 AS (SELECT nodes.node,
+                    (1.0 - 0.85) / nn.n + 0.85 * (coalesce(c2.m, 0) + d2.dm / nn.n) AS rank
+                  FROM nodes CROSS JOIN nn CROSS JOIN d2
+                  LEFT JOIN c2 ON nodes.node = c2.node),
+           c3 AS (SELECT e.dst AS node, sum(r2.rank / od.od) AS m FROM e
+                  JOIN r2 ON e.src = r2.node JOIN outd od ON e.src = od.src
+                  GROUP BY 1),
+           d3 AS (SELECT coalesce(sum(rank), 0) AS dm FROM r2
+                  WHERE r2.node NOT IN (SELECT src FROM e)),
+           r3 AS (SELECT nodes.node,
+                    (1.0 - 0.85) / nn.n + 0.85 * (coalesce(c3.m, 0) + d3.dm / nn.n) AS rank
+                  FROM nodes CROSS JOIN nn CROSS JOIN d3
+                  LEFT JOIN c3 ON nodes.node = c3.node)
+           SELECT node, round(rank, 6) AS rank FROM r3""",
       // densest-window snippets: hit positions self-join within the
       // window range; the winning slice mirrors via DuckDB list slicing
       "t_snippets" ->

@@ -149,4 +149,63 @@ object WebText {
       .unionByName(keyed.where(col("__u").isNull))
       .drop("__u")
   }
+
+  /** PageRank over a link graph — the domain-authority signal web-scale
+    * curation filters on (a page's hosting domain's centrality in the
+    * crawl graph is a strong spam/quality prior, used alongside the
+    * content rules). `edges` carries (src, dst); multi-edges collapse to
+    * simple edges up front (classic PageRank on a simple digraph), self
+    * loops are legal, and DANGLING nodes (no out-edges) redistribute
+    * their mass uniformly each iteration — without that term the total
+    * rank mass leaks and nothing sums to 1.
+    *
+    * Iterative distributed shape (the [[Dedup.nearDupClusters]]
+    * discipline): each of `iters` rounds is one (src)-keyed join of the
+    * rank table against the edge table plus a (dst)-keyed aggregation —
+    * O(edges) per round, nothing driver-side except the one node-count
+    * job (the accepted construction-time pattern). The edge and
+    * out-degree tables are computed once, cached across rounds, and the
+    * rank lineage is cut per round with an eager localCheckpoint (an
+    * uncut lineage would re-run every prior round each iteration). The
+    * dangling mass is a one-row broadcast derived in-plan per round.
+    *
+    * Returns (node, rank), rank rounded to 6 at the END only (rounding
+    * inside the loop would compound). Ranks sum to ~1. */
+  def pageRank(edges: DataFrame, srcCol: String = "src",
+               dstCol: String = "dst", iters: Int = 10,
+               damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count().toDouble
+    require(n > 0, "pageRank: empty edge set")
+    val outdeg = e.groupBy(col("src"))
+      .agg(count(lit(1)).cast("double").as("__od"))
+      .localCheckpoint(true)
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      val contribs = e.join(ranks, e("src") === ranks("node"))
+        .join(outdeg, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") / col("__od")).as("__m"))
+      val dangling = ranks
+        .join(outdeg.select(col("src").as("node")), Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          (lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("__m"), lit(0.0)) + col("__dm") / n)).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("node"), round(col("rank"), 6).as("rank"))
+  }
 }

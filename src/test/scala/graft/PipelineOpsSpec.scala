@@ -1092,4 +1092,38 @@ class PipelineOpsSpec extends SparkSpec {
       .select("text_clean").head.getString(0)
     assert(kept === "This line has exactly five.", kept)
   }
+
+  test("pageRank matches an independent evaluator; mass conserved; dangling handled") {
+    import graft.ops.WebText
+    // a -> b, a -> c, b -> c, c is DANGLING (no out-edges); d -> a isolatedish
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("d", "a"),
+      ("a", "b") /* multi-edge collapses */).toDF("src", "dst")
+    def refPr(es: Set[(String, String)], iters: Int,
+              d: Double): Map[String, Double] = {
+      val nodes = es.flatMap(e => Seq(e._1, e._2))
+      val n = nodes.size.toDouble
+      val out = es.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+      var r = nodes.map(_ -> 1.0 / n).toMap
+      for (_ <- 1 to iters) {
+        val dang = nodes.filterNot(out.contains).iterator.map(r).sum
+        r = nodes.map { v =>
+          val in = es.filter(_._2 == v).iterator.map(e => r(e._1) / out(e._1)).sum
+          v -> ((1 - d) / n + d * (in + dang / n))
+        }.toMap
+      }
+      r.view.mapValues(v =>
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    }
+    val got = WebText.pageRank(edges, iters = 8)
+      .as[(String, Double)].collect().toMap
+    val want = refPr(Set(("a","b"), ("a","c"), ("b","c"), ("d","a")), 8, 0.85)
+    assert(got == want, s"got $got want $want")
+    // mass conserved (sums to 1 within rounding), c (two in-links incl.
+    // from the hub) outranks d (no in-links)
+    assert(math.abs(got.values.sum - 1.0) < 1e-4)
+    assert(got("c") > got("d"))
+    intercept[IllegalArgumentException] {
+      WebText.pageRank(edges.where(col("src") === "zzz"))
+    }
+  }
 }
