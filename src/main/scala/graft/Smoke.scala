@@ -221,6 +221,34 @@ object Smoke {
       "smoke_bm25", Seq("vector", "merge"), k = 5).collect()
     println(s"== bm25 top-5 for [vector merge]: " +
       bmHits.map(r => s"${r.getLong(0)}@${r.getDouble(1)}").mkString(", "))
+    println(s"== phrase 'table hash' via index: " +
+      graft.ops.Retrieval.phraseSearchIndexed(spark, store, "smoke_bm25",
+        Seq("table", "hash")).count() + " docs")
+    println(s"== snippet sample: " + graft.ops.Retrieval.snippets(
+      docs.limit(50), "text", "doc_id", Seq("vector", "merge"), width = 6)
+      .orderBy(col("n_hits").desc, col("doc_id")).limit(1)
+      .select("snippet").head().getString(0))
+    // z-order re-layout of a landed dataset + a two-dim band read
+    Writer.store(spark, store, "docnum",
+      docs.select("doc_id", "n_chars", "source"),
+      WriteOpts(overwrite = true))
+    Ops.optimizeDataset(spark, store, "docnum", "docsz",
+      zorderBy = Seq("doc_id", "n_chars"), chunkSize = Some(256L * 1024),
+      overwrite = true)
+    println(s"== optimizeDataset zorder: " + Reader.readTable(spark, store,
+      "docsz", predicates = Some(Seq(Seq(
+        graft.dnf.Literal("doc_id", graft.dnf.Op.Lt, 100L),
+        graft.dnf.Literal("n_chars", graft.dnf.Op.Ge, 200L))))).count() +
+      " rows in band")
+    // pagerank over a host graph synthesized from doc ids
+    val prEdges = docs.select(
+      concat(lit("h"), (col("doc_id") % 13).cast("string")).as("src"),
+      concat(lit("h"), ((col("doc_id") * col("doc_id") + 1) % 17)
+        .cast("string")).as("dst"))
+    val prTop = graft.ops.WebText.pageRank(prEdges, iters = 5)
+      .orderBy(col("rank").desc).limit(3).collect()
+    println(s"== pagerank top hosts: " +
+      prTop.map(r => s"${r.getString(0)}@${r.getDouble(1)}").mkString(", "))
     // content clustering: unsupervised domain discovery under the baseline guard
     val clAssign = graft.ops.Clustering.withClusterBaselineGuard(
       graft.ops.Clustering.clusterDocuments(docs, "text", "doc_id", k = 4,
