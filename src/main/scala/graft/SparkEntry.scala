@@ -1682,6 +1682,13 @@ object SparkEntry {
         refine = math.max(1, math.ceil(n / 20.0).toInt))
     }),
 
+    // --- JL random projection: deterministic md5-signed ±1 matrix baked
+    // driver-side into the codegen'd fold — the 4x index-shrink
+    // preprocessing step before ANN at scale; value-exact in SQL
+    "v_rand_proj" -> ((s, dir) =>
+      Similarity.randomProjection(rd(s, dir, "embeddings"),
+        "embedding", "vec_id", outDims = 16, inDims = 64)),
+
     // --- isotropy pre-flight: the loud diagnosis behind the v_knn_lsh
     // comment — run on the RAW embeddings, it reports structured=false
     // (top-k cosine ~= the Gaussian extreme-value expectation, i.e. pure
@@ -3146,6 +3153,19 @@ object SparkEntry {
              FROM corpus, q)
            SELECT vec_id, cosine, 1.0 AS recall_vs_exact FROM scored
            ORDER BY cosine DESC, vec_id ASC LIMIT 20""",
+      // JL projection: the sign is the parity of md5's first byte (first
+      // two hex chars); *0.25 and /sqrt(16.0) are the same power-of-two
+      // scale in IEEE, so the mirrors agree bit-for-bit before round-6
+      "v_rand_proj" ->
+        """SELECT vec_id,
+             list_transform(range(16), j -> round(
+               list_sum(list_transform(range(1, 65), i ->
+                 CAST(embedding[i] AS DOUBLE) *
+                 (CASE WHEN CAST(concat('0x', substr(md5('graft.rp:graft:' ||
+                     CAST(j AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 2))
+                   AS INT) % 2 = 0 THEN 1.0 ELSE -1.0 END)))
+               / sqrt(16.0), 6)) AS embedding
+           FROM embeddings""",
       "v_knn_topk" ->
         """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
              FROM embeddings WHERE vec_id = 0),

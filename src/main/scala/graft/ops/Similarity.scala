@@ -69,6 +69,48 @@ object Similarity {
           .otherwise(round(x / col("__nrm"), 6))).as(vecCol))
   }
 
+  /** Johnson-Lindenstrauss random projection: map `inDims`-dimensional
+    * vectors to `outDims` via a deterministic ±1 sign matrix scaled by
+    * 1/sqrt(outDims) (the Achlioptas database-friendly construction —
+    * pairwise distances and dot products are preserved in expectation
+    * with relative error ~1/sqrt(outDims)). The cheap dimensionality
+    * reduction to run BEFORE an ANN index at scale: 4x fewer dims is 4x
+    * smaller index, 4x faster scoring, at a distortion the exact re-rank
+    * absorbs.
+    *
+    * Determinism contract (oracle-checked): sign(j, i) is the parity of
+    * the first md5 byte of "graft.rp:<salt>:<j>:<i>" — the engine-portable
+    * md5 discipline of the sampler family, reproducible by any engine —
+    * and each output element is a row-local left-to-right fold rounded to
+    * 6. The matrix materializes DRIVER-side as outDims x inDims literals
+    * (a few KB) baked into the codegen'd expression; nothing shuffles.
+    * Vectors shorter than `inDims` read as zero-padded; longer ones
+    * ignore the tail. Null elements contribute 0. */
+  def randomProjection(corpus: DataFrame, vecCol: String, idCol: String,
+                       outDims: Int, inDims: Int,
+                       salt: String = "graft"): DataFrame = {
+    require(outDims >= 1, s"outDims must be >= 1 (got $outDims)")
+    require(inDims >= 1, s"inDims must be >= 1 (got $inDims)")
+    val scale = 1.0 / math.sqrt(outDims.toDouble)
+    val outs: Seq[Column] = (0 until outDims).map { j =>
+      val signs = (0 until inDims).map(i => projectionSign(salt, j, i))
+      round(aggregate(
+        zip_with(col(vecCol), typedLit(signs),
+          (e, g) => e.cast("double") * g),
+        lit(0.0), (acc, x) => acc + coalesce(x, lit(0.0))) * scale, 6)
+    }
+    corpus.select(col(idCol), array(outs: _*).as(vecCol))
+  }
+
+  /** The ±1 entry of the projection matrix — parity of the first md5
+    * byte, the same byte an external engine reads as the digest's first
+    * two hex chars. */
+  private[ops] def projectionSign(salt: String, j: Int, i: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"graft.rp:$salt:$j:$i".getBytes("UTF-8"))
+    if ((h(0) & 1) == 0) 1.0 else -1.0
+  }
+
   /** The SCALAR face of [[centerNormalize]] — one (idCol, pos, value) row
     * per vector element, 0-based pos, identical values. This face exists
     * because exploding the ARRAY face's output is a planner trap:

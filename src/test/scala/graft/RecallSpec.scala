@@ -382,4 +382,40 @@ class RecallSpec extends SparkSpec {
       Seq(1.0, 0.0), k = 2, cents, nprobe = 1)
     assert(hits.count() === 2L, "probe missed the list the vectors live in")
   }
+
+  test("randomProjection: JL norm preservation, determinism, padding") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (1L to 200L).map(i =>
+      (i, Seq.fill(64)(rnd.nextGaussian()))).toDF("id", "v")
+    val proj = graft.ops.Similarity.randomProjection(vecs, "v", "id",
+      outDims = 16, inDims = 64)
+    val pairs = vecs.join(proj.withColumnRenamed("v", "p"), "id")
+      .as[(Long, Seq[Double], Seq[Double])].collect()
+    // E[||p||^2] = ||v||^2 with per-vector sd sqrt(2/k) ~ 0.35 at k=16, so
+    // the MEAN |relative distortion| concentrates near 0.35*sqrt(2/pi) ~
+    // 0.28; a broken sign matrix (all +1 = projection onto one direction)
+    // sits far above 1
+    val dist = pairs.map { case (_, v, p) =>
+      val nv = v.map(x => x * x).sum
+      val np = p.map(x => x * x).sum
+      math.abs(np - nv) / nv
+    }
+    assert(dist.sum / dist.size < 0.35, s"mean distortion ${dist.sum / dist.size}")
+    assert(pairs.forall(_._3.size == 16))
+    // deterministic across invocations
+    val again = graft.ops.Similarity.randomProjection(vecs, "v", "id", 16, 64)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(pairs.forall { case (id, _, p) => again(id) == p })
+    // a short vector zero-pads; an over-long one ignores the tail
+    val shortLong = Seq((1L, Seq(1.0, 2.0)), (2L, Seq.fill(70)(1.0)))
+      .toDF("id", "v")
+    val sl = graft.ops.Similarity.randomProjection(shortLong, "v", "id", 4, 64)
+      .as[(Long, Seq[Double])].collect().toMap
+    val padded = graft.ops.Similarity.randomProjection(
+      Seq((1L, Seq(1.0, 2.0) ++ Seq.fill(62)(0.0))).toDF("id", "v"),
+      "v", "id", 4, 64).as[(Long, Seq[Double])].head()._2
+    assert(sl(1L) == padded)
+    assert(sl(2L).size == 4)
+  }
 }
