@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Index-probe scale isolation: build the positional postings index over
+  * sf0.1 (5k docs) and the 10x /tmp/sf1 tier (50k docs;
+  * `scripts/make_sf_scale.py` — per-copy token suffixes, so a one-copy
+  * term set holds MATCHED-posting volume constant across tiers), then
+  * time [[graft.ops.Retrieval.bm25SearchIndexed]] /
+  * [[graft.ops.Retrieval.phraseSearchIndexed]] on both. Flat timings
+  * across the decade prove probe cost tracks matched postings, not index
+  * size (bucket partition pruning + token IN row-group skipping).
+  * `runMain graft.ProbeScale` after generating /tmp/sf1. */
+object ProbeScale {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local("32", "probe-scale")
+    spark.sparkContext.setLogLevel("WARN")
+    val st = graft.store.Storage(spark, "/tmp/probe_idx")
+    val docs01 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val docs1 = spark.read.parquet("/tmp/sf1/documents.parquet")
+    graft.ops.Retrieval.postingsIndex(spark, st, "p01", docs01, "text", "doc_id",
+      numBuckets = 32, overwrite = true)
+    graft.ops.Retrieval.postingsIndex(spark, st, "p1", docs1, "text", "doc_id",
+      numBuckets = 32, overwrite = true)
+    def time(f: => Long): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // untimed warmup (codegen, page cache), then one timed rep each
+    graft.ops.Retrieval.bm25SearchIndexed(spark, st, "p01",
+      Seq("vector", "merge"), 10).queryExecution.toRdd.count()
+    graft.ops.Retrieval.bm25SearchIndexed(spark, st, "p1",
+      Seq("vector_c2", "merge_c2"), 10).queryExecution.toRdd.count()
+    val a = time(graft.ops.Retrieval.bm25SearchIndexed(spark, st, "p01",
+      Seq("vector", "merge"), 10).queryExecution.toRdd.count())
+    val b = time(graft.ops.Retrieval.bm25SearchIndexed(spark, st, "p1",
+      Seq("vector_c2", "merge_c2"), 10).queryExecution.toRdd.count())
+    val c = time(graft.ops.Retrieval.phraseSearchIndexed(spark, st, "p01",
+      Seq("table", "hash")).queryExecution.toRdd.count())
+    val d = time(graft.ops.Retrieval.phraseSearchIndexed(spark, st, "p1",
+      Seq("table_c2", "hash_c2")).queryExecution.toRdd.count())
+    println(f"PROBE bm25 sf0.1=$a%.2f sf1(one-copy-match)=$b%.2f " +
+      f"phrase sf0.1=$c%.2f sf1=$d%.2f")
+    spark.stop()
+  }
+}
