@@ -996,6 +996,13 @@ object SparkEntry {
       Ops.profile(rd(s, dir, "documents"), Seq("doc_id", "lang", "n_chars"),
         exact = true)),
 
+    // --- heavy-hitter key profile (the pre-join salting diagnostic):
+    // top-8 (l_returnflag, l_linestatus) groups with share and skew
+    // factor; null keys count like any value (nulls-first tie-break)
+    "a_key_skew" -> ((s, dir) =>
+      Ops.keySkewStats(rd(s, dir, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"), topK = 8)),
+
     // --- as-of join: purchase events matched to the user's most recent
     // prior view (union-tag + running window — linear, not a range join)
     "j_asof_join" -> ((s, dir) => {
@@ -2335,6 +2342,22 @@ object SparkEntry {
                    ELSE 'head' END AS bucket
             FROM q JOIN c ON q.lang IS NOT DISTINCT FROM c.grp"""
       },
+      // heavy-hitter profile: DuckDB ASC defaults NULLS LAST, Spark ASC
+      // defaults nulls first — the mirror says NULLS FIRST explicitly
+      "a_key_skew" ->
+        """WITH c AS (SELECT l_returnflag, l_linestatus, count(*) AS n
+                      FROM lineitem GROUP BY 1, 2),
+           t AS (SELECT CAST(sum(n) AS DOUBLE) AS tt,
+                        CAST(count(*) AS DOUBLE) AS k FROM c)
+           SELECT l_returnflag, l_linestatus, n,
+             round(n / tt, 6) AS share, round(n * k / tt, 6) AS skew,
+             row_number() OVER (ORDER BY n DESC,
+               l_returnflag ASC NULLS FIRST,
+               l_linestatus ASC NULLS FIRST) AS rank
+           FROM c, t
+           ORDER BY n DESC, l_returnflag ASC NULLS FIRST,
+             l_linestatus ASC NULLS FIRST
+           LIMIT 8""",
       "a_profile" ->
         """SELECT 'doc_id' AS "column", count(doc_id) AS n_nonnull,
              count(DISTINCT doc_id) AS n_distinct,

@@ -379,6 +379,36 @@ object Ops {
     * the only sane default at 100 TB, where per-column exact
     * `count_distinct` means one full-width shuffle per profiled column;
     * `exact=true` opts small/verification jobs into exact counts. */
+  /** Heavy-hitter key profile — the pre-join diagnostic you run on 100 TB
+    * BEFORE deciding whether a `groupBy`/`join` key needs salting
+    * ([[graft.ops.Sampling.saltedJoin]]) or an AQE skew hint: the top-k
+    * heaviest key values with their row count, corpus share, and skew
+    * factor (count / mean-count-per-key; >> 1 = the key that will pin one
+    * task while the rest of the cluster idles). Null keys are counted
+    * like any value — at scale the null group usually IS the skew. Pure
+    * partial-aggregating groupBy + one broadcast total; the top-k is
+    * TakeOrdered. Ordering ties break on the key values ascending,
+    * nulls first. */
+  def keySkewStats(df: DataFrame, keyCols: Seq[String],
+                   topK: Int = 10): DataFrame = {
+    require(keyCols.nonEmpty, "keySkewStats needs at least one key column")
+    require(topK >= 1, s"topK must be >= 1 (got $topK)")
+    val ks = keyCols.map(c => col(s"`$c`"))
+    val counts = df.groupBy(ks: _*).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).cast("double").as("__t"),
+      count(lit(1)).cast("double").as("__k"))
+    val order = col("n").desc +: ks.map(_.asc_nulls_first)
+    counts.crossJoin(broadcast(total))
+      .select(ks ++ Seq(col("n"),
+        round(col("n") / col("__t"), 6).as("share"),
+        round(col("n") * col("__k") / col("__t"), 6).as("skew")): _*)
+      .orderBy(order: _*)
+      .limit(topK)
+      .withColumn("rank", row_number()
+        .over(org.apache.spark.sql.expressions.Window.orderBy(order: _*))
+        .cast("long"))
+  }
+
   def profile(df: DataFrame, columns: Seq[String] = Nil,
               exact: Boolean = false): DataFrame = {
     val cols = if (columns.nonEmpty) columns else df.columns.toSeq

@@ -1093,6 +1093,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept === "This line has exactly five.", kept)
   }
 
+  test("keySkewStats: counts, share, skew factor, null keys, rank ties") {
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++
+      Seq("c") ++ Seq(null.asInstanceOf[String]))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+    val got = graft.io.Ops.keySkewStats(df, Seq("k"), topK = 3)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    // 4 distinct keys over 10 rows: mean 2.5; a=6 -> skew 2.4
+    assert(got.toSeq == Seq(
+      (Some("a"), 6L, 0.6, 2.4, 1L),
+      (Some("b"), 2L, 0.2, 0.8, 2L),
+      (None, 1L, 0.1, 0.4, 3L))) // null ties c at n=1; nulls-first wins
+    intercept[IllegalArgumentException] {
+      graft.io.Ops.keySkewStats(df, Nil)
+    }
+  }
+
   test("pageRank matches an independent evaluator; mass conserved; dangling handled") {
     import graft.ops.WebText
     // a -> b, a -> c, b -> c, c is DANGLING (no out-edges); d -> a isolatedish
