@@ -1246,6 +1246,23 @@ object SparkEntry {
         rd(s, dir, "documents"), "text", "doc_id", "source", dims = 64)
         .withColumnRenamed("id", "doc_id")),
 
+    // the PERSISTED clustering face: label centroids landed as a graft
+    // dataset with dims pinned in the header, the whole corpus assigned
+    // through the loaded index — equals the in-memory attribution
+    // exactly, so it hash-checks against the same SQL mirror while
+    // driving the build->load->assign lifecycle
+    "t_cluster_indexed" -> ((s, dir) => {
+      val st = ensure(s, dir, "cidx") { st =>
+        graft.ops.Clustering.centroidIndex(s, st, "cidx",
+          graft.ops.Clustering.labelCentroids(rd(s, dir, "documents"),
+            "text", "doc_id", "source", dims = 64),
+          dims = 64, overwrite = true)
+      }
+      graft.ops.Clustering.assignIndexed(s, st, "cidx",
+        rd(s, dir, "documents"), "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // unsupervised domain discovery: spherical k-means over the same
     // hashed-TF space (driver-side deterministic sampled trainer — the
     // IVF coarse-quantizer discipline), full-corpus assignment in one
@@ -1960,6 +1977,41 @@ object SparkEntry {
            row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
          FROM sc) t WHERE rank <= 10"""
 
+  /** The one nearest-source-centroid mirror both clustering faces
+    * hash-check against (in-memory attribution and the persisted
+    * centroid-index assignment — value-identical by construction). */
+  private val clusterAssignOracleSql =
+    """WITH tk AS (
+             SELECT doc_id, token FROM (
+               SELECT doc_id, unnest(string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+')) AS token
+               FROM documents)
+             WHERE len(token) > 0),
+           bd AS (
+             SELECT doc_id,
+               CAST(concat('0x', substr(md5('graft.fh:' || token), 1, 8)) AS BIGINT) % 64 AS dim,
+               CAST(count(*) AS DOUBLE) AS wr
+             FROM tk GROUP BY 1, 2),
+           nrm AS (SELECT doc_id, sqrt(sum(wr * wr)) AS n FROM bd GROUP BY 1),
+           w AS (SELECT doc_id, dim, wr / n AS w
+                 FROM bd JOIN nrm USING (doc_id)),
+           lw AS (SELECT w.doc_id, d.source AS cluster, dim, w
+                  FROM w JOIN documents d USING (doc_id)
+                  WHERE d.source IS NOT NULL),
+           mem AS (SELECT cluster, count(DISTINCT doc_id) AS nd
+                   FROM lw GROUP BY 1),
+           cen AS (SELECT cluster, dim, sum(w) / any_value(nd) AS c
+                   FROM lw JOIN mem USING (cluster) GROUP BY cluster, dim),
+           cn AS (SELECT cluster, sqrt(sum(c * c)) AS cn FROM cen GROUP BY 1),
+           dot AS (SELECT w.doc_id, cen.cluster, sum(w.w * cen.c) AS dot
+                   FROM w JOIN cen USING (dim) GROUP BY 1, 2),
+           sc AS (SELECT doc_id, cluster, round(dot / cn, 6) AS score
+                  FROM dot JOIN cn USING (cluster))
+           SELECT doc_id, cluster, score FROM (
+             SELECT doc_id, cluster, score,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, cluster ASC) AS r
+             FROM sc) t WHERE r = 1"""
+
   /** DuckDB-dialect mirrors, honoring reference semantics. Division results
     * and roundtripped values are exact; multi-term double aggregations are
     * rounded on BOTH sides. Tokenization in every mirror uses the EXPLICIT
@@ -2660,38 +2712,12 @@ object SparkEntry {
              FROM agg) t3 WHERE rank <= 10""",
       // nearest-source-centroid attribution: the md5 feature hash, the
       // per-source mean centroids, and the cosine argmax all mirror
-      // relationally; null-source docs seed no centroid but still assign
-      "t_cluster_assign" ->
-        """WITH tk AS (
-             SELECT doc_id, token FROM (
-               SELECT doc_id, unnest(string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+')) AS token
-               FROM documents)
-             WHERE len(token) > 0),
-           bd AS (
-             SELECT doc_id,
-               CAST(concat('0x', substr(md5('graft.fh:' || token), 1, 8)) AS BIGINT) % 64 AS dim,
-               CAST(count(*) AS DOUBLE) AS wr
-             FROM tk GROUP BY 1, 2),
-           nrm AS (SELECT doc_id, sqrt(sum(wr * wr)) AS n FROM bd GROUP BY 1),
-           w AS (SELECT doc_id, dim, wr / n AS w
-                 FROM bd JOIN nrm USING (doc_id)),
-           lw AS (SELECT w.doc_id, d.source AS cluster, dim, w
-                  FROM w JOIN documents d USING (doc_id)
-                  WHERE d.source IS NOT NULL),
-           mem AS (SELECT cluster, count(DISTINCT doc_id) AS nd
-                   FROM lw GROUP BY 1),
-           cen AS (SELECT cluster, dim, sum(w) / any_value(nd) AS c
-                   FROM lw JOIN mem USING (cluster) GROUP BY cluster, dim),
-           cn AS (SELECT cluster, sqrt(sum(c * c)) AS cn FROM cen GROUP BY 1),
-           dot AS (SELECT w.doc_id, cen.cluster, sum(w.w * cen.c) AS dot
-                   FROM w JOIN cen USING (dim) GROUP BY 1, 2),
-           sc AS (SELECT doc_id, cluster, round(dot / cn, 6) AS score
-                  FROM dot JOIN cn USING (cluster))
-           SELECT doc_id, cluster, score FROM (
-             SELECT doc_id, cluster, score,
-               row_number() OVER (PARTITION BY doc_id
-                 ORDER BY score DESC, cluster ASC) AS r
-             FROM sc) t WHERE r = 1""",
+      // relationally; null-source docs seed no centroid but still
+      // assign. The persisted face (t_cluster_indexed) lands these SAME
+      // centroids as a dataset and assigns through the loaded index —
+      // value-identical, same mirror.
+      "t_cluster_assign" -> clusterAssignOracleSql,
+      "t_cluster_indexed" -> clusterAssignOracleSql,
       "t_unigram_logprob" ->
         """WITH tk AS (
              SELECT doc_id, token FROM (

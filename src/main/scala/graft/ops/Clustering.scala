@@ -141,6 +141,48 @@ object Clustering {
     assignToCentroids(weights, cdf)
   }
 
+  private val MetaDims = "graft.cluster.dims"
+  private val MetaK = "graft.cluster.k"
+
+  /** Persist centroid rows (cluster, dim, c) as a graft dataset with the
+    * feature-space width pinned in the header — the persisted face of the
+    * family, in the index discipline every other family follows (PQ
+    * codebooks, IVF centroids, minhash params): assignment of later
+    * batches NEVER retrains and can never silently disagree with the
+    * build on `dims`. Centroids come from either source —
+    * [[labelCentroids]] (exact) or the [[clusterDocuments]] trainer
+    * (pass its distinct (cluster, dim, c) rows). */
+  def centroidIndex(spark: SparkSession, storage: graft.store.Storage,
+                    uuid: String, centroids: DataFrame, dims: Int,
+                    overwrite: Boolean = false): graft.meta.DatasetMetadata = {
+    require(dims >= 2, s"dims must be >= 2 (got $dims)")
+    val k = centroids.select("cluster").distinct().count()
+    require(k >= 1, "centroidIndex: no centroids")
+    graft.io.Writer.store(spark, storage, uuid,
+      centroids.select(col("cluster").cast("string"), col("dim"),
+        col("c").cast("double")),
+      graft.io.Writer.WriteOpts(sortBy = Seq("cluster", "dim"),
+        overwrite = overwrite,
+        metadata = Map(MetaDims -> dims.toString, MetaK -> k.toString)))
+  }
+
+  /** Assign a batch of documents against a persisted [[centroidIndex]]:
+    * the batch is hashed into the HEADER-pinned feature space (drift
+    * impossible), the centroid rows — k·dims, always small — broadcast,
+    * and the one shared assignment body scores. The production
+    * incremental shape: discover domains once, attribute every later
+    * batch without re-reading the original corpus. */
+  def assignIndexed(spark: SparkSession, storage: graft.store.Storage,
+                    uuid: String, batch: DataFrame, textCol: String,
+                    idCol: String): DataFrame = {
+    val meta = graft.meta.DatasetMetadata.load(storage, uuid)
+    val dims = meta.metadata.getOrElse(MetaDims,
+      throw new IllegalArgumentException(
+        s"dataset '$uuid' is not a centroid index (missing $MetaDims)")).toInt
+    val cents = graft.io.Reader.readTable(spark, storage, uuid)
+    assignToCentroids(hashedTermWeights(batch, textCol, idCol, dims), cents)
+  }
+
   /** In-plan quality guard for the unsupervised face: the mean assigned
     * cosine must beat the one-cluster baseline (mean cosine to the GLOBAL
     * centroid) by at least `minLift` — a broken trainer (collapsed

@@ -110,6 +110,35 @@ class ClusteringSpec extends SparkSpec {
       s"unexpected: ${ex.getMessage}")
   }
 
+  test("persisted centroid index: pinned dims, assignment matches in-memory face") {
+    val store = graft.store.Storage(spark, tmpDir("cluster-idx"))
+    graft.ops.Clustering.centroidIndex(spark, store, "cidx",
+      graft.ops.Clustering.labelCentroids(docs, "text", "doc_id", "lab",
+        dims = 32),
+      dims = 32, overwrite = true)
+    val got = graft.ops.Clustering.assignIndexed(spark, store, "cidx",
+      docs, "text", "doc_id")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    val want = graft.ops.Clustering.assignByLabelCentroids(docs, "text",
+      "doc_id", "lab", dims = 32)
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(got == want)
+    // NEW docs with the groups' vocabulary attribute to the right label
+    val fresh = Seq((100L, "shuffle spark"), (101L, "index probe"))
+      .toDF("doc_id", "text")
+    val freshGot = graft.ops.Clustering.assignIndexed(spark, store, "cidx",
+      fresh, "text", "doc_id")
+      .as[(Long, String, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(freshGot == Map(100L -> "a", 101L -> "b"))
+    // a non-index dataset is refused loudly
+    graft.io.Writer.store(spark, store, "plain",
+      docs.select("doc_id", "lab"), graft.io.Writer.WriteOpts())
+    intercept[IllegalArgumentException] {
+      graft.ops.Clustering.assignIndexed(spark, store, "plain", docs,
+        "text", "doc_id")
+    }
+  }
+
   test("a doc sharing no dimension with a centroid never beats real overlap") {
     // centroid rows for two clusters on disjoint dims; the doc overlaps
     // only cluster y — x produces no join row, which must read as score 0
