@@ -1273,9 +1273,12 @@ object SparkEntry {
       val docs = rd(s, dir, "documents")
       val weights = graft.ops.Clustering.hashedTermWeights(
         docs, "text", "doc_id", dims = 64)
+      // iters = 3: the ivfpqIdxDs trainer precedent — Lloyd assignments
+      // stabilize in 2-3 rounds on this corpus and the guard bounds
+      // quality either way
       graft.ops.Clustering.withClusterBaselineGuard(
         graft.ops.Clustering.clusterDocuments(docs, "text", "doc_id",
-          k = 8, dims = 64, iters = 5),
+          k = 8, dims = 64, iters = 3),
         weights, minLift = 0.0)
     }),
 
