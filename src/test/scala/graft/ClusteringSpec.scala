@@ -139,6 +139,16 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("assignment plan broadcasts the centroid side; corpus never reshuffles for it") {
+    val weights = Clustering.hashedTermWeights(docs, "text", "doc_id", 32)
+    val cents = Clustering.labelCentroids(docs, "text", "doc_id", "lab", 32)
+    val plan = Clustering.assignToCentroids(weights, cents)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
   test("a doc sharing no dimension with a centroid never beats real overlap") {
     // centroid rows for two clusters on disjoint dims; the doc overlaps
     // only cluster y — x produces no join row, which must read as score 0
