@@ -365,6 +365,23 @@ object Smoke {
     val audPairs = graft.ops.Dedup.audioNearDups(audClips, "doc_id").count()
     println(s"== audio near-dups: $audPairs cross-container pairs")
 
+    // HLL sketch lifecycle: build on half the corpus, append the rest,
+    // merge-on-read estimate vs the one-shot construction (must be EQUAL —
+    // the mergeability contract), plus a sanity band vs the true count
+    graft.ops.Sketches.sketchDataset(spark, store, "smoke_hll",
+      docs.where(col("doc_id") % 2 === 0), "doc_id", p = 8, overwrite = true)
+    graft.ops.Sketches.sketchAppend(spark, store, "smoke_hll",
+      docs.where(col("doc_id") % 2 =!= 0))
+    val hllPersisted = graft.ops.Sketches.sketchEstimate(spark, store, "smoke_hll")
+      .select("est").head().getDouble(0)
+    val hllDirect = graft.ops.Sketches.distinctCountApprox(docs, "doc_id", p = 8)
+      .select("est").head().getDouble(0)
+    val nDocs = docs.select("doc_id").distinct().count()
+    assert(hllPersisted == hllDirect,
+      s"persisted HLL $hllPersisted != direct $hllDirect")
+    println(f"== hll estimate (build+append): $hllPersisted%.1f vs true $nDocs " +
+      f"(${(hllPersisted / nDocs - 1) * 100}%.1f%% err)")
+
     println(s"== SparkEntry.entry rows: ${SparkEntry.entry(spark).count()}")
     println("== smoke OK")
     spark.stop()

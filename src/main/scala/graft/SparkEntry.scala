@@ -9,7 +9,7 @@ import graft.io.{Ops, Reader, Writer}
 import graft.io.Writer.WriteOpts
 import graft.index.SecondaryIndex
 import graft.meta.DatasetMetadata
-import graft.ops.{AsofJoin, Chunking, Contamination, Dedup, Multimodal, SeenSet, Similarity, TextAnalysis, WebText}
+import graft.ops.{AsofJoin, Chunking, Contamination, Dedup, Multimodal, SeenSet, Similarity, Sketches, TextAnalysis, WebText}
 import graft.store.Storage
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -122,6 +122,19 @@ object SparkEntry {
     if (!built.contains(key)) { mk(store); built.add(key) }
     store
   }
+
+  /** Persisted HLL sketch of lineitem's orderkeys, built in two landings
+    * (80% build + 20% append) — the k_hll_dataset face reads ONLY this
+    * register dataset, never the corpus: the append-without-rescan
+    * corpus-stats contract. */
+  private def hllDs(s: SparkSession, dir: String): Storage =
+    ensure(s, dir, "hll") { st =>
+      val li = rd(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_orderkey").cast("string").as("k"))
+      Sketches.sketchDataset(s, st, "hll",
+        li.where(col("l_orderkey") % 5 =!= 0), "k", p = 10, overwrite = true)
+      Sketches.sketchAppend(s, st, "hll", li.where(col("l_orderkey") % 5 === 0))
+    }
 
   /** lineitem partitioned by l_returnflag, secondary index on l_linestatus,
     * sorted by l_shipdate — the SURVEY §7.2 flagship layout. */
@@ -1945,7 +1958,49 @@ object SparkEntry {
         when(col("doc_id") % 2 === 0, "?utm_source=feed").otherwise(""),
         when(col("doc_id") % 3 === 0, "#top").otherwise("")).as("url"))
       WebText.dedupByUrl(u, "url", "doc_id").select("doc_id")
-    })
+    }),
+
+    // --- HLL distinct-count sketch: engine-portable (register, rho) table
+    // with an EXACT-INTEGER harmonic sum — the oracle recomputes the whole
+    // estimator, not just the answer. lineitem's (orderkey, linenumber)
+    // composite is deliberately non-unique in the testdata: the estimate
+    // counts the ~46k distinct pairs, not the 60k rows
+    "k_hll_estimate" -> ((s, dir) =>
+      Sketches.distinctCountApprox(
+        rd(s, dir, "lineitem").select(concat(
+          col("l_orderkey").cast("string"), lit("|"),
+          col("l_linenumber").cast("string")).as("k")), "k", p = 10)),
+
+    // --- grouped sketch: distinct orderkeys per returnflag, one register
+    // table per group in a single partial-aggregated pass
+    "k_hll_by_group" -> ((s, dir) =>
+      Sketches.distinctCountApprox(
+        rd(s, dir, "lineitem").select(col("l_returnflag"),
+          col("l_orderkey").cast("string").as("k")),
+        "k", p = 8, groupCols = Seq("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // --- mergeability as a CONTRACT: sketch two disjoint halves, merge,
+    // estimate — against the one-shot estimate. The oracle emits the direct
+    // estimate under both labels: merged == direct is the assertion
+    "k_hll_merge" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_orderkey").cast("string").as("k"))
+      val even = li.where(col("l_orderkey") % 2 === 0)
+      val odd = li.where(col("l_orderkey") % 2 =!= 0)
+      val merged = Sketches.hllEstimate(Sketches.hllMerge(
+        Sketches.hllSketch(even, "k"), Sketches.hllSketch(odd, "k")), p = 10)
+      merged.withColumn("face", lit("merged"))
+        .unionByName(Sketches.distinctCountApprox(li, "k", p = 10)
+          .withColumn("face", lit("direct")))
+        .orderBy("face")
+    }),
+
+    // --- persisted sketch dataset: estimate read back from register rows
+    // landed across TWO generations (build + append) — the corpus is never
+    // rescanned, yet the estimate hash-matches the direct construction
+    "k_hll_dataset" -> ((s, dir) =>
+      Sketches.sketchEstimate(s, hllDs(s, dir), "hll"))
   )
 
   // ------------------------------------------------------------- oracles
@@ -2014,6 +2069,42 @@ object SparkEntry {
                row_number() OVER (PARTITION BY doc_id
                  ORDER BY score DESC, cluster ASC) AS r
              FROM sc) t WHERE r = 1"""
+
+  /** The full HLL estimator as DuckDB SQL — register from md5 hex chars
+    * 14-16, rho by exact hex-char leading-zero arithmetic, the harmonic sum
+    * in pure BIGINT (order-independent), alpha and the small-range branch
+    * with the identical IEEE literal arithmetic the Scala side uses. The
+    * oracle re-derives the whole construction, so a drift ANYWHERE (hash
+    * prefix, CASE table, branch threshold, rounding) hash-mismatches. */
+  private def hllOracleSql(from: String, idExpr: String, p: Int,
+                           groupCol: Option[String] = None): String = {
+    val m = 1 << p
+    val alpha = s"(0.7213/(1 + 1.079/$m))"
+    val raw = s"($alpha * $m * $m * 4503599627370496.0)" +
+      s" / CAST(s_ne + ($m - filled) * 4503599627370496 AS DOUBLE)"
+    val g = groupCol.map(c => s"$c, ").getOrElse("")
+    val gby = groupCol.map(c => s"GROUP BY $c").getOrElse("")
+    s"""WITH h AS (
+          SELECT ${g}md5('graft.hll:graft' || $idExpr) AS hx
+          FROM $from WHERE $idExpr IS NOT NULL),
+        k AS (
+          SELECT ${g}CAST(CAST(concat('0x', substr(hx, 14, 3)) AS BIGINT) % $m AS INTEGER) AS register,
+            LEAST(52, 4 * (13 - length(ltrim(substr(hx, 1, 13), '0'))) +
+              CASE substr(ltrim(substr(hx, 1, 13), '0'), 1, 1)
+                WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+                ELSE 0 END + 1) AS rho
+          FROM h),
+        mx AS (SELECT ${g}register, max(rho) AS rho FROM k GROUP BY ${g}register),
+        s AS (SELECT ${g}count(*) AS filled,
+                coalesce(sum(1::BIGINT << CAST(52 - rho AS INTEGER)), 0) AS s_ne
+              FROM mx $gby)
+        SELECT ${g}filled, $m - filled AS zeros,
+          round(CASE WHEN $raw <= ${2.5 * m} AND filled < $m
+                THEN $m * ln($m / CAST($m - filled AS DOUBLE))
+                ELSE $raw END, 6) AS est
+        FROM s"""
+  }
 
   /** DuckDB-dialect mirrors, honoring reference semantics. Division results
     * and roundtripped values are exact; multi-term double aggregations are
@@ -3508,7 +3599,27 @@ object SparkEntry {
              SELECT doc_id, row_number() OVER (
                PARTITION BY source, doc_id%7 ORDER BY doc_id) AS rn
              FROM documents)
-           WHERE rn = 1"""
+           WHERE rn = 1""",
+      // HLL sketch estimates: the oracle re-derives the ENTIRE estimator
+      // (md5 register/rho, exact-integer harmonic sum, branch, rounding)
+      "k_hll_estimate" -> hllOracleSql("lineitem",
+        "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)",
+        p = 10),
+      "k_hll_by_group" -> hllOracleSql("lineitem",
+        "CAST(l_orderkey AS VARCHAR)", p = 8, groupCol = Some("l_returnflag")),
+      // merged == direct is the mergeability CONTRACT: the oracle emits the
+      // one-shot estimate under both labels
+      "k_hll_merge" -> {
+        val direct = hllOracleSql("lineitem", "CAST(l_orderkey AS VARCHAR)",
+          p = 10)
+        s"""SELECT 'direct' AS face, * FROM ($direct)
+            UNION ALL
+            SELECT 'merged' AS face, * FROM ($direct)"""
+      },
+      // the persisted two-generation sketch merges-on-read to exactly the
+      // one-shot construction over everything ever sketched
+      "k_hll_dataset" -> hllOracleSql("lineitem",
+        "CAST(l_orderkey AS VARCHAR)", p = 10)
     )
   }
 }

@@ -1,0 +1,219 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Mergeable distinct-count sketches (HyperLogLog) with an ENGINE-PORTABLE,
+  * EXACT-INTEGER register formulation — the corpus-statistics layer a 100 TB
+  * store needs: "how many distinct documents / URLs / n-grams does this
+  * dataset hold" refreshed on every append WITHOUT rescanning what already
+  * landed. The reference exposes per-dataset observed-value metadata
+  * (`plateau/api/discover.py`, `io/dask/dataframe.py` statistics); this is
+  * the cardinality face of that idea, built as first-class sketch datasets.
+  *
+  * Why not `approx_count_distinct`? Spark's built-in HLL++ is a black-box
+  * aggregate: its intermediate buffer is not a stable on-disk contract, it
+  * cannot be merged across engines, and an oracle cannot re-derive it. This
+  * formulation makes the SKETCH ITSELF relational — a `(register, rho)`
+  * table — so it can be persisted as a normal graft dataset, merged by
+  * `GROUP BY register → max(rho)` in ANY engine, and hash-compared against
+  * DuckDB computing the identical construction:
+  *
+  *  - key: `md5("graft.hll:" || salt || id)` — the [[Sampling]] portable-md5
+  *    contract under this family's own salt domain.
+  *  - rho: 1 + leading-zero-bits of the first 13 hex chars (a 52-bit
+  *    uniform), computed EXACTLY via hex-char arithmetic (`ltrim` + one
+  *    16-way CASE) — no `log2`, whose libm rounding differs across engines.
+  *    Clamped to 52 so the register weight stays integral.
+  *  - register: hex chars 14-16 (12 independent md5 bits) mod m = 2^p.
+  *
+  * The estimator's harmonic sum is kept in EXACT 64-bit INTEGER arithmetic:
+  * `S = Σ_j 2^(52 - rho_j)` (empty register → 2^52). With p ≤ 10 the sum is
+  * bounded by m·2^52 = 2^62 < 2^63 — no overflow, no floating-point
+  * accumulation order to drift between engines. The only inexact steps are
+  * one IEEE division (correctly rounded everywhere) and — on the
+  * small-range linear-counting branch only — one `ln`, rounded to 6
+  * decimals per the codebase's cross-libm contract ([[TextAnalysis]]'s
+  * bigramLogProb precedent).
+  *
+  * Standard error ≈ 1.04/sqrt(2^p): p=10 → 3.25%. For tighter estimates at
+  * 100 TB raise p and drop the cross-engine-exact integer face — the code
+  * deliberately refuses p > 10 rather than silently going approximate in a
+  * second way.
+  */
+object Sketches {
+
+  /** Salt domain (see [[Sampling]]'s domain-separation contract): an HLL
+    * key never collides with a sampler/shuffler uniform over the same id. */
+  private[graft] val HllDomain = "graft.hll:"
+
+  /** 2^52 — the empty-register weight and the uniform's denominator
+    * (= [[Sampling.PortableOne]]; 13 hex chars). */
+  private[graft] val RegisterOne = 4503599627370496L
+
+  private def require2p(p: Int): Int = {
+    require(p >= 4 && p <= 10,
+      s"p must be in [4,10] (got $p): below 4 the estimator's bias " +
+        "constants don't hold, above 10 the exact-integer register sum " +
+        "could overflow 63 bits")
+    1 << p
+  }
+
+  /** alpha_m — the standard HLL bias constant. Computed with plain IEEE
+    * arithmetic (division by a power of two is exact) so the oracle's SQL
+    * literal `0.7213/(1 + 1.079/m)` reproduces the identical double. */
+  private[graft] def alpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1 + 1.079 / m)
+  }
+
+  /** rho = 1 + (leading zero bits of the 52-bit key), clamped to 52 —
+    * EXACT hex-char arithmetic: 4 bits per leading '0' char plus a CASE on
+    * the first non-zero char. An all-zero key (p = 2^-52) lands on the
+    * clamp; so does "…0001" — absorbing rho 53 into 52 shifts the estimate
+    * by < 2^-52 relative and keeps every register weight an integer. */
+  private[graft] def hllRho(key13: Column): Column = {
+    val nz = ltrim(key13, "0")
+    val zeroChars = lit(13) - length(nz)
+    val first = substring(nz, 1, 1)
+    val inner = when(first === "1", 3)
+      .when(first.isin("2", "3"), 2)
+      .when(first.isin("4", "5", "6", "7"), 1)
+      .otherwise(0)
+    least(lit(52), (zeroChars * 4 + inner + 1)).cast("int")
+  }
+
+  /** The (register, rho) pair for one id column. */
+  private def registerRho(idCol: Column, p: Int, salt: String): (Column, Column) = {
+    val m = 1 << p
+    val h = md5(concat(lit(HllDomain + salt), idCol.cast("string")))
+    val register = (conv(substring(h, 14, 3), 16, 10).cast("long") % m)
+      .cast("int")
+    (register, hllRho(substring(h, 1, 13)))
+  }
+
+  /** Sketch a column of ids into an HLL register table: `(register: int,
+    * rho: int)` — at most m = 2^p rows, only non-empty registers present.
+    * With `groupCols` the sketch is per-group (`group…, register, rho`):
+    * distinct URLs per domain, distinct doc ids per source, at one
+    * register-table per group.
+    *
+    * Scale shape: a narrow projection, partial `max` per (group, register)
+    * map-side, then ONE exchange of ≤ m·partitions pre-aggregated rows —
+    * the corpus itself never shuffles. Null ids are skipped (no value to
+    * count), exactly as `count(DISTINCT)` would. */
+  def hllSketch(df: DataFrame, idCol: String, p: Int = 10,
+                salt: String = "graft",
+                groupCols: Seq[String] = Nil): DataFrame = {
+    require2p(p)
+    val (register, rho) = registerRho(col(idCol), p, salt)
+    df.where(col(idCol).isNotNull)
+      .groupBy((groupCols.map(col) :+ register.as("register")): _*)
+      .agg(max(rho).as("rho"))
+  }
+
+  /** Merge sketches built with the SAME (p, salt): `max` per register —
+    * associative, commutative, idempotent, so sketch(A) ⊕ sketch(B) equals
+    * sketch(A ∪ B) EXACTLY (register-table equality, not approximately —
+    * the property SketchesSpec pins). Works on grouped sketches too when
+    * both carry the same group columns. */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame = {
+    val keys = a.columns.filter(_ != "rho").toSeq
+    a.unionByName(b).groupBy(keys.map(col): _*).agg(max("rho").as("rho"))
+  }
+
+  /** Estimate distinct count from a register table (optionally per group):
+    * returns `(group…, filled, zeros, est)`.
+    *
+    *  - `filled`/`zeros`: non-empty / empty registers (diagnostics AND the
+    *    linear-counting input).
+    *  - `est`: alpha_m·m²·2^52 / S on the raw branch (S the exact integer
+    *    register sum), or m·ln(m/zeros) when the raw estimate falls into
+    *    the small-range regime (≤ 2.5m, some register empty). Rounded to 6
+    *    decimals — the cross-libm `ln` contract.
+    *
+    * Tolerates pre-merge input (several rows per register, e.g. a sketch
+    * dataset that took appends): the inner `max` re-normalizes first —
+    * merge-on-read, so an append is just new rows, never a rewrite. */
+  def hllEstimate(sketch: DataFrame, p: Int,
+                  groupCols: Seq[String] = Nil): DataFrame = {
+    val m = require2p(p)
+    val g = groupCols.map(col)
+    val normalized = sketch.groupBy((g :+ col("register")): _*)
+      .agg(max("rho").as("rho"))
+    val agg = normalized.groupBy(g: _*).agg(
+      count(lit(1)).as("filled"),
+      coalesce(sum(expr(s"shiftleft(cast(1 as bigint), 52 - rho)")), lit(0L))
+        .as("__s"))
+    // numerator computed driver-side with the same IEEE op order the
+    // oracle's SQL literal uses: ((alpha * m) * m) * 2^52
+    val numerator = alpha(m) * m * m * RegisterOne.toDouble
+    val total = col("__s") + (lit(m.toLong) - col("filled")) * lit(RegisterOne)
+    val raw = lit(numerator) / total.cast("double")
+    val zeros = (lit(m.toLong) - col("filled")).as("zeros")
+    val linear = lit(m.toDouble) * log(lit(m.toDouble) / (lit(m.toLong) - col("filled")))
+    agg.select((g :+ col("filled") :+ zeros :+
+      round(when(raw <= m * 2.5 && col("filled") < m, linear).otherwise(raw), 6)
+        .as("est")): _*)
+  }
+
+  /** One-call convenience: sketch then estimate — `(group…, filled, zeros,
+    * est)` per group (one row total when ungrouped). */
+  def distinctCountApprox(df: DataFrame, idCol: String, p: Int = 10,
+                          salt: String = "graft",
+                          groupCols: Seq[String] = Nil): DataFrame =
+    hllEstimate(hllSketch(df, idCol, p, salt, groupCols), p, groupCols)
+
+  // --- persisted sketch datasets: the incremental corpus-stats contract.
+  // Build once, APPEND register rows per ingest batch (never rewrite,
+  // never rescan landed data), estimate = merge-on-read. Parameters are
+  // pinned in the dataset header (the minhashIndex discipline,
+  // Dedup.scala) so an append can never use a different hash family or
+  // register width than the build.
+
+  /** Create a persisted sketch dataset for `df[idCol]`. */
+  def sketchDataset(spark: SparkSession, storage: graft.store.Storage,
+                    uuid: String, df: DataFrame, idCol: String,
+                    p: Int = 10, salt: String = "graft",
+                    overwrite: Boolean = false): graft.meta.DatasetMetadata = {
+    require2p(p)
+    graft.io.Writer.store(spark, storage, uuid,
+      hllSketch(df, idCol, p, salt),
+      graft.io.Writer.WriteOpts(overwrite = overwrite, metadata = Map(
+        "graft.hll.p" -> p.toString,
+        "graft.hll.salt" -> salt,
+        "graft.hll.idCol" -> idCol)))
+  }
+
+  private[graft] def sketchParams(storage: graft.store.Storage,
+                                  uuid: String): (Int, String, String) = {
+    val meta = graft.meta.DatasetMetadata.load(storage, uuid)
+    def param(k: String): String = meta.metadata.getOrElse(s"graft.hll.$k",
+      throw new IllegalArgumentException(
+        s"dataset '$uuid' is not an HLL sketch (missing graft.hll.$k)"))
+    (param("p").toInt, param("salt"), param("idCol"))
+  }
+
+  /** Append a new batch's registers to a persisted sketch: sketches ONLY
+    * the batch (the landed corpus is never re-read) and appends ≤ 2^p rows.
+    * Hash family, p and id column come from the dataset's own header. */
+  def sketchAppend(spark: SparkSession, storage: graft.store.Storage,
+                   uuid: String, batch: DataFrame): graft.meta.DatasetMetadata = {
+    val (p, salt, idCol) = sketchParams(storage, uuid)
+    graft.io.Writer.update(spark, storage, uuid,
+      Some(hllSketch(batch, idCol, p, salt)), Nil,
+      graft.io.Writer.WriteOpts())
+  }
+
+  /** Estimate from a persisted sketch dataset: reads ≤ 2^p rows per landed
+    * generation (the sketch dataset — NEVER the corpus), merges on read.
+    * Equals the direct estimate over everything ever sketched, exactly —
+    * `max` is associative over appends. */
+  def sketchEstimate(spark: SparkSession, storage: graft.store.Storage,
+                     uuid: String): DataFrame = {
+    val (p, _, _) = sketchParams(storage, uuid)
+    hllEstimate(graft.io.Reader.readTable(spark, storage, uuid), p)
+  }
+}

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.Sketches
+import graft.store.Storage
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids(from: Long, until: Long): DataFrame =
+    spark.range(from, until).select(concat(lit("id-"), col("id")).as("k"))
+
+  test("rho is the exact leading-zero geometric and register is in range") {
+    val df = ids(0, 20000)
+    val sk = Sketches.hllSketch(df, "k", p = 8)
+    val regs = sk.select("register").as[Int].collect()
+    assert(regs.forall(r => r >= 0 && r < 256))
+    val rhos = sk.select("rho").as[Int].collect()
+    assert(rhos.forall(r => r >= 1 && r <= 52))
+    // the MAX over 20k draws should comfortably exceed log2(20000/256)≈6
+    assert(rhos.max >= 8, s"suspiciously small max rho ${rhos.max}")
+  }
+
+  test("hllRho matches a bit-level reference on the raw md5 key") {
+    // recompute rho in plain Scala from the same md5 hex prefix
+    val rows = ids(0, 2000)
+      .select(col("k"),
+        md5(concat(lit("graft.hll:graft"), col("k"))).as("h"))
+      .withColumn("rho", Sketches.hllRho(substring(col("h"), 1, 13)))
+      .select("h", "rho").as[(String, Int)].collect()
+    rows.foreach { case (h, rho) =>
+      val bits = BigInt(h.substring(0, 13), 16)
+      val expected = math.min(52, 52 - bits.bitLength + 1)
+      assert(rho == expected, s"rho mismatch for $h")
+    }
+  }
+
+  test("merge of disjoint half sketches equals the whole-corpus sketch exactly") {
+    val a = ids(0, 5000)
+    val b = ids(5000, 11000)
+    val whole = Sketches.hllSketch(a.unionByName(b), "k")
+    val merged = Sketches.hllMerge(
+      Sketches.hllSketch(a, "k"), Sketches.hllSketch(b, "k"))
+    val w = whole.as[(Int, Int)].collect().toSet
+    val m = merged.as[(Int, Int)].collect().toSet
+    assert(w == m) // register-table EQUALITY, not approximate agreement
+  }
+
+  test("estimate lands within the advertised error band (deterministic hash)") {
+    val n = 50000L
+    val est = Sketches.distinctCountApprox(ids(0, n), "k", p = 10)
+      .select("est").as[Double].head()
+    // sd = 1.04/sqrt(1024) = 3.25%; the hash is fixed so this is a
+    // deterministic reading, asserted at 3 sigma for slack
+    assert(math.abs(est - n) / n < 0.10, s"est $est vs true $n")
+  }
+
+  test("duplicated input changes nothing: sketch is a set construction") {
+    val df = ids(0, 3000)
+    val once = Sketches.distinctCountApprox(df, "k").select("est").as[Double].head()
+    val thrice = Sketches.distinctCountApprox(
+      df.unionAll(df).unionAll(df), "k").select("est").as[Double].head()
+    assert(once == thrice)
+  }
+
+  test("small-range linear counting branch and empty input") {
+    val est = Sketches.distinctCountApprox(ids(0, 40), "k", p = 8)
+      .select("filled", "zeros", "est").as[(Long, Long, Double)].head()
+    // raw estimate for 40 ids over 256 registers is << 2.5m -> linear branch
+    val expected = BigDecimal(256.0 * math.log(256.0 / est._2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(est._3 == expected)
+    assert(math.abs(est._3 - 40) < 8)
+    val empty = Sketches.distinctCountApprox(
+      ids(0, 10).where(lit(false)), "k", p = 8)
+      .select("filled", "zeros", "est").as[(Long, Long, Double)].head()
+    assert(empty == ((0L, 256L, 0.0)))
+  }
+
+  test("null ids are skipped like count(DISTINCT)") {
+    val df = ids(0, 100).unionByName(
+      Seq.fill(5)(null.asInstanceOf[String]).toDF("k"))
+    val withNulls = Sketches.distinctCountApprox(df, "k").select("est").as[Double].head()
+    val without = Sketches.distinctCountApprox(ids(0, 100), "k").select("est").as[Double].head()
+    assert(withNulls == without)
+  }
+
+  test("grouped sketch estimates per group") {
+    val df = spark.range(0, 9000).select(
+      concat(lit("id-"), col("id")).as("k"),
+      (col("id") % 3).cast("string").as("g"))
+    val out = Sketches.distinctCountApprox(df, "k", groupCols = Seq("g"))
+      .select("g", "est").as[(String, Double)].collect().toMap
+    assert(out.keySet == Set("0", "1", "2"))
+    out.values.foreach(e => assert(math.abs(e - 3000) / 3000 < 0.15))
+  }
+
+  test("p outside the exact-integer band is refused") {
+    intercept[IllegalArgumentException] {
+      Sketches.hllSketch(ids(0, 10), "k", p = 11)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.hllSketch(ids(0, 10), "k", p = 3)
+    }
+  }
+
+  test("persisted sketch: build, append without rescan, estimate = direct") {
+    val store = Storage(spark, tmpDir("hll_store"))
+    Sketches.sketchDataset(spark, store, "sk", ids(0, 4000), "k", p = 10)
+    Sketches.sketchAppend(spark, store, "sk", ids(4000, 9000))
+    Sketches.sketchAppend(spark, store, "sk", ids(2000, 6000)) // overlap: idempotent
+    val persisted = Sketches.sketchEstimate(spark, store, "sk")
+      .select("filled", "zeros", "est").as[(Long, Long, Double)].head()
+    val direct = Sketches.distinctCountApprox(ids(0, 9000), "k", p = 10)
+      .select("filled", "zeros", "est").as[(Long, Long, Double)].head()
+    assert(persisted == direct) // merge-on-read max == one-shot build
+    // the dataset itself holds at most 3 * 2^10 raw rows (one per append)
+    val raw = graft.io.Reader.readTable(spark, store, "sk").count()
+    assert(raw <= 3 * 1024)
+  }
+
+  test("append refuses a non-sketch dataset and params pin the family") {
+    val store = Storage(spark, tmpDir("hll_store2"))
+    graft.io.Writer.store(spark, store, "plain", ids(0, 10),
+      graft.io.Writer.WriteOpts())
+    val e = intercept[IllegalArgumentException] {
+      Sketches.sketchAppend(spark, store, "plain", ids(0, 10))
+    }
+    assert(e.getMessage.contains("not an HLL sketch"))
+    Sketches.sketchDataset(spark, store, "sk8", ids(0, 100), "k",
+      p = 8, salt = "s1")
+    assert(Sketches.sketchParams(store, "sk8") == ((8, "s1", "k")))
+  }
+
+  test("sketch plan: partial max before one register-keyed exchange") {
+    val plan = Sketches.hllSketch(ids(0, 1000), "k")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max") || plan.contains("HashAggregate"),
+      s"expected a partial aggregate in:\n$plan")
+    // exactly one exchange: the register-key shuffle of pre-aggregated rows
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+}
