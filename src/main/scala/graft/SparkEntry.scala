@@ -2000,7 +2000,16 @@ object SparkEntry {
     // landed across TWO generations (build + append) — the corpus is never
     // rescanned, yet the estimate hash-matches the direct construction
     "k_hll_dataset" -> ((s, dir) =>
-      Sketches.sketchEstimate(s, hllDs(s, dir), "hll"))
+      Sketches.sketchEstimate(s, hllDs(s, dir), "hll")),
+
+    // --- hard-negative mining: per anchor, the top-10 most-similar
+    // corpus vectors with a DIFFERENT label — the contrastive-training
+    // batch construction step. Anchors broadcast; corpus scans once
+    "v_hard_negatives" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.where(col("vec_id") < 4),
+        "embedding", "vec_id", "label", k = 10)
+    })
   )
 
   // ------------------------------------------------------------- oracles
@@ -3619,7 +3628,26 @@ object SparkEntry {
       // the persisted two-generation sketch merges-on-read to exactly the
       // one-shot construction over everything ever sketched
       "k_hll_dataset" -> hllOracleSql("lineitem",
-        "CAST(l_orderkey AS VARCHAR)", p = 10)
+        "CAST(l_orderkey AS VARCHAR)", p = 10),
+      // hard negatives: cross-label cosine top-10 per anchor, standard !=
+      // null semantics on labels, ties on neg_id — the v_knn_scores cosine
+      // mirror with a label-mismatch join and a per-anchor window
+      "v_hard_negatives" ->
+        """WITH e AS (SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+           a AS (SELECT vec_id AS anchor_id, label AS albl, v AS av
+                 FROM e WHERE vec_id < 4),
+           sc AS (
+             SELECT a.anchor_id, e.vec_id AS neg_id, e.label AS neg_label,
+               round(list_sum(list_transform(range(1, 65), i -> e.v[i] * a.av[i])) /
+                 (sqrt(list_sum(list_transform(range(1, 65), i -> e.v[i] * e.v[i]))) *
+                  sqrt(list_sum(list_transform(range(1, 65), i -> a.av[i] * a.av[i])))), 6) AS cosine
+             FROM e JOIN a ON e.vec_id <> a.anchor_id AND e.label <> a.albl)
+           SELECT anchor_id, neg_id, neg_label, cosine, rank FROM (
+             SELECT *, CAST(row_number() OVER (PARTITION BY anchor_id
+               ORDER BY cosine DESC, neg_id) AS INTEGER) AS rank FROM sc) t
+           WHERE rank <= 10"""
     )
   }
 }

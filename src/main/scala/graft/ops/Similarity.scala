@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`), for
@@ -201,6 +202,47 @@ object Similarity {
     bruteForceScores(corpus, vecCol, idCol, query)
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
+
+  /** Hard-negative mining for contrastive training: for each ANCHOR row,
+    * the `k` most-cosine-similar corpus rows carrying a DIFFERENT label —
+    * the near-miss negatives that make an embedding/reranker batch
+    * informative (in-batch random negatives are too easy; the valuable
+    * ones are lookalikes from other classes). Returns
+    * `(anchor_id, neg_id, neg_label, cosine, rank)`, rank 1..k per anchor,
+    * ties broken on neg_id.
+    *
+    * Label semantics: a NULL-label corpus row is never mined (an unknown
+    * class cannot be certified a negative), and a NULL-label anchor mines
+    * nothing — standard `!=` null semantics on both sides.
+    *
+    * Scale shape: anchors are the SMALL side (a training batch / anchor
+    * sample, thousands not billions) and BROADCAST; the corpus scans ONCE,
+    * scoring map-side against every anchor — the corpus itself never
+    * shuffles to form pairs. The only exchange is the per-anchor top-k over
+    * label-mismatched scored SKELETONS (anchor_id, neg_id, label, score).
+    * `minScore` is the scale lever on that exchange: mining hard negatives
+    * means a similarity floor is semantically free (a 0.1-cosine pair is
+    * not a hard negative), and every floored row drops map-side before the
+    * shuffle. For corpus sizes where even the floored skeleton exchange is
+    * too much, mine against an [[ivfTopKIndexed]]/[[pqTopKIndexed]] probe
+    * per anchor cohort instead — this operator is the exact face. */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, vecCol: String,
+                    idCol: String, labelCol: String, k: Int,
+                    minScore: Double = 0.0): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    val a = anchors.select(col(idCol).as("anchor_id"),
+      col(vecCol).as("__avec"), col(labelCol).as("__albl"))
+    val scored = corpus
+      .join(broadcast(a),
+        col("anchor_id") =!= col(idCol) && col(labelCol) =!= col("__albl"))
+      .select(col("anchor_id"), col(idCol).as("neg_id"),
+        col(labelCol).as("neg_label"),
+        round(cosine(col(vecCol), col("__avec")), 6).as("cosine"))
+      .where(col("cosine") >= minScore)
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("cosine").desc, col("neg_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
 
   /** Annotate an approximate top-k result with its recall against the exact
     * top-k of the SAME corpus/query, and fail the query loudly if recall

@@ -418,4 +418,50 @@ class RecallSpec extends SparkSpec {
     assert(sl(1L) == padded)
     assert(sl(2L).size == 4)
   }
+
+  test("hardNegatives: cross-label only, self excluded, floor prunes, plan broadcasts anchors") {
+    import spark.implicits._
+    // 3 labeled clusters along distinct axes: hardest negatives for label 0
+    // anchors are the (slightly rotated) label-1 lookalikes, not label 2
+    val rows = (0L until 30L).map { i =>
+      val label = (i % 3).toInt
+      val v = Array.fill(8)(0.01f * (i % 5))
+      v(label * 2) = 1.0f
+      if (label == 1) v(0) = 0.8f // label 1 points near label 0's axis
+      (i, v.toSeq, label)
+    }
+    val df = rows.toDF("id", "vec", "label")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"),
+        col("label").cast("int").as("label"))
+      .unionByName( // null-label row: never mined
+        Seq((99L, Seq.fill(8)(0.5f))).toDF("id", "vec")
+          .select(col("id"), col("vec").cast("array<float>").as("vec"),
+            lit(null).cast("int").as("label")))
+    val anchors = df.where(col("label") === 0 && col("id") < 6)
+    val out = Similarity.hardNegatives(df, anchors, "vec", "id", "label", k = 5)
+      .collect()
+    // every mined negative: different label, never the anchor, never null
+    out.foreach { r =>
+      assert(r.getLong(0) != r.getLong(1))
+      assert(!r.isNullAt(2) && r.getInt(2) != 0)
+    }
+    assert(out.forall(_.getLong(1) != 99L), "null-label row was mined")
+    // each of the 2 anchors got exactly k, ranked 1..5, hardest = label 1
+    val byAnchor = out.groupBy(_.getLong(0))
+    assert(byAnchor.size == 2 && byAnchor.values.forall(_.length == 5))
+    byAnchor.values.foreach { rs =>
+      assert(rs.map(_.getInt(4)).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+      assert(rs.minBy(_.getInt(4)).getInt(2) == 1,
+        "rank-1 negative should be the label-1 lookalike")
+    }
+    // the minScore floor drops weak pairs before the top-k exchange
+    val floored = Similarity.hardNegatives(df, anchors, "vec", "id", "label",
+      k = 5, minScore = 0.5).collect()
+    assert(floored.nonEmpty && floored.forall(_.getDouble(3) >= 0.5))
+    // plan: anchors broadcast (nested-loop on the != conditions), corpus
+    // side never exchanges before scoring
+    val plan = Similarity.hardNegatives(df, anchors, "vec", "id", "label", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"expected broadcast join:\n$plan")
+  }
 }
