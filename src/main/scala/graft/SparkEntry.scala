@@ -136,6 +136,23 @@ object SparkEntry {
       Sketches.sketchAppend(s, st, "hll", li.where(col("l_orderkey") % 5 === 0))
     }
 
+  /** Two landed generations of documents for the diff contract: A is the
+    * corpus as-is; B removes every doc_id%11==3, bumps n_chars where
+    * doc_id%7==0, and adds 20 fresh ids — so all four diff statuses occur. */
+  private def diffDs(s: SparkSession, dir: String): Storage =
+    ensure(s, dir, "diff_a") { st =>
+      val d = rd(s, dir, "documents").select("doc_id", "source", "n_chars")
+      Writer.store(s, st, "diff_a", d, WriteOpts(overwrite = true))
+      val b = d.where(col("doc_id") % 11 =!= 3)
+        .withColumn("n_chars",
+          when(col("doc_id") % 7 === 0, col("n_chars") + 1)
+            .otherwise(col("n_chars")))
+        .unionByName(d.where(col("doc_id") < 20).select(
+          (col("doc_id") + 10000L).as("doc_id"), col("source"),
+          col("n_chars")))
+      Writer.store(s, st, "diff_b", b, WriteOpts(overwrite = true))
+    }
+
   /** lineitem partitioned by l_returnflag, secondary index on l_linestatus,
     * sorted by l_shipdate — the SURVEY §7.2 flagship layout. */
   private def liDs(s: SparkSession, dir: String): Storage =
@@ -2009,7 +2026,15 @@ object SparkEntry {
       val emb = rd(s, dir, "embeddings")
       Similarity.hardNegatives(emb, emb.where(col("vec_id") < 4),
         "embedding", "vec_id", "label", k = 10)
-    })
+    }),
+
+    // --- landing-to-landing diff: two stored generations of documents
+    // (B drops doc_id%11==3, bumps n_chars where doc_id%7==0, adds 20 new
+    // ids) diffed by key into added/removed/changed/unchanged — each side
+    // reduced map-side to (key, fingerprint) skeletons before the one join
+    "w_dataset_diff" -> ((s, dir) =>
+      Ops.datasetDiff(s, diffDs(s, dir), "diff_a", "diff_b",
+        keyCols = Seq("doc_id"), compareCols = Seq("source", "n_chars")))
   )
 
   // ------------------------------------------------------------- oracles
@@ -3647,7 +3672,26 @@ object SparkEntry {
            SELECT anchor_id, neg_id, neg_label, cosine, rank FROM (
              SELECT *, CAST(row_number() OVER (PARTITION BY anchor_id
                ORDER BY cosine DESC, neg_id) AS INTEGER) AS rank FROM sc) t
-           WHERE rank <= 10"""
+           WHERE rank <= 10""",
+      // keyed landing diff: the oracle compares columns DIRECTLY (IS
+      // DISTINCT FROM) where the operator compares 8-byte fingerprints —
+      // a hash collision masking a change would hash-mismatch here
+      "w_dataset_diff" ->
+        """WITH a AS (SELECT doc_id, source, n_chars FROM documents),
+           b AS (
+             SELECT doc_id, source,
+               CASE WHEN doc_id % 7 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
+             FROM documents WHERE doc_id % 11 <> 3
+             UNION ALL
+             SELECT doc_id + 10000, source, n_chars FROM documents
+             WHERE doc_id < 20)
+           SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+             CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN (a.source IS DISTINCT FROM b.source)
+                    OR (a.n_chars IS DISTINCT FROM b.n_chars) THEN 'changed'
+                  ELSE 'unchanged' END AS status
+           FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id"""
     )
   }
 }

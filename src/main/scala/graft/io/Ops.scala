@@ -409,6 +409,68 @@ object Ops {
         .cast("long"))
   }
 
+  /** Keyed diff between two frames — the "what changed since the last
+    * landing" audit a re-ingested corpus needs before anyone trusts it:
+    * per key, `added` (only in `b`), `removed` (only in `a`), `changed`
+    * (both sides, compared columns differ) or `unchanged`.
+    *
+    * Scale shape: each side is reduced MAP-SIDE to a narrow
+    * `(keys, 8-byte fingerprint)` skeleton (xxhash64 over the compared
+    * columns — a changed wide row costs 8 bytes on the wire, not its
+    * payload), then ONE key-partitioned full-outer join. `compareCols`
+    * defaults to every shared non-key column. The fingerprint comparison
+    * has the usual 2^-64 collision odds of declaring a changed row
+    * `unchanged` — for a forensic exact diff of a specific key range,
+    * re-read both sides with a key predicate instead.
+    *
+    * Keys are expected unique per side (a keyed corpus landing); duplicate
+    * keys diff positionally-arbitrarily within the join, like any SQL
+    * full-outer diff. Null key values join like values (a null-keyed row
+    * on each side pairs up, the SQL `USING` coalesce semantics). */
+  def dataFrameDiff(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+                    compareCols: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "dataFrameDiff needs at least one key column")
+    val shared = a.columns.toSeq.intersect(b.columns.toSeq)
+    (keyCols ++ compareCols).foreach(c => require(shared.contains(c),
+      s"column '$c' must exist on both sides (shared: ${shared.mkString(", ")})"))
+    val cmp =
+      if (compareCols.nonEmpty) compareCols
+      else shared.diff(keyCols)
+    val ks = keyCols.map(c => col(s"`$c`"))
+    // each value is paired with its null flag: Spark's xxhash64 SKIPS null
+    // inputs, so ('a', null) and (null, 'a') would otherwise fingerprint
+    // identically — the flags make null placement part of the hash
+    def fp(df: DataFrame, as: String) = df.select(ks :+
+      (if (cmp.isEmpty) lit(0L)
+       else xxhash64(cmp.flatMap(c =>
+         Seq(col(s"`$c`").isNull, col(s"`$c`"))): _*))
+        .as(as): _*)
+    fp(a, "__fpa").join(fp(b, "__fpb"), keyCols, "full_outer")
+      .select(ks :+
+        when(col("__fpa").isNull, "added")
+          .when(col("__fpb").isNull, "removed")
+          .when(col("__fpa") =!= col("__fpb"), "changed")
+          .otherwise("unchanged").as("status"): _*)
+  }
+
+  /** [[dataFrameDiff]] over two LANDED datasets — generation-to-generation
+    * drift between, e.g., last month's landing and today's re-crawl. Reads
+    * only the key + compared columns of each store (column-pruned scans). */
+  def datasetDiff(spark: SparkSession, storage: Storage,
+                  uuidA: String, uuidB: String, keyCols: Seq[String],
+                  compareCols: Seq[String] = Nil): DataFrame = {
+    val needed =
+      if (compareCols.nonEmpty) Some(keyCols ++ compareCols) else None
+    dataFrameDiff(
+      graft.io.Reader.readTable(spark, storage, uuidA, columns = needed),
+      graft.io.Reader.readTable(spark, storage, uuidB, columns = needed),
+      keyCols, compareCols)
+  }
+
+  /** Roll a diff up to `(status, n)` — the four-line landing report. */
+  def diffSummary(diff: DataFrame): DataFrame =
+    diff.groupBy("status").agg(count(lit(1)).as("n"))
+
   def profile(df: DataFrame, columns: Seq[String] = Nil,
               exact: Boolean = false): DataFrame = {
     val cols = if (columns.nonEmpty) columns else df.columns.toSeq

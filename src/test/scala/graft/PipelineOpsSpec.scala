@@ -1143,4 +1143,61 @@ class PipelineOpsSpec extends SparkSpec {
       WebText.pageRank(edges.where(col("src") === "zzz"))
     }
   }
+
+  test("dataFrameDiff: all four statuses, null-position changes detected") {
+    val a = Seq(
+      (1L, Option("x"), Option("p")),   // unchanged
+      (2L, Option("x"), Option("p")),   // changed (value)
+      (3L, Option("x"), None),          // changed in b: null moves column
+      (4L, Option("x"), Option("p"))    // removed
+    ).toDF("id", "c1", "c2")
+    val b = Seq(
+      (1L, Option("x"), Option("p")),
+      (2L, Option("y"), Option("p")),
+      (3L, Option.empty[String], Option("x")), // ('x',null) -> (null,'x')
+      (5L, Option("x"), Option("p"))    // added
+    ).toDF("id", "c1", "c2")
+    val out = graft.io.Ops.dataFrameDiff(a, b, Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed",
+      4L -> "removed", 5L -> "added"))
+    // key-only frames: no compare columns -> membership diff only
+    val ka = Seq(1L, 2L).toDF("id")
+    val kb = Seq(2L, 3L).toDF("id")
+    val kd = graft.io.Ops.dataFrameDiff(ka, kb, Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kd == Map(1L -> "removed", 2L -> "unchanged", 3L -> "added"))
+    // unknown column fails loudly
+    intercept[IllegalArgumentException] {
+      graft.io.Ops.dataFrameDiff(a, b, Seq("nope"))
+    }
+    // summary rolls up
+    val sum = graft.io.Ops.diffSummary(
+      graft.io.Ops.dataFrameDiff(a, b, Seq("id")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sum == Map("unchanged" -> 1L, "changed" -> 2L,
+      "removed" -> 1L, "added" -> 1L))
+  }
+
+  test("datasetDiff prunes the scan to key + compared columns") {
+    val store = graft.store.Storage(spark, tmpDir("diff_store"))
+    val wide = docs.select(col("doc_id"), col("source"), col("n_chars"),
+      col("text")) // text is the wide payload the diff must NOT read
+    graft.io.Writer.store(spark, store, "ga", wide,
+      graft.io.Writer.WriteOpts(overwrite = true))
+    graft.io.Writer.store(spark, store, "gb",
+      wide.where(col("doc_id") % 9 =!= 0),
+      graft.io.Writer.WriteOpts(overwrite = true))
+    val diff = graft.io.Ops.datasetDiff(spark, store, "ga", "gb",
+      keyCols = Seq("doc_id"), compareCols = Seq("source", "n_chars"))
+    val removed = diff.where(col("status") === "removed").count()
+    assert(removed == docs.where(col("doc_id") % 9 === 0).count())
+    assert(diff.where(col("status") === "unchanged").count() ==
+      docs.where(col("doc_id") % 9 =!= 0).count())
+    // the physical scans carry only the 3 needed columns, not text
+    val scans = "ReadSchema: [^\\n]+".r
+      .findAllIn(diff.queryExecution.executedPlan.toString).toList
+    assert(scans.nonEmpty && scans.forall(!_.contains("text")),
+      s"diff read the payload column:\n${scans.mkString("\n")}")
+  }
 }
