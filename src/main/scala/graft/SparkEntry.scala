@@ -2028,6 +2028,31 @@ object SparkEntry {
         "embedding", "vec_id", "label", k = 10)
     }),
 
+    // --- streaming sketch ingest: registers appended per micro-batch over
+    // a build-time base; the estimate merges every landing on read and
+    // hash-matches the one-shot DuckDB construction over ALL orderkeys
+    "st_stream_sketch" -> ((s, dir) => {
+      val st = ensure(s, dir, "hll_stream") { st =>
+        Ops.deleteDataset(st, "hll_stream")
+        val li = rd(s, dir, "lineitem")
+          .select(col("l_orderkey").cast("string").as("k"))
+        Sketches.sketchDataset(s, st, "hll_stream",
+          li.where(col("k").cast("long") % 4 === 0), "k", p = 10)
+        val in = s"${tmpBase(dir)}/hll_stream_in"
+        li.where(col("k").cast("long") % 4 =!= 0)
+          .repartition(3).write.mode("overwrite").parquet(in)
+        val q = graft.streaming.Streaming.writeStreamSketch(
+          s.readStream.schema(li.schema)
+            .option("maxFilesPerTrigger", "1").parquet(in),
+          st, "hll_stream")
+        if (!q.awaitTermination(300000)) {
+          q.stop()
+          sys.error("hll_stream ingest did not finish within 300s")
+        }
+      }
+      Sketches.sketchEstimate(s, st, "hll_stream")
+    }),
+
     // --- landing-to-landing diff: two stored generations of documents
     // (B drops doc_id%11==3, bumps n_chars where doc_id%7==0, adds 20 new
     // ids) diffed by key into added/removed/changed/unchanged — each side
@@ -3653,6 +3678,10 @@ object SparkEntry {
       // the persisted two-generation sketch merges-on-read to exactly the
       // one-shot construction over everything ever sketched
       "k_hll_dataset" -> hllOracleSql("lineitem",
+        "CAST(l_orderkey AS VARCHAR)", p = 10),
+      // streamed registers (build + micro-batch appends) merge-on-read to
+      // the identical one-shot construction
+      "st_stream_sketch" -> hllOracleSql("lineitem",
         "CAST(l_orderkey AS VARCHAR)", p = 10),
       // hard negatives: cross-label cosine top-10 per anchor, standard !=
       // null semantics on labels, ties on neg_id — the v_knn_scores cosine

@@ -224,6 +224,33 @@ object Ops {
       overwrite = overwrite, writeWidth = targetFiles)
   }
 
+  /** [[compactDataset]] with the knob a 100 TB layout policy actually
+    * states: TARGET ON-DISK BYTES PER OUTPUT FILE (the lakehouse
+    * "optimal file size" compaction). The output file count derives from
+    * the dataset's REAL landed bytes — storage listing metadata summed in
+    * one distributed pass over file names, no data pages read — so the
+    * sizing is exact for the dominant cost (compressed bytes scanned per
+    * task), not an in-memory-size guess. Output files land within
+    * compression variance of `targetBytes` (rows are hash-spread across
+    * writers, and re-encoding identical pages compresses ~identically). */
+  def compactToSize(spark: SparkSession, store: Storage, srcUuid: String,
+                    tgtUuid: String, targetBytes: Long = 512L << 20,
+                    overwrite: Boolean = false): DatasetMetadata = {
+    require(targetBytes > 0, s"targetBytes must be > 0 (got $targetBytes)")
+    val meta = DatasetMetadata.load(store, srcUuid)
+    val prefix = meta.tablePrefix
+    val labels = meta.partitions
+    val total =
+      if (labels.isEmpty) 0L
+      else spark.sparkContext
+        .parallelize(labels, math.max(1, math.min(32, labels.size)))
+        .map(l => store.fileSize(s"$prefix/$l"))
+        .sum().toLong
+    val files = math.max(1L, math.ceil(total.toDouble / targetBytes).toLong)
+    require(files <= Int.MaxValue, s"derived file count $files overflows")
+    compactDataset(spark, store, srcUuid, tgtUuid, files.toInt, overwrite)
+  }
+
   /** Copy a dataset between stores (reference `copy_keys`,
     * `utils/store.py:176-201`, lifted to whole-dataset granularity): data
     * files, index files, and schema copy first — distributed over executors

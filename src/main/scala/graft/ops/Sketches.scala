@@ -200,8 +200,17 @@ object Sketches {
     * the batch (the landed corpus is never re-read) and appends ≤ 2^p rows.
     * Hash family, p and id column come from the dataset's own header. */
   def sketchAppend(spark: SparkSession, storage: graft.store.Storage,
-                   uuid: String, batch: DataFrame): graft.meta.DatasetMetadata = {
-    val (p, salt, idCol) = sketchParams(storage, uuid)
+                   uuid: String, batch: DataFrame): graft.meta.DatasetMetadata =
+    sketchAppendWith(spark, storage, uuid, batch, sketchParams(storage, uuid))
+
+  /** [[sketchAppend]] with pre-loaded params — the per-micro-batch path
+    * ([[graft.streaming.Streaming.writeStreamSketch]] loads the header
+    * once at query start). */
+  private[graft] def sketchAppendWith(
+      spark: SparkSession, storage: graft.store.Storage, uuid: String,
+      batch: DataFrame,
+      params: (Int, String, String)): graft.meta.DatasetMetadata = {
+    val (p, salt, idCol) = params
     graft.io.Writer.update(spark, storage, uuid,
       Some(hllSketch(batch, idCol, p, salt)), Nil,
       graft.io.Writer.WriteOpts())

@@ -664,6 +664,36 @@ object Streaming {
     ingestBatch(storage, corpusUuid, opts, runToken)(batch, batchId)
   }
 
+  /** Streaming corpus-statistics ingest: append each micro-batch's HLL
+    * registers to a persisted sketch dataset
+    * ([[graft.ops.Sketches.sketchDataset]] must exist first — the
+    * index-before-corpus order of [[writeStreamVectorIndex]]); the running
+    * distinct-count estimate is [[graft.ops.Sketches.sketchEstimate]] at
+    * ANY moment, reading ≤ 2^p rows per landed batch and never the stream's
+    * data itself. Parameters (p, salt, id column) come from the sketch's
+    * own header, loaded ONCE at query start — a batch can never sketch
+    * under a different hash family than the build.
+    *
+    * Crash semantics: NO replay token, deliberately — a sketch append is
+    * IDEMPOTENT BY CONSTRUCTION (merge-on-read takes `max` per register,
+    * so a crash-redelivered batch re-appends rows that change nothing),
+    * the one sink in this family where at-least-once IS exactly-once.
+    * Redelivery cost is bounded at 2^p rows per replayed batch. */
+  def writeStreamSketch(stream: DataFrame, storage: Storage,
+                        sketchUuid: String,
+                        checkpoint: Option[String] = None,
+                        configure: DataStreamWriter[Row] => DataStreamWriter[Row] =
+                          _.trigger(Trigger.AvailableNow())): StreamingQuery = {
+    // load-once param pin: fail at START if the target is not a sketch
+    val params = graft.ops.Sketches.sketchParams(storage, sketchUuid)
+    startGuarded("writeStreamSketch", stream, checkpoint, configure) {
+      _ => (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.ops.Sketches.sketchAppendWith(batch.sparkSession, storage,
+            sketchUuid, batch, params)
+    }
+  }
+
   def writeStreamUnseen(stream: DataFrame, storage: Storage,
                         corpusUuid: String, seenUuid: String,
                         keyCol: String, idCol: String,

@@ -1170,4 +1170,28 @@ class DatasetSpec extends SparkSpec {
     assert(orc.format === "orc")
     assert(Reader.readTable(spark, store, "convtgt").count() === 6)
   }
+
+  test("compactToSize derives the file count from real landed bytes") {
+    import spark.implicits._
+    val wide = (0L until 2000L)
+      .map(i => (i, "x" * 200 + i.toString)).toDF("id", "payload")
+    Writer.store(spark, store, "ctsrc", wide.repartition(8),
+      WriteOpts(writeWidth = 8, overwrite = true))
+    val src = DatasetMetadata.load(store, "ctsrc")
+    assert(src.partitions.size === 8)
+    val total = src.partitions
+      .map(l => store.fileSize(s"${src.tablePrefix}/$l")).sum
+    // target a third of the landed bytes -> 3 output files (ceil)
+    val tgt = Ops.compactToSize(spark, store, "ctsrc", "cttgt",
+      targetBytes = total / 3 + 1)
+    assert(tgt.partitions.size === 3, s"got ${tgt.partitions.size} files")
+    assert(Reader.readTable(spark, store, "cttgt").count() === 2000)
+    // a target larger than everything -> one file
+    val one = Ops.compactToSize(spark, store, "ctsrc", "ctone",
+      targetBytes = total * 10)
+    assert(one.partitions.size === 1)
+    intercept[IllegalArgumentException] {
+      Ops.compactToSize(spark, store, "ctsrc", "ctbad", targetBytes = 0)
+    }
+  }
 }

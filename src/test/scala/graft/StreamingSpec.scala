@@ -986,4 +986,36 @@ class StreamingSpec extends SparkSpec {
     assert(Retrieval.postingsParams(store, "spr_idx")._1 === 3L)
     assert(Reader.readTable(spark, store, "spr_corpus").count() === 2L)
   }
+
+  test("writeStreamSketch: streamed registers merge to the one-shot estimate") {
+    import spark.implicits._
+    import graft.ops.Sketches
+    val all = (0L until 4000L).map(i => Tuple1(s"id-$i")).toDF("k")
+    // build on the first quarter; stream the rest in several micro-batches
+    Sketches.sketchDataset(spark, store, "sk_stream",
+      all.where(expr("CAST(substr(k, 4, 10) AS BIGINT) < 1000")), "k", p = 8)
+    val in = tmpDir("sketch-in")
+    all.where(expr("CAST(substr(k, 4, 10) AS BIGINT) >= 1000"))
+      .repartition(4).write.mode("overwrite").parquet(in)
+    val q = Streaming.writeStreamSketch(
+      spark.readStream.schema(all.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in),
+      store, "sk_stream")
+    q.awaitTermination(120000)
+    val streamed = Sketches.sketchEstimate(spark, store, "sk_stream")
+      .select("est").head().getDouble(0)
+    val direct = Sketches.distinctCountApprox(all, "k", p = 8)
+      .select("est").head().getDouble(0)
+    assert(streamed === direct,
+      s"streamed estimate $streamed != one-shot $direct")
+    // a REPLAYED batch is harmless by construction: re-append some rows
+    Sketches.sketchAppend(spark, store, "sk_stream", all.limit(500))
+    assert(Sketches.sketchEstimate(spark, store, "sk_stream")
+      .select("est").head().getDouble(0) === direct)
+    // starting against a non-sketch dataset fails at START, not per batch
+    intercept[IllegalArgumentException] {
+      Streaming.writeStreamSketch(
+        spark.readStream.schema(all.schema).parquet(in), store, "spr_corpus")
+    }
+  }
 }
