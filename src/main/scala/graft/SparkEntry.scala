@@ -136,6 +136,17 @@ object SparkEntry {
       Sketches.sketchAppend(s, st, "hll", li.where(col("l_orderkey") % 5 === 0))
     }
 
+  /** Persisted count-min sketch of lineitem's suppkeys across THREE
+    * landings (orderkey thirds) — cmsQuery must see the exact sum. */
+  private def cmsDs(s: SparkSession, dir: String): Storage =
+    ensure(s, dir, "cms") { st =>
+      val li = rd(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      Sketches.cmsDataset(s, st, "cms",
+        li.where(col("l_orderkey") % 3 === 0), "l_suppkey", overwrite = true)
+      Sketches.cmsAppend(s, st, "cms", li.where(col("l_orderkey") % 3 === 1))
+      Sketches.cmsAppend(s, st, "cms", li.where(col("l_orderkey") % 3 === 2))
+    }
+
   /** Two landed generations of documents for the diff contract: A is the
     * corpus as-is; B removes every doc_id%11==3, bumps n_chars where
     * doc_id%7==0, and adds 20 fresh ids — so all four diff statuses occur. */
@@ -2028,6 +2039,23 @@ object SparkEntry {
         "embedding", "vec_id", "label", k = 10)
     }),
 
+    // --- count-min sketch: the frequency sibling of the HLL — heavy-hitter
+    // counts from a fixed-size integer cell table, probed for suppkeys 0-9.
+    // Pure integer sums: the oracle reproduces the estimate EXACTLY
+    "k_cms_estimate" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem")
+      Sketches.cmsEstimate(Sketches.cmsSketch(li, "l_suppkey"),
+        li.where(col("l_suppkey") < 10), "l_suppkey")
+        .orderBy("l_suppkey")
+    }),
+
+    // --- persisted CMS across three landings (build + two appends): cell
+    // sums accumulate on read; the probe hash-matches the one-shot build
+    "k_cms_dataset" -> ((s, dir) =>
+      Sketches.cmsQuery(s, cmsDs(s, dir), "cms",
+        rd(s, dir, "lineitem").where(col("l_suppkey") < 10), "l_suppkey")
+        .orderBy("l_suppkey")),
+
     // --- streaming sketch ingest: registers appended per micro-batch over
     // a build-time base; the estimate merges every landing on read and
     // hash-matches the one-shot DuckDB construction over ALL orderkeys
@@ -2164,6 +2192,30 @@ object SparkEntry {
                 ELSE $raw END, 6) AS est
         FROM s"""
   }
+
+  /** The count-min construction in DuckDB: 4 salted md5 bucket rows per
+    * key, integer cell sums, min over rows per probed key — shared by the
+    * ad-hoc and persisted faces (three summed landings == one build). */
+  private val cmsOracleSql =
+    """WITH rws AS (SELECT CAST(unnest(range(4)) AS INTEGER) AS row),
+       cells AS (
+         SELECT row,
+           CAST(CAST(concat('0x', substr(md5('graft.cms:graft:' ||
+               CAST(row AS VARCHAR) || '|' || CAST(l_suppkey AS VARCHAR)),
+             1, 4)) AS BIGINT) % 2048 AS INTEGER) AS bucket,
+           count(*) AS n
+         FROM lineitem CROSS JOIN rws
+         WHERE l_suppkey IS NOT NULL GROUP BY 1, 2),
+       probes AS (
+         SELECT l_suppkey, row,
+           CAST(CAST(concat('0x', substr(md5('graft.cms:graft:' ||
+               CAST(row AS VARCHAR) || '|' || CAST(l_suppkey AS VARCHAR)),
+             1, 4)) AS BIGINT) % 2048 AS INTEGER) AS bucket
+         FROM (SELECT DISTINCT l_suppkey FROM lineitem WHERE l_suppkey < 10)
+         CROSS JOIN rws)
+       SELECT p.l_suppkey, min(coalesce(c.n, 0)) AS est
+       FROM probes p LEFT JOIN cells c USING (row, bucket)
+       GROUP BY 1"""
 
   /** DuckDB-dialect mirrors, honoring reference semantics. Division results
     * and roundtripped values are exact; multi-term double aggregations are
@@ -3683,6 +3735,10 @@ object SparkEntry {
       // the identical one-shot construction
       "st_stream_sketch" -> hllOracleSql("lineitem",
         "CAST(l_orderkey AS VARCHAR)", p = 10),
+      // count-min: integer cell table + min-probe, reproduced in full; the
+      // persisted face's three landings SUM to the identical cells
+      "k_cms_estimate" -> cmsOracleSql,
+      "k_cms_dataset" -> cmsOracleSql,
       // hard negatives: cross-label cosine top-10 per anchor, standard !=
       // null semantics on labels, ties on neg_id — the v_knn_scores cosine
       // mirror with a label-mismatch join and a per-anchor window

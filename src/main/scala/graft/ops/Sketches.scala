@@ -225,4 +225,141 @@ object Sketches {
     val (p, _, _) = sketchParams(storage, uuid)
     hllEstimate(graft.io.Reader.readTable(spark, storage, uuid), p)
   }
+
+  // =================================================================
+  // Count-min sketch — the FREQUENCY sibling of the HLL: "how often does
+  // key x occur (or how much weight does it carry)" answerable from a
+  // fixed-size mergeable summary, without holding the key universe. The
+  // approximate complement of [[graft.io.Ops.keySkewStats]] (exact top-k
+  // needs a full pass per question; the CMS is built once, probed forever,
+  // and keeps absorbing appends). Pure INTEGER relational construction —
+  // a (row, bucket, n) cell table, merged by SUM — so the estimate is
+  // exactly reproducible in any SQL engine: estimate(x) = min over the d
+  // rows of x's cell, an overestimate by at most ~2N/width w.h.p., never
+  // an underestimate.
+
+  private[graft] val CmsDomain = "graft.cms:"
+
+  private def requireCms(depth: Int, width: Int): Unit = {
+    require(depth >= 1 && depth <= 8, s"depth must be in [1,8] (got $depth)")
+    require(width >= 16 && width <= 65536 && (width & (width - 1)) == 0,
+      s"width must be a power of two in [16, 65536] (got $width): the " +
+        "bucket comes from 16 md5 bits, so only powers of two divide evenly")
+  }
+
+  /** The bucket of `id` in row `row`: 16 md5 bits under a per-row salt
+    * domain (rows are independent hash functions) mod `width`. */
+  private def cmsBucket(idCol: Column, row: Column, salt: String,
+                        width: Int): Column =
+    (conv(substring(md5(concat(lit(CmsDomain + salt + ":"),
+      row.cast("string"), lit("|"), idCol.cast("string"))), 1, 4), 16, 10)
+      .cast("long") % width).cast("int")
+
+  /** Build a count-min cell table `(row: int, bucket: int, n: long)` —
+    * at most depth·width rows. `weightCol` switches the sketch from
+    * occurrence counts to weight mass (e.g. token counts per domain).
+    * Null ids are skipped; null/negative weights are the caller's bug and
+    * surface as such in estimates.
+    *
+    * Scale shape: a narrow (key, weight) projection fans out to `depth`
+    * skeleton rows map-side, partial-SUMs per (row, bucket) before the one
+    * exchange of ≤ depth·width pre-aggregated cells per partition — the
+    * corpus never shuffles. */
+  def cmsSketch(df: DataFrame, idCol: String, depth: Int = 4,
+                width: Int = 2048, salt: String = "graft",
+                weightCol: Option[String] = None): DataFrame = {
+    requireCms(depth, width)
+    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    df.where(col(idCol).isNotNull)
+      .select(col(idCol).as("__k"), w.as("__w"),
+        explode(typedLit((0 until depth).toArray)).as("row"))
+      .select(col("row"),
+        cmsBucket(col("__k"), col("row"), salt, width).as("bucket"),
+        col("__w"))
+      .groupBy("row", "bucket").agg(sum("__w").as("n"))
+  }
+
+  /** Merge cell tables built with the SAME (depth, width, salt): SUM per
+    * cell — associative and commutative, so sketch(A) ⊕ sketch(B) equals
+    * sketch(A ∪ B) exactly. NOT idempotent (unlike [[hllMerge]]): merging
+    * a sketch with itself doubles every count — replay protection is the
+    * ingest layer's job here. */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("row", "bucket").agg(sum("n").as("n"))
+
+  /** Probe a cell table: for each input key, `min` over the depth rows of
+    * its cell count (missing cell = 0) — the classic CMS point estimate,
+    * `>= true count`, exceeding it by more than 2·total/width with
+    * probability < 2^-depth. Keeps the key column's name. Tolerates
+    * pre-merge input (a persisted sketch holding several appends): cells
+    * re-SUM first. The CELL table (≤ depth·width rows by construction)
+    * broadcasts, so the probe set may be arbitrarily large — probing a
+    * whole corpus's keys against the sketch is a map-side join. */
+  def cmsEstimate(sketch: DataFrame, keys: DataFrame, idCol: String,
+                  depth: Int = 4, width: Int = 2048,
+                  salt: String = "graft"): DataFrame = {
+    requireCms(depth, width)
+    val cells = sketch.groupBy("row", "bucket").agg(sum("n").as("n"))
+    val probes = keys.select(col(idCol)).where(col(idCol).isNotNull).distinct()
+      .select(col(idCol), explode(typedLit((0 until depth).toArray)).as("row"))
+      .select(col(idCol), col("row"),
+        cmsBucket(col(idCol), col("row"), salt, width).as("bucket"))
+    // cells are bounded by depth·width after the re-SUM — broadcast THAT
+    // side (a right-outer can't build its preserved side, so the natural
+    // "broadcast the probes" spelling silently degrades to a shuffle)
+    probes.join(broadcast(cells), Seq("row", "bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(min(coalesce(col("n"), lit(0L))).as("est"))
+  }
+
+  /** Persist a cell table as a graft dataset with the hash family pinned
+    * in the header — the [[sketchDataset]] discipline for frequencies. */
+  def cmsDataset(spark: SparkSession, storage: graft.store.Storage,
+                 uuid: String, df: DataFrame, idCol: String,
+                 depth: Int = 4, width: Int = 2048, salt: String = "graft",
+                 weightCol: Option[String] = None,
+                 overwrite: Boolean = false): graft.meta.DatasetMetadata = {
+    requireCms(depth, width)
+    graft.io.Writer.store(spark, storage, uuid,
+      cmsSketch(df, idCol, depth, width, salt, weightCol),
+      graft.io.Writer.WriteOpts(overwrite = overwrite, metadata = Map(
+        "graft.cms.depth" -> depth.toString,
+        "graft.cms.width" -> width.toString,
+        "graft.cms.salt" -> salt,
+        "graft.cms.idCol" -> idCol,
+        "graft.cms.weightCol" -> weightCol.getOrElse(""))))
+  }
+
+  private[graft] def cmsParams(storage: graft.store.Storage,
+                               uuid: String): (Int, Int, String, String, Option[String]) = {
+    val meta = graft.meta.DatasetMetadata.load(storage, uuid)
+    def param(k: String): String = meta.metadata.getOrElse(s"graft.cms.$k",
+      throw new IllegalArgumentException(
+        s"dataset '$uuid' is not a count-min sketch (missing graft.cms.$k)"))
+    (param("depth").toInt, param("width").toInt, param("salt"),
+      param("idCol"), Some(param("weightCol")).filter(_.nonEmpty))
+  }
+
+  /** Append a batch's cells to a persisted CMS — the batch is sketched
+    * under the header-pinned family and lands as ≤ depth·width new rows;
+    * the landed corpus is never re-read. Counts accumulate by SUM on
+    * read, so unlike [[sketchAppend]] a replayed batch DOES double-count —
+    * feed this from an exactly-once source. */
+  def cmsAppend(spark: SparkSession, storage: graft.store.Storage,
+                uuid: String, batch: DataFrame): graft.meta.DatasetMetadata = {
+    val (depth, width, salt, idCol, weightCol) = cmsParams(storage, uuid)
+    graft.io.Writer.update(spark, storage, uuid,
+      Some(cmsSketch(batch, idCol, depth, width, salt, weightCol)), Nil,
+      graft.io.Writer.WriteOpts())
+  }
+
+  /** Probe a persisted CMS with a key set: reads only the cell dataset
+    * (≤ depth·width rows per landed generation), never any corpus. */
+  def cmsQuery(spark: SparkSession, storage: graft.store.Storage,
+               uuid: String, keys: DataFrame,
+               keyCol: String): DataFrame = {
+    val (depth, width, salt, _, _) = cmsParams(storage, uuid)
+    cmsEstimate(graft.io.Reader.readTable(spark, storage, uuid),
+      keys, keyCol, depth, width, salt)
+  }
 }

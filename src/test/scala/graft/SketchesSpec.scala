@@ -133,6 +133,72 @@ class SketchesSpec extends SparkSpec {
     assert(Sketches.sketchParams(store, "sk8") == ((8, "s1", "k")))
   }
 
+  test("cms: estimates are never under, exact for heavy keys, weights supported") {
+    // skewed corpus: key 0 appears 5000 times, keys 1..499 ten times each
+    val df = spark.range(0, 5000).select(lit(0L).as("k"))
+      .unionByName(spark.range(0, 5000).select((col("id") % 499 + 1).as("k")))
+    val sk = Sketches.cmsSketch(df, "k", depth = 4, width = 2048)
+    assert(sk.count() <= 4 * 2048)
+    val keys = spark.range(0, 10).select(col("id").as("k"))
+    val est = Sketches.cmsEstimate(sk, keys, "k")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = df.groupBy("k").count().where(col("k") < 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // CMS never underestimates; overestimate bounded by ~2N/width w.h.p.
+    keys.collect().map(_.getLong(0)).foreach { k =>
+      assert(est(k) >= truth(k), s"underestimate for $k")
+      assert(est(k) <= truth(k) + 2 * 10000 / 2048 + 40,
+        s"overestimate ${est(k)} vs ${truth(k)} for $k")
+    }
+    // weighted face: mass instead of occurrences
+    val wdf = spark.range(0, 100).select((col("id") % 5).as("k"),
+      lit(7L).as("w"))
+    val west = Sketches.cmsEstimate(
+      Sketches.cmsSketch(wdf, "k", weightCol = Some("w")),
+      spark.range(0, 5).select(col("id").as("k")), "k")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(west.values.forall(_ >= 140), s"weighted estimates: $west")
+  }
+
+  test("cms merge is exact-sum; persisted append accumulates across landings") {
+    val a = spark.range(0, 3000).select((col("id") % 100).as("k"))
+    val b = spark.range(0, 2000).select((col("id") % 50).as("k"))
+    val whole = Sketches.cmsSketch(a.unionByName(b), "k")
+      .as[(Int, Int, Long)].collect().toSet
+    val merged = Sketches.cmsMerge(
+      Sketches.cmsSketch(a, "k"), Sketches.cmsSketch(b, "k"))
+      .as[(Int, Int, Long)].collect().toSet
+    assert(whole == merged) // cell-table EQUALITY
+    val store = Storage(spark, tmpDir("cms_store"))
+    Sketches.cmsDataset(spark, store, "cms", a, "k")
+    Sketches.cmsAppend(spark, store, "cms", b)
+    val keys = spark.range(0, 5).select(col("id").as("k"))
+    val persisted = Sketches.cmsQuery(spark, store, "cms", keys, "k")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = Sketches.cmsEstimate(
+      Sketches.cmsSketch(a.unionByName(b), "k"), keys, "k")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(persisted == direct)
+    // family pinned: probing a non-CMS dataset fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Sketches.cmsQuery(spark, store, "nope_" + "x", keys, "k")
+    }
+    // (missing dataset surfaces as its own error; a non-CMS one names the key)
+    Sketches.sketchDataset(spark, store, "hll_not_cms",
+      spark.range(10).select(col("id").cast("string").as("k")), "k", p = 8)
+    val e2 = intercept[IllegalArgumentException] {
+      Sketches.cmsQuery(spark, store, "hll_not_cms", keys, "k")
+    }
+    assert(e2.getMessage.contains("not a count-min"))
+  }
+
+  test("cms rejects non-power-of-two width and silly depth") {
+    val df = spark.range(10).select(col("id").as("k"))
+    intercept[IllegalArgumentException] { Sketches.cmsSketch(df, "k", width = 1000) }
+    intercept[IllegalArgumentException] { Sketches.cmsSketch(df, "k", depth = 0) }
+    intercept[IllegalArgumentException] { Sketches.cmsSketch(df, "k", width = 131072) }
+  }
+
   test("sketch plan: partial max before one register-keyed exchange") {
     val plan = Sketches.hllSketch(ids(0, 1000), "k")
       .queryExecution.executedPlan.toString
