@@ -2081,6 +2081,13 @@ object SparkEntry {
       Sketches.sketchEstimate(s, st, "hll_stream")
     }),
 
+    // --- embedding outliers: bottom-decile cosine-to-own-label-centroid
+    // per label — the mislabel/corrupt-embedding gate. Exact-integer
+    // centroids + rational percent-rank cut: fully oracle-checked
+    "v_embedding_outliers" -> ((s, dir) =>
+      Similarity.embeddingOutliers(rd(s, dir, "embeddings"),
+        "embedding", "vec_id", "label", bottomFrac = 0.1)),
+
     // --- landing-to-landing diff: two stored generations of documents
     // (B drops doc_id%11==3, bumps n_chars where doc_id%7==0, adds 20 new
     // ids) diffed by key into added/removed/changed/unchanged — each side
@@ -3758,6 +3765,30 @@ object SparkEntry {
              SELECT *, CAST(row_number() OVER (PARTITION BY anchor_id
                ORDER BY cosine DESC, neg_id) AS INTEGER) AS rank FROM sc) t
            WHERE rank <= 10""",
+      // embedding outliers: exact micro-integer centroid means per
+      // (label, dim), the v_knn_scores cosine fold, percent_rank cut
+      "v_embedding_outliers" ->
+        """WITH e AS (SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings
+             WHERE label IS NOT NULL AND vec_id IS NOT NULL),
+           d AS (SELECT label, i.range AS pos,
+               round(CAST(sum(CAST(floor(v[i.range] * 1000000 + 0.5)
+                   AS HUGEINT)) AS DOUBLE) / 1000000 / count(v[i.range]),
+                 6) AS m
+             FROM e CROSS JOIN range(1, 65) i GROUP BY 1, 2),
+           c AS (SELECT label, array_agg(m ORDER BY pos) AS cent
+                 FROM d GROUP BY label),
+           sc AS (SELECT e.vec_id, e.label,
+               round(list_sum(list_transform(range(1, 65), i -> v[i] * cent[i])) /
+                 (sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))) *
+                  sqrt(list_sum(list_transform(range(1, 65), i -> cent[i] * cent[i])))), 6) AS cosine
+             FROM e JOIN c USING (label))
+           SELECT vec_id, label, cosine, pr, pr < 0.1 AS is_outlier FROM (
+             SELECT vec_id, label, cosine,
+               round(percent_rank() OVER (PARTITION BY label
+                 ORDER BY cosine, vec_id), 6) AS pr
+             FROM sc) t""",
       // keyed landing diff: the oracle compares columns DIRECTLY (IS
       // DISTINCT FROM) where the operator compares 8-byte fingerprints —
       // a hash collision masking a change would hash-mismatch here

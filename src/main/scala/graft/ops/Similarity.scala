@@ -244,6 +244,54 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Per-label embedding OUTLIER flagging — the "is this embedding where
+    * its label says it should be" curation gate: rows whose cosine to
+    * their OWN label's centroid ranks in the bottom `bottomFrac` of the
+    * label are flagged (mislabeled documents, corrupt encoder outputs,
+    * adversarial injections — the things a labeled corpus sheds before
+    * training). Returns `(id, label, cosine, pr, is_outlier)` with `pr`
+    * the within-label percent-rank of the cosine (ascending — 0 is the
+    * farthest row).
+    *
+    * Rank-based rather than z-score ON PURPOSE: a percent-rank cut is
+    * exact rational arithmetic (reproducible in any engine — this is an
+    * oracle-checked operator), needs no normality assumption, and flags a
+    * fixed, budgetable fraction per label. Null labels/ids drop (no
+    * centroid to belong to).
+    *
+    * Determinism: centroids use the [[centerNormalize]] exact
+    * scaled-integer sums (order-independent distributed aggregation);
+    * each row's cosine is the compiled row-local fold rounded to 6;
+    * percent_rank ties break on id.
+    *
+    * Scale shape: one posexplode partial-agg (shuffle rows = labels ×
+    * dims × partitions), the label→centroid map broadcast back, cosines
+    * map-side, then ONE label-partitioned exchange for the rank. */
+  def embeddingOutliers(df: DataFrame, vecCol: String, idCol: String,
+                        labelCol: String,
+                        bottomFrac: Double = 0.05): DataFrame = {
+    require(bottomFrac > 0 && bottomFrac < 1,
+      s"bottomFrac must be in (0,1) (got $bottomFrac)")
+    val base = df.where(col(labelCol).isNotNull && col(idCol).isNotNull)
+    val dims = base
+      .select(col(labelCol), posexplode(col(vecCol)).as(Seq("pos", "e")))
+      .groupBy(col(labelCol), col("pos"))
+      .agg(round(
+        sum(floor(col("e").cast("double") * 1e6 + lit(0.5))
+          .cast("decimal(38,0)")).cast("double") / 1e6 / count(col("e")),
+        6).as("m"))
+    val cents = dims.groupBy(col(labelCol))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("__cent"))
+    val w = Window.partitionBy(col(labelCol))
+      .orderBy(col("cosine").asc, col(idCol).asc)
+    base.join(broadcast(cents), Seq(labelCol))
+      .select(col(idCol), col(labelCol),
+        round(cosine(col(vecCol), col("__cent")), 6).as("cosine"))
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .withColumn("is_outlier", col("pr") < bottomFrac)
+  }
+
   /** Annotate an approximate top-k result with its recall against the exact
     * top-k of the SAME corpus/query, and fail the query loudly if recall
     * drops below `minRecall` — turning a silent quality regression into a

@@ -419,6 +419,34 @@ class RecallSpec extends SparkSpec {
     assert(sl(2L).size == 4)
   }
 
+  test("embeddingOutliers: planted stray flagged, fraction respected, null labels dropped") {
+    import spark.implicits._
+    // label-0 cluster on axis 0 with small jitter, plus one planted stray
+    // pointing the opposite way; label 1 clean on axis 1
+    val rows = (0L until 40L).map { i =>
+      val label = (i % 2).toInt
+      val v = Array.fill(4)(0.0f)
+      v(label) = 1.0f
+      v(3) = 0.001f * (i % 7) // jitter so ranks aren't all tied
+      (i, v.toSeq, label)
+    } :+ ((100L, Seq(-1.0f, 0.0f, 0.0f, 0.0f), 0))
+    val df = rows.toDF("id", "vec", "label")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"),
+        col("label").cast("int").as("label"))
+      .unionByName(Seq((200L, Seq.fill(4)(1.0f))).toDF("id", "vec")
+        .select(col("id"), col("vec").cast("array<float>").as("vec"),
+          lit(null).cast("int").as("label")))
+    val out = Similarity.embeddingOutliers(df, "vec", "id", "label",
+      bottomFrac = 0.1).collect()
+    assert(!out.exists(_.getLong(0) == 200L), "null-label row was scored")
+    val flagged = out.filter(_.getBoolean(4)).map(_.getLong(0)).toSet
+    assert(flagged.contains(100L), s"planted stray not flagged: $flagged")
+    // ~10% per label, never the majority
+    assert(flagged.size <= out.length / 5, s"over-flagged: $flagged")
+    // pr is a valid within-label percent rank
+    out.foreach(r => assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+  }
+
   test("hardNegatives: cross-label only, self excluded, floor prunes, plan broadcasts anchors") {
     import spark.implicits._
     // 3 labeled clusters along distinct axes: hardest negatives for label 0
