@@ -2081,6 +2081,23 @@ object SparkEntry {
       Sketches.sketchEstimate(s, st, "hll_stream")
     }),
 
+    // --- corpus drift: per-token smoothed KL(P||Q) contributions between
+    // src0 and the rest over src0's top-128 vocabulary — the
+    // landing-to-landing distribution monitor, with the scalar face below
+    "t_vocab_drift" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+      TextAnalysis.vocabKlTerms(d.where(col("source") === "src0"),
+        d.where(col("source") =!= "src0" || col("source").isNull),
+        "text", topV = 128)
+    }),
+
+    "t_vocab_kl" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+      TextAnalysis.vocabKl(d.where(col("source") === "src0"),
+        d.where(col("source") =!= "src0" || col("source").isNull),
+        "text", topV = 128)
+    }),
+
     // --- embedding outliers: bottom-decile cosine-to-own-label-centroid
     // per label — the mislabel/corrupt-embedding gate. Exact-integer
     // centroids + rational percent-rank cut: fully oracle-checked
@@ -2198,6 +2215,33 @@ object SparkEntry {
                 THEN $m * ln($m / CAST($m - filled AS DOUBLE))
                 ELSE $raw END, 6) AS est
         FROM s"""
+  }
+
+  /** Shared CTE chain for the corpus-drift mirrors: src0's top-128 vocab,
+    * the rest's counts, add-0.5-smoothed probabilities over the restricted
+    * support, per-token p·ln(p/q) rounded 6 — the exact IEEE op order of
+    * TextAnalysis.vocabKlTerms. */
+  private val vocabKlCtes = {
+    val tok =
+      """SELECT unnest(string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+')) AS token"""
+    s"""WITH pt AS (SELECT token, count(*) AS p_n FROM (
+            $tok FROM documents WHERE source = 'src0')
+          WHERE len(token) > 0 GROUP BY token),
+        qt AS (SELECT token, count(*) AS q_n FROM (
+            $tok FROM documents WHERE source IS DISTINCT FROM 'src0')
+          WHERE len(token) > 0 GROUP BY token),
+        vt AS (SELECT token, p_n FROM pt
+               ORDER BY p_n DESC, token ASC LIMIT 128),
+        j AS (SELECT vt.token, p_n, coalesce(q_n, 0) AS q_n
+              FROM vt LEFT JOIN qt USING (token)),
+        t AS (SELECT (SELECT coalesce(sum(p_n), 0) FROM pt) AS ptot,
+                (SELECT coalesce(sum(q_n), 0) FROM qt) AS qtot,
+                (SELECT CAST(count(*) AS DOUBLE) FROM j) AS v),
+        terms AS (SELECT token, p_n, q_n,
+            round(((p_n + 0.5) / (ptot + 0.5 * v)) *
+              ln(((p_n + 0.5) / (ptot + 0.5 * v)) /
+                 ((q_n + 0.5) / (qtot + 0.5 * v))), 6) AS term
+          FROM j CROSS JOIN t)"""
   }
 
   /** The count-min construction in DuckDB: 4 salted md5 bucket rows per
@@ -3765,6 +3809,16 @@ object SparkEntry {
              SELECT *, CAST(row_number() OVER (PARTITION BY anchor_id
                ORDER BY cosine DESC, neg_id) AS INTEGER) AS rank FROM sc) t
            WHERE rank <= 10""",
+      // corpus drift: per-token KL terms and the exact-micro scalar sum
+      "t_vocab_drift" ->
+        s"""$vocabKlCtes
+            SELECT token, p_n, q_n, term FROM terms""",
+      "t_vocab_kl" ->
+        s"""$vocabKlCtes
+            SELECT count(*) AS n_vocab,
+              CAST(sum(CAST(floor(term * 1000000 + 0.5) AS HUGEINT))
+                AS DOUBLE) / 1000000 AS kl
+            FROM terms""",
       // embedding outliers: exact micro-integer centroid means per
       // (label, dim), the v_knn_scores cosine fold, percent_rank cut
       "v_embedding_outliers" ->

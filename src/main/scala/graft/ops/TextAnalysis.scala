@@ -151,6 +151,64 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** Corpus-drift terms: per-token contributions to the smoothed KL
+    * divergence KL(P‖Q) between two corpora's token distributions over P's
+    * top-`topV` vocabulary — the "did this crawl change under me" monitor
+    * a recurring ingest runs between landings (topic shift, spam bursts,
+    * template floods all surface as specific high-`term` tokens, which is
+    * why the TERMS face exists and not just the scalar).
+    *
+    * Distributions are add-alpha smoothed, each normalized by its
+    * corpus's FULL token mass: p_t = (c_P(t)+α)/(N_P+αV) with N_P the
+    * total token count of P over ALL tokens, not just the vocabulary —
+    * deliberately: normalizing Q over the restricted support would make a
+    * corpus that NEVER uses P's vocabulary read as zero drift whenever its
+    * absence is uniform (the conditional distributions coincide while the
+    * corpora share nothing). Under full-mass normalization, vanished
+    * vocabulary is exactly what the terms flag. Each term p·ln(p/q) is
+    * rounded to 6 (the cross-libm ln contract). Returns
+    * `(token, p_n, q_n, term)`.
+    *
+    * Scale shape: two tokenize+partial-agg passes (each corpus shuffles
+    * token SKELETONS, pre-aggregated map-side), a top-V TakeOrdered, one
+    * broadcast join of the V-row vocab against Q's counts, row-local math. */
+  def vocabKlTerms(p: DataFrame, q: DataFrame, textCol: String,
+                   topV: Int = 256, alpha: Double = 0.5): DataFrame = {
+    require(topV >= 1, s"topV must be >= 1 (got $topV)")
+    require(alpha > 0, s"alpha must be > 0 for a finite KL (got $alpha)")
+    def counts(df: DataFrame) =
+      df.select(explode(wsTokens(lower(col(textCol)))).as("token"))
+        .where(length(col("token")) > 0)
+        .groupBy("token").agg(count(lit(1)).as("n"))
+    val pc = counts(p)
+    val qc = counts(q)
+    val vocab = pc.orderBy(col("n").desc, col("token").asc)
+      .limit(topV).withColumnRenamed("n", "p_n")
+    val joined = vocab
+      .join(qc.withColumnRenamed("n", "q_n"), Seq("token"), "left")
+      .select(col("token"), col("p_n"),
+        coalesce(col("q_n"), lit(0L)).as("q_n"))
+    val tot = joined.agg(count(lit(1)).cast("double").as("__v"))
+      .crossJoin(broadcast(pc.agg(coalesce(sum("n"), lit(0L)).as("__pt"))))
+      .crossJoin(broadcast(qc.agg(coalesce(sum("n"), lit(0L)).as("__qt"))))
+    val pp = (col("p_n") + alpha) / (col("__pt") + lit(alpha) * col("__v"))
+    val qq = (col("q_n") + alpha) / (col("__qt") + lit(alpha) * col("__v"))
+    joined.crossJoin(broadcast(tot))
+      .select(col("token"), col("p_n"), col("q_n"),
+        round(pp * log(pp / qq), 6).as("term"))
+  }
+
+  /** The scalar face of [[vocabKlTerms]]: `(n_vocab, kl)`, the KL summed
+    * from the rounded terms via exact scaled-integer arithmetic (a double
+    * sum's order is not reproducible across engines; micros are). 0 means
+    * no drift; a recurring monitor alerts on a chosen band. */
+  def vocabKl(p: DataFrame, q: DataFrame, textCol: String,
+              topV: Int = 256, alpha: Double = 0.5): DataFrame =
+    vocabKlTerms(p, q, textCol, topV, alpha).agg(
+      count(lit(1)).as("n_vocab"),
+      (sum(floor(col("term") * 1e6 + lit(0.5)).cast("decimal(38,0)"))
+        .cast("double") / 1e6).as("kl"))
+
   /** Bigram-LM quality score: mean log P(w_i | w_{i-1}) per document
     * under the corpus's own add-alpha-smoothed bigram model — the
     * SQL-expressible analogue of the external-LM perplexity filters

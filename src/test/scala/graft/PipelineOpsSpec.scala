@@ -1144,6 +1144,30 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("vocabKl: zero self-drift, positive drift grows with divergence") {
+    import spark.implicits._
+    val p = Seq.fill(50)("alpha beta gamma delta").toDF("text")
+    val selfKl = TextAnalysis.vocabKl(p, p, "text")
+      .select("kl").as[Double].head()
+    assert(selfKl == 0.0, s"KL(P,P) = $selfKl")
+    // mild drift: Q shifts mass; strong drift: Q shares nothing
+    val qMild = (Seq.fill(40)("alpha beta gamma delta") ++
+      Seq.fill(10)("alpha alpha alpha zz")).toDF("text")
+    val qFar = Seq.fill(50)("omega psi chi phi").toDF("text")
+    val mild = TextAnalysis.vocabKl(p, qMild, "text").select("kl").as[Double].head()
+    val far = TextAnalysis.vocabKl(p, qFar, "text").select("kl").as[Double].head()
+    assert(mild > 0.0 && far > mild, s"mild=$mild far=$far")
+    // terms face: every vocab token present with its counts
+    val terms = TextAnalysis.vocabKlTerms(p, qFar, "text").collect()
+    assert(terms.length == 4 && terms.forall(_.getLong(2) == 0L))
+    // the scalar equals the exact-micro sum of the terms
+    val kl = terms.map(r => math.floor(r.getDouble(3) * 1e6 + 0.5).toLong).sum / 1e6
+    assert(far == kl)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.vocabKl(p, p, "text", alpha = 0.0)
+    }
+  }
+
   test("dataFrameDiff: all four statuses, null-position changes detected") {
     val a = Seq(
       (1L, Option("x"), Option("p")),   // unchanged
