@@ -2251,17 +2251,17 @@ object SparkEntry {
     """WITH rws AS (SELECT CAST(unnest(range(4)) AS INTEGER) AS row),
        cells AS (
          SELECT row,
-           CAST(CAST(concat('0x', substr(md5('graft.cms:graft:' ||
-               CAST(row AS VARCHAR) || '|' || CAST(l_suppkey AS VARCHAR)),
-             1, 4)) AS BIGINT) % 2048 AS INTEGER) AS bucket,
+           CAST((CAST(concat('0x', substr(
+               md5('graft.cms:graft|' || CAST(l_suppkey AS VARCHAR)),
+               1, 15)) AS BIGINT) >> (row * 15)) % 2048 AS INTEGER) AS bucket,
            count(*) AS n
          FROM lineitem CROSS JOIN rws
          WHERE l_suppkey IS NOT NULL GROUP BY 1, 2),
        probes AS (
          SELECT l_suppkey, row,
-           CAST(CAST(concat('0x', substr(md5('graft.cms:graft:' ||
-               CAST(row AS VARCHAR) || '|' || CAST(l_suppkey AS VARCHAR)),
-             1, 4)) AS BIGINT) % 2048 AS INTEGER) AS bucket
+           CAST((CAST(concat('0x', substr(
+               md5('graft.cms:graft|' || CAST(l_suppkey AS VARCHAR)),
+               1, 15)) AS BIGINT) >> (row * 15)) % 2048 AS INTEGER) AS bucket
          FROM (SELECT DISTINCT l_suppkey FROM lineitem WHERE l_suppkey < 10)
          CROSS JOIN rws)
        SELECT p.l_suppkey, min(coalesce(c.n, 0)) AS est

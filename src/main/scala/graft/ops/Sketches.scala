@@ -241,19 +241,37 @@ object Sketches {
   private[graft] val CmsDomain = "graft.cms:"
 
   private def requireCms(depth: Int, width: Int): Unit = {
-    require(depth >= 1 && depth <= 8, s"depth must be in [1,8] (got $depth)")
-    require(width >= 16 && width <= 65536 && (width & (width - 1)) == 0,
-      s"width must be a power of two in [16, 65536] (got $width): the " +
-        "bucket comes from 16 md5 bits, so only powers of two divide evenly")
+    require(depth >= 1 && depth <= 4, s"depth must be in [1,4] (got $depth)")
+    require(width >= 16 && width <= 32768 && (width & (width - 1)) == 0,
+      s"width must be a power of two in [16, 32768] (got $width): each " +
+        "row's bucket is a disjoint 15-bit slice of one 60-bit md5 value, " +
+        "so only powers of two up to 2^15 divide evenly")
   }
 
-  /** The bucket of `id` in row `row`: 16 md5 bits under a per-row salt
-    * domain (rows are independent hash functions) mod `width`. */
-  private def cmsBucket(idCol: Column, row: Column, salt: String,
-                        width: Int): Column =
-    (conv(substring(md5(concat(lit(CmsDomain + salt + ":"),
-      row.cast("string"), lit("|"), idCol.cast("string"))), 1, 4), 16, 10)
-      .cast("long") % width).cast("int")
+  /** ONE md5 + ONE radix parse per key serves every row: the first 15 hex
+    * chars (60 bits, the largest hex prefix that can't overflow a signed
+    * long) become an integer once, and row i's bucket is the disjoint
+    * 15-bit slice `(v >> 15i) mod width`. Hashing and parsing per (key,
+    * row) instead — the obvious spelling — measured 2-5x slower at corpus
+    * scale: md5 and string→long radix conversion dominate the whole
+    * sketch; bit shifts are free. Rows stay independent hash functions
+    * (disjoint md5 bit ranges). */
+  private def cmsValue(idCol: Column, salt: String): Column =
+    conv(substring(
+      md5(concat(lit(CmsDomain + salt + "|"), idCol.cast("string"))),
+      1, 15), 16, 10).cast("long")
+
+  /** `v` the 60-bit [[cmsValue]], `row` the 0-based row index column. */
+  private def cmsBucket(v: Column, row: Column, width: Int): Column =
+    (shiftRight(v, row * 15) % width).cast("int")
+
+  /** Column-argument shiftright: `functions.shiftright` only takes a
+    * literal shift, but the ShiftRight expression itself is general. */
+  private def shiftRight(v: Column, bits: Column): Column =
+    graft.functions.expressions.asColumn(
+      org.apache.spark.sql.catalyst.expressions.ShiftRight(
+        graft.functions.expressions.exprOf(v),
+        graft.functions.expressions.exprOf(bits)))
 
   /** Build a count-min cell table `(row: int, bucket: int, n: long)` —
     * at most depth·width rows. `weightCol` switches the sketch from
@@ -270,11 +288,16 @@ object Sketches {
                 weightCol: Option[String] = None): DataFrame = {
     requireCms(depth, width)
     val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    // the hash is STAGED in its own projection BELOW the explode: placed in
+    // the same select as the generator it lands above the Generate and runs
+    // once per EXPLODED row — depth× the md5+parse, measured 3x the whole
+    // sketch (the normStaged lesson, applied to a generator)
     df.where(col(idCol).isNotNull)
-      .select(col(idCol).as("__k"), w.as("__w"),
+      .select(cmsValue(col(idCol), salt).as("__v"), w.as("__w"))
+      .select(col("__v"), col("__w"),
         explode(typedLit((0 until depth).toArray)).as("row"))
       .select(col("row"),
-        cmsBucket(col("__k"), col("row"), salt, width).as("bucket"),
+        cmsBucket(col("__v"), col("row"), width).as("bucket"),
         col("__w"))
       .groupBy("row", "bucket").agg(sum("__w").as("n"))
   }
@@ -301,9 +324,11 @@ object Sketches {
     requireCms(depth, width)
     val cells = sketch.groupBy("row", "bucket").agg(sum("n").as("n"))
     val probes = keys.select(col(idCol)).where(col(idCol).isNotNull).distinct()
-      .select(col(idCol), explode(typedLit((0 until depth).toArray)).as("row"))
+      .select(col(idCol), cmsValue(col(idCol), salt).as("__v")) // staged: see cmsSketch
+      .select(col(idCol), col("__v"),
+        explode(typedLit((0 until depth).toArray)).as("row"))
       .select(col(idCol), col("row"),
-        cmsBucket(col(idCol), col("row"), salt, width).as("bucket"))
+        cmsBucket(col("__v"), col("row"), width).as("bucket"))
     // cells are bounded by depth·width after the re-SUM — broadcast THAT
     // side (a right-outer can't build its preserved side, so the natural
     // "broadcast the probes" spelling silently degrades to a shuffle)
