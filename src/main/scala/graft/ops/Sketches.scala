@@ -85,10 +85,12 @@ object Sketches {
     least(lit(52), (zeroChars * 4 + inner + 1)).cast("int")
   }
 
-  /** The (register, rho) pair for one id column. */
-  private def registerRho(idCol: Column, p: Int, salt: String): (Column, Column) = {
+  /** The (register, rho) pair from a STAGED md5 hex column — the hash is
+    * computed once in its own projection (the cmsSketch staging lesson:
+    * register and rho both reference it, and grouping-key and aggregate
+    * expression trees don't reliably share subexpressions). */
+  private def registerRho(h: Column, p: Int): (Column, Column) = {
     val m = 1 << p
-    val h = md5(concat(lit(HllDomain + salt), idCol.cast("string")))
     val register = (conv(substring(h, 14, 3), 16, 10).cast("long") % m)
       .cast("int")
     (register, hllRho(substring(h, 1, 13)))
@@ -108,8 +110,11 @@ object Sketches {
                 salt: String = "graft",
                 groupCols: Seq[String] = Nil): DataFrame = {
     require2p(p)
-    val (register, rho) = registerRho(col(idCol), p, salt)
+    val (register, rho) = registerRho(col("__h"), p)
     df.where(col(idCol).isNotNull)
+      .select((groupCols.map(col) :+
+        md5(concat(lit(HllDomain + salt), col(idCol).cast("string")))
+          .as("__h")): _*)
       .groupBy((groupCols.map(col) :+ register.as("register")): _*)
       .agg(max(rho).as("rho"))
   }
