@@ -136,6 +136,15 @@ object SparkEntry {
       Sketches.sketchAppend(s, st, "hll", li.where(col("l_orderkey") % 5 === 0))
     }
 
+  /** Persisted histogram sketch of documents' n_chars in two landings. */
+  private def histDs(s: SparkSession, dir: String): Storage =
+    ensure(s, dir, "hist") { st =>
+      val d = rd(s, dir, "documents").select("doc_id", "n_chars")
+      Sketches.histDataset(s, st, "hist",
+        d.where(col("doc_id") % 2 === 0), "n_chars", overwrite = true)
+      Sketches.histAppend(s, st, "hist", d.where(col("doc_id") % 2 =!= 0))
+    }
+
   /** Persisted count-min sketch of lineitem's suppkeys across THREE
     * landings (orderkey thirds) — cmsQuery must see the exact sum. */
   private def cmsDs(s: SparkSession, dir: String): Storage =
@@ -2056,6 +2065,20 @@ object SparkEntry {
         rd(s, dir, "lineitem").where(col("l_suppkey") < 10), "l_suppkey")
         .orderBy("l_suppkey")),
 
+    // --- log-histogram quantile sketch: doc-length percentile cuts from a
+    // ~1000-bin integer table — the quantile sibling of HLL/CMS, exact to
+    // the bin's ~6% width and reproduced bin-for-bin by the oracle
+    "k_hist_quantiles" -> ((s, dir) =>
+      Sketches.histQuantiles(
+        Sketches.histSketch(rd(s, dir, "documents"), "n_chars"),
+        Seq(0.1, 0.5, 0.9, 0.99))),
+
+    // --- persisted histogram across two landings: bins SUM on read; the
+    // quantile cuts hash-match the one-shot construction
+    "k_hist_dataset" -> ((s, dir) =>
+      Sketches.histQuantilesOf(s, histDs(s, dir), "hist",
+        Seq(0.25, 0.5, 0.75))),
+
     // --- streaming sketch ingest: registers appended per micro-batch over
     // a build-time base; the estimate merges every landing on read and
     // hash-matches the one-shot DuckDB construction over ALL orderkeys
@@ -2242,6 +2265,40 @@ object SparkEntry {
               ln(((p_n + 0.5) / (ptot + 0.5 * v)) /
                  ((q_n + 0.5) / (qtot + 0.5 * v))), 6) AS term
           FROM j CROSS JOIN t)"""
+  }
+
+  /** The log-histogram quantile construction in DuckDB: bit-length bins
+    * over positive n_chars, integer cumulative walk, first-bin-at-cut with
+    * exact lower/upper value bounds — shared by both histogram faces
+    * (two summed landings == one build). Floor-division is spelled
+    * explicitly: DuckDB's double→int CAST rounds where Spark's truncates. */
+  private def histOracleSql(qs: Seq[Double]): String = {
+    val qlist = qs.mkString("[", ", ", "]")
+    """WITH v AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents
+            WHERE n_chars IS NOT NULL AND n_chars > 0),
+        b AS (SELECT CAST((length(bin(v)) - 1) * 16 +
+                ((v >> CAST(greatest(length(bin(v)) - 1 - 4, 0) AS INTEGER)) % 16)
+              AS INTEGER) AS bin, count(*) AS n
+              FROM v GROUP BY 1),
+        c AS (SELECT bin, n,
+                sum(n) OVER (ORDER BY bin
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+                (SELECT sum(n) FROM b) AS total_n
+              FROM b),
+        qq AS (SELECT unnest(""" + qlist + """) AS q),
+        pick AS (SELECT q, min(bin) AS bin FROM c CROSS JOIN qq
+                 WHERE cum_n >= q * total_n GROUP BY q)
+        SELECT q, bin,
+          CASE WHEN CAST(floor(bin / 16) AS INTEGER) < 4
+               THEN CAST(bin % 16 AS BIGINT)
+               ELSE CAST(bin % 16 + 16 AS BIGINT)
+                    << (CAST(floor(bin / 16) AS INTEGER) - 4) END AS lo,
+          CASE WHEN CAST(floor((bin + 1) / 16) AS INTEGER) < 4
+               THEN CAST((bin + 1) % 16 AS BIGINT)
+               ELSE CAST((bin + 1) % 16 + 16 AS BIGINT)
+                    << (CAST(floor((bin + 1) / 16) AS INTEGER) - 4) END - 1 AS hi,
+          cum_n, total_n
+        FROM pick JOIN c USING (bin) ORDER BY q"""
   }
 
   /** The count-min construction in DuckDB: 4 salted md5 bucket rows per
@@ -3790,6 +3847,9 @@ object SparkEntry {
       // persisted face's three landings SUM to the identical cells
       "k_cms_estimate" -> cmsOracleSql,
       "k_cms_dataset" -> cmsOracleSql,
+      // log-histogram quantiles: integer bins + cumulative cut, exact
+      "k_hist_quantiles" -> histOracleSql(Seq(0.1, 0.5, 0.9, 0.99)),
+      "k_hist_dataset" -> histOracleSql(Seq(0.25, 0.5, 0.75)),
       // hard negatives: cross-label cosine top-10 per anchor, standard !=
       // null semantics on labels, ties on neg_id — the v_knn_scores cosine
       // mirror with a label-mismatch join and a per-anchor window

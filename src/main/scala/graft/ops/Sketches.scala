@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Mergeable distinct-count sketches (HyperLogLog) with an ENGINE-PORTABLE,
@@ -391,5 +392,121 @@ object Sketches {
     val (depth, width, salt, _, _) = cmsParams(storage, uuid)
     cmsEstimate(graft.io.Reader.readTable(spark, storage, uuid),
       keys, keyCol, depth, width, salt)
+  }
+
+  // =================================================================
+  // Log-histogram quantile sketch — the QUANTILE sibling completing the
+  // trio (HLL: distinct, CMS: frequency): "what's the p99 document length
+  // this month" from a fixed-size mergeable bin table, refreshed on append
+  // without rescanning. Bins are log-scaled with 4 mantissa bits — every
+  // positive long lands in bin 16·⌊log2 v⌋ + top-4-bits, so a quantile
+  // answer is exact to within the bin's ~6% relative width (2^-4), at ≤
+  // 16·63 ≈ 1000 bins total for the full long range. The construction is
+  // PURE INTEGER (bit length via the engine-portable bin() string, shift,
+  // mod), so the oracle reproduces every bin and every quantile cut
+  // exactly. Values ≤ 0 and nulls are skipped (it's a sketch for
+  // lengths/counts/sizes — the caller shifts signed data first).
+
+  /** The log-bin of a positive long: `e·16 + sub`, e = bitlength-1,
+    * sub = the 4 bits after the leading 1 (for v < 16, sub = v itself —
+    * small values bin exactly). Monotone in v. */
+  private def histBin(v: Column): Column = {
+    val e = (length(bin(v)) - 1).cast("int")
+    val sub = (shiftRight(v, greatest(e - 4, lit(0))) % 16).cast("int")
+    (e * 16 + sub).cast("int")
+  }
+
+  /** The inclusive lower bound of a bin — the quantile answer's value
+    * face. For e < 4 the bin IS the value; else `(16+sub) << (e-4)`. */
+  private def histLo(binCol: Column): Column = {
+    // floor, not a bare double→int cast: Spark's cast truncates but
+    // DuckDB's ROUNDS — the mirror spells floor(bin / 16) identically
+    val e = floor(binCol / 16).cast("int")
+    val sub = (binCol % 16).cast("long")
+    when(e < 4, sub).otherwise(
+      graft.functions.expressions.asColumn(
+        org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+          graft.functions.expressions.exprOf(sub + 16),
+          graft.functions.expressions.exprOf((e - 4).cast("int")))))
+  }
+
+  /** Build the bin table `(group…, bin: int, n: long)` for a positive-long
+    * value column — one partial-aggregated pass, ≤ ~1000 bins (per group).
+    * Mergeable by per-bin SUM ([[histMerge]]); NOT replay-idempotent (the
+    * [[cmsMerge]] caveat). */
+  def histSketch(df: DataFrame, valueCol: String,
+                 groupCols: Seq[String] = Nil): DataFrame = {
+    val v = col(valueCol).cast("long")
+    df.where(v.isNotNull && v > 0)
+      .select((groupCols.map(col) :+ histBin(v).as("bin")): _*)
+      .groupBy((groupCols.map(col) :+ col("bin")): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Merge bin tables: SUM per bin — associative, commutative, exact. */
+  def histMerge(a: DataFrame, b: DataFrame): DataFrame = {
+    val keys = a.columns.filter(_ != "n").toSeq
+    a.unionByName(b).groupBy(keys.map(col): _*).agg(sum("n").as("n"))
+  }
+
+  /** Quantile cuts from a bin table: for each q, the first bin whose
+    * cumulative count reaches q·total, with its inclusive value bounds —
+    * `(q, bin, lo, hi, cum_n, total_n)`. `hi` is the next bin's lo − 1
+    * by construction; here derived as lo(bin+1)−1, exact. The answer is
+    * exact to the bin's ~6% relative width. Tolerates pre-merge input
+    * (re-SUMs first). The bin table is metadata-sized: the cumulative
+    * walk is a ≤1000-row window, never a corpus operation. */
+  def histQuantiles(sketch: DataFrame, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0,1] (got $qs)")
+    val cells = sketch.groupBy("bin").agg(sum("n").as("n"))
+    val w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = cells.withColumn("cum_n", sum("n").over(w))
+      .crossJoin(broadcast(cells.agg(sum("n").as("total_n"))))
+    cum.crossJoin(broadcast(qFrame(cum, qs)))
+      .where(col("cum_n") >= col("q") * col("total_n"))
+      .groupBy("q").agg(min("bin").as("bin"))
+      .join(cum.select(col("bin"), col("cum_n"), col("total_n")), Seq("bin"))
+      .select(col("q"), col("bin"), histLo(col("bin")).as("lo"),
+        (histLo(col("bin") + 1) - 1).as("hi"),
+        col("cum_n"), col("total_n"))
+      .orderBy("q")
+  }
+
+  /** A literal one-column frame of quantile cuts (tiny, broadcast). */
+  private def qFrame(ref: DataFrame, qs: Seq[Double]): DataFrame = {
+    val spark = ref.sparkSession
+    import spark.implicits._
+    qs.toDF("q")
+  }
+
+  /** Persist a bin table with the value column pinned in the header. */
+  def histDataset(spark: SparkSession, storage: graft.store.Storage,
+                  uuid: String, df: DataFrame, valueCol: String,
+                  overwrite: Boolean = false): graft.meta.DatasetMetadata =
+    graft.io.Writer.store(spark, storage, uuid, histSketch(df, valueCol),
+      graft.io.Writer.WriteOpts(overwrite = overwrite,
+        metadata = Map("graft.hist.valueCol" -> valueCol)))
+
+  private[graft] def histParams(storage: graft.store.Storage,
+                                uuid: String): String = {
+    val meta = graft.meta.DatasetMetadata.load(storage, uuid)
+    meta.metadata.getOrElse("graft.hist.valueCol",
+      throw new IllegalArgumentException(
+        s"dataset '$uuid' is not a histogram sketch (missing graft.hist.valueCol)"))
+  }
+
+  /** Append a batch's bins (≤ ~1000 rows; the corpus is never re-read). */
+  def histAppend(spark: SparkSession, storage: graft.store.Storage,
+                 uuid: String, batch: DataFrame): graft.meta.DatasetMetadata =
+    graft.io.Writer.update(spark, storage, uuid,
+      Some(histSketch(batch, histParams(storage, uuid))), Nil,
+      graft.io.Writer.WriteOpts())
+
+  /** Quantiles from a persisted bin table: reads only the sketch rows. */
+  def histQuantilesOf(spark: SparkSession, storage: graft.store.Storage,
+                      uuid: String, qs: Seq[Double]): DataFrame = {
+    histParams(storage, uuid) // asserts the dataset IS a histogram sketch
+    histQuantiles(graft.io.Reader.readTable(spark, storage, uuid), qs)
   }
 }

@@ -199,6 +199,56 @@ class SketchesSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Sketches.cmsSketch(df, "k", width = 131072) }
   }
 
+  test("hist: quantile cuts bracket the exact percentiles within bin width") {
+    val df = spark.range(1, 10001).select(col("id").as("v")) // uniform 1..10000
+    val sk = Sketches.histSketch(df, "v")
+    assert(sk.count() <= 16 * 14) // values fit in 14 doubling ranges
+    val qs = Sketches.histQuantiles(sk, Seq(0.1, 0.5, 0.9, 0.99))
+      .collect().map(r => r.getDouble(0) -> (r.getLong(2), r.getLong(3))).toMap
+    for ((q, (lo, hi)) <- qs) {
+      val exact = (q * 10000).toLong
+      assert(lo <= exact && exact <= hi,
+        s"q=$q exact=$exact outside [$lo,$hi]")
+      assert(hi - lo <= math.max(1, exact / 8), s"bin too wide at q=$q: [$lo,$hi]")
+    }
+    // cumulative/total bookkeeping is exact
+    val p50 = Sketches.histQuantiles(sk, Seq(0.5)).head()
+    assert(p50.getLong(5) == 10000L && p50.getLong(4) >= 5000L)
+  }
+
+  test("hist: small values bin exactly, nonpositive and null dropped, merge = one-shot") {
+    val smalls = spark.range(0, 100).select((col("id") % 16 - 3).as("v"))
+    val sk = Sketches.histSketch(smalls, "v") // keeps only v in 1..12
+    val bins = sk.as[(Int, Long)].collect().toMap
+    // v in 1..12 bins exactly: quantile lo == hi == v
+    val q = Sketches.histQuantiles(sk, Seq(0.5)).head()
+    assert(q.getLong(2) == q.getLong(3), s"small-value bin not exact: $q")
+    assert(bins.values.sum == smalls.where(col("v") > 0).count())
+    // merge equals one-shot, and the persisted lifecycle agrees
+    val a = spark.range(1, 5000).select(col("id").as("v"))
+    val b = spark.range(5000, 20000).select(col("id").as("v"))
+    val whole = Sketches.histSketch(a.unionByName(b), "v").as[(Int, Long)].collect().toSet
+    val merged = Sketches.histMerge(
+      Sketches.histSketch(a, "v"), Sketches.histSketch(b, "v"))
+      .as[(Int, Long)].collect().toSet
+    assert(whole == merged)
+    val store = Storage(spark, tmpDir("hist_store"))
+    Sketches.histDataset(spark, store, "h", a, "v")
+    Sketches.histAppend(spark, store, "h", b)
+    val persisted = Sketches.histQuantilesOf(spark, store, "h", Seq(0.25, 0.75))
+      .collect().map(_.toSeq).toSeq
+    val direct = Sketches.histQuantiles(
+      Sketches.histSketch(a.unionByName(b), "v"), Seq(0.25, 0.75))
+      .collect().map(_.toSeq).toSeq
+    assert(persisted == direct)
+    intercept[IllegalArgumentException] {
+      Sketches.histQuantilesOf(spark, store, "nope2", Seq(0.5))
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.histQuantiles(sk, Seq(1.5))
+    }
+  }
+
   test("sketch plan: partial max before one register-keyed exchange") {
     val plan = Sketches.hllSketch(ids(0, 1000), "k")
       .queryExecution.executedPlan.toString
