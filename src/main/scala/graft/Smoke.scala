@@ -382,6 +382,50 @@ object Smoke {
     println(f"== hll estimate (build+append): $hllPersisted%.1f vs true $nDocs " +
       f"(${(hllPersisted / nDocs - 1) * 100}%.1f%% err)")
 
+    // count-min + histogram sketches: persisted, appended, probed
+    graft.ops.Sketches.cmsDataset(spark, store, "smoke_cms",
+      docs.where(col("doc_id") % 2 === 0), "source", overwrite = true)
+    graft.ops.Sketches.cmsAppend(spark, store, "smoke_cms",
+      docs.where(col("doc_id") % 2 =!= 0))
+    val cmsTop = graft.ops.Sketches.cmsQuery(spark, store, "smoke_cms",
+      docs.select("source").distinct(), "source")
+      .orderBy(col("est").desc).head()
+    println(s"== cms heavy source: ${cmsTop.getString(0)} ~${cmsTop.getLong(1)} docs")
+    graft.ops.Sketches.histDataset(spark, store, "smoke_hist", docs,
+      "n_chars", overwrite = true)
+    val p90 = graft.ops.Sketches.histQuantilesOf(spark, store, "smoke_hist",
+      Seq(0.5, 0.9)).collect()
+    println(s"== hist n_chars cuts: " +
+      p90.map(r => s"p${(r.getDouble(0) * 100).toInt} in [${r.getLong(2)},${r.getLong(3)}]").mkString(", "))
+
+    // landing diff: drop/change/add a slice of docs, audit by key
+    val diffSum = graft.io.Ops.diffSummary(graft.io.Ops.dataFrameDiff(
+      docs.select("doc_id", "source", "n_chars"),
+      docs.where(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 5 === 0, col("n_chars") + 1)
+            .otherwise(col("n_chars")).as("n_chars")),
+      Seq("doc_id")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    println(s"== landing diff: $diffSum")
+
+    // hard negatives + embedding outliers over the embeddings table
+    val embT = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val hn = graft.ops.Similarity.hardNegatives(embT,
+      embT.where(col("vec_id") < 3), "embedding", "vec_id", "label", k = 5)
+    println(s"== hard negatives mined: ${hn.count()} (3 anchors x 5)")
+    val outl = graft.ops.Similarity.embeddingOutliers(embT, "embedding",
+      "vec_id", "label", bottomFrac = 0.1)
+    println(s"== embedding outliers flagged: " +
+      s"${outl.where(col("is_outlier")).count()} of ${outl.count()}")
+
+    // corpus drift: src0 vs the rest
+    val klRow = graft.ops.TextAnalysis.vocabKl(
+      docs.where(col("source") === "src0"),
+      docs.where(col("source") =!= "src0" || col("source").isNull), "text")
+      .head()
+    println(f"== vocab drift src0 vs rest: KL=${klRow.getDouble(1)}%.4f over ${klRow.getLong(0)} tokens")
+
     println(s"== SparkEntry.entry rows: ${SparkEntry.entry(spark).count()}")
     println("== smoke OK")
     spark.stop()

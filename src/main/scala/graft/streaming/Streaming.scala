@@ -694,6 +694,67 @@ object Streaming {
     }
   }
 
+  /** Streaming ingest for the SUM-merged sketches (count-min frequencies,
+    * log-histogram quantiles): append each micro-batch's cells/bins to the
+    * persisted sketch. Unlike [[writeStreamSketch]] (HLL `max` — replay
+    * is harmless), a SUM-merged sketch DOUBLE-COUNTS a redelivered batch,
+    * so this sink carries the [[writeStreamDedup]] replay guard: the
+    * per-run token + last-batch stamp live in the sketch's own header and
+    * a crash-redelivered batch is skipped, making the append exactly-once.
+    * Params pin from the header at query start. */
+  def writeStreamCms(stream: DataFrame, storage: Storage, uuid: String,
+                     checkpoint: Option[String] = None,
+                     configure: DataStreamWriter[Row] => DataStreamWriter[Row] =
+                       _.trigger(Trigger.AvailableNow())): StreamingQuery = {
+    val params = graft.ops.Sketches.cmsParams(storage, uuid)
+    startGuarded("writeStreamCms", stream, checkpoint, configure) {
+      token => (batch: DataFrame, batchId: Long) =>
+        cmsBatch(storage, uuid, params, token)(batch, batchId)
+    }
+  }
+
+  private[graft] def cmsBatch(storage: Storage, uuid: String,
+                              params: (Int, Int, String, String, Option[String]),
+                              token: Option[String])
+                             (batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val myToken = token.getOrElse("")
+    if (isReplay(storage, uuid, myToken, batchId)) return
+    val (depth, width, salt, idCol, weightCol) = params
+    Writer.update(batch.sparkSession, storage, uuid,
+      Some(graft.ops.Sketches.cmsSketch(batch, idCol, depth, width, salt,
+        weightCol)), Nil,
+      WriteOpts(metadata = Map(LastBatchKey -> batchId.toString,
+        RunTokenKey -> myToken)))
+    ()
+  }
+
+  /** The histogram face of [[writeStreamCms]] — same SUM semantics, same
+    * replay guard. */
+  def writeStreamHist(stream: DataFrame, storage: Storage, uuid: String,
+                      checkpoint: Option[String] = None,
+                      configure: DataStreamWriter[Row] => DataStreamWriter[Row] =
+                        _.trigger(Trigger.AvailableNow())): StreamingQuery = {
+    val valueCol = graft.ops.Sketches.histParams(storage, uuid)
+    startGuarded("writeStreamHist", stream, checkpoint, configure) {
+      token => (batch: DataFrame, batchId: Long) =>
+        histBatch(storage, uuid, valueCol, token)(batch, batchId)
+    }
+  }
+
+  private[graft] def histBatch(storage: Storage, uuid: String,
+                               valueCol: String, token: Option[String])
+                              (batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val myToken = token.getOrElse("")
+    if (isReplay(storage, uuid, myToken, batchId)) return
+    Writer.update(batch.sparkSession, storage, uuid,
+      Some(graft.ops.Sketches.histSketch(batch, valueCol)), Nil,
+      WriteOpts(metadata = Map(LastBatchKey -> batchId.toString,
+        RunTokenKey -> myToken)))
+    ()
+  }
+
   def writeStreamUnseen(stream: DataFrame, storage: Storage,
                         corpusUuid: String, seenUuid: String,
                         keyCol: String, idCol: String,

@@ -987,6 +987,59 @@ class StreamingSpec extends SparkSpec {
     assert(Reader.readTable(spark, store, "spr_corpus").count() === 2L)
   }
 
+  test("writeStreamCms/Hist: streamed sums match one-shot; replayed batchIds skipped") {
+    import spark.implicits._
+    import graft.ops.Sketches
+    val all = spark.range(0, 8000).select((col("id") % 200).as("k"),
+      (col("id") % 97 + 1).as("v"))
+    // CMS: build on the first half, stream the second in micro-batches
+    Sketches.cmsDataset(spark, store, "cms_s",
+      all.where(col("id") < lit(0)), "k") // empty base: the stream is the corpus
+    val in = tmpDir("cms-in")
+    all.repartition(4).write.mode("overwrite").parquet(in)
+    Streaming.writeStreamCms(
+      spark.readStream.schema(all.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in),
+      store, "cms_s").awaitTermination(120000)
+    val keys = spark.range(0, 5).select(col("id").as("k"))
+    val streamed = Sketches.cmsQuery(spark, store, "cms_s", keys, "k")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oneShot = Sketches.cmsEstimate(Sketches.cmsSketch(all, "k"), keys, "k")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == oneShot)
+    // a REPLAYED batchId must be skipped (SUM would double-count)
+    val params = Sketches.cmsParams(store, "cms_s")
+    val before = Sketches.cmsQuery(spark, store, "cms_s", keys, "k")
+      .collect().map(_.getLong(1)).toSeq
+    Streaming.cmsBatch(store, "cms_s", params, Some("tokX"))(
+      all.limit(100).toDF, 7L)
+    Streaming.cmsBatch(store, "cms_s", params, Some("tokX"))(
+      all.limit(100).toDF, 7L) // replay: same token, same batchId
+    val after = Sketches.cmsQuery(spark, store, "cms_s", keys, "k")
+      .collect().map(_.getLong(1)).toSeq
+    assert(after != before, "first append must land")
+    Streaming.cmsBatch(store, "cms_s", params, Some("tokX"))(
+      all.limit(100).toDF, 7L)
+    val after2 = Sketches.cmsQuery(spark, store, "cms_s", keys, "k")
+      .collect().map(_.getLong(1)).toSeq
+    assert(after2 == after, "replayed batch double-counted")
+    // histogram sink: same lifecycle
+    Sketches.histDataset(spark, store, "hist_s",
+      all.where(col("id") < 4000), "v")
+    val hin = tmpDir("hist-in")
+    all.where(col("id") >= 4000).repartition(3)
+      .write.mode("overwrite").parquet(hin)
+    Streaming.writeStreamHist(
+      spark.readStream.schema(all.schema)
+        .option("maxFilesPerTrigger", "1").parquet(hin),
+      store, "hist_s").awaitTermination(120000)
+    val sq = Sketches.histQuantilesOf(spark, store, "hist_s", Seq(0.5, 0.9))
+      .collect().map(_.toSeq).toSeq
+    val dq = Sketches.histQuantiles(Sketches.histSketch(all, "v"), Seq(0.5, 0.9))
+      .collect().map(_.toSeq).toSeq
+    assert(sq == dq)
+  }
+
   test("writeStreamSketch: streamed registers merge to the one-shot estimate") {
     import spark.implicits._
     import graft.ops.Sketches
