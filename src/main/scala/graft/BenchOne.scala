@@ -13,24 +13,26 @@ import org.apache.spark.sql.SparkSession
   * (JIT warmth); record warm reps. */
 object BenchOne {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: BenchOne <query> [sfDir] [reps]")
-    val name = args(0)
+    require(args.nonEmpty, "usage: BenchOne <query[,query...]> [sfDir] [reps]")
+    val names = args(0).split(',').toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 2
-    val fn = SparkEntry.queries.getOrElse(name,
-      sys.error(s"unknown query '$name'; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+    val fns = names.map(name => name -> SparkEntry.queries.getOrElse(name,
+      sys.error(s"unknown query '$name'; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.local(cpus, "plateauspark-benchone")
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: fixture-backed queries build their per-JVM dataset
-    // here, not inside run0's timing
-    try fn(spark, sfDir).queryExecution.toRdd.count()
-    catch { case _: Throwable => () } // the timed run reports the failure
-    for (i <- 0 until math.max(1, reps)) {
-      val t0 = System.nanoTime()
-      val rows = fn(spark, sfDir).queryExecution.toRdd.count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"BENCHONE $name run$i $sec%.2f s rows=$rows ($sfDir)")
+    for ((name, fn) <- fns) {
+      // untimed warmup: fixture-backed queries build their per-JVM dataset
+      // here, not inside run0's timing
+      try fn(spark, sfDir).queryExecution.toRdd.count()
+      catch { case _: Throwable => () } // the timed run reports the failure
+      for (i <- 0 until math.max(1, reps)) {
+        val t0 = System.nanoTime()
+        val rows = fn(spark, sfDir).queryExecution.toRdd.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"BENCHONE $name run$i $sec%.2f s rows=$rows ($sfDir)")
+      }
     }
     spark.stop()
   }
