@@ -2079,6 +2079,25 @@ object SparkEntry {
       Sketches.histQuantilesOf(s, histDs(s, dir), "hist",
         Seq(0.25, 0.5, 0.75))),
 
+    // --- per-group quantile cuts: one grouped bin table, one windowed
+    // walk — p50/p90 doc length PER SOURCE without a corpus re-sort
+    "k_hist_by_group" -> ((s, dir) =>
+      Sketches.histQuantiles(
+        Sketches.histSketch(rd(s, dir, "documents"), "n_chars",
+          groupCols = Seq("source")),
+        Seq(0.5, 0.9), groupCols = Seq("source"))),
+
+    // --- PSI drift between two landings' histograms: the numeric-column
+    // sibling of t_vocab_kl, answered from the sketches alone
+    "k_hist_psi" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+      Sketches.histPsi(
+        Sketches.histSketch(d.where(col("source") === "src0"), "n_chars"),
+        Sketches.histSketch(
+          d.where(col("source") =!= "src0" || col("source").isNull),
+          "n_chars"))
+    }),
+
     // --- streaming sketch ingest: registers appended per micro-batch over
     // a build-time base; the estimate merges every landing on read and
     // hash-matches the one-shot DuckDB construction over ALL orderkeys
@@ -2272,31 +2291,36 @@ object SparkEntry {
     * exact lower/upper value bounds — shared by both histogram faces
     * (two summed landings == one build). Floor-division is spelled
     * explicitly: DuckDB's double→int CAST rounds where Spark's truncates. */
+  /** The log-bin of column `v` (positive BIGINT). */
+  private val histBinSql =
+    """CAST((length(bin(v)) - 1) * 16 +
+       ((v >> CAST(greatest(length(bin(v)) - 1 - 4, 0) AS INTEGER)) % 16)
+       AS INTEGER)"""
+
+  /** The inclusive lower value bound of bin expression `e`. */
+  private def histLoSql(e: String): String =
+    s"""CASE WHEN CAST(floor(($e) / 16) AS INTEGER) < 4
+         THEN CAST(($e) % 16 AS BIGINT)
+         ELSE CAST(($e) % 16 + 16 AS BIGINT)
+              << (CAST(floor(($e) / 16) AS INTEGER) - 4) END"""
+
   private def histOracleSql(qs: Seq[Double]): String = {
     val qlist = qs.mkString("[", ", ", "]")
-    """WITH v AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents
+    s"""WITH v AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents
             WHERE n_chars IS NOT NULL AND n_chars > 0),
-        b AS (SELECT CAST((length(bin(v)) - 1) * 16 +
-                ((v >> CAST(greatest(length(bin(v)) - 1 - 4, 0) AS INTEGER)) % 16)
-              AS INTEGER) AS bin, count(*) AS n
+        b AS (SELECT $histBinSql AS bin, count(*) AS n
               FROM v GROUP BY 1),
         c AS (SELECT bin, n,
                 sum(n) OVER (ORDER BY bin
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
                 (SELECT sum(n) FROM b) AS total_n
               FROM b),
-        qq AS (SELECT unnest(""" + qlist + """) AS q),
+        qq AS (SELECT unnest($qlist) AS q),
         pick AS (SELECT q, min(bin) AS bin FROM c CROSS JOIN qq
                  WHERE cum_n >= q * total_n GROUP BY q)
         SELECT q, bin,
-          CASE WHEN CAST(floor(bin / 16) AS INTEGER) < 4
-               THEN CAST(bin % 16 AS BIGINT)
-               ELSE CAST(bin % 16 + 16 AS BIGINT)
-                    << (CAST(floor(bin / 16) AS INTEGER) - 4) END AS lo,
-          CASE WHEN CAST(floor((bin + 1) / 16) AS INTEGER) < 4
-               THEN CAST((bin + 1) % 16 AS BIGINT)
-               ELSE CAST((bin + 1) % 16 + 16 AS BIGINT)
-                    << (CAST(floor((bin + 1) / 16) AS INTEGER) - 4) END - 1 AS hi,
+          ${histLoSql("bin")} AS lo,
+          ${histLoSql("bin + 1")} - 1 AS hi,
           cum_n, total_n
         FROM pick JOIN c USING (bin) ORDER BY q"""
   }
@@ -3850,6 +3874,47 @@ object SparkEntry {
       // log-histogram quantiles: integer bins + cumulative cut, exact
       "k_hist_quantiles" -> histOracleSql(Seq(0.1, 0.5, 0.9, 0.99)),
       "k_hist_dataset" -> histOracleSql(Seq(0.25, 0.5, 0.75)),
+      // grouped cuts: the same construction partitioned by source
+      "k_hist_by_group" ->
+        s"""WITH v AS (SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars > 0),
+            b AS (SELECT source, $histBinSql AS bin, count(*) AS n
+                  FROM v GROUP BY 1, 2),
+            c AS (SELECT source, bin, n,
+                    sum(n) OVER (PARTITION BY source ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+                    sum(n) OVER (PARTITION BY source) AS total_n
+                  FROM b),
+            qq AS (SELECT unnest([0.5, 0.9]) AS q),
+            pick AS (SELECT source, q, min(bin) AS bin FROM c CROSS JOIN qq
+                     WHERE cum_n >= q * total_n GROUP BY 1, 2)
+            SELECT source, q, bin, ${histLoSql("bin")} AS lo,
+              ${histLoSql("bin + 1")} - 1 AS hi, cum_n, total_n
+            FROM pick JOIN c USING (source, bin) ORDER BY source, q""",
+      // PSI between the two landings' bin tables: smoothed shares over the
+      // union bins, (p-q)ln(p/q) rounded 6, exact-micro sum
+      "k_hist_psi" ->
+        s"""WITH va AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents
+              WHERE source = 'src0' AND n_chars IS NOT NULL AND n_chars > 0),
+            vb AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents
+              WHERE source IS DISTINCT FROM 'src0'
+                AND n_chars IS NOT NULL AND n_chars > 0),
+            ba AS (SELECT $histBinSql AS bin, count(*) AS n_a FROM va GROUP BY 1),
+            bb AS (SELECT $histBinSql AS bin, count(*) AS n_b FROM vb GROUP BY 1),
+            j AS (SELECT coalesce(ba.bin, bb.bin) AS bin,
+                    coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+                  FROM ba FULL OUTER JOIN bb ON ba.bin = bb.bin),
+            t AS (SELECT sum(n_a) AS at, sum(n_b) AS bt,
+                    CAST(count(*) AS DOUBLE) AS nb FROM j),
+            terms AS (SELECT
+                round(((n_a + 0.5) / (at + 0.5 * nb) - (n_b + 0.5) / (bt + 0.5 * nb)) *
+                  ln(((n_a + 0.5) / (at + 0.5 * nb)) / ((n_b + 0.5) / (bt + 0.5 * nb))),
+                  6) AS term
+              FROM j CROSS JOIN t)
+            SELECT count(*) AS n_bins,
+              CAST(sum(CAST(floor(term * 1000000 + 0.5) AS HUGEINT))
+                AS DOUBLE) / 1000000 AS psi
+            FROM terms""",
       // hard negatives: cross-label cosine top-10 per anchor, standard !=
       // null semantics on labels, ties on neg_id — the v_knn_scores cosine
       // mirror with a label-mismatch join and a per-anchor window

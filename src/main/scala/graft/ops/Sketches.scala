@@ -449,29 +449,67 @@ object Sketches {
     a.unionByName(b).groupBy(keys.map(col): _*).agg(sum("n").as("n"))
   }
 
-  /** Quantile cuts from a bin table: for each q, the first bin whose
-    * cumulative count reaches q·total, with its inclusive value bounds —
-    * `(q, bin, lo, hi, cum_n, total_n)`. `hi` is the next bin's lo − 1
-    * by construction; here derived as lo(bin+1)−1, exact. The answer is
-    * exact to the bin's ~6% relative width. Tolerates pre-merge input
-    * (re-SUMs first). The bin table is metadata-sized: the cumulative
-    * walk is a ≤1000-row window, never a corpus operation. */
-  def histQuantiles(sketch: DataFrame, qs: Seq[Double]): DataFrame = {
+  /** Quantile cuts from a bin table: for each q (per group, when the
+    * sketch was built with `groupCols`), the first bin whose cumulative
+    * count reaches q·total, with its inclusive value bounds —
+    * `(group…, q, bin, lo, hi, cum_n, total_n)`. `hi` is the next bin's
+    * lo − 1 by construction; here derived as lo(bin+1)−1, exact. The
+    * answer is exact to the bin's ~6% relative width. Tolerates pre-merge
+    * input (re-SUMs first). The bin table is metadata-sized: the
+    * cumulative walk is a ≤1000-row-per-group window, never a corpus
+    * operation. */
+  def histQuantiles(sketch: DataFrame, qs: Seq[Double],
+                    groupCols: Seq[String] = Nil): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
       s"quantiles must be in (0,1] (got $qs)")
-    val cells = sketch.groupBy("bin").agg(sum("n").as("n"))
-    val w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    val cum = cells.withColumn("cum_n", sum("n").over(w))
-      .crossJoin(broadcast(cells.agg(sum("n").as("total_n"))))
+    val g = groupCols.map(col)
+    val cells = sketch.groupBy((g :+ col("bin")): _*).agg(sum("n").as("n"))
+    val w = Window.partitionBy(g: _*).orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = cells
+      .withColumn("cum_n", sum("n").over(w))
+      .withColumn("total_n", sum("n").over(Window.partitionBy(g: _*)))
     cum.crossJoin(broadcast(qFrame(cum, qs)))
       .where(col("cum_n") >= col("q") * col("total_n"))
-      .groupBy("q").agg(min("bin").as("bin"))
-      .join(cum.select(col("bin"), col("cum_n"), col("total_n")), Seq("bin"))
-      .select(col("q"), col("bin"), histLo(col("bin")).as("lo"),
-        (histLo(col("bin") + 1) - 1).as("hi"),
-        col("cum_n"), col("total_n"))
-      .orderBy("q")
+      .groupBy((g :+ col("q")): _*).agg(min("bin").as("bin"))
+      .join(cum.select((g :+ col("bin") :+ col("cum_n") :+ col("total_n")): _*),
+        groupCols :+ "bin")
+      .select((g :+ col("q") :+ col("bin") :+ histLo(col("bin")).as("lo") :+
+        (histLo(col("bin") + 1) - 1).as("hi") :+
+        col("cum_n") :+ col("total_n")): _*)
+      .orderBy((g :+ col("q")): _*)
   }
+
+  /** Population Stability Index terms between two bin tables (built with
+    * the same [[histSketch]] family over the same column, e.g. last
+    * month's landing vs today's) — THE production drift metric for
+    * numeric distributions, computed from the sketches alone: no corpus
+    * is rescanned to answer "did document length shift". Per union bin,
+    * add-0.5-smoothed shares p, q and `term = (p−q)·ln(p/q)` rounded 6;
+    * returns `(bin, n_a, n_b, term)`. PSI reading convention: < 0.1
+    * stable, 0.1–0.25 moderate shift, > 0.25 investigate. */
+  def histPsiTerms(a: DataFrame, b: DataFrame): DataFrame = {
+    val an = a.groupBy("bin").agg(sum("n").as("n_a"))
+    val bn = b.groupBy("bin").agg(sum("n").as("n_b"))
+    val j = an.join(bn, Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val tot = j.agg(sum("n_a").as("__at"), sum("n_b").as("__bt"),
+      count(lit(1)).cast("double").as("__nb"))
+    val p = (col("n_a") + 0.5) / (col("__at") + lit(0.5) * col("__nb"))
+    val q = (col("n_b") + 0.5) / (col("__bt") + lit(0.5) * col("__nb"))
+    j.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        round((p - q) * log(p / q), 6).as("term"))
+  }
+
+  /** The scalar PSI: exact-micro sum of the rounded terms (`(n_bins,
+    * psi)`) — the [[TextAnalysis.vocabKl]] summation contract. */
+  def histPsi(a: DataFrame, b: DataFrame): DataFrame =
+    histPsiTerms(a, b).agg(
+      count(lit(1)).as("n_bins"),
+      (sum(floor(col("term") * 1e6 + lit(0.5)).cast("decimal(38,0)"))
+        .cast("double") / 1e6).as("psi"))
 
   /** A literal one-column frame of quantile cuts (tiny, broadcast). */
   private def qFrame(ref: DataFrame, qs: Seq[Double]): DataFrame = {

@@ -249,6 +249,31 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("hist: grouped quantiles per key; PSI zero on self, grows with shift") {
+    val df = spark.range(1, 9001).select(
+      (col("id") % 3).cast("string").as("g"),
+      when(col("id") % 3 === 0, col("id") % 100 + 1)      // short docs
+        .otherwise(col("id") % 10000 + 1).as("v"))        // long docs
+    val sk = Sketches.histSketch(df, "v", groupCols = Seq("g"))
+    val cuts = Sketches.histQuantiles(sk, Seq(0.5), groupCols = Seq("g"))
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(cuts.keySet == Set("0", "1", "2"))
+    // group 0 is the short-doc group: its p50 sits far below the others'
+    assert(cuts("0")._2 < 100 && cuts("1")._1 > 1000, s"cuts: $cuts")
+    // PSI: self-drift is zero; a shifted distribution scores positive and
+    // a disjoint range scores higher still
+    val a = Sketches.histSketch(spark.range(1, 5000).select(col("id").as("v")), "v")
+    val self = Sketches.histPsi(a, a).select("psi").as[Double].head()
+    assert(self == 0.0)
+    val shifted = Sketches.histSketch(
+      spark.range(1, 5000).select((col("id") * 2).as("v")), "v")
+    val far = Sketches.histSketch(
+      spark.range(1000000, 1005000).select(col("id").as("v")), "v")
+    val psiShift = Sketches.histPsi(a, shifted).select("psi").as[Double].head()
+    val psiFar = Sketches.histPsi(a, far).select("psi").as[Double].head()
+    assert(psiShift > 0.0 && psiFar > psiShift, s"shift=$psiShift far=$psiFar")
+  }
+
   test("sketch plan: partial max before one register-keyed exchange") {
     val plan = Sketches.hllSketch(ids(0, 1000), "k")
       .queryExecution.executedPlan.toString
