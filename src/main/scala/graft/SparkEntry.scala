@@ -136,6 +136,21 @@ object SparkEntry {
       Sketches.sketchAppend(s, st, "hll", li.where(col("l_orderkey") % 5 === 0))
     }
 
+  /** lineitem + orders dispatched into co-located bucket layouts on a
+    * shared key-hash partition column — the write-time contract
+    * colocatedJoin exploits. */
+  private def colocDs(s: SparkSession, dir: String): Storage =
+    ensure(s, dir, "coloc_li") { st =>
+      Writer.store(s, st, "coloc_li",
+        rd(s, dir, "lineitem").select(col("l_orderkey").as("okey"),
+          col("l_quantity"), pmod(col("l_orderkey"), lit(8L)).as("kb")),
+        WriteOpts(partitionOn = Seq("kb"), overwrite = true))
+      Writer.store(s, st, "coloc_ord",
+        rd(s, dir, "orders").select(col("o_orderkey").as("okey"),
+          col("o_totalprice"), pmod(col("o_orderkey"), lit(8L)).as("kb")),
+        WriteOpts(partitionOn = Seq("kb"), overwrite = true))
+    }
+
   /** Persisted histogram sketch of documents' n_chars in two landings. */
   private def histDs(s: SparkSession, dir: String): Storage =
     ensure(s, dir, "hist") { st =>
@@ -2147,6 +2162,15 @@ object SparkEntry {
       Similarity.embeddingOutliers(rd(s, dir, "embeddings"),
         "embedding", "vec_id", "label", bottomFrac = 0.1)),
 
+    // --- co-located join: both sides dispatched on the same key-hash
+    // bucket at write time, joined bucket-for-bucket with the right
+    // side's bucket broadcast — NEITHER corpus shuffles (plan-pinned in
+    // spec); the dispatch shuffle was paid once, at landing
+    "o_colocated_join" -> ((s, dir) =>
+      Ops.colocatedJoin(s, colocDs(s, dir), "coloc_li", "coloc_ord",
+        "kb", Seq("okey"))
+        .select(col("okey"), col("l_quantity"), col("o_totalprice"))),
+
     // --- landing-to-landing diff: two stored generations of documents
     // (B drops doc_id%11==3, bumps n_chars where doc_id%7==0, adds 20 new
     // ids) diffed by key into added/removed/changed/unchanged — each side
@@ -3968,6 +3992,11 @@ object SparkEntry {
                round(percent_rank() OVER (PARTITION BY label
                  ORDER BY cosine, vec_id), 6) AS pr
              FROM sc) t""",
+      // co-located join: the bucket plumbing must be invisible in the
+      // result — the oracle is the PLAIN join of the underlying tables
+      "o_colocated_join" ->
+        """SELECT l.l_orderkey AS okey, l.l_quantity, o.o_totalprice
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""",
       // keyed landing diff: the oracle compares columns DIRECTLY (IS
       // DISTINCT FROM) where the operator compares 8-byte fingerprints —
       // a hash collision masking a change would hash-mismatch here

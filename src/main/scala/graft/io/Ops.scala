@@ -436,6 +436,67 @@ object Ops {
         .cast("long"))
   }
 
+  /** Shuffle-free CO-LOCATED join of two datasets hive-partitioned on the
+    * SAME bucket column (the [[graft.io.Writer]] `partitionOn` dispatch
+    * layout — e.g. both written with `bucket = pmod(xxhash64(key), B)`):
+    * one bucket-pruned scan pair per common bucket value, the right side's
+    * bucket BROADCAST, all branches unioned. NEITHER corpus exchanges —
+    * the join work that a plain `a.join(b)` pays as two full shuffles is
+    * eliminated by the write-time layout, which is the point of paying for
+    * the dispatch shuffle ONCE at landing.
+    *
+    * This is the storage-partitioned-join shape for the case that matters
+    * at 100 TB: `b` too large to broadcast WHOLE, but each of its buckets
+    * broadcastable. Correctness needs both sides bucketed by the same
+    * function over the join key — co-partitioning is the caller's
+    * write-time contract; this checks what it can (both partitioned on
+    * `bucketCol`) and joins bucket-for-bucket. Bucket values come from the
+    * dataset HEADERS (no file listing, no scan). The plan has one branch
+    * per common bucket: `maxBuckets` guards planning cost — beyond it,
+    * raise knowingly or join coarser bucket groups. Inner join only (an
+    * outer join would need the non-common buckets' rows too). */
+  def colocatedJoin(spark: SparkSession, store: Storage,
+                    uuidA: String, uuidB: String, bucketCol: String,
+                    joinKeys: Seq[String],
+                    maxBuckets: Int = 64): DataFrame = {
+    require(joinKeys.nonEmpty, "colocatedJoin needs join keys")
+    val ma = DatasetMetadata.load(store, uuidA)
+    val mb = DatasetMetadata.load(store, uuidB)
+    Seq(uuidA -> ma, uuidB -> mb).foreach { case (u, m) =>
+      require(m.partitionKeys.contains(bucketCol),
+        s"'$u' is not partitioned on '$bucketCol' (keys: ${m.partitionKeys.mkString(", ")})")
+    }
+    def values(m: DatasetMetadata): Seq[String] = {
+      val i = m.partitionKeys.indexOf(bucketCol)
+      m.partitions.map(l => m.partitionValues(l)(i)).distinct
+    }
+    val common = values(ma).intersect(values(mb)).sorted
+    require(common.nonEmpty,
+      s"'$uuidA' and '$uuidB' share no '$bucketCol' values — nothing to join")
+    require(common.size <= maxBuckets,
+      s"${common.size} bucket branches exceed maxBuckets=$maxBuckets " +
+        "(plan size grows linearly with buckets); raise it knowingly or " +
+        "join coarser bucket groups")
+    val dt = DatasetMetadata.loadSchema(store, uuidA, ma.tableName)
+      .fields.find(_.name == bucketCol).map(_.dataType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"column '$bucketCol' not in '$uuidA' schema"))
+    def typed(v: String): Any = dt match {
+      case org.apache.spark.sql.types.IntegerType => v.toInt
+      case org.apache.spark.sql.types.LongType    => v.toLong
+      case org.apache.spark.sql.types.StringType  => v
+      case other => throw new IllegalArgumentException(
+        s"unsupported bucket column type $other (int/long/string)")
+    }
+    common.map { v =>
+      val p = Some(Seq(Seq(
+        graft.dnf.Literal(bucketCol, graft.dnf.Op.Eq, typed(v)))))
+      val a = graft.io.Reader.readTable(spark, store, uuidA, predicates = p)
+      val b = graft.io.Reader.readTable(spark, store, uuidB, predicates = p)
+      a.join(broadcast(b.drop(bucketCol)), joinKeys)
+    }.reduce(_ unionByName _)
+  }
+
   /** Keyed diff between two frames — the "what changed since the last
     * landing" audit a re-ingested corpus needs before anyone trusts it:
     * per key, `added` (only in `b`), `removed` (only in `a`), `changed`

@@ -644,4 +644,33 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       plan.take(2500))
   }
+
+  test("o_colocated_join: neither corpus exchanges — every branch a broadcast join") {
+    val df = SparkEntry.queries("o_colocated_join")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2500))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      plan.take(2500))
+    // no join-key repartition anywhere: the write-time dispatch replaced it
+    assert(!"Exchange hashpartitioning".r.findFirstIn(plan).isDefined,
+      plan.take(2500))
+    // and the result is exactly the plain join of the underlying tables
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+    val plain = li.join(ord, li("l_orderkey") === ord("o_orderkey")).count()
+    assert(df.count() === plain)
+    // misuse fails loudly, naming the contract
+    val store = graft.store.Storage(spark,
+      s"${sys.props("java.io.tmpdir")}/graft_ds_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    val e = intercept[IllegalArgumentException] {
+      graft.io.Ops.colocatedJoin(spark, store, "coloc_li", "coloc_ord",
+        "kb", Seq("okey"), maxBuckets = 2)
+    }
+    assert(e.getMessage.contains("maxBuckets"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.io.Ops.colocatedJoin(spark, store, "coloc_li", "coloc_ord",
+        "nope", Seq("okey"))
+    }
+    assert(e2.getMessage.contains("not partitioned on"))
+  }
 }
