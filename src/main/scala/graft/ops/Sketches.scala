@@ -323,7 +323,13 @@ object Sketches {
     * pre-merge input (a persisted sketch holding several appends): cells
     * re-SUM first. The CELL table (≤ depth·width rows by construction)
     * broadcasts, so the probe set may be arbitrarily large — probing a
-    * whole corpus's keys against the sketch is a map-side join. */
+    * whole corpus's keys against the sketch is a map-side join.
+    *
+    * (depth, width, salt) MUST equal the build's — a mismatch hashes the
+    * probes into cells the build never wrote and SILENTLY collapses
+    * estimates toward 0 (breaking the never-underestimate guarantee, which
+    * only holds within one hash family). Prefer the persisted face
+    * ([[cmsQuery]]), which pins the family from the dataset header. */
   def cmsEstimate(sketch: DataFrame, keys: DataFrame, idCol: String,
                   depth: Int = 4, width: Int = 2048,
                   salt: String = "graft"): DataFrame = {

@@ -1,0 +1,113 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+import graft.ops.Sketches
+
+/** Randomized mirrors for the sketch suite, the [[SamplingPropertySpec]]
+  * discipline: each sketch is replayed against an independent in-memory
+  * reference implementing the documented construction (md5 register/rho,
+  * bit-sliced CMS cells, bit-length histogram bins), plus the algebraic
+  * laws the persistence story rests on — HLL merge
+  * associative/commutative/IDEMPOTENT, CMS/hist merge = one-shot on
+  * arbitrary splits, CMS never underestimating, histogram quantile cuts
+  * always bracketing the exact percentile.
+  */
+class SketchesPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(20260815)
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("hll register table matches the in-memory reference on random corpora") {
+    for (_ <- 1 to 20) {
+      val n = 50 + rng.nextInt(400)
+      val p = 4 + rng.nextInt(7)
+      val m = 1 << p
+      val ids = Seq.fill(n)(rng.nextLong().toString)
+      // reference: register = hex[13..15] % m, rho = min(52, lz(hex[0..12])+1)
+      val expected = ids.map { id =>
+        val h = md5hex("graft.hll:graft" + id)
+        val reg = (java.lang.Long.parseLong(h.substring(13, 16), 16) % m).toInt
+        val bits = BigInt(h.substring(0, 13), 16)
+        reg -> math.min(52, 52 - bits.bitLength + 1)
+      }.groupBy(_._1).map { case (r, xs) => r -> xs.map(_._2).max }
+      val got = Sketches.hllSketch(ids.toDF("k"), "k", p)
+        .as[(Int, Int)].collect().toMap
+      assert(got == expected, s"p=$p n=$n")
+    }
+  }
+
+  test("hll merge is associative, commutative, idempotent on random splits") {
+    for (_ <- 1 to 8) {
+      val ids = Seq.fill(200 + rng.nextInt(300))(rng.nextInt(100000).toString)
+      val (a, b) = ids.splitAt(rng.nextInt(ids.size))
+      val sa = Sketches.hllSketch(a.toDF("k"), "k", p = 8)
+      val sb = Sketches.hllSketch(b.toDF("k"), "k", p = 8)
+      def set(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Int, Int)].collect().toSet
+      val ab = set(Sketches.hllMerge(sa, sb))
+      assert(ab == set(Sketches.hllMerge(sb, sa)), "commutativity")
+      assert(ab == set(Sketches.hllSketch(ids.toDF("k"), "k", p = 8)),
+        "merge = one-shot")
+      assert(set(Sketches.hllMerge(sa, sa)) == set(sa), "idempotence")
+    }
+  }
+
+  test("cms never underestimates and cells match the bit-slice reference") {
+    for (_ <- 1 to 10) {
+      val n = 200 + rng.nextInt(800)
+      val keys = Seq.fill(n)(rng.nextInt(30).toLong) // heavy repetition
+      val truth = keys.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+      val df = keys.toDF("k")
+      val sk = Sketches.cmsSketch(df, "k", depth = 4, width = 256)
+      // reference cells from the documented 60-bit value slices
+      val expected = keys.flatMap { k =>
+        val v = java.lang.Long.parseLong(
+          md5hex("graft.cms:graft|" + k).substring(0, 15), 16)
+        (0 until 4).map(r => (r, ((v >> (r * 15)) % 256).toInt))
+      }.groupBy(identity).map { case (cell, xs) => cell -> xs.size.toLong }
+      val got = sk.as[(Int, Int, Long)].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+      assert(got == expected)
+      val est = Sketches.cmsEstimate(sk, truth.keys.toSeq.toDF("k"), "k",
+          depth = 4, width = 256)
+        .as[(Long, Long)].collect().toMap
+      truth.foreach { case (k, c) =>
+        assert(est(k) >= c, s"underestimate for $k: ${est(k)} < $c")
+      }
+    }
+  }
+
+  test("hist bins match the bit-length reference; cuts bracket exact percentiles") {
+    for (_ <- 1 to 10) {
+      val n = 300 + rng.nextInt(700)
+      val vs = Seq.fill(n)(1L + (rng.nextDouble() * rng.nextDouble() * 1e7).toLong)
+      def refBin(v: Long): Int = {
+        val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
+        val sub = ((v >> math.max(e - 4, 0)) % 16).toInt
+        e * 16 + sub
+      }
+      val expected = vs.groupBy(refBin).map { case (b, xs) => b -> xs.size.toLong }
+      val got = Sketches.histSketch(vs.toDF("v"), "v")
+        .as[(Int, Long)].collect().toMap
+      assert(got == expected)
+      val sorted = vs.sorted
+      val qs = Seq(0.25, 0.5, 0.9)
+      val cuts = Sketches.histQuantiles(Sketches.histSketch(vs.toDF("v"), "v"), qs)
+        .as[(Double, Int, Long, Long, Long, Long)].collect()
+      cuts.foreach { case (q, _, lo, hi, cum, total) =>
+        assert(total == n.toLong)
+        // the documented cut: FIRST bin whose cumulative reaches q*total;
+        // the exact order statistic at ceil(q*n) sits inside that bin
+        val exact = sorted(math.ceil(q * n).toInt - 1)
+        assert(lo <= exact && exact <= hi, s"q=$q exact=$exact not in [$lo,$hi]")
+        assert(cum >= (q * total).toLong)
+      }
+    }
+  }
+}
