@@ -126,14 +126,21 @@ object SparkEntry {
   /** Persisted HLL sketch of lineitem's orderkeys, built in two landings
     * (80% build + 20% append) — the k_hll_dataset face reads ONLY this
     * register dataset, never the corpus: the append-without-rescan
-    * corpus-stats contract. */
+    * corpus-stats contract. The GROUPED sibling holds one register table
+    * per returnflag, refreshed by the same two landings. */
   private def hllDs(s: SparkSession, dir: String): Storage =
     ensure(s, dir, "hll") { st =>
       val li = rd(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_orderkey").cast("string").as("k"))
+        .select(col("l_orderkey"), col("l_returnflag"),
+          col("l_orderkey").cast("string").as("k"))
       Sketches.sketchDataset(s, st, "hll",
         li.where(col("l_orderkey") % 5 =!= 0), "k", p = 10, overwrite = true)
       Sketches.sketchAppend(s, st, "hll", li.where(col("l_orderkey") % 5 === 0))
+      Sketches.sketchDataset(s, st, "hll_g",
+        li.where(col("l_orderkey") % 5 =!= 0), "k", p = 8,
+        groupCols = Seq("l_returnflag"), overwrite = true)
+      Sketches.sketchAppend(s, st, "hll_g",
+        li.where(col("l_orderkey") % 5 === 0))
     }
 
   /** lineitem + orders dispatched into co-located bucket layouts on a
@@ -2054,6 +2061,12 @@ object SparkEntry {
     "k_hll_dataset" -> ((s, dir) =>
       Sketches.sketchEstimate(s, hllDs(s, dir), "hll")),
 
+    // --- GROUPED persisted sketch: one register table per returnflag in
+    // the same dataset, refreshed by the same appends
+    "k_hll_dataset_group" -> ((s, dir) =>
+      Sketches.sketchEstimate(s, hllDs(s, dir), "hll_g")
+        .orderBy("l_returnflag")),
+
     // --- hard-negative mining: per anchor, the top-10 most-similar
     // corpus vectors with a DIFFERENT label — the contrastive-training
     // batch construction step. Anchors broadcast; corpus scans once
@@ -3891,6 +3904,8 @@ object SparkEntry {
       // the identical one-shot construction
       "st_stream_sketch" -> hllOracleSql("lineitem",
         "CAST(l_orderkey AS VARCHAR)", p = 10),
+      "k_hll_dataset_group" -> hllOracleSql("lineitem",
+        "CAST(l_orderkey AS VARCHAR)", p = 8, groupCol = Some("l_returnflag")),
       // count-min: integer cell table + min-probe, reproduced in full; the
       // persisted face's three landings SUM to the identical cells
       "k_cms_estimate" -> cmsOracleSql,

@@ -179,27 +179,36 @@ object Sketches {
   // Dedup.scala) so an append can never use a different hash family or
   // register width than the build.
 
-  /** Create a persisted sketch dataset for `df[idCol]`. */
+  /** Create a persisted sketch dataset for `df[idCol]`. With `groupCols`
+    * the dataset holds one register table per group — per-source /
+    * per-language / per-day distinct counts, each refreshed by the same
+    * appends. Groups must be LOW-cardinality dimensions: the dataset is
+    * sketch-sized only while groups·2^p stays metadata-sized. */
   def sketchDataset(spark: SparkSession, storage: graft.store.Storage,
                     uuid: String, df: DataFrame, idCol: String,
                     p: Int = 10, salt: String = "graft",
+                    groupCols: Seq[String] = Nil,
                     overwrite: Boolean = false): graft.meta.DatasetMetadata = {
     require2p(p)
     graft.io.Writer.store(spark, storage, uuid,
-      hllSketch(df, idCol, p, salt),
+      hllSketch(df, idCol, p, salt, groupCols),
       graft.io.Writer.WriteOpts(overwrite = overwrite, metadata = Map(
         "graft.hll.p" -> p.toString,
         "graft.hll.salt" -> salt,
-        "graft.hll.idCol" -> idCol)))
+        "graft.hll.idCol" -> idCol,
+        "graft.hll.groupCols" -> groupCols.mkString(","))))
   }
 
   private[graft] def sketchParams(storage: graft.store.Storage,
-                                  uuid: String): (Int, String, String) = {
+                                  uuid: String): (Int, String, String, Seq[String]) = {
     val meta = graft.meta.DatasetMetadata.load(storage, uuid)
     def param(k: String): String = meta.metadata.getOrElse(s"graft.hll.$k",
       throw new IllegalArgumentException(
         s"dataset '$uuid' is not an HLL sketch (missing graft.hll.$k)"))
-    (param("p").toInt, param("salt"), param("idCol"))
+    // groupCols absent on pre-grouping sketches: read as ungrouped
+    val gc = meta.metadata.getOrElse("graft.hll.groupCols", "")
+    (param("p").toInt, param("salt"), param("idCol"),
+      gc.split(',').toSeq.filter(_.nonEmpty))
   }
 
   /** Append a new batch's registers to a persisted sketch: sketches ONLY
@@ -215,10 +224,10 @@ object Sketches {
   private[graft] def sketchAppendWith(
       spark: SparkSession, storage: graft.store.Storage, uuid: String,
       batch: DataFrame,
-      params: (Int, String, String)): graft.meta.DatasetMetadata = {
-    val (p, salt, idCol) = params
+      params: (Int, String, String, Seq[String])): graft.meta.DatasetMetadata = {
+    val (p, salt, idCol, groupCols) = params
     graft.io.Writer.update(spark, storage, uuid,
-      Some(hllSketch(batch, idCol, p, salt)), Nil,
+      Some(hllSketch(batch, idCol, p, salt, groupCols)), Nil,
       graft.io.Writer.WriteOpts())
   }
 
@@ -228,8 +237,8 @@ object Sketches {
     * `max` is associative over appends. */
   def sketchEstimate(spark: SparkSession, storage: graft.store.Storage,
                      uuid: String): DataFrame = {
-    val (p, _, _) = sketchParams(storage, uuid)
-    hllEstimate(graft.io.Reader.readTable(spark, storage, uuid), p)
+    val (p, _, _, groupCols) = sketchParams(storage, uuid)
+    hllEstimate(graft.io.Reader.readTable(spark, storage, uuid), p, groupCols)
   }
 
   // =================================================================

@@ -130,7 +130,18 @@ class SketchesSpec extends SparkSpec {
     assert(e.getMessage.contains("not an HLL sketch"))
     Sketches.sketchDataset(spark, store, "sk8", ids(0, 100), "k",
       p = 8, salt = "s1")
-    assert(Sketches.sketchParams(store, "sk8") == ((8, "s1", "k")))
+    assert(Sketches.sketchParams(store, "sk8") == ((8, "s1", "k", Nil)))
+    // grouped persisted face: per-group registers land and append
+    val gdf = spark.range(0, 600).select(col("id"),
+      concat(lit("id-"), col("id")).as("k"), (col("id") % 2).cast("string").as("g"))
+    Sketches.sketchDataset(spark, store, "skg", gdf.where(col("id") < 300),
+      "k", p = 8, groupCols = Seq("g"))
+    Sketches.sketchAppend(spark, store, "skg", gdf.where(col("id") >= 300))
+    val gest = Sketches.sketchEstimate(spark, store, "skg")
+      .select("g", "est").as[(String, Double)].collect().toMap
+    val gdir = Sketches.distinctCountApprox(gdf, "k", p = 8, groupCols = Seq("g"))
+      .select("g", "est").as[(String, Double)].collect().toMap
+    assert(gest == gdir)
   }
 
   test("cms: estimates are never under, exact for heavy keys, weights supported") {
