@@ -426,6 +426,12 @@ object Smoke {
       .head()
     println(f"== vocab drift src0 vs rest: KL=${klRow.getDouble(1)}%.4f over ${klRow.getLong(0)} tokens")
 
+    // fsck the primary smoke dataset: every check must pass
+    val fsck = graft.io.Ops.validateDataset(spark, store, "li")
+      .collect().map(r => s"${r.getString(0)}=${r.getBoolean(1)}")
+    assert(fsck.forall(_.endsWith("true")), s"fsck failed: ${fsck.mkString(" ")}")
+    println(s"== fsck li: ${fsck.mkString(" ")}")
+
     println(s"== SparkEntry.entry rows: ${SparkEntry.entry(spark).count()}")
     println("== smoke OK")
     spark.stop()

@@ -436,6 +436,95 @@ object Ops {
         .cast("long"))
   }
 
+  /** Integrity audit (fsck) of a landed dataset — the check a 100 TB store
+    * runs BEFORE promoting a landing or after an incident, without trusting
+    * anything but the bytes: every header-listed partition file exists and
+    * is non-empty, every parquet footer opens and its column set matches
+    * the dataset schema (minus hive partition keys, which live in the
+    * path), labels parse against the partition keys, no label is listed
+    * twice, and every label referenced by a secondary index exists in the
+    * partition list (a dangling index label silently yields WRONG query
+    * results under index pruning — the worst failure class).
+    *
+    * Returns one row per check: `(check, ok, n_checked, issues)` with up
+    * to `sampleIssues` offending labels. File/footer checks run as ONE
+    * distributed pass over the partition list (footers only — no data
+    * pages, the [[collectDatasetMetadata]] discipline); everything else is
+    * header/index metadata. Non-parquet formats get existence/size checks
+    * only (their payloads have no footer to cross-examine). */
+  def validateDataset(spark: SparkSession, storage: Storage, uuid: String,
+                      sampleIssues: Int = 10): DataFrame = {
+    val meta = DatasetMetadata.load(storage, uuid)
+    val schema = DatasetMetadata.loadSchema(storage, uuid, meta.tableName)
+    val prefix = meta.tablePrefix
+    val isParquet = meta.format == "parquet"
+    val expectedCols = schema.fields.map(_.name)
+      .filterNot(meta.partitionKeys.contains).toSet
+    val fileIssues: Seq[(String, String)] =
+      if (meta.partitions.isEmpty) Nil
+      else spark.sparkContext
+        .parallelize(meta.partitions, math.max(1, math.min(32, meta.partitions.size)))
+        .flatMap { label =>
+          val key = s"$prefix/$label"
+          try {
+            if (!storage.exists(key)) Seq(label -> "missing file")
+            else if (storage.fileSize(key) == 0L) Seq(label -> "zero-byte file")
+            else if (!isParquet) Nil
+            else {
+              val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                new org.apache.hadoop.fs.Path(s"${storage.base}/$key"),
+                storage.hadoopConf)
+              val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              try {
+                val got = reader.getFooter.getFileMetaData.getSchema
+                  .getFields.toArray.map(
+                    _.asInstanceOf[org.apache.parquet.schema.Type].getName).toSet
+                if (got != expectedCols)
+                  Seq(label -> s"schema mismatch: file has ${got.toSeq.sorted.mkString(",")}")
+                else Nil
+              } finally reader.close()
+            }
+          } catch {
+            case e: Exception => Seq(label -> s"unreadable: ${e.getMessage}")
+          }
+        }.collect().toSeq
+    val malformed = meta.partitions.flatMap { l =>
+      try { meta.partitionValues(l); None }
+      catch { case e: IllegalArgumentException => Some(l -> e.getMessage) }
+    }
+    val dupes = meta.partitions.groupBy(identity).collect {
+      case (l, xs) if xs.size > 1 => l -> s"listed ${xs.size} times"
+    }.toSeq
+    val known = meta.partitions.map(meta.headerLabel).toSet
+    val danglingByIndex: Seq[(String, Seq[(String, String)])] =
+      meta.indices.toSeq.sortBy(_._1).map { case (colName, fileKey) =>
+        val labels = SecondaryIndex.asFlat(
+            SecondaryIndex.load(spark, storage, fileKey))
+          .select("label").distinct()
+          .collect().map(_.getString(0)).toSeq
+        colName -> labels.filterNot(l =>
+          known.contains(DatasetMetadata.stripDataSuffix(l)))
+          .map(l => l -> s"index '$colName' references unknown label")
+      } ++ meta.embeddedIndices.toSeq.sortBy(_._1).map { case (colName, vals) =>
+        val labels = vals.flatMap(_._2).distinct
+        s"$colName (embedded)" -> labels.filterNot(l =>
+          known.contains(DatasetMetadata.stripDataSuffix(l)))
+          .map(l => l -> s"embedded index '$colName' references unknown label")
+      }
+    def row(check: String, issues: Seq[(String, String)], n: Long) =
+      (check, issues.isEmpty, n,
+        issues.take(sampleIssues).map { case (l, why) => s"$l: $why" })
+    val rows = Seq(
+      row("files_readable_schema_ok", fileIssues, meta.partitions.size.toLong),
+      row("labels_wellformed", malformed, meta.partitions.size.toLong),
+      row("no_duplicate_labels", dupes, meta.partitions.size.toLong)) ++
+      danglingByIndex.map { case (idx, issues) =>
+        row(s"index_labels_valid:$idx", issues, known.size.toLong)
+      }
+    import spark.implicits._
+    rows.toDF("check", "ok", "n_checked", "issues")
+  }
+
   /** Shuffle-free CO-LOCATED join of two datasets hive-partitioned on the
     * SAME bucket column (the [[graft.io.Writer]] `partitionOn` dispatch
     * layout — e.g. both written with `bucket = pmod(xxhash64(key), B)`):

@@ -273,4 +273,44 @@ class LifecycleHardeningSpec extends SparkSpec {
     // and the plan carries no multi-thousand-entry map literal
     assert(!idx.queryExecution.optimizedPlan.toString.contains("p1234"))
   }
+
+  test("validateDataset: healthy store passes; every tamper class is named") {
+    val store = Storage(spark, tmpDir("fsck"))
+    val df = (0L until 200L).map(i => (i, s"p${i % 4}", s"v$i"))
+      .toDF("id", "p", "v")
+    Writer.store(spark, store, "fsck", df,
+      WriteOpts(partitionOn = Seq("p"), secondaryIndices = Seq("id")))
+    def checks() = Ops.validateDataset(spark, store, "fsck")
+      .collect().map(r => r.getString(0) ->
+        ((r.getBoolean(1), r.getSeq[String](3)))).toMap
+    val healthy = checks()
+    assert(healthy.size >= 4 && healthy.values.forall(_._1),
+      s"healthy store flagged: $healthy")
+    val meta = DatasetMetadata.load(store, "fsck")
+    // tamper 1: a data file vanishes
+    val victim = meta.partitions.head
+    val bytes = store.readBytes(meta.fileKey(victim))
+    store.delete(meta.fileKey(victim))
+    val missing = checks()("files_readable_schema_ok")
+    assert(!missing._1 && missing._2.exists(_.contains("missing file")))
+    // tamper 2: the file returns but empty
+    store.writeBytes(meta.fileKey(victim), Array.emptyByteArray)
+    val empty = checks()("files_readable_schema_ok")
+    assert(!empty._1 && empty._2.exists(_.contains("zero-byte")))
+    // tamper 3: garbage bytes where a parquet footer should be
+    store.writeBytes(meta.fileKey(victim), Array.fill(64)(7.toByte))
+    val garbage = checks()("files_readable_schema_ok")
+    assert(!garbage._1 && garbage._2.exists(_.contains("unreadable")))
+    store.writeBytes(meta.fileKey(victim), bytes) // heal
+    assert(checks().values.forall(_._1))
+    // tamper 4: header loses a partition the index still references —
+    // the dangling-label class that silently corrupts pruned reads
+    store.writeString(meta.headerKey,
+      meta.copy(partitions = meta.partitions.tail).toJson)
+    val dangling = checks()("index_labels_valid:id")
+    assert(!dangling._1 &&
+      dangling._2.exists(_.contains("references unknown label")))
+    store.writeString(meta.headerKey, meta.toJson) // heal
+    assert(checks().values.forall(_._1))
+  }
 }
