@@ -2175,6 +2175,29 @@ object SparkEntry {
       Similarity.embeddingOutliers(rd(s, dir, "embeddings"),
         "embedding", "vec_id", "label", bottomFrac = 0.1)),
 
+    // --- mixture audit: the loop-closer on the budgeted sample — realized
+    // per-lang weight shares vs the targets the sampler was given
+    "u_mixture_audit" -> ((s, dir) => {
+      val shares = Map("en" -> 0.4, "de" -> 0.5, "fr" -> 0.1)
+      graft.ops.Sampling.mixtureAudit(
+        graft.ops.Sampling.tokenBudgetSample(
+          rd(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+          "lang", "n_chars", "doc_id", shares, budget = 60000L),
+        "lang", "n_chars", shares).orderBy("lang")
+    }),
+
+    // --- sketch set algebra: |A ∩ B| of two orderkey slices by
+    // inclusion-exclusion over three HLL estimates — corpus overlap
+    // answered from sketches alone
+    "k_hll_intersect" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_orderkey").cast("string").as("k"))
+      Sketches.hllIntersect(
+        Sketches.hllSketch(li.where(col("l_orderkey") % 3 =!= 0), "k"),
+        Sketches.hllSketch(li.where(col("l_orderkey") % 2 === 0), "k"),
+        p = 10)
+    }),
+
     // --- co-located join: both sides dispatched on the same key-hash
     // bucket at write time, joined bucket-for-bucket with the right
     // side's bucket broadcast — NEITHER corpus shuffles (plan-pinned in
@@ -3276,6 +3299,34 @@ object SparkEntry {
            WHERE r.rate >= 1.0 OR
              substr(md5('graft.budget:graft' || CAST(d.doc_id AS VARCHAR)), 1, 13) <
                printf('%013x', CAST(floor(r.rate * 4503599627370496) AS BIGINT))""",
+      // mixture audit over the SAME portable sample the u_token_budget
+      // mirror replays, rolled to realized shares vs targets
+      "u_mixture_audit" ->
+        """WITH tot AS (SELECT lang, sum(n_chars) AS t FROM documents GROUP BY lang),
+           r AS (SELECT lang, least(CAST(1.0 AS DOUBLE),
+                   greatest(CAST(0.0 AS DOUBLE), (share * CAST(60000 AS DOUBLE)) / t)) AS rate
+                 FROM (SELECT lang, t,
+                         CASE lang WHEN 'en' THEN CAST(0.4 AS DOUBLE)
+                                   WHEN 'de' THEN CAST(0.5 AS DOUBLE)
+                                   WHEN 'fr' THEN CAST(0.1 AS DOUBLE) END AS share
+                       FROM tot)
+                 WHERE share IS NOT NULL),
+           s AS (SELECT d.lang, d.n_chars
+                 FROM documents d JOIN r USING (lang)
+                 WHERE r.rate >= 1.0 OR
+                   substr(md5('graft.budget:graft' || CAST(d.doc_id AS VARCHAR)), 1, 13) <
+                     printf('%013x', CAST(floor(r.rate * 4503599627370496) AS BIGINT))),
+           g AS (SELECT lang, sum(n_chars) AS weight_sum FROM s GROUP BY lang),
+           z AS (SELECT sum(weight_sum) AS z FROM g)
+           SELECT lang, weight_sum, share,
+             target, round((share - target) / target, 6) AS rel_err
+           FROM (SELECT lang, weight_sum,
+                   round(weight_sum / z, 6) AS share,
+                   CASE lang WHEN 'en' THEN CAST(0.4 AS DOUBLE)
+                             WHEN 'de' THEN CAST(0.5 AS DOUBLE)
+                             WHEN 'fr' THEN CAST(0.1 AS DOUBLE) END AS target
+                 FROM g CROSS JOIN z) t
+           ORDER BY lang""",
       // quantile band: exact linear-interpolated cutoffs = quantile_cont
       "u_quantile_band" ->
         """WITH c AS (SELECT quantile_cont(n_chars, 0.10) AS ql,
@@ -3906,6 +3957,17 @@ object SparkEntry {
         "CAST(l_orderkey AS VARCHAR)", p = 10),
       "k_hll_dataset_group" -> hllOracleSql("lineitem",
         "CAST(l_orderkey AS VARCHAR)", p = 8, groupCol = Some("l_returnflag")),
+      // inclusion-exclusion overlap: three full estimator constructions
+      "k_hll_intersect" -> {
+        def est(where: String) = "(SELECT est FROM (" +
+          hllOracleSql(s"(SELECT l_orderkey FROM lineitem WHERE $where)",
+            "CAST(l_orderkey AS VARCHAR)", p = 10) + "))"
+        val a = est("l_orderkey % 3 <> 0")
+        val b = est("l_orderkey % 2 = 0")
+        val u = est("l_orderkey % 3 <> 0 OR l_orderkey % 2 = 0")
+        s"""SELECT $a AS est_a, $b AS est_b, $u AS est_union,
+              greatest(0.0, round($a + $b - $u, 6)) AS est_intersect"""
+      },
       // count-min: integer cell table + min-probe, reproduced in full; the
       // persisted face's three landings SUM to the identical cells
       "k_cms_estimate" -> cmsOracleSql,

@@ -231,6 +231,31 @@ object Sampling {
       .select(df.columns.map(col): _*) // original schema, original order
   }
 
+  /** Achieved-vs-target mixture audit — the loop-closer after
+    * [[tokenBudgetSample]]/[[temperatureSample]]: given the SAMPLED output,
+    * report each group's realized share of the weight mass against its
+    * target. Returns `(group, weight_sum, share, target, rel_err)`;
+    * groups NOT in `targets` surface with a null target (unplanned mass
+    * is a finding, not a row to hide), and rel_err = (share−target)/target
+    * rounded 6. One partial-aggregated groupBy + a broadcast total —
+    * audit cost is independent of what produced the sample. */
+  def mixtureAudit(df: DataFrame, groupCol: String, weightCol: String,
+                   targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty, "mixtureAudit needs at least one target share")
+    require(targets.values.forall(_ > 0),
+      s"target shares must be > 0 (got $targets)")
+    val totals = df.groupBy(col(groupCol))
+      .agg(sum(col(weightCol)).as("weight_sum"))
+    val z = totals.agg(sum(col("weight_sum")).as("__z"))
+    val target = element_at(typedLit(targets), col(groupCol))
+    totals.crossJoin(broadcast(z))
+      .select(col(groupCol), col("weight_sum"),
+        round(col("weight_sum") / col("__z"), 6).as("share"),
+        target.as("target"),
+        round((round(col("weight_sum") / col("__z"), 6) - target) / target, 6)
+          .as("rel_err"))
+  }
+
   /** Deterministic MIXTURE-ORDER key over weighted sources — the training
     * ORDER face of mixture sampling: reading rows in increasing
     * `mix_order` consumes sources at rates proportional to their WEIGHTS

@@ -241,6 +241,28 @@ object Sketches {
     hllEstimate(graft.io.Reader.readTable(spark, storage, uuid), p, groupCols)
   }
 
+  /** Overlap estimate between two id sets FROM THEIR SKETCHES ALONE —
+    * inclusion-exclusion over three HLL estimates: |A∩B| ≈ est(A) +
+    * est(B) − est(A∪B), where the union estimate comes from [[hllMerge]]
+    * (exact at the register level, so no extra error beyond the three
+    * estimates' ±1.04/√m). The cross-corpus question every landing asks —
+    * "how much of this crawl did we already have" — answered without
+    * touching either corpus: both sketches may be persisted datasets from
+    * months ago. Returns one row `(est_a, est_b, est_union, est_intersect)`
+    * (intersect clamped at 0; for small true overlaps the subtraction's
+    * relative error is large — this is a triage number, not a dedup
+    * decision; [[graft.ops.SeenSet]] is the exact face). Both sketches
+    * must share (p, salt). */
+  def hllIntersect(a: DataFrame, b: DataFrame, p: Int): DataFrame = {
+    def est(df: DataFrame, name: String) =
+      hllEstimate(df, p).select(col("est").as(name))
+    est(a, "est_a")
+      .crossJoin(est(b, "est_b"))
+      .crossJoin(est(hllMerge(a, b), "est_union"))
+      .withColumn("est_intersect",
+        greatest(lit(0.0), round(col("est_a") + col("est_b") - col("est_union"), 6)))
+  }
+
   // =================================================================
   // Count-min sketch — the FREQUENCY sibling of the HLL: "how often does
   // key x occur (or how much weight does it carry)" answerable from a

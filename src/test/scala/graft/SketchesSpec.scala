@@ -285,6 +285,39 @@ class SketchesSpec extends SparkSpec {
     assert(psiShift > 0.0 && psiFar > psiShift, s"shift=$psiShift far=$psiFar")
   }
 
+  test("hllIntersect estimates true overlap within the combined error band") {
+    val a = ids(0, 30000)      // 0..30k
+    val b = ids(20000, 60000)  // 20k..60k -> true overlap 10k
+    val out = Sketches.hllIntersect(
+      Sketches.hllSketch(a, "k"), Sketches.hllSketch(b, "k"), p = 10)
+      .head()
+    val inter = out.getDouble(3)
+    // each estimate carries sd 3.25%; the subtraction amplifies — allow 20%
+    assert(math.abs(inter - 10000) / 10000 < 0.20, s"intersect $inter")
+    assert(out.getDouble(2) <= out.getDouble(0) + out.getDouble(1))
+    // disjoint sets clamp at >= 0 instead of going negative
+    val dj = Sketches.hllIntersect(
+      Sketches.hllSketch(ids(0, 5000), "k"),
+      Sketches.hllSketch(ids(100000, 105000), "k"), p = 10)
+      .head().getDouble(3)
+    assert(dj >= 0.0 && dj < 1500, s"disjoint intersect $dj")
+  }
+
+  test("mixtureAudit: realized shares, null target for unplanned mass") {
+    val df = Seq(("en", 40L), ("en", 20L), ("de", 30L), ("xx", 10L))
+      .toDF("lang", "w")
+    val out = graft.ops.Sampling.mixtureAudit(df, "lang", "w",
+      Map("en" -> 0.6, "de" -> 0.3))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), Option(r.get(3))))).toMap
+    assert(out("en") == ((60L, 0.6, Some(0.6))))
+    assert(out("de") == ((30L, 0.3, Some(0.3))))
+    assert(out("xx")._3.isEmpty, "unplanned group must surface with null target")
+    intercept[IllegalArgumentException] {
+      graft.ops.Sampling.mixtureAudit(df, "lang", "w", Map.empty)
+    }
+  }
+
   test("sketch plan: partial max before one register-keyed exchange") {
     val plan = Sketches.hllSketch(ids(0, 1000), "k")
       .queryExecution.executedPlan.toString
