@@ -4,13 +4,17 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Mergeable distinct-count sketches (HyperLogLog) with an ENGINE-PORTABLE,
-  * EXACT-INTEGER register formulation — the corpus-statistics layer a 100 TB
-  * store needs: "how many distinct documents / URLs / n-grams does this
-  * dataset hold" refreshed on every append WITHOUT rescanning what already
-  * landed. The reference exposes per-dataset observed-value metadata
-  * (`plateau/api/discover.py`, `io/dask/dataframe.py` statistics); this is
-  * the cardinality face of that idea, built as first-class sketch datasets.
+/** The mergeable-sketch suite — distinct counts (HyperLogLog), key
+  * frequencies (count-min), and value quantiles (log-histogram, plus the
+  * PSI drift metric between two histograms and HLL set intersection) — the
+  * corpus-statistics layer a 100 TB store needs: each question answered
+  * from a fixed-size RELATIONAL table that absorbs every landing WITHOUT
+  * rescanning what already landed. The reference exposes per-dataset
+  * observed-value metadata (`plateau/api/discover.py`,
+  * `io/dask/dataframe.py` statistics); this suite is that idea built as
+  * first-class persisted sketch datasets with engine-portable, exact
+  * (integer or rational) constructions a DuckDB oracle reproduces
+  * bit-for-bit. The HLL half below documents the shared design choices.
   *
   * Why not `approx_count_distinct`? Spark's built-in HLL++ is a black-box
   * aggregate: its intermediate buffer is not a stable on-disk contract, it
