@@ -2175,6 +2175,13 @@ object SparkEntry {
       Similarity.embeddingOutliers(rd(s, dir, "embeddings"),
         "embedding", "vec_id", "label", bottomFrac = 0.1)),
 
+    // --- one-call data card: volume, HLL-estimated distinct ids, length
+    // shape from the histogram sketch, language mix, per-source mass —
+    // every metric deterministic, the whole card oracle-checked
+    "a_corpus_report" -> ((s, dir) =>
+      graft.ops.Curate.corpusReport(rd(s, dir, "documents"),
+        "text", "doc_id", "source")),
+
     // --- mixture audit: the loop-closer on the budgeted sample — realized
     // per-lang weight shares vs the targets the sampler was given
     "u_mixture_audit" -> ((s, dir) => {
@@ -2677,6 +2684,46 @@ object SparkEntry {
                / greatest(len(string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+')), 1) AS stop_ratio
            FROM documents""",
       "t_lang_id" -> langCase,
+      // the data card: every section re-derived — volume sums, the full
+      // HLL estimator, the histogram cuts over length(text), the langId
+      // argmax CASE, source rollups — one UNION ALL per section
+      "a_corpus_report" -> {
+        val toks = """string_split_regex(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+')"""
+        val trimmed = """regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')"""
+        val hll = hllOracleSql("documents", "CAST(doc_id AS VARCHAR)", p = 10)
+        val cuts =
+          s"""(WITH v AS (SELECT CAST(length(text) AS BIGINT) AS v
+                 FROM documents WHERE length(text) > 0),
+               b AS (SELECT $histBinSql AS bin, count(*) AS n FROM v GROUP BY 1),
+               c AS (SELECT bin, n, sum(n) OVER (ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+                       (SELECT sum(n) FROM b) AS total_n FROM b),
+               qq AS (SELECT unnest([0.5, 0.99]) AS q),
+               pick AS (SELECT q, min(bin) AS bin FROM c CROSS JOIN qq
+                        WHERE cum_n >= q * total_n GROUP BY q)
+               SELECT q, ${histLoSql("bin")} AS lo,
+                 ${histLoSql("bin + 1")} - 1 AS hi FROM pick)"""
+        s"""SELECT 'docs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM documents
+            UNION ALL
+            SELECT 'chars_total', CAST(sum(length(text)) AS DOUBLE) FROM documents
+            UNION ALL
+            SELECT 'tokens_total', CAST(sum(CASE WHEN len($trimmed) = 0 THEN 0
+              ELSE len($toks) END) AS DOUBLE) FROM documents
+            UNION ALL
+            SELECT 'distinct_ids_est', (SELECT est FROM ($hll))
+            UNION ALL
+            SELECT concat('chars_p', CAST(CAST(round(q * 100, 0) AS INTEGER) AS VARCHAR), '_lo'),
+              CAST(lo AS DOUBLE) FROM $cuts
+            UNION ALL
+            SELECT concat('chars_p', CAST(CAST(round(q * 100, 0) AS INTEGER) AS VARCHAR), '_hi'),
+              CAST(hi AS DOUBLE) FROM $cuts
+            UNION ALL
+            SELECT concat('lang:', lang_pred), CAST(count(*) AS DOUBLE)
+            FROM ($langCase) GROUP BY 1
+            UNION ALL
+            SELECT concat('source:', coalesce(source, '<null>')),
+              CAST(count(*) AS DOUBLE) FROM documents GROUP BY 1"""
+      },
       "t_top_tokens" ->
         """SELECT token, count(*) AS n FROM (
              SELECT unnest(string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+')) AS token

@@ -400,4 +400,55 @@ object Curate {
           secondaryIndices = meta.indexColumns.toSeq.sorted))
     } finally pairs.unpersist()
   }
+
+  /** One-call DATA CARD for a document corpus: `(metric, value)` rows
+    * covering volume (docs, chars, whitespace tokens), identity
+    * (HLL-estimated distinct ids — dup-id landings surface as
+    * est << docs), length shape (p50/p99 char-length bounds from the
+    * log-histogram sketch), predicted language mix, and per-source mass —
+    * the summary a landing publishes next to its header so downstream
+    * consumers see what they're getting without scanning it.
+    *
+    * Every metric is DETERMINISTIC (sketch estimates included), so the
+    * whole card is oracle-checked. Cost: three aggregation passes over
+    * one scan-projection each (volume aggregates fused; sketches are
+    * partial-aggregated; lang/source rollups shuffle only group
+    * skeletons) — no windows, no joins wider than a broadcast. */
+  def corpusReport(df: DataFrame, textCol: String, idCol: String,
+                   sourceCol: String): DataFrame = {
+    val txt = col(textCol)
+    val len = length(txt)
+    val volume = df.agg(
+        count(lit(1)).cast("double").as("docs"),
+        coalesce(sum(len), lit(0)).cast("double").as("chars_total"),
+        coalesce(sum(TextAnalysis.tokenCount(txt)), lit(0)).cast("double")
+          .as("tokens_total"))
+      .select(explode(array(
+        struct(lit("docs").as("metric"), col("docs").as("value")),
+        struct(lit("chars_total").as("metric"), col("chars_total").as("value")),
+        struct(lit("tokens_total").as("metric"), col("tokens_total").as("value"))))
+        .as("m"))
+      .select("m.metric", "m.value")
+    val distinctIds = Sketches.distinctCountApprox(df, idCol)
+      .select(lit("distinct_ids_est").as("metric"), col("est").as("value"))
+    val cutsBase = Sketches.histQuantiles(
+      Sketches.histSketch(df.select(len.as("v")), "v"), Seq(0.5, 0.99))
+    val pName = format_string("chars_p%.0f", col("q") * 100)
+    val cuts = cutsBase
+      .select(concat(pName, lit("_lo")).as("metric"),
+        col("lo").cast("double").as("value"))
+      .unionByName(cutsBase.select(concat(pName, lit("_hi")).as("metric"),
+        col("hi").cast("double").as("value")))
+    val langs = df.select(TextAnalysis.langId(txt).as("l"))
+      .groupBy("l").agg(count(lit(1)).cast("double").as("value"))
+      .select(concat(lit("lang:"), col("l")).as("metric"), col("value"))
+    val sources = df.groupBy(col(sourceCol).as("s"))
+      .agg(count(lit(1)).cast("double").as("value"))
+      .select(concat(lit("source:"),
+        coalesce(col("s").cast("string"), lit("<null>"))).as("metric"),
+        col("value"))
+    volume.unionByName(distinctIds).unionByName(cuts)
+      .unionByName(langs).unionByName(sources)
+      .orderBy("metric")
+  }
 }

@@ -1144,6 +1144,25 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("corpusReport: the data card's sections agree with direct computation") {
+    val card = graft.ops.Curate.corpusReport(docs, "text", "doc_id", "source")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(card("docs") == docs.count().toDouble)
+    assert(card("chars_total") ==
+      docs.agg(sum(length(col("text")))).head().getLong(0).toDouble)
+    val nd = docs.select("doc_id").distinct().count()
+    assert(math.abs(card("distinct_ids_est") - nd) / nd < 0.15)
+    // p50 bounds bracket the exact median length
+    val med = docs.stat.approxQuantile("n_chars", Array(0.5), 0.0).head
+    assert(card("chars_p50_lo") <= med && med <= card("chars_p50_hi") + 1,
+      s"median $med outside [${card("chars_p50_lo")}, ${card("chars_p50_hi")}]")
+    // language and source mass sums back to the corpus
+    assert(card.collect { case (k, v) if k.startsWith("lang:") => v }.sum ==
+      card("docs"))
+    assert(card.collect { case (k, v) if k.startsWith("source:") => v }.sum ==
+      card("docs"))
+  }
+
   test("vocabKl: zero self-drift, positive drift grows with divergence") {
     import spark.implicits._
     val p = Seq.fill(50)("alpha beta gamma delta").toDF("text")
