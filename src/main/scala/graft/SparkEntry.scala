@@ -2107,6 +2107,14 @@ object SparkEntry {
       Sketches.histQuantilesOf(s, histDs(s, dir), "hist",
         Seq(0.25, 0.5, 0.75))),
 
+    // --- MASS-weighted quantiles: where does the median CHARACTER sit —
+    // the packing/budget question (a 100k-char doc counts 100k, not 1)
+    "k_hist_weighted" -> ((s, dir) =>
+      Sketches.histQuantiles(
+        Sketches.histSketch(rd(s, dir, "documents"), "n_chars",
+          weightCol = Some("n_chars")),
+        Seq(0.5, 0.9))),
+
     // --- per-group quantile cuts: one grouped bin table, one windowed
     // walk — p50/p90 doc length PER SOURCE without a corpus re-sort
     "k_hist_by_group" -> ((s, dir) =>
@@ -4022,6 +4030,21 @@ object SparkEntry {
       // log-histogram quantiles: integer bins + cumulative cut, exact
       "k_hist_quantiles" -> histOracleSql(Seq(0.1, 0.5, 0.9, 0.99)),
       "k_hist_dataset" -> histOracleSql(Seq(0.25, 0.5, 0.75)),
+      // mass-weighted cuts: bin mass = sum(n_chars), same walk
+      "k_hist_weighted" ->
+        s"""WITH v AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars > 0),
+            b AS (SELECT $histBinSql AS bin, sum(v) AS n FROM v GROUP BY 1),
+            c AS (SELECT bin, n,
+                    sum(n) OVER (ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+                    (SELECT sum(n) FROM b) AS total_n FROM b),
+            qq AS (SELECT unnest([0.5, 0.9]) AS q),
+            pick AS (SELECT q, min(bin) AS bin FROM c CROSS JOIN qq
+                     WHERE cum_n >= q * total_n GROUP BY q)
+            SELECT q, bin, ${histLoSql("bin")} AS lo,
+              ${histLoSql("bin + 1")} - 1 AS hi, cum_n, total_n
+            FROM pick JOIN c USING (bin) ORDER BY q""",
       // grouped cuts: the same construction partitioned by source
       "k_hist_by_group" ->
         s"""WITH v AS (SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents

@@ -474,14 +474,22 @@ object Sketches {
   /** Build the bin table `(group…, bin: int, n: long)` for a positive-long
     * value column — one partial-aggregated pass, ≤ ~1000 bins (per group).
     * Mergeable by per-bin SUM ([[histMerge]]); NOT replay-idempotent (the
-    * [[cmsMerge]] caveat). */
+    * [[cmsMerge]] caveat).
+    *
+    * `weightCol` switches bin mass from row counts to weight sums, making
+    * [[histQuantiles]] answer MASS-weighted quantiles — "documents of
+    * what length hold the median TOKEN" (the packing/budgeting question,
+    * where a 100k-char document counts 100k, not 1) instead of "the
+    * median document's length". */
   def histSketch(df: DataFrame, valueCol: String,
-                 groupCols: Seq[String] = Nil): DataFrame = {
+                 groupCols: Seq[String] = Nil,
+                 weightCol: Option[String] = None): DataFrame = {
     val v = col(valueCol).cast("long")
+    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
     df.where(v.isNotNull && v > 0)
-      .select((groupCols.map(col) :+ histBin(v).as("bin")): _*)
+      .select((groupCols.map(col) :+ histBin(v).as("bin") :+ w.as("__w")): _*)
       .groupBy((groupCols.map(col) :+ col("bin")): _*)
-      .agg(count(lit(1)).as("n"))
+      .agg(sum("__w").as("n"))
   }
 
   /** Merge bin tables: SUM per bin — associative, commutative, exact. */
@@ -559,28 +567,35 @@ object Sketches {
     qs.toDF("q")
   }
 
-  /** Persist a bin table with the value column pinned in the header. */
+  /** Persist a bin table with the value (and optional weight) column
+    * pinned in the header. */
   def histDataset(spark: SparkSession, storage: graft.store.Storage,
                   uuid: String, df: DataFrame, valueCol: String,
+                  weightCol: Option[String] = None,
                   overwrite: Boolean = false): graft.meta.DatasetMetadata =
-    graft.io.Writer.store(spark, storage, uuid, histSketch(df, valueCol),
+    graft.io.Writer.store(spark, storage, uuid,
+      histSketch(df, valueCol, Nil, weightCol),
       graft.io.Writer.WriteOpts(overwrite = overwrite,
-        metadata = Map("graft.hist.valueCol" -> valueCol)))
+        metadata = Map("graft.hist.valueCol" -> valueCol,
+          "graft.hist.weightCol" -> weightCol.getOrElse(""))))
 
   private[graft] def histParams(storage: graft.store.Storage,
-                                uuid: String): String = {
+                                uuid: String): (String, Option[String]) = {
     val meta = graft.meta.DatasetMetadata.load(storage, uuid)
-    meta.metadata.getOrElse("graft.hist.valueCol",
+    val v = meta.metadata.getOrElse("graft.hist.valueCol",
       throw new IllegalArgumentException(
         s"dataset '$uuid' is not a histogram sketch (missing graft.hist.valueCol)"))
+    (v, meta.metadata.get("graft.hist.weightCol").filter(_.nonEmpty))
   }
 
   /** Append a batch's bins (≤ ~1000 rows; the corpus is never re-read). */
   def histAppend(spark: SparkSession, storage: graft.store.Storage,
-                 uuid: String, batch: DataFrame): graft.meta.DatasetMetadata =
+                 uuid: String, batch: DataFrame): graft.meta.DatasetMetadata = {
+    val (valueCol, weightCol) = histParams(storage, uuid)
     graft.io.Writer.update(spark, storage, uuid,
-      Some(histSketch(batch, histParams(storage, uuid))), Nil,
+      Some(histSketch(batch, valueCol, Nil, weightCol)), Nil,
       graft.io.Writer.WriteOpts())
+  }
 
   /** Quantiles from a persisted bin table: reads only the sketch rows. */
   def histQuantilesOf(spark: SparkSession, storage: graft.store.Storage,

@@ -735,21 +735,24 @@ object Streaming {
                       checkpoint: Option[String] = None,
                       configure: DataStreamWriter[Row] => DataStreamWriter[Row] =
                         _.trigger(Trigger.AvailableNow())): StreamingQuery = {
-    val valueCol = graft.ops.Sketches.histParams(storage, uuid)
+    val params = graft.ops.Sketches.histParams(storage, uuid)
     startGuarded("writeStreamHist", stream, checkpoint, configure) {
       token => (batch: DataFrame, batchId: Long) =>
-        histBatch(storage, uuid, valueCol, token)(batch, batchId)
+        histBatch(storage, uuid, params, token)(batch, batchId)
     }
   }
 
   private[graft] def histBatch(storage: Storage, uuid: String,
-                               valueCol: String, token: Option[String])
+                               params: (String, Option[String]),
+                               token: Option[String])
                               (batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return
     val myToken = token.getOrElse("")
     if (isReplay(storage, uuid, myToken, batchId)) return
+    val (valueCol, weightCol) = params
     Writer.update(batch.sparkSession, storage, uuid,
-      Some(graft.ops.Sketches.histSketch(batch, valueCol)), Nil,
+      Some(graft.ops.Sketches.histSketch(batch, valueCol, Nil, weightCol)),
+      Nil,
       WriteOpts(metadata = Map(LastBatchKey -> batchId.toString,
         RunTokenKey -> myToken)))
     ()

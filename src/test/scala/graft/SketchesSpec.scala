@@ -260,6 +260,29 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("hist: weighted quantiles shift toward the mass, header pins the weight") {
+    // 1000 docs of length 10 and 10 docs of length 100000: the count-median
+    // is 10, but most of the MASS sits in the big docs
+    val df = spark.range(0, 1000).select(lit(10L).as("v"))
+      .unionByName(spark.range(0, 10).select(lit(100000L).as("v")))
+      .withColumn("w", col("v"))
+    val countP50 = Sketches.histQuantiles(
+      Sketches.histSketch(df, "v"), Seq(0.5)).head()
+    assert(countP50.getLong(3) <= 10L)
+    val massP50 = Sketches.histQuantiles(
+      Sketches.histSketch(df, "v", weightCol = Some("w")), Seq(0.5)).head()
+    assert(massP50.getLong(2) > 10000L,
+      s"mass-median should sit in the big docs: $massP50")
+    // persisted weighted face: append accumulates under the pinned weight
+    val store = Storage(spark, tmpDir("hist_w"))
+    Sketches.histDataset(spark, store, "hw",
+      df.where(col("v") === 10), "v", weightCol = Some("w"))
+    Sketches.histAppend(spark, store, "hw", df.where(col("v") =!= 10))
+    val persisted = Sketches.histQuantilesOf(spark, store, "hw", Seq(0.5))
+      .head().getLong(2)
+    assert(persisted == massP50.getLong(2))
+  }
+
   test("hist: grouped quantiles per key; PSI zero on self, grows with shift") {
     val df = spark.range(1, 9001).select(
       (col("id") % 3).cast("string").as("g"),
