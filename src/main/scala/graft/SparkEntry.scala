@@ -2086,6 +2086,17 @@ object SparkEntry {
         .orderBy("l_suppkey")
     }),
 
+    // --- grouped CMS: per-returnflag suppkey frequencies — one cell table
+    // per group in the same pass; probes carry the group column
+    "k_cms_by_group" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem")
+      Sketches.cmsEstimate(
+        Sketches.cmsSketch(li, "l_suppkey", groupCols = Seq("l_returnflag")),
+        li.where(col("l_suppkey") < 4), "l_suppkey",
+        groupCols = Seq("l_returnflag"))
+        .orderBy("l_returnflag", "l_suppkey")
+    }),
+
     // --- persisted CMS across three landings (build + two appends): cell
     // sums accumulate on read; the probe hash-matches the one-shot build
     "k_cms_dataset" -> ((s, dir) =>
@@ -4027,6 +4038,29 @@ object SparkEntry {
       // persisted face's three landings SUM to the identical cells
       "k_cms_estimate" -> cmsOracleSql,
       "k_cms_dataset" -> cmsOracleSql,
+      // grouped cells: the same hash slices partitioned by returnflag
+      "k_cms_by_group" ->
+        """WITH rws AS (SELECT CAST(unnest(range(4)) AS INTEGER) AS row),
+           cells AS (
+             SELECT l_returnflag, row,
+               CAST((CAST(concat('0x', substr(
+                   md5('graft.cms:graft|' || CAST(l_suppkey AS VARCHAR)),
+                   1, 15)) AS BIGINT) >> (row * 15)) % 2048 AS INTEGER) AS bucket,
+               count(*) AS n
+             FROM lineitem CROSS JOIN rws
+             WHERE l_suppkey IS NOT NULL GROUP BY 1, 2, 3),
+           probes AS (
+             SELECT l_returnflag, l_suppkey, row,
+               CAST((CAST(concat('0x', substr(
+                   md5('graft.cms:graft|' || CAST(l_suppkey AS VARCHAR)),
+                   1, 15)) AS BIGINT) >> (row * 15)) % 2048 AS INTEGER) AS bucket
+             FROM (SELECT DISTINCT l_returnflag, l_suppkey FROM lineitem
+                   WHERE l_suppkey < 4)
+             CROSS JOIN rws)
+           SELECT p.l_returnflag, p.l_suppkey, min(coalesce(c.n, 0)) AS est
+           FROM probes p LEFT JOIN cells c
+             USING (l_returnflag, row, bucket)
+           GROUP BY 1, 2""",
       // log-histogram quantiles: integer bins + cumulative cut, exact
       "k_hist_quantiles" -> histOracleSql(Seq(0.1, 0.5, 0.9, 0.99)),
       "k_hist_dataset" -> histOracleSql(Seq(0.25, 0.5, 0.75)),

@@ -326,21 +326,24 @@ object Sketches {
     * corpus never shuffles. */
   def cmsSketch(df: DataFrame, idCol: String, depth: Int = 4,
                 width: Int = 2048, salt: String = "graft",
-                weightCol: Option[String] = None): DataFrame = {
+                weightCol: Option[String] = None,
+                groupCols: Seq[String] = Nil): DataFrame = {
     requireCms(depth, width)
     val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    val g = groupCols.map(col)
     // the hash is STAGED in its own projection BELOW the explode: placed in
     // the same select as the generator it lands above the Generate and runs
     // once per EXPLODED row — depth× the md5+parse, measured 3x the whole
     // sketch (the normStaged lesson, applied to a generator)
     df.where(col(idCol).isNotNull)
-      .select(cmsValue(col(idCol), salt).as("__v"), w.as("__w"))
-      .select(col("__v"), col("__w"),
-        explode(typedLit((0 until depth).toArray)).as("row"))
-      .select(col("row"),
-        cmsBucket(col("__v"), col("row"), width).as("bucket"),
-        col("__w"))
-      .groupBy("row", "bucket").agg(sum("__w").as("n"))
+      .select((g :+ cmsValue(col(idCol), salt).as("__v") :+ w.as("__w")): _*)
+      .select((g :+ col("__v") :+ col("__w") :+
+        explode(typedLit((0 until depth).toArray)).as("row")): _*)
+      .select((g :+ col("row") :+
+        cmsBucket(col("__v"), col("row"), width).as("bucket") :+
+        col("__w")): _*)
+      .groupBy((g :+ col("row") :+ col("bucket")): _*)
+      .agg(sum("__w").as("n"))
   }
 
   /** Merge cell tables built with the SAME (depth, width, salt): SUM per
@@ -367,20 +370,27 @@ object Sketches {
     * ([[cmsQuery]]), which pins the family from the dataset header. */
   def cmsEstimate(sketch: DataFrame, keys: DataFrame, idCol: String,
                   depth: Int = 4, width: Int = 2048,
-                  salt: String = "graft"): DataFrame = {
+                  salt: String = "graft",
+                  groupCols: Seq[String] = Nil): DataFrame = {
     requireCms(depth, width)
-    val cells = sketch.groupBy("row", "bucket").agg(sum("n").as("n"))
-    val probes = keys.select(col(idCol)).where(col(idCol).isNotNull).distinct()
-      .select(col(idCol), cmsValue(col(idCol), salt).as("__v")) // staged: see cmsSketch
-      .select(col(idCol), col("__v"),
-        explode(typedLit((0 until depth).toArray)).as("row"))
-      .select(col(idCol), col("row"),
-        cmsBucket(col("__v"), col("row"), width).as("bucket"))
-    // cells are bounded by depth·width after the re-SUM — broadcast THAT
-    // side (a right-outer can't build its preserved side, so the natural
-    // "broadcast the probes" spelling silently degrades to a shuffle)
-    probes.join(broadcast(cells), Seq("row", "bucket"), "left")
-      .groupBy(col(idCol))
+    val g = groupCols.map(col)
+    val cells = sketch.groupBy((g :+ col("row") :+ col("bucket")): _*)
+      .agg(sum("n").as("n"))
+    val probes = keys.select((g :+ col(idCol)): _*)
+      .where(col(idCol).isNotNull).distinct()
+      .select((g :+ col(idCol) :+
+        cmsValue(col(idCol), salt).as("__v")): _*) // staged: see cmsSketch
+      .select((g :+ col(idCol) :+ col("__v") :+
+        explode(typedLit((0 until depth).toArray)).as("row")): _*)
+      .select((g :+ col(idCol) :+ col("row") :+
+        cmsBucket(col("__v"), col("row"), width).as("bucket")): _*)
+    // cells are bounded by depth·width (per group) after the re-SUM —
+    // broadcast THAT side (a right-outer can't build its preserved side,
+    // so the natural "broadcast the probes" spelling silently degrades to
+    // a shuffle)
+    probes.join(broadcast(cells),
+        groupCols ++ Seq("row", "bucket"), "left")
+      .groupBy((g :+ col(idCol)): _*)
       .agg(min(coalesce(col("n"), lit(0L))).as("est"))
   }
 
@@ -390,26 +400,30 @@ object Sketches {
                  uuid: String, df: DataFrame, idCol: String,
                  depth: Int = 4, width: Int = 2048, salt: String = "graft",
                  weightCol: Option[String] = None,
+                 groupCols: Seq[String] = Nil,
                  overwrite: Boolean = false): graft.meta.DatasetMetadata = {
     requireCms(depth, width)
     graft.io.Writer.store(spark, storage, uuid,
-      cmsSketch(df, idCol, depth, width, salt, weightCol),
+      cmsSketch(df, idCol, depth, width, salt, weightCol, groupCols),
       graft.io.Writer.WriteOpts(overwrite = overwrite, metadata = Map(
         "graft.cms.depth" -> depth.toString,
         "graft.cms.width" -> width.toString,
         "graft.cms.salt" -> salt,
         "graft.cms.idCol" -> idCol,
-        "graft.cms.weightCol" -> weightCol.getOrElse(""))))
+        "graft.cms.weightCol" -> weightCol.getOrElse(""),
+        "graft.cms.groupCols" -> groupCols.mkString(","))))
   }
 
-  private[graft] def cmsParams(storage: graft.store.Storage,
-                               uuid: String): (Int, Int, String, String, Option[String]) = {
+  private[graft] def cmsParams(storage: graft.store.Storage, uuid: String):
+      (Int, Int, String, String, Option[String], Seq[String]) = {
     val meta = graft.meta.DatasetMetadata.load(storage, uuid)
     def param(k: String): String = meta.metadata.getOrElse(s"graft.cms.$k",
       throw new IllegalArgumentException(
         s"dataset '$uuid' is not a count-min sketch (missing graft.cms.$k)"))
     (param("depth").toInt, param("width").toInt, param("salt"),
-      param("idCol"), Some(param("weightCol")).filter(_.nonEmpty))
+      param("idCol"), Some(param("weightCol")).filter(_.nonEmpty),
+      meta.metadata.getOrElse("graft.cms.groupCols", "")
+        .split(',').toSeq.filter(_.nonEmpty))
   }
 
   /** Append a batch's cells to a persisted CMS — the batch is sketched
@@ -419,20 +433,22 @@ object Sketches {
     * feed this from an exactly-once source. */
   def cmsAppend(spark: SparkSession, storage: graft.store.Storage,
                 uuid: String, batch: DataFrame): graft.meta.DatasetMetadata = {
-    val (depth, width, salt, idCol, weightCol) = cmsParams(storage, uuid)
+    val (depth, width, salt, idCol, weightCol, groupCols) =
+      cmsParams(storage, uuid)
     graft.io.Writer.update(spark, storage, uuid,
-      Some(cmsSketch(batch, idCol, depth, width, salt, weightCol)), Nil,
-      graft.io.Writer.WriteOpts())
+      Some(cmsSketch(batch, idCol, depth, width, salt, weightCol, groupCols)),
+      Nil, graft.io.Writer.WriteOpts())
   }
 
   /** Probe a persisted CMS with a key set: reads only the cell dataset
-    * (≤ depth·width rows per landed generation), never any corpus. */
+    * (≤ depth·width rows per landed generation), never any corpus. For a
+    * grouped sketch the probe keys must carry the group columns too. */
   def cmsQuery(spark: SparkSession, storage: graft.store.Storage,
                uuid: String, keys: DataFrame,
                keyCol: String): DataFrame = {
-    val (depth, width, salt, _, _) = cmsParams(storage, uuid)
+    val (depth, width, salt, _, _, groupCols) = cmsParams(storage, uuid)
     cmsEstimate(graft.io.Reader.readTable(spark, storage, uuid),
-      keys, keyCol, depth, width, salt)
+      keys, keyCol, depth, width, salt, groupCols)
   }
 
   // =================================================================

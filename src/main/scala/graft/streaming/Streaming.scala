@@ -714,16 +714,17 @@ object Streaming {
   }
 
   private[graft] def cmsBatch(storage: Storage, uuid: String,
-                              params: (Int, Int, String, String, Option[String]),
+                              params: (Int, Int, String, String,
+                                Option[String], Seq[String]),
                               token: Option[String])
                              (batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return
     val myToken = token.getOrElse("")
     if (isReplay(storage, uuid, myToken, batchId)) return
-    val (depth, width, salt, idCol, weightCol) = params
+    val (depth, width, salt, idCol, weightCol, groupCols) = params
     Writer.update(batch.sparkSession, storage, uuid,
       Some(graft.ops.Sketches.cmsSketch(batch, idCol, depth, width, salt,
-        weightCol)), Nil,
+        weightCol, groupCols)), Nil,
       WriteOpts(metadata = Map(LastBatchKey -> batchId.toString,
         RunTokenKey -> myToken)))
     ()
