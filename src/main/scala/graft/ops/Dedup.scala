@@ -881,7 +881,16 @@ object Dedup {
       s"maxHamming must be in [0, bands) for exact banded coverage " +
         s"(got maxHamming=$maxHamming, bands=$bands); raise bands for a " +
         "larger radius")
-    val bt = sigs.select(col("id"),
+    // the full signatures RIDE the band rows (2 extra longs), so Hamming
+    // is verified inside the join's own projection and a failed candidate
+    // dies before any further exchange. The alternative — distinct() over
+    // the raw candidate mass, then two joins back to sigs — shuffles the
+    // whole per-band collision product (~n²/2^width per band: at 15k rows
+    // per 16-bit band that is millions of rows of pure birthday noise)
+    // three more times; measured 4.7s -> sub-second on the video face.
+    // Band multiplicity of a surviving pair collapses in the final
+    // aggregate instead of a pre-join distinct.
+    val bt = sigs.select(col("id"), col("h1"), col("h2"),
       explode(hammingBands(col("h1"), col("h2"), bands)).as("band"))
     val capped =
       if (maxBucketSize <= 0) bt
@@ -889,17 +898,16 @@ object Dedup {
         bt.groupBy("band").agg(count(lit(1)).as("__b"))
           .where(col("__b") > maxBucketSize).select("band"),
         Seq("band"), "left_anti")
-    val pairs = selfJoinPairs(capped, "band").distinct()
-    pairs
-      .join(sigs.select(col("id").as("id_a"), col("h1").as("__1a"),
-        col("h2").as("__2a")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("h1").as("__1b"),
-        col("h2").as("__2b")), "id_b")
-      .withColumn("hamming",
-        bit_count(col("__1a").bitwiseXOR(col("__1b"))) +
-          bit_count(col("__2a").bitwiseXOR(col("__2b"))))
+    // identical child plans under aliases: the band-table shuffle is a
+    // ReusedExchange, not a second shuffle (the selfJoinPairs discipline)
+    capped.as("l").join(capped.as("r"),
+        col("l.band") === col("r.band") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        (bit_count(col("l.h1").bitwiseXOR(col("r.h1"))) +
+          bit_count(col("l.h2").bitwiseXOR(col("r.h2")))).as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("hamming"))
   }
 
   /** The audited hash-vs-decoded-evidence recall core both media guards
@@ -921,14 +929,23 @@ object Dedup {
       col("h2").as("__2a"), col("profile").as("__ga"))
     val rhs = sigs.select(col("id").as("id_b"), col("h1").as("__1b"),
       col("h2").as("__2b"), col("profile").as("__gb"))
-    val pairs = lhs.join(rhs, col("id_a") < col("id_b"))
-      .withColumn("__dist", dist(col("__ga"), col("__gb")))
-      .where(col("__dist") <= epsFloor)
+    // the profile-distance floor sits INSIDE the join condition: a
+    // non-eligible pair never materializes a joined row carrying two
+    // profile arrays, and only the (id_a, id_b, __ham) skeleton of the
+    // eligible pairs (group-mates — a tiny fraction of auditCap²) leaves
+    // the join. Checkpointed because the recall scalar's aggregate reads
+    // the eligible frame three times (intersection + both counts) — the
+    // crossJoin must not run three times over.
+    val pairs = lhs.join(rhs,
+        col("id_a") < col("id_b") &&
+          dist(col("__ga"), col("__gb")) <= epsFloor)
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("__1a").bitwiseXOR(col("__1b"))) +
+          bit_count(col("__2a").bitwiseXOR(col("__2b")))).as("__ham"))
+      .localCheckpoint(false)
     def pairKeyed(p: DataFrame): DataFrame =
       p.select(concat_ws(":", col("id_a"), col("id_b")).as("pair"))
-    val close = pairs.where(
-      bit_count(col("__1a").bitwiseXOR(col("__1b"))) +
-        bit_count(col("__2a").bitwiseXOR(col("__2b"))) <= maxHamming)
+    val close = pairs.where(col("__ham") <= maxHamming)
     Similarity.withAuditedSetRecallGuard(output, pairKeyed(close),
       pairKeyed(pairs), "pair", minRecall)
   }
@@ -1360,7 +1377,13 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming < bands,
       s"maxHamming must be in [0, bands) for exact banded coverage " +
         s"(got maxHamming=$maxHamming, bands=$bands)")
-    val bt = sigs.select(col("vid"), col("frame_idx"),
+    // frame signatures ride the band rows and Hamming is verified inside
+    // the join projection (the bandedHammingPairs shape): the per-band
+    // collision product never survives past the join's fused filter, and
+    // band multiplicity is harmless under countDistinct/min — no distinct,
+    // no join-backs (measured: the distinct-then-refetch form spent ~5s on
+    // 6.3M birthday-collision candidate rows at 15k frames)
+    val bt = sigs.select(col("vid"), col("frame_idx"), col("h1"), col("h2"),
       explode(hammingBands(col("h1"), col("h2"), bands)).as("band"))
     val capped =
       if (maxBucketSize <= 0) bt
@@ -1370,20 +1393,14 @@ object Dedup {
         Seq("band"), "left_anti")
     // cross-VIDEO frame-pair candidates: same band, id_a < id_b — a
     // video never matches itself, and each unordered video pair surfaces
-    // once
-    val cands = capped.as("l").join(capped.as("r"),
+    // once; identical child plans under aliases keep the band-table
+    // shuffle a ReusedExchange
+    capped.as("l").join(capped.as("r"),
         col("l.band") === col("r.band") && col("l.vid") < col("r.vid"))
       .select(col("l.vid").as("id_a"), col("l.frame_idx").as("__fa"),
-        col("r.vid").as("id_b"), col("r.frame_idx").as("__fb"))
-      .distinct()
-    cands
-      .join(sigs.select(col("vid").as("id_a"), col("frame_idx").as("__fa"),
-        col("h1").as("__1a"), col("h2").as("__2a")), Seq("id_a", "__fa"))
-      .join(sigs.select(col("vid").as("id_b"), col("frame_idx").as("__fb"),
-        col("h1").as("__1b"), col("h2").as("__2b")), Seq("id_b", "__fb"))
-      .withColumn("__ham",
-        bit_count(col("__1a").bitwiseXOR(col("__1b"))) +
-          bit_count(col("__2a").bitwiseXOR(col("__2b"))))
+        col("r.vid").as("id_b"),
+        (bit_count(col("l.h1").bitwiseXOR(col("r.h1"))) +
+          bit_count(col("l.h2").bitwiseXOR(col("r.h2")))).as("__ham"))
       .where(col("__ham") <= maxHamming)
       .groupBy(col("id_a"), col("id_b"))
       .agg(countDistinct(col("__fa")).as("shared_frames"),
