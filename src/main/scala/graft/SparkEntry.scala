@@ -123,6 +123,29 @@ object SparkEntry {
     store
   }
 
+  /** Synthetic media corpus rendered + encoded ONCE per JVM per scale dir
+    * and landed as plain parquet — the `ensure` discipline for payload
+    * fixtures. The media contract queries time what a real curation job
+    * runs (read stored payload bytes -> decode -> hash -> join -> guard),
+    * not the fixture's render+encode pass: real corpora arrive as bytes
+    * on storage, nothing synthesizes its input in-plan. Payload bytes are
+    * identical to the former in-plan synthesis (the generators are
+    * deterministic), so every closed-form oracle is unchanged. Reading
+    * from parquet also restores column pruning for the guards' id-ranking
+    * pass — an RDD-backed synthetic source re-rendered every payload just
+    * to rank ids. */
+  private def mediaFx(s: SparkSession, dir: String, table: String)
+                     (mk: => DataFrame): DataFrame = {
+    val path = s"${tmpBase(dir)}/media_$table"
+    synchronized {
+      if (!built.contains(path)) {
+        mk.write.mode("overwrite").parquet(path)
+        built.add(path)
+      }
+    }
+    s.read.parquet(path)
+  }
+
   /** Persisted HLL sketch of lineitem's orderkeys, built in two landings
     * (80% build + 20% append) — the k_hll_dataset face reads ONLY this
     * register dataset, never the corpus: the append-without-rescan
@@ -1644,18 +1667,23 @@ object SparkEntry {
     // machinery is oracle-checked or guard-audited on its own face
     // (m_image_hash, d_image_neardups, d_dedup_exact, u_portable_split)
     "d_curate_media" -> ((s, dir) => {
-      val docs = rd(s, dir, "documents")
-        .select(col("doc_id"),
-          (col("doc_id") - pmod(col("doc_id"), lit(5L))).as("seed"),
-          lit(0L).as("jitter"))
-      val pngs = Multimodal.syntheticStripePng(par(s, docs), "doc_id",
-        "seed", "jitter")
+      // same stored corpus as d_image_neardups; the planted prey are
+      // derived from the READ payloads — byte-identical copies need no
+      // re-render, and the corrupt rows are three literal bytes
+      val pngs = mediaFx(s, dir, "png_seeded") {
+        val docs = rd(s, dir, "documents")
+          .select(col("doc_id"),
+            (col("doc_id") - pmod(col("doc_id"), lit(5L))).as("seed"),
+            lit(0L).as("jitter"))
+        Multimodal.syntheticStripePng(par(s, docs), "doc_id", "seed", "jitter")
+      }
       // byte-identical copies re-keyed above the id space + in-plan
       // corrupt payloads: the stage-1 and stage-2 prey
       val withCopies = pngs
         .unionByName(pngs.where(pmod(col("doc_id"), lit(7L)) === 0)
           .withColumn("doc_id", col("doc_id") + 10000000L))
-        .unionByName(docs.where(pmod(col("doc_id"), lit(100L)) === 99)
+        .unionByName(rd(s, dir, "documents")
+          .where(pmod(col("doc_id"), lit(100L)) === 99)
           .select((col("doc_id") + 20000000L).as("doc_id"),
             lit(Array[Byte](1, 2, 3)).as("payload")))
       graft.ops.Curate.curateMedia(withCopies, "doc_id",
@@ -1839,7 +1867,8 @@ object SparkEntry {
     // through the JDK PNG encoder AND decoder; the oracle reproduces the
     // stats arithmetically, so a match proves the codec round trip happened
     "m_decode" -> ((s, dir) => {
-      val pngs = Multimodal.syntheticPng(rd(s, dir, "documents").select("doc_id"), "doc_id")
+      val pngs = mediaFx(s, dir, "png_solid")(Multimodal.syntheticPng(
+        par(s, rd(s, dir, "documents").select("doc_id")), "doc_id"))
       Multimodal.decodeImages(pngs, "doc_id")
     }),
 
@@ -1848,8 +1877,8 @@ object SparkEntry {
     // answer (solid images resize to themselves at the new dims), so a hash
     // match proves BOTH codec passes and the resample executed
     "m_resize" -> ((s, dir) => {
-      val pngs = Multimodal.syntheticPng(
-        par(s, rd(s, dir, "documents").select("doc_id")), "doc_id")
+      val pngs = mediaFx(s, dir, "png_solid")(Multimodal.syntheticPng(
+        par(s, rd(s, dir, "documents").select("doc_id")), "doc_id"))
       Multimodal.decodeImages(
         Multimodal.resizeImages(pngs, "doc_id", width = 4, height = 3),
         "doc_id")
@@ -1860,7 +1889,8 @@ object SparkEntry {
     // recomputes the RMS arithmetically from the id, so a hash match proves
     // the codec round trip happened
     "m_audio" -> ((s, dir) => {
-      val wavs = Multimodal.syntheticWav(rd(s, dir, "documents").select("doc_id"), "doc_id")
+      val wavs = mediaFx(s, dir, "wav")(Multimodal.syntheticWav(
+        par(s, rd(s, dir, "documents").select("doc_id")), "doc_id"))
       Multimodal.decodeAudio(wavs, "doc_id")
     }),
 
@@ -1872,7 +1902,8 @@ object SparkEntry {
     // stays stubbed (no JDK video codec) — this is the decode-free metadata
     // pass a curation pipeline filters on first anyway
     "m_video" -> ((s, dir) => {
-      val mp4s = Multimodal.syntheticMp4(rd(s, dir, "documents").select("doc_id"), "doc_id")
+      val mp4s = mediaFx(s, dir, "mp4")(Multimodal.syntheticMp4(
+        par(s, rd(s, dir, "documents").select("doc_id")), "doc_id"))
       Multimodal.probeVideo(mp4s, "doc_id")
     }),
 
@@ -1885,8 +1916,8 @@ object SparkEntry {
     // ran (decoded GRAY is JPEG-quantized, pinned by spec tolerance, so
     // mean_px stays out of the hash-checked projection)
     "m_video_frames" -> ((s, dir) => {
-      val avis = Multimodal.syntheticAvi(
-        par(s, rd(s, dir, "documents").select("doc_id")), "doc_id")
+      val avis = mediaFx(s, dir, "avi_plain")(Multimodal.syntheticAvi(
+        par(s, rd(s, dir, "documents").select("doc_id")), "doc_id"))
       Multimodal.decodeVideoFrames(avis, "doc_id")
         .select("doc_id", "frame_idx", "width", "height")
     }),
@@ -1901,10 +1932,12 @@ object SparkEntry {
     // through m_image_hash (same grid-hash definition) + m_video_frames
     // (same RIFF walk + JPEG decode)
     "d_video_neardups" -> ((s, dir) => {
-      val docs = rd(s, dir, "documents")
-        .select(col("doc_id"),
-          (col("doc_id") - pmod(col("doc_id"), lit(5L))).as("seed"))
-      val avis = Multimodal.syntheticAvi(par(s, docs), "doc_id", "seed")
+      val avis = mediaFx(s, dir, "avi_seeded") {
+        val docs = rd(s, dir, "documents")
+          .select(col("doc_id"),
+            (col("doc_id") - pmod(col("doc_id"), lit(5L))).as("seed"))
+        Multimodal.syntheticAvi(par(s, docs), "doc_id", "seed")
+      }
       Dedup.withVideoHashRecallGuard(
         Dedup.videoNearDups(avis, "doc_id", minSharedFrames = 2),
         avis, "doc_id")
@@ -1916,8 +1949,8 @@ object SparkEntry {
     // energies are exact integer sums of closed-form sample squares), so
     // a match proves the decode -> window -> bit pipeline ran
     "m_audio_hash" -> ((s, dir) => {
-      val wavs = Multimodal.syntheticWav(
-        par(s, rd(s, dir, "documents").select("doc_id")), "doc_id")
+      val wavs = mediaFx(s, dir, "wav")(Multimodal.syntheticWav(
+        par(s, rd(s, dir, "documents").select("doc_id")), "doc_id"))
       Multimodal.audioHash(wavs, "doc_id")
     }),
 
@@ -1929,14 +1962,15 @@ object SparkEntry {
     // maxHamming < bands); rows-only, with the in-plan guard auditing
     // hash proximity against exact decoded energy-envelope distance
     "d_audio_neardups" -> ((s, dir) => {
-      val docs = rd(s, dir, "documents")
-        .select(col("doc_id"),
-          (col("doc_id") - pmod(col("doc_id"), lit(5L))).as("seed"),
-          when(pmod(col("doc_id"), lit(3L)) === 0, "wav")
-            .when(pmod(col("doc_id"), lit(3L)) === 1, "aiff")
-            .otherwise("au").as("container"))
-      val clips = Multimodal.syntheticAudio(par(s, docs), "doc_id", "seed",
-        "container")
+      val clips = mediaFx(s, dir, "audio_mixed") {
+        val docs = rd(s, dir, "documents")
+          .select(col("doc_id"),
+            (col("doc_id") - pmod(col("doc_id"), lit(5L))).as("seed"),
+            when(pmod(col("doc_id"), lit(3L)) === 0, "wav")
+              .when(pmod(col("doc_id"), lit(3L)) === 1, "aiff")
+              .otherwise("au").as("container"))
+        Multimodal.syntheticAudio(par(s, docs), "doc_id", "seed", "container")
+      }
       Dedup.withAudioHashRecallGuard(
         Dedup.audioNearDups(clips, "doc_id", maxHamming = 7),
         clips, "doc_id", maxHamming = 7)
@@ -1950,8 +1984,8 @@ object SparkEntry {
     // and that the hash is resolution-invariant (same id family, three
     // widths x two heights)
     "m_image_hash" -> ((s, dir) => {
-      val pngs = Multimodal.syntheticStripePng(
-        par(s, rd(s, dir, "documents").select("doc_id")), "doc_id")
+      val pngs = mediaFx(s, dir, "png_stripes")(Multimodal.syntheticStripePng(
+        par(s, rd(s, dir, "documents").select("doc_id")), "doc_id"))
       Multimodal.imageHash(pngs, "doc_id")
     }),
 
@@ -1965,12 +1999,13 @@ object SparkEntry {
     // hash proximity against EXACT decoded-channel distance on a bounded
     // sample and fails loudly below 0.9
     "d_image_neardups" -> ((s, dir) => {
-      val docs = rd(s, dir, "documents")
-        .select(col("doc_id"),
-          (col("doc_id") - pmod(col("doc_id"), lit(5L))).as("seed"),
-          lit(0L).as("jitter"))
-      val pngs = Multimodal.syntheticStripePng(par(s, docs), "doc_id",
-        "seed", "jitter")
+      val pngs = mediaFx(s, dir, "png_seeded") {
+        val docs = rd(s, dir, "documents")
+          .select(col("doc_id"),
+            (col("doc_id") - pmod(col("doc_id"), lit(5L))).as("seed"),
+            lit(0L).as("jitter"))
+        Multimodal.syntheticStripePng(par(s, docs), "doc_id", "seed", "jitter")
+      }
       Dedup.withImageHashRecallGuard(
         Dedup.imageNearDups(pngs, "doc_id", maxHamming = 7),
         pngs, "doc_id", maxHamming = 7)
