@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal}
+
+/** Stage-level timing probe for the media near-dup contract queries.
+  * Each timed lambda constructs its FULL plan from scratch (fresh
+  * localCheckpoints, like a Bench timed run does) so stage costs are not
+  * hidden by reused checkpointed RDDs. Diagnostic main, not part of the
+  * contract surface. */
+object ProbeMedia {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = Sessions.local(cpus, "probe-media")
+    spark.sparkContext.setLogLevel("WARN")
+    def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        (col("doc_id") - pmod(col("doc_id"), lit(5L))).as("seed"))
+      .repartition(spark.sparkContext.defaultParallelism)
+
+    def time(name: String)(f: => DataFrame): Unit = {
+      f.queryExecution.toRdd.count() // warm
+      val t0 = System.nanoTime()
+      val n = f.queryExecution.toRdd.count()
+      println(f"PROBE $name ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+    }
+
+    def avis = Multimodal.syntheticAvi(docs, "doc_id", "seed")
+    time("avi_synth")(avis)
+    time("avi_synth_hash")(Multimodal.videoFrameHashes(avis, "doc_id", "payload"))
+    time("avi_pairs_noguard")(Dedup.videoNearDups(avis, "doc_id", minSharedFrames = 2))
+    time("avi_full")(Dedup.withVideoHashRecallGuard(
+      Dedup.videoNearDups(avis, "doc_id", minSharedFrames = 2), avis, "doc_id"))
+
+    def clips = Multimodal.syntheticAudio(
+      docs.withColumn("container",
+        when(pmod(col("doc_id"), lit(3L)) === 0, "wav")
+          .when(pmod(col("doc_id"), lit(3L)) === 1, "aiff")
+          .otherwise("au")), "doc_id", "seed", "container")
+    time("audio_synth")(clips)
+    time("audio_synth_hash")(Multimodal.audioHash(clips, "doc_id"))
+    time("audio_pairs_noguard")(Dedup.audioNearDups(clips, "doc_id", maxHamming = 7))
+    time("audio_full")(Dedup.withAudioHashRecallGuard(
+      Dedup.audioNearDups(clips, "doc_id", maxHamming = 7), clips, "doc_id",
+      maxHamming = 7))
+
+    def pngs = Multimodal.syntheticStripePng(
+      docs.withColumn("jitter", lit(0L)), "doc_id", "seed", "jitter")
+    time("png_synth")(pngs)
+    time("png_hash")(Multimodal.imageHash(pngs, "doc_id"))
+    time("png_pairs_noguard")(Dedup.imageNearDups(pngs, "doc_id", maxHamming = 7))
+    time("png_full")(Dedup.withImageHashRecallGuard(
+      Dedup.imageNearDups(pngs, "doc_id", maxHamming = 7), pngs, "doc_id",
+      maxHamming = 7))
+    spark.stop()
+  }
+}

@@ -69,8 +69,16 @@ object Clustering {
     * docs with >= 1 token). Null labels are excluded — an unlabeled row
     * can seed no centroid. */
   def labelCentroids(df: DataFrame, textCol: String, idCol: String,
-                     labelCol: String, dims: Int = 64): DataFrame = {
-    val labeled = hashedTermWeights(df, textCol, idCol, dims)
+                     labelCol: String, dims: Int = 64): DataFrame =
+    labelCentroidsOf(hashedTermWeights(df, textCol, idCol, dims),
+      df, idCol, labelCol)
+
+  /** [[labelCentroids]] over an ALREADY-built hashed-TF frame — the
+    * shared-pass face: [[assignByLabelCentroids]] derives weights once and
+    * feeds both the centroid build and the assignment. */
+  private def labelCentroidsOf(weights: DataFrame, df: DataFrame,
+                               idCol: String, labelCol: String): DataFrame = {
+    val labeled = weights
       .join(df.where(col(labelCol).isNotNull)
         .select(col(idCol).as("id"), col(labelCol).cast("string").as("cluster")),
         "id")
@@ -107,9 +115,14 @@ object Clustering {
     * document actually sit closest to? (Docs re-attributed AWAY from
     * their shipped label are the mislabel/contamination candidates.) */
   def assignByLabelCentroids(df: DataFrame, textCol: String, idCol: String,
-                             labelCol: String, dims: Int = 64): DataFrame =
-    assignToCentroids(hashedTermWeights(df, textCol, idCol, dims),
-      labelCentroids(df, textCol, idCol, labelCol, dims))
+                             labelCol: String, dims: Int = 64): DataFrame = {
+    // ONE tokenize+hash pass: the centroid build and the assignment both
+    // read the materialized hashed-TF frame (the clusterDocuments
+    // discipline) instead of re-deriving it from the corpus
+    val weights = hashedTermWeights(df, textCol, idCol, dims)
+      .localCheckpoint(true)
+    assignToCentroids(weights, labelCentroidsOf(weights, df, idCol, labelCol))
+  }
 
   /** Unsupervised domain discovery: spherical k-means over the hashed-TF
     * space. Centroids train on the shared driver-side deterministic
@@ -119,7 +132,18 @@ object Clustering {
     * named `c0..c<k-1>` (trainer order — deterministic). */
   def clusterDocuments(df: DataFrame, textCol: String, idCol: String,
                        k: Int, dims: Int = 64, iters: Int = 5,
-                       trainCap: Int = 100000): DataFrame = {
+                       trainCap: Int = 100000): DataFrame =
+    clusterDocumentsWithWeights(df, textCol, idCol, k, dims, iters,
+      trainCap)._1
+
+  /** [[clusterDocuments]] also returning the materialized hashed-TF frame
+    * it clustered on — [[withClusterBaselineGuard]] (and any downstream
+    * per-dim statistics) share the one tokenize+hash pass instead of
+    * re-deriving it from the corpus. */
+  def clusterDocumentsWithWeights(df: DataFrame, textCol: String,
+                                  idCol: String, k: Int, dims: Int = 64,
+                                  iters: Int = 5, trainCap: Int = 100000)
+      : (DataFrame, DataFrame) = {
     require(k >= 1, s"k must be >= 1 (got $k)")
     val weights = hashedTermWeights(df, textCol, idCol, dims)
       .localCheckpoint(true) // trainer sample + assignment share one pass
@@ -138,7 +162,7 @@ object Clustering {
         (f"c${ci}%03d", d.toLong, v)
       }
     }.toDF("cluster", "dim", "c")
-    assignToCentroids(weights, cdf)
+    (assignToCentroids(weights, cdf), weights)
   }
 
   private val MetaDims = "graft.cluster.dims"

@@ -329,7 +329,12 @@ object Similarity {
                             idCol: String, minRecall: Double,
                             fixedDenom: Option[Int], errorPrefix: String,
                             errorSuffix: String): DataFrame = {
-    val exactIds = exact.select(col(idCol)).distinct()
+    // the exact face feeds BOTH the intersection semi-join and the
+    // denominator count — without a checkpoint its whole lineage (an
+    // audit-sample shingle join, an all-pairs cosine) executes twice per
+    // guarded query. Lazy: materializes on the guarded query's first
+    // action, storing only the distinct id projection.
+    val exactIds = exact.select(col(idCol)).distinct().localCheckpoint(false)
     val inter = approx.select(col(idCol)).distinct()
       .join(exactIds, Seq(idCol), "left_semi")
       .agg(count(lit(1)).as("__i"))
