@@ -1130,6 +1130,43 @@ object SparkEntry {
           col("view_event_id"), col("view_value"))
     }),
 
+    // --- range join, point-in-interval face: views inside the hour
+    // BEFORE each purchase of the same user (window attribution) — a
+    // bucketized equi-join on (user, hour-cell), never the per-key
+    // all-pairs theta join Spark would plan for the raw inequality
+    "j_range_point" -> ((s, dir) => {
+      val ev0 = rd(s, dir, "events")
+      val ev = ev0.withColumn("ts", tsNanos(ev0, "ts"))
+      val hour = 3600L * 1000 * 1000 * 1000
+      val v = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"), col("ts"))
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          (col("ts") - lit(hour)).as("w_start"), col("ts").as("w_end"))
+      graft.ops.RangeJoin.pointInInterval(v, p, "ts", "w_start", "w_end",
+          bucketWidth = hour, keys = Seq("user_id"))
+        .select("purchase_id", "view_id", "user_id")
+    }),
+
+    // --- range join, interval-overlap face: purchase windows [t, t+2h]
+    // paired with same-user view windows [t, t+2h] that overlap them —
+    // each qualifying pair surfaces exactly once (canonical-cell keep),
+    // no post-join distinct
+    "j_range_overlap" -> ((s, dir) => {
+      val ev0 = rd(s, dir, "events")
+      val ev = ev0.withColumn("ts", tsNanos(ev0, "ts"))
+      val twoH = 2L * 3600 * 1000 * 1000 * 1000
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("a_start"), (col("ts") + lit(twoH)).as("a_end"))
+      val v = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("b_start"), (col("ts") + lit(twoH)).as("b_end"))
+      graft.ops.RangeJoin.intervalOverlap(p, v, "a_start", "a_end",
+          "b_start", "b_end", bucketWidth = twoH, keys = Seq("user_id"))
+        .select("purchase_id", "view_id", "user_id")
+    }),
+
     // --- forward as-of: each purchase matched to the user's NEXT view
     "j_asof_forward" -> ((s, dir) => {
       val ev = rd(s, dir, "events")
@@ -1366,15 +1403,14 @@ object SparkEntry {
     // baseline or the query fails loudly
     "d_cluster_kmeans" -> ((s, dir) => {
       val docs = rd(s, dir, "documents")
-      val weights = graft.ops.Clustering.hashedTermWeights(
-        docs, "text", "doc_id", dims = 64)
       // iters = 3: the ivfpqIdxDs trainer precedent — Lloyd assignments
       // stabilize in 2-3 rounds on this corpus and the guard bounds
-      // quality either way
-      graft.ops.Clustering.withClusterBaselineGuard(
-        graft.ops.Clustering.clusterDocuments(docs, "text", "doc_id",
-          k = 8, dims = 64, iters = 3),
-        weights, minLift = 0.0)
+      // quality either way. The guard reuses the operator's own
+      // materialized hashed-TF frame (one tokenize+hash pass total)
+      val (assign, weights) = graft.ops.Clustering.clusterDocumentsWithWeights(
+        docs, "text", "doc_id", k = 8, dims = 64, iters = 3)
+      graft.ops.Clustering.withClusterBaselineGuard(assign, weights,
+        minLift = 0.0)
     }),
 
     // --- unigram LM quality score (mean token log-prob under the corpus)
@@ -2943,6 +2979,27 @@ object SparkEntry {
                THEN v.value END AS view_value
            FROM p ASOF LEFT JOIN v
              ON p.user_id = v.user_id AND p.ts >= v.ts""",
+      // the range-join faces mirror as plain inequality joins — DuckDB's
+      // IEJoin handles them exactly at oracle scale; the Spark side is
+      // graded on producing the SAME pairs through the bucketized plan
+      "j_range_point" ->
+        """WITH v AS (SELECT user_id, event_id AS view_id, epoch_ns(ts) AS t
+             FROM events WHERE event_type = 'view'),
+           p AS (SELECT user_id, event_id AS purchase_id, epoch_ns(ts) AS t
+             FROM events WHERE event_type = 'purchase')
+           SELECT p.purchase_id, v.view_id, p.user_id AS user_id
+           FROM p JOIN v ON p.user_id = v.user_id
+             AND v.t BETWEEN p.t - 3600000000000 AND p.t""",
+      "j_range_overlap" ->
+        """WITH p AS (SELECT user_id, event_id AS purchase_id,
+             epoch_ns(ts) AS s, epoch_ns(ts) + 7200000000000 AS e
+             FROM events WHERE event_type = 'purchase'),
+           v AS (SELECT user_id, event_id AS view_id,
+             epoch_ns(ts) AS s, epoch_ns(ts) + 7200000000000 AS e
+             FROM events WHERE event_type = 'view')
+           SELECT p.purchase_id, v.view_id, p.user_id AS user_id
+           FROM p JOIN v ON p.user_id = v.user_id
+             AND p.s <= v.e AND v.s <= p.e""",
       "j_asof_forward" ->
         """WITH p AS (SELECT event_id, user_id, ts FROM events
              WHERE event_type = 'purchase'),

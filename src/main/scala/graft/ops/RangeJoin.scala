@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Range (interval) joins — the temporal-join faces beside [[AsofJoin]]:
+  * point-in-interval containment and interval-overlap pairing, both as
+  * BUCKETIZED hash equi-joins rather than the inequality-only theta join
+  * Spark would otherwise plan as a broadcast nested loop (all-pairs per
+  * key — quadratic at corpus scale, and a hard OOM once neither side
+  * broadcasts).
+  *
+  * The scheme is the standard interval-join decomposition: the range
+  * domain is cut into fixed `bucketWidth` cells; an interval explodes to
+  * one row per cell it touches, a point maps to exactly ONE cell, and the
+  * join is a plain shuffle equi-join on (keys..., cell) that AQE can
+  * size/skew-split like any other. The exact predicate then verifies on
+  * the joined row. Exactness without a post-join distinct:
+  *
+  *   - point-in-interval: a point has one cell, so a qualifying
+  *     (point, interval) pair meets exactly once;
+  *   - interval-overlap: a qualifying pair is KEPT only in the canonical
+  *     cell containing max(start_a, start_b) — a point both intervals
+  *     cover, so both sides exploded a row for it and no other cell is
+  *     canonical.
+  *
+  * Sizing `bucketWidth`: ~ the typical interval length. Cells much wider
+  * than intervals put unrelated intervals in one cell (candidate bloat);
+  * much narrower explodes each interval into many rows (input bloat).
+  * Row explosion is bounded by `maxBucketsPerInterval` with an IN-PLAN
+  * loud failure — a mis-sized width on a 100 TB run must die naming the
+  * knob, not silently shuffle a billion-row explosion.
+  *
+  * Domain contract: range columns are integer-valued (epoch nanos, ids);
+  * they are cast to long. Bounds are INCLUSIVE on both ends (SQL
+  * BETWEEN). Null range values join to nothing (SQL join semantics).
+  * The reference has no range join (its dask merges are equi/asof only —
+  * `io/dask/dataframe.py` merge surface); this face exists because
+  * window-attribution and session-overlap queries over event corpora are
+  * routine in training-data provenance work.
+  */
+object RangeJoin {
+
+  /** floor(c / w) as exact LONG arithmetic: `c - pmod(c, w)` is an exact
+    * multiple of `w` (pmod is nonnegative), so the SQL `div` — integer
+    * division, exact on longs where a double round-trip is not past 2^53
+    * (epoch nanos live at ~1.7e18) — equals floor for any sign. */
+  private def withCell(df: DataFrame, src: Column, w: Long,
+                       cellCol: String): DataFrame =
+    df.withColumn("__cell_src", src.cast("long") - pmod(src.cast("long"), lit(w)))
+      .withColumn(cellCol, expr(s"__cell_src div ${w}L"))
+      .drop("__cell_src")
+
+  /** One row per cell the [startCol, endCol] interval touches, exploded
+    * as `__cell`; rows with null/inverted bounds yield nothing, intervals
+    * spanning more than `maxBuckets` cells fail loudly in-plan. */
+  private def explodeCells(intervals: DataFrame, startCol: String,
+                           endCol: String, w: Long,
+                           maxBuckets: Int): DataFrame = {
+    val withEnds = withCell(withCell(intervals.where(
+        col(startCol).isNotNull && col(endCol).isNotNull &&
+          col(endCol) >= col(startCol)),
+      col(startCol), w, "__c0"), col(endCol), w, "__c1")
+    withEnds
+      .withColumn("__cell", explode(
+        when(col("__c1") - col("__c0") >= lit(maxBuckets.toLong),
+          raise_error(concat(
+            lit(s"RangeJoin: interval spans more than $maxBuckets cells " +
+              s"at bucketWidth=$w (start="), col(startCol).cast("string"),
+            lit(", end="), col(endCol).cast("string"),
+            lit(") — widen bucketWidth or raise maxBucketsPerInterval"))))
+          .otherwise(sequence(col("__c0"), col("__c1")))))
+      .drop("__c0", "__c1")
+  }
+
+  /** Every (point, interval) pair with `points.ptCol` inside
+    * `[intervals.startCol, intervals.endCol]` (inclusive), optionally
+    * scoped by equality on `keys` (columns present on BOTH sides — the
+    * per-user / per-entity production shape). Output: the point columns
+    * followed by the interval columns minus the join keys; column names
+    * must not otherwise collide (rename upstream, the merge-robust
+    * contract). One hash shuffle per side on (keys, cell); each
+    * qualifying pair surfaces exactly once. */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+                      ptCol: String, startCol: String, endCol: String,
+                      bucketWidth: Long, keys: Seq[String] = Nil,
+                      maxBucketsPerInterval: Int = 4096): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be > 0 (got $bucketWidth)")
+    require(maxBucketsPerInterval > 0,
+      s"maxBucketsPerInterval must be > 0 (got $maxBucketsPerInterval)")
+    val p = withCell(points.where(col(ptCol).isNotNull), col(ptCol),
+      bucketWidth, "__cell")
+    val i = explodeCells(intervals, startCol, endCol, bucketWidth,
+      maxBucketsPerInterval)
+    p.join(i, keys :+ "__cell")
+      .where(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
+      .drop("__cell")
+  }
+
+  /** One-row aggregate suggesting a `bucketWidth` for a corpus of
+    * intervals: the MEDIAN interval length (t-digest approx_percentile —
+    * the 100 TB-safe quantile), floored at 1. Run once per corpus family
+    * and PIN the width at the call site — the join operators take an
+    * explicit width on purpose (the no-construction-time-jobs contract
+    * every operator family here follows); re-deriving it per query would
+    * both cost a pass and let the physical plan drift under the caller. */
+  def suggestBucketWidth(intervals: DataFrame, startCol: String,
+                         endCol: String): Long = {
+    val row = intervals
+      .where(col(startCol).isNotNull && col(endCol).isNotNull &&
+        col(endCol) >= col(startCol))
+      .agg(expr(s"approx_percentile(`$endCol` - `$startCol` + 1, 0.5)")
+        .cast("long").as("w"))
+      .head()
+    if (row.isNullAt(0)) 1L else math.max(1L, row.getLong(0))
+  }
+
+  /** Every (left, right) interval pair that OVERLAPS:
+    * `left.[startA, endA]` and `right.[startB, endB]` share at least one
+    * point (inclusive bounds: touching endpoints overlap), optionally
+    * scoped by equality on `keys`. Both sides explode to their cells; a
+    * qualifying pair is kept only in the canonical cell of
+    * max(start_a, start_b), so each pair surfaces exactly once with no
+    * distinct. Self-overlap runs: pass the same frame twice with renamed
+    * columns and filter the diagonal downstream. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      startA: String, endA: String,
+                      startB: String, endB: String,
+                      bucketWidth: Long, keys: Seq[String] = Nil,
+                      maxBucketsPerInterval: Int = 4096): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be > 0 (got $bucketWidth)")
+    require(maxBucketsPerInterval > 0,
+      s"maxBucketsPerInterval must be > 0 (got $maxBucketsPerInterval)")
+    val a = explodeCells(left, startA, endA, bucketWidth,
+      maxBucketsPerInterval)
+    val b = explodeCells(right, startB, endB, bucketWidth,
+      maxBucketsPerInterval)
+    withCell(
+      a.join(b, keys :+ "__cell")
+        .where(col(endA) >= col(startB) && col(endB) >= col(startA)),
+      greatest(col(startA), col(startB)), bucketWidth, "__canon")
+      .where(col("__cell") === col("__canon"))
+      .drop("__cell", "__canon")
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.RangeJoin
+
+/** The bucketized range-join faces: point-in-interval containment and
+  * interval-overlap pairing as (keys, cell) hash equi-joins. Pins the
+  * exactness contracts — inclusive bounds, exactly-once pair emission
+  * across cell boundaries (no distinct anywhere in the plan), null and
+  * inverted-interval drops, key scoping, and the loud in-plan failure on
+  * an interval that would explode past maxBucketsPerInterval. */
+class RangeJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("pointInInterval: inclusive bounds, exactly-once across cells, null/inverted drops") {
+    val pts = Seq[(Long, Option[Long])]((1L, Some(0L)), (2L, Some(10L)),
+      (3L, Some(25L)), (4L, Some(99L)), (5L, Some(100L)), (6L, Some(101L)),
+      (7L, None)).toDF("pid", "pt")
+    // iv 10 spans cells 1..10 at width 10 — a point in its LAST cell must
+    // match exactly once; iv 20 is a single-point interval; iv 30 is
+    // inverted (dropped); iv 40 carries a null bound (dropped)
+    val ivs = Seq[(Long, Option[Long], Option[Long])](
+      (10L, Some(10L), Some(100L)), (20L, Some(25L), Some(25L)),
+      (30L, Some(50L), Some(40L)), (40L, None, Some(60L)))
+      .toDF("iid", "s", "e")
+    val out = RangeJoin.pointInInterval(pts, ivs, "pt", "s", "e",
+      bucketWidth = 10L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(out === Set((2L, 10L), (3L, 10L), (4L, 10L), (5L, 10L),
+      (3L, 20L)),
+      s"inclusive [10,100] catches 10/25/99/100 once each, [25,25] its " +
+        s"point, nothing else: $out")
+    // exactly-once: no pair may surface per-cell
+    val withDups = RangeJoin.pointInInterval(pts, ivs, "pt", "s", "e",
+      bucketWidth = 10L).groupBy("pid", "iid").count()
+      .where(col("count") > 1).count()
+    assert(withDups === 0L)
+  }
+
+  test("pointInInterval: key scoping and long-domain cells (epoch nanos)") {
+    val hour = 3600L * 1000 * 1000 * 1000
+    val base = 1700000000L * 1000000000L // ~1.7e18: past double exactness
+    val pts = Seq(("u1", 1L, base + hour / 2), ("u2", 2L, base + hour / 2))
+      .toDF("user", "pid", "pt")
+    val ivs = Seq(("u1", 10L, base, base + hour))
+      .toDF("user", "iid", "s", "e")
+    val out = RangeJoin.pointInInterval(pts, ivs, "pt", "s", "e",
+      bucketWidth = hour, keys = Seq("user"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 10L)), s"u2's point must not cross keys: $out")
+  }
+
+  test("intervalOverlap: touching endpoints overlap, each pair exactly once, canonical-cell keep") {
+    val a = Seq((1L, 0L, 50L), (2L, 100L, 200L)).toDF("aid", "as", "ae")
+    val b = Seq(
+      (10L, 50L, 60L),   // touches a1's end -> overlaps
+      (20L, 51L, 60L),   // just past -> no
+      (30L, 0L, 500L),   // spans both a-intervals across many cells
+      (40L, 150L, 160L)) // inside a2
+      .toDF("bid", "bs", "be")
+    val out = RangeJoin.intervalOverlap(a, b, "as", "ae", "bs", "be",
+      bucketWidth = 10L)
+      .select("aid", "bid").as[(Long, Long)].collect().toList
+    assert(out.toSet === Set((1L, 10L), (1L, 30L), (2L, 30L), (2L, 40L)),
+      s"overlap set wrong: $out")
+    assert(out.size === out.toSet.size,
+      s"a pair surfaced in more than one cell: $out")
+  }
+
+  test("explosion cap fails loudly in-plan naming the knob") {
+    val pts = Seq((1L, 5L)).toDF("pid", "pt")
+    val ivs = Seq((10L, 0L, 1000000L)).toDF("iid", "s", "e")
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(pts, ivs, "pt", "s", "e", bucketWidth = 1L,
+        maxBucketsPerInterval = 100).collect()
+    }
+    assert(e.getMessage.contains("maxBucketsPerInterval") ||
+      Option(e.getCause).exists(_.getMessage.contains("maxBucketsPerInterval")),
+      s"want the knob named in the failure, got: ${e.getMessage}")
+  }
+
+  test("suggestBucketWidth: median interval length, floored at 1, null/inverted-safe") {
+    val ivs = Seq[(Long, Option[Long], Option[Long])](
+      (1L, Some(0L), Some(9L)),     // len 10
+      (2L, Some(0L), Some(99L)),    // len 100
+      (3L, Some(0L), Some(999L)),   // len 1000
+      (4L, Some(50L), Some(40L)),   // inverted: ignored
+      (5L, None, Some(10L)))        // null: ignored
+      .toDF("iid", "s", "e")
+    val w = RangeJoin.suggestBucketWidth(ivs, "s", "e")
+    assert(w === 100L, s"median of {10,100,1000} lengths: got $w")
+    // degenerate: no usable intervals -> floor of 1, never 0/exception
+    assert(RangeJoin.suggestBucketWidth(
+      ivs.where(col("iid") > 100), "s", "e") === 1L)
+  }
+
+  test("plan quality: the range join is a hash equi-join on (keys, cell), not a nested loop") {
+    val hour = 3600L * 1000 * 1000 * 1000
+    val pts = Seq(("u1", 1L, hour / 2)).toDF("user", "pid", "pt")
+    val ivs = Seq(("u1", 10L, 0L, hour)).toDF("user", "iid", "s", "e")
+    val plan = RangeJoin.pointInInterval(pts, ivs, "pt", "s", "e",
+      bucketWidth = hour, keys = Seq("user"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"),
+      s"range join must never plan as a nested loop:\n$plan")
+  }
+}
