@@ -69,28 +69,36 @@ def main(out, copies):
         f"label "
         f"FROM '{src}/embeddings.parquet'")
 
-    # events via pyarrow: duckdb's parquet writer downcasts TIMESTAMP_NS to
-    # us, but Spark reads this table through nanosAsLong — the physical type
-    # must stay timestamp[ns]
+    # events via pyarrow: the ts shift must happen in the SOURCE unit and
+    # the physical type must be preserved verbatim (the testdata has
+    # shipped ts as both timestamp[ns] and timestamp[us] across driver
+    # versions). The previous form hard-coded nanos: on a micros source it
+    # reinterpreted the int64 micros AS nanos, collapsing the 30-day
+    # timeline onto ~1970-01-20 and compressing it 1000x — every
+    # window/session/range query at the scaled tier ran on a false
+    # timeline (match counts went ~400x superlinear instead of the
+    # generator's contract of exactly-linear replication).
     import pyarrow as pa
     import pyarrow.parquet as pq
     t = pq.read_table(f"{src}/events.parquet")
+    ts_type = t.schema.field("ts").type
+    day = {"us": 86_400_000_000, "ns": 86_400_000_000_000}[ts_type.unit]
     me = pa.compute.max(t.column("event_id")).as_py() + 1
     mu = pa.compute.max(t.column("user_id")).as_py() + 1
-    span_ns = (pa.compute.max(t.column("ts")).value
-               - pa.compute.min(t.column("ts")).value) + 86_400_000_000_000
+    span = (pa.compute.max(t.column("ts")).value
+            - pa.compute.min(t.column("ts")).value) + day
     copies_t = []
     for i in range(copies):
         copies_t.append(pa.Table.from_arrays([
             pa.compute.add(t.column("event_id"), i * me),
-            pa.array(pa.compute.add(t.column("ts").cast(pa.int64()),
-                                    i * span_ns).to_pylist(),
-                     type=pa.timestamp("ns")),
+            pa.compute.add(t.column("ts").cast(pa.int64()),
+                           i * span).cast(ts_type),
             pa.compute.add(t.column("user_id"), i * mu),
             t.column("event_type"), t.column("value"), t.column("props"),
         ], names=t.column_names))
     pq.write_table(pa.concat_tables(copies_t), f"{out}/events.parquet")
-    print(f"events: {sum(len(c) for c in copies_t)} rows")
+    n = sum(len(c) for c in copies_t)
+    print(f"events: {n} rows (ts unit {ts_type.unit} preserved)")
 
 
 if __name__ == "__main__":
