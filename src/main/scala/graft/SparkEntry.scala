@@ -1963,6 +1963,13 @@ object SparkEntry {
     // id - id%5) but differ in frame COUNT (2 + id%3) — byte-different
     // files whose common frame prefix decodes identically; the banded
     // frame-hash join finds every pair sharing >= 2 frames at Hamming 0.
+    // Radius sized to the corpus per the hammingBands dial: frame
+    // corpora are the LARGEST signature populations of the media family
+    // (every video lands all its frames), and re-encoded copies of a
+    // frame sit at Hamming ~0 — so the contract point is (radius 3,
+    // 4 bands = 32-bit slices), where band collisions stay negligible
+    // past 10^5 frames; (7, 8) at 150k frames measured 30+ s of pure
+    // 16-bit birthday noise for identical planted-pair output.
     // Rows-only (JPEG-quantized stripe grays are deterministic but not
     // closed-form); the frame-hash pipeline itself is oracle-pinned
     // through m_image_hash (same grid-hash definition) + m_video_frames
@@ -1975,8 +1982,9 @@ object SparkEntry {
         Multimodal.syntheticAvi(par(s, docs), "doc_id", "seed")
       }
       Dedup.withVideoHashRecallGuard(
-        Dedup.videoNearDups(avis, "doc_id", minSharedFrames = 2),
-        avis, "doc_id")
+        Dedup.videoNearDups(avis, "doc_id", minSharedFrames = 2,
+          maxHamming = 3, bands = 4),
+        avis, "doc_id", maxHamming = 3)
     }),
 
     // --- REAL acoustic fingerprinting: the synthetic PCM clips pushed

@@ -865,33 +865,38 @@ object Dedup {
     }: _*)
   }
 
-  /** The banded-Hamming pair core both media faces run on: `sigs` is a
-    * MATERIALIZED (id, h1, h2) frame (callers localCheckpoint it — the
-    * band table and both pair-side joins reference it, and an
-    * unmaterialized decode lineage would re-run 4x), candidates come
-    * from a band-equality self-join (never all-pairs), verified by two
-    * codegen'd bit_counts. `maxBucketSize > 0` drops bands shared by
-    * more rows than the cap (near-constant media — blank frames, logos,
-    * silence — that would go quadratic) at a DOCUMENTED exactness cost:
-    * a pair whose every shared band is hot is missed; such rows are
-    * better routed to exact dedup first. */
-  private[ops] def bandedHammingPairs(sigs: DataFrame, maxHamming: Int,
-                                 bands: Int, maxBucketSize: Int): DataFrame = {
+  /** Sig-LEVEL near-pairs of a (h1, h2) signature population: every
+    * unordered pair of DISTINCT signature values within `maxHamming`
+    * bits, via the banded self-join (Hamming verified inside the join
+    * projection, band multiplicity collapsed by aggregate), PLUS the
+    * diagonal (each signature paired with itself at Hamming 0 — how two
+    * different rows sharing one signature meet). Output:
+    * (__h1a, __h2a, __h1b, __h2b, hamming), cross pairs ordered by
+    * struct-lexicographic signature so each surfaces once.
+    *
+    * Deduplicating to distinct signatures BEFORE banding is the scale
+    * move: re-encoded copies, blank frames, and resolution variants make
+    * duplicate signatures the COMMON case in real media corpora, and the
+    * per-band collision product is quadratic in rows-per-band-value —
+    * collapsing n rows to d distinct signatures shrinks that mass by
+    * (n/d)². Measured on the sf1 video tier (150k frames, ~5x sig
+    * duplication): 67s -> 9s for identical output. Row expansion back to
+    * id pairs is output-sized — real matches only. */
+  private[graft] def hammingSigPairs(sigs: DataFrame, maxHamming: Int,
+                                     bands: Int, maxBucketSize: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < bands,
       s"maxHamming must be in [0, bands) for exact banded coverage " +
         s"(got maxHamming=$maxHamming, bands=$bands); raise bands for a " +
         "larger radius")
-    // the full signatures RIDE the band rows (2 extra longs), so Hamming
-    // is verified inside the join's own projection and a failed candidate
-    // dies before any further exchange. The alternative — distinct() over
-    // the raw candidate mass, then two joins back to sigs — shuffles the
-    // whole per-band collision product (~n²/2^width per band: at 15k rows
-    // per 16-bit band that is millions of rows of pure birthday noise)
-    // three more times; measured 4.7s -> sub-second on the video face.
-    // Band multiplicity of a surviving pair collapses in the final
-    // aggregate instead of a pre-join distinct.
-    val bt = sigs.select(col("id"), col("h1"), col("h2"),
-      explode(hammingBands(col("h1"), col("h2"), bands)).as("band"))
+    val uniq = sigs.select(col("h1"), col("h2")).distinct()
+    val bt = uniq.withColumn("band",
+      explode(hammingBands(col("h1"), col("h2"), bands)))
+    // maxBucketSize now counts DISTINCT signatures per band: the classic
+    // hot case (a blank frame shared by millions of rows) is ONE distinct
+    // signature and no longer needs the cap at all; the cap still guards
+    // bands hot with many NEAR-identical-but-distinct signatures, at the
+    // documented exactness cost (a pair whose every shared band is hot is
+    // missed — route such corpora through exact dedup first).
     val capped =
       if (maxBucketSize <= 0) bt
       else bt.join(
@@ -900,12 +905,42 @@ object Dedup {
         Seq("band"), "left_anti")
     // identical child plans under aliases: the band-table shuffle is a
     // ReusedExchange, not a second shuffle (the selfJoinPairs discipline)
-    capped.as("l").join(capped.as("r"),
-        col("l.band") === col("r.band") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+    val cross = capped.as("l").join(capped.as("r"),
+        col("l.band") === col("r.band") &&
+          struct(col("l.h1"), col("l.h2")) < struct(col("r.h1"), col("r.h2")))
+      .select(col("l.h1").as("__h1a"), col("l.h2").as("__h2a"),
+        col("r.h1").as("__h1b"), col("r.h2").as("__h2b"),
         (bit_count(col("l.h1").bitwiseXOR(col("r.h1"))) +
           bit_count(col("l.h2").bitwiseXOR(col("r.h2")))).as("hamming"))
       .where(col("hamming") <= maxHamming)
+      .groupBy(col("__h1a"), col("__h2a"), col("__h1b"), col("__h2b"))
+      .agg(min(col("hamming")).as("hamming"))
+    cross.unionByName(uniq.select(col("h1").as("__h1a"),
+      col("h2").as("__h2a"), col("h1").as("__h1b"), col("h2").as("__h2b"),
+      lit(0).cast("integer").as("hamming")))
+  }
+
+  /** The banded-Hamming pair core both media faces run on: `sigs` is a
+    * MATERIALIZED (id, h1, h2) frame (callers localCheckpoint it — the
+    * distinct-signature table and both expansion joins reference it, and
+    * an unmaterialized decode lineage would re-run per consumer).
+    * Candidates come from [[hammingSigPairs]] over the DISTINCT
+    * signature population (never all-pairs, quadratic only in distinct
+    * sigs per band value); id pairs are the output-sized expansion of
+    * the matched signature pairs. */
+  private[ops] def bandedHammingPairs(sigs: DataFrame, maxHamming: Int,
+                                 bands: Int, maxBucketSize: Int): DataFrame = {
+    val sp = hammingSigPairs(sigs, maxHamming, bands, maxBucketSize)
+    sigs.select(col("id").as("__xa"), col("h1").as("__h1a"),
+        col("h2").as("__h2a"))
+      .join(sp, Seq("__h1a", "__h2a"))
+      .join(sigs.select(col("id").as("__xb"), col("h1").as("__h1b"),
+        col("h2").as("__h2b")), Seq("__h1b", "__h2b"))
+      .where(col("__xa") =!= col("__xb"))
+      // normalize to id_a < id_b; the diagonal expansion emits both
+      // orientations of a same-sig pair, deduped by the final aggregate
+      .select(least(col("__xa"), col("__xb")).as("id_a"),
+        greatest(col("__xa"), col("__xb")).as("id_b"), col("hamming"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(col("hamming")).as("hamming"))
   }
@@ -1374,34 +1409,29 @@ object Dedup {
                                          maxBucketSize: Int): DataFrame = {
     require(minSharedFrames >= 1,
       s"minSharedFrames must be >= 1 (got $minSharedFrames)")
-    require(maxHamming >= 0 && maxHamming < bands,
-      s"maxHamming must be in [0, bands) for exact banded coverage " +
-        s"(got maxHamming=$maxHamming, bands=$bands)")
-    // frame signatures ride the band rows and Hamming is verified inside
-    // the join projection (the bandedHammingPairs shape): the per-band
-    // collision product never survives past the join's fused filter, and
-    // band multiplicity is harmless under countDistinct/min — no distinct,
-    // no join-backs (measured: the distinct-then-refetch form spent ~5s on
-    // 6.3M birthday-collision candidate rows at 15k frames)
-    val bt = sigs.select(col("vid"), col("frame_idx"), col("h1"), col("h2"),
-      explode(hammingBands(col("h1"), col("h2"), bands)).as("band"))
-    val capped =
-      if (maxBucketSize <= 0) bt
-      else bt.join(
-        bt.groupBy("band").agg(count(lit(1)).as("__b"))
-          .where(col("__b") > maxBucketSize).select("band"),
-        Seq("band"), "left_anti")
-    // cross-VIDEO frame-pair candidates: same band, id_a < id_b — a
-    // video never matches itself, and each unordered video pair surfaces
-    // once; identical child plans under aliases keep the band-table
-    // shuffle a ReusedExchange
-    capped.as("l").join(capped.as("r"),
-        col("l.band") === col("r.band") && col("l.vid") < col("r.vid"))
-      .select(col("l.vid").as("id_a"), col("l.frame_idx").as("__fa"),
-        col("r.vid").as("id_b"),
-        (bit_count(col("l.h1").bitwiseXOR(col("r.h1"))) +
-          bit_count(col("l.h2").bitwiseXOR(col("r.h2")))).as("__ham"))
-      .where(col("__ham") <= maxHamming)
+    // candidates from [[hammingSigPairs]] over the DISTINCT frame-hash
+    // population — video makes signature duplication extreme (every
+    // re-encoded copy of a clip re-lands the same frame hashes), so the
+    // quadratic band surface shrinks from frames² to distinct-hashes²;
+    // measured 67s -> ~9s at the 150k-frame tier for identical output.
+    // Expansion keeps (vid, frame_idx) per side; cross-VIDEO only (a
+    // video never matches itself), unordered video pair surfaces once
+    // via least/greatest with __fa taken from the LESSER vid's side (the
+    // shared_frames contract), diagonal double-emission deduped by
+    // countDistinct/min.
+    val sp = hammingSigPairs(
+      sigs.select(col("h1"), col("h2")), maxHamming, bands, maxBucketSize)
+    sigs.select(col("vid").as("__va"), col("frame_idx").as("__fxa"),
+        col("h1").as("__h1a"), col("h2").as("__h2a"))
+      .join(sp, Seq("__h1a", "__h2a"))
+      .join(sigs.select(col("vid").as("__vb"), col("frame_idx").as("__fxb"),
+        col("h1").as("__h1b"), col("h2").as("__h2b")), Seq("__h1b", "__h2b"))
+      .where(col("__va") =!= col("__vb"))
+      .select(least(col("__va"), col("__vb")).as("id_a"),
+        greatest(col("__va"), col("__vb")).as("id_b"),
+        when(col("__va") < col("__vb"), col("__fxa"))
+          .otherwise(col("__fxb")).as("__fa"),
+        col("hamming").as("__ham"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(countDistinct(col("__fa")).as("shared_frames"),
         min(col("__ham")).as("min_hamming"))

@@ -119,13 +119,32 @@ class ImageDedupSpec extends SparkSpec {
     assert(kept === expectKept)
   }
 
-  test("imageNearDups: maxBucketSize drops hot bands (documented exactness trade)") {
-    // 20 byte-identical solid images: every band is a 20-row bucket
+  test("imageNearDups: identical signatures are IMMUNE to maxBucketSize; hot DISTINCT-sig bands still drop") {
+    // 20 byte-identical solid images: banding runs over DISTINCT
+    // signatures, so this is ONE signature — no band is ever hot and the
+    // classic blank-frame/logo corpus keeps all its pairs under ANY cap
+    // (previously every band counted 20 rows and a cap erased the pairs)
     val pngs = stripePngs((0L until 20L).map(i => (i, 0L, 0L)))
     assert(Dedup.imageNearDups(pngs, "id").count() === 190L) // C(20,2)
-    // cap below the group size: all bands are hot, pairs vanish (route
-    // such rows to exact dedup instead — the documented trade)
-    assert(Dedup.imageNearDups(pngs, "id", maxBucketSize = 10).count() === 0L)
+    assert(Dedup.imageNearDups(pngs, "id", maxBucketSize = 1).count() === 190L)
+    // the cap's remaining job — many NEAR-identical-but-DISTINCT
+    // signatures crowding a band — pinned directly on the sig-pair core
+    // with hand-built hashes: 12 distinct sigs share bands 1..7 (zero
+    // slices) and differ only in slice 0 (values 0..11, pairwise Hamming
+    // <= 4), so uncapped = C(12,2) cross pairs + 12 diagonal rows; a cap
+    // below 12 kills the shared bands, slice-0 values are singletons, and
+    // ONLY the diagonal survives (the documented exactness trade)
+    import spark.implicits._
+    val sigs = (0L until 12L).map(v => (v, 0L)).toDF("h1", "h2")
+    val uncapped = Dedup.hammingSigPairs(sigs, maxHamming = 7, bands = 8,
+      maxBucketSize = 0)
+    assert(uncapped.count() === 66L + 12L)
+    val capped = Dedup.hammingSigPairs(sigs, maxHamming = 7, bands = 8,
+      maxBucketSize = 8)
+    val rows = capped.collect()
+    assert(rows.length === 12 &&
+      rows.forall(r => r.getLong(0) == r.getLong(2) && r.getInt(4) == 0),
+      s"only the 12 diagonal rows survive the cap: ${rows.toSeq}")
   }
 
   test("withImageHashRecallGuard: healthy pass, verified-to-fire, vacuous empty sample") {
