@@ -1187,6 +1187,46 @@ object SparkEntry {
         .where(graft.ops.Sampling.portableKeep(col("doc_id"), 0.2, "split:"))
         .select("doc_id", "lang")),
 
+    // --- duplicate-aware train/test split: every member of an exact-dup
+    // cluster lands on the same side (the Lee et al. 2022 leakage fix) —
+    // planted verbatim copies (every 10th doc re-keyed above the id
+    // space) MUST follow their original, which the oracle checks by
+    // splitting on min-id-per-text, the same representative the operator
+    // derives from exactGroups
+    "u_leak_safe_split" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.unionByName(
+        docs.where(pmod(col("doc_id"), lit(10L)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val clusters = Dedup.exactGroups(corpus, "text", "doc_id")
+        .select(explode(col("ids")).as("id"),
+          element_at(col("ids"), 1).as("cluster_id"))
+      val (_, test) = graft.ops.Sampling.leakSafeSplit(corpus, "doc_id",
+        clusters, testFraction = 0.25)
+      test.select("doc_id")
+    }),
+
+    // --- the audit face of the same family: measure how much a naive
+    // ROW-wise split of the duplicated corpus leaks (planted verbatim
+    // copies land on both sides) — the number a team checks before
+    // trusting eval results on a split they didn't build leak-safe
+    "u_split_leakage" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.unionByName(
+        docs.where(pmod(col("doc_id"), lit(10L)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val clusters = Dedup.exactGroups(corpus, "text", "doc_id")
+        .where(col("n_dups") > 1)
+        .select(explode(col("ids")).as("id"),
+          element_at(col("ids"), 1).as("cluster_id"))
+      // the portable split (the u_portable_split face) so the DuckDB
+      // mirror reproduces side membership bit-for-bit
+      val isTest = graft.ops.Sampling.portableKeep(col("doc_id"), 0.25,
+        "split:")
+      graft.ops.Sampling.splitLeakage(corpus.where(!isTest),
+        corpus.where(isTest), "doc_id", clusters)
+    }),
+
     // --- chunking: overlapping 32-token windows, stride 24 (model-ready
     // sequence shaping; narrow posexplode, no shuffle)
     "t_chunks" -> ((s, dir) =>
@@ -3021,6 +3061,34 @@ object SparkEntry {
         """SELECT doc_id, lang FROM documents
            WHERE substr(md5('graft.keep:split:' || CAST(doc_id AS VARCHAR)), 1, 13) <
              printf('%013x', CAST(floor(0.2 * 4503599627370496) AS BIGINT))""",
+      "u_split_leakage" ->
+        """WITH c AS (SELECT doc_id, text FROM documents
+             UNION ALL
+             SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+           g AS (SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY text) AS rep,
+                   count(*) OVER (PARTITION BY text) AS n FROM c),
+           s AS (SELECT doc_id, rep,
+                   substr(md5('graft.keep:split:' || CAST(doc_id AS VARCHAR)), 1, 13) <
+                     printf('%013x', CAST(floor(0.25 * 4503599627370496) AS BIGINT))
+                     AS is_test
+                 FROM g WHERE n > 1),
+           tr AS (SELECT DISTINCT rep FROM s WHERE NOT is_test)
+           SELECT count(DISTINCT s.rep) AS clusters_straddling,
+             count(*) AS leaked_test_rows
+           FROM s JOIN tr ON s.rep = tr.rep WHERE s.is_test""",
+      // the mirror splits on min-id-per-text — the SQL face of the
+      // operator's exactGroups representative; a split that ever
+      // separated a verbatim copy from its original would diverge here
+      "u_leak_safe_split" ->
+        """WITH c AS (SELECT doc_id, text FROM documents
+             UNION ALL
+             SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+           g AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep
+                 FROM c)
+           SELECT doc_id FROM g
+           WHERE substr(md5('graft.leak:graft' || CAST(rep AS VARCHAR)), 1, 13) <
+             printf('%013x', CAST(floor(0.25 * 4503599627370496) AS BIGINT))""",
       "t_chunks" ->
         """WITH d AS (
              SELECT doc_id,

@@ -39,6 +39,7 @@ object Sampling {
   private[graft] val GumDomain    = "graft.gum:"
   private[graft] val DetDomain    = "graft.det:"
   private[graft] val SplitDomain  = "graft.split:"
+  private[graft] val LeakDomain   = "graft.leak:"
 
   /** 2^52 — the portable uniform's denominator. 52 bits (13 hex chars)
     * rather than 32: at 10^9+ rows a 32-bit key develops mass ties in
@@ -68,6 +69,61 @@ object Sampling {
     val b = bucket(col(idCol), salt, SplitDomain)
     val cut = (testFraction * 1000000).toLong
     (df.where(b >= cut), df.where(b < cut))
+  }
+
+  /** Duplicate-aware train/test split: (train, test) where every member
+    * of a duplicate CLUSTER lands on the SAME side — the split that makes
+    * test-set leakage through duplicates impossible by construction. A
+    * row-wise split of an undeduplicated corpus puts verbatim copies of
+    * eval documents into training (the contamination Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better", measures
+    * on C4); splitting by cluster REPRESENTATIVE closes that door for
+    * exact AND near duplicates alike.
+    *
+    * `clusters` is any (id, cluster_id) frame — [[Dedup.nearDupClusters]],
+    * [[Dedup.exactGroups]]' exploded min-id labels, or a canonical-URL
+    * grouping; rows absent from it are singleton clusters of themselves.
+    * The side is the engine-portable md5 uniform of the representative
+    * under its own salt domain (auditable outside Spark, independent of
+    * any upstream sample), so membership survives re-runs and engine
+    * migrations. One left join on id (the cluster frame is dup-mass-sized,
+    * broadcast when small); no other exchange. */
+  def leakSafeSplit(df: DataFrame, idCol: String, clusters: DataFrame,
+                    testFraction: Double, salt: String = "graft")
+      : (DataFrame, DataFrame) = {
+    require(testFraction >= 0 && testFraction <= 1,
+      s"testFraction $testFraction out of [0,1]")
+    val joined = df.join(
+      clusters.select(col("id").as(idCol), col("cluster_id").as("__rep")),
+      Seq(idCol), "left")
+    val rep = coalesce(col("__rep"), col(idCol))
+    val isTest =
+      if (testFraction >= 1.0) lit(true)
+      else portableHashKey(rep, salt, LeakDomain) <
+        lit(f"${(testFraction * PortableOne).toLong}%013x")
+    (joined.where(!isTest).drop("__rep"),
+      joined.where(isTest).drop("__rep"))
+  }
+
+  /** Leakage AUDIT of an EXISTING split — the measurement face of
+    * [[leakSafeSplit]]: one row
+    * (clusters_straddling, leaked_test_rows) counting duplicate clusters
+    * with members on BOTH sides and the test rows those clusters leak (a
+    * test row whose duplicate sits in training is evaluated on
+    * memorized content). Run it on any split you did not build with
+    * [[leakSafeSplit]] before trusting its eval numbers. Two id-only
+    * joins against the dup-mass-sized cluster frame; the corpora
+    * themselves never shuffle. */
+  def splitLeakage(train: DataFrame, test: DataFrame, idCol: String,
+                   clusters: DataFrame): DataFrame = {
+    val cl = clusters.select(col("id"), col("cluster_id"))
+    val trainClusters = train.select(col(idCol).as("id")).join(cl, "id")
+      .select("cluster_id").distinct()
+    val leakedTest = test.select(col(idCol).as("id")).join(cl, "id")
+      .join(trainClusters, "cluster_id")
+    leakedTest.agg(
+      count_distinct(col("cluster_id")).as("clusters_straddling"),
+      count(lit(1)).as("leaked_test_rows"))
   }
 
   /** First 13 hex chars of `md5(domain || salt || id)` — THE engine-portable

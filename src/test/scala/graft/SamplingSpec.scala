@@ -28,6 +28,52 @@ class SamplingSpec extends SparkSpec {
     assert(test2.select("doc_id").collect().map(_.getLong(0)).toSet === te)
   }
 
+  test("leakSafeSplit: clusters never straddle, singletons default, disjoint+exhaustive, fraction holds") {
+    import spark.implicits._
+    // 400 rows in 100 4-member clusters + 100 singletons absent from the
+    // cluster frame
+    val rows = (0L until 400L).map(i => (i, i / 4L * 4L)) ++
+      (1000L until 1100L).map(i => (i, -1L))
+    val df = rows.toDF("doc_id", "cl")
+    val clusters = df.where(col("cl") >= 0)
+      .select(col("doc_id").as("id"), col("cl").as("cluster_id"))
+    val (train, test) = Sampling.leakSafeSplit(df, "doc_id", clusters, 0.3)
+    val tr = train.select("doc_id").collect().map(_.getLong(0)).toSet
+    val te = test.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tr.intersect(te).isEmpty && (tr ++ te).size === 500)
+    // NO cluster straddles the split — the whole point
+    val sides = rows.filter(_._2 >= 0).groupBy(_._2).map { case (_, ms) =>
+      ms.map(m => te.contains(m._1)).toSet.size
+    }
+    assert(sides.forall(_ === 1), "a duplicate cluster straddled the split")
+    // the fraction applies to cluster REPRESENTATIVES (200 units here)
+    val units = 100 + 100
+    val testUnits = rows.filter(_._2 >= 0).groupBy(_._2).count(g =>
+      te.contains(g._2.head._1)) +
+      (1000L until 1100L).count(te.contains)
+    assert(math.abs(testUnits.toDouble / units - 0.3) < 0.14) // ~4 sigma
+    // same salt domain contract as every portable sampler: reproducible
+    val (_, te2) = Sampling.leakSafeSplit(df.repartition(7), "doc_id",
+      clusters, 0.3)
+    assert(te2.select("doc_id").collect().map(_.getLong(0)).toSet === te)
+  }
+
+  test("splitLeakage: counts straddling clusters and leaked test rows; leak-safe split measures zero") {
+    import spark.implicits._
+    val df = (0L until 40L).map(i => (i, i / 4L * 4L)).toDF("doc_id", "cl")
+    val clusters = df.select(col("doc_id").as("id"), col("cl").as("cluster_id"))
+    // hand-made straddling split: rows 0,1 of cluster 0 and row 4 of
+    // cluster 4 in test, their siblings in train
+    val test0 = df.where(col("doc_id").isin(0L, 1L, 4L))
+    val train0 = df.where(!col("doc_id").isin(0L, 1L, 4L))
+    val r = Sampling.splitLeakage(train0, test0, "doc_id", clusters).head()
+    assert((r.getLong(0), r.getLong(1)) === ((2L, 3L)))
+    // the fix measures clean by construction
+    val (tr, te) = Sampling.leakSafeSplit(df, "doc_id", clusters, 0.3)
+    val clean = Sampling.splitLeakage(tr, te, "doc_id", clusters).head()
+    assert((clean.getLong(0), clean.getLong(1)) === ((0L, 0L)))
+  }
+
   test("exactKPerGroup returns exactly k (or group size) rows per group") {
     val sampled = Sampling.exactKPerGroup(docs, Seq("lang"), "doc_id", 5)
     val sizes = sampled.groupBy("lang").count().collect()
