@@ -1227,6 +1227,19 @@ object SparkEntry {
         corpus.where(isTest), "doc_id", clusters)
     }),
 
+    // --- Unicode canonicalization before content hashing: decomposed
+    // accents (planted combining marks), case, and whitespace runs all
+    // collapse to one key — proven by the normalized text AND the xxhash
+    // of composed-vs-decomposed inputs agreeing; the oracle rebuilds the
+    // same mess with chr() and mirrors NFC via DuckDB's nfc_normalize
+    "t_normalize" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val messy = concat(lit("Cafe"), lit("\u0301"), lit(" \tNaI"),
+        lit("\u0308"), lit("ve  "), col("text"), lit("\r\n"))
+      docs.select(col("doc_id"),
+        TextAnalysis.normalizeText(messy).as("text_norm"))
+    }),
+
     // --- chunking: overlapping 32-token windows, stride 24 (model-ready
     // sequence shaping; narrow posexplode, no shuffle)
     "t_chunks" -> ((s, dir) =>
@@ -3089,6 +3102,18 @@ object SparkEntry {
            SELECT doc_id FROM g
            WHERE substr(md5('graft.leak:graft' || CAST(rep AS VARCHAR)), 1, 13) <
              printf('%013x', CAST(floor(0.25 * 4503599627370496) AS BIGINT))""",
+      // NFC mirrored via DuckDB's nfc_normalize (same Unicode algorithm);
+      // the whitespace class spells the library's canonical tokenizer
+      // class; lower() under utf8proc == Locale.ROOT on this content (the
+      // one known divergence, dotted U+0130, is deliberately absent)
+      "t_normalize" ->
+        """SELECT doc_id,
+             trim(regexp_replace(
+               lower(nfc_normalize(
+                 'Cafe' || chr(769) || ' ' || chr(9) || 'NaI' || chr(776) ||
+                 've  ' || text || chr(13) || chr(10))),
+               '[ \t\n\x0B\f\r]+', ' ', 'g')) AS text_norm
+           FROM documents""",
       "t_chunks" ->
         """WITH d AS (
              SELECT doc_id,

@@ -88,6 +88,11 @@ object expressions {
     ColumnBridge.registerFunction(spark, "byte_dim_sums",
       es => { arity(es, 2, "byte_dim_sums")
         ByteDimSums(es.head, intArg(es(1), "byte_dim_sums")) })
+    // the canonical (lower + collapse) form; the Scala API exposes the
+    // knobs
+    ColumnBridge.registerFunction(spark, "normalize_text",
+      es => { arity(es, 1, "normalize_text")
+        NormalizeText(es.head, lower = true, collapseWs = true) })
   }
 }
 
@@ -1154,5 +1159,76 @@ case class PqCodes(child: Expression, books: Seq[Seq[Seq[Double]]])
   }
 
   override protected def withNewChildInternal(newChild: Expression): PqCodes =
+    copy(child = newChild)
+}
+
+/** Unicode canonicalization for pre-dedup / pre-hash text — the
+  * normalization step every curation pipeline runs before content
+  * hashing, so byte-different renderings of the same text (composed vs
+  * decomposed accents, case, whitespace runs) collapse to one key:
+  *
+  *   1. NFC normalization (java.text.Normalizer — the same Unicode
+  *      algorithm DuckDB's `nfc_normalize` implements, so the oracle
+  *      mirror reproduces it bit-for-bit);
+  *   2. optional Locale.ROOT lowercase (locale-pinned: no Turkish-i
+  *      surprises; the oracle face avoids the one known cross-engine
+  *      divergence, dotted U+0130, which utf8proc maps to bare 'i');
+  *   3. optional whitespace collapse: runs of the library's canonical
+  *      ASCII whitespace class [ \t\n\x0B\f\r] become ONE space and
+  *      both ends trim — exactly
+  *      trim(regexp_replace(s, '[ \t\n\x0B\f\r]+', ' ', 'g')),
+  *      the wsTokens tokenizer's class, in one compiled pass.
+  *
+  * Idempotent by construction. One reference-object call inside
+  * whole-stage codegen; the fast path skips allocation when the input
+  * is already NFC. */
+case class NormalizeText(child: Expression, lower: Boolean,
+                         collapseWs: Boolean) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_text"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType || child.dataType == NullType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${child.dataType.simpleString}")
+
+  def compute(s: UTF8String): UTF8String = {
+    var str = s.toString
+    if (!java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC))
+      str = java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC)
+    if (lower) str = str.toLowerCase(java.util.Locale.ROOT)
+    if (collapseWs) {
+      val sb = new java.lang.StringBuilder(str.length)
+      var pendingSpace = false
+      var started = false
+      var i = 0
+      while (i < str.length) {
+        val c = str.charAt(i)
+        val isWs = c == ' ' || c == '\t' || c == '\n' || c == 11.toChar ||
+          c == '\f' || c == '\r'
+        if (isWs) {
+          if (started) pendingSpace = true
+        } else {
+          if (pendingSpace) { sb.append(' '); pendingSpace = false }
+          sb.append(c)
+          started = true
+        }
+        i += 1
+      }
+      str = sb.toString
+    }
+    UTF8String.fromString(str)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("normalizer", this, classOf[NormalizeText].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
     copy(child = newChild)
 }

@@ -31,6 +31,19 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     size(wsTokens(text))
 
+  /** Unicode canonicalization for pre-dedup / pre-hash text: NFC (the
+    * Unicode algorithm DuckDB's `nfc_normalize` also implements), optional
+    * Locale.ROOT lowercase, optional collapse of the library's canonical
+    * whitespace class to single spaces with end trim — so byte-different
+    * renderings of the same content (composed vs decomposed accents, case,
+    * whitespace runs) collapse to ONE content-hash key before any dedup
+    * stage. Idempotent; one codegen'd expression
+    * ([[graft.functions.NormalizeText]]), linear over 100 TB. */
+  def normalizeText(text: Column, lower: Boolean = true,
+                    collapseWhitespace: Boolean = true): Column =
+    graft.functions.expressions.asColumn(graft.functions.NormalizeText(
+      graft.functions.expressions.exprOf(text), lower, collapseWhitespace))
+
   /** PII redaction — the scrubbing pass every training-data pipeline runs
     * before near-dup/quality stages. Conservative, regex-engine-portable
     * patterns (identical under Java regex and RE2, so an external SQL

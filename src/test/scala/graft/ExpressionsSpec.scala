@@ -346,4 +346,43 @@ class ExpressionsSpec extends SparkSpec {
       assert(got(id) === want, s"row $id")
     }
   }
+
+  test("normalize_text: NFC composition, ROOT lowercase, canonical whitespace collapse, idempotent, null-safe") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis.normalizeText
+    // decomposed e + combining acute composes then lowers; ws runs collapse
+    val rows = Seq(
+      ("Cafe\u0301  \tREAD me\r\n", "caf\u00e9 read me"),
+      ("  \t ", ""),                      // all-whitespace -> empty
+      ("plain", "plain")
+    ).toDF("t", "want")
+    val got = rows.select(normalizeText(col("t")).as("n"), col("want"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) === r.getString(1)))
+    // composed and decomposed inputs hash to ONE content key
+    val pair = Seq(("Caf\u00e9 x", "Cafe\u0301 x")).toDF("a", "b")
+      .select(xxhash64(normalizeText(col("a"))) ===
+        xxhash64(normalizeText(col("b"))))
+    assert(pair.head().getBoolean(0))
+    // idempotent
+    val idem = rows.select(
+      (normalizeText(normalizeText(col("t"))) ===
+        normalizeText(col("t"))).as("ok")).collect()
+    assert(idem.forall(_.getBoolean(0)))
+    // knobs off: case and whitespace preserved, NFC still applied
+    val raw = Seq("A\u0301  B").toDF("t")
+      .select(normalizeText(col("t"), lower = false,
+        collapseWhitespace = false)).head().getString(0)
+    assert(raw === "\u00c1  B")
+    // null in, null out; non-string rejected with the function named
+    assert(Seq((null: String)).toDF("t")
+      .select(normalizeText(col("t"))).head().isNullAt(0))
+    val e = intercept[Exception](Seq(1L).toDF("t")
+      .select(normalizeText(col("t"))).collect())
+    assert(e.getMessage.contains("normalize_text"))
+    // SQL registration face
+    graft.functions.expressions.register(spark)
+    assert(spark.sql("SELECT normalize_text('A\u0301  B') AS n").head()
+      .getString(0) === "\u00e1 b")
+  }
 }
