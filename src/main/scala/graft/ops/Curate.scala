@@ -56,14 +56,30 @@ object Curate {
       // deduplicated on their content, not their boilerplate tags. The
       // text column is REWRITTEN in the output. Stateless, so the
       // streaming face shares it.
-      cleanMarkup: Boolean = false)
+      cleanMarkup: Boolean = false,
+      // Unicode-canonicalize the text BEFORE any hash sees it
+      // ([[TextAnalysis.normalizeText]]: NFC + ROOT lowercase + canonical
+      // whitespace collapse): composed vs decomposed renderings of one
+      // document otherwise carry different content hashes and BOTH
+      // survive exact dedup. Like cleanMarkup the text column is
+      // REWRITTEN in the output — dedup keys, gates, shingles, and the
+      // landed text must agree on what the content IS. Stateless, so the
+      // streaming face shares it.
+      normalizeUnicode: Boolean = false)
 
-  /** Stage 0 shared by both faces: optional markup strip, rewriting the
-    * text column in place (stateless, no shuffle). */
-  private def clean(df: DataFrame, textCol: String, cfg: CurateConfig): DataFrame =
-    if (cfg.cleanMarkup)
-      df.withColumn(textCol, TextAnalysis.stripMarkup(col(textCol)))
-    else df
+  /** Stage 0 shared by both faces: optional markup strip, then optional
+    * Unicode canonicalization, rewriting the text column in place
+    * (stateless codegen'd column work, no shuffle). Markup first: tags
+    * are ASCII and normalization must judge the post-strip content. */
+  private def clean(df: DataFrame, textCol: String, cfg: CurateConfig): DataFrame = {
+    val stripped =
+      if (cfg.cleanMarkup)
+        df.withColumn(textCol, TextAnalysis.stripMarkup(col(textCol)))
+      else df
+    if (cfg.normalizeUnicode)
+      stripped.withColumn(textCol, TextAnalysis.normalizeText(col(textCol)))
+    else stripped
+  }
 
   /** Stage 2 shared by both faces: audit columns + quality/language gates
     * (stateless codegen'd column work, no shuffle), plus the FROZEN

@@ -836,6 +836,25 @@ class PipelineOpsSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("curate: normalizeUnicode dedups composed-vs-decomposed renderings; off keeps both") {
+    // U+00E9 (composed) vs e+U+0301 (decomposed): same text, different
+    // bytes — invisible to exact dedup until canonicalized
+    val corpus = Seq(
+      (1L, "caf\u00e9 menu"),
+      (2L, "cafe\u0301 MENU"),
+      (3L, "different content")
+    ).toDF("doc_id", "text")
+    val off = graft.ops.Curate.curate(corpus, "text", "doc_id",
+      graft.ops.Curate.CurateConfig()).count()
+    assert(off === 3L, "without the knob the byte-different twin survives")
+    val on = graft.ops.Curate.curate(corpus, "text", "doc_id",
+        graft.ops.Curate.CurateConfig(normalizeUnicode = true))
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(on === Map(1L -> "caf\u00e9 menu", 3L -> "different content"),
+      s"got $on")
+  }
+
   test("curate: learned NB gate drops low-scoring docs; streaming face refuses the model") {
     val seed = Seq(("good clean prose text", 1), ("spam spam junk spam", 0))
       .toDF("text", "label")
