@@ -1,7 +1,8 @@
-"""zstandard stand-in over the `zstd` CLI (present in this sandbox).
+"""zstandard stand-in over the `zstd` CLI.
 Compression goes through a temp file so the frame carries the content size,
 matching python-zstandard's write_content_size=True default."""
 import os
+import shutil
 import subprocess
 import tempfile
 
@@ -9,6 +10,26 @@ import tempfile
 # needs a PEP 440-parseable value; 0.23.0 is the real package's API level
 # this shim mimics (compress/decompress over the zstd CLI)
 __version__ = "0.23.0"
+
+
+def _zstd_bin():
+    """The zstd binary moved off the default PATH in some sandbox images
+    (it now ships under miniconda only) — resolve it once, checking PATH
+    first and the known install locations after, and fail with a readable
+    message instead of a bare FileNotFoundError from subprocess."""
+    found = shutil.which("zstd")
+    if found:
+        return found
+    for cand in ("/root/miniconda/bin/zstd", "/usr/bin/zstd",
+                 "/usr/local/bin/zstd"):
+        if os.path.isfile(cand) and os.access(cand, os.X_OK):
+            return cand
+    raise RuntimeError(
+        "zstandard shim: no `zstd` CLI on PATH or in known locations — "
+        "install zstd or add it to PATH")
+
+
+_ZSTD = _zstd_bin()
 
 
 class ZstdCompressor:
@@ -21,7 +42,7 @@ class ZstdCompressor:
             path = f.name
         try:
             out = subprocess.run(
-                ["zstd", "-q", f"-{self.level}", "-c", path],
+                [_ZSTD, "-q", f"-{self.level}", "-c", path],
                 check=True, capture_output=True).stdout
         finally:
             os.unlink(path)
@@ -31,7 +52,7 @@ class ZstdCompressor:
 class ZstdDecompressor:
     def decompress(self, data, max_output_size=0):
         return subprocess.run(
-            ["zstd", "-d", "-q", "-c"],
+            [_ZSTD, "-d", "-q", "-c"],
             input=data, check=True, capture_output=True).stdout
 
     def stream_reader(self, source):
