@@ -8,6 +8,15 @@ oracle SQL from oracle_sql.json in DuckDB over the raw testdata tables,
 sorts columns by name and rows by all columns, and compares values.
 Reports per-query PASS/FAIL with diffs. Not shipped to the driver — a dev
 tool only.
+
+DRIVER-FAITHFUL TYPE GATE (the r10 lesson): the driver hashes TYPED
+values, while pandas coercion silently launders DuckDB HUGEINT and
+DECIMAL into float64 — a local value-compare can pass where the driver's
+hash fails. So BEFORE comparing values, any oracle output column outside
+the portable set {BIGINT..TINYINT, DOUBLE, FLOAT, VARCHAR, BOOLEAN, DATE,
+TIMESTAMP} — HUGEINT from sum(BIGINT), DECIMAL from bare decimal
+literals — is a FAIL, as is any list/array-typed column on either side
+(SURVEY §7.5 rule #1: arrays crash the driver's lexsort).
 """
 import json
 import math
@@ -18,6 +27,33 @@ import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# DuckDB result types the driver's typed hash treats as portable (what a
+# Spark parquet result can also carry). Everything else — HUGEINT,
+# UHUGEINT, DECIMAL(p,s), lists, structs — diverges from Spark's types
+# even when the printed values agree.
+PORTABLE_DUCK_TYPES = {
+    "BIGINT", "INTEGER", "SMALLINT", "TINYINT", "UBIGINT", "UINTEGER",
+    "DOUBLE", "FLOAT", "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP",
+    "TIMESTAMP WITH TIME ZONE", "TIMESTAMP_NS",
+}
+
+
+def bad_oracle_types(rel) -> list:
+    """(column, type) pairs outside the portable set for a DuckDB relation."""
+    return [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+            if str(t).upper() not in PORTABLE_DUCK_TYPES]
+
+
+def array_columns(df: pd.DataFrame) -> list:
+    """Columns holding list/array values (driver lexsort dies on these)."""
+    out = []
+    for c in df.columns:
+        if df[c].dtype == object and df[c].map(
+                lambda v: isinstance(v, (list, tuple))
+                or hasattr(v, "tolist")).any():
+            out.append(c)
+    return out
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -53,10 +89,24 @@ def main() -> int:
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got = canon(pd.read_parquet(f"{out_dir}/{name}"))
-            want = canon(con.execute(sql).fetchdf())
+            rel = con.sql(sql)
+            bad_types = bad_oracle_types(rel)
+            got_raw = pd.read_parquet(f"{out_dir}/{name}")
+            got_arrays = array_columns(got_raw)
+            got = canon(got_raw)
+            want = canon(rel.fetchdf())
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if bad_types:
+            print(f"FAIL {name}: non-portable oracle types {bad_types} "
+                  "(driver typed-hash diverges; CAST to BIGINT/DOUBLE)")
+            n_fail += 1
+            continue
+        if got_arrays:
+            print(f"FAIL {name}: array-typed spark columns {got_arrays} "
+                  "(rule #1: explode to (id, pos, value))")
             n_fail += 1
             continue
         if list(got.columns) != list(want.columns):

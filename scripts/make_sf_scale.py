@@ -82,7 +82,13 @@ def main(out, copies):
     import pyarrow.parquet as pq
     t = pq.read_table(f"{src}/events.parquet")
     ts_type = t.schema.field("ts").type
-    day = {"us": 86_400_000_000, "ns": 86_400_000_000_000}[ts_type.unit]
+    units = {"s": 86_400, "ms": 86_400_000,
+             "us": 86_400_000_000, "ns": 86_400_000_000_000}
+    if ts_type.unit not in units:
+        raise ValueError(
+            f"events.ts has timestamp unit '{ts_type.unit}'; supported: "
+            f"{sorted(units)}")
+    day = units[ts_type.unit]
     me = pa.compute.max(t.column("event_id")).as_py() + 1
     mu = pa.compute.max(t.column("user_id")).as_py() + 1
     span = (pa.compute.max(t.column("ts")).value

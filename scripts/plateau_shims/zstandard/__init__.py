@@ -12,24 +12,33 @@ import tempfile
 __version__ = "0.23.0"
 
 
+_ZSTD = None
+
+
 def _zstd_bin():
     """The zstd binary moved off the default PATH in some sandbox images
-    (it now ships under miniconda only) — resolve it once, checking PATH
-    first and the known install locations after, and fail with a readable
-    message instead of a bare FileNotFoundError from subprocess."""
+    (it now ships under miniconda only) — resolve LAZILY on first use
+    (import must stay side-effect-free: pandas imports this shim when
+    enumerating backends even if no compression ever happens), checking
+    PATH first and the known install locations after, and fail with a
+    readable message instead of a bare FileNotFoundError from
+    subprocess."""
+    global _ZSTD
+    if _ZSTD is not None:
+        return _ZSTD
     found = shutil.which("zstd")
-    if found:
-        return found
-    for cand in ("/root/miniconda/bin/zstd", "/usr/bin/zstd",
-                 "/usr/local/bin/zstd"):
-        if os.path.isfile(cand) and os.access(cand, os.X_OK):
-            return cand
-    raise RuntimeError(
-        "zstandard shim: no `zstd` CLI on PATH or in known locations — "
-        "install zstd or add it to PATH")
-
-
-_ZSTD = _zstd_bin()
+    if not found:
+        for cand in ("/root/miniconda/bin/zstd", "/usr/bin/zstd",
+                     "/usr/local/bin/zstd"):
+            if os.path.isfile(cand) and os.access(cand, os.X_OK):
+                found = cand
+                break
+    if not found:
+        raise RuntimeError(
+            "zstandard shim: no `zstd` CLI on PATH or in known locations — "
+            "install zstd or add it to PATH")
+    _ZSTD = found
+    return found
 
 
 class ZstdCompressor:
@@ -42,7 +51,7 @@ class ZstdCompressor:
             path = f.name
         try:
             out = subprocess.run(
-                [_ZSTD, "-q", f"-{self.level}", "-c", path],
+                [_zstd_bin(), "-q", f"-{self.level}", "-c", path],
                 check=True, capture_output=True).stdout
         finally:
             os.unlink(path)
@@ -52,7 +61,7 @@ class ZstdCompressor:
 class ZstdDecompressor:
     def decompress(self, data, max_output_size=0):
         return subprocess.run(
-            [_ZSTD, "-d", "-q", "-c"],
+            [_zstd_bin(), "-d", "-q", "-c"],
             input=data, check=True, capture_output=True).stdout
 
     def stream_reader(self, source):

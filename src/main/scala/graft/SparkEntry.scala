@@ -1731,6 +1731,40 @@ object SparkEntry {
           sampleFraction = 0.9))
         .select(col("doc_id"), round(col("__quality"), 6).as("quality"), col("__lang"))),
 
+    // --- CCNet perplexity gate, standalone (Wenzek et al. 2020 §4.3):
+    // reference LM on the non-src0 landings, per-language score terciles
+    // over src0, keep head / half of middle (portable md5) / drop tail —
+    // every stage SQL-expressible, so the whole gate hash-checks
+    "t_ccnet_gate" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      graft.ops.Curate.ccnetGate(
+        docs.where(col("source") === "src0")
+          .select("doc_id", "lang", "text"),
+        "text", "doc_id", "lang",
+        graft.ops.Curate.CcnetConfig(
+          reference = docs.where(col("source") =!= "src0"),
+          keepRates = Map("head" -> 1.0, "middle" -> 0.5, "tail" -> 0.0)))
+        .select(col("doc_id"), col("lang"),
+          col("__lm_score").as("lm_score"),
+          col("__ppl_bucket").as("ppl_bucket"))
+    }),
+
+    // --- the CCNet gate composed INSIDE curate (quality gates -> ccnet
+    // terciles -> near-dup -> sample): rows-only like every curate
+    // composite — its parts are oracle-pinned (t_ccnet_gate, d_curate)
+    "d_curate_ccnet" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      graft.ops.Curate.curate(
+        docs.where(col("source") === "src0"), "text", "doc_id",
+        graft.ops.Curate.CurateConfig(minQuality = 0.2,
+          nearDupThreshold = 0.5, sampleFraction = 0.9,
+          ccnet = Some(graft.ops.Curate.CcnetConfig(
+            reference = docs.where(col("source") =!= "src0"),
+            keepRates = Map("head" -> 1.0, "middle" -> 0.5, "tail" -> 0.0)))))
+        .select(col("doc_id"), col("__lang"),
+          round(col("__lm_score"), 6).as("lm_score"), col("__ppl_bucket"))
+    }),
+
     // the one-call corpus -> packed-token-sequences pipeline: curate ->
     // BPE train on survivors -> encode to ids -> whole-doc BFD packing.
     // Rows-only (every stage oracle-checked or guarded on its own face:
@@ -1900,9 +1934,11 @@ object SparkEntry {
 
     // --- JL random projection: deterministic md5-signed ±1 matrix baked
     // driver-side into the codegen'd fold — the 4x index-shrink
-    // preprocessing step before ANN at scale; value-exact in SQL
+    // preprocessing step before ANN at scale; value-exact in SQL.
+    // Exploded face (vec_id, pos, value): SURVEY §7.5 rule #1, no
+    // array-typed output columns in contract queries.
     "v_rand_proj" -> ((s, dir) =>
-      Similarity.randomProjection(rd(s, dir, "embeddings"),
+      Similarity.randomProjectionExploded(rd(s, dir, "embeddings"),
         "embedding", "vec_id", outDims = 16, inDims = 64)),
 
     // --- isotropy pre-flight: the loud diagnosis behind the v_knn_lsh
@@ -2523,17 +2559,21 @@ object SparkEntry {
               << (CAST(floor(($e) / 16) AS INTEGER) - 4) END"""
 
   private def histOracleSql(qs: Seq[Double]): String = {
+    // SURVEY §7.5: window/scalar sums over BIGINT are HUGEINT in DuckDB
+    // and bare decimal literals are DECIMAL — CAST both to the portable
+    // set (BIGINT / DOUBLE) or the driver's typed hash diverges.
     val qlist = qs.mkString("[", ", ", "]")
     s"""WITH v AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents
             WHERE n_chars IS NOT NULL AND n_chars > 0),
         b AS (SELECT $histBinSql AS bin, count(*) AS n
               FROM v GROUP BY 1),
         c AS (SELECT bin, n,
-                sum(n) OVER (ORDER BY bin
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
-                (SELECT sum(n) FROM b) AS total_n
+                CAST(sum(n) OVER (ORDER BY bin
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_n,
+                (SELECT CAST(sum(n) AS BIGINT) FROM b) AS total_n
               FROM b),
-        qq AS (SELECT unnest($qlist) AS q),
+        qq AS (SELECT CAST(unnest($qlist) AS DOUBLE) AS q),
         pick AS (SELECT q, min(bin) AS bin FROM c CROSS JOIN qq
                  WHERE cum_n >= q * total_n GROUP BY q)
         SELECT q, bin,
@@ -3458,6 +3498,52 @@ object SparkEntry {
                LEFT JOIN counts USING (w1, w2)
                LEFT JOIN pred USING (w1), v
              GROUP BY doc_id)""",
+      // CCNet gate: t_bigram_cross's LM scoring -> quantile_cont terciles
+      // per language (the t_quality_buckets contract) -> portable md5
+      // keep under the ccnet domain; ties bucket DOWN, head keeps all,
+      // middle keeps at 0.5, tail drops
+      "t_ccnet_gate" ->
+        """WITH big AS (
+             SELECT doc_id, source, u.w1, u.w2 FROM (
+               SELECT doc_id, source, unnest(list_transform(range(1, len(t)),
+                 i -> {'w1': t[i], 'w2': t[i + 1]})) AS u
+               FROM (SELECT doc_id, source,
+                       string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+') AS t
+                     FROM documents))
+             WHERE len(u.w1) > 0 AND len(u.w2) > 0),
+           counts AS (SELECT w1, w2, count(*) AS c12 FROM big
+                      WHERE source <> 'src0' GROUP BY 1, 2),
+           pred AS (SELECT w1, sum(c12) AS c1 FROM counts GROUP BY 1),
+           v AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS vv FROM counts),
+           sc AS (
+             SELECT doc_id, s / n AS lm_score
+             FROM (
+               SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+                 round(sum(ln((coalesce(c12, 0) + 0.5) /
+                   (coalesce(c1, 0) + 0.5 * vv))), 6) AS s
+               FROM (SELECT * FROM big WHERE source = 'src0')
+                 LEFT JOIN counts USING (w1, w2)
+                 LEFT JOIN pred USING (w1), v
+               GROUP BY doc_id)),
+           d AS (SELECT doc_id, lang, lm_score
+                 FROM (SELECT doc_id, lang FROM documents
+                       WHERE source = 'src0')
+                 JOIN sc USING (doc_id)),
+           c AS (SELECT lang AS grp,
+                   quantile_cont(lm_score, 0.3333333333333333) AS c0,
+                   quantile_cont(lm_score, 0.6666666666666666) AS c1
+                 FROM d GROUP BY lang),
+           b AS (SELECT d.doc_id, d.lang, d.lm_score,
+                   CASE WHEN d.lm_score <= c.c0 THEN 'tail'
+                        WHEN d.lm_score <= c.c1 THEN 'middle'
+                        ELSE 'head' END AS ppl_bucket
+                 FROM d JOIN c ON d.lang IS NOT DISTINCT FROM c.grp)
+           SELECT doc_id, lang, lm_score AS lm_score, ppl_bucket
+           FROM b
+           WHERE ppl_bucket = 'head'
+              OR (ppl_bucket = 'middle' AND
+                  substr(md5('graft.ccnet:graft' || CAST(doc_id AS VARCHAR)), 1, 13)
+                    < printf('%013x', CAST(floor(0.5 * 4503599627370496) AS BIGINT)))""",
       // sentence chunking: sentinel-marked boundaries (RE2 has no
       // lookbehind), running char budget, floor(before/budget) coordinates
       "t_sentence_chunks" ->
@@ -3575,8 +3661,9 @@ object SparkEntry {
                  WHERE r.rate >= 1.0 OR
                    substr(md5('graft.budget:graft' || CAST(d.doc_id AS VARCHAR)), 1, 13) <
                      printf('%013x', CAST(floor(r.rate * 4503599627370496) AS BIGINT))),
-           g AS (SELECT lang, sum(n_chars) AS weight_sum FROM s GROUP BY lang),
-           z AS (SELECT sum(weight_sum) AS z FROM g)
+           g AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS weight_sum
+                 FROM s GROUP BY lang),
+           z AS (SELECT CAST(sum(weight_sum) AS DOUBLE) AS z FROM g)
            SELECT lang, weight_sum, share,
              target, round((share - target) / target, 6) AS rel_err
            FROM (SELECT lang, weight_sum,
@@ -3866,7 +3953,7 @@ object SparkEntry {
                (sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))) *
                 sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))), 6) AS cosine
              FROM corpus, q)
-           SELECT vec_id, cosine, 1.0 AS recall_vs_exact FROM scored
+           SELECT vec_id, cosine, CAST(1.0 AS DOUBLE) AS recall_vs_exact FROM scored
            ORDER BY cosine DESC, vec_id ASC LIMIT 20""",
       // same exact-wide argument as v_pq_indexed: with every list probed
       // and every ADC candidate kept, the IVF-PQ probe IS brute force
@@ -3884,21 +3971,22 @@ object SparkEntry {
                (sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))) *
                 sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))), 6) AS cosine
              FROM corpus, q)
-           SELECT vec_id, cosine, 1.0 AS recall_vs_exact FROM scored
+           SELECT vec_id, cosine, CAST(1.0 AS DOUBLE) AS recall_vs_exact FROM scored
            ORDER BY cosine DESC, vec_id ASC LIMIT 20""",
       // JL projection: the sign is the parity of md5's first byte (first
       // two hex chars); *0.25 and /sqrt(16.0) are the same power-of-two
-      // scale in IEEE, so the mirrors agree bit-for-bit before round-6
+      // scale in IEEE, so the mirrors agree bit-for-bit before round-6.
+      // Exploded (vec_id, pos, value) like v_center_norm — rule #1.
       "v_rand_proj" ->
-        """SELECT vec_id,
-             list_transform(range(16), j -> round(
+        """WITH jj AS (SELECT CAST(unnest(range(16)) AS INT) AS pos)
+           SELECT vec_id, pos, round(
                list_sum(list_transform(range(1, 65), i ->
                  CAST(embedding[i] AS DOUBLE) *
                  (CASE WHEN CAST(concat('0x', substr(md5('graft.rp:graft:' ||
-                     CAST(j AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 2))
+                     CAST(pos AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 2))
                    AS INT) % 2 = 0 THEN 1.0 ELSE -1.0 END)))
-               / sqrt(16.0), 6)) AS embedding
-           FROM embeddings""",
+               / sqrt(16.0), 6) AS value
+           FROM embeddings, jj""",
       "v_knn_topk" ->
         """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
              FROM embeddings WHERE vec_id = 0),
@@ -4261,12 +4349,14 @@ object SparkEntry {
       "k_hist_weighted" ->
         s"""WITH v AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents
               WHERE n_chars IS NOT NULL AND n_chars > 0),
-            b AS (SELECT $histBinSql AS bin, sum(v) AS n FROM v GROUP BY 1),
+            b AS (SELECT $histBinSql AS bin, CAST(sum(v) AS BIGINT) AS n
+                  FROM v GROUP BY 1),
             c AS (SELECT bin, n,
-                    sum(n) OVER (ORDER BY bin
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
-                    (SELECT sum(n) FROM b) AS total_n FROM b),
-            qq AS (SELECT unnest([0.5, 0.9]) AS q),
+                    CAST(sum(n) OVER (ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum_n,
+                    (SELECT CAST(sum(n) AS BIGINT) FROM b) AS total_n FROM b),
+            qq AS (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS q),
             pick AS (SELECT q, min(bin) AS bin FROM c CROSS JOIN qq
                      WHERE cum_n >= q * total_n GROUP BY q)
             SELECT q, bin, ${histLoSql("bin")} AS lo,
@@ -4279,11 +4369,13 @@ object SparkEntry {
             b AS (SELECT source, $histBinSql AS bin, count(*) AS n
                   FROM v GROUP BY 1, 2),
             c AS (SELECT source, bin, n,
-                    sum(n) OVER (PARTITION BY source ORDER BY bin
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
-                    sum(n) OVER (PARTITION BY source) AS total_n
+                    CAST(sum(n) OVER (PARTITION BY source ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum_n,
+                    CAST(sum(n) OVER (PARTITION BY source) AS BIGINT)
+                      AS total_n
                   FROM b),
-            qq AS (SELECT unnest([0.5, 0.9]) AS q),
+            qq AS (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS q),
             pick AS (SELECT source, q, min(bin) AS bin FROM c CROSS JOIN qq
                      WHERE cum_n >= q * total_n GROUP BY 1, 2)
             SELECT source, q, bin, ${histLoSql("bin")} AS lo,

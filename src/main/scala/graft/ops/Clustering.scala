@@ -118,9 +118,11 @@ object Clustering {
                              labelCol: String, dims: Int = 64): DataFrame = {
     // ONE tokenize+hash pass: the centroid build and the assignment both
     // read the materialized hashed-TF frame (the clusterDocuments
-    // discipline) instead of re-deriving it from the corpus
+    // discipline) instead of re-deriving it from the corpus. LAZY
+    // checkpoint — no driver-side consumer needs the frame at
+    // construction time, so no job runs until the query does.
     val weights = hashedTermWeights(df, textCol, idCol, dims)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     assignToCentroids(weights, labelCentroidsOf(weights, df, idCol, labelCol))
   }
 

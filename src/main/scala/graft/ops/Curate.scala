@@ -65,7 +65,38 @@ object Curate {
       // REWRITTEN in the output — dedup keys, gates, shingles, and the
       // landed text must agree on what the content IS. Stateless, so the
       // streaming face shares it.
-      normalizeUnicode: Boolean = false)
+      normalizeUnicode: Boolean = false,
+      // CCNet perplexity gate (optional, batch-only): [[ccnetGate]] with
+      // this config, keyed on the `__lang` audit column the free gates
+      // already computed. Placed after the learned gate and before
+      // near-dup (shrinks the quadratic-surface stage). Batch-only for
+      // the same reason as nbModel: per-language percentile cuts need
+      // the whole scored corpus.
+      ccnet: Option[CcnetConfig] = None)
+
+  /** CCNet-gate configuration (Wenzek et al. 2020, "CCNet: Extracting
+    * High Quality Monolingual Datasets from Web Crawl Data" §4.3):
+    * documents are scored under a reference LM, bucketed head/middle/tail
+    * by PER-LANGUAGE score terciles, and kept at a per-bucket rate. */
+  final case class CcnetConfig(
+      // the curated reference corpus the bigram LM trains on (CCNet uses
+      // Wikipedia; any clean same-domain text works)
+      reference: DataFrame,
+      referenceTextCol: String = "text",
+      referenceIdCol: String = "doc_id",
+      // per-bucket deterministic keep rates; labels absent here drop
+      // (rate 0) — CCNet's own default keeps head+middle, drops tail
+      keepRates: Map[String, Double] =
+        Map("head" -> 1.0, "middle" -> 1.0, "tail" -> 0.0),
+      // per-language quantile cuts and their bucket labels, ASCENDING by
+      // score (mean bigram log-prob: higher = more reference-like), so
+      // the FIRST label is the worst bucket — note this is score order,
+      // the reverse of CCNet's perplexity order (low perplexity = head)
+      cuts: Seq[Double] = Seq(1.0 / 3, 2.0 / 3),
+      labels: Seq[String] = Seq("tail", "middle", "head"),
+      alpha: Double = 0.5,          // add-alpha LM smoothing
+      exact: Boolean = true,        // exact percentile cuts (false: approx)
+      salt: String = "graft")
 
   /** Stage 0 shared by both faces: optional markup strip, then optional
     * Unicode canonicalization, rewriting the text column in place
@@ -147,17 +178,78 @@ object Curate {
       case None => gated0
     }
 
+    // 2c. CCNet perplexity gate (optional, batch-only): per-language
+    // reference-LM terciles with per-bucket keep rates — after the
+    // learned gate (cheaper stages shrink its scoring input), before
+    // near-dup (shrinks the only quadratic-surface stage)
+    val ccGated = cfg.ccnet match {
+      case Some(c) => ccnetGate(gated, textCol, idCol, "__lang", c)
+      case None    => gated
+    }
+
     // 3. near-dup removal (optional): pairs -> components -> keep min id
     val deduped = if (cfg.nearDupThreshold > 0) {
-      val pairs = Dedup.minhashNearDups(gated, textCol, idCol,
+      val pairs = Dedup.minhashNearDups(ccGated, textCol, idCol,
         numHashes = cfg.minhashHashes, bands = cfg.minhashBands,
         shingleN = cfg.shingleN, threshold = cfg.nearDupThreshold,
         maxBucketSize = cfg.maxBucketSize).select("id_a", "id_b")
-      Dedup.dedupByClusters(gated, idCol, Dedup.nearDupClusters(pairs))
-    } else gated
+      Dedup.dedupByClusters(ccGated, idCol, Dedup.nearDupClusters(pairs))
+    } else ccGated
 
     // 4. reproducible sampling
     sample(deduped, idCol, cfg)
+  }
+
+  /** The CCNet perplexity gate, standalone (Wenzek et al. 2020 §4.3 —
+    * the composition [[CurateConfig.ccnet]] wires into [[curate]]):
+    *
+    *   1. Score every document's mean bigram log-prob under a reference
+    *      LM trained on `cfg.reference`
+    *      ([[TextAnalysis.bigramLogProbAgainst]] — the closed-form KenLM
+    *      stand-in, oracle-exact).
+    *   2. Bucket per language into `cfg.labels` by exact score-quantile
+    *      cuts ([[Sampling.quantileBuckets]] — cuts are one broadcast row
+    *      per language; the corpus never shuffles to bucket).
+    *   3. Keep each bucket at its deterministic `cfg.keepRates` rate —
+    *      the engine-portable md5 membership under the `ccnet` domain,
+    *      so the kept set is reproducible and auditable outside Spark.
+    *
+    * Returns surviving rows with `__lm_score` (mean bigram log-prob) and
+    * `__ppl_bucket` audit columns attached. Documents the LM cannot score
+    * (no bigrams: empty/one-token text) are DROPPED — a perplexity gate
+    * has no evidence for them, the learned-gate no-tokens contract.
+    *
+    * Scale shape: model training partial-aggregates to distinct-bigram
+    * partials; scoring explodes the corpus once; the scores frame is one
+    * row per doc joined back on id (the one id-keyed exchange here);
+    * bucket cuts are a per-language aggregate broadcast back; the keep
+    * predicate is a narrow filter. Set `cfg.exact = false` at real scale —
+    * exact `percentile` holds per-group value counts in the aggregation
+    * buffer, `approx_percentile` is bounded-memory by construction. */
+  def ccnetGate(df: DataFrame, textCol: String, idCol: String,
+                langCol: String, cfg: CcnetConfig): DataFrame = {
+    require(cfg.keepRates.nonEmpty, "ccnetGate needs at least one keep rate")
+    require(cfg.keepRates.keySet.subsetOf(cfg.labels.toSet),
+      s"keepRates name unknown buckets: " +
+        (cfg.keepRates.keySet -- cfg.labels).toSeq.sorted.mkString(", "))
+    require(cfg.keepRates.values.forall(r => r >= 0 && r <= 1),
+      s"keep rates must be in [0,1] (got ${cfg.keepRates})")
+    val scores = TextAnalysis.bigramLogProbAgainst(
+        cfg.reference.select(col(cfg.referenceIdCol).as(idCol),
+          col(cfg.referenceTextCol).as(textCol)),
+        df, textCol, idCol, cfg.alpha)
+      .select(col(idCol), col("avg_bigram_logp").as("__lm_score"))
+    val scored = df.join(scores, Seq(idCol), "left")
+      .where(col("__lm_score").isNotNull)
+    val bucketed = Sampling.quantileBuckets(scored, "__lm_score", langCol,
+      cfg.cuts, cfg.labels, bucketCol = "__ppl_bucket", exact = cfg.exact)
+    // per-bucket literal rate; labels absent from keepRates rate 0 (drop)
+    val rate = cfg.labels.foldLeft(lit(0.0)) { (acc, l) =>
+      when(col("__ppl_bucket") === l, lit(cfg.keepRates.getOrElse(l, 0.0)))
+        .otherwise(acc)
+    }
+    bucketed.where(
+      Sampling.rateKeep(col(idCol), rate, cfg.salt, Sampling.CcnetDomain))
   }
 
   final case class MediaCurateConfig(

@@ -40,6 +40,7 @@ object Sampling {
   private[graft] val DetDomain    = "graft.det:"
   private[graft] val SplitDomain  = "graft.split:"
   private[graft] val LeakDomain   = "graft.leak:"
+  private[graft] val CcnetDomain  = "graft.ccnet:"
 
   /** 2^52 — the portable uniform's denominator. 52 bits (13 hex chars)
     * rather than 32: at 10^9+ rows a 32-bit key develops mass ties in
@@ -86,16 +87,23 @@ object Sampling {
     * The side is the engine-portable md5 uniform of the representative
     * under its own salt domain (auditable outside Spark, independent of
     * any upstream sample), so membership survives re-runs and engine
-    * migrations. One left join on id (the cluster frame is dup-mass-sized,
-    * broadcast when small); no other exchange. */
+    * migrations. Ids listed under several cluster_ids take the MIN one, so
+    * the join stays 1:1 and a row can never land on both sides. One
+    * left join on id (the cluster frame is dup-mass-sized, broadcast when
+    * small); no other exchange. */
   def leakSafeSplit(df: DataFrame, idCol: String, clusters: DataFrame,
                     testFraction: Double, salt: String = "graft")
       : (DataFrame, DataFrame) = {
     require(testFraction >= 0 && testFraction <= 1,
       s"testFraction $testFraction out of [0,1]")
-    val joined = df.join(
-      clusters.select(col("id").as(idCol), col("cluster_id").as("__rep")),
-      Seq(idCol), "left")
+    // One representative per id: an id listed under two cluster_ids would
+    // otherwise duplicate the row and can land it on BOTH sides (different
+    // reps hash to different sides), silently breaking disjointness. min()
+    // keeps the join 1:1 for any cluster frame.
+    val reps = clusters
+      .groupBy(col("id").as(idCol))
+      .agg(min(col("cluster_id")).as("__rep"))
+    val joined = df.join(reps, Seq(idCol), "left")
     val rep = coalesce(col("__rep"), col(idCol))
     val isTest =
       if (testFraction >= 1.0) lit(true)
@@ -244,8 +252,8 @@ object Sampling {
     * CALLER (its %013x would render 16 hex chars and flood the sample —
     * see [[tokenBudgetSample]]). ONE definition so samplers cannot drift
     * on the encoding. */
-  private def rateKeep(idCol: Column, rate: Column, salt: String,
-                       domain: String): Column =
+  private[graft] def rateKeep(idCol: Column, rate: Column, salt: String,
+                              domain: String): Column =
     rate >= 1.0 || portableHashKey(idCol, salt, domain) <
       format_string("%013x", floor(rate * lit(PortableOne)).cast("long"))
 

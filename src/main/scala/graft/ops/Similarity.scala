@@ -103,6 +103,36 @@ object Similarity {
     corpus.select(col(idCol), array(outs: _*).as(vecCol))
   }
 
+  /** The SCALAR face of [[randomProjection]] — one `(idCol, pos, value)`
+    * row per projected element, 0-based pos, identical values. The
+    * contract-query face (SURVEY §7.5 rule #1: no array-typed output
+    * columns), and the same planner-trap avoidance as
+    * [[centerNormalizeExploded]]: rather than posexploding the array
+    * face's output (whose generator input is the full fold chain — an
+    * inferred `size(..) > 0` guard would re-evaluate it per row), the
+    * generator input here is the LITERAL sign matrix, so the inferred
+    * filter is constant and each fold runs exactly once on the exploded
+    * scalar. Null/empty vectors keep `outDims` rows each (the literal
+    * matrix explodes regardless), value 0 — the zero-pad contract. */
+  def randomProjectionExploded(corpus: DataFrame, vecCol: String,
+                               idCol: String, outDims: Int, inDims: Int,
+                               salt: String = "graft"): DataFrame = {
+    require(outDims >= 1, s"outDims must be >= 1 (got $outDims)")
+    require(inDims >= 1, s"inDims must be >= 1 (got $inDims)")
+    val scale = 1.0 / math.sqrt(outDims.toDouble)
+    val signMatrix: Seq[Seq[Double]] = (0 until outDims)
+      .map(j => (0 until inDims).map(i => projectionSign(salt, j, i)))
+    corpus
+      .select(col(idCol), col(vecCol),
+        posexplode(typedLit(signMatrix)).as(Seq("pos", "__signs")))
+      .select(col(idCol), col("pos"),
+        round(coalesce(aggregate(
+          zip_with(col(vecCol), col("__signs"),
+            (e, g) => e.cast("double") * g),
+          lit(0.0), (acc, x) => acc + coalesce(x, lit(0.0))), lit(0.0))
+          * scale, 6).as("value"))
+  }
+
   /** The ±1 entry of the projection matrix — parity of the first md5
     * byte, the same byte an external engine reads as the digest's first
     * two hex chars. */

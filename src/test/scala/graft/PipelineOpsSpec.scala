@@ -875,6 +875,62 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("frame-based learned gate"), ex.getMessage)
   }
 
+  test("ccnetGate: per-language terciles, keep rates, unscoreable docs dropped") {
+    // reference LM: bigrams of "the cat sat on the mat"
+    val ref = Seq((100L, "the cat sat on the mat")).toDF("doc_id", "text")
+    // three score tiers x2 in en (all-in-model > half-OOV > all-OOV),
+    // one of each tier in de — cuts must be computed PER LANGUAGE
+    val corpus = Seq(
+      (1L, "en", "the cat sat"), (2L, "en", "the cat sat"),
+      (3L, "en", "the cat jumped"), (4L, "en", "the cat jumped"),
+      (5L, "en", "zz qq ww"), (6L, "en", "zz qq ww"),
+      (7L, "de", "the cat sat"), (8L, "de", "the cat jumped"),
+      (9L, "de", "zz qq ww"),
+      (10L, "en", "solo")               // one token: no bigrams, dropped
+    ).toDF("doc_id", "lang", "text")
+    def run(rates: Map[String, Double]) = graft.ops.Curate.ccnetGate(
+      corpus, "text", "doc_id", "lang",
+      graft.ops.Curate.CcnetConfig(reference = ref, keepRates = rates))
+    val all = run(Map("head" -> 1.0, "middle" -> 1.0, "tail" -> 1.0))
+      .select("doc_id", "__ppl_bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(all === Map(1L -> "head", 2L -> "head", 3L -> "middle",
+      4L -> "middle", 5L -> "tail", 6L -> "tail",
+      7L -> "head", 8L -> "middle", 9L -> "tail"), s"got $all")
+    // CCNet default: head+middle kept, tail dropped; rate-0 buckets gone
+    val kept = run(Map("head" -> 1.0, "middle" -> 1.0, "tail" -> 0.0))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L, 3L, 4L, 7L, 8L), s"got $kept")
+    // a label absent from keepRates drops (rate 0)
+    val headOnly = run(Map("head" -> 1.0))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(headOnly === Set(1L, 2L, 7L), s"got $headOnly")
+    // unknown bucket names and out-of-range rates are rejected loudly
+    intercept[IllegalArgumentException] { run(Map("bogus" -> 1.0)) }
+    intercept[IllegalArgumentException] { run(Map("head" -> 1.5)) }
+  }
+
+  test("curate: ccnet stage wires after gates and before near-dup") {
+    val ref = Seq((100L, "the cat sat on the mat")).toDF("doc_id", "text")
+    // both docs carry English stopwords (same __lang group — a SINGLETON
+    // language group is degenerate: its own value IS the tercile cut and
+    // ties bucket DOWN to tail); doc 2 is English the reference LM has
+    // never seen, so it scores the OOV floor and lands tail
+    val corpus = Seq(
+      (1L, "the cat sat on the mat and the cat sat down on the mat"),
+      (2L, "a quick brown fox jumps over the lazy dog in a garden today")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Curate.curate(corpus, "text", "doc_id",
+      graft.ops.Curate.CurateConfig(ccnet = Some(graft.ops.Curate.CcnetConfig(
+        reference = ref,
+        // 2 docs, cuts at 1/3 and 2/3: doc 2 (all-OOV) lands tail
+        keepRates = Map("head" -> 1.0, "middle" -> 1.0, "tail" -> 0.0)))))
+    assert(out.columns.contains("__lm_score") &&
+      out.columns.contains("__ppl_bucket"))
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L), s"got $ids")
+  }
+
   test("bigramLogProb: hand-computed smoothed transition probs; short docs absent") {
     // corpus: "a b a b" and "a b"; bigrams: (a,b)x3, (b,a)x1
     // pred: c(a·)=3, c(b·)=1; V = |{a,b}| = 2; alpha=.5

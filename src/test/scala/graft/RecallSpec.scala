@@ -419,6 +419,29 @@ class RecallSpec extends SparkSpec {
     assert(sl(2L).size == 4)
   }
 
+  test("randomProjectionExploded: value-identical to the array face") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = (1L to 50L).map(i =>
+      (i, Seq.fill(64)(rnd.nextGaussian()))).toDF("id", "v")
+    val arr = graft.ops.Similarity.randomProjection(vecs, "v", "id", 16, 64)
+      .as[(Long, Seq[Double])].collect().toMap
+    val expl = graft.ops.Similarity
+      .randomProjectionExploded(vecs, "v", "id", 16, 64)
+      .as[(Long, Int, Double)].collect()
+    assert(expl.length === 50 * 16)
+    assert(expl.forall { case (id, pos, value) => arr(id)(pos) == value })
+    // null vector keeps all outDims rows, value 0 (zero-pad contract)
+    val withNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(9L, null))),
+      new org.apache.spark.sql.types.StructType()
+        .add("id", "long").add("v", "array<double>"))
+    val nullRows = graft.ops.Similarity
+      .randomProjectionExploded(withNull, "v", "id", 4, 8)
+      .as[(Long, Int, Double)].collect()
+    assert(nullRows.length === 4 && nullRows.forall(_._3 == 0.0))
+  }
+
   test("embeddingOutliers: planted stray flagged, fraction respected, null labels dropped") {
     import spark.implicits._
     // label-0 cluster on axis 0 with small jitter, plus one planted stray

@@ -58,6 +58,26 @@ class SamplingSpec extends SparkSpec {
     assert(te2.select("doc_id").collect().map(_.getLong(0)).toSet === te)
   }
 
+  test("leakSafeSplit: an id under TWO cluster_ids is not duplicated and cannot straddle") {
+    import spark.implicits._
+    val df = (0L until 20L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    // id 3 is claimed by two overlapping near-dup clusters (hash-family
+    // outputs can do this); min(cluster_id) must win, the row must appear
+    // exactly once, and the split must stay disjoint + exhaustive
+    val clusters = Seq((3L, 0L), (3L, 100L), (4L, 0L), (5L, 100L))
+      .toDF("id", "cluster_id")
+    val (train, test) = Sampling.leakSafeSplit(df, "doc_id", clusters, 0.5)
+    val tr = train.select("doc_id").collect().map(_.getLong(0)).toSeq
+    val te = test.select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(tr.size === tr.distinct.size && te.size === te.distinct.size,
+      "a doubly-clustered id was duplicated by the join")
+    assert(tr.toSet.intersect(te.toSet).isEmpty)
+    assert((tr ++ te).size === 20)
+    // id 3 sides with cluster 0 (its min), i.e. exactly where id 4 went
+    assert(te.contains(3L) === te.contains(4L),
+      "id 3 did not follow its min-cluster representative")
+  }
+
   test("splitLeakage: counts straddling clusters and leaked test rows; leak-safe split measures zero") {
     import spark.implicits._
     val df = (0L until 40L).map(i => (i, i / 4L * 4L)).toDF("doc_id", "cl")
