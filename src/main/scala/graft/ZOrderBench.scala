@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+
+import graft.dnf.{Literal, Op}
+import graft.io.{Reader, Writer}
+import graft.io.Writer.WriteOpts
+import graft.store.Storage
+
+/** Quantify the Z-order layout win (dev tool, the `x_zorder_read` honesty
+  * number): land lineitem in three layouts — natural order, single-column
+  * sort on l_quantity, Morton z-order on (l_quantity, l_extendedprice) —
+  * with small row groups, then measure for the contract query's
+  * two-dimensional band (quantity in [10,12), price in [20k,30k)):
+  *
+  *   - row groups whose footer stats survive BOTH band predicates (what a
+  *     min/max-pruning reader must fetch),
+  *   - the rows inside those surviving groups (bytes off disk, to first
+  *     order), and
+  *   - the wall time of the actual pruned read through [[Reader.readTable]].
+  *
+  * `runMain graft.ZOrderBench [sfDir] [storeBase] [reps]`. One line per
+  * layout: `ZORDERBENCH <layout> groups=G surviving=S rows_total=N
+  * rows_read=R read_frac=F warm_sec=T`.
+  */
+object ZOrderBench {
+  private case class Block(rows: Long, qMin: Double, qMax: Double,
+                           pMin: Double, pMax: Double)
+
+  private def blocks(store: Storage, uuid: String): Seq[Block] = {
+    val base = new Path(s"${store.base}/$uuid/table")
+    val fs = base.getFileSystem(store.hadoopConf)
+    val files = fs.listFiles(base, true)
+    val out = scala.collection.mutable.ListBuffer[Block]()
+    while (files.hasNext) {
+      val f = files.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val r = ParquetFileReader.open(
+          HadoopInputFile.fromPath(f.getPath, store.hadoopConf))
+        try r.getFooter.getBlocks.forEach { b =>
+          var qMin = Double.NaN; var qMax = Double.NaN
+          var pMin = Double.NaN; var pMax = Double.NaN
+          b.getColumns.forEach { c =>
+            val st = c.getStatistics
+            c.getPath.toDotString match {
+              case "l_quantity" =>
+                qMin = st.genericGetMin.asInstanceOf[Double]
+                qMax = st.genericGetMax.asInstanceOf[Double]
+              case "l_extendedprice" =>
+                pMin = st.genericGetMin.asInstanceOf[Double]
+                pMax = st.genericGetMax.asInstanceOf[Double]
+              case _ => ()
+            }
+          }
+          out += Block(b.getRowCount, qMin, qMax, pMin, pMax)
+        } finally r.close()
+      }
+    }
+    out.toSeq
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/tmp/sf1"
+    val base = if (args.length > 1) args(1) else "/tmp/zorder_bench"
+    val reps = if (args.length > 2) args(2).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.local(cpus, "plateauspark-zorderbench")
+    spark.sparkContext.setLogLevel("WARN")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val store = Storage(spark, base)
+    val chunk = Some(256L * 1024) // small groups: pruning granularity
+    val layouts = Seq(
+      "natural" -> WriteOpts(chunkSize = chunk, overwrite = true),
+      "qsort" -> WriteOpts(sortBy = Seq("l_quantity"), chunkSize = chunk,
+        overwrite = true),
+      "zord" -> WriteOpts(zorderBy = Seq("l_quantity", "l_extendedprice"),
+        chunkSize = chunk, overwrite = true))
+    layouts.foreach { case (uuid, opts) =>
+      Writer.store(spark, store, uuid, li, opts)
+      val bs = blocks(store, uuid)
+      val surviving = bs.filter(b =>
+        b.qMax >= 10.0 && b.qMin < 12.0 &&
+          b.pMax >= 20000.0 && b.pMin < 30000.0)
+      val total = bs.map(_.rows).sum
+      val read = surviving.map(_.rows).sum
+      def timedRead(): Double = {
+        val t0 = System.nanoTime()
+        Reader.readTable(spark, store, uuid,
+          columns = Some(Seq("l_orderkey", "l_quantity", "l_extendedprice")),
+          predicates = Some(Seq(Seq(
+            Literal("l_quantity", Op.Ge, 10.0),
+            Literal("l_quantity", Op.Lt, 12.0),
+            Literal("l_extendedprice", Op.Ge, 20000.0),
+            Literal("l_extendedprice", Op.Lt, 30000.0)))))
+          .queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      timedRead() // untimed warmup (codegen, page cache)
+      val secs = (0 until math.max(1, reps)).map(_ => timedRead())
+      println(f"ZORDERBENCH $uuid groups=${bs.size} surviving=${surviving.size} " +
+        f"rows_total=$total rows_read=$read " +
+        f"read_frac=${read.toDouble / total}%.4f warm_sec=${secs.min}%.2f")
+    }
+    spark.stop()
+  }
+}
