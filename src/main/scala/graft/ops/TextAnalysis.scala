@@ -61,6 +61,74 @@ object TextAnalysis {
         Ipv4Pattern, "<IP>"),
       PhonePattern, "<PHONE>")
 
+  /** Secret/financial-identifier patterns (same regex-engine-portable
+    * discipline as the PII trio — no lookaround, identical under Java
+    * regex and RE2). Card candidates are 13–19 digits with optional
+    * single space/dash separators; candidacy is syntactic, VALIDITY is
+    * the Luhn checksum ([[luhnValid]]) — the scan face counts only
+    * Luhn-valid candidates, the redact face removes every candidate
+    * (privacy redaction wants recall over precision). */
+  val CardPattern = "[0-9](?:[ -]?[0-9]){12,18}"
+  val AwsKeyPattern = "AKIA[0-9A-Z]{16}"
+  val JwtPattern =
+    "eyJ[A-Za-z0-9_-]{4,}\\.[A-Za-z0-9_-]+\\.[A-Za-z0-9_-]+"
+
+  /** Luhn checksum over a digit-only string (ISO/IEC 7812: from the
+    * rightmost digit, double every second digit, subtract 9 when the
+    * double exceeds 9, sum; valid iff the sum is a multiple of 10) —
+    * plus the 13–19 length bound of real card numbers. Pure codegen'd
+    * fold, mirrored exactly in SQL by any engine with list folds. */
+  def luhnValid(digits: Column): Column = {
+    val n = length(digits)
+    val sum = aggregate(
+      sequence(lit(1), greatest(n, lit(1))),
+      lit(0),
+      (acc, i) => {
+        val d = ascii(digits.substr(n - i + 1, lit(1))) - 48
+        acc + when(i % 2 === 0,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      })
+    n >= 13 && n <= 19 && sum % 10 === 0
+  }
+
+  /** Per-document PII/secret census — the "how contaminated is this
+    * crawl" audit a pipeline runs BEFORE deciding its redaction policy
+    * (and the regression metric after): counts of emails, phone-shaped
+    * numbers, IPv4s, Luhn-VALID card numbers, AWS access key ids, and
+    * JWT-shaped tokens. Patterns count independently (a card digit run
+    * can also match the phone shape — each census column answers its own
+    * question). Pure codegen'd row-local expressions, no shuffle, linear
+    * over 100 TB; returns (idCol, n_emails, n_phones, n_ips, n_cards,
+    * n_aws_keys, n_jwts). */
+  def piiScan(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    def cnt(pattern: String): Column =
+      size(regexp_extract_all(t, lit(pattern), lit(0))).cast("long")
+    val cards = filter(
+      regexp_extract_all(t, lit(CardPattern), lit(0)),
+      m => luhnValid(regexp_replace(m, "[ -]", "")))
+    df.select(col(idCol),
+      cnt(EmailPattern).as("n_emails"),
+      cnt(PhonePattern).as("n_phones"),
+      cnt(Ipv4Pattern).as("n_ips"),
+      size(cards).cast("long").as("n_cards"),
+      cnt(AwsKeyPattern).as("n_aws_keys"),
+      cnt(JwtPattern).as("n_jwts"))
+  }
+
+  /** [[redactPii]] plus the secret families: AWS keys, JWTs, and card
+    * CANDIDATES (no Luhn gate here — redaction wants recall; a 16-digit
+    * number that fails the checksum is still not trainable content).
+    * Longest/most-specific first so a card's digits are gone before the
+    * phone pattern can claim a prefix of them. */
+  def redactSecrets(text: Column): Column =
+    redactPii(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, AwsKeyPattern, "<AWSKEY>"),
+          JwtPattern, "<JWT>"),
+        CardPattern, "<CARD>"))
+
   /** BPE-ish subword count: words + digits + punctuation runs. */
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
@@ -324,6 +392,66 @@ object TextAnalysis {
           (coalesce(col("c1"), lit(0L)) + lit(alpha) * col("__v")))), 6)
           .as("__s"))
       .withColumn("avg_bigram_logp", col("__s") / col("n_bigrams"))
+      .drop("__s")
+  }
+
+  /** Interpolated Kneser-Ney bigram scoring — the smoothing KenLM (and
+    * therefore CCNet's perplexity gate) actually uses, in closed form
+    * (Kneser & Ney 1995; Chen & Goodman 1998 eq. 4.25), where
+    * [[bigramLogProbAgainst]] is the add-alpha approximation:
+    *
+    *   P(w2|w1) = max(c12 − D, 0)/c1 + D·N1+(w1·)/c1 · Pcont(w2)
+    *   Pcont(w2) = (N1+(·w2) + a) / (N1+(··) + a·(V+1))
+    *
+    * with D the absolute discount, N1+ the distinct-continuation counts,
+    * and Pcont add-a smoothed over V+1 outcomes so out-of-vocabulary
+    * successors score a positive floor instead of −Inf (the one deviation
+    * from textbook KN, which leaves OOV mass undefined; a is `alpha`).
+    * A w1 unseen in the model backs off fully to Pcont(w2). KN's point
+    * over add-alpha: a bigram's backoff weight follows how PROMISCUOUS
+    * its context is (N1+(w1·)), and a word's unigram backoff follows how
+    * many distinct contexts it completes (N1+(·w2)), not raw frequency —
+    * "Francisco" is frequent but only ever follows "San", so KN scores it
+    * low in fresh contexts where raw-frequency smoothing overrates it.
+    *
+    * Returns `(idCol, n_bigrams, avg_kn_logp)` — the
+    * [[bigramLogProbAgainst]] shape and determinism contract (rounded
+    * sum, unrounded mean), so the CCNet gate can swap scorers. Same
+    * scale shape too: the model partial-aggregates to distinct-bigram
+    * partials, the continuation/predecessor tables are model-sized
+    * joins, the (B, V) totals are a 1-row broadcast, and the scored
+    * corpus explodes once. Empty train is degenerate — gate upstream. */
+  def bigramKneserNey(train: DataFrame, score: DataFrame,
+                      textCol: String, idCol: String,
+                      discount: Double = 0.75,
+                      alpha: Double = 0.5): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0,1) (got $discount)")
+    require(alpha > 0, s"alpha must be > 0 (got $alpha)")
+    val counts = bigramPairs(train, textCol, idCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val pred = counts.groupBy("w1")
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
+    val cont = counts.groupBy("w2").agg(count(lit(1)).as("n1p"))
+    val tot = counts.agg(count(lit(1)).cast("double").as("__b"),
+      countDistinct(col("w2")).cast("double").as("__v"))
+    val pc = (coalesce(col("n1p"), lit(0L)).cast("double") + alpha) /
+      (col("__b") + lit(alpha) * (col("__v") + 1.0))
+    val c1d = col("c1").cast("double")
+    val p = when(col("c1").isNotNull && col("c1") > 0,
+        greatest(coalesce(col("c12"), lit(0L)).cast("double") - discount,
+          lit(0.0)) / c1d +
+          lit(discount) * col("n1f").cast("double") / c1d * pc)
+      .otherwise(pc)
+    bigramPairs(score, textCol, idCol)
+      .join(counts, Seq("w1", "w2"), "left")
+      .join(pred, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(log(p)), 6).as("__s"))
+      .withColumn("avg_kn_logp", col("__s") / col("n_bigrams"))
       .drop("__s")
   }
 

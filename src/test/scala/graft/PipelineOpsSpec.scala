@@ -931,6 +931,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ids === Set(1L), s"got $ids")
   }
 
+  test("bigramKneserNey: hand-computed discounted probs, both backoff paths") {
+    // train "a b a b a c": counts (a,b)=2 (b,a)=2 (a,c)=1
+    // pred: a -> c1=3, n1f=2; b -> c1=2, n1f=1
+    // cont: n1p(a)=1, n1p(b)=1, n1p(c)=1; B=3 types, V=3; D=.75, alpha=.5
+    // Pcont(x seen) = 1.5/(3+0.5*4) = 0.3; Pcont(OOV) = 0.5/5 = 0.1
+    val train = Seq((100L, "a b a b a c")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b"),   // seen pair: max(2-.75,0)/3 + .75*2/3*0.3 = 0.56666...
+      (2L, "z a"),   // unseen w1: full backoff to Pcont(a) = 0.3
+      (3L, "a z")    // seen w1, OOV w2: 0 + .75*2/3*0.1 = 0.05
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramKneserNey(train, score, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pAB = 1.25 / 3.0 + 0.75 * 2.0 / 3.0 * 0.3
+    assert(out(1L) === ((1L, r6(math.log(pAB)))), s"got ${out(1L)}")
+    assert(out(2L) === ((1L, r6(math.log(0.3)))), s"got ${out(2L)}")
+    assert(out(3L) === ((1L, r6(math.log(0.05)))), s"got ${out(3L)}")
+    // the Francisco property: a w2 frequent in ONE context scores below a
+    // w2 of equal frequency spread across many contexts, in a fresh one
+    val tr2 = Seq((100L, "san francisco san francisco san francisco " +
+      "big apple new apple red apple")).toDF("doc_id", "text")
+    val sc2 = Seq((1L, "fresh francisco"), (2L, "fresh apple"))
+      .toDF("doc_id", "text")
+    val kn = TextAnalysis.bigramKneserNey(tr2, sc2, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(kn(2L) > kn(1L),
+      s"promiscuous 'apple' ${kn(2L)} must outscore one-context " +
+        s"'francisco' ${kn(1L)} in a fresh context")
+  }
+
   test("bigramLogProb: hand-computed smoothed transition probs; short docs absent") {
     // corpus: "a b a b" and "a b"; bigrams: (a,b)x3, (b,a)x1
     // pred: c(a·)=3, c(b·)=1; V = |{a,b}| = 2; alpha=.5
