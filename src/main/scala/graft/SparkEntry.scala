@@ -1631,6 +1631,24 @@ object SparkEntry {
           hexChars = 2, salt = "shuf:")
         .select("doc_id", "shard", "pos")),
 
+    // --- shard export manifest: per-shard row count + order-independent
+    // XOR membership checksum over the same digest that assigns shards
+    "u_shard_manifest" -> ((s, dir) =>
+      graft.ops.Sampling.shardManifest(
+        rd(s, dir, "documents").select("doc_id"), "doc_id",
+        hexChars = 1).orderBy("shard")),
+
+    // --- the verify face: current corpus vs a manifest pinned BEFORE ten
+    // docs went missing — exactly the shards that lost rows surface
+    "u_shard_diff" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents").select("doc_id")
+      graft.ops.Sampling.shardManifestDiff(
+        graft.ops.Sampling.shardManifest(docs, "doc_id", hexChars = 1),
+        graft.ops.Sampling.shardManifest(
+          docs.where(col("doc_id") >= 10), "doc_id", hexChars = 1))
+        .orderBy("shard")
+    }),
+
     // ---- non-SQL-expressible operators (driver records rows-only checks) --
 
     // A4: dataset content hash (hash values are engine-specific by design)
@@ -1984,6 +2002,20 @@ object SparkEntry {
     "v_rand_proj" -> ((s, dir) =>
       Similarity.randomProjectionExploded(rd(s, dir, "embeddings"),
         "embedding", "vec_id", outDims = 16, inDims = 64)),
+
+    // --- semantic decontamination, exact face: the corpus contains the
+    // 10 benchmark vectors verbatim (planted leakage, the realistic
+    // case); every pair at cosine >= 0.99 surfaces — n-gram decontam
+    // would need the TEXT to match, this face only needs the MEANING to
+    "v_decontam_embed" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      graft.ops.Contamination.embeddingContamPairs(
+        emb,
+        emb.where(col("vec_id") < 10)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")),
+        "embedding", "vec_id", threshold = 0.99)
+        .orderBy("id_a", "id_b")
+    }),
 
     // --- isotropy pre-flight: the loud diagnosis behind the v_knn_lsh
     // comment — run on the RAW embeddings, it reports structured=false
@@ -3959,6 +3991,34 @@ object SparkEntry {
              CAST(row_number() OVER (PARTITION BY substr(k, 1, 2)
                ORDER BY k, doc_id) AS BIGINT) AS pos
            FROM t""",
+      // shard manifest: XOR of the 52-bit portable keys per shard —
+      // order-independent, overflow-free, same digest as the assignment
+      "u_shard_manifest" ->
+        """WITH t AS (SELECT
+               substr(md5('graft.shuf:graft' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+               CAST(concat('0x', substr(md5('graft.shuf:graft' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS k52
+             FROM documents)
+           SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(bit_xor(k52) AS BIGINT) AS id_xor
+           FROM t GROUP BY shard ORDER BY shard""",
+      // manifest diff: shards that lost the doc_id<10 rows (and only
+      // those) must surface, with both readings side by side
+      "u_shard_diff" ->
+        """WITH t AS (SELECT doc_id,
+               substr(md5('graft.shuf:graft' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+               CAST(concat('0x', substr(md5('graft.shuf:graft' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS k52
+             FROM documents),
+           cur AS (SELECT shard, CAST(count(*) AS BIGINT) AS rows_now,
+                     CAST(bit_xor(k52) AS BIGINT) AS id_xor_now
+                   FROM t GROUP BY shard),
+           pin AS (SELECT shard, CAST(count(*) AS BIGINT) AS rows_pinned,
+                     CAST(bit_xor(k52) AS BIGINT) AS id_xor_pinned
+                   FROM t WHERE doc_id >= 10 GROUP BY shard)
+           SELECT shard, rows_now, id_xor_now, rows_pinned, id_xor_pinned
+           FROM cur FULL OUTER JOIN pin USING (shard)
+           WHERE rows_now IS DISTINCT FROM rows_pinned
+              OR id_xor_now IS DISTINCT FROM id_xor_pinned
+           ORDER BY shard""",
       "t_fingerprint" ->
         """SELECT doc_id, CAST(list_sum(list_transform(
              string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+'),
@@ -3990,6 +4050,23 @@ object SparkEntry {
              CAST(generate_subscripts(emb, 1) - 1 AS INT) AS pos,
              unnest(emb) AS value
            FROM r""",
+      // semantic decontamination: the v_knn_scores cosine construction
+      // pair-wise against the 10 planted benchmark vectors, thresholded
+      // on the rounded value
+      "v_decontam_embed" ->
+        """WITH c AS (SELECT vec_id AS id_a,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+           b AS (SELECT vec_id + 1000000 AS id_b,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS w
+             FROM embeddings WHERE vec_id < 10),
+           s AS (SELECT id_a, id_b, round(
+               list_sum(list_transform(range(1, 65), i -> v[i] * w[i])) /
+               (sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))) *
+                sqrt(list_sum(list_transform(range(1, 65), i -> w[i] * w[i])))), 6) AS cosine
+             FROM c, b)
+           SELECT id_a, id_b, cosine FROM s
+           WHERE cosine >= 0.99 ORDER BY id_a, id_b""",
       "v_knn_scores" ->
         """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
              FROM embeddings WHERE vec_id = 0),

@@ -159,4 +159,53 @@ object Contamination {
       crossJaccardPairs(corpus, reference, textCol, idCol, shingleN, threshold)
         .select(col("id_a").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
+
+  /** SEMANTIC contamination: every (corpus, benchmark) pair whose
+    * embedding cosine reaches `threshold` — the third rung of the
+    * decontamination ladder. [[sharedGrams]] catches verbatim leakage,
+    * [[crossJaccardPairs]] catches light edits; a paraphrased or
+    * translated benchmark item shares almost no n-grams with its source
+    * and only an embedding-space comparison sees it (the
+    * GPT-3/Llama-report concern that n-gram decontamination provably
+    * undercounts). Returns `(id_a = corpus id, id_b = benchmark id,
+    * cosine)` rounded 6, thresholded on the rounded value (engine-exact).
+    *
+    * Scale shape: the benchmark side is eval-set-sized BY CONSTRUCTION
+    * (thousands of rows) and broadcasts; the corpus scans ONCE, scoring
+    * map-side against every benchmark vector with the codegen'd dot fold
+    * — a BroadcastNestedLoopJoin that is linear in the corpus, and the
+    * corpus never shuffles. Cost is corpus x benchmark dot products: at
+    * 100 TB pre-gate with [[Similarity.randomProjection]] (4x fewer dims)
+    * or probe per benchmark vector against a persisted
+    * [[Similarity.ivfTopKIndexed]] index instead — this is the exact
+    * face the approximate paths are audited against. Set
+    * `broadcastBenchmark = false` only when the benchmark genuinely
+    * cannot broadcast (both sides then shuffle). */
+  def embeddingContamPairs(corpus: DataFrame, benchmark: DataFrame,
+                           vecCol: String, idCol: String,
+                           threshold: Double,
+                           broadcastBenchmark: Boolean = true): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1] (got $threshold)")
+    val b0 = benchmark.select(col(idCol).as("id_b"),
+      col(vecCol).as("__bvec"))
+    val b = if (broadcastBenchmark) broadcast(b0) else b0
+    corpus.select(col(idCol).as("id_a"), col(vecCol).as("__avec"))
+      .crossJoin(b)
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosine(col("__avec"), col("__bvec")), 6)
+          .as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  /** Drop semantically contaminated docs: rows with ANY
+    * [[embeddingContamPairs]] hit are removed (left_anti on the
+    * distinct corpus ids — the [[decontaminateFuzzy]] discipline). */
+  def decontaminateEmbedding(corpus: DataFrame, benchmark: DataFrame,
+                             vecCol: String, idCol: String,
+                             threshold: Double): DataFrame =
+    corpus.join(
+      embeddingContamPairs(corpus, benchmark, vecCol, idCol, threshold)
+        .select(col("id_a").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
 }

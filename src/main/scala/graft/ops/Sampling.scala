@@ -539,6 +539,45 @@ object Sampling {
       .drop("__k")
   }
 
+  /** Export manifest for the [[shuffleShards]] sharding — the integrity
+    * record a training run pins BEFORE shipping shards to the trainer
+    * and re-derives on the consumer side: per shard, the row count and an
+    * ORDER-INDEPENDENT membership checksum (bit-XOR of each id's 52-bit
+    * portable key under the `shuf` domain — the same digest that assigned
+    * the shard, so manifest and assignment can never disagree about an
+    * id). A dropped, duplicated, or substituted row flips the checksum;
+    * XOR needs no overflow headroom at any shard size and reproduces in
+    * any engine with md5 (the limit of an id-level checksum: it pins
+    * MEMBERSHIP, not payload bytes — pair with the store's footer stats
+    * for content integrity). One hash-keyed aggregate, metadata-sized
+    * output (16^hexChars rows). */
+  def shardManifest(df: DataFrame, idCol: String, hexChars: Int = 2,
+                    salt: String = "graft"): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 8,
+      s"hexChars must be in [1,8] (got $hexChars)")
+    val k = md5(concat(lit(ShufDomain + salt), col(idCol).cast("string")))
+    df.select(substring(k, 1, hexChars).as("shard"),
+        conv(substring(k, 1, 13), 16, 10).cast("long").as("__k52"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(__k52)").as("id_xor"))
+  }
+
+  /** Manifest comparison — the verify face of [[shardManifest]]: one row
+    * per shard whose (rows, id_xor) disagree between the CURRENT corpus
+    * reading and the PINNED manifest (absent-on-either-side surfaces with
+    * nulls). Empty result = every shard intact. A full-outer join of two
+    * metadata-sized frames; the corpora themselves are not touched. */
+  def shardManifestDiff(current: DataFrame, pinned: DataFrame): DataFrame = {
+    val c = current.select(col("shard"), col("n_rows").as("rows_now"),
+      col("id_xor").as("id_xor_now"))
+    val p = pinned.select(col("shard"), col("n_rows").as("rows_pinned"),
+      col("id_xor").as("id_xor_pinned"))
+    c.join(p, Seq("shard"), "full_outer")
+      .where(!(col("rows_now") <=> col("rows_pinned")) ||
+        !(col("id_xor_now") <=> col("id_xor_pinned")))
+  }
+
   /** [[exactKPerGroup]] with ENGINE-PORTABLE ranking (md5 under the `kpg`
     * domain, like [[portableKeep]]): any system with md5 reproduces the
     * exact member set, so the selection is auditable outside Spark. Same

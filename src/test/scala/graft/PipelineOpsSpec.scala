@@ -211,6 +211,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept === Set(2L))
   }
 
+  test("embeddingContamPairs: verbatim + paraphrase caught, orthogonal and zero-norm safe") {
+    // benchmark vector along axis 0; corpus: verbatim copy, a slight
+    // perturbation (the paraphrase case n-grams can't see), an orthogonal
+    // doc, and a zero vector (must score 0, never NaN-pass)
+    val bench = Seq((100L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("id", "v")
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),        // cos 1.0
+      (2L, Seq(1.0, 0.05, 0.0, 0.0)),       // cos ~0.99875
+      (3L, Seq(0.0, 1.0, 0.0, 0.0)),        // cos 0
+      (4L, Seq(0.0, 0.0, 0.0, 0.0))         // zero-norm -> 0 by contract
+    ).toDF("id", "v")
+    val pairs = Contamination.embeddingContamPairs(corpus, bench, "v", "id",
+        threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(_._1).toSet === Set(1L, 2L), pairs.mkString(","))
+    assert(pairs.forall(_._2 == 100L))
+    assert(pairs.find(_._1 == 1L).get._3 === 1.0)
+    val kept = Contamination.decontaminateEmbedding(corpus, bench, "v", "id",
+        threshold = 0.99)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(3L, 4L), s"got $kept")
+    // the benchmark side broadcasts: corpus never shuffles to score
+    val plan = Contamination.embeddingContamPairs(corpus, bench, "v", "id", 0.99)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast NL join:\n$plan")
+  }
+
   test("contamination plan broadcasts the benchmark side") {
     val docs01 = docs
     val plan = Contamination.sharedGrams(

@@ -94,6 +94,39 @@ class SamplingSpec extends SparkSpec {
     assert((clean.getLong(0), clean.getLong(1)) === ((0L, 0L)))
   }
 
+  test("shardManifest: exhaustive, order-invariant; diff pinpoints tampering") {
+    import spark.implicits._
+    val df = (0L until 300L).toDF("doc_id")
+    val m = Sampling.shardManifest(df, "doc_id", hexChars = 1)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(m.values.map(_._1).sum === 300L, "manifest must cover every row")
+    assert(m.keys.forall(s => s.length == 1 && "0123456789abcdef".contains(s)))
+    // pure function of ids: partitioning and order cannot move the reading
+    val m2 = Sampling.shardManifest(df.repartition(7).orderBy(col("doc_id").desc),
+      "doc_id", hexChars = 1)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(m2 === m)
+    // clean self-diff is EMPTY
+    val clean = Sampling.shardManifestDiff(
+      Sampling.shardManifest(df, "doc_id", hexChars = 1),
+      Sampling.shardManifest(df, "doc_id", hexChars = 1))
+    assert(clean.count() === 0L)
+    // a dropped row surfaces exactly its own shard
+    val dropped = Sampling.shardManifestDiff(
+      Sampling.shardManifest(df.where(col("doc_id") =!= 7L), "doc_id", 1),
+      Sampling.shardManifest(df, "doc_id", 1)).collect()
+    assert(dropped.length === 1, dropped.mkString(","))
+    // a SUBSTITUTED id (same count, different membership) flips the xor
+    val swapped = Sampling.shardManifestDiff(
+      Sampling.shardManifest(
+        df.select(when(col("doc_id") === 7L, lit(7000L))
+          .otherwise(col("doc_id")).as("doc_id")), "doc_id", 1),
+      Sampling.shardManifest(df, "doc_id", 1)).collect()
+    assert(swapped.nonEmpty, "substitution must flip a checksum")
+  }
+
   test("exactKPerGroup returns exactly k (or group size) rows per group") {
     val sampled = Sampling.exactKPerGroup(docs, Seq("lang"), "doc_id", 5)
     val sizes = sampled.groupBy("lang").count().collect()
