@@ -219,10 +219,15 @@ object Curate {
     * (no bigrams: empty/one-token text) are DROPPED — a perplexity gate
     * has no evidence for them, the learned-gate no-tokens contract.
     *
-    * Scale shape: model training partial-aggregates to distinct-bigram
-    * partials; scoring explodes the corpus once; the scores frame is one
-    * row per doc joined back on id (the one id-keyed exchange here);
-    * bucket cuts are a per-language aggregate broadcast back; the keep
+    * Scale shape: the corpus-wide frame is touched exactly TWICE — once
+    * to explode into the scoring joins, once for the final
+    * survivor-attach join. Everything between runs on a NARROW
+    * (id, lang, score) frame, lazily localCheckpoint'd so the bucketing
+    * stage's multiple consumers (the per-language cuts aggregate and the
+    * bucket join) share one materialization of three columns instead of
+    * re-deriving the whole upstream pipeline per consumer (the
+    * clusterDocuments discipline; measured 10+ corpus scans without it).
+    * Bucket cuts are a per-language aggregate broadcast back; the keep
     * predicate is a narrow filter. Set `cfg.exact = false` at real scale —
     * exact `percentile` holds per-group value counts in the aggregation
     * buffer, `approx_percentile` is bounded-memory by construction. */
@@ -239,17 +244,23 @@ object Curate {
           col(cfg.referenceTextCol).as(textCol)),
         df, textCol, idCol, cfg.alpha)
       .select(col(idCol), col("avg_bigram_logp").as("__lm_score"))
-    val scored = df.join(scores, Seq(idCol), "left")
-      .where(col("__lm_score").isNotNull)
-    val bucketed = Sampling.quantileBuckets(scored, "__lm_score", langCol,
+    // narrow scored frame: 3 columns, one lazy materialization shared by
+    // the cuts aggregate, the bucket join, and the keep filter
+    val narrow = df.select(col(idCol), col(langCol))
+      .join(scores, Seq(idCol))
+      .localCheckpoint(false)
+    val bucketed = Sampling.quantileBuckets(narrow, "__lm_score", langCol,
       cfg.cuts, cfg.labels, bucketCol = "__ppl_bucket", exact = cfg.exact)
     // per-bucket literal rate; labels absent from keepRates rate 0 (drop)
     val rate = cfg.labels.foldLeft(lit(0.0)) { (acc, l) =>
       when(col("__ppl_bucket") === l, lit(cfg.keepRates.getOrElse(l, 0.0)))
         .otherwise(acc)
     }
-    bucketed.where(
-      Sampling.rateKeep(col(idCol), rate, cfg.salt, Sampling.CcnetDomain))
+    val kept = bucketed
+      .where(Sampling.rateKeep(col(idCol), rate, cfg.salt,
+        Sampling.CcnetDomain))
+      .select(col(idCol), col("__lm_score"), col("__ppl_bucket"))
+    df.join(kept, Seq(idCol))
   }
 
   final case class MediaCurateConfig(
