@@ -1811,6 +1811,23 @@ object SparkEntry {
           col("__ppl_bucket").as("ppl_bucket"))
     }),
 
+    // --- the same gate with the Kneser-Ney scorer (what KenLM/real CCNet
+    // smooth with) — proves the scorer swap end-to-end, oracle-exactly
+    "t_ccnet_gate_kn" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      graft.ops.Curate.ccnetGate(
+        docs.where(col("source") === "src0")
+          .select("doc_id", "lang", "text"),
+        "text", "doc_id", "lang",
+        graft.ops.Curate.CcnetConfig(
+          reference = docs.where(col("source") =!= "src0"),
+          keepRates = Map("head" -> 1.0, "middle" -> 0.5, "tail" -> 0.0),
+          smoothing = "kneser-ney"))
+        .select(col("doc_id"), col("lang"),
+          col("__lm_score").as("lm_score"),
+          col("__ppl_bucket").as("ppl_bucket"))
+    }),
+
     // --- the CCNet gate composed INSIDE curate (quality gates -> ccnet
     // terciles -> near-dup -> sample): rows-only like every curate
     // composite — its parts are oracle-pinned (t_ccnet_gate, d_curate)
@@ -3615,6 +3632,64 @@ object SparkEntry {
                         ELSE 'head' END AS ppl_bucket
                  FROM d JOIN c ON d.lang IS NOT DISTINCT FROM c.grp)
            SELECT doc_id, lang, lm_score AS lm_score, ppl_bucket
+           FROM b
+           WHERE ppl_bucket = 'head'
+              OR (ppl_bucket = 'middle' AND
+                  substr(md5('graft.ccnet:graft' || CAST(doc_id AS VARCHAR)), 1, 13)
+                    < printf('%013x', CAST(floor(0.5 * 4503599627370496) AS BIGINT)))""",
+      // CCNet gate under the Kneser-Ney scorer: the t_bigram_kn scoring
+      // block feeding the t_ccnet_gate tercile/keep block
+      "t_ccnet_gate_kn" ->
+        """WITH big AS (
+             SELECT doc_id, source, u.w1, u.w2 FROM (
+               SELECT doc_id, source, unnest(list_transform(range(1, len(t)),
+                 i -> {'w1': t[i], 'w2': t[i + 1]})) AS u
+               FROM (SELECT doc_id, source,
+                       string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+') AS t
+                     FROM documents))
+             WHERE len(u.w1) > 0 AND len(u.w2) > 0),
+           counts AS (SELECT w1, w2, count(*) AS c12 FROM big
+                      WHERE source <> 'src0' GROUP BY 1, 2),
+           pred AS (SELECT w1, sum(c12) AS c1, count(*) AS n1f
+                    FROM counts GROUP BY 1),
+           cont AS (SELECT w2, count(*) AS n1p FROM counts GROUP BY 1),
+           tot AS (SELECT CAST(count(*) AS DOUBLE) AS bb,
+                          CAST(count(DISTINCT w2) AS DOUBLE) AS v
+                   FROM counts),
+           ps AS (
+             SELECT doc_id,
+               CASE WHEN c1 IS NOT NULL AND c1 > 0 THEN
+                 greatest(CAST(coalesce(c12, 0) AS DOUBLE) - CAST(0.75 AS DOUBLE),
+                   CAST(0.0 AS DOUBLE)) / CAST(c1 AS DOUBLE) +
+                 CAST(0.75 AS DOUBLE) * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE) *
+                   ((CAST(coalesce(n1p, 0) AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+                    (bb + CAST(0.5 AS DOUBLE) * (v + CAST(1.0 AS DOUBLE))))
+               ELSE
+                 (CAST(coalesce(n1p, 0) AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+                 (bb + CAST(0.5 AS DOUBLE) * (v + CAST(1.0 AS DOUBLE)))
+               END AS p
+             FROM (SELECT * FROM big WHERE source = 'src0')
+               LEFT JOIN counts USING (w1, w2)
+               LEFT JOIN pred USING (w1)
+               LEFT JOIN cont USING (w2), tot),
+           sc AS (SELECT doc_id, s / n AS lm_score
+                  FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+                          round(sum(ln(p)), 6) AS s
+                        FROM ps GROUP BY doc_id)),
+           d AS (SELECT doc_id, lang, lm_score
+                 FROM (SELECT doc_id, lang FROM documents
+                       WHERE source = 'src0')
+                 JOIN sc USING (doc_id)),
+           c AS (SELECT lang AS grp,
+                   quantile_cont(lm_score, 0.3333333333333333) AS c0,
+                   quantile_cont(lm_score, 0.6666666666666666) AS c1
+                 FROM d GROUP BY lang),
+           b AS (SELECT d.doc_id, d.lang, d.lm_score,
+                   CASE WHEN d.lm_score <= c.c0 THEN 'tail'
+                        WHEN d.lm_score <= c.c1 THEN 'middle'
+                        ELSE 'head' END AS ppl_bucket
+                 FROM d JOIN c ON d.lang IS NOT DISTINCT FROM c.grp)
+           SELECT doc_id, lang, lm_score, ppl_bucket
            FROM b
            WHERE ppl_bucket = 'head'
               OR (ppl_bucket = 'middle' AND

@@ -94,7 +94,12 @@ object Curate {
       // the reverse of CCNet's perplexity order (low perplexity = head)
       cuts: Seq[Double] = Seq(1.0 / 3, 2.0 / 3),
       labels: Seq[String] = Seq("tail", "middle", "head"),
-      alpha: Double = 0.5,          // add-alpha LM smoothing
+      // scorer: "add-alpha" ([[TextAnalysis.bigramLogProbAgainst]]) or
+      // "kneser-ney" ([[TextAnalysis.bigramKneserNey]] — what KenLM, and
+      // therefore real CCNet, uses); both are closed-form and oracle-exact
+      smoothing: String = "add-alpha",
+      alpha: Double = 0.5,          // add-alpha / OOV-floor smoothing
+      discount: Double = 0.75,      // KN absolute discount (kneser-ney only)
       exact: Boolean = true,        // exact percentile cuts (false: approx)
       salt: String = "graft")
 
@@ -239,11 +244,18 @@ object Curate {
         (cfg.keepRates.keySet -- cfg.labels).toSeq.sorted.mkString(", "))
     require(cfg.keepRates.values.forall(r => r >= 0 && r <= 1),
       s"keep rates must be in [0,1] (got ${cfg.keepRates})")
-    val scores = TextAnalysis.bigramLogProbAgainst(
-        cfg.reference.select(col(cfg.referenceIdCol).as(idCol),
-          col(cfg.referenceTextCol).as(textCol)),
-        df, textCol, idCol, cfg.alpha)
-      .select(col(idCol), col("avg_bigram_logp").as("__lm_score"))
+    val ref = cfg.reference.select(col(cfg.referenceIdCol).as(idCol),
+      col(cfg.referenceTextCol).as(textCol))
+    val scores = (cfg.smoothing match {
+      case "add-alpha" =>
+        TextAnalysis.bigramLogProbAgainst(ref, df, textCol, idCol, cfg.alpha)
+          .withColumnRenamed("avg_bigram_logp", "__lm_score")
+      case "kneser-ney" =>
+        TextAnalysis.bigramKneserNey(ref, df, textCol, idCol, cfg.discount,
+          cfg.alpha).withColumnRenamed("avg_kn_logp", "__lm_score")
+      case other => throw new IllegalArgumentException(
+        s"unknown smoothing '$other' (use add-alpha or kneser-ney)")
+    }).select(col(idCol), col("__lm_score"))
     // narrow scored frame: 3 columns, one lazy materialization shared by
     // the cuts aggregate, the bucket join, and the keep filter
     val narrow = df.select(col(idCol), col(langCol))

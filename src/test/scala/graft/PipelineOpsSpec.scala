@@ -936,6 +936,19 @@ class PipelineOpsSpec extends SparkSpec {
     // unknown bucket names and out-of-range rates are rejected loudly
     intercept[IllegalArgumentException] { run(Map("bogus" -> 1.0)) }
     intercept[IllegalArgumentException] { run(Map("head" -> 1.5)) }
+    // the Kneser-Ney scorer swaps in and ranks the tiers identically here
+    val kn = graft.ops.Curate.ccnetGate(corpus, "text", "doc_id", "lang",
+        graft.ops.Curate.CcnetConfig(reference = ref,
+          smoothing = "kneser-ney",
+          keepRates = Map("head" -> 1.0, "middle" -> 1.0, "tail" -> 1.0)))
+      .select("doc_id", "__ppl_bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kn === all, s"got $kn")
+    intercept[IllegalArgumentException] {
+      graft.ops.Curate.ccnetGate(corpus, "text", "doc_id", "lang",
+        graft.ops.Curate.CcnetConfig(reference = ref, smoothing = "bogus"))
+        .count()
+    }
   }
 
   test("curate: ccnet stage wires after gates and before near-dup") {
