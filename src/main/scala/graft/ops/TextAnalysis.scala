@@ -100,20 +100,81 @@ object TextAnalysis {
     * question). Pure codegen'd row-local expressions, no shuffle, linear
     * over 100 TB; returns (idCol, n_emails, n_phones, n_ips, n_cards,
     * n_aws_keys, n_jwts). */
-  def piiScan(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val t = coalesce(col(textCol), lit(""))
+  def piiScan(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select((col(idCol) +: piiCountCols(col(textCol))): _*)
+
+  /** The six census columns over one text column — shared by the per-doc
+    * and aggregate faces so the patterns can never drift. */
+  private def piiCountCols(text: Column): Seq[Column] = {
+    val t = coalesce(text, lit(""))
     def cnt(pattern: String): Column =
       size(regexp_extract_all(t, lit(pattern), lit(0))).cast("long")
     val cards = filter(
       regexp_extract_all(t, lit(CardPattern), lit(0)),
       m => luhnValid(regexp_replace(m, "[ -]", "")))
-    df.select(col(idCol),
-      cnt(EmailPattern).as("n_emails"),
+    Seq(cnt(EmailPattern).as("n_emails"),
       cnt(PhonePattern).as("n_phones"),
       cnt(Ipv4Pattern).as("n_ips"),
       size(cards).cast("long").as("n_cards"),
       cnt(AwsKeyPattern).as("n_aws_keys"),
       cnt(JwtPattern).as("n_jwts"))
+  }
+
+  private[graft] val PiiCensusCols = Seq("n_emails", "n_phones", "n_ips",
+    "n_cards", "n_aws_keys", "n_jwts")
+
+  /** Corpus-level census: ONE row of per-type totals plus `n_docs` and
+    * `docs_with_pii` (documents where any type hits). SUM-mergeable by
+    * construction — census(A) + census(B) column-wise = census(A ∪ B) for
+    * disjoint landings, which is what the persisted/streaming faces
+    * exploit: each landing appends its one-row census and the read sums,
+    * so "how much PII crossed the ingest" never rescans the corpus. */
+  def piiCensus(df: DataFrame, textCol: String): DataFrame = {
+    val perDoc = df.select(piiCountCols(col(textCol)): _*)
+    val anyHit = PiiCensusCols.map(col).reduce(_ + _) > 0
+    val aggs = (count(lit(1)).as("n_docs") +:
+      PiiCensusCols.map(c => sum(col(c)).as(c))) :+
+      sum(when(anyHit, 1L).otherwise(0L)).as("docs_with_pii")
+    perDoc.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Persist a census with the text column pinned in the header — the
+    * [[graft.ops.Sketches.histDataset]] discipline: each landing appends
+    * ONE census row, reads SUM, so the ingest-wide PII picture costs a
+    * sketch-sized scan, never a corpus rescan. */
+  def piiCensusDataset(spark: org.apache.spark.sql.SparkSession,
+                       storage: graft.store.Storage, uuid: String,
+                       df: DataFrame, textCol: String,
+                       overwrite: Boolean = false): graft.meta.DatasetMetadata =
+    graft.io.Writer.store(spark, storage, uuid, piiCensus(df, textCol),
+      graft.io.Writer.WriteOpts(overwrite = overwrite,
+        metadata = Map("graft.pii.textCol" -> textCol)))
+
+  private[graft] def piiParams(storage: graft.store.Storage,
+                               uuid: String): String = {
+    val meta = graft.meta.DatasetMetadata.load(storage, uuid)
+    meta.metadata.getOrElse("graft.pii.textCol",
+      throw new IllegalArgumentException(
+        s"dataset '$uuid' is not a PII census (missing graft.pii.textCol)"))
+  }
+
+  /** Append a landing's one-row census (the corpus is never re-read). */
+  def piiCensusAppend(spark: org.apache.spark.sql.SparkSession,
+                      storage: graft.store.Storage, uuid: String,
+                      batch: DataFrame): graft.meta.DatasetMetadata = {
+    val textCol = piiParams(storage, uuid)
+    graft.io.Writer.update(spark, storage, uuid,
+      Some(piiCensus(batch, textCol)), Nil, graft.io.Writer.WriteOpts())
+  }
+
+  /** The SUM-merged reading of a persisted census. */
+  def piiCensusOf(spark: org.apache.spark.sql.SparkSession,
+                  storage: graft.store.Storage, uuid: String): DataFrame = {
+    piiParams(storage, uuid) // asserts the dataset IS a census
+    val cols = ("n_docs" +: PiiCensusCols) :+ "docs_with_pii"
+    val aggs = cols.map(c => sum(col(c)).as(c))
+    graft.io.Reader.readTable(spark, storage, uuid)
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** [[redactPii]] plus the secret families: AWS keys, JWTs, and card

@@ -730,6 +730,37 @@ object Streaming {
     ()
   }
 
+  /** The PII-census face of [[writeStreamCms]] — each micro-batch appends
+    * its ONE census row ([[graft.ops.TextAnalysis.piiCensus]]); SUM
+    * semantics, so the same exactly-once replay guard. The continuous
+    * "how much PII is crossing this ingest" monitor: the census dataset
+    * stays batch-count-sized and the alarm read
+    * ([[graft.ops.TextAnalysis.piiCensusOf]]) never rescans a corpus. */
+  def writeStreamPiiCensus(stream: DataFrame, storage: Storage,
+                           uuid: String,
+                           checkpoint: Option[String] = None,
+                           configure: DataStreamWriter[Row] => DataStreamWriter[Row] =
+                             _.trigger(Trigger.AvailableNow())): StreamingQuery = {
+    val textCol = graft.ops.TextAnalysis.piiParams(storage, uuid)
+    startGuarded("writeStreamPiiCensus", stream, checkpoint, configure) {
+      token => (batch: DataFrame, batchId: Long) =>
+        piiCensusBatch(storage, uuid, textCol, token)(batch, batchId)
+    }
+  }
+
+  private[graft] def piiCensusBatch(storage: Storage, uuid: String,
+                                    textCol: String, token: Option[String])
+                                   (batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val myToken = token.getOrElse("")
+    if (isReplay(storage, uuid, myToken, batchId)) return
+    Writer.update(batch.sparkSession, storage, uuid,
+      Some(graft.ops.TextAnalysis.piiCensus(batch, textCol)), Nil,
+      WriteOpts(metadata = Map(LastBatchKey -> batchId.toString,
+        RunTokenKey -> myToken)))
+    ()
+  }
+
   /** The histogram face of [[writeStreamCms]] — same SUM semantics, same
     * replay guard. */
   def writeStreamHist(stream: DataFrame, storage: Storage, uuid: String,

@@ -230,6 +230,37 @@ class StreamingSpec extends SparkSpec {
     assert(Reader.readTable(spark, store, "replay").count() === 6)
   }
 
+  test("piiCensus: persisted appends SUM-merge; replayed batch never double-counts") {
+    import spark.implicits._
+    val b0 = Seq((1L, "mail a@b.example.com and c@d.example.org"),
+      (2L, "clean")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "ip 10.0.0.1 pay 4111-1111-1111-1111"))
+      .toDF("doc_id", "text")
+    graft.ops.TextAnalysis.piiCensusDataset(spark, store, "pii", b0, "text")
+    def read() = graft.ops.TextAnalysis.piiCensusOf(spark, store, "pii")
+      .head()
+    assert((read().getLong(0), read().getLong(1), read().getLong(7)) ===
+      ((2L, 2L, 1L))) // n_docs, n_emails, docs_with_pii
+    val append = graft.streaming.Streaming.piiCensusBatch(
+      store, "pii", "text", Some("run-1")) _
+    append(b1, 0L)
+    val r1 = read()
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(3), r1.getLong(4),
+      r1.getLong(7)) === ((3L, 2L, 1L, 1L, 2L)))
+    append(b1, 0L) // crash-replay: SUM semantics must not double-count
+    val r2 = read()
+    assert((r2.getLong(0), r2.getLong(7)) === ((3L, 2L)),
+      "replayed census batch double-counted")
+    // the dataset stays batch-count-sized, not corpus-sized
+    assert(Reader.readTable(spark, store, "pii").count() === 2L)
+    // a non-census dataset is refused loudly at stream start
+    Writer.store(spark, store, "pii_notacensus", b0, Writer.WriteOpts())
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.TextAnalysis.piiCensusOf(spark, store, "pii_notacensus")
+    }
+    assert(ex.getMessage.contains("not a PII census"), ex.getMessage)
+  }
+
   test("a new run (fresh temp checkpoint) appends even though batchIds restart at 0") {
     import spark.implicits._
     val b1 = Seq((1L, "a", 1.0)).toDF("id", "p", "v")
