@@ -578,6 +578,53 @@ object Sampling {
         !(col("id_xor_now") <=> col("id_xor_pinned")))
   }
 
+  /** Land a training-ready sharded export in one call: the corpus
+    * sharded and ordered by [[shuffleShards]], hive-partitioned on
+    * `shard` with rows sorted by `pos` inside each shard file (a trainer
+    * streams any shard in its epoch order with zero seeks), plus the
+    * [[shardManifest]] pinned as the sibling dataset `<uuid>.manifest` —
+    * the sharding parameters live in the data's header so
+    * [[verifyShardedDataset]] can re-derive the reading without being
+    * told them. One shuffle for the layout, one metadata-sized manifest
+    * aggregate. */
+  def storeShardedDataset(spark: org.apache.spark.sql.SparkSession,
+                          storage: graft.store.Storage, uuid: String,
+                          df: DataFrame, idCol: String, hexChars: Int = 2,
+                          salt: String = "graft",
+                          overwrite: Boolean = false)
+      : graft.meta.DatasetMetadata = {
+    graft.io.Writer.store(spark, storage, s"$uuid.manifest",
+      shardManifest(df, idCol, hexChars, salt),
+      graft.io.Writer.WriteOpts(overwrite = overwrite))
+    graft.io.Writer.store(spark, storage, uuid,
+      shuffleShards(df, idCol, hexChars, salt),
+      graft.io.Writer.WriteOpts(partitionOn = Seq("shard"),
+        sortBy = Seq("pos"), overwrite = overwrite,
+        metadata = Map("graft.shards.idCol" -> idCol,
+          "graft.shards.hexChars" -> hexChars.toString,
+          "graft.shards.salt" -> salt)))
+  }
+
+  /** Integrity check of a landed sharded export — re-derives the manifest
+    * from what is ACTUALLY on disk (parameters from the header) and diffs
+    * it against the pinned `<uuid>.manifest`: one row per shard whose
+    * membership changed in transport/storage; empty = intact. */
+  def verifyShardedDataset(spark: org.apache.spark.sql.SparkSession,
+                           storage: graft.store.Storage,
+                           uuid: String): DataFrame = {
+    val meta = graft.meta.DatasetMetadata.load(storage, uuid)
+    def param(k: String): String = meta.metadata.getOrElse(k,
+      throw new IllegalArgumentException(
+        s"dataset '$uuid' is not a sharded export (missing $k)"))
+    val idCol = param("graft.shards.idCol")
+    val hexChars = param("graft.shards.hexChars").toInt
+    val salt = param("graft.shards.salt")
+    shardManifestDiff(
+      shardManifest(graft.io.Reader.readTable(spark, storage, uuid),
+        idCol, hexChars, salt),
+      graft.io.Reader.readTable(spark, storage, s"$uuid.manifest"))
+  }
+
   /** [[exactKPerGroup]] with ENGINE-PORTABLE ranking (md5 under the `kpg`
     * domain, like [[portableKeep]]): any system with md5 reproduces the
     * exact member set, so the selection is auditable outside Spark. Same

@@ -127,6 +127,38 @@ class SamplingSpec extends SparkSpec {
     assert(swapped.nonEmpty, "substitution must flip a checksum")
   }
 
+  test("storeShardedDataset lands ordered shards + manifest; verify catches tamper") {
+    import spark.implicits._
+    val store = graft.store.Storage(spark, tmpDir("shards"))
+    val df = (0L until 200L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    Sampling.storeShardedDataset(spark, store, "train", df, "doc_id",
+      hexChars = 1, overwrite = true)
+    // roundtrip: every row lands, shard/pos attached, per-shard pos dense
+    val back = graft.io.Reader.readTable(spark, store, "train")
+    assert(back.count() === 200L)
+    val dense = back.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"))
+      .collect()
+    assert(dense.forall(r => r.getLong(2) === r.getLong(1) && r.getLong(3) === 1L),
+      "pos must be dense 1..n per shard")
+    // the landed export verifies clean against its own manifest
+    assert(Sampling.verifyShardedDataset(spark, store, "train").count() === 0L)
+    // tamper: delete one shard's partition scope -> exactly the lost
+    // shards surface in the diff
+    val lost = back.select("shard").head().getString(0)
+    graft.io.Writer.update(spark, store, "train", None,
+      Seq(Map("shard" -> lost)), graft.io.Writer.WriteOpts())
+    val diff = Sampling.verifyShardedDataset(spark, store, "train").collect()
+    assert(diff.length === 1 && diff.head.getString(0) === lost,
+      diff.mkString(","))
+    // a non-sharded dataset is refused loudly
+    graft.io.Writer.store(spark, store, "plain", df, graft.io.Writer.WriteOpts())
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.verifyShardedDataset(spark, store, "plain")
+    }
+    assert(ex.getMessage.contains("not a sharded export"), ex.getMessage)
+  }
+
   test("exactKPerGroup returns exactly k (or group size) rows per group") {
     val sampled = Sampling.exactKPerGroup(docs, Seq("lang"), "doc_id", 5)
     val sizes = sampled.groupBy("lang").count().collect()
