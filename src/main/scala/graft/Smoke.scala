@@ -280,6 +280,37 @@ object Smoke {
       graft.ops.Sampling.importanceResample(
         docs.select(col("doc_id"), log(col("n_chars") + 1).as("logw")),
         "logw", "doc_id", 50).count() + " docs")
+    // r11: CCNet gate (KN scorer), PII census, sharded export + verify,
+    // semantic decontamination
+    val ccKept = graft.ops.Curate.ccnetGate(
+      docs.where(col("source") === "src0").select("doc_id", "lang", "text"),
+      "text", "doc_id", "lang",
+      graft.ops.Curate.CcnetConfig(
+        reference = docs.where(col("source") =!= "src0"),
+        smoothing = "kneser-ney"))
+    println(s"== ccnet gate (kneser-ney): ${ccKept.count()} docs kept " +
+      s"of ${docs.where(col("source") === "src0").count()} in src0")
+    val census = graft.ops.TextAnalysis.piiCensus(
+      docs.withColumn("text", concat(col("text"),
+        lit(" mail u"), col("doc_id").cast("string"),
+        lit("@mail.example.com pay 4111-1111-1111-1111"))), "text")
+      .collect().head
+    println(s"== pii census: docs=${census.getLong(0)} " +
+      s"emails=${census.getLong(1)} cards=${census.getLong(4)} " +
+      s"with_pii=${census.getLong(7)}")
+    graft.ops.Sampling.storeShardedDataset(spark, store, "smoke_shards",
+      docs.select("doc_id", "text"), "doc_id", hexChars = 1,
+      overwrite = true)
+    val shardDiff = graft.ops.Sampling.verifyShardedDataset(
+      spark, store, "smoke_shards").count()
+    println(s"${if (shardDiff == 0) "==" else "!!"} sharded export verify: " +
+      s"$shardDiff tampered shards")
+    println(s"== semantic decontam: " +
+      graft.ops.Contamination.decontaminateEmbedding(
+        emb, emb.where(col("vec_id") < 5)
+          .select((col("vec_id") + 900000L).as("vec_id"), col("embedding")),
+        "embedding", "vec_id", 0.99).count() +
+      s" of ${emb.count()} vectors survive 5 planted benchmarks")
     graft.ops.SeenSet.seenIndex(spark, store, "smoke_su_idx",
       docs.where(col("doc_id") % 2 === 0), "text", "doc_id",
       numBuckets = 8, overwrite = true)

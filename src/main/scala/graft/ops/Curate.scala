@@ -66,6 +66,15 @@ object Curate {
       // landed text must agree on what the content IS. Stateless, so the
       // streaming face shares it.
       normalizeUnicode: Boolean = false,
+      // scrub PII/secrets from the text BEFORE any hash or gate sees it
+      // ([[TextAnalysis.redactSecrets]]): two crawls of one page that
+      // differ only in an injected email/tracking IP are THE SAME
+      // document — redacting first makes exact dedup see that, and the
+      // landed text is the scrubbed one (what a training pipeline wants
+      // anyway). Runs after markup strip, before Unicode normalization
+      // (placeholders are ASCII; normalization must judge the scrubbed
+      // text). Stateless, so the streaming face shares it.
+      redactSecrets: Boolean = false,
       // CCNet perplexity gate (optional, batch-only): [[ccnetGate]] with
       // this config, keyed on the `__lang` audit column the free gates
       // already computed. Placed after the learned gate and before
@@ -104,17 +113,23 @@ object Curate {
       salt: String = "graft")
 
   /** Stage 0 shared by both faces: optional markup strip, then optional
-    * Unicode canonicalization, rewriting the text column in place
-    * (stateless codegen'd column work, no shuffle). Markup first: tags
-    * are ASCII and normalization must judge the post-strip content. */
+    * PII/secret scrub, then optional Unicode canonicalization, rewriting
+    * the text column in place (stateless codegen'd column work, no
+    * shuffle). Markup first (tags are ASCII, the scrub must judge
+    * content); redaction before normalization (placeholders are ASCII
+    * and must survive it verbatim). */
   private def clean(df: DataFrame, textCol: String, cfg: CurateConfig): DataFrame = {
     val stripped =
       if (cfg.cleanMarkup)
         df.withColumn(textCol, TextAnalysis.stripMarkup(col(textCol)))
       else df
+    val scrubbed =
+      if (cfg.redactSecrets)
+        stripped.withColumn(textCol, TextAnalysis.redactSecrets(col(textCol)))
+      else stripped
     if (cfg.normalizeUnicode)
-      stripped.withColumn(textCol, TextAnalysis.normalizeText(col(textCol)))
-    else stripped
+      scrubbed.withColumn(textCol, TextAnalysis.normalizeText(col(textCol)))
+    else scrubbed
   }
 
   /** Stage 2 shared by both faces: audit columns + quality/language gates
@@ -399,6 +414,10 @@ object Curate {
       "the frame-based learned gate is unsupported in streaming (its score " +
         "join aggregates pre-sink); freeze the model instead: " +
         "nbModelFrozen = Some(QualityModel.freeze(model)) scores per row")
+    require(cfg.ccnet.isEmpty,
+      "the CCNet gate is unsupported in streaming (per-language percentile " +
+        "cuts aggregate the whole scored corpus pre-sink); run it in batch " +
+        "curate() or as periodic compaction")
     val hashed = clean(stream, textCol, cfg)
       .withColumn("__content_hash", xxhash64(col(textCol)))
     val gated = gates(hashed, textCol, cfg)

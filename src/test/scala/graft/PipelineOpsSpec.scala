@@ -883,6 +883,42 @@ class PipelineOpsSpec extends SparkSpec {
       s"got $on")
   }
 
+  test("curate: redactSecrets dedups on scrubbed content; streaming refuses ccnet") {
+    // two crawls of one page differing only in injected PII ARE the same
+    // document once scrubbed; the landed text carries the placeholders
+    val corpus = Seq(
+      (1L, "contact a@b.example.com for the report"),
+      (2L, "contact c@d.example.org for the report"),
+      (3L, "a different page entirely")
+    ).toDF("doc_id", "text")
+    val off = graft.ops.Curate.curate(corpus, "text", "doc_id",
+      graft.ops.Curate.CurateConfig()).count()
+    assert(off === 3L, "without the knob the PII-different twin survives")
+    val on = graft.ops.Curate.curate(corpus, "text", "doc_id",
+        graft.ops.Curate.CurateConfig(redactSecrets = true))
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(on === Map(1L -> "contact <EMAIL> for the report",
+      3L -> "a different page entirely"), s"got $on")
+    // the streaming face shares the scrub (clean() is one definition)...
+    val streamed = graft.ops.Curate.curateStream(
+      corpus.withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))),
+      "text", "doc_id", "ts",
+      cfg = graft.ops.Curate.CurateConfig(redactSecrets = true))
+    assert(streamed.columns.contains("text"))
+    // ...but refuses the batch-only ccnet gate loudly
+    val ref = Seq((9L, "x y")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Curate.curateStream(
+        corpus.withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))),
+        "text", "doc_id", "ts",
+        cfg = graft.ops.Curate.CurateConfig(
+          ccnet = Some(graft.ops.Curate.CcnetConfig(reference = ref))))
+    }
+    assert(ex.getMessage.contains("CCNet gate is unsupported in streaming"),
+      ex.getMessage)
+  }
+
   test("curate: learned NB gate drops low-scoring docs; streaming face refuses the model") {
     val seed = Seq(("good clean prose text", 1), ("spam spam junk spam", 0))
       .toDF("text", "label")
