@@ -146,6 +146,41 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  /** WARC fixture: the documents table rendered as member-per-record
+    * `.warc.gz` files, one per input partition, generated once per JVM
+    * per scale dir (the mediaFx discipline, distributed — no driver-side
+    * corpus collect). Pure function of (doc_id, text), so the oracle
+    * reconstructs the parse output closed-form without parsing
+    * anything. */
+  private def warcFx(s: SparkSession, dir: String): String = {
+    val path = s"${tmpBase(dir)}/warc_docs"
+    synchronized {
+      if (!built.contains(path)) {
+        new java.io.File(path).mkdirs()
+        rd(s, dir, "documents").select("doc_id", "text")
+          .repartition(4, col("doc_id"))
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            val rows = it.toSeq
+            if (rows.nonEmpty) {
+              val recs = rows.map { r =>
+                (s"https://docs.example.org/${r.getLong(0)}",
+                  "2024-01-01T00:00:00Z", "text/plain; charset=utf-8",
+                  Option(r.getString(1)).getOrElse(""))
+              }
+              val pid = org.apache.spark.TaskContext.getPartitionId()
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(s"$path/part$pid.warc.gz"),
+                graft.sources.Warc.syntheticWarc(recs,
+                  gzipPerRecord = true))
+            }
+            ()
+          }
+        built.add(path)
+      }
+    }
+    s"$path/*.warc.gz"
+  }
+
   /** Persisted HLL sketch of lineitem's orderkeys, built in two landings
     * (80% build + 20% append) — the k_hll_dataset face reads ONLY this
     * register dataset, never the corpus: the append-without-rescan
@@ -660,6 +695,19 @@ object SparkEntry {
     // --- W2/S8: store partitioned+indexed dataset, read_table full roundtrip
     "w2_roundtrip" -> ((s, dir) =>
       Reader.readTable(s, liDs(s, dir), "li")),
+
+    // --- WARC ingestion (beyond-reference: the crawl-pipeline entry
+    // point): member-per-record .warc.gz fixture parsed by the real
+    // byte-level walker — one task per file, record-at-a-time streaming;
+    // the oracle reconstructs the parse closed-form from documents
+    "s_warc_read" -> ((s, dir) =>
+      graft.sources.Warc.readWarc(s, warcFx(s, dir))
+        .where(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("url"), "/([0-9]+)$", 1).cast("long")
+            .as("doc_id"),
+          col("url"), col("status"), col("content_type"),
+          col("body_text").as("text"))),
 
     // --- W1+O1: chunk_size row groups + sorted write -> row-group pruning
     // on a selective range predicate (reference efficient_querying story)
@@ -4146,6 +4194,17 @@ object SparkEntry {
       // portable global shuffle: shard = 2-hex md5 prefix, pos = rank by
       // (FULL 32-hex md5 digest, id) within shard — bit-for-bit the Spark
       // permutation
+      // WARC read: the fixture is a pure function of (doc_id, text), so
+      // the oracle is the identity reconstruction — if any byte of the
+      // writer, gzip framing, HTTP parse, or charset decode drifts, the
+      // text hash breaks
+      "s_warc_read" ->
+        """SELECT doc_id,
+             'https://docs.example.org/' || CAST(doc_id AS VARCHAR) AS url,
+             CAST(200 AS INTEGER) AS status,
+             CAST('text/plain; charset=utf-8' AS VARCHAR) AS content_type,
+             coalesce(text, '') AS text
+           FROM documents""",
       "u_shuffle_shards" ->
         """WITH t AS (SELECT doc_id,
                md5('graft.shuf:shuf:' || CAST(doc_id AS VARCHAR)) AS k

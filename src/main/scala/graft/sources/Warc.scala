@@ -1,0 +1,287 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, EOFException,
+  InputStream}
+import java.nio.charset.{Charset, StandardCharsets}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** WARC (Web ARChive, ISO 28500) ingestion — the raw entry point of every
+  * crawl-based training pipeline: Common Crawl ships its corpus as ~1 GB
+  * `.warc.gz` files, one gzip member per record. Byte-level parser in the
+  * JDK-only discipline of this library's AVI/MP4 walkers — the format
+  * spec is the reference, no external dependency.
+  *
+  * Scale design: a gzip-member-per-record WARC is NOT block-splittable
+  * without a side index, and that is how the ecosystem actually runs —
+  * one task per WARC file, parallelism = file count (a Common Crawl
+  * snapshot is ~72k files, saturating any cluster). [[readWarc]] maps one
+  * file to one task over `sc.binaryFiles`' PortableDataStream and parses
+  * RECORD-AT-A-TIME from the stream — constant memory per record, the
+  * file is never materialized (the brief's sanctioned use of an RDD:
+  * genuine per-partition imperative byte walking). Corrupt or truncated
+  * records are routine in crawl archives: the parser skips them and
+  * resyncs on the next `WARC/1.` version line, never crashes
+  * (the decodeImages NonFatal contract).
+  *
+  * Output: one row per record —
+  * `(warc_file, record_idx, warc_type, url, warc_date, status,
+  * content_type, body, body_text)`. For `application/http` response
+  * records the HTTP status line and headers are parsed: `status`,
+  * `content_type` carry the HTTP values and `body` is the HTTP payload
+  * (headers stripped); `body_text` decodes it under the Content-Type
+  * charset (UTF-8 default) when the type is textual, else null — binary
+  * payloads stay opaque bytes for the multimodal stages. Non-HTTP
+  * records carry the WARC Content-Type and raw content. */
+object Warc {
+
+  val schema: StructType = StructType(Seq(
+    StructField("warc_file", StringType),
+    StructField("record_idx", LongType),
+    StructField("warc_type", StringType),
+    StructField("url", StringType),
+    StructField("warc_date", StringType),
+    StructField("status", IntegerType),
+    StructField("content_type", StringType),
+    StructField("body", BinaryType),
+    StructField("body_text", StringType)))
+
+  /** One parsed record (driver/test-side convenience mirror of a row). */
+  final case class WarcRecord(warcType: String, url: String, date: String,
+                              status: Option[Int], contentType: String,
+                              body: Array[Byte], bodyText: Option[String])
+
+  /** Distributed read: one task per WARC file (see scale design above).
+    * `path` accepts the usual Hadoop glob syntax; both plain `.warc` and
+    * (multi-member) `.warc.gz` files parse — gzip is sniffed from the
+    * magic bytes, not the filename. */
+  def readWarc(spark: SparkSession, path: String,
+               minPartitions: Int = 0): DataFrame = {
+    val mp = if (minPartitions > 0) minPartitions
+      else spark.sparkContext.defaultMinPartitions
+    val rows = spark.sparkContext.binaryFiles(path, mp).flatMap {
+      case (file, pds) =>
+        val in = pds.open()
+        val stream = sniffGunzip(new java.io.BufferedInputStream(in, 1 << 16))
+        var idx = -1L
+        parseStream(stream).map { r =>
+          idx += 1
+          Row(file, idx, r.warcType, r.url, r.date,
+            r.status.map(Int.box).orNull, r.contentType, r.body,
+            r.bodyText.orNull)
+        }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Parse every well-formed record of one WARC byte stream (test/driver
+    * face of the same walker [[readWarc]] runs per partition). */
+  def parseWarcBytes(bytes: Array[Byte]): Seq[WarcRecord] =
+    parseStream(sniffGunzip(new ByteArrayInputStream(bytes))).toSeq
+
+  // ------------------------------------------------------------- parsing
+
+  /** Record-at-a-time iterator over a decompressed WARC stream. Skips
+    * malformed records by resyncing on the next version line; stops at
+    * EOF or a truncated tail. */
+  private def parseStream(in: InputStream): Iterator[WarcRecord] =
+    new Iterator[WarcRecord] {
+      private var nextRec: WarcRecord = null
+      private var done = false
+      private def advance(): Unit = {
+        while (nextRec == null && !done) {
+          try {
+            // resync: scan lines until a WARC version line
+            var line = readLine(in)
+            while (line != null && !line.startsWith("WARC/")) {
+              line = readLine(in)
+            }
+            if (line == null) { done = true; return }
+            val headers = readHeaders(in)
+            val len = headers.getOrElse("content-length", "").trim
+            if (len.nonEmpty && len.forall(_.isDigit)) {
+              val content = readN(in, len.toLong)
+              nextRec = buildRecord(headers, content)
+            } // else: malformed header block — loop resyncs
+          } catch {
+            case _: EOFException => done = true // truncated tail: routine
+            case NonFatal(_) => () // corrupt record: resync on next line
+          }
+        }
+      }
+      def hasNext: Boolean = { advance(); nextRec != null }
+      def next(): WarcRecord = {
+        advance()
+        if (nextRec == null) throw new NoSuchElementException("WARC EOF")
+        val r = nextRec; nextRec = null; r
+      }
+    }
+
+  private def buildRecord(headers: Map[String, String],
+                          content: Array[Byte]): WarcRecord = {
+    val warcType = headers.getOrElse("warc-type", "")
+    val url = headers.getOrElse("warc-target-uri", null)
+    val date = headers.getOrElse("warc-date", null)
+    val warcCt = headers.getOrElse("content-type", "")
+    if (warcCt.toLowerCase.startsWith("application/http")) {
+      val (status, httpHeaders, body) = parseHttp(content)
+      val ct = httpHeaders.getOrElse("content-type", null)
+      WarcRecord(warcType, url, date, status, ct, body,
+        decodeTextual(ct, body))
+    } else {
+      WarcRecord(warcType, url, date, None,
+        if (warcCt.isEmpty) null else warcCt, content,
+        decodeTextual(warcCt, content))
+    }
+  }
+
+  /** HTTP message inside a response/request record: status line (when a
+    * response), headers, payload after the blank line. A content that is
+    * not HTTP-shaped comes back whole with no status. */
+  private def parseHttp(content: Array[Byte])
+      : (Option[Int], Map[String, String], Array[Byte]) = {
+    val in = new ByteArrayInputStream(content)
+    val first = readLine(in)
+    if (first == null || !first.startsWith("HTTP/"))
+      return (None, Map.empty, content)
+    val status = first.split(" ", 3) match {
+      case parts if parts.length >= 2 && parts(1).forall(_.isDigit) =>
+        Some(parts(1).toInt)
+      case _ => None
+    }
+    val headers = readHeaders(in)
+    val body = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n > 0) { body.write(buf, 0, n); n = in.read(buf) }
+    (status, headers, body.toByteArray)
+  }
+
+  /** Charset-aware decode for textual content types; null for binary. */
+  private def decodeTextual(contentType: String,
+                            body: Array[Byte]): Option[String] = {
+    if (contentType == null) return None
+    val ct = contentType.toLowerCase
+    val textual = ct.startsWith("text/") || ct.contains("json") ||
+      ct.contains("xml") || ct.contains("javascript")
+    if (!textual) return None
+    val cs = "charset=([A-Za-z0-9_.:\\-]+)".r.findFirstMatchIn(ct)
+      .map(_.group(1)).flatMap { name =>
+        try Some(Charset.forName(name)) catch { case NonFatal(_) => None }
+      }.getOrElse(StandardCharsets.UTF_8)
+    try Some(new String(body, cs)) catch { case NonFatal(_) => None }
+  }
+
+  /** Header block: `Name: value` lines (folded continuations appended)
+    * until the blank separator line; names lower-cased. */
+  private def readHeaders(in: InputStream): Map[String, String] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var last: String = null
+    var line = readLine(in)
+    while (line != null && line.nonEmpty) {
+      if ((line.startsWith(" ") || line.startsWith("\t")) && last != null) {
+        out(last) = out(last) + " " + line.trim // RFC folded continuation
+      } else {
+        val i = line.indexOf(':')
+        if (i > 0) {
+          last = line.substring(0, i).trim.toLowerCase
+          out(last) = line.substring(i + 1).trim
+        }
+      }
+      line = readLine(in)
+    }
+    out.toMap
+  }
+
+  /** One header line, CRLF or LF terminated, ISO-8859-1 (header blocks
+    * are ASCII by spec; 8859-1 never throws). Null at EOF. */
+  private def readLine(in: InputStream): String = {
+    val buf = new ByteArrayOutputStream(128)
+    var b = in.read()
+    if (b < 0) return null
+    while (b >= 0 && b != '\n') { buf.write(b); b = in.read() }
+    val bytes = buf.toByteArray
+    val n = if (bytes.nonEmpty && bytes.last == '\r') bytes.length - 1
+      else bytes.length
+    new String(bytes, 0, n, StandardCharsets.ISO_8859_1)
+  }
+
+  /** Exactly `n` content bytes; EOFException on a truncated tail. */
+  private def readN(in: InputStream, n: Long): Array[Byte] = {
+    require(n <= Int.MaxValue, s"record content length $n exceeds 2 GiB")
+    val out = new Array[Byte](n.toInt)
+    var off = 0
+    while (off < n) {
+      val r = in.read(out, off, n.toInt - off)
+      if (r < 0) throw new EOFException(s"truncated record: $off of $n")
+      off += r
+    }
+    out
+  }
+
+  /** Gzip sniffed from the 0x1f8b magic, not the filename; a gzip stream
+    * reads through ALL concatenated members (the member-per-record
+    * layout) — java.util.zip handles that natively. */
+  private def sniffGunzip(in: InputStream): InputStream = {
+    val pb = new java.io.PushbackInputStream(in, 2)
+    val b0 = pb.read(); val b1 = pb.read()
+    if (b1 >= 0) pb.unread(b1)
+    if (b0 >= 0) pb.unread(b0)
+    if (b0 == 0x1f && b1 == 0x8b) new GZIPInputStream(pb, 1 << 16) else pb
+  }
+
+  // ------------------------------------------------- fixture generation
+
+  /** Deterministic WARC bytes for specs and contract fixtures: a
+    * `warcinfo` record then one HTTP 200 `response` per (url, date,
+    * contentType, body); `gzipPerRecord = true` writes the
+    * member-per-record Common Crawl layout. Pure function of its
+    * arguments — closed-form oracles reconstruct the parse output
+    * without parsing anything. */
+  def syntheticWarc(records: Seq[(String, String, String, String)],
+                    gzipPerRecord: Boolean = false): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def emit(record: Array[Byte]): Unit =
+      if (gzipPerRecord) {
+        val gz = new GZIPOutputStream(out, 1 << 14)
+        gz.write(record); gz.finish()
+      } else out.write(record)
+    emit(rawRecord("warcinfo", None, "2024-01-01T00:00:00Z",
+      "application/warc-fields",
+      "software: graft-synthetic-warc\r\n".getBytes(StandardCharsets.UTF_8)))
+    records.foreach { case (url, date, contentType, body) =>
+      val payload = body.getBytes(StandardCharsets.UTF_8)
+      val http = new ByteArrayOutputStream()
+      http.write(("HTTP/1.1 200 OK\r\n" +
+        s"Content-Type: $contentType\r\n" +
+        s"Content-Length: ${payload.length}\r\n" +
+        "\r\n").getBytes(StandardCharsets.ISO_8859_1))
+      http.write(payload)
+      emit(rawRecord("response", Some(url), date,
+        "application/http; msgtype=response", http.toByteArray))
+    }
+    out.toByteArray
+  }
+
+  private def rawRecord(warcType: String, url: Option[String], date: String,
+                        contentType: String,
+                        content: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val uri = url.map(u => s"WARC-Target-URI: $u\r\n").getOrElse("")
+    out.write((s"WARC/1.0\r\n" +
+      s"WARC-Type: $warcType\r\n" +
+      uri +
+      s"WARC-Date: $date\r\n" +
+      s"WARC-Record-ID: <urn:graft:${warcType}:${content.length}>\r\n" +
+      s"Content-Type: $contentType\r\n" +
+      s"Content-Length: ${content.length}\r\n" +
+      "\r\n").getBytes(StandardCharsets.ISO_8859_1))
+    out.write(content)
+    out.write("\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1))
+    out.toByteArray
+  }
+}

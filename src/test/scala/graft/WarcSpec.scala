@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Warc
+
+class WarcSpec extends SparkSpec {
+
+  private val recs = Seq(
+    ("https://a.example.org/1", "2024-01-02T03:04:05Z",
+      "text/plain; charset=utf-8", "hello warc"),
+    ("https://b.example.org/2", "2024-01-02T03:04:06Z",
+      "text/html; charset=utf-8", "<p>two cafés</p>"),
+    ("https://c.example.org/3", "2024-01-02T03:04:07Z",
+      "text/plain; charset=utf-8", "third body"))
+
+  test("plain roundtrip: warcinfo + responses, HTTP parsed, bytes exact") {
+    val parsed = Warc.parseWarcBytes(Warc.syntheticWarc(recs))
+    assert(parsed.length === 4)
+    assert(parsed.head.warcType === "warcinfo" && parsed.head.status.isEmpty)
+    val rsp = parsed.tail
+    assert(rsp.map(_.warcType).forall(_ == "response"))
+    assert(rsp.map(_.url) === recs.map(_._1))
+    assert(rsp.map(_.date) === recs.map(_._2))
+    assert(rsp.map(_.status) === Seq(Some(200), Some(200), Some(200)))
+    assert(rsp.map(_.contentType) === recs.map(_._3))
+    // the HTTP headers are STRIPPED: body is the payload bytes exactly
+    assert(rsp.map(_.bodyText) === recs.map(r => Some(r._4)))
+    assert(rsp(1).body.sameElements(
+      recs(1)._4.getBytes(StandardCharsets.UTF_8)),
+      "multibyte content-length must count BYTES, not chars")
+  }
+
+  test("gzip member-per-record roundtrip (the Common Crawl layout)") {
+    val parsed = Warc.parseWarcBytes(
+      Warc.syntheticWarc(recs, gzipPerRecord = true))
+    assert(parsed.length === 4)
+    assert(parsed.tail.map(_.bodyText) === recs.map(r => Some(r._4)))
+  }
+
+  test("charset honored; binary payloads stay opaque (body_text null)") {
+    // latin-1 body: é is ONE byte under the declared charset
+    val latin = "café".getBytes(StandardCharsets.ISO_8859_1)
+    val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain; " +
+      s"charset=iso-8859-1\r\nContent-Length: ${latin.length}\r\n\r\n")
+      .getBytes(StandardCharsets.ISO_8859_1) ++ latin
+    val record = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://x.example.org\r\n" +
+      "WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n")
+      .getBytes(StandardCharsets.ISO_8859_1) ++ http ++
+      "\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1)
+    val parsed = Warc.parseWarcBytes(record)
+    assert(parsed.length === 1)
+    assert(parsed.head.bodyText === Some("café"))
+    // a PNG-typed response decodes no text but keeps its bytes
+    val png = Warc.parseWarcBytes(Warc.syntheticWarc(Seq(
+      ("https://img.example.org", "2024-01-01T00:00:00Z",
+        "image/png", "PNGfake"))))
+    assert(png.last.bodyText.isEmpty)
+    assert(png.last.body.nonEmpty)
+  }
+
+  test("corrupt middle record skipped with resync; truncated tail safe") {
+    val bytes = Warc.syntheticWarc(recs)
+    // mangle the SECOND response's version line: that record is lost,
+    // its neighbors parse
+    val s = new String(bytes, StandardCharsets.ISO_8859_1)
+    val secondAt = s.indexOf("WARC/1.0", s.indexOf("a.example.org/1"))
+    val mangled = bytes.clone()
+    mangled(secondAt) = 'X'
+    val parsed = Warc.parseWarcBytes(mangled)
+    assert(parsed.map(_.url).filter(_ != null) ===
+      Seq("https://a.example.org/1", "https://c.example.org/3"),
+      parsed.map(_.url).mkString(","))
+    // truncated tail: drop the last 12 bytes — earlier records survive
+    val truncated = Warc.parseWarcBytes(bytes.dropRight(12))
+    assert(truncated.length >= 3, s"got ${truncated.length}")
+    assert(truncated.map(_.url).contains("https://b.example.org/2"))
+  }
+
+  test("readWarc: one task per file, gzip sniffed from magic bytes") {
+    val dir = tmpDir("warc-read")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/part0.warc"),
+      Warc.syntheticWarc(recs.take(2)))
+    // gzip content under a MISLEADING plain name: the sniff must win
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/part1.warc"),
+      Warc.syntheticWarc(recs.drop(2), gzipPerRecord = true))
+    val df = Warc.readWarc(spark, s"$dir/*.warc")
+    assert(df.count() === 5) // 2 warcinfo + 3 responses
+    val responses = df.where(col("warc_type") === "response")
+      .orderBy("url")
+      .select("url", "status", "content_type", "body_text")
+      .collect()
+    assert(responses.map(_.getString(0)).toSeq === recs.map(_._1))
+    assert(responses.forall(_.getInt(1) === 200))
+    assert(responses.map(_.getString(3)).toSeq === recs.map(_._4))
+    // record_idx restarts per file (the per-file walker contract)
+    val perFile = df.groupBy("warc_file").agg(min("record_idx").as("mn"))
+      .collect()
+    assert(perFile.forall(_.getLong(1) === 0L))
+  }
+}
