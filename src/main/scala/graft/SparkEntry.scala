@@ -709,6 +709,12 @@ object SparkEntry {
           col("url"), col("status"), col("content_type"),
           col("body_text").as("text"))),
 
+    // --- the WET face over the same archive: successful textual
+    // responses -> (url, warc_date, markup-stripped text)
+    "s_warc_text" -> ((s, dir) =>
+      graft.sources.Warc.warcText(
+        graft.sources.Warc.readWarc(s, warcFx(s, dir)))),
+
     // --- W1+O1: chunk_size row groups + sorted write -> row-group pruning
     // on a selective range predicate (reference efficient_querying story)
     "w_chunked_prune" -> ((s, dir) =>
@@ -4204,6 +4210,19 @@ object SparkEntry {
              CAST(200 AS INTEGER) AS status,
              CAST('text/plain; charset=utf-8' AS VARCHAR) AS content_type,
              coalesce(text, '') AS text
+           FROM documents""",
+      // WET face: stripMarkup's exact chain (tags -> entity decode in
+      // fold order -> whitespace collapse + trim) over the fixture bodies
+      "s_warc_text" ->
+        """SELECT
+             'https://docs.example.org/' || CAST(doc_id AS VARCHAR) AS url,
+             CAST('2024-01-01T00:00:00Z' AS VARCHAR) AS warc_date,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_replace(coalesce(text, ''), '<[^>]*>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', ''''), '&apos;', ''''), '&amp;', '&'),
+               '[ \t\n\x0B\f\r]+', ' ', 'g')) AS text
            FROM documents""",
       "u_shuffle_shards" ->
         """WITH t AS (SELECT doc_id,

@@ -83,6 +83,54 @@ object Warc {
   def parseWarcBytes(bytes: Array[Byte]): Seq[WarcRecord] =
     parseStream(sniffGunzip(new ByteArrayInputStream(bytes))).toSeq
 
+  /** The row mirror of [[schema]] for the typed streaming face. */
+  final case class WarcRow(warc_file: String, record_idx: Long,
+                           warc_type: String, url: String, warc_date: String,
+                           status: Option[Int], content_type: String,
+                           body: Array[Byte], body_text: Option[String])
+
+  /** Parse a `binaryFile`-sourced frame (`path`, `content`, ...) into the
+    * records schema — the STREAMING-compatible face: point
+    * `spark.readStream.format("binaryFile")` at the directory a crawler
+    * drops archives into and compose with
+    * [[graft.streaming.Streaming.writeStreamAppend]] (or the curation
+    * stream) for continuous ingest; also works on a batch `binaryFile`
+    * read. Trade vs [[readWarc]]: the file source materializes each WHOLE
+    * file in its row, so memory per task is file-sized — use the
+    * record-streaming batch face for huge archives, this one where the
+    * file-source integration (checkpointing, exactly-once triggers)
+    * matters. */
+  def recordsFromBinary(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(files("path"), files("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (file, bytes) =>
+        var idx = -1L
+        parseStream(sniffGunzip(new ByteArrayInputStream(bytes))).map { r =>
+          idx += 1
+          WarcRow(file, idx, r.warcType, r.url, r.date, r.status,
+            r.contentType, r.body, r.bodyText)
+        }
+      }
+      .toDF()
+  }
+
+  /** The WET face: successful textual responses reduced to
+    * `(url, warc_date, text)` with markup stripped
+    * ([[graft.ops.TextAnalysis.stripMarkup]]) — what the ecosystem's
+    * WET sidecar files contain, derived here from the raw archive in the
+    * same pass. Compose with langId/quality/dedup downstream; everything
+    * stays row-local codegen'd column work. */
+  def warcText(records: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    records
+      .where(col("warc_type") === "response" && col("status") === 200 &&
+        col("body_text").isNotNull)
+      .select(col("url"), col("warc_date"),
+        graft.ops.TextAnalysis.stripMarkup(col("body_text")).as("text"))
+  }
+
   // ------------------------------------------------------------- parsing
 
   /** Record-at-a-time iterator over a decompressed WARC stream. Skips

@@ -82,6 +82,43 @@ class WarcSpec extends SparkSpec {
     assert(truncated.map(_.url).contains("https://b.example.org/2"))
   }
 
+  test("warcText: WET reduction strips markup, keeps only 200 textual responses") {
+    val bytes = Warc.syntheticWarc(Seq(
+      ("https://a.example.org", "2024-01-01T00:00:00Z",
+        "text/html; charset=utf-8", "<p>hello &amp; goodbye</p>"),
+      ("https://b.example.org", "2024-01-01T00:00:00Z",
+        "image/png", "PNGfake")))
+    val dir = tmpDir("warc-wet")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/a.warc"), bytes)
+    val wet = Warc.warcText(Warc.readWarc(spark, s"$dir/*.warc")).collect()
+    assert(wet.length === 1, wet.mkString(","))
+    assert(wet.head.getString(0) === "https://a.example.org")
+    assert(wet.head.getString(2) === "hello & goodbye")
+  }
+
+  test("streaming ingest: binaryFile stream -> records -> landed dataset") {
+    val dir = tmpDir("warc-stream-in")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/b0.warc.gz"),
+      Warc.syntheticWarc(recs.take(2), gzipPerRecord = true))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/b1.warc.gz"),
+      Warc.syntheticWarc(recs.drop(2), gzipPerRecord = true))
+    val store = graft.store.Storage(spark, tmpDir("warc-stream-store"))
+    val stream = spark.readStream.format("binaryFile")
+      .schema("path string, modificationTime timestamp, " +
+        "length long, content binary")
+      .option("maxFilesPerTrigger", "1").load(s"$dir/*.warc.gz")
+    val q = graft.streaming.Streaming.writeStreamAppend(
+      Warc.warcText(Warc.recordsFromBinary(stream)), store, "warc_docs")
+    assert(q.awaitTermination(120000), "warc stream did not finish")
+    val landed = graft.io.Reader.readTable(spark, store, "warc_docs")
+    assert(landed.count() === 3)
+    assert(landed.select("url").collect().map(_.getString(0)).sorted.toSeq ===
+      recs.map(_._1))
+  }
+
   test("readWarc: one task per file, gzip sniffed from magic bytes") {
     val dir = tmpDir("warc-read")
     java.nio.file.Files.write(
