@@ -119,6 +119,33 @@ class WarcSpec extends SparkSpec {
       recs.map(_._1))
   }
 
+  test("property: randomized bodies roundtrip byte-exactly (plain + gzip)") {
+    // hostile content: CRLFs, header-shaped lines, an embedded WARC
+    // version line, multibyte runs — record framing is LENGTH-based, so
+    // none of it may confuse the parser. BMP chars only: sampling single
+    // chars from a string with astral-plane symbols yields lone
+    // surrogates, which no charset roundtrips (a test artifact, not a
+    // parser property)
+    val rnd = new scala.util.Random(42)
+    val alphabet =
+      "ab c\r\nWARC/1.0\r\nContent-Length: 7\r\nHTTP/1.1 200 OK\né漢字\t"
+    val cases = (0 until 40).map { i =>
+      val body = (0 until rnd.nextInt(400))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      (s"https://rnd.example.org/$i", "2024-06-01T00:00:00Z",
+        "text/plain; charset=utf-8", body)
+    }
+    for (gz <- Seq(false, true)) {
+      val parsed = Warc.parseWarcBytes(Warc.syntheticWarc(cases, gz)).tail
+      assert(parsed.length === cases.length, s"gzip=$gz")
+      parsed.zip(cases).foreach { case (got, (url, _, _, body)) =>
+        assert(got.url === url, s"gzip=$gz")
+        assert(got.bodyText === Some(body),
+          s"gzip=$gz url=$url: body did not roundtrip")
+      }
+    }
+  }
+
   test("readWarc: one task per file, gzip sniffed from magic bytes") {
     val dir = tmpDir("warc-read")
     java.nio.file.Files.write(
