@@ -985,6 +985,18 @@ object SparkEntry {
             TextAnalysis.qualityScore(col("text")).as("quality")),
         "quality", "lang")),
 
+    // --- FIM objective prep (Bavarian et al. 2022): two integer-portable
+    // md5 cuts per document -> (prefix, middle, suffix), concatenation
+    // identity by construction; the serialized face mixes PSM docs at a
+    // deterministic rate with verbatim passthrough
+    "t_fim_split" -> ((s, dir) =>
+      graft.ops.Objectives.fimSplit(rd(s, dir, "documents"),
+        "text", "doc_id")),
+
+    "t_fim_text" -> ((s, dir) =>
+      graft.ops.Objectives.fimText(rd(s, dir, "documents"),
+        "text", "doc_id", rate = 0.5)),
+
     // --- text analysis: positional token fingerprint
     "t_fingerprint" -> ((s, dir) => {
       val toks = TextAnalysis.wsTokens(lower(col("text")))
@@ -4260,6 +4272,41 @@ object SparkEntry {
            WHERE rows_now IS DISTINCT FROM rows_pinned
               OR id_xor_now IS DISTINCT FROM id_xor_pinned
            ORDER BY shard""",
+      // FIM: integer-only portable cuts (key52 % (n+1) under two salt
+      // domains, ordered) — no doubles anywhere near the cut points
+      "t_fim_split" ->
+        """WITH k AS (SELECT doc_id, text,
+             length(text) AS n,
+             CAST(concat('0x', substr(md5('graft.fim1:graft' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+               % (length(text) + 1) AS c1,
+             CAST(concat('0x', substr(md5('graft.fim2:graft' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+               % (length(text) + 1) AS c2
+           FROM documents)
+           SELECT doc_id,
+             substr(text, 1, CAST(least(c1, c2) AS INT)) AS prefix,
+             substr(text, CAST(least(c1, c2) + 1 AS INT),
+               CAST(greatest(c1, c2) - least(c1, c2) AS INT)) AS middle,
+             substr(text, CAST(greatest(c1, c2) + 1 AS INT),
+               CAST(n - greatest(c1, c2) AS INT)) AS suffix
+           FROM k""",
+      "t_fim_text" ->
+        """WITH k AS (SELECT doc_id, text,
+             length(text) AS n,
+             CAST(concat('0x', substr(md5('graft.fim1:graft' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS k1,
+             CAST(concat('0x', substr(md5('graft.fim2:graft' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS k2
+           FROM documents),
+           c AS (SELECT doc_id, text, n,
+             least(k1 % (n + 1), k2 % (n + 1)) AS a,
+             greatest(k1 % (n + 1), k2 % (n + 1)) AS b, k1
+           FROM k)
+           SELECT doc_id,
+             CASE WHEN text IS NULL THEN NULL
+                  WHEN k1 % 1000000 < 500000 THEN
+                    '<PRE>' || substr(text, 1, CAST(a AS INT)) ||
+                    '<SUF>' || substr(text, CAST(b + 1 AS INT), CAST(n - b AS INT)) ||
+                    '<MID>' || substr(text, CAST(a + 1 AS INT), CAST(b - a AS INT))
+                  ELSE text END AS fim_text
+           FROM c""",
       "t_fingerprint" ->
         """SELECT doc_id, CAST(list_sum(list_transform(
              string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+'),

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-objective data preparation — the deterministic transforms
+  * that turn a curated corpus into objective-specific training text
+  * (beyond-reference scope, the stage after curation and before
+  * tokenize/pack).
+  *
+  * Everything here follows the sampler family's portability contract:
+  * randomness is the 52-bit md5 uniform of (domain, salt, id), consumed
+  * as INTEGER arithmetic only (`key % n`, never a double product), so
+  * every cut point is reproducible bit-for-bit by any engine with md5 —
+  * a training run can be re-materialized years later and an external SQL
+  * oracle audits the exact split of every document. */
+object Objectives {
+
+  private[graft] val FimDomain1 = "graft.fim1:"
+  private[graft] val FimDomain2 = "graft.fim2:"
+
+  /** The 52-bit portable key as a number: first 13 hex chars of
+    * `md5(domain || salt || id)` through conv(, 16, 10) — exact in a
+    * long, the integer face of the sampler family's string-compare
+    * keys. */
+  private def key52(idCol: Column, salt: String, domain: String): Column =
+    conv(substring(md5(concat(lit(domain + salt), idCol.cast("string"))),
+      1, 13), 16, 10).cast("long")
+
+  /** Fill-in-the-middle split (Bavarian et al. 2022, "Efficient Training
+    * of Language Models to Fill in the Middle"): each document splits
+    * into (prefix, middle, suffix) at two deterministic character cuts —
+    * the data transform behind every FIM-capable code model. Cuts are
+    * `key52 % (len+1)` under two independent salt domains, ordered, so
+    * any split point (including empty prefix/middle/suffix) is reachable
+    * and the whole split is a pure function of (salt, id, text length).
+    *
+    * Returns `(idCol, prefix, middle, suffix)` with
+    * `prefix || middle || suffix == text` by construction (character
+    * slicing, no token boundary opinions — compose with the tokenizer
+    * downstream, exactly as the paper does). Null text yields null
+    * parts; empty text yields three empty strings. Row-local codegen'd
+    * column work, no shuffle, linear over 100 TB. */
+  def fimSplit(df: DataFrame, textCol: String, idCol: String,
+               salt: String = "graft"): DataFrame = {
+    val (p, m, s) = fimParts(col(textCol), col(idCol), salt)
+    df.select(col(idCol), p.as("prefix"), m.as("middle"), s.as("suffix"))
+  }
+
+  /** The shared (prefix, middle, suffix) expressions — one definition so
+    * the split face and the serialized face can never cut differently. */
+  private def fimParts(t: Column, id: Column,
+                       salt: String): (Column, Column, Column) = {
+    val n = length(t)
+    val c1 = (key52(id, salt, FimDomain1) % (n.cast("long") + 1L)).cast("int")
+    val c2 = (key52(id, salt, FimDomain2) % (n.cast("long") + 1L)).cast("int")
+    val a = least(c1, c2)
+    val b = greatest(c1, c2)
+    (t.substr(lit(1), a), t.substr(a + 1, b - a), t.substr(b + 1, n - b))
+  }
+
+  /** The serialized FIM document over [[fimSplit]]: PSM order
+    * (`<PRE> prefix <SUF> suffix <MID> middle`) or SPM
+    * (`<SUF> suffix <PRE> prefix <MID> middle`) with the paper's sentinel
+    * convention as plain marker strings (swap for tokenizer specials at
+    * encode time). A deterministic fraction `rate` of documents is
+    * transformed (portable membership under the fim1 domain — the same
+    * key that cut the document, so membership and cut can never
+    * disagree); the rest pass through verbatim, the paper's
+    * mixed-objective training recipe. Returns `(idCol, fim_text)`. */
+  def fimText(df: DataFrame, textCol: String, idCol: String,
+              rate: Double = 0.5, spm: Boolean = false,
+              salt: String = "graft"): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1] (got $rate)")
+    val (p, m, s) = fimParts(col(textCol), col(idCol), salt)
+    val fim =
+      if (spm) concat(lit("<SUF>"), s, lit("<PRE>"), p, lit("<MID>"), m)
+      else concat(lit("<PRE>"), p, lit("<SUF>"), s, lit("<MID>"), m)
+    val keep = lit(rate) >= 1.0 ||
+      (key52(col(idCol), salt, FimDomain1) % 1000000L) <
+        (rate * 1000000).toLong
+    df.select(col(idCol),
+      when(col(textCol).isNull, lit(null))
+        .otherwise(when(keep, fim).otherwise(col(textCol))).as("fim_text"))
+  }
+}

@@ -939,6 +939,59 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("frame-based learned gate"), ex.getMessage)
   }
 
+  test("fimSplit: concatenation identity, determinism, degenerate lengths") {
+    val rnd = new scala.util.Random(3)
+    val corpus = ((1L to 60L).map(i =>
+      (i, rnd.alphanumeric.take(rnd.nextInt(50)).mkString)) ++
+      Seq((100L, ""), (101L, "x"), (102L, "café 漢字")))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Objectives.fimSplit(corpus, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    val texts = corpus.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, t) =>
+      val (p, m, s) = out(id)
+      assert(p + m + s === t, s"id=$id: '$p'+'$m'+'$s' != '$t'")
+    }
+    assert(out(100L) === (("", "", "")))
+    // pure function of (salt, id, length): repartitioning can't move cuts
+    val again = graft.ops.Objectives.fimSplit(corpus.repartition(7),
+      "text", "doc_id").collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    assert(again === out)
+  }
+
+  test("fimText: rate bounds, PSM/SPM sentinel orders, passthrough verbatim") {
+    val corpus = (1L to 100L).map(i => (i, s"document number $i body"))
+      .toDF("doc_id", "text")
+    val all = graft.ops.Objectives.fimText(corpus, "text", "doc_id", rate = 1.0)
+      .collect().map(_.getString(1))
+    assert(all.forall(_.startsWith("<PRE>")))
+    val none = graft.ops.Objectives.fimText(corpus, "text", "doc_id", rate = 0.0)
+      .collect().map(_.getString(1))
+    assert(none.forall(_.startsWith("document number")))
+    val spm = graft.ops.Objectives.fimText(corpus, "text", "doc_id",
+      rate = 1.0, spm = true).collect().map(_.getString(1))
+    assert(spm.forall(_.startsWith("<SUF>")))
+    // half-rate: transformed membership is deterministic and ~half
+    val mixed = graft.ops.Objectives.fimText(corpus, "text", "doc_id", 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nFim = mixed.values.count(_.startsWith("<PRE>"))
+    assert(nFim > 25 && nFim < 75, s"got $nFim of 100 at rate 0.5")
+    val mixed2 = graft.ops.Objectives.fimText(corpus.repartition(5),
+      "text", "doc_id", 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(mixed2 === mixed)
+    // a transformed doc reassembles to the original: parts are the split's
+    val split = graft.ops.Objectives.fimSplit(corpus, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    mixed.filter(_._2.startsWith("<PRE>")).foreach { case (id, ft) =>
+      val (p, m, s) = split(id)
+      assert(ft === s"<PRE>$p<SUF>$s<MID>$m", s"id=$id")
+    }
+  }
+
   test("ccnetGate: per-language terciles, keep rates, unscoreable docs dropped") {
     // reference LM: bigrams of "the cat sat on the mat"
     val ref = Seq((100L, "the cat sat on the mat")).toDF("doc_id", "text")
