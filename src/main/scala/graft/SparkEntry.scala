@@ -997,6 +997,15 @@ object SparkEntry {
       graft.ops.Objectives.fimText(rd(s, dir, "documents"),
         "text", "doc_id", rate = 0.5)),
 
+    // --- T5 span corruption: independent portable per-(id,pos) masking,
+    // runs collapse to sentinels, seq2seq (corrupted, targets) pair —
+    // the Spark side is ONE shuffle-free row-local fold; the oracle
+    // replays it with a window construction (same result, different
+    // algorithm)
+    "t_span_corrupt" -> ((s, dir) =>
+      graft.ops.Objectives.spanCorrupt(rd(s, dir, "documents"),
+        "text", "doc_id", rate = 0.15)),
+
     // --- text analysis: positional token fingerprint
     "t_fingerprint" -> ((s, dir) => {
       val toks = TextAnalysis.wsTokens(lower(col("text")))
@@ -4307,6 +4316,49 @@ object SparkEntry {
                     '<MID>' || substr(text, CAST(a + 1 AS INT), CAST(b - a AS INT))
                   ELSE text END AS fim_text
            FROM c""",
+      // span corruption via windows: lag -> span starts, running count ->
+      // sentinel ids, string_agg's null-skip -> the run collapse; the
+      // closing sentinel appends per doc; tokenless docs zero-fill
+      "t_span_corrupt" ->
+        """WITH toks AS (
+             SELECT doc_id, u.tok, CAST(u.pos - 1 AS BIGINT) AS pos FROM (
+               SELECT doc_id, unnest(list_transform(
+                 list_filter(string_split_regex(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+'), x -> len(x) > 0),
+                 (x, i) -> {'tok': x, 'pos': i})) AS u
+               FROM documents)),
+           m AS (SELECT doc_id, tok, pos,
+                   CAST(concat('0x', substr(md5('graft.span:graft' || CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 1, 13)) AS BIGINT)
+                     % 1000000 < 150000 AS msk
+                 FROM toks),
+           w AS (SELECT doc_id, tok, pos, msk,
+                   msk AND NOT coalesce(lag(msk) OVER
+                     (PARTITION BY doc_id ORDER BY pos), false) AS news
+                 FROM m),
+           w2 AS (SELECT *, CAST(sum(CASE WHEN news THEN 1 ELSE 0 END) OVER
+                    (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS kcum
+                  FROM w),
+           agg AS (
+             SELECT doc_id,
+               string_agg(CASE WHEN NOT msk THEN tok
+                               WHEN news THEN '<extra_id_' ||
+                                 CAST(kcum - 1 AS VARCHAR) || '>' END,
+                 ' ' ORDER BY pos) AS c,
+               string_agg(CASE WHEN msk AND news THEN '<extra_id_' ||
+                   CAST(kcum - 1 AS VARCHAR) || '> ' || tok
+                 WHEN msk THEN tok END, ' ' ORDER BY pos) AS g,
+               CAST(max(kcum) AS INT) AS k
+             FROM w2 GROUP BY doc_id)
+           SELECT d.doc_id,
+             CASE WHEN d.text IS NULL THEN NULL
+                  ELSE coalesce(a.c, '') END AS corrupted,
+             CASE WHEN d.text IS NULL THEN NULL
+                  ELSE ltrim(coalesce(a.g, '') || ' <extra_id_' ||
+                    CAST(coalesce(a.k, 0) AS VARCHAR) || '>') END AS targets,
+             CASE WHEN d.text IS NULL THEN NULL
+                  ELSE coalesce(a.k, 0) END AS n_spans
+           FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
       "t_fingerprint" ->
         """SELECT doc_id, CAST(list_sum(list_transform(
              string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+'),

@@ -18,6 +18,7 @@ object Objectives {
 
   private[graft] val FimDomain1 = "graft.fim1:"
   private[graft] val FimDomain2 = "graft.fim2:"
+  private[graft] val SpanDomain = "graft.span:"
 
   /** The 52-bit portable key as a number: first 13 hex chars of
     * `md5(domain || salt || id)` through conv(, 16, 10) — exact in a
@@ -82,5 +83,83 @@ object Objectives {
     df.select(col(idCol),
       when(col(textCol).isNull, lit(null))
         .otherwise(when(keep, fim).otherwise(col(textCol))).as("fim_text"))
+  }
+
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4): each
+    * whitespace token masks independently at `rate` under a portable
+    * per-(id, position) key; RUNS of masked tokens collapse to one
+    * `<extra_id_k>` sentinel in the corrupted text, and the targets
+    * string carries each span's sentinel + tokens plus the closing
+    * `<extra_id_K>` — the seq2seq denoising pair exactly as the paper
+    * serializes it (independent masking makes span lengths geometric,
+    * the same distribution family T5 samples). Operates on the
+    * whitespace-normalized token stream (the tokenizer contract: output
+    * joins with single spaces).
+    *
+    * Returns `(idCol, corrupted, targets, n_spans)`. Null text yields
+    * null corrupted/targets; a tokenless text corrupts to '' with
+    * targets '<extra_id_0>' (zero spans, just the closing sentinel).
+    *
+    * Scale shape: ONE row-local left-to-right fold over the token array
+    * with a (corrupted, targets, span-count, prev-mask) struct
+    * accumulator — no explode, no per-doc window, NO SHUFFLE AT ALL; the
+    * mask is a pure function of (salt, id, pos), so the whole pair is
+    * reproducible bit-for-bit anywhere md5 exists (the oracle replays it
+    * with a window construction — same result, different algorithm).
+    * Cost: one interpreted lambda call per token (the fingerprint/BPE
+    * family's accepted price for closed-form portability). */
+  def spanCorrupt(df: DataFrame, textCol: String, idCol: String,
+                  rate: Double = 0.15,
+                  salt: String = "graft"): DataFrame = {
+    require(rate > 0 && rate < 1, s"rate must be in (0,1) (got $rate)")
+    val cut = (rate * 1000000).toLong
+    val toks = filter(
+      split(trim(col(textCol)), "[ \\t\\n\\x0B\\f\\r]+"),
+      t => length(t) > 0)
+    val items = zip_with(toks,
+      sequence(lit(0), greatest(size(toks) - 1, lit(0))),
+      (t, i) => struct(t.as("t"),
+        (conv(substring(md5(concat(lit(SpanDomain + salt),
+          col(idCol).cast("string"), lit(":"), i.cast("string"))), 1, 13),
+          16, 10).cast("long") % 1000000L < cut).as("m")))
+    val zero = struct(lit("").as("c"), lit("").as("g"),
+      lit(0).as("k"), lit(false).as("p"))
+    val folded = aggregate(
+      when(size(toks) === 0,
+        array().cast("array<struct<t:string,m:boolean>>"))
+        .otherwise(items),
+      zero,
+      (acc, x) => {
+        val t = x.getField("t")
+        val m = x.getField("m")
+        val newSpan = m && !acc.getField("p")
+        val k2 = acc.getField("k") + when(newSpan, 1).otherwise(0)
+        val sent = concat(lit(" <extra_id_"), (k2 - 1).cast("string"),
+          lit(">"))
+        struct(
+          when(!m, concat(acc.getField("c"), lit(" "), t))
+            .otherwise(when(newSpan, concat(acc.getField("c"), sent))
+              .otherwise(acc.getField("c"))).as("c"),
+          when(m, concat(acc.getField("g"),
+              when(newSpan, sent).otherwise(lit("")), lit(" "), t))
+            .otherwise(acc.getField("g")).as("g"),
+          k2.as("k"),
+          m.as("p"))
+      },
+      acc => struct(
+        ltrim(acc.getField("c")).as("c"),
+        ltrim(concat(acc.getField("g"), lit(" <extra_id_"),
+          acc.getField("k").cast("string"), lit(">"))).as("g"),
+        acc.getField("k").as("k")))
+    // staged: the fold lands ONCE in a named column; CollapseProject
+    // refuses to inline a non-cheap expression used three times, so the
+    // field projections share it instead of re-folding per output column
+    df.select(col(idCol), col(textCol), folded.as("__f"))
+      .select(col(idCol),
+        when(col(textCol).isNull, lit(null))
+          .otherwise(col("__f").getField("c")).as("corrupted"),
+        when(col(textCol).isNull, lit(null))
+          .otherwise(col("__f").getField("g")).as("targets"),
+        col("__f").getField("k").as("n_spans"))
   }
 }

@@ -992,6 +992,54 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("spanCorrupt: runs collapse to sentinels, pair reassembles, degenerate inputs") {
+    import graft.ops.Objectives
+    val corpus = ((1L to 30L).map(i =>
+      (i, (0 until 20).map(j => s"w$j").mkString(" "))) ++
+      Seq((100L, ""), (101L, "solo")))
+      .toDF("doc_id", "text")
+    val out = Objectives.spanCorrupt(corpus, "text", "doc_id", rate = 0.3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getInt(3))))
+      .toMap
+    // tokenless text: empty corrupted, closing sentinel only
+    assert(out(100L) === (("", "<extra_id_0>", 0)))
+    // invariants on every row: sentinel count matches n_spans; targets
+    // end with the closing sentinel; reassembling corrupted+targets
+    // recovers the original token stream
+    val texts = corpus.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (id, (c, g, k)) =>
+      assert(g.endsWith(s"<extra_id_$k>"), s"id=$id targets=$g")
+      (0 until k).foreach { j =>
+        assert(c.contains(s"<extra_id_$j>"), s"id=$id missing sentinel $j in $c")
+      }
+      // reassemble: substitute each span's tokens back into corrupted
+      val spans = (0 until k).map { j =>
+        val from = g.indexOf(s"<extra_id_$j>") + s"<extra_id_$j>".length
+        val to = g.indexOf(s"<extra_id_${j + 1}>")
+        j -> g.substring(from, to).trim
+      }.toMap
+      val rebuilt = spans.foldLeft(c) { case (acc, (j, toks)) =>
+        acc.replace(s"<extra_id_$j>", toks)
+      }.trim.replaceAll(" +", " ")
+      val want = texts(id).trim.replaceAll("[ \\t\\n\\x0B\\f\\r]+", " ")
+      assert(rebuilt === want, s"id=$id: '$rebuilt' != '$want'")
+    }
+    // deterministic across partitioning
+    val again = Objectives.spanCorrupt(corpus.repartition(7), "text",
+        "doc_id", rate = 0.3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getInt(3))))
+      .toMap
+    assert(again === out)
+    // masked mass is in the right ballpark at rate 0.3 over 600 tokens
+    val masked = out.collect { case (id, (_, g, k)) if id <= 30 =>
+      g.split(" ").count(_.startsWith("w")) }.sum
+    assert(masked > 100 && masked < 280, s"masked $masked of 600")
+    intercept[IllegalArgumentException] {
+      Objectives.spanCorrupt(corpus, "text", "doc_id", rate = 0.0)
+    }
+  }
+
   test("ccnetGate: per-language terciles, keep rates, unscoreable docs dropped") {
     // reference LM: bigrams of "the cat sat on the mat"
     val ref = Seq((100L, "the cat sat on the mat")).toDF("doc_id", "text")
