@@ -305,6 +305,15 @@ object Smoke {
       spark, store, "smoke_shards").count()
     println(s"${if (shardDiff == 0) "==" else "!!"} sharded export verify: " +
       s"$shardDiff tampered shards")
+    val fimOk = graft.ops.Objectives.fimSplit(docs, "text", "doc_id")
+      .join(docs.select("doc_id", "text"), "doc_id")
+      .where(concat(col("prefix"), col("middle"), col("suffix")) =!= col("text"))
+      .count()
+    println(s"${if (fimOk == 0) "==" else "!!"} fim split identity: " +
+      s"$fimOk violations")
+    val sc0 = graft.ops.Objectives.spanCorrupt(docs, "text", "doc_id")
+      .agg(sum("n_spans")).head().getLong(0)
+    println(s"== span corruption: $sc0 spans across ${docs.count()} docs")
     println(s"== semantic decontam: " +
       graft.ops.Contamination.decontaminateEmbedding(
         emb, emb.where(col("vec_id") < 5)
