@@ -1006,6 +1006,13 @@ object SparkEntry {
       graft.ops.Objectives.spanCorrupt(rd(s, dir, "documents"),
         "text", "doc_id", rate = 0.15)),
 
+    // --- UL2 mixture-of-denoisers: R/X span corruption + S prefix-LM,
+    // one portable pick per doc, mode tokens — each doc pays for exactly
+    // one denoiser's fold; the whole mixture hash-checks
+    "t_ul2_mix" -> ((s, dir) =>
+      graft.ops.Objectives.ul2Mix(rd(s, dir, "documents"),
+        "text", "doc_id")),
+
     // --- text analysis: positional token fingerprint
     "t_fingerprint" -> ((s, dir) => {
       val toks = TextAnalysis.wsTokens(lower(col("text")))
@@ -2753,6 +2760,47 @@ object SparkEntry {
          ELSE CAST(($e) % 16 + 16 AS BIGINT)
               << (CAST(floor(($e) / 16) AS INTEGER) - 4) END"""
 
+  /** Shared CTEs for the span-corruption mirrors: filtered tokens with
+    * 0-based positions and the raw portable per-(doc, pos) key — the key
+    * thresholds per RATE downstream, so the UL2 mirror's two denoisers
+    * share one md5 pass exactly like the Spark side shares the domain. */
+  private def spanMaskCtes: String =
+    """toks AS (
+         SELECT doc_id, u.tok, CAST(u.pos - 1 AS BIGINT) AS pos FROM (
+           SELECT doc_id, unnest(list_transform(
+             list_filter(string_split_regex(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+'), x -> len(x) > 0),
+             (x, i) -> {'tok': x, 'pos': i})) AS u
+           FROM documents)),
+       mk AS (SELECT doc_id, tok, pos,
+                CAST(concat('0x', substr(md5('graft.span:graft' || CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 1, 13)) AS BIGINT)
+                  % 1000000 AS mkey
+              FROM toks)"""
+
+  /** One rate's windowed span aggregation over [[spanMaskCtes]]'s `mk`:
+    * lag -> span starts, running count -> sentinel ids, string_agg's
+    * null-skip -> the run collapse. Emits `<name>` = (doc_id, c, g, k). */
+  private def spanAggCte(name: String, cut: Long): String =
+    s"""${name}_w AS (SELECT doc_id, tok, pos, (mkey < $cut) AS msk,
+             (mkey < $cut) AND NOT coalesce(lag(mkey < $cut) OVER
+               (PARTITION BY doc_id ORDER BY pos), false) AS news
+           FROM mk),
+       ${name}_w2 AS (SELECT *, CAST(sum(CASE WHEN news THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS kcum
+           FROM ${name}_w),
+       $name AS (
+         SELECT doc_id,
+           string_agg(CASE WHEN NOT msk THEN tok
+                           WHEN news THEN '<extra_id_' ||
+                             CAST(kcum - 1 AS VARCHAR) || '>' END,
+             ' ' ORDER BY pos) AS c,
+           string_agg(CASE WHEN msk AND news THEN '<extra_id_' ||
+               CAST(kcum - 1 AS VARCHAR) || '> ' || tok
+             WHEN msk THEN tok END, ' ' ORDER BY pos) AS g,
+           CAST(max(kcum) AS INT) AS k
+         FROM ${name}_w2 GROUP BY doc_id)"""
+
   /** The per-doc census mirror — the TextAnalysis.piiScan construction
     * over the piiSuffixed corpus: per-pattern counts; card candidates
     * unnest, strip separators, and pass the Luhn fold (rightmost-anchored
@@ -4320,36 +4368,8 @@ object SparkEntry {
       // sentinel ids, string_agg's null-skip -> the run collapse; the
       // closing sentinel appends per doc; tokenless docs zero-fill
       "t_span_corrupt" ->
-        """WITH toks AS (
-             SELECT doc_id, u.tok, CAST(u.pos - 1 AS BIGINT) AS pos FROM (
-               SELECT doc_id, unnest(list_transform(
-                 list_filter(string_split_regex(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+'), x -> len(x) > 0),
-                 (x, i) -> {'tok': x, 'pos': i})) AS u
-               FROM documents)),
-           m AS (SELECT doc_id, tok, pos,
-                   CAST(concat('0x', substr(md5('graft.span:graft' || CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 1, 13)) AS BIGINT)
-                     % 1000000 < 150000 AS msk
-                 FROM toks),
-           w AS (SELECT doc_id, tok, pos, msk,
-                   msk AND NOT coalesce(lag(msk) OVER
-                     (PARTITION BY doc_id ORDER BY pos), false) AS news
-                 FROM m),
-           w2 AS (SELECT *, CAST(sum(CASE WHEN news THEN 1 ELSE 0 END) OVER
-                    (PARTITION BY doc_id ORDER BY pos
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS BIGINT) AS kcum
-                  FROM w),
-           agg AS (
-             SELECT doc_id,
-               string_agg(CASE WHEN NOT msk THEN tok
-                               WHEN news THEN '<extra_id_' ||
-                                 CAST(kcum - 1 AS VARCHAR) || '>' END,
-                 ' ' ORDER BY pos) AS c,
-               string_agg(CASE WHEN msk AND news THEN '<extra_id_' ||
-                   CAST(kcum - 1 AS VARCHAR) || '> ' || tok
-                 WHEN msk THEN tok END, ' ' ORDER BY pos) AS g,
-               CAST(max(kcum) AS INT) AS k
-             FROM w2 GROUP BY doc_id)
+        s"""WITH $spanMaskCtes,
+           ${spanAggCte("agg", 150000)}
            SELECT d.doc_id,
              CASE WHEN d.text IS NULL THEN NULL
                   ELSE coalesce(a.c, '') END AS corrupted,
@@ -4359,6 +4379,38 @@ object SparkEntry {
              CASE WHEN d.text IS NULL THEN NULL
                   ELSE coalesce(a.k, 0) END AS n_spans
            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
+      // UL2 mixture: the same span construction at both rates (shared
+      // per-(doc,pos) key), the prefix-LM cut, and the portable pick
+      "t_ul2_mix" ->
+        s"""WITH $spanMaskCtes,
+           ${spanAggCte("ar", 150000)},
+           ${spanAggCte("ax", 500000)},
+           pick AS (SELECT doc_id,
+               CAST(concat('0x', substr(md5('graft.ul2:graft' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                 % 1000000 AS p,
+               CAST(concat('0x', substr(md5('graft.ul2s:graft' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                 % (length(text) + 1) AS sc,
+               length(text) AS n
+             FROM documents)
+           SELECT d.doc_id,
+             CASE WHEN p < 250000 THEN 'r'
+                  WHEN p < 500000 THEN 'x' ELSE 's' END AS denoiser,
+             CASE WHEN d.text IS NULL THEN NULL
+                  WHEN p < 250000 THEN '[NLU] ' || coalesce(ar.c, '')
+                  WHEN p < 500000 THEN '[NLG] ' || coalesce(ax.c, '')
+                  ELSE '[S2S] ' || substr(d.text, 1, CAST(sc AS INT))
+             END AS inputs,
+             CASE WHEN d.text IS NULL THEN NULL
+                  WHEN p < 250000 THEN ltrim(coalesce(ar.g, '') ||
+                    ' <extra_id_' || CAST(coalesce(ar.k, 0) AS VARCHAR) || '>')
+                  WHEN p < 500000 THEN ltrim(coalesce(ax.g, '') ||
+                    ' <extra_id_' || CAST(coalesce(ax.k, 0) AS VARCHAR) || '>')
+                  ELSE substr(d.text, CAST(sc + 1 AS INT), CAST(n - sc AS INT))
+             END AS targets
+           FROM documents d
+           JOIN pick USING (doc_id)
+           LEFT JOIN ar ON d.doc_id = ar.doc_id
+           LEFT JOIN ax ON d.doc_id = ax.doc_id""",
       "t_fingerprint" ->
         """SELECT doc_id, CAST(list_sum(list_transform(
              string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+'),

@@ -19,6 +19,8 @@ object Objectives {
   private[graft] val FimDomain1 = "graft.fim1:"
   private[graft] val FimDomain2 = "graft.fim2:"
   private[graft] val SpanDomain = "graft.span:"
+  private[graft] val Ul2Domain  = "graft.ul2:"
+  private[graft] val Ul2SDomain = "graft.ul2s:"
 
   /** The 52-bit portable key as a number: first 13 hex chars of
     * `md5(domain || salt || id)` through conv(, 16, 10) — exact in a
@@ -112,19 +114,95 @@ object Objectives {
                   rate: Double = 0.15,
                   salt: String = "graft"): DataFrame = {
     require(rate > 0 && rate < 1, s"rate must be in (0,1) (got $rate)")
+    val folded = spanFold(col(textCol), col(idCol), rate, salt)
+    // staged: the fold lands ONCE in a named column; CollapseProject
+    // refuses to inline a non-cheap expression used three times, so the
+    // field projections share it instead of re-folding per output column
+    df.select(col(idCol), col(textCol), folded.as("__f"))
+      .select(col(idCol),
+        when(col(textCol).isNull, lit(null))
+          .otherwise(col("__f").getField("c")).as("corrupted"),
+        when(col(textCol).isNull, lit(null))
+          .otherwise(col("__f").getField("g")).as("targets"),
+        col("__f").getField("k").as("n_spans"))
+  }
+
+  /** UL2 mixture-of-denoisers serialization (Tay et al. 2022, "UL2:
+    * Unifying Language Learning Paradigms"): each document is assigned
+    * ONE denoiser by its portable key and serialized with the paper's
+    * mode token —
+    *
+    *   - R (regular): [[spanCorrupt]] at `rRate` (the T5 default 0.15),
+    *     mode `[NLU]`
+    *   - X (extreme): the same corruption at `xRate` (heavy masking,
+    *     default 0.5), mode `[NLG]`
+    *   - S (sequential): prefix-LM — one portable cut, inputs = prefix,
+    *     targets = continuation, mode `[S2S]`
+    *
+    * Returns `(idCol, denoiser, inputs, targets)`; `weights` are the
+    * (r, x, s) mixture shares (they must sum to ~1). The denoiser pick,
+    * every mask, and the S cut are pure functions of (salt, id, pos), so
+    * the full mixture is reproducible bit-for-bit and auditable in SQL.
+    * Branch conditionals evaluate lazily per row — each document pays
+    * for exactly one denoiser's fold. Null text yields null
+    * inputs/targets (denoiser still assigned: the pick is id-only). */
+  def ul2Mix(df: DataFrame, textCol: String, idCol: String,
+             weights: (Double, Double, Double) = (0.25, 0.25, 0.5),
+             rRate: Double = 0.15, xRate: Double = 0.5,
+             salt: String = "graft"): DataFrame = {
+    val (wr, wx, ws) = weights
+    require(wr >= 0 && wx >= 0 && ws >= 0 &&
+        math.abs(wr + wx + ws - 1.0) < 1e-9,
+      s"weights must be nonnegative and sum to 1 (got $weights)")
+    require(rRate > 0 && rRate < 1 && xRate > 0 && xRate < 1,
+      s"rates must be in (0,1) (got $rRate, $xRate)")
+    val pick = key52(col(idCol), salt, Ul2Domain) % 1000000L
+    val rCut = (wr * 1000000).toLong
+    val xCut = ((wr + wx) * 1000000).toLong
+    val t = col(textCol)
+    val n = length(t)
+    val sCutPos = (key52(col(idCol), salt, Ul2SDomain) %
+      (n.cast("long") + 1L)).cast("int")
+    val denoiser = when(pick < rCut, lit("r"))
+      .when(pick < xCut, lit("x")).otherwise(lit("s"))
+    // staged fold per branch; the When evaluates only the taken branch
+    val face = when(pick < rCut,
+        spanFold(t, col(idCol), rRate, salt))
+      .when(pick < xCut, spanFold(t, col(idCol), xRate, salt))
+      .otherwise(struct(
+        t.substr(lit(1), sCutPos).as("c"),
+        t.substr(sCutPos + 1, n - sCutPos).as("g"),
+        lit(0).as("k")))
+    val mode = when(pick < rCut, lit("[NLU] "))
+      .when(pick < xCut, lit("[NLG] ")).otherwise(lit("[S2S] "))
+    df.select(col(idCol), col(textCol), denoiser.as("denoiser"),
+        mode.as("__mode"), face.as("__f"))
+      .select(col(idCol), col("denoiser"),
+        when(col(textCol).isNull, lit(null))
+          .otherwise(concat(col("__mode"), col("__f").getField("c")))
+          .as("inputs"),
+        when(col(textCol).isNull, lit(null))
+          .otherwise(col("__f").getField("g")).as("targets"))
+  }
+
+  /** The span-corruption fold as a COLUMN: struct(c = corrupted,
+    * g = targets, k = span count) — shared by [[spanCorrupt]] and the
+    * [[ul2Mix]] denoisers so the two can never corrupt differently. */
+  private def spanFold(text: Column, id: Column, rate: Double,
+                       salt: String): Column = {
     val cut = (rate * 1000000).toLong
     val toks = filter(
-      split(trim(col(textCol)), "[ \\t\\n\\x0B\\f\\r]+"),
+      split(trim(text), "[ \\t\\n\\x0B\\f\\r]+"),
       t => length(t) > 0)
     val items = zip_with(toks,
       sequence(lit(0), greatest(size(toks) - 1, lit(0))),
       (t, i) => struct(t.as("t"),
         (conv(substring(md5(concat(lit(SpanDomain + salt),
-          col(idCol).cast("string"), lit(":"), i.cast("string"))), 1, 13),
+          id.cast("string"), lit(":"), i.cast("string"))), 1, 13),
           16, 10).cast("long") % 1000000L < cut).as("m")))
     val zero = struct(lit("").as("c"), lit("").as("g"),
       lit(0).as("k"), lit(false).as("p"))
-    val folded = aggregate(
+    aggregate(
       when(size(toks) === 0,
         array().cast("array<struct<t:string,m:boolean>>"))
         .otherwise(items),
@@ -151,15 +229,5 @@ object Objectives {
         ltrim(concat(acc.getField("g"), lit(" <extra_id_"),
           acc.getField("k").cast("string"), lit(">"))).as("g"),
         acc.getField("k").as("k")))
-    // staged: the fold lands ONCE in a named column; CollapseProject
-    // refuses to inline a non-cheap expression used three times, so the
-    // field projections share it instead of re-folding per output column
-    df.select(col(idCol), col(textCol), folded.as("__f"))
-      .select(col(idCol),
-        when(col(textCol).isNull, lit(null))
-          .otherwise(col("__f").getField("c")).as("corrupted"),
-        when(col(textCol).isNull, lit(null))
-          .otherwise(col("__f").getField("g")).as("targets"),
-        col("__f").getField("k").as("n_spans"))
   }
 }

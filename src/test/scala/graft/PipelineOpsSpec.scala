@@ -1040,6 +1040,40 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("ul2Mix: mode tokens, per-denoiser consistency, S-pair reassembly") {
+    import graft.ops.Objectives
+    val corpus = (1L to 120L).map(i =>
+      (i, (0 until 12).map(j => s"t${i}w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Objectives.ul2Mix(corpus, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    val texts = corpus.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every row carries its denoiser's mode token
+    out.foreach { case (id, (d, in, tg)) =>
+      val want = Map("r" -> "[NLU] ", "x" -> "[NLG] ", "s" -> "[S2S] ")(d)
+      assert(in.startsWith(want), s"id=$id denoiser=$d inputs=$in")
+      if (d == "s") // prefix-LM: inputs (sans mode) + targets == text
+        assert(in.drop(6) + tg === texts(id), s"id=$id")
+      else assert(tg.contains("<extra_id_"), s"id=$id targets=$tg")
+    }
+    // all three denoisers occur at (.25,.25,.5); ~4-sigma bands at n=120
+    val byD = out.values.groupBy(_._1).map { case (k, v) => k -> v.size }
+    assert(byD("r") > 10 && byD("x") > 10 && byD("s") > 30, byD.toString)
+    // r rows equal spanCorrupt at the r rate (one fold definition)
+    val sc = Objectives.spanCorrupt(corpus, "text", "doc_id", rate = 0.15)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
+    out.collect { case (id, ("r", in, tg)) =>
+      assert(in === "[NLU] " + sc(id)._1, s"id=$id")
+      assert(tg === sc(id)._2, s"id=$id")
+    }
+    // weights must sum to 1
+    intercept[IllegalArgumentException] {
+      Objectives.ul2Mix(corpus, "text", "doc_id", weights = (0.5, 0.5, 0.5))
+    }
+  }
+
   test("ccnetGate: per-language terciles, keep rates, unscoreable docs dropped") {
     // reference LM: bigrams of "the cat sat on the mat"
     val ref = Seq((100L, "the cat sat on the mat")).toDF("doc_id", "text")
