@@ -290,6 +290,37 @@ object Curate {
     df.join(kept, Seq(idCol))
   }
 
+  /** The whole crawl pipeline in one call — raw WARC archives to a
+    * verified sharded training export:
+    *
+    *   1. [[graft.sources.Warc.readWarc]] + `warcText` — parse archives
+    *      (one task per file), keep successful textual responses, strip
+    *      markup (the WET reduction).
+    *   2. [[WebText.dedupByUrl]] — exact URL-level dedup on the
+    *      normalized URL, the cheapest dedup stage of any web pipeline.
+    *   3. [[curate]] with `cfg` — content dedup, gates, optional
+    *      learned/CCNet gates, near-dup removal, sampling. URLs are the
+    *      document ids (every portable-membership stage keys off them).
+    *   4. [[Sampling.storeShardedDataset]] — hive-partitioned shards in
+    *      training order with the membership manifest pinned beside
+    *      them; returns its metadata. [[Sampling.verifyShardedDataset]]
+    *      checks the landing after any transport.
+    *
+    * Each stage is independently oracle-pinned; the composite is the
+    * plumbing between them. */
+  def curateCrawl(spark: SparkSession, storage: graft.store.Storage,
+                  warcPath: String, uuid: String,
+                  cfg: CurateConfig = CurateConfig(),
+                  hexChars: Int = 2, overwrite: Boolean = false)
+      : graft.meta.DatasetMetadata = {
+    val docs = graft.sources.Warc.warcText(
+      graft.sources.Warc.readWarc(spark, warcPath))
+    val deduped = WebText.dedupByUrl(docs, "url", "url")
+    val curated = curate(deduped, "text", "url", cfg)
+    Sampling.storeShardedDataset(spark, storage, uuid, curated, "url",
+      hexChars = hexChars, salt = cfg.sampleSalt, overwrite = overwrite)
+  }
+
   final case class MediaCurateConfig(
       mediaType: String = "image",       // "image" | "audio" | "video"
       requireDecodable: Boolean = true,  // drop payloads the codec rejects

@@ -68,11 +68,25 @@ object Warc {
         val in = pds.open()
         val stream = sniffGunzip(new java.io.BufferedInputStream(in, 1 << 16))
         var idx = -1L
-        parseStream(stream).map { r =>
-          idx += 1
-          Row(file, idx, r.warcType, r.url, r.date,
-            r.status.map(Int.box).orNull, r.contentType, r.body,
-            r.bodyText.orNull)
+        // close the file handle the moment the record iterator drains —
+        // a task may hold many files (wholeFile partitioning can pack
+        // them) and executors are long-lived; leaking one descriptor per
+        // archive exhausts ulimits at real file counts
+        val base = parseStream(stream)
+        new Iterator[Row] {
+          private var closed = false
+          def hasNext: Boolean = {
+            val h = base.hasNext
+            if (!h && !closed) { closed = true; in.close() }
+            h
+          }
+          def next(): Row = {
+            val r = base.next()
+            idx += 1
+            Row(file, idx, r.warcType, r.url, r.date,
+              r.status.map(Int.box).orNull, r.contentType, r.body,
+              r.bodyText.orNull)
+          }
         }
     }
     spark.createDataFrame(rows, schema)

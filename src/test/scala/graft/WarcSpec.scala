@@ -146,6 +146,45 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("curateCrawl: raw archives to a verified sharded export end to end") {
+    val dir = tmpDir("crawl-in")
+    val d = "2024-01-01T00:00:00Z"
+    val ct = "text/html; charset=utf-8"
+    // file 0: three pages; file 1: a re-crawl of page 1 (same URL, URL
+    // dedup takes it) and a mirror of page 2 under another URL (same
+    // content after markup strip, content dedup takes it)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/c0.warc.gz"),
+      Warc.syntheticWarc(Seq(
+        ("https://a.example.org/p1", d, ct, "<p>alpha beta gamma</p>"),
+        ("https://a.example.org/p2", d, ct, "delta epsilon zeta"),
+        ("https://b.example.org/p3", d, ct, "eta theta iota")),
+        gzipPerRecord = true))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/c1.warc.gz"),
+      Warc.syntheticWarc(Seq(
+        ("https://a.example.org/p1", d, ct, "<p>alpha beta gamma v2</p>"),
+        ("https://mirror.example.net/p2", d, ct,
+          "<b>delta</b> epsilon zeta")),
+        gzipPerRecord = true))
+    val store = graft.store.Storage(spark, tmpDir("crawl-store"))
+    graft.ops.Curate.curateCrawl(spark, store, s"$dir/*.warc.gz", "crawl",
+      cfg = graft.ops.Curate.CurateConfig(cleanMarkup = true),
+      hexChars = 1, overwrite = true)
+    val landed = graft.io.Reader.readTable(spark, store, "crawl")
+    val urls = landed.select("url").collect().map(_.getString(0)).toSet
+    assert(urls.size === 3, s"got $urls")
+    assert(urls.contains("https://a.example.org/p1"))
+    // exactly one of the p2 content twins survived
+    assert(urls.count(u => u.contains("/p2")) === 1, s"got $urls")
+    assert(urls.contains("https://b.example.org/p3"))
+    // audit columns + shard layout landed; the export verifies clean
+    assert(landed.columns.toSet.intersect(
+      Set("__quality", "__lang", "shard", "pos")).size === 4)
+    assert(graft.ops.Sampling.verifyShardedDataset(spark, store, "crawl")
+      .count() === 0L)
+  }
+
   test("readWarc: one task per file, gzip sniffed from magic bytes") {
     val dir = tmpDir("warc-read")
     java.nio.file.Files.write(
