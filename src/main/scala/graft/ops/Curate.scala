@@ -540,9 +540,34 @@ object Curate {
   def prepareTrainingData(df: DataFrame, textCol: String, idCol: String,
                           cfg: CurateConfig = CurateConfig(),
                           numMerges: Int = 1024, batchSize: Int = 64,
-                          seqLen: Long = 2048L, numShards: Int = 64)
+                          seqLen: Long = 2048L, numShards: Int = 64,
+                          // training-objective serialization between
+                          // curation and tokenization: None = plain LM,
+                          // "fim" = [[Objectives.fimText]] mixed PSM,
+                          // "ul2" = [[Objectives.ul2Mix]]'s inputs face
+                          // (the targets string is tokenized inline after
+                          // the inputs — the decoder-only UL2 recipe)
+                          objective: Option[String] = None)
       : (DataFrame, Seq[Bpe.Merge], Seq[String]) = {
-    val curated = curate(df, textCol, idCol, cfg).localCheckpoint()
+    // curation materializes ONCE; the objective transforms are row-local
+    // selects over the checkpointed frame (two readers of a checkpoint
+    // cost two scans of it, not two runs of the pipeline)
+    val curated0 = curate(df, textCol, idCol, cfg).localCheckpoint()
+    val curated = objective match {
+      case None => curated0
+      case Some("fim") =>
+        curated0.drop(textCol).join(
+          Objectives.fimText(curated0, textCol, idCol)
+            .withColumnRenamed("fim_text", textCol), Seq(idCol))
+      case Some("ul2") =>
+        curated0.drop(textCol).join(
+          Objectives.ul2Mix(curated0, textCol, idCol)
+            .select(col(idCol),
+              concat_ws(" ", col("inputs"), col("targets")).as(textCol)),
+          Seq(idCol))
+      case Some(other) => throw new IllegalArgumentException(
+        s"unknown objective '$other' (use fim or ul2)")
+    }
     val (merges, base) = Bpe.trainWithAlphabet(curated, textCol,
       numMerges, batchSize)
     val ids = curated.select(col(idCol),
