@@ -145,6 +145,66 @@ object Warc {
         graft.ops.TextAnalysis.stripMarkup(col("body_text")).as("text"))
   }
 
+  /** CDX-style archive index: `(url, warc_file, record_idx)` for every
+    * response record, landed as a graft dataset hive-partitioned on a
+    * url-hash bucket (the postings-index discipline, parameters pinned
+    * in the header). ONE full parse of the archive set buys every later
+    * [[warcFetch]] a metadata-pruned lookup. */
+  def warcIndex(spark: SparkSession, storage: graft.store.Storage,
+                uuid: String, path: String, numBuckets: Int = 64,
+                overwrite: Boolean = false): graft.meta.DatasetMetadata = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1 (got $numBuckets)")
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val recs = readWarc(spark, path)
+      .where(col("warc_type") === "response" && col("url").isNotNull)
+      .select(col("url"), col("warc_file"), col("record_idx"))
+      .withColumn("bucket",
+        pmod(xxhash64(col("url")), lit(numBuckets.toLong)).cast("int"))
+    graft.io.Writer.store(spark, storage, uuid, recs,
+      graft.io.Writer.WriteOpts(partitionOn = Seq("bucket"),
+        sortBy = Seq("url"), overwrite = overwrite,
+        metadata = Map("graft.warcidx.numBuckets" -> numBuckets.toString)))
+  }
+
+  /** Fetch specific URLs out of an indexed archive corpus WITHOUT a full
+    * scan: the index probe reads only the fetch set's url-hash bucket
+    * partitions (hive pruning + row-group skipping on the url sort),
+    * then ONLY the archives that contain hits are re-parsed and their
+    * matching records kept. Granularity is honest: a gzip member stream
+    * is not seekable without byte offsets, so the unit of fetch is the
+    * FILE — at real corpus shape (~72k archives) fetching a hundred
+    * documents parses at most a hundred files, not the corpus. The
+    * matched-file list is a driver-side collect BOUNDED by the fetch
+    * set's size (the dedupAgainstIndex discipline). */
+  def warcFetch(spark: SparkSession, storage: graft.store.Storage,
+                uuid: String, urls: Seq[String]): DataFrame = {
+    require(urls.nonEmpty, "warcFetch needs at least one url")
+    import org.apache.spark.sql.functions.{broadcast, col, lit, pmod, xxhash64}
+    import graft.dnf.{Literal, Op}
+    val meta = graft.meta.DatasetMetadata.load(storage, uuid)
+    val numBuckets = meta.metadata.getOrElse("graft.warcidx.numBuckets",
+      throw new IllegalArgumentException(
+        s"dataset '$uuid' is not a WARC index (missing graft.warcidx.numBuckets)")
+    ).toInt
+    import spark.implicits._
+    val buckets = urls.toDF("url")
+      .select(pmod(xxhash64(col("url")), lit(numBuckets.toLong))
+        .cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val idx = graft.io.Reader.readTable(spark, storage, uuid,
+      predicates = Some(Seq(Seq(
+        Literal("bucket", Op.In, buckets),
+        Literal("url", Op.In, urls)))))
+      .select("warc_file", "record_idx")
+    val files = idx.select("warc_file").distinct()
+      .collect().map(_.getString(0))
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
+    readWarc(spark, files.mkString(","))
+      .join(broadcast(idx), Seq("warc_file", "record_idx"))
+  }
+
   // ------------------------------------------------------------- parsing
 
   /** Record-at-a-time iterator over a decompressed WARC stream. Skips

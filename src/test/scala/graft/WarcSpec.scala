@@ -146,6 +146,43 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("warcIndex/warcFetch: bucket-pruned lookup re-parses only hit files") {
+    val dir = tmpDir("warc-idx")
+    for (f <- 0 until 4) {
+      val rs = (0 until 5).map(i =>
+        (s"https://f$f.example.org/p$i", "2024-01-01T00:00:00Z",
+          "text/plain; charset=utf-8", s"body f$f p$i"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/f$f.warc.gz"),
+        Warc.syntheticWarc(rs, gzipPerRecord = true))
+    }
+    val store = graft.store.Storage(spark, tmpDir("warc-idx-store"))
+    Warc.warcIndex(spark, store, "cdx", s"$dir/*.warc.gz",
+      numBuckets = 8, overwrite = true)
+    assert(graft.io.Reader.readTable(spark, store, "cdx").count() === 20)
+    // fetch two urls from ONE file: exactly those records come back
+    val hits = Warc.warcFetch(spark, store, "cdx",
+      Seq("https://f2.example.org/p1", "https://f2.example.org/p4"))
+      .collect()
+    assert(hits.length === 2, hits.mkString(","))
+    assert(hits.map(_.getAs[String]("url")).toSet ===
+      Set("https://f2.example.org/p1", "https://f2.example.org/p4"))
+    assert(hits.map(_.getAs[String]("body_text")).toSet ===
+      Set("body f2 p1", "body f2 p4"))
+    // the fetch parsed only the files containing hits
+    assert(hits.map(_.getAs[String]("warc_file")).forall(_.contains("f2")))
+    // unknown urls: empty result with the full schema, no crash
+    val miss = Warc.warcFetch(spark, store, "cdx",
+      Seq("https://nowhere.example.org/x"))
+    assert(miss.count() === 0L && miss.columns.toSeq === Warc.schema.fieldNames.toSeq)
+    // a non-index dataset refuses loudly
+    val ex = intercept[IllegalArgumentException] {
+      Warc.warcFetch(spark, store, "cdx_missing_meta",
+        Seq("https://a.example.org"))
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("curateCrawl: raw archives to a verified sharded export end to end") {
     val dir = tmpDir("crawl-in")
     val d = "2024-01-01T00:00:00Z"
