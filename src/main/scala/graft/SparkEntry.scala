@@ -1013,6 +1013,18 @@ object SparkEntry {
       graft.ops.Objectives.ul2Mix(rd(s, dir, "documents"),
         "text", "doc_id")),
 
+    // --- language-ID with evidence: winner + hit counts + confidence
+    // (the gate-on-confidence face; 0.0 = unsupported prediction)
+    "t_lang_confidence" -> ((s, dir) =>
+      rd(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.langIdDetail(col("text")).as("__d"))
+        .select(col("doc_id"),
+          col("__d").getField("lang").as("lang_pred"),
+          col("__d").getField("hits").as("hits"),
+          col("__d").getField("total_hits").as("total_hits"),
+          col("__d").getField("confidence").as("confidence"))),
+
     // --- text analysis: positional token fingerprint
     "t_fingerprint" -> ((s, dir) => {
       val toks = TextAnalysis.wsTokens(lower(col("text")))
@@ -3179,6 +3191,29 @@ object SparkEntry {
                / greatest(len(string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+')), 1) AS stop_ratio
            FROM documents""",
       "t_lang_id" -> langCase,
+      // the confidence face: same per-language counts, plus winner hits,
+      // total hits, and their rounded ratio (0.0 when nothing matched)
+      "t_lang_confidence" -> {
+        def score(l: String): String = TextAnalysis.LangMarkers(l).map { m =>
+          val p = "(' ' || lower(text) || ' ')"
+          s"CAST((length($p) - length(replace($p, '$m', ''))) / ${m.length} AS BIGINT)"
+        }.mkString(" + ")
+        val scores = TextAnalysis.LangMarkers.keys.toSeq.sorted
+          .map(l => s"${score(l)} AS s_$l").mkString(", ")
+        val gmax = "greatest(s_de, s_en, s_es, s_fr, s_zh)"
+        val tot = "(s_de + s_en + s_es + s_fr + s_zh)"
+        s"""SELECT doc_id,
+              CASE
+                WHEN s_zh = $gmax THEN 'zh' WHEN s_fr = $gmax THEN 'fr'
+                WHEN s_es = $gmax THEN 'es' WHEN s_en = $gmax THEN 'en'
+                ELSE 'de' END AS lang_pred,
+              CAST($gmax AS BIGINT) AS hits,
+              CAST($tot AS BIGINT) AS total_hits,
+              CASE WHEN $tot > 0
+                   THEN round(CAST($gmax AS DOUBLE) / CAST($tot AS DOUBLE), 6)
+                   ELSE CAST(0.0 AS DOUBLE) END AS confidence
+            FROM (SELECT doc_id, $scores FROM documents)"""
+      },
       // the data card: every section re-derived — volume sums, the full
       // HLL estimator, the histogram cuts over length(text), the langId
       // argmax CASE, source rollups — one UNION ALL per section

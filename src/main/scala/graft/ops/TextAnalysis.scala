@@ -282,6 +282,31 @@ object TextAnalysis {
     sort_array(array(scored: _*), asc = false).getItem(0).getField("lang")
   }
 
+  /** [[langId]] with its EVIDENCE — `struct(lang, hits, total_hits,
+    * confidence)` where confidence = winner hits / all-language hits
+    * (rounded 6) and 0.0 when NO marker matched anywhere: the argmax is
+    * then pure tie-break noise and a gate should treat the prediction as
+    * unsupported (real CCNet gates on the classifier's confidence, not
+    * just its argmax — this is that face for the marker heuristic). Same
+    * counting body as [[langId]], so the two can never disagree on the
+    * winner. */
+  def langIdDetail(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val langs = LangMarkers.keys.toSeq.sorted
+    val scored = langs.map { l =>
+      struct(markerHits(padded, l).as("score"), lit(l).as("lang"))
+    }
+    val top = sort_array(array(scored: _*), asc = false).getItem(0)
+    val total = langs.map(l => markerHits(padded, l)).reduce(_ + _)
+    struct(
+      top.getField("lang").as("lang"),
+      top.getField("score").as("hits"),
+      total.as("total_hits"),
+      when(total > 0,
+        round(top.getField("score").cast("double") / total.cast("double"),
+          6)).otherwise(lit(0.0)).as("confidence"))
+  }
+
   /** Corpus vocabulary: the `k` most frequent lower-cased whitespace tokens
     * with deterministic (count desc, token asc) tie-break. One explode +
     * one partial-then-final aggregation; the top-k is a
