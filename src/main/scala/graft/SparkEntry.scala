@@ -115,6 +115,31 @@ object SparkEntry {
     }
 
   /** Build a shared temp dataset once per JVM per scale-factor dir. */
+  /** MERGE semantics replayed relationally: result = delta rows (replacing
+    * every landed row whose key the delta carries) ∪ landed rows with
+    * unmatched keys. Shared by the scan-touch and index-touch faces — the
+    * discovery path must not change the answer. */
+  private val upsertOracleSql: String =
+    """WITH delta AS (
+         SELECT o_orderkey, o_orderstatus,
+                round(o_totalprice * 2, 2) AS o_totalprice,
+                'UPSERTED' AS o_orderpriority
+         FROM orders WHERE o_orderkey % 3 = 0),
+       base AS (
+         SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+         FROM orders WHERE o_orderkey % 2 = 0)
+       SELECT * FROM delta
+       UNION ALL
+       SELECT * FROM base WHERE o_orderkey % 3 <> 0"""
+
+  /** The w_upsert* CDC batch: every orderkey divisible by 3, price doubled,
+    * priority stamped — multiples of 6 match landed evens (replace), odd
+    * multiples of 3 are unseen keys (insert). */
+  private def upsertDelta(o: DataFrame): DataFrame =
+    o.where(expr("o_orderkey % 3 = 0"))
+      .withColumn("o_totalprice", round(col("o_totalprice") * 2, 2))
+      .withColumn("o_orderpriority", lit("UPSERTED"))
+
   private def ensure(s: SparkSession, dir: String, uuid: String)
                     (mk: Storage => Unit): Storage = synchronized {
     val store = Storage(s, tmpBase(dir))
@@ -767,6 +792,39 @@ object SparkEntry {
         Writer.update(s, st, "ord_upd", Some(o.where(expr("o_orderkey % 2 = 1"))))
       }
       Reader.readTable(s, st, "ord_upd")
+    }),
+
+    // --- beyond W5: MERGE INTO — row-level upsert by key with a
+    // touched-partition-only rewrite (the CDC gap in the reference's
+    // append/delete-scope update model). Base = even orderkeys; delta =
+    // multiples of 3 with doubled price + stamped comment. Multiples of 6
+    // REPLACE landed rows, odd multiples of 3 INSERT; evens not divisible
+    // by 3 survive untouched (their partition files are never rewritten —
+    // UpsertSpec pins that by label identity).
+    "w_upsert" -> ((s, dir) => {
+      val st = ensure(s, dir, "ord_ups") { st =>
+        val o = rd(s, dir, "orders")
+        Writer.store(s, st, "ord_ups", o.where(expr("o_orderkey % 2 = 0")),
+          WriteOpts(partitionOn = Seq("o_orderstatus"), overwrite = true))
+        Ops.upsertDataset(s, st, "ord_ups", upsertDelta(o), Seq("o_orderkey"))
+      }
+      Reader.readTable(s, st, "ord_ups",
+        columns = Some(Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")))
+    }),
+
+    // --- the same merge where touch discovery reads ONLY the secondary
+    // key index ((value, labels) rows), never a data file — the 100 TB
+    // path: rewrite cost ~ touched partitions, discovery cost ~ index size
+    "w_upsert_indexed" -> ((s, dir) => {
+      val st = ensure(s, dir, "ord_upsx") { st =>
+        val o = rd(s, dir, "orders")
+        Writer.store(s, st, "ord_upsx", o.where(expr("o_orderkey % 2 = 0")),
+          WriteOpts(partitionOn = Seq("o_orderstatus"),
+            secondaryIndices = Seq("o_orderkey"), overwrite = true))
+        Ops.upsertDataset(s, st, "ord_upsx", upsertDelta(o), Seq("o_orderkey"))
+      }
+      Reader.readTable(s, st, "ord_upsx",
+        columns = Some(Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")))
     }),
 
     // --- W5/W6: delete_scope removes partitions atomically
@@ -3055,6 +3113,8 @@ object SparkEntry {
         "SELECT o_orderstatus, o_custkey, o_orderdate, o_orderkey, o_orderpriority, o_totalprice FROM orders",
       "w5_delete_scope" ->
         "SELECT o_orderstatus, o_custkey, o_orderdate, o_orderkey, o_orderpriority, o_totalprice FROM orders WHERE o_orderstatus <> 'P'",
+      "w_upsert" -> upsertOracleSql,
+      "w_upsert_indexed" -> upsertOracleSql,
       "x3_bucketed_roundtrip" ->
         "SELECT l_returnflag, l_discount, l_extendedprice, l_linenumber::BIGINT AS l_linenumber, l_linestatus, l_orderkey, l_partkey, l_quantity, l_shipdate, l_suppkey, l_tax FROM lineitem",
       "x2_dispatch_by" ->

@@ -146,6 +146,98 @@ object Ops {
       meta.partitionKeys, columns, preloadedMeta = Some(meta))
   }
 
+  /** MERGE INTO for a landed dataset (beyond-reference lifecycle op; the
+    * reference's `update_dataset_from_dataframes` can only append partitions
+    * or delete a value scope — row-level upsert by key is the CDC gap):
+    * every dataset row whose `keyCols` tuple appears in `delta` is replaced
+    * by the delta row, every delta row with an unseen key is inserted, and
+    * the swap is one atomic header commit (readers see the old dataset
+    * until the header write, exactly like [[Writer.update]]).
+    *
+    * Scale design — the rewrite is proportional to TOUCHED data, never to
+    * the dataset:
+    *   - touch discovery reads only the secondary index parquet when any
+    *     key column is indexed ((value, labels) rows, dataset-row-count
+    *     independent), else a column-pruned scan of just the key columns;
+    *   - only touched partitions are re-read in full and rewritten; an
+    *     untouched partition's file is never opened, its label (and its
+    *     row-group layout) survives the commit verbatim;
+    *   - the survivor anti-join's build side is the delta key set — a CDC
+    *     batch, broadcast by AQE at typical sizes — so the touched-rows
+    *     scan never shuffles;
+    *   - a crash between the partition write and the header swap leaves
+    *     orphan files for [[garbageCollect]], never a half-applied merge.
+    *
+    * Delta keys must be unique: with two delta rows for one key "replace"
+    * has no deterministic meaning. All dataset rows carrying a matched key
+    * are replaced by the one delta row (upsert-by-key collapses key
+    * duplicates the dataset may hold, matching MERGE semantics where every
+    * matched target row takes the update). Rows with NULL key components
+    * never match (SQL join semantics); a NULL-keyed delta row is an insert.
+    */
+  def upsertDataset(spark: SparkSession, storage: Storage, uuid: String,
+                    delta: DataFrame, keyCols: Seq[String],
+                    opts: Writer.WriteOpts = Writer.WriteOpts()): DatasetMetadata = {
+    require(keyCols.nonEmpty, "upsertDataset requires at least one key column")
+    require(DatasetMetadata.exists(storage, uuid),
+      s"Cannot upsert into non-existent dataset '$uuid'")
+    val meta = DatasetMetadata.load(storage, uuid)
+    val schema = DatasetMetadata.loadSchema(storage, uuid, meta.tableName)
+    keyCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"upsert key column '$c' not in dataset schema"))
+    // as in Writer.update: existing indices are maintained regardless;
+    // ADDING one goes through buildDatasetIndices, never through a merge
+    require(opts.secondaryIndices.toSet.subsetOf(meta.indexColumns),
+      s"Incorrect indices provided for dataset.\n" +
+        s"Expected: ${meta.indexColumns.toSeq.sorted.mkString(", ")}\n" +
+        s"But got: ${opts.secondaryIndices.mkString(", ")}")
+    val dupKeys = delta.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).where(col("__n") > 1).limit(1)
+      .collect() // bounded probe on the delta (the small side), not the corpus
+    require(dupKeys.isEmpty,
+      s"delta is not unique on (${keyCols.mkString(", ")}): e.g. ${dupKeys.head}")
+    val deltaKeys = delta.select(keyCols.map(col): _*).distinct()
+
+    // -- touch discovery: which partition labels hold a matched key?
+    val indexedKey = keyCols.find(meta.indexColumns.contains)
+    val touched: Seq[String] = {
+      if (meta.partitions.isEmpty) Nil
+      else indexedKey match {
+        case Some(c) =>
+          // index-pruned: (value, labels) rows semi-joined to the delta's
+          // values of the indexed component — an over-approximation for
+          // composite keys (correct: survivors are re-derived row-level)
+          SecondaryIndex.asFlat(
+              SecondaryIndex.loadFor(spark, storage, meta, c, schema))
+            .join(deltaKeys.select(col(c).as("value")).distinct(), "value")
+            .select("label").distinct()
+            .collect().map(_.getString(0)).toSeq
+        case None =>
+          Writer.labeledData(spark, storage, uuid, schema, meta.partitions,
+              meta.tableName)
+            .select((keyCols :+ Writer.LabelCol).map(col): _*)
+            .join(deltaKeys, keyCols, "left_semi")
+            .select(Writer.LabelCol).distinct()
+            .collect().map(_.getString(0)).toSeq
+      }
+    }
+
+    // -- survivors: rows of touched partitions whose key is NOT in the delta
+    val cols = schema.fieldNames.toSeq
+    val newData =
+      if (touched.isEmpty) delta.select(cols.map(col): _*)
+      else Writer.labeledData(spark, storage, uuid, schema, touched, meta.tableName)
+        .join(deltaKeys, keyCols, "left_anti")
+        .select(cols.map(col): _*)
+        .unionByName(delta.select(cols.map(col): _*))
+
+    val newLabels = Writer.writeSinglePartition(spark, storage, uuid, newData,
+      opts.copy(partitionOn = meta.partitionKeys, format = meta.format))
+    Writer.commitDataset(spark, storage, uuid, newLabels, Nil, opts.metadata,
+      meta.partitionKeys, opts.secondaryIndices, preloadedMeta = Some(meta),
+      deleteLabels = touched.toSet)
+  }
+
   /** Re-serialize a dataset into another registry format as a NEW dataset
     * (beyond-reference lifecycle op pairing [[copyDataset]]: copy moves
     * bytes verbatim, convert re-encodes them — e.g. export a parquet

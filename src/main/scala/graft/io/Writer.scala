@@ -380,7 +380,12 @@ object Writer {
                     // callers that already hold the loaded metadata pass it
                     // through — a dynamic dataset's load() is a full table
                     // listing, wasteful (and racy) to repeat inside the commit
-                    preloadedMeta: Option[DatasetMetadata] = None): DatasetMetadata = {
+                    preloadedMeta: Option[DatasetMetadata] = None,
+                    // label-level delete set, for callers (upsert) that have
+                    // already resolved WHICH partitions they replace — a
+                    // value-scoped deleteScope can only address partition-key
+                    // or indexed columns, not arbitrary rewrite targets
+                    deleteLabels: Set[String] = Set.empty): DatasetMetadata = {
     val (oldMeta, oldLabels) =
       preloadedMeta.orElse(
         if (DatasetMetadata.exists(storage, uuid))
@@ -418,8 +423,10 @@ object Writer {
     require(newLabels.distinct.size == newLabels.size,
       s"Duplicate labels within commit: ${newLabels.diff(newLabels.distinct).distinct.mkString(", ")}")
 
-    val deleted: Set[String] = if (deleteScope.isEmpty) Set.empty else
-      Ops.resolveDeleteScope(spark, storage, uuid, oldMeta, schema, deleteScope)
+    val deleted: Set[String] =
+      (if (deleteScope.isEmpty) Set.empty[String]
+       else Ops.resolveDeleteScope(spark, storage, uuid, oldMeta, schema, deleteScope)) ++
+        deleteLabels
     val labels = (oldLabels.filterNot(deleted) ++ newLabels).sorted
     val indexCols =
       (oldMeta.map(_.indexColumns.toSeq.sorted).getOrElse(Nil) ++ secondaryIndices).distinct

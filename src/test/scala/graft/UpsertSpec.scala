@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.{Ops, Reader, Writer}
+import graft.io.Writer.WriteOpts
+import graft.index.SecondaryIndex
+import graft.meta.DatasetMetadata
+import graft.store.Storage
+
+/** MERGE INTO (`Ops.upsertDataset`): row-level upsert by key with a
+  * touched-partition-only rewrite. The contract queries (w_upsert,
+  * w_upsert_indexed) hash-check the VALUES against DuckDB; this spec pins
+  * the physical claims the oracle cannot see — untouched partitions are
+  * never rewritten, the index-touch path reads no data file it doesn't
+  * rewrite, indices stay consistent, and the guard rails hold.
+  */
+class UpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkBase(uuid: String, secondaryIndices: Seq[String] = Nil): Storage = {
+    val st = Storage(spark, tmpDir("upsert"))
+    val base = Seq(
+      (1L, "g1", "a", 10.0), (2L, "g1", "b", 20.0),
+      (3L, "g2", "c", 30.0), (4L, "g2", "d", 40.0),
+      (5L, "g3", "e", 50.0))
+      .toDF("id", "grp", "payload", "score")
+    Writer.store(spark, st, uuid, base,
+      WriteOpts(partitionOn = Seq("grp"), secondaryIndices = secondaryIndices))
+    st
+  }
+
+  private val delta = Seq(
+    (2L, "g1", "B2", 22.0),   // replaces id=2 in g1
+    (6L, "g3", "f", 60.0))    // unseen key -> insert
+
+  test("upsert replaces matched keys, inserts unseen, keeps the rest") {
+    val st = mkBase("ups1")
+    Ops.upsertDataset(spark, st, "ups1",
+      delta.toDF("id", "grp", "payload", "score"), Seq("id"))
+    val got = Reader.readTable(spark, st, "ups1")
+      .select("id", "payload", "score").as[(Long, String, Double)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, "a", 10.0), (2L, "B2", 22.0), (3L, "c", 30.0),
+      (4L, "d", 40.0), (5L, "e", 50.0), (6L, "f", 60.0)))
+  }
+
+  test("untouched partitions are not rewritten (labels survive verbatim)") {
+    val st = mkBase("ups2")
+    val before = DatasetMetadata.load(st, "ups2").partitions
+    // delta touches only g1 (replace) and g3 (insert lands as NEW label);
+    // g2's files must be byte-untouched — label identity is the witness,
+    // since every rewrite generates a fresh label
+    Ops.upsertDataset(spark, st, "ups2",
+      delta.toDF("id", "grp", "payload", "score"), Seq("id"))
+    val after = DatasetMetadata.load(st, "ups2").partitions
+    val g2Before = before.filter(_.startsWith("grp=g2"))
+    assert(g2Before.nonEmpty && g2Before.forall(after.contains),
+      s"g2 labels must survive: before=$before after=$after")
+    // the replaced partition's old label is gone (not resurrecting old rows)
+    val g1Before = before.filter(_.startsWith("grp=g1"))
+    assert(g1Before.forall(l => !after.contains(l)),
+      s"g1 labels must be replaced: before=$before after=$after")
+  }
+
+  test("index-touch path: same answer, index points at live labels only") {
+    val st = mkBase("ups3", secondaryIndices = Seq("id"))
+    Ops.upsertDataset(spark, st, "ups3",
+      delta.toDF("id", "grp", "payload", "score"), Seq("id"))
+    val meta = DatasetMetadata.load(st, "ups3")
+    val got = Reader.readTable(spark, st, "ups3")
+      .select("id", "payload").as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, "a"), (2L, "B2"), (3L, "c"),
+      (4L, "d"), (5L, "e"), (6L, "f")))
+    // every label the maintained index references must exist in the header
+    val schema = DatasetMetadata.loadSchema(st, "ups3", meta.tableName)
+    val idxLabels = SecondaryIndex.asFlat(
+        SecondaryIndex.loadFor(spark, st, meta, "id", schema))
+      .select("label").distinct().as[String].collect().toSet
+    assert(idxLabels.subsetOf(meta.partitions.toSet),
+      s"dangling index labels: ${idxLabels -- meta.partitions.toSet}")
+    // and an index probe of a replaced key resolves to rows with NEW content
+    val viaIndex = Reader.readTable(spark, st, "ups3",
+      predicates = Some(Seq(Seq(graft.dnf.Literal("id", graft.dnf.Op.Eq, 2L)))))
+    assert(viaIndex.select("payload").as[String].collect().toSeq === Seq("B2"))
+  }
+
+  test("delta with duplicate keys is refused") {
+    val st = mkBase("ups4")
+    val dup = Seq((2L, "g1", "x", 1.0), (2L, "g1", "y", 2.0))
+      .toDF("id", "grp", "payload", "score")
+    val e = intercept[IllegalArgumentException] {
+      Ops.upsertDataset(spark, st, "ups4", dup, Seq("id"))
+    }
+    assert(e.getMessage.contains("not unique"))
+  }
+
+  test("composite keys and dataset-side key duplicates collapse to the delta row") {
+    val st = Storage(spark, tmpDir("upsert"))
+    // the dataset itself holds TWO rows for key (1,"k") — MERGE replaces both
+    val base = Seq((1L, "k", "old1"), (1L, "k", "old2"), (2L, "k", "keep"))
+      .toDF("a", "b", "v")
+    Writer.store(spark, st, "ups5", base, WriteOpts())
+    Ops.upsertDataset(spark, st, "ups5",
+      Seq((1L, "k", "new")).toDF("a", "b", "v"), Seq("a", "b"))
+    val got = Reader.readTable(spark, st, "ups5")
+      .select("a", "v").as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, "new"), (2L, "keep")))
+  }
+
+  test("pure insert (no matched keys) appends without touching any partition") {
+    val st = mkBase("ups6")
+    val before = DatasetMetadata.load(st, "ups6").partitions.toSet
+    Ops.upsertDataset(spark, st, "ups6",
+      Seq((7L, "g9", "z", 70.0)).toDF("id", "grp", "payload", "score"), Seq("id"))
+    val after = DatasetMetadata.load(st, "ups6").partitions.toSet
+    assert(before.subsetOf(after), "pure insert must not drop or rewrite labels")
+    assert(Reader.readTable(spark, st, "ups6").count() === 6)
+  }
+
+  test("NULL key components never match: a null-keyed delta row is an insert") {
+    val st = Storage(spark, tmpDir("upsert"))
+    val base = Seq((Some(1L), "a"), (None, "landed-null"))
+      .toDF("id", "v")
+    Writer.store(spark, st, "ups7", base, WriteOpts())
+    Ops.upsertDataset(spark, st, "ups7",
+      Seq((Option.empty[Long], "delta-null")).toDF("id", "v"), Seq("id"))
+    val got = Reader.readTable(spark, st, "ups7")
+      .select("v").as[String].collect().sorted
+    assert(got.toSeq === Seq("a", "delta-null", "landed-null"))
+  }
+}
