@@ -140,6 +140,56 @@ object SparkEntry {
       .withColumn("o_totalprice", round(col("o_totalprice") * 2, 2))
       .withColumn("o_orderpriority", lit("UPSERTED"))
 
+  /** Entity-resolution fixture: each supplier yields three records — the
+    * original "cents name" string (the distinctive integer-cents prefix
+    * keeps cross-supplier distances large), a DELETION twin (char 12
+    * dropped) and a SUBSTITUTION twin (char 14 → 'q'). Both edits sit in
+    * the string's interior: positions 12/14 are always past the first 6
+    * characters (cents ≤ 7 chars incl. sign + space) and before the last 6
+    * (total length ≥ 19), so the prefix/suffix blocks of every planted
+    * pair are intact — see e_fuzzy_pairs. Spelled in selectExpr so the
+    * DuckDB mirror is the same text, token for token. */
+  private def entityRecords(s: SparkSession, dir: String): DataFrame = {
+    val sup = rd(s, dir, "supplier").selectExpr("s_suppkey",
+      "concat(cast(cast(floor(s_acctbal * 100) as bigint) as string), ' ', s_name) as t")
+    sup.selectExpr("s_suppkey * 10 as rec_id", "t as name")
+      .unionByName(sup.selectExpr("s_suppkey * 10 + 1 as rec_id",
+        "concat(substring(t, 1, 11), substring(t, 13)) as name"))
+      .unionByName(sup.selectExpr("s_suppkey * 10 + 2 as rec_id",
+        "concat(substring(t, 1, 13), 'q', substring(t, 15)) as name"))
+  }
+
+  /** The shared DuckDB spelling of [[entityRecords]] + normalization. */
+  private val entityRecsSql: String =
+    """rec0 AS (
+         SELECT s_suppkey,
+                CAST(CAST(floor(s_acctbal * 100) AS BIGINT) AS VARCHAR)
+                  || ' ' || s_name AS t
+         FROM supplier),
+       recs AS (
+         SELECT s_suppkey * 10 AS rec_id, t AS name FROM rec0
+         UNION ALL
+         SELECT s_suppkey * 10 + 1, substr(t, 1, 11) || substr(t, 13) FROM rec0
+         UNION ALL
+         SELECT s_suppkey * 10 + 2,
+                substr(t, 1, 13) || 'q' || substr(t, 15) FROM rec0),
+       norm AS (
+         SELECT rec_id, lower(trim(regexp_replace(name, '\s+', ' ', 'g'))) AS t
+         FROM recs)"""
+
+  /** TRUE all-pairs levenshtein at maxDist=1 — what the blocked plan must
+    * equal (see e_fuzzy_pairs). */
+  private val entityPairsSql: String =
+    s"""WITH $entityRecsSql,
+        pairs AS (
+          SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+                 CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist,
+                 round(1.0 - levenshtein(a.t, b.t)
+                   / greatest(length(a.t), length(b.t)), 6) AS sim
+          FROM norm a JOIN norm b ON a.rec_id < b.rec_id
+          WHERE abs(length(a.t) - length(b.t)) <= 1
+            AND levenshtein(a.t, b.t) <= 1)"""
+
   private def ensure(s: SparkSession, dir: String, uuid: String)
                     (mk: Storage => Unit): Storage = synchronized {
     val store = Storage(s, tmpBase(dir))
@@ -826,6 +876,33 @@ object SparkEntry {
       Reader.readTable(s, st, "ord_upsx",
         columns = Some(Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")))
     }),
+
+    // --- entity resolution: blocked fuzzy record matching. The oracle is
+    // the TRUE all-pairs levenshtein pair set — no blocking — which the
+    // blocked plan must reproduce exactly: at maxDist=1 a single edit
+    // cannot change both the first-6 and last-6 normalized characters of
+    // a ≥12-char string, so every true pair shares a block and the
+    // prefix+suffix scheme is provably lossless (a blocking regression
+    // turns this row red, not just thinner)
+    "e_fuzzy_pairs" -> ((s, dir) =>
+      graft.ops.EntityResolution.blockedPairs(
+        entityRecords(s, dir), "rec_id", "name", maxDist = 1)),
+
+    // --- entity clusters: connected components over the match pairs
+    // (min-label propagation), mirrored by a recursive-CTE transitive
+    // closure — {orig, deletion-twin, substitution-twin} collapse to one
+    // entity through the original even though the twins sit at dist 2
+    "e_entities" -> ((s, dir) =>
+      graft.ops.EntityResolution.entityClusters(
+        graft.ops.EntityResolution.blockedPairs(
+          entityRecords(s, dir), "rec_id", "name", maxDist = 1))),
+
+    // --- the blocking pre-flight: block-size distribution per block kind
+    // (the keySkewStats shape for record linkage — run before choosing
+    // maxBlockSize on a new corpus)
+    "e_block_stats" -> ((s, dir) =>
+      graft.ops.EntityResolution.blockStats(
+        entityRecords(s, dir), "rec_id", "name")),
 
     // --- W5/W6: delete_scope removes partitions atomically
     "w5_delete_scope" -> ((s, dir) => {
@@ -3115,6 +3192,34 @@ object SparkEntry {
         "SELECT o_orderstatus, o_custkey, o_orderdate, o_orderkey, o_orderpriority, o_totalprice FROM orders WHERE o_orderstatus <> 'P'",
       "w_upsert" -> upsertOracleSql,
       "w_upsert_indexed" -> upsertOracleSql,
+      "e_fuzzy_pairs" ->
+        s"$entityPairsSql SELECT id_a, id_b, dist, sim FROM pairs",
+      "e_entities" ->
+        s"""$entityPairsSql,
+           edges AS (
+             SELECT id_a AS src, id_b AS dst FROM pairs
+             UNION SELECT id_b, id_a FROM pairs),
+           -- transitive closure; UNION (set) semantics terminates it
+           reach AS (
+             WITH RECURSIVE r(id, rid) AS (
+               SELECT src, dst FROM edges
+               UNION
+               SELECT r.id, e.dst FROM r JOIN edges e ON r.rid = e.src)
+             SELECT * FROM r)
+           SELECT id, least(id, min(rid)) AS cluster_id
+           FROM reach GROUP BY id""",
+      "e_block_stats" ->
+        s"""WITH $entityRecsSql,
+           blocks AS (
+             SELECT rec_id, 'p:' || substr(t, 1, 6) AS bk FROM norm
+             UNION ALL
+             SELECT rec_id,
+                    's:' || substr(t, greatest(length(t) - 5, 1), 6) FROM norm),
+           sz AS (SELECT substr(bk, 1, 2) AS kind, bk, count(*) AS sz
+                  FROM blocks GROUP BY 1, 2)
+           SELECT kind, count(*) AS n_blocks, CAST(max(sz) AS BIGINT) AS max_block,
+                  CAST(sum(sz) AS BIGINT) AS n_records
+           FROM sz GROUP BY kind""",
       "x3_bucketed_roundtrip" ->
         "SELECT l_returnflag, l_discount, l_extendedprice, l_linenumber::BIGINT AS l_linenumber, l_linestatus, l_orderkey, l_partkey, l_quantity, l_shipdate, l_suppkey, l_tax FROM lineitem",
       "x2_dispatch_by" ->

@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Entity resolution: fuzzy record matching and entity clustering over
+  * structured rows (catalog/provenance metadata dedup — near-identical
+  * supplier names, author strings, source labels — where token-level
+  *  near-dup machinery is the wrong granularity and edit distance is the
+  * published similarity).
+  *
+  * Scale shape (the record-linkage "blocking" literature): candidate pairs
+  * come from equi-joins on BLOCKING KEYS — a prefix block and a suffix
+  * block of the normalized text — never an all-pairs product. Within a
+  * block the join is quadratic only in the block's size, so a skew guard
+  * caps hot blocks (the [[Dedup.minhashNearDups]] maxBucketSize
+  * discipline) and [[blockStats]] pre-flights the distribution before the
+  * cap is chosen. The levenshtein verify is Spark's codegen'd built-in,
+  * pre-pruned by the edit-distance length bound |len_a − len_b| ≤ maxDist
+  * so most candidates never reach the O(n·m) DP.
+  *
+  * Recall contract of the two-block scheme: a true pair is found iff the
+  * two strings agree on their first `blockLen` normalized characters OR
+  * their last `blockLen`. Edits confined to the interior (the common case
+  * for identifier-shaped text: names differ mid-string, not at both
+  * extremes) are always caught; a pair edited at BOTH extremes is missed.
+  * The e_fuzzy_pairs contract query hash-checks the blocked result against
+  * a TRUE all-pairs DuckDB mirror on a fixture where the contract
+  * guarantees losslessness, so a blocking regression turns the row red.
+  */
+object EntityResolution {
+
+  /** Matching-normalization: lowercase, trim, collapse whitespace runs —
+    * the variation fuzzy matching should NOT have to spend edits on. */
+  def normalizeEntity(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  private def blocked(df: DataFrame, idCol: String, textCol: String,
+                      blockLen: Int): DataFrame = {
+    val recs = df.select(col(idCol).as("id"),
+        normalizeEntity(col(textCol)).as("t"))
+      .withColumn("len", length(col("t")))
+    recs.select(col("id"), col("t"), col("len"),
+      explode(array(
+        concat(lit("p:"), substring(col("t"), 1, blockLen)),
+        concat(lit("s:"), substring_index_tail(col("t"), blockLen)))).as("bk"))
+  }
+
+  /** Last `n` characters, safe for strings shorter than `n` (the whole
+    * string) — `substr(t, greatest(len(t) − n + 1, 1))`, the same
+    * arithmetic the SQL mirror spells. */
+  private def substring_index_tail(t: Column, n: Int): Column =
+    t.substr(greatest(length(t) - lit(n - 1), lit(1)), lit(n))
+
+  /** Block-size distribution per block kind (`p:` prefix / `s:` suffix) —
+    * the pre-flight for choosing `maxBlockSize`, the [[graft.io.Ops.keySkewStats]]
+    * shape: run this BEFORE the pair join on a new corpus; a dominant
+    * block (an empty-name sentinel, a boilerplate prefix) shows up here
+    * as max_size, not as a mystery straggler task. */
+  def blockStats(df: DataFrame, idCol: String, textCol: String,
+                 blockLen: Int = 6): DataFrame =
+    blocked(df, idCol, textCol, blockLen)
+      .groupBy(substring(col("bk"), 1, 2).as("kind"), col("bk"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_blocks"),
+        max("sz").as("max_block"),
+        sum("sz").cast("long").as("n_records"))
+
+  /** Candidate pairs within blocks, verified by edit distance: returns
+    * (id_a, id_b, dist, sim) with id_a < id_b, dist ≤ `maxDist`, and
+    * sim = 1 − dist / max(len_a, len_b) (the normalized Levenshtein
+    * similarity). Blocks holding more than `maxBlockSize` records are
+    * SKIPPED (0 = uncapped) — cap consciously, after [[blockStats]]:
+    * a skipped block is silent recall loss by design, the price of never
+    * letting one degenerate key go quadratic on the cluster. */
+  def blockedPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 2, blockLen: Int = 6,
+                   maxBlockSize: Int = 0): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(blockLen > 0, s"blockLen must be > 0, got $blockLen")
+    val blocks0 = blocked(df, idCol, textCol, blockLen)
+    val blocks =
+      if (maxBlockSize <= 0) blocks0
+      else blocks0.join(
+        blocks0.groupBy("bk").agg(count(lit(1)).as("__bc"))
+          .where(col("__bc") <= maxBlockSize).select("bk"),
+        "bk")
+    val a = blocks.select(col("bk"), col("id").as("id_a"),
+      col("t").as("t_a"), col("len").as("len_a"))
+    val b = blocks.select(col("bk"), col("id").as("id_b"),
+      col("t").as("t_b"), col("len").as("len_b"))
+    // the two join children are canonically equal (one shuffle on bk,
+    // ReusedExchange on the other side); the length bound is a codegen'd
+    // filter ahead of the DP; distinct() dedups the pair found via BOTH
+    // its prefix and suffix block before levenshtein runs once per pair
+    a.join(b, Seq("bk"))
+      .where(col("id_a") < col("id_b"))
+      .where(abs(col("len_a") - col("len_b")) <= maxDist)
+      .select("id_a", "id_b", "t_a", "t_b", "len_a", "len_b").distinct()
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b")))
+      .where(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"),
+        round(lit(1.0) - col("dist") / greatest(col("len_a"), col("len_b")), 6)
+          .as("sim"))
+  }
+
+  /** Entity clusters from match pairs: every record gets the minimum id of
+    * its connected component — [[Dedup.nearDupClusters]]'s iterative
+    * min-label propagation (O(component diameter) rounds, nothing
+    * driver-side). Returns (id, cluster_id) for every id appearing in a
+    * pair; unpaired records are their own entity by definition and are
+    * not re-emitted. */
+  def entityClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame =
+    Dedup.nearDupClusters(pairs, maxIters)
+
+  /** Keep one representative (minimum id) per matched entity; unmatched
+    * records always survive. The [[Dedup.dedupByClusters]] contract over
+    * entity clusters. */
+  def dedupEntities(df: DataFrame, idCol: String, pairs: DataFrame,
+                    maxIters: Int = 20): DataFrame =
+    Dedup.dedupByClusters(df, idCol, entityClusters(pairs, maxIters))
+}

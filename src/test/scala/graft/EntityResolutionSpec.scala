@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.EntityResolution
+
+/** Blocked fuzzy record matching (`ops/EntityResolution`). The contract
+  * queries hash-check the planted-supplier fixture against a true
+  * all-pairs DuckDB mirror; this spec pins the operator's own contracts —
+  * the recall guarantee and its documented boundary, normalization,
+  * the hot-block cap, and entity dedup semantics.
+  */
+class EntityResolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairsOf(recs: Seq[(Long, String)], maxDist: Int = 1,
+                      blockLen: Int = 6, cap: Int = 0) =
+    EntityResolution.blockedPairs(recs.toDF("id", "name"), "id", "name",
+        maxDist = maxDist, blockLen = blockLen, maxBlockSize = cap)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Long)]
+      .collect().sortBy(p => (p._1, p._2)).toSeq
+
+  test("single interior edits are always caught (deletion, substitution, insertion)") {
+    assert(pairsOf(Seq(
+      1L -> "northwind trading company ltd",
+      2L -> "northwind trading compny ltd",   // deletion
+      3L -> "northwind trading xompany ltd",  // substitution
+      4L -> "northwind trading comppany ltd"  // insertion
+    )) === Seq((1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 1L)))
+  }
+
+  test("normalization: case and whitespace runs match at distance zero") {
+    assert(pairsOf(Seq(
+      1L -> "ACME   Widgets Inc",
+      2L -> " acme widgets inc "
+    )) === Seq((1L, 2L, 0L)))
+  }
+
+  test("documented recall boundary: a pair edited at BOTH extremes is missed") {
+    // first-6 and last-6 both differ -> no shared block; the all-pairs
+    // truth contains the pair, the blocked result does not. This is the
+    // stated contract (and why e_fuzzy_pairs' fixture plants interior
+    // edits only).
+    val missed = pairsOf(Seq(
+      1L -> "aaaaaa middle part zzzzzz",
+      2L -> "baaaaa middle part zzzzzy"), maxDist = 2)
+    assert(missed.isEmpty)
+    // ...while the same two edits confined to ONE extreme are caught
+    val caught = pairsOf(Seq(
+      1L -> "aaaaaa middle part zzzzzz",
+      2L -> "bbaaaa middle part zzzzzz"), maxDist = 2)
+    assert(caught === Seq((1L, 2L, 2L)))
+  }
+
+  test("levenshtein length lower bound prunes before the DP") {
+    // |len diff| = 3 > maxDist=1: never a candidate even in one block
+    assert(pairsOf(Seq(
+      1L -> "shared-prefix one",
+      2L -> "shared-prefix one plus"
+    )) === Nil)
+  }
+
+  test("maxBlockSize skips hot blocks (and keeps the rest)") {
+    // 4 records share prefix block "hotblo"; 2 share "coldbl"
+    val recs = Seq(
+      1L -> "hotblock alpha x", 2L -> "hotblock alpha y",
+      3L -> "hotblock alpha z", 4L -> "hotblock alpha w",
+      5L -> "coldblock beta m", 6L -> "coldblock beta n")
+    // suffix blocks are distinct per record pair group; cap=3 kills the
+    // 4-record prefix block but the cold 2-record blocks survive
+    val got = pairsOf(recs, maxDist = 1, cap = 3)
+    assert(got === Seq((5L, 6L, 1L)))
+    val uncapped = pairsOf(recs, maxDist = 1)
+    assert(uncapped.size === 6 + 1) // C(4,2) hot pairs + 1 cold pair
+  }
+
+  test("blockStats reports the distribution the cap decision needs") {
+    val recs = Seq(1L -> "hotblock alpha x", 2L -> "hotblock alpha y",
+      3L -> "coldblock beta m").toDF("id", "name")
+    val stats = EntityResolution.blockStats(recs, "id", "name")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(stats === Seq(("p:", 2L, 2L, 3L), ("s:", 3L, 1L, 3L)))
+  }
+
+  test("dedupEntities keeps the min-id representative and every unmatched record") {
+    val recs = Seq(
+      10L -> "northwind trading company",
+      11L -> "northwind trading compan",  // twin of 10
+      20L -> "completely different name").toDF("id", "name")
+    val pairs = EntityResolution.blockedPairs(recs, "id", "name", maxDist = 1)
+    val kept = EntityResolution.dedupEntities(recs, "id", pairs)
+      .select("id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(10L, 20L))
+  }
+
+  test("entityClusters labels every member with the component minimum") {
+    // chain 1-2, 2-3: one component even though dist(1,3) exceeds maxDist
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = EntityResolution.entityClusters(pairs)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+}
