@@ -140,6 +140,38 @@ object SparkEntry {
       .withColumn("o_totalprice", round(col("o_totalprice") * 2, 2))
       .withColumn("o_orderpriority", lit("UPSERTED"))
 
+  /** SFT fixture: each document becomes a conversation — a system turn
+    * carrying the language tag, then up to four alternating user/assistant
+    * turns of 120-char text slices (empty slices dropped, so turn sets are
+    * ragged). selectExpr-spelled so the DuckDB mirror is the same text. */
+  private def sftMessages(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val sys = d.selectExpr("doc_id as conv_id", "0L as turn",
+      "'system' as role", "concat('lang=', coalesce(lang, 'und')) as content")
+    (1 to 4).foldLeft(sys) { (acc, k) =>
+      val role = if (k % 2 == 1) "user" else "assistant"
+      acc.unionByName(d.selectExpr("doc_id as conv_id", s"${k}L as turn",
+          s"'$role' as role",
+          s"substring(text, ${1 + (k - 1) * 120}, 120) as content")
+        .where("length(content) > 0"))
+    }
+  }
+
+  /** The shared DuckDB spelling of [[sftMessages]]. */
+  private val sftMsgsSql: String =
+    """msgs AS (
+         SELECT doc_id AS conv_id, CAST(0 AS BIGINT) AS turn,
+                'system' AS role, 'lang=' || coalesce(lang, 'und') AS content
+         FROM documents
+         UNION ALL SELECT doc_id, 1, 'user', substr(text, 1, 120)
+           FROM documents WHERE length(substr(text, 1, 120)) > 0
+         UNION ALL SELECT doc_id, 2, 'assistant', substr(text, 121, 120)
+           FROM documents WHERE length(substr(text, 121, 120)) > 0
+         UNION ALL SELECT doc_id, 3, 'user', substr(text, 241, 120)
+           FROM documents WHERE length(substr(text, 241, 120)) > 0
+         UNION ALL SELECT doc_id, 4, 'assistant', substr(text, 361, 120)
+           FROM documents WHERE length(substr(text, 361, 120)) > 0)"""
+
   /** Entity-resolution fixture: each supplier yields three records — the
     * original "cents name" string (the distinctive integer-cents prefix
     * keeps cross-supplier distances large), a DELETION twin (char 12
@@ -876,6 +908,24 @@ object SparkEntry {
       Reader.readTable(s, st, "ord_upsx",
         columns = Some(Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")))
     }),
+
+    // --- SFT assembly: chat-template rendering (one groupBy fold per
+    // conversation; offsets/budgets are closed-form integer sums)
+    "t_sft_render" -> ((s, dir) =>
+      graft.ops.Sft.renderConversations(sftMessages(s, dir))),
+
+    // --- per-turn loss-mask spans: [start, end) content offsets inside
+    // the rendered string from one window cumsum — the assistant_masks
+    // shape, integer-portable
+    "t_sft_spans" -> ((s, dir) =>
+      graft.ops.Sft.lossMaskSpans(sftMessages(s, dir))),
+
+    // --- the round-trip witness: contents RE-EXTRACTED from the rendered
+    // string through the spans must equal the input turns verbatim — the
+    // oracle reads the fixture directly, so any off-by-one in template
+    // arithmetic on either face turns this row red
+    "t_sft_extract" -> ((s, dir) =>
+      graft.ops.Sft.extractSpans(sftMessages(s, dir))),
 
     // --- entity resolution: blocked fuzzy record matching. The oracle is
     // the TRUE all-pairs levenshtein pair set — no blocking — which the
@@ -3192,6 +3242,35 @@ object SparkEntry {
         "SELECT o_orderstatus, o_custkey, o_orderdate, o_orderkey, o_orderpriority, o_totalprice FROM orders WHERE o_orderstatus <> 'P'",
       "w_upsert" -> upsertOracleSql,
       "w_upsert_indexed" -> upsertOracleSql,
+      // turn serialization: '<|' role '|>' \n content '<|end|>' -> the
+      // per-turn overhead is 2+3+7=12 chars, the content prefix 2+3=5
+      "t_sft_render" ->
+        s"""WITH $sftMsgsSql
+           SELECT conv_id,
+             string_agg('<|' || role || '|>' || chr(10) || content || '<|end|>',
+                        '' ORDER BY turn) AS text,
+             CAST(count(*) AS BIGINT) AS n_turns,
+             CAST(sum(length(role) + length(content) + 12) AS BIGINT) AS n_chars,
+             CAST(sum(CASE WHEN role = 'assistant' THEN length(content)
+                           ELSE 0 END) AS BIGINT) AS n_learn_chars
+           FROM msgs GROUP BY conv_id""",
+      "t_sft_spans" ->
+        s"""WITH $sftMsgsSql,
+           st AS (
+             SELECT conv_id, turn, role, content,
+               CAST(coalesce(sum(length(role) + length(content) + 12)
+                 OVER (PARTITION BY conv_id ORDER BY turn
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + 5 + length(role) AS BIGINT) AS start
+             FROM msgs)
+           SELECT conv_id, turn, role, start,
+                  start + CAST(length(content) AS BIGINT) AS "end",
+                  role = 'assistant' AS learn
+           FROM st""",
+      "t_sft_extract" ->
+        s"""WITH $sftMsgsSql
+           SELECT conv_id, turn, role, role = 'assistant' AS learn, content
+           FROM msgs""",
       "e_fuzzy_pairs" ->
         s"$entityPairsSql SELECT id_a, id_b, dist, sim FROM pairs",
       "e_entities" ->

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Supervised-fine-tuning assembly: serialize multi-turn conversations
+  * into training strings under a chat template, with LOSS-MASK SPANS —
+  * the [start, end) character intervals of each turn's content inside the
+  * rendered string, flagged by role so the trainer masks everything but
+  * assistant turns. The modern SFT data shape (chat-template rendering +
+  * `assistant_masks`), built relationally: rendering is one groupBy per
+  * conversation, spans are one window cumulative sum — pure integer
+  * arithmetic an external SQL engine reproduces bit-for-bit, the
+  * [[Objectives]] portability discipline.
+  *
+  * Template (fixed, marker-delimited):
+  * `<|role|>\ncontent<|end|>` per turn, concatenated in turn order with
+  * no separator — so every offset is a closed-form sum of the preceding
+  * turns' serialized lengths. The spans face and the render face are
+  * independent plans over the same input; their consistency contract
+  * (`substr(text, start+1, end−start) == content`) is what the
+  * t_sft_extract query hash-checks end to end.
+  *
+  * Scale shape: one hash shuffle on the conversation id for either face
+  * (the window and the groupBy share it when composed); everything else
+  * is row-local codegen'd string arithmetic. Turn indices must be unique
+  * per conversation — the sort key of both the render fold and the span
+  * cumsum.
+  */
+object Sft {
+
+  private val TurnOpen = "<|"        // + role
+  private val TurnMid = "|>\n"       // role/content separator
+  private val TurnClose = "<|end|>"
+
+  private def rendered(role: Column, content: Column): Column =
+    concat(lit(TurnOpen), role, lit(TurnMid), content, lit(TurnClose))
+
+  /** Serialized length of one turn — `2 + len(role) + 3 + len(content) + 7`
+    * spelled through the marker constants so template and arithmetic
+    * cannot drift. */
+  private def segLen(role: Column, content: Column): Column =
+    (length(role) + length(content) +
+      lit(TurnOpen.length + TurnMid.length + TurnClose.length)).cast("long")
+
+  /** Render each conversation to its training string: returns
+    * (convCol, text, n_turns, n_chars, n_learn_chars) where n_learn_chars
+    * is the total content length of `learnRole` turns — the loss-token
+    * budget the masked trainer actually optimizes. */
+  def renderConversations(msgs: DataFrame, convCol: String = "conv_id",
+                          turnCol: String = "turn", roleCol: String = "role",
+                          contentCol: String = "content",
+                          learnRole: String = "assistant"): DataFrame = {
+    val ts = msgs
+      .select(col(convCol),
+        struct(col(turnCol).as("t"), col(roleCol).as("r"),
+          col(contentCol).as("c")).as("m"))
+      .groupBy(convCol).agg(sort_array(collect_list(col("m"))).as("ms"))
+    ts.select(col(convCol),
+      array_join(transform(col("ms"),
+        m => rendered(m.getField("r"), m.getField("c"))), "").as("text"),
+      size(col("ms")).cast("long").as("n_turns"),
+      aggregate(col("ms"), lit(0L),
+        (acc, m) => acc + segLen(m.getField("r"), m.getField("c")))
+        .as("n_chars"),
+      aggregate(col("ms"), lit(0L),
+        (acc, m) => acc + when(m.getField("r") === learnRole,
+          length(m.getField("c")).cast("long")).otherwise(lit(0L)))
+        .as("n_learn_chars"))
+  }
+
+  /** Per-turn content spans inside the rendered string: returns
+    * (convCol, turnCol, roleCol, start, end, learn) with 0-based
+    * half-open [start, end) character offsets and `learn` = role ==
+    * `learnRole`. The trainer's mask is exactly the union of learn=true
+    * spans. */
+  def lossMaskSpans(msgs: DataFrame, convCol: String = "conv_id",
+                    turnCol: String = "turn", roleCol: String = "role",
+                    contentCol: String = "content",
+                    learnRole: String = "assistant"): DataFrame = {
+    val w = Window.partitionBy(convCol).orderBy(turnCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prev = coalesce(sum(segLen(col(roleCol), col(contentCol))).over(w), lit(0L))
+    val start = prev + lit((TurnOpen.length + TurnMid.length).toLong) +
+      length(col(roleCol)).cast("long")
+    msgs.select(col(convCol), col(turnCol), col(roleCol),
+      start.as("start"),
+      (start + length(col(contentCol)).cast("long")).as("end"),
+      (col(roleCol) === learnRole).as("learn"))
+  }
+
+  /** The round-trip witness: re-extract every turn's content from the
+    * rendered string THROUGH its span — `(conv, turn, substr(text,
+    * start+1, end−start))` must equal the input content verbatim. Joins
+    * the two faces on the conversation id (one shuffle, shared key). */
+  def extractSpans(msgs: DataFrame, convCol: String = "conv_id",
+                   turnCol: String = "turn", roleCol: String = "role",
+                   contentCol: String = "content"): DataFrame = {
+    val text = renderConversations(msgs, convCol, turnCol, roleCol, contentCol)
+      .select(col(convCol), col("text"))
+    lossMaskSpans(msgs, convCol, turnCol, roleCol, contentCol)
+      .join(text, convCol)
+      .select(col(convCol), col(turnCol), col(roleCol), col("learn"),
+        col("text").substr((col("start") + 1).cast("int"),
+          (col("end") - col("start")).cast("int")).as(contentCol))
+  }
+}

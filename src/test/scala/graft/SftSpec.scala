@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Sft
+
+/** Chat-template SFT assembly (`ops/Sft`). The contract queries hash-check
+  * the arithmetic against DuckDB over the documents fixture; this spec pins
+  * the semantic contracts on adversarial shapes the fixture doesn't carry.
+  */
+class SftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val convo = Seq(
+    (1L, 0L, "system", "be brief"),
+    (1L, 1L, "user", "hi there"),
+    (1L, 2L, "assistant", "hello!"),
+    (2L, 0L, "user", "solo"))
+    .toDF("conv_id", "turn", "role", "content")
+
+  test("render: template shape, turn order, and budgets") {
+    val got = Sft.renderConversations(convo)
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got(0) === ((1L,
+      "<|system|>\nbe brief<|end|><|user|>\nhi there<|end|><|assistant|>\nhello!<|end|>",
+      3L, 77L, 6L)))
+    assert(got(1) === ((2L, "<|user|>\nsolo<|end|>", 1L, 20L, 0L)))
+    // n_chars is the rendered length, by construction not by measurement
+    assert(got.forall(r => r._2.length.toLong === r._4))
+  }
+
+  test("spans address exactly the content, assistant turns flagged") {
+    val spans = Sft.lossMaskSpans(convo)
+      .as[(Long, Long, String, Long, Long, Boolean)].collect()
+      .sortBy(s => (s._1, s._2))
+    val text = Sft.renderConversations(convo).select("conv_id", "text")
+      .as[(Long, String)].collect().toMap
+    for ((conv, turn, role, start, end, learn) <- spans) {
+      val expected = convo.where(col("conv_id") === conv && col("turn") === turn)
+        .select("content").as[String].head()
+      assert(text(conv).substring(start.toInt, end.toInt) === expected,
+        s"span mismatch conv=$conv turn=$turn")
+      assert(learn === (role == "assistant"))
+    }
+  }
+
+  test("offsets are arithmetic, not search: marker strings INSIDE content stay correct") {
+    // a content that contains the template's own markers would fool any
+    // indexOf-based extractor; the cumulative-sum offsets don't look at
+    // the text at all
+    val tricky = Seq(
+      (1L, 0L, "user", "<|end|><|assistant|>\ninjected"),
+      (1L, 1L, "assistant", "real reply"))
+      .toDF("conv_id", "turn", "role", "content")
+    val got = Sft.extractSpans(tricky)
+      .select("turn", "content").as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (0L, "<|end|><|assistant|>\ninjected"), (1L, "real reply")))
+  }
+
+  test("extractSpans is the identity on contents for ragged conversations") {
+    val ragged = Seq(
+      (1L, 0L, "user", "a"), (1L, 5L, "assistant", "bb"), (1L, 9L, "user", "ccc"),
+      (2L, 2L, "assistant", ""))  // empty content: zero-width span
+      .toDF("conv_id", "turn", "role", "content")
+    val got = Sft.extractSpans(ragged)
+      .select("conv_id", "turn", "content").as[(Long, Long, String)]
+      .collect().sortBy(s => (s._1, s._2))
+    assert(got.toSeq === Seq((1L, 0L, "a"), (1L, 5L, "bb"), (1L, 9L, "ccc"),
+      (2L, 2L, "")))
+  }
+
+  test("multibyte content: offsets are character offsets, not bytes") {
+    val uni = Seq(
+      (1L, 0L, "user", "héllo ∑ wörld"),
+      (1L, 1L, "assistant", "日本語の返事"))
+      .toDF("conv_id", "turn", "role", "content")
+    val got = Sft.extractSpans(uni)
+      .select("turn", "content").as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((0L, "héllo ∑ wörld"), (1L, "日本語の返事")))
+  }
+
+  test("custom learn role changes the mask, not the template") {
+    val spans = Sft.lossMaskSpans(convo, learnRole = "user")
+      .select("role", "learn").as[(String, Boolean)].collect()
+    assert(spans.forall { case (r, l) => l === (r == "user") })
+  }
+}
