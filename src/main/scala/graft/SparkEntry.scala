@@ -927,6 +927,37 @@ object SparkEntry {
     "t_sft_extract" -> ((s, dir) =>
       graft.ops.Sft.extractSpans(sftMessages(s, dir))),
 
+    // --- streaming CDC: two sequential change drops MERGED through
+    // writeStreamUpsert (drop 1 creates the dataset from the even keys;
+    // drop 2 replaces multiples of 6 and inserts odd multiples of 3). The
+    // final table must hash-match the BATCH merge and the SQL MERGE
+    // replay — upsertOracleSql is shared by all three faces
+    "st_stream_upsert" -> ((s, dir) => {
+      val st = ensure(s, dir, "ups_stream") { st =>
+        Ops.deleteDataset(st, "ord_upstr")
+        val o = rd(s, dir, "orders")
+        val base = tmpBase(dir)
+        o.where(expr("o_orderkey % 2 = 0")).coalesce(1)
+          .write.mode("overwrite").parquet(s"$base/ups_in1")
+        upsertDelta(o).coalesce(1)
+          .write.mode("overwrite").parquet(s"$base/ups_in2")
+        val schemaDdl = "o_orderkey bigint, o_custkey bigint, " +
+          "o_orderstatus string, o_totalprice double, " +
+          "o_orderdate timestamp_ntz, o_orderpriority string"
+        Seq("ups_in1", "ups_in2").foreach { in =>
+          val q = graft.streaming.Streaming.writeStreamUpsert(
+            s.readStream.schema(schemaDdl).parquet(s"$base/$in"),
+            st, "ord_upstr", Seq("o_orderkey"),
+            opts = WriteOpts(partitionOn = Seq("o_orderstatus")))
+          if (!q.awaitTermination(300000)) {
+            q.stop(); sys.error(s"st_stream_upsert $in did not finish within 300s")
+          }
+        }
+      }
+      Reader.readTable(s, st, "ord_upstr",
+        columns = Some(Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")))
+    }),
+
     // --- entity resolution: blocked fuzzy record matching. The oracle is
     // the TRUE all-pairs levenshtein pair set — no blocking — which the
     // blocked plan must reproduce exactly: at maxDist=1 a single edit
@@ -3242,6 +3273,7 @@ object SparkEntry {
         "SELECT o_orderstatus, o_custkey, o_orderdate, o_orderkey, o_orderpriority, o_totalprice FROM orders WHERE o_orderstatus <> 'P'",
       "w_upsert" -> upsertOracleSql,
       "w_upsert_indexed" -> upsertOracleSql,
+      "st_stream_upsert" -> upsertOracleSql,
       // turn serialization: '<|' role '|>' \n content '<|end|>' -> the
       // per-turn overhead is 2+3+7=12 chars, the content prefix 2+3=5
       "t_sft_render" ->

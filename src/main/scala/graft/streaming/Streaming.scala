@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
-import graft.io.{Writer}
+import graft.io.{Ops, Writer}
 import graft.io.Writer.WriteOpts
 import graft.meta.DatasetMetadata
 import graft.store.Storage
@@ -303,6 +303,79 @@ object Streaming {
                           _.trigger(Trigger.AvailableNow())): StreamingQuery =
     startGuarded("writeStreamAppend", stream, checkpoint, configure)(
       token => ingestBatch(storage, uuid, opts, token))
+
+  /** Streaming CDC sink: each micro-batch MERGES into the dataset by key
+    * ([[graft.io.Ops.upsertDataset]] — matched keys replaced, unseen keys
+    * inserted, untouched partitions never rewritten), under the same
+    * replay guard as [[writeStreamAppend]]. The batch-local collapse rule
+    * is explicit: a CDC micro-batch can carry several versions of one key,
+    * and `seqCol` (a monotonically increasing change-sequence column —
+    * LSN, offset, event time) picks the LAST version per key before the
+    * merge; ties broken unspecified, so sequences should be unique per
+    * key. Without `seqCol`, a multi-version batch is REFUSED by the
+    * merge's duplicate-key check rather than applied in arrival order —
+    * silent order-dependence is how CDC pipelines corrupt quietly.
+    *
+    * Upsert is additionally idempotent PER BATCH by construction (re-
+    * applying the same delta reproduces the same state), so even a replay
+    * that slips the guard (e.g. a header restored from backup) converges
+    * instead of double-counting — unlike append sinks, where the guard is
+    * the only defense. The guard still matters for ORDER: batches must
+    * not replay out of order, and the stamped batchId enforces monotone
+    * application. First batch on a missing dataset creates it. */
+  def writeStreamUpsert(stream: DataFrame, storage: Storage, uuid: String,
+                        keyCols: Seq[String], seqCol: Option[String] = None,
+                        opts: WriteOpts = WriteOpts(),
+                        checkpoint: Option[String] = None,
+                        configure: DataStreamWriter[Row] => DataStreamWriter[Row] =
+                          _.trigger(Trigger.AvailableNow())): StreamingQuery =
+    startGuarded("writeStreamUpsert", stream, checkpoint, configure)(
+      token => upsertBatch(storage, uuid, keyCols, seqCol, opts, token))
+
+  private[graft] def upsertBatch(storage: Storage, uuid: String,
+                                 keyCols: Seq[String], seqCol: Option[String],
+                                 opts: WriteOpts,
+                                 runToken: Option[String] = None)
+                                (batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    // the ingestBatch width discipline: per-batch work is O(batch)
+    val width =
+      if (opts.writeWidth > 0) opts.writeWidth
+      else math.max(1, math.min(8, spark.sparkContext.defaultParallelism))
+    val myToken = runToken.getOrElse("")
+    val stamp: Map[String, String] =
+      Map(LastBatchKey -> batchId.toString, RunTokenKey -> myToken)
+    val stamped = opts.copy(metadata = opts.metadata ++ stamp, writeWidth = width)
+    if (isReplay(storage, uuid, myToken, batchId)) return
+    val delta = seqCol match {
+      case Some(sc) =>
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions.{col, row_number}
+        batch.withColumn("__rn", row_number().over(
+            Window.partitionBy(keyCols.map(col): _*).orderBy(col(sc).desc)))
+          .where(col("__rn") === 1).drop("__rn")
+      case None => batch
+    }
+    if (DatasetMetadata.exists(storage, uuid))
+      Ops.upsertDataset(spark, storage, uuid, delta, keyCols, stamped)
+    else {
+      // creation must hold the same uniqueness contract the merges do
+      // (upsertDataset checks its own delta; the store path must not let a
+      // multi-version first batch slip through un-collapsed)
+      if (seqCol.isEmpty) {
+        import org.apache.spark.sql.functions.{count, lit}
+        val dup = delta.groupBy(keyCols.map(col): _*)
+          .agg(count(lit(1)).as("__n")).where(col("__n") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"first batch is not unique on (${keyCols.mkString(", ")}): " +
+            s"e.g. ${dup.headOption.getOrElse("")} — pass seqCol to collapse " +
+            "multi-version CDC batches")
+      }
+      Writer.store(spark, storage, uuid, delta, stamped)
+      ()
+    }
+  }
 
   /** Shared start plumbing for the foreachBatch sinks: mints the per-run
     * replay token (temp-checkpoint mode only), applies the `checkpoint`

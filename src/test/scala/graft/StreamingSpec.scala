@@ -230,6 +230,53 @@ class StreamingSpec extends SparkSpec {
     assert(Reader.readTable(spark, store, "replay").count() === 6)
   }
 
+  test("upsertBatch: CDC merge per micro-batch — replace, insert, replay skip") {
+    import spark.implicits._
+    val up = graft.streaming.Streaming.upsertBatch(store, "cdcups",
+      Seq("id"), None, Writer.WriteOpts(partitionOn = Seq("p"))) _
+    up(Seq((1L, "a", "v1"), (2L, "a", "v1")).toDF("id", "p", "v"), 0L)
+    up(Seq((2L, "a", "v2"), (3L, "b", "v1")).toDF("id", "p", "v"), 1L)
+    def state() = Reader.readTable(spark, store, "cdcups")
+      .select("id", "v").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(state() === Seq((1L, "v1"), (2L, "v2"), (3L, "v1")))
+    // crash-replay of batch 1 is skipped by the stamp (and would be
+    // idempotent even if applied — but must not rewrite partitions)
+    val labelsBefore = DatasetMetadata.load(store, "cdcups").partitions
+    up(Seq((2L, "a", "v2"), (3L, "b", "v1")).toDF("id", "p", "v"), 1L)
+    assert(state() === Seq((1L, "v1"), (2L, "v2"), (3L, "v1")))
+    assert(DatasetMetadata.load(store, "cdcups").partitions === labelsBefore,
+      "replayed batch must not rewrite anything")
+    // a later batch deleting nothing, replacing 1
+    up(Seq((1L, "a", "v9")).toDF("id", "p", "v"), 2L)
+    assert(state() === Seq((1L, "v9"), (2L, "v2"), (3L, "v1")))
+  }
+
+  test("upsertBatch: seqCol collapses a multi-version batch to the last version") {
+    import spark.implicits._
+    val up = graft.streaming.Streaming.upsertBatch(store, "cdcseq",
+      Seq("id"), Some("seq"), Writer.WriteOpts()) _
+    // creation batch already multi-version: seq picks 5
+    up(Seq((1L, 1L, "old"), (1L, 5L, "new"), (2L, 1L, "b")).toDF("id", "seq", "v"), 0L)
+    def state() = Reader.readTable(spark, store, "cdcseq")
+      .select("id", "v").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(state() === Seq((1L, "new"), (2L, "b")))
+    // merge batch multi-version too
+    up(Seq((2L, 10L, "b2"), (2L, 3L, "stale"), (3L, 1L, "c")).toDF("id", "seq", "v"), 1L)
+    assert(state() === Seq((1L, "new"), (2L, "b2"), (3L, "c")))
+  }
+
+  test("upsertBatch without seqCol refuses multi-version batches (create AND merge)") {
+    import spark.implicits._
+    val up = graft.streaming.Streaming.upsertBatch(store, "cdcdup",
+      Seq("id"), None, Writer.WriteOpts()) _
+    val multi = Seq((1L, "x"), (1L, "y")).toDF("id", "v")
+    val e0 = intercept[IllegalArgumentException] { up(multi, 0L) }
+    assert(e0.getMessage.contains("not unique"))
+    up(Seq((1L, "x")).toDF("id", "v"), 0L) // clean create
+    val e1 = intercept[IllegalArgumentException] { up(multi, 1L) }
+    assert(e1.getMessage.contains("not unique"))
+  }
+
   test("piiCensus: persisted appends SUM-merge; replayed batch never double-counts") {
     import spark.implicits._
     val b0 = Seq((1L, "mail a@b.example.com and c@d.example.org"),
