@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Time the MERGE itself (the w_upsert contract queries time the post-merge
+  * read; the merge runs inside the untimed fixture build): store the even
+  * orderkeys partitioned on status, then time `Ops.upsertDataset` applying
+  * the multiples-of-3 delta — scan-touch and index-touch variants.
+  * `runMain graft.UpsertBench [sfDir] [reps]`. A dev measurement tool.
+  */
+object UpsertBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 1) args(1).toInt else 2
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+      "plateauspark-upsertbench")
+    spark.sparkContext.setLogLevel("ERROR")
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val delta = o.where(expr("o_orderkey % 3 = 0"))
+      .withColumn("o_totalprice", round(col("o_totalprice") * 2, 2))
+      .withColumn("o_orderpriority", lit("UPSERTED"))
+    val tmp = java.nio.file.Files.createTempDirectory("upsbench").toString
+    val st = graft.store.Storage(spark, tmp)
+    for (mode <- Seq("scan", "indexed"); r <- 0 until reps) {
+      val uuid = s"ub_${mode}_$r"
+      val idx = if (mode == "indexed") Seq("o_orderkey") else Nil
+      graft.io.Writer.store(spark, st, uuid, o.where(expr("o_orderkey % 2 = 0")),
+        graft.io.Writer.WriteOpts(partitionOn = Seq("o_orderstatus"),
+          secondaryIndices = idx, overwrite = true))
+      val t0 = System.nanoTime()
+      graft.io.Ops.upsertDataset(spark, st, uuid, delta, Seq("o_orderkey"))
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"UPSERTBENCH $mode run$r $sec%.2f s ($sfDir)")
+    }
+    spark.stop()
+  }
+}
