@@ -927,6 +927,23 @@ object SparkEntry {
     "t_sft_extract" -> ((s, dir) =>
       graft.ops.Sft.extractSpans(sftMessages(s, dir))),
 
+    // --- row-level delete by key (the CDC delete event; the reference's
+    // delete scope can only drop whole partitions): multiples of 7
+    // removed from the full orders dataset — only partitions holding a
+    // matched key are rewritten
+    "w_delete_keys" -> ((s, dir) => {
+      val st = ensure(s, dir, "ord_delk") { st =>
+        val o = rd(s, dir, "orders")
+        Writer.store(s, st, "ord_delk", o,
+          WriteOpts(partitionOn = Seq("o_orderstatus"), overwrite = true))
+        Ops.deleteByKeys(s, st, "ord_delk",
+          o.where(expr("o_orderkey % 7 = 0")).select("o_orderkey"),
+          Seq("o_orderkey"))
+      }
+      Reader.readTable(s, st, "ord_delk",
+        columns = Some(Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")))
+    }),
+
     // --- streaming CDC: two sequential change drops MERGED through
     // writeStreamUpsert (drop 1 creates the dataset from the even keys;
     // drop 2 replaces multiples of 6 and inserts odd multiples of 3). The
@@ -3274,6 +3291,9 @@ object SparkEntry {
       "w_upsert" -> upsertOracleSql,
       "w_upsert_indexed" -> upsertOracleSql,
       "st_stream_upsert" -> upsertOracleSql,
+      "w_delete_keys" ->
+        """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+           FROM orders WHERE o_orderkey % 7 <> 0""",
       // turn serialization: '<|' role '|>' \n content '<|end|>' -> the
       // per-turn overhead is 2+3+7=12 chars, the content prefix 2+3=5
       "t_sft_render" ->

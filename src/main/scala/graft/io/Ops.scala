@@ -197,7 +197,80 @@ object Ops {
     require(dupKeys.isEmpty,
       s"delta is not unique on (${keyCols.mkString(", ")}): e.g. ${dupKeys.head}")
     val deltaKeys = delta.select(keyCols.map(col): _*).distinct()
+    mergeRewrite(spark, storage, uuid, meta, schema, keyCols, deltaKeys,
+      Some(delta), opts)
+  }
 
+  /** Row-level DELETE by key — the CDC delete event beside [[upsertDataset]]
+    * (the reference's delete scope can only address partition-key or
+    * indexed VALUES, i.e. whole partitions): every dataset row whose
+    * `keyCols` tuple appears in `keys` is removed, in one atomic header
+    * swap, rewriting only the partitions that held a matched key (same
+    * touch discovery and survivor machinery as the merge — index-pruned
+    * when a key column is indexed, column-pruned key scan otherwise).
+    * Unmatched keys are a no-op, not an error (CDC redeliveries routinely
+    * carry already-deleted keys). */
+  def deleteByKeys(spark: SparkSession, storage: Storage, uuid: String,
+                   keys: DataFrame, keyCols: Seq[String],
+                   opts: Writer.WriteOpts = Writer.WriteOpts()): DatasetMetadata = {
+    require(keyCols.nonEmpty, "deleteByKeys requires at least one key column")
+    require(DatasetMetadata.exists(storage, uuid),
+      s"Cannot delete from non-existent dataset '$uuid'")
+    val meta = DatasetMetadata.load(storage, uuid)
+    val schema = DatasetMetadata.loadSchema(storage, uuid, meta.tableName)
+    keyCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"delete key column '$c' not in dataset schema"))
+    require(opts.secondaryIndices.toSet.subsetOf(meta.indexColumns),
+      s"Incorrect indices provided for dataset.\n" +
+        s"Expected: ${meta.indexColumns.toSeq.sorted.mkString(", ")}\n" +
+        s"But got: ${opts.secondaryIndices.mkString(", ")}")
+    mergeRewrite(spark, storage, uuid, meta, schema, keyCols,
+      keys.select(keyCols.map(col): _*).distinct(), None, opts)
+  }
+
+  /** One CDC batch — upserts AND deletes — in ONE atomic header swap.
+    * Two sequential calls (merge then delete) would leave a crash window
+    * where the replay stamp of the first commit makes the guard skip the
+    * redelivered batch and lose the second half; here both halves share
+    * the swap. `upserts` and `deleteKeys` must be key-disjoint and each
+    * unique on `keyCols` (a CDC batch collapsed to last-version-per-key
+    * is both by construction). */
+  def mergeCdcBatch(spark: SparkSession, storage: Storage, uuid: String,
+                    upserts: DataFrame, deleteKeys: DataFrame,
+                    keyCols: Seq[String],
+                    opts: Writer.WriteOpts = Writer.WriteOpts()): DatasetMetadata = {
+    require(keyCols.nonEmpty, "mergeCdcBatch requires at least one key column")
+    require(DatasetMetadata.exists(storage, uuid),
+      s"Cannot merge into non-existent dataset '$uuid'")
+    val meta = DatasetMetadata.load(storage, uuid)
+    val schema = DatasetMetadata.loadSchema(storage, uuid, meta.tableName)
+    keyCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"merge key column '$c' not in dataset schema"))
+    require(opts.secondaryIndices.toSet.subsetOf(meta.indexColumns),
+      s"Incorrect indices provided for dataset.\n" +
+        s"Expected: ${meta.indexColumns.toSeq.sorted.mkString(", ")}\n" +
+        s"But got: ${opts.secondaryIndices.mkString(", ")}")
+    val allKeys = upserts.select(keyCols.map(col): _*)
+      .unionByName(deleteKeys.select(keyCols.map(col): _*))
+    val dup = allKeys.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).where(col("__n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"CDC batch is not unique on (${keyCols.mkString(", ")}) across " +
+        s"upserts+deletes: e.g. ${dup.headOption.getOrElse("")}")
+    mergeRewrite(spark, storage, uuid, meta, schema, keyCols,
+      allKeys.distinct(), Some(upserts), opts)
+  }
+
+  /** Shared rewrite core of [[upsertDataset]] / [[deleteByKeys]]: discover
+    * the partitions holding a matched key, re-derive their survivors
+    * (rows whose key is NOT in `deltaKeys`), append `insertRows` if any,
+    * and commit the swap label-exactly. */
+  private def mergeRewrite(spark: SparkSession, storage: Storage, uuid: String,
+                           meta: DatasetMetadata,
+                           schema: org.apache.spark.sql.types.StructType,
+                           keyCols: Seq[String], deltaKeys: DataFrame,
+                           insertRows: Option[DataFrame],
+                           opts: Writer.WriteOpts): DatasetMetadata = {
     // -- touch discovery: which partition labels hold a matched key?
     val indexedKey = keyCols.find(meta.indexColumns.contains)
     val touched: Seq[String] = {
@@ -221,16 +294,23 @@ object Ops {
             .collect().map(_.getString(0)).toSeq
       }
     }
+    // a pure delete that matched nothing: the dataset is already the
+    // answer — skip the write job AND the header churn
+    if (touched.isEmpty && insertRows.isEmpty) return meta
 
     // -- survivors: rows of touched partitions whose key is NOT in the delta
     val cols = schema.fieldNames.toSeq
-    val newData =
-      if (touched.isEmpty) delta.select(cols.map(col): _*)
-      else Writer.labeledData(spark, storage, uuid, schema, touched, meta.tableName)
+    val survivors =
+      if (touched.isEmpty) None
+      else Some(Writer.labeledData(spark, storage, uuid, schema, touched, meta.tableName)
         .join(deltaKeys, keyCols, "left_anti")
-        .select(cols.map(col): _*)
-        .unionByName(delta.select(cols.map(col): _*))
-
+        .select(cols.map(col): _*))
+    val newData = (survivors, insertRows.map(_.select(cols.map(col): _*))) match {
+      case (Some(s), Some(i)) => s.unionByName(i)
+      case (Some(s), None)    => s
+      case (None, Some(i))    => i
+      case (None, None)       => sys.error("unreachable: no-op handled above")
+    }
     val newLabels = Writer.writeSinglePartition(spark, storage, uuid, newData,
       opts.copy(partitionOn = meta.partitionKeys, format = meta.format))
     Writer.commitDataset(spark, storage, uuid, newLabels, Nil, opts.metadata,

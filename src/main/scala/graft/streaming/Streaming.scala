@@ -325,15 +325,24 @@ object Streaming {
     * application. First batch on a missing dataset creates it. */
   def writeStreamUpsert(stream: DataFrame, storage: Storage, uuid: String,
                         keyCols: Seq[String], seqCol: Option[String] = None,
+                        opCol: Option[String] = None,
                         opts: WriteOpts = WriteOpts(),
                         checkpoint: Option[String] = None,
                         configure: DataStreamWriter[Row] => DataStreamWriter[Row] =
                           _.trigger(Trigger.AvailableNow())): StreamingQuery =
     startGuarded("writeStreamUpsert", stream, checkpoint, configure)(
-      token => upsertBatch(storage, uuid, keyCols, seqCol, opts, token))
+      token => upsertBatch(storage, uuid, keyCols, seqCol, opCol, opts, token))
+
+  /** True iff an `opCol` value marks a CDC delete event ('d'/'D'/'delete',
+    * Debezium-style); every other value — including null — upserts. */
+  private def isDeleteOp(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.lower
+    lower(c).isin("d", "delete")
+  }
 
   private[graft] def upsertBatch(storage: Storage, uuid: String,
                                  keyCols: Seq[String], seqCol: Option[String],
+                                 opCol: Option[String],
                                  opts: WriteOpts,
                                  runToken: Option[String] = None)
                                 (batch: DataFrame, batchId: Long): Unit = {
@@ -348,7 +357,9 @@ object Streaming {
       Map(LastBatchKey -> batchId.toString, RunTokenKey -> myToken)
     val stamped = opts.copy(metadata = opts.metadata ++ stamp, writeWidth = width)
     if (isReplay(storage, uuid, myToken, batchId)) return
-    val delta = seqCol match {
+    // last-version-per-key collapse: DELETES PARTICIPATE — whether a key
+    // ends the batch deleted or upserted is decided by its final version
+    val collapsed = seqCol match {
       case Some(sc) =>
         import org.apache.spark.sql.expressions.Window
         import org.apache.spark.sql.functions.{col, row_number}
@@ -357,22 +368,38 @@ object Streaming {
           .where(col("__rn") === 1).drop("__rn")
       case None => batch
     }
-    if (DatasetMetadata.exists(storage, uuid))
-      Ops.upsertDataset(spark, storage, uuid, delta, keyCols, stamped)
-    else {
-      // creation must hold the same uniqueness contract the merges do
-      // (upsertDataset checks its own delta; the store path must not let a
-      // multi-version first batch slip through un-collapsed)
-      if (seqCol.isEmpty) {
-        import org.apache.spark.sql.functions.{count, lit}
-        val dup = delta.groupBy(keyCols.map(col): _*)
-          .agg(count(lit(1)).as("__n")).where(col("__n") > 1).limit(1).collect()
-        require(dup.isEmpty,
-          s"first batch is not unique on (${keyCols.mkString(", ")}): " +
-            s"e.g. ${dup.headOption.getOrElse("")} — pass seqCol to collapse " +
-            "multi-version CDC batches")
-      }
-      Writer.store(spark, storage, uuid, delta, stamped)
+    // a batch not collapsed by seqCol must be version-unique up front —
+    // BEFORE ops split it, so a same-key insert+delete pair (ambiguous
+    // order) is refused on every path, create included
+    if (seqCol.isEmpty) {
+      import org.apache.spark.sql.functions.{count, lit}
+      val dup = collapsed.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__n")).where(col("__n") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"batch is not unique on (${keyCols.mkString(", ")}): " +
+          s"e.g. ${dup.headOption.getOrElse("")} — pass seqCol to collapse " +
+          "multi-version CDC batches")
+    }
+    // opCol is CDC protocol, never payload: split, then drop it
+    val (upserts, deleteKeys) = opCol match {
+      case Some(oc) =>
+        import org.apache.spark.sql.functions.col
+        (collapsed.where(!isDeleteOp(col(oc)) || col(oc).isNull).drop(oc),
+         Some(collapsed.where(isDeleteOp(col(oc)))
+           .select(keyCols.map(col): _*)))
+      case None => (collapsed, None)
+    }
+    if (DatasetMetadata.exists(storage, uuid)) deleteKeys match {
+      case Some(dk) =>
+        // upserts + deletes share ONE header swap — a crash between two
+        // separate commits would stamp the batch applied with its deletes
+        // lost (the guard would skip the redelivery)
+        Ops.mergeCdcBatch(spark, storage, uuid, upserts, dk, keyCols, stamped)
+      case None =>
+        Ops.upsertDataset(spark, storage, uuid, upserts, keyCols, stamped)
+    } else {
+      // creation: deletes on a missing dataset are no-ops by definition
+      Writer.store(spark, storage, uuid, upserts, stamped)
       ()
     }
   }

@@ -233,7 +233,7 @@ class StreamingSpec extends SparkSpec {
   test("upsertBatch: CDC merge per micro-batch — replace, insert, replay skip") {
     import spark.implicits._
     val up = graft.streaming.Streaming.upsertBatch(store, "cdcups",
-      Seq("id"), None, Writer.WriteOpts(partitionOn = Seq("p"))) _
+      Seq("id"), None, None, Writer.WriteOpts(partitionOn = Seq("p"))) _
     up(Seq((1L, "a", "v1"), (2L, "a", "v1")).toDF("id", "p", "v"), 0L)
     up(Seq((2L, "a", "v2"), (3L, "b", "v1")).toDF("id", "p", "v"), 1L)
     def state() = Reader.readTable(spark, store, "cdcups")
@@ -254,7 +254,7 @@ class StreamingSpec extends SparkSpec {
   test("upsertBatch: seqCol collapses a multi-version batch to the last version") {
     import spark.implicits._
     val up = graft.streaming.Streaming.upsertBatch(store, "cdcseq",
-      Seq("id"), Some("seq"), Writer.WriteOpts()) _
+      Seq("id"), Some("seq"), None, Writer.WriteOpts()) _
     // creation batch already multi-version: seq picks 5
     up(Seq((1L, 1L, "old"), (1L, 5L, "new"), (2L, 1L, "b")).toDF("id", "seq", "v"), 0L)
     def state() = Reader.readTable(spark, store, "cdcseq")
@@ -268,7 +268,7 @@ class StreamingSpec extends SparkSpec {
   test("upsertBatch without seqCol refuses multi-version batches (create AND merge)") {
     import spark.implicits._
     val up = graft.streaming.Streaming.upsertBatch(store, "cdcdup",
-      Seq("id"), None, Writer.WriteOpts()) _
+      Seq("id"), None, None, Writer.WriteOpts()) _
     val multi = Seq((1L, "x"), (1L, "y")).toDF("id", "v")
     val e0 = intercept[IllegalArgumentException] { up(multi, 0L) }
     assert(e0.getMessage.contains("not unique"))

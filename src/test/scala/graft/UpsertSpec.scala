@@ -129,4 +129,94 @@ class UpsertSpec extends SparkSpec {
       .select("v").as[String].collect().sorted
     assert(got.toSeq === Seq("a", "delta-null", "landed-null"))
   }
+
+  test("deleteByKeys removes matched keys, rewrites only touched partitions") {
+    val st = mkBase("del1")
+    val before = DatasetMetadata.load(st, "del1").partitions
+    Ops.deleteByKeys(spark, st, "del1",
+      Seq(Tuple1(1L)).toDF("id"), Seq("id"))
+    val got = Reader.readTable(spark, st, "del1")
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq === Seq(2L, 3L, 4L, 5L))
+    val after = DatasetMetadata.load(st, "del1").partitions
+    // id=1 lives in g1; g2/g3 labels survive verbatim
+    assert(before.filter(_.startsWith("grp=g2")).forall(after.contains))
+    assert(before.filter(_.startsWith("grp=g3")).forall(after.contains))
+  }
+
+  test("deleteByKeys with no matches is a no-op: same header, no write job") {
+    val st = mkBase("del2")
+    val before = DatasetMetadata.load(st, "del2")
+    val out = Ops.deleteByKeys(spark, st, "del2",
+      Seq(Tuple1(99L)).toDF("id"), Seq("id"))
+    assert(out.partitions === before.partitions)
+    assert(Reader.readTable(spark, st, "del2").count() === 5)
+  }
+
+  test("deleting every row of a partition removes its label entirely") {
+    val st = mkBase("del3")
+    Ops.deleteByKeys(spark, st, "del3",
+      Seq(Tuple1(3L), Tuple1(4L)).toDF("id"), Seq("id")) // all of g2
+    val meta = DatasetMetadata.load(st, "del3")
+    assert(!meta.partitions.exists(_.startsWith("grp=g2")),
+      s"g2 must be gone: ${meta.partitions}")
+    assert(Reader.readTable(spark, st, "del3").count() === 3)
+  }
+
+  test("mergeCdcBatch applies upserts and deletes in ONE header swap") {
+    val st = mkBase("cdc1")
+    val upserts = Seq((2L, "g1", "B2", 22.0), (6L, "g3", "f", 60.0))
+      .toDF("id", "grp", "payload", "score")
+    val deletes = Seq(Tuple1(5L)).toDF("id")
+    Ops.mergeCdcBatch(spark, st, "cdc1", upserts, deletes, Seq("id"))
+    val got = Reader.readTable(spark, st, "cdc1")
+      .select("id", "payload").as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, "a"), (2L, "B2"), (3L, "c"),
+      (4L, "d"), (6L, "f")))
+  }
+
+  test("mergeCdcBatch refuses a key appearing in both upserts and deletes") {
+    val st = mkBase("cdc2")
+    val e = intercept[IllegalArgumentException] {
+      Ops.mergeCdcBatch(spark, st, "cdc2",
+        Seq((2L, "g1", "x", 1.0)).toDF("id", "grp", "payload", "score"),
+        Seq(Tuple1(2L)).toDF("id"), Seq("id"))
+    }
+    assert(e.getMessage.contains("not unique"))
+  }
+
+  test("streaming upsertBatch with opCol: deletes and upserts in one batch") {
+    val st = Storage(spark, tmpDir("upsert"))
+    val up = graft.streaming.Streaming.upsertBatch(st, "cdcop",
+      Seq("id"), None, Some("op"), Writer.WriteOpts()) _
+    // create (deletes on a missing dataset are no-ops; opCol never lands)
+    up(Seq((1L, "a", "u"), (2L, "b", "u"), (9L, "x", "d"))
+      .toDF("id", "v", "op"), 0L)
+    val schema0 = Reader.readTable(spark, st, "cdcop").schema.fieldNames.toSeq
+    assert(!schema0.contains("op"), s"opCol must not land: $schema0")
+    def state() = Reader.readTable(spark, st, "cdcop")
+      .select("id", "v").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(state() === Seq((1L, "a"), (2L, "b")))
+    // merge batch: replace 1, delete 2, insert 3 — one swap
+    up(Seq((1L, "a2", "U"), (2L, "b", "D"), (3L, "c", "u"))
+      .toDF("id", "v", "op"), 1L)
+    assert(state() === Seq((1L, "a2"), (3L, "c")))
+    // replay skipped
+    up(Seq((1L, "zz", "u")).toDF("id", "v", "op"), 1L)
+    assert(state() === Seq((1L, "a2"), (3L, "c")))
+  }
+
+  test("streaming opCol + seqCol: the key's FINAL version decides delete vs upsert") {
+    val st = Storage(spark, tmpDir("upsert"))
+    val up = graft.streaming.Streaming.upsertBatch(st, "cdcseqop",
+      Seq("id"), Some("seq"), Some("op"), Writer.WriteOpts()) _
+    up(Seq((1L, 1L, "a", "u"), (2L, 1L, "b", "u")).toDF("id", "seq", "v", "op"), 0L)
+    // id=1: upsert at seq 2 then DELETE at seq 5 -> deleted;
+    // id=2: delete at seq 2 then upsert at seq 7 -> lands the upsert
+    up(Seq((1L, 2L, "a2", "u"), (1L, 5L, "a2", "delete"),
+           (2L, 2L, "b", "d"), (2L, 7L, "b2", "u")).toDF("id", "seq", "v", "op"), 1L)
+    val got = Reader.readTable(spark, st, "cdcseqop")
+      .select("id", "v").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((2L, "b2")))
+  }
 }
