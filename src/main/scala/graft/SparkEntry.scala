@@ -927,6 +927,26 @@ object SparkEntry {
     "t_sft_extract" -> ((s, dir) =>
       graft.ops.Sft.extractSpans(sftMessages(s, dir))),
 
+    // --- schema migration (the lifecycle answer to the reference's strict
+    // schema validation): drop a column, rename one, widen a type, add a
+    // computed column and a literal stamp — dataset-to-dataset, indices
+    // and partitioning carried
+    "w_migrate_schema" -> ((s, dir) => {
+      val st = ensure(s, dir, "doc_mig") { st =>
+        Writer.store(s, st, "doc_mig", rd(s, dir, "documents"),
+          WriteOpts(partitionOn = Seq("source"), overwrite = true))
+        Ops.migrateDataset(s, st, "doc_mig", "doc_mig_v2", Ops.SchemaMigration(
+          dropColumns = Seq("n_chars"),
+          renameColumns = Map("lang" -> "language"),
+          castColumns = Map("doc_id" -> "string"),
+          addColumns = Seq(
+            "text_chars" -> length(col("text")).cast("long"),
+            "schema_version" -> lit("v2"))))
+      }
+      Reader.readTable(s, st, "doc_mig_v2",
+        columns = Some(Seq("doc_id", "source", "language", "text_chars", "schema_version")))
+    }),
+
     // --- row-level delete by key (the CDC delete event; the reference's
     // delete scope can only drop whole partitions): multiples of 7
     // removed from the full orders dataset — only partitions holding a
@@ -3294,6 +3314,12 @@ object SparkEntry {
       "w_delete_keys" ->
         """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
            FROM orders WHERE o_orderkey % 7 <> 0""",
+      "w_migrate_schema" ->
+        """SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+                  lang AS language,
+                  CAST(length(text) AS BIGINT) AS text_chars,
+                  'v2' AS schema_version
+           FROM documents""",
       // turn serialization: '<|' role '|>' \n content '<|end|>' -> the
       // per-turn overhead is 2+3+7=12 chars, the content prefix 2+3=5
       "t_sft_render" ->

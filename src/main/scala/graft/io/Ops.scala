@@ -318,6 +318,91 @@ object Ops {
       deleteLabels = touched.toSet)
   }
 
+  /** A declarative schema change for [[migrateDataset]]. Applied in a
+    * fixed order — drop, rename, cast, add — so each step addresses names
+    * as the previous step left them (casts use post-rename names; added
+    * expressions see the post-cast frame). */
+  final case class SchemaMigration(
+      dropColumns: Seq[String] = Nil,
+      renameColumns: Map[String, String] = Map.empty,
+      castColumns: Map[String, String] = Map.empty,     // name -> DDL type
+      addColumns: Seq[(String, org.apache.spark.sql.Column)] = Nil)
+
+  /** Schema EVOLUTION as a lifecycle operation (beyond-reference: the
+    * reference strictly VALIDATES schemas on every append —
+    * `core/common_metadata.py:629-709` — and offers no way to change one;
+    * the answer to "my pipeline needs a new column" is this op): rewrite a
+    * landed dataset into a NEW dataset under a declarative
+    * [[SchemaMigration]] — drop, rename, cast, add (literal or computed
+    * from existing columns) — with partitioning, surviving secondary
+    * indices (renames followed), and user metadata carried over. Same
+    * dataset-to-dataset contract as [[convertDataset]]: the source stays
+    * intact until the caller deletes it, so a mid-rewrite failure destroys
+    * nothing, and the target becomes visible only at its header write.
+    *
+    * Partition keys may not be dropped, renamed, or cast (the physical
+    * layout and every path-encoded value would change meaning —
+    * repartitioning is [[convertDataset]]/a fresh store, not a migration).
+    * Unknown names are errors, not no-ops: a silently skipped migration
+    * step is how schema drift hides.
+    *
+    * One distributed read→transform→write; every transform is a codegen'd
+    * projection, so migration cost is one pass over the data at full
+    * cluster parallelism — there is no cheaper general cast/backfill at
+    * 100 TB (metadata-only ADD of a null column is the one shortcut, and
+    * the all-null-column append exemption already gives it: append new
+    * data with the new column and old partitions read it as null). */
+  def migrateDataset(spark: SparkSession, store: Storage, srcUuid: String,
+                     tgtUuid: String, migration: SchemaMigration,
+                     overwrite: Boolean = false,
+                     writeWidth: Int = 0): DatasetMetadata = {
+    require(srcUuid != tgtUuid,
+      s"migrateDataset writes a NEW dataset; migrating '$srcUuid' onto itself is refused")
+    val meta = DatasetMetadata.load(store, srcUuid)
+    val df0 = Reader.readTable(spark, store, srcUuid)
+    val have0 = df0.schema.fieldNames.toSet
+    val pk = meta.partitionKeys.toSet
+    val touchedPk = (migration.dropColumns ++ migration.renameColumns.keys ++
+      migration.castColumns.keys).filter(pk)
+    require(touchedPk.isEmpty,
+      s"cannot drop/rename/cast partition keys: ${touchedPk.distinct.mkString(", ")}")
+    def requireKnown(step: String, names: Iterable[String], have: Set[String]): Unit = {
+      val missing = names.filterNot(have)
+      require(missing.isEmpty,
+        s"$step addresses unknown column(s): ${missing.mkString(", ")} " +
+          s"(have: ${have.toSeq.sorted.mkString(", ")})")
+    }
+    requireKnown("dropColumns", migration.dropColumns, have0)
+    val afterDrop = df0.drop(migration.dropColumns: _*)
+    requireKnown("renameColumns", migration.renameColumns.keys,
+      afterDrop.schema.fieldNames.toSet)
+    require(migration.renameColumns.values.toSeq.distinct.size ==
+      migration.renameColumns.size, "renameColumns targets collide")
+    val afterRename = migration.renameColumns.foldLeft(afterDrop) {
+      case (d, (from, to)) => d.withColumnRenamed(from, to)
+    }
+    requireKnown("castColumns", migration.castColumns.keys,
+      afterRename.schema.fieldNames.toSet)
+    val afterCast = migration.castColumns.foldLeft(afterRename) {
+      case (d, (c, t)) => d.withColumn(c, col(c).cast(t))
+    }
+    val dupAdd = migration.addColumns.map(_._1)
+      .filter(afterCast.schema.fieldNames.toSet)
+    require(dupAdd.isEmpty,
+      s"addColumns would shadow existing column(s): ${dupAdd.mkString(", ")}")
+    val migrated = migration.addColumns.foldLeft(afterCast) {
+      case (d, (name, e)) => d.withColumn(name, e)
+    }
+    // surviving indices, renames followed; an index on a dropped column dies
+    val idxCols = (meta.indexColumns -- meta.partitionKeys).toSeq
+      .filterNot(migration.dropColumns.contains)
+      .map(c => migration.renameColumns.getOrElse(c, c)).sorted
+    Writer.store(spark, store, tgtUuid, migrated,
+      Writer.WriteOpts(partitionOn = meta.partitionKeys,
+        secondaryIndices = idxCols, metadata = meta.metadata,
+        format = meta.format, overwrite = overwrite, writeWidth = writeWidth))
+  }
+
   /** Re-serialize a dataset into another registry format as a NEW dataset
     * (beyond-reference lifecycle op pairing [[copyDataset]]: copy moves
     * bytes verbatim, convert re-encodes them — e.g. export a parquet

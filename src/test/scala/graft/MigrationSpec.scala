@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.{Ops, Reader, Writer}
+import graft.io.Writer.WriteOpts
+import graft.meta.DatasetMetadata
+import graft.store.Storage
+
+/** Schema migration (`Ops.migrateDataset`): the w_migrate_schema contract
+  * query hash-checks the values; this spec pins the lifecycle contracts —
+  * index survival across renames, guard rails, and the source staying
+  * intact.
+  */
+class MigrationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mk(uuid: String): Storage = {
+    val st = Storage(spark, tmpDir("mig"))
+    val df = Seq(
+      (1L, "g1", "alpha", 1.5, "x"),
+      (2L, "g1", "beta", 2.5, "y"),
+      (3L, "g2", "gamma", 3.5, "z"))
+      .toDF("id", "grp", "name", "score", "junk")
+    Writer.store(spark, st, uuid, df,
+      WriteOpts(partitionOn = Seq("grp"), secondaryIndices = Seq("name")))
+    st
+  }
+
+  test("drop + rename + cast + add, in that order; indices follow renames") {
+    val st = mk("m1")
+    Ops.migrateDataset(spark, st, "m1", "m1v2", Ops.SchemaMigration(
+      dropColumns = Seq("junk"),
+      renameColumns = Map("name" -> "label"),
+      castColumns = Map("id" -> "string", "label" -> "string"),
+      addColumns = Seq("score_x10" -> (col("score") * 10).cast("long"),
+        "v" -> lit("v2"))))
+    val out = Reader.readTable(spark, st, "m1v2")
+    assert(out.schema.fieldNames.sorted.toSeq ===
+      Seq("grp", "id", "label", "score", "score_x10", "v"))
+    assert(out.schema("id").dataType.typeName === "string")
+    val got = out.select("id", "label", "score_x10", "v")
+      .as[(String, String, Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(("1", "alpha", 15L, "v2"),
+      ("2", "beta", 25L, "v2"), ("3", "gamma", 35L, "v2")))
+    // the 'name' index followed its rename to 'label' and still prunes
+    val meta = DatasetMetadata.load(st, "m1v2")
+    assert(meta.indexColumns === Set("label"))
+    val probed = Reader.readTable(spark, st, "m1v2",
+      predicates = Some(Seq(Seq(graft.dnf.Literal("label", graft.dnf.Op.Eq, "beta")))))
+    assert(probed.select("id").as[String].collect().toSeq === Seq("2"))
+    // source untouched
+    assert(Reader.readTable(spark, st, "m1").count() === 3)
+    assert(DatasetMetadata.load(st, "m1").indexColumns === Set("name"))
+  }
+
+  test("an index on a dropped column dies with it") {
+    val st = mk("m2")
+    Ops.migrateDataset(spark, st, "m2", "m2v2",
+      Ops.SchemaMigration(dropColumns = Seq("name")))
+    assert(DatasetMetadata.load(st, "m2v2").indexColumns === Set.empty)
+  }
+
+  test("partition keys cannot be dropped, renamed, or cast") {
+    val st = mk("m3")
+    for (bad <- Seq(
+      Ops.SchemaMigration(dropColumns = Seq("grp")),
+      Ops.SchemaMigration(renameColumns = Map("grp" -> "g")),
+      Ops.SchemaMigration(castColumns = Map("grp" -> "binary")))) {
+      val e = intercept[IllegalArgumentException] {
+        Ops.migrateDataset(spark, st, "m3", s"m3v${bad.hashCode.abs}", bad)
+      }
+      assert(e.getMessage.contains("partition keys"))
+    }
+  }
+
+  test("unknown names are errors, not no-ops (schema drift must not hide)") {
+    val st = mk("m4")
+    val e = intercept[IllegalArgumentException] {
+      Ops.migrateDataset(spark, st, "m4", "m4v2",
+        Ops.SchemaMigration(dropColumns = Seq("nope")))
+    }
+    assert(e.getMessage.contains("unknown column"))
+    // a cast addressing the PRE-rename name is unknown after the rename
+    val e2 = intercept[IllegalArgumentException] {
+      Ops.migrateDataset(spark, st, "m4", "m4v2", Ops.SchemaMigration(
+        renameColumns = Map("name" -> "label"),
+        castColumns = Map("name" -> "string")))
+    }
+    assert(e2.getMessage.contains("unknown column"))
+  }
+
+  test("shadowing adds and colliding rename targets are refused") {
+    val st = mk("m5")
+    val e = intercept[IllegalArgumentException] {
+      Ops.migrateDataset(spark, st, "m5", "m5v2",
+        Ops.SchemaMigration(addColumns = Seq("score" -> lit(0))))
+    }
+    assert(e.getMessage.contains("shadow"))
+    val e2 = intercept[IllegalArgumentException] {
+      Ops.migrateDataset(spark, st, "m5", "m5v2", Ops.SchemaMigration(
+        renameColumns = Map("name" -> "same", "junk" -> "same")))
+    }
+    assert(e2.getMessage.contains("collide"))
+  }
+
+  test("migrating onto the source uuid is refused") {
+    val st = mk("m6")
+    val e = intercept[IllegalArgumentException] {
+      Ops.migrateDataset(spark, st, "m6", "m6", Ops.SchemaMigration())
+    }
+    assert(e.getMessage.contains("refused"))
+  }
+}
