@@ -191,6 +191,15 @@ object SparkEntry {
         "concat(substring(t, 1, 13), 'q', substring(t, 15)) as name"))
   }
 
+  /** Per-JVM entity registry over the ORIGINAL records (rec_id % 10 = 0):
+    * the landed side of the incremental-ER contract queries. */
+  private def entRegDs(s: SparkSession, dir: String): Storage =
+    ensure(s, dir, "ent_reg") { st =>
+      graft.ops.EntityResolution.entityRegistry(s, st, "ent_reg",
+        entityRecords(s, dir).where(expr("rec_id % 10 = 0")),
+        "rec_id", "name", numBuckets = 16, overwrite = true)
+    }
+
   /** The shared DuckDB spelling of [[entityRecords]] + normalization. */
   private val entityRecsSql: String =
     """rec0 AS (
@@ -1014,6 +1023,25 @@ object SparkEntry {
       graft.ops.EntityResolution.entityClusters(
         graft.ops.EntityResolution.blockedPairs(
           entityRecords(s, dir), "rec_id", "name", maxDist = 1))),
+
+    // --- incremental ER: match a batch against the PERSISTED entity
+    // registry (bucket-pruned blocked probe; the minhashIndex discipline).
+    // Oracle is again the TRUE cross all-pairs set — registry = the
+    // originals, batch = the edit twins
+    "e_registry_match" -> ((s, dir) =>
+      graft.ops.EntityResolution.matchAgainstRegistry(s,
+        entRegDs(s, dir), "ent_reg",
+        entityRecords(s, dir).where(expr("rec_id % 10 != 0")),
+        "rec_id", "name", maxDist = 1)),
+
+    // --- registry assignment: each batch record resolves to the minimum
+    // matched registry id, or stays its own entity when nothing matched
+    "e_registry_assign" -> ((s, dir) => {
+      val batch = entityRecords(s, dir).where(expr("rec_id % 10 != 0"))
+      graft.ops.EntityResolution.assignFromRegistry(batch, "rec_id",
+        graft.ops.EntityResolution.matchAgainstRegistry(s,
+          entRegDs(s, dir), "ent_reg", batch, "rec_id", "name", maxDist = 1))
+    }),
 
     // --- the blocking pre-flight: block-size distribution per block kind
     // (the keySkewStats shape for record linkage — run before choosing
@@ -3365,6 +3393,27 @@ object SparkEntry {
              SELECT * FROM r)
            SELECT id, least(id, min(rid)) AS cluster_id
            FROM reach GROUP BY id""",
+      "e_registry_match" ->
+        s"""WITH $entityRecsSql,
+           q AS (SELECT rec_id, t FROM norm WHERE rec_id % 10 <> 0),
+           c AS (SELECT rec_id, t FROM norm WHERE rec_id % 10 = 0)
+           SELECT q.rec_id AS id, c.rec_id AS matched_id,
+                  CAST(levenshtein(q.t, c.t) AS BIGINT) AS dist,
+                  round(1.0 - levenshtein(q.t, c.t)
+                    / greatest(length(q.t), length(c.t)), 6) AS sim
+           FROM q JOIN c ON abs(length(q.t) - length(c.t)) <= 1
+           WHERE levenshtein(q.t, c.t) <= 1""",
+      "e_registry_assign" ->
+        s"""WITH $entityRecsSql,
+           q AS (SELECT rec_id, t FROM norm WHERE rec_id % 10 <> 0),
+           c AS (SELECT rec_id, t FROM norm WHERE rec_id % 10 = 0),
+           pairs AS (
+             SELECT q.rec_id AS id, c.rec_id AS matched_id
+             FROM q JOIN c ON abs(length(q.t) - length(c.t)) <= 1
+             WHERE levenshtein(q.t, c.t) <= 1)
+           SELECT q.rec_id, coalesce(min(p.matched_id), q.rec_id) AS entity_id
+           FROM q LEFT JOIN pairs p ON p.id = q.rec_id
+           GROUP BY q.rec_id""",
       "e_block_stats" ->
         s"""WITH $entityRecsSql,
            blocks AS (

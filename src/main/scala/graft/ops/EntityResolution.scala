@@ -105,6 +105,104 @@ object EntityResolution {
           .as("sim"))
   }
 
+  private def withBucket(blocks: DataFrame, numBuckets: Int): DataFrame =
+    blocks.withColumn("bucket",
+      pmod(xxhash64(col("bk")), lit(numBuckets)).cast("int"))
+
+  /** Persist a corpus's blocking table as an ENTITY REGISTRY dataset —
+    * one row per (block key, record), hive-partitioned on
+    * `bucket = pmod(xxhash64(bk), numBuckets)` so a probing batch prunes
+    * the read to the buckets its own block keys hash into (the
+    * [[Dedup.minhashIndex]] discipline). `blockLen`/`numBuckets` are
+    * pinned in the dataset header and re-read at probe/append time, so
+    * build and probe can never silently disagree on the blocking family.
+    * Registry size is 2 rows × (key + normalized text) per record. */
+  def entityRegistry(spark: org.apache.spark.sql.SparkSession,
+                     storage: graft.store.Storage, uuid: String,
+                     df: DataFrame, idCol: String, textCol: String,
+                     blockLen: Int = 6, numBuckets: Int = 64,
+                     overwrite: Boolean = false): graft.meta.DatasetMetadata = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1 (got $numBuckets)")
+    graft.io.Writer.store(spark, storage, uuid,
+      withBucket(blocked(df, idCol, textCol, blockLen), numBuckets),
+      graft.io.Writer.WriteOpts(partitionOn = Seq("bucket"),
+        overwrite = overwrite,
+        metadata = Map(
+          "graft.entity.blockLen" -> blockLen.toString,
+          "graft.entity.numBuckets" -> numBuckets.toString)))
+  }
+
+  /** Add new records' blocks to a landed [[entityRegistry]] under its
+    * pinned blocking family (one atomic append commit). */
+  def registryAppend(spark: org.apache.spark.sql.SparkSession,
+                     storage: graft.store.Storage, uuid: String,
+                     df: DataFrame, idCol: String,
+                     textCol: String): graft.meta.DatasetMetadata = {
+    val (blockLen, numBuckets) = registryParams(storage, uuid)
+    graft.io.Writer.update(spark, storage, uuid,
+      Some(withBucket(blocked(df, idCol, textCol, blockLen), numBuckets)))
+  }
+
+  /** Match an incoming batch against a landed [[entityRegistry]]: returns
+    * (id, matched_id, dist, sim) for every batch/registry pair sharing a
+    * block key with edit distance ≤ `maxDist` — the INCREMENTAL face of
+    * [[blockedPairs]] (today's records vs every landed entity, without
+    * re-blocking the history). The batch is blocked once (materialized:
+    * the bucket collect and the probe join are separate jobs); the
+    * registry read prunes to the batch's own bucket set (a ≤numBuckets
+    * IN-predicate — for a small batch most of the registry is never
+    * read); the same length bound and single-levenshtein-per-pair
+    * discipline as the batch face. Self-matches (same id) are excluded,
+    * so re-probing already-registered records is a no-op. */
+  def matchAgainstRegistry(spark: org.apache.spark.sql.SparkSession,
+                           storage: graft.store.Storage, uuid: String,
+                           batch: DataFrame, idCol: String, textCol: String,
+                           maxDist: Int = 2): DataFrame = {
+    val (blockLen, numBuckets) = registryParams(storage, uuid)
+    val bt = withBucket(blocked(batch, idCol, textCol, blockLen), numBuckets)
+      .localCheckpoint(true)
+    val buckets = bt.select(col("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val idx = graft.io.Reader.readTable(spark, storage, uuid,
+      predicates = Some(Seq(Seq(
+        graft.dnf.Literal("bucket", graft.dnf.Op.In, buckets)))))
+    bt.as("q").join(idx.as("c"), col("q.bk") === col("c.bk"))
+      .where(!(col("q.id") <=> col("c.id")))
+      .where(abs(col("q.len") - col("c.len")) <= maxDist)
+      .select(col("q.id").as("id"), col("c.id").as("matched_id"),
+        col("q.t").as("t_q"), col("c.t").as("t_c"),
+        col("q.len").as("len_q"), col("c.len").as("len_c"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("t_q"), col("t_c")))
+      .where(col("dist") <= maxDist)
+      .select(col("id"), col("matched_id"),
+        col("dist").cast("long").as("dist"),
+        round(lit(1.0) - col("dist") / greatest(col("len_q"), col("len_c")), 6)
+          .as("sim"))
+  }
+
+  /** Resolve a batch to entity ids from its registry matches: each record
+    * gets the MINIMUM matched registry id, or stays its own entity when
+    * nothing matched (then [[registryAppend]] it as a new entity). */
+  def assignFromRegistry(batch: DataFrame, idCol: String,
+                         matches: DataFrame): DataFrame = {
+    val best = matches.groupBy(col("id"))
+      .agg(min(col("matched_id")).as("__m"))
+    batch.select(col(idCol))
+      .join(best.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__m"), col(idCol)).as("entity_id"))
+  }
+
+  private[graft] def registryParams(storage: graft.store.Storage,
+                                    uuid: String): (Int, Int) = {
+    val meta = graft.meta.DatasetMetadata.load(storage, uuid)
+    def param(k: String): Int = meta.metadata.getOrElse(s"graft.entity.$k",
+      throw new IllegalArgumentException(
+        s"dataset '$uuid' is not an entity registry (missing graft.entity.$k)")).toInt
+    (param("blockLen"), param("numBuckets"))
+  }
+
   /** Entity clusters from match pairs: every record gets the minimum id of
     * its connected component — [[Dedup.nearDupClusters]]'s iterative
     * min-label propagation (O(component diameter) rounds, nothing

@@ -99,4 +99,56 @@ class EntityResolutionSpec extends SparkSpec {
       .as[(Long, Long)].collect().sortBy(_._1).toSeq
     assert(got === Seq((1L, 1L), (2L, 1L), (3L, 1L)))
   }
+
+  test("entity registry: build, probe, append, assign") {
+    val st = graft.store.Storage(spark, tmpDir("entreg"))
+    val registry = Seq(
+      10L -> "northwind trading company ltd",
+      20L -> "acme widget factory inc",
+      30L -> "globex corporation gmbh").toDF("id", "name")
+    EntityResolution.entityRegistry(spark, st, "reg", registry, "id", "name",
+      numBuckets = 8)
+    val batch = Seq(
+      11L -> "northwind trading compny ltd",  // dist 1 of 10
+      21L -> "acme widget factory incx",      // dist 1 of 20
+      40L -> "wholly new entity name")        // no match
+      .toDF("id", "name")
+    val m = EntityResolution.matchAgainstRegistry(spark, st, "reg",
+      batch, "id", "name", maxDist = 1)
+      .select("id", "matched_id", "dist").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(m.toSeq === Seq((11L, 10L, 1L), (21L, 20L, 1L)))
+    val assigned = EntityResolution.assignFromRegistry(batch, "id",
+      EntityResolution.matchAgainstRegistry(spark, st, "reg", batch, "id", "name",
+        maxDist = 1))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(assigned.toSeq === Seq((11L, 10L), (21L, 20L), (40L, 40L)))
+    // the unmatched record registers as a new entity; the next probe finds it
+    EntityResolution.registryAppend(spark, st, "reg",
+      batch.where(col("id") === 40L), "id", "name")
+    val m2 = EntityResolution.matchAgainstRegistry(spark, st, "reg",
+      Seq(41L -> "wholly new entity nam").toDF("id", "name"), "id", "name",
+      maxDist = 1).select("matched_id").as[Long].collect()
+    assert(m2.toSeq === Seq(40L))
+  }
+
+  test("registry probe: re-probing a registered record is a no-op (self-match excluded)") {
+    val st = graft.store.Storage(spark, tmpDir("entreg"))
+    val recs = Seq(1L -> "some entity name here").toDF("id", "name")
+    EntityResolution.entityRegistry(spark, st, "reg2", recs, "id", "name")
+    val m = EntityResolution.matchAgainstRegistry(spark, st, "reg2",
+      recs, "id", "name", maxDist = 1)
+    assert(m.isEmpty)
+  }
+
+  test("probing a non-registry dataset fails loudly, not garbage") {
+    val st = graft.store.Storage(spark, tmpDir("entreg"))
+    graft.io.Writer.store(spark, st, "plain",
+      Seq(1L -> "x").toDF("id", "name"), graft.io.Writer.WriteOpts())
+    val e = intercept[IllegalArgumentException] {
+      EntityResolution.matchAgainstRegistry(spark, st, "plain",
+        Seq(2L -> "y").toDF("id", "name"), "id", "name")
+    }
+    assert(e.getMessage.contains("not an entity registry"))
+  }
 }
