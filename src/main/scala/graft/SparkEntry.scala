@@ -140,6 +140,19 @@ object SparkEntry {
       .withColumn("o_totalprice", round(col("o_totalprice") * 2, 2))
       .withColumn("o_orderpriority", lit("UPSERTED"))
 
+  /** Code-detection fixture: every document, plus a synthesized code twin
+    * for doc_id < 100 (newlines via chr(10) — the one spelling whose
+    * escape semantics agree between Spark SQL and DuckDB literals). */
+  private def codeProseDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    d.selectExpr("doc_id", "text")
+      .unionByName(d.where(expr("doc_id < 100")).selectExpr(
+        "doc_id + 1000000 as doc_id",
+        "concat('import util;', chr(10), 'def f_', cast(doc_id as string), " +
+          "'():', chr(10), '    return [', substring(text, 1, 40), '];', " +
+          "chr(10), '    x = (a == b);') as text"))
+  }
+
   /** SFT fixture: each document becomes a conversation — a system turn
     * carrying the language tag, then up to four alternating user/assistant
     * turns of 120-char text slices (empty slices dropped, so turn sets are
@@ -917,6 +930,17 @@ object SparkEntry {
       Reader.readTable(s, st, "ord_upsx",
         columns = Some(Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")))
     }),
+
+    // --- code-vs-prose routing signals (the source-separation stage):
+    // documents plus synthesized code twins for doc_id < 100 — the gate
+    // must fire on the twins and stay quiet on prose
+    "t_code_detect" -> ((s, dir) =>
+      TextAnalysis.codeSignals(codeProseDocs(s, dir), "text", "doc_id")),
+
+    // --- Flesch-Kincaid readability from portable counts (words,
+    // sentence runs, vowel-group syllables)
+    "t_readability" -> ((s, dir) =>
+      TextAnalysis.readability(rd(s, dir, "documents"), "text", "doc_id")),
 
     // --- SFT assembly: chat-template rendering (one groupBy fold per
     // conversation; offsets/budgets are closed-form integer sums)
@@ -3348,6 +3372,71 @@ object SparkEntry {
                   CAST(length(text) AS BIGINT) AS text_chars,
                   'v2' AS schema_version
            FROM documents""",
+      // decimal literals CAST to DOUBLE throughout: bare decimals are
+      // DECIMAL in DuckDB and their exact intermediate arithmetic can
+      // round differently in the last emitted digit than Spark's doubles
+      "t_code_detect" ->
+        s"""WITH src AS (
+             SELECT doc_id, text FROM documents
+             UNION ALL
+             SELECT doc_id + 1000000,
+                    'import util;' || chr(10) || 'def f_'
+                      || CAST(doc_id AS VARCHAR) || '():' || chr(10)
+                      || '    return [' || substr(text, 1, 40) || '];'
+                      || chr(10) || '    x = (a == b);'
+             FROM documents WHERE doc_id < 100),
+           m AS (
+             SELECT doc_id,
+               CAST(length(text) - length(regexp_replace(text,
+                 '[{}\\[\\]();=<>]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1) AS symbol_ratio0,
+               CAST(len(list_filter(string_split(text, chr(10)),
+                 l -> regexp_matches(l, '^(  |\\t)'))) AS DOUBLE)
+                 / greatest(len(string_split(text, chr(10))), 1) AS indent_ratio0,
+               CAST(len(list_filter(string_split(text, chr(10)),
+                 l -> regexp_matches(l, ';$$'))) AS DOUBLE)
+                 / greatest(len(string_split(text, chr(10))), 1) AS semi_ratio0,
+               (${TextAnalysis.CodeKeywords.map(k =>
+                  s"CAST((length(text) - length(replace(text, '$k', ''))) / ${k.length} AS BIGINT)")
+                  .mkString("\n                + ")}) AS keyword_hits
+             FROM src),
+           sc AS (
+             SELECT doc_id, symbol_ratio0, indent_ratio0, semi_ratio0, keyword_hits,
+               round(
+                 least(symbol_ratio0 * CAST(8.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+                 + least(indent_ratio0 * CAST(2.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.25 AS DOUBLE)
+                 + least(semi_ratio0 * CAST(2.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.15 AS DOUBLE)
+                 + least(CAST(keyword_hits AS DOUBLE) / CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.2 AS DOUBLE),
+                 6) AS code_score
+             FROM m)
+           SELECT doc_id, round(symbol_ratio0, 6) AS symbol_ratio,
+                  round(indent_ratio0, 6) AS indent_ratio,
+                  round(semi_ratio0, 6) AS semicolon_ratio,
+                  keyword_hits, code_score,
+                  code_score >= CAST(0.3 AS DOUBLE) AS is_code
+           FROM sc""",
+      "t_readability" ->
+        """WITH w AS (
+             SELECT doc_id,
+               CAST(greatest(len(string_split_regex(regexp_replace(text,
+                 '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'),
+                 '[ \t\n\x0B\f\r]+')), 1) AS DOUBLE) AS words,
+               CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                 AS DOUBLE) AS sentences,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                 AS DOUBLE) AS syllables
+             FROM documents)
+           SELECT doc_id,
+             CAST(words AS BIGINT) AS n_words,
+             CAST(sentences AS BIGINT) AS n_sentences,
+             CAST(syllables AS BIGINT) AS n_syllables,
+             round(CAST(0.39 AS DOUBLE) * words / sentences
+               + CAST(11.8 AS DOUBLE) * syllables / words
+               - CAST(15.59 AS DOUBLE), 4) AS fk_grade,
+             round(CAST(206.835 AS DOUBLE)
+               - CAST(1.015 AS DOUBLE) * words / sentences
+               - CAST(84.6 AS DOUBLE) * syllables / words, 4) AS flesch_ease
+           FROM w""",
       // turn serialization: '<|' role '|>' \n content '<|end|>' -> the
       // per-turn overhead is 2+3+7=12 chars, the content prefix 2+3=5
       "t_sft_render" ->

@@ -248,6 +248,70 @@ object TextAnalysis {
     round((lengthScore + punctScore + stopScore) / 3.0, 6)
   }
 
+  /** Code-vs-prose signals (the Stack/RedPajama-style source separation
+    * stage — route code to the code pipeline, prose to the text one):
+    * symbol density, indented-line ratio, semicolon-line ratio, and hits
+    * on a fixed keyword list, composed into `code_score` ∈ [0,1] and the
+    * `is_code` gate at `threshold`. Pure codegen'd string arithmetic with
+    * regex-engine-portable classes (no `\s`, no multiline flags — lines
+    * are split explicitly), identical in the DuckDB mirror. Heuristic by
+    * design: the honest scope of a scan-time router; a learned classifier
+    * is [[trainNaiveBayes]] over labeled data. */
+  val CodeKeywords: Seq[String] = Seq(
+    "def ", "return", "import ", "function", "#include", "public static",
+    "const ", "=> ", "var ", "class ")
+
+  def codeSignals(df: DataFrame, textCol: String, idCol: String,
+                  threshold: Double = 0.3): DataFrame = {
+    val t = col(textCol)
+    val lines = split(t, "\n")
+    val nLines = greatest(size(lines), lit(1)).cast("double")
+    val symbolRatio = (length(t) -
+      length(regexp_replace(t, "[{}\\[\\]();=<>]", ""))).cast("double") /
+      greatest(length(t), lit(1)).cast("double")
+    val indentRatio = size(filter(lines, l => l.rlike("^(  |\\t)")))
+      .cast("double") / nLines
+    val semiRatio = size(filter(lines, l => l.rlike(";$")))
+      .cast("double") / nLines
+    val kwHits = CodeKeywords.map(k => substringCount(t, k))
+      .reduce(_ + _)
+    val score = round(
+      least(symbolRatio * 8.0, lit(1.0)) * 0.4 +
+        least(indentRatio * 2.0, lit(1.0)) * 0.25 +
+        least(semiRatio * 2.0, lit(1.0)) * 0.15 +
+        least(kwHits.cast("double") / 5.0, lit(1.0)) * 0.2, 6)
+    df.select(col(idCol),
+      round(symbolRatio, 6).as("symbol_ratio"),
+      round(indentRatio, 6).as("indent_ratio"),
+      round(semiRatio, 6).as("semicolon_ratio"),
+      kwHits.as("keyword_hits"),
+      score.as("code_score"),
+      (score >= threshold).as("is_code"))
+  }
+
+  /** Classic readability metrics from portable counts: words (whitespace
+    * tokens), sentences (runs of `.!?`, floored at 1), syllables (vowel
+    * groups `[aeiouy]+` over the lowercased text — the standard cheap
+    * estimator). Emits the Flesch-Kincaid grade level and Flesch reading
+    * ease with their published coefficients. One codegen'd projection;
+    * the quality family's band/bucket machinery composes downstream. */
+  def readability(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val words = greatest(size(wsTokens(t)), lit(1)).cast("double")
+    val sentences = greatest(
+      size(regexp_extract_all(t, lit("[.!?]+"), lit(0))), lit(1)).cast("double")
+    val syllables = size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0)))
+      .cast("double")
+    df.select(col(idCol),
+      words.cast("long").as("n_words"),
+      sentences.cast("long").as("n_sentences"),
+      syllables.cast("long").as("n_syllables"),
+      round(lit(0.39) * words / sentences +
+        lit(11.8) * syllables / words - lit(15.59), 4).as("fk_grade"),
+      round(lit(206.835) - lit(1.015) * words / sentences -
+        lit(84.6) * syllables / words, 4).as("flesch_ease"))
+  }
+
   /** N-gram-heuristic language ID over a tiny per-language marker list —
     * the classic stopword-profile approach, argmax over marker hit counts
     * with a deterministic tie-break by language code. */

@@ -731,4 +731,42 @@ class PlanQualitySpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("not partitioned on"))
   }
+
+  test("codeSignals: code fires the gate, prose stays quiet, hand-checked counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "def f():\n    return [a];\n    x = (a == b);"),
+      (2L, "The quick brown fox jumps over the lazy dog and keeps running.")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.codeSignals(docs, "text", "doc_id")
+      .select("doc_id", "keyword_hits", "is_code")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    // 'def ' + 'return' = 2 keyword hits; symbols + indent + semicolons fire
+    assert(got(0) === ((1L, 2L, true)))
+    assert(got(1) === ((2L, 0L, false)))
+    // ratios are over lines/chars exactly
+    val r = graft.ops.TextAnalysis.codeSignals(docs, "text", "doc_id")
+      .where(col("doc_id") === 1L)
+      .select("indent_ratio", "semicolon_ratio")
+      .as[(Double, Double)].head()
+    assert(r._1 === (2.0 / 3.0 * 1e6).round / 1e6) // 2 of 3 lines indented
+    assert(r._2 === (2.0 / 3.0 * 1e6).round / 1e6) // 2 of 3 end with ;
+  }
+
+  test("readability: hand-computed Flesch-Kincaid on a known sentence pair") {
+    import spark.implicits._
+    // "the cat sat. the dog ran!" -> 6 words, 2 sentences, 6 one-vowel-group
+    // words -> fk = 0.39*3 + 11.8*1 - 15.59 = -2.62
+    val docs = Seq((1L, "the cat sat. the dog ran!")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.readability(docs, "text", "doc_id")
+      .select("n_words", "n_sentences", "n_syllables", "fk_grade")
+      .as[(Long, Long, Long, Double)].head()
+    assert(got._1 === 6L && got._2 === 2L && got._3 === 6L)
+    assert(math.abs(got._4 - (-2.62)) < 1e-9)
+    // degenerate: empty-ish text never divides by zero
+    val deg = graft.ops.TextAnalysis.readability(
+      Seq((1L, "")).toDF("doc_id", "text"), "text", "doc_id")
+      .select("n_words", "n_sentences").as[(Long, Long)].head()
+    assert(deg === ((1L, 1L)))
+  }
 }
