@@ -937,6 +937,19 @@ object SparkEntry {
     "t_code_detect" -> ((s, dir) =>
       TextAnalysis.codeSignals(codeProseDocs(s, dir), "text", "doc_id")),
 
+    // --- deterministic pseudonymization: customer AND orders tokenized
+    // under one salt, then JOINED ON THE TOKEN — referential integrity
+    // survives pseudonymization (the property redaction destroys)
+    "t_pseudonymize" -> ((s, dir) => {
+      val cust = TextAnalysis.pseudonymize(
+        rd(s, dir, "customer"), Seq("c_custkey", "c_name"), "graft-salt")
+      val ord = TextAnalysis.pseudonymize(
+        rd(s, dir, "orders"), Seq("o_custkey"), "graft-salt")
+      cust.join(ord, col("c_custkey") === col("o_custkey"))
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
     // --- Flesch-Kincaid readability from portable counts (words,
     // sentence runs, vowel-group syllables)
     "t_readability" -> ((s, dir) =>
@@ -3415,6 +3428,12 @@ object SparkEntry {
                   keyword_hits, code_score,
                   code_score >= CAST(0.3 AS DOUBLE) AS is_code
            FROM sc""",
+      "t_pseudonymize" ->
+        """SELECT sha256('graft-salt:' || CAST(c_custkey AS VARCHAR)) AS c_custkey,
+                  sha256('graft-salt:' || c_name) AS c_name,
+                  c_mktsegment, count(*) AS n_orders
+           FROM customer JOIN orders ON c_custkey = o_custkey
+           GROUP BY 1, 2, 3""",
       "t_readability" ->
         """WITH w AS (
              SELECT doc_id,

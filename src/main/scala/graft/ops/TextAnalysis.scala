@@ -248,6 +248,29 @@ object TextAnalysis {
     round((lengthScore + punctScore + stopScore) / 3.0, 6)
   }
 
+  /** Deterministic pseudonymization of identifier columns before a
+    * training export or cross-team share: each value becomes
+    * `sha256(salt || ':' || value)` hex — the same (value, salt) always
+    * maps to the same token, so JOINS AND GROUP-BYS STILL WORK across
+    * every table pseudonymized under the same salt (the property plain
+    * redaction destroys), while the salt keeps the mapping
+    * non-invertible by dictionary attack on low-entropy ids. NULLs stay
+    * NULL (null-join semantics preserved); non-string columns are cast
+    * to their canonical string form first and the output column is a
+    * 64-hex string — a schema change, pair with [[graft.io.Ops.migrateDataset]]
+    * when landing. Row-local codegen'd hashing; the salt must be managed
+    * like a key (same salt = linkable tokens, rotated salt = unlinkable). */
+  def pseudonymize(df: DataFrame, cols: Seq[String], salt: String): DataFrame = {
+    require(cols.nonEmpty, "pseudonymize requires at least one column")
+    cols.foreach(c => require(df.schema.fieldNames.contains(c),
+      s"pseudonymize column '$c' not in frame"))
+    cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c,
+        when(col(c).isNull, lit(null))
+          .otherwise(sha2(concat(lit(salt), lit(":"), col(c).cast("string")), 256)))
+    }
+  }
+
   /** Code-vs-prose signals (the Stack/RedPajama-style source separation
     * stage — route code to the code pipeline, prose to the text one):
     * symbol density, indented-line ratio, semicolon-line ratio, and hits

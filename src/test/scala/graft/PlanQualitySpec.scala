@@ -769,4 +769,24 @@ class PlanQualitySpec extends SparkSpec {
       .select("n_words", "n_sentences").as[(Long, Long)].head()
     assert(deg === ((1L, 1L)))
   }
+
+  test("pseudonymize: deterministic linkable tokens, NULLs stay NULL") {
+    import spark.implicits._
+    val a = Seq((Some(1L), "alice"), (None, "bob")).toDF("uid", "name")
+    val b = Seq((Some(1L), 10.0), (Some(2L), 20.0)).toDF("uid", "v")
+    val pa = graft.ops.TextAnalysis.pseudonymize(a, Seq("uid"), "s1")
+    val pb = graft.ops.TextAnalysis.pseudonymize(b, Seq("uid"), "s1")
+    // same salt -> same token: the join still finds uid=1
+    val joined = pa.join(pb, "uid").select("name", "v").as[(String, Double)].collect()
+    assert(joined.toSeq === Seq(("alice", 10.0)))
+    // NULL stays NULL (and never joins)
+    assert(pa.where(col("uid").isNull).count() === 1)
+    // rotated salt -> unlinkable
+    val pb2 = graft.ops.TextAnalysis.pseudonymize(b, Seq("uid"), "s2")
+    assert(pa.join(pb2, "uid").count() === 0)
+    // token is the sha256 of salt:canonical-string
+    val tok = pa.where(col("name") === "alice").select("uid").as[String].head()
+    assert(tok === java.security.MessageDigest.getInstance("SHA-256")
+      .digest("s1:1".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+  }
 }
