@@ -981,7 +981,11 @@ object SparkEntry {
       val st = ensure(s, dir, "doc_mig") { st =>
         Writer.store(s, st, "doc_mig", rd(s, dir, "documents"),
           WriteOpts(partitionOn = Seq("source"), overwrite = true))
-        Ops.migrateDataset(s, st, "doc_mig", "doc_mig_v2", Ops.SchemaMigration(
+        // the fixture store is cross-JVM persistent: a later JVM re-runs
+        // this builder against a surviving doc_mig_v2 (the overwrite=true
+        // discipline every ensure-fixture needs on every dataset it lands)
+        Ops.migrateDataset(s, st, "doc_mig", "doc_mig_v2", overwrite = true,
+          migration = Ops.SchemaMigration(
           dropColumns = Seq("n_chars"),
           renameColumns = Map("lang" -> "language"),
           castColumns = Map("doc_id" -> "string"),
