@@ -973,6 +973,23 @@ object SparkEntry {
     "t_sft_extract" -> ((s, dir) =>
       graft.ops.Sft.extractSpans(sftMessages(s, dir))),
 
+    // --- incremental small-file compaction: three append landings leave
+    // a small-file tail; compactSmallFiles merges ONLY that tail in one
+    // atomic swap (cost ~ droppings, never the dataset) — content must
+    // hash-match the raw table
+    "w_compact_small" -> ((s, dir) => {
+      val st = ensure(s, dir, "ord_cpt") { st =>
+        val o = rd(s, dir, "orders")
+        Writer.store(s, st, "ord_cpt", o.where(expr("o_orderkey % 3 = 0")),
+          WriteOpts(overwrite = true))
+        Writer.update(s, st, "ord_cpt", Some(o.where(expr("o_orderkey % 3 = 1"))))
+        Writer.update(s, st, "ord_cpt", Some(o.where(expr("o_orderkey % 3 = 2"))))
+        Ops.compactSmallFiles(s, st, "ord_cpt")
+      }
+      Reader.readTable(s, st, "ord_cpt",
+        columns = Some(Seq("o_orderkey", "o_orderstatus", "o_totalprice")))
+    }),
+
     // --- schema migration (the lifecycle answer to the reference's strict
     // schema validation): drop a column, rename one, widen a type, add a
     // computed column and a literal stamp — dataset-to-dataset, indices
@@ -3383,6 +3400,8 @@ object SparkEntry {
       "w_delete_keys" ->
         """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
            FROM orders WHERE o_orderkey % 7 <> 0""",
+      "w_compact_small" ->
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
       "w_migrate_schema" ->
         """SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
                   lang AS language,

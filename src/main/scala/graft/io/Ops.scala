@@ -508,6 +508,47 @@ object Ops {
     compactDataset(spark, store, srcUuid, tgtUuid, files.toInt, overwrite)
   }
 
+  /** IN-PLACE incremental compaction: merge only the SMALL-FILE TAIL —
+    * the maintenance op a streaming ingest needs at 100 TB, where
+    * [[compactToSize]]'s whole-dataset rewrite is not an option. Every
+    * partition file under `smallBytes` is read, merged into
+    * ~`targetBytes` files, and swapped in ONE atomic header commit
+    * (the [[upsertDataset]] `deleteLabels` machinery); files already at
+    * a healthy size are never opened. Micro-batch droppings stop
+    * accumulating at cost proportional to the droppings, not the
+    * dataset. Fewer than two small files is a no-op without header
+    * churn. Compaction preserves rows, not layout — a sorted/Z-ordered
+    * dataset that needs its clustering restored afterwards runs
+    * [[optimizeDataset]], which is precisely a whole-dataset decision. */
+  def compactSmallFiles(spark: SparkSession, store: Storage, uuid: String,
+                        targetBytes: Long = 512L << 20,
+                        smallBytes: Long = 0L): DatasetMetadata = {
+    require(targetBytes > 0, s"targetBytes must be > 0 (got $targetBytes)")
+    val small0 = if (smallBytes > 0) smallBytes else targetBytes / 2
+    val meta = DatasetMetadata.load(store, uuid)
+    val prefix = meta.tablePrefix
+    val labels = meta.partitions
+    if (labels.size < 2) return meta
+    val sized = spark.sparkContext
+      .parallelize(labels, math.max(1, math.min(32, labels.size)))
+      .map(l => (l, store.fileSize(s"$prefix/$l")))
+      .collect() // one (label, bytes) pair per partition — metadata-sized
+    val small = sized.filter(_._2 < small0)
+    if (small.length < 2) return meta
+    val files = math.max(1L, math.ceil(small.map(_._2).sum.toDouble / targetBytes).toLong)
+    require(files <= Int.MaxValue, s"derived file count $files overflows")
+    val schema = DatasetMetadata.loadSchema(store, uuid, meta.tableName)
+    val merged = Writer.labeledData(spark, store, uuid, schema,
+        small.map(_._1).toSeq, meta.tableName)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+    val newLabels = Writer.writeSinglePartition(spark, store, uuid, merged,
+      Writer.WriteOpts(partitionOn = meta.partitionKeys, format = meta.format,
+        writeWidth = files.toInt))
+    Writer.commitDataset(spark, store, uuid, newLabels, Nil, Map.empty,
+      meta.partitionKeys, Nil, preloadedMeta = Some(meta),
+      deleteLabels = small.map(_._1).toSet)
+  }
+
   /** Copy a dataset between stores (reference `copy_keys`,
     * `utils/store.py:176-201`, lifted to whole-dataset granularity): data
     * files, index files, and schema copy first — distributed over executors

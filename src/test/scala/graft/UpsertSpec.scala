@@ -219,4 +219,52 @@ class UpsertSpec extends SparkSpec {
       .select("id", "v").as[(Long, String)].collect().sortBy(_._1).toSeq
     assert(got === Seq((2L, "b2")))
   }
+
+  test("compactSmallFiles merges only the small tail; healthy files survive verbatim") {
+    val st = Storage(spark, tmpDir("cpt"))
+    // one big landing (500 rows) + three tiny ones
+    val big = spark.range(0, 500).selectExpr("id", "cast(id as string) as v")
+    Writer.store(spark, st, "cpt1", big, WriteOpts(writeWidth = 1))
+    for (i <- 0 until 3)
+      Writer.update(spark, st, "cpt1",
+        Some(spark.range(1000 + i, 1001 + i).selectExpr("id", "cast(id as string) as v")),
+        opts = WriteOpts(writeWidth = 1))
+    val before = DatasetMetadata.load(st, "cpt1").partitions
+    assert(before.size === 4)
+    val prefix = DatasetMetadata.load(st, "cpt1").tablePrefix
+    val bigLabel = before.maxBy(l => st.fileSize(s"$prefix/$l"))
+    val bigSize = st.fileSize(s"$prefix/$bigLabel")
+    // threshold strictly below the big file: only the three tiny files merge
+    Ops.compactSmallFiles(spark, st, "cpt1", targetBytes = 1L << 30,
+      smallBytes = bigSize)
+    val after = DatasetMetadata.load(st, "cpt1").partitions
+    assert(after.contains(bigLabel), "the healthy file must not be rewritten")
+    assert(after.size === 2, s"3 tiny files must merge into 1: $after")
+    assert(Reader.readTable(spark, st, "cpt1").count() === 503)
+  }
+
+  test("compactSmallFiles is a no-op below two small files") {
+    val st = Storage(spark, tmpDir("cpt"))
+    Writer.store(spark, st, "cpt2",
+      spark.range(0, 10).selectExpr("id", "cast(id as string) as v"),
+      WriteOpts(writeWidth = 1))
+    val before = DatasetMetadata.load(st, "cpt2").partitions
+    Ops.compactSmallFiles(spark, st, "cpt2")
+    assert(DatasetMetadata.load(st, "cpt2").partitions === before)
+  }
+
+  test("compactSmallFiles respects hive partitioning") {
+    val st = Storage(spark, tmpDir("cpt"))
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi)
+      .selectExpr("id", "cast(id % 2 as string) as p")
+    Writer.store(spark, st, "cpt3", mk(0, 10), WriteOpts(partitionOn = Seq("p")))
+    Writer.update(spark, st, "cpt3", Some(mk(10, 20)))
+    Writer.update(spark, st, "cpt3", Some(mk(20, 30)))
+    Ops.compactSmallFiles(spark, st, "cpt3")
+    val got = Reader.readTable(spark, st, "cpt3")
+      .groupBy("p").count().as[(String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(("0", 15L), ("1", 15L)))
+    // merged labels still live under their hive dirs
+    assert(DatasetMetadata.load(st, "cpt3").partitions.forall(_.startsWith("p=")))
+  }
 }
