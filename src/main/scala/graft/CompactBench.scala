@@ -1,0 +1,34 @@
+package graft
+
+/** Time `Ops.compactSmallFiles` against dataset size: land a base dataset
+  * at `writeWidth` files plus three one-row appends, then time the
+  * compaction of the tail. The claim under test is that cost tracks the
+  * DROPPINGS, not the dataset — run at two tiers and compare.
+  * `runMain graft.CompactBench [sfDir] [reps]`. A dev measurement tool.
+  */
+object CompactBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 1) args(1).toInt else 2
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+      "plateauspark-compactbench")
+    spark.sparkContext.setLogLevel("ERROR")
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("cptbench").toString
+    val st = graft.store.Storage(spark, tmp)
+    for (r <- 0 until reps) {
+      val uuid = s"cb_$r"
+      graft.io.Writer.store(spark, st, uuid, o,
+        graft.io.Writer.WriteOpts(writeWidth = 8, overwrite = true))
+      for (i <- 0 until 3)
+        graft.io.Writer.update(spark, st, uuid,
+          Some(o.limit(1)), opts = graft.io.Writer.WriteOpts(writeWidth = 1))
+      val t0 = System.nanoTime()
+      val meta = graft.io.Ops.compactSmallFiles(spark, st, uuid,
+        targetBytes = 1L << 30, smallBytes = 1L << 20)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"COMPACTBENCH run$r $sec%.2f s files=${meta.partitions.size} ($sfDir)")
+    }
+    spark.stop()
+  }
+}

@@ -1062,6 +1062,43 @@ object SparkEntry {
         columns = Some(Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")))
     }),
 
+    // --- stream-stream interval join: purchases enriched with the views
+    // of the preceding hour, both sides STREAMS (the state-evicting
+    // time-bound join) — must hash-match the batch range join's SQL, in
+    // the MICROS domain both sides truncate to
+    "st_stream_join" -> ((s, dir) => {
+      val st = ensure(s, dir, "ssj_stream") { st =>
+        Ops.deleteDataset(st, "ssj_out")
+        val ev0 = rd(s, dir, "events")
+        val ev = ev0.withColumn("ets",
+          timestamp_micros((tsNanos(ev0, "ts") / 1000).cast("long")))
+        val base = tmpBase(dir)
+        ev.where(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"),
+            col("ets").as("v_ts"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/ssj_v")
+        ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ets").as("p_ts"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/ssj_p")
+        val p = s.readStream
+          .schema("user_id bigint, purchase_id bigint, p_ts timestamp")
+          .parquet(s"$base/ssj_p")
+        val v = s.readStream
+          .schema("user_id bigint, view_id bigint, v_ts timestamp")
+          .parquet(s"$base/ssj_v")
+        val joined = graft.streaming.Streaming.streamStreamJoin(
+            p, v, Seq("user_id"), "p_ts", "v_ts", "-1 HOUR", "0 SECONDS")
+          .select("purchase_id", "view_id", "user_id")
+        val q = graft.streaming.Streaming.writeStreamAppend(
+          joined, st, "ssj_out", WriteOpts())
+        if (!q.awaitTermination(300000)) {
+          q.stop(); sys.error("st_stream_join did not finish within 300s")
+        }
+      }
+      Reader.readTable(s, st, "ssj_out")
+    }),
+
     // --- entity resolution: blocked fuzzy record matching. The oracle is
     // the TRUE all-pairs levenshtein pair set — no blocking — which the
     // blocked plan must reproduce exactly: at maxDist=1 a single edit
@@ -3402,6 +3439,16 @@ object SparkEntry {
            FROM orders WHERE o_orderkey % 7 <> 0""",
       "w_compact_small" ->
         "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+      "st_stream_join" ->
+        """WITH v AS (SELECT user_id, event_id AS view_id,
+             epoch_ns(ts) // 1000 AS t
+             FROM events WHERE event_type = 'view'),
+           p AS (SELECT user_id, event_id AS purchase_id,
+             epoch_ns(ts) // 1000 AS t
+             FROM events WHERE event_type = 'purchase')
+           SELECT p.purchase_id, v.view_id, p.user_id AS user_id
+           FROM p JOIN v ON p.user_id = v.user_id
+             AND v.t BETWEEN p.t - 3600000000 AND p.t""",
       "w_migrate_schema" ->
         """SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
                   lang AS language,

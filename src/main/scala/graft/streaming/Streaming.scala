@@ -279,6 +279,41 @@ object Streaming {
     else stream.dropDuplicates(keyCols)
   }
 
+  /** Watermarked stream-stream INNER join within an event-time bound —
+    * the enrichment shape (each left event joined to the right events
+    * that fall in `[leftTs + lowerBound, leftTs + upperBound]` with the
+    * same keys). The time-range condition is what lets Structured
+    * Streaming EVICT buffered state: each side holds only rows younger
+    * than watermark + bound, so state is O(traffic per window), not
+    * O(stream lifetime) — without it a stream-stream join buffers
+    * forever. Bounds are interval strings (`"-1 hour"`, `"0 seconds"`).
+    * Non-key column names must be disjoint across the sides (the output
+    * carries both sides' payloads; the join keys appear once). Works on
+    * batch frames too, where it degrades to a plain range join — the
+    * [[dedupExact]] dual-mode discipline. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       leftTs: String, rightTs: String,
+                       lowerBound: String, upperBound: String,
+                       watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    require(keys.nonEmpty, "streamStreamJoin requires at least one key column")
+    val dup = left.columns.toSet.intersect(right.columns.toSet) -- keys -- Set(leftTs, rightTs)
+    require(dup.isEmpty,
+      s"non-key columns must be disjoint across sides: ${dup.toSeq.sorted.mkString(", ")}")
+    val l = (if (left.isStreaming) left.withWatermark(leftTs, watermark) else left)
+      .alias("l")
+    val r = (if (right.isStreaming) right.withWatermark(rightTs, watermark) else right)
+      .alias("r")
+    val cond = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _) &&
+      col(s"r.$rightTs") >= col(s"l.$leftTs") + expr(s"INTERVAL $lowerBound") &&
+      col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $upperBound")
+    val rPayload = right.columns.filterNot(keys.contains).toSeq
+    l.join(r, cond, "inner")
+      .select(keys.map(k => col(s"l.$k")) ++
+        left.columns.filterNot(keys.contains).toSeq.map(c => col(s"l.$c")) ++
+        rPayload.map(c => col(s"r.$c")): _*)
+  }
+
   /** Stream into a dataset: one atomic commit per micro-batch (replays
     * skipped via the batchId stamp, see [[ingestBatch]]). Returns the
     * started query; callers own trigger configuration via `configure`

@@ -180,6 +180,54 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+
+  test("streamStreamJoin: cross-batch buffering joins late arrivals within the bound") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val lin = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val rin = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val joined = graft.streaming.Streaming.streamStreamJoin(
+      lin.toDF().toDF("k", "p_id", "p_ts"),
+      rin.toDF().toDF("k", "v_id", "v_ts"),
+      Seq("k"), "p_ts", "v_ts", "-1 HOUR", "0 SECONDS", watermark = "2 hours")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssj_out").start()
+    try {
+      // batch 0: a purchase arrives before its matching view
+      lin.addData((1L, 100L, ts(30)))
+      rin.addData((2L, 900L, ts(25))) // different key, never joins
+      q.processAllAvailable()
+      assert(spark.table("ssj_out").count() === 0)
+      // batch 1: the view lands INSIDE [p_ts - 1h, p_ts] -> buffered purchase joins
+      rin.addData((1L, 200L, ts(5)))
+      // and one outside the bound (after the purchase) -> never joins
+      rin.addData((1L, 201L, ts(31)))
+      q.processAllAvailable()
+      val got = spark.table("ssj_out").select("p_id", "v_id")
+        .as[(Long, Long)].collect().sortBy(identity).toSeq
+      assert(got === Seq((100L, 200L)))
+    } finally q.stop()
+  }
+
+  test("streamStreamJoin degrades to a plain range join on batch frames") {
+    import spark.implicits._
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val p = Seq((1L, 100L, ts(30))).toDF("k", "p_id", "p_ts")
+    val v = Seq((1L, 200L, ts(5)), (1L, 201L, ts(31))).toDF("k", "v_id", "v_ts")
+    val got = graft.streaming.Streaming.streamStreamJoin(
+      p, v, Seq("k"), "p_ts", "v_ts", "-1 HOUR", "0 SECONDS")
+      .select("p_id", "v_id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((100L, 200L)))
+    // overlapping non-key payload names are refused up front
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.Streaming.streamStreamJoin(
+        p, p, Seq("k"), "p_ts", "p_ts", "-1 HOUR", "0 SECONDS")
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
+
   test("armed idle timeout flushes the open tail session and frees state") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
