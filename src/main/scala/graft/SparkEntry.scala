@@ -115,6 +115,21 @@ object SparkEntry {
     }
 
   /** Build a shared temp dataset once per JVM per scale-factor dir. */
+  /** The snapshot/rollback fixture: evens → snapshot v1 → CDC merge →
+    * snapshot v2 → rollback to v1. Lives its whole life in the builder so
+    * both contract queries read settled state. */
+  private def snapDs(s: SparkSession, dir: String): Storage =
+    ensure(s, dir, "ord_snap") { st =>
+      val o = rd(s, dir, "orders")
+      Writer.store(s, st, "ord_snap", o.where(expr("o_orderkey % 2 = 0")),
+        WriteOpts(partitionOn = Seq("o_orderstatus"), overwrite = true))
+      Ops.snapshotDataset(st, "ord_snap", "v1", overwrite = true)
+      Ops.upsertDataset(s, st, "ord_snap", upsertDelta(o), Seq("o_orderkey"))
+      Ops.snapshotDataset(st, "ord_snap", "v2", overwrite = true)
+      Ops.rollbackDataset(s, st, "ord_snap", "v1")
+      ()
+    }
+
   /** MERGE semantics replayed relationally: result = delta rows (replacing
     * every landed row whose key the delta carries) ∪ landed rows with
     * unmatched keys. Shared by the scan-touch and index-touch faces — the
@@ -972,6 +987,22 @@ object SparkEntry {
     // arithmetic on either face turns this row red
     "t_sft_extract" -> ((s, dir) =>
       graft.ops.Sft.extractSpans(sftMessages(s, dir))),
+
+    // --- snapshots: the fixture stores the evens, tags v1, MERGES the
+    // delta, tags v2, then ROLLS BACK to v1. Reading snapshot v2 must
+    // return the merged state (the same MERGE-replay oracle as w_upsert)
+    // even though the live header was rolled past it...
+    "w_snapshot_read" -> ((s, dir) =>
+      Ops.readSnapshot(s, snapDs(s, dir), "ord_snap", "v2",
+        columns = Some(Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")))),
+
+    // --- ...and the live table must be the pre-merge evens again: one
+    // atomic header swap undid the landing, no data moved
+    "w_rollback" -> ((s, dir) => {
+      val st = snapDs(s, dir)
+      Reader.readTable(s, st, "ord_snap",
+        columns = Some(Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")))
+    }),
 
     // --- incremental small-file compaction: three append landings leave
     // a small-file tail; compactSmallFiles merges ONLY that tail in one
@@ -3434,6 +3465,10 @@ object SparkEntry {
       "w_upsert" -> upsertOracleSql,
       "w_upsert_indexed" -> upsertOracleSql,
       "st_stream_upsert" -> upsertOracleSql,
+      "w_snapshot_read" -> upsertOracleSql,
+      "w_rollback" ->
+        """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+           FROM orders WHERE o_orderkey % 2 = 0""",
       "w_delete_keys" ->
         """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
            FROM orders WHERE o_orderkey % 7 <> 0""",

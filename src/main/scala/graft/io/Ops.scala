@@ -33,6 +33,108 @@ object Ops {
     } finally graft.meta.DatasetFactory.bump(storage, uuid)
   }
 
+  // ------------------------------------------------------------ snapshots
+
+  /** Snapshot header location: `<uuid>/.snapshots/<tag>.by-dataset-metadata
+    * .json`. Living under the uuid prefix means [[deleteDataset]] removes
+    * snapshots with their dataset, and [[garbageCollect]] sees them in its
+    * listing (it keeps both the snapshot keys and every file they
+    * reference — see below). */
+  private[graft] def snapshotKey(uuid: String, tag: String): String =
+    s"$uuid/.snapshots/$tag.by-dataset-metadata.json"
+
+  private def requireTag(tag: String): Unit =
+    require(tag.nonEmpty && tag.forall(c =>
+      c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"snapshot tag must match [A-Za-z0-9._-]+, got '$tag'")
+
+  /** Tag the dataset's CURRENT content as an immutable snapshot (the
+    * lakehouse time-travel/rollback primitive the reference lacks — its
+    * headers are single-generation). Data files are IMMUTABLE in this
+    * store (every mutation lands new labels and swaps the header), so a
+    * snapshot is just a header copy: O(metadata), no data movement, and
+    * later upserts/deletes/compactions never disturb it —
+    * [[garbageCollect]] retains every file any snapshot references. A
+    * DYNAMIC dataset's listing is materialized into explicit partitions
+    * first (a live-listing snapshot would not pin content). */
+  def snapshotDataset(storage: Storage, uuid: String, tag: String,
+                      overwrite: Boolean = false): Unit = {
+    requireTag(tag)
+    val key = snapshotKey(uuid, tag)
+    require(overwrite || !storage.exists(key),
+      s"snapshot '$tag' already exists on '$uuid' and overwrite is not permitted")
+    val m = DatasetMetadata.load(storage, uuid)
+    val pinned = DatasetMetadata(uuid, m.partitions, m.partitionKeys,
+      m.indices, m.metadata, format = m.format, tableName = m.tableName)
+    storage.writeString(key, pinned.toJson)
+  }
+
+  /** Tags of the dataset's snapshots, sorted. */
+  def listSnapshots(storage: Storage, uuid: String): Seq[String] = {
+    val prefix = s"$uuid/.snapshots/"
+    storage.listKeys(prefix)
+      .filter(_.endsWith(DatasetMetadata.HeaderSuffix))
+      .map(k => k.stripPrefix(prefix).stripSuffix(DatasetMetadata.HeaderSuffix))
+      .sorted
+  }
+
+  private def loadSnapshot(storage: Storage, uuid: String,
+                           tag: String): DatasetMetadata = {
+    requireTag(tag)
+    val key = snapshotKey(uuid, tag)
+    require(storage.exists(key), s"no snapshot '$tag' on dataset '$uuid'")
+    DatasetMetadata.fromJson(storage.readString(key))
+  }
+
+  /** Read the dataset AS OF a snapshot — the same pruned/projected read
+    * path as a live [[Reader.readTable]], against the pinned header. */
+  def readSnapshot(spark: SparkSession, storage: Storage, uuid: String,
+                   tag: String,
+                   columns: Option[Seq[String]] = None,
+                   predicates: Option[graft.dnf.Predicates.Predicates] = None): DataFrame = {
+    val meta = loadSnapshot(storage, uuid, tag)
+    Reader.readTableWith(spark, storage, uuid, meta,
+      DatasetMetadata.loadSchema(storage, uuid, meta.tableName),
+      columns, predicates, None, None)
+  }
+
+  /** Restore the dataset's LIVE header to a snapshot — the rollback after
+    * a bad landing (a wrong CDC batch, a corrupting migration landed via
+    * update): one atomic header swap, no data movement. Every file the
+    * snapshot references is first verified present (distributed for
+    * large sets) so a rollback can never install a header that points at
+    * nothing — the only way those files vanish is [[deleteDataset]], as
+    * GC is snapshot-aware. The rolled-back-over state remains reachable
+    * through any OTHER snapshot that pinned it, else its files become
+    * orphans for GC. */
+  def rollbackDataset(spark: SparkSession, storage: Storage, uuid: String,
+                      tag: String): DatasetMetadata = {
+    val meta = loadSnapshot(storage, uuid, tag)
+    val files = meta.partitions.map(meta.fileKey)
+    val missing =
+      if (files.size > 64)
+        spark.sparkContext.parallelize(files, math.min(32, files.size))
+          .filter(k => !storage.exists(k)).collect().toSeq
+      else files.filterNot(storage.exists)
+    require(missing.isEmpty,
+      s"snapshot '$tag' references ${missing.size} missing file(s), e.g. " +
+        s"${missing.take(3).mkString(", ")} — cannot roll back")
+    // msgpack first, JSON last: the same crash-ordering discipline as
+    // commitDataset (the JSON write is the atomic visibility point)
+    if (storage.exists(DatasetMetadata.msgpackHeaderKey(uuid)))
+      storage.writeBytes(DatasetMetadata.msgpackHeaderKey(uuid), meta.toMsgpackZstd)
+    storage.writeString(meta.headerKey, meta.toJson)
+    graft.meta.DatasetFactory.bump(storage, uuid)
+    meta
+  }
+
+  /** Drop a snapshot tag; its exclusively-referenced files become GC
+    * orphans on the next [[garbageCollect]]. */
+  def deleteSnapshot(storage: Storage, uuid: String, tag: String): Unit = {
+    requireTag(tag)
+    storage.delete(snapshotKey(uuid, tag))
+  }
+
   /** Reference `garbage_collect_dataset` (`io/eager.py:744-769`,
     * `io_components/gc.py:8-52`): delete keys under the dataset prefix that
     * the header no longer references (stale index generations, orphaned
@@ -55,9 +157,18 @@ object Ops {
   def garbageCollect(spark: SparkSession, storage: Storage, uuid: String,
                      stagingTtlMs: Long = 24L * 3600 * 1000): Seq[String] = {
     val meta = DatasetMetadata.load(storage, uuid)
+    // SNAPSHOT-AWARE: a snapshot pins its header's files against GC — the
+    // whole point of [[snapshotDataset]]'s O(metadata) claim. Both the
+    // snapshot keys themselves and everything they reference are live.
+    val snapKeys = storage.listKeys(s"$uuid/.snapshots/")
+      .filter(_.endsWith(DatasetMetadata.HeaderSuffix))
+    val snapMetas = snapKeys.map(k => DatasetMetadata.fromJson(storage.readString(k)))
     val referenced: Set[String] =
       meta.partitions.map(meta.fileKey).toSet ++
-      meta.indices.values.flatMap(k => storage.listKeys(k) :+ k).toSet +
+      meta.indices.values.flatMap(k => storage.listKeys(k) :+ k).toSet ++
+      snapKeys ++
+      snapMetas.flatMap(m => m.partitions.map(m.fileKey)) ++
+      snapMetas.flatMap(_.indices.values.flatMap(k => storage.listKeys(k) :+ k)) +
       meta.schemaKey +
       s"${meta.tablePrefix}/${DatasetMetadata.CommonMetadataFile}"
     val all = storage.listKeys(uuid)
@@ -88,7 +199,8 @@ object Ops {
     // only directory-valued referenced keys can have children (legacy index
     // dirs); scanning every referenced key per orphan was O(files^2) driver
     // work at the 100k-partition target
-    val refDirs = meta.indices.values.toSet
+    val refDirs = meta.indices.values.toSet ++
+      snapMetas.flatMap(_.indices.values)
     val orphans = all.filterNot { k =>
       referenced(k) ||
         (if (k.startsWith(stagingPrefix)) inFlightWrites(writeIdOf(k))

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.{Ops, Reader, Writer}
+import graft.io.Writer.WriteOpts
+import graft.meta.DatasetMetadata
+import graft.store.Storage
+
+/** Snapshots + rollback (`Ops.snapshotDataset` family). The contract
+  * queries hash-check the as-of read and the rolled-back live read; this
+  * spec pins the lifecycle interplay the oracle cannot see — GC retention,
+  * snapshot-exclusive file collection after tag deletion, the
+  * missing-file rollback refusal, and mutation independence.
+  */
+class SnapshotSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mk(uuid: String): Storage = {
+    val st = Storage(spark, tmpDir("snap"))
+    Writer.store(spark, st, uuid,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), WriteOpts())
+    st
+  }
+
+  test("a snapshot pins content across upsert, delete, and compaction") {
+    val st = mk("s1")
+    Ops.snapshotDataset(st, "s1", "t0")
+    Ops.upsertDataset(spark, st, "s1", Seq((2L, "B")).toDF("id", "v"), Seq("id"))
+    Ops.deleteByKeys(spark, st, "s1", Seq(Tuple1(3L)).toDF("id"), Seq("id"))
+    Ops.compactSmallFiles(spark, st, "s1", targetBytes = 1L << 30)
+    // live: (1,a),(2,B)
+    val live = Reader.readTable(spark, st, "s1")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(live.toSeq === Seq((1L, "a"), (2L, "B")))
+    // snapshot: the original three rows, untouched by all of it
+    val snap = Ops.readSnapshot(spark, st, "s1", "t0")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(snap.toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("GC keeps snapshot-referenced files; dropping the tag releases them") {
+    val st = mk("s2")
+    Ops.snapshotDataset(st, "s2", "keep")
+    // replace everything: the original partition files leave the live header
+    Ops.upsertDataset(spark, st, "s2",
+      Seq((1L, "A"), (2L, "B"), (3L, "C")).toDF("id", "v"), Seq("id"))
+    val collected1 = Ops.garbageCollect(spark, st, "s2", stagingTtlMs = 0)
+    assert(collected1.isEmpty, s"snapshot files must survive GC: $collected1")
+    assert(Ops.readSnapshot(spark, st, "s2", "keep").count() === 3)
+    // drop the tag: its exclusive files become orphans
+    Ops.deleteSnapshot(st, "s2", "keep")
+    val collected2 = Ops.garbageCollect(spark, st, "s2", stagingTtlMs = 0)
+    assert(collected2.nonEmpty, "snapshot-exclusive files must now collect")
+    assert(Reader.readTable(spark, st, "s2").count() === 3) // live unharmed
+  }
+
+  test("rollback restores the exact header; the overwritten state stays reachable via its own tag") {
+    val st = mk("s3")
+    Ops.snapshotDataset(st, "s3", "v1")
+    Ops.upsertDataset(spark, st, "s3", Seq((9L, "z")).toDF("id", "v"), Seq("id"))
+    Ops.snapshotDataset(st, "s3", "v2")
+    Ops.rollbackDataset(spark, st, "s3", "v1")
+    assert(Reader.readTable(spark, st, "s3").count() === 3)
+    assert(Ops.readSnapshot(spark, st, "s3", "v2").count() === 4)
+    // and forward again
+    Ops.rollbackDataset(spark, st, "s3", "v2")
+    assert(Reader.readTable(spark, st, "s3").count() === 4)
+  }
+
+  test("rollback to a snapshot with missing files is refused loudly") {
+    val st = mk("s4")
+    Ops.snapshotDataset(st, "s4", "v1")
+    val meta = DatasetMetadata.load(st, "s4")
+    // simulate an out-of-band deletion (NOT GC — GC would have kept it)
+    st.delete(meta.fileKey(meta.partitions.head))
+    val e = intercept[IllegalArgumentException] {
+      Ops.rollbackDataset(spark, st, "s4", "v1")
+    }
+    assert(e.getMessage.contains("missing"))
+  }
+
+  test("snapshot tags are validated; duplicates need overwrite") {
+    val st = mk("s5")
+    intercept[IllegalArgumentException] {
+      Ops.snapshotDataset(st, "s5", "bad/tag")
+    }
+    Ops.snapshotDataset(st, "s5", "t")
+    intercept[IllegalArgumentException] { Ops.snapshotDataset(st, "s5", "t") }
+    Ops.snapshotDataset(st, "s5", "t", overwrite = true)
+    assert(Ops.listSnapshots(st, "s5") === Seq("t"))
+  }
+}
