@@ -1130,6 +1130,38 @@ object SparkEntry {
       Reader.readTable(s, st, "ssj_out")
     }),
 
+    // --- streaming CDC WITH DELETE EVENTS: drop 2 mixes op='u' upserts
+    // (the stamped multiples of 3) with op='d' deletes (keys ending in 0
+    // that the upserts don't claim) — one atomic swap per batch, the
+    // protocol column never lands
+    "st_stream_cdc" -> ((s, dir) => {
+      val st = ensure(s, dir, "cdc_stream") { st =>
+        Ops.deleteDataset(st, "ord_cdc")
+        val o = rd(s, dir, "orders")
+        val base = tmpBase(dir)
+        o.where(expr("o_orderkey % 2 = 0")).withColumn("op", lit("i"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/cdc_in1")
+        upsertDelta(o).withColumn("op", lit("u"))
+          .unionByName(o.where(expr("o_orderkey % 10 = 0 AND o_orderkey % 3 != 0"))
+            .withColumn("op", lit("d")))
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/cdc_in2")
+        val schemaDdl = "o_orderkey bigint, o_custkey bigint, " +
+          "o_orderstatus string, o_totalprice double, " +
+          "o_orderdate timestamp_ntz, o_orderpriority string, op string"
+        Seq("cdc_in1", "cdc_in2").foreach { in =>
+          val q = graft.streaming.Streaming.writeStreamUpsert(
+            s.readStream.schema(schemaDdl).parquet(s"$base/$in"),
+            st, "ord_cdc", Seq("o_orderkey"), opCol = Some("op"),
+            opts = WriteOpts(partitionOn = Seq("o_orderstatus")))
+          if (!q.awaitTermination(300000)) {
+            q.stop(); sys.error(s"st_stream_cdc $in did not finish within 300s")
+          }
+        }
+      }
+      Reader.readTable(s, st, "ord_cdc",
+        columns = Some(Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")))
+    }),
+
     // --- entity resolution: blocked fuzzy record matching. The oracle is
     // the TRUE all-pairs levenshtein pair set — no blocking — which the
     // blocked plan must reproduce exactly: at maxDist=1 a single edit
@@ -3466,6 +3498,10 @@ object SparkEntry {
       "w_upsert_indexed" -> upsertOracleSql,
       "st_stream_upsert" -> upsertOracleSql,
       "w_snapshot_read" -> upsertOracleSql,
+      "st_stream_cdc" ->
+        s"""WITH merged AS ($upsertOracleSql)
+           SELECT * FROM merged
+           WHERE NOT (o_orderkey % 10 = 0 AND o_orderkey % 3 <> 0)""",
       "w_rollback" ->
         """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
            FROM orders WHERE o_orderkey % 2 = 0""",

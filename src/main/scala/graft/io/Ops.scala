@@ -56,7 +56,14 @@ object Ops {
     * later upserts/deletes/compactions never disturb it —
     * [[garbageCollect]] retains every file any snapshot references. A
     * DYNAMIC dataset's listing is materialized into explicit partitions
-    * first (a live-listing snapshot would not pin content). */
+    * first (a live-listing snapshot would not pin content).
+    *
+    * INTEROP HAZARD: snapshots are a graft extension. The REFERENCE
+    * library's `garbage_collect_dataset` knows nothing of them — it
+    * deletes any table file its live header doesn't track, which is
+    * exactly a snapshot-pinned file after a later mutation. Do not run
+    * reference GC on a store that uses snapshots; graft's own
+    * [[garbageCollect]] is snapshot-aware. */
   def snapshotDataset(storage: Storage, uuid: String, tag: String,
                       overwrite: Boolean = false): Unit = {
     requireTag(tag)

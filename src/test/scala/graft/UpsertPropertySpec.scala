@@ -1,0 +1,55 @@
+package graft
+
+import graft.io.{Ops, Reader, Writer}
+import graft.io.Writer.WriteOpts
+import graft.store.Storage
+
+/** Randomized model check for the CDC core: for ANY base table, delta, and
+  * delete-key set, the landed state after `mergeCdcBatch` must equal the
+  * in-memory model `delta ∪ (base \ keys(delta) \ deleteKeys)` — per key,
+  * with base-side duplicates collapsed by the merge. Partitioned and
+  * unpartitioned layouts both hold the property (touch discovery and the
+  * survivor rewrite take different paths). Seeded like
+  * [[PredicatesPropertySpec]], so a failure reproduces.
+  */
+class UpsertPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(20260816)
+  private val groups = Seq("g1", "g2", "g3")
+
+  private def randCase(): (Seq[(Long, String, String)], Seq[(Long, String, String)], Seq[Long]) = {
+    val base = Seq.fill(2 + rng.nextInt(12))(
+      (rng.nextInt(20).toLong, groups(rng.nextInt(3)), s"b${rng.nextInt(1000)}"))
+    val deltaKeys = Seq.fill(rng.nextInt(7))(rng.nextInt(26).toLong).distinct
+    val delta = deltaKeys.map(k =>
+      (k, groups(rng.nextInt(3)), s"D${rng.nextInt(1000)}"))
+    val deletes = Seq.fill(rng.nextInt(5))(rng.nextInt(26).toLong)
+      .distinct.filterNot(deltaKeys.contains)
+    (base, delta, deletes)
+  }
+
+  for (partitioned <- Seq(false, true))
+    test(s"mergeCdcBatch equals the set model over 12 random cases (partitioned=$partitioned)") {
+      val st = Storage(spark, tmpDir("upsprop"))
+      for (i <- 0 until 12) {
+        val (base, delta, deletes) = randCase()
+        val uuid = s"m${if (partitioned) "p" else "f"}$i"
+        val opts = if (partitioned) WriteOpts(partitionOn = Seq("g"))
+                   else WriteOpts()
+        Writer.store(spark, st, uuid, base.toDF("k", "g", "v"), opts)
+        Ops.mergeCdcBatch(spark, st, uuid,
+          delta.toDF("k", "g", "v"),
+          deletes.toDF("k"), Seq("k"))
+        val got = Reader.readTable(spark, st, uuid)
+          .select("k", "v").as[(Long, String)].collect()
+          .sortBy(r => (r._1, r._2)).toSeq
+        val dk = delta.map(_._1).toSet
+        val model = (delta.map(t => (t._1, t._3)) ++
+          base.collect { case (k, _, v)
+            if !dk.contains(k) && !deletes.contains(k) => (k, v) })
+          .sortBy(r => (r._1, r._2))
+        assert(got === model, s"case $i: base=$base delta=$delta deletes=$deletes")
+      }
+    }
+}
