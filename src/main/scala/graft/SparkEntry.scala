@@ -225,7 +225,7 @@ object SparkEntry {
     ensure(s, dir, "ent_reg") { st =>
       graft.ops.EntityResolution.entityRegistry(s, st, "ent_reg",
         entityRecords(s, dir).where(expr("rec_id % 10 = 0")),
-        "rec_id", "name", numBuckets = 16, overwrite = true)
+        "rec_id", "name", numBuckets = 16, maxDist = 1, overwrite = true)
     }
 
   /** The shared DuckDB spelling of [[entityRecords]] + normalization. */
@@ -245,6 +245,33 @@ object SparkEntry {
        norm AS (
          SELECT rec_id, lower(trim(regexp_replace(name, '\s+', ' ', 'g'))) AS t
          FROM recs)"""
+
+  /** The registry side with its ENTITY IDS, replayed exactly: the build
+    * clusters the founding originals at the pinned maxDist=1 (closure via
+    * recursive CTE — blocked == all-pairs at one edit, the e_fuzzy_pairs
+    * proof), so a mirror of any registry probe must map matched records
+    * through this table, not assume entity_id == rec_id. */
+  private val entityRegEntSql: String =
+    s"""$entityRecsSql,
+       c0 AS (SELECT rec_id, t FROM norm WHERE rec_id % 10 = 0),
+       bp0 AS (SELECT a.rec_id AS ia, b.rec_id AS ib
+               FROM c0 a JOIN c0 b ON a.rec_id < b.rec_id
+                 AND abs(length(a.t) - length(b.t)) <= 1
+               WHERE levenshtein(a.t, b.t) <= 1),
+       e0 AS (SELECT ia AS s, ib AS d FROM bp0 UNION SELECT ib, ia FROM bp0),
+       r0 AS (
+         WITH RECURSIVE r(id, rid) AS (
+           SELECT s, d FROM e0
+           UNION
+           SELECT r.id, e.d FROM r JOIN e0 e ON r.rid = e.s)
+         SELECT * FROM r),
+       ent AS (
+         SELECT c0.rec_id, c0.t,
+                coalesce(least(c0.rec_id, m.mn), c0.rec_id) AS entity_id
+         FROM c0 LEFT JOIN
+           (SELECT id, min(rid) AS mn FROM r0 GROUP BY id) m
+           ON m.id = c0.rec_id),
+       q AS (SELECT rec_id, t FROM norm WHERE rec_id % 10 <> 0)"""
 
   /** TRUE all-pairs levenshtein at maxDist=1 — what the blocked plan must
     * equal (see e_fuzzy_pairs). */
@@ -1199,6 +1226,33 @@ object SparkEntry {
       graft.ops.EntityResolution.assignFromRegistry(batch, "rec_id",
         graft.ops.EntityResolution.matchAgainstRegistry(s,
           entRegDs(s, dir), "ent_reg", batch, "rec_id", "name", maxDist = 1))
+    }),
+
+    // --- streaming incremental ER: the twins stream through
+    // writeStreamEntities against the originals' registry — each lands in
+    // the corpus WITH its resolved entity id; the mirror replays the
+    // sink's algorithm exactly (per-record min matched entity, then
+    // within-batch closure propagates the cluster minimum)
+    "st_stream_entities" -> ((s, dir) => {
+      val st = ensure(s, dir, "ent_stream") { st =>
+        Ops.deleteDataset(st, "ent_corpus")
+        Ops.deleteDataset(st, "ent_sreg")
+        graft.ops.EntityResolution.entityRegistry(s, st, "ent_sreg",
+          entityRecords(s, dir).where(expr("rec_id % 10 = 0")),
+          "rec_id", "name", numBuckets = 16, maxDist = 1, overwrite = true)
+        val base = tmpBase(dir)
+        entityRecords(s, dir).where(expr("rec_id % 10 != 0"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/ent_in")
+        val q = graft.streaming.Streaming.writeStreamEntities(
+          s.readStream.schema("rec_id bigint, name string")
+            .parquet(s"$base/ent_in"),
+          st, "ent_corpus", "ent_sreg", "rec_id", "name")
+        if (!q.awaitTermination(300000)) {
+          q.stop(); sys.error("st_stream_entities did not finish within 300s")
+        }
+      }
+      Reader.readTable(s, st, "ent_corpus",
+        columns = Some(Seq("rec_id", "entity_id")))
     }),
 
     // --- the blocking pre-flight: block-size distribution per block kind
@@ -3643,26 +3697,56 @@ object SparkEntry {
            SELECT id, least(id, min(rid)) AS cluster_id
            FROM reach GROUP BY id""",
       "e_registry_match" ->
-        s"""WITH $entityRecsSql,
-           q AS (SELECT rec_id, t FROM norm WHERE rec_id % 10 <> 0),
-           c AS (SELECT rec_id, t FROM norm WHERE rec_id % 10 = 0)
-           SELECT q.rec_id AS id, c.rec_id AS matched_id,
-                  CAST(levenshtein(q.t, c.t) AS BIGINT) AS dist,
-                  round(1.0 - levenshtein(q.t, c.t)
-                    / greatest(length(q.t), length(c.t)), 6) AS sim
-           FROM q JOIN c ON abs(length(q.t) - length(c.t)) <= 1
-           WHERE levenshtein(q.t, c.t) <= 1""",
+        s"""WITH $entityRegEntSql
+           SELECT q.rec_id AS id, ent.rec_id AS matched_id, ent.entity_id,
+                  CAST(levenshtein(q.t, ent.t) AS BIGINT) AS dist,
+                  round(1.0 - levenshtein(q.t, ent.t)
+                    / greatest(length(q.t), length(ent.t)), 6) AS sim
+           FROM q JOIN ent ON abs(length(q.t) - length(ent.t)) <= 1
+           WHERE levenshtein(q.t, ent.t) <= 1""",
       "e_registry_assign" ->
-        s"""WITH $entityRecsSql,
-           q AS (SELECT rec_id, t FROM norm WHERE rec_id % 10 <> 0),
-           c AS (SELECT rec_id, t FROM norm WHERE rec_id % 10 = 0),
+        s"""WITH $entityRegEntSql,
            pairs AS (
-             SELECT q.rec_id AS id, c.rec_id AS matched_id
-             FROM q JOIN c ON abs(length(q.t) - length(c.t)) <= 1
-             WHERE levenshtein(q.t, c.t) <= 1)
-           SELECT q.rec_id, coalesce(min(p.matched_id), q.rec_id) AS entity_id
+             SELECT q.rec_id AS id, ent.entity_id
+             FROM q JOIN ent ON abs(length(q.t) - length(ent.t)) <= 1
+             WHERE levenshtein(q.t, ent.t) <= 1)
+           SELECT q.rec_id, coalesce(min(p.entity_id), q.rec_id) AS entity_id
            FROM q LEFT JOIN pairs p ON p.id = q.rec_id
            GROUP BY q.rec_id""",
+      "st_stream_entities" ->
+        s"""WITH $entityRegEntSql,
+           -- per-record minimum matched landed entity (every twin matches
+           -- its own original at dist 1, but cross matches can add more)
+           rm AS (
+             SELECT q.rec_id AS id, min(ent.entity_id) AS re
+             FROM q JOIN ent ON abs(length(q.t) - length(ent.t)) <= 1
+               AND levenshtein(q.t, ent.t) <= 1
+             GROUP BY q.rec_id),
+           -- within-batch closure at the pinned maxDist=1
+           bpq AS (SELECT a.rec_id AS ia, b.rec_id AS ib
+                   FROM q a JOIN q b ON a.rec_id < b.rec_id
+                     AND abs(length(a.t) - length(b.t)) <= 1
+                   WHERE levenshtein(a.t, b.t) <= 1),
+           eq AS (SELECT ia AS s, ib AS d FROM bpq
+                  UNION SELECT ib, ia FROM bpq),
+           rq AS (
+             WITH RECURSIVE r(id, rid) AS (
+               SELECT s, d FROM eq
+               UNION
+               SELECT r.id, e.d FROM r JOIN eq e ON r.rid = e.s)
+             SELECT * FROM r),
+           cl AS (
+             SELECT q.rec_id,
+                    coalesce(least(q.rec_id, m.mn), q.rec_id) AS cid
+             FROM q LEFT JOIN
+               (SELECT id, min(rid) AS mn FROM rq GROUP BY id) m
+               ON m.id = q.rec_id),
+           ce AS (
+             SELECT cl.cid, coalesce(min(rm.re), min(cl.rec_id)) AS e
+             FROM cl LEFT JOIN rm ON rm.id = cl.rec_id
+             GROUP BY cl.cid)
+           SELECT cl.rec_id, ce.e AS entity_id
+           FROM cl JOIN ce ON ce.cid = cl.cid""",
       "e_block_stats" ->
         s"""WITH $entityRecsSql,
            blocks AS (

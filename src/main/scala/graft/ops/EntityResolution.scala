@@ -121,26 +121,101 @@ object EntityResolution {
                      storage: graft.store.Storage, uuid: String,
                      df: DataFrame, idCol: String, textCol: String,
                      blockLen: Int = 6, numBuckets: Int = 64,
+                     maxDist: Int = 2,
                      overwrite: Boolean = false): graft.meta.DatasetMetadata = {
     require(numBuckets >= 1, s"numBuckets must be >= 1 (got $numBuckets)")
+    // registry rows CARRY THE ENTITY ID: probes resolve to entities, not
+    // to whichever twin happened to match — the transitive-consistency
+    // requirement of incremental ER (a chain A~B~C where dist(A,C) >
+    // maxDist still resolves C to A's entity through B's row). The
+    // founding corpus is clustered exactly (components), and maxDist is
+    // PINNED: build-time clustering and every later registration must
+    // agree on what "matches" means or entity identity drifts.
+    val pairs = blockedPairs(df, idCol, textCol, maxDist, blockLen)
+    val clusters = Dedup.nearDupClusters(pairs)
+      .withColumnRenamed("id", "__cid")
+    val withEnt = blocked(df, idCol, textCol, blockLen)
+      .join(clusters, col("id") === col("__cid"), "left")
+      .select(col("id"), col("t"), col("len"), col("bk"),
+        coalesce(col("cluster_id"), col("id")).as("entity_id"))
     graft.io.Writer.store(spark, storage, uuid,
-      withBucket(blocked(df, idCol, textCol, blockLen), numBuckets),
+      withBucket(withEnt, numBuckets),
       graft.io.Writer.WriteOpts(partitionOn = Seq("bucket"),
         overwrite = overwrite,
         metadata = Map(
           "graft.entity.blockLen" -> blockLen.toString,
-          "graft.entity.numBuckets" -> numBuckets.toString)))
+          "graft.entity.numBuckets" -> numBuckets.toString,
+          "graft.entity.maxDist" -> maxDist.toString)))
   }
 
-  /** Add new records' blocks to a landed [[entityRegistry]] under its
-    * pinned blocking family (one atomic append commit). */
-  def registryAppend(spark: org.apache.spark.sql.SparkSession,
-                     storage: graft.store.Storage, uuid: String,
-                     df: DataFrame, idCol: String,
-                     textCol: String): graft.meta.DatasetMetadata = {
-    val (blockLen, numBuckets) = registryParams(storage, uuid)
-    graft.io.Writer.update(spark, storage, uuid,
-      Some(withBucket(blocked(df, idCol, textCol, blockLen), numBuckets)))
+  /** Register a batch against a landed [[entityRegistry]] and return its
+    * entity assignments — the ONE-CALL incremental-ER step:
+    *
+    *  1. the batch is blocked once under the pinned family and clustered
+    *     WITHIN ITSELF (twins arriving together must not mint two
+    *     entities);
+    *  2. the registry read prunes to the batch's buckets; matches resolve
+    *     each batch cluster to the MINIMUM matched landed entity, else
+    *     the cluster mints its minimum member id as a new entity;
+    *  3. records not yet registered append their blocks (with the
+    *     assigned entity id) in one atomic commit — ALREADY-registered
+    *     ids append nothing, so a crash-replayed batch converges instead
+    *     of duplicating registry rows.
+    *
+    * Returns (idCol, entity_id). Documented approximation of streaming
+    * ER: a batch bridging TWO landed entities assigns their minimum but
+    * does not re-label the other's old rows — periodic batch
+    * re-clustering ([[entityClusters]] over the full registry) is the
+    * compaction step, exactly like near-dup's compactNearDups. */
+  def registerBatch(spark: org.apache.spark.sql.SparkSession,
+                    storage: graft.store.Storage, uuid: String,
+                    df: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val (blockLen, numBuckets, maxDist) = registryParams3(storage, uuid)
+    val bt = withBucket(blocked(df, idCol, textCol, blockLen), numBuckets)
+      .localCheckpoint(true) // consumed by bucket collect + 3 joins
+    val buckets = bt.select(col("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val idx = graft.io.Reader.readTable(spark, storage, uuid,
+      predicates = Some(Seq(Seq(
+        graft.dnf.Literal("bucket", graft.dnf.Op.In, buckets)))))
+      .localCheckpoint(true) // registered-id probe + match join
+    // within-batch clusters (twins arriving together share one entity)
+    val within = Dedup.nearDupClusters(
+      blockedPairs(df, idCol, textCol, maxDist, blockLen))
+      .withColumnRenamed("id", "__wid")
+    val withCluster = df.select(col(idCol))
+      .join(within, col(idCol) === col("__wid"), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("__batch_cluster"))
+    // registry matches -> min landed entity per batch record
+    val matches = bt.as("q").join(idx.as("c"), col("q.bk") === col("c.bk"))
+      .where(!(col("q.id") <=> col("c.id")))
+      .where(abs(col("q.len") - col("c.len")) <= maxDist)
+      .select(col("q.id").as("__mid"), col("c.entity_id").as("__ent"),
+        col("q.t").as("t_q"), col("c.t").as("t_c")).distinct()
+      .where(levenshtein(col("t_q"), col("t_c")) <= maxDist)
+      .groupBy(col("__mid")).agg(min(col("__ent")).as("__reg_ent"))
+    // cluster entity = min(matched landed entities, else min member id)
+    val clusterEnt = withCluster
+      .join(matches, col(idCol) === col("__mid"), "left")
+      .groupBy(col("__batch_cluster"))
+      .agg(coalesce(min(col("__reg_ent")), min(col(idCol))).as("entity_id"))
+    val assigned = withCluster.join(clusterEnt, "__batch_cluster")
+      .select(col(idCol), col("entity_id"))
+      .localCheckpoint(true) // returned AND appended below
+    // append ONLY unregistered ids (replay convergence)
+    val registered = idx.select(col("id")).distinct()
+    val newRows = bt
+      .join(registered.withColumnRenamed("id", "__rid"),
+        col("id") === col("__rid"), "left_anti")
+      .join(assigned.withColumnRenamed(idCol, "__aid"),
+        col("id") === col("__aid"))
+      .select(col("id"), col("t"), col("len"), col("bk"), col("entity_id"),
+        col("bucket"))
+    if (!newRows.isEmpty)
+      graft.io.Writer.update(spark, storage, uuid, Some(newRows))
+    assigned
   }
 
   /** Match an incoming batch against a landed [[entityRegistry]]: returns
@@ -170,24 +245,27 @@ object EntityResolution {
       .where(!(col("q.id") <=> col("c.id")))
       .where(abs(col("q.len") - col("c.len")) <= maxDist)
       .select(col("q.id").as("id"), col("c.id").as("matched_id"),
+        col("c.entity_id").as("entity_id"),
         col("q.t").as("t_q"), col("c.t").as("t_c"),
         col("q.len").as("len_q"), col("c.len").as("len_c"))
       .distinct()
       .withColumn("dist", levenshtein(col("t_q"), col("t_c")))
       .where(col("dist") <= maxDist)
-      .select(col("id"), col("matched_id"),
+      .select(col("id"), col("matched_id"), col("entity_id"),
         col("dist").cast("long").as("dist"),
         round(lit(1.0) - col("dist") / greatest(col("len_q"), col("len_c")), 6)
           .as("sim"))
   }
 
   /** Resolve a batch to entity ids from its registry matches: each record
-    * gets the MINIMUM matched registry id, or stays its own entity when
-    * nothing matched (then [[registryAppend]] it as a new entity). */
+    * gets the MINIMUM matched landed ENTITY (the registry rows carry it),
+    * or stays its own entity when nothing matched. The read-only
+    * assignment face; [[registerBatch]] is the one-call step that also
+    * lands the batch in the registry. */
   def assignFromRegistry(batch: DataFrame, idCol: String,
                          matches: DataFrame): DataFrame = {
     val best = matches.groupBy(col("id"))
-      .agg(min(col("matched_id")).as("__m"))
+      .agg(min(col("entity_id")).as("__m"))
     batch.select(col(idCol))
       .join(best.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol),
@@ -196,11 +274,20 @@ object EntityResolution {
 
   private[graft] def registryParams(storage: graft.store.Storage,
                                     uuid: String): (Int, Int) = {
+    val (b, n, _) = registryParams3(storage, uuid)
+    (b, n)
+  }
+
+  /** The matching family pinned in an [[entityRegistry]] header:
+    * (blockLen, numBuckets, maxDist). Build, probe, and registration all
+    * read THIS — what "matches" means can never silently drift. */
+  private[graft] def registryParams3(storage: graft.store.Storage,
+                                     uuid: String): (Int, Int, Int) = {
     val meta = graft.meta.DatasetMetadata.load(storage, uuid)
     def param(k: String): Int = meta.metadata.getOrElse(s"graft.entity.$k",
       throw new IllegalArgumentException(
         s"dataset '$uuid' is not an entity registry (missing graft.entity.$k)")).toInt
-    (param("blockLen"), param("numBuckets"))
+    (param("blockLen"), param("numBuckets"), param("maxDist"))
   }
 
   /** Entity clusters from match pairs: every record gets the minimum id of

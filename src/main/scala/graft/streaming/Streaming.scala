@@ -439,6 +439,35 @@ object Streaming {
     }
   }
 
+  /** Streaming incremental ENTITY RESOLUTION: each micro-batch is
+    * registered against the persisted entity registry
+    * ([[graft.ops.EntityResolution.registerBatch]] — within-batch twins
+    * share one entity, matches resolve to landed entities, new entities
+    * mint and append their blocks) and lands in the corpus WITH its
+    * `entity_id` column, one atomic commit per batch under the shared
+    * replay guard. Crash between the registry append and the corpus
+    * commit heals exactly-once: a replayed batch's ids are already
+    * registered, so registration appends nothing and recomputes the same
+    * assignments, and the corpus commit proceeds. */
+  def writeStreamEntities(stream: DataFrame, storage: Storage,
+                          corpusUuid: String, registryUuid: String,
+                          idCol: String, textCol: String,
+                          opts: WriteOpts = WriteOpts(),
+                          checkpoint: Option[String] = None,
+                          configure: DataStreamWriter[Row] => DataStreamWriter[Row] =
+                            _.trigger(Trigger.AvailableNow())): StreamingQuery = {
+    def batchFn(token: Option[String])(batch: DataFrame, batchId: Long): Unit = {
+      if (batch.isEmpty) return
+      val spark = batch.sparkSession
+      if (isReplay(storage, corpusUuid, token.getOrElse(""), batchId)) return
+      val assigned = graft.ops.EntityResolution.registerBatch(
+        spark, storage, registryUuid, batch, idCol, textCol)
+      ingestBatch(storage, corpusUuid, opts, token)(
+        batch.join(assigned, idCol), batchId)
+    }
+    startGuarded("writeStreamEntities", stream, checkpoint, configure)(batchFn)
+  }
+
   /** Shared start plumbing for the foreachBatch sinks: mints the per-run
     * replay token (temp-checkpoint mode only), applies the `checkpoint`
     * parameter, and ENFORCES that no checkpointLocation is smuggled

@@ -123,13 +123,16 @@ class EntityResolutionSpec extends SparkSpec {
         maxDist = 1))
       .as[(Long, Long)].collect().sortBy(_._1)
     assert(assigned.toSeq === Seq((11L, 10L), (21L, 20L), (40L, 40L)))
-    // the unmatched record registers as a new entity; the next probe finds it
-    EntityResolution.registryAppend(spark, st, "reg",
+    // the unmatched record registers as a new entity; the next probe
+    // resolves to it AS AN ENTITY
+    val asg = EntityResolution.registerBatch(spark, st, "reg",
       batch.where(col("id") === 40L), "id", "name")
+      .as[(Long, Long)].collect().toSeq
+    assert(asg === Seq((40L, 40L)))
     val m2 = EntityResolution.matchAgainstRegistry(spark, st, "reg",
       Seq(41L -> "wholly new entity nam").toDF("id", "name"), "id", "name",
-      maxDist = 1).select("matched_id").as[Long].collect()
-    assert(m2.toSeq === Seq(40L))
+      maxDist = 1).select("matched_id", "entity_id").as[(Long, Long)].collect()
+    assert(m2.toSeq === Seq((40L, 40L)))
   }
 
   test("registry probe: re-probing a registered record is a no-op (self-match excluded)") {
@@ -150,5 +153,48 @@ class EntityResolutionSpec extends SparkSpec {
         Seq(2L -> "y").toDF("id", "name"), "id", "name")
     }
     assert(e.getMessage.contains("not an entity registry"))
+  }
+
+  test("registerBatch: within-batch twins share one entity; replay converges") {
+    val st = graft.store.Storage(spark, tmpDir("entreg"))
+    EntityResolution.entityRegistry(spark, st, "reg3",
+      Seq(10L -> "landed entity number one").toDF("id", "name"),
+      "id", "name", maxDist = 1)
+    // 30/31 are twins of each other (and of nothing landed): ONE new entity;
+    // 50 matches the landed record -> its entity
+    val batch = Seq(
+      30L -> "brand new company record",
+      31L -> "brand new compagy record",   // dist 1 of 30
+      50L -> "landed entity number onex")  // dist 1 of 10
+      .toDF("id", "name")
+    def register() = EntityResolution.registerBatch(spark, st, "reg3",
+      batch, "id", "name").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val first = register()
+    assert(first === Seq((30L, 30L), (31L, 30L), (50L, 10L)))
+    val rows1 = graft.io.Reader.readTable(spark, st, "reg3").count()
+    // crash-replayed batch: same assignments, nothing re-appended
+    assert(register() === first)
+    assert(graft.io.Reader.readTable(spark, st, "reg3").count() === rows1)
+    // the minted entity is now landed: a later twin of 31 resolves to 30
+    val later = EntityResolution.registerBatch(spark, st, "reg3",
+      Seq(60L -> "brand new compagy recgrd").toDF("id", "name"), "id", "name")
+      .as[(Long, Long)].collect().toSeq
+    assert(later === Seq((60L, 30L)),
+      "transitive: 60 matches 31's row, whose entity is 30")
+  }
+
+  test("entityRegistry clusters its founding corpus: probes resolve entities, not twins") {
+    val st = graft.store.Storage(spark, tmpDir("entreg"))
+    EntityResolution.entityRegistry(spark, st, "reg4", Seq(
+      10L -> "some founding entity name",
+      11L -> "some founding entity namex",  // twin of 10 at build time
+      20L -> "a different founding name").toDF("id", "name"),
+      "id", "name", maxDist = 1)
+    // a probe matching ONLY record 11 must still resolve to entity 10
+    val m = EntityResolution.matchAgainstRegistry(spark, st, "reg4",
+      Seq(99L -> "some founding entity namey").toDF("id", "name"),
+      "id", "name", maxDist = 1)
+      .select("matched_id", "entity_id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(m.contains((11L, 10L)), s"11 must carry entity 10: ${m.toSeq}")
   }
 }
