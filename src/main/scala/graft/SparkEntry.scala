@@ -1008,6 +1008,13 @@ object SparkEntry {
     "t_sft_spans" -> ((s, dir) =>
       graft.ops.Sft.lossMaskSpans(sftMessages(s, dir))),
 
+    // --- loss masks THROUGH packing: conversations pack concat-and-cut
+    // into 256-char sequences; straddling turn spans SPLIT with clipped
+    // per-sequence offsets — pure integer arithmetic, mirror-exact
+    "t_sft_packed" -> ((s, dir) =>
+      graft.ops.Sft.packedMasks(sftMessages(s, dir), seqLen = 256L,
+        numShards = 4)),
+
     // --- the round-trip witness: contents RE-EXTRACTED from the rendered
     // string through the spans must equal the input turns verbatim — the
     // oracle reads the fixture directly, so any off-by-one in template
@@ -3680,6 +3687,48 @@ object SparkEntry {
         s"""WITH $sftMsgsSql
            SELECT conv_id, turn, role, role = 'assistant' AS learn, content
            FROM msgs""",
+      "t_sft_packed" ->
+        s"""WITH $sftMsgsSql,
+           nch AS (
+             SELECT conv_id,
+               CAST(sum(length(role) + length(content) + 12) AS BIGINT) AS n_chars
+             FROM msgs GROUP BY conv_id),
+           pk0 AS (
+             SELECT conv_id, n_chars,
+               md5('graft.pack:graft' || CAST(conv_id AS VARCHAR)) AS h,
+               CAST(concat('0x', substr(md5('graft.pack:graft'
+                 || CAST(conv_id AS VARCHAR)), 1, 13)) AS BIGINT) % 4 AS shard
+             FROM nch),
+           pk AS (
+             SELECT conv_id, shard,
+               CAST(COALESCE(sum(n_chars) OVER (PARTITION BY shard
+                 ORDER BY h, conv_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cb
+             FROM pk0),
+           sp0 AS (
+             SELECT conv_id, turn, role, content,
+               CAST(coalesce(sum(length(role) + length(content) + 12)
+                 OVER (PARTITION BY conv_id ORDER BY turn
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + 5 + length(role) AS BIGINT) AS s0
+             FROM msgs),
+           g AS (
+             SELECT sp0.conv_id, sp0.turn, sp0.role,
+               sp0.role = 'assistant' AS learn, pk.shard,
+               pk.cb + sp0.s0 AS gs,
+               pk.cb + sp0.s0 + length(sp0.content) AS ge
+             FROM sp0 JOIN pk ON sp0.conv_id = pk.conv_id
+             WHERE length(sp0.content) > 0),
+           x AS (
+             SELECT conv_id, turn, role, learn, shard, gs, ge,
+               unnest(generate_series(gs // 256, (ge - 1) // 256)) AS seq
+             FROM g)
+           SELECT conv_id, turn, role, learn, shard,
+             CAST(seq AS BIGINT) AS seq_idx,
+             CAST(greatest(gs - seq * 256, 0) AS BIGINT) AS start,
+             CAST(least(ge, (seq + 1) * 256) - seq * 256 AS BIGINT) AS "end"
+           FROM x""",
       "e_fuzzy_pairs" ->
         s"$entityPairsSql SELECT id_a, id_b, dist, sim FROM pairs",
       "e_entities" ->

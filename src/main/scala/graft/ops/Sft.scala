@@ -90,6 +90,49 @@ object Sft {
       (col(roleCol) === learnRole).as("learn"))
   }
 
+  /** Loss masks THROUGH sequence packing — the composition a real SFT
+    * pipeline needs: conversations are packed concat-and-cut into
+    * fixed-`seqLen` training sequences ([[Chunking.packSequences]] over
+    * the rendered lengths, same portable md5 order), and every turn's
+    * content span is remapped into per-sequence coordinates. A span that
+    * straddles a cut SPLITS: one row per covered sequence with clipped
+    * [start, end) offsets, so the trainer's mask is exact on both sides
+    * of the boundary. Returns (convCol, turnCol, roleCol, learn, shard,
+    * seq_idx, start, end). Zero-width spans (empty content) are dropped —
+    * they carry no loss mass. Pure integer arithmetic end to end
+    * (global offset = packed cumulative start + in-document offset;
+    * covered sequences enumerated by integer division), reproduced
+    * bit-for-bit by the SQL mirror. One conversation-id shuffle for the
+    * span/packing join; the packing itself is the shard-parallel running
+    * sum. */
+  def packedMasks(msgs: DataFrame, seqLen: Long, numShards: Int,
+                  convCol: String = "conv_id", turnCol: String = "turn",
+                  roleCol: String = "role", contentCol: String = "content",
+                  learnRole: String = "assistant",
+                  salt: String = "graft"): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive (got $seqLen)")
+    val render = renderConversations(msgs, convCol, turnCol, roleCol,
+      contentCol, learnRole).select(col(convCol), col("n_chars"))
+    val packed = Chunking.packSequences(render, "n_chars", convCol,
+        seqLen, numShards, salt)
+      .select(col(convCol), col("shard"),
+        (col("seq_idx") * lit(seqLen) + col("offset_in_seq")).as("__doc_g"))
+    lossMaskSpans(msgs, convCol, turnCol, roleCol, contentCol, learnRole)
+      .join(packed, convCol)
+      .withColumn("__gs", col("__doc_g") + col("start"))
+      .withColumn("__ge", col("__doc_g") + col("end"))
+      // zero-width spans carry no loss mass (and sequence(a, a-1) would
+      // enumerate DESCENDING in Spark where SQL engines yield empty)
+      .where(col("__ge") > col("__gs"))
+      .withColumn("seq", explode(sequence(
+        expr(s"__gs div $seqLen"), expr(s"(__ge - 1) div $seqLen"))))
+      .select(col(convCol), col(turnCol), col(roleCol), col("learn"),
+        col("shard"), col("seq").as("seq_idx"),
+        greatest(col("__gs") - col("seq") * lit(seqLen), lit(0L)).as("start"),
+        (least(col("__ge"), (col("seq") + 1) * lit(seqLen)) -
+          col("seq") * lit(seqLen)).as("end"))
+  }
+
   /** The round-trip witness: re-extract every turn's content from the
     * rendered string THROUGH its span — `(conv, turn, substr(text,
     * start+1, end−start))` must equal the input content verbatim. Joins

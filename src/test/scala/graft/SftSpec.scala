@@ -84,4 +84,48 @@ class SftSpec extends SparkSpec {
       .select("role", "learn").as[(String, Boolean)].collect()
     assert(spans.forall { case (r, l) => l === (r == "user") })
   }
+
+  test("packedMasks: straddling spans split at cuts and reconstruct content exactly") {
+    val msgs = Seq(
+      (1L, 0L, "user", "aaaaaaaaaa"),
+      (1L, 1L, "assistant", "bbbbbbbbbbbb"),
+      (2L, 0L, "user", "cccc"),
+      (2L, 1L, "assistant", "d" * 40), // longer than L: MUST straddle a cut
+      (3L, 0L, "assistant", "eeeeeeeeee"),
+      (4L, 0L, "user", ""))  // zero-width span: dropped
+      .toDF("conv_id", "turn", "role", "content")
+    val L = 32L
+    val pm = Sft.packedMasks(msgs, L, numShards = 2)
+      .as[(Long, Long, String, Boolean, Long, Long, Long, Long)]
+      .collect().toSeq
+    // every row clipped to its sequence
+    assert(pm.forall { case (_, _, _, _, _, _, st, en) =>
+      st >= 0 && st < en && en <= L })
+    // no row for the empty turn
+    assert(!pm.exists(r => r._1 == 4L))
+    // rebuild the packed character streams per shard (same order contract:
+    // packSequences' md5-h, id order == ascending global offset)
+    val render = Sft.renderConversations(msgs)
+    val packed = graft.ops.Chunking.packSequences(
+      render.select("conv_id", "n_chars"), "n_chars", "conv_id", L, 2)
+      .join(render.select("conv_id", "text"), "conv_id")
+      .select("conv_id", "shard", "seq_idx", "offset_in_seq", "text")
+      .as[(Long, Long, Long, Long, String)].collect()
+    val streams: Map[Long, String] = packed.groupBy(_._2).map { case (sh, rows) =>
+      sh -> rows.sortBy(r => r._3 * L + r._4).map(_._5).mkString
+    }
+    // for every turn: concatenating its per-sequence extractions from the
+    // shard stream must equal the turn content verbatim
+    val contents = msgs.as[(Long, Long, String, String)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    for (((conv, turn), rows) <- pm.groupBy(r => (r._1, r._2))) {
+      val got = rows.sortBy(_._6).map { case (_, _, _, _, sh, seq, st, en) =>
+        streams(sh).substring((seq * L + st).toInt, (seq * L + en).toInt)
+      }.mkString
+      assert(got === contents((conv, turn)), s"conv=$conv turn=$turn")
+    }
+    // at least one turn genuinely straddled a cut (the fixture is sized for it)
+    assert(pm.groupBy(r => (r._1, r._2)).exists(_._2.size > 1),
+      "fixture must exercise a straddle")
+  }
 }
