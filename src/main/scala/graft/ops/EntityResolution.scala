@@ -218,6 +218,46 @@ object EntityResolution {
     assigned
   }
 
+  /** Re-cluster a landed [[entityRegistry]] EXACTLY — the periodic
+    * compaction step incremental registration defers to: [[registerBatch]]
+    * never re-labels old rows when a batch bridges two landed entities, so
+    * entity ids drift from the true components over time; this rebuilds
+    * them from the registry's own blocking rows (already blocked — the
+    * pair join is a self-join on the stored block keys, no re-blocking,
+    * no text re-normalization) and swaps every partition in ONE atomic
+    * commit (the deleteLabels machinery — a crash leaves the old registry
+    * intact, never a half-relabeled one). Cost ~ registry size, run on
+    * the compaction cadence, exactly like near-dup's compactNearDups. */
+  def reclusterRegistry(spark: org.apache.spark.sql.SparkSession,
+                        storage: graft.store.Storage,
+                        uuid: String): graft.meta.DatasetMetadata = {
+    val (_, _, maxDist) = registryParams3(storage, uuid)
+    val meta = graft.meta.DatasetMetadata.load(storage, uuid)
+    val rows = graft.io.Reader.readTable(spark, storage, uuid)
+      .localCheckpoint(true) // pair join + relabel join share one read
+    val a = rows.select(col("bk"), col("id").as("id_a"), col("t").as("t_a"),
+      col("len").as("len_a"))
+    val b = rows.select(col("bk"), col("id").as("id_b"), col("t").as("t_b"),
+      col("len").as("len_b"))
+    val pairs = a.join(b, Seq("bk")).where(col("id_a") < col("id_b"))
+      .where(abs(col("len_a") - col("len_b")) <= maxDist)
+      .select("id_a", "id_b", "t_a", "t_b").distinct()
+      .where(levenshtein(col("t_a"), col("t_b")) <= maxDist)
+      .select("id_a", "id_b")
+    val clusters = Dedup.nearDupClusters(pairs)
+      .withColumnRenamed("id", "__cid")
+    val relabeled = rows
+      .join(clusters, col("id") === col("__cid"), "left")
+      .select(col("id"), col("t"), col("len"), col("bk"),
+        coalesce(col("cluster_id"), col("id")).as("entity_id"),
+        col("bucket"))
+    val newLabels = graft.io.Writer.writeSinglePartition(spark, storage, uuid,
+      relabeled, graft.io.Writer.WriteOpts(partitionOn = Seq("bucket")))
+    graft.io.Writer.commitDataset(spark, storage, uuid, newLabels, Nil,
+      Map.empty, meta.partitionKeys, Nil, preloadedMeta = Some(meta),
+      deleteLabels = meta.partitions.toSet)
+  }
+
   /** Match an incoming batch against a landed [[entityRegistry]]: returns
     * (id, matched_id, dist, sim) for every batch/registry pair sharing a
     * block key with edit distance ≤ `maxDist` — the INCREMENTAL face of

@@ -197,4 +197,25 @@ class EntityResolutionSpec extends SparkSpec {
       .select("matched_id", "entity_id").as[(Long, Long)].collect().sortBy(_._1)
     assert(m.contains((11L, 10L)), s"11 must carry entity 10: ${m.toSeq}")
   }
+
+  test("reclusterRegistry heals the bridge drift incremental registration accrues") {
+    val st = graft.store.Storage(spark, tmpDir("entreg"))
+    // two landed entities that are NOT within maxDist of each other
+    EntityResolution.entityRegistry(spark, st, "reg5", Seq(
+      10L -> "bridged record xxaa here",
+      20L -> "bridged record xxcc here").toDF("id", "name"),
+      "id", "name", maxDist = 1)
+    // a bridge record at dist 1 of BOTH: incremental assignment picks the
+    // minimum but cannot re-label 20's row
+    EntityResolution.registerBatch(spark, st, "reg5",
+      Seq(30L -> "bridged record xxac here").toDF("id", "name"), "id", "name")
+    def entities() = graft.io.Reader.readTable(spark, st, "reg5")
+      .select("id", "entity_id").distinct()
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(entities() === Seq((10L, 10L), (20L, 20L), (30L, 10L)),
+      "pre-compaction: 20 still its own entity (the documented drift)")
+    EntityResolution.reclusterRegistry(spark, st, "reg5")
+    assert(entities() === Seq((10L, 10L), (20L, 10L), (30L, 10L)),
+      "post-compaction: the bridge merges all three exactly")
+  }
 }
