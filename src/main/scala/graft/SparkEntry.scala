@@ -1022,6 +1022,33 @@ object SparkEntry {
     "t_sft_extract" -> ((s, dir) =>
       graft.ops.Sft.extractSpans(sftMessages(s, dir))),
 
+    // --- the Bloom file-skipping index, pure face: per-source m-bit
+    // filters over doc_id as relational (group, word, bits) rows — the
+    // portable md5 double-hash makes the filter CONTENT bit-reproducible
+    // in SQL, false positives included
+    "a_bloom_table" -> ((s, dir) =>
+      graft.index.BloomIndex.bloomTable(
+        rd(s, dir, "documents").select("source", "doc_id"),
+        "source", "doc_id", m = 4096L, k = 4)),
+
+    // --- MERGE with BLOOM-probed touch discovery: same answer as the
+    // scan/index faces (candidates are a verified-downstream superset),
+    // but index maintenance is O(landing) appends, not the O(index)
+    // commit rewrite UpsertBench measured on the exact key index
+    "w_upsert_bloom" -> ((s, dir) => {
+      val st = ensure(s, dir, "ord_upsb") { st =>
+        val o = rd(s, dir, "orders")
+        Writer.store(s, st, "ord_upsb", o.where(expr("o_orderkey % 2 = 0")),
+          WriteOpts(partitionOn = Seq("o_orderstatus"), overwrite = true))
+        graft.index.BloomIndex.build(s, st, "ord_upsb_bf", "ord_upsb",
+          "o_orderkey", m = 1L << 18, k = 6, numBuckets = 8, overwrite = true)
+        Ops.upsertDataset(s, st, "ord_upsb", upsertDelta(o), Seq("o_orderkey"),
+          bloomIndex = Some("ord_upsb_bf"))
+      }
+      Reader.readTable(s, st, "ord_upsb",
+        columns = Some(Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")))
+    }),
+
     // --- snapshots: the fixture stores the evens, tags v1, MERGES the
     // delta, tags v2, then ROLLS BACK to v1. Reading snapshot v2 must
     // return the merged state (the same MERGE-replay oracle as w_upsert)
@@ -3559,6 +3586,25 @@ object SparkEntry {
       "w_upsert_indexed" -> upsertOracleSql,
       "st_stream_upsert" -> upsertOracleSql,
       "w_snapshot_read" -> upsertOracleSql,
+      "w_upsert_bloom" -> upsertOracleSql,
+      "a_bloom_table" ->
+        """WITH src AS (
+             SELECT source, CAST(doc_id AS VARCHAR) AS v FROM documents
+             WHERE doc_id IS NOT NULL),
+           h AS (
+             SELECT source,
+               CAST(concat('0x', substr(md5('graft.bloom:' || v), 1, 13))
+                 AS BIGINT) AS h1,
+               CAST(concat('0x', substr(md5('graft.bloom:' || v), 14, 13))
+                 AS BIGINT) | 1 AS h2
+             FROM src),
+           p AS (
+             SELECT source, (h1 + i * h2) % 4096 AS pos
+             FROM h, generate_series(0, 3) AS t(i)),
+           w AS (SELECT source, pos // 32 AS word,
+                        CAST(pos % 32 AS INTEGER) AS bit FROM p)
+           SELECT source, word, bit_or(CAST(1 AS BIGINT) << bit) AS bits
+           FROM w GROUP BY source, word""",
       "st_stream_cdc" ->
         s"""WITH merged AS ($upsertOracleSql)
            SELECT * FROM merged

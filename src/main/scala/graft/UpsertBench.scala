@@ -19,16 +19,32 @@ object UpsertBench {
     val delta = o.where(expr("o_orderkey % 3 = 0"))
       .withColumn("o_totalprice", round(col("o_totalprice") * 2, 2))
       .withColumn("o_orderpriority", lit("UPSERTED"))
+    // the POINT-CDC regime bloom exists for: a few dozen keys against the
+    // whole dataset, where scan-touch pays a full key-column read
+    val small = o.where(expr("o_orderkey % 20011 = 0"))
+      .withColumn("o_orderpriority", lit("UPSERTED"))
     val tmp = java.nio.file.Files.createTempDirectory("upsbench").toString
     val st = graft.store.Storage(spark, tmp)
-    for (mode <- Seq("scan", "indexed"); r <- 0 until reps) {
+    for (mode <- Seq("scan", "indexed", "bloom",
+                     "scan-small", "bloom-small"); r <- 0 until reps) {
       val uuid = s"ub_${mode}_$r"
       val idx = if (mode == "indexed") Seq("o_orderkey") else Nil
       graft.io.Writer.store(spark, st, uuid, o.where(expr("o_orderkey % 2 = 0")),
         graft.io.Writer.WriteOpts(partitionOn = Seq("o_orderstatus"),
           secondaryIndices = idx, overwrite = true))
+      val bloom =
+        if (mode.startsWith("bloom")) {
+          val tb = System.nanoTime()
+          graft.index.BloomIndex.build(spark, st, s"${uuid}_bf", uuid,
+            "o_orderkey", m = 1L << 22, k = 8, numBuckets = 16,
+            overwrite = true)
+          println(f"UPSERTBENCH bloom-build run$r ${(System.nanoTime() - tb) / 1e9}%.2f s ($sfDir)")
+          Some(s"${uuid}_bf")
+        } else None
+      val d = if (mode.endsWith("-small")) small else delta
       val t0 = System.nanoTime()
-      graft.io.Ops.upsertDataset(spark, st, uuid, delta, Seq("o_orderkey"))
+      graft.io.Ops.upsertDataset(spark, st, uuid, d, Seq("o_orderkey"),
+        bloomIndex = bloom)
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"UPSERTBENCH $mode run$r $sec%.2f s ($sfDir)")
     }

@@ -296,7 +296,8 @@ object Ops {
     */
   def upsertDataset(spark: SparkSession, storage: Storage, uuid: String,
                     delta: DataFrame, keyCols: Seq[String],
-                    opts: Writer.WriteOpts = Writer.WriteOpts()): DatasetMetadata = {
+                    opts: Writer.WriteOpts = Writer.WriteOpts(),
+                    bloomIndex: Option[String] = None): DatasetMetadata = {
     require(keyCols.nonEmpty, "upsertDataset requires at least one key column")
     require(DatasetMetadata.exists(storage, uuid),
       s"Cannot upsert into non-existent dataset '$uuid'")
@@ -317,7 +318,7 @@ object Ops {
       s"delta is not unique on (${keyCols.mkString(", ")}): e.g. ${dupKeys.head}")
     val deltaKeys = delta.select(keyCols.map(col): _*).distinct()
     mergeRewrite(spark, storage, uuid, meta, schema, keyCols, deltaKeys,
-      Some(delta), opts)
+      Some(delta), opts, bloomIndex)
   }
 
   /** Row-level DELETE by key — the CDC delete event beside [[upsertDataset]]
@@ -331,7 +332,8 @@ object Ops {
     * carry already-deleted keys). */
   def deleteByKeys(spark: SparkSession, storage: Storage, uuid: String,
                    keys: DataFrame, keyCols: Seq[String],
-                   opts: Writer.WriteOpts = Writer.WriteOpts()): DatasetMetadata = {
+                   opts: Writer.WriteOpts = Writer.WriteOpts(),
+                   bloomIndex: Option[String] = None): DatasetMetadata = {
     require(keyCols.nonEmpty, "deleteByKeys requires at least one key column")
     require(DatasetMetadata.exists(storage, uuid),
       s"Cannot delete from non-existent dataset '$uuid'")
@@ -344,7 +346,7 @@ object Ops {
         s"Expected: ${meta.indexColumns.toSeq.sorted.mkString(", ")}\n" +
         s"But got: ${opts.secondaryIndices.mkString(", ")}")
     mergeRewrite(spark, storage, uuid, meta, schema, keyCols,
-      keys.select(keyCols.map(col): _*).distinct(), None, opts)
+      keys.select(keyCols.map(col): _*).distinct(), None, opts, bloomIndex)
   }
 
   /** One CDC batch — upserts AND deletes — in ONE atomic header swap.
@@ -357,7 +359,8 @@ object Ops {
   def mergeCdcBatch(spark: SparkSession, storage: Storage, uuid: String,
                     upserts: DataFrame, deleteKeys: DataFrame,
                     keyCols: Seq[String],
-                    opts: Writer.WriteOpts = Writer.WriteOpts()): DatasetMetadata = {
+                    opts: Writer.WriteOpts = Writer.WriteOpts(),
+                    bloomIndex: Option[String] = None): DatasetMetadata = {
     require(keyCols.nonEmpty, "mergeCdcBatch requires at least one key column")
     require(DatasetMetadata.exists(storage, uuid),
       s"Cannot merge into non-existent dataset '$uuid'")
@@ -377,7 +380,7 @@ object Ops {
       s"CDC batch is not unique on (${keyCols.mkString(", ")}) across " +
         s"upserts+deletes: e.g. ${dup.headOption.getOrElse("")}")
     mergeRewrite(spark, storage, uuid, meta, schema, keyCols,
-      allKeys.distinct(), Some(upserts), opts)
+      allKeys.distinct(), Some(upserts), opts, bloomIndex)
   }
 
   /** Shared rewrite core of [[upsertDataset]] / [[deleteByKeys]]: discover
@@ -389,11 +392,27 @@ object Ops {
                            schema: org.apache.spark.sql.types.StructType,
                            keyCols: Seq[String], deltaKeys: DataFrame,
                            insertRows: Option[DataFrame],
-                           opts: Writer.WriteOpts): DatasetMetadata = {
+                           opts: Writer.WriteOpts,
+                           bloomIndex: Option[String] = None): DatasetMetadata = {
     // -- touch discovery: which partition labels hold a matched key?
+    // Preference: bloom sidecar (O(landing) maintenance, probe returns a
+    // verified-downstream superset) > exact value->labels index (tiny
+    // probe, but O(index) commit rewrite at key cardinality — measured in
+    // UpsertBench) > column-pruned key scan.
+    val bloomTouched: Option[Seq[String]] = bloomIndex.map { bu =>
+      val (_, _, column, _, ds) = graft.index.BloomIndex.params(storage, bu)
+      require(ds == uuid,
+        s"bloom index '$bu' indexes dataset '$ds', not '$uuid'")
+      require(keyCols.contains(column),
+        s"bloom index '$bu' is over '$column', which is not a merge key " +
+          s"(${keyCols.mkString(", ")})")
+      graft.index.BloomIndex.candidateLabels(spark, storage, bu,
+        deltaKeys.select(col(column)).distinct(), column)
+    }
     val indexedKey = keyCols.find(meta.indexColumns.contains)
     val touched: Seq[String] = {
       if (meta.partitions.isEmpty) Nil
+      else if (bloomTouched.isDefined) bloomTouched.get
       else indexedKey match {
         case Some(c) =>
           // index-pruned: (value, labels) rows semi-joined to the delta's

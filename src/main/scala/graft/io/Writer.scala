@@ -158,7 +158,7 @@ object Writer {
     * label is derived from `input_file_name`, i.e. one distributed pass —
     * no driver loop over files. Mixed-suffix label sets are read per format
     * group and unioned (S3 suffix dispatch). */
-  private[io] def labeledData(spark: SparkSession, storage: Storage,
+  private[graft] def labeledData(spark: SparkSession, storage: Storage,
                               uuid: String, schema: StructType,
                               labels: Seq[String],
                               table: String = DatasetMetadata.SingleTable): DataFrame = {

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.index.BloomIndex
+import graft.io.{Ops, Reader, Writer}
+import graft.io.Writer.WriteOpts
+import graft.meta.DatasetMetadata
+import graft.store.Storage
+
+/** Relational Bloom file-skipping index (`index/BloomIndex`). The pure
+  * face is bit-exact against DuckDB (a_bloom_table); this spec pins the
+  * operator contracts on the dataset-backed faces — no false negatives,
+  * O(landing) appends, stale-label filtering, and the merge integration
+  * producing identical answers to the scan path.
+  */
+class BloomIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkDs(st: Storage, uuid: String): Unit = {
+    val df = (0L until 300L).map(i => (i, s"g${i % 3}", s"v$i"))
+      .toDF("id", "grp", "v")
+    Writer.store(spark, st, uuid, df,
+      WriteOpts(partitionOn = Seq("grp")))
+  }
+
+  test("candidates: never a false negative; FP rate within the sized bound") {
+    val df = (0L until 1000L).map(i => (s"g${i % 10}", i)).toDF("grp", "id")
+    val bloom = BloomIndex.bloomTable(df, "grp", "id", m = 32L * 512, k = 6)
+    // probe every 7th id: its true group must always be a candidate
+    val probes = (0L until 1000L by 7).toDF("id")
+    val cand = BloomIndex.candidates(bloom, "grp", probes, "id",
+        m = 32L * 512, k = 6)
+      .as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    for (i <- 0L until 1000L by 7)
+      assert(cand(i).contains(s"g${i % 10}"), s"false negative for $i")
+    // ~100 values per group in 16384 bits, k=6 -> FP well under 1%:
+    // candidates ≈ 1 true group each, few extras
+    val extras = cand.values.map(_.size - 1).sum
+    assert(extras <= 5, s"too many false positives: $extras")
+  }
+
+  test("dataset-backed build + probe: candidates cover the true labels") {
+    val st = Storage(spark, tmpDir("bloom"))
+    mkDs(st, "b1")
+    BloomIndex.build(spark, st, "b1_bf", "b1", "id",
+      m = 1L << 16, k = 6, numBuckets = 8)
+    val meta = DatasetMetadata.load(st, "b1")
+    val schema = DatasetMetadata.loadSchema(st, "b1", meta.tableName)
+    // true labels of ids 5 and 250, via a full labeled read
+    val truth = Writer.labeledData(spark, st, "b1", schema, meta.partitions,
+        meta.tableName)
+      .where(col("id").isin(5L, 250L))
+      .select(col(Writer.LabelCol)).as[String].collect().toSet
+    val cand = BloomIndex.candidateLabels(spark, st, "b1_bf",
+      Seq(5L, 250L).toDF("id"), "id").toSet
+    assert(truth.subsetOf(cand), s"missing true labels: ${truth -- cand}")
+  }
+
+  test("appendLabels covers a landing; probes filter labels dead after a merge") {
+    val st = Storage(spark, tmpDir("bloom"))
+    mkDs(st, "b2")
+    BloomIndex.build(spark, st, "b2_bf", "b2", "id",
+      m = 1L << 16, k = 6, numBuckets = 8)
+    // new landing: ids 1000-1009 under a new group
+    val before = DatasetMetadata.load(st, "b2").partitions.toSet
+    Writer.update(spark, st, "b2", Some(
+      (1000L until 1010L).map(i => (i, "g9", s"v$i")).toDF("id", "grp", "v")))
+    val newLabels = (DatasetMetadata.load(st, "b2").partitions.toSet -- before).toSeq
+    BloomIndex.appendLabels(spark, st, "b2_bf", newLabels)
+    val cand = BloomIndex.candidateLabels(spark, st, "b2_bf",
+      Seq(Tuple1(1005L)).toDF("id"), "id")
+    assert(newLabels.exists(cand.contains), s"landing not probeable: $cand")
+    // a merge replaces g0's partition; the bloom's stale rows for the dead
+    // label must not surface (filtered against the live header)
+    Ops.upsertDataset(spark, st, "b2",
+      Seq((0L, "g0", "NEW")).toDF("id", "grp", "v"), Seq("id"))
+    val live = DatasetMetadata.load(st, "b2").partitions.toSet
+    val cand2 = BloomIndex.candidateLabels(spark, st, "b2_bf",
+      Seq(Tuple1(0L)).toDF("id"), "id")
+    assert(cand2.forall(live.contains), s"stale label surfaced: $cand2")
+  }
+
+  test("merge via bloom equals merge via scan, and refuses a foreign index") {
+    val st = Storage(spark, tmpDir("bloom"))
+    mkDs(st, "b3"); mkDs(st, "b4")
+    BloomIndex.build(spark, st, "b3_bf", "b3", "id",
+      m = 1L << 16, k = 6, numBuckets = 8)
+    val delta = Seq((5L, "g2", "UP"), (999L, "g0", "NEWROW")).toDF("id", "grp", "v")
+    Ops.upsertDataset(spark, st, "b3", delta, Seq("id"),
+      bloomIndex = Some("b3_bf"))
+    Ops.upsertDataset(spark, st, "b4", delta, Seq("id"))
+    val a = Reader.readTable(spark, st, "b3").select("id", "v")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val b = Reader.readTable(spark, st, "b4").select("id", "v")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(a === b)
+    val e = intercept[IllegalArgumentException] {
+      Ops.upsertDataset(spark, st, "b4", delta, Seq("id"),
+        bloomIndex = Some("b3_bf"))
+    }
+    assert(e.getMessage.contains("indexes dataset"))
+  }
+}
