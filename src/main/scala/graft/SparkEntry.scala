@@ -115,6 +115,27 @@ object SparkEntry {
     }
 
   /** Build a shared temp dataset once per JVM per scale-factor dir. */
+  /** Shared bloom-CDC fixture: evens stored, bloom built, the CDC delta
+    * merged THROUGH the bloom, and the merge's new labels bloom-appended
+    * (the realistic maintenance flow — a lookup must see rewritten
+    * partitions). */
+  private def upsbDs(s: SparkSession, dir: String): Storage =
+    ensure(s, dir, "ord_upsb") { st =>
+      val o = rd(s, dir, "orders")
+      Writer.store(s, st, "ord_upsb", o.where(expr("o_orderkey % 2 = 0")),
+        WriteOpts(partitionOn = Seq("o_orderstatus"), overwrite = true))
+      graft.index.BloomIndex.build(s, st, "ord_upsb_bf", "ord_upsb",
+        "o_orderkey", m = 1L << 18, k = 6, numBuckets = 8, overwrite = true)
+      val before = DatasetMetadata.load(st, "ord_upsb").partitions.toSet
+      Ops.upsertDataset(s, st, "ord_upsb", upsertDelta(o), Seq("o_orderkey"),
+        bloomIndex = Some("ord_upsb_bf"))
+      val newLabels =
+        (DatasetMetadata.load(st, "ord_upsb").partitions.toSet -- before).toSeq
+      if (newLabels.nonEmpty)
+        graft.index.BloomIndex.appendLabels(s, st, "ord_upsb_bf", newLabels)
+      ()
+    }
+
   /** The snapshot/rollback fixture: evens → snapshot v1 → CDC merge →
     * snapshot v2 → rollback to v1. Lives its whole life in the builder so
     * both contract queries read settled state. */
@@ -1036,17 +1057,20 @@ object SparkEntry {
     // but index maintenance is O(landing) appends, not the O(index)
     // commit rewrite UpsertBench measured on the exact key index
     "w_upsert_bloom" -> ((s, dir) => {
-      val st = ensure(s, dir, "ord_upsb") { st =>
-        val o = rd(s, dir, "orders")
-        Writer.store(s, st, "ord_upsb", o.where(expr("o_orderkey % 2 = 0")),
-          WriteOpts(partitionOn = Seq("o_orderstatus"), overwrite = true))
-        graft.index.BloomIndex.build(s, st, "ord_upsb_bf", "ord_upsb",
-          "o_orderkey", m = 1L << 18, k = 6, numBuckets = 8, overwrite = true)
-        Ops.upsertDataset(s, st, "ord_upsb", upsertDelta(o), Seq("o_orderkey"),
-          bloomIndex = Some("ord_upsb_bf"))
-      }
+      val st = upsbDs(s, dir)
       Reader.readTable(s, st, "ord_upsb",
         columns = Some(Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")))
+    }),
+
+    // --- bloom point-lookup read: fetch a key set reading only candidate
+    // files + exact filter — the false-positive handful never reaches the
+    // result, so the answer is file-layout-independent and oracle-exact
+    "s_bloom_lookup" -> ((s, dir) => {
+      val st = upsbDs(s, dir)
+      import s.implicits._
+      graft.index.BloomIndex.lookupRows(s, st, "ord_upsb_bf",
+        (0L until 2000L by 100).toDF("o_orderkey"), "o_orderkey")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
     }),
 
     // --- snapshots: the fixture stores the evens, tags v1, MERGES the
@@ -3587,6 +3611,11 @@ object SparkEntry {
       "st_stream_upsert" -> upsertOracleSql,
       "w_snapshot_read" -> upsertOracleSql,
       "w_upsert_bloom" -> upsertOracleSql,
+      "s_bloom_lookup" ->
+        s"""WITH merged AS ($upsertOracleSql)
+           SELECT * FROM merged
+           WHERE o_orderkey % 100 = 0 AND o_orderkey >= 0
+             AND o_orderkey < 2000""",
       "a_bloom_table" ->
         """WITH src AS (
              SELECT source, CAST(doc_id AS VARCHAR) AS v FROM documents

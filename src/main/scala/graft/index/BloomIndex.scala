@@ -181,6 +181,31 @@ object BloomIndex {
       .collect().map(_.getString(0)).toSeq.filter(live)
   }
 
+  /** Point-lookup READ through the bloom: rows of the indexed dataset
+    * whose `column` value is in `values`, reading ONLY the candidate
+    * files (plus the sized false-positive handful) and filtering exactly —
+    * the row-fetch face of the same skip machinery touch discovery uses.
+    * At 100 TB a key lookup opens k bloom buckets and ~1 data file
+    * instead of every file's column chunk. */
+  def lookupRows(spark: SparkSession, store: Storage, bloomUuid: String,
+                 values: DataFrame, valueCol: String): DataFrame = {
+    val (_, _, column, _, datasetUuid) = params(store, bloomUuid)
+    require(valueCol == column || values.columns.contains(column) ||
+      values.columns.length == 1,
+      s"pass the probe values in a one-column frame or a '$column' column")
+    val meta = DatasetMetadata.load(store, datasetUuid)
+    val schema = DatasetMetadata.loadSchema(store, datasetUuid, meta.tableName)
+    val vals = values.select(col(valueCol).as(column)).distinct()
+    val labels = candidateLabels(spark, store, bloomUuid, vals, column)
+    if (labels.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    graft.io.Writer.labeledData(spark, store, datasetUuid, schema, labels,
+        meta.tableName)
+      .join(vals, Seq(column), "left_semi")
+      .select(schema.fieldNames.map(col).toSeq: _*)
+  }
+
   private[graft] def params(store: Storage,
                             uuid: String): (Long, Int, String, Int, String) = {
     val meta = DatasetMetadata.load(store, uuid)

@@ -100,4 +100,20 @@ class BloomIndexSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("indexes dataset"))
   }
+
+  test("lookupRows fetches exactly the requested keys, FPs filtered, missing keys empty") {
+    val st = Storage(spark, tmpDir("bloom"))
+    mkDs(st, "b5")
+    BloomIndex.build(spark, st, "b5_bf", "b5", "id",
+      m = 1L << 16, k = 6, numBuckets = 8)
+    val got = BloomIndex.lookupRows(spark, st, "b5_bf",
+      Seq(7L, 42L, 9999L).toDF("id"), "id")
+      .select("id", "v").as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((7L, "v7"), (42L, "v42")))
+    // a probe set matching nothing returns an empty, SCHEMA-CORRECT frame
+    val none = BloomIndex.lookupRows(spark, st, "b5_bf",
+      Seq(88888L).toDF("id"), "id")
+    // stored schema: partition keys first, payload alphabetical
+    assert(none.isEmpty && none.schema.fieldNames.toSeq === Seq("grp", "id", "v"))
+  }
 }
