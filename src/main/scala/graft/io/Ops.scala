@@ -687,6 +687,35 @@ object Ops {
       deleteLabels = small.map(_._1).toSet)
   }
 
+  /** One-call operational DESCRIBE of a landed dataset: a single row of
+    * the facts an operator reaches for before touching it — partitions,
+    * on-disk bytes (storage listing, one distributed pass), format,
+    * partition keys, secondary-index columns, snapshot tags, and whether
+    * the header is explicit or a dynamic listing. Store metadata only:
+    * no data page is ever read (row counts are [[collectDatasetMetadata]]'s
+    * footer job, kept separate because footers ARE reads). */
+  def describeDataset(spark: SparkSession, storage: Storage,
+                      uuid: String): DataFrame = {
+    import spark.implicits._
+    val meta = DatasetMetadata.load(storage, uuid)
+    val prefix = meta.tablePrefix
+    val labels = meta.partitions
+    val bytes =
+      if (labels.isEmpty) 0L
+      else if (labels.size > 64)
+        spark.sparkContext
+          .parallelize(labels, math.min(32, labels.size))
+          .map(l => storage.fileSize(s"$prefix/$l")).sum().toLong
+      else labels.map(l => storage.fileSize(s"$prefix/$l")).sum
+    Seq((uuid, labels.size.toLong, bytes, meta.format,
+        meta.partitionKeys.mkString(","),
+        (meta.indexColumns -- meta.partitionKeys).toSeq.sorted.mkString(","),
+        listSnapshots(storage, uuid).mkString(","),
+        meta.explicitPartitions))
+      .toDF("uuid", "n_partitions", "bytes", "format", "partition_keys",
+        "index_columns", "snapshots", "explicit_partitions")
+  }
+
   /** Copy a dataset between stores (reference `copy_keys`,
     * `utils/store.py:176-201`, lifted to whole-dataset granularity): data
     * files, index files, and schema copy first — distributed over executors

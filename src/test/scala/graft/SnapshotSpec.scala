@@ -89,4 +89,17 @@ class SnapshotSpec extends SparkSpec {
     Ops.snapshotDataset(st, "s5", "t", overwrite = true)
     assert(Ops.listSnapshots(st, "s5") === Seq("t"))
   }
+
+  test("describeDataset: the one-row ops card, snapshots included") {
+    val st = mk("s6d")
+    Ops.snapshotDataset(st, "s6d", "tag1")
+    Ops.snapshotDataset(st, "s6d", "tag2")
+    val row = Ops.describeDataset(spark, st, "s6d").collect().head
+    assert(row.getAs[String]("uuid") === "s6d")
+    assert(row.getAs[Long]("n_partitions") >= 1L)
+    assert(row.getAs[Long]("bytes") > 0L)
+    assert(row.getAs[String]("format") === "parquet")
+    assert(row.getAs[String]("snapshots") === "tag1,tag2")
+    assert(row.getAs[Boolean]("explicit_partitions"))
+  }
 }
