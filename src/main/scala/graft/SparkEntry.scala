@@ -1036,6 +1036,17 @@ object SparkEntry {
       graft.ops.Sft.packedMasks(sftMessages(s, dir), seqLen = 256L,
         numShards = 4)),
 
+    // --- TOKEN-level masks under the fixture BPE (rows-only: trained-
+    // tokenizer dependency, the t_bpe_ids discipline; exactness pinned by
+    // SftSpec's coverage invariants). Contents are whitespace-normalized
+    // first — the operator's documented caller contract
+    "t_sft_token_masks" -> ((s, dir) =>
+      graft.ops.Sft.tokenMasks(
+        sftMessages(s, dir).withColumn("content",
+          trim(regexp_replace(col("content"),
+            "[ \\t\\n\\x0B\\f\\r]+", " "))),
+        bpeOf(s, dir))),
+
     // --- the round-trip witness: contents RE-EXTRACTED from the rendered
     // string through the spans must equal the input turns verbatim — the
     // oracle reads the fixture directly, so any off-by-one in template

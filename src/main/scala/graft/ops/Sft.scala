@@ -133,6 +133,88 @@ object Sft {
           col("seq") * lit(seqLen)).as("end"))
   }
 
+  /** TOKEN-level loss masks under a trained BPE — the last mile to the
+    * trainer: each turn's char span maps to the range of tokens that
+    * INTERSECT it (whole tokens, the HF offset_mapping semantics — a
+    * token straddling a span edge is masked in, since trainers mask
+    * tokens, not characters). Returns (convCol, turnCol, roleCol, learn,
+    * n_tokens, tok_start, tok_end) with [tok_start, tok_end) indices into
+    * the conversation's FLAT token stream and n_tokens the stream length.
+    *
+    * Coordinates live in the tokenizer's own domain — the
+    * whitespace-NORMALIZED rendered string (BPE's decode contract). Roles
+    * and contents must be whitespace-normalized (single spaces, no
+    * leading/trailing/run whitespace, e.g. through
+    * [[TextAnalysis.normalizeText]]): then every whitespace char is one
+    * char in both strings and the span arithmetic carries over verbatim
+    * (the template's `\n` becomes the word-boundary space at the same
+    * offset). Un-normalized content would shift every later offset —
+    * caller contract, loudly documented rather than silently wrong.
+    *
+    * Relational end to end: two posexplodes (word, token) + three window
+    * sums over (conversation [, word]) — no UDFs, the merge list rides
+    * the plan. Turns whose span no token intersects (empty content)
+    * return an empty [tok_start, tok_end) range at the insertion point. */
+  def tokenMasks(msgs: DataFrame, merges: Seq[Bpe.Merge],
+                 convCol: String = "conv_id", turnCol: String = "turn",
+                 roleCol: String = "role", contentCol: String = "content",
+                 learnRole: String = "assistant"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rendered = renderConversations(msgs, convCol, turnCol, roleCol,
+      contentCol, learnRole).select(col(convCol), col("text"))
+    // words with char starts (in the normalized string: one space per
+    // boundary) and flat-token bases
+    val wWin = Window.partitionBy(convCol).orderBy("w_idx")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val words = rendered
+      .select(col(convCol), posexplode(Bpe.encode(col("text"), merges))
+        .as(Seq("w_idx", "toks")))
+      .withColumn("w_len", aggregate(col("toks"), lit(0L),
+        (acc, t) => acc + length(t)))
+      .withColumn("w_start",
+        coalesce(sum(col("w_len")).over(wWin), lit(0L)) + col("w_idx"))
+      .withColumn("t_base",
+        coalesce(sum(size(col("toks")).cast("long")).over(wWin), lit(0L)))
+      .withColumn("n_tokens",
+        sum(size(col("toks")).cast("long")).over(
+          Window.partitionBy(convCol)))
+    // tokens with char intervals and flat indices
+    val tWin = Window.partitionBy(col(convCol), col("w_idx")).orderBy("t_idx")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val toks = words
+      .select(col(convCol), col("w_idx"), col("w_start"), col("t_base"),
+        col("n_tokens"), posexplode(col("toks")).as(Seq("t_idx", "tok")))
+      .withColumn("t_start",
+        col("w_start") + coalesce(sum(length(col("tok")).cast("long"))
+          .over(tWin), lit(0L)))
+      .withColumn("t_end", col("t_start") + length(col("tok")))
+      .withColumn("g_tok", col("t_base") + col("t_idx"))
+    // spans intersect tokens: [s,e) ∩ [ts,te) nonempty
+    val spans = lossMaskSpans(msgs, convCol, turnCol, roleCol, contentCol,
+      learnRole)
+    val hit = spans.join(toks, convCol)
+      .where(col("t_start") < col("end") && col("t_end") > col("start"))
+      .groupBy(col(convCol), col(turnCol), col(roleCol), col("learn"))
+      .agg(min(col("g_tok")).as("tok_start"),
+        (max(col("g_tok")) + 1).as("tok_end"),
+        first(col("n_tokens")).as("n_tokens"))
+    // empty spans (zero-width content) get an empty range at the turn's
+    // insertion point: the first token starting at-or-after `start`
+    val misses = spans.join(hit.select(col(convCol), col(turnCol)),
+        Seq(convCol, turnCol), "left_anti")
+      .join(toks.select(col(convCol), col("g_tok"), col("t_start"),
+        col("n_tokens")), convCol)
+      .groupBy(col(convCol), col(turnCol), col(roleCol), col("learn"))
+      .agg(coalesce(min(when(col("t_start") >= col("start"), col("g_tok"))),
+          first(col("n_tokens"))).as("tok_start"),
+        first(col("n_tokens")).as("n_tokens"))
+      .withColumn("tok_end", col("tok_start"))
+    hit.select(col(convCol), col(turnCol), col(roleCol), col("learn"),
+        col("n_tokens"), col("tok_start"), col("tok_end"))
+      .unionByName(misses.select(col(convCol), col(turnCol), col(roleCol),
+        col("learn"), col("n_tokens"), col("tok_start"), col("tok_end")))
+  }
+
   /** The round-trip witness: re-extract every turn's content from the
     * rendered string THROUGH its span — `(conv, turn, substr(text,
     * start+1, end−start))` must equal the input content verbatim. Joins

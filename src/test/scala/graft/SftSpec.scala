@@ -128,4 +128,48 @@ class SftSpec extends SparkSpec {
     assert(pm.groupBy(r => (r._1, r._2)).exists(_._2.size > 1),
       "fixture must exercise a straddle")
   }
+
+  test("tokenMasks: masked token slices cover exactly the turn contents (modulo word boundaries)") {
+    // contents whitespace-normalized per the operator's caller contract
+    val msgs = Seq(
+      (1L, 0L, "system", "be extremely brief"),
+      (1L, 1L, "user", "what is a bloom filter"),
+      (1L, 2L, "assistant", "a compact probabilistic membership sketch"),
+      (2L, 0L, "user", "solo question here"),
+      (2L, 1L, "assistant", ""))  // empty turn: empty token range
+      .toDF("conv_id", "turn", "role", "content")
+    val merges = graft.ops.Bpe.train(
+      msgs.where(length(col("content")) > 0), "content", numMerges = 64)
+    val masks = graft.ops.Sft.tokenMasks(msgs, merges)
+      .as[(Long, Long, String, Boolean, Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2))
+    // flat token streams per conversation, via the operator's own render +
+    // the tokenizer's public faces (an independent reconstruction)
+    val flat = graft.ops.Sft.renderConversations(msgs)
+      .select(col("conv_id"),
+        flatten(graft.ops.Bpe.encode(col("text"), merges)).as("toks"))
+      .as[(Long, Seq[String])].collect().toMap
+    val contents = msgs.as[(Long, Long, String, String)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    for ((conv, turn, role, learn, nTokens, ts, te) <- masks) {
+      assert(learn === (role == "assistant"))
+      assert(nTokens === flat(conv).size.toLong)
+      assert(ts >= 0 && ts <= te && te <= nTokens)
+      val content = contents((conv, turn))
+      if (content.isEmpty) assert(ts === te, s"empty turn must mask nothing")
+      else {
+        val sliced = flat(conv).slice(ts.toInt, te.toInt).mkString
+        // tokens never contain the word-boundary spaces; whole-token
+        // masking may also pull in marker chars at the edges
+        assert(sliced.contains(content.replace(" ", "")),
+          s"conv=$conv turn=$turn slice='$sliced' content='$content'")
+        // ...but never a NEIGHBORING turn's content
+        val others = contents.collect {
+          case ((c, t), body) if c == conv && t != turn && body.nonEmpty =>
+            body.replace(" ", "") }
+        assert(!others.exists(o => o.nonEmpty && sliced.contains(o)),
+          s"conv=$conv turn=$turn slice leaks a neighboring turn")
+      }
+    }
+  }
 }
