@@ -472,6 +472,42 @@ object Smoke {
     assert(fsck.forall(_.endsWith("true")), s"fsck failed: ${fsck.mkString(" ")}")
     println(s"== fsck li: ${fsck.mkString(" ")}")
 
+    // ---- round-11 session-2 families: CDC merge + snapshot + rollback
+    import spark.implicits._
+    val cdcBase = Seq((1L, "a", "v1"), (2L, "a", "v1"), (3L, "b", "v1"))
+      .toDF("id", "p", "v")
+    graft.io.Writer.store(spark, store, "s2cdc", cdcBase,
+      graft.io.Writer.WriteOpts(partitionOn = Seq("p"), overwrite = true))
+    graft.io.Ops.snapshotDataset(store, "s2cdc", "pre", overwrite = true)
+    graft.io.Ops.mergeCdcBatch(spark, store, "s2cdc",
+      Seq((2L, "a", "v2"), (9L, "b", "new")).toDF("id", "p", "v"),
+      Seq(Tuple1(3L)).toDF("id"), Seq("id"))
+    val postMerge = graft.io.Reader.readTable(spark, store, "s2cdc").count()
+    graft.io.Ops.rollbackDataset(spark, store, "s2cdc", "pre")
+    val postRb = graft.io.Reader.readTable(spark, store, "s2cdc").count()
+    println(s"== cdc merge: 3 rows -> $postMerge; rollback -> $postRb")
+    assert(postMerge == 3 && postRb == 3) // replace+insert+delete, then undo
+
+    // entity resolution + bloom lookup + SFT masks, one line each
+    val erPairs = graft.ops.EntityResolution.blockedPairs(
+      docs.limit(50).select(col("doc_id").as("id"),
+        substring(col("text"), 1, 40).as("name")), "id", "name", maxDist = 2)
+    println(s"== er blocked pairs over 50 doc prefixes: ${erPairs.count()}")
+    graft.index.BloomIndex.build(spark, store, "s2bf", "li", "l_orderkey",
+      m = 1L << 16, k = 6, numBuckets = 8, overwrite = true)
+    val hitRows = graft.index.BloomIndex.lookupRows(spark, store, "s2bf",
+      Seq(1L, 2L, 3L).toDF("l_orderkey"), "l_orderkey").count()
+    println(s"== bloom lookup of 3 orderkeys: $hitRows rows")
+    val sftMsgs = docs.limit(20).select(col("doc_id").as("conv_id"),
+      lit(0L).as("turn"), lit("assistant").as("role"),
+      substring(col("text"), 1, 60).as("content"))
+    val sftOk = graft.ops.Sft.extractSpans(sftMsgs)
+      .join(sftMsgs.withColumnRenamed("content", "want"),
+        Seq("conv_id", "turn"))
+      .where(col("content") =!= col("want")).count()
+    println(s"== sft span round-trip violations: $sftOk")
+    assert(sftOk == 0)
+
     println(s"== SparkEntry.entry rows: ${SparkEntry.entry(spark).count()}")
     println("== smoke OK")
     spark.stop()
