@@ -1047,6 +1047,17 @@ object SparkEntry {
             "[ \\t\\n\\x0B\\f\\r]+", " "))),
         bpeOf(s, dir))),
 
+    // --- the READY-TO-TRAIN layout: token streams packed to 128-token
+    // sequences with per-sequence TOKEN mask ranges (rows-only: BPE
+    // dependency; exactness pinned by SftSpec's packed-stream
+    // reconstruction)
+    "t_sft_packed_tokens" -> ((s, dir) =>
+      graft.ops.Sft.packedTokenMasks(
+        sftMessages(s, dir).withColumn("content",
+          trim(regexp_replace(col("content"),
+            "[ \\t\\n\\x0B\\f\\r]+", " "))),
+        bpeOf(s, dir), seqLen = 128L, numShards = 4)),
+
     // --- the round-trip witness: contents RE-EXTRACTED from the rendered
     // string through the spans must equal the input turns verbatim — the
     // oracle reads the fixture directly, so any off-by-one in template

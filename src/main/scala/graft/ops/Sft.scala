@@ -117,20 +117,63 @@ object Sft {
         seqLen, numShards, salt)
       .select(col(convCol), col("shard"),
         (col("seq_idx") * lit(seqLen) + col("offset_in_seq")).as("__doc_g"))
-    lossMaskSpans(msgs, convCol, turnCol, roleCol, contentCol, learnRole)
-      .join(packed, convCol)
-      .withColumn("__gs", col("__doc_g") + col("start"))
-      .withColumn("__ge", col("__doc_g") + col("end"))
-      // zero-width spans carry no loss mass (and sequence(a, a-1) would
-      // enumerate DESCENDING in Spark where SQL engines yield empty)
-      .where(col("__ge") > col("__gs"))
+    splitAtCuts(
+      lossMaskSpans(msgs, convCol, turnCol, roleCol, contentCol, learnRole)
+        .join(packed, convCol)
+        .withColumn("__gs", col("__doc_g") + col("start"))
+        .withColumn("__ge", col("__doc_g") + col("end")),
+      seqLen,
+      Seq(col(convCol), col(turnCol), col(roleCol), col("learn"), col("shard")))
+  }
+
+  /** Split global [gs, ge) spans at `seqLen` boundaries: one row per
+    * covered sequence with clipped in-sequence offsets — the shared core
+    * of [[packedMasks]] (char space) and [[packedTokenMasks]] (token
+    * space). Empty spans dropped (no loss mass; and Spark's
+    * `sequence(a, a-1)` enumerates DESCENDING where SQL engines yield
+    * empty). */
+  private def splitAtCuts(df: DataFrame, seqLen: Long,
+                          keep: Seq[Column]): DataFrame =
+    df.where(col("__ge") > col("__gs"))
       .withColumn("seq", explode(sequence(
         expr(s"__gs div $seqLen"), expr(s"(__ge - 1) div $seqLen"))))
-      .select(col(convCol), col(turnCol), col(roleCol), col("learn"),
-        col("shard"), col("seq").as("seq_idx"),
+      .select(keep ++ Seq(
+        col("seq").as("seq_idx"),
         greatest(col("__gs") - col("seq") * lit(seqLen), lit(0L)).as("start"),
         (least(col("__ge"), (col("seq") + 1) * lit(seqLen)) -
-          col("seq") * lit(seqLen)).as("end"))
+          col("seq") * lit(seqLen)).as("end")): _*)
+
+  /** TOKEN-space packing with masks — the READY-TO-TRAIN layout: token
+    * streams pack concat-and-cut into fixed-`seqLen` sequences
+    * ([[Chunking.packSequences]] over each conversation's token count,
+    * same portable order), and every turn's TOKEN range
+    * ([[tokenMasks]]) remaps to per-sequence coordinates, straddles
+    * split with clipped offsets. Returns (convCol, turnCol, roleCol,
+    * learn, shard, seq_idx, start, end) where [start, end) are TOKEN
+    * offsets inside training sequence seq_idx of `shard` — exactly the
+    * `assistant_masks` a masked-LM trainer consumes beside the packed
+    * token ids. Same caller contract as [[tokenMasks]]
+    * (whitespace-normalized inputs). */
+  def packedTokenMasks(msgs: DataFrame, merges: Seq[Bpe.Merge],
+                       seqLen: Long, numShards: Int,
+                       convCol: String = "conv_id", turnCol: String = "turn",
+                       roleCol: String = "role", contentCol: String = "content",
+                       learnRole: String = "assistant",
+                       salt: String = "graft"): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive (got $seqLen)")
+    val tm = tokenMasks(msgs, merges, convCol, turnCol, roleCol, contentCol,
+      learnRole)
+    val counts = tm.select(col(convCol), col("n_tokens")).distinct()
+    val packed = Chunking.packSequences(counts, "n_tokens", convCol,
+        seqLen, numShards, salt)
+      .select(col(convCol), col("shard"),
+        (col("seq_idx") * lit(seqLen) + col("offset_in_seq")).as("__doc_g"))
+    splitAtCuts(
+      tm.join(packed, convCol)
+        .withColumn("__gs", col("__doc_g") + col("tok_start"))
+        .withColumn("__ge", col("__doc_g") + col("tok_end")),
+      seqLen,
+      Seq(col(convCol), col(turnCol), col(roleCol), col("learn"), col("shard")))
   }
 
   /** TOKEN-level loss masks under a trained BPE — the last mile to the

@@ -172,4 +172,51 @@ class SftSpec extends SparkSpec {
       }
     }
   }
+
+  test("packedTokenMasks: token slices reconstruct through the packed token streams") {
+    val msgs = Seq(
+      (1L, 0L, "user", "alpha beta gamma delta epsilon zeta"),
+      (1L, 1L, "assistant", "eta theta iota kappa lambda mu nu xi"),
+      (2L, 0L, "user", "omicron pi rho"),
+      (2L, 1L, "assistant", "sigma tau upsilon phi chi psi omega"),
+      (3L, 0L, "assistant", "ichi ni san shi go roku"))
+      .toDF("conv_id", "turn", "role", "content")
+    val merges = graft.ops.Bpe.train(msgs, "content", numMerges = 32)
+    val L = 16L
+    val ptm = graft.ops.Sft.packedTokenMasks(msgs, merges, L, numShards = 2)
+      .as[(Long, Long, String, Boolean, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(ptm.forall { case (_, _, _, _, _, _, st, en) =>
+      st >= 0 && st < en && en <= L })
+    // rebuild the packed TOKEN streams per shard: pack by token count in
+    // the same portable order, concatenate the flat token streams
+    val flat = graft.ops.Sft.renderConversations(msgs)
+      .select(col("conv_id"),
+        flatten(graft.ops.Bpe.encode(col("text"), merges)).as("toks"))
+      .as[(Long, Seq[String])].collect().toMap
+    val counts = flat.toSeq.map { case (c, t) => (c, t.size.toLong) }
+      .toDF("conv_id", "n_tokens")
+    val packed = graft.ops.Chunking.packSequences(counts, "n_tokens",
+        "conv_id", L, 2)
+      .as[(Long, Long, Long, Long, Long)].collect() // conv, n, shard, seq, off
+    val streams: Map[Long, Seq[String]] = packed.groupBy(_._3).map {
+      case (sh, rows) =>
+        sh -> rows.sortBy(r => r._4 * L + r._5).flatMap(r => flat(r._1)).toSeq
+    }
+    // every turn's token-mask slices, concatenated across sequences, must
+    // equal the tokens of exactly that turn's span in the conv stream
+    val tm = graft.ops.Sft.tokenMasks(msgs, merges)
+      .as[(Long, Long, String, Boolean, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._6, r._7)).toMap
+    for (((conv, turn), rows) <- ptm.groupBy(r => (r._1, r._2))) {
+      val got = rows.sortBy(_._6).flatMap { case (_, _, _, _, sh, seq, st, en) =>
+        streams(sh).slice((seq * L + st).toInt, (seq * L + en).toInt) }
+      val (ts, te) = tm((conv, turn))
+      assert(got === flat(conv).slice(ts.toInt, te.toInt),
+        s"conv=$conv turn=$turn")
+    }
+    // a straddle exists (conversations exceed 16 tokens)
+    assert(ptm.groupBy(r => (r._1, r._2)).exists(_._2.size > 1),
+      "fixture must exercise a token-boundary straddle")
+  }
 }
