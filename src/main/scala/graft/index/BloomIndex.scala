@@ -190,9 +190,8 @@ object BloomIndex {
   def lookupRows(spark: SparkSession, store: Storage, bloomUuid: String,
                  values: DataFrame, valueCol: String): DataFrame = {
     val (_, _, column, _, datasetUuid) = params(store, bloomUuid)
-    require(valueCol == column || values.columns.contains(column) ||
-      values.columns.length == 1,
-      s"pass the probe values in a one-column frame or a '$column' column")
+    require(values.columns.contains(valueCol),
+      s"probe frame has no '$valueCol' column (has: ${values.columns.mkString(", ")})")
     val meta = DatasetMetadata.load(store, datasetUuid)
     val schema = DatasetMetadata.loadSchema(store, datasetUuid, meta.tableName)
     val vals = values.select(col(valueCol).as(column)).distinct()

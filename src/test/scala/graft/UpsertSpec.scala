@@ -267,4 +267,37 @@ class UpsertSpec extends SparkSpec {
     // merged labels still live under their hive dirs
     assert(DatasetMetadata.load(st, "cpt3").partitions.forall(_.startsWith("p=")))
   }
+
+  test("the CDC core holds on non-parquet datasets (csv roundtrip through a merge)") {
+    val st = Storage(spark, tmpDir("upsert"))
+    val base = Seq((1L, "g1", "a"), (2L, "g1", "b"), (3L, "g2", "c"))
+      .toDF("id", "grp", "v")
+    Writer.store(spark, st, "csvups", base,
+      WriteOpts(partitionOn = Seq("grp"), format = "csv"))
+    Ops.upsertDataset(spark, st, "csvups",
+      Seq((2L, "g1", "B2"), (4L, "g2", "d")).toDF("id", "grp", "v"), Seq("id"))
+    Ops.deleteByKeys(spark, st, "csvups", Seq(Tuple1(3L)).toDF("id"), Seq("id"))
+    val got = Reader.readTable(spark, st, "csvups")
+      .select("id", "v").as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, "a"), (2L, "B2"), (4L, "d")))
+    // the rewrite preserved the dataset's format (no silent parquet swap)
+    assert(DatasetMetadata.load(st, "csvups").format === "csv")
+    assert(DatasetMetadata.load(st, "csvups").partitions
+      .forall(_.endsWith(".csv")), "merged labels must stay csv")
+  }
+
+  test("compactSmallFiles preserves a json dataset's format") {
+    val st = Storage(spark, tmpDir("cpt"))
+    Writer.store(spark, st, "jcpt",
+      spark.range(0, 5).selectExpr("id", "cast(id as string) as v"),
+      WriteOpts(format = "json", writeWidth = 1))
+    Writer.update(spark, st, "jcpt",
+      Some(spark.range(5, 10).selectExpr("id", "cast(id as string) as v")),
+      opts = WriteOpts(writeWidth = 1))
+    Ops.compactSmallFiles(spark, st, "jcpt")
+    val meta = DatasetMetadata.load(st, "jcpt")
+    assert(meta.format === "json")
+    assert(meta.partitions.size === 1 && meta.partitions.head.endsWith(".json"))
+    assert(Reader.readTable(spark, st, "jcpt").count() === 10)
+  }
 }
