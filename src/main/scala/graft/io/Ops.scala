@@ -71,8 +71,10 @@ object Ops {
     require(overwrite || !storage.exists(key),
       s"snapshot '$tag' already exists on '$uuid' and overwrite is not permitted")
     val m = DatasetMetadata.load(storage, uuid)
-    val pinned = DatasetMetadata(uuid, m.partitions, m.partitionKeys,
-      m.indices, m.metadata, format = m.format, tableName = m.tableName)
+    // copy(), not a fresh constructor: embedded (reference-flavor) indices
+    // and any future header field must survive the pin — only the
+    // partition-set flavor changes
+    val pinned = m.copy(explicitPartitions = true)
     storage.writeString(key, pinned.toJson)
   }
 
