@@ -1047,6 +1047,17 @@ object SparkEntry {
             "[ \\t\\n\\x0B\\f\\r]+", " "))),
         bpeOf(s, dir))),
 
+    // --- conversation-level curation: drop conversations with no
+    // loss-bearing (assistant) mass, exact-dedup by rendered text keeping
+    // the min conv id — the fixture plants verbatim copies (+1e6 ids)
+    // that must all fall to their originals
+    "t_sft_curate" -> ((s, dir) => {
+      val m = sftMessages(s, dir)
+      val dups = m.where(expr("conv_id < 50")).selectExpr(
+        "conv_id + 1000000 as conv_id", "turn", "role", "content")
+      graft.ops.Sft.curateConversations(m.unionByName(dups))
+    }),
+
     // --- the READY-TO-TRAIN layout: token streams packed to 128-token
     // sequences with per-sequence TOKEN mask ranges (rows-only: BPE
     // dependency; exactness pinned by SftSpec's packed-stream
@@ -3784,6 +3795,28 @@ object SparkEntry {
         s"""WITH $sftMsgsSql
            SELECT conv_id, turn, role, role = 'assistant' AS learn, content
            FROM msgs""",
+      "t_sft_curate" ->
+        s"""WITH $sftMsgsSql,
+           am AS (
+             SELECT * FROM msgs
+             UNION ALL
+             SELECT conv_id + 1000000, turn, role, content
+             FROM msgs WHERE conv_id < 50),
+           r AS (
+             SELECT conv_id,
+               string_agg('<|' || role || '|>' || chr(10) || content
+                 || '<|end|>', '' ORDER BY turn) AS text,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(sum(length(role) + length(content) + 12) AS BIGINT)
+                 AS n_chars,
+               CAST(sum(CASE WHEN role = 'assistant' THEN length(content)
+                             ELSE 0 END) AS BIGINT) AS n_learn_chars
+             FROM am GROUP BY conv_id),
+           k AS (SELECT * FROM r WHERE n_learn_chars >= 1),
+           d AS (SELECT *, row_number()
+                   OVER (PARTITION BY text ORDER BY conv_id) AS rn FROM k)
+           SELECT conv_id, text, n_turns, n_chars, n_learn_chars
+           FROM d WHERE rn = 1""",
       "t_sft_packed" ->
         s"""WITH $sftMsgsSql,
            nch AS (

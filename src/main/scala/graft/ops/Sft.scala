@@ -126,6 +126,31 @@ object Sft {
       Seq(col(convCol), col(turnCol), col(roleCol), col("learn"), col("shard")))
   }
 
+  /** Conversation-level curation — the SFT counterpart of document
+    * curation's cheapest-first gates: drop conversations whose
+    * loss-bearing mass is under `minLearnChars` (nothing to train on —
+    * the no-assistant-turn case), then EXACT-dedup by the rendered
+    * training string keeping the minimum conversation id (identical turn
+    * sequences render identically, so this is conversation-identity
+    * dedup in one window). Returns the surviving
+    * (convCol, text, n_turns, n_chars, n_learn_chars) rows — feed them to
+    * [[packedMasks]]/[[packedTokenMasks]] for layout. One groupBy + one
+    * window; dedup shuffles the rendered strings once (conversation
+    * strings, not corpora — the exact-dedup-by-content shape
+    * [[Dedup.exact]] uses for documents). */
+  def curateConversations(msgs: DataFrame, convCol: String = "conv_id",
+                          turnCol: String = "turn", roleCol: String = "role",
+                          contentCol: String = "content",
+                          learnRole: String = "assistant",
+                          minLearnChars: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    renderConversations(msgs, convCol, turnCol, roleCol, contentCol, learnRole)
+      .where(col("n_learn_chars") >= minLearnChars)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("text")).orderBy(col(convCol))))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
   /** Split global [gs, ge) spans at `seqLen` boundaries: one row per
     * covered sequence with clipped in-sequence offsets — the shared core
     * of [[packedMasks]] (char space) and [[packedTokenMasks]] (token

@@ -219,4 +219,16 @@ class SftSpec extends SparkSpec {
     assert(ptm.groupBy(r => (r._1, r._2)).exists(_._2.size > 1),
       "fixture must exercise a token-boundary straddle")
   }
+
+  test("curateConversations: no-assistant conversations drop, identical ones dedup to min id") {
+    val msgs = Seq(
+      (1L, 0L, "user", "q"), (1L, 1L, "assistant", "a"),
+      (5L, 0L, "user", "q"), (5L, 1L, "assistant", "a"),  // verbatim copy of 1
+      (7L, 0L, "user", "only a question"),                  // no loss mass
+      (9L, 0L, "system", "s"), (9L, 1L, "assistant", "different"))
+      .toDF("conv_id", "turn", "role", "content")
+    val got = Sft.curateConversations(msgs)
+      .select("conv_id").as[Long].collect().sorted
+    assert(got.toSeq === Seq(1L, 9L))
+  }
 }
