@@ -1771,6 +1771,36 @@ object SparkEntry {
         graft.ops.Unigram.decode(
           graft.ops.Unigram.encode(col("text"), uniOf(s, dir))).as("rebuilt"))),
 
+    // the unigram id face under the t_bpe_ids discipline: n_ids MUST equal
+    // the independently recomputed piece count (a fused Viterbi+lookup that
+    // dropped or duplicated a piece breaks the equality), n_unk MUST be 0
+    // on the training corpus (the never-pruned single-cp alphabet covers
+    // every corpus code point by construction), and first/last sample the
+    // stream so a constant-array regression can't hide behind counts
+    "t_unigram_ids" -> ((s, dir) => {
+      val ps = uniOf(s, dir)
+      rd(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ops.Unigram.encodeIds(col("text"), ps).as("ids"),
+          graft.ops.Unigram.tokenCount(col("text"), ps).as("n_pieces"))
+        .select(col("doc_id"),
+          size(col("ids")).cast("long").as("n_ids"),
+          col("n_pieces").cast("long").as("n_pieces"),
+          size(filter(col("ids"), i => i === lit(-1L))).cast("long").as("n_unk"),
+          when(size(col("ids")) > 0, element_at(col("ids"), 1)).as("first_id"),
+          when(size(col("ids")) > 0, element_at(col("ids"), -1)).as("last_id"))
+    }),
+
+    // the unigram terminal stage — t_bpe_pack mirrored for the second
+    // family: piece ids packed into fixed-length training sequences, a
+    // composite of exact-pinned parts (Viterbi <- the t_unigram_roundtrip
+    // oracle; packSequences <- the u_pack_sequences oracle)
+    "t_unigram_pack" -> ((s, dir) =>
+      graft.ops.Unigram.tokenizeAndPack(
+          rd(s, dir, "documents").select("doc_id", "text"), "text", "doc_id",
+          uniOf(s, dir), seqLen = 512L, numShards = 8)
+        .select("doc_id", "n_tokens", "shard", "seq_idx", "offset_in_seq")),
+
     // the terminal pipeline stage: learned-subword ids packed into
     // fixed-length training sequences. A composite of exact-pinned parts
     // (encode <- the t_bpe_roundtrip oracle; packSequences <- the

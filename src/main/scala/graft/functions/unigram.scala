@@ -188,6 +188,76 @@ case class UnigramWordPieces(child: Expression, pieces: Seq[(String, Double)])
     copy(child = newChild)
 }
 
+/** Unigram-LM encoding of a document straight to VOCABULARY IDS:
+  * `array<long>`, the flat per-document token-id stream (word boundaries
+  * consumed — the packing/training face, mirroring [[BpeTokenIds]] for the
+  * second subword family). One compiled pass: Viterbi-segment each
+  * whitespace word under the piece table, then one hash probe per piece
+  * into the [[graft.ops.Unigram.vocabIds]] assignment. A piece outside the
+  * vocabulary (only the segmenter's single-code-point unk fallback can
+  * produce one) encodes as [[UnigramTokenIds.UnkId]] (-1); on the training
+  * corpus itself unknowns are impossible — the full single-cp alphabet
+  * joins the seed unconditionally and is never pruned — which the
+  * `t_unigram_ids` contract query pins as an in-plan invariant. Map-side
+  * only: the piece table rides the serialized plan. */
+case class UnigramTokenIds(child: Expression, pieces: Seq[(String, Double)])
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.LongType
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "unigram_token_ids"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType || child.dataType == NullType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${child.dataType.simpleString}")
+
+  @transient private lazy val seg = new unigram.ViterbiSegmenter(pieces)
+  @transient private lazy val ids: java.util.HashMap[String, java.lang.Long] = {
+    val t = new java.util.HashMap[String, java.lang.Long]()
+    graft.ops.Unigram.vocabIds(
+        pieces.map { case (p, lp) => graft.ops.Unigram.Piece(p, lp) })
+      .foreach { case (tok, id) => t.put(tok, java.lang.Long.valueOf(id)) }
+    t
+  }
+
+  def compute(s: UTF8String): ArrayData = {
+    val words = bpe.wsWords(s.toString)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](words.length * 2)
+    var i = 0
+    while (i < words.length) {
+      val toks = seg.segment(words(i))
+      var j = 0
+      while (j < toks.length) {
+        val id = ids.get(toks(j))
+        out += (if (id == null) UnigramTokenIds.UnkId else id.longValue())
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("uniIds", this, classOf[UnigramTokenIds].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ($ref).compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramTokenIds =
+    copy(child = newChild)
+}
+
+object UnigramTokenIds {
+  /** Id of a piece outside the vocabulary (the segmenter's single-cp unk
+    * fallback on code points never seen in training). */
+  val UnkId: Long = -1L
+}
+
 /** All substrings of a word up to `maxLen` CODE POINTS, as
   * `array<string>` — the seed-vocabulary candidate generator (exploded and
   * weight-summed over word TYPES, so it runs once per distinct word). */

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{UnigramEncodeWords, UnigramWordPieces, WordSubstrings}
+import graft.functions.{UnigramEncodeWords, UnigramTokenIds, UnigramWordPieces, WordSubstrings}
 import graft.functions.expressions.{asColumn, exprOf}
 
 /** Unigram-LM (SentencePiece-style) tokenizer — the second learned-subword
@@ -171,5 +171,143 @@ object Unigram {
     import spark.implicits._
     pieces.map(p => (p.piece, p.logProb, p.piece.codePointCount(0, p.piece.length)))
       .toDF("piece", "log_prob", "n_cps")
+  }
+
+  private def isSinglePiece(p: String): Boolean =
+    p.codePointCount(0, p.length) == 1
+
+  /** The deterministic vocabulary id assignment shared by every unigram id
+    * face — the [[Bpe.vocabIds]] discipline for the second family: single
+    * code points (the never-pruned coverage alphabet) sorted ascending BY
+    * CODE POINT get 0..B-1, multi-cp pieces get B.. ordered by (log_prob
+    * desc, piece asc) — the training's own rank order, so id order equals
+    * piece-probability order within the multi block. A pure function of the
+    * piece SET (sorted internally), so a save/load roundtrip or any seq
+    * reordering reproduces the identical assignment. Code-point sort — not
+    * Java String order — for the same engine-portability reason as BPE:
+    * it equals binary UTF-8 order. */
+  def vocabIds(pieces: Seq[Piece]): Seq[(String, Long)] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val (singles, multis) = pieces.partition(p => isSinglePiece(p.piece))
+    singles.sortBy(_.piece.codePointAt(0)).foreach { p =>
+      out.getOrElseUpdate(p.piece, out.size.toLong)
+    }
+    multis.sortBy(p => (-p.logProb, p.piece)).foreach { p =>
+      out.getOrElseUpdate(p.piece, out.size.toLong)
+    }
+    out.toSeq
+  }
+
+  /** The vocabulary as a DataFrame of (id, piece, log_prob, kind) — the
+    * landable artifact a training run ships beside its packed sequences.
+    * `kind` is 'single' (coverage alphabet, ids 0..B-1) or 'multi'. */
+  def vocabDf(spark: SparkSession, pieces: Seq[Piece]): DataFrame = {
+    import spark.implicits._
+    val lp = pieces.map(p => p.piece -> p.logProb).toMap
+    val b = pieces.count(p => isSinglePiece(p.piece)).toLong
+    vocabIds(pieces)
+      .map { case (tok, id) =>
+        (id, tok, lp(tok), if (id < b) "single" else "multi") }
+      .toDF("id", "piece", "log_prob", "kind")
+  }
+
+  /** Persist a trained unigram tokenizer as a graft dataset — the
+    * persisted-index discipline ([[Bpe.saveTokenizer]] mirrored): rows are
+    * (kind, rank, piece, log_prob) where `rank` IS the [[vocabIds]] id, and
+    * the header pins piece/single counts so a partial or foreign dataset
+    * fails loudly at [[loadTokenizer]] instead of silently mis-encoding. */
+  def saveTokenizer(spark: SparkSession, storage: graft.store.Storage,
+                    uuid: String, pieces: Seq[Piece],
+                    overwrite: Boolean = false): graft.meta.DatasetMetadata = {
+    import spark.implicits._
+    val lp = pieces.map(p => p.piece -> p.logProb).toMap
+    require(lp.size == pieces.size,
+      s"piece table has ${pieces.size - lp.size} duplicate piece strings")
+    val b = pieces.count(p => isSinglePiece(p.piece)).toLong
+    val rows = vocabIds(pieces).map { case (tok, id) =>
+      (if (id < b) "single" else "multi", id, tok, lp(tok))
+    }
+    graft.io.Writer.store(spark, storage, uuid,
+      rows.toDF("kind", "rank", "piece", "log_prob"),
+      graft.io.Writer.WriteOpts(partitionOn = Seq("kind"),
+        overwrite = overwrite,
+        metadata = Map(
+          "graft.unigram.numPieces" -> pieces.size.toString,
+          "graft.unigram.singleSize" -> b.toString)))
+  }
+
+  /** Load a [[saveTokenizer]] dataset back into the piece table (ordered by
+    * id), validated against the pinned header counts AND re-derived: the
+    * stored rank column must reproduce [[vocabIds]] of the loaded pieces
+    * exactly, so a hand-edited or corrupt vocabulary cannot silently shift
+    * the id space under already-packed sequences. */
+  def loadTokenizer(spark: SparkSession, storage: graft.store.Storage,
+                    uuid: String): Seq[Piece] = {
+    val meta = graft.meta.DatasetMetadata.load(storage, uuid)
+    def pinned(k: String): Int = meta.metadata.getOrElse(s"graft.unigram.$k",
+      throw new IllegalArgumentException(
+        s"dataset '$uuid' is not a saved unigram tokenizer (missing graft.unigram.$k)")).toInt
+    // pin check FIRST: a non-tokenizer dataset must fail on the header,
+    // not on a missing-column analysis error deep in the read
+    val (nPieces, nSingles) = (pinned("numPieces"), pinned("singleSize"))
+    val rows = graft.io.Reader.readTable(spark, storage, uuid)
+      // explicit casts: integral widths are storage-normalization-dependent
+      .select(col("kind"), col("rank").cast("long").as("rank"),
+        col("piece"), col("log_prob").cast("double").as("log_prob"))
+      .collect()
+      .sortBy(_.getLong(1))
+    require(rows.length == nPieces,
+      s"tokenizer '$uuid' is incomplete: header pins $nPieces pieces, read ${rows.length}")
+    require(rows.count(_.getString(0) == "single") == nSingles,
+      s"tokenizer '$uuid' is incomplete: header pins $nSingles singles, " +
+        s"read ${rows.count(_.getString(0) == "single")}")
+    require(rows.map(_.getLong(1)).toSeq == rows.indices.map(_.toLong),
+      s"tokenizer '$uuid' has non-dense piece ids — corrupt or hand-edited")
+    val pieces = rows.map(r => Piece(r.getString(2), r.getDouble(3))).toSeq
+    val stored = rows.map(r => (r.getString(2), r.getLong(1))).toSeq
+    require(vocabIds(pieces) == stored,
+      s"tokenizer '$uuid' id assignment diverges from vocabIds(pieces) — " +
+        "corrupt or hand-edited rank column")
+    pieces
+  }
+
+  /** Encode a text column straight to vocabulary ids: `array<long>`, the
+    * flat per-document token-id stream (word boundaries consumed — the
+    * packing/training face; use [[encode]] where piece text matters).
+    * Compiled single pass, one hash probe per piece; only the segmenter's
+    * single-cp unk fallback (code points unseen in training) can produce
+    * [[graft.functions.UnigramTokenIds.UnkId]] (-1). */
+  def encodeIds(text: Column, pieces: Seq[Piece]): Column =
+    asColumn(UnigramTokenIds(exprOf(text),
+      pieces.map(p => (p.piece, p.logProb))))
+
+  /** The terminal stage for the unigram family — [[Bpe.tokenizeAndPack]]
+    * mirrored: tokenize to piece ids and assign every document its
+    * (shard, seq_idx, offset_in_seq) position in fixed-`seqLen` packed
+    * training sequences via [[Chunking.packSequences]]'s one-shuffle
+    * sharded running sum. Tokenless documents are DROPPED — zero weight
+    * would silently share the offset of its successor. Output: (idCol,
+    * ids, n_tokens, shard, seq_idx, offset_in_seq). */
+  def tokenizeAndPack(df: DataFrame, textCol: String, idCol: String,
+                      pieces: Seq[Piece], seqLen: Long, numShards: Int,
+                      salt: String = "graft"): DataFrame = {
+    val ids = df.select(col(idCol), encodeIds(col(textCol), pieces).as("ids"))
+      .withColumn("n_tokens", size(col("ids")).cast("long"))
+      .where(col("n_tokens") > 0)
+    Chunking.packSequences(ids, "n_tokens", idCol, seqLen, numShards, salt)
+  }
+
+  /** Per-document tokenizer fertility under the unigram vocabulary —
+    * [[Bpe.fertilityStats]] for the second family, so the two tokenizers
+    * are rankable on the same metric. */
+  def fertilityStats(df: DataFrame, textCol: String, pieces: Seq[Piece])
+      : DataFrame = {
+    val toks = tokenCount(col(textCol), pieces)
+    val words = TextAnalysis.tokenCount(col(textCol))
+    df.select(col("*"), toks.as("n_pieces"), words.as("n_words"),
+        length(col(textCol)).as("n_chars"))
+      .withColumn("fertility",
+        when(col("n_words") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_pieces").cast("double") / col("n_words"), 6)))
   }
 }

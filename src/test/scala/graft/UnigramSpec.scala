@@ -116,6 +116,121 @@ class UnigramSpec extends SparkSpec {
     assert(enc.map(_.toSeq) === Seq(Seq("h", "e", "y"), Seq("😀", "a")))
   }
 
+  test("vocab ids: singles prefix by CODE POINT, multis by (log_prob desc, piece asc), set-pure") {
+    val pieces = Seq(Unigram.Piece("😀", -3.0), Unigram.Piece("�", -4.0),
+      Unigram.Piece("ab", -1.5), Unigram.Piece("ba", -1.5),
+      Unigram.Piece("zz", -0.5), Unigram.Piece("a", -2.0))
+    val ids = Unigram.vocabIds(pieces)
+    // singles block 0..B-1 in code-point order: 'a'(97) < U+FFFD < emoji
+    assert(ids.take(3) === Seq("a" -> 0L, "�" -> 1L, "😀" -> 2L))
+    // multis: best log-prob first, piece asc on ties
+    assert(ids.drop(3) === Seq("zz" -> 3L, "ab" -> 4L, "ba" -> 5L))
+    // pure function of the SET — any seq order reproduces the assignment
+    assert(Unigram.vocabIds(pieces.reverse) === ids)
+    // vocabDf carries the same assignment with the kind discriminator
+    val vdf = Unigram.vocabDf(spark, pieces).orderBy("id").collect()
+    assert(vdf.map(r => r.getString(1) -> r.getLong(0)).toSeq === ids)
+    assert(vdf.map(_.getString(3)).toSeq ===
+      Seq("single", "single", "single", "multi", "multi", "multi"))
+  }
+
+  test("encodeIds: fused Viterbi+lookup equals encode mapped through vocabIds; unk only off-alphabet") {
+    val corpus = Seq("low low low lower lower newest newest widest the the the")
+    val df = corpus.toDF("text")
+    val ps = Unigram.train(df, "text", vocabSize = 24, maxPieceLen = 6)
+    val idOf = Unigram.vocabIds(ps).toMap
+    val docs = corpus ++ Seq("lowest newest", "", "   ", "the widest low")
+    val rows = docs.toDF("text")
+      .select(col("text"),
+        Unigram.encodeIds(col("text"), ps).as("ids"),
+        Unigram.tokens(col("text"), ps).as("toks"))
+      .collect()
+    rows.foreach { r =>
+      val expect = r.getSeq[String](2).map(t => idOf.getOrElse(t, -1L))
+      assert(r.getSeq[Long](1) === expect, s"text '${r.getString(0)}'")
+      // the training alphabet covers every corpus code point: no unknowns
+      assert(!r.getSeq[Long](1).contains(-1L), s"unk in '${r.getString(0)}'")
+    }
+    // a code point never seen in training degrades to UnkId, not a crash
+    val unk = Seq("low 😀q").toDF("text")
+      .select(Unigram.encodeIds(col("text"), ps).as("ids"))
+      .head().getSeq[Long](0)
+    assert(unk.head === idOf("low"))
+    assert(unk.count(_ == -1L) === 2) // 😀 and q are both off-alphabet
+  }
+
+  test("saveTokenizer/loadTokenizer: dataset roundtrip reproduces the tokenizer exactly, fails loud") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ps = Unigram.train(df, "text", vocabSize = 64, maxPieceLen = 6)
+    val store = graft.store.Storage(spark, tmpDir("uni-tok"))
+    Unigram.saveTokenizer(spark, store, "tok", ps)
+    val ps2 = Unigram.loadTokenizer(spark, store, "tok")
+    // same SET with the same id assignment (load returns id order)
+    assert(ps2.toSet === ps.toSet)
+    assert(Unigram.vocabIds(ps2) === Unigram.vocabIds(ps))
+    // the reloaded tokenizer encodes identically
+    val a = df.limit(50).select(Unigram.encodeIds(col("text"), ps).as("i")).collect()
+    val b = df.limit(50).select(Unigram.encodeIds(col("text"), ps2).as("i")).collect()
+    assert(a.map(_.getSeq[Long](0)).toSeq === b.map(_.getSeq[Long](0)).toSeq)
+    // a non-tokenizer dataset fails on the header, loudly
+    graft.io.Writer.store(spark, store, "plain", df.select("doc_id", "text"),
+      graft.io.Writer.WriteOpts())
+    intercept[IllegalArgumentException] {
+      Unigram.loadTokenizer(spark, store, "plain")
+    }
+    // a tampered rank column (id shift) fails the re-derivation check
+    val rows = graft.io.Reader.readTable(spark, store, "tok")
+    graft.io.Writer.store(spark, store, "tok_bad",
+      rows.withColumn("rank",
+        when(col("rank") === 0, lit(1)).when(col("rank") === 1, lit(0))
+          .otherwise(col("rank"))),
+      graft.io.Writer.WriteOpts(metadata = Map(
+        "graft.unigram.numPieces" -> ps.size.toString,
+        "graft.unigram.singleSize" ->
+          ps.count(p => p.piece.codePointCount(0, p.piece.length) == 1).toString)))
+    intercept[IllegalArgumentException] {
+      Unigram.loadTokenizer(spark, store, "tok_bad")
+    }
+  }
+
+  test("tokenizeAndPack: composite preserves tokens, drops empties, coordinates are consistent") {
+    val docs = Seq(("d0", "low low lower newest"), ("d1", ""), ("d2", "   "),
+      ("d3", "widest newest low"), ("d4", "low"), ("d5", "newest widest widest lower"))
+      .toDF("doc_id", "text")
+    val train = Seq("low low low lower newest newest widest widest").toDF("text")
+    val ps = Unigram.train(train, "text", vocabSize = 24, maxPieceLen = 6)
+    val packed = Unigram.tokenizeAndPack(docs, "text", "doc_id", ps,
+      seqLen = 4L, numShards = 2)
+    val rows = packed.select("doc_id", "n_tokens", "shard", "seq_idx", "offset_in_seq")
+      .collect()
+    assert(rows.map(_.getString(0)).sorted === Array("d0", "d3", "d4", "d5"))
+    val counts = docs.where(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), Unigram.tokenCount(col("text"), ps).cast("long").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) === counts(r.getString(0)))
+      assert(r.getLong(4) >= 0L && r.getLong(4) < 4L)
+    }
+    // walking docs in pack order reproduces every coordinate from the
+    // running token sum — the packSequences contract surviving composition
+    val byShard = packed.select("doc_id", "n_tokens", "shard", "seq_idx", "offset_in_seq")
+      .withColumn("h", md5(concat(lit(graft.ops.Sampling.PackDomain + "graft"), col("doc_id"))))
+      .orderBy("shard", "h", "doc_id").collect().groupBy(_.getLong(2))
+    byShard.values.foreach { seq =>
+      var before = 0L
+      seq.foreach { r =>
+        assert(r.getLong(3) === before / 4L, s"seq_idx of ${r.getString(0)}")
+        assert(r.getLong(4) === before % 4L, s"offset of ${r.getString(0)}")
+        before += r.getLong(1)
+      }
+    }
+    // fertility face: same metric shape as BPE so families are rankable
+    val fert = Unigram.fertilityStats(docs.where(col("doc_id") === "d0"), "text", ps)
+      .select("n_pieces", "n_words", "fertility").head()
+    assert(fert.getInt(1) === 4)
+    assert(fert.getDouble(2) === fert.getInt(0).toDouble / 4.0)
+  }
+
   test("piecesDf face carries the table; fertility under unigram beats characters") {
     val df = Seq("banana banana banana bandana").toDF("text")
     val ps = Unigram.train(df, "text", vocabSize = 16, maxPieceLen = 6)
