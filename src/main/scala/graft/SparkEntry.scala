@@ -116,9 +116,11 @@ object SparkEntry {
 
   /** Build a shared temp dataset once per JVM per scale-factor dir. */
   /** Shared bloom-CDC fixture: evens stored, bloom built, the CDC delta
-    * merged THROUGH the bloom, and the merge's new labels bloom-appended
-    * (the realistic maintenance flow — a lookup must see rewritten
-    * partitions). */
+    * merged THROUGH the bloom (probe FORCED — at contract scale the
+    * auto-regime would rightly choose the scan path for this
+    * megabatch-shaped delta, and this fixture exists to exercise the probe;
+    * the merge auto-appends its landed labels, the realistic maintenance
+    * flow — a lookup must see rewritten partitions). */
   private def upsbDs(s: SparkSession, dir: String): Storage =
     ensure(s, dir, "ord_upsb") { st =>
       val o = rd(s, dir, "orders")
@@ -126,13 +128,8 @@ object SparkEntry {
         WriteOpts(partitionOn = Seq("o_orderstatus"), overwrite = true))
       graft.index.BloomIndex.build(s, st, "ord_upsb_bf", "ord_upsb",
         "o_orderkey", m = 1L << 18, k = 6, numBuckets = 8, overwrite = true)
-      val before = DatasetMetadata.load(st, "ord_upsb").partitions.toSet
       Ops.upsertDataset(s, st, "ord_upsb", upsertDelta(o), Seq("o_orderkey"),
-        bloomIndex = Some("ord_upsb_bf"))
-      val newLabels =
-        (DatasetMetadata.load(st, "ord_upsb").partitions.toSet -- before).toSeq
-      if (newLabels.nonEmpty)
-        graft.index.BloomIndex.appendLabels(s, st, "ord_upsb_bf", newLabels)
+        bloomIndex = Some("ord_upsb_bf"), bloomProbe = Some(true))
       ()
     }
 

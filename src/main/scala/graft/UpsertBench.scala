@@ -25,7 +25,11 @@ object UpsertBench {
       .withColumn("o_orderpriority", lit("UPSERTED"))
     val tmp = java.nio.file.Files.createTempDirectory("upsbench").toString
     val st = graft.store.Storage(spark, tmp)
-    for (mode <- Seq("scan", "indexed", "bloom",
+    // "bloom" = megabatch delta under the AUTO regime (should pick the scan
+    // path); "bloom-forced" = the same delta with the probe forced (the 4-6x
+    // penalty the auto regime exists to avoid); "bloom-small" = point CDC
+    // under auto (should pick the probe)
+    for (mode <- Seq("scan", "indexed", "bloom", "bloom-forced",
                      "scan-small", "bloom-small"); r <- 0 until reps) {
       val uuid = s"ub_${mode}_$r"
       val idx = if (mode == "indexed") Seq("o_orderkey") else Nil
@@ -42,9 +46,10 @@ object UpsertBench {
           Some(s"${uuid}_bf")
         } else None
       val d = if (mode.endsWith("-small")) small else delta
+      val probe = if (mode == "bloom-forced") Some(true) else None
       val t0 = System.nanoTime()
       graft.io.Ops.upsertDataset(spark, st, uuid, d, Seq("o_orderkey"),
-        bloomIndex = bloom)
+        bloomIndex = bloom, bloomProbe = probe)
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"UPSERTBENCH $mode run$r $sec%.2f s ($sfDir)")
     }

@@ -46,6 +46,16 @@ object BloomIndex {
 
   private val Domain = "graft.bloom:"
 
+  /** Auto-regime threshold for merge touch discovery ([[graft.io.Ops
+    * .upsertDataset]] family): probe the bloom only while the delta holds
+    * fewer than this many keys PER LIVE FILE; above it, a delta touches
+    * most partitions anyway — discovery cannot save what the rewrite must
+    * read, and the probe aggregate itself costs more than the column-pruned
+    * key scan (measured 19.8–21.3 s probe vs 3.1–5.4 s scan on the
+    * megabatch tier, `BENCH_LOCAL.json` bloom_index_r11, vs 1.6 s probe /
+    * 1.9 s scan on the point tier). */
+  val ProbeKeysPerFile: Long = 256L
+
   /** Kirsch–Mitzenmacher position i from the staged md5 column:
     * `(h1 + i·h2) mod m`, h2 forced odd so consecutive probes never
     * collapse when m is even. */
@@ -125,21 +135,46 @@ object BloomIndex {
           "graft.bloom.k" -> k.toString,
           "graft.bloom.column" -> column,
           "graft.bloom.numBuckets" -> numBuckets.toString,
-          "graft.bloom.dataset" -> datasetUuid)))
+          "graft.bloom.dataset" -> datasetUuid,
+          CoveredKey -> encodeCovered(meta.partitions.toSet))))
   }
 
   /** Append the bloom rows of freshly landed `labels` — the O(landing)
-    * maintenance that replaces the exact index's O(index) commit rewrite. */
+    * maintenance that replaces the exact index's O(index) commit rewrite.
+    * Already-covered labels are SKIPPED, not re-appended (idempotent under
+    * crash-retry): a duplicate (label, word, bits) row would double the
+    * per-label hit count and break the probe's exact `hits == probe_words`
+    * test — a silent false negative, the one failure the index must never
+    * produce. */
   def appendLabels(spark: SparkSession, store: Storage, bloomUuid: String,
                    labels: Seq[String]): DatasetMetadata = {
-    val (m, k, column, numBuckets, datasetUuid) = params(store, bloomUuid)
+    val bmeta = DatasetMetadata.load(store, bloomUuid)
+    val (m, k, column, numBuckets, datasetUuid) = paramsOf(bmeta)
     val meta = DatasetMetadata.load(store, datasetUuid)
     val unknown = labels.filterNot(meta.partitions.contains)
     require(unknown.isEmpty,
       s"labels not in dataset '$datasetUuid': ${unknown.take(3).mkString(", ")}")
+    val already = coveredOf(bmeta)
+    val fresh = labels.filterNot(already)
+    if (fresh.isEmpty) return bmeta
     graft.io.Writer.update(spark, store, bloomUuid,
-      Some(rowsFor(spark, store, meta, column, labels, m, k, numBuckets)))
+      Some(rowsFor(spark, store, meta, column, fresh, m, k, numBuckets)),
+      opts = graft.io.Writer.WriteOpts(metadata = Map(
+        CoveredKey -> encodeCovered(already ++ fresh))))
   }
+
+  // the covered-label watermark: every dataset label whose bloom rows are
+  // present. Same cardinality as the indexed dataset's own header partition
+  // list (which the system already pays per commit), newline-joined —
+  // labels are store-generated names, never containing newlines
+  private val CoveredKey = "graft.bloom.covered"
+  private def encodeCovered(labels: Set[String]): String =
+    labels.toSeq.sorted.mkString("\n")
+  private def coveredOf(bmeta: DatasetMetadata): Set[String] =
+    bmeta.metadata.get(CoveredKey) match {
+      case Some("") | None => Set.empty
+      case Some(s)         => s.split("\n", -1).toSet
+    }
 
   private def rowsFor(spark: SparkSession, store: Storage,
                       meta: DatasetMetadata, column: String,
@@ -159,10 +194,25 @@ object BloomIndex {
     * bloom read prunes to the probe words' buckets; stale rows of deleted
     * labels are filtered against the live header. Returns distinct
     * labels — the touch-discovery contract (superset, row-level verify
-    * downstream). */
+    * downstream).
+    *
+    * COVERAGE GATE: every live partition must be covered (its bloom rows
+    * present — tracked by the header watermark [[appendLabels]] maintains).
+    * A live-but-uncovered label has no rows to match, so the probe would
+    * silently return a NON-superset — missed touches leave duplicate keys
+    * after a merge, missed lookups drop rows. That must be a loud error
+    * naming the fix, never a wrong answer. */
   def candidateLabels(spark: SparkSession, store: Storage, bloomUuid: String,
                       values: DataFrame, valueCol: String): Seq[String] = {
-    val (m, k, _, numBuckets, datasetUuid) = params(store, bloomUuid)
+    val bmeta = DatasetMetadata.load(store, bloomUuid)
+    val (m, k, _, numBuckets, datasetUuid) = paramsOf(bmeta)
+    val live = DatasetMetadata.load(store, datasetUuid).partitions.toSet
+    val gaps = live -- coveredOf(bmeta)
+    require(gaps.isEmpty,
+      s"bloom index '$bloomUuid' does not cover ${gaps.size} live partition(s) " +
+        s"of '$datasetUuid' (e.g. ${gaps.take(3).mkString(", ")}) — probing " +
+        "would silently miss their rows. Run BloomIndex.appendLabels for the " +
+        "missing labels (or rebuild the index).")
     val probe = probeTable(values, valueCol, m, k).localCheckpoint(true)
     val buckets = probe.select(
         pmod(col("word"), lit(numBuckets.toLong)).cast("int").as("b"))
@@ -170,7 +220,6 @@ object BloomIndex {
     val bloom = graft.io.Reader.readTable(spark, store, bloomUuid,
       predicates = Some(Seq(Seq(Literal("bucket", Op.In, buckets)))))
     val nw = probe.groupBy(col(valueCol)).agg(count(lit(1)).as("__nw"))
-    val live = DatasetMetadata.load(store, datasetUuid).partitions.toSet
     probe.join(bloom, "word")
       .where((col("bits").bitwiseAND(col("mask"))) === col("mask"))
       .groupBy(col(valueCol), col("label"))
@@ -206,11 +255,13 @@ object BloomIndex {
   }
 
   private[graft] def params(store: Storage,
-                            uuid: String): (Long, Int, String, Int, String) = {
-    val meta = DatasetMetadata.load(store, uuid)
+                            uuid: String): (Long, Int, String, Int, String) =
+    paramsOf(DatasetMetadata.load(store, uuid))
+
+  private def paramsOf(meta: DatasetMetadata): (Long, Int, String, Int, String) = {
     def p(key: String): String = meta.metadata.getOrElse(s"graft.bloom.$key",
       throw new IllegalArgumentException(
-        s"dataset '$uuid' is not a bloom index (missing graft.bloom.$key)"))
+        s"dataset '${meta.uuid}' is not a bloom index (missing graft.bloom.$key)"))
     (p("m").toLong, p("k").toInt, p("column"), p("numBuckets").toInt,
       p("dataset"))
   }

@@ -295,11 +295,20 @@ object Ops {
     * duplicates the dataset may hold, matching MERGE semantics where every
     * matched target row takes the update). Rows with NULL key components
     * never match (SQL join semantics); a NULL-keyed delta row is an insert.
+    *
+    * `bloomIndex`: a bloom sidecar for touch discovery. The probe-vs-scan
+    * choice is AUTOMATIC by default — probe for point/small-batch deltas,
+    * column-pruned key scan for megabatches, picked from delta key count vs
+    * live file count ([[graft.index.BloomIndex.ProbeKeysPerFile]]; the
+    * probe costs 4–6x the scan on megabatches, measured) — and the merge
+    * auto-appends its landed labels to the sidecar so it never goes stale
+    * under its own commits. `bloomProbe = Some(true/false)` forces a path.
     */
   def upsertDataset(spark: SparkSession, storage: Storage, uuid: String,
                     delta: DataFrame, keyCols: Seq[String],
                     opts: Writer.WriteOpts = Writer.WriteOpts(),
-                    bloomIndex: Option[String] = None): DatasetMetadata = {
+                    bloomIndex: Option[String] = None,
+                    bloomProbe: Option[Boolean] = None): DatasetMetadata = {
     require(keyCols.nonEmpty, "upsertDataset requires at least one key column")
     require(DatasetMetadata.exists(storage, uuid),
       s"Cannot upsert into non-existent dataset '$uuid'")
@@ -320,7 +329,7 @@ object Ops {
       s"delta is not unique on (${keyCols.mkString(", ")}): e.g. ${dupKeys.head}")
     val deltaKeys = delta.select(keyCols.map(col): _*).distinct()
     mergeRewrite(spark, storage, uuid, meta, schema, keyCols, deltaKeys,
-      Some(delta), opts, bloomIndex)
+      Some(delta), opts, bloomIndex, bloomProbe)
   }
 
   /** Row-level DELETE by key — the CDC delete event beside [[upsertDataset]]
@@ -335,7 +344,8 @@ object Ops {
   def deleteByKeys(spark: SparkSession, storage: Storage, uuid: String,
                    keys: DataFrame, keyCols: Seq[String],
                    opts: Writer.WriteOpts = Writer.WriteOpts(),
-                   bloomIndex: Option[String] = None): DatasetMetadata = {
+                   bloomIndex: Option[String] = None,
+                   bloomProbe: Option[Boolean] = None): DatasetMetadata = {
     require(keyCols.nonEmpty, "deleteByKeys requires at least one key column")
     require(DatasetMetadata.exists(storage, uuid),
       s"Cannot delete from non-existent dataset '$uuid'")
@@ -348,7 +358,8 @@ object Ops {
         s"Expected: ${meta.indexColumns.toSeq.sorted.mkString(", ")}\n" +
         s"But got: ${opts.secondaryIndices.mkString(", ")}")
     mergeRewrite(spark, storage, uuid, meta, schema, keyCols,
-      keys.select(keyCols.map(col): _*).distinct(), None, opts, bloomIndex)
+      keys.select(keyCols.map(col): _*).distinct(), None, opts, bloomIndex,
+      bloomProbe)
   }
 
   /** One CDC batch — upserts AND deletes — in ONE atomic header swap.
@@ -362,7 +373,8 @@ object Ops {
                     upserts: DataFrame, deleteKeys: DataFrame,
                     keyCols: Seq[String],
                     opts: Writer.WriteOpts = Writer.WriteOpts(),
-                    bloomIndex: Option[String] = None): DatasetMetadata = {
+                    bloomIndex: Option[String] = None,
+                    bloomProbe: Option[Boolean] = None): DatasetMetadata = {
     require(keyCols.nonEmpty, "mergeCdcBatch requires at least one key column")
     require(DatasetMetadata.exists(storage, uuid),
       s"Cannot merge into non-existent dataset '$uuid'")
@@ -382,7 +394,7 @@ object Ops {
       s"CDC batch is not unique on (${keyCols.mkString(", ")}) across " +
         s"upserts+deletes: e.g. ${dup.headOption.getOrElse("")}")
     mergeRewrite(spark, storage, uuid, meta, schema, keyCols,
-      allKeys.distinct(), Some(upserts), opts, bloomIndex)
+      allKeys.distinct(), Some(upserts), opts, bloomIndex, bloomProbe)
   }
 
   /** Shared rewrite core of [[upsertDataset]] / [[deleteByKeys]]: discover
@@ -395,22 +407,42 @@ object Ops {
                            keyCols: Seq[String], deltaKeys: DataFrame,
                            insertRows: Option[DataFrame],
                            opts: Writer.WriteOpts,
-                           bloomIndex: Option[String] = None): DatasetMetadata = {
+                           bloomIndex: Option[String] = None,
+                           bloomProbe: Option[Boolean] = None): DatasetMetadata = {
     // -- touch discovery: which partition labels hold a matched key?
     // Preference: bloom sidecar (O(landing) maintenance, probe returns a
     // verified-downstream superset) > exact value->labels index (tiny
     // probe, but O(index) commit rewrite at key cardinality — measured in
-    // UpsertBench) > column-pruned key scan.
-    val bloomTouched: Option[Seq[String]] = bloomIndex.map { bu =>
+    // UpsertBench) > column-pruned key scan. The bloom probe is REGIME'd:
+    // it wins on point/small-batch CDC, but a megabatch delta touches most
+    // partitions anyway and the probe aggregate costs 4–6x the scan
+    // (BENCH_LOCAL bloom_index_r11) — so by default the path is picked
+    // from delta key count vs live file count ([[graft.index.BloomIndex
+    // .ProbeKeysPerFile]]); `bloomProbe = Some(true/false)` overrides.
+    // Either way the sidecar is validated up front and auto-appended after
+    // the commit, so declaring it never leaves it stale.
+    val bloomColumn: Option[String] = bloomIndex.map { bu =>
       val (_, _, column, _, ds) = graft.index.BloomIndex.params(storage, bu)
       require(ds == uuid,
         s"bloom index '$bu' indexes dataset '$ds', not '$uuid'")
       require(keyCols.contains(column),
         s"bloom index '$bu' is over '$column', which is not a merge key " +
           s"(${keyCols.mkString(", ")})")
-      graft.index.BloomIndex.candidateLabels(spark, storage, bu,
-        deltaKeys.select(col(column)).distinct(), column)
+      column
     }
+    val useProbe: Boolean = bloomIndex.isDefined && bloomProbe.getOrElse {
+      // one count job on the delta (the CDC-batch-sized side, never the
+      // corpus) buys skipping a 4–6x-slower probe on megabatches
+      val nKeys = deltaKeys.count()
+      nKeys <= graft.index.BloomIndex.ProbeKeysPerFile *
+        math.max(1L, meta.partitions.size.toLong)
+    }
+    val bloomTouched: Option[Seq[String]] =
+      if (!useProbe) None
+      else bloomIndex.map { bu =>
+        graft.index.BloomIndex.candidateLabels(spark, storage, bu,
+          deltaKeys.select(col(bloomColumn.get)).distinct(), bloomColumn.get)
+      }
     val indexedKey = keyCols.find(meta.indexColumns.contains)
     val touched: Seq[String] = {
       if (meta.partitions.isEmpty) Nil
@@ -453,9 +485,18 @@ object Ops {
     }
     val newLabels = Writer.writeSinglePartition(spark, storage, uuid, newData,
       opts.copy(partitionOn = meta.partitionKeys, format = meta.format))
-    Writer.commitDataset(spark, storage, uuid, newLabels, Nil, opts.metadata,
-      meta.partitionKeys, opts.secondaryIndices, preloadedMeta = Some(meta),
-      deleteLabels = touched.toSet)
+    val committed = Writer.commitDataset(spark, storage, uuid, newLabels, Nil,
+      opts.metadata, meta.partitionKeys, opts.secondaryIndices,
+      preloadedMeta = Some(meta), deleteLabels = touched.toSet)
+    // -- sidecar maintenance: the merge's own landed labels join the bloom
+    // (O(landing), idempotent — appendLabels skips covered labels), so the
+    // declared sidecar never goes stale under its own merges. A crash
+    // between the commit above and this append leaves a coverage gap the
+    // probe's gate reports loudly, never a silent miss.
+    bloomIndex.foreach { bu =>
+      graft.index.BloomIndex.appendLabels(spark, storage, bu, newLabels)
+    }
+    committed
   }
 
   /** A declarative schema change for [[migrateDataset]]. Applied in a
@@ -659,11 +700,24 @@ object Ops {
     * dataset. Fewer than two small files is a no-op without header
     * churn. Compaction preserves rows, not layout — a sorted/Z-ordered
     * dataset that needs its clustering restored afterwards runs
-    * [[optimizeDataset]], which is precisely a whole-dataset decision. */
+    * [[optimizeDataset]], which is precisely a whole-dataset decision.
+    *
+    * `bloomIndex`: a bloom sidecar over this dataset to keep current —
+    * compaction replaces small labels with merged ones, and an unmaintained
+    * sidecar would fail the probe-time coverage gate on every subsequent
+    * lookup/merge (loud, but avoidable). Appends the merged labels' rows,
+    * O(merged bytes) like the compaction itself. */
   def compactSmallFiles(spark: SparkSession, store: Storage, uuid: String,
                         targetBytes: Long = 512L << 20,
-                        smallBytes: Long = 0L): DatasetMetadata = {
+                        smallBytes: Long = 0L,
+                        bloomIndex: Option[String] = None): DatasetMetadata = {
     require(targetBytes > 0, s"targetBytes must be > 0 (got $targetBytes)")
+    // validate the sidecar BEFORE any rewrite work, not after the commit
+    bloomIndex.foreach { bu =>
+      val (_, _, _, _, ds) = graft.index.BloomIndex.params(store, bu)
+      require(ds == uuid,
+        s"bloom index '$bu' indexes dataset '$ds', not '$uuid'")
+    }
     val small0 = if (smallBytes > 0) smallBytes else targetBytes / 2
     val meta = DatasetMetadata.load(store, uuid)
     val prefix = meta.tablePrefix
@@ -684,9 +738,12 @@ object Ops {
     val newLabels = Writer.writeSinglePartition(spark, store, uuid, merged,
       Writer.WriteOpts(partitionOn = meta.partitionKeys, format = meta.format,
         writeWidth = files.toInt))
-    Writer.commitDataset(spark, store, uuid, newLabels, Nil, Map.empty,
-      meta.partitionKeys, Nil, preloadedMeta = Some(meta),
+    val committed = Writer.commitDataset(spark, store, uuid, newLabels, Nil,
+      Map.empty, meta.partitionKeys, Nil, preloadedMeta = Some(meta),
       deleteLabels = small.map(_._1).toSet)
+    bloomIndex.foreach(bu =>
+      graft.index.BloomIndex.appendLabels(spark, store, bu, newLabels))
+    committed
   }
 
   /** One-call operational DESCRIBE of a landed dataset: a single row of

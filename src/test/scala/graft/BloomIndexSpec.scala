@@ -56,28 +56,92 @@ class BloomIndexSpec extends SparkSpec {
     assert(truth.subsetOf(cand), s"missing true labels: ${truth -- cand}")
   }
 
-  test("appendLabels covers a landing; probes filter labels dead after a merge") {
+  test("appendLabels covers a landing; uncovered live labels fail the probe LOUDLY, never silently") {
     val st = Storage(spark, tmpDir("bloom"))
     mkDs(st, "b2")
     BloomIndex.build(spark, st, "b2_bf", "b2", "id",
       m = 1L << 16, k = 6, numBuckets = 8)
-    // new landing: ids 1000-1009 under a new group
+    // new landing: ids 1000-1009 under a new group — BEFORE appendLabels
+    // the index has no rows for it, so a probe would be a non-superset;
+    // the coverage gate must refuse, naming the fix
     val before = DatasetMetadata.load(st, "b2").partitions.toSet
     Writer.update(spark, st, "b2", Some(
       (1000L until 1010L).map(i => (i, "g9", s"v$i")).toDF("id", "grp", "v")))
+    val gap = intercept[IllegalArgumentException] {
+      BloomIndex.candidateLabels(spark, st, "b2_bf",
+        Seq(Tuple1(1005L)).toDF("id"), "id")
+    }
+    assert(gap.getMessage.contains("does not cover") &&
+      gap.getMessage.contains("appendLabels"), gap.getMessage)
     val newLabels = (DatasetMetadata.load(st, "b2").partitions.toSet -- before).toSeq
+    BloomIndex.appendLabels(spark, st, "b2_bf", newLabels)
+    // re-appending covered labels is a SKIP (idempotent), never a duplicate
+    // row set that would double hit counts into false negatives
     BloomIndex.appendLabels(spark, st, "b2_bf", newLabels)
     val cand = BloomIndex.candidateLabels(spark, st, "b2_bf",
       Seq(Tuple1(1005L)).toDF("id"), "id")
     assert(newLabels.exists(cand.contains), s"landing not probeable: $cand")
-    // a merge replaces g0's partition; the bloom's stale rows for the dead
-    // label must not surface (filtered against the live header)
+    // a merge through the sidecar replaces g0's partition and auto-appends
+    // its landed labels; the bloom's stale rows for the dead label must not
+    // surface (filtered against the live header)
     Ops.upsertDataset(spark, st, "b2",
-      Seq((0L, "g0", "NEW")).toDF("id", "grp", "v"), Seq("id"))
+      Seq((0L, "g0", "NEW")).toDF("id", "grp", "v"), Seq("id"),
+      bloomIndex = Some("b2_bf"))
     val live = DatasetMetadata.load(st, "b2").partitions.toSet
     val cand2 = BloomIndex.candidateLabels(spark, st, "b2_bf",
       Seq(Tuple1(0L)).toDF("id"), "id")
     assert(cand2.forall(live.contains), s"stale label surfaced: $cand2")
+    assert(cand2.nonEmpty, "the rewritten partition must be probeable")
+  }
+
+  test("merge auto-regime: megabatch takes the scan path by default, overrides honored") {
+    val st = Storage(spark, tmpDir("bloom"))
+    mkDs(st, "b6")
+    BloomIndex.build(spark, st, "b6_bf", "b6", "id",
+      m = 1L << 16, k = 6, numBuckets = 8)
+    // plant a coverage gap: a landing never appended to the sidecar. The
+    // probe path would fail the gate loudly — so a merge that SUCCEEDS
+    // proves the scan path ran, and one that THROWS proves the probe ran.
+    Writer.update(spark, st, "b6", Some(
+      (2000L until 2010L).map(i => (i, "g9", s"v$i")).toDF("id", "grp", "v")))
+    // 3000 keys >> 256 * 4 files: auto picks scan — succeeds despite the gap
+    val mega = (0L until 3000L).map(i => (i, s"g${i % 3}", "MEGA"))
+      .toDF("id", "grp", "v")
+    Ops.upsertDataset(spark, st, "b6", mega, Seq("id"),
+      bloomIndex = Some("b6_bf"))
+    assert(Reader.readTable(spark, st, "b6").where(col("v") === "MEGA").count() === 3000L)
+    // re-plant a gap (the megabatch merge auto-appended its own labels)
+    Writer.update(spark, st, "b6", Some(
+      Seq((5000L, "g9", "gap")).toDF("id", "grp", "v")))
+    // a point delta: auto picks probe — the gate fires on the gap
+    val e = intercept[IllegalArgumentException] {
+      Ops.upsertDataset(spark, st, "b6",
+        Seq((1L, "g1", "PT")).toDF("id", "grp", "v"), Seq("id"),
+        bloomIndex = Some("b6_bf"))
+    }
+    assert(e.getMessage.contains("does not cover"), e.getMessage)
+    // forced scan overrides auto for the same point delta — succeeds
+    Ops.upsertDataset(spark, st, "b6",
+      Seq((1L, "g1", "PT")).toDF("id", "grp", "v"), Seq("id"),
+      bloomIndex = Some("b6_bf"), bloomProbe = Some(false))
+    // heal the gap (append every live label — covered ones are skipped),
+    // then force the probe on a megabatch: still honored, and the result
+    // equals the plain-scan merge on a twin dataset
+    BloomIndex.appendLabels(spark, st, "b6_bf",
+      DatasetMetadata.load(st, "b6").partitions)
+    mkDs(st, "b7")
+    val mega2 = (0L until 3000L).map(i => (i, s"g${i % 3}", "MEGA2"))
+      .toDF("id", "grp", "v")
+    Ops.upsertDataset(spark, st, "b6", mega2, Seq("id"),
+      bloomIndex = Some("b6_bf"), bloomProbe = Some(true))
+    Ops.upsertDataset(spark, st, "b7", mega2, Seq("id"))
+    val a = Reader.readTable(spark, st, "b6")
+      .where(col("id") < 300L).select("id", "v")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val b = Reader.readTable(spark, st, "b7")
+      .where(col("id") < 300L).select("id", "v")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(a === b)
   }
 
   test("merge via bloom equals merge via scan, and refuses a foreign index") {
