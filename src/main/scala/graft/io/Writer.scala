@@ -246,8 +246,9 @@ object Writer {
     val indices = buildAndStoreIndices(spark, storage, uuid, schema, labels,
       opts.secondaryIndices, nextTs())
     DatasetMetadata.writeSchema(storage, uuid, schema)
+    // the creating commit is version 1 of the concurrent-committer guard
     val meta = DatasetMetadata(uuid, labels, opts.partitionOn, indices,
-      opts.metadata, format = opts.format)
+      opts.metadata + (CommitVersionKey -> "1"), format = opts.format)
     storage.writeString(meta.headerKey, meta.toJson) // atomic visibility point
     graft.meta.DatasetFactory.bump(storage, uuid)
     meta
@@ -371,6 +372,22 @@ object Writer {
     * header, resolve delete scope, rebuild affected indices, write header
     * once. Rejects duplicate partition labels
     * (`io_components/write.py:196-207`). */
+  /** Header metadata key of the monotonic commit version — the
+    * concurrent-committer guard's parent pointer. Every graft commit bumps
+    * it; [[commitDataset]] refuses (or rebases) when the header moved
+    * between the caller's load and the swap. */
+  val CommitVersionKey = "graft.commit.version"
+
+  private def commitVersionOf(m: Option[DatasetMetadata]): Long =
+    m.flatMap(_.metadata.get(CommitVersionKey)).map(_.toLong).getOrElse(0L)
+
+  /** Two committers raced on one header and their writes overlap — the
+    * loser's merge was derived from partition content the winner already
+    * replaced, so neither refusal nor rebase can reconcile them. The
+    * caller re-runs its operation against the new state. */
+  final class ConcurrentCommitException(msg: String)
+    extends RuntimeException(msg)
+
   def commitDataset(spark: SparkSession, storage: Storage, uuid: String,
                     newLabels: Seq[String],
                     deleteScope: Seq[Map[String, Any]] = Nil,
@@ -386,6 +403,65 @@ object Writer {
                     // value-scoped deleteScope can only address partition-key
                     // or indexed columns, not arbitrary rewrite targets
                     deleteLabels: Set[String] = Set.empty): DatasetMetadata = {
+    // Concurrent-committer guard: streaming sinks, compaction, snapshots,
+    // and CDC merges all swap this one header, and the swap used to be
+    // last-writer-wins — a committer working from a header loaded minutes
+    // ago would silently drop every commit that landed in between. Each
+    // commit now records a monotonic version; right before the swap the
+    // CURRENT header version is re-read and compared to the version this
+    // commit was derived from. On mismatch: REBASE when provably safe —
+    // partition files are immutable per label (a rewrite lands NEW labels
+    // and deletes old ones, never mutates in place), so as long as every
+    // label this commit deletes is still live, its row-level derivation
+    // still holds and the whole commit (labels, indices, metadata) is
+    // recomputed against the fresh header — otherwise (both committers
+    // replaced the same partition) throw [[ConcurrentCommitException]].
+    // The detection window shrinks from the caller's whole job duration
+    // to the re-read->write gap; closing THAT microsecond gap needs a
+    // compare-and-swap the filesystem contract here doesn't offer (a
+    // cluster deployment backs the header swap with a CAS metastore).
+    val MaxRebases = 5
+    var attempt = 0
+    var base: Option[DatasetMetadata] = preloadedMeta.orElse(
+      if (DatasetMetadata.exists(storage, uuid))
+        Some(DatasetMetadata.load(storage, uuid))
+      else None)
+    var result: Option[DatasetMetadata] = None
+    while (result.isEmpty) {
+      commitOnce(spark, storage, uuid, newLabels, deleteScope, metadata,
+          partitionOn, secondaryIndices, base, deleteLabels) match {
+        case Right(meta) => result = Some(meta)
+        case Left(currentVersion) =>
+          attempt += 1
+          if (attempt > MaxRebases)
+            throw new ConcurrentCommitException(
+              s"commit to '$uuid' lost the header race $MaxRebases times " +
+                s"(version moved to $currentVersion) — a hot multi-writer " +
+                "dataset needs a CAS-backed header store")
+          val fresh = DatasetMetadata.load(storage, uuid)
+          val gone = deleteLabels -- fresh.partitions.toSet
+          if (gone.nonEmpty)
+            throw new ConcurrentCommitException(
+              s"commit to '$uuid' conflicts with a concurrent commit: " +
+                s"partition(s) ${gone.take(3).mkString(", ")} this commit " +
+                "replaces were already replaced (header version " +
+                s"$currentVersion) — re-run the operation against the new state")
+          base = Some(fresh)
+      }
+    }
+    result.get
+  }
+
+  // one commit attempt against `preloadedMeta` as the parent state; Left =
+  // the header moved underneath (its current version), nothing written
+  private def commitOnce(spark: SparkSession, storage: Storage, uuid: String,
+                         newLabels: Seq[String],
+                         deleteScope: Seq[Map[String, Any]],
+                         metadata: Map[String, String],
+                         partitionOn: Seq[String],
+                         secondaryIndices: Seq[String],
+                         preloadedMeta: Option[DatasetMetadata],
+                         deleteLabels: Set[String]): Either[Long, DatasetMetadata] = {
     val (oldMeta, oldLabels) =
       preloadedMeta.orElse(
         if (DatasetMetadata.exists(storage, uuid))
@@ -464,12 +540,23 @@ object Writer {
     }.toMap
     // commit-time metadata_merger semantics, not last-wins ++ (reference
     // io/eager.py:303 + io_components/utils.py:24-102)
+    val parentVersion = commitVersionOf(oldMeta)
     val mergedMeta = Ops.combineUserMetadata(
-      oldMeta.map(_.metadata).getOrElse(Map.empty), metadata)
+      oldMeta.map(_.metadata).getOrElse(Map.empty), metadata) +
+      (CommitVersionKey -> (parentVersion + 1L).toString)
     val fmt = oldMeta.map(_.format).getOrElse(
       newLabels.headOption.map(Serializer.formatOf).getOrElse("parquet"))
     val meta = DatasetMetadata(uuid, labels, keys, indices, mergedMeta,
       format = fmt, tableName = table)
+    // the guard's re-read: has another committer swapped the header since
+    // `oldMeta` was loaded? (header parse only — no dynamic listing; a
+    // foreign writer that strips the version key reads as 0, which can
+    // only FALSELY TRIGGER a rebase, never falsely pass)
+    val current =
+      if (DatasetMetadata.exists(storage, uuid))
+        commitVersionOf(Some(DatasetMetadata.loadHeaderOnly(storage, uuid)))
+      else 0L
+    if (current != parentVersion) return Left(current)
     // a dataset that carries the reference's msgpack header flavor gets it
     // REWRITTEN in the same commit — leaving the old one in place would keep
     // a stale divergent header that resurrects deleted partitions for any
@@ -481,7 +568,7 @@ object Writer {
       storage.writeBytes(DatasetMetadata.msgpackHeaderKey(uuid), meta.toMsgpackZstd)
     storage.writeString(meta.headerKey, meta.toJson) // atomic visibility point
     graft.meta.DatasetFactory.bump(storage, uuid)
-    meta
+    Right(meta)
   }
 
   /** Reference `update_dataset_from_dataframes` (`io/eager.py:629-704`):

@@ -676,7 +676,11 @@ class DatasetSpec extends SparkSpec {
       opts = WriteOpts(metadata = Map(
         "owner" -> "team-a", "v" -> "2", "note" -> "updated",
         "doc" -> """{"a":{"y":2},"tags":["t2"]}""")))
-    assert(after.metadata === Map(
+    // engine-state keys (graft.* — e.g. the commit-version guard) ride the
+    // same map but are not user metadata; compare user keys only
+    def user(m: Map[String, String]): Map[String, String] =
+      m.filterNot(_._1.startsWith(graft.io.Ops.SystemMetaPrefix))
+    assert(user(after.metadata) === Map(
       "owner" -> "team-a",                         // equal scalar collapses
       "note" -> "updated",                         // one-sided key unions
       "doc" -> """{"a":{"x":1,"y":2},"tags":["t1","t2"]}""")) // nested merge
@@ -689,7 +693,7 @@ class DatasetSpec extends SparkSpec {
       WriteOpts(partitionOn = Seq("p"), metadata = Map("v" -> "1.50", "b" -> "true ")))
     val after2 = Writer.update(spark, store, "md2", None,
       opts = WriteOpts(metadata = Map("note" -> "x")))
-    assert(after2.metadata === Map("v" -> "1.50", "b" -> "true ", "note" -> "x"))
+    assert(user(after2.metadata) === Map("v" -> "1.50", "b" -> "true ", "note" -> "x"))
   }
 
   test("graft.verbatim-keys opts a literal string out of JSON-doc embedding") {

@@ -313,4 +313,53 @@ class LifecycleHardeningSpec extends SparkSpec {
     store.writeString(meta.headerKey, meta.toJson) // heal
     assert(checks().values.forall(_._1))
   }
+
+  test("interleaved committers: append-append rebases keeping BOTH, overlap refuses loudly") {
+    val st = freshStore()
+    Writer.store(spark, st, "race", Seq((1L, "a", "p1"), (2L, "b", "p2"))
+      .toDF("id", "v", "p"), WriteOpts(partitionOn = Seq("p")))
+    // committer A loads the header, then stalls (its loaded meta goes stale)
+    val staleA = DatasetMetadata.load(st, "race")
+    // committer B lands and commits an append while A is stalled
+    Writer.update(spark, st, "race", Some(Seq((3L, "c", "p3")).toDF("id", "v", "p")))
+    val afterB = DatasetMetadata.load(st, "race")
+    // A wakes up and commits its own append FROM THE STALE HEADER: the
+    // version guard must detect the moved header and rebase — the final
+    // state holds BOTH commits' partitions (pre-guard, A's swap silently
+    // dropped B's)
+    val aLabels = Writer.writeSinglePartition(spark, st, "race",
+      Seq((4L, "d", "p4")).toDF("id", "v", "p"),
+      WriteOpts(partitionOn = Seq("p")))
+    Writer.commitDataset(spark, st, "race", aLabels,
+      partitionOn = Seq("p"), preloadedMeta = Some(staleA))
+    val ids = Reader.readTable(spark, st, "race").select("id")
+      .as[Long].collect().toSet
+    assert(ids === Set(1L, 2L, 3L, 4L),
+      s"a commit was dropped: $ids")
+    assert(afterB.partitions.toSet.subsetOf(
+      DatasetMetadata.load(st, "race").partitions.toSet))
+    // version is monotone: store=1, B=2, A(rebased)=3
+    assert(DatasetMetadata.load(st, "race")
+      .metadata(Writer.CommitVersionKey) === "3")
+
+    // OVERLAPPING rewrites cannot rebase: A plans to replace a partition,
+    // B replaces it first — A's survivors were derived from content B
+    // already rewrote, so the guard must throw, never reconcile silently
+    val stale2 = DatasetMetadata.load(st, "race")
+    // the partition A plans to replace: the one holding id=1 (p=p1)
+    val victim = stale2.partitions.find(_.contains("p=p1")).get
+    Ops.upsertDataset(spark, st, "race",
+      Seq((1L, "B-WINS", "p1")).toDF("id", "v", "p"), Seq("id"))
+    val a2 = Writer.writeSinglePartition(spark, st, "race",
+      Seq((1L, "A-STALE", "p1")).toDF("id", "v", "p"),
+      WriteOpts(partitionOn = Seq("p")))
+    val e = intercept[Writer.ConcurrentCommitException] {
+      Writer.commitDataset(spark, st, "race", a2, partitionOn = Seq("p"),
+        preloadedMeta = Some(stale2), deleteLabels = Set(victim))
+    }
+    assert(e.getMessage.contains("already replaced"), e.getMessage)
+    // B's write survived untouched
+    assert(Reader.readTable(spark, st, "race").where(col("id") === 1L)
+      .select("v").as[String].head() === "B-WINS")
+  }
 }
