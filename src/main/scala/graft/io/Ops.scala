@@ -559,6 +559,22 @@ object Ops {
       afterDrop.schema.fieldNames.toSet)
     require(migration.renameColumns.values.toSeq.distinct.size ==
       migration.renameColumns.size, "renameColumns targets collide")
+    // renames apply via foldLeft in MAP ORDER, so chains/swaps (a->b with
+    // b->c) would be order-dependent — withColumnRenamed renames whatever
+    // matches at that step, including another rename's fresh output
+    val chained = migration.renameColumns.keySet
+      .intersect(migration.renameColumns.values.toSet)
+    require(chained.isEmpty,
+      s"renameColumns chains/swaps through ${chained.toSeq.sorted.mkString(", ")} " +
+        "— rename results may not be rename sources (split into two migrations)")
+    // a target colliding with a SURVIVING column (neither dropped nor
+    // itself renamed away) would produce a duplicate-named frame
+    val survivors = afterDrop.schema.fieldNames.toSet --
+      migration.renameColumns.keySet
+    val shadowed = migration.renameColumns.values.toSet.intersect(survivors)
+    require(shadowed.isEmpty,
+      s"renameColumns would duplicate existing column(s): " +
+        s"${shadowed.toSeq.sorted.mkString(", ")}")
     val afterRename = migration.renameColumns.foldLeft(afterDrop) {
       case (d, (from, to)) => d.withColumnRenamed(from, to)
     }

@@ -288,9 +288,13 @@ object Streaming {
     * O(stream lifetime) — without it a stream-stream join buffers
     * forever. Bounds are interval strings (`"-1 hour"`, `"0 seconds"`).
     * Non-key column names must be disjoint across the sides (the output
-    * carries both sides' payloads; the join keys appear once). Works on
-    * batch frames too, where it degrades to a plain range join — the
-    * [[dedupExact]] dual-mode discipline. */
+    * carries both sides' payloads; the join keys appear once). The one
+    * sanctioned exception is the timestamp pair itself: when both sides
+    * clock on the same column name (the common case — `ts` on both), the
+    * right side's timestamp lands as `right_<name>` so the output never
+    * carries two identically-named columns. Works on batch frames too,
+    * where it degrades to a plain range join — the [[dedupExact]]
+    * dual-mode discipline. */
   def streamStreamJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                        leftTs: String, rightTs: String,
                        lowerBound: String, upperBound: String,
@@ -300,6 +304,10 @@ object Streaming {
     val dup = left.columns.toSet.intersect(right.columns.toSet) -- keys -- Set(leftTs, rightTs)
     require(dup.isEmpty,
       s"non-key columns must be disjoint across sides: ${dup.toSeq.sorted.mkString(", ")}")
+    if (leftTs == rightTs && !keys.contains(leftTs))
+      require(!(left.columns ++ right.columns).contains(s"right_$rightTs"),
+        s"'right_$rightTs' already exists — it is reserved for the right " +
+          "side's timestamp when both sides clock on the same column name")
     val l = (if (left.isStreaming) left.withWatermark(leftTs, watermark) else left)
       .alias("l")
     val r = (if (right.isStreaming) right.withWatermark(rightTs, watermark) else right)
@@ -311,7 +319,12 @@ object Streaming {
     l.join(r, cond, "inner")
       .select(keys.map(k => col(s"l.$k")) ++
         left.columns.filterNot(keys.contains).toSeq.map(c => col(s"l.$c")) ++
-        rPayload.map(c => col(s"r.$c")): _*)
+        rPayload.map(c =>
+          // same clock name on both sides: alias the right one, or the
+          // output holds two ambiguous identically-named columns
+          if (c == rightTs && rightTs == leftTs && !keys.contains(leftTs))
+            col(s"r.$c").as(s"right_$c")
+          else col(s"r.$c")): _*)
   }
 
   /** Stream into a dataset: one atomic commit per micro-batch (replays

@@ -101,6 +101,26 @@ class MigrationSpec extends SparkSpec {
         renameColumns = Map("name" -> "same", "junk" -> "same")))
     }
     assert(e2.getMessage.contains("collide"))
+    // renaming ONTO a surviving column would duplicate its name
+    val e3 = intercept[IllegalArgumentException] {
+      Ops.migrateDataset(spark, st, "m5", "m5v2", Ops.SchemaMigration(
+        renameColumns = Map("name" -> "score")))
+    }
+    assert(e3.getMessage.contains("duplicate existing"), e3.getMessage)
+    // chains/swaps are map-iteration-order-dependent: refused
+    for (bad <- Seq(Map("name" -> "score", "score" -> "points"),
+                    Map("name" -> "score", "score" -> "name"))) {
+      val e4 = intercept[IllegalArgumentException] {
+        Ops.migrateDataset(spark, st, "m5", "m5v2",
+          Ops.SchemaMigration(renameColumns = bad))
+      }
+      assert(e4.getMessage.contains("chains/swaps"), e4.getMessage)
+    }
+    // renaming onto a DROPPED column's name is fine — the name is free
+    Ops.migrateDataset(spark, st, "m5", "m5v2", Ops.SchemaMigration(
+      dropColumns = Seq("score"), renameColumns = Map("name" -> "score")))
+    assert(graft.io.Reader.readTable(spark, st, "m5v2")
+      .schema.fieldNames.count(_ == "score") === 1)
   }
 
   test("migrating onto the source uuid is refused") {

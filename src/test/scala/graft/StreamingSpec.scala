@@ -226,6 +226,23 @@ class StreamingSpec extends SparkSpec {
         p, p, Seq("k"), "p_ts", "p_ts", "-1 HOUR", "0 SECONDS")
     }
     assert(e.getMessage.contains("disjoint"))
+    // the COMMON clock shape — both sides timestamp on the same name —
+    // must not yield two ambiguous 'ts' columns: the right one lands
+    // aliased, and the result stays selectable
+    val p2 = Seq((1L, 100L, ts(30))).toDF("k", "p_id", "ts")
+    val v2 = Seq((1L, 200L, ts(5)), (1L, 201L, ts(31))).toDF("k", "v_id", "ts")
+    val same = graft.streaming.Streaming.streamStreamJoin(
+      p2, v2, Seq("k"), "ts", "ts", "-1 HOUR", "0 SECONDS")
+    assert(same.schema.fieldNames.toSeq === Seq("k", "p_id", "ts", "v_id", "right_ts"))
+    assert(same.select("p_id", "v_id", "right_ts").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSeq === Seq((100L, 200L)))
+    // the reserved alias colliding with a real column is refused
+    val e2 = intercept[IllegalArgumentException] {
+      graft.streaming.Streaming.streamStreamJoin(
+        p2.withColumnRenamed("p_id", "right_ts"), v2,
+        Seq("k"), "ts", "ts", "-1 HOUR", "0 SECONDS")
+    }
+    assert(e2.getMessage.contains("reserved"), e2.getMessage)
   }
 
   test("armed idle timeout flushes the open tail session and frees state") {
