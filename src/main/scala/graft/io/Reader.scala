@@ -260,8 +260,36 @@ object Reader {
       import scala.jdk.CollectionConverters._
       spark.createDataFrame(remote.collect().toSeq.asJava, remote.schema)
     })
-    val pruner: Seq[CExpr] => Option[Set[String]] = { dataFilters =>
-      val sets = dataFilters.flatMap(asLiteral).flatMap { l =>
+    // one-off index evaluations the DNF literal vocabulary can't spell:
+    // labels holding any non-null value / any value with a string prefix.
+    // Exact set semantics (evaluated on the driver-local index frame), so
+    // no successor-string range encoding is needed for StartsWith.
+    def labelsWhere(c: String, cond: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Set[String] =
+      localIndex(c).where(cond(col(SecondaryIndex.ValueCol)))
+        .select(explode(col(SecondaryIndex.LabelsCol)).as("l"))
+        .distinct().collect().map(_.getString(0)).toSet
+    val shapeCache = scala.collection.concurrent.TrieMap.empty[(String, String, Any), Set[String]]
+    // recursive conjunct evaluation: a returned set is always a SUPERSET
+    // of the labels that can match the expression. And may take the known
+    // side alone (a superset stays a superset under a dropped conjunct);
+    // Or needs BOTH sides known or nothing. Unknown leaves -> None.
+    def evalExpr(e: CExpr): Option[Set[String]] = e match {
+      case org.apache.spark.sql.catalyst.expressions.Or(a, b) =>
+        for (x <- evalExpr(a); y <- evalExpr(b)) yield x union y
+      case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
+        (evalExpr(a), evalExpr(b)) match {
+          case (Some(x), Some(y)) => Some(x intersect y)
+          case (x, y)             => x.orElse(y)
+        }
+      case IsNotNull(a: AttributeReference) if idxCols(a.name) =>
+        Some(shapeCache.getOrElseUpdate((a.name, "notnull", ""),
+          labelsWhere(a.name, _.isNotNull)))
+      case StartsWith(a: AttributeReference, p: CatalystLit)
+          if idxCols(a.name) && p.value != null =>
+        val pfx = p.value.toString
+        Some(shapeCache.getOrElseUpdate((a.name, "startswith", pfx),
+          labelsWhere(a.name, _.startsWith(pfx))))
+      case other => asLiteral(other).flatMap { l =>
         // BEST-EFFORT by contract: a literal the strict DNF compiler rejects
         // (e.g. a binary value with a null byte — a perfectly legal Spark
         // filter) must mean "cannot prune on this conjunct", never a
@@ -270,6 +298,9 @@ object Reader {
           SecondaryIndex.evalLiteral(localIndex(l.column), l)))
         catch { case _: IllegalArgumentException => None }
       }
+    }
+    val pruner: Seq[CExpr] => Option[Set[String]] = { dataFilters =>
+      val sets = dataFilters.flatMap(evalExpr)
       if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
     }
     val idx = new GraftFileIndex(spark,

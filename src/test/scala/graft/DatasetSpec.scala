@@ -495,6 +495,43 @@ class DatasetSpec extends SparkSpec {
     assert(fileIndexOf(noPrune).lastListedFileCount === 3)
   }
 
+  test("Catalyst FileIndex: IsNotNull, StartsWith and Or-of-equalities prune too") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // one file per p; s is all-null in p=n, prefixed values elsewhere
+    val df0 = Seq(
+      (1L, "a", "app_x", 10.0), (2L, "a", "app_y", 20.0),
+      (3L, "b", "web_x", 30.0), (4L, "b", "web_y", 40.0),
+      (5L, "n", null, 50.0), (6L, "n", null, 60.0)
+    ).toDF("id", "p", "s", "v")
+    Writer.store(spark, store, "fidx3", df0,
+      WriteOpts(partitionOn = Seq("p"), secondaryIndices = Seq("s")))
+    def fileIndexOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: FileSourceScanExec =>
+          f.relation.location.asInstanceOf[org.apache.spark.sql.graftbridge.GraftFileIndex]
+      }.get
+    val base = Reader.readTableIndexed(spark, store, "fidx3")
+    assert(base.count() === 6)
+    assert(fileIndexOf(base).lastListedFileCount === 3)
+    // IsNotNull on the indexed column skips the all-null partition
+    val nn = base.where(col("s").isNotNull)
+    assert(nn.collect().map(_.getAs[Long]("id")).toSet === Set(1L, 2L, 3L, 4L))
+    assert(fileIndexOf(nn).lastListedFileCount === 2)
+    // StartsWith range-prunes to the one label holding the prefix
+    val sw = base.where(col("s").startsWith("web"))
+    assert(sw.collect().map(_.getAs[Long]("id")).toSet === Set(3L, 4L))
+    assert(fileIndexOf(sw).lastListedFileCount === 1)
+    // Or of equalities over the indexed column unions the label sets
+    val orEq = base.where(col("s") === "app_x" || col("s") === "web_y")
+    assert(orEq.collect().map(_.getAs[Long]("id")).toSet === Set(1L, 4L))
+    assert(fileIndexOf(orEq).lastListedFileCount === 2)
+    // Or with an untranslatable side cannot prune (superset contract)
+    val orMixed = base.where(col("s") === "app_x" || col("v") > 45.0)
+    assert(orMixed.collect().map(_.getAs[Long]("id")).toSet === Set(1L, 5L, 6L))
+    assert(fileIndexOf(orMixed).lastListedFileCount === 3)
+  }
+
   test("special characters in partition values roundtrip and prune (url-encoding)") {
     import spark.implicits._
     val tricky = Seq((1L, "a b", 1.0), (2L, "c/d", 2.0), (3L, "e=f%g", 3.0),
