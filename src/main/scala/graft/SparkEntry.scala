@@ -1277,6 +1277,45 @@ object SparkEntry {
         columns = Some(Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")))
     }),
 
+    // --- streaming SFT ingest: conversation streams land with TOKEN-level
+    // loss-mask coordinates under a PERSISTED BPE (rows-only: BPE
+    // dependency, the t_bpe_ids discipline; exactness of the mask math is
+    // pinned by the batch t_sft_tokens face and SftSpec's reconstruction,
+    // and StreamingSpec pins replay + batch-equality). Two batches of
+    // WHOLE conversations (split by conv parity) prove cross-batch appends
+    "st_stream_sft" -> ((s, dir) => {
+      val st = ensure(s, dir, "sft_stream") { st =>
+        Ops.deleteDataset(st, "sft_masks")
+        Ops.deleteDataset(st, "sft_ids")
+        graft.ops.Bpe.saveTokenizer(s, st, "sft_tok",
+          bpeOf(s, dir), bpeBaseOf(s, dir), overwrite = true)
+        val msgs = sftMessages(s, dir).withColumn("content",
+          trim(regexp_replace(col("content"), "[ \\t\\n\\x0B\\f\\r]+", " ")))
+        val base = tmpBase(dir)
+        msgs.where(expr("conv_id % 2 = 0"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/sft_in1")
+        msgs.where(expr("conv_id % 2 = 1"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/sft_in2")
+        val schemaDdl = "conv_id bigint, turn bigint, role string, content string"
+        Seq("sft_in1", "sft_in2").foreach { in =>
+          val q = graft.streaming.Streaming.writeStreamSft(
+            s.readStream.schema(schemaDdl).parquet(s"$base/$in"),
+            st, "sft_masks", "sft_tok", idsUuid = Some("sft_ids"))
+          if (!q.awaitTermination(300000)) {
+            q.stop(); sys.error(s"st_stream_sft $in did not finish within 300s")
+          }
+        }
+      }
+      // join the two landed faces: every mask row must see its
+      // conversation's id stream (n_tokens equality rides the output)
+      Reader.readTable(s, st, "sft_masks",
+          columns = Some(Seq("conv_id", "turn", "role", "learn",
+            "n_tokens", "tok_start", "tok_end")))
+        .join(Reader.readTable(s, st, "sft_ids",
+            columns = Some(Seq("conv_id", "n_tokens")))
+          .withColumnRenamed("n_tokens", "n_tokens_ids"), Seq("conv_id"))
+    }),
+
     // --- entity resolution: blocked fuzzy record matching. The oracle is
     // the TRUE all-pairs levenshtein pair set — no blocking — which the
     // blocked plan must reproduce exactly: at maxDist=1 a single edit

@@ -561,6 +561,66 @@ object Streaming {
     writeStreamAppend(ids, storage, uuid, opts, checkpoint, configure)
   }
 
+  /** Streaming SFT ingest: land conversation streams WITH their token-level
+    * loss-mask coordinates under a persisted BPE —
+    * [[writeStreamTokenized]]'s pinned-tokenizer discipline composed with
+    * [[graft.ops.Sft.tokenMasks]]. Per micro-batch: each turn of each
+    * conversation lands as (convCol, turnCol, roleCol, learn, n_tokens,
+    * tok_start, tok_end) — [tok_start, tok_end) into the conversation's
+    * flat token stream — and, when `idsUuid` is given, the rendered
+    * conversation's flat token ids land beside them as (convCol, ids,
+    * n_tokens) so the pair IS the ready-to-train bundle. The tokenizer
+    * loads ONCE at query start from its header-pinned dataset; every batch
+    * encodes under those exact merges, so coordinates stay valid across
+    * the whole stream's lifetime by construction.
+    *
+    * CALLER CONTRACT (loud, like [[graft.ops.Sft.tokenMasks]]'s
+    * normalization rule): each micro-batch must carry WHOLE conversations —
+    * masks are computed within the batch, and a conversation split across
+    * batches would get two partial (and wrong) coordinate sets. A message
+    * stream keyed by conversation satisfies this with a
+    * conversation-complete source (file-per-conversation-set drops, or an
+    * upstream sessionization flush); contents must be
+    * whitespace-normalized.
+    *
+    * Crash-safety when both datasets land, in write order ids-then-masks:
+    * each commit carries the [[writeStreamAppend]] replay stamp, so a
+    * batch redelivered after a crash between the two skips the completed
+    * ids append and commits only the missing masks — never a double land. */
+  def writeStreamSft(stream: DataFrame, storage: Storage, uuid: String,
+                     tokenizerUuid: String,
+                     idsUuid: Option[String] = None,
+                     convCol: String = "conv_id", turnCol: String = "turn",
+                     roleCol: String = "role", contentCol: String = "content",
+                     learnRole: String = "assistant",
+                     opts: WriteOpts = WriteOpts(),
+                     checkpoint: Option[String] = None,
+                     configure: DataStreamWriter[Row] => DataStreamWriter[Row] =
+                       _.trigger(Trigger.AvailableNow())): StreamingQuery = {
+    val (merges, base) = graft.ops.Bpe.loadTokenizer(
+      stream.sparkSession, storage, tokenizerUuid)
+    def batchFn(token: Option[String])(batch: DataFrame, batchId: Long): Unit = {
+      if (batch.isEmpty) return
+      // materialize the batch ONCE: masks and ids both derive from it, and
+      // a streaming source must not be re-read per derived frame
+      val pinned = batch.localCheckpoint(true)
+      idsUuid.foreach { iu =>
+        val ids = graft.ops.Sft.renderConversations(pinned, convCol, turnCol,
+            roleCol, contentCol, learnRole)
+          .select(col(convCol),
+            graft.ops.Bpe.encodeIds(col("text"), merges, base).as("ids"))
+          .withColumn("n_tokens",
+            org.apache.spark.sql.functions.size(col("ids")).cast("long"))
+          .where(col("n_tokens") > 0)
+        ingestBatch(storage, iu, opts, token)(ids, batchId)
+      }
+      val masks = graft.ops.Sft.tokenMasks(pinned, merges, convCol, turnCol,
+        roleCol, contentCol, learnRole)
+      ingestBatch(storage, uuid, opts, token)(masks, batchId)
+    }
+    startGuarded("writeStreamSft", stream, checkpoint, configure)(batchFn)
+  }
+
   /** Streaming INGESTION DEDUP against a persisted MinHash index
     * ([[graft.ops.Dedup.minhashIndex]]) — the stream half of the
     * incremental-ingestion contract: each micro-batch (1) probes the index

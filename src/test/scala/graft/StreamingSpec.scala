@@ -272,6 +272,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("writeStreamSft: streamed masks equal the batch face, ids align, restart replays nothing") {
+    import spark.implicits._
+    val msgs = Seq(
+      (1L, 0L, "user", "hello wide world"), (1L, 1L, "assistant", "hi there friend"),
+      (2L, 0L, "user", "pack my bags now"), (2L, 1L, "assistant", "done and done"),
+      (3L, 0L, "user", "solo question no answer")
+    ).toDF("conv_id", "turn", "role", "content")
+    // tokenizer pinned from a persisted dataset, trained on the RENDERED text
+    val rendered = graft.ops.Sft.renderConversations(msgs).select("text")
+    val (merges, base) = graft.ops.Bpe.trainWithAlphabet(rendered, "text",
+      numMerges = 16, batchSize = 4)
+    graft.ops.Bpe.saveTokenizer(spark, store, "sfttok", merges, base)
+    // two files = two micro-batches, each holding WHOLE conversations
+    val in = tmpDir("sft-stream-in")
+    msgs.where(col("conv_id") < 3L).coalesce(1).write.mode("append").parquet(in)
+    msgs.where(col("conv_id") === 3L).coalesce(1).write.mode("append").parquet(in)
+    val ckpt = tmpDir("sft-stream-ckpt")
+    def run(): Unit = {
+      val q = Streaming.writeStreamSft(
+        spark.readStream.schema(msgs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(in),
+        store, "sftmasks", "sfttok", idsUuid = Some("sftids"),
+        checkpoint = Some(ckpt))
+      assert(q.awaitTermination(120000))
+    }
+    run()
+    // streamed coordinates == the batch face over the same messages
+    val got = Reader.readTable(spark, store, "sftmasks")
+      .select("conv_id", "turn", "role", "learn", "n_tokens", "tok_start", "tok_end")
+      .collect().map(_.toSeq).toSet
+    val want = graft.ops.Sft.tokenMasks(msgs, merges)
+      .select("conv_id", "turn", "role", "learn", "n_tokens", "tok_start", "tok_end")
+      .collect().map(_.toSeq).toSet
+    assert(got === want)
+    // the ids face landed beside, one row per conversation, n_tokens aligned
+    val ids = Reader.readTable(spark, store, "sftids")
+      .select("conv_id", "n_tokens").as[(Long, Long)].collect().toMap
+    assert(ids.keySet === Set(1L, 2L, 3L))
+    Reader.readTable(spark, store, "sftmasks").select("conv_id", "n_tokens")
+      .as[(Long, Long)].collect().foreach { case (c, n) => assert(ids(c) === n) }
+    // restart over the same persistent checkpoint: the engine redelivers
+    // nothing, both datasets keep their exact row counts
+    val (m0, i0) = (Reader.readTable(spark, store, "sftmasks").count(),
+      Reader.readTable(spark, store, "sftids").count())
+    run()
+    assert(Reader.readTable(spark, store, "sftmasks").count() === m0)
+    assert(Reader.readTable(spark, store, "sftids").count() === i0)
+  }
+
   test("ingestBatch skips a replayed batchId (exactly-once under retries)") {
     import spark.implicits._
     val batch = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "p", "v")
