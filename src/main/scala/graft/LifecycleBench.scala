@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Two-decade readings for the lifecycle family (VERDICT-r11 item 7):
+  * time `snapshotDataset`/`rollbackDataset` (the O(metadata) claim —
+  * wall time must NOT scale with data size or file count),
+  * `migrateDataset` (cost ∝ dataset, it rewrites), and
+  * `compactSmallFiles` on a 10×-FILE tier (cost ∝ droppings, file count
+  * must not drag it). Base lands at `writeWidth` files so the file-count
+  * decade is explicit: pass 8 for the sf1 tier, 80 for the sf10 tier.
+  * `runMain graft.LifecycleBench [sfDir] [writeWidth] [reps]`.
+  * A dev measurement tool. */
+object LifecycleBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/tmp/sf1"
+    val width = if (args.length > 1) args(1).toInt else 8
+    val reps = if (args.length > 2) args(2).toInt else 2
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+      "plateauspark-lifecyclebench")
+    spark.sparkContext.setLogLevel("ERROR")
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("lcbench").toString
+    val st = graft.store.Storage(spark, tmp)
+    def timed(what: String, r: Int)(f: => Any): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"LIFECYCLEBENCH $what run$r ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+        f"(files=$width, $sfDir)")
+    }
+    for (r <- 0 until reps) {
+      val uuid = s"lc_$r"
+      graft.io.Writer.store(spark, st, uuid, o,
+        graft.io.Writer.WriteOpts(writeWidth = width, overwrite = true))
+      // snapshot + rollback: O(metadata) — header copy / restore only
+      timed("snapshot", r)(graft.io.Ops.snapshotDataset(st, uuid, "v1"))
+      // mutate between snapshot and rollback so the restore is real
+      graft.io.Writer.update(spark, st, uuid, Some(o.limit(10)),
+        opts = graft.io.Writer.WriteOpts(writeWidth = 1))
+      timed("rollback", r)(graft.io.Ops.rollbackDataset(spark, st, uuid, "v1"))
+      // migrate: a full rewrite by design — rename + cast + derived column
+      timed("migrate", r)(graft.io.Ops.migrateDataset(spark, st, uuid,
+        s"${uuid}_v2", graft.io.Ops.SchemaMigration(
+          renameColumns = Map("o_orderpriority" -> "priority"),
+          castColumns = Map("o_totalprice" -> "decimal(18,2)"),
+          addColumns = Seq("price_band" ->
+            (col("o_totalprice") / 1000.0).cast("int").cast("string"))),
+        writeWidth = width))
+      // compaction of a 3-dropping tail against `width` healthy files
+      for (_ <- 0 until 3)
+        graft.io.Writer.update(spark, st, uuid, Some(o.limit(1)),
+          opts = graft.io.Writer.WriteOpts(writeWidth = 1))
+      timed("compact_tail", r)(graft.io.Ops.compactSmallFiles(spark, st, uuid,
+        targetBytes = 1L << 30, smallBytes = 1L << 20))
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** WARC ingestion at realistic FILE COUNTS (VERDICT-r11 item 5): the scale
+  * claim is "file count IS the parallelism" — one task per archive because
+  * member-gzip is not splittable — and a real crawl snapshot ships ~72k
+  * archives, so driver listing/launch overhead per file must be small.
+  * Generates a `files`-archive tier (distributed, `recs` gzip-member
+  * records each — the Common Crawl layout), then times
+  * `readWarc -> count` (parse everything) and `readWarc -> warcText ->
+  * agg` (the extraction pipeline), reporting wall seconds and
+  * archives/second. `runMain graft.WarcBench [files] [recs] [reps]`.
+  * A dev measurement tool. */
+object WarcBench {
+  def main(args: Array[String]): Unit = {
+    val files = if (args.nonEmpty) args(0).toInt else 3000
+    val recs = if (args.length > 1) args(1).toInt else 20
+    val reps = if (args.length > 2) args(2).toInt else 2
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+      "plateauspark-warcbench")
+    spark.sparkContext.setLogLevel("ERROR")
+    val tmp = java.nio.file.Files.createTempDirectory("warcbench").toString
+    // distributed generation: each task writes its own archives (local FS
+    // is shared in local mode), deterministic bodies per (file, record)
+    val tg = System.nanoTime()
+    spark.sparkContext.parallelize(0 until files, 32).foreach { f =>
+      val rs = (0 until recs).map { r =>
+        (s"https://bench.example/f$f/r$r", "2024-01-01T00:00:00Z",
+          "text/html; charset=utf-8",
+          s"<html><head><title>doc $f-$r</title></head><body>" +
+            (s"payload token$f word$r " * 8) + "</body></html>")
+      }
+      val bytes = graft.sources.Warc.syntheticWarc(rs, gzipPerRecord = true)
+      val p = java.nio.file.Paths.get(f"$tmp%s/part-$f%05d.warc.gz")
+      java.nio.file.Files.write(p, bytes)
+    }
+    println(f"WARCBENCH generate $files files x $recs recs " +
+      f"${(System.nanoTime() - tg) / 1e9}%.2f s")
+    // the REPLACED binaryFiles path collapses the tier no matter the hint
+    // (CombineFileInputFormat packing) — kept as the recorded evidence for
+    // readWarc's explicit per-file parallelize
+    for (hint <- Seq(2, files)) {
+      println(s"WARCBENCH binaryFiles hint=$hint -> " +
+        spark.sparkContext.binaryFiles(s"$tmp/*.warc.gz", hint).getNumPartitions +
+        " partitions")
+    }
+    for (r <- 0 until reps) {
+      // default = ONE TASK PER ARCHIVE (the documented regime)
+      val t0 = System.nanoTime()
+      val n = graft.sources.Warc.readWarc(spark, s"$tmp/*.warc.gz").count()
+      val parseSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val chars = graft.sources.Warc.warcText(
+          graft.sources.Warc.readWarc(spark, s"$tmp/*.warc.gz"))
+        .agg(sum(length(col("text")))).head.getLong(0)
+      val textSec = (System.nanoTime() - t1) / 1e9
+      // capped variant: many files per task (fewer, larger tasks)
+      val t2 = System.nanoTime()
+      val n2 = graft.sources.Warc.readWarc(spark, s"$tmp/*.warc.gz",
+        minPartitions = spark.sparkContext.defaultParallelism).count()
+      val cappedSec = (System.nanoTime() - t2) / 1e9
+      assert(n == n2 && n == files.toLong * (recs + 1), s"$n vs $n2")
+      println(f"WARCBENCH run$r parse $parseSec%.2f s (${files / parseSec}%.0f archives/s) " +
+        f"text $textSec%.2f s capped-parse $cappedSec%.2f s " +
+        f"records=$n chars=$chars")
+    }
+    spark.stop()
+  }
+}

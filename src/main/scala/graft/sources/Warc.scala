@@ -55,39 +55,64 @@ object Warc {
                               status: Option[Int], contentType: String,
                               body: Array[Byte], bodyText: Option[String])
 
-  /** Distributed read: one task per WARC file (see scale design above).
-    * `path` accepts the usual Hadoop glob syntax; both plain `.warc` and
-    * (multi-member) `.warc.gz` files parse — gzip is sniffed from the
-    * magic bytes, not the filename. */
+  /** Distributed read: ONE TASK PER WARC FILE (see scale design above),
+    * enforced by an explicit driver listing + `parallelize` over the file
+    * list — NOT `sc.binaryFiles`, whose CombineFileInputFormat packing
+    * treats `minPartitions` as a soft hint and was measured collapsing a
+    * 3,000-archive tier to 1–5 tasks on 32 cores no matter the hint (5x+
+    * under-parallel; WarcBench, BENCH_LOCAL `warc_file_tier_r12`). The
+    * listing is driver-side metadata (one globStatus RPC; ~72k names at
+    * crawl-snapshot scale is nothing), each task opens its own file
+    * through the Hadoop FileSystem and parses record-at-a-time from the
+    * stream — constant memory, file never materialized.
+    *
+    * `path` accepts the usual Hadoop glob syntax; a matched directory
+    * expands one level (the binaryFiles contract this read replaces).
+    * Both plain `.warc` and (multi-member) `.warc.gz` files parse — gzip
+    * is sniffed from the magic bytes, not the filename. `minPartitions`
+    * caps the task count (files pack round-robin) for callers that want
+    * fewer, larger tasks; 0 = one per file. */
   def readWarc(spark: SparkSession, path: String,
                minPartitions: Int = 0): DataFrame = {
-    val mp = if (minPartitions > 0) minPartitions
-      else spark.sparkContext.defaultMinPartitions
-    val rows = spark.sparkContext.binaryFiles(path, mp).flatMap {
-      case (file, pds) =>
-        val in = pds.open()
-        val stream = sniffGunzip(new java.io.BufferedInputStream(in, 1 << 16))
-        var idx = -1L
-        // close the file handle the moment the record iterator drains —
-        // a task may hold many files (wholeFile partitioning can pack
-        // them) and executors are long-lived; leaking one descriptor per
-        // archive exhausts ulimits at real file counts
-        val base = parseStream(stream)
-        new Iterator[Row] {
-          private var closed = false
-          def hasNext: Boolean = {
-            val h = base.hasNext
-            if (!h && !closed) { closed = true; in.close() }
-            h
-          }
-          def next(): Row = {
-            val r = base.next()
-            idx += 1
-            Row(file, idx, r.warcType, r.url, r.date,
-              r.status.map(Int.box).orNull, r.contentType, r.body,
-              r.bodyText.orNull)
-          }
+    val sc = spark.sparkContext
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(sc.hadoopConfiguration)
+    val matched = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Nil)
+    val files = matched.flatMap { st =>
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq.filterNot(_.isDirectory)
+      else Seq(st)
+    }.map(_.getPath.toString).sorted
+    val confBc = sc.broadcast(
+      new org.apache.spark.SerializableWritable(sc.hadoopConfiguration))
+    val slices = math.max(1,
+      if (minPartitions > 0) math.min(minPartitions, files.size)
+      else files.size)
+    val rows = sc.parallelize(files, slices).flatMap { file =>
+      val p = new org.apache.hadoop.fs.Path(file)
+      val in = p.getFileSystem(confBc.value.value).open(p)
+      val stream = sniffGunzip(new java.io.BufferedInputStream(in, 1 << 16))
+      var idx = -1L
+      // close the file handle the moment the record iterator drains —
+      // a capped-partition task holds many files and executors are
+      // long-lived; leaking one descriptor per archive exhausts ulimits
+      // at real file counts
+      val base = parseStream(stream)
+      new Iterator[Row] {
+        private var closed = false
+        def hasNext: Boolean = {
+          val h = base.hasNext
+          if (!h && !closed) { closed = true; in.close() }
+          h
         }
+        def next(): Row = {
+          val r = base.next()
+          idx += 1
+          Row(file, idx, r.warcType, r.url, r.date,
+            r.status.map(Int.box).orNull, r.contentType, r.body,
+            r.bodyText.orNull)
+        }
+      }
     }
     spark.createDataFrame(rows, schema)
   }
