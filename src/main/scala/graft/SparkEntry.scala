@@ -2631,6 +2631,20 @@ object SparkEntry {
         "overflow")
     }),
 
+    // the SECOND family's end of the same composite: curate -> unigram
+    // train -> Viterbi-encode -> BFD pack (rows-only like t_prepare_training;
+    // each stage is pinned elsewhere — curate by d_curate, the encode by
+    // t_unigram_roundtrip, packing by u_pack_bfd)
+    "t_prepare_training_unigram" -> ((s, dir) => {
+      val (packed, _) = graft.ops.Curate.prepareTrainingDataUnigram(
+        rd(s, dir, "documents"), "text", "doc_id",
+        graft.ops.Curate.CurateConfig(minQuality = 0.2, nearDupThreshold = 0.5,
+          sampleFraction = 0.9),
+        vocabSize = 128, maxPieceLen = 6, seqLen = 512L, numShards = 8)
+      packed.select("doc_id", "n_tokens", "shard", "bin_idx", "pos_in_bin",
+        "overflow")
+    }),
+
     // --- the media curation composite: exact byte dedup (dual 64-bit
     // payload hashes — byte-identical planted copies die first), decode
     // gate (one corrupt payload per 100 planted in-plan), perceptual

@@ -128,13 +128,27 @@ object Ops {
     require(missing.isEmpty,
       s"snapshot '$tag' references ${missing.size} missing file(s), e.g. " +
         s"${missing.take(3).mkString(", ")} — cannot roll back")
+    // the commit version must stay MONOTONE through a rollback: writing
+    // the pinned header's old version verbatim would recycle version
+    // numbers, and a later commit could then collide with a committer
+    // still holding the HISTORICAL state of the same number — the one
+    // false-pass the concurrent-committer guard must never allow. The
+    // restored state gets a FRESH version past both the live and pinned
+    // numbers, so any committer derived from pre-rollback state detects
+    // the swap and rebases.
+    def versionOf(m: DatasetMetadata): Long =
+      m.metadata.get(Writer.CommitVersionKey).map(_.toLong).getOrElse(0L)
+    val live = DatasetMetadata.loadHeaderOnly(storage, uuid)
+    val restored = meta.copy(metadata = meta.metadata +
+      (Writer.CommitVersionKey ->
+        (math.max(versionOf(live), versionOf(meta)) + 1L).toString))
     // msgpack first, JSON last: the same crash-ordering discipline as
     // commitDataset (the JSON write is the atomic visibility point)
     if (storage.exists(DatasetMetadata.msgpackHeaderKey(uuid)))
-      storage.writeBytes(DatasetMetadata.msgpackHeaderKey(uuid), meta.toMsgpackZstd)
-    storage.writeString(meta.headerKey, meta.toJson)
+      storage.writeBytes(DatasetMetadata.msgpackHeaderKey(uuid), restored.toMsgpackZstd)
+    storage.writeString(restored.headerKey, restored.toJson)
     graft.meta.DatasetFactory.bump(storage, uuid)
-    meta
+    restored
   }
 
   /** Drop a snapshot tag; its exclusively-referenced files become GC

@@ -582,6 +582,30 @@ object Curate {
       merges, base)
   }
 
+  /** [[prepareTrainingData]] under the SECOND subword family: curate, train
+    * a unigram-LM vocabulary on the survivors, Viterbi-encode to piece ids,
+    * and BFD-pack — the SentencePiece-shaped path to the same ready-to-
+    * train layout, sharing every stage but the tokenizer. Returns
+    * (packed assignment with ids, trained pieces). */
+  def prepareTrainingDataUnigram(df: DataFrame, textCol: String, idCol: String,
+                                 cfg: CurateConfig = CurateConfig(),
+                                 vocabSize: Int = 8192, maxPieceLen: Int = 8,
+                                 seqLen: Long = 2048L, numShards: Int = 64)
+      : (DataFrame, Seq[Unigram.Piece]) = {
+    val curated = curate(df, textCol, idCol, cfg).localCheckpoint()
+    val pieces = Unigram.train(curated, textCol, vocabSize, maxPieceLen)
+    val ids = curated.select(col(idCol),
+        Unigram.encodeIds(col(textCol), pieces).as("ids"))
+      .withColumn("n_tokens", size(col("ids")).cast("long"))
+      .where(col("n_tokens") > 0)
+      .localCheckpoint()
+    val assignment = Chunking.packBinsBFD(ids, "n_tokens", idCol,
+      seqLen, numShards)
+    (assignment.withColumnRenamed("weight", "n_tokens")
+       .join(ids.select(col(idCol), col("ids")), Seq(idCol)),
+      pieces)
+  }
+
   /** The shared compaction core: near-dup pairs -> connected components
     * -> min-id survivors -> ONE atomic partition-set replace. */
   private def compactByPairs(spark: SparkSession,

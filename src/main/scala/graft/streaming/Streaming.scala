@@ -551,14 +551,33 @@ object Streaming {
                            checkpoint: Option[String] = None,
                            configure: DataStreamWriter[Row] => DataStreamWriter[Row] =
                              _.trigger(Trigger.AvailableNow())): StreamingQuery = {
-    val (merges, base) =
-      graft.ops.Bpe.loadTokenizer(stream.sparkSession, storage, tokenizerUuid)
-    val ids = stream.select(col(idCol),
-        graft.ops.Bpe.encodeIds(col(textCol), merges, base).as("ids"))
+    val encode = pinnedEncoder(stream.sparkSession, storage, tokenizerUuid)
+    val ids = stream.select(col(idCol), encode(col(textCol)).as("ids"))
       .withColumn("n_tokens",
         org.apache.spark.sql.functions.size(col("ids")).cast("long"))
       .where(col("n_tokens") > 0)
     writeStreamAppend(ids, storage, uuid, opts, checkpoint, configure)
+  }
+
+  /** Resolve a persisted tokenizer dataset to its compiled ids encoder —
+    * EITHER learned-subword family, dispatched on the header pins
+    * ([[graft.ops.Bpe.saveTokenizer]] writes `graft.bpe.*`,
+    * [[graft.ops.Unigram.saveTokenizer]] writes `graft.unigram.*`), so the
+    * streaming sinks serve both families through one face. A dataset
+    * carrying neither pin fails loudly at query start, never mid-stream. */
+  private def pinnedEncoder(spark: org.apache.spark.sql.SparkSession,
+                            storage: Storage, tokenizerUuid: String)
+      : org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    val meta = graft.meta.DatasetMetadata.load(storage, tokenizerUuid)
+    if (meta.metadata.contains("graft.bpe.numMerges")) {
+      val (merges, base) = graft.ops.Bpe.loadTokenizer(spark, storage, tokenizerUuid)
+      c => graft.ops.Bpe.encodeIds(c, merges, base)
+    } else if (meta.metadata.contains("graft.unigram.numPieces")) {
+      val pieces = graft.ops.Unigram.loadTokenizer(spark, storage, tokenizerUuid)
+      c => graft.ops.Unigram.encodeIds(c, pieces)
+    } else throw new IllegalArgumentException(
+      s"dataset '$tokenizerUuid' is not a saved tokenizer (neither " +
+        "graft.bpe.* nor graft.unigram.* header pins present)")
   }
 
   /** Streaming SFT ingest: land conversation streams WITH their token-level

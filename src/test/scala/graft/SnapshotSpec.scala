@@ -59,12 +59,21 @@ class SnapshotSpec extends SparkSpec {
     Ops.snapshotDataset(st, "s3", "v1")
     Ops.upsertDataset(spark, st, "s3", Seq((9L, "z")).toDF("id", "v"), Seq("id"))
     Ops.snapshotDataset(st, "s3", "v2")
+    def version(): Long = DatasetMetadata.load(st, "s3")
+      .metadata(Writer.CommitVersionKey).toLong
+    val preRollback = version()
     Ops.rollbackDataset(spark, st, "s3", "v1")
     assert(Reader.readTable(spark, st, "s3").count() === 3)
     assert(Ops.readSnapshot(spark, st, "s3", "v2").count() === 4)
-    // and forward again
+    // the commit version stays MONOTONE through the rollback: the restored
+    // header never recycles a number a concurrent committer may still hold
+    assert(version() > preRollback,
+      s"rollback recycled commit version ${version()} (live was $preRollback)")
+    // and forward again — still climbing
+    val mid = version()
     Ops.rollbackDataset(spark, st, "s3", "v2")
     assert(Reader.readTable(spark, st, "s3").count() === 4)
+    assert(version() > mid)
   }
 
   test("rollback to a snapshot with missing files is refused loudly") {

@@ -67,6 +67,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("writeStreamTokenized dispatches on the pinned family: unigram datasets encode too") {
+    import spark.implicits._
+    val corpus = Seq("low low lower", "newest newest widest", "low widest")
+      .toDF("text")
+    val ps = graft.ops.Unigram.train(corpus, "text", vocabSize = 24, maxPieceLen = 6)
+    graft.ops.Unigram.saveTokenizer(spark, store, "tok_uni_stream", ps)
+    val src = Seq((1L, "low lower"), (2L, ""), (3L, "newest widest low"))
+      .toDF("doc_id", "text")
+    val in = tmpDir("tok-uni-stream-in")
+    src.write.mode("overwrite").parquet(in)
+    val q = Streaming.writeStreamTokenized(
+      spark.readStream.schema(src.schema).parquet(in),
+      store, "tokenized_uni", "tok_uni_stream", "text", "doc_id")
+    q.awaitTermination(120000)
+    val back = Reader.readTable(spark, store, "tokenized_uni").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[scala.collection.Seq[Long]]("ids")).toMap
+    val want = src.where(col("doc_id") =!= 2L)
+      .select(col("doc_id"), graft.ops.Unigram.encodeIds(col("text"), ps).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(back.keySet === Set(1L, 3L))
+    back.foreach { case (id, ids) => assert(ids === want(id)) }
+    // a dataset that is NO tokenizer fails loudly at query start
+    Writer.store(spark, store, "not_a_tok", src, WriteOpts())
+    val e = intercept[IllegalArgumentException] {
+      Streaming.writeStreamTokenized(
+        spark.readStream.schema(src.schema).parquet(in),
+        store, "tokenized_bad", "not_a_tok", "text", "doc_id")
+    }
+    assert(e.getMessage.contains("not a saved tokenizer"), e.getMessage)
+  }
+
   test("writeStreamAppend rejects a checkpoint smuggled through configure") {
     import spark.implicits._
     val src = Seq((1L, "a")).toDF("id", "p")

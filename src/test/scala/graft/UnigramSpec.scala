@@ -231,6 +231,29 @@ class UnigramSpec extends SparkSpec {
     assert(fert.getDouble(2) === fert.getInt(0).toDouble / 4.0)
   }
 
+  test("prepareTrainingDataUnigram: survivors packed once, ids intact, vocab trained on curated corpus") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cfg = graft.ops.Curate.CurateConfig(minQuality = 0.2, nearDupThreshold = 0.5)
+    val (packed, ps) = graft.ops.Curate.prepareTrainingDataUnigram(
+      df, "text", "doc_id", cfg,
+      vocabSize = 64, maxPieceLen = 6, seqLen = 256L, numShards = 4)
+    val rows = packed.collect()
+    val survivors = graft.ops.Curate.curate(df, "text", "doc_id", cfg)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val packedIds = rows.map(r => r.getAs[Long]("doc_id"))
+    assert(packedIds.distinct.length === packedIds.length)
+    assert(packedIds.toSet.subsetOf(survivors))
+    rows.foreach { r =>
+      val ids = r.getAs[scala.collection.Seq[Long]]("ids")
+      assert(ids.length.toLong === r.getAs[Long]("n_tokens"))
+      // vocab trained on the same survivors: no unknowns by construction
+      assert(!ids.contains(-1L))
+      if (!r.getAs[Boolean]("overflow"))
+        assert(r.getAs[Long]("n_tokens") <= 256L)
+    }
+    assert(ps.nonEmpty)
+  }
+
   test("piecesDf face carries the table; fertility under unigram beats characters") {
     val df = Seq("banana banana banana bandana").toDF("text")
     val ps = Unigram.train(df, "text", vocabSize = 16, maxPieceLen = 6)
