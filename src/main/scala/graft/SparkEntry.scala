@@ -1277,6 +1277,27 @@ object SparkEntry {
         columns = Some(Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")))
     }),
 
+    // --- the commit AUDIT LOG: one O(1) record per header swap, read back
+    // as a DataFrame (rows-only: versions/ops/counts are deterministic for
+    // this fixture — create at width 4, append at width 1, rollback — but
+    // the log is engine-internal, nothing external can mirror it)
+    "w_history" -> ((s, dir) => {
+      val st = ensure(s, dir, "hist_demo") { st =>
+        Ops.deleteDataset(st, "hist_demo")
+        val o = rd(s, dir, "orders")
+        Writer.store(s, st, "hist_demo", o.where(expr("o_orderkey % 2 = 0")),
+          WriteOpts(writeWidth = 4, overwrite = true))
+        Ops.snapshotDataset(st, "hist_demo", "v1")
+        Writer.update(s, st, "hist_demo",
+          Some(o.where(expr("o_orderkey % 2 = 1"))),
+          opts = WriteOpts(writeWidth = 1))
+        Ops.rollbackDataset(s, st, "hist_demo", "v1")
+        ()
+      }
+      Ops.datasetHistory(s, st, "hist_demo")
+        .select("version", "op", "n_added", "n_deleted", "n_partitions")
+    }),
+
     // --- streaming SFT ingest: conversation streams land with TOKEN-level
     // loss-mask coordinates under a PERSISTED BPE (rows-only: BPE
     // dependency, the t_bpe_ids discipline; exactness of the mask math is

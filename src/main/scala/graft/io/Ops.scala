@@ -148,7 +148,40 @@ object Ops {
       storage.writeBytes(DatasetMetadata.msgpackHeaderKey(uuid), restored.toMsgpackZstd)
     storage.writeString(restored.headerKey, restored.toJson)
     graft.meta.DatasetFactory.bump(storage, uuid)
+    Writer.writeHistory(storage, uuid, versionOf(restored), "rollback",
+      (restored.partitions.toSet -- live.partitions).size,
+      (live.partitions.toSet -- restored.partitions).size,
+      restored.partitions.size)
     restored
+  }
+
+  /** The dataset's commit AUDIT LOG as a DataFrame — one row per header
+    * swap ([[Writer.commitDataset]], [[Writer.store]], [[rollbackDataset]]),
+    * read from the O(1)-per-commit `.history/` records GC spares:
+    * (version, ts_ms, op, n_added, n_deleted, n_partitions), version
+    * ascending. The operational answer to "which commit dropped these
+    * partitions, and when" that snapshots alone (point-in-time pins, no
+    * timeline) cannot give. Metadata-sized: records are listed and parsed
+    * on the driver. Datasets created before history existed (or by the
+    * reference library) start logging at their next graft commit; the
+    * REFERENCE library's GC deletes untracked keys and will drop the log
+    * (the [[snapshotDataset]] interop hazard — log-only loss here, the
+    * data is untouched). */
+  def datasetHistory(spark: SparkSession, storage: Storage,
+                     uuid: String): DataFrame = {
+    import spark.implicits._
+    val prefix = s"$uuid/.history/"
+    val mapper = DatasetMetadata.mapper
+    storage.listKeys(prefix)
+      .filter(_.endsWith(".json"))
+      .map { k =>
+        val n = mapper.readTree(storage.readString(k))
+        (n.get("version").asLong(), n.get("ts_ms").asLong(),
+          n.get("op").asText(), n.get("n_added").asLong(),
+          n.get("n_deleted").asLong(), n.get("n_partitions").asLong())
+      }
+      .sortBy(_._1)
+      .toDF("version", "ts_ms", "op", "n_added", "n_deleted", "n_partitions")
   }
 
   /** Drop a snapshot tag; its exclusively-referenced files become GC
@@ -224,8 +257,12 @@ object Ops {
     // work at the 100k-partition target
     val refDirs = meta.indices.values.toSet ++
       snapMetas.flatMap(_.indices.values)
+    // the commit audit log is engine metadata, never an orphan (one tiny
+    // record per header swap — [[datasetHistory]])
+    val historyPrefix = s"$uuid/.history/"
     val orphans = all.filterNot { k =>
       referenced(k) ||
+        k.startsWith(historyPrefix) ||
         (if (k.startsWith(stagingPrefix)) inFlightWrites(writeIdOf(k))
          else if (k.startsWith(indicesPrefix)) inFlightIndexKey(k)
          else k.endsWith("_SUCCESS")) ||

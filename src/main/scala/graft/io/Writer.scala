@@ -251,6 +251,7 @@ object Writer {
       opts.metadata + (CommitVersionKey -> "1"), format = opts.format)
     storage.writeString(meta.headerKey, meta.toJson) // atomic visibility point
     graft.meta.DatasetFactory.bump(storage, uuid)
+    writeHistory(storage, uuid, 1L, "create", labels.size, 0, labels.size)
     meta
   }
 
@@ -387,6 +388,21 @@ object Writer {
     * caller re-runs its operation against the new state. */
   final class ConcurrentCommitException(msg: String)
     extends RuntimeException(msg)
+
+  /** One O(1) audit record per committed header swap, written AFTER the
+    * atomic visibility point (a crash between them loses one log line,
+    * never a commit): `<uuid>/.history/v<version>.json`. Zero-padded so
+    * a plain key listing is version order; GC spares the prefix;
+    * [[Ops.datasetHistory]] is the read face. */
+  private[graft] def writeHistory(storage: Storage, uuid: String,
+                                  version: Long, op: String, nAdded: Int,
+                                  nDeleted: Int, nPartitions: Int): Unit = {
+    val key = f"$uuid%s/.history/v$version%012d.json"
+    storage.writeString(key,
+      s"""{"version":$version,"ts_ms":${System.currentTimeMillis()},""" +
+        s""""op":"$op","n_added":$nAdded,"n_deleted":$nDeleted,""" +
+        s""""n_partitions":$nPartitions}""")
+  }
 
   def commitDataset(spark: SparkSession, storage: Storage, uuid: String,
                     newLabels: Seq[String],
@@ -568,6 +584,9 @@ object Writer {
       storage.writeBytes(DatasetMetadata.msgpackHeaderKey(uuid), meta.toMsgpackZstd)
     storage.writeString(meta.headerKey, meta.toJson) // atomic visibility point
     graft.meta.DatasetFactory.bump(storage, uuid)
+    writeHistory(storage, uuid, parentVersion + 1L,
+      if (oldMeta.isEmpty) "create" else "commit",
+      newLabels.size, deleted.size, labels.size)
     Right(meta)
   }
 

@@ -76,6 +76,35 @@ class SnapshotSpec extends SparkSpec {
     assert(version() > mid)
   }
 
+  test("datasetHistory: one record per swap, versions climb through rollback, GC spares the log") {
+    val st = mk("s7")                       // store -> create v1
+    Ops.snapshotDataset(st, "s7", "v1")
+    Writer.update(spark, st, "s7",          // append -> commit v2
+      Some(Seq((9L, "z")).toDF("id", "v")),
+      opts = WriteOpts(writeWidth = 1))
+    Ops.upsertDataset(spark, st, "s7",      // merge -> commit v3
+      Seq((1L, "UP")).toDF("id", "v"), Seq("id"))
+    Ops.rollbackDataset(spark, st, "s7", "v1") // -> rollback v4
+    val h = Ops.datasetHistory(spark, st, "s7")
+      .collect().map(r => (r.getLong(0), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(h.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L), h.mkString("; "))
+    assert(h.map(_._2).toSeq === Seq("create", "commit", "commit", "rollback"))
+    val create = h(0); val append = h(1); val rollback = h(3)
+    assert(create._3 === create._5)          // created = all partitions
+    assert(create._4 === 0L)
+    assert(append._3 === 1L && append._4 === 0L)
+    assert(rollback._5 === create._5)        // restored the created set
+    // timestamps are real and non-decreasing
+    val ts = Ops.datasetHistory(spark, st, "s7").select("ts_ms")
+      .collect().map(_.getLong(0))
+    assert(ts.sorted.toSeq === ts.toSeq)
+    assert(ts.forall(_ > 0L))
+    // GC never collects the audit log
+    Ops.garbageCollect(spark, st, "s7", stagingTtlMs = 0)
+    assert(Ops.datasetHistory(spark, st, "s7").count() === 4L)
+  }
+
   test("rollback to a snapshot with missing files is refused loudly") {
     val st = mk("s4")
     Ops.snapshotDataset(st, "s4", "v1")
