@@ -184,10 +184,31 @@ object Sft {
                        convCol: String = "conv_id", turnCol: String = "turn",
                        roleCol: String = "role", contentCol: String = "content",
                        learnRole: String = "assistant",
-                       salt: String = "graft"): DataFrame = {
+                       salt: String = "graft"): DataFrame =
+    packedTokenMasksWith(msgs, c => Bpe.encode(c, merges), seqLen, numShards,
+      convCol, turnCol, roleCol, contentCol, learnRole, salt)
+
+  /** [[packedTokenMasks]] under the unigram-LM family. */
+  def packedTokenMasksUnigram(msgs: DataFrame, pieces: Seq[Unigram.Piece],
+                              seqLen: Long, numShards: Int,
+                              convCol: String = "conv_id", turnCol: String = "turn",
+                              roleCol: String = "role", contentCol: String = "content",
+                              learnRole: String = "assistant",
+                              salt: String = "graft"): DataFrame =
+    packedTokenMasksWith(msgs, c => Unigram.encode(c, pieces), seqLen,
+      numShards, convCol, turnCol, roleCol, contentCol, learnRole, salt)
+
+  /** Tokenizer-generic core of [[packedTokenMasks]]: `encode` must produce
+    * the shared nested `array<array<string>>` face (one inner array of
+    * subword pieces per whitespace word) both learned families emit. */
+  def packedTokenMasksWith(msgs: DataFrame, encode: Column => Column,
+                           seqLen: Long, numShards: Int,
+                           convCol: String, turnCol: String,
+                           roleCol: String, contentCol: String,
+                           learnRole: String, salt: String): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive (got $seqLen)")
-    val tm = tokenMasks(msgs, merges, convCol, turnCol, roleCol, contentCol,
-      learnRole)
+    val tm = tokenMasksWith(msgs, encode, convCol, turnCol, roleCol,
+      contentCol, learnRole)
     val counts = tm.select(col(convCol), col("n_tokens")).distinct()
     val packed = Chunking.packSequences(counts, "n_tokens", convCol,
         seqLen, numShards, salt)
@@ -226,7 +247,29 @@ object Sft {
   def tokenMasks(msgs: DataFrame, merges: Seq[Bpe.Merge],
                  convCol: String = "conv_id", turnCol: String = "turn",
                  roleCol: String = "role", contentCol: String = "content",
-                 learnRole: String = "assistant"): DataFrame = {
+                 learnRole: String = "assistant"): DataFrame =
+    tokenMasksWith(msgs, c => Bpe.encode(c, merges), convCol, turnCol,
+      roleCol, contentCol, learnRole)
+
+  /** [[tokenMasks]] under the unigram-LM family — both learned tokenizers
+    * emit the same nested encode face with structural word boundaries, so
+    * the whole span arithmetic carries over unchanged. */
+  def tokenMasksUnigram(msgs: DataFrame, pieces: Seq[Unigram.Piece],
+                        convCol: String = "conv_id", turnCol: String = "turn",
+                        roleCol: String = "role", contentCol: String = "content",
+                        learnRole: String = "assistant"): DataFrame =
+    tokenMasksWith(msgs, c => Unigram.encode(c, pieces), convCol, turnCol,
+      roleCol, contentCol, learnRole)
+
+  /** Tokenizer-generic core of [[tokenMasks]]: `encode` must produce the
+    * nested `array<array<string>>` face whose inner pieces concatenate to
+    * each whitespace word (the decode == whitespace-normalization contract
+    * both families pin) — the char/token arithmetic below assumes exactly
+    * that. */
+  def tokenMasksWith(msgs: DataFrame, encode: Column => Column,
+                     convCol: String, turnCol: String,
+                     roleCol: String, contentCol: String,
+                     learnRole: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rendered = renderConversations(msgs, convCol, turnCol, roleCol,
       contentCol, learnRole).select(col(convCol), col("text"))
@@ -235,7 +278,7 @@ object Sft {
     val wWin = Window.partitionBy(convCol).orderBy("w_idx")
       .rowsBetween(Window.unboundedPreceding, -1)
     val words = rendered
-      .select(col(convCol), posexplode(Bpe.encode(col("text"), merges))
+      .select(col(convCol), posexplode(encode(col("text")))
         .as(Seq("w_idx", "toks")))
       .withColumn("w_len", aggregate(col("toks"), lit(0L),
         (acc, t) => acc + length(t)))

@@ -616,8 +616,23 @@ object Streaming {
                      checkpoint: Option[String] = None,
                      configure: DataStreamWriter[Row] => DataStreamWriter[Row] =
                        _.trigger(Trigger.AvailableNow())): StreamingQuery = {
-    val (merges, base) = graft.ops.Bpe.loadTokenizer(
-      stream.sparkSession, storage, tokenizerUuid)
+    // family-dispatched like [[writeStreamTokenized]]: the id encoder and
+    // the nested (word -> pieces) encode both families share
+    val spark = stream.sparkSession
+    val tmeta = graft.meta.DatasetMetadata.load(storage, tokenizerUuid)
+    val (idsOf, nestedOf): (org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                            org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      if (tmeta.metadata.contains("graft.bpe.numMerges")) {
+        val (merges, base) = graft.ops.Bpe.loadTokenizer(spark, storage, tokenizerUuid)
+        (c => graft.ops.Bpe.encodeIds(c, merges, base),
+         c => graft.ops.Bpe.encode(c, merges))
+      } else if (tmeta.metadata.contains("graft.unigram.numPieces")) {
+        val pieces = graft.ops.Unigram.loadTokenizer(spark, storage, tokenizerUuid)
+        (c => graft.ops.Unigram.encodeIds(c, pieces),
+         c => graft.ops.Unigram.encode(c, pieces))
+      } else throw new IllegalArgumentException(
+        s"dataset '$tokenizerUuid' is not a saved tokenizer (neither " +
+          "graft.bpe.* nor graft.unigram.* header pins present)")
     def batchFn(token: Option[String])(batch: DataFrame, batchId: Long): Unit = {
       if (batch.isEmpty) return
       // materialize the batch ONCE: masks and ids both derive from it, and
@@ -626,15 +641,14 @@ object Streaming {
       idsUuid.foreach { iu =>
         val ids = graft.ops.Sft.renderConversations(pinned, convCol, turnCol,
             roleCol, contentCol, learnRole)
-          .select(col(convCol),
-            graft.ops.Bpe.encodeIds(col("text"), merges, base).as("ids"))
+          .select(col(convCol), idsOf(col("text")).as("ids"))
           .withColumn("n_tokens",
             org.apache.spark.sql.functions.size(col("ids")).cast("long"))
           .where(col("n_tokens") > 0)
         ingestBatch(storage, iu, opts, token)(ids, batchId)
       }
-      val masks = graft.ops.Sft.tokenMasks(pinned, merges, convCol, turnCol,
-        roleCol, contentCol, learnRole)
+      val masks = graft.ops.Sft.tokenMasksWith(pinned, nestedOf, convCol,
+        turnCol, roleCol, contentCol, learnRole)
       ingestBatch(storage, uuid, opts, token)(masks, batchId)
     }
     startGuarded("writeStreamSft", stream, checkpoint, configure)(batchFn)

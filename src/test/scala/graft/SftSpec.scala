@@ -173,6 +173,47 @@ class SftSpec extends SparkSpec {
     }
   }
 
+  test("tokenMasksUnigram: the second family reaches the same mask semantics") {
+    val msgs = Seq(
+      (1L, 0L, "user", "what is a bloom filter"),
+      (1L, 1L, "assistant", "a compact probabilistic membership sketch"),
+      (2L, 0L, "user", "solo question here"),
+      (2L, 1L, "assistant", ""))
+      .toDF("conv_id", "turn", "role", "content")
+    val pieces = graft.ops.Unigram.train(
+      graft.ops.Sft.renderConversations(msgs).select("text"), "text",
+      vocabSize = 48, maxPieceLen = 6)
+    val masks = graft.ops.Sft.tokenMasksUnigram(msgs, pieces)
+      .as[(Long, Long, String, Boolean, Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2))
+    val flat = graft.ops.Sft.renderConversations(msgs)
+      .select(col("conv_id"),
+        flatten(graft.ops.Unigram.encode(col("text"), pieces)).as("toks"))
+      .as[(Long, Seq[String])].collect().toMap
+    val contents = msgs.as[(Long, Long, String, String)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    for ((conv, turn, role, learn, nTokens, ts, te) <- masks) {
+      assert(learn === (role == "assistant"))
+      assert(nTokens === flat(conv).size.toLong)
+      assert(ts >= 0 && ts <= te && te <= nTokens)
+      val content = contents((conv, turn))
+      if (content.isEmpty) assert(ts === te)
+      else {
+        val sliced = flat(conv).slice(ts.toInt, te.toInt).mkString
+        assert(sliced.contains(content.replace(" ", "")),
+          s"conv=$conv turn=$turn slice='$sliced' content='$content'")
+      }
+    }
+    // packed face under the same family: coordinates stay in bounds
+    val packed = graft.ops.Sft.packedTokenMasksUnigram(msgs, pieces,
+      seqLen = 8L, numShards = 2)
+      .select("conv_id", "seq_idx", "start", "end").collect()
+    packed.foreach { r =>
+      assert(r.getLong(2) >= 0L && r.getLong(2) < r.getLong(3) &&
+        r.getLong(3) <= 8L, r.toString)
+    }
+  }
+
   test("packedTokenMasks: token slices reconstruct through the packed token streams") {
     val msgs = Seq(
       (1L, 0L, "user", "alpha beta gamma delta epsilon zeta"),

@@ -352,6 +352,35 @@ class StreamingSpec extends SparkSpec {
     assert(Reader.readTable(spark, store, "sftids").count() === i0)
   }
 
+  test("writeStreamSft under a persisted UNIGRAM tokenizer: dispatch lands aligned faces") {
+    import spark.implicits._
+    val msgs = Seq(
+      (1L, 0L, "user", "hello wide world"), (1L, 1L, "assistant", "hi there friend"),
+      (2L, 0L, "user", "pack my bags now"), (2L, 1L, "assistant", "done and done"))
+      .toDF("conv_id", "turn", "role", "content")
+    val ps = graft.ops.Unigram.train(
+      graft.ops.Sft.renderConversations(msgs).select("text"), "text",
+      vocabSize = 48, maxPieceLen = 6)
+    graft.ops.Unigram.saveTokenizer(spark, store, "sftunitok", ps)
+    val in = tmpDir("sft-uni-in")
+    msgs.coalesce(1).write.mode("overwrite").parquet(in)
+    val q = Streaming.writeStreamSft(
+      spark.readStream.schema(msgs.schema).parquet(in),
+      store, "sftunimasks", "sftunitok", idsUuid = Some("sftuniids"))
+    assert(q.awaitTermination(120000))
+    val got = Reader.readTable(spark, store, "sftunimasks")
+      .select("conv_id", "turn", "role", "learn", "n_tokens", "tok_start", "tok_end")
+      .collect().map(_.toSeq).toSet
+    val want = graft.ops.Sft.tokenMasksUnigram(msgs, ps)
+      .select("conv_id", "turn", "role", "learn", "n_tokens", "tok_start", "tok_end")
+      .collect().map(_.toSeq).toSet
+    assert(got === want)
+    val ids = Reader.readTable(spark, store, "sftuniids")
+      .select("conv_id", "n_tokens").as[(Long, Long)].collect().toMap
+    Reader.readTable(spark, store, "sftunimasks").select("conv_id", "n_tokens")
+      .as[(Long, Long)].collect().foreach { case (c, n) => assert(ids(c) === n) }
+  }
+
   test("ingestBatch skips a replayed batchId (exactly-once under retries)") {
     import spark.implicits._
     val batch = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "p", "v")
