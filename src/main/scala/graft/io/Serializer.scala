@@ -84,9 +84,32 @@ object Serializer {
     * yields multiple row groups with disjoint min/max ranges, the
     * `docs/spec/efficient_querying.rst:90-102` pruning story. */
   def write(df: DataFrame, path: String, format: String, mode: String,
-            partitionOn: Seq[String], chunkSize: Option[Long] = None): Unit = {
+            partitionOn: Seq[String], chunkSize: Option[Long] = None,
+            bloomFilterColumns: Seq[String] = Nil): Unit = {
     require(Formats(format), s"No serializer registered for format '$format'")
-    val w0 = df.write.mode(mode).partitionBy(partitionOn: _*)
+    if (bloomFilterColumns.nonEmpty) {
+      require(format == "parquet" || format == "orc",
+        "bloomFilterColumns only applies to columnar (parquet/orc) datasets")
+      val missing = bloomFilterColumns.filterNot(df.columns.contains)
+      require(missing.isEmpty,
+        s"bloomFilterColumns not in frame: ${missing.mkString(", ")}")
+      require(bloomFilterColumns.intersect(partitionOn).isEmpty,
+        "bloomFilterColumns cannot be partition keys (constant per file — " +
+          "hive pruning already covers them)")
+    }
+    val w1 = df.write.mode(mode).partitionBy(partitionOn: _*)
+    // FILE-INTERNAL bloom filters: parquet/orc write one filter per
+    // row group/stripe for the named columns, and the READER side is free
+    // — Spark's pushed point predicates (Eq/In) consult them during
+    // row-group selection, skipping groups inside files the label-level
+    // indices could not exclude. The in-file complement of
+    // [[graft.index.BloomIndex]] (per-FILE skipping, engine-external).
+    val w0 =
+      if (bloomFilterColumns.isEmpty) w1
+      else if (format == "orc")
+        w1.option("orc.bloom.filter.columns", bloomFilterColumns.mkString(","))
+      else bloomFilterColumns.foldLeft(w1)((w, c) =>
+        w.option(s"parquet.bloom.filter.enabled#$c", "true"))
     val w = chunkSize match {
       case Some(n) =>
         require(n > 0, s"chunkSize must be positive, got $n")

@@ -32,7 +32,8 @@ object Writer {
       metadata: Map[String, String] = Map.empty,
       format: String = "parquet",         // S2/S3: parquet | csv[.gz] | json[.gz] | orc
       writeWidth: Int = 0,                // 0 = derive (see layout())
-      chunkSize: Option[Long] = None)     // bytes per parquet row group
+      chunkSize: Option[Long] = None,     // bytes per parquet row group
+      bloomFilterColumns: Seq[String] = Nil) // per-row-group native bloom filters
 
   val LabelCol = "__label"
 
@@ -241,7 +242,8 @@ object Writer {
     val prepared = prepare(df, opts.partitionOn)
     val schema = prepared.schema
     Serializer.write(layout(prepared, opts), s"${storage.base}/$uuid/table",
-      opts.format, "errorifexists", opts.partitionOn, opts.chunkSize)
+      opts.format, "errorifexists", opts.partitionOn, opts.chunkSize,
+      opts.bloomFilterColumns)
     val labels = listDataFiles(storage, uuid)
     val indices = buildAndStoreIndices(spark, storage, uuid, schema, labels,
       opts.secondaryIndices, nextTs())
@@ -331,7 +333,8 @@ object Writer {
     val staged =
       try {
         Serializer.write(layout(prepared, opts), s"${storage.base}/$stagingKey",
-          fmt, "errorifexists", opts.partitionOn, opts.chunkSize)
+          fmt, "errorifexists", opts.partitionOn, opts.chunkSize,
+          opts.bloomFilterColumns)
         storage.listKeys(stagingKey)
           .filter(DatasetMetadata.isDataFile)
           .map(_.stripPrefix(s"$stagingKey/"))

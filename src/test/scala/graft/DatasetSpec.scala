@@ -495,6 +495,52 @@ class DatasetSpec extends SparkSpec {
     assert(fileIndexOf(noPrune).lastListedFileCount === 3)
   }
 
+  test("bloomFilterColumns lands native parquet row-group bloom filters; reads stay exact") {
+    import spark.implicits._
+    val df = (0L until 5000L).map(i => (i, s"g${i % 4}", s"v$i")).toDF("id", "grp", "v")
+    Writer.store(spark, store, "pqbloom", df,
+      WriteOpts(partitionOn = Seq("grp"), bloomFilterColumns = Seq("id")))
+    // the files really carry a bloom filter for `id` (and none for `v`)
+    val meta = DatasetMetadata.load(store, "pqbloom")
+    val file = s"${store.base}/${meta.tablePrefix}/${meta.partitions.head}"
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file),
+      spark.sparkContext.hadoopConfiguration)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      import scala.jdk.CollectionConverters._
+      val block = reader.getFooter.getBlocks.get(0)
+      def chunk(c: String) =
+        block.getColumns.asScala.find(_.getPath.toDotString == c).get
+      val bfr = reader.getBloomFilterDataReader(block)
+      assert(bfr.readBloomFilter(chunk("id")) != null,
+        "no bloom filter written for the enabled column")
+      assert(bfr.readBloomFilter(chunk("v")) == null,
+        "bloom filter written for a column never enabled")
+    } finally reader.close()
+    // point lookups through the normal read path stay exact
+    val got = Reader.readTable(spark, store, "pqbloom",
+        predicates = Some(Seq(Seq(graft.dnf.Literal("id", graft.dnf.Op.In,
+          Seq(7L, 4999L, 123456L))))))
+      .select("id", "v").as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((7L, "v7"), (4999L, "v4999")))
+    // misuse fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Writer.store(spark, store, "pqbloom2", df,
+        WriteOpts(partitionOn = Seq("grp"), bloomFilterColumns = Seq("grp")))
+    }
+    assert(e.getMessage.contains("partition keys"))
+    val e2 = intercept[IllegalArgumentException] {
+      Writer.store(spark, store, "pqbloom3", df,
+        WriteOpts(format = "json", bloomFilterColumns = Seq("id")))
+    }
+    assert(e2.getMessage.contains("columnar"))
+    // the ORC spelling works end to end
+    Writer.store(spark, store, "orcbloom", df,
+      WriteOpts(format = "orc", bloomFilterColumns = Seq("id")))
+    assert(Reader.readTable(spark, store, "orcbloom").count() === 5000L)
+  }
+
   test("Catalyst FileIndex: IsNotNull, StartsWith and Or-of-equalities prune too") {
     import spark.implicits._
     import org.apache.spark.sql.execution.FileSourceScanExec

@@ -546,6 +546,28 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("Generate"), plan.take(3000)) // the posexplode
   }
 
+  test("unigram encodeIds is a shuffle-free compiled map pass; pack adds exactly the shard exchange") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet").limit(200)
+    val ps = graft.ops.Unigram.train(docs, "text", vocabSize = 48, maxPieceLen = 5)
+    // the id face: scan -> one projected compiled expression, nothing else
+    val idPlan = docs.select(col("doc_id"),
+        graft.ops.Unigram.encodeIds(col("text"), ps).as("ids"))
+      .queryExecution.executedPlan.toString
+    assert(!idPlan.contains("Exchange"), idPlan.take(3000))
+    // `*(1)` is toString's whole-stage-codegen stage marker
+    assert(idPlan.contains("*(1) Project"), idPlan.take(3000))
+    assert(idPlan.contains("unigram_token_ids"), idPlan.take(3000))
+    // tokenizeAndPack: the ONLY exchanges are packSequences' shard
+    // repartition + its in-shard window sort (no joins, no extra shuffles)
+    val packPlan = graft.ops.Unigram.tokenizeAndPack(
+        docs, "text", "doc_id", ps, seqLen = 128L, numShards = 4)
+      .queryExecution.executedPlan.toString
+    assert(!packPlan.contains("Join"), packPlan.take(3000))
+    val nEx = "Exchange".r.findAllIn(packPlan).size
+    assert(nEx <= 2, s"pack plan shuffles $nEx times:\n${packPlan.take(3000)}")
+  }
+
   test("stratified sample is a narrow filter (no shuffle, no join)") {
     val plan = SparkEntry.queries("u_stratified_sample")(spark, dir)
       .queryExecution.executedPlan.toString
