@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Measure the native per-row-group bloom filters
+  * (`WriteOpts.bloomFilterColumns`): land UNSORTED high-cardinality keys
+  * in few big files with many small row groups (the regime where min/max
+  * stats cannot prune — every group's range spans the key domain), then
+  * time point IN-lookups with and without the filters. Reads go through
+  * the normal `Reader.readTable` path; the only difference is the footer
+  * content. `runMain graft.ParquetBloomBench [sfDir] [reps]`.
+  * A dev measurement tool. */
+object ParquetBloomBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/tmp/sf1"
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+      "plateauspark-pqbloombench")
+    spark.sparkContext.setLogLevel("ERROR")
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      // shuffle the key order so row-group min/max stats are useless
+      .repartition(8)
+    val tmp = java.nio.file.Files.createTempDirectory("pqbloom").toString
+    val st = graft.store.Storage(spark, tmp)
+    val probes = Seq(7L, 20011L, 400003L, 1111111L)
+    for (mode <- Seq("plain", "bloom")) {
+      val bf = if (mode == "bloom") Seq("o_orderkey") else Nil
+      graft.io.Writer.store(spark, st, s"pb_$mode", o,
+        graft.io.Writer.WriteOpts(writeWidth = 8,
+          chunkSize = Some(1L << 20), // ~1MiB row groups: many per file
+          bloomFilterColumns = bf, overwrite = true))
+      for (r <- 0 until reps) {
+        val t0 = System.nanoTime()
+        val n = graft.io.Reader.readTable(spark, st, s"pb_$mode",
+            predicates = Some(Seq(Seq(
+              graft.dnf.Literal("o_orderkey", graft.dnf.Op.In, probes)))))
+          .count()
+        println(f"PQBLOOMBENCH $mode run$r ${(System.nanoTime() - t0) / 1e9}%.3f s rows=$n ($sfDir)")
+      }
+    }
+    spark.stop()
+  }
+}
