@@ -1298,6 +1298,25 @@ object SparkEntry {
         .select("version", "op", "n_added", "n_deleted", "n_partitions")
     }),
 
+    // --- incremental consumption (CDC-out): everything landed after a
+    // stored version cursor, resolved from the audit log's label lists +
+    // the live header — an O(history-tail) metadata resolution, the
+    // dataset is never scanned or diffed. Oracle: changes since the
+    // creating commit == exactly the appended odd orders
+    "w_changes_since" -> ((s, dir) => {
+      val st = ensure(s, dir, "chg_demo") { st =>
+        Ops.deleteDataset(st, "chg_demo")
+        val o = rd(s, dir, "orders")
+        Writer.store(s, st, "chg_demo", o.where(expr("o_orderkey % 2 = 0")),
+          WriteOpts(partitionOn = Seq("o_orderstatus"), overwrite = true))
+        Writer.update(s, st, "chg_demo",
+          Some(o.where(expr("o_orderkey % 2 = 1"))))
+        ()
+      }
+      Ops.readChangesSince(s, st, "chg_demo", sinceVersion = 1L,
+        columns = Some(Seq("o_orderkey", "o_orderstatus", "o_totalprice")))
+    }),
+
     // --- streaming SFT ingest: conversation streams land with TOKEN-level
     // loss-mask coordinates under a PERSISTED BPE (rows-only: BPE
     // dependency, the t_bpe_ids discipline; exactness of the mask math is
@@ -3741,6 +3760,9 @@ object SparkEntry {
       "w5_delete_scope" ->
         "SELECT o_orderstatus, o_custkey, o_orderdate, o_orderkey, o_orderpriority, o_totalprice FROM orders WHERE o_orderstatus <> 'P'",
       "w_upsert" -> upsertOracleSql,
+      "w_changes_since" ->
+        """SELECT o_orderkey, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderkey % 2 = 1""",
       "w_upsert_indexed" -> upsertOracleSql,
       "st_stream_upsert" -> upsertOracleSql,
       "w_snapshot_read" -> upsertOracleSql,

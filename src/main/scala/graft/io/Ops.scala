@@ -149,8 +149,8 @@ object Ops {
     storage.writeString(restored.headerKey, restored.toJson)
     graft.meta.DatasetFactory.bump(storage, uuid)
     Writer.writeHistory(storage, uuid, versionOf(restored), "rollback",
-      (restored.partitions.toSet -- live.partitions).size,
-      (live.partitions.toSet -- restored.partitions).size,
+      (restored.partitions.toSet -- live.partitions).toSeq,
+      (live.partitions.toSet -- restored.partitions).toSeq,
       restored.partitions.size)
     restored
   }
@@ -182,6 +182,64 @@ object Ops {
       }
       .sortBy(_._1)
       .toDF("version", "ts_ms", "op", "n_added", "n_deleted", "n_partitions")
+  }
+
+  /** The dataset's current commit version (0 for pre-guard headers). The
+    * cursor an incremental consumer stores between [[readChangesSince]]
+    * polls. */
+  def currentVersion(storage: Storage, uuid: String): Long =
+    DatasetMetadata.loadHeaderOnly(storage, uuid).metadata
+      .get(Writer.CommitVersionKey).map(_.toLong).getOrElse(0L)
+
+  /** INCREMENTAL CONSUMPTION (CDC-out): rows of every partition landed by a
+    * commit with version > `sinceVersion` that is STILL LIVE — the
+    * downstream face of the audit log's label lists. A consumer stores
+    * [[currentVersion]] after each poll and reads only the delta next
+    * time: partition files are immutable per label, so "new since N" is
+    * exactly "labels the history added after N", an O(history-tail)
+    * metadata resolution plus a read of ONLY those files — never a scan or
+    * a diff of the dataset.
+    *
+    * Delivery semantics: at-least-once per ROW under rewrites. A CDC merge
+    * rewrites its touched partitions into NEW labels, so a poll after an
+    * upsert sees the touched partitions' full content again (survivors
+    * included, exactly like a changelog compaction boundary); a consumer
+    * needing exactly-once keys dedups on its own key column downstream.
+    * History must cover the asked range: a `sinceVersion` older than the
+    * earliest record (e.g. a dataset predating the log) fails loudly
+    * rather than silently returning a partial delta. */
+  def readChangesSince(spark: SparkSession, storage: Storage, uuid: String,
+                       sinceVersion: Long,
+                       columns: Option[Seq[String]] = None): DataFrame = {
+    val meta = DatasetMetadata.load(storage, uuid)
+    val schema = DatasetMetadata.loadSchema(storage, uuid, meta.tableName)
+    val mapper = DatasetMetadata.mapper
+    import scala.jdk.CollectionConverters._
+    val records = storage.listKeys(s"$uuid/.history/")
+      .filter(_.endsWith(".json"))
+      .map(k => mapper.readTree(storage.readString(k)))
+    require(records.nonEmpty,
+      s"dataset '$uuid' has no commit history — it predates the audit log " +
+        "(or a foreign GC removed it); incremental consumption needs a " +
+        "baseline, start from a full read + currentVersion")
+    val earliest = records.map(_.get("version").asLong()).min
+    require(sinceVersion >= earliest - 1,
+      s"history of '$uuid' starts at version $earliest; cannot resolve " +
+        s"changes since $sinceVersion — start from a full read + currentVersion")
+    val added = records
+      .filter(_.get("version").asLong() > sinceVersion)
+      .flatMap(n => Option(n.get("added")).toSeq
+        .flatMap(_.elements().asScala.map(_.asText())))
+      .distinct
+    val live = meta.partitions.toSet
+    val labels = added.filter(live)
+    val cols = columns.getOrElse(schema.fieldNames.toSeq)
+    if (labels.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(cols.map(schema(_))))
+    Writer.labeledData(spark, storage, uuid, schema, labels, meta.tableName)
+      .select(cols.map(col): _*)
   }
 
   /** Drop a snapshot tag; its exclusively-referenced files become GC

