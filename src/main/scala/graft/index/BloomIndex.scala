@@ -163,6 +163,24 @@ object BloomIndex {
         CoveredKey -> encodeCovered(already ++ fresh))))
   }
 
+  /** Close every coverage gap in one call: append the bloom rows of all
+    * LIVE-but-uncovered labels (idempotent — covered labels skip inside
+    * [[appendLabels]]). The one-call answer to the probe gate's loud
+    * refusal after out-of-band landings (a plain `Writer.update`, a
+    * foreign writer, a crash between a merge's commit and its sidecar
+    * append). Returns the labels whose rows were appended; bloom work is
+    * O(those labels' bytes), the gap resolution itself is header
+    * metadata. */
+  def heal(spark: SparkSession, store: Storage,
+           bloomUuid: String): Seq[String] = {
+    val bmeta = DatasetMetadata.load(store, bloomUuid)
+    val (_, _, _, _, datasetUuid) = paramsOf(bmeta)
+    val live = DatasetMetadata.load(store, datasetUuid).partitions
+    val gaps = live.filterNot(coveredOf(bmeta))
+    if (gaps.nonEmpty) appendLabels(spark, store, bloomUuid, gaps)
+    gaps
+  }
+
   // the covered-label watermark: every dataset label whose bloom rows are
   // present. Same cardinality as the indexed dataset's own header partition
   // list (which the system already pays per commit), newline-joined —

@@ -895,9 +895,14 @@ object Ops {
         meta.partitionKeys.mkString(","),
         (meta.indexColumns -- meta.partitionKeys).toSeq.sorted.mkString(","),
         listSnapshots(storage, uuid).mkString(","),
-        meta.explicitPartitions))
+        meta.explicitPartitions,
+        // the concurrency guard's cursor + the audit-log depth — what an
+        // incremental consumer and an on-call operator reach for first
+        meta.metadata.get(Writer.CommitVersionKey).map(_.toLong).getOrElse(0L),
+        storage.listKeys(s"$uuid/.history/").count(_.endsWith(".json")).toLong))
       .toDF("uuid", "n_partitions", "bytes", "format", "partition_keys",
-        "index_columns", "snapshots", "explicit_partitions")
+        "index_columns", "snapshots", "explicit_partitions",
+        "commit_version", "n_history_records")
   }
 
   /** Copy a dataset between stores (reference `copy_keys`,

@@ -348,9 +348,26 @@ object Streaming {
                         opts: WriteOpts = WriteOpts(),
                         checkpoint: Option[String] = None,
                         configure: DataStreamWriter[Row] => DataStreamWriter[Row] =
-                          _.trigger(Trigger.AvailableNow())): StreamingQuery =
-    startGuarded("writeStreamAppend", stream, checkpoint, configure)(
-      token => ingestBatch(storage, uuid, opts, token))
+                          _.trigger(Trigger.AvailableNow()),
+                        // a bloom sidecar over `uuid` to keep covered per
+                        // batch (heal is idempotent: a replayed batch whose
+                        // labels are already covered appends nothing) —
+                        // without this, every landing would trip the
+                        // probe-time coverage gate until a manual heal
+                        bloomIndex: Option[String] = None): StreamingQuery = {
+    bloomIndex.foreach { bu =>
+      val (_, _, _, _, ds) = graft.index.BloomIndex.params(storage, bu)
+      require(ds == uuid, s"bloom index '$bu' indexes dataset '$ds', not '$uuid'")
+    }
+    startGuarded("writeStreamAppend", stream, checkpoint, configure) {
+      token => (batch, batchId) => {
+        ingestBatch(storage, uuid, opts, token)(batch, batchId)
+        if (DatasetMetadata.exists(storage, uuid))
+          bloomIndex.foreach(bu =>
+            graft.index.BloomIndex.heal(batch.sparkSession, storage, bu))
+      }
+    }
+  }
 
   /** Streaming CDC sink: each micro-batch MERGES into the dataset by key
     * ([[graft.io.Ops.upsertDataset]] — matched keys replaced, unseen keys
@@ -377,9 +394,16 @@ object Streaming {
                         opts: WriteOpts = WriteOpts(),
                         checkpoint: Option[String] = None,
                         configure: DataStreamWriter[Row] => DataStreamWriter[Row] =
-                          _.trigger(Trigger.AvailableNow())): StreamingQuery =
+                          _.trigger(Trigger.AvailableNow()),
+                        // sidecar-guided touch discovery per batch: point
+                        // CDC batches probe, megabatches scan (the merge
+                        // core's auto-regime), and every batch auto-appends
+                        // its landed labels — the sidecar never goes stale
+                        // under its own stream
+                        bloomIndex: Option[String] = None): StreamingQuery =
     startGuarded("writeStreamUpsert", stream, checkpoint, configure)(
-      token => upsertBatch(storage, uuid, keyCols, seqCol, opCol, opts, token))
+      token => upsertBatch(storage, uuid, keyCols, seqCol, opCol, opts, token,
+        bloomIndex))
 
   /** True iff an `opCol` value marks a CDC delete event ('d'/'D'/'delete',
     * Debezium-style); every other value — including null — upserts. */
@@ -392,7 +416,8 @@ object Streaming {
                                  keyCols: Seq[String], seqCol: Option[String],
                                  opCol: Option[String],
                                  opts: WriteOpts,
-                                 runToken: Option[String] = None)
+                                 runToken: Option[String] = None,
+                                 bloomIndex: Option[String] = None)
                                 (batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
@@ -442,12 +467,19 @@ object Streaming {
         // upserts + deletes share ONE header swap — a crash between two
         // separate commits would stamp the batch applied with its deletes
         // lost (the guard would skip the redelivery)
-        Ops.mergeCdcBatch(spark, storage, uuid, upserts, dk, keyCols, stamped)
+        Ops.mergeCdcBatch(spark, storage, uuid, upserts, dk, keyCols, stamped,
+          bloomIndex = bloomIndex)
       case None =>
-        Ops.upsertDataset(spark, storage, uuid, upserts, keyCols, stamped)
+        Ops.upsertDataset(spark, storage, uuid, upserts, keyCols, stamped,
+          bloomIndex = bloomIndex)
     } else {
       // creation: deletes on a missing dataset are no-ops by definition
       Writer.store(spark, storage, uuid, upserts, stamped)
+      // a declared sidecar covers the creating landing too — when it
+      // already exists (the common flow builds the bloom AFTER the first
+      // landing; heal-on-build makes that coverage-complete by definition)
+      bloomIndex.filter(DatasetMetadata.exists(storage, _)).foreach(bu =>
+        graft.index.BloomIndex.heal(spark, storage, bu))
       ()
     }
   }

@@ -94,6 +94,27 @@ class BloomIndexSpec extends SparkSpec {
     assert(cand2.nonEmpty, "the rewritten partition must be probeable")
   }
 
+  test("heal closes every coverage gap in one call and is an idempotent no-op after") {
+    val st = Storage(spark, tmpDir("bloom"))
+    mkDs(st, "b8")
+    BloomIndex.build(spark, st, "b8_bf", "b8", "id",
+      m = 1L << 16, k = 6, numBuckets = 8)
+    // two out-of-band landings the sidecar never saw
+    Writer.update(spark, st, "b8", Some(
+      (1000L until 1005L).map(i => (i, "g8", s"v$i")).toDF("id", "grp", "v")))
+    Writer.update(spark, st, "b8", Some(
+      (2000L until 2005L).map(i => (i, "g9", s"v$i")).toDF("id", "grp", "v")))
+    intercept[IllegalArgumentException] {
+      BloomIndex.candidateLabels(spark, st, "b8_bf", Seq(Tuple1(1002L)).toDF("id"), "id")
+    }
+    val healed = BloomIndex.heal(spark, st, "b8_bf")
+    assert(healed.size === 2, s"expected the two landed labels: $healed")
+    val cand = BloomIndex.candidateLabels(spark, st, "b8_bf",
+      Seq(Tuple1(1002L)).toDF("id"), "id")
+    assert(healed.exists(cand.contains))
+    assert(BloomIndex.heal(spark, st, "b8_bf").isEmpty, "heal must be a no-op when covered")
+  }
+
   test("merge auto-regime: megabatch takes the scan path by default, overrides honored") {
     val st = Storage(spark, tmpDir("bloom"))
     mkDs(st, "b6")

@@ -175,5 +175,7 @@ class SnapshotSpec extends SparkSpec {
     assert(row.getAs[String]("format") === "parquet")
     assert(row.getAs[String]("snapshots") === "tag1,tag2")
     assert(row.getAs[Boolean]("explicit_partitions"))
+    assert(row.getAs[Long]("commit_version") === 1L)
+    assert(row.getAs[Long]("n_history_records") === 1L)
   }
 }

@@ -98,6 +98,41 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("not a saved tokenizer"), e.getMessage)
   }
 
+  test("streaming sinks keep a declared bloom sidecar covered per batch") {
+    import spark.implicits._
+    val base = (0L until 200L).map(i => (i, s"g${i % 2}", s"v$i")).toDF("id", "grp", "v")
+    Writer.store(spark, store, "sbl", base, WriteOpts(partitionOn = Seq("grp")))
+    graft.index.BloomIndex.build(spark, store, "sbl_bf", "sbl", "id",
+      m = 1L << 16, k = 6, numBuckets = 8)
+    // two micro-batches of appends through the sidecar-aware sink
+    val src = (1000L until 1040L).map(i => (i, s"g${i % 2}", s"v$i")).toDF("id", "grp", "v")
+    val in = tmpDir("sbl-in")
+    src.repartition(2).write.mode("overwrite").parquet(in)
+    val q = Streaming.writeStreamAppend(
+      spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in),
+      store, "sbl", WriteOpts(partitionOn = Seq("grp")),
+      bloomIndex = Some("sbl_bf"))
+    q.awaitTermination(120000)
+    // the probe gate passes (coverage complete) and finds the landed keys
+    val cand = graft.index.BloomIndex.candidateLabels(spark, store, "sbl_bf",
+      Seq(Tuple1(1005L)).toDF("id"), "id")
+    assert(cand.nonEmpty)
+    assert(graft.index.BloomIndex.lookupRows(spark, store, "sbl_bf",
+      Seq(1005L, 7L, 99999L).toDF("id"), "id").count() === 2L)
+    // the CDC sink composes the same way: point batch probes + auto-appends
+    val cdc = Seq((7L, "g1", "UPD"), (5000L, "g0", "NEW")).toDF("id", "grp", "v")
+    val in2 = tmpDir("sbl-cdc-in")
+    cdc.coalesce(1).write.mode("overwrite").parquet(in2)
+    val q2 = Streaming.writeStreamUpsert(
+      spark.readStream.schema(cdc.schema).parquet(in2),
+      store, "sbl", Seq("id"), bloomIndex = Some("sbl_bf"))
+    q2.awaitTermination(120000)
+    assert(graft.index.BloomIndex.lookupRows(spark, store, "sbl_bf",
+        Seq(Tuple1(7L)).toDF("id"), "id")
+      .select("v").as[String].head() === "UPD")
+  }
+
   test("writeStreamAppend rejects a checkpoint smuggled through configure") {
     import spark.implicits._
     val src = Seq((1L, "a")).toDF("id", "p")
