@@ -157,10 +157,16 @@ object BloomIndex {
     val already = coveredOf(bmeta)
     val fresh = labels.filterNot(already)
     if (fresh.isEmpty) return bmeta
+    // the watermark stays BOUNDED by the live partition set: labels a
+    // merge deleted leave it here (their stale bloom rows are probe-
+    // filtered against the live header anyway, and store-generated label
+    // names are never reused) — without the intersect, CDC churn would
+    // grow the header entry by every rewrite forever
+    val keep = (already ++ fresh).intersect(meta.partitions.toSet ++ fresh)
     graft.io.Writer.update(spark, store, bloomUuid,
       Some(rowsFor(spark, store, meta, column, fresh, m, k, numBuckets)),
       opts = graft.io.Writer.WriteOpts(metadata = Map(
-        CoveredKey -> encodeCovered(already ++ fresh))))
+        CoveredKey -> encodeCovered(keep))))
   }
 
   /** Close every coverage gap in one call: append the bloom rows of all
@@ -182,16 +188,26 @@ object BloomIndex {
   }
 
   // the covered-label watermark: every dataset label whose bloom rows are
-  // present. Same cardinality as the indexed dataset's own header partition
-  // list (which the system already pays per commit), newline-joined —
-  // labels are store-generated names, never containing newlines
+  // present, BOUNDED by the live partition set (append prunes dead labels),
+  // newline-joined — labels are store-generated names, never containing
+  // newlines. A bloom dataset WITHOUT the key predates the watermark: its
+  // row set is unknowable without reading it, so every covered-dependent
+  // face REFUSES loudly instead of defaulting to the empty set — a silent
+  // empty default would make appendLabels/heal re-append rows for labels
+  // that already have them, doubling hit counts into probe FALSE NEGATIVES
+  // (the exact corruption the watermark exists to prevent)
   private val CoveredKey = "graft.bloom.covered"
   private def encodeCovered(labels: Set[String]): String =
     labels.toSeq.sorted.mkString("\n")
   private def coveredOf(bmeta: DatasetMetadata): Set[String] =
     bmeta.metadata.get(CoveredKey) match {
-      case Some("") | None => Set.empty
-      case Some(s)         => s.split("\n", -1).toSet
+      case Some("") => Set.empty
+      case Some(s)  => s.split("\n", -1).toSet
+      case None => throw new IllegalArgumentException(
+        s"bloom index '${bmeta.uuid}' predates the covered-label watermark " +
+          "(no graft.bloom.covered header) — its row set is unknowable, so " +
+          "appending or gating on coverage could silently duplicate rows " +
+          "into probe false negatives. Rebuild the index with BloomIndex.build.")
     }
 
   private def rowsFor(spark: SparkSession, store: Storage,

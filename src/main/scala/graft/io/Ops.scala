@@ -138,10 +138,22 @@ object Ops {
     // the swap and rebases.
     def versionOf(m: DatasetMetadata): Long =
       m.metadata.get(Writer.CommitVersionKey).map(_.toLong).getOrElse(0L)
-    val live = DatasetMetadata.loadHeaderOnly(storage, uuid)
+    // full load, not header-only: a DYNAMIC live header reconstructs its
+    // partitions from the listing, and the history record below diffs them
+    val live = DatasetMetadata.load(storage, uuid)
     val restored = meta.copy(metadata = meta.metadata +
       (Writer.CommitVersionKey ->
         (math.max(versionOf(live), versionOf(meta)) + 1L).toString))
+    // the concurrent-committer guard applies to THIS swap too: a commit
+    // landing after `live` was read would be silently clobbered (and its
+    // version number recycled — the false-pass commitDataset's guard must
+    // never allow). Rollback is an operator action: refuse and let the
+    // operator re-run against the new state rather than auto-rebase.
+    val current = versionOf(DatasetMetadata.loadHeaderOnly(storage, uuid))
+    if (current != versionOf(live))
+      throw new Writer.ConcurrentCommitException(
+        s"rollback of '$uuid' to '$tag' lost the header race (version " +
+          s"moved ${versionOf(live)} -> $current) — re-run the rollback")
     // msgpack first, JSON last: the same crash-ordering discipline as
     // commitDataset (the JSON write is the atomic visibility point)
     if (storage.exists(DatasetMetadata.msgpackHeaderKey(uuid)))
@@ -215,19 +227,24 @@ object Ops {
     val schema = DatasetMetadata.loadSchema(storage, uuid, meta.tableName)
     val mapper = DatasetMetadata.mapper
     import scala.jdk.CollectionConverters._
-    val records = storage.listKeys(s"$uuid/.history/")
-      .filter(_.endsWith(".json"))
-      .map(k => mapper.readTree(storage.readString(k)))
-    require(records.nonEmpty,
+    // versions are ENCODED IN THE KEY NAMES (v%012d.json) precisely so a
+    // poll reads only the tail past its cursor — O(history-tail) storage
+    // round-trips, never one read per historical commit
+    val prefix = s"$uuid/.history/"
+    def versionOfKey(k: String): Long =
+      k.stripPrefix(prefix).stripPrefix("v").stripSuffix(".json").toLong
+    val keys = storage.listKeys(prefix).filter(_.endsWith(".json"))
+    require(keys.nonEmpty,
       s"dataset '$uuid' has no commit history — it predates the audit log " +
         "(or a foreign GC removed it); incremental consumption needs a " +
         "baseline, start from a full read + currentVersion")
-    val earliest = records.map(_.get("version").asLong()).min
+    val earliest = keys.map(versionOfKey).min
     require(sinceVersion >= earliest - 1,
       s"history of '$uuid' starts at version $earliest; cannot resolve " +
         s"changes since $sinceVersion — start from a full read + currentVersion")
-    val added = records
-      .filter(_.get("version").asLong() > sinceVersion)
+    val added = keys
+      .filter(versionOfKey(_) > sinceVersion)
+      .map(k => mapper.readTree(storage.readString(k)))
       .flatMap(n => Option(n.get("added")).toSeq
         .flatMap(_.elements().asScala.map(_.asText())))
       .distinct

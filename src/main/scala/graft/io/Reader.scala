@@ -273,15 +273,23 @@ object Reader {
     // of the labels that can match the expression. And may take the known
     // side alone (a superset stays a superset under a dropped conjunct);
     // Or needs BOTH sides known or nothing. Unknown leaves -> None.
-    def evalExpr(e: CExpr): Option[Set[String]] = e match {
+    // `redundantNotNull`: Spark adds IsNotNull(c) beside every
+    // null-intolerant filter on c — when a stronger evaluable literal on
+    // the same column is present, the IsNotNull label set is a superset of
+    // its result by construction and the intersect discards it, so paying
+    // an index pass for it is pure waste (dropping a conjunct keeps the
+    // superset contract).
+    def evalExpr(e: CExpr, redundantNotNull: Set[String]): Option[Set[String]] = e match {
       case org.apache.spark.sql.catalyst.expressions.Or(a, b) =>
-        for (x <- evalExpr(a); y <- evalExpr(b)) yield x union y
+        for (x <- evalExpr(a, redundantNotNull);
+             y <- evalExpr(b, redundantNotNull)) yield x union y
       case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
-        (evalExpr(a), evalExpr(b)) match {
+        (evalExpr(a, redundantNotNull), evalExpr(b, redundantNotNull)) match {
           case (Some(x), Some(y)) => Some(x intersect y)
           case (x, y)             => x.orElse(y)
         }
-      case IsNotNull(a: AttributeReference) if idxCols(a.name) =>
+      case IsNotNull(a: AttributeReference)
+          if idxCols(a.name) && !redundantNotNull(a.name) =>
         Some(shapeCache.getOrElseUpdate((a.name, "notnull", ""),
           labelsWhere(a.name, _.isNotNull)))
       case StartsWith(a: AttributeReference, p: CatalystLit)
@@ -300,7 +308,10 @@ object Reader {
       }
     }
     val pruner: Seq[CExpr] => Option[Set[String]] = { dataFilters =>
-      val sets = dataFilters.flatMap(evalExpr)
+      // columns already constrained by a translatable top-level literal:
+      // their companion IsNotNull conjuncts cannot prune further
+      val strongCols = dataFilters.flatMap(asLiteral).map(_.column).toSet
+      val sets = dataFilters.flatMap(evalExpr(_, strongCols))
       if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
     }
     val idx = new GraftFileIndex(spark,

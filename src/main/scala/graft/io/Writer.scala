@@ -486,7 +486,9 @@ object Writer {
   }
 
   // one commit attempt against `preloadedMeta` as the parent state; Left =
-  // the header moved underneath (its current version), nothing written
+  // the header moved underneath (its current version); the swap did not
+  // happen (a raced attempt may have stored index files the retry
+  // supersedes — GC-able orphans, bounded by the pre-check below)
   private def commitOnce(spark: SparkSession, storage: Storage, uuid: String,
                          newLabels: Seq[String],
                          deleteScope: Seq[Map[String, Any]],
@@ -532,6 +534,16 @@ object Writer {
     require(newLabels.distinct.size == newLabels.size,
       s"Duplicate labels within commit: ${newLabels.diff(newLabels.distinct).distinct.mkString(", ")}")
 
+    // CHEAP pre-check before the expensive index builds: a header that
+    // already moved makes this attempt dead on arrival — detecting it now
+    // (one header parse) bounds the wasted work to the genuine race window
+    // between here and the authoritative re-read before the swap
+    val parentVersion = commitVersionOf(oldMeta)
+    if (DatasetMetadata.exists(storage, uuid)) {
+      val seen = commitVersionOf(Some(DatasetMetadata.loadHeaderOnly(storage, uuid)))
+      if (seen != parentVersion) return Left(seen)
+    }
+
     val deleted: Set[String] =
       (if (deleteScope.isEmpty) Set.empty[String]
        else Ops.resolveDeleteScope(spark, storage, uuid, oldMeta, schema, deleteScope)) ++
@@ -573,7 +585,6 @@ object Writer {
     }.toMap
     // commit-time metadata_merger semantics, not last-wins ++ (reference
     // io/eager.py:303 + io_components/utils.py:24-102)
-    val parentVersion = commitVersionOf(oldMeta)
     val mergedMeta = Ops.combineUserMetadata(
       oldMeta.map(_.metadata).getOrElse(Map.empty), metadata) +
       (CommitVersionKey -> (parentVersion + 1L).toString)

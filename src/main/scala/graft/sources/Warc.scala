@@ -75,14 +75,23 @@ object Warc {
   def readWarc(spark: SparkSession, path: String,
                minPartitions: Int = 0): DataFrame = {
     val sc = spark.sparkContext
-    val hp = new org.apache.hadoop.fs.Path(path)
-    val fs = hp.getFileSystem(sc.hadoopConfiguration)
-    val matched = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Nil)
-    val files = matched.flatMap { st =>
-      if (st.isDirectory)
-        fs.listStatus(st.getPath).toSeq.filterNot(_.isDirectory)
-      else Seq(st)
-    }.map(_.getPath.toString).sorted
+    // Hadoop path-list convention (what the replaced binaryFiles accepted):
+    // comma-separated components, each its own glob — warcFetch passes the
+    // index's file list this way. A component matching NOTHING throws like
+    // binaryFiles' InvalidInputException did; a matched-but-empty directory
+    // is a legitimate empty read.
+    val files = path.split(",").filter(_.nonEmpty).toSeq.flatMap { component =>
+      val hp = new org.apache.hadoop.fs.Path(component)
+      val fs = hp.getFileSystem(sc.hadoopConfiguration)
+      val matched = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Nil)
+      require(matched.nonEmpty,
+        s"readWarc input path matches nothing: $component")
+      matched.flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq.filterNot(_.isDirectory)
+        else Seq(st)
+      }
+    }.map(_.getPath.toString).distinct.sorted
     val confBc = sc.broadcast(
       new org.apache.spark.SerializableWritable(sc.hadoopConfiguration))
     val slices = math.max(1,

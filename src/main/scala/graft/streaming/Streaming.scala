@@ -301,7 +301,12 @@ object Streaming {
                        watermark: String = "2 hours"): DataFrame = {
     import org.apache.spark.sql.functions.expr
     require(keys.nonEmpty, "streamStreamJoin requires at least one key column")
-    val dup = left.columns.toSet.intersect(right.columns.toSet) -- keys -- Set(leftTs, rightTs)
+    // the ONLY sanctioned name shared across sides (beyond keys) is the
+    // same-named timestamp pair, which the output aliases; excusing a
+    // DIFFERENT ts name would let a payload column named like the other
+    // side's clock slip through into a duplicate-named output
+    val tsExcuse = if (leftTs == rightTs) Set(leftTs) else Set.empty[String]
+    val dup = left.columns.toSet.intersect(right.columns.toSet) -- keys -- tsExcuse
     require(dup.isEmpty,
       s"non-key columns must be disjoint across sides: ${dup.toSeq.sorted.mkString(", ")}")
     if (leftTs == rightTs && !keys.contains(leftTs))

@@ -113,6 +113,31 @@ class BloomIndexSpec extends SparkSpec {
       Seq(Tuple1(1002L)).toDF("id"), "id")
     assert(healed.exists(cand.contains))
     assert(BloomIndex.heal(spark, st, "b8_bf").isEmpty, "heal must be a no-op when covered")
+    // the watermark is BOUNDED by live labels: a merge kills labels, and
+    // the next append prunes them from the covered set
+    Ops.upsertDataset(spark, st, "b8",
+      Seq((0L, "g0", "NEW")).toDF("id", "grp", "v"), Seq("id"),
+      bloomIndex = Some("b8_bf"))
+    val covered = DatasetMetadata.load(st, "b8_bf")
+      .metadata("graft.bloom.covered").split("\n").toSet
+    val live = DatasetMetadata.load(st, "b8").partitions.toSet
+    assert(covered.subsetOf(live),
+      s"dead labels retained in the watermark: ${(covered -- live).take(3)}")
+    // a PRE-WATERMARK index (no covered header) refuses every
+    // covered-dependent face loudly: a silent empty default would
+    // re-append existing rows into probe false negatives
+    val bm = DatasetMetadata.load(st, "b8_bf")
+    st.writeString(bm.headerKey, bm.copy(metadata =
+      bm.metadata - "graft.bloom.covered").toJson)
+    graft.meta.DatasetFactory.bump(st, "b8_bf")
+    for (probe <- Seq(
+      () => BloomIndex.candidateLabels(spark, st, "b8_bf",
+        Seq(Tuple1(1L)).toDF("id"), "id"),
+      () => BloomIndex.heal(spark, st, "b8_bf"),
+      () => BloomIndex.appendLabels(spark, st, "b8_bf", live.toSeq))) {
+      val e = intercept[IllegalArgumentException](probe())
+      assert(e.getMessage.contains("predates"), e.getMessage)
+    }
   }
 
   test("merge auto-regime: megabatch takes the scan path by default, overrides honored") {

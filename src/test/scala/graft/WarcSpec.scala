@@ -171,10 +171,27 @@ class WarcSpec extends SparkSpec {
       Set("body f2 p1", "body f2 p4"))
     // the fetch parsed only the files containing hits
     assert(hits.map(_.getAs[String]("warc_file")).forall(_.contains("f2")))
+    // urls spanning MULTIPLE archives: readWarc receives the index's
+    // comma-joined file list (the Hadoop path-list convention) — every
+    // requested record must come back, not only single-file fetches
+    val multi = Warc.warcFetch(spark, store, "cdx",
+      Seq("https://f0.example.org/p0", "https://f1.example.org/p2",
+        "https://f3.example.org/p4"))
+      .collect()
+    assert(multi.length === 3, multi.mkString(","))
+    assert(multi.map(_.getAs[String]("url")).toSet === Set(
+      "https://f0.example.org/p0", "https://f1.example.org/p2",
+      "https://f3.example.org/p4"))
     // unknown urls: empty result with the full schema, no crash
     val miss = Warc.warcFetch(spark, store, "cdx",
       Seq("https://nowhere.example.org/x"))
     assert(miss.count() === 0L && miss.columns.toSeq === Warc.schema.fieldNames.toSeq)
+    // a nonexistent input path is LOUD (the replaced binaryFiles contract),
+    // never a silently empty dataset
+    val e = intercept[IllegalArgumentException] {
+      Warc.readWarc(spark, s"$dir/typo-*.warc.gz").count()
+    }
+    assert(e.getMessage.contains("matches nothing"), e.getMessage)
     // a non-index dataset refuses loudly
     val ex = intercept[IllegalArgumentException] {
       Warc.warcFetch(spark, store, "cdx_missing_meta",
