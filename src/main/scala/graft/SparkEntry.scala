@@ -3763,6 +3763,17 @@ object SparkEntry {
       "w_changes_since" ->
         """SELECT o_orderkey, o_orderstatus, o_totalprice
            FROM orders WHERE o_orderkey % 2 = 1""",
+      // the audit log's fixture is FULLY deterministic (create at width 4,
+      // append at width 1, rollback), so the mirror is its closed form
+      "w_history" ->
+        """SELECT CAST(version AS BIGINT) AS version, op,
+                  CAST(n_added AS BIGINT) AS n_added,
+                  CAST(n_deleted AS BIGINT) AS n_deleted,
+                  CAST(n_partitions AS BIGINT) AS n_partitions
+           FROM (VALUES (1, 'create', 4, 0, 4),
+                        (2, 'commit', 1, 0, 5),
+                        (3, 'rollback', 0, 1, 4))
+             AS t(version, op, n_added, n_deleted, n_partitions)""",
       "w_upsert_indexed" -> upsertOracleSql,
       "st_stream_upsert" -> upsertOracleSql,
       "w_snapshot_read" -> upsertOracleSql,
