@@ -157,16 +157,43 @@ object BloomIndex {
     val already = coveredOf(bmeta)
     val fresh = labels.filterNot(already)
     if (fresh.isEmpty) return bmeta
-    // the watermark stays BOUNDED by the live partition set: labels a
-    // merge deleted leave it here (their stale bloom rows are probe-
-    // filtered against the live header anyway, and store-generated label
-    // names are never reused) — without the intersect, CDC churn would
-    // grow the header entry by every rewrite forever
-    val keep = (already ++ fresh).intersect(meta.partitions.toSet ++ fresh)
+    // the watermark means "labels whose bloom ROWS are present" and rows
+    // are never removed by appends — so it must be MONOTONE, exactly like
+    // the row set. Pruning dead labels here would be wrong: a rollback can
+    // RESURRECT a pruned label, and re-appending its still-present rows
+    // would double hit counts into probe false negatives. Growth is
+    // bounded by the bloom dataset's own stale-row growth; [[vacuum]]
+    // shrinks BOTH atomically.
     graft.io.Writer.update(spark, store, bloomUuid,
       Some(rowsFor(spark, store, meta, column, fresh, m, k, numBuckets)),
       opts = graft.io.Writer.WriteOpts(metadata = Map(
-        CoveredKey -> encodeCovered(keep))))
+        CoveredKey -> encodeCovered(already ++ fresh))))
+  }
+
+  /** Drop the bloom rows of labels no longer live in the indexed dataset
+    * and prune the covered watermark to match, in ONE atomic swap (the
+    * [[graft.io.Ops.deleteByKeys]] touched-partition machinery — rewrite
+    * cost ∝ buckets holding dead labels). The maintenance op that bounds
+    * both the stale-row mass probes filter per query and the watermark's
+    * header entry under CDC churn. SNAPSHOT CAVEAT: a later rollback can
+    * resurrect a vacuumed label — its rows are gone, so the coverage gate
+    * will refuse probes loudly until [[heal]] re-appends them (correct,
+    * just a rebuild-sized heal); vacuum only when the rolled-back-to
+    * states you keep are not expected to resurface, or heal after
+    * rollback. */
+  def vacuum(spark: SparkSession, store: Storage,
+             bloomUuid: String): DatasetMetadata = {
+    import spark.implicits._
+    val bmeta = DatasetMetadata.load(store, bloomUuid)
+    val (_, _, _, _, datasetUuid) = paramsOf(bmeta)
+    val covered = coveredOf(bmeta)
+    val live = DatasetMetadata.load(store, datasetUuid).partitions.toSet
+    val dead = (covered -- live).toSeq.sorted
+    if (dead.isEmpty) return bmeta
+    graft.io.Ops.deleteByKeys(spark, store, bloomUuid,
+      dead.toDF("label"), Seq("label"),
+      opts = graft.io.Writer.WriteOpts(metadata = Map(
+        CoveredKey -> encodeCovered(covered intersect live))))
   }
 
   /** Close every coverage gap in one call: append the bloom rows of all
@@ -188,8 +215,9 @@ object BloomIndex {
   }
 
   // the covered-label watermark: every dataset label whose bloom rows are
-  // present, BOUNDED by the live partition set (append prunes dead labels),
-  // newline-joined — labels are store-generated names, never containing
+  // present — MONOTONE under appends exactly like the row set it mirrors
+  // ([[vacuum]] shrinks both together, atomically), newline-joined —
+  // labels are store-generated names, never containing
   // newlines. A bloom dataset WITHOUT the key predates the watermark: its
   // row set is unknowable without reading it, so every covered-dependent
   // face REFUSES loudly instead of defaulting to the empty set — a silent

@@ -222,9 +222,32 @@ object Ops {
     * rather than silently returning a partial delta. */
   def readChangesSince(spark: SparkSession, storage: Storage, uuid: String,
                        sinceVersion: Long,
-                       columns: Option[Seq[String]] = None): DataFrame = {
+                       columns: Option[Seq[String]] = None): DataFrame =
+    pollChanges(spark, storage, uuid, sinceVersion, columns)._2
+
+  /** [[readChangesSince]] with its CONSISTENT CURSOR: returns (cursor,
+    * delta) where the cursor is the version of the one header snapshot the
+    * delta was resolved against — what the consumer stores for its next
+    * poll. Reading `currentVersion` separately (before or after) races
+    * commits landing in between: a commit visible to the version read but
+    * not to the delta resolution (or vice versa) would make the stored
+    * cursor skip its rows forever. One loaded header supplies version,
+    * live-partition filter, and tail cap together, so the pair is
+    * self-consistent by construction.
+    *
+    * LOUD on every gap, never a silent partial delta: (a) the history tail
+    * (sinceVersion, cursor] must be CONTIGUOUS — a missing record (a crash
+    * between a commit's header swap and its log write, or a record not yet
+    * visible) refuses with the missing versions named (transient case:
+    * re-poll); (b) a record written by a pre-label-list engine (counts
+    * only, no `added` array) refuses — its labels are unknowable. */
+  def pollChanges(spark: SparkSession, storage: Storage, uuid: String,
+                  sinceVersion: Long,
+                  columns: Option[Seq[String]] = None): (Long, DataFrame) = {
     val meta = DatasetMetadata.load(storage, uuid)
     val schema = DatasetMetadata.loadSchema(storage, uuid, meta.tableName)
+    val cursor = meta.metadata.get(Writer.CommitVersionKey)
+      .map(_.toLong).getOrElse(0L)
     val mapper = DatasetMetadata.mapper
     import scala.jdk.CollectionConverters._
     // versions are ENCODED IN THE KEY NAMES (v%012d.json) precisely so a
@@ -238,25 +261,42 @@ object Ops {
       s"dataset '$uuid' has no commit history — it predates the audit log " +
         "(or a foreign GC removed it); incremental consumption needs a " +
         "baseline, start from a full read + currentVersion")
-    val earliest = keys.map(versionOfKey).min
+    val versions = keys.map(versionOfKey)
+    val earliest = versions.min
     require(sinceVersion >= earliest - 1,
       s"history of '$uuid' starts at version $earliest; cannot resolve " +
         s"changes since $sinceVersion — start from a full read + currentVersion")
-    val added = keys
-      .filter(versionOfKey(_) > sinceVersion)
-      .map(k => mapper.readTree(storage.readString(k)))
-      .flatMap(n => Option(n.get("added")).toSeq
-        .flatMap(_.elements().asScala.map(_.asText())))
+    // records past the header snapshot's version (commits racing this
+    // poll) belong to the NEXT poll; records missing inside the range are
+    // a loud gap, not silently-dropped rows
+    val tail = keys.filter(k =>
+      versionOfKey(k) > sinceVersion && versionOfKey(k) <= cursor)
+    val missing = ((sinceVersion + 1) to cursor).toSet -- tail.map(versionOfKey).toSet
+    require(missing.isEmpty,
+      s"history of '$uuid' is missing record(s) for version(s) " +
+        s"${missing.toSeq.sorted.take(5).mkString(", ")} in ($sinceVersion, " +
+        s"$cursor] — a commit's log write was lost (crash window) or is not " +
+        "yet visible; re-poll, or rebuild the baseline from a full read")
+    val added = tail
+      .map(k => k -> mapper.readTree(storage.readString(k)))
+      .flatMap { case (k, n) =>
+        require(n.has("added"),
+          s"history record $k predates the label-list format — its landed " +
+            "labels are unknowable; rebuild the baseline from a full read")
+        n.get("added").elements().asScala.map(_.asText())
+      }
       .distinct
     val live = meta.partitions.toSet
     val labels = added.filter(live)
     val cols = columns.getOrElse(schema.fieldNames.toSeq)
-    if (labels.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(cols.map(schema(_))))
-    Writer.labeledData(spark, storage, uuid, schema, labels, meta.tableName)
-      .select(cols.map(col): _*)
+    val delta =
+      if (labels.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(cols.map(schema(_))))
+      else Writer.labeledData(spark, storage, uuid, schema, labels, meta.tableName)
+        .select(cols.map(col): _*)
+    (cursor, delta)
   }
 
   /** Drop a snapshot tag; its exclusively-referenced files become GC

@@ -308,9 +308,18 @@ object Reader {
       }
     }
     val pruner: Seq[CExpr] => Option[Set[String]] = { dataFilters =>
-      // columns already constrained by a translatable top-level literal:
-      // their companion IsNotNull conjuncts cannot prune further
-      val strongCols = dataFilters.flatMap(asLiteral).map(_.column).toSet
+      // columns already constrained by a top-level literal that actually
+      // EVALUATES (the result lands in litCache, so this is not extra
+      // work): their companion IsNotNull conjuncts cannot prune further.
+      // A literal the DNF compiler rejects does NOT suppress IsNotNull —
+      // it may be the only pruning that column gets.
+      val strongCols = dataFilters.flatMap(asLiteral).flatMap { l =>
+        try {
+          litCache.getOrElseUpdate(l,
+            SecondaryIndex.evalLiteral(localIndex(l.column), l))
+          Some(l.column)
+        } catch { case _: IllegalArgumentException => None }
+      }.toSet
       val sets = dataFilters.flatMap(evalExpr(_, strongCols))
       if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
     }

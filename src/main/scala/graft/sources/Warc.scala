@@ -77,10 +77,12 @@ object Warc {
     val sc = spark.sparkContext
     // Hadoop path-list convention (what the replaced binaryFiles accepted):
     // comma-separated components, each its own glob — warcFetch passes the
-    // index's file list this way. A component matching NOTHING throws like
-    // binaryFiles' InvalidInputException did; a matched-but-empty directory
-    // is a legitimate empty read.
-    val files = path.split(",").filter(_.nonEmpty).toSeq.flatMap { component =>
+    // index's file list this way. The split is BRACE-DEPTH-AWARE like
+    // FileInputFormat.getPathStrings: commas inside {a,b} glob alternation
+    // separate alternatives, not paths. A component matching NOTHING throws
+    // like binaryFiles' InvalidInputException did; a matched-but-empty
+    // directory is a legitimate empty read.
+    val files = splitPathList(path).flatMap { component =>
       val hp = new org.apache.hadoop.fs.Path(component)
       val fs = hp.getFileSystem(sc.hadoopConfiguration)
       val matched = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Nil)
@@ -124,6 +126,22 @@ object Warc {
       }
     }
     spark.createDataFrame(rows, schema)
+  }
+
+  // FileInputFormat.getPathStrings semantics: split on commas at brace
+  // depth 0 only, so "{f1,f2}.warc.gz" stays one glob component
+  private def splitPathList(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '{' => depth += 1; sb += '{'
+      case '}' => depth -= 1; sb += '}'
+      case ',' if depth == 0 => out += sb.toString; sb.clear()
+      case c => sb += c
+    }
+    out += sb.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
   /** Parse every well-formed record of one WARC byte stream (test/driver

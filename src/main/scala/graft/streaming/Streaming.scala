@@ -367,7 +367,10 @@ object Streaming {
     startGuarded("writeStreamAppend", stream, checkpoint, configure) {
       token => (batch, batchId) => {
         ingestBatch(storage, uuid, opts, token)(batch, batchId)
-        if (DatasetMetadata.exists(storage, uuid))
+        // heal only when this batch could have landed something: an empty
+        // (or replayed) batch must not pay 2 metadata loads per trigger on
+        // an idle stream
+        if (!batch.isEmpty && DatasetMetadata.exists(storage, uuid))
           bloomIndex.foreach(bu =>
             graft.index.BloomIndex.heal(batch.sparkSession, storage, bu))
       }
@@ -405,10 +408,18 @@ object Streaming {
                         // core's auto-regime), and every batch auto-appends
                         // its landed labels — the sidecar never goes stale
                         // under its own stream
-                        bloomIndex: Option[String] = None): StreamingQuery =
+                        bloomIndex: Option[String] = None): StreamingQuery = {
+    // validate a pre-existing sidecar at stream DEFINITION (the
+    // writeStreamAppend discipline): a foreign index must fail here, not
+    // after the first batch silently committed un-maintained
+    bloomIndex.filter(graft.meta.DatasetMetadata.exists(storage, _)).foreach { bu =>
+      val (_, _, _, _, ds) = graft.index.BloomIndex.params(storage, bu)
+      require(ds == uuid, s"bloom index '$bu' indexes dataset '$ds', not '$uuid'")
+    }
     startGuarded("writeStreamUpsert", stream, checkpoint, configure)(
       token => upsertBatch(storage, uuid, keyCols, seqCol, opCol, opts, token,
         bloomIndex))
+  }
 
   /** True iff an `opCol` value marks a CDC delete event ('d'/'D'/'delete',
     * Debezium-style); every other value — including null — upserts. */
@@ -483,8 +494,12 @@ object Streaming {
       // a declared sidecar covers the creating landing too — when it
       // already exists (the common flow builds the bloom AFTER the first
       // landing; heal-on-build makes that coverage-complete by definition)
-      bloomIndex.filter(DatasetMetadata.exists(storage, _)).foreach(bu =>
-        graft.index.BloomIndex.heal(spark, storage, bu))
+      bloomIndex.filter(DatasetMetadata.exists(storage, _)).foreach { bu =>
+        val (_, _, _, _, ds) = graft.index.BloomIndex.params(storage, bu)
+        require(ds == uuid,
+          s"bloom index '$bu' indexes dataset '$ds', not '$uuid'")
+        graft.index.BloomIndex.heal(spark, storage, bu)
+      }
       ()
     }
   }

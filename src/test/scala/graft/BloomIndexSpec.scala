@@ -113,16 +113,39 @@ class BloomIndexSpec extends SparkSpec {
       Seq(Tuple1(1002L)).toDF("id"), "id")
     assert(healed.exists(cand.contains))
     assert(BloomIndex.heal(spark, st, "b8_bf").isEmpty, "heal must be a no-op when covered")
-    // the watermark is BOUNDED by live labels: a merge kills labels, and
-    // the next append prunes them from the covered set
+    def covered(): Set[String] = DatasetMetadata.load(st, "b8_bf")
+      .metadata("graft.bloom.covered").split("\n").toSet
+    // the watermark is MONOTONE like the row set it mirrors: a label a
+    // merge killed stays covered (its rows are still in the bloom dataset),
+    // so a rollback that RESURRECTS it must not re-append — pruning here
+    // was the round-12 review's top finding (duplicate rows double hit
+    // counts into probe false negatives)
+    Ops.snapshotDataset(st, "b8", "pre")
     Ops.upsertDataset(spark, st, "b8",
       Seq((0L, "g0", "NEW")).toDF("id", "grp", "v"), Seq("id"),
       bloomIndex = Some("b8_bf"))
-    val covered = DatasetMetadata.load(st, "b8_bf")
-      .metadata("graft.bloom.covered").split("\n").toSet
+    val liveAfterMerge = DatasetMetadata.load(st, "b8").partitions.toSet
+    assert((covered() -- liveAfterMerge).nonEmpty,
+      "the merged-away label must STAY covered (its rows still exist)")
+    Ops.rollbackDataset(spark, st, "b8", "pre")
+    assert(BloomIndex.heal(spark, st, "b8_bf").isEmpty,
+      "resurrected labels are still covered — heal must not duplicate their rows")
+    val cRoll = BloomIndex.candidateLabels(spark, st, "b8_bf",
+      Seq(Tuple1(0L)).toDF("id"), "id")
+    assert(cRoll.nonEmpty, "probe after rollback must still find id 0's partition")
+    // vacuum: drops dead labels' rows AND prunes the watermark atomically
+    Ops.upsertDataset(spark, st, "b8",
+      Seq((0L, "g0", "NEW2")).toDF("id", "grp", "v"), Seq("id"),
+      bloomIndex = Some("b8_bf"))
+    BloomIndex.vacuum(spark, st, "b8_bf")
     val live = DatasetMetadata.load(st, "b8").partitions.toSet
-    assert(covered.subsetOf(live),
-      s"dead labels retained in the watermark: ${(covered -- live).take(3)}")
+    assert(covered().subsetOf(live),
+      s"vacuum left dead labels in the watermark: ${(covered() -- live).take(3)}")
+    val cVac = BloomIndex.candidateLabels(spark, st, "b8_bf",
+      Seq(Tuple1(0L)).toDF("id"), "id")
+    assert(cVac.nonEmpty && cVac.forall(live.contains))
+    assert(BloomIndex.lookupRows(spark, st, "b8_bf",
+      Seq(Tuple1(0L)).toDF("id"), "id").select("v").as[String].head() === "NEW2")
     // a PRE-WATERMARK index (no covered header) refuses every
     // covered-dependent face loudly: a silent empty default would
     // re-append existing rows into probe false negatives

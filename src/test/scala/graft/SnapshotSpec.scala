@@ -139,6 +139,21 @@ class SnapshotSpec extends SparkSpec {
     // cursors inside the surviving range still resolve
     assert(Ops.readChangesSince(spark, st, "s8", v2).count() > 0)
     assert(liveLabels.nonEmpty)
+    // the paired face: delta and cursor come from ONE header snapshot, and
+    // re-polling from the returned cursor is an empty delta
+    val (cur, delta) = Ops.pollChanges(spark, st, "s8", v2)
+    assert(cur === Ops.currentVersion(st, "s8"))
+    assert(delta.count() > 0)
+    assert(Ops.pollChanges(spark, st, "s8", cur)._2.isEmpty)
+    // a gap INSIDE the asked range (a lost log write) is loud, never a
+    // silent partial delta
+    val gapKey = st.listKeys("s8/.history/").filter(_.endsWith(".json"))
+      .sorted.apply(1) // the second-oldest surviving record
+    st.delete(gapKey)
+    val eg = intercept[IllegalArgumentException] {
+      Ops.readChangesSince(spark, st, "s8", v1)
+    }
+    assert(eg.getMessage.contains("missing record"), eg.getMessage)
   }
 
   test("rollback to a snapshot with missing files is refused loudly") {
