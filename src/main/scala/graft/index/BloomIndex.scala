@@ -190,10 +190,23 @@ object BloomIndex {
     val live = DatasetMetadata.load(store, datasetUuid).partitions.toSet
     val dead = (covered -- live).toSeq.sorted
     if (dead.isEmpty) return bmeta
-    graft.io.Ops.deleteByKeys(spark, store, bloomUuid,
+    val pruned = Map(CoveredKey -> encodeCovered(covered intersect live))
+    val after = graft.io.Ops.deleteByKeys(spark, store, bloomUuid,
       dead.toDF("label"), Seq("label"),
-      opts = graft.io.Writer.WriteOpts(metadata = Map(
-        CoveredKey -> encodeCovered(covered intersect live))))
+      opts = graft.io.Writer.WriteOpts(metadata = pruned))
+    def version(m: DatasetMetadata): Option[String] =
+      m.metadata.get(graft.io.Writer.CommitVersionKey)
+    if (version(after) != version(bmeta)) after
+    else
+      // every dead label had ZERO bloom rows (all-null indexed column —
+      // appendLabels marks such labels covered without rows), so the
+      // delete was a row-level no-op that skipped the header swap; the
+      // watermark prune must still land, via a metadata-only commit.
+      // Safe: these labels have no rows, so "uncovered after a rollback
+      // resurrects them" means a loud gate + a zero-row re-append, never
+      // a duplicate.
+      graft.io.Writer.update(spark, store, bloomUuid, None,
+        opts = graft.io.Writer.WriteOpts(metadata = pruned))
   }
 
   /** Close every coverage gap in one call: append the bloom rows of all

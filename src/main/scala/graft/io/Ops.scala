@@ -266,17 +266,32 @@ object Ops {
     require(sinceVersion >= earliest - 1,
       s"history of '$uuid' starts at version $earliest; cannot resolve " +
         s"changes since $sinceVersion — start from a full read + currentVersion")
+    // a cursor AHEAD of the header means the version lineage was reset
+    // under the consumer (a foreign writer stripped graft.commit.version,
+    // a header restored from backup): silently returning an empty delta
+    // and a rewound cursor would skip every future commit forever
+    require(sinceVersion <= cursor,
+      s"cursor $sinceVersion is ahead of '$uuid''s header version $cursor " +
+        "— the version lineage was reset underneath the consumer (foreign " +
+        "header rewrite or restore); rebuild the baseline from a full read")
     // records past the header snapshot's version (commits racing this
     // poll) belong to the NEXT poll; records missing inside the range are
-    // a loud gap, not silently-dropped rows
+    // a loud gap, not silently-dropped rows. Contiguity is checked by
+    // COUNT (versions are unique by key name) — never by materializing
+    // the (since, cursor] range, which is unbounded on a first poll over
+    // a long-lived stream's history
     val tail = keys.filter(k =>
       versionOfKey(k) > sinceVersion && versionOfKey(k) <= cursor)
-    val missing = ((sinceVersion + 1) to cursor).toSet -- tail.map(versionOfKey).toSet
-    require(missing.isEmpty,
-      s"history of '$uuid' is missing record(s) for version(s) " +
-        s"${missing.toSeq.sorted.take(5).mkString(", ")} in ($sinceVersion, " +
-        s"$cursor] — a commit's log write was lost (crash window) or is not " +
-        "yet visible; re-poll, or rebuild the baseline from a full read")
+    if (tail.size.toLong != cursor - sinceVersion) {
+      val present = tail.map(versionOfKey).toSet
+      val examples = Iterator.range(sinceVersion + 1, cursor + 1)
+        .filterNot(present).take(5).mkString(", ")
+      throw new IllegalArgumentException(
+        s"history of '$uuid' is missing record(s) for version(s) $examples " +
+          s"in ($sinceVersion, $cursor] — a commit's log write was lost " +
+          "(crash window) or is not yet visible; re-poll, or rebuild the " +
+          "baseline from a full read")
+    }
     val added = tail
       .map(k => k -> mapper.readTree(storage.readString(k)))
       .flatMap { case (k, n) =>

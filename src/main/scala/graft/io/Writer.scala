@@ -376,6 +376,12 @@ object Writer {
     * header, resolve delete scope, rebuild affected indices, write header
     * once. Rejects duplicate partition labels
     * (`io_components/write.py:196-207`). */
+  /** Metadata keys whose values are READ-MODIFY-WRITE (derived from the
+    * parent header's value): a commit carrying one refuses to rebase on a
+    * header race — see the guard in [[commitDataset]]. Currently the bloom
+    * covered watermark. */
+  private[graft] val ReadModifyWriteMetaKey = "graft.bloom.covered"
+
   /** Header metadata key of the monotonic commit version — the
     * concurrent-committer guard's parent pointer. Every graft commit bumps
     * it; [[commitDataset]] refuses (or rebases) when the header moved
@@ -466,6 +472,20 @@ object Writer {
         case Right(meta) => result = Some(meta)
         case Left(currentVersion) =>
           attempt += 1
+          // READ-MODIFY-WRITE metadata cannot rebase: its VALUE was derived
+          // from the parent state (the bloom covered watermark is covered'
+          // = f(covered)), and a rebase re-merges the stale value over the
+          // concurrent commit's fresh one (graft.* keys are new-wins) —
+          // silently clobbering e.g. a concurrently appended covered label
+          // into the duplicate-row probe-false-negative corruption. Refuse
+          // loudly; the caller re-runs its maintenance op, re-deriving the
+          // value from the new state.
+          if (metadata.contains(ReadModifyWriteMetaKey))
+            throw new ConcurrentCommitException(
+              s"commit to '$uuid' carries read-modify-write metadata " +
+                s"($ReadModifyWriteMetaKey) derived from header version " +
+                s"${commitVersionOf(base)}, but the header moved to " +
+                s"$currentVersion — re-run the operation against the new state")
           if (attempt > MaxRebases)
             throw new ConcurrentCommitException(
               s"commit to '$uuid' lost the header race $MaxRebases times " +

@@ -136,7 +136,10 @@ object Warc {
     var depth = 0
     s.foreach {
       case '{' => depth += 1; sb += '{'
-      case '}' => depth -= 1; sb += '}'
+      // clamp at 0: a stray '}' must not let a LATER {a,b} group's comma
+      // read as depth!=0 (Hadoop's getPathStrings flag cannot be poisoned
+      // by an unmatched close either)
+      case '}' => depth = math.max(0, depth - 1); sb += '}'
       case ',' if depth == 0 => out += sb.toString; sb.clear()
       case c => sb += c
     }

@@ -201,10 +201,12 @@ object Streaming {
     * within the run. Callers that pin a PERSISTENT checkpoint (batchIds
     * monotonic across restarts) pass `runToken = None` to keep the
     * cross-restart exactly-once guard. */
+  // returns true iff the batch COMMITTED (false: empty batch or replay) —
+  // per-batch followers (sidecar heal) branch on it instead of re-probing
   private[graft] def ingestBatch(storage: Storage, uuid: String,
                                      opts: WriteOpts,
                                      runToken: Option[String] = None)
-                                    (batch: DataFrame, batchId: Long): Unit = {
+                                    (batch: DataFrame, batchId: Long): Boolean = {
     // Per-batch work must be O(batch), not O(dataset): AQE is OFF inside
     // streaming micro-batches, so the write shuffle gets a SMALL fixed width
     // (per-batch volume is bounded by the trigger; Writer's derived batch
@@ -214,7 +216,7 @@ object Streaming {
     // append a footer-only parquet file per trigger on non-partitioned
     // datasets (FileFormatWriter's partition-0 writer eagerly creates its
     // file), growing the partition list without bound on an idle stream.
-    if (batch.isEmpty) return
+    if (batch.isEmpty) return false
     val spark = batch.sparkSession
     val width =
       if (opts.writeWidth > 0) opts.writeWidth
@@ -227,12 +229,12 @@ object Streaming {
     val stamp: Map[String, String] =
       Map(LastBatchKey -> batchId.toString, RunTokenKey -> myToken)
     val stamped = opts.copy(metadata = opts.metadata ++ stamp, writeWidth = width)
-    if (isReplay(storage, uuid, myToken, batchId)) return
+    if (isReplay(storage, uuid, myToken, batchId)) return false
     if (DatasetMetadata.exists(storage, uuid))
       Writer.update(spark, storage, uuid, Some(batch), Nil, stamped)
     else
       Writer.store(spark, storage, uuid, batch, stamped)
-    ()
+    true
   }
 
   /** Watermarked tumbling/sliding-window aggregation over an event stream —
@@ -366,11 +368,11 @@ object Streaming {
     }
     startGuarded("writeStreamAppend", stream, checkpoint, configure) {
       token => (batch, batchId) => {
-        ingestBatch(storage, uuid, opts, token)(batch, batchId)
-        // heal only when this batch could have landed something: an empty
-        // (or replayed) batch must not pay 2 metadata loads per trigger on
-        // an idle stream
-        if (!batch.isEmpty && DatasetMetadata.exists(storage, uuid))
+        val landed = ingestBatch(storage, uuid, opts, token)(batch, batchId)
+        // heal only when this batch actually COMMITTED: empty batches and
+        // replays must not pay 2 metadata loads per trigger, and
+        // ingestBatch already knows (no second isEmpty job)
+        if (landed)
           bloomIndex.foreach(bu =>
             graft.index.BloomIndex.heal(batch.sparkSession, storage, bu))
       }
