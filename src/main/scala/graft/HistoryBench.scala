@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Measure the incremental-consumption claims: after `commits` appends
+  * (one history record each), a poll's cost must track the TAIL past its
+  * cursor, not the log length — time `pollChanges` at cursor = head-1
+  * (tail 1) vs cursor = 0 (tail = everything) — plus `BloomIndex.vacuum`
+  * after CDC churn (cost ∝ buckets holding dead labels).
+  * `runMain graft.HistoryBench [commits] [reps]`. A dev measurement tool. */
+object HistoryBench {
+  def main(args: Array[String]): Unit = {
+    val commits = if (args.nonEmpty) args(0).toInt else 200
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+      "plateauspark-historybench")
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("histbench").toString
+    val st = graft.store.Storage(spark, tmp)
+    graft.io.Writer.store(spark, st, "hb",
+      (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v"),
+      graft.io.Writer.WriteOpts(writeWidth = 1))
+    val t0 = System.nanoTime()
+    for (c <- 1 until commits)
+      graft.io.Writer.update(spark, st, "hb",
+        Some(Seq((1000L + c, s"n$c")).toDF("id", "v")),
+        opts = graft.io.Writer.WriteOpts(writeWidth = 1))
+    println(f"HISTORYBENCH $commits commits landed ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val head = graft.io.Ops.currentVersion(st, "hb")
+    for (r <- 0 until reps) {
+      val t1 = System.nanoTime()
+      val (c1, d1) = graft.io.Ops.pollChanges(spark, st, "hb", head - 1)
+      val n1 = d1.count()
+      val tailSec = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val (c2, d2) = graft.io.Ops.pollChanges(spark, st, "hb", 0L)
+      val n2 = d2.count()
+      val fullSec = (System.nanoTime() - t2) / 1e9
+      println(f"HISTORYBENCH run$r poll-tail1 $tailSec%.3f s (rows=$n1) " +
+        f"poll-full $fullSec%.3f s (rows=$n2, cursor=$c2)")
+      assert(c1 == head && c2 == head)
+    }
+    // bloom vacuum after churn: most labels die to merges
+    graft.index.BloomIndex.build(spark, st, "hb_bf", "hb", "id",
+      m = 1L << 16, k = 6, numBuckets = 8)
+    for (c <- 0 until 5)
+      graft.io.Ops.upsertDataset(spark, st, "hb",
+        (0L until 100L).map(i => (i, s"up$c-$i")).toDF("id", "v"), Seq("id"),
+        bloomIndex = Some("hb_bf"))
+    val t3 = System.nanoTime()
+    val dead = graft.io.Reader.readTable(spark, st, "hb_bf").count()
+    val vac = graft.index.BloomIndex.vacuum(spark, st, "hb_bf")
+    val rows = graft.io.Reader.readTable(spark, st, "hb_bf").count()
+    println(f"HISTORYBENCH vacuum ${(System.nanoTime() - t3) / 1e9}%.2f s " +
+      f"bloom rows $dead -> $rows (live labels ${vac.partitions.size})")
+    spark.stop()
+  }
+}
