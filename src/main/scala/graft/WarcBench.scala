@@ -58,7 +58,7 @@ object WarcBench {
       // capped variant: many files per task (fewer, larger tasks)
       val t2 = System.nanoTime()
       val n2 = graft.sources.Warc.readWarc(spark, s"$tmp/*.warc.gz",
-        minPartitions = spark.sparkContext.defaultParallelism).count()
+        maxTasks = spark.sparkContext.defaultParallelism).count()
       val cappedSec = (System.nanoTime() - t2) / 1e9
       assert(n == n2 && n == files.toLong * (recs + 1), s"$n vs $n2")
       println(f"WARCBENCH run$r parse $parseSec%.2f s (${files / parseSec}%.0f archives/s) " +

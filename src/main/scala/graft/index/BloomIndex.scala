@@ -124,10 +124,11 @@ object BloomIndex {
   def build(spark: SparkSession, store: Storage, bloomUuid: String,
             datasetUuid: String, column: String,
             m: Long = 1L << 20, k: Int = 8, numBuckets: Int = 64,
-            overwrite: Boolean = false): DatasetMetadata = {
+            overwrite: Boolean = false,
+            register: Boolean = true): DatasetMetadata = {
     val meta = DatasetMetadata.load(store, datasetUuid)
     val rows = rowsFor(spark, store, meta, column, meta.partitions, m, k, numBuckets)
-    graft.io.Writer.store(spark, store, bloomUuid, rows,
+    val built = graft.io.Writer.store(spark, store, bloomUuid, rows,
       graft.io.Writer.WriteOpts(partitionOn = Seq("bucket"),
         overwrite = overwrite,
         metadata = Map(
@@ -137,6 +138,59 @@ object BloomIndex {
           "graft.bloom.numBuckets" -> numBuckets.toString,
           "graft.bloom.dataset" -> datasetUuid,
           CoveredKey -> encodeCovered(meta.partitions.toSet))))
+    // DECLARE the sidecar in the indexed dataset's header (default): every
+    // later commit path — a plain Writer.update append included — then
+    // auto-appends its landed labels, so the sidecar can no longer go
+    // uncovered through the most common landing. register = false keeps
+    // the r12 manual-maintenance behavior (explicit appendLabels/heal).
+    if (register) registerSidecar(spark, store, datasetUuid, bloomUuid)
+    built
+  }
+
+  /** Add `bloomUuid` to the indexed dataset's header-declared sidecar set
+    * (`graft.bloom.sidecars`) — the registry [[graft.io.Writer
+    * .commitDataset]] auto-appends from. Metadata-only commit; the key is
+    * read-modify-write (a set union over the parent header's value), so a
+    * racing commit refuses rather than silently dropping a concurrent
+    * registration. Idempotent. */
+  def registerSidecar(spark: SparkSession, store: Storage,
+                      datasetUuid: String, bloomUuid: String): Unit = {
+    val meta = DatasetMetadata.load(store, datasetUuid)
+    val current = graft.io.Writer.sidecarsOf(meta).toSet
+    if (current.contains(bloomUuid)) return
+    graft.io.Writer.update(spark, store, datasetUuid, None,
+      opts = graft.io.Writer.WriteOpts(metadata = Map(
+        graft.io.Writer.SidecarsKey ->
+          (current + bloomUuid).toSeq.sorted.mkString("\n"))),
+      preloadedMeta = Some(meta))
+  }
+
+  /** Remove `bloomUuid` from the dataset's declared sidecar set — the fix
+    * for a dangling registration (sidecar dataset deleted out of band) that
+    * [[graft.io.Writer.commitDataset]]'s auto-append refuses loudly on.
+    * Idempotent. */
+  def unregisterSidecar(spark: SparkSession, store: Storage,
+                        datasetUuid: String, bloomUuid: String): Unit = {
+    val meta = DatasetMetadata.load(store, datasetUuid)
+    val current = graft.io.Writer.sidecarsOf(meta).toSet
+    if (!current.contains(bloomUuid)) return
+    graft.io.Writer.update(spark, store, datasetUuid, None,
+      opts = graft.io.Writer.WriteOpts(metadata = Map(
+        graft.io.Writer.SidecarsKey ->
+          (current - bloomUuid).toSeq.sorted.mkString("\n"))),
+      preloadedMeta = Some(meta))
+  }
+
+  /** Delete a bloom sidecar AND its registration in one call — the safe
+    * teardown (deleting just the dataset would leave every later commit on
+    * the indexed dataset refusing on the dangling registration). */
+  def drop(spark: SparkSession, store: Storage, bloomUuid: String): Unit = {
+    if (DatasetMetadata.exists(store, bloomUuid)) {
+      val (_, _, _, _, datasetUuid) = params(store, bloomUuid)
+      if (DatasetMetadata.exists(store, datasetUuid))
+        unregisterSidecar(spark, store, datasetUuid, bloomUuid)
+    }
+    graft.io.Ops.deleteDataset(store, bloomUuid)
   }
 
   /** Append the bloom rows of freshly landed `labels` — the O(landing)
@@ -164,10 +218,17 @@ object BloomIndex {
     // would double hit counts into probe false negatives. Growth is
     // bounded by the bloom dataset's own stale-row growth; [[vacuum]]
     // shrinks BOTH atomically.
+    // bmeta is threaded as the commit's parent (preloadedMeta): the covered
+    // watermark is read-modify-write off THIS header, so the version guard
+    // must span from its load — a concurrent append landing between our
+    // load and update's own internal load would otherwise be silently
+    // clobbered (graft.* metadata is new-wins), un-covering labels whose
+    // rows exist and turning the next heal into duplicate rows
     graft.io.Writer.update(spark, store, bloomUuid,
       Some(rowsFor(spark, store, meta, column, fresh, m, k, numBuckets)),
       opts = graft.io.Writer.WriteOpts(metadata = Map(
-        CoveredKey -> encodeCovered(already ++ fresh))))
+        CoveredKey -> encodeCovered(already ++ fresh))),
+      preloadedMeta = Some(bmeta))
   }
 
   /** Drop the bloom rows of labels no longer live in the indexed dataset
@@ -191,9 +252,13 @@ object BloomIndex {
     val dead = (covered -- live).toSeq.sorted
     if (dead.isEmpty) return bmeta
     val pruned = Map(CoveredKey -> encodeCovered(covered intersect live))
+    // bmeta threaded as the commit parent (the appendLabels discipline):
+    // the pruned watermark derives from THIS header, so the guard spans
+    // the whole read-modify-write
     val after = graft.io.Ops.deleteByKeys(spark, store, bloomUuid,
       dead.toDF("label"), Seq("label"),
-      opts = graft.io.Writer.WriteOpts(metadata = pruned))
+      opts = graft.io.Writer.WriteOpts(metadata = pruned),
+      preloadedMeta = Some(bmeta))
     def version(m: DatasetMetadata): Option[String] =
       m.metadata.get(graft.io.Writer.CommitVersionKey)
     if (version(after) != version(bmeta)) after
@@ -206,7 +271,8 @@ object BloomIndex {
       // resurrects them" means a loud gate + a zero-row re-append, never
       // a duplicate.
       graft.io.Writer.update(spark, store, bloomUuid, None,
-        opts = graft.io.Writer.WriteOpts(metadata = pruned))
+        opts = graft.io.Writer.WriteOpts(metadata = pruned),
+        preloadedMeta = Some(bmeta))
   }
 
   /** Close every coverage gap in one call: append the bloom rows of all

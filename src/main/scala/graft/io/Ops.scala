@@ -141,29 +141,38 @@ object Ops {
     // full load, not header-only: a DYNAMIC live header reconstructs its
     // partitions from the listing, and the history record below diffs them
     val live = DatasetMetadata.load(storage, uuid)
-    val restored = meta.copy(metadata = meta.metadata +
+    // a rollback stays WITHIN the dataset's lineage (same creation; the
+    // audit log records the swap, so pollChanges consumers stay coherent)
+    val lineage = live.metadata.get(Writer.LineageKey)
+      .orElse(meta.metadata.get(Writer.LineageKey))
+    val restored = meta.copy(metadata = meta.metadata ++
+      lineage.map(Writer.LineageKey -> _) +
       (Writer.CommitVersionKey ->
         (math.max(versionOf(live), versionOf(meta)) + 1L).toString))
     // the concurrent-committer guard applies to THIS swap too: a commit
     // landing after `live` was read would be silently clobbered (and its
     // version number recycled — the false-pass commitDataset's guard must
     // never allow). Rollback is an operator action: refuse and let the
-    // operator re-run against the new state rather than auto-rebase.
-    val current = versionOf(DatasetMetadata.loadHeaderOnly(storage, uuid))
-    if (current != versionOf(live))
-      throw new Writer.ConcurrentCommitException(
-        s"rollback of '$uuid' to '$tag' lost the header race (version " +
-          s"moved ${versionOf(live)} -> $current) — re-run the rollback")
-    // msgpack first, JSON last: the same crash-ordering discipline as
-    // commitDataset (the JSON write is the atomic visibility point)
-    if (storage.exists(DatasetMetadata.msgpackHeaderKey(uuid)))
-      storage.writeBytes(DatasetMetadata.msgpackHeaderKey(uuid), restored.toMsgpackZstd)
-    storage.writeString(restored.headerKey, restored.toJson)
+    // operator re-run against the new state rather than auto-rebase. The
+    // check-and-write runs under the same commit lock as commitDataset, so
+    // the re-read→write gap is closed on lock-capable stores.
+    storage.withCommitLock(s"$uuid/.commitlock") {
+      val current = versionOf(DatasetMetadata.loadHeaderOnly(storage, uuid))
+      if (current != versionOf(live))
+        throw new Writer.ConcurrentCommitException(
+          s"rollback of '$uuid' to '$tag' lost the header race (version " +
+            s"moved ${versionOf(live)} -> $current) — re-run the rollback")
+      // msgpack first, JSON last: the same crash-ordering discipline as
+      // commitDataset (the JSON write is the atomic visibility point)
+      if (storage.exists(DatasetMetadata.msgpackHeaderKey(uuid)))
+        storage.writeBytes(DatasetMetadata.msgpackHeaderKey(uuid), restored.toMsgpackZstd)
+      storage.writeString(restored.headerKey, restored.toJson)
+    }
     graft.meta.DatasetFactory.bump(storage, uuid)
     Writer.writeHistory(storage, uuid, versionOf(restored), "rollback",
       (restored.partitions.toSet -- live.partitions).toSeq,
       (live.partitions.toSet -- restored.partitions).toSeq,
-      restored.partitions.size)
+      restored.partitions.size, lineage)
     restored
   }
 
@@ -179,22 +188,113 @@ object Ops {
     * REFERENCE library's GC deletes untracked keys and will drop the log
     * (the [[snapshotDataset]] interop hazard — log-only loss here, the
     * data is untouched). */
+  // one parsed `.history/` record; `added`/`deleted` absent on records a
+  // pre-label-list engine wrote, `lineage` absent pre-lineage, `nCompacted`
+  // counts the original commits a checkpoint record rolled up (1 for plain)
+  private final case class HistoryRecord(
+      key: String, version: Long, tsMs: Long, op: String,
+      nAdded: Long, nDeleted: Long, nPartitions: Long, nCompacted: Long,
+      added: Option[Seq[String]], deleted: Option[Seq[String]],
+      lineage: Option[String])
+
+  private def parseHistoryRecord(storage: Storage, key: String): HistoryRecord = {
+    import scala.jdk.CollectionConverters._
+    val n = DatasetMetadata.mapper.readTree(storage.readString(key))
+    def arr(f: String): Option[Seq[String]] =
+      if (n.has(f)) Some(n.get(f).elements().asScala.map(_.asText()).toSeq)
+      else None
+    HistoryRecord(key,
+      n.get("version").asLong(), n.get("ts_ms").asLong(), n.get("op").asText(),
+      n.get("n_added").asLong(), n.get("n_deleted").asLong(),
+      n.get("n_partitions").asLong(),
+      if (n.has("n_compacted")) n.get("n_compacted").asLong() else 1L,
+      arr("added"), arr("deleted"),
+      if (n.has("lineage")) Some(n.get("lineage").asText()) else None)
+  }
+
+  private def historyPrefixOf(uuid: String): String = s"$uuid/.history/"
+
+  // record keys are `v%012d.json` — versions sort as names. Stray keys under
+  // the prefix are ignored rather than crashed on (a foreign writer's temp
+  // file must not break every poll)
+  private val HistoryKeyName = """v(\d{12})\.json$""".r.unanchored
+  private def historyVersionOf(key: String): Option[Long] =
+    HistoryKeyName.findFirstMatchIn(key)
+      .filter(_ => key.endsWith(".json")).map(_.group(1).toLong)
+
   def datasetHistory(spark: SparkSession, storage: Storage,
                      uuid: String): DataFrame = {
     import spark.implicits._
-    val prefix = s"$uuid/.history/"
-    val mapper = DatasetMetadata.mapper
-    storage.listKeys(prefix)
-      .filter(_.endsWith(".json"))
-      .map { k =>
-        val n = mapper.readTree(storage.readString(k))
-        (n.get("version").asLong(), n.get("ts_ms").asLong(),
-          n.get("op").asText(), n.get("n_added").asLong(),
-          n.get("n_deleted").asLong(), n.get("n_partitions").asLong())
-      }
-      .sortBy(_._1)
+    val recs = storage.listKeys(historyPrefixOf(uuid))
+      .filter(historyVersionOf(_).isDefined)
+      .map(parseHistoryRecord(storage, _))
+    // a crash between compactHistory's checkpoint write and its deletes can
+    // leave already-summarized records BELOW the checkpoint — hide them
+    // (their counts live in the checkpoint row; re-running compactHistory
+    // removes the leftovers)
+    val ckpt = recs.filter(_.op == "checkpoint").map(_.version)
+      .maxOption.getOrElse(Long.MinValue)
+    recs.filter(_.version >= ckpt)
+      .sortBy(_.version)
+      .map(r => (r.version, r.tsMs, r.op, r.nAdded, r.nDeleted, r.nPartitions))
       .toDF("version", "ts_ms", "op", "n_added", "n_deleted", "n_partitions")
   }
+
+  /** Roll every audit record with version ≤ `uptoVersion` into ONE
+    * checkpoint record at `uptoVersion` (aggregated counts, NO label lists)
+    * and delete the originals — the retention op that keeps a long-lived
+    * streaming ingest's `.history/` bounded (one record per micro-batch
+    * commit otherwise grows without bound, and every [[pollChanges]] LIST
+    * pays for it). Choose `uptoVersion` at-or-below every live consumer's
+    * cursor and every snapshot you may roll back to: a consumer whose
+    * cursor is ≥ the checkpoint polls exactly as before (the checkpoint is
+    * outside its tail); a cursor BELOW it refuses loudly — the compacted
+    * labels are unknowable — and rebaselines from a full read. Idempotent
+    * and crash-safe: the checkpoint lands first (atomic overwrite of the
+    * record it replaces), deletes follow; a re-run folds a previous
+    * checkpoint's counts instead of double-counting. Returns the number of
+    * records removed. */
+  def compactHistory(storage: Storage, uuid: String,
+                     uptoVersion: Long): Int = {
+    val prefix = historyPrefixOf(uuid)
+    val byV = storage.listKeys(prefix)
+      .flatMap(k => historyVersionOf(k).map(_ -> k))
+      .filter(_._1 <= uptoVersion).sortBy(_._1)
+    require(byV.exists(_._1 == uptoVersion),
+      s"no history record at version $uptoVersion of '$uuid' — the " +
+        "checkpoint must land on an existing record (see datasetHistory)")
+    val recs = byV.map { case (_, k) => parseHistoryRecord(storage, k) }
+    if (recs.size == 1 && recs.last.op == "checkpoint") return 0 // no-op
+    val lineage =
+      if (DatasetMetadata.exists(storage, uuid))
+        DatasetMetadata.loadHeaderOnly(storage, uuid).metadata
+          .get(Writer.LineageKey)
+      else recs.last.lineage
+    val mapper = DatasetMetadata.mapper
+    val node = mapper.createObjectNode()
+    node.put("version", uptoVersion)
+    node.put("ts_ms", recs.map(_.tsMs).max)
+    node.put("op", "checkpoint")
+    node.put("n_added", recs.map(_.nAdded).sum)
+    node.put("n_deleted", recs.map(_.nDeleted).sum)
+    node.put("n_partitions", recs.last.nPartitions)
+    node.put("n_compacted", recs.map(_.nCompacted).sum)
+    lineage.foreach(node.put("lineage", _))
+    storage.writeString(f"${prefix}v$uptoVersion%012d.json",
+      mapper.writeValueAsString(node))
+    val stale = byV.filter(_._1 < uptoVersion)
+    stale.foreach { case (_, k) => storage.delete(k) }
+    stale.size
+  }
+
+  /** The dataset's creation-lineage uuid (absent on pre-lineage headers).
+    * An incremental consumer stores it beside its [[currentVersion]] cursor
+    * and presents it to [[pollChanges]] — the loud detector for
+    * `store(overwrite = true)` resets, which restart the version count and
+    * would otherwise read as a contiguous (but baseline-missing) tail. */
+  def datasetLineage(storage: Storage, uuid: String): Option[String] =
+    DatasetMetadata.loadHeaderOnly(storage, uuid).metadata
+      .get(Writer.LineageKey)
 
   /** The dataset's current commit version (0 for pre-guard headers). The
     * cursor an incremental consumer stores between [[readChangesSince]]
@@ -222,8 +322,9 @@ object Ops {
     * rather than silently returning a partial delta. */
   def readChangesSince(spark: SparkSession, storage: Storage, uuid: String,
                        sinceVersion: Long,
-                       columns: Option[Seq[String]] = None): DataFrame =
-    pollChanges(spark, storage, uuid, sinceVersion, columns)._2
+                       columns: Option[Seq[String]] = None,
+                       sinceLineage: Option[String] = None): DataFrame =
+    pollChanges(spark, storage, uuid, sinceVersion, columns, sinceLineage)._2
 
   /** [[readChangesSince]] with its CONSISTENT CURSOR: returns (cursor,
     * delta) where the cursor is the version of the one header snapshot the
@@ -243,66 +344,14 @@ object Ops {
     * only, no `added` array) refuses — its labels are unknowable. */
   def pollChanges(spark: SparkSession, storage: Storage, uuid: String,
                   sinceVersion: Long,
-                  columns: Option[Seq[String]] = None): (Long, DataFrame) = {
+                  columns: Option[Seq[String]] = None,
+                  sinceLineage: Option[String] = None): (Long, DataFrame) = {
     val meta = DatasetMetadata.load(storage, uuid)
     val schema = DatasetMetadata.loadSchema(storage, uuid, meta.tableName)
-    val cursor = meta.metadata.get(Writer.CommitVersionKey)
-      .map(_.toLong).getOrElse(0L)
-    val mapper = DatasetMetadata.mapper
-    import scala.jdk.CollectionConverters._
-    // versions are ENCODED IN THE KEY NAMES (v%012d.json) precisely so a
-    // poll reads only the tail past its cursor — O(history-tail) storage
-    // round-trips, never one read per historical commit
-    val prefix = s"$uuid/.history/"
-    def versionOfKey(k: String): Long =
-      k.stripPrefix(prefix).stripPrefix("v").stripSuffix(".json").toLong
-    val keys = storage.listKeys(prefix).filter(_.endsWith(".json"))
-    require(keys.nonEmpty,
-      s"dataset '$uuid' has no commit history — it predates the audit log " +
-        "(or a foreign GC removed it); incremental consumption needs a " +
-        "baseline, start from a full read + currentVersion")
-    val versions = keys.map(versionOfKey)
-    val earliest = versions.min
-    require(sinceVersion >= earliest - 1,
-      s"history of '$uuid' starts at version $earliest; cannot resolve " +
-        s"changes since $sinceVersion — start from a full read + currentVersion")
-    // a cursor AHEAD of the header means the version lineage was reset
-    // under the consumer (a foreign writer stripped graft.commit.version,
-    // a header restored from backup): silently returning an empty delta
-    // and a rewound cursor would skip every future commit forever
-    require(sinceVersion <= cursor,
-      s"cursor $sinceVersion is ahead of '$uuid''s header version $cursor " +
-        "— the version lineage was reset underneath the consumer (foreign " +
-        "header rewrite or restore); rebuild the baseline from a full read")
-    // records past the header snapshot's version (commits racing this
-    // poll) belong to the NEXT poll; records missing inside the range are
-    // a loud gap, not silently-dropped rows. Contiguity is checked by
-    // COUNT (versions are unique by key name) — never by materializing
-    // the (since, cursor] range, which is unbounded on a first poll over
-    // a long-lived stream's history
-    val tail = keys.filter(k =>
-      versionOfKey(k) > sinceVersion && versionOfKey(k) <= cursor)
-    if (tail.size.toLong != cursor - sinceVersion) {
-      val present = tail.map(versionOfKey).toSet
-      val examples = Iterator.range(sinceVersion + 1, cursor + 1)
-        .filterNot(present).take(5).mkString(", ")
-      throw new IllegalArgumentException(
-        s"history of '$uuid' is missing record(s) for version(s) $examples " +
-          s"in ($sinceVersion, $cursor] — a commit's log write was lost " +
-          "(crash window) or is not yet visible; re-poll, or rebuild the " +
-          "baseline from a full read")
-    }
-    val added = tail
-      .map(k => k -> mapper.readTree(storage.readString(k)))
-      .flatMap { case (k, n) =>
-        require(n.has("added"),
-          s"history record $k predates the label-list format — its landed " +
-            "labels are unknowable; rebuild the baseline from a full read")
-        n.get("added").elements().asScala.map(_.asText())
-      }
-      .distinct
+    val (cursor, records) =
+      historyTail(storage, uuid, meta, sinceVersion, sinceLineage)
     val live = meta.partitions.toSet
-    val labels = added.filter(live)
+    val labels = records.flatMap(_.added.get).distinct.filter(live)
     val cols = columns.getOrElse(schema.fieldNames.toSeq)
     val delta =
       if (labels.isEmpty)
@@ -312,6 +361,164 @@ object Ops {
       else Writer.labeledData(spark, storage, uuid, schema, labels, meta.tableName)
         .select(cols.map(col): _*)
     (cursor, delta)
+  }
+
+  /** [[pollChanges]] WITH DELETE VISIBILITY — the changelog face a
+    * downstream MIRROR needs (additions alone silently retain deleted rows
+    * forever): every output row carries a `_change_type` column, `"delete"`
+    * for the full prior content of partitions dropped in the window
+    * without replacement (delete-scope removals, row-level deletes,
+    * rollback's dropped list, and the OLD side of every rewrite),
+    * `"insert"` for everything [[pollChanges]] would deliver. Apply deletes
+    * BEFORE inserts: a CDC rewrite emits its touched partitions' old
+    * content as deletes and the new content as inserts, so
+    * delete-then-insert replays the rewrite exactly (survivor rows ride
+    * both sides — at-least-once per row, same as pollChanges).
+    *
+    * Tombstone rows are read from the DELETED labels' still-present files —
+    * partition files are immutable and survive until [[garbageCollect]],
+    * which is what makes this possible at all. A poll whose window reaches
+    * behind a GC refuses LOUDLY (the tombstones are physically gone; the
+    * mirror must full-refresh) — run GC with a grace period covering the
+    * slowest consumer's poll interval. Labels both added AND deleted inside
+    * the window (landed and rewritten between two polls) are skipped
+    * entirely: the consumer never saw them, so neither side is owed. */
+  def pollChangesWithDeletes(spark: SparkSession, storage: Storage,
+                             uuid: String, sinceVersion: Long,
+                             columns: Option[Seq[String]] = None,
+                             sinceLineage: Option[String] = None): (Long, DataFrame) = {
+    val meta = DatasetMetadata.load(storage, uuid)
+    val schema = DatasetMetadata.loadSchema(storage, uuid, meta.tableName)
+    val (cursor, records) =
+      historyTail(storage, uuid, meta, sinceVersion, sinceLineage)
+    val added = records.flatMap(_.added.get).toSet
+    val deleted = records.flatMap(_.deleted.get).toSet
+    val live = meta.partitions.toSet
+    val inserts = (added intersect live).toSeq.sorted
+    val retracts = (deleted -- added).toSeq.sorted
+    val gone = retracts.filterNot(l => storage.exists(meta.fileKey(l)))
+    require(gone.isEmpty,
+      s"cannot resolve deletes since version $sinceVersion of '$uuid': " +
+        s"${gone.size} deleted partition file(s) (e.g. " +
+        s"${gone.take(3).mkString(", ")}) were already garbage-collected — " +
+        "the tombstone rows are gone; the mirror must rebaseline from a " +
+        "full read (and GC should keep a grace period covering the poll " +
+        "interval)")
+    val cols = columns.getOrElse(schema.fieldNames.toSeq)
+    require(!cols.contains(ChangeTypeCol),
+      s"column name '$ChangeTypeCol' is reserved for the change-type tag")
+    def slice(labels: Seq[String], tag: String): DataFrame =
+      Writer.labeledData(spark, storage, uuid, schema, labels, meta.tableName)
+        .select(cols.map(col) :+ lit(tag).as(ChangeTypeCol): _*)
+    val parts =
+      (if (retracts.nonEmpty) Seq(slice(retracts, "delete")) else Nil) ++
+      (if (inserts.nonEmpty) Seq(slice(inserts, "insert")) else Nil)
+    val out = parts.reduceOption(_ unionByName _).getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(
+          cols.map(schema(_)) :+ org.apache.spark.sql.types.StructField(
+            ChangeTypeCol, org.apache.spark.sql.types.StringType, nullable = false))))
+    (cursor, out)
+  }
+
+  /** The change-type tag column of [[pollChangesWithDeletes]]. */
+  val ChangeTypeCol = "_change_type"
+
+  /** Shared tail resolution of the incremental-consumption faces: ONE
+    * loaded header supplies version, live-partition filter, and tail cap
+    * together (the self-consistent-cursor protocol), the `.history/`
+    * LISTING itself is cursor-bounded ([[graft.store.Storage.listKeysFrom]]
+    * — version-encoded key names sort in version order, so the tail is a
+    * start-after listing, never a scan of the whole log), and every gap is
+    * LOUD:
+    *   (a) the tail (sinceVersion, cursor] must be CONTIGUOUS — a missing
+    *       record (crash window, not-yet-visible write, or compacted away
+    *       by [[compactHistory]]) refuses with the missing versions named;
+    *   (b) a CHECKPOINT record inside the tail refuses — the compacted
+    *       labels are unknowable; cursors at/after the checkpoint never see
+    *       it (it sits outside their tail);
+    *   (c) a record without label lists (pre-label-list engine) refuses;
+    *   (d) a cursor AHEAD of the header, a consumer lineage differing from
+    *       the header's, or mixed lineages in the tail refuse — the version
+    *       count was reset underneath the consumer (store overwrite,
+    *       foreign header rewrite) and a numerically-contiguous tail would
+    *       silently miss the new baseline. Consumers that store
+    *       [[datasetLineage]] beside their cursor and present it get this
+    *       protection even when the reset landed ahead of their cursor. */
+  private def historyTail(storage: Storage, uuid: String,
+                          meta: DatasetMetadata, sinceVersion: Long,
+                          sinceLineage: Option[String]): (Long, Seq[HistoryRecord]) = {
+    val cursor = meta.metadata.get(Writer.CommitVersionKey)
+      .map(_.toLong).getOrElse(0L)
+    val headerLineage = meta.metadata.get(Writer.LineageKey)
+    (sinceLineage, headerLineage) match {
+      case (Some(c), Some(h)) if c != h =>
+        throw new IllegalArgumentException(
+          s"consumer lineage $c does not match '$uuid''s header lineage $h " +
+            "— the dataset was re-created (store overwrite) underneath the " +
+            "consumer; rebuild the baseline from a full read")
+      case (Some(c), None) =>
+        throw new IllegalArgumentException(
+          s"consumer presents lineage $c but '$uuid''s header carries none " +
+            "— a foreign writer rewrote the header; rebuild the baseline " +
+            "from a full read")
+      case _ => ()
+    }
+    // a cursor AHEAD of the header means the version lineage was reset
+    // under the consumer (a foreign writer stripped graft.commit.version,
+    // a header restored from backup): silently returning an empty delta
+    // and a rewound cursor would skip every future commit forever
+    require(sinceVersion <= cursor,
+      s"cursor $sinceVersion is ahead of '$uuid''s header version $cursor " +
+        "— the version lineage was reset underneath the consumer (foreign " +
+        "header rewrite or restore); rebuild the baseline from a full read")
+    val prefix = historyPrefixOf(uuid)
+    // start-after-cursor listing: versions are ENCODED IN THE KEY NAMES
+    // (v%012d.json) precisely so a poll LISTS and reads only the tail past
+    // its cursor — O(tail), never O(total commits) even on the listing
+    val startAfter = f"${prefix}v$sinceVersion%012d.json"
+    val tail = storage.listKeysFrom(prefix, startAfter)
+      .flatMap(k => historyVersionOf(k).map(_ -> k))
+      // records past the header snapshot's version (commits racing this
+      // poll) belong to the NEXT poll
+      .filter { case (v, _) => v > sinceVersion && v <= cursor }
+      .sortBy(_._1)
+    // contiguity by COUNT (versions are unique by key name) — never by
+    // materializing the (since, cursor] range, which is unbounded on a
+    // first poll over a long-lived stream's history
+    if (tail.size.toLong != cursor - sinceVersion) {
+      val present = tail.map(_._1).toSet
+      val examples = Iterator.range(sinceVersion + 1, cursor + 1)
+        .filterNot(present).take(5).mkString(", ")
+      throw new IllegalArgumentException(
+        s"history of '$uuid' is missing record(s) for version(s) $examples " +
+          s"in ($sinceVersion, $cursor] — a commit's log write was lost " +
+          "(crash window), is not yet visible, predates the audit log, or " +
+          "was compacted away (compactHistory); re-poll, or rebuild the " +
+          "baseline from a full read + currentVersion")
+    }
+    val records = tail.map { case (_, k) => parseHistoryRecord(storage, k) }
+    records.foreach { r =>
+      if (r.op == "checkpoint")
+        throw new IllegalArgumentException(
+          s"history of '$uuid' was compacted at version ${r.version} " +
+            s"(${r.nCompacted} commits rolled up) — changes since " +
+            s"$sinceVersion are unknowable; rebuild the baseline from a " +
+            "full read + currentVersion")
+      require(r.added.isDefined && r.deleted.isDefined,
+        s"history record ${r.key} predates the label-list format — its " +
+          "landed labels are unknowable; rebuild the baseline from a full read")
+      (headerLineage, r.lineage) match {
+        case (Some(h), Some(rl)) if h != rl =>
+          throw new IllegalArgumentException(
+            s"history record ${r.key} carries lineage $rl but '$uuid''s " +
+              s"header carries $h — mixed lineages; rebuild the baseline " +
+              "from a full read")
+        case _ => ()
+      }
+    }
+    (cursor, records)
   }
 
   /** Drop a snapshot tag; its exclusively-referenced files become GC
@@ -390,9 +597,11 @@ object Ops {
     // the commit audit log is engine metadata, never an orphan (one tiny
     // record per header swap — [[datasetHistory]])
     val historyPrefix = s"$uuid/.history/"
+    // the commit lock file is engine metadata too (Storage.withCommitLock)
+    val lockKey = s"$uuid/.commitlock"
     val orphans = all.filterNot { k =>
       referenced(k) ||
-        k.startsWith(historyPrefix) ||
+        k.startsWith(historyPrefix) || k == lockKey ||
         (if (k.startsWith(stagingPrefix)) inFlightWrites(writeIdOf(k))
          else if (k.startsWith(indicesPrefix)) inFlightIndexKey(k)
          else k.endsWith("_SUCCESS")) ||
@@ -526,11 +735,16 @@ object Ops {
                    keys: DataFrame, keyCols: Seq[String],
                    opts: Writer.WriteOpts = Writer.WriteOpts(),
                    bloomIndex: Option[String] = None,
-                   bloomProbe: Option[Boolean] = None): DatasetMetadata = {
+                   bloomProbe: Option[Boolean] = None,
+                   // the Writer.update read-modify-write discipline: callers
+                   // whose metadata derives from an already-loaded header
+                   // (BloomIndex.vacuum's covered prune) thread it here so
+                   // the commit guard spans the whole derivation
+                   preloadedMeta: Option[DatasetMetadata] = None): DatasetMetadata = {
     require(keyCols.nonEmpty, "deleteByKeys requires at least one key column")
     require(DatasetMetadata.exists(storage, uuid),
       s"Cannot delete from non-existent dataset '$uuid'")
-    val meta = DatasetMetadata.load(storage, uuid)
+    val meta = preloadedMeta.getOrElse(DatasetMetadata.load(storage, uuid))
     val schema = DatasetMetadata.loadSchema(storage, uuid, meta.tableName)
     keyCols.foreach(c => require(schema.fieldNames.contains(c),
       s"delete key column '$c' not in dataset schema"))
@@ -673,8 +887,10 @@ object Ops {
     // (O(landing), idempotent — appendLabels skips covered labels), so the
     // declared sidecar never goes stale under its own merges. A crash
     // between the commit above and this append leaves a coverage gap the
-    // probe's gate reports loudly, never a silent miss.
-    bloomIndex.foreach { bu =>
+    // probe's gate reports loudly, never a silent miss. A sidecar
+    // REGISTERED in the dataset header was already appended by
+    // commitDataset's auto-maintenance — skip the redundant metadata loads.
+    bloomIndex.filterNot(Writer.sidecarsOf(committed).contains).foreach { bu =>
       graft.index.BloomIndex.appendLabels(spark, storage, bu, newLabels)
     }
     committed

@@ -248,12 +248,17 @@ object Writer {
     val indices = buildAndStoreIndices(spark, storage, uuid, schema, labels,
       opts.secondaryIndices, nextTs())
     DatasetMetadata.writeSchema(storage, uuid, schema)
-    // the creating commit is version 1 of the concurrent-committer guard
+    // the creating commit is version 1 of the concurrent-committer guard;
+    // the lineage uuid is FRESH — an overwrite is a new lineage, and
+    // pollChanges consumers holding the old one must rebaseline loudly
+    val lineage = newLineage()
     val meta = DatasetMetadata(uuid, labels, opts.partitionOn, indices,
-      opts.metadata + (CommitVersionKey -> "1"), format = opts.format)
+      opts.metadata + (CommitVersionKey -> "1") + (LineageKey -> lineage),
+      format = opts.format)
     storage.writeString(meta.headerKey, meta.toJson) // atomic visibility point
     graft.meta.DatasetFactory.bump(storage, uuid)
-    writeHistory(storage, uuid, 1L, "create", labels, Nil, labels.size)
+    writeHistory(storage, uuid, 1L, "create", labels, Nil, labels.size,
+      Some(lineage))
     meta
   }
 
@@ -284,7 +289,8 @@ object Writer {
     }
     val norm = SchemaNorm.normalize(schema, partitionOn)
     DatasetMetadata.writeSchema(storage, uuid, norm)
-    val meta = DatasetMetadata(uuid, Nil, partitionOn, Map.empty, Map.empty,
+    val meta = DatasetMetadata(uuid, Nil, partitionOn, Map.empty,
+      Map(LineageKey -> newLineage()),
       explicitPartitions = false, format = format)
     storage.writeString(meta.headerKey, meta.toJson)
     graft.meta.DatasetFactory.bump(storage, uuid)
@@ -378,9 +384,36 @@ object Writer {
     * (`io_components/write.py:196-207`). */
   /** Metadata keys whose values are READ-MODIFY-WRITE (derived from the
     * parent header's value): a commit carrying one refuses to rebase on a
-    * header race — see the guard in [[commitDataset]]. Currently the bloom
-    * covered watermark. */
-  private[graft] val ReadModifyWriteMetaKey = "graft.bloom.covered"
+    * header race — see the guard in [[commitDataset]]. The bloom covered
+    * watermark (covered' = f(covered)) and the sidecar registry
+    * (sidecars' = f(sidecars)). */
+  private[graft] val ReadModifyWriteMetaKeys: Set[String] =
+    Set("graft.bloom.covered", "graft.bloom.sidecars")
+
+  /** Header metadata key declaring the dataset's bloom SIDECARS (newline-
+    * joined bloom-index uuids, maintained by
+    * [[graft.index.BloomIndex.register]]/`unregister`): every commit path —
+    * a plain [[update]] append, a two-phase [[commitDataset]], the CDC
+    * merges — auto-appends its landed labels to each registered sidecar, so
+    * the most common landing (an append that never heard of sidecars) can
+    * no longer leave a coverage gap for the probe gate to refuse. */
+  val SidecarsKey = "graft.bloom.sidecars"
+
+  private[graft] def sidecarsOf(m: DatasetMetadata): Seq[String] =
+    m.metadata.get(SidecarsKey).toSeq
+      .flatMap(_.split("\n", -1)).filter(_.nonEmpty).sorted
+
+  /** Header metadata key of the dataset's CREATION LINEAGE — a uuid stamped
+    * when the dataset is (re)created and copied into every commit and every
+    * audit-log record. [[Ops.pollChanges]] uses it to detect the one version
+    * reset the monotone commit version cannot: `store(overwrite = true)`
+    * wipes `.history/` and restarts at version 1, so a consumer whose cursor
+    * is numerically ≤ the post-overwrite version would otherwise read a
+    * contiguous-looking tail that silently misses the overwrite's entire new
+    * baseline. A lineage mismatch is a LOUD rebaseline signal. */
+  val LineageKey = "graft.commit.lineage"
+
+  private def newLineage(): String = java.util.UUID.randomUUID().toString
 
   /** Header metadata key of the monotonic commit version — the
     * concurrent-committer guard's parent pointer. Every graft commit bumps
@@ -410,7 +443,8 @@ object Writer {
   private[graft] def writeHistory(storage: Storage, uuid: String,
                                   version: Long, op: String,
                                   added: Seq[String], deleted: Seq[String],
-                                  nPartitions: Int): Unit = {
+                                  nPartitions: Int,
+                                  lineage: Option[String]): Unit = {
     val key = f"$uuid%s/.history/v$version%012d.json"
     val mapper = DatasetMetadata.mapper
     val node = mapper.createObjectNode()
@@ -420,6 +454,7 @@ object Writer {
     node.put("n_added", added.size)
     node.put("n_deleted", deleted.size)
     node.put("n_partitions", nPartitions)
+    lineage.foreach(node.put("lineage", _))
     val a = node.putArray("added")
     added.sorted.foreach(a.add)
     val d = node.putArray("deleted")
@@ -474,16 +509,18 @@ object Writer {
           attempt += 1
           // READ-MODIFY-WRITE metadata cannot rebase: its VALUE was derived
           // from the parent state (the bloom covered watermark is covered'
-          // = f(covered)), and a rebase re-merges the stale value over the
-          // concurrent commit's fresh one (graft.* keys are new-wins) —
-          // silently clobbering e.g. a concurrently appended covered label
-          // into the duplicate-row probe-false-negative corruption. Refuse
-          // loudly; the caller re-runs its maintenance op, re-deriving the
-          // value from the new state.
-          if (metadata.contains(ReadModifyWriteMetaKey))
+          // = f(covered); the sidecar registry likewise), and a rebase
+          // re-merges the stale value over the concurrent commit's fresh
+          // one (graft.* keys are new-wins) — silently clobbering e.g. a
+          // concurrently appended covered label into the duplicate-row
+          // probe-false-negative corruption. Refuse loudly; the caller
+          // re-runs its maintenance op, re-deriving the value from the new
+          // state.
+          val rmw = ReadModifyWriteMetaKeys.filter(metadata.contains)
+          if (rmw.nonEmpty)
             throw new ConcurrentCommitException(
               s"commit to '$uuid' carries read-modify-write metadata " +
-                s"($ReadModifyWriteMetaKey) derived from header version " +
+                s"(${rmw.mkString(", ")}) derived from header version " +
                 s"${commitVersionOf(base)}, but the header moved to " +
                 s"$currentVersion — re-run the operation against the new state")
           if (attempt > MaxRebases)
@@ -502,7 +539,26 @@ object Writer {
           base = Some(fresh)
       }
     }
-    result.get
+    val committed = result.get
+    // header-DECLARED sidecar maintenance: every commit path lands here, so
+    // a registered bloom sidecar is appended no matter who committed — a
+    // plain append, a two-phase commit, a CDC merge. Runs AFTER the swap:
+    // the data commit is already durable; a crash (or a thrown append)
+    // leaves a coverage gap the probe gate reports loudly by name, never a
+    // wrong answer — and [[graft.index.BloomIndex.heal]] closes it in one
+    // call. Appends are idempotent (covered labels skip), so callers that
+    // also append explicitly (an unregistered sidecar passed to a merge)
+    // stay correct.
+    if (newLabels.nonEmpty) sidecarsOf(committed).foreach { bu =>
+      if (!DatasetMetadata.exists(storage, bu))
+        throw new IllegalStateException(
+          s"dataset '$uuid' declares bloom sidecar '$bu' which does not " +
+            "exist — the commit landed, but the sidecar is now uncovered; " +
+            "rebuild it (BloomIndex.build) or drop the registration " +
+            "(BloomIndex.unregister)")
+      graft.index.BloomIndex.appendLabels(spark, storage, bu, newLabels)
+    }
+    committed
   }
 
   // one commit attempt against `preloadedMeta` as the parent state; Left =
@@ -604,38 +660,60 @@ object Writer {
       c -> SecondaryIndex.store(spark, storage, uuid, c, merged, ts)
     }.toMap
     // commit-time metadata_merger semantics, not last-wins ++ (reference
-    // io/eager.py:303 + io_components/utils.py:24-102)
+    // io/eager.py:303 + io_components/utils.py:24-102). Lineage is inherited
+    // from the parent header (one uuid per creation); a pre-lineage dataset
+    // acquires one at its next commit so its audit log starts carrying it
+    val lineage = oldMeta.flatMap(_.metadata.get(LineageKey))
+      .getOrElse(newLineage())
     val mergedMeta = Ops.combineUserMetadata(
       oldMeta.map(_.metadata).getOrElse(Map.empty), metadata) +
-      (CommitVersionKey -> (parentVersion + 1L).toString)
+      (CommitVersionKey -> (parentVersion + 1L).toString) +
+      (LineageKey -> lineage)
     val fmt = oldMeta.map(_.format).getOrElse(
       newLabels.headOption.map(Serializer.formatOf).getOrElse("parquet"))
     val meta = DatasetMetadata(uuid, labels, keys, indices, mergedMeta,
       format = fmt, tableName = table)
-    // the guard's re-read: has another committer swapped the header since
-    // `oldMeta` was loaded? (header parse only — no dynamic listing; a
-    // foreign writer that strips the version key reads as 0, which can
-    // only FALSELY TRIGGER a rebase, never falsely pass)
-    val current =
-      if (DatasetMetadata.exists(storage, uuid))
-        commitVersionOf(Some(DatasetMetadata.loadHeaderOnly(storage, uuid)))
-      else 0L
-    if (current != parentVersion) return Left(current)
-    // a dataset that carries the reference's msgpack header flavor gets it
-    // REWRITTEN in the same commit — leaving the old one in place would keep
-    // a stale divergent header that resurrects deleted partitions for any
-    // msgpack-reading consumer. msgpack first, JSON last: the JSON write
-    // stays the atomic visibility point for graft readers, and a crash
-    // between the two leaves the msgpack flavor (what reference readers see)
-    // already consistent with the data files
-    if (storage.exists(DatasetMetadata.msgpackHeaderKey(uuid)))
-      storage.writeBytes(DatasetMetadata.msgpackHeaderKey(uuid), meta.toMsgpackZstd)
-    storage.writeString(meta.headerKey, meta.toJson) // atomic visibility point
-    graft.meta.DatasetFactory.bump(storage, uuid)
-    writeHistory(storage, uuid, parentVersion + 1L,
-      if (oldMeta.isEmpty) "create" else "commit",
-      newLabels, deleted.toSeq, labels.size)
-    Right(meta)
+    // THE SWAP WINDOW, under the commit lock ([[Storage.withCommitLock]]):
+    // re-read the header version and, unmoved, write the header(s). The
+    // lock turns the guard's re-read→write gap into a true compare-and-swap
+    // on lock-capable stores (in-JVM always; cross-process on posix;
+    // cluster object stores back this with conditional PUT — see Storage).
+    val swapped: Either[Long, Unit] =
+      storage.withCommitLock(s"$uuid/.commitlock") {
+        // the guard's re-read: has another committer swapped the header
+        // since `oldMeta` was loaded? (header parse only — no dynamic
+        // listing; a foreign writer that strips the version key reads as 0,
+        // which can only FALSELY TRIGGER a rebase, never falsely pass)
+        val current =
+          if (DatasetMetadata.exists(storage, uuid))
+            commitVersionOf(Some(DatasetMetadata.loadHeaderOnly(storage, uuid)))
+          else 0L
+        if (current != parentVersion) Left(current)
+        else {
+          // a dataset that carries the reference's msgpack header flavor
+          // gets it REWRITTEN in the same commit — leaving the old one in
+          // place would keep a stale divergent header that resurrects
+          // deleted partitions for any msgpack-reading consumer. msgpack
+          // first, JSON last: the JSON write stays the atomic visibility
+          // point for graft readers, and a crash between the two leaves the
+          // msgpack flavor (what reference readers see) already consistent
+          // with the data files
+          if (storage.exists(DatasetMetadata.msgpackHeaderKey(uuid)))
+            storage.writeBytes(DatasetMetadata.msgpackHeaderKey(uuid),
+              meta.toMsgpackZstd)
+          storage.writeString(meta.headerKey, meta.toJson) // atomic visibility point
+          Right(())
+        }
+      }
+    swapped match {
+      case Left(current) => Left(current)
+      case Right(()) =>
+        graft.meta.DatasetFactory.bump(storage, uuid)
+        writeHistory(storage, uuid, parentVersion + 1L,
+          if (oldMeta.isEmpty) "create" else "commit",
+          newLabels, deleted.toSeq, labels.size, Some(lineage))
+        Right(meta)
+    }
   }
 
   /** Reference `update_dataset_from_dataframes` (`io/eager.py:629-704`):
@@ -649,10 +727,17 @@ object Writer {
   def update(spark: SparkSession, storage: Storage, uuid: String,
              df: Option[DataFrame],
              deleteScope: Seq[Map[String, Any]] = Nil,
-             opts: WriteOpts = WriteOpts()): DatasetMetadata = {
+             opts: WriteOpts = WriteOpts(),
+             // callers whose METADATA is read-modify-write derived from an
+             // already-loaded header (the bloom covered watermark) pass that
+             // exact header here, so the commit's version guard spans the
+             // ENTIRE read-modify-write — not just update's own load onward
+             // (a concurrent append in the load-to-load window would be
+             // silently clobbered otherwise)
+             preloadedMeta: Option[DatasetMetadata] = None): DatasetMetadata = {
     require(DatasetMetadata.exists(storage, uuid),
       s"Cannot update non-existent dataset '$uuid'")
-    val existing = DatasetMetadata.load(storage, uuid)
+    val existing = preloadedMeta.getOrElse(DatasetMetadata.load(storage, uuid))
     require(opts.partitionOn.isEmpty || opts.partitionOn == existing.partitionKeys,
       s"Incompatible partition keys: dataset has ${existing.partitionKeys}, update requested ${opts.partitionOn}")
     require(opts.secondaryIndices.toSet.subsetOf(existing.indexColumns),

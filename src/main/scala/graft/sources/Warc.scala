@@ -69,11 +69,16 @@ object Warc {
     * `path` accepts the usual Hadoop glob syntax; a matched directory
     * expands one level (the binaryFiles contract this read replaces).
     * Both plain `.warc` and (multi-member) `.warc.gz` files parse — gzip
-    * is sniffed from the magic bytes, not the filename. `minPartitions`
-    * caps the task count (files pack round-robin) for callers that want
-    * fewer, larger tasks; 0 = one per file. */
+    * is sniffed from the magic bytes, not the filename. `maxTasks` CAPS the
+    * task count (files pack round-robin) for callers that want fewer,
+    * larger tasks; 0 (default) = one task per file, the maximum
+    * parallelism. Named for what it does: the pre-r12 `minPartitions` was
+    * binaryFiles' at-least-N HINT, and the r12 one-task-per-file rewrite
+    * inverted the meaning — a floor is meaningless here (an archive cannot
+    * be split), so the old name would silently under-parallelize callers
+    * expecting floor semantics. */
   def readWarc(spark: SparkSession, path: String,
-               minPartitions: Int = 0): DataFrame = {
+               maxTasks: Int = 0): DataFrame = {
     val sc = spark.sparkContext
     // Hadoop path-list convention (what the replaced binaryFiles accepted):
     // comma-separated components, each its own glob — warcFetch passes the
@@ -97,7 +102,7 @@ object Warc {
     val confBc = sc.broadcast(
       new org.apache.spark.SerializableWritable(sc.hadoopConfiguration))
     val slices = math.max(1,
-      if (minPartitions > 0) math.min(minPartitions, files.size)
+      if (maxTasks > 0) math.min(maxTasks, files.size)
       else files.size)
     val rows = sc.parallelize(files, slices).flatMap { file =>
       val p = new org.apache.hadoop.fs.Path(file)

@@ -96,6 +96,69 @@ class Storage(val base: String, @transient private var conf: Configuration)
     buf.toSeq
   }
 
+  /** Flat (non-recursive) listing of the file keys directly under `prefix`
+    * that sort STRICTLY AFTER `startAfter` (full key, lexicographic) — the
+    * cursor-tail listing face of the commit audit log, whose version-encoded
+    * key names (`v%012d.json`) sort in version order. Object stores expose
+    * this natively (S3 ListObjectsV2 `start-after`, GCS `startOffset`) so a
+    * cluster-grade Storage binding makes the LIST itself O(tail); the Hadoop
+    * FileSystem abstraction has no such parameter, so this default streams
+    * the directory iterator and filters — O(directory) server-side but O(tail)
+    * client memory, and the directory stays bounded by
+    * [[graft.io.Ops.compactHistory]] retention. Returned sorted. */
+  def listKeysFrom(prefix: String, startAfter: String): Seq[String] = {
+    val p = path(prefix)
+    if (!fs.exists(p)) return Nil
+    val it = fs.listStatusIterator(p)
+    val baseUri = fs.makeQualified(new Path(base)).toString.stripSuffix("/")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile) {
+        val key = st.getPath.toString.stripPrefix(baseUri + "/")
+        if (key > startAfter) buf += key
+      }
+    }
+    buf.sorted.toSeq
+  }
+
+  /** Scoped EXCLUSIVE lock for the header-swap window of a commit — the CAS
+    * hook that closes the concurrent-committer guard's residual
+    * re-read→write race (`Writer.commitDataset`). Two layers:
+    *
+    *   - a per-(qualified lock path) JVM lock serializes committers inside
+    *     one driver process (the local[n] / single-driver case, and what the
+    *     race spec exercises deterministically);
+    *   - on the LOCAL scheme, an OS file lock on `lockKey` extends the
+    *     exclusion across processes (two drivers sharing one posix store).
+    *
+    * Other schemes run `body` unlocked under the in-JVM lock only: HDFS has
+    * no advisory locks and object stores need a conditional PUT — a cluster
+    * deployment backs this face with its metastore's CAS (S3: If-Match /
+    * conditional PUT on the JSON header as the visibility point; the guard's
+    * version re-read inside the window then IS a compare-and-swap). The
+    * window held under this lock must stay metadata-sized: one header
+    * re-read + the header writes, never a Spark job. */
+  def withCommitLock[T](lockKey: String)(body: => T): T = {
+    val qualified = fs.makeQualified(path(lockKey))
+    val jvmLock = Storage.commitLocks.computeIfAbsent(qualified.toString,
+      _ => new java.util.concurrent.locks.ReentrantLock())
+    jvmLock.lock()
+    try {
+      if (Option(fs.getUri.getScheme).getOrElse("file") == "file") {
+        val local = java.nio.file.Paths.get(qualified.toUri.getPath)
+        java.nio.file.Files.createDirectories(local.getParent)
+        val ch = java.nio.channels.FileChannel.open(local,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val flock = ch.lock()
+          try body finally flock.release()
+        } finally ch.close()
+      } else body
+    } finally jvmLock.unlock()
+  }
+
   def fileSize(key: String): Long = fs.getFileStatus(path(key)).getLen
 
   def modifiedAt(key: String): Long = fs.getFileStatus(path(key)).getModificationTime
@@ -145,6 +208,10 @@ object Storage {
   // (scheme + authority), closed on JVM shutdown.
   private val fsCache =
     new java.util.concurrent.ConcurrentHashMap[String, FileSystem]()
+  // one in-JVM commit lock per qualified lock path (one per dataset that
+  // ever commits from this driver — bounded, tiny)
+  private[store] val commitLocks = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.locks.ReentrantLock]()
   // the cache key carries a fingerprint of the filesystem-relevant conf
   // (fs.* — credentials, endpoints, committers): keyed on scheme+authority
   // alone, the FIRST Storage's conf would permanently win for that URI,

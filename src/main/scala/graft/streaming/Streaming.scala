@@ -362,7 +362,11 @@ object Streaming {
                         // without this, every landing would trip the
                         // probe-time coverage gate until a manual heal
                         bloomIndex: Option[String] = None): StreamingQuery = {
-    bloomIndex.foreach { bu =>
+    // existence-FILTERED validation (the writeStreamUpsert discipline): a
+    // pre-existing foreign index must fail at stream definition, but the
+    // build-sidecar-after-first-landing flow — and a sidecar dropped
+    // mid-run — must not kill the query; per-batch heal below re-checks
+    bloomIndex.filter(graft.meta.DatasetMetadata.exists(storage, _)).foreach { bu =>
       val (_, _, _, _, ds) = graft.index.BloomIndex.params(storage, bu)
       require(ds == uuid, s"bloom index '$bu' indexes dataset '$ds', not '$uuid'")
     }
@@ -373,8 +377,9 @@ object Streaming {
         // replays must not pay 2 metadata loads per trigger, and
         // ingestBatch already knows (no second isEmpty job)
         if (landed)
-          bloomIndex.foreach(bu =>
-            graft.index.BloomIndex.heal(batch.sparkSession, storage, bu))
+          bloomIndex.filter(graft.meta.DatasetMetadata.exists(storage, _))
+            .foreach(bu =>
+              graft.index.BloomIndex.heal(batch.sparkSession, storage, bu))
       }
     }
   }

@@ -59,8 +59,11 @@ class BloomIndexSpec extends SparkSpec {
   test("appendLabels covers a landing; uncovered live labels fail the probe LOUDLY, never silently") {
     val st = Storage(spark, tmpDir("bloom"))
     mkDs(st, "b2")
+    // register = false: this test pins the MANUAL maintenance flow — the
+    // gap refusal and explicit appendLabels (the registered auto-append
+    // flow has its own test below)
     BloomIndex.build(spark, st, "b2_bf", "b2", "id",
-      m = 1L << 16, k = 6, numBuckets = 8)
+      m = 1L << 16, k = 6, numBuckets = 8, register = false)
     // new landing: ids 1000-1009 under a new group — BEFORE appendLabels
     // the index has no rows for it, so a probe would be a non-superset;
     // the coverage gate must refuse, naming the fix
@@ -97,8 +100,9 @@ class BloomIndexSpec extends SparkSpec {
   test("heal closes every coverage gap in one call and is an idempotent no-op after") {
     val st = Storage(spark, tmpDir("bloom"))
     mkDs(st, "b8")
+    // register = false: heal/gap mechanics are the manual flow under test
     BloomIndex.build(spark, st, "b8_bf", "b8", "id",
-      m = 1L << 16, k = 6, numBuckets = 8)
+      m = 1L << 16, k = 6, numBuckets = 8, register = false)
     // two out-of-band landings the sidecar never saw
     Writer.update(spark, st, "b8", Some(
       (1000L until 1005L).map(i => (i, "g8", s"v$i")).toDF("id", "grp", "v")))
@@ -166,8 +170,10 @@ class BloomIndexSpec extends SparkSpec {
   test("merge auto-regime: megabatch takes the scan path by default, overrides honored") {
     val st = Storage(spark, tmpDir("bloom"))
     mkDs(st, "b6")
+    // register = false: the planted coverage gaps REQUIRE landings the
+    // sidecar never hears about — impossible once registered
     BloomIndex.build(spark, st, "b6_bf", "b6", "id",
-      m = 1L << 16, k = 6, numBuckets = 8)
+      m = 1L << 16, k = 6, numBuckets = 8, register = false)
     // plant a coverage gap: a landing never appended to the sidecar. The
     // probe path would fail the gate loudly — so a merge that SUCCEEDS
     // proves the scan path ran, and one that THROWS proves the probe ran.
@@ -248,5 +254,67 @@ class BloomIndexSpec extends SparkSpec {
       Seq(88888L).toDF("id"), "id")
     // stored schema: partition keys first, payload alphabetical
     assert(none.isEmpty && none.schema.fieldNames.toSeq === Seq("grp", "id", "v"))
+  }
+
+  test("header-declared sidecar: EVERY commit path auto-appends — no manual append or heal") {
+    val st = Storage(spark, tmpDir("bloom"))
+    mkDs(st, "b9")
+    // default build REGISTERS the sidecar in b9's header
+    BloomIndex.build(spark, st, "b9_bf", "b9", "id",
+      m = 1L << 16, k = 6, numBuckets = 8)
+    assert(Writer.sidecarsOf(DatasetMetadata.load(st, "b9")) === Seq("b9_bf"))
+    // the VERDICT-r12 done-criterion: a PLAIN Writer.update (the commit
+    // path that never heard of sidecars) followed by lookupRows succeeds
+    // with no manual appendLabels/heal in between
+    Writer.update(spark, st, "b9", Some(
+      (1000L until 1010L).map(i => (i, "g9", s"v$i")).toDF("id", "grp", "v")))
+    assert(BloomIndex.lookupRows(spark, st, "b9_bf",
+      Seq(Tuple1(1005L)).toDF("id"), "id")
+      .select("v").as[String].head() === "v1005")
+    // a CDC merge WITHOUT the explicit bloomIndex param: the registration
+    // alone keeps the probe green
+    Ops.upsertDataset(spark, st, "b9",
+      Seq((5L, "g2", "UP")).toDF("id", "grp", "v"), Seq("id"))
+    assert(BloomIndex.lookupRows(spark, st, "b9_bf",
+      Seq(Tuple1(5L)).toDF("id"), "id")
+      .select("v").as[String].head() === "UP")
+    // a two-phase write + commit auto-appends too
+    val labels = Writer.writeSinglePartition(spark, st, "b9",
+      Seq((3000L, "g9", "twophase")).toDF("id", "grp", "v"),
+      WriteOpts(partitionOn = Seq("grp")))
+    Writer.commitDataset(spark, st, "b9", labels)
+    assert(BloomIndex.lookupRows(spark, st, "b9_bf",
+      Seq(Tuple1(3000L)).toDF("id"), "id")
+      .select("v").as[String].head() === "twophase")
+    // registration is idempotent; a second sidecar joins the set
+    BloomIndex.registerSidecar(spark, st, "b9", "b9_bf")
+    BloomIndex.build(spark, st, "b9_bf2", "b9", "grp",
+      m = 1L << 16, k = 6, numBuckets = 8)
+    assert(Writer.sidecarsOf(DatasetMetadata.load(st, "b9"))
+      === Seq("b9_bf", "b9_bf2"))
+    // a DANGLING registration (sidecar deleted out of band) fails the next
+    // landing LOUDLY, naming the fix — the commit itself already landed
+    Ops.deleteDataset(st, "b9_bf2")
+    val e = intercept[IllegalStateException] {
+      Writer.update(spark, st, "b9", Some(
+        Seq((4000L, "g9", "x")).toDF("id", "grp", "v")))
+    }
+    assert(e.getMessage.contains("b9_bf2") &&
+      e.getMessage.contains("unregister"), e.getMessage)
+    assert(Reader.readTable(spark, st, "b9")
+      .where(col("id") === 4000L).count() === 1L, "the commit itself landed")
+    BloomIndex.unregisterSidecar(spark, st, "b9", "b9_bf2")
+    // the surviving sidecar missed the 4000-landing (the append chain threw
+    // on the dangling one first or not — order unspecified): heal converges
+    BloomIndex.heal(spark, st, "b9_bf")
+    assert(BloomIndex.lookupRows(spark, st, "b9_bf",
+      Seq(Tuple1(4000L)).toDF("id"), "id").count() === 1L)
+    // drop removes dataset AND registration in one call
+    BloomIndex.drop(spark, st, "b9_bf")
+    assert(Writer.sidecarsOf(DatasetMetadata.load(st, "b9")).isEmpty)
+    assert(!DatasetMetadata.exists(st, "b9_bf"))
+    // with no sidecars left, plain landings commit clean again
+    Writer.update(spark, st, "b9", Some(
+      Seq((5000L, "g9", "y")).toDF("id", "grp", "v")))
   }
 }

@@ -362,4 +362,79 @@ class LifecycleHardeningSpec extends SparkSpec {
     assert(Reader.readTable(spark, st, "race").where(col("id") === 1L)
       .select("v").as[String].head() === "B-WINS")
   }
+
+  test("commit lock: the swap window itself is exclusive — racing committers never lose an update") {
+    val st = freshStore()
+    // (a) withCommitLock is a real mutex: lost updates on a non-atomic
+    // counter would show through immediately without it
+    var counter = 0
+    val incs = (0 until 8).map { _ =>
+      new Thread(() =>
+        for (_ <- 0 until 500)
+          st.withCommitLock("mx/.commitlock") { counter += 1 })
+    }
+    incs.foreach(_.start()); incs.foreach(_.join())
+    assert(counter === 4000, s"lost updates under the commit lock: $counter")
+
+    // (b) N genuinely-concurrent committers (threads racing the SWAP, not
+    // an interleaved stall): every append lands — the re-read→write gap is
+    // closed by the lock, and losers rebase. Pre-lock, two committers
+    // passing the version re-read together would last-writer-win.
+    Writer.store(spark, st, "race2",
+      Seq((0L, "seed", "p0")).toDF("id", "v", "p"),
+      WriteOpts(partitionOn = Seq("p")))
+    val failures = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val committers = (1 to 6).map { i =>
+      new Thread(() =>
+        try {
+          val labels = Writer.writeSinglePartition(spark, st, "race2",
+            Seq((i.toLong, s"t$i", s"p$i")).toDF("id", "v", "p"),
+            WriteOpts(partitionOn = Seq("p")))
+          Writer.commitDataset(spark, st, "race2", labels,
+            partitionOn = Seq("p"))
+        } catch { case e: Throwable => failures.add(s"t$i: $e"); () })
+    }
+    committers.foreach(_.start()); committers.foreach(_.join())
+    assert(failures.isEmpty, s"committers failed: $failures")
+    val ids = Reader.readTable(spark, st, "race2").select("id")
+      .as[Long].collect().toSet
+    assert(ids === (0L to 6L).toSet, s"a racing commit was dropped: $ids")
+    // versions are monotone and the audit log is CONTIGUOUS (each swap got
+    // its own version — no recycling even under the race)
+    assert(Ops.currentVersion(st, "race2") === 7L)
+    assert(Ops.datasetHistory(spark, st, "race2").select("version")
+      .as[Long].collect().sorted.toSeq === (1L to 7L))
+    // and the incremental face resolves the whole race window exactly
+    assert(Ops.readChangesSince(spark, st, "race2", 1L)
+      .select("id").as[Long].collect().toSet === (1L to 6L).toSet)
+
+    // (c) OVERLAPPING rewrites racing the swap: exactly one wins, the
+    // other surfaces ConcurrentCommitException — never a silent merge
+    val victim = DatasetMetadata.load(st, "race2").partitions
+      .find(_.contains("p=p1")).get
+    val outcomes = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[String]()
+    val rewriters = Seq("X", "Y").map { who =>
+      new Thread(() =>
+        try {
+          val stale = DatasetMetadata.load(st, "race2")
+          val lbl = Writer.writeSinglePartition(spark, st, "race2",
+            Seq((1L, who, "p1")).toDF("id", "v", "p"),
+            WriteOpts(partitionOn = Seq("p")))
+          Writer.commitDataset(spark, st, "race2", lbl,
+            partitionOn = Seq("p"), preloadedMeta = Some(stale),
+            deleteLabels = Set(victim))
+          outcomes.add(s"win:$who")
+        } catch {
+          case _: Writer.ConcurrentCommitException => outcomes.add(s"lose:$who")
+        })
+    }
+    rewriters.foreach(_.start()); rewriters.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val (wins, losses) = outcomes.asScala.toSeq.partition(_.startsWith("win"))
+    assert(wins.size === 1 && losses.size === 1, s"outcomes: $outcomes")
+    val winner = wins.head.stripPrefix("win:")
+    assert(Reader.readTable(spark, st, "race2").where(col("id") === 1L)
+      .select("v").as[String].head() === winner)
+  }
 }

@@ -135,7 +135,7 @@ class SnapshotSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       Ops.readChangesSince(spark, st, "s8", 0L)
     }
-    assert(e.getMessage.contains("starts at version"), e.getMessage)
+    assert(e.getMessage.contains("missing record"), e.getMessage)
     // cursors inside the surviving range still resolve
     assert(Ops.readChangesSince(spark, st, "s8", v2).count() > 0)
     assert(liveLabels.nonEmpty)
@@ -192,5 +192,125 @@ class SnapshotSpec extends SparkSpec {
     assert(row.getAs[Boolean]("explicit_partitions"))
     assert(row.getAs[Long]("commit_version") === 1L)
     assert(row.getAs[Long]("n_history_records") === 1L)
+  }
+
+  test("compactHistory: flat retention — checkpoint is the new earliest, gaps stay loud") {
+    val st = mk("s9")                                   // v1: ids 1..3
+    for (i <- 0 until 4)                                // v2..v5
+      Writer.update(spark, st, "s9",
+        Some(Seq((100L + i, s"n$i")).toDF("id", "v")))
+    assert(Ops.currentVersion(st, "s9") === 5L)
+    // roll v1..v3 into one checkpoint record at v3
+    assert(Ops.compactHistory(st, "s9", 3L) === 2)
+    // the log shrank: checkpoint + v4 + v5
+    val hist = Ops.datasetHistory(spark, st, "s9")
+      .select("version", "op").as[(Long, String)].collect().sortBy(_._1)
+    assert(hist.toSeq === Seq((3L, "checkpoint"), (4L, "commit"), (5L, "commit")))
+    // a consumer AT the checkpoint polls exactly as before: v4+v5 rows
+    val d = Ops.readChangesSince(spark, st, "s9", 3L)
+      .select("id").as[Long].collect().toSet
+    assert(d === Set(102L, 103L))
+    // a consumer at v4 too
+    assert(Ops.readChangesSince(spark, st, "s9", 4L)
+      .select("id").as[Long].collect().toSet === Set(103L))
+    // a consumer BEHIND the checkpoint refuses loudly — the compacted
+    // labels are unknowable, never a silent partial delta
+    val e = intercept[IllegalArgumentException] {
+      Ops.readChangesSince(spark, st, "s9", 2L)
+    }
+    assert(e.getMessage.contains("compacted"), e.getMessage)
+    // idempotent: re-compacting at the same version is a no-op
+    assert(Ops.compactHistory(st, "s9", 3L) === 0)
+    // a second compaction folds the FIRST checkpoint's counts (n_added
+    // keeps the full-lineage total: 3-row create + 4 one-row appends)
+    assert(Ops.compactHistory(st, "s9", 5L) === 2)
+    val last = Ops.datasetHistory(spark, st, "s9")
+      .select("version", "op", "n_added").as[(Long, String, Long)].collect()
+    assert(last.toSeq === Seq((5L, "checkpoint", 7L)))
+    // polls from the new checkpoint stay green; commits keep landing
+    Writer.update(spark, st, "s9", Some(Seq((999L, "z")).toDF("id", "v")))
+    assert(Ops.readChangesSince(spark, st, "s9", 5L)
+      .select("id").as[Long].collect().toSet === Set(999L))
+    // compacting at a version with no record refuses
+    intercept[IllegalArgumentException] { Ops.compactHistory(st, "s9", 99L) }
+  }
+
+  test("lineage: a store overwrite resets the version count — consumers presenting lineage refuse loudly") {
+    val st = mk("s10")
+    val lin1 = Ops.datasetLineage(st, "s10")
+    assert(lin1.isDefined)
+    Writer.update(spark, st, "s10", Some(Seq((9L, "x")).toDF("id", "v")))
+    val cursor = Ops.currentVersion(st, "s10")           // 2
+    // lineage is stable WITHIN a creation (commits, rollback)
+    assert(Ops.datasetLineage(st, "s10") === lin1)
+    // the overwrite: history wiped, version restarts, NEW lineage
+    Writer.store(spark, st, "s10",
+      (0L until 50L).map(i => (i, s"w$i")).toDF("id", "v"),
+      WriteOpts(overwrite = true))
+    for (i <- 0 until 3)
+      Writer.update(spark, st, "s10",
+        Some(Seq((500L + i, s"p$i")).toDF("id", "v")))
+    assert(Ops.currentVersion(st, "s10") === 4L)
+    assert(Ops.datasetLineage(st, "s10") !== lin1)
+    // the trap ADVICE-r12 named: cursor 2 ≤ post-overwrite version 4, and
+    // the new history v3,v4 is contiguous — WITHOUT lineage the consumer
+    // would silently miss the overwrite's entire 50-row baseline
+    val blind = Ops.readChangesSince(spark, st, "s10", cursor).count()
+    assert(blind === 2L, "the blind poll sees only the post-overwrite tail")
+    // presenting the stored lineage turns that into a loud rebaseline
+    val e = intercept[IllegalArgumentException] {
+      Ops.pollChanges(spark, st, "s10", cursor, sinceLineage = lin1)
+    }
+    assert(e.getMessage.contains("lineage"), e.getMessage)
+    // the recovery protocol: full read + (currentVersion, datasetLineage)
+    val lin2 = Ops.datasetLineage(st, "s10")
+    val (cur, delta) = Ops.pollChanges(spark, st, "s10",
+      Ops.currentVersion(st, "s10"), sinceLineage = lin2)
+    assert(delta.isEmpty && cur === 4L)
+    // matched lineage + real tail resolves normally
+    Writer.update(spark, st, "s10", Some(Seq((777L, "q")).toDF("id", "v")))
+    assert(Ops.pollChanges(spark, st, "s10", cur, sinceLineage = lin2)
+      ._2.select("id").as[Long].collect().toSet === Set(777L))
+  }
+
+  test("pollChangesWithDeletes: a mirror can retract — rewrites replay as delete+insert; GC gaps are loud") {
+    val st = Storage(spark, tmpDir("snap"))
+    // ONE file (writeWidth = 1): the delete/insert sets below are the
+    // whole-file rewrites, deterministic only with a known layout
+    Writer.store(spark, st, "s11",
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"),
+      WriteOpts(writeWidth = 1))                        // v1: (1,a)(2,b)(3,c)
+    val v1 = Ops.currentVersion(st, "s11")
+    // a row-level delete and an upsert land (each rewrites the one file)
+    Ops.deleteByKeys(spark, st, "s11", Seq(Tuple1(3L)).toDF("id"), Seq("id"))
+    Ops.upsertDataset(spark, st, "s11",
+      Seq((2L, "B"), (9L, "z")).toDF("id", "v"), Seq("id"))
+    val (cur, chg) = Ops.pollChangesWithDeletes(spark, st, "s11", v1)
+    assert(cur === Ops.currentVersion(st, "s11"))
+    val byType = chg.select("id", "v", "_change_type")
+      .as[(Long, String, String)].collect().groupBy(_._3)
+      .view.mapValues(_.map(t => (t._1, t._2)).toSet).toMap
+    // deletes: the ORIGINAL file's full content (the consumer's v1 state);
+    // inserts: the final state — delete-then-insert replays both rewrites
+    assert(byType("delete") === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(byType("insert") === Set((1L, "a"), (2L, "B"), (9L, "z")))
+    // the intermediate label (landed AND dropped inside the window) is
+    // skipped entirely — neither side mentions the one-commit-lived file
+    assert(chg.count() === 6L)
+    // the plain face still delivers inserts only
+    assert(Ops.readChangesSince(spark, st, "s11", v1)
+      .select("id").as[Long].collect().toSet === Set(1L, 2L, 9L))
+    // after GC the tombstone files are gone: the poll refuses LOUDLY
+    Ops.garbageCollect(spark, st, "s11", stagingTtlMs = 0)
+    val e = intercept[IllegalArgumentException] {
+      Ops.pollChangesWithDeletes(spark, st, "s11", v1)
+    }
+    assert(e.getMessage.contains("garbage-collected"), e.getMessage)
+    // a window with no deletes never touches tombstones — green after GC
+    val v2 = cur
+    Writer.update(spark, st, "s11", Some(Seq((50L, "m")).toDF("id", "v")))
+    val (_, d2) = Ops.pollChangesWithDeletes(spark, st, "s11", v2)
+    assert(d2.select("id", "_change_type").as[(Long, String)]
+      .collect().toSet === Set((50L, "insert")))
   }
 }
