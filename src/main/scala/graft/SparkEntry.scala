@@ -1317,6 +1317,55 @@ object SparkEntry {
         columns = Some(Seq("o_orderkey", "o_orderstatus", "o_totalprice")))
     }),
 
+    // --- CDC-out WITH DELETE VISIBILITY: the changelog face a downstream
+    // mirror applies as delete-then-insert. Fixture: one-file create (even
+    // orders), a row-level delete (%10 keys), then an upsert (+1000 on %6
+    // keys, re-inserting the deleted %30 keys). The window's retractions
+    // are exactly the v1 content (the single original file — every later
+    // intermediate label was both landed and dropped inside the window and
+    // is owed to nobody), the insertions exactly the final state; both
+    // closed-form in SQL
+    "w_changes_deletes" -> ((s, dir) => {
+      val st = ensure(s, dir, "chgdel") { st =>
+        Ops.deleteDataset(st, "chgdel")
+        val o = rd(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .where(expr("o_orderkey % 2 = 0"))
+        Writer.store(s, st, "chgdel", o,
+          WriteOpts(writeWidth = 1, overwrite = true))
+        Ops.deleteByKeys(s, st, "chgdel",
+          o.where(expr("o_orderkey % 10 = 0")).select("o_orderkey"),
+          Seq("o_orderkey"))
+        Ops.upsertDataset(s, st, "chgdel",
+          o.where(expr("o_orderkey % 6 = 0"))
+            .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0d)),
+          Seq("o_orderkey"))
+        ()
+      }
+      Ops.pollChangesWithDeletes(s, st, "chgdel", sinceVersion = 1L)._2
+    }),
+
+    // --- audit-log RETENTION: compactHistory rolls the prefix into one
+    // checkpoint record with aggregated counts; consumers at/after it are
+    // untouched. Fixture fully deterministic (create at width 4, three
+    // width-1 appends, checkpoint at v3) -> closed-form mirror
+    "w_history_compact" -> ((s, dir) => {
+      val st = ensure(s, dir, "histcomp") { st =>
+        Ops.deleteDataset(st, "histcomp")
+        val o = rd(s, dir, "orders")
+        Writer.store(s, st, "histcomp", o.where(expr("o_orderkey % 2 = 0")),
+          WriteOpts(writeWidth = 4, overwrite = true))
+        for (r <- 1 to 3)
+          Writer.update(s, st, "histcomp",
+            Some(o.where(expr(s"o_orderkey % 8 = $r"))),
+            opts = WriteOpts(writeWidth = 1))
+        Ops.compactHistory(st, "histcomp", uptoVersion = 3L)
+        ()
+      }
+      Ops.datasetHistory(s, st, "histcomp")
+        .select("version", "op", "n_added", "n_deleted", "n_partitions")
+    }),
+
     // --- streaming SFT ingest: conversation streams land with TOKEN-level
     // loss-mask coordinates under a PERSISTED BPE (rows-only: BPE
     // dependency, the t_bpe_ids discipline; exactness of the mask math is
@@ -1352,6 +1401,42 @@ object SparkEntry {
           columns = Some(Seq("conv_id", "turn", "role", "learn",
             "n_tokens", "tok_start", "tok_end")))
         .join(Reader.readTable(s, st, "sft_ids",
+            columns = Some(Seq("conv_id", "n_tokens")))
+          .withColumnRenamed("n_tokens", "n_tokens_ids"), Seq("conv_id"))
+    }),
+
+    // --- streaming SFT under a persisted UNIGRAM tokenizer: the sink
+    // dispatches on the pinned family (r12 shipped the dispatch; this entry
+    // contract-exercises the unigram path the BPE-only fixture left dark).
+    // Rows-only for the same trained-tokenizer reason as st_stream_sft;
+    // StreamingSpec pins batch-parity against Sft.tokenMasksUnigram
+    "st_stream_sft_unigram" -> ((s, dir) => {
+      val st = ensure(s, dir, "sftu_stream") { st =>
+        Ops.deleteDataset(st, "sftu_masks")
+        Ops.deleteDataset(st, "sftu_ids")
+        graft.ops.Unigram.saveTokenizer(s, st, "sftu_tok", uniOf(s, dir),
+          overwrite = true)
+        val msgs = sftMessages(s, dir).withColumn("content",
+          trim(regexp_replace(col("content"), "[ \\t\\n\\x0B\\f\\r]+", " ")))
+        val base = tmpBase(dir)
+        msgs.where(expr("conv_id % 2 = 0"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/sftu_in1")
+        msgs.where(expr("conv_id % 2 = 1"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/sftu_in2")
+        val schemaDdl = "conv_id bigint, turn bigint, role string, content string"
+        Seq("sftu_in1", "sftu_in2").foreach { in =>
+          val q = graft.streaming.Streaming.writeStreamSft(
+            s.readStream.schema(schemaDdl).parquet(s"$base/$in"),
+            st, "sftu_masks", "sftu_tok", idsUuid = Some("sftu_ids"))
+          if (!q.awaitTermination(300000)) {
+            q.stop(); sys.error(s"st_stream_sft_unigram $in did not finish within 300s")
+          }
+        }
+      }
+      Reader.readTable(s, st, "sftu_masks",
+          columns = Some(Seq("conv_id", "turn", "role", "learn",
+            "n_tokens", "tok_start", "tok_end")))
+        .join(Reader.readTable(s, st, "sftu_ids",
             columns = Some(Seq("conv_id", "n_tokens")))
           .withColumnRenamed("n_tokens", "n_tokens_ids"), Seq("conv_id"))
     }),
@@ -3763,6 +3848,34 @@ object SparkEntry {
       "w_changes_since" ->
         """SELECT o_orderkey, o_orderstatus, o_totalprice
            FROM orders WHERE o_orderkey % 2 = 1""",
+      // retractions = the one-file v1 content; insertions = the final
+      // merged state (evens minus %10 keys, %6 keys re-priced +1000 —
+      // %30 keys deleted then re-inserted by the upsert)
+      "w_changes_deletes" ->
+        """WITH ev AS (
+             SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_orderkey % 2 = 0),
+           final AS (
+             SELECT o_orderkey,
+                    CASE WHEN o_orderkey % 6 = 0
+                         THEN o_totalprice + CAST(1000 AS DOUBLE)
+                         ELSE o_totalprice END AS o_totalprice
+             FROM ev
+             WHERE o_orderkey % 10 <> 0 OR o_orderkey % 6 = 0)
+           SELECT o_orderkey, o_totalprice, 'delete' AS _change_type FROM ev
+           UNION ALL
+           SELECT o_orderkey, o_totalprice, 'insert' AS _change_type FROM final""",
+      // deterministic fixture (create width 4, three width-1 appends,
+      // checkpoint at v3): the checkpoint row carries the SUMS of the three
+      // compacted records, v4 survives verbatim
+      "w_history_compact" ->
+        """SELECT CAST(version AS BIGINT) AS version, op,
+                  CAST(n_added AS BIGINT) AS n_added,
+                  CAST(n_deleted AS BIGINT) AS n_deleted,
+                  CAST(n_partitions AS BIGINT) AS n_partitions
+           FROM (VALUES (3, 'checkpoint', 6, 0, 6),
+                        (4, 'commit', 1, 0, 7))
+             AS t(version, op, n_added, n_deleted, n_partitions)""",
       // the audit log's fixture is FULLY deterministic (create at width 4,
       // append at width 1, rollback), so the mirror is its closed form
       "w_history" ->
