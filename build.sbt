@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run inherits sbt's stdout/stderr RAW instead of being piped
+// through sbt's logger, which prefixes every line with "[info] " — that
+// prefix is what kept the bench driver's JSON-line parser from ever
+// parsing graft.Bench's machine line (BENCH_r*.json `parsed: null`,
+// rounds 1-12).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -41,6 +41,46 @@ object HistoryBench {
         f"poll-full $fullSec%.3f s (rows=$n2, cursor=$c2)")
       assert(c1 == head && c2 == head)
     }
+    // --- FLAT-POLL tier (VERDICT-r12 #1 done-criterion): a 10k-commit
+    // history plane. Records are synthesized directly (the poll is
+    // metadata-bound — landing 10k real Spark commits would measure the
+    // write path for half an hour, not the poll) and the header version is
+    // moved to match; a tail-1 poll must cost ~the same as at `commits`
+    // records, and compactHistory must bound the directory.
+    val deep = 10000L
+    val lin = graft.io.Ops.datasetLineage(st, "hb")
+    val hv = graft.io.Ops.currentVersion(st, "hb")
+    val tSynth = System.nanoTime()
+    for (v <- hv + 1 to deep)
+      graft.io.Writer.writeHistory(st, "hb", v, "commit", Nil, Nil, 100, lin)
+    val m0 = graft.meta.DatasetMetadata.load(st, "hb")
+    st.writeString(m0.headerKey, m0.copy(metadata = m0.metadata +
+      (graft.io.Writer.CommitVersionKey -> deep.toString)).toJson)
+    graft.meta.DatasetFactory.bump(st, "hb")
+    println(f"HISTORYBENCH synthesized ${deep - hv} records in " +
+      f"${(System.nanoTime() - tSynth) / 1e9}%.1f s")
+    for (r <- 0 until reps) {
+      val t = System.nanoTime()
+      val (c, d) = graft.io.Ops.pollChanges(spark, st, "hb", deep - 1)
+      val n = d.count()
+      println(f"HISTORYBENCH run$r poll-tail1@${deep} " +
+        f"${(System.nanoTime() - t) / 1e9}%.3f s (rows=$n, cursor=$c)")
+    }
+    val tComp = System.nanoTime()
+    val removed = graft.io.Ops.compactHistory(st, "hb", deep - 100)
+    println(f"HISTORYBENCH compactHistory removed $removed records in " +
+      f"${(System.nanoTime() - tComp) / 1e9}%.2f s; " +
+      f"${st.listKeys("hb/.history/").size} keys remain")
+    for (r <- 0 until reps) {
+      val t = System.nanoTime()
+      val (c, d) = graft.io.Ops.pollChanges(spark, st, "hb", deep - 1)
+      val n = d.count()
+      println(f"HISTORYBENCH run$r poll-tail1@compacted " +
+        f"${(System.nanoTime() - t) / 1e9}%.3f s (rows=$n, cursor=$c)")
+    }
+    // restore the header version so the vacuum phase below commits cleanly
+    // (upserts bump from the current header — no need to rewind)
+
     // bloom vacuum after churn: most labels die to merges
     graft.index.BloomIndex.build(spark, st, "hb_bf", "hb", "id",
       m = 1L << 16, k = 6, numBuckets = 8)

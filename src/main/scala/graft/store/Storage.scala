@@ -96,32 +96,6 @@ class Storage(val base: String, @transient private var conf: Configuration)
     buf.toSeq
   }
 
-  /** Flat (non-recursive) listing of the file keys directly under `prefix`
-    * that sort STRICTLY AFTER `startAfter` (full key, lexicographic) — the
-    * cursor-tail listing face of the commit audit log, whose version-encoded
-    * key names (`v%012d.json`) sort in version order. Object stores expose
-    * this natively (S3 ListObjectsV2 `start-after`, GCS `startOffset`) so a
-    * cluster-grade Storage binding makes the LIST itself O(tail); the Hadoop
-    * FileSystem abstraction has no such parameter, so this default streams
-    * the directory iterator and filters — O(directory) server-side but O(tail)
-    * client memory, and the directory stays bounded by
-    * [[graft.io.Ops.compactHistory]] retention. Returned sorted. */
-  def listKeysFrom(prefix: String, startAfter: String): Seq[String] = {
-    val p = path(prefix)
-    if (!fs.exists(p)) return Nil
-    val it = fs.listStatusIterator(p)
-    val baseUri = fs.makeQualified(new Path(base)).toString.stripSuffix("/")
-    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.isFile) {
-        val key = st.getPath.toString.stripPrefix(baseUri + "/")
-        if (key > startAfter) buf += key
-      }
-    }
-    buf.sorted.toSeq
-  }
-
   /** Scoped EXCLUSIVE lock for the header-swap window of a commit — the CAS
     * hook that closes the concurrent-committer guard's residual
     * re-read→write race (`Writer.commitDataset`). Two layers:
