@@ -90,12 +90,18 @@ object Bench {
     // full per-query map + task metrics live in BENCH_LOCAL.json below)
     println(line)
     val budget = 1700 // tail is 2000; leave room for the runner's epilogue
+    // Double.toString, never the f"%.3f" interpolator: the interpolator is
+    // LOCALE-SENSITIVE (comma decimals under e.g. de_DE = invalid JSON)
+    def num(v: Double): String = (math.round(v * 1000) / 1000.0).toString
     val slowest = results.toSeq.sortBy(-_._2)
-      .map { case (k, v) => f""""$k":${v}%.3f""" }
-    // "queries" holds the SLOWEST entries that fit (n_queries tells the
-    // reader the true count; the complete map is in BENCH_LOCAL.json)
+      .map { case (k, v) => s""""$k":${num(v)}""" }
+    // errors CAPPED (a mass-failure run must still fit the tail window —
+    // red runs are exactly when the machine line matters most); "queries"
+    // holds the SLOWEST entries that fit; n_queries/n_errors carry the
+    // true counts; the complete map is in BENCH_LOCAL.json
+    val errCapped = errors.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
     val head =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"errors":$errJson,"sf":"$sfDir","queries":{"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errCapped,"sf":"$sfDir","queries":{"""
     val sb = new StringBuilder(head)
     var first = true
     for (e <- slowest if sb.length + e.length + 3 <= budget) {
@@ -103,6 +109,10 @@ object Bench {
       sb.append(e); first = false
     }
     sb.append("}}")
+    // quiesce the logger-swapped System.out BEFORE the raw write: its
+    // buffered multi-KB full line must not flush after (and displace) the
+    // compact line from the captured tail window
+    System.out.flush()
     // write the machine line to the RAW process stdout fd: under sbt's
     // in-process `runMain`, System.out is swapped for sbt's logger which
     // prefixes every forwarded line with "[info] " — garbage to a JSON
@@ -114,7 +124,6 @@ object Bench {
     raw.println()
     raw.println(sb.toString)
     raw.flush()
-    System.out.flush()
     // BENCH_LOCAL.json keeps ONE section per scale tier (the sf1 scale-stress
     // runs live next to the default sf0.1 numbers). Advisory only: a
     // truncated file from a killed run (writeString is not atomic) or an

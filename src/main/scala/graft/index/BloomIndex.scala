@@ -201,15 +201,25 @@ object BloomIndex {
     * test — a silent false negative, the one failure the index must never
     * produce. */
   def appendLabels(spark: SparkSession, store: Storage, bloomUuid: String,
-                   labels: Seq[String]): DatasetMetadata = {
+                   labels: Seq[String],
+                   // the commit-path auto-append tolerates labels a RACING
+                   // rewrite already replaced (their coverage is moot — the
+                   // winner's own append covers the replacements); direct
+                   // callers keep the loud typo guard
+                   skipDead: Boolean = false): DatasetMetadata = {
     val bmeta = DatasetMetadata.load(store, bloomUuid)
     val (m, k, column, numBuckets, datasetUuid) = paramsOf(bmeta)
     val meta = DatasetMetadata.load(store, datasetUuid)
-    val unknown = labels.filterNot(meta.partitions.contains)
-    require(unknown.isEmpty,
-      s"labels not in dataset '$datasetUuid': ${unknown.take(3).mkString(", ")}")
+    val known =
+      if (skipDead) labels.filter(meta.partitions.contains)
+      else {
+        val unknown = labels.filterNot(meta.partitions.contains)
+        require(unknown.isEmpty,
+          s"labels not in dataset '$datasetUuid': ${unknown.take(3).mkString(", ")}")
+        labels
+      }
     val already = coveredOf(bmeta)
-    val fresh = labels.filterNot(already)
+    val fresh = known.filterNot(already)
     if (fresh.isEmpty) return bmeta
     // the watermark means "labels whose bloom ROWS are present" and rows
     // are never removed by appends — so it must be MONOTONE, exactly like

@@ -214,13 +214,14 @@ object Ops {
 
   private def historyPrefixOf(uuid: String): String = s"$uuid/.history/"
 
-  // record keys are `v%012d.json` — versions sort as names. Stray keys under
-  // the prefix are ignored rather than crashed on (a foreign writer's temp
-  // file must not break every poll)
-  private val HistoryKeyName = """v(\d{12})\.json$""".r.unanchored
+  // record keys are `v%012d.json` — versions sort as names. Stray keys
+  // under the prefix are ignored rather than crashed on OR misparsed: the
+  // match anchors the ENTIRE basename (an operator's "backup_v…json" copy
+  // must not read as a second record for its version)
+  private val HistoryKeyName = """v(\d{12})\.json""".r
   private def historyVersionOf(key: String): Option[Long] =
-    HistoryKeyName.findFirstMatchIn(key)
-      .filter(_ => key.endsWith(".json")).map(_.group(1).toLong)
+    HistoryKeyName.unapplySeq(key.substring(key.lastIndexOf('/') + 1))
+      .flatMap(_.headOption).map(_.toLong)
 
   def datasetHistory(spark: SparkSession, storage: Storage,
                      uuid: String): DataFrame = {
@@ -263,8 +264,17 @@ object Ops {
     require(byV.exists(_._1 == uptoVersion),
       s"no history record at version $uptoVersion of '$uuid' — the " +
         "checkpoint must land on an existing record (see datasetHistory)")
-    val recs = byV.map { case (_, k) => parseHistoryRecord(storage, k) }
-    if (recs.size == 1 && recs.last.op == "checkpoint") return 0 // no-op
+    // nothing below the target: a no-op — rewriting a lone plain record
+    // into a checkpoint would destroy its label lists (and refuse cursors
+    // that polled fine a moment ago) for zero retention gain
+    if (byV.size == 1) return 0
+    val all = byV.map { case (_, k) => parseHistoryRecord(storage, k) }
+    // records BELOW a previous checkpoint are crash leftovers its counts
+    // already fold (the write-then-delete order) — summing them again
+    // would double-count on the documented re-run-after-crash path
+    val prevCkpt = all.filter(_.op == "checkpoint").map(_.version)
+      .maxOption.getOrElse(Long.MinValue)
+    val recs = all.filter(_.version >= prevCkpt)
     val lineage =
       if (DatasetMetadata.exists(storage, uuid))
         DatasetMetadata.loadHeaderOnly(storage, uuid).metadata
@@ -391,12 +401,35 @@ object Ops {
     val schema = DatasetMetadata.loadSchema(storage, uuid, meta.tableName)
     val (cursor, records) =
       historyTail(storage, uuid, meta, sinceVersion, sinceLineage)
-    val added = records.flatMap(_.added.get).toSet
-    val deleted = records.flatMap(_.deleted.get).toSet
+    // the FIRST event per label decides whether the consumer held it at its
+    // baseline: only a label that already existed can be deleted, so
+    // first-event=delete means held, first-event=add means landed inside
+    // the window. Plain set algebra (deleted -- added) is ORDER-BLIND and
+    // gets delete-then-re-add (a rollback restoring a label) wrong: it
+    // would suppress the retraction yet still emit the insert, duplicating
+    // rows the mirror already holds. With first-event + final liveness:
+    //   held  && !live -> delete     held  && live -> net no-op (labels
+    //   are immutable, the restored content IS the consumer's content)
+    //   !held && live  -> insert     !held && !live -> never seen, skip
+    val firstEvent = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    records.foreach { r =>
+      r.deleted.get.foreach(l => if (!firstEvent.contains(l)) firstEvent(l) = "del")
+      r.added.get.foreach(l => if (!firstEvent.contains(l)) firstEvent(l) = "add")
+    }
     val live = meta.partitions.toSet
-    val inserts = (added intersect live).toSeq.sorted
-    val retracts = (deleted -- added).toSeq.sorted
-    val gone = retracts.filterNot(l => storage.exists(meta.fileKey(l)))
+    val inserts = firstEvent.collect {
+      case (l, "add") if live(l) => l }.toSeq.sorted
+    val retracts = firstEvent.collect {
+      case (l, "del") if !live(l) => l }.toSeq.sorted
+    // tombstone files must still exist — probed distributed past the same
+    // threshold rollback uses (serial driver HEADs are object-store poison
+    // on a large rewrite's retract set)
+    val gone =
+      if (retracts.size > 64)
+        spark.sparkContext.parallelize(retracts.map(meta.fileKey),
+            math.min(32, retracts.size))
+          .filter(k => !storage.exists(k)).collect().toSeq
+      else retracts.map(meta.fileKey).filterNot(storage.exists)
     require(gone.isEmpty,
       s"cannot resolve deletes since version $sinceVersion of '$uuid': " +
         s"${gone.size} deleted partition file(s) (e.g. " +

@@ -556,7 +556,33 @@ object Writer {
             "exist — the commit landed, but the sidecar is now uncovered; " +
             "rebuild it (BloomIndex.build) or drop the registration " +
             "(BloomIndex.unregister)")
-      graft.index.BloomIndex.appendLabels(spark, storage, bu, newLabels)
+      // RETRY the covered-watermark race here rather than surfacing it:
+      // concurrent committers to the SAME dataset each auto-append to the
+      // same sidecar, and the loser's read-modify-write commit refuses by
+      // design — but this data commit already landed durably, so throwing
+      // would tell the caller a SUCCEEDED commit failed (a retry would
+      // land the rows twice). Re-running appendLabels re-derives covered
+      // from the fresh header, which is exactly the mandated recovery.
+      // skipDead: a racing rewrite may have replaced our labels — their
+      // coverage is then the winner's own append, not ours to force.
+      val MaxRetries = 8
+      var done = false
+      var attempt = 0
+      while (!done) {
+        try {
+          graft.index.BloomIndex.appendLabels(spark, storage, bu, newLabels,
+            skipDead = true)
+          done = true
+        } catch {
+          case e: ConcurrentCommitException =>
+            attempt += 1
+            if (attempt >= MaxRetries)
+              throw new IllegalStateException(
+                s"sidecar '$bu' append lost the covered-watermark race " +
+                  s"$MaxRetries times after the data commit to '$uuid' " +
+                  "landed — run BloomIndex.heal to close the gap", e)
+        }
+      }
     }
     committed
   }

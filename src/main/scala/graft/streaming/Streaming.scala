@@ -362,14 +362,13 @@ object Streaming {
                         // without this, every landing would trip the
                         // probe-time coverage gate until a manual heal
                         bloomIndex: Option[String] = None): StreamingQuery = {
-    // existence-FILTERED validation (the writeStreamUpsert discipline): a
-    // pre-existing foreign index must fail at stream definition, but the
-    // build-sidecar-after-first-landing flow — and a sidecar dropped
-    // mid-run — must not kill the query; per-batch heal below re-checks
-    bloomIndex.filter(graft.meta.DatasetMetadata.exists(storage, _)).foreach { bu =>
-      val (_, _, _, _, ds) = graft.index.BloomIndex.params(storage, bu)
-      require(ds == uuid, s"bloom index '$bu' indexes dataset '$ds', not '$uuid'")
-    }
+    // existence-FILTERED validation: a pre-existing foreign index must
+    // fail at stream definition, but the build-sidecar-after-first-landing
+    // flow — and a sidecar dropped mid-run — must not kill the query. The
+    // same validation re-runs per batch below, so an index built LATER
+    // over a different dataset throws at its first sighting instead of
+    // being silently healed against.
+    validatedSidecar(storage, bloomIndex, uuid)
     startGuarded("writeStreamAppend", stream, checkpoint, configure) {
       token => (batch, batchId) => {
         val landed = ingestBatch(storage, uuid, opts, token)(batch, batchId)
@@ -377,12 +376,28 @@ object Streaming {
         // replays must not pay 2 metadata loads per trigger, and
         // ingestBatch already knows (no second isEmpty job)
         if (landed)
-          bloomIndex.filter(graft.meta.DatasetMetadata.exists(storage, _))
-            .foreach(bu =>
-              graft.index.BloomIndex.heal(batch.sparkSession, storage, bu))
+          validatedSidecar(storage, bloomIndex, uuid).foreach(bu =>
+            graft.index.BloomIndex.heal(batch.sparkSession, storage, bu))
       }
     }
   }
+
+  /** A declared bloom sidecar, validated WHEREVER it is first seen to
+    * exist — stream definition when pre-built, else per batch (the
+    * build-after-first-landing flow): an index over a DIFFERENT dataset
+    * throws the moment it appears, never gets healed/appended against.
+    * None while the sidecar does not exist yet (or the caller declared
+    * none). A TYPO'D uuid is indistinguishable from not-built-yet and
+    * stays silent — probe-time coverage gates catch the staleness loudly
+    * downstream. */
+  private def validatedSidecar(storage: Storage, bloomIndex: Option[String],
+                               uuid: String): Option[String] =
+    bloomIndex.filter(graft.meta.DatasetMetadata.exists(storage, _)).map { bu =>
+      val (_, _, _, _, ds) = graft.index.BloomIndex.params(storage, bu)
+      require(ds == uuid,
+        s"bloom index '$bu' indexes dataset '$ds', not '$uuid'")
+      bu
+    }
 
   /** Streaming CDC sink: each micro-batch MERGES into the dataset by key
     * ([[graft.io.Ops.upsertDataset]] — matched keys replaced, unseen keys
@@ -418,11 +433,9 @@ object Streaming {
                         bloomIndex: Option[String] = None): StreamingQuery = {
     // validate a pre-existing sidecar at stream DEFINITION (the
     // writeStreamAppend discipline): a foreign index must fail here, not
-    // after the first batch silently committed un-maintained
-    bloomIndex.filter(graft.meta.DatasetMetadata.exists(storage, _)).foreach { bu =>
-      val (_, _, _, _, ds) = graft.index.BloomIndex.params(storage, bu)
-      require(ds == uuid, s"bloom index '$bu' indexes dataset '$ds', not '$uuid'")
-    }
+    // after the first batch silently committed un-maintained (per-batch
+    // paths re-validate through the merge core / create path)
+    validatedSidecar(storage, bloomIndex, uuid)
     startGuarded("writeStreamUpsert", stream, checkpoint, configure)(
       token => upsertBatch(storage, uuid, keyCols, seqCol, opCol, opts, token,
         bloomIndex))
@@ -501,12 +514,8 @@ object Streaming {
       // a declared sidecar covers the creating landing too — when it
       // already exists (the common flow builds the bloom AFTER the first
       // landing; heal-on-build makes that coverage-complete by definition)
-      bloomIndex.filter(DatasetMetadata.exists(storage, _)).foreach { bu =>
-        val (_, _, _, _, ds) = graft.index.BloomIndex.params(storage, bu)
-        require(ds == uuid,
-          s"bloom index '$bu' indexes dataset '$ds', not '$uuid'")
-        graft.index.BloomIndex.heal(spark, storage, bu)
-      }
+      validatedSidecar(storage, bloomIndex, uuid).foreach(bu =>
+        graft.index.BloomIndex.heal(spark, storage, bu))
       ()
     }
   }

@@ -313,4 +313,30 @@ class SnapshotSpec extends SparkSpec {
     assert(d2.select("id", "_change_type").as[(Long, String)]
       .collect().toSet === Set((50L, "insert")))
   }
+
+  test("pollChangesWithDeletes: delete-then-restore (rollback) nets to EMPTY, never a duplicate insert") {
+    val st = Storage(spark, tmpDir("snap"))
+    Writer.store(spark, st, "s12",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), WriteOpts(writeWidth = 1))
+    val v1 = Ops.currentVersion(st, "s12")
+    Ops.snapshotDataset(st, "s12", "base")
+    // a rewrite drops the consumer's label...
+    Ops.upsertDataset(spark, st, "s12", Seq((1L, "X")).toDF("id", "v"), Seq("id"))
+    // ...and a rollback RESTORES it inside the same window: first event for
+    // the original label is 'deleted' but it is live again — the consumer
+    // already holds exactly its content, so the correct delta is EMPTY
+    // (order-blind set algebra would emit a bare duplicate insert here)
+    Ops.rollbackDataset(spark, st, "s12", "base")
+    val (cur, chg) = Ops.pollChangesWithDeletes(spark, st, "s12", v1)
+    assert(chg.isEmpty, s"expected empty net delta, got ${chg.collect().toSeq}")
+    assert(cur === Ops.currentVersion(st, "s12"))
+    // and the mirror protocol stays coherent going forward
+    Ops.upsertDataset(spark, st, "s12", Seq((2L, "B2")).toDF("id", "v"), Seq("id"))
+    val byType = Ops.pollChangesWithDeletes(spark, st, "s12", cur)._2
+      .select("id", "v", "_change_type").as[(Long, String, String)]
+      .collect().groupBy(_._3).view
+      .mapValues(_.map(t => (t._1, t._2)).toSet).toMap
+    assert(byType("delete") === Set((1L, "a"), (2L, "b")))
+    assert(byType("insert") === Set((1L, "a"), (2L, "B2")))
+  }
 }
