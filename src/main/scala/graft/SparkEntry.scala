@@ -1366,6 +1366,36 @@ object SparkEntry {
         .select("version", "op", "n_added", "n_deleted", "n_partitions")
     }),
 
+    // --- incremental MIRROR: the changelog's downstream consumer — a
+    // keyed replica maintained by syncMirror (baseline full read, then
+    // one atomic keyed merge per poll window; cursor+lineage ride the same
+    // swap). Fixture replays the w_changes_deletes ops through TWO syncs;
+    // the mirror must equal the source's final state exactly — the same
+    // closed-form oracle as the source itself
+    "w_mirror_sync" -> ((s, dir) => {
+      val st = ensure(s, dir, "mirror") { st =>
+        Ops.deleteDataset(st, "mir_src")
+        Ops.deleteDataset(st, "mir_dst")
+        val o = rd(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .where(expr("o_orderkey % 2 = 0"))
+        Writer.store(s, st, "mir_src", o,
+          WriteOpts(writeWidth = 2, overwrite = true))
+        Ops.syncMirror(s, st, "mir_src", "mir_dst", Seq("o_orderkey"))
+        Ops.deleteByKeys(s, st, "mir_src",
+          o.where(expr("o_orderkey % 10 = 0")).select("o_orderkey"),
+          Seq("o_orderkey"))
+        Ops.upsertDataset(s, st, "mir_src",
+          o.where(expr("o_orderkey % 6 = 0"))
+            .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0d)),
+          Seq("o_orderkey"))
+        Ops.syncMirror(s, st, "mir_src", "mir_dst", Seq("o_orderkey"))
+        ()
+      }
+      Reader.readTable(s, st, "mir_dst",
+        columns = Some(Seq("o_orderkey", "o_totalprice")))
+    }),
+
     // --- streaming SFT ingest: conversation streams land with TOKEN-level
     // loss-mask coordinates under a PERSISTED BPE (rows-only: BPE
     // dependency, the t_bpe_ids discipline; exactness of the mask math is
@@ -3865,6 +3895,15 @@ object SparkEntry {
            SELECT o_orderkey, o_totalprice, 'delete' AS _change_type FROM ev
            UNION ALL
            SELECT o_orderkey, o_totalprice, 'insert' AS _change_type FROM final""",
+      // the mirror after two syncs == the source's final merged state
+      "w_mirror_sync" ->
+        """SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 6 = 0
+                       THEN o_totalprice + CAST(1000 AS DOUBLE)
+                       ELSE o_totalprice END AS o_totalprice
+           FROM orders
+           WHERE o_orderkey % 2 = 0
+             AND (o_orderkey % 10 <> 0 OR o_orderkey % 6 = 0)""",
       // deterministic fixture (create width 4, three width-1 appends,
       // checkpoint at v3): the checkpoint row carries the SUMS of the three
       // compacted records, v4 survives verbatim

@@ -295,12 +295,19 @@ object BloomIndex {
     * metadata. */
   def heal(spark: SparkSession, store: Storage,
            bloomUuid: String): Seq[String] = {
-    val bmeta = DatasetMetadata.load(store, bloomUuid)
-    val (_, _, _, _, datasetUuid) = paramsOf(bmeta)
-    val live = DatasetMetadata.load(store, datasetUuid).partitions
-    val gaps = live.filterNot(coveredOf(bmeta))
+    val gaps = uncovered(store, bloomUuid)
     if (gaps.nonEmpty) appendLabels(spark, store, bloomUuid, gaps)
     gaps
+  }
+
+  /** LIVE-but-uncovered labels of the indexed dataset — the read-only
+    * probe behind [[heal]] (which appends them) and the
+    * [[graft.io.Ops.validateDataset]] fsck face (which only reports). */
+  def uncovered(store: Storage, bloomUuid: String): Seq[String] = {
+    val bmeta = DatasetMetadata.load(store, bloomUuid)
+    val (_, _, _, _, datasetUuid) = paramsOf(bmeta)
+    DatasetMetadata.load(store, datasetUuid).partitions
+      .filterNot(coveredOf(bmeta))
   }
 
   // the covered-label watermark: every dataset label whose bloom rows are

@@ -458,6 +458,134 @@ object Ops {
   /** The change-type tag column of [[pollChangesWithDeletes]]. */
   val ChangeTypeCol = "_change_type"
 
+  // ------------------------------------------------------------ mirroring
+
+  /** Mirror-state header keys on the DESTINATION dataset: which source it
+    * mirrors, the last applied cursor, and the source lineage the cursor
+    * belongs to. All `graft.*` (new-wins at commit merge) and stored in the
+    * SAME atomic swap as the applied rows — crash anywhere and the next
+    * sync re-polls from the last durable cursor. */
+  private[graft] val MirrorSrcKey = "graft.mirror.src"
+  private[graft] val MirrorCursorKey = "graft.mirror.cursor"
+  private[graft] val MirrorLineageKey = "graft.mirror.lineage"
+
+  /** Incrementally REPLICATE `srcUuid` into `dstUuid` — the downstream
+    * consumer the delete-visible changelog exists for (cross-store
+    * replication, a materialized copy on cheaper storage, a dev mirror of
+    * a production dataset). Each call applies exactly the source commits
+    * since the mirror's stored cursor, as ONE atomic swap on the mirror:
+    * the changelog window's inserts upsert by `keyCols`, its deletions
+    * (keys not re-inserted in the same window) delete by key, and the new
+    * (cursor, lineage) land in the same header swap — a crash at ANY point
+    * re-polls from the last durable cursor, and the keyed merge is
+    * idempotent under the changelog's at-least-once redelivery, so the
+    * mirror CONVERGES to the source state exactly.
+    *
+    * Requirements and refusals, all loud:
+    *   - the SOURCE must be keyed by `keyCols` (at most one live row per
+    *     key — the [[upsertDataset]] contract); a window whose rows
+    *     violate that refuses at the merge's uniqueness check;
+    *   - a window reaching behind a source GC (tombstones gone) or behind
+    *     a [[compactHistory]] checkpoint refuses — pass `rebaseline=true`
+    *     to rebuild the mirror from a full source read (also the recovery
+    *     for a source `store(overwrite=true)`, which resets the lineage);
+    *   - `dstUuid` must be this source's mirror (or absent: the first call
+    *     creates it from a full read under one source-header snapshot);
+    *     foreign writes to the mirror are not detected — the mirror is
+    *     OWNED by this op, documented not enforced.
+    *
+    * Scale: a sync moves O(changed partitions) bytes (the changelog reads
+    * only landed/dropped files; the keyed merge rewrites only touched
+    * mirror partitions) plus O(tail) metadata GETs — never a source scan,
+    * never a mirror scan. */
+  def syncMirror(spark: SparkSession, storage: Storage, srcUuid: String,
+                 dstUuid: String, keyCols: Seq[String],
+                 opts: Writer.WriteOpts = Writer.WriteOpts(),
+                 rebaseline: Boolean = false): DatasetMetadata = {
+    require(keyCols.nonEmpty,
+      "syncMirror needs key columns — the changelog's deletions address " +
+        "mirror rows by key")
+    def mirrorMeta(cursor: Long, lineage: Option[String]): Map[String, String] =
+      Map(MirrorSrcKey -> srcUuid, MirrorCursorKey -> cursor.toString) ++
+        lineage.map(MirrorLineageKey -> _)
+    // full baseline under ONE source-header snapshot: content, cursor and
+    // lineage all come from the same loaded meta, so the stored cursor is
+    // exactly the version whose content was copied
+    def baseline(): DatasetMetadata = {
+      val srcMeta = DatasetMetadata.load(storage, srcUuid)
+      val schema = DatasetMetadata.loadSchema(storage, srcUuid, srcMeta.tableName)
+      keyCols.foreach(c => require(schema.fieldNames.contains(c),
+        s"mirror key column '$c' not in source schema"))
+      val cursor = srcMeta.metadata.get(Writer.CommitVersionKey)
+        .map(_.toLong).getOrElse(0L)
+      val lineage = srcMeta.metadata.get(Writer.LineageKey)
+      val rows =
+        if (srcMeta.partitions.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else Writer.labeledData(spark, storage, srcUuid, schema,
+            srcMeta.partitions, srcMeta.tableName)
+          .select(schema.fieldNames.map(col).toSeq: _*)
+      Writer.store(spark, storage, dstUuid, rows, opts.copy(
+        overwrite = true,
+        metadata = opts.metadata ++ mirrorMeta(cursor, lineage)))
+    }
+    if (!DatasetMetadata.exists(storage, dstUuid) || rebaseline)
+      return baseline()
+    val dst = DatasetMetadata.load(storage, dstUuid)
+    val recordedSrc = dst.metadata.get(MirrorSrcKey)
+    require(recordedSrc.contains(srcUuid),
+      s"dataset '$dstUuid' is not a mirror of '$srcUuid' " +
+        s"(${recordedSrc.fold("no mirror metadata")(s => s"mirrors '$s'")}) " +
+        "— refusing to merge into it; pass rebaseline=true only if " +
+        "overwriting it as a fresh mirror is intended")
+    val cursor = dst.metadata.get(MirrorCursorKey).map(_.toLong).getOrElse(
+      sys.error(s"mirror '$dstUuid' lost its cursor metadata"))
+    val storedLineage = dst.metadata.get(MirrorLineageKey)
+    val (newCursor, delta) =
+      try pollChangesWithDeletes(spark, storage, srcUuid, cursor,
+        sinceLineage = storedLineage)
+      catch {
+        case e: IllegalArgumentException =>
+          throw new IllegalStateException(
+            s"mirror '$dstUuid' cannot resolve source changes since cursor " +
+              s"$cursor (${e.getMessage}) — re-run with rebaseline=true to " +
+              "rebuild from a full source read", e)
+      }
+    if (newCursor == cursor) return dst // nothing landed since the cursor
+    // lineage for the stored pair: unchanged when already stored (the poll
+    // verified it); a pre-lineage source may have ACQUIRED one inside the
+    // window — adopt it so the next poll gets the overwrite protection
+    val lineage = storedLineage.orElse(datasetLineage(storage, srcUuid))
+    // a window of metadata-only source commits (index builds, sidecar
+    // registrations) advances the cursor with zero rows: store it without
+    // the merge machinery (whose touch discovery would scan mirror keys)
+    if (delta.isEmpty)
+      return Writer.update(spark, storage, dstUuid, None, opts =
+        opts.copy(metadata = opts.metadata ++ mirrorMeta(newCursor, lineage)),
+        preloadedMeta = Some(dst))
+    val inserts = delta.where(col(ChangeTypeCol) === "insert").drop(ChangeTypeCol)
+    val deleteKeys = delta.where(col(ChangeTypeCol) === "delete")
+      .select(keyCols.map(col): _*).distinct()
+      // a key both deleted and re-inserted in the window is an upsert, not
+      // a delete (mergeCdcBatch requires the two sides key-disjoint)
+      .join(inserts.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+    // touch discovery composes with the MIRROR's own indexing: a bloom
+    // sidecar registered on the mirror over a key column is picked up
+    // automatically (the merge core's auto-regime still decides probe vs
+    // scan per window size) — at 100 TB the mirror-side key scan is the
+    // sync's only mirror-sized term, and this removes it for point windows
+    val mirrorSidecar = Writer.sidecarsOf(dst).find { bu =>
+      try {
+        val (_, _, c, _, ds) = graft.index.BloomIndex.params(storage, bu)
+        ds == dstUuid && keyCols.contains(c)
+      } catch { case _: Exception => false }
+    }
+    mergeCdcBatch(spark, storage, dstUuid, inserts, deleteKeys, keyCols,
+      opts.copy(metadata = opts.metadata ++ mirrorMeta(newCursor, lineage)),
+      bloomIndex = mirrorSidecar)
+  }
+
   /** Shared tail resolution of the incremental-consumption faces: ONE
     * loaded header supplies version, live-partition filter, and tail cap
     * together (the self-consistent-cursor protocol), the record keys are
@@ -1487,12 +1615,73 @@ object Ops {
     def row(check: String, issues: Seq[(String, String)], n: Long) =
       (check, issues.isEmpty, n,
         issues.take(sampleIssues).map { case (l, why) => s"$l: $why" })
+    // the incremental-consumption plane: the audit-log tail from the
+    // latest record floor to the header version must be contiguous, else
+    // every pollChanges/syncMirror consumer refuses — surface it as fsck
+    // (name-level: record keys encode versions; a checkpoint is a present
+    // key like any other, so no record reads are needed)
+    val headerVersion = meta.metadata.get(Writer.CommitVersionKey)
+      .map(_.toLong).getOrElse(0L)
+    val hVers = storage.listKeys(historyPrefixOf(uuid))
+      .flatMap(historyVersionOf).sorted
+    val histIssues: Seq[(String, String)] =
+      if (hVers.isEmpty)
+        if (headerVersion > 0L)
+          Seq("history" -> (s"no records but header version $headerVersion " +
+            "(pre-audit-log dataset or foreign GC) — incremental consumers " +
+            "need a full-read baseline"))
+        else Nil
+      else {
+        val present = hVers.toSet
+        val missing = (hVers.min to headerVersion).filterNot(present)
+        val headerBehind =
+          if (headerVersion < hVers.max)
+            Seq("header" -> (s"version $headerVersion behind newest record " +
+              s"v${hVers.max} — foreign header rewrite?"))
+          else Nil
+        if (missing.isEmpty) headerBehind
+        else {
+          // a gap is harmless when everything below the contiguous tail's
+          // floor was COMPACTED (crash leftovers of compactHistory's
+          // write-then-delete order) — one record read at the floor decides
+          val floor = missing.max + 1
+          val floorIsCheckpoint = floor <= headerVersion &&
+            (try parseHistoryRecord(storage,
+              f"${historyPrefixOf(uuid)}v$floor%012d.json").op == "checkpoint"
+            catch { case _: Exception => false })
+          if (floorIsCheckpoint) headerBehind
+          else missing.take(sampleIssues.max(1)).map(v =>
+            f"v$v%012d" -> "missing audit record (lost log write or partial compaction)") ++
+            headerBehind
+        }
+      }
+    // header-declared bloom sidecars: each must exist, index THIS dataset,
+    // and cover every live partition (a gap = every probe refuses until
+    // BloomIndex.heal)
+    val sidecarChecks: Seq[(String, Seq[(String, String)])] =
+      Writer.sidecarsOf(meta).map { bu =>
+        bu -> (try {
+          if (!DatasetMetadata.exists(storage, bu))
+            Seq(bu -> "registered sidecar dataset missing (unregister or rebuild)")
+          else {
+            val (_, _, _, _, ds) = graft.index.BloomIndex.params(storage, bu)
+            if (ds != uuid) Seq(bu -> s"sidecar indexes '$ds', not this dataset")
+            else graft.index.BloomIndex.uncovered(storage, bu)
+              .map(l => l -> s"live partition uncovered by sidecar '$bu' (heal)")
+          }
+        } catch { case e: Exception => Seq(bu -> s"sidecar unreadable: ${e.getMessage}") })
+      }
     val rows = Seq(
       row("files_readable_schema_ok", fileIssues, meta.partitions.size.toLong),
       row("labels_wellformed", malformed, meta.partitions.size.toLong),
-      row("no_duplicate_labels", dupes, meta.partitions.size.toLong)) ++
+      row("no_duplicate_labels", dupes, meta.partitions.size.toLong),
+      row("history_contiguous", histIssues,
+        math.max(hVers.size.toLong, headerVersion))) ++
       danglingByIndex.map { case (idx, issues) =>
         row(s"index_labels_valid:$idx", issues, known.size.toLong)
+      } ++
+      sidecarChecks.map { case (bu, issues) =>
+        row(s"sidecar_covered:$bu", issues, meta.partitions.size.toLong)
       }
     import spark.implicits._
     rows.toDF("check", "ok", "n_checked", "issues")

@@ -339,4 +339,112 @@ class SnapshotSpec extends SparkSpec {
     assert(byType("delete") === Set((1L, "a"), (2L, "b")))
     assert(byType("insert") === Set((1L, "a"), (2L, "B2")))
   }
+
+  test("syncMirror: baseline + incremental convergence, crash replay, overwrite rebaseline, refusals") {
+    val st = Storage(spark, tmpDir("snap"))
+    def srcRows() = Reader.readTable(spark, st, "msrc")
+      .as[(Long, String)].collect().toSet
+    def dstRows() = Reader.readTable(spark, st, "mdst")
+      .as[(Long, String)].collect().toSet
+    Writer.store(spark, st, "msrc",
+      (1L to 6L).map(i => (i, s"v$i")).toDF("id", "v"),
+      WriteOpts(writeWidth = 2))
+    // baseline: full copy + cursor/lineage stored in the mirror header
+    Ops.syncMirror(spark, st, "msrc", "mdst", Seq("id"))
+    assert(dstRows() === srcRows())
+    val d1 = DatasetMetadata.load(st, "mdst")
+    assert(d1.metadata(Ops.MirrorSrcKey) === "msrc")
+    assert(d1.metadata(Ops.MirrorCursorKey) === "1")
+    // incremental: delete + upsert + insert land, ONE sync converges
+    Ops.deleteByKeys(spark, st, "msrc", Seq(Tuple1(2L)).toDF("id"), Seq("id"))
+    Ops.upsertDataset(spark, st, "msrc",
+      Seq((3L, "UP"), (9L, "NEW")).toDF("id", "v"), Seq("id"))
+    Ops.syncMirror(spark, st, "msrc", "mdst", Seq("id"))
+    assert(dstRows() === srcRows())
+    assert(!dstRows().exists(_._1 == 2L))
+    // idempotent when nothing landed (cursor unchanged, no commit)
+    val vBefore = Ops.currentVersion(st, "mdst")
+    Ops.syncMirror(spark, st, "msrc", "mdst", Seq("id"))
+    assert(Ops.currentVersion(st, "mdst") === vBefore)
+    // CRASH REPLAY: rewind the stored cursor (as if the previous sync's
+    // swap was lost after the poll) — re-syncing re-applies the window's
+    // at-least-once delta and still converges exactly
+    val dm = DatasetMetadata.load(st, "mdst")
+    st.writeString(dm.headerKey, dm.copy(metadata =
+      dm.metadata + (Ops.MirrorCursorKey -> "1")).toJson)
+    graft.meta.DatasetFactory.bump(st, "mdst")
+    Ops.syncMirror(spark, st, "msrc", "mdst", Seq("id"))
+    assert(dstRows() === srcRows(), "replayed window must converge, never duplicate")
+    // EMPTY WINDOW with version bump (a metadata-only source commit):
+    // cursor advances via a metadata-only mirror commit, no merge machinery
+    Ops.buildDatasetIndices(spark, st, "msrc", Seq("v"))
+    Ops.syncMirror(spark, st, "msrc", "mdst", Seq("id"))
+    assert(DatasetMetadata.load(st, "mdst").metadata(Ops.MirrorCursorKey).toLong
+      === Ops.currentVersion(st, "msrc"))
+    assert(dstRows() === srcRows())
+    // SOURCE OVERWRITE: new lineage — the sync refuses loudly, rebaseline
+    // rebuilds the mirror from a full read
+    Writer.store(spark, st, "msrc",
+      Seq((100L, "fresh")).toDF("id", "v"),
+      WriteOpts(overwrite = true, writeWidth = 1))
+    val e = intercept[IllegalStateException] {
+      Ops.syncMirror(spark, st, "msrc", "mdst", Seq("id"))
+    }
+    assert(e.getMessage.contains("rebaseline"), e.getMessage)
+    Ops.syncMirror(spark, st, "msrc", "mdst", Seq("id"), rebaseline = true)
+    assert(dstRows() === Set((100L, "fresh")))
+    // a NON-MIRROR destination is refused, never merged into
+    Writer.store(spark, st, "innocent",
+      Seq((1L, "x")).toDF("id", "v"), WriteOpts())
+    val e2 = intercept[IllegalArgumentException] {
+      Ops.syncMirror(spark, st, "msrc", "innocent", Seq("id"))
+    }
+    assert(e2.getMessage.contains("not a mirror"), e2.getMessage)
+  }
+
+  test("validateDataset: history contiguity and sidecar coverage surface as fsck checks") {
+    val st = Storage(spark, tmpDir("snap"))
+    Writer.store(spark, st, "fsck2",
+      (1L to 4L).map(i => (i, s"g${i % 2}", s"v$i")).toDF("id", "g", "v"),
+      WriteOpts(writeWidth = 1))
+    for (i <- 0 until 3)
+      Writer.update(spark, st, "fsck2",
+        Some(Seq((10L + i, "g9", "x")).toDF("id", "g", "v")),
+        opts = WriteOpts(writeWidth = 1))
+    def check(name: String): (Boolean, Seq[String]) = {
+      val r = Ops.validateDataset(spark, st, "fsck2")
+        .where(col("check") === name).collect().head
+      (r.getAs[Boolean]("ok"),
+        r.getAs[scala.collection.Seq[String]]("issues").toSeq)
+    }
+    assert(check("history_contiguous")._1)
+    // compaction leftovers below a checkpoint are NOT a finding (the
+    // crash-rerun state compactHistory documents)
+    Ops.compactHistory(st, "fsck2", 3L)
+    st.writeString("fsck2/.history/v000000000001.json", """{"version":1,
+      "ts_ms":1,"op":"commit","n_added":0,"n_deleted":0,"n_partitions":0,
+      "added":[],"deleted":[]}""")
+    assert(check("history_contiguous")._1,
+      "leftover below checkpoint must not flag")
+    // a genuine gap (lost log write) flags loudly
+    st.delete("fsck2/.history/v000000000004.json")
+    val (ok, issues) = check("history_contiguous")
+    assert(!ok && issues.exists(_.contains("v000000000004")), issues.toString)
+    // sidecar coverage: registered + covered = ok; a planted gap flags;
+    // heal clears it
+    graft.index.BloomIndex.build(spark, st, "fsck2_bf", "fsck2", "id",
+      m = 1L << 16, k = 6, numBuckets = 4)
+    assert(check("sidecar_covered:fsck2_bf")._1)
+    val bm = DatasetMetadata.load(st, "fsck2_bf")
+    st.writeString(bm.headerKey, bm.copy(metadata =
+      bm.metadata + ("graft.bloom.covered" -> "")).toJson)
+    graft.meta.DatasetFactory.bump(st, "fsck2_bf")
+    assert(!check("sidecar_covered:fsck2_bf")._1)
+    graft.index.BloomIndex.heal(spark, st, "fsck2_bf")
+    assert(check("sidecar_covered:fsck2_bf")._1)
+    // a dangling registration flags by name
+    Ops.deleteDataset(st, "fsck2_bf")
+    val (ok2, issues2) = check("sidecar_covered:fsck2_bf")
+    assert(!ok2 && issues2.exists(_.contains("missing")), issues2.toString)
+  }
 }
