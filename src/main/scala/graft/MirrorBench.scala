@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Measure the `Ops.syncMirror` scale claim: a sync costs O(changed
+  * partitions) + O(history-tail metadata), never a source or mirror scan
+  * — so a POINT window's sync time must not track the mirrored volume.
+  * Stores the even orderkeys partitioned on status, baselines the mirror,
+  * then times three syncs: a point window (one upserted key), a megabatch
+  * window (the %3 delta), and an empty window (metadata-only source
+  * commit). A `point-indexed` variant registers a bloom sidecar ON THE
+  * MIRROR over the key — syncMirror must auto-use it for touch discovery,
+  * removing the mirror-side key scan (the sync's only mirror-sized term).
+  * `runMain graft.MirrorBench [sfDir] [reps]`. A dev measurement tool. */
+object MirrorBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 1) args(1).toInt else 2
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+      "plateauspark-mirrorbench")
+    spark.sparkContext.setLogLevel("ERROR")
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("mirbench").toString
+    val st = graft.store.Storage(spark, tmp)
+    val keys = Seq("o_orderkey")
+    for (mode <- Seq("plain", "point-indexed"); r <- 0 until reps) {
+      val src = s"mb_src_${mode}_$r"; val dst = s"mb_dst_${mode}_$r"
+      graft.io.Writer.store(spark, st, src, o.where(expr("o_orderkey % 2 = 0")),
+        graft.io.Writer.WriteOpts(partitionOn = Seq("o_orderstatus"),
+          overwrite = true))
+      val t0 = System.nanoTime()
+      graft.io.Ops.syncMirror(spark, st, src, dst, keys)
+      println(f"MIRRORBENCH $mode baseline run$r ${(System.nanoTime() - t0) / 1e9}%.2f s ($sfDir)")
+      if (mode == "point-indexed")
+        graft.index.BloomIndex.build(spark, st, s"${dst}_bf", dst,
+          "o_orderkey", m = 1L << 22, k = 8, numBuckets = 16)
+      // point window: one key upserted at the source
+      graft.io.Ops.upsertDataset(spark, st, src,
+        o.where(expr("o_orderkey % 20011 = 0"))
+          .withColumn("o_orderpriority", lit("M1")), keys)
+      val t1 = System.nanoTime()
+      graft.io.Ops.syncMirror(spark, st, src, dst, keys)
+      println(f"MIRRORBENCH $mode point run$r ${(System.nanoTime() - t1) / 1e9}%.2f s ($sfDir)")
+      // megabatch window: the %3 delta (touches most partitions)
+      graft.io.Ops.upsertDataset(spark, st, src,
+        o.where(expr("o_orderkey % 3 = 0"))
+          .withColumn("o_orderpriority", lit("M2")), keys)
+      val t2 = System.nanoTime()
+      graft.io.Ops.syncMirror(spark, st, src, dst, keys)
+      println(f"MIRRORBENCH $mode megabatch run$r ${(System.nanoTime() - t2) / 1e9}%.2f s ($sfDir)")
+      // empty window: a metadata-only source commit (index build)
+      graft.io.Ops.buildDatasetIndices(spark, st, src, Seq("o_orderpriority"))
+      val t3 = System.nanoTime()
+      graft.io.Ops.syncMirror(spark, st, src, dst, keys)
+      println(f"MIRRORBENCH $mode empty run$r ${(System.nanoTime() - t3) / 1e9}%.2f s ($sfDir)")
+      // convergence witness: mirror == source, exactly
+      val a = graft.io.Reader.readTable(spark, st, src)
+        .agg(count(lit(1)), sum(xxhash64(col("o_orderkey"),
+          col("o_totalprice"), col("o_orderpriority")).cast("decimal(38,0)")))
+        .collect().head
+      val b = graft.io.Reader.readTable(spark, st, dst)
+        .agg(count(lit(1)), sum(xxhash64(col("o_orderkey"),
+          col("o_totalprice"), col("o_orderpriority")).cast("decimal(38,0)")))
+        .collect().head
+      require(a == b, s"mirror diverged: src=$a dst=$b")
+    }
+    spark.stop()
+  }
+}
