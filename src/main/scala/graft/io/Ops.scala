@@ -297,6 +297,25 @@ object Ops {
     stale.size
   }
 
+  /** Retention convenience over [[compactHistory]]: keep (roughly) the
+    * last `keep` audit records by checkpointing at `currentVersion - keep`
+    * when such a record exists. Safe on any cadence — a no-op while the
+    * log is shorter than `keep` or the target is already compacted away —
+    * so a streaming sink can call it per batch and hold its log at ~`keep`
+    * records forever (the bounded-metadata answer for a month-long ingest
+    * committing once per trigger). Choose `keep` above the slowest
+    * incremental consumer's worst-case lag in commits: a consumer whose
+    * cursor falls behind the checkpoint refuses loudly and must
+    * rebaseline. Returns the records removed. */
+  def compactHistoryKeepLast(storage: Storage, uuid: String,
+                             keep: Long): Int = {
+    require(keep >= 1, s"keep must be >= 1 (got $keep)")
+    val upto = currentVersion(storage, uuid) - keep
+    if (upto < 1) return 0
+    if (!storage.exists(f"${historyPrefixOf(uuid)}v$upto%012d.json")) return 0
+    compactHistory(storage, uuid, upto)
+  }
+
   /** The dataset's creation-lineage uuid (absent on pre-lineage headers).
     * An incremental consumer stores it beside its [[currentVersion]] cursor
     * and presents it to [[pollChanges]] — the loud detector for

@@ -361,7 +361,14 @@ object Streaming {
                         // labels are already covered appends nothing) —
                         // without this, every landing would trip the
                         // probe-time coverage gate until a manual heal
-                        bloomIndex: Option[String] = None): StreamingQuery = {
+                        bloomIndex: Option[String] = None,
+                        // audit-log retention: hold `.history/` at ~this
+                        // many records (one lands PER MICRO-BATCH — a
+                        // long-lived ingest grows it without bound
+                        // otherwise). Set above the slowest incremental
+                        // consumer's lag in commits; consumers behind the
+                        // rolling checkpoint refuse loudly and rebaseline
+                        historyKeepLast: Option[Long] = None): StreamingQuery = {
     // existence-FILTERED validation: a pre-existing foreign index must
     // fail at stream definition, but the build-sidecar-after-first-landing
     // flow — and a sidecar dropped mid-run — must not kill the query. The
@@ -375,9 +382,12 @@ object Streaming {
         // heal only when this batch actually COMMITTED: empty batches and
         // replays must not pay 2 metadata loads per trigger, and
         // ingestBatch already knows (no second isEmpty job)
-        if (landed)
+        if (landed) {
           validatedSidecar(storage, bloomIndex, uuid).foreach(bu =>
             graft.index.BloomIndex.heal(batch.sparkSession, storage, bu))
+          historyKeepLast.foreach(k =>
+            Ops.compactHistoryKeepLast(storage, uuid, k))
+        }
       }
     }
   }
@@ -430,7 +440,10 @@ object Streaming {
                         // core's auto-regime), and every batch auto-appends
                         // its landed labels — the sidecar never goes stale
                         // under its own stream
-                        bloomIndex: Option[String] = None): StreamingQuery = {
+                        bloomIndex: Option[String] = None,
+                        // audit-log retention (the writeStreamAppend knob):
+                        // one record lands per micro-batch merge
+                        historyKeepLast: Option[Long] = None): StreamingQuery = {
     // validate a pre-existing sidecar at stream DEFINITION (the
     // writeStreamAppend discipline): a foreign index must fail here, not
     // after the first batch silently committed un-maintained (per-batch
@@ -438,7 +451,7 @@ object Streaming {
     validatedSidecar(storage, bloomIndex, uuid)
     startGuarded("writeStreamUpsert", stream, checkpoint, configure)(
       token => upsertBatch(storage, uuid, keyCols, seqCol, opCol, opts, token,
-        bloomIndex))
+        bloomIndex, historyKeepLast))
   }
 
   /** True iff an `opCol` value marks a CDC delete event ('d'/'D'/'delete',
@@ -453,7 +466,8 @@ object Streaming {
                                  opCol: Option[String],
                                  opts: WriteOpts,
                                  runToken: Option[String] = None,
-                                 bloomIndex: Option[String] = None)
+                                 bloomIndex: Option[String] = None,
+                                 historyKeepLast: Option[Long] = None)
                                 (batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
@@ -498,16 +512,20 @@ object Streaming {
            .select(keyCols.map(col): _*)))
       case None => (collapsed, None)
     }
-    if (DatasetMetadata.exists(storage, uuid)) deleteKeys match {
-      case Some(dk) =>
-        // upserts + deletes share ONE header swap — a crash between two
-        // separate commits would stamp the batch applied with its deletes
-        // lost (the guard would skip the redelivery)
-        Ops.mergeCdcBatch(spark, storage, uuid, upserts, dk, keyCols, stamped,
-          bloomIndex = bloomIndex)
-      case None =>
-        Ops.upsertDataset(spark, storage, uuid, upserts, keyCols, stamped,
-          bloomIndex = bloomIndex)
+    if (DatasetMetadata.exists(storage, uuid)) {
+      deleteKeys match {
+        case Some(dk) =>
+          // upserts + deletes share ONE header swap — a crash between two
+          // separate commits would stamp the batch applied with its deletes
+          // lost (the guard would skip the redelivery)
+          Ops.mergeCdcBatch(spark, storage, uuid, upserts, dk, keyCols, stamped,
+            bloomIndex = bloomIndex)
+        case None =>
+          Ops.upsertDataset(spark, storage, uuid, upserts, keyCols, stamped,
+            bloomIndex = bloomIndex)
+      }
+      historyKeepLast.foreach(k => Ops.compactHistoryKeepLast(storage, uuid, k))
+      ()
     } else {
       // creation: deletes on a missing dataset are no-ops by definition
       Writer.store(spark, storage, uuid, upserts, stamped)

@@ -36,6 +36,36 @@ class StreamingSpec extends SparkSpec {
     assert(meta.indices.keySet === Set("id"))
   }
 
+  test("historyKeepLast holds a long-lived ingest's audit log at ~keep records") {
+    import spark.implicits._
+    val src = (1L to 80L).map(i => (i, s"v$i")).toDF("id", "v")
+    val in = tmpDir("stream-keep-in")
+    src.repartition(8).write.mode("overwrite").parquet(in)
+    val q = Streaming.writeStreamAppend(
+      spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in),
+      store, "keeplog", WriteOpts(), historyKeepLast = Some(3L))
+    assert(q.awaitTermination(120000))
+    // 8 micro-batch commits, but the log is bounded: a checkpoint + the
+    // kept tail (the keep..keep+1 steady state of per-batch compaction)
+    val recs = store.listKeys("keeplog/.history/").count(_.endsWith(".json"))
+    assert(recs <= 5, s"history not bounded: $recs records")
+    val v = graft.io.Ops.currentVersion(store, "keeplog")
+    assert(v === 8L)
+    val hist = graft.io.Ops.datasetHistory(spark, store, "keeplog")
+      .select("version", "op").as[(Long, String)].collect().sortBy(_._1)
+    assert(hist.head._2 === "checkpoint")
+    // recent cursors poll fine; one behind the checkpoint refuses loudly
+    assert(graft.io.Ops.readChangesSince(spark, store, "keeplog", v - 1).count() > 0)
+    val e = intercept[IllegalArgumentException] {
+      graft.io.Ops.readChangesSince(spark, store, "keeplog", 1L)
+    }
+    assert(e.getMessage.contains("compacted") ||
+      e.getMessage.contains("missing record"), e.getMessage)
+    // content untouched by retention
+    assert(Reader.readTable(spark, store, "keeplog").count() === 80L)
+  }
+
   test("writeStreamTokenized: batches encode under the pinned tokenizer, tokenless rows drop") {
     import spark.implicits._
     val corpus = Seq("low low lower", "newest newest widest", "low widest")
