@@ -415,8 +415,21 @@ object Ops {
   def pollChangesWithDeletes(spark: SparkSession, storage: Storage,
                              uuid: String, sinceVersion: Long,
                              columns: Option[Seq[String]] = None,
-                             sinceLineage: Option[String] = None): (Long, DataFrame) = {
-    val meta = DatasetMetadata.load(storage, uuid)
+                             sinceLineage: Option[String] = None): (Long, DataFrame) =
+    pollChangesWithDeletesFrom(spark, storage, uuid,
+      DatasetMetadata.load(storage, uuid), sinceVersion, columns, sinceLineage)
+
+  /** [[pollChangesWithDeletes]] against a CALLER-LOADED source header —
+    * for consumers ([[syncMirror]]) that must pair the returned cursor
+    * with OTHER fields of the same snapshot (the lineage): a second header
+    * read after the poll could straddle a source re-creation and pair the
+    * old dataset's cursor with the new dataset's lineage, permanently
+    * defeating the overwrite detection. */
+  private[graft] def pollChangesWithDeletesFrom(
+      spark: SparkSession, storage: Storage,
+      uuid: String, meta: DatasetMetadata, sinceVersion: Long,
+      columns: Option[Seq[String]] = None,
+      sinceLineage: Option[String] = None): (Long, DataFrame) = {
     val schema = DatasetMetadata.loadSchema(storage, uuid, meta.tableName)
     val (cursor, records) =
       historyTail(storage, uuid, meta, sinceVersion, sinceLineage)
@@ -561,8 +574,14 @@ object Ops {
     val cursor = dst.metadata.get(MirrorCursorKey).map(_.toLong).getOrElse(
       sys.error(s"mirror '$dstUuid' lost its cursor metadata"))
     val storedLineage = dst.metadata.get(MirrorLineageKey)
+    // ONE source-header snapshot supplies the poll AND the lineage stored
+    // beside the new cursor: a second header read after the poll could
+    // straddle a source re-creation and pair the old dataset's cursor with
+    // the new dataset's lineage — permanently defeating the overwrite
+    // detection for a pre-lineage source acquiring its uuid mid-window
+    val srcMeta = DatasetMetadata.load(storage, srcUuid)
     val (newCursor, delta) =
-      try pollChangesWithDeletes(spark, storage, srcUuid, cursor,
+      try pollChangesWithDeletesFrom(spark, storage, srcUuid, srcMeta, cursor,
         sinceLineage = storedLineage)
       catch {
         case e: IllegalArgumentException =>
@@ -572,11 +591,14 @@ object Ops {
               "rebuild from a full source read", e)
       }
     if (newCursor == cursor) return dst // nothing landed since the cursor
-    // lineage for the stored pair: unchanged when already stored (the poll
-    // verified it); a pre-lineage source may have ACQUIRED one inside the
-    // window — adopt it so the next poll gets the overwrite protection
-    val lineage = storedLineage.orElse(datasetLineage(storage, srcUuid))
-    // a window of metadata-only source commits (index builds, sidecar
+    val lineage = storedLineage.orElse(srcMeta.metadata.get(Writer.LineageKey))
+    // the cursor is read-modify-write off the dst header loaded above, and
+    // every commit below threads that header as its parent: a CONCURRENT
+    // sync on the same mirror therefore refuses (ConcurrentCommitException
+    // via the guard's RMW rule) instead of silently regressing the cursor
+    // with a stale window — re-run the losing sync; it re-polls from the
+    // winner's cursor and converges.
+    // A window of metadata-only source commits (index builds, sidecar
     // registrations) advances the cursor with zero rows: store it without
     // the merge machinery (whose touch discovery would scan mirror keys)
     if (delta.isEmpty)
@@ -593,16 +615,26 @@ object Ops {
     // sidecar registered on the mirror over a key column is picked up
     // automatically (the merge core's auto-regime still decides probe vs
     // scan per window size) — at 100 TB the mirror-side key scan is the
-    // sync's only mirror-sized term, and this removes it for point windows
-    val mirrorSidecar = Writer.sidecarsOf(dst).find { bu =>
-      try {
-        val (_, _, c, _, ds) = graft.index.BloomIndex.params(storage, bu)
-        ds == dstUuid && keyCols.contains(c)
-      } catch { case _: Exception => false }
-    }
+    // sync's only mirror-sized term, and this removes it for point windows.
+    // Validation is LOUD and EARLY: a dangling or unreadable registration
+    // would otherwise surface only from the post-merge auto-append, after
+    // the expensive rewrite already ran.
+    val mirrorSidecar = Writer.sidecarsOf(dst).flatMap { bu =>
+      if (!DatasetMetadata.exists(storage, bu))
+        throw new IllegalStateException(
+          s"mirror '$dstUuid' declares bloom sidecar '$bu' which does not " +
+            "exist — unregister or rebuild it before syncing (the merge " +
+            "would run and then fail its sidecar append)")
+      val (_, _, c, _, ds) = graft.index.BloomIndex.params(storage, bu)
+      if (ds != dstUuid)
+        throw new IllegalStateException(
+          s"mirror '$dstUuid' declares bloom sidecar '$bu' which indexes " +
+            s"'$ds' — a misregistration; unregister it")
+      if (keyCols.contains(c)) Some(bu) else None
+    }.headOption
     mergeCdcBatch(spark, storage, dstUuid, inserts, deleteKeys, keyCols,
       opts.copy(metadata = opts.metadata ++ mirrorMeta(newCursor, lineage)),
-      bloomIndex = mirrorSidecar)
+      bloomIndex = mirrorSidecar, preloadedMeta = Some(dst))
   }
 
   /** Shared tail resolution of the incremental-consumption faces: ONE
@@ -947,11 +979,15 @@ object Ops {
                     keyCols: Seq[String],
                     opts: Writer.WriteOpts = Writer.WriteOpts(),
                     bloomIndex: Option[String] = None,
-                    bloomProbe: Option[Boolean] = None): DatasetMetadata = {
+                    bloomProbe: Option[Boolean] = None,
+                    // callers whose METADATA derives from an already-loaded
+                    // header (syncMirror's cursor) thread it here so the
+                    // commit guard spans the whole derivation
+                    preloadedMeta: Option[DatasetMetadata] = None): DatasetMetadata = {
     require(keyCols.nonEmpty, "mergeCdcBatch requires at least one key column")
     require(DatasetMetadata.exists(storage, uuid),
       s"Cannot merge into non-existent dataset '$uuid'")
-    val meta = DatasetMetadata.load(storage, uuid)
+    val meta = preloadedMeta.getOrElse(DatasetMetadata.load(storage, uuid))
     val schema = DatasetMetadata.loadSchema(storage, uuid, meta.tableName)
     keyCols.foreach(c => require(schema.fieldNames.contains(c),
       s"merge key column '$c' not in dataset schema"))

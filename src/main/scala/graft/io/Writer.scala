@@ -385,10 +385,12 @@ object Writer {
   /** Metadata keys whose values are READ-MODIFY-WRITE (derived from the
     * parent header's value): a commit carrying one refuses to rebase on a
     * header race — see the guard in [[commitDataset]]. The bloom covered
-    * watermark (covered' = f(covered)) and the sidecar registry
-    * (sidecars' = f(sidecars)). */
+    * watermark (covered' = f(covered)), the sidecar registry
+    * (sidecars' = f(sidecars)), and the mirror cursor (next window =
+    * f(stored cursor) — a rebase would let a slow sync's stale window
+    * clobber a faster sync's newer state and REGRESS the cursor). */
   private[graft] val ReadModifyWriteMetaKeys: Set[String] =
-    Set("graft.bloom.covered", "graft.bloom.sidecars")
+    Set("graft.bloom.covered", "graft.bloom.sidecars", "graft.mirror.cursor")
 
   /** Header metadata key declaring the dataset's bloom SIDECARS (newline-
     * joined bloom-index uuids, maintained by

@@ -70,8 +70,25 @@ class Storage(val base: String, @transient private var conf: Configuration)
       val out = fs.create(tmp, true)
       try out.write(content)
       finally out.close()
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
-      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+      if (scheme == "file") {
+        // POSIX rename(2) via ATOMIC_MOVE — NOT FileContext.rename(
+        // OVERWRITE), whose AbstractFileSystem default on the local
+        // scheme is DELETE-destination-then-rename: a concurrent reader
+        // opening the header inside that window gets FileNotFoundException
+        // (reproduced by the 6-committer race spec — the header
+        // "vanished" mid-swap). rename(2) replaces the destination in one
+        // atomic step; readers see old or new bytes, never absence.
+        val dst = java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath)
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath), dst,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } else {
+        // HDFS/viewfs: rename-with-overwrite is atomic in the NameNode
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+        fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      }
     } else {
       val out = fs.create(p, true)
       try out.write(content)
@@ -212,6 +229,12 @@ object Storage {
       _ => {
         val f = FileSystem.newInstance(uri, conf)
         f.setVerifyChecksum(false)
+        // no CRC sidecars on write either: reads never verify them (above),
+        // the reference library ignores them, and the atomic header swap
+        // now moves the data file with POSIX rename(2) directly — a
+        // write-side .crc would be left behind as litter (ChecksumFs's own
+        // rename used to move it; java.nio.Files.move does not know of it)
+        f.setWriteChecksum(false)
         f
       })
   sys.addShutdownHook {

@@ -384,10 +384,14 @@ class LifecycleHardeningSpec extends SparkSpec {
       Seq((0L, "seed", "p0")).toDF("id", "v", "p"),
       WriteOpts(partitionOn = Seq("p")))
     val failures = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-    // 5 committers: a thread can lose one race per OTHER committer, so the
-    // worst case stays under commitDataset's bounded-rebase ceiling with
-    // headroom (6 ran it at exactly the ceiling — a scheduling-order flake)
-    val committers = (1 to 5).map { i =>
+    // 6 committers: each Left in commitDataset's rebase loop requires the
+    // header to have MOVED since that thread's last fresh load, so a
+    // thread can lose at most one race per OTHER committer — attempt ≤ 5,
+    // strictly under the MaxRebases=5 ceiling. Any failure here is a
+    // product bug (a spurious rebase or a dropped commit), which is why
+    // every committer failure is collected BY NAME below, never allowed
+    // to die silently with its thread.
+    val committers = (1 to 6).map { i =>
       new Thread(() =>
         try {
           val labels = Writer.writeSinglePartition(spark, st, "race2",
@@ -401,15 +405,15 @@ class LifecycleHardeningSpec extends SparkSpec {
     assert(failures.isEmpty, s"committers failed: $failures")
     val ids = Reader.readTable(spark, st, "race2").select("id")
       .as[Long].collect().toSet
-    assert(ids === (0L to 5L).toSet, s"a racing commit was dropped: $ids")
+    assert(ids === (0L to 6L).toSet, s"a racing commit was dropped: $ids")
     // versions are monotone and the audit log is CONTIGUOUS (each swap got
     // its own version — no recycling even under the race)
-    assert(Ops.currentVersion(st, "race2") === 6L)
+    assert(Ops.currentVersion(st, "race2") === 7L)
     assert(Ops.datasetHistory(spark, st, "race2").select("version")
-      .as[Long].collect().sorted.toSeq === (1L to 6L))
+      .as[Long].collect().sorted.toSeq === (1L to 7L))
     // and the incremental face resolves the whole race window exactly
     assert(Ops.readChangesSince(spark, st, "race2", 1L)
-      .select("id").as[Long].collect().toSet === (1L to 5L).toSet)
+      .select("id").as[Long].collect().toSet === (1L to 6L).toSet)
 
     // (c) OVERLAPPING rewrites racing the swap: exactly one wins, the
     // other surfaces ConcurrentCommitException — never a silent merge
