@@ -1,0 +1,58 @@
+package graft
+
+import graft.store.Storage
+
+/** The storage contract the whole header-last protocol rests on — pinned
+  * after round 13 caught `FileContext.rename(OVERWRITE)`'s local-scheme
+  * default being DELETE-then-rename: a concurrent reader could observe the
+  * header ABSENT (or, pre-staging, truncated) mid-swap. `writeBytes` must
+  * be an atomic REPLACE on the file scheme: every read of a key under
+  * continuous overwrite returns one of the complete written values — never
+  * a missing file, never a torn mix.
+  */
+class StorageSpec extends SparkSpec {
+
+  test("writeBytes is an atomic replace: readers under continuous overwrite never see absence or tearing") {
+    val st = Storage(spark, tmpDir("storage"))
+    // distinct full-value payloads, each internally self-consistent (the
+    // same char repeated) so ANY mix of two generations is detectable
+    val payloads = (0 until 8).map(i => ("" + ('a' + i).toChar) * 4096)
+    st.writeString("swap/target.json", payloads.head)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bad = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val readers = (0 until 4).map { _ =>
+      new Thread(() => {
+        while (!stop.get()) {
+          try {
+            val s = st.readString("swap/target.json")
+            if (s.length != 4096 || !s.forall(_ == s.head))
+              bad.add(s"torn read: len=${s.length} heads=${s.take(3)}")
+          } catch {
+            case e: java.io.FileNotFoundException =>
+              bad.add(s"key vanished mid-swap: $e")
+          }
+        }
+      })
+    }
+    readers.foreach(_.start())
+    for (r <- 0 until 50; p <- payloads) st.writeString("swap/target.json", p)
+    stop.set(true)
+    readers.foreach(_.join())
+    assert(bad.isEmpty, s"non-atomic swap observed: ${bad}")
+    // the final content is the last write, intact
+    assert(st.readString("swap/target.json") === payloads.last)
+  }
+
+  test("withCommitLock excludes across keys independently") {
+    val st = Storage(spark, tmpDir("storage"))
+    var a = 0; var b = 0
+    val ts = (0 until 4).flatMap { _ =>
+      Seq(new Thread(() => for (_ <- 0 until 300)
+            st.withCommitLock("ka/.commitlock") { a += 1 }),
+          new Thread(() => for (_ <- 0 until 300)
+            st.withCommitLock("kb/.commitlock") { b += 1 }))
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(a === 1200 && b === 1200, s"lost updates: a=$a b=$b")
+  }
+}
