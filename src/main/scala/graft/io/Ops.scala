@@ -371,12 +371,33 @@ object Ops {
     * visible) refuses with the missing versions named (transient case:
     * re-poll); (b) a record written by a pre-label-list engine (counts
     * only, no `added` array) refuses — its labels are unknowable. */
+  // schema paired with the SNAPSHOT header: the schema file is a SECOND
+  // storage read — immutable within a dataset's lifetime, replaced only by
+  // store(overwrite=true). A lineage-CARRYING header makes a straddling
+  // overwrite loud downstream anyway (the tail's records carry the new
+  // lineage or are absent); a PRE-lineage header has no such tripwire, so
+  // there the header version is re-read after the schema load and any
+  // movement refuses (re-poll) — the old-snapshot-files-with-new-schema
+  // silent mistype stays impossible for both flavors.
+  private def pollSchemaFor(storage: Storage, uuid: String,
+                            meta: DatasetMetadata): StructType = {
+    val schema = DatasetMetadata.loadSchema(storage, uuid, meta.tableName)
+    if (meta.metadata.get(Writer.LineageKey).isEmpty) {
+      val cur = DatasetMetadata.loadHeaderOnly(storage, uuid).metadata
+        .get(Writer.CommitVersionKey)
+      require(cur == meta.metadata.get(Writer.CommitVersionKey),
+        s"dataset '$uuid' moved while resolving changes (a pre-lineage " +
+          "header cannot pin the schema read against a re-creation) — re-poll")
+    }
+    schema
+  }
+
   def pollChanges(spark: SparkSession, storage: Storage, uuid: String,
                   sinceVersion: Long,
                   columns: Option[Seq[String]] = None,
                   sinceLineage: Option[String] = None): (Long, DataFrame) = {
     val meta = DatasetMetadata.load(storage, uuid)
-    val schema = DatasetMetadata.loadSchema(storage, uuid, meta.tableName)
+    val schema = pollSchemaFor(storage, uuid, meta)
     val (cursor, records) =
       historyTail(storage, uuid, meta, sinceVersion, sinceLineage)
     val live = meta.partitions.toSet
@@ -430,7 +451,7 @@ object Ops {
       uuid: String, meta: DatasetMetadata, sinceVersion: Long,
       columns: Option[Seq[String]] = None,
       sinceLineage: Option[String] = None): (Long, DataFrame) = {
-    val schema = DatasetMetadata.loadSchema(storage, uuid, meta.tableName)
+    val schema = pollSchemaFor(storage, uuid, meta)
     val (cursor, records) =
       historyTail(storage, uuid, meta, sinceVersion, sinceLineage)
     // the FIRST event per label decides whether the consumer held it at its
@@ -952,7 +973,8 @@ object Ops {
                    // the commit guard spans the whole derivation
                    preloadedMeta: Option[DatasetMetadata] = None): DatasetMetadata = {
     require(keyCols.nonEmpty, "deleteByKeys requires at least one key column")
-    require(DatasetMetadata.exists(storage, uuid),
+    // a preloaded header proves existence — skip the redundant remote HEAD
+    require(preloadedMeta.isDefined || DatasetMetadata.exists(storage, uuid),
       s"Cannot delete from non-existent dataset '$uuid'")
     val meta = preloadedMeta.getOrElse(DatasetMetadata.load(storage, uuid))
     val schema = DatasetMetadata.loadSchema(storage, uuid, meta.tableName)
@@ -985,7 +1007,8 @@ object Ops {
                     // commit guard spans the whole derivation
                     preloadedMeta: Option[DatasetMetadata] = None): DatasetMetadata = {
     require(keyCols.nonEmpty, "mergeCdcBatch requires at least one key column")
-    require(DatasetMetadata.exists(storage, uuid),
+    // a preloaded header proves existence — skip the redundant remote HEAD
+    require(preloadedMeta.isDefined || DatasetMetadata.exists(storage, uuid),
       s"Cannot merge into non-existent dataset '$uuid'")
     val meta = preloadedMeta.getOrElse(DatasetMetadata.load(storage, uuid))
     val schema = DatasetMetadata.loadSchema(storage, uuid, meta.tableName)

@@ -763,7 +763,8 @@ object Writer {
              // (a concurrent append in the load-to-load window would be
              // silently clobbered otherwise)
              preloadedMeta: Option[DatasetMetadata] = None): DatasetMetadata = {
-    require(DatasetMetadata.exists(storage, uuid),
+    // a preloaded header proves existence — skip the redundant remote HEAD
+    require(preloadedMeta.isDefined || DatasetMetadata.exists(storage, uuid),
       s"Cannot update non-existent dataset '$uuid'")
     val existing = preloadedMeta.getOrElse(DatasetMetadata.load(storage, uuid))
     require(opts.partitionOn.isEmpty || opts.partitionOn == existing.partitionKeys,

@@ -34,6 +34,11 @@ class Storage(val base: String, @transient private var conf: Configuration)
 
   def path(key: String): Path = new Path(base, key)
 
+  // the local-scheme escape hatch (atomic move, file locks): one place to
+  // fix if authority-carrying or encoded file URIs ever need special care
+  private def localPath(p: Path): java.nio.file.Path =
+    java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath)
+
   def exists(key: String): Boolean = fs.exists(path(key))
 
   def readString(key: String): String =
@@ -79,11 +84,16 @@ class Storage(val base: String, @transient private var conf: Configuration)
         // (reproduced by the 6-committer race spec — the header
         // "vanished" mid-swap). rename(2) replaces the destination in one
         // atomic step; readers see old or new bytes, never absence.
-        val dst = java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath)
-        java.nio.file.Files.move(
-          java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath), dst,
+        java.nio.file.Files.move(localPath(tmp), localPath(p),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // a destination .crc written by a PRE-r13 build (ChecksumFs kept
+        // it in sync through the old rename) would now go permanently
+        // stale — our reads never verify, but a default-configured
+        // external Hadoop client (fs -cat, distcp) would throw
+        // ChecksumException on every header read forever. Drop it.
+        java.nio.file.Files.deleteIfExists(localPath(
+          new Path(p.getParent, s".${p.getName}.crc")))
       } else {
         // HDFS/viewfs: rename-with-overwrite is atomic in the NameNode
         val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
@@ -137,7 +147,7 @@ class Storage(val base: String, @transient private var conf: Configuration)
     jvmLock.lock()
     try {
       if (Option(fs.getUri.getScheme).getOrElse("file") == "file") {
-        val local = java.nio.file.Paths.get(qualified.toUri.getPath)
+        val local = localPath(qualified)
         java.nio.file.Files.createDirectories(local.getParent)
         val ch = java.nio.channels.FileChannel.open(local,
           java.nio.file.StandardOpenOption.CREATE,
