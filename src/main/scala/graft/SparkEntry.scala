@@ -1396,6 +1396,36 @@ object SparkEntry {
         columns = Some(Seq("o_orderkey", "o_totalprice")))
     }),
 
+    // --- FILE-level cross-store replica: byte-copied partition files under
+    // their own labels, label-level changelog consumption (no keys, no
+    // decode, GC-immune), one atomic replica commit per window. Same source
+    // ops as w_mirror_sync — and the same closed-form oracle, read from the
+    // SECOND store
+    "w_replicate" -> ((s, dir) => {
+      val st = ensure(s, dir, "replica") { st =>
+        val st2 = Storage(s, s"${tmpBase(dir)}/replica_store")
+        Ops.deleteDataset(st, "rep_src")
+        Ops.deleteDataset(st2, "rep_src")
+        val o = rd(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .where(expr("o_orderkey % 2 = 0"))
+        Writer.store(s, st, "rep_src", o,
+          WriteOpts(writeWidth = 2, overwrite = true))
+        Ops.replicateDataset(s, st, "rep_src", st2)
+        Ops.deleteByKeys(s, st, "rep_src",
+          o.where(expr("o_orderkey % 10 = 0")).select("o_orderkey"),
+          Seq("o_orderkey"))
+        Ops.upsertDataset(s, st, "rep_src",
+          o.where(expr("o_orderkey % 6 = 0"))
+            .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0d)),
+          Seq("o_orderkey"))
+        Ops.replicateDataset(s, st, "rep_src", st2)
+        ()
+      }
+      Reader.readTable(s, Storage(s, s"${tmpBase(dir)}/replica_store"),
+        "rep_src", columns = Some(Seq("o_orderkey", "o_totalprice")))
+    }),
+
     // --- streaming SFT ingest: conversation streams land with TOKEN-level
     // loss-mask coordinates under a PERSISTED BPE (rows-only: BPE
     // dependency, the t_bpe_ids discipline; exactness of the mask math is
@@ -3895,6 +3925,16 @@ object SparkEntry {
            SELECT o_orderkey, o_totalprice, 'delete' AS _change_type FROM ev
            UNION ALL
            SELECT o_orderkey, o_totalprice, 'insert' AS _change_type FROM final""",
+      // the file-level replica after two windows == the source's final
+      // state (same fixture algebra as the keyed mirror)
+      "w_replicate" ->
+        """SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 6 = 0
+                       THEN o_totalprice + CAST(1000 AS DOUBLE)
+                       ELSE o_totalprice END AS o_totalprice
+           FROM orders
+           WHERE o_orderkey % 2 = 0
+             AND (o_orderkey % 10 <> 0 OR o_orderkey % 6 = 0)""",
       // the mirror after two syncs == the source's final merged state
       "w_mirror_sync" ->
         """SELECT o_orderkey,

@@ -454,26 +454,7 @@ object Ops {
     val schema = pollSchemaFor(storage, uuid, meta)
     val (cursor, records) =
       historyTail(storage, uuid, meta, sinceVersion, sinceLineage)
-    // the FIRST event per label decides whether the consumer held it at its
-    // baseline: only a label that already existed can be deleted, so
-    // first-event=delete means held, first-event=add means landed inside
-    // the window. Plain set algebra (deleted -- added) is ORDER-BLIND and
-    // gets delete-then-re-add (a rollback restoring a label) wrong: it
-    // would suppress the retraction yet still emit the insert, duplicating
-    // rows the mirror already holds. With first-event + final liveness:
-    //   held  && !live -> delete     held  && live -> net no-op (labels
-    //   are immutable, the restored content IS the consumer's content)
-    //   !held && live  -> insert     !held && !live -> never seen, skip
-    val firstEvent = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    records.foreach { r =>
-      r.deleted.get.foreach(l => if (!firstEvent.contains(l)) firstEvent(l) = "del")
-      r.added.get.foreach(l => if (!firstEvent.contains(l)) firstEvent(l) = "add")
-    }
-    val live = meta.partitions.toSet
-    val inserts = firstEvent.collect {
-      case (l, "add") if live(l) => l }.toSeq.sorted
-    val retracts = firstEvent.collect {
-      case (l, "del") if !live(l) => l }.toSeq.sorted
+    val (inserts, retracts) = netLabelChanges(meta, records)
     // tombstone files must still exist — probed distributed past the same
     // threshold rollback uses (serial driver HEADs are object-store poison
     // on a large rewrite's retract set)
@@ -510,6 +491,45 @@ object Ops {
 
   /** The change-type tag column of [[pollChangesWithDeletes]]. */
   val ChangeTypeCol = "_change_type"
+
+  // the FIRST event per label decides whether the consumer held it at its
+  // baseline: only a label that already existed can be deleted, so
+  // first-event=delete means held, first-event=add means landed inside
+  // the window. Plain set algebra (deleted -- added) is ORDER-BLIND and
+  // gets delete-then-re-add (a rollback restoring a label) wrong: it
+  // would suppress the retraction yet still emit the insert, duplicating
+  // rows the consumer already holds. With first-event + final liveness:
+  //   held  && !live -> retract     held  && live -> net no-op (labels
+  //   are immutable, the restored content IS the consumer's content)
+  //   !held && live  -> insert      !held && !live -> never seen, skip
+  private def netLabelChanges(meta: DatasetMetadata,
+                              records: Seq[HistoryRecord]): (Seq[String], Seq[String]) = {
+    val firstEvent = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    records.foreach { r =>
+      r.deleted.get.foreach(l => if (!firstEvent.contains(l)) firstEvent(l) = "del")
+      r.added.get.foreach(l => if (!firstEvent.contains(l)) firstEvent(l) = "add")
+    }
+    val live = meta.partitions.toSet
+    (firstEvent.collect { case (l, "add") if live(l) => l }.toSeq.sorted,
+     firstEvent.collect { case (l, "del") if !live(l) => l }.toSeq.sorted)
+  }
+
+  /** The LABEL-level changelog: (cursor, landed labels still live,
+    * retracted labels) since `sinceVersion`, under the same one-snapshot /
+    * loud-gap protocol as [[pollChanges]] and the same first-event netting
+    * as [[pollChangesWithDeletes]] — but pure METADATA: no file is opened,
+    * so (unlike the row-level delete face) it never depends on tombstone
+    * files surviving GC. The primitive behind [[replicateDataset]], and
+    * the right face for any consumer that tracks whole immutable files
+    * (cache invalidation, external manifest sync). */
+  def labelChangesSince(storage: Storage, uuid: String, sinceVersion: Long,
+                        sinceLineage: Option[String] = None): (Long, Seq[String], Seq[String]) = {
+    val meta = DatasetMetadata.load(storage, uuid)
+    val (cursor, records) =
+      historyTail(storage, uuid, meta, sinceVersion, sinceLineage)
+    val (added, retracted) = netLabelChanges(meta, records)
+    (cursor, added, retracted)
+  }
 
   // ------------------------------------------------------------ mirroring
 
@@ -656,6 +676,96 @@ object Ops {
     mergeCdcBatch(spark, storage, dstUuid, inserts, deleteKeys, keyCols,
       opts.copy(metadata = opts.metadata ++ mirrorMeta(newCursor, lineage)),
       bloomIndex = mirrorSidecar, preloadedMeta = Some(dst))
+  }
+
+  /** FILE-level cross-store replica — [[syncMirror]]'s heavier sibling for
+    * the case that matters most at 100 TB (cross-region/cross-tier copies):
+    * the source's immutable partition files are BYTE-COPIED under their own
+    * labels and the replica header swapped atomically per window, so a sync
+    * moves exactly the changed files with ZERO decode, needs NO key columns
+    * (any dataset replicates), and — because the changelog is consumed at
+    * the LABEL level — never depends on tombstone files surviving source
+    * GC (the row-level mirror's one operational constraint). The replica is
+    * an ordinary graft dataset in the destination store: readable,
+    * snapshotable, itself replicable.
+    *
+    * Per window: copy the net-landed files (first-event netting — a
+    * rollback's delete-then-restore copies nothing), then ONE atomic commit
+    * carrying the new (cursor, lineage) plus the retracted labels' removal.
+    * Crash anywhere re-copies the window (byte-identical overwrite) and
+    * re-commits; concurrent replications refuse via the cursor's
+    * read-modify-write rule. Secondary indices and sidecar registrations
+    * are NOT replicated (index files are generation-managed by the source's
+    * commits and sidecars are separate datasets — rebuild on the replica
+    * via buildDatasetIndices/BloomIndex.build if needed); everything else
+    * (schema, reference `_common_metadata` blob, user metadata, hive
+    * layout, format) carries over. A source re-creation (lineage change)
+    * refuses; `rebaseline = true` rebuilds the replica from a full copy.
+    * Dynamic sources replicate their baseline listing, then track committed
+    * history only. */
+  def replicateDataset(spark: SparkSession, src: Storage, uuid: String,
+                       dst: Storage,
+                       rebaseline: Boolean = false): DatasetMetadata = {
+    def copyKeys(keys: Seq[String]): Unit =
+      if (keys.size > 16)
+        spark.sparkContext.parallelize(keys, math.min(32, keys.size))
+          .foreachPartition(_.foreach(k => src.copyKeyTo(k, dst)))
+      else keys.foreach(k => src.copyKeyTo(k, dst))
+    def commonKey(m: DatasetMetadata): String =
+      s"${m.tablePrefix}/${DatasetMetadata.CommonMetadataFile}"
+    def replicaMetaKeys(cursor: Long, lineage: Option[String]): Map[String, String] =
+      Map(MirrorSrcKey -> uuid, MirrorCursorKey -> cursor.toString) ++
+        lineage.map(MirrorLineageKey -> _)
+    if (!DatasetMetadata.exists(dst, uuid) || rebaseline) {
+      if (DatasetMetadata.exists(dst, uuid)) deleteDataset(dst, uuid)
+      // ONE source snapshot supplies files, cursor and lineage together
+      val srcMeta = DatasetMetadata.load(src, uuid)
+      val cursor = srcMeta.metadata.get(Writer.CommitVersionKey)
+        .map(_.toLong).getOrElse(0L)
+      val srcLineage = srcMeta.metadata.get(Writer.LineageKey)
+      copyKeys(srcMeta.partitions.map(srcMeta.fileKey) :+ srcMeta.schemaKey)
+      if (src.exists(commonKey(srcMeta))) copyKeys(Seq(commonKey(srcMeta)))
+      val dstLineage = java.util.UUID.randomUUID().toString
+      val replica = srcMeta.copy(
+        indices = Map.empty, embeddedIndices = Map.empty,
+        explicitPartitions = true,
+        metadata = (srcMeta.metadata - Writer.SidecarsKey) ++
+          replicaMetaKeys(cursor, srcLineage) +
+          (Writer.CommitVersionKey -> "1") +
+          (Writer.LineageKey -> dstLineage))
+      dst.writeString(replica.headerKey, replica.toJson) // visibility point
+      graft.meta.DatasetFactory.bump(dst, uuid)
+      Writer.writeHistory(dst, uuid, 1L, "create", srcMeta.partitions, Nil,
+        srcMeta.partitions.size, Some(dstLineage))
+      return replica
+    }
+    val dstMeta = DatasetMetadata.load(dst, uuid)
+    require(dstMeta.metadata.get(MirrorSrcKey).contains(uuid),
+      s"destination dataset '$uuid' is not a replica of the source " +
+        "(no replica metadata) — refusing to merge into it; pass " +
+        "rebaseline=true only if overwriting it as a fresh replica is intended")
+    val cursor = dstMeta.metadata.get(MirrorCursorKey).map(_.toLong).getOrElse(
+      sys.error(s"replica '$uuid' lost its cursor metadata"))
+    val storedLineage = dstMeta.metadata.get(MirrorLineageKey)
+    val srcMeta = DatasetMetadata.load(src, uuid)
+    val (newCursor, records) =
+      try historyTail(src, uuid, srcMeta, cursor, storedLineage)
+      catch {
+        case e: IllegalArgumentException =>
+          throw new IllegalStateException(
+            s"replica of '$uuid' cannot resolve source changes since cursor " +
+              s"$cursor (${e.getMessage}) — re-run with rebaseline=true to " +
+              "rebuild from a full copy", e)
+      }
+    if (newCursor == cursor) return dstMeta
+    val (added, retracted) = netLabelChanges(srcMeta, records)
+    val lineage = storedLineage.orElse(srcMeta.metadata.get(Writer.LineageKey))
+    copyKeys(added.map(srcMeta.fileKey))
+    Writer.commitDataset(spark, dst, uuid, added,
+      metadata = replicaMetaKeys(newCursor, lineage),
+      partitionOn = dstMeta.partitionKeys,
+      preloadedMeta = Some(dstMeta),
+      deleteLabels = retracted.toSet)
   }
 
   /** Shared tail resolution of the incremental-consumption faces: ONE

@@ -402,6 +402,72 @@ class SnapshotSpec extends SparkSpec {
     assert(e2.getMessage.contains("not a mirror"), e2.getMessage)
   }
 
+  test("replicateDataset: file-level cross-store replica — convergence, rollback netting, GC immunity, refusals") {
+    val src = Storage(spark, tmpDir("snap"))
+    val dst = Storage(spark, tmpDir("snap-replica"))
+    def srcRows() = Reader.readTable(spark, src, "rp")
+      .as[(Long, String)].collect().toSet
+    def dstRows() = Reader.readTable(spark, dst, "rp")
+      .as[(Long, String)].collect().toSet
+    Writer.store(spark, src, "rp",
+      (1L to 8L).map(i => (i, s"v$i")).toDF("id", "v"),
+      WriteOpts(writeWidth = 2))
+    // baseline: byte-copied files, same labels, replica readable in dst
+    Ops.replicateDataset(spark, src, "rp", dst)
+    assert(dstRows() === srcRows())
+    assert(DatasetMetadata.load(dst, "rp").partitions ===
+      DatasetMetadata.load(src, "rp").partitions, "labels carry over verbatim")
+    // incremental: delete + upsert windows converge in one sync
+    Ops.deleteByKeys(spark, src, "rp", Seq(Tuple1(3L)).toDF("id"), Seq("id"))
+    Ops.upsertDataset(spark, src, "rp",
+      Seq((5L, "UP"), (99L, "NEW")).toDF("id", "v"), Seq("id"))
+    Ops.replicateDataset(spark, src, "rp", dst)
+    assert(dstRows() === srcRows())
+    // idempotent when nothing landed
+    val vBefore = Ops.currentVersion(dst, "rp")
+    Ops.replicateDataset(spark, src, "rp", dst)
+    assert(Ops.currentVersion(dst, "rp") === vBefore)
+    // rollback netting: delete-then-restore inside one window copies and
+    // retracts NOTHING (the replica already holds the restored files)
+    Ops.snapshotDataset(src, "rp", "pin")
+    Ops.upsertDataset(spark, src, "rp", Seq((1L, "X")).toDF("id", "v"), Seq("id"))
+    Ops.rollbackDataset(spark, src, "rp", "pin")
+    val v2 = Ops.currentVersion(dst, "rp")
+    Ops.replicateDataset(spark, src, "rp", dst)
+    assert(dstRows() === srcRows())
+    // the net-empty window still advanced the cursor in ONE commit
+    assert(Ops.currentVersion(dst, "rp") === v2 + 1)
+    // GC IMMUNITY — the property the row-level mirror cannot have: drop a
+    // partition, GC the source (tombstone files gone), and the label-level
+    // replica still resolves the window while the row-level poll refuses
+    Ops.deleteSnapshot(src, "rp", "pin")
+    val cur = DatasetMetadata.load(dst, "rp")
+      .metadata(Ops.MirrorCursorKey).toLong
+    Ops.deleteByKeys(spark, src, "rp", Seq(Tuple1(2L)).toDF("id"), Seq("id"))
+    Ops.garbageCollect(spark, src, "rp", stagingTtlMs = 0)
+    intercept[IllegalArgumentException] {
+      Ops.pollChangesWithDeletes(spark, src, "rp", cur)
+    }
+    Ops.replicateDataset(spark, src, "rp", dst)
+    assert(dstRows() === srcRows())
+    // source re-creation: loud refusal, then rebaseline rebuilds
+    Writer.store(spark, src, "rp", Seq((500L, "fresh")).toDF("id", "v"),
+      WriteOpts(overwrite = true, writeWidth = 1))
+    val e = intercept[IllegalStateException] {
+      Ops.replicateDataset(spark, src, "rp", dst)
+    }
+    assert(e.getMessage.contains("rebaseline"), e.getMessage)
+    Ops.replicateDataset(spark, src, "rp", dst, rebaseline = true)
+    assert(dstRows() === Set((500L, "fresh")))
+    // a non-replica destination dataset is refused, never merged into
+    Writer.store(spark, src, "innocent2", Seq((2L, "y")).toDF("id", "v"), WriteOpts())
+    Writer.store(spark, dst, "innocent2", Seq((1L, "x")).toDF("id", "v"), WriteOpts())
+    val e2 = intercept[IllegalArgumentException] {
+      Ops.replicateDataset(spark, src, "innocent2", dst)
+    }
+    assert(e2.getMessage.contains("not a replica"), e2.getMessage)
+  }
+
   test("validateDataset: history contiguity and sidecar coverage surface as fsck checks") {
     val st = Storage(spark, tmpDir("snap"))
     Writer.store(spark, st, "fsck2",
