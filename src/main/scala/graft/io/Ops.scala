@@ -154,19 +154,14 @@ object Ops {
     // version number recycled — the false-pass commitDataset's guard must
     // never allow). Rollback is an operator action: refuse and let the
     // operator re-run against the new state rather than auto-rebase. The
-    // check-and-write runs under the same commit lock as commitDataset, so
-    // the re-read→write gap is closed on lock-capable stores.
-    storage.withCommitLock(s"$uuid/.commitlock") {
-      val current = versionOf(DatasetMetadata.loadHeaderOnly(storage, uuid))
-      if (current != versionOf(live))
+    // swap runs through the same window as commitDataset (conditional PUT
+    // where the store provides it, the commit lock elsewhere).
+    Writer.swapHeader(storage, uuid, versionOf(live), restored) match {
+      case Left(current) =>
         throw new Writer.ConcurrentCommitException(
           s"rollback of '$uuid' to '$tag' lost the header race (version " +
             s"moved ${versionOf(live)} -> $current) — re-run the rollback")
-      // msgpack first, JSON last: the same crash-ordering discipline as
-      // commitDataset (the JSON write is the atomic visibility point)
-      if (storage.exists(DatasetMetadata.msgpackHeaderKey(uuid)))
-        storage.writeBytes(DatasetMetadata.msgpackHeaderKey(uuid), restored.toMsgpackZstd)
-      storage.writeString(restored.headerKey, restored.toJson)
+      case Right(()) => ()
     }
     graft.meta.DatasetFactory.bump(storage, uuid)
     Writer.writeHistory(storage, uuid, versionOf(restored), "rollback",

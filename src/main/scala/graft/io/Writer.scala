@@ -433,6 +433,18 @@ object Writer {
   final class ConcurrentCommitException(msg: String)
     extends RuntimeException(msg)
 
+  /** The data commit LANDED durably, but post-swap maintenance (a declared
+    * bloom sidecar's auto-append) failed. Distinct from a failed commit by
+    * type and by carrying the committed header: a caller that treated this
+    * as "commit failed" and re-ran its whole operation would land the same
+    * rows twice (only the streaming paths carry a replay token to dedupe).
+    * Recovery is maintenance-side only — `BloomIndex.heal` closes the
+    * coverage gap; until then the probe gate refuses loudly, never answers
+    * wrong. */
+  final class PostCommitMaintenanceException(msg: String,
+      val committed: DatasetMetadata, cause: Throwable = null)
+    extends RuntimeException(msg, cause)
+
   /** One O(touched) audit record per committed header swap, written AFTER
     * the atomic visibility point (a crash between them loses one log line,
     * never a commit): `<uuid>/.history/v<version>.json`, carrying the
@@ -553,11 +565,15 @@ object Writer {
     // stay correct.
     if (newLabels.nonEmpty) sidecarsOf(committed).foreach { bu =>
       if (!DatasetMetadata.exists(storage, bu))
-        throw new IllegalStateException(
+        // only reachable through the narrow race window between commitOnce's
+        // PRE-swap validation and here (a concurrent sidecar delete): the
+        // common dangling-registration case refuses BEFORE the swap, where
+        // a retry is still safe
+        throw new PostCommitMaintenanceException(
           s"dataset '$uuid' declares bloom sidecar '$bu' which does not " +
             "exist — the commit landed, but the sidecar is now uncovered; " +
             "rebuild it (BloomIndex.build) or drop the registration " +
-            "(BloomIndex.unregister)")
+            "(BloomIndex.unregister); do NOT re-run the commit", committed)
       // RETRY the covered-watermark race here rather than surfacing it:
       // concurrent committers to the SAME dataset each auto-append to the
       // same sidecar, and the loser's read-modify-write commit refuses by
@@ -579,14 +595,101 @@ object Writer {
           case e: ConcurrentCommitException =>
             attempt += 1
             if (attempt >= MaxRetries)
-              throw new IllegalStateException(
+              throw new PostCommitMaintenanceException(
                 s"sidecar '$bu' append lost the covered-watermark race " +
                   s"$MaxRetries times after the data commit to '$uuid' " +
-                  "landed — run BloomIndex.heal to close the gap", e)
+                  "landed — run BloomIndex.heal to close the gap; do NOT " +
+                  "re-run the commit", committed, e)
         }
       }
     }
     committed
+  }
+
+  /** THE SWAP WINDOW — the one place a dataset header becomes visible.
+    * Verifies the header is still at `parentVersion` and, unmoved, writes
+    * the header(s); `Left(current)` when another committer got there first
+    * (the caller rebases or refuses — [[commitDataset]]'s loop,
+    * [[graft.io.Ops.rollbackDataset]]'s refusal). Two mechanisms, picked by
+    * the store:
+    *
+    *   - CONDITIONAL PUT ([[Storage.conditionalPutSupported]]): the JSON
+    *     header is read WITH its change tag, the version compared, and the
+    *     new header written with [[Storage.putIfMatch]] against that exact
+    *     tag — a true cross-process compare-and-swap with no lock file, the
+    *     correct mechanism on object stores (S3 If-Match, GCS generation
+    *     preconditions, Azure ETags). A failed precondition is a lost race,
+    *     reported as Left of the winner's version. The msgpack flavor (when
+    *     present) is rewritten AFTER the decided swap: only the JSON put is
+    *     conditional, so writing msgpack first would let a LOSING committer
+    *     clobber the winner's flavor. Tradeoff vs the lock path's ordering:
+    *     a crash between the two writes leaves the msgpack flavor one
+    *     commit stale for reference readers until the next commit rewrites
+    *     it — graft's own visibility point (the JSON header) is never stale.
+    *   - COMMIT LOCK (everything else — [[Storage.withCommitLock]]): re-read
+    *     the version under the lock, then write msgpack first, JSON last
+    *     (the JSON write stays the atomic visibility point for graft
+    *     readers, and a crash between the two leaves the msgpack flavor —
+    *     what reference readers see — already consistent with the data
+    *     files). Cross-process exclusion holds on posix; on lock-less
+    *     remote schemes the exclusion is in-JVM only, which is why
+    *     conditional-put stores should implement the face above.
+    *
+    * Either way the window is metadata-sized: one header read + the header
+    * writes, never a Spark job. The version re-read is a header PARSE only
+    * (no dynamic listing); a foreign writer that strips the version key
+    * reads as 0, which can only FALSELY TRIGGER a rebase, never falsely
+    * pass. */
+  private[graft] def swapHeader(storage: Storage, uuid: String,
+                                parentVersion: Long,
+                                meta: DatasetMetadata): Either[Long, Unit] = {
+    if (storage.conditionalPutSupported) {
+      val hk = meta.headerKey
+      val tagged: Option[(Array[Byte], String)] =
+        if (storage.exists(hk)) Some(storage.readTagged(hk)) else None
+      val current = tagged match {
+        case Some((bytes, _)) =>
+          commitVersionOf(Some(DatasetMetadata.fromJson(
+            new String(bytes, java.nio.charset.StandardCharsets.UTF_8))))
+        case None =>
+          // no JSON header yet: a first commit (put-if-absent below), or a
+          // reference-written msgpack-only dataset acquiring its JSON
+          // flavor — the version comes from the fallback header
+          if (DatasetMetadata.exists(storage, uuid))
+            commitVersionOf(Some(DatasetMetadata.loadHeaderOnly(storage, uuid)))
+          else 0L
+      }
+      if (current != parentVersion) Left(current)
+      else if (!storage.putIfMatch(hk,
+          meta.toJson.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          tagged.map(_._2))) {
+        // precondition failed: lost the CAS inside the read→put gap —
+        // report the winner's version for the caller's rebase decision
+        Left(commitVersionOf(Some(DatasetMetadata.loadHeaderOnly(storage, uuid))))
+      } else {
+        if (storage.exists(DatasetMetadata.msgpackHeaderKey(uuid)))
+          storage.writeBytes(DatasetMetadata.msgpackHeaderKey(uuid),
+            meta.toMsgpackZstd)
+        Right(())
+      }
+    } else storage.withCommitLock(s"$uuid/.commitlock") {
+      val current =
+        if (DatasetMetadata.exists(storage, uuid))
+          commitVersionOf(Some(DatasetMetadata.loadHeaderOnly(storage, uuid)))
+        else 0L
+      if (current != parentVersion) Left(current)
+      else {
+        // a dataset that carries the reference's msgpack header flavor
+        // gets it REWRITTEN in the same commit — leaving the old one in
+        // place would keep a stale divergent header that resurrects
+        // deleted partitions for any msgpack-reading consumer
+        if (storage.exists(DatasetMetadata.msgpackHeaderKey(uuid)))
+          storage.writeBytes(DatasetMetadata.msgpackHeaderKey(uuid),
+            meta.toMsgpackZstd)
+        storage.writeString(meta.headerKey, meta.toJson) // atomic visibility point
+        Right(())
+      }
+    }
   }
 
   // one commit attempt against `preloadedMeta` as the parent state; Left =
@@ -701,38 +804,20 @@ object Writer {
       newLabels.headOption.map(Serializer.formatOf).getOrElse("parquet"))
     val meta = DatasetMetadata(uuid, labels, keys, indices, mergedMeta,
       format = fmt, tableName = table)
-    // THE SWAP WINDOW, under the commit lock ([[Storage.withCommitLock]]):
-    // re-read the header version and, unmoved, write the header(s). The
-    // lock turns the guard's re-read→write gap into a true compare-and-swap
-    // on lock-capable stores (in-JVM always; cross-process on posix;
-    // cluster object stores back this with conditional PUT — see Storage).
-    val swapped: Either[Long, Unit] =
-      storage.withCommitLock(s"$uuid/.commitlock") {
-        // the guard's re-read: has another committer swapped the header
-        // since `oldMeta` was loaded? (header parse only — no dynamic
-        // listing; a foreign writer that strips the version key reads as 0,
-        // which can only FALSELY TRIGGER a rebase, never falsely pass)
-        val current =
-          if (DatasetMetadata.exists(storage, uuid))
-            commitVersionOf(Some(DatasetMetadata.loadHeaderOnly(storage, uuid)))
-          else 0L
-        if (current != parentVersion) Left(current)
-        else {
-          // a dataset that carries the reference's msgpack header flavor
-          // gets it REWRITTEN in the same commit — leaving the old one in
-          // place would keep a stale divergent header that resurrects
-          // deleted partitions for any msgpack-reading consumer. msgpack
-          // first, JSON last: the JSON write stays the atomic visibility
-          // point for graft readers, and a crash between the two leaves the
-          // msgpack flavor (what reference readers see) already consistent
-          // with the data files
-          if (storage.exists(DatasetMetadata.msgpackHeaderKey(uuid)))
-            storage.writeBytes(DatasetMetadata.msgpackHeaderKey(uuid),
-              meta.toMsgpackZstd)
-          storage.writeString(meta.headerKey, meta.toJson) // atomic visibility point
-          Right(())
-        }
-      }
+    // PRE-swap sidecar validation: a dangling registration must refuse
+    // BEFORE the data commit becomes durable — post-swap, the failure can
+    // only be reported as PostCommitMaintenanceException, and a caller that
+    // mistook it for a failed commit and retried would land its rows twice.
+    // One existence HEAD per declared sidecar, only when any are declared.
+    if (newLabels.nonEmpty) sidecarsOf(meta).foreach { bu =>
+      if (!DatasetMetadata.exists(storage, bu))
+        throw new IllegalStateException(
+          s"dataset '$uuid' declares bloom sidecar '$bu' which does not " +
+            "exist — refusing to commit (nothing landed); rebuild it " +
+            "(BloomIndex.build) or drop the registration " +
+            "(BloomIndex.unregister), then retry")
+    }
+    val swapped: Either[Long, Unit] = swapHeader(storage, uuid, parentVersion, meta)
     swapped match {
       case Left(current) => Left(current)
       case Right(()) =>

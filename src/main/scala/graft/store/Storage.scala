@@ -123,9 +123,10 @@ class Storage(val base: String, @transient private var conf: Configuration)
     buf.toSeq
   }
 
-  /** Scoped EXCLUSIVE lock for the header-swap window of a commit — the CAS
-    * hook that closes the concurrent-committer guard's residual
-    * re-read→write race (`Writer.commitDataset`). Two layers:
+  /** Scoped EXCLUSIVE lock for the header-swap window of a commit — the
+    * lock-based half of the concurrent-committer guard's CAS (see
+    * [[putIfMatch]] for the conditional-write half `Writer.commitDataset`
+    * prefers when the store provides it). Two layers:
     *
     *   - a per-(qualified lock path) JVM lock serializes committers inside
     *     one driver process (the local[n] / single-driver case, and what the
@@ -134,31 +135,91 @@ class Storage(val base: String, @transient private var conf: Configuration)
     *     exclusion across processes (two drivers sharing one posix store).
     *
     * Other schemes run `body` unlocked under the in-JVM lock only: HDFS has
-    * no advisory locks and object stores need a conditional PUT — a cluster
-    * deployment backs this face with its metastore's CAS (S3: If-Match /
-    * conditional PUT on the JSON header as the visibility point; the guard's
-    * version re-read inside the window then IS a compare-and-swap). The
-    * window held under this lock must stay metadata-sized: one header
-    * re-read + the header writes, never a Spark job. */
+    * no advisory locks, and object stores should expose [[putIfMatch]]
+    * instead (the swap then never reaches this lock). The window held under
+    * this lock must stay metadata-sized: one header re-read + the header
+    * writes, never a Spark job.
+    *
+    * REENTRANT per thread: a nested call on the same lock key runs the body
+    * directly (the ReentrantLock would permit re-entry, but a second
+    * FileChannel.lock() on the same file from the same JVM throws
+    * OverlappingFileLockException — the hold count skips both).
+    *
+    * Interop note (same class of hazard as `.history/` and `.snapshots/`):
+    * the `<uuid>/.commitlock` file is engine metadata graft's own GC spares
+    * but the REFERENCE library's GC deletes as an untracked key. On POSIX,
+    * deleting a lock file while held lets a later process lock a fresh
+    * inode under the same path — silently voiding cross-process exclusion.
+    * Loss is bounded (the in-JVM layer still holds, and the next
+    * withCommitLock recreates the file), but do not run the reference GC
+    * concurrently with graft committers on a shared posix store. */
   def withCommitLock[T](lockKey: String)(body: => T): T = {
-    val qualified = fs.makeQualified(path(lockKey))
-    val jvmLock = Storage.commitLocks.computeIfAbsent(qualified.toString,
-      _ => new java.util.concurrent.locks.ReentrantLock())
-    jvmLock.lock()
-    try {
-      if (Option(fs.getUri.getScheme).getOrElse("file") == "file") {
-        val local = localPath(qualified)
-        java.nio.file.Files.createDirectories(local.getParent)
-        val ch = java.nio.channels.FileChannel.open(local,
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.WRITE)
-        try {
-          val flock = ch.lock()
-          try body finally flock.release()
-        } finally ch.close()
-      } else body
-    } finally jvmLock.unlock()
+    val qualified = fs.makeQualified(path(lockKey)).toString
+    val holds = Storage.lockHolds.get()
+    if (holds.getOrElse(qualified, 0) > 0) {
+      holds(qualified) += 1
+      try body
+      finally {
+        holds(qualified) -= 1
+        if (holds(qualified) == 0) holds.remove(qualified)
+      }
+    } else {
+      val jvmLock = Storage.commitLocks.computeIfAbsent(qualified,
+        _ => new java.util.concurrent.locks.ReentrantLock())
+      jvmLock.lock()
+      holds(qualified) = 1
+      try {
+        if (Option(fs.getUri.getScheme).getOrElse("file") == "file") {
+          val local = localPath(new Path(qualified))
+          java.nio.file.Files.createDirectories(local.getParent)
+          val ch = java.nio.channels.FileChannel.open(local,
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.WRITE)
+          try {
+            val flock = ch.lock()
+            try body finally flock.release()
+          } finally ch.close()
+        } else body
+      } finally {
+        holds.remove(qualified)
+        jvmLock.unlock()
+      }
+    }
   }
+
+  /** Whether this store implements the CONDITIONAL-WRITE face
+    * ([[readTagged]]/[[putIfMatch]]). When true, `Writer.commitDataset`'s
+    * header swap runs as a true compare-and-swap on the header object
+    * itself — atomic across PROCESSES with no lock file — which is the
+    * correct mechanism on object stores, where advisory locks don't exist
+    * and [[withCommitLock]] degrades to in-JVM-only exclusion. The base
+    * Hadoop-FS wrapper returns false (the FileSystem API exposes no
+    * preconditioned write); a deployment binds it with the store's native
+    * conditional PUT:
+    *   - S3: `If-Match: <etag>` / `If-None-Match: *` on the PUT,
+    *   - GCS: `x-goog-if-generation-match` (0 for create),
+    *   - Azure Blob: `If-Match: <etag>` / `If-None-Match: *`.
+    * The tag is OPAQUE to callers: read it with [[readTagged]], hand it
+    * back to [[putIfMatch]], never interpret it. */
+  def conditionalPutSupported: Boolean = false
+
+  /** Read `key`'s content together with its current change tag (ETag /
+    * generation). Only meaningful when [[conditionalPutSupported]]. */
+  def readTagged(key: String): (Array[Byte], String) =
+    throw new UnsupportedOperationException(
+      s"store for '$base' does not implement the conditional-write face " +
+        "(conditionalPutSupported is false)")
+
+  /** Atomically write `content` to `key` iff the key's current tag still
+    * equals `expectedTag` (None = the key must not exist — a create).
+    * Returns false when the precondition failed (another writer swapped the
+    * key first); the caller re-reads and decides (rebase or refuse). Only
+    * meaningful when [[conditionalPutSupported]]. */
+  def putIfMatch(key: String, content: Array[Byte],
+                 expectedTag: Option[String]): Boolean =
+    throw new UnsupportedOperationException(
+      s"store for '$base' does not implement the conditional-write face " +
+        "(conditionalPutSupported is false)")
 
   def fileSize(key: String): Long = fs.getFileStatus(path(key)).getLen
 
@@ -213,6 +274,13 @@ object Storage {
   // ever commits from this driver — bounded, tiny)
   private[store] val commitLocks = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.locks.ReentrantLock]()
+  // per-thread hold counts backing withCommitLock's reentrancy (the OS file
+  // lock is once-per-file-per-JVM; a nested acquire must skip it)
+  private[store] val lockHolds =
+    new ThreadLocal[scala.collection.mutable.Map[String, Int]] {
+      override def initialValue(): scala.collection.mutable.Map[String, Int] =
+        scala.collection.mutable.Map.empty
+    }
   // the cache key carries a fingerprint of the filesystem-relevant conf
   // (fs.* — credentials, endpoints, committers): keyed on scheme+authority
   // alone, the FIRST Storage's conf would permanently win for that URI,

@@ -292,8 +292,11 @@ class BloomIndexSpec extends SparkSpec {
       m = 1L << 16, k = 6, numBuckets = 8)
     assert(Writer.sidecarsOf(DatasetMetadata.load(st, "b9"))
       === Seq("b9_bf", "b9_bf2"))
-    // a DANGLING registration (sidecar deleted out of band) fails the next
-    // landing LOUDLY, naming the fix — the commit itself already landed
+    // a DANGLING registration (sidecar deleted out of band) refuses the
+    // next landing BEFORE the swap, naming the fix — NOTHING lands, so a
+    // plain retry is safe (post-swap the failure could only surface as
+    // PostCommitMaintenanceException, and a caller mistaking it for a
+    // failed commit would double its rows on retry)
     Ops.deleteDataset(st, "b9_bf2")
     val e = intercept[IllegalStateException] {
       Writer.update(spark, st, "b9", Some(
@@ -302,11 +305,13 @@ class BloomIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("b9_bf2") &&
       e.getMessage.contains("unregister"), e.getMessage)
     assert(Reader.readTable(spark, st, "b9")
-      .where(col("id") === 4000L).count() === 1L, "the commit itself landed")
+      .where(col("id") === 4000L).count() === 0L,
+      "the refusal must come before the swap — nothing landed")
     BloomIndex.unregisterSidecar(spark, st, "b9", "b9_bf2")
-    // the surviving sidecar missed the 4000-landing (the append chain threw
-    // on the dangling one first or not — order unspecified): heal converges
-    BloomIndex.heal(spark, st, "b9_bf")
+    // the retry is safe by construction (the refused commit landed nothing)
+    // and the surviving sidecar is auto-appended through it
+    Writer.update(spark, st, "b9", Some(
+      Seq((4000L, "g9", "x")).toDF("id", "grp", "v")))
     assert(BloomIndex.lookupRows(spark, st, "b9_bf",
       Seq(Tuple1(4000L)).toDF("id"), "id").count() === 1L)
     // drop removes dataset AND registration in one call

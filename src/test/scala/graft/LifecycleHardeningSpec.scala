@@ -448,4 +448,147 @@ class LifecycleHardeningSpec extends SparkSpec {
     assert(Reader.readTable(spark, st, "race2").where(col("id") === 1L)
       .select("v").as[String].head() === winner)
   }
+
+  test("withCommitLock is reentrant per thread (nested acquire on one key)") {
+    val st = freshStore()
+    // pre-fix: the ReentrantLock re-entered fine but the second
+    // FileChannel.lock() on the same file threw OverlappingFileLockException
+    val r = st.withCommitLock("re/.commitlock") {
+      st.withCommitLock("re/.commitlock") { 42 }
+    }
+    assert(r === 42)
+    // and the lock still excludes after full release
+    var c = 0
+    val ts = (0 until 4).map(_ => new Thread(() =>
+      for (_ <- 0 until 200) st.withCommitLock("re/.commitlock") { c += 1 }))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(c === 800)
+  }
+
+  /** Simulated conditional-PUT store (the object-store CAS double): tags
+    * are per-key counters, [[putIfMatch]] is an atomic compare-and-write,
+    * and [[beforePut]] injects a CROSS-"PROCESS" interleave — the CAS path
+    * takes no JVM lock, so a commit run inside the hook is exactly a second
+    * driver racing the swap window itself. */
+  private class CasStorage(base: String)
+      extends Storage(base, spark.sparkContext.hadoopConfiguration) {
+    private val tags = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    private val seq = new java.util.concurrent.atomic.AtomicLong()
+    val casFailures = new java.util.concurrent.atomic.AtomicLong()
+    @transient @volatile var beforePut: String => Unit = _ => ()
+    private def freshTag(): String = "t" + seq.incrementAndGet()
+    override def conditionalPutSupported: Boolean = true
+    override def readTagged(key: String): (Array[Byte], String) = synchronized {
+      (readBytes(key), tags.computeIfAbsent(key, _ => freshTag()))
+    }
+    // unconditional writes (store()'s initial header, history records) must
+    // advance the tag too, or a CAS against a pre-write tag would falsely pass
+    override def writeBytes(key: String, content: Array[Byte]): Unit = synchronized {
+      super.writeBytes(key, content)
+      tags.put(key, freshTag())
+    }
+    override def putIfMatch(key: String, content: Array[Byte],
+                            expectedTag: Option[String]): Boolean = {
+      beforePut(key) // outside the monitor: the injected commit takes it itself
+      synchronized {
+        val cur =
+          if (exists(key)) Some(tags.computeIfAbsent(key, _ => freshTag()))
+          else None
+        if (cur != expectedTag) { casFailures.incrementAndGet(); false }
+        else { super.writeBytes(key, content); tags.put(key, freshTag()); true }
+      }
+    }
+  }
+
+  test("conditional-put store: committers racing the SWAP ITSELF — exactly one CAS wins") {
+    val cas = new CasStorage(tmpDir("casstore"))
+    Writer.store(spark, cas, "cds",
+      Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("id", "v", "p"),
+      WriteOpts(partitionOn = Seq("p")))
+
+    // (a) DISJOINT appends racing the swap: A reads its header tag, then —
+    // in A's read→put gap — B (a "second process": no shared JVM lock on
+    // the CAS path) commits fully. A's conditional put must FAIL its
+    // precondition, and the rebase loop re-derives A's commit; both land.
+    val aLabels = Writer.writeSinglePartition(spark, cas, "cds",
+      Seq((3L, "c", "p3")).toDF("id", "v", "p"), WriteOpts(partitionOn = Seq("p")))
+    val bLabels = Writer.writeSinglePartition(spark, cas, "cds",
+      Seq((4L, "d", "p4")).toDF("id", "v", "p"), WriteOpts(partitionOn = Seq("p")))
+    cas.beforePut = { _ =>
+      cas.beforePut = _ => () // one-shot: B's own swap must not recurse
+      Writer.commitDataset(spark, cas, "cds", bLabels, partitionOn = Seq("p"))
+    }
+    Writer.commitDataset(spark, cas, "cds", aLabels, partitionOn = Seq("p"))
+    assert(cas.casFailures.get() >= 1L,
+      "the interleave must actually fail A's conditional put")
+    assert(Reader.readTable(spark, cas, "cds").select("id").as[Long]
+      .collect().toSet === Set(1L, 2L, 3L, 4L), "a racing commit was dropped")
+    assert(Ops.currentVersion(cas, "cds") === 3L)
+
+    // (b) OVERLAPPING rewrites racing the swap: both replace partition p1
+    // from the same stale header; the CAS loser cannot rebase (its
+    // survivors derive from content the winner replaced) and must refuse.
+    val stale = DatasetMetadata.load(cas, "cds")
+    val victim = stale.partitions.find(_.contains("p=p1")).get
+    val xl = Writer.writeSinglePartition(spark, cas, "cds",
+      Seq((1L, "X", "p1")).toDF("id", "v", "p"), WriteOpts(partitionOn = Seq("p")))
+    val yl = Writer.writeSinglePartition(spark, cas, "cds",
+      Seq((1L, "Y", "p1")).toDF("id", "v", "p"), WriteOpts(partitionOn = Seq("p")))
+    cas.beforePut = { _ =>
+      cas.beforePut = _ => ()
+      Writer.commitDataset(spark, cas, "cds", yl, partitionOn = Seq("p"),
+        preloadedMeta = Some(stale), deleteLabels = Set(victim))
+    }
+    val e = intercept[Writer.ConcurrentCommitException] {
+      Writer.commitDataset(spark, cas, "cds", xl, partitionOn = Seq("p"),
+        preloadedMeta = Some(stale), deleteLabels = Set(victim))
+    }
+    assert(e.getMessage.contains("already replaced"), e.getMessage)
+    assert(Reader.readTable(spark, cas, "cds").where(col("id") === 1L)
+      .select("v").as[String].head() === "Y", "exactly one rewrite must win")
+
+    // (c) READ-MODIFY-WRITE metadata losing the CAS refuses (never rebases):
+    // the value was derived from the parent header's state
+    val stale2 = DatasetMetadata.load(cas, "cds")
+    val ml = Writer.writeSinglePartition(spark, cas, "cds",
+      Seq((5L, "m", "p5")).toDF("id", "v", "p"), WriteOpts(partitionOn = Seq("p")))
+    val nl = Writer.writeSinglePartition(spark, cas, "cds",
+      Seq((6L, "n", "p6")).toDF("id", "v", "p"), WriteOpts(partitionOn = Seq("p")))
+    cas.beforePut = { _ =>
+      cas.beforePut = _ => ()
+      Writer.commitDataset(spark, cas, "cds", nl, partitionOn = Seq("p"))
+    }
+    val e2 = intercept[Writer.ConcurrentCommitException] {
+      Writer.commitDataset(spark, cas, "cds", ml, partitionOn = Seq("p"),
+        metadata = Map("graft.mirror.cursor" -> "9"),
+        preloadedMeta = Some(stale2))
+    }
+    assert(e2.getMessage.contains("read-modify-write"), e2.getMessage)
+
+    // (d) N genuinely-concurrent committers through the CAS path (threads
+    // race the read-tag→put window with NO JVM lock serializing them):
+    // every append lands, versions stay monotone and contiguous.
+    val cas2 = new CasStorage(tmpDir("casstore2"))
+    Writer.store(spark, cas2, "cds2",
+      Seq((0L, "seed", "p0")).toDF("id", "v", "p"),
+      WriteOpts(partitionOn = Seq("p")))
+    val failures = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val committers = (1 to 6).map { i =>
+      new Thread(() =>
+        try {
+          val labels = Writer.writeSinglePartition(spark, cas2, "cds2",
+            Seq((i.toLong, s"t$i", s"p$i")).toDF("id", "v", "p"),
+            WriteOpts(partitionOn = Seq("p")))
+          Writer.commitDataset(spark, cas2, "cds2", labels,
+            partitionOn = Seq("p"))
+        } catch { case e: Throwable => failures.add(s"t$i: $e"); () })
+    }
+    committers.foreach(_.start()); committers.foreach(_.join())
+    assert(failures.isEmpty, s"committers failed: $failures")
+    assert(Reader.readTable(spark, cas2, "cds2").select("id").as[Long]
+      .collect().toSet === (0L to 6L).toSet)
+    assert(Ops.currentVersion(cas2, "cds2") === 7L)
+    assert(Ops.datasetHistory(spark, cas2, "cds2").select("version")
+      .as[Long].collect().sorted.toSeq === (1L to 7L))
+  }
 }
