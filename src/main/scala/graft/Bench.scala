@@ -50,6 +50,22 @@ object Bench {
       System.gc()
     }
     scrub() // the warmup pass accumulated state too
+    // THERMAL CANARY: one fixed cheap query timed immediately before and
+    // immediately after the suite. On this VM late-suite readings can run
+    // up to ~2x hot (documented in BASELINE.md), and a hot-box driver run
+    // has cost an investigation every round — canary_drift >~1.3 in the
+    // machine line marks the whole reading as thermal IN THE ARTIFACT.
+    def canarySec(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(org.apache.spark.sql.functions.sum("l_quantity"))
+        .queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    canarySec() // untimed: warm the canary's own plan (codegen, JIT)
+    val canaryBefore = canarySec()
+    scrub()
     val errors = scala.collection.mutable.ListBuffer[String]()
     val taskMetrics = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
@@ -78,9 +94,12 @@ object Bench {
     val tmJson = taskMetrics.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val canaryAfter = canarySec()
+    val canaryDrift =
+      if (canaryBefore > 0) canaryAfter / canaryBefore else 1.0
     val total = results.values.filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"taskMetrics":$tmJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","canary_drift":$canaryDrift,"canary_s":[$canaryBefore,$canaryAfter],"queries":$qs,"errors":$errJson,"taskMetrics":$tmJson,"sf":"$sfDir"}"""
     spark.stop()
     // FULL line first (humans, logs), COMPACT line LAST: the driver keeps
     // only the tail of stdout (observed 2000 chars in BENCH_r*.json, every
@@ -101,7 +120,7 @@ object Bench {
     // true counts; the complete map is in BENCH_LOCAL.json
     val errCapped = errors.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
     val head =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errCapped,"sf":"$sfDir","queries":{"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","canary_drift":${num(canaryDrift)},"n_queries":${results.size},"n_errors":${errors.size},"errors":$errCapped,"sf":"$sfDir","queries":{"""
     val sb = new StringBuilder(head)
     var first = true
     for (e <- slowest if sb.length + e.length + 3 <= budget) {

@@ -14,6 +14,15 @@ import graft.store.Storage
   */
 object Ops {
 
+  /** Task width for driver-launched metadata fan-outs (existence probes,
+    * byte copies, delete storms): at least 32 (right for local[32]),
+    * scaling with the cluster's `defaultParallelism` so a 100k-file
+    * replication window is not throttled to 32 copy streams on a
+    * 1000-executor deployment, capped at the item count. */
+  private[graft] def fanoutWidth(spark: SparkSession, nItems: Int): Int =
+    math.max(1, math.min(
+      math.max(32, spark.sparkContext.defaultParallelism), nItems))
+
   /** Reference `delete_dataset` (`io/eager.py:63-93`): indices first, then
     * data files, then schema, header LAST — the dataset stays readable until
     * it is fully gone. */
@@ -122,7 +131,7 @@ object Ops {
     val files = meta.partitions.map(meta.fileKey)
     val missing =
       if (files.size > 64)
-        spark.sparkContext.parallelize(files, math.min(32, files.size))
+        spark.sparkContext.parallelize(files, fanoutWidth(spark, files.size))
           .filter(k => !storage.exists(k)).collect().toSeq
       else files.filterNot(storage.exists)
     require(missing.isEmpty,
@@ -424,8 +433,10 @@ object Ops {
     * partition files are immutable and survive until [[garbageCollect]],
     * which is what makes this possible at all. A poll whose window reaches
     * behind a GC refuses LOUDLY (the tombstones are physically gone; the
-    * mirror must full-refresh) — run GC with a grace period covering the
-    * slowest consumer's poll interval. Labels both added AND deleted inside
+    * mirror must full-refresh) — run [[garbageCollect]] with
+    * `gcGraceVersions` above the slowest consumer's lag in commits, which
+    * spares the window's tombstones structurally. Labels both added AND
+    * deleted inside
     * the window (landed and rewritten between two polls) are skipped
     * entirely: the consumer never saw them, so neither side is owed. */
   def pollChangesWithDeletes(spark: SparkSession, storage: Storage,
@@ -456,7 +467,7 @@ object Ops {
     val gone =
       if (retracts.size > 64)
         spark.sparkContext.parallelize(retracts.map(meta.fileKey),
-            math.min(32, retracts.size))
+            fanoutWidth(spark, retracts.size))
           .filter(k => !storage.exists(k)).collect().toSeq
       else retracts.map(meta.fileKey).filterNot(storage.exists)
     require(gone.isEmpty,
@@ -464,8 +475,8 @@ object Ops {
         s"${gone.size} deleted partition file(s) (e.g. " +
         s"${gone.take(3).mkString(", ")}) were already garbage-collected — " +
         "the tombstone rows are gone; the mirror must rebaseline from a " +
-        "full read (and GC should keep a grace period covering the poll " +
-        "interval)")
+        "full read (structural fix: run garbageCollect with " +
+        "gcGraceVersions above the slowest consumer's lag in commits)")
     val cols = columns.getOrElse(schema.fieldNames.toSeq)
     require(!cols.contains(ChangeTypeCol),
       s"column name '$ChangeTypeCol' is reserved for the change-type tag")
@@ -584,6 +595,15 @@ object Ops {
       val schema = DatasetMetadata.loadSchema(storage, srcUuid, srcMeta.tableName)
       keyCols.foreach(c => require(schema.fieldNames.contains(c),
         s"mirror key column '$c' not in source schema"))
+      // refused HERE, not at the first incremental sync: the poll reserves
+      // this column name for its change tag, so a source carrying it would
+      // refuse EVERY window — and the catch below would mislabel that
+      // permanent refusal as rebaseline-fixable, degrading the mirror to a
+      // silent full copy per sync
+      require(!schema.fieldNames.contains(ChangeTypeCol),
+        s"source '$srcUuid' has a column named '$ChangeTypeCol', which the " +
+          "changelog reserves for its change-type tag — rename it; this " +
+          "source cannot be row-mirrored (replicateDataset still works)")
       val cursor = srcMeta.metadata.get(Writer.CommitVersionKey)
         .map(_.toLong).getOrElse(0L)
       val lineage = srcMeta.metadata.get(Writer.LineageKey)
@@ -620,7 +640,13 @@ object Ops {
       try pollChangesWithDeletesFrom(spark, storage, srcUuid, srcMeta, cursor,
         sinceLineage = storedLineage)
       catch {
-        case e: IllegalArgumentException =>
+        // only the refusals a rebaseline actually repairs (history gap /
+        // checkpoint / lineage reset / GC'd tombstones — they all name the
+        // full-read recovery); anything else propagates untouched rather
+        // than being mislabeled as rebaseline-fixable
+        case e: IllegalArgumentException if e.getMessage != null &&
+            (e.getMessage.contains("rebuild the baseline") ||
+              e.getMessage.contains("rebaseline")) =>
           throw new IllegalStateException(
             s"mirror '$dstUuid' cannot resolve source changes since cursor " +
               s"$cursor (${e.getMessage}) — re-run with rebaseline=true to " +
@@ -703,7 +729,7 @@ object Ops {
                        rebaseline: Boolean = false): DatasetMetadata = {
     def copyKeys(keys: Seq[String]): Unit =
       if (keys.size > 16)
-        spark.sparkContext.parallelize(keys, math.min(32, keys.size))
+        spark.sparkContext.parallelize(keys, fanoutWidth(spark, keys.size))
           .foreachPartition(_.foreach(k => src.copyKeyTo(k, dst)))
       else keys.foreach(k => src.copyKeyTo(k, dst))
     def commonKey(m: DatasetMetadata): String =
@@ -746,7 +772,9 @@ object Ops {
     val (newCursor, records) =
       try historyTail(src, uuid, srcMeta, cursor, storedLineage)
       catch {
-        case e: IllegalArgumentException =>
+        // same narrowing as syncMirror: wrap only rebaseline-fixable refusals
+        case e: IllegalArgumentException if e.getMessage != null &&
+            e.getMessage.contains("rebuild the baseline") =>
           throw new IllegalStateException(
             s"replica of '$uuid' cannot resolve source changes since cursor " +
               s"$cursor (${e.getMessage}) — re-run with rebaseline=true to " +
@@ -761,6 +789,43 @@ object Ops {
       partitionOn = dstMeta.partitionKeys,
       preloadedMeta = Some(dstMeta),
       deleteLabels = retracted.toSet)
+  }
+
+  /** Bring a [[replicateDataset]] replica to FEATURE parity with its
+    * source in one call. Secondary indices and bloom-sidecar registrations
+    * are deliberately NOT replicated (index files are generation-managed by
+    * the source's own commits; sidecars are separate datasets) — this
+    * rebuilds both ON the replica from the SOURCE header's declarations, so
+    * the user never reverse-engineers the source to recover them:
+    * the source's index columns rebuild as replica indices (one scan of the
+    * replica covers all of them — [[buildDatasetIndices]]), and each
+    * source-declared bloom sidecar is rebuilt in the DESTINATION store
+    * under the same uuid with the same pinned geometry (m, k, column,
+    * numBuckets) and registered on the replica. Idempotent: re-running
+    * re-commits the same indices and overwrites the sidecars. Run it after
+    * a baseline or whenever the source declares new indices; incremental
+    * replication windows maintain the replica's own indices afterwards
+    * (they ride [[graft.io.Writer.commitDataset]] like any commit). */
+  def rebuildReplicaIndices(spark: SparkSession, src: Storage, uuid: String,
+                            dst: Storage): DatasetMetadata = {
+    val srcMeta = DatasetMetadata.load(src, uuid)
+    val dstMeta = DatasetMetadata.load(dst, uuid)
+    require(dstMeta.metadata.get(MirrorSrcKey).contains(uuid),
+      s"destination dataset '$uuid' is not a replica of the source (no " +
+        "replica metadata) — rebuildReplicaIndices only serves " +
+        "replicateDataset destinations")
+    val cols = srcMeta.indexColumns.toSeq.sorted
+    if (cols.nonEmpty) buildDatasetIndices(spark, dst, uuid, cols)
+    Writer.sidecarsOf(srcMeta).foreach { bu =>
+      val (m, k, column, numBuckets, ds) =
+        graft.index.BloomIndex.params(src, bu)
+      // a misregistration (sidecar indexing some OTHER dataset) is skipped,
+      // never propagated into the destination store
+      if (ds == uuid)
+        graft.index.BloomIndex.build(spark, dst, bu, uuid, column,
+          m = m, k = k, numBuckets = numBuckets, overwrite = true)
+    }
+    DatasetMetadata.load(dst, uuid)
   }
 
   /** Shared tail resolution of the incremental-consumption faces: ONE
@@ -884,7 +949,17 @@ object Ops {
     * dynamic datasets (the two-phase staging pattern) are safe, since their
     * listing-reconstructed partition set references the uncommitted files. */
   def garbageCollect(spark: SparkSession, storage: Storage, uuid: String,
-                     stagingTtlMs: Long = 24L * 3600 * 1000): Seq[String] = {
+                     stagingTtlMs: Long = 24L * 3600 * 1000,
+                     // TOMBSTONE GRACE (GC ↔ incremental-consumer
+                     // coordination): files retracted within the last
+                     // `gcGraceVersions` commits are SPARED even though no
+                     // header references them — they are the tombstone rows
+                     // pollChangesWithDeletes / syncMirror consumers with a
+                     // lagging cursor still need. Size it above the slowest
+                     // consumer's worst-case lag in commits; a mirror's lag
+                     // is observable as headerVersion − its stored
+                     // graft.mirror.cursor. 0 = today's behavior.
+                     gcGraceVersions: Long = 0L): Seq[String] = {
     val meta = DatasetMetadata.load(storage, uuid)
     // SNAPSHOT-AWARE: a snapshot pins its header's files against GC — the
     // whole point of [[snapshotDataset]]'s O(metadata) claim. Both the
@@ -899,7 +974,23 @@ object Ops {
       snapMetas.flatMap(m => m.partitions.map(m.fileKey)) ++
       snapMetas.flatMap(_.indices.values.flatMap(k => storage.listKeys(k) :+ k)) +
       meta.schemaKey +
-      s"${meta.tablePrefix}/${DatasetMetadata.CommonMetadataFile}"
+      s"${meta.tablePrefix}/${DatasetMetadata.CommonMetadataFile}" ++
+      // tombstones under grace: labels the last `gcGraceVersions` commits
+      // retracted, resolved from the constructed-key history tail (O(grace)
+      // GETs). Best-effort by construction — missing or checkpointed
+      // records in the window contribute nothing (a consumer reaching that
+      // far back refuses into rebaseline anyway), so GC never refuses here.
+      (if (gcGraceVersions <= 0L) Set.empty[String]
+       else {
+         val headerVersion = meta.metadata.get(Writer.CommitVersionKey)
+           .map(_.toLong).getOrElse(0L)
+         val floor = math.max(0L, headerVersion - gcGraceVersions)
+         (floor + 1 to headerVersion).flatMap { v =>
+           try parseHistoryRecord(storage,
+             f"${historyPrefixOf(uuid)}v$v%012d.json").deleted.getOrElse(Nil)
+           catch { case _: Exception => Nil }
+         }.map(meta.fileKey).toSet
+       })
     val all = storage.listKeys(uuid)
     val now = System.currentTimeMillis()
     val stagingPrefix = s"$uuid/.staging/"
@@ -946,7 +1037,7 @@ object Ops {
     if (orphans.size > 64) {
       // Storage serializes its Hadoop conf, so executors keep the session's
       // spark.hadoop.* credentials/endpoints
-      spark.sparkContext.parallelize(orphans, math.min(32, orphans.size))
+      spark.sparkContext.parallelize(orphans, fanoutWidth(spark, orphans.size))
         .foreachPartition { it => it.foreach(storage.delete) }
     } else orphans.foreach(storage.delete)
     orphans.sorted
@@ -1436,7 +1527,7 @@ object Ops {
     val total =
       if (labels.isEmpty) 0L
       else spark.sparkContext
-        .parallelize(labels, math.max(1, math.min(32, labels.size)))
+        .parallelize(labels, fanoutWidth(spark, labels.size))
         .map(l => store.fileSize(s"$prefix/$l"))
         .sum().toLong
     val files = math.max(1L, math.ceil(total.toDouble / targetBytes).toLong)
@@ -1479,7 +1570,7 @@ object Ops {
     val labels = meta.partitions
     if (labels.size < 2) return meta
     val sized = spark.sparkContext
-      .parallelize(labels, math.max(1, math.min(32, labels.size)))
+      .parallelize(labels, fanoutWidth(spark, labels.size))
       .map(l => (l, store.fileSize(s"$prefix/$l")))
       .collect() // one (label, bytes) pair per partition — metadata-sized
     val small = sized.filter(_._2 < small0)
@@ -1518,7 +1609,7 @@ object Ops {
       if (labels.isEmpty) 0L
       else if (labels.size > 64)
         spark.sparkContext
-          .parallelize(labels, math.min(32, labels.size))
+          .parallelize(labels, fanoutWidth(spark, labels.size))
           .map(l => storage.fileSize(s"$prefix/$l")).sum().toLong
       else labels.map(l => storage.fileSize(s"$prefix/$l")).sum
     Seq((uuid, labels.size.toLong, bytes, meta.format,
@@ -1566,7 +1657,7 @@ object Ops {
     val keys: Seq[String] =
       meta.partitions.map(meta.fileKey) ++ indexKeys ++ schemaKeys
     if (keys.size > 64) {
-      spark.sparkContext.parallelize(keys, math.min(32, keys.size))
+      spark.sparkContext.parallelize(keys, fanoutWidth(spark, keys.size))
         .foreachPartition { it => it.foreach(k => src.copyKeyTo(k, tgt)) }
     } else keys.foreach(k => src.copyKeyTo(k, tgt))
     // headers VERBATIM and LAST, each flavor the source has (re-serializing
@@ -1737,7 +1828,10 @@ object Ops {
     * header/index metadata. Non-parquet formats get existence/size checks
     * only (their payloads have no footer to cross-examine). */
   def validateDataset(spark: SparkSession, storage: Storage, uuid: String,
-                      sampleIssues: Int = 10): DataFrame = {
+                      sampleIssues: Int = 10,
+                      // record count past which the history_retention
+                      // advisory row fires (warn, never fail)
+                      historyAdvisoryThreshold: Int = 10000): DataFrame = {
     val meta = DatasetMetadata.load(storage, uuid)
     val schema = DatasetMetadata.loadSchema(storage, uuid, meta.tableName)
     val prefix = meta.tablePrefix
@@ -1747,7 +1841,7 @@ object Ops {
     val fileIssues: Seq[(String, String)] =
       if (meta.partitions.isEmpty) Nil
       else spark.sparkContext
-        .parallelize(meta.partitions, math.max(1, math.min(32, meta.partitions.size)))
+        .parallelize(meta.partitions, fanoutWidth(spark, meta.partitions.size))
         .flatMap { label =>
           val key = s"$prefix/$label"
           try {
@@ -1815,25 +1909,47 @@ object Ops {
             "need a full-read baseline"))
         else Nil
       else {
-        val present = hVers.toSet
-        val missing = (hVers.min to headerVersion).filterNot(present)
+        // PAIRWISE gap scan over the sorted present versions (+ the header
+        // bound), bounded output — never materializing the full
+        // (min..header) numeric range (a 10M-commit never-compacted ingest
+        // would otherwise build a 10M-element range per fsck)
+        val below = hVers.filter(_ <= headerVersion)
+        val exCap = sampleIssues.max(1)
+        val examples = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var lastMissing = Long.MinValue
+        var nMissing = 0L
+        if (below.nonEmpty) {
+          val bounds = below :+ (headerVersion + 1)
+          var i = 0
+          while (i < bounds.length - 1) {
+            val lo = bounds(i) + 1
+            val hi = bounds(i + 1) - 1
+            if (hi >= lo) {
+              nMissing += hi - lo + 1
+              lastMissing = hi
+              var v = lo
+              while (v <= hi && examples.size < exCap) { examples += v; v += 1 }
+            }
+            i += 1
+          }
+        }
         val headerBehind =
           if (headerVersion < hVers.max)
             Seq("header" -> (s"version $headerVersion behind newest record " +
               s"v${hVers.max} — foreign header rewrite?"))
           else Nil
-        if (missing.isEmpty) headerBehind
+        if (nMissing == 0L) headerBehind
         else {
           // a gap is harmless when everything below the contiguous tail's
           // floor was COMPACTED (crash leftovers of compactHistory's
           // write-then-delete order) — one record read at the floor decides
-          val floor = missing.max + 1
+          val floor = lastMissing + 1
           val floorIsCheckpoint = floor <= headerVersion &&
             (try parseHistoryRecord(storage,
               f"${historyPrefixOf(uuid)}v$floor%012d.json").op == "checkpoint"
             catch { case _: Exception => false })
           if (floorIsCheckpoint) headerBehind
-          else missing.take(sampleIssues.max(1)).map(v =>
+          else examples.toSeq.map(v =>
             f"v$v%012d" -> "missing audit record (lost log write or partial compaction)") ++
             headerBehind
         }
@@ -1854,12 +1970,24 @@ object Ops {
           }
         } catch { case e: Exception => Seq(bu -> s"sidecar unreadable: ${e.getMessage}") })
       }
+    // retention ADVISORY (ok stays true — a warn, not a failure): nothing
+    // else warns when an unbounded `.history/` grows quietly under a caller
+    // that never opted into retention; name the faces that bound it
+    val retentionRow: Seq[(String, Boolean, Long, Seq[String])] =
+      if (hVers.size > historyAdvisoryThreshold)
+        Seq(("history_retention", true, hVers.size.toLong,
+          Seq(s"${hVers.size} audit records (> $historyAdvisoryThreshold) " +
+            "and unbounded — compactHistoryKeepLast (streaming sinks: " +
+            "historyKeepLast=) or compactHistory bounds the log; size the " +
+            "keep above the slowest incremental consumer's lag")))
+      else Nil
     val rows = Seq(
       row("files_readable_schema_ok", fileIssues, meta.partitions.size.toLong),
       row("labels_wellformed", malformed, meta.partitions.size.toLong),
       row("no_duplicate_labels", dupes, meta.partitions.size.toLong),
       row("history_contiguous", histIssues,
         math.max(hVers.size.toLong, headerVersion))) ++
+      retentionRow ++
       danglingByIndex.map { case (idx, issues) =>
         row(s"index_labels_valid:$idx", issues, known.size.toLong)
       } ++
@@ -2040,7 +2168,7 @@ object Ops {
     val base = storage.base
     val prefix = meta.tablePrefix
     val rows = spark.sparkContext
-      .parallelize(labels, math.max(1, math.min(32, labels.size)))
+      .parallelize(labels, fanoutWidth(spark, labels.size))
       .map { label =>
         val p = new org.apache.hadoop.fs.Path(s"$base/$prefix/$label")
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, storage.hadoopConf)

@@ -512,5 +512,95 @@ class SnapshotSpec extends SparkSpec {
     Ops.deleteDataset(st, "fsck2_bf")
     val (ok2, issues2) = check("sidecar_covered:fsck2_bf")
     assert(!ok2 && issues2.exists(_.contains("missing")), issues2.toString)
+    // unregister so later commits in this store don't trip the pre-swap guard
+    graft.index.BloomIndex.unregisterSidecar(spark, st, "fsck2", "fsck2_bf")
+    // retention ADVISORY: past the threshold a warn row (ok stays true)
+    // names the retention faces; below it the row is absent
+    assert(Ops.validateDataset(spark, st, "fsck2")
+      .where(col("check") === "history_retention").count() === 0L)
+    val adv = Ops.validateDataset(spark, st, "fsck2",
+        historyAdvisoryThreshold = 2)
+      .where(col("check") === "history_retention").collect()
+    assert(adv.length === 1 && adv.head.getAs[Boolean]("ok"),
+      "advisory must warn, never fail")
+    assert(adv.head.getAs[scala.collection.Seq[String]]("issues")
+      .exists(_.contains("compactHistoryKeepLast")))
+  }
+
+  test("GC tombstone grace: a lagging mirror's window survives gcGraceVersions") {
+    val st = Storage(spark, tmpDir("snap"))
+    Writer.store(spark, st, "gsrc", Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      WriteOpts(writeWidth = 1))
+    Ops.syncMirror(spark, st, "gsrc", "gmir", Seq("id"))
+    def mirrorRows() = Reader.readTable(spark, st, "gmir")
+      .as[(Long, String)].collect().toSet
+    def srcRows() = Reader.readTable(spark, st, "gsrc")
+      .as[(Long, String)].collect().toSet
+    // lag the mirror: a rewrite retracts the only partition's file
+    Ops.upsertDataset(spark, st, "gsrc",
+      Seq((1L, "a2")).toDF("id", "v"), Seq("id"))
+    // grace spares the retracted file even though no header references it —
+    // the mirror's pending window still resolves after the GC
+    Ops.garbageCollect(spark, st, "gsrc", stagingTtlMs = 0,
+      gcGraceVersions = 10L)
+    Ops.syncMirror(spark, st, "gsrc", "gmir", Seq("id"))
+    assert(mirrorRows() === srcRows())
+    // without grace the tombstones go: the refusal names BOTH recoveries
+    // (rebaseline for this mirror, gcGraceVersions as the structural fix)
+    Ops.upsertDataset(spark, st, "gsrc",
+      Seq((2L, "b2")).toDF("id", "v"), Seq("id"))
+    Ops.garbageCollect(spark, st, "gsrc", stagingTtlMs = 0)
+    val e = intercept[IllegalStateException] {
+      Ops.syncMirror(spark, st, "gsrc", "gmir", Seq("id"))
+    }
+    assert(e.getMessage.contains("rebaseline=true") &&
+      e.getMessage.contains("gcGraceVersions"), e.getMessage)
+    Ops.syncMirror(spark, st, "gsrc", "gmir", Seq("id"), rebaseline = true)
+    assert(mirrorRows() === srcRows())
+    // a source carrying the reserved change-tag column refuses at BASELINE
+    // (not at the first incremental sync, where the refusal would read as
+    // rebaseline-fixable and degrade the mirror to a full copy per sync)
+    Writer.store(spark, st, "badsrc",
+      Seq((1L, "x")).toDF("id", "_change_type"), WriteOpts())
+    val eb = intercept[IllegalArgumentException] {
+      Ops.syncMirror(spark, st, "badsrc", "badmir", Seq("id"))
+    }
+    assert(eb.getMessage.contains("_change_type"), eb.getMessage)
+    // fan-out widths scale with the cluster: floor 32, capped by item count
+    assert(Ops.fanoutWidth(spark, 10) === 10)
+    assert(Ops.fanoutWidth(spark, 100000) ===
+      math.max(32, spark.sparkContext.defaultParallelism))
+  }
+
+  test("rebuildReplicaIndices: replica reaches index parity with its source in one call") {
+    val src = Storage(spark, tmpDir("snap"))
+    val dst = Storage(spark, tmpDir("snap-replica2"))
+    Writer.store(spark, src, "rix",
+      (1L to 8L).map(i => (i, s"c${i % 3}", s"v$i")).toDF("id", "cat", "v"),
+      WriteOpts(writeWidth = 2, secondaryIndices = Seq("cat")))
+    graft.index.BloomIndex.build(spark, src, "rix_bf", "rix", "id",
+      m = 1L << 16, k = 6, numBuckets = 4)
+    Ops.replicateDataset(spark, src, "rix", dst)
+    // replication drops indices and sidecar registrations by design
+    assert(DatasetMetadata.load(dst, "rix").indexColumns.isEmpty)
+    assert(Writer.sidecarsOf(DatasetMetadata.load(dst, "rix")).isEmpty)
+    val after = Ops.rebuildReplicaIndices(spark, src, "rix", dst)
+    assert(after.indexColumns === Set("cat"))
+    assert(Writer.sidecarsOf(after) === Seq("rix_bf"))
+    // the rebuilt index serves a pruned read equal to the source's
+    import graft.dnf.{Literal, Op}
+    def prunedIds(store: Storage) = Reader.readTable(spark, store, "rix",
+        predicates = Some(Seq(Seq(Literal("cat", Op.Eq, "c1")))))
+      .select("id").as[Long].collect().toSet
+    assert(prunedIds(dst) === prunedIds(src))
+    // and the rebuilt sidecar probes the replica like the source's does
+    assert(graft.index.BloomIndex.lookupRows(spark, dst, "rix_bf",
+      Seq(Tuple1(5L)).toDF("id"), "id").select("v").as[String].head() === "v5")
+    // a non-replica destination refuses
+    Writer.store(spark, dst, "plain", Seq((1L, "x")).toDF("id", "v"), WriteOpts())
+    Writer.store(spark, src, "plain", Seq((1L, "x")).toDF("id", "v"), WriteOpts())
+    intercept[IllegalArgumentException] {
+      Ops.rebuildReplicaIndices(spark, src, "plain", dst)
+    }
   }
 }
