@@ -2677,11 +2677,13 @@ object SparkEntry {
         "n_chars", "doc_id", seqLen = 4096L, numShards = 8)),
 
     // whole-document best-fit-decreasing bin packing — the fewer-
-    // truncations layout next to u_pack_sequences' concat-and-cut. Rows-
-    // only (BFD is stateful, not SQL-expressible); BinPack tests pin a
-    // local reference equality, and the stats face beside it carries the
-    // packing invariants in its row values (fill <= capacity on every
-    // non-overflow bin, overflow bins singletons)
+    // truncations layout next to u_pack_sequences' concat-and-cut. BFD is
+    // stateful but DETERMINISTIC (weight-desc md5-tie-broken order, best
+    // fit = smallest remaining that fits, ties to the lowest bin index),
+    // so the oracle replays the exact fold as a DuckDB recursive CTE (one
+    // step per item per shard over an open-bins list state); BinPack
+    // tests additionally pin a local reference equality, and the stats
+    // face carries the packing invariants in its row values
     "u_bin_pack" -> ((s, dir) =>
       graft.ops.Chunking.packBinsBFD(
         rd(s, dir, "documents").select("doc_id", "n_chars"),
@@ -2919,16 +2921,22 @@ object SparkEntry {
     // unlike the bucket-pruning ANN faces above, the re-rank pipeline
     // holds its recall contract even with no cluster structure (the ADC
     // pass only needs the true top-k inside the top k*refine, a far
-    // weaker ask than bucket locality); guard at the same 0.9 bar via
-    // the BOUNDED-sample audit (the pqTopKIndexed discipline — never an
-    // O(corpus) exact shadow fused into the timed query; RecallSpec
-    // pins the full-shadow face). Rows-only: codebooks come from the
-    // driver-side sampled Lloyd.
+    // weaker ask than bucket locality). Exact-wide refine (the
+    // v_pq_indexed trick): k*refine >= n keeps every ADC candidate, so
+    // the re-rank IS brute-force top-k — hash-checkable against a plain
+    // SQL oracle while still training codebooks, encoding the corpus,
+    // and running the ADC cut + bounded audit (recall_vs_exact = 1.0 by
+    // construction). The production refine<n pruning behavior is pinned
+    // by RecallSpec at measured widths.
     "v_pq_topk" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
       val q = emb.where(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).map(_.toDouble).toSeq
-      Similarity.pqTopK(emb, "embedding", "vec_id", q, 20)
+      // construction-time count job, deliberate: exact-wide refine needs n
+      // (same accepted pattern as v_pq_indexed / v_ivfpq_indexed)
+      val n = emb.count()
+      Similarity.pqTopK(emb, "embedding", "vec_id", q, 20,
+        refine = math.max(1, math.ceil(n / 20.0).toInt))
     }),
 
     // the PERSISTED PQ face end to end: build trains+pins the codebooks in
@@ -3033,11 +3041,17 @@ object SparkEntry {
     "v_ivf_topk" -> ((s, dir) => {
       val emb = clusteredEmbeddings(s, dir)
       val q = queryVec(emb)
-      // RecallSpec's pinned configuration (16 lists, nprobe=4); see the
-      // v_knn_lsh comment for why the guard demands clustered input
+      // exact-wide nprobe (the v_ivf_indexed trick): probing every one of
+      // the 16 trained lists makes the probe exactly brute force over the
+      // clustered derivation — hash-checkable against a SQL oracle that
+      // reproduces the derivation (0.9*center + 0.3*original is plain
+      // IEEE double arithmetic) while still training the coarse quantizer,
+      // assigning the corpus, and evaluating the recall guard (1.0 by
+      // construction). The nprobe<k pruning behavior is pinned by
+      // RecallSpec at its measured (16 lists, nprobe=4) configuration.
       val cents = Similarity.kmeansCentroids(emb, "embedding", k = 16, iters = 3)
       Similarity.withRecallGuard(
-        Similarity.ivfTopK(emb, "embedding", "vec_id", q, 20, cents, nprobe = 4),
+        Similarity.ivfTopK(emb, "embedding", "vec_id", q, 20, cents, nprobe = 16),
         Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, 20),
         "vec_id", 20)
     }),
@@ -3771,6 +3785,66 @@ object SparkEntry {
        SELECT p.l_suppkey, min(coalesce(c.n, 0)) AS est
        FROM probes p LEFT JOIN cells c USING (row, bucket)
        GROUP BY 1"""
+
+  /** The shared recursive-CTE replay of [[graft.ops.Chunking.packBinsBFD]]
+    * (capacity 4096, 8 md5-derived shards) that the `u_bin_pack` and
+    * `u_bin_pack_stats` oracles both read their `final` relation from:
+    * per shard, one recursion step per item in BFD's deterministic order,
+    * folding an open-bin list (remaining, bin_idx) and the accumulated
+    * assignment exactly as the TreeMap fold does — ceiling lookup =
+    * min (remaining, bin) among fitting bins via list_sort, exactly-full
+    * bins dropped, overflow items own never-reopened bins. */
+  private val binPackCte =
+    """items AS (
+         SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+           md5('graft.bin:graft' || CAST(doc_id AS VARCHAR)) AS h,
+           CAST(concat('0x', substr(md5('graft.bin:graft' || CAST(doc_id AS VARCHAR)), 1, 13))
+             AS BIGINT) % 8 AS shard,
+           CAST(doc_id AS VARCHAR) AS ids
+         FROM documents
+         WHERE CAST(n_chars AS BIGINT) > 0 AND doc_id IS NOT NULL),
+       ranked AS (
+         SELECT *, row_number() OVER (PARTITION BY shard
+           ORDER BY w DESC, h ASC, ids ASC) AS rn
+         FROM items),
+       pack AS (
+         SELECT shard, CAST(0 AS BIGINT) AS step,
+           CAST([] AS STRUCT(rem BIGINT, bin BIGINT)[]) AS open,
+           CAST(0 AS BIGINT) AS nbins,
+           CAST([] AS STRUCT(id BIGINT, w BIGINT, bin BIGINT, pos BIGINT,
+             ovf BOOLEAN)[]) AS outl
+         FROM (SELECT DISTINCT shard FROM ranked)
+         UNION ALL
+         SELECT shard, step,
+           CASE WHEN ovf THEN open_rm
+                WHEN rem0 - w > 0 THEN
+                  list_append(open_rm, {'rem': rem0 - w, 'bin': binc})
+                ELSE open_rm END AS open,
+           CASE WHEN newbin THEN nbins + 1 ELSE nbins END AS nbins,
+           list_append(outl, {'id': id, 'w': w, 'bin': binc,
+             'pos': CAST(len(list_filter(outl, a -> a.bin = binc)) AS BIGINT),
+             'ovf': ovf}) AS outl
+         FROM (
+           SELECT shard, step, open, nbins, outl, id, w, ovf, newbin,
+             CASE WHEN newbin THEN nbins ELSE fits[1].bin END AS binc,
+             CASE WHEN newbin THEN CAST(4096 AS BIGINT)
+                  ELSE fits[1].rem END AS rem0,
+             CASE WHEN newbin THEN open
+                  ELSE list_filter(open, b -> b.bin != fits[1].bin)
+                  END AS open_rm
+           FROM (
+             SELECT p.shard, p.step + 1 AS step, p.open, p.nbins, p.outl,
+               r.doc_id AS id, r.w, r.w > 4096 AS ovf,
+               list_sort(list_filter(p.open, b -> b.rem >= r.w)) AS fits,
+               (r.w > 4096 OR
+                len(list_filter(p.open, b -> b.rem >= r.w)) = 0) AS newbin
+             FROM pack p
+             JOIN ranked r ON r.shard = p.shard AND r.rn = p.step + 1) t0) t1),
+       final AS (
+         SELECT shard, outl FROM (
+           SELECT shard, outl,
+             row_number() OVER (PARTITION BY shard ORDER BY step DESC) AS rk
+           FROM pack) WHERE rk = 1)"""
 
   /** DuckDB-dialect mirrors, honoring reference semantics. Division results
     * and roundtripped values are exact; multi-term double aggregations are
@@ -5384,6 +5458,28 @@ object SparkEntry {
              CAST(floor(cb / CAST(4096 AS DOUBLE)) AS BIGINT) AS seq_idx,
              CAST(cb % 4096 AS BIGINT) AS offset_in_seq
            FROM y""",
+      // BFD bin packing replayed EXACTLY as a recursive CTE: per shard,
+      // one recursion step per item in packBinsBFD's deterministic order
+      // (weight DESC, md5 ASC, id-string ASC), carrying the open-bin list
+      // as state; best fit = min (remaining, bin_idx) among bins that
+      // still fit, a new bin otherwise, weight > capacity an own
+      // never-reopened overflow bin, exactly-full bins dropped from the
+      // open list. Recursion depth = max items per shard — the oracle
+      // runs at sf0.01 where that is ~70 steps
+      "u_bin_pack" ->
+        s"""WITH RECURSIVE $binPackCte
+           SELECT u.id AS doc_id, u.w AS weight, f.shard, u.bin AS bin_idx,
+             u.pos AS pos_in_bin, u.ovf AS overflow
+           FROM final f, unnest(f.outl) AS t(u)""",
+      "u_bin_pack_stats" ->
+        s"""WITH RECURSIVE $binPackCte,
+           assign AS (
+             SELECT f.shard, u.w, u.bin, u.ovf
+             FROM final f, unnest(f.outl) AS t(u))
+           SELECT shard, bin AS bin_idx, count(*) AS n_items,
+             CAST(sum(w) AS BIGINT) AS fill, max(ovf) AS overflow,
+             round(CAST(sum(w) AS DOUBLE) / 4096, 6) AS utilization
+           FROM assign GROUP BY shard, bin""",
       "q_rollup" ->
         """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
              count(*) AS n
@@ -5797,6 +5893,46 @@ object SparkEntry {
                 sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))), 6) AS cosine
              FROM e, q)
            SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 20""",
+      // exact-wide refine keeps every ADC candidate, so the ad-hoc PQ face
+      // is brute force over the raw embeddings (the v_pq_indexed argument
+      // without the appended derivation); the bounded audit annotates a
+      // constant 1.0 recall_vs_exact at that width
+      "v_pq_topk" ->
+        """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+             FROM embeddings WHERE vec_id = 0),
+           e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+           scored AS (
+             SELECT vec_id, round(
+               list_sum(list_transform(range(1, 65), i -> v[i] * qv[i])) /
+               (sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))) *
+                sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))), 6) AS cosine
+             FROM e, q)
+           SELECT vec_id, cosine, CAST(1.0 AS DOUBLE) AS recall_vs_exact
+           FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 20""",
+      // nprobe = every trained list makes the ad-hoc IVF face brute force
+      // over the CLUSTERED derivation (0.9*center(vec_id%25) +
+      // 0.3*original — plain IEEE double arithmetic, reproduced here
+      // element-by-element in the same expression shape); the recall
+      // guard annotates a constant 1.0
+      "v_ivf_topk" ->
+        """WITH base AS (SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+           centers AS (SELECT vec_id AS g, v AS c FROM base WHERE vec_id < 25),
+           clustered AS (
+             SELECT b.vec_id,
+               list_transform(range(1, 65), i -> c[i] * 0.9 + v[i] * 0.3) AS v
+             FROM base b JOIN centers ON b.vec_id % 25 = centers.g),
+           q AS (SELECT v AS qv FROM clustered WHERE vec_id = 0),
+           scored AS (
+             SELECT vec_id, round(
+               list_sum(list_transform(range(1, 65), i -> v[i] * qv[i])) /
+               (sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))) *
+                sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))), 6) AS cosine
+             FROM clustered, q)
+           SELECT vec_id, cosine, CAST(1.0 AS DOUBLE) AS recall_vs_brute_force
+           FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 20""",
       "m_media_stats" ->
         """SELECT 'image' AS media_type, count(*) AS n,
              CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
