@@ -11,11 +11,20 @@ import org.apache.spark.sql.functions._
   * commit). A `point-indexed` variant registers a bloom sidecar ON THE
   * MIRROR over the key — syncMirror must auto-use it for touch discovery,
   * removing the mirror-side key scan (the sync's only mirror-sized term).
+  * `bucketed`: source AND mirror carry a key-bucketed (value x bucket)
+  * layout (64 buckets, header-pinned) — a point upsert then rewrites one
+  * source bucket file, the changelog window is bucket-sized, and the
+  * mirror merge rewrites one mirror bucket file, so point ≪ megabatch
+  * where the r13 coarse-hive reading had point == megabatch.
+  * `bucketed-indexed` adds the mirror bloom sidecar on top — with fine
+  * files, probe-style touch discovery prunes the mirror-side term too.
   * `runMain graft.MirrorBench [sfDir] [reps]`. A dev measurement tool. */
 object MirrorBench {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val reps = if (args.length > 1) args(1).toInt else 2
+    val modes = (if (args.length > 2) args(2).split(',').toSeq
+      else Seq("plain", "point-indexed", "bucketed", "bucketed-indexed"))
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
       "plateauspark-mirrorbench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -23,20 +32,29 @@ object MirrorBench {
     val tmp = java.nio.file.Files.createTempDirectory("mirbench").toString
     val st = graft.store.Storage(spark, tmp)
     val keys = Seq("o_orderkey")
-    for (mode <- Seq("plain", "point-indexed"); r <- 0 until reps) {
+    for (mode <- modes; r <- 0 until reps) {
+      val bucketed = mode.startsWith("bucketed")
       val src = s"mb_src_${mode}_$r"; val dst = s"mb_dst_${mode}_$r"
       graft.io.Writer.store(spark, st, src, o.where(expr("o_orderkey % 2 = 0")),
         graft.io.Writer.WriteOpts(partitionOn = Seq("o_orderstatus"),
+          numBuckets = if (bucketed) 64 else 0,
+          bucketBy = if (bucketed) keys else Nil,
           overwrite = true))
       val t0 = System.nanoTime()
-      graft.io.Ops.syncMirror(spark, st, src, dst, keys)
+      graft.io.Ops.syncMirror(spark, st, src, dst, keys,
+        graft.io.Writer.WriteOpts(
+          partitionOn = if (bucketed) Seq("o_orderstatus") else Nil,
+          numBuckets = if (bucketed) 64 else 0))
       println(f"MIRRORBENCH $mode baseline run$r ${(System.nanoTime() - t0) / 1e9}%.2f s ($sfDir)")
-      if (mode == "point-indexed")
+      if (mode.endsWith("indexed"))
         graft.index.BloomIndex.build(spark, st, s"${dst}_bf", dst,
           "o_orderkey", m = 1L << 22, k = 8, numBuckets = 16)
-      // point window: one key upserted at the source
+      // point window: ONE key upserted at the source (a %-family delta
+      // grows with sf and stops being a point — at sf1 it touched ~37
+      // bucket files and measured like a small megabatch)
       graft.io.Ops.upsertDataset(spark, st, src,
         o.where(expr("o_orderkey % 20011 = 0"))
+          .orderBy("o_orderkey").limit(1)
           .withColumn("o_orderpriority", lit("M1")), keys)
       val t1 = System.nanoTime()
       graft.io.Ops.syncMirror(spark, st, src, dst, keys)

@@ -442,9 +442,11 @@ object Ops {
   def pollChangesWithDeletes(spark: SparkSession, storage: Storage,
                              uuid: String, sinceVersion: Long,
                              columns: Option[Seq[String]] = None,
-                             sinceLineage: Option[String] = None): (Long, DataFrame) =
-    pollChangesWithDeletesFrom(spark, storage, uuid,
+                             sinceLineage: Option[String] = None): (Long, DataFrame) = {
+    val (cursor, delta, _) = pollChangesWithDeletesFrom(spark, storage, uuid,
       DatasetMetadata.load(storage, uuid), sinceVersion, columns, sinceLineage)
+    (cursor, delta)
+  }
 
   /** [[pollChangesWithDeletes]] against a CALLER-LOADED source header —
     * for consumers ([[syncMirror]]) that must pair the returned cursor
@@ -456,7 +458,7 @@ object Ops {
       spark: SparkSession, storage: Storage,
       uuid: String, meta: DatasetMetadata, sinceVersion: Long,
       columns: Option[Seq[String]] = None,
-      sinceLineage: Option[String] = None): (Long, DataFrame) = {
+      sinceLineage: Option[String] = None): (Long, DataFrame, Int) = {
     val schema = pollSchemaFor(storage, uuid, meta)
     val (cursor, records) =
       historyTail(storage, uuid, meta, sinceVersion, sinceLineage)
@@ -492,7 +494,9 @@ object Ops {
         org.apache.spark.sql.types.StructType(
           cols.map(schema(_)) :+ org.apache.spark.sql.types.StructField(
             ChangeTypeCol, org.apache.spark.sql.types.StringType, nullable = false))))
-    (cursor, out)
+    // third element: the window's FILE count (insert + retract labels) —
+    // the materialize-vs-lazy hint syncMirror's merge gates on
+    (cursor, out, inserts.size + retracts.size)
   }
 
   /** The change-type tag column of [[pollChangesWithDeletes]]. */
@@ -576,7 +580,12 @@ object Ops {
     * Scale: a sync moves O(changed partitions) bytes (the changelog reads
     * only landed/dropped files; the keyed merge rewrites only touched
     * mirror partitions) plus O(tail) metadata GETs — never a source scan,
-    * never a mirror scan. */
+    * never a mirror scan. The rewrite unit is the partition LABEL (one
+    * file), so the constant is set by file granularity: pass `numBuckets`
+    * at baseline (see the layout note in the body) to bucket the mirror by
+    * key and shrink a point window's rewrite from a hive partition to one
+    * bucket file — and bucket the SOURCE the same way, or the changelog
+    * window itself arrives partition-sized. */
   def syncMirror(spark: SparkSession, storage: Storage, srcUuid: String,
                  dstUuid: String, keyCols: Seq[String],
                  opts: Writer.WriteOpts = Writer.WriteOpts(),
@@ -584,6 +593,23 @@ object Ops {
     require(keyCols.nonEmpty,
       "syncMirror needs key columns — the changelog's deletions address " +
         "mirror rows by key")
+    // Mirror physical layout: pass `numBuckets` at BASELINE to give the
+    // mirror a fine (value x bucket) file granularity — the merge's rewrite
+    // unit is the partition label (one file), so a point window then
+    // rewrites one bucket file instead of a whole hive partition.
+    // `bucketBy` defaults to the MIRROR KEYS (not layout()'s all-payload
+    // default): key-hashed buckets keep every version of a key in the same
+    // bucket, so a point-key window touches exactly one file per value and
+    // a key-column bloom sidecar prunes to it. The creating store() PINS
+    // the layout in the mirror header (Writer.BucketsKey), every
+    // incremental merge re-applies it through the write choke point, and a
+    // later sync passing a conflicting layout refuses there — re-layout is
+    // rebaseline=true with the new opts. (The same pin on the SOURCE is
+    // what keeps a point changelog window bucket-sized end to end.)
+    val opts0 =
+      if (opts.numBuckets > 0 && opts.bucketBy.isEmpty)
+        opts.copy(bucketBy = keyCols)
+      else opts
     def mirrorMeta(cursor: Long, lineage: Option[String]): Map[String, String] =
       Map(MirrorSrcKey -> srcUuid, MirrorCursorKey -> cursor.toString) ++
         lineage.map(MirrorLineageKey -> _)
@@ -614,9 +640,9 @@ object Ops {
         else Writer.labeledData(spark, storage, srcUuid, schema,
             srcMeta.partitions, srcMeta.tableName)
           .select(schema.fieldNames.map(col).toSeq: _*)
-      Writer.store(spark, storage, dstUuid, rows, opts.copy(
+      Writer.store(spark, storage, dstUuid, rows, opts0.copy(
         overwrite = true,
-        metadata = opts.metadata ++ mirrorMeta(cursor, lineage)))
+        metadata = opts0.metadata ++ mirrorMeta(cursor, lineage)))
     }
     if (!DatasetMetadata.exists(storage, dstUuid) || rebaseline)
       return baseline()
@@ -636,7 +662,7 @@ object Ops {
     // the new dataset's lineage — permanently defeating the overwrite
     // detection for a pre-lineage source acquiring its uuid mid-window
     val srcMeta = DatasetMetadata.load(storage, srcUuid)
-    val (newCursor, delta) =
+    val (newCursor, delta, windowLabels) =
       try pollChangesWithDeletesFrom(spark, storage, srcUuid, srcMeta, cursor,
         sinceLineage = storedLineage)
       catch {
@@ -663,12 +689,26 @@ object Ops {
     // A window of metadata-only source commits (index builds, sidecar
     // registrations) advances the cursor with zero rows: store it without
     // the merge machinery (whose touch discovery would scan mirror keys)
-    if (delta.isEmpty)
+    //
+    // MANY-FILE windows are MATERIALIZED once (lazy local checkpoint,
+    // first action = the isEmpty probe below): the merge runs several jobs
+    // over the window — uniqueness check, touch discovery, the survivor
+    // rewrite — and each re-executes the poll's source read. On a fine
+    // BUCKETED layout that is hundreds of small files per job, and the
+    // per-file overhead dominated the sync (measured ~50 s -> ~8 s on the
+    // sf0.1 megabatch window over a 64-bucket source). On a COARSE layout
+    // the lazy re-reads are CHEAPER than the checkpoint: the repeated jobs
+    // are column-pruned to the key columns, while a checkpoint
+    // materializes and re-reads full-width rows (measured 2x slower on the
+    // 3-partition sf1 fixture). Gate on the window's file count.
+    val delta1 =
+      if (windowLabels > 64) delta.localCheckpoint(false) else delta
+    if (delta1.isEmpty)
       return Writer.update(spark, storage, dstUuid, None, opts =
-        opts.copy(metadata = opts.metadata ++ mirrorMeta(newCursor, lineage)),
+        opts0.copy(metadata = opts0.metadata ++ mirrorMeta(newCursor, lineage)),
         preloadedMeta = Some(dst))
-    val inserts = delta.where(col(ChangeTypeCol) === "insert").drop(ChangeTypeCol)
-    val deleteKeys = delta.where(col(ChangeTypeCol) === "delete")
+    val inserts = delta1.where(col(ChangeTypeCol) === "insert").drop(ChangeTypeCol)
+    val deleteKeys = delta1.where(col(ChangeTypeCol) === "delete")
       .select(keyCols.map(col): _*).distinct()
       // a key both deleted and re-inserted in the window is an upsert, not
       // a delete (mergeCdcBatch requires the two sides key-disjoint)
@@ -695,7 +735,7 @@ object Ops {
       if (keyCols.contains(c)) Some(bu) else None
     }.headOption
     mergeCdcBatch(spark, storage, dstUuid, inserts, deleteKeys, keyCols,
-      opts.copy(metadata = opts.metadata ++ mirrorMeta(newCursor, lineage)),
+      opts0.copy(metadata = opts0.metadata ++ mirrorMeta(newCursor, lineage)),
       bloomIndex = mirrorSidecar, preloadedMeta = Some(dst))
   }
 

@@ -252,8 +252,19 @@ object Writer {
     // the lineage uuid is FRESH — an overwrite is a new lineage, and
     // pollChanges consumers holding the old one must rebaseline loudly
     val lineage = newLineage()
+    // pin the bucketed layout in the header so every later write re-applies
+    // it (see BucketsKey); an empty bucketBy is resolved to the layout()
+    // default — all payload columns — EXPLICITLY, so later appends under an
+    // evolved schema hash the same columns the creating write did
+    val layoutMeta: Map[String, String] =
+      if (opts.numBuckets <= 0) Map.empty
+      else Map(BucketsKey -> opts.numBuckets.toString,
+        BucketByKey -> (if (opts.bucketBy.nonEmpty) opts.bucketBy
+          else schema.fieldNames.toSeq.filterNot(opts.partitionOn.contains))
+          .mkString(","))
     val meta = DatasetMetadata(uuid, labels, opts.partitionOn, indices,
-      opts.metadata + (CommitVersionKey -> "1") + (LineageKey -> lineage),
+      opts.metadata ++ layoutMeta +
+        (CommitVersionKey -> "1") + (LineageKey -> lineage),
       format = opts.format)
     storage.writeString(meta.headerKey, meta.toJson) // atomic visibility point
     graft.meta.DatasetFactory.bump(storage, uuid)
@@ -327,6 +338,11 @@ object Writer {
     hdr.foreach(h => require(opts.partitionOn == h.partitionKeys,
       s"Incompatible partition keys: dataset has ${h.partitionKeys}, " +
         s"write requested ${opts.partitionOn}"))
+    // a header-pinned bucket layout binds here — the choke point every
+    // append/merge/ingest writes through — so the (value x bucket) file
+    // granularity can never silently coarsen mid-lifecycle
+    val effOpts = hdr.map(h => applyPinnedLayout(h.metadata, opts, uuid))
+      .getOrElse(opts)
     val existingSchema =
       if (DatasetMetadata.schemaExists(storage, uuid, table))
         Some(DatasetMetadata.loadSchema(storage, uuid, table))
@@ -338,9 +354,9 @@ object Writer {
     val stagingKey = s"$uuid/.staging/${java.util.UUID.randomUUID().toString.take(12)}"
     val staged =
       try {
-        Serializer.write(layout(prepared, opts), s"${storage.base}/$stagingKey",
-          fmt, "errorifexists", opts.partitionOn, opts.chunkSize,
-          opts.bloomFilterColumns)
+        Serializer.write(layout(prepared, effOpts), s"${storage.base}/$stagingKey",
+          fmt, "errorifexists", effOpts.partitionOn, effOpts.chunkSize,
+          effOpts.bloomFilterColumns)
         storage.listKeys(stagingKey)
           .filter(DatasetMetadata.isDataFile)
           .map(_.stripPrefix(s"$stagingKey/"))
@@ -352,6 +368,25 @@ object Writer {
         try storage.delete(stagingKey) catch { case _: Exception => () }
         throw e
       }
+    // Spark's FileFormatWriter always emits a file for shuffle partition 0
+    // even when that partition holds no rows (the schema witness for
+    // all-empty writes) — on an APPEND that zero-row file would land as a
+    // dataset label that every later read opens, one junk file per
+    // merge/ingest forever. Drop zero-row staged parquet files (footer-only
+    // check, O(files in THIS write)); an all-empty batch keeps one file so
+    // the append still lands a label with today's semantics. Non-parquet
+    // formats keep every file (no footer to consult without a scan).
+    val kept =
+      if (fmt != "parquet" || staged.size <= 1) staged
+      else {
+        val nonEmpty = staged.filter { rel =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            storage.path(s"$stagingKey/$rel"), storage.hadoopConf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount > 0 finally r.close()
+        }
+        if (nonEmpty.isEmpty) staged.take(1) else nonEmpty
+      }
     // Move into the table ALL-OR-NOTHING as far as single-file renames allow:
     // a failure mid-loop rolls the already-moved files back into staging (so
     // a dynamic dataset never keeps a half-visible batch) and LEAVES the
@@ -359,7 +394,7 @@ object Writer {
     // abandoned-write TTL.
     val moved = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
-      staged.foreach { rel =>
+      kept.foreach { rel =>
         storage.rename(s"$stagingKey/$rel", s"$uuid/$table/$rel")
         moved += rel
       }
@@ -372,8 +407,9 @@ object Writer {
     }
     if (existingSchema.isEmpty)
       DatasetMetadata.writeSchema(storage, uuid, prepared.schema, table)
-    storage.delete(stagingKey) // success: only _SUCCESS + empty dirs remain
-    staged
+    storage.delete(stagingKey) // success: dropped zero-row files, _SUCCESS
+                               // and empty dirs all collect here
+    kept
   }
 
   /** Two-phase step 2 / the COMMIT (reference `commit_dataset`
@@ -416,6 +452,51 @@ object Writer {
   val LineageKey = "graft.commit.lineage"
 
   private def newLineage(): String = java.util.UUID.randomUUID().toString
+
+  /** Header metadata keys of a dataset's PINNED bucketed layout (X3/X4):
+    * written by [[store]] when the creating write bucket-shuffles, and
+    * re-applied by every later write through [[writeSinglePartition]] —
+    * plain [[update]] appends, streaming ingests, and the CDC merge
+    * rewrites — so the (value x bucket) file granularity survives the
+    * dataset's whole lifecycle. Without the pin, any append or merge that
+    * forgot `numBuckets` silently coarsened the rewritten files back to
+    * partition-sized — exactly the failure MirrorBench measured (a point
+    * CDC window then rewrites a whole hive partition instead of one
+    * bucket file, and a point changelog window on the SOURCE becomes
+    * partition-sized for every downstream consumer). A later write
+    * passing a CONFLICTING explicit layout refuses loudly; re-layout goes
+    * through store(overwrite=true) or convertDataset, never a silent
+    * drift mid-lifecycle. */
+  val BucketsKey = "graft.layout.buckets"
+  val BucketByKey = "graft.layout.bucketby"
+
+  private[graft] def pinnedLayout(
+      hdrMeta: Map[String, String]): Option[(Int, Seq[String])] =
+    hdrMeta.get(BucketsKey).map(n => (n.toInt,
+      hdrMeta.get(BucketByKey).toSeq
+        .flatMap(_.split(",", -1)).filter(_.nonEmpty)))
+
+  /** The effective WriteOpts for a write landing in an existing dataset:
+    * a header-pinned bucket layout is applied when the caller did not ask
+    * for one, and a conflicting explicit ask refuses. */
+  private[graft] def applyPinnedLayout(hdrMeta: Map[String, String],
+                                       opts: WriteOpts,
+                                       uuid: String): WriteOpts =
+    pinnedLayout(hdrMeta) match {
+      case None => opts
+      case Some((n, by)) =>
+        if (opts.numBuckets == 0) opts.copy(numBuckets = n, bucketBy = by)
+        else {
+          require(opts.numBuckets == n &&
+              (opts.bucketBy.isEmpty || opts.bucketBy == by),
+            s"dataset '$uuid' pins bucketed layout numBuckets=$n " +
+              s"bucketBy=(${by.mkString(", ")}) in its header; this write " +
+              s"requested numBuckets=${opts.numBuckets} " +
+              s"bucketBy=(${opts.bucketBy.mkString(", ")}) — layout changes " +
+              "go through store(overwrite=true) or convertDataset")
+          opts.copy(bucketBy = by)
+        }
+    }
 
   /** Header metadata key of the monotonic commit version — the
     * concurrent-committer guard's parent pointer. Every graft commit bumps

@@ -189,6 +189,35 @@ class DatasetSpec extends SparkSpec {
     assert(Reader.readTable(spark, store, "bucketed").count() === 6)
   }
 
+  test("bucket layout is pinned in the header and survives appends that never ask for it") {
+    import spark.implicits._
+    Writer.store(spark, store, "bucketpin", sampleDf,
+      WriteOpts(partitionOn = Seq("p"), numBuckets = 2, bucketBy = Seq("id"),
+        overwrite = true))
+    val m0 = DatasetMetadata.load(store, "bucketpin")
+    assert(m0.metadata(Writer.BucketsKey) === "2")
+    assert(m0.metadata(Writer.BucketByKey) === "id")
+    // a plain append with DEFAULT opts must re-apply the pinned layout:
+    // files per partition value stay bounded by the bucket count
+    Writer.update(spark, store, "bucketpin",
+      Some((101L to 120L).map(i => (i, "a", s"s$i", i.toDouble))
+        .toDF("id", "p", "s", "v")))
+    val m1 = DatasetMetadata.load(store, "bucketpin")
+    val appended = m1.partitions.toSet -- m0.partitions.toSet
+    assert(appended.nonEmpty)
+    assert(appended.groupBy(_.split("/")(0)).values.forall(_.size <= 2),
+      s"append coarsened the bucketed layout: $appended")
+    // the pin survives the commit's metadata merge
+    assert(m1.metadata(Writer.BucketsKey) === "2")
+    // a conflicting explicit layout refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      Writer.update(spark, store, "bucketpin",
+        Some(Seq((999L, "a", "sx", 1.0)).toDF("id", "p", "s", "v")),
+        opts = WriteOpts(numBuckets = 5))
+    }
+    assert(e.getMessage.contains("pins bucketed layout"), e.getMessage)
+  }
+
   test("sort_partitions_by produces sorted files") {
     Writer.store(spark, store, "sorted", sampleDf,
       WriteOpts(partitionOn = Seq("p"), sortBy = Seq("v"), overwrite = true))

@@ -402,6 +402,57 @@ class SnapshotSpec extends SparkSpec {
     assert(e2.getMessage.contains("not a mirror"), e2.getMessage)
   }
 
+  test("syncMirror: bucketed mirror layout — pinned at baseline, point window rewrites one bucket file") {
+    val st = Storage(spark, tmpDir("snap"))
+    // SOURCE and MIRROR bucketed by id with the SAME bucket count: files
+    // group bucket values by the same hash at the same write width, so the
+    // bucket values co-resident in one source file are exactly the bucket
+    // values of one mirror file — a point upsert's changelog window (one
+    // source bucket file) must then touch exactly ONE mirror bucket file
+    Writer.store(spark, st, "bsrc",
+      (1L to 64L).map(i => (i, s"v$i")).toDF("id", "v"),
+      WriteOpts(numBuckets = 16, bucketBy = Seq("id")))
+    Ops.syncMirror(spark, st, "bsrc", "bdst", Seq("id"),
+      WriteOpts(numBuckets = 16))
+    val d0 = DatasetMetadata.load(st, "bdst")
+    // layout pinned in the mirror header, bucketBy defaulted to the keys
+    assert(d0.metadata(Writer.BucketsKey) === "16")
+    assert(d0.metadata(Writer.BucketByKey) === "id")
+    assert(d0.partitions.size > 1, s"expected a finer-than-one-file " +
+      s"baseline, got ${d0.partitions}")
+    // point window: one key upserted at the source WITHOUT re-passing the
+    // layout — the source header pin must keep the rewritten file bucketed
+    Ops.upsertDataset(spark, st, "bsrc",
+      Seq((7L, "UP")).toDF("id", "v"), Seq("id"))
+    Ops.syncMirror(spark, st, "bsrc", "bdst", Seq("id"))
+    val d1 = DatasetMetadata.load(st, "bdst")
+    val removed = d0.partitions.toSet -- d1.partitions.toSet
+    val added = d1.partitions.toSet -- d0.partitions.toSet
+    assert(removed.size === 1 && added.size === 1,
+      s"a point window must rewrite one bucket file, not " +
+        s"${removed.size} removed / ${added.size} added")
+    // convergence, exactly
+    assert(Reader.readTable(spark, st, "bdst")
+        .as[(Long, String)].collect().toSet ===
+      Reader.readTable(spark, st, "bsrc")
+        .as[(Long, String)].collect().toSet)
+    // a later sync passing a CONFLICTING layout refuses at the write choke
+    // point; re-passing the pinned one is accepted
+    Ops.upsertDataset(spark, st, "bsrc",
+      Seq((8L, "UP2")).toDF("id", "v"), Seq("id"))
+    val e = intercept[IllegalArgumentException] {
+      Ops.syncMirror(spark, st, "bsrc", "bdst", Seq("id"),
+        WriteOpts(numBuckets = 8))
+    }
+    assert(e.getMessage.contains("pins bucketed layout"), e.getMessage)
+    Ops.syncMirror(spark, st, "bsrc", "bdst", Seq("id"),
+      WriteOpts(numBuckets = 16, bucketBy = Seq("id")))
+    assert(Reader.readTable(spark, st, "bdst")
+        .as[(Long, String)].collect().toSet ===
+      Reader.readTable(spark, st, "bsrc")
+        .as[(Long, String)].collect().toSet)
+  }
+
   test("replicateDataset: file-level cross-store replica — convergence, rollback netting, GC immunity, refusals") {
     val src = Storage(spark, tmpDir("snap"))
     val dst = Storage(spark, tmpDir("snap-replica"))
