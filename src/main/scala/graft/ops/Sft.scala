@@ -207,8 +207,16 @@ object Sft {
                            roleCol: String, contentCol: String,
                            learnRole: String, salt: String): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive (got $seqLen)")
+    // LAZY localCheckpoint: tm is consumed TWICE (the per-conversation
+    // token counts feeding the packer, and the span join) and its subtree
+    // is the whole render->encode->window pipeline — unshared, Spark
+    // recomputes it per consumer (measured r14: the t_sft_packed_tokens
+    // plan held 100 parquet scans / 29 exchanges with ZERO reuse; one
+    // checkpoint here + the tokenMasksWith brackets cut it to one
+    // tokenize pass). Lazy (no construction-time job), the ccnetGate
+    // discipline.
     val tm = tokenMasksWith(msgs, encode, convCol, turnCol, roleCol,
-      contentCol, learnRole)
+      contentCol, learnRole).localCheckpoint(false)
     val counts = tm.select(col(convCol), col("n_tokens")).distinct()
     val packed = Chunking.packSequences(counts, "n_tokens", convCol,
         seqLen, numShards, salt)
@@ -289,7 +297,12 @@ object Sft {
       .withColumn("n_tokens",
         sum(size(col("toks")).cast("long")).over(
           Window.partitionBy(convCol)))
-    // tokens with char intervals and flat indices
+    // tokens with char intervals and flat indices. LAZY localCheckpoint:
+    // `toks` feeds both the hit aggregation and the empty-span fallback
+    // join below, and its subtree carries the tokenizer encode of every
+    // conversation plus three window passes — without the bracket each
+    // consumer recomputes all of it (the r14 plan audit found the encode
+    // evaluated 4x across tokenMasks' consumers).
     val tWin = Window.partitionBy(col(convCol), col("w_idx")).orderBy("t_idx")
       .rowsBetween(Window.unboundedPreceding, -1)
     val toks = words
@@ -300,9 +313,12 @@ object Sft {
           .over(tWin), lit(0L)))
       .withColumn("t_end", col("t_start") + length(col("tok")))
       .withColumn("g_tok", col("t_base") + col("t_idx"))
-    // spans intersect tokens: [s,e) ∩ [ts,te) nonempty
+      .localCheckpoint(false)
+    // spans intersect tokens: [s,e) ∩ [ts,te) nonempty. Same bracket:
+    // `spans` is consumed by the hit join AND the miss fallback, and its
+    // subtree is the msgs union + a window cumsum.
     val spans = lossMaskSpans(msgs, convCol, turnCol, roleCol, contentCol,
-      learnRole)
+      learnRole).localCheckpoint(false)
     val hit = spans.join(toks, convCol)
       .where(col("t_start") < col("end") && col("t_end") > col("start"))
       .groupBy(col(convCol), col(turnCol), col(roleCol), col("learn"))
