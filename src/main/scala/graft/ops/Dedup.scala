@@ -420,9 +420,20 @@ object Dedup {
     // (~1e-9 at 10^5 distinct shingles), the same accepted trade as the
     // hot-shingle fingerprints below.
     if (!usePrefix) {
+      // LAZY localCheckpoint on the hashed inverted index: invN feeds the
+      // cold count-join (both self-join sides), and via `inv` the
+      // frequency aggregate, the hot fingerprints, and the hot-prefix
+      // generator — r7 measured brackets on sh/freq/counted a wash, but
+      // the r14 plan audit found the hybrid path had grown to 59 parquet
+      // scans / 114 exchanges with 2 reused: the shingle+hash subtree was
+      // re-run per consumer. Brackets at the narrowest multiply-read
+      // frames (invN here, freq below — 8-byte rows) re-measured
+      // 4.3-4.9 -> 3.6-4.2 s warm at sf0.1 with byte-equal output; a
+      // third bracket on `counted` re-measured WORSE (see below).
       val invN = sh.select(col("id"), size(col("sh")).as("n"),
         explode(col("sh")).as("s0"))
         .select(col("id"), col("n"), xxhash64(col("s0")).as("s"))
+        .localCheckpoint(false)
       if (dfCap == Int.MaxValue) {
         // cap disabled by the caller (corpus known hot-shingle-free)
         countJoin(invN)
@@ -449,9 +460,10 @@ object Dedup {
         // (64-bit hash collisions between two distinct hot shingles could
         // overcount one intersection — negligible over the handful of hot
         // shingles a real corpus has.)
-        val inv = sh.select(col("id"), explode(col("sh")).as("s0"))
-          .select(col("id"), xxhash64(col("s0")).as("s"))
+        // derived from the checkpointed invN (not a second explode of sh)
+        val inv = invN.select(col("id"), col("s"))
         val freq = inv.groupBy("s").agg(count(lit(1)).as("df"))
+          .localCheckpoint(false)
         // hot/docHot are built ONCE here and shared — hotDocs IS docHot's
         // key set, so the hot-prefix generator reuses the same subtree.
         // `s` is already the shingle's xxhash64, so the fingerprint values
@@ -465,6 +477,9 @@ object Dedup {
         // per pair), never carried through the exploded inverted index —
         // a doc with many hot shingles would otherwise ship its array once
         // per (id, shingle) row of the join shuffle
+        // NOT bracketed (re-measured r14, same verdict as r7): a barrier
+        // here materializes the cold self-join before either consumer and
+        // defeats AQE pipelining — 4.4 -> 6.4-7.9 s at sf0.1
         val counted = countJoin(
             invN.join(freq.where(col("df") <= dfCap).select("s"), "s"))
           .withColumnRenamed("inter", "inter_cold")
