@@ -1,0 +1,33 @@
+package graft
+
+/** Execute EVERY contract query once and print one plan-shape stats line
+  * each (scans / exchanges / reuse / broadcasts — the [[PlanProbe]]
+  * counters, post-AQE): `runMain graft.PlanSweep [sfDir]`. The r14
+  * optimization round's breadth audit: a query whose executed plan holds
+  * many parquet scans with near-zero reuse is recomputing a shared
+  * subtree per consumer (the t_sft_packed_tokens signature — 210 scans),
+  * and this sweep makes that a one-line grep across the whole surface
+  * instead of a per-query investigation. */
+object PlanSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+      "plateauspark-plansweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    for ((name, fn) <- SparkEntry.queries) {
+      try {
+        val df = fn(spark, sfDir)
+        df.queryExecution.toRdd.count()
+        val plan = df.queryExecution.executedPlan.toString
+        def n(p: String) = p.r.findAllIn(plan).length
+        println(s"PLANSWEEP $name scans=${n("Scan parquet|FileScan")} " +
+          s"exchanges=${n("Exchange (hashpartitioning|rangepartitioning|SinglePartition)")} " +
+          s"reused=${n("ReusedExchange")} broadcasts=${n("BroadcastExchange")} " +
+          s"rddscans=${n("Scan ExistingRDD")}")
+      } catch {
+        case e: Throwable => println(s"PLANSWEEP $name FAILED ${e.getClass.getSimpleName}")
+      }
+    }
+    spark.stop()
+  }
+}

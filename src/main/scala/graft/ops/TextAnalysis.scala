@@ -493,7 +493,18 @@ object TextAnalysis {
     // stands (the partial-agg shuffle ships distinct-bigram partials,
     // not the corpus).
     val big = bigramPairs(df, textCol, idCol)
+    // the model table is consumed THREE times (scoring join, predecessor
+    // totals, vocabulary scalar) and each consumer otherwise re-runs the
+    // corpus explode + (w1,w2) shuffle above it (r14 plan audit: 8
+    // parquet scans -> 2 with the bracket). LAZY bracket: `counts` is
+    // vocab-sized (Heaps'-law sublinear), so materializing it is
+    // metadata-cheap at any corpus scale while the explode it saves is
+    // corpus-sized. Wall-neutral at sf0.1 (stage latency dominates a 5k
+    // corpus) — the win is the two saved corpus passes at scale. `big`
+    // stays unbracketed: recomputing a narrow scan-side explode is
+    // cheaper than materializing the corpus-sized pair table.
     val counts = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(false)
     val pred = counts.groupBy("w1").agg(sum(col("c12")).as("c1"))
     val vocab = counts.agg(countDistinct(col("w2")).cast("double").as("__v"))
     big.join(counts, Seq("w1", "w2"))
@@ -550,8 +561,10 @@ object TextAnalysis {
                            textCol: String, idCol: String,
                            alpha: Double = 0.5): DataFrame = {
     require(alpha > 0, s"alpha must be > 0 (got $alpha)")
+    // vocab-sized model table, three consumers — the bigramLogProb bracket
     val counts = bigramPairs(train, textCol, idCol)
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(false)
     val pred = counts.groupBy("w1").agg(sum(col("c12")).as("c1"))
     val vocab = counts.agg(countDistinct(col("w2")).cast("double").as("__v"))
     bigramPairs(score, textCol, idCol)
@@ -601,8 +614,11 @@ object TextAnalysis {
     require(discount > 0 && discount < 1,
       s"discount must be in (0,1) (got $discount)")
     require(alpha > 0, s"alpha must be > 0 (got $alpha)")
+    // vocab-sized model table, FOUR consumers here (scoring join,
+    // predecessor, continuation, totals) — the bigramLogProb bracket
     val counts = bigramPairs(train, textCol, idCol)
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(false)
     val pred = counts.groupBy("w1")
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
     val cont = counts.groupBy("w2").agg(count(lit(1)).as("n1p"))
