@@ -811,4 +811,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(tok === java.security.MessageDigest.getInstance("SHA-256")
       .digest("s1:1".getBytes("UTF-8")).map("%02x".format(_)).mkString)
   }
+
+  test("r14 shared-subtree brackets hold: no recompute nests in the executed plans") {
+    // The r14 optimization round found multiply-consumed subtrees being
+    // recomputed per consumer (t_sft_packed_tokens executed with 210
+    // parquet scans; t_bigram_kn with 16 — one full corpus explode per
+    // model-table reader). The fix is lazy localCheckpoint brackets at
+    // the narrow multiply-read frames; this pins the EXECUTED plan shape
+    // so a refactor that drops a bracket (or breaks its sharing) fails
+    // here instead of silently re-inflating the pass count.
+    def scans(name: String): Int = {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.queryExecution.toRdd.count() // materialize: post-AQE, post-checkpoint
+      "Scan parquet".r.findAllIn(df.queryExecution.executedPlan.toString).size
+    }
+    // all consumers read the checkpointed tokenize pipeline — the final
+    // segment re-reads NO parquet (was 210 scans)
+    assert(scans("t_sft_packed_tokens") === 0)
+    // one scored-side explode survives; the model table's 3 (logprob) / 4
+    // (kn) consumers share one materialization (was 12 / 16 scans)
+    assert(scans("t_bigram_logprob") <= 3)
+    assert(scans("t_bigram_kn") <= 3)
+    // curate's gated frame is shared by the pair generator and the
+    // survivor anti-join (was 2 full pipeline runs)
+    assert(scans("d_curate") === 0)
+  }
 }
