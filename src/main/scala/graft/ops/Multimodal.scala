@@ -2,8 +2,7 @@ package graft.ops
 
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
-import javax.imageio.ImageIO
-import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream}
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
@@ -145,7 +144,7 @@ object Multimodal {
           try {
             val bytes = r.getAs[Array[Byte]](1)
             if (bytes == null) null
-            else ImageIO.read(new ByteArrayInputStream(bytes))
+            else MediaJdk.readImage(new ByteArrayInputStream(bytes))
           } catch {
             // NonFatal, not just IOException: JDK readers throw
             // RuntimeExceptions on malformed headers (BMP "not
@@ -205,7 +204,7 @@ object Multimodal {
           try {
             val bytes = r.getAs[Array[Byte]](1)
             if (bytes == null) null
-            else ImageIO.read(new ByteArrayInputStream(bytes))
+            else MediaJdk.readImage(new ByteArrayInputStream(bytes))
           } catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) Row(r.get(0), null)
         else {
@@ -244,7 +243,7 @@ object Multimodal {
             y += 1
           }
           val bos = new ByteArrayOutputStream()
-          ImageIO.write(out, "png", bos)
+          MediaJdk.writeImage(out, "png", bos)
           Row(r.get(0), bos.toByteArray)
         }
       }
@@ -359,7 +358,7 @@ object Multimodal {
         var y = 0
         while (y < h) { raster.setPixels(0, y, w, 1, line); y += 1 }
         val out = new ByteArrayOutputStream()
-        ImageIO.write(img, "png", out)
+        MediaJdk.writeImage(img, "png", out)
         Row(id, out.toByteArray)
       }
     }
@@ -410,7 +409,7 @@ object Multimodal {
           try {
             val bytes = r.getAs[Array[Byte]](1)
             if (bytes == null) null
-            else ImageIO.read(new ByteArrayInputStream(bytes))
+            else MediaJdk.readImage(new ByteArrayInputStream(bytes))
           } catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) Row(r.get(0), null, null, null)
         else {
@@ -496,7 +495,7 @@ object Multimodal {
           y += 1
         }
         val out = new ByteArrayOutputStream()
-        ImageIO.write(img, "png", out)
+        MediaJdk.writeImage(img, "png", out)
         Row(id, out.toByteArray)
       }
     }
@@ -539,8 +538,7 @@ object Multimodal {
           val bytes = r.getAs[Array[Byte]](1)
           if (bytes == null) Row(r.get(0), null, null, null, null, null)
           else {
-            val ais0 = AudioSystem.getAudioInputStream(
-              new ByteArrayInputStream(bytes))
+            val ais0 = MediaJdk.audioInput(new ByteArrayInputStream(bytes))
             try {
               val f0 = ais0.getFormat
               val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
@@ -548,7 +546,7 @@ object Multimodal {
                 f0.getSampleRate, false)
               val ais =
                 if (f0.matches(target)) ais0
-                else AudioSystem.getAudioInputStream(target, ais0)
+                else MediaJdk.convertAudio(target, ais0)
               val data = ais.readAllBytes()
               val n = data.length / 2
               var ssum = 0L
@@ -620,8 +618,7 @@ object Multimodal {
             val bytes = r.getAs[Array[Byte]](1)
             if (bytes == null) null
             else {
-              val ais0 = AudioSystem.getAudioInputStream(
-                new ByteArrayInputStream(bytes))
+              val ais0 = MediaJdk.audioInput(new ByteArrayInputStream(bytes))
               try {
                 val f0 = ais0.getFormat
                 val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
@@ -629,7 +626,7 @@ object Multimodal {
                   f0.getSampleRate, false)
                 val ais =
                   if (f0.matches(target)) ais0
-                  else AudioSystem.getAudioInputStream(target, ais0)
+                  else MediaJdk.convertAudio(target, ais0)
                 ais.readAllBytes()
               } finally ais0.close()
             }
@@ -756,7 +753,7 @@ object Multimodal {
       case _ => AudioFileFormat.Type.AU
     }
     val out = new ByteArrayOutputStream()
-    AudioSystem.write(ais, typ, out)
+    MediaJdk.writeAudio(ais, typ, out)
     out.toByteArray
   }
 
@@ -796,7 +793,7 @@ object Multimodal {
         val ais = new AudioInputStream(
           new ByteArrayInputStream(pcm), fmt, frames.toLong)
         val out = new ByteArrayOutputStream()
-        AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+        MediaJdk.writeAudio(ais, AudioFileFormat.Type.WAVE, out)
         Row(id, out.toByteArray)
       }
     }
@@ -974,7 +971,7 @@ object Multimodal {
           } catch { case scala.util.control.NonFatal(_) => Nil }
         frames.zipWithIndex.flatMap { case (chunk, idx) =>
           val img =
-            try ImageIO.read(new ByteArrayInputStream(chunk))
+            try MediaJdk.readImage(new ByteArrayInputStream(chunk))
             catch { case scala.util.control.NonFatal(_) => null }
           if (img == null) Nil
           else {
@@ -1079,7 +1076,7 @@ object Multimodal {
           } catch { case scala.util.control.NonFatal(_) => Nil }
         frames.zipWithIndex.flatMap { case (chunk, idx) =>
           val img =
-            try ImageIO.read(new ByteArrayInputStream(chunk))
+            try MediaJdk.readImage(new ByteArrayInputStream(chunk))
             catch { case scala.util.control.NonFatal(_) => null }
           if (img == null) Nil
           else {
@@ -1146,7 +1143,7 @@ object Multimodal {
       var y = 0
       while (y < h) { raster.setPixels(0, y, w, 1, line); y += 1 }
       val out = new ByteArrayOutputStream()
-      ImageIO.write(img, "jpg", out)
+      MediaJdk.writeImage(img, "jpg", out)
       out.toByteArray
     }
     wrapAviFrames(w, h, jpegs)
@@ -1203,7 +1200,7 @@ object Multimodal {
       var y = 0
       while (y < h) { raster.setPixels(0, y, w, 1, line); y += 1 }
       val out = new ByteArrayOutputStream()
-      ImageIO.write(img, "jpg", out)
+      MediaJdk.writeImage(img, "jpg", out)
       out.toByteArray
     }
     wrapAviFrames(w, h, jpegs)
