@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** The shared-subtree materialization bracket behind the r14/r15
+  * optimization rounds' corpus-sized checkpoint sites (Sft's tokenize
+  * pipeline, Curate's gated survivor frame, Dedup's hashed inverted
+  * index): a multiply-consumed frame is materialized once instead of
+  * recomputed per consumer.
+  *
+  * The default is `localCheckpoint(lazy)` — no construction-time job,
+  * blocks on executor-local storage, lineage truncated. That is the right
+  * local/bench trade, but on a real cluster LOSING ONE EXECUTOR makes a
+  * local checkpoint unrecoverable (no lineage to recompute from) and
+  * fails the job, and it pins corpus-scale bytes on executor disk —
+  * acceptable for vocab-sized model tables, a real availability trade for
+  * corpus-sized frames. `spark.graft.bracket.mode` picks the trade
+  * explicitly (session conf, read at bracket time):
+  *
+  *  - `local` (default): lazy `localCheckpoint(false)` — fastest, blocks
+  *    unrecoverable on executor loss.
+  *  - `persist`: lazy `persist(MEMORY_AND_DISK)` — keeps lineage, so a
+  *    lost block recomputes instead of failing the job; the blocks
+  *    themselves are still executor-local. The safe default for long
+  *    multi-hour cluster jobs without a checkpoint filesystem.
+  *  - `reliable`: lazy `checkpoint(false)` to the REAL checkpoint
+  *    directory (`spark.graft.bracket.dir`, or a previously set
+  *    `SparkContext.setCheckpointDir`) — survives executor loss outright;
+  *    costs a write+read of the frame through the checkpoint filesystem.
+  *  - `off`: no bracket — consumers recompute the subtree (plan-shape
+  *    debugging, or engines where AQE reuse is known to cover it).
+  *
+  * All four modes are semantically identical (the bracket never changes
+  * values, only where the shared frame lives); BracketsSpec pins that. */
+private[ops] object Brackets {
+
+  def bracket(df: DataFrame): DataFrame = {
+    val conf = df.sparkSession.conf
+    conf.getOption("spark.graft.bracket.mode").getOrElse("local") match {
+      case "local" => df.localCheckpoint(false)
+      case "persist" => df.persist(StorageLevel.MEMORY_AND_DISK)
+      case "reliable" =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) {
+          val dir = conf.getOption("spark.graft.bracket.dir").getOrElse(
+            throw new IllegalArgumentException(
+              "spark.graft.bracket.mode=reliable needs a checkpoint " +
+                "directory: set spark.graft.bracket.dir or call " +
+                "SparkContext.setCheckpointDir"))
+          sc.setCheckpointDir(dir)
+        }
+        df.checkpoint(false)
+      case "off" => df
+      case other => throw new IllegalArgumentException(
+        s"unknown spark.graft.bracket.mode '$other' " +
+          "(local | persist | reliable | off)")
+    }
+  }
+}

@@ -214,9 +214,10 @@ object Curate {
     // exact-dedup shuffle — runs once per consumer. LAZY localCheckpoint
     // (r14, measured: d_curate 5.7-8.0 -> 3.6-5.1 s warm at sf0.1;
     // byte-equal output): one corpus pass + one exact-dedup exchange,
-    // then both consumers read the materialized survivors.
+    // then both consumers read the materialized survivors. Corpus-sized,
+    // so the bracket mode is config-gated ([[Brackets]]).
     val deduped = if (cfg.nearDupThreshold > 0) {
-      val shared = ccGated.localCheckpoint(false)
+      val shared = Brackets.bracket(ccGated)
       val pairs = Dedup.minhashNearDups(shared, textCol, idCol,
         numHashes = cfg.minhashHashes, bands = cfg.minhashBands,
         shingleN = cfg.shingleN, threshold = cfg.nearDupThreshold,

@@ -430,10 +430,12 @@ object Dedup {
       // frames (invN here, freq below — 8-byte rows) re-measured
       // 4.3-4.9 -> 3.6-4.2 s warm at sf0.1 with byte-equal output; a
       // third bracket on `counted` re-measured WORSE (see below).
-      val invN = sh.select(col("id"), size(col("sh")).as("n"),
-        explode(col("sh")).as("s0"))
-        .select(col("id"), col("n"), xxhash64(col("s0")).as("s"))
-        .localCheckpoint(false)
+      // corpus-sized (one 24-byte row per doc-shingle), so the bracket
+      // mode is config-gated ([[Brackets]])
+      val invN = Brackets.bracket(
+        sh.select(col("id"), size(col("sh")).as("n"),
+            explode(col("sh")).as("s0"))
+          .select(col("id"), col("n"), xxhash64(col("s0")).as("s")))
       if (dfCap == Int.MaxValue) {
         // cap disabled by the caller (corpus known hot-shingle-free)
         countJoin(invN)

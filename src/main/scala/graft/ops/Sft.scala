@@ -214,9 +214,11 @@ object Sft {
     // plan held 100 parquet scans / 29 exchanges with ZERO reuse; one
     // checkpoint here + the tokenMasksWith brackets cut it to one
     // tokenize pass). Lazy (no construction-time job), the ccnetGate
-    // discipline.
-    val tm = tokenMasksWith(msgs, encode, convCol, turnCol, roleCol,
-      contentCol, learnRole).localCheckpoint(false)
+    // discipline; corpus-sized, so the bracket MODE is config-gated
+    // ([[Brackets]] — cluster jobs can trade speed for executor-loss
+    // recoverability).
+    val tm = Brackets.bracket(tokenMasksWith(msgs, encode, convCol, turnCol,
+      roleCol, contentCol, learnRole))
     val counts = tm.select(col(convCol), col("n_tokens")).distinct()
     val packed = Chunking.packSequences(counts, "n_tokens", convCol,
         seqLen, numShards, salt)
@@ -305,20 +307,19 @@ object Sft {
     // evaluated 4x across tokenMasks' consumers).
     val tWin = Window.partitionBy(col(convCol), col("w_idx")).orderBy("t_idx")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val toks = words
+    val toks = Brackets.bracket(words
       .select(col(convCol), col("w_idx"), col("w_start"), col("t_base"),
         col("n_tokens"), posexplode(col("toks")).as(Seq("t_idx", "tok")))
       .withColumn("t_start",
         col("w_start") + coalesce(sum(length(col("tok")).cast("long"))
           .over(tWin), lit(0L)))
       .withColumn("t_end", col("t_start") + length(col("tok")))
-      .withColumn("g_tok", col("t_base") + col("t_idx"))
-      .localCheckpoint(false)
+      .withColumn("g_tok", col("t_base") + col("t_idx")))
     // spans intersect tokens: [s,e) ∩ [ts,te) nonempty. Same bracket:
     // `spans` is consumed by the hit join AND the miss fallback, and its
     // subtree is the msgs union + a window cumsum.
-    val spans = lossMaskSpans(msgs, convCol, turnCol, roleCol, contentCol,
-      learnRole).localCheckpoint(false)
+    val spans = Brackets.bracket(lossMaskSpans(msgs, convCol, turnCol,
+      roleCol, contentCol, learnRole))
     val hit = spans.join(toks, convCol)
       .where(col("t_start") < col("end") && col("t_end") > col("start"))
       .groupBy(col(convCol), col(turnCol), col(roleCol), col("learn"))

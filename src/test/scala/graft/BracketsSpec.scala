@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The config-gated materialization bracket ([[graft.ops.Brackets]]): all
+  * modes must be semantically invisible — same rows from the bracketed
+  * operators — and the default must stay the r14 lazy localCheckpoint
+  * (executed-plan shape pinned separately in PlanQualitySpec). */
+class BracketsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def msgs = Seq(
+    (1L, 0L, "user", "hello there"),
+    (1L, 1L, "assistant", "hi how are you"),
+    (2L, 0L, "user", "compute the sum"),
+    (2L, 1L, "assistant", "it is four"),
+    (2L, 2L, "user", "thanks")
+  ).toDF("conv_id", "turn", "role", "content")
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "entirely different text with many unusual words inside"),
+    (4L, "the quick brown fox jumps over the lazy dog")
+  ).toDF("doc_id", "text")
+
+  private def withMode[T](mode: String)(f: => T): T = {
+    spark.conf.set("spark.graft.bracket.mode", mode)
+    try f finally spark.conf.unset("spark.graft.bracket.mode")
+  }
+
+  private def sorted(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("reliable mode without a dir fails loudly") {
+    // registered FIRST: the with-dir test below sets the context-wide
+    // checkpoint dir, which would make this path untestable afterwards
+    assume(spark.sparkContext.getCheckpointDir.isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      withMode("reliable") {
+        graft.ops.Sft.tokenMasks(msgs, Seq(graft.ops.Bpe.Merge(0, "h", "e", 2L))).collect()
+      }
+    }
+    assert(e.getMessage.contains("spark.graft.bracket.dir"))
+  }
+
+  test("all bracket modes produce identical rows on the bracketed operators") {
+    def tok = graft.ops.Sft.tokenMasks(msgs, Seq(graft.ops.Bpe.Merge(0, "h", "e", 2L), graft.ops.Bpe.Merge(1, "t", "h", 2L)))
+    def ngram = graft.ops.Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      shingleN = 3, threshold = 0.5)
+    val refTok = withMode("off")(sorted(tok))
+    val refNgram = withMode("off")(sorted(ngram))
+    for (mode <- Seq("local", "persist")) {
+      assert(withMode(mode)(sorted(tok)) === refTok, s"mode=$mode")
+      assert(withMode(mode)(sorted(ngram)) === refNgram, s"mode=$mode")
+    }
+    val dir = tmpDir("brackets-reliable")
+    spark.conf.set("spark.graft.bracket.dir", dir)
+    try {
+      assert(withMode("reliable")(sorted(tok)) === refTok, "mode=reliable")
+      // the reliable checkpoint actually landed in the configured dir
+      assert(new java.io.File(dir).listFiles().nonEmpty)
+    } finally spark.conf.unset("spark.graft.bracket.dir")
+  }
+
+  test("default mode is the r14 local checkpoint: consumers read the materialized RDD") {
+    val df = graft.ops.Sft.tokenMasks(msgs, Seq(graft.ops.Bpe.Merge(0, "h", "e", 2L)))
+    df.queryExecution.toRdd.count()
+    // executing it reads the checkpointed RDD (ExistingRDD scan), not a
+    // re-derived subtree — the plan shape PlanQualitySpec pins suite-wide
+    assert(df.queryExecution.executedPlan.toString.contains("Scan ExistingRDD"),
+      df.queryExecution.executedPlan.toString.take(2000))
+  }
+
+  test("unknown mode fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      withMode("bogus") {
+        graft.ops.Sft.tokenMasks(msgs, Seq(graft.ops.Bpe.Merge(0, "h", "e", 2L))).collect()
+      }
+    }
+    assert(e.getMessage.contains("spark.graft.bracket.mode"))
+  }
+
+}
