@@ -25,7 +25,10 @@ object PlanSweep {
           s"reused=${n("ReusedExchange")} broadcasts=${n("BroadcastExchange")} " +
           s"rddscans=${n("Scan ExistingRDD")}")
       } catch {
-        case e: Throwable => println(s"PLANSWEEP $name FAILED ${e.getClass.getSimpleName}")
+        // NonFatal only: an OutOfMemoryError must abort the sweep — after
+        // one the session is suspect and every later line would be noise
+        case scala.util.control.NonFatal(e) =>
+          println(s"PLANSWEEP $name FAILED ${e.getClass.getSimpleName}")
       }
     }
     spark.stop()

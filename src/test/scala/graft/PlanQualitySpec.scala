@@ -820,20 +820,28 @@ class PlanQualitySpec extends SparkSpec {
     // the narrow multiply-read frames; this pins the EXECUTED plan shape
     // so a refactor that drops a bracket (or breaks its sharing) fails
     // here instead of silently re-inflating the pass count.
-    def scans(name: String): Int = {
+    def scansAndPlan(name: String): (Int, String) = {
       val df = SparkEntry.queries(name)(spark, dir)
       df.queryExecution.toRdd.count() // materialize: post-AQE, post-checkpoint
-      "Scan parquet".r.findAllIn(df.queryExecution.executedPlan.toString).size
+      val plan = df.queryExecution.executedPlan.toString
+      ("Scan parquet".r.findAllIn(plan).size, plan)
+    }
+    // the plan excerpt rides the assert message so a failure shows WHICH
+    // subtree re-inflated, not just a bare count mismatch
+    def assertScans(name: String, bound: Int): Unit = {
+      val (n, plan) = scansAndPlan(name)
+      assert(n <= bound, s"$name re-inflated to $n parquet scans:\n" +
+        plan.take(2000))
     }
     // all consumers read the checkpointed tokenize pipeline — the final
     // segment re-reads NO parquet (was 210 scans)
-    assert(scans("t_sft_packed_tokens") === 0)
+    assertScans("t_sft_packed_tokens", 0)
     // one scored-side explode survives; the model table's 3 (logprob) / 4
     // (kn) consumers share one materialization (was 12 / 16 scans)
-    assert(scans("t_bigram_logprob") <= 3)
-    assert(scans("t_bigram_kn") <= 3)
+    assertScans("t_bigram_logprob", 3)
+    assertScans("t_bigram_kn", 3)
     // curate's gated frame is shared by the pair generator and the
     // survivor anti-join (was 2 full pipeline runs)
-    assert(scans("d_curate") === 0)
+    assertScans("d_curate", 0)
   }
 }
