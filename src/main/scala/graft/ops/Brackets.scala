@@ -35,6 +35,21 @@ import org.apache.spark.storage.StorageLevel
   * values, only where the shared frame lives); BracketsSpec pins that. */
 private[ops] object Brackets {
 
+  /** True when brackets materialize anything (mode != off) — callers that
+    * eagerly materialize-and-release intermediates skip the dance when
+    * brackets are disabled. */
+  def enabled(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.bracket.mode").getOrElse("local") != "off"
+
+  /** Release a bracketed frame's storage once its LAST consumer has
+    * materialized (unpersist for persist mode, checkpoint-block release
+    * for local mode, no-op otherwise). The frame must not be consumed
+    * again afterwards. */
+  def release(df: DataFrame): Unit = {
+    df.unpersist(blocking = false)
+    org.apache.spark.sql.graftbridge.CheckpointBridge.releaseCheckpoint(df)
+  }
+
   def bracket(df: DataFrame): DataFrame = {
     val conf = df.sparkSession.conf
     conf.getOption("spark.graft.bracket.mode").getOrElse("local") match {

@@ -213,12 +213,21 @@ object Sft {
     // recomputes it per consumer (measured r14: the t_sft_packed_tokens
     // plan held 100 parquet scans / 29 exchanges with ZERO reuse; one
     // checkpoint here + the tokenMasksWith brackets cut it to one
-    // tokenize pass). Lazy (no construction-time job), the ccnetGate
-    // discipline; corpus-sized, so the bracket MODE is config-gated
+    // tokenize pass). Corpus-sized, so the bracket MODE is config-gated
     // ([[Brackets]] — cluster jobs can trade speed for executor-loss
     // recoverability).
-    val tm = Brackets.bracket(tokenMasksWith(msgs, encode, convCol, turnCol,
-      roleCol, contentCol, learnRole))
+    val (tm0, inner) = tokenMasksWithHandles(msgs, encode, convCol, turnCol,
+      roleCol, contentCol, learnRole)
+    val tm = Brackets.bracket(tm0)
+    // tm is TURN-sized; the inner toks/spans brackets are TOKEN-sized and
+    // exist only to serve tm's one materialization — without an explicit
+    // release they'd pin ~2x the corpus token count in block storage for
+    // the whole packed query (r14 ADVICE). Materialize tm now and release
+    // them; A/B'd wall-neutral at sf0.1 (5.5-6.1 s with either shape).
+    if (Brackets.enabled(msgs.sparkSession)) {
+      tm.queryExecution.toRdd.count()
+      inner.foreach(Brackets.release)
+    }
     val counts = tm.select(col(convCol), col("n_tokens")).distinct()
     val packed = Chunking.packSequences(counts, "n_tokens", convCol,
         seqLen, numShards, salt)
@@ -279,7 +288,18 @@ object Sft {
   def tokenMasksWith(msgs: DataFrame, encode: Column => Column,
                      convCol: String, turnCol: String,
                      roleCol: String, contentCol: String,
-                     learnRole: String): DataFrame = {
+                     learnRole: String): DataFrame =
+    tokenMasksWithHandles(msgs, encode, convCol, turnCol, roleCol,
+      contentCol, learnRole)._1
+
+  /** [[tokenMasksWith]] plus the handles of its internal token-sized
+    * brackets, so the packed caller can release their block storage once
+    * its own turn-sized checkpoint has materialized from them. */
+  private def tokenMasksWithHandles(msgs: DataFrame, encode: Column => Column,
+                                    convCol: String, turnCol: String,
+                                    roleCol: String, contentCol: String,
+                                    learnRole: String)
+      : (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
     val rendered = renderConversations(msgs, convCol, turnCol, roleCol,
       contentCol, learnRole).select(col(convCol), col("text"))
@@ -337,10 +357,11 @@ object Sft {
           first(col("n_tokens"))).as("tok_start"),
         first(col("n_tokens")).as("n_tokens"))
       .withColumn("tok_end", col("tok_start"))
-    hit.select(col(convCol), col(turnCol), col(roleCol), col("learn"),
+    (hit.select(col(convCol), col(turnCol), col(roleCol), col("learn"),
         col("n_tokens"), col("tok_start"), col("tok_end"))
       .unionByName(misses.select(col(convCol), col(turnCol), col(roleCol),
-        col("learn"), col("n_tokens"), col("tok_start"), col("tok_end")))
+        col("learn"), col("n_tokens"), col("tok_start"), col("tok_end"))),
+      Seq(toks, spans))
   }
 
   /** The round-trip witness: re-extract every turn's content from the

@@ -1,0 +1,29 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Block-storage control for checkpointed DataFrames.
+  *
+  * `Dataset.localCheckpoint` materializes into executor block storage and
+  * keeps the blocks until the ContextCleaner GCs the wrapping RDD — there
+  * is no public "release this checkpoint now" call. For the packed-SFT
+  * path that means the token-sized inner brackets linger for the whole
+  * query after the turn-sized `tm` frame has been materialized from them
+  * (r14 ADVICE: ~2x peak checkpoint storage). The checkpointed Dataset's
+  * analyzed plan is a [[LogicalRDD]] holding the materialized RDD; this
+  * bridge unpersists it on demand. */
+object CheckpointBridge {
+
+  /** Release the block storage behind a (local)checkpointed DataFrame.
+    * No-op when the frame is not a checkpoint product (e.g. bracket mode
+    * `off` or `reliable` — reliable checkpoints live in the checkpoint
+    * filesystem, not block storage). The caller must not consume the
+    * frame again afterwards: its lineage is truncated, so the data is
+    * gone for good. */
+  def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+}
