@@ -498,7 +498,14 @@ object Dedup {
           .select(col("id_a"), col("id_b"), col("jaccard"))
         val fromCounts = withHotOverlap(counted, col("inter_cold"))
         // hot-ONLY pairs: hot-prefix candidates minus pairs the cold join
-        // already counted exactly; their intersection is pure hot overlap
+        // already counted exactly; their intersection is pure hot overlap.
+        // (id, n) deliberately re-derives from sh (one more scan-local
+        // tokenize+shingle pass) and NOT from the checkpointed invN:
+        // invN.select(id, n).distinct() was A/B-measured WORSE at both
+        // tiers (r15: 3.6 -> 4.2 s at sf0.1, 22-24 -> 25-26 s at sf1;
+        // t_cross_jaccard 0.7 -> 1.0 s) — the distinct adds a shuffle in
+        // the hot-only critical path where the sh recompute pipelines
+        // inside the scan stage.
         val sizes = sh.select(col("id"), size(col("sh")).as("n"))
         val hotOnly = withHotOverlap(
           hotPrefixCandidates(sh, freq, hot, hotDocs, threshold, hashedKeys = true)
