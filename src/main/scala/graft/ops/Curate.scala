@@ -538,14 +538,18 @@ object Curate {
     * and (merges, base) ARE the tokenizer: ship them beside the dataset
     * ([[Bpe.vocabDf]] is the landable face) or every future decode guesses.
     *
-    * The curated survivor set is localCheckpoint-materialized before the
-    * training scan re-reads it, and the tokenized id table is materialized
-    * once more before packing — the packing skeleton AND the final
-    * join-back both read it, and without the cut each would re-run the
-    * compiled per-word encode over the whole corpus. At genuine 100 TB
-    * scale land the survivors as a dataset ([[graft.io.Writer.store]])
-    * between stages 1 and 2 instead; this composite is the one-call
-    * shape, not the checkpoint-free one. */
+    * The curated survivor set is materialized before the training scan
+    * re-reads it, and the tokenized id table is materialized once more
+    * before packing — the packing skeleton AND the final join-back both
+    * read it, and without the cut each would re-run the compiled per-word
+    * encode over the whole corpus. `stageDir = None` (default) uses eager
+    * localCheckpoint — fastest locally, blocks on executor storage,
+    * unrecoverable on executor loss. `stageDir = Some(dir)` is the
+    * 100 TB shape: each stage LANDS as a parquet dataset under `dir` and
+    * the next stage reads it back — one corpus pass per stage, restart
+    * from the last landed stage after a failure, no corpus-scale bytes
+    * pinned in block storage. Outputs are identical either way (parquet
+    * round-trips every type here exactly; pinned by PipelineOpsSpec). */
   def prepareTrainingData(df: DataFrame, textCol: String, idCol: String,
                           cfg: CurateConfig = CurateConfig(),
                           numMerges: Int = 1024, batchSize: Int = 64,
@@ -556,12 +560,18 @@ object Curate {
                           // "ul2" = [[Objectives.ul2Mix]]'s inputs face
                           // (the targets string is tokenized inline after
                           // the inputs — the decoder-only UL2 recipe)
-                          objective: Option[String] = None)
+                          objective: Option[String] = None,
+                          // None: eager localCheckpoint between stages
+                          // (local/bench). Some(dir): LAND each stage as
+                          // a parquet dataset under dir (the 100 TB
+                          // shape — durable, restartable, one corpus
+                          // pass per stage).
+                          stageDir: Option[String] = None)
       : (DataFrame, Seq[Bpe.Merge], Seq[String]) = {
     // curation materializes ONCE; the objective transforms are row-local
     // selects over the checkpointed frame (two readers of a checkpoint
     // cost two scans of it, not two runs of the pipeline)
-    val curated0 = curate(df, textCol, idCol, cfg).localCheckpoint()
+    val curated0 = land(curate(df, textCol, idCol, cfg), stageDir, "curated")
     val curated = objective match {
       case None => curated0
       case Some("fim") =>
@@ -579,11 +589,10 @@ object Curate {
     }
     val (merges, base) = Bpe.trainWithAlphabet(curated, textCol,
       numMerges, batchSize)
-    val ids = curated.select(col(idCol),
+    val ids = land(curated.select(col(idCol),
         Bpe.encodeIds(col(textCol), merges, base).as("ids"))
       .withColumn("n_tokens", size(col("ids")).cast("long"))
-      .where(col("n_tokens") > 0)
-      .localCheckpoint()
+      .where(col("n_tokens") > 0), stageDir, "ids")
     val assignment = Chunking.packBinsBFD(ids, "n_tokens", idCol,
       seqLen, numShards)
     (assignment.withColumnRenamed("weight", "n_tokens")
@@ -599,20 +608,34 @@ object Curate {
   def prepareTrainingDataUnigram(df: DataFrame, textCol: String, idCol: String,
                                  cfg: CurateConfig = CurateConfig(),
                                  vocabSize: Int = 8192, maxPieceLen: Int = 8,
-                                 seqLen: Long = 2048L, numShards: Int = 64)
+                                 seqLen: Long = 2048L, numShards: Int = 64,
+                                 stageDir: Option[String] = None)
       : (DataFrame, Seq[Unigram.Piece]) = {
-    val curated = curate(df, textCol, idCol, cfg).localCheckpoint()
+    val curated = land(curate(df, textCol, idCol, cfg), stageDir, "curated")
     val pieces = Unigram.train(curated, textCol, vocabSize, maxPieceLen)
-    val ids = curated.select(col(idCol),
+    val ids = land(curated.select(col(idCol),
         Unigram.encodeIds(col(textCol), pieces).as("ids"))
       .withColumn("n_tokens", size(col("ids")).cast("long"))
-      .where(col("n_tokens") > 0)
-      .localCheckpoint()
+      .where(col("n_tokens") > 0), stageDir, "ids")
     val assignment = Chunking.packBinsBFD(ids, "n_tokens", idCol,
       seqLen, numShards)
     (assignment.withColumnRenamed("weight", "n_tokens")
        .join(ids.select(col(idCol), col("ids")), Seq(idCol)),
       pieces)
+  }
+
+  /** Inter-stage materialization for the training composites: eager
+    * localCheckpoint by default; with `stageDir`, LAND the stage as a
+    * parquet dataset and read it back (durable, restartable — the shape
+    * the composite's doc prescribes at real scale). Values round-trip
+    * exactly (long/double/string/array<int> columns only). */
+  private def land(df: DataFrame, stageDir: Option[String],
+                   name: String): DataFrame = stageDir match {
+    case None => df.localCheckpoint()
+    case Some(dir) =>
+      val path = s"$dir/$name"
+      df.write.mode("overwrite").parquet(path)
+      df.sparkSession.read.parquet(path)
   }
 
   /** The shared compaction core: near-dup pairs -> connected components
