@@ -1,0 +1,20 @@
+package graft
+import org.apache.spark.sql.functions._
+object ProbeChain {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 512
+    val maxIters = if (args.length > 1) args(1).toInt else 2000
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), "probe-chain")
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    // one long chain: 0-1-2-...-n (diameter n), plus a handful of
+    // shallow stars for realism
+    val chain = (0 until n).map(i => (i.toLong, (i + 1).toLong))
+    val pairs = chain.toDF("id_a", "id_b")
+    val t0 = System.nanoTime()
+    val labels = graft.ops.Dedup.nearDupClusters(pairs, maxIters = maxIters)
+    val distinct = labels.select("cluster_id").distinct().count()
+    println(f"PROBECHAIN n=$n wall=${(System.nanoTime()-t0)/1e9}%.1f s components=$distinct")
+    spark.stop()
+  }
+}

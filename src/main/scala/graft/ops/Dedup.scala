@@ -628,17 +628,44 @@ object Dedup {
     var converged = false
     var i = 0
     try {
+      // Rounds 0..3 are plain neighbor-min propagation (one materializing
+      // job per round: change flag inline, localCheckpoint cuts the
+      // growing lineage, the convergence probe scans checkpointed
+      // blocks). Realistic near-dup graphs are star/clique-shaped and
+      // converge here in <= 3 rounds — measured on the contract corpus —
+      // so the common case pays nothing extra. A graph still unconverged
+      // after round 3 has a DEEP component (chains of pairwise-similar
+      // docs), where neighbor-only propagation needs diameter-many
+      // rounds; from round 4 each round adds a POINTER JUMP (label
+      // doubling): label(x) := min(label(x), label(label(x))). Labels
+      // always hold ids of component members, so the indirection stays
+      // inside the component and the fixpoint (uniform component min) is
+      // unchanged — but chains now compress geometrically, ~log2(D)
+      // jump rounds instead of D (r15 deep-tier A/B: a 512-node chain
+      // reads 80.5s neighbor-only vs 9.9s with the jump; the contract
+      // corpus is byte-identical and wall-neutral, it never reaches the
+      // jump). The jump is a labels-sized self-join of the checkpointed
+      // half-step — metadata-cheap next to the edge join.
+      val jumpAfter = 4
       while (!converged && i < maxIters) {
         val neighborMin = edges.join(labels, edges("dst") === labels("id"))
           .groupBy(col("src").as("nid")).agg(min("cluster_id").as("nmin"))
-        // one materializing job per round: the change flag is computed inline
-        // and localCheckpoint cuts the growing lineage, so the convergence
-        // probe is a scan of the checkpointed blocks, not a second join
-        val updated = labels.join(neighborMin, labels("id") === col("nid"), "left")
+        val stepped = labels.join(neighborMin, labels("id") === col("nid"), "left")
           .select(col("id"),
             least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"),
-            coalesce(col("nmin") < col("cluster_id"), lit(false)).as("__changed"))
-          .localCheckpoint()
+            col("cluster_id").as("__old"))
+        val updated = (if (i < jumpAfter) {
+          stepped.select(col("id"), col("cluster_id"),
+            (col("cluster_id") =!= col("__old")).as("__changed"))
+        } else {
+          val half = stepped.localCheckpoint()
+          val jc = least(col("cluster_id"), coalesce(col("__pcl"), col("cluster_id")))
+          half.join(
+              half.select(col("id").as("__pid"), col("cluster_id").as("__pcl")),
+              col("cluster_id") === col("__pid"), "left")
+            .select(col("id"), jc.as("cluster_id"),
+              (jc =!= col("__old")).as("__changed"))
+        }).localCheckpoint()
         converged = updated.where(col("__changed")).isEmpty
         labels = updated.select("id", "cluster_id")
         i += 1
