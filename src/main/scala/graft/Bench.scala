@@ -112,18 +112,37 @@ object Bench {
     // Double.toString, never the f"%.3f" interpolator: the interpolator is
     // LOCALE-SENSITIVE (comma decimals under e.g. de_DE = invalid JSON)
     def num(v: Double): String = (math.round(v * 1000) / 1000.0).toString
-    val slowest = results.toSeq.sortBy(-_._2)
-      .map { case (k, v) => s""""$k":${num(v)}""" }
+    def entry(k: String, v: Double) = s""""$k":${num(v)}"""
+    // STABLE comparable sample (r14 VERDICT #8): the byte budget holds
+    // only ~70 entries, and as the slowest queries get faster they fall
+    // below the print cutoff — the driver's round-over-round comparable
+    // set silently shrinks. Reserve part of the budget for a fixed
+    // hash-selected sample (same ~30 names every round, murmur mod 8) so
+    // those stay comparable forever regardless of speed; the rest of the
+    // budget still goes to the SLOWEST queries. Additions-only: same one
+    // line, same fields, n_queries/n_errors still carry the true counts
+    // and the complete map still lands in BENCH_LOCAL.json.
+    val sampleNames = results.keySet.filter(k =>
+      math.floorMod(scala.util.hashing.MurmurHash3.stringHash(k), 8) == 0)
+    val sampleEntries = results.toSeq.filter(kv => sampleNames(kv._1))
+      .sortBy(-_._2).map { case (k, v) => entry(k, v) }
+    val sampleBytes = sampleEntries.map(_.length + 1).sum
+    val slowest = results.toSeq.filterNot(kv => sampleNames(kv._1))
+      .sortBy(-_._2).map { case (k, v) => entry(k, v) }
     // errors CAPPED (a mass-failure run must still fit the tail window —
     // red runs are exactly when the machine line matters most); "queries"
-    // holds the SLOWEST entries that fit; n_queries/n_errors carry the
-    // true counts; the complete map is in BENCH_LOCAL.json
+    // holds the stable sample plus the SLOWEST entries that fit;
+    // n_queries/n_errors carry the true counts
     val errCapped = errors.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
     val head =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","canary_drift":${num(canaryDrift)},"n_queries":${results.size},"n_errors":${errors.size},"errors":$errCapped,"sf":"$sfDir","queries":{"""
     val sb = new StringBuilder(head)
     var first = true
-    for (e <- slowest if sb.length + e.length + 3 <= budget) {
+    for (e <- slowest if sb.length + e.length + 3 + sampleBytes <= budget) {
+      if (!first) sb.append(',')
+      sb.append(e); first = false
+    }
+    for (e <- sampleEntries if sb.length + e.length + 3 <= budget) {
       if (!first) sb.append(',')
       sb.append(e); first = false
     }
